@@ -1,0 +1,79 @@
+package graft.harness
+
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** SET-statement handling + Flink-key → Spark translation table
+  * (SURVEY.md §4 config table; reference `SQLSubmitAction.java:85-99`).
+  *
+  * Mid-script SET must affect subsequent statements; some Spark settings
+  * are only consumable at query-compile time (trigger interval, checkpoint
+  * location, job name), so the harness keeps its own engine-key snapshot
+  * that INSERT compilation reads — mirroring when Flink reads TableConfig.
+  */
+final class EngineConfig(spark: SparkSession) {
+  /** Raw keys as SET by the script, in script order. */
+  val raw: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+
+  def set(key: String, value: String): Unit = {
+    raw(key) = value
+    key match {
+      case "parallelism.default" =>
+        spark.conf.set("spark.sql.shuffle.partitions", value)
+        spark.conf.set("spark.default.parallelism", value)
+      case "table.exec.mini-batch.allow-latency" =>
+        // drives the micro-batch trigger at INSERT-compile time
+        ()
+      case "pipeline.name" =>
+        spark.sparkContext.setJobDescription(value)
+      case k if k.startsWith("spark.") =>
+        spark.conf.set(k, value)
+      case _ =>
+        // engine-level key consumed at compile time (runtime-mode,
+        // checkpointing, mini-batch, dynamic-table-options) — keep in `raw`
+        ()
+    }
+  }
+
+  /** Parse + apply a full `SET k = v` statement
+    * (`SQLSubmitAction.java:85-99`): strip the SET keyword, split on the
+    * first `=`, trim both sides.
+    */
+  def setOperation(sql: String): Unit = {
+    val kvString = sql.trim.substring("SET".length).trim
+    val kv = kvString.split("=", 2)
+    if (kv.length != 2)
+      throw new IllegalArgumentException(
+        s"Invalid key-value string '$kvString'. Please use format 'key=value'.")
+    set(kv(0).trim, kv(1).trim)
+  }
+
+  def isStreaming: Boolean =
+    raw.get("execution.runtime-mode").forall(_.equalsIgnoreCase("streaming"))
+
+  def pipelineName: Option[String] = raw.get("pipeline.name")
+
+  def checkpointingEnabled: Boolean =
+    raw.get("execution.checkpointing.enabled").exists(_.toBoolean)
+
+  /** `5s` / `3 s` / `500ms` → Spark duration string. */
+  def miniBatchLatency: Option[String] =
+    raw.get("table.exec.mini-batch.allow-latency").map(toDuration)
+
+  def checkpointInterval: Option[String] =
+    raw.get("execution.checkpointing.interval").map(toDuration)
+
+  private def toDuration(v: String): String = {
+    val re = raw"(?i)^\s*(\d+)\s*(ms|s|min|m|h)?\s*$$".r
+    v match {
+      case re(n, unit) =>
+        Option(unit).map(_.toLowerCase) match {
+          case Some("ms")            => s"$n milliseconds"
+          case Some("min") | Some("m") => s"$n minutes"
+          case Some("h")             => s"$n hours"
+          case _                     => s"$n seconds"
+        }
+      case _ => v
+    }
+  }
+}

@@ -1,0 +1,249 @@
+package graft.harness
+
+import graft.harness.connectors.{Datagen, PrintSink}
+import graft.harness.ddl.{DdlParser, TableDef}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import scala.collection.mutable
+
+/** The `sql-submit` action on Spark: load a SQL script (local or HDFS),
+  * strip comments, split statements, substitute `${var}`s, classify, and
+  * dispatch each statement — mirroring `SQLSubmitAction.java:50-83`
+  * including the exact skip semantics (UNSET/EXPLAIN/UNKNOWN are logged
+  * and skipped, `:69-73`) and per-statement error wrapping (`:78-81`).
+  *
+  * Engine-specific DDL (`CREATE TABLE ... WITH ('connector'= ...)`) is
+  * intercepted by the DDL shim; everything else goes to `spark.sql`.
+  */
+final class SqlSubmitAction(
+    sqlFile: String,
+    variables: Map[String, String],
+    existingSession: Option[SparkSession] = None,
+    /** Print at most this many rows for batch SELECT (mirror of Flink's
+      * client-side print, which streams; we bound it).
+      */
+    printLimit: Int = 1000,
+    /** If >0, stop any still-running streaming queries after this many
+      * seconds instead of blocking forever.
+      */
+    durationSec: Long = 0L)
+    extends Action {
+
+  /** Engine catalog of connector tables registered by the shim. */
+  val sources: mutable.Map[String, TableDef] = mutable.LinkedHashMap.empty
+  val sinks: mutable.Map[String, TableDef] = mutable.LinkedHashMap.empty
+  val started: mutable.Buffer[StreamingQuery] = mutable.Buffer.empty
+
+  private val InsertRe = raw"(?is)^\s*INSERT\s+INTO\s+(\S+)\s+(.*)$$".r
+
+  override def run(): Unit = {
+    val statements = ScriptParser.loadStatements(sqlFile, variables)
+    val spark = existingSession.getOrElse {
+      val b = SparkSession.builder()
+        .appName("graft-sql-submit")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC")
+      // spark-submit injects spark.master; default to local[*] when run
+      // directly (dev/tests) so the CLI works standalone.
+      if (!sys.props.contains("spark.master"))
+        b.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      b.getOrCreate()
+    }
+    // Flink-SQL-compatible leniency for submitted scripts: Flink's
+    // unix_timestamp/cast parse prefixes where ANSI Spark raises
+    // (e.g. 'yyyy-MM-dd HH:mm:ss' against a µs-precision string,
+    // test.sql:55). Scoped to the harness session only.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    val config = new EngineConfig(spark)
+
+    statements.foreach { st =>
+      try {
+        st.tpe match {
+          case StatementType.SET =>
+            config.setOperation(st.sql)
+          case StatementType.SELECT =>
+            executeSelect(spark, config, st.sql)
+          case StatementType.UNSET | StatementType.EXPLAIN | StatementType.UNKNOWN =>
+            System.err.println(s"Skipped unsupported SQL statement:\n ${st.sql}")
+          case StatementType.CREATE if DdlParser.isConnectorCreate(st.sql) =>
+            registerConnectorTable(spark, config, DdlParser.parse(st.sql))
+          case StatementType.INSERT =>
+            executeInsert(spark, config, st.sql)
+          case _ =>
+            spark.sql(st.sql)
+        }
+      } catch {
+        case e: Exception =>
+          throw new Exception(
+            s"Error found when trying to execute sql: ${st.sql}", e)
+      }
+    }
+
+    if (started.nonEmpty) {
+      if (durationSec > 0) {
+        spark.streams.awaitAnyTermination(durationSec * 1000)
+        started.foreach(q => if (q.isActive) q.stop())
+      } else {
+        started.foreach(_.awaitTermination())
+      }
+    }
+  }
+
+  private def registerConnectorTable(
+      spark: SparkSession, config: EngineConfig, t: TableDef): Unit = {
+    if (t.ifNotExists && (sources.contains(t.name) || sinks.contains(t.name))) return
+    t.connector match {
+      case Some("datagen") =>
+        sources(t.name) = t
+        val df =
+          if (config.isStreaming && !t.options.contains("number-of-rows"))
+            Datagen.stream(spark, t)
+          else Datagen.batch(spark, t)
+        withSourceDecorations(df, t).createOrReplaceTempView(t.name)
+      case Some("print") | Some("blackhole") =>
+        sinks(t.name) = t
+      case Some("filesystem") =>
+        val path = t.options.getOrElse("path",
+          throw new IllegalArgumentException(
+            s"filesystem table '${t.name}' requires a 'path' option"))
+        val format = t.options.getOrElse("format", "parquet")
+        if (new java.io.File(stripScheme(path)).exists()) {
+          sources(t.name) = t
+          val df =
+            if (config.isStreaming) spark.readStream.format(format)
+              .schema(sparkSchema(spark, t)).load(path)
+            else spark.read.format(format).load(path)
+          withSourceDecorations(df, t).createOrReplaceTempView(t.name)
+        } else {
+          sinks(t.name) = t // write target that does not exist yet
+        }
+      case Some(other) =>
+        throw new IllegalArgumentException(s"Unsupported connector '$other'")
+      case None =>
+        spark.sql(t.name) // unreachable: isConnectorCreate gated
+    }
+  }
+
+  private def stripScheme(p: String): String =
+    p.replaceFirst(raw"^[a-zA-Z]+://", "")
+
+  private def sparkSchema(spark: SparkSession, t: TableDef) = {
+    import org.apache.spark.sql.types._
+    StructType(t.columns.map(c => StructField(c.name,
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(
+        c.dataType.replaceAll(raw"(?i)timestamp\s*\(\s*\d\s*\)", "timestamp")))))
+  }
+
+  /** Computed columns + watermark from the DDL (test.sql:18-19). */
+  private def withSourceDecorations(df: DataFrame, t: TableDef): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val withComputed =
+      if (df.isStreaming)
+        t.computedColumns.foldLeft(df)((d, cc) =>
+          d.withColumn(cc.name, expr(cc.expr.replaceAll(
+            raw"(?i)timestamp\s*\(\s*\d\s*\)", "timestamp"))))
+      else df // batch datagen already applied computed columns
+    t.watermark match {
+      case Some(wm) if withComputed.isStreaming =>
+        withComputed.withWatermark(wm.column, wm.delay)
+      case _ => withComputed
+    }
+  }
+
+  private def executeSelect(
+      spark: SparkSession, config: EngineConfig, sql: String): Unit = {
+    val df = spark.sql(sql)
+    if (df.isStreaming) {
+      val w = df.writeStream.format("console")
+        .option("truncate", "false")
+      val writer =
+        try { val s = w.outputMode("append").start(); s }
+        catch { case _: Exception => w.outputMode("update").start() }
+      started += writer
+    } else {
+      df.show(printLimit, truncate = false)
+    }
+  }
+
+  private def executeInsert(
+      spark: SparkSession, config: EngineConfig, sql: String): Unit =
+    sql match {
+      case InsertRe(rawTarget, query) =>
+        val target = DdlParser.unquoteName(rawTarget)
+        val df = spark.sql(query)
+        sinks.get(target) match {
+          case Some(sinkDef) => writeToSink(spark, config, df, sinkDef)
+          case None =>
+            // not an engine sink — let Spark SQL handle the whole INSERT
+            spark.sql(sql)
+        }
+      case _ =>
+        spark.sql(sql)
+    }
+
+  private def writeToSink(
+      spark: SparkSession, config: EngineConfig,
+      df: DataFrame, sinkDef: TableDef): Unit = {
+    val connector = sinkDef.connector.getOrElse("print")
+    if (df.isStreaming) {
+      val base = connector match {
+        case "print" => PrintSink.writer(df, sinkDef)
+        case "blackhole" =>
+          df.writeStream.format("noop").outputMode("update")
+        case "filesystem" =>
+          df.writeStream
+            .format(sinkDef.options.getOrElse("format", "parquet"))
+            .outputMode("append")
+            .option("path", sinkDef.options("path"))
+      }
+      val withTrigger = config.miniBatchLatency match {
+        case Some(latency) => base.trigger(Trigger.ProcessingTime(latency))
+        case None          => base
+      }
+      val withCp =
+        if (config.checkpointingEnabled)
+          withTrigger.option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-cp-").toString)
+        else withTrigger
+      val named = config.pipelineName match {
+        case Some(n) => withCp.queryName(s"$n-${sinkDef.name}")
+        case None    => withCp.queryName(sinkDef.name)
+      }
+      started += named.start()
+    } else {
+      connector match {
+        case "print"     => PrintSink.printBatch(df, sinkDef)
+        case "blackhole" => df.write.format("noop").mode("overwrite").save()
+        case "filesystem" =>
+          df.write.format(sinkDef.options.getOrElse("format", "parquet"))
+            .mode("append").save(sinkDef.options("path"))
+      }
+    }
+  }
+}
+
+final class SqlSubmitActionFactory extends ActionFactory {
+  override def name: String = "sql-submit"
+
+  override def showHelp(): Unit = {
+    println("Action \"sql-submit\" submit sql statements from specified file to Spark." +
+      "This is support run a pipeline in local or cluster mode, and variables replacement.")
+    println()
+    println("Syntax:")
+    println()
+    println("  sql-submit --sql-file <SQL-FILE> [--var <KEY=VALUE> [--var <KEY=VALUE> ...]]")
+    println()
+    println("--sql-file <SQL-FILE>  Required. SQL statements in this file will be executed.")
+    println("--var <KEY=VALUE> Optional. In SQL statements which specified by '--sql-file <SQL-FILE>' can use '${KEY}' to define variable replacement.")
+  }
+
+  override def create(params: Args): Option[Action] = {
+    val file = params.required("sql-file")
+    Some(new SqlSubmitAction(
+      file,
+      params.configMap("var"),
+      durationSec = params.get("duration-sec").map(_.toLong).getOrElse(0L)))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.harness.connectors
+
+import graft.harness.ddl.TableDef
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `datagen` source connector: rate-limited random rows with per-field
+  * `length` / `min` / `max` options (reference fixture test.sql:21-27).
+  *
+  * Streaming flavor builds on Spark's `rate` source (one row per tick at
+  * `rows-per-second`) and projects generated columns; batch flavor uses
+  * `spark.range(number-of-rows)`. Both are pure Catalyst projections over
+  * codegen'd `rand()` — no driver-side generation, scales linearly with
+  * partitions.
+  *
+  * Options honored: `rows-per-second` (streaming rate), `number-of-rows`
+  * (bounded row count; also makes the streaming flavor finite via
+  * rate-source rampDown... for the harness we treat it as batch bound),
+  * `fields.<col>.length` (random alphanumeric string of that length),
+  * `fields.<col>.min` / `fields.<col>.max` (uniform numeric range),
+  * `fields.<col>.kind` = 'sequence' with `fields.<col>.start`/`end`.
+  */
+object Datagen {
+  private val Alphabet =
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
+  private def randomString(len: Int): Column = {
+    // pick a random alphabet char per position: substr(alphabet, 1+floor(rand()*62), 1)
+    val picks = (0 until len).map { _ =>
+      expr(s"substring('$Alphabet', cast(floor(rand() * ${Alphabet.length}) as int) + 1, 1)")
+    }
+    if (picks.isEmpty) lit("") else concat(picks: _*)
+  }
+
+  private def generatedColumn(dataType: String, fieldOpts: Map[String, String]): Column = {
+    val t = dataType.toLowerCase.replaceAll(raw"\(.*\)", "").trim
+    def min = fieldOpts.get("min").map(_.toDouble)
+    def max = fieldOpts.get("max").map(_.toDouble)
+    t match {
+      case "string" | "varchar" | "char" =>
+        randomString(fieldOpts.get("length").map(_.toInt).getOrElse(100))
+      case "tinyint" | "smallint" | "int" | "integer" | "bigint" =>
+        val lo = min.getOrElse(0d)
+        val hi = max.getOrElse(Int.MaxValue.toDouble)
+        // uniform integer in [lo, hi] inclusive, Flink-datagen style
+        floor(rand() * (lit(hi) - lit(lo) + 1) + lit(lo)).cast(
+          if (t == "bigint") "long" else "int")
+      case "float" | "double" | "decimal" | "numeric" =>
+        val lo = min.getOrElse(0d)
+        val hi = max.getOrElse(Double.MaxValue.min(1e9))
+        (rand() * (lit(hi) - lit(lo)) + lit(lo)).cast(
+          if (t == "float") "float" else "double")
+      case "boolean" =>
+        (rand() > 0.5)
+      case "timestamp" =>
+        current_timestamp()
+      case other =>
+        throw new IllegalArgumentException(s"datagen: unsupported type '$other'")
+    }
+  }
+
+  private def project(base: DataFrame, table: TableDef): DataFrame = {
+    val fieldCols = table.columns.map { c =>
+      val prefix = s"fields.${c.name}."
+      val fieldOpts = table.options.collect {
+        case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
+      }
+      if (fieldOpts.get("kind").contains("sequence")) {
+        val start = fieldOpts.get("start").map(_.toLong).getOrElse(0L)
+        (col("__seq_id") + start).cast("long").as(c.name)
+      } else generatedColumn(c.dataType, fieldOpts).as(c.name)
+    }
+    val withFields = base.select(fieldCols: _*)
+    table.computedColumns.foldLeft(withFields) { (df, cc) =>
+      df.withColumn(cc.name, expr(translateExpr(cc.expr)))
+    }
+  }
+
+  /** Flink computed-column expression → Spark SQL. The only translation
+    * needed for the supported surface is `timestamp(3)` → `timestamp`.
+    */
+  private def translateExpr(e: String): String =
+    e.replaceAll(raw"(?i)timestamp\s*\(\s*\d\s*\)", "timestamp")
+
+  /** Bounded batch flavor (used when runtime-mode=batch or for tests). */
+  def batch(spark: SparkSession, table: TableDef, defaultRows: Long = 1000L): DataFrame = {
+    val n = table.options.get("number-of-rows").map(_.toLong).getOrElse(defaultRows)
+    project(spark.range(n).withColumnRenamed("id", "__seq_id"), table)
+  }
+
+  /** Unbounded streaming flavor on the `rate` source. */
+  def stream(spark: SparkSession, table: TableDef): DataFrame = {
+    val rps = table.options.get("rows-per-second").map(_.toLong).getOrElse(10000L)
+    val base = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps)
+      .load()
+      .withColumnRenamed("value", "__seq_id")
+    project(base, table)
+  }
+}

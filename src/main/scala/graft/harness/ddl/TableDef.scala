@@ -1,0 +1,25 @@
+package graft.harness.ddl
+
+/** Parsed form of a Flink-style `CREATE TABLE ... WITH ('connector'=...)`
+  * statement — the DDL surface the harness must understand beyond
+  * first-keyword classification (SURVEY.md §7 step 3).
+  */
+final case class ColumnDef(name: String, dataType: String)
+
+/** `name AS expr` computed column (test.sql:18). */
+final case class ComputedColumnDef(name: String, expr: String)
+
+/** `WATERMARK FOR col AS col - INTERVAL 'n' SECOND` (test.sql:19).
+  * `delay` is the Spark `withWatermark` delay string, e.g. "5 seconds".
+  */
+final case class WatermarkDef(column: String, delay: String)
+
+final case class TableDef(
+    name: String,
+    ifNotExists: Boolean,
+    columns: Vector[ColumnDef],
+    computedColumns: Vector[ComputedColumnDef],
+    watermark: Option[WatermarkDef],
+    options: Map[String, String]) {
+  def connector: Option[String] = options.get("connector")
+}
