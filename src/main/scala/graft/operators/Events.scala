@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Event-time operators over the `events` table: tumbling / hopping
+  * windows, sessionization, as-of and interval joins, JSON extraction
+  * (SURVEY.md §2.C "Window functions / time windows" + "Joins" interval/
+  * temporal rows; batch analogs of the streaming semantics in
+  * graft.streaming).
+  *
+  * Precision note: `events.ts` is nanosecond-precision parquet; Spark
+  * truncates to µs on read while DuckDB keeps ns. Every oracle-compared
+  * expression therefore works on `date_trunc('second', ts)` epochs so
+  * both engines see identical values (truncation toward past is the same
+  * from ns and µs).
+  */
+object Events {
+
+  /** Tumbling 1-hour window aggregate, keyed by event_type.
+    * Spark side uses the native `window()` TVF; `window.start` at hour
+    * boundaries equals floor(epoch/3600)*3600, which is the DuckDB
+    * spelling.
+    */
+  val q27Tumble: Q = Q(
+    "q27_tumble",
+    """SELECT event_type,
+      |  CAST(FLOOR(FLOOR(EPOCH(ts)) / 3600) * 3600 AS BIGINT) AS window_start_sec,
+      |  COUNT(*) AS n_events,
+      |  SUM(CAST(FLOOR((value) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("event_type"),
+        unix_timestamp(col("window.start")).as("window_start_sec"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Hopping window: 2-hour length sliding every hour (each event lands
+    * in 2 windows). Spark `window(ts, "2 hours", "1 hour")`; DuckDB
+    * enumerates the 2 slide offsets.
+    */
+  val q28Hop: Q = Q(
+    "q28_hop",
+    """SELECT CAST((FLOOR(FLOOR(EPOCH(ts)) / 3600) - off) * 3600 AS BIGINT) AS window_start_sec,
+      |  COUNT(*) AS n_events
+      |FROM events, (SELECT UNNEST([0, 1]) AS off)
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("window.start")).as("window_start_sec"),
+        col("n_events"))
+  }
+
+  /** Sessionization (30-minute inactivity gap) via gaps-and-islands:
+    * lag + cumulative sum of session-start markers, then per-session
+    * aggregation. One shuffle on user_id; identical logic to the
+    * streaming session_window operator in graft.streaming.
+    */
+  val q29Sessionize: Q = Q(
+    "q29_sessionize",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, ts_sec,
+      |    CASE WHEN ts_sec - LAG(ts_sec, 1, ts_sec - 1801)
+      |        OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) >= 1800
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, event_id, ts_sec,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked)
+      |SELECT user_id, session_id,
+      |  MIN(ts_sec) AS session_start_sec,
+      |  MAX(ts_sec) AS session_end_sec,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+      .withColumn("is_new",
+        when(col("ts_sec") - lag(col("ts_sec"), 1, null).over(byTime) >= 1800, 1)
+          .when(lag(col("ts_sec"), 1, null).over(byTime).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_sec")).as("session_start_sec"),
+        max(col("ts_sec")).as("session_end_sec"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** As-of join: for each purchase, the most recent click (any time
+    * before or at the purchase) by the same user.
+    *
+    * Spark has no ASOF syntax; the scalable implementation is the
+    * union-and-carry trick — tag both streams, sort per user by time,
+    * carry the last click forward with `last(ignoreNulls)` — one shuffle
+    * on user_id, no range-join blowup (SURVEY §2.C temporal/as-of row).
+    * DuckDB oracle uses its native ASOF JOIN.
+    */
+  val q30AsofJoin: Q = Q(
+    "q30_asof_join",
+    """WITH p AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id AS purchase_id,
+      |  COALESCE(c.event_id, -1) AS click_id,
+      |  COALESCE(p.ts_sec - c.ts_sec, -1) AS gap_sec
+      |FROM p ASOF LEFT JOIN c
+      |  ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
+    // clicks sort before purchases at equal ts_sec so same-second clicks match
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("is_purchase"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_click_id",
+        last(when(col("is_purchase") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_click_sec",
+        last(when(col("is_purchase") === 0, col("ts_sec")), ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(
+        col("event_id").as("purchase_id"),
+        coalesce(col("last_click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("ts_sec") - col("last_click_sec"), lit(-1L)).as("gap_sec"))
+  }
+
+  /** Interval join: clicks within the hour before each purchase, by the
+    * same user — equi-join on user_id plus a time-range predicate, the
+    * batch analog of a stream-stream interval join. Shuffles once on
+    * user_id.
+    */
+  val q31IntervalJoin: Q = Q(
+    "q31_interval_join",
+    """WITH p AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.event_id AS purchase_id,
+      |  COUNT(c.ts_sec) AS clicks_before
+      |FROM p LEFT JOIN c
+      |  ON p.user_id = c.user_id
+      |  AND c.ts_sec >= p.ts_sec - 3600 AND c.ts_sec < p.ts_sec
+      |GROUP BY p.event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts_sec").as("p_sec"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_sec").as("c_sec"))
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_sec") >= col("p_sec") - 3600 && col("c_sec") < col("p_sec"),
+        "left")
+      .groupBy(col("purchase_id"))
+      .agg(count(col("c_sec")).as("clicks_before"))
+  }
+
+  /** JSON field extraction from the `props` column. */
+  val q32Json: Q = Q(
+    "q32_json",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+      .filter(col("k_value") >= 50)
+  }
+
+  /** Pivot-style conditional aggregation: event-type counts per user. */
+  val q33Pivot: Q = Q(
+    "q33_pivot",
+    """SELECT user_id,
+      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
+      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+      |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+    def cnt(t: String) = sum(when(col("event_type") === t, 1).otherwise(0))
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(cnt("click").as("clicks"), cnt("view").as("views"),
+        cnt("purchase").as("purchases"), cnt("signup").as("signups"),
+        cnt("error").as("errors"))
+  }
+
+  def all: Seq[Q] = Seq(
+    q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
+    q32Json, q33Pivot)
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Join surface (SURVEY.md §2.C "Joins"): inner/left/semi/anti/theta and
+  * multi-way star joins.
+  *
+  * Scale design: dimension tables (region/nation/supplier/customer) are
+  * explicitly `broadcast()` when small relative to the fact side, so the
+  * big-side scan never shuffles for the dim join; fact-fact joins
+  * (orders⋈lineitem) shuffle on the join key once and AQE handles skew.
+  */
+object Joins {
+
+  /** Star join: orders ⋈ customer ⋈ nation ⋈ region, dims broadcast. */
+  val q11JoinInner: Q = Q(
+    "q11_join_inner",
+    """SELECT r.r_name AS region_name, n.n_name AS nation_name,
+      |  COUNT(*) AS n_orders,
+      |  SUM(CAST(FLOOR((o.o_totalprice) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, n.n_name""".stripMargin) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val nation = Tables.load(s, dir, "nation")
+    val region = Tables.load(s, dir, "region")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(region("r_name").as("region_name"), nation("n_name").as("nation_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
+  /** Left outer join keeping customers with zero orders. */
+  val q12JoinLeft: Q = Q(
+    "q12_join_left",
+    """SELECT c.c_custkey,
+      |  COUNT(o.o_orderkey) AS n_orders,
+      |  COALESCE(SUM(CAST(FLOOR((o.o_totalprice) * 100 + 0.5) AS BIGINT)), 0) / 100.0 AS revenue
+      |FROM customer c
+      |LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_custkey""".stripMargin) { (s, dir) =>
+    val customer = Tables.load(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+    customer
+      .join(orders, orders("o_custkey") === customer("c_custkey"), "left")
+      .groupBy(customer("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        (coalesce(sum(cents(col("o_totalprice"))), lit(0L)) / 100.0d).as("revenue"))
+  }
+
+  /** Left-semi join (EXISTS): customers that have at least one urgent order. */
+  val q13SemiJoin: Q = Q(
+    "q13_semi_join",
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin) { (s, dir) =>
+    val customer = Tables.load(s, dir, "customer")
+    val urgent = Tables.load(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    customer
+      .join(urgent, customer("c_custkey") === urgent("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS): parts never ordered. */
+  val q14AntiJoin: Q = Q(
+    "q14_anti_join",
+    """SELECT p_partkey, p_brand
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""".stripMargin) { (s, dir) =>
+    val part = Tables.load(s, dir, "part")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    part
+      .join(lineitem, part("p_partkey") === lineitem("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_brand"))
+  }
+
+  /** Theta (non-equi) join on tiny dims — broadcast nested-loop. */
+  val q15ThetaJoin: Q = Q(
+    "q15_theta_join",
+    """SELECT r.r_name, n.n_name
+      |FROM region r
+      |JOIN nation n ON n.n_nationkey > r.r_regionkey + 20""".stripMargin) { (s, dir) =>
+    val region = Tables.load(s, dir, "region")
+    val nation = Tables.load(s, dir, "nation")
+    region.join(broadcast(nation),
+        nation("n_nationkey") > region("r_regionkey") + 20)
+      .select(col("r_name"), col("n_name"))
+  }
+
+  /** TPC-H Q5-shaped 6-way join: local-supplier revenue per nation.
+    * Fact-fact orders⋈lineitem shuffles once on orderkey; all dims
+    * broadcast; the extra c_nationkey = s_nationkey condition is applied
+    * as a post-join filter on broadcast columns.
+    */
+  val q16JoinQ5: Q = Q(
+    "q16_join_q5",
+    """SELECT n.n_name AS nation_name,
+      |  SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE c.c_nationkey = s.s_nationkey
+      |GROUP BY n.n_name""".stripMargin) { (s, dir) =>
+    val customer = Tables.load(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+    val lineitem = Tables.load(s, dir, "lineitem")
+    val supplier = Tables.load(s, dir, "supplier")
+    val nation = Tables.load(s, dir, "nation")
+    val region = Tables.load(s, dir, "region")
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), customer("c_custkey") === orders("o_custkey"))
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .filter(customer("c_nationkey") === supplier("s_nationkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(nation("n_name").as("nation_name"))
+      .agg(dsum(lineitem("l_extendedprice") * (lit(1d) - lineitem("l_discount")))
+        .as("revenue"))
+  }
+
+  /** Scalar subquery: orders above the global average price. */
+  val q17ScalarSubquery: Q = Q(
+    "q17_scalar_subquery",
+    """SELECT o_orderkey,
+      |  CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT) AS price_cents
+      |FROM orders
+      |WHERE o_totalprice > 2 * (
+      |  SELECT SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*) FROM orders)""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderkey,
+        |  CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE o_totalprice > 2 * (
+        |  SELECT SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*) FROM orders)""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(
+    q11JoinInner, q12JoinLeft, q13SemiJoin, q14AntiJoin, q15ThetaJoin,
+    q16JoinQ5, q17ScalarSubquery)
+}

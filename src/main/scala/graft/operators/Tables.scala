@@ -16,7 +16,20 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") loadEvents(spark, sfDir) else
+      spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is INT64 TIMESTAMP(NANOS), which Spark 4 refuses to map
+    * to TimestampType (PARQUET_TYPE_ILLEGAL). Read nanos as long and
+    * rebuild a µs-precision timestamp — the same value a µs-capable
+    * reader would produce (truncation toward past).
+    */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Register every table as a temp view named after the table. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Analytic over-window surface (SURVEY.md §2.C "window functions"):
+  * ranking, top-k-per-group, lag/lead, running aggregates.
+  *
+  * Scale design: every window partitions by a high-cardinality key
+  * (custkey / user_id / brand) — one shuffle on the partition key, then
+  * a per-partition sort; no global sort, no driver collection. The
+  * rn<=k pattern is the streaming-dedup/top-k idiom from the reference's
+  * admitted surface (SURVEY §2.C "top-k / deduplication pattern").
+  */
+object Windows {
+
+  /** ROW_NUMBER top-k per group: top 3 orders per customer by price.
+    * Ties are impossible on (price_cents, o_orderkey) so the result is
+    * deterministic.
+    */
+  val q18TopkPerGroup: Q = Q(
+    "q18_topk_per_group",
+    """SELECT o_custkey, o_orderkey, price_cents, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT) AS price_cents,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT) DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  /** RANK + DENSE_RANK within brand by size (ties exist → rank gaps). */
+  val q19Rank: Q = Q(
+    "q19_rank",
+    """SELECT p_brand, p_partkey, p_size,
+      |  RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) AS rk,
+      |  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drk
+      |FROM part""".stripMargin) { (s, dir) =>
+    val byBoth = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_size").desc, col("p_partkey"))
+    val bySize = Window.partitionBy(col("p_brand")).orderBy(col("p_size").desc)
+    Tables.load(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        rank().over(byBoth).as("rk"),
+        dense_rank().over(bySize).as("drk"))
+  }
+
+  /** LAG/LEAD: per-user event deltas (seconds between events, value diff).
+    * Epoch seconds are used instead of raw ns timestamps so Spark's µs
+    * truncation vs DuckDB's ns precision cannot skew the compare.
+    */
+  val q20LagLead: Q = Q(
+    "q20_lag_lead",
+    """SELECT user_id, event_id,
+      |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_sec,
+      |  CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+      |    - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT), 1, CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec,
+      |  LEAD(event_type, 1, 'none') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM events""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("ts_sec", unix_timestamp(col("ts")))
+      .withColumn("gap_sec",
+        col("ts_sec") - lag(col("ts_sec"), 1).over(w))
+      .withColumn("gap_sec", coalesce(col("gap_sec"), lit(0L)))
+      .withColumn("next_type", lead(col("event_type"), 1, "none").over(w))
+      .drop("ts", "event_type")
+  }
+
+  /** Running (cumulative) revenue per customer over order date. */
+  val q21RunningSum: Q = Q(
+    "q21_running_sum",
+    """SELECT o_custkey, o_orderkey,
+      |  SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_rev
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(cents(col("o_totalprice"))).over(w) / 100.0d).as("running_rev"))
+  }
+
+  /** NTILE + percent-style bucketing of customers by balance. */
+  val q22Ntile: Q = Q(
+    "q22_ntile",
+    """SELECT c_custkey,
+      |  NTILE(10) OVER (ORDER BY CAST(FLOOR((c_acctbal) * 100 + 0.5) AS BIGINT) DESC, c_custkey) AS decile
+      |FROM customer""".stripMargin) { (s, dir) =>
+    val w = Window.orderBy(cents(col("c_acctbal")).desc, col("c_custkey"))
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), ntile(10).over(w).as("decile"))
+  }
+
+  def all: Seq[Q] = Seq(q18TopkPerGroup, q19Rank, q20LagLead, q21RunningSum, q22Ntile)
+}
