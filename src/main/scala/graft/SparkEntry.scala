@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** All oracle-checked queries, registered by operator area. */
   def registry: Seq[Q] =
-    Relational.all ++ Joins.all ++ Windows.all ++ SetOps.all ++ Events.all
+    Relational.all ++ Joins.all ++ Windows.all ++ SetOps.all ++ Events.all ++
+      TextAnalysis.all ++ Dedup.all ++ VectorSearch.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

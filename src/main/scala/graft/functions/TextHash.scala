@@ -1,0 +1,59 @@
+package graft.functions
+
+/** Deterministic text-hashing primitives shared by the dedup operators
+  * (MinHash / SimHash / fingerprinting) AND their DuckDB oracles.
+  *
+  * Both engines evaluate the exact same integer arithmetic: a polynomial
+  * left-fold over characters for token hashes (mod P), then affine
+  * permutations `(a*x + b) mod P` for MinHash. All intermediates stay
+  * under 2^63 (a,x < P ≈ 2^30 ⇒ a*x < 2^60), so int64 semantics are
+  * identical everywhere. Constants are generated here and injected into
+  * both dialects, so the oracle can never drift from the implementation.
+  */
+object TextHash {
+  val P: Long = 1000000007L
+  /** Number of MinHash permutations and LSH banding layout (4 bands × 4 rows). */
+  val K: Int = 16
+  val Bands: Int = 4
+  val RowsPerBand: Int = K / Bands
+
+  def a(i: Int): Long = ((i.toLong + 1L) * 2654435761L + 1000003L) % P
+  def b(i: Int): Long = ((i.toLong + 1L) * 40503L + 987654321L) % P
+
+  /** Spark SQL: array of token hashes for a text column tokenized on ' '. */
+  def tokenHashesSpark(textCol: String): String =
+    s"transform(split($textCol, ' '), t -> " +
+      s"aggregate(transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $P))"
+
+  /** DuckDB: same token-hash list. */
+  def tokenHashesDuck(textCol: String): String =
+    s"[list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ascii(c) AS BIGINT) for c in string_split(t, '')]), " +
+      s"(a, b) -> (a * 31 + b) % $P) for t in string_split($textCol, ' ')]"
+
+  /** Spark SQL: MinHash signature element i over a token-hash array expr. */
+  def minhashSpark(tokhs: String, i: Int): String =
+    s"array_min(transform($tokhs, th -> (${a(i)} * th + ${b(i)}) % $P))"
+
+  /** DuckDB: MinHash signature element i. */
+  def minhashDuck(tokhs: String, i: Int): String =
+    s"list_min([(${a(i)} * th + ${b(i)}) % $P for th in $tokhs])"
+
+  /** SimHash bit count — 30 bits (token hashes are < P ≈ 2^30). */
+  val SimBits: Int = 30
+
+  /** Band key for LSH: rows of band `bd` joined with '-', prefixed by the
+    * band index so keys from different bands never collide.
+    */
+  def bandKeySpark(sigCols: Int => String, bd: Int): String = {
+    val rows = (0 until RowsPerBand).map(r => sigCols(bd * RowsPerBand + r))
+    s"concat_ws('-', '$bd', ${rows.mkString(", ")})"
+  }
+
+  def bandKeyDuck(sigCols: Int => String, bd: Int): String = {
+    val rows = (0 until RowsPerBand)
+      .map(r => s"CAST(${sigCols(bd * RowsPerBand + r)} AS VARCHAR)")
+    s"'$bd' || '-' || ${rows.mkString(" || '-' || ")}"
+  }
+}

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (north-star
+  * extension set, SURVEY.md §2.C [ext] + §7 step 7): token counting,
+  * language-ID heuristic, quality scoring, document fingerprinting,
+  * n-gram statistics.
+  *
+  * All operators are per-row projections plus one hash aggregation —
+  * embarrassingly parallel, no shuffle except the final groupBy, so they
+  * scale linearly with input size. Everything stays inside Catalyst
+  * higher-order functions (transform/filter/aggregate) — codegen'd, no
+  * UDF serialization overhead.
+  *
+  * Ratios are quantized to integer thousandths (floor(x*1000+0.5)) so
+  * results hash-match DuckDB bit-for-bit (see [[Det]]).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count + char length. */
+  val extTokenCount: Q = Q(
+    "ext_token_count",
+    """SELECT doc_id,
+      |  LENGTH(text) AS n_chars_actual,
+      |  LEN(string_split(text, ' ')) AS n_tokens
+      |FROM documents""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        size(split(col("text"), " ")).as("n_tokens"))
+  }
+
+  /** Stopword-ratio language heuristic: fraction of determiner tokens
+    * ('the'/'a'); >= 5% → 'en', else 'unknown'. Compared against the
+    * labeled lang column.
+    */
+  val extLangId: Q = Q(
+    "ext_lang_id",
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id, lang,
+      |  CAST(FLOOR((LEN(list_filter(toks, t -> t IN ('the', 'a'))) * 1.0 / LEN(toks)) * 1000 + 0.5) AS BIGINT) AS stop_ratio_mils,
+      |  CASE WHEN LEN(list_filter(toks, t -> t IN ('the', 'a'))) * 1.0 / LEN(toks) >= 0.05
+      |    THEN 'en' ELSE 'unknown' END AS pred_lang
+      |FROM t""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val nStop = size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))"))
+    val ratio = nStop * lit(1.0d) / size(toks)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        floor(ratio * 1000d + 0.5d).cast("long").as("stop_ratio_mils"),
+        when(ratio >= 0.05d, "en").otherwise("unknown").as("pred_lang"))
+  }
+
+  /** Composite quality score: token count, mean token length,
+    * type-token ratio (vocabulary diversity), stopword ratio — the
+    * standard cheap pre-training quality signals.
+    */
+  val extQualityScore: Q = Q(
+    "ext_quality_score",
+    """WITH t AS (
+      |  SELECT doc_id, LENGTH(text) AS n_chars_actual,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  LEN(toks) AS n_tokens,
+      |  CAST(FLOOR(((n_chars_actual - LEN(toks) + 1) * 1.0 / LEN(toks)) * 1000 + 0.5) AS BIGINT) AS mean_tok_len_mils,
+      |  CAST(FLOOR((LEN(list_distinct(toks)) * 1.0 / LEN(toks)) * 1000 + 0.5) AS BIGINT) AS ttr_mils,
+      |  CASE WHEN LEN(toks) >= 20
+      |        AND LEN(list_distinct(toks)) * 1.0 / LEN(toks) >= 0.2
+      |    THEN 1 ELSE 0 END AS quality_pass
+      |FROM t""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val nToks = size(toks)
+    val meanTokLen =
+      (length(col("text")) - nToks + 1) * lit(1.0d) / nToks
+    val ttr = size(array_distinct(toks)) * lit(1.0d) / nToks
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        nToks.as("n_tokens"),
+        floor(meanTokLen * 1000d + 0.5d).cast("long").as("mean_tok_len_mils"),
+        floor(ttr * 1000d + 0.5d).cast("long").as("ttr_mils"),
+        when(nToks >= 20 && ttr >= 0.2d, 1).otherwise(0).as("quality_pass"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over the character stream
+    * (h = h*31 + code mod 1e9+7), plus duplicate-cluster size per
+    * fingerprint. Identical fold both engines: sequential left fold over
+    * chars, intermediate values < 3.2e10 so no int64 overflow.
+    */
+  val extFingerprint: Q = Q(
+    "ext_fingerprint",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |  FROM documents)
+      |SELECT doc_id, fp,
+      |  COUNT(*) OVER (PARTITION BY fp) AS cluster_size
+      |FROM f""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007)").as("fp"))
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("fp"))))
+  }
+
+  /** Global top-20 word bigrams (n-gram statistics): per-doc bigram
+    * generation is a projection; one count shuffle; TakeOrdered top-k.
+    */
+  val extNgramTop: Q = Q(
+    "ext_ngram_top",
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |b AS (
+      |  SELECT UNNEST([toks[i] || ' ' || toks[i+1]
+      |                 for i in generate_series(1, LEN(toks)-1)]) AS bigram
+      |  FROM t)
+      |SELECT bigram, COUNT(*) AS cnt
+      |FROM b GROUP BY bigram
+      |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(expr(
+        "explode(transform(sequence(0, size(split(text, ' ')) - 2), " +
+          "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1])))")
+        .as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+  }
+
+  def all: Seq[Q] = Seq(
+    extTokenCount, extLangId, extQualityScore, extFingerprint, extNgramTop)
+}
