@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operator library: the streaming surface the
+  * reference harness admits (SURVEY.md §2.C "Streaming semantics"),
+  * re-expressed on Spark's incremental execution model.
+  *
+  * Reference semantics pinned by the fixture:
+  *  - event-time watermark with 5s delay (test.sql:19) → `withWatermark`;
+  *  - unbounded multi-aggregate GROUP BY with incremental updates
+  *    (test.sql:47-60) → update-mode streaming aggregation;
+  *  - mini-batch latency (test.sql:4-6) → micro-batch trigger interval;
+  *  - `COUNT(DISTINCT)` in a streaming group-by (test.sql:51), which
+  *    Spark's streaming aggregation rejects → exact two-stage form:
+  *    watermarked `dropDuplicates` on (group keys ++ distinct col), then
+  *    a count per group (SURVEY §7 hard part 1, option (a)).
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window aggregate. Late rows beyond `delay` are
+    * dropped by the watermark, matching Flink's late-row semantics.
+    */
+  def windowedAgg(
+      df: DataFrame,
+      eventTime: String,
+      delay: String,
+      windowDuration: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.withWatermark(eventTime, delay)
+      .groupBy(keys :+ window(col(eventTime), windowDuration): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Exact streaming COUNT(DISTINCT distinctCol) GROUP BY keys.
+    *
+    * Spark's streaming agg rejects distinct aggregates; the exact,
+    * scale-correct form is dedup-then-count: `dropDuplicates` keyed by
+    * (keys ++ distinctCol) holds one state row per distinct combination
+    * (bounded by the watermark), and the downstream count is an ordinary
+    * incremental aggregation. Two shuffles on the same keys; state is
+    * O(distinct), the minimum any exact implementation needs.
+    */
+  def streamingCountDistinct(
+      df: DataFrame,
+      eventTime: String,
+      delay: String,
+      keys: Seq[String],
+      distinctCol: String,
+      windowDuration: String = "1 minute"): DataFrame =
+    df.withWatermark(eventTime, delay)
+      // one state row per (keys, window, distinct value); the window
+      // column carries event time, so state expires with the watermark
+      .withColumn("window", window(col(eventTime), windowDuration))
+      .dropDuplicates((keys :+ distinctCol) :+ "window")
+      .groupBy(keys.map(col) :+ col("window"): _*)
+      .agg(count(lit(1)).as("distinct_count"))
+
+  /** Approximate variant: HLL-sketch count-distinct works directly in a
+    * streaming agg (mergeable state, no dedup stage) — the cheap path at
+    * scale when exactness is negotiable (SURVEY §7 hard part 1, (b)).
+    */
+  def approxCountDistinct(
+      df: DataFrame,
+      eventTime: String,
+      delay: String,
+      keys: Seq[Column],
+      distinctCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.withWatermark(eventTime, delay)
+      .groupBy(keys :+ window(col(eventTime), "1 minute"): _*)
+      .agg(approx_count_distinct(distinctCol, rsd).as("approx_distinct_count"))
+
+  /** Streaming exact dedup within the watermark horizon — state expires
+    * once the watermark passes, so memory is bounded.
+    */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      eventTime: String,
+      delay: String,
+      keyCols: Seq[String]): DataFrame =
+    df.withWatermark(eventTime, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Session windows with an inactivity gap (streaming analog of the
+    * batch gaps-and-islands operator in graft.operators.Events).
+    */
+  def sessionAgg(
+      df: DataFrame,
+      eventTime: String,
+      delay: String,
+      gap: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.withWatermark(eventTime, delay)
+      .groupBy(keys :+ session_window(col(eventTime), gap): _*)
+      .agg(aggs.head, aggs.tail: _*)
+}

@@ -1,0 +1,95 @@
+package graft.harness
+
+import java.nio.file.Files
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end golden test (SURVEY.md §5 item 4): a bounded port of the
+  * reference fixture test.sql through every dispatch branch — SET,
+  * connector CREATE (datagen source + filesystem sink), INSERT with a
+  * 5-aggregate GROUP BY, UNSET/EXPLAIN skip path, SELECT print.
+  */
+class SqlSubmitE2ESpec extends AnyFunSuite {
+
+  test("bounded test.sql port: datagen -> agg -> parquet sink; skips honored") {
+    val spark = SparkFixture.spark
+    val outDir = Files.createTempDirectory("graft-e2e-out").toString
+    val script =
+      s"""-- bounded port of the reference fixture
+         |SET pipeline.name = test-sql;
+         |set parallelism.default = 4;
+         |SET execution.runtime-mode = batch;
+         |
+         |create table if not exists tbl_aggregate_source(
+         |  dim string,
+         |  user_id bigint,
+         |  price double,
+         |  row_time as cast(current_timestamp as timestamp(3)),
+         |  watermark for row_time as row_time - interval '5' second
+         |) with (
+         |  'connector' = 'datagen',
+         |  'number-of-rows' = '500',
+         |  'fields.dim.length' = '1',
+         |  'fields.user_id.min' = '1',
+         |  'fields.user_id.max' = '100',
+         |  'fields.price.min' = '50',
+         |  'fields.price.max' = '1000'
+         |);
+         |
+         |create table if not exists tbl_aggregate_sink(
+         |  dim string, pv bigint, uv bigint,
+         |  sum_price double, max_price double, min_price double
+         |) with (
+         |  'connector' = 'filesystem',
+         |  'path' = '$outDir/agg',
+         |  'format' = 'parquet'
+         |);
+         |
+         |insert into tbl_aggregate_sink
+         |select dim, count(*) as pv, count(distinct user_id) as uv,
+         |  sum(price) as sum_price, max(price) as max_price,
+         |  min(price) as min_price
+         |from tbl_aggregate_source
+         |group by dim;
+         |
+         |unset pipeline.name;
+         |explain select * from tbl_aggregate_source;
+         |
+         |select * from tbl_aggregate_source where user_id <= ${"$"}{maxid};
+         |""".stripMargin
+    val file = Files.createTempFile("graft-e2e-", ".sql")
+    Files.writeString(file, script)
+
+    val action = new SqlSubmitAction(
+      file.toString, Map("maxid" -> "100"),
+      existingSession = Some(spark), printLimit = 5)
+    action.run()
+
+    assert(action.sources.keySet == Set("tbl_aggregate_source"))
+    assert(action.sinks.keySet == Set("tbl_aggregate_sink"))
+
+    val out = spark.read.parquet(s"$outDir/agg")
+    assert(out.columns.toSet ==
+      Set("dim", "pv", "uv", "sum_price", "max_price", "min_price"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // 500 generated rows distributed over the length-1 dim alphabet
+    assert(rows.map(_.getAs[Long]("pv")).sum == 500L)
+    // uv <= pv, prices within configured bounds
+    rows.foreach { r =>
+      assert(r.getAs[Long]("uv") <= r.getAs[Long]("pv"))
+      assert(r.getAs[Double]("min_price") >= 50.0)
+      assert(r.getAs[Double]("max_price") <= 1000.0)
+    }
+  }
+
+  test("statements failing mid-script are wrapped with the offending SQL") {
+    val spark = SparkFixture.spark
+    val file = Files.createTempFile("graft-bad-", ".sql")
+    Files.writeString(file, "SELECT * FROM table_that_does_not_exist_xyz;\n")
+    val action = new SqlSubmitAction(
+      file.toString, Map.empty, existingSession = Some(spark))
+    val e = intercept[Exception](action.run())
+    assert(e.getMessage.contains("table_that_does_not_exist_xyz"))
+  }
+}

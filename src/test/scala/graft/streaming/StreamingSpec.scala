@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-semantics tests (SURVEY.md §5 item 5): watermark late-row
+  * dropping, exact streaming count-distinct, dedup-within-watermark,
+  * custom flatMapGroupsWithState sessions.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("watermark drops rows later than the delay (5s, test.sql:19 semantics)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.windowedAgg(
+      input.toDF().toDF("row_time", "dim", "price"),
+      "row_time", "5 seconds", "1 minute",
+      Seq($"dim"), Seq(count(lit(1)).as("pv"), sum($"price").as("sum_price")))
+    val query = agg.writeStream.format("memory")
+      .queryName("wm_agg").outputMode("append").start()
+    try {
+      // batch 1: two rows at t=60..70, then advance watermark far ahead
+      input.addData((ts(60), "a", 1.0), (ts(70), "a", 2.0))
+      query.processAllAvailable()
+      input.addData((ts(300), "b", 9.0)) // watermark -> 295
+      query.processAllAvailable()
+      // batch 3: a row at t=65 is behind the watermark -> dropped
+      input.addData((ts(65), "a", 100.0))
+      query.processAllAvailable()
+      input.addData((ts(600), "c", 1.0)) // close the [60,120) window
+      query.processAllAvailable()
+      val a = spark.table("wm_agg").filter($"dim" === "a")
+        .select($"pv", $"sum_price").as[(Long, Double)].collect()
+      // the late t=65 row must NOT be counted
+      assert(a.toSeq == Seq((2L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("exact streaming COUNT(DISTINCT) via dedup-then-count") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val agg = StreamOps.streamingCountDistinct(
+      input.toDF().toDF("row_time", "dim", "user_id"),
+      "row_time", "5 seconds", Seq("dim"), "user_id")
+    val query = agg.writeStream.format("memory")
+      .queryName("cd_agg").outputMode("append").start()
+    try {
+      // same user twice, three users total for dim=a within one minute
+      input.addData(
+        (ts(60), "a", 1L), (ts(61), "a", 1L), (ts(62), "a", 2L),
+        (ts(63), "a", 3L), (ts(64), "b", 7L))
+      query.processAllAvailable()
+      input.addData((ts(600), "z", 99L)) // advance watermark, close windows
+      query.processAllAvailable()
+      val byDim = spark.table("cd_agg")
+        .select($"dim", $"distinct_count").as[(String, Long)]
+        .collect().toMap
+      assert(byDim("a") == 3L)
+      assert(byDim("b") == 1L)
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups within the horizon") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val out = StreamOps.dedupWithinWatermark(
+      input.toDF().toDF("row_time", "event_id"),
+      "row_time", "10 seconds", Seq("event_id"))
+    val query = out.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((ts(100), 1L), (ts(101), 1L), (ts(102), 2L))
+      query.processAllAvailable()
+      input.addData((ts(103), 1L)) // still within horizon -> dropped
+      query.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2L)
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState closes sessions on gap timeout") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[UserEvent]
+    val sessions = SessionTracker.trackSessions(
+      input.toDS(), gapSec = 30L, watermarkDelay = "5 seconds")
+    val query = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    try {
+      // user 1: two events 10s apart (one session), then a 100s gap
+      input.addData(
+        UserEvent(1L, ts(100), 1.0), UserEvent(1L, ts(110), 2.0))
+      query.processAllAvailable()
+      input.addData(UserEvent(1L, ts(210), 5.0)) // gap 100s -> closes first
+      query.processAllAvailable()
+      val closed = spark.table("sessions_out").as[ClosedSession].collect()
+      assert(closed.exists(s =>
+        s.userId == 1L && s.startSec == 100L && s.endSec == 110L &&
+          s.nEvents == 2L && s.sumValue == 3.0))
+      // advance watermark far ahead -> timeout closes the open session
+      input.addData(UserEvent(9L, ts(1000), 0.0))
+      query.processAllAvailable()
+      input.addData(UserEvent(9L, ts(2000), 0.0))
+      query.processAllAvailable()
+      val all = spark.table("sessions_out").as[ClosedSession].collect()
+      assert(all.exists(s => s.userId == 1L && s.startSec == 210L))
+    } finally query.stop()
+  }
+}
