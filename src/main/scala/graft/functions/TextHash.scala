@@ -20,11 +20,29 @@ object TextHash {
   def a(i: Int): Long = ((i.toLong + 1L) * 2654435761L + 1000003L) % P
   def b(i: Int): Long = ((i.toLong + 1L) * 40503L + 987654321L) % P
 
-  /** Spark SQL: array of token hashes for a text column tokenized on ' '. */
+  /** Spark SQL: array of token hashes for a text column tokenized on ' '
+    * (requires [[GraftFunctions.register]]; the native expression is the
+    * same fold as the DuckDB spelling below).
+    */
   def tokenHashesSpark(textCol: String): String =
-    s"transform(split($textCol, ' '), t -> " +
-      s"aggregate(transform(split(t, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-      s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $P))"
+    s"graft_shingle_hashes(split($textCol, ' '), 1)"
+
+  /** Spark SQL: word-trigram shingle hashes (MinHash input). Trigrams,
+    * not unigrams: with a small vocabulary, unigram min-hashes collide
+    * for nearly every document and LSH degenerates to all-pairs; the
+    * trigram universe is |V|³ so signatures discriminate.
+    */
+  def shingleHashesSpark(toksCol: String): String =
+    s"graft_shingle_hashes($toksCol, 3)"
+
+  /** DuckDB: identical word-trigram shingle hashes. */
+  def shingleHashesDuck(toksCol: String): String = {
+    val fold = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ascii(c) AS BIGINT) for c in string_split(g, '')]), " +
+      s"(a, b) -> (a * 31 + b) % $P)"
+    s"[$fold for g in [$toksCol[i] || ' ' || $toksCol[i+1] || ' ' || $toksCol[i+2] " +
+      s"for i in generate_series(1, LEN($toksCol) - 2)]]"
+  }
 
   /** DuckDB: same token-hash list. */
   def tokenHashesDuck(textCol: String): String =

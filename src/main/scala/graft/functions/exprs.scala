@@ -1,0 +1,278 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot inner loops of the dedup /
+  * similarity operators.
+  *
+  * Rationale: Spark's higher-order functions (`transform`/`aggregate`)
+  * interpret one lambda dispatch per element (~µs each). A polynomial
+  * hash over a 400-char document or a 64-dim dot product per candidate
+  * pair pays that dispatch 64-400×/row. These expressions run the loop
+  * in one eval (and `PolyHash`/`DotProduct` generate Java code inline),
+  * keeping the surrounding operators inside whole-stage codegen.
+  *
+  * Arithmetic is bit-identical to the DuckDB oracle spellings in
+  * [[TextHash]]: same fold order, same mod, int64 throughout.
+  */
+
+/** `graft_poly_hash(s)`: h := (h*31 + byte) mod 1e9+7 over UTF-8 bytes.
+  * Equals the char-codepoint fold for ASCII inputs (the corpus).
+  */
+case class PolyHash(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PolyHash.hash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  /** Shared by interpreted + codegen paths. */
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xffL)) % TextHash.P
+      i += 1
+    }
+    h
+  }
+}
+
+/** `graft_minhash_sig(array<long>)`: all K MinHash permutation minima in
+  * one pass over the token hashes.
+  */
+case class MinHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(TextHash.K)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val th = arr.getLong(t)
+      var i = 0
+      while (i < TextHash.K) {
+        val v = (TextHash.a(i) * th + TextHash.b(i)) % TextHash.P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_hashes(toks, n)`: polynomial hash of every word
+  * n-gram ("tok1 tok2 … tokn", single-space-joined), one native pass —
+  * no per-shingle string allocation, no lambda dispatch. Hash values
+  * equal `PolyHash` of the joined string: the fold just continues
+  * across part boundaries with the space byte.
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(toksAny: Any, nAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    val count = toks.numElements() - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Long])
+    val bytes = new Array[Array[Byte]](toks.numElements())
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = toks.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Long](count)
+    var s = 0
+    while (s < count) {
+      var h = 0L
+      var p = 0
+      while (p < n) {
+        if (p > 0) h = (h * 31L + ' '.toLong) % TextHash.P
+        val bs = bytes(s + p)
+        var j = 0
+        while (j < bs.length) {
+          h = (h * 31L + (bs(j) & 0xffL)) % TextHash.P
+          j += 1
+        }
+        p += 1
+      }
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_word_ngrams(toks, n)`: the n-gram strings themselves (for
+  * n-gram statistics), one native pass.
+  */
+case class WordNgrams(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override protected def nullSafeEval(toksAny: Any, nAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    val count = toks.numElements() - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count)
+    var s = 0
+    while (s < count) {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var p = 0
+      while (p < n) {
+        if (p > 0) parts(2 * p - 1) = WordNgrams.Space
+        parts(2 * p) = toks.getUTF8String(s + p)
+        p += 1
+      }
+      out(s) = UTF8String.concat(parts: _*)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNgrams =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordNgrams {
+  val Space: UTF8String = UTF8String.fromString(" ")
+}
+
+/** `graft_simhash(array<long>)`: 30-bit SimHash — per-bit ±1 votes over
+  * all token hashes, one pass, no explode/shuffle. Bit j is set iff the
+  * vote sum is strictly positive (matching the oracle's
+  * `SUM(2*((th>>j)&1)-1) > 0`).
+  */
+case class SimHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Long](TextHash.SimBits)
+    var t = 0
+    while (t < n) {
+      val th = arr.getLong(t)
+      var j = 0
+      while (j < TextHash.SimBits) {
+        votes(j) += 2L * ((th >> j) & 1L) - 1L
+        j += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < TextHash.SimBits) {
+      if (votes(j) > 0L) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+/** `graft_dot(array<double>, array<double>)`: sequential-order dot
+  * product — IEEE-identical to the oracle's explicit left fold.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    DotProduct.dot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.DotProduct.dot($l, $r);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Registration: temp functions on a session (for library use) and a
+  * `SparkSessionExtensions` hook (for `spark.sql.extensions` wiring).
+  */
+object GraftFunctions {
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_poly_hash" -> (es => PolyHash(es.head)),
+    "graft_minhash_sig" -> (es => MinHashSig(es.head)),
+    "graft_simhash" -> (es => SimHash(es.head)),
+    "graft_shingle_hashes" -> (es => ShingleHashes(es.head, es(1))),
+    "graft_word_ngrams" -> (es => WordNgrams(es.head, es(1))),
+    "graft_dot" -> (es => DotProduct(es.head, es(1))))
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftSparkExtensions` registers
+  * the functions at session build time on every session of the cluster.
+  */
+class GraftSparkExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder))
+    }
+}

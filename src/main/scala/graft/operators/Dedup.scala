@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.functions.TextHash
 import graft.functions.TextHash._
 import org.apache.spark.sql.functions._
 
@@ -11,14 +10,16 @@ import org.apache.spark.sql.functions._
   *  - exact dedup = one hash aggregation on the full text (or its
   *    fingerprint) — single shuffle;
   *  - Jaccard near-dup avoids the O(n²) cross join with a posting-list
-  *    self-join: explode distinct bigrams, join docs that SHARE a bigram
-  *    (inverted index), then verify. Shuffle is bounded by posting-list
-  *    sizes, and the join key includes `lang` as a blocking key;
+  *    self-join: explode distinct word-trigram shingle HASHES (8-byte
+  *    join keys, not strings), join docs that share one (inverted
+  *    index) within a `lang` block, then verify exactly;
   *  - MinHash+LSH replaces the full signature compare with a band-bucket
-  *    join: docs collide only if one of 4 bands matches exactly, so the
-  *    candidate set is tiny and the exact-verify join stays narrow;
-  *  - SimHash packs a doc into 30 bits; near-dup candidates come from
-  *    10-bit chunk equality (pigeonhole: hamming ≤ 2 ⇒ some chunk equal).
+  *    join: each doc explodes into 4 band keys (one pass, no UNION
+  *    re-reads), docs collide only on exact band equality, so the
+  *    candidate set is tiny and the verify join stays narrow;
+  *  - SimHash packs a doc into 30 bits; near-dup candidates would come
+  *    from 10-bit chunk equality (pigeonhole: hamming ≤ 2 ⇒ some chunk
+  *    equal).
   */
 object Dedup {
 
@@ -36,41 +37,52 @@ object Dedup {
       .drop("text")
   }
 
-  /** Word-bigram Jaccard near-dup via inverted-index join (no cross
-    * join): docs sharing ≥1 bigram (same lang block) are candidates;
-    * exact Jaccard ≥ 0.6 confirms.
+  /** Spark SQL: distinct word-trigram shingle hash array (native
+    * per-shingle hash; see [[graft.functions.PolyHash]] and the shingle
+    * rationale in [[graft.functions.TextHash.shingleHashesSpark]]).
+    */
+  private val gramHashesSpark: String =
+    s"array_distinct(${shingleHashesSpark("toks")})"
+
+  /** DuckDB: identical distinct trigram shingle hashes. */
+  private val gramHashesDuck: String =
+    s"list_distinct(${shingleHashesDuck("toks")})"
+
+  /** Word-trigram Jaccard near-dup via inverted-index join (no cross
+    * join): docs sharing ≥1 shingle hash (same lang block) are
+    * candidates; exact Jaccard ≥ 0.6 confirms. Shingles are joined by
+    * polynomial hash — identical arithmetic in the oracle, so any
+    * collision is mirrored there.
     */
   val extJaccardPairs: Q = Q(
     "ext_jaccard_pairs",
-    """WITH d AS (
-      |  SELECT doc_id, lang,
-      |    list_distinct([toks[i] || ' ' || toks[i+1]
-      |      for i in generate_series(1, LEN(toks)-1)]) AS grams
-      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
-      |post AS (SELECT doc_id, lang, LEN(grams) AS sz, UNNEST(grams) AS gram FROM d),
-      |cand AS (
-      |  SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b,
-      |    p1.sz AS sz_a, p2.sz AS sz_b, COUNT(*) AS inter
-      |  FROM post p1 JOIN post p2
-      |    ON p1.gram = p2.gram AND p1.lang = p2.lang AND p1.doc_id < p2.doc_id
-      |  GROUP BY 1, 2, 3, 4)
-      |SELECT doc_a, doc_b,
-      |  CAST(FLOOR((inter * 1.0 / (sz_a + sz_b - inter)) * 1000 + 0.5) AS BIGINT) AS jaccard_mils
-      |FROM cand
-      |WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.6""".stripMargin) { (s, dir) =>
-    val d = Tables.load(s, dir, "documents")
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, $gramHashesDuck AS ghs
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
+       |post AS (SELECT doc_id, lang, LEN(ghs) AS sz, UNNEST(ghs) AS gh FROM d),
+       |cand AS (
+       |  SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b,
+       |    p1.sz AS sz_a, p2.sz AS sz_b, COUNT(*) AS inter
+       |  FROM post p1 JOIN post p2
+       |    ON p1.gh = p2.gh AND p1.lang = p2.lang AND p1.doc_id < p2.doc_id
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b,
+       |  CAST(FLOOR((inter * 1.0 / (sz_a + sz_b - inter)) * 1000 + 0.5) AS BIGINT) AS jaccard_mils
+       |FROM cand
+       |WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.6""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val post = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), expr(gramHashesSpark).as("ghs"))
       .select(col("doc_id"), col("lang"),
-        expr("array_distinct(transform(sequence(0, size(split(text, ' ')) - 2), " +
-          "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1])))").as("grams"))
-    val post = d.select(col("doc_id"), col("lang"),
-      size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+        size(col("ghs")).as("sz"), explode(col("ghs")).as("gh"))
     val p1 = post.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-      col("sz").as("sz_a"), col("gram").as("gram_a"))
+      col("sz").as("sz_a"), col("gh").as("gh_a"))
     val p2 = post.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("sz").as("sz_b"), col("gram").as("gram_b"))
+      col("sz").as("sz_b"), col("gh").as("gh_b"))
     val jac = col("inter") * lit(1.0d) / (col("sz_a") + col("sz_b") - col("inter"))
     p1.join(p2,
-        col("gram_a") === col("gram_b") && col("lang_a") === col("lang_b") &&
+        col("gh_a") === col("gh_b") && col("lang_a") === col("lang_b") &&
           col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("inter"))
@@ -79,62 +91,65 @@ object Dedup {
         floor(jac * 1000d + 0.5d).cast("long").as("jaccard_mils"))
   }
 
-  private def sigSelectSpark: String = {
-    val tokhs = tokenHashesSpark("text")
-    (0 until K).map(i => s"${minhashSpark("tokhs", i)} AS sig_$i")
-      .mkString(s"SELECT doc_id, lang, tokhs, ", ", ",
-        s" FROM (SELECT doc_id, lang, $tokhs AS tokhs FROM documents)")
-  }
+  /** All K minima come from one native pass (graft_minhash_sig), then
+    * fan out into columns.
+    */
+  private def sigSelectSpark: String =
+    (0 until K).map(i => s"sig[$i] AS sig_$i")
+      .mkString(s"SELECT doc_id, ", ", ",
+        s" FROM (SELECT doc_id, graft_minhash_sig(${shingleHashesSpark("split(text, ' ')")}) AS sig FROM documents)")
 
-  private def sigSelectDuck: String = {
-    val tokhs = tokenHashesDuck("text")
+  private def sigSelectDuck: String =
     (0 until K).map(i => s"${minhashDuck("tokhs", i)} AS sig_$i")
-      .mkString(s"SELECT doc_id, lang, tokhs, ", ", ",
-        s" FROM (SELECT doc_id, lang, $tokhs AS tokhs FROM documents)")
-  }
+      .mkString(s"SELECT doc_id, ", ", ",
+        s" FROM (SELECT doc_id, ${shingleHashesDuck("toks")} AS tokhs" +
+          s" FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))")
 
   /** MinHash signatures (16 permutations over word-token hashes). */
   val extMinhashSig: Q = Q(
     "ext_minhash_sig",
-    s"""WITH s AS ($sigSelectDuck)
-       |SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")}
-       |FROM s""".stripMargin) { (s, dir) =>
+    s"""SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")}
+       |FROM ($sigSelectDuck)""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     Tables.registerAll(s, dir)
-    s.sql(s"""WITH s AS ($sigSelectSpark)
-             |SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")}
-             |FROM s""".stripMargin)
+    s.sql(s"SELECT * FROM ($sigSelectSpark)")
   }
 
-  /** MinHash+LSH near-dup pairs: 4-band bucket join proposes candidates;
-    * exact signature agreement (≥ 8 of 16 minhashes, i.e. estimated
+  /** MinHash+LSH near-dup pairs: each doc explodes into its 4 band keys
+    * (single pass over signatures), the band equi-join proposes
+    * candidates, exact signature agreement (≥ 8 of 16 ⇒ estimated
     * Jaccard ≥ 0.5) confirms.
     */
   val extMinhashPairs: Q = Q(
     "ext_minhash_pairs", {
-      val bandRows = (0 until Bands).map(bd =>
-        s"SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")}, " +
-          s"${bandKeyDuck(i => s"sig_$i", bd)} AS band_key FROM s").mkString(" UNION ALL ")
+      val bandList = (0 until Bands)
+        .map(bd => bandKeyDuck(i => s"sig_$i", bd)).mkString("[", ", ", "]")
       val agree = (0 until K)
         .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH s AS ($sigSelectDuck),
-         |banded AS ($bandRows),
+         |banded AS (
+         |  SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")},
+         |    UNNEST($bandList) AS band_key FROM s),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $agree AS n_agree
          |  FROM banded a JOIN banded b
          |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, n_agree FROM cand WHERE n_agree >= 8""".stripMargin
     }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     Tables.registerAll(s, dir)
-    val bandRows = (0 until Bands).map(bd =>
-      s"SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")}, " +
-        s"${bandKeySpark(i => s"sig_$i", bd)} AS band_key FROM s").mkString(" UNION ALL ")
+    val bandArray = (0 until Bands)
+      .map(bd => bandKeySpark(i => s"sig_$i", bd)).mkString("array(", ", ", ")")
+    val sigCols = (0 until K).map(i => s"sig_$i").mkString(", ")
     val agree = (0 until K)
       .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s.sql(
       s"""WITH s AS ($sigSelectSpark),
-         |banded AS ($bandRows),
+         |banded AS (
+         |  SELECT doc_id, $sigCols, band_key
+         |  FROM s LATERAL VIEW explode($bandArray) t AS band_key),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $agree AS n_agree
          |  FROM banded a JOIN banded b
@@ -143,8 +158,7 @@ object Dedup {
   }
 
   /** SimHash: 30-bit signature from per-token hash bit votes (token
-    * frequency weighted). Emitted per doc with its 3×10-bit chunks for
-    * banding.
+    * frequency weighted).
     */
   val extSimhash: Q = Q(
     "ext_simhash", {
@@ -156,14 +170,14 @@ object Dedup {
          |SELECT doc_id, $bits AS simhash
          |FROM t GROUP BY doc_id""".stripMargin
     }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     Tables.registerAll(s, dir)
     val bits = (0 until SimBits).map(j =>
       s"(CASE WHEN SUM(2 * ((th >> $j) & 1) - 1) > 0 THEN ${1L << j}L ELSE 0L END)")
       .mkString(" + ")
     s.sql(
-      s"""SELECT doc_id, $bits AS simhash
-         |FROM (SELECT doc_id, explode(${tokenHashesSpark("text")}) AS th FROM documents)
-         |GROUP BY doc_id""".stripMargin)
+      s"""SELECT doc_id, graft_simhash(${tokenHashesSpark("text")}) AS simhash
+         |FROM documents""".stripMargin)
   }
 
   def all: Seq[Q] = Seq(

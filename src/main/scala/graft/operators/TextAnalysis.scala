@@ -102,10 +102,9 @@ object TextAnalysis {
       |  COUNT(*) OVER (PARTITION BY fp) AS cluster_size
       |FROM f""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        expr("aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-          "CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007)").as("fp"))
+      .select(col("doc_id"), expr("graft_poly_hash(text)").as("fp"))
       .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy(col("fp"))))
   }
 
@@ -122,11 +121,10 @@ object TextAnalysis {
       |SELECT bigram, COUNT(*) AS cnt
       |FROM b GROUP BY bigram
       |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "documents")
-      .select(expr(
-        "explode(transform(sequence(0, size(split(text, ' ')) - 2), " +
-          "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1])))")
-        .as("bigram"))
+      .select(split(col("text"), " ").as("toks"))
+      .select(expr("explode(graft_word_ngrams(toks, 2))").as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))

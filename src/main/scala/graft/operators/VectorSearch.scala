@@ -6,49 +6,74 @@ import org.apache.spark.sql.functions._
   * extension set): brute-force cosine top-k as the exactness baseline,
   * and a random-hyperplane LSH-bucketed variant as the scale path.
   *
-  * Determinism: dot products are sequential left-folds over the 64
-  * float dims, cast to double element-wise — bit-identical in Spark
+  * Determinism: vectors are L2-normalized once (sequential-fold norm,
+  * element-wise divide), after which cosine = a single sequential-fold
+  * dot product — the exact same IEEE operation order in Spark
   * (`aggregate`/`zip_with`) and DuckDB (`list_reduce` over a
-  * comprehension); sqrt and division are IEEE correctly-rounded; the
-  * final cosine is quantized to millionths before ranking so ordering
-  * ties break identically.
+  * comprehension). Scores are quantized to millionths before ranking so
+  * ordering ties break identically.
   *
-  * Scale design: brute-force is O(Q·N) with the Q query vectors
-  * broadcast — no shuffle of the big side, linear scan, fine when Q is
-  * small. The LSH variant buckets both sides on an 8-bit hyperplane
-  * signature first, so the per-query candidate set shrinks ~256× and the
-  * join is an equi-join on bucket id — the shape that survives 100 TB.
+  * Scale design: normalization is a one-pass projection (computed once
+  * per vector, not per pair). Brute-force is O(Q·N) with the Q query
+  * vectors broadcast — no shuffle of the big side. The LSH variant
+  * buckets both sides on an 8-bit hyperplane signature, shrinking the
+  * candidate set ~256× and turning the pair search into an equi-join on
+  * bucket id — the shape that survives 100 TB.
   */
 object VectorSearch {
   private val Dim = 64
 
-  /** Spark SQL: sequential-fold dot product of two array<double> exprs. */
+  /** Spark SQL: native sequential-order dot product
+    * ([[graft.functions.DotProduct]] — IEEE-identical to the oracle's
+    * explicit fold, but one codegen'd loop instead of per-element
+    * lambda dispatch).
+    */
   private def dotSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"graft_dot($a, $b)"
 
   /** DuckDB: the same sequential fold (list_sum's order is unspecified,
     * so fold explicitly).
     */
   private def dotDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      s"[CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in generate_series(1, $Dim)]), " +
+      s"[$a[i] * $b[i] for i in generate_series(1, $Dim)]), " +
       s"(acc, v) -> acc + v)"
+
+  /** Spark: float array → L2-normalized double array, via a two-step
+    * projection so the norm is computed once per row, not per element.
+    */
+  private def normalizedSpark(df: org.apache.spark.sql.DataFrame) = {
+    val asD = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    df.select(col("vec_id"), expr(asD).as("dv"))
+      .select(col("vec_id"),
+        sqrt(expr(dotSpark("dv", "dv"))).as("nrm"), col("dv"))
+      .select(col("vec_id"), expr("transform(dv, x -> x / nrm)").as("nv"))
+  }
+
+  /** DuckDB: identical two-step normalization as a CTE body. */
+  private val normDuckCte: String = {
+    val asD = "[CAST(x AS DOUBLE) for x in embedding]"
+    s"""dv AS (SELECT vec_id, $asD AS dv FROM embeddings),
+       |nrmed AS (SELECT vec_id, SQRT(${dotDuck("dv", "dv")}) AS nrm, dv FROM dv),
+       |nv AS (SELECT vec_id, [x / nrm for x in dv] AS nv FROM nrmed)""".stripMargin
+  }
 
   /** Per-vector L2 norm (quantized) + per-label norm statistics. */
   val extEmbeddingStats: Q = Q(
     "ext_embedding_stats",
     s"""WITH n AS (
-       |  SELECT label, SQRT(${dotDuck("embedding", "embedding")}) AS nrm
+       |  SELECT label, SQRT(${dotDuck("[CAST(x AS DOUBLE) for x in embedding]",
+                                       "[CAST(x AS DOUBLE) for x in embedding]")}) AS nrm
        |  FROM embeddings)
        |SELECT label, COUNT(*) AS n_vecs,
        |  SUM(CAST(FLOOR((nrm) * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*) AS mean_norm,
        |  CAST(FLOOR((MIN(nrm)) * 1000000 + 0.5) AS BIGINT) AS min_norm_micros,
        |  CAST(FLOOR((MAX(nrm)) * 1000000 + 0.5) AS BIGINT) AS max_norm_micros
        |FROM n GROUP BY label""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val asD = "transform(embedding, x -> CAST(x AS DOUBLE))"
     Tables.load(s, dir, "embeddings")
-      .select(col("label"),
-        sqrt(expr(dotSpark("embedding", "embedding"))).as("nrm"))
+      .select(col("label"), sqrt(expr(dotSpark(asD, asD))).as("nrm"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         Det.davg(col("nrm")).as("mean_norm"),
@@ -61,28 +86,27 @@ object VectorSearch {
     */
   val extAnnBrute: Q = Q(
     "ext_ann_brute",
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    s"""WITH $normDuckCte,
+       |q AS (SELECT vec_id AS qid, nv AS qv FROM nv WHERE vec_id < 8),
        |scored AS (
        |  SELECT q.qid, e.vec_id,
-       |    CAST(FLOOR((${dotDuck("q.qv", "e.embedding")}
-       |      / (SQRT(${dotDuck("q.qv", "q.qv")}) * SQRT(${dotDuck("e.embedding", "e.embedding")}))) * 1000000 + 0.5) AS BIGINT) AS cos_micros
-       |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+       |    CAST(FLOOR((${dotDuck("q.qv", "e.nv")}) * 1000000 + 0.5) AS BIGINT) AS cos_micros
+       |  FROM q, nv e WHERE e.vec_id <> q.qid),
        |ranked AS (
        |  SELECT qid, vec_id, cos_micros,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_micros DESC, vec_id) AS rn
        |  FROM scored)
        |SELECT qid, vec_id, cos_micros, rn FROM ranked WHERE rn <= 5""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.load(s, dir, "embeddings")
-    val q = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val cos = expr(dotSpark("qv", "embedding")) /
-      (sqrt(expr(dotSpark("qv", "qv"))) * sqrt(expr(dotSpark("embedding", "embedding"))))
+    graft.functions.GraftFunctions.register(s)
+    val nv = normalizedSpark(Tables.load(s, dir, "embeddings"))
+    val q = nv.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("nv").as("qv"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_micros").desc, col("vec_id"))
-    broadcast(q).join(emb, col("vec_id") =!= col("qid"))
+    broadcast(q).join(nv, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        floor(cos * 1e6d + 0.5d).cast("long").as("cos_micros"))
+        floor(expr(dotSpark("qv", "nv")) * 1e6d + 0.5d).cast("long").as("cos_micros"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
   }
@@ -108,7 +132,7 @@ object VectorSearch {
   private def bucketDuck(v: String): String =
     (0 until Planes).map { j =>
       val dot = s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"[CAST($v[i] AS DOUBLE) * ${planeDuckList(j)}[i] for i in generate_series(1, $Dim)]), " +
+        s"[$v[i] * ${planeDuckList(j)}[i] for i in generate_series(1, $Dim)]), " +
         s"(acc, vv) -> acc + vv)"
       s"(CASE WHEN $dot > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
@@ -118,33 +142,31 @@ object VectorSearch {
     */
   val extAnnLsh: Q = Q(
     "ext_ann_lsh",
-    s"""WITH b AS (
-       |  SELECT vec_id, embedding, ${bucketDuck("embedding")} AS bucket
-       |  FROM embeddings),
-       |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM b WHERE vec_id < 32),
+    s"""WITH $normDuckCte,
+       |b AS (SELECT vec_id, nv, ${bucketDuck("nv")} AS bucket FROM nv),
+       |q AS (SELECT vec_id AS qid, nv AS qv, bucket AS qbucket FROM b WHERE vec_id < 32),
        |scored AS (
        |  SELECT q.qid, e.vec_id,
-       |    CAST(FLOOR((${dotDuck("q.qv", "e.embedding")}
-       |      / (SQRT(${dotDuck("q.qv", "q.qv")}) * SQRT(${dotDuck("e.embedding", "e.embedding")}))) * 1000000 + 0.5) AS BIGINT) AS cos_micros
-       |  FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.qid),
+       |    CAST(FLOOR((${dotDuck("q.qv", "e.nv")}) * 1000000 + 0.5) AS BIGINT) AS cos_micros
+       |  FROM q JOIN b e ON q.qbucket = e.bucket AND e.vec_id <> q.qid),
        |ranked AS (
        |  SELECT qid, vec_id, cos_micros,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_micros DESC, vec_id) AS rn
        |  FROM scored)
        |SELECT qid, vec_id, cos_micros, rn FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val b = Tables.load(s, dir, "embeddings")
-      .withColumn("bucket", expr(bucketSpark("embedding")))
+    graft.functions.GraftFunctions.register(s)
+    val b = normalizedSpark(Tables.load(s, dir, "embeddings"))
+      .withColumn("bucket", expr(bucketSpark("nv")))
     val q = b.filter(col("vec_id") < 32)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket"))
-    val cos = expr(dotSpark("qv", "embedding")) /
-      (sqrt(expr(dotSpark("qv", "qv"))) * sqrt(expr(dotSpark("embedding", "embedding"))))
+      .select(col("vec_id").as("qid"), col("nv").as("qv"),
+        col("bucket").as("qbucket"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_micros").desc, col("vec_id"))
     broadcast(q).join(b,
-        q("bucket") === b("bucket") && col("vec_id") =!= col("qid"))
+        col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        floor(cos * 1e6d + 0.5d).cast("long").as("cos_micros"))
+        floor(expr(dotSpark("qv", "nv")) * 1e6d + 0.5d).cast("long").as("cos_micros"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
   }
