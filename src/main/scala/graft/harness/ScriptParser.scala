@@ -42,9 +42,19 @@ object ScriptParser {
         buf.append(line).append("\n")
         if (line.endsWith(Semicolon)) {
           val orig = buf.toString
-          val statement = orig.substring(0, orig.indexOf(Semicolon))
-          out += classify(substitute(statement, variables))
-          buf.clear()
+          // extension beyond the reference parser: an EXECUTE STATEMENT
+          // SET block contains inner semicolons and closes with END; —
+          // accumulate until then (the reference's line-based splitter
+          // cannot express statement sets at all)
+          val isBlock = raw"(?is)^\s*EXECUTE\s+STATEMENT\s+SET.*".r.matches(orig)
+          if (isBlock && !line.trim.equalsIgnoreCase("END;")) {
+            // keep accumulating the block
+          } else {
+            val cut = if (isBlock) orig.lastIndexOf(Semicolon) else orig.indexOf(Semicolon)
+            val statement = orig.substring(0, cut)
+            out += classify(substitute(statement, variables))
+            buf.clear()
+          }
         }
       }
     }

@@ -71,6 +71,18 @@ final class SqlSubmitAction(
             registerConnectorTable(spark, config, DdlParser.parse(st.sql))
           case StatementType.INSERT =>
             executeInsert(spark, config, st.sql)
+          case StatementType.EXECUTE =>
+            executeStatementSet(spark, config, st.sql)
+          case StatementType.ADD =>
+            // custom verb: ADD CUSTOMJAR x -> ADD JAR x (SURVEY §2.B)
+            spark.sql(st.sql.replaceFirst("(?i)^ADD\\s+CUSTOMJAR", "ADD JAR"))
+          case StatementType.PRINT =>
+            // no SQL analog in either engine: echo the payload
+            println(st.sql.trim.stripPrefix("PRINT").stripPrefix("print").trim)
+          case StatementType.LOAD | StatementType.UNLOAD =>
+            // Flink module load has no Spark equivalent; warn + skip
+            System.err.println(
+              s"Unsupported in this engine (module load), skipped:\n ${st.sql}")
           case _ =>
             spark.sql(st.sql)
         }
@@ -164,6 +176,27 @@ final class SqlSubmitAction(
       started += writer
     } else {
       df.show(printLimit, truncate = false)
+    }
+  }
+
+  /** `EXECUTE STATEMENT SET BEGIN <insert;>* END`: Flink groups several
+    * INSERTs into one job (SURVEY §2.B EXECUTE row). Spark analog: run
+    * the batch inserts sequentially and the streaming ones as concurrent
+    * queries of one session (they already share the cluster).
+    */
+  private def executeStatementSet(
+      spark: SparkSession, config: EngineConfig, sql: String): Unit = {
+    val bodyRe = raw"(?is)^\s*EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+(.*?)\s*END\s*$$".r
+    sql match {
+      case bodyRe(body) =>
+        body.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+          if (StatementType.fromStatement(stmt) == StatementType.INSERT)
+            executeInsert(spark, config, stmt)
+          else
+            System.err.println(
+              s"Only INSERT is allowed in a STATEMENT SET, skipped:\n $stmt")
+        }
+      case _ => spark.sql(sql)
     }
   }
 

@@ -83,6 +83,34 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     }
   }
 
+  test("EXECUTE STATEMENT SET runs grouped inserts; PRINT echoes; LOAD skipped") {
+    val spark = SparkFixture.spark
+    val outDir = Files.createTempDirectory("graft-sset-out").toString
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table src(v bigint) with (
+         |  'connector' = 'datagen', 'number-of-rows' = '50',
+         |  'fields.v.kind' = 'sequence', 'fields.v.start' = '1');
+         |create table out_a(v bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$outDir/a', 'format' = 'parquet');
+         |create table out_b(total bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$outDir/b', 'format' = 'parquet');
+         |PRINT hello from graft;
+         |LOAD MODULE hive;
+         |EXECUTE STATEMENT SET BEGIN
+         |  insert into out_a select v from src where v <= 10;
+         |  insert into out_b select cast(sum(v) as bigint) as total from src;
+         |END;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-sset-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    assert(spark.read.parquet(s"$outDir/a").count() == 10L)
+    val total = spark.read.parquet(s"$outDir/b").collect().head.getLong(0)
+    assert(total == (1L to 50L).sum)
+  }
+
   test("statements failing mid-script are wrapped with the offending SQL") {
     val spark = SparkFixture.spark
     val file = Files.createTempFile("graft-bad-", ".sql")
