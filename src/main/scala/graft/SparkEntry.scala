@@ -13,6 +13,7 @@ object SparkEntry {
   /** All oracle-checked queries, registered by operator area. */
   def registry: Seq[Q] =
     Relational.all ++ Joins.all ++ Windows.all ++ SetOps.all ++ Events.all ++
+      Coverage.all ++
       TextAnalysis.all ++ Dedup.all ++ VectorSearch.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Additional relational-surface coverage: CUBE, correlated subqueries
+  * (decorrelation), array functions, date formatting, multi-CTE reuse
+  * (SURVEY.md §2.C pass-through rows).
+  */
+object Coverage {
+
+  /** CUBE over two keys (all 4 grouping combinations). */
+  val q34Cube: Q = Q(
+    "q34_cube",
+    """SELECT COALESCE(o_orderstatus, '<all>') AS status,
+      |  COALESCE(o_orderpriority, '<all>') AS priority,
+      |  COUNT(*) AS cnt
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("cnt"))
+  }
+
+  /** Correlated scalar subquery (Catalyst decorrelates to an agg+join):
+    * customers above twice their nation's deterministic average balance.
+    */
+  val q35Correlated: Q = Q(
+    "q35_correlated",
+    """SELECT c_custkey, c_nationkey
+      |FROM customer c
+      |WHERE c_acctbal > 2 * (
+      |  SELECT SUM(CAST(FLOOR((c2.c_acctbal) * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_nationkey
+        |FROM customer c
+        |WHERE c_acctbal > 2 * (
+        |  SELECT SUM(CAST(FLOOR((c2.c_acctbal) * 100 + 0.5D) AS BIGINT)) / 100.0D / COUNT(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+  }
+
+  /** Array function surface over the embedding column: size, element
+    * access, quantized element values.
+    */
+  val q36ArrayFns: Q = Q(
+    "q36_array_fns",
+    """SELECT vec_id,
+      |  LEN(embedding) AS dim,
+      |  CAST(FLOOR((CAST(embedding[1] AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS first_micros,
+      |  CAST(FLOOR((CAST(embedding[64] AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS last_micros
+      |FROM embeddings
+      |WHERE vec_id < 100""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        floor(element_at(col("embedding"), 1).cast("double") * 1e6d + 0.5d)
+          .cast("long").as("first_micros"),
+        floor(element_at(col("embedding"), 64).cast("double") * 1e6d + 0.5d)
+          .cast("long").as("last_micros"))
+  }
+
+  /** Date formatting: month buckets as strings (dialect-specific format
+    * patterns, identical output).
+    */
+  val q37DateFormat: Q = Q(
+    "q37_date_format",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** Multi-CTE reuse: segment revenue sharing a filtered orders CTE. */
+  val q38Cte: Q = Q(
+    "q38_cte",
+    """WITH big_orders AS (
+      |  SELECT o_custkey, CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice > 100),
+      |seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+      |SELECT seg.c_mktsegment AS segment,
+      |  COUNT(*) AS n_orders,
+      |  SUM(big_orders.cents) / 100.0 AS revenue
+      |FROM big_orders JOIN seg ON big_orders.o_custkey = seg.c_custkey
+      |GROUP BY seg.c_mktsegment""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH big_orders AS (
+        |  SELECT o_custkey, CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice > 100),
+        |seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+        |SELECT seg.c_mktsegment AS segment,
+        |  COUNT(*) AS n_orders,
+        |  SUM(big_orders.cents) / 100.0D AS revenue
+        |FROM big_orders JOIN seg ON big_orders.o_custkey = seg.c_custkey
+        |GROUP BY seg.c_mktsegment""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(q34Cube, q35Correlated, q36ArrayFns, q37DateFormat, q38Cte)
+}
