@@ -253,10 +253,13 @@ final class SqlSubmitAction(
         case "blackhole" =>
           df.writeStream.format("noop").outputMode("update")
         case "filesystem" =>
-          df.writeStream
+          val w = df.writeStream
             .format(sinkDef.options.getOrElse("format", "parquet"))
             .outputMode("append")
             .option("path", sinkDef.options("path"))
+          if (sinkDef.partitionedBy.nonEmpty)
+            w.partitionBy(sinkDef.partitionedBy: _*)
+          else w
       }
       val withTrigger = config.miniBatchLatency match {
         case Some(latency) => base.trigger(Trigger.ProcessingTime(latency))
@@ -277,8 +280,11 @@ final class SqlSubmitAction(
         case "print"     => PrintSink.printBatch(df, sinkDef)
         case "blackhole" => df.write.format("noop").mode("overwrite").save()
         case "filesystem" =>
-          df.write.format(sinkDef.options.getOrElse("format", "parquet"))
-            .mode("append").save(sinkDef.options("path"))
+          val w = df.write.format(sinkDef.options.getOrElse("format", "parquet"))
+            .mode("append")
+          (if (sinkDef.partitionedBy.nonEmpty)
+             w.partitionBy(sinkDef.partitionedBy: _*)
+           else w).save(sinkDef.options("path"))
       }
     }
   }

@@ -37,6 +37,11 @@ object DdlParser {
     val rawName = rest.substring(0, open).trim
     val name = unquoteName(rawName)
     val (schemaPart, afterSchema) = matchParen(rest, open)
+    // optional Flink-style PARTITIONED BY (c1, c2) before the WITH clause
+    val partRe = raw"(?is)PARTITIONED\s+BY\s*\(([^)]*)\)".r
+    val partitionedBy = partRe.findFirstMatchIn(afterSchema)
+      .map(_.group(1).split(",").map(c => unquoteName(c.trim)).toVector)
+      .getOrElse(Vector.empty)
     val withIdx = raw"(?is)\bWITH\b".r.findFirstMatchIn(afterSchema)
       .map(_.start)
       .getOrElse(throw new IllegalArgumentException(
@@ -65,7 +70,8 @@ object DdlParser {
           throw new IllegalArgumentException(s"Cannot parse column entry: $entry")
       }
     }
-    TableDef(name, ifNotExists, columns.result(), computed.result(), watermark, options)
+    TableDef(name, ifNotExists, columns.result(), computed.result(), watermark,
+      options, partitionedBy)
   }
 
   /** `catalog.db.tbl` (possibly backticked parts) → bare table name. */

@@ -20,6 +20,7 @@ final case class TableDef(
     columns: Vector[ColumnDef],
     computedColumns: Vector[ComputedColumnDef],
     watermark: Option[WatermarkDef],
-    options: Map[String, String]) {
+    options: Map[String, String],
+    partitionedBy: Vector[String] = Vector.empty) {
   def connector: Option[String] = options.get("connector")
 }

@@ -103,5 +103,34 @@ object Coverage {
         |GROUP BY seg.c_mktsegment""".stripMargin)
   }
 
-  def all: Seq[Q] = Seq(q34Cube, q35Correlated, q36ArrayFns, q37DateFormat, q38Cte)
+  /** Skew-safe two-stage (salted) aggregation: the grouping key set here
+    * is tiny (3 return flags over 600k rows — maximal skew), so a naive
+    * groupBy concentrates each key on one reducer. Stage 1 aggregates on
+    * (key, salt) with a deterministic 16-way salt, stage 2 merges the
+    * partials — same result as the direct aggregation (the oracle IS the
+    * direct aggregation), but the heavy shuffle fans out 16×. Spark's
+    * partial aggregation does this implicitly for algebraic aggregates;
+    * the explicit form is the pattern for non-algebraic state (e.g.
+    * distinct sets) at 100 TB.
+    */
+  val q39SaltedAgg: Q = Q(
+    "q39_salted_agg",
+    """SELECT l_returnflag,
+      |  COUNT(*) AS cnt,
+      |  SUM(CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    val salted = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), Det.cents(col("l_quantity")).as("qty_cents"),
+        (col("l_orderkey") % 16).as("salt"))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("pcnt"), sum(col("qty_cents")).as("pqty"))
+    salted
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pcnt")).as("cnt"),
+        (sum(col("pqty")) / 100.0d).as("sum_qty"))
+  }
+
+  def all: Seq[Q] = Seq(
+    q34Cube, q35Correlated, q36ArrayFns, q37DateFormat, q38Cte, q39SaltedAgg)
 }

@@ -46,6 +46,14 @@ class DdlParserSpec extends AnyFunSuite {
     assert(DdlParser.unquoteName("tbl") == "tbl")
   }
 
+  test("PARTITIONED BY clause between schema and WITH is parsed") {
+    val t = DdlParser.parse(
+      "CREATE TABLE t (a int, dt string) PARTITIONED BY (dt) " +
+        "WITH ('connector'='filesystem', 'path'='/tmp/x')")
+    assert(t.partitionedBy == Vector("dt"))
+    assert(t.columns.map(_.name) == Vector("a", "dt"))
+  }
+
   test("types with parens (decimal/timestamp) survive column splitting") {
     val t = DdlParser.parse(
       "CREATE TABLE t (a decimal(10,2), b timestamp(3)) WITH ('connector'='print')")
