@@ -227,5 +227,34 @@ object VectorSearch {
       .filter(col("rn") <= 3)
   }
 
-  def all: Seq[Q] = Seq(extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf)
+  /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥ 0.99,
+    * found inside LSH buckets only (candidate generation is the 8-bit
+    * sign-projection equi-join; truly near-identical vectors agree on
+    * every hyperplane sign with overwhelming probability). The dedup-by-
+    * embedding counterpart of the text near-dup operators.
+    */
+  val extEmbedNeardup: Q = Q(
+    "ext_embed_neardup",
+    s"""WITH $normDuckCte,
+       |b AS (SELECT vec_id, nv, ${bucketDuck("nv")} AS bucket FROM nv),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, e.vec_id AS vec_b,
+       |    CAST(FLOOR((${dotDuck("a.nv", "e.nv")}) * 1000000 + 0.5) AS BIGINT) AS cos_micros
+       |  FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id)
+       |SELECT vec_a, vec_b, cos_micros FROM pairs WHERE cos_micros >= 990000""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val b = normalizedSpark(Tables.load(s, dir, "embeddings"))
+      .withColumn("bucket", expr(bucketSpark("nv")))
+    val a = b.select(col("vec_id").as("vec_a"), col("nv").as("nv_a"),
+      col("bucket").as("bucket_a"))
+    val e = b.select(col("vec_id").as("vec_b"), col("nv").as("nv_b"),
+      col("bucket").as("bucket_b"))
+    a.join(e, col("bucket_a") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        floor(expr(dotSpark("nv_a", "nv_b")) * 1e6d + 0.5d).cast("long").as("cos_micros"))
+      .filter(col("cos_micros") >= 990000L)
+  }
+
+  def all: Seq[Q] = Seq(
+    extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf, extEmbedNeardup)
 }
