@@ -58,7 +58,7 @@ object Coverage {
     Tables.load(s, dir, "embeddings")
       .filter(col("vec_id") < 100)
       .select(col("vec_id"),
-        size(col("embedding")).as("dim"),
+        size(col("embedding")).cast("long").as("dim"),
         floor(element_at(col("embedding"), 1).cast("double") * 1e6d + 0.5d)
           .cast("long").as("first_micros"),
         floor(element_at(col("embedding"), 64).cast("double") * 1e6d + 0.5d)

@@ -167,7 +167,7 @@ object Dedup {
         .mkString(" + ")
       s"""WITH t AS (
          |  SELECT doc_id, UNNEST(${tokenHashesDuck("text")}) AS th FROM documents)
-         |SELECT doc_id, $bits AS simhash
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
          |FROM t GROUP BY doc_id""".stripMargin
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)

@@ -75,8 +75,8 @@ object Events {
       |  FROM e),
       |sess AS (
       |  SELECT user_id, event_id, ts_sec,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM marked)
       |SELECT user_id, session_id,
       |  MIN(ts_sec) AS session_start_sec,
@@ -199,11 +199,11 @@ object Events {
   val q33Pivot: Q = Q(
     "q33_pivot",
     """SELECT user_id,
-      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-      |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
-      |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
       |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
     def cnt(t: String) = sum(when(col("event_type") === t, 1).otherwise(0))
     Tables.load(s, dir, "events")

@@ -21,7 +21,7 @@ object MultimodalQueries {
       |FROM documents""".stripMargin) { (s, dir) =>
     Multimodal.synthesize(Tables.load(s, dir, "documents"))
       .select(col("doc_id"),
-        octet_length(col("media")).as("byte_len"),
+        octet_length(col("media")).cast("long").as("byte_len"),
         col("meta.width").as("width"),
         col("meta.height").as("height"),
         col("meta.nFrames").as("n_frames"))
@@ -42,8 +42,8 @@ object MultimodalQueries {
       |FROM f WHERE frame_idx % 2 = 0""".stripMargin) { (s, dir) =>
     Multimodal.sampleFrames(
         Multimodal.synthesize(Tables.load(s, dir, "documents")), everyK = 2)
-      .select(col("doc_id"), col("frame_idx"),
-        octet_length(col("frame_bytes")).as("frame_len"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame_bytes")).cast("long").as("frame_len"))
   }
 
   /** Stub decode → feature extraction via partition-batched mapPartitions.

@@ -99,8 +99,8 @@ object Relational {
   val q5CaseWhen: Q = Q(
     "q5_case_when",
     """SELECT l_returnflag,
-      |  SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS big_cnt,
-      |  SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS small_cnt,
+      |  CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_cnt,
+      |  CAST(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS small_cnt,
       |  SUM(CASE WHEN l_linestatus = 'F' THEN CAST(FLOOR((l_extendedprice) * 100 + 0.5) AS BIGINT) ELSE 0 END) / 100.0 AS f_price
       |FROM lineitem
       |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
@@ -153,7 +153,7 @@ object Relational {
         lower(col("c_mktsegment")).as("lseg"),
         substring(col("c_name"), 1, 8).as("name8"),
         concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"),
-        length(col("c_name")).as("name_len"))
+        length(col("c_name")).cast("long").as("name_len"))
   }
 
   /** Date/time function surface over order dates. */

@@ -27,8 +27,8 @@ object TextAnalysis {
       |FROM documents""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        length(col("text")).as("n_chars_actual"),
-        size(split(col("text"), " ")).as("n_tokens"))
+        length(col("text")).cast("long").as("n_chars_actual"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
   }
 
   /** Stopword-ratio language heuristic: fraction of determiner tokens
@@ -78,7 +78,7 @@ object TextAnalysis {
     val ttr = size(array_distinct(toks)) * lit(1.0d) / nToks
     Tables.load(s, dir, "documents")
       .select(col("doc_id"),
-        nToks.as("n_tokens"),
+        nToks.cast("long").as("n_tokens"),
         floor(meanTokLen * 1000d + 0.5d).cast("long").as("mean_tok_len_mils"),
         floor(ttr * 1000d + 0.5d).cast("long").as("ttr_mils"),
         when(nToks >= 20 && ttr >= 0.2d, 1).otherwise(0).as("quality_pass"))

@@ -107,7 +107,7 @@ object VectorSearch {
     broadcast(q).join(nv, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         floor(expr(dotSpark("qv", "nv")) * 1e6d + 0.5d).cast("long").as("cos_micros"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
   }
 
@@ -167,7 +167,7 @@ object VectorSearch {
         col("qbucket") === col("bucket") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         floor(expr(dotSpark("qv", "nv")) * 1e6d + 0.5d).cast("long").as("cos_micros"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
   }
 
@@ -223,7 +223,7 @@ object VectorSearch {
         col("qcid") === col("cid") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         floor(expr(dotSpark("qv", "nv")) * 1e6d + 0.5d).cast("long").as("cos_micros"))
-      .withColumn("rn", row_number().over(rn))
+      .withColumn("rn", row_number().over(rn).cast("long"))
       .filter(col("rn") <= 3)
   }
 

@@ -33,7 +33,7 @@ object Windows {
     Tables.load(s, dir, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
         cents(col("o_totalprice")).as("price_cents"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
   }
 
@@ -49,8 +49,8 @@ object Windows {
     val bySize = Window.partitionBy(col("p_brand")).orderBy(col("p_size").desc)
     Tables.load(s, dir, "part")
       .select(col("p_brand"), col("p_partkey"), col("p_size"),
-        rank().over(byBoth).as("rk"),
-        dense_rank().over(bySize).as("drk"))
+        rank().over(byBoth).cast("long").as("rk"),
+        dense_rank().over(bySize).cast("long").as("drk"))
   }
 
   /** LAG/LEAD: per-user event deltas (seconds between events, value diff).
@@ -101,7 +101,7 @@ object Windows {
       |FROM customer""".stripMargin) { (s, dir) =>
     val w = Window.orderBy(cents(col("c_acctbal")).desc, col("c_custkey"))
     Tables.load(s, dir, "customer")
-      .select(col("c_custkey"), ntile(10).over(w).as("decile"))
+      .select(col("c_custkey"), ntile(10).over(w).cast("long").as("decile"))
   }
 
   def all: Seq[Q] = Seq(q18TopkPerGroup, q19Rank, q20LagLead, q21RunningSum, q22Ntile)

@@ -43,14 +43,19 @@ def main():
         d = os.path.join(OUT, name)
         if not os.path.isdir(d):
             continue
-        got_cols = [r[0] for r in con.execute(
-            f"DESCRIBE SELECT * FROM read_parquet('{d}/*.parquet')").fetchall()]
+        got_desc = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{d}/*.parquet')").fetchall()
+        got_cols = [r[0] for r in got_desc]
+        got_types = {r[0]: r[1] for r in got_desc}
         got_rows = con.execute(
             f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchall()
         if name not in oracle:
             print(f"  {name}: NO-ORACLE rows={len(got_rows)}")
             continue
         try:
+            exp_desc = con.execute(
+                f"DESCRIBE {oracle[name]}").fetchall()
+            exp_types = {r[0]: r[1] for r in exp_desc}
             res = con.execute(oracle[name])
             exp_cols = [c[0] for c in res.description]
             exp_rows = res.fetchall()
@@ -60,8 +65,15 @@ def main():
             continue
         gc, gr = canonical_rows(got_cols, got_rows)
         ec, er = canonical_rows(exp_cols, exp_rows)
+        type_diffs = [
+            f"{c}: spark={got_types.get(c)} duck={exp_types.get(c)}"
+            for c in got_types
+            if c in exp_types and got_types[c] != exp_types[c]]
         if gc != ec:
             print(f"✗ {name}: COLUMN MISMATCH spark={gc} duck={ec}")
+            n_fail += 1
+        elif type_diffs:
+            print(f"✗ {name}: TYPE MISMATCH {type_diffs}")
             n_fail += 1
         elif gr != er:
             n_fail += 1
