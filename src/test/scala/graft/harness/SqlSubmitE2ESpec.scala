@@ -111,6 +111,28 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(total == (1L to 50L).sum)
   }
 
+  test("catalog statements: CTAS, DESCRIBE, SHOW, DROP route to Spark SQL") {
+    val spark = SparkFixture.spark
+    val script =
+      """SET execution.runtime-mode = batch;
+        |create table gen(v bigint) with (
+        |  'connector' = 'datagen', 'number-of-rows' = '30',
+        |  'fields.v.kind' = 'sequence', 'fields.v.start' = '0');
+        |CREATE TABLE ctas_out AS SELECT v, v * 2 AS dbl FROM gen WHERE v < 7;
+        |DESCRIBE ctas_out;
+        |SHOW TABLES;
+        |SELECT * FROM ctas_out;
+        |DROP TABLE ctas_out;
+        |""".stripMargin
+    val file = Files.createTempFile("graft-ctas-", ".sql")
+    Files.writeString(file, script)
+    val action = new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), printLimit = 10)
+    action.run()
+    // dropped at the end — catalog must not contain it any more
+    assert(!spark.catalog.tableExists("ctas_out"))
+  }
+
   test("statements failing mid-script are wrapped with the offending SQL") {
     val spark = SparkFixture.spark
     val file = Files.createTempFile("graft-bad-", ".sql")
