@@ -131,6 +131,22 @@ object Coverage {
         (sum(col("pqty")) / 100.0d).as("sum_qty"))
   }
 
+  /** Typed Aggregator UDAF (exact distinct via mergeable set state),
+    * registered with functions.udaf and oracle-checked against plain
+    * COUNT(DISTINCT) — see [[graft.functions.ExactDistinct]].
+    */
+  val q40UdafDistinct: Q = Q(
+    "q40_udaf_distinct",
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS uniq_cust
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val exactDistinct = udaf(graft.functions.ExactDistinct)
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(exactDistinct(col("o_custkey")).as("uniq_cust"))
+  }
+
   def all: Seq[Q] = Seq(
-    q34Cube, q35Correlated, q36ArrayFns, q37DateFormat, q38Cte, q39SaltedAgg)
+    q34Cube, q35Correlated, q36ArrayFns, q37DateFormat, q38Cte, q39SaltedAgg,
+    q40UdafDistinct)
 }
