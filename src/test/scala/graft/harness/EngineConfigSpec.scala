@@ -1,0 +1,48 @@
+package graft.harness
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SET-statement translation (reference `SQLSubmitAction.java:85-99` +
+  * SURVEY.md §4 config table).
+  */
+class EngineConfigSpec extends AnyFunSuite {
+
+  private def fresh = new EngineConfig(SparkFixture.spark)
+
+  test("setOperation parses 'SET k = v' with first-= split and trims") {
+    val c = fresh
+    c.setOperation("SET pipeline.name = my-job")
+    assert(c.pipelineName.contains("my-job"))
+    c.setOperation("set execution.runtime-mode = batch")
+    assert(!c.isStreaming)
+    val e = intercept[IllegalArgumentException](c.setOperation("SET novalue"))
+    assert(e.getMessage.contains("key=value"))
+  }
+
+  test("flink duration strings map to Spark trigger durations") {
+    val c = fresh
+    c.set("table.exec.mini-batch.allow-latency", "5s")
+    assert(c.miniBatchLatency.contains("5 seconds"))
+    c.set("table.exec.mini-batch.allow-latency", "500ms")
+    assert(c.miniBatchLatency.contains("500 milliseconds"))
+    c.set("execution.checkpointing.interval", "3 s")
+    assert(c.checkpointInterval.contains("3 seconds"))
+    c.set("execution.checkpointing.enabled", "true")
+    assert(c.checkpointingEnabled)
+  }
+
+  test("parallelism.default drives shuffle partitions") {
+    val spark = SparkFixture.spark
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val c = new EngineConfig(spark)
+      c.setOperation("SET parallelism.default = 7")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("runtime-mode defaults to streaming (Flink default) until set") {
+    assert(fresh.isStreaming)
+  }
+}
