@@ -14,7 +14,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ Joins.all ++ Windows.all ++ SetOps.all ++ Events.all ++
       Coverage.all ++
-      TextAnalysis.all ++ Dedup.all ++ VectorSearch.all ++ MultimodalQueries.all
+      TextAnalysis.all ++ Dedup.all ++ VectorSearch.all ++
+      MultimodalQueries.all ++ Sampling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines: at
+  * 100 TB, sampling must be reproducible across reruns and machines, so
+  * it keys on a content hash, never on `rand()`. Both queries are pure
+  * row-local filters — no shuffle, fully pushdown-friendly — and the
+  * hash arithmetic is the shared polynomial fold, so the DuckDB oracle
+  * reproduces the selection bit-for-bit.
+  */
+object Sampling {
+
+  /** 5% reproducible corpus sample keyed on the document fingerprint:
+    * the same document is always in or out, regardless of partitioning,
+    * cluster size, or rerun.
+    */
+  val extHashSample: Q = Q(
+    "ext_hash_sample",
+    """SELECT doc_id, lang,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+      |    (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket
+      |FROM documents
+      |WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+      |    (a, b) -> (a * 31 + b) % 1000000007) % 100 < 5""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        (expr("graft_poly_hash(text)") % 100).as("bucket"))
+      .filter(col("bucket") < 5)
+  }
+
+  /** Source-mixing weights: sample each source at its own rate (here:
+    * even sources 40%, odd sources 10%) to rebalance a corpus toward a
+    * target distribution — the per-domain mixing step of pre-training
+    * data curation. Still a row-local deterministic filter.
+    */
+  val extMixSample: Q = Q(
+    "ext_mix_sample",
+    """WITH h AS (
+      |  SELECT doc_id, source,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+      |      (a, b) -> (a * 31 + b) % 1000000007) % 100 AS bucket,
+      |    CAST(SUBSTRING(source, 4) AS BIGINT) % 2 AS src_par
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_kept
+      |FROM h
+      |WHERE (src_par = 0 AND bucket < 40) OR (src_par = 1 AND bucket < 10)
+      |GROUP BY source""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "documents")
+      .select(col("source"),
+        (expr("graft_poly_hash(text)") % 100).as("bucket"),
+        (substring(col("source"), 4, 100).cast("long") % 2).as("src_par"))
+      .filter((col("src_par") === 0 && col("bucket") < 40) ||
+        (col("src_par") === 1 && col("bucket") < 10))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  def all: Seq[Q] = Seq(extHashSample, extMixSample)
+}
