@@ -255,6 +255,46 @@ object VectorSearch {
       .filter(col("cos_micros") >= 990000L)
   }
 
+  /** Embedding-cluster statistics: assign every vector to its nearest
+    * centroid (same coarse quantizer as IVF), then report per-cluster
+    * population and cohesion (mean member-to-centroid cosine). The
+    * curation signal behind semantic-dedup/cluster-balancing of
+    * training corpora; one broadcast argmax projection + one hash agg.
+    */
+  val extClusterStats: Q = Q(
+    "ext_cluster_stats",
+    s"""WITH $normDuckCte,
+       |cent AS (SELECT vec_id AS cid, nv AS cv FROM nv WHERE vec_id < 16),
+       |scoredc AS (
+       |  SELECT nv.vec_id, cent.cid,
+       |    CAST(FLOOR((${dotDuck("nv.nv", "cent.cv")}) * 1000000 + 0.5) AS BIGINT) AS cdot
+       |  FROM nv, cent),
+       |assign AS (
+       |  SELECT vec_id, cid, cdot,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS crn
+       |  FROM scoredc)
+       |SELECT cid, COUNT(*) AS n_members,
+       |  CAST(SUM(cdot) AS BIGINT) / COUNT(*) AS mean_cohesion_micros
+       |FROM assign WHERE crn = 1
+       |GROUP BY cid""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val nv = normalizedSpark(Tables.load(s, dir, "embeddings"))
+    val cent = nv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("nv").as("cv"))
+    val crn = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cid"))
+    nv.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        floor(expr(dotSpark("nv", "cv")) * 1e6d + 0.5d).cast("long").as("cdot"))
+      .withColumn("crn", row_number().over(crn))
+      .filter(col("crn") === 1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("cdot")) / count(lit(1))).as("mean_cohesion_micros"))
+  }
+
   def all: Seq[Q] = Seq(
-    extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf, extEmbedNeardup)
+    extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf, extEmbedNeardup,
+    extClusterStats)
 }
