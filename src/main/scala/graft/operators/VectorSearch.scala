@@ -294,7 +294,79 @@ object VectorSearch {
         (sum(col("cdot")) / count(lit(1))).as("mean_cohesion_micros"))
   }
 
+  /** One spherical k-means (Lloyd) refinement iteration, end-to-end on
+    * the engine: assign to the 16 seed centroids, re-estimate each
+    * centroid as the (renormalized) element-wise mean of its members,
+    * reassign, and report the refined cluster populations.
+    *
+    * Determinism across engines: member means quantize each element to
+    * micros before the integer SUM (order-free), and the rebuilt
+    * centroid arrays are ordered by element position. Scale shape: two
+    * broadcast argmax projections + one (cluster, dim) hash aggregation
+    * — the same iteration structure a full distributed k-means loops.
+    */
+  val extKmeansRefine: Q = Q(
+    "ext_kmeans_refine",
+    s"""WITH $normDuckCte,
+       |cent AS (SELECT vec_id AS cid, nv AS cv FROM nv WHERE vec_id < 16),
+       |a0 AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+       |      CAST(FLOOR((${dotDuck("nv.nv", "cent.cv")}) * 1000000 + 0.5) AS BIGINT) DESC, cid) AS crn
+       |  FROM nv, cent),
+       |member AS (
+       |  SELECT a0.cid, UNNEST(nv.nv) AS val,
+       |    UNNEST(generate_series(1, LEN(nv.nv))) AS pos
+       |  FROM a0 JOIN nv ON a0.vec_id = nv.vec_id AND a0.crn = 1),
+       |mean_el AS (
+       |  SELECT cid, pos,
+       |    SUM(CAST(FLOOR((val) * 1000000 + 0.5) AS BIGINT)) / COUNT(*) / 1000000.0 AS mval
+       |  FROM member GROUP BY cid, pos),
+       |cent1raw AS (
+       |  SELECT cid, LIST(mval ORDER BY pos) AS mv FROM mean_el GROUP BY cid),
+       |cent1 AS (
+       |  SELECT cid, [x / SQRT(${dotDuck("mv", "mv")}) for x in mv] AS cv
+       |  FROM cent1raw),
+       |a1 AS (
+       |  SELECT nv.vec_id, cent1.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY nv.vec_id ORDER BY
+       |      CAST(FLOOR((${dotDuck("nv.nv", "cent1.cv")}) * 1000000 + 0.5) AS BIGINT) DESC, cid) AS crn
+       |  FROM nv, cent1)
+       |SELECT cid, COUNT(*) AS n_members
+       |FROM a1 WHERE crn = 1 GROUP BY cid""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val nv = normalizedSpark(Tables.load(s, dir, "embeddings"))
+    val cent0 = nv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("nv").as("cv"))
+    def argmaxAssign(vecs: org.apache.spark.sql.DataFrame,
+        cents: org.apache.spark.sql.DataFrame) = {
+      val crn = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("cid"))
+      vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("nv"), col("cid"),
+          floor(expr(dotSpark("nv", "cv")) * 1e6d + 0.5d).cast("long").as("cdot"))
+        .withColumn("crn", row_number().over(crn))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("nv"), col("cid"))
+    }
+    val a0 = argmaxAssign(nv, cent0)
+    val cent1 = a0
+      .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "val")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(floor(col("val") * 1e6d + 0.5d).cast("long")) /
+        count(lit(1)) / 1e6d).as("mval"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, mval))), x -> x.mval)")
+        .as("mv"))
+      .select(col("cid"),
+        expr(s"transform(mv, x -> x / sqrt(${dotSpark("mv", "mv")}))").as("cv"))
+    argmaxAssign(nv, cent1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"))
+  }
+
   def all: Seq[Q] = Seq(
     extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf, extEmbedNeardup,
-    extClusterStats)
+    extClusterStats, extKmeansRefine)
 }
