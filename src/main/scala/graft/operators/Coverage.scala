@@ -146,7 +146,54 @@ object Coverage {
       .agg(exactDistinct(col("o_custkey")).as("uniq_cust"))
   }
 
+  /** Exact median without interpolation hazards: operate on quantized
+    * cents, pick the middle row(s) by ROW_NUMBER, average the (at most
+    * two) middle values — pure integer logic until one final division,
+    * so both engines agree bit-for-bit. The window partitions by the
+    * group key: one shuffle, no global sort.
+    */
+  val q41Median: Q = Q(
+    "q41_median",
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT) AS qc,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY CAST(FLOOR((l_quantity) * 100 + 0.5) AS BIGINT), l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  SUM(qc) / COUNT(*) / 100.0 AS median_qty
+      |FROM c
+      |WHERE rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT)
+      |   OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
+      |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("qc"), col("l_orderkey"), col("l_linenumber"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        Det.cents(col("l_quantity")).as("qc"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === floor((col("n") + 1) / 2.0d).cast("long") ||
+        col("rn") === floor((col("n") + 2) / 2.0d).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(col("qc")) / count(lit(1)) / 100.0d).as("median_qty"))
+  }
+
+  /** Value histogram: fixed-width buckets as a single hash aggregation. */
+  val q42Histogram: Q = Q(
+    "q42_histogram",
+    """SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000d).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def all: Seq[Q] = Seq(
     q34Cube, q35Correlated, q36ArrayFns, q37DateFormat, q38Cte, q39SaltedAgg,
-    q40UdafDistinct)
+    q40UdafDistinct, q41Median, q42Histogram)
 }
