@@ -213,7 +213,40 @@ object Events {
         cnt("error").as("errors"))
   }
 
+  /** CUMULATE window TVF (Flink's growing-window aggregate, SURVEY §2.C
+    * TVF row): 4-hour span with 1-hour steps — an event belongs to every
+    * cumulate window of its span whose end lies after the event. Spark
+    * has no native cumulate; the expansion is an explode over the ≤4
+    * step ends plus a filter — a pure projection before one hash agg.
+    */
+  val q43Cumulate: Q = Q(
+    "q43_cumulate",
+    """WITH e AS (
+      |  SELECT CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec
+      |  FROM events),
+      |x AS (
+      |  SELECT CAST(FLOOR(ts_sec / 14400) * 14400 AS BIGINT) AS span_start,
+      |    ts_sec, UNNEST([1, 2, 3, 4]) AS k
+      |  FROM e)
+      |SELECT span_start,
+      |  CAST(span_start + k * 3600 AS BIGINT) AS window_end_sec,
+      |  COUNT(*) AS n_events
+      |FROM x
+      |WHERE span_start + k * 3600 > ts_sec
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+      .select(
+        (floor(col("ts_sec") / 14400d) * 14400).cast("long").as("span_start"),
+        col("ts_sec"),
+        explode(sequence(lit(1), lit(4))).as("k"))
+      .filter(col("span_start") + col("k") * 3600 > col("ts_sec"))
+      .groupBy(col("span_start"),
+        (col("span_start") + col("k") * 3600).cast("long").as("window_end_sec"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
-    q32Json, q33Pivot)
+    q32Json, q33Pivot, q43Cumulate)
 }

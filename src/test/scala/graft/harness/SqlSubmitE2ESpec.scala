@@ -133,6 +133,26 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("ctas_out"))
   }
 
+  test("filesystem connector supports csv format roundtrip") {
+    val spark = SparkFixture.spark
+    val outDir = Files.createTempDirectory("graft-csv-out").toString
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table src(v bigint, lbl string) with (
+         |  'connector' = 'datagen', 'number-of-rows' = '25',
+         |  'fields.v.kind' = 'sequence', 'fields.v.start' = '1',
+         |  'fields.lbl.length' = '3');
+         |create table out_csv(v bigint, lbl string) with (
+         |  'connector' = 'filesystem', 'path' = '$outDir/csv', 'format' = 'csv');
+         |insert into out_csv select v, lbl from src;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-csv-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    assert(spark.read.csv(s"$outDir/csv").count() == 25L)
+  }
+
   test("statements failing mid-script are wrapped with the offending SQL") {
     val spark = SparkFixture.spark
     val file = Files.createTempFile("graft-bad-", ".sql")
