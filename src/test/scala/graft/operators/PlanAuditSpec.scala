@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkFixture}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression net over the whole query registry: every
+  * query must analyze + plan at sf0.001, and no plan may contain an
+  * unpartitioned CartesianProduct (the cross-join shapes we do use are
+  * broadcast nested-loop with a tiny broadcast side, which is fine; a
+  * CartesianProduct of two big sides would be a scale bug).
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  test("all registered queries plan cleanly, without CartesianProduct") {
+    val spark = SparkFixture.spark
+    val sf = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(q.name -> "CartesianProduct")
+      else None
+    }
+    assert(offenders.isEmpty, s"plan offenders: $offenders")
+  }
+
+  test("flagship entry returns rows at sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(SparkFixture.spark).count() > 0)
+  }
+}
