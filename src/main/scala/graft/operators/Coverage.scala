@@ -193,7 +193,43 @@ object Coverage {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Explicit GROUPING SETS syntax (beyond ROLLUP/CUBE shorthands). */
+  val q44GroupingSets: Q = Q(
+    "q44_grouping_sets",
+    """SELECT COALESCE(o_orderstatus, '<all>') AS status,
+      |  COALESCE(o_orderpriority, '<all>') AS priority,
+      |  COUNT(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, '<all>') AS status,
+        |  COALESCE(o_orderpriority, '<all>') AS priority,
+        |  COUNT(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** Map-type function surface: construct, extract, cardinality.
+    * DuckDB map extraction yields a one-element list, so the oracle
+    * unwraps with [1]; output columns are scalars in both engines.
+    */
+  val q45MapFns: Q = Q(
+    "q45_map_fns",
+    """SELECT o_orderkey,
+      |  map(['status', 'priority'], [o_orderstatus, o_orderpriority])['status'][1] AS status_val,
+      |  CAST(cardinality(map(['status', 'priority'], [o_orderstatus, o_orderpriority])) AS BIGINT) AS n_keys
+      |FROM orders WHERE o_orderkey < 100""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 100)
+      .select(col("o_orderkey"),
+        expr("map('status', o_orderstatus, 'priority', o_orderpriority)['status']")
+          .as("status_val"),
+        expr("size(map('status', o_orderstatus, 'priority', o_orderpriority))")
+          .cast("long").as("n_keys"))
+  }
+
   def all: Seq[Q] = Seq(
     q34Cube, q35Correlated, q36ArrayFns, q37DateFormat, q38Cte, q39SaltedAgg,
-    q40UdafDistinct, q41Median, q42Histogram)
+    q40UdafDistinct, q41Median, q42Histogram, q44GroupingSets, q45MapFns)
 }
