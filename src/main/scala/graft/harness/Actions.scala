@@ -21,6 +21,14 @@ trait ActionFactory {
   def name: String
   def showHelp(): Unit
   def create(params: Args): Option[Action]
+
+  /** Repeatable `--partition k1=v1,k2=v2` args → one map per occurrence
+    * (port of `ActionFactory.java:59-66`).
+    */
+  def getPartitions(params: Args): List[Map[String, String]] =
+    params.getMulti("partition")
+      .map(Args.parseCommaSeparatedKeyValues)
+      .toList
 }
 
 object FactoryUtil {

@@ -34,4 +34,12 @@ class ArgsSpec extends AnyFunSuite {
   test("non-dashed token is an error") {
     intercept[IllegalArgumentException](Args.fromArgs(Array("oops")))
   }
+
+  test("getPartitions: one map per --partition occurrence") {
+    val factory = new SqlSubmitActionFactory
+    val a = Args.fromArgs(Array(
+      "--partition", "dt=2024-01-01,hr=01", "--partition", "dt=2024-01-02"))
+    assert(factory.getPartitions(a) == List(
+      Map("dt" -> "2024-01-01", "hr" -> "01"), Map("dt" -> "2024-01-02")))
+  }
 }
