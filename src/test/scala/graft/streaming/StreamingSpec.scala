@@ -85,6 +85,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("session_window streaming agg merges events within the gap") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val agg = StreamOps.sessionAgg(
+      input.toDF().toDF("row_time", "user_id", "value"),
+      "row_time", "5 seconds", "30 seconds",
+      Seq($"user_id"), Seq(count(lit(1)).as("n"), sum($"value").as("total")))
+    val query = agg.writeStream.format("memory")
+      .queryName("sess_win").outputMode("append").start()
+    try {
+      // two events 10s apart (one session), one 100s later (another)
+      input.addData((ts(100), 1L, 1.0), (ts(110), 1L, 2.0), (ts(210), 1L, 5.0))
+      query.processAllAvailable()
+      input.addData((ts(900), 9L, 0.0)) // advance watermark, close sessions
+      query.processAllAvailable()
+      val rows = spark.table("sess_win")
+        .filter($"user_id" === 1L)
+        .select($"n", $"total").as[(Long, Double)].collect().toSet
+      assert(rows == Set((2L, 3.0), (1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("approx streaming count-distinct runs as a plain windowed agg") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val agg = StreamOps.approxCountDistinct(
+      input.toDF().toDF("row_time", "dim", "user_id"),
+      "row_time", "5 seconds", Seq($"dim"), "user_id")
+    val query = agg.writeStream.format("memory")
+      .queryName("acd_agg").outputMode("append").start()
+    try {
+      input.addData(
+        (ts(60), "a", 1L), (ts(61), "a", 1L), (ts(62), "a", 2L),
+        (ts(63), "a", 3L))
+      query.processAllAvailable()
+      input.addData((ts(600), "z", 9L))
+      query.processAllAvailable()
+      val a = spark.table("acd_agg").filter($"dim" === "a")
+        .select($"approx_distinct_count").as[Long].collect()
+      // HLL with default rsd is exact at this tiny cardinality
+      assert(a.toSeq == Seq(3L))
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState closes sessions on gap timeout") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[UserEvent]
