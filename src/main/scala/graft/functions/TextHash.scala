@@ -35,13 +35,18 @@ object TextHash {
   def shingleHashesSpark(toksCol: String): String =
     s"graft_shingle_hashes($toksCol, 3)"
 
-  /** DuckDB: identical word-trigram shingle hashes. */
+  /** DuckDB: identical word-trigram shingle hashes; docs shorter than
+    * the shingle width degrade to one whole-doc shingle, matching the
+    * native expression.
+    */
   def shingleHashesDuck(toksCol: String): String = {
     val fold = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"[CAST(ascii(c) AS BIGINT) for c in string_split(g, '')]), " +
       s"(a, b) -> (a * 31 + b) % $P)"
-    s"[$fold for g in [$toksCol[i] || ' ' || $toksCol[i+1] || ' ' || $toksCol[i+2] " +
-      s"for i in generate_series(1, LEN($toksCol) - 2)]]"
+    s"(CASE WHEN LEN($toksCol) >= 3 THEN " +
+      s"[$fold for g in [$toksCol[i] || ' ' || $toksCol[i+1] || ' ' || $toksCol[i+2] " +
+      s"for i in generate_series(1, LEN($toksCol) - 2)]] " +
+      s"ELSE [$fold for g in [array_to_string($toksCol, ' ')]] END)"
   }
 
   /** DuckDB: same token-hash list. */

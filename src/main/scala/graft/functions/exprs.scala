@@ -99,9 +99,13 @@ case class ShingleHashes(left: Expression, right: Expression)
 
   override protected def nullSafeEval(toksAny: Any, nAny: Any): Any = {
     val toks = toksAny.asInstanceOf[ArrayData]
-    val n = nAny.asInstanceOf[Int]
-    val count = toks.numElements() - n + 1
-    if (count <= 0) return new GenericArrayData(Array.empty[Long])
+    val num = toks.numElements()
+    if (num == 0) return new GenericArrayData(Array.empty[Long])
+    // shorter docs than the shingle width degrade to ONE whole-doc
+    // shingle (mirrored in the DuckDB oracle) instead of an empty set,
+    // which would make every short doc share a degenerate signature
+    val n = math.min(nAny.asInstanceOf[Int], num)
+    val count = num - n + 1
     val bytes = new Array[Array[Byte]](toks.numElements())
     var i = 0
     while (i < bytes.length) {

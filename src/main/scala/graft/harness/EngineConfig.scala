@@ -68,10 +68,13 @@ final class EngineConfig(spark: SparkSession) {
     v match {
       case re(n, unit) =>
         Option(unit).map(_.toLowerCase) match {
-          case Some("ms")            => s"$n milliseconds"
+          case Some("ms")              => s"$n milliseconds"
+          case Some("s")               => s"$n seconds"
           case Some("min") | Some("m") => s"$n minutes"
-          case Some("h")             => s"$n hours"
-          case _                     => s"$n seconds"
+          case Some("h")               => s"$n hours"
+          // Flink parses unit-less durations as milliseconds
+          case None                    => s"$n milliseconds"
+          case Some(other)             => s"$n $other"
         }
       case _ => v
     }

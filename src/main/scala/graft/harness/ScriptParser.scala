@@ -47,7 +47,10 @@ object ScriptParser {
           // accumulate until then (the reference's line-based splitter
           // cannot express statement sets at all)
           val isBlock = raw"(?is)^\s*EXECUTE\s+STATEMENT\s+SET.*".r.matches(orig)
-          if (isBlock && !line.trim.equalsIgnoreCase("END;")) {
+          // the block closes when the line ENDS with END; (covers both a
+          // standalone END; line and a single-line statement set)
+          val closesBlock = line.trim.toUpperCase.endsWith("END;")
+          if (isBlock && !closesBlock) {
             // keep accumulating the block
           } else {
             val cut = if (isBlock) orig.lastIndexOf(Semicolon) else orig.indexOf(Semicolon)

@@ -34,7 +34,8 @@ final class SqlSubmitAction(
   val sinks: mutable.Map[String, TableDef] = mutable.LinkedHashMap.empty
   val started: mutable.Buffer[StreamingQuery] = mutable.Buffer.empty
 
-  private val InsertRe = raw"(?is)^\s*INSERT\s+INTO\s+(\S+)\s+(.*)$$".r
+  private val InsertRe =
+    raw"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s+(.*)$$".r
 
   /** Flink's default namespace (`default_catalog`.`default_database`.x)
     * has no Spark counterpart — engine tables live as session temp views.
@@ -60,9 +61,23 @@ final class SqlSubmitAction(
     // Flink-SQL-compatible leniency for submitted scripts: Flink's
     // unix_timestamp/cast parse prefixes where ANSI Spark raises
     // (e.g. 'yyyy-MM-dd HH:mm:ss' against a µs-precision string,
-    // test.sql:55). Scoped to the harness session only.
+    // test.sql:55). Snapshotted and restored so a caller-provided
+    // session keeps its own semantics after run().
+    val savedAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
+    val savedParser = spark.conf.getOption("spark.sql.legacy.timeParserPolicy")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    try runStatements(spark, statements)
+    finally {
+      savedAnsi.fold(spark.conf.unset("spark.sql.ansi.enabled"))(
+        spark.conf.set("spark.sql.ansi.enabled", _))
+      savedParser.fold(spark.conf.unset("spark.sql.legacy.timeParserPolicy"))(
+        spark.conf.set("spark.sql.legacy.timeParserPolicy", _))
+    }
+  }
+
+  private def runStatements(
+      spark: SparkSession, statements: Vector[Statement]): Unit = {
     val config = new EngineConfig(spark)
 
     statements.map(s => s.copy(sql = translateNames(s.sql))).foreach { st =>
@@ -127,22 +142,31 @@ final class SqlSubmitAction(
         val path = t.options.getOrElse("path",
           throw new IllegalArgumentException(
             s"filesystem table '${t.name}' requires a 'path' option"))
-        val format = t.options.getOrElse("format", "parquet")
-        if (new java.io.File(stripScheme(path)).exists()) {
-          sources(t.name) = t
-          val df =
-            if (config.isStreaming) spark.readStream.format(format)
-              .schema(sparkSchema(spark, t)).load(path)
-            else spark.read.format(format).load(path)
-          withSourceDecorations(df, t).createOrReplaceTempView(t.name)
-        } else {
-          sinks(t.name) = t // write target that does not exist yet
-        }
+        // a filesystem table is both readable and writable: its role is
+        // decided by USE (INSERT target vs relation reference), not by
+        // whether the path happens to exist yet — re-running a script
+        // whose first run created the path must still resolve the sink
+        sinks(t.name) = t
+        if (new java.io.File(stripScheme(path)).exists())
+          registerFilesystemView(spark, config, t)
       case Some(other) =>
         throw new IllegalArgumentException(s"Unsupported connector '$other'")
       case None =>
         spark.sql(t.name) // unreachable: isConnectorCreate gated
     }
+  }
+
+  /** (Re)register the temp view over a filesystem table's current data. */
+  private def registerFilesystemView(
+      spark: SparkSession, config: EngineConfig, t: TableDef): Unit = {
+    val path = t.options("path")
+    val format = t.options.getOrElse("format", "parquet")
+    val df =
+      if (config.isStreaming) spark.readStream.format(format)
+        .schema(sparkSchema(spark, t)).load(path)
+      else spark.read.format(format).load(path)
+    sources(t.name) = t
+    withSourceDecorations(df, t).createOrReplaceTempView(t.name)
   }
 
   private def stripScheme(p: String): String =
@@ -155,15 +179,15 @@ final class SqlSubmitAction(
         c.dataType.replaceAll(raw"(?i)timestamp\s*\(\s*\d\s*\)", "timestamp")))))
   }
 
-  /** Computed columns + watermark from the DDL (test.sql:18-19). */
+  /** Computed columns + watermark from the DDL (test.sql:18-19),
+    * uniformly for every connector and mode.
+    */
   private def withSourceDecorations(df: DataFrame, t: TableDef): DataFrame = {
     import org.apache.spark.sql.functions.expr
     val withComputed =
-      if (df.isStreaming)
-        t.computedColumns.foldLeft(df)((d, cc) =>
-          d.withColumn(cc.name, expr(cc.expr.replaceAll(
-            raw"(?i)timestamp\s*\(\s*\d\s*\)", "timestamp"))))
-      else df // batch datagen already applied computed columns
+      t.computedColumns.foldLeft(df)((d, cc) =>
+        d.withColumn(cc.name, expr(cc.expr.replaceAll(
+          raw"(?i)timestamp\s*\(\s*\d\s*\)", "timestamp"))))
     t.watermark match {
       case Some(wm) if withComputed.isStreaming =>
         withComputed.withWatermark(wm.column, wm.delay)
@@ -210,9 +234,17 @@ final class SqlSubmitAction(
   private def executeInsert(
       spark: SparkSession, config: EngineConfig, sql: String): Unit =
     sql match {
-      case InsertRe(rawTarget, query) =>
+      case InsertRe(rawTarget, colList, query) =>
         val target = DdlParser.unquoteName(rawTarget)
-        val df = spark.sql(query)
+        val reorder: DataFrame => DataFrame = df =>
+          Option(colList).filter(_.trim.nonEmpty) match {
+            case Some(cols) =>
+              // INSERT INTO t(c1, c2): name the query's columns c1, c2
+              df.toDF(cols.split(",").map(c =>
+                DdlParser.unquoteName(c.trim)).toIndexedSeq: _*)
+            case None => df
+          }
+        val df = reorder(spark.sql(query))
         sinks.get(target) match {
           case Some(sinkDef) =>
             try writeToSink(spark, config, df, sinkDef)
@@ -232,7 +264,7 @@ final class SqlSubmitAction(
                       "SET graft.streaming.approx-distinct = false to fail instead.")
                   val rewritten = raw"(?i)count\s*\(\s*distinct\s+([^)]+)\)".r
                     .replaceAllIn(query, m => s"approx_count_distinct(${m.group(1)})")
-                  writeToSink(spark, config, spark.sql(rewritten), sinkDef)
+                  writeToSink(spark, config, reorder(spark.sql(rewritten)), sinkDef)
                 } else throw e
             }
           case None =>
@@ -285,6 +317,8 @@ final class SqlSubmitAction(
           (if (sinkDef.partitionedBy.nonEmpty)
              w.partitionBy(sinkDef.partitionedBy: _*)
            else w).save(sinkDef.options("path"))
+          // later statements in the same script may read what was written
+          registerFilesystemView(spark, config, sinkDef)
       }
     }
   }

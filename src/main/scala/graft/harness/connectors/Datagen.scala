@@ -59,34 +59,48 @@ object Datagen {
     }
   }
 
+  /** Generated physical columns only; computed columns + watermark are
+    * applied uniformly by the harness (`withSourceDecorations`) for every
+    * connector.
+    */
   private def project(base: DataFrame, table: TableDef): DataFrame = {
     val fieldCols = table.columns.map { c =>
-      val prefix = s"fields.${c.name}."
-      val fieldOpts = table.options.collect {
-        case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
-      }
+      val fieldOpts = fieldOptions(table, c.name)
       if (fieldOpts.get("kind").contains("sequence")) {
         val start = fieldOpts.get("start").map(_.toLong).getOrElse(0L)
         (col("__seq_id") + start).cast("long").as(c.name)
       } else generatedColumn(c.dataType, fieldOpts).as(c.name)
     }
-    val withFields = base.select(fieldCols: _*)
-    table.computedColumns.foldLeft(withFields) { (df, cc) =>
-      df.withColumn(cc.name, expr(translateExpr(cc.expr)))
+    base.select(fieldCols: _*)
+  }
+
+  private def fieldOptions(table: TableDef, field: String): Map[String, String] = {
+    val prefix = s"fields.$field."
+    table.options.collect {
+      case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
     }
   }
 
-  /** Flink computed-column expression → Spark SQL. The only translation
-    * needed for the supported surface is `timestamp(3)` → `timestamp`.
+  /** Row bound: explicit `number-of-rows`, else the tightest sequence
+    * field's `end - start + 1` (Flink's sequence generator terminates at
+    * `end`), else `defaultRows`.
     */
-  private def translateExpr(e: String): String =
-    e.replaceAll(raw"(?i)timestamp\s*\(\s*\d\s*\)", "timestamp")
+  private def rowBound(table: TableDef, defaultRows: Long): Long = {
+    val explicit = table.options.get("number-of-rows").map(_.toLong)
+    val seqBounds = table.columns.flatMap { c =>
+      val o = fieldOptions(table, c.name)
+      if (o.get("kind").contains("sequence"))
+        for (e <- o.get("end").map(_.toLong))
+          yield e - o.get("start").map(_.toLong).getOrElse(0L) + 1L
+      else None
+    }
+    (explicit.toSeq ++ seqBounds).minOption.getOrElse(defaultRows)
+  }
 
   /** Bounded batch flavor (used when runtime-mode=batch or for tests). */
-  def batch(spark: SparkSession, table: TableDef, defaultRows: Long = 1000L): DataFrame = {
-    val n = table.options.get("number-of-rows").map(_.toLong).getOrElse(defaultRows)
-    project(spark.range(n).withColumnRenamed("id", "__seq_id"), table)
-  }
+  def batch(spark: SparkSession, table: TableDef, defaultRows: Long = 1000L): DataFrame =
+    project(spark.range(rowBound(table, defaultRows))
+      .withColumnRenamed("id", "__seq_id"), table)
 
   /** Unbounded streaming flavor on the `rate` source. */
   def stream(spark: SparkSession, table: TableDef): DataFrame = {

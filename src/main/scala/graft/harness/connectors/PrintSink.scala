@@ -31,13 +31,10 @@ object PrintSink {
   def writer(df: DataFrame, table: TableDef): DataStreamWriter[Row] = {
     val id = table.options.getOrElse("print-identifier", "")
     val stderr = table.options.get("standard-error").exists(_.toBoolean)
-    val w = df.writeStream
+    // sink.parallelism is governed by upstream partitioning in Spark
+    df.writeStream
       .outputMode("update")
       .foreach(new PrefixWriter(id, stderr))
-    table.options.get("sink.parallelism") match {
-      case Some(_) => w // parallelism is governed by upstream partitions in Spark
-      case None    => w
-    }
   }
 
   def printBatch(df: DataFrame, table: TableDef): Unit = {

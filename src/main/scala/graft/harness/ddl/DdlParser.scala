@@ -59,7 +59,11 @@ object DdlParser {
       val wmRe = raw"(?is)^WATERMARK\s+FOR\s+(\S+)\s+AS\s+(.+)$$".r
       val compRe = raw"(?is)^(`[^`]+`|\w+)\s+AS\s+(.+)$$".r
       val colRe = raw"(?is)^(`[^`]+`|\w+)\s+(.+)$$".r
+      val constraintRe = raw"(?is)^(PRIMARY\s+KEY|CONSTRAINT|UNIQUE)\b.*".r
       entry match {
+        case constraintRe(_) =>
+          // Flink PK/constraints are metadata-only (NOT ENFORCED); skip
+          ()
         case wmRe(c, expr) =>
           watermark = Some(WatermarkDef(unquoteName(c), parseDelay(expr)))
         case compRe(n, expr) =>

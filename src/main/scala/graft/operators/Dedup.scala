@@ -190,9 +190,6 @@ object Dedup {
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     Tables.registerAll(s, dir)
-    val bits = (0 until SimBits).map(j =>
-      s"(CASE WHEN SUM(2 * ((th >> $j) & 1) - 1) > 0 THEN ${1L << j}L ELSE 0L END)")
-      .mkString(" + ")
     s.sql(
       s"""SELECT doc_id, graft_simhash(${tokenHashesSpark("text")}) AS simhash
          |FROM documents""".stripMargin)

@@ -54,6 +54,13 @@ class DdlParserSpec extends AnyFunSuite {
     assert(t.columns.map(_.name) == Vector("a", "dt"))
   }
 
+  test("PRIMARY KEY / constraint entries are skipped, not parsed as columns") {
+    val t = DdlParser.parse(
+      "CREATE TABLE t (id INT, v STRING, PRIMARY KEY (id) NOT ENFORCED) " +
+        "WITH ('connector'='datagen')")
+    assert(t.columns.map(_.name) == Vector("id", "v"))
+  }
+
   test("types with parens (decimal/timestamp) survive column splitting") {
     val t = DdlParser.parse(
       "CREATE TABLE t (a decimal(10,2), b timestamp(3)) WITH ('connector'='print')")

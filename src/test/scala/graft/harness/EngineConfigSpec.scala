@@ -26,6 +26,9 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(c.miniBatchLatency.contains("5 seconds"))
     c.set("table.exec.mini-batch.allow-latency", "500ms")
     assert(c.miniBatchLatency.contains("500 milliseconds"))
+    // Flink parses unit-less durations as milliseconds
+    c.set("table.exec.mini-batch.allow-latency", "5000")
+    assert(c.miniBatchLatency.contains("5000 milliseconds"))
     c.set("execution.checkpointing.interval", "3 s")
     assert(c.checkpointInterval.contains("3 seconds"))
     c.set("execution.checkpointing.enabled", "true")

@@ -51,6 +51,18 @@ class ScriptParserSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Missing variable value for key 'nope'"))
   }
 
+  test("EXECUTE STATEMENT SET: multi-line and single-line blocks both close") {
+    val multi = ScriptParser.parse(
+      "EXECUTE STATEMENT SET BEGIN\n  INSERT INTO a SELECT 1;\n  INSERT INTO b SELECT 2;\nEND;")
+    assert(multi.size == 1)
+    assert(multi.head.tpe == StatementType.EXECUTE)
+    assert(multi.head.sql.contains("INSERT INTO b"))
+    val single = ScriptParser.parse(
+      "EXECUTE STATEMENT SET BEGIN INSERT INTO t SELECT 1; END;")
+    assert(single.size == 1)
+    assert(single.head.tpe == StatementType.EXECUTE)
+  }
+
   test("classification order: CREATE vs CTAS lookahead, ADD JAR vs ADD") {
     assert(ScriptParser.classify("CREATE TABLE t (a int)").tpe == StatementType.CREATE)
     assert(ScriptParser.classify("CREATE TABLE t AS SELECT 1").tpe == StatementType.CTAS)

@@ -65,8 +65,10 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       existingSession = Some(spark), printLimit = 5)
     action.run()
 
-    assert(action.sources.keySet == Set("tbl_aggregate_source"))
+    assert(action.sources.keySet.contains("tbl_aggregate_source"))
     assert(action.sinks.keySet == Set("tbl_aggregate_sink"))
+    // after the write, the filesystem sink is readable within the script
+    assert(action.sources.keySet.contains("tbl_aggregate_sink"))
 
     val out = spark.read.parquet(s"$outDir/agg")
     assert(out.columns.toSet ==
@@ -151,6 +153,57 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     new SqlSubmitAction(file.toString, Map.empty,
       existingSession = Some(spark)).run()
     assert(spark.read.csv(s"$outDir/csv").count() == 25L)
+  }
+
+  test("INSERT with explicit column list routes to the engine sink") {
+    val spark = SparkFixture.spark
+    val outDir = Files.createTempDirectory("graft-collist-out").toString
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table src(v bigint) with (
+         |  'connector' = 'datagen', 'number-of-rows' = '5',
+         |  'fields.v.kind' = 'sequence', 'fields.v.start' = '1');
+         |create table out_t(v bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$outDir/t', 'format' = 'parquet');
+         |insert into out_t(v) select v from src;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-collist-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    assert(spark.read.parquet(s"$outDir/t").count() == 5L)
+  }
+
+  test("re-running a script whose sink path now exists still resolves the sink") {
+    val spark = SparkFixture.spark
+    val outDir = Files.createTempDirectory("graft-rerun-out").toString
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table src(v bigint) with (
+         |  'connector' = 'datagen', 'number-of-rows' = '4',
+         |  'fields.v.kind' = 'sequence', 'fields.v.start' = '1');
+         |create table out_t(v bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$outDir/t', 'format' = 'parquet');
+         |insert into out_t select v from src;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-rerun-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    // second run: path exists now; INSERT must still find the sink
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    assert(spark.read.parquet(s"$outDir/t").count() == 8L)
+  }
+
+  test("ansi/time-parser confs are restored on the caller's session after run") {
+    val spark = SparkFixture.spark
+    val before = spark.conf.get("spark.sql.ansi.enabled")
+    val file = Files.createTempFile("graft-conf-", ".sql")
+    Files.writeString(file, "SELECT 1 AS one;\n")
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    assert(spark.conf.get("spark.sql.ansi.enabled") == before)
   }
 
   test("statements failing mid-script are wrapped with the offending SQL") {
