@@ -14,9 +14,12 @@ import scala.collection.immutable.HashSet
   * the HLL sketch (`approx_count_distinct`) or the dedup-then-count
   * form (`graft.streaming.StreamOps.streamingCountDistinct`).
   */
-object ExactDistinct extends Aggregator[Long, HashSet[Long], Long] {
+object ExactDistinct
+    extends Aggregator[java.lang.Long, HashSet[Long], Long] {
   override def zero: HashSet[Long] = HashSet.empty
-  override def reduce(b: HashSet[Long], a: Long): HashSet[Long] = b + a
+  // NULL inputs are skipped, matching COUNT(DISTINCT) semantics
+  override def reduce(b: HashSet[Long], a: java.lang.Long): HashSet[Long] =
+    if (a == null) b else b + a.longValue
   override def merge(b1: HashSet[Long], b2: HashSet[Long]): HashSet[Long] = b1 ++ b2
   override def finish(reduction: HashSet[Long]): Long = reduction.size.toLong
   override def bufferEncoder: Encoder[HashSet[Long]] =

@@ -20,6 +20,10 @@ object TextHash {
   def a(i: Int): Long = ((i.toLong + 1L) * 2654435761L + 1000003L) % P
   def b(i: Int): Long = ((i.toLong + 1L) * 40503L + 987654321L) % P
 
+  /** Hoisted permutation constants for the hot MinHash loop. */
+  val A: Array[Long] = Array.tabulate(K)(a)
+  val B: Array[Long] = Array.tabulate(K)(b)
+
   /** Spark SQL: array of token hashes for a text column tokenized on ' '
     * (requires [[GraftFunctions.register]]; the native expression is the
     * same fold as the DuckDB spelling below).

@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[TextHash]]: same fold order, same mod, int64 throughout.
   */
 
-/** `graft_poly_hash(s)`: h := (h*31 + byte) mod 1e9+7 over UTF-8 bytes.
-  * Equals the char-codepoint fold for ASCII inputs (the corpus).
+/** `graft_poly_hash(s)`: h := (h*31 + codepoint) mod 1e9+7 over the
+  * string's code points — exactly the DuckDB oracle's per-char
+  * `ascii(c)` fold, including for non-ASCII input.
   */
 case class PolyHash(child: Expression)
     extends UnaryExpression {
@@ -43,14 +44,20 @@ case class PolyHash(child: Expression)
 }
 
 object PolyHash {
-  /** Shared by interpreted + codegen paths. */
-  def hash(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = 0L
+  /** Shared by interpreted + codegen paths. Folds over code points so
+    * non-ASCII text hashes identically to the oracle's ascii(c) fold.
+    */
+  def hash(s: UTF8String): Long = continueHash(0L, s)
+
+  /** Continue a fold across a part boundary (used by ShingleHashes). */
+  def continueHash(h0: Long, s: UTF8String): Long = {
+    val str = s.toString
+    var h = h0
     var i = 0
-    while (i < bytes.length) {
-      h = (h * 31L + (bytes(i) & 0xffL)) % TextHash.P
-      i += 1
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31L + cp.toLong) % TextHash.P
+      i += Character.charCount(cp)
     }
     h
   }
@@ -73,7 +80,7 @@ case class MinHashSig(child: Expression)
       val th = arr.getLong(t)
       var i = 0
       while (i < TextHash.K) {
-        val v = (TextHash.a(i) * th + TextHash.b(i)) % TextHash.P
+        val v = (TextHash.A(i) * th + TextHash.B(i)) % TextHash.P
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -90,7 +97,7 @@ case class MinHashSig(child: Expression)
   * n-gram ("tok1 tok2 … tokn", single-space-joined), one native pass —
   * no per-shingle string allocation, no lambda dispatch. Hash values
   * equal `PolyHash` of the joined string: the fold just continues
-  * across part boundaries with the space byte.
+  * across part boundaries with the space code point.
   */
 case class ShingleHashes(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
@@ -106,10 +113,10 @@ case class ShingleHashes(left: Expression, right: Expression)
     // which would make every short doc share a degenerate signature
     val n = math.min(nAny.asInstanceOf[Int], num)
     val count = num - n + 1
-    val bytes = new Array[Array[Byte]](toks.numElements())
+    val parts = new Array[UTF8String](num)
     var i = 0
-    while (i < bytes.length) {
-      bytes(i) = toks.getUTF8String(i).getBytes
+    while (i < parts.length) {
+      parts(i) = toks.getUTF8String(i)
       i += 1
     }
     val out = new Array[Long](count)
@@ -119,12 +126,7 @@ case class ShingleHashes(left: Expression, right: Expression)
       var p = 0
       while (p < n) {
         if (p > 0) h = (h * 31L + ' '.toLong) % TextHash.P
-        val bs = bytes(s + p)
-        var j = 0
-        while (j < bs.length) {
-          h = (h * 31L + (bs(j) & 0xffL)) % TextHash.P
-          j += 1
-        }
+        h = PolyHash.continueHash(h, parts(s + p))
         p += 1
       }
       out(s) = h

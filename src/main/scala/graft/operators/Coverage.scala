@@ -140,7 +140,9 @@ object Coverage {
     """SELECT o_orderstatus,
       |  COUNT(DISTINCT o_custkey) AS uniq_cust
       |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
-    val exactDistinct = udaf(graft.functions.ExactDistinct)
+    val exactDistinct =
+      udaf(graft.functions.ExactDistinct,
+        org.apache.spark.sql.Encoders.LONG)
     Tables.load(s, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(exactDistinct(col("o_custkey")).as("uniq_cust"))

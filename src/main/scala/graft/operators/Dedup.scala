@@ -106,25 +106,25 @@ object Dedup {
   /** All K minima come from one native pass (graft_minhash_sig), then
     * fan out into columns.
     */
-  private def sigSelectSpark: String =
+  private def sigSelectSpark(source: String = "documents"): String =
     (0 until K).map(i => s"sig[$i] AS sig_$i")
       .mkString(s"SELECT doc_id, ", ", ",
-        s" FROM (SELECT doc_id, graft_minhash_sig(${shingleHashesSpark("split(text, ' ')")}) AS sig FROM documents)")
+        s" FROM (SELECT doc_id, graft_minhash_sig(${shingleHashesSpark("split(text, ' ')")}) AS sig FROM $source)")
 
-  private def sigSelectDuck: String =
+  private def sigSelectDuck(source: String = "documents"): String =
     (0 until K).map(i => s"${minhashDuck("tokhs", i)} AS sig_$i")
       .mkString(s"SELECT doc_id, ", ", ",
         s" FROM (SELECT doc_id, ${shingleHashesDuck("toks")} AS tokhs" +
-          s" FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))")
+          s" FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $source))")
 
   /** MinHash signatures (16 permutations over word-token hashes). */
   val extMinhashSig: Q = Q(
     "ext_minhash_sig",
     s"""SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")}
-       |FROM ($sigSelectDuck)""".stripMargin) { (s, dir) =>
+       |FROM (${sigSelectDuck()})""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     Tables.registerAll(s, dir)
-    s.sql(s"SELECT * FROM ($sigSelectSpark)")
+    s.sql(s"SELECT * FROM (${sigSelectSpark()})")
   }
 
   /** MinHash+LSH near-dup pairs: each doc explodes into its 4 band keys
@@ -142,7 +142,7 @@ object Dedup {
       s"""WITH canon AS (
          |  SELECT MIN(doc_id) AS doc_id, text
          |  FROM documents GROUP BY text),
-         |s AS (${sigSelectDuck.replace("FROM documents", "FROM canon")}),
+         |s AS (${sigSelectDuck("canon")}),
          |banded AS (
          |  SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")},
          |    UNNEST($bandList) AS band_key FROM s),
@@ -164,7 +164,7 @@ object Dedup {
       s"""WITH canon AS (
          |  SELECT MIN(doc_id) AS doc_id, text
          |  FROM documents GROUP BY text),
-         |s AS (${sigSelectSpark.replace("FROM documents", "FROM canon")}),
+         |s AS (${sigSelectSpark("canon")}),
          |banded AS (
          |  SELECT doc_id, $sigCols, band_key
          |  FROM s LATERAL VIEW explode($bandArray) t AS band_key),

@@ -107,7 +107,10 @@ object Events {
     * union-and-carry trick — tag both streams, sort per user by time,
     * carry the last click forward with `last(ignoreNulls)` — one shuffle
     * on user_id, no range-join blowup (SURVEY §2.C temporal/as-of row).
-    * DuckDB oracle uses its native ASOF JOIN.
+    * The oracle uses a lateral top-1 subquery rather than DuckDB's
+    * native ASOF JOIN because ASOF picks an arbitrary row among
+    * timestamp ties, while this formulation pins the max event_id —
+    * matching the Spark ordering.
     */
   val q30AsofJoin: Q = Q(
     "q30_asof_join",
@@ -120,10 +123,13 @@ object Events {
       |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec
       |  FROM events WHERE event_type = 'click')
       |SELECT p.event_id AS purchase_id,
-      |  COALESCE(c.event_id, -1) AS click_id,
-      |  COALESCE(p.ts_sec - c.ts_sec, -1) AS gap_sec
-      |FROM p ASOF LEFT JOIN c
-      |  ON p.user_id = c.user_id AND p.ts_sec >= c.ts_sec""".stripMargin) { (s, dir) =>
+      |  COALESCE(last_click.event_id, -1) AS click_id,
+      |  COALESCE(p.ts_sec - last_click.ts_sec, -1) AS gap_sec
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT c.event_id, c.ts_sec FROM c
+      |  WHERE c.user_id = p.user_id AND c.ts_sec <= p.ts_sec
+      |  ORDER BY c.ts_sec DESC, c.event_id DESC LIMIT 1
+      |) AS last_click ON TRUE""".stripMargin) { (s, dir) =>
     val ev = Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
@@ -185,13 +191,18 @@ object Events {
   /** JSON field extraction from the `props` column. */
   val q32Json: Q = Q(
     "q32_json",
-    """SELECT event_id,
-      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
-      |FROM events
-      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin) { (s, dir) =>
+    """WITH j AS (
+      |  SELECT event_id, json_extract_string(props, '$.k') AS ks FROM events)
+      |SELECT event_id, CAST(ks AS BIGINT) AS k_value
+      |FROM j
+      |WHERE regexp_matches(ks, '^-?[0-9]+$') AND CAST(ks AS BIGINT) >= 50""".stripMargin) { (s, dir) =>
+    // integral-only guard keeps cast semantics identical across engines
+    // (DuckDB CAST('12.5' AS BIGINT) rounds; Spark truncates/nulls)
     Tables.load(s, dir, "events")
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+        get_json_object(col("props"), "$.k").as("ks"))
+      .filter(col("ks").rlike("^-?[0-9]+$"))
+      .select(col("event_id"), col("ks").cast("long").as("k_value"))
       .filter(col("k_value") >= 50)
   }
 

@@ -62,8 +62,10 @@ object SessionTracker {
             closed += ClosedSession(userId, s.startSec, s.lastSec, s.nEvents, s.sumValue)
             open = Some(OpenSession(sec, sec, 1L, e.value))
           case Some(s) =>
-            open = Some(OpenSession(s.startSec, math.max(s.lastSec, sec),
-              s.nEvents + 1L, s.sumValue + e.value))
+            // late-but-within-watermark events may precede the current
+            // session start — extend backward, not just forward
+            open = Some(OpenSession(math.min(s.startSec, sec),
+              math.max(s.lastSec, sec), s.nEvents + 1L, s.sumValue + e.value))
           case None =>
             open = Some(OpenSession(sec, sec, 1L, e.value))
         }

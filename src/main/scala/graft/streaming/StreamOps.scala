@@ -67,9 +67,10 @@ object StreamOps {
       delay: String,
       keys: Seq[Column],
       distinctCol: String,
-      rsd: Double = 0.05): DataFrame =
+      rsd: Double = 0.05,
+      windowDuration: String = "1 minute"): DataFrame =
     df.withWatermark(eventTime, delay)
-      .groupBy(keys :+ window(col(eventTime), "1 minute"): _*)
+      .groupBy(keys :+ window(col(eventTime), windowDuration): _*)
       .agg(approx_count_distinct(distinctCol, rsd).as("approx_distinct_count"))
 
   /** Streaming exact dedup within the watermark horizon — state expires

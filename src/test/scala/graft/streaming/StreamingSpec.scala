@@ -147,13 +147,20 @@ class StreamingSpec extends AnyFunSuite {
       assert(closed.exists(s =>
         s.userId == 1L && s.startSec == 100L && s.endSec == 110L &&
           s.nEvents == 2L && s.sumValue == 3.0))
+      // an out-of-order event still within the watermark extends the
+      // open session's start backward
+      input.addData(UserEvent(1L, ts(208), 1.5))
+      query.processAllAvailable()
       // advance watermark far ahead -> timeout closes the open session
       input.addData(UserEvent(9L, ts(1000), 0.0))
       query.processAllAvailable()
       input.addData(UserEvent(9L, ts(2000), 0.0))
       query.processAllAvailable()
       val all = spark.table("sessions_out").as[ClosedSession].collect()
-      assert(all.exists(s => s.userId == 1L && s.startSec == 210L))
+      // the second session closed with its start extended back to 208
+      assert(all.exists(s =>
+        s.userId == 1L && s.startSec == 208L && s.endSec == 210L &&
+          s.nEvents == 2L && s.sumValue == 6.5))
     } finally query.stop()
   }
 }
