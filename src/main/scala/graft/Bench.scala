@@ -27,8 +27,22 @@ object Bench {
       SparkEntry.queries.get("q1_agg").foreach(fn => fn(spark, sfDir).count())
     } catch { case _: Throwable => () }
 
+    // dev aid: SPARK_GRAFT_ONLY=q1_agg,q16_join_q5 times a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val failures = scala.collection.mutable.Buffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var i = 0
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      // drop state retained by earlier queries (cached relations,
+      // unreferenced broadcasts) so later joins aren't pushed into
+      // spill by accumulated heap pressure — measured 10x on the
+      // heaviest join when 60+ queries share one JVM; the full GC is
+      // periodic so its fixed cost doesn't tax every small query
+      spark.catalog.clearCache()
+      i += 1
+      if (i % 8 == 0) System.gc()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
