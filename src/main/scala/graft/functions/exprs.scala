@@ -248,6 +248,58 @@ object DotProduct {
   }
 }
 
+/** `graft_l2_normalize(array<float|double>)`: cast to double, L2-normalize
+  * in one codegen'd pass — element-wise cast, sequential-fold self-dot,
+  * sqrt, element-wise divide. IEEE-identical to the composed
+  * `transform(cast) → graft_dot → sqrt → transform(divide)` pipeline it
+  * replaces (and to the oracle's comprehension spelling), but without the
+  * per-element interpreted-lambda dispatch those `transform`s pay.
+  */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_l2_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    L2Normalize.normalize(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.L2Normalize.normalize($c, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+object L2Normalize {
+  def normalize(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    val dv = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      dv(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    var acc = 0.0d
+    i = 0
+    while (i < n) {
+      acc += dv(i) * dv(i)
+      i += 1
+    }
+    val nrm = math.sqrt(acc)
+    i = 0
+    while (i < n) {
+      dv(i) = dv(i) / nrm
+      i += 1
+    }
+    new GenericArrayData(dv)
+  }
+}
+
 /** Registration: temp functions on a session (for library use) and a
   * `SparkSessionExtensions` hook (for `spark.sql.extensions` wiring).
   */
@@ -258,7 +310,8 @@ object GraftFunctions {
     "graft_simhash" -> (es => SimHash(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, es(1))),
     "graft_word_ngrams" -> (es => WordNgrams(es.head, es(1))),
-    "graft_dot" -> (es => DotProduct(es.head, es(1))))
+    "graft_dot" -> (es => DotProduct(es.head, es(1))),
+    "graft_l2_normalize" -> (es => L2Normalize(es.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -170,18 +170,33 @@ object Coverage {
       |   OR rn = CAST(FLOOR((n + 2) / 2.0) AS BIGINT)
       |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("qc"), col("l_orderkey"), col("l_linenumber"))
+    // exact median via value-domain compression: the quantity domain is
+    // tiny (integral cents), so aggregate to (flag, qc, cnt) with one
+    // hash agg — partial aggregation collapses rows map-side — then rank
+    // over the ~50-row-per-flag compressed table instead of sorting every
+    // input row. Each compressed row covers ranks (cum-cnt, cum]; the two
+    // middle ranks land in specific rows, counted with multiplicity so an
+    // odd n (both ranks in one row) averages to the row's own value —
+    // exactly the oracle's ROW_NUMBER formulation, at any scale.
+    val counts = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), Det.cents(col("l_quantity")).as("qc"))
+      .groupBy(col("l_returnflag"), col("qc"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("qc"))
     val wAll = Window.partitionBy(col("l_returnflag"))
-    Tables.load(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        Det.cents(col("l_quantity")).as("qc"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .filter(col("rn") === floor((col("n") + 1) / 2.0d).cast("long") ||
-        col("rn") === floor((col("n") + 2) / 2.0d).cast("long"))
+    val lo = col("cum") - col("cnt")
+    def hit(r: org.apache.spark.sql.Column) =
+      when(r > lo && r <= col("cum"), 1L).otherwise(0L)
+    counts
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("hits",
+        hit(floor((col("n") + 1) / 2.0d).cast("long")) +
+          hit(floor((col("n") + 2) / 2.0d).cast("long")))
+      .filter(col("hits") > 0)
       .groupBy(col("l_returnflag"))
-      .agg((sum(col("qc")) / count(lit(1)) / 100.0d).as("median_qty"))
+      .agg((sum(col("qc") * col("hits")) / sum(col("hits")) / 100.0d)
+        .as("median_qty"))
   }
 
   /** Value histogram: fixed-width buckets as a single hash aggregation. */

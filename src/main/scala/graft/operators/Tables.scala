@@ -15,9 +15,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // `spark.read.parquet` lists the directory and reads footers for schema
+  // inference on every call; across a 67-query run that re-pays ~10 table
+  // loads × many queries. The analyzed DataFrame is immutable and tied to
+  // its session, so memoize per (session, dir, table).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, sfDir) else
-      spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, sfDir, name), { _ =>
+      if (name == "events") loadEvents(spark, sfDir)
+      else spark.read.parquet(s"$sfDir/$name.parquet")
+    })
 
   /** `events.ts` is INT64 TIMESTAMP(NANOS), which Spark 4 refuses to map
     * to TimestampType (PARQUET_TYPE_ILLEGAL). Read nanos as long and

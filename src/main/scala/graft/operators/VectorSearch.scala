@@ -39,16 +39,13 @@ object VectorSearch {
       s"[$a[i] * $b[i] for i in generate_series(1, $Dim)]), " +
       s"(acc, v) -> acc + v)"
 
-  /** Spark: float array → L2-normalized double array, via a two-step
-    * projection so the norm is computed once per row, not per element.
+  /** Spark: float array → L2-normalized double array, one codegen'd pass
+    * ([[graft.functions.L2Normalize]] — IEEE-identical to the composed
+    * cast/dot/sqrt/divide the oracle spells out, without interpreted
+    * lambda dispatch per element).
     */
-  private def normalizedSpark(df: org.apache.spark.sql.DataFrame) = {
-    val asD = "transform(embedding, x -> CAST(x AS DOUBLE))"
-    df.select(col("vec_id"), expr(asD).as("dv"))
-      .select(col("vec_id"),
-        sqrt(expr(dotSpark("dv", "dv"))).as("nrm"), col("dv"))
-      .select(col("vec_id"), expr("transform(dv, x -> x / nrm)").as("nv"))
-  }
+  private def normalizedSpark(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("vec_id"), expr("graft_l2_normalize(embedding)").as("nv"))
 
   /** DuckDB: identical two-step normalization as a CTE body. */
   private val normDuckCte: String = {
@@ -207,14 +204,17 @@ object VectorSearch {
     val nv = normalizedSpark(Tables.load(s, dir, "embeddings"))
     val cent = nv.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("nv").as("cv"))
-    val crn = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cid"))
+    // argmax as a hash aggregation (max of (cdot, -cid) picks highest dot,
+    // ties to the smallest cid — the oracle's ROW_NUMBER order) instead of
+    // a sort-window: partial aggregation collapses the 16 candidate rows
+    // per vector map-side, so nothing fans out through the shuffle
     val bucketed = nv.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("nv"), col("cid"),
         floor(expr(dotSpark("nv", "cv")) * 1e6d + 0.5d).cast("long").as("cdot"))
-      .withColumn("crn", row_number().over(crn))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("nv"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdot"), (-col("cid")).as("negcid"),
+        col("cid"), col("nv"))).as("m"))
+      .select(col("vec_id"), col("m.nv").as("nv"), col("m.cid").as("cid"))
     val q = bucketed.filter(col("vec_id") < 32)
       .select(col("vec_id").as("qid"), col("nv").as("qv"), col("cid").as("qcid"))
     val rn = Window.partitionBy(col("qid"))
@@ -277,18 +277,18 @@ object VectorSearch {
        |  CAST(SUM(cdot) AS BIGINT) / COUNT(*) AS mean_cohesion_micros
        |FROM assign WHERE crn = 1
        |GROUP BY cid""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     val nv = normalizedSpark(Tables.load(s, dir, "embeddings"))
     val cent = nv.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("nv").as("cv"))
-    val crn = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cid"))
+    // hash-agg argmax (see extAnnIvf): max(cdot, -cid) ≡ the oracle's
+    // ROW_NUMBER(ORDER BY cdot DESC, cid) = 1, without the sort-window
     nv.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cid"),
         floor(expr(dotSpark("nv", "cv")) * 1e6d + 0.5d).cast("long").as("cdot"))
-      .withColumn("crn", row_number().over(crn))
-      .filter(col("crn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdot"), (-col("cid")).as("negcid"), col("cid"))).as("m"))
+      .select(col("m.cid").as("cid"), col("m.cdot").as("cdot"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"),
         (sum(col("cdot")) / count(lit(1))).as("mean_cohesion_micros"))
@@ -334,22 +334,21 @@ object VectorSearch {
        |  FROM nv, cent1)
        |SELECT cid, COUNT(*) AS n_members
        |FROM a1 WHERE crn = 1 GROUP BY cid""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     val nv = normalizedSpark(Tables.load(s, dir, "embeddings"))
     val cent0 = nv.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("nv").as("cv"))
+    // hash-agg argmax (see extAnnIvf): max(cdot, -cid) ≡ the oracle's
+    // ROW_NUMBER(ORDER BY cdot DESC, cid) = 1, without the sort-window
     def argmaxAssign(vecs: org.apache.spark.sql.DataFrame,
-        cents: org.apache.spark.sql.DataFrame) = {
-      val crn = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cdot").desc, col("cid"))
+        cents: org.apache.spark.sql.DataFrame) =
       vecs.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("nv"), col("cid"),
           floor(expr(dotSpark("nv", "cv")) * 1e6d + 0.5d).cast("long").as("cdot"))
-        .withColumn("crn", row_number().over(crn))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("nv"), col("cid"))
-    }
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cdot"), (-col("cid")).as("negcid"),
+          col("cid"), col("nv"))).as("m"))
+        .select(col("vec_id"), col("m.nv").as("nv"), col("m.cid").as("cid"))
     val a0 = argmaxAssign(nv, cent0)
     val cent1 = a0
       .select(col("cid"), posexplode(col("nv")).as(Seq("pos", "val")))
