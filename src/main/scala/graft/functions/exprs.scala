@@ -300,6 +300,104 @@ object L2Normalize {
   }
 }
 
+/** `graft_lsh_bucket(array<double>)`: 8-bit sign-random-projection LSH
+  * bucket id. Plane j's i-th component is the deterministic integer
+  * `((j*131 + i*31 + 7) mod 19) - 9`; bit j is set iff the sequential
+  * dot of the vector with plane j is strictly positive. Arithmetic is
+  * IEEE-identical to folding the literal plane arrays with `graft_dot`
+  * (the oracle's spelling) — this form just avoids materializing 8×64
+  * literal expression nodes in every query plan.
+  */
+case class LshBucket(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshBucket.bucket(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.LshBucket.bucket($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+object LshBucket {
+  val Planes = 8
+  def w(j: Int, i: Int): Int = ((j * 131 + i * 31 + 7) % 19) - 9
+  def bucket(v: ArrayData): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < Planes) {
+      var acc = 0.0d
+      var i = 0
+      while (i < n) {
+        acc += v.getDouble(i) * w(j, i).toDouble
+        i += 1
+      }
+      if (acc > 0.0d) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** `graft_doc_pairs(array<struct<doc_id:bigint, sz:bigint>>)`: all
+  * unordered pairs from one posting list, each emitted once with
+  * `doc_a < doc_b` — the pair-expansion step of an inverted-index
+  * near-dup search, run as one native pass per list instead of a
+  * self-join that recomputes and broadcasts the whole posting table.
+  * Output order is id-sorted per pair and the downstream aggregation is
+  * pair-keyed, so the (nondeterministic) collect_list order upstream
+  * cannot affect results.
+  */
+case class DocPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("sz_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("sz_b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_doc_pairs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val szs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      szs(i) = row.getLong(1)
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val (a, b) = if (ids(i) < ids(j)) (i, j) else (j, i)
+        out(k) = new GenericInternalRow(
+          Array[Any](ids(a), szs(a), ids(b), szs(b))): InternalRow
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DocPairs =
+    copy(child = newChild)
+}
+
 /** Registration: temp functions on a session (for library use) and a
   * `SparkSessionExtensions` hook (for `spark.sql.extensions` wiring).
   */
@@ -311,7 +409,9 @@ object GraftFunctions {
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, es(1))),
     "graft_word_ngrams" -> (es => WordNgrams(es.head, es(1))),
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
-    "graft_l2_normalize" -> (es => L2Normalize(es.head)))
+    "graft_l2_normalize" -> (es => L2Normalize(es.head)),
+    "graft_doc_pairs" -> (es => DocPairs(es.head)),
+    "graft_lsh_bucket" -> (es => LshBucket(es.head)))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

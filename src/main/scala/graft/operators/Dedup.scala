@@ -87,16 +87,21 @@ object Dedup {
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("lang"), expr(gramHashesSpark).as("ghs"))
       .select(col("doc_id"), col("lang"),
-        size(col("ghs")).as("sz"), explode(col("ghs")).as("gh"))
-    val p1 = post.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
-      col("sz").as("sz_a"), col("gh").as("gh_a"))
-    val p2 = post.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
-      col("sz").as("sz_b"), col("gh").as("gh_b"))
+        size(col("ghs")).cast("long").as("sz"), explode(col("ghs")).as("gh"))
+    // grouped-posting-list shape instead of a posting self-join: the
+    // self-join computed the whole shingle pipeline twice and broadcast
+    // the full posting table (impossible at corpus scale); here postings
+    // shuffle ONCE on (shingle, lang), pairs expand natively per list
+    // (graft_doc_pairs), and the pair-keyed count is the only other
+    // shuffle. Candidate set is identical — every doc pair sharing ≥1
+    // shingle within a lang block appears once per shared shingle.
     val jac = col("inter") * lit(1.0d) / (col("sz_a") + col("sz_b") - col("inter"))
-    p1.join(p2,
-        col("gh_a") === col("gh_b") && col("lang_a") === col("lang_b") &&
-          col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+    post
+      .groupBy(col("gh"), col("lang"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .select(explode(expr("graft_doc_pairs(ds)")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
       .filter(jac >= 0.6d)
       .select(col("doc_a"), col("doc_b"),

@@ -115,16 +115,14 @@ object VectorSearch {
 
   private val Planes = 8
 
-  private def planeSparkArray(j: Int): String =
-    (0 until Dim).map(i => s"CAST(${w(j, i)} AS DOUBLE)").mkString("array(", ", ", ")")
-
   private def planeDuckList(j: Int): String =
     (0 until Dim).map(i => s"CAST(${w(j, i)} AS DOUBLE)").mkString("[", ", ", "]")
 
-  private def bucketSpark(v: String): String =
-    (0 until Planes).map { j =>
-      s"(CASE WHEN ${dotSpark(v, planeSparkArray(j))} > 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
+  /** Native one-pass form ([[graft.functions.LshBucket]]) — IEEE-identical
+    * to folding the 8 literal plane arrays with `graft_dot`, without the
+    * 8×64 literal expression nodes per query plan.
+    */
+  private def bucketSpark(v: String): String = s"graft_lsh_bucket($v)"
 
   private def bucketDuck(v: String): String =
     (0 until Planes).map { j =>
