@@ -54,15 +54,13 @@ object Dedup {
   private val gramHashesDuck: String =
     s"list_distinct(${shingleHashesDuck("toks")})"
 
-  /** Word-trigram Jaccard near-dup via inverted-index join (no cross
-    * join): docs sharing ≥1 shingle hash (same lang block) are
-    * candidates; exact Jaccard ≥ 0.6 confirms. Shingles are joined by
-    * polynomial hash — identical arithmetic in the oracle, so any
-    * collision is mirrored there.
+  /** DuckDB CTE chain `canon, d, post, cand`: exact-canonicalized docs →
+    * distinct shingle hashes → posting list → candidate pairs with
+    * columns (doc_a, doc_b, sz_a, sz_b, inter). Shared by the Jaccard
+    * pair query and the connected-components clustering oracle.
     */
-  val extJaccardPairs: Q = Q(
-    "ext_jaccard_pairs",
-    s"""WITH canon AS (
+  private val pairCtesDuck: String =
+    s"""canon AS (
        |  SELECT MIN(doc_id) AS doc_id, lang, text
        |  FROM documents GROUP BY text, lang),
        |d AS (
@@ -74,28 +72,32 @@ object Dedup {
        |    p1.sz AS sz_a, p2.sz AS sz_b, COUNT(*) AS inter
        |  FROM post p1 JOIN post p2
        |    ON p1.gh = p2.gh AND p1.lang = p2.lang AND p1.doc_id < p2.doc_id
-       |  GROUP BY 1, 2, 3, 4)
-       |SELECT doc_a, doc_b,
-       |  CAST(FLOOR((inter * 1.0 / (sz_a + sz_b - inter)) * 1000 + 0.5) AS BIGINT) AS jaccard_mils
-       |FROM cand
-       |WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.6""".stripMargin) { (s, dir) =>
-    graft.functions.GraftFunctions.register(s)
-    val canon = Tables.load(s, dir, "documents")
-      .groupBy(col("text"), col("lang"))
-      .agg(min(col("doc_id")).as("doc_id"))
+       |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  /** Exact-dedup canonicalization: one representative doc per (text,
+    * lang) — the mandatory first stage of every near-dup pipeline (see
+    * the object Scaladoc).
+    */
+  private def canonicalDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.groupBy(col("text"), col("lang")).agg(min(col("doc_id")).as("doc_id"))
+
+  /** Candidate near-dup pairs (doc_a, doc_b, sz_a, sz_b, inter) over
+    * canonical docs via the grouped-posting-list inverted index.
+    *
+    * Grouped-posting-list shape instead of a posting self-join: the
+    * self-join computed the whole shingle pipeline twice and broadcast
+    * the full posting table (impossible at corpus scale); here postings
+    * shuffle ONCE on (shingle, lang), pairs expand natively per list
+    * (graft_doc_pairs), and the pair-keyed count is the only other
+    * shuffle. Candidate set is identical — every doc pair sharing ≥1
+    * shingle within a lang block appears once per shared shingle.
+    */
+  private def candidatePairs(canon: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val post = canon
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("lang"), expr(gramHashesSpark).as("ghs"))
       .select(col("doc_id"), col("lang"),
         size(col("ghs")).cast("long").as("sz"), explode(col("ghs")).as("gh"))
-    // grouped-posting-list shape instead of a posting self-join: the
-    // self-join computed the whole shingle pipeline twice and broadcast
-    // the full posting table (impossible at corpus scale); here postings
-    // shuffle ONCE on (shingle, lang), pairs expand natively per list
-    // (graft_doc_pairs), and the pair-keyed count is the only other
-    // shuffle. Candidate set is identical — every doc pair sharing ≥1
-    // shingle within a lang block appears once per shared shingle.
-    val jac = col("inter") * lit(1.0d) / (col("sz_a") + col("sz_b") - col("inter"))
     post
       .groupBy(col("gh"), col("lang"))
       .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
@@ -103,9 +105,108 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-      .filter(jac >= 0.6d)
+  }
+
+  /** Exact Jaccard from the candidate-pair columns. */
+  private val jacCol =
+    col("inter") * lit(1.0d) / (col("sz_a") + col("sz_b") - col("inter"))
+
+  /** Word-trigram Jaccard near-dup via inverted-index join (no cross
+    * join): docs sharing ≥1 shingle hash (same lang block) are
+    * candidates; exact Jaccard ≥ 0.6 confirms. Shingles are joined by
+    * polynomial hash — identical arithmetic in the oracle, so any
+    * collision is mirrored there.
+    */
+  val extJaccardPairs: Q = Q(
+    "ext_jaccard_pairs",
+    s"""WITH $pairCtesDuck
+       |SELECT doc_a, doc_b,
+       |  CAST(FLOOR((inter * 1.0 / (sz_a + sz_b - inter)) * 1000 + 0.5) AS BIGINT) AS jaccard_mils
+       |FROM cand
+       |WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.6""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    candidatePairs(canonicalDocs(Tables.load(s, dir, "documents")))
+      .filter(jacCol >= 0.6d)
       .select(col("doc_a"), col("doc_b"),
-        floor(jac * 1000d + 0.5d).cast("long").as("jaccard_mils"))
+        floor(jacCol * 1000d + 0.5d).cast("long").as("jaccard_mils"))
+  }
+
+  /** Connected-components dedup clustering — the full at-scale dedup
+    * pipeline in one operator: exact-canonicalize → near-dup edges
+    * (Jaccard ≥ 0.5 on the inverted-index candidates) → connected
+    * components → expand cluster ids back to every original doc.
+    *
+    * Components run as distributed min-label propagation: each round is
+    * one shuffle join (edges ⋈ labels) plus one min-aggregation, with
+    * `localCheckpoint` truncating lineage between rounds; convergence is
+    * detected by the (monotonically decreasing) label sum reaching a
+    * fixpoint. Rounds = graph diameter, and near-dup clusters are
+    * small-diameter by construction, so this settles in a handful of
+    * rounds even at corpus scale (a 100 TB deployment with adversarial
+    * chain-shaped clusters would swap in alternating large-star/
+    * small-star contraction — O(log n) rounds — without changing this
+    * operator's contract). The oracle recomputes components with a
+    * recursive CTE (min-reachable-id), which is feasible at oracle scale
+    * only.
+    */
+  val extDedupCluster: Q = Q(
+    "ext_dedup_cluster",
+    s"""WITH RECURSIVE $pairCtesDuck,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(v, lbl) AS (
+       |  SELECT doc_id, doc_id FROM canon
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+       |cc AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+       |mapped AS (
+       |  SELECT d.doc_id, cc.cluster_id
+       |  FROM documents d
+       |  JOIN canon c ON d.text = c.text AND d.lang = c.lang
+       |  JOIN cc ON cc.v = c.doc_id)
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+       |FROM mapped""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+    val canon = canonicalDocs(docs).persist()
+    val pairs = candidatePairs(canon)
+      .filter(jacCol >= 0.5d)
+      .select(col("doc_a"), col("doc_b"))
+      .persist()
+    val edges = pairs.toDF("src", "dst")
+      .union(pairs.select(col("doc_b"), col("doc_a")).toDF("src", "dst"))
+      .persist()
+    var labels = canon
+      .select(col("doc_id").as("v"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var lblSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val prop = edges
+        .join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+      if (nextSum == lblSum) converged = true
+      else { lblSum = nextSum; labels = next }
+    }
+    val cc = labels.select(col("v").as("canon_key"), col("lbl").as("cluster_id"))
+    // join back on (text, lang) — at corpus scale this key would be the
+    // 64-bit fingerprint, not the raw text
+    val mapped = docs.select(col("doc_id"), col("text"), col("lang"))
+      .join(canon.select(col("text"), col("lang"), col("doc_id").as("canon_id")),
+        Seq("text", "lang"))
+      .join(cc, col("canon_id") === col("canon_key"))
+      .select(col("doc_id"), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    mapped.withColumn("cluster_sz", count(lit(1)).over(w))
   }
 
   /** All K minima come from one native pass (graft_minhash_sig), then
@@ -201,5 +302,6 @@ object Dedup {
   }
 
   def all: Seq[Q] = Seq(
-    extDedupExact, extJaccardPairs, extMinhashSig, extMinhashPairs, extSimhash)
+    extDedupExact, extJaccardPairs, extDedupCluster,
+    extMinhashSig, extMinhashPairs, extSimhash)
 }
