@@ -18,7 +18,12 @@ object Multimodal {
   /** Typed metadata carried alongside the payload. */
   final case class MediaMeta(format: String, width: Int, height: Int, nFrames: Int)
   final case class MediaRow(doc_id: Long, media: Array[Byte], meta: MediaMeta)
-  final case class MediaFeatures(doc_id: Long, checksum: Long, features: Array[Float])
+  /** `byteSums(d)` = exact integer sum of payload bytes at positions
+    * ≡ d (mod dim) — the oracle-checkable shadow of the float
+    * `features`, computed in the same decode pass.
+    */
+  final case class MediaFeatures(
+      doc_id: Long, checksum: Long, features: Array[Float], byteSums: Array[Long])
 
   /** Attach a synthetic media payload + metadata to each document.
     * Payload = UTF-8 bytes of the text (stands in for image bytes);
@@ -50,15 +55,17 @@ object Multimodal {
       rows.map { r =>
         val dim = 8
         val feats = new Array[Float](dim)
+        val byteSums = new Array[Long](dim)
         var i = 0
         var checksum = 0L
         while (i < r.media.length) {
           val b = r.media(i) & 0xff
           feats(i % dim) += (b.toFloat / 255f)
+          byteSums(i % dim) += b
           checksum = (checksum * 31 + b) % 1000000007L
           i += 1
         }
-        MediaFeatures(r.doc_id, checksum, feats)
+        MediaFeatures(r.doc_id, checksum, feats, byteSums)
       }
       // codec would close on iterator exhaustion
     }

@@ -246,7 +246,48 @@ object Coverage {
           .cast("long").as("n_keys"))
   }
 
+  /** Lateral position-indexed explode (posexplode / UNNEST WITH
+    * ordinality-by-subscript): token stream with positions — the
+    * row-to-token fan-out every tokenization pipeline starts with.
+    */
+  val q48Posexplode: Q = Q(
+    "q48_posexplode",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id < 20),
+      |p AS (
+      |  SELECT doc_id, toks,
+      |    UNNEST(generate_series(0, LEN(toks) - 1)) AS pos
+      |  FROM t)
+      |SELECT doc_id, pos, toks[pos + 1] AS token FROM p""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+  }
+
+  /** Several DISTINCT aggregates with different keys in one GROUP BY —
+    * Catalyst plans this via Expand (one pass, no self-join); includes
+    * a conditional distinct (distinct customers among 'F' orders only).
+    */
+  val q50MultiDistinct: Q = Q(
+    "q50_multi_distinct",
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_cust,
+      |  COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS n_cust_f,
+      |  COUNT(DISTINCT o_orderdate) AS n_dates
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(when(col("o_orderstatus") === "F", col("o_custkey")))
+          .as("n_cust_f"),
+        countDistinct(col("o_orderdate")).as("n_dates"))
+  }
+
   def all: Seq[Q] = Seq(
     q34Cube, q35Correlated, q36ArrayFns, q37DateFormat, q38Cte, q39SaltedAgg,
-    q40UdafDistinct, q41Median, q42Histogram, q44GroupingSets, q45MapFns)
+    q40UdafDistinct, q41Median, q42Histogram, q44GroupingSets, q45MapFns,
+    q48Posexplode, q50MultiDistinct)
 }

@@ -46,19 +46,39 @@ object MultimodalQueries {
         octet_length(col("frame_bytes")).cast("long").as("frame_len"))
   }
 
-  /** Stub decode → feature extraction via partition-batched mapPartitions.
-    * No oracle (the decode is engine-side Scala); driver records a
-    * rows-only check.
+  /** Stub decode → feature extraction via partition-batched
+    * mapPartitions. The decode pass emits, alongside the float feature
+    * vector, an integer shadow (per-dim byte sums + rolling checksum)
+    * that the oracle recomputes from the UTF-8 text bytes — so the
+    * Scala-side batch plumbing is hash-checked end to end, not just
+    * row-counted. (The float vector itself stays engine-side: float32
+    * accumulation order is not expressible exactly in portable SQL.)
     */
-  val extMultimodalFeatures: Q = Q.noOracle("ext_multimodal_features") { (s, dir) =>
+  val extMultimodalFeatures: Q = Q(
+    "ext_multimodal_features", {
+      val dims = (0 until 8).map(d =>
+        s"CAST(COALESCE(SUM(CASE WHEN (i - 1) % 8 = $d THEN ascii(cs[i]) END), 0) AS BIGINT) AS sum_$d")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, '') AS cs,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+         |      (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id, checksum, cs,
+         |    UNNEST(generate_series(1, LEN(cs))) AS i
+         |  FROM t)
+         |SELECT doc_id, checksum,
+         |  ${dims.mkString(",\n  ")}
+         |FROM e GROUP BY doc_id, checksum""".stripMargin
+    }) { (s, dir) =>
     import s.implicits._
     implicit val spark = s
     val media = Multimodal.synthesize(Tables.load(s, dir, "documents"))
       .as[Multimodal.MediaRow]
+    val dims = (0 until 8).map(d => col("byteSums")(d).as(s"sum_$d"))
     Multimodal.decodeFeatures(media)
-      .select(col("doc_id"), col("checksum"),
-        floor(expr("aggregate(features, CAST(0 AS DOUBLE), (a, v) -> a + CAST(v AS DOUBLE))") * 1000d + 0.5d)
-          .cast("long").as("feat_sum_mils"))
+      .select(col("doc_id") +: col("checksum") +: dims: _*)
   }
 
   def all: Seq[Q] = Seq(extMultimodalMeta, extMultimodalFrames, extMultimodalFeatures)

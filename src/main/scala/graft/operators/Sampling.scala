@@ -61,5 +61,35 @@ object Sampling {
       .agg(count(lit(1)).as("n_kept"))
   }
 
-  def all: Seq[Q] = Seq(extHashSample, extMixSample)
+  /** Stratified exact-k sample: the k docs with the smallest content
+    * hash per language stratum. Hash-ordering makes it a uniform random
+    * sample that is reproducible across reruns and cluster layouts, and
+    * "smallest k per stratum" means Spark's WindowGroupLimit keeps only
+    * k rows per partition *before* the shuffle — each executor ships k
+    * candidates per stratum, never its whole slice, so the cost at
+    * 100 TB is k·strata, not corpus size.
+    */
+  val extStratifiedSample: Q = Q(
+    "ext_stratified_sample",
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang, h,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+      |  FROM h)
+      |SELECT lang, doc_id, h, rn FROM r WHERE rn <= 20""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), expr("graft_poly_hash(text)").as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 20)
+  }
+
+  def all: Seq[Q] = Seq(extHashSample, extMixSample, extStratifiedSample)
 }

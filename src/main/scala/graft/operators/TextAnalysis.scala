@@ -131,6 +131,74 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Exact per-language length quantiles (p25/p50/p75/p90) via domain
+    * compression: group to (lang, n_chars) counts first, then a
+    * cumulative sum over the *compressed* domain picks each order
+    * statistic. At 100 TB this is the only exact-quantile shape that
+    * works — the window sort runs over |distinct lengths| rows per
+    * language (thousands), never over the corpus; a per-row
+    * ROW_NUMBER would sort billions. Rank arithmetic stays in integers
+    * (ceil(q·n) = (n·q% + 99) div 100) so both engines agree exactly.
+    */
+  val extQuantiles: Q = Q(
+    "ext_quantiles", {
+      def pick(p: Int) =
+        s"MIN(CASE WHEN cum >= (n * $p + 99) // 100 THEN n_chars END) AS p$p"
+      s"""WITH c AS (
+         |  SELECT lang, n_chars, COUNT(*) AS cnt
+         |  FROM documents GROUP BY lang, n_chars),
+         |cum AS (
+         |  SELECT lang, n_chars,
+         |    CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM c)
+         |SELECT lang, MAX(n) AS n_docs,
+         |  ${Seq(25, 50, 75, 90).map(pick).mkString(",\n  ")}
+         |FROM cum GROUP BY lang""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+    val wAll = Window.partitionBy(col("lang"))
+    def pick(p: Int) =
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("n_chars")))
+        .as(s"p$p")
+    Tables.load(s, dir, "documents")
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        pick(25), pick(50), pick(75), pick(90))
+  }
+
+  /** Within-doc repetition ratio: share of word-trigram shingles that
+    * are repeats of an earlier shingle in the same doc — the standard
+    * cheap boilerplate/spam signal. Pure per-row projection on the
+    * shared shingle-hash primitive; no shuffle at all.
+    */
+  val extRepetition: Q = Q(
+    "ext_repetition", {
+      val hs = graft.functions.TextHash.shingleHashesDuck("string_split(text, ' ')")
+      s"""WITH t AS (SELECT doc_id, $hs AS hs FROM documents)
+         |SELECT doc_id,
+         |  LEN(hs) AS total_ngrams,
+         |  LEN(list_distinct(hs)) AS uniq_ngrams,
+         |  CAST(FLOOR((1.0 - LEN(list_distinct(hs)) * 1.0 / LEN(hs)) * 1000 + 0.5) AS BIGINT) AS rep_mils
+         |FROM t""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val hs = expr(graft.functions.TextHash.shingleHashesSpark("split(text, ' ')"))
+    val rep = lit(1.0d) - size(array_distinct(col("hs"))) * lit(1.0d) / size(col("hs"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("total_ngrams"),
+        size(array_distinct(col("hs"))).cast("long").as("uniq_ngrams"),
+        floor(rep * 1000d + 0.5d).cast("long").as("rep_mils"))
+  }
+
   def all: Seq[Q] = Seq(
-    extTokenCount, extLangId, extQualityScore, extFingerprint, extNgramTop)
+    extTokenCount, extLangId, extQualityScore, extFingerprint, extNgramTop,
+    extQuantiles, extRepetition)
 }

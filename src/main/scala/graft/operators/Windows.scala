@@ -104,5 +104,75 @@ object Windows {
       .select(col("c_custkey"), ntile(10).over(w).cast("long").as("decile"))
   }
 
-  def all: Seq[Q] = Seq(q18TopkPerGroup, q19Rank, q20LagLead, q21RunningSum, q22Ntile)
+  /** PERCENT_RANK + CUME_DIST per customer (rank-based, so ties are
+    * deterministic; single-row partitions define percent_rank = 0 in
+    * both engines). Quantized to mils — both sides compute the same
+    * (rank-1)/(n-1) IEEE division.
+    */
+  val q46PercentRank: Q = Q(
+    "q46_percent_rank",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(FLOOR(PERCENT_RANK() OVER w * 1000 + 0.5) AS BIGINT) AS prank_mils,
+      |  CAST(FLOOR(CUME_DIST() OVER w * 1000 + 0.5) AS BIGINT) AS cdist_mils
+      |FROM (SELECT o_custkey, o_orderkey,
+      |        CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT) AS pc
+      |      FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY pc, o_orderkey)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("pc"), col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("pc"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(percent_rank().over(w) * 1000d + 0.5d).cast("long").as("prank_mils"),
+        floor(cume_dist().over(w) * 1000d + 0.5d).cast("long").as("cdist_mils"))
+  }
+
+  /** FIRST_VALUE / LAST_VALUE / NTH_VALUE over an explicit unbounded
+    * ROWS frame (the default frame would stop at CURRENT ROW and make
+    * last_value useless — the classic frame gotcha, pinned here).
+    */
+  val q47FirstLast: Q = Q(
+    "q47_first_last",
+    """SELECT o_custkey, o_orderkey,
+      |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+      |  LAST_VALUE(o_orderkey) OVER w AS last_ok,
+      |  NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+  }
+
+  /** RANGE-frame window (value-based bounds, not row counts): ±5-char
+    * smoothed length histogram per language, over the domain-compressed
+    * (lang, n_chars) counts — window input is |distinct lengths| rows,
+    * never the corpus.
+    */
+  val q49RangeFrame: Q = Q(
+    "q49_range_frame",
+    """WITH c AS (
+      |  SELECT lang, n_chars, COUNT(*) AS cnt
+      |  FROM documents GROUP BY lang, n_chars)
+      |SELECT lang, n_chars,
+      |  CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+      |    RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS smoothed
+      |FROM c""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rangeBetween(-5, 5)
+    Tables.load(s, dir, "documents")
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("n_chars"),
+        sum(col("cnt")).over(w).as("smoothed"))
+  }
+
+  def all: Seq[Q] = Seq(q18TopkPerGroup, q19Rank, q20LagLead, q21RunningSum,
+    q22Ntile, q46PercentRank, q47FirstLast, q49RangeFrame)
 }
