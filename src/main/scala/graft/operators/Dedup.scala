@@ -177,34 +177,43 @@ object Dedup {
     val pairs = candidatePairs(canon)
       .filter(jacCol >= 0.5d)
       .select(col("doc_a"), col("doc_b"))
-      .persist()
     val edges = pairs.toDF("src", "dst")
       .union(pairs.select(col("doc_b"), col("doc_a")).toDF("src", "dst"))
       .persist()
-    var labels = canon
-      .select(col("doc_id").as("v"), col("doc_id").as("lbl"))
-      .localCheckpoint()
-    var lblSum = labels.agg(sum(col("lbl"))).head.getLong(0)
-    var converged = false
+    // Propagate only over vertices that actually have a near-dup edge:
+    // isolated canonicals (the overwhelming majority of a deduped
+    // corpus) are trivially their own cluster and must not ride through
+    // the iteration — this keeps each round's join proportional to the
+    // edge set, not the corpus.
+    var labels = edges
+      .select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint(false) // lazy: the sum action below materializes it
+    var lblSum = Option(labels.agg(sum(col("lbl"))).head.get(0))
+      .map(_.asInstanceOf[Long])
+    var converged = labels.isEmpty
     while (!converged) {
       val prop = edges
         .join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
       val next = labels.union(prop)
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val nextSum = next.agg(sum(col("lbl"))).head.getLong(0)
+        .localCheckpoint(false) // one job per round: checkpoint + sum together
+      val nextSum = Option(next.agg(sum(col("lbl"))).head.get(0))
+        .map(_.asInstanceOf[Long])
       if (nextSum == lblSum) converged = true
       else { lblSum = nextSum; labels = next }
     }
-    val cc = labels.select(col("v").as("canon_key"), col("lbl").as("cluster_id"))
+    val cc = labels.select(col("v").as("canon_key"), col("lbl").as("cc_id"))
     // join back on (text, lang) — at corpus scale this key would be the
-    // 64-bit fingerprint, not the raw text
+    // 64-bit fingerprint, not the raw text. Left join + coalesce: docs
+    // whose canonical has no edges keep the canonical id as cluster id.
     val mapped = docs.select(col("doc_id"), col("text"), col("lang"))
       .join(canon.select(col("text"), col("lang"), col("doc_id").as("canon_id")),
         Seq("text", "lang"))
-      .join(cc, col("canon_id") === col("canon_key"))
-      .select(col("doc_id"), col("cluster_id"))
+      .join(cc, col("canon_id") === col("canon_key"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cc_id"), col("canon_id")).as("cluster_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
     mapped.withColumn("cluster_sz", count(lit(1)).over(w))
   }
