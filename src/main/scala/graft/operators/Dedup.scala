@@ -177,34 +177,13 @@ object Dedup {
     val pairs = candidatePairs(canon)
       .filter(jacCol >= 0.5d)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.toDF("src", "dst")
-      .union(pairs.select(col("doc_b"), col("doc_a")).toDF("src", "dst"))
-      .persist()
-    // Propagate only over vertices that actually have a near-dup edge:
-    // isolated canonicals (the overwhelming majority of a deduped
+    // Components run only over vertices that actually have a near-dup
+    // edge: isolated canonicals (the overwhelming majority of a deduped
     // corpus) are trivially their own cluster and must not ride through
-    // the iteration — this keeps each round's join proportional to the
-    // edge set, not the corpus.
-    var labels = edges
-      .select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
-      .localCheckpoint(false) // lazy: the sum action below materializes it
-    var lblSum = Option(labels.agg(sum(col("lbl"))).head.get(0))
-      .map(_.asInstanceOf[Long])
-    var converged = labels.isEmpty
-    while (!converged) {
-      val prop = edges
-        .join(labels, col("src") === col("v"))
-        .select(col("dst").as("v"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(false) // one job per round: checkpoint + sum together
-      val nextSum = Option(next.agg(sum(col("lbl"))).head.get(0))
-        .map(_.asInstanceOf[Long])
-      if (nextSum == lblSum) converged = true
-      else { lblSum = nextSum; labels = next }
-    }
-    val cc = labels.select(col("v").as("canon_key"), col("lbl").as("cc_id"))
+    // the iteration — each propagation round's join is proportional to
+    // the edge set, not the corpus.
+    val cc = Graph.connectedComponents(pairs.toDF("src", "dst"))
+      .select(col("v").as("canon_key"), col("component").as("cc_id"))
     // join back on (text, lang) — at corpus scale this key would be the
     // 64-bit fingerprint, not the raw text. Left join + coalesce: docs
     // whose canonical has no edges keep the canonical id as cluster id.
