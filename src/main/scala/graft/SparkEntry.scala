@@ -15,7 +15,7 @@ object SparkEntry {
     Relational.all ++ Joins.all ++ Windows.all ++ SetOps.all ++ Events.all ++
       Coverage.all ++
       TextAnalysis.all ++ Dedup.all ++ VectorSearch.all ++
-      MultimodalQueries.all ++ Sampling.all
+      MultimodalQueries.all ++ Sampling.all ++ Curation.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -36,20 +36,21 @@ object TextHash {
     * for nearly every document and LSH degenerates to all-pairs; the
     * trigram universe is |V|³ so signatures discriminate.
     */
-  def shingleHashesSpark(toksCol: String): String =
-    s"graft_shingle_hashes($toksCol, 3)"
+  def shingleHashesSpark(toksCol: String, n: Int = 3): String =
+    s"graft_shingle_hashes($toksCol, $n)"
 
-  /** DuckDB: identical word-trigram shingle hashes; docs shorter than
+  /** DuckDB: identical word-n-gram shingle hashes; docs shorter than
     * the shingle width degrade to one whole-doc shingle, matching the
     * native expression.
     */
-  def shingleHashesDuck(toksCol: String): String = {
+  def shingleHashesDuck(toksCol: String, n: Int = 3): String = {
     val fold = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"[CAST(ascii(c) AS BIGINT) for c in string_split(g, '')]), " +
       s"(a, b) -> (a * 31 + b) % $P)"
-    s"(CASE WHEN LEN($toksCol) >= 3 THEN " +
-      s"[$fold for g in [$toksCol[i] || ' ' || $toksCol[i+1] || ' ' || $toksCol[i+2] " +
-      s"for i in generate_series(1, LEN($toksCol) - 2)]] " +
+    val gram = (0 until n).map(j => s"$toksCol[i+$j]").mkString(" || ' ' || ")
+    s"(CASE WHEN LEN($toksCol) >= $n THEN " +
+      s"[$fold for g in [$gram " +
+      s"for i in generate_series(1, LEN($toksCol) - ${n - 1})]] " +
       s"ELSE [$fold for g in [array_to_string($toksCol, ' ')]] END)"
   }
 

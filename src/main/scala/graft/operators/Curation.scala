@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.TextHash
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators (north-star extension set): the membership
+  * checks a training-data pipeline runs between ingestion and packing —
+  * benchmark decontamination and incremental (batch-vs-corpus) dedup.
+  *
+  * Scale design: both are membership joins against a much smaller
+  * reference side. Decontamination broadcasts the benchmark shingle set
+  * (eval suites are MBs against a 100 TB corpus — never shuffle the
+  * corpus for them); incremental dedup anti-joins 64-bit fingerprints,
+  * one shuffle keyed on the fingerprint, no text movement at all.
+  */
+object Curation {
+
+  /** Benchmark decontamination: flag corpus docs sharing ≥1 word-5-gram
+    * shingle hash with the benchmark set (source `src0` stands in for
+    * the eval suite). Output is per corpus doc with the count of
+    * distinct shared shingles.
+    */
+  val extDecontaminate: Q = Q(
+    "ext_decontaminate", {
+      val hs = TextHash.shingleHashesDuck("string_split(text, ' ')", 5)
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, list_distinct($hs) AS hs FROM documents),
+         |bench AS (
+         |  SELECT DISTINCT UNNEST(hs) AS gh FROM sh WHERE source = 'src0'),
+         |corpus AS (
+         |  SELECT doc_id, UNNEST(hs) AS gh FROM sh WHERE source <> 'src0'),
+         |hits AS (
+         |  SELECT c.doc_id, COUNT(DISTINCT c.gh) AS n_shared
+         |  FROM corpus c JOIN bench b ON c.gh = b.gh
+         |  GROUP BY c.doc_id)
+         |SELECT s.doc_id,
+         |  COALESCE(h.n_shared, 0) AS n_shared,
+         |  CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
+         |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+         |WHERE s.source <> 'src0'""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val hs = expr(s"array_distinct(${TextHash.shingleHashesSpark("split(text, ' ')", 5)})")
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), hs.as("hs"))
+    val bench = sh.filter(col("source") === "src0")
+      .select(explode(col("hs")).as("gh")).distinct()
+    val corpus = sh.filter(col("source") =!= "src0")
+    val hits = corpus
+      .select(col("doc_id"), explode(col("hs")).as("gh"))
+      .join(broadcast(bench), "gh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_shared"))
+    corpus.select(col("doc_id"))
+      .join(hits.withColumnRenamed("doc_id", "hit_id"),
+        col("doc_id") === col("hit_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("hit_id").isNull, 0).otherwise(1).as("contaminated"))
+  }
+
+  /** Incremental dedup: an incoming batch (odd-numbered sources) is
+    * anti-joined on content fingerprint against the existing corpus
+    * (even-numbered sources); survivors are the genuinely new docs.
+    */
+  val extIncrementalDedup: Q = Q(
+    "ext_incremental_dedup",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+      |    CAST(SUBSTRING(source, 4) AS BIGINT) % 2 AS src_par
+      |  FROM documents)
+      |SELECT doc_id, fp FROM f
+      |WHERE src_par = 1
+      |  AND fp NOT IN (SELECT fp FROM f WHERE src_par = 0)""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val f = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), expr("graft_poly_hash(text)").as("fp"),
+        (substring(col("source"), 4, 100).cast("long") % 2).as("src_par"))
+    val existing = f.filter(col("src_par") === 0)
+      .select(col("fp").as("old_fp")).distinct()
+    f.filter(col("src_par") === 1)
+      .join(existing, col("fp") === col("old_fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
+  def all: Seq[Q] = Seq(extDecontaminate, extIncrementalDedup)
+}
