@@ -86,5 +86,39 @@ object Curation {
       .select(col("doc_id"), col("fp"))
   }
 
-  def all: Seq[Q] = Seq(extDecontaminate, extIncrementalDedup)
+  /** Sequence packing: concatenate docs (per source, in doc_id order)
+    * into fixed 512-token training sequences; each doc reports the
+    * sequence it starts in and its token offset there. One running sum
+    * per source stratum — the window runs over a single shuffle, and at
+    * corpus scale packing runs within partition-local chunks instead of
+    * one global order (the seq ids just gain a chunk prefix).
+    */
+  val extPackSequences: Q = Q(
+    "ext_pack_sequences",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    LEN(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tok AS start_tok
+      |  FROM t)
+      |SELECT doc_id, source, n_tok,
+      |  start_tok // 512 AS seq_id,
+      |  start_tok % 512 AS seq_offset
+      |FROM c""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("start_tok", sum(col("n_tok")).over(w) - col("n_tok"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        expr("start_tok div 512").as("seq_id"),
+        (col("start_tok") % 512).as("seq_offset"))
+  }
+
+  def all: Seq[Q] = Seq(extDecontaminate, extIncrementalDedup, extPackSequences)
 }

@@ -84,6 +84,21 @@ object StreamOps {
     df.withWatermark(eventTime, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming incremental dedup: drop incoming docs whose fingerprint
+    * already exists in the (static) corpus — the continuous-ingestion
+    * face of [[graft.operators.Curation.extIncrementalDedup]]. A
+    * stream-static left-anti join needs no state store at all: the
+    * static side is broadcast or re-read per micro-batch, and the
+    * stream never shuffles into state.
+    */
+  def incrementalDedup(
+      incoming: DataFrame,
+      corpusFingerprints: DataFrame,
+      fpCol: String): DataFrame =
+    incoming.join(
+      corpusFingerprints.select(col(fpCol).as("__corpus_fp")),
+      col(fpCol) === col("__corpus_fp"), "left_anti")
+
   /** Session windows with an inactivity gap (streaming analog of the
     * batch gaps-and-islands operator in graft.operators.Events).
     */

@@ -163,4 +163,29 @@ class StreamingSpec extends AnyFunSuite {
           s.nEvents == 2L && s.sumValue == 6.5))
     } finally query.stop()
   }
+
+  test("stream-static incremental dedup drops known fingerprints statelessly") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(100L, 200L).toDF("fp")
+    val input = MemoryStream[(Long, Long)]
+    val deduped = StreamOps.incrementalDedup(
+      input.toDF().toDF("doc_id", "fp"), corpus, "fp")
+    val query = deduped.writeStream.format("memory")
+      .queryName("inc_dedup").outputMode("append").start()
+    try {
+      input.addData((1L, 100L), (2L, 300L), (3L, 200L), (4L, 400L))
+      query.processAllAvailable()
+      val kept = spark.table("inc_dedup")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(2L, 4L))
+      // a later batch is filtered against the same static corpus
+      input.addData((5L, 100L), (6L, 500L))
+      query.processAllAvailable()
+      val kept2 = spark.table("inc_dedup")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(kept2 == Seq(2L, 4L, 6L))
+      // stateless: the join keeps no streaming state between batches
+      assert(query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
 }
