@@ -261,6 +261,15 @@ case class L2Normalize(child: Expression)
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_l2_normalize requires array<float> or array<double>, got $other")
+    }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_l2_normalize"
 
@@ -281,6 +290,12 @@ object L2Normalize {
     val dv = new Array[Double](n)
     var i = 0
     while (i < n) {
+      // unsafe getters read a null slot as 0.0 — fail loudly instead of
+      // silently skewing the norm (embeddings are dense by contract)
+      if (a.isNullAt(i))
+        throw new IllegalStateException(
+          s"graft_l2_normalize: null element at index $i; embedding " +
+            "vectors must be dense")
       dv(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       i += 1
     }
@@ -377,7 +392,16 @@ case class DocPairs(child: Expression)
       szs(i) = row.getLong(1)
       i += 1
     }
-    val out = new Array[Any](n * (n - 1) / 2)
+    // Long arithmetic: n ≈ 46k already overflows Int in n*(n-1)/2. A
+    // list that big means a stop-shingle slipped through — fail with
+    // the cause rather than a NegativeArraySizeException.
+    val nPairs = n.toLong * (n - 1) / 2
+    if (nPairs > Int.MaxValue)
+      throw new IllegalStateException(
+        s"graft_doc_pairs: posting list of $n docs expands to $nPairs " +
+          "pairs; filter hot shingles (document-frequency cap) before " +
+          "pair expansion")
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
     i = 0
     while (i < n) {

@@ -74,7 +74,8 @@ object Curation {
       |  FROM documents)
       |SELECT doc_id, fp FROM f
       |WHERE src_par = 1
-      |  AND fp NOT IN (SELECT fp FROM f WHERE src_par = 0)""".stripMargin) { (s, dir) =>
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM f f2 WHERE f2.src_par = 0 AND f2.fp = f.fp)""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     val f = Tables.load(s, dir, "documents")
       .select(col("doc_id"), expr("graft_poly_hash(text)").as("fp"),

@@ -51,6 +51,9 @@ object Graph {
       val nextSum = Option(next.agg(sum(col("lbl"))).head.get(0))
         .map(_.asInstanceOf[Long])
       if (nextSum == lblSum) converged = true
+      // superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once the old `labels` reference drops here (no
+      // public API frees localCheckpoint blocks eagerly)
       else { lblSum = nextSum; labels = next }
     }
     edges.unpersist()

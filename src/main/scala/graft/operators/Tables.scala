@@ -16,17 +16,27 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   // `spark.read.parquet` lists the directory and reads footers for schema
-  // inference on every call; across a 67-query run that re-pays ~10 table
+  // inference on every call; across an 80-query run that re-pays ~10 table
   // loads × many queries. The analyzed DataFrame is immutable and tied to
-  // its session, so memoize per (session, dir, table).
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+  // its session, so memoize per (dir, table) with sessions held weakly —
+  // a stopped session's entries become collectable instead of pinning
+  // the session forever. Caveat: the memo pins the initial file listing,
+  // so a table dir must not be rewritten mid-session (true for the
+  // immutable testdata dirs this loader serves).
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]])
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, sfDir, name), { _ =>
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame])
+    }
+    perSession.computeIfAbsent((sfDir, name), { _ =>
       if (name == "events") loadEvents(spark, sfDir)
       else spark.read.parquet(s"$sfDir/$name.parquet")
     })
+  }
 
   /** `events.ts` is INT64 TIMESTAMP(NANOS), which Spark 4 refuses to map
     * to TimestampType (PARQUET_TYPE_ILLEGAL). Read nanos as long and

@@ -109,11 +109,14 @@ object VectorSearch {
   }
 
   /** Deterministic pseudo-random hyperplane component (j-th plane, i-th
-    * dim), integer in [-9, 9] — embedded identically in both dialects.
+    * dim), integer in [-9, 9] — the single source of truth lives in the
+    * native expression ([[graft.functions.LshBucket.w]]); the oracle's
+    * literal plane lists below are generated from it, so engine and
+    * oracle cannot drift.
     */
-  private def w(j: Int, i: Int): Int = ((j * 131 + i * 31 + 7) % 19) - 9
+  private def w(j: Int, i: Int): Int = graft.functions.LshBucket.w(j, i)
 
-  private val Planes = 8
+  private val Planes = graft.functions.LshBucket.Planes
 
   private def planeDuckList(j: Int): String =
     (0 until Dim).map(i => s"CAST(${w(j, i)} AS DOUBLE)").mkString("[", ", ", "]")
