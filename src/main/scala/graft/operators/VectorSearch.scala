@@ -366,7 +366,84 @@ object VectorSearch {
       .agg(count(lit(1)).as("n_members"))
   }
 
+  /** Semantic clustering: connected components over the LSH-blocked
+    * cosine-similarity graph (threshold 0.40 — the semantic-dedup /
+    * cluster-balancing grouping, looser than the 0.99 near-dup cut).
+    * Same scale shape as [[Dedup.extDedupCluster]]: candidate pairs
+    * only within an LSH bucket, label propagation only over vertices
+    * with an edge, everything else joins back as its own singleton.
+    */
+  val extEmbedCluster: Q = Q(
+    "ext_embed_cluster",
+    s"""WITH RECURSIVE $normDuckCte,
+       |b AS (SELECT vec_id, nv, ${bucketDuck("nv")} AS bucket FROM nv),
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, e.vec_id AS vec_b
+       |  FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+       |  WHERE CAST(FLOOR((${dotDuck("a.nv", "e.nv")}) * 1000000 + 0.5) AS BIGINT) >= 400000),
+       |edges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |reach(v, lbl) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+       |cc AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v)
+       |SELECT v AS vec_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+       |FROM cc""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val b = normalizedSpark(Tables.load(s, dir, "embeddings"))
+      .withColumn("bucket", expr(bucketSpark("nv")))
+    val a = b.select(col("vec_id").as("vec_a"), col("nv").as("nv_a"),
+      col("bucket").as("bucket_a"))
+    val e = b.select(col("vec_id").as("vec_b"), col("nv").as("nv_b"),
+      col("bucket").as("bucket_b"))
+    val pairs = a
+      .join(e, col("bucket_a") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .filter(floor(expr(dotSpark("nv_a", "nv_b")) * 1e6d + 0.5d)
+        .cast("long") >= 400000L)
+      .select(col("vec_a"), col("vec_b"))
+    val cc = Graph.connectedComponents(pairs.toDF("src", "dst"))
+      .select(col("v").as("cc_key"), col("component").as("cc_id"))
+    Tables.load(s, dir, "embeddings").select(col("vec_id"))
+      .join(cc, col("vec_id") === col("cc_key"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("cc_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("cluster_sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+  }
+
+  /** Norm-scaled int8 quantization: q_j = round(nv_j · 127) over the
+    * L2-normalized vector (|q_j| ≤ 127 by construction) — the storage-
+    * compression step of an embedding pipeline. Pure codegen'd per-row
+    * projection (native normalize + element picks), no shuffle.
+    */
+  val extEmbedQuantize: Q = Q(
+    "ext_embed_quantize", {
+      def qd(j: Int) =
+        s"CAST(FLOOR(nv[${j + 1}] * 127 + 0.5) AS BIGINT) AS q_$j"
+      s"""WITH $normDuckCte
+         |SELECT vec_id,
+         |  CAST(FLOOR(nrm * 1000000 + 0.5) AS BIGINT) AS norm_micros,
+         |  ${Seq(0, 15, 31, 63).map(qd).mkString(",\n  ")}
+         |FROM (SELECT n.vec_id, n.nrm, v.nv
+         |      FROM nrmed n JOIN nv v ON n.vec_id = v.vec_id)""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val asD = "transform(embedding, x -> CAST(x AS DOUBLE))"
+    def qd(j: Int) =
+      floor(expr(s"nv[$j]") * 127d + 0.5d).cast("long").as(s"q_$j")
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        sqrt(expr(dotSpark(asD, asD))).as("nrm"),
+        expr("graft_l2_normalize(embedding)").as("nv"))
+      .select(col("vec_id") +:
+        floor(col("nrm") * 1e6d + 0.5d).cast("long").as("norm_micros") +:
+        Seq(0, 15, 31, 63).map(qd): _*)
+  }
+
   def all: Seq[Q] = Seq(
     extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf, extEmbedNeardup,
-    extClusterStats, extKmeansRefine)
+    extClusterStats, extKmeansRefine, extEmbedCluster, extEmbedQuantize)
 }
