@@ -19,13 +19,33 @@ object Verify {
     // the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // One stuck query must not stall the whole gate: each runs under a
+    // job group on a worker thread; on timeout its jobs are cancelled
+    // and the dump moves on (the driver scores the missing query as a
+    // single failure instead of timing out the round).
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        val run = Future {
+          // job-group is thread-local: set it on the executing thread
+          spark.sparkContext.setJobGroup(name, s"verify:$name",
+            interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        }
+        Await.result(run, timeoutSec.seconds)
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist intermediates (e.g. dedup clustering) must
       // not accumulate cached relations across an 80-query dump

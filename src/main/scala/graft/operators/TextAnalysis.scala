@@ -198,7 +198,82 @@ object TextAnalysis {
         floor(rep * 1000d + 0.5d).cast("long").as("rep_mils"))
   }
 
+  /** BPE-ish token estimate: regex pre-tokenization (letter runs /
+    * digit runs / punctuation runs — the GPT-2 pre-tokenizer shape on
+    * this corpus's alphabet) and the ~4-chars-per-token budget
+    * ceil(len/4) per piece. The per-piece arithmetic runs columnar
+    * after a codegen'd generator explode — one shuffle back to doc
+    * grain, no interpreted per-element lambdas.
+    */
+  val extTokenBpe: Q = Q(
+    "ext_token_bpe",
+    """WITH p AS (
+      |  SELECT doc_id, n_chars,
+      |    UNNEST(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS tok
+      |  FROM documents)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_pieces,
+      |  CAST(SUM((LENGTH(tok) + 3) // 4) AS BIGINT) AS est_bpe_tokens,
+      |  CAST(FLOOR((MIN(n_chars) * 1.0 / SUM((LENGTH(tok) + 3) // 4)) * 1000 + 0.5) AS BIGINT) AS chars_per_tok_mils
+      |FROM p GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val pieces = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        explode(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))).as("tok"))
+    val est = sum(expr("(length(tok) + 3) div 4"))
+    pieces.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pieces"),
+        est.cast("long").as("est_bpe_tokens"),
+        floor(min(col("n_chars")) * lit(1.0d) / est * 1000d + 0.5d)
+          .cast("long").as("chars_per_tok_mils"))
+  }
+
+  /** Quality filter funnel: per source, docs surviving each stage of
+    * the standard curation chain (length → vocabulary diversity →
+    * stopword signal). One hash aggregation over row-local predicates —
+    * the shape of every corpus-triage report at scale.
+    */
+  val extQualityFunnel: Q = Q(
+    "ext_quality_funnel",
+    """WITH t AS (
+      |  SELECT source,
+      |    LEN(string_split(text, ' ')) AS n_tok,
+      |    LEN(list_distinct(string_split(text, ' '))) * 1.0
+      |      / LEN(string_split(text, ' ')) AS ttr,
+      |    LEN(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+      |      / LEN(string_split(text, ' ')) AS stop_ratio
+      |  FROM documents),
+      |f AS (
+      |  SELECT source,
+      |    CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END AS s1,
+      |    CASE WHEN n_tok >= 20 AND ttr >= 0.2 THEN 1 ELSE 0 END AS s2,
+      |    CASE WHEN n_tok >= 20 AND ttr >= 0.2 AND stop_ratio >= 0.05
+      |      THEN 1 ELSE 0 END AS s3
+      |  FROM t)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(s1) AS BIGINT) AS pass_len,
+      |  CAST(SUM(s2) AS BIGINT) AS pass_ttr,
+      |  CAST(SUM(s3) AS BIGINT) AS pass_stop
+      |FROM f GROUP BY source""".stripMargin) { (s, dir) =>
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val ttr = size(array_distinct(toks)) * lit(1.0d) / nTok
+    val stopRatio =
+      size(expr("filter(split(text, ' '), x -> x IN ('the', 'a'))")) *
+        lit(1.0d) / nTok
+    val s1 = when(nTok >= 20, 1).otherwise(0)
+    val s2 = when(nTok >= 20 && ttr >= 0.2d, 1).otherwise(0)
+    val s3 = when(nTok >= 20 && ttr >= 0.2d && stopRatio >= 0.05d, 1).otherwise(0)
+    Tables.load(s, dir, "documents")
+      .select(col("source"), s1.as("s1"), s2.as("s2"), s3.as("s3"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("s1")).cast("long").as("pass_len"),
+        sum(col("s2")).cast("long").as("pass_ttr"),
+        sum(col("s3")).cast("long").as("pass_stop"))
+  }
+
   def all: Seq[Q] = Seq(
     extTokenCount, extLangId, extQualityScore, extFingerprint, extNgramTop,
-    extQuantiles, extRepetition)
+    extQuantiles, extRepetition, extTokenBpe, extQualityFunnel)
 }
