@@ -29,6 +29,29 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
 
+    // one stuck query must not stall the whole bench line: run each
+    // under a cancellable job group with a per-query ceiling
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
+    def bounded(name: String)(body: => Unit): Option[String] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      try {
+        Await.result(Future {
+          spark.sparkContext.setJobGroup(name, s"bench:$name",
+            interruptOnCancel = true)
+          body
+        }, timeoutSec.seconds)
+        None
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          Some(s"timeout ${timeoutSec}s")
+        case e: Throwable => Some(String.valueOf(e.getMessage))
+      }
+    }
+
     // JMH-style warmup: run every measured query once at the smallest
     // scale factor (sf0.001 when present, else the target dir) so codegen
     // compilation and JIT of each query's generated classes happen before
@@ -44,8 +67,8 @@ object Bench {
       catch { case _: Throwable => () }
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
-        .foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        .foreach { case (name, fn) =>
+          bounded(s"warmup:$name")(fn(spark, warmDir).count()): Unit
         }
       spark.catalog.clearCache()
     }
@@ -63,10 +86,9 @@ object Bench {
       i += 1
       if (i % 8 == 0) System.gc()
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
+      bounded(name)(fn(spark, sfDir).count()).foreach { reason =>
         failures += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] $name FAILED: $reason")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
