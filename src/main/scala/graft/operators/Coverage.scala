@@ -286,8 +286,33 @@ object Coverage {
         countDistinct(col("o_orderdate")).as("n_dates"))
   }
 
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT (each
+    * customer's single most expensive order). Catalyst decorrelates
+    * the lateral into a ranked join — same plan family as the
+    * ROW_NUMBER top-k idiom, written in the join-shaped dialect.
+    */
+  val q51Lateral: Q = Q(
+    "q51_lateral",
+    """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY price_cents DESC, o_orderkey LIMIT 1) t
+      |WHERE c.c_custkey < 100""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.price_cents
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(FLOOR(o_totalprice * 100 + 0.5D) AS BIGINT) AS price_cents
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY price_cents DESC, o_orderkey LIMIT 1) t
+        |WHERE c.c_custkey < 100""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q34Cube, q35Correlated, q36ArrayFns, q37DateFormat, q38Cte, q39SaltedAgg,
     q40UdafDistinct, q41Median, q42Histogram, q44GroupingSets, q45MapFns,
-    q48Posexplode, q50MultiDistinct)
+    q48Posexplode, q50MultiDistinct, q51Lateral)
 }

@@ -257,7 +257,35 @@ object Events {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Cohort retention: users grouped by first-seen day-bucket (5-day
+    * cohorts), counted per later activity bucket — two hash aggs plus
+    * one equi-join on user_id, the standard retention-matrix shape.
+    * Buckets come from integer epoch-day arithmetic, not calendar-week
+    * truncation, so both engines agree without week-start conventions.
+    */
+  val q52Retention: Q = Q(
+    "q52_retention",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) // 86400 // 5 AS bucket
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(bucket) AS cohort FROM e GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, bucket FROM e)
+      |SELECT f.cohort, a.bucket, COUNT(*) AS active_users
+      |FROM f JOIN a ON f.user_id = a.user_id
+      |GROUP BY f.cohort, a.bucket""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('second', ts)) div 86400 div 5")
+          .as("bucket"))
+    val f = e.groupBy(col("user_id")).agg(min(col("bucket")).as("cohort"))
+    val a = e.distinct()
+    f.join(a, "user_id")
+      .groupBy(col("cohort"), col("bucket"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
-    q32Json, q33Pivot, q43Cumulate)
+    q32Json, q33Pivot, q43Cumulate, q52Retention)
 }

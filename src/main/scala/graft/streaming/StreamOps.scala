@@ -99,6 +99,32 @@ object StreamOps {
       corpusFingerprints.select(col(fpCol).as("__corpus_fp")),
       col(fpCol) === col("__corpus_fp"), "left_anti")
 
+  /** Stream-stream interval join: right-side events within
+    * `windowBeforeSec` seconds before each left event, on an equi key.
+    * Both sides carry watermarks and the time-range condition bounds
+    * exactly how long each side's state must be retained — the
+    * Structured Streaming form of the reference's time-bounded join
+    * surface (SURVEY §2.C joins). Column names must be disjoint across
+    * sides (rename before calling), as in any stream-stream join.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      leftTime: String,
+      leftDelay: String,
+      right: DataFrame,
+      rightTime: String,
+      rightDelay: String,
+      leftKey: String,
+      rightKey: String,
+      windowBeforeSec: Long): DataFrame =
+    left.withWatermark(leftTime, leftDelay)
+      .join(
+        right.withWatermark(rightTime, rightDelay),
+        col(leftKey) === col(rightKey) &&
+          col(rightTime) >= col(leftTime) -
+            expr(s"INTERVAL $windowBeforeSec SECONDS") &&
+          col(rightTime) < col(leftTime))
+
   /** Session windows with an inactivity gap (streaming analog of the
     * batch gaps-and-islands operator in graft.operators.Events).
     */

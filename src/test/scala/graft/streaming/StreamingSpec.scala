@@ -164,6 +164,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches only rows inside the time window") {
+    implicit val sc = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      purchases.toDF().toDF("p_user", "p_time"), "p_time", "5 seconds",
+      clicks.toDF().toDF("c_user", "c_time"), "c_time", "5 seconds",
+      "p_user", "c_user", windowBeforeSec = 60L)
+    val query = joined.writeStream.format("memory")
+      .queryName("ivl_join").outputMode("append").start()
+    try {
+      clicks.addData((1L, ts(100)), (1L, ts(150)), (1L, ts(170)), (2L, ts(160)))
+      purchases.addData((1L, ts(165)))
+      query.processAllAvailable()
+      // user 1 purchase at 165: clicks at 150 (in [105,165)) match;
+      // 100 is too old, 170 is after, user 2 is another key
+      val got = spark.table("ivl_join")
+        .select($"p_user", $"c_time").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000)).toSet
+      assert(got == Set((1L, 150L)))
+      // advance both watermarks past the window, then a late click
+      // behind the watermark must not join
+      purchases.addData((9L, ts(1000)))
+      clicks.addData((9L, ts(990)))
+      query.processAllAvailable()
+      clicks.addData((1L, ts(155)))
+      query.processAllAvailable()
+      val after = spark.table("ivl_join").count()
+      assert(after == 2L) // only the (9,990)→(9,1000) pair was added
+    } finally query.stop()
+  }
+
   test("stream-static incremental dedup drops known fingerprints statelessly") {
     implicit val sc = spark.sqlContext
     val corpus = Seq(100L, 200L).toDF("fp")
