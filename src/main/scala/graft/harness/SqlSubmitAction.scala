@@ -49,6 +49,7 @@ final class SqlSubmitAction(
     val spark = existingSession.getOrElse {
       val b = SparkSession.builder()
         .appName("graft-sql-submit")
+        .withExtensions(new graft.functions.GraftSparkExtensions)
         .config("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
         .config("spark.sql.session.timeZone", "UTC")

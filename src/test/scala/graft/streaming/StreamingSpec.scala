@@ -164,6 +164,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("resolution rule rewrites streaming COUNT(DISTINCT) to HLL") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    input.toDF().toDF("dim", "uid").createOrReplaceTempView("sad_src")
+    // native Spark rejects this plan; the injected StreamingApproxDistinct
+    // rule must rewrite it during analysis
+    val agg = spark.sql(
+      "SELECT dim, COUNT(DISTINCT uid) AS dis FROM sad_src GROUP BY dim")
+    val query = agg.writeStream.format("memory")
+      .queryName("sad_agg").outputMode("complete").start()
+    try {
+      input.addData(("a", 1L), ("a", 1L), ("a", 2L), ("b", 7L))
+      query.processAllAvailable()
+      val got = spark.table("sad_agg")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // HLL is exact at this cardinality
+      assert(got == Map("a" -> 2L, "b" -> 1L))
+      // batch plans must be untouched (exact distinct still planned)
+      val batchPlan = spark.range(5).selectExpr("id % 2 AS k", "id AS v")
+        .groupBy($"k").agg(countDistinct($"v"))
+        .queryExecution.optimizedPlan.toString
+      assert(!batchPlan.contains("approx_count_distinct"))
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches only rows inside the time window") {
     implicit val sc = spark.sqlContext
     val purchases = MemoryStream[(Long, Timestamp)]
