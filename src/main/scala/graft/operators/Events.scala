@@ -285,7 +285,48 @@ object Events {
       .agg(count(lit(1)).as("active_users"))
   }
 
+  /** Ordered funnel (view → click → purchase, strictly increasing
+    * times): per user, the earliest event of each stage that follows
+    * the previous stage — the SQL-expressible core of a CEP /
+    * MATCH_RECOGNIZE pattern, here as three stage aggregations chained
+    * by equi-joins on user_id (each stage is one shuffle on the same
+    * key, so co-partitioning carries through the chain).
+    */
+  val q53Funnel: Q = Q(
+    "q53_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS sec
+      |  FROM events),
+      |v AS (SELECT user_id, MIN(sec) AS t1 FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(sec) AS t2
+      |      FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.sec > v.t1 GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(sec) AS t3
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.sec > c.t2 GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click_after,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase_after""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("sec"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("sec") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("sec") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
-    q32Json, q33Pivot, q43Cumulate, q52Retention)
+    q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel)
 }
