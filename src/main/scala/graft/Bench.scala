@@ -30,27 +30,14 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
 
     // one stuck query must not stall the whole bench line: run each
-    // under a cancellable job group with a per-query ceiling
+    // bounded (see graft.Timeouts) with a per-query ceiling
     val timeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
-    def bounded(name: String)(body: => Unit): Option[String] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      try {
-        Await.result(Future {
-          spark.sparkContext.setJobGroup(name, s"bench:$name",
-            interruptOnCancel = true)
-          body
-        }, timeoutSec.seconds)
-        None
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(name)
-          Some(s"timeout ${timeoutSec}s")
-        case e: Throwable => Some(String.valueOf(e.getMessage))
-      }
-    }
+    def bounded(name: String)(body: => Unit): Option[String] =
+      Timeouts.bounded(spark, name, timeoutSec)(body)
+    // set once any query times out; cache cleanup is skipped from then
+    // on to avoid deadlocking against the leaked thread's cache locks
+    var degraded = false
 
     // JMH-style warmup: run every measured query once at the smallest
     // scale factor (sf0.001 when present, else the target dir) so codegen
@@ -68,9 +55,11 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, fn) =>
-          bounded(s"warmup:$name")(fn(spark, warmDir).count()): Unit
+          if (bounded(s"warmup:$name")(fn(spark, warmDir).count())
+              .exists(_.startsWith(Timeouts.TimeoutPrefix)))
+            degraded = true
         }
-      spark.catalog.clearCache()
+      if (!degraded) Timeouts.boundedClearCache(spark, timeoutSec): Unit
     }
     val failures = scala.collection.mutable.Buffer.empty[String]
     var i = 0
@@ -81,17 +70,23 @@ object Bench {
       // unreferenced broadcasts) so later joins aren't pushed into
       // spill by accumulated heap pressure — measured 10x on the
       // heaviest join when 60+ queries share one JVM; the full GC is
-      // periodic so its fixed cost doesn't tax every small query
-      spark.catalog.clearCache()
+      // periodic so its fixed cost doesn't tax every small query.
+      // After any timeout, cleanup is skipped entirely — a leaked
+      // thread may hold cache locks (see Timeouts.boundedClearCache)
+      if (!degraded &&
+          Timeouts.boundedClearCache(spark, timeoutSec).isDefined)
+        degraded = true
       i += 1
       if (i % 8 == 0) System.gc()
       val t0 = System.nanoTime()
       bounded(name)(fn(spark, sfDir).count()).foreach { reason =>
         failures += name
+        if (reason.startsWith(Timeouts.TimeoutPrefix)) degraded = true
         System.err.println(s"[bench] $name FAILED: $reason")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val failed = failures.toSet
     // 3-decimal formatting keeps the line well under typical log-tail
     // capture windows (~2 KiB): round 1's full-precision line was long
     // enough that the driver's tail buffer cut its head off and the
@@ -100,7 +95,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // a timed-out query would otherwise add its whole ceiling (~300 s)
+    // to the headline number and make round totals incomparable; the
+    // `failures` list carries that signal instead
+    val ok = results.filterNot { case (k, _) => failed(k) }
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }

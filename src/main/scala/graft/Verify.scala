@@ -19,37 +19,35 @@ object Verify {
     // the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // One stuck query must not stall the whole gate: each runs under a
-    // job group on a worker thread; on timeout its jobs are cancelled
-    // and the dump moves on (the driver scores the missing query as a
-    // single failure instead of timing out the round).
+    // One stuck query must not stall the whole gate: each runs bounded
+    // (see graft.Timeouts); the driver scores a missing query as one
+    // failure instead of timing out the round.
     val timeoutSec =
       sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "600").toLong
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // after any timeout a leaked thread may hold cache locks — degrade
+    // to skipping cleanup instead of risking the clearCache deadlock
+    // (see Timeouts.boundedClearCache)
+    var degraded = false
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try {
-        val run = Future {
-          // job-group is thread-local: set it on the executing thread
-          spark.sparkContext.setJobGroup(name, s"verify:$name",
-            interruptOnCancel = true)
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-        }
-        Await.result(run, timeoutSec.seconds)
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          spark.sparkContext.cancelJobGroup(name)
-          System.err.println(s"[verify] $name timed out after ${timeoutSec}s")
-        case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      Timeouts.bounded(spark, name, timeoutSec) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }.foreach { reason =>
+        System.err.println(s"[verify] $name failed: $reason")
+        if (reason.startsWith(Timeouts.TimeoutPrefix)) degraded = true
+        // a cancelled/leaked write must not leave partial (or
+        // late-completing) output that the driver would read as a
+        // full result for a query this run reported failed
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(s"$outDir/$name")): Unit
       }
       // queries that persist intermediates (e.g. dedup clustering) must
       // not accumulate cached relations across an 80-query dump
-      finally spark.catalog.clearCache()
+      if (!degraded &&
+          Timeouts.boundedClearCache(spark, timeoutSec).isDefined)
+        degraded = true
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

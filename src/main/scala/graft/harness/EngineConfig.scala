@@ -28,6 +28,11 @@ final class EngineConfig(spark: SparkSession) {
         spark.sparkContext.setJobDescription(value)
       case k if k.startsWith("spark.") =>
         spark.conf.set(k, value)
+      case k if k.startsWith("graft.") =>
+        // engine extension knobs (e.g. graft.streaming.approx-distinct)
+        // are read from SQLConf by injected Catalyst rules — they must
+        // reach the session conf, not just the harness snapshot
+        spark.conf.set(k, value)
       case _ =>
         // engine-level key consumed at compile time (runtime-mode,
         // checkpointing, mini-batch, dynamic-table-options) — keep in `raw`

@@ -253,11 +253,15 @@ final class SqlSubmitAction(
               case e: org.apache.spark.sql.AnalysisException
                   if df.isStreaming && e.getMessage.toLowerCase.contains("distinct") =>
                 // Spark streaming aggregation rejects COUNT(DISTINCT x)
-                // (the reference fixture uses it, test.sql:51). Rewrite to
-                // the mergeable HLL sketch — the streaming-safe strategy —
-                // unless disabled via SET graft.streaming.approx-distinct
-                // = false. Exact semantics are available as the two-stage
-                // dedup-then-count form (graft.streaming.StreamOps).
+                // (the reference fixture uses it, test.sql:51). Sessions
+                // built with GraftSparkExtensions never reach this catch —
+                // the StreamingApproxDistinct resolution rule rewrites
+                // during analysis (same graft.streaming.approx-distinct
+                // gate, which SET forwards to the session conf). This
+                // text-level fallback only serves caller-provided
+                // extension-less sessions. Exact semantics stay available
+                // as the two-stage dedup-then-count form
+                // (graft.streaming.StreamOps).
                 if (config.raw.get("graft.streaming.approx-distinct").forall(_.toBoolean)) {
                   System.err.println(
                     "Streaming COUNT(DISTINCT) not supported natively; " +

@@ -255,16 +255,16 @@ object TextAnalysis {
       |  CAST(SUM(s2) AS BIGINT) AS pass_ttr,
       |  CAST(SUM(s3) AS BIGINT) AS pass_stop
       |FROM f GROUP BY source""".stripMargin) { (s, dir) =>
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val ttr = size(array_distinct(toks)) * lit(1.0d) / nTok
+    // tokenize once into a column; all three stats derive from it
+    val nTok = size(col("toks"))
+    val ttr = size(array_distinct(col("toks"))) * lit(1.0d) / nTok
     val stopRatio =
-      size(expr("filter(split(text, ' '), x -> x IN ('the', 'a'))")) *
-        lit(1.0d) / nTok
+      size(expr("filter(toks, x -> x IN ('the', 'a'))")) * lit(1.0d) / nTok
     val s1 = when(nTok >= 20, 1).otherwise(0)
     val s2 = when(nTok >= 20 && ttr >= 0.2d, 1).otherwise(0)
     val s3 = when(nTok >= 20 && ttr >= 0.2d && stopRatio >= 0.05d, 1).otherwise(0)
     Tables.load(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks"))
       .select(col("source"), s1.as("s1"), s2.as("s2"), s3.as("s3"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
