@@ -48,4 +48,14 @@ class EngineConfigSpec extends AnyFunSuite {
   test("runtime-mode defaults to streaming (Flink default) until set") {
     assert(fresh.isStreaming)
   }
+
+  test("graft.* keys reach the session conf (Catalyst rules read SQLConf)") {
+    val spark = SparkFixture.spark
+    try {
+      val c = new EngineConfig(spark)
+      c.setOperation("SET graft.streaming.approx-distinct = false")
+      assert(spark.conf.get("graft.streaming.approx-distinct") == "false")
+      assert(c.raw("graft.streaming.approx-distinct") == "false")
+    } finally spark.conf.unset("graft.streaming.approx-distinct")
+  }
 }
