@@ -87,13 +87,13 @@ final class SqlSubmitAction(
           case StatementType.SET =>
             config.setOperation(st.sql)
           case StatementType.SELECT =>
-            executeSelect(spark, config, st.sql)
+            executeSelect(spark, config, applyDynamicOptions(spark, config, st.sql))
           case StatementType.UNSET | StatementType.EXPLAIN | StatementType.UNKNOWN =>
             System.err.println(s"Skipped unsupported SQL statement:\n ${st.sql}")
           case StatementType.CREATE if DdlParser.isConnectorCreate(st.sql) =>
             registerConnectorTable(spark, config, DdlParser.parse(st.sql))
           case StatementType.INSERT =>
-            executeInsert(spark, config, st.sql)
+            executeInsert(spark, config, applyDynamicOptions(spark, config, st.sql))
           case StatementType.EXECUTE =>
             executeStatementSet(spark, config, st.sql)
           case StatementType.ADD =>
@@ -124,6 +124,48 @@ final class SqlSubmitAction(
         started.foreach(_.awaitTermination())
       }
     }
+  }
+
+  /** Flink dynamic table options: `FROM t /*+ OPTIONS('k'='v') */`
+    * overrides the table's connector properties for this query only
+    * (test.sql:10 enables the feature). Spark's parser rejects the
+    * table-level hint, so the harness honors it natively: for a
+    * registered connector table it registers a one-off variant view
+    * with the merged options and rewrites the reference; hints on
+    * non-connector relations are warned about and stripped. Matching
+    * Flink, hints error unless `table.dynamic-table-options.enabled`
+    * is set to true.
+    */
+  private val OptionsHintRe =
+    raw"""(?is)\b(FROM|JOIN)\s+`?([A-Za-z_][\w]*)`?\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/""".r
+
+  private var optionsVariantCounter = 0
+
+  private def applyDynamicOptions(
+      spark: SparkSession, config: EngineConfig, sql: String): String = {
+    if (OptionsHintRe.findFirstIn(sql).isEmpty) return sql
+    if (!config.raw.get("table.dynamic-table-options.enabled").exists(_.toBoolean))
+      throw new IllegalArgumentException(
+        "OPTIONS hint support is disabled; SET " +
+          "table.dynamic-table-options.enabled = true to enable it")
+    OptionsHintRe.replaceAllIn(sql, m => {
+      val (kw, tbl) = (m.group(1), m.group(2))
+      val overrides = raw"'([^']*)'\s*=\s*'([^']*)'".r
+        .findAllMatchIn(m.group(3))
+        .map(o => o.group(1) -> o.group(2)).toMap
+      java.util.regex.Matcher.quoteReplacement(sources.get(tbl) match {
+        case Some(t) =>
+          optionsVariantCounter += 1
+          val variant = s"${tbl}__opts_$optionsVariantCounter"
+          registerConnectorTable(spark, config,
+            t.copy(name = variant, options = t.options ++ overrides))
+          s"$kw $variant"
+        case None =>
+          System.err.println(
+            s"Ignoring OPTIONS hint on non-connector relation '$tbl'")
+          s"$kw $tbl"
+      })
+    })
   }
 
   private def registerConnectorTable(

@@ -215,4 +215,44 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     val e = intercept[Exception](action.run())
     assert(e.getMessage.contains("table_that_does_not_exist_xyz"))
   }
+
+  test("dynamic OPTIONS hint overrides connector props per query") {
+    val spark = SparkFixture.spark
+    val outDir = Files.createTempDirectory("graft-hint-out").toString
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |set table.dynamic-table-options.enabled=true;
+         |create table hint_gen(v bigint) with (
+         |  'connector' = 'datagen', 'number-of-rows' = '12',
+         |  'fields.v.kind' = 'sequence', 'fields.v.start' = '0');
+         |create table hint_out(v bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$outDir/h', 'format' = 'parquet');
+         |insert into hint_out select v from hint_gen /*+ OPTIONS('number-of-rows'='4') */;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-hint-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    // the hint, not the DDL, decides the row count for this query
+    assert(spark.read.parquet(s"$outDir/h").count() == 4L)
+  }
+
+  test("dynamic OPTIONS hint without the enabling flag fails like Flink") {
+    val spark = SparkFixture.spark
+    val script =
+      """SET execution.runtime-mode = batch;
+        |create table hint_gen2(v bigint) with (
+        |  'connector' = 'datagen', 'number-of-rows' = '5');
+        |SELECT v FROM hint_gen2 /*+ OPTIONS('number-of-rows'='2') */;
+        |""".stripMargin
+    val file = Files.createTempFile("graft-hint2-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception](
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark)).run())
+    // the dispatch loop wraps per-statement failures; the reason is on
+    // the cause
+    assert(Option(e.getCause).exists(
+      _.getMessage.contains("dynamic-table-options")))
+  }
 }
