@@ -10,31 +10,67 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * Streaming: a `foreach` writer that prefixes each row, matching Flink's
   * `identifier> row` print format; batch: collect-free `foreachPartition`
   * print. Parallel writers interleave, as they do in Flink's print sink.
+  *
+  * Changelog row kinds: Flink's print sink labels retract-stream rows
+  * +I/-U/+U. Spark's update mode emits only the new row per changed
+  * group, so when the sink DDL declares a PRIMARY KEY (the upsert key),
+  * the writer tracks the last row per key and emits the Flink-style
+  * `-U[old]` / `+U[new]` pair on updates. Update-mode output keeps a
+  * stable hash partitioning per key across micro-batches, so the
+  * per-partition map sees every version of its keys. Without a declared
+  * key the old value is unknowable at the sink and rows print as +I —
+  * a documented deviation from Flink's planner-provided changelog.
   */
 object PrintSink {
 
-  private class PrefixWriter(identifier: String, stderr: Boolean)
+  // ForeachWriter instances are re-deserialized every micro-batch, so
+  // upsert state must outlive them: one map per (identifier, partition),
+  // held JVM-global on the executor. Update-mode output hash-partitions
+  // by group key consistently across batches, so each partition's map
+  // sees every version of its keys. Size is bounded by key cardinality —
+  // the same state an upsert sink keeps in Flink.
+  private val upsertState = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), scala.collection.mutable.HashMap[Seq[Any], Row]]
+
+  private[connectors] class PrefixWriter(
+      identifier: String, stderr: Boolean, pkIdx: Seq[Int])
       extends org.apache.spark.sql.ForeachWriter[Row] {
     @transient private var out: java.io.PrintStream = _
+    @transient private var last: scala.collection.mutable.HashMap[Seq[Any], Row] = _
     override def open(partitionId: Long, epochId: Long): Boolean = {
       out = if (stderr) System.err else System.out
+      if (pkIdx.nonEmpty)
+        last = upsertState.computeIfAbsent((identifier, partitionId),
+          _ => scala.collection.mutable.HashMap.empty)
       true
     }
-    override def process(row: Row): Unit = {
-      val body = row.mkString("+I[", ", ", "]")
+    private def emit(kind: String, row: Row): Unit = {
+      val body = row.mkString(s"$kind[", ", ", "]")
       if (identifier.nonEmpty) out.println(s"$identifier> $body")
       else out.println(body)
     }
+    override def process(row: Row): Unit =
+      if (pkIdx.isEmpty) emit("+I", row)
+      else {
+        val key = pkIdx.map(row.get)
+        last.synchronized {
+          last.put(key, row)
+        } match {
+          case Some(old) => emit("-U", old); emit("+U", row)
+          case None => emit("+I", row)
+        }
+      }
     override def close(errorOrNull: Throwable): Unit = ()
   }
 
   def writer(df: DataFrame, table: TableDef): DataStreamWriter[Row] = {
     val id = table.options.getOrElse("print-identifier", "")
     val stderr = table.options.get("standard-error").exists(_.toBoolean)
+    val pkIdx = table.primaryKey.map(df.schema.fieldIndex)
     // sink.parallelism is governed by upstream partitioning in Spark
     df.writeStream
       .outputMode("update")
-      .foreach(new PrefixWriter(id, stderr))
+      .foreach(new PrefixWriter(id, stderr, pkIdx))
   }
 
   def printBatch(df: DataFrame, table: TableDef): Unit = {

@@ -54,15 +54,21 @@ object DdlParser {
     val columns = Vector.newBuilder[ColumnDef]
     val computed = Vector.newBuilder[ComputedColumnDef]
     var watermark: Option[WatermarkDef] = None
+    var primaryKey: Vector[String] = Vector.empty
 
     splitTopLevel(schemaPart).map(_.trim).filter(_.nonEmpty).foreach { entry =>
       val wmRe = raw"(?is)^WATERMARK\s+FOR\s+(\S+)\s+AS\s+(.+)$$".r
       val compRe = raw"(?is)^(`[^`]+`|\w+)\s+AS\s+(.+)$$".r
       val colRe = raw"(?is)^(`[^`]+`|\w+)\s+(.+)$$".r
       val constraintRe = raw"(?is)^(PRIMARY\s+KEY|CONSTRAINT|UNIQUE)\b.*".r
+      val pkRe = raw"(?is)^(?:CONSTRAINT\s+\S+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\).*".r
       entry match {
+        case pkRe(cols) =>
+          // NOT ENFORCED in Flink, but it names the upsert key — the
+          // print sink uses it for changelog row kinds (+I/-U/+U)
+          primaryKey = cols.split(",").map(c => unquoteName(c.trim)).toVector
         case constraintRe(_) =>
-          // Flink PK/constraints are metadata-only (NOT ENFORCED); skip
+          // other constraints are metadata-only; skip
           ()
         case wmRe(c, expr) =>
           watermark = Some(WatermarkDef(unquoteName(c), parseDelay(expr)))
@@ -75,7 +81,7 @@ object DdlParser {
       }
     }
     TableDef(name, ifNotExists, columns.result(), computed.result(), watermark,
-      options, partitionedBy)
+      options, partitionedBy, primaryKey)
   }
 
   /** `catalog.db.tbl` (possibly backticked parts) → bare table name. */

@@ -21,6 +21,7 @@ final case class TableDef(
     computedColumns: Vector[ComputedColumnDef],
     watermark: Option[WatermarkDef],
     options: Map[String, String],
-    partitionedBy: Vector[String] = Vector.empty) {
+    partitionedBy: Vector[String] = Vector.empty,
+    primaryKey: Vector[String] = Vector.empty) {
   def connector: Option[String] = options.get("connector")
 }

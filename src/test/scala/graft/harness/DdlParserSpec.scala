@@ -59,6 +59,12 @@ class DdlParserSpec extends AnyFunSuite {
       "CREATE TABLE t (id INT, v STRING, PRIMARY KEY (id) NOT ENFORCED) " +
         "WITH ('connector'='datagen')")
     assert(t.columns.map(_.name) == Vector("id", "v"))
+    // ...but the PK columns are captured as the upsert key
+    assert(t.primaryKey == Vector("id"))
+    val named = DdlParser.parse(
+      "CREATE TABLE t2 (a INT, b INT, CONSTRAINT pk PRIMARY KEY (a, b) NOT ENFORCED) " +
+        "WITH ('connector'='print')")
+    assert(named.primaryKey == Vector("a", "b"))
   }
 
   test("types with parens (decimal/timestamp) survive column splitting") {

@@ -1,0 +1,49 @@
+package graft.harness.connectors
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Flink changelog row kinds on the print sink: with a declared upsert
+  * key, the first version of a key prints +I and each update prints the
+  * -U[old] / +U[new] pair — surviving writer re-instantiation across
+  * micro-batches (Spark deserializes a fresh ForeachWriter per epoch).
+  */
+class PrintSinkSpec extends AnyFunSuite {
+
+  test("primary-key print sink emits +I then -U/+U across epochs") {
+    val bos = new ByteArrayOutputStream
+    val old = System.out
+    System.setOut(new PrintStream(bos, true))
+    try {
+      val w = new PrintSink.PrefixWriter("pk_spec", stderr = false, pkIdx = Seq(0))
+      w.open(partitionId = 0, epochId = 0)
+      w.process(Row("a", 1L))
+      w.process(Row("b", 1L))
+      // next micro-batch: a NEW writer instance, same partition
+      val w2 = new PrintSink.PrefixWriter("pk_spec", stderr = false, pkIdx = Seq(0))
+      w2.open(partitionId = 0, epochId = 1)
+      w2.process(Row("a", 2L))
+    } finally System.setOut(old)
+    val lines = bos.toString.trim.linesIterator.toSeq
+    assert(lines == Seq(
+      "pk_spec> +I[a, 1]",
+      "pk_spec> +I[b, 1]",
+      "pk_spec> -U[a, 1]",
+      "pk_spec> +U[a, 2]"))
+  }
+
+  test("without a primary key every row prints as +I (documented deviation)") {
+    val bos = new ByteArrayOutputStream
+    val old = System.out
+    System.setOut(new PrintStream(bos, true))
+    try {
+      val w = new PrintSink.PrefixWriter("no_pk_spec", stderr = false, pkIdx = Nil)
+      w.open(0, 0)
+      w.process(Row("a", 1L))
+      w.process(Row("a", 2L))
+    } finally System.setOut(old)
+    assert(bos.toString.trim.linesIterator.toSeq ==
+      Seq("no_pk_spec> +I[a, 1]", "no_pk_spec> +I[a, 2]"))
+  }
+}
