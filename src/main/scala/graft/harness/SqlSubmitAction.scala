@@ -136,8 +136,10 @@ final class SqlSubmitAction(
     * Flink, hints error unless `table.dynamic-table-options.enabled`
     * is set to true.
     */
+  // table ref: optionally-qualified, each part backticked or bare; hint
+  // body: quoted strings may contain parens, so match quote-aware
   private val OptionsHintRe =
-    raw"""(?is)\b(FROM|JOIN)\s+`?([A-Za-z_][\w]*)`?\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/""".r
+    raw"""(?is)\b(FROM|JOIN)\s+((?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))*)\s*/\*\+\s*OPTIONS\s*\(((?:[^()']|'(?:[^']|'')*')*)\)\s*\*/""".r
 
   private var optionsVariantCounter = 0
 
@@ -149,14 +151,16 @@ final class SqlSubmitAction(
         "OPTIONS hint support is disabled; SET " +
           "table.dynamic-table-options.enabled = true to enable it")
     OptionsHintRe.replaceAllIn(sql, m => {
-      val (kw, tbl) = (m.group(1), m.group(2))
-      val overrides = raw"'([^']*)'\s*=\s*'([^']*)'".r
-        .findAllMatchIn(m.group(3))
-        .map(o => o.group(1) -> o.group(2)).toMap
-      java.util.regex.Matcher.quoteReplacement(sources.get(tbl) match {
+      val kw = m.group(1)
+      val tbl = DdlParser.unquoteName(m.group(2))
+      // same quote/escape rules as the DDL WITH clause
+      val overrides = DdlParser.parseOptions(m.group(3))
+      // Spark resolves temp views case-insensitively; match that
+      val resolved = sources.keys.find(_.equalsIgnoreCase(tbl))
+      java.util.regex.Matcher.quoteReplacement(resolved.map(sources) match {
         case Some(t) =>
           optionsVariantCounter += 1
-          val variant = s"${tbl}__opts_$optionsVariantCounter"
+          val variant = s"${t.name}__opts_$optionsVariantCounter"
           registerConnectorTable(spark, config,
             t.copy(name = variant, options = t.options ++ overrides))
           s"$kw $variant"
@@ -265,7 +269,7 @@ final class SqlSubmitAction(
       case bodyRe(body) =>
         body.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
           if (StatementType.fromStatement(stmt) == StatementType.INSERT)
-            executeInsert(spark, config, stmt)
+            executeInsert(spark, config, applyDynamicOptions(spark, config, stmt))
           else
             System.err.println(
               s"Only INSERT is allowed in a STATEMENT SET, skipped:\n $stmt")

@@ -24,23 +24,30 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
 object PrintSink {
 
   // ForeachWriter instances are re-deserialized every micro-batch, so
-  // upsert state must outlive them: one map per (identifier, partition),
-  // held JVM-global on the executor. Update-mode output hash-partitions
-  // by group key consistently across batches, so each partition's map
-  // sees every version of its keys. Size is bounded by key cardinality —
-  // the same state an upsert sink keeps in Flink.
+  // upsert state must outlive them: one map per (writer instance,
+  // partition), held JVM-global on the executor. The writerId is minted
+  // per writer() call, so two sinks sharing an identifier — or two runs
+  // of the same script — never cross-contaminate. Update-mode
+  // *aggregation* output hash-partitions by group key consistently
+  // across batches, so each partition's map sees every version of its
+  // keys; for non-keyed update streams (no aggregation) the same key
+  // can land on different partitions and row kinds degrade to +I per
+  // partition — the upsert-key contract assumes keyed output, as in
+  // Flink. Size is bounded by key cardinality per query; entries live
+  // for the JVM (debug sink).
   private val upsertState = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), scala.collection.mutable.HashMap[Seq[Any], Row]]
 
   private[connectors] class PrefixWriter(
-      identifier: String, stderr: Boolean, pkIdx: Seq[Int])
+      identifier: String, stderr: Boolean, pkIdx: Seq[Int],
+      writerId: String = java.util.UUID.randomUUID().toString)
       extends org.apache.spark.sql.ForeachWriter[Row] {
     @transient private var out: java.io.PrintStream = _
     @transient private var last: scala.collection.mutable.HashMap[Seq[Any], Row] = _
     override def open(partitionId: Long, epochId: Long): Boolean = {
       out = if (stderr) System.err else System.out
       if (pkIdx.nonEmpty)
-        last = upsertState.computeIfAbsent((identifier, partitionId),
+        last = upsertState.computeIfAbsent((writerId, partitionId),
           _ => scala.collection.mutable.HashMap.empty)
       true
     }
@@ -66,11 +73,24 @@ object PrintSink {
   def writer(df: DataFrame, table: TableDef): DataStreamWriter[Row] = {
     val id = table.options.getOrElse("print-identifier", "")
     val stderr = table.options.get("standard-error").exists(_.toBoolean)
-    val pkIdx = table.primaryKey.map(df.schema.fieldIndex)
+    // the INSERT maps query columns to sink columns positionally
+    // (Flink semantics), so PK indices come from the sink DDL's column
+    // order, never from the query's output names
+    val pkIdx = table.primaryKey.flatMap { pk =>
+      val i = table.columns.indexWhere(_.name.equalsIgnoreCase(pk))
+      if (i >= 0 && i < df.schema.length) Some(i)
+      else {
+        System.err.println(
+          s"print sink '${table.name}': PRIMARY KEY column '$pk' not in " +
+            "sink schema; changelog row kinds disabled")
+        None
+      }
+    }
     // sink.parallelism is governed by upstream partitioning in Spark
     df.writeStream
       .outputMode("update")
-      .foreach(new PrefixWriter(id, stderr, pkIdx))
+      .foreach(new PrefixWriter(id, stderr,
+        if (pkIdx.length == table.primaryKey.length) pkIdx else Nil))
   }
 
   def printBatch(df: DataFrame, table: TableDef): Unit = {

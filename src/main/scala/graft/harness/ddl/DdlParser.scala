@@ -143,7 +143,7 @@ object DdlParser {
   }
 
   /** `'k' = 'v', 'k2' = 'v2'` → map. */
-  private def parseOptions(s: String): Map[String, String] = {
+  def parseOptions(s: String): Map[String, String] = {
     val optRe = raw"(?s)'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'".r
     optRe.findAllMatchIn(s).map { m =>
       m.group(1).replace("''", "'") -> m.group(2).replace("''", "'")

@@ -16,12 +16,17 @@ class PrintSinkSpec extends AnyFunSuite {
     val old = System.out
     System.setOut(new PrintStream(bos, true))
     try {
-      val w = new PrintSink.PrefixWriter("pk_spec", stderr = false, pkIdx = Seq(0))
+      // Spark deserializes copies of ONE serialized writer per epoch:
+      // the writerId field rides along, so two instances sharing it
+      // model epoch 0 and epoch 1 of the same query
+      val w = new PrintSink.PrefixWriter("pk_spec", stderr = false,
+        pkIdx = Seq(0), writerId = "pk_spec_run")
       w.open(partitionId = 0, epochId = 0)
       w.process(Row("a", 1L))
       w.process(Row("b", 1L))
       // next micro-batch: a NEW writer instance, same partition
-      val w2 = new PrintSink.PrefixWriter("pk_spec", stderr = false, pkIdx = Seq(0))
+      val w2 = new PrintSink.PrefixWriter("pk_spec", stderr = false,
+        pkIdx = Seq(0), writerId = "pk_spec_run")
       w2.open(partitionId = 0, epochId = 1)
       w2.process(Row("a", 2L))
     } finally System.setOut(old)
