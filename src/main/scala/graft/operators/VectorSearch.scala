@@ -443,7 +443,67 @@ object VectorSearch {
         Seq(0, 15, 31, 63).map(qd): _*)
   }
 
+  /** Multi-probe IVF (nprobe = 2): each query searches its TWO nearest
+    * centroid lists instead of one — the standard recall knob of an IVF
+    * index. Data vectors stay in exactly one list (disjoint candidate
+    * sets, no dedup needed); the probe fan-out multiplies only the
+    * query side, so cost scales with queries · nprobe · list size while
+    * recall approaches brute force.
+    */
+  val extAnnProbe: Q = Q(
+    "ext_ann_probe", {
+      s"""WITH $normDuckCte,
+         |cent AS (SELECT vec_id AS cid, nv AS cv FROM nv WHERE vec_id < 16),
+         |scoredc AS (
+         |  SELECT nv.vec_id, nv.nv, cent.cid,
+         |    CAST(FLOOR((${dotDuck("nv.nv", "cent.cv")}) * 1000000 + 0.5) AS BIGINT) AS cdot
+         |  FROM nv, cent),
+         |assign AS (
+         |  SELECT vec_id, nv, cid, cdot,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS crn
+         |  FROM scoredc),
+         |bucketed AS (SELECT vec_id, nv, cid FROM assign WHERE crn = 1),
+         |q AS (SELECT vec_id AS qid, nv AS qv, cid FROM assign
+         |      WHERE crn <= 2 AND vec_id < 32),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    CAST(FLOOR((${dotDuck("q.qv", "e.nv")}) * 1000000 + 0.5) AS BIGINT) AS cos_micros
+         |  FROM q JOIN bucketed e ON q.cid = e.cid AND e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos_micros,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_micros DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT qid, vec_id, cos_micros, rn FROM ranked WHERE rn <= 3""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val nv = normalizedSpark(Tables.load(s, dir, "embeddings"))
+    val cent = nv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("nv").as("cv"))
+    val crn = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cid"))
+    // K (=16) candidate rows per vector: the rank window runs over a
+    // constant-size group, and WindowGroupLimit trims pre-shuffle
+    val assign = nv.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("nv"), col("cid"),
+        floor(expr(dotSpark("nv", "cv")) * 1e6d + 0.5d).cast("long").as("cdot"))
+      .withColumn("crn", row_number().over(crn))
+    val bucketed = assign.filter(col("crn") === 1)
+      .select(col("vec_id"), col("nv"), col("cid"))
+    val q = assign.filter(col("crn") <= 2 && col("vec_id") < 32)
+      .select(col("vec_id").as("qid"), col("nv").as("qv"), col("cid").as("qcid"))
+    val rn = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_micros").desc, col("vec_id"))
+    broadcast(q).join(bucketed,
+        col("qcid") === col("cid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        floor(expr(dotSpark("qv", "nv")) * 1e6d + 0.5d).cast("long").as("cos_micros"))
+      .withColumn("rn", row_number().over(rn).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
   def all: Seq[Q] = Seq(
     extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf, extEmbedNeardup,
-    extClusterStats, extKmeansRefine, extEmbedCluster, extEmbedQuantize)
+    extClusterStats, extKmeansRefine, extEmbedCluster, extEmbedQuantize,
+    extAnnProbe)
 }
