@@ -77,6 +77,13 @@ object Dedup {
   /** Exact-dedup canonicalization: one representative doc per (text,
     * lang) — the mandatory first stage of every near-dup pipeline (see
     * the object Scaladoc).
+    *
+    * This groupBy is the pipeline's single text-volume shuffle, and it
+    * is the floor: exact dedup must route equal texts to one reducer
+    * (dedup by 30-bit fingerprint instead would need a join back to
+    * fetch canonical texts — the same text volume through a different
+    * shuffle). Everything downstream of this point shuffles 8-byte
+    * shingle/band hashes only.
     */
   private def canonicalDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.groupBy(col("text"), col("lang")).agg(min(col("doc_id")).as("doc_id"))
