@@ -164,6 +164,15 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("extension-injected functions resolve in plain SQL without register()") {
+    // SparkFixture builds with GraftSparkExtensions: graft_* must work
+    // through spark.sql alone (cluster wiring via spark.sql.extensions)
+    val h = spark.sql("SELECT graft_poly_hash('abc') AS h")
+      .collect().head.getLong(0)
+    // ((0*31+97)*31+98)*31+99 mod 1e9+7
+    assert(h == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
   test("resolution rule rewrites streaming COUNT(DISTINCT) to HLL") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Long)]
