@@ -150,7 +150,67 @@ object Joins {
         |  SELECT SUM(CAST(FLOOR((o_totalprice) * 100 + 0.5) AS BIGINT)) / 100.0 / COUNT(*) FROM orders)""".stripMargin)
   }
 
+  /** Correlated EXISTS with a cross-table inequality conjunct (TPC-H Q4
+    * shape): orders with at least one lineitem shipped after the order
+    * date. Decorrelates to a left-semi join whose condition mixes the
+    * equi key with the non-equi date compare — the semi join shuffles
+    * on the key, the inequality evaluates post-match.
+    */
+  val q54ExistsIneq: Q = Q(
+    "q54_exists_ineq",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** Conditional revenue ratio per ship month (TPC-H Q14 shape): promo
+    * parts' share of discounted revenue. The part side broadcasts;
+    * revenue terms quantize to cents before summing so the ratio is an
+    * exact integer division both engines compute identically.
+    */
+  val q55PromoRatio: Q = Q(
+    "q55_promo_ratio",
+    """WITH r AS (
+      |  SELECT EXTRACT(YEAR FROM l.l_shipdate) AS yr,
+      |    EXTRACT(MONTH FROM l.l_shipdate) AS mo,
+      |    CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS rev_cents,
+      |    CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS promo
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+      |SELECT yr, mo,
+      |  CAST(SUM(promo * rev_cents) AS BIGINT) AS promo_cents,
+      |  CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+      |  CAST(FLOOR(SUM(promo * rev_cents) * 100000.0 / SUM(rev_cents) + 0.5) AS BIGINT) AS promo_share_e5
+      |FROM r GROUP BY yr, mo""".stripMargin) { (s, dir) =>
+    val l = Tables.load(s, dir, "lineitem")
+    val p = Tables.load(s, dir, "part")
+    val revCents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+      * 100d + 0.5d).cast("long")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(
+        year(col("l_shipdate")).cast("long").as("yr"),
+        month(col("l_shipdate")).cast("long").as("mo"),
+        revCents.as("rev_cents"),
+        when(col("p_type").like("PROMO%"), 1).otherwise(0).as("promo"))
+      .groupBy(col("yr"), col("mo"))
+      .agg(
+        sum(col("promo") * col("rev_cents")).as("promo_cents"),
+        sum(col("rev_cents")).as("total_cents"),
+        floor(sum(col("promo") * col("rev_cents")) * 100000.0d /
+          sum(col("rev_cents")) + 0.5d).cast("long").as("promo_share_e5"))
+  }
+
   def all: Seq[Q] = Seq(
     q11JoinInner, q12JoinLeft, q13SemiJoin, q14AntiJoin, q15ThetaJoin,
-    q16JoinQ5, q17ScalarSubquery)
+    q16JoinQ5, q17ScalarSubquery, q54ExistsIneq, q55PromoRatio)
 }
