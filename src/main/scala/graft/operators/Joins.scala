@@ -6,10 +6,11 @@ import Det._
 /** Join surface (SURVEY.md §2.C "Joins"): inner/left/semi/anti/theta and
   * multi-way star joins.
   *
-  * Scale design: dimension tables (region/nation/supplier/customer) are
-  * explicitly `broadcast()` when small relative to the fact side, so the
-  * big-side scan never shuffles for the dim join; fact-fact joins
-  * (orders⋈lineitem) shuffle on the join key once and AQE handles skew.
+  * Scale design: constant-size dimensions (region: 5 rows, nation: 25)
+  * are explicitly `broadcast()`; SF-scaled sides (customer, supplier,
+  * part) carry no hint so the planner broadcasts at small SF and
+  * shuffles at corpus SF; fact-fact joins (orders⋈lineitem) shuffle on
+  * the join key once and AQE handles skew.
   */
 object Joins {
 
@@ -28,8 +29,10 @@ object Joins {
     val customer = Tables.load(s, dir, "customer")
     val nation = Tables.load(s, dir, "nation")
     val region = Tables.load(s, dir, "region")
+    // customer scales with SF (not a fixed-size dim like nation/region):
+    // no hint — the planner broadcasts at small SF, shuffles at corpus SF
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(region("r_name").as("region_name"), nation("n_name").as("nation_name"))
@@ -121,10 +124,12 @@ object Joins {
     val supplier = Tables.load(s, dir, "supplier")
     val nation = Tables.load(s, dir, "nation")
     val region = Tables.load(s, dir, "region")
+    // customer/supplier scale with SF — no broadcast hint (see q11);
+    // nation/region are constant-size and stay hinted
     lineitem
       .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
-      .join(broadcast(customer), customer("c_custkey") === orders("o_custkey"))
-      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(customer, customer("c_custkey") === orders("o_custkey"))
+      .join(supplier, lineitem("l_suppkey") === supplier("s_suppkey"))
       .filter(customer("c_nationkey") === supplier("s_nationkey"))
       .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
@@ -175,9 +180,12 @@ object Joins {
   }
 
   /** Conditional revenue ratio per ship month (TPC-H Q14 shape): promo
-    * parts' share of discounted revenue. The part side broadcasts;
-    * revenue terms quantize to cents before summing so the ratio is an
-    * exact integer division both engines compute identically.
+    * parts' share of discounted revenue. No broadcast hint on part —
+    * unlike nation/region it grows with the scale factor, so the
+    * planner/AQE picks broadcast at small SF and shuffled join at
+    * corpus scale. Revenue terms quantize to cents before summing so
+    * the ratio is an exact integer division both engines compute
+    * identically.
     */
   val q55PromoRatio: Q = Q(
     "q55_promo_ratio",
@@ -196,7 +204,7 @@ object Joins {
     val p = Tables.load(s, dir, "part")
     val revCents = floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
       * 100d + 0.5d).cast("long")
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .select(
         year(col("l_shipdate")).cast("long").as("yr"),
         month(col("l_shipdate")).cast("long").as("mo"),
