@@ -54,6 +54,14 @@ object TextHash {
       s"ELSE [$fold for g in [array_to_string($toksCol, ' ')]] END)"
   }
 
+  /** DuckDB: full-text polynomial fingerprint — the `graft_poly_hash`
+    * (mult=31) / `graft_poly_hash2` (mult=131) fold, same arithmetic.
+    */
+  def polyHashDuck(textCol: String, mult: Long = 31L): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[CAST(ascii(c) AS BIGINT) for c in string_split($textCol, '')]), " +
+      s"(a, b) -> (a * $mult + b) % $P)"
+
   /** DuckDB: same token-hash list. */
   def tokenHashesDuck(textCol: String): String =
     s"[list_reduce(list_prepend(CAST(0 AS BIGINT), " +

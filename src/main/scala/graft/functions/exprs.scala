@@ -43,11 +43,49 @@ case class PolyHash(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_poly_hash2(s)`: the same code-point fold with multiplier 131.
+  * An independent second fingerprint: the pair (graft_poly_hash,
+  * graft_poly_hash2) is a ~60-bit composite content key, enough for
+  * canonicalization to group/join on fixed-width ints instead of raw
+  * text (a production deployment would widen to a 128-bit hash; the
+  * oracle dialect limits us to arithmetic both engines can spell).
+  */
+case class PolyHash2(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_poly_hash2"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hash2(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PolyHash.hash2($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash2 =
+    copy(child = newChild)
+}
+
 object PolyHash {
   /** Shared by interpreted + codegen paths. Folds over code points so
     * non-ASCII text hashes identically to the oracle's ascii(c) fold.
     */
   def hash(s: UTF8String): Long = continueHash(0L, s)
+
+  /** Second-fingerprint fold (multiplier 131; 131·2^30 < 2^38, exact
+    * in int64 like the 31-fold).
+    */
+  def hash2(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 131L + cp.toLong) % TextHash.P
+      i += Character.charCount(cp)
+    }
+    h
+  }
 
   /** Continue a fold across a part boundary (used by ShingleHashes). */
   def continueHash(h0: Long, s: UTF8String): Long = {
@@ -428,6 +466,7 @@ case class DocPairs(child: Expression)
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_poly_hash" -> (es => PolyHash(es.head)),
+    "graft_poly_hash2" -> (es => PolyHash2(es.head)),
     "graft_minhash_sig" -> (es => MinHashSig(es.head)),
     "graft_simhash" -> (es => SimHash(es.head)),
     "graft_shingle_hashes" -> (es => ShingleHashes(es.head, es(1))),

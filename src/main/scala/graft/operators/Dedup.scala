@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   *  - exact dedup = one hash aggregation on the full text (or its
   *    fingerprint) — single shuffle;
   *  - near-dup pair search canonicalizes exact duplicates FIRST (group
-  *    by text → min doc_id): on a corpus with heavy exact duplication,
+  *    by a 2×30-bit content fingerprint → min doc_id, text carried as
+  *    payload): on a corpus with heavy exact duplication,
   *    posting lists and band buckets otherwise grow with the copy count
   *    and pair generation goes quadratic (measured 170× on a 10×
   *    replicated corpus). Dedup-then-near-dup is the required pipeline
@@ -54,15 +55,23 @@ object Dedup {
   private val gramHashesDuck: String =
     s"list_distinct(${shingleHashesDuck("toks")})"
 
-  /** DuckDB CTE chain `canon, d, post, cand`: exact-canonicalized docs →
-    * distinct shingle hashes → posting list → candidate pairs with
-    * columns (doc_a, doc_b, sz_a, sz_b, inter). Shared by the Jaccard
-    * pair query and the connected-components clustering oracle.
+  /** DuckDB CTE chain `fdoc, canon, d, post, cand`: fingerprinted docs →
+    * exact-canonicalized docs (grouped on the 2×30-bit fingerprint, text
+    * carried as arg_min payload — mirror of [[canonicalDocs]]) → distinct
+    * shingle hashes → posting list → candidate pairs with columns
+    * (doc_a, doc_b, sz_a, sz_b, inter). Shared by the Jaccard pair query
+    * and the connected-components clustering oracle.
     */
   private val pairCtesDuck: String =
-    s"""canon AS (
-       |  SELECT MIN(doc_id) AS doc_id, lang, text
-       |  FROM documents GROUP BY text, lang),
+    s"""fdoc AS (
+       |  SELECT doc_id, lang, text,
+       |    ${polyHashDuck("text")} AS fp,
+       |    ${polyHashDuck("text", 131L)} AS fp2
+       |  FROM documents),
+       |canon AS (
+       |  SELECT MIN(doc_id) AS doc_id, lang, fp, fp2,
+       |    arg_min(text, doc_id) AS text
+       |  FROM fdoc GROUP BY fp, fp2, lang),
        |d AS (
        |  SELECT doc_id, lang, $gramHashesDuck AS ghs
        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM canon)),
@@ -74,19 +83,34 @@ object Dedup {
        |    ON p1.gh = p2.gh AND p1.lang = p2.lang AND p1.doc_id < p2.doc_id
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
-  /** Exact-dedup canonicalization: one representative doc per (text,
-    * lang) — the mandatory first stage of every near-dup pipeline (see
-    * the object Scaladoc).
+  /** Adds the 2×30-bit content fingerprint (independent 31/131
+    * polynomial folds — ~60 bits combined). Map-side, codegen'd, one
+    * pass over the text per fold.
+    */
+  private def withFingerprint(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.withColumn("fp", expr("graft_poly_hash(text)"))
+      .withColumn("fp2", expr("graft_poly_hash2(text)"))
+
+  /** Exact-dedup canonicalization: one representative doc per content
+    * fingerprint × lang — the mandatory first stage of every near-dup
+    * pipeline (see the object Scaladoc).
     *
-    * This groupBy is the pipeline's single text-volume shuffle, and it
-    * is the floor: exact dedup must route equal texts to one reducer
-    * (dedup by 30-bit fingerprint instead would need a join back to
-    * fetch canonical texts — the same text volume through a different
-    * shuffle). Everything downstream of this point shuffles 8-byte
-    * shingle/band hashes only.
+    * Fingerprint-first: the groupBy keys are (fp, fp2, lang) — three
+    * fixed-width ints — with the text riding along as a `min_by`
+    * payload. The text bytes still cross the wire exactly once (that is
+    * the floor for any exact dedup), but the shuffle SORTS AND COMPARES
+    * 8-byte keys instead of kilobyte strings, which is the difference
+    * that matters at 100 TB. Everything downstream shuffles 8-byte
+    * shingle/band hashes only. A fingerprint collision (two texts, one
+    * key — ~2^-60 per pair here; production would widen to 128-bit)
+    * merges the pair in BOTH engines: the oracle runs the identical
+    * arithmetic.
     */
   private def canonicalDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs.groupBy(col("text"), col("lang")).agg(min(col("doc_id")).as("doc_id"))
+    withFingerprint(docs)
+      .groupBy(col("fp"), col("fp2"), col("lang"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
 
   /** Candidate near-dup pairs (doc_a, doc_b, sz_a, sz_b, inter) over
     * canonical docs via the grouped-posting-list inverted index.
@@ -172,8 +196,8 @@ object Dedup {
        |cc AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
        |mapped AS (
        |  SELECT d.doc_id, cc.cluster_id
-       |  FROM documents d
-       |  JOIN canon c ON d.text = c.text AND d.lang = c.lang
+       |  FROM fdoc d
+       |  JOIN canon c ON d.fp = c.fp AND d.fp2 = c.fp2 AND d.lang = c.lang
        |  JOIN cc ON cc.v = c.doc_id)
        |SELECT doc_id, cluster_id,
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_sz
@@ -191,12 +215,14 @@ object Dedup {
     // the edge set, not the corpus.
     val cc = Graph.connectedComponents(pairs.toDF("src", "dst"))
       .select(col("v").as("canon_key"), col("component").as("cc_id"))
-    // join back on (text, lang) — at corpus scale this key would be the
-    // 64-bit fingerprint, not the raw text. Left join + coalesce: docs
-    // whose canonical has no edges keep the canonical id as cluster id.
-    val mapped = docs.select(col("doc_id"), col("text"), col("lang"))
-      .join(canon.select(col("text"), col("lang"), col("doc_id").as("canon_id")),
-        Seq("text", "lang"))
+    // join back on the fingerprint — three 8-byte keys, never raw text.
+    // Left join + coalesce: docs whose canonical has no edges keep the
+    // canonical id as cluster id.
+    val mapped = withFingerprint(docs)
+      .select(col("doc_id"), col("fp"), col("fp2"), col("lang"))
+      .join(canon.select(col("fp"), col("fp2"), col("lang"),
+          col("doc_id").as("canon_id")),
+        Seq("fp", "fp2", "lang"))
       .join(cc, col("canon_id") === col("canon_key"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("cc_id"), col("canon_id")).as("cluster_id"))
@@ -241,8 +267,10 @@ object Dedup {
         .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH canon AS (
-         |  SELECT MIN(doc_id) AS doc_id, text
-         |  FROM documents GROUP BY text),
+         |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+         |  FROM (SELECT doc_id, text, ${polyHashDuck("text")} AS fp,
+         |    ${polyHashDuck("text", 131L)} AS fp2 FROM documents)
+         |  GROUP BY fp, fp2),
          |s AS (${sigSelectDuck("canon")}),
          |banded AS (
          |  SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")},
@@ -263,8 +291,10 @@ object Dedup {
       .mkString(" + ")
     s.sql(
       s"""WITH canon AS (
-         |  SELECT MIN(doc_id) AS doc_id, text
-         |  FROM documents GROUP BY text),
+         |  SELECT MIN(doc_id) AS doc_id, min_by(text, doc_id) AS text
+         |  FROM (SELECT doc_id, text, graft_poly_hash(text) AS fp,
+         |    graft_poly_hash2(text) AS fp2 FROM documents)
+         |  GROUP BY fp, fp2),
          |s AS (${sigSelectSpark("canon")}),
          |banded AS (
          |  SELECT doc_id, $sigCols, band_key

@@ -359,8 +359,12 @@ object VectorSearch {
       .groupBy(col("cid"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, mval))), x -> x.mval)")
         .as("mv"))
+      // hoist the norm out of the lambda: inside `transform` the dot
+      // would re-evaluate per element — O(dim²) per centroid
+      .select(col("cid"), col("mv"),
+        sqrt(expr(dotSpark("mv", "mv"))).as("cnorm"))
       .select(col("cid"),
-        expr(s"transform(mv, x -> x / sqrt(${dotSpark("mv", "mv")}))").as("cv"))
+        expr("transform(mv, x -> x / cnorm)").as("cv"))
     argmaxAssign(nv, cent1)
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"))
