@@ -11,24 +11,43 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by distributed min-label propagation.
+  /** Propagation rounds before [[connectedComponents]] hands off to the
+    * O(log n) star contraction: near-dup cluster graphs have tiny
+    * diameters (2-4), so propagation normally converges well inside
+    * this budget with one cheap round per hop; anything still moving
+    * after this many rounds is a long-chain graph where contraction's
+    * doubling wins.
+    */
+  val PropRoundBudget: Int = 6
+
+  /** Hard cap on star-contraction rounds (2^64 vertices would converge
+    * in 64; hitting this means a bug, not a big graph).
+    */
+  private val StarRoundCap: Int = 64
+
+  /** Rounds the last [[connectedComponentsStar]] call took — test
+    * observability for the O(log n) convergence contract.
+    */
+  @volatile private[graft] var lastStarRounds: Int = 0
+
+  /** Connected components: (v, component) for every vertex appearing in
+    * `edges0` (either orientation; self-loops allowed), where
+    * `component` is the minimum vertex id in v's component.
     *
-    * @param edges one row per edge with columns (src, dst), either
-    *              orientation; both orientations are derived internally.
-    * @return (v, component) for every vertex that appears in `edges`,
-    *         where `component` is the minimum vertex id reachable from
-    *         `v`. Vertices with no edges are the caller's concern (they
-    *         are trivially their own component and must not pay for the
-    *         iteration — see [[Dedup.extDedupCluster]]).
+    * Hybrid strategy: min-label propagation — one shuffle join
+    * (edges ⋈ labels) plus one min-aggregation per round, the right
+    * cost model for the small-diameter graphs dedup produces — with a
+    * handoff to alternating large-star/small-star contraction
+    * ([[connectedComponentsStar]], O(log n) rounds) if the graph is
+    * still moving after [[PropRoundBudget]] rounds, seeding the
+    * contraction with the labels learned so far (v → lbl edges preserve
+    * reachability, so no progress is lost).
     *
-    * Each round is one shuffle join (edges ⋈ labels) plus one
-    * min-aggregation; a lazy `localCheckpoint` truncates lineage and the
-    * convergence probe (the monotonically decreasing label sum reaching
-    * a fixpoint) materializes it in the same action. Rounds = graph
-    * diameter — right for the small-diameter cluster graphs dedup
-    * produces; a corpus with adversarial chain-shaped components would
-    * swap in alternating large-star/small-star contraction (O(log n)
-    * rounds) behind this same signature.
+    * Convergence is detected by counting changed labels (join next vs
+    * prev on v) — exact and overflow-proof at any corpus scale, unlike
+    * a label-sum fixpoint probe, which can wrap in int64 and terminate
+    * early on a collision. `localCheckpoint` truncates lineage between
+    * rounds; the count action materializes it in the same job.
     */
   def connectedComponents(edges0: DataFrame): DataFrame = {
     val fwd = edges0.select(col("src").cast("long"), col("dst").cast("long"))
@@ -37,26 +56,102 @@ object Graph {
     var labels = edges
       .select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
-      .localCheckpoint(false) // lazy: the sum action below materializes it
-    var lblSum = Option(labels.agg(sum(col("lbl"))).head.get(0))
-      .map(_.asInstanceOf[Long])
-    var converged = lblSum.isEmpty
-    while (!converged) {
+      .localCheckpoint(false) // lazy: the probe action below materializes it
+    var converged = labels.isEmpty
+    var rounds = 0
+    while (!converged && rounds < PropRoundBudget) {
       val prop = edges
         .join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
       val next = labels.union(prop)
         .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(false) // one job per round: checkpoint + sum together
-      val nextSum = Option(next.agg(sum(col("lbl"))).head.get(0))
-        .map(_.asInstanceOf[Long])
-      if (nextSum == lblSum) converged = true
+        .localCheckpoint(false) // one job per round: checkpoint + probe together
+      val changed = next
+        .join(labels.select(col("v"), col("lbl").as("prev")), "v")
+        .filter(col("lbl") =!= col("prev"))
+      if (changed.isEmpty) converged = true
       // superseded rounds' checkpoint blocks are reclaimed by the
       // ContextCleaner once the old `labels` reference drops here (no
       // public API frees localCheckpoint blocks eagerly)
-      else { lblSum = nextSum; labels = next }
+      else labels = next
+      rounds += 1
     }
-    edges.unpersist()
-    labels.select(col("v"), col("lbl").as("component"))
+    if (converged) {
+      edges.unpersist()
+      labels.select(col("v"), col("lbl").as("component"))
+    } else {
+      // long-chain graph: contraction finishes in O(log n) rounds where
+      // propagation would need one per remaining hop
+      val seed = fwd.union(labels.filter(col("v") =!= col("lbl"))
+        .select(col("v").as("src"), col("lbl").as("dst")))
+      val out = connectedComponentsStar(seed)
+      edges.unpersist()
+      out
+    }
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction — O(log n) rounds regardless of diameter (the
+    * two-operation alternation of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14).
+    *
+    * Each round:
+    *  - large-star: every vertex points its strictly LARGER neighbors
+    *    at the minimum of its closed neighborhood — long chains halve;
+    *  - small-star: every vertex points its smaller neighbors and
+    *    itself at its minimum neighbor — partial stars flatten.
+    *
+    * Both steps are a groupBy-min plus an equi-join on the vertex id —
+    * 8-byte keys, no neighbor-list materialization beyond the grouped
+    * aggregate, so a round costs a constant number of shuffles of the
+    * (shrinking) edge set. The edge set stays oriented big → small,
+    * monotonically approaching a star forest whose centers are the
+    * component minima; convergence = the edge set reaching a fixpoint
+    * (checked with two anti-joins, no counters to overflow).
+    */
+  def connectedComponentsStar(edges0: DataFrame): DataFrame = {
+    val raw = edges0.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    // the contract covers every vertex mentioned in the input, including
+    // self-loop-only vertices that the contraction itself never sees
+    val verts = raw.select(col("u").as("v0"))
+      .union(raw.select(col("v").as("v0"))).distinct()
+      .localCheckpoint(false)
+    var edges = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(false)
+    var done = edges.isEmpty
+    var rounds = 0
+    while (!done) {
+      rounds += 1
+      if (rounds > StarRoundCap)
+        throw new IllegalStateException(
+          s"star contraction exceeded $StarRoundCap rounds — not converging")
+      // large-star over the undirected neighborhood
+      val bidir = edges
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = bidir.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+      // small-star over the big→small orientation `large` guarantees
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(false)
+      val diff = next.join(edges, Seq("u", "v"), "left_anti")
+        .union(edges.join(next, Seq("u", "v"), "left_anti"))
+      done = diff.isEmpty
+      edges = next
+    }
+    lastStarRounds = rounds
+    // star forest: every leaf points at its component min; centers and
+    // isolated vertices label themselves
+    verts.join(edges.select(col("u"), col("v").as("ctr")),
+        col("v0") === col("u"), "left_outer")
+      .select(col("v0").as("v"), coalesce(col("ctr"), col("v0")).as("component"))
   }
 }

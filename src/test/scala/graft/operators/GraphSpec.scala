@@ -35,4 +35,38 @@ class GraphSpec extends AnyFunSuite {
     assert(cc(Seq(5L -> 6L, 6L -> 7L, 7L -> 5L, 7L -> 2L)) ===
       Map(2L -> 2L, 5L -> 2L, 6L -> 2L, 7L -> 2L))
   }
+
+  test("1000-vertex path: hybrid hands off to star contraction and is exact") {
+    // ids ordered along the path — the adversarial case where plain
+    // min-label propagation needs one round per hop (999 rounds)
+    val edges = (0L until 999L).map(i => i -> (i + 1))
+    val got = cc(edges)
+    assert(got.size === 1000)
+    assert(got.values.forall(_ == 0L))
+  }
+
+  test("star contraction alone converges in O(log n) rounds on the path") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    val got = Graph.connectedComponentsStar(
+        (0L until 999L).map(i => i -> (i + 1)).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 1000)
+    assert(got.values.forall(_ == 0L))
+    // log2(1000) ≈ 10; the alternation does better than one halving per
+    // round in practice, but pin the contract loosely
+    assert(Graph.lastStarRounds <= 12,
+      s"took ${Graph.lastStarRounds} rounds")
+  }
+
+  test("star contraction: disjoint components, self-loops, empty input") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    def star(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.connectedComponentsStar(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star(Seq(10L -> 7L, 20L -> 21L, 30L -> 30L)) ===
+      Map(7L -> 7L, 10L -> 7L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+    assert(star(Seq.empty).isEmpty)
+  }
 }
