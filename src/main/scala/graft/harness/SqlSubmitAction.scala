@@ -242,9 +242,19 @@ final class SqlSubmitAction(
     }
   }
 
+  /** Flink temporal joins (`FOR SYSTEM_TIME AS OF`) rewrite onto a
+    * LATERAL top-1 subquery; the versioned side's time attribute is its
+    * DDL watermark column (Flink requires the same declaration).
+    */
+  private def rewriteTemporalJoins(sql: String): String =
+    if (!TemporalJoin.hasTemporalJoin(sql)) sql
+    else TemporalJoin.rewrite(sql, t =>
+      sources.keys.find(_.equalsIgnoreCase(t)).map(sources)
+        .flatMap(_.watermark.map(_.column)))
+
   private def executeSelect(
       spark: SparkSession, config: EngineConfig, sql: String): Unit = {
-    val df = spark.sql(sql)
+    val df = spark.sql(rewriteTemporalJoins(sql))
     if (df.isStreaming) {
       val w = df.writeStream.format("console")
         .option("truncate", "false")
@@ -280,7 +290,7 @@ final class SqlSubmitAction(
 
   private def executeInsert(
       spark: SparkSession, config: EngineConfig, sql: String): Unit =
-    sql match {
+    rewriteTemporalJoins(sql) match {
       case InsertRe(rawTarget, colList, query) =>
         val target = DdlParser.unquoteName(rawTarget)
         val reorder: DataFrame => DataFrame = df =>

@@ -151,6 +151,53 @@ object Events {
         coalesce(col("ts_sec") - col("last_click_sec"), lit(-1L)).as("gap_sec"))
   }
 
+  /** Temporal join through the harness's Flink-syntax rewrite: the
+    * query is written with `FOR SYSTEM_TIME AS OF` (the form a Flink
+    * script submits verbatim, `SQLSubmitAction.java:76`), rewritten by
+    * [[graft.harness.TemporalJoin]] into a LATERAL top-1 subquery, and
+    * executed by Spark — proving the harness surface end-to-end under
+    * the oracle. The versioned side is one row per (user_id, second)
+    * (primary key + time attribute, as Flink requires), so the latest
+    * version at or before each purchase is unique and deterministic.
+    */
+  val q56Temporal: Q = Q(
+    "q56_temporal",
+    """WITH p AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id AS purchase_id, v.click_id AS click_id,
+      |  v.ts_sec AS version_sec
+      |FROM p JOIN LATERAL (
+      |  SELECT r.click_id, r.ts_sec FROM r
+      |  WHERE r.user_id = p.user_id AND r.ts_sec <= p.ts_sec
+      |  ORDER BY r.ts_sec DESC LIMIT 1
+      |) AS v ON TRUE""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_sec"))
+      .createOrReplaceTempView("tj_purchases")
+    ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_sec"))
+      .agg(max(col("event_id")).as("click_id"))
+      .createOrReplaceTempView("tj_versions")
+    val flinkSql =
+      """SELECT p.event_id AS purchase_id, v.click_id AS click_id,
+        |  v.ts_sec AS version_sec
+        |FROM tj_purchases p
+        |JOIN tj_versions FOR SYSTEM_TIME AS OF p.ts_sec AS v
+        |ON v.user_id = p.user_id""".stripMargin
+    s.sql(graft.harness.TemporalJoin.rewrite(flinkSql,
+      Map("tj_versions" -> "ts_sec").get))
+  }
+
   /** Interval join: clicks within the hour before each purchase, by the
     * same user — equi-join on user_id plus a time-range predicate, the
     * batch analog of a stream-stream interval join. Shuffles once on
@@ -328,5 +375,5 @@ object Events {
 
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
-    q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel)
+    q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal)
 }

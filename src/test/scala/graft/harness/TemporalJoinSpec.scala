@@ -1,0 +1,95 @@
+package graft.harness
+
+import java.nio.file.Files
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Flink `FOR SYSTEM_TIME AS OF` surface: text rewrite unit cases
+  * plus an end-to-end temporal-join script through `sql-submit` with the
+  * versioned table's time attribute taken from its DDL watermark.
+  */
+class TemporalJoinSpec extends AnyFunSuite {
+
+  private val attr = Map("rates" -> "rt").get _
+
+  test("inner temporal join becomes a LATERAL top-1 subquery") {
+    val sql = "SELECT o.k, r.rate FROM orders o " +
+      "JOIN rates FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k WHERE o.k > 0"
+    val out = TemporalJoin.rewrite(sql, attr)
+    assert(out.contains(
+      "JOIN LATERAL (SELECT * FROM rates AS r WHERE (r.k = o.k) " +
+        "AND r.rt <= o.ot ORDER BY r.rt DESC LIMIT 1) AS r ON TRUE"))
+    // the trailing clause must survive untouched
+    assert(out.endsWith("WHERE o.k > 0"))
+  }
+
+  test("LEFT JOIN keeps unmatched left rows; AS keyword optional") {
+    val sql = "SELECT * FROM o LEFT JOIN rates FOR SYSTEM_TIME AS OF o.t r " +
+      "ON r.k = o.k"
+    val out = TemporalJoin.rewrite(sql, attr)
+    assert(out.contains("LEFT OUTER JOIN LATERAL"))
+    assert(out.contains("ORDER BY r.rt DESC LIMIT 1) AS r ON TRUE"))
+  }
+
+  test("ON scan stops at the next join; both temporal joins rewrite") {
+    val sql = "SELECT * FROM o " +
+      "JOIN rates FOR SYSTEM_TIME AS OF o.t AS r ON r.k = o.k " +
+      "JOIN rates FOR SYSTEM_TIME AS OF o.t AS r2 ON r2.k = o.k2"
+    val out = TemporalJoin.rewrite(sql, attr)
+    assert(!TemporalJoin.hasTemporalJoin(out))
+    assert(out.contains("WHERE (r.k = o.k) AND"))
+    assert(out.contains("WHERE (r2.k = o.k2) AND"))
+  }
+
+  test("a table without an event-time attribute is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.rewrite(
+        "SELECT * FROM o JOIN x FOR SYSTEM_TIME AS OF o.t AS r ON r.k = o.k",
+        _ => None)
+    }
+    assert(e.getMessage.contains("WATERMARK"))
+  }
+
+  test("e2e: temporal-join script runs through sql-submit") {
+    val spark = SparkFixture.spark
+    val dir = Files.createTempDirectory("graft-tj").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, TIMESTAMP'2024-01-01 00:00:15'),
+        |  (1L, TIMESTAMP'2024-01-01 00:00:25'),
+        |  (2L, TIMESTAMP'2024-01-01 00:00:15')
+        |AS t(k, ot)""".stripMargin).write.parquet(s"$dir/orders")
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, 100L, TIMESTAMP'2024-01-01 00:00:10'),
+        |  (1L, 200L, TIMESTAMP'2024-01-01 00:00:20')
+        |AS t(k, rate, rt)""".stripMargin).write.parquet(s"$dir/rates")
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table orders(k bigint, ot timestamp(3)) with (
+         |  'connector' = 'filesystem', 'path' = '$dir/orders',
+         |  'format' = 'parquet');
+         |create table rates(
+         |  k bigint, rate bigint, rt timestamp(3),
+         |  watermark for rt as rt - interval '1' second
+         |) with (
+         |  'connector' = 'filesystem', 'path' = '$dir/rates',
+         |  'format' = 'parquet');
+         |create table joined(k bigint, rate bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$dir/joined',
+         |  'format' = 'parquet');
+         |insert into joined
+         |select o.k, r.rate from orders o
+         |join rates for system_time as of o.ot as r on r.k = o.k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-tj-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    val got = spark.read.parquet(s"$dir/joined")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    // order@15 sees the rate as of :10; order@25 the rate as of :20;
+    // k=2 has no version and the inner temporal join drops it
+    assert(got === Seq(1L -> 100L, 1L -> 200L))
+  }
+}
