@@ -94,4 +94,25 @@ class ScriptParserSpec extends AnyFunSuite {
       assert(StatementType.fromStatement(sql) == expected, s"for: $sql")
     }
   }
+
+  test("hdfs-style scheme loads through the one Hadoop FS code path") {
+    // SQLSubmitAction.java:163-186 branches file:// vs hdfs://; our
+    // loadStatements dispatches on the URI scheme through the Hadoop FS
+    // API. Pin the non-file branch with a registered scheme backed by
+    // a local-disk FS — same dispatch an hdfs:// URI takes, no
+    // namenode needed.
+    val f = java.nio.file.Files.createTempFile("graft-script-", ".sql")
+    java.nio.file.Files.writeString(f, "SELECT 1;\nSELECT 2;\n")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.mockdfs.impl", classOf[MockDfsFileSystem].getName)
+    val st = ScriptParser.loadStatements(
+      s"mockdfs://localhost$f", Map.empty, conf)
+    assert(st.map(_.sql) == Vector("SELECT 1", "SELECT 2"))
+    // a missing path surfaces the reference's error text, not an FS error
+    val e = intercept[IllegalArgumentException] {
+      ScriptParser.loadStatements(
+        "mockdfs://localhost/no/such/script.sql", Map.empty, conf)
+    }
+    assert(e.getMessage.contains("dose not exists"))
+  }
 }
