@@ -253,6 +253,28 @@ object Events {
       .filter(col("k_value") >= 50)
   }
 
+  /** Schema'd JSON extraction: one `from_json` with a declared schema
+    * parses `props` once into a struct, then aggregates on the typed
+    * field — the vectorizable 100 TB path (q32 keeps the per-path
+    * `get_json_object` form the reference scripts use; a plan-audit
+    * spec pins this one to a single JsonToStructs in the plan).
+    */
+  val q57JsonSchema: Q = Q(
+    "q57_json_schema",
+    """SELECT k_value, COUNT(*) AS n_events
+      |FROM (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+      |  FROM events)
+      |GROUP BY k_value""".stripMargin) { (s, dir) =>
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
+    Tables.load(s, dir, "events")
+      .select(from_json(col("props"), schema).getField("k").as("k_value"))
+      .groupBy(col("k_value"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Pivot-style conditional aggregation: event-type counts per user. */
   val q33Pivot: Q = Q(
     "q33_pivot",
@@ -375,5 +397,6 @@ object Events {
 
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
-    q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal)
+    q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
+    q57JsonSchema)
 }

@@ -25,4 +25,12 @@ class PlanAuditSpec extends AnyFunSuite {
   test("flagship entry returns rows at sf0.001 (driver smoke contract)") {
     assert(SparkEntry.entry(SparkFixture.spark).count() > 0)
   }
+
+  test("schema'd JSON query parses props exactly once (single JsonToStructs)") {
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("q57_json_schema")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val parses = "from_json".r.findAllIn(plan).size
+    assert(parses == 1, s"expected one from_json in:\n$plan")
+  }
 }
