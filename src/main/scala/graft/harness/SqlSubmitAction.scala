@@ -242,15 +242,17 @@ final class SqlSubmitAction(
     }
   }
 
-  /** Flink temporal joins (`FOR SYSTEM_TIME AS OF`) rewrite onto a
-    * LATERAL top-1 subquery; the versioned side's time attribute is its
-    * DDL watermark column (Flink requires the same declaration).
+  /** Flink temporal joins (`FOR SYSTEM_TIME AS OF`) rewrite onto an
+    * interval-ized version-table join; the versioned side's time
+    * attribute and primary key come from its DDL (Flink requires the
+    * same declarations of a versioned table).
     */
   private def rewriteTemporalJoins(sql: String): String =
     if (!TemporalJoin.hasTemporalJoin(sql)) sql
     else TemporalJoin.rewrite(sql, t =>
       sources.keys.find(_.equalsIgnoreCase(t)).map(sources)
-        .flatMap(_.watermark.map(_.column)))
+        .flatMap(d => d.watermark.map(wm =>
+          TemporalJoin.VersionMeta(wm.column, d.primaryKey))))
 
   private def executeSelect(
       spark: SparkSession, config: EngineConfig, sql: String): Unit = {

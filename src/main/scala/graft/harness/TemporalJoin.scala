@@ -10,19 +10,35 @@ import graft.harness.ddl.DdlParser
   *
   * {{{ [LEFT] JOIN versioned FOR SYSTEM_TIME AS OF l.t AS v ON <cond> }}}
   *
-  * into a correlated LATERAL top-1 subquery over the versioned table:
-  * for each left row, the latest version with `v.<time> <= l.t` that
-  * satisfies the join condition — exactly Flink's event-time temporal
-  * join semantics (INNER drops unmatched left rows, LEFT keeps them).
-  * Catalyst decorrelates the LIMIT-1 lateral into a ranked join, so the
-  * plan shuffles once on the correlated keys — no per-row re-scan.
+  * into a join against the INTERVAL-IZED version table: one window pass
+  * (`LEAD(time) OVER (PARTITION BY pk ORDER BY time)`) turns each
+  * version row into a validity interval `[__vstart, __vend)`, and the
+  * temporal join becomes the original equi condition plus a range
+  * predicate — for each left row exactly the latest version at or
+  * before its time, which is Flink's event-time temporal-join
+  * semantics (INNER drops unmatched left rows, LEFT keeps them).
   *
-  * The versioned table's event-time attribute comes from its DDL
-  * watermark (Flink requires the same declaration), resolved through
-  * the `timeAttrOf` callback so the rewrite stays independent of the
-  * harness catalog.
+  * Scale shape: the window shuffles only the version table on its
+  * primary key, and the join stays a key-partitioned equi join with a
+  * residual range filter. The tempting alternative — a correlated
+  * LATERAL `ORDER BY time DESC LIMIT 1` subquery — decorrelates into a
+  * domain join (distinct left times × the whole version table, a
+  * BroadcastNestedLoopJoin): quadratic, measured as a timeout at
+  * sf0.1 where the interval form runs in under a second.
+  *
+  * The versioned table's event-time attribute and primary key come
+  * from its DDL (WATERMARK + PRIMARY KEY — the same declarations Flink
+  * requires of a versioned table), resolved through the `versionOf`
+  * callback so the rewrite stays independent of the harness catalog.
+  * The interval columns ride along as `__vstart`/`__vend` on the
+  * version alias; explicit projections never see them.
   */
 object TemporalJoin {
+
+  /** A versioned table's temporal metadata: event-time column and the
+    * key that versions are ordered within.
+    */
+  final case class VersionMeta(timeCol: String, primaryKey: Seq[String])
 
   private val Ident = raw"(?:`[^`]+`|[A-Za-z_]\w*)"
   private val Dotted = s"$Ident(?:\\.$Ident)*"
@@ -41,30 +57,38 @@ object TemporalJoin {
   def hasTemporalJoin(sql: String): Boolean =
     MarkerRe.findFirstIn(sql).isDefined
 
-  /** Rewrites every temporal join in `sql`; `timeAttrOf` maps an
-    * (unquoted) table name to its event-time column. Throws if a
-    * temporal join references a table without one — same contract as
-    * Flink, which rejects temporal joins on non-versioned tables.
+  /** Rewrites every temporal join in `sql`; `versionOf` maps an
+    * (unquoted) table name to its temporal metadata. Throws if a
+    * temporal join references a table without a time attribute or
+    * primary key — same contract as Flink, which rejects temporal
+    * joins on non-versioned tables.
     */
-  def rewrite(sql: String, timeAttrOf: String => Option[String]): String = {
+  def rewrite(sql: String, versionOf: String => Option[VersionMeta]): String = {
     var out = sql
     var next = JoinRe.findFirstMatchIn(out)
     while (next.isDefined) {
       val m = next.get
       val joinKw = m.group(1).toUpperCase
       val table = m.group(2)
-      val asOfExpr = m.group(3)
+      val asOf = m.group(3)
       val alias = m.group(4)
       val (cond, condEnd) = scanOnCondition(out, m.end)
       val tbl = DdlParser.unquoteName(table)
-      val ts = timeAttrOf(tbl).getOrElse(throw new IllegalArgumentException(
+      val meta = versionOf(tbl).getOrElse(throw new IllegalArgumentException(
         s"Temporal join over '$tbl' requires an event-time attribute " +
           "(declare WATERMARK FOR <col> in its DDL)"))
+      if (meta.primaryKey.isEmpty) throw new IllegalArgumentException(
+        s"Temporal join over '$tbl' requires a PRIMARY KEY " +
+          "(versions are ordered within it)")
+      val ts = meta.timeCol
+      val pk = meta.primaryKey.mkString(", ")
       val outerKw = if (joinKw.startsWith("LEFT")) "LEFT OUTER JOIN" else "JOIN"
       val replacement =
-        s"$outerKw LATERAL (SELECT * FROM $table AS $alias " +
-          s"WHERE ($cond) AND $alias.$ts <= $asOfExpr " +
-          s"ORDER BY $alias.$ts DESC LIMIT 1) AS $alias ON TRUE"
+        s"$outerKw (SELECT *, $ts AS __vstart, " +
+          s"LEAD($ts) OVER (PARTITION BY $pk ORDER BY $ts) AS __vend " +
+          s"FROM $table) AS $alias " +
+          s"ON ($cond) AND $asOf >= $alias.__vstart " +
+          s"AND ($alias.__vend IS NULL OR $asOf < $alias.__vend)"
       // trailing space: condEnd sits directly on the next clause keyword
       out = out.substring(0, m.start) + replacement + " " + out.substring(condEnd)
       next = JoinRe.findFirstMatchIn(out)

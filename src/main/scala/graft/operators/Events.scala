@@ -154,11 +154,12 @@ object Events {
   /** Temporal join through the harness's Flink-syntax rewrite: the
     * query is written with `FOR SYSTEM_TIME AS OF` (the form a Flink
     * script submits verbatim, `SQLSubmitAction.java:76`), rewritten by
-    * [[graft.harness.TemporalJoin]] into a LATERAL top-1 subquery, and
-    * executed by Spark — proving the harness surface end-to-end under
-    * the oracle. The versioned side is one row per (user_id, second)
-    * (primary key + time attribute, as Flink requires), so the latest
-    * version at or before each purchase is unique and deterministic.
+    * [[graft.harness.TemporalJoin]] into an interval-ized version-table
+    * join, and executed by Spark — proving the harness surface
+    * end-to-end under the oracle. The versioned side is one row per
+    * (user_id, second) (primary key + time attribute, as Flink
+    * requires), so the latest version at or before each purchase is
+    * unique and deterministic.
     */
   val q56Temporal: Q = Q(
     "q56_temporal",
@@ -195,7 +196,8 @@ object Events {
         |JOIN tj_versions FOR SYSTEM_TIME AS OF p.ts_sec AS v
         |ON v.user_id = p.user_id""".stripMargin
     s.sql(graft.harness.TemporalJoin.rewrite(flinkSql,
-      Map("tj_versions" -> "ts_sec").get))
+      Map("tj_versions" ->
+        graft.harness.TemporalJoin.VersionMeta("ts_sec", Seq("user_id"))).get))
   }
 
   /** Interval join: clicks within the hour before each purchase, by the

@@ -2,23 +2,27 @@ package graft.harness
 
 import java.nio.file.Files
 import graft.SparkFixture
+import graft.harness.TemporalJoin.VersionMeta
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The Flink `FOR SYSTEM_TIME AS OF` surface: text rewrite unit cases
   * plus an end-to-end temporal-join script through `sql-submit` with the
-  * versioned table's time attribute taken from its DDL watermark.
+  * versioned table's time attribute and primary key taken from its DDL.
   */
 class TemporalJoinSpec extends AnyFunSuite {
 
-  private val attr = Map("rates" -> "rt").get _
+  private val attr = Map("rates" -> VersionMeta("rt", Seq("k"))).get _
 
-  test("inner temporal join becomes a LATERAL top-1 subquery") {
+  test("inner temporal join becomes an interval-ized version join") {
     val sql = "SELECT o.k, r.rate FROM orders o " +
       "JOIN rates FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k WHERE o.k > 0"
     val out = TemporalJoin.rewrite(sql, attr)
     assert(out.contains(
-      "JOIN LATERAL (SELECT * FROM rates AS r WHERE (r.k = o.k) " +
-        "AND r.rt <= o.ot ORDER BY r.rt DESC LIMIT 1) AS r ON TRUE"))
+      "JOIN (SELECT *, rt AS __vstart, " +
+        "LEAD(rt) OVER (PARTITION BY k ORDER BY rt) AS __vend " +
+        "FROM rates) AS r " +
+        "ON (r.k = o.k) AND o.ot >= r.__vstart " +
+        "AND (r.__vend IS NULL OR o.ot < r.__vend)"))
     // the trailing clause must survive untouched
     assert(out.endsWith("WHERE o.k > 0"))
   }
@@ -27,8 +31,8 @@ class TemporalJoinSpec extends AnyFunSuite {
     val sql = "SELECT * FROM o LEFT JOIN rates FOR SYSTEM_TIME AS OF o.t r " +
       "ON r.k = o.k"
     val out = TemporalJoin.rewrite(sql, attr)
-    assert(out.contains("LEFT OUTER JOIN LATERAL"))
-    assert(out.contains("ORDER BY r.rt DESC LIMIT 1) AS r ON TRUE"))
+    assert(out.contains("LEFT OUTER JOIN (SELECT *, rt AS __vstart"))
+    assert(out.contains("(r.__vend IS NULL OR o.t < r.__vend)"))
   }
 
   test("ON scan stops at the next join; both temporal joins rewrite") {
@@ -37,17 +41,23 @@ class TemporalJoinSpec extends AnyFunSuite {
       "JOIN rates FOR SYSTEM_TIME AS OF o.t AS r2 ON r2.k = o.k2"
     val out = TemporalJoin.rewrite(sql, attr)
     assert(!TemporalJoin.hasTemporalJoin(out))
-    assert(out.contains("WHERE (r.k = o.k) AND"))
-    assert(out.contains("WHERE (r2.k = o.k2) AND"))
+    assert(out.contains("ON (r.k = o.k) AND"))
+    assert(out.contains("ON (r2.k = o.k2) AND"))
   }
 
-  test("a table without an event-time attribute is rejected") {
-    val e = intercept[IllegalArgumentException] {
+  test("tables without time attribute or primary key are rejected") {
+    val noTime = intercept[IllegalArgumentException] {
       TemporalJoin.rewrite(
         "SELECT * FROM o JOIN x FOR SYSTEM_TIME AS OF o.t AS r ON r.k = o.k",
         _ => None)
     }
-    assert(e.getMessage.contains("WATERMARK"))
+    assert(noTime.getMessage.contains("WATERMARK"))
+    val noPk = intercept[IllegalArgumentException] {
+      TemporalJoin.rewrite(
+        "SELECT * FROM o JOIN x FOR SYSTEM_TIME AS OF o.t AS r ON r.k = o.k",
+        _ => Some(VersionMeta("ts", Seq.empty)))
+    }
+    assert(noPk.getMessage.contains("PRIMARY KEY"))
   }
 
   test("e2e: temporal-join script runs through sql-submit") {
@@ -71,6 +81,7 @@ class TemporalJoinSpec extends AnyFunSuite {
          |  'format' = 'parquet');
          |create table rates(
          |  k bigint, rate bigint, rt timestamp(3),
+         |  primary key (k) not enforced,
          |  watermark for rt as rt - interval '1' second
          |) with (
          |  'connector' = 'filesystem', 'path' = '$dir/rates',
