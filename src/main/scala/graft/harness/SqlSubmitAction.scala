@@ -245,10 +245,18 @@ final class SqlSubmitAction(
   /** Flink temporal joins (`FOR SYSTEM_TIME AS OF`) rewrite onto an
     * interval-ized version-table join; the versioned side's time
     * attribute and primary key come from its DDL (Flink requires the
-    * same declarations of a versioned table).
+    * same declarations of a versioned table). Batch mode only: the
+    * rewrite windows over the version table, which Spark cannot do on
+    * a streaming relation — fail with the contract, not an analyzer
+    * message.
     */
-  private def rewriteTemporalJoins(sql: String): String =
+  private def rewriteTemporalJoins(config: EngineConfig, sql: String): String =
     if (!TemporalJoin.hasTemporalJoin(sql)) sql
+    else if (config.isStreaming)
+      throw new IllegalArgumentException(
+        "FOR SYSTEM_TIME AS OF is supported in batch runtime mode only " +
+          "(SET execution.runtime-mode = batch); the interval-ized " +
+          "rewrite needs a plain window over the version table")
     else TemporalJoin.rewrite(sql, t =>
       sources.keys.find(_.equalsIgnoreCase(t)).map(sources)
         .flatMap(d => d.watermark.map(wm =>
@@ -256,7 +264,7 @@ final class SqlSubmitAction(
 
   private def executeSelect(
       spark: SparkSession, config: EngineConfig, sql: String): Unit = {
-    val df = spark.sql(rewriteTemporalJoins(sql))
+    val df = spark.sql(rewriteTemporalJoins(config, sql))
     if (df.isStreaming) {
       val w = df.writeStream.format("console")
         .option("truncate", "false")
@@ -291,8 +299,9 @@ final class SqlSubmitAction(
   }
 
   private def executeInsert(
-      spark: SparkSession, config: EngineConfig, sql: String): Unit =
-    rewriteTemporalJoins(sql) match {
+      spark: SparkSession, config: EngineConfig, sql: String): Unit = {
+    val rewritten = rewriteTemporalJoins(config, sql)
+    rewritten match {
       case InsertRe(rawTarget, colList, query) =>
         val target = DdlParser.unquoteName(rawTarget)
         val reorder: DataFrame => DataFrame = df =>
@@ -332,11 +341,14 @@ final class SqlSubmitAction(
             }
           case None =>
             // not an engine sink — let Spark SQL handle the whole INSERT
-            spark.sql(sql)
+            // (still the rewritten text: temporal joins must not leak
+            // Flink syntax into the parser on this path either)
+            spark.sql(rewritten)
         }
       case _ =>
-        spark.sql(sql)
+        spark.sql(rewritten)
     }
+  }
 
   private def writeToSink(
       spark: SparkSession, config: EngineConfig,

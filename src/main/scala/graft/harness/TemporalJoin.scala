@@ -48,7 +48,7 @@ object TemporalJoin {
     * reference, the only form Flink's time-attribute rules admit.
     */
   private val JoinRe = (
-    raw"(?is)\b(LEFT\s+(?:OUTER\s+)?JOIN|INNER\s+JOIN|JOIN)\s+($Dotted)" +
+    raw"(?is)\b((?:LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN|INNER\s+JOIN|JOIN)\s+($Dotted)" +
       raw"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+($Dotted)" +
       raw"\s+(?:AS\s+)?($Ident)\s+ON\b").r
 
@@ -69,6 +69,12 @@ object TemporalJoin {
     while (next.isDefined) {
       val m = next.get
       val joinKw = m.group(1).toUpperCase
+      // Flink rejects right/full temporal joins; match them explicitly
+      // so they fail with the contract instead of half-rewriting
+      if (joinKw.startsWith("RIGHT") || joinKw.startsWith("FULL"))
+        throw new IllegalArgumentException(
+          s"${joinKw.split("\\s+").head} JOIN is not supported with " +
+            "FOR SYSTEM_TIME AS OF (only INNER and LEFT temporal joins)")
       val table = m.group(2)
       val asOf = m.group(3)
       val alias = m.group(4)
@@ -103,8 +109,11 @@ object TemporalJoin {
     "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "NATURAL")
 
   /** Consumes the ON condition starting at `from`: everything up to the
-    * next top-level clause keyword or end of statement, skipping over
-    * parenthesized groups and quoted literals/identifiers.
+    * next top-level clause keyword, an unmatched `)` (the join sits
+    * inside a subquery or CTE), or end of statement — skipping over
+    * parenthesized groups and quoted literals/identifiers. A stop
+    * keyword preceded by `.` is a qualified column segment (`o.left`),
+    * not a clause.
     */
   private def scanOnCondition(sql: String, from: Int): (String, Int) = {
     var i = from
@@ -113,13 +122,16 @@ object TemporalJoin {
     while (i < sql.length) {
       sql.charAt(i) match {
         case '(' => depth += 1; i += 1
+        case ')' if depth == 0 => end = i; i = sql.length
         case ')' => depth -= 1; i += 1
         case q @ ('\'' | '"' | '`') => i = skipQuoted(sql, i, q)
         case c if c.isLetter || c == '_' =>
           val s = i
           while (i < sql.length &&
             (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
-          if (depth == 0 && Stops(sql.substring(s, i).toUpperCase)) {
+          val qualified = s > 0 && sql.charAt(s - 1) == '.'
+          if (depth == 0 && !qualified &&
+            Stops(sql.substring(s, i).toUpperCase)) {
             end = s
             i = sql.length
           }

@@ -62,12 +62,20 @@ object Dedup {
     * (doc_a, doc_b, sz_a, sz_b, inter). Shared by the Jaccard pair query
     * and the connected-components clustering oracle.
     */
+  /** The one spelling (per dialect) of the content-fingerprint pair
+    * projection over `documents` — every canonicalization derives from
+    * these, so a fingerprint change cannot desynchronize a dialect.
+    */
+  private def fdocDuck(cols: String): String =
+    s"SELECT $cols, ${polyHashDuck("text")} AS fp, " +
+      s"${polyHashDuck("text", 131L)} AS fp2 FROM documents"
+
+  private def fdocSpark(cols: String): String =
+    s"SELECT $cols, graft_poly_hash(text) AS fp, " +
+      "graft_poly_hash2(text) AS fp2 FROM documents"
+
   private val pairCtesDuck: String =
-    s"""fdoc AS (
-       |  SELECT doc_id, lang, text,
-       |    ${polyHashDuck("text")} AS fp,
-       |    ${polyHashDuck("text", 131L)} AS fp2
-       |  FROM documents),
+    s"""fdoc AS (${fdocDuck("doc_id, lang, text")}),
        |canon AS (
        |  SELECT MIN(doc_id) AS doc_id, lang, fp, fp2,
        |    arg_min(text, doc_id) AS text
@@ -268,8 +276,7 @@ object Dedup {
         .mkString(" + ")
       s"""WITH canon AS (
          |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
-         |  FROM (SELECT doc_id, text, ${polyHashDuck("text")} AS fp,
-         |    ${polyHashDuck("text", 131L)} AS fp2 FROM documents)
+         |  FROM (${fdocDuck("doc_id, text")})
          |  GROUP BY fp, fp2),
          |s AS (${sigSelectDuck("canon")}),
          |banded AS (
@@ -292,8 +299,7 @@ object Dedup {
     s.sql(
       s"""WITH canon AS (
          |  SELECT MIN(doc_id) AS doc_id, min_by(text, doc_id) AS text
-         |  FROM (SELECT doc_id, text, graft_poly_hash(text) AS fp,
-         |    graft_poly_hash2(text) AS fp2 FROM documents)
+         |  FROM (${fdocSpark("doc_id, text")})
          |  GROUP BY fp, fp2),
          |s AS (${sigSelectSpark("canon")}),
          |banded AS (

@@ -45,6 +45,32 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out.contains("ON (r2.k = o.k2) AND"))
   }
 
+  test("temporal join inside a CTE stops the ON scan at the closing paren") {
+    val sql = "WITH x AS (SELECT o.k, r.rate FROM o " +
+      "JOIN rates FOR SYSTEM_TIME AS OF o.t AS r ON r.k = o.k) " +
+      "SELECT * FROM x WHERE k > 0"
+    val out = TemporalJoin.rewrite(sql, attr)
+    // the rewrite must stay inside the CTE body
+    assert(out.contains("(r.__vend IS NULL OR o.t < r.__vend) ) SELECT * FROM x"))
+    assert(out.endsWith("WHERE k > 0"))
+  }
+
+  test("qualified columns named like clause keywords do not cut the ON scan") {
+    val sql = "SELECT * FROM o " +
+      "JOIN rates FOR SYSTEM_TIME AS OF o.t AS r ON r.k = o.left AND r.g = o.order"
+    val out = TemporalJoin.rewrite(sql, attr)
+    assert(out.contains("ON (r.k = o.left AND r.g = o.order) AND"))
+  }
+
+  test("RIGHT/FULL temporal joins are rejected like Flink rejects them") {
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.rewrite(
+        "SELECT * FROM o RIGHT JOIN rates FOR SYSTEM_TIME AS OF o.t AS r ON r.k = o.k",
+        attr)
+    }
+    assert(e.getMessage.contains("RIGHT"))
+  }
+
   test("tables without time attribute or primary key are rejected") {
     val noTime = intercept[IllegalArgumentException] {
       TemporalJoin.rewrite(
