@@ -26,6 +26,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(SparkEntry.entry(SparkFixture.spark).count() > 0)
   }
 
+  test("temporal join plans as a key-partitioned join, not a nested loop") {
+    // the LATERAL top-1 form decorrelated into a domain
+    // BroadcastNestedLoopJoin (distinct times x version table) and
+    // timed out at sf0.1; the interval-ized rewrite must never plan one
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("q56_temporal")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+  }
+
   test("schema'd JSON query parses props exactly once (single JsonToStructs)") {
     val spark = SparkFixture.spark
     val plan = SparkEntry.queries("q57_json_schema")(spark, "/root/testdata/sf0.001")
