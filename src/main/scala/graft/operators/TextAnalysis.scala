@@ -273,7 +273,88 @@ object TextAnalysis {
         sum(col("s3")).cast("long").as("pass_stop"))
   }
 
+  /** Per-language corpus vocabulary statistics: document count, token
+    * volume, distinct vocabulary, and hapax legomena (tokens seen once
+    * — the Zipf tail a tokenizer/quality pipeline watches). Scale
+    * shape: one (lang, token) hash aggregation with map-side partials,
+    * then a per-lang rollup of the (tiny) frequency table.
+    */
+  val extVocabStats: Q = Q(
+    "ext_vocab_stats",
+    """WITH tf AS (
+      |  SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+      |freq AS (SELECT lang, tok, COUNT(*) AS c FROM tf GROUP BY 1, 2),
+      |ls AS (
+      |  SELECT lang, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+      |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+      |  FROM freq GROUP BY lang),
+      |d AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+      |SELECT d.lang, d.n_docs, CAST(ls.n_tokens AS BIGINT) AS n_tokens,
+      |  ls.n_distinct, CAST(ls.n_hapax AS BIGINT) AS n_hapax
+      |FROM d JOIN ls ON d.lang = ls.lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val freq = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val ls = freq.groupBy(col("lang"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+    docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .join(ls, "lang")
+  }
+
+  /** Top-3 TF-IDF-proxy terms per document: rarity-weighted term
+    * frequency `tf · N / df` (integer-safe: multiply/divide only, no
+    * transcendental log whose libm rounding could split the engines).
+    * Scale shape: (doc, token) and (token) hash aggregations, a
+    * broadcast join of the corpus-size scalar and the (vocabulary-
+    * sized) df table, then a per-doc top-k window — Spark keeps k rows
+    * per partition before the shuffle (WindowGroupLimit).
+    */
+  val extTfidfTop: Q = Q(
+    "ext_tfidf_top",
+    """WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok,
+      |    CAST(FLOOR(tf.tf * 1000.0 * n.n_docs / df.df + 0.5) AS BIGINT)
+      |      AS score_milli
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, tok, score_milli, ROW_NUMBER() OVER (
+      |    PARTITION BY doc_id ORDER BY score_milli DESC, tok) AS rn
+      |  FROM scored)
+      |SELECT doc_id, tok, score_milli, rn FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_milli").desc, col("tok"))
+    tf.join(broadcast(dfTbl), "tok")
+      .crossJoin(broadcast(n))
+      // same left-to-right double arithmetic as the oracle: products
+      // stay exact in double (< 2^53), one rounded division each side
+      .select(col("doc_id"), col("tok"),
+        floor(col("tf") * lit(1000.0d) * col("n_docs") / col("df") + lit(0.5d))
+          .cast("long").as("score_milli"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
   def all: Seq[Q] = Seq(
     extTokenCount, extLangId, extQualityScore, extFingerprint, extNgramTop,
-    extQuantiles, extRepetition, extTokenBpe, extQualityFunnel)
+    extQuantiles, extRepetition, extTokenBpe, extQualityFunnel,
+    extVocabStats, extTfidfTop)
 }
