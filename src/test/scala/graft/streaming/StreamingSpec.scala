@@ -255,6 +255,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming temporal join enriches probes with the version as-of their time") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[TemporalInput]
+    val joined = TemporalJoinTracker.join(input.toDS(), "10 seconds")
+    val query = joined.writeStream.format("memory")
+      .queryName("tj_stream").outputMode("append").start()
+    try {
+      // key 1: versions 100@10s, 200@20s; probes at 15s, 25s;
+      // key 2: a probe with no version at all
+      input.addData(
+        TemporalInput(1L, ts(10), isVersion = true, 100.0),
+        TemporalInput(1L, ts(20), isVersion = true, 200.0),
+        TemporalInput(1L, ts(15), isVersion = false, 1.0),
+        TemporalInput(1L, ts(25), isVersion = false, 2.0),
+        TemporalInput(2L, ts(15), isVersion = false, 3.0))
+      query.processAllAvailable()
+      // nothing matures until the watermark passes the probe times
+      assert(spark.table("tj_stream").count() == 0L)
+      input.addData(TemporalInput(9L, ts(1000), isVersion = true, 0.0))
+      query.processAllAvailable() // watermark -> 990s
+      query.processAllAvailable() // deliver the event-time timeouts
+      val got = spark.table("tj_stream")
+        .select($"key", $"probeSec", $"versionSec", $"versionValue")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got === Seq(
+        (1L, 15L, 10L, 100.0), // probe@15 sees the version as of 10s
+        (1L, 25L, 20L, 200.0), // probe@25 sees the version as of 20s
+        (2L, 15L, -1L, 0.0))) // no version for key 2: LEFT-style miss
+    } finally query.stop()
+  }
+
   test("checkpoint restart resumes exactly-once (test.sql:8-9 semantics)") {
     // a stateful agg with a checkpointLocation, killed mid-stream and
     // restarted: the new query must recover BOTH the aggregation state
