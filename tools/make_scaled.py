@@ -6,7 +6,11 @@ N times with shifted primary keys (foreign keys into dims unchanged, so
 joins still resolve; fact-fact keys shift consistently). Used to verify
 operators scale near-linearly before they meet real data.
 
-Usage: python3 tools/make_scaled.py [src=/root/testdata/sf0.1] [dst=/tmp/graft_sf1] [copies=10]
+Usage: python3 tools/make_scaled.py [src=/root/testdata/sf0.1] [dst=/tmp/graft_sf1] [copies=10] [tables=all]
+
+`tables` is a comma-separated subset of the big tables (e.g.
+"documents,embeddings") for deep corpus-only scale-ups that skip the
+fact tables.
 """
 import os
 import sys
@@ -18,6 +22,7 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
 SHIFTS = {
     "orders": (["o_orderkey"], [10_000_000]),
@@ -34,6 +39,8 @@ def main():
         pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
         print(t, "copied")
     for name, (shift_cols, bases) in SHIFTS.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         t = pq.read_table(f"{SRC}/{name}.parquet")
         parts = []
         for i in range(COPIES):
