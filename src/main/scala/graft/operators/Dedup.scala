@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   *    join: each doc explodes into 4 band keys (one pass, no UNION
   *    re-reads), docs collide only on exact band equality, so the
   *    candidate set is tiny and the verify join stays narrow;
-  *  - SimHash packs a doc into 30 bits; near-dup candidates would come
-  *    from 10-bit chunk equality (pigeonhole: hamming ≤ 2 ⇒ some chunk
-  *    equal).
+  *  - SimHash packs a doc into 30 bits; near-dup candidates come from
+  *    10-bit chunk equality (pigeonhole: hamming ≤ 2 ⇒ some chunk
+  *    equal — see [[extSimhashPairs]]).
   */
 object Dedup {
 
@@ -238,6 +238,21 @@ object Dedup {
     mapped.withColumn("cluster_sz", count(lit(1)).over(w))
   }
 
+  /** Lang-agnostic canonicalization CTE (named `canon`), one spelling
+    * per dialect — shared by the MinHash and SimHash pair queries.
+    */
+  private val canonNoLangDuck: String =
+    s"""canon AS (
+       |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+       |  FROM (${fdocDuck("doc_id, text")})
+       |  GROUP BY fp, fp2)""".stripMargin
+
+  private val canonNoLangSpark: String =
+    s"""canon AS (
+       |  SELECT MIN(doc_id) AS doc_id, min_by(text, doc_id) AS text
+       |  FROM (${fdocSpark("doc_id, text")})
+       |  GROUP BY fp, fp2)""".stripMargin
+
   /** All K minima come from one native pass (graft_minhash_sig), then
     * fan out into columns.
     */
@@ -274,10 +289,7 @@ object Dedup {
       val agree = (0 until K)
         .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH canon AS (
-         |  SELECT MIN(doc_id) AS doc_id, arg_min(text, doc_id) AS text
-         |  FROM (${fdocDuck("doc_id, text")})
-         |  GROUP BY fp, fp2),
+      s"""WITH $canonNoLangDuck,
          |s AS (${sigSelectDuck("canon")}),
          |banded AS (
          |  SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")},
@@ -297,10 +309,7 @@ object Dedup {
       .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s.sql(
-      s"""WITH canon AS (
-         |  SELECT MIN(doc_id) AS doc_id, min_by(text, doc_id) AS text
-         |  FROM (${fdocSpark("doc_id, text")})
-         |  GROUP BY fp, fp2),
+      s"""WITH $canonNoLangSpark,
          |s AS (${sigSelectSpark("canon")}),
          |banded AS (
          |  SELECT doc_id, $sigCols, band_key
@@ -332,7 +341,58 @@ object Dedup {
          |FROM documents""".stripMargin)
   }
 
+  /** SimHash near-dup pairs by pigeonhole chunk blocking: the 30-bit
+    * signature splits into three 10-bit chunks; hamming distance ≤ 2
+    * implies at least one chunk is untouched, so the equi-join on
+    * (chunk-position-prefixed) chunk values proposes every qualifying
+    * pair and `bit_count(xor)` verifies exactly. Candidate generation
+    * is an 8-byte-key equi self-join within chunk buckets — the same
+    * scale shape as the MinHash band join, no all-pairs anywhere.
+    */
+  val extSimhashPairs: Q = Q(
+    "ext_simhash_pairs", {
+      val bits = (0 until SimBits).map(j =>
+        s"(CASE WHEN SUM(2 * ((th >> $j) & 1) - 1) > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $canonNoLangDuck,
+         |t AS (
+         |  SELECT doc_id, UNNEST(${tokenHashesDuck("text")}) AS th FROM canon),
+         |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sh FROM t GROUP BY doc_id),
+         |b AS (
+         |  SELECT doc_id, sh, UNNEST([
+         |    (sh & 1023), (1024 + ((sh >> 10) & 1023)),
+         |    (2048 + ((sh >> 20) & 1023))]) AS ck
+         |  FROM s),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    a.sh AS sh_a, b2.sh AS sh_b
+         |  FROM b a JOIN b b2 ON a.ck = b2.ck AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""WITH $canonNoLangSpark,
+         |s AS (
+         |  SELECT doc_id, graft_simhash(${tokenHashesSpark("text")}) AS sh
+         |  FROM canon),
+         |b AS (
+         |  SELECT doc_id, sh, explode(array(
+         |    (sh & 1023), (1024 + (shiftright(sh, 10) & 1023)),
+         |    (2048 + (shiftright(sh, 20) & 1023)))) AS ck
+         |  FROM s),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    a.sh AS sh_a, b2.sh AS sh_b
+         |  FROM b a JOIN b b2 ON a.ck = b2.ck AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(sh_a ^ sh_b) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(sh_a ^ sh_b) <= 2""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     extDedupExact, extJaccardPairs, extDedupCluster,
-    extMinhashSig, extMinhashPairs, extSimhash)
+    extMinhashSig, extMinhashPairs, extSimhash, extSimhashPairs)
 }
