@@ -43,15 +43,21 @@ final case class TemporalMatch(
   *  - maturation is driven by event-time timeouts, so probes emit even
   *    when their key receives no further input.
   *
-  * State is per-key and partitioned; both buffers are bounded by the
-  * watermark delay, so memory scales with in-flight time, not stream
-  * length.
+  * State is per-key and partitioned. The probe buffer is bounded by
+  * the watermark delay; the version buffer retains the latest version
+  * per key indefinitely by default — the same retention a Flink
+  * temporal-join state keeps, since a probe may arrive arbitrarily
+  * long after the version it matches. Pass `idleVersionTtlSec` to
+  * drop a key's version state once it has gone that long past the
+  * watermark with no pending probes (trading late enrichment for
+  * bounded state on high-cardinality key spaces).
   */
 object TemporalJoinTracker {
 
   def join(
       input: Dataset[TemporalInput],
-      watermarkDelay: String = "10 seconds"): Dataset[TemporalMatch] = {
+      watermarkDelay: String = "10 seconds",
+      idleVersionTtlSec: Long = 0L): Dataset[TemporalMatch] = {
     implicit val matchEnc = Encoders.product[TemporalMatch]
     implicit val stateEnc = Encoders.product[TemporalJoinState]
     implicit val longEnc = Encoders.scalaLong
@@ -61,14 +67,22 @@ object TemporalJoinTracker {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: Long, rows: Iterator[TemporalInput],
-         state: GroupState[TemporalJoinState]) => update(key, rows, state))
+         state: GroupState[TemporalJoinState]) =>
+          update(key, rows, state, idleVersionTtlSec))
   }
 
   private def update(
       key: Long,
       rows: Iterator[TemporalInput],
-      state: GroupState[TemporalJoinState]): Iterator[TemporalMatch] = {
+      state: GroupState[TemporalJoinState],
+      idleVersionTtlSec: Long): Iterator[TemporalMatch] = {
     val prev = state.getOption.getOrElse(TemporalJoinState(Nil, Nil))
+    // a timeout with nothing pending is the idle-TTL expiry: drop the
+    // retained version state (probe timeouts always have pending rows)
+    if (state.hasTimedOut && prev.pending.isEmpty) {
+      state.remove()
+      return Iterator.empty
+    }
     // ingest this batch (absent on a pure timeout invocation)
     val newVersions = ArrayBuffer.empty[(Long, Double)]
     val newProbes = ArrayBuffer.empty[(Long, Double)]
@@ -80,10 +94,12 @@ object TemporalJoinTracker {
     val versions = (prev.versions ++ newVersions).sortBy(v => (v._1, v._2))
     val pending = prev.pending ++ newProbes
 
-    val wmSec = state.getCurrentWatermarkMs() / 1000L
-    // a probe matures once the watermark passes it: every version at or
-    // before its time has arrived, so the latest-at-or-before is final
-    val (matured, waiting) = pending.partition(_._1 <= wmSec)
+    val wmMs = state.getCurrentWatermarkMs()
+    val wmSec = wmMs / 1000L
+    // a probe matures once its WHOLE second is behind the watermark:
+    // rows at exactly the watermark are still on time, so a version in
+    // the probe's own second could otherwise arrive after we finalized
+    val (matured, waiting) = pending.partition(p => (p._1 + 1L) * 1000L <= wmMs)
     val out = matured.sortBy(p => (p._1, p._2)).map { case (pSec, pVal) =>
       versions.takeWhile(_._1 <= pSec).lastOption match {
         case Some((vSec, vVal)) => TemporalMatch(key, pSec, pVal, vSec, vVal)
@@ -91,18 +107,24 @@ object TemporalJoinTracker {
       }
     }
 
-    // retention: future probes have t > wm, so only the latest version
-    // at or below the watermark (plus all newer) can still match
+    // retention: the earliest possible future probe second is wmSec, so
+    // only the latest version at or below it (plus all newer) can match
     val cutoff = versions.takeWhile(_._1 <= wmSec).lastOption
     val kept = cutoff.toList ::: versions.dropWhile(_._1 <= wmSec)
 
     if (waiting.isEmpty && kept.isEmpty) state.remove()
     else {
       state.update(TemporalJoinState(kept, waiting))
-      // wake when the earliest waiting probe matures (must be > wm here,
-      // otherwise it would have matured above)
-      waiting.map(_._1).minOption.foreach(sec =>
-        state.setTimeoutTimestamp(sec * 1000L + 1L))
+      // wake when the earliest waiting probe matures; that instant is
+      // strictly past the current watermark, or it would have matured
+      waiting.map(_._1).minOption match {
+        case Some(sec) => state.setTimeoutTimestamp((sec + 1L) * 1000L)
+        case None if idleVersionTtlSec > 0L =>
+          // version-only state: expire after the idle TTL
+          state.setTimeoutTimestamp(
+            math.max(wmMs, 0L) + idleVersionTtlSec * 1000L)
+        case None => () // retain the latest version indefinitely
+      }
     }
     out.iterator
   }

@@ -286,6 +286,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming temporal join idle TTL drops version-only key state") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[TemporalInput]
+    val joined = TemporalJoinTracker.join(
+      input.toDS(), "10 seconds", idleVersionTtlSec = 5L)
+    val query = joined.writeStream.format("memory")
+      .queryName("tj_ttl").outputMode("append").start()
+    try {
+      input.addData(TemporalInput(1L, ts(10), isVersion = true, 100.0))
+      query.processAllAvailable()
+      input.addData(TemporalInput(9L, ts(1000), isVersion = true, 0.0))
+      query.processAllAvailable() // watermark -> 990s, far past key 1's TTL
+      input.addData(TemporalInput(8L, ts(1001), isVersion = true, 0.0))
+      query.processAllAvailable() // batch that delivers the timeouts
+      // keys 1 and 9 both registered their TTL against the pre-jump
+      // watermark and expired once it passed; only key 8 remains
+      assert(query.lastProgress.stateOperators(0).numRowsTotal == 1L)
+    } finally query.stop()
+  }
+
   test("checkpoint restart resumes exactly-once (test.sql:8-9 semantics)") {
     // a stateful agg with a checkpointLocation, killed mid-stream and
     // restarted: the new query must recover BOTH the aggregation state

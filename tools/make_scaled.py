@@ -34,12 +34,20 @@ SHIFTS = {
 
 
 def main():
+    if ONLY is not None and ONLY - set(SHIFTS):
+        sys.exit(f"unknown tables: {sorted(ONLY - set(SHIFTS))}; "
+                 f"choose from {sorted(SHIFTS)}")
     os.makedirs(DST, exist_ok=True)
     for t in ["region", "nation", "customer", "supplier", "part"]:
         pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
         print(t, "copied")
     for name, (shift_cols, bases) in SHIFTS.items():
         if ONLY is not None and name not in ONLY:
+            # unscaled big tables still copy once so every query (and
+            # Tables.registerAll) can run against the output dir
+            pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"),
+                           f"{DST}/{name}.parquet")
+            print(name, "copied (1x)")
             continue
         t = pq.read_table(f"{SRC}/{name}.parquet")
         parts = []
