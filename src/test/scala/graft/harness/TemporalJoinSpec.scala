@@ -86,6 +86,38 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(noPk.getMessage.contains("PRIMARY KEY"))
   }
 
+  test("property: random ON conditions survive the scan; tails stay intact") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val col: Gen[String] = for {
+      t <- Gen.oneOf("o", "r")
+      // include keyword-named columns: qualified refs must never cut the scan
+      c <- Gen.oneOf("k", "v", "left", "order", "group_x")
+    } yield s"$t.$c"
+    val atom: Gen[String] = for {
+      a <- col
+      op <- Gen.oneOf("=", "<", ">=", "<>")
+      b <- Gen.oneOf(col, Gen.oneOf("5", "'ab'", "'a''b'", "3.5"))
+    } yield s"$a $op $b"
+    val parened: Gen[String] = for {
+      x <- atom; y <- atom; j <- Gen.oneOf("AND", "OR")
+    } yield s"($x $j $y)"
+    val cond: Gen[String] = Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(atom, parened)).map(_.mkString(" AND ")))
+    val tail: Gen[String] = Gen.oneOf(
+      "", "WHERE o.z > 1", "GROUP BY o.z", "ORDER BY o.z", "LIMIT 5",
+      "JOIN t2 ON t2.a = o.a")
+    val prop = Prop.forAll(cond, tail) { (c, t) =>
+      val sql = s"SELECT * FROM o JOIN rates FOR SYSTEM_TIME AS OF o.t AS r ON $c" +
+        (if (t.isEmpty) "" else s" $t")
+      val out = TemporalJoin.rewrite(sql, attr)
+      out.contains(s"ON ($c)") && (t.isEmpty || out.endsWith(t)) &&
+        !TemporalJoin.hasTemporalJoin(out)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("e2e: temporal-join script runs through sql-submit") {
     val spark = SparkFixture.spark
     val dir = Files.createTempDirectory("graft-tj").toString

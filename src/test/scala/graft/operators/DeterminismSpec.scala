@@ -18,7 +18,10 @@ class DeterminismSpec extends AnyFunSuite {
     "ext_minhash_sig",   // per-row hashing
     "ext_dedup_cluster", // iterative label propagation
     "ext_stratified_sample", // per-stratum top-k by hash
-    "ext_ngram_top")     // global top-k with ties broken
+    "ext_ngram_top",     // global top-k with ties broken
+    "ext_tfidf_top",     // double division + per-doc ranked ties
+    "ext_simhash_pairs", // DISTINCT over a bucketed self-join
+    "q56_temporal")      // window-derived validity intervals
 
   private def rows(name: String, partitions: Int): Seq[String] = {
     val spark = SparkFixture.spark
