@@ -44,13 +44,14 @@ object TemporalJoin {
   private val Dotted = s"$Ident(?:\\.$Ident)*"
 
   /** `[LEFT [OUTER]|INNER] JOIN <table> FOR SYSTEM_TIME AS OF <expr>
-    * [AS] <alias> ON` — `<expr>` is a (possibly qualified) column
-    * reference, the only form Flink's time-attribute rules admit.
+    * [[AS] <alias>] ON` — `<expr>` is a (possibly qualified) column
+    * reference, the only form Flink's time-attribute rules admit; with
+    * no alias the table name itself addresses the versioned side.
     */
   private val JoinRe = (
     raw"(?is)\b((?:LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN|INNER\s+JOIN|JOIN)\s+($Dotted)" +
       raw"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+($Dotted)" +
-      raw"\s+(?:AS\s+)?($Ident)\s+ON\b").r
+      raw"(?:\s+(?:AS\s+)?($Ident))?\s+ON\b").r
 
   private val MarkerRe = raw"(?is)FOR\s+SYSTEM_TIME\s+AS\s+OF".r
 
@@ -77,7 +78,10 @@ object TemporalJoin {
             "FOR SYSTEM_TIME AS OF (only INNER and LEFT temporal joins)")
       val table = m.group(2)
       val asOf = m.group(3)
-      val alias = m.group(4)
+      // alias optional: an unaliased versioned table is addressed by its
+      // (unqualified) name, as in plain SQL
+      val alias = Option(m.group(4)).getOrElse(
+        DdlParser.unquoteName(table).split("\\.").last)
       val (cond, condEnd) = scanOnCondition(out, m.end)
       val tbl = DdlParser.unquoteName(table)
       val meta = versionOf(tbl).getOrElse(throw new IllegalArgumentException(

@@ -45,6 +45,37 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out.contains("ON (r2.k = o.k2) AND"))
   }
 
+  test("alias-free temporal join addresses the version table by name") {
+    val sql = "SELECT o.k, rates.rate FROM o " +
+      "JOIN rates FOR SYSTEM_TIME AS OF o.t ON rates.k = o.k"
+    val out = TemporalJoin.rewrite(sql, attr)
+    assert(out.contains("FROM rates) AS rates ON (rates.k = o.k) AND"))
+    assert(!TemporalJoin.hasTemporalJoin(out))
+  }
+
+  test("e2e: streaming-mode temporal join is rejected with the batch-only contract") {
+    val spark = SparkFixture.spark
+    val dir = Files.createTempDirectory("graft-tj-stream").toString
+    val script =
+      s"""create table src(
+         |  k bigint, ts timestamp(3),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen');
+         |select * from src join src for system_time as of src.ts as v
+         |  on v.k = src.k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-tj-stream-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark), durationSec = 5).run()
+    }
+    // wrapped per-statement; the cause carries the contract message
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(_.contains("batch runtime mode")))
+  }
+
   test("temporal join inside a CTE stops the ON scan at the closing paren") {
     val sql = "WITH x AS (SELECT o.k, r.rate FROM o " +
       "JOIN rates FOR SYSTEM_TIME AS OF o.t AS r ON r.k = o.k) " +
