@@ -121,5 +121,53 @@ object Curation {
         (col("start_tok") % 512).as("seq_offset"))
   }
 
-  def all: Seq[Q] = Seq(extDecontaminate, extIncrementalDedup, extPackSequences)
+  /** End-to-end curation pipeline as ONE composed query — the shape a
+    * real training-data run chains: quality gate (length + token
+    * floor) → exact dedup (fingerprint canonicalization, text never a
+    * key) → reproducible 50% content-hash sample → per-source volume
+    * accounting. Every stage is a narrow projection/aggregation; the
+    * only shuffles are the dedup groupBy on the 2×30-bit fingerprint
+    * and the final per-source rollup, so the composition inherits each
+    * stage's scale shape instead of adding new ones.
+    */
+  val extCurationPipeline: Q = Q(
+    "ext_curation_pipeline", {
+      val fp = TextHash.polyHashDuck("text")
+      val fp2 = TextHash.polyHashDuck("text", 131L)
+      s"""WITH q AS (
+         |  SELECT doc_id, source, LEN(string_split(text, ' ')) AS toks,
+         |    $fp AS fp, $fp2 AS fp2
+         |  FROM documents
+         |  WHERE n_chars >= 150 AND LEN(string_split(text, ' ')) >= 25),
+         |canon AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY fp, fp2),
+         |kept AS (
+         |  SELECT q.doc_id, q.source, q.toks FROM q
+         |  JOIN canon ON q.doc_id = canon.doc_id
+         |  WHERE q.fp % 100 < 50)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(toks) AS BIGINT) AS n_tokens
+         |FROM kept GROUP BY source""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val q = Tables.load(s, dir, "documents")
+      .filter(col("n_chars") >= 150)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        expr("graft_poly_hash(text)").as("fp"),
+        expr("graft_poly_hash2(text)").as("fp2"))
+      .filter(col("toks") >= 25)
+    val canon = q.groupBy(col("fp"), col("fp2"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    q.join(canon, "doc_id")
+      .filter(col("fp") % 100 < 50)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"))
+  }
+
+  def all: Seq[Q] = Seq(
+    extDecontaminate, extIncrementalDedup, extPackSequences,
+    extCurationPipeline)
 }
