@@ -56,8 +56,10 @@ object Graph {
     var labels = edges
       .select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
-      .localCheckpoint(false) // lazy: the probe action below materializes it
-    var converged = labels.isEmpty
+      .localCheckpoint(false) // lazy: round 1's probe action materializes it
+    // no up-front emptiness probe: an empty graph yields an empty first
+    // round whose changed-count is zero, converging in one action
+    var converged = false
     var rounds = 0
     while (!converged && rounds < PropRoundBudget) {
       val prop = edges
