@@ -78,10 +78,15 @@ object TemporalJoin {
             "FOR SYSTEM_TIME AS OF (only INNER and LEFT temporal joins)")
       val table = m.group(2)
       val asOf = m.group(3)
-      // alias optional: an unaliased versioned table is addressed by its
-      // (unqualified) name, as in plain SQL
-      val alias = Option(m.group(4)).getOrElse(
-        DdlParser.unquoteName(table).split("\\.").last)
+      // alias optional for a single-part table name: the name itself
+      // (with its backticks, if any) addresses the versioned side. A
+      // qualified name can't alias its own subquery, so require one.
+      val alias = Option(m.group(4)).getOrElse {
+        if (!table.matches(s"^$Ident$$"))
+          throw new IllegalArgumentException(
+            s"Temporal join over qualified table '$table' requires an alias")
+        table
+      }
       val (cond, condEnd) = scanOnCondition(out, m.end)
       val tbl = DdlParser.unquoteName(table)
       val meta = versionOf(tbl).getOrElse(throw new IllegalArgumentException(

@@ -140,27 +140,26 @@ object Curation {
          |  FROM documents
          |  WHERE n_chars >= 150 AND LEN(string_split(text, ' ')) >= 25),
          |canon AS (
-         |  SELECT MIN(doc_id) AS doc_id FROM q GROUP BY fp, fp2),
-         |kept AS (
-         |  SELECT q.doc_id, q.source, q.toks FROM q
-         |  JOIN canon ON q.doc_id = canon.doc_id
-         |  WHERE q.fp % 100 < 50)
+         |  SELECT fp, arg_min(source, doc_id) AS source,
+         |    arg_min(toks, doc_id) AS toks
+         |  FROM q GROUP BY fp, fp2)
          |SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(toks) AS BIGINT) AS n_tokens
-         |FROM kept GROUP BY source""".stripMargin
+         |FROM canon WHERE fp % 100 < 50 GROUP BY source""".stripMargin
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    val q = Tables.load(s, dir, "documents")
+    Tables.load(s, dir, "documents")
       .filter(col("n_chars") >= 150)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("toks"),
         expr("graft_poly_hash(text)").as("fp"),
         expr("graft_poly_hash2(text)").as("fp2"))
       .filter(col("toks") >= 25)
-    val canon = q.groupBy(col("fp"), col("fp2"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    q.join(canon, "doc_id")
+      // one-shuffle canonicalization (Dedup.canonicalDocs pattern):
+      // carry the representative's payload with min_by, no join back
+      .groupBy(col("fp"), col("fp2"))
+      .agg(min_by(col("source"), col("doc_id")).as("source"),
+        min_by(col("toks"), col("doc_id")).as("toks"))
       .filter(col("fp") % 100 < 50)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

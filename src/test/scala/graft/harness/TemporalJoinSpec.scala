@@ -53,9 +53,17 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(!TemporalJoin.hasTemporalJoin(out))
   }
 
+  test("alias-free over a qualified table is rejected (alias required)") {
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.rewrite(
+        "SELECT * FROM o JOIN db.rates FOR SYSTEM_TIME AS OF o.t ON db.rates.k = o.k",
+        _ => Some(VersionMeta("rt", Seq("k"))))
+    }
+    assert(e.getMessage.contains("requires an alias"))
+  }
+
   test("e2e: streaming-mode temporal join is rejected with the batch-only contract") {
     val spark = SparkFixture.spark
-    val dir = Files.createTempDirectory("graft-tj-stream").toString
     val script =
       s"""create table src(
          |  k bigint, ts timestamp(3),
@@ -72,7 +80,8 @@ class TemporalJoinSpec extends AnyFunSuite {
     }
     // wrapped per-statement; the cause carries the contract message
     def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage) ++: messages(x.getCause))
     assert(messages(e).exists(_.contains("batch runtime mode")))
   }
 
