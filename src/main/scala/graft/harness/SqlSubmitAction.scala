@@ -262,9 +262,27 @@ final class SqlSubmitAction(
         .flatMap(d => d.watermark.map(wm =>
           TemporalJoin.VersionMeta(wm.column, d.primaryKey))))
 
+  /** Flink windowing TVFs (`TABLE(TUMBLE(...))`) rewrite to window-
+    * column projections; batch only — a streaming aggregate over the
+    * derived column would keep unbounded state, where Flink's TVF
+    * windows expire with the watermark.
+    */
+  private def rewriteWindowTvfs(config: EngineConfig, sql: String): String =
+    if (!WindowTvf.hasWindowTvf(sql)) sql
+    else if (config.isStreaming)
+      throw new IllegalArgumentException(
+        "Window TVFs are supported in batch runtime mode only " +
+          "(SET execution.runtime-mode = batch); streaming windows are " +
+          "the library operators (StreamOps.windowedAgg/sessionAgg)")
+    else WindowTvf.rewrite(sql)
+
+  /** All Flink-dialect SQL rewrites, in one place. */
+  private def rewriteFlinkDialect(config: EngineConfig, sql: String): String =
+    rewriteWindowTvfs(config, rewriteTemporalJoins(config, sql))
+
   private def executeSelect(
       spark: SparkSession, config: EngineConfig, sql: String): Unit = {
-    val df = spark.sql(rewriteTemporalJoins(config, sql))
+    val df = spark.sql(rewriteFlinkDialect(config, sql))
     if (df.isStreaming) {
       val w = df.writeStream.format("console")
         .option("truncate", "false")
@@ -300,7 +318,7 @@ final class SqlSubmitAction(
 
   private def executeInsert(
       spark: SparkSession, config: EngineConfig, sql: String): Unit = {
-    val rewritten = rewriteTemporalJoins(config, sql)
+    val rewritten = rewriteFlinkDialect(config, sql)
     rewritten match {
       case InsertRe(rawTarget, colList, query) =>
         val target = DdlParser.unquoteName(rawTarget)

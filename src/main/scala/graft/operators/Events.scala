@@ -277,6 +277,31 @@ object Events {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Flink TUMBLE window TVF through the harness rewrite: the query is
+    * written with `TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL ...))`
+    * — the form a Flink script submits verbatim — rewritten by
+    * [[graft.harness.WindowTvf]] into a window-column projection
+    * (row-local epoch arithmetic, no shuffle added), and aggregated by
+    * Spark under the oracle.
+    */
+  val q58TumbleTvf: Q = Q(
+    "q58_tumble_tvf",
+    """WITH w AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(FLOOR(EPOCH(date_trunc('second', ts))) / 3600) * 3600 AS BIGINT) AS ws
+      |  FROM events)
+      |SELECT ws AS window_start_sec, event_type, COUNT(*) AS n_events
+      |FROM w GROUP BY ws, event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("tvf_events")
+    val flinkSql =
+      """SELECT window_start, event_type, COUNT(*) AS n_events
+        |FROM TABLE(TUMBLE(TABLE tvf_events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY window_start, event_type""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(unix_timestamp(col("window_start")).as("window_start_sec"),
+        col("event_type"), col("n_events"))
+  }
+
   /** Pivot-style conditional aggregation: event-type counts per user. */
   val q33Pivot: Q = Q(
     "q33_pivot",
@@ -400,5 +425,5 @@ object Events {
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
-    q57JsonSchema)
+    q57JsonSchema, q58TumbleTvf)
 }

@@ -1,0 +1,72 @@
+package graft.harness
+
+import java.nio.file.Files
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Flink window-TVF surface: TUMBLE rewrite unit cases, HOP rejection,
+  * and an end-to-end TVF aggregation script through `sql-submit`.
+  */
+class WindowTvfSpec extends AnyFunSuite {
+
+  test("TUMBLE TVF rewrites to a window-column projection") {
+    val out = WindowTvf.rewrite(
+      "SELECT window_start, COUNT(*) FROM " +
+        "TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) " +
+        "GROUP BY window_start")
+    assert(out.contains("FLOOR(unix_seconds(ts) / 600) * 600"))
+    assert(out.contains("AS window_start"))
+    assert(out.contains("AS window_end"))
+    assert(out.contains("FROM t)"))
+    assert(!WindowTvf.hasWindowTvf(out))
+  }
+
+  test("named-argument TVF form and plural units are accepted") {
+    val out = WindowTvf.rewrite(
+      "SELECT * FROM TABLE(TUMBLE(DATA => TABLE t, " +
+        "TIMECOL => DESCRIPTOR(ts), SIZE => INTERVAL '2' HOURS))")
+    assert(out.contains("/ 7200) * 7200"))
+  }
+
+  test("HOP/SESSION/CUMULATE TVFs are rejected with a pointer") {
+    val e = intercept[IllegalArgumentException] {
+      WindowTvf.rewrite(
+        "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), " +
+          "INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))")
+    }
+    assert(e.getMessage.contains("HOP"))
+  }
+
+  test("e2e: TUMBLE TVF aggregation script runs through sql-submit") {
+    val spark = SparkFixture.spark
+    val dir = Files.createTempDirectory("graft-tvf").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, TIMESTAMP'2024-01-01 00:10:00'),
+        |  (2L, TIMESTAMP'2024-01-01 00:20:00'),
+        |  (3L, TIMESTAMP'2024-01-01 01:10:00')
+        |AS t(id, ts)""".stripMargin).write.parquet(s"$dir/ev")
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table ev(id bigint, ts timestamp(3)) with (
+         |  'connector' = 'filesystem', 'path' = '$dir/ev',
+         |  'format' = 'parquet');
+         |create table agg(window_start timestamp(3), n bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$dir/agg',
+         |  'format' = 'parquet');
+         |insert into agg
+         |select window_start, count(*) as n
+         |from table(tumble(table ev, descriptor(ts), interval '1' hour))
+         |group by window_start;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-tvf-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    val got = spark.read.parquet(s"$dir/agg")
+      .selectExpr("unix_seconds(window_start)", "n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
+    // two events in the 00:00 hour, one in the 01:00 hour
+    assert(got === Seq(1704067200L -> 2L, 1704070800L -> 1L))
+  }
+}
