@@ -288,9 +288,10 @@ object Events {
     "q58_tumble_tvf",
     """WITH w AS (
       |  SELECT event_type,
-      |    CAST(FLOOR(FLOOR(EPOCH(date_trunc('second', ts))) / 3600) * 3600 AS BIGINT) AS ws
+      |    (CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) // 3600) * 3600 AS ws
       |  FROM events)
-      |SELECT ws AS window_start_sec, event_type, COUNT(*) AS n_events
+      |SELECT CAST(ws AS BIGINT) AS window_start_sec, event_type,
+      |  COUNT(*) AS n_events
       |FROM w GROUP BY ws, event_type""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "events").createOrReplaceTempView("tvf_events")
     val flinkSql =
@@ -300,6 +301,62 @@ object Events {
     s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
       .select(unix_timestamp(col("window_start")).as("window_start_sec"),
         col("event_type"), col("n_events"))
+  }
+
+  /** Flink HOP window TVF through the harness rewrite (slide 1h inside
+    * a 2h window): each event fans into its two covering windows via
+    * the rewrite's bounded lateral expansion.
+    */
+  val q59HopTvf: Q = Q(
+    "q59_hop_tvf",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS tsec
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, UNNEST(generate_series(
+      |    ((tsec - 7200) // 3600 + 1) * 3600,
+      |    (tsec // 3600) * 3600, 3600)) AS ws
+      |  FROM e)
+      |SELECT CAST(ws AS BIGINT) AS window_start_sec, event_type,
+      |  COUNT(*) AS n_events
+      |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("tvf_events")
+    val flinkSql =
+      """SELECT window_start, event_type, COUNT(*) AS n_events
+        |FROM TABLE(HOP(TABLE tvf_events, DESCRIPTOR(ts),
+        |  INTERVAL '1' HOUR, INTERVAL '2' HOURS))
+        |GROUP BY window_start, event_type""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(unix_timestamp(col("window_start")).as("window_start_sec"),
+        col("event_type"), col("n_events"))
+  }
+
+  /** Flink CUMULATE window TVF through the harness rewrite (1h steps
+    * over a 4h span) — the TVF-syntax twin of q43's library operator.
+    */
+  val q60CumulateTvf: Q = Q(
+    "q60_cumulate_tvf",
+    """WITH e AS (
+      |  SELECT CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS tsec
+      |  FROM events),
+      |x AS (
+      |  SELECT (tsec // 14400) * 14400 AS span, UNNEST(generate_series(
+      |    ((tsec % 14400) // 3600 + 1) * 3600, 14400, 3600)) AS eo
+      |  FROM e)
+      |SELECT CAST(span AS BIGINT) AS window_start_sec,
+      |  CAST(span + eo AS BIGINT) AS window_end_sec, COUNT(*) AS n_events
+      |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("tvf_events")
+    val flinkSql =
+      """SELECT window_start, window_end, COUNT(*) AS n_events
+        |FROM TABLE(CUMULATE(TABLE tvf_events, DESCRIPTOR(ts),
+        |  INTERVAL '1' HOUR, INTERVAL '4' HOURS))
+        |GROUP BY window_start, window_end""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(unix_timestamp(col("window_start")).as("window_start_sec"),
+        unix_timestamp(col("window_end")).as("window_end_sec"),
+        col("n_events"))
   }
 
   /** Pivot-style conditional aggregation: event-type counts per user. */
@@ -425,5 +482,5 @@ object Events {
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
-    q57JsonSchema, q58TumbleTvf)
+    q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf)
 }

@@ -14,7 +14,7 @@ class WindowTvfSpec extends AnyFunSuite {
       "SELECT window_start, COUNT(*) FROM " +
         "TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) " +
         "GROUP BY window_start")
-    assert(out.contains("FLOOR(unix_seconds(ts) / 600) * 600"))
+    assert(out.contains("(unix_seconds(ts) div 600L) * 600L"))
     assert(out.contains("AS window_start"))
     assert(out.contains("AS window_end"))
     assert(out.contains("FROM t)"))
@@ -25,16 +25,41 @@ class WindowTvfSpec extends AnyFunSuite {
     val out = WindowTvf.rewrite(
       "SELECT * FROM TABLE(TUMBLE(DATA => TABLE t, " +
         "TIMECOL => DESCRIPTOR(ts), SIZE => INTERVAL '2' HOURS))")
-    assert(out.contains("/ 7200) * 7200"))
+    assert(out.contains("div 7200L) * 7200L"))
   }
 
-  test("HOP/SESSION/CUMULATE TVFs are rejected with a pointer") {
+  test("HOP TVF fans each row into its covering windows laterally") {
+    val out = WindowTvf.rewrite(
+      "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), " +
+        "INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))")
+    assert(out.contains("LATERAL VIEW explode(sequence("))
+    assert(out.contains("+ 10") || out.contains("600L"))
+    assert(!WindowTvf.hasWindowTvf(out))
+    // size must divide by slide
     val e = intercept[IllegalArgumentException] {
       WindowTvf.rewrite(
         "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), " +
-          "INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))")
+          "INTERVAL '7' MINUTE, INTERVAL '10' MINUTE))")
     }
-    assert(e.getMessage.contains("HOP"))
+    assert(e.getMessage.contains("multiple"))
+  }
+
+  test("CUMULATE TVF expands to the step-window ends of its span") {
+    val out = WindowTvf.rewrite(
+      "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), " +
+        "INTERVAL '1' HOUR, INTERVAL '4' HOURS))")
+    assert(out.contains("LATERAL VIEW explode(sequence("))
+    assert(out.contains("14400L"))
+    assert(!WindowTvf.hasWindowTvf(out))
+  }
+
+  test("SESSION TVF is rejected with a pointer to the library operators") {
+    val e = intercept[IllegalArgumentException] {
+      WindowTvf.rewrite(
+        "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), " +
+          "INTERVAL '5' MINUTE))")
+    }
+    assert(e.getMessage.contains("SESSION"))
   }
 
   test("e2e: TUMBLE TVF aggregation script runs through sql-submit") {
