@@ -107,7 +107,10 @@ final class SqlSubmitAction(
             System.err.println(
               s"Unsupported in this engine (module load), skipped:\n ${st.sql}")
           case _ =>
-            spark.sql(st.sql)
+            // CTAS / CREATE VIEW AS and friends can embed temporal
+            // joins or window TVFs in their query bodies — the dialect
+            // rewrite is a no-op unless those markers are present
+            spark.sql(rewriteFlinkDialect(config, st.sql))
         }
       } catch {
         case e: Exception =>

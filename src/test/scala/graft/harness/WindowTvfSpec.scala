@@ -4,8 +4,10 @@ import java.nio.file.Files
 import graft.SparkFixture
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Flink window-TVF surface: TUMBLE rewrite unit cases, HOP rejection,
-  * and an end-to-end TVF aggregation script through `sql-submit`.
+/** Flink window-TVF surface: TUMBLE/HOP/CUMULATE rewrite unit cases,
+  * SESSION and unrecognized-form rejection, and an end-to-end TVF
+  * aggregation script (including a CTAS view body) through
+  * `sql-submit`.
   */
 class WindowTvfSpec extends AnyFunSuite {
 
@@ -14,10 +16,14 @@ class WindowTvfSpec extends AnyFunSuite {
       "SELECT window_start, COUNT(*) FROM " +
         "TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) " +
         "GROUP BY window_start")
-    assert(out.contains("(unix_seconds(ts) div 600L) * 600L"))
+    // Flink-floor arithmetic: t - pmod(t, unit), exact for negatives
+    assert(out.contains("(unix_seconds(ts) - pmod(unix_seconds(ts), 600L))"))
     assert(out.contains("AS window_start"))
     assert(out.contains("AS window_end"))
-    assert(out.contains("FROM t)"))
+    assert(out.contains("AS window_time")) // Flink's end - 1ms rowtime
+    // internal columns stay out of SELECT *; NULL rowtimes are dropped
+    assert(out.contains("SELECT t.*,"))
+    assert(out.contains("WHERE ts IS NOT NULL"))
     assert(!WindowTvf.hasWindowTvf(out))
   }
 
@@ -25,7 +31,16 @@ class WindowTvfSpec extends AnyFunSuite {
     val out = WindowTvf.rewrite(
       "SELECT * FROM TABLE(TUMBLE(DATA => TABLE t, " +
         "TIMECOL => DESCRIPTOR(ts), SIZE => INTERVAL '2' HOURS))")
-    assert(out.contains("div 7200L) * 7200L"))
+    assert(out.contains("pmod(unix_seconds(ts), 7200L)"))
+  }
+
+  test("named arguments out of declaration order are rejected, not swapped") {
+    val e = intercept[IllegalArgumentException] {
+      WindowTvf.rewrite(
+        "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), " +
+          "SIZE => INTERVAL '2' HOUR, SLIDE => INTERVAL '1' HOUR))")
+    }
+    assert(e.getMessage.contains("declaration order"))
   }
 
   test("HOP TVF fans each row into its covering windows laterally") {
@@ -33,9 +48,8 @@ class WindowTvfSpec extends AnyFunSuite {
       "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), " +
         "INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))")
     assert(out.contains("LATERAL VIEW explode(sequence("))
-    assert(out.contains("+ 10") || out.contains("600L"))
+    assert(out.contains("SELECT t.*,")) // __ws never leaks into *
     assert(!WindowTvf.hasWindowTvf(out))
-    // size must divide by slide
     val e = intercept[IllegalArgumentException] {
       WindowTvf.rewrite(
         "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), " +
@@ -53,13 +67,20 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(!WindowTvf.hasWindowTvf(out))
   }
 
-  test("SESSION TVF is rejected with a pointer to the library operators") {
-    val e = intercept[IllegalArgumentException] {
+  test("SESSION and unrecognized TVF forms are rejected, never leaked") {
+    val session = intercept[IllegalArgumentException] {
       WindowTvf.rewrite(
         "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), " +
           "INTERVAL '5' MINUTE))")
     }
-    assert(e.getMessage.contains("SESSION"))
+    assert(session.getMessage.contains("SESSION"))
+    // Flink's window-offset form: recognized as a TVF, refused clearly
+    val offset = intercept[IllegalArgumentException] {
+      WindowTvf.rewrite(
+        "SELECT * FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), " +
+          "INTERVAL '1' HOUR, INTERVAL '15' MINUTE))")
+    }
+    assert(offset.getMessage.contains("Unsupported TUMBLE"))
   }
 
   test("e2e: TUMBLE TVF aggregation script runs through sql-submit") {
@@ -79,10 +100,11 @@ class WindowTvfSpec extends AnyFunSuite {
          |create table agg(window_start timestamp(3), n bigint) with (
          |  'connector' = 'filesystem', 'path' = '$dir/agg',
          |  'format' = 'parquet');
-         |insert into agg
+         |create temporary view hourly as
          |select window_start, count(*) as n
          |from table(tumble(table ev, descriptor(ts), interval '1' hour))
          |group by window_start;
+         |insert into agg select window_start, n from hourly;
          |""".stripMargin
     val file = Files.createTempFile("graft-tvf-", ".sql")
     Files.writeString(file, script)
@@ -91,7 +113,8 @@ class WindowTvfSpec extends AnyFunSuite {
     val got = spark.read.parquet(s"$dir/agg")
       .selectExpr("unix_seconds(window_start)", "n")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted.toSeq
-    // two events in the 00:00 hour, one in the 01:00 hour
+    // two events in the 00:00 hour, one in the 01:00 hour — and the TVF
+    // inside the CTAS view body was rewritten on the CTAS dispatch path
     assert(got === Seq(1704067200L -> 2L, 1704070800L -> 1L))
   }
 }
