@@ -59,8 +59,24 @@ object WindowTvf {
   private val AnyTvfRe =
     raw"(?is)\bTABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(".r
 
+  /** Flink 1.x legacy group-window functions (`GROUP BY TUMBLE(ts,
+    * INTERVAL ...)` + `TUMBLE_START/...`), the pre-TVF syntax an older
+    * script submits.
+    */
+  private val AnyLegacyRe =
+    raw"(?is)\b(TUMBLE|HOP|SESSION)(_START|_END|_ROWTIME|_PROCTIME)?\s*\(".r
+
+  private val LegacyIv = raw"INTERVAL\s+'(\d+)'\s+(\w+)"
+  private def legacyTumble(suffix: String) =
+    (raw"(?is)\bTUMBLE$suffix\s*\(\s*($Dotted)\s*,\s*$LegacyIv\s*\)").r
+  private val LegacyTumbleStart = legacyTumble("_START")
+  private val LegacyTumbleEnd = legacyTumble("_END")
+  private val LegacyTumbleTime = legacyTumble("(?:_ROWTIME|_PROCTIME)")
+  private val LegacyTumbleGroup = legacyTumble("")
+
   def hasWindowTvf(sql: String): Boolean =
-    AnyTvfRe.findFirstIn(sql).isDefined
+    AnyTvfRe.findFirstIn(sql).isDefined ||
+      AnyLegacyRe.findFirstIn(sql).isDefined
 
   private def unitSeconds(unit: String): Long =
     unit.toUpperCase.stripSuffix("S") match {
@@ -148,14 +164,54 @@ object WindowTvf {
           s"LATERAL VIEW explode(sequence($lo, ${size}L, ${step}L)) __et AS __eo " +
           s"WHERE $tcol IS NOT NULL)")
     })
-    // a TVF shape none of the rewrites recognized (window offsets,
-    // fractional intervals, qualified descriptors) must fail here with
-    // the contract, not leak Flink syntax into Spark's parser
-    AnyTvfRe.findFirstMatchIn(out).foreach(m =>
+    // Flink 1.x legacy group windows. TUMBLE is a clean scalar rewrite
+    // (one window per row, so GROUP BY TUMBLE(..) ≡ GROUP BY the
+    // window-start expression); every accessor is a function of that
+    // same grouping expression, which Spark's analyzer accepts.
+    val legacy = rewriteLegacyTumble(out)
+    // anything still carrying a window-function marker was a shape no
+    // rewrite recognized — fail with the contract, never leak Flink
+    // syntax into Spark's parser
+    AnyTvfRe.findFirstMatchIn(legacy).foreach(m =>
       throw new IllegalArgumentException(
         s"Unsupported ${m.group(1).toUpperCase} window TVF form " +
           "(offsets / fractional intervals / qualified descriptors " +
           "are not recognized)"))
-    out
+    AnyLegacyRe.findFirstMatchIn(legacy).foreach { m =>
+      val fn = m.group(1).toUpperCase + Option(m.group(2)).getOrElse("").toUpperCase
+      throw new IllegalArgumentException(
+        if (m.group(1).equalsIgnoreCase("TUMBLE"))
+          s"Unsupported legacy $fn form (offsets / fractional intervals " +
+            "are not recognized)"
+        else
+          s"Legacy $fn group window is not supported (one row belongs " +
+            "to several windows); use the TVF form " +
+            "(TABLE(HOP/CUMULATE(...))) or the library operators")
+    }
+    legacy
+  }
+
+  /** Legacy TUMBLE family → the same floor arithmetic as the TVF
+    * rewrite; accessors first (their names contain the bare name).
+    */
+  private def rewriteLegacyTumble(sql: String): String = {
+    def repl(re: scala.util.matching.Regex, s: String,
+        f: (String, Long) => String): String =
+      re.replaceAllIn(s, m => {
+        val dur = {
+          val d = m.group(2).toLong * unitSeconds(m.group(3))
+          require(d > 0, "window intervals must be positive"); d
+        }
+        java.util.regex.Matcher.quoteReplacement(f(m.group(1), dur))
+      })
+    def ws(col: String, dur: Long): String =
+      floorTo(s"unix_seconds($col)", dur)
+    val s1 = repl(LegacyTumbleStart, sql,
+      (c, d) => s"timestamp_seconds(${ws(c, d)})")
+    val s2 = repl(LegacyTumbleEnd, s1,
+      (c, d) => s"timestamp_seconds(${ws(c, d)} + ${d}L)")
+    val s3 = repl(LegacyTumbleTime, s2,
+      (c, d) => s"timestamp_millis((${ws(c, d)} + ${d}L) * 1000L - 1L)")
+    repl(LegacyTumbleGroup, s3, (c, d) => ws(c, d))
   }
 }

@@ -359,6 +359,30 @@ object Events {
         col("n_events"))
   }
 
+  /** Flink 1.x legacy group-window syntax (`GROUP BY TUMBLE(ts, ...)` +
+    * `TUMBLE_START`) through the harness rewrite — the pre-TVF form an
+    * older Flink script submits verbatim; same oracle as the TVF twin.
+    */
+  val q61LegacyTumble: Q = Q(
+    "q61_legacy_tumble",
+    """WITH w AS (
+      |  SELECT event_type,
+      |    (CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) // 3600) * 3600 AS ws
+      |  FROM events)
+      |SELECT CAST(ws AS BIGINT) AS window_start_sec, event_type,
+      |  COUNT(*) AS n_events
+      |FROM w GROUP BY ws, event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("tvf_events")
+    val flinkSql =
+      """SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS wstart, event_type,
+        |  COUNT(*) AS n_events
+        |FROM tvf_events
+        |GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(unix_timestamp(col("wstart")).as("window_start_sec"),
+        col("event_type"), col("n_events"))
+  }
+
   /** Pivot-style conditional aggregation: event-type counts per user. */
   val q33Pivot: Q = Q(
     "q33_pivot",
@@ -482,5 +506,5 @@ object Events {
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
-    q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf)
+    q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble)
 }

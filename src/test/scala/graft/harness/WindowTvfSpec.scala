@@ -83,6 +83,35 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(offset.getMessage.contains("Unsupported TUMBLE"))
   }
 
+  test("legacy GROUP BY TUMBLE + accessors rewrite to floor arithmetic") {
+    val out = WindowTvf.rewrite(
+      "SELECT dim, TUMBLE_START(rt, INTERVAL '1' MINUTE) AS ws, " +
+        "TUMBLE_END(rt, INTERVAL '1' MINUTE) AS we, COUNT(*) " +
+        "FROM t GROUP BY dim, TUMBLE(rt, INTERVAL '1' MINUTE)")
+    assert(out.contains(
+      "timestamp_seconds((unix_seconds(rt) - pmod(unix_seconds(rt), 60L)))"))
+    assert(out.contains("+ 60L)"))
+    // the GROUP BY key became the bare window-start expression
+    assert(out.contains("GROUP BY dim, (unix_seconds(rt) - pmod(unix_seconds(rt), 60L))"))
+    assert(!WindowTvf.hasWindowTvf(out))
+  }
+
+  test("legacy TUMBLE_ROWTIME maps to the end-minus-1ms rowtime") {
+    val out = WindowTvf.rewrite(
+      "SELECT TUMBLE_ROWTIME(rt, INTERVAL '1' HOUR) FROM t " +
+        "GROUP BY TUMBLE(rt, INTERVAL '1' HOUR)")
+    assert(out.contains("* 1000L - 1L)"))
+  }
+
+  test("legacy HOP/SESSION group windows are rejected toward the TVF form") {
+    val e = intercept[IllegalArgumentException] {
+      WindowTvf.rewrite(
+        "SELECT COUNT(*) FROM t GROUP BY " +
+          "HOP(rt, INTERVAL '1' MINUTE, INTERVAL '5' MINUTE)")
+    }
+    assert(e.getMessage.contains("Legacy HOP"))
+  }
+
   test("e2e: TUMBLE TVF aggregation script runs through sql-submit") {
     val spark = SparkFixture.spark
     val dir = Files.createTempDirectory("graft-tvf").toString
