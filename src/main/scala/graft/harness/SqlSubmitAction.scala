@@ -279,9 +279,21 @@ final class SqlSubmitAction(
           "the library operators (StreamOps.windowedAgg/sessionAgg)")
     else WindowTvf.rewrite(sql)
 
-  /** All Flink-dialect SQL rewrites, in one place. */
-  private def rewriteFlinkDialect(config: EngineConfig, sql: String): String =
+  private val MatchRecognizeRe = raw"(?is)\bMATCH_RECOGNIZE\s*\(".r
+
+  /** All Flink-dialect SQL rewrites, in one place. MATCH_RECOGNIZE
+    * (Flink's CEP SQL) has no relational rewrite; fail with the
+    * contract and a pointer instead of Spark's parser noise.
+    */
+  private def rewriteFlinkDialect(config: EngineConfig, sql: String): String = {
+    MatchRecognizeRe.findFirstIn(sql).foreach(_ =>
+      throw new IllegalArgumentException(
+        "MATCH_RECOGNIZE is not supported; express the pattern with the " +
+          "library operators (ordered funnel q53 / retention q52 in " +
+          "graft.operators.Events, or graft.streaming.SessionTracker " +
+          "for custom per-key state machines)"))
     rewriteWindowTvfs(config, rewriteTemporalJoins(config, sql))
+  }
 
   private def executeSelect(
       spark: SparkSession, config: EngineConfig, sql: String): Unit = {

@@ -112,6 +112,27 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Legacy HOP"))
   }
 
+  test("e2e: MATCH_RECOGNIZE is rejected with a pointer, not parser noise") {
+    val spark = SparkFixture.spark
+    val script =
+      """SET execution.runtime-mode = batch;
+        |select * from t match_recognize (
+        |  partition by k order by ts
+        |  measures A.ts as a_ts
+        |  pattern (A B) define A as A.v > 0, B as B.v > A.v);
+        |""".stripMargin
+    val file = Files.createTempFile("graft-mr-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark)).run()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage) ++: messages(x.getCause))
+    assert(messages(e).exists(_.contains("MATCH_RECOGNIZE is not supported")))
+  }
+
   test("e2e: TUMBLE TVF aggregation script runs through sql-submit") {
     val spark = SparkFixture.spark
     val dir = Files.createTempDirectory("graft-tvf").toString
