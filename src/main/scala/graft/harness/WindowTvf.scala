@@ -15,19 +15,23 @@ package graft.harness
   *    windows via `LATERAL VIEW explode(sequence(...))` — the bounded
   *    per-row expansion a hopping window is;
   *  - CUMULATE(step, size): each row fans into every growing window of
-  *    its span whose end lies after it, same lateral shape.
+  *    its span whose end lies after it, same lateral shape;
+  *  - SESSION([PARTITION BY keys], gap): gaps-and-islands — a LAG flag
+  *    marks gap breaks, a running SUM numbers sessions, and MIN/MAX
+  *    windows over (keys, session) derive each row's window bounds.
+  *    The TVF call carries its own partition keys, so the rewrite
+  *    needs no schema knowledge; session ids are stable under
+  *    timestamp ties (tied rows see a zero gap either way).
   *
   * Window starts floor like Flink's even before the epoch: the
   * arithmetic is `t - pmod(t, unit)` (pmod is non-negative), never a
   * truncating `div` or a double `FLOOR(x / unit)` that can misround at
   * a boundary. Rows with a NULL time attribute are dropped from window
-  * assignment, as Flink drops them. The internal lateral column stays
-  * out of `SELECT *` via the table-qualified star. SESSION TVFs merge
-  * rows by gap (not expressible as a per-row expansion) and are
-  * rejected toward the library operators (q29 / `StreamOps
-  * .sessionAgg`); any TVF variant the rewrite does not understand
-  * (e.g. the window-offset argument) is rejected explicitly rather
-  * than leaked to Spark's parser.
+  * assignment, as Flink drops them. Internal helper columns stay out
+  * of `SELECT *` via the table-qualified star (lateral forms) or
+  * `SELECT * EXCEPT` (session form). Any TVF variant the rewrite does
+  * not understand (e.g. the window-offset argument) is rejected
+  * explicitly rather than leaked to Spark's parser.
   */
 object WindowTvf {
 
@@ -52,6 +56,13 @@ object WindowTvf {
   private val CumulateRe = (
     raw"(?is)\bTABLE\s*\(\s*CUMULATE\s*\(\s*(?:DATA\s*=>\s*)?(?:TABLE\s+)?($Dotted)\s*,\s*" +
       raw"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*($Ident)\s*\)\s*,\s*$Interval\s*,\s*$Interval\s*\)\s*\)").r
+
+  /** `TABLE(SESSION(t [PARTITION BY k1, k2], DESCRIPTOR(col), [GAP =>] INTERVAL))` */
+  private val SessionTvfRe = (
+    raw"(?is)\bTABLE\s*\(\s*SESSION\s*\(\s*(?:DATA\s*=>\s*)?(?:TABLE\s+)?($Dotted)" +
+      raw"(?:\s+PARTITION\s+BY\s+($Ident(?:\s*,\s*$Ident)*))?\s*,\s*" +
+      raw"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*($Ident)\s*\)\s*,\s*" +
+      raw"(?:(GAP)\s*=>\s*)?INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*\)").r
 
   /** Broad marker: any windowing TVF call, supported shape or not —
     * drives both the batch-only guard and the residual check below.
@@ -115,12 +126,6 @@ object WindowTvf {
       s"timestamp_millis(($endSec) * 1000L - 1L) AS window_time"
 
   def rewrite(sql: String): String = {
-    AnyTvfRe.findFirstMatchIn(sql)
-      .filter(m => m.group(1).equalsIgnoreCase("SESSION"))
-      .foreach(_ => throw new IllegalArgumentException(
-        "SESSION window TVF is not supported by the rewrite (sessions " +
-          "merge rows by gap); use the library operators " +
-          "(graft.operators.Events q29 / StreamOps.sessionAgg)"))
     val afterTumble = TumbleRe.replaceAllIn(sql, m => {
       val (table, tcol) = (m.group(1), m.group(2))
       val dur = seconds(m, 3, "SIZE")
@@ -147,7 +152,7 @@ object WindowTvf {
           s"LATERAL VIEW explode(sequence($lo, $hi, ${slide}L)) __wt AS __ws " +
           s"WHERE $tcol IS NOT NULL)")
     })
-    val out = CumulateRe.replaceAllIn(afterHop, m => {
+    val afterCumulate = CumulateRe.replaceAllIn(afterHop, m => {
       val (table, tcol) = (m.group(1), m.group(2))
       val step = seconds(m, 3, "STEP")
       val size = seconds(m, 6, "SIZE")
@@ -163,6 +168,35 @@ object WindowTvf {
           s"FROM $table " +
           s"LATERAL VIEW explode(sequence($lo, ${size}L, ${step}L)) __et AS __eo " +
           s"WHERE $tcol IS NOT NULL)")
+    })
+    val out = SessionTvfRe.replaceAllIn(afterCumulate, m => {
+      val (table, keys, tcol) = (m.group(1), Option(m.group(2)), m.group(3))
+      Option(m.group(4)).foreach(_ => ()) // GAP => tag: position is fixed
+      val gap = {
+        val g = m.group(5).toLong * unitSeconds(m.group(6))
+        require(g > 0, "session gap must be positive"); g
+      }
+      // gaps-and-islands: a session breaks when the gap to the previous
+      // event reaches `gap` (Flink/Spark session semantics: the window
+      // stays open while the next event lands strictly inside
+      // last + gap). Session ids are stable under timestamp ties — tied
+      // rows see a 0 difference whichever order the window visits them.
+      val part = keys.map(k => s"PARTITION BY $k").getOrElse("")
+      val sidPart = keys.map(k => s"PARTITION BY $k, __sid")
+        .getOrElse("PARTITION BY __sid")
+      val t = s"unix_seconds($tcol)"
+      val endSec = s"MAX(__tsec) OVER ($sidPart) + ${gap}L"
+      java.util.regex.Matcher.quoteReplacement(
+        s"(SELECT * EXCEPT (__tsec, __new, __sid), " +
+          s"timestamp_seconds(MIN(__tsec) OVER ($sidPart)) AS window_start, " +
+          s"timestamp_seconds($endSec) AS window_end, " +
+          s"timestamp_millis(($endSec) * 1000L - 1L) AS window_time " +
+          s"FROM (SELECT *, SUM(__new) OVER ($part ORDER BY __tsec " +
+          s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid " +
+          s"FROM (SELECT *, $t AS __tsec, " +
+          s"CASE WHEN $t - LAG($t) OVER ($part ORDER BY $t) >= ${gap}L " +
+          s"THEN 1 ELSE 0 END AS __new " +
+          s"FROM $table WHERE $tcol IS NOT NULL) __s1) __s2)")
     })
     // Flink 1.x legacy group windows. TUMBLE is a clean scalar rewrite
     // (one window per row, so GROUP BY TUMBLE(..) ≡ GROUP BY the

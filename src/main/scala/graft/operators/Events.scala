@@ -383,6 +383,43 @@ object Events {
         col("event_type"), col("n_events"))
   }
 
+  /** Flink SESSION window TVF through the harness rewrite (30-minute
+    * gap per user): the gaps-and-islands expansion must agree with the
+    * oracle's session derivation row for row — the TVF-syntax twin of
+    * q29's library sessionization.
+    */
+  val q62SessionTvf: Q = Q(
+    "q62_session_tvf",
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS tsec
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, tsec,
+      |    CASE WHEN tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY tsec)
+      |      >= 1800 THEN 1 ELSE 0 END AS nf
+      |  FROM e),
+      |s AS (
+      |  SELECT user_id, tsec, SUM(nf) OVER (PARTITION BY user_id ORDER BY tsec
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM f)
+      |SELECT user_id, CAST(MIN(tsec) AS BIGINT) AS window_start_sec,
+      |  CAST(MAX(tsec) + 1800 AS BIGINT) AS window_end_sec,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("tvf_events")
+    val flinkSql =
+      """SELECT user_id, window_start, window_end, COUNT(*) AS n_events
+        |FROM TABLE(SESSION(TABLE tvf_events PARTITION BY user_id,
+        |  DESCRIPTOR(ts), INTERVAL '30' MINUTE))
+        |GROUP BY user_id, window_start, window_end""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(col("user_id"),
+        unix_timestamp(col("window_start")).as("window_start_sec"),
+        unix_timestamp(col("window_end")).as("window_end_sec"),
+        col("n_events"))
+  }
+
   /** Pivot-style conditional aggregation: event-type counts per user. */
   val q33Pivot: Q = Q(
     "q33_pivot",
@@ -506,5 +543,6 @@ object Events {
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
-    q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble)
+    q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
+    q62SessionTvf)
 }

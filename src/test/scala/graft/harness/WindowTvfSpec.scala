@@ -67,13 +67,25 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(!WindowTvf.hasWindowTvf(out))
   }
 
-  test("SESSION and unrecognized TVF forms are rejected, never leaked") {
-    val session = intercept[IllegalArgumentException] {
-      WindowTvf.rewrite(
-        "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), " +
-          "INTERVAL '5' MINUTE))")
-    }
-    assert(session.getMessage.contains("SESSION"))
+  test("SESSION TVF rewrites to partitioned gaps-and-islands windows") {
+    val out = WindowTvf.rewrite(
+      "SELECT k, window_start, COUNT(*) FROM " +
+        "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), " +
+        "INTERVAL '5' MINUTE)) GROUP BY k, window_start")
+    assert(out.contains("LAG(unix_seconds(ts)) OVER (PARTITION BY k ORDER BY"))
+    assert(out.contains(">= 300L"))
+    assert(out.contains("SELECT * EXCEPT (__tsec, __new, __sid)"))
+    assert(out.contains("MIN(__tsec) OVER (PARTITION BY k, __sid)"))
+    assert(out.contains("AS window_time"))
+    assert(!WindowTvf.hasWindowTvf(out))
+    // unpartitioned form: one global session stream
+    val global = WindowTvf.rewrite(
+      "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), " +
+        "INTERVAL '5' MINUTE))")
+    assert(global.contains("OVER (PARTITION BY __sid)"))
+  }
+
+  test("unrecognized TVF forms are rejected, never leaked") {
     // Flink's window-offset form: recognized as a TVF, refused clearly
     val offset = intercept[IllegalArgumentException] {
       WindowTvf.rewrite(
