@@ -171,16 +171,16 @@ object WindowTvf {
     })
     val out = SessionTvfRe.replaceAllIn(afterCumulate, m => {
       val (table, keys, tcol) = (m.group(1), Option(m.group(2)), m.group(3))
-      Option(m.group(4)).foreach(_ => ()) // GAP => tag: position is fixed
       val gap = {
         val g = m.group(5).toLong * unitSeconds(m.group(6))
         require(g > 0, "session gap must be positive"); g
       }
-      // gaps-and-islands: a session breaks when the gap to the previous
-      // event reaches `gap` (Flink/Spark session semantics: the window
-      // stays open while the next event lands strictly inside
-      // last + gap). Session ids are stable under timestamp ties — tied
-      // rows see a 0 difference whichever order the window visits them.
+      // gaps-and-islands, Flink merge semantics: per-event windows
+      // [t, t+gap) merge when they touch, so events exactly `gap`
+      // apart share a session — a break needs a STRICTLY larger gap.
+      // The session-id running sum orders ties with the break flag
+      // first (__new DESC), so tied boundary rows land in the same
+      // session no matter which physical row carried the flag.
       val part = keys.map(k => s"PARTITION BY $k").getOrElse("")
       val sidPart = keys.map(k => s"PARTITION BY $k, __sid")
         .getOrElse("PARTITION BY __sid")
@@ -191,10 +191,10 @@ object WindowTvf {
           s"timestamp_seconds(MIN(__tsec) OVER ($sidPart)) AS window_start, " +
           s"timestamp_seconds($endSec) AS window_end, " +
           s"timestamp_millis(($endSec) * 1000L - 1L) AS window_time " +
-          s"FROM (SELECT *, SUM(__new) OVER ($part ORDER BY __tsec " +
+          s"FROM (SELECT *, SUM(__new) OVER ($part ORDER BY __tsec, __new DESC " +
           s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid " +
           s"FROM (SELECT *, $t AS __tsec, " +
-          s"CASE WHEN $t - LAG($t) OVER ($part ORDER BY $t) >= ${gap}L " +
+          s"CASE WHEN $t - LAG($t) OVER ($part ORDER BY $t) > ${gap}L " +
           s"THEN 1 ELSE 0 END AS __new " +
           s"FROM $table WHERE $tcol IS NOT NULL) __s1) __s2)")
     })

@@ -385,8 +385,9 @@ object Events {
 
   /** Flink SESSION window TVF through the harness rewrite (30-minute
     * gap per user): the gaps-and-islands expansion must agree with the
-    * oracle's session derivation row for row — the TVF-syntax twin of
-    * q29's library sessionization.
+    * oracle's session derivation row for row. Break semantics follow
+    * Flink's window merging — per-event windows [t, t+gap) merge when
+    * they touch, so a break needs a strictly larger gap.
     */
   val q62SessionTvf: Q = Q(
     "q62_session_tvf",
@@ -397,10 +398,11 @@ object Events {
       |f AS (
       |  SELECT user_id, tsec,
       |    CASE WHEN tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY tsec)
-      |      >= 1800 THEN 1 ELSE 0 END AS nf
+      |      > 1800 THEN 1 ELSE 0 END AS nf
       |  FROM e),
       |s AS (
-      |  SELECT user_id, tsec, SUM(nf) OVER (PARTITION BY user_id ORDER BY tsec
+      |  SELECT user_id, tsec, SUM(nf) OVER (PARTITION BY user_id
+      |    ORDER BY tsec, nf DESC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM f)
       |SELECT user_id, CAST(MIN(tsec) AS BIGINT) AS window_start_sec,

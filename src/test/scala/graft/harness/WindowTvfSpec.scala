@@ -4,10 +4,9 @@ import java.nio.file.Files
 import graft.SparkFixture
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Flink window-TVF surface: TUMBLE/HOP/CUMULATE rewrite unit cases,
-  * SESSION and unrecognized-form rejection, and an end-to-end TVF
-  * aggregation script (including a CTAS view body) through
-  * `sql-submit`.
+/** Flink window-TVF surface: TUMBLE/HOP/CUMULATE/SESSION rewrite unit
+  * cases, unrecognized-form rejection, and end-to-end TVF aggregation
+  * scripts (including a CTAS view body) through `sql-submit`.
   */
 class WindowTvfSpec extends AnyFunSuite {
 
@@ -73,7 +72,8 @@ class WindowTvfSpec extends AnyFunSuite {
         "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), " +
         "INTERVAL '5' MINUTE)) GROUP BY k, window_start")
     assert(out.contains("LAG(unix_seconds(ts)) OVER (PARTITION BY k ORDER BY"))
-    assert(out.contains(">= 300L"))
+    // Flink merge semantics: a break needs a STRICTLY larger gap
+    assert(out.contains("> 300L"))
     assert(out.contains("SELECT * EXCEPT (__tsec, __new, __sid)"))
     assert(out.contains("MIN(__tsec) OVER (PARTITION BY k, __sid)"))
     assert(out.contains("AS window_time"))
@@ -83,6 +83,46 @@ class WindowTvfSpec extends AnyFunSuite {
       "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), " +
         "INTERVAL '5' MINUTE))")
     assert(global.contains("OVER (PARTITION BY __sid)"))
+    assert(!WindowTvf.hasWindowTvf(global))
+  }
+
+  test("e2e: SESSION TVF script runs through sql-submit with Flink merging") {
+    val spark = SparkFixture.spark
+    val dir = Files.createTempDirectory("graft-sess").toString
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, TIMESTAMP'2024-01-01 00:00:00'),
+        |  (1L, TIMESTAMP'2024-01-01 00:30:00'),
+        |  (1L, TIMESTAMP'2024-01-01 01:30:01'),
+        |  (2L, TIMESTAMP'2024-01-01 00:00:00')
+        |AS t(k, ts)""".stripMargin).write.parquet(s"$dir/ev")
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table ev(k bigint, ts timestamp(3)) with (
+         |  'connector' = 'filesystem', 'path' = '$dir/ev',
+         |  'format' = 'parquet');
+         |create table agg(k bigint, ws timestamp(3), n bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$dir/agg',
+         |  'format' = 'parquet');
+         |insert into agg
+         |select k, window_start as ws, count(*) as n
+         |from table(session(table ev partition by k, descriptor(ts),
+         |  interval '30' minute))
+         |group by k, window_start;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-sess-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    val got = spark.read.parquet(s"$dir/agg")
+      .selectExpr("k", "unix_seconds(ws)", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // key 1: 00:00 and 00:30 sit EXACTLY gap apart — their [t, t+gap)
+    // windows touch and Flink merges them; 01:30:01 breaks (> gap).
+    // key 2 sessions on its own.
+    assert(got === Seq(
+      (1L, 1704067200L, 2L), (1L, 1704072601L, 1L), (2L, 1704067200L, 1L)))
   }
 
   test("unrecognized TVF forms are rejected, never leaked") {
