@@ -21,7 +21,8 @@ class DeterminismSpec extends AnyFunSuite {
     "ext_ngram_top",     // global top-k with ties broken
     "ext_tfidf_top",     // double division + per-doc ranked ties
     "ext_simhash_pairs", // DISTINCT over a bucketed self-join
-    "q56_temporal")      // window-derived validity intervals
+    "q56_temporal",      // window-derived validity intervals
+    "q62_session_tvf")   // gaps-and-islands with tied-timestamp breaks
 
   private def rows(name: String, partitions: Int): Seq[String] = {
     val spark = SparkFixture.spark
