@@ -199,11 +199,43 @@ final class SqlSubmitAction(
         sinks(t.name) = t
         if (new java.io.File(stripScheme(path)).exists())
           registerFilesystemView(spark, config, t)
+      case Some("jdbc") =>
+        // both roles, like filesystem: a JDBC table is a scan/lookup
+        // source AND an append sink. The backing table may not exist
+        // until the first INSERT (sink-first scripts), so view
+        // registration is retried after each write.
+        sinks(t.name) = t
+        try registerJdbcView(spark, t)
+        catch { case _: Exception => () }
       case Some(other) =>
         throw new IllegalArgumentException(s"Unsupported connector '$other'")
       case None =>
         spark.sql(t.name) // unreachable: isConnectorCreate gated
     }
+  }
+
+  /** Flink JDBC connector options → Spark JDBC reader/writer options. */
+  private def jdbcOptions(t: TableDef): Map[String, String] = {
+    val url = t.options.getOrElse("url",
+      throw new IllegalArgumentException(
+        s"jdbc table '${t.name}' requires a 'url' option"))
+    Map("url" -> url,
+      "dbtable" -> t.options.getOrElse("table-name", t.name)) ++
+      t.options.get("username").map("user" -> _) ++
+      t.options.get("password").map("password" -> _) ++
+      t.options.get("driver").map("driver" -> _)
+  }
+
+  /** (Re)register the temp view over a JDBC table's current contents —
+    * always a batch relation: in a streaming script it serves as the
+    * static side of a stream-static join, exactly Flink's
+    * JDBC-dim-table role.
+    */
+  private def registerJdbcView(spark: SparkSession, t: TableDef): Unit = {
+    val df = spark.read.format("jdbc").options(jdbcOptions(t)).load()
+    df.schema // force resolution so a missing table fails HERE, not lazily
+    sources(t.name) = t
+    withSourceDecorations(df, t).createOrReplaceTempView(t.name)
   }
 
   /** (Re)register the temp view over a filesystem table's current data. */
@@ -400,6 +432,15 @@ final class SqlSubmitAction(
           if (sinkDef.partitionedBy.nonEmpty)
             w.partitionBy(sinkDef.partitionedBy: _*)
           else w
+        case "jdbc" =>
+          // Spark has no streaming JDBC sink; per-micro-batch append is
+          // the standard bridge (same exactly-once story as Flink's
+          // JDBC sink without upsert keys: at-least-once appends)
+          df.writeStream.outputMode("append").foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              batch.write.format("jdbc")
+                .options(jdbcOptions(sinkDef)).mode("append").save()
+          }
       }
       val withTrigger = config.miniBatchLatency match {
         case Some(latency) => base.trigger(Trigger.ProcessingTime(latency))
@@ -427,6 +468,11 @@ final class SqlSubmitAction(
            else w).save(sinkDef.options("path"))
           // later statements in the same script may read what was written
           registerFilesystemView(spark, config, sinkDef)
+        case "jdbc" =>
+          // append mode creates the table on first write
+          df.write.format("jdbc").options(jdbcOptions(sinkDef))
+            .mode("append").save()
+          registerJdbcView(spark, sinkDef)
       }
     }
   }
