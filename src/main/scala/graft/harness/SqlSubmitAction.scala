@@ -201,11 +201,17 @@ final class SqlSubmitAction(
           registerFilesystemView(spark, config, t)
       case Some("jdbc") =>
         // both roles, like filesystem: a JDBC table is a scan/lookup
-        // source AND an append sink. The backing table may not exist
-        // until the first INSERT (sink-first scripts), so view
-        // registration is retried after each write.
-        sinks(t.name) = t
-        try registerJdbcView(spark, t)
+        // source AND an append sink. Pin the database table name now so
+        // OPTIONS-hint variant copies (renamed defs) keep pointing at
+        // the same table, and validate the connection options at DDL
+        // time — only the backing table may legitimately be missing
+        // until the first INSERT (sink-first scripts), so just the view
+        // registration is deferred and retried after each write.
+        val pinned = t.copy(options = t.options +
+          ("table-name" -> t.options.getOrElse("table-name", t.name)))
+        jdbcOptions(pinned): Unit
+        sinks(t.name) = pinned
+        try registerJdbcView(spark, pinned)
         catch { case _: Exception => () }
       case Some(other) =>
         throw new IllegalArgumentException(s"Unsupported connector '$other'")
@@ -434,12 +440,16 @@ final class SqlSubmitAction(
           else w
         case "jdbc" =>
           // Spark has no streaming JDBC sink; per-micro-batch append is
-          // the standard bridge (same exactly-once story as Flink's
-          // JDBC sink without upsert keys: at-least-once appends)
-          df.writeStream.outputMode("append").foreachBatch {
+          // the standard bridge (same story as Flink's JDBC sink
+          // without upsert keys: at-least-once appends). Update mode so
+          // unwindowed streaming aggregations work, like the print and
+          // blackhole sinks accept them.
+          df.writeStream.outputMode("update").foreachBatch {
             (batch: DataFrame, _: Long) =>
               batch.write.format("jdbc")
                 .options(jdbcOptions(sinkDef)).mode("append").save()
+              // sink-first scripts read the table back once it exists
+              registerJdbcView(spark, sinkDef)
           }
       }
       val withTrigger = config.miniBatchLatency match {

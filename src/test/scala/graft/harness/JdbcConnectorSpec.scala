@@ -25,7 +25,10 @@ class JdbcConnectorSpec extends AnyFunSuite {
     val conn = DriverManager.getConnection(bootUrl)
     try {
       val st = conn.createStatement()
+      // the in-memory database outlives the test within a JVM: clear
+      // BOTH tables or a re-run appends duplicates
       try st.execute("DROP TABLE DIMT") catch { case _: Exception => () }
+      try st.execute("DROP TABLE TOTALS") catch { case _: Exception => () }
       st.execute("CREATE TABLE DIMT (k BIGINT, label VARCHAR(20))")
       st.execute("INSERT INTO DIMT VALUES (1, 'one'), (2, 'two'), (3, 'three')")
       st.close()
