@@ -232,6 +232,54 @@ final class SqlSubmitAction(
       t.options.get("driver").map("driver" -> _)
   }
 
+  /** Upsert write for a jdbc sink with a declared PRIMARY KEY —
+    * Flink's JDBC sink contract: with a key, INSERT means upsert. Runs
+    * as a portable per-row UPDATE-else-INSERT on each partition's own
+    * connection (no dialect-specific MERGE), with the batch pre-deduped
+    * on the key so partitions never race on the same row. Identifiers
+    * go unquoted (the database's case fold), so the target is expected
+    * to be a pre-created table — the natural shape when a key
+    * constraint exists.
+    */
+  private def jdbcUpsert(df: DataFrame, sinkDef: TableDef): Unit = {
+    val opts = jdbcOptions(sinkDef)
+    val (url, table) = (opts("url"), opts("dbtable"))
+    val props = new java.util.Properties()
+    opts.get("user").foreach(props.setProperty("user", _))
+    opts.get("password").foreach(props.setProperty("password", _))
+    val cols = df.columns.toSeq
+    val pk = sinkDef.primaryKey
+    require(pk.forall(cols.contains),
+      s"upsert key ${pk.mkString(",")} missing from insert columns $cols")
+    val nonPk = cols.filterNot(pk.contains)
+    require(nonPk.nonEmpty,
+      s"upsert into '${sinkDef.name}' needs at least one non-key column")
+    val updateSql = s"UPDATE $table SET " +
+      nonPk.map(c => s"$c = ?").mkString(", ") +
+      " WHERE " + pk.map(c => s"$c = ?").mkString(" AND ")
+    val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    df.dropDuplicates(pk).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val upd = conn.prepareStatement(updateSql)
+          val ins = conn.prepareStatement(insertSql)
+          rows.foreach { r =>
+            nonPk.zipWithIndex.foreach { case (c, i) =>
+              upd.setObject(i + 1, r.get(r.fieldIndex(c))) }
+            pk.zipWithIndex.foreach { case (c, i) =>
+              upd.setObject(nonPk.size + i + 1, r.get(r.fieldIndex(c))) }
+            if (upd.executeUpdate() == 0) {
+              cols.zipWithIndex.foreach { case (c, i) =>
+                ins.setObject(i + 1, r.get(r.fieldIndex(c))) }
+              ins.executeUpdate(): Unit
+            }
+          }
+        } finally conn.close()
+    }
+  }
+
   /** (Re)register the temp view over a JDBC table's current contents —
     * always a batch relation: in a streaming script it serves as the
     * static side of a stream-static join, exactly Flink's
@@ -446,7 +494,8 @@ final class SqlSubmitAction(
           // blackhole sinks accept them.
           df.writeStream.outputMode("update").foreachBatch {
             (batch: DataFrame, _: Long) =>
-              batch.write.format("jdbc")
+              if (sinkDef.primaryKey.nonEmpty) jdbcUpsert(batch, sinkDef)
+              else batch.write.format("jdbc")
                 .options(jdbcOptions(sinkDef)).mode("append").save()
               // sink-first scripts read the table back once it exists
               registerJdbcView(spark, sinkDef)
@@ -479,9 +528,11 @@ final class SqlSubmitAction(
           // later statements in the same script may read what was written
           registerFilesystemView(spark, config, sinkDef)
         case "jdbc" =>
-          // append mode creates the table on first write
-          df.write.format("jdbc").options(jdbcOptions(sinkDef))
-            .mode("append").save()
+          if (sinkDef.primaryKey.nonEmpty) jdbcUpsert(df, sinkDef)
+          else
+            // keyless: plain append; creates the table on first write
+            df.write.format("jdbc").options(jdbcOptions(sinkDef))
+              .mode("append").save()
           registerJdbcView(spark, sinkDef)
       }
     }

@@ -77,4 +77,39 @@ class JdbcConnectorSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
     assert(back === Seq("one" -> 10L, "two" -> 45L))
   }
+
+  test("jdbc sink with a PRIMARY KEY upserts instead of appending") {
+    val spark = SparkFixture.spark
+    val conn = DriverManager.getConnection(bootUrl)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE TOTUP") catch { case _: Exception => () }
+      st.execute("CREATE TABLE TOTUP (K BIGINT PRIMARY KEY, V BIGINT)")
+      st.close()
+    } finally conn.close()
+
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table totup(
+         |  k bigint, v bigint, primary key (k) not enforced
+         |) with (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'TOTUP');
+         |insert into totup select * from (values (1, 10), (2, 20)) as t(k, v);
+         |insert into totup select * from (values (2, 25), (3, 30)) as t(k, v);
+         |""".stripMargin
+    val file = Files.createTempFile("graft-jdbc-up-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+
+    val conn2 = DriverManager.getConnection(url)
+    try {
+      val rs = conn2.createStatement()
+        .executeQuery("SELECT K, V FROM TOTUP ORDER BY K")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => r.getLong(1) -> r.getLong(2)).toSeq
+      // key 2 was updated in place, not duplicated
+      assert(got === Seq(1L -> 10L, 2L -> 25L, 3L -> 30L))
+    } finally conn2.close()
+  }
 }
