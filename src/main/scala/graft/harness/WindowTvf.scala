@@ -23,10 +23,15 @@ package graft.harness
   *    needs no schema knowledge; session ids are stable under
   *    timestamp ties (tied rows see a zero gap either way).
   *
-  * Window starts floor like Flink's even before the epoch: the
-  * arithmetic is `t - pmod(t, unit)` (pmod is non-negative), never a
-  * truncating `div` or a double `FLOOR(x / unit)` that can misround at
-  * a boundary. Rows with a NULL time attribute are dropped from window
+  * All window arithmetic runs in MILLISECONDS (`unix_millis`), the
+  * precision of Flink's `TIMESTAMP(3)` time attributes: a session gap
+  * comparison on second-floored values would merge events whose true
+  * millisecond gap exceeds the declared gap by under a second, and
+  * window bounds would lose their sub-second part. Window starts floor
+  * like Flink's even before the epoch: the arithmetic is
+  * `t - pmod(t, unit)` (pmod is non-negative), never a truncating
+  * `div` or a double `FLOOR(x / unit)` that can misround at a
+  * boundary. Rows with a NULL time attribute are dropped from window
   * assignment, as Flink drops them. Internal helper columns stay out
   * of `SELECT *` via the table-qualified star (lateral forms) or
   * `SELECT * EXCEPT` (session form). Any TVF variant the rewrite does
@@ -89,27 +94,29 @@ object WindowTvf {
     AnyTvfRe.findFirstIn(sql).isDefined ||
       AnyLegacyRe.findFirstIn(sql).isDefined
 
-  private def unitSeconds(unit: String): Long =
+  private def unitMillis(unit: String): Long =
     unit.toUpperCase.stripSuffix("S") match {
-      case "SECOND" => 1L
-      case "MINUTE" => 60L
-      case "HOUR" => 3600L
-      case "DAY" => 86400L
+      case "MILLISECOND" => 1L
+      case "SECOND" => 1000L
+      case "MINUTE" => 60000L
+      case "HOUR" => 3600000L
+      case "DAY" => 86400000L
       case other => throw new IllegalArgumentException(
         s"Unsupported window TVF interval unit '$other'")
     }
 
-  /** One interval argument: value in seconds, bound by its `name =>`
-    * tag when present (Flink's named arguments are order-free, so a
-    * positional read of a named call would silently swap slide/size).
+  /** One interval argument: value in milliseconds, bound by its
+    * `name =>` tag when present (Flink's named arguments are
+    * order-free, so a positional read of a named call would silently
+    * swap slide/size).
     */
-  private def seconds(m: scala.util.matching.Regex.Match, base: Int,
+  private def millis(m: scala.util.matching.Regex.Match, base: Int,
       expected: String): Long = {
     Option(m.group(base)).map(_.toUpperCase).foreach(name =>
       if (name != expected) throw new IllegalArgumentException(
         s"Window TVF argument $name => where $expected was expected; " +
           "write named intervals in declaration order"))
-    val s = m.group(base + 1).toLong * unitSeconds(m.group(base + 2))
+    val s = m.group(base + 1).toLong * unitMillis(m.group(base + 2))
     require(s > 0, "window TVF intervals must be positive")
     s
   }
@@ -120,16 +127,25 @@ object WindowTvf {
   private def floorTo(expr: String, unit: Long): String =
     s"($expr - pmod($expr, ${unit}L))"
 
-  private def contract(startSec: String, endSec: String): String =
-    s"timestamp_seconds($startSec) AS window_start, " +
-      s"timestamp_seconds($endSec) AS window_end, " +
-      s"timestamp_millis(($endSec) * 1000L - 1L) AS window_time"
+  /** Epoch milliseconds of the time attribute. The cast makes the
+    * arithmetic accept TIMESTAMP_NTZ columns (what a parquet file
+    * written without UTC adjustment scans as) alongside TIMESTAMP —
+    * the harness pins the session timezone to UTC, so the cast is
+    * value-preserving, matching Flink's naive TIMESTAMP(3) timeline.
+    */
+  private def epochMs(tcol: String): String =
+    s"unix_millis(cast($tcol as timestamp))"
+
+  private def contract(startMs: String, endMs: String): String =
+    s"timestamp_millis($startMs) AS window_start, " +
+      s"timestamp_millis($endMs) AS window_end, " +
+      s"timestamp_millis(($endMs) - 1L) AS window_time"
 
   def rewrite(sql: String): String = {
     val afterTumble = TumbleRe.replaceAllIn(sql, m => {
       val (table, tcol) = (m.group(1), m.group(2))
-      val dur = seconds(m, 3, "SIZE")
-      val t = s"unix_seconds($tcol)"
+      val dur = millis(m, 3, "SIZE")
+      val t = epochMs(tcol)
       val ws = floorTo(t, dur)
       java.util.regex.Matcher.quoteReplacement(
         s"(SELECT $table.*, ${contract(ws, s"$ws + ${dur}L")} " +
@@ -137,11 +153,11 @@ object WindowTvf {
     })
     val afterHop = HopRe.replaceAllIn(afterTumble, m => {
       val (table, tcol) = (m.group(1), m.group(2))
-      val slide = seconds(m, 3, "SLIDE")
-      val size = seconds(m, 6, "SIZE")
+      val slide = millis(m, 3, "SLIDE")
+      val size = millis(m, 6, "SIZE")
       require(size % slide == 0,
-        s"HOP size ($size s) must be a multiple of its slide ($slide s)")
-      val t = s"unix_seconds($tcol)"
+        s"HOP size (${size} ms) must be a multiple of its slide (${slide} ms)")
+      val t = epochMs(tcol)
       // covering window starts: from the first start whose window still
       // contains the row, up to the row's own slide bucket
       val lo = s"${floorTo(s"($t - ${size}L)", slide)} + ${slide}L"
@@ -154,11 +170,11 @@ object WindowTvf {
     })
     val afterCumulate = CumulateRe.replaceAllIn(afterHop, m => {
       val (table, tcol) = (m.group(1), m.group(2))
-      val step = seconds(m, 3, "STEP")
-      val size = seconds(m, 6, "SIZE")
+      val step = millis(m, 3, "STEP")
+      val size = millis(m, 6, "SIZE")
       require(size % step == 0,
-        s"CUMULATE size ($size s) must be a multiple of its step ($step s)")
-      val t = s"unix_seconds($tcol)"
+        s"CUMULATE size (${size} ms) must be a multiple of its step (${step} ms)")
+      val t = epochMs(tcol)
       val span = floorTo(t, size)
       // window ends after the row, in step increments to the span end;
       // pmod keeps the offset non-negative for pre-epoch rows too
@@ -172,7 +188,7 @@ object WindowTvf {
     val out = SessionTvfRe.replaceAllIn(afterCumulate, m => {
       val (table, keys, tcol) = (m.group(1), Option(m.group(2)), m.group(3))
       val gap = {
-        val g = m.group(5).toLong * unitSeconds(m.group(6))
+        val g = m.group(5).toLong * unitMillis(m.group(6))
         require(g > 0, "session gap must be positive"); g
       }
       // gaps-and-islands, Flink merge semantics: per-event windows
@@ -184,16 +200,16 @@ object WindowTvf {
       val part = keys.map(k => s"PARTITION BY $k").getOrElse("")
       val sidPart = keys.map(k => s"PARTITION BY $k, __sid")
         .getOrElse("PARTITION BY __sid")
-      val t = s"unix_seconds($tcol)"
-      val endSec = s"MAX(__tsec) OVER ($sidPart) + ${gap}L"
+      val t = epochMs(tcol)
+      val endMs = s"MAX(__tms) OVER ($sidPart) + ${gap}L"
       java.util.regex.Matcher.quoteReplacement(
-        s"(SELECT * EXCEPT (__tsec, __new, __sid), " +
-          s"timestamp_seconds(MIN(__tsec) OVER ($sidPart)) AS window_start, " +
-          s"timestamp_seconds($endSec) AS window_end, " +
-          s"timestamp_millis(($endSec) * 1000L - 1L) AS window_time " +
-          s"FROM (SELECT *, SUM(__new) OVER ($part ORDER BY __tsec, __new DESC " +
+        s"(SELECT * EXCEPT (__tms, __new, __sid), " +
+          s"timestamp_millis(MIN(__tms) OVER ($sidPart)) AS window_start, " +
+          s"timestamp_millis($endMs) AS window_end, " +
+          s"timestamp_millis(($endMs) - 1L) AS window_time " +
+          s"FROM (SELECT *, SUM(__new) OVER ($part ORDER BY __tms, __new DESC " +
           s"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid " +
-          s"FROM (SELECT *, $t AS __tsec, " +
+          s"FROM (SELECT *, $t AS __tms, " +
           s"CASE WHEN $t - LAG($t) OVER ($part ORDER BY $t) > ${gap}L " +
           s"THEN 1 ELSE 0 END AS __new " +
           s"FROM $table WHERE $tcol IS NOT NULL) __s1) __s2)")
@@ -233,19 +249,19 @@ object WindowTvf {
         f: (String, Long) => String): String =
       re.replaceAllIn(s, m => {
         val dur = {
-          val d = m.group(2).toLong * unitSeconds(m.group(3))
+          val d = m.group(2).toLong * unitMillis(m.group(3))
           require(d > 0, "window intervals must be positive"); d
         }
         java.util.regex.Matcher.quoteReplacement(f(m.group(1), dur))
       })
     def ws(col: String, dur: Long): String =
-      floorTo(s"unix_seconds($col)", dur)
+      floorTo(epochMs(col), dur)
     val s1 = repl(LegacyTumbleStart, sql,
-      (c, d) => s"timestamp_seconds(${ws(c, d)})")
+      (c, d) => s"timestamp_millis(${ws(c, d)})")
     val s2 = repl(LegacyTumbleEnd, s1,
-      (c, d) => s"timestamp_seconds(${ws(c, d)} + ${d}L)")
+      (c, d) => s"timestamp_millis(${ws(c, d)} + ${d}L)")
     val s3 = repl(LegacyTumbleTime, s2,
-      (c, d) => s"timestamp_millis((${ws(c, d)} + ${d}L) * 1000L - 1L)")
+      (c, d) => s"timestamp_millis(${ws(c, d)} + ${d}L - 1L)")
     repl(LegacyTumbleGroup, s3, (c, d) => ws(c, d))
   }
 }

@@ -387,26 +387,27 @@ object Events {
     * gap per user): the gaps-and-islands expansion must agree with the
     * oracle's session derivation row for row. Break semantics follow
     * Flink's window merging — per-event windows [t, t+gap) merge when
-    * they touch, so a break needs a strictly larger gap.
+    * they touch, so a break needs a strictly larger gap — and the gap
+    * comparison runs in MILLISECONDS (TIMESTAMP(3) precision) on both
+    * sides; the output labels truncate to seconds only at the end.
     */
   val q62SessionTvf: Q = Q(
     "q62_session_tvf",
     """WITH e AS (
-      |  SELECT user_id,
-      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS tsec
+      |  SELECT user_id, epoch_ms(ts) AS tms
       |  FROM events),
       |f AS (
-      |  SELECT user_id, tsec,
-      |    CASE WHEN tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY tsec)
-      |      > 1800 THEN 1 ELSE 0 END AS nf
+      |  SELECT user_id, tms,
+      |    CASE WHEN tms - LAG(tms) OVER (PARTITION BY user_id ORDER BY tms)
+      |      > 1800000 THEN 1 ELSE 0 END AS nf
       |  FROM e),
       |s AS (
-      |  SELECT user_id, tsec, SUM(nf) OVER (PARTITION BY user_id
-      |    ORDER BY tsec, nf DESC
+      |  SELECT user_id, tms, SUM(nf) OVER (PARTITION BY user_id
+      |    ORDER BY tms, nf DESC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM f)
-      |SELECT user_id, CAST(MIN(tsec) AS BIGINT) AS window_start_sec,
-      |  CAST(MAX(tsec) + 1800 AS BIGINT) AS window_end_sec,
+      |SELECT user_id, CAST(MIN(tms) // 1000 AS BIGINT) AS window_start_sec,
+      |  CAST((MAX(tms) + 1800000) // 1000 AS BIGINT) AS window_end_sec,
       |  COUNT(*) AS n_events
       |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "events").createOrReplaceTempView("tvf_events")

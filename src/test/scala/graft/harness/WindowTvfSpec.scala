@@ -15,8 +15,9 @@ class WindowTvfSpec extends AnyFunSuite {
       "SELECT window_start, COUNT(*) FROM " +
         "TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) " +
         "GROUP BY window_start")
-    // Flink-floor arithmetic: t - pmod(t, unit), exact for negatives
-    assert(out.contains("(unix_seconds(ts) - pmod(unix_seconds(ts), 600L))"))
+    // Flink-floor arithmetic: t - pmod(t, unit), exact for negatives,
+    // in MILLISECONDS (TIMESTAMP(3) precision)
+    assert(out.contains("(unix_millis(cast(ts as timestamp)) - pmod(unix_millis(cast(ts as timestamp)), 600000L))"))
     assert(out.contains("AS window_start"))
     assert(out.contains("AS window_end"))
     assert(out.contains("AS window_time")) // Flink's end - 1ms rowtime
@@ -30,7 +31,7 @@ class WindowTvfSpec extends AnyFunSuite {
     val out = WindowTvf.rewrite(
       "SELECT * FROM TABLE(TUMBLE(DATA => TABLE t, " +
         "TIMECOL => DESCRIPTOR(ts), SIZE => INTERVAL '2' HOURS))")
-    assert(out.contains("pmod(unix_seconds(ts), 7200L)"))
+    assert(out.contains("pmod(unix_millis(cast(ts as timestamp)), 7200000L)"))
   }
 
   test("named arguments out of declaration order are rejected, not swapped") {
@@ -62,7 +63,7 @@ class WindowTvfSpec extends AnyFunSuite {
       "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), " +
         "INTERVAL '1' HOUR, INTERVAL '4' HOURS))")
     assert(out.contains("LATERAL VIEW explode(sequence("))
-    assert(out.contains("14400L"))
+    assert(out.contains("14400000L"))
     assert(!WindowTvf.hasWindowTvf(out))
   }
 
@@ -71,11 +72,11 @@ class WindowTvfSpec extends AnyFunSuite {
       "SELECT k, window_start, COUNT(*) FROM " +
         "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), " +
         "INTERVAL '5' MINUTE)) GROUP BY k, window_start")
-    assert(out.contains("LAG(unix_seconds(ts)) OVER (PARTITION BY k ORDER BY"))
+    assert(out.contains("LAG(unix_millis(cast(ts as timestamp))) OVER (PARTITION BY k ORDER BY"))
     // Flink merge semantics: a break needs a STRICTLY larger gap
-    assert(out.contains("> 300L"))
-    assert(out.contains("SELECT * EXCEPT (__tsec, __new, __sid)"))
-    assert(out.contains("MIN(__tsec) OVER (PARTITION BY k, __sid)"))
+    assert(out.contains("> 300000L"))
+    assert(out.contains("SELECT * EXCEPT (__tms, __new, __sid)"))
+    assert(out.contains("MIN(__tms) OVER (PARTITION BY k, __sid)"))
     assert(out.contains("AS window_time"))
     assert(!WindowTvf.hasWindowTvf(out))
     // unpartitioned form: one global session stream
@@ -125,6 +126,29 @@ class WindowTvfSpec extends AnyFunSuite {
       (1L, 1704067200L, 2L), (1L, 1704072601L, 1L), (2L, 1704067200L, 1L)))
   }
 
+  test("SESSION TVF gap comparison is millisecond-exact like Flink's") {
+    val spark = SparkFixture.spark
+    // events .800 and 00:05:00.900 are 300100 ms apart — over the
+    // 5-minute (300000 ms) gap, so Flink splits; second-floored
+    // arithmetic sees a 300 s gap (== gap) and would wrongly merge
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, TIMESTAMP'2024-01-01 00:00:00.800'),
+        |  (1L, TIMESTAMP'2024-01-01 00:05:00.900')
+        |AS t(k, ts)""".stripMargin).createOrReplaceTempView("ms_ev")
+    val out = spark.sql(WindowTvf.rewrite(
+      "SELECT k, window_start, window_end, COUNT(*) AS n FROM " +
+        "TABLE(SESSION(TABLE ms_ev PARTITION BY k, DESCRIPTOR(ts), " +
+        "INTERVAL '5' MINUTE)) GROUP BY k, window_start, window_end"))
+      .selectExpr("unix_millis(window_start)", "unix_millis(window_end)", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    // two sessions, each [t, t+gap), with the sub-second bounds intact
+    assert(out === Seq(
+      (1704067200800L, 1704067500800L, 1L),
+      (1704067500900L, 1704067800900L, 1L)))
+  }
+
   test("unrecognized TVF forms are rejected, never leaked") {
     // Flink's window-offset form: recognized as a TVF, refused clearly
     val offset = intercept[IllegalArgumentException] {
@@ -141,10 +165,10 @@ class WindowTvfSpec extends AnyFunSuite {
         "TUMBLE_END(rt, INTERVAL '1' MINUTE) AS we, COUNT(*) " +
         "FROM t GROUP BY dim, TUMBLE(rt, INTERVAL '1' MINUTE)")
     assert(out.contains(
-      "timestamp_seconds((unix_seconds(rt) - pmod(unix_seconds(rt), 60L)))"))
-    assert(out.contains("+ 60L)"))
+      "timestamp_millis((unix_millis(cast(rt as timestamp)) - pmod(unix_millis(cast(rt as timestamp)), 60000L)))"))
+    assert(out.contains("+ 60000L)"))
     // the GROUP BY key became the bare window-start expression
-    assert(out.contains("GROUP BY dim, (unix_seconds(rt) - pmod(unix_seconds(rt), 60L))"))
+    assert(out.contains("GROUP BY dim, (unix_millis(cast(rt as timestamp)) - pmod(unix_millis(cast(rt as timestamp)), 60000L))"))
     assert(!WindowTvf.hasWindowTvf(out))
   }
 
@@ -152,7 +176,7 @@ class WindowTvfSpec extends AnyFunSuite {
     val out = WindowTvf.rewrite(
       "SELECT TUMBLE_ROWTIME(rt, INTERVAL '1' HOUR) FROM t " +
         "GROUP BY TUMBLE(rt, INTERVAL '1' HOUR)")
-    assert(out.contains("* 1000L - 1L)"))
+    assert(out.contains("+ 3600000L - 1L)"))
   }
 
   test("legacy HOP/SESSION group windows are rejected toward the TVF form") {
