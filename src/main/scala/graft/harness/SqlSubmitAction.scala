@@ -211,12 +211,30 @@ final class SqlSubmitAction(
           ("table-name" -> t.options.getOrElse("table-name", t.name)))
         jdbcOptions(pinned): Unit
         sinks(t.name) = pinned
+        // only a missing backing table is legitimately deferred; a bad
+        // URL, driver, or credential must fail at DDL time, not
+        // resurface later as a confusing 'table not found' on first read
         try registerJdbcView(spark, pinned)
-        catch { case _: Exception => () }
+        catch { case e: Exception if isMissingTable(e) => () }
       case Some(other) =>
         throw new IllegalArgumentException(s"Unsupported connector '$other'")
       case None =>
         spark.sql(t.name) // unreachable: isConnectorCreate gated
+    }
+  }
+
+  /** Does this failure mean "the backing table does not exist (yet)"?
+    * SQLState class 42 is the standard undefined-object/syntax class
+    * every mainstream driver raises for a missing table (Derby 42X05,
+    * Postgres 42P01, MySQL 42S02); connection, driver, and auth
+    * failures carry other states (08xxx/28xxx) or no SQLException at
+    * all and must propagate.
+    */
+  private def isMissingTable(e: Throwable): Boolean = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists {
+      case sql: java.sql.SQLException =>
+        Option(sql.getSQLState).exists(_.startsWith("42"))
+      case _ => false
     }
   }
 
@@ -235,13 +253,18 @@ final class SqlSubmitAction(
   /** Upsert write for a jdbc sink with a declared PRIMARY KEY —
     * Flink's JDBC sink contract: with a key, INSERT means upsert. Runs
     * as a portable per-row UPDATE-else-INSERT on each partition's own
-    * connection (no dialect-specific MERGE), with the batch pre-deduped
-    * on the key so partitions never race on the same row. Identifiers
-    * go unquoted (the database's case fold), so the target is expected
-    * to be a pre-created table — the natural shape when a key
-    * constraint exists.
+    * connection (no dialect-specific MERGE), with the batch pre-reduced
+    * to one row per key so partitions never race on the same row.
+    * Flink's sink applies the changelog in arrival order — the last
+    * write per key wins — so the reduction keeps the LAST row per key
+    * in the batch's own row order (`monotonically_increasing_id` is
+    * monotone in (partition, offset)), never an arbitrary survivor.
+    * Identifiers go unquoted (the database's case fold), so the target
+    * is expected to be a pre-created table — the natural shape when a
+    * key constraint exists.
     */
   private def jdbcUpsert(df: DataFrame, sinkDef: TableDef): Unit = {
+    import org.apache.spark.sql.functions.{col, max_by, monotonically_increasing_id, struct}
     val opts = jdbcOptions(sinkDef)
     val (url, table) = (opts("url"), opts("dbtable"))
     val props = new java.util.Properties()
@@ -259,7 +282,12 @@ final class SqlSubmitAction(
       " WHERE " + pk.map(c => s"$c = ?").mkString(" AND ")
     val insertSql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
-    df.dropDuplicates(pk).foreachPartition {
+    val lastPerKey = df
+      .withColumn("__seq", monotonically_increasing_id())
+      .groupBy(pk.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), col("__seq")).as("__row"))
+      .select(col("__row.*"))
+    lastPerKey.foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         val conn = java.sql.DriverManager.getConnection(url, props)
         try {
@@ -487,11 +515,21 @@ final class SqlSubmitAction(
             w.partitionBy(sinkDef.partitionedBy: _*)
           else w
         case "jdbc" =>
-          // Spark has no streaming JDBC sink; per-micro-batch append is
-          // the standard bridge (same story as Flink's JDBC sink
-          // without upsert keys: at-least-once appends). Update mode so
-          // unwindowed streaming aggregations work, like the print and
-          // blackhole sinks accept them.
+          // Spark has no streaming JDBC sink; per-micro-batch write is
+          // the standard bridge. An updating plan (streaming
+          // aggregation) into a KEYLESS jdbc sink would append one row
+          // per key update — Flink rejects update changelogs into an
+          // append-only JDBC sink, so we do too, pointing at the
+          // PRIMARY KEY upsert path.
+          if (sinkDef.primaryKey.isEmpty &&
+            df.queryExecution.analyzed.exists(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]))
+            throw new IllegalArgumentException(
+              s"jdbc sink '${sinkDef.name}' has no PRIMARY KEY but the " +
+                "streaming query produces updates (aggregation): an " +
+                "append-only JDBC sink cannot consume update changes. " +
+                "Declare a PRIMARY KEY on the sink table for upsert " +
+                "semantics.")
           df.writeStream.outputMode("update").foreachBatch {
             (batch: DataFrame, _: Long) =>
               if (sinkDef.primaryKey.nonEmpty) jdbcUpsert(batch, sinkDef)

@@ -108,6 +108,15 @@ object TemporalJoin {
       out = out.substring(0, m.start) + replacement + " " + out.substring(condEnd)
       next = JoinRe.findFirstMatchIn(out)
     }
+    // a FOR SYSTEM_TIME AS OF form JoinRe did not match (AS OF
+    // PROCTIME(), a subquery join input, ...) must fail with the
+    // contract here — leaked Flink syntax would surface as Spark
+    // parser noise (same residual check as WindowTvf.rewrite)
+    MarkerRe.findFirstMatchIn(out).foreach(_ =>
+      throw new IllegalArgumentException(
+        "Unsupported FOR SYSTEM_TIME AS OF form: only " +
+          "[INNER|LEFT [OUTER]] JOIN <versioned table> FOR SYSTEM_TIME " +
+          "AS OF <time column> [AS alias] ON ... is recognized"))
     out
   }
 

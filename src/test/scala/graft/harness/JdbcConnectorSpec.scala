@@ -112,4 +112,90 @@ class JdbcConnectorSpec extends AnyFunSuite {
       assert(got === Seq(1L -> 10L, 2L -> 25L, 3L -> 30L))
     } finally conn2.close()
   }
+
+  test("upsert batches with repeated keys apply in order: last write wins") {
+    val spark = SparkFixture.spark
+    val conn = DriverManager.getConnection(bootUrl)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE ORDUP") catch { case _: Exception => () }
+      st.execute("CREATE TABLE ORDUP (K BIGINT PRIMARY KEY, V BIGINT)")
+      st.close()
+    } finally conn.close()
+
+    // one INSERT carrying three versions of key 1 — Flink's upsert sink
+    // applies the changelog in order, so 12 (the last) must survive;
+    // an arbitrary-survivor dedup could leave 10 or 11
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table ordup(
+         |  k bigint, v bigint, primary key (k) not enforced
+         |) with (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'ORDUP');
+         |insert into ordup select * from
+         |  (values (1, 10), (2, 20), (1, 11), (1, 12)) as t(k, v);
+         |""".stripMargin
+    val file = Files.createTempFile("graft-jdbc-ord-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+
+    val conn2 = DriverManager.getConnection(url)
+    try {
+      val rs = conn2.createStatement()
+        .executeQuery("SELECT K, V FROM ORDUP ORDER BY K")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => r.getLong(1) -> r.getLong(2)).toSeq
+      assert(got === Seq(1L -> 12L, 2L -> 20L))
+    } finally conn2.close()
+  }
+
+  test("bad jdbc configuration fails at DDL time, not on first read") {
+    val spark = SparkFixture.spark
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table broken(k bigint) with (
+         |  'connector' = 'jdbc', 'url' = 'jdbc:derby:memory:nosuchdb',
+         |  'table-name' = 'NOPE');
+         |""".stripMargin
+    val file = Files.createTempFile("graft-jdbc-bad-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark)).run()
+    }
+    // Derby raises a connection error (SQLState 08/XJ), not a
+    // missing-table 42xxx — the DDL must propagate it
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage) ++: messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("nosuchdb") || m.toLowerCase.contains("not found")))
+  }
+
+  test("streaming aggregation into a keyless jdbc sink is rejected") {
+    val spark = SparkFixture.spark
+    DriverManager.getConnection(bootUrl).close() // db must exist for DDL
+    val dir = Files.createTempDirectory("graft-jdbc-rej").toString
+    spark.sql("SELECT * FROM VALUES (1L), (2L), (2L) AS t(v)")
+      .write.parquet(s"$dir/src")
+    // no SET batch: default streaming mode, so the filesystem source
+    // reads as a stream and the grouped count produces updates
+    val script =
+      s"""create table src(v bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$dir/src',
+         |  'format' = 'parquet');
+         |create table agg_sink(v bigint, n bigint) with (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'AGGK');
+         |insert into agg_sink select v, count(*) as n from src group by v;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-jdbc-rej-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark), durationSec = 30).run()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage) ++: messages(x.getCause))
+    assert(messages(e).exists(_.contains("PRIMARY KEY")), messages(e).mkString(" | "))
+  }
 }

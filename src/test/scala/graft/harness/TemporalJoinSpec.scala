@@ -53,6 +53,18 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(!TemporalJoin.hasTemporalJoin(out))
   }
 
+  test("unmatched FOR SYSTEM_TIME forms are rejected, never leaked") {
+    // AS OF PROCTIME() is not a column reference — JoinRe skips it; the
+    // residual check must fail with the contract instead of leaking
+    // Flink syntax into Spark's parser
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.rewrite(
+        "SELECT * FROM o JOIN rates FOR SYSTEM_TIME AS OF PROCTIME() AS r " +
+          "ON r.k = o.k", attr)
+    }
+    assert(e.getMessage.contains("Unsupported FOR SYSTEM_TIME"))
+  }
+
   test("alias-free over a qualified table is rejected (alias required)") {
     val e = intercept[IllegalArgumentException] {
       TemporalJoin.rewrite(
