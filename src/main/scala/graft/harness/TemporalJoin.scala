@@ -31,7 +31,11 @@ import graft.harness.ddl.DdlParser
   * requires of a versioned table), resolved through the `versionOf`
   * callback so the rewrite stays independent of the harness catalog.
   * The interval columns ride along as `__vstart`/`__vend` on the
-  * version alias; explicit projections never see them.
+  * version alias; explicit projections never see them, and a
+  * `SELECT alias.*` is rewritten with a star EXCEPT so they stay
+  * hidden there too. A bare `SELECT *` over the join does expose them
+  * (a star may belong to any query block, so it cannot be rewritten
+  * safely) — project explicitly or qualify the star.
   */
 object TemporalJoin {
 
@@ -66,6 +70,7 @@ object TemporalJoin {
     */
   def rewrite(sql: String, versionOf: String => Option[VersionMeta]): String = {
     var out = sql
+    val rewrittenAliases = scala.collection.mutable.LinkedHashSet.empty[String]
     var next = JoinRe.findFirstMatchIn(out)
     while (next.isDefined) {
       val m = next.get
@@ -106,7 +111,20 @@ object TemporalJoin {
           s"AND ($alias.__vend IS NULL OR $asOf < $alias.__vend)"
       // trailing space: condEnd sits directly on the next clause keyword
       out = out.substring(0, m.start) + replacement + " " + out.substring(condEnd)
+      rewrittenAliases += alias
       next = JoinRe.findFirstMatchIn(out)
+    }
+    // `SELECT v.*` over a temporal alias must not expose the interval
+    // helpers — strip them with a qualified star EXCEPT. (A bare
+    // `SELECT *` cannot be rewritten the same way: star EXCEPT fails
+    // on scopes that don't carry the helpers, and a bare star may
+    // belong to any query block of the statement.)
+    rewrittenAliases.foreach { a =>
+      val starRe =
+        ("(?is)(?<![\\w`.])" + java.util.regex.Pattern.quote(a) +
+          raw"\s*\.\s*\*").r
+      out = starRe.replaceAllIn(out, java.util.regex.Matcher.quoteReplacement(
+        s"$a.* EXCEPT (__vstart, __vend)"))
     }
     // a FOR SYSTEM_TIME AS OF form JoinRe did not match (AS OF
     // PROCTIME(), a subquery join input, ...) must fail with the

@@ -33,10 +33,34 @@ object PrintSink {
   // keys; for non-keyed update streams (no aggregation) the same key
   // can land on different partitions and row kinds degrade to +I per
   // partition — the upsert-key contract assumes keyed output, as in
-  // Flink. Size is bounded by key cardinality per query; entries live
-  // for the JVM (debug sink).
+  // Flink. Size is bounded by key cardinality per query — and across
+  // queries by writer-granularity eviction: the state is executor-local
+  // so no driver-side hook can free it when a query stops
+  // (ForeachWriter.close fires per micro-batch, not per query), so the
+  // sink instead keeps state for at most MaxWriters recently-opened
+  // writers and drops the least-recently-opened beyond that. A live
+  // query reopens its writer every micro-batch and is never evicted; a
+  // long-lived JVM running many scripts stays flat.
   private val upsertState = new java.util.concurrent.ConcurrentHashMap[
     (String, Long), scala.collection.mutable.HashMap[Seq[Any], Row]]
+  private val MaxWriters = 64
+  private val lastOpened =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  private def touchAndEvict(writerId: String): Unit = {
+    lastOpened.put(writerId, System.nanoTime())
+    if (lastOpened.size > MaxWriters) lastOpened.synchronized {
+      while (lastOpened.size > MaxWriters) {
+        var oldest: String = null
+        var oldestAt = Long.MaxValue
+        lastOpened.forEach { (id, at) =>
+          if (at < oldestAt) { oldest = id; oldestAt = at }
+        }
+        lastOpened.remove(oldest)
+        upsertState.keySet().removeIf(_._1 == oldest): Unit
+      }
+    }
+  }
 
   private[connectors] class PrefixWriter(
       identifier: String, stderr: Boolean, pkIdx: Seq[Int],
@@ -46,9 +70,11 @@ object PrintSink {
     @transient private var last: scala.collection.mutable.HashMap[Seq[Any], Row] = _
     override def open(partitionId: Long, epochId: Long): Boolean = {
       out = if (stderr) System.err else System.out
-      if (pkIdx.nonEmpty)
+      if (pkIdx.nonEmpty) {
+        touchAndEvict(writerId)
         last = upsertState.computeIfAbsent((writerId, partitionId),
           _ => scala.collection.mutable.HashMap.empty)
+      }
       true
     }
     private def emit(kind: String, row: Row): Unit = {

@@ -38,6 +38,51 @@ class PrintSinkSpec extends AnyFunSuite {
       "pk_spec> +U[a, 2]"))
   }
 
+  test("upsert state is evicted at writer granularity, never for live writers") {
+    val bos = new ByteArrayOutputStream
+    val old = System.out
+    System.setOut(new PrintStream(bos, true))
+    try {
+      val live = new PrintSink.PrefixWriter("evict_spec", stderr = false,
+        pkIdx = Seq(0), writerId = "evict_live")
+      live.open(0, 0)
+      live.process(Row("a", 1L))
+      // 80 other writers churn through — more than the retention cap —
+      // but the live writer reopens in between (every micro-batch does)
+      (1 to 80).foreach { i =>
+        val w = new PrintSink.PrefixWriter("evict_spec", stderr = false,
+          pkIdx = Seq(0), writerId = s"evict_churn_$i")
+        w.open(0, 0)
+        w.process(Row("x", i.toLong))
+        if (i % 10 == 0) { // live query's next micro-batches
+          val l = new PrintSink.PrefixWriter("evict_spec", stderr = false,
+            pkIdx = Seq(0), writerId = "evict_live")
+          l.open(0, i.toLong)
+        }
+      }
+      // the live writer's state survived the churn: an update still
+      // prints the -U/+U pair, not a fresh +I
+      val l = new PrintSink.PrefixWriter("evict_spec", stderr = false,
+        pkIdx = Seq(0), writerId = "evict_live")
+      l.open(0, 99)
+      l.process(Row("a", 2L))
+    } finally System.setOut(old)
+    val lines = bos.toString.trim.linesIterator.toSeq
+    assert(lines.contains("evict_spec> -U[a, 1]"))
+    assert(lines.contains("evict_spec> +U[a, 2]"))
+    // and an evicted early churn writer restarts from +I if it reopens
+    val bos2 = new ByteArrayOutputStream
+    System.setOut(new PrintStream(bos2, true))
+    try {
+      val w = new PrintSink.PrefixWriter("evict_spec", stderr = false,
+        pkIdx = Seq(0), writerId = "evict_churn_1")
+      w.open(0, 1)
+      w.process(Row("x", 9L)) // state gone → +I, the documented degrade
+    } finally System.setOut(old)
+    assert(bos2.toString.trim.linesIterator.toSeq ==
+      Seq("evict_spec> +I[x, 9]"))
+  }
+
   test("without a primary key every row prints as +I (documented deviation)") {
     val bos = new ByteArrayOutputStream
     val old = System.out

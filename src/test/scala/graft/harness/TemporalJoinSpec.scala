@@ -53,6 +53,16 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(!TemporalJoin.hasTemporalJoin(out))
   }
 
+  test("SELECT alias.* hides the interval helper columns") {
+    val sql = "SELECT o.k, r.* FROM orders o " +
+      "JOIN rates FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k"
+    val out = TemporalJoin.rewrite(sql, attr)
+    assert(out.contains("r.* EXCEPT (__vstart, __vend)"))
+    // the version subquery's own star and qualified references survive
+    assert(out.contains("(SELECT *, rt AS __vstart"))
+    assert(out.contains("o.ot >= r.__vstart"))
+  }
+
   test("unmatched FOR SYSTEM_TIME forms are rejected, never leaked") {
     // AS OF PROCTIME() is not a column reference — JoinRe skips it; the
     // residual check must fail with the contract instead of leaking
