@@ -379,18 +379,16 @@ final class SqlSubmitAction(
         .flatMap(d => d.watermark.map(wm =>
           TemporalJoin.VersionMeta(wm.column, d.primaryKey))))
 
-  /** Flink windowing TVFs (`TABLE(TUMBLE(...))`) rewrite to window-
-    * column projections; batch only — a streaming aggregate over the
-    * derived column would keep unbounded state, where Flink's TVF
-    * windows expire with the watermark.
+  /** Flink windowing TVFs (`TABLE(TUMBLE(...))`): in batch mode the
+    * derived window-column projection (exact Flink arithmetic); in
+    * streaming mode the native `window()`/`session_window()` grouping
+    * rewrite, whose state expires with the watermark — a streaming
+    * aggregate over batch-derived window columns would keep unbounded
+    * state, where Flink's TVF windows expire.
     */
   private def rewriteWindowTvfs(config: EngineConfig, sql: String): String =
     if (!WindowTvf.hasWindowTvf(sql)) sql
-    else if (config.isStreaming)
-      throw new IllegalArgumentException(
-        "Window TVFs are supported in batch runtime mode only " +
-          "(SET execution.runtime-mode = batch); streaming windows are " +
-          "the library operators (StreamOps.windowedAgg/sessionAgg)")
+    else if (config.isStreaming) WindowTvf.rewriteStreaming(sql)
     else WindowTvf.rewrite(sql)
 
   private val MatchRecognizeRe = raw"(?is)\bMATCH_RECOGNIZE\s*\(".r

@@ -241,6 +241,202 @@ object WindowTvf {
     legacy
   }
 
+  /** STREAMING form: rewrites the windowing TVF of an aggregating
+    * statement onto Spark's native time-window grouping — `window()`
+    * for TUMBLE/HOP, `session_window()` for SESSION — the only
+    * streaming shape whose state expires with the watermark. The batch
+    * rewrite's derived window columns would be opaque to Spark's
+    * watermark tracking (a GROUP BY over them keeps unbounded state),
+    * so the GROUP BY itself is rebuilt: `window_start`/`window_end`/
+    * `window_time` keys are replaced by the native window expression,
+    * and references elsewhere become `window.start`/`window.end` field
+    * reads (bare select-list items keep their TVF output names via an
+    * alias).
+    *
+    * Contract limits, each rejected explicitly: one TVF per statement;
+    * the statement must be a single windowed aggregation (exactly one
+    * GROUP BY, containing a window column); CUMULATE has no native
+    * streaming equivalent (use HOP, or batch mode); legacy group
+    * windows stay batch-only. Session semantics note: Spark merges
+    * sessions that OVERLAP, Flink also merges sessions that merely
+    * touch — events exactly `gap` apart split here where Flink merges
+    * (the batch rewrite keeps Flink's exact boundary).
+    */
+  def rewriteStreaming(sql: String): String = {
+    if (!hasWindowTvf(sql)) return sql
+    if (AnyTvfRe.findAllMatchIn(sql).size > 1)
+      throw new IllegalArgumentException(
+        "Streaming mode supports one window TVF per statement")
+    if (AnyTvfRe.findFirstIn(sql).isEmpty)
+      throw new IllegalArgumentException(
+        "Legacy group windows are not supported in streaming mode; " +
+          "use the TVF form (TABLE(TUMBLE/HOP(...)))")
+    case class Win(start: Int, end: Int, table: String, expr: String,
+        struct: String)
+    val win = TumbleRe.findFirstMatchIn(sql).map { m =>
+      val dur = millis(m, 3, "SIZE")
+      Win(m.start, m.end, m.group(1),
+        s"window(${m.group(2)}, '$dur milliseconds')", "window")
+    }.orElse(HopRe.findFirstMatchIn(sql).map { m =>
+      val slide = millis(m, 3, "SLIDE")
+      val size = millis(m, 6, "SIZE")
+      require(size % slide == 0,
+        s"HOP size (${size} ms) must be a multiple of its slide (${slide} ms)")
+      Win(m.start, m.end, m.group(1),
+        s"window(${m.group(2)}, '$size milliseconds', '$slide milliseconds')",
+        "window")
+    }).orElse(SessionTvfRe.findFirstMatchIn(sql).map { m =>
+      val gap = m.group(5).toLong * unitMillis(m.group(6))
+      require(gap > 0, "session gap must be positive")
+      Win(m.start, m.end, m.group(1),
+        s"session_window(${m.group(3)}, '$gap milliseconds')",
+        "session_window")
+    }).getOrElse {
+      if (CumulateRe.findFirstIn(sql).isDefined)
+        throw new IllegalArgumentException(
+          "CUMULATE windows have no native streaming equivalent; use " +
+            "HOP, or batch runtime mode")
+      throw new IllegalArgumentException(
+        "Unsupported window TVF form for streaming mode")
+    }
+    // splice the TVF call out for the bare table reference
+    var out = sql.substring(0, win.start) + win.table + sql.substring(win.end)
+
+    // rebuild the (single) GROUP BY: window-column keys → the native
+    // window expression, other keys kept
+    val gbs = raw"(?is)\bGROUP\s+BY\b".r.findAllMatchIn(out).toList
+    if (gbs.size != 1) throw new IllegalArgumentException(
+      "a streaming window TVF statement must be a single windowed " +
+        "aggregation (exactly one GROUP BY)")
+    val gb = gbs.head
+    val (keysText, keysEnd) = scanListClause(out, gb.end)
+    val keys = splitTopLevel(keysText)
+    val winCols = Set("window_start", "window_end", "window_time")
+    val kept = keys.filterNot(k => winCols(k.trim.toLowerCase))
+    if (kept.size == keys.size) throw new IllegalArgumentException(
+      "a streaming window TVF aggregation must group by " +
+        "window_start/window_end")
+    val newKeys = (win.expr +: kept.map(_.trim)).mkString(", ")
+
+    // select-list region: [after SELECT, the top-level FROM); bare
+    // window-column items keep their output name via an alias
+    val selIdx = raw"(?is)\bSELECT\b".r.findFirstMatchIn(out).map(_.end)
+      .getOrElse(throw new IllegalArgumentException(
+        "window TVF statement has no SELECT"))
+    val fromIdx = findTopLevel(out, selIdx, "FROM").getOrElse(
+      throw new IllegalArgumentException(
+        "window TVF statement has no top-level FROM"))
+    def fieldRef(name: String): String = name match {
+      case "window_start" => s"${win.struct}.start"
+      case "window_end" => s"${win.struct}.end"
+      case _ => s"(${win.struct}.end - INTERVAL '1' MILLISECOND)"
+    }
+    def replTokens(s: String): String =
+      winCols.foldLeft(s)((acc, c) =>
+        ("(?i)\\b" + c + "\\b").r.replaceAllIn(acc,
+          java.util.regex.Matcher.quoteReplacement(fieldRef(c))))
+    val newSelect = splitTopLevel(out.substring(selIdx, fromIdx)).map { item =>
+      val bare = item.trim.toLowerCase
+      if (winCols(bare)) s"${fieldRef(bare)} AS ${bare}"
+      else replTokens(item.trim)
+    }.mkString(", ")
+
+    // reassemble: prefix + select list + FROM..GROUP BY + keys + tail
+    // (tokens in HAVING/ORDER BY and in kept keys become field reads)
+    out.substring(0, selIdx) + " " + newSelect + " " +
+      replTokens(out.substring(fromIdx, gb.end)) + " " + newKeys +
+      (if (keysEnd < out.length) " " + replTokens(out.substring(keysEnd))
+       else "")
+  }
+
+  /** Splits `s` on commas at paren depth 0, respecting quotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.Buffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 => parts += s.substring(start, i); start = i + 1; i += 1
+        case q @ ('\'' | '"' | '`') => i = skipQuoted(s, i, q)
+        case _ => i += 1
+      }
+    }
+    parts += s.substring(start)
+    parts.toSeq
+  }
+
+  /** The list clause starting at `from` (GROUP BY keys): runs to the
+    * next depth-0 clause keyword, an unmatched `)`, or end.
+    */
+  private val ClauseStops = Set(
+    "HAVING", "ORDER", "LIMIT", "WINDOW", "QUALIFY",
+    "UNION", "INTERSECT", "EXCEPT")
+
+  private def scanListClause(sql: String, from: Int): (String, Int) = {
+    var i = from
+    var depth = 0
+    var end = sql.length
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' if depth == 0 => end = i; i = sql.length
+        case ')' => depth -= 1; i += 1
+        case q @ ('\'' | '"' | '`') => i = skipQuoted(sql, i, q)
+        case c if c.isLetter || c == '_' =>
+          val s = i
+          while (i < sql.length &&
+            (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+          val qualified = s > 0 && sql.charAt(s - 1) == '.'
+          if (depth == 0 && !qualified &&
+            ClauseStops(sql.substring(s, i).toUpperCase)) {
+            end = s
+            i = sql.length
+          }
+        case _ => i += 1
+      }
+    }
+    (sql.substring(from, end), end)
+  }
+
+  /** Index of the first depth-0 occurrence of keyword `kw` at or after
+    * `from`, skipping quoted regions and parenthesized groups.
+    */
+  private def findTopLevel(sql: String, from: Int, kw: String): Option[Int] = {
+    var i = from
+    var depth = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case q @ ('\'' | '"' | '`') => i = skipQuoted(sql, i, q)
+        case c if c.isLetter || c == '_' =>
+          val s = i
+          while (i < sql.length &&
+            (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_')) i += 1
+          val qualified = s > 0 && sql.charAt(s - 1) == '.'
+          if (depth == 0 && !qualified &&
+            sql.substring(s, i).equalsIgnoreCase(kw)) return Some(s)
+        case _ => i += 1
+      }
+    }
+    None
+  }
+
+  /** Past a quoted region; doubled quotes escape within '...' and `...`. */
+  private def skipQuoted(sql: String, start: Int, q: Char): Int = {
+    var i = start + 1
+    while (i < sql.length) {
+      if (sql.charAt(i) == q) {
+        if (i + 1 < sql.length && sql.charAt(i + 1) == q) i += 2
+        else return i + 1
+      } else i += 1
+    }
+    sql.length
+  }
+
   /** Legacy TUMBLE family → the same floor arithmetic as the TVF
     * rewrite; accessors first (their names contain the bare name).
     */

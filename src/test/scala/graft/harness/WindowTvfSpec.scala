@@ -149,6 +149,92 @@ class WindowTvfSpec extends AnyFunSuite {
       (1704067500900L, 1704067800900L, 1L)))
   }
 
+  test("streaming TUMBLE TVF rewrites onto native window() grouping") {
+    val out = WindowTvf.rewriteStreaming(
+      "INSERT INTO s SELECT window_start, k, COUNT(*) AS n FROM " +
+        "TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '10' MINUTE)) " +
+        "GROUP BY window_start, k ORDER BY window_start")
+    // the GROUP BY carries the watermark-aware native expression
+    assert(out.contains("GROUP BY window(ts, '600000 milliseconds'), k"))
+    // bare select-list items keep their TVF output names
+    assert(out.contains("window.start AS window_start"))
+    // post-aggregation references become plain field reads
+    assert(out.contains("ORDER BY window.start"))
+    assert(!WindowTvf.hasWindowTvf(out))
+  }
+
+  test("streaming HOP and SESSION TVFs map to sliding/session windows") {
+    val hop = WindowTvf.rewriteStreaming(
+      "SELECT window_start, window_end, COUNT(*) AS n FROM " +
+        "TABLE(HOP(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTE, " +
+        "INTERVAL '10' MINUTE)) GROUP BY window_start, window_end")
+    assert(hop.contains(
+      "GROUP BY window(ts, '600000 milliseconds', '300000 milliseconds')"))
+    assert(hop.contains("window.end AS window_end"))
+    val sess = WindowTvf.rewriteStreaming(
+      "SELECT k, window_start, COUNT(*) AS n FROM " +
+        "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), " +
+        "INTERVAL '5' MINUTE)) GROUP BY k, window_start")
+    assert(sess.contains("GROUP BY session_window(ts, '300000 milliseconds'), k"))
+    assert(sess.contains("session_window.start AS window_start"))
+  }
+
+  test("streaming TVF contract violations are rejected explicitly") {
+    val cum = intercept[IllegalArgumentException] {
+      WindowTvf.rewriteStreaming(
+        "SELECT window_start, COUNT(*) FROM TABLE(CUMULATE(TABLE t, " +
+          "DESCRIPTOR(ts), INTERVAL '1' HOUR, INTERVAL '4' HOURS)) " +
+          "GROUP BY window_start")
+    }
+    assert(cum.getMessage.contains("CUMULATE"))
+    val noAgg = intercept[IllegalArgumentException] {
+      WindowTvf.rewriteStreaming(
+        "SELECT * FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), " +
+          "INTERVAL '1' HOUR))")
+    }
+    assert(noAgg.getMessage.contains("GROUP BY"))
+    val noWinKey = intercept[IllegalArgumentException] {
+      WindowTvf.rewriteStreaming(
+        "SELECT k, COUNT(*) FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), " +
+          "INTERVAL '1' HOUR)) GROUP BY k")
+    }
+    assert(noWinKey.getMessage.contains("window_start"))
+    val legacy = intercept[IllegalArgumentException] {
+      WindowTvf.rewriteStreaming(
+        "SELECT COUNT(*) FROM t GROUP BY TUMBLE(rt, INTERVAL '1' MINUTE)")
+    }
+    assert(legacy.getMessage.contains("Legacy"))
+  }
+
+  test("e2e: streaming TUMBLE TVF aggregates through a live stream") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    input.toDF().toDF("ts", "k").createOrReplaceTempView("stvf_src")
+    val sql = WindowTvf.rewriteStreaming(
+      "SELECT window_start, k, COUNT(*) AS n FROM " +
+        "TABLE(TUMBLE(TABLE stvf_src, DESCRIPTOR(ts), INTERVAL '1' HOUR)) " +
+        "GROUP BY window_start, k")
+    val query = spark.sql(sql).writeStream.format("memory")
+      .queryName("stvf_out").outputMode("update").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (t("2024-01-01 00:10:00"), "a"),
+        (t("2024-01-01 00:20:00"), "a"),
+        (t("2024-01-01 01:10:00"), "b"))
+      query.processAllAvailable()
+      val got = spark.table("stvf_out")
+        .selectExpr("unix_seconds(window_start)", "k", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(got === Seq(
+        (1704067200L, "a", 2L), (1704070800L, "b", 1L)))
+    } finally query.stop()
+  }
+
   test("unrecognized TVF forms are rejected, never leaked") {
     // Flink's window-offset form: recognized as a TVF, refused clearly
     val offset = intercept[IllegalArgumentException] {
