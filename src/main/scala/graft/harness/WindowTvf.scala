@@ -90,6 +90,18 @@ object WindowTvf {
   private val LegacyTumbleTime = legacyTumble("(?:_ROWTIME|_PROCTIME)")
   private val LegacyTumbleGroup = legacyTumble("")
 
+  /** Legacy group-window calls (`GROUP BY HOP/SESSION/TUMBLE(ts, ...)`)
+    * and their accessors — the first argument is a time COLUMN, which
+    * distinguishes them from the TVF forms (first argument `TABLE t`).
+    */
+  private val LegacyHopGroup = (
+    raw"(?is)\bHOP\s*\(\s*($Dotted)\s*,\s*$LegacyIv\s*,\s*$LegacyIv\s*\)").r
+  private val LegacySessionGroup = (
+    raw"(?is)\bSESSION\s*\(\s*($Dotted)\s*,\s*$LegacyIv\s*\)").r
+  private def legacyAccessor(fn: String) = (
+    raw"(?is)\b${fn}_(START|END|ROWTIME|PROCTIME)\s*\(\s*$Dotted\s*" +
+      raw"(?:,\s*$LegacyIv\s*){1,2}\)").r
+
   def hasWindowTvf(sql: String): Boolean =
     AnyTvfRe.findFirstIn(sql).isDefined ||
       AnyLegacyRe.findFirstIn(sql).isDefined
@@ -142,7 +154,10 @@ object WindowTvf {
       s"timestamp_millis(($endMs) - 1L) AS window_time"
 
   def rewrite(sql: String): String = {
-    val afterTumble = TumbleRe.replaceAllIn(sql, m => {
+    // legacy HOP/SESSION group windows escalate to the TVF form first
+    // (legacy TUMBLE keeps its cheaper scalar rewrite below)
+    val sql0 = legacyGroupToTvf(sql, tumbleToo = false)
+    val afterTumble = TumbleRe.replaceAllIn(sql0, m => {
       val (table, tcol) = (m.group(1), m.group(2))
       val dur = millis(m, 3, "SIZE")
       val t = epochMs(tcol)
@@ -234,9 +249,10 @@ object WindowTvf {
           s"Unsupported legacy $fn form (offsets / fractional intervals " +
             "are not recognized)"
         else
-          s"Legacy $fn group window is not supported (one row belongs " +
-            "to several windows); use the TVF form " +
-            "(TABLE(HOP/CUMULATE(...))) or the library operators")
+          s"Unsupported legacy $fn form — accessors without the " +
+            "matching GROUP BY call, offsets, or extra arguments are " +
+            "not recognized; use the TVF form (TABLE(...)) or the " +
+            "library operators")
     }
     legacy
   }
@@ -262,15 +278,19 @@ object WindowTvf {
     * touch — events exactly `gap` apart split here where Flink merges
     * (the batch rewrite keeps Flink's exact boundary).
     */
-  def rewriteStreaming(sql: String): String = {
-    if (!hasWindowTvf(sql)) return sql
+  def rewriteStreaming(rawSql: String): String = {
+    if (!hasWindowTvf(rawSql)) return rawSql
+    // legacy group windows (TUMBLE included: the batch scalar rewrite
+    // would hide the time attribute from watermark tracking) escalate
+    // to the TVF form and take the native-window path below
+    val sql = legacyGroupToTvf(rawSql, tumbleToo = true)
     if (AnyTvfRe.findAllMatchIn(sql).size > 1)
       throw new IllegalArgumentException(
         "Streaming mode supports one window TVF per statement")
     if (AnyTvfRe.findFirstIn(sql).isEmpty)
       throw new IllegalArgumentException(
-        "Legacy group windows are not supported in streaming mode; " +
-          "use the TVF form (TABLE(TUMBLE/HOP(...)))")
+        "Unsupported legacy group-window form for streaming mode; " +
+          "use the TVF form (TABLE(TUMBLE/HOP/SESSION(...)))")
     case class Win(start: Int, end: Int, table: String, expr: String,
         struct: String)
     val win = TumbleRe.findFirstMatchIn(sql).map { m =>
@@ -435,6 +455,95 @@ object WindowTvf {
       } else i += 1
     }
     sql.length
+  }
+
+  /** Escalates a legacy HOP/SESSION (and, when `tumbleToo`, TUMBLE)
+    * group window to the TVF form over the statement's single-table
+    * FROM, so the TVF rewrites — batch expansion or streaming native
+    * windows — handle it from there. Legacy group windows compute
+    * per-group-key windows, so a SESSION's sibling GROUP BY keys
+    * become the TVF PARTITION BY. Shapes beyond one group window over
+    * one plain table (joins, subqueries, expression keys) are
+    * rejected toward the explicit TVF form rather than half-rewritten.
+    */
+  private def legacyGroupToTvf(sql: String, tumbleToo: Boolean): String = {
+    final case class G(kind: String, re: scala.util.matching.Regex,
+        tcol: String, ivs: String)
+    def iv(n: String, u: String) = s"INTERVAL '$n' $u"
+    val g = LegacyHopGroup.findFirstMatchIn(sql).map(m =>
+      G("HOP", LegacyHopGroup, m.group(1),
+        s"${iv(m.group(2), m.group(3))}, ${iv(m.group(4), m.group(5))}"))
+      .orElse(LegacySessionGroup.findFirstMatchIn(sql).map(m =>
+        G("SESSION", LegacySessionGroup, m.group(1),
+          iv(m.group(2), m.group(3)))))
+      .orElse(if (!tumbleToo) None
+        else LegacyTumbleGroup.findFirstMatchIn(sql).map(m =>
+          G("TUMBLE", LegacyTumbleGroup, m.group(1),
+            iv(m.group(2), m.group(3)))))
+      .getOrElse(return sql)
+
+    // accessors first: their names contain the bare call name, and the
+    // replacement shifts no GROUP BY/FROM landmarks we find afterwards
+    var out = legacyAccessor(g.kind).replaceAllIn(sql, m =>
+      m.group(1).toUpperCase match {
+        case "START" => "window_start"
+        case "END" => "window_end"
+        case _ => "window_time"
+      })
+
+    val gb = raw"(?is)\bGROUP\s+BY\b".r.findAllMatchIn(out).toList match {
+      case one :: Nil => one
+      case _ => throw new IllegalArgumentException(
+        s"legacy ${g.kind} group window requires a single GROUP BY; " +
+          "use the TVF form (TABLE(...)) for nested shapes")
+    }
+    val (keysText, keysEnd) = scanListClause(out, gb.end)
+    val keys = splitTopLevel(keysText).map(_.trim)
+    def isWinKey(k: String) = g.re.pattern.matcher(k).matches()
+    val otherKeys = keys.filterNot(isWinKey)
+    if (otherKeys.size == keys.size) throw new IllegalArgumentException(
+      s"legacy ${g.kind}(...) must appear as a GROUP BY key")
+    if (g.kind == "SESSION" && !otherKeys.forall(_.matches(s"^$Dotted$$")))
+      throw new IllegalArgumentException(
+        "legacy SESSION group window needs plain column grouping keys " +
+          "(they become the session PARTITION BY); use the TVF form " +
+          "for expression keys")
+    val newKeys = keys
+      .map(k => if (isWinKey(k)) "window_start, window_end" else k)
+      .mkString(", ")
+
+    val selIdx = raw"(?is)\bSELECT\b".r.findFirstMatchIn(out).map(_.end)
+      .getOrElse(throw new IllegalArgumentException(
+        s"legacy ${g.kind} group window statement has no SELECT"))
+    val fromIdx = findTopLevel(out, selIdx, "FROM").getOrElse(
+      throw new IllegalArgumentException(
+        s"legacy ${g.kind} group window statement has no top-level FROM"))
+    val tail = out.substring(fromIdx)
+    val fm = (raw"(?is)\AFROM\s+($Dotted)\b").r.findFirstMatchIn(tail)
+      .getOrElse(throw new IllegalArgumentException(
+        s"legacy ${g.kind} group window requires a single-table FROM; " +
+          "use the TVF form for joins/subqueries"))
+    val afterTable = tail.substring(fm.end).dropWhile(_.isWhitespace)
+    val nextOk = afterTable.isEmpty || {
+      val w = afterTable.takeWhile(c => c.isLetterOrDigit || c == '_')
+        .toUpperCase
+      Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT")(w)
+    }
+    if (!nextOk) throw new IllegalArgumentException(
+      s"legacy ${g.kind} group window requires a single-table FROM " +
+        "(no joins, aliases, or subqueries); use the TVF form")
+
+    val part =
+      if (g.kind == "SESSION" && otherKeys.nonEmpty)
+        s" PARTITION BY ${otherKeys.mkString(", ")}"
+      else ""
+    val tvf =
+      s"TABLE(${g.kind}(TABLE ${fm.group(1)}$part, " +
+        s"DESCRIPTOR(${g.tcol}), ${g.ivs}))"
+    // splice back to front so earlier offsets stay valid
+    out = out.substring(0, gb.end) + " " + newKeys + out.substring(keysEnd)
+    out.substring(0, fromIdx) + s"FROM $tvf" +
+      out.substring(fromIdx + fm.end)
   }
 
   /** Legacy TUMBLE family → the same floor arithmetic as the TVF

@@ -392,7 +392,50 @@ object Dedup {
          |FROM cand WHERE bit_count(sh_a ^ sh_b) <= 2""".stripMargin)
   }
 
+  /** INTER-document duplicate-span ratio: for each document, the share
+    * of its distinct word-8-gram spans that also occur in at least one
+    * OTHER document (ext_repetition is the intra-doc complement). The
+    * standard "documents assembled from corpus boilerplate" signal a
+    * curation pipeline cuts on.
+    *
+    * Scale shape: docs explode to (doc_id, 8-byte span hash) pairs —
+    * never span text — so both shuffles (span-frequency aggregation and
+    * the frequency join back) move narrow fixed-width rows; the
+    * span-hash join key makes the second shuffle co-partitioned with
+    * the first. No driver materialization, no all-pairs.
+    */
+  val extSpanDedup: Q = Q(
+    "ext_span_dedup", {
+      val hs = shingleHashesDuck("string_split(text, ' ')", 8)
+      s"""WITH t AS (
+         |  SELECT doc_id, list_distinct($hs) AS hs FROM documents),
+         |s AS (SELECT doc_id, UNNEST(hs) AS span FROM t),
+         |f AS (SELECT span, COUNT(*) AS n_docs FROM s GROUP BY span)
+         |SELECT s.doc_id, COUNT(*) AS total_spans,
+         |  CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS shared_spans,
+         |  CAST(FLOOR(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)
+         |    * 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS shared_mils
+         |FROM s JOIN f USING (span)
+         |GROUP BY s.doc_id""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val spans = Tables.load(s, dir, "documents")
+      .selectExpr("doc_id",
+        s"explode(array_distinct(${shingleHashesSpark("split(text, ' ')", 8)})) AS span")
+    // spans are distinct within a doc, so the span frequency IS the
+    // number of documents carrying it
+    val freq = spans.groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+    spans.join(freq, "span")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("total_spans"),
+        sum(when(col("n_docs") > 1L, 1L).otherwise(0L)).as("shared_spans"))
+      .withColumn("shared_mils", expr(
+        "CAST(FLOOR(shared_spans * 1000.0D / total_spans + 0.5D) AS BIGINT)"))
+  }
+
   def all: Seq[Q] = Seq(
     extDedupExact, extJaccardPairs, extDedupCluster,
-    extMinhashSig, extMinhashPairs, extSimhash, extSimhashPairs)
+    extMinhashSig, extMinhashPairs, extSimhash, extSimhashPairs,
+    extSpanDedup)
 }

@@ -332,6 +332,36 @@ object Events {
         col("event_type"), col("n_events"))
   }
 
+  /** Flink 1.x legacy `GROUP BY HOP(ts, slide, size)` + `HOP_START`
+    * through the harness escalation: the legacy group window rewrites
+    * to the TVF form first (per-group windows; one row in several
+    * windows), then expands laterally like q59 — same oracle.
+    */
+  val q63LegacyHop: Q = Q(
+    "q63_legacy_hop",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS tsec
+      |  FROM events),
+      |x AS (
+      |  SELECT event_type, UNNEST(generate_series(
+      |    ((tsec - 7200) // 3600 + 1) * 3600,
+      |    (tsec // 3600) * 3600, 3600)) AS ws
+      |  FROM e)
+      |SELECT CAST(ws AS BIGINT) AS window_start_sec, event_type,
+      |  COUNT(*) AS n_events
+      |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("tvf_events")
+    val flinkSql =
+      """SELECT HOP_START(ts, INTERVAL '1' HOUR, INTERVAL '2' HOURS) AS wstart,
+        |  event_type, COUNT(*) AS n_events
+        |FROM tvf_events
+        |GROUP BY event_type, HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOURS)""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(unix_timestamp(col("wstart")).as("window_start_sec"),
+        col("event_type"), col("n_events"))
+  }
+
   /** Flink CUMULATE window TVF through the harness rewrite (1h steps
     * over a 4h span) — the TVF-syntax twin of q43's library operator.
     */
@@ -547,5 +577,5 @@ object Events {
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
-    q62SessionTvf)
+    q62SessionTvf, q63LegacyHop)
 }

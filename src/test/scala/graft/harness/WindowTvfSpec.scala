@@ -199,11 +199,12 @@ class WindowTvfSpec extends AnyFunSuite {
           "INTERVAL '1' HOUR)) GROUP BY k")
     }
     assert(noWinKey.getMessage.contains("window_start"))
-    val legacy = intercept[IllegalArgumentException] {
+    // a legacy accessor with no matching group call cannot escalate
+    val orphan = intercept[IllegalArgumentException] {
       WindowTvf.rewriteStreaming(
-        "SELECT COUNT(*) FROM t GROUP BY TUMBLE(rt, INTERVAL '1' MINUTE)")
+        "SELECT HOP_START(rt, INTERVAL '1' MINUTE, INTERVAL '5' MINUTE) FROM t")
     }
-    assert(legacy.getMessage.contains("Legacy"))
+    assert(orphan.getMessage.contains("legacy"))
   }
 
   test("e2e: streaming TUMBLE TVF aggregates through a live stream") {
@@ -265,13 +266,42 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(out.contains("+ 3600000L - 1L)"))
   }
 
-  test("legacy HOP/SESSION group windows are rejected toward the TVF form") {
+  test("legacy HOP group window escalates to the TVF expansion") {
+    val out = WindowTvf.rewrite(
+      "SELECT HOP_START(rt, INTERVAL '1' MINUTE, INTERVAL '5' MINUTE) AS ws, " +
+        "COUNT(*) AS n FROM t GROUP BY " +
+        "HOP(rt, INTERVAL '1' MINUTE, INTERVAL '5' MINUTE)")
+    // escalated to TABLE(HOP(...)) and expanded laterally like the TVF
+    assert(out.contains("LATERAL VIEW explode(sequence("))
+    assert(out.contains("GROUP BY window_start, window_end"))
+    assert(out.contains("window_start AS ws"))
+    assert(!WindowTvf.hasWindowTvf(out))
+  }
+
+  test("legacy SESSION group keys become the session PARTITION BY") {
+    val out = WindowTvf.rewrite(
+      "SELECT k, SESSION_START(rt, INTERVAL '5' MINUTE) AS ws, COUNT(*) " +
+        "FROM t GROUP BY k, SESSION(rt, INTERVAL '5' MINUTE)")
+    // per-key sessions: the sibling GROUP BY key partitions the islands
+    assert(out.contains("LAG(unix_millis(cast(rt as timestamp))) OVER (PARTITION BY k ORDER BY"))
+    assert(out.contains("GROUP BY k, window_start, window_end"))
+    assert(out.contains("window_start AS ws"))
+    assert(!WindowTvf.hasWindowTvf(out))
+    // joins and subqueries stay rejected toward the TVF form
     val e = intercept[IllegalArgumentException] {
       WindowTvf.rewrite(
-        "SELECT COUNT(*) FROM t GROUP BY " +
-          "HOP(rt, INTERVAL '1' MINUTE, INTERVAL '5' MINUTE)")
+        "SELECT COUNT(*) FROM t JOIN u ON t.k = u.k GROUP BY " +
+          "SESSION(rt, INTERVAL '5' MINUTE)")
     }
-    assert(e.getMessage.contains("Legacy HOP"))
+    assert(e.getMessage.contains("single-table FROM"))
+  }
+
+  test("streaming legacy TUMBLE escalates onto native window() grouping") {
+    val out = WindowTvf.rewriteStreaming(
+      "SELECT TUMBLE_START(rt, INTERVAL '1' MINUTE) AS ws, COUNT(*) AS n " +
+        "FROM t GROUP BY TUMBLE(rt, INTERVAL '1' MINUTE)")
+    assert(out.contains("GROUP BY window(rt, '60000 milliseconds')"))
+    assert(out.contains("window.start AS ws"))
   }
 
   test("e2e: MATCH_RECOGNIZE is rejected with a pointer, not parser noise") {
