@@ -121,7 +121,15 @@ final class SqlSubmitAction(
 
     if (started.nonEmpty) {
       if (durationSec > 0) {
-        spark.streams.awaitAnyTermination(durationSec * 1000)
+        // wait on THIS action's queries, not awaitAnyTermination: the
+        // session-global terminated flag survives earlier actions on a
+        // reused session and would return immediately, stopping these
+        // queries before their first micro-batch
+        val deadline = System.nanoTime() + durationSec * 1000000000L
+        started.foreach { q =>
+          val remainMs = (deadline - System.nanoTime()) / 1000000L
+          if (remainMs > 0) q.awaitTermination(remainMs): Unit
+        }
         started.foreach(q => if (q.isActive) q.stop())
       } else {
         started.foreach(_.awaitTermination())
@@ -224,16 +232,18 @@ final class SqlSubmitAction(
   }
 
   /** Does this failure mean "the backing table does not exist (yet)"?
-    * SQLState class 42 is the standard undefined-object/syntax class
-    * every mainstream driver raises for a missing table (Derby 42X05,
-    * Postgres 42P01, MySQL 42S02); connection, driver, and auth
-    * failures carry other states (08xxx/28xxx) or no SQLException at
-    * all and must propagate.
+    * Only the specific missing-object SQLStates qualify — Derby 42X05,
+    * Postgres 42P01, MySQL/SQLServer 42S02, DB2 42704 — NOT the whole
+    * class 42, which also carries permission-denied (42501) and syntax
+    * errors (42601) that must fail at DDL time like connection, driver,
+    * and auth failures.
     */
+  private val MissingTableStates = Set("42X05", "42P01", "42S02", "42704")
+
   private def isMissingTable(e: Throwable): Boolean = {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists {
       case sql: java.sql.SQLException =>
-        Option(sql.getSQLState).exists(_.startsWith("42"))
+        Option(sql.getSQLState).exists(MissingTableStates)
       case _ => false
     }
   }
@@ -514,21 +524,16 @@ final class SqlSubmitAction(
           else w
         case "jdbc" =>
           // Spark has no streaming JDBC sink; per-micro-batch write is
-          // the standard bridge. An updating plan (streaming
-          // aggregation) into a KEYLESS jdbc sink would append one row
-          // per key update — Flink rejects update changelogs into an
-          // append-only JDBC sink, so we do too, pointing at the
-          // PRIMARY KEY upsert path.
-          if (sinkDef.primaryKey.isEmpty &&
-            df.queryExecution.analyzed.exists(
-              _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate]))
-            throw new IllegalArgumentException(
-              s"jdbc sink '${sinkDef.name}' has no PRIMARY KEY but the " +
-                "streaming query produces updates (aggregation): an " +
-                "append-only JDBC sink cannot consume update changes. " +
-                "Declare a PRIMARY KEY on the sink table for upsert " +
-                "semantics.")
-          df.writeStream.outputMode("update").foreachBatch {
+          // the standard bridge. A KEYLESS jdbc sink is append-only
+          // (Flink semantics), so it runs in append output mode: plans
+          // that only ever emit finalized rows — pure appends, and
+          // watermarked window aggregations — work; an updating plan is
+          // rejected by Spark's own append-mode check at start(), which
+          // the start wrapper below turns into the PRIMARY KEY contract
+          // error. A keyed sink runs in update mode and upserts.
+          val mode =
+            if (sinkDef.primaryKey.nonEmpty) "update" else "append"
+          df.writeStream.outputMode(mode).foreachBatch {
             (batch: DataFrame, _: Long) =>
               if (sinkDef.primaryKey.nonEmpty) jdbcUpsert(batch, sinkDef)
               else batch.write.format("jdbc")
@@ -550,7 +555,18 @@ final class SqlSubmitAction(
         case Some(n) => withCp.queryName(s"$n-${sinkDef.name}")
         case None    => withCp.queryName(sinkDef.name)
       }
-      started += named.start()
+      try started += named.start()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if connector == "jdbc" && sinkDef.primaryKey.isEmpty &&
+              Option(e.getMessage).map(_.toLowerCase).exists(m =>
+                m.contains("output mode") && m.contains("append")) =>
+          throw new IllegalArgumentException(
+            s"jdbc sink '${sinkDef.name}' has no PRIMARY KEY but the " +
+              "streaming query produces updates: an append-only JDBC " +
+              "sink cannot consume update changes. Declare a PRIMARY " +
+              "KEY on the sink table for upsert semantics.", e)
+      }
     } else {
       connector match {
         case "print"     => PrintSink.printBatch(df, sinkDef)

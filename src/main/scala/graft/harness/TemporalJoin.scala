@@ -115,11 +115,17 @@ object TemporalJoin {
       next = JoinRe.findFirstMatchIn(out)
     }
     // `SELECT v.*` over a temporal alias must not expose the interval
-    // helpers — strip them with a qualified star EXCEPT. (A bare
-    // `SELECT *` cannot be rewritten the same way: star EXCEPT fails
-    // on scopes that don't carry the helpers, and a bare star may
-    // belong to any query block of the statement.)
-    rewrittenAliases.foreach { a =>
+    // helpers — strip them with a qualified star EXCEPT. Applied only
+    // to single-SELECT statements: in a multi-block statement (UNION,
+    // subqueries) the same alias may bind a non-temporal table in
+    // another block, where the EXCEPT would fail analysis. (A bare
+    // `SELECT *` is never rewritten for the same reason: star EXCEPT
+    // fails on scopes that don't carry the helpers.)
+    // counted on the ORIGINAL statement — the rewrite itself injects
+    // version subqueries (one SELECT each)
+    val singleBlock =
+      raw"(?is)\bSELECT\b".r.findAllMatchIn(sql).take(2).size == 1
+    if (singleBlock) rewrittenAliases.foreach { a =>
       val starRe =
         ("(?is)(?<![\\w`.])" + java.util.regex.Pattern.quote(a) +
           raw"\s*\.\s*\*").r

@@ -99,8 +99,9 @@ object WindowTvf {
   private val LegacySessionGroup = (
     raw"(?is)\bSESSION\s*\(\s*($Dotted)\s*,\s*$LegacyIv\s*\)").r
   private def legacyAccessor(fn: String) = (
-    raw"(?is)\b${fn}_(START|END|ROWTIME|PROCTIME)\s*\(\s*$Dotted\s*" +
-      raw"(?:,\s*$LegacyIv\s*){1,2}\)").r
+    raw"(?is)\b${fn}_(START|END|ROWTIME|PROCTIME)\s*\(\s*($Dotted)\s*" +
+      raw"((?:,\s*$LegacyIv\s*){1,2})\)").r
+  private val LegacyIvRe = LegacyIv.r
 
   def hasWindowTvf(sql: String): Boolean =
     AnyTvfRe.findFirstIn(sql).isDefined ||
@@ -292,7 +293,7 @@ object WindowTvf {
         "Unsupported legacy group-window form for streaming mode; " +
           "use the TVF form (TABLE(TUMBLE/HOP/SESSION(...)))")
     case class Win(start: Int, end: Int, table: String, expr: String,
-        struct: String)
+        struct: String, partitionKeys: Seq[String] = Nil)
     val win = TumbleRe.findFirstMatchIn(sql).map { m =>
       val dur = millis(m, 3, "SIZE")
       Win(m.start, m.end, m.group(1),
@@ -308,9 +309,11 @@ object WindowTvf {
     }).orElse(SessionTvfRe.findFirstMatchIn(sql).map { m =>
       val gap = m.group(5).toLong * unitMillis(m.group(6))
       require(gap > 0, "session gap must be positive")
+      val pkeys = Option(m.group(2)).toSeq
+        .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
       Win(m.start, m.end, m.group(1),
         s"session_window(${m.group(3)}, '$gap milliseconds')",
-        "session_window")
+        "session_window", pkeys)
     }).getOrElse {
       if (CumulateRe.findFirstIn(sql).isDefined)
         throw new IllegalArgumentException(
@@ -319,6 +322,16 @@ object WindowTvf {
       throw new IllegalArgumentException(
         "Unsupported window TVF form for streaming mode")
     }
+    def fieldRef(name: String): String = name match {
+      case "window_start" => s"${win.struct}.start"
+      case "window_end" => s"${win.struct}.end"
+      case _ => s"(${win.struct}.end - INTERVAL '1' MILLISECOND)"
+    }
+    def replTokensIn(s: String): String =
+      Seq("window_start", "window_end", "window_time").foldLeft(s)(
+        (acc, c) => ("(?i)\\b" + c + "\\b").r.replaceAllIn(acc,
+          java.util.regex.Matcher.quoteReplacement(fieldRef(c))))
+
     // splice the TVF call out for the bare table reference
     var out = sql.substring(0, win.start) + win.table + sql.substring(win.end)
 
@@ -336,7 +349,19 @@ object WindowTvf {
     if (kept.size == keys.size) throw new IllegalArgumentException(
       "a streaming window TVF aggregation must group by " +
         "window_start/window_end")
-    val newKeys = (win.expr +: kept.map(_.trim)).mkString(", ")
+    // session_window sessions form per GROUP BY key: the TVF's
+    // PARTITION BY keys must all be grouping keys, or sessions that
+    // Flink forms per key would silently merge globally here
+    win.partitionKeys.foreach { pk =>
+      if (!kept.exists(_.trim.equalsIgnoreCase(pk)))
+        throw new IllegalArgumentException(
+          s"streaming SESSION TVF PARTITION BY key '$pk' must also be " +
+            "a GROUP BY key (Spark forms sessions per grouping key); " +
+            "aggregating per-key sessions across keys needs batch mode")
+    }
+    // kept keys may themselves reference window columns (expressions)
+    val newKeys =
+      (win.expr +: kept.map(k => replTokensIn(k.trim))).mkString(", ")
 
     // select-list region: [after SELECT, the top-level FROM); bare
     // window-column items keep their output name via an alias
@@ -346,26 +371,17 @@ object WindowTvf {
     val fromIdx = findTopLevel(out, selIdx, "FROM").getOrElse(
       throw new IllegalArgumentException(
         "window TVF statement has no top-level FROM"))
-    def fieldRef(name: String): String = name match {
-      case "window_start" => s"${win.struct}.start"
-      case "window_end" => s"${win.struct}.end"
-      case _ => s"(${win.struct}.end - INTERVAL '1' MILLISECOND)"
-    }
-    def replTokens(s: String): String =
-      winCols.foldLeft(s)((acc, c) =>
-        ("(?i)\\b" + c + "\\b").r.replaceAllIn(acc,
-          java.util.regex.Matcher.quoteReplacement(fieldRef(c))))
     val newSelect = splitTopLevel(out.substring(selIdx, fromIdx)).map { item =>
       val bare = item.trim.toLowerCase
       if (winCols(bare)) s"${fieldRef(bare)} AS ${bare}"
-      else replTokens(item.trim)
+      else replTokensIn(item.trim)
     }.mkString(", ")
 
     // reassemble: prefix + select list + FROM..GROUP BY + keys + tail
     // (tokens in HAVING/ORDER BY and in kept keys become field reads)
     out.substring(0, selIdx) + " " + newSelect + " " +
-      replTokens(out.substring(fromIdx, gb.end)) + " " + newKeys +
-      (if (keysEnd < out.length) " " + replTokens(out.substring(keysEnd))
+      replTokensIn(out.substring(fromIdx, gb.end)) + " " + newKeys +
+      (if (keysEnd < out.length) " " + replTokensIn(out.substring(keysEnd))
        else "")
   }
 
@@ -468,28 +484,40 @@ object WindowTvf {
     */
   private def legacyGroupToTvf(sql: String, tumbleToo: Boolean): String = {
     final case class G(kind: String, re: scala.util.matching.Regex,
-        tcol: String, ivs: String)
+        tcol: String, ivs: String, ms: Seq[Long])
     def iv(n: String, u: String) = s"INTERVAL '$n' $u"
+    def ms(n: String, u: String) = n.toLong * unitMillis(u)
     val g = LegacyHopGroup.findFirstMatchIn(sql).map(m =>
       G("HOP", LegacyHopGroup, m.group(1),
-        s"${iv(m.group(2), m.group(3))}, ${iv(m.group(4), m.group(5))}"))
+        s"${iv(m.group(2), m.group(3))}, ${iv(m.group(4), m.group(5))}",
+        Seq(ms(m.group(2), m.group(3)), ms(m.group(4), m.group(5)))))
       .orElse(LegacySessionGroup.findFirstMatchIn(sql).map(m =>
         G("SESSION", LegacySessionGroup, m.group(1),
-          iv(m.group(2), m.group(3)))))
+          iv(m.group(2), m.group(3)), Seq(ms(m.group(2), m.group(3))))))
       .orElse(if (!tumbleToo) None
         else LegacyTumbleGroup.findFirstMatchIn(sql).map(m =>
           G("TUMBLE", LegacyTumbleGroup, m.group(1),
-            iv(m.group(2), m.group(3)))))
+            iv(m.group(2), m.group(3)), Seq(ms(m.group(2), m.group(3))))))
       .getOrElse(return sql)
 
     // accessors first: their names contain the bare call name, and the
-    // replacement shifts no GROUP BY/FROM landmarks we find afterwards
-    var out = legacyAccessor(g.kind).replaceAllIn(sql, m =>
+    // replacement shifts no GROUP BY/FROM landmarks we find afterwards.
+    // Flink rejects accessors whose arguments differ from the group
+    // window's — binding them by name alone would silently return the
+    // wrong window's bounds, so validate column and intervals.
+    var out = legacyAccessor(g.kind).replaceAllIn(sql, m => {
+      val accMs = LegacyIvRe.findAllMatchIn(m.group(3))
+        .map(x => ms(x.group(1), x.group(2))).toSeq
+      if (!m.group(2).equalsIgnoreCase(g.tcol) || accMs != g.ms)
+        throw new IllegalArgumentException(
+          s"legacy ${g.kind}_${m.group(1).toUpperCase} arguments do not " +
+            s"match the GROUP BY ${g.kind}(${g.tcol}, ${g.ivs}) window")
       m.group(1).toUpperCase match {
         case "START" => "window_start"
         case "END" => "window_end"
         case _ => "window_time"
-      })
+      }
+    })
 
     val gb = raw"(?is)\bGROUP\s+BY\b".r.findAllMatchIn(out).toList match {
       case one :: Nil => one
@@ -508,8 +536,12 @@ object WindowTvf {
         "legacy SESSION group window needs plain column grouping keys " +
           "(they become the session PARTITION BY); use the TVF form " +
           "for expression keys")
+    // window_time rides along: a ROWTIME accessor in the select list
+    // becomes a window_time reference, which must be a grouping key
+    // (functionally dependent on window_start, so grouping is unchanged)
     val newKeys = keys
-      .map(k => if (isWinKey(k)) "window_start, window_end" else k)
+      .map(k =>
+        if (isWinKey(k)) "window_start, window_end, window_time" else k)
       .mkString(", ")
 
     val selIdx = raw"(?is)\bSELECT\b".r.findFirstMatchIn(out).map(_.end)

@@ -58,6 +58,13 @@ object PrintSink {
         }
         lastOpened.remove(oldest)
         upsertState.keySet().removeIf(_._1 == oldest): Unit
+        // with 64+ CONCURRENTLY live keyed print queries this evicts a
+        // running writer's state and its next update prints +I instead
+        // of -U/+U — say so rather than degrade silently
+        System.err.println(
+          s"print sink: evicted upsert state of writer $oldest " +
+            s"(more than $MaxWriters keyed print writers); if it is " +
+            "still running, its row kinds degrade to +I")
       }
     }
   }

@@ -420,9 +420,13 @@ object Dedup {
          |GROUP BY s.doc_id""".stripMargin
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
+    // persisted: spans feeds both sides of the frequency join, and the
+    // explode + hashing is the heaviest stage (runners clear the cache
+    // between queries, same contract as extDedupCluster's canon)
     val spans = Tables.load(s, dir, "documents")
       .selectExpr("doc_id",
         s"explode(array_distinct(${shingleHashesSpark("split(text, ' ')", 8)})) AS span")
+      .persist()
     // spans are distinct within a doc, so the span frequency IS the
     // number of documents carrying it
     val freq = spans.groupBy(col("span")).agg(count(lit(1)).as("n_docs"))

@@ -198,4 +198,53 @@ class JdbcConnectorSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(x => Option(x.getMessage) ++: messages(x.getCause))
     assert(messages(e).exists(_.contains("PRIMARY KEY")), messages(e).mkString(" | "))
   }
+
+  test("append-only streams with a batch-side aggregate pass the keyless guard") {
+    val spark = SparkFixture.spark
+    val conn = DriverManager.getConnection(bootUrl)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE DIMAGG") catch { case _: Exception => () }
+      try st.execute("DROP TABLE APPOUT") catch { case _: Exception => () }
+      st.execute("CREATE TABLE DIMAGG (K BIGINT, V BIGINT)")
+      st.execute("INSERT INTO DIMAGG VALUES (1, 5), (1, 9), (2, 4)")
+      // pre-created so the read-back below never races the sink's
+      // lazy auto-create on a slow first micro-batch
+      st.execute("CREATE TABLE APPOUT (\"k\" BIGINT, \"mx\" BIGINT)")
+      st.close()
+    } finally conn.close()
+    val dir = Files.createTempDirectory("graft-jdbc-app").toString
+    spark.sql("SELECT * FROM VALUES (1L), (2L), (1L) AS t(k)")
+      .write.parquet(s"$dir/src")
+    // the jdbc dim side aggregates (GROUP BY), but the STREAM side is a
+    // pure append join — Flink accepts this into a keyless JDBC sink
+    // and so must the guard (an Aggregate anywhere in the plan is not
+    // an updating stream)
+    val script =
+      s"""create table src(k bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$dir/src',
+         |  'format' = 'parquet');
+         |create table dimagg(k bigint, v bigint) with (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'DIMAGG');
+         |create table appout(k bigint, mx bigint) with (
+         |  'connector' = 'jdbc', 'url' = '$url', 'table-name' = 'APPOUT');
+         |insert into appout
+         |select s.k, d.mx from src s
+         |join (select k, max(v) as mx from dimagg group by k) d
+         |on s.k = d.k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-jdbc-app-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 60).run()
+    val conn2 = DriverManager.getConnection(url)
+    try {
+      val rs = conn2.createStatement()
+        .executeQuery("SELECT \"k\", \"mx\" FROM APPOUT")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => r.getLong(1) -> r.getLong(2))
+        .toSeq.sorted
+      assert(got === Seq(1L -> 9L, 1L -> 9L, 2L -> 4L))
+    } finally conn2.close()
+  }
 }

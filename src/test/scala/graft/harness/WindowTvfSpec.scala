@@ -207,6 +207,37 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(orphan.getMessage.contains("legacy"))
   }
 
+  test("streaming SESSION PARTITION BY keys must be grouping keys") {
+    // Flink can aggregate per-key sessions ACROSS keys; Spark's
+    // session_window cannot — dropping the key would merge sessions
+    // globally and silently change counts, so it must reject
+    val e = intercept[IllegalArgumentException] {
+      WindowTvf.rewriteStreaming(
+        "SELECT window_start, COUNT(*) FROM " +
+          "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), " +
+          "INTERVAL '5' MINUTE)) GROUP BY window_start, window_end")
+    }
+    assert(e.getMessage.contains("PARTITION BY key 'k'"))
+  }
+
+  test("legacy accessors with mismatched window arguments are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      WindowTvf.rewrite(
+        "SELECT HOP_START(other_ts, INTERVAL '9' MINUTE, INTERVAL '9' MINUTE), " +
+          "COUNT(*) FROM t GROUP BY " +
+          "HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOUR)")
+    }
+    assert(e.getMessage.contains("do not match"))
+    // and a matching ROWTIME accessor groups cleanly (window_time is a
+    // grouping key in the escalated form)
+    val out = WindowTvf.rewrite(
+      "SELECT HOP_ROWTIME(ts, INTERVAL '1' HOUR, INTERVAL '2' HOURS) AS rt, " +
+        "COUNT(*) AS n FROM t GROUP BY " +
+        "HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOURS)")
+    assert(out.contains("GROUP BY window_start, window_end, window_time"))
+    assert(out.contains("window_time AS rt"))
+  }
+
   test("e2e: streaming TUMBLE TVF aggregates through a live stream") {
     val spark = SparkFixture.spark
     import spark.implicits._
