@@ -51,11 +51,30 @@ object Graph {
     */
   def connectedComponents(edges0: DataFrame): DataFrame = {
     val fwd = edges0.select(col("src").cast("long"), col("dst").cast("long"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val bidir = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
+    // The edge count is needed anyway to materialize the cache, so use it
+    // to size the iteration: one partition per ~64k edges, capped at the
+    // session parallelism. At corpus scale this keeps the full fan-out;
+    // a post-threshold near-dup edge set is typically tiny relative to
+    // the corpus, and iterating it across 32 near-empty tasks per round
+    // costs more in scheduling than the data justifies.
+    val nEdges = bidir.count()
+    val parts = math.max(1L, math.min(
+      bidir.sparkSession.sparkContext.defaultParallelism.toLong,
+      nEdges / 65536L + 1L)).toInt
+    val edges =
+      if (parts < bidir.sparkSession.sparkContext.defaultParallelism)
+        bidir.coalesce(parts).localCheckpoint(true)
+      else bidir
+    // Seed labels with the minimum of each vertex's CLOSED 1-hop
+    // neighborhood — one aggregation over the edge frame, no join — so
+    // the first propagation round starts from hop-1 labels instead of
+    // identity. Diameter-1 components (the bulk of near-dup clusters)
+    // then confirm convergence on round 1.
     var labels = edges
-      .select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
+      .groupBy(col("src").as("v"))
+      .agg(least(min(col("dst")), first(col("src"))).as("lbl"))
       .localCheckpoint(false) // lazy: round 1's probe action materializes it
     // no up-front emptiness probe: an empty graph yields an empty first
     // round whose changed-count is zero, converging in one action
@@ -79,7 +98,7 @@ object Graph {
       rounds += 1
     }
     if (converged) {
-      edges.unpersist()
+      bidir.unpersist()
       labels.select(col("v"), col("lbl").as("component"))
     } else {
       // long-chain graph: contraction finishes in O(log n) rounds where
@@ -87,7 +106,7 @@ object Graph {
       val seed = fwd.union(labels.filter(col("v") =!= col("lbl"))
         .select(col("v").as("src"), col("lbl").as("dst")))
       val out = connectedComponentsStar(seed)
-      edges.unpersist()
+      bidir.unpersist()
       out
     }
   }
