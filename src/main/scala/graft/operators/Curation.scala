@@ -166,7 +166,51 @@ object Curation {
         sum(col("toks")).cast("long").as("n_tokens"))
   }
 
+  /** Per-source duplication accounting: how much of each source is an
+    * exact copy of an earlier document (by doc_id order) — the health
+    * dashboard a curation pipeline keys crawl-priority and source-mix
+    * decisions on.
+    *
+    * Scale design: the "earlier copy exists" test runs on the 2×30-bit
+    * content fingerprint (the [[graft.operators.Dedup.canonicalDocs]]
+    * discipline — text is never a shuffle key), one window over the
+    * fingerprint partition, then a per-source rollup. Two shuffles on
+    * narrow keys.
+    */
+  val extDupAccounting: Q = Q(
+    "ext_dup_accounting", {
+      val fp = TextHash.polyHashDuck("text")
+      val fp2 = TextHash.polyHashDuck("text", 131L)
+      s"""WITH f AS (
+         |  SELECT doc_id, source, $fp AS fp, $fp2 AS fp2 FROM documents),
+         |d AS (
+         |  SELECT source,
+         |    CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY fp, fp2)
+         |      THEN 1 ELSE 0 END AS is_dup
+         |  FROM f)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(is_dup) AS BIGINT) AS n_dupes,
+         |  CAST(FLOOR(SUM(is_dup) * 1000.0 / COUNT(*) + 0.5) AS BIGINT)
+         |    AS dup_mils
+         |FROM d GROUP BY source""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy(col("fp"), col("fp2"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("graft_poly_hash(text)").as("fp"),
+        expr("graft_poly_hash2(text)").as("fp2"))
+      .withColumn("is_dup",
+        when(col("doc_id") > min(col("doc_id")).over(w), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).cast("long").as("n_dupes"),
+        floor(sum(col("is_dup")) * 1000.0d / count(lit(1)) + 0.5d)
+          .cast("long").as("dup_mils"))
+  }
+
   def all: Seq[Q] = Seq(
     extDecontaminate, extIncrementalDedup, extPackSequences,
-    extCurationPipeline)
+    extCurationPipeline, extDupAccounting)
 }

@@ -392,6 +392,101 @@ object Dedup {
          |FROM cand WHERE bit_count(sh_a ^ sh_b) <= 2""".stripMargin)
   }
 
+  /** MinHash estimation-error audit: for every LSH candidate pair
+    * (band collision, signature agreement ≥ 8/16), the sketch's Jaccard
+    * estimate (`n_agree / K`) side by side with the EXACT shingle
+    * Jaccard, plus the absolute error — the calibration check a
+    * pipeline runs before trusting a sketch threshold at corpus scale.
+    *
+    * Scale design: the exact pass is restricted to the candidate set
+    * (Q pairs, not corpus²) — postings join back on the 8-byte shingle
+    * hash only for docs that appear in a candidate pair, so the audit
+    * costs O(candidates · doc shingles), a rounding error next to the
+    * LSH pass itself.
+    */
+  val extMinhashEst: Q = Q(
+    "ext_minhash_est", {
+      val bandList = (0 until Bands)
+        .map(bd => bandKeyDuck(i => s"sig_$i", bd)).mkString("[", ", ", "]")
+      val agree = (0 until K)
+        .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $canonNoLangDuck,
+         |s AS (${sigSelectDuck("canon")}),
+         |banded AS (
+         |  SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")},
+         |    UNNEST($bandList) AS band_key FROM s),
+         |est AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $agree AS n_agree
+         |  FROM banded a JOIN banded b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |cand AS (SELECT doc_a, doc_b, n_agree FROM est WHERE n_agree >= 8),
+         |g AS (
+         |  SELECT doc_id, $gramHashesDuck AS ghs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM canon)),
+         |post AS (SELECT doc_id, LEN(ghs) AS sz, UNNEST(ghs) AS gh FROM g),
+         |ex AS (
+         |  SELECT c.doc_a, c.doc_b, pa.sz AS sz_a, pb.sz AS sz_b,
+         |    COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN post pa ON pa.doc_id = c.doc_a
+         |  JOIN post pb ON pb.doc_id = c.doc_b AND pb.gh = pa.gh
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(FLOOR(c.n_agree * 1000.0 / $K + 0.5) AS BIGINT) AS est_mils,
+         |  CAST(COALESCE(
+         |    FLOOR(ex.inter * 1000.0 / (ex.sz_a + ex.sz_b - ex.inter) + 0.5),
+         |    0) AS BIGINT) AS jac_mils,
+         |  ABS(CAST(FLOOR(c.n_agree * 1000.0 / $K + 0.5) AS BIGINT)
+         |    - CAST(COALESCE(
+         |        FLOOR(ex.inter * 1000.0 / (ex.sz_a + ex.sz_b - ex.inter) + 0.5),
+         |        0) AS BIGINT)) AS err_mils
+         |FROM cand c LEFT JOIN ex ON ex.doc_a = c.doc_a AND ex.doc_b = c.doc_b""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.registerAll(s, dir)
+    val bandArray = (0 until Bands)
+      .map(bd => bandKeySpark(i => s"sig_$i", bd)).mkString("array(", ", ", ")")
+    val sigCols = (0 until K).map(i => s"sig_$i").mkString(", ")
+    val agree = (0 until K)
+      .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s.sql(
+      s"""WITH $canonNoLangSpark,
+         |s AS (${sigSelectSpark("canon")}),
+         |banded AS (
+         |  SELECT doc_id, $sigCols, band_key
+         |  FROM s LATERAL VIEW explode($bandArray) t AS band_key),
+         |est AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $agree AS n_agree
+         |  FROM banded a JOIN banded b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |cand AS (SELECT doc_a, doc_b, n_agree FROM est WHERE n_agree >= 8),
+         |g AS (
+         |  SELECT doc_id, array_distinct(${shingleHashesSpark("split(text, ' ')")}) AS ghs
+         |  FROM canon),
+         |post AS (
+         |  SELECT doc_id, CAST(size(ghs) AS BIGINT) AS sz, gh
+         |  FROM g LATERAL VIEW explode(ghs) t AS gh),
+         |ex AS (
+         |  SELECT c.doc_a, c.doc_b, pa.sz AS sz_a, pb.sz AS sz_b,
+         |    COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN post pa ON pa.doc_id = c.doc_a
+         |  JOIN post pb ON pb.doc_id = c.doc_b AND pb.gh = pa.gh
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(FLOOR(c.n_agree * 1000.0D / $K + 0.5D) AS BIGINT) AS est_mils,
+         |  CAST(COALESCE(
+         |    FLOOR(ex.inter * 1000.0D / (ex.sz_a + ex.sz_b - ex.inter) + 0.5D),
+         |    0) AS BIGINT) AS jac_mils,
+         |  ABS(CAST(FLOOR(c.n_agree * 1000.0D / $K + 0.5D) AS BIGINT)
+         |    - CAST(COALESCE(
+         |        FLOOR(ex.inter * 1000.0D / (ex.sz_a + ex.sz_b - ex.inter) + 0.5D),
+         |        0) AS BIGINT)) AS err_mils
+         |FROM cand c LEFT JOIN ex ON ex.doc_a = c.doc_a AND ex.doc_b = c.doc_b""".stripMargin)
+  }
+
   /** INTER-document duplicate-span ratio: for each document, the share
     * of its distinct word-8-gram spans that also occur in at least one
     * OTHER document (ext_repetition is the intra-doc complement). The
@@ -440,6 +535,6 @@ object Dedup {
 
   def all: Seq[Q] = Seq(
     extDedupExact, extJaccardPairs, extDedupCluster,
-    extMinhashSig, extMinhashPairs, extSimhash, extSimhashPairs,
-    extSpanDedup)
+    extMinhashSig, extMinhashPairs, extMinhashEst, extSimhash,
+    extSimhashPairs, extSpanDedup)
 }

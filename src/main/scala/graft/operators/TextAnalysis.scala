@@ -353,8 +353,69 @@ object TextAnalysis {
       .filter(col("rn") <= 3)
   }
 
+  /** Top-20 word-pair co-occurrence lift: for word pairs appearing
+    * together in ≥ 50 documents, `lift = P(a,b) / (P(a)·P(b))`
+    * expressed in integer-safe arithmetic (`df_ab · N / (df_a · df_b)`,
+    * one rounded division) — the association-mining primitive behind
+    * collocation extraction and topic seeding.
+    *
+    * Scale design: pair generation self-joins per-doc DISTINCT words
+    * co-partitioned on doc_id (one shuffle), so cost is bounded by the
+    * per-doc vocabulary squared, never corpus². The df table and the
+    * corpus-size scalar broadcast. At 100 TB the same plan gates the
+    * join sides on a broadcast top-K vocabulary first; the synthetic
+    * vocabulary is already tiny, so the gate here is the df_ab ≥ 50
+    * support floor.
+    */
+  val extCooccur: Q = Q(
+    "ext_cooccur",
+    """WITH w AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      |    FROM documents)),
+      |df AS (SELECT tok, COUNT(*) AS df FROM w GROUP BY tok),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM w),
+      |pairs AS (
+      |  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS df_ab
+      |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      |  GROUP BY 1, 2),
+      |lift AS (
+      |  SELECT p.tok_a, p.tok_b, p.df_ab,
+      |    CAST(FLOOR(p.df_ab * 1000.0 * n.n_docs / (da.df * db.df) + 0.5)
+      |      AS BIGINT) AS lift_mils
+      |  FROM pairs p
+      |  JOIN df da ON da.tok = p.tok_a
+      |  JOIN df db ON db.tok = p.tok_b
+      |  CROSS JOIN n
+      |  WHERE p.df_ab >= 50)
+      |SELECT tok_a, tok_b, df_ab, lift_mils
+      |FROM lift ORDER BY lift_mils DESC, tok_a, tok_b LIMIT 20""".stripMargin) { (s, dir) =>
+    val w = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val dfTbl = w.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = w.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val a = w.select(col("doc_id"), col("tok").as("tok_a"))
+    val b = w.select(col("doc_id"), col("tok").as("tok_b"))
+    a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= 50L)
+      .join(broadcast(dfTbl.select(col("tok").as("tok_a"), col("df").as("df_a"))), "tok_a")
+      .join(broadcast(dfTbl.select(col("tok").as("tok_b"), col("df").as("df_b"))), "tok_b")
+      .crossJoin(broadcast(n))
+      // same left-to-right double arithmetic as the oracle (products
+      // exact in double below 2^53, one rounded division)
+      .select(col("tok_a"), col("tok_b"), col("df_ab"),
+        floor(col("df_ab") * lit(1000.0d) * col("n_docs")
+          / (col("df_a") * col("df_b")) + lit(0.5d))
+          .cast("long").as("lift_mils"))
+      .orderBy(col("lift_mils").desc, col("tok_a"), col("tok_b"))
+      .limit(20)
+  }
+
   def all: Seq[Q] = Seq(
     extTokenCount, extLangId, extQualityScore, extFingerprint, extNgramTop,
     extQuantiles, extRepetition, extTokenBpe, extQualityFunnel,
-    extVocabStats, extTfidfTop)
+    extVocabStats, extTfidfTop, extCooccur)
 }

@@ -506,8 +506,81 @@ object VectorSearch {
       .filter(col("rn") <= 3)
   }
 
+  /** DuckDB: integer dot product of two BIGINT lists — order-free (exact
+    * integer adds), unlike the float fold.
+    */
+  private def intDotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"[$a[i] * $b[i] for i in generate_series(1, $Dim)]), " +
+      s"(acc, v) -> acc + v)"
+
+  /** Spark SQL: the same integer dot product. */
+  private def intDotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), " +
+      "(acc, v) -> acc + v)"
+
+  /** Two-stage retrieve-then-rerank ANN: an int8-quantized coarse pass
+    * (integer dot product over `round(nv·127)` codes — the compressed
+    * representation a 100 TB index actually stores and scans) proposes
+    * the top-30 candidates per query; an exact float cosine pass
+    * reranks just those to the final top-5.
+    *
+    * Scale design: the coarse scan reads 8-bit codes (8× smaller than
+    * float64 — bandwidth, not FLOPs, bounds a full-corpus scan) with
+    * the query side broadcast, and exact scoring touches only
+    * Q·30 vectors. Integer coarse scores are order-free (no IEEE
+    * reassociation concerns); the float rerank reuses the sequential
+    * fold shared with the oracle.
+    */
+  val extAnnRerank: Q = Q(
+    "ext_ann_rerank", {
+      val int8 = "[CAST(FLOOR(x * 127 + 0.5) AS BIGINT) for x in nv]"
+      s"""WITH $normDuckCte,
+         |q8 AS (SELECT vec_id, nv, $int8 AS v8 FROM nv),
+         |q AS (SELECT vec_id AS qid, nv AS qv, v8 AS qv8 FROM q8 WHERE vec_id < 8),
+         |coarse AS (
+         |  SELECT q.qid, e.vec_id, q.qv, e.nv,
+         |    ${intDotDuck("q.qv8", "e.v8")} AS coarse_dot
+         |  FROM q, q8 e WHERE e.vec_id <> q.qid),
+         |cranked AS (
+         |  SELECT qid, vec_id, qv, nv, coarse_dot,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY coarse_dot DESC, vec_id) AS crn
+         |  FROM coarse),
+         |rer AS (
+         |  SELECT qid, vec_id, coarse_dot,
+         |    CAST(FLOOR((${dotDuck("qv", "nv")}) * 1000000 + 0.5) AS BIGINT) AS cos_micros
+         |  FROM cranked WHERE crn <= 30),
+         |ranked AS (
+         |  SELECT qid, vec_id, coarse_dot, cos_micros,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_micros DESC, vec_id) AS rn
+         |  FROM rer)
+         |SELECT qid, vec_id, coarse_dot, cos_micros, rn
+         |FROM ranked WHERE rn <= 5""".stripMargin
+    }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val int8 = "transform(nv, x -> CAST(FLOOR(x * 127 + 0.5) AS BIGINT))"
+    val q8 = normalizedSpark(Tables.load(s, dir, "embeddings"))
+      .select(col("vec_id"), col("nv"), expr(int8).as("v8"))
+    val q = q8.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("nv").as("qv"), col("v8").as("qv8"))
+    val crn = Window.partitionBy(col("qid"))
+      .orderBy(col("coarse_dot").desc, col("vec_id"))
+    val rn = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_micros").desc, col("vec_id"))
+    broadcast(q).join(q8, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("qv"), col("nv"),
+        expr(intDotSpark("qv8", "v8")).as("coarse_dot"))
+      .withColumn("crn", row_number().over(crn))
+      .filter(col("crn") <= 30)
+      .select(col("qid"), col("vec_id"), col("coarse_dot"),
+        floor(expr(dotSpark("qv", "nv")) * 1e6d + 0.5d).cast("long").as("cos_micros"))
+      .withColumn("rn", row_number().over(rn).cast("long"))
+      .filter(col("rn") <= 5)
+  }
+
   def all: Seq[Q] = Seq(
     extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf, extEmbedNeardup,
     extClusterStats, extKmeansRefine, extEmbedCluster, extEmbedQuantize,
-    extAnnProbe)
+    extAnnProbe, extAnnRerank)
 }
