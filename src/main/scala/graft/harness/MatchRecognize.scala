@@ -1,0 +1,440 @@
+package graft.harness
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Batch `MATCH_RECOGNIZE` (SQL:2016 row-pattern recognition, the
+  * syntax Flink's pass-through router admits for CEP —
+  * `SQLSubmitAction.java:76`) over a supported subset:
+  *
+  * {{{
+  * FROM t MATCH_RECOGNIZE (
+  *   [PARTITION BY k1, k2]
+  *   ORDER BY o1 [, o2 ...]
+  *   MEASURES <m> AS a1 [, ...]      -- m: V.col | FIRST(V.col) | LAST(V.col)
+  *                                   --    | COUNT(V.*) | COUNT(*) | MATCH_NUMBER()
+  *   [ONE ROW PER MATCH]
+  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+  *   PATTERN (V1[q] V2[q] ...)       -- q: * + ? {n} {n,} {n,m}
+  *   DEFINE V1 AS <pred> [, ...]     -- current-row predicate; undefined
+  * )                                 -- variables match any row
+  * }}}
+  *
+  * Spark has no MATCH_RECOGNIZE, and no composition of relational
+  * operators expresses general greedy-with-backtracking row patterns,
+  * so this is the (c)/(d) case of the extension ladder: the pattern
+  * spec compiles to per-variable boolean columns (Catalyst expressions,
+  * codegen'd — the NFA never evaluates SQL), rows repartition on the
+  * PARTITION BY key and sort within partitions, and a per-key greedy
+  * backtracking matcher emits one row per match. State is bounded by
+  * the largest single key's row count — the same contract as Flink's
+  * per-key CEP operator.
+  *
+  * Unsupported forms (ALL ROWS PER MATCH, cross-variable DEFINE
+  * references like `LAST(B.x)`, PREV/NEXT navigation, alternation `|`,
+  * PERMUTE, subquery sources) throw `IllegalArgumentException` with the
+  * contract, mirroring the WindowTvf/TemporalJoin residual checks.
+  */
+object MatchRecognize {
+
+  private val MarkerRe = raw"(?is)\bMATCH_RECOGNIZE\s*\(".r
+
+  def hasMatchRecognize(sql: String): Boolean =
+    MarkerRe.findFirstIn(sql).isDefined
+
+  // ---------------------------------------------------------------- spec
+
+  private[harness] final case class PatternElem(variable: String, lo: Int, hi: Int)
+
+  private[harness] sealed trait Measure { def alias: String }
+  private[harness] final case class ColMeasure(
+      variable: String, column: String, first: Boolean, alias: String) extends Measure
+  private[harness] final case class CountMeasure(
+      variable: Option[String], alias: String) extends Measure
+  private[harness] final case class MatchNumberMeasure(alias: String) extends Measure
+
+  private[harness] final case class Spec(
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      measures: Seq[Measure],
+      skipToNextRow: Boolean,
+      pattern: Seq[PatternElem],
+      defines: Map[String, String])
+
+  // --------------------------------------------------------------- parse
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
+
+  /** Splits on top-level commas (ignoring commas inside parentheses). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val ColMeasureRe =
+    raw"(?is)^(?:(FIRST|LAST)\s*\(\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\))?$$".r
+  private val CountVarRe =
+    raw"(?is)^COUNT\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*\*\s*\)$$".r
+  private val CountStarRe = raw"(?is)^COUNT\s*\(\s*\*\s*\)$$".r
+  private val MatchNumberRe = raw"(?is)^MATCH_NUMBER\s*\(\s*\)$$".r
+  private val AsRe = raw"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$$".r
+
+  private def parseMeasure(m: String): Measure = m match {
+    case AsRe(body, alias) =>
+      body.trim match {
+        case MatchNumberRe() => MatchNumberMeasure(alias)
+        case CountStarRe() => CountMeasure(None, alias)
+        case CountVarRe(v) => CountMeasure(Some(v.toUpperCase), alias)
+        case ColMeasureRe(fl, v, c, close) =>
+          if ((fl == null) != (close == null)) fail(s"unbalanced FIRST/LAST in measure: $m")
+          ColMeasure(v.toUpperCase, c, first = fl != null && fl.equalsIgnoreCase("FIRST"),
+            alias = alias)
+        case other => fail(s"unsupported measure (want V.col, FIRST/LAST(V.col), " +
+          s"COUNT(V.*), COUNT(*), MATCH_NUMBER()): $other")
+      }
+    case _ => fail(s"measure needs an AS alias: $m")
+  }
+
+  private val ElemRe =
+    raw"(?s)^([A-Za-z_][A-Za-z0-9_]*)(\*|\+|\?|\{\s*(\d+)\s*(,\s*(\d+)?\s*)?\})?$$".r
+
+  private def parsePattern(p: String): Seq[PatternElem] = {
+    if (p.contains("|")) fail("alternation (|) is not supported")
+    if (raw"(?i)\bPERMUTE\b".r.findFirstIn(p).isDefined) fail("PERMUTE is not supported")
+    // tokenize: variable names followed optionally by a quantifier
+    val toks = raw"[A-Za-z_][A-Za-z0-9_]*(?:\s*(?:\*|\+|\?|\{[^}]*\}))?".r
+      .findAllIn(p).toSeq
+    // the tokens must reassemble the clause exactly — anything left over
+    // is syntax the subset doesn't cover
+    if (toks.isEmpty ||
+        toks.mkString("").replaceAll(raw"\s", "") != p.replaceAll(raw"\s", ""))
+      fail(s"unsupported pattern syntax: $p")
+    toks.map(t => t.replaceAll(raw"\s+", "") match {
+      case ElemRe(v, null, _, _, _) => PatternElem(v.toUpperCase, 1, 1)
+      case ElemRe(v, "*", _, _, _) => PatternElem(v.toUpperCase, 0, Int.MaxValue)
+      case ElemRe(v, "+", _, _, _) => PatternElem(v.toUpperCase, 1, Int.MaxValue)
+      case ElemRe(v, "?", _, _, _) => PatternElem(v.toUpperCase, 0, 1)
+      case ElemRe(v, q, n, comma, m) if q != null && q.startsWith("{") =>
+        val lo = n.toInt
+        val hi = if (comma == null) lo else if (m == null) Int.MaxValue else m.toInt
+        if (hi < lo) fail(s"empty quantifier range in: $t")
+        PatternElem(v.toUpperCase, lo, hi)
+      case _ => fail(s"unsupported pattern element: $t")
+    })
+  }
+
+  /** Rejects DEFINE predicates that navigate beyond the current row —
+    * those need match-state the boolean-precompute design doesn't carry.
+    */
+  private def checkDefine(variable: String, pred: String, allVars: Set[String]): Unit = {
+    raw"(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(".r.findFirstIn(pred).foreach(f =>
+      fail(s"DEFINE $variable uses ${f.trim.dropRight(1).trim}() — only " +
+        "current-row predicates are supported"))
+    for (v <- allVars if v != variable)
+      if ((raw"(?i)\b" + java.util.regex.Pattern.quote(v) + raw"\s*\.").r
+          .findFirstIn(pred).isDefined)
+        fail(s"DEFINE $variable references $v.<col> — cross-variable " +
+          "predicates are not supported")
+  }
+
+  /** A DEFINE predicate may qualify columns with its own variable
+    * (`A AS A.price > 10`); the qualifier means "the row being
+    * classified", so it strips to a bare column reference.
+    */
+  private def stripSelfQualifier(variable: String, pred: String): String =
+    (raw"(?i)\b" + java.util.regex.Pattern.quote(variable) + raw"\s*\.").r
+      .replaceAllIn(pred, "")
+
+  private def clausePos(body: String, kw: String): Option[Int] =
+    (raw"(?is)\b" + kw.replace(" ", raw"\s+") + raw"\b").r
+      .findFirstMatchIn(body).map(_.start)
+
+  private[harness] def parseSpec(body: String): Spec = {
+    // clause boundaries, in grammar order
+    val kws = Seq("PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
+      "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "DEFINE")
+    val pos = kws.flatMap(k => clausePos(body, k).map(k -> _)).sortBy(_._2)
+    def clauseText(kw: String): Option[String] =
+      pos.zipWithIndex.collectFirst { case ((k, p), i) if k == kw =>
+        val end = if (i + 1 < pos.size) pos(i + 1)._2 else body.length
+        body.substring(p + kw.length, end).trim
+      }
+    if (clauseText("ALL ROWS PER MATCH").isDefined)
+      fail("ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
+
+    val partitionBy = clauseText("PARTITION BY").toSeq
+      .flatMap(splitTopLevel).map(_.trim)
+    val orderBy = clauseText("ORDER BY")
+      .map(splitTopLevel(_).map(_.trim.replaceAll(raw"(?i)\s+ASC$$", "")))
+      .getOrElse(fail("ORDER BY is required"))
+    orderBy.find(o => raw"(?i)\s+DESC$$".r.findFirstIn(o).isDefined)
+      .foreach(o => fail(s"ORDER BY ... DESC is not supported: $o"))
+    val measures = clauseText("MEASURES")
+      .map(splitTopLevel(_).map(parseMeasure))
+      .getOrElse(fail("MEASURES is required"))
+    val skipToNext = clauseText("AFTER MATCH") match {
+      case None => false
+      case Some(s) if raw"(?is)^SKIP\s+PAST\s+LAST\s+ROW$$".r.findFirstIn(s).isDefined => false
+      case Some(s) if raw"(?is)^SKIP\s+TO\s+NEXT\s+ROW$$".r.findFirstIn(s).isDefined => true
+      case Some(s) => fail(s"unsupported AFTER MATCH clause: SKIP $s")
+    }
+    val patternTxt = clauseText("PATTERN")
+      .getOrElse(fail("PATTERN is required"))
+    if (!patternTxt.startsWith("(") || !patternTxt.endsWith(")"))
+      fail(s"PATTERN must be parenthesized: $patternTxt")
+    val pattern = parsePattern(patternTxt.substring(1, patternTxt.length - 1).trim)
+    val allVars = pattern.map(_.variable).toSet
+    val defines = clauseText("DEFINE").toSeq.flatMap(splitTopLevel).map { d =>
+      val m = raw"(?is)^([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)$$".r
+        .findFirstMatchIn(d).getOrElse(fail(s"DEFINE entry needs `VAR AS predicate`: $d"))
+      val v = m.group(1).toUpperCase
+      if (!allVars.contains(v)) fail(s"DEFINE $v does not appear in PATTERN")
+      checkDefine(v, m.group(2), allVars)
+      v -> stripSelfQualifier(v, m.group(2).trim)
+    }.toMap
+    // measures must reference pattern variables
+    measures.foreach {
+      case ColMeasure(v, _, _, _) if !allVars.contains(v) =>
+        fail(s"measure references undefined pattern variable $v")
+      case CountMeasure(Some(v), _) if !allVars.contains(v) =>
+        fail(s"measure references undefined pattern variable $v")
+      case _ =>
+    }
+    Spec(partitionBy, orderBy, measures, skipToNext, pattern, defines)
+  }
+
+  // ------------------------------------------------------------- rewrite
+
+  /** Balanced-paren scan from the `(` at `open`; returns the index just
+    * past the matching `)`.
+    */
+  private def closeParen(sql: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    fail("unbalanced parentheses")
+  }
+
+  private val TableBeforeRe = raw"(?is)([A-Za-z_][A-Za-z0-9_.]*)\s*$$".r
+
+  private val viewCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Replaces every `<table> MATCH_RECOGNIZE (...)` region with a temp
+    * view holding the recognized matches; the surrounding statement
+    * (outer SELECT list, WHERE, trailing alias) is untouched. Throws on
+    * any form the subset does not cover — no Flink syntax may leak to
+    * Spark's parser.
+    */
+  def rewrite(spark: SparkSession, sql: String): String = {
+    var out = sql
+    var guard = 0
+    while (hasMatchRecognize(out)) {
+      guard += 1
+      if (guard > 8) fail("too many MATCH_RECOGNIZE clauses in one statement")
+      val m = MarkerRe.findFirstMatchIn(out).get
+      val open = out.indexOf('(', m.start)
+      val end = closeParen(out, open)
+      val before = out.substring(0, m.start)
+      val tm = TableBeforeRe.findFirstMatchIn(before)
+        .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` — " +
+          "subquery sources are not supported"))
+      val table = tm.group(1)
+      if (table.equalsIgnoreCase("FROM"))
+        fail("expected a table name before MATCH_RECOGNIZE")
+      val spec = parseSpec(out.substring(open + 1, end - 1))
+      val result = execute(spark.table(table), spec)
+      val view = s"graft_mr_${viewCounter.incrementAndGet()}"
+      result.createOrReplaceTempView(view)
+      out = before.substring(0, tm.start) + view + " " + out.substring(end)
+    }
+    out
+  }
+
+  // ------------------------------------------------------------- execute
+
+  /** Runs the pattern over `src`: per-variable predicates become boolean
+    * columns (codegen'd), rows co-locate per key and sort by the
+    * PARTITION BY + ORDER BY prefix, and a greedy backtracking matcher
+    * walks each key's run emitting ONE ROW PER MATCH.
+    */
+  private[harness] def execute(src: DataFrame, spec: Spec): DataFrame = {
+    val vars = spec.pattern.map(_.variable).distinct
+    val defCols = vars.map { v =>
+      val pred = spec.defines.getOrElse(v, "true")
+      expr(pred).cast("boolean").as(s"__def_$v")
+    }
+    val prepared = src.select(col("*") +: defCols: _*)
+    val inSchema = prepared.schema
+    def fieldIdx(name: String): Int = {
+      val i = inSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      if (i < 0) fail(s"column $name not found in input")
+      i
+    }
+    val partIdx = spec.partitionBy.map(fieldIdx).toArray
+    val varIdx = vars.map(v => fieldIdx(s"__def_$v")).toArray
+    val varOf = vars.zipWithIndex.toMap
+    val elems = spec.pattern.map(e =>
+      (varOf(e.variable), e.lo, e.hi)).toArray
+
+    // measure plan: resolved field indexes, output schema
+    val outFields = spec.partitionBy.map(p => inSchema(fieldIdx(p))).map(f =>
+      StructField(f.name, f.dataType, nullable = f.nullable)) ++
+      spec.measures.map {
+        case ColMeasure(_, c, _, alias) =>
+          StructField(alias, inSchema(fieldIdx(c)).dataType, nullable = true)
+        case CountMeasure(_, alias) => StructField(alias, LongType, nullable = false)
+        case MatchNumberMeasure(alias) => StructField(alias, LongType, nullable = false)
+      }
+    val outSchema = StructType(outFields.toArray)
+    val measurePlan: Array[(Int, Int, Int)] = spec.measures.map {
+      // (kind, varIdxInVars, colIdx): kind 0=first 1=last 2=countVar 3=countAll 4=matchNo
+      case ColMeasure(v, c, first, _) => (if (first) 0 else 1, varOf(v), fieldIdx(c))
+      case CountMeasure(Some(v), _) => (2, varOf(v), -1)
+      case CountMeasure(None, _) => (3, -1, -1)
+      case MatchNumberMeasure(_) => (4, -1, -1)
+    }.toArray
+
+    val sortCols = (spec.partitionBy ++ spec.orderBy).map(col)
+    val located =
+      if (spec.partitionBy.nonEmpty)
+        prepared.repartition(spec.partitionBy.map(col): _*)
+          .sortWithinPartitions(sortCols: _*)
+      else
+        // no key: the pattern runs over ONE global sequence
+        prepared.coalesce(1).sortWithinPartitions(sortCols: _*)
+
+    val skipToNext = spec.skipToNextRow
+    located.mapPartitions { it =>
+      new Iterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        private var lookahead: Option[Row] = None
+
+        private def sameKey(a: Row, b: Row): Boolean =
+          partIdx.forall(i => a.get(i) == b.get(i))
+
+        private def nextGroup(): Option[ArrayBuffer[Row]] = {
+          val head = lookahead.orElse(if (it.hasNext) Some(it.next()) else None)
+          lookahead = None
+          head.map { h =>
+            val buf = ArrayBuffer(h)
+            var done = false
+            while (!done && it.hasNext) {
+              val r = it.next()
+              if (sameKey(h, r)) buf += r
+              else { lookahead = Some(r); done = true }
+            }
+            buf
+          }
+        }
+
+        private def matchGroup(rows: ArrayBuffer[Row]): Iterator[Row] = {
+          val n = rows.length
+          val ok = Array.ofDim[Boolean](n, varIdx.length)
+          var i = 0
+          while (i < n) {
+            var j = 0
+            while (j < varIdx.length) {
+              ok(i)(j) = !rows(i).isNullAt(varIdx(j)) && rows(i).getBoolean(varIdx(j))
+              j += 1
+            }
+            i += 1
+          }
+          // greedy backtracking: returns (endPos, assignment var-elem per row)
+          def tryMatch(e: Int, pos: Int, assign: Array[Int]): Int = {
+            if (e == elems.length) return pos
+            val (v, lo, hi) = elems(e)
+            var run = 0
+            while (run < hi && pos + run < n && ok(pos + run)(v)) run += 1
+            var k = math.min(run, hi)
+            while (k >= lo) {
+              var r = 0
+              while (r < k) { assign(pos + r) = v; r += 1 }
+              val end = tryMatch(e + 1, pos + k, assign)
+              if (end >= 0) return end
+              k -= 1
+            }
+            -1
+          }
+          val out = ArrayBuffer.empty[Row]
+          var matchNo = 0L
+          var p = 0
+          val assign = Array.fill(n)(-1)
+          while (p < n) {
+            java.util.Arrays.fill(assign, -1)
+            val end = tryMatch(0, p, assign)
+            if (end > p) {
+              matchNo += 1
+              val vals = new Array[Any](partIdx.length + measurePlan.length)
+              var o = 0
+              while (o < partIdx.length) { vals(o) = rows(p).get(partIdx(o)); o += 1 }
+              var mi = 0
+              while (mi < measurePlan.length) {
+                val (kind, v, c) = measurePlan(mi)
+                vals(partIdx.length + mi) = kind match {
+                  case 0 | 1 =>
+                    var found: Any = null
+                    var r = if (kind == 0) p else end - 1
+                    val step = if (kind == 0) 1 else -1
+                    var left = end - p
+                    while (left > 0 && found == null) {
+                      if (assign(r) == v) found = rows(r).get(c)
+                      r += step; left -= 1
+                    }
+                    found
+                  case 2 =>
+                    var cnt = 0L
+                    var r = p
+                    while (r < end) { if (assign(r) == v) cnt += 1; r += 1 }
+                    cnt
+                  case 3 => (end - p).toLong
+                  case _ => matchNo
+                }
+                mi += 1
+              }
+              out += Row.fromSeq(vals.toIndexedSeq)
+              p = if (skipToNext) p + 1 else end
+            } else {
+              // no match (or empty match, which ONE ROW PER MATCH skips)
+              p += 1
+            }
+          }
+          out.iterator
+        }
+
+        private var cur: Iterator[Row] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!cur.hasNext) {
+            nextGroup() match {
+              case Some(g) => cur = matchGroup(g)
+              case None => return false
+            }
+          }
+          true
+        }
+        override def next(): Row = cur.next()
+      }
+    }(Encoders.row(outSchema))
+  }
+}

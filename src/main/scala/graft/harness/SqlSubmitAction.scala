@@ -110,7 +110,7 @@ final class SqlSubmitAction(
             // CTAS / CREATE VIEW AS and friends can embed temporal
             // joins or window TVFs in their query bodies — the dialect
             // rewrite is a no-op unless those markers are present
-            spark.sql(rewriteFlinkDialect(config, st.sql))
+            spark.sql(rewriteFlinkDialect(spark, config, st.sql))
         }
       } catch {
         case e: Exception =>
@@ -401,25 +401,31 @@ final class SqlSubmitAction(
     else if (config.isStreaming) WindowTvf.rewriteStreaming(sql)
     else WindowTvf.rewrite(sql)
 
-  private val MatchRecognizeRe = raw"(?is)\bMATCH_RECOGNIZE\s*\(".r
-
   /** All Flink-dialect SQL rewrites, in one place. MATCH_RECOGNIZE
-    * (Flink's CEP SQL) has no relational rewrite; fail with the
-    * contract and a pointer instead of Spark's parser noise.
+    * (Flink's CEP SQL) runs through [[MatchRecognize]] in batch mode
+    * (the supported subset throws on anything it can't honor —
+    * no Flink syntax leaks to Spark's parser); streaming pattern
+    * recognition needs per-key NFA state under watermarks, which the
+    * batch matcher doesn't provide — rejected with the contract.
     */
-  private def rewriteFlinkDialect(config: EngineConfig, sql: String): String = {
-    MatchRecognizeRe.findFirstIn(sql).foreach(_ =>
-      throw new IllegalArgumentException(
-        "MATCH_RECOGNIZE is not supported; express the pattern with the " +
-          "library operators (ordered funnel q53 / retention q52 in " +
-          "graft.operators.Events, or graft.streaming.SessionTracker " +
-          "for custom per-key state machines)"))
-    rewriteWindowTvfs(config, rewriteTemporalJoins(config, sql))
+  private def rewriteFlinkDialect(
+      spark: SparkSession, config: EngineConfig, sql: String): String = {
+    val mr =
+      if (!MatchRecognize.hasMatchRecognize(sql)) sql
+      else if (config.isStreaming)
+        throw new IllegalArgumentException(
+          "MATCH_RECOGNIZE is supported in batch runtime mode only " +
+            "(SET execution.runtime-mode = batch); for streaming " +
+            "patterns use graft.streaming.SessionTracker per-key state " +
+            "machines, or the ordered funnel/retention operators " +
+            "(graft.operators.Events q52/q53)")
+      else MatchRecognize.rewrite(spark, sql)
+    rewriteWindowTvfs(config, rewriteTemporalJoins(config, mr))
   }
 
   private def executeSelect(
       spark: SparkSession, config: EngineConfig, sql: String): Unit = {
-    val df = spark.sql(rewriteFlinkDialect(config, sql))
+    val df = spark.sql(rewriteFlinkDialect(spark, config, sql))
     if (df.isStreaming) {
       val w = df.writeStream.format("console")
         .option("truncate", "false")
@@ -455,7 +461,7 @@ final class SqlSubmitAction(
 
   private def executeInsert(
       spark: SparkSession, config: EngineConfig, sql: String): Unit = {
-    val rewritten = rewriteFlinkDialect(config, sql)
+    val rewritten = rewriteFlinkDialect(spark, config, sql)
     rewritten match {
       case InsertRe(rawTarget, colList, query) =>
         val target = DdlParser.unquoteName(rawTarget)

@@ -1,0 +1,192 @@
+package graft.harness
+
+import java.nio.file.Files
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `MATCH_RECOGNIZE` batch subset: greedy quantifiers with
+  * backtracking, both AFTER MATCH skip modes, measure forms, rejection
+  * contract, and an end-to-end script through `sql-submit`.
+  */
+class MatchRecognizeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+
+  private def seq(rows: (Long, Long, String, Long)*): Unit = {
+    import spark.implicits._
+    rows.toDF("k", "o", "t", "v").createOrReplaceTempView("mr_in")
+  }
+
+  private def run(sql: String): Seq[Seq[Any]] =
+    spark.sql(MatchRecognize.rewrite(spark, sql))
+      .collect().toSeq.map(_.toSeq)
+
+  test("basic V C+ P pattern: greedy run, SKIP PAST LAST ROW") {
+    seq((1, 1, "view", 0), (1, 2, "click", 0), (1, 3, "click", 0),
+      (1, 4, "purchase", 0), (1, 5, "view", 0), (1, 6, "purchase", 0),
+      (2, 1, "view", 0), (2, 2, "click", 0), (2, 3, "purchase", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(V.o) AS s, LAST(P.o) AS e, COUNT(C.*) AS nc,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ P)
+        |  DEFINE V AS t = 'view', C AS t = 'click', P AS t = 'purchase')""".stripMargin)
+    // k=1: one match rows 1-4 (2 clicks); the view at 5 has no click run.
+    // k=2: one match rows 1-3.
+    assert(out.toSet === Set(Seq(1L, 1L, 4L, 2L, 1L), Seq(2L, 1L, 3L, 1L, 1L)))
+  }
+
+  test("greedy backtracking: A+ gives rows back so B can match") {
+    // every row satisfies A; only v > 10 satisfies B. Greedy A+ first
+    // swallows the whole run, then backtracks one row for B.
+    seq((1, 1, "x", 1), (1, 2, "x", 2), (1, 3, "x", 11))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, B.o AS bo
+        |  PATTERN (A+ B)
+        |  DEFINE A AS v > 0, B AS v > 10)""".stripMargin)
+    assert(out === Seq(Seq(1L, 2L, 3L)))
+  }
+
+  test("bounded quantifiers {n} and {n,m}, optional ?") {
+    seq((1, 1, "a", 0), (1, 2, "a", 0), (1, 3, "a", 0), (1, 4, "b", 0),
+      (1, 5, "c", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, COUNT(X.*) AS nx
+        |  PATTERN (A{2,3} B? X)
+        |  DEFINE A AS t = 'a', B AS t = 'b', X AS t IN ('b', 'c'))""".stripMargin)
+    // greedy: A takes rows 1-3, B? takes row 4, X must match row 5 ('c')
+    assert(out === Seq(Seq(1L, 3L, 1L, 1L)))
+  }
+
+  test("star quantifier allows zero occurrences") {
+    seq((1, 1, "a", 0), (1, 2, "c", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, COUNT(*) AS n
+        |  PATTERN (A B* C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin)
+    assert(out === Seq(Seq(1L, 1L, 0L, 2L)))
+  }
+
+  test("SKIP TO NEXT ROW emits overlapping matches") {
+    seq((1, 1, "a", 0), (1, 2, "a", 0), (1, 3, "a", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(A.o) AS s, COUNT(A.*) AS n
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A+)
+        |  DEFINE A AS t = 'a')""".stripMargin)
+    assert(out.toSet === Set(Seq(1L, 1L, 3L), Seq(1L, 2L, 2L), Seq(1L, 3L, 1L)))
+  }
+
+  test("undefined pattern variable matches any row") {
+    seq((1, 1, "a", 0), (1, 2, "zzz", 7), (1, 3, "c", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES ANY.v AS av
+        |  PATTERN (A ANY C)
+        |  DEFINE A AS t = 'a', C AS t = 'c')""".stripMargin)
+    assert(out === Seq(Seq(1L, 7L)))
+  }
+
+  test("multiple partitions keep independent match numbers") {
+    seq((1, 1, "a", 0), (1, 2, "a", 0), (2, 1, "a", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES MATCH_NUMBER() AS mn, FIRST(A.o) AS s
+        |  PATTERN (A)
+        |  DEFINE A AS t = 'a')""".stripMargin)
+    assert(out.toSet === Set(Seq(1L, 1L, 1L), Seq(1L, 2L, 2L), Seq(2L, 1L, 1L)))
+  }
+
+  test("unsupported forms are rejected with the contract") {
+    seq((1, 1, "a", 0))
+    def rejects(frag: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](run(frag))
+      assert(e.getMessage.contains(needle), s"message: ${e.getMessage}")
+    }
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  ALL ROWS PER MATCH PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
+      "ALL ROWS PER MATCH")
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A | B) DEFINE A AS t = 'a')""".stripMargin,
+      "alternation")
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > A.v)""".stripMargin,
+      "cross-variable")
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > PREV(v))""".stripMargin,
+      "PREV")
+    rejects(
+      """SELECT * FROM (SELECT * FROM mr_in) MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
+      "table")
+  }
+
+  test("no PARTITION BY runs the pattern over one global sequence") {
+    seq((1, 1, "a", 0), (2, 2, "b", 0), (1, 3, "c", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  ORDER BY o
+        |  MEASURES COUNT(*) AS n
+        |  PATTERN (A B C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin)
+    assert(out === Seq(Seq(3L)))
+  }
+
+  test("e2e: MATCH_RECOGNIZE script runs through sql-submit in batch mode") {
+    import spark.implicits._
+    Seq((1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"))
+      .toDF("u", "o", "t").createOrReplaceTempView("mr_e2e_events")
+    val script = Files.createTempFile("mr", ".sql")
+    Files.writeString(script,
+      """SET execution.runtime-mode = batch;
+        |SELECT u, s, e FROM mr_e2e_events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY u ORDER BY o
+        |  MEASURES FIRST(V.o) AS s, LAST(P.o) AS e
+        |  PATTERN (V C P)
+        |  DEFINE V AS t = 'view', C AS t = 'click', P AS t = 'purchase'
+        |);
+        |""".stripMargin)
+    new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run()
+  }
+
+  test("streaming mode rejects MATCH_RECOGNIZE with the contract") {
+    import spark.implicits._
+    Seq((1L, 1L, "view")).toDF("u", "o", "t")
+      .createOrReplaceTempView("mr_stream_events")
+    val script = Files.createTempFile("mrs", ".sql")
+    Files.writeString(script,
+      """SET execution.runtime-mode = streaming;
+        |SELECT u FROM mr_stream_events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY u ORDER BY o
+        |  MEASURES FIRST(V.o) AS s
+        |  PATTERN (V) DEFINE V AS t = 'view');
+        |""".stripMargin)
+    val e = intercept[Exception](
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run())
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("batch runtime mode only"))
+  }
+}

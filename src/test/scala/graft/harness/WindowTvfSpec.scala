@@ -335,8 +335,11 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(out.contains("window.start AS ws"))
   }
 
-  test("e2e: MATCH_RECOGNIZE is rejected with a pointer, not parser noise") {
+  test("e2e: unsupported MATCH_RECOGNIZE form fails the contract, not the parser") {
     val spark = SparkFixture.spark
+    // cross-variable DEFINE (B.v > A.v) is outside the batch subset —
+    // the rewrite must throw its own contract, not leak Flink syntax
+    // into Spark's parser (supported forms run: MatchRecognizeSpec)
     val script =
       """SET execution.runtime-mode = batch;
         |select * from t match_recognize (
@@ -353,7 +356,7 @@ class WindowTvfSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage) ++: messages(x.getCause))
-    assert(messages(e).exists(_.contains("MATCH_RECOGNIZE is not supported")))
+    assert(messages(e).exists(_.contains("cross-variable")))
   }
 
   test("e2e: TUMBLE TVF aggregation script runs through sql-submit") {
