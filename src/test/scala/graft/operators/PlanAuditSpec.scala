@@ -43,4 +43,24 @@ class PlanAuditSpec extends AnyFunSuite {
     val parses = "from_json".r.findAllIn(plan).size
     assert(parses == 1, s"expected one from_json in:\n$plan")
   }
+
+  test("rerank ANN broadcasts the query side and trims windows pre-shuffle") {
+    // the coarse scan must never shuffle the corpus side: queries are
+    // broadcast, and both top-k windows trim per partition first
+    // (WindowGroupLimit) so only candidate rows cross the wire
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("ext_ann_rerank")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query side not broadcast in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"no pre-shuffle top-k trim in:\n$plan")
+  }
+
+  test("co-occurrence lift broadcasts the df table, shuffles pairs once") {
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("ext_cooccur")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"df lookups not broadcast in:\n$plan")
+  }
 }
