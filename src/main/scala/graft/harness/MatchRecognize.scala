@@ -272,6 +272,103 @@ object MatchRecognize {
     out
   }
 
+  // --------------------------------------------------- streaming rewrite
+
+  /** Streaming `MATCH_RECOGNIZE` over the [[graft.streaming.PatternTracker]]
+    * per-key NFA (watermark-matured decisions, append mode, exactly the
+    * batch matcher's results on the same ordered data). The streaming
+    * subset narrows the batch one further:
+    *
+    *  - ORDER BY must be exactly the source's event-time (WATERMARK)
+    *    column — Flink imposes the same;
+    *  - time measures (`V.col`, FIRST/LAST) may reference only that
+    *    event-time column (per-key state carries times and the variable
+    *    bitmask, never whole rows); COUNT and MATCH_NUMBER() are free.
+    *
+    * `watermarkOf` resolves a table name to its (event-time column,
+    * delay) from the connector DDL.
+    */
+  def rewriteStreaming(
+      spark: SparkSession, sql: String,
+      watermarkOf: String => Option[(String, String)]): String = {
+    import graft.streaming.{PatternEvent, PatternTracker}
+    import org.apache.spark.sql.functions.{expr => sexpr, lit, struct, to_json, from_json, when, col => scol}
+    var out = sql
+    var guard = 0
+    while (hasMatchRecognize(out)) {
+      guard += 1
+      if (guard > 8) fail("too many MATCH_RECOGNIZE clauses in one statement")
+      val m = MarkerRe.findFirstMatchIn(out).get
+      val open = out.indexOf('(', m.start)
+      val end = closeParen(out, open)
+      val before = out.substring(0, m.start)
+      val tm = TableBeforeRe.findFirstMatchIn(before)
+        .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` — " +
+          "subquery sources are not supported"))
+      val table = tm.group(1)
+      val spec = parseSpec(out.substring(open + 1, end - 1))
+      val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
+        s"streaming MATCH_RECOGNIZE needs a WATERMARK declaration on $table"))
+      if (spec.orderBy.map(_.toLowerCase) != Seq(wmCol.toLowerCase))
+        fail("streaming MATCH_RECOGNIZE must ORDER BY exactly the " +
+          s"source's event-time column ($wmCol); got ${spec.orderBy.mkString(", ")}")
+
+      val vars = spec.pattern.map(_.variable).distinct
+      if (vars.size > 62) fail("too many pattern variables (max 62)")
+      val varOf = vars.zipWithIndex.toMap
+      val elems = spec.pattern.map(e =>
+        PatternTracker.Elem(varOf(e.variable), e.lo, e.hi))
+      // measure plan in PatternTracker kinds; remember which outputs are
+      // times (ms → timestamp) vs plain longs
+      val measures = spec.measures.map {
+        case ColMeasure(v, c, first, _) =>
+          if (!c.equalsIgnoreCase(wmCol))
+            fail("streaming measures may reference only the event-time " +
+              s"column $wmCol (state carries times, not rows); got $c")
+          (if (first) 0 else 1, varOf(v))
+        case CountMeasure(Some(v), _) => (2, varOf(v))
+        case CountMeasure(None, _) => (3, -1)
+        case MatchNumberMeasure(_) => (4, -1)
+      }
+
+      val src = spark.table(table)
+      val keyExpr =
+        if (spec.partitionBy.isEmpty) lit("{}")
+        else to_json(struct(spec.partitionBy.map(scol): _*))
+      val defsExpr = vars.zipWithIndex.map { case (v, i) =>
+        val pred = spec.defines.getOrElse(v, "true")
+        s"(CASE WHEN ($pred) THEN CAST(${1L << i} AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      val prepared = src.select(
+        keyExpr.as("key"),
+        scol(wmCol).cast("timestamp").as("ts"),
+        sexpr(defsExpr).as("defs"))
+      implicit val evEnc = org.apache.spark.sql.Encoders.product[PatternEvent]
+      val tracked = PatternTracker.track(
+        prepared.as[PatternEvent], wmDelay, elems, measures, spec.skipToNextRow)
+
+      val keySchema = StructType(spec.partitionBy.map(p =>
+        src.schema(src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(p)))).toArray)
+      val keyCols = spec.partitionBy.map(p =>
+        from_json(scol("key"), keySchema).getField(p).as(p))
+      val measureCols = spec.measures.zipWithIndex.map { case (ms, i) =>
+        val v = scol("values").getItem(i)
+        ms match {
+          case ColMeasure(_, _, _, alias) =>
+            when(v === -1L, lit(null))
+              .otherwise(sexpr(s"timestamp_millis(values[$i])")).as(alias)
+          case other => v.as(other.alias)
+        }
+      }
+      val result = tracked.select(keyCols ++ measureCols: _*)
+      val view = s"graft_mr_${viewCounter.incrementAndGet()}"
+      result.createOrReplaceTempView(view)
+      out = before.substring(0, tm.start) + view + " " + out.substring(end)
+    }
+    out
+  }
+
   // ------------------------------------------------------------- execute
 
   /** Runs the pattern over `src`: per-variable predicates become boolean

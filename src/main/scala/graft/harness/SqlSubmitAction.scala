@@ -402,23 +402,22 @@ final class SqlSubmitAction(
     else WindowTvf.rewrite(sql)
 
   /** All Flink-dialect SQL rewrites, in one place. MATCH_RECOGNIZE
-    * (Flink's CEP SQL) runs through [[MatchRecognize]] in batch mode
-    * (the supported subset throws on anything it can't honor —
-    * no Flink syntax leaks to Spark's parser); streaming pattern
-    * recognition needs per-key NFA state under watermarks, which the
-    * batch matcher doesn't provide — rejected with the contract.
+    * (Flink's CEP SQL) runs through [[MatchRecognize]]: batch mode
+    * executes the subset directly; streaming mode compiles onto the
+    * [[graft.streaming.PatternTracker]] per-key NFA (watermark-matured
+    * decisions, append output, event-time ORDER BY required). Either
+    * path throws the contract on any form it can't honor — no Flink
+    * syntax leaks to Spark's parser.
     */
   private def rewriteFlinkDialect(
       spark: SparkSession, config: EngineConfig, sql: String): String = {
     val mr =
       if (!MatchRecognize.hasMatchRecognize(sql)) sql
       else if (config.isStreaming)
-        throw new IllegalArgumentException(
-          "MATCH_RECOGNIZE is supported in batch runtime mode only " +
-            "(SET execution.runtime-mode = batch); for streaming " +
-            "patterns use graft.streaming.SessionTracker per-key state " +
-            "machines, or the ordered funnel/retention operators " +
-            "(graft.operators.Events q52/q53)")
+        // streaming subset: per-key NFA with watermark-matured decisions
+        MatchRecognize.rewriteStreaming(spark, sql, t =>
+          sources.keys.find(_.equalsIgnoreCase(t)).map(sources)
+            .flatMap(_.watermark).map(w => (w.column, w.delay)))
       else MatchRecognize.rewrite(spark, sql)
     rewriteWindowTvfs(config, rewriteTemporalJoins(config, mr))
   }

@@ -1,0 +1,194 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.mutable.ArrayBuffer
+
+/** One input row of a streaming row-pattern match: an opaque grouping
+  * key (the harness packs PARTITION BY columns as JSON), the event
+  * time, and a bitmask with bit i set iff the row satisfies pattern
+  * variable i's DEFINE predicate (evaluated by Catalyst upstream — the
+  * tracker never evaluates SQL).
+  */
+final case class PatternEvent(key: String, ts: Timestamp, defs: Long)
+
+/** Per-key NFA state: rows not yet consumed by an emitted match or
+  * passed over by a final no-match decision, plus the match counter.
+  */
+final case class PatternState(rows: List[(Long, Long)], matchNo: Long)
+
+/** One emitted match. `values` holds the measures in caller order
+  * (times as epoch ms, counts and MATCH_NUMBER as plain longs, -1 for
+  * a FIRST/LAST over a variable that matched no row).
+  */
+final case class PatternMatch(key: String, values: List[Long])
+
+/** Streaming event-time row-pattern recognition — the per-key CEP core
+  * behind the harness's streaming `MATCH_RECOGNIZE` subset, with the
+  * mechanics of Flink's event-time CEP operator:
+  *
+  *  - rows buffer in per-key state until the watermark passes them;
+  *    only matured rows (ts strictly below the watermark — a future
+  *    row may still carry ts == watermark) participate in decisions;
+  *  - the greedy backtracking matcher (same semantics as the batch
+  *    [[graft.harness.MatchRecognize]] NFA) runs over the matured
+  *    prefix and tracks whether any explored path was cut short by the
+  *    maturity boundary (regex-`hitEnd` discipline): a match or a
+  *    no-match decision is emitted only when more input could not
+  *    change it, so results are exactly the batch results on the same
+  *    ordered data — no retraction needed, append mode;
+  *  - event-time timeouts re-drive keys whose watermark advanced with
+  *    no new rows, so pending decisions finalize without traffic.
+  *
+  * State is bounded by the watermark delay plus the longest
+  * still-undecided match attempt on each key — the contract of any
+  * event-time CEP engine (an unbounded greedy run over always-matching
+  * rows holds state until a non-matching row or the key goes quiet).
+  */
+object PatternTracker {
+
+  /** Pattern element: variable bit index, min and max repetitions
+    * (`hi = Int.MaxValue` for unbounded).
+    */
+  final case class Elem(varIdx: Int, lo: Int, hi: Int)
+
+  /** Measure: (kind, varIdx) with kind 0 = FIRST(var ts), 1 = LAST(var
+    * ts), 2 = COUNT(var.*), 3 = COUNT(*), 4 = MATCH_NUMBER().
+    */
+  type Measure = (Int, Int)
+
+  def track(
+      input: Dataset[PatternEvent],
+      watermarkDelay: String,
+      elems: Seq[Elem],
+      measures: Seq[Measure],
+      skipToNextRow: Boolean): Dataset[PatternMatch] = {
+    implicit val outEnc = Encoders.product[PatternMatch]
+    implicit val stateEnc = Encoders.product[PatternState]
+    implicit val keyEnc = Encoders.STRING
+    val elemArr = elems.toArray
+    val measureArr = measures.toArray
+    input
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[PatternEvent],
+         state: GroupState[PatternState]) =>
+          update(key, rows, state, elemArr, measureArr, skipToNextRow))
+  }
+
+  private def update(
+      key: String,
+      rows: Iterator[PatternEvent],
+      state: GroupState[PatternState],
+      elems: Array[Elem],
+      measures: Array[Measure],
+      skipToNextRow: Boolean): Iterator[PatternMatch] = {
+    val prev = state.getOption.getOrElse(PatternState(Nil, 0L))
+    val incoming = rows.map(e => (e.ts.getTime, e.defs)).toList
+    // ties on (ts, defs) have no further discriminator; sorting on both
+    // keeps replays deterministic (Flink breaks CEP ties by arrival)
+    val all = (prev.rows ++ incoming).sortBy(identity)
+    // batch execution (a bounded source under the same operator) has no
+    // watermark: the group's rows ARE the complete input, so everything
+    // is matured and every decision is final — the batch matcher's
+    // semantics through the identical code path
+    val (wmMs, isFinal) =
+      try (state.getCurrentWatermarkMs(), false)
+      catch { case _: UnsupportedOperationException => (Long.MaxValue, true) }
+    val matured = all.takeWhile(_._1 < wmMs).toArray
+    val unmatured = all.drop(matured.length)
+
+    val ok = Array.ofDim[Boolean](matured.length, elems.length)
+    var i = 0
+    while (i < matured.length) {
+      var j = 0
+      while (j < elems.length) {
+        ok(i)(j) = ((matured(i)._2 >> elems(j).varIdx) & 1L) == 1L
+        j += 1
+      }
+      i += 1
+    }
+
+    val n = matured.length
+    var hitEnd = false
+    val assign = Array.fill(n)(-1)
+    // greedy backtracking over the matured prefix; `hitEnd` latches when
+    // any explored path is truncated by the maturity boundary rather
+    // than by a failing predicate — the decision is then deferred
+    def tryMatch(e: Int, pos: Int): Int = {
+      if (e == elems.length) return pos
+      val el = elems(e)
+      var run = 0
+      while (run < el.hi && pos + run < n && ok(pos + run)(e)) run += 1
+      if (run < el.hi && pos + run == n) hitEnd = true
+      var k = run
+      while (k >= el.lo) {
+        var r = 0
+        while (r < k) { assign(pos + r) = el.varIdx; r += 1 }
+        val end = tryMatch(e + 1, pos + k)
+        if (end >= 0) return end
+        k -= 1
+      }
+      -1
+    }
+
+    val out = ArrayBuffer.empty[PatternMatch]
+    var matchNo = prev.matchNo
+    var p = 0
+    var decided = true
+    while (decided && p < n) {
+      hitEnd = false
+      java.util.Arrays.fill(assign, -1)
+      val end = tryMatch(0, p)
+      if (hitEnd && !isFinal) {
+        // boundary reached: neither this match nor this no-match is
+        // final; everything from p on stays buffered
+        decided = false
+      } else if (end > p) {
+        matchNo += 1
+        val vals = measures.map { case (kind, v) =>
+          kind match {
+            case 0 | 1 =>
+              var found = -1L
+              var r = if (kind == 0) p else end - 1
+              val step = if (kind == 0) 1 else -1
+              var left = end - p
+              while (left > 0 && found < 0) {
+                if (assign(r) == v) found = matured(r)._1
+                r += step; left -= 1
+              }
+              found
+            case 2 =>
+              var cnt = 0L
+              var r = p
+              while (r < end) { if (assign(r) == v) cnt += 1; r += 1 }
+              cnt
+            case 3 => (end - p).toLong
+            case _ => matchNo
+          }
+        }.toList
+        out += PatternMatch(key, vals)
+        p = if (skipToNextRow) p + 1 else end
+      } else {
+        p += 1 // final no-match at p (failed on a predicate, not input end)
+      }
+    }
+
+    if (!isFinal) {
+      val kept = matured.drop(p).map(r => (r._1, r._2)).toList ++ unmatured
+      if (kept.isEmpty && matchNo == 0L) state.remove()
+      else {
+        state.update(PatternState(kept, matchNo))
+        // wake when the earliest buffered row can mature (strictly past
+        // the current watermark by construction)
+        kept.headOption.foreach { case (ts, _) =>
+          state.setTimeoutTimestamp(math.max(ts, wmMs) + 1L)
+        }
+      }
+    }
+    out.iterator
+  }
+}

@@ -171,7 +171,7 @@ class MatchRecognizeSpec extends AnyFunSuite {
     new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run()
   }
 
-  test("streaming mode rejects MATCH_RECOGNIZE with the contract") {
+  test("streaming mode needs a WATERMARK-declared source") {
     import spark.implicits._
     Seq((1L, 1L, "view")).toDF("u", "o", "t")
       .createOrReplaceTempView("mr_stream_events")
@@ -187,6 +187,6 @@ class MatchRecognizeSpec extends AnyFunSuite {
     val e = intercept[Exception](
       new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run())
     val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
-    assert(msg.contains("batch runtime mode only"))
+    assert(msg.contains("WATERMARK declaration"))
   }
 }
