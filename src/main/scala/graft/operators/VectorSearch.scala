@@ -579,8 +579,101 @@ object VectorSearch {
       .filter(col("rn") <= 5)
   }
 
+  /** Product-quantization ANN (PQ encode + ADC scan): vectors split
+    * into 8 subvectors of 8 dims; each subspace's codebook is the
+    * corresponding subvectors of the first 16 vectors (deterministic
+    * "training" — production would k-means them); a vector's code is
+    * its per-subspace nearest codeword (L2, ties to the smaller id);
+    * queries score candidates by Asymmetric Distance Computation — the
+    * per-subspace query·codeword lookup table, summed over subspaces —
+    * and take top-5.
+    *
+    * Scale design: the 8 B codes replace 256 B of floats (32× storage
+    * compression — what a corpus-scale index actually scans); codebook
+    * and LUT are tiny broadcasts; encoding is map-side (per row × 128
+    * codeword distances); the only shuffle is the per-(query,
+    * candidate) integer sum. LUT entries quantize to micros BEFORE the
+    * sum, so scores are order-free integer adds in both engines.
+    */
+  val extAnnPq: Q = Q(
+    "ext_ann_pq", {
+      val distDuck = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "[(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) for i in generate_series(1, 8)]), " +
+        "(a, v) -> a + v)"
+      val dotDuck8 = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        "[q.sv[i] * c.cv[i] for i in generate_series(1, 8)]), " +
+        "(a, v) -> a + v)"
+      s"""WITH $normDuckCte,
+         |sub AS (
+         |  SELECT vec_id, js.j, nv[(js.j*8+1):(js.j*8+8)] AS sv
+         |  FROM nv CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS j) js),
+         |cb AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16),
+         |dist AS (
+         |  SELECT s.vec_id, s.j, c.cid,
+         |    CAST(FLOOR(($distDuck) * 1000000 + 0.5) AS BIGINT) AS d
+         |  FROM sub s JOIN cb c ON c.j = s.j),
+         |code AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT vec_id, j, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS crn
+         |    FROM dist) WHERE crn = 1),
+         |q AS (SELECT vec_id AS qid, j, sv FROM sub WHERE vec_id < 8),
+         |lut AS (
+         |  SELECT q.qid, q.j, c.cid,
+         |    CAST(FLOOR(($dotDuck8) * 1000000 + 0.5) AS BIGINT) AS dm
+         |  FROM q JOIN cb c ON c.j = q.j),
+         |scored AS (
+         |  SELECT l.qid, v.vec_id, CAST(SUM(l.dm) AS BIGINT) AS adc_micros
+         |  FROM code v JOIN lut l ON l.j = v.j AND l.cid = v.cid
+         |  WHERE v.vec_id <> l.qid
+         |  GROUP BY l.qid, v.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, adc_micros,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_micros DESC, vec_id) AS rn
+         |  FROM scored)
+         |SELECT qid, vec_id, adc_micros, rn FROM ranked WHERE rn <= 5""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.registerAll(s, dir)
+    val distSpark = "aggregate(zip_with(s.sv, c.cv, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    val dotSpark8 = "aggregate(zip_with(q.sv, c.cv, (x, y) -> x * y), " +
+      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    s.sql(
+      s"""WITH sub AS (
+         |  SELECT vec_id, j, slice(nv, j*8+1, 8) AS sv
+         |  FROM (SELECT vec_id, graft_l2_normalize(embedding) AS nv FROM embeddings)
+         |  LATERAL VIEW explode(sequence(0, 7)) js AS j),
+         |cb AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16),
+         |dist AS (
+         |  SELECT s.vec_id, s.j, c.cid,
+         |    CAST(FLOOR(($distSpark) * 1000000D + 0.5D) AS BIGINT) AS d
+         |  FROM sub s JOIN cb c ON c.j = s.j),
+         |code AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT vec_id, j, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS crn
+         |    FROM dist) WHERE crn = 1),
+         |q AS (SELECT vec_id AS qid, j, sv FROM sub WHERE vec_id < 8),
+         |lut AS (
+         |  SELECT q.qid, q.j, c.cid,
+         |    CAST(FLOOR(($dotSpark8) * 1000000D + 0.5D) AS BIGINT) AS dm
+         |  FROM q JOIN cb c ON c.j = q.j),
+         |scored AS (
+         |  SELECT l.qid, v.vec_id, CAST(SUM(l.dm) AS BIGINT) AS adc_micros
+         |  FROM code v JOIN lut l ON l.j = v.j AND l.cid = v.cid
+         |  WHERE v.vec_id <> l.qid
+         |  GROUP BY l.qid, v.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, adc_micros,
+         |    CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY qid ORDER BY adc_micros DESC, vec_id) AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT qid, vec_id, adc_micros, rn FROM ranked WHERE rn <= 5""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf, extEmbedNeardup,
     extClusterStats, extKmeansRefine, extEmbedCluster, extEmbedQuantize,
-    extAnnProbe, extAnnRerank)
+    extAnnProbe, extAnnRerank, extAnnPq)
 }
