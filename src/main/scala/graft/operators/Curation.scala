@@ -210,7 +210,82 @@ object Curation {
           .cast("long").as("dup_mils"))
   }
 
+  /** PII scan + redaction: e-mail / US-phone / IPv4 match counts and a
+    * digest of the globally-redacted text, per document. The synthetic
+    * corpus carries no natural PII, so the query first plants
+    * deterministic doc_id-derived tokens (every 3rd doc an e-mail, every
+    * 5th a phone, every 7th an IP); the oracle mirrors the identical
+    * construction, so the regex scan, the global replace, and the digest
+    * are all value-checked end to end.
+    *
+    * Scale design: pure map-side work — three regex passes per row
+    * inside one projection, no shuffle, no UDF; at corpus scale this
+    * pipelines with the parquet scan and the redacted text never leaves
+    * the executor (only counts and a 128-bit digest come back).
+    */
+  val extPiiRedact: Q = Q(
+    "ext_pii_redact", {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |      CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+         |      CAST((doc_id * 13) % 256 AS VARCHAR)
+         |      ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$ip', '<IP>', 'g')) AS red_md5
+         |FROM t""".stripMargin
+    }) { (s, dir) =>
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val t = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com now"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit("."), ((col("doc_id") * 13) % 256).cast("string")))
+        .otherwise(lit("")))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(ip), lit(0)))
+          .cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+          lit(email), lit("<EMAIL>")),
+          lit(phone), lit("<PHONE>")),
+          lit(ip), lit("<IP>")).cast("binary")).as("red_md5"))
+  }
+
   def all: Seq[Q] = Seq(
     extDecontaminate, extIncrementalDedup, extPackSequences,
-    extCurationPipeline, extDupAccounting)
+    extCurationPipeline, extDupAccounting, extPiiRedact)
 }
