@@ -51,7 +51,13 @@ object Graph {
     */
   def connectedComponents(edges0: DataFrame): DataFrame = {
     val fwd = edges0.select(col("src").cast("long"), col("dst").cast("long"))
-    val bidir = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    // both orientations from ONE pass over the input: a union of fwd with
+    // its swap would evaluate the (often expensive) upstream pair
+    // pipeline twice when this frame first materializes
+    val bidir = fwd.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     // The edge count is needed anyway to materialize the cache, so use it
     // to size the iteration: one partition per ~64k edges, capped at the
@@ -102,8 +108,10 @@ object Graph {
       labels.select(col("v"), col("lbl").as("component"))
     } else {
       // long-chain graph: contraction finishes in O(log n) rounds where
-      // propagation would need one per remaining hop
-      val seed = fwd.union(labels.filter(col("v") =!= col("lbl"))
+      // propagation would need one per remaining hop. Seed from the
+      // PERSISTED bidir frame (not fwd) so the upstream pair pipeline
+      // is not evaluated again.
+      val seed = bidir.union(labels.filter(col("v") =!= col("lbl"))
         .select(col("v").as("src"), col("lbl").as("dst")))
       val out = connectedComponentsStar(seed)
       bidir.unpersist()
@@ -133,9 +141,11 @@ object Graph {
   def connectedComponentsStar(edges0: DataFrame): DataFrame = {
     val raw = edges0.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
     // the contract covers every vertex mentioned in the input, including
-    // self-loop-only vertices that the contraction itself never sees
-    val verts = raw.select(col("u").as("v0"))
-      .union(raw.select(col("v").as("v0"))).distinct()
+    // self-loop-only vertices that the contraction itself never sees.
+    // explode, not union-with-swap: one pass over the (possibly
+    // expensive) input when this materializes
+    val verts = raw.select(explode(array(col("u"), col("v"))).as("v0"))
+      .distinct()
       .localCheckpoint(false)
     var edges = raw.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
