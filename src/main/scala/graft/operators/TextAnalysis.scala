@@ -390,9 +390,16 @@ object TextAnalysis {
       |  WHERE p.df_ab >= 50)
       |SELECT tok_a, tok_b, df_ab, lift_mils
       |FROM lift ORDER BY lift_mils DESC, tok_a, tok_b LIMIT 20""".stripMargin) { (s, dir) =>
+    // four consumers (both join sides, the df table, the doc count) —
+    // persist so the scan+explode+distinct runs once, not per consumer.
+    // (Measured: dictionary-encoding tokens to int pair keys first LOSES
+    // here — three extra broadcast materializations cost more than the
+    // string-key join saves; the pair aggregation collapses to ~vocab²/2
+    // groups map-side either way.)
     val w = Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
+      .persist()
     val dfTbl = w.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = w.agg(countDistinct(col("doc_id")).as("n_docs"))
     val a = w.select(col("doc_id"), col("tok").as("tok_a"))

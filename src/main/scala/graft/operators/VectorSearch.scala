@@ -591,9 +591,11 @@ object VectorSearch {
     * Scale design: the 8 B codes replace 256 B of floats (32× storage
     * compression — what a corpus-scale index actually scans); codebook
     * and LUT are tiny broadcasts; encoding is map-side (per row × 128
-    * codeword distances); the only shuffle is the per-(query,
-    * candidate) integer sum. LUT entries quantize to micros BEFORE the
-    * sum, so scores are order-free integer adds in both engines.
+    * codeword distances), with the per-subspace argmin as a hash agg on
+    * the integer key d*16+cid (exact (distance, cid) tie-break, no
+    * sort-window); the only shuffle is the per-(query, candidate)
+    * integer sum. LUT entries quantize to micros BEFORE the sum, so
+    * scores are order-free integer adds in both engines.
     */
   val extAnnPq: Q = Q(
     "ext_ann_pq", {
@@ -613,10 +615,8 @@ object VectorSearch {
          |    CAST(FLOOR(($distDuck) * 1000000 + 0.5) AS BIGINT) AS d
          |  FROM sub s JOIN cb c ON c.j = s.j),
          |code AS (
-         |  SELECT vec_id, j, cid FROM (
-         |    SELECT vec_id, j, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS crn
-         |    FROM dist) WHERE crn = 1),
+         |  SELECT vec_id, j, MIN(d * 16 + cid) % 16 AS cid
+         |  FROM dist GROUP BY vec_id, j),
          |q AS (SELECT vec_id AS qid, j, sv FROM sub WHERE vec_id < 8),
          |lut AS (
          |  SELECT q.qid, q.j, c.cid,
@@ -650,10 +650,8 @@ object VectorSearch {
          |    CAST(FLOOR(($distSpark) * 1000000D + 0.5D) AS BIGINT) AS d
          |  FROM sub s JOIN cb c ON c.j = s.j),
          |code AS (
-         |  SELECT vec_id, j, cid FROM (
-         |    SELECT vec_id, j, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS crn
-         |    FROM dist) WHERE crn = 1),
+         |  SELECT vec_id, j, MIN(d * 16 + cid) % 16 AS cid
+         |  FROM dist GROUP BY vec_id, j),
          |q AS (SELECT vec_id AS qid, j, sv FROM sub WHERE vec_id < 8),
          |lut AS (
          |  SELECT q.qid, q.j, c.cid,
