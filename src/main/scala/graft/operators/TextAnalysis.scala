@@ -421,8 +421,43 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** One BPE-training merge iteration: corpus-weighted counts of
+    * adjacent character pairs, ranked — the statistic a byte-pair
+    * tokenizer trainer recomputes every merge round.
+    *
+    * Scale design: pair extraction runs over the DISTINCT-word
+    * frequency table, not the raw token stream — the standard trick
+    * that makes corpus BPE training tractable (Zipf: distinct words are
+    * orders of magnitude fewer than tokens; each contributes its pairs
+    * once, weighted by frequency). One shuffle for the word counts, one
+    * for the tiny pair rollup.
+    */
+  val extBpeMerge: Q = Q(
+    "ext_bpe_merge",
+    """WITH wf AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok HAVING LENGTH(tok) >= 2),
+      |pr AS (
+      |  SELECT UNNEST([substring(tok, i, 2)
+      |    for i in generate_series(1, LENGTH(tok) - 1)]) AS pair, freq
+      |  FROM wf)
+      |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+      |FROM pr GROUP BY pair
+      |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(20)
+  }
+
   def all: Seq[Q] = Seq(
     extTokenCount, extLangId, extQualityScore, extFingerprint, extNgramTop,
     extQuantiles, extRepetition, extTokenBpe, extQualityFunnel,
-    extVocabStats, extTfidfTop, extCooccur)
+    extVocabStats, extTfidfTop, extCooccur, extBpeMerge)
 }
