@@ -658,7 +658,8 @@ object VectorSearch {
          |    CAST(FLOOR(($dotSpark8) * 1000000D + 0.5D) AS BIGINT) AS dm
          |  FROM q JOIN cb c ON c.j = q.j),
          |scored AS (
-         |  SELECT l.qid, v.vec_id, CAST(SUM(l.dm) AS BIGINT) AS adc_micros
+         |  SELECT /*+ BROADCAST(l) */
+         |    l.qid, v.vec_id, CAST(SUM(l.dm) AS BIGINT) AS adc_micros
          |  FROM code v JOIN lut l ON l.j = v.j AND l.cid = v.cid
          |  WHERE v.vec_id <> l.qid
          |  GROUP BY l.qid, v.vec_id),

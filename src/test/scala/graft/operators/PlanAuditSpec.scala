@@ -63,4 +63,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"df lookups not broadcast in:\n$plan")
   }
+
+  test("PQ ANN broadcasts the codebook/LUT and assigns codes without a sort") {
+    // the 16-codeword-per-subspace codebook and the query LUT are tiny
+    // and must broadcast; the per-subspace argmin runs as a hash agg on
+    // the integer (distance, cid) key — a sort-window over the full
+    // vector × codeword distance table would not survive a corpus scan
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("ext_ann_pq")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // codebook joins (encode + LUT build) AND the ADC scoring join must
+    // all broadcast the tiny side — the scoring join in particular would
+    // otherwise shuffle every code row on (j, cid), 128 distinct keys
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"codebook/LUT/scoring joins not broadcast in:\n$plan")
+    // exactly one window: the final per-query top-5 (WindowGroupLimit-
+    // trimmed); a second one would mean code assignment regressed from
+    // the integer-argmin hash agg to a sort-window
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"code assignment fell back to a sort-window in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k not trimmed pre-shuffle in:\n$plan")
+  }
+
+  test("PII redaction is map-only: no exchange anywhere in the plan") {
+    // three regex passes inside one projection — at corpus scale this
+    // must pipeline with the scan; any shuffle here is a planning bug
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("ext_pii_redact")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
 }
