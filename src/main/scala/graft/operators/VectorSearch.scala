@@ -599,12 +599,17 @@ object VectorSearch {
     */
   val extAnnPq: Q = Q(
     "ext_ann_pq", {
-      val distDuck = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        "[(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]) for i in generate_series(1, 8)]), " +
-        "(a, v) -> a + v)"
-      val dotDuck8 = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        "[q.sv[i] * c.cv[i] for i in generate_series(1, 8)]), " +
-        "(a, v) -> a + v)"
+      // squared L2 via the three-dot identity, each dot the sequential
+      // 8-element fold — the Spark side computes the IDENTICAL doubles
+      // with its codegen'd graft_dot (same order, same formula), so the
+      // micros quantization below cannot diverge
+      def dot8(a: String, b: String) =
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"[$a[i] * $b[i] for i in generate_series(1, 8)]), " +
+          "(a, v) -> a + v)"
+      val distDuck = s"((${dot8("s.sv", "s.sv")}) " +
+        s"- 2 * (${dot8("s.sv", "c.cv")})) + (${dot8("c.cv", "c.cv")})"
+      val dotDuck8 = dot8("q.sv", "c.cv")
       s"""WITH $normDuckCte,
          |sub AS (
          |  SELECT vec_id, js.j, nv[(js.j*8+1):(js.j*8+8)] AS sv
@@ -635,10 +640,12 @@ object VectorSearch {
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     Tables.registerAll(s, dir)
-    val distSpark = "aggregate(zip_with(s.sv, c.cv, (x, y) -> (x - y) * (x - y)), " +
-      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
-    val dotSpark8 = "aggregate(zip_with(q.sv, c.cv, (x, y) -> x * y), " +
-      "CAST(0 AS DOUBLE), (a, v) -> a + v)"
+    // three-dot squared-L2 identity on the codegen'd graft_dot — same
+    // sequential fold, same formula as the oracle (no interpreted
+    // zip_with/aggregate lambdas in the N × 128 encode hot path)
+    val distSpark = "(graft_dot(s.sv, s.sv) " +
+      "- 2 * graft_dot(s.sv, c.cv)) + graft_dot(c.cv, c.cv)"
+    val dotSpark8 = "graft_dot(q.sv, c.cv)"
     s.sql(
       s"""WITH sub AS (
          |  SELECT vec_id, j, slice(nv, j*8+1, 8) AS sv
