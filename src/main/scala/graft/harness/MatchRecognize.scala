@@ -19,8 +19,10 @@ import scala.collection.mutable.ArrayBuffer
   *   [ONE ROW PER MATCH]
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *   PATTERN (V1[q] V2[q] ...)       -- q: * + ? {n} {n,} {n,m}
-  *   DEFINE V1 AS <pred> [, ...]     -- current-row predicate; undefined
-  * )                                 -- variables match any row
+  *   DEFINE V1 AS <pred> [, ...]     -- current-row predicate, may use
+  * )                                 -- PREV(col[, k]) (physical row
+  *                                   -- navigation, batch only);
+  *                                   -- undefined variables match any row
   * }}}
   *
   * Spark has no MATCH_RECOGNIZE, and no composition of relational
@@ -34,9 +36,10 @@ import scala.collection.mutable.ArrayBuffer
   * per-key CEP operator.
   *
   * Unsupported forms (ALL ROWS PER MATCH, cross-variable DEFINE
-  * references like `LAST(B.x)`, PREV/NEXT navigation, alternation `|`,
-  * PERMUTE, subquery sources) throw `IllegalArgumentException` with the
-  * contract, mirroring the WindowTvf/TemporalJoin residual checks.
+  * references like `LAST(B.x)`, NEXT navigation, PREV of an expression,
+  * alternation `|`, PERMUTE, subquery sources) throw
+  * `IllegalArgumentException` with the contract, mirroring the
+  * WindowTvf/TemporalJoin residual checks.
   */
 object MatchRecognize {
 
@@ -136,13 +139,28 @@ object MatchRecognize {
     })
   }
 
-  /** Rejects DEFINE predicates that navigate beyond the current row —
-    * those need match-state the boolean-precompute design doesn't carry.
+  /** PREV(col[, k]) in a DEFINE — physical row navigation (SQL:2016 and
+    * Flink both define PREV as "k rows before the current row in the
+    * partition's order", NOT the previous row of the variable), so it
+    * precomputes as `lag(col, k)` over the match order before the NFA
+    * runs. On the first k rows of a partition PREV is NULL, the
+    * predicate is unknown, and the variable does not match — exactly
+    * the matcher's null-def handling.
+    */
+  private[harness] val PrevRe =
+    raw"(?i)\bPREV\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:,\s*(\d+)\s*)?\)".r
+
+  private[harness] def hasPrev(pred: String): Boolean =
+    raw"(?i)\bPREV\s*\(".r.findFirstIn(pred).isDefined
+
+  /** Rejects DEFINE predicates that navigate beyond the current row in
+    * ways the boolean-precompute design cannot carry (PREV is fine —
+    * it is physical and precomputes as lag; see [[PrevRe]]).
     */
   private def checkDefine(variable: String, pred: String, allVars: Set[String]): Unit = {
-    raw"(?i)\b(PREV|NEXT|FIRST|LAST)\s*\(".r.findFirstIn(pred).foreach(f =>
+    raw"(?i)\b(NEXT|FIRST|LAST)\s*\(".r.findFirstIn(pred).foreach(f =>
       fail(s"DEFINE $variable uses ${f.trim.dropRight(1).trim}() — only " +
-        "current-row predicates are supported"))
+        "current-row predicates and PREV() are supported"))
     for (v <- allVars if v != variable)
       if ((raw"(?i)\b" + java.util.regex.Pattern.quote(v) + raw"\s*\.").r
           .findFirstIn(pred).isDefined)
@@ -307,6 +325,11 @@ object MatchRecognize {
           "subquery sources are not supported"))
       val table = tm.group(1)
       val spec = parseSpec(out.substring(open + 1, end - 1))
+      // the streaming tracker's state carries (time, def-bitmask) per
+      // row, never neighboring column values — PREV stays batch-only
+      spec.defines.collectFirst { case (v, p) if hasPrev(p) => v }.foreach(v =>
+        fail(s"DEFINE $v uses PREV() — not supported in streaming " +
+          "MATCH_RECOGNIZE (batch only)"))
       val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
         s"streaming MATCH_RECOGNIZE needs a WATERMARK declaration on $table"))
       if (spec.orderBy.map(_.toLowerCase) != Seq(wmCol.toLowerCase))
@@ -378,9 +401,26 @@ object MatchRecognize {
     */
   private[harness] def execute(src: DataFrame, spec: Spec): DataFrame = {
     val vars = spec.pattern.map(_.variable).distinct
+    // PREV(col[, k]) → lag(col, k) over the exact order the matcher
+    // walks (partition key, then ORDER BY); anything fancier inside
+    // PREV (expressions, nested calls) is outside the subset
+    val overClause =
+      (if (spec.partitionBy.nonEmpty)
+        s"PARTITION BY ${spec.partitionBy.mkString(", ")} " else "") +
+      s"ORDER BY ${spec.orderBy.mkString(", ")}"
+    def translatePrev(pred: String): String = {
+      val t = PrevRe.replaceAllIn(pred, m => {
+        val k = Option(m.group(2)).getOrElse("1")
+        java.util.regex.Matcher.quoteReplacement(
+          s"lag(${m.group(1)}, $k) OVER ($overClause)")
+      })
+      if (hasPrev(t))
+        fail(s"unsupported PREV form (want PREV(col) or PREV(col, k)): $pred")
+      t
+    }
     val defCols = vars.map { v =>
       val pred = spec.defines.getOrElse(v, "true")
-      expr(pred).cast("boolean").as(s"__def_$v")
+      expr(translatePrev(pred)).cast("boolean").as(s"__def_$v")
     }
     val prepared = src.select(col("*") +: defCols: _*)
     val inSchema = prepared.schema

@@ -634,9 +634,67 @@ object Events {
         |)""".stripMargin))
   }
 
+  /** MATCH_RECOGNIZE with PREV() navigation: maximal ascending-value
+    * runs per user — `PATTERN (S R+)` where R is `value rose vs the
+    * PHYSICAL previous row` (SQL:2016 PREV semantics, precomputed as a
+    * lag in [[graft.harness.MatchRecognize]]). The oracle replays the
+    * same semantics as gaps-and-islands: a maximal block of "rose" rows
+    * is exactly one greedy S R+ match (S = the row before the block,
+    * which SKIP PAST LAST ROW always leaves unconsumed).
+    */
+  val q65PrevPattern: Q = Q(
+    "q65_prev_pattern",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN vm > LAG(vm) OVER (
+      |      PARTITION BY user_id ORDER BY rn) THEN 1 ELSE 0 END AS is_up
+      |  FROM e),
+      |isl AS (
+      |  SELECT *, rn - ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY rn) AS grp
+      |  FROM f WHERE is_up = 1),
+      |runs AS (
+      |  SELECT user_id, MIN(rn) AS first_rn, MAX(rn) AS last_rn,
+      |    COUNT(*) AS run_len
+      |  FROM isl GROUP BY user_id, grp)
+      |SELECT r.user_id, hs.vm AS start_vm, he.vm AS end_vm,
+      |  CAST(r.run_len AS BIGINT) AS run_len,
+      |  ROW_NUMBER() OVER (PARTITION BY r.user_id ORDER BY r.first_rn) AS mn
+      |FROM runs r
+      |JOIN e hs ON hs.user_id = r.user_id AND hs.rn = r.first_rn - 1
+      |JOIN e he ON he.user_id = r.user_id AND he.rn = r.last_rn""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_prev")
+    s.sql(graft.harness.MatchRecognize.rewrite(s,
+      """SELECT user_id, start_vm, end_vm, run_len, mn
+        |FROM graft_mr_events_prev
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    S.vm AS start_vm,
+        |    LAST(R.vm) AS end_vm,
+        |    COUNT(R.*) AS run_len,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S R+)
+        |  DEFINE R AS vm > PREV(vm)
+        |)""".stripMargin))
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
-    q62SessionTvf, q63LegacyHop, q64MatchRecognize)
+    q62SessionTvf, q63LegacyHop, q64MatchRecognize, q65PrevPattern)
 }

@@ -133,13 +133,49 @@ class MatchRecognizeSpec extends AnyFunSuite {
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > PREV(v))""".stripMargin,
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > PREV(v + 1))""".stripMargin,
       "PREV")
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > NEXT(v))""".stripMargin,
+      "NEXT")
     rejects(
       """SELECT * FROM (SELECT * FROM mr_in) MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
       "table")
+  }
+
+  test("PREV() in DEFINE navigates the physical previous row") {
+    // ascending runs: v rises at o=2,3 (run 1) and o=5 (run 2); the
+    // partition's first row can never be R (PREV is NULL there)
+    seq((1, 1, "x", 5), (1, 2, "x", 7), (1, 3, "x", 9), (1, 4, "x", 2),
+      (1, 5, "x", 8), (2, 1, "x", 3))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES S.v AS sv, LAST(R.v) AS ev, COUNT(R.*) AS len
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S R+)
+        |  DEFINE R AS v > PREV(v))""".stripMargin)
+    assert(out.toSet === Set(Seq(1L, 5L, 9L, 2L), Seq(1L, 2L, 8L, 1L)))
+  }
+
+  test("PREV(col, k) uses the k-back physical row") {
+    // B requires v > the value TWO rows back: at o=3 (9 > 5) and o=4
+    // (12 > 7); with SKIP PAST LAST ROW the o=3 match consumes rows 2-3,
+    // then rows 4-5 would need A at o=4... A matches any row, B at o=5
+    // compares 4 > 9 = false, so only one more match never forms
+    seq((1, 1, "x", 5), (1, 2, "x", 7), (1, 3, "x", 9), (1, 4, "x", 12),
+      (1, 5, "x", 4))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES B.o AS bo
+        |  PATTERN (A B)
+        |  DEFINE B AS v > PREV(v, 2))""".stripMargin)
+    assert(out === Seq(Seq(1L, 3L)))
   }
 
   test("no PARTITION BY runs the pattern over one global sequence") {
@@ -188,5 +224,16 @@ class MatchRecognizeSpec extends AnyFunSuite {
       new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run())
     val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
     assert(msg.contains("WATERMARK declaration"))
+  }
+
+  test("streaming MATCH_RECOGNIZE rejects PREV with the contract") {
+    seq((1, 1, "x", 1))
+    val e = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+          |  PATTERN (A B) DEFINE B AS v > PREV(v))""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(e.getMessage.contains("PREV"), s"message: ${e.getMessage}")
   }
 }
