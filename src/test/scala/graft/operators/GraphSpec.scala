@@ -69,4 +69,33 @@ class GraphSpec extends AnyFunSuite {
       Map(7L -> 7L, 10L -> 7L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
     assert(star(Seq.empty).isEmpty)
   }
+
+  test("property: both CC variants agree with union-find on random graphs") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    // deterministic seeds — one sparse, one dense, one with id gaps
+    for ((seed, n, m) <- Seq((11, 60, 30), (12, 40, 80), (13, 200, 60))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong * 7, rnd.nextInt(n).toLong * 7))
+      // driver-side union-find oracle with path compression, min root
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expect = verts.map(v => v -> find(v)).toMap
+      val gotProp = Graph.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotProp === expect, s"propagation differs from oracle (seed $seed)")
+      val gotStar = Graph.connectedComponentsStar(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar === expect, s"star contraction differs from oracle (seed $seed)")
+    }
+  }
 }
