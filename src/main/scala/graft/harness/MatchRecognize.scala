@@ -16,7 +16,10 @@ import scala.collection.mutable.ArrayBuffer
   *   ORDER BY o1 [, o2 ...]
   *   MEASURES <m> AS a1 [, ...]      -- m: V.col | FIRST(V.col) | LAST(V.col)
   *                                   --    | COUNT(V.*) | COUNT(*) | MATCH_NUMBER()
-  *   [ONE ROW PER MATCH]
+  *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
+  *                                   -- ALL ROWS: every matched row,
+  *                                   -- all input columns + RUNNING
+  *                                   -- measures (batch only)
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
   *   PATTERN (V1[q] V2[q] ...)       -- q: * + ? {n} {n,} {n,m}
   *   DEFINE V1 AS <pred> [, ...]     -- current-row predicate, may use
@@ -35,11 +38,11 @@ import scala.collection.mutable.ArrayBuffer
   * the largest single key's row count — the same contract as Flink's
   * per-key CEP operator.
   *
-  * Unsupported forms (ALL ROWS PER MATCH, cross-variable DEFINE
-  * references like `LAST(B.x)`, NEXT navigation, PREV of an expression,
-  * alternation `|`, PERMUTE, subquery sources) throw
-  * `IllegalArgumentException` with the contract, mirroring the
-  * WindowTvf/TemporalJoin residual checks.
+  * Unsupported forms (cross-variable DEFINE references like
+  * `LAST(B.x)`, NEXT navigation, PREV of an expression, alternation
+  * `|`, PERMUTE, subquery sources) throw `IllegalArgumentException`
+  * with the contract, mirroring the WindowTvf/TemporalJoin residual
+  * checks.
   */
 object MatchRecognize {
 
@@ -65,7 +68,8 @@ object MatchRecognize {
       measures: Seq[Measure],
       skipToNextRow: Boolean,
       pattern: Seq[PatternElem],
-      defines: Map[String, String])
+      defines: Map[String, String],
+      allRows: Boolean = false)
 
   // --------------------------------------------------------------- parse
 
@@ -190,8 +194,11 @@ object MatchRecognize {
         val end = if (i + 1 < pos.size) pos(i + 1)._2 else body.length
         body.substring(p + kw.length, end).trim
       }
-    if (clauseText("ALL ROWS PER MATCH").isDefined)
-      fail("ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
+    // ALL ROWS PER MATCH: every matched row comes back (all input
+    // columns + measures with RUNNING semantics); empty matches are
+    // never emitted (the matcher requires end > start), matching the
+    // OMIT EMPTY MATCHES flavor
+    val allRows = clauseText("ALL ROWS PER MATCH").isDefined
 
     val partitionBy = clauseText("PARTITION BY").toSeq
       .flatMap(splitTopLevel).map(_.trim)
@@ -231,7 +238,7 @@ object MatchRecognize {
         fail(s"measure references undefined pattern variable $v")
       case _ =>
     }
-    Spec(partitionBy, orderBy, measures, skipToNext, pattern, defines)
+    Spec(partitionBy, orderBy, measures, skipToNext, pattern, defines, allRows)
   }
 
   // ------------------------------------------------------------- rewrite
@@ -326,10 +333,14 @@ object MatchRecognize {
       val table = tm.group(1)
       val spec = parseSpec(out.substring(open + 1, end - 1))
       // the streaming tracker's state carries (time, def-bitmask) per
-      // row, never neighboring column values — PREV stays batch-only
+      // row, never neighboring column values or whole rows — PREV and
+      // ALL ROWS PER MATCH stay batch-only
       spec.defines.collectFirst { case (v, p) if hasPrev(p) => v }.foreach(v =>
         fail(s"DEFINE $v uses PREV() — not supported in streaming " +
           "MATCH_RECOGNIZE (batch only)"))
+      if (spec.allRows)
+        fail("ALL ROWS PER MATCH is not supported in streaming " +
+          "MATCH_RECOGNIZE (batch only — state carries no rows)")
       val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
         s"streaming MATCH_RECOGNIZE needs a WATERMARK declaration on $table"))
       if (spec.orderBy.map(_.toLowerCase) != Seq(wmCol.toLowerCase))
@@ -435,15 +446,21 @@ object MatchRecognize {
     val elems = spec.pattern.map(e =>
       (varOf(e.variable), e.lo, e.hi)).toArray
 
-    // measure plan: resolved field indexes, output schema
-    val outFields = spec.partitionBy.map(p => inSchema(fieldIdx(p))).map(f =>
-      StructField(f.name, f.dataType, nullable = f.nullable)) ++
-      spec.measures.map {
-        case ColMeasure(_, c, _, alias) =>
-          StructField(alias, inSchema(fieldIdx(c)).dataType, nullable = true)
-        case CountMeasure(_, alias) => StructField(alias, LongType, nullable = false)
-        case MatchNumberMeasure(alias) => StructField(alias, LongType, nullable = false)
-      }
+    // measure plan: resolved field indexes, output schema.
+    // ONE ROW PER MATCH: partition columns + measures;
+    // ALL ROWS PER MATCH: every input column (minus the internal __def
+    // booleans) + measures, one output row per matched input row.
+    val baseLen = inSchema.fields.length - vars.length
+    val measureFields = spec.measures.map {
+      case ColMeasure(_, c, _, alias) =>
+        StructField(alias, inSchema(fieldIdx(c)).dataType, nullable = true)
+      case CountMeasure(_, alias) => StructField(alias, LongType, nullable = false)
+      case MatchNumberMeasure(alias) => StructField(alias, LongType, nullable = false)
+    }
+    val outFields =
+      if (spec.allRows) inSchema.fields.take(baseLen).toSeq ++ measureFields
+      else spec.partitionBy.map(p => inSchema(fieldIdx(p))).map(f =>
+        StructField(f.name, f.dataType, nullable = f.nullable)) ++ measureFields
     val outSchema = StructType(outFields.toArray)
     val measurePlan: Array[(Int, Int, Int)] = spec.measures.map {
       // (kind, varIdxInVars, colIdx): kind 0=first 1=last 2=countVar 3=countAll 4=matchNo
@@ -523,18 +540,18 @@ object MatchRecognize {
             val end = tryMatch(0, p, assign)
             if (end > p) {
               matchNo += 1
-              val vals = new Array[Any](partIdx.length + measurePlan.length)
-              var o = 0
-              while (o < partIdx.length) { vals(o) = rows(p).get(partIdx(o)); o += 1 }
-              var mi = 0
-              while (mi < measurePlan.length) {
+              // measure value over rows [p, upTo]; ONE ROW uses the full
+              // match extent, ALL ROWS the RUNNING prefix ending at the
+              // emitted row (SQL:2016 running semantics — FIRST/LAST and
+              // counts see only rows matched so far)
+              def measureVal(mi: Int, upTo: Int): Any = {
                 val (kind, v, c) = measurePlan(mi)
-                vals(partIdx.length + mi) = kind match {
+                kind match {
                   case 0 | 1 =>
                     var found: Any = null
-                    var r = if (kind == 0) p else end - 1
+                    var r = if (kind == 0) p else upTo
                     val step = if (kind == 0) 1 else -1
-                    var left = end - p
+                    var left = upTo - p + 1
                     while (left > 0 && found == null) {
                       if (assign(r) == v) found = rows(r).get(c)
                       r += step; left -= 1
@@ -543,14 +560,35 @@ object MatchRecognize {
                   case 2 =>
                     var cnt = 0L
                     var r = p
-                    while (r < end) { if (assign(r) == v) cnt += 1; r += 1 }
+                    while (r <= upTo) { if (assign(r) == v) cnt += 1; r += 1 }
                     cnt
-                  case 3 => (end - p).toLong
+                  case 3 => (upTo - p + 1).toLong
                   case _ => matchNo
                 }
-                mi += 1
               }
-              out += Row.fromSeq(vals.toIndexedSeq)
+              if (spec.allRows) {
+                var r = p
+                while (r < end) {
+                  val vals = new Array[Any](baseLen + measurePlan.length)
+                  var o = 0
+                  while (o < baseLen) { vals(o) = rows(r).get(o); o += 1 }
+                  var mi = 0
+                  while (mi < measurePlan.length) {
+                    vals(baseLen + mi) = measureVal(mi, r); mi += 1
+                  }
+                  out += Row.fromSeq(vals.toIndexedSeq)
+                  r += 1
+                }
+              } else {
+                val vals = new Array[Any](partIdx.length + measurePlan.length)
+                var o = 0
+                while (o < partIdx.length) { vals(o) = rows(p).get(partIdx(o)); o += 1 }
+                var mi = 0
+                while (mi < measurePlan.length) {
+                  vals(partIdx.length + mi) = measureVal(mi, end - 1); mi += 1
+                }
+                out += Row.fromSeq(vals.toIndexedSeq)
+              }
               p = if (skipToNext) p + 1 else end
             } else {
               // no match (or empty match, which ONE ROW PER MATCH skips)

@@ -692,9 +692,63 @@ object Events {
         |)""".stripMargin))
   }
 
+  /** `ALL ROWS PER MATCH` over the same ascending-run pattern as q65:
+    * every matched row comes back with its RUNNING measures (count of R
+    * rows so far, match number). The oracle expands each island to its
+    * row range and derives the running count from row-number arithmetic.
+    */
+  val q66AllRows: Q = Q(
+    "q66_all_rows",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN vm > LAG(vm) OVER (
+      |      PARTITION BY user_id ORDER BY rn) THEN 1 ELSE 0 END AS is_up
+      |  FROM e),
+      |isl AS (
+      |  SELECT *, rn - ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY rn) AS grp
+      |  FROM f WHERE is_up = 1),
+      |runs AS (
+      |  SELECT user_id, MIN(rn) AS first_rn, MAX(rn) AS last_rn
+      |  FROM isl GROUP BY user_id, grp),
+      |rm AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY first_rn) AS mn
+      |  FROM runs)
+      |SELECT r.user_id, e.event_id, e.vm,
+      |  CAST(GREATEST(e.rn - r.first_rn + 1, 0) AS BIGINT) AS r_so_far,
+      |  r.mn
+      |FROM rm r JOIN e
+      |  ON e.user_id = r.user_id
+      |  AND e.rn BETWEEN r.first_rn - 1 AND r.last_rn""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_all")
+    s.sql(graft.harness.MatchRecognize.rewrite(s,
+      """SELECT user_id, event_id, vm, r_so_far, mn
+        |FROM graft_mr_events_all
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES COUNT(R.*) AS r_so_far, MATCH_NUMBER() AS mn
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S R+)
+        |  DEFINE R AS vm > PREV(vm)
+        |)""".stripMargin))
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
-    q62SessionTvf, q63LegacyHop, q64MatchRecognize, q65PrevPattern)
+    q62SessionTvf, q63LegacyHop, q64MatchRecognize, q65PrevPattern,
+    q66AllRows)
 }

@@ -118,11 +118,6 @@ class MatchRecognizeSpec extends AnyFunSuite {
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  ALL ROWS PER MATCH PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
-      "ALL ROWS PER MATCH")
-    rejects(
-      """SELECT * FROM mr_in MATCH_RECOGNIZE (
-        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A | B) DEFINE A AS t = 'a')""".stripMargin,
       "alternation")
     rejects(
@@ -145,6 +140,42 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
       "table")
+  }
+
+  test("ALL ROWS PER MATCH emits every matched row with RUNNING measures") {
+    // one V C C P match: 4 rows out, counts and LAST grow row by row;
+    // the unmatched trailing row (o=5) is omitted
+    seq((1, 1, "view", 10), (1, 2, "click", 20), (1, 3, "click", 30),
+      (1, 4, "purchase", 40), (1, 5, "view", 50))
+    val out = run(
+      """SELECT o, nc, lastc, mn FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(C.*) AS nc, LAST(C.v) AS lastc, MATCH_NUMBER() AS mn
+        |  ALL ROWS PER MATCH
+        |  PATTERN (V C+ P)
+        |  DEFINE V AS t = 'view', C AS t = 'click', P AS t = 'purchase')""".stripMargin)
+    assert(out === Seq(
+      Seq(1L, 0L, null, 1L),
+      Seq(2L, 1L, 20L, 1L),
+      Seq(3L, 2L, 30L, 1L),
+      Seq(4L, 2L, 30L, 1L)))
+  }
+
+  test("ALL ROWS PER MATCH with SKIP TO NEXT ROW re-emits overlapping rows") {
+    // A A with every row matching: matches (1,2), (2,3) — row 2 appears
+    // in both, with its per-match running count
+    seq((1, 1, "a", 0), (1, 2, "a", 0), (1, 3, "a", 0))
+    val out = run(
+      """SELECT o, na, mn FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, MATCH_NUMBER() AS mn
+        |  ALL ROWS PER MATCH
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A A)
+        |  DEFINE A AS t = 'a')""".stripMargin)
+    assert(out === Seq(
+      Seq(1L, 1L, 1L), Seq(2L, 2L, 1L),
+      Seq(2L, 1L, 2L), Seq(3L, 2L, 2L)))
   }
 
   test("PREV() in DEFINE navigates the physical previous row") {
