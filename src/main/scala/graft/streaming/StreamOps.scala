@@ -99,6 +99,59 @@ object StreamOps {
       corpusFingerprints.select(col(fpCol).as("__corpus_fp")),
       col(fpCol) === col("__corpus_fp"), "left_anti")
 
+  /** LSH band keys over a MinHash signature array: one 32-bit key per
+    * band, hashing the band's signature slice together with the band
+    * index (so equal slices in different bands never collide). Shared by
+    * the static index builder and the streaming probe side — both MUST
+    * use the identical arithmetic.
+    */
+  private def bandKeysExpr(sigCol: String, bands: Int, rowsPerBand: Int): String =
+    s"transform(sequence(0, ${bands - 1}), " +
+      s"b -> hash(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), b))"
+
+  /** Static-side MinHash LSH index: one (band_key, corpus_id,
+    * corpus_sig) row per band per corpus doc. Built once in batch and
+    * joined by every micro-batch — at corpus scale this is the
+    * parquet-backed index table a deployment maintains incrementally.
+    */
+  def minhashBandIndex(
+      corpus: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    corpus.select(col(idCol).as("corpus_id"), col(sigCol).as("corpus_sig"))
+      .select(col("corpus_id"), col("corpus_sig"),
+        explode(expr(bandKeysExpr("corpus_sig", bands, rowsPerBand)))
+          .as("band_key"))
+
+  /** Streaming near-dup detection against a static corpus MinHash
+    * index — the sketch-level face of [[incrementalDedup]]: incoming
+    * docs explode to their LSH band keys and stream-static inner-join
+    * the index (STATELESS — band collisions need no stream state);
+    * signature agreement is confirmed natively on the joined row, and
+    * multi-band duplicate hits collapse with
+    * `dropDuplicatesWithinWatermark`, the only stateful step, bounded
+    * by the watermark.
+    *
+    * Emits (doc, corpus doc, n_agree) candidate pairs with
+    * `n_agree >= minAgree` of the signature's K minima agreeing.
+    */
+  def nearDupCandidates(
+      incoming: DataFrame, idCol: String, sigCol: String,
+      eventTime: String, delay: String,
+      bandIndex: DataFrame,
+      bands: Int, rowsPerBand: Int, minAgree: Int): DataFrame = {
+    val agree = s"aggregate(zip_with($sigCol, corpus_sig, " +
+      "(x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)"
+    incoming.withWatermark(eventTime, delay)
+      .select(col(idCol), col(sigCol), col(eventTime),
+        explode(expr(bandKeysExpr(sigCol, bands, rowsPerBand))).as("band_key"))
+      .join(bandIndex, "band_key")
+      .filter(col(idCol) =!= col("corpus_id"))
+      .select(col(idCol), col("corpus_id"), col(eventTime),
+        expr(agree).as("n_agree"))
+      .filter(col("n_agree") >= minAgree)
+      .dropDuplicatesWithinWatermark(idCol, "corpus_id")
+  }
+
   /** Stream-stream interval join: right-side events within
     * `windowBeforeSec` seconds before each left event, on an equi key.
     * Both sides carry watermarks and the time-range condition bounds

@@ -255,6 +255,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-static minhash near-dup flags pairs once despite multi-band hits") {
+    implicit val sc = spark.sqlContext
+    // K=16 signatures, 4 bands × 4 rows; agreement floor 12
+    val corpus = Seq(
+      (100L, (1L to 16L).toSeq),
+      (200L, (101L to 116L).toSeq)).toDF("doc_id", "sig")
+    val index = StreamOps.minhashBandIndex(corpus, "doc_id", "sig", 4, 4)
+    val input = MemoryStream[(Long, Timestamp, Seq[Long])]
+    val flagged = StreamOps.nearDupCandidates(
+      input.toDF().toDF("doc_id", "row_time", "sig"),
+      "doc_id", "sig", "row_time", "5 seconds", index, 4, 4, 12)
+    val query = flagged.writeStream.format("memory")
+      .queryName("near_dup").outputMode("append").start()
+    try {
+      input.addData(
+        // identical to corpus 100: 4 band hits, one output row, agree 16
+        (1L, ts(10), (1L to 16L).toSeq),
+        // two bands equal but only 8/16 minima agree -> filtered
+        (2L, ts(11), (1L to 8L) ++ (901L to 908L)),
+        // disjoint -> no band collision at all
+        (3L, ts(12), (501L to 516L).toSeq),
+        // one element off: 3 band hits, agree 15 -> flagged once
+        (4L, ts(13), (1L to 15L) :+ 999L))
+      query.processAllAvailable()
+      val got = spark.table("near_dup")
+        .select($"doc_id", $"corpus_id", $"n_agree")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == Set((1L, 100L, 16), (4L, 100L, 15)))
+    } finally query.stop()
+  }
+
   test("streaming temporal join enriches probes with the version as-of their time") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[TemporalInput]
