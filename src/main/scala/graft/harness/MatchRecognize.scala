@@ -21,7 +21,10 @@ import scala.collection.mutable.ArrayBuffer
   *                                   -- all input columns + RUNNING
   *                                   -- measures (batch only)
   *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
-  *   PATTERN (V1[q] V2[q] ...)       -- q: * + ? {n} {n,} {n,m}
+  *   PATTERN (V1[q] V2[q] ... [| ...])  -- q: * + ? {n} {n,} {n,m};
+  *                                   -- top-level alternation (leftmost
+  *                                   -- branch preferred) and
+  *                                   -- PERMUTE(A, B, ...) (batch only)
   *   DEFINE V1 AS <pred> [, ...]     -- current-row predicate, may use
   * )                                 -- PREV(col[, k]) (physical row
   *                                   -- navigation, batch only);
@@ -39,10 +42,10 @@ import scala.collection.mutable.ArrayBuffer
   * per-key CEP operator.
   *
   * Unsupported forms (cross-variable DEFINE references like
-  * `LAST(B.x)`, NEXT navigation, PREV of an expression, alternation
-  * `|`, PERMUTE, subquery sources) throw `IllegalArgumentException`
-  * with the contract, mirroring the WindowTvf/TemporalJoin residual
-  * checks.
+  * `LAST(B.x)`, NEXT navigation, PREV of an expression, grouped
+  * sub-patterns `(A B)+`, subquery sources) throw
+  * `IllegalArgumentException` with the contract, mirroring the
+  * WindowTvf/TemporalJoin residual checks.
   */
 object MatchRecognize {
 
@@ -67,7 +70,7 @@ object MatchRecognize {
       orderBy: Seq[String],
       measures: Seq[Measure],
       skipToNextRow: Boolean,
-      pattern: Seq[PatternElem],
+      pattern: Seq[Seq[PatternElem]], // alternation branches, in preference order
       defines: Map[String, String],
       allRows: Boolean = false)
 
@@ -118,9 +121,7 @@ object MatchRecognize {
   private val ElemRe =
     raw"(?s)^([A-Za-z_][A-Za-z0-9_]*)(\*|\+|\?|\{\s*(\d+)\s*(,\s*(\d+)?\s*)?\})?$$".r
 
-  private def parsePattern(p: String): Seq[PatternElem] = {
-    if (p.contains("|")) fail("alternation (|) is not supported")
-    if (raw"(?i)\bPERMUTE\b".r.findFirstIn(p).isDefined) fail("PERMUTE is not supported")
+  private def parseSequence(p: String): Seq[PatternElem] = {
     // tokenize: variable names followed optionally by a quantifier
     val toks = raw"[A-Za-z_][A-Za-z0-9_]*(?:\s*(?:\*|\+|\?|\{[^}]*\}))?".r
       .findAllIn(p).toSeq
@@ -141,6 +142,31 @@ object MatchRecognize {
         PatternElem(v.toUpperCase, lo, hi)
       case _ => fail(s"unsupported pattern element: $t")
     })
+  }
+
+  private val PermuteRe = raw"(?is)^PERMUTE\s*\((.*)\)$$".r
+
+  /** Pattern → ordered alternation branches, each a quantified variable
+    * sequence. Top-level `|` splits branches (leftmost branch preferred,
+    * per SQL:2016 alternation order); `PERMUTE(A, B, ...)` expands to
+    * all orderings in lexicographic position order (the standard's
+    * expansion), bare variables only.
+    */
+  private def parsePattern(p: String): Seq[Seq[PatternElem]] = p match {
+    case PermuteRe(inner) =>
+      val vars = splitTopLevel(inner)
+      if (vars.isEmpty || vars.exists(v =>
+          raw"^[A-Za-z_][A-Za-z0-9_]*$$".r.findFirstIn(v.trim).isEmpty))
+        fail(s"PERMUTE takes a list of bare variables: $p")
+      if (vars.size > 5) fail("PERMUTE of more than 5 variables (n! branches)")
+      vars.map(_.trim.toUpperCase).permutations
+        .map(_.map(PatternElem(_, 1, 1)).toSeq).toSeq
+    case _ =>
+      if (raw"(?i)\bPERMUTE\b".r.findFirstIn(p).isDefined)
+        fail(s"PERMUTE must be the whole pattern: $p")
+      val branches = p.split('|').map(_.trim).toSeq
+      if (branches.exists(_.isEmpty)) fail(s"empty alternation branch in: $p")
+      branches.map(parseSequence)
   }
 
   /** PREV(col[, k]) in a DEFINE — physical row navigation (SQL:2016 and
@@ -221,7 +247,7 @@ object MatchRecognize {
     if (!patternTxt.startsWith("(") || !patternTxt.endsWith(")"))
       fail(s"PATTERN must be parenthesized: $patternTxt")
     val pattern = parsePattern(patternTxt.substring(1, patternTxt.length - 1).trim)
-    val allVars = pattern.map(_.variable).toSet
+    val allVars = pattern.flatten.map(_.variable).toSet
     val defines = clauseText("DEFINE").toSeq.flatMap(splitTopLevel).map { d =>
       val m = raw"(?is)^([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)$$".r
         .findFirstMatchIn(d).getOrElse(fail(s"DEFINE entry needs `VAR AS predicate`: $d"))
@@ -347,10 +373,14 @@ object MatchRecognize {
         fail("streaming MATCH_RECOGNIZE must ORDER BY exactly the " +
           s"source's event-time column ($wmCol); got ${spec.orderBy.mkString(", ")}")
 
-      val vars = spec.pattern.map(_.variable).distinct
+      if (spec.pattern.size > 1)
+        fail("alternation/PERMUTE is not supported in streaming " +
+          "MATCH_RECOGNIZE (batch only)")
+      val branch = spec.pattern.head
+      val vars = branch.map(_.variable).distinct
       if (vars.size > 62) fail("too many pattern variables (max 62)")
       val varOf = vars.zipWithIndex.toMap
-      val elems = spec.pattern.map(e =>
+      val elems = branch.map(e =>
         PatternTracker.Elem(varOf(e.variable), e.lo, e.hi))
       // measure plan in PatternTracker kinds; remember which outputs are
       // times (ms → timestamp) vs plain longs
@@ -411,7 +441,7 @@ object MatchRecognize {
     * walks each key's run emitting ONE ROW PER MATCH.
     */
   private[harness] def execute(src: DataFrame, spec: Spec): DataFrame = {
-    val vars = spec.pattern.map(_.variable).distinct
+    val vars = spec.pattern.flatten.map(_.variable).distinct
     // PREV(col[, k]) → lag(col, k) over the exact order the matcher
     // walks (partition key, then ORDER BY); anything fancier inside
     // PREV (expressions, nested calls) is outside the subset
@@ -443,8 +473,10 @@ object MatchRecognize {
     val partIdx = spec.partitionBy.map(fieldIdx).toArray
     val varIdx = vars.map(v => fieldIdx(s"__def_$v")).toArray
     val varOf = vars.zipWithIndex.toMap
-    val elems = spec.pattern.map(e =>
-      (varOf(e.variable), e.lo, e.hi)).toArray
+    // alternation branches in preference order: the matcher tries each
+    // at a start position and the first with a non-empty match wins
+    val branches: Array[Array[(Int, Int, Int)]] = spec.pattern.map(b =>
+      b.map(e => (varOf(e.variable), e.lo, e.hi)).toArray).toArray
 
     // measure plan: resolved field indexes, output schema.
     // ONE ROW PER MATCH: partition columns + measures;
@@ -515,8 +547,10 @@ object MatchRecognize {
             }
             i += 1
           }
-          // greedy backtracking: returns (endPos, assignment var-elem per row)
-          def tryMatch(e: Int, pos: Int, assign: Array[Int]): Int = {
+          // greedy backtracking within one branch: returns (endPos,
+          // assignment var-elem per row)
+          def tryBranch(elems: Array[(Int, Int, Int)], e: Int, pos: Int,
+              assign: Array[Int]): Int = {
             if (e == elems.length) return pos
             val (v, lo, hi) = elems(e)
             var run = 0
@@ -525,9 +559,22 @@ object MatchRecognize {
             while (k >= lo) {
               var r = 0
               while (r < k) { assign(pos + r) = v; r += 1 }
-              val end = tryMatch(e + 1, pos + k, assign)
+              val end = tryBranch(elems, e + 1, pos + k, assign)
               if (end >= 0) return end
               k -= 1
+            }
+            -1
+          }
+          // branches in preference order; first NON-EMPTY match wins
+          // (empty matches are omitted output-wide, so a branch that
+          // can only match zero rows here never shadows a later one)
+          def tryMatch(pos: Int, assign: Array[Int]): Int = {
+            var b = 0
+            while (b < branches.length) {
+              java.util.Arrays.fill(assign, pos, n, -1)
+              val end = tryBranch(branches(b), 0, pos, assign)
+              if (end > pos) return end
+              b += 1
             }
             -1
           }
@@ -537,7 +584,7 @@ object MatchRecognize {
           val assign = Array.fill(n)(-1)
           while (p < n) {
             java.util.Arrays.fill(assign, -1)
-            val end = tryMatch(0, p, assign)
+            val end = tryMatch(p, assign)
             if (end > p) {
               matchNo += 1
               // measure value over rows [p, upTo]; ONE ROW uses the full

@@ -745,10 +745,65 @@ object Events {
         |)""".stripMargin))
   }
 
+  /** MATCH_RECOGNIZE alternation: `(V C+ P | V P)` — view-clicks-
+    * purchase, or a later-branch direct view-purchase. The two branches
+    * together recognize exactly `V C* P`, so the oracle is q64's
+    * next-non-click construction with the click floor dropped to zero
+    * (`endrn > vrn` instead of `endrn > vrn + 1`) — while the Spark side
+    * exercises real branch preference and fallback in the matcher.
+    */
+  val q67Alternation: Q = Q(
+    "q67_alternation",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn, ts_sec AS start_sec FROM e
+      |      WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, v.start_sec, MIN(e2.rn) AS endrn
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn > v.vrn
+      |    AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT n.user_id, n.vrn, n.start_sec, e3.ts_sec AS end_sec,
+      |    n.endrn - n.vrn - 1 AS n_clicks
+      |  FROM nc n JOIN e e3 ON e3.user_id = n.user_id AND e3.rn = n.endrn
+      |  WHERE e3.event_type = 'purchase')
+      |SELECT user_id, start_sec, end_sec, CAST(n_clicks AS BIGINT) AS n_clicks,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM m""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+      .createOrReplaceTempView("graft_mr_events_alt")
+    s.sql(graft.harness.MatchRecognize.rewrite(s,
+      """SELECT user_id, start_sec, end_sec, n_clicks, mn
+        |FROM graft_mr_events_alt
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    V.ts_sec AS start_sec,
+        |    LAST(P.ts_sec) AS end_sec,
+        |    COUNT(C.*) AS n_clicks,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ P | V P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin))
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
     q62SessionTvf, q63LegacyHop, q64MatchRecognize, q65PrevPattern,
-    q66AllRows)
+    q66AllRows, q67Alternation)
 }

@@ -118,8 +118,13 @@ class MatchRecognizeSpec extends AnyFunSuite {
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  PATTERN (A | B) DEFINE A AS t = 'a')""".stripMargin,
-      "alternation")
+        |  PATTERN ((A B)+) DEFINE A AS t = 'a')""".stripMargin,
+      "pattern")
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A PERMUTE(B, C)) DEFINE A AS t = 'a')""".stripMargin,
+      "PERMUTE")
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
@@ -176,6 +181,52 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(out === Seq(
       Seq(1L, 1L, 1L), Seq(2L, 2L, 1L),
       Seq(2L, 1L, 2L), Seq(3L, 2L, 2L)))
+  }
+
+  test("alternation prefers the leftmost branch that matches") {
+    // both branches match rows 1-2; A P must win over B P
+    seq((1, 1, "x", 0), (1, 2, "p", 0))
+    val out = run(
+      """SELECT na, nb FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb
+        |  PATTERN (A P | B P)
+        |  DEFINE A AS t = 'x', B AS t = 'x', P AS t = 'p')""".stripMargin)
+    assert(out === Seq(Seq(1L, 0L)))
+  }
+
+  test("alternation falls through to a later branch when earlier ones fail") {
+    seq((1, 1, "y", 0), (1, 2, "p", 0))
+    val out = run(
+      """SELECT na, nb FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb
+        |  PATTERN (A P | B P)
+        |  DEFINE A AS t = 'x', B AS t = 'y', P AS t = 'p')""".stripMargin)
+    assert(out === Seq(Seq(0L, 1L)))
+  }
+
+  test("PERMUTE matches the variables in any order") {
+    // B then A in the data: the A B branch fails, B A matches
+    seq((1, 1, "b", 0), (1, 2, "a", 0), (2, 1, "a", 0), (2, 2, "b", 0))
+    val out = run(
+      """SELECT k, ao, bo FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES LAST(A.o) AS ao, LAST(B.o) AS bo
+        |  PATTERN (PERMUTE(A, B))
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+    assert(out.toSet === Set(Seq(1L, 2L, 1L), Seq(2L, 1L, 2L)))
+  }
+
+  test("streaming MATCH_RECOGNIZE rejects alternation with the contract") {
+    seq((1, 1, "x", 1))
+    val e = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+          |  PATTERN (A | B) DEFINE A AS t = 'x')""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(e.getMessage.contains("alternation"), s"message: ${e.getMessage}")
   }
 
   test("PREV() in DEFINE navigates the physical previous row") {
