@@ -79,18 +79,39 @@ object MatchRecognize {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
 
-  /** Splits on top-level commas (ignoring commas inside parentheses). */
+  /** Index just past a quoted run starting at `start` (quote char `q`);
+    * doubled quotes escape, as in SQL literals.
+    */
+  private def skipQuoted(s: String, start: Int, q: Char): Int = {
+    var i = start + 1
+    while (i < s.length) {
+      if (s.charAt(i) == q) {
+        if (i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+        else return i + 1
+      } else i += 1
+    }
+    s.length
+  }
+
+  /** Splits on top-level commas — blind to commas inside parentheses
+    * AND inside string/identifier literals (a DEFINE predicate may
+    * legitimately contain `t = 'a,b'`).
+    */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     var depth = 0
-    val cur = new StringBuilder
-    s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => out += cur.result(); cur.clear()
-      case c => cur += c
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1; i += 1
+        case q @ ('\'' | '"' | '`') => i = skipQuoted(s, i, q)
+        case _ => i += 1
+      }
     }
-    if (cur.nonEmpty) out += cur.result()
+    out += s.substring(start)
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
@@ -270,20 +291,23 @@ object MatchRecognize {
   // ------------------------------------------------------------- rewrite
 
   /** Balanced-paren scan from the `(` at `open`; returns the index just
-    * past the matching `)`.
+    * past the matching `)`. Quote-aware: a `)` inside a string literal
+    * (e.g. `DEFINE A AS t = ':)'`) must not close the region — ending
+    * it early would leak the clause tail to Spark's parser.
     */
   private def closeParen(sql: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < sql.length) {
       sql.charAt(i) match {
-        case '(' => depth += 1
+        case '(' => depth += 1; i += 1
         case ')' =>
           depth -= 1
           if (depth == 0) return i + 1
-        case _ =>
+          i += 1
+        case q @ ('\'' | '"' | '`') => i = skipQuoted(sql, i, q)
+        case _ => i += 1
       }
-      i += 1
     }
     fail("unbalanced parentheses")
   }
@@ -420,7 +444,7 @@ object MatchRecognize {
         val v = scol("values").getItem(i)
         ms match {
           case ColMeasure(_, _, _, alias) =>
-            when(v === -1L, lit(null))
+            when(v === graft.streaming.PatternTracker.UnmatchedTime, lit(null))
               .otherwise(sexpr(s"timestamp_millis(values[$i])")).as(alias)
           case other => v.as(other.alias)
         }
@@ -595,15 +619,20 @@ object MatchRecognize {
                 val (kind, v, c) = measurePlan(mi)
                 kind match {
                   case 0 | 1 =>
-                    var found: Any = null
+                    // found-ness tracked separately from the value: the
+                    // FIRST/LAST row's column may legitimately be SQL
+                    // NULL, which must come back as NULL — not be
+                    // skipped in favor of another row's value
+                    var found = false
+                    var value: Any = null
                     var r = if (kind == 0) p else upTo
                     val step = if (kind == 0) 1 else -1
                     var left = upTo - p + 1
-                    while (left > 0 && found == null) {
-                      if (assign(r) == v) found = rows(r).get(c)
+                    while (left > 0 && !found) {
+                      if (assign(r) == v) { found = true; value = rows(r).get(c) }
                       r += step; left -= 1
                     }
-                    found
+                    value
                   case 2 =>
                     var cnt = 0L
                     var r = p

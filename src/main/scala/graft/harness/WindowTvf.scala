@@ -377,10 +377,22 @@ object WindowTvf {
       else replTokensIn(item.trim)
     }.mkString(", ")
 
+    // window columns only exist AFTER the aggregate: a reference in the
+    // FROM..GROUP BY region (WHERE, JOIN conditions) would rewrite to a
+    // window-struct read that cannot resolve pre-aggregation — reject
+    // with the contract instead of leaking an analysis error
+    val preGroup = out.substring(fromIdx, gb.start)
+    if (raw"(?i)\b(window_start|window_end|window_time)\b".r
+        .findFirstIn(preGroup).isDefined)
+      throw new IllegalArgumentException(
+        "streaming window TVF: window_start/window_end/window_time " +
+          "cannot be referenced before the aggregation (WHERE/JOIN); " +
+          "filter the aggregated result, or use batch runtime mode")
+
     // reassemble: prefix + select list + FROM..GROUP BY + keys + tail
     // (tokens in HAVING/ORDER BY and in kept keys become field reads)
     out.substring(0, selIdx) + " " + newSelect + " " +
-      replTokensIn(out.substring(fromIdx, gb.end)) + " " + newKeys +
+      out.substring(fromIdx, gb.end) + " " + newKeys +
       (if (keysEnd < out.length) " " + replTokensIn(out.substring(keysEnd))
        else "")
   }
@@ -528,9 +540,29 @@ object WindowTvf {
     val (keysText, keysEnd) = scanListClause(out, gb.end)
     val keys = splitTopLevel(keysText).map(_.trim)
     def isWinKey(k: String) = g.re.pattern.matcher(k).matches()
+    val winKeys = keys.filter(isWinKey)
     val otherKeys = keys.filterNot(isWinKey)
-    if (otherKeys.size == keys.size) throw new IllegalArgumentException(
+    if (winKeys.isEmpty) throw new IllegalArgumentException(
       s"legacy ${g.kind}(...) must appear as a GROUP BY key")
+    // a statement carries ONE group window: a second same-kind key with
+    // different arguments would silently collapse onto the first window
+    // (Flink rejects the statement outright)
+    if (winKeys.size > 1) throw new IllegalArgumentException(
+      s"legacy group windows allow one ${g.kind}(...) GROUP BY key; " +
+        s"got ${winKeys.size}")
+    // and the key must be THE window `g` was built from (g is found by
+    // first occurrence in the statement, which need not be this key)
+    locally {
+      val m = g.re.findFirstMatchIn(winKeys.head).get
+      val kMs = g.kind match {
+        case "HOP" => Seq(ms(m.group(2), m.group(3)), ms(m.group(4), m.group(5)))
+        case _ => Seq(ms(m.group(2), m.group(3)))
+      }
+      if (!m.group(1).equalsIgnoreCase(g.tcol) || kMs != g.ms)
+        throw new IllegalArgumentException(
+          s"legacy ${g.kind} GROUP BY key arguments do not match the " +
+            s"statement's ${g.kind}(${g.tcol}, ${g.ivs}) window")
+    }
     if (g.kind == "SESSION" && !otherKeys.forall(_.matches(s"^$Dotted$$")))
       throw new IllegalArgumentException(
         "legacy SESSION group window needs plain column grouping keys " +

@@ -19,8 +19,9 @@ final case class PatternEvent(key: String, ts: Timestamp, defs: Long)
 final case class PatternState(rows: List[(Long, Long)], matchNo: Long)
 
 /** One emitted match. `values` holds the measures in caller order
-  * (times as epoch ms, counts and MATCH_NUMBER as plain longs, -1 for
-  * a FIRST/LAST over a variable that matched no row).
+  * (times as epoch ms, counts and MATCH_NUMBER as plain longs,
+  * [[PatternTracker.UnmatchedTime]] for a FIRST/LAST over a variable
+  * that matched no row).
   */
 final case class PatternMatch(key: String, values: List[Long])
 
@@ -57,6 +58,20 @@ object PatternTracker {
     * ts), 2 = COUNT(var.*), 3 = COUNT(*), 4 = MATCH_NUMBER().
     */
   type Measure = (Int, Int)
+
+  /** FIRST/LAST result for a variable that matched no row — decoded to
+    * SQL NULL by the harness. Long.MinValue, not -1: epoch ms of -1 (or
+    * any pre-1970 event time) is a legitimate timestamp.
+    */
+  val UnmatchedTime: Long = Long.MinValue
+
+  /** Event-time idle TTL for keys holding only match-number continuity
+    * (no buffered rows): once the watermark moves this far past a
+    * quiet key, its state is dropped — bounding state by ACTIVE key
+    * cardinality. A key that returns later restarts MATCH_NUMBER at 1
+    * (the same trade Flink makes under state TTL).
+    */
+  val IdleTtlMs: Long = 3600L * 1000L
 
   def track(
       input: Dataset[PatternEvent],
@@ -152,15 +167,18 @@ object PatternTracker {
         val vals = measures.map { case (kind, v) =>
           kind match {
             case 0 | 1 =>
-              var found = -1L
+              // found-ness tracked separately from the value: any epoch
+              // ms (including negatives) is a legitimate match time
+              var found = false
+              var value = UnmatchedTime
               var r = if (kind == 0) p else end - 1
               val step = if (kind == 0) 1 else -1
               var left = end - p
-              while (left > 0 && found < 0) {
-                if (assign(r) == v) found = matured(r)._1
+              while (left > 0 && !found) {
+                if (assign(r) == v) { found = true; value = matured(r)._1 }
                 r += step; left -= 1
               }
-              found
+              value
             case 2 =>
               var cnt = 0L
               var r = p
@@ -180,13 +198,26 @@ object PatternTracker {
     if (!isFinal) {
       val kept = matured.drop(p).map(r => (r._1, r._2)).toList ++ unmatured
       if (kept.isEmpty && matchNo == 0L) state.remove()
-      else {
+      else if (kept.isEmpty && state.hasTimedOut &&
+          incoming.isEmpty && prev.rows.isEmpty) {
+        // idle expiry: a timeout fired for a key that was ALREADY empty
+        // and received nothing — it held only MATCH_NUMBER continuity
+        // for IdleTtlMs of event time, so drop it (state stays bounded
+        // by active keys). A maturation wake that merely CONSUMED the
+        // last buffered rows is not idle: its matchNo survives and the
+        // idle clock starts below.
+        state.remove()
+      } else {
         state.update(PatternState(kept, matchNo))
-        // wake when the earliest buffered row can mature (strictly past
-        // the current watermark by construction)
-        kept.headOption.foreach { case (ts, _) =>
-          state.setTimeoutTimestamp(math.max(ts, wmMs) + 1L)
-        }
+        if (kept.isEmpty)
+          // nothing buffered: wake only to expire the idle key
+          state.setTimeoutTimestamp(wmMs + IdleTtlMs)
+        else
+          // wake when the earliest buffered row can mature (strictly
+          // past the current watermark by construction)
+          kept.headOption.foreach { case (ts, _) =>
+            state.setTimeoutTimestamp(math.max(ts, wmMs) + 1L)
+          }
       }
     }
     out.iterator

@@ -260,6 +260,34 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(out === Seq(Seq(1L, 3L)))
   }
 
+  test("LAST over a NULL column value returns NULL, not another row's value") {
+    import spark.implicits._
+    // last C row carries v = NULL: SQL:2016 LAST(C.v) is that row's
+    // NULL, never an earlier C row's non-null v
+    Seq((1L, 1L, "view", Some(0L)), (1L, 2L, "click", Some(5L)),
+      (1L, 3L, "click", None), (1L, 4L, "purchase", Some(0L)))
+      .toDF("k", "o", "t", "v").createOrReplaceTempView("mr_in")
+    val out = spark.sql(MatchRecognize.rewrite(spark,
+      """SELECT lastc FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES LAST(C.v) AS lastc
+        |  PATTERN (V C+ P)
+        |  DEFINE V AS t = 'view', C AS t = 'click', P AS t = 'purchase')""".stripMargin))
+      .collect().toSeq.map(_.toSeq)
+    assert(out === Seq(Seq(null)))
+  }
+
+  test("string literals with commas and parens survive clause parsing") {
+    seq((1, 1, "a,b", 0), (1, 2, ":)", 0))
+    val out = run(
+      """SELECT ao, bo FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES LAST(A.o) AS ao, LAST(B.o) AS bo
+        |  PATTERN (A B)
+        |  DEFINE A AS t = 'a,b', B AS t = ':)')""".stripMargin)
+    assert(out === Seq(Seq(1L, 2L)))
+  }
+
   test("no PARTITION BY runs the pattern over one global sequence") {
     seq((1, 1, "a", 0), (2, 2, "b", 0), (1, 3, "c", 0))
     val out = run(

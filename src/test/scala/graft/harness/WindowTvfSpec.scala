@@ -205,6 +205,28 @@ class WindowTvfSpec extends AnyFunSuite {
         "SELECT HOP_START(rt, INTERVAL '1' MINUTE, INTERVAL '5' MINUTE) FROM t")
     }
     assert(orphan.getMessage.contains("legacy"))
+    // window columns do not exist before the aggregate: a WHERE filter
+    // on them must fail the contract, not leak `window.start` noise
+    val preAgg = intercept[IllegalArgumentException] {
+      WindowTvf.rewriteStreaming(
+        "SELECT window_start, COUNT(*) FROM TABLE(TUMBLE(TABLE t, " +
+          "DESCRIPTOR(ts), INTERVAL '1' HOUR)) " +
+          "WHERE window_start >= TIMESTAMP '2024-01-01 00:00:00' " +
+          "GROUP BY window_start")
+    }
+    assert(preAgg.getMessage.contains("before the aggregation"))
+  }
+
+  test("a second legacy group-window key with different arguments rejects") {
+    // Flink rejects two group windows in one GROUP BY; silently
+    // collapsing both onto the first window would drop semantics
+    val e = intercept[IllegalArgumentException] {
+      WindowTvf.rewrite(
+        "SELECT COUNT(*) FROM t GROUP BY " +
+          "HOP(rt, INTERVAL '1' MINUTE, INTERVAL '5' MINUTE), " +
+          "HOP(rt, INTERVAL '2' MINUTE, INTERVAL '20' MINUTE)")
+    }
+    assert(e.getMessage.contains("one HOP"), s"message: ${e.getMessage}")
   }
 
   test("streaming SESSION PARTITION BY keys must be grouping keys") {
