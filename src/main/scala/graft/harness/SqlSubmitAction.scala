@@ -59,6 +59,11 @@ final class SqlSubmitAction(
         b.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       b.getOrCreate()
     }
+    // the extension operators' SQL functions (graft_simhash, graft_dot,
+    // ...) are part of the submitted-script surface; a caller-provided
+    // session (embedding, tests) skipped the extensions hook, so
+    // register idempotently here
+    graft.functions.GraftFunctions.register(spark)
     // Flink-SQL-compatible leniency for submitted scripts: Flink's
     // unix_timestamp/cast parse prefixes where ANSI Spark raises
     // (e.g. 'yyyy-MM-dd HH:mm:ss' against a µs-precision string,

@@ -135,6 +135,29 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("ctas_out"))
   }
 
+  test("extension SQL functions (graft_*) resolve in submitted scripts") {
+    val spark = SparkFixture.spark
+    val outDir = Files.createTempDirectory("graft-fns-out").toString
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table gen(v bigint) with (
+         |  'connector' = 'datagen', 'number-of-rows' = '5',
+         |  'fields.v.kind' = 'sequence', 'fields.v.start' = '1');
+         |create table fps(fp bigint, sim bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$outDir/fps', 'format' = 'parquet');
+         |insert into fps select
+         |  graft_poly_hash(cast(v as string)) as fp,
+         |  graft_simhash(array(v, v + 1)) as sim
+         |from gen;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-fns-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    val rows = spark.read.parquet(s"$outDir/fps").count()
+    assert(rows === 5L)
+  }
+
   test("filesystem connector supports csv format roundtrip") {
     val spark = SparkFixture.spark
     val outDir = Files.createTempDirectory("graft-csv-out").toString
