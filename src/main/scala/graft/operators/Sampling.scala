@@ -91,5 +91,44 @@ object Sampling {
       .filter(col("rn") <= 20)
   }
 
-  def all: Seq[Q] = Seq(extHashSample, extMixSample, extStratifiedSample)
+  /** Weighted priority sampling: smallest-k per source by the priority
+    * key `u / w`, where `u` is the content-hash uniform and `w` the
+    * document's weight (n_chars here — a real pipeline plugs in a
+    * quality score). Higher weight → smaller expected key → more likely
+    * sampled, reproducibly (same corpus, same sample). The key uses one
+    * IEEE division only — bit-identical in every engine, unlike the
+    * exponential-key (pow/log) variants whose libm rounding differs —
+    * so the oracle checks the exact selection.
+    *
+    * Scale shape: one window per source stratum with a pre-shuffle
+    * WindowGroupLimit trim — only ~k rows per partition cross the wire.
+    */
+  val extWeightedSample: Q = Q(
+    "ext_weighted_sample",
+    """WITH h AS (
+      |  SELECT doc_id, source, n_chars,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS u
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, u, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY CAST(u AS DOUBLE) / n_chars, doc_id) AS rn
+      |  FROM h)
+      |SELECT source, doc_id, u, n_chars, rn FROM r WHERE rn <= 10""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val w = Window.partitionBy(col("source"))
+      .orderBy((col("u").cast("double") / col("n_chars")).asc, col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        expr("graft_poly_hash(text)").as("u"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("source"), col("doc_id"), col("u"), col("n_chars"), col("rn"))
+  }
+
+  def all: Seq[Q] = Seq(
+    extHashSample, extMixSample, extStratifiedSample, extWeightedSample)
 }
