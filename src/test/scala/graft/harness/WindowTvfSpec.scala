@@ -289,6 +289,58 @@ class WindowTvfSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("property: streaming SESSION TVF equals the batch rewrite on random input") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def q(table: String) =
+      s"SELECT k, window_start, window_end, COUNT(*) AS n FROM " +
+        s"TABLE(SESSION(TABLE $table PARTITION BY k, DESCRIPTOR(ts), " +
+        "INTERVAL '10' SECOND)) GROUP BY k, window_start, window_end"
+    for (seed <- Seq(31, 32)) {
+      val rnd = new scala.util.Random(seed)
+      // ts on a 1001 ms grid with a 10000 ms gap: inter-event diffs are
+      // multiples of 1001 and can never equal the gap exactly, so the
+      // touching-window merge boundary (where Flink semantics and
+      // Spark's native session_window could differ) is not generated —
+      // that boundary is pinned by its own dedicated test
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val events = Seq.fill(120)((
+        new java.sql.Timestamp(t0 + rnd.nextInt(60) * 1001L),
+        s"k${rnd.nextInt(3)}"))
+      events.toDF("ts", "k").createOrReplaceTempView("sess_prop_b")
+      val batch = spark.sql(WindowTvf.rewrite(q("sess_prop_b")))
+        .selectExpr("k", "unix_millis(window_start)",
+          "unix_millis(window_end)", "n")
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String)]
+      input.toDF().toDF("ts", "k").withWatermark("ts", "1 second")
+        .createOrReplaceTempView("sess_prop_s")
+      // session aggregations stream in APPEND mode only: each session
+      // is emitted exactly once, when the watermark closes it
+      val query = spark.sql(WindowTvf.rewriteStreaming(q("sess_prop_s")))
+        .writeStream.format("memory").queryName(s"sess_prop_out$seed")
+        .outputMode("append").start()
+      try {
+        input.addData(events: _*)
+        query.processAllAvailable()
+        // advance the watermark far past every session to flush them;
+        // the flush key's own (never-closed) session is filtered out
+        input.addData((new java.sql.Timestamp(t0 + 86400000L), "kf"))
+        query.processAllAvailable()
+        val stream = spark.table(s"sess_prop_out$seed")
+          .filter("k <> 'kf'")
+          .selectExpr("k", "unix_millis(window_start)",
+            "unix_millis(window_end)", "n")
+          .collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        assert(stream === batch, s"seed $seed")
+      } finally query.stop()
+    }
+  }
+
   test("unrecognized TVF forms are rejected, never leaked") {
     // Flink's window-offset form: recognized as a TVF, refused clearly
     val offset = intercept[IllegalArgumentException] {
