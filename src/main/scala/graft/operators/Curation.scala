@@ -285,7 +285,47 @@ object Curation {
           lit(ip), lit("<IP>")).cast("binary")).as("red_md5"))
   }
 
+  /** Overlapping-window document chunking (the RAG / embedding-prep
+    * shape): 64-token chunks on a 48-token stride, each with its token
+    * extent and a content fingerprint of the re-joined chunk text (the
+    * key a downstream embedding store dedups and joins on).
+    *
+    * Scale design: pure map-side fan-out — one `sequence` explode per
+    * doc, array slicing, one codegen'd hash per chunk; no shuffle, so
+    * at corpus scale chunking pipelines with the scan exactly like the
+    * PII pass.
+    */
+  val extChunkDocs: Q = Q(
+    "ext_chunk_docs", {
+      val fp = TextHash.polyHashDuck(
+        "array_to_string(toks[(start_tok + 1):(start_tok + 64)], ' ')")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks, UNNEST(generate_series(0, LEN(toks) - 1, 48))
+         |    AS start_tok
+         |  FROM t)
+         |SELECT doc_id,
+         |  start_tok // 48 AS chunk_idx,
+         |  CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(LEN(toks[(start_tok + 1):(start_tok + 64)]) AS BIGINT) AS n_tok,
+         |  $fp AS chunk_fp
+         |FROM c""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, size(toks) - 1, 48)")).as("start_tok"))
+      .select(col("doc_id"),
+        expr("CAST(start_tok div 48 AS BIGINT)").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        expr("CAST(size(slice(toks, start_tok + 1, 64)) AS BIGINT)").as("n_tok"),
+        expr("graft_poly_hash(array_join(slice(toks, start_tok + 1, 64), ' '))")
+          .as("chunk_fp"))
+  }
+
   def all: Seq[Q] = Seq(
     extDecontaminate, extIncrementalDedup, extPackSequences,
-    extCurationPipeline, extDupAccounting, extPiiRedact)
+    extCurationPipeline, extDupAccounting, extPiiRedact, extChunkDocs)
 }
