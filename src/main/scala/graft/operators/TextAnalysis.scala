@@ -456,8 +456,67 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("pair")).limit(20)
   }
 
+  /** Corpus-bigram LM scoring (the KenLM-filter shape): train bigram /
+    * unigram-prefix counts over the corpus, then score each document by
+    * its mean bigram conditional probability. Probabilities quantize to
+    * integer micros PER BIGRAM via integer division — `(c2 * 1e6) div
+    * c1` — so the per-doc sum is an order-free BIGINT add, identical in
+    * any engine (a float log-prob sum would be summation-order
+    * dependent and libm-divergent).
+    *
+    * Scale design: the model (distinct bigrams of the corpus, Zipf-
+    * bounded) broadcasts; docs explode to positional bigrams and join
+    * map-side; one per-doc aggregation. The same shape serves a real
+    * KenLM scorer with the probability table as the broadcast side.
+    */
+  val extLmScore: Q = Q(
+    "ext_lm_score",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    UNNEST([toks[i] || ' ' || toks[i+1]
+      |      for i in generate_series(1, LEN(toks) - 1)]) AS bigram
+      |  FROM t WHERE LEN(toks) >= 2),
+      |c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+      |c1 AS (
+      |  SELECT string_split(bigram, ' ')[1] AS pfx,
+      |    CAST(SUM(c2) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1),
+      |scored AS (
+      |  SELECT b.doc_id,
+      |    (m.c2 * 1000000) // p.c1 AS p_micros
+      |  FROM bg b
+      |  JOIN c2 m ON m.bigram = b.bigram
+      |  JOIN c1 p ON p.pfx = string_split(b.bigram, ' ')[1])
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(p_micros) // COUNT(*) AS BIGINT) AS lm_micros
+      |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val bg = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // sequence(1, 0) is DESCENDING in Spark, not empty — guard the
+      // single-token doc explicitly (the oracle filters identically)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
+      .persist()
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c1 = c2
+      .groupBy(expr("split(bigram, ' ')[0]").as("pfx"))
+      .agg(sum(col("c2")).cast("long").as("c1"))
+    bg.join(broadcast(c2), "bigram")
+      .join(broadcast(c1),
+        expr("split(bigram, ' ')[0]") === col("pfx"))
+      .select(col("doc_id"),
+        expr("(c2 * 1000000L) div c1").as("p_micros"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        expr("CAST(SUM(p_micros) div COUNT(1) AS BIGINT)").as("lm_micros"))
+  }
+
   def all: Seq[Q] = Seq(
     extTokenCount, extLangId, extQualityScore, extFingerprint, extNgramTop,
     extQuantiles, extRepetition, extTokenBpe, extQualityFunnel,
-    extVocabStats, extTfidfTop, extCooccur, extBpeMerge)
+    extVocabStats, extTfidfTop, extCooccur, extBpeMerge, extLmScore)
 }
