@@ -465,9 +465,11 @@ object TextAnalysis {
     * dependent and libm-divergent).
     *
     * Scale design: the model (distinct bigrams of the corpus, Zipf-
-    * bounded) broadcasts; docs explode to positional bigrams and join
-    * map-side; one per-doc aggregation. The same shape serves a real
-    * KenLM scorer with the probability table as the broadcast side.
+    * bounded) joins unhinted — the planner broadcasts it while it fits
+    * and AQE falls back to a bigram-keyed shuffle join when a corpus
+    * vocabulary outgrows broadcast limits; one per-doc aggregation
+    * after. The same shape serves a real KenLM scorer with the
+    * probability table as the model side.
     */
   val extLmScore: Q = Q(
     "ext_lm_score",
@@ -505,9 +507,11 @@ object TextAnalysis {
     val c1 = c2
       .groupBy(expr("split(bigram, ' ')[0]").as("pfx"))
       .agg(sum(col("c2")).cast("long").as("c1"))
-    bg.join(broadcast(c2), "bigram")
-      .join(broadcast(c1),
-        expr("split(bigram, ' ')[0]") === col("pfx"))
+    // deliberately unhinted: at this SF the planner broadcasts the
+    // counts; a corpus-scale bigram table may exceed broadcast limits,
+    // where AQE correctly falls back to a shuffle join on the bigram
+    bg.join(c2, "bigram")
+      .join(c1, expr("split(bigram, ' ')[0]") === col("pfx"))
       .select(col("doc_id"),
         expr("(c2 * 1000000L) div c1").as("p_micros"))
       .groupBy(col("doc_id"))
