@@ -25,6 +25,10 @@ import scala.collection.mutable.ArrayBuffer
   *                                   -- top-level alternation (leftmost
   *                                   -- branch preferred) and
   *                                   -- PERMUTE(A, B, ...) (batch only)
+  *     [WITHIN INTERVAL 'n' UNIT]    -- Flink CEP duration bound: all
+  *                                   -- match rows within n of the
+  *                                   -- first (strict; batch only,
+  *                                   -- TIMESTAMP ORDER BY head)
   *   DEFINE V1 AS <pred> [, ...]     -- current-row predicate, may use
   * )                                 -- PREV(col[, k]) (physical row
   *                                   -- navigation, batch only);
@@ -72,7 +76,8 @@ object MatchRecognize {
       skipToNextRow: Boolean,
       pattern: Seq[Seq[PatternElem]], // alternation branches, in preference order
       defines: Map[String, String],
-      allRows: Boolean = false)
+      allRows: Boolean = false,
+      withinMs: Option[Long] = None) // PATTERN (...) WITHIN duration bound
 
   // --------------------------------------------------------------- parse
 
@@ -263,8 +268,26 @@ object MatchRecognize {
       case Some(s) if raw"(?is)^SKIP\s+TO\s+NEXT\s+ROW$$".r.findFirstIn(s).isDefined => true
       case Some(s) => fail(s"unsupported AFTER MATCH clause: SKIP $s")
     }
-    val patternTxt = clauseText("PATTERN")
+    val patternRaw = clauseText("PATTERN")
       .getOrElse(fail("PATTERN is required"))
+    // Flink CEP's duration bound: PATTERN (...) WITHIN INTERVAL 'n' UNIT
+    val WithinRe = raw"(?is)^(.*\))\s*WITHIN\s+INTERVAL\s+'(\d+)'\s+([A-Za-z]+)\s*$$".r
+    val (patternTxt, withinMs) = patternRaw match {
+      case WithinRe(body, n, u) =>
+        val ms = n.toLong * (u.toUpperCase.stripSuffix("S") match {
+          case "SECOND" => 1000L
+          case "MINUTE" => 60000L
+          case "HOUR" => 3600000L
+          case "DAY" => 86400000L
+          case other => fail(s"unsupported WITHIN unit: $other")
+        })
+        if (ms <= 0) fail("WITHIN duration must be positive")
+        (body.trim, Some(ms))
+      case _ =>
+        if (raw"(?i)\bWITHIN\b".r.findFirstIn(patternRaw).isDefined)
+          fail(s"unsupported WITHIN form (want WITHIN INTERVAL 'n' UNIT): $patternRaw")
+        (patternRaw, None)
+    }
     if (!patternTxt.startsWith("(") || !patternTxt.endsWith(")"))
       fail(s"PATTERN must be parenthesized: $patternTxt")
     val pattern = parsePattern(patternTxt.substring(1, patternTxt.length - 1).trim)
@@ -285,7 +308,8 @@ object MatchRecognize {
         fail(s"measure references undefined pattern variable $v")
       case _ =>
     }
-    Spec(partitionBy, orderBy, measures, skipToNext, pattern, defines, allRows)
+    Spec(partitionBy, orderBy, measures, skipToNext, pattern, defines,
+      allRows, withinMs)
   }
 
   // ------------------------------------------------------------- rewrite
@@ -400,6 +424,9 @@ object MatchRecognize {
       if (spec.pattern.size > 1)
         fail("alternation/PERMUTE is not supported in streaming " +
           "MATCH_RECOGNIZE (batch only)")
+      if (spec.withinMs.isDefined)
+        fail("WITHIN is not supported in streaming MATCH_RECOGNIZE " +
+          "(batch only)")
       val branch = spec.pattern.head
       val vars = branch.map(_.variable).distinct
       if (vars.size > 62) fail("too many pattern variables (max 62)")
@@ -496,6 +523,18 @@ object MatchRecognize {
     }
     val partIdx = spec.partitionBy.map(fieldIdx).toArray
     val varIdx = vars.map(v => fieldIdx(s"__def_$v")).toArray
+    // WITHIN needs real event times: the first ORDER BY column, as a
+    // TIMESTAMP (ms-compared — project timestamp_millis(unix_millis(t))
+    // upstream if sub-ms precision could reorder ties)
+    val withinMs = spec.withinMs.getOrElse(0L)
+    val tsIdx: Int = spec.withinMs.fold(-1) { _ =>
+      val i = fieldIdx(spec.orderBy.head)
+      inSchema(i).dataType match {
+        case org.apache.spark.sql.types.TimestampType => i
+        case other => fail("WITHIN requires the first ORDER BY column " +
+          s"to be TIMESTAMP; ${spec.orderBy.head} is $other")
+      }
+    }
     val varOf = vars.zipWithIndex.toMap
     // alternation branches in preference order: the matcher tries each
     // at a start position and the first with a non-empty match wins
@@ -571,19 +610,33 @@ object MatchRecognize {
             }
             i += 1
           }
+          val tsMs: Array[Long] =
+            if (tsIdx < 0) null
+            else Array.tabulate(n)(r => rows(r).getTimestamp(tsIdx).getTime)
+          // WITHIN eligibility: rows sort by the time column, so the
+          // bound is a prefix per start — a match starting at p may only
+          // use rows with ts - ts(p) strictly below the window (pruning
+          // DURING matching, like Flink CEP, not post-filtering: a
+          // greedy run stops at the boundary and can still complete)
+          def limitFor(p: Int): Int = {
+            if (tsMs == null) return n
+            var r = p
+            while (r < n && tsMs(r) - tsMs(p) < withinMs) r += 1
+            r
+          }
           // greedy backtracking within one branch: returns (endPos,
           // assignment var-elem per row)
           def tryBranch(elems: Array[(Int, Int, Int)], e: Int, pos: Int,
-              assign: Array[Int]): Int = {
+              lim: Int, assign: Array[Int]): Int = {
             if (e == elems.length) return pos
             val (v, lo, hi) = elems(e)
             var run = 0
-            while (run < hi && pos + run < n && ok(pos + run)(v)) run += 1
+            while (run < hi && pos + run < lim && ok(pos + run)(v)) run += 1
             var k = math.min(run, hi)
             while (k >= lo) {
               var r = 0
               while (r < k) { assign(pos + r) = v; r += 1 }
-              val end = tryBranch(elems, e + 1, pos + k, assign)
+              val end = tryBranch(elems, e + 1, pos + k, lim, assign)
               if (end >= 0) return end
               k -= 1
             }
@@ -593,10 +646,11 @@ object MatchRecognize {
           // (empty matches are omitted output-wide, so a branch that
           // can only match zero rows here never shadows a later one)
           def tryMatch(pos: Int, assign: Array[Int]): Int = {
+            val lim = limitFor(pos)
             var b = 0
             while (b < branches.length) {
               java.util.Arrays.fill(assign, pos, n, -1)
-              val end = tryBranch(branches(b), 0, pos, assign)
+              val end = tryBranch(branches(b), 0, pos, lim, assign)
               if (end > pos) return end
               b += 1
             }

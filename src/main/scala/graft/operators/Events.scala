@@ -800,10 +800,65 @@ object Events {
         |)""".stripMargin))
   }
 
+  /** MATCH_RECOGNIZE with Flink's `WITHIN` duration bound: view → any
+    * clicks → purchase, all inside two hours of the view. The bound
+    * prunes DURING matching (rows past the window are ineligible), but
+    * for `V C* P` that is equivalent to requiring the closing purchase
+    * within the window (the oracle's form), since any out-of-window
+    * click forces the first non-click past the window too.
+    */
+  val q68Within: Q = Q(
+    "q68_within",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_m,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      epoch_ms(ts), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn, ts_m AS start_ms FROM e
+      |      WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, v.start_ms, MIN(e2.rn) AS endrn
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn > v.vrn
+      |    AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT n.user_id, n.vrn, n.start_ms, e3.ts_m AS end_ms,
+      |    n.endrn - n.vrn - 1 AS n_clicks
+      |  FROM nc n JOIN e e3 ON e3.user_id = n.user_id AND e3.rn = n.endrn
+      |  WHERE e3.event_type = 'purchase' AND e3.ts_m - n.start_ms < 7200000)
+      |SELECT user_id, start_ms, end_ms, CAST(n_clicks AS BIGINT) AS n_clicks,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM m""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestamp_millis(unix_millis(ts))").as("ts_m"))
+      .createOrReplaceTempView("graft_mr_events_win")
+    s.sql(graft.harness.MatchRecognize.rewrite(s,
+      """SELECT user_id, unix_millis(start_t) AS start_ms,
+        |  unix_millis(end_t) AS end_ms, n_clicks, mn
+        |FROM graft_mr_events_win
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_m, event_id
+        |  MEASURES
+        |    V.ts_m AS start_t,
+        |    LAST(P.ts_m) AS end_t,
+        |    COUNT(C.*) AS n_clicks,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C* P) WITHIN INTERVAL '2' HOUR
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin))
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
     q62SessionTvf, q63LegacyHop, q64MatchRecognize, q65PrevPattern,
-    q66AllRows, q67Alternation)
+    q66AllRows, q67Alternation, q68Within)
 }

@@ -288,6 +288,46 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(out === Seq(Seq(1L, 2L)))
   }
 
+  test("WITHIN bounds the match to rows inside the duration window") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // A B+ within 10 seconds: the 00:00:09 row is in (9 < 10), the
+    // 00:00:10 row is out (strict bound) — greedy B+ stops at the
+    // boundary and the match still completes
+    Seq((1L, t("2024-01-01 00:00:00"), "a"),
+      (1L, t("2024-01-01 00:00:05"), "b"),
+      (1L, t("2024-01-01 00:00:09"), "b"),
+      (1L, t("2024-01-01 00:00:10"), "b"))
+      .toDF("k", "ts", "t").createOrReplaceTempView("mr_win")
+    val out = spark.sql(MatchRecognize.rewrite(spark,
+      """SELECT nb FROM mr_win MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES COUNT(B.*) AS nb
+        |  PATTERN (A B+) WITHIN INTERVAL '10' SECOND
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin))
+      .collect().toSeq.map(_.toSeq)
+    assert(out === Seq(Seq(2L)))
+  }
+
+  test("WITHIN requires a TIMESTAMP order column; streaming rejects it") {
+    seq((1, 1, "a", 0))
+    val e = intercept[IllegalArgumentException](run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(*) AS n
+        |  PATTERN (A) WITHIN INTERVAL '1' MINUTE
+        |  DEFINE A AS t = 'a')""".stripMargin))
+    assert(e.getMessage.contains("TIMESTAMP"), s"message: ${e.getMessage}")
+    val s = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+          |  PATTERN (A B) WITHIN INTERVAL '1' MINUTE
+          |  DEFINE A AS t = 'a')""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(s.getMessage.contains("WITHIN"), s"message: ${s.getMessage}")
+  }
+
   test("no PARTITION BY runs the pattern over one global sequence") {
     seq((1, 1, "a", 0), (2, 2, "b", 0), (1, 3, "c", 0))
     val out = run(
