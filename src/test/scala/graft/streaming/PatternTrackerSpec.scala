@@ -108,6 +108,50 @@ class PatternTrackerSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("idle keys expire after the TTL; numbering restarts on return") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    val events = input.toDF().toDF("key", "ts", "t")
+      .selectExpr("key", "ts",
+        "CASE t WHEN 'view' THEN 1L WHEN 'click' THEN 2L WHEN 'purchase' THEN 4L ELSE 0L END AS defs")
+      .as[PatternEvent]
+    val out = PatternTracker.track(events, "5 seconds", VCP, Measures,
+      skipToNextRow = false)
+    val query = out.writeStream.format("memory")
+      .queryName("pt_idle").outputMode("append").start()
+    try {
+      // u1 completes a match; watermark then advances (via u2) so the
+      // match emits and u1's buffer is consumed
+      input.addData(("u1", ts(10), "view"), ("u1", ts(11), "click"),
+        ("u1", ts(12), "purchase"))
+      query.processAllAvailable()
+      input.addData(("u2", ts(100), "view"))
+      query.processAllAvailable()
+      assert(spark.table("pt_idle").as[PatternMatch].collect().toSeq ===
+        Seq(PatternMatch("u1", List(10000L, 12000L, 1L, 1L))))
+      // push the watermark > IdleTtl past u1's last activity: its
+      // match-number continuity state may be dropped (bounded state);
+      // extra intermediate batches let the idle timeout fire
+      val far = 100L + PatternTracker.IdleTtlMs / 1000L + 1000L
+      input.addData(("u2", ts(far), "view"))
+      query.processAllAvailable()
+      input.addData(("u2", ts(far + 100), "view"))
+      query.processAllAvailable()
+      // u1 returns: a new match numbers from 1 again (documented trade
+      // for bounded state — same as Flink under state TTL)
+      input.addData(("u1", ts(far + 200), "view"),
+        ("u1", ts(far + 201), "click"), ("u1", ts(far + 202), "purchase"))
+      query.processAllAvailable()
+      input.addData(("u2", ts(far + 1000), "view"))
+      query.processAllAvailable()
+      val u1 = spark.table("pt_idle").as[PatternMatch].collect()
+        .filter(_.key == "u1").sortBy(_.values.head)
+      assert(u1.length === 2)
+      assert(u1(1).values(3) === 1L,
+        s"expected restarted match numbering, got ${u1.toSeq}")
+    } finally query.stop()
+  }
+
   test("streaming matches equal batch matches on random sequences") {
     // the watermark-finality (hitEnd) discipline must make incremental
     // delivery invisible: chunked streaming output == one-shot batch
