@@ -359,13 +359,14 @@ object TextAnalysis {
     * one rounded division) — the association-mining primitive behind
     * collocation extraction and topic seeding.
     *
-    * Scale design: pair generation self-joins per-doc DISTINCT words
-    * co-partitioned on doc_id (one shuffle), so cost is bounded by the
-    * per-doc vocabulary squared, never corpus². The df table and the
-    * corpus-size scalar broadcast. At 100 TB the same plan gates the
-    * join sides on a broadcast top-K vocabulary first; the synthetic
-    * vocabulary is already tiny, so the gate here is the df_ab ≥ 50
-    * support floor.
+    * Scale design: pairs expand MAP-SIDE from each doc's sorted
+    * distinct-token array (tok_a < tok_b by construction) — no doc-
+    * keyed self-join, no shuffle before the pair aggregation, and
+    * partial aggregation collapses the expansion to ≤ vocab²/2 groups
+    * per partition. Cost is bounded by the per-doc vocabulary squared,
+    * never corpus². At 100 TB the same plan gates the token arrays on
+    * a broadcast top-K vocabulary first; the synthetic vocabulary is
+    * already tiny, so the gate here is the df_ab ≥ 50 support floor.
     */
   val extCooccur: Q = Q(
     "ext_cooccur",
@@ -390,22 +391,24 @@ object TextAnalysis {
       |  WHERE p.df_ab >= 50)
       |SELECT tok_a, tok_b, df_ab, lift_mils
       |FROM lift ORDER BY lift_mils DESC, tok_a, tok_b LIMIT 20""".stripMargin) { (s, dir) =>
-    // four consumers (both join sides, the df table, the doc count) —
-    // persist so the scan+explode+distinct runs once, not per consumer.
-    // (Measured: dictionary-encoding tokens to int pair keys first LOSES
-    // here — three extra broadcast materializations cost more than the
-    // string-key join saves; the pair aggregation collapses to ~vocab²/2
-    // groups map-side either way.)
-    val w = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
+    // pairs generate MAP-SIDE from each doc's sorted distinct token
+    // array (tok_a < tok_b by construction), so no doc-keyed self-join
+    // exists at all — the only shuffles are the two tiny aggregations,
+    // both collapsed to ~vocab²/2 (resp. vocab) groups by partial agg.
+    // (Measured: dictionary-encoding tokens to int pair keys LOSES here
+    // — broadcast materializations cost more than string keys save.)
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("array_sort(array_distinct(split(text, ' ')))").as("toks"))
       .persist()
-    val dfTbl = w.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val n = w.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val a = w.select(col("doc_id"), col("tok").as("tok_a"))
-    val b = w.select(col("doc_id"), col("tok").as("tok_b"))
-    a.join(b, Seq("doc_id")).filter(col("tok_a") < col("tok_b"))
-      .groupBy(col("tok_a"), col("tok_b"))
+    val dfTbl = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(explode(expr(
+        "flatten(transform(toks, (x, i) -> " +
+          "transform(slice(toks, i + 2, size(toks)), " +
+          "y -> struct(x AS tok_a, y AS tok_b))))")).as("p"))
+      .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
       .agg(count(lit(1)).as("df_ab"))
       .filter(col("df_ab") >= 50L)
       .join(broadcast(dfTbl.select(col("tok").as("tok_a"), col("df").as("df_a"))), "tok_a")
