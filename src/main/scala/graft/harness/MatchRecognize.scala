@@ -20,7 +20,11 @@ import scala.collection.mutable.ArrayBuffer
   *                                   -- ALL ROWS: every matched row,
   *                                   -- all input columns + RUNNING
   *                                   -- measures (batch only)
-  *   [AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW]
+  *   [AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+  *     | SKIP TO FIRST <V> | SKIP TO LAST <V>]  -- SKIP TO var resumes
+  *                                   -- AT that row (batch only;
+  *                                   -- no-row / match-start cases
+  *                                   -- throw at runtime, like Flink)
   *   PATTERN (V1[q] V2[q] ... [| ...])  -- q: * + ? {n} {n,} {n,m};
   *                                   -- top-level alternation (leftmost
   *                                   -- branch preferred) and
@@ -74,6 +78,9 @@ object MatchRecognize {
       orderBy: Seq[String],
       measures: Seq[Measure],
       skipToNextRow: Boolean,
+      // AFTER MATCH SKIP TO FIRST/LAST <var>: (isFirst, variable);
+      // batch only, mutually exclusive with skipToNextRow
+      skipToVar: Option[(Boolean, String)] = None,
       pattern: Seq[Seq[PatternElem]], // alternation branches, in preference order
       defines: Map[String, String],
       allRows: Boolean = false,
@@ -262,10 +269,15 @@ object MatchRecognize {
     val measures = clauseText("MEASURES")
       .map(splitTopLevel(_).map(parseMeasure))
       .getOrElse(fail("MEASURES is required"))
-    val skipToNext = clauseText("AFTER MATCH") match {
-      case None => false
-      case Some(s) if raw"(?is)^SKIP\s+PAST\s+LAST\s+ROW$$".r.findFirstIn(s).isDefined => false
-      case Some(s) if raw"(?is)^SKIP\s+TO\s+NEXT\s+ROW$$".r.findFirstIn(s).isDefined => true
+    val SkipVarRe = raw"(?is)^SKIP\s+TO\s+(FIRST|LAST)\s+([A-Za-z_][A-Za-z0-9_]*)$$".r
+    val (skipToNext, skipToVar) = clauseText("AFTER MATCH") match {
+      case None => (false, None)
+      case Some(s) if raw"(?is)^SKIP\s+PAST\s+LAST\s+ROW$$".r.findFirstIn(s).isDefined =>
+        (false, None)
+      case Some(s) if raw"(?is)^SKIP\s+TO\s+NEXT\s+ROW$$".r.findFirstIn(s).isDefined =>
+        (true, None)
+      case Some(SkipVarRe(fl, v)) =>
+        (false, Some((fl.equalsIgnoreCase("FIRST"), v.toUpperCase)))
       case Some(s) => fail(s"unsupported AFTER MATCH clause: SKIP $s")
     }
     val patternRaw = clauseText("PATTERN")
@@ -308,8 +320,12 @@ object MatchRecognize {
         fail(s"measure references undefined pattern variable $v")
       case _ =>
     }
-    Spec(partitionBy, orderBy, measures, skipToNext, pattern, defines,
-      allRows, withinMs)
+    skipToVar.foreach { case (_, v) =>
+      if (!allVars.contains(v))
+        fail(s"AFTER MATCH SKIP TO references $v, not in PATTERN")
+    }
+    Spec(partitionBy, orderBy, measures, skipToNext, skipToVar, pattern,
+      defines, allRows, withinMs)
   }
 
   // ------------------------------------------------------------- rewrite
@@ -427,6 +443,9 @@ object MatchRecognize {
       if (spec.withinMs.isDefined)
         fail("WITHIN is not supported in streaming MATCH_RECOGNIZE " +
           "(batch only)")
+      if (spec.skipToVar.isDefined)
+        fail("AFTER MATCH SKIP TO FIRST/LAST is not supported in " +
+          "streaming MATCH_RECOGNIZE (batch only)")
       val branch = spec.pattern.head
       val vars = branch.map(_.variable).distinct
       if (vars.size > 62) fail("too many pattern variables (max 62)")
@@ -575,6 +594,9 @@ object MatchRecognize {
         prepared.coalesce(1).sortWithinPartitions(sortCols: _*)
 
     val skipToNext = spec.skipToNextRow
+    // SKIP TO FIRST/LAST <var>: resolved to (isFirst, varIdx); -1 = none
+    val (skipFirst, skipVarIdx) = spec.skipToVar
+      .map { case (f, v) => (f, varOf(v)) }.getOrElse((false, -1))
     located.mapPartitions { it =>
       new Iterator[Row] {
         private var pending: Iterator[Row] = Iterator.empty
@@ -719,7 +741,30 @@ object MatchRecognize {
                 }
                 out += Row.fromSeq(vals.toIndexedSeq)
               }
-              p = if (skipToNext) p + 1 else end
+              p =
+                if (skipToNext) p + 1
+                else if (skipVarIdx < 0) end
+                else {
+                  // SKIP TO FIRST/LAST <var>: resume AT that row (it
+                  // may start the next match). The standard's two
+                  // error cases are data-dependent, so they throw at
+                  // runtime exactly like Flink's CEP operator.
+                  var r = if (skipFirst) p else end - 1
+                  val step = if (skipFirst) 1 else -1
+                  var found = -1
+                  var left = end - p
+                  while (left > 0 && found < 0) {
+                    if (assign(r) == skipVarIdx) found = r
+                    r += step; left -= 1
+                  }
+                  if (found < 0) throw new IllegalArgumentException(
+                    "MATCH_RECOGNIZE: AFTER MATCH SKIP TO variable " +
+                      "matched no row in this match")
+                  if (found == p) throw new IllegalArgumentException(
+                    "MATCH_RECOGNIZE: AFTER MATCH SKIP TO resumes at " +
+                      "the match start — infinite loop")
+                  found
+                }
             } else {
               // no match (or empty match, which ONE ROW PER MATCH skips)
               p += 1

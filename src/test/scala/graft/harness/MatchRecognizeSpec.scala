@@ -328,6 +328,50 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(s.getMessage.contains("WITHIN"), s"message: ${s.getMessage}")
   }
 
+  test("SKIP TO LAST resumes at that row, allowing chained matches") {
+    // A B with B also satisfying A's predicate: SKIP TO LAST B makes
+    // each match's B row start the next match — a chain of overlapping
+    // pairs, where SKIP PAST LAST ROW would take disjoint pairs only
+    seq((1, 1, "x", 0), (1, 2, "x", 0), (1, 3, "x", 0), (1, 4, "x", 0))
+    val out = run(
+      """SELECT ao, bo FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES LAST(A.o) AS ao, LAST(B.o) AS bo
+        |  AFTER MATCH SKIP TO LAST B
+        |  PATTERN (A B)
+        |  DEFINE A AS t = 'x', B AS t = 'x')""".stripMargin)
+    assert(out === Seq(Seq(1L, 2L), Seq(2L, 3L), Seq(3L, 4L)))
+  }
+
+  test("SKIP TO an unmatched or match-start variable throws like Flink") {
+    seq((1, 1, "a", 0), (1, 2, "b", 0))
+    // B? matches zero rows -> SKIP TO LAST B has no target row
+    val noRow = intercept[Exception](run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(*) AS n
+        |  AFTER MATCH SKIP TO LAST B
+        |  PATTERN (A B?)
+        |  DEFINE A AS t = 'a', B AS t = 'zzz')""".stripMargin))
+    assert(exceptionChain(noRow).exists(m =>
+      Option(m.getMessage).exists(_.contains("matched no row"))),
+      s"got: ${noRow.getMessage}")
+    // SKIP TO FIRST A = the match start -> infinite loop, must throw
+    val loop = intercept[Exception](run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(*) AS n
+        |  AFTER MATCH SKIP TO FIRST A
+        |  PATTERN (A+ B)
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin))
+    assert(exceptionChain(loop).exists(m =>
+      Option(m.getMessage).exists(_.contains("infinite loop"))),
+      s"got: ${loop.getMessage}")
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
   test("no PARTITION BY runs the pattern over one global sequence") {
     seq((1, 1, "a", 0), (2, 2, "b", 0), (1, 3, "c", 0))
     val out = run(
