@@ -855,10 +855,49 @@ object Events {
         |)""".stripMargin))
   }
 
+  /** `AFTER MATCH SKIP TO LAST B` chaining under the oracle: pattern
+    * `(A B)` where A is any row and B rose vs the previous row, with the
+    * match resuming AT each B row — so B starts the next match as its A.
+    * The chained semantics make the result exactly "every adjacent
+    * ascending pair", which the oracle states directly with one LAG.
+    */
+  val q69SkipChain: Q = Q(
+    "q69_skip_chain",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, vm,
+      |    LAG(vm) OVER (PARTITION BY user_id
+      |      ORDER BY ts_sec, event_id) AS prev_vm
+      |  FROM e)
+      |SELECT user_id, prev_vm AS a_vm, vm AS b_vm
+      |FROM f WHERE prev_vm IS NOT NULL AND vm > prev_vm""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_chain")
+    s.sql(graft.harness.MatchRecognize.rewrite(s,
+      """SELECT user_id, a_vm, b_vm
+        |FROM graft_mr_events_chain
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES LAST(A.vm) AS a_vm, LAST(B.vm) AS b_vm
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST B
+        |  PATTERN (A B)
+        |  DEFINE B AS vm > PREV(vm)
+        |)""".stripMargin))
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
     q62SessionTvf, q63LegacyHop, q64MatchRecognize, q65PrevPattern,
-    q66AllRows, q67Alternation, q68Within)
+    q66AllRows, q67Alternation, q68Within, q69SkipChain)
 }
