@@ -632,9 +632,15 @@ object MatchRecognize {
             }
             i += 1
           }
+          // NULL event times cannot participate in a time-bounded match
+          // (mirrors the null-DEFINE discipline: ineligible, not NPE)
+          val tsNull: Array[Boolean] =
+            if (tsIdx < 0) null
+            else Array.tabulate(n)(r => rows(r).isNullAt(tsIdx))
           val tsMs: Array[Long] =
             if (tsIdx < 0) null
-            else Array.tabulate(n)(r => rows(r).getTimestamp(tsIdx).getTime)
+            else Array.tabulate(n)(r =>
+              if (tsNull(r)) 0L else rows(r).getTimestamp(tsIdx).getTime)
           // WITHIN eligibility: rows sort by the time column, so the
           // bound is a prefix per start — a match starting at p may only
           // use rows with ts - ts(p) strictly below the window (pruning
@@ -642,8 +648,9 @@ object MatchRecognize {
           // greedy run stops at the boundary and can still complete)
           def limitFor(p: Int): Int = {
             if (tsMs == null) return n
+            if (tsNull(p)) return p // a null-time row starts nothing
             var r = p
-            while (r < n && tsMs(r) - tsMs(p) < withinMs) r += 1
+            while (r < n && !tsNull(r) && tsMs(r) - tsMs(p) < withinMs) r += 1
             r
           }
           // greedy backtracking within one branch: returns (endPos,

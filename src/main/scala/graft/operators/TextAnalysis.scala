@@ -397,9 +397,14 @@ object TextAnalysis {
     // both collapsed to ~vocab²/2 (resp. vocab) groups by partial agg.
     // (Measured: dictionary-encoding tokens to int pair keys LOSES here
     // — broadcast materializations cost more than string keys save.)
+    // NULL-text rows produce zero tokens in the oracle's UNNEST and so
+    // drop out of its n_docs/df counts — filter identically here (the
+    // fixture has none; this pins the dirty-data semantics). doc_id is
+    // the table's key, so per-row distinct == per-doc distinct.
     val docs = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         expr("array_sort(array_distinct(split(text, ' ')))").as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) > 0)
       .persist()
     val dfTbl = docs.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))

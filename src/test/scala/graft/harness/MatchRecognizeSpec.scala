@@ -5,7 +5,7 @@ import graft.SparkFixture
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The `MATCH_RECOGNIZE` batch subset: greedy quantifiers with
-  * backtracking, both AFTER MATCH skip modes, measure forms, rejection
+  * backtracking, all four AFTER MATCH skip modes, measure forms, rejection
   * contract, and an end-to-end script through `sql-submit`.
   */
 class MatchRecognizeSpec extends AnyFunSuite {
