@@ -309,9 +309,11 @@ object TextAnalysis {
     * frequency `tf · N / df` (integer-safe: multiply/divide only, no
     * transcendental log whose libm rounding could split the engines).
     * Scale shape: (doc, token) and (token) hash aggregations, a
-    * broadcast join of the corpus-size scalar and the (vocabulary-
-    * sized) df table, then a per-doc top-k window — Spark keeps k rows
-    * per partition before the shuffle (WindowGroupLimit).
+    * broadcast of the 1-row corpus-size scalar, an UNHINTED join of the
+    * vocabulary-sized df table (planner-chosen: broadcast while it
+    * fits, token-keyed shuffle join past broadcast limits), then a
+    * per-doc top-k window — Spark keeps k rows per partition before
+    * the shuffle (WindowGroupLimit).
     */
   val extTfidfTop: Q = Q(
     "ext_tfidf_top",
@@ -342,7 +344,12 @@ object TextAnalysis {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_milli").desc, col("tok"))
-    tf.join(broadcast(dfTbl), "tok")
+    // df is vocabulary-sized (unbounded at web scale: typos, URLs, IDs)
+    // so the join is deliberately unhinted — the planner broadcasts it
+    // while it fits and AQE falls back to a token-keyed shuffle join
+    // when the vocabulary outgrows broadcast limits. Only the 1-row
+    // corpus-count scalar keeps a forced broadcast.
+    tf.join(dfTbl, "tok")
       .crossJoin(broadcast(n))
       // same left-to-right double arithmetic as the oracle: products
       // stay exact in double (< 2^53), one rounded division each side
@@ -405,7 +412,11 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr("array_sort(array_distinct(split(text, ' ')))").as("toks"))
       .filter(col("toks").isNotNull && size(col("toks")) > 0)
-      .persist()
+      // lazy localCheckpoint: materialized by the query's own action,
+      // shared by the three consumers, and its blocks are reclaimed by
+      // the ContextCleaner once the result frame drops (a bare persist
+      // here leaked across a 117-query session)
+      .localCheckpoint(false)
     val dfTbl = docs.select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
@@ -416,8 +427,10 @@ object TextAnalysis {
       .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
       .agg(count(lit(1)).as("df_ab"))
       .filter(col("df_ab") >= 50L)
-      .join(broadcast(dfTbl.select(col("tok").as("tok_a"), col("df").as("df_a"))), "tok_a")
-      .join(broadcast(dfTbl.select(col("tok").as("tok_b"), col("df").as("df_b"))), "tok_b")
+      // df is vocabulary-sized — unhinted like the LM scorer, so the
+      // planner may fall back to a shuffle join past broadcast limits
+      .join(dfTbl.select(col("tok").as("tok_a"), col("df").as("df_a")), "tok_a")
+      .join(dfTbl.select(col("tok").as("tok_b"), col("df").as("df_b")), "tok_b")
       .crossJoin(broadcast(n))
       // same left-to-right double arithmetic as the oracle (products
       // exact in double below 2^53, one rounded division)
@@ -510,7 +523,9 @@ object TextAnalysis {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(toks) - 1), " +
           "i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
-      .persist()
+      // lazy localCheckpoint (not persist): blocks reclaimed when the
+      // result frame is dropped, instead of leaking across the session
+      .localCheckpoint(false)
     val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
     val c1 = c2
       .groupBy(expr("split(bigram, ' ')[0]").as("pfx"))

@@ -64,6 +64,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"df lookups not broadcast in:\n$plan")
   }
 
+  test("vocabulary-table joins are planner-chosen, not hint-forced") {
+    // the distinct-token df table is unbounded at web scale (typos,
+    // URLs, IDs): a forced broadcast hint removes the planner's ability
+    // to fall back to a shuffled join and OOMs at 100x. Only the 1-row
+    // corpus-count scalar may carry a hint; the df joins must be
+    // planner-chosen (broadcast at this SF is fine — the HINT must go).
+    val spark = SparkFixture.spark
+    for (q <- Seq("ext_tfidf_top", "ext_cooccur")) {
+      val analyzed = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.analyzed.toString
+      val hints = "ResolvedHint".r.findAllIn(analyzed).size
+      assert(hints == 1,
+        s"$q: expected exactly the scalar-count hint, found $hints in:\n$analyzed")
+    }
+  }
+
   test("PQ ANN broadcasts the codebook/LUT and assigns codes without a sort") {
     // the 16-codeword-per-subspace codebook and the query LUT are tiny
     // and must broadcast; the per-subspace argmin runs as a hash agg on
