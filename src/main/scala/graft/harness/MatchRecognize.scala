@@ -45,9 +45,15 @@ import scala.collection.mutable.ArrayBuffer
   * spec compiles to per-variable boolean columns (Catalyst expressions,
   * codegen'd — the NFA never evaluates SQL), rows repartition on the
   * PARTITION BY key and sort within partitions, and a per-key greedy
-  * backtracking matcher emits one row per match. State is bounded by
-  * the largest single key's row count — the same contract as Flink's
-  * per-key CEP operator.
+  * backtracking matcher emits one row per match. The matcher streams
+  * each key's rows through a sliding window dropped below the current
+  * match start, so executor memory is bounded by the MATCH EXTENT —
+  * the WITHIN horizon, or the pattern's quantifier-sum for bounded
+  * patterns — not by the key's row count; a hot key with millions of
+  * rows cannot OOM an executor. Only a pattern with an unbounded
+  * quantifier and no WITHIN degrades to buffering the active match's
+  * run (the same unbounded-state contract as Flink's CEP operator for
+  * such patterns).
   *
   * Unsupported forms (cross-variable DEFINE references like
   * `LAST(B.x)`, NEXT navigation, PREV of an expression, grouped
@@ -505,6 +511,23 @@ object MatchRecognize {
 
   // ------------------------------------------------------------- execute
 
+  /** One buffered row with its precomputed per-variable match booleans
+    * and event time — the unit of the matcher's sliding window. */
+  private final class Ent(val row: Row, val ok: Array[Boolean],
+      val tsMs: Long, val tsNull: Boolean)
+
+  /** Diagnostic high-water mark: the most rows the sliding window ever
+    * buffered for a single key group (process-wide max; exact in local
+    * mode where executors share the JVM, per-executor on a cluster).
+    * The bounded-memory spec asserts against it.
+    */
+  private[harness] val peakWindowRows = new java.util.concurrent.atomic.AtomicLong()
+  private def recordPeak(n: Long): Unit = {
+    var cur = peakWindowRows.get()
+    while (n > cur && !peakWindowRows.compareAndSet(cur, n))
+      cur = peakWindowRows.get()
+  }
+
   /** Runs the pattern over `src`: per-variable predicates become boolean
     * columns (codegen'd), rows co-locate per key and sort by the
     * PARTITION BY + ORDER BY prefix, and a greedy backtracking matcher
@@ -541,6 +564,20 @@ object MatchRecognize {
       i
     }
     val partIdx = spec.partitionBy.map(fieldIdx).toArray
+    // the per-key matcher compares PARTITION BY values with universal
+    // equality; binary/array/map/struct values compare by reference
+    // there and would silently split one logical key — reject them
+    // (consistent with the subset's contract-throwing style)
+    spec.partitionBy.foreach { p =>
+      import org.apache.spark.sql.types._
+      inSchema(fieldIdx(p)).dataType match {
+        case BinaryType | _: ArrayType | _: MapType | _: StructType =>
+          fail(s"PARTITION BY $p has a non-atomic type " +
+            s"(${inSchema(fieldIdx(p)).dataType.simpleString}) — only " +
+            "value-comparable key types are supported")
+        case _ => ()
+      }
+    }
     val varIdx = vars.map(v => fieldIdx(s"__def_$v")).toArray
     // WITHIN needs real event times: the first ORDER BY column, as a
     // TIMESTAMP (ms-compared — project timestamp_millis(unix_millis(t))
@@ -597,194 +634,266 @@ object MatchRecognize {
     // SKIP TO FIRST/LAST <var>: resolved to (isFirst, varIdx); -1 = none
     val (skipFirst, skipVarIdx) = spec.skipToVar
       .map { case (f, v) => (f, varOf(v)) }.getOrElse((false, -1))
+    // most rows ONE match can span: the quantifier-sum of the longest
+    // branch, or unbounded when any quantifier is (Long.MaxValue
+    // sentinel). Together with the WITHIN horizon this caps how far the
+    // sliding window must read ahead of a match start.
+    val maxSpan: Long =
+      if (branches.exists(_.exists(_._3 == Int.MaxValue))) Long.MaxValue
+      else branches.map(_.map(_._3.toLong).sum).max
     located.mapPartitions { it =>
       new Iterator[Row] {
-        private var pending: Iterator[Row] = Iterator.empty
         private var lookahead: Option[Row] = None
 
         private def sameKey(a: Row, b: Row): Boolean =
           partIdx.forall(i => a.get(i) == b.get(i))
 
-        private def nextGroup(): Option[ArrayBuffer[Row]] = {
-          val head = lookahead.orElse(if (it.hasNext) Some(it.next()) else None)
-          lookahead = None
-          head.map { h =>
-            val buf = ArrayBuffer(h)
-            var done = false
-            while (!done && it.hasNext) {
-              val r = it.next()
-              if (sameKey(h, r)) buf += r
-              else { lookahead = Some(r); done = true }
-            }
-            buf
-          }
-        }
-
-        private def matchGroup(rows: ArrayBuffer[Row]): Iterator[Row] = {
-          val n = rows.length
-          val ok = Array.ofDim[Boolean](n, varIdx.length)
-          var i = 0
-          while (i < n) {
+        /** Matches ONE key group, streaming: rows load lazily from `it`
+          * into a sliding window whose head drops below the current
+          * match start, and output rows emit per match. Peak memory is
+          * the largest single match extent (WITHIN horizon / quantifier
+          * sum), never the group's total row count.
+          */
+        final class GroupMatcher(head: Row) extends Iterator[Row] {
+          private def toEnt(r: Row): Ent = {
+            val ok = new Array[Boolean](varIdx.length)
             var j = 0
             while (j < varIdx.length) {
-              ok(i)(j) = !rows(i).isNullAt(varIdx(j)) && rows(i).getBoolean(varIdx(j))
+              ok(j) = !r.isNullAt(varIdx(j)) && r.getBoolean(varIdx(j))
               j += 1
             }
-            i += 1
+            if (tsIdx < 0) new Ent(r, ok, 0L, tsNull = false)
+            else if (r.isNullAt(tsIdx)) new Ent(r, ok, 0L, tsNull = true)
+            else new Ent(r, ok, r.getTimestamp(tsIdx).getTime, tsNull = false)
           }
-          // NULL event times cannot participate in a time-bounded match
-          // (mirrors the null-DEFINE discipline: ineligible, not NPE)
-          val tsNull: Array[Boolean] =
-            if (tsIdx < 0) null
-            else Array.tabulate(n)(r => rows(r).isNullAt(tsIdx))
-          val tsMs: Array[Long] =
-            if (tsIdx < 0) null
-            else Array.tabulate(n)(r =>
-              if (tsNull(r)) 0L else rows(r).getTimestamp(tsIdx).getTime)
-          // WITHIN eligibility: rows sort by the time column, so the
-          // bound is a prefix per start — a match starting at p may only
-          // use rows with ts - ts(p) strictly below the window (pruning
-          // DURING matching, like Flink CEP, not post-filtering: a
-          // greedy run stops at the boundary and can still complete)
-          def limitFor(p: Int): Int = {
-            if (tsMs == null) return n
-            if (tsNull(p)) return p // a null-time row starts nothing
-            var r = p
-            while (r < n && !tsNull(r) && tsMs(r) - tsMs(p) < withinMs) r += 1
-            r
+
+          private val win = ArrayBuffer(toEnt(head))
+          private var base = 0          // absolute index of win(0)
+          private var groupDone = false // the key's rows are exhausted
+          private var p = 0             // next match start (absolute)
+          private var matchNo = 0L
+          private var emit: Iterator[Row] = Iterator.empty
+          private var finished = false
+          private var localPeak = 1L
+
+          private def loadedEnd: Int = base + win.length
+          private def at(abs: Int): Ent = win(abs - base)
+
+          /** Loads one more row of this key; false at group end (the
+            * first row of the NEXT key parks in `lookahead`). */
+          private def loadOne(): Boolean = {
+            if (groupDone) return false
+            if (!it.hasNext) { groupDone = true; return false }
+            val r = it.next()
+            if (sameKey(head, r)) {
+              win += toEnt(r)
+              if (win.length > localPeak) localPeak = win.length.toLong
+              true
+            } else { lookahead = Some(r); groupDone = true; false }
           }
-          // greedy backtracking within one branch: returns (endPos,
-          // assignment var-elem per row)
-          def tryBranch(elems: Array[(Int, Int, Int)], e: Int, pos: Int,
-              lim: Int, assign: Array[Int]): Int = {
+
+          private def ensure(abs: Int): Boolean = {
+            while (loadedEnd <= abs && loadOne()) {}
+            abs < loadedEnd
+          }
+
+          /** Drops window rows below the new start. Compaction runs only
+            * once the dead prefix outweighs the live tail (amortized
+            * O(1) per row; live memory ≤ 2× the needed look-back). */
+          private def dropBelow(abs: Int): Unit = {
+            val dead = abs - base
+            if (dead > 0 && dead >= math.max(64, win.length - dead)) {
+              win.remove(0, dead)
+              base = abs
+            }
+          }
+
+          /** Exclusive bound on rows a match starting at `pAbs` may use;
+            * loads exactly the rows inside that bound. WITHIN prunes
+            * DURING matching, like Flink CEP, not post-filtering: a
+            * greedy run stops at the boundary and can still complete.
+            * NULL event times cannot participate in a time-bounded match
+            * (mirrors the null-DEFINE discipline: ineligible, not NPE).
+            */
+          private def limitFor(pAbs: Int): Int = {
+            if (tsIdx >= 0) {
+              val pe = at(pAbs)
+              if (pe.tsNull) return pAbs // a null-time row starts nothing
+              var r = pAbs
+              while (ensure(r) && !at(r).tsNull && at(r).tsMs - pe.tsMs < withinMs)
+                r += 1
+              r
+            } else if (maxSpan < Long.MaxValue) {
+              val want = math.min(pAbs.toLong + maxSpan, Int.MaxValue.toLong).toInt
+              while (loadedEnd < want && loadOne()) {}
+              math.min(loadedEnd, want)
+            } else {
+              // unbounded quantifier, no WITHIN: the active run must
+              // buffer (Flink CEP's contract for such patterns too)
+              while (loadOne()) {}
+              loadedEnd
+            }
+          }
+
+          // per-match variable assignment, relative to the match start:
+          // assign(i) is the variable matched at absolute row p+i
+          private var assign: Array[Int] = new Array[Int](64)
+
+          // greedy backtracking within one branch: returns the match end
+          private def tryBranch(elems: Array[(Int, Int, Int)], e: Int,
+              pos: Int, pAbs: Int, lim: Int): Int = {
             if (e == elems.length) return pos
             val (v, lo, hi) = elems(e)
             var run = 0
-            while (run < hi && pos + run < lim && ok(pos + run)(v)) run += 1
+            while (run < hi && pos + run < lim && at(pos + run).ok(v)) run += 1
             var k = math.min(run, hi)
             while (k >= lo) {
               var r = 0
-              while (r < k) { assign(pos + r) = v; r += 1 }
-              val end = tryBranch(elems, e + 1, pos + k, lim, assign)
+              while (r < k) { assign(pos + r - pAbs) = v; r += 1 }
+              val end = tryBranch(elems, e + 1, pos + k, pAbs, lim)
               if (end >= 0) return end
               k -= 1
             }
             -1
           }
+
           // branches in preference order; first NON-EMPTY match wins
           // (empty matches are omitted output-wide, so a branch that
           // can only match zero rows here never shadows a later one)
-          def tryMatch(pos: Int, assign: Array[Int]): Int = {
-            val lim = limitFor(pos)
+          private def tryMatch(pAbs: Int): Int = {
+            val lim = limitFor(pAbs)
+            val len = lim - pAbs
+            if (len <= 0) return -1
+            if (assign.length < len)
+              assign = new Array[Int](math.max(len, assign.length * 2))
             var b = 0
             while (b < branches.length) {
-              java.util.Arrays.fill(assign, pos, n, -1)
-              val end = tryBranch(branches(b), 0, pos, lim, assign)
-              if (end > pos) return end
+              java.util.Arrays.fill(assign, 0, len, -1)
+              val end = tryBranch(branches(b), 0, pAbs, pAbs, lim)
+              if (end > pAbs) return end
               b += 1
             }
             -1
           }
-          val out = ArrayBuffer.empty[Row]
-          var matchNo = 0L
-          var p = 0
-          val assign = Array.fill(n)(-1)
-          while (p < n) {
-            java.util.Arrays.fill(assign, -1)
-            val end = tryMatch(p, assign)
-            if (end > p) {
-              matchNo += 1
-              // measure value over rows [p, upTo]; ONE ROW uses the full
-              // match extent, ALL ROWS the RUNNING prefix ending at the
-              // emitted row (SQL:2016 running semantics — FIRST/LAST and
-              // counts see only rows matched so far)
-              def measureVal(mi: Int, upTo: Int): Any = {
-                val (kind, v, c) = measurePlan(mi)
-                kind match {
-                  case 0 | 1 =>
-                    // found-ness tracked separately from the value: the
-                    // FIRST/LAST row's column may legitimately be SQL
-                    // NULL, which must come back as NULL — not be
-                    // skipped in favor of another row's value
-                    var found = false
-                    var value: Any = null
-                    var r = if (kind == 0) p else upTo
-                    val step = if (kind == 0) 1 else -1
-                    var left = upTo - p + 1
-                    while (left > 0 && !found) {
-                      if (assign(r) == v) { found = true; value = rows(r).get(c) }
-                      r += step; left -= 1
-                    }
-                    value
-                  case 2 =>
-                    var cnt = 0L
-                    var r = p
-                    while (r <= upTo) { if (assign(r) == v) cnt += 1; r += 1 }
-                    cnt
-                  case 3 => (upTo - p + 1).toLong
-                  case _ => matchNo
+
+          // measure value over rows [pAbs, upTo]; ONE ROW uses the full
+          // match extent, ALL ROWS the RUNNING prefix ending at the
+          // emitted row (SQL:2016 running semantics — FIRST/LAST and
+          // counts see only rows matched so far)
+          private def measureVal(mi: Int, pAbs: Int, upTo: Int): Any = {
+            val (kind, v, c) = measurePlan(mi)
+            kind match {
+              case 0 | 1 =>
+                // found-ness tracked separately from the value: the
+                // FIRST/LAST row's column may legitimately be SQL
+                // NULL, which must come back as NULL — not be
+                // skipped in favor of another row's value
+                var found = false
+                var value: Any = null
+                var r = if (kind == 0) pAbs else upTo
+                val step = if (kind == 0) 1 else -1
+                var left = upTo - pAbs + 1
+                while (left > 0 && !found) {
+                  if (assign(r - pAbs) == v) { found = true; value = at(r).row.get(c) }
+                  r += step; left -= 1
                 }
-              }
-              if (spec.allRows) {
-                var r = p
-                while (r < end) {
-                  val vals = new Array[Any](baseLen + measurePlan.length)
-                  var o = 0
-                  while (o < baseLen) { vals(o) = rows(r).get(o); o += 1 }
-                  var mi = 0
-                  while (mi < measurePlan.length) {
-                    vals(baseLen + mi) = measureVal(mi, r); mi += 1
-                  }
-                  out += Row.fromSeq(vals.toIndexedSeq)
-                  r += 1
-                }
-              } else {
-                val vals = new Array[Any](partIdx.length + measurePlan.length)
-                var o = 0
-                while (o < partIdx.length) { vals(o) = rows(p).get(partIdx(o)); o += 1 }
-                var mi = 0
-                while (mi < measurePlan.length) {
-                  vals(partIdx.length + mi) = measureVal(mi, end - 1); mi += 1
-                }
-                out += Row.fromSeq(vals.toIndexedSeq)
-              }
-              p =
-                if (skipToNext) p + 1
-                else if (skipVarIdx < 0) end
-                else {
-                  // SKIP TO FIRST/LAST <var>: resume AT that row (it
-                  // may start the next match). The standard's two
-                  // error cases are data-dependent, so they throw at
-                  // runtime exactly like Flink's CEP operator.
-                  var r = if (skipFirst) p else end - 1
-                  val step = if (skipFirst) 1 else -1
-                  var found = -1
-                  var left = end - p
-                  while (left > 0 && found < 0) {
-                    if (assign(r) == skipVarIdx) found = r
-                    r += step; left -= 1
-                  }
-                  if (found < 0) throw new IllegalArgumentException(
-                    "MATCH_RECOGNIZE: AFTER MATCH SKIP TO variable " +
-                      "matched no row in this match")
-                  if (found == p) throw new IllegalArgumentException(
-                    "MATCH_RECOGNIZE: AFTER MATCH SKIP TO resumes at " +
-                      "the match start — infinite loop")
-                  found
-                }
-            } else {
-              // no match (or empty match, which ONE ROW PER MATCH skips)
-              p += 1
+                value
+              case 2 =>
+                var cnt = 0L
+                var r = pAbs
+                while (r <= upTo) { if (assign(r - pAbs) == v) cnt += 1; r += 1 }
+                cnt
+              case 3 => (upTo - pAbs + 1).toLong
+              case _ => matchNo
             }
           }
-          out.iterator
+
+          /** Advances to the next match, filling `emit`; stops at group
+            * end. Output buffering is per match (bounded by the match
+            * extent), never per group. */
+          private def advance(): Unit = {
+            while (!emit.hasNext) {
+              dropBelow(p)
+              if (!ensure(p)) return // group exhausted
+              val end = tryMatch(p)
+              if (end > p) {
+                matchNo += 1
+                if (spec.allRows) {
+                  val outRows = new Array[Row](end - p)
+                  var r = p
+                  while (r < end) {
+                    val vals = new Array[Any](baseLen + measurePlan.length)
+                    var o = 0
+                    while (o < baseLen) { vals(o) = at(r).row.get(o); o += 1 }
+                    var mi = 0
+                    while (mi < measurePlan.length) {
+                      vals(baseLen + mi) = measureVal(mi, p, r); mi += 1
+                    }
+                    outRows(r - p) = Row.fromSeq(vals.toIndexedSeq)
+                    r += 1
+                  }
+                  emit = outRows.iterator
+                } else {
+                  val vals = new Array[Any](partIdx.length + measurePlan.length)
+                  var o = 0
+                  while (o < partIdx.length) { vals(o) = at(p).row.get(partIdx(o)); o += 1 }
+                  var mi = 0
+                  while (mi < measurePlan.length) {
+                    vals(partIdx.length + mi) = measureVal(mi, p, end - 1); mi += 1
+                  }
+                  emit = Iterator.single(Row.fromSeq(vals.toIndexedSeq))
+                }
+                p =
+                  if (skipToNext) p + 1
+                  else if (skipVarIdx < 0) end
+                  else {
+                    // SKIP TO FIRST/LAST <var>: resume AT that row (it
+                    // may start the next match). The standard's two
+                    // error cases are data-dependent, so they throw at
+                    // runtime exactly like Flink's CEP operator.
+                    var r = if (skipFirst) p else end - 1
+                    val step = if (skipFirst) 1 else -1
+                    var found = -1
+                    var left = end - p
+                    while (left > 0 && found < 0) {
+                      if (assign(r - p) == skipVarIdx) found = r
+                      r += step; left -= 1
+                    }
+                    if (found < 0) throw new IllegalArgumentException(
+                      "MATCH_RECOGNIZE: AFTER MATCH SKIP TO variable " +
+                        "matched no row in this match")
+                    if (found == p) throw new IllegalArgumentException(
+                      "MATCH_RECOGNIZE: AFTER MATCH SKIP TO resumes at " +
+                        "the match start — infinite loop")
+                    found
+                  }
+              } else {
+                // no match (or empty match, which ONE ROW PER MATCH skips)
+                p += 1
+              }
+            }
+          }
+
+          override def hasNext: Boolean = {
+            if (!emit.hasNext && !finished) {
+              advance()
+              if (!emit.hasNext) { finished = true; recordPeak(localPeak) }
+            }
+            emit.hasNext
+          }
+          override def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException("end of matches")
+            emit.next()
+          }
         }
 
         private var cur: Iterator[Row] = Iterator.empty
         override def hasNext: Boolean = {
           while (!cur.hasNext) {
-            nextGroup() match {
-              case Some(g) => cur = matchGroup(g)
+            val head = lookahead.orElse(if (it.hasNext) Some(it.next()) else None)
+            lookahead = None
+            head match {
+              case Some(h) => cur = new GroupMatcher(h)
               case None => return false
             }
           }

@@ -109,6 +109,62 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(out.toSet === Set(Seq(1L, 1L, 1L), Seq(1L, 2L, 2L), Seq(2L, 1L, 1L)))
   }
 
+  test("hot key with 1M rows matches in a bounded sliding window") {
+    // one partition key, 10^6 rows: the old matcher buffered the whole
+    // group (an executor OOM at corpus scale); the sliding-window
+    // matcher must keep its high-water mark at the match extent —
+    // pattern quantifier-sum plus the compaction slack — not the group
+    import spark.implicits._
+    val n = 1000000L
+    spark.range(n)
+      .selectExpr("CAST(1 AS BIGINT) AS k", "id AS o", "id % 10 AS v")
+      .createOrReplaceTempView("mr_hot")
+    MatchRecognize.peakWindowRows.set(0L)
+    val out = spark.sql(MatchRecognize.rewrite(
+      spark,
+      """SELECT COUNT(*) AS matches, SUM(nr) AS rows_matched
+        |FROM mr_hot MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(*) AS nr
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B{0,3} C)
+        |  DEFINE A AS v = 0, B AS v IN (1, 2), C AS v = 3)""".stripMargin))
+      .collect()
+    // one match per 10-row block: A(v=0) B(v=1) B(v=2) C(v=3)
+    assert(out.map(_.toSeq).toSeq === Seq(Seq(100000L, 400000L)))
+    val peak = MatchRecognize.peakWindowRows.get()
+    assert(peak > 0L, "peak window tracker never recorded")
+    assert(peak <= 1024L,
+      s"sliding window buffered $peak rows for a 1M-row key — unbounded buffering is back")
+  }
+
+  test("WITHIN bounds the window for unbounded quantifiers") {
+    // A B* with no finite quantifier-sum would buffer the whole run;
+    // the WITHIN horizon must cap the look-ahead instead
+    import spark.implicits._
+    spark.range(500000L)
+      .selectExpr("CAST(1 AS BIGINT) AS k",
+        "timestamp_millis(1700000000000 + id * 1000) AS ts",
+        "id % 100 AS v")
+      .createOrReplaceTempView("mr_hot_within")
+    MatchRecognize.peakWindowRows.set(0L)
+    val out = spark.sql(MatchRecognize.rewrite(
+      spark,
+      """SELECT COUNT(*) AS matches FROM mr_hot_within MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES COUNT(B.*) AS nb
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B*) WITHIN INTERVAL '30' SECOND
+        |  DEFINE A AS v = 0, B AS v > 0)""".stripMargin))
+      .collect()
+    // every 100th row starts a match; B* greedily takes the 29 rows
+    // inside the 30 s horizon (1 row/s)
+    assert(out.map(_.toSeq).toSeq === Seq(Seq(5000L)))
+    val peak = MatchRecognize.peakWindowRows.get()
+    assert(peak > 0L && peak <= 1024L,
+      s"WITHIN horizon did not bound the window: $peak rows buffered")
+  }
+
   test("unsupported forms are rejected with the contract") {
     seq((1, 1, "a", 0))
     def rejects(frag: String, needle: String): Unit = {
