@@ -218,7 +218,47 @@ object Joins {
           sum(col("rev_cents")) + 0.5d).cast("long").as("promo_share_e5"))
   }
 
+  /** RIGHT and FULL OUTER equi-joins — the reference's pass-through
+    * router admits both (`SQLSubmitAction.java:76`), previously covered
+    * only by Catalyst pass-through with no oracle. Big-spender order
+    * counts FULL OUTER negative-balance customers (both sides produce
+    * unmatched rows), then the combined frame RIGHT JOINs the full
+    * customer table so right-side row preservation is exercised too.
+    * No hints: every side scales with SF, so the planner broadcasts at
+    * small SF and shuffles at corpus scale.
+    */
+  val q70OuterJoin: Q = Q(
+    "q70_outer_join",
+    """WITH big AS (
+      |  SELECT o_custkey AS k, COUNT(*) AS n_big
+      |  FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey),
+      |neg AS (
+      |  SELECT c_custkey AS k,
+      |    CAST(FLOOR((c_acctbal) * 100 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer WHERE c_acctbal < 0),
+      |fo AS (
+      |  SELECT COALESCE(b.k, n.k) AS k, b.n_big, n.bal_cents
+      |  FROM big b FULL OUTER JOIN neg n ON b.k = n.k)
+      |SELECT c.c_custkey, c.c_mktsegment, fo.n_big, fo.bal_cents
+      |FROM fo RIGHT JOIN customer c ON fo.k = c.c_custkey""".stripMargin) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val big = orders.filter(col("o_totalprice") > 450000d)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_big"))
+    val neg = customer.filter(col("c_acctbal") < 0d)
+      .select(col("c_custkey").as("nk"), cents(col("c_acctbal")).as("bal_cents"))
+    val fo = big.join(neg, col("k") === col("nk"), "full_outer")
+      .select(coalesce(col("k"), col("nk")).as("fk"), col("n_big"), col("bal_cents"))
+    // `neg` shares the customer lineage, so the second customer use is
+    // a self-join: disambiguate with dataset aliases + qualified names
+    fo.as("fo")
+      .join(customer.as("c"), col("fo.fk") === col("c.c_custkey"), "right")
+      .select(col("c.c_custkey"), col("c.c_mktsegment"),
+        col("fo.n_big"), col("fo.bal_cents"))
+  }
+
   def all: Seq[Q] = Seq(
     q11JoinInner, q12JoinLeft, q13SemiJoin, q14AntiJoin, q15ThetaJoin,
-    q16JoinQ5, q17ScalarSubquery, q54ExistsIneq, q55PromoRatio)
+    q16JoinQ5, q17ScalarSubquery, q54ExistsIneq, q55PromoRatio,
+    q70OuterJoin)
 }

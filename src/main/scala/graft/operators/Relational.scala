@@ -218,7 +218,39 @@ object Relational {
         col("cnt"), col("sum_qty"))
   }
 
+  /** STDDEV_SAMP / VAR_SAMP aggregates (SURVEY §2.C stats row) —
+    * previously pass-through-only with no oracle. Inputs are the
+    * integer-valued quantities cast to BIGINT, so both engines
+    * aggregate the identical multiset; outputs quantize to milli units
+    * (the engines' central-moment accumulations can differ in the last
+    * ulps, ~1e-13 relative — after the 1e3 quantization the boundary-
+    * flip risk is negligible, and the exact integer n/sum columns pin
+    * the group contents independently).
+    */
+  val q71Stddev: Q = Q(
+    "q71_stddev",
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q,
+      |  CAST(FLOOR(STDDEV_SAMP(q) * 1000 + 0.5) AS BIGINT) AS stddev_milli,
+      |  CAST(FLOOR(VAR_SAMP(q) * 1000 + 0.5) AS BIGINT) AS var_milli
+      |FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+      |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    // l_quantity is whole-valued, so the double→bigint cast is exact in
+    // both engines (they differ on fractional casts: Spark truncates,
+    // DuckDB rounds — never feed this pattern fractional doubles)
+    li(s, dir)
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).cast("long").as("sum_q"),
+        floor(stddev_samp(col("q")) * 1000d + 0.5d).cast("long").as("stddev_milli"),
+        floor(var_samp(col("q")) * 1000d + 0.5d).cast("long").as("var_milli"))
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q2FilterProject, q3AggDistinct, q4Having, q5CaseWhen,
-    q6SortLimit, q7StringFns, q8DatetimeFns, q9MathFns, q10Rollup)
+    q6SortLimit, q7StringFns, q8DatetimeFns, q9MathFns, q10Rollup,
+    q71Stddev)
 }
