@@ -64,6 +64,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"df lookups not broadcast in:\n$plan")
   }
 
+  test("INTERSECT/EXCEPT plan as semi/anti join over one distinct exchange") {
+    // the shape to keep: map-side partial distinct, ONE narrow hash
+    // exchange on the key, and a planner-chosen (broadcast at this SF)
+    // semi/anti join — a regression to join-then-global-distinct or a
+    // shuffled join on the tiny side would show up here
+    val spark = SparkFixture.spark
+    for ((q, joinKind) <- Seq("q24_intersect" -> "LeftSemi",
+                              "q25_except" -> "LeftAnti")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains(joinKind), s"$q lost its $joinKind join:\n$plan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"$q: expected one distinct exchange, found $exchanges in:\n$plan")
+    }
+  }
+
   test("vocabulary-table joins are planner-chosen, not hint-forced") {
     // the distinct-token df table is unbounded at web scale (typos,
     // URLs, IDs): a forced broadcast hint removes the planner's ability
