@@ -404,12 +404,18 @@ object TextAnalysis {
     // both collapsed to ~vocab²/2 (resp. vocab) groups by partial agg.
     // (Measured: dictionary-encoding tokens to int pair keys LOSES here
     // — broadcast materializations cost more than string keys save.)
+    // Fingerprint-first: documents collapse to (distinct text,
+    // multiplicity) BEFORE tokenization; df / df_ab / n_docs are sums
+    // of multiplicities — exactly the per-doc counts, so the oracle is
+    // untouched, and duplicated corpora pay for each text once.
     // NULL-text rows produce zero tokens in the oracle's UNNEST and so
     // drop out of its n_docs/df counts — filter identically here (the
     // fixture has none; this pins the dirty-data semantics). doc_id is
     // the table's key, so per-row distinct == per-doc distinct.
     val docs = Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
+      .groupBy(xxhash64(col("text")).as("fp"))
+      .agg(count(lit(1)).as("m"), min(col("text")).as("text"))
+      .select(col("m"),
         expr("array_sort(array_distinct(split(text, ' ')))").as("toks"))
       .filter(col("toks").isNotNull && size(col("toks")) > 0)
       // lazy localCheckpoint: materialized by the query's own action,
@@ -417,15 +423,15 @@ object TextAnalysis {
       // the ContextCleaner once the result frame drops (a bare persist
       // here leaked across a 117-query session)
       .localCheckpoint(false)
-    val dfTbl = docs.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dfTbl = docs.select(explode(col("toks")).as("tok"), col("m"))
+      .groupBy(col("tok")).agg(sum(col("m")).as("df"))
+    val n = docs.agg(sum(col("m")).as("n_docs"))
     docs.select(explode(expr(
         "flatten(transform(toks, (x, i) -> " +
           "transform(slice(toks, i + 2, size(toks)), " +
-          "y -> struct(x AS tok_a, y AS tok_b))))")).as("p"))
+          "y -> struct(x AS tok_a, y AS tok_b))))")).as("p"), col("m"))
       .groupBy(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
-      .agg(count(lit(1)).as("df_ab"))
+      .agg(sum(col("m")).as("df_ab"))
       .filter(col("df_ab") >= 50L)
       // df is vocabulary-sized — unhinted like the LM scorer, so the
       // planner may fall back to a shuffle join past broadcast limits
@@ -505,7 +511,11 @@ object TextAnalysis {
     * and AQE falls back to a bigram-keyed shuffle join when a corpus
     * vocabulary outgrows broadcast limits; one per-doc aggregation
     * after. The same shape serves a real KenLM scorer with the
-    * probability table as the model side.
+    * probability table as the model side. Fingerprint-first: bigram
+    * extraction, model counts (weighted by text multiplicity — exact),
+    * and scoring all run per DISTINCT text; doc_ids join back on the
+    * fingerprint at the end, so duplicated corpora tokenize and score
+    * each text once.
     */
   val extLmScore: Q = Q(
     "ext_lm_score",
@@ -530,31 +540,42 @@ object TextAnalysis {
       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
       |  CAST(SUM(p_micros) // COUNT(*) AS BIGINT) AS lm_micros
       |FROM scored GROUP BY doc_id""".stripMargin) { (s, dir) =>
-    val bg = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val raw = Tables.load(s, dir, "documents")
+    // doc_id → text fingerprint, for the final join back
+    val ids = raw.select(col("doc_id"), xxhash64(col("text")).as("fp"))
+    val bg = raw
+      .groupBy(xxhash64(col("text")).as("fp"))
+      .agg(count(lit(1)).as("m"), min(col("text")).as("text"))
+      .select(col("fp"), col("m"), split(col("text"), " ").as("toks"))
       // sequence(1, 0) is DESCENDING in Spark, not empty — guard the
       // single-token doc explicitly (the oracle filters identically)
       .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
+      .select(col("fp"), col("m"), explode(expr(
         "transform(sequence(1, size(toks) - 1), " +
           "i -> concat(toks[i - 1], ' ', toks[i]))")).as("bigram"))
       // lazy localCheckpoint (not persist): blocks reclaimed when the
       // result frame is dropped, instead of leaking across the session
       .localCheckpoint(false)
-    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    // corpus occurrence counts = per-distinct-text occurrences × the
+    // text's multiplicity — exactly the oracle's per-doc counts
+    val c2 = bg.groupBy(col("bigram")).agg(sum(col("m")).as("c2"))
     val c1 = c2
       .groupBy(expr("split(bigram, ' ')[0]").as("pfx"))
       .agg(sum(col("c2")).cast("long").as("c1"))
     // deliberately unhinted: at this SF the planner broadcasts the
     // counts; a corpus-scale bigram table may exceed broadcast limits,
     // where AQE correctly falls back to a shuffle join on the bigram
-    bg.join(c2, "bigram")
+    val scoredFp = bg.join(c2, "bigram")
       .join(c1, expr("split(bigram, ' ')[0]") === col("pfx"))
-      .select(col("doc_id"),
+      .select(col("fp"),
         expr("(c2 * 1000000L) div c1").as("p_micros"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("fp"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         expr("CAST(SUM(p_micros) div COUNT(1) AS BIGINT)").as("lm_micros"))
+    // expand the per-text scores back to every doc (inner join drops
+    // sub-2-token docs, matching the oracle's filter)
+    ids.join(scoredFp, "fp")
+      .select(col("doc_id"), col("n_bigrams"), col("lm_micros"))
   }
 
   def all: Seq[Q] = Seq(
