@@ -245,15 +245,40 @@ object MatchRecognize {
     (raw"(?i)\b" + java.util.regex.Pattern.quote(variable) + raw"\s*\.").r
       .replaceAllIn(pred, "")
 
-  private def clausePos(body: String, kw: String): Option[Int] =
-    (raw"(?is)\b" + kw.replace(" ", raw"\s+") + raw"\b").r
-      .findFirstMatchIn(body).map(_.start)
+  /** First occurrence of clause keyword `kw` at or after `from` that
+    * heads a real clause: occurrences that are an alias (`COUNT(*) AS
+    * pattern`) or a qualified identifier (`V.pattern`) are skipped, and
+    * the caller advances `from` through the grammar so identifiers that
+    * merely look like LATER clause keywords (a PARTITION BY column
+    * named `pattern`) cannot corrupt the clause split.
+    */
+  private def clausePos(body: String, kw: String, from: Int): Option[Int] = {
+    val re = (raw"(?is)\b" + kw.replace(" ", raw"\s+") + raw"\b").r
+    re.findAllMatchIn(body).map(_.start).filter(_ >= from).find { p =>
+      var i = p - 1
+      while (i >= 0 && Character.isWhitespace(body.charAt(i))) i -= 1
+      if (i < 0) true
+      else if (body.charAt(i) == '.') false // qualified identifier
+      else {
+        // an AS token immediately before means this is an alias that
+        // happens to be named like a clause, not the clause itself
+        var s = i
+        while (s >= 0 && Character.isLetter(body.charAt(s))) s -= 1
+        !body.substring(s + 1, i + 1).equalsIgnoreCase("AS")
+      }
+    }
+  }
 
   private[harness] def parseSpec(body: String): Spec = {
-    // clause boundaries, in grammar order
+    // clause boundaries, scanned in grammar order: each keyword is
+    // searched only past the previous one, with alias/qualifier
+    // look-alikes skipped (see clausePos)
     val kws = Seq("PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
       "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "DEFINE")
-    val pos = kws.flatMap(k => clausePos(body, k).map(k -> _)).sortBy(_._2)
+    var from = 0
+    val pos = kws.flatMap { k =>
+      clausePos(body, k, from).map { p => from = p + k.length; k -> p }
+    }.sortBy(_._2)
     def clauseText(kw: String): Option[String] =
       pos.zipWithIndex.collectFirst { case ((k, p), i) if k == kw =>
         val end = if (i + 1 < pos.size) pos(i + 1)._2 else body.length
@@ -361,6 +386,21 @@ object MatchRecognize {
   private val TableBeforeRe = raw"(?is)([A-Za-z_][A-Za-z0-9_.]*)\s*$$".r
 
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  private val MrViewRe = raw"\bgraft_mr_\d+\b".r
+
+  /** Drops the temp views a [[rewrite]]/[[rewriteStreaming]] call left
+    * behind, given the rewritten statement text. Call after the
+    * enclosing statement executes: Spark resolves a view into the plan
+    * at analysis time, so already-built DataFrames and running
+    * streaming queries are unaffected — but without the drop a
+    * long-lived session leaks one catalog entry (pinning its plan) per
+    * MATCH_RECOGNIZE statement.
+    */
+  def dropViews(spark: SparkSession, rewrittenSql: String): Unit =
+    MrViewRe.findAllIn(rewrittenSql).toSet.foreach { v: String =>
+      spark.catalog.dropTempView(v): Unit
+    }
 
   /** Replaces every `<table> MATCH_RECOGNIZE (...)` region with a temp
     * view holding the recognized matches; the surrounding statement
@@ -472,6 +512,22 @@ object MatchRecognize {
       }
 
       val src = spark.table(table)
+      // per-key state groups on a to_json/from_json round-trip of the
+      // PARTITION BY tuple; only types whose JSON text decodes
+      // bit-identically are admitted — timestamp/decimal/float keys
+      // could lose precision or formatting fidelity on the way back
+      spec.partitionBy.foreach { p =>
+        val idx = src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(p))
+        if (idx < 0) fail(s"column $p not found in $table")
+        import org.apache.spark.sql.types._
+        src.schema(idx).dataType match {
+          case StringType | LongType | IntegerType | ShortType | ByteType
+              | BooleanType => ()
+          case dt => fail(s"streaming MATCH_RECOGNIZE PARTITION BY $p has " +
+            s"type ${dt.simpleString} — keys must round-trip the JSON " +
+            "state encoding losslessly (string / integer / boolean)")
+        }
+      }
       val keyExpr =
         if (spec.partitionBy.isEmpty) lit("{}")
         else to_json(struct(spec.partitionBy.map(scol): _*))

@@ -429,17 +429,23 @@ final class SqlSubmitAction(
 
   private def executeSelect(
       spark: SparkSession, config: EngineConfig, sql: String): Unit = {
-    val df = spark.sql(rewriteFlinkDialect(spark, config, sql))
-    if (df.isStreaming) {
-      val w = df.writeStream.format("console")
-        .option("truncate", "false")
-      val writer =
-        try { val s = w.outputMode("append").start(); s }
-        catch { case _: Exception => w.outputMode("update").start() }
-      started += writer
-    } else {
-      df.show(printLimit, truncate = false)
-    }
+    val rewritten = rewriteFlinkDialect(spark, config, sql)
+    // MATCH_RECOGNIZE temp views resolve into the plan at analysis, so
+    // they drop as soon as the statement executes — a long-lived
+    // session must not accumulate one catalog entry per statement
+    try {
+      val df = spark.sql(rewritten)
+      if (df.isStreaming) {
+        val w = df.writeStream.format("console")
+          .option("truncate", "false")
+        val writer =
+          try { val s = w.outputMode("append").start(); s }
+          catch { case _: Exception => w.outputMode("update").start() }
+        started += writer
+      } else {
+        df.show(printLimit, truncate = false)
+      }
+    } finally MatchRecognize.dropViews(spark, rewritten)
   }
 
   /** `EXECUTE STATEMENT SET BEGIN <insert;>* END`: Flink groups several
@@ -466,6 +472,12 @@ final class SqlSubmitAction(
   private def executeInsert(
       spark: SparkSession, config: EngineConfig, sql: String): Unit = {
     val rewritten = rewriteFlinkDialect(spark, config, sql)
+    try executeInsertRewritten(spark, config, rewritten)
+    finally MatchRecognize.dropViews(spark, rewritten)
+  }
+
+  private def executeInsertRewritten(
+      spark: SparkSession, config: EngineConfig, rewritten: String): Unit = {
     rewritten match {
       case InsertRe(rawTarget, colList, query) =>
         val target = DdlParser.unquoteName(rawTarget)

@@ -486,4 +486,72 @@ class MatchRecognizeSpec extends AnyFunSuite {
         _ => Some(("o", "5 seconds"))))
     assert(e.getMessage.contains("PREV"), s"message: ${e.getMessage}")
   }
+
+  test("streaming measures are limited to the event-time column (contract)") {
+    // batch emits full column measures; streaming state carries only
+    // (event-time, variable-bitmask) pairs, so a V.col measure on any
+    // other column must throw the declared subset, not silently return
+    // wrong data
+    seq((1, 1, "x", 1))
+    val e = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES LAST(A.v) AS av
+          |  PATTERN (A) DEFINE A AS v > 0)""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(e.getMessage.contains("event-time"), s"message: ${e.getMessage}")
+    // COUNT and MATCH_NUMBER() stay free, and event-time FIRST/LAST pass
+    MatchRecognize.rewriteStreaming(spark,
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(A.o) AS s, COUNT(A.*) AS n, MATCH_NUMBER() AS mn
+        |  PATTERN (A) DEFINE A AS v > 0)""".stripMargin,
+      _ => Some(("o", "5 seconds"))): Unit
+  }
+
+  test("streaming PARTITION BY keys must round-trip the JSON encoding") {
+    // state grouping serializes the key tuple through to_json/from_json;
+    // a double key could lose formatting fidelity on the way back, so
+    // the contract rejects it up front
+    import spark.implicits._
+    Seq((1.5d, 1L, 1L)).toDF("dk", "o", "v")
+      .createOrReplaceTempView("mr_dbl_key")
+    val e = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_dbl_key MATCH_RECOGNIZE (
+          |  PARTITION BY dk ORDER BY o MEASURES COUNT(*) AS n
+          |  PATTERN (A) DEFINE A AS v > 0)""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(e.getMessage.contains("round-trip"), s"message: ${e.getMessage}")
+  }
+
+  test("a measure alias named like a clause keyword still parses") {
+    // parseSpec scans clause keywords in grammar order and skips
+    // alias/qualifier look-alikes, so `AS pattern` must not corrupt
+    // the clause split
+    seq((1, 1, "a", 0), (1, 2, "b", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(*) AS pattern, FIRST(A.o) AS define
+        |  PATTERN (A B)
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+    assert(out === Seq(Seq(1L, 2L, 1L)))
+  }
+
+  test("rewrite temp views are dropped after the statement executes") {
+    seq((1, 1, "a", 0))
+    val before = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("graft_mr_"))
+    val rewritten = MatchRecognize.rewrite(spark,
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin)
+    val df = spark.sql(rewritten)
+    assert(df.collect().length == 1)
+    MatchRecognize.dropViews(spark, rewritten)
+    val after = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("graft_mr_"))
+    assert(after <= before, s"temp views leaked: $before -> $after")
+  }
 }
