@@ -442,9 +442,12 @@ object MatchRecognize {
     *
     *  - ORDER BY must be exactly the source's event-time (WATERMARK)
     *    column — Flink imposes the same;
-    *  - time measures (`V.col`, FIRST/LAST) may reference only that
-    *    event-time column (per-key state carries times and the variable
-    *    bitmask, never whole rows); COUNT and MATCH_NUMBER() are free.
+    *  - `V.col` / FIRST / LAST measures may reference the event-time
+    *    column (carried in state as epoch ms) or any string / integer /
+    *    boolean column (carried as a per-row JSON payload of exactly
+    *    the measure columns); double/timestamp/decimal measure columns
+    *    throw the contract, because their JSON round-trip is not
+    *    bit-faithful. COUNT and MATCH_NUMBER() are free.
     *
     * `watermarkOf` resolves a table name to its (event-time column,
     * delay) from the connector DDL.
@@ -468,9 +471,10 @@ object MatchRecognize {
           "subquery sources are not supported"))
       val table = tm.group(1)
       val spec = parseSpec(out.substring(open + 1, end - 1))
-      // the streaming tracker's state carries (time, def-bitmask) per
-      // row, never neighboring column values or whole rows — PREV and
-      // ALL ROWS PER MATCH stay batch-only
+      // the streaming tracker's state carries (time, def-bitmask,
+      // measure payload) per row — never NEIGHBORING rows' values, so
+      // PREV stays batch-only, and ALL ROWS PER MATCH (every matched
+      // row with RUNNING measures) stays batch-only too
       spec.defines.collectFirst { case (v, p) if hasPrev(p) => v }.foreach(v =>
         fail(s"DEFINE $v uses PREV() — not supported in streaming " +
           "MATCH_RECOGNIZE (batch only)"))
@@ -498,20 +502,39 @@ object MatchRecognize {
       val varOf = vars.zipWithIndex.toMap
       val elems = branch.map(e =>
         PatternTracker.Elem(varOf(e.variable), e.lo, e.hi))
-      // measure plan in PatternTracker kinds; remember which outputs are
-      // times (ms → timestamp) vs plain longs
+
+      val src = spark.table(table)
+      // measure plan in PatternTracker kinds. Event-time FIRST/LAST ride
+      // the state's time slot (kinds 0/1); any other column rides a
+      // per-row JSON payload (kinds 5/6), type-gated to types whose
+      // JSON text decodes bit-identically — a double/timestamp/decimal
+      // measure could lose precision or formatting fidelity on the
+      // round-trip, so those throw the contract instead
+      val colMeasureCols = scala.collection.mutable.LinkedHashSet.empty[String]
+      def gatedMeasureCol(c: String): String = {
+        val idx = src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+        if (idx < 0) fail(s"column $c not found in $table")
+        import org.apache.spark.sql.types._
+        src.schema(idx).dataType match {
+          case StringType | LongType | IntegerType | ShortType | ByteType
+              | BooleanType => src.schema(idx).name
+          case dt => fail(s"streaming MATCH_RECOGNIZE measure on $c: type " +
+            s"${dt.simpleString} does not round-trip the JSON state " +
+            "payload losslessly (supported: string / integer / boolean " +
+            s"columns, or the event-time column $wmCol)")
+        }
+      }
       val measures = spec.measures.map {
         case ColMeasure(v, c, first, _) =>
-          if (!c.equalsIgnoreCase(wmCol))
-            fail("streaming measures may reference only the event-time " +
-              s"column $wmCol (state carries times, not rows); got $c")
-          (if (first) 0 else 1, varOf(v))
+          if (c.equalsIgnoreCase(wmCol)) (if (first) 0 else 1, varOf(v))
+          else {
+            colMeasureCols += gatedMeasureCol(c)
+            (if (first) 5 else 6, varOf(v))
+          }
         case CountMeasure(Some(v), _) => (2, varOf(v))
         case CountMeasure(None, _) => (3, -1)
         case MatchNumberMeasure(_) => (4, -1)
       }
-
-      val src = spark.table(table)
       // per-key state groups on a to_json/from_json round-trip of the
       // PARTITION BY tuple; only types whose JSON text decodes
       // bit-identically are admitted — timestamp/decimal/float keys
@@ -536,10 +559,14 @@ object MatchRecognize {
         s"(CASE WHEN ($pred) THEN CAST(${1L << i} AS BIGINT) " +
           "ELSE CAST(0 AS BIGINT) END)"
       }.mkString(" + ")
+      val valsExpr =
+        if (colMeasureCols.isEmpty) lit("")
+        else to_json(struct(colMeasureCols.toSeq.map(scol): _*))
       val prepared = src.select(
         keyExpr.as("key"),
         scol(wmCol).cast("timestamp").as("ts"),
-        sexpr(defsExpr).as("defs"))
+        sexpr(defsExpr).as("defs"),
+        valsExpr.as("vals"))
       implicit val evEnc = org.apache.spark.sql.Encoders.product[PatternEvent]
       val tracked = PatternTracker.track(
         prepared.as[PatternEvent], wmDelay, elems, measures, spec.skipToNextRow)
@@ -548,12 +575,23 @@ object MatchRecognize {
         src.schema(src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(p)))).toArray)
       val keyCols = spec.partitionBy.map(p =>
         from_json(scol("key"), keySchema).getField(p).as(p))
+      val valsSchema = StructType(colMeasureCols.toSeq.map(c =>
+        src.schema(src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))).toArray)
+      var ci = -1
       val measureCols = spec.measures.zipWithIndex.map { case (ms, i) =>
         val v = scol("values").getItem(i)
         ms match {
-          case ColMeasure(_, _, _, alias) =>
+          case ColMeasure(_, c, _, alias) if c.equalsIgnoreCase(wmCol) =>
             when(v === graft.streaming.PatternTracker.UnmatchedTime, lit(null))
               .otherwise(sexpr(s"timestamp_millis(values[$i])")).as(alias)
+          case ColMeasure(_, c, _, alias) =>
+            // column measure: decode the matched row's JSON payload; a
+            // null payload (variable matched no row) decodes to NULL
+            ci += 1
+            val actual = src.schema(
+              src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))).name
+            from_json(scol("cvals").getItem(ci), valsSchema)
+              .getField(actual).as(alias)
           case other => v.as(other.alias)
         }
       }

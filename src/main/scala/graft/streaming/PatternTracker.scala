@@ -7,23 +7,30 @@ import scala.collection.mutable.ArrayBuffer
 
 /** One input row of a streaming row-pattern match: an opaque grouping
   * key (the harness packs PARTITION BY columns as JSON), the event
-  * time, and a bitmask with bit i set iff the row satisfies pattern
+  * time, a bitmask with bit i set iff the row satisfies pattern
   * variable i's DEFINE predicate (evaluated by Catalyst upstream — the
-  * tracker never evaluates SQL).
+  * tracker never evaluates SQL), and an opaque per-row payload (the
+  * harness packs the non-event-time measure columns as JSON; "" when
+  * no measure needs one).
   */
-final case class PatternEvent(key: String, ts: Timestamp, defs: Long)
+final case class PatternEvent(key: String, ts: Timestamp, defs: Long,
+    vals: String)
 
-/** Per-key NFA state: rows not yet consumed by an emitted match or
-  * passed over by a final no-match decision, plus the match counter.
+/** Per-key NFA state: rows (time, def-bitmask, measure payload) not yet
+  * consumed by an emitted match or passed over by a final no-match
+  * decision, plus the match counter.
   */
-final case class PatternState(rows: List[(Long, Long)], matchNo: Long)
+final case class PatternState(rows: List[(Long, Long, String)], matchNo: Long)
 
-/** One emitted match. `values` holds the measures in caller order
-  * (times as epoch ms, counts and MATCH_NUMBER as plain longs,
+/** One emitted match. `values` holds the long-valued measures in caller
+  * order (times as epoch ms, counts and MATCH_NUMBER as plain longs,
   * [[PatternTracker.UnmatchedTime]] for a FIRST/LAST over a variable
-  * that matched no row).
+  * that matched no row; a placeholder 0 in the slots of column
+  * measures). `cvals` holds one row payload per column measure (kinds
+  * 5/6) in measure order — null when the variable matched no row.
   */
-final case class PatternMatch(key: String, values: List[Long])
+final case class PatternMatch(key: String, values: List[Long],
+    cvals: List[String])
 
 /** Streaming event-time row-pattern recognition — the per-key CEP core
   * behind the harness's streaming `MATCH_RECOGNIZE` subset, with the
@@ -55,7 +62,9 @@ object PatternTracker {
   final case class Elem(varIdx: Int, lo: Int, hi: Int)
 
   /** Measure: (kind, varIdx) with kind 0 = FIRST(var ts), 1 = LAST(var
-    * ts), 2 = COUNT(var.*), 3 = COUNT(*), 4 = MATCH_NUMBER().
+    * ts), 2 = COUNT(var.*), 3 = COUNT(*), 4 = MATCH_NUMBER(),
+    * 5 = FIRST(var payload), 6 = LAST(var payload) — 5/6 return the
+    * matched row's `vals` JSON via [[PatternMatch.cvals]].
     */
   type Measure = (Int, Int)
 
@@ -102,9 +111,10 @@ object PatternTracker {
       measures: Array[Measure],
       skipToNextRow: Boolean): Iterator[PatternMatch] = {
     val prev = state.getOption.getOrElse(PatternState(Nil, 0L))
-    val incoming = rows.map(e => (e.ts.getTime, e.defs)).toList
-    // ties on (ts, defs) have no further discriminator; sorting on both
-    // keeps replays deterministic (Flink breaks CEP ties by arrival)
+    val incoming = rows.map(e => (e.ts.getTime, e.defs, e.vals)).toList
+    // ties on (ts, defs, vals) have no further discriminator; sorting on
+    // all three keeps replays deterministic (Flink breaks CEP ties by
+    // arrival)
     val all = (prev.rows ++ incoming).sortBy(identity)
     // batch execution (a bounded source under the same operator) has no
     // watermark: the group's rows ARE the complete input, so everything
@@ -164,21 +174,31 @@ object PatternTracker {
         decided = false
       } else if (end > p) {
         matchNo += 1
+        // first/last matching row for variable v in [p, end): shared by
+        // the time measures (value = its time) and the payload measures
+        // (value = its vals JSON); -1 when the variable matched no row
+        def edgeRow(v: Int, first: Boolean): Int = {
+          var r = if (first) p else end - 1
+          val step = if (first) 1 else -1
+          var left = end - p
+          while (left > 0) {
+            if (assign(r) == v) return r
+            r += step; left -= 1
+          }
+          -1
+        }
+        val cvals = List.newBuilder[String]
         val vals = measures.map { case (kind, v) =>
           kind match {
             case 0 | 1 =>
               // found-ness tracked separately from the value: any epoch
               // ms (including negatives) is a legitimate match time
-              var found = false
-              var value = UnmatchedTime
-              var r = if (kind == 0) p else end - 1
-              val step = if (kind == 0) 1 else -1
-              var left = end - p
-              while (left > 0 && !found) {
-                if (assign(r) == v) { found = true; value = matured(r)._1 }
-                r += step; left -= 1
-              }
-              value
+              val r = edgeRow(v, first = kind == 0)
+              if (r < 0) UnmatchedTime else matured(r)._1
+            case 5 | 6 =>
+              val r = edgeRow(v, first = kind == 5)
+              cvals += (if (r < 0) null else matured(r)._3)
+              0L // placeholder: the payload rides cvals
             case 2 =>
               var cnt = 0L
               var r = p
@@ -188,7 +208,7 @@ object PatternTracker {
             case _ => matchNo
           }
         }.toList
-        out += PatternMatch(key, vals)
+        out += PatternMatch(key, vals, cvals.result())
         p = if (skipToNextRow) p + 1 else end
       } else {
         p += 1 // final no-match at p (failed on a predicate, not input end)
@@ -196,7 +216,7 @@ object PatternTracker {
     }
 
     if (!isFinal) {
-      val kept = matured.drop(p).map(r => (r._1, r._2)).toList ++ unmatured
+      val kept = matured.drop(p).toList ++ unmatured
       if (kept.isEmpty && matchNo == 0L) state.remove()
       else if (kept.isEmpty && state.hasTimedOut &&
           incoming.isEmpty && prev.rows.isEmpty) {
@@ -215,7 +235,7 @@ object PatternTracker {
         else
           // wake when the earliest buffered row can mature (strictly
           // past the current watermark by construction)
-          kept.headOption.foreach { case (ts, _) =>
+          kept.headOption.foreach { case (ts, _, _) =>
             state.setTimeoutTimestamp(math.max(ts, wmMs) + 1L)
           }
       }

@@ -487,26 +487,40 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("PREV"), s"message: ${e.getMessage}")
   }
 
-  test("streaming measures are limited to the event-time column (contract)") {
-    // batch emits full column measures; streaming state carries only
-    // (event-time, variable-bitmask) pairs, so a V.col measure on any
-    // other column must throw the declared subset, not silently return
-    // wrong data
-    seq((1, 1, "x", 1))
+  test("streaming column measures carry values through the JSON payload") {
+    // streaming measure parity: V.col / FIRST / LAST on string and
+    // integer columns rides the per-row state payload (the tracker's
+    // batch mode — a bounded input through the identical code path —
+    // makes the results assertable synchronously)
+    import spark.implicits._
+    Seq((1L, 1L, "view", 10L), (1L, 2L, "click", 20L),
+      (1L, 3L, "click", 30L), (1L, 4L, "purchase", 40L))
+      .toDF("k", "o", "t", "v")
+      .createOrReplaceTempView("mr_cm")
+    val rewritten = MatchRecognize.rewriteStreaming(spark,
+      """SELECT * FROM mr_cm MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(V.t) AS first_tag, LAST(C.v) AS last_click_v,
+        |    B.v AS b_v, COUNT(C.*) AS nc
+        |  PATTERN (V C+ P B?)
+        |  DEFINE V AS t = 'view', C AS t = 'click',
+        |    P AS t = 'purchase', B AS t = 'bonus')""".stripMargin,
+      _ => Some(("o", "5 seconds")))
+    try {
+      val out = spark.sql(rewritten).collect().map(_.toSeq)
+      // B? matched no row: its column measure must decode to SQL NULL
+      assert(out.toSeq === Seq(Seq(1L, "view", 30L, null, 2L)))
+    } finally MatchRecognize.dropViews(spark, rewritten)
+    // lossy-round-trip measure types still throw the contract
+    Seq((1L, 1L, 1.5d)).toDF("k", "o", "d")
+      .createOrReplaceTempView("mr_cm_dbl")
     val e = intercept[IllegalArgumentException](
       MatchRecognize.rewriteStreaming(spark,
-        """SELECT * FROM mr_in MATCH_RECOGNIZE (
-          |  PARTITION BY k ORDER BY o MEASURES LAST(A.v) AS av
-          |  PATTERN (A) DEFINE A AS v > 0)""".stripMargin,
+        """SELECT * FROM mr_cm_dbl MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES LAST(A.d) AS ad
+          |  PATTERN (A) DEFINE A AS d > 0)""".stripMargin,
         _ => Some(("o", "5 seconds"))))
-    assert(e.getMessage.contains("event-time"), s"message: ${e.getMessage}")
-    // COUNT and MATCH_NUMBER() stay free, and event-time FIRST/LAST pass
-    MatchRecognize.rewriteStreaming(spark,
-      """SELECT * FROM mr_in MATCH_RECOGNIZE (
-        |  PARTITION BY k ORDER BY o
-        |  MEASURES FIRST(A.o) AS s, COUNT(A.*) AS n, MATCH_NUMBER() AS mn
-        |  PATTERN (A) DEFINE A AS v > 0)""".stripMargin,
-      _ => Some(("o", "5 seconds"))): Unit
+    assert(e.getMessage.contains("round-trip"), s"message: ${e.getMessage}")
   }
 
   test("streaming PARTITION BY keys must round-trip the JSON encoding") {

@@ -36,7 +36,8 @@ class PatternTrackerSpec extends AnyFunSuite {
     val input = MemoryStream[(String, Timestamp, String)]
     val events = input.toDF().toDF("key", "ts", "t")
       .selectExpr("key", "ts",
-        "CASE t WHEN 'view' THEN 1L WHEN 'click' THEN 2L WHEN 'purchase' THEN 4L ELSE 0L END AS defs")
+        "CASE t WHEN 'view' THEN 1L WHEN 'click' THEN 2L WHEN 'purchase' THEN 4L ELSE 0L END AS defs",
+        "'' AS vals")
       .as[PatternEvent]
     val out = PatternTracker.track(events, "5 seconds", VCP, Measures,
       skipToNextRow = false)
@@ -54,14 +55,15 @@ class PatternTrackerSpec extends AnyFunSuite {
       query.processAllAvailable()
       val rows = spark.table("pt_vcp").as[PatternMatch].collect()
       assert(rows.toSeq === Seq(
-        PatternMatch("u1", List(10000L, 13000L, 2L, 1L))))
+        PatternMatch("u1", List(10000L, 13000L, 2L, 1L), Nil)))
     } finally query.stop()
   }
 
   test("greedy run stays pending while the boundary could extend it") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long)]
-    val events = input.toDF().toDF("key", "ts", "defs").as[PatternEvent]
+    val events = input.toDF().toDF("key", "ts", "defs")
+      .selectExpr("*", "'' AS vals").as[PatternEvent]
     // pattern: A+ (bit0), measures COUNT(*), MATCH_NUMBER()
     val out = PatternTracker.track(events, "5 seconds",
       Seq(PatternTracker.Elem(0, 1, Int.MaxValue)), Seq((3, -1), (4, -1)),
@@ -81,14 +83,15 @@ class PatternTrackerSpec extends AnyFunSuite {
       input.addData(("k", ts(60), 0L)) // watermark 55: the non-A row at 40 matures, closing the run
       query.processAllAvailable()
       val rows = spark.table("pt_greedy").as[PatternMatch].collect()
-      assert(rows.toSeq === Seq(PatternMatch("k", List(3L, 1L))))
+      assert(rows.toSeq === Seq(PatternMatch("k", List(3L, 1L), Nil)))
     } finally query.stop()
   }
 
   test("match numbers continue across micro-batches per key") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long)]
-    val events = input.toDF().toDF("key", "ts", "defs").as[PatternEvent]
+    val events = input.toDF().toDF("key", "ts", "defs")
+      .selectExpr("*", "'' AS vals").as[PatternEvent]
     // pattern: single A (bit0); count + match number
     val out = PatternTracker.track(events, "5 seconds",
       Seq(PatternTracker.Elem(0, 1, 1)), Seq((4, -1)),
@@ -113,7 +116,8 @@ class PatternTrackerSpec extends AnyFunSuite {
     val input = MemoryStream[(String, Timestamp, String)]
     val events = input.toDF().toDF("key", "ts", "t")
       .selectExpr("key", "ts",
-        "CASE t WHEN 'view' THEN 1L WHEN 'click' THEN 2L WHEN 'purchase' THEN 4L ELSE 0L END AS defs")
+        "CASE t WHEN 'view' THEN 1L WHEN 'click' THEN 2L WHEN 'purchase' THEN 4L ELSE 0L END AS defs",
+        "'' AS vals")
       .as[PatternEvent]
     val out = PatternTracker.track(events, "5 seconds", VCP, Measures,
       skipToNextRow = false)
@@ -128,7 +132,7 @@ class PatternTrackerSpec extends AnyFunSuite {
       input.addData(("u2", ts(100), "view"))
       query.processAllAvailable()
       assert(spark.table("pt_idle").as[PatternMatch].collect().toSeq ===
-        Seq(PatternMatch("u1", List(10000L, 12000L, 1L, 1L))))
+        Seq(PatternMatch("u1", List(10000L, 12000L, 1L, 1L), Nil)))
       // push the watermark > IdleTtl past u1's last activity: its
       // match-number continuity state may be dropped (bounded state);
       // extra intermediate batches let the idle timeout fire
@@ -170,13 +174,15 @@ class PatternTrackerSpec extends AnyFunSuite {
       }
       // batch reference: the same operator in final mode (bounded input)
       val batch = PatternTracker.track(
-        rows.toDS().toDF("key", "ts", "defs").as[PatternEvent],
+        rows.toDS().toDF("key", "ts", "defs")
+        .selectExpr("*", "'' AS vals").as[PatternEvent],
         "5 seconds", elems, measures, skipToNextRow = false)
         .collect().toSet
 
       val input = MemoryStream[(String, Timestamp, Long)]
       val out = PatternTracker.track(
-        input.toDF().toDF("key", "ts", "defs").as[PatternEvent],
+        input.toDF().toDF("key", "ts", "defs")
+      .selectExpr("*", "'' AS vals").as[PatternEvent],
         "5 seconds", elems, measures, skipToNextRow = false)
       val name = s"pt_eq_$trial"
       val query = out.writeStream.format("memory")
