@@ -31,8 +31,11 @@ import scala.collection.mutable.ArrayBuffer
   *                                   -- PERMUTE(A, B, ...) (batch only)
   *     [WITHIN INTERVAL 'n' UNIT]    -- Flink CEP duration bound: all
   *                                   -- match rows within n of the
-  *                                   -- first (strict; batch only,
-  *                                   -- TIMESTAMP ORDER BY head)
+  *                                   -- first (strict; batch needs a
+  *                                   -- TIMESTAMP ORDER BY head, and
+  *                                   -- streaming prunes on the same
+  *                                   -- horizon with tightened
+  *                                   -- finality)
   *   DEFINE V1 AS <pred> [, ...]     -- current-row predicate, may use
   * )                                 -- PREV(col[, k]) (physical row
   *                                   -- navigation, batch only);
@@ -490,9 +493,6 @@ object MatchRecognize {
       if (spec.pattern.size > 1)
         fail("alternation/PERMUTE is not supported in streaming " +
           "MATCH_RECOGNIZE (batch only)")
-      if (spec.withinMs.isDefined)
-        fail("WITHIN is not supported in streaming MATCH_RECOGNIZE " +
-          "(batch only)")
       if (spec.skipToVar.isDefined)
         fail("AFTER MATCH SKIP TO FIRST/LAST is not supported in " +
           "streaming MATCH_RECOGNIZE (batch only)")
@@ -568,8 +568,13 @@ object MatchRecognize {
         sexpr(defsExpr).as("defs"),
         valsExpr.as("vals"))
       implicit val evEnc = org.apache.spark.sql.Encoders.product[PatternEvent]
+      // WITHIN rides straight through: the tracker prunes during
+      // matching on the same strict ts(p)+n bound as the batch matcher,
+      // and the horizon tightens finality (a start is decidable once
+      // the watermark passes its horizon — no future arrival can join)
       val tracked = PatternTracker.track(
-        prepared.as[PatternEvent], wmDelay, elems, measures, spec.skipToNextRow)
+        prepared.as[PatternEvent], wmDelay, elems, measures,
+        spec.skipToNextRow, spec.withinMs.getOrElse(0L))
 
       val keySchema = StructType(spec.partitionBy.map(p =>
         src.schema(src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(p)))).toArray)

@@ -53,6 +53,11 @@ final case class PatternMatch(key: String, values: List[Long],
   * still-undecided match attempt on each key — the contract of any
   * event-time CEP engine (an unbounded greedy run over always-matching
   * rows holds state until a non-matching row or the key goes quiet).
+  * A WITHIN horizon tightens both bounds: matches prune during
+  * matching on the strict `ts(first) + n` bound (exactly the batch
+  * matcher / Flink CEP), and a start's decision is FINAL once the
+  * watermark passes its horizon — the watermark drops later arrivals,
+  * so the candidate set is complete and no breaker row is needed.
   */
 object PatternTracker {
 
@@ -87,7 +92,8 @@ object PatternTracker {
       watermarkDelay: String,
       elems: Seq[Elem],
       measures: Seq[Measure],
-      skipToNextRow: Boolean): Dataset[PatternMatch] = {
+      skipToNextRow: Boolean,
+      withinMs: Long = 0L): Dataset[PatternMatch] = {
     implicit val outEnc = Encoders.product[PatternMatch]
     implicit val stateEnc = Encoders.product[PatternState]
     implicit val keyEnc = Encoders.STRING
@@ -100,7 +106,8 @@ object PatternTracker {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[PatternEvent],
          state: GroupState[PatternState]) =>
-          update(key, rows, state, elemArr, measureArr, skipToNextRow))
+          update(key, rows, state, elemArr, measureArr, skipToNextRow,
+            withinMs))
   }
 
   private def update(
@@ -109,7 +116,8 @@ object PatternTracker {
       state: GroupState[PatternState],
       elems: Array[Elem],
       measures: Array[Measure],
-      skipToNextRow: Boolean): Iterator[PatternMatch] = {
+      skipToNextRow: Boolean,
+      withinMs: Long): Iterator[PatternMatch] = {
     val prev = state.getOption.getOrElse(PatternState(Nil, 0L))
     val incoming = rows.map(e => (e.ts.getTime, e.defs, e.vals)).toList
     // ties on (ts, defs, vals) have no further discriminator; sorting on
@@ -140,20 +148,33 @@ object PatternTracker {
     val n = matured.length
     var hitEnd = false
     val assign = Array.fill(n)(-1)
+    // WITHIN horizon for a match starting at p: rows with
+    // ts - ts(p) < withinMs, strict — identical to the batch matcher
+    // and Flink CEP. Because the watermark drops later-than-wm arrivals,
+    // the candidate set for a start is COMPLETE once wm >= ts(p)+within:
+    // a horizon-truncated run is then a final decision, not a hitEnd.
+    def limitFor(p: Int): Int = {
+      if (withinMs <= 0L) return n
+      var r = p
+      while (r < n && matured(r)._1 - matured(p)._1 < withinMs) r += 1
+      r
+    }
     // greedy backtracking over the matured prefix; `hitEnd` latches when
     // any explored path is truncated by the maturity boundary rather
-    // than by a failing predicate — the decision is then deferred
-    def tryMatch(e: Int, pos: Int): Int = {
+    // than by a failing predicate or the WITHIN horizon — the decision
+    // is then deferred
+    def tryMatch(e: Int, pos: Int, lim: Int, horizonFinal: Boolean): Int = {
       if (e == elems.length) return pos
       val el = elems(e)
       var run = 0
-      while (run < el.hi && pos + run < n && ok(pos + run)(e)) run += 1
-      if (run < el.hi && pos + run == n) hitEnd = true
+      while (run < el.hi && pos + run < lim && ok(pos + run)(e)) run += 1
+      if (run < el.hi && pos + run == lim && lim == n && !horizonFinal)
+        hitEnd = true
       var k = run
       while (k >= el.lo) {
         var r = 0
         while (r < k) { assign(pos + r) = el.varIdx; r += 1 }
-        val end = tryMatch(e + 1, pos + k)
+        val end = tryMatch(e + 1, pos + k, lim, horizonFinal)
         if (end >= 0) return end
         k -= 1
       }
@@ -167,7 +188,13 @@ object PatternTracker {
     while (decided && p < n) {
       hitEnd = false
       java.util.Arrays.fill(assign, -1)
-      val end = tryMatch(0, p)
+      val lim = limitFor(p)
+      // all rows that could ever join a match at p are matured once the
+      // horizon closes below the watermark (future arrivals have
+      // ts >= wm >= horizon)
+      val horizonFinal =
+        withinMs > 0L && matured(p)._1 + withinMs <= wmMs
+      val end = tryMatch(0, p, lim, horizonFinal)
       if (hitEnd && !isFinal) {
         // boundary reached: neither this match nor this no-match is
         // final; everything from p on stays buffered

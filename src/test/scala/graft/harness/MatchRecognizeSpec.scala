@@ -365,7 +365,7 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(out === Seq(Seq(2L)))
   }
 
-  test("WITHIN requires a TIMESTAMP order column; streaming rejects it") {
+  test("WITHIN requires a TIMESTAMP order column in batch") {
     seq((1, 1, "a", 0))
     val e = intercept[IllegalArgumentException](run(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
@@ -374,14 +374,29 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PATTERN (A) WITHIN INTERVAL '1' MINUTE
         |  DEFINE A AS t = 'a')""".stripMargin))
     assert(e.getMessage.contains("TIMESTAMP"), s"message: ${e.getMessage}")
-    val s = intercept[IllegalArgumentException](
-      MatchRecognize.rewriteStreaming(spark,
-        """SELECT * FROM mr_in MATCH_RECOGNIZE (
-          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-          |  PATTERN (A B) WITHIN INTERVAL '1' MINUTE
-          |  DEFINE A AS t = 'a')""".stripMargin,
-        _ => Some(("o", "5 seconds"))))
-    assert(s.getMessage.contains("WITHIN"), s"message: ${s.getMessage}")
+  }
+
+  test("streaming WITHIN prunes matches on the event-time horizon") {
+    // Flink CEP's duration bound in streaming mode: a greedy B* run is
+    // cut at ts(first) + n, strict — identical to the batch matcher.
+    // Rows 0..9 at 1 s apart, A at v=0, B elsewhere, horizon 5 s: the
+    // match takes A plus the 4 rows strictly inside the bound.
+    import spark.implicits._
+    (0L to 9L).map(i => (1L, new java.sql.Timestamp(1000000000L + i * 1000L), i % 10))
+      .toDF("k", "ts", "v")
+      .createOrReplaceTempView("mr_within_s")
+    val rewritten = MatchRecognize.rewriteStreaming(spark,
+      """SELECT * FROM mr_within_s MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES COUNT(*) AS n, COUNT(B.*) AS nb
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B*) WITHIN INTERVAL '5' SECOND
+        |  DEFINE A AS v = 0, B AS v > 0)""".stripMargin,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val out = spark.sql(rewritten).collect().map(_.toSeq)
+      assert(out.toSeq === Seq(Seq(1L, 5L, 4L)))
+    } finally MatchRecognize.dropViews(spark, rewritten)
   }
 
   test("SKIP TO LAST resumes at that row, allowing chained matches") {

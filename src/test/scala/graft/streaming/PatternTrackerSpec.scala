@@ -156,6 +156,35 @@ class PatternTrackerSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("WITHIN closes greedy runs at the horizon without a breaker row") {
+    // A B* with every later row matching B: without WITHIN the greedy
+    // run keeps hitting the maturity boundary and stays pending until
+    // a non-B row arrives. With a 5 s horizon, the decision finalizes
+    // as soon as the watermark passes ts(A) + 5 s — no breaker needed.
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val events = input.toDF().toDF("key", "ts", "defs")
+      .selectExpr("*", "'' AS vals").as[PatternEvent]
+    val out = PatternTracker.track(events, "5 seconds",
+      Seq(PatternTracker.Elem(0, 1, 1),
+        PatternTracker.Elem(1, 0, Int.MaxValue)),
+      Seq((3, -1)), skipToNextRow = false, withinMs = 5000L)
+    val query = out.writeStream.format("memory")
+      .queryName("pt_within").outputMode("append").start()
+    try {
+      // A at 10 s, B at 11-13 s (all inside the horizon), no closer
+      input.addData(("k", ts(10), 1L), ("k", ts(11), 2L),
+        ("k", ts(12), 2L), ("k", ts(13), 2L))
+      query.processAllAvailable()
+      assert(spark.table("pt_within").count() === 0) // nothing matured
+      // another key's row pushes the watermark far past the horizon
+      input.addData(("other", ts(100), 0L))
+      query.processAllAvailable()
+      val rows = spark.table("pt_within").as[PatternMatch].collect()
+      assert(rows.toSeq === Seq(PatternMatch("k", List(4L), Nil)))
+    } finally query.stop()
+  }
+
   test("streaming matches equal batch matches on random sequences") {
     // the watermark-finality (hitEnd) discipline must make incremental
     // delivery invisible: chunked streaming output == one-shot batch
@@ -166,7 +195,10 @@ class PatternTrackerSpec extends AnyFunSuite {
       PatternTracker.Elem(1, 0, Int.MaxValue), PatternTracker.Elem(2, 1, 1))
     val measures = Seq((0, 0), (2, 1), (3, -1), (4, -1))
     val rnd = new scala.util.Random(42)
-    for (trial <- 1 to 4) {
+    for (trial <- 1 to 6) {
+      // trials 5-6 add a WITHIN horizon (3 row-gaps), exercising the
+      // horizon-finality path against the batch reference
+      val within = if (trial > 4) 30000L else 0L
       val rows = (1 to 30).map { i =>
         // bits: A=1, B=2, C=4; a row can satisfy several variables
         val defs = 1L << rnd.nextInt(3) | (if (rnd.nextBoolean()) 2L else 0L)
@@ -176,14 +208,14 @@ class PatternTrackerSpec extends AnyFunSuite {
       val batch = PatternTracker.track(
         rows.toDS().toDF("key", "ts", "defs")
         .selectExpr("*", "'' AS vals").as[PatternEvent],
-        "5 seconds", elems, measures, skipToNextRow = false)
+        "5 seconds", elems, measures, skipToNextRow = false, within)
         .collect().toSet
 
       val input = MemoryStream[(String, Timestamp, Long)]
       val out = PatternTracker.track(
         input.toDF().toDF("key", "ts", "defs")
       .selectExpr("*", "'' AS vals").as[PatternEvent],
-        "5 seconds", elems, measures, skipToNextRow = false)
+        "5 seconds", elems, measures, skipToNextRow = false, within)
       val name = s"pt_eq_$trial"
       val query = out.writeStream.format("memory")
         .queryName(name).outputMode("append").start()
