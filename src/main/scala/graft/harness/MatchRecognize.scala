@@ -490,18 +490,15 @@ object MatchRecognize {
         fail("streaming MATCH_RECOGNIZE must ORDER BY exactly the " +
           s"source's event-time column ($wmCol); got ${spec.orderBy.mkString(", ")}")
 
-      if (spec.pattern.size > 1)
-        fail("alternation/PERMUTE is not supported in streaming " +
-          "MATCH_RECOGNIZE (batch only)")
-      if (spec.skipToVar.isDefined)
-        fail("AFTER MATCH SKIP TO FIRST/LAST is not supported in " +
-          "streaming MATCH_RECOGNIZE (batch only)")
-      val branch = spec.pattern.head
-      val vars = branch.map(_.variable).distinct
+      val vars = spec.pattern.flatten.map(_.variable).distinct
       if (vars.size > 62) fail("too many pattern variables (max 62)")
       val varOf = vars.zipWithIndex.toMap
-      val elems = branch.map(e =>
-        PatternTracker.Elem(varOf(e.variable), e.lo, e.hi))
+      // alternation branches in preference order (leftmost wins) and
+      // SKIP TO FIRST/LAST both ride through to the tracker, which
+      // mirrors the batch matcher's semantics under watermark finality
+      val branches = spec.pattern.map(_.map(e =>
+        PatternTracker.Elem(varOf(e.variable), e.lo, e.hi)))
+      val skipTo = spec.skipToVar.map { case (f, v) => (f, varOf(v)) }
 
       val src = spark.table(table)
       // measure plan in PatternTracker kinds. Event-time FIRST/LAST ride
@@ -572,9 +569,9 @@ object MatchRecognize {
       // matching on the same strict ts(p)+n bound as the batch matcher,
       // and the horizon tightens finality (a start is decidable once
       // the watermark passes its horizon — no future arrival can join)
-      val tracked = PatternTracker.track(
-        prepared.as[PatternEvent], wmDelay, elems, measures,
-        spec.skipToNextRow, spec.withinMs.getOrElse(0L))
+      val tracked = PatternTracker.trackBranches(
+        prepared.as[PatternEvent], wmDelay, branches, measures,
+        spec.skipToNextRow, skipTo, spec.withinMs.getOrElse(0L))
 
       val keySchema = StructType(spec.partitionBy.map(p =>
         src.schema(src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(p)))).toArray)

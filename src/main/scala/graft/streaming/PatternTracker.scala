@@ -93,11 +93,28 @@ object PatternTracker {
       elems: Seq[Elem],
       measures: Seq[Measure],
       skipToNextRow: Boolean,
-      withinMs: Long = 0L): Dataset[PatternMatch] = {
+      withinMs: Long = 0L): Dataset[PatternMatch] =
+    trackBranches(input, watermarkDelay, Seq(elems), measures,
+      skipToNextRow, None, withinMs)
+
+  /** Full-surface variant: alternation branches in preference order
+    * (leftmost wins, as in the batch matcher) and AFTER MATCH SKIP TO
+    * FIRST/LAST var as `skipTo = Some((isFirst, varIdx))` — the
+    * standard's no-row / match-start error cases throw at runtime,
+    * failing the streaming query exactly like Flink's CEP operator.
+    */
+  def trackBranches(
+      input: Dataset[PatternEvent],
+      watermarkDelay: String,
+      branches: Seq[Seq[Elem]],
+      measures: Seq[Measure],
+      skipToNextRow: Boolean,
+      skipTo: Option[(Boolean, Int)],
+      withinMs: Long): Dataset[PatternMatch] = {
     implicit val outEnc = Encoders.product[PatternMatch]
     implicit val stateEnc = Encoders.product[PatternState]
     implicit val keyEnc = Encoders.STRING
-    val elemArr = elems.toArray
+    val branchArr = branches.map(_.toArray).toArray
     val measureArr = measures.toArray
     input
       .withWatermark("ts", watermarkDelay)
@@ -106,17 +123,18 @@ object PatternTracker {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[PatternEvent],
          state: GroupState[PatternState]) =>
-          update(key, rows, state, elemArr, measureArr, skipToNextRow,
-            withinMs))
+          update(key, rows, state, branchArr, measureArr, skipToNextRow,
+            skipTo, withinMs))
   }
 
   private def update(
       key: String,
       rows: Iterator[PatternEvent],
       state: GroupState[PatternState],
-      elems: Array[Elem],
+      branches: Array[Array[Elem]],
       measures: Array[Measure],
       skipToNextRow: Boolean,
+      skipTo: Option[(Boolean, Int)],
       withinMs: Long): Iterator[PatternMatch] = {
     val prev = state.getOption.getOrElse(PatternState(Nil, 0L))
     val incoming = rows.map(e => (e.ts.getTime, e.defs, e.vals)).toList
@@ -134,18 +152,10 @@ object PatternTracker {
     val matured = all.takeWhile(_._1 < wmMs).toArray
     val unmatured = all.drop(matured.length)
 
-    val ok = Array.ofDim[Boolean](matured.length, elems.length)
-    var i = 0
-    while (i < matured.length) {
-      var j = 0
-      while (j < elems.length) {
-        ok(i)(j) = ((matured(i)._2 >> elems(j).varIdx) & 1L) == 1L
-        j += 1
-      }
-      i += 1
-    }
-
     val n = matured.length
+    // a row satisfies variable v iff bit v of its defs mask is set
+    @inline def okAt(i: Int, v: Int): Boolean =
+      ((matured(i)._2 >> v) & 1L) == 1L
     var hitEnd = false
     val assign = Array.fill(n)(-1)
     // WITHIN horizon for a match starting at p: rows with
@@ -163,18 +173,20 @@ object PatternTracker {
     // any explored path is truncated by the maturity boundary rather
     // than by a failing predicate or the WITHIN horizon — the decision
     // is then deferred
-    def tryMatch(e: Int, pos: Int, lim: Int, horizonFinal: Boolean): Int = {
+    def tryBranch(elems: Array[Elem], e: Int, pos: Int, lim: Int,
+        horizonFinal: Boolean): Int = {
       if (e == elems.length) return pos
       val el = elems(e)
       var run = 0
-      while (run < el.hi && pos + run < lim && ok(pos + run)(e)) run += 1
+      while (run < el.hi && pos + run < lim && okAt(pos + run, el.varIdx))
+        run += 1
       if (run < el.hi && pos + run == lim && lim == n && !horizonFinal)
         hitEnd = true
       var k = run
       while (k >= el.lo) {
         var r = 0
         while (r < k) { assign(pos + r) = el.varIdx; r += 1 }
-        val end = tryMatch(e + 1, pos + k, lim, horizonFinal)
+        val end = tryBranch(elems, e + 1, pos + k, lim, horizonFinal)
         if (end >= 0) return end
         k -= 1
       }
@@ -187,14 +199,25 @@ object PatternTracker {
     var decided = true
     while (decided && p < n) {
       hitEnd = false
-      java.util.Arrays.fill(assign, -1)
       val lim = limitFor(p)
       // all rows that could ever join a match at p are matured once the
       // horizon closes below the watermark (future arrivals have
       // ts >= wm >= horizon)
       val horizonFinal =
         withinMs > 0L && matured(p)._1 + withinMs <= wmMs
-      val end = tryMatch(0, p, lim, horizonFinal)
+      // branches in preference order, exactly the batch matcher: the
+      // first branch with a NON-EMPTY match wins. A branch that latches
+      // hitEnd stops the scan — a deferred higher-preference branch may
+      // still beat any later branch once more input matures, so neither
+      // a later branch's match nor a no-match is final yet.
+      var end = -1
+      var b = 0
+      while (b < branches.length && end < 0 && !hitEnd) {
+        java.util.Arrays.fill(assign, -1)
+        val e2 = tryBranch(branches(b), 0, p, lim, horizonFinal)
+        if (e2 > p) end = e2
+        b += 1
+      }
       if (hitEnd && !isFinal) {
         // boundary reached: neither this match nor this no-match is
         // final; everything from p on stays buffered
@@ -236,7 +259,23 @@ object PatternTracker {
           }
         }.toList
         out += PatternMatch(key, vals, cvals.result())
-        p = if (skipToNextRow) p + 1 else end
+        p =
+          if (skipToNextRow) p + 1
+          else skipTo match {
+            case None => end
+            case Some((first, v)) =>
+              // SKIP TO FIRST/LAST <var>: resume AT that row; the
+              // standard's two error cases are data-dependent and throw
+              // at runtime, failing the query like Flink's CEP operator
+              val r = edgeRow(v, first)
+              if (r < 0) throw new IllegalArgumentException(
+                "MATCH_RECOGNIZE: AFTER MATCH SKIP TO variable matched " +
+                  "no row in this match")
+              if (r == p) throw new IllegalArgumentException(
+                "MATCH_RECOGNIZE: AFTER MATCH SKIP TO resumes at the " +
+                  "match start — infinite loop")
+              r
+          }
       } else {
         p += 1 // final no-match at p (failed on a predicate, not input end)
       }

@@ -274,15 +274,45 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(out.toSet === Set(Seq(1L, 2L, 1L), Seq(2L, 1L, 2L)))
   }
 
-  test("streaming MATCH_RECOGNIZE rejects alternation with the contract") {
-    seq((1, 1, "x", 1))
-    val e = intercept[IllegalArgumentException](
-      MatchRecognize.rewriteStreaming(spark,
-        """SELECT * FROM mr_in MATCH_RECOGNIZE (
-          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-          |  PATTERN (A | B) DEFINE A AS t = 'x')""".stripMargin,
-        _ => Some(("o", "5 seconds"))))
-    assert(e.getMessage.contains("alternation"), s"message: ${e.getMessage}")
+  test("streaming alternation and SKIP TO match the batch matcher") {
+    // cross-implementation equivalence: the streaming tracker (batch
+    // mode — bounded input, identical code path) must reproduce the
+    // batch NFA's output for alternation preference and SKIP TO LAST
+    // chaining on the same data
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 60).map { i =>
+      (1L + i % 3, i.toLong, Seq("a", "b", "c")(rnd.nextInt(3)), (i % 7).toLong)
+    }
+    rows.toDF("k", "o", "t", "v").createOrReplaceTempView("mr_alt_eq")
+    val queries = Seq(
+      // alternation: leftmost branch preferred
+      """SELECT * FROM mr_alt_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, COUNT(C.*) AS ncc,
+        |    MATCH_NUMBER() AS mn
+        |  PATTERN (A B | C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin,
+      // SKIP TO LAST chaining over adjacent pairs
+      """SELECT * FROM mr_alt_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(*) AS n, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP TO LAST B
+        |  PATTERN (A B)
+        |  DEFINE A AS v >= 0, B AS v >= 0)""".stripMargin)
+    for (q <- queries) {
+      val batchSql = MatchRecognize.rewrite(spark, q)
+      val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+        _ => Some(("o", "5 seconds")))
+      try {
+        val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+        val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+        assert(streamed === batch, s"query:\n$q")
+      } finally {
+        MatchRecognize.dropViews(spark, batchSql)
+        MatchRecognize.dropViews(spark, streamSql)
+      }
+    }
   }
 
   test("PREV() in DEFINE navigates the physical previous row") {

@@ -238,6 +238,49 @@ class PatternTrackerSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked alternation equals batch on random sequences") {
+    // alternation + hitEnd interplay: a deferred higher-preference
+    // branch must keep later branches from deciding early, and the
+    // final chunked output must equal the one-shot batch output
+    implicit val sc = spark.sqlContext
+    val branches = Seq(
+      Seq(PatternTracker.Elem(0, 1, 1), PatternTracker.Elem(1, 1, Int.MaxValue)),
+      Seq(PatternTracker.Elem(2, 1, 1))) // (A B+ | C)
+    val measures = Seq((3, -1), (2, 1), (4, -1))
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 30).map { i =>
+        val defs = 1L << rnd.nextInt(3) | (if (rnd.nextBoolean()) 2L else 0L)
+        (s"k${i % 2}", ts(10L + i * 10L), defs)
+      }
+      val batch = PatternTracker.trackBranches(
+        rows.toDS().toDF("key", "ts", "defs")
+          .selectExpr("*", "'' AS vals").as[PatternEvent],
+        "5 seconds", branches, measures, skipToNextRow = false, None, 0L)
+        .collect().toSet
+      val input = MemoryStream[(String, Timestamp, Long)]
+      val out = PatternTracker.trackBranches(
+        input.toDF().toDF("key", "ts", "defs")
+          .selectExpr("*", "'' AS vals").as[PatternEvent],
+        "5 seconds", branches, measures, skipToNextRow = false, None, 0L)
+      val name = s"pt_alt_$trial"
+      val query = out.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        rows.grouped(5).foreach { chunk =>
+          input.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+        input.addData(("k0", ts(500000L), 0L), ("k1", ts(500000L), 0L))
+        query.processAllAvailable()
+        input.addData(("k0", ts(900000L), 0L))
+        query.processAllAvailable()
+        val streamed = spark.table(name).as[PatternMatch].collect().toSet
+        assert(streamed === batch, s"trial $trial")
+      } finally query.stop()
+    }
+  }
+
   test("e2e: streaming MATCH_RECOGNIZE script over a datagen source") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mr-stream")
     val script = java.nio.file.Files.createTempFile("mr-stream", ".sql")
