@@ -515,22 +515,33 @@ object Dedup {
          |GROUP BY s.doc_id""".stripMargin
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    // persisted: spans feeds both sides of the frequency join, and the
-    // explode + hashing is the heaviest stage (runners clear the cache
-    // between queries, same contract as extDedupCluster's canon)
-    val spans = Tables.load(s, dir, "documents")
-      .selectExpr("doc_id",
+    // fingerprint-first (exact): a text's span set is a function of the
+    // text alone, and a span's doc frequency is the multiplicity sum of
+    // the distinct texts carrying it — so hashing, the frequency join,
+    // and the per-doc rollup all run once per DISTINCT text, and
+    // doc_ids join back on the fingerprint. The checkpoint is lazy:
+    // spans feeds both sides of the frequency join, and the explode +
+    // hashing is the heaviest stage.
+    val raw = Tables.load(s, dir, "documents")
+    val ids = raw.select(col("doc_id"), xxhash64(col("text")).as("fp"))
+    val spans = raw
+      .groupBy(xxhash64(col("text")).as("fp"))
+      .agg(count(lit(1)).as("m"), min(col("text")).as("text"))
+      .selectExpr("fp", "m",
         s"explode(array_distinct(${shingleHashesSpark("split(text, ' ')", 8)})) AS span")
-      .persist()
-    // spans are distinct within a doc, so the span frequency IS the
-    // number of documents carrying it
-    val freq = spans.groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
-    spans.join(freq, "span")
-      .groupBy(col("doc_id"))
+      .localCheckpoint(false)
+    // spans are distinct within a text, so the weighted span frequency
+    // IS the number of documents carrying it
+    val freq = spans.groupBy(col("span")).agg(sum(col("m")).as("n_docs"))
+    val perFp = spans.join(freq, "span")
+      .groupBy(col("fp"))
       .agg(count(lit(1)).as("total_spans"),
         sum(when(col("n_docs") > 1L, 1L).otherwise(0L)).as("shared_spans"))
       .withColumn("shared_mils", expr(
         "CAST(FLOOR(shared_spans * 1000.0D / total_spans + 0.5D) AS BIGINT)"))
+    ids.join(perFp, "fp")
+      .select(col("doc_id"), col("total_spans"), col("shared_spans"),
+        col("shared_mils"))
   }
 
   def all: Seq[Q] = Seq(
