@@ -405,6 +405,18 @@ object MatchRecognize {
       spark.catalog.dropTempView(v): Unit
     }
 
+  /** Rewrites and runs ONE batch statement, dropping the rewrite's temp
+    * views immediately (safe: `spark.sql` resolves the view into the
+    * returned frame's plan at analysis). Library operators use this;
+    * the CLI harness defers the drop to statement end instead.
+    */
+  def sql(spark: SparkSession, flinkSql: String): DataFrame = {
+    val rewritten = rewrite(spark, flinkSql)
+    val df = spark.sql(rewritten)
+    dropViews(spark, rewritten)
+    df
+  }
+
   /** Replaces every `<table> MATCH_RECOGNIZE (...)` region with a temp
     * view holding the recognized matches; the surrounding statement
     * (outer SELECT list, WHERE, trailing alias) is untouched. Throws on

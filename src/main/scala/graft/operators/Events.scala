@@ -613,7 +613,7 @@ object Events {
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
       .createOrReplaceTempView("graft_mr_events")
-    s.sql(graft.harness.MatchRecognize.rewrite(s,
+    graft.harness.MatchRecognize.sql(s,
       """SELECT user_id, start_sec, end_sec, n_clicks, mn
         |FROM graft_mr_events
         |MATCH_RECOGNIZE (
@@ -631,7 +631,7 @@ object Events {
         |    V AS event_type = 'view',
         |    C AS event_type = 'click',
         |    P AS event_type = 'purchase'
-        |)""".stripMargin))
+        |)""".stripMargin)
   }
 
   /** MATCH_RECOGNIZE with PREV() navigation: maximal ascending-value
@@ -674,7 +674,7 @@ object Events {
         unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
         floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
       .createOrReplaceTempView("graft_mr_events_prev")
-    s.sql(graft.harness.MatchRecognize.rewrite(s,
+    graft.harness.MatchRecognize.sql(s,
       """SELECT user_id, start_vm, end_vm, run_len, mn
         |FROM graft_mr_events_prev
         |MATCH_RECOGNIZE (
@@ -689,7 +689,7 @@ object Events {
         |  AFTER MATCH SKIP PAST LAST ROW
         |  PATTERN (S R+)
         |  DEFINE R AS vm > PREV(vm)
-        |)""".stripMargin))
+        |)""".stripMargin)
   }
 
   /** `ALL ROWS PER MATCH` over the same ascending-run pattern as q65:
@@ -732,7 +732,7 @@ object Events {
         unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
         floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
       .createOrReplaceTempView("graft_mr_events_all")
-    s.sql(graft.harness.MatchRecognize.rewrite(s,
+    graft.harness.MatchRecognize.sql(s,
       """SELECT user_id, event_id, vm, r_so_far, mn
         |FROM graft_mr_events_all
         |MATCH_RECOGNIZE (
@@ -742,7 +742,7 @@ object Events {
         |  ALL ROWS PER MATCH
         |  PATTERN (S R+)
         |  DEFINE R AS vm > PREV(vm)
-        |)""".stripMargin))
+        |)""".stripMargin)
   }
 
   /** MATCH_RECOGNIZE alternation: `(V C+ P | V P)` — view-clicks-
@@ -779,7 +779,7 @@ object Events {
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
       .createOrReplaceTempView("graft_mr_events_alt")
-    s.sql(graft.harness.MatchRecognize.rewrite(s,
+    graft.harness.MatchRecognize.sql(s,
       """SELECT user_id, start_sec, end_sec, n_clicks, mn
         |FROM graft_mr_events_alt
         |MATCH_RECOGNIZE (
@@ -797,7 +797,7 @@ object Events {
         |    V AS event_type = 'view',
         |    C AS event_type = 'click',
         |    P AS event_type = 'purchase'
-        |)""".stripMargin))
+        |)""".stripMargin)
   }
 
   /** MATCH_RECOGNIZE with Flink's `WITHIN` duration bound: view → any
@@ -833,7 +833,7 @@ object Events {
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("timestamp_millis(unix_millis(ts))").as("ts_m"))
       .createOrReplaceTempView("graft_mr_events_win")
-    s.sql(graft.harness.MatchRecognize.rewrite(s,
+    graft.harness.MatchRecognize.sql(s,
       """SELECT user_id, unix_millis(start_t) AS start_ms,
         |  unix_millis(end_t) AS end_ms, n_clicks, mn
         |FROM graft_mr_events_win
@@ -852,7 +852,7 @@ object Events {
         |    V AS event_type = 'view',
         |    C AS event_type = 'click',
         |    P AS event_type = 'purchase'
-        |)""".stripMargin))
+        |)""".stripMargin)
   }
 
   /** `AFTER MATCH SKIP TO LAST B` chaining under the oracle: pattern
@@ -880,7 +880,7 @@ object Events {
         unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
         floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
       .createOrReplaceTempView("graft_mr_events_chain")
-    s.sql(graft.harness.MatchRecognize.rewrite(s,
+    graft.harness.MatchRecognize.sql(s,
       """SELECT user_id, a_vm, b_vm
         |FROM graft_mr_events_chain
         |MATCH_RECOGNIZE (
@@ -891,7 +891,7 @@ object Events {
         |  AFTER MATCH SKIP TO LAST B
         |  PATTERN (A B)
         |  DEFINE B AS vm > PREV(vm)
-        |)""".stripMargin))
+        |)""".stripMargin)
   }
 
   def all: Seq[Q] = Seq(
