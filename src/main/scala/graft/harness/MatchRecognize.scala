@@ -426,26 +426,36 @@ object MatchRecognize {
   def rewrite(spark: SparkSession, sql: String): String = {
     var out = sql
     var guard = 0
-    while (hasMatchRecognize(out)) {
-      guard += 1
-      if (guard > 8) fail("too many MATCH_RECOGNIZE clauses in one statement")
-      val m = MarkerRe.findFirstMatchIn(out).get
-      val open = out.indexOf('(', m.start)
-      val end = closeParen(out, open)
-      val before = out.substring(0, m.start)
-      val tm = TableBeforeRe.findFirstMatchIn(before)
-        .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` — " +
-          "subquery sources are not supported"))
-      val table = tm.group(1)
-      if (table.equalsIgnoreCase("FROM"))
-        fail("expected a table name before MATCH_RECOGNIZE")
-      val spec = parseSpec(out.substring(open + 1, end - 1))
-      val result = execute(spark.table(table), spec)
-      val view = s"graft_mr_${viewCounter.incrementAndGet()}"
-      result.createOrReplaceTempView(view)
-      out = before.substring(0, tm.start) + view + " " + out.substring(end)
+    val created = ArrayBuffer.empty[String]
+    try {
+      while (hasMatchRecognize(out)) {
+        guard += 1
+        if (guard > 8) fail("too many MATCH_RECOGNIZE clauses in one statement")
+        val m = MarkerRe.findFirstMatchIn(out).get
+        val open = out.indexOf('(', m.start)
+        val end = closeParen(out, open)
+        val before = out.substring(0, m.start)
+        val tm = TableBeforeRe.findFirstMatchIn(before)
+          .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` — " +
+            "subquery sources are not supported"))
+        val table = tm.group(1)
+        if (table.equalsIgnoreCase("FROM"))
+          fail("expected a table name before MATCH_RECOGNIZE")
+        val spec = parseSpec(out.substring(open + 1, end - 1))
+        val result = execute(spark.table(table), spec)
+        val view = s"graft_mr_${viewCounter.incrementAndGet()}"
+        result.createOrReplaceTempView(view)
+        created += view
+        out = before.substring(0, tm.start) + view + " " + out.substring(end)
+      }
+      out
+    } catch {
+      // a failure on the SECOND region of a statement must not orphan
+      // the first region's already-created view
+      case e: Throwable =>
+        created.foreach(v => spark.catalog.dropTempView(v): Unit)
+        throw e
     }
-    out
   }
 
   // --------------------------------------------------- streaming rewrite
@@ -474,6 +484,8 @@ object MatchRecognize {
     import org.apache.spark.sql.functions.{expr => sexpr, lit, struct, to_json, from_json, when, col => scol}
     var out = sql
     var guard = 0
+    val created = ArrayBuffer.empty[String]
+    try {
     while (hasMatchRecognize(out)) {
       guard += 1
       if (guard > 8) fail("too many MATCH_RECOGNIZE clauses in one statement")
@@ -513,6 +525,13 @@ object MatchRecognize {
       val skipTo = spec.skipToVar.map { case (f, v) => (f, varOf(v)) }
 
       val src = spark.table(table)
+      // case-insensitive column resolution with the contract's failure
+      // mode, shared by every schema lookup below
+      def fieldIdx(c: String): Int = {
+        val i = src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+        if (i < 0) fail(s"column $c not found in $table")
+        i
+      }
       // measure plan in PatternTracker kinds. Event-time FIRST/LAST ride
       // the state's time slot (kinds 0/1); any other column rides a
       // per-row JSON payload (kinds 5/6), type-gated to types whose
@@ -521,8 +540,7 @@ object MatchRecognize {
       // round-trip, so those throw the contract instead
       val colMeasureCols = scala.collection.mutable.LinkedHashSet.empty[String]
       def gatedMeasureCol(c: String): String = {
-        val idx = src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
-        if (idx < 0) fail(s"column $c not found in $table")
+        val idx = fieldIdx(c)
         import org.apache.spark.sql.types._
         src.schema(idx).dataType match {
           case StringType | LongType | IntegerType | ShortType | ByteType
@@ -549,8 +567,7 @@ object MatchRecognize {
       // bit-identically are admitted — timestamp/decimal/float keys
       // could lose precision or formatting fidelity on the way back
       spec.partitionBy.foreach { p =>
-        val idx = src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(p))
-        if (idx < 0) fail(s"column $p not found in $table")
+        val idx = fieldIdx(p)
         import org.apache.spark.sql.types._
         src.schema(idx).dataType match {
           case StringType | LongType | IntegerType | ShortType | ByteType
@@ -585,12 +602,12 @@ object MatchRecognize {
         prepared.as[PatternEvent], wmDelay, branches, measures,
         spec.skipToNextRow, skipTo, spec.withinMs.getOrElse(0L))
 
-      val keySchema = StructType(spec.partitionBy.map(p =>
-        src.schema(src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(p)))).toArray)
+      val keySchema = StructType(
+        spec.partitionBy.map(p => src.schema(fieldIdx(p))).toArray)
       val keyCols = spec.partitionBy.map(p =>
         from_json(scol("key"), keySchema).getField(p).as(p))
-      val valsSchema = StructType(colMeasureCols.toSeq.map(c =>
-        src.schema(src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c)))).toArray)
+      val valsSchema = StructType(
+        colMeasureCols.toSeq.map(c => src.schema(fieldIdx(c))).toArray)
       var ci = -1
       val measureCols = spec.measures.zipWithIndex.map { case (ms, i) =>
         val v = scol("values").getItem(i)
@@ -602,19 +619,25 @@ object MatchRecognize {
             // column measure: decode the matched row's JSON payload; a
             // null payload (variable matched no row) decodes to NULL
             ci += 1
-            val actual = src.schema(
-              src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))).name
             from_json(scol("cvals").getItem(ci), valsSchema)
-              .getField(actual).as(alias)
+              .getField(src.schema(fieldIdx(c)).name).as(alias)
           case other => v.as(other.alias)
         }
       }
       val result = tracked.select(keyCols ++ measureCols: _*)
       val view = s"graft_mr_${viewCounter.incrementAndGet()}"
       result.createOrReplaceTempView(view)
+      created += view
       out = before.substring(0, tm.start) + view + " " + out.substring(end)
     }
     out
+    } catch {
+      // mirror rewrite(): never orphan an earlier region's view when a
+      // later region fails the contract
+      case e: Throwable =>
+        created.foreach(v => spark.catalog.dropTempView(v): Unit)
+        throw e
+    }
   }
 
   // ------------------------------------------------------------- execute
@@ -828,7 +851,11 @@ object MatchRecognize {
               val pe = at(pAbs)
               if (pe.tsNull) return pAbs // a null-time row starts nothing
               var r = pAbs
-              while (ensure(r) && !at(r).tsNull && at(r).tsMs - pe.tsMs < withinMs)
+              // a bounded pattern under a wide WITHIN caps at its
+              // quantifier-sum too — don't buffer a day's rows for a
+              // five-row pattern
+              while (r - pAbs < maxSpan && ensure(r) && !at(r).tsNull &&
+                  at(r).tsMs - pe.tsMs < withinMs)
                 r += 1
               r
             } else if (maxSpan < Long.MaxValue) {
@@ -884,6 +911,20 @@ object MatchRecognize {
             -1
           }
 
+          /** First/last row in [pAbs, upTo] assigned to variable v, or
+            * -1 when the variable matched no row in that span. */
+          private def edgeRow(v: Int, pAbs: Int, upTo: Int,
+              first: Boolean): Int = {
+            var r = if (first) pAbs else upTo
+            val step = if (first) 1 else -1
+            var left = upTo - pAbs + 1
+            while (left > 0) {
+              if (assign(r - pAbs) == v) return r
+              r += step; left -= 1
+            }
+            -1
+          }
+
           // measure value over rows [pAbs, upTo]; ONE ROW uses the full
           // match extent, ALL ROWS the RUNNING prefix ending at the
           // emitted row (SQL:2016 running semantics — FIRST/LAST and
@@ -892,20 +933,12 @@ object MatchRecognize {
             val (kind, v, c) = measurePlan(mi)
             kind match {
               case 0 | 1 =>
-                // found-ness tracked separately from the value: the
-                // FIRST/LAST row's column may legitimately be SQL
-                // NULL, which must come back as NULL — not be
-                // skipped in favor of another row's value
-                var found = false
-                var value: Any = null
-                var r = if (kind == 0) pAbs else upTo
-                val step = if (kind == 0) 1 else -1
-                var left = upTo - pAbs + 1
-                while (left > 0 && !found) {
-                  if (assign(r - pAbs) == v) { found = true; value = at(r).row.get(c) }
-                  r += step; left -= 1
-                }
-                value
+                // found-ness tracked via the row index, not the value:
+                // the FIRST/LAST row's column may legitimately be SQL
+                // NULL, which must come back as NULL — not be skipped
+                // in favor of another row's value
+                val r = edgeRow(v, pAbs, upTo, first = kind == 0)
+                if (r < 0) null else at(r).row.get(c)
               case 2 =>
                 var cnt = 0L
                 var r = pAbs
@@ -959,14 +992,7 @@ object MatchRecognize {
                     // may start the next match). The standard's two
                     // error cases are data-dependent, so they throw at
                     // runtime exactly like Flink's CEP operator.
-                    var r = if (skipFirst) p else end - 1
-                    val step = if (skipFirst) 1 else -1
-                    var found = -1
-                    var left = end - p
-                    while (left > 0 && found < 0) {
-                      if (assign(r - p) == skipVarIdx) found = r
-                      r += step; left -= 1
-                    }
+                    val found = edgeRow(skipVarIdx, p, end - 1, skipFirst)
                     if (found < 0) throw new IllegalArgumentException(
                       "MATCH_RECOGNIZE: AFTER MATCH SKIP TO variable " +
                         "matched no row in this match")

@@ -114,8 +114,14 @@ final class SqlSubmitAction(
           case _ =>
             // CTAS / CREATE VIEW AS and friends can embed temporal
             // joins or window TVFs in their query bodies — the dialect
-            // rewrite is a no-op unless those markers are present
-            spark.sql(rewriteFlinkDialect(spark, config, st.sql))
+            // rewrite is a no-op unless those markers are present.
+            // Rewrite views drop right after: CTAS materializes
+            // eagerly, a temp view stores the ANALYZED plan (Spark
+            // >= 3.2), and a permanent view referencing a temp view
+            // fails at creation regardless
+            val rewritten = rewriteFlinkDialect(spark, config, st.sql)
+            try spark.sql(rewritten)
+            finally MatchRecognize.dropViews(spark, rewritten)
         }
       } catch {
         case e: Exception =>

@@ -212,7 +212,10 @@ object PatternTracker {
       // a later branch's match nor a no-match is final yet.
       var end = -1
       var b = 0
-      while (b < branches.length && end < 0 && !hitEnd) {
+      // the hitEnd abort only applies when decisions can defer: in
+      // final mode every branch must be tried (the batch matcher does),
+      // or a boundary-touching higher branch would skip real matches
+      while (b < branches.length && end < 0 && !(hitEnd && !isFinal)) {
         java.util.Arrays.fill(assign, -1)
         val e2 = tryBranch(branches(b), 0, p, lim, horizonFinal)
         if (e2 > p) end = e2

@@ -315,6 +315,34 @@ class MatchRecognizeSpec extends AnyFunSuite {
     }
   }
 
+  test("final-mode alternation tries every branch past a boundary touch") {
+    // regression: a trailing row satisfying BOTH the first branch's
+    // head and the fallback branch — (A B) probes B at input end and
+    // latches hitEnd; in final (bounded) mode the scan must still try
+    // C and emit its match, exactly like the batch NFA
+    import spark.implicits._
+    Seq((1L, 1L, "x", 5L)).toDF("k", "o", "t", "v")
+      .createOrReplaceTempView("mr_alt_final")
+    val q =
+      """SELECT * FROM mr_alt_final MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(C.*) AS ncc
+        |  PATTERN (A B | C)
+        |  DEFINE A AS v > 0, B AS t = 'b', C AS v > 0)""".stripMargin
+    val batchSql = MatchRecognize.rewrite(spark, q)
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("o", "5 seconds")))
+    try {
+      val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(batch === Set(Seq(1L, 0L, 1L)))
+      assert(streamed === batch)
+    } finally {
+      MatchRecognize.dropViews(spark, batchSql)
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
   test("PREV() in DEFINE navigates the physical previous row") {
     // ascending runs: v rises at o=2,3 (run 1) and o=5 (run 2); the
     // partition's first row can never be R (PREV is NULL there)

@@ -250,7 +250,10 @@ class PatternTrackerSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 3) {
       val rows = (1 to 30).map { i =>
-        val defs = 1L << rnd.nextInt(3) | (if (rnd.nextBoolean()) 2L else 0L)
+        // any PAIR of variable bits can co-occur — in particular A and
+        // C together, the case where a boundary-deferred (A B+) branch
+        // interacts with the fallback C branch
+        val defs = (1L << rnd.nextInt(3)) | (1L << rnd.nextInt(3))
         (s"k${i % 2}", ts(10L + i * 10L), defs)
       }
       val batch = PatternTracker.trackBranches(
