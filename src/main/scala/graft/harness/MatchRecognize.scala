@@ -390,7 +390,9 @@ object MatchRecognize {
 
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger()
 
-  private val MrViewRe = raw"\bgraft_mr_\d+\b".r
+  // also matches the window-TVF rewrite's graft_tvf_N views, so one
+  // cleanup pass covers every dialect-rewrite temp view
+  private val MrViewRe = raw"\bgraft_(?:mr|tvf)_\d+\b".r
 
   /** Drops the temp views a [[rewrite]]/[[rewriteStreaming]] call left
     * behind, given the rewritten statement text. Call after the

@@ -407,9 +407,15 @@ final class SqlSubmitAction(
     * aggregate over batch-derived window columns would keep unbounded
     * state, where Flink's TVF windows expire.
     */
-  private def rewriteWindowTvfs(config: EngineConfig, sql: String): String =
+  private def rewriteWindowTvfs(
+      spark: SparkSession, config: EngineConfig, sql: String): String =
     if (!WindowTvf.hasWindowTvf(sql)) sql
-    else if (config.isStreaming) WindowTvf.rewriteStreaming(sql)
+    else if (config.isStreaming)
+      // the session + watermark resolver feed the CUMULATE stateful
+      // rewrite; the native TUMBLE/HOP/SESSION paths ignore them
+      WindowTvf.rewriteStreaming(sql, spark, t =>
+        sources.keys.find(_.equalsIgnoreCase(t)).map(sources)
+          .flatMap(_.watermark).map(w => (w.column, w.delay)))
     else WindowTvf.rewrite(sql)
 
   /** All Flink-dialect SQL rewrites, in one place. MATCH_RECOGNIZE
@@ -430,7 +436,7 @@ final class SqlSubmitAction(
           sources.keys.find(_.equalsIgnoreCase(t)).map(sources)
             .flatMap(_.watermark).map(w => (w.column, w.delay)))
       else MatchRecognize.rewrite(spark, sql)
-    rewriteWindowTvfs(config, rewriteTemporalJoins(config, mr))
+    rewriteWindowTvfs(spark, config, rewriteTemporalJoins(config, mr))
   }
 
   private def executeSelect(

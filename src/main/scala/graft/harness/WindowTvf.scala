@@ -272,14 +272,20 @@ object WindowTvf {
     *
     * Contract limits, each rejected explicitly: one TVF per statement;
     * the statement must be a single windowed aggregation (exactly one
-    * GROUP BY, containing a window column); CUMULATE has no native
-    * streaming equivalent (use HOP, or batch mode); legacy group
-    * windows stay batch-only. Session semantics note: Spark merges
-    * sessions that OVERLAP, Flink also merges sessions that merely
-    * touch — events exactly `gap` apart split here where Flink merges
-    * (the batch rewrite keeps Flink's exact boundary).
+    * GROUP BY, containing a window column); legacy group windows stay
+    * batch-only. CUMULATE has no native Spark streaming window —
+    * with a SparkSession available it compiles onto
+    * [[graft.streaming.CumulateTracker]] (per-(key, span) step
+    * accumulators, windows emitted as the watermark passes each step
+    * end); without one it is rejected. Session semantics note: Spark
+    * merges sessions that OVERLAP, Flink also merges sessions that
+    * merely touch — events exactly `gap` apart split here where Flink
+    * merges (the batch rewrite keeps Flink's exact boundary).
     */
-  def rewriteStreaming(rawSql: String): String = {
+  def rewriteStreaming(
+      rawSql: String,
+      spark: org.apache.spark.sql.SparkSession = null,
+      watermarkOf: String => Option[(String, String)] = _ => None): String = {
     if (!hasWindowTvf(rawSql)) return rawSql
     // legacy group windows (TUMBLE included: the batch scalar rewrite
     // would hide the time attribute from watermark tracking) escalate
@@ -315,12 +321,12 @@ object WindowTvf {
         s"session_window(${m.group(3)}, '$gap milliseconds')",
         "session_window", pkeys)
     }).getOrElse {
-      if (CumulateRe.findFirstIn(sql).isDefined)
-        throw new IllegalArgumentException(
-          "CUMULATE windows have no native streaming equivalent; use " +
-            "HOP, or batch runtime mode")
-      throw new IllegalArgumentException(
-        "Unsupported window TVF form for streaming mode")
+      CumulateRe.findFirstMatchIn(sql) match {
+        case Some(cm) =>
+          return rewriteStreamingCumulate(sql, cm, spark, watermarkOf)
+        case None => throw new IllegalArgumentException(
+          "Unsupported window TVF form for streaming mode")
+      }
     }
     def fieldRef(name: String): String = name match {
       case "window_start" => s"${win.struct}.start"
@@ -395,6 +401,167 @@ object WindowTvf {
       out.substring(fromIdx, gb.end) + " " + newKeys +
       (if (keysEnd < out.length) " " + replTokensIn(out.substring(keysEnd))
        else "")
+  }
+
+  private val tvfViewCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** STREAMING `CUMULATE(step, size)`: compiled onto
+    * [[graft.streaming.CumulateTracker]] — Spark has no native growing
+    * window, so per-(key, span) step accumulators live in
+    * flatMapGroupsWithState and each window `[span, span + k*step)`
+    * emits once the watermark passes its end (append mode, state drops
+    * with the span). Contract, each violation rejected explicitly: the
+    * statement is exactly `SELECT <items> FROM TABLE(CUMULATE(...))
+    * GROUP BY <keys>` (no WHERE / HAVING / ORDER BY — pre-filter with
+    * a view, post-filter downstream); group keys are bare columns plus
+    * window_start/window_end; select items are group keys, window
+    * accessors, or `COUNT(*|col) / SUM / MIN / MAX / AVG(numeric
+    * input) AS alias` (integral results widen to BIGINT; DISTINCT is
+    * not supported). The DESCRIPTOR column must be the source's
+    * declared event-time column.
+    */
+  private def rewriteStreamingCumulate(
+      sql: String, m: scala.util.matching.Regex.Match,
+      spark: org.apache.spark.sql.SparkSession,
+      watermarkOf: String => Option[(String, String)]): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"streaming CUMULATE: $msg")
+    if (spark == null)
+      fail("no SparkSession available for the stateful rewrite; use HOP " +
+        "or batch runtime mode")
+    val table = m.group(1)
+    val tcol = m.group(2)
+    val stepMs = millis(m, 3, "STEP")
+    val sizeMs = millis(m, 6, "SIZE")
+    if (sizeMs % stepMs != 0 || stepMs <= 0)
+      fail(s"size ($sizeMs ms) must be a multiple of its step ($stepMs ms)")
+    val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
+      s"needs a WATERMARK declaration on $table"))
+    if (!tcol.equalsIgnoreCase(wmCol))
+      fail(s"DESCRIPTOR column $tcol must be the declared event-time " +
+        s"column $wmCol")
+    val out = sql.substring(0, m.start) + table + sql.substring(m.end)
+    val gbs = raw"(?is)\bGROUP\s+BY\b".r.findAllMatchIn(out).toList
+    if (gbs.size != 1)
+      fail("must be a single windowed aggregation (exactly one GROUP BY)")
+    val gb = gbs.head
+    val (keysText, keysEnd) = scanListClause(out, gb.end)
+    if (out.substring(keysEnd).trim.nonEmpty)
+      fail("HAVING/ORDER BY after the aggregation is not supported; " +
+        "filter or sort the result downstream")
+    val winColsSet = Set("window_start", "window_end", "window_time")
+    val keys = splitTopLevel(keysText).map(_.trim).filter(_.nonEmpty)
+    val kept = keys.filterNot(k => winColsSet(k.toLowerCase))
+    if (kept.size == keys.size)
+      fail("must group by window_start/window_end")
+    kept.foreach(k => if (raw"^[A-Za-z_]\w*$$".r.findFirstIn(k).isEmpty)
+      fail(s"group key must be a bare column: $k"))
+    val selIdx = raw"(?is)\bSELECT\b".r.findFirstMatchIn(out).map(_.end)
+      .getOrElse(fail("no SELECT"))
+    val fromIdx = findTopLevel(out, selIdx, "FROM")
+      .getOrElse(fail("no top-level FROM"))
+    val between = out.substring(fromIdx, gb.start).trim
+    if (!between.equalsIgnoreCase(s"FROM $table"))
+      fail("WHERE/JOIN between FROM and GROUP BY is not supported; " +
+        "pre-filter with a view, or use batch runtime mode")
+
+    val src = spark.table(table)
+    def colIdx(c: String): Int = {
+      val i = src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (i < 0) fail(s"column $c not found in $table")
+      i
+    }
+    val AggRe =
+      raw"(?is)^(COUNT|SUM|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+([A-Za-z_]\w*)$$".r
+    sealed trait Item
+    final case class WinItem(which: String) extends Item
+    final case class KeyItem(name: String) extends Item
+    final case class AggItem(fn: String, input: String, alias: String)
+        extends Item
+    val items: Seq[Item] =
+      splitTopLevel(out.substring(selIdx, fromIdx))
+        .map(_.trim).filter(_.nonEmpty).map {
+      case it if winColsSet(it.toLowerCase) => WinItem(it.toLowerCase)
+      case it if kept.exists(_.equalsIgnoreCase(it)) => KeyItem(it)
+      case AggRe(fn, in, alias) =>
+        if (raw"(?i)\bDISTINCT\b".r.findFirstIn(in).isDefined)
+          fail("DISTINCT aggregates are not supported")
+        AggItem(fn.toUpperCase, in.trim, alias)
+      case other => fail("unsupported select item (want a group key, " +
+        s"window_start/window_end/window_time, or AGG(expr) AS alias): $other")
+    }
+    val aggs = items.collect { case a: AggItem => a }
+    // (item, tracker kind, result type, input expression)
+    val plans: Seq[(AggItem, Int, DataType, String)] = aggs.map { a =>
+      if (a.fn == "COUNT") {
+        (a, 0, LongType, if (a.input == "*") "1" else a.input)
+      } else {
+        val dt =
+          try src.selectExpr(a.input).schema.head.dataType
+          catch { case e: Exception =>
+            fail(s"cannot resolve aggregate input ${a.input}: ${e.getMessage}")
+          }
+        val integral = dt match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case FloatType | DoubleType => false
+          case other => fail(s"${a.fn}(${a.input}): unsupported input " +
+            s"type ${other.simpleString} (numeric only)")
+        }
+        a.fn match {
+          case "SUM" =>
+            (a, if (integral) 1 else 2,
+              if (integral) LongType else DoubleType, a.input)
+          case "MIN" =>
+            (a, if (integral) 3 else 4,
+              if (integral) LongType else DoubleType, a.input)
+          case "MAX" =>
+            (a, if (integral) 5 else 6,
+              if (integral) LongType else DoubleType, a.input)
+          case _ => (a, if (integral) 8 else 7, DoubleType, a.input)
+        }
+      }
+    }
+    val keyStruct = StructType(kept.map(k => src.schema(colIdx(k))).toArray)
+    val keyExpr =
+      if (kept.isEmpty) lit("{}")
+      else to_json(struct(kept.map(col): _*))
+    val nnArr = array(plans.map(p => expr(p._4).isNotNull): _*)
+    val lvArr = array(plans.map(p =>
+      coalesce(expr(p._4).cast("long"), lit(0L))): _*)
+    val dvArr = array(plans.map(p =>
+      coalesce(expr(p._4).cast("double"), lit(0d))): _*)
+    val prepared = src.select(
+      keyExpr.as("key"), col(wmCol).cast("timestamp").as("ts"),
+      nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"))
+    implicit val evEnc =
+      org.apache.spark.sql.Encoders.product[graft.streaming.CumulateEvent]
+    val tracked = graft.streaming.CumulateTracker.track(
+      prepared.as[graft.streaming.CumulateEvent], wmDelay, stepMs, sizeMs,
+      plans.map(_._2))
+    val valsSchema = StructType(plans.zipWithIndex.map { case (p, i) =>
+      StructField(s"a$i", p._3, nullable = true)
+    }.toArray)
+    var ai = -1
+    val outCols = items.map {
+      case WinItem("window_start") =>
+        expr("timestamp_millis(ws)").as("window_start")
+      case WinItem("window_end") =>
+        expr("timestamp_millis(we)").as("window_end")
+      case WinItem(_) =>
+        expr("timestamp_millis(we - 1)").as("window_time")
+      case KeyItem(name) =>
+        from_json(col("key"), keyStruct)
+          .getField(src.schema(colIdx(name)).name).as(name)
+      case a: AggItem =>
+        ai += 1
+        from_json(col("vals"), valsSchema).getField(s"a$ai").as(a.alias)
+    }
+    val result = tracked.select(outCols: _*)
+    val view = s"graft_tvf_${tvfViewCounter.incrementAndGet()}"
+    result.createOrReplaceTempView(view)
+    s"SELECT * FROM $view"
   }
 
   /** Splits `s` on commas at paren depth 0, respecting quotes. */

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkFixture
+import graft.harness.WindowTvf
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming CUMULATE windows over [[CumulateTracker]]: bounded
+  * equivalence against the batch TVF rewrite, incremental emission as
+  * the watermark passes each step end, and the contract rejections.
+  */
+class CumulateSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private val Stmt =
+    """SELECT k, window_start, window_end, COUNT(*) AS n, SUM(v) AS sv,
+      |  MIN(v) AS mn, MAX(v) AS mx, AVG(v) AS av
+      |FROM TABLE(CUMULATE(TABLE cum_in, DESCRIPTOR(ts),
+      |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+      |GROUP BY k, window_start, window_end""".stripMargin
+
+  test("bounded streaming CUMULATE equals the batch TVF rewrite") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 120).map { i =>
+      (s"k${i % 3}", ts(rnd.nextInt(900).toLong), rnd.nextInt(100).toLong)
+    }
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("cum_in")
+    val batch = spark.sql(WindowTvf.rewrite(Stmt))
+      .collect().map(_.toSeq).toSet
+    val streamSql = WindowTvf.rewriteStreaming(Stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+  }
+
+  test("windows emit incrementally as the watermark passes step ends") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "v").createOrReplaceTempView("cum_stream")
+    val streamSql = WindowTvf.rewriteStreaming(
+      """SELECT k, window_start, window_end, COUNT(*) AS n, SUM(v) AS sv
+        |FROM TABLE(CUMULATE(TABLE cum_stream, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '3' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin,
+      spark, _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("cum_inc").outputMode("append").start()
+    try {
+      // rows in minutes 0 and 1 of the [0, 180s) span
+      input.addData(("a", ts(10), 5L), ("a", ts(70), 7L))
+      query.processAllAvailable()
+      // watermark 70-5=65 s: window [0,60) matured (end 60 <= 65) with
+      // the first row only
+      val w1 = spark.table("cum_inc").collect()
+      assert(w1.length === 1, w1.toSeq.mkString(","))
+      assert(w1.head.getLong(3) === 1L && w1.head.getLong(4) === 5L)
+      // advance far: remaining windows [0,120) and [0,180) emit with
+      // both rows
+      input.addData(("a", ts(1000), 1L))
+      query.processAllAvailable()
+      val all = spark.table("cum_inc").collect()
+        .map(r => (r.getTimestamp(2).getTime / 1000L, r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(all === Set((60L, 1L, 5L), (120L, 2L, 12L), (180L, 2L, 12L)))
+    } finally query.stop()
+  }
+
+  test("contract rejections name the violation") {
+    Seq(("x", ts(1), 1L)).toDF("k", "ts", "v")
+      .createOrReplaceTempView("cum_rej")
+    def rejects(stmt: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        WindowTvf.rewriteStreaming(stmt, spark, _ => Some(("ts", "5 seconds"))))
+      assert(e.getMessage.contains(needle), s"message: ${e.getMessage}")
+    }
+    rejects(
+      """SELECT k, window_start, window_end, COUNT(DISTINCT v) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_rej, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin,
+      "DISTINCT")
+    rejects(
+      """SELECT k, window_start, window_end, COUNT(*) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_rej, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |WHERE v > 0
+        |GROUP BY k, window_start, window_end""".stripMargin,
+      "WHERE")
+    rejects(
+      """SELECT k, window_start, window_end, MIN(k) AS mk
+        |FROM TABLE(CUMULATE(TABLE cum_rej, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin,
+      "numeric")
+  }
+}
