@@ -277,10 +277,10 @@ object WindowTvf {
     * with a SparkSession available it compiles onto
     * [[graft.streaming.CumulateTracker]] (per-(key, span) step
     * accumulators, windows emitted as the watermark passes each step
-    * end); without one it is rejected. Session semantics note: Spark
-    * merges sessions that OVERLAP, Flink also merges sessions that
-    * merely touch — events exactly `gap` apart split here where Flink
-    * merges (the batch rewrite keeps Flink's exact boundary).
+    * end); without one it is rejected. Session windows keep Flink's
+    * exact merge boundary: the native session_window gap widens by
+    * 1 ms so events exactly `gap` apart merge (Flink's `diff <= gap`),
+    * and window_end/window_time read back the extra millisecond.
     */
   def rewriteStreaming(
       rawSql: String,
@@ -299,7 +299,8 @@ object WindowTvf {
         "Unsupported legacy group-window form for streaming mode; " +
           "use the TVF form (TABLE(TUMBLE/HOP/SESSION(...)))")
     case class Win(start: Int, end: Int, table: String, expr: String,
-        struct: String, partitionKeys: Seq[String] = Nil)
+        struct: String, partitionKeys: Seq[String] = Nil,
+        endAdjustMs: Long = 0L)
     val win = TumbleRe.findFirstMatchIn(sql).map { m =>
       val dur = millis(m, 3, "SIZE")
       Win(m.start, m.end, m.group(1),
@@ -317,9 +318,15 @@ object WindowTvf {
       require(gap > 0, "session gap must be positive")
       val pkeys = Option(m.group(2)).toSeq
         .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+      // Flink merges sessions that merely TOUCH (events exactly `gap`
+      // apart share a session, ms precision); Spark merges on OVERLAP
+      // only. Widening the gap by 1 ms makes Spark's merge predicate
+      // `diff < gap+1` ≡ Flink's `diff <= gap`; the emitted end is then
+      // lastTs + gap + 1, so window_end reads back 1 ms to Flink's
+      // exact bound
       Win(m.start, m.end, m.group(1),
-        s"session_window(${m.group(3)}, '$gap milliseconds')",
-        "session_window", pkeys)
+        s"session_window(${m.group(3)}, '${gap + 1L} milliseconds')",
+        "session_window", pkeys, endAdjustMs = 1L)
     }).getOrElse {
       CumulateRe.findFirstMatchIn(sql) match {
         case Some(cm) =>
@@ -330,8 +337,11 @@ object WindowTvf {
     }
     def fieldRef(name: String): String = name match {
       case "window_start" => s"${win.struct}.start"
-      case "window_end" => s"${win.struct}.end"
-      case _ => s"(${win.struct}.end - INTERVAL '1' MILLISECOND)"
+      case "window_end" =>
+        if (win.endAdjustMs == 0L) s"${win.struct}.end"
+        else s"(${win.struct}.end - INTERVAL '${win.endAdjustMs}' MILLISECOND)"
+      case _ =>
+        s"(${win.struct}.end - INTERVAL '${win.endAdjustMs + 1L}' MILLISECOND)"
     }
     def replTokensIn(s: String): String =
       Seq("window_start", "window_end", "window_time").foldLeft(s)(

@@ -175,8 +175,33 @@ class WindowTvfSpec extends AnyFunSuite {
       "SELECT k, window_start, COUNT(*) AS n FROM " +
         "TABLE(SESSION(TABLE t PARTITION BY k, DESCRIPTOR(ts), " +
         "INTERVAL '5' MINUTE)) GROUP BY k, window_start")
-    assert(sess.contains("GROUP BY session_window(ts, '300000 milliseconds'), k"))
+    // gap widens 1 ms so touching sessions merge like Flink's
+    assert(sess.contains("GROUP BY session_window(ts, '300001 milliseconds'), k"))
     assert(sess.contains("session_window.start AS window_start"))
+  }
+
+  test("streaming session merges touching events and keeps Flink's end") {
+    // Flink merges sessions whose events are EXACTLY gap apart; Spark's
+    // native session_window merges on overlap only. The widened-gap
+    // rewrite must merge the touching pair AND report Flink's
+    // window_end (last event + gap, not + gap + 1 ms) — checked against
+    // the batch rewrite, which keeps Flink's boundary by construction.
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    Seq(
+      (1L, new java.sql.Timestamp(100000L)),
+      (1L, new java.sql.Timestamp(100000L + 5000L)), // exactly gap apart
+      (1L, new java.sql.Timestamp(100000L + 30000L)))
+      .toDF("k", "ts").createOrReplaceTempView("sess_touch")
+    val stmt =
+      "SELECT k, window_start, window_end, COUNT(*) AS n FROM " +
+        "TABLE(SESSION(TABLE sess_touch PARTITION BY k, DESCRIPTOR(ts), " +
+        "INTERVAL '5' SECOND)) GROUP BY k, window_start, window_end"
+    val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq).toSet
+    val streamed = spark.sql(WindowTvf.rewriteStreaming(stmt))
+      .collect().map(_.toSeq).toSet
+    assert(batch.exists(_.last == 2L), s"touching pair did not merge: $batch")
+    assert(streamed === batch)
   }
 
   test("streaming TVF contract violations are rejected explicitly") {
