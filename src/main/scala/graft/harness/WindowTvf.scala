@@ -468,8 +468,9 @@ object WindowTvf {
       fail("must group by window_start/window_end")
     kept.foreach(k => if (raw"^[A-Za-z_]\w*$$".r.findFirstIn(k).isEmpty)
       fail(s"group key must be a bare column: $k"))
-    val selIdx = raw"(?is)\bSELECT\b".r.findFirstMatchIn(out).map(_.end)
+    val selM = raw"(?is)\bSELECT\b".r.findFirstMatchIn(out)
       .getOrElse(fail("no SELECT"))
+    val selIdx = selM.end
     val fromIdx = findTopLevel(out, selIdx, "FROM")
       .getOrElse(fail("no top-level FROM"))
     val between = out.substring(fromIdx, gb.start).trim
@@ -571,7 +572,10 @@ object WindowTvf {
     val result = tracked.select(outCols: _*)
     val view = s"graft_tvf_${tvfViewCounter.incrementAndGet()}"
     result.createOrReplaceTempView(view)
-    s"SELECT * FROM $view"
+    // splice ONLY the SELECT..GROUP BY region: a statement prefix
+    // (INSERT INTO sink) must survive the rewrite
+    out.substring(0, selM.start) + s"SELECT * FROM $view" +
+      out.substring(keysEnd)
   }
 
   /** Splits `s` on commas at paren depth 0, respecting quotes. */

@@ -72,6 +72,45 @@ class CumulateSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("e2e: streaming CUMULATE script over a datagen source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cum-stream")
+    val script = java.nio.file.Files.createTempFile("cum-stream", ".sql")
+    java.nio.file.Files.writeString(script,
+      s"""SET execution.runtime-mode = streaming;
+         |create table src (
+         |  id bigint,
+         |  row_time as current_timestamp,
+         |  watermark for row_time as row_time - interval '1' second
+         |) with (
+         |  'connector' = 'datagen',
+         |  'rows-per-second' = '50',
+         |  'number-of-rows' = '200',
+         |  'fields.id.min' = '1',
+         |  'fields.id.max' = '3'
+         |);
+         |create table snk (
+         |  id bigint, window_start timestamp, window_end timestamp,
+         |  n bigint
+         |) with (
+         |  'connector' = 'filesystem',
+         |  'path' = 'file://${dir.toString}/out',
+         |  'format' = 'parquet'
+         |);
+         |insert into snk
+         |SELECT id, window_start, window_end, COUNT(*) AS n
+         |FROM TABLE(CUMULATE(TABLE src, DESCRIPTOR(row_time),
+         |  INTERVAL '1' SECOND, INTERVAL '4' SECOND))
+         |GROUP BY id, window_start, window_end;
+         |""".stripMargin)
+    new graft.harness.SqlSubmitAction(script.toString, Map.empty,
+      Some(spark), durationSec = 30L).run()
+    // 4 s of generated rows: the watermark passes several 1 s window
+    // ends while the source runs, so early growing windows must emit;
+    // trailing windows behind the final watermark may stay pending
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.count() > 0)
+  }
+
   test("contract rejections name the violation") {
     Seq(("x", ts(1), 1L)).toDF("k", "ts", "v")
       .createOrReplaceTempView("cum_rej")
