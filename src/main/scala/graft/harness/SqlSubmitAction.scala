@@ -407,15 +407,19 @@ final class SqlSubmitAction(
     * aggregate over batch-derived window columns would keep unbounded
     * state, where Flink's TVF windows expire.
     */
+  /** Case-insensitive source lookup → (event-time column, delay) from
+    * the connector DDL's WATERMARK declaration. */
+  private def watermarkOf(table: String): Option[(String, String)] =
+    sources.keys.find(_.equalsIgnoreCase(table)).map(sources)
+      .flatMap(_.watermark).map(w => (w.column, w.delay))
+
   private def rewriteWindowTvfs(
       spark: SparkSession, config: EngineConfig, sql: String): String =
     if (!WindowTvf.hasWindowTvf(sql)) sql
     else if (config.isStreaming)
       // the session + watermark resolver feed the CUMULATE stateful
       // rewrite; the native TUMBLE/HOP/SESSION paths ignore them
-      WindowTvf.rewriteStreaming(sql, spark, t =>
-        sources.keys.find(_.equalsIgnoreCase(t)).map(sources)
-          .flatMap(_.watermark).map(w => (w.column, w.delay)))
+      WindowTvf.rewriteStreaming(sql, spark, watermarkOf)
     else WindowTvf.rewrite(sql)
 
   /** All Flink-dialect SQL rewrites, in one place. MATCH_RECOGNIZE
@@ -432,9 +436,7 @@ final class SqlSubmitAction(
       if (!MatchRecognize.hasMatchRecognize(sql)) sql
       else if (config.isStreaming)
         // streaming subset: per-key NFA with watermark-matured decisions
-        MatchRecognize.rewriteStreaming(spark, sql, t =>
-          sources.keys.find(_.equalsIgnoreCase(t)).map(sources)
-            .flatMap(_.watermark).map(w => (w.column, w.delay)))
+        MatchRecognize.rewriteStreaming(spark, sql, watermarkOf)
       else MatchRecognize.rewrite(spark, sql)
     rewriteWindowTvfs(spark, config, rewriteTemporalJoins(config, mr))
   }

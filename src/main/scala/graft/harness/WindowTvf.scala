@@ -445,7 +445,7 @@ object WindowTvf {
     val tcol = m.group(2)
     val stepMs = millis(m, 3, "STEP")
     val sizeMs = millis(m, 6, "SIZE")
-    if (sizeMs % stepMs != 0 || stepMs <= 0)
+    if (sizeMs % stepMs != 0)
       fail(s"size ($sizeMs ms) must be a multiple of its step ($stepMs ms)")
     val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
       s"needs a WATERMARK declaration on $table"))
@@ -473,7 +473,9 @@ object WindowTvf {
     val selIdx = selM.end
     val fromIdx = findTopLevel(out, selIdx, "FROM")
       .getOrElse(fail("no top-level FROM"))
-    val between = out.substring(fromIdx, gb.start).trim
+    // whitespace-normalized: multi-line FROM clauses are normal SQL
+    val between = out.substring(fromIdx, gb.start)
+      .replaceAll(raw"\s+", " ").trim
     if (!between.equalsIgnoreCase(s"FROM $table"))
       fail("WHERE/JOIN between FROM and GROUP BY is not supported; " +
         "pre-filter with a view, or use batch runtime mode")
@@ -504,6 +506,9 @@ object WindowTvf {
         s"window_start/window_end/window_time, or AGG(expr) AS alias): $other")
     }
     val aggs = items.collect { case a: AggItem => a }
+    if (aggs.isEmpty)
+      fail("at least one aggregate is required (a keys-only projection " +
+        "has no streaming emission trigger; use batch mode)")
     // (item, tracker kind, result type, input expression)
     val plans: Seq[(AggItem, Int, DataType, String)] = aggs.map { a =>
       if (a.fn == "COUNT") {
@@ -539,13 +544,27 @@ object WindowTvf {
       if (kept.isEmpty) lit("{}")
       else to_json(struct(kept.map(col): _*))
     val nnArr = array(plans.map(p => expr(p._4).isNotNull): _*)
+    // each value slot is built ONLY for the kinds that read it: COUNT
+    // reads neither (so COUNT over a non-castable array/struct never
+    // builds an invalid cast), integral kinds read lv (their inputs
+    // cast to long safely), double kinds read dv (an ANSI NaN→long
+    // cast on an unused slot would throw otherwise)
+    val longKinds = Set(1, 3, 5, 8)
+    val doubleKinds = Set(2, 4, 6, 7)
     val lvArr = array(plans.map(p =>
-      coalesce(expr(p._4).cast("long"), lit(0L))): _*)
+      if (longKinds(p._2)) coalesce(expr(p._4).cast("long"), lit(0L))
+      else lit(0L)): _*)
     val dvArr = array(plans.map(p =>
-      coalesce(expr(p._4).cast("double"), lit(0d))): _*)
-    val prepared = src.select(
-      keyExpr.as("key"), col(wmCol).cast("timestamp").as("ts"),
-      nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"))
+      if (doubleKinds(p._2)) coalesce(expr(p._4).cast("double"), lit(0d))
+      else lit(0d)): _*)
+    val prepared = src
+      // NULL event times drop from window assignment, exactly the
+      // batch rewrite's WHERE (and Flink's behavior) — a null ts would
+      // otherwise NPE in the tracker
+      .filter(col(wmCol).isNotNull)
+      .select(
+        keyExpr.as("key"), col(wmCol).cast("timestamp").as("ts"),
+        nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"))
     implicit val evEnc =
       org.apache.spark.sql.Encoders.product[graft.streaming.CumulateEvent]
     val tracked = graft.streaming.CumulateTracker.track(
@@ -567,7 +586,13 @@ object WindowTvf {
           .getField(src.schema(colIdx(name)).name).as(name)
       case a: AggItem =>
         ai += 1
-        from_json(col("vals"), valsSchema).getField(s"a$ai").as(a.alias)
+        // allowNonNumericNumbers: a double aggregate can legitimately
+        // produce NaN/Infinity, which the tracker emits as Jackson's
+        // non-numeric tokens — without the option the whole window's
+        // aggregates would silently decode to NULL
+        from_json(col("vals"), valsSchema,
+            Map("allowNonNumericNumbers" -> "true"))
+          .getField(s"a$ai").as(a.alias)
     }
     val result = tracked.select(outCols: _*)
     val view = s"graft_tvf_${tvfViewCounter.incrementAndGet()}"

@@ -111,6 +111,39 @@ class CumulateSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("edge inputs: null event times, NaN doubles, COUNT over arrays") {
+    // null ts drops from window assignment (batch WHERE parity, not an
+    // NPE); a NaN double aggregate survives the JSON payload; COUNT
+    // over a non-castable array column counts rows without a cast
+    Seq(
+      ("a", ts(10), Some(1.0d), Seq("x", "y")),
+      ("a", ts(20), Some(Double.NaN), Seq("z")),
+      ("a", null.asInstanceOf[Timestamp], Some(9.0d), Seq("w")))
+      .toDF("k", "ts", "d", "tags")
+      .createOrReplaceTempView("cum_edge")
+    val stmt =
+      """SELECT k, window_start, window_end, COUNT(tags) AS n, SUM(d) AS sd
+        |FROM
+        |  TABLE(CUMULATE(TABLE cum_edge, DESCRIPTOR(ts),
+        |    INTERVAL '1' MINUTE, INTERVAL '2' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq)
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq)
+      def canon(rows: Seq[Seq[Any]]) = rows.map(_.map {
+        case d: Double if d.isNaN => "NaN"
+        case v => v
+      }).toSet
+      assert(canon(streamed.toSeq) === canon(batch.toSeq))
+      assert(streamed.nonEmpty)
+      // the NaN row is inside the data: SUM must be NaN, not NULL
+      assert(streamed.exists(r => r(4).isInstanceOf[Double] &&
+        r(4).asInstanceOf[Double].isNaN))
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+  }
+
   test("contract rejections name the violation") {
     Seq(("x", ts(1), 1L)).toDF("k", "ts", "v")
       .createOrReplaceTempView("cum_rej")
@@ -138,5 +171,11 @@ class CumulateSpec extends AnyFunSuite {
         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
         |GROUP BY k, window_start, window_end""".stripMargin,
       "numeric")
+    rejects(
+      """SELECT k, window_start, window_end
+        |FROM TABLE(CUMULATE(TABLE cum_rej, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin,
+      "at least one aggregate")
   }
 }
