@@ -119,6 +119,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"top-k not trimmed pre-shuffle in:\n$plan")
   }
 
+  test("theta join broadcasts the dim side; scalar subquery stays subquery-shaped") {
+    // q15/q17 were flagged as round-5 bench outliers with untouched code;
+    // the A/B attributed the delta to ambient contention (README). Pin the
+    // shapes so a future real regression is distinguishable from variance.
+    val spark = SparkFixture.spark
+    val theta = SparkEntry.queries("q15_theta_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(theta.contains("BroadcastNestedLoopJoin"),
+      s"q15 theta join lost its broadcast nested loop:\n$theta")
+    val scalar = SparkEntry.queries("q17_scalar_subquery")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(scalar.contains("Subquery"),
+      s"q17 lost its scalar-subquery shape:\n$scalar")
+    assert(!scalar.contains("Join"),
+      s"q17 decorrelated into a join:\n$scalar")
+  }
+
   test("PII redaction is map-only: no exchange anywhere in the plan") {
     // three regex passes inside one projection — at corpus scale this
     // must pipeline with the scan; any shuffle here is a planning bug
