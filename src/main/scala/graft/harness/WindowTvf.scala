@@ -464,8 +464,17 @@ object WindowTvf {
     val winColsSet = Set("window_start", "window_end", "window_time")
     val keys = splitTopLevel(keysText).map(_.trim).filter(_.nonEmpty)
     val kept = keys.filterNot(k => winColsSet(k.toLowerCase))
-    if (kept.size == keys.size)
-      fail("must group by window_start/window_end")
+    // Flink only treats a TVF aggregation as a WINDOW aggregation when
+    // GROUP BY lists both window_start and window_end (window_time may
+    // ride along); anything less is a plain aggregation over the
+    // windowed table — different result cardinality, so reject rather
+    // than silently emit one row per growing window
+    val winKeys = keys.map(_.toLowerCase).filter(winColsSet).toSet
+    if (!(winKeys("window_start") && winKeys("window_end")))
+      fail("GROUP BY must list both window_start and window_end " +
+        "(window_time optionally alongside); grouping by a subset is a " +
+        "plain aggregation over the windowed table, not a window " +
+        "aggregation — use batch runtime mode for that shape")
     kept.foreach(k => if (raw"^[A-Za-z_]\w*$$".r.findFirstIn(k).isEmpty)
       fail(s"group key must be a bare column: $k"))
     val selM = raw"(?is)\bSELECT\b".r.findFirstMatchIn(out)
@@ -537,6 +546,20 @@ object WindowTvf {
               if (integral) LongType else DoubleType, a.input)
           case _ => (a, if (integral) 8 else 7, DoubleType, a.input)
         }
+      }
+    }
+    // per-key state groups on a to_json/from_json round-trip of the
+    // GROUP BY tuple (same contract as streaming MATCH_RECOGNIZE
+    // PARTITION BY): only types whose JSON text decodes bit-identically
+    // are admitted — timestamp/decimal/float keys could lose precision
+    // on the way back, and a NaN double key produces non-decodable JSON
+    kept.foreach { k =>
+      src.schema(colIdx(k)).dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType
+            | BooleanType => ()
+        case dt => fail(s"GROUP BY key $k has type ${dt.simpleString} — " +
+          "keys must round-trip the JSON state encoding losslessly " +
+          "(string / integer / boolean)")
       }
     }
     val keyStruct = StructType(kept.map(k => src.schema(colIdx(k))).toArray)

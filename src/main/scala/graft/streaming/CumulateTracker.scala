@@ -54,6 +54,25 @@ final case class CumulateWindow(key: String, ws: Long, we: Long,
   */
 object CumulateTracker {
 
+  /** Spark SQL's double ordering (`nanSafeCompareDoubles`): NaN equals
+    * NaN and sorts above every other value (including +Infinity), and
+    * -0.0 equals 0.0. MIN/MAX must use this — `Math.min` would
+    * propagate NaN into MIN where Spark's MIN picks the non-NaN value.
+    */
+  private def nanSafeCompare(x: Double, y: Double): Int = {
+    val xNaN = java.lang.Double.isNaN(x)
+    val yNaN = java.lang.Double.isNaN(y)
+    if ((xNaN && yNaN) || x == y) 0
+    else if (xNaN) 1
+    else if (yNaN) -1
+    else if (x > y) 1
+    else -1
+  }
+  private def nanMin(x: Double, y: Double): Double =
+    if (nanSafeCompare(x, y) <= 0) x else y
+  private def nanMax(x: Double, y: Double): Double =
+    if (nanSafeCompare(x, y) >= 0) x else y
+
   def track(
       input: Dataset[CumulateEvent],
       watermarkDelay: String,
@@ -101,10 +120,18 @@ object CumulateTracker {
           CumAcc(span, step, i, 0L, 0L, 0d, Long.MaxValue, Long.MinValue,
             Double.MaxValue, Double.MinValue))
         if (e.nn(i)) {
+          // the mn/mx fields of a cnt=0 accumulator are unset sentinels
+          // that must never meet real data: the first non-null value
+          // seeds them outright (a Long.MaxValue input or a NaN/Infinity
+          // double would otherwise lose to — or corrupt against — the
+          // sentinel), and doubles merge with Spark's NaN-safe ordering
+          val first = a.cnt == 0L
           accs(k) = a.copy(cnt = a.cnt + 1L,
             sumL = a.sumL + e.lv(i), sumD = a.sumD + e.dv(i),
-            mnL = math.min(a.mnL, e.lv(i)), mxL = math.max(a.mxL, e.lv(i)),
-            mnD = math.min(a.mnD, e.dv(i)), mxD = math.max(a.mxD, e.dv(i)))
+            mnL = if (first) e.lv(i) else math.min(a.mnL, e.lv(i)),
+            mxL = if (first) e.lv(i) else math.max(a.mxL, e.lv(i)),
+            mnD = if (first) e.dv(i) else nanMin(a.mnD, e.dv(i)),
+            mxD = if (first) e.dv(i) else nanMax(a.mxD, e.dv(i)))
         } else if (!accs.contains(k)) accs(k) = a
         i += 1
       }
@@ -124,51 +151,52 @@ object CumulateTracker {
     val doneSpans = ArrayBuffer.empty[Long]
     emitted.keys.toSeq.sorted.foreach { span =>
       var k = emitted(span)
-      // cumulative merge recomputes from the per-step accumulators —
-      // cheap (nSteps × aggs entries at most)
-      def cumOver(upToStep: Int): Array[CumAcc] = {
-        val merged = Array.tabulate(kinds.length)(i =>
-          CumAcc(span, 0, i, 0L, 0L, 0d, Long.MaxValue, Long.MinValue,
-            Double.MaxValue, Double.MinValue))
-        var s = 0
-        while (s < upToStep) {
-          var i = 0
-          while (i < kinds.length) {
-            accs.get((span, s, i)).foreach { a =>
-              val m = merged(i)
-              merged(i) = m.copy(cnt = m.cnt + a.cnt,
-                sumL = m.sumL + a.sumL, sumD = m.sumD + a.sumD,
-                mnL = math.min(m.mnL, a.mnL), mxL = math.max(m.mxL, a.mxL),
-                mnD = math.min(m.mnD, a.mnD), mxD = math.max(m.mxD, a.mxD))
+      // running cumulative accumulator: the already-emitted prefix is
+      // rebuilt once per update call (O(nSteps × aggs)), then each
+      // emitted window folds in exactly one more step — catching up a
+      // whole span is linear in nSteps, not quadratic
+      val merged = Array.tabulate(kinds.length)(i =>
+        CumAcc(span, 0, i, 0L, 0L, 0d, Long.MaxValue, Long.MinValue,
+          Double.MaxValue, Double.MinValue))
+      // any-row presence for window existence: COUNT semantics per agg
+      // count only non-null inputs, but a step with ANY accumulator
+      // entry had >= 1 row (null-input rows create cnt=0 entries)
+      var stepsWithRows = 0L
+      def mergeStep(s: Int): Unit = {
+        var sawStep = false
+        var i = 0
+        while (i < kinds.length) {
+          accs.get((span, s, i)).foreach { a =>
+            sawStep = true
+            // cnt=0 accumulators carry unset mn/mx sentinels — merge
+            // counts/sums (zeros) but never let sentinels meet data;
+            // doubles merge with Spark's NaN-safe ordering
+            val m = merged(i)
+            if (a.cnt > 0L) {
+              merged(i) =
+                if (m.cnt == 0L)
+                  m.copy(cnt = a.cnt, sumL = a.sumL, sumD = a.sumD,
+                    mnL = a.mnL, mxL = a.mxL, mnD = a.mnD, mxD = a.mxD)
+                else
+                  m.copy(cnt = m.cnt + a.cnt,
+                    sumL = m.sumL + a.sumL, sumD = m.sumD + a.sumD,
+                    mnL = math.min(m.mnL, a.mnL),
+                    mxL = math.max(m.mxL, a.mxL),
+                    mnD = nanMin(m.mnD, a.mnD), mxD = nanMax(m.mxD, a.mxD))
             }
-            i += 1
           }
-          s += 1
+          i += 1
         }
-        merged
+        if (sawStep) stepsWithRows += 1L
       }
-      // any-row count for window existence: COUNT semantics per agg
-      // count only non-null inputs, so track raw row presence per step
-      def rowsIn(upToStep: Int): Long = {
-        var n = 0L
-        var s = 0
-        while (s < upToStep) {
-          // a step with ANY accumulator entry had >= 1 row (null-input
-          // rows still create entries with cnt unchanged — see ingest)
-          if (kinds.indices.exists(i => accs.contains((span, s, i)))) {
-            // exact row count isn't needed — existence is
-            n += 1L
-          }
-          s += 1
-        }
-        n
-      }
+      var s = 0
+      while (s < k) { mergeStep(s); s += 1 }
       var advanced = true
       while (advanced && k < nSteps) {
         val winEnd = span + (k + 1).toLong * stepMs
         if (isFinal || wmMs >= winEnd) {
-          if (rowsIn(k + 1) > 0) {
-            val merged = cumOver(k + 1)
+          mergeStep(k)
+          if (stepsWithRows > 0) {
             val fields = kinds.indices.flatMap { i =>
               val a = merged(i)
               val v = kinds(i) match {

@@ -144,6 +144,47 @@ class CumulateSpec extends AnyFunSuite {
     } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
   }
 
+  test("MIN/MAX over NaN and infinities match Spark's batch semantics") {
+    // Spark orders NaN above every value (MIN({5, NaN}) = 5, MAX gets
+    // NaN; all-NaN gives NaN) and a window holding only an infinity
+    // must emit that infinity, never an accumulator sentinel. The NaN
+    // row for key "a" lands in the second step so the cross-step merge
+    // path is exercised, not just single-step ingest.
+    Seq(
+      ("a", ts(10), 5.0d), ("a", ts(70), Double.NaN),
+      ("b", ts(10), Double.PositiveInfinity),
+      ("c", ts(10), Double.NegativeInfinity),
+      ("d", ts(10), Double.NaN))
+      .toDF("k", "ts", "d").createOrReplaceTempView("cum_nan")
+    val stmt =
+      """SELECT k, window_start, window_end, MIN(d) AS mn, MAX(d) AS mx
+        |FROM TABLE(CUMULATE(TABLE cum_nan, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '2' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq)
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq)
+      def canon(rows: Seq[Seq[Any]]) = rows.map(_.map {
+        case d: Double if d.isNaN => "NaN"
+        case v => v
+      }).toSet
+      assert(canon(streamed.toSeq) === canon(batch.toSeq))
+      def byKey(k: String) = streamed.filter(_.head == k)
+      // growing windows: MIN sticks at 5.0 once the NaN arrives, MAX
+      // becomes NaN
+      assert(byKey("a").exists(r => r(3) == 5.0d &&
+        r(4).asInstanceOf[Double].isNaN))
+      assert(byKey("b").forall(r =>
+        r(3) == Double.PositiveInfinity && r(4) == Double.PositiveInfinity))
+      assert(byKey("c").forall(r =>
+        r(3) == Double.NegativeInfinity && r(4) == Double.NegativeInfinity))
+      assert(byKey("d").forall(r => r(3).asInstanceOf[Double].isNaN &&
+        r(4).asInstanceOf[Double].isNaN))
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+  }
+
   test("checkpoint restart recovers cumulate state exactly-once") {
     // stop mid-span with windows pending, deliver more rows while the
     // query is down, restart from the checkpoint: the recovered state
@@ -186,6 +227,47 @@ class CumulateSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("soak: 100k keys across spans; state drops as spans close") {
+    // scale evidence for the tracker itself: state is bounded by the
+    // ACTIVE (key, span) set, so once the watermark passes a span's
+    // last window end every key's state must be reclaimed, not retained
+    implicit val sc = spark.sqlContext
+    val nKeys = 100000
+    val input = MemoryStream[(String, Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "v").createOrReplaceTempView("cum_soak")
+    val streamSql = WindowTvf.rewriteStreaming(
+      """SELECT k, window_start, window_end, COUNT(*) AS n, SUM(v) AS sv
+        |FROM TABLE(CUMULATE(TABLE cum_soak, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin,
+      spark, _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("cum_soak_out").outputMode("append").start()
+    try {
+      // every key gets one row inside the [0, 300 s) span; a constant
+      // event time keeps the data watermark-safe even if the runtime
+      // splits the 100k rows across micro-batches (spread times made
+      // the tail of a split batch late and silently dropped)
+      input.addData((0 until nKeys).map(i => (s"k$i", ts(10L), 1L)): _*)
+      query.processAllAvailable()
+      val peak = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(peak >= nKeys.toLong,
+        s"expected state for all $nKeys active keys, saw $peak")
+      // advance the watermark far past the span: timeouts emit the
+      // remaining growing windows and every span-0 key's state drops
+      input.addData(("late", ts(1000000L), 1L))
+      query.processAllAvailable()
+      val after = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(after <= 2L,
+        s"span closed but $after state rows remain (expected <= 2)")
+      // each key emitted all five growing windows of its span exactly
+      // once
+      val emitted = spark.table("cum_soak_out")
+        .filter($"k" =!= "late").count()
+      assert(emitted === nKeys.toLong * 5L)
+    } finally query.stop()
+  }
+
   test("contract rejections name the violation") {
     Seq(("x", ts(1), 1L)).toDF("k", "ts", "v")
       .createOrReplaceTempView("cum_rej")
@@ -219,5 +301,23 @@ class CumulateSpec extends AnyFunSuite {
         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
         |GROUP BY k, window_start, window_end""".stripMargin,
       "at least one aggregate")
+    // Flink treats a TVF agg not grouped by BOTH window_start and
+    // window_end as a plain aggregation (different cardinality)
+    rejects(
+      """SELECT k, window_start, COUNT(*) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_rej, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start""".stripMargin,
+      "window_start and window_end")
+    // non-lossless JSON round-trip key types are rejected like the
+    // streaming MATCH_RECOGNIZE PARTITION BY gate
+    Seq(("x", ts(1), 1L, 2.5d)).toDF("k", "ts", "v", "dk")
+      .createOrReplaceTempView("cum_rej_dk")
+    rejects(
+      """SELECT dk, window_start, window_end, COUNT(*) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_rej_dk, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY dk, window_start, window_end""".stripMargin,
+      "round-trip")
   }
 }
