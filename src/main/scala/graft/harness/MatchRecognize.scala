@@ -500,13 +500,11 @@ object MatchRecognize {
           "subquery sources are not supported"))
       val table = tm.group(1)
       val spec = parseSpec(out.substring(open + 1, end - 1))
-      // the streaming tracker's state carries (time, def-bitmask,
-      // measure payload) per row — never NEIGHBORING rows' values, so
-      // PREV stays batch-only, and ALL ROWS PER MATCH (every matched
-      // row with RUNNING measures) stays batch-only too
-      spec.defines.collectFirst { case (v, p) if hasPrev(p) => v }.foreach(v =>
-        fail(s"DEFINE $v uses PREV() — not supported in streaming " +
-          "MATCH_RECOGNIZE (batch only)"))
+      // PREV(col[, k]) in DEFINE is supported: the referenced columns
+      // ride a type-gated JSON payload per row and the tracker
+      // re-evaluates those variables' bits over the matured, ordered
+      // prefix (see PatternTracker.PrevSpec). ALL ROWS PER MATCH stays
+      // batch-only — state carries no full rows to replay.
       if (spec.allRows)
         fail("ALL ROWS PER MATCH is not supported in streaming " +
           "MATCH_RECOGNIZE (batch only — state carries no rows)")
@@ -582,19 +580,110 @@ object MatchRecognize {
       val keyExpr =
         if (spec.partitionBy.isEmpty) lit("{}")
         else to_json(struct(spec.partitionBy.map(scol): _*))
+
+      // PREV(col[, k]) defines: Catalyst cannot lag over an unbounded
+      // stream, so these predicates are compiled to bound Catalyst
+      // expressions and evaluated INSIDE the tracker, where the
+      // matured rows are already in match order. Referenced columns are
+      // type-gated to the JSON-lossless set (like measures/keys) and
+      // packed as a per-row payload.
+      val prevVars = vars.filter(v => hasPrev(spec.defines.getOrElse(v, "true")))
+      val prevSpecOpt: Option[PatternTracker.PrevSpec] =
+        if (prevVars.isEmpty) None else {
+          import org.apache.spark.sql.types._
+          import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences}
+          import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+          val srcNames = src.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
+          def gatedLagField(c: String): StructField = {
+            val f = src.schema(fieldIdx(c))
+            f.dataType match {
+              case StringType | LongType | IntegerType | ShortType
+                  | ByteType | BooleanType => f
+              case dt => fail("streaming MATCH_RECOGNIZE DEFINE with " +
+                s"PREV() references $c: type ${dt.simpleString} does not " +
+                "round-trip the JSON state payload losslessly (supported: " +
+                "string / integer / boolean columns)")
+            }
+          }
+          // every source column a PREV-containing predicate touches —
+          // inside PREV(...) directly, plus current-row identifiers
+          val referenced = scala.collection.mutable.LinkedHashSet.empty[String]
+          var maxK = 1
+          prevVars.foreach { v =>
+            val pred = spec.defines(v)
+            PrevRe.findAllMatchIn(pred).foreach { pm =>
+              referenced += srcNames.getOrElse(pm.group(1).toLowerCase,
+                fail(s"column ${pm.group(1)} not found in $table"))
+              maxK = math.max(maxK,
+                Option(pm.group(2)).map(_.toInt).getOrElse(1))
+            }
+            val stripped = PrevRe.replaceAllIn(pred, " ")
+            raw"[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(stripped).foreach(id =>
+              srcNames.get(id.toLowerCase).foreach(referenced += _))
+          }
+          if (maxK > 16) fail(s"PREV offset $maxK exceeds the streaming " +
+            "subset's maximum of 16")
+          val fields = referenced.toSeq.map(gatedLagField)
+          val schemaAll = fields ++ (1 to maxK).flatMap(k =>
+            fields.map(f => StructField(s"__prev_${k}_${f.name}", f.dataType)))
+          val attrs = schemaAll
+            .map(f => AttributeReference(f.name, f.dataType, nullable = true)())
+            .toIndexedSeq
+          val preds = prevVars.map { v =>
+            val t = PrevRe.replaceAllIn(spec.defines(v), pm => {
+              val k = Option(pm.group(2)).getOrElse("1")
+              val cn = srcNames(pm.group(1).toLowerCase)
+              java.util.regex.Matcher.quoteReplacement(s"__prev_${k}_$cn")
+            })
+            if (hasPrev(t))
+              fail("unsupported PREV form (want PREV(col) or " +
+                s"PREV(col, k)): ${spec.defines(v)}")
+            // CAST AS BOOLEAN mirrors the batch rewrite's .cast; the
+            // analyzer run resolves identifiers case-insensitively and
+            // applies the usual type coercions
+            val parsedE =
+              try spark.sessionState.sqlParser.parseExpression(
+                s"CAST(($t) AS BOOLEAN)")
+              catch { case e: Exception =>
+                fail(s"cannot parse DEFINE $v: ${e.getMessage}") }
+            val analyzed =
+              try spark.sessionState.analyzer.execute(
+                LFilter(parsedE, LocalRelation(attrs)))
+              catch { case e: Exception =>
+                fail(s"cannot resolve DEFINE $v over the PREV payload: " +
+                  e.getMessage) }
+            val cond = analyzed.asInstanceOf[LFilter].condition
+            if (!cond.resolved)
+              fail(s"cannot resolve DEFINE $v over the PREV payload " +
+                "columns (only source columns and PREV(col[, k]) are " +
+                "available)")
+            (varOf(v), BindReferences.bindReference(cond, attrs))
+          }.toArray
+          Some(PatternTracker.PrevSpec(fields.map(_.name).toArray,
+            fields.map(_.dataType).toArray, maxK, preds))
+        }
+
       val defsExpr = vars.zipWithIndex.map { case (v, i) =>
-        val pred = spec.defines.getOrElse(v, "true")
-        s"(CASE WHEN ($pred) THEN CAST(${1L << i} AS BIGINT) " +
-          "ELSE CAST(0 AS BIGINT) END)"
+        if (prevVars.contains(v))
+          // decided tracker-side over the ordered prefix; 0 upstream
+          "(CAST(0 AS BIGINT))"
+        else {
+          val pred = spec.defines.getOrElse(v, "true")
+          s"(CASE WHEN ($pred) THEN CAST(${1L << i} AS BIGINT) " +
+            "ELSE CAST(0 AS BIGINT) END)"
+        }
       }.mkString(" + ")
       val valsExpr =
         if (colMeasureCols.isEmpty) lit("")
         else to_json(struct(colMeasureCols.toSeq.map(scol): _*))
+      val lagExpr = prevSpecOpt.fold(lit(""))(ps =>
+        to_json(struct(ps.cols.toSeq.map(scol): _*)))
       val prepared = src.select(
         keyExpr.as("key"),
         scol(wmCol).cast("timestamp").as("ts"),
         sexpr(defsExpr).as("defs"),
-        valsExpr.as("vals"))
+        valsExpr.as("vals"),
+        lagExpr.as("lag"))
       implicit val evEnc = org.apache.spark.sql.Encoders.product[PatternEvent]
       // WITHIN rides straight through: the tracker prunes during
       // matching on the same strict ts(p)+n bound as the batch matcher,
@@ -602,7 +691,8 @@ object MatchRecognize {
       // the watermark passes its horizon — no future arrival can join)
       val tracked = PatternTracker.trackBranches(
         prepared.as[PatternEvent], wmDelay, branches, measures,
-        spec.skipToNextRow, skipTo, spec.withinMs.getOrElse(0L))
+        spec.skipToNextRow, skipTo, spec.withinMs.getOrElse(0L),
+        prevSpecOpt)
 
       val keySchema = StructType(
         spec.partitionBy.map(p => src.schema(fieldIdx(p))).toArray)

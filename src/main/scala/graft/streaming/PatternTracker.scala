@@ -14,13 +14,17 @@ import scala.collection.mutable.ArrayBuffer
   * no measure needs one).
   */
 final case class PatternEvent(key: String, ts: Timestamp, defs: Long,
-    vals: String)
+    vals: String, lag: String)
 
-/** Per-key NFA state: rows (time, def-bitmask, measure payload) not yet
-  * consumed by an emitted match or passed over by a final no-match
-  * decision, plus the match counter.
+/** Per-key NFA state: rows (time, def-bitmask, measure payload, PREV
+  * payload) not yet consumed by an emitted match or passed over by a
+  * final no-match decision, the match counter, and the last-consumed
+  * rows' PREV payloads (`ctx`, newest last) — retained so a later row's
+  * `PREV(col, k)` can still see physical predecessors that an earlier
+  * match already consumed.
   */
-final case class PatternState(rows: List[(Long, Long, String)], matchNo: Long)
+final case class PatternState(rows: List[(Long, Long, String, String)],
+    matchNo: Long, ctx: List[String])
 
 /** One emitted match. `values` holds the long-valued measures in caller
   * order (times as epoch ms, counts and MATCH_NUMBER as plain longs,
@@ -79,6 +83,55 @@ object PatternTracker {
     */
   val UnmatchedTime: Long = Long.MinValue
 
+  /** Executor-side contract for `PREV(col[, k])` in DEFINE predicates.
+    * The harness type-gates the referenced columns (JSON-lossless types
+    * only), packs them as a per-row JSON payload ([[PatternEvent.lag]]),
+    * and translates each PREV-containing predicate into a bound
+    * Catalyst expression over the flat layout
+    * `cols ++ __prev_1_<col>... ++ __prev_maxK_<col>...`. The tracker
+    * re-evaluates those variables' def bits over the matured,
+    * event-time-ordered rows — the same physical-row navigation the
+    * batch rewrite gets from `lag(col, k)` over the match order. A row
+    * whose k-th predecessor is absent (start of the key, or beyond the
+    * retained context) sees NULLs, so the predicate is unknown and the
+    * variable does not match — identical to batch lag semantics.
+    */
+  final case class PrevSpec(
+      cols: Array[String],
+      types: Array[org.apache.spark.sql.types.DataType],
+      maxK: Int,
+      preds: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)])
+
+  private lazy val jackson = new com.fasterxml.jackson.databind.ObjectMapper
+
+  /** Decodes one row's lag payload into internal-typed values aligned
+    * with `spec.cols` (null for absent/null fields). */
+  private def parseLag(spec: PrevSpec, json: String): Array[Any] = {
+    val out = new Array[Any](spec.cols.length)
+    if (json != null && json.nonEmpty && json != "{}") {
+      val node = jackson.readTree(json)
+      var i = 0
+      while (i < spec.cols.length) {
+        val jn = node.get(spec.cols(i))
+        if (jn != null && !jn.isNull) {
+          import org.apache.spark.sql.types._
+          out(i) = spec.types(i) match {
+            case StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(jn.asText)
+            case LongType => jn.asLong
+            case IntegerType => jn.asInt
+            case ShortType => jn.asInt.toShort
+            case ByteType => jn.asInt.toByte
+            case BooleanType => jn.asBoolean
+            case _ => null
+          }
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
   /** Event-time idle TTL for keys holding only match-number continuity
     * (no buffered rows): once the watermark moves this far past a
     * quiet key, its state is dropped — bounding state by ACTIVE key
@@ -110,7 +163,8 @@ object PatternTracker {
       measures: Seq[Measure],
       skipToNextRow: Boolean,
       skipTo: Option[(Boolean, Int)],
-      withinMs: Long): Dataset[PatternMatch] = {
+      withinMs: Long,
+      prevSpec: Option[PrevSpec] = None): Dataset[PatternMatch] = {
     implicit val outEnc = Encoders.product[PatternMatch]
     implicit val stateEnc = Encoders.product[PatternState]
     implicit val keyEnc = Encoders.STRING
@@ -124,7 +178,7 @@ object PatternTracker {
         (key: String, rows: Iterator[PatternEvent],
          state: GroupState[PatternState]) =>
           update(key, rows, state, branchArr, measureArr, skipToNextRow,
-            skipTo, withinMs))
+            skipTo, withinMs, prevSpec))
   }
 
   private def update(
@@ -135,9 +189,10 @@ object PatternTracker {
       measures: Array[Measure],
       skipToNextRow: Boolean,
       skipTo: Option[(Boolean, Int)],
-      withinMs: Long): Iterator[PatternMatch] = {
-    val prev = state.getOption.getOrElse(PatternState(Nil, 0L))
-    val incoming = rows.map(e => (e.ts.getTime, e.defs, e.vals)).toList
+      withinMs: Long,
+      prevSpec: Option[PrevSpec]): Iterator[PatternMatch] = {
+    val prev = state.getOption.getOrElse(PatternState(Nil, 0L, Nil))
+    val incoming = rows.map(e => (e.ts.getTime, e.defs, e.vals, e.lag)).toList
     // ties on (ts, defs, vals) have no further discriminator; sorting on
     // all three keeps replays deterministic (Flink breaks CEP ties by
     // arrival)
@@ -153,9 +208,49 @@ object PatternTracker {
     val unmatured = all.drop(matured.length)
 
     val n = matured.length
-    // a row satisfies variable v iff bit v of its defs mask is set
+    // PREV-dependent def bits arrive as 0 from upstream (Catalyst can't
+    // see neighboring stream rows) and are recomputed here over the
+    // matured, ordered prefix — predecessors are either still in
+    // `matured` or, if consumed by an earlier match, in the retained
+    // `ctx` payload window. Bits are recomputed (not persisted) each
+    // update: cheap over the small undecided window, and state rows
+    // keep their original sort-stable tuples.
+    val effDefs: Array[Long] = prevSpec match {
+      case None => null
+      case Some(ps) =>
+        val c0 = ps.cols.length
+        val lagVals = matured.map(r => parseLag(ps, r._4))
+        val ctxVals = prev.ctx.map(parseLag(ps, _)).toArray
+        Array.tabulate(n) { i =>
+          var d = matured(i)._2
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(c0 * (ps.maxK + 1))
+          var c = 0
+          while (c < c0) { row.update(c, lagVals(i)(c)); c += 1 }
+          var k = 1
+          while (k <= ps.maxK) {
+            val j = i - k
+            val src =
+              if (j >= 0) lagVals(j)
+              else if (ctxVals.length + j >= 0) ctxVals(ctxVals.length + j)
+              else null
+            var c2 = 0
+            while (c2 < c0) {
+              row.update(k * c0 + c2, if (src == null) null else src(c2))
+              c2 += 1
+            }
+            k += 1
+          }
+          ps.preds.foreach { case (v, ex) =>
+            if (ex.eval(row) == true) d |= 1L << v
+          }
+          d
+        }
+    }
+    // a row satisfies variable v iff bit v of its (effective) defs mask
+    // is set
     @inline def okAt(i: Int, v: Int): Boolean =
-      ((matured(i)._2 >> v) & 1L) == 1L
+      (((if (effDefs == null) matured(i)._2 else effDefs(i)) >> v) & 1L) == 1L
     var hitEnd = false
     val assign = Array.fill(n)(-1)
     // WITHIN horizon for a match starting at p: rows with
@@ -286,6 +381,12 @@ object PatternTracker {
 
     if (!isFinal) {
       val kept = matured.drop(p).toList ++ unmatured
+      // PREV context: payloads of rows consumed this update ride along
+      // (newest last, capped at maxK) so later rows still see their
+      // physical predecessors
+      val ctx = prevSpec.fold(List.empty[String]) { ps =>
+        (prev.ctx ++ matured.take(p).map(_._4)).takeRight(ps.maxK)
+      }
       if (kept.isEmpty && matchNo == 0L) state.remove()
       else if (kept.isEmpty && state.hasTimedOut &&
           incoming.isEmpty && prev.rows.isEmpty) {
@@ -297,14 +398,14 @@ object PatternTracker {
         // idle clock starts below.
         state.remove()
       } else {
-        state.update(PatternState(kept, matchNo))
+        state.update(PatternState(kept, matchNo, ctx))
         if (kept.isEmpty)
           // nothing buffered: wake only to expire the idle key
           state.setTimeoutTimestamp(wmMs + IdleTtlMs)
         else
           // wake when the earliest buffered row can mature (strictly
           // past the current watermark by construction)
-          kept.headOption.foreach { case (ts, _, _) =>
+          kept.headOption.foreach { case (ts, _, _, _) =>
             state.setTimeoutTimestamp(math.max(ts, wmMs) + 1L)
           }
       }

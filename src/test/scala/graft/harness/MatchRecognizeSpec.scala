@@ -299,7 +299,22 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  MEASURES COUNT(*) AS n, MATCH_NUMBER() AS mn
         |  AFTER MATCH SKIP TO LAST B
         |  PATTERN (A B)
-        |  DEFINE A AS v >= 0, B AS v >= 0)""".stripMargin)
+        |  DEFINE A AS v >= 0, B AS v >= 0)""".stripMargin,
+      // PREV navigation: ascending-run detection (q65 shape)
+      """SELECT * FROM mr_alt_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES LAST(R.v) AS ev, COUNT(R.*) AS len, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S R+)
+        |  DEFINE R AS v > PREV(v))""".stripMargin,
+      // PREV(col, k): compare two physical rows back (measure v, not o:
+      // the event-time column decodes as TIMESTAMP in streaming)
+      """SELECT * FROM mr_alt_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES LAST(B.v) AS bv, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B)
+        |  DEFINE B AS v > PREV(v, 2))""".stripMargin)
     for (q <- queries) {
       val batchSql = MatchRecognize.rewrite(spark, q)
       val streamSql = MatchRecognize.rewriteStreaming(spark, q,
@@ -314,6 +329,67 @@ class MatchRecognizeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming PREV sees predecessors consumed by an earlier match") {
+    // physical navigation crosses match boundaries AND micro-batch
+    // boundaries: the row matched (and consumed) in batch 1 is the
+    // PREV context for the first row of batch 2 — without the retained
+    // ctx payload the second match could not form
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "vm").createOrReplaceTempView("mr_prev_s")
+    val q =
+      """SELECT * FROM mr_prev_s MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES LAST(R.vm) AS rv, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (R)
+        |  DEFINE R AS vm > PREV(vm))""".stripMargin
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_prev_out").outputMode("append").start()
+    try {
+      // batch 1: vm 1 -> 3 rises at ts=20; the z key drives the
+      // watermark to 22 s — past the rise, but NOT past batch 2's row
+      // (a later-than-watermark arrival would be dropped as late). The
+      // R@20 match is consumed, leaving only ctx := 3 behind.
+      input.addData(("a", ts(10), 1L), ("a", ts(20), 3L), ("z", ts(27), 0L))
+      query.processAllAvailable()
+      // batch 2: vm=4 at ts=30 rises over the CONSUMED row's 3
+      input.addData(("a", ts(30), 4L), ("z", ts(200), 0L))
+      query.processAllAvailable()
+      input.addData(("z", ts(900), 0L))
+      query.processAllAvailable()
+      val got = spark.table("mr_prev_out").collect()
+        .filter(_.getString(0) == "a").map(r => (r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got === Set((3L, 1L), (4L, 2L)))
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
+  test("streaming PREV gates non-lossless column types") {
+    import spark.implicits._
+    Seq((1L, ts1(1), 2.5d)).toDF("k", "ts", "dv")
+      .createOrReplaceTempView("mr_prev_dbl")
+    val e = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_prev_dbl MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES COUNT(*) AS n
+          |  PATTERN (R)
+          |  DEFINE R AS dv > PREV(dv))""".stripMargin,
+        _ => Some(("ts", "5 seconds"))))
+    assert(e.getMessage.contains("round-trip"), s"message: ${e.getMessage}")
+  }
+
+  private def ts1(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
   test("final-mode alternation tries every branch past a boundary touch") {
     // regression: a trailing row satisfying BOTH the first branch's
@@ -549,13 +625,20 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(msg.contains("WATERMARK declaration"))
   }
 
-  test("streaming MATCH_RECOGNIZE rejects PREV with the contract") {
+  test("streaming PREV accepts the supported form, rejects expressions") {
     seq((1, 1, "x", 1))
+    // the supported subset rewrites cleanly (no contract error)
+    MatchRecognize.dropViews(spark, MatchRecognize.rewriteStreaming(spark,
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE B AS v > PREV(v))""".stripMargin,
+      _ => Some(("o", "5 seconds"))))
+    // PREV over an expression is outside the subset, same as batch
     val e = intercept[IllegalArgumentException](
       MatchRecognize.rewriteStreaming(spark,
         """SELECT * FROM mr_in MATCH_RECOGNIZE (
           |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-          |  PATTERN (A B) DEFINE B AS v > PREV(v))""".stripMargin,
+          |  PATTERN (A B) DEFINE B AS v > PREV(v + 1))""".stripMargin,
         _ => Some(("o", "5 seconds"))))
     assert(e.getMessage.contains("PREV"), s"message: ${e.getMessage}")
   }

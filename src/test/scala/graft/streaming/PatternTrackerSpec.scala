@@ -37,7 +37,7 @@ class PatternTrackerSpec extends AnyFunSuite {
     val events = input.toDF().toDF("key", "ts", "t")
       .selectExpr("key", "ts",
         "CASE t WHEN 'view' THEN 1L WHEN 'click' THEN 2L WHEN 'purchase' THEN 4L ELSE 0L END AS defs",
-        "'' AS vals")
+        "'' AS vals", "'' AS lag")
       .as[PatternEvent]
     val out = PatternTracker.track(events, "5 seconds", VCP, Measures,
       skipToNextRow = false)
@@ -63,7 +63,7 @@ class PatternTrackerSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long)]
     val events = input.toDF().toDF("key", "ts", "defs")
-      .selectExpr("*", "'' AS vals").as[PatternEvent]
+      .selectExpr("*", "'' AS vals", "'' AS lag").as[PatternEvent]
     // pattern: A+ (bit0), measures COUNT(*), MATCH_NUMBER()
     val out = PatternTracker.track(events, "5 seconds",
       Seq(PatternTracker.Elem(0, 1, Int.MaxValue)), Seq((3, -1), (4, -1)),
@@ -91,7 +91,7 @@ class PatternTrackerSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long)]
     val events = input.toDF().toDF("key", "ts", "defs")
-      .selectExpr("*", "'' AS vals").as[PatternEvent]
+      .selectExpr("*", "'' AS vals", "'' AS lag").as[PatternEvent]
     // pattern: single A (bit0); count + match number
     val out = PatternTracker.track(events, "5 seconds",
       Seq(PatternTracker.Elem(0, 1, 1)), Seq((4, -1)),
@@ -117,7 +117,7 @@ class PatternTrackerSpec extends AnyFunSuite {
     val events = input.toDF().toDF("key", "ts", "t")
       .selectExpr("key", "ts",
         "CASE t WHEN 'view' THEN 1L WHEN 'click' THEN 2L WHEN 'purchase' THEN 4L ELSE 0L END AS defs",
-        "'' AS vals")
+        "'' AS vals", "'' AS lag")
       .as[PatternEvent]
     val out = PatternTracker.track(events, "5 seconds", VCP, Measures,
       skipToNextRow = false)
@@ -164,7 +164,7 @@ class PatternTrackerSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long)]
     val events = input.toDF().toDF("key", "ts", "defs")
-      .selectExpr("*", "'' AS vals").as[PatternEvent]
+      .selectExpr("*", "'' AS vals", "'' AS lag").as[PatternEvent]
     val out = PatternTracker.track(events, "5 seconds",
       Seq(PatternTracker.Elem(0, 1, 1),
         PatternTracker.Elem(1, 0, Int.MaxValue)),
@@ -207,14 +207,14 @@ class PatternTrackerSpec extends AnyFunSuite {
       // batch reference: the same operator in final mode (bounded input)
       val batch = PatternTracker.track(
         rows.toDS().toDF("key", "ts", "defs")
-        .selectExpr("*", "'' AS vals").as[PatternEvent],
+        .selectExpr("*", "'' AS vals", "'' AS lag").as[PatternEvent],
         "5 seconds", elems, measures, skipToNextRow = false, within)
         .collect().toSet
 
       val input = MemoryStream[(String, Timestamp, Long)]
       val out = PatternTracker.track(
         input.toDF().toDF("key", "ts", "defs")
-      .selectExpr("*", "'' AS vals").as[PatternEvent],
+      .selectExpr("*", "'' AS vals", "'' AS lag").as[PatternEvent],
         "5 seconds", elems, measures, skipToNextRow = false, within)
       val name = s"pt_eq_$trial"
       val query = out.writeStream.format("memory")
@@ -233,6 +233,63 @@ class PatternTrackerSpec extends AnyFunSuite {
         val streamed = spark.table(name).as[PatternMatch].collect().toSet
         // batch also sees the flush rows? No — compare on real matches:
         // flush rows satisfy no variable, so they can't join a match
+        assert(streamed === batch, s"trial $trial")
+      } finally query.stop()
+    }
+  }
+
+  test("chunked PREV equals batch on random value sequences") {
+    // PREV-dependent def bits must recompute identically regardless of
+    // delivery chunking: S R+ with R := v > PREV(v) over random small
+    // values (plenty of rises, falls, and ties), chunked streaming vs
+    // one-shot batch on the same ordered rows
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GreaterThan}
+    import org.apache.spark.sql.types.LongType
+    val elems = Seq(PatternTracker.Elem(0, 1, 1),
+      PatternTracker.Elem(1, 1, Int.MaxValue))
+    val measures = Seq((0, 0), (2, 1), (4, -1))
+    // layout: ordinal 0 = v (current), ordinal 1 = __prev_1_v
+    val prevSpec = Some(PatternTracker.PrevSpec(
+      Array("v"), Array(LongType), 1,
+      Array((1, GreaterThan(BoundReference(0, LongType, nullable = true),
+        BoundReference(1, LongType, nullable = true))))))
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      val rows = (1 to 30).map { i =>
+        // bit 0 (S) always satisfied upstream; bit 1 (R) is 0 upstream
+        // and computed tracker-side from the lag payload
+        (s"k${i % 2}", ts(10L + i * 10L), 1L, s"""{"v":${rnd.nextInt(5)}}""")
+      }
+      val batch = PatternTracker.trackBranches(
+        rows.toDS().toDF("key", "ts", "defs", "lag")
+          .selectExpr("key", "ts", "defs", "'' AS vals", "lag")
+          .as[PatternEvent],
+        "5 seconds", Seq(elems), measures, skipToNextRow = false, None, 0L,
+        prevSpec).collect().toSet
+      val input = MemoryStream[(String, Timestamp, Long, String)]
+      val out = PatternTracker.trackBranches(
+        input.toDF().toDF("key", "ts", "defs", "lag")
+          .selectExpr("key", "ts", "defs", "'' AS vals", "lag")
+          .as[PatternEvent],
+        "5 seconds", Seq(elems), measures, skipToNextRow = false, None, 0L,
+        prevSpec)
+      val name = s"pt_prev_$trial"
+      val query = out.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        rows.grouped(7).foreach { chunk =>
+          input.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+        // flush rows satisfy no variable and nothing follows them, so
+        // they are PREV sources for no matching row — batch parity holds
+        input.addData(("k0", ts(500000L), 0L, "{}"),
+          ("k1", ts(500000L), 0L, "{}"))
+        query.processAllAvailable()
+        input.addData(("k0", ts(900000L), 0L, "{}"))
+        query.processAllAvailable()
+        val streamed = spark.table(name).as[PatternMatch].collect().toSet
         assert(streamed === batch, s"trial $trial")
       } finally query.stop()
     }
@@ -258,13 +315,13 @@ class PatternTrackerSpec extends AnyFunSuite {
       }
       val batch = PatternTracker.trackBranches(
         rows.toDS().toDF("key", "ts", "defs")
-          .selectExpr("*", "'' AS vals").as[PatternEvent],
+          .selectExpr("*", "'' AS vals", "'' AS lag").as[PatternEvent],
         "5 seconds", branches, measures, skipToNextRow = false, None, 0L)
         .collect().toSet
       val input = MemoryStream[(String, Timestamp, Long)]
       val out = PatternTracker.trackBranches(
         input.toDF().toDF("key", "ts", "defs")
-          .selectExpr("*", "'' AS vals").as[PatternEvent],
+          .selectExpr("*", "'' AS vals", "'' AS lag").as[PatternEvent],
         "5 seconds", branches, measures, skipToNextRow = false, None, 0L)
       val name = s"pt_alt_$trial"
       val query = out.writeStream.format("memory")
