@@ -61,6 +61,15 @@ final class EngineConfig(spark: SparkSession) {
   def checkpointingEnabled: Boolean =
     raw.get("execution.checkpointing.enabled").exists(_.toBoolean)
 
+  /** Durable checkpoint base (Flink's `state.checkpoints.dir` /
+    * `execution.checkpointing.dir`): queries checkpoint under
+    * `<base>/<pipeline>-<sink>` and recover across restarts. Unset →
+    * a fresh temp directory per run (enabled-but-undirected parity).
+    */
+  def checkpointDir: Option[String] =
+    raw.get("state.checkpoints.dir")
+      .orElse(raw.get("execution.checkpointing.dir"))
+
   /** `5s` / `3 s` / `500ms` → Spark duration string. */
   def miniBatchLatency: Option[String] =
     raw.get("table.exec.mini-batch.allow-latency").map(toDuration)

@@ -583,10 +583,24 @@ final class SqlSubmitAction(
         case None          => base
       }
       val withCp =
-        if (config.checkpointingEnabled)
-          withTrigger.option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft-cp-").toString)
-        else withTrigger
+        if (config.checkpointingEnabled) {
+          val dir = config.checkpointDir match {
+            case Some(base) =>
+              // durable, recoverable checkpoints under the configured
+              // base (Flink's state.checkpoints.dir semantics), stable
+              // per (pipeline, sink) — stamped with the tracker state
+              // format versions so an incompatible restore fails with
+              // the named contract error, not an encoder stack trace
+              val name =
+                config.pipelineName.getOrElse("graft") + "-" + sinkDef.name
+              val d = base.stripSuffix("/") + "/" + name
+              graft.streaming.StateFormat.check(spark, d)
+              d
+            case None =>
+              java.nio.file.Files.createTempDirectory("graft-cp-").toString
+          }
+          withTrigger.option("checkpointLocation", dir)
+        } else withTrigger
       val named = config.pipelineName match {
         case Some(n) => withCp.queryName(s"$n-${sinkDef.name}")
         case None    => withCp.queryName(sinkDef.name)

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+
+/** State-store format versions of the stateful trackers, stamped beside
+  * each durable checkpoint so an incompatible restore fails with a
+  * named contract error instead of a Spark encoder stack trace.
+  *
+  * Spark's state store deserializes with the CURRENT build's encoder:
+  * when a tracker's state case class changes shape (as the round-5
+  * measure payload and round-6 PREV payload/ctx extensions did for
+  * [[PatternState]]), restoring an older checkpoint dies deep inside
+  * the encoder. The stamp file makes that failure mode explicit and
+  * early — at query start, with an error that says what to do.
+  */
+object StateFormat {
+
+  /** Bump when [[PatternState]]/[[PatternEvent]] change shape.
+    * v1 = (time, bitmask) rows; v2 = + measure payload (round 5);
+    * v3 = + PREV lag payload and consumed-predecessor ctx (round 6).
+    */
+  val PatternTrackerVersion = 3
+
+  /** Bump when [[CumulateState]]/[[CumulateEvent]] change shape. */
+  val CumulateTrackerVersion = 1
+
+  private val FileName = "graft-state-format.json"
+
+  private def stampJson: String =
+    s"""{"patternTracker": $PatternTrackerVersion, """ +
+      s""""cumulateTracker": $CumulateTrackerVersion}"""
+
+  /** Verifies (or creates) the format stamp for checkpoint directory
+    * `dir`. Three cases:
+    *  - no directory / empty directory: stamp it with the current
+    *    versions and proceed;
+    *  - stamp present and equal to the current versions: proceed;
+    *  - stamp present but older (or checkpoint data exists without any
+    *    stamp — a pre-stamp build wrote it): fail with the named
+    *    contract error telling the operator to restart from a fresh
+    *    checkpoint.
+    *
+    * Goes through the Hadoop FileSystem API so `file://` and DFS
+    * checkpoint locations behave identically (same access path the
+    * script reader uses).
+    */
+  def check(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp = new Path(path, FileName)
+    def fail(found: String): Nothing = throw new IllegalStateException(
+      s"incompatible streaming state at $dir ($found; this build writes " +
+        s"patternTracker v$PatternTrackerVersion, cumulateTracker " +
+        s"v$CumulateTrackerVersion): the state-store schema changed — " +
+        "restart the query from a fresh checkpoint directory")
+    if (fs.exists(stamp)) {
+      // any read failure (corrupt file, checksum mismatch from an
+      // out-of-band edit) is still an unverifiable format — name it
+      val text =
+        try {
+          val in = fs.open(stamp)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch {
+          case e: java.io.IOException => fail(s"unreadable stamp: " +
+            e.getMessage.takeWhile(_ != '\n'))
+        }
+      def ver(key: String): Int =
+        (s""""$key"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(text)
+          .map(_.group(1).toInt).getOrElse(0)
+      val (pv, cv) = (ver("patternTracker"), ver("cumulateTracker"))
+      if (pv != PatternTrackerVersion || cv != CumulateTrackerVersion)
+        fail(s"stamped patternTracker v$pv, cumulateTracker v$cv")
+    } else if (fs.exists(path) && fs.listStatus(path).nonEmpty) {
+      // checkpoint data from a build that predates the stamp: every
+      // such build used an older state schema
+      fail("unstamped checkpoint from a pre-versioning build")
+    } else {
+      fs.mkdirs(path)
+      val out = fs.create(stamp, true)
+      try out.write(stampJson.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checkpoint format stamping: a durable checkpoint directory carries
+  * the tracker state-format versions, and an incompatible restore
+  * fails with the named contract error instead of a Spark encoder
+  * stack trace.
+  */
+class StateFormatSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft-sf-").toString
+
+  test("fresh directory is stamped and passes repeat checks") {
+    val dir = tmp() + "/cp"
+    StateFormat.check(spark, dir)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "graft-state-format.json")))
+    // an unchanged build re-opens its own checkpoint freely
+    StateFormat.check(spark, dir)
+  }
+
+  test("synthetically old stamp fails with the named error") {
+    val dir = tmp() + "/cp"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "graft-state-format.json"),
+      """{"patternTracker": 2, "cumulateTracker": 1}""")
+    val e = intercept[IllegalStateException](StateFormat.check(spark, dir))
+    assert(e.getMessage.contains("incompatible streaming state"),
+      s"message: ${e.getMessage}")
+    assert(e.getMessage.contains("fresh checkpoint"),
+      s"message: ${e.getMessage}")
+  }
+
+  test("unstamped non-empty checkpoint (pre-versioning build) fails") {
+    val dir = tmp() + "/cp"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, "offsets"))
+    val e = intercept[IllegalStateException](StateFormat.check(spark, dir))
+    assert(e.getMessage.contains("incompatible streaming state"),
+      s"message: ${e.getMessage}")
+  }
+
+  test("harness checkpoints under state.checkpoints.dir and recovers") {
+    // a durable checkpoint base makes the CLI's streaming queries
+    // recoverable across runs — the directory must be stable, stamped,
+    // and reusable by the same build
+    val base = tmp()
+    val script = java.nio.file.Files.createTempFile("sf-cp", ".sql")
+    val out = tmp()
+    def runOnce(): Unit = {
+      new graft.harness.SqlSubmitAction(script.toString, Map.empty,
+        Some(spark), durationSec = 15L).run()
+    }
+    java.nio.file.Files.writeString(script,
+      // no number-of-rows: a bounded datagen registers as a BATCH view
+      // and would bypass the streaming checkpoint path entirely
+      s"""SET execution.runtime-mode = streaming;
+         |SET execution.checkpointing.enabled = true;
+         |SET state.checkpoints.dir = file://$base;
+         |SET pipeline.name = sfdemo;
+         |create table src (
+         |  id bigint,
+         |  row_time as current_timestamp,
+         |  watermark for row_time as row_time - interval '1' second
+         |) with (
+         |  'connector' = 'datagen',
+         |  'rows-per-second' = '20'
+         |);
+         |create table snk (id bigint, n bigint) with (
+         |  'connector' = 'filesystem',
+         |  'path' = 'file://$out/sink',
+         |  'format' = 'parquet'
+         |);
+         |insert into snk
+         |SELECT id, COUNT(*) AS n FROM src
+         |GROUP BY id, window(row_time, '2 seconds');
+         |""".stripMargin)
+    runOnce()
+    val cp = java.nio.file.Paths.get(base, "sfdemo-snk")
+    assert(java.nio.file.Files.exists(cp.resolve("graft-state-format.json")))
+    assert(java.nio.file.Files.exists(cp.resolve("offsets")))
+    // same build restarts against the same checkpoint without error
+    runOnce()
+  }
+}
