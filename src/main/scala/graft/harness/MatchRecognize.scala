@@ -2,7 +2,7 @@ package graft.harness
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -15,7 +15,8 @@ import scala.collection.mutable.ArrayBuffer
   *   [PARTITION BY k1, k2]
   *   ORDER BY o1 [, o2 ...]
   *   MEASURES <m> AS a1 [, ...]      -- m: V.col | FIRST(V.col) | LAST(V.col)
-  *                                   --    | COUNT(V.*) | COUNT(*) | MATCH_NUMBER()
+  *                                   --    | COUNT(V.*) | COUNT(*)
+  *                                   --    | MATCH_NUMBER() | CLASSIFIER()
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *                                   -- ALL ROWS: every matched row,
   *                                   -- all input columns + RUNNING
@@ -38,7 +39,9 @@ import scala.collection.mutable.ArrayBuffer
   *                                   -- finality)
   *   DEFINE V1 AS <pred> [, ...]     -- current-row predicate, may use
   * )                                 -- PREV(col[, k]) (physical row
-  *                                   -- navigation, batch only);
+  *                                   -- navigation; streaming gates the
+  *                                   -- referenced columns to
+  *                                   -- JSON-lossless types);
   *                                   -- undefined variables match any row
   * }}}
   *
@@ -81,6 +84,12 @@ object MatchRecognize {
   private[harness] final case class CountMeasure(
       variable: Option[String], alias: String) extends Measure
   private[harness] final case class MatchNumberMeasure(alias: String) extends Measure
+  /** `CLASSIFIER()` — the pattern-variable name of the current row (ALL
+    * ROWS PER MATCH) or of the match's last row (ONE ROW PER MATCH),
+    * SQL:2016 running semantics. Most informative under alternation,
+    * where it names the branch variable that actually matched.
+    */
+  private[harness] final case class ClassifierMeasure(alias: String) extends Measure
 
   private[harness] final case class Spec(
       partitionBy: Seq[String],
@@ -142,12 +151,14 @@ object MatchRecognize {
     raw"(?is)^COUNT\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*\*\s*\)$$".r
   private val CountStarRe = raw"(?is)^COUNT\s*\(\s*\*\s*\)$$".r
   private val MatchNumberRe = raw"(?is)^MATCH_NUMBER\s*\(\s*\)$$".r
+  private val ClassifierRe = raw"(?is)^CLASSIFIER\s*\(\s*\)$$".r
   private val AsRe = raw"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$$".r
 
   private def parseMeasure(m: String): Measure = m match {
     case AsRe(body, alias) =>
       body.trim match {
         case MatchNumberRe() => MatchNumberMeasure(alias)
+        case ClassifierRe() => ClassifierMeasure(alias)
         case CountStarRe() => CountMeasure(None, alias)
         case CountVarRe(v) => CountMeasure(Some(v.toUpperCase), alias)
         case ColMeasureRe(fl, v, c, close) =>
@@ -155,7 +166,7 @@ object MatchRecognize {
           ColMeasure(v.toUpperCase, c, first = fl != null && fl.equalsIgnoreCase("FIRST"),
             alias = alias)
         case other => fail(s"unsupported measure (want V.col, FIRST/LAST(V.col), " +
-          s"COUNT(V.*), COUNT(*), MATCH_NUMBER()): $other")
+          s"COUNT(V.*), COUNT(*), MATCH_NUMBER(), CLASSIFIER()): $other")
       }
     case _ => fail(s"measure needs an AS alias: $m")
   }
@@ -561,6 +572,7 @@ object MatchRecognize {
         case CountMeasure(Some(v), _) => (2, varOf(v))
         case CountMeasure(None, _) => (3, -1)
         case MatchNumberMeasure(_) => (4, -1)
+        case ClassifierMeasure(_) => (7, -1)
       }
       // per-key state groups on a to_json/from_json round-trip of the
       // PARTITION BY tuple; only types whose JSON text decodes
@@ -713,6 +725,12 @@ object MatchRecognize {
             ci += 1
             from_json(scol("cvals").getItem(ci), valsSchema)
               .getField(src.schema(fieldIdx(c)).name).as(alias)
+          case ClassifierMeasure(alias) =>
+            // the tracker emits the last matched row's variable INDEX;
+            // map it back to the variable name in pattern order
+            sexpr("element_at(array(" +
+              vars.map(n => s"'$n'").mkString(", ") +
+              s"), CAST(values[$i] AS INT) + 1)").as(alias)
           case other => v.as(other.alias)
         }
       }
@@ -830,6 +848,7 @@ object MatchRecognize {
         StructField(alias, inSchema(fieldIdx(c)).dataType, nullable = true)
       case CountMeasure(_, alias) => StructField(alias, LongType, nullable = false)
       case MatchNumberMeasure(alias) => StructField(alias, LongType, nullable = false)
+      case ClassifierMeasure(alias) => StructField(alias, StringType, nullable = false)
     }
     val outFields =
       if (spec.allRows) inSchema.fields.take(baseLen).toSeq ++ measureFields
@@ -837,12 +856,15 @@ object MatchRecognize {
         StructField(f.name, f.dataType, nullable = f.nullable)) ++ measureFields
     val outSchema = StructType(outFields.toArray)
     val measurePlan: Array[(Int, Int, Int)] = spec.measures.map {
-      // (kind, varIdxInVars, colIdx): kind 0=first 1=last 2=countVar 3=countAll 4=matchNo
+      // (kind, varIdxInVars, colIdx): kind 0=first 1=last 2=countVar
+      // 3=countAll 4=matchNo 5=classifier
       case ColMeasure(v, c, first, _) => (if (first) 0 else 1, varOf(v), fieldIdx(c))
       case CountMeasure(Some(v), _) => (2, varOf(v), -1)
       case CountMeasure(None, _) => (3, -1, -1)
       case MatchNumberMeasure(_) => (4, -1, -1)
+      case ClassifierMeasure(_) => (5, -1, -1)
     }.toArray
+    val varNames = vars.toArray
 
     val sortCols = (spec.partitionBy ++ spec.orderBy).map(col)
     val located =
@@ -1037,7 +1059,12 @@ object MatchRecognize {
                 while (r <= upTo) { if (assign(r - pAbs) == v) cnt += 1; r += 1 }
                 cnt
               case 3 => (upTo - pAbs + 1).toLong
-              case _ => matchNo
+              case 4 => matchNo
+              case _ =>
+                // CLASSIFIER(): the variable matched at the emitted
+                // row — the match's last row for ONE ROW PER MATCH, the
+                // current row under ALL ROWS running semantics
+                varNames(assign(upTo - pAbs))
             }
           }
 

@@ -894,10 +894,77 @@ object Events {
         |)""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE `CLASSIFIER()` under alternation — reports which
+    * branch actually matched: `(V C+ | V P)` ends in a click run
+    * (classifier C) or a view-purchase pair (classifier P). SQL:2016
+    * semantics: under ONE ROW PER MATCH, CLASSIFIER() names the
+    * variable of the match's LAST row. Consumed spans (view + clicks,
+    * or view + purchase) contain no views, so every view row is an
+    * independent candidate start — which is what makes the join-based
+    * oracle exact.
+    * Reference: Flink's MATCH_RECOGNIZE measure surface admitted by the
+    * pass-through router (`SQLSubmitAction.java:76`).
+    */
+  val q72Classifier: Q = Q(
+    "q72_classifier",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |mx AS (SELECT user_id, MAX(rn) AS maxrn FROM e GROUP BY 1),
+      |v AS (SELECT user_id, rn AS vrn, ts_sec AS start_sec FROM e
+      |      WHERE event_type = 'view'),
+      |nxt AS (
+      |  SELECT v.user_id, v.vrn, v.start_sec, e2.event_type AS nt
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn = v.vrn + 1
+      |  WHERE e2.event_type IN ('click', 'purchase')),
+      |nc AS (
+      |  SELECT n.user_id, n.vrn, n.start_sec, n.nt, MIN(e3.rn) AS endrn
+      |  FROM nxt n LEFT JOIN e e3 ON e3.user_id = n.user_id
+      |    AND e3.rn > n.vrn AND e3.event_type <> 'click'
+      |  GROUP BY 1, 2, 3, 4),
+      |m AS (
+      |  SELECT nc.user_id, nc.vrn, nc.start_sec,
+      |    CASE WHEN nc.nt = 'click' THEN 'C' ELSE 'P' END AS branch_var,
+      |    CASE WHEN nc.nt = 'click'
+      |      THEN COALESCE(nc.endrn, mx.maxrn + 1) - nc.vrn
+      |      ELSE 2 END AS n_rows
+      |  FROM nc JOIN mx ON mx.user_id = nc.user_id)
+      |SELECT user_id, start_sec, branch_var,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM m""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+      .createOrReplaceTempView("graft_mr_events_cls")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, start_sec, branch_var, n_rows, mn
+        |FROM graft_mr_events_cls
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    V.ts_sec AS start_sec,
+        |    CLASSIFIER() AS branch_var,
+        |    COUNT(*) AS n_rows,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ | V P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
     q62SessionTvf, q63LegacyHop, q64MatchRecognize, q65PrevPattern,
-    q66AllRows, q67Alternation, q68Within, q69SkipChain)
+    q66AllRows, q67Alternation, q68Within, q69SkipChain, q72Classifier)
 }

@@ -73,7 +73,9 @@ object PatternTracker {
   /** Measure: (kind, varIdx) with kind 0 = FIRST(var ts), 1 = LAST(var
     * ts), 2 = COUNT(var.*), 3 = COUNT(*), 4 = MATCH_NUMBER(),
     * 5 = FIRST(var payload), 6 = LAST(var payload) — 5/6 return the
-    * matched row's `vals` JSON via [[PatternMatch.cvals]].
+    * matched row's `vals` JSON via [[PatternMatch.cvals]] —
+    * 7 = CLASSIFIER() as the last matched row's variable INDEX (the
+    * harness maps it back to the variable name).
     */
   type Measure = (Int, Int)
 
@@ -353,7 +355,8 @@ object PatternTracker {
               while (r < end) { if (assign(r) == v) cnt += 1; r += 1 }
               cnt
             case 3 => (end - p).toLong
-            case _ => matchNo
+            case 4 => matchNo
+            case _ => assign(end - 1).toLong // CLASSIFIER(): last row's var
           }
         }.toList
         out += PatternMatch(key, vals, cvals.result())

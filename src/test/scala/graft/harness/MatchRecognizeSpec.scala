@@ -314,7 +314,13 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  MEASURES LAST(B.v) AS bv, MATCH_NUMBER() AS mn
         |  AFTER MATCH SKIP PAST LAST ROW
         |  PATTERN (A B)
-        |  DEFINE B AS v > PREV(v, 2))""".stripMargin)
+        |  DEFINE B AS v > PREV(v, 2))""".stripMargin,
+      // CLASSIFIER under alternation: the winning branch's last variable
+      """SELECT * FROM mr_alt_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES CLASSIFIER() AS cls, COUNT(*) AS n, MATCH_NUMBER() AS mn
+        |  PATTERN (A B | C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin)
     for (q <- queries) {
       val batchSql = MatchRecognize.rewrite(spark, q)
       val streamSql = MatchRecognize.rewriteStreaming(spark, q,
@@ -328,6 +334,32 @@ class MatchRecognizeSpec extends AnyFunSuite {
         MatchRecognize.dropViews(spark, streamSql)
       }
     }
+  }
+
+  test("CLASSIFIER() names the matched branch; per-row under ALL ROWS") {
+    // ONE ROW PER MATCH: the variable of the match's LAST row — under
+    // alternation that is exactly which branch won
+    seq((1, 1, "view", 0), (1, 2, "click", 0), (1, 3, "click", 0),
+      (1, 4, "view", 0), (1, 5, "purchase", 0))
+    val one = run(
+      """SELECT k, cls, n FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES CLASSIFIER() AS cls, COUNT(*) AS n
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ | V P)
+        |  DEFINE V AS t = 'view', C AS t = 'click', P AS t = 'purchase')""".stripMargin)
+    assert(one.toSet === Set(Seq(1L, "C", 3L), Seq(1L, "P", 2L)))
+    // ALL ROWS PER MATCH: running semantics — each output row carries
+    // ITS OWN variable name
+    val all = run(
+      """SELECT o, cls FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES CLASSIFIER() AS cls
+        |  ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ | V P)
+        |  DEFINE V AS t = 'view', C AS t = 'click', P AS t = 'purchase')""".stripMargin)
+    assert(all.toSet === Set(Seq(1L, "V"), Seq(2L, "C"), Seq(3L, "C"),
+      Seq(4L, "V"), Seq(5L, "P")))
   }
 
   test("streaming PREV sees predecessors consumed by an earlier match") {
