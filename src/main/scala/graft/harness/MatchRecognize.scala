@@ -973,30 +973,47 @@ object MatchRecognize {
                 r += 1
               r
             } else if (maxSpan < Long.MaxValue) {
-              val want = math.min(pAbs.toLong + maxSpan, Int.MaxValue.toLong).toInt
-              while (loadedEnd < want && loadOne()) {}
-              math.min(loadedEnd, want)
+              math.min(pAbs.toLong + maxSpan, Int.MaxValue.toLong).toInt
             } else {
-              // unbounded quantifier, no WITHIN: the active run must
-              // buffer (Flink CEP's contract for such patterns too)
-              while (loadOne()) {}
-              loadedEnd
+              // unbounded quantifier, no WITHIN: rows load lazily as the
+              // greedy run extends (see tryBranch's ensure), so memory
+              // holds the ACTIVE run — a run that keeps matching to the
+              // group's end buffers that run, Flink CEP's contract for
+              // such patterns; a run broken by a failing predicate stops
+              // loading right there
+              Int.MaxValue
             }
           }
 
           // per-match variable assignment, relative to the match start:
-          // assign(i) is the variable matched at absolute row p+i
-          private var assign: Array[Int] = new Array[Int](64)
+          // assign(i) is the variable matched at absolute row p+i; grows
+          // with the actual match extent (lim may be the Int.MaxValue
+          // lazy-load sentinel, so it can't size this)
+          private var assign: Array[Int] = Array.fill(64)(-1)
 
-          // greedy backtracking within one branch: returns the match end
+          private def growAssign(maxIdx: Int): Unit = {
+            if (maxIdx >= assign.length) {
+              val old = assign.length
+              assign = java.util.Arrays.copyOf(assign,
+                math.max(maxIdx + 1, old * 2))
+              java.util.Arrays.fill(assign, old, assign.length, -1)
+            }
+          }
+
+          // greedy backtracking within one branch: returns the match
+          // end. `ensure` inside the run scan loads rows on demand, so
+          // an unbounded run buffers only while its predicate keeps
+          // matching.
           private def tryBranch(elems: Array[(Int, Int, Int)], e: Int,
               pos: Int, pAbs: Int, lim: Int): Int = {
             if (e == elems.length) return pos
             val (v, lo, hi) = elems(e)
             var run = 0
-            while (run < hi && pos + run < lim && at(pos + run).ok(v)) run += 1
+            while (run < hi && pos + run < lim && ensure(pos + run) &&
+                at(pos + run).ok(v)) run += 1
             var k = math.min(run, hi)
             while (k >= lo) {
+              if (k > 0) growAssign(pos + k - 1 - pAbs)
               var r = 0
               while (r < k) { assign(pos + r - pAbs) = v; r += 1 }
               val end = tryBranch(elems, e + 1, pos + k, pAbs, lim)
@@ -1011,13 +1028,10 @@ object MatchRecognize {
           // can only match zero rows here never shadows a later one)
           private def tryMatch(pAbs: Int): Int = {
             val lim = limitFor(pAbs)
-            val len = lim - pAbs
-            if (len <= 0) return -1
-            if (assign.length < len)
-              assign = new Array[Int](math.max(len, assign.length * 2))
+            if (lim <= pAbs) return -1
             var b = 0
             while (b < branches.length) {
-              java.util.Arrays.fill(assign, 0, len, -1)
+              java.util.Arrays.fill(assign, -1)
               val end = tryBranch(branches(b), 0, pAbs, pAbs, lim)
               if (end > pAbs) return end
               b += 1

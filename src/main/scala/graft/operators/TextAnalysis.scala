@@ -481,6 +481,12 @@ object TextAnalysis {
     *    (typos, URLs, IDs) and BPE trainers conventionally threshold
     *    them; pruning halves the pair-shuffle input while the top-20
     *    merge ranks are unaffected in practice.
+    *
+    * NOTE the floor is part of this operator's DEFINITION, not an
+    * approximation knob: engine and oracle both apply it, so the gate
+    * is honest, but the emitted counts exclude hapax-word pairs — they
+    * are floored merge statistics, not full-corpus pair counts. Remove
+    * the HAVING floor (both sides) to get the unfloored statistic.
     */
   val extBpeMerge: Q = Q(
     "ext_bpe_merge",

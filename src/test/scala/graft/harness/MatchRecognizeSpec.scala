@@ -138,6 +138,37 @@ class MatchRecognizeSpec extends AnyFunSuite {
       s"sliding window buffered $peak rows for a 1M-row key — unbounded buffering is back")
   }
 
+  test("unbounded quantifier without WITHIN buffers the active run, not the group") {
+    // the round-5 hazard: PATTERN (A B+) with no WITHIN used to load
+    // the WHOLE group up front for every match attempt. Runs now load
+    // lazily while their predicate keeps matching, so a 1M-row key
+    // whose runs break every 10 rows stays at run-extent memory. (A run
+    // that never breaks still buffers itself — Flink CEP's contract for
+    // such patterns, documented in the scaladoc.)
+    import spark.implicits._
+    spark.range(1000000L)
+      .selectExpr("CAST(1 AS BIGINT) AS k", "id AS o", "id % 10 AS v")
+      .createOrReplaceTempView("mr_hot_unbounded")
+    MatchRecognize.peakWindowRows.set(0L)
+    val out = spark.sql(MatchRecognize.rewrite(
+      spark,
+      """SELECT COUNT(*) AS matches, SUM(nb) AS b_rows
+        |FROM mr_hot_unbounded MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(B.*) AS nb
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+)
+        |  DEFINE A AS v = 0, B AS v > 0)""".stripMargin))
+      .collect()
+    // one match per 10-row block: A(v=0) then B+ takes v=1..9
+    assert(out.map(_.toSeq).toSeq === Seq(Seq(100000L, 900000L)))
+    val peak = MatchRecognize.peakWindowRows.get()
+    assert(peak > 0L, "peak window tracker never recorded")
+    assert(peak <= 1024L,
+      s"unbounded B+ buffered $peak rows of a 1M-row key — whole-group " +
+        "buffering is back")
+  }
+
   test("WITHIN bounds the window for unbounded quantifiers") {
     // A B* with no finite quantifier-sum would buffer the whole run;
     // the WITHIN horizon must cap the look-ahead instead
