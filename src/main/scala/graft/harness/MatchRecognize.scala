@@ -236,6 +236,36 @@ object MatchRecognize {
   private[harness] def hasPrev(pred: String): Boolean =
     raw"(?i)\bPREV\s*\(".r.findFirstIn(pred).isDefined
 
+  /** Splits a predicate on top-level `AND` keywords — blind to ANDs
+    * inside parentheses and string/identifier literals. Used to keep
+    * the non-PREV conjuncts of a PREV-bearing DEFINE evaluating
+    * upstream in Catalyst (any column type), moving only the
+    * PREV-bearing conjuncts into the tracker.
+    */
+  private def splitTopLevelAnd(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    def wordBoundary(idx: Int): Boolean =
+      idx < 0 || idx >= s.length || !(s.charAt(idx).isLetterOrDigit ||
+        s.charAt(idx) == '_')
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case q @ ('\'' | '"' | '`') => i = skipQuoted(s, i, q)
+        case c if depth == 0 && (c == 'a' || c == 'A') &&
+            s.regionMatches(true, i, "AND", 0, 3) &&
+            wordBoundary(i - 1) && wordBoundary(i + 3) =>
+          out += s.substring(start, i); start = i + 3; i += 3
+        case _ => i += 1
+      }
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Rejects DEFINE predicates that navigate beyond the current row in
     * ways the boolean-precompute design cannot carry (PREV is fine —
     * it is physical and precomputes as lag; see [[PrevRe]]).
@@ -552,15 +582,12 @@ object MatchRecognize {
       val colMeasureCols = scala.collection.mutable.LinkedHashSet.empty[String]
       def gatedMeasureCol(c: String): String = {
         val idx = fieldIdx(c)
-        import org.apache.spark.sql.types._
-        src.schema(idx).dataType match {
-          case StringType | LongType | IntegerType | ShortType | ByteType
-              | BooleanType => src.schema(idx).name
-          case dt => fail(s"streaming MATCH_RECOGNIZE measure on $c: type " +
-            s"${dt.simpleString} does not round-trip the JSON state " +
-            "payload losslessly (supported: string / integer / boolean " +
-            s"columns, or the event-time column $wmCol)")
-        }
+        if (graft.streaming.StateFormat.jsonLossless(src.schema(idx).dataType))
+          src.schema(idx).name
+        else fail(s"streaming MATCH_RECOGNIZE measure on $c: type " +
+          s"${src.schema(idx).dataType.simpleString} does not round-trip " +
+          "the JSON state payload losslessly (supported: string / " +
+          s"integer / boolean columns, or the event-time column $wmCol)")
       }
       val measures = spec.measures.map {
         case ColMeasure(v, c, first, _) =>
@@ -580,14 +607,11 @@ object MatchRecognize {
       // could lose precision or formatting fidelity on the way back
       spec.partitionBy.foreach { p =>
         val idx = fieldIdx(p)
-        import org.apache.spark.sql.types._
-        src.schema(idx).dataType match {
-          case StringType | LongType | IntegerType | ShortType | ByteType
-              | BooleanType => ()
-          case dt => fail(s"streaming MATCH_RECOGNIZE PARTITION BY $p has " +
-            s"type ${dt.simpleString} — keys must round-trip the JSON " +
-            "state encoding losslessly (string / integer / boolean)")
-        }
+        if (!graft.streaming.StateFormat.jsonLossless(src.schema(idx).dataType))
+          fail(s"streaming MATCH_RECOGNIZE PARTITION BY $p has " +
+            s"type ${src.schema(idx).dataType.simpleString} — keys must " +
+            "round-trip the JSON state encoding losslessly (string / " +
+            "integer / boolean)")
       }
       val keyExpr =
         if (spec.partitionBy.isEmpty) lit("{}")
@@ -600,6 +624,18 @@ object MatchRecognize {
       // type-gated to the JSON-lossless set (like measures/keys) and
       // packed as a per-row payload.
       val prevVars = vars.filter(v => hasPrev(spec.defines.getOrElse(v, "true")))
+      // split each PREV-bearing DEFINE on top-level AND: only the
+      // PREV-bearing conjuncts move tracker-side (and only THEIR
+      // columns face the JSON-lossless gate); the rest evaluate
+      // upstream in Catalyst like any other define, on any column type
+      val prevSplit: Map[String, (String, Option[String])] =
+        prevVars.map { v =>
+          val (pp, rest) = splitTopLevelAnd(spec.defines(v))
+            .partition(hasPrev)
+          v -> (pp.map(p => s"($p)").mkString(" AND "),
+            if (rest.isEmpty) None
+            else Some(rest.map(p => s"($p)").mkString(" AND ")))
+        }.toMap
       val prevSpecOpt: Option[PatternTracker.PrevSpec] =
         if (prevVars.isEmpty) None else {
           import org.apache.spark.sql.types._
@@ -608,26 +644,28 @@ object MatchRecognize {
           val srcNames = src.schema.fieldNames.map(n => n.toLowerCase -> n).toMap
           def gatedLagField(c: String): StructField = {
             val f = src.schema(fieldIdx(c))
-            f.dataType match {
-              case StringType | LongType | IntegerType | ShortType
-                  | ByteType | BooleanType => f
-              case dt => fail("streaming MATCH_RECOGNIZE DEFINE with " +
-                s"PREV() references $c: type ${dt.simpleString} does not " +
-                "round-trip the JSON state payload losslessly (supported: " +
-                "string / integer / boolean columns)")
-            }
+            if (graft.streaming.StateFormat.jsonLossless(f.dataType)) f
+            else fail("streaming MATCH_RECOGNIZE: column $c".replace("$c", c) +
+              s" (type ${f.dataType.simpleString}) appears in a " +
+              "PREV-bearing conjunct, which evaluates inside the tracker " +
+              "over a JSON state payload — only string / integer / " +
+              "boolean columns round-trip that payload losslessly. Move " +
+              "the condition into a separate AND-conjunct without PREV, " +
+              "or pre-cast the column upstream.")
           }
-          // every source column a PREV-containing predicate touches —
+          // every source column a PREV-bearing CONJUNCT touches —
           // inside PREV(...) directly, plus current-row identifiers
           val referenced = scala.collection.mutable.LinkedHashSet.empty[String]
           var maxK = 1
           prevVars.foreach { v =>
-            val pred = spec.defines(v)
+            val pred = prevSplit(v)._1
             PrevRe.findAllMatchIn(pred).foreach { pm =>
               referenced += srcNames.getOrElse(pm.group(1).toLowerCase,
                 fail(s"column ${pm.group(1)} not found in $table"))
-              maxK = math.max(maxK,
-                Option(pm.group(2)).map(_.toInt).getOrElse(1))
+              // guard the parse: \d+ can exceed Int range; the contract
+              // error must fire, not NumberFormatException
+              maxK = math.max(maxK, Option(pm.group(2)).map(s =>
+                if (s.length > 9) Int.MaxValue else s.toInt).getOrElse(1))
             }
             val stripped = PrevRe.replaceAllIn(pred, " ")
             raw"[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(stripped).foreach(id =>
@@ -642,7 +680,7 @@ object MatchRecognize {
             .map(f => AttributeReference(f.name, f.dataType, nullable = true)())
             .toIndexedSeq
           val preds = prevVars.map { v =>
-            val t = PrevRe.replaceAllIn(spec.defines(v), pm => {
+            val t = PrevRe.replaceAllIn(prevSplit(v)._1, pm => {
               val k = Option(pm.group(2)).getOrElse("1")
               val cn = srcNames(pm.group(1).toLowerCase)
               java.util.regex.Matcher.quoteReplacement(s"__prev_${k}_$cn")
@@ -676,14 +714,15 @@ object MatchRecognize {
         }
 
       val defsExpr = vars.zipWithIndex.map { case (v, i) =>
-        if (prevVars.contains(v))
-          // decided tracker-side over the ordered prefix; 0 upstream
-          "(CAST(0 AS BIGINT))"
-        else {
-          val pred = spec.defines.getOrElse(v, "true")
-          s"(CASE WHEN ($pred) THEN CAST(${1L << i} AS BIGINT) " +
-            "ELSE CAST(0 AS BIGINT) END)"
-        }
+        val pred =
+          if (prevVars.contains(v))
+            // upstream carries only the non-PREV conjuncts (true when
+            // there are none); the tracker ANDs in the PREV-bearing
+            // conjuncts over the ordered prefix by clearing the bit
+            prevSplit(v)._2.getOrElse("true")
+          else spec.defines.getOrElse(v, "true")
+        s"(CASE WHEN ($pred) THEN CAST(${1L << i} AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)"
       }.mkString(" + ")
       val valsExpr =
         if (colMeasureCols.isEmpty) lit("")

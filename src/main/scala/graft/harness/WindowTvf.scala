@@ -554,13 +554,11 @@ object WindowTvf {
     // are admitted — timestamp/decimal/float keys could lose precision
     // on the way back, and a NaN double key produces non-decodable JSON
     kept.foreach { k =>
-      src.schema(colIdx(k)).dataType match {
-        case StringType | LongType | IntegerType | ShortType | ByteType
-            | BooleanType => ()
-        case dt => fail(s"GROUP BY key $k has type ${dt.simpleString} — " +
+      val dt = src.schema(colIdx(k)).dataType
+      if (!graft.streaming.StateFormat.jsonLossless(dt))
+        fail(s"GROUP BY key $k has type ${dt.simpleString} — " +
           "keys must round-trip the JSON state encoding losslessly " +
           "(string / integer / boolean)")
-      }
     }
     val keyStruct = StructType(kept.map(k => src.schema(colIdx(k))).toArray)
     val keyExpr =

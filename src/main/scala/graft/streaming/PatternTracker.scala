@@ -243,8 +243,13 @@ object PatternTracker {
             }
             k += 1
           }
+          // upstream supplies the variable's NON-PREV conjuncts as its
+          // def bit; the tracker ANDs in the PREV-bearing conjuncts by
+          // clearing the bit when they don't hold (skipping eval when
+          // the upstream bit is already 0, like SQL AND short-circuit)
           ps.preds.foreach { case (v, ex) =>
-            if (ex.eval(row) == true) d |= 1L << v
+            if (((d >> v) & 1L) == 1L && ex.eval(row) != true)
+              d &= ~(1L << v)
           }
           d
         }
@@ -390,15 +395,21 @@ object PatternTracker {
       val ctx = prevSpec.fold(List.empty[String]) { ps =>
         (prev.ctx ++ matured.take(p).map(_._4)).takeRight(ps.maxK)
       }
-      if (kept.isEmpty && matchNo == 0L) state.remove()
+      // ctx must survive an all-no-match flush: rows finally passed
+      // over are still PHYSICAL predecessors of future rows, so their
+      // PREV payloads ride state until the idle TTL reclaims the key
+      if (kept.isEmpty && matchNo == 0L && ctx.isEmpty) state.remove()
       else if (kept.isEmpty && state.hasTimedOut &&
           incoming.isEmpty && prev.rows.isEmpty) {
         // idle expiry: a timeout fired for a key that was ALREADY empty
         // and received nothing — it held only MATCH_NUMBER continuity
-        // for IdleTtlMs of event time, so drop it (state stays bounded
-        // by active keys). A maturation wake that merely CONSUMED the
-        // last buffered rows is not idle: its matchNo survives and the
-        // idle clock starts below.
+        // and the PREV ctx window for IdleTtlMs of event time, so drop
+        // it (state stays bounded by active keys). A key that returns
+        // later restarts MATCH_NUMBER at 1 and sees NULL PREV across
+        // the gap — the same trade Flink makes under state TTL. A
+        // maturation wake that merely CONSUMED the last buffered rows
+        // is not idle: its matchNo survives and the idle clock starts
+        // below.
         state.remove()
       } else {
         state.update(PatternState(kept, matchNo, ctx))

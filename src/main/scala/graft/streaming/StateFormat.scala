@@ -15,6 +15,23 @@ import org.apache.hadoop.fs.Path
   */
 object StateFormat {
 
+  /** The JSON-lossless type set: types whose JSON text decodes
+    * bit-identically, and therefore the only types admitted wherever
+    * streaming state rides a to_json/from_json round-trip — PARTITION
+    * BY / GROUP BY keys, column measures, and PREV payload columns all
+    * share this one rule (timestamp/decimal/float could lose precision
+    * or formatting fidelity on the way back; NaN doubles produce
+    * non-decodable JSON).
+    */
+  def jsonLossless(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | LongType | IntegerType | ShortType | ByteType
+          | BooleanType => true
+      case _ => false
+    }
+  }
+
   /** Bump when [[PatternState]]/[[PatternEvent]] change shape.
     * v1 = (time, bitmask) rows; v2 = + measure payload (round 5);
     * v3 = + PREV lag payload and consumed-predecessor ctx (round 6).

@@ -437,6 +437,89 @@ class MatchRecognizeSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming PREV ctx survives an all-no-match flush") {
+    // rows finally passed over with NO match are still physical
+    // predecessors: the state used to be removed outright when no
+    // match had ever fired, dropping the ctx window and making the
+    // next batch's PREV see NULL where batch semantics see a value
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "vm").createOrReplaceTempView("mr_prev_flush")
+    val q =
+      """SELECT * FROM mr_prev_flush MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES LAST(R.vm) AS rv
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (R)
+        |  DEFINE R AS vm > PREV(vm))""".stripMargin
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_prev_flush_out").outputMode("append").start()
+    try {
+      // batch 1: 5 then 3 — both finally no-match (no PREV; 3 < 5);
+      // every buffered row is consumed with zero matches fired
+      input.addData(("a", ts1(10), 5L), ("a", ts1(20), 3L),
+        ("z", ts1(27), 0L))
+      query.processAllAvailable()
+      // batch 2: 9 rises over the FLUSHED row's 3
+      input.addData(("a", ts1(30), 9L), ("z", ts1(200), 0L))
+      query.processAllAvailable()
+      input.addData(("z", ts1(900), 0L))
+      query.processAllAvailable()
+      val got = spark.table("mr_prev_flush_out").collect()
+        .filter(_.getString(0) == "a").map(_.getLong(1)).toSet
+      assert(got === Set(9L))
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
+  test("non-PREV conjuncts of a PREV define evaluate upstream, any type") {
+    // DEFINE R AS score > 0.5 AND vm > PREV(vm): score is DOUBLE —
+    // not JSON-lossless — but it never rides the tracker payload
+    // because only the PREV-bearing conjunct moves tracker-side
+    import spark.implicits._
+    Seq((1L, 1L, 0.9d, 5L), (1L, 2L, 0.9d, 7L), (1L, 3L, 0.1d, 9L),
+      (1L, 4L, 0.9d, 11L))
+      .toDF("k", "o", "score", "vm").createOrReplaceTempView("mr_prev_mixed")
+    val q =
+      """SELECT * FROM mr_prev_mixed MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES LAST(R.vm) AS rv, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (R)
+        |  DEFINE R AS score > 0.5 AND vm > PREV(vm))""".stripMargin
+    val batchSql = MatchRecognize.rewrite(spark, q)
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("o", "5 seconds")))
+    try {
+      val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      // o=2 rises with score ok; o=3 rises but score fails; o=4 rises
+      // (over o=3's vm, physical PREV) with score ok
+      assert(batch === Set(Seq(1L, 7L, 1L), Seq(1L, 11L, 2L)))
+      assert(streamed === batch)
+    } finally {
+      MatchRecognize.dropViews(spark, batchSql)
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
+  test("oversized PREV offset fails with the contract, not a parse error") {
+    seq((1, 1, "x", 1))
+    val e = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+          |  PATTERN (A B) DEFINE B AS v > PREV(v, 99999999999))""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(e.getMessage.contains("maximum of 16"), s"message: ${e.getMessage}")
+  }
+
   test("streaming PREV gates non-lossless column types") {
     import spark.implicits._
     Seq((1L, ts1(1), 2.5d)).toDF("k", "ts", "dv")

@@ -257,9 +257,9 @@ class PatternTrackerSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 4) {
       val rows = (1 to 30).map { i =>
-        // bit 0 (S) always satisfied upstream; bit 1 (R) is 0 upstream
-        // and computed tracker-side from the lag payload
-        (s"k${i % 2}", ts(10L + i * 10L), 1L, s"""{"v":${rnd.nextInt(5)}}""")
+        // both bits set upstream (no non-PREV conjuncts); the tracker
+        // CLEARS bit 1 (R) when the PREV predicate doesn't hold
+        (s"k${i % 2}", ts(10L + i * 10L), 3L, s"""{"v":${rnd.nextInt(5)}}""")
       }
       val batch = PatternTracker.trackBranches(
         rows.toDS().toDF("key", "ts", "defs", "lag")
