@@ -108,9 +108,18 @@ final class SqlSubmitAction(
             // no SQL analog in either engine: echo the payload
             println(st.sql.trim.stripPrefix("PRINT").stripPrefix("print").trim)
           case StatementType.LOAD | StatementType.UNLOAD =>
-            // Flink module load has no Spark equivalent; warn + skip
-            System.err.println(
-              s"Unsupported in this engine (module load), skipped:\n ${st.sql}")
+            executeModuleStatement(st.sql)
+          case StatementType.SHOW
+              if raw"(?is)^\s*SHOW\s+(?:FULL\s+)?MODULES\s*;?\s*$$".r
+                .findFirstIn(st.sql).isDefined =>
+            // Flink's SHOW MODULES lists the module registry; Spark has
+            // no modules, so report the harness's tracked registry in
+            // Flink's one-column shape
+            println("+--------------+")
+            println("| module name  |")
+            println("+--------------+")
+            loadedModules.foreach(m => println(f"| $m%-12s |"))
+            println("+--------------+")
           case _ =>
             // CTAS / CREATE VIEW AS and friends can embed temporal
             // joins or window TVFs in their query bodies — the dialect
@@ -250,6 +259,46 @@ final class SqlSubmitAction(
     * and auth failures.
     */
   private val MissingTableStates = Set("42X05", "42P01", "42S02", "42704")
+
+  /** Module registry backing LOAD/UNLOAD/SHOW MODULES. Flink sessions
+    * start with the core module loaded; the reference executes these
+    * statements through `tableEnv.executeSql`
+    * (`SQLSubmitAction.java:76`), so duplicate loads and unknown
+    * unloads must ERROR like Flink's, not skip. Spark has no module
+    * concept, so the registry tracks state faithfully but cannot
+    * change function resolution — UNLOAD warns about that one
+    * deviation instead of pretending.
+    */
+  private val loadedModules =
+    scala.collection.mutable.LinkedHashSet("core")
+  private val ModuleStmtRe =
+    raw"(?is)^\s*(LOAD|UNLOAD)\s+MODULE\s+`?([A-Za-z_][\w.-]*)`?\s*(?:WITH\s*\(.*\))?\s*;?\s*$$".r
+
+  private def executeModuleStatement(sql: String): Unit = sql match {
+    case ModuleStmtRe(op, name) =>
+      val m = name.toLowerCase
+      if (op.equalsIgnoreCase("LOAD")) {
+        if (loadedModules.contains(m))
+          throw new IllegalArgumentException(
+            s"A module with name '$m' already exists")
+        if (m != "core")
+          throw new IllegalArgumentException(
+            s"Could not find a factory for module '$m' — only the core " +
+              "module is available in this engine")
+        loadedModules += m
+      } else {
+        if (!loadedModules.contains(m))
+          throw new IllegalArgumentException(
+            s"No module with name '$m' exists")
+        loadedModules -= m
+        System.err.println(s"Module '$m' unloaded from the registry; " +
+          "function resolution in this engine is unaffected (no module " +
+          "concept)")
+      }
+    case _ =>
+      // LOAD/UNLOAD of something other than MODULE (no such Flink form)
+      System.err.println(s"Unsupported LOAD/UNLOAD statement, skipped:\n $sql")
+  }
 
   private def isMissingTable(e: Throwable): Boolean = {
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists {

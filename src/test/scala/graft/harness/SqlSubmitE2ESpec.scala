@@ -85,7 +85,34 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     }
   }
 
-  test("EXECUTE STATEMENT SET runs grouped inserts; PRINT echoes; LOAD skipped") {
+  test("module statements: registry parity, errors, and SHOW MODULES") {
+    val spark = SparkFixture.spark
+    def run(stmts: String): Unit = {
+      val f = Files.createTempFile("graft-mod-", ".sql")
+      Files.writeString(f,
+        s"SET execution.runtime-mode = batch;\n$stmts\n")
+      new SqlSubmitAction(f.toString, Map.empty,
+        existingSession = Some(spark)).run()
+    }
+    // unload + reload round-trips (each action starts with core loaded)
+    run("UNLOAD MODULE core;\nLOAD MODULE core;\nSHOW MODULES;")
+    // duplicate load errors like Flink's executeSql, wrapped per
+    // statement like every other failing statement
+    val dup = intercept[Exception](run("LOAD MODULE core;"))
+    assert(dup.getCause.getMessage.contains("already exists"),
+      s"message: ${dup.getCause.getMessage}")
+    // unknown module factory errors
+    val unknown = intercept[Exception](run("LOAD MODULE hive;"))
+    assert(unknown.getCause.getMessage.contains("core module"),
+      s"message: ${unknown.getCause.getMessage}")
+    // unloading a module that is not loaded errors
+    val missing = intercept[Exception](
+      run("UNLOAD MODULE core;\nUNLOAD MODULE core;"))
+    assert(missing.getCause.getMessage.contains("No module"),
+      s"message: ${missing.getCause.getMessage}")
+  }
+
+  test("EXECUTE STATEMENT SET runs grouped inserts; PRINT echoes; UNLOAD executes") {
     val spark = SparkFixture.spark
     val outDir = Files.createTempDirectory("graft-sset-out").toString
     val script =
@@ -98,7 +125,7 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
          |create table out_b(total bigint) with (
          |  'connector' = 'filesystem', 'path' = '$outDir/b', 'format' = 'parquet');
          |PRINT hello from graft;
-         |LOAD MODULE hive;
+         |UNLOAD MODULE core;
          |EXECUTE STATEMENT SET BEGIN
          |  insert into out_a select v from src where v <= 10;
          |  insert into out_b select cast(sum(v) as bigint) as total from src;
