@@ -295,6 +295,60 @@ class PatternTrackerSpec extends AnyFunSuite {
     }
   }
 
+  test("soak: 100k keys with PREV; state bounded, idle TTL reclaims it") {
+    // scale evidence for the PREV path: after every key's rows are
+    // consumed, each key retains only its ctx window + MATCH_NUMBER
+    // continuity (one state row per key), and the idle TTL must
+    // reclaim all of it once the watermark moves IdleTtlMs past the
+    // quiet keys — state is bounded by ACTIVE key cardinality, not
+    // lifetime key cardinality
+    import graft.harness.MatchRecognize
+    implicit val sc = spark.sqlContext
+    val nKeys = 100000
+    val input = MemoryStream[(String, Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "vm").createOrReplaceTempView("mr_prev_soak")
+    val streamSql = MatchRecognize.rewriteStreaming(spark,
+      """SELECT * FROM mr_prev_soak MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES LAST(R.vm) AS rv
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (R)
+        |  DEFINE R AS vm > PREV(vm))""".stripMargin,
+      _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_prev_soak_out").outputMode("append").start()
+    try {
+      // every key: vm rises 1 -> 2 across two constant event times
+      // (constant per position: watermark-split-safe)
+      input.addData((0 until nKeys).map(i => (s"k$i", ts(10), 1L)): _*)
+      input.addData((0 until nKeys).map(i => (s"k$i", ts(20), 2L)): _*)
+      input.addData(("z", ts(100), 0L))
+      query.processAllAvailable()
+      input.addData(("z", ts(200), 0L))
+      query.processAllAvailable()
+      val matches = spark.table("mr_prev_soak_out")
+        .filter("k != 'z'").count()
+      assert(matches === nKeys.toLong)
+      // all rows consumed: every key holds exactly one state row (its
+      // ctx + match counter)
+      val held = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(held >= nKeys.toLong,
+        s"expected ctx state for all $nKeys keys, saw $held")
+      // push the watermark IdleTtlMs past the quiet keys: the idle
+      // timeout wave drops all of them
+      input.addData(("z", ts(10L + PatternTracker.IdleTtlMs / 1000L + 600L), 0L))
+      query.processAllAvailable()
+      input.addData(("z", ts(10L + PatternTracker.IdleTtlMs / 1000L + 900L), 0L))
+      query.processAllAvailable()
+      val after = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(after <= 2L,
+        s"idle TTL passed but $after state rows remain (expected <= 2)")
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
   test("chunked alternation equals batch on random sequences") {
     // alternation + hitEnd interplay: a deferred higher-preference
     // branch must keep later branches from deciding early, and the
