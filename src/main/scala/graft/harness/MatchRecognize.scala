@@ -271,15 +271,39 @@ object MatchRecognize {
     * it is physical and precomputes as lag; see [[PrevRe]]).
     */
   private def checkDefine(variable: String, pred: String, allVars: Set[String]): Unit = {
-    raw"(?i)\b(NEXT|FIRST|LAST)\s*\(".r.findFirstIn(pred).foreach(f =>
-      fail(s"DEFINE $variable uses ${f.trim.dropRight(1).trim}() — only " +
-        "current-row predicates and PREV() are supported"))
-    for (v <- allVars if v != variable)
-      if ((raw"(?i)\b" + java.util.regex.Pattern.quote(v) + raw"\s*\.").r
-          .findFirstIn(pred).isDefined)
-        fail(s"DEFINE $variable references $v.<col> — cross-variable " +
-          "predicates are not supported")
+    raw"(?i)\bNEXT\s*\(".r.findFirstIn(pred).foreach(_ =>
+      fail(s"DEFINE $variable uses NEXT() — forward navigation is not " +
+        "supported"))
+    // FIRST/LAST are admitted only as cross-variable references
+    // (FIRST(V.col) over ANOTHER variable's running assignment); a
+    // FIRST/LAST over the variable's own rows is not in the subset
+    CrossFlRe.findAllMatchIn(pred).foreach { m =>
+      val v = m.group(2).toUpperCase
+      if (v == variable)
+        fail(s"DEFINE $variable uses ${m.group(1).toUpperCase}($v.…) " +
+          "over its own rows — self navigation beyond the current row " +
+          "is not supported")
+      if (!allVars.contains(v))
+        fail(s"DEFINE $variable references ${m.group(2)}.<col> — " +
+          s"${m.group(2)} is not a pattern variable")
+    }
   }
+
+  /** `FIRST(V.col)` / `LAST(V.col)` in a DEFINE — SQL:2016 running
+    * cross-variable navigation: the first/last row currently assigned
+    * to ANOTHER pattern variable in this match attempt (NULL while the
+    * variable has matched no row, so the predicate is unknown and the
+    * row does not match — Flink CEP's behavior). A bare `V.col` for
+    * another variable means LAST(V.col), per the standard.
+    */
+  private[harness] val CrossFlRe =
+    raw"(?i)\b(FIRST|LAST)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\)".r
+  private[harness] val CrossBareRe =
+    raw"(?i)\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)".r
+
+  private def hasCrossRef(pred: String, others: Set[String]): Boolean =
+    CrossFlRe.findAllMatchIn(pred).exists(m => others.contains(m.group(2).toUpperCase)) ||
+      CrossBareRe.findAllMatchIn(pred).exists(m => others.contains(m.group(1).toUpperCase))
 
   /** A DEFINE predicate may qualify columns with its own variable
     * (`A AS A.price > 10`); the qualifier means "the row being
@@ -557,6 +581,15 @@ object MatchRecognize {
 
       val vars = spec.pattern.flatten.map(_.variable).distinct
       if (vars.size > 62) fail("too many pattern variables (max 62)")
+      // cross-variable navigation needs the referenced rows' values at
+      // match time; the streaming state carries payloads only for
+      // PREV/measures today, so the batch matcher owns this form
+      spec.defines.collectFirst {
+        case (v, p) if hasCrossRef(p, vars.toSet - v) => v
+      }.foreach(v =>
+        fail(s"DEFINE $v uses cross-variable references (FIRST/LAST/" +
+          "V.col of another variable) — not supported in streaming " +
+          "MATCH_RECOGNIZE (batch only)"))
       val varOf = vars.zipWithIndex.toMap
       // alternation branches in preference order (leftmost wins) and
       // SKIP TO FIRST/LAST both ride through to the tracker, which
@@ -792,9 +825,12 @@ object MatchRecognize {
   // ------------------------------------------------------------- execute
 
   /** One buffered row with its precomputed per-variable match booleans
-    * and event time — the unit of the matcher's sliding window. */
+    * and event time — the unit of the matcher's sliding window. `cat`
+    * holds the row's Catalyst-internal values for matcher-side
+    * cross-variable predicate evaluation (null unless the pattern has
+    * cross defines). */
   private final class Ent(val row: Row, val ok: Array[Boolean],
-      val tsMs: Long, val tsNull: Boolean)
+      val tsMs: Long, val tsNull: Boolean, val cat: Array[Any] = null)
 
   /** Diagnostic high-water mark: the most rows the sliding window ever
     * buffered for a single key group (process-wide max; exact in local
@@ -832,8 +868,25 @@ object MatchRecognize {
         fail(s"unsupported PREV form (want PREV(col) or PREV(col, k)): $pred")
       t
     }
+    // cross-variable defines split on top-level AND like the streaming
+    // PREV path: conjuncts without cross refs stay in the precomputed
+    // __def boolean (Catalyst, any type); cross-bearing conjuncts
+    // evaluate INSIDE the matcher against the running assignment
+    val crossParts: Map[String, (Seq[String], Seq[String])] =
+      vars.flatMap { v =>
+        spec.defines.get(v).flatMap { p =>
+          val others = vars.toSet - v
+          if (!hasCrossRef(p, others)) None
+          else Some(v -> splitTopLevelAnd(p).partition(hasCrossRef(_, others)))
+        }
+      }.toMap
     val defCols = vars.map { v =>
-      val pred = spec.defines.getOrElse(v, "true")
+      val pred = crossParts.get(v) match {
+        case Some((_, rest)) =>
+          if (rest.isEmpty) "true"
+          else rest.map(r => s"($r)").mkString(" AND ")
+        case None => spec.defines.getOrElse(v, "true")
+      }
       expr(translatePrev(pred)).cast("boolean").as(s"__def_$v")
     }
     val prepared = src.select(col("*") +: defCols: _*)
@@ -882,6 +935,89 @@ object MatchRecognize {
     // ALL ROWS PER MATCH: every input column (minus the internal __def
     // booleans) + measures, one output row per matched input row.
     val baseLen = inSchema.fields.length - vars.length
+
+    // cross-variable defines compile to bound Catalyst expressions over
+    // (current row's columns) ++ (one slot per FIRST/LAST(V.col) ref);
+    // the matcher evaluates them during the run scan with the rows the
+    // running assignment currently gives V. No JSON round-trip here —
+    // values convert Row→Catalyst directly, so every column type works.
+    final case class CrossDef(
+        expr: org.apache.spark.sql.catalyst.expressions.Expression,
+        refs: Array[(Boolean, Int, Int)])
+    val crossByVar: Array[CrossDef] =
+      if (crossParts.isEmpty) null
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences}
+        import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+        import org.apache.spark.sql.types.StructField
+        val spark = src.sparkSession
+        val base = inSchema.fields.take(baseLen)
+        val arr = new Array[CrossDef](vars.length)
+        crossParts.foreach { case (v, (cross, _)) =>
+          val predText = cross.map(c => s"($c)").mkString(" AND ")
+          if (hasPrev(predText))
+            fail(s"DEFINE $v mixes PREV() and a cross-variable " +
+              "reference in one AND-conjunct — split them into " +
+              "separate conjuncts")
+          // ordered, de-duplicated ref slots: attr name -> ref triple
+          val refs = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Boolean, Int, Int)]
+          def slot(firstKw: Boolean, rv: String, c: String): String = {
+            val ci = fieldIdx(c)
+            if (ci >= baseLen) fail(s"DEFINE $v references $rv.$c: " +
+              s"column $c not found in input")
+            val name = s"__cv_${if (firstKw) "f" else "l"}_${rv}_" +
+              inSchema(ci).name
+            refs.getOrElseUpdate(name, (firstKw, varOf(rv), ci))
+            name
+          }
+          var t = CrossFlRe.replaceAllIn(predText, m => {
+            val rv = m.group(2).toUpperCase
+            if (!varOf.contains(rv))
+              java.util.regex.Matcher.quoteReplacement(m.matched)
+            else java.util.regex.Matcher.quoteReplacement(
+              slot(m.group(1).equalsIgnoreCase("FIRST"), rv, m.group(3)))
+          })
+          // bare V.col (another variable) = LAST(V.col) per SQL:2016
+          t = CrossBareRe.replaceAllIn(t, m => {
+            val rv = m.group(1).toUpperCase
+            if (!varOf.contains(rv))
+              java.util.regex.Matcher.quoteReplacement(m.matched)
+            else java.util.regex.Matcher.quoteReplacement(
+              slot(firstKw = false, rv, m.group(2)))
+          })
+          val attrs = (base.map(f =>
+              AttributeReference(f.name, f.dataType, nullable = true)()) ++
+            refs.map { case (name, (_, _, ci)) =>
+              AttributeReference(name, base(ci).dataType, nullable = true)()
+            }).toIndexedSeq
+          val parsedE =
+            try spark.sessionState.sqlParser.parseExpression(
+              s"CAST(($t) AS BOOLEAN)")
+            catch { case e: Exception =>
+              fail(s"cannot parse DEFINE $v: ${e.getMessage}") }
+          val analyzed =
+            try spark.sessionState.analyzer.execute(
+              LFilter(parsedE, LocalRelation(attrs)))
+            catch { case e: Exception =>
+              fail(s"cannot resolve DEFINE $v: ${e.getMessage}") }
+          val cond = analyzed.asInstanceOf[LFilter].condition
+          if (!cond.resolved)
+            fail(s"cannot resolve DEFINE $v over the input columns and " +
+              "its cross-variable references")
+          arr(varOf(v)) = CrossDef(
+            BindReferences.bindReference(cond, attrs),
+            refs.values.toArray)
+        }
+        arr
+      }
+    // Row→Catalyst converters for the matcher-side evaluation (built
+    // only when a cross define exists; Ent.cat stays null otherwise)
+    val catConverters: Array[Any => Any] =
+      if (crossByVar == null) null
+      else inSchema.fields.take(baseLen).map(f =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(f.dataType))
     val measureFields = spec.measures.map {
       case ColMeasure(_, c, _, alias) =>
         StructField(alias, inSchema(fieldIdx(c)).dataType, nullable = true)
@@ -946,9 +1082,13 @@ object MatchRecognize {
               ok(j) = !r.isNullAt(varIdx(j)) && r.getBoolean(varIdx(j))
               j += 1
             }
-            if (tsIdx < 0) new Ent(r, ok, 0L, tsNull = false)
-            else if (r.isNullAt(tsIdx)) new Ent(r, ok, 0L, tsNull = true)
-            else new Ent(r, ok, r.getTimestamp(tsIdx).getTime, tsNull = false)
+            val cat =
+              if (catConverters == null) null
+              else Array.tabulate(baseLen)(i => catConverters(i)(r.get(i)))
+            if (tsIdx < 0) new Ent(r, ok, 0L, tsNull = false, cat)
+            else if (r.isNullAt(tsIdx)) new Ent(r, ok, 0L, tsNull = true, cat)
+            else new Ent(r, ok, r.getTimestamp(tsIdx).getTime,
+              tsNull = false, cat)
           }
 
           private val win = ArrayBuffer(toEnt(head))
@@ -1039,6 +1179,47 @@ object MatchRecognize {
             }
           }
 
+          /** Evaluates variable v's cross-variable conjuncts at row
+            * `rowAbs`: each FIRST/LAST(V.col) slot resolves over the
+            * rows the running assignment currently gives V — i.e. the
+            * already-assigned elements in [pAbs, elemStart) — NULL
+            * while V has matched no row (the predicate is then unknown
+            * and the row does not match).
+            */
+          private def crossOk(v: Int, rowAbs: Int, pAbs: Int,
+              elemStart: Int): Boolean = {
+            if (crossByVar == null) return true
+            val cd = crossByVar(v)
+            if (cd == null) return true
+            val irow = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(baseLen + cd.refs.length)
+            val cur = at(rowAbs).cat
+            var i = 0
+            while (i < baseLen) { irow.update(i, cur(i)); i += 1 }
+            var j = 0
+            while (j < cd.refs.length) {
+              val (first, rv, colIdx) = cd.refs(j)
+              var found = -1
+              if (first) {
+                var r = pAbs
+                while (found < 0 && r < elemStart) {
+                  if (assign(r - pAbs) == rv) found = r
+                  r += 1
+                }
+              } else {
+                var r = elemStart - 1
+                while (found < 0 && r >= pAbs) {
+                  if (assign(r - pAbs) == rv) found = r
+                  r -= 1
+                }
+              }
+              irow.update(baseLen + j,
+                if (found < 0) null else at(found).cat(colIdx))
+              j += 1
+            }
+            cd.expr.eval(irow) == true
+          }
+
           // greedy backtracking within one branch: returns the match
           // end. `ensure` inside the run scan loads rows on demand, so
           // an unbounded run buffers only while its predicate keeps
@@ -1049,7 +1230,8 @@ object MatchRecognize {
             val (v, lo, hi) = elems(e)
             var run = 0
             while (run < hi && pos + run < lim && ensure(pos + run) &&
-                at(pos + run).ok(v)) run += 1
+                at(pos + run).ok(v) && crossOk(v, pos + run, pAbs, pos))
+              run += 1
             var k = math.min(run, hi)
             while (k >= lo) {
               if (k > 0) growAssign(pos + k - 1 - pAbs)

@@ -961,10 +961,68 @@ object Events {
         |)""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE cross-variable DEFINE (Flink CEP's canonical
+    * shape, admitted via the pass-through router
+    * `SQLSubmitAction.java:76`): a view followed by clicks whose value
+    * stays BELOW the view's — `D AS event_type = 'click' AND
+    * vm < FIRST(V.vm)` compares each candidate row against the match's
+    * start row. Consumed spans (view + below-threshold clicks) contain
+    * no views, so every view is an independent candidate start and the
+    * join-based oracle is exact.
+    */
+  val q73CrossDefine: Q = Q(
+    "q73_cross_define",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |mx AS (SELECT user_id, MAX(rn) AS maxrn FROM e GROUP BY 1),
+      |v AS (SELECT user_id, rn AS vrn, vm AS v_vm FROM e
+      |      WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, v.v_vm, MIN(e2.rn) AS endrn
+      |  FROM v LEFT JOIN e e2 ON e2.user_id = v.user_id
+      |    AND e2.rn > v.vrn
+      |    AND NOT (e2.event_type = 'click' AND e2.vm < v.v_vm)
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT nc.user_id, nc.vrn, nc.v_vm,
+      |    COALESCE(nc.endrn, mx.maxrn + 1) - nc.vrn - 1 AS n_d
+      |  FROM nc JOIN mx ON mx.user_id = nc.user_id)
+      |SELECT user_id, v_vm AS start_vm, CAST(n_d AS BIGINT) AS n_d,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM m WHERE n_d >= 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_cross")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, start_vm, n_d, mn
+        |FROM graft_mr_events_cross
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    FIRST(V.vm) AS start_vm,
+        |    COUNT(D.*) AS n_d,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V D+)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    D AS event_type = 'click' AND vm < FIRST(V.vm)
+        |)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
     q62SessionTvf, q63LegacyHop, q64MatchRecognize, q65PrevPattern,
-    q66AllRows, q67Alternation, q68Within, q69SkipChain, q72Classifier)
+    q66AllRows, q67Alternation, q68Within, q69SkipChain, q72Classifier,
+    q73CrossDefine)
 }

@@ -215,8 +215,8 @@ class MatchRecognizeSpec extends AnyFunSuite {
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > A.v)""".stripMargin,
-      "cross-variable")
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > FIRST(B.v))""".stripMargin,
+      "self navigation")
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
@@ -365,6 +365,89 @@ class MatchRecognizeSpec extends AnyFunSuite {
         MatchRecognize.dropViews(spark, streamSql)
       }
     }
+  }
+
+  test("cross-variable DEFINE: FIRST(S.col) bounds a falling run") {
+    // Flink CEP's canonical shape: rows below the match's start value.
+    // S is undefined (matches any row); D's predicate compares against
+    // the running FIRST of S — constant once S is assigned.
+    seq((1, 1, "x", 10), (1, 2, "x", 7), (1, 3, "x", 8), (1, 4, "x", 12),
+      (1, 5, "x", 3))
+    val out = run(
+      """SELECT sv, nd FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(S.v) AS sv, COUNT(D.*) AS nd
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S D+)
+        |  DEFINE D AS v < FIRST(S.v))""".stripMargin)
+    // S@1(10): D takes 7, 8 (12 breaks); S@4(12): D takes 3
+    assert(out.toSet === Set(Seq(10L, 2L), Seq(12L, 1L)))
+  }
+
+  test("cross-variable DEFINE: bare V.col means LAST; NULL until assigned") {
+    // C compares against LAST(B.v) (bare B.v, per the standard); an
+    // optional referenced variable that matched no row makes the
+    // predicate unknown, so the referencing row cannot match
+    seq((1, 1, "a", 3), (1, 2, "b", 5), (1, 3, "c", 7),
+      (2, 1, "b", 9), (2, 2, "c", 7))
+    val out = run(
+      """SELECT k, cv FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES LAST(C.v) AS cv
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS v > B.v)""".stripMargin)
+    // k=1: 7 > 5 matches; k=2 has no 'a' so no match at all
+    assert(out.toSet === Set(Seq(1L, 7L)))
+    // optional referenced variable: B AS v > A.v with A? absent -> NULL
+    seq((1, 1, "b", 5), (2, 1, "a", 3), (2, 2, "b", 5))
+    val opt = run(
+      """SELECT k, bv FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES LAST(B.v) AS bv
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A? B)
+        |  DEFINE A AS t = 'a', B AS v > A.v)""".stripMargin)
+    assert(opt.toSet === Set(Seq(2L, 5L)))
+  }
+
+  test("cross-variable DEFINE: non-cross conjuncts precompute upstream") {
+    // t = 'd' stays a Catalyst boolean; only v < FIRST(S.v) evaluates
+    // in the matcher — mirrors the streaming PREV conjunct split
+    seq((1, 1, "s", 10), (1, 2, "d", 7), (1, 3, "x", 6), (1, 4, "d", 5))
+    val out = run(
+      """SELECT nd FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(D.*) AS nd
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S D+)
+        |  DEFINE S AS t = 's', D AS t = 'd' AND v < FIRST(S.v))""".stripMargin)
+    // the run breaks at o=3 (t='x') even though 6 < 10
+    assert(out === Seq(Seq(1L)))
+  }
+
+  test("cross-variable DEFINE works under ALL ROWS and alternation") {
+    seq((1, 1, "x", 10), (1, 2, "x", 7), (1, 3, "x", 12))
+    val all = run(
+      """SELECT o, cls FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES CLASSIFIER() AS cls
+        |  ALL ROWS PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S D | S U)
+        |  DEFINE D AS v < FIRST(S.v), U AS v > FIRST(S.v))""".stripMargin)
+    // S@1 D@2 (7<10); then S@3 alone cannot complete either branch
+    assert(all.toSet === Set(Seq(1L, "S"), Seq(2L, "D")))
+  }
+
+  test("streaming rejects cross-variable DEFINE with the contract") {
+    seq((1, 1, "x", 1))
+    val e = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+          |  PATTERN (A B) DEFINE B AS v > FIRST(A.v))""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(e.getMessage.contains("cross-variable"), s"message: ${e.getMessage}")
   }
 
   test("CLASSIFIER() names the matched branch; per-row under ALL ROWS") {

@@ -436,15 +436,16 @@ class WindowTvfSpec extends AnyFunSuite {
 
   test("e2e: unsupported MATCH_RECOGNIZE form fails the contract, not the parser") {
     val spark = SparkFixture.spark
-    // cross-variable DEFINE (B.v > A.v) is outside the batch subset —
-    // the rewrite must throw its own contract, not leak Flink syntax
-    // into Spark's parser (supported forms run: MatchRecognizeSpec)
+    // NEXT() navigation is outside the subset — the rewrite must throw
+    // its own contract, not leak Flink syntax into Spark's parser
+    // (supported forms, incl. cross-variable DEFINE, run:
+    // MatchRecognizeSpec)
     val script =
       """SET execution.runtime-mode = batch;
         |select * from t match_recognize (
         |  partition by k order by ts
         |  measures A.ts as a_ts
-        |  pattern (A B) define A as A.v > 0, B as B.v > A.v);
+        |  pattern (A B) define A as A.v > 0, B as B.v > NEXT(v));
         |""".stripMargin
     val file = Files.createTempFile("graft-mr-", ".sql")
     Files.writeString(file, script)
@@ -455,7 +456,7 @@ class WindowTvfSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage) ++: messages(x.getCause))
-    assert(messages(e).exists(_.contains("cross-variable")))
+    assert(messages(e).exists(_.contains("NEXT")))
   }
 
   test("e2e: TUMBLE TVF aggregation script runs through sql-submit") {
