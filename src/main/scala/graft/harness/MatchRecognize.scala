@@ -581,15 +581,6 @@ object MatchRecognize {
 
       val vars = spec.pattern.flatten.map(_.variable).distinct
       if (vars.size > 62) fail("too many pattern variables (max 62)")
-      // cross-variable navigation needs the referenced rows' values at
-      // match time; the streaming state carries payloads only for
-      // PREV/measures today, so the batch matcher owns this form
-      spec.defines.collectFirst {
-        case (v, p) if hasCrossRef(p, vars.toSet - v) => v
-      }.foreach(v =>
-        fail(s"DEFINE $v uses cross-variable references (FIRST/LAST/" +
-          "V.col of another variable) — not supported in streaming " +
-          "MATCH_RECOGNIZE (batch only)"))
       val varOf = vars.zipWithIndex.toMap
       // alternation branches in preference order (leftmost wins) and
       // SKIP TO FIRST/LAST both ride through to the tracker, which
@@ -656,21 +647,38 @@ object MatchRecognize {
       // matured rows are already in match order. Referenced columns are
       // type-gated to the JSON-lossless set (like measures/keys) and
       // packed as a per-row payload.
-      val prevVars = vars.filter(v => hasPrev(spec.defines.getOrElse(v, "true")))
-      // split each PREV-bearing DEFINE on top-level AND: only the
-      // PREV-bearing conjuncts move tracker-side (and only THEIR
-      // columns face the JSON-lossless gate); the rest evaluate
-      // upstream in Catalyst like any other define, on any column type
+      // split each DEFINE on top-level AND and classify the conjuncts:
+      // PREV-bearing and cross-variable conjuncts move tracker-side
+      // (and only THEIR columns face the JSON-lossless gate); the rest
+      // evaluate upstream in Catalyst like any other define, on any
+      // column type. A conjunct mixing both forms is out of the subset.
+      val split: Map[String, (Seq[String], Seq[String], Seq[String])] =
+        vars.flatMap { v =>
+          spec.defines.get(v).flatMap { p =>
+            val others = vars.toSet - v
+            if (!hasPrev(p) && !hasCrossRef(p, others)) None
+            else {
+              val conjs = splitTopLevelAnd(p)
+              conjs.find(c => hasPrev(c) && hasCrossRef(c, others))
+                .foreach(_ => fail(s"DEFINE $v mixes PREV() and a " +
+                  "cross-variable reference in one AND-conjunct — " +
+                  "split them into separate conjuncts"))
+              val (pp, notPrev) = conjs.partition(hasPrev)
+              val (cc, rest) = notPrev.partition(hasCrossRef(_, others))
+              Some(v -> ((pp, cc, rest)))
+            }
+          }
+        }.toMap
+      val prevVars = vars.filter(v => split.get(v).exists(_._1.nonEmpty))
+      val crossVars = vars.filter(v => split.get(v).exists(_._2.nonEmpty))
       val prevSplit: Map[String, (String, Option[String])] =
-        prevVars.map { v =>
-          val (pp, rest) = splitTopLevelAnd(spec.defines(v))
-            .partition(hasPrev)
+        split.map { case (v, (pp, cc, rest)) =>
           v -> (pp.map(p => s"($p)").mkString(" AND "),
             if (rest.isEmpty) None
             else Some(rest.map(p => s"($p)").mkString(" AND ")))
-        }.toMap
+        }
       val prevSpecOpt: Option[PatternTracker.PrevSpec] =
-        if (prevVars.isEmpty) None else {
+        if (split.isEmpty) None else {
           import org.apache.spark.sql.types._
           import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences}
           import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
@@ -679,17 +687,21 @@ object MatchRecognize {
             val f = src.schema(fieldIdx(c))
             if (graft.streaming.StateFormat.jsonLossless(f.dataType)) f
             else fail("streaming MATCH_RECOGNIZE: column $c".replace("$c", c) +
-              s" (type ${f.dataType.simpleString}) appears in a " +
-              "PREV-bearing conjunct, which evaluates inside the tracker " +
-              "over a JSON state payload — only string / integer / " +
-              "boolean columns round-trip that payload losslessly. Move " +
-              "the condition into a separate AND-conjunct without PREV, " +
-              "or pre-cast the column upstream.")
+              s" (type ${f.dataType.simpleString}) appears in a PREV- or " +
+              "cross-variable conjunct, which evaluates inside the " +
+              "tracker over a JSON state payload — only string / " +
+              "integer / boolean columns round-trip that payload " +
+              "losslessly. Move the condition into a separate " +
+              "AND-conjunct, or pre-cast the column upstream.")
           }
-          // every source column a PREV-bearing CONJUNCT touches —
-          // inside PREV(...) directly, plus current-row identifiers
+          // every source column a tracker-side CONJUNCT touches —
+          // inside PREV(...) / FIRST/LAST(V.col) directly, plus
+          // current-row identifiers
           val referenced = scala.collection.mutable.LinkedHashSet.empty[String]
-          var maxK = 1
+          def sweepIds(text: String): Unit =
+            raw"[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(text).foreach(id =>
+              srcNames.get(id.toLowerCase).foreach(referenced += _))
+          var maxK = if (prevVars.isEmpty) 0 else 1
           prevVars.foreach { v =>
             val pred = prevSplit(v)._1
             PrevRe.findAllMatchIn(pred).foreach { pm =>
@@ -700,12 +712,25 @@ object MatchRecognize {
               maxK = math.max(maxK, Option(pm.group(2)).map(s =>
                 if (s.length > 9) Int.MaxValue else s.toInt).getOrElse(1))
             }
-            val stripped = PrevRe.replaceAllIn(pred, " ")
-            raw"[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(stripped).foreach(id =>
-              srcNames.get(id.toLowerCase).foreach(referenced += _))
+            sweepIds(PrevRe.replaceAllIn(pred, " "))
           }
           if (maxK > 16) fail(s"PREV offset $maxK exceeds the streaming " +
             "subset's maximum of 16")
+          crossVars.foreach { v =>
+            val pred = split(v)._2.map(c => s"($c)").mkString(" AND ")
+            CrossFlRe.findAllMatchIn(pred).foreach { cm =>
+              if (varOf.contains(cm.group(2).toUpperCase))
+                referenced += srcNames.getOrElse(cm.group(3).toLowerCase,
+                  fail(s"column ${cm.group(3)} not found in $table"))
+            }
+            CrossBareRe.findAllMatchIn(pred).foreach { cm =>
+              if (varOf.contains(cm.group(1).toUpperCase))
+                referenced += srcNames.getOrElse(cm.group(2).toLowerCase,
+                  fail(s"column ${cm.group(2)} not found in $table"))
+            }
+            sweepIds(CrossBareRe.replaceAllIn(
+              CrossFlRe.replaceAllIn(pred, " "), " "))
+          }
           val fields = referenced.toSeq.map(gatedLagField)
           val schemaAll = fields ++ (1 to maxK).flatMap(k =>
             fields.map(f => StructField(s"__prev_${k}_${f.name}", f.dataType)))
@@ -742,16 +767,69 @@ object MatchRecognize {
                 "available)")
             (varOf(v), BindReferences.bindReference(cond, attrs))
           }.toArray
+          // cross-variable conjuncts: bound over `cols ++ ref slots`,
+          // evaluated DURING matching against the running assignment
+          // (same layout the batch matcher uses, but with payload
+          // values instead of raw rows)
+          val colOrd = fields.map(_.name).zipWithIndex.toMap
+          val crossPreds = crossVars.map { v =>
+            val predText = split(v)._2.map(c => s"($c)").mkString(" AND ")
+            val refs = scala.collection.mutable.LinkedHashMap
+              .empty[String, (Boolean, Int, Int)]
+            def slot(firstKw: Boolean, rv: String, c: String): String = {
+              val cn = srcNames(c.toLowerCase)
+              val name = s"__cv_${if (firstKw) "f" else "l"}_${rv}_$cn"
+              refs.getOrElseUpdate(name, (firstKw, varOf(rv), colOrd(cn)))
+              name
+            }
+            var t = CrossFlRe.replaceAllIn(predText, cm => {
+              val rv = cm.group(2).toUpperCase
+              if (!varOf.contains(rv))
+                java.util.regex.Matcher.quoteReplacement(cm.matched)
+              else java.util.regex.Matcher.quoteReplacement(
+                slot(cm.group(1).equalsIgnoreCase("FIRST"), rv, cm.group(3)))
+            })
+            t = CrossBareRe.replaceAllIn(t, cm => {
+              val rv = cm.group(1).toUpperCase
+              if (!varOf.contains(rv))
+                java.util.regex.Matcher.quoteReplacement(cm.matched)
+              else java.util.regex.Matcher.quoteReplacement(
+                slot(firstKw = false, rv, cm.group(2)))
+            })
+            val crossAttrs = (fields.map(f =>
+                AttributeReference(f.name, f.dataType, nullable = true)()) ++
+              refs.map { case (name, (_, _, ord)) =>
+                AttributeReference(name, fields(ord).dataType,
+                  nullable = true)()
+              }).toIndexedSeq
+            val parsedE =
+              try spark.sessionState.sqlParser.parseExpression(
+                s"CAST(($t) AS BOOLEAN)")
+              catch { case e: Exception =>
+                fail(s"cannot parse DEFINE $v: ${e.getMessage}") }
+            val analyzed =
+              try spark.sessionState.analyzer.execute(
+                LFilter(parsedE, LocalRelation(crossAttrs)))
+              catch { case e: Exception =>
+                fail(s"cannot resolve DEFINE $v over the cross payload: " +
+                  e.getMessage) }
+            val cond = analyzed.asInstanceOf[LFilter].condition
+            if (!cond.resolved)
+              fail(s"cannot resolve DEFINE $v over the payload columns " +
+                "and its cross-variable references")
+            (varOf(v), BindReferences.bindReference(cond, crossAttrs),
+              refs.values.toArray)
+          }.toArray
           Some(PatternTracker.PrevSpec(fields.map(_.name).toArray,
-            fields.map(_.dataType).toArray, maxK, preds))
+            fields.map(_.dataType).toArray, maxK, preds, crossPreds))
         }
 
       val defsExpr = vars.zipWithIndex.map { case (v, i) =>
         val pred =
-          if (prevVars.contains(v))
-            // upstream carries only the non-PREV conjuncts (true when
-            // there are none); the tracker ANDs in the PREV-bearing
-            // conjuncts over the ordered prefix by clearing the bit
+          if (split.contains(v))
+            // upstream carries only the non-tracker conjuncts (true
+            // when there are none); the tracker ANDs in the PREV- and
+            // cross-bearing conjuncts
             prevSplit(v)._2.getOrElse("true")
           else spec.defines.getOrElse(v, "true")
         s"(CASE WHEN ($pred) THEN CAST(${1L << i} AS BIGINT) " +

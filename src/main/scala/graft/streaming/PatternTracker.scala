@@ -102,7 +102,14 @@ object PatternTracker {
       cols: Array[String],
       types: Array[org.apache.spark.sql.types.DataType],
       maxK: Int,
-      preds: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)])
+      preds: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)],
+      // cross-variable conjuncts (FIRST/LAST(V.col) of another
+      // variable): evaluated DURING matching against the running
+      // assignment, over the layout `cols ++ one slot per ref`;
+      // refs are (isFirst, refVarIdx, ordinal of the column in `cols`)
+      crossPreds: Array[(Int,
+        org.apache.spark.sql.catalyst.expressions.Expression,
+        Array[(Boolean, Int, Int)])] = Array())
 
   private lazy val jackson = new com.fasterxml.jackson.databind.ObjectMapper
 
@@ -217,11 +224,18 @@ object PatternTracker {
     // `ctx` payload window. Bits are recomputed (not persisted) each
     // update: cheap over the small undecided window, and state rows
     // keep their original sort-stable tuples.
+    // parsed lag payloads, shared by the PREV bit recompute and the
+    // cross-variable match-time evaluation
+    val lagVals: Array[Array[Any]] = prevSpec match {
+      case Some(ps) if ps.preds.nonEmpty || ps.crossPreds.nonEmpty =>
+        matured.map(r => parseLag(ps, r._4))
+      case _ => null
+    }
     val effDefs: Array[Long] = prevSpec match {
       case None => null
+      case Some(ps) if ps.preds.isEmpty => null
       case Some(ps) =>
         val c0 = ps.cols.length
-        val lagVals = matured.map(r => parseLag(ps, r._4))
         val ctxVals = prev.ctx.map(parseLag(ps, _)).toArray
         Array.tabulate(n) { i =>
           var d = matured(i)._2
@@ -260,6 +274,55 @@ object PatternTracker {
       (((if (effDefs == null) matured(i)._2 else effDefs(i)) >> v) & 1L) == 1L
     var hitEnd = false
     val assign = Array.fill(n)(-1)
+    // cross-variable conjuncts by variable index (null when unused)
+    val crossByVar: Array[(org.apache.spark.sql.catalyst.expressions.Expression,
+        Array[(Boolean, Int, Int)])] = prevSpec match {
+      case Some(ps) if ps.crossPreds.nonEmpty =>
+        val arr = new Array[(org.apache.spark.sql.catalyst.expressions.Expression,
+          Array[(Boolean, Int, Int)])](64)
+        ps.crossPreds.foreach { case (v, ex, refs) => arr(v) = (ex, refs) }
+        arr
+      case _ => null
+    }
+    /** Variable v's cross conjuncts at matured row `rowAbs`: each
+      * FIRST/LAST(V.col) slot resolves over the rows the running
+      * assignment gives V in [pAbs, elemStart) — NULL while V has
+      * matched no row. A false here is a PREDICATE failure (all inputs
+      * are matured and assigned), never a hitEnd deferral.
+      */
+    def crossOk(v: Int, rowAbs: Int, pAbs: Int, elemStart: Int): Boolean = {
+      if (crossByVar == null) return true
+      val cd = crossByVar(v)
+      if (cd == null) return true
+      val (ex, refs) = cd
+      val c0 = prevSpec.get.cols.length
+      val irow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(c0 + refs.length)
+      val cur = lagVals(rowAbs)
+      var i = 0
+      while (i < c0) { irow.update(i, cur(i)); i += 1 }
+      var j = 0
+      while (j < refs.length) {
+        val (first, rv, colIdx) = refs(j)
+        var found = -1
+        if (first) {
+          var r = pAbs
+          while (found < 0 && r < elemStart) {
+            if (assign(r) == rv) found = r
+            r += 1
+          }
+        } else {
+          var r = elemStart - 1
+          while (found < 0 && r >= pAbs) {
+            if (assign(r) == rv) found = r
+            r -= 1
+          }
+        }
+        irow.update(c0 + j, if (found < 0) null else lagVals(found)(colIdx))
+        j += 1
+      }
+      ex.eval(irow) == true
+    }
     // WITHIN horizon for a match starting at p: rows with
     // ts - ts(p) < withinMs, strict — identical to the batch matcher
     // and Flink CEP. Because the watermark drops later-than-wm arrivals,
@@ -275,12 +338,13 @@ object PatternTracker {
     // any explored path is truncated by the maturity boundary rather
     // than by a failing predicate or the WITHIN horizon — the decision
     // is then deferred
-    def tryBranch(elems: Array[Elem], e: Int, pos: Int, lim: Int,
-        horizonFinal: Boolean): Int = {
+    def tryBranch(elems: Array[Elem], e: Int, pos: Int, pAbs: Int,
+        lim: Int, horizonFinal: Boolean): Int = {
       if (e == elems.length) return pos
       val el = elems(e)
       var run = 0
-      while (run < el.hi && pos + run < lim && okAt(pos + run, el.varIdx))
+      while (run < el.hi && pos + run < lim && okAt(pos + run, el.varIdx) &&
+          crossOk(el.varIdx, pos + run, pAbs, pos))
         run += 1
       if (run < el.hi && pos + run == lim && lim == n && !horizonFinal)
         hitEnd = true
@@ -288,7 +352,7 @@ object PatternTracker {
       while (k >= el.lo) {
         var r = 0
         while (r < k) { assign(pos + r) = el.varIdx; r += 1 }
-        val end = tryBranch(elems, e + 1, pos + k, lim, horizonFinal)
+        val end = tryBranch(elems, e + 1, pos + k, pAbs, lim, horizonFinal)
         if (end >= 0) return end
         k -= 1
       }
@@ -319,7 +383,7 @@ object PatternTracker {
       // or a boundary-touching higher branch would skip real matches
       while (b < branches.length && end < 0 && !(hitEnd && !isFinal)) {
         java.util.Arrays.fill(assign, -1)
-        val e2 = tryBranch(branches(b), 0, p, lim, horizonFinal)
+        val e2 = tryBranch(branches(b), 0, p, p, lim, horizonFinal)
         if (e2 > p) end = e2
         b += 1
       }

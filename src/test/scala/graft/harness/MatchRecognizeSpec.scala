@@ -439,15 +439,58 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(all.toSet === Set(Seq(1L, "S"), Seq(2L, "D")))
   }
 
-  test("streaming rejects cross-variable DEFINE with the contract") {
-    seq((1, 1, "x", 1))
+  test("streaming cross-variable DEFINE equals batch, incl. mixed with PREV") {
+    // the canonical falling-run (D below FIRST(S.v)) plus a define
+    // combining a PREV conjunct and a cross conjunct — PREV bits
+    // recompute per-row, cross conjuncts evaluate during matching
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 40).map { i =>
+      (1L + i % 2, i.toLong, "x", rnd.nextInt(6).toLong)
+    }
+    rows.toDF("k", "o", "t", "v").createOrReplaceTempView("mr_cross_eq")
+    val queries = Seq(
+      """SELECT * FROM mr_cross_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(S.v) AS sv, COUNT(D.*) AS nd, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S D+)
+        |  DEFINE D AS v < FIRST(S.v))""".stripMargin,
+      """SELECT * FROM mr_cross_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(R.*) AS nr, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S R+)
+        |  DEFINE R AS v > PREV(v) AND v > FIRST(S.v))""".stripMargin)
+    for (q <- queries) {
+      val batchSql = MatchRecognize.rewrite(spark, q)
+      val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+        _ => Some(("o", "5 seconds")))
+      try {
+        val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+        val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+        assert(streamed === batch, s"query:\n$q")
+        assert(batch.nonEmpty, s"degenerate data for:\n$q")
+      } finally {
+        MatchRecognize.dropViews(spark, batchSql)
+        MatchRecognize.dropViews(spark, streamSql)
+      }
+    }
+  }
+
+  test("streaming cross-variable DEFINE gates non-lossless columns") {
+    import spark.implicits._
+    Seq((1L, ts1(1), 2.5d)).toDF("k", "ts", "dv")
+      .createOrReplaceTempView("mr_cross_dbl")
     val e = intercept[IllegalArgumentException](
       MatchRecognize.rewriteStreaming(spark,
-        """SELECT * FROM mr_in MATCH_RECOGNIZE (
-          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-          |  PATTERN (A B) DEFINE B AS v > FIRST(A.v))""".stripMargin,
-        _ => Some(("o", "5 seconds"))))
-    assert(e.getMessage.contains("cross-variable"), s"message: ${e.getMessage}")
+        """SELECT * FROM mr_cross_dbl MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES COUNT(*) AS n
+          |  PATTERN (A B)
+          |  DEFINE B AS dv > FIRST(A.dv))""".stripMargin,
+        _ => Some(("ts", "5 seconds"))))
+    assert(e.getMessage.contains("round-trip"), s"message: ${e.getMessage}")
   }
 
   test("CLASSIFIER() names the matched branch; per-row under ALL ROWS") {
