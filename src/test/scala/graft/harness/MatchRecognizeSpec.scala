@@ -461,7 +461,15 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  MEASURES COUNT(R.*) AS nr, MATCH_NUMBER() AS mn
         |  AFTER MATCH SKIP PAST LAST ROW
         |  PATTERN (S R+)
-        |  DEFINE R AS v > PREV(v) AND v > FIRST(S.v))""".stripMargin)
+        |  DEFINE R AS v > PREV(v) AND v > FIRST(S.v))""".stripMargin,
+      // top-level OR: un-splittable, the whole predicate (current-row
+      // conjunct included) moves tracker-side
+      """SELECT * FROM mr_cross_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(D.*) AS nd, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S D+)
+        |  DEFINE D AS v < FIRST(S.v) OR v = 5)""".stripMargin)
     for (q <- queries) {
       val batchSql = MatchRecognize.rewrite(spark, q)
       val streamSql = MatchRecognize.rewriteStreaming(spark, q,
