@@ -38,10 +38,12 @@ import scala.collection.mutable.ArrayBuffer
   *                                   -- horizon with tightened
   *                                   -- finality)
   *   DEFINE V1 AS <pred> [, ...]     -- current-row predicate, may use
-  * )                                 -- PREV(col[, k]) (physical row
+  * )                                 -- PREV(expr[, k]) (physical row
   *                                   -- navigation; streaming gates the
   *                                   -- referenced columns to
-  *                                   -- JSON-lossless types);
+  *                                   -- JSON-lossless types) and
+  *                                   -- FIRST/LAST(V.col) of another
+  *                                   -- variable's running assignment;
   *                                   -- undefined variables match any row
   * }}}
   *
@@ -61,9 +63,8 @@ import scala.collection.mutable.ArrayBuffer
   * run (the same unbounded-state contract as Flink's CEP operator for
   * such patterns).
   *
-  * Unsupported forms (cross-variable DEFINE references like
-  * `LAST(B.x)`, NEXT navigation, PREV of an expression, grouped
-  * sub-patterns `(A B)+`, subquery sources) throw
+  * Unsupported forms (NEXT navigation, nested PREV, aggregates in
+  * DEFINE, grouped sub-patterns `(A B)+`, subquery sources) throw
   * `IllegalArgumentException` with the contract, mirroring the
   * WindowTvf/TemporalJoin residual checks.
   */
@@ -121,6 +122,51 @@ object MatchRecognize {
       } else i += 1
     }
     s.length
+  }
+
+  /** Copy of `s` with the CONTENTS of quoted runs (`'`, `"`, `` ` ``)
+    * blanked to spaces — same length, delimiters kept — so regex
+    * detection and rewriting of navigation calls (PREV, FIRST/LAST,
+    * `V.col`) cannot fire inside a string literal like `t = 'V.x'`.
+    * Offsets align 1:1 with the original, so a match found on the mask
+    * splices cleanly against the original text.
+    */
+  private[harness] def maskQuoted(s: String): String = {
+    val b = s.toCharArray
+    var i = 0
+    while (i < b.length) {
+      b(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          val e = skipQuoted(s, i, q)
+          var j = i + 1
+          // blank up to (not including) the closing delimiter; an
+          // unterminated literal blanks to end of string
+          val stop = if (e > i + 1 && s.charAt(e - 1) == q) e - 1 else e
+          while (j < stop) { b(j) = ' '; j += 1 }
+          i = e
+        case _ => i += 1
+      }
+    }
+    new String(b)
+  }
+
+  /** `re.replaceAllIn` with literal-blindness: matches are FOUND on the
+    * masked text (so quoted regions never match) but groups and splices
+    * come through unchanged — outside literals the mask equals the
+    * original, so group text is identical. `f` returns the literal
+    * replacement (no `Matcher.quoteReplacement` needed).
+    */
+  private def replaceOutside(text: String, re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(maskQuoted(text)).foreach { m =>
+      sb.append(text.substring(last, m.start))
+      sb.append(f(m))
+      last = m.end
+    }
+    sb.append(text.substring(last))
+    sb.toString
   }
 
   /** Splits on top-level commas — blind to commas inside parentheses
@@ -222,19 +268,56 @@ object MatchRecognize {
       branches.map(parseSequence)
   }
 
-  /** PREV(col[, k]) in a DEFINE — physical row navigation (SQL:2016 and
-    * Flink both define PREV as "k rows before the current row in the
-    * partition's order", NOT the previous row of the variable), so it
-    * precomputes as `lag(col, k)` over the match order before the NFA
-    * runs. On the first k rows of a partition PREV is NULL, the
-    * predicate is unknown, and the variable does not match — exactly
-    * the matcher's null-def handling.
+  /** `PREV(expr[, k])` in a DEFINE — physical row navigation (SQL:2016
+    * and Flink both define PREV as "the expression over the row k
+    * positions before the current row in the partition's order", NOT
+    * the previous row of the variable), so it precomputes as
+    * `lag(expr, k)` over the match order before the NFA runs. On the
+    * first k rows of a partition PREV is NULL, the predicate is
+    * unknown, and the variable does not match — exactly the matcher's
+    * null-def handling. `PREV(expr, 0)` is the current row's value
+    * (lag 0), per the standard.
     */
-  private[harness] val PrevRe =
-    raw"(?i)\bPREV\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:,\s*(\d+)\s*)?\)".r
+  private val PrevOpenRe = raw"(?i)\bPREV\s*\(".r
 
   private[harness] def hasPrev(pred: String): Boolean =
-    raw"(?i)\bPREV\s*\(".r.findFirstIn(pred).isDefined
+    PrevOpenRe.findFirstIn(maskQuoted(pred)).isDefined
+
+  private val BareColRe = raw"(?s)^[A-Za-z_][A-Za-z0-9_]*$$".r
+
+  /** Rewrites every `PREV(expr[, k])` call through `repl(expr, k)` —
+    * paren- and quote-aware (the navigated expression may contain
+    * nested calls, commas inside them, and string literals). Nested
+    * PREV inside the navigated expression is out of the subset, as is
+    * a non-integer-literal offset.
+    */
+  private def mapPrevCalls(pred: String)(repl: (String, String) => String): String = {
+    val masked = maskQuoted(pred)
+    val sb = new StringBuilder
+    var last = 0
+    PrevOpenRe.findAllMatchIn(masked).foreach { m =>
+      if (m.start >= last) {
+        val open = m.end - 1
+        val end = closeParen(pred, open)
+        val inner = pred.substring(open + 1, end - 1).trim
+        if (hasPrev(inner))
+          fail(s"nested PREV is not supported: $pred")
+        val (e, k) = splitTopLevel(inner) match {
+          case Seq(x) => (x, "1")
+          case Seq(x, kk) if raw"^\d+$$".r.findFirstIn(kk).isDefined => (x, kk)
+          case _ => fail(s"unsupported PREV form (want PREV(expr[, k]) " +
+            s"with an integer-literal offset): $pred")
+        }
+        if (e.isEmpty)
+          fail(s"unsupported PREV form (want PREV(expr[, k])): $pred")
+        sb.append(pred.substring(last, m.start))
+        sb.append(repl(e, k))
+        last = end
+      }
+    }
+    sb.append(pred.substring(last))
+    sb.toString
+  }
 
   /** Splits a predicate on top-level `AND` keywords — blind to ANDs
     * inside parentheses and string/identifier literals. Used to keep
@@ -268,16 +351,28 @@ object MatchRecognize {
 
   /** Rejects DEFINE predicates that navigate beyond the current row in
     * ways the boolean-precompute design cannot carry (PREV is fine —
-    * it is physical and precomputes as lag; see [[PrevRe]]).
+    * it is physical and precomputes as lag; see [[mapPrevCalls]]).
     */
   private def checkDefine(variable: String, pred: String, allVars: Set[String]): Unit = {
-    raw"(?i)\bNEXT\s*\(".r.findFirstIn(pred).foreach(_ =>
+    val masked = maskQuoted(pred)
+    raw"(?i)\bNEXT\s*\(".r.findFirstIn(masked).foreach(_ =>
       fail(s"DEFINE $variable uses NEXT() — forward navigation is not " +
         "supported"))
+    // aggregates over a pattern variable's rows are a MEASURES-only
+    // surface here; a running aggregate in DEFINE (Flink admits
+    // `B AS SUM(B.x) < 100`) is out of the subset and must say so
+    // rather than mis-classify as a cross-variable reference
+    raw"(?i)\b(SUM|AVG|MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\.".r
+      .findAllMatchIn(masked)
+      .find(m => allVars.contains(m.group(2).toUpperCase))
+      .foreach(m => fail(s"DEFINE $variable uses " +
+        s"${m.group(1).toUpperCase}(${m.group(2)}.col) — aggregates " +
+        "over a pattern variable are supported in MEASURES only, not " +
+        "in DEFINE"))
     // FIRST/LAST are admitted only as cross-variable references
     // (FIRST(V.col) over ANOTHER variable's running assignment); a
     // FIRST/LAST over the variable's own rows is not in the subset
-    CrossFlRe.findAllMatchIn(pred).foreach { m =>
+    CrossFlRe.findAllMatchIn(masked).foreach { m =>
       val v = m.group(2).toUpperCase
       if (v == variable)
         fail(s"DEFINE $variable uses ${m.group(1).toUpperCase}($v.…) " +
@@ -301,17 +396,20 @@ object MatchRecognize {
   private[harness] val CrossBareRe =
     raw"(?i)\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)".r
 
-  private def hasCrossRef(pred: String, others: Set[String]): Boolean =
-    CrossFlRe.findAllMatchIn(pred).exists(m => others.contains(m.group(2).toUpperCase)) ||
-      CrossBareRe.findAllMatchIn(pred).exists(m => others.contains(m.group(1).toUpperCase))
+  private def hasCrossRef(pred: String, others: Set[String]): Boolean = {
+    val masked = maskQuoted(pred)
+    CrossFlRe.findAllMatchIn(masked).exists(m => others.contains(m.group(2).toUpperCase)) ||
+      CrossBareRe.findAllMatchIn(masked).exists(m => others.contains(m.group(1).toUpperCase))
+  }
 
   /** A DEFINE predicate may qualify columns with its own variable
     * (`A AS A.price > 10`); the qualifier means "the row being
     * classified", so it strips to a bare column reference.
     */
   private def stripSelfQualifier(variable: String, pred: String): String =
-    (raw"(?i)\b" + java.util.regex.Pattern.quote(variable) + raw"\s*\.").r
-      .replaceAllIn(pred, "")
+    replaceOutside(pred,
+      (raw"(?i)\b" + java.util.regex.Pattern.quote(variable) + raw"\s*\.").r)(
+      _ => "")
 
   /** First occurrence of clause keyword `kw` at or after `from` that
     * heads a real clause: occurrences that are an alias (`COUNT(*) AS
@@ -677,6 +775,10 @@ object MatchRecognize {
             if (rest.isEmpty) None
             else Some(rest.map(p => s"($p)").mkString(" AND ")))
         }
+      // columns of the per-row lag/cross payload, in PrevSpec.cols
+      // order: referenced source columns, then synthetic PREV-expression
+      // columns (computed upstream in Catalyst)
+      var lagPayload: Seq[org.apache.spark.sql.Column] = Nil
       val prevSpecOpt: Option[PatternTracker.PrevSpec] =
         if (split.isEmpty) None else {
           import org.apache.spark.sql.types._
@@ -696,56 +798,92 @@ object MatchRecognize {
           }
           // every source column a tracker-side CONJUNCT touches —
           // inside PREV(...) / FIRST/LAST(V.col) directly, plus
-          // current-row identifiers
+          // current-row identifiers. Detection and sweeps run on
+          // literal-masked text (a string like `'V.x'` is never a
+          // reference), and an identifier heading a call — a function
+          // name — is not a column.
           val referenced = scala.collection.mutable.LinkedHashSet.empty[String]
-          def sweepIds(text: String): Unit =
-            raw"[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(text).foreach(id =>
-              srcNames.get(id.toLowerCase).foreach(referenced += _))
-          var maxK = if (prevVars.isEmpty) 0 else 1
-          prevVars.foreach { v =>
-            val pred = prevSplit(v)._1
-            PrevRe.findAllMatchIn(pred).foreach { pm =>
-              referenced += srcNames.getOrElse(pm.group(1).toLowerCase,
-                fail(s"column ${pm.group(1)} not found in $table"))
+          def sweepIds(text: String): Unit = {
+            val masked = maskQuoted(text)
+            raw"[A-Za-z_][A-Za-z0-9_]*".r.findAllMatchIn(masked).foreach { m =>
+              var j = m.end
+              while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+              if (j >= masked.length || masked.charAt(j) != '(')
+                srcNames.get(m.matched.toLowerCase).foreach(referenced += _)
+            }
+          }
+          // PREV over a non-column EXPRESSION precomputes upstream as a
+          // synthetic payload column, lagged like any source column;
+          // repeats of the same (whitespace-normalized) text share one
+          // slot. PREV(expr, 0) is the current row's value and rides
+          // the payload's unlagged slot.
+          val exprCols = scala.collection.mutable.LinkedHashMap
+            .empty[String, (String, String)] // normKey -> (slotName, exprText)
+          var maxK = 0
+          val prevRewritten: Map[String, String] = prevVars.map { v =>
+            val t = mapPrevCalls(prevSplit(v)._1) { (e, kStr) =>
               // guard the parse: \d+ can exceed Int range; the contract
               // error must fire, not NumberFormatException
-              maxK = math.max(maxK, Option(pm.group(2)).map(s =>
-                if (s.length > 9) Int.MaxValue else s.toInt).getOrElse(1))
+              val k = if (kStr.length > 9) Int.MaxValue else kStr.toInt
+              maxK = math.max(maxK, k)
+              val slotBase = e match {
+                case BareColRe() =>
+                  val cn = srcNames.getOrElse(e.toLowerCase,
+                    fail(s"column $e not found in $table"))
+                  referenced += cn
+                  cn
+                case _ =>
+                  exprCols.getOrElseUpdate(e.replaceAll(raw"\s+", " "),
+                    (s"__pe_${exprCols.size + 1}", e))._1
+              }
+              if (k == 0) slotBase else s"__prev_${k}_$slotBase"
             }
-            sweepIds(PrevRe.replaceAllIn(pred, " "))
-          }
+            sweepIds(t)
+            v -> t
+          }.toMap
           if (maxK > 16) fail(s"PREV offset $maxK exceeds the streaming " +
             "subset's maximum of 16")
           crossVars.foreach { v =>
             val pred = split(v)._2.map(c => s"($c)").mkString(" AND ")
-            CrossFlRe.findAllMatchIn(pred).foreach { cm =>
+            val mp = maskQuoted(pred)
+            CrossFlRe.findAllMatchIn(mp).foreach { cm =>
               if (varOf.contains(cm.group(2).toUpperCase))
                 referenced += srcNames.getOrElse(cm.group(3).toLowerCase,
                   fail(s"column ${cm.group(3)} not found in $table"))
             }
-            CrossBareRe.findAllMatchIn(pred).foreach { cm =>
+            CrossBareRe.findAllMatchIn(mp).foreach { cm =>
               if (varOf.contains(cm.group(1).toUpperCase))
                 referenced += srcNames.getOrElse(cm.group(2).toLowerCase,
                   fail(s"column ${cm.group(2)} not found in $table"))
             }
-            sweepIds(CrossBareRe.replaceAllIn(
-              CrossFlRe.replaceAllIn(pred, " "), " "))
+            sweepIds(replaceOutside(replaceOutside(pred, CrossFlRe)(_ => " "),
+              CrossBareRe)(_ => " "))
           }
-          val fields = referenced.toSeq.map(gatedLagField)
+          // synthetic PREV-expression columns resolve (and type-gate)
+          // against the source schema; errors carry the expression text
+          val exprFields = exprCols.values.toSeq.map { case (name, text) =>
+            val dt =
+              try src.selectExpr(s"($text) AS $name").schema.head.dataType
+              catch { case e: Exception =>
+                fail(s"cannot resolve PREV expression ($text): ${e.getMessage}") }
+            if (!graft.streaming.StateFormat.jsonLossless(dt))
+              fail(s"streaming MATCH_RECOGNIZE: PREV expression ($text) " +
+                s"has type ${dt.simpleString}, which does not round-trip " +
+                "the JSON state payload losslessly (supported: string / " +
+                "integer / boolean) — add a cast inside PREV")
+            StructField(name, dt)
+          }
+          val fields = referenced.toSeq.map(gatedLagField) ++ exprFields
+          lagPayload = referenced.toSeq.map(scol) ++
+            exprCols.values.toSeq.map { case (name, text) =>
+              sexpr(s"($text)").as(name) }
           val schemaAll = fields ++ (1 to maxK).flatMap(k =>
             fields.map(f => StructField(s"__prev_${k}_${f.name}", f.dataType)))
           val attrs = schemaAll
             .map(f => AttributeReference(f.name, f.dataType, nullable = true)())
             .toIndexedSeq
           val preds = prevVars.map { v =>
-            val t = PrevRe.replaceAllIn(prevSplit(v)._1, pm => {
-              val k = Option(pm.group(2)).getOrElse("1")
-              val cn = srcNames(pm.group(1).toLowerCase)
-              java.util.regex.Matcher.quoteReplacement(s"__prev_${k}_$cn")
-            })
-            if (hasPrev(t))
-              fail("unsupported PREV form (want PREV(col) or " +
-                s"PREV(col, k)): ${spec.defines(v)}")
+            val t = prevRewritten(v)
             // CAST AS BOOLEAN mirrors the batch rewrite's .cast; the
             // analyzer run resolves identifiers case-insensitively and
             // applies the usual type coercions
@@ -763,7 +901,7 @@ object MatchRecognize {
             val cond = analyzed.asInstanceOf[LFilter].condition
             if (!cond.resolved)
               fail(s"cannot resolve DEFINE $v over the PREV payload " +
-                "columns (only source columns and PREV(col[, k]) are " +
+                "columns (only source columns and PREV(expr[, k]) are " +
                 "available)")
             (varOf(v), BindReferences.bindReference(cond, attrs))
           }.toArray
@@ -782,20 +920,16 @@ object MatchRecognize {
               refs.getOrElseUpdate(name, (firstKw, varOf(rv), colOrd(cn)))
               name
             }
-            var t = CrossFlRe.replaceAllIn(predText, cm => {
+            var t = replaceOutside(predText, CrossFlRe) { cm =>
               val rv = cm.group(2).toUpperCase
-              if (!varOf.contains(rv))
-                java.util.regex.Matcher.quoteReplacement(cm.matched)
-              else java.util.regex.Matcher.quoteReplacement(
-                slot(cm.group(1).equalsIgnoreCase("FIRST"), rv, cm.group(3)))
-            })
-            t = CrossBareRe.replaceAllIn(t, cm => {
+              if (!varOf.contains(rv)) cm.matched
+              else slot(cm.group(1).equalsIgnoreCase("FIRST"), rv, cm.group(3))
+            }
+            t = replaceOutside(t, CrossBareRe) { cm =>
               val rv = cm.group(1).toUpperCase
-              if (!varOf.contains(rv))
-                java.util.regex.Matcher.quoteReplacement(cm.matched)
-              else java.util.regex.Matcher.quoteReplacement(
-                slot(firstKw = false, rv, cm.group(2)))
-            })
+              if (!varOf.contains(rv)) cm.matched
+              else slot(firstKw = false, rv, cm.group(2))
+            }
             val crossAttrs = (fields.map(f =>
                 AttributeReference(f.name, f.dataType, nullable = true)()) ++
               refs.map { case (name, (_, _, ord)) =>
@@ -838,8 +972,8 @@ object MatchRecognize {
       val valsExpr =
         if (colMeasureCols.isEmpty) lit("")
         else to_json(struct(colMeasureCols.toSeq.map(scol): _*))
-      val lagExpr = prevSpecOpt.fold(lit(""))(ps =>
-        to_json(struct(ps.cols.toSeq.map(scol): _*)))
+      val lagExpr =
+        if (lagPayload.isEmpty) lit("") else to_json(struct(lagPayload: _*))
       val prepared = src.select(
         keyExpr.as("key"),
         scol(wmCol).cast("timestamp").as("ts"),
@@ -929,23 +1063,16 @@ object MatchRecognize {
     */
   private[harness] def execute(src: DataFrame, spec: Spec): DataFrame = {
     val vars = spec.pattern.flatten.map(_.variable).distinct
-    // PREV(col[, k]) → lag(col, k) over the exact order the matcher
-    // walks (partition key, then ORDER BY); anything fancier inside
-    // PREV (expressions, nested calls) is outside the subset
+    // PREV(expr[, k]) → lag(expr, k) over the exact order the matcher
+    // walks (partition key, then ORDER BY); the navigated expression
+    // may be any Catalyst scalar expression (nested PREV is out of the
+    // subset — see mapPrevCalls)
     val overClause =
       (if (spec.partitionBy.nonEmpty)
         s"PARTITION BY ${spec.partitionBy.mkString(", ")} " else "") +
       s"ORDER BY ${spec.orderBy.mkString(", ")}"
-    def translatePrev(pred: String): String = {
-      val t = PrevRe.replaceAllIn(pred, m => {
-        val k = Option(m.group(2)).getOrElse("1")
-        java.util.regex.Matcher.quoteReplacement(
-          s"lag(${m.group(1)}, $k) OVER ($overClause)")
-      })
-      if (hasPrev(t))
-        fail(s"unsupported PREV form (want PREV(col) or PREV(col, k)): $pred")
-      t
-    }
+    def translatePrev(pred: String): String =
+      mapPrevCalls(pred)((e, k) => s"lag($e, $k) OVER ($overClause)")
     // cross-variable defines split on top-level AND like the streaming
     // PREV path: conjuncts without cross refs stay in the precomputed
     // __def boolean (Catalyst, any type); cross-bearing conjuncts

@@ -112,14 +112,27 @@ final class SqlSubmitAction(
           case StatementType.SHOW
               if raw"(?is)^\s*SHOW\s+(?:FULL\s+)?MODULES\s*;?\s*$$".r
                 .findFirstIn(st.sql).isDefined =>
-            // Flink's SHOW MODULES lists the module registry; Spark has
-            // no modules, so report the harness's tracked registry in
-            // Flink's one-column shape
-            println("+--------------+")
-            println("| module name  |")
-            println("+--------------+")
-            loadedModules.foreach(m => println(f"| $m%-12s |"))
-            println("+--------------+")
+            // Flink's SHOW MODULES lists the used modules one-column;
+            // SHOW FULL MODULES adds the `used` flag. Spark has no
+            // modules, so report the harness's tracked registry —
+            // every loaded module is used (USE MODULES is not in the
+            // subset), so FULL's second column is uniformly true.
+            // Column width sizes to the longest name, not a fixed 12.
+            val full = raw"(?is)^\s*SHOW\s+FULL\b".r
+              .findFirstIn(st.sql).isDefined
+            val w = (loadedModules.map(_.length) + "module name".length).max
+            val names = "module name".padTo(w, ' ')
+            val bar =
+              if (full) s"+-${"-" * w}-+------+"
+              else s"+-${"-" * w}-+"
+            println(bar)
+            println(if (full) s"| $names | used |" else s"| $names |")
+            println(bar)
+            loadedModules.foreach { m =>
+              val n = m.padTo(w, ' ')
+              println(if (full) s"| $n | true |" else s"| $n |")
+            }
+            println(bar)
           case _ =>
             // CTAS / CREATE VIEW AS and friends can embed temporal
             // joins or window TVFs in their query bodies — the dialect

@@ -220,8 +220,18 @@ class MatchRecognizeSpec extends AnyFunSuite {
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > PREV(v + 1))""".stripMargin,
-      "PREV")
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > PREV(PREV(v) + 1))""".stripMargin,
+      "nested PREV")
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > PREV(v, k))""".stripMargin,
+      "integer-literal offset")
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS SUM(B.v) > 10)""".stripMargin,
+      "MEASURES only")
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
@@ -351,7 +361,31 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PARTITION BY k ORDER BY o
         |  MEASURES CLASSIFIER() AS cls, COUNT(*) AS n, MATCH_NUMBER() AS mn
         |  PATTERN (A B | C)
-        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin,
+      // PREV over an EXPRESSION: batch lags the expression; streaming
+      // precomputes it as a synthetic lagged payload column
+      """SELECT * FROM mr_alt_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES LAST(R.v) AS ev, COUNT(R.*) AS len, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S R+)
+        |  DEFINE R AS v > PREV(v + 1))""".stripMargin,
+      // PREV(expr, 0) is the current row's value (lag 0) in both
+      // runtimes — no lag slot needed at all
+      """SELECT * FROM mr_alt_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A+)
+        |  DEFINE A AS PREV(v % 3, 0) = 1)""".stripMargin,
+      // string literals are opaque to navigation detection: a payload
+      // that LOOKS like `S.t AND PREV(` must not be rewritten or split
+      """SELECT * FROM mr_alt_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S A+)
+        |  DEFINE A AS t = 'a' AND v > PREV(v) AND t <> 'S.t AND PREV(')""".stripMargin)
     for (q <- queries) {
       val batchSql = MatchRecognize.rewrite(spark, q)
       val streamSql = MatchRecognize.rewriteStreaming(spark, q,
@@ -905,22 +939,35 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(msg.contains("WATERMARK declaration"))
   }
 
-  test("streaming PREV accepts the supported form, rejects expressions") {
+  test("streaming PREV accepts columns and expressions, rejects nested PREV") {
     seq((1, 1, "x", 1))
-    // the supported subset rewrites cleanly (no contract error)
+    // bare-column and expression forms both rewrite cleanly
     MatchRecognize.dropViews(spark, MatchRecognize.rewriteStreaming(spark,
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A B) DEFINE B AS v > PREV(v))""".stripMargin,
       _ => Some(("o", "5 seconds"))))
-    // PREV over an expression is outside the subset, same as batch
+    MatchRecognize.dropViews(spark, MatchRecognize.rewriteStreaming(spark,
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE B AS v > PREV(v + 1, 2))""".stripMargin,
+      _ => Some(("o", "5 seconds"))))
+    // nested PREV is outside the subset, same as batch
     val e = intercept[IllegalArgumentException](
       MatchRecognize.rewriteStreaming(spark,
         """SELECT * FROM mr_in MATCH_RECOGNIZE (
           |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-          |  PATTERN (A B) DEFINE B AS v > PREV(v + 1))""".stripMargin,
+          |  PATTERN (A B) DEFINE B AS v > PREV(PREV(v) + 1))""".stripMargin,
         _ => Some(("o", "5 seconds"))))
-    assert(e.getMessage.contains("PREV"), s"message: ${e.getMessage}")
+    assert(e.getMessage.contains("nested PREV"), s"message: ${e.getMessage}")
+    // a non-lossless PREV expression type still gates with the contract
+    val g = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+          |  PATTERN (A B) DEFINE B AS v > PREV(v * 1.5))""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(g.getMessage.contains("round-trip"), s"message: ${g.getMessage}")
   }
 
   test("streaming column measures carry values through the JSON payload") {

@@ -96,6 +96,16 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     }
     // unload + reload round-trips (each action starts with core loaded)
     run("UNLOAD MODULE core;\nLOAD MODULE core;\nSHOW MODULES;")
+    // SHOW FULL MODULES prints Flink's two-column (module name, used)
+    // shape; plain SHOW MODULES stays one-column
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      run("SHOW FULL MODULES;\nSHOW MODULES;")
+    }
+    val outText = buf.toString
+    assert(outText.contains("| module name | used |"), s"output: $outText")
+    assert(outText.contains("| core        | true |"), s"output: $outText")
+    assert(outText.contains("| core        |\n"), s"output: $outText")
     // duplicate load errors like Flink's executeSql, wrapped per
     // statement like every other failing statement
     val dup = intercept[Exception](run("LOAD MODULE core;"))
