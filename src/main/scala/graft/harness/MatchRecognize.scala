@@ -15,6 +15,7 @@ import scala.collection.mutable.ArrayBuffer
   *   [PARTITION BY k1, k2]
   *   ORDER BY o1 [, o2 ...]
   *   MEASURES <m> AS a1 [, ...]      -- m: V.col | FIRST(V.col) | LAST(V.col)
+  *                                   --    | SUM/AVG/MIN/MAX(V.col)
   *                                   --    | COUNT(V.*) | COUNT(*)
   *                                   --    | MATCH_NUMBER() | CLASSIFIER()
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
@@ -91,6 +92,15 @@ object MatchRecognize {
     * where it names the branch variable that actually matched.
     */
   private[harness] final case class ClassifierMeasure(alias: String) extends Measure
+  /** `SUM/AVG/MIN/MAX(V.col)` — aggregate over the rows the match
+    * assigns to variable V (SQL:2016 running semantics under ALL ROWS
+    * PER MATCH: only rows matched so far). SQL aggregate null
+    * discipline: NULL column values are skipped, and a variable that
+    * matched no row (or only NULLs) aggregates to NULL — the Flink CEP
+    * behavior for aggregates over an unmatched variable.
+    */
+  private[harness] final case class AggMeasure(
+      fn: String, variable: String, column: String, alias: String) extends Measure
 
   private[harness] final case class Spec(
       partitionBy: Seq[String],
@@ -198,6 +208,8 @@ object MatchRecognize {
   private val CountStarRe = raw"(?is)^COUNT\s*\(\s*\*\s*\)$$".r
   private val MatchNumberRe = raw"(?is)^MATCH_NUMBER\s*\(\s*\)$$".r
   private val ClassifierRe = raw"(?is)^CLASSIFIER\s*\(\s*\)$$".r
+  private val AggRe =
+    raw"(?is)^(SUM|AVG|MIN|MAX)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$$".r
   private val AsRe = raw"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$$".r
 
   private def parseMeasure(m: String): Measure = m match {
@@ -207,12 +219,14 @@ object MatchRecognize {
         case ClassifierRe() => ClassifierMeasure(alias)
         case CountStarRe() => CountMeasure(None, alias)
         case CountVarRe(v) => CountMeasure(Some(v.toUpperCase), alias)
+        case AggRe(fn, v, c) => AggMeasure(fn.toUpperCase, v.toUpperCase, c, alias)
         case ColMeasureRe(fl, v, c, close) =>
           if ((fl == null) != (close == null)) fail(s"unbalanced FIRST/LAST in measure: $m")
           ColMeasure(v.toUpperCase, c, first = fl != null && fl.equalsIgnoreCase("FIRST"),
             alias = alias)
         case other => fail(s"unsupported measure (want V.col, FIRST/LAST(V.col), " +
-          s"COUNT(V.*), COUNT(*), MATCH_NUMBER(), CLASSIFIER()): $other")
+          s"SUM/AVG/MIN/MAX(V.col), COUNT(V.*), COUNT(*), MATCH_NUMBER(), " +
+          s"CLASSIFIER()): $other")
       }
     case _ => fail(s"measure needs an AS alias: $m")
   }
@@ -515,6 +529,8 @@ object MatchRecognize {
         fail(s"measure references undefined pattern variable $v")
       case CountMeasure(Some(v), _) if !allVars.contains(v) =>
         fail(s"measure references undefined pattern variable $v")
+      case AggMeasure(_, v, _, _) if !allVars.contains(v) =>
+        fail(s"measure references undefined pattern variable $v")
       case _ =>
     }
     skipToVar.foreach { case (_, v) =>
@@ -638,6 +654,9 @@ object MatchRecognize {
     *    the measure columns); double/timestamp/decimal measure columns
     *    throw the contract, because their JSON round-trip is not
     *    bit-faithful. COUNT and MATCH_NUMBER() are free.
+    *    SUM/AVG/MIN/MAX(V.col) aggregate measures gate to INTEGRAL
+    *    columns (the tracker accumulates exact longs in state; AVG
+    *    divides as double on emission, matching batch).
     *
     * `watermarkOf` resolves a table name to its (event-time column,
     * delay) from the connector DDL.
@@ -711,6 +730,10 @@ object MatchRecognize {
           "the JSON state payload losslessly (supported: string / " +
           s"integer / boolean columns, or the event-time column $wmCol)")
       }
+      // aggregate measures (kinds 8-11) ride the same vals payload;
+      // their columns gate to INTEGRAL types so the tracker aggregates
+      // exact longs (no double/decimal round-trip hazards in state)
+      val aggCols = ArrayBuffer.empty[String]
       val measures = spec.measures.map {
         case ColMeasure(v, c, first, _) =>
           if (c.equalsIgnoreCase(wmCol)) (if (first) 0 else 1, varOf(v))
@@ -722,6 +745,26 @@ object MatchRecognize {
         case CountMeasure(None, _) => (3, -1)
         case MatchNumberMeasure(_) => (4, -1)
         case ClassifierMeasure(_) => (7, -1)
+        case AggMeasure(fn, v, c, _) =>
+          import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType}
+          val idx = fieldIdx(c)
+          val dt = src.schema(idx).dataType
+          val integral = dt == ByteType || dt == ShortType ||
+            dt == IntegerType || dt == LongType
+          if (!integral)
+            fail(s"streaming MATCH_RECOGNIZE $fn($c): aggregate " +
+              "measures evaluate over the JSON state payload as exact " +
+              s"longs — only integer columns are supported (got " +
+              s"${dt.simpleString}); pre-scale the column upstream or " +
+              "run the query in batch")
+          colMeasureCols += src.schema(idx).name
+          aggCols += src.schema(idx).name
+          (fn match {
+            case "SUM" => 8
+            case "MIN" => 9
+            case "MAX" => 10
+            case _ => 11
+          }, varOf(v))
       }
       // per-key state groups on a to_json/from_json round-trip of the
       // PARTITION BY tuple; only types whose JSON text decodes
@@ -988,7 +1031,9 @@ object MatchRecognize {
       val tracked = PatternTracker.trackBranches(
         prepared.as[PatternEvent], wmDelay, branches, measures,
         spec.skipToNextRow, skipTo, spec.withinMs.getOrElse(0L),
-        prevSpecOpt)
+        prevSpecOpt,
+        if (aggCols.isEmpty) None
+        else Some(PatternTracker.AggSpec(aggCols.toArray)))
 
       val keySchema = StructType(
         spec.partitionBy.map(p => src.schema(fieldIdx(p))).toArray)
@@ -1009,6 +1054,17 @@ object MatchRecognize {
             ci += 1
             from_json(scol("cvals").getItem(ci), valsSchema)
               .getField(src.schema(fieldIdx(c)).name).as(alias)
+          case AggMeasure(fn, _, c, alias) =>
+            // aggregate result rides cvals as a decimal string; cast to
+            // the batch matcher's output type (SUM over integral →
+            // BIGINT, AVG → DOUBLE, MIN/MAX → the input column type)
+            ci += 1
+            val raw = scol("cvals").getItem(ci)
+            (fn match {
+              case "SUM" => raw.cast("bigint")
+              case "AVG" => raw.cast("double")
+              case _ => raw.cast(src.schema(fieldIdx(c)).dataType)
+            }).as(alias)
           case ClassifierMeasure(alias) =>
             // the tracker emits the last matched row's variable INDEX;
             // map it back to the variable name in pattern order
@@ -1223,26 +1279,70 @@ object MatchRecognize {
       else inSchema.fields.take(baseLen).map(f =>
         org.apache.spark.sql.catalyst.CatalystTypeConverters
           .createToCatalystConverter(f.dataType))
+    // aggregate measures: accumulation mode per column type. Integral
+    // columns sum/avg over exact longs (AVG divides as double at the
+    // end); float/double accumulate double (deterministic: the matcher
+    // walks rows in match order); MIN/MAX compare via Comparable, so
+    // any atomic comparable type works (string, timestamp, decimal, …).
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      FloatType, DoubleType, BinaryType, ArrayType, MapType}
+    def aggOut(fn: String, c: Int, alias: String): StructField = {
+      val dt = inSchema(c).dataType
+      val integral = dt == ByteType || dt == ShortType ||
+        dt == IntegerType || dt == LongType
+      val fractional = dt == FloatType || dt == DoubleType
+      fn match {
+        case "SUM" | "AVG" =>
+          if (!integral && !fractional)
+            fail(s"$fn(${inSchema(c).name}) needs an integer or " +
+              s"floating column; got ${dt.simpleString} (cast upstream, " +
+              "or use MIN/MAX for comparable types)")
+          val out = if (fn == "AVG") DoubleType
+            else if (integral) LongType else DoubleType
+          StructField(alias, out, nullable = true)
+        case _ =>
+          dt match {
+            case BinaryType | _: ArrayType | _: MapType | _: StructType =>
+              fail(s"$fn(${inSchema(c).name}) needs a comparable atomic " +
+                s"column; got ${dt.simpleString}")
+            case _ => StructField(alias, dt, nullable = true)
+          }
+      }
+    }
     val measureFields = spec.measures.map {
       case ColMeasure(_, c, _, alias) =>
         StructField(alias, inSchema(fieldIdx(c)).dataType, nullable = true)
       case CountMeasure(_, alias) => StructField(alias, LongType, nullable = false)
       case MatchNumberMeasure(alias) => StructField(alias, LongType, nullable = false)
       case ClassifierMeasure(alias) => StructField(alias, StringType, nullable = false)
+      case AggMeasure(fn, _, c, alias) => aggOut(fn, fieldIdx(c), alias)
     }
     val outFields =
       if (spec.allRows) inSchema.fields.take(baseLen).toSeq ++ measureFields
       else spec.partitionBy.map(p => inSchema(fieldIdx(p))).map(f =>
         StructField(f.name, f.dataType, nullable = f.nullable)) ++ measureFields
     val outSchema = StructType(outFields.toArray)
-    val measurePlan: Array[(Int, Int, Int)] = spec.measures.map {
-      // (kind, varIdxInVars, colIdx): kind 0=first 1=last 2=countVar
-      // 3=countAll 4=matchNo 5=classifier
-      case ColMeasure(v, c, first, _) => (if (first) 0 else 1, varOf(v), fieldIdx(c))
-      case CountMeasure(Some(v), _) => (2, varOf(v), -1)
-      case CountMeasure(None, _) => (3, -1, -1)
-      case MatchNumberMeasure(_) => (4, -1, -1)
-      case ClassifierMeasure(_) => (5, -1, -1)
+    val measurePlan: Array[(Int, Int, Int, Int)] = spec.measures.map {
+      // (kind, varIdxInVars, colIdx, mode): kind 0=first 1=last
+      // 2=countVar 3=countAll 4=matchNo 5=classifier 6=sum 7=avg
+      // 8=min 9=max; mode (agg kinds only) 0=long 1=double
+      case ColMeasure(v, c, first, _) => (if (first) 0 else 1, varOf(v), fieldIdx(c), 0)
+      case CountMeasure(Some(v), _) => (2, varOf(v), -1, 0)
+      case CountMeasure(None, _) => (3, -1, -1, 0)
+      case MatchNumberMeasure(_) => (4, -1, -1, 0)
+      case ClassifierMeasure(_) => (5, -1, -1, 0)
+      case AggMeasure(fn, v, c, _) =>
+        val ci = fieldIdx(c)
+        val kind = fn match {
+          case "SUM" => 6
+          case "AVG" => 7
+          case "MIN" => 8
+          case _ => 9
+        }
+        val dt = inSchema(ci).dataType
+        val mode =
+          if (dt == FloatType || dt == DoubleType) 1 else 0
+        (kind, varOf(v), ci, mode)
     }.toArray
     val varNames = vars.toArray
 
@@ -1484,7 +1584,7 @@ object MatchRecognize {
           // emitted row (SQL:2016 running semantics — FIRST/LAST and
           // counts see only rows matched so far)
           private def measureVal(mi: Int, pAbs: Int, upTo: Int): Any = {
-            val (kind, v, c) = measurePlan(mi)
+            val (kind, v, c, mode) = measurePlan(mi)
             kind match {
               case 0 | 1 =>
                 // found-ness tracked via the row index, not the value:
@@ -1500,11 +1600,50 @@ object MatchRecognize {
                 cnt
               case 3 => (upTo - pAbs + 1).toLong
               case 4 => matchNo
-              case _ =>
+              case 5 =>
                 // CLASSIFIER(): the variable matched at the emitted
                 // row — the match's last row for ONE ROW PER MATCH, the
                 // current row under ALL ROWS running semantics
                 varNames(assign(upTo - pAbs))
+              case _ =>
+                // SUM/AVG/MIN/MAX over variable v's rows in the (running)
+                // extent, SQL null discipline: NULL values skip, no
+                // non-null value → NULL
+                var sumL = 0L
+                var sumD = 0.0d
+                var cnt = 0L
+                var best: Any = null
+                var r = pAbs
+                while (r <= upTo) {
+                  if (assign(r - pAbs) == v) {
+                    val value = at(r).row.get(c)
+                    if (value != null) {
+                      kind match {
+                        case 6 | 7 =>
+                          if (mode == 0) sumL += value.asInstanceOf[Number].longValue
+                          else sumD += value.asInstanceOf[Number].doubleValue
+                        case _ =>
+                          val cmp =
+                            if (best == null) 0
+                            else value.asInstanceOf[Comparable[Any]].compareTo(best)
+                          if (best == null || (kind == 8 && cmp < 0) ||
+                              (kind == 9 && cmp > 0))
+                            best = value
+                      }
+                      cnt += 1
+                    }
+                  }
+                  r += 1
+                }
+                kind match {
+                  case 6 =>
+                    if (cnt == 0) null
+                    else if (mode == 0) sumL else sumD
+                  case 7 =>
+                    if (cnt == 0) null
+                    else (if (mode == 0) sumL.toDouble else sumD) / cnt
+                  case _ => best
+                }
             }
           }
 

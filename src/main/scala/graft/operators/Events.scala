@@ -1018,11 +1018,152 @@ object Events {
         |)""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE aggregate measures (Flink CEP's running-aggregate
+    * surface, admitted via the pass-through router
+    * `SQLSubmitAction.java:76`): `SUM/AVG/MIN/MAX(V.col)` over the rows
+    * a match assigns to V — here over a quantified click run under
+    * alternation, where the losing branch's variables aggregate to
+    * NULL (SQL aggregate-over-empty discipline). AVG is stated in the
+    * oracle as `CAST(SUM AS DOUBLE) / COUNT` — the exact long-sum-
+    * then-one-division arithmetic the matcher uses, so the doubles are
+    * bit-identical across engines (division is IEEE-exact; incremental
+    * averaging is not).
+    *
+    * Same independence argument as q72: consumed spans (view + clicks,
+    * or view + purchase) contain no views, so every view row is an
+    * independent candidate start and the join-based oracle is exact.
+    */
+  val q74AggMeasures: Q = Q(
+    "q74_agg_measures",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |mx AS (SELECT user_id, MAX(rn) AS maxrn FROM e GROUP BY 1),
+      |v AS (SELECT user_id, rn AS vrn FROM e WHERE event_type = 'view'),
+      |nxt AS (
+      |  SELECT v.user_id, v.vrn, e2.event_type AS nt, e2.vm AS nvm
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn = v.vrn + 1
+      |  WHERE e2.event_type IN ('click', 'purchase')),
+      |nc AS (
+      |  SELECT n.user_id, n.vrn, n.nt, n.nvm, MIN(e3.rn) AS endrn
+      |  FROM nxt n LEFT JOIN e e3 ON e3.user_id = n.user_id
+      |    AND e3.rn > n.vrn AND e3.event_type <> 'click'
+      |  GROUP BY 1, 2, 3, 4),
+      |m AS (
+      |  SELECT nc.user_id, nc.vrn, nc.nt, nc.nvm,
+      |    COALESCE(nc.endrn, mx.maxrn + 1) AS endx
+      |  FROM nc JOIN mx ON mx.user_id = nc.user_id),
+      |agg AS (
+      |  SELECT m.user_id, m.vrn, m.nt, m.nvm, m.endx,
+      |    SUM(c.vm) AS sum_c, MIN(c.vm) AS min_c,
+      |    CAST(SUM(c.vm) AS DOUBLE) / COUNT(c.vm) AS avg_c
+      |  FROM m LEFT JOIN e c ON c.user_id = m.user_id
+      |    AND c.rn BETWEEN m.vrn + 1 AND m.endx - 1 AND m.nt = 'click'
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT user_id,
+      |  CASE WHEN nt = 'click' THEN CAST(sum_c AS BIGINT) END AS sum_c,
+      |  CASE WHEN nt = 'click' THEN min_c END AS min_c,
+      |  CASE WHEN nt = 'click' THEN avg_c END AS avg_c,
+      |  CASE WHEN nt = 'purchase' THEN nvm END AS max_p,
+      |  CAST(CASE WHEN nt = 'click' THEN endx - vrn ELSE 2 END
+      |    AS BIGINT) AS n_rows,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM agg""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_agg")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, sum_c, min_c, avg_c, max_p, n_rows, mn
+        |FROM graft_mr_events_agg
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    SUM(C.vm) AS sum_c,
+        |    MIN(C.vm) AS min_c,
+        |    AVG(C.vm) AS avg_c,
+        |    MAX(P.vm) AS max_p,
+        |    COUNT(*) AS n_rows,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ | V P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE `PREV` over an EXPRESSION (SQL:2016 / Flink admit
+    * any scalar expression under PREV): maximal more-than-doubled runs
+    * — `R AS vm > PREV(vm * 2)` navigates the physical previous row's
+    * `vm * 2`. The oracle replays it as gaps-and-islands over
+    * `vm > 2 * LAG(vm)` (LAG of an expression equals the expression of
+    * LAG for a deterministic row-local expression), exactly the q65
+    * island argument: one maximal block of rising rows is one greedy
+    * `S R+` match.
+    */
+  val q75PrevExpr: Q = Q(
+    "q75_prev_expr",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN vm > 2 * LAG(vm) OVER (
+      |      PARTITION BY user_id ORDER BY rn) THEN 1 ELSE 0 END AS is_up
+      |  FROM e),
+      |isl AS (
+      |  SELECT *, rn - ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY rn) AS grp
+      |  FROM f WHERE is_up = 1),
+      |runs AS (
+      |  SELECT user_id, MIN(rn) AS first_rn, MAX(rn) AS last_rn,
+      |    COUNT(*) AS run_len
+      |  FROM isl GROUP BY user_id, grp)
+      |SELECT r.user_id, hs.vm AS start_vm, he.vm AS end_vm,
+      |  CAST(r.run_len AS BIGINT) AS run_len,
+      |  ROW_NUMBER() OVER (PARTITION BY r.user_id ORDER BY r.first_rn) AS mn
+      |FROM runs r
+      |JOIN e hs ON hs.user_id = r.user_id AND hs.rn = r.first_rn - 1
+      |JOIN e he ON he.user_id = r.user_id AND he.rn = r.last_rn""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_pexpr")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, start_vm, end_vm, run_len, mn
+        |FROM graft_mr_events_pexpr
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    S.vm AS start_vm,
+        |    LAST(R.vm) AS end_vm,
+        |    COUNT(R.*) AS run_len,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S R+)
+        |  DEFINE R AS vm > PREV(vm * 2)
+        |)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
     q62SessionTvf, q63LegacyHop, q64MatchRecognize, q65PrevPattern,
     q66AllRows, q67Alternation, q68Within, q69SkipChain, q72Classifier,
-    q73CrossDefine)
+    q73CrossDefine, q74AggMeasures, q75PrevExpr)
 }

@@ -75,9 +75,22 @@ object PatternTracker {
     * 5 = FIRST(var payload), 6 = LAST(var payload) — 5/6 return the
     * matched row's `vals` JSON via [[PatternMatch.cvals]] —
     * 7 = CLASSIFIER() as the last matched row's variable INDEX (the
-    * harness maps it back to the variable name).
+    * harness maps it back to the variable name), 8 = SUM / 9 = MIN /
+    * 10 = MAX / 11 = AVG over an integer field of the var's assigned
+    * rows' `vals` payloads (see [[AggSpec]]; results ride
+    * [[PatternMatch.cvals]] as decimal strings, null when the variable
+    * matched no row or only NULLs — SQL aggregate discipline).
     */
   type Measure = (Int, Int)
+
+  /** Executor-side contract for aggregate measures (kinds 8-11):
+    * `aggCols(j)` is the `vals`-payload field name of the j-th
+    * aggregate measure, in measure order. The harness gates these
+    * columns to integral types, so the tracker aggregates exact longs
+    * (AVG divides as double on emission — identical arithmetic to the
+    * batch matcher's long-mode accumulation).
+    */
+  final case class AggSpec(aggCols: Array[String])
 
   /** FIRST/LAST result for a variable that matched no row — decoded to
     * SQL NULL by the harness. Long.MinValue, not -1: epoch ms of -1 (or
@@ -173,7 +186,8 @@ object PatternTracker {
       skipToNextRow: Boolean,
       skipTo: Option[(Boolean, Int)],
       withinMs: Long,
-      prevSpec: Option[PrevSpec] = None): Dataset[PatternMatch] = {
+      prevSpec: Option[PrevSpec] = None,
+      aggSpec: Option[AggSpec] = None): Dataset[PatternMatch] = {
     implicit val outEnc = Encoders.product[PatternMatch]
     implicit val stateEnc = Encoders.product[PatternState]
     implicit val keyEnc = Encoders.STRING
@@ -187,7 +201,7 @@ object PatternTracker {
         (key: String, rows: Iterator[PatternEvent],
          state: GroupState[PatternState]) =>
           update(key, rows, state, branchArr, measureArr, skipToNextRow,
-            skipTo, withinMs, prevSpec))
+            skipTo, withinMs, prevSpec, aggSpec))
   }
 
   private def update(
@@ -199,7 +213,8 @@ object PatternTracker {
       skipToNextRow: Boolean,
       skipTo: Option[(Boolean, Int)],
       withinMs: Long,
-      prevSpec: Option[PrevSpec]): Iterator[PatternMatch] = {
+      prevSpec: Option[PrevSpec],
+      aggSpec: Option[AggSpec]): Iterator[PatternMatch] = {
     val prev = state.getOption.getOrElse(PatternState(Nil, 0L, Nil))
     val incoming = rows.map(e => (e.ts.getTime, e.defs, e.vals, e.lag)).toList
     // ties on (ts, defs, vals) have no further discriminator; sorting on
@@ -407,6 +422,7 @@ object PatternTracker {
           -1
         }
         val cvals = List.newBuilder[String]
+        var ai = -1 // aggregate-measure ordinal, in measure order
         val vals = measures.map { case (kind, v) =>
           kind match {
             case 0 | 1 =>
@@ -425,7 +441,46 @@ object PatternTracker {
               cnt
             case 3 => (end - p).toLong
             case 4 => matchNo
-            case _ => assign(end - 1).toLong // CLASSIFIER(): last row's var
+            case 7 => assign(end - 1).toLong // CLASSIFIER(): last row's var
+            case _ =>
+              // SUM/MIN/MAX/AVG (8-11) over variable v's rows: exact
+              // long accumulation over the gated integral payload
+              // field, SQL null discipline (NULL values skip; none →
+              // null). AVG divides as double on emission — the same
+              // arithmetic as the batch matcher's long mode.
+              ai += 1
+              val colName = aggSpec.get.aggCols(ai)
+              var sum = 0L
+              var cnt = 0L
+              var best = 0L
+              var found = false
+              var r = p
+              while (r < end) {
+                if (assign(r) == v) {
+                  val node =
+                    if (matured(r)._3 == null || matured(r)._3.isEmpty) null
+                    else jackson.readTree(matured(r)._3)
+                  val jn = if (node == null) null else node.get(colName)
+                  if (jn != null && !jn.isNull) {
+                    val x = jn.asLong
+                    kind match {
+                      case 8 | 11 => sum += x
+                      case 9 => if (!found || x < best) best = x
+                      case _ => if (!found || x > best) best = x
+                    }
+                    cnt += 1
+                    found = true
+                  }
+                }
+                r += 1
+              }
+              cvals += (if (!found) null
+                else kind match {
+                  case 8 => sum.toString
+                  case 11 => (sum.toDouble / cnt).toString
+                  case _ => best.toString
+                })
+              0L // placeholder: the result rides cvals
           }
         }.toList
         out += PatternMatch(key, vals, cvals.result())

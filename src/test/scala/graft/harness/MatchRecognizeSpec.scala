@@ -385,7 +385,16 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  MEASURES COUNT(A.*) AS na, MATCH_NUMBER() AS mn
         |  AFTER MATCH SKIP PAST LAST ROW
         |  PATTERN (S A+)
-        |  DEFINE A AS t = 'a' AND v > PREV(v) AND t <> 'S.t AND PREV(')""".stripMargin)
+        |  DEFINE A AS t = 'a' AND v > PREV(v) AND t <> 'S.t AND PREV(')""".stripMargin,
+      // aggregate measures over a quantified variable under alternation:
+      // the C branch leaves A and B unmatched (NULL aggregates)
+      """SELECT * FROM mr_alt_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES SUM(A.v) AS sv, MIN(A.v) AS mv, MAX(B.v) AS xv,
+        |    AVG(A.v) AS av, MATCH_NUMBER() AS mn
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A+ B | C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin)
     for (q <- queries) {
       val batchSql = MatchRecognize.rewrite(spark, q)
       val streamSql = MatchRecognize.rewriteStreaming(spark, q,
@@ -1034,6 +1043,94 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PATTERN (A B)
         |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
     assert(out === Seq(Seq(1L, 2L, 1L)))
+  }
+
+  test("aggregate measures: SUM/AVG/MIN/MAX over a variable's rows") {
+    seq((1, 1, "s", 10), (1, 2, "r", 7), (1, 3, "r", 9), (1, 4, "r", 2),
+      (1, 5, "p", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES SUM(R.v) AS sv, AVG(R.v) AS av, MIN(R.v) AS mv,
+        |    MAX(R.v) AS xv, SUM(P.v) AS pv
+        |  ONE ROW PER MATCH
+        |  PATTERN (S R+ P?)
+        |  DEFINE S AS t = 's', R AS t = 'r', P AS t = 'p')""".stripMargin)
+    assert(out === Seq(Seq(1L, 18L, 6.0d, 2L, 9L, 0L)))
+  }
+
+  test("aggregate measures skip NULLs; unmatched variables aggregate to NULL") {
+    import spark.implicits._
+    Seq((1L, 1L, "a", Some(5L)), (1L, 2L, "a", None: Option[Long]),
+      (1L, 3L, "a", Some(3L)))
+      .toDF("k", "o", "t", "v").createOrReplaceTempView("mr_in")
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES SUM(A.v) AS sv, AVG(A.v) AS av, MIN(B.v) AS bv
+        |  PATTERN (A+ B?)
+        |  DEFINE A AS t = 'a')""".stripMargin)
+    assert(out === Seq(Seq(1L, 8L, 4.0d, null)))
+  }
+
+  test("aggregate measures run under ALL ROWS PER MATCH (running semantics)") {
+    seq((1, 1, "a", 5), (1, 2, "a", 7), (1, 3, "b", 100))
+    val out = run(
+      """SELECT k, o, rs, mx FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES SUM(A.v) AS rs, MAX(A.v) AS mx
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A+ B)
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+    assert(out.toSet === Set(Seq(1L, 1L, 5L, 5L), Seq(1L, 2L, 12L, 7L),
+      Seq(1L, 3L, 12L, 7L)))
+  }
+
+  test("aggregate measures over double columns accumulate double") {
+    import spark.implicits._
+    Seq((1L, 1L, "a", 1.5d), (1L, 2L, "a", 2.25d))
+      .toDF("k", "o", "t", "d").createOrReplaceTempView("mr_dbl_agg")
+    val rewritten = MatchRecognize.rewrite(spark,
+      """SELECT * FROM mr_dbl_agg MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES SUM(A.d) AS sd, AVG(A.d) AS ad, MIN(A.d) AS md
+        |  PATTERN (A+)
+        |  DEFINE A AS t = 'a')""".stripMargin)
+    try {
+      val out = spark.sql(rewritten).collect().map(_.toSeq)
+      assert(out.toSeq === Seq(Seq(1L, 3.75d, 1.875d, 1.5d)))
+    } finally MatchRecognize.dropViews(spark, rewritten)
+  }
+
+  test("aggregate measures: MIN/MAX compare non-numeric comparables; SUM rejects them") {
+    seq((1, 1, "ab", 0), (1, 2, "cd", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES MIN(A.t) AS mt, MAX(A.t) AS xt
+        |  PATTERN (A+)
+        |  DEFINE A AS v = 0)""".stripMargin)
+    assert(out === Seq(Seq(1L, "ab", "cd")))
+    val e = intercept[IllegalArgumentException](run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES SUM(A.t) AS st
+        |  PATTERN (A+)
+        |  DEFINE A AS v = 0)""".stripMargin))
+    assert(e.getMessage.contains("integer or floating"), e.getMessage)
+  }
+
+  test("streaming aggregate measures gate non-integral columns") {
+    import spark.implicits._
+    Seq((1L, 1L, "a", 0.5d)).toDF("k", "o", "t", "d")
+      .createOrReplaceTempView("mr_agg_dbl")
+    val e = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_agg_dbl MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES SUM(A.d) AS sd
+          |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(e.getMessage.contains("only integer columns"), e.getMessage)
   }
 
   test("rewrite temp views are dropped after the statement executes") {
