@@ -348,6 +348,15 @@ object Dedup {
     * pair and `bit_count(xor)` verifies exactly. Candidate generation
     * is an 8-byte-key equi self-join within chunk buckets — the same
     * scale shape as the MinHash band join, no all-pairs anywhere.
+    *
+    * Duplicate proposals (a pair whose signatures agree on 2+ chunks
+    * collides in each of them) dedupe by FIRST-WITNESS FILTER, not
+    * DISTINCT: a proposal from chunk position p survives only if every
+    * chunk before p differs. That is a scalar predicate on (sh_a,
+    * sh_b, ck) — each qualifying pair survives exactly once, and the
+    * suite's former slowest wide stage (shuffle + hash-dedup over the
+    * full candidate set) disappears from the plan; the query's only
+    * exchange is the chunk-key self-join itself.
     */
   val extSimhashPairs: Q = Q(
     "ext_simhash_pairs", {
@@ -364,9 +373,13 @@ object Dedup {
          |    (2048 + ((sh >> 20) & 1023))]) AS ck
          |  FROM s),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         |    a.sh AS sh_a, b2.sh AS sh_b
-         |  FROM b a JOIN b b2 ON a.ck = b2.ck AND a.doc_id < b2.doc_id)
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |    a.sh AS sh_a, b2.sh AS sh_b, a.ck AS ck
+         |  FROM b a JOIN b b2 ON a.ck = b2.ck AND a.doc_id < b2.doc_id
+         |  WHERE a.ck < 1024
+         |    OR (a.ck < 2048 AND (a.sh & 1023) <> (b2.sh & 1023))
+         |    OR (a.ck >= 2048 AND (a.sh & 1023) <> (b2.sh & 1023)
+         |        AND ((a.sh >> 10) & 1023) <> ((b2.sh >> 10) & 1023)))
          |SELECT doc_a, doc_b,
          |  CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
@@ -384,9 +397,13 @@ object Dedup {
          |    (2048 + (shiftright(sh, 20) & 1023)))) AS ck
          |  FROM s),
          |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
          |    a.sh AS sh_a, b2.sh AS sh_b
-         |  FROM b a JOIN b b2 ON a.ck = b2.ck AND a.doc_id < b2.doc_id)
+         |  FROM b a JOIN b b2 ON a.ck = b2.ck AND a.doc_id < b2.doc_id
+         |  WHERE a.ck < 1024
+         |    OR (a.ck < 2048 AND (a.sh & 1023) <> (b2.sh & 1023))
+         |    OR (a.ck >= 2048 AND (a.sh & 1023) <> (b2.sh & 1023)
+         |        AND (shiftright(a.sh, 10) & 1023) <> (shiftright(b2.sh, 10) & 1023)))
          |SELECT doc_a, doc_b,
          |  CAST(bit_count(sh_a ^ sh_b) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(sh_a ^ sh_b) <= 2""".stripMargin)
