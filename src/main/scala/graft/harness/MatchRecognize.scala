@@ -372,17 +372,6 @@ object MatchRecognize {
     raw"(?i)\bNEXT\s*\(".r.findFirstIn(masked).foreach(_ =>
       fail(s"DEFINE $variable uses NEXT() — forward navigation is not " +
         "supported"))
-    // aggregates over a pattern variable's rows are a MEASURES-only
-    // surface here; a running aggregate in DEFINE (Flink admits
-    // `B AS SUM(B.x) < 100`) is out of the subset and must say so
-    // rather than mis-classify as a cross-variable reference
-    raw"(?i)\b(SUM|AVG|MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\.".r
-      .findAllMatchIn(masked)
-      .find(m => allVars.contains(m.group(2).toUpperCase))
-      .foreach(m => fail(s"DEFINE $variable uses " +
-        s"${m.group(1).toUpperCase}(${m.group(2)}.col) — aggregates " +
-        "over a pattern variable are supported in MEASURES only, not " +
-        "in DEFINE"))
     // FIRST/LAST are admitted only as cross-variable references
     // (FIRST(V.col) over ANOTHER variable's running assignment); a
     // FIRST/LAST over the variable's own rows is not in the subset
@@ -416,14 +405,35 @@ object MatchRecognize {
       CrossBareRe.findAllMatchIn(masked).exists(m => others.contains(m.group(1).toUpperCase))
   }
 
+  /** `SUM/AVG/MIN/MAX(V.col)` inside a DEFINE — SQL:2016 running
+    * aggregate over the rows the current match attempt assigns to V
+    * (including the row being classified when V is the defined
+    * variable itself). Detection and rewriting are literal-masked like
+    * every other navigation form.
+    */
+  private[harness] val AggCallRe =
+    raw"(?i)\b(SUM|AVG|MIN|MAX)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\)".r
+
+  private def hasAggRef(pred: String, vars: Set[String]): Boolean =
+    AggCallRe.findAllMatchIn(maskQuoted(pred))
+      .exists(m => vars.contains(m.group(2).toUpperCase))
+
   /** A DEFINE predicate may qualify columns with its own variable
     * (`A AS A.price > 10`); the qualifier means "the row being
-    * classified", so it strips to a bare column reference.
+    * classified", so it strips to a bare column reference. A qualifier
+    * heading an AGGREGATE call's argument (`SUM(A.price)`) is running
+    * navigation, not a current-row reference — it survives for the
+    * in-matcher aggregate compiler.
     */
-  private def stripSelfQualifier(variable: String, pred: String): String =
+  private def stripSelfQualifier(variable: String, pred: String): String = {
+    val masked = maskQuoted(pred)
     replaceOutside(pred,
-      (raw"(?i)\b" + java.util.regex.Pattern.quote(variable) + raw"\s*\.").r)(
-      _ => "")
+      (raw"(?i)\b" + java.util.regex.Pattern.quote(variable) + raw"\s*\.").r) { m =>
+      if (masked.substring(0, m.start)
+          .matches(raw"(?is).*\b(SUM|AVG|MIN|MAX)\s*\(\s*")) m.matched
+      else ""
+    }
+  }
 
   /** First occurrence of clause keyword `kw` at or after `from` that
     * heads a real clause: occurrences that are an alias (`COUNT(*) AS
@@ -1129,16 +1139,20 @@ object MatchRecognize {
       s"ORDER BY ${spec.orderBy.mkString(", ")}"
     def translatePrev(pred: String): String =
       mapPrevCalls(pred)((e, k) => s"lag($e, $k) OVER ($overClause)")
-    // cross-variable defines split on top-level AND like the streaming
-    // PREV path: conjuncts without cross refs stay in the precomputed
-    // __def boolean (Catalyst, any type); cross-bearing conjuncts
-    // evaluate INSIDE the matcher against the running assignment
+    // cross-variable and running-aggregate defines split on top-level
+    // AND like the streaming PREV path: conjuncts without cross/agg
+    // refs stay in the precomputed __def boolean (Catalyst, any type);
+    // the rest evaluate INSIDE the matcher against the running
+    // assignment
+    val allVarSet = vars.toSet
     val crossParts: Map[String, (Seq[String], Seq[String])] =
       vars.flatMap { v =>
         spec.defines.get(v).flatMap { p =>
-          val others = vars.toSet - v
-          if (!hasCrossRef(p, others)) None
-          else Some(v -> splitTopLevelAnd(p).partition(hasCrossRef(_, others)))
+          val others = allVarSet - v
+          def inMatcher(c: String): Boolean =
+            hasCrossRef(c, others) || hasAggRef(c, allVarSet)
+          if (!inMatcher(p)) None
+          else Some(v -> splitTopLevelAnd(p).partition(inMatcher))
         }
       }.toMap
     val defCols = vars.map { v =>

@@ -395,6 +395,63 @@ class PatternTrackerSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked aggregate measures equal batch on random value sequences") {
+    // SUM/MIN/MAX/AVG (kinds 8-11) aggregate over the assigned rows'
+    // vals payload; chunked delivery must be invisible, including the
+    // SQL null discipline (some payloads carry v = null / no v at all)
+    implicit val sc = spark.sqlContext
+    val branches = Seq(
+      Seq(PatternTracker.Elem(0, 1, Int.MaxValue), PatternTracker.Elem(1, 1, 1)),
+      Seq(PatternTracker.Elem(2, 1, 1))) // (A+ B | C)
+    val measures = Seq((8, 0), (9, 0), (10, 0), (11, 0), (2, 0), (4, -1))
+    val aggSpec = Some(PatternTracker.AggSpec(Array("v", "v", "v", "v")))
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 4) {
+      val rows = (1 to 30).map { i =>
+        val defs = (1L << rnd.nextInt(3)) | (1L << rnd.nextInt(3))
+        val vals = rnd.nextInt(5) match {
+          case 0 => "{}"                      // no v field
+          case 1 => """{"v":null}"""          // explicit null
+          case _ => s"""{"v":${rnd.nextInt(9) - 2}}""" // incl. negatives
+        }
+        (s"k${i % 2}", ts(10L + i * 10L), defs, vals)
+      }
+      val batch = PatternTracker.trackBranches(
+        rows.toDS().toDF("key", "ts", "defs", "vals")
+          .selectExpr("key", "ts", "defs", "vals", "'' AS lag")
+          .as[PatternEvent],
+        "5 seconds", branches, measures, skipToNextRow = false, None, 0L,
+        None, aggSpec).collect().toSet
+      val input = MemoryStream[(String, Timestamp, Long, String)]
+      val out = PatternTracker.trackBranches(
+        input.toDF().toDF("key", "ts", "defs", "vals")
+          .selectExpr("key", "ts", "defs", "vals", "'' AS lag")
+          .as[PatternEvent],
+        "5 seconds", branches, measures, skipToNextRow = false, None, 0L,
+        None, aggSpec)
+      val name = s"pt_agg_$trial"
+      val query = out.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        rows.grouped(5).foreach { chunk =>
+          input.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+        input.addData(("k0", ts(500000L), 0L, "{}"),
+          ("k1", ts(500000L), 0L, "{}"))
+        query.processAllAvailable()
+        input.addData(("k0", ts(900000L), 0L, "{}"))
+        query.processAllAvailable()
+        val streamed = spark.table(name).as[PatternMatch].collect().toSet
+        assert(streamed === batch, s"trial $trial")
+        // sanity: at least one match carried a real aggregate and at
+        // least one carried a NULL (all-null / no-v payloads)
+        val all = streamed.flatMap(_.cvals)
+        if (trial == 1) assert(all.exists(_ != null))
+      } finally query.stop()
+    }
+  }
+
   test("e2e: streaming MATCH_RECOGNIZE script over a datagen source") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mr-stream")
     val script = java.nio.file.Files.createTempFile("mr-stream", ".sql")
@@ -411,27 +468,34 @@ class PatternTrackerSpec extends AnyFunSuite {
          |  'fields.id.min' = '1',
          |  'fields.id.max' = '3'
          |);
-         |create table snk (k bigint, n bigint, mn bigint) with (
+         |create table snk (k bigint, n bigint, sa bigint, mn bigint) with (
          |  'connector' = 'filesystem',
          |  'path' = 'file://${dir.toString}/out',
          |  'format' = 'parquet'
          |);
          |insert into snk
-         |SELECT k, n, mn FROM src
+         |SELECT k, n, sa, mn FROM src
          |MATCH_RECOGNIZE (
          |  PARTITION BY id
          |  ORDER BY row_time
-         |  MEASURES COUNT(A.*) AS n, MATCH_NUMBER() AS mn
-         |  PATTERN (A)
+         |  MEASURES COUNT(A.*) AS n, SUM(A.id) AS sa, MATCH_NUMBER() AS mn
+         |  PATTERN (A{1,2})
          |  DEFINE A AS id >= 1
-         |) AS m (k, n, mn);
+         |) AS m (k, n, sa, mn);
          |""".stripMargin)
-    // the MR view exposes (id, n, mn); alias column list maps k
+    // the MR view exposes (id, n, sa, mn); alias column list maps k
     new graft.harness.SqlSubmitAction(script.toString, Map.empty,
       Some(SparkFixture.spark), durationSec = 30L).run()
-    // every generated row is its own match; late stragglers behind the
-    // final watermark may stay pending, so expect a prefix
+    // greedy A{1,2} takes up to two rows per match; late stragglers
+    // behind the final watermark may stay pending, so expect a prefix
     val got = SparkFixture.spark.read.parquet(s"$dir/out")
     assert(got.count() > 0)
+    // SUM(A.id) streams through the vals payload: n rows of id=k sum
+    // to exactly n*k, and the aggregate is never NULL (id >= 1 matched)
+    got.collect().foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("sa")))
+      assert(r.getAs[Long]("sa") == r.getAs[Long]("n") * r.getAs[Long]("k"),
+        s"row $r")
+    }
   }
 }
