@@ -42,9 +42,17 @@ import scala.collection.mutable.ArrayBuffer
   * )                                 -- PREV(expr[, k]) (physical row
   *                                   -- navigation; streaming gates the
   *                                   -- referenced columns to
-  *                                   -- JSON-lossless types) and
+  *                                   -- JSON-lossless types),
   *                                   -- FIRST/LAST(V.col) of another
-  *                                   -- variable's running assignment;
+  *                                   -- variable's running assignment,
+  *                                   -- and running SUM/AVG/MIN/MAX
+  *                                   -- (V.col) aggregates (batch: the
+  *                                   -- rows the attempt has assigned
+  *                                   -- to V so far — including the
+  *                                   -- current element's run and the
+  *                                   -- row being classified when V is
+  *                                   -- the DEFINEd variable itself,
+  *                                   -- SQL:2016 running semantics);
   *                                   -- undefined variables match any row
   * }}}
   *
@@ -64,10 +72,12 @@ import scala.collection.mutable.ArrayBuffer
   * run (the same unbounded-state contract as Flink's CEP operator for
   * such patterns).
   *
-  * Unsupported forms (NEXT navigation, nested PREV, aggregates in
-  * DEFINE, grouped sub-patterns `(A B)+`, subquery sources) throw
-  * `IllegalArgumentException` with the contract, mirroring the
-  * WindowTvf/TemporalJoin residual checks.
+  * Unsupported forms (NEXT navigation, nested PREV, aggregate forms in
+  * DEFINE other than SUM/AVG/MIN/MAX(V.col), grouped sub-patterns
+  * `(A B)+`, subquery sources) throw `IllegalArgumentException` with
+  * the contract, mirroring the WindowTvf/TemporalJoin residual checks.
+  * Streaming additionally gates DEFINE aggregates (see
+  * [[rewriteStreaming]]).
   */
 object MatchRecognize {
 
@@ -372,6 +382,20 @@ object MatchRecognize {
     raw"(?i)\bNEXT\s*\(".r.findFirstIn(masked).foreach(_ =>
       fail(s"DEFINE $variable uses NEXT() — forward navigation is not " +
         "supported"))
+    // aggregate calls: only SUM/AVG/MIN/MAX(V.col) over a pattern
+    // variable is in the subset (a running aggregate the matcher
+    // evaluates); any other aggregate form would leak an unevaluable
+    // Catalyst AggregateExpression into the rewrite, so it fails the
+    // contract here instead of crashing at match time
+    val aggStarts = AggCallRe.findAllMatchIn(masked)
+      .filter(m => allVars.contains(m.group(2).toUpperCase))
+      .map(_.start).toSet
+    raw"(?i)\b(SUM|AVG|MIN|MAX|COUNT)\s*\(".r.findAllMatchIn(masked).foreach { m =>
+      if (!aggStarts.contains(m.start))
+        fail(s"DEFINE $variable uses an unsupported aggregate form " +
+          s"(${m.group(1).toUpperCase}) — aggregates in DEFINE support " +
+          "only SUM/AVG/MIN/MAX(V.col) over a pattern variable")
+    }
     // FIRST/LAST are admitted only as cross-variable references
     // (FIRST(V.col) over ANOTHER variable's running assignment); a
     // FIRST/LAST over the variable's own rows is not in the subset
@@ -421,16 +445,18 @@ object MatchRecognize {
   /** A DEFINE predicate may qualify columns with its own variable
     * (`A AS A.price > 10`); the qualifier means "the row being
     * classified", so it strips to a bare column reference. A qualifier
-    * heading an AGGREGATE call's argument (`SUM(A.price)`) is running
+    * inside a supported AGGREGATE call (`SUM(A.price)`) is running
     * navigation, not a current-row reference — it survives for the
-    * in-matcher aggregate compiler.
+    * in-matcher aggregate compiler. The aggregate spans are detected
+    * once on the masked text (checkDefine has already rejected every
+    * non-`FN(V.col)` aggregate form, so span membership is exact).
     */
   private def stripSelfQualifier(variable: String, pred: String): String = {
-    val masked = maskQuoted(pred)
+    val aggSpans = AggCallRe.findAllMatchIn(maskQuoted(pred))
+      .map(m => (m.start, m.end)).toArray
     replaceOutside(pred,
       (raw"(?i)\b" + java.util.regex.Pattern.quote(variable) + raw"\s*\.").r) { m =>
-      if (masked.substring(0, m.start)
-          .matches(raw"(?is).*\b(SUM|AVG|MIN|MAX)\s*\(\s*")) m.matched
+      if (aggSpans.exists { case (s, e) => m.start >= s && m.start < e }) m.matched
       else ""
     }
   }
@@ -692,6 +718,17 @@ object MatchRecognize {
           "subquery sources are not supported"))
       val table = tm.group(1)
       val spec = parseSpec(out.substring(open + 1, end - 1))
+      // running aggregates in DEFINE are batch-only for now: the
+      // tracker's crossPreds have no accumulator slots, so a named
+      // gate here beats an unevaluable expression downstream
+      spec.defines.foreach { case (v, p) =>
+        val allV = spec.pattern.flatten.map(_.variable).toSet
+        if (AggCallRe.findAllMatchIn(maskQuoted(p))
+            .exists(m => allV.contains(m.group(2).toUpperCase)))
+          fail(s"streaming MATCH_RECOGNIZE does not support aggregates " +
+            s"in DEFINE (DEFINE $v) — run the query in batch, or " +
+            "restate the bound with quantifiers/PREV")
+      }
       // PREV(col[, k]) in DEFINE is supported: the referenced columns
       // ride a type-gated JSON payload per row and the tracker
       // re-evaluates those variables' bits over the matured, ordered
@@ -1128,6 +1165,8 @@ object MatchRecognize {
     * walks each key's run emitting ONE ROW PER MATCH.
     */
   private[harness] def execute(src: DataFrame, spec: Spec): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+      FloatType, DoubleType, BinaryType, ArrayType, MapType}
     val vars = spec.pattern.flatten.map(_.variable).distinct
     // PREV(expr[, k]) → lag(expr, k) over the exact order the matcher
     // walks (partition key, then ORDER BY); the navigated expression
@@ -1212,19 +1251,22 @@ object MatchRecognize {
     val baseLen = inSchema.fields.length - vars.length
 
     // cross-variable defines compile to bound Catalyst expressions over
-    // (current row's columns) ++ (one slot per FIRST/LAST(V.col) ref);
-    // the matcher evaluates them during the run scan with the rows the
+    // (current row's columns) ++ (one slot per FIRST/LAST(V.col) ref)
+    // ++ (one slot per running SUM/AVG/MIN/MAX(V.col) aggregate); the
+    // matcher evaluates them during the run scan with the rows the
     // running assignment currently gives V. No JSON round-trip here —
     // values convert Row→Catalyst directly, so every column type works.
     final case class CrossDef(
         expr: org.apache.spark.sql.catalyst.expressions.Expression,
-        refs: Array[(Boolean, Int, Int)])
+        refs: Array[(Boolean, Int, Int)],
+        // (fnKind 0=SUM 1=AVG 2=MIN 3=MAX, varIdx, colIdx, mode 0=long 1=double)
+        aggRefs: Array[(Int, Int, Int, Int)])
     val crossByVar: Array[CrossDef] =
       if (crossParts.isEmpty) null
       else {
         import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BindReferences}
         import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
-        import org.apache.spark.sql.types.StructField
+        import org.apache.spark.sql.types.{DataType, StructField}
         val spark = src.sparkSession
         val base = inSchema.fields.take(baseLen)
         val arr = new Array[CrossDef](vars.length)
@@ -1246,25 +1288,70 @@ object MatchRecognize {
             refs.getOrElseUpdate(name, (firstKw, varOf(rv), ci))
             name
           }
-          var t = CrossFlRe.replaceAllIn(predText, m => {
+          // aggregate slots: type-gated like the MEASURES aggregates
+          // (SUM/AVG need numeric columns, MIN/MAX any comparable
+          // atomic), carrying the slot's OUTPUT type for the attr list
+          val aggRefs = scala.collection.mutable.LinkedHashMap
+            .empty[String, (Int, Int, Int, Int, DataType)]
+          def aggSlot(fn: String, rv: String, c: String): String = {
+            val ci = fieldIdx(c)
+            if (ci >= baseLen) fail(s"DEFINE $v references $fn($rv.$c): " +
+              s"column $c not found in input")
+            val dt = inSchema(ci).dataType
+            val integral = dt == ByteType || dt == ShortType ||
+              dt == IntegerType || dt == LongType
+            val fractional = dt == FloatType || dt == DoubleType
+            val (fnKind, mode, slotDt) = fn match {
+              case "SUM" =>
+                if (!integral && !fractional)
+                  fail(s"DEFINE $v: SUM(${inSchema(ci).name}) needs an " +
+                    s"integer or floating column; got ${dt.simpleString}")
+                (0, if (integral) 0 else 1,
+                  if (integral) LongType else DoubleType)
+              case "AVG" =>
+                if (!integral && !fractional)
+                  fail(s"DEFINE $v: AVG(${inSchema(ci).name}) needs an " +
+                    s"integer or floating column; got ${dt.simpleString}")
+                (1, if (integral) 0 else 1, DoubleType: DataType)
+              case _ =>
+                dt match {
+                  case BinaryType | _: ArrayType | _: MapType | _: StructType =>
+                    fail(s"DEFINE $v: $fn(${inSchema(ci).name}) needs a " +
+                      s"comparable atomic column; got ${dt.simpleString}")
+                  case _ => ()
+                }
+                (if (fn == "MIN") 2 else 3, 0, dt)
+            }
+            val name = s"__agg_${fn.toLowerCase}_${rv}_${inSchema(ci).name}"
+            aggRefs.getOrElseUpdate(name, (fnKind, varOf(rv), ci, mode, slotDt))
+            name
+          }
+          // aggregates rewrite FIRST so their inner V.col never reaches
+          // the bare-reference pass; all three passes are literal-blind
+          // (replaceOutside) — a string like `'A.v'` is data, not a ref
+          var t = replaceOutside(predText, AggCallRe) { m =>
             val rv = m.group(2).toUpperCase
-            if (!varOf.contains(rv))
-              java.util.regex.Matcher.quoteReplacement(m.matched)
-            else java.util.regex.Matcher.quoteReplacement(
-              slot(m.group(1).equalsIgnoreCase("FIRST"), rv, m.group(3)))
-          })
+            if (!varOf.contains(rv)) m.matched
+            else aggSlot(m.group(1).toUpperCase, rv, m.group(3))
+          }
+          t = replaceOutside(t, CrossFlRe) { m =>
+            val rv = m.group(2).toUpperCase
+            if (!varOf.contains(rv)) m.matched
+            else slot(m.group(1).equalsIgnoreCase("FIRST"), rv, m.group(3))
+          }
           // bare V.col (another variable) = LAST(V.col) per SQL:2016
-          t = CrossBareRe.replaceAllIn(t, m => {
+          t = replaceOutside(t, CrossBareRe) { m =>
             val rv = m.group(1).toUpperCase
-            if (!varOf.contains(rv))
-              java.util.regex.Matcher.quoteReplacement(m.matched)
-            else java.util.regex.Matcher.quoteReplacement(
-              slot(firstKw = false, rv, m.group(2)))
-          })
+            if (!varOf.contains(rv)) m.matched
+            else slot(firstKw = false, rv, m.group(2))
+          }
           val attrs = (base.map(f =>
               AttributeReference(f.name, f.dataType, nullable = true)()) ++
             refs.map { case (name, (_, _, ci)) =>
               AttributeReference(name, base(ci).dataType, nullable = true)()
+            } ++
+            aggRefs.map { case (name, (_, _, _, _, slotDt)) =>
+              AttributeReference(name, slotDt, nullable = true)()
             }).toIndexedSeq
           val parsedE =
             try spark.sessionState.sqlParser.parseExpression(
@@ -1282,7 +1369,9 @@ object MatchRecognize {
               "its cross-variable references")
           arr(varOf(v)) = CrossDef(
             BindReferences.bindReference(cond, attrs),
-            refs.values.toArray)
+            refs.values.toArray,
+            aggRefs.values.toArray.map { case (k, rv, ci, mode, _) =>
+              (k, rv, ci, mode) })
         }
         arr
       }
@@ -1298,8 +1387,6 @@ object MatchRecognize {
     // end); float/double accumulate double (deterministic: the matcher
     // walks rows in match order); MIN/MAX compare via Comparable, so
     // any atomic comparable type works (string, timestamp, decimal, …).
-    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
-      FloatType, DoubleType, BinaryType, ArrayType, MapType}
     def aggOut(fn: String, c: Int, alias: String): StructField = {
       val dt = inSchema(c).dataType
       val integral = dt == ByteType || dt == ShortType ||
@@ -1511,7 +1598,7 @@ object MatchRecognize {
             val cd = crossByVar(v)
             if (cd == null) return true
             val irow = new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(baseLen + cd.refs.length)
+              .GenericInternalRow(baseLen + cd.refs.length + cd.aggRefs.length)
             val cur = at(rowAbs).cat
             var i = 0
             while (i < baseLen) { irow.update(i, cur(i)); i += 1 }
@@ -1535,6 +1622,56 @@ object MatchRecognize {
               irow.update(baseLen + j,
                 if (found < 0) null else at(found).cat(colIdx))
               j += 1
+            }
+            // running aggregates: rows already ASSIGNED to rv in
+            // [pAbs, elemStart), plus — when rv is the variable being
+            // DEFINEd — the current element's run so far and the
+            // candidate row itself (tentatively rv's, SQL:2016 running
+            // semantics: the current row is the last row of the match
+            // so far). SQL null discipline: NULL values skip; no
+            // non-null value → NULL slot → predicate unknown → no
+            // match. Cost is O(extent) per candidate row, bounded by
+            // the same WITHIN/quantifier extent that bounds the window.
+            var a = 0
+            while (a < cd.aggRefs.length) {
+              val (fnKind, rv, colIdx, mode) = cd.aggRefs(a)
+              var sumL = 0L
+              var sumD = 0.0d
+              var cnt = 0L
+              var best: Any = null
+              def acc(value: Any): Unit = if (value != null) {
+                fnKind match {
+                  case 0 | 1 =>
+                    if (mode == 0) sumL += value.asInstanceOf[Number].longValue
+                    else sumD += value.asInstanceOf[Number].doubleValue
+                  case _ =>
+                    val cmp =
+                      if (best == null) 0
+                      else value.asInstanceOf[Comparable[Any]].compareTo(best)
+                    if (best == null || (fnKind == 2 && cmp < 0) ||
+                        (fnKind == 3 && cmp > 0))
+                      best = value
+                }
+                cnt += 1
+              }
+              var r = pAbs
+              while (r < elemStart) {
+                if (assign(r - pAbs) == rv) acc(at(r).cat(colIdx))
+                r += 1
+              }
+              if (rv == v) {
+                r = elemStart
+                while (r <= rowAbs) { acc(at(r).cat(colIdx)); r += 1 }
+              }
+              irow.update(baseLen + cd.refs.length + a,
+                fnKind match {
+                  case 0 => if (cnt == 0) null else if (mode == 0) sumL else sumD
+                  case 1 =>
+                    if (cnt == 0) null
+                    else (if (mode == 0) sumL.toDouble else sumD) / cnt
+                  case _ => best
+                })
+              a += 1
             }
             cd.expr.eval(irow) == true
           }

@@ -1159,11 +1159,75 @@ object Events {
         |)""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE running aggregate in DEFINE (Flink CEP's budget /
+    * stop-condition shape): after each view, C* greedily takes the
+    * consecutive click rows while the RUNNING `SUM(C.vm)` — including
+    * the candidate row, SQL:2016 running semantics — stays within the
+    * budget. Anchoring at views keeps every match start independent
+    * (consumed spans are view + clicks, never another view), so the
+    * oracle replays it as a per-view prefix scan: the consecutive
+    * click block after the view, cut at the first non-click, with a
+    * window running sum; vm > 0 makes the running sum monotone, so
+    * `cum <= budget` is exactly the greedy prefix the matcher takes.
+    */
+  val q76AggDefine: Q = Q(
+    "q76_agg_define",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn FROM e WHERE event_type = 'view'),
+      |b AS (
+      |  SELECT v.user_id, v.vrn, MIN(e2.rn) AS stoprn
+      |  FROM v LEFT JOIN e e2 ON e2.user_id = v.user_id
+      |    AND e2.rn > v.vrn AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT b.user_id, b.vrn, e3.vm,
+      |    SUM(e3.vm) OVER (PARTITION BY b.user_id, b.vrn
+      |      ORDER BY e3.rn) AS cum
+      |  FROM b JOIN e e3 ON e3.user_id = b.user_id AND e3.rn > b.vrn
+      |    AND (b.stoprn IS NULL OR e3.rn < b.stoprn)),
+      |taken AS (
+      |  SELECT user_id, vrn, COUNT(*) AS n_clicks, SUM(vm) AS spent
+      |  FROM c WHERE cum <= 300000 GROUP BY 1, 2)
+      |SELECT v.user_id,
+      |  CAST(COALESCE(t.n_clicks, 0) AS BIGINT) AS n_clicks,
+      |  CAST(t.spent AS BIGINT) AS spent,
+      |  ROW_NUMBER() OVER (PARTITION BY v.user_id ORDER BY v.vrn) AS mn
+      |FROM v LEFT JOIN taken t
+      |  ON t.user_id = v.user_id AND t.vrn = v.vrn""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_budget")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, n_clicks, spent, mn
+        |FROM graft_mr_events_budget
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    COUNT(C.*) AS n_clicks,
+        |    SUM(C.vm) AS spent,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C*)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click' AND SUM(C.vm) <= 300000
+        |)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
     q62SessionTvf, q63LegacyHop, q64MatchRecognize, q65PrevPattern,
     q66AllRows, q67Alternation, q68Within, q69SkipChain, q72Classifier,
-    q73CrossDefine, q74AggMeasures, q75PrevExpr)
+    q73CrossDefine, q74AggMeasures, q75PrevExpr, q76AggDefine)
 }

@@ -230,8 +230,23 @@ class MatchRecognizeSpec extends AnyFunSuite {
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  PATTERN (A B) DEFINE A AS t = 'a', B AS SUM(B.v) > 10)""".stripMargin,
-      "MEASURES only")
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS SUM(v) > 10)""".stripMargin,
+      "unsupported aggregate form")
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS COUNT(B.v) < 3)""".stripMargin,
+      "unsupported aggregate form")
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS SUM(B.v + 1) > 10)""".stripMargin,
+      "unsupported aggregate form")
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS SUM(B.t) > 10)""".stripMargin,
+      "integer or floating")
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
@@ -242,6 +257,62 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
       "table")
+  }
+
+  test("running SUM in DEFINE stops the greedy run at the budget") {
+    // B's running sum (including the candidate row, SQL:2016 running
+    // semantics) may not exceed 10: rows 4+5=9 pass, +3 would be 12
+    seq((1, 1, "s", 0), (1, 2, "b", 4), (1, 3, "b", 5), (1, 4, "b", 3),
+      (1, 5, "b", 2))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(B.*) AS nb, SUM(B.v) AS sb
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S B*)
+        |  DEFINE S AS t = 's', B AS t = 'b' AND SUM(B.v) <= 10)""".stripMargin)
+    assert(out === Seq(Seq(1L, 2L, 9L)))
+  }
+
+  test("DEFINE aggregate over ANOTHER variable's assigned rows") {
+    // C must beat the average of the A rows the match assigned
+    seq((1, 1, "a", 5), (1, 2, "a", 7), (1, 3, "c", 6),
+      (2, 1, "a", 5), (2, 2, "a", 7), (2, 3, "c", 8))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES C.v AS cv
+        |  PATTERN (A{2} C)
+        |  DEFINE A AS t = 'a', C AS t = 'c' AND v > AVG(A.v))""".stripMargin)
+    // k=1: 6 > avg(5,7)=6 is false — no match; k=2: 8 > 6 matches
+    assert(out === Seq(Seq(2L, 8L)))
+  }
+
+  test("MIN/MAX in DEFINE: bounded-spread run splits at the breach") {
+    seq((1, 1, "x", 5), (1, 2, "x", 6), (1, 3, "x", 7), (1, 4, "x", 9))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(R.*) AS nr, MIN(R.v) AS lo, MAX(R.v) AS hi
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (R+)
+        |  DEFINE R AS MAX(R.v) - MIN(R.v) <= 2)""".stripMargin)
+    // greedy run 5,6,7 (spread 2); 9 would make it 4 → new match
+    assert(out === Seq(Seq(1L, 3L, 5L, 7L), Seq(1L, 1L, 9L, 9L)))
+  }
+
+  test("DEFINE aggregate over an unmatched variable is NULL → no match") {
+    seq((1, 1, "a", 1), (1, 2, "c", 9))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(*) AS n
+        |  PATTERN (A B* C)
+        |  DEFINE A AS t = 'a', B AS t = 'b',
+        |    C AS t = 'c' AND v > SUM(B.v))""".stripMargin)
+    // B matched zero rows: SUM(B.v) is NULL, the predicate is unknown,
+    // and C cannot match — SQL three-valued logic, Flink CEP behavior
+    assert(out === Seq.empty)
   }
 
   test("ALL ROWS PER MATCH emits every matched row with RUNNING measures") {
@@ -1131,6 +1202,20 @@ class MatchRecognizeSpec extends AnyFunSuite {
           |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
         _ => Some(("o", "5 seconds"))))
     assert(e.getMessage.contains("only integer columns"), e.getMessage)
+  }
+
+  test("streaming gates aggregates in DEFINE with the contract") {
+    import spark.implicits._
+    Seq((1L, 1L, "a", 1L)).toDF("k", "o", "t", "v")
+      .createOrReplaceTempView("mr_agg_def_stream")
+    val e = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_agg_def_stream MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+          |  PATTERN (A B*) DEFINE A AS t = 'a',
+          |    B AS SUM(B.v) <= 10)""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(e.getMessage.contains("aggregates in DEFINE"), e.getMessage)
   }
 
   test("rewrite temp views are dropped after the statement executes") {
