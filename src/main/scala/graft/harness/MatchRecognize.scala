@@ -88,7 +88,23 @@ object MatchRecognize {
 
   // ---------------------------------------------------------------- spec
 
-  private[harness] final case class PatternElem(variable: String, lo: Int, hi: Int)
+  /** Pattern AST node: a quantified variable ([[PatternElem]]) or a
+    * quantified grouped sub-pattern ([[PatternGroup]], e.g. `(A B)+` —
+    * the sequence repeats as a unit, greedy with backtracking across
+    * the group boundary). */
+  private[harness] sealed trait PatNode { def lo: Int; def hi: Int }
+  private[harness] final case class PatternElem(
+      variable: String, lo: Int, hi: Int) extends PatNode
+  private[harness] final case class PatternGroup(
+      elems: Seq[PatNode], lo: Int, hi: Int) extends PatNode
+
+  /** Pattern variables in first-appearance order, recursing into
+    * grouped sub-patterns. */
+  private[harness] def varsIn(nodes: Seq[PatNode]): Seq[String] =
+    nodes.flatMap {
+      case PatternElem(v, _, _) => Seq(v)
+      case PatternGroup(inner, _, _) => varsIn(inner)
+    }
 
   private[harness] sealed trait Measure { def alias: String }
   private[harness] final case class ColMeasure(
@@ -120,7 +136,7 @@ object MatchRecognize {
       // AFTER MATCH SKIP TO FIRST/LAST <var>: (isFirst, variable);
       // batch only, mutually exclusive with skipToNextRow
       skipToVar: Option[(Boolean, String)] = None,
-      pattern: Seq[Seq[PatternElem]], // alternation branches, in preference order
+      pattern: Seq[Seq[PatNode]], // alternation branches, in preference order
       defines: Map[String, String],
       allRows: Boolean = false,
       withinMs: Option[Long] = None) // PATTERN (...) WITHIN duration bound
@@ -241,30 +257,97 @@ object MatchRecognize {
     case _ => fail(s"measure needs an AS alias: $m")
   }
 
-  private val ElemRe =
-    raw"(?s)^([A-Za-z_][A-Za-z0-9_]*)(\*|\+|\?|\{\s*(\d+)\s*(,\s*(\d+)?\s*)?\})?$$".r
+  /** Recursive-descent parser for one alternation branch: a sequence of
+    * quantified variables and quantified grouped sub-patterns, e.g.
+    * `S (A B+){2,} C?`. Alternation inside a group is out of the subset
+    * (top-level `|` splits branches before this parser runs).
+    */
+  private final class PatParser(s: String) {
+    private var i = 0
+    private def ws(): Unit =
+      while (i < s.length && Character.isWhitespace(s.charAt(i))) i += 1
+    private val QuantBraceRe = raw"^\{\s*(\d+)\s*(,\s*(\d+)?\s*)?\}".r
 
-  private def parseSequence(p: String): Seq[PatternElem] = {
-    // tokenize: variable names followed optionally by a quantifier
-    val toks = raw"[A-Za-z_][A-Za-z0-9_]*(?:\s*(?:\*|\+|\?|\{[^}]*\}))?".r
-      .findAllIn(p).toSeq
-    // the tokens must reassemble the clause exactly — anything left over
-    // is syntax the subset doesn't cover
-    if (toks.isEmpty ||
-        toks.mkString("").replaceAll(raw"\s", "") != p.replaceAll(raw"\s", ""))
-      fail(s"unsupported pattern syntax: $p")
-    toks.map(t => t.replaceAll(raw"\s+", "") match {
-      case ElemRe(v, null, _, _, _) => PatternElem(v.toUpperCase, 1, 1)
-      case ElemRe(v, "*", _, _, _) => PatternElem(v.toUpperCase, 0, Int.MaxValue)
-      case ElemRe(v, "+", _, _, _) => PatternElem(v.toUpperCase, 1, Int.MaxValue)
-      case ElemRe(v, "?", _, _, _) => PatternElem(v.toUpperCase, 0, 1)
-      case ElemRe(v, q, n, comma, m) if q != null && q.startsWith("{") =>
-        val lo = n.toInt
-        val hi = if (comma == null) lo else if (m == null) Int.MaxValue else m.toInt
-        if (hi < lo) fail(s"empty quantifier range in: $t")
-        PatternElem(v.toUpperCase, lo, hi)
-      case _ => fail(s"unsupported pattern element: $t")
-    })
+    private def parseQuant(): (Int, Int) = {
+      ws()
+      if (i >= s.length) return (1, 1)
+      s.charAt(i) match {
+        case '*' => i += 1; (0, Int.MaxValue)
+        case '+' => i += 1; (1, Int.MaxValue)
+        case '?' => i += 1; (0, 1)
+        case '{' =>
+          val m = QuantBraceRe.findFirstMatchIn(s.substring(i))
+            .getOrElse(fail(s"unsupported quantifier at ...${s.substring(i)}"))
+          val lo = m.group(1).toInt
+          val hi = if (m.group(2) == null) lo
+            else if (m.group(3) == null) Int.MaxValue else m.group(3).toInt
+          if (hi < lo) fail(s"empty quantifier range in: ${m.matched}")
+          i += m.end
+          (lo, hi)
+        case _ => (1, 1)
+      }
+    }
+
+    private val VarRe = raw"^[A-Za-z_][A-Za-z0-9_]*".r
+
+    private def parseItem(): PatNode = {
+      ws()
+      if (i < s.length && s.charAt(i) == '(') {
+        i += 1
+        val inner = parseSeq(inGroup = true)
+        ws()
+        if (i >= s.length || s.charAt(i) != ')')
+          fail(s"unbalanced parentheses in pattern: $s")
+        i += 1
+        val (lo, hi) = parseQuant()
+        PatternGroup(inner, lo, hi)
+      } else {
+        val m = VarRe.findFirstMatchIn(s.substring(i))
+          .getOrElse(fail(s"unsupported pattern syntax at ...${s.substring(i)}"))
+        i += m.end
+        val (lo, hi) = parseQuant()
+        PatternElem(m.matched.toUpperCase, lo, hi)
+      }
+    }
+
+    def parseSeq(inGroup: Boolean): Seq[PatNode] = {
+      val out = ArrayBuffer.empty[PatNode]
+      ws()
+      while (i < s.length && !(inGroup && s.charAt(i) == ')')) {
+        if (s.charAt(i) == '|')
+          fail(s"alternation inside a grouped sub-pattern is not " +
+            s"supported: $s")
+        out += parseItem()
+        ws()
+      }
+      if (out.isEmpty) fail(s"empty pattern sequence in: $s")
+      out.toSeq
+    }
+  }
+
+  private def parseSequence(p: String): Seq[PatNode] = {
+    val parser = new PatParser(p)
+    parser.parseSeq(inGroup = false)
+  }
+
+  /** Splits on top-level `|` — blind to bars inside parentheses (a
+    * grouped sub-pattern must not split the branch). */
+  private def splitTopLevelBar(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '|' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim)
   }
 
   private val PermuteRe = raw"(?is)^PERMUTE\s*\((.*)\)$$".r
@@ -275,7 +358,7 @@ object MatchRecognize {
     * all orderings in lexicographic position order (the standard's
     * expansion), bare variables only.
     */
-  private def parsePattern(p: String): Seq[Seq[PatternElem]] = p match {
+  private def parsePattern(p: String): Seq[Seq[PatNode]] = p match {
     case PermuteRe(inner) =>
       val vars = splitTopLevel(inner)
       if (vars.isEmpty || vars.exists(v =>
@@ -287,7 +370,7 @@ object MatchRecognize {
     case _ =>
       if (raw"(?i)\bPERMUTE\b".r.findFirstIn(p).isDefined)
         fail(s"PERMUTE must be the whole pattern: $p")
-      val branches = p.split('|').map(_.trim).toSeq
+      val branches = splitTopLevelBar(p)
       if (branches.exists(_.isEmpty)) fail(s"empty alternation branch in: $p")
       branches.map(parseSequence)
   }
@@ -550,7 +633,7 @@ object MatchRecognize {
     if (!patternTxt.startsWith("(") || !patternTxt.endsWith(")"))
       fail(s"PATTERN must be parenthesized: $patternTxt")
     val pattern = parsePattern(patternTxt.substring(1, patternTxt.length - 1).trim)
-    val allVars = pattern.flatten.map(_.variable).toSet
+    val allVars = pattern.flatMap(varsIn(_)).toSet
     val defines = clauseText("DEFINE").toSeq.flatMap(splitTopLevel).map { d =>
       val m = raw"(?is)^([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)$$".r
         .findFirstMatchIn(d).getOrElse(fail(s"DEFINE entry needs `VAR AS predicate`: $d"))
@@ -722,7 +805,7 @@ object MatchRecognize {
       // tracker's crossPreds have no accumulator slots, so a named
       // gate here beats an unevaluable expression downstream
       spec.defines.foreach { case (v, p) =>
-        val allV = spec.pattern.flatten.map(_.variable).toSet
+        val allV = spec.pattern.flatMap(varsIn(_)).toSet
         if (AggCallRe.findAllMatchIn(maskQuoted(p))
             .exists(m => allV.contains(m.group(2).toUpperCase)))
           fail(s"streaming MATCH_RECOGNIZE does not support aggregates " +
@@ -743,14 +826,21 @@ object MatchRecognize {
         fail("streaming MATCH_RECOGNIZE must ORDER BY exactly the " +
           s"source's event-time column ($wmCol); got ${spec.orderBy.mkString(", ")}")
 
-      val vars = spec.pattern.flatten.map(_.variable).distinct
+      val vars = spec.pattern.flatMap(varsIn(_)).distinct
       if (vars.size > 62) fail("too many pattern variables (max 62)")
       val varOf = vars.zipWithIndex.toMap
       // alternation branches in preference order (leftmost wins) and
       // SKIP TO FIRST/LAST both ride through to the tracker, which
-      // mirrors the batch matcher's semantics under watermark finality
-      val branches = spec.pattern.map(_.map(e =>
-        PatternTracker.Elem(varOf(e.variable), e.lo, e.hi)))
+      // mirrors the batch matcher's semantics under watermark finality.
+      // Grouped sub-patterns stay batch-only: the tracker's NFA walks
+      // flat quantified sequences, so a named gate here beats silently
+      // flattening the group's repetition semantics.
+      val branches = spec.pattern.map(_.map {
+        case PatternElem(v, lo, hi) => PatternTracker.Elem(varOf(v), lo, hi)
+        case _: PatternGroup =>
+          fail("streaming MATCH_RECOGNIZE does not support grouped " +
+            "sub-patterns like (A B)+ — run the query in batch")
+      })
       val skipTo = spec.skipToVar.map { case (f, v) => (f, varOf(v)) }
 
       val src = spark.table(table)

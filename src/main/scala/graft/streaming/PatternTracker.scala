@@ -126,6 +126,10 @@ object PatternTracker {
 
   private lazy val jackson = new com.fasterxml.jackson.databind.ObjectMapper
 
+  // memo sentinel for "this row has no vals payload" (null can't be a
+  // HashMap hit marker)
+  private val NullTree: AnyRef = new Object
+
   /** Decodes one row's lag payload into internal-typed values aligned
     * with `spec.cols` (null for absent/null fields). */
   private def parseLag(spec: PrevSpec, json: String): Array[Any] = {
@@ -423,6 +427,20 @@ object PatternTracker {
         }
         val cvals = List.newBuilder[String]
         var ai = -1 // aggregate-measure ordinal, in measure order
+        // per-match memo: a matched row's vals JSON parses at most once
+        // per emitted match, however many aggregate measures read it
+        val valsTreeMemo = new java.util.HashMap[Int, AnyRef]()
+        def valsTreeAt(r: Int): com.fasterxml.jackson.databind.JsonNode = {
+          var node = valsTreeMemo.get(r)
+          if (node == null) {
+            node =
+              if (matured(r)._3 == null || matured(r)._3.isEmpty) NullTree
+              else jackson.readTree(matured(r)._3)
+            valsTreeMemo.put(r, node)
+          }
+          if (node eq NullTree) null
+          else node.asInstanceOf[com.fasterxml.jackson.databind.JsonNode]
+        }
         val vals = measures.map { case (kind, v) =>
           kind match {
             case 0 | 1 =>
@@ -457,9 +475,7 @@ object PatternTracker {
               var r = p
               while (r < end) {
                 if (assign(r) == v) {
-                  val node =
-                    if (matured(r)._3 == null || matured(r)._3.isEmpty) null
-                    else jackson.readTree(matured(r)._3)
+                  val node = valsTreeAt(r)
                   val jn = if (node == null) null else node.get(colName)
                   if (jn != null && !jn.isNull) {
                     val x = jn.asLong
