@@ -29,7 +29,14 @@ object Timeouts {
     import scala.concurrent.ExecutionContext.Implicits.global
     try {
       Await.result(Future {
-        // job-group is thread-local: set it on the executing thread
+        // job-group is thread-local: set it on the executing thread.
+        // The active session is too (an InheritableThreadLocal a pool
+        // thread may or may not have picked up at creation): without
+        // pinning it, SQLConf.get on this thread falls back to the
+        // default conf, so session confs a query depends on (e.g. the
+        // nanosAsLong parquet mapping in Tables.loadEvents) silently
+        // vanish for whichever queries land on an unlucky thread.
+        SparkSession.setActiveSession(spark)
         spark.sparkContext.setJobGroup(name, s"bounded:$name",
           interruptOnCancel = true)
         body

@@ -72,11 +72,15 @@ import scala.collection.mutable.ArrayBuffer
   * run (the same unbounded-state contract as Flink's CEP operator for
   * such patterns).
   *
-  * Unsupported forms (NEXT navigation, nested PREV, aggregate forms in
-  * DEFINE other than SUM/AVG/MIN/MAX(V.col), grouped sub-patterns
-  * `(A B)+`, subquery sources) throw `IllegalArgumentException` with
-  * the contract, mirroring the WindowTvf/TemporalJoin residual checks.
-  * Streaming additionally gates DEFINE aggregates (see
+  * Grouped sub-patterns `(A B)+` are supported in batch: the group
+  * repeats as a unit, greedy with full backtracking across the group
+  * boundary (the matcher walks a compiled pattern tree with a
+  * continuation — see `tryNodes`). Unsupported forms (NEXT navigation,
+  * nested PREV, aggregate forms in DEFINE other than
+  * SUM/AVG/MIN/MAX(V.col), alternation inside a group, subquery
+  * sources) throw `IllegalArgumentException` with the contract,
+  * mirroring the WindowTvf/TemporalJoin residual checks. Streaming
+  * additionally gates DEFINE aggregates and grouped sub-patterns (see
   * [[rewriteStreaming]]).
   */
 object MatchRecognize {
@@ -107,8 +111,13 @@ object MatchRecognize {
     }
 
   private[harness] sealed trait Measure { def alias: String }
+  /** `V.col` / `FIRST(V.col[, k])` / `LAST(V.col[, k])` — the SQL:2016
+    * logical-offset forms: offset k (default 0) counts occurrences of
+    * V's assigned rows from the first/last one; fewer than k+1
+    * occurrences → NULL (Flink's behavior). */
   private[harness] final case class ColMeasure(
-      variable: String, column: String, first: Boolean, alias: String) extends Measure
+      variable: String, column: String, first: Boolean, alias: String,
+      offset: Int = 0) extends Measure
   private[harness] final case class CountMeasure(
       variable: Option[String], alias: String) extends Measure
   private[harness] final case class MatchNumberMeasure(alias: String) extends Measure
@@ -139,7 +148,12 @@ object MatchRecognize {
       pattern: Seq[Seq[PatNode]], // alternation branches, in preference order
       defines: Map[String, String],
       allRows: Boolean = false,
-      withinMs: Option[Long] = None) // PATTERN (...) WITHIN duration bound
+      withinMs: Option[Long] = None, // PATTERN (...) WITHIN duration bound
+      // per-measure FINAL flag (SQL:2016 RUNNING|FINAL keywords): under
+      // ALL ROWS PER MATCH a FINAL measure evaluates over the COMPLETE
+      // match for every emitted row; RUNNING (the default) sees only
+      // rows matched so far. Under ONE ROW PER MATCH the two coincide.
+      measureFinal: Seq[Boolean] = Nil)
 
   // --------------------------------------------------------------- parse
 
@@ -228,7 +242,8 @@ object MatchRecognize {
   }
 
   private val ColMeasureRe =
-    raw"(?is)^(?:(FIRST|LAST)\s*\(\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*(\))?$$".r
+    raw"(?is)^(?:(FIRST|LAST)\s*\(\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:,\s*(\d+)\s*)?(\))?$$".r
+  private val RunningFinalRe = raw"(?is)^(RUNNING|FINAL)\s+(.*)$$".r
   private val CountVarRe =
     raw"(?is)^COUNT\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*\*\s*\)$$".r
   private val CountStarRe = raw"(?is)^COUNT\s*\(\s*\*\s*\)$$".r
@@ -238,22 +253,33 @@ object MatchRecognize {
     raw"(?is)^(SUM|AVG|MIN|MAX)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$$".r
   private val AsRe = raw"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$$".r
 
-  private def parseMeasure(m: String): Measure = m match {
-    case AsRe(body, alias) =>
-      body.trim match {
+  /** One measure plus its FINAL flag: a leading `RUNNING` (the
+    * SQL:2016 default) or `FINAL` keyword is admitted on every measure
+    * form — the flag only changes behavior under ALL ROWS PER MATCH,
+    * where FINAL evaluates over the complete match for every row. */
+  private def parseMeasure(m: String): (Measure, Boolean) = m match {
+    case AsRe(rawBody, alias) =>
+      val (body, isFinal) = rawBody.trim match {
+        case RunningFinalRe(kw, rest) => (rest.trim, kw.equalsIgnoreCase("FINAL"))
+        case other => (other, false)
+      }
+      val measure = body match {
         case MatchNumberRe() => MatchNumberMeasure(alias)
         case ClassifierRe() => ClassifierMeasure(alias)
         case CountStarRe() => CountMeasure(None, alias)
         case CountVarRe(v) => CountMeasure(Some(v.toUpperCase), alias)
         case AggRe(fn, v, c) => AggMeasure(fn.toUpperCase, v.toUpperCase, c, alias)
-        case ColMeasureRe(fl, v, c, close) =>
+        case ColMeasureRe(fl, v, c, off, close) =>
           if ((fl == null) != (close == null)) fail(s"unbalanced FIRST/LAST in measure: $m")
+          if (off != null && fl == null)
+            fail(s"logical offset needs FIRST/LAST(V.col, k): $m")
           ColMeasure(v.toUpperCase, c, first = fl != null && fl.equalsIgnoreCase("FIRST"),
-            alias = alias)
-        case other => fail(s"unsupported measure (want V.col, FIRST/LAST(V.col), " +
+            alias = alias, offset = if (off == null) 0 else off.toInt)
+        case other => fail(s"unsupported measure (want V.col, FIRST/LAST(V.col[, k]), " +
           s"SUM/AVG/MIN/MAX(V.col), COUNT(V.*), COUNT(*), MATCH_NUMBER(), " +
-          s"CLASSIFIER()): $other")
+          s"CLASSIFIER(), each optionally prefixed RUNNING|FINAL): $other")
       }
+      (measure, isFinal)
     case _ => fail(s"measure needs an AS alias: $m")
   }
 
@@ -492,6 +518,19 @@ object MatchRecognize {
         fail(s"DEFINE $variable references ${m.group(2)}.<col> — " +
           s"${m.group(2)} is not a pattern variable")
     }
+    // FIRST/LAST calls NOT matching the supported shape (e.g. the
+    // logical-offset form FIRST(V.col, 1), or FIRST over an
+    // expression) would leak as Catalyst first/last AGGREGATES into
+    // the rewrite and die unevaluable at match time — contract error
+    // here instead
+    val flStarts = CrossFlRe.findAllMatchIn(masked).map(_.start).toSet
+    raw"(?i)\b(FIRST|LAST)\s*\(".r.findAllMatchIn(masked).foreach { m =>
+      if (!flStarts.contains(m.start))
+        fail(s"DEFINE $variable uses an unsupported " +
+          s"${m.group(1).toUpperCase}() form — DEFINE supports only " +
+          "FIRST/LAST(V.col) cross-variable navigation (no logical " +
+          "offsets, no expressions)")
+    }
   }
 
   /** `FIRST(V.col)` / `LAST(V.col)` in a DEFINE — SQL:2016 running
@@ -596,8 +635,8 @@ object MatchRecognize {
       .getOrElse(fail("ORDER BY is required"))
     orderBy.find(o => raw"(?i)\s+DESC$$".r.findFirstIn(o).isDefined)
       .foreach(o => fail(s"ORDER BY ... DESC is not supported: $o"))
-    val measures = clauseText("MEASURES")
-      .map(splitTopLevel(_).map(parseMeasure))
+    val (measures, measureFinal) = clauseText("MEASURES")
+      .map(splitTopLevel(_).map(parseMeasure).unzip)
       .getOrElse(fail("MEASURES is required"))
     val SkipVarRe = raw"(?is)^SKIP\s+TO\s+(FIRST|LAST)\s+([A-Za-z_][A-Za-z0-9_]*)$$".r
     val (skipToNext, skipToVar) = clauseText("AFTER MATCH") match {
@@ -644,7 +683,7 @@ object MatchRecognize {
     }.toMap
     // measures must reference pattern variables
     measures.foreach {
-      case ColMeasure(v, _, _, _) if !allVars.contains(v) =>
+      case ColMeasure(v, _, _, _, _) if !allVars.contains(v) =>
         fail(s"measure references undefined pattern variable $v")
       case CountMeasure(Some(v), _) if !allVars.contains(v) =>
         fail(s"measure references undefined pattern variable $v")
@@ -657,7 +696,7 @@ object MatchRecognize {
         fail(s"AFTER MATCH SKIP TO references $v, not in PATTERN")
     }
     Spec(partitionBy, orderBy, measures, skipToNext, skipToVar, pattern,
-      defines, allRows, withinMs)
+      defines, allRows, withinMs, measureFinal)
   }
 
   // ------------------------------------------------------------- rewrite
@@ -872,7 +911,13 @@ object MatchRecognize {
       // exact longs (no double/decimal round-trip hazards in state)
       val aggCols = ArrayBuffer.empty[String]
       val measures = spec.measures.map {
-        case ColMeasure(v, c, first, _) =>
+        case ColMeasure(_, c, _, _, off) if off != 0 =>
+          // the tracker's edge scan carries no occurrence counter in
+          // state; a named gate beats a silently-wrong edge value
+          fail(s"streaming MATCH_RECOGNIZE does not support the " +
+            s"FIRST/LAST($c, $off) logical-offset form — run the " +
+            "query in batch")
+        case ColMeasure(v, c, first, _, _) =>
           if (c.equalsIgnoreCase(wmCol)) (if (first) 0 else 1, varOf(v))
           else {
             colMeasureCols += gatedMeasureCol(c)
@@ -1182,10 +1227,10 @@ object MatchRecognize {
       val measureCols = spec.measures.zipWithIndex.map { case (ms, i) =>
         val v = scol("values").getItem(i)
         ms match {
-          case ColMeasure(_, c, _, alias) if c.equalsIgnoreCase(wmCol) =>
+          case ColMeasure(_, c, _, alias, _) if c.equalsIgnoreCase(wmCol) =>
             when(v === graft.streaming.PatternTracker.UnmatchedTime, lit(null))
               .otherwise(sexpr(s"timestamp_millis(values[$i])")).as(alias)
-          case ColMeasure(_, c, _, alias) =>
+          case ColMeasure(_, c, _, alias, _) =>
             // column measure: decode the matched row's JSON payload; a
             // null payload (variable matched no row) decodes to NULL
             ci += 1
@@ -1237,6 +1282,15 @@ object MatchRecognize {
   private final class Ent(val row: Row, val ok: Array[Boolean],
       val tsMs: Long, val tsNull: Boolean, val cat: Array[Any] = null)
 
+  /** Matcher-compiled pattern node: a quantified variable (index into
+    * the branch's variable table) or a quantified grouped sub-pattern
+    * whose inner sequence repeats as a unit — greedy, with full
+    * backtracking across the group boundary. */
+  private sealed trait CPat
+  private final case class CVar(v: Int, lo: Int, hi: Int) extends CPat
+  private final case class CGrp(inner: Array[CPat], lo: Int, hi: Int)
+    extends CPat
+
   /** Diagnostic high-water mark: the most rows the sliding window ever
     * buffered for a single key group (process-wide max; exact in local
     * mode where executors share the JVM, per-executor on a cluster).
@@ -1257,7 +1311,7 @@ object MatchRecognize {
   private[harness] def execute(src: DataFrame, spec: Spec): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
       FloatType, DoubleType, BinaryType, ArrayType, MapType}
-    val vars = spec.pattern.flatten.map(_.variable).distinct
+    val vars = spec.pattern.flatMap(varsIn(_)).distinct
     // PREV(expr[, k]) → lag(expr, k) over the exact order the matcher
     // walks (partition key, then ORDER BY); the navigated expression
     // may be any Catalyst scalar expression (nested PREV is out of the
@@ -1330,9 +1384,16 @@ object MatchRecognize {
     }
     val varOf = vars.zipWithIndex.toMap
     // alternation branches in preference order: the matcher tries each
-    // at a start position and the first with a non-empty match wins
-    val branches: Array[Array[(Int, Int, Int)]] = spec.pattern.map(b =>
-      b.map(e => (varOf(e.variable), e.lo, e.hi)).toArray).toArray
+    // at a start position and the first with a non-empty match wins.
+    // Grouped sub-patterns compile to nested CGrp nodes the matcher
+    // walks with a continuation (see tryNodes).
+    def compilePat(n: PatNode): CPat = n match {
+      case PatternElem(v, lo, hi) => CVar(varOf(v), lo, hi)
+      case PatternGroup(inner, lo, hi) =>
+        CGrp(inner.map(compilePat).toArray, lo, hi)
+    }
+    val branches: Array[Array[CPat]] =
+      spec.pattern.map(_.map(compilePat).toArray).toArray
 
     // measure plan: resolved field indexes, output schema.
     // ONE ROW PER MATCH: partition columns + measures;
@@ -1501,7 +1562,7 @@ object MatchRecognize {
       }
     }
     val measureFields = spec.measures.map {
-      case ColMeasure(_, c, _, alias) =>
+      case ColMeasure(_, c, _, alias, _) =>
         StructField(alias, inSchema(fieldIdx(c)).dataType, nullable = true)
       case CountMeasure(_, alias) => StructField(alias, LongType, nullable = false)
       case MatchNumberMeasure(alias) => StructField(alias, LongType, nullable = false)
@@ -1516,8 +1577,10 @@ object MatchRecognize {
     val measurePlan: Array[(Int, Int, Int, Int)] = spec.measures.map {
       // (kind, varIdxInVars, colIdx, mode): kind 0=first 1=last
       // 2=countVar 3=countAll 4=matchNo 5=classifier 6=sum 7=avg
-      // 8=min 9=max; mode (agg kinds only) 0=long 1=double
-      case ColMeasure(v, c, first, _) => (if (first) 0 else 1, varOf(v), fieldIdx(c), 0)
+      // 8=min 9=max; mode holds the logical offset for kinds 0/1 and
+      // the long/double accumulation mode for agg kinds
+      case ColMeasure(v, c, first, _, off) =>
+        (if (first) 0 else 1, varOf(v), fieldIdx(c), off)
       case CountMeasure(Some(v), _) => (2, varOf(v), -1, 0)
       case CountMeasure(None, _) => (3, -1, -1, 0)
       case MatchNumberMeasure(_) => (4, -1, -1, 0)
@@ -1535,6 +1598,11 @@ object MatchRecognize {
           if (dt == FloatType || dt == DoubleType) 1 else 0
         (kind, varOf(v), ci, mode)
     }.toArray
+    // FINAL measures under ALL ROWS evaluate over the complete match;
+    // an empty mask (specs built without keywords) means all-RUNNING
+    val finalMask: Array[Boolean] =
+      if (spec.measureFinal.isEmpty) new Array[Boolean](measurePlan.length)
+      else spec.measureFinal.toArray
     val varNames = vars.toArray
 
     val sortCols = (spec.partitionBy ++ spec.orderBy).map(col)
@@ -1554,9 +1622,21 @@ object MatchRecognize {
     // branch, or unbounded when any quantifier is (Long.MaxValue
     // sentinel). Together with the WITHIN horizon this caps how far the
     // sliding window must read ahead of a match start.
+    // saturating arithmetic: an unbounded quantifier anywhere in the
+    // tree (Int.MaxValue sentinel) makes the whole span unbounded
+    def satAdd(a: Long, b: Long): Long =
+      if (Long.MaxValue - a < b) Long.MaxValue else a + b
+    def spanOf(n: CPat): Long = n match {
+      case CVar(_, _, hi) =>
+        if (hi == Int.MaxValue) Long.MaxValue else hi.toLong
+      case CGrp(inner, _, hi) =>
+        val s = inner.foldLeft(0L)((acc, x) => satAdd(acc, spanOf(x)))
+        if (hi == Int.MaxValue || s >= Long.MaxValue / math.max(hi, 1))
+          Long.MaxValue
+        else s * hi
+    }
     val maxSpan: Long =
-      if (branches.exists(_.exists(_._3 == Int.MaxValue))) Long.MaxValue
-      else branches.map(_.map(_._3.toLong).sum).max
+      branches.map(_.foldLeft(0L)((a, n) => satAdd(a, spanOf(n)))).max
     located.mapPartitions { it =>
       new Iterator[Row] {
         private var lookahead: Option[Row] = None
@@ -1769,25 +1849,45 @@ object MatchRecognize {
           // greedy backtracking within one branch: returns the match
           // end. `ensure` inside the run scan loads rows on demand, so
           // an unbounded run buffers only while its predicate keeps
-          // matching.
-          private def tryBranch(elems: Array[(Int, Int, Int)], e: Int,
-              pos: Int, pAbs: Int, lim: Int): Int = {
-            if (e == elems.length) return pos
-            val (v, lo, hi) = elems(e)
-            var run = 0
-            while (run < hi && pos + run < lim && ensure(pos + run) &&
-                at(pos + run).ok(v) && crossOk(v, pos + run, pAbs, pos))
-              run += 1
-            var k = math.min(run, hi)
-            while (k >= lo) {
-              if (k > 0) growAssign(pos + k - 1 - pAbs)
-              var r = 0
-              while (r < k) { assign(pos + r - pAbs) = v; r += 1 }
-              val end = tryBranch(elems, e + 1, pos + k, pAbs, lim)
-              if (end >= 0) return end
-              k -= 1
+          // matching. `cont` receives the position after this node
+          // list and returns the final match end (or -1 to reject and
+          // backtrack) — groups thread their repetition loop through
+          // it so backtracking crosses the group boundary.
+          private def tryNodes(nodes: Array[CPat], e: Int, pos: Int,
+              pAbs: Int, lim: Int, cont: Int => Int): Int = {
+            if (e == nodes.length) return cont(pos)
+            nodes(e) match {
+              case CVar(v, lo, hi) =>
+                var run = 0
+                while (run < hi && pos + run < lim && ensure(pos + run) &&
+                    at(pos + run).ok(v) && crossOk(v, pos + run, pAbs, pos))
+                  run += 1
+                var k = math.min(run, hi)
+                while (k >= lo) {
+                  if (k > 0) growAssign(pos + k - 1 - pAbs)
+                  var r = 0
+                  while (r < k) { assign(pos + r - pAbs) = v; r += 1 }
+                  val end = tryNodes(nodes, e + 1, pos + k, pAbs, lim, cont)
+                  if (end >= 0) return end
+                  k -= 1
+                }
+                -1
+              case g: CGrp =>
+                // greedy repetition: attempt one more inner iteration
+                // before settling for n so far. An iteration that
+                // consumes no rows terminates the loop (the regex
+                // empty-loop rule) — `(A*)+` can't recurse forever.
+                def rep(n: Int, here: Int): Int = {
+                  if (n < g.hi) {
+                    val more = tryNodes(g.inner, 0, here, pAbs, lim, p2 =>
+                      if (p2 == here) -1 else rep(n + 1, p2))
+                    if (more >= 0) return more
+                  }
+                  if (n >= g.lo) tryNodes(nodes, e + 1, here, pAbs, lim, cont)
+                  else -1
+                }
+                rep(0, pos)
             }
-            -1
           }
 
           // branches in preference order; first NON-EMPTY match wins
@@ -1799,22 +1899,28 @@ object MatchRecognize {
             var b = 0
             while (b < branches.length) {
               java.util.Arrays.fill(assign, -1)
-              val end = tryBranch(branches(b), 0, pAbs, pAbs, lim)
+              val end = tryNodes(branches(b), 0, pAbs, pAbs, lim, p => p)
               if (end > pAbs) return end
               b += 1
             }
             -1
           }
 
-          /** First/last row in [pAbs, upTo] assigned to variable v, or
-            * -1 when the variable matched no row in that span. */
+          /** Row of the (skip+1)-th occurrence of variable v in
+            * [pAbs, upTo], counted from the first (or last) one; -1
+            * when v matched fewer than skip+1 rows in that span —
+            * the SQL:2016 FIRST/LAST(V.col, k) logical offset. */
           private def edgeRow(v: Int, pAbs: Int, upTo: Int,
-              first: Boolean): Int = {
+              first: Boolean, skip: Int = 0): Int = {
             var r = if (first) pAbs else upTo
             val step = if (first) 1 else -1
             var left = upTo - pAbs + 1
+            var remaining = skip
             while (left > 0) {
-              if (assign(r - pAbs) == v) return r
+              if (assign(r - pAbs) == v) {
+                if (remaining == 0) return r
+                remaining -= 1
+              }
               r += step; left -= 1
             }
             -1
@@ -1831,8 +1937,10 @@ object MatchRecognize {
                 // found-ness tracked via the row index, not the value:
                 // the FIRST/LAST row's column may legitimately be SQL
                 // NULL, which must come back as NULL — not be skipped
-                // in favor of another row's value
-                val r = edgeRow(v, pAbs, upTo, first = kind == 0)
+                // in favor of another row's value. mode carries the
+                // logical offset (FIRST/LAST(V.col, k)).
+                val r = edgeRow(v, pAbs, upTo, first = kind == 0,
+                  skip = mode)
                 if (r < 0) null else at(r).row.get(c)
               case 2 =>
                 var cnt = 0L
@@ -1907,7 +2015,10 @@ object MatchRecognize {
                     while (o < baseLen) { vals(o) = at(r).row.get(o); o += 1 }
                     var mi = 0
                     while (mi < measurePlan.length) {
-                      vals(baseLen + mi) = measureVal(mi, p, r); mi += 1
+                      // RUNNING (default) sees the prefix ending at the
+                      // emitted row; FINAL sees the complete match
+                      val upTo = if (finalMask(mi)) end - 1 else r
+                      vals(baseLen + mi) = measureVal(mi, p, upTo); mi += 1
                     }
                     outRows(r - p) = Row.fromSeq(vals.toIndexedSeq)
                     r += 1

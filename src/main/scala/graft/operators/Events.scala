@@ -1223,11 +1223,152 @@ object Events {
         |)""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE grouped sub-pattern (Flink CEP's retry-cycle
+    * shape, admitted via the pass-through router
+    * `SQLSubmitAction.java:76`): `(V C)+ P` — one or more view→click
+    * pairs repeating as a unit, closed by a purchase. The variables'
+    * predicates are disjoint (distinct event_type values), so the
+    * greedy match from a start is deterministic: the maximal chain of
+    * consecutive (view, click) pairs, which matches iff the row after
+    * the chain is a purchase. A failed chain contains no viable
+    * alternative start (any mid-chain start hits the same non-purchase
+    * terminator), and a successful match consumes exactly chain + P,
+    * so the oracle can enumerate pair-chains as gaps-and-islands over
+    * pair-start row numbers (consecutive pair starts differ by 2) and
+    * keep the chains a purchase row terminates — no sequential scan
+    * needed.
+    */
+  val q77GroupPattern: Q = Q(
+    "q77_group_pattern",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |p AS (
+      |  SELECT a.user_id, a.rn
+      |  FROM e a JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      |  WHERE a.event_type = 'view' AND b.event_type = 'click'),
+      |isl AS (
+      |  SELECT user_id, rn,
+      |    rn - 2 * ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      |  FROM p),
+      |chains AS (
+      |  SELECT user_id, grp, MIN(rn) AS first_rn, MAX(rn) + 1 AS last_rn,
+      |    COUNT(*) AS n_pairs
+      |  FROM isl GROUP BY 1, 2),
+      |m AS (
+      |  SELECT c.user_id, c.first_rn, c.last_rn, c.n_pairs, pe.vm AS p_vm
+      |  FROM chains c JOIN e pe ON pe.user_id = c.user_id
+      |    AND pe.rn = c.last_rn + 1 AND pe.event_type = 'purchase'),
+      |sums AS (
+      |  SELECT m.user_id, m.first_rn, m.n_pairs, m.p_vm,
+      |    SUM(cc.vm) AS sum_c
+      |  FROM m JOIN e cc ON cc.user_id = m.user_id
+      |    AND cc.rn BETWEEN m.first_rn AND m.last_rn
+      |    AND cc.event_type = 'click'
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(sum_c AS BIGINT) AS sum_c, p_vm,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY first_rn) AS mn
+      |FROM sums""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_grp")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, n_pairs, sum_c, p_vm, mn
+        |FROM graft_mr_events_grp
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    COUNT(V.*) AS n_pairs,
+        |    SUM(C.vm) AS sum_c,
+        |    P.vm AS p_vm,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((V C)+ P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE logical-offset navigation and RUNNING/FINAL
+    * measure keywords (SQL:2016 / Flink's full measure surface,
+    * admitted via the pass-through router `SQLSubmitAction.java:76`):
+    * `FIRST(C.vm, 1)` is the match's SECOND click and `LAST(C.vm, 1)`
+    * its second-to-last (NULL when the run has fewer than two clicks
+    * — offset past the assignment list, Flink's behavior); `FINAL
+    * COUNT(C.*)` exercises the keyword path (≡ RUNNING under ONE ROW
+    * PER MATCH). Same greedy view→clicks→purchase replay as q64: the
+    * click run is the rows strictly between the view and the first
+    * non-click, positioned by row number in the oracle.
+    */
+  val q78OffsetMeasures: Q = Q(
+    "q78_offset_measures",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn FROM e WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, MIN(e2.rn) AS endrn
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn > v.vrn
+      |    AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT n.user_id, n.vrn, n.endrn, n.endrn - n.vrn - 1 AS n_clicks
+      |  FROM nc n JOIN e e3 ON e3.user_id = n.user_id AND e3.rn = n.endrn
+      |  WHERE e3.event_type = 'purchase' AND n.endrn > n.vrn + 1)
+      |SELECT m.user_id,
+      |  c2.vm AS second_vm, cp.vm AS penult_vm,
+      |  CAST(m.n_clicks AS BIGINT) AS n_clicks,
+      |  ROW_NUMBER() OVER (PARTITION BY m.user_id ORDER BY m.vrn) AS mn
+      |FROM m
+      |LEFT JOIN e c2 ON c2.user_id = m.user_id AND c2.rn = m.vrn + 2
+      |  AND m.n_clicks >= 2
+      |LEFT JOIN e cp ON cp.user_id = m.user_id AND cp.rn = m.endrn - 2
+      |  AND m.n_clicks >= 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_off")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, second_vm, penult_vm, n_clicks, mn
+        |FROM graft_mr_events_off
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    FIRST(C.vm, 1) AS second_vm,
+        |    LAST(C.vm, 1) AS penult_vm,
+        |    FINAL COUNT(C.*) AS n_clicks,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
     q62SessionTvf, q63LegacyHop, q64MatchRecognize, q65PrevPattern,
     q66AllRows, q67Alternation, q68Within, q69SkipChain, q72Classifier,
-    q73CrossDefine, q74AggMeasures, q75PrevExpr, q76AggDefine)
+    q73CrossDefine, q74AggMeasures, q75PrevExpr, q76AggDefine,
+    q77GroupPattern, q78OffsetMeasures)
 }

@@ -38,16 +38,25 @@ object Tables {
     })
   }
 
-  /** `events.ts` is INT64 TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType (PARQUET_TYPE_ILLEGAL). Read nanos as long and
-    * rebuild a µs-precision timestamp — the same value a µs-capable
-    * reader would produce (truncation toward past).
+  /** Normalize `events.ts` to session-zoned TimestampType across the
+    * parquet shapes the generator has produced: INT64 TIMESTAMP(NANOS)
+    * (Spark 4 refuses to map it — read nanos as long, rebuild a
+    * µs-precision timestamp), TIMESTAMP_NTZ (µs, no zone — reinterpret
+    * the wall-clock in the session zone, UTC here, matching how DuckDB
+    * reads the same file), or already TimestampType (pass through).
     */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Register every table as a temp view named after the table. */

@@ -205,8 +205,8 @@ class MatchRecognizeSpec extends AnyFunSuite {
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  PATTERN ((A B)+) DEFINE A AS t = 'a')""".stripMargin,
-      "pattern")
+        |  PATTERN ((A | B)+) DEFINE A AS t = 'a')""".stripMargin,
+      "alternation inside a grouped sub-pattern")
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
@@ -257,6 +257,221 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
       "table")
+  }
+
+  test("grouped sub-pattern (A B)+ repeats the sequence as a unit") {
+    // retry cycles: attempt ('a') then outcome ('b'); the group takes
+    // every full pair greedily, and a trailing success row closes it
+    seq((1, 1, "a", 0), (1, 2, "b", 0), (1, 3, "a", 0), (1, 4, "b", 0),
+      (1, 5, "s", 0),
+      (2, 1, "a", 0), (2, 2, "b", 0), (2, 3, "s", 0),
+      (3, 1, "a", 0), (3, 2, "b", 0), (3, 3, "a", 0), (3, 4, "s", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, S.o AS so
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((A B)+ S)
+        |  DEFINE A AS t = 'a', B AS t = 'b', S AS t = 's')""".stripMargin)
+    // k=1: two full (A B) iterations then S at row 5.
+    // k=2: one iteration then S.
+    // k=3: `a b a s` has NO match — the dangling A at row 3 blocks S,
+    // and one-iteration backtracking leaves S facing row 3 ('a');
+    // regex semantics, same as /(ab)+s/ on "abas".
+    assert(out.toSet === Set(Seq(1L, 2L, 2L, 5L), Seq(2L, 1L, 1L, 3L)))
+  }
+
+  test("group backtracks iterations so a following variable can match") {
+    // every row satisfies both A and B inside the group; C needs the
+    // final row. Greedy (A B)+ first consumes all three pairs, then
+    // gives whole iterations back until C fits.
+    seq((1, 1, "x", 1), (1, 2, "x", 2), (1, 3, "x", 3), (1, 4, "x", 4),
+      (1, 5, "x", 99))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, C.v AS cv
+        |  PATTERN ((A B)+ C)
+        |  DEFINE A AS v < 50, B AS v < 50, C AS v > 50)""".stripMargin)
+    // rows 1-4 form two (A B) pairs; C takes row 5
+    assert(out === Seq(Seq(1L, 2L, 2L, 99L)))
+  }
+
+  test("backtracking crosses the group boundary into inner quantifiers") {
+    // inside the group, A+ is greedy; the group's second iteration and
+    // the trailing C both need rows back. The inner quantifier must
+    // participate in backtracking across the group boundary.
+    seq((1, 1, "x", 1), (1, 2, "x", 1), (1, 3, "y", 1), (1, 4, "x", 1),
+      (1, 5, "y", 1), (1, 6, "z", 1))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, Z.o AS zo
+        |  PATTERN ((A+ B){2} Z)
+        |  DEFINE A AS t = 'x', B AS t = 'y', Z AS t = 'z')""".stripMargin)
+    // iteration 1: A+ = rows 1-2, B = row 3; iteration 2: A = row 4,
+    // B = row 5; Z = row 6
+    assert(out === Seq(Seq(1L, 3L, 2L, 6L)))
+  }
+
+  test("bounded group quantifier {n,m} is greedy within its bounds") {
+    seq((1, 1, "a", 0), (1, 2, "b", 0), (1, 3, "a", 0), (1, 4, "b", 0),
+      (1, 5, "a", 0), (1, 6, "b", 0), (1, 7, "a", 0), (1, 8, "b", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((A B){1,3})
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+    // greedy: first match takes 3 pairs (cap), second takes the rest
+    assert(out === Seq(Seq(1L, 3L), Seq(1L, 1L)))
+  }
+
+  test("optional group (A B)? and zero-consuming iterations terminate") {
+    seq((1, 1, "c", 0))
+    // (A B)? matches zero iterations; C takes the row
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, C.o AS co
+        |  PATTERN ((A B)? C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin)
+    assert(out === Seq(Seq(1L, 0L, 1L)))
+    // (A*)+ : an iteration that consumes nothing must not loop forever
+    seq((1, 1, "a", 0), (1, 2, "a", 0), (1, 3, "c", 0))
+    val out2 = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, C.o AS co
+        |  PATTERN ((A*)+ C)
+        |  DEFINE A AS t = 'a', C AS t = 'c')""".stripMargin)
+    assert(out2 === Seq(Seq(1L, 2L, 3L)))
+  }
+
+  test("nested groups compose") {
+    seq((1, 1, "a", 0), (1, 2, "b", 0), (1, 3, "b", 0), (1, 4, "a", 0),
+      (1, 5, "b", 0), (1, 6, "b", 0), (1, 7, "z", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, Z.o AS zo
+        |  PATTERN ((A (B B)){2} Z)
+        |  DEFINE A AS t = 'a', B AS t = 'b', Z AS t = 'z')""".stripMargin)
+    assert(out === Seq(Seq(1L, 2L, 4L, 7L)))
+  }
+
+  test("grouped sub-pattern under alternation and cross-variable DEFINE") {
+    // branch 1 needs a full (A B)+ Z; branch 2 is a lone Z. The group
+    // interacts with cross-variable predicates: B must exceed the
+    // FIRST A of the match (spanning group iterations).
+    seq((1, 1, "a", 5), (1, 2, "b", 6), (1, 3, "a", 2), (1, 4, "b", 7),
+      (1, 5, "z", 0),
+      (2, 1, "z", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, Z.o AS zo
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((A B)+ Z | Z)
+        |  DEFINE A AS t = 'a', B AS t = 'b' AND v > FIRST(A.v),
+        |    Z AS t = 'z')""".stripMargin)
+    // k=1: both B rows (6, 7) exceed FIRST(A.v)=5 → 2 iterations + Z.
+    // k=2: branch 1 can't start; branch 2 matches the lone Z.
+    assert(out.toSet === Set(Seq(1L, 2L, 2L, 5L), Seq(2L, 0L, 0L, 1L)))
+  }
+
+  test("FIRST/LAST(V.col, k) logical offsets index the assignment list") {
+    seq((1, 1, "s", 10), (1, 2, "b", 20), (1, 3, "b", 30), (1, 4, "b", 40))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(B.v) AS f0, FIRST(B.v, 1) AS f1, LAST(B.v, 1) AS l1,
+        |    LAST(B.v, 2) AS l2, FIRST(B.v, 3) AS f3
+        |  PATTERN (S B+)
+        |  DEFINE S AS t = 's', B AS t = 'b')""".stripMargin)
+    // B rows are v=20,30,40: FIRST+1=30, LAST-1=30, LAST-2=20;
+    // offset beyond the assignment list (f3) is NULL
+    assert(out === Seq(Seq(1L, 20L, 30L, 30L, 20L, null)))
+  }
+
+  test("RUNNING vs FINAL measures under ALL ROWS PER MATCH") {
+    seq((1, 1, "a", 1), (1, 2, "a", 2), (1, 3, "a", 3))
+    val out = run(
+      """SELECT o, rn, fn, rs, fs FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES RUNNING COUNT(A.*) AS rn, FINAL COUNT(A.*) AS fn,
+        |    RUNNING SUM(A.v) AS rs, FINAL SUM(A.v) AS fs
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A+)
+        |  DEFINE A AS t = 'a')""".stripMargin)
+    // RUNNING counts the prefix; FINAL sees the whole 3-row match
+    assert(out === Seq(
+      Seq(1L, 1L, 3L, 1L, 6L),
+      Seq(2L, 2L, 3L, 3L, 6L),
+      Seq(3L, 3L, 3L, 6L, 6L)))
+  }
+
+  test("RUNNING and FINAL coincide under ONE ROW PER MATCH") {
+    seq((1, 1, "a", 1), (1, 2, "a", 2))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES RUNNING COUNT(A.*) AS rn, FINAL SUM(A.v) AS fs,
+        |    FINAL LAST(A.v) AS lv
+        |  PATTERN (A+)
+        |  DEFINE A AS t = 'a')""".stripMargin)
+    assert(out === Seq(Seq(1L, 2L, 3L, 2L)))
+  }
+
+  test("offset and DEFINE-navigation rejections for FIRST/LAST forms") {
+    seq((1, 1, "a", 0))
+    def rejects(frag: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](run(frag))
+      assert(e.getMessage.contains(needle), s"message: ${e.getMessage}")
+    }
+    // offset without a FIRST/LAST wrapper is not a measure form
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES FIRST(A.v, x) AS n
+        |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
+      "unsupported measure")
+    // the offset form in DEFINE would leak a Catalyst first() aggregate
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > FIRST(A.v, 1))""".stripMargin,
+      "unsupported FIRST() form")
+    // streaming gates offsets with the contract
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1L))
+      .toDF("k", "ts", "t", "v").createOrReplaceTempView("mr_off_stream")
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_off_stream MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES LAST(A.v, 1) AS lv
+          |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (A+) DEFINE A AS t = 'a')""".stripMargin,
+        _ => Some(("ts", "5 seconds")))
+    }
+    assert(e.getMessage.contains("logical-offset"), s"message: ${e.getMessage}")
+  }
+
+  test("streaming gates grouped sub-patterns with the contract") {
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
+      .toDF("k", "ts", "t").createOrReplaceTempView("mr_grp_stream")
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_grp_stream MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES COUNT(A.*) AS na
+          |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN ((A B)+) DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin,
+        _ => Some(("ts", "5 seconds")))
+    }
+    assert(e.getMessage.contains("grouped"), s"message: ${e.getMessage}")
   }
 
   test("running SUM in DEFINE stops the greedy run at the budget") {
