@@ -24,6 +24,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 1-minute system load average, sampled at start and end: a bench
+    // entry far above its isolated-run time with loadavg >> cores is a
+    // shared-box contention episode, not a regression (this has cost
+    // two rounds of adjudication; now the evidence rides the JSON)
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
 
     // dev aid: SPARK_GRAFT_ONLY=q1_agg,q16_join_q5 times a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -100,7 +108,7 @@ object Bench {
     // `failures` list carries that signal instead
     val ok = results.filterNot { case (k, _) => failed(k) }
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir","loadavg_start":${f3(loadStart)},"loadavg_end":${f3(loadAvg())}}""")
     spark.stop()
   }
 }

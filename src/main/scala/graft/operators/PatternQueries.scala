@@ -1,0 +1,807 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** The MATCH_RECOGNIZE oracle-query surface (SQL:2016 row-pattern
+  * recognition, the CEP SQL Flink's pass-through router admits —
+  * `SQLSubmitAction.java:76`), split from [[Events]] so the event-window
+  * and pattern surfaces stay individually reviewable. All queries run
+  * through the harness subset in [[graft.harness.MatchRecognize]].
+  */
+object PatternQueries {
+  /** SQL:2016 row-pattern recognition (`MATCH_RECOGNIZE`, the CEP SQL
+    * Flink's pass-through router admits — `SQLSubmitAction.java:76`),
+    * via the harness subset in [[graft.harness.MatchRecognize]]: per
+    * user, greedy `view click+ purchase` runs with SKIP PAST LAST ROW,
+    * measuring the bracketing times, the click count, and the match
+    * number.
+    *
+    * The oracle restates the pattern relationally — a match is exactly
+    * a `view` row whose FIRST following non-click row (per-user rank
+    * order) is a `purchase` at rank ≥ start+2; matches cannot overlap
+    * because every interior row of a match is a click or the closing
+    * purchase, so the greedy NFA and the relational form agree.
+    */
+  val q64MatchRecognize: Q = Q(
+    "q64_match_recognize",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn, ts_sec AS start_sec FROM e
+      |      WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, v.start_sec, MIN(e2.rn) AS endrn
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn > v.vrn
+      |    AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT n.user_id, n.vrn, n.start_sec, e3.ts_sec AS end_sec,
+      |    n.endrn - n.vrn - 1 AS n_clicks
+      |  FROM nc n JOIN e e3 ON e3.user_id = n.user_id AND e3.rn = n.endrn
+      |  WHERE e3.event_type = 'purchase' AND n.endrn > n.vrn + 1)
+      |SELECT user_id, start_sec, end_sec, CAST(n_clicks AS BIGINT) AS n_clicks,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM m""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+      .createOrReplaceTempView("graft_mr_events")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, start_sec, end_sec, n_clicks, mn
+        |FROM graft_mr_events
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    V.ts_sec AS start_sec,
+        |    LAST(P.ts_sec) AS end_sec,
+        |    COUNT(C.*) AS n_clicks,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE with PREV() navigation: maximal ascending-value
+    * runs per user — `PATTERN (S R+)` where R is `value rose vs the
+    * PHYSICAL previous row` (SQL:2016 PREV semantics, precomputed as a
+    * lag in [[graft.harness.MatchRecognize]]). The oracle replays the
+    * same semantics as gaps-and-islands: a maximal block of "rose" rows
+    * is exactly one greedy S R+ match (S = the row before the block,
+    * which SKIP PAST LAST ROW always leaves unconsumed).
+    */
+  val q65PrevPattern: Q = Q(
+    "q65_prev_pattern",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN vm > LAG(vm) OVER (
+      |      PARTITION BY user_id ORDER BY rn) THEN 1 ELSE 0 END AS is_up
+      |  FROM e),
+      |isl AS (
+      |  SELECT *, rn - ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY rn) AS grp
+      |  FROM f WHERE is_up = 1),
+      |runs AS (
+      |  SELECT user_id, MIN(rn) AS first_rn, MAX(rn) AS last_rn,
+      |    COUNT(*) AS run_len
+      |  FROM isl GROUP BY user_id, grp)
+      |SELECT r.user_id, hs.vm AS start_vm, he.vm AS end_vm,
+      |  CAST(r.run_len AS BIGINT) AS run_len,
+      |  ROW_NUMBER() OVER (PARTITION BY r.user_id ORDER BY r.first_rn) AS mn
+      |FROM runs r
+      |JOIN e hs ON hs.user_id = r.user_id AND hs.rn = r.first_rn - 1
+      |JOIN e he ON he.user_id = r.user_id AND he.rn = r.last_rn""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_prev")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, start_vm, end_vm, run_len, mn
+        |FROM graft_mr_events_prev
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    S.vm AS start_vm,
+        |    LAST(R.vm) AS end_vm,
+        |    COUNT(R.*) AS run_len,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S R+)
+        |  DEFINE R AS vm > PREV(vm)
+        |)""".stripMargin)
+  }
+
+  /** `ALL ROWS PER MATCH` over the same ascending-run pattern as q65:
+    * every matched row comes back with its RUNNING measures (count of R
+    * rows so far, match number). The oracle expands each island to its
+    * row range and derives the running count from row-number arithmetic.
+    */
+  val q66AllRows: Q = Q(
+    "q66_all_rows",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN vm > LAG(vm) OVER (
+      |      PARTITION BY user_id ORDER BY rn) THEN 1 ELSE 0 END AS is_up
+      |  FROM e),
+      |isl AS (
+      |  SELECT *, rn - ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY rn) AS grp
+      |  FROM f WHERE is_up = 1),
+      |runs AS (
+      |  SELECT user_id, MIN(rn) AS first_rn, MAX(rn) AS last_rn
+      |  FROM isl GROUP BY user_id, grp),
+      |rm AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY first_rn) AS mn
+      |  FROM runs)
+      |SELECT r.user_id, e.event_id, e.vm,
+      |  CAST(GREATEST(e.rn - r.first_rn + 1, 0) AS BIGINT) AS r_so_far,
+      |  r.mn
+      |FROM rm r JOIN e
+      |  ON e.user_id = r.user_id
+      |  AND e.rn BETWEEN r.first_rn - 1 AND r.last_rn""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_all")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, event_id, vm, r_so_far, mn
+        |FROM graft_mr_events_all
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES COUNT(R.*) AS r_so_far, MATCH_NUMBER() AS mn
+        |  ALL ROWS PER MATCH
+        |  PATTERN (S R+)
+        |  DEFINE R AS vm > PREV(vm)
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE alternation: `(V C+ P | V P)` — view-clicks-
+    * purchase, or a later-branch direct view-purchase. The two branches
+    * together recognize exactly `V C* P`, so the oracle is q64's
+    * next-non-click construction with the click floor dropped to zero
+    * (`endrn > vrn` instead of `endrn > vrn + 1`) — while the Spark side
+    * exercises real branch preference and fallback in the matcher.
+    */
+  val q67Alternation: Q = Q(
+    "q67_alternation",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn, ts_sec AS start_sec FROM e
+      |      WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, v.start_sec, MIN(e2.rn) AS endrn
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn > v.vrn
+      |    AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT n.user_id, n.vrn, n.start_sec, e3.ts_sec AS end_sec,
+      |    n.endrn - n.vrn - 1 AS n_clicks
+      |  FROM nc n JOIN e e3 ON e3.user_id = n.user_id AND e3.rn = n.endrn
+      |  WHERE e3.event_type = 'purchase')
+      |SELECT user_id, start_sec, end_sec, CAST(n_clicks AS BIGINT) AS n_clicks,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM m""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+      .createOrReplaceTempView("graft_mr_events_alt")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, start_sec, end_sec, n_clicks, mn
+        |FROM graft_mr_events_alt
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    V.ts_sec AS start_sec,
+        |    LAST(P.ts_sec) AS end_sec,
+        |    COUNT(C.*) AS n_clicks,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ P | V P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE with Flink's `WITHIN` duration bound: view → any
+    * clicks → purchase, all inside two hours of the view. The bound
+    * prunes DURING matching (rows past the window are ineligible), but
+    * for `V C* P` that is equivalent to requiring the closing purchase
+    * within the window (the oracle's form), since any out-of-window
+    * click forces the first non-click past the window too.
+    */
+  val q68Within: Q = Q(
+    "q68_within",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_m,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      epoch_ms(ts), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn, ts_m AS start_ms FROM e
+      |      WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, v.start_ms, MIN(e2.rn) AS endrn
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn > v.vrn
+      |    AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT n.user_id, n.vrn, n.start_ms, e3.ts_m AS end_ms,
+      |    n.endrn - n.vrn - 1 AS n_clicks
+      |  FROM nc n JOIN e e3 ON e3.user_id = n.user_id AND e3.rn = n.endrn
+      |  WHERE e3.event_type = 'purchase' AND e3.ts_m - n.start_ms < 7200000)
+      |SELECT user_id, start_ms, end_ms, CAST(n_clicks AS BIGINT) AS n_clicks,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM m""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestamp_millis(unix_millis(ts))").as("ts_m"))
+      .createOrReplaceTempView("graft_mr_events_win")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, unix_millis(start_t) AS start_ms,
+        |  unix_millis(end_t) AS end_ms, n_clicks, mn
+        |FROM graft_mr_events_win
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_m, event_id
+        |  MEASURES
+        |    V.ts_m AS start_t,
+        |    LAST(P.ts_m) AS end_t,
+        |    COUNT(C.*) AS n_clicks,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C* P) WITHIN INTERVAL '2' HOUR
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
+  /** `AFTER MATCH SKIP TO LAST B` chaining under the oracle: pattern
+    * `(A B)` where A is any row and B rose vs the previous row, with the
+    * match resuming AT each B row — so B starts the next match as its A.
+    * The chained semantics make the result exactly "every adjacent
+    * ascending pair", which the oracle states directly with one LAG.
+    */
+  val q69SkipChain: Q = Q(
+    "q69_skip_chain",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, vm,
+      |    LAG(vm) OVER (PARTITION BY user_id
+      |      ORDER BY ts_sec, event_id) AS prev_vm
+      |  FROM e)
+      |SELECT user_id, prev_vm AS a_vm, vm AS b_vm
+      |FROM f WHERE prev_vm IS NOT NULL AND vm > prev_vm""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_chain")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, a_vm, b_vm
+        |FROM graft_mr_events_chain
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES LAST(A.vm) AS a_vm, LAST(B.vm) AS b_vm
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP TO LAST B
+        |  PATTERN (A B)
+        |  DEFINE B AS vm > PREV(vm)
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE `CLASSIFIER()` under alternation — reports which
+    * branch actually matched: `(V C+ | V P)` ends in a click run
+    * (classifier C) or a view-purchase pair (classifier P). SQL:2016
+    * semantics: under ONE ROW PER MATCH, CLASSIFIER() names the
+    * variable of the match's LAST row. Consumed spans (view + clicks,
+    * or view + purchase) contain no views, so every view row is an
+    * independent candidate start — which is what makes the join-based
+    * oracle exact.
+    * Reference: Flink's MATCH_RECOGNIZE measure surface admitted by the
+    * pass-through router (`SQLSubmitAction.java:76`).
+    */
+  val q72Classifier: Q = Q(
+    "q72_classifier",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |mx AS (SELECT user_id, MAX(rn) AS maxrn FROM e GROUP BY 1),
+      |v AS (SELECT user_id, rn AS vrn, ts_sec AS start_sec FROM e
+      |      WHERE event_type = 'view'),
+      |nxt AS (
+      |  SELECT v.user_id, v.vrn, v.start_sec, e2.event_type AS nt
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn = v.vrn + 1
+      |  WHERE e2.event_type IN ('click', 'purchase')),
+      |nc AS (
+      |  SELECT n.user_id, n.vrn, n.start_sec, n.nt, MIN(e3.rn) AS endrn
+      |  FROM nxt n LEFT JOIN e e3 ON e3.user_id = n.user_id
+      |    AND e3.rn > n.vrn AND e3.event_type <> 'click'
+      |  GROUP BY 1, 2, 3, 4),
+      |m AS (
+      |  SELECT nc.user_id, nc.vrn, nc.start_sec,
+      |    CASE WHEN nc.nt = 'click' THEN 'C' ELSE 'P' END AS branch_var,
+      |    CASE WHEN nc.nt = 'click'
+      |      THEN COALESCE(nc.endrn, mx.maxrn + 1) - nc.vrn
+      |      ELSE 2 END AS n_rows
+      |  FROM nc JOIN mx ON mx.user_id = nc.user_id)
+      |SELECT user_id, start_sec, branch_var,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM m""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+      .createOrReplaceTempView("graft_mr_events_cls")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, start_sec, branch_var, n_rows, mn
+        |FROM graft_mr_events_cls
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    V.ts_sec AS start_sec,
+        |    CLASSIFIER() AS branch_var,
+        |    COUNT(*) AS n_rows,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ | V P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE cross-variable DEFINE (Flink CEP's canonical
+    * shape, admitted via the pass-through router
+    * `SQLSubmitAction.java:76`): a view followed by clicks whose value
+    * stays BELOW the view's — `D AS event_type = 'click' AND
+    * vm < FIRST(V.vm)` compares each candidate row against the match's
+    * start row. Consumed spans (view + below-threshold clicks) contain
+    * no views, so every view is an independent candidate start and the
+    * join-based oracle is exact.
+    */
+  val q73CrossDefine: Q = Q(
+    "q73_cross_define",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |mx AS (SELECT user_id, MAX(rn) AS maxrn FROM e GROUP BY 1),
+      |v AS (SELECT user_id, rn AS vrn, vm AS v_vm FROM e
+      |      WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, v.v_vm, MIN(e2.rn) AS endrn
+      |  FROM v LEFT JOIN e e2 ON e2.user_id = v.user_id
+      |    AND e2.rn > v.vrn
+      |    AND NOT (e2.event_type = 'click' AND e2.vm < v.v_vm)
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT nc.user_id, nc.vrn, nc.v_vm,
+      |    COALESCE(nc.endrn, mx.maxrn + 1) - nc.vrn - 1 AS n_d
+      |  FROM nc JOIN mx ON mx.user_id = nc.user_id)
+      |SELECT user_id, v_vm AS start_vm, CAST(n_d AS BIGINT) AS n_d,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM m WHERE n_d >= 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_cross")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, start_vm, n_d, mn
+        |FROM graft_mr_events_cross
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    FIRST(V.vm) AS start_vm,
+        |    COUNT(D.*) AS n_d,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V D+)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    D AS event_type = 'click' AND vm < FIRST(V.vm)
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE aggregate measures (Flink CEP's running-aggregate
+    * surface, admitted via the pass-through router
+    * `SQLSubmitAction.java:76`): `SUM/AVG/MIN/MAX(V.col)` over the rows
+    * a match assigns to V — here over a quantified click run under
+    * alternation, where the losing branch's variables aggregate to
+    * NULL (SQL aggregate-over-empty discipline). AVG is stated in the
+    * oracle as `CAST(SUM AS DOUBLE) / COUNT` — the exact long-sum-
+    * then-one-division arithmetic the matcher uses, so the doubles are
+    * bit-identical across engines (division is IEEE-exact; incremental
+    * averaging is not).
+    *
+    * Same independence argument as q72: consumed spans (view + clicks,
+    * or view + purchase) contain no views, so every view row is an
+    * independent candidate start and the join-based oracle is exact.
+    */
+  val q74AggMeasures: Q = Q(
+    "q74_agg_measures",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |mx AS (SELECT user_id, MAX(rn) AS maxrn FROM e GROUP BY 1),
+      |v AS (SELECT user_id, rn AS vrn FROM e WHERE event_type = 'view'),
+      |nxt AS (
+      |  SELECT v.user_id, v.vrn, e2.event_type AS nt, e2.vm AS nvm
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn = v.vrn + 1
+      |  WHERE e2.event_type IN ('click', 'purchase')),
+      |nc AS (
+      |  SELECT n.user_id, n.vrn, n.nt, n.nvm, MIN(e3.rn) AS endrn
+      |  FROM nxt n LEFT JOIN e e3 ON e3.user_id = n.user_id
+      |    AND e3.rn > n.vrn AND e3.event_type <> 'click'
+      |  GROUP BY 1, 2, 3, 4),
+      |m AS (
+      |  SELECT nc.user_id, nc.vrn, nc.nt, nc.nvm,
+      |    COALESCE(nc.endrn, mx.maxrn + 1) AS endx
+      |  FROM nc JOIN mx ON mx.user_id = nc.user_id),
+      |agg AS (
+      |  SELECT m.user_id, m.vrn, m.nt, m.nvm, m.endx,
+      |    SUM(c.vm) AS sum_c, MIN(c.vm) AS min_c,
+      |    CAST(SUM(c.vm) AS DOUBLE) / COUNT(c.vm) AS avg_c
+      |  FROM m LEFT JOIN e c ON c.user_id = m.user_id
+      |    AND c.rn BETWEEN m.vrn + 1 AND m.endx - 1 AND m.nt = 'click'
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT user_id,
+      |  CASE WHEN nt = 'click' THEN CAST(sum_c AS BIGINT) END AS sum_c,
+      |  CASE WHEN nt = 'click' THEN min_c END AS min_c,
+      |  CASE WHEN nt = 'click' THEN avg_c END AS avg_c,
+      |  CASE WHEN nt = 'purchase' THEN nvm END AS max_p,
+      |  CAST(CASE WHEN nt = 'click' THEN endx - vrn ELSE 2 END
+      |    AS BIGINT) AS n_rows,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM agg""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_agg")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, sum_c, min_c, avg_c, max_p, n_rows, mn
+        |FROM graft_mr_events_agg
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    SUM(C.vm) AS sum_c,
+        |    MIN(C.vm) AS min_c,
+        |    AVG(C.vm) AS avg_c,
+        |    MAX(P.vm) AS max_p,
+        |    COUNT(*) AS n_rows,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ | V P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE `PREV` over an EXPRESSION (SQL:2016 / Flink admit
+    * any scalar expression under PREV): maximal more-than-doubled runs
+    * — `R AS vm > PREV(vm * 2)` navigates the physical previous row's
+    * `vm * 2`. The oracle replays it as gaps-and-islands over
+    * `vm > 2 * LAG(vm)` (LAG of an expression equals the expression of
+    * LAG for a deterministic row-local expression), exactly the q65
+    * island argument: one maximal block of rising rows is one greedy
+    * `S R+` match.
+    */
+  val q75PrevExpr: Q = Q(
+    "q75_prev_expr",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN vm > 2 * LAG(vm) OVER (
+      |      PARTITION BY user_id ORDER BY rn) THEN 1 ELSE 0 END AS is_up
+      |  FROM e),
+      |isl AS (
+      |  SELECT *, rn - ROW_NUMBER() OVER (
+      |      PARTITION BY user_id ORDER BY rn) AS grp
+      |  FROM f WHERE is_up = 1),
+      |runs AS (
+      |  SELECT user_id, MIN(rn) AS first_rn, MAX(rn) AS last_rn,
+      |    COUNT(*) AS run_len
+      |  FROM isl GROUP BY user_id, grp)
+      |SELECT r.user_id, hs.vm AS start_vm, he.vm AS end_vm,
+      |  CAST(r.run_len AS BIGINT) AS run_len,
+      |  ROW_NUMBER() OVER (PARTITION BY r.user_id ORDER BY r.first_rn) AS mn
+      |FROM runs r
+      |JOIN e hs ON hs.user_id = r.user_id AND hs.rn = r.first_rn - 1
+      |JOIN e he ON he.user_id = r.user_id AND he.rn = r.last_rn""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_pexpr")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, start_vm, end_vm, run_len, mn
+        |FROM graft_mr_events_pexpr
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    S.vm AS start_vm,
+        |    LAST(R.vm) AS end_vm,
+        |    COUNT(R.*) AS run_len,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S R+)
+        |  DEFINE R AS vm > PREV(vm * 2)
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE running aggregate in DEFINE (Flink CEP's budget /
+    * stop-condition shape): after each view, C* greedily takes the
+    * consecutive click rows while the RUNNING `SUM(C.vm)` — including
+    * the candidate row, SQL:2016 running semantics — stays within the
+    * budget. Anchoring at views keeps every match start independent
+    * (consumed spans are view + clicks, never another view), so the
+    * oracle replays it as a per-view prefix scan: the consecutive
+    * click block after the view, cut at the first non-click, with a
+    * window running sum; vm > 0 makes the running sum monotone, so
+    * `cum <= budget` is exactly the greedy prefix the matcher takes.
+    */
+  val q76AggDefine: Q = Q(
+    "q76_agg_define",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn FROM e WHERE event_type = 'view'),
+      |b AS (
+      |  SELECT v.user_id, v.vrn, MIN(e2.rn) AS stoprn
+      |  FROM v LEFT JOIN e e2 ON e2.user_id = v.user_id
+      |    AND e2.rn > v.vrn AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT b.user_id, b.vrn, e3.vm,
+      |    SUM(e3.vm) OVER (PARTITION BY b.user_id, b.vrn
+      |      ORDER BY e3.rn) AS cum
+      |  FROM b JOIN e e3 ON e3.user_id = b.user_id AND e3.rn > b.vrn
+      |    AND (b.stoprn IS NULL OR e3.rn < b.stoprn)),
+      |taken AS (
+      |  SELECT user_id, vrn, COUNT(*) AS n_clicks, SUM(vm) AS spent
+      |  FROM c WHERE cum <= 300000 GROUP BY 1, 2)
+      |SELECT v.user_id,
+      |  CAST(COALESCE(t.n_clicks, 0) AS BIGINT) AS n_clicks,
+      |  CAST(t.spent AS BIGINT) AS spent,
+      |  ROW_NUMBER() OVER (PARTITION BY v.user_id ORDER BY v.vrn) AS mn
+      |FROM v LEFT JOIN taken t
+      |  ON t.user_id = v.user_id AND t.vrn = v.vrn""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_budget")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, n_clicks, spent, mn
+        |FROM graft_mr_events_budget
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    COUNT(C.*) AS n_clicks,
+        |    SUM(C.vm) AS spent,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C*)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click' AND SUM(C.vm) <= 300000
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE grouped sub-pattern (Flink CEP's retry-cycle
+    * shape, admitted via the pass-through router
+    * `SQLSubmitAction.java:76`): `(V C)+ P` — one or more view→click
+    * pairs repeating as a unit, closed by a purchase. The variables'
+    * predicates are disjoint (distinct event_type values), so the
+    * greedy match from a start is deterministic: the maximal chain of
+    * consecutive (view, click) pairs, which matches iff the row after
+    * the chain is a purchase. A failed chain contains no viable
+    * alternative start (any mid-chain start hits the same non-purchase
+    * terminator), and a successful match consumes exactly chain + P,
+    * so the oracle can enumerate pair-chains as gaps-and-islands over
+    * pair-start row numbers (consecutive pair starts differ by 2) and
+    * keep the chains a purchase row terminates — no sequential scan
+    * needed.
+    */
+  val q77GroupPattern: Q = Q(
+    "q77_group_pattern",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |p AS (
+      |  SELECT a.user_id, a.rn
+      |  FROM e a JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      |  WHERE a.event_type = 'view' AND b.event_type = 'click'),
+      |isl AS (
+      |  SELECT user_id, rn,
+      |    rn - 2 * ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      |  FROM p),
+      |chains AS (
+      |  SELECT user_id, grp, MIN(rn) AS first_rn, MAX(rn) + 1 AS last_rn,
+      |    COUNT(*) AS n_pairs
+      |  FROM isl GROUP BY 1, 2),
+      |m AS (
+      |  SELECT c.user_id, c.first_rn, c.last_rn, c.n_pairs, pe.vm AS p_vm
+      |  FROM chains c JOIN e pe ON pe.user_id = c.user_id
+      |    AND pe.rn = c.last_rn + 1 AND pe.event_type = 'purchase'),
+      |sums AS (
+      |  SELECT m.user_id, m.first_rn, m.n_pairs, m.p_vm,
+      |    SUM(cc.vm) AS sum_c
+      |  FROM m JOIN e cc ON cc.user_id = m.user_id
+      |    AND cc.rn BETWEEN m.first_rn AND m.last_rn
+      |    AND cc.event_type = 'click'
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  CAST(sum_c AS BIGINT) AS sum_c, p_vm,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY first_rn) AS mn
+      |FROM sums""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_grp")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, n_pairs, sum_c, p_vm, mn
+        |FROM graft_mr_events_grp
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    COUNT(V.*) AS n_pairs,
+        |    SUM(C.vm) AS sum_c,
+        |    P.vm AS p_vm,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((V C)+ P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
+  /** MATCH_RECOGNIZE logical-offset navigation and RUNNING/FINAL
+    * measure keywords (SQL:2016 / Flink's full measure surface,
+    * admitted via the pass-through router `SQLSubmitAction.java:76`):
+    * `FIRST(C.vm, 1)` is the match's SECOND click and `LAST(C.vm, 1)`
+    * its second-to-last (NULL when the run has fewer than two clicks
+    * — offset past the assignment list, Flink's behavior); `FINAL
+    * COUNT(C.*)` exercises the keyword path (≡ RUNNING under ONE ROW
+    * PER MATCH). Same greedy view→clicks→purchase replay as q64: the
+    * click run is the rows strictly between the view and the first
+    * non-click, positioned by row number in the oracle.
+    */
+  val q78OffsetMeasures: Q = Q(
+    "q78_offset_measures",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn FROM e WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, MIN(e2.rn) AS endrn
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn > v.vrn
+      |    AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT n.user_id, n.vrn, n.endrn, n.endrn - n.vrn - 1 AS n_clicks
+      |  FROM nc n JOIN e e3 ON e3.user_id = n.user_id AND e3.rn = n.endrn
+      |  WHERE e3.event_type = 'purchase' AND n.endrn > n.vrn + 1)
+      |SELECT m.user_id,
+      |  c2.vm AS second_vm, cp.vm AS penult_vm,
+      |  CAST(m.n_clicks AS BIGINT) AS n_clicks,
+      |  ROW_NUMBER() OVER (PARTITION BY m.user_id ORDER BY m.vrn) AS mn
+      |FROM m
+      |LEFT JOIN e c2 ON c2.user_id = m.user_id AND c2.rn = m.vrn + 2
+      |  AND m.n_clicks >= 2
+      |LEFT JOIN e cp ON cp.user_id = m.user_id AND cp.rn = m.endrn - 2
+      |  AND m.n_clicks >= 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_off")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, second_vm, penult_vm, n_clicks, mn
+        |FROM graft_mr_events_off
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    FIRST(C.vm, 1) AS second_vm,
+        |    LAST(C.vm, 1) AS penult_vm,
+        |    FINAL COUNT(C.*) AS n_clicks,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
+  def all: Seq[Q] = Seq(
+    q64MatchRecognize, q65PrevPattern, q66AllRows, q67Alternation,
+    q68Within, q69SkipChain, q72Classifier, q73CrossDefine,
+    q74AggMeasures, q75PrevExpr, q76AggDefine, q77GroupPattern,
+    q78OffsetMeasures)
+}
