@@ -75,13 +75,15 @@ import scala.collection.mutable.ArrayBuffer
   * Grouped sub-patterns `(A B)+` are supported in batch: the group
   * repeats as a unit, greedy with full backtracking across the group
   * boundary (the matcher walks a compiled pattern tree with a
-  * continuation — see `tryNodes`). Unsupported forms (NEXT navigation,
-  * nested PREV, aggregate forms in DEFINE other than
-  * SUM/AVG/MIN/MAX(V.col), alternation inside a group, subquery
-  * sources) throw `IllegalArgumentException` with the contract,
-  * mirroring the WindowTvf/TemporalJoin residual checks. Streaming
-  * additionally gates DEFINE aggregates and grouped sub-patterns (see
-  * [[rewriteStreaming]]).
+  * continuation — see `tryNodes`). NEXT(expr[, k]) forward navigation
+  * is supported in batch (precomputed as `lead`, symmetric to PREV).
+  * Unsupported forms (nested PREV/NEXT, aggregate forms in DEFINE
+  * other than SUM/AVG/MIN/MAX(V.col), FIRST/LAST offsets in DEFINE,
+  * alternation inside a group, subquery sources) throw
+  * `IllegalArgumentException` with the contract, mirroring the
+  * WindowTvf/TemporalJoin residual checks. Streaming additionally
+  * gates DEFINE aggregates, NEXT, grouped sub-patterns, and measure
+  * offsets (see [[rewriteStreaming]]).
   */
 object MatchRecognize {
 
@@ -401,48 +403,55 @@ object MatchRecognize {
       branches.map(parseSequence)
   }
 
-  /** `PREV(expr[, k])` in a DEFINE — physical row navigation (SQL:2016
-    * and Flink both define PREV as "the expression over the row k
-    * positions before the current row in the partition's order", NOT
-    * the previous row of the variable), so it precomputes as
-    * `lag(expr, k)` over the match order before the NFA runs. On the
-    * first k rows of a partition PREV is NULL, the predicate is
-    * unknown, and the variable does not match — exactly the matcher's
-    * null-def handling. `PREV(expr, 0)` is the current row's value
-    * (lag 0), per the standard.
+  /** `PREV(expr[, k])` / `NEXT(expr[, k])` in a DEFINE — physical row
+    * navigation (SQL:2016 and Flink both define PREV/NEXT as "the
+    * expression over the row k positions before/after the current row
+    * in the partition's order", NOT the previous/next row of the
+    * variable), so they precompute as `lag(expr, k)` / `lead(expr, k)`
+    * over the match order before the NFA runs. Past the partition's
+    * edge the navigation is NULL, the predicate is unknown, and the
+    * variable does not match — exactly the matcher's null-def
+    * handling. Offset 0 is the current row's value, per the standard.
+    * NEXT defaults one-ahead, as Flink does.
     */
   private val PrevOpenRe = raw"(?i)\bPREV\s*\(".r
+  private val NextOpenRe = raw"(?i)\bNEXT\s*\(".r
 
   private[harness] def hasPrev(pred: String): Boolean =
     PrevOpenRe.findFirstIn(maskQuoted(pred)).isDefined
 
+  private[harness] def hasNextNav(pred: String): Boolean =
+    NextOpenRe.findFirstIn(maskQuoted(pred)).isDefined
+
   private val BareColRe = raw"(?s)^[A-Za-z_][A-Za-z0-9_]*$$".r
 
-  /** Rewrites every `PREV(expr[, k])` call through `repl(expr, k)` —
-    * paren- and quote-aware (the navigated expression may contain
-    * nested calls, commas inside them, and string literals). Nested
-    * PREV inside the navigated expression is out of the subset, as is
-    * a non-integer-literal offset.
+  /** Rewrites every `KW(expr[, k])` navigation call through
+    * `repl(expr, k)` — paren- and quote-aware (the navigated expression
+    * may contain nested calls, commas inside them, and string
+    * literals). Nested navigation inside the navigated expression is
+    * out of the subset, as is a non-integer-literal offset.
     */
-  private def mapPrevCalls(pred: String)(repl: (String, String) => String): String = {
+  private def mapNavCalls(pred: String,
+      openRe: scala.util.matching.Regex, kw: String)(
+      repl: (String, String) => String): String = {
     val masked = maskQuoted(pred)
     val sb = new StringBuilder
     var last = 0
-    PrevOpenRe.findAllMatchIn(masked).foreach { m =>
+    openRe.findAllMatchIn(masked).foreach { m =>
       if (m.start >= last) {
         val open = m.end - 1
         val end = closeParen(pred, open)
         val inner = pred.substring(open + 1, end - 1).trim
-        if (hasPrev(inner))
-          fail(s"nested PREV is not supported: $pred")
+        if (hasPrev(inner) || hasNextNav(inner))
+          fail(s"nested PREV/NEXT navigation is not supported: $pred")
         val (e, k) = splitTopLevel(inner) match {
           case Seq(x) => (x, "1")
           case Seq(x, kk) if raw"^\d+$$".r.findFirstIn(kk).isDefined => (x, kk)
-          case _ => fail(s"unsupported PREV form (want PREV(expr[, k]) " +
+          case _ => fail(s"unsupported $kw form (want $kw(expr[, k]) " +
             s"with an integer-literal offset): $pred")
         }
         if (e.isEmpty)
-          fail(s"unsupported PREV form (want PREV(expr[, k])): $pred")
+          fail(s"unsupported $kw form (want $kw(expr[, k])): $pred")
         sb.append(pred.substring(last, m.start))
         sb.append(repl(e, k))
         last = end
@@ -450,6 +459,28 @@ object MatchRecognize {
     }
     sb.append(pred.substring(last))
     sb.toString
+  }
+
+  private def mapPrevCalls(pred: String)(repl: (String, String) => String): String =
+    mapNavCalls(pred, PrevOpenRe, "PREV")(repl)
+
+  private def mapNextCalls(pred: String)(repl: (String, String) => String): String =
+    mapNavCalls(pred, NextOpenRe, "NEXT")(repl)
+
+  /** Rejects any navigation call nested inside another's argument —
+    * checked on the ORIGINAL text, because the two rewrite passes run
+    * sequentially and a cross-keyword nesting like `NEXT(PREV(v))`
+    * would otherwise have its inner call rewritten before the outer
+    * pass could see it (yielding invalid nested window functions). */
+  private def rejectNestedNav(pred: String): Unit = {
+    val masked = maskQuoted(pred)
+    val opens = (PrevOpenRe.findAllMatchIn(masked).map(_.end - 1) ++
+      NextOpenRe.findAllMatchIn(masked).map(_.end - 1)).toSeq
+    opens.foreach { open =>
+      val end = closeParen(pred, open)
+      if (opens.exists(o => o > open && o < end))
+        fail(s"nested PREV/NEXT navigation is not supported: $pred")
+    }
   }
 
   /** Splits a predicate on top-level `AND` keywords — blind to ANDs
@@ -488,9 +519,7 @@ object MatchRecognize {
     */
   private def checkDefine(variable: String, pred: String, allVars: Set[String]): Unit = {
     val masked = maskQuoted(pred)
-    raw"(?i)\bNEXT\s*\(".r.findFirstIn(masked).foreach(_ =>
-      fail(s"DEFINE $variable uses NEXT() — forward navigation is not " +
-        "supported"))
+    rejectNestedNav(pred)
     // aggregate calls: only SUM/AVG/MIN/MAX(V.col) over a pattern
     // variable is in the subset (a running aggregate the matcher
     // evaluates); any other aggregate form would leak an unevaluable
@@ -850,6 +879,13 @@ object MatchRecognize {
           fail(s"streaming MATCH_RECOGNIZE does not support aggregates " +
             s"in DEFINE (DEFINE $v) — run the query in batch, or " +
             "restate the bound with quantifiers/PREV")
+        // NEXT is batch-only: the tracker evaluates a row's predicate
+        // when the row matures, and its physical NEXT row may not have
+        // matured yet — a named gate beats an unresolved-function error
+        if (hasNextNav(p))
+          fail(s"streaming MATCH_RECOGNIZE does not support NEXT() " +
+            s"navigation (DEFINE $v) — run the query in batch, or " +
+            "restate the predicate with PREV on a later variable")
       }
       // PREV(col[, k]) in DEFINE is supported: the referenced columns
       // ride a type-gated JSON payload per row and the tracker
@@ -1320,8 +1356,11 @@ object MatchRecognize {
       (if (spec.partitionBy.nonEmpty)
         s"PARTITION BY ${spec.partitionBy.mkString(", ")} " else "") +
       s"ORDER BY ${spec.orderBy.mkString(", ")}"
-    def translatePrev(pred: String): String =
-      mapPrevCalls(pred)((e, k) => s"lag($e, $k) OVER ($overClause)")
+    def translateNav(pred: String): String = {
+      val lagged =
+        mapPrevCalls(pred)((e, k) => s"lag($e, $k) OVER ($overClause)")
+      mapNextCalls(lagged)((e, k) => s"lead($e, $k) OVER ($overClause)")
+    }
     // cross-variable and running-aggregate defines split on top-level
     // AND like the streaming PREV path: conjuncts without cross/agg
     // refs stay in the precomputed __def boolean (Catalyst, any type);
@@ -1345,7 +1384,7 @@ object MatchRecognize {
           else rest.map(r => s"($r)").mkString(" AND ")
         case None => spec.defines.getOrElse(v, "true")
       }
-      expr(translatePrev(pred)).cast("boolean").as(s"__def_$v")
+      expr(translateNav(pred)).cast("boolean").as(s"__def_$v")
     }
     val prepared = src.select(col("*") +: defCols: _*)
     val inSchema = prepared.schema
@@ -1423,8 +1462,8 @@ object MatchRecognize {
         val arr = new Array[CrossDef](vars.length)
         crossParts.foreach { case (v, (cross, _)) =>
           val predText = cross.map(c => s"($c)").mkString(" AND ")
-          if (hasPrev(predText))
-            fail(s"DEFINE $v mixes PREV() and a cross-variable " +
+          if (hasPrev(predText) || hasNextNav(predText))
+            fail(s"DEFINE $v mixes PREV()/NEXT() and a cross-variable " +
               "reference in one AND-conjunct — split them into " +
               "separate conjuncts")
           // ordered, de-duplicated ref slots: attr name -> ref triple

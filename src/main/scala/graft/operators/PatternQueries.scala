@@ -799,9 +799,57 @@ object PatternQueries {
         |)""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE `NEXT` forward navigation (SQL:2016 / Flink admit
+    * PREV and NEXT symmetrically): local value peaks per user — a row
+    * strictly above BOTH physical neighbors. NEXT precomputes as
+    * `lead` exactly as PREV precomputes as `lag`, so the oracle is the
+    * direct LAG/LEAD restatement; partition-edge rows have a NULL
+    * neighbor, the predicate is unknown, and they never match (both
+    * engines). Single-row matches cannot interfere under SKIP PAST
+    * LAST ROW: neighbors of a peak are strictly below it and so are
+    * never peaks themselves.
+    */
+  val q79NextNav: Q = Q(
+    "q79_next_nav",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |n AS (
+      |  SELECT user_id, event_id, vm, rn,
+      |    LAG(vm) OVER (PARTITION BY user_id ORDER BY rn) AS prev_vm,
+      |    LEAD(vm) OVER (PARTITION BY user_id ORDER BY rn) AS next_vm
+      |  FROM e)
+      |SELECT user_id, event_id, vm AS peak_vm,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS mn
+      |FROM n WHERE vm > prev_vm AND vm > next_vm""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_next")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, event_id, peak_vm, mn
+        |FROM graft_mr_events_next
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    P.event_id AS event_id,
+        |    P.vm AS peak_vm,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (P)
+        |  DEFINE P AS vm > PREV(vm) AND vm > NEXT(vm)
+        |)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q64MatchRecognize, q65PrevPattern, q66AllRows, q67Alternation,
     q68Within, q69SkipChain, q72Classifier, q73CrossDefine,
     q74AggMeasures, q75PrevExpr, q76AggDefine, q77GroupPattern,
-    q78OffsetMeasures)
+    q78OffsetMeasures, q79NextNav)
 }

@@ -250,8 +250,8 @@ class MatchRecognizeSpec extends AnyFunSuite {
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > NEXT(v))""".stripMargin,
-      "NEXT")
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > NEXT(PREV(v)))""".stripMargin,
+      "nested PREV")
     rejects(
       """SELECT * FROM (SELECT * FROM mr_in) MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
@@ -456,6 +456,52 @@ class MatchRecognizeSpec extends AnyFunSuite {
         _ => Some(("ts", "5 seconds")))
     }
     assert(e.getMessage.contains("logical-offset"), s"message: ${e.getMessage}")
+  }
+
+  test("NEXT() navigation in DEFINE looks one row ahead") {
+    // a peak: row higher than both physical neighbors
+    seq((1, 1, "x", 1), (1, 2, "x", 5), (1, 3, "x", 2), (1, 4, "x", 7),
+      (1, 5, "x", 3))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES P.o AS po, P.v AS pv
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (P)
+        |  DEFINE P AS v > PREV(v) AND v > NEXT(v))""".stripMargin)
+    // rows 2 (5>1, 5>2) and 4 (7>2, 7>3) are peaks; rows 1 and 5 have
+    // a NULL neighbor → predicate unknown → no match
+    assert(out === Seq(Seq(1L, 2L, 5L), Seq(1L, 4L, 7L)))
+  }
+
+  test("NEXT(expr, k) navigates k ahead over an expression") {
+    seq((1, 1, "x", 1), (1, 2, "x", 2), (1, 3, "x", 3), (1, 4, "x", 10))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES A.o AS ao
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A)
+        |  DEFINE A AS NEXT(v * 2, 2) > 15)""".stripMargin)
+    // row 1: NEXT(v*2,2) = v(3)*2 = 6 — no; row 2: v(4)*2 = 20 — yes;
+    // rows 3,4: navigation past the partition end is NULL — no
+    assert(out === Seq(Seq(1L, 2L)))
+  }
+
+  test("streaming gates NEXT() in DEFINE with the contract") {
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+      .toDF("k", "ts", "v").createOrReplaceTempView("mr_next_stream")
+    val e = intercept[IllegalArgumentException] {
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_next_stream MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY ts
+          |  MEASURES COUNT(A.*) AS na
+          |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (A+) DEFINE A AS v > NEXT(v))""".stripMargin,
+        _ => Some(("ts", "5 seconds")))
+    }
+    assert(e.getMessage.contains("NEXT"), s"message: ${e.getMessage}")
   }
 
   test("streaming gates grouped sub-patterns with the contract") {
