@@ -1794,92 +1794,182 @@ object MatchRecognize {
             }
           }
 
+          // --- crossOk element-scan cache ---------------------------
+          // The FIRST/LAST slot values and the aggregate over rows
+          // already ASSIGNED in [pAbs, elemStart) are constant for the
+          // whole greedy run scan of one element, and the run scan
+          // visits rowAbs strictly forward — so the scan-constant part
+          // computes once per element and the run part accumulates one
+          // row per call. This takes a hot key's cross/aggregate
+          // DEFINE from O(extent²) per match to O(extent).
+          // `assignEpoch` bumps on every assignment write (and the
+          // per-branch reset), invalidating the cached base when a
+          // different branch reuses the same (v, start) coordinates
+          // over a different running assignment.
+          private var assignEpoch = 0L
+          private var csV = -1
+          private var csPAbs = -1
+          private var csStart = -1
+          private var csEpoch = -1L
+          private var csRunRow = 0
+          private var csRefVals: Array[Any] = null
+          private var csBaseSumL: Array[Long] = null
+          private var csBaseSumD: Array[Double] = null
+          private var csBaseCnt: Array[Long] = null
+          private var csBaseBest: Array[Any] = null
+          private var csRunSumL: Array[Long] = null
+          private var csRunSumD: Array[Double] = null
+          private var csRunCnt: Array[Long] = null
+          private var csRunBest: Array[Any] = null
+          // reused eval row: one allocation per (v, width), not per
+          // candidate row — crossOk runs per row of every greedy scan
+          private var csIrow: org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow = null
+
           /** Evaluates variable v's cross-variable conjuncts at row
             * `rowAbs`: each FIRST/LAST(V.col) slot resolves over the
             * rows the running assignment currently gives V — i.e. the
             * already-assigned elements in [pAbs, elemStart) — NULL
             * while V has matched no row (the predicate is then unknown
-            * and the row does not match).
+            * and the row does not match). Running aggregates cover the
+            * assigned rows plus — when rv is the variable being
+            * DEFINEd — the current element's run so far and the
+            * candidate row itself (tentatively rv's, SQL:2016 running
+            * semantics). SQL null discipline: NULL values skip; no
+            * non-null value → NULL slot → predicate unknown → no match.
             */
           private def crossOk(v: Int, rowAbs: Int, pAbs: Int,
               elemStart: Int): Boolean = {
             if (crossByVar == null) return true
             val cd = crossByVar(v)
             if (cd == null) return true
-            val irow = new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(baseLen + cd.refs.length + cd.aggRefs.length)
-            val cur = at(rowAbs).cat
-            var i = 0
-            while (i < baseLen) { irow.update(i, cur(i)); i += 1 }
-            var j = 0
-            while (j < cd.refs.length) {
-              val (first, rv, colIdx) = cd.refs(j)
-              var found = -1
-              if (first) {
-                var r = pAbs
-                while (found < 0 && r < elemStart) {
-                  if (assign(r - pAbs) == rv) found = r
-                  r += 1
-                }
-              } else {
-                var r = elemStart - 1
-                while (found < 0 && r >= pAbs) {
-                  if (assign(r - pAbs) == rv) found = r
-                  r -= 1
-                }
-              }
-              irow.update(baseLen + j,
-                if (found < 0) null else at(found).cat(colIdx))
-              j += 1
-            }
-            // running aggregates: rows already ASSIGNED to rv in
-            // [pAbs, elemStart), plus — when rv is the variable being
-            // DEFINEd — the current element's run so far and the
-            // candidate row itself (tentatively rv's, SQL:2016 running
-            // semantics: the current row is the last row of the match
-            // so far). SQL null discipline: NULL values skip; no
-            // non-null value → NULL slot → predicate unknown → no
-            // match. Cost is O(extent) per candidate row, bounded by
-            // the same WITHIN/quantifier extent that bounds the window.
-            var a = 0
-            while (a < cd.aggRefs.length) {
-              val (fnKind, rv, colIdx, mode) = cd.aggRefs(a)
-              var sumL = 0L
-              var sumD = 0.0d
-              var cnt = 0L
-              var best: Any = null
-              def acc(value: Any): Unit = if (value != null) {
+            val nRefs = cd.refs.length
+            val nAggs = cd.aggRefs.length
+            def accAgg(a: Int, value: Any, run: Boolean): Unit =
+              if (value != null) {
+                val (fnKind, _, _, mode) = cd.aggRefs(a)
                 fnKind match {
                   case 0 | 1 =>
-                    if (mode == 0) sumL += value.asInstanceOf[Number].longValue
-                    else sumD += value.asInstanceOf[Number].doubleValue
+                    if (mode == 0) {
+                      if (run) csRunSumL(a) += value.asInstanceOf[Number].longValue
+                      else csBaseSumL(a) += value.asInstanceOf[Number].longValue
+                    } else {
+                      if (run) csRunSumD(a) += value.asInstanceOf[Number].doubleValue
+                      else csBaseSumD(a) += value.asInstanceOf[Number].doubleValue
+                    }
                   case _ =>
+                    val best = if (run) csRunBest(a) else csBaseBest(a)
                     val cmp =
                       if (best == null) 0
                       else value.asInstanceOf[Comparable[Any]].compareTo(best)
                     if (best == null || (fnKind == 2 && cmp < 0) ||
-                        (fnKind == 3 && cmp > 0))
-                      best = value
+                        (fnKind == 3 && cmp > 0)) {
+                      if (run) csRunBest(a) = value else csBaseBest(a) = value
+                    }
                 }
-                cnt += 1
+                if (run) csRunCnt(a) += 1 else csBaseCnt(a) += 1
               }
-              var r = pAbs
-              while (r < elemStart) {
-                if (assign(r - pAbs) == rv) acc(at(r).cat(colIdx))
-                r += 1
+            def resetRun(): Unit = {
+              csRunRow = elemStart
+              var a = 0
+              while (a < nAggs) {
+                csRunSumL(a) = 0L; csRunSumD(a) = 0.0d
+                csRunCnt(a) = 0L; csRunBest(a) = null
+                a += 1
               }
-              if (rv == v) {
-                r = elemStart
-                while (r <= rowAbs) { acc(at(r).cat(colIdx)); r += 1 }
+            }
+            if (v != csV || pAbs != csPAbs || elemStart != csStart ||
+                assignEpoch != csEpoch) {
+              csV = v; csPAbs = pAbs; csStart = elemStart
+              csEpoch = assignEpoch
+              if (csRefVals == null || csRefVals.length < nRefs)
+                csRefVals = new Array[Any](math.max(nRefs, 1))
+              if (csBaseSumL == null || csBaseSumL.length < nAggs) {
+                val n = math.max(nAggs, 1)
+                csBaseSumL = new Array[Long](n); csBaseSumD = new Array[Double](n)
+                csBaseCnt = new Array[Long](n); csBaseBest = new Array[Any](n)
+                csRunSumL = new Array[Long](n); csRunSumD = new Array[Double](n)
+                csRunCnt = new Array[Long](n); csRunBest = new Array[Any](n)
               }
-              irow.update(baseLen + cd.refs.length + a,
-                fnKind match {
-                  case 0 => if (cnt == 0) null else if (mode == 0) sumL else sumD
-                  case 1 =>
-                    if (cnt == 0) null
-                    else (if (mode == 0) sumL.toDouble else sumD) / cnt
-                  case _ => best
-                })
+              var j = 0
+              while (j < nRefs) {
+                val (first, rv, colIdx) = cd.refs(j)
+                var found = -1
+                if (first) {
+                  var r = pAbs
+                  while (found < 0 && r < elemStart) {
+                    if (assign(r - pAbs) == rv) found = r
+                    r += 1
+                  }
+                } else {
+                  var r = elemStart - 1
+                  while (found < 0 && r >= pAbs) {
+                    if (assign(r - pAbs) == rv) found = r
+                    r -= 1
+                  }
+                }
+                csRefVals(j) = if (found < 0) null else at(found).cat(colIdx)
+                j += 1
+              }
+              var a = 0
+              while (a < nAggs) {
+                csBaseSumL(a) = 0L; csBaseSumD(a) = 0.0d
+                csBaseCnt(a) = 0L; csBaseBest(a) = null
+                val (_, rv, colIdx, _) = cd.aggRefs(a)
+                var r = pAbs
+                while (r < elemStart) {
+                  if (assign(r - pAbs) == rv) accAgg(a, at(r).cat(colIdx), run = false)
+                  r += 1
+                }
+                a += 1
+              }
+              resetRun()
+            }
+            // a fresh scan of the SAME element with an unchanged
+            // assignment (e.g. after a zero-length optional matched
+            // nothing in between) restarts the run accumulation
+            if (rowAbs < csRunRow) resetRun()
+            while (csRunRow <= rowAbs) {
+              var a = 0
+              while (a < nAggs) {
+                val (_, rv, colIdx, _) = cd.aggRefs(a)
+                if (rv == v) accAgg(a, at(csRunRow).cat(colIdx), run = true)
+                a += 1
+              }
+              csRunRow += 1
+            }
+            if (csIrow == null || csIrow.numFields != baseLen + nRefs + nAggs)
+              csIrow = new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(baseLen + nRefs + nAggs)
+            val irow = csIrow
+            val cur = at(rowAbs).cat
+            var i = 0
+            while (i < baseLen) { irow.update(i, cur(i)); i += 1 }
+            var j = 0
+            while (j < nRefs) { irow.update(baseLen + j, csRefVals(j)); j += 1 }
+            var a = 0
+            while (a < nAggs) {
+              val (fnKind, _, _, mode) = cd.aggRefs(a)
+              val cnt = csBaseCnt(a) + csRunCnt(a)
+              val value: Any = fnKind match {
+                case 0 =>
+                  if (cnt == 0) null
+                  else if (mode == 0) csBaseSumL(a) + csRunSumL(a)
+                  else csBaseSumD(a) + csRunSumD(a)
+                case 1 =>
+                  if (cnt == 0) null
+                  else (if (mode == 0) (csBaseSumL(a) + csRunSumL(a)).toDouble
+                    else csBaseSumD(a) + csRunSumD(a)) / cnt
+                case k =>
+                  val b = csBaseBest(a); val r = csRunBest(a)
+                  if (b == null) r
+                  else if (r == null) b
+                  else {
+                    val cmp = r.asInstanceOf[Comparable[Any]].compareTo(b)
+                    if ((k == 2 && cmp < 0) || (k == 3 && cmp > 0)) r else b
+                  }
+              }
+              irow.update(baseLen + nRefs + a, value)
               a += 1
             }
             cd.expr.eval(irow) == true
@@ -1903,7 +1993,10 @@ object MatchRecognize {
                   run += 1
                 var k = math.min(run, hi)
                 while (k >= lo) {
-                  if (k > 0) growAssign(pos + k - 1 - pAbs)
+                  if (k > 0) {
+                    growAssign(pos + k - 1 - pAbs)
+                    assignEpoch += 1
+                  }
                   var r = 0
                   while (r < k) { assign(pos + r - pAbs) = v; r += 1 }
                   val end = tryNodes(nodes, e + 1, pos + k, pAbs, lim, cont)
@@ -1938,6 +2031,7 @@ object MatchRecognize {
             var b = 0
             while (b < branches.length) {
               java.util.Arrays.fill(assign, -1)
+              assignEpoch += 1
               val end = tryNodes(branches(b), 0, pAbs, pAbs, lim, p => p)
               if (end > pAbs) return end
               b += 1
