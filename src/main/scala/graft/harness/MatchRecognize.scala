@@ -82,8 +82,9 @@ import scala.collection.mutable.ArrayBuffer
   * alternation inside a group, subquery sources) throw
   * `IllegalArgumentException` with the contract, mirroring the
   * WindowTvf/TemporalJoin residual checks. Streaming additionally
-  * gates DEFINE aggregates, NEXT, grouped sub-patterns, and measure
-  * offsets (see [[rewriteStreaming]]).
+  * gates NEXT, grouped sub-patterns, and measure offsets, and
+  * restricts DEFINE SUM/AVG aggregates to integral columns (see
+  * [[rewriteStreaming]]).
   */
 object MatchRecognize {
 
@@ -844,6 +845,10 @@ object MatchRecognize {
     *    SUM/AVG/MIN/MAX(V.col) aggregate measures gate to INTEGRAL
     *    columns (the tracker accumulates exact longs in state; AVG
     *    divides as double on emission, matching batch).
+    *  - SUM/AVG/MIN/MAX(V.col) running aggregates in DEFINE evaluate
+    *    in-tracker against the running assignment (same slots as the
+    *    batch matcher): SUM/AVG gate to INTEGRAL columns, MIN/MAX to
+    *    any JSON-lossless type.
     *
     * `watermarkOf` resolves a table name to its (event-time column,
     * delay) from the connector DDL.
@@ -869,16 +874,7 @@ object MatchRecognize {
           "subquery sources are not supported"))
       val table = tm.group(1)
       val spec = parseSpec(out.substring(open + 1, end - 1))
-      // running aggregates in DEFINE are batch-only for now: the
-      // tracker's crossPreds have no accumulator slots, so a named
-      // gate here beats an unevaluable expression downstream
       spec.defines.foreach { case (v, p) =>
-        val allV = spec.pattern.flatMap(varsIn(_)).toSet
-        if (AggCallRe.findAllMatchIn(maskQuoted(p))
-            .exists(m => allV.contains(m.group(2).toUpperCase)))
-          fail(s"streaming MATCH_RECOGNIZE does not support aggregates " +
-            s"in DEFINE (DEFINE $v) — run the query in batch, or " +
-            "restate the bound with quantifiers/PREV")
         // NEXT is batch-only: the tracker evaluates a row's predicate
         // when the row matures, and its physical NEXT row may not have
         // matured yet — a named gate beats an unresolved-function error
@@ -1007,23 +1003,27 @@ object MatchRecognize {
       // type-gated to the JSON-lossless set (like measures/keys) and
       // packed as a per-row payload.
       // split each DEFINE on top-level AND and classify the conjuncts:
-      // PREV-bearing and cross-variable conjuncts move tracker-side
-      // (and only THEIR columns face the JSON-lossless gate); the rest
-      // evaluate upstream in Catalyst like any other define, on any
-      // column type. A conjunct mixing both forms is out of the subset.
+      // PREV-bearing, cross-variable, and running-aggregate conjuncts
+      // move tracker-side (and only THEIR columns face the
+      // JSON-lossless gate); the rest evaluate upstream in Catalyst
+      // like any other define, on any column type. A conjunct mixing
+      // PREV with the in-matcher forms is out of the subset.
+      val allVarSet = vars.toSet
       val split: Map[String, (Seq[String], Seq[String], Seq[String])] =
         vars.flatMap { v =>
           spec.defines.get(v).flatMap { p =>
-            val others = vars.toSet - v
-            if (!hasPrev(p) && !hasCrossRef(p, others)) None
+            val others = allVarSet - v
+            def inMatcher(c: String): Boolean =
+              hasCrossRef(c, others) || hasAggRef(c, allVarSet)
+            if (!hasPrev(p) && !inMatcher(p)) None
             else {
               val conjs = splitTopLevelAnd(p)
-              conjs.find(c => hasPrev(c) && hasCrossRef(c, others))
+              conjs.find(c => hasPrev(c) && inMatcher(c))
                 .foreach(_ => fail(s"DEFINE $v mixes PREV() and a " +
-                  "cross-variable reference in one AND-conjunct — " +
-                  "split them into separate conjuncts"))
+                  "cross-variable/aggregate reference in one " +
+                  "AND-conjunct — split them into separate conjuncts"))
               val (pp, notPrev) = conjs.partition(hasPrev)
-              val (cc, rest) = notPrev.partition(hasCrossRef(_, others))
+              val (cc, rest) = notPrev.partition(inMatcher)
               Some(v -> ((pp, cc, rest)))
             }
           }
@@ -1107,17 +1107,40 @@ object MatchRecognize {
           crossVars.foreach { v =>
             val pred = split(v)._2.map(c => s"($c)").mkString(" AND ")
             val mp = maskQuoted(pred)
-            CrossFlRe.findAllMatchIn(mp).foreach { cm =>
+            // aggregate columns gate like aggregate MEASURES: SUM/AVG
+            // accumulate exact longs in the tracker, so INTEGRAL only;
+            // MIN/MAX compare payload values, so any JSON-lossless type
+            AggCallRe.findAllMatchIn(mp).foreach { cm =>
+              if (varOf.contains(cm.group(2).toUpperCase)) {
+                val cn = srcNames.getOrElse(cm.group(3).toLowerCase,
+                  fail(s"column ${cm.group(3)} not found in $table"))
+                val fn = cm.group(1).toUpperCase
+                val dt = src.schema(fieldIdx(cn)).dataType
+                val integral = dt == ByteType || dt == ShortType ||
+                  dt == IntegerType || dt == LongType
+                if ((fn == "SUM" || fn == "AVG") && !integral)
+                  fail(s"streaming MATCH_RECOGNIZE $fn($cn) in DEFINE: " +
+                    "aggregates evaluate over the JSON state payload as " +
+                    s"exact longs — only integer columns are supported " +
+                    s"(got ${dt.simpleString}); pre-scale the column " +
+                    "upstream or run the query in batch")
+                referenced += cn
+              }
+            }
+            val aggBlanked = replaceOutside(pred, AggCallRe) { cm =>
+              if (varOf.contains(cm.group(2).toUpperCase)) " " else cm.matched
+            }
+            CrossFlRe.findAllMatchIn(maskQuoted(aggBlanked)).foreach { cm =>
               if (varOf.contains(cm.group(2).toUpperCase))
                 referenced += srcNames.getOrElse(cm.group(3).toLowerCase,
                   fail(s"column ${cm.group(3)} not found in $table"))
             }
-            CrossBareRe.findAllMatchIn(mp).foreach { cm =>
+            CrossBareRe.findAllMatchIn(maskQuoted(aggBlanked)).foreach { cm =>
               if (varOf.contains(cm.group(1).toUpperCase))
                 referenced += srcNames.getOrElse(cm.group(2).toLowerCase,
                   fail(s"column ${cm.group(2)} not found in $table"))
             }
-            sweepIds(replaceOutside(replaceOutside(pred, CrossFlRe)(_ => " "),
+            sweepIds(replaceOutside(replaceOutside(aggBlanked, CrossFlRe)(_ => " "),
               CrossBareRe)(_ => " "))
           }
           // synthetic PREV-expression columns resolve (and type-gate)
@@ -1166,22 +1189,43 @@ object MatchRecognize {
                 "available)")
             (varOf(v), BindReferences.bindReference(cond, attrs))
           }.toArray
-          // cross-variable conjuncts: bound over `cols ++ ref slots`,
-          // evaluated DURING matching against the running assignment
-          // (same layout the batch matcher uses, but with payload
-          // values instead of raw rows)
+          // cross-variable / aggregate conjuncts: bound over `cols ++
+          // ref slots ++ aggregate slots`, evaluated DURING matching
+          // against the running assignment (same layout the batch
+          // matcher uses, but with payload values instead of raw rows).
+          // Aggregate calls rewrite FIRST — their `V.col` argument must
+          // not be seen by the bare-ref pass.
           val colOrd = fields.map(_.name).zipWithIndex.toMap
           val crossPreds = crossVars.map { v =>
             val predText = split(v)._2.map(c => s"($c)").mkString(" AND ")
             val refs = scala.collection.mutable.LinkedHashMap
               .empty[String, (Boolean, Int, Int)]
+            val aggRefs = scala.collection.mutable.LinkedHashMap
+              .empty[String, (Int, Int, Int)]
             def slot(firstKw: Boolean, rv: String, c: String): String = {
               val cn = srcNames(c.toLowerCase)
               val name = s"__cv_${if (firstKw) "f" else "l"}_${rv}_$cn"
               refs.getOrElseUpdate(name, (firstKw, varOf(rv), colOrd(cn)))
               name
             }
-            var t = replaceOutside(predText, CrossFlRe) { cm =>
+            var t = replaceOutside(predText, AggCallRe) { cm =>
+              val rv = cm.group(2).toUpperCase
+              if (!varOf.contains(rv)) cm.matched
+              else {
+                val fn = cm.group(1).toUpperCase
+                val cn = srcNames(cm.group(3).toLowerCase)
+                val fnKind = fn match {
+                  case "SUM" => 0
+                  case "AVG" => 1
+                  case "MIN" => 2
+                  case _ => 3
+                }
+                val name = s"__ca_${fn.toLowerCase}_${rv}_$cn"
+                aggRefs.getOrElseUpdate(name, (fnKind, varOf(rv), colOrd(cn)))
+                name
+              }
+            }
+            t = replaceOutside(t, CrossFlRe) { cm =>
               val rv = cm.group(2).toUpperCase
               if (!varOf.contains(rv)) cm.matched
               else slot(cm.group(1).equalsIgnoreCase("FIRST"), rv, cm.group(3))
@@ -1196,6 +1240,17 @@ object MatchRecognize {
               refs.map { case (name, (_, _, ord)) =>
                 AttributeReference(name, fields(ord).dataType,
                   nullable = true)()
+              } ++
+              aggRefs.map { case (name, (fnKind, _, ord)) =>
+                // SUM of integral payload values is an exact long; AVG
+                // divides that long as double; MIN/MAX keep the column
+                // type — mirroring the batch matcher's output typing
+                val dt = fnKind match {
+                  case 0 => LongType
+                  case 1 => DoubleType
+                  case _ => fields(ord).dataType
+                }
+                AttributeReference(name, dt, nullable = true)()
               }).toIndexedSeq
             val parsedE =
               try spark.sessionState.sqlParser.parseExpression(
@@ -1213,7 +1268,7 @@ object MatchRecognize {
               fail(s"cannot resolve DEFINE $v over the payload columns " +
                 "and its cross-variable references")
             (varOf(v), BindReferences.bindReference(cond, crossAttrs),
-              refs.values.toArray)
+              refs.values.toArray, aggRefs.values.toArray)
           }.toArray
           Some(PatternTracker.PrevSpec(fields.map(_.name).toArray,
             fields.map(_.dataType).toArray, maxK, preds, crossPreds))

@@ -116,13 +116,20 @@ object PatternTracker {
       types: Array[org.apache.spark.sql.types.DataType],
       maxK: Int,
       preds: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)],
-      // cross-variable conjuncts (FIRST/LAST(V.col) of another
-      // variable): evaluated DURING matching against the running
-      // assignment, over the layout `cols ++ one slot per ref`;
-      // refs are (isFirst, refVarIdx, ordinal of the column in `cols`)
+      // cross-variable / running-aggregate conjuncts (FIRST/LAST(V.col)
+      // of another variable, SUM/AVG/MIN/MAX(V.col) of any variable):
+      // evaluated DURING matching against the running assignment, over
+      // the layout `cols ++ one slot per ref ++ one slot per aggregate`;
+      // refs are (isFirst, refVarIdx, ordinal of the column in `cols`),
+      // aggRefs are (fnKind 0=SUM 1=AVG 2=MIN 3=MAX, refVarIdx,
+      // ordinal). Aggregates follow the batch matcher's SQL:2016
+      // running semantics: rows assigned to the variable so far, plus —
+      // when the variable is the one being DEFINEd — the current
+      // element's run and the candidate row itself.
       crossPreds: Array[(Int,
         org.apache.spark.sql.catalyst.expressions.Expression,
-        Array[(Boolean, Int, Int)])] = Array())
+        Array[(Boolean, Int, Int)],
+        Array[(Int, Int, Int)])] = Array())
 
   private lazy val jackson = new com.fasterxml.jackson.databind.ObjectMapper
 
@@ -295,28 +302,36 @@ object PatternTracker {
     val assign = Array.fill(n)(-1)
     // cross-variable conjuncts by variable index (null when unused)
     val crossByVar: Array[(org.apache.spark.sql.catalyst.expressions.Expression,
-        Array[(Boolean, Int, Int)])] = prevSpec match {
+        Array[(Boolean, Int, Int)], Array[(Int, Int, Int)])] = prevSpec match {
       case Some(ps) if ps.crossPreds.nonEmpty =>
         val arr = new Array[(org.apache.spark.sql.catalyst.expressions.Expression,
-          Array[(Boolean, Int, Int)])](64)
-        ps.crossPreds.foreach { case (v, ex, refs) => arr(v) = (ex, refs) }
+          Array[(Boolean, Int, Int)], Array[(Int, Int, Int)])](64)
+        ps.crossPreds.foreach { case (v, ex, refs, aggs) =>
+          arr(v) = (ex, refs, aggs) }
         arr
       case _ => null
     }
-    /** Variable v's cross conjuncts at matured row `rowAbs`: each
-      * FIRST/LAST(V.col) slot resolves over the rows the running
+    /** Variable v's cross/aggregate conjuncts at matured row `rowAbs`:
+      * each FIRST/LAST(V.col) slot resolves over the rows the running
       * assignment gives V in [pAbs, elemStart) — NULL while V has
-      * matched no row. A false here is a PREDICATE failure (all inputs
-      * are matured and assigned), never a hitEnd deferral.
+      * matched no row — and each SUM/AVG/MIN/MAX(V.col) slot aggregates
+      * those rows plus (when V is the variable being DEFINEd) the
+      * current element's run and the candidate row, SQL:2016 running
+      * semantics with SQL null discipline (NULL payload values skip; no
+      * non-null value → NULL slot → predicate unknown). A false here is
+      * a PREDICATE failure (all inputs are matured and assigned), never
+      * a hitEnd deferral. The undecided window is small, so the
+      * per-candidate rescan the batch matcher amortizes away is fine
+      * here.
       */
     def crossOk(v: Int, rowAbs: Int, pAbs: Int, elemStart: Int): Boolean = {
       if (crossByVar == null) return true
       val cd = crossByVar(v)
       if (cd == null) return true
-      val (ex, refs) = cd
+      val (ex, refs, aggs) = cd
       val c0 = prevSpec.get.cols.length
       val irow = new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(c0 + refs.length)
+        .GenericInternalRow(c0 + refs.length + aggs.length)
       val cur = lagVals(rowAbs)
       var i = 0
       while (i < c0) { irow.update(i, cur(i)); i += 1 }
@@ -339,6 +354,41 @@ object PatternTracker {
         }
         irow.update(c0 + j, if (found < 0) null else lagVals(found)(colIdx))
         j += 1
+      }
+      var a = 0
+      while (a < aggs.length) {
+        val (fnKind, rv, colIdx) = aggs(a)
+        var sumL = 0L
+        var cnt = 0L
+        var best: Any = null
+        def acc(value: Any): Unit = if (value != null) {
+          fnKind match {
+            case 0 | 1 => sumL += value.asInstanceOf[Number].longValue
+            case _ =>
+              val cmp =
+                if (best == null) 0
+                else value.asInstanceOf[Comparable[Any]].compareTo(best)
+              if (best == null || (fnKind == 2 && cmp < 0) ||
+                  (fnKind == 3 && cmp > 0))
+                best = value
+          }
+          cnt += 1
+        }
+        var r = pAbs
+        while (r < elemStart) {
+          if (assign(r) == rv) acc(lagVals(r)(colIdx))
+          r += 1
+        }
+        if (rv == v) {
+          r = elemStart
+          while (r <= rowAbs) { acc(lagVals(r)(colIdx)); r += 1 }
+        }
+        irow.update(c0 + refs.length + a, fnKind match {
+          case 0 => if (cnt == 0) null else sumL
+          case 1 => if (cnt == 0) null else sumL.toDouble / cnt
+          case _ => best
+        })
+        a += 1
       }
       ex.eval(irow) == true
     }

@@ -1465,9 +1465,101 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("only integer columns"), e.getMessage)
   }
 
-  test("streaming gates aggregates in DEFINE with the contract") {
+  test("streaming aggregates in DEFINE match the batch matcher") {
     import spark.implicits._
-    Seq((1L, 1L, "a", 1L)).toDF("k", "o", "t", "v")
+    // budget stop-condition (running SUM incl. the candidate row),
+    // cross-variable AVG bound, and a MIN spread — the three DEFINE
+    // aggregate shapes — each compared batch vs streaming rewrite on
+    // the same ordered data (no watermark → every decision final, the
+    // batch semantics through the tracker code path)
+    Seq(
+      (1L, 1L, "s", 0L), (1L, 2L, "b", 4L), (1L, 3L, "b", 5L),
+      (1L, 4L, "b", 3L), (1L, 5L, "b", 2L),
+      (2L, 1L, "s", 0L), (2L, 2L, "b", 11L), (2L, 3L, "c", 9L),
+      (3L, 1L, "a", 5L), (3L, 2L, "a", 7L), (3L, 3L, "c", 8L))
+      .toDF("k", "o", "t", "v").createOrReplaceTempView("mr_agg_eq")
+    val queries = Seq(
+      """SELECT * FROM mr_agg_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(B.*) AS nb, SUM(B.v) AS sb
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S B*)
+        |  DEFINE S AS t = 's', B AS t = 'b' AND SUM(B.v) <= 10)""".stripMargin,
+      """SELECT * FROM mr_agg_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES C.v AS cv
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A{2} C)
+        |  DEFINE A AS t = 'a', C AS t = 'c' AND v > AVG(A.v))""".stripMargin,
+      """SELECT * FROM mr_agg_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(R.*) AS nr, MIN(R.v) AS lo
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (R+)
+        |  DEFINE R AS MAX(R.v) - MIN(R.v) <= 2)""".stripMargin)
+    for (q <- queries) {
+      val batchSql = MatchRecognize.rewrite(spark, q)
+      val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+        _ => Some(("o", "5 seconds")))
+      try {
+        val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+        val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+        assert(streamed === batch, s"query:\n$q")
+      } finally {
+        MatchRecognize.dropViews(spark, batchSql)
+        MatchRecognize.dropViews(spark, streamSql)
+      }
+    }
+  }
+
+  test("streaming DEFINE aggregate decides across micro-batch boundaries") {
+    // the budget run's head arrives in batch 1 but stays undecided
+    // (B* could extend); its tail and the deciding watermark advance
+    // arrive later — the running SUM must evaluate over the buffered
+    // rows exactly as batch does on the whole sequence
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(String, java.sql.Timestamp, String, Long)]
+    input.toDF().toDF("k", "ts", "t", "vm").createOrReplaceTempView("mr_agg_s")
+    val q =
+      """SELECT * FROM mr_agg_s MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES COUNT(B.*) AS nb, SUM(B.vm) AS sb
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S B*)
+        |  DEFINE S AS t = 's', B AS t = 'b' AND SUM(B.vm) <= 10)""".stripMargin
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_agg_out").outputMode("append").start()
+    try {
+      // batch 1: S and the first two B rows (sum 9, budget 10 not yet
+      // breached — undecidable while B* could extend)
+      input.addData(("a", ts(10), "s", 0L), ("a", ts(20), "b", 4L),
+        ("a", ts(30), "b", 5L))
+      query.processAllAvailable()
+      // batch 2: the breaching B (4+5+3 > 10) and a watermark driver
+      input.addData(("a", ts(40), "b", 3L), ("z", ts(300), "x", 0L))
+      query.processAllAvailable()
+      input.addData(("z", ts(900), "x", 0L))
+      query.processAllAvailable()
+      val got = spark.table("mr_agg_out").collect()
+        .filter(_.getString(0) == "a").map(r => (r.getLong(1), r.getLong(2)))
+        .toSet
+      // greedy B* stops before the breach: 2 rows, sum 9 — the batch
+      // matcher's exact answer for s b(4) b(5) b(3)
+      assert(got === Set((2L, 9L)))
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
+  test("streaming DEFINE aggregates gate non-integral columns") {
+    import spark.implicits._
+    Seq((1L, 1L, "a", 1.5)).toDF("k", "o", "t", "v")
       .createOrReplaceTempView("mr_agg_def_stream")
     val e = intercept[IllegalArgumentException](
       MatchRecognize.rewriteStreaming(spark,
@@ -1476,7 +1568,7 @@ class MatchRecognizeSpec extends AnyFunSuite {
           |  PATTERN (A B*) DEFINE A AS t = 'a',
           |    B AS SUM(B.v) <= 10)""".stripMargin,
         _ => Some(("o", "5 seconds"))))
-    assert(e.getMessage.contains("aggregates in DEFINE"), e.getMessage)
+    assert(e.getMessage.contains("only integer columns"), e.getMessage)
   }
 
   test("rewrite temp views are dropped after the statement executes") {
