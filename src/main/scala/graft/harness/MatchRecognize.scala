@@ -82,8 +82,9 @@ import scala.collection.mutable.ArrayBuffer
   * alternation inside a group, subquery sources) throw
   * `IllegalArgumentException` with the contract, mirroring the
   * WindowTvf/TemporalJoin residual checks. Streaming additionally
-  * gates NEXT, grouped sub-patterns, and measure offsets, and
-  * restricts DEFINE SUM/AVG aggregates to integral columns (see
+  * gates NEXT and measure offsets, and restricts DEFINE SUM/AVG
+  * aggregates to integral columns; grouped sub-patterns stream
+  * through the tracker's pattern-tree walker (see
   * [[rewriteStreaming]]).
   */
 object MatchRecognize {
@@ -900,18 +901,17 @@ object MatchRecognize {
       val vars = spec.pattern.flatMap(varsIn(_)).distinct
       if (vars.size > 62) fail("too many pattern variables (max 62)")
       val varOf = vars.zipWithIndex.toMap
-      // alternation branches in preference order (leftmost wins) and
-      // SKIP TO FIRST/LAST both ride through to the tracker, which
-      // mirrors the batch matcher's semantics under watermark finality.
-      // Grouped sub-patterns stay batch-only: the tracker's NFA walks
-      // flat quantified sequences, so a named gate here beats silently
-      // flattening the group's repetition semantics.
-      val branches = spec.pattern.map(_.map {
+      // alternation branches in preference order (leftmost wins), SKIP
+      // TO FIRST/LAST, and grouped sub-patterns all ride through to
+      // the tracker, which mirrors the batch matcher's semantics under
+      // watermark finality (the tracker walks the same pattern tree
+      // with a continuation — see PatternTracker.tryNodes).
+      def compileNode(n: PatNode): PatternTracker.PatNode = n match {
         case PatternElem(v, lo, hi) => PatternTracker.Elem(varOf(v), lo, hi)
-        case _: PatternGroup =>
-          fail("streaming MATCH_RECOGNIZE does not support grouped " +
-            "sub-patterns like (A B)+ — run the query in batch")
-      })
+        case PatternGroup(inner, lo, hi) =>
+          PatternTracker.Group(inner.map(compileNode), lo, hi)
+      }
+      val branches = spec.pattern.map(_.map(compileNode))
       val skipTo = spec.skipToVar.map { case (f, v) => (f, varOf(v)) }
 
       val src = spark.table(table)

@@ -65,10 +65,17 @@ final case class PatternMatch(key: String, values: List[Long],
   */
 object PatternTracker {
 
-  /** Pattern element: variable bit index, min and max repetitions
-    * (`hi = Int.MaxValue` for unbounded).
+  /** Pattern node: a quantified variable ([[Elem]]: bit index, min and
+    * max repetitions, `hi = Int.MaxValue` for unbounded) or a
+    * quantified grouped sub-pattern ([[Group]]: the inner sequence
+    * repeats as a unit, greedy with full backtracking across the group
+    * boundary — the streaming mirror of the batch matcher's pattern
+    * tree).
     */
-  final case class Elem(varIdx: Int, lo: Int, hi: Int)
+  sealed trait PatNode
+  final case class Elem(varIdx: Int, lo: Int, hi: Int) extends PatNode
+  final case class Group(inner: Seq[PatNode], lo: Int, hi: Int)
+    extends PatNode
 
   /** Measure: (kind, varIdx) with kind 0 = FIRST(var ts), 1 = LAST(var
     * ts), 2 = COUNT(var.*), 3 = COUNT(*), 4 = MATCH_NUMBER(),
@@ -176,7 +183,7 @@ object PatternTracker {
   def track(
       input: Dataset[PatternEvent],
       watermarkDelay: String,
-      elems: Seq[Elem],
+      elems: Seq[PatNode],
       measures: Seq[Measure],
       skipToNextRow: Boolean,
       withinMs: Long = 0L): Dataset[PatternMatch] =
@@ -192,7 +199,7 @@ object PatternTracker {
   def trackBranches(
       input: Dataset[PatternEvent],
       watermarkDelay: String,
-      branches: Seq[Seq[Elem]],
+      branches: Seq[Seq[PatNode]],
       measures: Seq[Measure],
       skipToNextRow: Boolean,
       skipTo: Option[(Boolean, Int)],
@@ -219,7 +226,7 @@ object PatternTracker {
       key: String,
       rows: Iterator[PatternEvent],
       state: GroupState[PatternState],
-      branches: Array[Array[Elem]],
+      branches: Array[Array[PatNode]],
       measures: Array[Measure],
       skipToNextRow: Boolean,
       skipTo: Option[(Boolean, Int)],
@@ -407,25 +414,59 @@ object PatternTracker {
     // any explored path is truncated by the maturity boundary rather
     // than by a failing predicate or the WITHIN horizon — the decision
     // is then deferred
-    def tryBranch(elems: Array[Elem], e: Int, pos: Int, pAbs: Int,
+    def tryBranch(elems: Array[PatNode], e: Int, pos: Int, pAbs: Int,
         lim: Int, horizonFinal: Boolean): Int = {
-      if (e == elems.length) return pos
-      val el = elems(e)
-      var run = 0
-      while (run < el.hi && pos + run < lim && okAt(pos + run, el.varIdx) &&
-          crossOk(el.varIdx, pos + run, pAbs, pos))
-        run += 1
-      if (run < el.hi && pos + run == lim && lim == n && !horizonFinal)
-        hitEnd = true
-      var k = run
-      while (k >= el.lo) {
-        var r = 0
-        while (r < k) { assign(pos + r) = el.varIdx; r += 1 }
-        val end = tryBranch(elems, e + 1, pos + k, pAbs, lim, horizonFinal)
-        if (end >= 0) return end
-        k -= 1
+      tryNodes(elems, e, pos, pAbs, lim, horizonFinal, p2 => p2)
+    }
+
+    /** Continuation-walking matcher for pattern trees with grouped
+      * sub-patterns — the streaming mirror of the batch matcher's
+      * `tryNodes`: `cont` receives the position after this node list
+      * and returns the final match end (or -1 to reject and
+      * backtrack), so a group's repetition loop threads through it and
+      * backtracking crosses the group boundary. hitEnd latches exactly
+      * as in `tryBranch`: a run truncated by the maturity boundary
+      * (not by a failing predicate or the WITHIN horizon) defers the
+      * decision.
+      */
+    def tryNodes(nodes: Array[PatNode], e: Int, pos: Int, pAbs: Int,
+        lim: Int, horizonFinal: Boolean, cont: Int => Int): Int = {
+      if (e == nodes.length) return cont(pos)
+      nodes(e) match {
+        case el: Elem =>
+          var run = 0
+          while (run < el.hi && pos + run < lim && okAt(pos + run, el.varIdx) &&
+              crossOk(el.varIdx, pos + run, pAbs, pos))
+            run += 1
+          if (run < el.hi && pos + run == lim && lim == n && !horizonFinal)
+            hitEnd = true
+          var k = run
+          while (k >= el.lo) {
+            var r = 0
+            while (r < k) { assign(pos + r) = el.varIdx; r += 1 }
+            val end = tryNodes(nodes, e + 1, pos + k, pAbs, lim,
+              horizonFinal, cont)
+            if (end >= 0) return end
+            k -= 1
+          }
+          -1
+        case g: Group =>
+          val inner = g.inner.toArray
+          // greedy repetition: attempt one more inner iteration before
+          // settling for n so far; an iteration that consumes no rows
+          // terminates the loop (the regex empty-loop rule)
+          def rep(iter: Int, here: Int): Int = {
+            if (iter < g.hi) {
+              val more = tryNodes(inner, 0, here, pAbs, lim, horizonFinal,
+                p2 => if (p2 == here) -1 else rep(iter + 1, p2))
+              if (more >= 0) return more
+            }
+            if (iter >= g.lo)
+              tryNodes(nodes, e + 1, here, pAbs, lim, horizonFinal, cont)
+            else -1
+          }
+          rep(0, pos)
       }
-      -1
     }
 
     val out = ArrayBuffer.empty[PatternMatch]

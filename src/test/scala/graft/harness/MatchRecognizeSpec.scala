@@ -504,20 +504,91 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NEXT"), s"message: ${e.getMessage}")
   }
 
-  test("streaming gates grouped sub-patterns with the contract") {
+  test("streaming grouped sub-patterns match the batch matcher") {
     import spark.implicits._
-    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"))
-      .toDF("k", "ts", "t").createOrReplaceTempView("mr_grp_stream")
-    val e = intercept[IllegalArgumentException] {
-      MatchRecognize.rewriteStreaming(spark,
-        """SELECT * FROM mr_grp_stream MATCH_RECOGNIZE (
-          |  PARTITION BY k ORDER BY ts
-          |  MEASURES COUNT(A.*) AS na
-          |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
-          |  PATTERN ((A B)+) DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin,
-        _ => Some(("ts", "5 seconds")))
+    // retry cycles, iteration backtracking, bounded group quantifiers
+    // — compared batch vs streaming rewrite on the same ordered data
+    Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (1L, 5L, "s"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "s"),
+      (3L, 1L, "a"), (3L, 2L, "b"), (3L, 3L, "a"), (3L, 4L, "s"))
+      .toDF("k", "o", "t").createOrReplaceTempView("mr_grp_eq")
+    val queries = Seq(
+      """SELECT * FROM mr_grp_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((A B)+ S)
+        |  DEFINE A AS t = 'a', B AS t = 'b', S AS t = 's')""".stripMargin,
+      """SELECT * FROM mr_grp_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((A B){1,2})
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+    for (q <- queries) {
+      val batchSql = MatchRecognize.rewrite(spark, q)
+      val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+        _ => Some(("o", "5 seconds")))
+      try {
+        val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+        val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+        assert(streamed === batch, s"query:\n$q")
+      } finally {
+        MatchRecognize.dropViews(spark, batchSql)
+        MatchRecognize.dropViews(spark, streamSql)
+      }
     }
-    assert(e.getMessage.contains("grouped"), s"message: ${e.getMessage}")
+  }
+
+  test("streaming grouped sub-pattern defers across micro-batches") {
+    // the group's first iteration arrives in batch 1; (A B)+ could
+    // extend, so nothing may emit until the closing S matures — the
+    // decision must defer (hitEnd) across the group boundary, then
+    // produce exactly the batch answer
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(String, java.sql.Timestamp, String)]
+    input.toDF().toDF("k", "ts", "t").createOrReplaceTempView("mr_grp_s")
+    val q =
+      """SELECT * FROM mr_grp_s MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((A B)+ S)
+        |  DEFINE A AS t = 'a', B AS t = 'b', S AS t = 's')""".stripMargin
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_grp_out").outputMode("append").start()
+    try {
+      // batch 1: one full (a b) pair, undecided — the group may
+      // extend. z drives the watermark to 17 s: past nothing of g's,
+      // and NOT past batch 2's rows (a later-than-watermark arrival
+      // would be dropped as late upstream)
+      input.addData(("g", ts(10), "a"), ("g", ts(20), "b"),
+        ("z", ts(22), "x"))
+      query.processAllAvailable()
+      val mid = spark.table("mr_grp_out").collect()
+        .filter(_.getString(0) == "g")
+      assert(mid.isEmpty, "group decision leaked before the closing S")
+      // batch 2: second pair + closing s, then a watermark driver
+      input.addData(("g", ts(30), "a"), ("g", ts(40), "b"),
+        ("g", ts(50), "s"), ("z", ts(300), "x"))
+      query.processAllAvailable()
+      input.addData(("z", ts(900), "x"))
+      query.processAllAvailable()
+      val got = spark.table("mr_grp_out").collect()
+        .filter(_.getString(0) == "g")
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set((2L, 2L, 1L)))
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
   }
 
   test("running SUM in DEFINE stops the greedy run at the budget") {
