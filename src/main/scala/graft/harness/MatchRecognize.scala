@@ -82,10 +82,9 @@ import scala.collection.mutable.ArrayBuffer
   * alternation inside a group, subquery sources) throw
   * `IllegalArgumentException` with the contract, mirroring the
   * WindowTvf/TemporalJoin residual checks. Streaming additionally
-  * gates NEXT and measure offsets, and restricts DEFINE SUM/AVG
-  * aggregates to integral columns; grouped sub-patterns stream
-  * through the tracker's pattern-tree walker (see
-  * [[rewriteStreaming]]).
+  * gates NEXT and restricts DEFINE SUM/AVG aggregates to integral
+  * columns; grouped sub-patterns and FIRST/LAST measure offsets
+  * stream through the tracker (see [[rewriteStreaming]]).
   */
 object MatchRecognize {
 
@@ -942,13 +941,14 @@ object MatchRecognize {
       // their columns gate to INTEGRAL types so the tracker aggregates
       // exact longs (no double/decimal round-trip hazards in state)
       val aggCols = ArrayBuffer.empty[String]
+      // FIRST/LAST(V.col, k) logical offsets, parallel to `measures`:
+      // the tracker counts occurrences over the final assignment at
+      // emission time, exactly the batch edgeRow
+      val measureOffsets = spec.measures.map {
+        case ColMeasure(_, _, _, _, off) => off
+        case _ => 0
+      }.toArray
       val measures = spec.measures.map {
-        case ColMeasure(_, c, _, _, off) if off != 0 =>
-          // the tracker's edge scan carries no occurrence counter in
-          // state; a named gate beats a silently-wrong edge value
-          fail(s"streaming MATCH_RECOGNIZE does not support the " +
-            s"FIRST/LAST($c, $off) logical-offset form — run the " +
-            "query in batch")
         case ColMeasure(v, c, first, _, _) =>
           if (c.equalsIgnoreCase(wmCol)) (if (first) 0 else 1, varOf(v))
           else {
@@ -1306,7 +1306,8 @@ object MatchRecognize {
         spec.skipToNextRow, skipTo, spec.withinMs.getOrElse(0L),
         prevSpecOpt,
         if (aggCols.isEmpty) None
-        else Some(PatternTracker.AggSpec(aggCols.toArray)))
+        else Some(PatternTracker.AggSpec(aggCols.toArray)),
+        if (measureOffsets.forall(_ == 0)) null else measureOffsets)
 
       val keySchema = StructType(
         spec.partitionBy.map(p => src.schema(fieldIdx(p))).toArray)

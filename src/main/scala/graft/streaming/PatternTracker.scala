@@ -205,7 +205,13 @@ object PatternTracker {
       skipTo: Option[(Boolean, Int)],
       withinMs: Long,
       prevSpec: Option[PrevSpec] = None,
-      aggSpec: Option[AggSpec] = None): Dataset[PatternMatch] = {
+      aggSpec: Option[AggSpec] = None,
+      // per-measure FIRST/LAST logical offset (SQL:2016
+      // `FIRST/LAST(V.col, k)`), parallel to `measures`; null = all 0.
+      // Evaluation happens at emission time, when the match extent is
+      // fully matured, so the offset is a plain occurrence count over
+      // the final assignment — no extra state.
+      measureOffsets: Array[Int] = null): Dataset[PatternMatch] = {
     implicit val outEnc = Encoders.product[PatternMatch]
     implicit val stateEnc = Encoders.product[PatternState]
     implicit val keyEnc = Encoders.STRING
@@ -219,7 +225,7 @@ object PatternTracker {
         (key: String, rows: Iterator[PatternEvent],
          state: GroupState[PatternState]) =>
           update(key, rows, state, branchArr, measureArr, skipToNextRow,
-            skipTo, withinMs, prevSpec, aggSpec))
+            skipTo, withinMs, prevSpec, aggSpec, measureOffsets))
   }
 
   private def update(
@@ -232,7 +238,8 @@ object PatternTracker {
       skipTo: Option[(Boolean, Int)],
       withinMs: Long,
       prevSpec: Option[PrevSpec],
-      aggSpec: Option[AggSpec]): Iterator[PatternMatch] = {
+      aggSpec: Option[AggSpec],
+      measureOffsets: Array[Int]): Iterator[PatternMatch] = {
     val prev = state.getOption.getOrElse(PatternState(Nil, 0L, Nil))
     val incoming = rows.map(e => (e.ts.getTime, e.defs, e.vals, e.lag)).toList
     // ties on (ts, defs, vals) have no further discriminator; sorting on
@@ -506,12 +513,16 @@ object PatternTracker {
         // first/last matching row for variable v in [p, end): shared by
         // the time measures (value = its time) and the payload measures
         // (value = its vals JSON); -1 when the variable matched no row
-        def edgeRow(v: Int, first: Boolean): Int = {
+        def edgeRow(v: Int, first: Boolean, skip: Int = 0): Int = {
           var r = if (first) p else end - 1
           val step = if (first) 1 else -1
           var left = end - p
+          var remaining = skip
           while (left > 0) {
-            if (assign(r) == v) return r
+            if (assign(r) == v) {
+              if (remaining == 0) return r
+              remaining -= 1
+            }
             r += step; left -= 1
           }
           -1
@@ -532,15 +543,17 @@ object PatternTracker {
           if (node eq NullTree) null
           else node.asInstanceOf[com.fasterxml.jackson.databind.JsonNode]
         }
-        val vals = measures.map { case (kind, v) =>
+        val vals = measures.zipWithIndex.map { case ((kind, v), mi) =>
+          def off: Int = if (measureOffsets == null) 0 else measureOffsets(mi)
           kind match {
             case 0 | 1 =>
               // found-ness tracked separately from the value: any epoch
-              // ms (including negatives) is a legitimate match time
-              val r = edgeRow(v, first = kind == 0)
+              // ms (including negatives) is a legitimate match time;
+              // a logical offset past the assignment list → unmatched
+              val r = edgeRow(v, first = kind == 0, skip = off)
               if (r < 0) UnmatchedTime else matured(r)._1
             case 5 | 6 =>
-              val r = edgeRow(v, first = kind == 5)
+              val r = edgeRow(v, first = kind == 5, skip = off)
               cvals += (if (r < 0) null else matured(r)._3)
               0L // placeholder: the payload rides cvals
             case 2 =>

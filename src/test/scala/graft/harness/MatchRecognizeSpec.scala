@@ -442,20 +442,37 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > FIRST(A.v, 1))""".stripMargin,
       "unsupported FIRST() form")
-    // streaming gates offsets with the contract
+  }
+
+  test("streaming FIRST/LAST offsets match the batch matcher") {
     import spark.implicits._
-    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1L))
-      .toDF("k", "ts", "t", "v").createOrReplaceTempView("mr_off_stream")
-    val e = intercept[IllegalArgumentException] {
-      MatchRecognize.rewriteStreaming(spark,
-        """SELECT * FROM mr_off_stream MATCH_RECOGNIZE (
-          |  PARTITION BY k ORDER BY ts
-          |  MEASURES LAST(A.v, 1) AS lv
-          |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
-          |  PATTERN (A+) DEFINE A AS t = 'a')""".stripMargin,
-        _ => Some(("ts", "5 seconds")))
+    Seq((1L, 1L, "s", 10L), (1L, 2L, "b", 20L), (1L, 3L, "b", 30L),
+      (1L, 4L, "b", 40L),
+      (2L, 1L, "s", 5L), (2L, 2L, "b", 6L))
+      .toDF("k", "o", "t", "v").createOrReplaceTempView("mr_off_eq")
+    val q =
+      """SELECT * FROM mr_off_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(B.v, 1) AS f1, LAST(B.v, 1) AS l1,
+        |    LAST(B.v, 9) AS l9, COUNT(B.*) AS nb
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S B+)
+        |  DEFINE S AS t = 's', B AS t = 'b')""".stripMargin
+    val batchSql = MatchRecognize.rewrite(spark, q)
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("o", "5 seconds")))
+    try {
+      val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // k=1: B rows 20,30,40 → f1=30, l1=30, l9 past the list = NULL;
+      // k=2: one B row → offset 1 is NULL for both
+      assert(batch === Set(Seq(1L, 30L, 30L, null, 3L),
+        Seq(2L, null, null, null, 1L)))
+    } finally {
+      MatchRecognize.dropViews(spark, batchSql)
+      MatchRecognize.dropViews(spark, streamSql)
     }
-    assert(e.getMessage.contains("logical-offset"), s"message: ${e.getMessage}")
   }
 
   test("NEXT() navigation in DEFINE looks one row ahead") {
