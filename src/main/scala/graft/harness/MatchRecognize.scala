@@ -81,10 +81,11 @@ import scala.collection.mutable.ArrayBuffer
   * other than SUM/AVG/MIN/MAX(V.col), FIRST/LAST offsets in DEFINE,
   * alternation inside a group, subquery sources) throw
   * `IllegalArgumentException` with the contract, mirroring the
-  * WindowTvf/TemporalJoin residual checks. Streaming additionally
-  * gates NEXT and restricts DEFINE SUM/AVG aggregates to integral
-  * columns; grouped sub-patterns and FIRST/LAST measure offsets
-  * stream through the tracker (see [[rewriteStreaming]]).
+  * WindowTvf/TemporalJoin residual checks. Streaming restricts DEFINE
+  * SUM/AVG aggregates to integral columns; grouped sub-patterns,
+  * FIRST/LAST measure offsets, and PREV/NEXT navigation all stream
+  * through the tracker (NEXT defers decisions within its lead offset
+  * of the maturity boundary — see [[rewriteStreaming]]).
   */
 object MatchRecognize {
 
@@ -874,15 +875,6 @@ object MatchRecognize {
           "subquery sources are not supported"))
       val table = tm.group(1)
       val spec = parseSpec(out.substring(open + 1, end - 1))
-      spec.defines.foreach { case (v, p) =>
-        // NEXT is batch-only: the tracker evaluates a row's predicate
-        // when the row matures, and its physical NEXT row may not have
-        // matured yet — a named gate beats an unresolved-function error
-        if (hasNextNav(p))
-          fail(s"streaming MATCH_RECOGNIZE does not support NEXT() " +
-            s"navigation (DEFINE $v) — run the query in batch, or " +
-            "restate the predicate with PREV on a later variable")
-      }
       // PREV(col[, k]) in DEFINE is supported: the referenced columns
       // ride a type-gated JSON payload per row and the tracker
       // re-evaluates those variables' bits over the matured, ordered
@@ -1013,16 +1005,17 @@ object MatchRecognize {
         vars.flatMap { v =>
           spec.defines.get(v).flatMap { p =>
             val others = allVarSet - v
+            def hasNav(c: String): Boolean = hasPrev(c) || hasNextNav(c)
             def inMatcher(c: String): Boolean =
               hasCrossRef(c, others) || hasAggRef(c, allVarSet)
-            if (!hasPrev(p) && !inMatcher(p)) None
+            if (!hasNav(p) && !inMatcher(p)) None
             else {
               val conjs = splitTopLevelAnd(p)
-              conjs.find(c => hasPrev(c) && inMatcher(c))
-                .foreach(_ => fail(s"DEFINE $v mixes PREV() and a " +
-                  "cross-variable/aggregate reference in one " +
+              conjs.find(c => hasNav(c) && inMatcher(c))
+                .foreach(_ => fail(s"DEFINE $v mixes PREV()/NEXT() and " +
+                  "a cross-variable/aggregate reference in one " +
                   "AND-conjunct — split them into separate conjuncts"))
-              val (pp, notPrev) = conjs.partition(hasPrev)
+              val (pp, notPrev) = conjs.partition(hasNav)
               val (cc, rest) = notPrev.partition(inMatcher)
               Some(v -> ((pp, cc, rest)))
             }
@@ -1081,29 +1074,44 @@ object MatchRecognize {
           val exprCols = scala.collection.mutable.LinkedHashMap
             .empty[String, (String, String)] // normKey -> (slotName, exprText)
           var maxK = 0
+          var maxNextK = 0
           val prevRewritten: Map[String, String] = prevVars.map { v =>
-            val t = mapPrevCalls(prevSplit(v)._1) { (e, kStr) =>
-              // guard the parse: \d+ can exceed Int range; the contract
-              // error must fire, not NumberFormatException
-              val k = if (kStr.length > 9) Int.MaxValue else kStr.toInt
+            def navSlotBase(e: String): String = e match {
+              case BareColRe() =>
+                val cn = srcNames.getOrElse(e.toLowerCase,
+                  fail(s"column $e not found in $table"))
+                referenced += cn
+                cn
+              case _ =>
+                exprCols.getOrElseUpdate(e.replaceAll(raw"\s+", " "),
+                  (s"__pe_${exprCols.size + 1}", e))._1
+            }
+            // guard the parse: \d+ can exceed Int range; the contract
+            // error must fire, not NumberFormatException
+            def navK(kStr: String): Int =
+              if (kStr.length > 9) Int.MaxValue else kStr.toInt
+            val withPrev = mapPrevCalls(prevSplit(v)._1) { (e, kStr) =>
+              val k = navK(kStr)
               maxK = math.max(maxK, k)
-              val slotBase = e match {
-                case BareColRe() =>
-                  val cn = srcNames.getOrElse(e.toLowerCase,
-                    fail(s"column $e not found in $table"))
-                  referenced += cn
-                  cn
-                case _ =>
-                  exprCols.getOrElseUpdate(e.replaceAll(raw"\s+", " "),
-                    (s"__pe_${exprCols.size + 1}", e))._1
-              }
+              val slotBase = navSlotBase(e)
               if (k == 0) slotBase else s"__prev_${k}_$slotBase"
+            }
+            // NEXT mirrors PREV with lead slots: the tracker fills them
+            // from matured successors and defers decisions within
+            // maxNextK of the maturity boundary (see PatternTracker)
+            val t = mapNextCalls(withPrev) { (e, kStr) =>
+              val k = navK(kStr)
+              maxNextK = math.max(maxNextK, k)
+              val slotBase = navSlotBase(e)
+              if (k == 0) slotBase else s"__next_${k}_$slotBase"
             }
             sweepIds(t)
             v -> t
           }.toMap
           if (maxK > 16) fail(s"PREV offset $maxK exceeds the streaming " +
             "subset's maximum of 16")
+          if (maxNextK > 16) fail(s"NEXT offset $maxNextK exceeds the " +
+            "streaming subset's maximum of 16")
           crossVars.foreach { v =>
             val pred = split(v)._2.map(c => s"($c)").mkString(" AND ")
             val mp = maskQuoted(pred)
@@ -1162,7 +1170,9 @@ object MatchRecognize {
             exprCols.values.toSeq.map { case (name, text) =>
               sexpr(s"($text)").as(name) }
           val schemaAll = fields ++ (1 to maxK).flatMap(k =>
-            fields.map(f => StructField(s"__prev_${k}_${f.name}", f.dataType)))
+            fields.map(f => StructField(s"__prev_${k}_${f.name}", f.dataType))) ++
+            (1 to maxNextK).flatMap(k =>
+              fields.map(f => StructField(s"__next_${k}_${f.name}", f.dataType)))
           val attrs = schemaAll
             .map(f => AttributeReference(f.name, f.dataType, nullable = true)())
             .toIndexedSeq
@@ -1271,7 +1281,8 @@ object MatchRecognize {
               refs.values.toArray, aggRefs.values.toArray)
           }.toArray
           Some(PatternTracker.PrevSpec(fields.map(_.name).toArray,
-            fields.map(_.dataType).toArray, maxK, preds, crossPreds))
+            fields.map(_.dataType).toArray, maxK, preds, crossPreds,
+            maxNextK))
         }
 
       val defsExpr = vars.zipWithIndex.map { case (v, i) =>

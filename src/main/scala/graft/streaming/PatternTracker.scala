@@ -136,7 +136,15 @@ object PatternTracker {
       crossPreds: Array[(Int,
         org.apache.spark.sql.catalyst.expressions.Expression,
         Array[(Boolean, Int, Int)],
-        Array[(Int, Int, Int)])] = Array())
+        Array[(Int, Int, Int)])] = Array(),
+      // max NEXT(col, k) lead offset: the preds layout gains
+      // `__next_1_<col>.. __next_maxNextK_<col>` blocks after the PREV
+      // blocks, filled from MATURED successors (their values are final
+      // — all rows below the watermark are present and sorted, and a
+      // row's successor is never consumed while the row is undecided).
+      // Decisions defer within maxNextK of the maturity boundary: the
+      // last maxNextK matured rows' successors may not have arrived.
+      maxNextK: Int = 0)
 
   private lazy val jackson = new com.fasterxml.jackson.databind.ObjectMapper
 
@@ -280,7 +288,7 @@ object PatternTracker {
         Array.tabulate(n) { i =>
           var d = matured(i)._2
           val row = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(c0 * (ps.maxK + 1))
+            .GenericInternalRow(c0 * (ps.maxK + 1 + ps.maxNextK))
           var c = 0
           while (c < c0) { row.update(c, lagVals(i)(c)); c += 1 }
           var k = 1
@@ -293,6 +301,23 @@ object PatternTracker {
             var c2 = 0
             while (c2 < c0) {
               row.update(k * c0 + c2, if (src == null) null else src(c2))
+              c2 += 1
+            }
+            k += 1
+          }
+          // NEXT slots from matured successors; a successor past the
+          // maturity boundary stays NULL — in batch mode (isFinal,
+          // input complete) that IS the partition end and the bit is
+          // final, while in streaming the decision loop never decides
+          // a row within maxNextK of the boundary (see decN below)
+          k = 1
+          while (k <= ps.maxNextK) {
+            val j = i + k
+            val src = if (j < n) lagVals(j) else null
+            var c2 = 0
+            while (c2 < c0) {
+              row.update((ps.maxK + k) * c0 + c2,
+                if (src == null) null else src(c2))
               c2 += 1
             }
             k += 1
@@ -411,19 +436,33 @@ object PatternTracker {
     // and Flink CEP. Because the watermark drops later-than-wm arrivals,
     // the candidate set for a start is COMPLETE once wm >= ts(p)+within:
     // a horizon-truncated run is then a final decision, not a hitEnd.
-    def limitFor(p: Int): Int = {
+    // decision horizon: rows within maxNextK of the maturity boundary
+    // have undecidable NEXT bits (their physical successors may not
+    // have arrived), so while the stream is live the matcher walks —
+    // and decides — only [0, decN); the tail rows' VALUES are final
+    // and already serve as NEXT context for earlier rows, but their
+    // own classification defers until their successors mature
+    val decN = prevSpec match {
+      case Some(ps) if ps.maxNextK > 0 && !isFinal =>
+        math.max(0, n - ps.maxNextK)
+      case _ => n
+    }
+    // true WITHIN horizon end over the matured rows (n when unbounded)
+    def horizonEnd(p: Int): Int = {
       if (withinMs <= 0L) return n
       var r = p
       while (r < n && matured(r)._1 - matured(p)._1 < withinMs) r += 1
       r
     }
     // greedy backtracking over the matured prefix; `hitEnd` latches when
-    // any explored path is truncated by the maturity boundary rather
-    // than by a failing predicate or the WITHIN horizon — the decision
-    // is then deferred
+    // any explored path is truncated by the DEFERRAL boundary (maturity
+    // end, or the NEXT decidability edge decN) rather than by a failing
+    // predicate or a closed WITHIN horizon — the decision is then
+    // deferred. `deferAtLim` is precomputed per start (see the decision
+    // loop): true when a run reaching `lim` means "more input needed".
     def tryBranch(elems: Array[PatNode], e: Int, pos: Int, pAbs: Int,
-        lim: Int, horizonFinal: Boolean): Int = {
-      tryNodes(elems, e, pos, pAbs, lim, horizonFinal, p2 => p2)
+        lim: Int, deferAtLim: Boolean): Int = {
+      tryNodes(elems, e, pos, pAbs, lim, deferAtLim, p2 => p2)
     }
 
     /** Continuation-walking matcher for pattern trees with grouped
@@ -431,13 +470,10 @@ object PatternTracker {
       * `tryNodes`: `cont` receives the position after this node list
       * and returns the final match end (or -1 to reject and
       * backtrack), so a group's repetition loop threads through it and
-      * backtracking crosses the group boundary. hitEnd latches exactly
-      * as in `tryBranch`: a run truncated by the maturity boundary
-      * (not by a failing predicate or the WITHIN horizon) defers the
-      * decision.
+      * backtracking crosses the group boundary.
       */
     def tryNodes(nodes: Array[PatNode], e: Int, pos: Int, pAbs: Int,
-        lim: Int, horizonFinal: Boolean, cont: Int => Int): Int = {
+        lim: Int, deferAtLim: Boolean, cont: Int => Int): Int = {
       if (e == nodes.length) return cont(pos)
       nodes(e) match {
         case el: Elem =>
@@ -445,14 +481,14 @@ object PatternTracker {
           while (run < el.hi && pos + run < lim && okAt(pos + run, el.varIdx) &&
               crossOk(el.varIdx, pos + run, pAbs, pos))
             run += 1
-          if (run < el.hi && pos + run == lim && lim == n && !horizonFinal)
+          if (run < el.hi && pos + run == lim && deferAtLim)
             hitEnd = true
           var k = run
           while (k >= el.lo) {
             var r = 0
             while (r < k) { assign(pos + r) = el.varIdx; r += 1 }
             val end = tryNodes(nodes, e + 1, pos + k, pAbs, lim,
-              horizonFinal, cont)
+              deferAtLim, cont)
             if (end >= 0) return end
             k -= 1
           }
@@ -464,12 +500,12 @@ object PatternTracker {
           // terminates the loop (the regex empty-loop rule)
           def rep(iter: Int, here: Int): Int = {
             if (iter < g.hi) {
-              val more = tryNodes(inner, 0, here, pAbs, lim, horizonFinal,
+              val more = tryNodes(inner, 0, here, pAbs, lim, deferAtLim,
                 p2 => if (p2 == here) -1 else rep(iter + 1, p2))
               if (more >= 0) return more
             }
             if (iter >= g.lo)
-              tryNodes(nodes, e + 1, here, pAbs, lim, horizonFinal, cont)
+              tryNodes(nodes, e + 1, here, pAbs, lim, deferAtLim, cont)
             else -1
           }
           rep(0, pos)
@@ -480,14 +516,22 @@ object PatternTracker {
     var matchNo = prev.matchNo
     var p = 0
     var decided = true
-    while (decided && p < n) {
+    while (decided && p < decN) {
       hitEnd = false
-      val lim = limitFor(p)
+      val hEnd = horizonEnd(p)
+      val lim = math.min(hEnd, decN)
       // all rows that could ever join a match at p are matured once the
       // horizon closes below the watermark (future arrivals have
       // ts >= wm >= horizon)
       val horizonFinal =
         withinMs > 0L && matured(p)._1 + withinMs <= wmMs
+      // a run reaching `lim` defers (rather than finally truncating)
+      // when lim is the NEXT decidability edge with in-horizon rows
+      // beyond it, or the maturity end of a horizon that has not
+      // closed — a truncation at a CLOSED horizon (hEnd < n, or
+      // horizonFinal) is a final predicate-style stop, as in batch
+      val deferAtLim = (lim == decN && decN < hEnd) ||
+        (hEnd == n && lim == hEnd && !horizonFinal)
       // branches in preference order, exactly the batch matcher: the
       // first branch with a NON-EMPTY match wins. A branch that latches
       // hitEnd stops the scan — a deferred higher-preference branch may
@@ -500,7 +544,7 @@ object PatternTracker {
       // or a boundary-touching higher branch would skip real matches
       while (b < branches.length && end < 0 && !(hitEnd && !isFinal)) {
         java.util.Arrays.fill(assign, -1)
-        val e2 = tryBranch(branches(b), 0, p, p, lim, horizonFinal)
+        val e2 = tryBranch(branches(b), 0, p, p, lim, deferAtLim)
         if (e2 > p) end = e2
         b += 1
       }

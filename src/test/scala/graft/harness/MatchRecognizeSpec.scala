@@ -505,20 +505,77 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(out === Seq(Seq(1L, 2L)))
   }
 
-  test("streaming gates NEXT() in DEFINE with the contract") {
+  test("streaming NEXT() in DEFINE matches the batch matcher") {
     import spark.implicits._
-    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
-      .toDF("k", "ts", "v").createOrReplaceTempView("mr_next_stream")
-    val e = intercept[IllegalArgumentException] {
-      MatchRecognize.rewriteStreaming(spark,
-        """SELECT * FROM mr_next_stream MATCH_RECOGNIZE (
-          |  PARTITION BY k ORDER BY ts
-          |  MEASURES COUNT(A.*) AS na
-          |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
-          |  PATTERN (A+) DEFINE A AS v > NEXT(v))""".stripMargin,
-        _ => Some(("ts", "5 seconds")))
+    // local peaks: above both physical neighbors — PREV and NEXT in
+    // one DEFINE, batch vs streaming rewrite on the same ordered data
+    Seq((1L, 1L, 1L), (1L, 2L, 5L), (1L, 3L, 2L), (1L, 4L, 7L),
+      (1L, 5L, 3L), (2L, 1L, 9L), (2L, 2L, 1L))
+      .toDF("k", "o", "v").createOrReplaceTempView("mr_next_eq")
+    val q =
+      """SELECT * FROM mr_next_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES P.v AS pv, MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (P)
+        |  DEFINE P AS v > PREV(v) AND v > NEXT(v))""".stripMargin
+    val batchSql = MatchRecognize.rewrite(spark, q)
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("o", "5 seconds")))
+    try {
+      val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(batch === Set(Seq(1L, 5L, 1L), Seq(1L, 7L, 2L)))
+    } finally {
+      MatchRecognize.dropViews(spark, batchSql)
+      MatchRecognize.dropViews(spark, streamSql)
     }
-    assert(e.getMessage.contains("NEXT"), s"message: ${e.getMessage}")
+  }
+
+  test("streaming NEXT defers the boundary row until its successor matures") {
+    // the candidate peak is the LAST matured row of batch 1: its NEXT
+    // is unknown, so no decision may emit (in either direction) until
+    // the successor arrives — then the peak must still be found
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "v").createOrReplaceTempView("mr_next_s")
+    val q =
+      """SELECT * FROM mr_next_s MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES P.v AS pv, MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (P)
+        |  DEFINE P AS v > PREV(v) AND v > NEXT(v))""".stripMargin
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_next_out").outputMode("append").start()
+    try {
+      // batch 1: 1, 5 — row 5 rises but its successor is unknown; z
+      // drives the watermark to 17 s (past both, NOT past batch 2)
+      input.addData(("g", ts(10), 1L), ("g", ts(20), 5L),
+        ("z", ts(22), 0L))
+      query.processAllAvailable()
+      assert(spark.table("mr_next_out").collect()
+        .count(_.getString(0) == "g") === 0,
+        "peak decided before its successor matured")
+      // batch 2: the falling successor closes the peak; z matures all
+      input.addData(("g", ts(30), 2L), ("z", ts(300), 0L))
+      query.processAllAvailable()
+      input.addData(("z", ts(900), 0L))
+      query.processAllAvailable()
+      val got = spark.table("mr_next_out").collect()
+        .filter(_.getString(0) == "g")
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((5L, 1L)))
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
   }
 
   test("streaming grouped sub-patterns match the batch matcher") {
