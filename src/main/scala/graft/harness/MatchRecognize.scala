@@ -1744,6 +1744,18 @@ object MatchRecognize {
     val maxSpan: Long =
       branches.map(_.foldLeft(0L)((a, n) => satAdd(a, spanOf(n)))).max
     located.mapPartitions { it =>
+      // codegen'd predicates for the cross/aggregate DEFINE conjuncts,
+      // compiled once per partition (Spark's codegen cache dedupes
+      // across partitions in the same executor): the matcher evaluates
+      // these per candidate row, where interpreted Expression.eval is
+      // the hot-loop cost at corpus scale
+      val crossPredByVar:
+          Array[org.apache.spark.sql.catalyst.expressions.BasePredicate] =
+        if (crossByVar == null) null
+        else crossByVar.map(cd =>
+          if (cd == null) null
+          else org.apache.spark.sql.catalyst.expressions.Predicate
+            .create(cd.expr))
       new Iterator[Row] {
         private var lookahead: Option[Row] = None
 
@@ -2039,7 +2051,7 @@ object MatchRecognize {
               irow.update(baseLen + nRefs + a, value)
               a += 1
             }
-            cd.expr.eval(irow) == true
+            crossPredByVar(v).eval(irow)
           }
 
           // greedy backtracking within one branch: returns the match

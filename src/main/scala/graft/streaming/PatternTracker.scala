@@ -148,6 +148,29 @@ object PatternTracker {
 
   private lazy val jackson = new com.fasterxml.jackson.databind.ObjectMapper
 
+  /** Codegen'd predicate per bound DEFINE expression, memoized on the
+    * expression instance: `update` runs once per key per trigger, and
+    * interpreted `Expression.eval` per row is the hot cost of the
+    * PREV/NEXT bit recompute and the cross/aggregate match-time
+    * evaluation. Closures deserialize per task, so instances (and thus
+    * cache entries and their generated predicates) are task-local —
+    * no cross-thread sharing of generated state.
+    */
+  private val predCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.catalyst.expressions.Expression,
+      org.apache.spark.sql.catalyst.expressions.BasePredicate]())
+  private def compiledPred(
+      ex: org.apache.spark.sql.catalyst.expressions.Expression):
+      org.apache.spark.sql.catalyst.expressions.BasePredicate = {
+    var p = predCache.get(ex)
+    if (p == null) {
+      p = org.apache.spark.sql.catalyst.expressions.Predicate.create(ex)
+      predCache.put(ex, p)
+    }
+    p
+  }
+
   // memo sentinel for "this row has no vals payload" (null can't be a
   // HashMap hit marker)
   private val NullTree: AnyRef = new Object
@@ -327,7 +350,7 @@ object PatternTracker {
           // clearing the bit when they don't hold (skipping eval when
           // the upstream bit is already 0, like SQL AND short-circuit)
           ps.preds.foreach { case (v, ex) =>
-            if (((d >> v) & 1L) == 1L && ex.eval(row) != true)
+            if (((d >> v) & 1L) == 1L && !compiledPred(ex).eval(row))
               d &= ~(1L << v)
           }
           d
@@ -429,7 +452,7 @@ object PatternTracker {
         })
         a += 1
       }
-      ex.eval(irow) == true
+      compiledPred(ex).eval(irow)
     }
     // WITHIN horizon for a match starting at p: rows with
     // ts - ts(p) < withinMs, strict — identical to the batch matcher
