@@ -1517,7 +1517,11 @@ object MatchRecognize {
         expr: org.apache.spark.sql.catalyst.expressions.Expression,
         refs: Array[(Boolean, Int, Int)],
         // (fnKind 0=SUM 1=AVG 2=MIN 3=MAX, varIdx, colIdx, mode 0=long 1=double)
-        aggRefs: Array[(Int, Int, Int, Int)])
+        aggRefs: Array[(Int, Int, Int, Int)],
+        // base-row ordinals the bound expression actually reads — the
+        // matcher fills only these per candidate row instead of
+        // copying the full row width
+        usedBase: Array[Int])
     val crossByVar: Array[CrossDef] =
       if (crossParts.isEmpty) null
       else {
@@ -1624,11 +1628,16 @@ object MatchRecognize {
           if (!cond.resolved)
             fail(s"cannot resolve DEFINE $v over the input columns and " +
               "its cross-variable references")
-          arr(varOf(v)) = CrossDef(
-            BindReferences.bindReference(cond, attrs),
+          val bound = BindReferences.bindReference(cond, attrs)
+          val usedBase = bound.collect {
+            case b: org.apache.spark.sql.catalyst.expressions.BoundReference
+                if b.ordinal < baseLen => b.ordinal
+          }.distinct.toArray
+          arr(varOf(v)) = CrossDef(bound,
             refs.values.toArray,
             aggRefs.values.toArray.map { case (k, rv, ci, mode, _) =>
-              (k, rv, ci, mode) })
+              (k, rv, ci, mode) },
+            usedBase)
         }
         arr
       }
@@ -2023,7 +2032,10 @@ object MatchRecognize {
             val irow = csIrow
             val cur = at(rowAbs).cat
             var i = 0
-            while (i < baseLen) { irow.update(i, cur(i)); i += 1 }
+            while (i < cd.usedBase.length) {
+              val o = cd.usedBase(i)
+              irow.update(o, cur(o)); i += 1
+            }
             var j = 0
             while (j < nRefs) { irow.update(baseLen + j, csRefVals(j)); j += 1 }
             var a = 0
