@@ -277,8 +277,13 @@ object MatchRecognize {
           if ((fl == null) != (close == null)) fail(s"unbalanced FIRST/LAST in measure: $m")
           if (off != null && fl == null)
             fail(s"logical offset needs FIRST/LAST(V.col, k): $m")
+          // a 10+-digit offset exceeds Int range; saturate like the
+          // streaming navK guard (an offset past any real assignment
+          // list is NULL, not NumberFormatException)
           ColMeasure(v.toUpperCase, c, first = fl != null && fl.equalsIgnoreCase("FIRST"),
-            alias = alias, offset = if (off == null) 0 else off.toInt)
+            alias = alias,
+            offset = if (off == null) 0
+              else if (off.length > 9) Int.MaxValue else off.toInt)
         case other => fail(s"unsupported measure (want V.col, FIRST/LAST(V.col[, k]), " +
           s"SUM/AVG/MIN/MAX(V.col), COUNT(V.*), COUNT(*), MATCH_NUMBER(), " +
           s"CLASSIFIER(), each optionally prefixed RUNNING|FINAL): $other")

@@ -603,14 +603,17 @@ object PatternQueries {
     * (consumed spans are view + clicks, never another view), so the
     * oracle replays it as a per-view prefix scan: the consecutive
     * click block after the view, cut at the first non-click, with a
-    * window running sum; vm > 0 makes the running sum monotone, so
-    * `cum <= budget` is exactly the greedy prefix the matcher takes.
+    * window running sum. The prefix argument needs the running sum
+    * MONOTONE, so vm derives from ABS(value) on BOTH sides — a
+    * testdata change emitting negative values then cannot make oracle
+    * and matcher legitimately diverge (a negative addend would let
+    * `cum <= budget` re-enter after the greedy matcher stopped).
     */
   val q76AggDefine: Q = Q(
     "q76_agg_define",
     """WITH e AS (
       |  SELECT user_id, event_id, event_type,
-      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    CAST(FLOOR(ABS(value) * 1000 + 0.5) AS BIGINT) AS vm,
       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
       |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
       |  FROM events),
@@ -638,7 +641,7 @@ object PatternQueries {
     Tables.load(s, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
-        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+        floor(abs(col("value")) * 1000d + 0.5d).cast("long").as("vm"))
       .createOrReplaceTempView("graft_mr_events_budget")
     graft.harness.MatchRecognize.sql(s,
       """SELECT user_id, n_clicks, spent, mn

@@ -144,32 +144,29 @@ object PatternTracker {
       // row's successor is never consumed while the row is undecided).
       // Decisions defer within maxNextK of the maturity boundary: the
       // last maxNextK matured rows' successors may not have arrived.
-      maxNextK: Int = 0)
+      maxNextK: Int = 0) {
+
+    /** Codegen'd predicates, compiled once per deserialized instance:
+      * `update` runs once per key per trigger, and interpreted
+      * `Expression.eval` per row is the hot cost of the PREV/NEXT bit
+      * recompute and the cross/aggregate match-time evaluation. The
+      * spec deserializes with the task closure, so each task compiles
+      * (and exclusively owns) its own predicates — generated code that
+      * carries mutable state (e.g. a non-foldable RLIKE pattern cache)
+      * is never shared across concurrently-running tasks, which a memo
+      * keyed by STRUCTURAL expression equality could not guarantee.
+      */
+    @transient lazy val compiledPreds:
+        Array[(Int, org.apache.spark.sql.catalyst.expressions.BasePredicate)] =
+      preds.map { case (v, ex) =>
+        (v, org.apache.spark.sql.catalyst.expressions.Predicate.create(ex)) }
+    @transient lazy val compiledCrossPreds:
+        Array[org.apache.spark.sql.catalyst.expressions.BasePredicate] =
+      crossPreds.map { case (_, ex, _, _) =>
+        org.apache.spark.sql.catalyst.expressions.Predicate.create(ex) }
+  }
 
   private lazy val jackson = new com.fasterxml.jackson.databind.ObjectMapper
-
-  /** Codegen'd predicate per bound DEFINE expression, memoized on the
-    * expression instance: `update` runs once per key per trigger, and
-    * interpreted `Expression.eval` per row is the hot cost of the
-    * PREV/NEXT bit recompute and the cross/aggregate match-time
-    * evaluation. Closures deserialize per task, so instances (and thus
-    * cache entries and their generated predicates) are task-local —
-    * no cross-thread sharing of generated state.
-    */
-  private val predCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[
-      org.apache.spark.sql.catalyst.expressions.Expression,
-      org.apache.spark.sql.catalyst.expressions.BasePredicate]())
-  private def compiledPred(
-      ex: org.apache.spark.sql.catalyst.expressions.Expression):
-      org.apache.spark.sql.catalyst.expressions.BasePredicate = {
-    var p = predCache.get(ex)
-    if (p == null) {
-      p = org.apache.spark.sql.catalyst.expressions.Predicate.create(ex)
-      predCache.put(ex, p)
-    }
-    p
-  }
 
   // memo sentinel for "this row has no vals payload" (null can't be a
   // HashMap hit marker)
@@ -349,8 +346,8 @@ object PatternTracker {
           // def bit; the tracker ANDs in the PREV-bearing conjuncts by
           // clearing the bit when they don't hold (skipping eval when
           // the upstream bit is already 0, like SQL AND short-circuit)
-          ps.preds.foreach { case (v, ex) =>
-            if (((d >> v) & 1L) == 1L && !compiledPred(ex).eval(row))
+          ps.compiledPreds.foreach { case (v, pred) =>
+            if (((d >> v) & 1L) == 1L && !pred.eval(row))
               d &= ~(1L << v)
           }
           d
@@ -362,14 +359,15 @@ object PatternTracker {
       (((if (effDefs == null) matured(i)._2 else effDefs(i)) >> v) & 1L) == 1L
     var hitEnd = false
     val assign = Array.fill(n)(-1)
-    // cross-variable conjuncts by variable index (null when unused)
-    val crossByVar: Array[(org.apache.spark.sql.catalyst.expressions.Expression,
+    // cross-variable conjuncts by variable index (null when unused);
+    // the predicate is the instance-owned compiled form (see PrevSpec)
+    val crossByVar: Array[(org.apache.spark.sql.catalyst.expressions.BasePredicate,
         Array[(Boolean, Int, Int)], Array[(Int, Int, Int)])] = prevSpec match {
       case Some(ps) if ps.crossPreds.nonEmpty =>
-        val arr = new Array[(org.apache.spark.sql.catalyst.expressions.Expression,
+        val arr = new Array[(org.apache.spark.sql.catalyst.expressions.BasePredicate,
           Array[(Boolean, Int, Int)], Array[(Int, Int, Int)])](64)
-        ps.crossPreds.foreach { case (v, ex, refs, aggs) =>
-          arr(v) = (ex, refs, aggs) }
+        ps.crossPreds.zip(ps.compiledCrossPreds).foreach {
+          case ((v, _, refs, aggs), pred) => arr(v) = (pred, refs, aggs) }
         arr
       case _ => null
     }
@@ -390,7 +388,7 @@ object PatternTracker {
       if (crossByVar == null) return true
       val cd = crossByVar(v)
       if (cd == null) return true
-      val (ex, refs, aggs) = cd
+      val (pred, refs, aggs) = cd
       val c0 = prevSpec.get.cols.length
       val irow = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(c0 + refs.length + aggs.length)
@@ -452,7 +450,7 @@ object PatternTracker {
         })
         a += 1
       }
-      compiledPred(ex).eval(irow)
+      pred.eval(irow)
     }
     // WITHIN horizon for a match starting at p: rows with
     // ts - ts(p) < withinMs, strict — identical to the batch matcher
