@@ -28,8 +28,9 @@ import scala.collection.mutable.ArrayBuffer
   *                                   -- no-row / match-start cases
   *                                   -- throw at runtime, like Flink)
   *   PATTERN (V1[q] V2[q] ... [| ...])  -- q: * + ? {n} {n,} {n,m};
-  *                                   -- top-level alternation (leftmost
-  *                                   -- branch preferred) and
+  *                                   -- alternation at top level AND
+  *                                   -- inside grouped sub-patterns
+  *                                   -- (leftmost branch preferred),
   *                                   -- PERMUTE(A, B, ...) (batch only)
   *     [WITHIN INTERVAL 'n' UNIT]    -- Flink CEP duration bound: all
   *                                   -- match rows within n of the
@@ -72,14 +73,15 @@ import scala.collection.mutable.ArrayBuffer
   * run (the same unbounded-state contract as Flink's CEP operator for
   * such patterns).
   *
-  * Grouped sub-patterns `(A B)+` are supported in batch: the group
-  * repeats as a unit, greedy with full backtracking across the group
-  * boundary (the matcher walks a compiled pattern tree with a
-  * continuation — see `tryNodes`). NEXT(expr[, k]) forward navigation
-  * is supported in batch (precomputed as `lead`, symmetric to PREV).
+  * Grouped sub-patterns `(A B)+` are supported: the group repeats as
+  * a unit, greedy with full backtracking across the group boundary
+  * (the matcher walks a compiled pattern tree with a continuation —
+  * see `tryNodes`), and a group body may alternate — `(A | B C)+`
+  * tries the branches leftmost-first per iteration, the SQL:2016 /
+  * regex preference order. NEXT(expr[, k]) forward navigation is
+  * supported in batch (precomputed as `lead`, symmetric to PREV).
   * Unsupported forms (nested PREV/NEXT, aggregate forms in DEFINE
-  * other than SUM/AVG/MIN/MAX(V.col), FIRST/LAST offsets in DEFINE,
-  * alternation inside a group, subquery sources) throw
+  * other than SUM/AVG/MIN/MAX(V.col), subquery sources) throw
   * `IllegalArgumentException` with the contract, mirroring the
   * WindowTvf/TemporalJoin residual checks. Streaming restricts DEFINE
   * SUM/AVG aggregates to integral columns; grouped sub-patterns,
@@ -99,19 +101,23 @@ object MatchRecognize {
   /** Pattern AST node: a quantified variable ([[PatternElem]]) or a
     * quantified grouped sub-pattern ([[PatternGroup]], e.g. `(A B)+` —
     * the sequence repeats as a unit, greedy with backtracking across
-    * the group boundary). */
+    * the group boundary). A group holds its alternation BRANCHES in
+    * declaration order (one branch when the body has no `|`): each
+    * repetition tries the branches leftmost-first with full
+    * backtracking, the SQL:2016 / regex preference order — `(A | B)+`
+    * is Flink CEP's "repeat either step" shape. */
   private[harness] sealed trait PatNode { def lo: Int; def hi: Int }
   private[harness] final case class PatternElem(
       variable: String, lo: Int, hi: Int) extends PatNode
   private[harness] final case class PatternGroup(
-      elems: Seq[PatNode], lo: Int, hi: Int) extends PatNode
+      branches: Seq[Seq[PatNode]], lo: Int, hi: Int) extends PatNode
 
   /** Pattern variables in first-appearance order, recursing into
-    * grouped sub-patterns. */
+    * grouped sub-patterns and their alternation branches. */
   private[harness] def varsIn(nodes: Seq[PatNode]): Seq[String] =
     nodes.flatMap {
       case PatternElem(v, _, _) => Seq(v)
-      case PatternGroup(inner, _, _) => varsIn(inner)
+      case PatternGroup(bs, _, _) => bs.flatMap(varsIn)
     }
 
   private[harness] sealed trait Measure { def alias: String }
@@ -294,8 +300,9 @@ object MatchRecognize {
 
   /** Recursive-descent parser for one alternation branch: a sequence of
     * quantified variables and quantified grouped sub-patterns, e.g.
-    * `S (A B+){2,} C?`. Alternation inside a group is out of the subset
-    * (top-level `|` splits branches before this parser runs).
+    * `S (A B+){2,} C?`. A group body may itself alternate —
+    * `(A | B C)+` parses to a [[PatternGroup]] with two branches (top-
+    * level `|` splits outer branches before this parser runs).
     */
   private final class PatParser(s: String) {
     private var i = 0
@@ -329,13 +336,13 @@ object MatchRecognize {
       ws()
       if (i < s.length && s.charAt(i) == '(') {
         i += 1
-        val inner = parseSeq(inGroup = true)
+        val branches = parseAlt()
         ws()
         if (i >= s.length || s.charAt(i) != ')')
           fail(s"unbalanced parentheses in pattern: $s")
         i += 1
         val (lo, hi) = parseQuant()
-        PatternGroup(inner, lo, hi)
+        PatternGroup(branches, lo, hi)
       } else {
         val m = VarRe.findFirstMatchIn(s.substring(i))
           .getOrElse(fail(s"unsupported pattern syntax at ...${s.substring(i)}"))
@@ -345,24 +352,45 @@ object MatchRecognize {
       }
     }
 
+    /** A group body's alternation branches, in declaration order. */
+    private def parseAlt(): Seq[Seq[PatNode]] = {
+      val branches = ArrayBuffer(parseSeq(inGroup = true))
+      ws()
+      while (i < s.length && s.charAt(i) == '|') {
+        i += 1
+        branches += parseSeq(inGroup = true)
+        ws()
+      }
+      branches.toSeq
+    }
+
     def parseSeq(inGroup: Boolean): Seq[PatNode] = {
       val out = ArrayBuffer.empty[PatNode]
       ws()
-      while (i < s.length && !(inGroup && s.charAt(i) == ')')) {
-        if (s.charAt(i) == '|')
-          fail(s"alternation inside a grouped sub-pattern is not " +
-            s"supported: $s")
+      while (i < s.length && s.charAt(i) != '|' &&
+          !(inGroup && s.charAt(i) == ')')) {
         out += parseItem()
         ws()
       }
       if (out.isEmpty) fail(s"empty pattern sequence in: $s")
       out.toSeq
     }
+
+    /** Guards against silent truncation: a top-level parse must consume
+      * the whole branch text (a stray `|` or `)` would otherwise stop
+      * the sequence loop early and drop the tail). */
+    def ensureDone(): Unit = {
+      ws()
+      if (i < s.length)
+        fail(s"unsupported pattern syntax at ...${s.substring(i)}")
+    }
   }
 
   private def parseSequence(p: String): Seq[PatNode] = {
     val parser = new PatParser(p)
-    parser.parseSeq(inGroup = false)
+    val r = parser.parseSeq(inGroup = false)
+    parser.ensureDone()
+    r
   }
 
   /** Splits on top-level `|` — blind to bars inside parentheses (a
@@ -904,8 +932,8 @@ object MatchRecognize {
       // with a continuation — see PatternTracker.tryNodes).
       def compileNode(n: PatNode): PatternTracker.PatNode = n match {
         case PatternElem(v, lo, hi) => PatternTracker.Elem(varOf(v), lo, hi)
-        case PatternGroup(inner, lo, hi) =>
-          PatternTracker.Group(inner.map(compileNode), lo, hi)
+        case PatternGroup(bs, lo, hi) =>
+          PatternTracker.Group(bs.map(_.map(compileNode)), lo, hi)
       }
       val branches = spec.pattern.map(_.map(compileNode))
       val skipTo = spec.skipToVar.map { case (f, v) => (f, varOf(v)) }
@@ -1392,12 +1420,13 @@ object MatchRecognize {
 
   /** Matcher-compiled pattern node: a quantified variable (index into
     * the branch's variable table) or a quantified grouped sub-pattern
-    * whose inner sequence repeats as a unit — greedy, with full
-    * backtracking across the group boundary. */
+    * whose alternation branches repeat as a unit — each repetition
+    * tries the branches leftmost-first, greedy, with full backtracking
+    * across both the branch choice and the group boundary. */
   private sealed trait CPat
   private final case class CVar(v: Int, lo: Int, hi: Int) extends CPat
-  private final case class CGrp(inner: Array[CPat], lo: Int, hi: Int)
-    extends CPat
+  private final case class CGrp(branches: Array[Array[CPat]], lo: Int,
+      hi: Int) extends CPat
 
   /** Diagnostic high-water mark: the most rows the sliding window ever
     * buffered for a single key group (process-wide max; exact in local
@@ -1500,8 +1529,8 @@ object MatchRecognize {
     // walks with a continuation (see tryNodes).
     def compilePat(n: PatNode): CPat = n match {
       case PatternElem(v, lo, hi) => CVar(varOf(v), lo, hi)
-      case PatternGroup(inner, lo, hi) =>
-        CGrp(inner.map(compilePat).toArray, lo, hi)
+      case PatternGroup(bs, lo, hi) =>
+        CGrp(bs.map(_.map(compilePat).toArray).toArray, lo, hi)
     }
     val branches: Array[Array[CPat]] =
       spec.pattern.map(_.map(compilePat).toArray).toArray
@@ -1749,8 +1778,9 @@ object MatchRecognize {
     def spanOf(n: CPat): Long = n match {
       case CVar(_, _, hi) =>
         if (hi == Int.MaxValue) Long.MaxValue else hi.toLong
-      case CGrp(inner, _, hi) =>
-        val s = inner.foldLeft(0L)((acc, x) => satAdd(acc, spanOf(x)))
+      case CGrp(bs, _, hi) =>
+        // widest alternation branch bounds one iteration's span
+        val s = bs.map(_.foldLeft(0L)((acc, x) => satAdd(acc, spanOf(x)))).max
         if (hi == Int.MaxValue || s >= Long.MaxValue / math.max(hi, 1))
           Long.MaxValue
         else s * hi
@@ -2102,14 +2132,20 @@ object MatchRecognize {
                 -1
               case g: CGrp =>
                 // greedy repetition: attempt one more inner iteration
-                // before settling for n so far. An iteration that
-                // consumes no rows terminates the loop (the regex
-                // empty-loop rule) — `(A*)+` can't recurse forever.
+                // before settling for n so far, trying the alternation
+                // branches leftmost-first within each iteration. An
+                // iteration that consumes no rows terminates the loop
+                // (the regex empty-loop rule) — `(A*)+` can't recurse
+                // forever.
                 def rep(n: Int, here: Int): Int = {
                   if (n < g.hi) {
-                    val more = tryNodes(g.inner, 0, here, pAbs, lim, p2 =>
-                      if (p2 == here) -1 else rep(n + 1, p2))
-                    if (more >= 0) return more
+                    var bi = 0
+                    while (bi < g.branches.length) {
+                      val more = tryNodes(g.branches(bi), 0, here, pAbs,
+                        lim, p2 => if (p2 == here) -1 else rep(n + 1, p2))
+                      if (more >= 0) return more
+                      bi += 1
+                    }
                   }
                   if (n >= g.lo) tryNodes(nodes, e + 1, here, pAbs, lim, cont)
                   else -1

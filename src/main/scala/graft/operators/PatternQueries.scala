@@ -850,9 +850,77 @@ object PatternQueries {
         |)""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE alternation INSIDE a grouped sub-pattern (Flink
+    * CEP's "repeat either step" retry shape, admitted via the
+    * pass-through router `SQLSubmitAction.java:76`): `V (C | P)+` — a
+    * view followed by one or more rows, each a click or a purchase,
+    * taken greedily until the first row that is neither. The branch
+    * variables' predicates are disjoint, so the greedy run is
+    * deterministic: exactly the consecutive click-or-purchase block
+    * after the view (branch-preference order is exercised separately
+    * by the randomized regex-oracle property spec). Consumed spans
+    * contain no views, so every view is an independent candidate start
+    * and the oracle can state the block directly: the rows strictly
+    * between the view and its first following non-click-non-purchase
+    * row, kept when non-empty.
+    */
+  val q80AltGroup: Q = Q(
+    "q80_alt_group",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn FROM e WHERE event_type = 'view'),
+      |stop AS (
+      |  SELECT v.user_id, v.vrn, MIN(e2.rn) AS stoprn
+      |  FROM v LEFT JOIN e e2 ON e2.user_id = v.user_id AND e2.rn > v.vrn
+      |    AND e2.event_type NOT IN ('click', 'purchase')
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT user_id, MAX(rn) AS maxrn FROM e GROUP BY 1),
+      |m AS (
+      |  SELECT s.user_id, s.vrn, COALESCE(s.stoprn, mx.maxrn + 1) AS endx
+      |  FROM stop s JOIN mx ON mx.user_id = s.user_id),
+      |agg AS (
+      |  SELECT m.user_id, m.vrn, m.endx,
+      |    SUM(CASE WHEN c.event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+      |    SUM(CASE WHEN c.event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+      |  FROM m JOIN e c ON c.user_id = m.user_id
+      |    AND c.rn BETWEEN m.vrn + 1 AND m.endx - 1
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id, CAST(n_clicks AS BIGINT) AS n_clicks,
+      |  CAST(n_purch AS BIGINT) AS n_purch,
+      |  CAST(endx - vrn AS BIGINT) AS n_rows,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM agg""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+      .createOrReplaceTempView("graft_mr_events_altgrp")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, n_clicks, n_purch, n_rows, mn
+        |FROM graft_mr_events_altgrp
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    COUNT(C.*) AS n_clicks,
+        |    COUNT(P.*) AS n_purch,
+        |    COUNT(*) AS n_rows,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V (C | P)+)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q64MatchRecognize, q65PrevPattern, q66AllRows, q67Alternation,
     q68Within, q69SkipChain, q72Classifier, q73CrossDefine,
     q74AggMeasures, q75PrevExpr, q76AggDefine, q77GroupPattern,
-    q78OffsetMeasures, q79NextNav)
+    q78OffsetMeasures, q79NextNav, q80AltGroup)
 }

@@ -67,14 +67,16 @@ object PatternTracker {
 
   /** Pattern node: a quantified variable ([[Elem]]: bit index, min and
     * max repetitions, `hi = Int.MaxValue` for unbounded) or a
-    * quantified grouped sub-pattern ([[Group]]: the inner sequence
-    * repeats as a unit, greedy with full backtracking across the group
-    * boundary — the streaming mirror of the batch matcher's pattern
-    * tree).
+    * quantified grouped sub-pattern ([[Group]]: the alternation
+    * branches repeat as a unit — each iteration tries the branches
+    * leftmost-first, greedy with full backtracking across both the
+    * branch choice and the group boundary — the streaming mirror of
+    * the batch matcher's pattern tree; a body with no `|` is a single
+    * branch).
     */
   sealed trait PatNode
   final case class Elem(varIdx: Int, lo: Int, hi: Int) extends PatNode
-  final case class Group(inner: Seq[PatNode], lo: Int, hi: Int)
+  final case class Group(branches: Seq[Seq[PatNode]], lo: Int, hi: Int)
     extends PatNode
 
   /** Measure: (kind, varIdx) with kind 0 = FIRST(var ts), 1 = LAST(var
@@ -515,15 +517,23 @@ object PatternTracker {
           }
           -1
         case g: Group =>
-          val inner = g.inner.toArray
+          val bs = g.branches.map(_.toArray).toArray
           // greedy repetition: attempt one more inner iteration before
-          // settling for n so far; an iteration that consumes no rows
-          // terminates the loop (the regex empty-loop rule)
+          // settling for n so far, trying alternation branches
+          // leftmost-first within each iteration; an iteration that
+          // consumes no rows terminates the loop (the regex empty-loop
+          // rule). A branch truncated by the maturity boundary latches
+          // hitEnd like any other path, so the outer decision loop
+          // defers — branch preference can never be decided early.
           def rep(iter: Int, here: Int): Int = {
             if (iter < g.hi) {
-              val more = tryNodes(inner, 0, here, pAbs, lim, deferAtLim,
-                p2 => if (p2 == here) -1 else rep(iter + 1, p2))
-              if (more >= 0) return more
+              var bi = 0
+              while (bi < bs.length) {
+                val more = tryNodes(bs(bi), 0, here, pAbs, lim, deferAtLim,
+                  p2 => if (p2 == here) -1 else rep(iter + 1, p2))
+                if (more >= 0) return more
+                bi += 1
+              }
             }
             if (iter >= g.lo)
               tryNodes(nodes, e + 1, here, pAbs, lim, deferAtLim, cont)

@@ -36,19 +36,27 @@ class MatchRecognizeRegexPropSpec extends AnyFunSuite {
       case _ => ("{2}", "{2}", 2)
     }
 
-  // one pattern item: (sql text, regex text, min match length)
+  // one pattern item: (sql text, regex text, min match length). A
+  // group body may alternate (`(A | B C)+`): branches generate with
+  // min length >= 1 each (see the class doc's empty-group corner), and
+  // the regex mirror is a non-capturing alternation, so the oracle
+  // verifies branch-preference order for free.
   private def genItem(rnd: scala.util.Random, depth: Int): (String, String, Int) = {
     if (depth < 2 && rnd.nextInt(4) == 0) {
-      val n = 1 + rnd.nextInt(2)
-      var items = Vector.fill(n)(genItem(rnd, depth + 1))
-      if (items.forall(_._3 == 0)) {
-        val (vn, vc) = vars(rnd.nextInt(vars.size))
-        items = items :+ ((vn, vc.toString, 1))
+      val nb = 1 + rnd.nextInt(2)
+      val branches = Vector.fill(nb) {
+        val n = 1 + rnd.nextInt(2)
+        var items = Vector.fill(n)(genItem(rnd, depth + 1))
+        if (items.forall(_._3 == 0)) {
+          val (vn, vc) = vars(rnd.nextInt(vars.size))
+          items = items :+ ((vn, vc.toString, 1))
+        }
+        items
       }
       val (q, rq, minQ) = quant(rnd)
-      val minInner = items.map(_._3).sum
-      (s"(${items.map(_._1).mkString(" ")})$q",
-        s"(?:${items.map(_._2).mkString})$rq",
+      val minInner = branches.map(_.map(_._3).sum).min
+      (s"(${branches.map(_.map(_._1).mkString(" ")).mkString(" | ")})$q",
+        s"(?:${branches.map(_.map(_._2).mkString).mkString("|")})$rq",
         minInner * minQ)
     } else {
       val (vn, vc) = vars(rnd.nextInt(vars.size))

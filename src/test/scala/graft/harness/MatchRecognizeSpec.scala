@@ -205,8 +205,8 @@ class MatchRecognizeSpec extends AnyFunSuite {
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  PATTERN ((A | B)+) DEFINE A AS t = 'a')""".stripMargin,
-      "alternation inside a grouped sub-pattern")
+        |  PATTERN ((A | )+) DEFINE A AS t = 'a')""".stripMargin,
+      "empty pattern sequence")
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
@@ -359,6 +359,85 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PATTERN ((A (B B)){2} Z)
         |  DEFINE A AS t = 'a', B AS t = 'b', Z AS t = 'z')""".stripMargin)
     assert(out === Seq(Seq(1L, 2L, 4L, 7L)))
+  }
+
+  test("alternation inside a group repeats either branch") {
+    // the Flink CEP retry shape: each iteration is a full (A B) pair
+    // OR a lone C, tried leftmost-first, closed by Z
+    seq((1, 1, "a", 0), (1, 2, "b", 0), (1, 3, "c", 0), (1, 4, "a", 0),
+      (1, 5, "b", 0), (1, 6, "z", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, COUNT(C.*) AS nc,
+        |    Z.o AS zo
+        |  PATTERN ((A B | C)+ Z)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c',
+        |    Z AS t = 'z')""".stripMargin)
+    // iterations: (A B) rows 1-2, (C) row 3, (A B) rows 4-5, Z row 6
+    assert(out === Seq(Seq(1L, 2L, 2L, 1L, 6L)))
+  }
+
+  test("group alternation prefers the leftmost branch per iteration") {
+    // the row satisfies BOTH A and B; the leftmost branch must claim it
+    seq((1, 1, "ab", 0), (1, 2, "z", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb
+        |  PATTERN ((A | B) Z)
+        |  DEFINE A AS t LIKE '%a%', B AS t LIKE '%b%',
+        |    Z AS t = 'z')""".stripMargin)
+    assert(out === Seq(Seq(1L, 1L, 0L)))
+  }
+
+  test("backtracking revises the branch choice inside a group") {
+    // branch (A B) greedily claims rows 1-2, leaving D facing 'z' —
+    // the matcher must back out of the BRANCH choice, take the lone-A
+    // branch, and let D have row 2; regex semantics of /(ab|a)bz/
+    seq((1, 1, "a", 0), (1, 2, "b", 0), (1, 3, "z", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, COUNT(D.*) AS nd,
+        |    Z.o AS zo
+        |  PATTERN ((A B | A) D Z)
+        |  DEFINE A AS t = 'a', B AS t = 'b', D AS t = 'b',
+        |    Z AS t = 'z')""".stripMargin)
+    assert(out === Seq(Seq(1L, 1L, 0L, 1L, 3L)))
+  }
+
+  test("streaming group alternation matches the batch matcher") {
+    import spark.implicits._
+    Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "a"),
+      (1L, 5L, "b"), (1L, 6L, "z"),
+      (2L, 1L, "c"), (2L, 2L, "c"), (2L, 3L, "z"),
+      (3L, 1L, "a"), (3L, 2L, "z"))
+      .toDF("k", "o", "t").createOrReplaceTempView("mr_altgrp_eq")
+    val q =
+      """SELECT * FROM mr_altgrp_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, COUNT(C.*) AS nc,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN ((A B | C)+ Z)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c',
+        |    Z AS t = 'z')""".stripMargin
+    val batchSql = MatchRecognize.rewrite(spark, q)
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("o", "5 seconds")))
+    try {
+      val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // k=1 matches with 2 (A B) pairs + one C; k=2 with two C
+      // iterations; k=3 has no match ('a' alone closes no branch)
+      assert(batch.map(_.head).toSet === Set(1L, 2L))
+    } finally {
+      MatchRecognize.dropViews(spark, batchSql)
+      MatchRecognize.dropViews(spark, streamSql)
+    }
   }
 
   test("grouped sub-pattern under alternation and cross-variable DEFINE") {
