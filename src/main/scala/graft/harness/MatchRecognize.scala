@@ -44,7 +44,7 @@ import scala.collection.mutable.ArrayBuffer
   *                                   -- navigation; streaming gates the
   *                                   -- referenced columns to
   *                                   -- JSON-lossless types),
-  *                                   -- FIRST/LAST(V.col) of another
+  *                                   -- FIRST/LAST(V.col[, k]) of another
   *                                   -- variable's running assignment,
   *                                   -- and running SUM/AVG/MIN/MAX
   *                                   -- (V.col) aggregates (batch: the
@@ -582,30 +582,30 @@ object MatchRecognize {
         fail(s"DEFINE $variable references ${m.group(2)}.<col> — " +
           s"${m.group(2)} is not a pattern variable")
     }
-    // FIRST/LAST calls NOT matching the supported shape (e.g. the
-    // logical-offset form FIRST(V.col, 1), or FIRST over an
-    // expression) would leak as Catalyst first/last AGGREGATES into
-    // the rewrite and die unevaluable at match time — contract error
-    // here instead
+    // FIRST/LAST calls NOT matching the supported shape (e.g. FIRST
+    // over an expression) would leak as Catalyst first/last AGGREGATES
+    // into the rewrite and die unevaluable at match time — contract
+    // error here instead
     val flStarts = CrossFlRe.findAllMatchIn(masked).map(_.start).toSet
     raw"(?i)\b(FIRST|LAST)\s*\(".r.findAllMatchIn(masked).foreach { m =>
       if (!flStarts.contains(m.start))
         fail(s"DEFINE $variable uses an unsupported " +
           s"${m.group(1).toUpperCase}() form — DEFINE supports only " +
-          "FIRST/LAST(V.col) cross-variable navigation (no logical " +
-          "offsets, no expressions)")
+          "FIRST/LAST(V.col[, k]) cross-variable navigation (no " +
+          "expressions, integer-literal offsets only)")
     }
   }
 
-  /** `FIRST(V.col)` / `LAST(V.col)` in a DEFINE — SQL:2016 running
-    * cross-variable navigation: the first/last row currently assigned
-    * to ANOTHER pattern variable in this match attempt (NULL while the
-    * variable has matched no row, so the predicate is unknown and the
-    * row does not match — Flink CEP's behavior). A bare `V.col` for
-    * another variable means LAST(V.col), per the standard.
+  /** `FIRST(V.col[, k])` / `LAST(V.col[, k])` in a DEFINE — SQL:2016
+    * running cross-variable navigation: the (k+1)-th row from the
+    * first/last currently assigned to ANOTHER pattern variable in this
+    * match attempt (NULL while the variable has matched fewer than k+1
+    * rows, so the predicate is unknown and the row does not match —
+    * Flink CEP's behavior). A bare `V.col` for another variable means
+    * LAST(V.col), per the standard.
     */
   private[harness] val CrossFlRe =
-    raw"(?i)\b(FIRST|LAST)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\)".r
+    raw"(?i)\b(FIRST|LAST)\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*(?:,\s*(\d+)\s*)?\)".r
   private[harness] val CrossBareRe =
     raw"(?i)\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)".r
 
@@ -1242,15 +1242,19 @@ object MatchRecognize {
           val crossPreds = crossVars.map { v =>
             val predText = split(v)._2.map(c => s"($c)").mkString(" AND ")
             val refs = scala.collection.mutable.LinkedHashMap
-              .empty[String, (Boolean, Int, Int)]
+              .empty[String, (Boolean, Int, Int, Int)]
             val aggRefs = scala.collection.mutable.LinkedHashMap
               .empty[String, (Int, Int, Int)]
-            def slot(firstKw: Boolean, rv: String, c: String): String = {
+            def slot(firstKw: Boolean, rv: String, c: String,
+                skip: Int): String = {
               val cn = srcNames(c.toLowerCase)
-              val name = s"__cv_${if (firstKw) "f" else "l"}_${rv}_$cn"
-              refs.getOrElseUpdate(name, (firstKw, varOf(rv), colOrd(cn)))
+              val name = s"__cv_${if (firstKw) "f" else "l"}${skip}_${rv}_$cn"
+              refs.getOrElseUpdate(name, (firstKw, varOf(rv), colOrd(cn), skip))
               name
             }
+            // saturate past-Int offsets like the measure parser
+            def navOff(s: String): Int =
+              if (s == null) 0 else if (s.length > 9) Int.MaxValue else s.toInt
             var t = replaceOutside(predText, AggCallRe) { cm =>
               val rv = cm.group(2).toUpperCase
               if (!varOf.contains(rv)) cm.matched
@@ -1271,16 +1275,17 @@ object MatchRecognize {
             t = replaceOutside(t, CrossFlRe) { cm =>
               val rv = cm.group(2).toUpperCase
               if (!varOf.contains(rv)) cm.matched
-              else slot(cm.group(1).equalsIgnoreCase("FIRST"), rv, cm.group(3))
+              else slot(cm.group(1).equalsIgnoreCase("FIRST"), rv,
+                cm.group(3), navOff(cm.group(4)))
             }
             t = replaceOutside(t, CrossBareRe) { cm =>
               val rv = cm.group(1).toUpperCase
               if (!varOf.contains(rv)) cm.matched
-              else slot(firstKw = false, rv, cm.group(2))
+              else slot(firstKw = false, rv, cm.group(2), skip = 0)
             }
             val crossAttrs = (fields.map(f =>
                 AttributeReference(f.name, f.dataType, nullable = true)()) ++
-              refs.map { case (name, (_, _, ord)) =>
+              refs.map { case (name, (_, _, ord, _)) =>
                 AttributeReference(name, fields(ord).dataType,
                   nullable = true)()
               } ++
@@ -1549,7 +1554,9 @@ object MatchRecognize {
     // values convert Row→Catalyst directly, so every column type works.
     final case class CrossDef(
         expr: org.apache.spark.sql.catalyst.expressions.Expression,
-        refs: Array[(Boolean, Int, Int)],
+        // (isFirst, varIdx, colIdx, logical offset k): the slot holds
+        // the (k+1)-th row from the first/last assigned to the var
+        refs: Array[(Boolean, Int, Int, Int)],
         // (fnKind 0=SUM 1=AVG 2=MIN 3=MAX, varIdx, colIdx, mode 0=long 1=double)
         aggRefs: Array[(Int, Int, Int, Int)],
         // base-row ordinals the bound expression actually reads — the
@@ -1571,18 +1578,23 @@ object MatchRecognize {
             fail(s"DEFINE $v mixes PREV()/NEXT() and a cross-variable " +
               "reference in one AND-conjunct — split them into " +
               "separate conjuncts")
-          // ordered, de-duplicated ref slots: attr name -> ref triple
+          // ordered, de-duplicated ref slots: attr name -> ref tuple
           val refs = scala.collection.mutable.LinkedHashMap
-            .empty[String, (Boolean, Int, Int)]
-          def slot(firstKw: Boolean, rv: String, c: String): String = {
+            .empty[String, (Boolean, Int, Int, Int)]
+          def slot(firstKw: Boolean, rv: String, c: String,
+              skip: Int): String = {
             val ci = fieldIdx(c)
             if (ci >= baseLen) fail(s"DEFINE $v references $rv.$c: " +
               s"column $c not found in input")
-            val name = s"__cv_${if (firstKw) "f" else "l"}_${rv}_" +
+            val name = s"__cv_${if (firstKw) "f" else "l"}${skip}_${rv}_" +
               inSchema(ci).name
-            refs.getOrElseUpdate(name, (firstKw, varOf(rv), ci))
+            refs.getOrElseUpdate(name, (firstKw, varOf(rv), ci, skip))
             name
           }
+          // logical offsets saturate past Int range like the measure
+          // parser (an offset past any real assignment list is NULL)
+          def navOff(s: String): Int =
+            if (s == null) 0 else if (s.length > 9) Int.MaxValue else s.toInt
           // aggregate slots: type-gated like the MEASURES aggregates
           // (SUM/AVG need numeric columns, MIN/MAX any comparable
           // atomic), carrying the slot's OUTPUT type for the attr list
@@ -1632,17 +1644,18 @@ object MatchRecognize {
           t = replaceOutside(t, CrossFlRe) { m =>
             val rv = m.group(2).toUpperCase
             if (!varOf.contains(rv)) m.matched
-            else slot(m.group(1).equalsIgnoreCase("FIRST"), rv, m.group(3))
+            else slot(m.group(1).equalsIgnoreCase("FIRST"), rv, m.group(3),
+              navOff(m.group(4)))
           }
           // bare V.col (another variable) = LAST(V.col) per SQL:2016
           t = replaceOutside(t, CrossBareRe) { m =>
             val rv = m.group(1).toUpperCase
             if (!varOf.contains(rv)) m.matched
-            else slot(firstKw = false, rv, m.group(2))
+            else slot(firstKw = false, rv, m.group(2), skip = 0)
           }
           val attrs = (base.map(f =>
               AttributeReference(f.name, f.dataType, nullable = true)()) ++
-            refs.map { case (name, (_, _, ci)) =>
+            refs.map { case (name, (_, _, ci, _)) =>
               AttributeReference(name, base(ci).dataType, nullable = true)()
             } ++
             aggRefs.map { case (name, (_, _, _, _, slotDt)) =>
@@ -2016,18 +2029,23 @@ object MatchRecognize {
               }
               var j = 0
               while (j < nRefs) {
-                val (first, rv, colIdx) = cd.refs(j)
+                val (first, rv, colIdx, skip) = cd.refs(j)
                 var found = -1
+                var remaining = skip
                 if (first) {
                   var r = pAbs
                   while (found < 0 && r < elemStart) {
-                    if (assign(r - pAbs) == rv) found = r
+                    if (assign(r - pAbs) == rv) {
+                      if (remaining == 0) found = r else remaining -= 1
+                    }
                     r += 1
                   }
                 } else {
                   var r = elemStart - 1
                   while (found < 0 && r >= pAbs) {
-                    if (assign(r - pAbs) == rv) found = r
+                    if (assign(r - pAbs) == rv) {
+                      if (remaining == 0) found = r else remaining -= 1
+                    }
                     r -= 1
                   }
                 }

@@ -918,9 +918,80 @@ object PatternQueries {
         |)""".stripMargin)
   }
 
+  /** MATCH_RECOGNIZE logical-offset navigation in DEFINE (SQL:2016 /
+    * Flink admit `FIRST/LAST(V.col, k)` in DEFINE as well as MEASURES):
+    * two consecutive clicks followed by purchases, each required to
+    * exceed the SECOND click's value — `P AS event_type = 'purchase'
+    * AND vm > FIRST(C.vm, 1)` navigates C's running assignment with
+    * offset 1. C's assignment is complete before P's run starts, so the
+    * threshold is fixed per match and the oracle can enumerate
+    * candidates directly: positions a with clicks at (a, a+1) and a
+    * qualifying purchase at a+2, taking the maximal qualifying-purchase
+    * run. A three-click prefix shifts the match to the LAST two clicks
+    * (the earlier pair fails P+ on the third click), and consumed spans
+    * contain no other click pairs, so candidates are independent.
+    */
+  val q82DefineOffset: Q = Q(
+    "q82_define_offset",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |mx AS (SELECT user_id, MAX(rn) AS maxrn FROM e GROUP BY 1),
+      |cand AS (
+      |  SELECT a.user_id, a.rn AS arn, b.vm AS c2vm
+      |  FROM e a
+      |  JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      |  JOIN e p ON p.user_id = a.user_id AND p.rn = a.rn + 2
+      |  WHERE a.event_type = 'click' AND b.event_type = 'click'
+      |    AND p.event_type = 'purchase' AND p.vm > b.vm),
+      |stop AS (
+      |  SELECT c.user_id, c.arn, c.c2vm, MIN(s.rn) AS stoprn
+      |  FROM cand c LEFT JOIN e s ON s.user_id = c.user_id
+      |    AND s.rn > c.arn + 1
+      |    AND NOT (s.event_type = 'purchase' AND s.vm > c.c2vm)
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT st.user_id, st.arn, st.c2vm,
+      |    COALESCE(st.stoprn, mx.maxrn + 1) AS endx
+      |  FROM stop st JOIN mx ON mx.user_id = st.user_id),
+      |lastp AS (
+      |  SELECT m.user_id, m.arn, m.c2vm, m.endx - m.arn - 2 AS n_p,
+      |    lp.vm AS last_p
+      |  FROM m JOIN e lp ON lp.user_id = m.user_id AND lp.rn = m.endx - 1)
+      |SELECT user_id, c2vm AS c2_vm, CAST(n_p AS BIGINT) AS n_p, last_p,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY arn) AS mn
+      |FROM lastp""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_defoff")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, c2_vm, n_p, last_p, mn
+        |FROM graft_mr_events_defoff
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    FIRST(C.vm, 1) AS c2_vm,
+        |    COUNT(P.*) AS n_p,
+        |    LAST(P.vm) AS last_p,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (C{2} P+)
+        |  DEFINE
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase' AND vm > FIRST(C.vm, 1)
+        |)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q64MatchRecognize, q65PrevPattern, q66AllRows, q67Alternation,
     q68Within, q69SkipChain, q72Classifier, q73CrossDefine,
     q74AggMeasures, q75PrevExpr, q76AggDefine, q77GroupPattern,
-    q78OffsetMeasures, q79NextNav, q80AltGroup)
+    q78OffsetMeasures, q79NextNav, q80AltGroup, q82DefineOffset)
 }

@@ -125,19 +125,21 @@ object PatternTracker {
       types: Array[org.apache.spark.sql.types.DataType],
       maxK: Int,
       preds: Array[(Int, org.apache.spark.sql.catalyst.expressions.Expression)],
-      // cross-variable / running-aggregate conjuncts (FIRST/LAST(V.col)
-      // of another variable, SUM/AVG/MIN/MAX(V.col) of any variable):
-      // evaluated DURING matching against the running assignment, over
-      // the layout `cols ++ one slot per ref ++ one slot per aggregate`;
-      // refs are (isFirst, refVarIdx, ordinal of the column in `cols`),
-      // aggRefs are (fnKind 0=SUM 1=AVG 2=MIN 3=MAX, refVarIdx,
-      // ordinal). Aggregates follow the batch matcher's SQL:2016
-      // running semantics: rows assigned to the variable so far, plus —
-      // when the variable is the one being DEFINEd — the current
-      // element's run and the candidate row itself.
+      // cross-variable / running-aggregate conjuncts
+      // (FIRST/LAST(V.col[, k]) of another variable,
+      // SUM/AVG/MIN/MAX(V.col) of any variable): evaluated DURING
+      // matching against the running assignment, over the layout
+      // `cols ++ one slot per ref ++ one slot per aggregate`; refs are
+      // (isFirst, refVarIdx, ordinal of the column in `cols`, logical
+      // offset k — the slot holds the (k+1)-th row from the
+      // first/last), aggRefs are (fnKind 0=SUM 1=AVG 2=MIN 3=MAX,
+      // refVarIdx, ordinal). Aggregates follow the batch matcher's
+      // SQL:2016 running semantics: rows assigned to the variable so
+      // far, plus — when the variable is the one being DEFINEd — the
+      // current element's run and the candidate row itself.
       crossPreds: Array[(Int,
         org.apache.spark.sql.catalyst.expressions.Expression,
-        Array[(Boolean, Int, Int)],
+        Array[(Boolean, Int, Int, Int)],
         Array[(Int, Int, Int)])] = Array(),
       // max NEXT(col, k) lead offset: the preds layout gains
       // `__next_1_<col>.. __next_maxNextK_<col>` blocks after the PREV
@@ -364,10 +366,10 @@ object PatternTracker {
     // cross-variable conjuncts by variable index (null when unused);
     // the predicate is the instance-owned compiled form (see PrevSpec)
     val crossByVar: Array[(org.apache.spark.sql.catalyst.expressions.BasePredicate,
-        Array[(Boolean, Int, Int)], Array[(Int, Int, Int)])] = prevSpec match {
+        Array[(Boolean, Int, Int, Int)], Array[(Int, Int, Int)])] = prevSpec match {
       case Some(ps) if ps.crossPreds.nonEmpty =>
         val arr = new Array[(org.apache.spark.sql.catalyst.expressions.BasePredicate,
-          Array[(Boolean, Int, Int)], Array[(Int, Int, Int)])](64)
+          Array[(Boolean, Int, Int, Int)], Array[(Int, Int, Int)])](64)
         ps.crossPreds.zip(ps.compiledCrossPreds).foreach {
           case ((v, _, refs, aggs), pred) => arr(v) = (pred, refs, aggs) }
         arr
@@ -399,18 +401,23 @@ object PatternTracker {
       while (i < c0) { irow.update(i, cur(i)); i += 1 }
       var j = 0
       while (j < refs.length) {
-        val (first, rv, colIdx) = refs(j)
+        val (first, rv, colIdx, skip) = refs(j)
         var found = -1
+        var remaining = skip
         if (first) {
           var r = pAbs
           while (found < 0 && r < elemStart) {
-            if (assign(r) == rv) found = r
+            if (assign(r) == rv) {
+              if (remaining == 0) found = r else remaining -= 1
+            }
             r += 1
           }
         } else {
           var r = elemStart - 1
           while (found < 0 && r >= pAbs) {
-            if (assign(r) == rv) found = r
+            if (assign(r) == rv) {
+              if (remaining == 0) found = r else remaining -= 1
+            }
             r -= 1
           }
         }

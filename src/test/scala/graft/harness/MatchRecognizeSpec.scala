@@ -515,12 +515,79 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PARTITION BY k ORDER BY o MEASURES FIRST(A.v, x) AS n
         |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
       "unsupported measure")
-    // the offset form in DEFINE would leak a Catalyst first() aggregate
+    // FIRST over an expression would leak a Catalyst first() aggregate
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > FIRST(A.v, 1))""".stripMargin,
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > FIRST(A.v + 1))""".stripMargin,
       "unsupported FIRST() form")
+    // offset navigation over the variable's OWN rows stays rejected
+    rejects(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > FIRST(B.v, 1))""".stripMargin,
+      "self navigation")
+  }
+
+  test("FIRST/LAST(V.col, k) offsets navigate another variable in DEFINE") {
+    // B rows must exceed the SECOND A row's value (FIRST(A.v, 1));
+    // with A rows 10, 30, 20 the threshold is 30 — only v=31 passes,
+    // and the 25 row ends the B run
+    seq((1, 1, "a", 10), (1, 2, "a", 30), (1, 3, "a", 20),
+      (1, 4, "b", 31), (1, 5, "b", 25))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, LAST(B.v) AS lb
+        |  PATTERN (A{3} B+)
+        |  DEFINE A AS t = 'a', B AS t = 'b' AND v > FIRST(A.v, 1))""".stripMargin)
+    assert(out === Seq(Seq(1L, 3L, 1L, 31L)))
+    // LAST(A.v, 1) is the second-to-last assigned A row (v=30 here)
+    val out2 = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(B.*) AS nb
+        |  PATTERN (A{3} B+)
+        |  DEFINE A AS t = 'a', B AS t = 'b' AND v > LAST(A.v, 1))""".stripMargin)
+    assert(out2 === Seq(Seq(1L, 1L)))
+    // an offset past A's assignment list → NULL → unknown → no match
+    val out3 = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(B.*) AS nb
+        |  PATTERN (A{3} B+)
+        |  DEFINE A AS t = 'a', B AS t = 'b' AND v > FIRST(A.v, 9))""".stripMargin)
+    assert(out3 === Seq())
+  }
+
+  test("streaming FIRST/LAST offsets in DEFINE match the batch matcher") {
+    import spark.implicits._
+    Seq((1L, 1L, "a", 10L), (1L, 2L, "a", 30L), (1L, 3L, "a", 20L),
+      (1L, 4L, "b", 31L), (1L, 5L, "b", 25L),
+      (2L, 1L, "a", 1L), (2L, 2L, "a", 2L), (2L, 3L, "a", 3L),
+      (2L, 4L, "b", 9L), (2L, 5L, "b", 3L))
+      .toDF("k", "o", "t", "v").createOrReplaceTempView("mr_defoff_eq")
+    val q =
+      """SELECT * FROM mr_defoff_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(A.*) AS na, COUNT(B.*) AS nb, MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A{3} B+)
+        |  DEFINE A AS t = 'a', B AS t = 'b' AND v > FIRST(A.v, 1))""".stripMargin
+    val batchSql = MatchRecognize.rewrite(spark, q)
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("o", "5 seconds")))
+    try {
+      val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // k=1: threshold FIRST(A.v,1)=30 → one B (31); k=2: threshold 2
+      // → both B rows (9, 3) pass
+      assert(batch === Set(Seq(1L, 3L, 1L, 1L), Seq(2L, 3L, 2L, 1L)))
+    } finally {
+      MatchRecognize.dropViews(spark, batchSql)
+      MatchRecognize.dropViews(spark, streamSql)
+    }
   }
 
   test("streaming FIRST/LAST offsets match the batch matcher") {
