@@ -163,7 +163,12 @@ object MatchRecognize {
       // ALL ROWS PER MATCH a FINAL measure evaluates over the COMPLETE
       // match for every emitted row; RUNNING (the default) sees only
       // rows matched so far. Under ONE ROW PER MATCH the two coincide.
-      measureFinal: Seq[Boolean] = Nil)
+      measureFinal: Seq[Boolean] = Nil,
+      // SQL:2016 SUBSET clause: union pattern variables, each naming
+      // the rows assigned to ANY member — usable wherever a pattern
+      // variable is read (MEASURES, DEFINE aggregates/navigation,
+      // AFTER MATCH SKIP TO)
+      subsets: Map[String, Seq[String]] = Map.empty)
 
   // --------------------------------------------------------------- parse
 
@@ -552,16 +557,23 @@ object MatchRecognize {
     * ways the boolean-precompute design cannot carry (PREV is fine —
     * it is physical and precomputes as lag; see [[mapPrevCalls]]).
     */
-  private def checkDefine(variable: String, pred: String, allVars: Set[String]): Unit = {
+  private def checkDefine(variable: String, pred: String,
+      allVars: Set[String],
+      subsets: Map[String, Seq[String]] = Map.empty): Unit = {
     val masked = maskQuoted(pred)
     rejectNestedNav(pred)
-    // aggregate calls: only SUM/AVG/MIN/MAX(V.col) over a pattern
-    // variable is in the subset (a running aggregate the matcher
+    // a pattern variable OR a SUBSET union variable is readable
+    val readable = allVars ++ subsets.keySet
+    // aggregate calls: only SUM/AVG/MIN/MAX(V.col) over a pattern or
+    // union variable is in the subset (a running aggregate the matcher
     // evaluates); any other aggregate form would leak an unevaluable
     // Catalyst AggregateExpression into the rewrite, so it fails the
-    // contract here instead of crashing at match time
+    // contract here instead of crashing at match time. A union
+    // variable CONTAINING the defined variable is fine for aggregates
+    // — the running-semantics current-run inclusion generalizes to
+    // set membership.
     val aggStarts = AggCallRe.findAllMatchIn(masked)
-      .filter(m => allVars.contains(m.group(2).toUpperCase))
+      .filter(m => readable.contains(m.group(2).toUpperCase))
       .map(_.start).toSet
     raw"(?i)\b(SUM|AVG|MIN|MAX|COUNT)\s*\(".r.findAllMatchIn(masked).foreach { m =>
       if (!aggStarts.contains(m.start))
@@ -570,17 +582,36 @@ object MatchRecognize {
           "only SUM/AVG/MIN/MAX(V.col) over a pattern variable")
     }
     // FIRST/LAST are admitted only as cross-variable references
-    // (FIRST(V.col) over ANOTHER variable's running assignment); a
-    // FIRST/LAST over the variable's own rows is not in the subset
+    // (FIRST(V.col[, k]) over ANOTHER variable's running assignment);
+    // FIRST/LAST over the variable's own rows — directly or through a
+    // union variable containing it — is not in the subset (the ref
+    // slots resolve over rows assigned BEFORE the current element's
+    // run, which would silently exclude the run for a self-member)
+    def selfVia(v: String): Boolean =
+      v == variable || subsets.get(v).exists(_.contains(variable))
     CrossFlRe.findAllMatchIn(masked).foreach { m =>
       val v = m.group(2).toUpperCase
-      if (v == variable)
+      if (selfVia(v))
         fail(s"DEFINE $variable uses ${m.group(1).toUpperCase}($v.…) " +
           "over its own rows — self navigation beyond the current row " +
           "is not supported")
-      if (!allVars.contains(v))
+      if (!readable.contains(v))
         fail(s"DEFINE $variable references ${m.group(2)}.<col> — " +
           s"${m.group(2)} is not a pattern variable")
+    }
+    // a bare `U.col` means LAST(U.col): the same self-membership rule
+    // applies to union variables (scan with agg/FL spans blanked so an
+    // aggregate's or navigation's inner V.col is not double-counted)
+    if (subsets.nonEmpty) {
+      val blanked = replaceOutside(replaceOutside(pred, AggCallRe)(m =>
+        " " * (m.end - m.start)), CrossFlRe)(m => " " * (m.end - m.start))
+      CrossBareRe.findAllMatchIn(maskQuoted(blanked)).foreach { m =>
+        val v = m.group(1).toUpperCase
+        if (v != variable && subsets.get(v).exists(_.contains(variable)))
+          fail(s"DEFINE $variable references $v.<col> — the SUBSET $v " +
+            s"contains $variable, and self navigation beyond the " +
+            "current row is not supported")
+      }
     }
     // FIRST/LAST calls NOT matching the supported shape (e.g. FIRST
     // over an expression) would leak as Catalyst first/last AGGREGATES
@@ -676,7 +707,7 @@ object MatchRecognize {
     // searched only past the previous one, with alias/qualifier
     // look-alikes skipped (see clausePos)
     val kws = Seq("PARTITION BY", "ORDER BY", "MEASURES", "ONE ROW PER MATCH",
-      "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "DEFINE")
+      "ALL ROWS PER MATCH", "AFTER MATCH", "PATTERN", "SUBSET", "DEFINE")
     var from = 0
     val pos = kws.flatMap { k =>
       clausePos(body, k, from).map { p => from = p + k.length; k -> p }
@@ -737,30 +768,56 @@ object MatchRecognize {
       fail(s"PATTERN must be parenthesized: $patternTxt")
     val pattern = parsePattern(patternTxt.substring(1, patternTxt.length - 1).trim)
     val allVars = pattern.flatMap(varsIn(_)).toSet
+    if (allVars.size > 62) fail("too many pattern variables (max 62)")
+    // SUBSET U = (A, B)[, W = (...)]: union variables over pattern
+    // variables; names must not collide with pattern variables or each
+    // other, and every member must appear in PATTERN
+    val SubsetRe = raw"(?is)^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*\((.*)\)$$".r
+    val subsets: Map[String, Seq[String]] = {
+      val entries = clauseText("SUBSET").toSeq.flatMap(splitTopLevel).map {
+        case SubsetRe(name, members) =>
+          val u = name.toUpperCase
+          if (allVars.contains(u))
+            fail(s"SUBSET $u collides with a pattern variable")
+          val ms = splitTopLevel(members).map(_.trim.toUpperCase)
+          if (ms.isEmpty) fail(s"SUBSET $u has no members")
+          ms.foreach { m =>
+            if (!allVars.contains(m))
+              fail(s"SUBSET $u includes $m, which is not in PATTERN")
+          }
+          u -> ms
+        case other => fail(s"SUBSET entry needs `U = (A, B, ...)`: $other")
+      }
+      entries.groupBy(_._1).foreach { case (u, es) =>
+        if (es.size > 1) fail(s"SUBSET $u is defined twice")
+      }
+      entries.toMap
+    }
     val defines = clauseText("DEFINE").toSeq.flatMap(splitTopLevel).map { d =>
       val m = raw"(?is)^([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)$$".r
         .findFirstMatchIn(d).getOrElse(fail(s"DEFINE entry needs `VAR AS predicate`: $d"))
       val v = m.group(1).toUpperCase
       if (!allVars.contains(v)) fail(s"DEFINE $v does not appear in PATTERN")
-      checkDefine(v, m.group(2), allVars)
+      checkDefine(v, m.group(2), allVars, subsets)
       v -> stripSelfQualifier(v, m.group(2).trim)
     }.toMap
-    // measures must reference pattern variables
+    // measures must reference pattern variables or SUBSET names
+    val readableVars = allVars ++ subsets.keySet
     measures.foreach {
-      case ColMeasure(v, _, _, _, _) if !allVars.contains(v) =>
+      case ColMeasure(v, _, _, _, _) if !readableVars.contains(v) =>
         fail(s"measure references undefined pattern variable $v")
-      case CountMeasure(Some(v), _) if !allVars.contains(v) =>
+      case CountMeasure(Some(v), _) if !readableVars.contains(v) =>
         fail(s"measure references undefined pattern variable $v")
-      case AggMeasure(_, v, _, _) if !allVars.contains(v) =>
+      case AggMeasure(_, v, _, _) if !readableVars.contains(v) =>
         fail(s"measure references undefined pattern variable $v")
       case _ =>
     }
     skipToVar.foreach { case (_, v) =>
-      if (!allVars.contains(v))
+      if (!readableVars.contains(v))
         fail(s"AFTER MATCH SKIP TO references $v, not in PATTERN")
     }
     Spec(partitionBy, orderBy, measures, skipToNext, skipToVar, pattern,
-      defines, allRows, withinMs, measureFinal)
+      defines, allRows, withinMs, measureFinal, subsets)
   }
 
   // ------------------------------------------------------------- rewrite
@@ -1471,14 +1528,16 @@ object MatchRecognize {
     // AND like the streaming PREV path: conjuncts without cross/agg
     // refs stay in the precomputed __def boolean (Catalyst, any type);
     // the rest evaluate INSIDE the matcher against the running
-    // assignment
+    // assignment. SUBSET union variables read like pattern variables
+    // (checkDefine already rejected self-membership for refs).
     val allVarSet = vars.toSet
+    val readSet = allVarSet ++ spec.subsets.keySet
     val crossParts: Map[String, (Seq[String], Seq[String])] =
       vars.flatMap { v =>
         spec.defines.get(v).flatMap { p =>
-          val others = allVarSet - v
+          val others = (allVarSet - v) ++ spec.subsets.keySet
           def inMatcher(c: String): Boolean =
-            hasCrossRef(c, others) || hasAggRef(c, allVarSet)
+            hasCrossRef(c, others) || hasAggRef(c, readSet)
           if (!inMatcher(p)) None
           else Some(v -> splitTopLevelAnd(p).partition(inMatcher))
         }
@@ -1528,6 +1587,16 @@ object MatchRecognize {
       }
     }
     val varOf = vars.zipWithIndex.toMap
+    // every readable variable as a bitmask over primary-variable
+    // indices: a primary is its own bit, a SUBSET union variable ORs
+    // its members' bits. The matcher tests `assign(row)` against masks
+    // so one code path serves both (parseSpec caps variables at 62).
+    val maskOf: Map[String, Long] =
+      varOf.map { case (v, i) => v -> (1L << i) } ++
+        spec.subsets.map { case (u, ms) =>
+          u -> ms.foldLeft(0L)((m, x) => m | (1L << varOf(x))) }
+    @inline def inMask(mask: Long, a: Int): Boolean =
+      a >= 0 && ((mask >> a) & 1L) == 1L
     // alternation branches in preference order: the matcher tries each
     // at a start position and the first with a non-empty match wins.
     // Grouped sub-patterns compile to nested CGrp nodes the matcher
