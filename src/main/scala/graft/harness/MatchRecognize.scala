@@ -39,6 +39,13 @@ import scala.collection.mutable.ArrayBuffer
   *                                   -- streaming prunes on the same
   *                                   -- horizon with tightened
   *                                   -- finality)
+  *   [SUBSET U = (V1, V2)[, ...]]    -- SQL:2016 union variables: U's
+  *                                   -- rows are any member's rows;
+  *                                   -- readable in MEASURES, DEFINE
+  *                                   -- aggregates/navigation, and
+  *                                   -- AFTER MATCH SKIP TO (resolved
+  *                                   -- as OR-bitmasks over the
+  *                                   -- primary assignment)
   *   DEFINE V1 AS <pred> [, ...]     -- current-row predicate, may use
   * )                                 -- PREV(expr[, k]) (physical row
   *                                   -- navigation; streaming gates the
@@ -175,6 +182,22 @@ object MatchRecognize {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
 
+  /** Non-negative integer literal with saturation: leading zeros strip
+    * first (`0000000001` is offset 1, not a 10-digit overflow), and a
+    * value past Int range clamps to Int.MaxValue — an offset beyond any
+    * real assignment list resolves to NULL, so saturation, never
+    * NumberFormatException, is the contract.
+    */
+  private[harness] def parseIntSat(s: String): Int = {
+    val t = s.dropWhile(_ == '0')
+    if (t.isEmpty) 0
+    else if (t.length > 10) Int.MaxValue
+    else {
+      val l = t.toLong
+      if (l > Int.MaxValue) Int.MaxValue else l.toInt
+    }
+  }
+
   /** Index just past a quoted run starting at `start` (quote char `q`);
     * doubled quotes escape, as in SQL literals.
     */
@@ -288,13 +311,9 @@ object MatchRecognize {
           if ((fl == null) != (close == null)) fail(s"unbalanced FIRST/LAST in measure: $m")
           if (off != null && fl == null)
             fail(s"logical offset needs FIRST/LAST(V.col, k): $m")
-          // a 10+-digit offset exceeds Int range; saturate like the
-          // streaming navK guard (an offset past any real assignment
-          // list is NULL, not NumberFormatException)
           ColMeasure(v.toUpperCase, c, first = fl != null && fl.equalsIgnoreCase("FIRST"),
             alias = alias,
-            offset = if (off == null) 0
-              else if (off.length > 9) Int.MaxValue else off.toInt)
+            offset = if (off == null) 0 else parseIntSat(off))
         case other => fail(s"unsupported measure (want V.col, FIRST/LAST(V.col[, k]), " +
           s"SUM/AVG/MIN/MAX(V.col), COUNT(V.*), COUNT(*), MATCH_NUMBER(), " +
           s"CLASSIFIER(), each optionally prefixed RUNNING|FINAL): $other")
@@ -1176,10 +1195,9 @@ object MatchRecognize {
                 exprCols.getOrElseUpdate(e.replaceAll(raw"\s+", " "),
                   (s"__pe_${exprCols.size + 1}", e))._1
             }
-            // guard the parse: \d+ can exceed Int range; the contract
-            // error must fire, not NumberFormatException
-            def navK(kStr: String): Int =
-              if (kStr.length > 9) Int.MaxValue else kStr.toInt
+            // guard the parse: \d+ can exceed Int range; saturate, the
+            // contract error must fire, not NumberFormatException
+            def navK(kStr: String): Int = parseIntSat(kStr)
             val withPrev = mapPrevCalls(prevSplit(v)._1) { (e, kStr) =>
               val k = navK(kStr)
               maxK = math.max(maxK, k)
@@ -1311,7 +1329,7 @@ object MatchRecognize {
             }
             // saturate past-Int offsets like the measure parser
             def navOff(s: String): Int =
-              if (s == null) 0 else if (s.length > 9) Int.MaxValue else s.toInt
+              if (s == null) 0 else parseIntSat(s)
             var t = replaceOutside(predText, AggCallRe) { cm =>
               val rv = cm.group(2).toUpperCase
               if (!varOf.contains(rv)) cm.matched
@@ -1623,11 +1641,13 @@ object MatchRecognize {
     // values convert Row→Catalyst directly, so every column type works.
     final case class CrossDef(
         expr: org.apache.spark.sql.catalyst.expressions.Expression,
-        // (isFirst, varIdx, colIdx, logical offset k): the slot holds
-        // the (k+1)-th row from the first/last assigned to the var
-        refs: Array[(Boolean, Int, Int, Int)],
-        // (fnKind 0=SUM 1=AVG 2=MIN 3=MAX, varIdx, colIdx, mode 0=long 1=double)
-        aggRefs: Array[(Int, Int, Int, Int)],
+        // (isFirst, varMask, colIdx, logical offset k): the slot holds
+        // the (k+1)-th row from the first/last assigned to the readable
+        // variable — a single-bit mask for a pattern variable, an
+        // OR-mask for a SUBSET union (membership tested via inMask)
+        refs: Array[(Boolean, Long, Int, Int)],
+        // (fnKind 0=SUM 1=AVG 2=MIN 3=MAX, varMask, colIdx, mode 0=long 1=double)
+        aggRefs: Array[(Int, Long, Int, Int)],
         // base-row ordinals the bound expression actually reads — the
         // matcher fills only these per candidate row instead of
         // copying the full row width
@@ -1649,7 +1669,7 @@ object MatchRecognize {
               "separate conjuncts")
           // ordered, de-duplicated ref slots: attr name -> ref tuple
           val refs = scala.collection.mutable.LinkedHashMap
-            .empty[String, (Boolean, Int, Int, Int)]
+            .empty[String, (Boolean, Long, Int, Int)]
           def slot(firstKw: Boolean, rv: String, c: String,
               skip: Int): String = {
             val ci = fieldIdx(c)
@@ -1657,18 +1677,18 @@ object MatchRecognize {
               s"column $c not found in input")
             val name = s"__cv_${if (firstKw) "f" else "l"}${skip}_${rv}_" +
               inSchema(ci).name
-            refs.getOrElseUpdate(name, (firstKw, varOf(rv), ci, skip))
+            refs.getOrElseUpdate(name, (firstKw, maskOf(rv), ci, skip))
             name
           }
           // logical offsets saturate past Int range like the measure
           // parser (an offset past any real assignment list is NULL)
           def navOff(s: String): Int =
-            if (s == null) 0 else if (s.length > 9) Int.MaxValue else s.toInt
+            if (s == null) 0 else parseIntSat(s)
           // aggregate slots: type-gated like the MEASURES aggregates
           // (SUM/AVG need numeric columns, MIN/MAX any comparable
           // atomic), carrying the slot's OUTPUT type for the attr list
           val aggRefs = scala.collection.mutable.LinkedHashMap
-            .empty[String, (Int, Int, Int, Int, DataType)]
+            .empty[String, (Int, Long, Int, Int, DataType)]
           def aggSlot(fn: String, rv: String, c: String): String = {
             val ci = fieldIdx(c)
             if (ci >= baseLen) fail(s"DEFINE $v references $fn($rv.$c): " +
@@ -1699,27 +1719,29 @@ object MatchRecognize {
                 (if (fn == "MIN") 2 else 3, 0, dt)
             }
             val name = s"__agg_${fn.toLowerCase}_${rv}_${inSchema(ci).name}"
-            aggRefs.getOrElseUpdate(name, (fnKind, varOf(rv), ci, mode, slotDt))
+            aggRefs.getOrElseUpdate(name, (fnKind, maskOf(rv), ci, mode, slotDt))
             name
           }
           // aggregates rewrite FIRST so their inner V.col never reaches
           // the bare-reference pass; all three passes are literal-blind
-          // (replaceOutside) — a string like `'A.v'` is data, not a ref
+          // (replaceOutside) — a string like `'A.v'` is data, not a ref.
+          // maskOf (not varOf) gates the rewrite: SUBSET union variables
+          // are readable exactly like pattern variables here
           var t = replaceOutside(predText, AggCallRe) { m =>
             val rv = m.group(2).toUpperCase
-            if (!varOf.contains(rv)) m.matched
+            if (!maskOf.contains(rv)) m.matched
             else aggSlot(m.group(1).toUpperCase, rv, m.group(3))
           }
           t = replaceOutside(t, CrossFlRe) { m =>
             val rv = m.group(2).toUpperCase
-            if (!varOf.contains(rv)) m.matched
+            if (!maskOf.contains(rv)) m.matched
             else slot(m.group(1).equalsIgnoreCase("FIRST"), rv, m.group(3),
               navOff(m.group(4)))
           }
           // bare V.col (another variable) = LAST(V.col) per SQL:2016
           t = replaceOutside(t, CrossBareRe) { m =>
             val rv = m.group(1).toUpperCase
-            if (!varOf.contains(rv)) m.matched
+            if (!maskOf.contains(rv)) m.matched
             else slot(firstKw = false, rv, m.group(2), skip = 0)
           }
           val attrs = (base.map(f =>
@@ -1805,17 +1827,19 @@ object MatchRecognize {
       else spec.partitionBy.map(p => inSchema(fieldIdx(p))).map(f =>
         StructField(f.name, f.dataType, nullable = f.nullable)) ++ measureFields
     val outSchema = StructType(outFields.toArray)
-    val measurePlan: Array[(Int, Int, Int, Int)] = spec.measures.map {
-      // (kind, varIdxInVars, colIdx, mode): kind 0=first 1=last
+    val measurePlan: Array[(Int, Long, Int, Int)] = spec.measures.map {
+      // (kind, varMask, colIdx, mode): kind 0=first 1=last
       // 2=countVar 3=countAll 4=matchNo 5=classifier 6=sum 7=avg
-      // 8=min 9=max; mode holds the logical offset for kinds 0/1 and
-      // the long/double accumulation mode for agg kinds
+      // 8=min 9=max; varMask selects the readable variable's rows
+      // (single bit for a pattern variable, OR-mask for a SUBSET
+      // union); mode holds the logical offset for kinds 0/1 and the
+      // long/double accumulation mode for agg kinds
       case ColMeasure(v, c, first, _, off) =>
-        (if (first) 0 else 1, varOf(v), fieldIdx(c), off)
-      case CountMeasure(Some(v), _) => (2, varOf(v), -1, 0)
-      case CountMeasure(None, _) => (3, -1, -1, 0)
-      case MatchNumberMeasure(_) => (4, -1, -1, 0)
-      case ClassifierMeasure(_) => (5, -1, -1, 0)
+        (if (first) 0 else 1, maskOf(v), fieldIdx(c), off)
+      case CountMeasure(Some(v), _) => (2, maskOf(v), -1, 0)
+      case CountMeasure(None, _) => (3, 0L, -1, 0)
+      case MatchNumberMeasure(_) => (4, 0L, -1, 0)
+      case ClassifierMeasure(_) => (5, 0L, -1, 0)
       case AggMeasure(fn, v, c, _) =>
         val ci = fieldIdx(c)
         val kind = fn match {
@@ -1827,7 +1851,7 @@ object MatchRecognize {
         val dt = inSchema(ci).dataType
         val mode =
           if (dt == FloatType || dt == DoubleType) 1 else 0
-        (kind, varOf(v), ci, mode)
+        (kind, maskOf(v), ci, mode)
     }.toArray
     // FINAL measures under ALL ROWS evaluate over the complete match;
     // an empty mask (specs built without keywords) means all-RUNNING
@@ -1846,9 +1870,10 @@ object MatchRecognize {
         prepared.coalesce(1).sortWithinPartitions(sortCols: _*)
 
     val skipToNext = spec.skipToNextRow
-    // SKIP TO FIRST/LAST <var>: resolved to (isFirst, varIdx); -1 = none
-    val (skipFirst, skipVarIdx) = spec.skipToVar
-      .map { case (f, v) => (f, varOf(v)) }.getOrElse((false, -1))
+    // SKIP TO FIRST/LAST <var>: resolved to (isFirst, varMask) — a
+    // SUBSET union skips to the first/last row of ANY member; 0 = none
+    val (skipFirst, skipMask) = spec.skipToVar
+      .map { case (f, v) => (f, maskOf(v)) }.getOrElse((false, 0L))
     // most rows ONE match can span: the quantifier-sum of the longest
     // branch, or unbounded when any quantifier is (Long.MaxValue
     // sentinel). Together with the WITHIN horizon this caps how far the
@@ -2098,13 +2123,13 @@ object MatchRecognize {
               }
               var j = 0
               while (j < nRefs) {
-                val (first, rv, colIdx, skip) = cd.refs(j)
+                val (first, rvMask, colIdx, skip) = cd.refs(j)
                 var found = -1
                 var remaining = skip
                 if (first) {
                   var r = pAbs
                   while (found < 0 && r < elemStart) {
-                    if (assign(r - pAbs) == rv) {
+                    if (inMask(rvMask, assign(r - pAbs))) {
                       if (remaining == 0) found = r else remaining -= 1
                     }
                     r += 1
@@ -2112,7 +2137,7 @@ object MatchRecognize {
                 } else {
                   var r = elemStart - 1
                   while (found < 0 && r >= pAbs) {
-                    if (assign(r - pAbs) == rv) {
+                    if (inMask(rvMask, assign(r - pAbs))) {
                       if (remaining == 0) found = r else remaining -= 1
                     }
                     r -= 1
@@ -2125,10 +2150,11 @@ object MatchRecognize {
               while (a < nAggs) {
                 csBaseSumL(a) = 0L; csBaseSumD(a) = 0.0d
                 csBaseCnt(a) = 0L; csBaseBest(a) = null
-                val (_, rv, colIdx, _) = cd.aggRefs(a)
+                val (_, rvMask, colIdx, _) = cd.aggRefs(a)
                 var r = pAbs
                 while (r < elemStart) {
-                  if (assign(r - pAbs) == rv) accAgg(a, at(r).cat(colIdx), run = false)
+                  if (inMask(rvMask, assign(r - pAbs)))
+                    accAgg(a, at(r).cat(colIdx), run = false)
                   r += 1
                 }
                 a += 1
@@ -2142,8 +2168,11 @@ object MatchRecognize {
             while (csRunRow <= rowAbs) {
               var a = 0
               while (a < nAggs) {
-                val (_, rv, colIdx, _) = cd.aggRefs(a)
-                if (rv == v) accAgg(a, at(csRunRow).cat(colIdx), run = true)
+                // the current element's run accrues when the variable
+                // being DEFINEd is a member of the aggregate's mask —
+                // itself, or through a SUBSET union containing it
+                val (_, rvMask, colIdx, _) = cd.aggRefs(a)
+                if (inMask(rvMask, v)) accAgg(a, at(csRunRow).cat(colIdx), run = true)
                 a += 1
               }
               csRunRow += 1
@@ -2258,18 +2287,20 @@ object MatchRecognize {
             -1
           }
 
-          /** Row of the (skip+1)-th occurrence of variable v in
-            * [pAbs, upTo], counted from the first (or last) one; -1
-            * when v matched fewer than skip+1 rows in that span —
-            * the SQL:2016 FIRST/LAST(V.col, k) logical offset. */
-          private def edgeRow(v: Int, pAbs: Int, upTo: Int,
+          /** Row of the (skip+1)-th occurrence of a masked variable set
+            * in [pAbs, upTo], counted from the first (or last) one; -1
+            * when the set matched fewer than skip+1 rows in that span —
+            * the SQL:2016 FIRST/LAST(V.col, k) logical offset. The mask
+            * is a single bit for a pattern variable, an OR-mask for a
+            * SUBSET union (whose rows are any member's rows). */
+          private def edgeRow(vMask: Long, pAbs: Int, upTo: Int,
               first: Boolean, skip: Int = 0): Int = {
             var r = if (first) pAbs else upTo
             val step = if (first) 1 else -1
             var left = upTo - pAbs + 1
             var remaining = skip
             while (left > 0) {
-              if (assign(r - pAbs) == v) {
+              if (inMask(vMask, assign(r - pAbs))) {
                 if (remaining == 0) return r
                 remaining -= 1
               }
@@ -2283,7 +2314,7 @@ object MatchRecognize {
           // emitted row (SQL:2016 running semantics — FIRST/LAST and
           // counts see only rows matched so far)
           private def measureVal(mi: Int, pAbs: Int, upTo: Int): Any = {
-            val (kind, v, c, mode) = measurePlan(mi)
+            val (kind, vMask, c, mode) = measurePlan(mi)
             kind match {
               case 0 | 1 =>
                 // found-ness tracked via the row index, not the value:
@@ -2291,13 +2322,16 @@ object MatchRecognize {
                 // NULL, which must come back as NULL — not be skipped
                 // in favor of another row's value. mode carries the
                 // logical offset (FIRST/LAST(V.col, k)).
-                val r = edgeRow(v, pAbs, upTo, first = kind == 0,
+                val r = edgeRow(vMask, pAbs, upTo, first = kind == 0,
                   skip = mode)
                 if (r < 0) null else at(r).row.get(c)
               case 2 =>
                 var cnt = 0L
                 var r = pAbs
-                while (r <= upTo) { if (assign(r - pAbs) == v) cnt += 1; r += 1 }
+                while (r <= upTo) {
+                  if (inMask(vMask, assign(r - pAbs))) cnt += 1
+                  r += 1
+                }
                 cnt
               case 3 => (upTo - pAbs + 1).toLong
               case 4 => matchNo
@@ -2316,7 +2350,7 @@ object MatchRecognize {
                 var best: Any = null
                 var r = pAbs
                 while (r <= upTo) {
-                  if (assign(r - pAbs) == v) {
+                  if (inMask(vMask, assign(r - pAbs))) {
                     val value = at(r).row.get(c)
                     if (value != null) {
                       kind match {
@@ -2388,13 +2422,13 @@ object MatchRecognize {
                 }
                 p =
                   if (skipToNext) p + 1
-                  else if (skipVarIdx < 0) end
+                  else if (skipMask == 0L) end
                   else {
                     // SKIP TO FIRST/LAST <var>: resume AT that row (it
                     // may start the next match). The standard's two
                     // error cases are data-dependent, so they throw at
                     // runtime exactly like Flink's CEP operator.
-                    val found = edgeRow(skipVarIdx, p, end - 1, skipFirst)
+                    val found = edgeRow(skipMask, p, end - 1, skipFirst)
                     if (found < 0) throw new IllegalArgumentException(
                       "MATCH_RECOGNIZE: AFTER MATCH SKIP TO variable " +
                         "matched no row in this match")

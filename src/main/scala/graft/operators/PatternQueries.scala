@@ -918,6 +918,83 @@ object PatternQueries {
         |)""".stripMargin)
   }
 
+  /** SQL:2016 `SUBSET` union variables: `U = (C, P)` names the rows
+    * assigned to ANY member, readable wherever a pattern variable is —
+    * here in MEASURES (`FIRST/SUM/MIN/COUNT` over U = the clicks plus
+    * the closing purchase) and in DEFINE (`P AS ... vm > FIRST(W.vm)`
+    * with `W = (V, C)`: the first row of W's running assignment is the
+    * opening view row, so the purchase must beat the view's value).
+    * The matcher resolves union variables as OR-bitmasks over the
+    * primary assignment — one code path for both (see
+    * `MatchRecognize.maskOf`).
+    *
+    * Oracle: the q64 relational form with the extra qualifying
+    * condition. A match is a view row whose FIRST following non-click
+    * (rank order) is a purchase with `vm > view's vm` at rank ≥
+    * start+2; interior rows are clicks, so candidates never overlap
+    * and the greedy NFA agrees with the relational form. U's rows are
+    * then exactly ranks (vrn, endrn], and W's first row is the view
+    * itself.
+    */
+  val q81Subset: Q = Q(
+    "q81_subset",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn, vm AS vvm FROM e
+      |      WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, v.vvm, MIN(e2.rn) AS endrn
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn > v.vrn
+      |    AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT n.user_id, n.vrn, n.endrn
+      |  FROM nc n JOIN e e3 ON e3.user_id = n.user_id AND e3.rn = n.endrn
+      |  WHERE e3.event_type = 'purchase' AND n.endrn > n.vrn + 1
+      |    AND e3.vm > n.vvm),
+      |agg AS (
+      |  SELECT m.user_id, m.vrn,
+      |    CAST(SUM(u.vm) AS BIGINT) AS u_sum, MIN(u.vm) AS u_min,
+      |    CAST(COUNT(*) AS BIGINT) AS u_cnt
+      |  FROM m JOIN e u ON u.user_id = m.user_id
+      |    AND u.rn > m.vrn AND u.rn <= m.endrn
+      |  GROUP BY 1, 2)
+      |SELECT a.user_id, f.vm AS u_first, a.u_sum, a.u_min, a.u_cnt,
+      |  ROW_NUMBER() OVER (PARTITION BY a.user_id ORDER BY a.vrn) AS mn
+      |FROM agg a JOIN e f ON f.user_id = a.user_id
+      |  AND f.rn = a.vrn + 1""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_subset")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, u_first, u_sum, u_min, u_cnt, mn
+        |FROM graft_mr_events_subset
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    FIRST(U.vm) AS u_first,
+        |    SUM(U.vm) AS u_sum,
+        |    MIN(U.vm) AS u_min,
+        |    COUNT(U.*) AS u_cnt,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ P)
+        |  SUBSET U = (C, P), W = (V, C)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase' AND vm > FIRST(W.vm)
+        |)""".stripMargin)
+  }
+
   /** MATCH_RECOGNIZE logical-offset navigation in DEFINE (SQL:2016 /
     * Flink admit `FIRST/LAST(V.col, k)` in DEFINE as well as MEASURES):
     * two consecutive clicks followed by purchases, each required to
@@ -993,5 +1070,6 @@ object PatternQueries {
     q64MatchRecognize, q65PrevPattern, q66AllRows, q67Alternation,
     q68Within, q69SkipChain, q72Classifier, q73CrossDefine,
     q74AggMeasures, q75PrevExpr, q76AggDefine, q77GroupPattern,
-    q78OffsetMeasures, q79NextNav, q80AltGroup, q82DefineOffset)
+    q78OffsetMeasures, q79NextNav, q80AltGroup, q81Subset,
+    q82DefineOffset)
 }

@@ -1862,6 +1862,115 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(e.getMessage.contains("only integer columns"), e.getMessage)
   }
 
+  test("SUBSET union variables in measures: FIRST/LAST/SUM/COUNT/AVG") {
+    seq((1, 1, "a", 1), (1, 2, "b", 2), (1, 3, "b", 3), (1, 4, "c", 10))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(U.v) AS uf, LAST(U.v) AS ul, SUM(U.v) AS us,
+        |    COUNT(U.*) AS un, MIN(U.v) AS umin, MAX(U.v) AS umax,
+        |    AVG(U.v) AS uavg, FIRST(U.v, 1) AS uf1
+        |  PATTERN (A B+ C)
+        |  SUBSET U = (B, C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin)
+    // U's rows are the two b's and the c: first 2, last 10, sum 15,
+    // count 3, min 2, max 10, avg 5.0, offset-1 first 3
+    assert(out === Seq(Seq(1L, 2L, 10L, 15L, 3L, 2L, 10L, 5.0d, 3L)))
+  }
+
+  test("SUBSET in DEFINE: running aggregate and FIRST navigation over the union") {
+    // U = (A, B) with B constrained by SUM(U.v) <= 6: classifying each
+    // b includes the candidate row (running semantics through the
+    // union), so b(2): 1+2=3 ok, b(3): 6 ok, b(4): 10 stops the run
+    seq((1, 1, "a", 1), (1, 2, "b", 2), (1, 3, "b", 3), (1, 4, "b", 4))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(B.*) AS nb, SUM(U.v) AS usum
+        |  PATTERN (A B+)
+        |  SUBSET U = (A, B)
+        |  DEFINE A AS t = 'a', B AS t = 'b' AND SUM(U.v) <= 6)""".stripMargin)
+    assert(out === Seq(Seq(1L, 2L, 6L)))
+    // FIRST(W.v) over W = (A, B) resolves to the A row (q81's shape):
+    // the c must beat the opening row's value
+    seq((1, 1, "a", 5), (1, 2, "b", 1), (1, 3, "c", 6),
+      (2, 1, "a", 5), (2, 2, "b", 1), (2, 3, "c", 4))
+    val out2 = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES C.v AS cv
+        |  PATTERN (A B C)
+        |  SUBSET W = (A, B)
+        |  DEFINE A AS t = 'a', B AS t = 'b',
+        |    C AS t = 'c' AND v > FIRST(W.v))""".stripMargin)
+    assert(out2 === Seq(Seq(1L, 6L))) // k=2's c (4) fails v > 5
+  }
+
+  test("AFTER MATCH SKIP TO LAST over a SUBSET union resumes at that row") {
+    // SKIP TO LAST U with U = (B, C) resumes at the C row, which can
+    // open the next match (A admits 'c'): chained matches at 1 and 3
+    seq((1, 1, "a", 0), (1, 2, "b", 0), (1, 3, "c", 0), (1, 4, "b", 0),
+      (1, 5, "c", 0))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(A.o) AS s, COUNT(*) AS n
+        |  AFTER MATCH SKIP TO LAST U
+        |  PATTERN (A B C)
+        |  SUBSET U = (B, C)
+        |  DEFINE A AS t IN ('a', 'c'), B AS t = 'b', C AS t = 'c')""".stripMargin)
+    assert(out.toSet === Set(Seq(1L, 1L, 3L), Seq(1L, 3L, 3L)))
+  }
+
+  test("SUBSET union measures run under ALL ROWS PER MATCH") {
+    seq((1, 1, "a", 1), (1, 2, "b", 2), (1, 3, "b", 3), (1, 4, "c", 4))
+    val out = run(
+      """SELECT o, un, us FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(U.*) AS un, SUM(U.v) AS us
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B+ C)
+        |  SUBSET U = (B, C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin)
+    // running semantics: the a row sees no U rows yet (NULL sum)
+    assert(out === Seq(Seq(1L, 0L, null), Seq(2L, 1L, 2L),
+      Seq(3L, 2L, 5L), Seq(4L, 3L, 9L)))
+  }
+
+  test("SUBSET rejection contract") {
+    seq((1, 1, "a", 0))
+    def bad(mr: String): String =
+      intercept[IllegalArgumentException](run(mr)).getMessage
+    // name collides with a pattern variable
+    assert(bad("""SELECT * FROM mr_in MATCH_RECOGNIZE (
+      |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+      |  PATTERN (A B) SUBSET A = (B)
+      |  DEFINE A AS t = 'a')""".stripMargin).contains("collides"))
+    // member not in PATTERN
+    assert(bad("""SELECT * FROM mr_in MATCH_RECOGNIZE (
+      |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+      |  PATTERN (A B) SUBSET U = (A, Z)
+      |  DEFINE A AS t = 'a')""".stripMargin).contains("not in PATTERN"))
+    // defined twice
+    assert(bad("""SELECT * FROM mr_in MATCH_RECOGNIZE (
+      |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+      |  PATTERN (A B) SUBSET U = (A), U = (B)
+      |  DEFINE A AS t = 'a')""".stripMargin).contains("defined twice"))
+    // FIRST/LAST through a union containing the DEFINEd variable is
+    // self navigation beyond the current row
+    assert(bad("""SELECT * FROM mr_in MATCH_RECOGNIZE (
+      |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+      |  PATTERN (A B) SUBSET U = (A, B)
+      |  DEFINE A AS t = 'a', B AS v > FIRST(U.v))""".stripMargin)
+      .contains("self navigation"))
+    // a measure over an undeclared union name is still undefined
+    assert(bad("""SELECT * FROM mr_in MATCH_RECOGNIZE (
+      |  PARTITION BY k ORDER BY o MEASURES COUNT(U.*) AS n
+      |  PATTERN (A B) SUBSET W = (A, B)
+      |  DEFINE A AS t = 'a')""".stripMargin)
+      .contains("undefined pattern variable"))
+  }
+
   test("rewrite temp views are dropped after the statement executes") {
     seq((1, 1, "a", 0))
     val before = spark.catalog.listTables().collect()
