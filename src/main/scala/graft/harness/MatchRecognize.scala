@@ -86,8 +86,11 @@ import scala.collection.mutable.ArrayBuffer
   * see `tryNodes`), and a group body may alternate — `(A | B C)+`
   * tries the branches leftmost-first per iteration, the SQL:2016 /
   * regex preference order. NEXT(expr[, k]) forward navigation is
-  * supported in batch (precomputed as `lead`, symmetric to PREV).
-  * Unsupported forms (nested PREV/NEXT, aggregate forms in DEFINE
+  * supported in batch (precomputed as `lead`, symmetric to PREV), and
+  * batch navigation composes — `PREV(price + PREV(price))`,
+  * `NEXT(PREV(v))` — via staged lag/lead columns (inner calls
+  * precompute first; see `translateNav`); streaming contract-rejects
+  * nested navigation. Unsupported forms (aggregate forms in DEFINE
   * other than SUM/AVG/MIN/MAX(V.col), subquery sources) throw
   * `IllegalArgumentException` with the contract, mirroring the
   * WindowTvf/TemporalJoin residual checks. Streaming restricts DEFINE
@@ -580,7 +583,9 @@ object MatchRecognize {
       allVars: Set[String],
       subsets: Map[String, Seq[String]] = Map.empty): Unit = {
     val masked = maskQuoted(pred)
-    rejectNestedNav(pred)
+    // nested PREV/NEXT is batch-only (staged lag/lead columns — see
+    // execute's translateNav); the streaming rewrite contract-rejects
+    // it per define before conjunct splitting
     // a pattern variable OR a SUBSET union variable is readable
     val readable = allVars ++ subsets.keySet
     // aggregate calls: only SUM/AVG/MIN/MAX(V.col) over a pattern or
@@ -959,6 +964,11 @@ object MatchRecognize {
     *    in-tracker against the running assignment (same slots as the
     *    batch matcher): SUM/AVG gate to INTEGRAL columns, MIN/MAX to
     *    any JSON-lossless type.
+    *  - SQL:2016 SUBSET union variables work wherever a pattern
+    *    variable is read (MEASURES, DEFINE navigation/aggregates,
+    *    AFTER MATCH SKIP TO), resolved as OR-masks over the def
+    *    bitmask — the batch maskOf design; union columns face the
+    *    same type gates as their primary-variable forms.
     *
     * `watermarkOf` resolves a table name to its (event-time column,
     * delay) from the connector DDL.
@@ -1001,6 +1011,14 @@ object MatchRecognize {
       val vars = spec.pattern.flatMap(varsIn(_)).distinct
       if (vars.size > 62) fail("too many pattern variables (max 62)")
       val varOf = vars.zipWithIndex.toMap
+      // readable variables as def-bit masks: a primary is its own bit,
+      // a SUBSET union ORs its members' bits — the tracker tests
+      // assignment membership against masks, the same design as the
+      // batch matcher's maskOf
+      val maskOf: Map[String, Long] =
+        varOf.map { case (v, i) => v -> (1L << i) } ++
+          spec.subsets.map { case (u, ms) =>
+            u -> ms.foldLeft(0L)((m, x) => m | (1L << varOf(x))) }
       // alternation branches in preference order (leftmost wins), SKIP
       // TO FIRST/LAST, and grouped sub-patterns all ride through to
       // the tracker, which mirrors the batch matcher's semantics under
@@ -1012,7 +1030,7 @@ object MatchRecognize {
           PatternTracker.Group(bs.map(_.map(compileNode)), lo, hi)
       }
       val branches = spec.pattern.map(_.map(compileNode))
-      val skipTo = spec.skipToVar.map { case (f, v) => (f, varOf(v)) }
+      val skipTo = spec.skipToVar.map { case (f, v) => (f, maskOf(v)) }
 
       val src = spark.table(table)
       // case-insensitive column resolution with the contract's failure
@@ -1051,15 +1069,15 @@ object MatchRecognize {
       }.toArray
       val measures = spec.measures.map {
         case ColMeasure(v, c, first, _, _) =>
-          if (c.equalsIgnoreCase(wmCol)) (if (first) 0 else 1, varOf(v))
+          if (c.equalsIgnoreCase(wmCol)) (if (first) 0 else 1, maskOf(v))
           else {
             colMeasureCols += gatedMeasureCol(c)
-            (if (first) 5 else 6, varOf(v))
+            (if (first) 5 else 6, maskOf(v))
           }
-        case CountMeasure(Some(v), _) => (2, varOf(v))
-        case CountMeasure(None, _) => (3, -1)
-        case MatchNumberMeasure(_) => (4, -1)
-        case ClassifierMeasure(_) => (7, -1)
+        case CountMeasure(Some(v), _) => (2, maskOf(v))
+        case CountMeasure(None, _) => (3, 0L)
+        case MatchNumberMeasure(_) => (4, 0L)
+        case ClassifierMeasure(_) => (7, 0L)
         case AggMeasure(fn, v, c, _) =>
           import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType}
           val idx = fieldIdx(c)
@@ -1079,7 +1097,7 @@ object MatchRecognize {
             case "MIN" => 9
             case "MAX" => 10
             case _ => 11
-          }, varOf(v))
+          }, maskOf(v))
       }
       // per-key state groups on a to_json/from_json round-trip of the
       // PARTITION BY tuple; only types whose JSON text decodes
@@ -1110,13 +1128,21 @@ object MatchRecognize {
       // like any other define, on any column type. A conjunct mixing
       // PREV with the in-matcher forms is out of the subset.
       val allVarSet = vars.toSet
+      // nested PREV/NEXT is batch-only: the tracker's lag payload
+      // carries fixed per-row slots, not composed navigation — reject
+      // with the contract before conjunct splitting produces a
+      // misleading unresolved-column error
+      spec.defines.values.foreach(rejectNestedNav)
+      // SUBSET union names read like pattern variables: a conjunct
+      // referencing one moves tracker-side exactly like a cross ref
+      val readSet = allVarSet ++ spec.subsets.keySet
       val split: Map[String, (Seq[String], Seq[String], Seq[String])] =
         vars.flatMap { v =>
           spec.defines.get(v).flatMap { p =>
-            val others = allVarSet - v
+            val others = (allVarSet - v) ++ spec.subsets.keySet
             def hasNav(c: String): Boolean = hasPrev(c) || hasNextNav(c)
             def inMatcher(c: String): Boolean =
-              hasCrossRef(c, others) || hasAggRef(c, allVarSet)
+              hasCrossRef(c, others) || hasAggRef(c, readSet)
             if (!hasNav(p) && !inMatcher(p)) None
             else {
               val conjs = splitTopLevelAnd(p)
@@ -1227,7 +1253,7 @@ object MatchRecognize {
             // accumulate exact longs in the tracker, so INTEGRAL only;
             // MIN/MAX compare payload values, so any JSON-lossless type
             AggCallRe.findAllMatchIn(mp).foreach { cm =>
-              if (varOf.contains(cm.group(2).toUpperCase)) {
+              if (maskOf.contains(cm.group(2).toUpperCase)) {
                 val cn = srcNames.getOrElse(cm.group(3).toLowerCase,
                   fail(s"column ${cm.group(3)} not found in $table"))
                 val fn = cm.group(1).toUpperCase
@@ -1244,15 +1270,15 @@ object MatchRecognize {
               }
             }
             val aggBlanked = replaceOutside(pred, AggCallRe) { cm =>
-              if (varOf.contains(cm.group(2).toUpperCase)) " " else cm.matched
+              if (maskOf.contains(cm.group(2).toUpperCase)) " " else cm.matched
             }
             CrossFlRe.findAllMatchIn(maskQuoted(aggBlanked)).foreach { cm =>
-              if (varOf.contains(cm.group(2).toUpperCase))
+              if (maskOf.contains(cm.group(2).toUpperCase))
                 referenced += srcNames.getOrElse(cm.group(3).toLowerCase,
                   fail(s"column ${cm.group(3)} not found in $table"))
             }
             CrossBareRe.findAllMatchIn(maskQuoted(aggBlanked)).foreach { cm =>
-              if (varOf.contains(cm.group(1).toUpperCase))
+              if (maskOf.contains(cm.group(1).toUpperCase))
                 referenced += srcNames.getOrElse(cm.group(2).toLowerCase,
                   fail(s"column ${cm.group(2)} not found in $table"))
             }
@@ -1317,14 +1343,14 @@ object MatchRecognize {
           val crossPreds = crossVars.map { v =>
             val predText = split(v)._2.map(c => s"($c)").mkString(" AND ")
             val refs = scala.collection.mutable.LinkedHashMap
-              .empty[String, (Boolean, Int, Int, Int)]
+              .empty[String, (Boolean, Long, Int, Int)]
             val aggRefs = scala.collection.mutable.LinkedHashMap
-              .empty[String, (Int, Int, Int)]
+              .empty[String, (Int, Long, Int)]
             def slot(firstKw: Boolean, rv: String, c: String,
                 skip: Int): String = {
               val cn = srcNames(c.toLowerCase)
               val name = s"__cv_${if (firstKw) "f" else "l"}${skip}_${rv}_$cn"
-              refs.getOrElseUpdate(name, (firstKw, varOf(rv), colOrd(cn), skip))
+              refs.getOrElseUpdate(name, (firstKw, maskOf(rv), colOrd(cn), skip))
               name
             }
             // saturate past-Int offsets like the measure parser
@@ -1332,7 +1358,7 @@ object MatchRecognize {
               if (s == null) 0 else parseIntSat(s)
             var t = replaceOutside(predText, AggCallRe) { cm =>
               val rv = cm.group(2).toUpperCase
-              if (!varOf.contains(rv)) cm.matched
+              if (!maskOf.contains(rv)) cm.matched
               else {
                 val fn = cm.group(1).toUpperCase
                 val cn = srcNames(cm.group(3).toLowerCase)
@@ -1343,19 +1369,19 @@ object MatchRecognize {
                   case _ => 3
                 }
                 val name = s"__ca_${fn.toLowerCase}_${rv}_$cn"
-                aggRefs.getOrElseUpdate(name, (fnKind, varOf(rv), colOrd(cn)))
+                aggRefs.getOrElseUpdate(name, (fnKind, maskOf(rv), colOrd(cn)))
                 name
               }
             }
             t = replaceOutside(t, CrossFlRe) { cm =>
               val rv = cm.group(2).toUpperCase
-              if (!varOf.contains(rv)) cm.matched
+              if (!maskOf.contains(rv)) cm.matched
               else slot(cm.group(1).equalsIgnoreCase("FIRST"), rv,
                 cm.group(3), navOff(cm.group(4)))
             }
             t = replaceOutside(t, CrossBareRe) { cm =>
               val rv = cm.group(1).toUpperCase
-              if (!varOf.contains(rv)) cm.matched
+              if (!maskOf.contains(rv)) cm.matched
               else slot(firstKw = false, rv, cm.group(2), skip = 0)
             }
             val crossAttrs = (fields.map(f =>
@@ -1537,10 +1563,86 @@ object MatchRecognize {
       (if (spec.partitionBy.nonEmpty)
         s"PARTITION BY ${spec.partitionBy.mkString(", ")} " else "") +
       s"ORDER BY ${spec.orderBy.mkString(", ")}"
+    // nested navigation (`PREV(price + PREV(price))`, `NEXT(PREV(v))`)
+    // cannot render as nested window functions — SQL forbids a window
+    // function inside another's argument — so inner calls precompute as
+    // STAGED lag/lead columns over the same match order: stage d holds
+    // every nav call whose argument only needs stages < d, and each
+    // stage is one extra Project+Window pass before the __def select.
+    // Non-nested predicates stage nothing and render inline exactly as
+    // before. Stages dedupe by normalized SQL across all defines.
+    val navStages = ArrayBuffer.empty[scala.collection.mutable.LinkedHashMap[String, String]]
+    val navSlotByKey = scala.collection.mutable.HashMap.empty[String, String]
+    def navParts(text: String, open: Int, kw: String): (String, Int) = {
+      val end = closeParen(text, open)
+      val inner = text.substring(open + 1, end - 1).trim
+      val (e, k) = splitTopLevel(inner) match {
+        case Seq(x) => (x, 1)
+        case Seq(x, kk) if raw"^\d+$$".r.findFirstIn(kk).isDefined =>
+          (x, parseIntSat(kk))
+        case _ => fail(s"unsupported $kw form (want $kw(expr[, k]) " +
+          s"with an integer-literal offset): $text")
+      }
+      if (e.isEmpty) fail(s"unsupported $kw form (want $kw(expr[, k])): $text")
+      (e, k)
+    }
+    // top-level nav opens of `text`, left-to-right, literal-masked;
+    // opens inside an earlier call's span are skipped by the callers'
+    // `last` cursor
+    def navOpens(masked: String): Seq[(Int, Int, String)] =
+      (PrevOpenRe.findAllMatchIn(masked).map(m => (m.start, m.end - 1, "PREV")) ++
+        NextOpenRe.findAllMatchIn(masked).map(m => (m.start, m.end - 1, "NEXT")))
+        .toSeq.sortBy(_._1)
+    // replaces EVERY nav call in `text` (recursively) with a staged
+    // column reference; returns the rewritten text and the max stage
+    // any replaced call landed in (0 = no nav calls)
+    def stageNav(text: String): (String, Int) = {
+      val sb = new StringBuilder
+      var last = 0
+      var maxDepth = 0
+      navOpens(maskQuoted(text)).foreach { case (start, open, kw) =>
+        if (start >= last) {
+          val end = closeParen(text, open)
+          val (e, k) = navParts(text, open, kw)
+          val (e2, d) = stageNav(e)
+          val depth = d + 1
+          maxDepth = math.max(maxDepth, depth)
+          val fn = if (kw == "PREV") "lag" else "lead"
+          val callSql = s"$fn($e2, $k) OVER ($overClause)"
+          val name = navSlotByKey.getOrElseUpdate(
+            s"$depth|${callSql.replaceAll(raw"\s+", " ")}", {
+              while (navStages.size < depth)
+                navStages += scala.collection.mutable.LinkedHashMap.empty
+              val n = s"__nav${depth}_${navStages(depth - 1).size}"
+              navStages(depth - 1)(n) = callSql
+              n
+            })
+          sb.append(text.substring(last, start)).append(name)
+          last = end
+        }
+      }
+      sb.append(text.substring(last))
+      (sb.toString, maxDepth)
+    }
+    // outermost calls render inline (they may sit inside the __def
+    // boolean like any window expression); only their nested arguments
+    // stage
     def translateNav(pred: String): String = {
-      val lagged =
-        mapPrevCalls(pred)((e, k) => s"lag($e, $k) OVER ($overClause)")
-      mapNextCalls(lagged)((e, k) => s"lead($e, $k) OVER ($overClause)")
+      val sb = new StringBuilder
+      var last = 0
+      navOpens(maskQuoted(pred)).foreach { case (start, open, kw) =>
+        if (start >= last) {
+          val end = closeParen(pred, open)
+          val (e, k) = navParts(pred, open, kw)
+          val (e2, _) = stageNav(e)
+          val fn = if (kw == "PREV") "lag" else "lead"
+          sb.append(pred.substring(last, start))
+            .append(s"$fn($e2, $k) OVER ($overClause)")
+          last = end
+        }
+      }
+      sb.append(pred.substring(last))
+      sb.toString
     }
     // cross-variable and running-aggregate defines split on top-level
     // AND like the streaming PREV path: conjuncts without cross/agg
@@ -1569,8 +1671,18 @@ object MatchRecognize {
       }
       expr(translateNav(pred)).cast("boolean").as(s"__def_$v")
     }
-    val prepared = src.select(col("*") +: defCols: _*)
+    // nested-navigation stages (populated by the translateNav calls
+    // above) precompute innermost lag/lead columns first; the __def
+    // select then sees them like any source column
+    val stagedSrc = navStages.foldLeft(src) { (df, st) =>
+      df.select(col("*") +: st.toSeq.map { case (n, sql) =>
+        expr(sql).as(n) }: _*)
+    }
+    val prepared = stagedSrc.select(col("*") +: defCols: _*)
     val inSchema = prepared.schema
+    // output row width: the ORIGINAL source columns only — staged
+    // __nav columns are internal like the __def booleans
+    val srcLen = src.schema.fields.length
     def fieldIdx(name: String): Int = {
       val i = inSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
       if (i < 0) fail(s"column $name not found in input")
@@ -1823,7 +1935,7 @@ object MatchRecognize {
       case AggMeasure(fn, _, c, alias) => aggOut(fn, fieldIdx(c), alias)
     }
     val outFields =
-      if (spec.allRows) inSchema.fields.take(baseLen).toSeq ++ measureFields
+      if (spec.allRows) inSchema.fields.take(srcLen).toSeq ++ measureFields
       else spec.partitionBy.map(p => inSchema(fieldIdx(p))).map(f =>
         StructField(f.name, f.dataType, nullable = f.nullable)) ++ measureFields
     val outSchema = StructType(outFields.toArray)
@@ -2396,15 +2508,15 @@ object MatchRecognize {
                   val outRows = new Array[Row](end - p)
                   var r = p
                   while (r < end) {
-                    val vals = new Array[Any](baseLen + measurePlan.length)
+                    val vals = new Array[Any](srcLen + measurePlan.length)
                     var o = 0
-                    while (o < baseLen) { vals(o) = at(r).row.get(o); o += 1 }
+                    while (o < srcLen) { vals(o) = at(r).row.get(o); o += 1 }
                     var mi = 0
                     while (mi < measurePlan.length) {
                       // RUNNING (default) sees the prefix ending at the
                       // emitted row; FINAL sees the complete match
                       val upTo = if (finalMask(mi)) end - 1 else r
-                      vals(baseLen + mi) = measureVal(mi, p, upTo); mi += 1
+                      vals(srcLen + mi) = measureVal(mi, p, upTo); mi += 1
                     }
                     outRows(r - p) = Row.fromSeq(vals.toIndexedSeq)
                     r += 1

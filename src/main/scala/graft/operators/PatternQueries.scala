@@ -1066,10 +1066,61 @@ object PatternQueries {
         |)""".stripMargin)
   }
 
+  /** Nested PREV/NEXT navigation in DEFINE (Flink CEP admits composed
+    * navigation like `PREV(price + PREV(price))` — a smoothing
+    * predicate): rows whose value exceeds the sum of the two previous
+    * rows' values. The batch rewrite stages the inner `PREV(vm)` as
+    * its own lag column and composes the outer call over it (see
+    * `MatchRecognize.translateNav`).
+    *
+    * Oracle: the predicate is physical-row navigation only —
+    * `vm > LAG(vm, 1) + LAG(vm, 2)` per user in rank order — and the
+    * single-variable pattern emits one row per matching row (SKIP PAST
+    * LAST ROW over one-row matches never overlaps), so the relational
+    * form is a direct filter + ROW_NUMBER.
+    */
+  val q83NestedNav: Q = Q(
+    "q83_nested_nav",
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, vm, rn,
+      |    LAG(vm, 1) OVER (PARTITION BY user_id ORDER BY rn) AS p1,
+      |    LAG(vm, 2) OVER (PARTITION BY user_id ORDER BY rn) AS p2
+      |  FROM e)
+      |SELECT user_id, vm AS rvm,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS mn
+      |FROM f
+      |WHERE p1 IS NOT NULL AND p2 IS NOT NULL AND vm > p1 + p2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_nestednav")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, rvm, mn
+        |FROM graft_mr_events_nestednav
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    LAST(R.vm) AS rvm,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (R)
+        |  DEFINE R AS vm > PREV(vm + PREV(vm))
+        |)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q64MatchRecognize, q65PrevPattern, q66AllRows, q67Alternation,
     q68Within, q69SkipChain, q72Classifier, q73CrossDefine,
     q74AggMeasures, q75PrevExpr, q76AggDefine, q77GroupPattern,
     q78OffsetMeasures, q79NextNav, q80AltGroup, q81Subset,
-    q82DefineOffset)
+    q82DefineOffset, q83NestedNav)
 }

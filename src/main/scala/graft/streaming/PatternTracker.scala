@@ -79,7 +79,22 @@ object PatternTracker {
   final case class Group(branches: Seq[Seq[PatNode]], lo: Int, hi: Int)
     extends PatNode
 
-  /** Measure: (kind, varIdx) with kind 0 = FIRST(var ts), 1 = LAST(var
+  /** Matcher-compiled pattern node: the [[PatNode]] tree with every
+    * branch list materialized as arrays ONCE at compile time — the
+    * matcher's group loop visits branches per row per match attempt,
+    * so a per-visit `Seq.toArray` there would be a hot-loop
+    * allocation. */
+  private sealed trait CNode extends Serializable
+  private final case class CElem(varIdx: Int, lo: Int, hi: Int) extends CNode
+  private final case class CGrp(branches: Array[Array[CNode]], lo: Int,
+      hi: Int) extends CNode
+  private def compileNode(n: PatNode): CNode = n match {
+    case Elem(v, lo, hi) => CElem(v, lo, hi)
+    case Group(bs, lo, hi) =>
+      CGrp(bs.map(_.map(compileNode).toArray).toArray, lo, hi)
+  }
+
+  /** Measure: (kind, varMask) with kind 0 = FIRST(var ts), 1 = LAST(var
     * ts), 2 = COUNT(var.*), 3 = COUNT(*), 4 = MATCH_NUMBER(),
     * 5 = FIRST(var payload), 6 = LAST(var payload) — 5/6 return the
     * matched row's `vals` JSON via [[PatternMatch.cvals]] —
@@ -89,8 +104,16 @@ object PatternTracker {
     * rows' `vals` payloads (see [[AggSpec]]; results ride
     * [[PatternMatch.cvals]] as decimal strings, null when the variable
     * matched no row or only NULLs — SQL aggregate discipline).
+    * `varMask` selects the variable's rows by def-bit: a single bit
+    * for a pattern variable, an OR-mask for a SQL:2016 SUBSET union
+    * (whose rows are any member's rows).
     */
-  type Measure = (Int, Int)
+  type Measure = (Int, Long)
+
+  /** Bit `a` of `mask` — membership of primary-variable index `a` in a
+    * readable variable's mask (`a = -1`, no assignment, is in none). */
+  @inline private def inMask(mask: Long, a: Int): Boolean =
+    a >= 0 && ((mask >> a) & 1L) == 1L
 
   /** Executor-side contract for aggregate measures (kinds 8-11):
     * `aggCols(j)` is the `vals`-payload field name of the j-th
@@ -130,17 +153,19 @@ object PatternTracker {
       // SUM/AVG/MIN/MAX(V.col) of any variable): evaluated DURING
       // matching against the running assignment, over the layout
       // `cols ++ one slot per ref ++ one slot per aggregate`; refs are
-      // (isFirst, refVarIdx, ordinal of the column in `cols`, logical
+      // (isFirst, refVarMask, ordinal of the column in `cols`, logical
       // offset k — the slot holds the (k+1)-th row from the
       // first/last), aggRefs are (fnKind 0=SUM 1=AVG 2=MIN 3=MAX,
-      // refVarIdx, ordinal). Aggregates follow the batch matcher's
-      // SQL:2016 running semantics: rows assigned to the variable so
-      // far, plus — when the variable is the one being DEFINEd — the
-      // current element's run and the candidate row itself.
+      // refVarMask, ordinal). The mask is a single def-bit for a
+      // pattern variable, an OR-mask for a SUBSET union. Aggregates
+      // follow the batch matcher's SQL:2016 running semantics: rows
+      // assigned to the masked set so far, plus — when the variable
+      // being DEFINEd is a member of the mask — the current element's
+      // run and the candidate row itself.
       crossPreds: Array[(Int,
         org.apache.spark.sql.catalyst.expressions.Expression,
-        Array[(Boolean, Int, Int, Int)],
-        Array[(Int, Int, Int)])] = Array(),
+        Array[(Boolean, Long, Int, Int)],
+        Array[(Int, Long, Int)])] = Array(),
       // max NEXT(col, k) lead offset: the preds layout gains
       // `__next_1_<col>.. __next_maxNextK_<col>` blocks after the PREV
       // blocks, filled from MATURED successors (their values are final
@@ -224,7 +249,7 @@ object PatternTracker {
 
   /** Full-surface variant: alternation branches in preference order
     * (leftmost wins, as in the batch matcher) and AFTER MATCH SKIP TO
-    * FIRST/LAST var as `skipTo = Some((isFirst, varIdx))` — the
+    * FIRST/LAST var as `skipTo = Some((isFirst, varMask))` — the
     * standard's no-row / match-start error cases throw at runtime,
     * failing the streaming query exactly like Flink's CEP operator.
     */
@@ -234,7 +259,7 @@ object PatternTracker {
       branches: Seq[Seq[PatNode]],
       measures: Seq[Measure],
       skipToNextRow: Boolean,
-      skipTo: Option[(Boolean, Int)],
+      skipTo: Option[(Boolean, Long)],
       withinMs: Long,
       prevSpec: Option[PrevSpec] = None,
       aggSpec: Option[AggSpec] = None,
@@ -247,7 +272,10 @@ object PatternTracker {
     implicit val outEnc = Encoders.product[PatternMatch]
     implicit val stateEnc = Encoders.product[PatternState]
     implicit val keyEnc = Encoders.STRING
-    val branchArr = branches.map(_.toArray).toArray
+    // compiled once here (driver side, shipped in the closure): the
+    // matcher then walks array-backed nodes with zero per-visit
+    // conversion
+    val branchArr = branches.map(_.map(compileNode).toArray).toArray
     val measureArr = measures.toArray
     input
       .withWatermark("ts", watermarkDelay)
@@ -264,10 +292,10 @@ object PatternTracker {
       key: String,
       rows: Iterator[PatternEvent],
       state: GroupState[PatternState],
-      branches: Array[Array[PatNode]],
+      branches: Array[Array[CNode]],
       measures: Array[Measure],
       skipToNextRow: Boolean,
-      skipTo: Option[(Boolean, Int)],
+      skipTo: Option[(Boolean, Long)],
       withinMs: Long,
       prevSpec: Option[PrevSpec],
       aggSpec: Option[AggSpec],
@@ -366,10 +394,10 @@ object PatternTracker {
     // cross-variable conjuncts by variable index (null when unused);
     // the predicate is the instance-owned compiled form (see PrevSpec)
     val crossByVar: Array[(org.apache.spark.sql.catalyst.expressions.BasePredicate,
-        Array[(Boolean, Int, Int, Int)], Array[(Int, Int, Int)])] = prevSpec match {
+        Array[(Boolean, Long, Int, Int)], Array[(Int, Long, Int)])] = prevSpec match {
       case Some(ps) if ps.crossPreds.nonEmpty =>
         val arr = new Array[(org.apache.spark.sql.catalyst.expressions.BasePredicate,
-          Array[(Boolean, Int, Int, Int)], Array[(Int, Int, Int)])](64)
+          Array[(Boolean, Long, Int, Int)], Array[(Int, Long, Int)])](64)
         ps.crossPreds.zip(ps.compiledCrossPreds).foreach {
           case ((v, _, refs, aggs), pred) => arr(v) = (pred, refs, aggs) }
         arr
@@ -401,13 +429,13 @@ object PatternTracker {
       while (i < c0) { irow.update(i, cur(i)); i += 1 }
       var j = 0
       while (j < refs.length) {
-        val (first, rv, colIdx, skip) = refs(j)
+        val (first, rvMask, colIdx, skip) = refs(j)
         var found = -1
         var remaining = skip
         if (first) {
           var r = pAbs
           while (found < 0 && r < elemStart) {
-            if (assign(r) == rv) {
+            if (inMask(rvMask, assign(r))) {
               if (remaining == 0) found = r else remaining -= 1
             }
             r += 1
@@ -415,7 +443,7 @@ object PatternTracker {
         } else {
           var r = elemStart - 1
           while (found < 0 && r >= pAbs) {
-            if (assign(r) == rv) {
+            if (inMask(rvMask, assign(r))) {
               if (remaining == 0) found = r else remaining -= 1
             }
             r -= 1
@@ -426,7 +454,7 @@ object PatternTracker {
       }
       var a = 0
       while (a < aggs.length) {
-        val (fnKind, rv, colIdx) = aggs(a)
+        val (fnKind, rvMask, colIdx) = aggs(a)
         var sumL = 0L
         var cnt = 0L
         var best: Any = null
@@ -445,10 +473,13 @@ object PatternTracker {
         }
         var r = pAbs
         while (r < elemStart) {
-          if (assign(r) == rv) acc(lagVals(r)(colIdx))
+          if (inMask(rvMask, assign(r))) acc(lagVals(r)(colIdx))
           r += 1
         }
-        if (rv == v) {
+        // the current element's run accrues when the DEFINEd variable
+        // is a member of the aggregate's mask — itself, or through a
+        // SUBSET union containing it
+        if (inMask(rvMask, v)) {
           r = elemStart
           while (r <= rowAbs) { acc(lagVals(r)(colIdx)); r += 1 }
         }
@@ -490,7 +521,7 @@ object PatternTracker {
     // predicate or a closed WITHIN horizon — the decision is then
     // deferred. `deferAtLim` is precomputed per start (see the decision
     // loop): true when a run reaching `lim` means "more input needed".
-    def tryBranch(elems: Array[PatNode], e: Int, pos: Int, pAbs: Int,
+    def tryBranch(elems: Array[CNode], e: Int, pos: Int, pAbs: Int,
         lim: Int, deferAtLim: Boolean): Int = {
       tryNodes(elems, e, pos, pAbs, lim, deferAtLim, p2 => p2)
     }
@@ -502,11 +533,11 @@ object PatternTracker {
       * backtrack), so a group's repetition loop threads through it and
       * backtracking crosses the group boundary.
       */
-    def tryNodes(nodes: Array[PatNode], e: Int, pos: Int, pAbs: Int,
+    def tryNodes(nodes: Array[CNode], e: Int, pos: Int, pAbs: Int,
         lim: Int, deferAtLim: Boolean, cont: Int => Int): Int = {
       if (e == nodes.length) return cont(pos)
       nodes(e) match {
-        case el: Elem =>
+        case el: CElem =>
           var run = 0
           while (run < el.hi && pos + run < lim && okAt(pos + run, el.varIdx) &&
               crossOk(el.varIdx, pos + run, pAbs, pos))
@@ -523,15 +554,17 @@ object PatternTracker {
             k -= 1
           }
           -1
-        case g: Group =>
-          val bs = g.branches.map(_.toArray).toArray
+        case g: CGrp =>
           // greedy repetition: attempt one more inner iteration before
           // settling for n so far, trying alternation branches
-          // leftmost-first within each iteration; an iteration that
-          // consumes no rows terminates the loop (the regex empty-loop
-          // rule). A branch truncated by the maturity boundary latches
-          // hitEnd like any other path, so the outer decision loop
-          // defers — branch preference can never be decided early.
+          // leftmost-first within each iteration (branch arrays were
+          // materialized once at compile time — see compileNode); an
+          // iteration that consumes no rows terminates the loop (the
+          // regex empty-loop rule). A branch truncated by the maturity
+          // boundary latches hitEnd like any other path, so the outer
+          // decision loop defers — branch preference can never be
+          // decided early.
+          val bs = g.branches
           def rep(iter: Int, here: Int): Int = {
             if (iter < g.hi) {
               var bi = 0
@@ -592,16 +625,18 @@ object PatternTracker {
         decided = false
       } else if (end > p) {
         matchNo += 1
-        // first/last matching row for variable v in [p, end): shared by
-        // the time measures (value = its time) and the payload measures
-        // (value = its vals JSON); -1 when the variable matched no row
-        def edgeRow(v: Int, first: Boolean, skip: Int = 0): Int = {
+        // first/last matching row of a masked variable set in [p, end):
+        // shared by the time measures (value = its time) and the
+        // payload measures (value = its vals JSON); -1 when the set
+        // matched no row. The mask is a single def-bit for a pattern
+        // variable, an OR-mask for a SUBSET union.
+        def edgeRow(vMask: Long, first: Boolean, skip: Int = 0): Int = {
           var r = if (first) p else end - 1
           val step = if (first) 1 else -1
           var left = end - p
           var remaining = skip
           while (left > 0) {
-            if (assign(r) == v) {
+            if (inMask(vMask, assign(r))) {
               if (remaining == 0) return r
               remaining -= 1
             }
@@ -625,23 +660,23 @@ object PatternTracker {
           if (node eq NullTree) null
           else node.asInstanceOf[com.fasterxml.jackson.databind.JsonNode]
         }
-        val vals = measures.zipWithIndex.map { case ((kind, v), mi) =>
+        val vals = measures.zipWithIndex.map { case ((kind, vMask), mi) =>
           def off: Int = if (measureOffsets == null) 0 else measureOffsets(mi)
           kind match {
             case 0 | 1 =>
               // found-ness tracked separately from the value: any epoch
               // ms (including negatives) is a legitimate match time;
               // a logical offset past the assignment list → unmatched
-              val r = edgeRow(v, first = kind == 0, skip = off)
+              val r = edgeRow(vMask, first = kind == 0, skip = off)
               if (r < 0) UnmatchedTime else matured(r)._1
             case 5 | 6 =>
-              val r = edgeRow(v, first = kind == 5, skip = off)
+              val r = edgeRow(vMask, first = kind == 5, skip = off)
               cvals += (if (r < 0) null else matured(r)._3)
               0L // placeholder: the payload rides cvals
             case 2 =>
               var cnt = 0L
               var r = p
-              while (r < end) { if (assign(r) == v) cnt += 1; r += 1 }
+              while (r < end) { if (inMask(vMask, assign(r))) cnt += 1; r += 1 }
               cnt
             case 3 => (end - p).toLong
             case 4 => matchNo
@@ -660,7 +695,7 @@ object PatternTracker {
               var found = false
               var r = p
               while (r < end) {
-                if (assign(r) == v) {
+                if (inMask(vMask, assign(r))) {
                   val node = valsTreeAt(r)
                   val jn = if (node == null) null else node.get(colName)
                   if (jn != null && !jn.isNull) {
@@ -690,11 +725,11 @@ object PatternTracker {
           if (skipToNextRow) p + 1
           else skipTo match {
             case None => end
-            case Some((first, v)) =>
+            case Some((first, vMask)) =>
               // SKIP TO FIRST/LAST <var>: resume AT that row; the
               // standard's two error cases are data-dependent and throw
               // at runtime, failing the query like Flink's CEP operator
-              val r = edgeRow(v, first)
+              val r = edgeRow(vMask, first)
               if (r < 0) throw new IllegalArgumentException(
                 "MATCH_RECOGNIZE: AFTER MATCH SKIP TO variable matched " +
                   "no row in this match")

@@ -140,12 +140,23 @@ class MatchRecognizeRegexPropSpec extends AnyFunSuite {
         val str = Array.fill(len)("abcd".charAt(rnd.nextInt(4))).mkString
         str.zipWithIndex.map { case (c, i) => (1L, (i + 1).toLong, c.toString) }
           .toSeq.toDF("k", "o", "t").createOrReplaceTempView("mr_prop_s")
+        // when the pattern uses 2+ variables, a SUBSET union over two
+        // of them rides along with a COUNT(U.*) measure — randomized
+        // coverage of the OR-mask evaluation in both engines
+        val used = vars.map(_._1).filter(vn =>
+          s"(?<![A-Za-z_])$vn(?![A-Za-z0-9_])".r.findFirstIn(patText).isDefined)
+        val (subsetClause, subsetMeasure) =
+          if (used.size >= 2)
+            (s"SUBSET U = (${used.take(2).mkString(", ")})",
+              ", COUNT(U.*) AS uc")
+          else ("", "")
         val q =
           s"""SELECT * FROM mr_prop_s MATCH_RECOGNIZE (
              |  PARTITION BY k ORDER BY o
-             |  MEASURES COUNT(*) AS n, MATCH_NUMBER() AS mn
+             |  MEASURES COUNT(*) AS n, MATCH_NUMBER() AS mn$subsetMeasure
              |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
              |  PATTERN ($patText)
+             |  $subsetClause
              |  DEFINE ${definesFor(patText)})""".stripMargin
         val batchSql = MatchRecognize.rewrite(spark, q)
         val streamSql = MatchRecognize.rewriteStreaming(spark, q,

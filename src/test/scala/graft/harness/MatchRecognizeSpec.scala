@@ -220,11 +220,6 @@ class MatchRecognizeSpec extends AnyFunSuite {
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > PREV(PREV(v) + 1))""".stripMargin,
-      "nested PREV")
-    rejects(
-      """SELECT * FROM mr_in MATCH_RECOGNIZE (
-        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > PREV(v, k))""".stripMargin,
       "integer-literal offset")
     rejects(
@@ -248,15 +243,52 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PATTERN (A B) DEFINE A AS t = 'a', B AS SUM(B.t) > 10)""".stripMargin,
       "integer or floating")
     rejects(
-      """SELECT * FROM mr_in MATCH_RECOGNIZE (
-        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-        |  PATTERN (A B) DEFINE A AS t = 'a', B AS v > NEXT(PREV(v)))""".stripMargin,
-      "nested PREV")
-    rejects(
       """SELECT * FROM (SELECT * FROM mr_in) MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
       "table")
+  }
+
+  test("nested PREV/NEXT in DEFINE composes via staged lag columns") {
+    seq((1, 1, "x", 1), (1, 2, "x", 3), (1, 3, "x", 4), (1, 4, "x", 10))
+    // v > PREV(v + PREV(v)): row i matches iff v(i) > v(i-1) + v(i-2);
+    // row 3: 4 > 3+1 fails, row 4: 10 > 4+3 matches (rows 1-2 see NULL)
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES A.v AS av
+        |  PATTERN (A)
+        |  DEFINE A AS v > PREV(v + PREV(v)))""".stripMargin)
+    assert(out === Seq(Seq(1L, 10L)))
+    // cross-keyword nesting: NEXT(PREV(v)) at row i is PREV(v) at row
+    // i+1 = v(i) — an identity wherever the next row exists (rows 1-3)
+    val out2 = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(B.*) AS nb
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (B)
+        |  DEFINE B AS v = NEXT(PREV(v)))""".stripMargin)
+    assert(out2.size === 3)
+    // depth 3: v(i) > v(i-1) + v(i-2) + v(i-3) — only row 4 has all
+    // three predecessors: 10 > 4+3+1 = 8 matches
+    val out3 = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES A.v AS av
+        |  PATTERN (A)
+        |  DEFINE A AS v > PREV(v + PREV(v + PREV(v))))""".stripMargin)
+    assert(out3 === Seq(Seq(1L, 10L)))
+    // offsets compose too: PREV(v, 2) inside NEXT — NEXT(PREV(v, 2))
+    // at row i = v(i - 1); identity shifted one back, rows 2-3 match
+    val out4 = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES B.o AS bo
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (B)
+        |  DEFINE B AS NEXT(PREV(v, 2)) = PREV(v))""".stripMargin)
+    assert(out4.map(_(1)) === Seq(2L, 3L))
   }
 
   test("grouped sub-pattern (A B)+ repeats the sequence as a unit") {
@@ -1969,6 +2001,112 @@ class MatchRecognizeSpec extends AnyFunSuite {
       |  PATTERN (A B) SUBSET W = (A, B)
       |  DEFINE A AS t = 'a')""".stripMargin)
       .contains("undefined pattern variable"))
+  }
+
+  test("streaming SUBSET union variables match the batch matcher") {
+    import spark.implicits._
+    // union measures, union DEFINE navigation, union DEFINE aggregate,
+    // and SKIP TO over a union — each compared batch vs streaming
+    // rewrite on the same ordered data (no watermark → every decision
+    // final, the batch semantics through the tracker code path)
+    Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "b", 3L),
+      (1L, 4L, "c", 10L),
+      (2L, 1L, "a", 5L), (2L, 2L, "b", 1L), (2L, 3L, "c", 4L),
+      (3L, 1L, "a", 1L), (3L, 2L, "b", 2L), (3L, 3L, "c", 9L),
+      (3L, 4L, "b", 1L), (3L, 5L, "c", 8L))
+      .toDF("k", "o", "t", "v").createOrReplaceTempView("mr_subset_eq")
+    val queries = Seq(
+      """SELECT * FROM mr_subset_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(U.v) AS uf, LAST(U.v) AS ul, SUM(U.v) AS us,
+        |    COUNT(U.*) AS un
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+ C)
+        |  SUBSET U = (B, C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin,
+      """SELECT * FROM mr_subset_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES C.v AS cv
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B C)
+        |  SUBSET W = (A, B)
+        |  DEFINE A AS t = 'a', B AS t = 'b',
+        |    C AS t = 'c' AND v > FIRST(W.v))""".stripMargin,
+      """SELECT * FROM mr_subset_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(B.*) AS nb, SUM(U.v) AS usum
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+)
+        |  SUBSET U = (A, B)
+        |  DEFINE A AS t = 'a', B AS t = 'b' AND SUM(U.v) <= 6)""".stripMargin,
+      """SELECT * FROM mr_subset_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(A.v) AS s, COUNT(*) AS n
+        |  ONE ROW PER MATCH AFTER MATCH SKIP TO LAST U
+        |  PATTERN (A B C)
+        |  SUBSET U = (B, C)
+        |  DEFINE A AS t IN ('a', 'c'), B AS t = 'b',
+        |    C AS t = 'c')""".stripMargin)
+    for (q <- queries) {
+      val batchSql = MatchRecognize.rewrite(spark, q)
+      val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+        _ => Some(("o", "5 seconds")))
+      try {
+        val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+        val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+        assert(streamed === batch, s"query:\n$q")
+      } finally {
+        MatchRecognize.dropViews(spark, batchSql)
+        MatchRecognize.dropViews(spark, streamSql)
+      }
+    }
+  }
+
+  test("streaming SUBSET decides across micro-batch boundaries") {
+    // the union budget run's head arrives in batch 1 and stays
+    // undecided (B* could extend); the breaching tail arrives later —
+    // the running SUM over U = (S, B) must evaluate over the buffered
+    // rows exactly as batch does on the whole sequence
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(String, java.sql.Timestamp, String, Long)]
+    input.toDF().toDF("k", "ts", "t", "vm")
+      .createOrReplaceTempView("mr_subset_s")
+    val q =
+      """SELECT * FROM mr_subset_s MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES COUNT(B.*) AS nb, SUM(U.vm) AS su
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (S B*)
+        |  SUBSET U = (S, B)
+        |  DEFINE S AS t = 's', B AS t = 'b' AND SUM(U.vm) <= 10)""".stripMargin
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_subset_out").outputMode("append").start()
+    try {
+      // batch 1: s(2) and the first b(4) — running U-sum 6, budget 10
+      // not breached, undecidable while B* could extend
+      input.addData(("a", ts(10), "s", 2L), ("a", ts(20), "b", 4L))
+      query.processAllAvailable()
+      // batch 2: b(3) keeps it at 9; b(5) breaches (14 > 10)
+      input.addData(("a", ts(30), "b", 3L), ("a", ts(40), "b", 5L),
+        ("z", ts(300), "x", 0L))
+      query.processAllAvailable()
+      input.addData(("z", ts(900), "x", 0L))
+      query.processAllAvailable()
+      val got = spark.table("mr_subset_out").collect()
+        .filter(_.getString(0) == "a").map(r => (r.getLong(1), r.getLong(2)))
+        .toSet
+      // greedy B* stops before the breach: 2 b-rows, U-sum 2+4+3 = 9
+      assert(got === Set((2L, 9L)))
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
   }
 
   test("rewrite temp views are dropped after the statement executes") {

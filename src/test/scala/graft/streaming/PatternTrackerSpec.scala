@@ -28,8 +28,8 @@ class PatternTrackerSpec extends AnyFunSuite {
     PatternTracker.Elem(1, 1, Int.MaxValue), // C+
     PatternTracker.Elem(2, 1, 1))            // P
 
-  // measures: FIRST(V.ts), LAST(P.ts), COUNT(C.*), MATCH_NUMBER()
-  private val Measures = Seq((0, 0), (1, 2), (2, 1), (4, -1))
+  // measures (def-bit masks): FIRST(V.ts), LAST(P.ts), COUNT(C.*), MATCH_NUMBER()
+  private val Measures = Seq((0, 1L), (1, 4L), (2, 2L), (4, 0L))
 
   test("V C+ P completes only after the watermark passes the purchase") {
     implicit val sc = spark.sqlContext
@@ -66,7 +66,7 @@ class PatternTrackerSpec extends AnyFunSuite {
       .selectExpr("*", "'' AS vals", "'' AS lag").as[PatternEvent]
     // pattern: A+ (bit0), measures COUNT(*), MATCH_NUMBER()
     val out = PatternTracker.track(events, "5 seconds",
-      Seq(PatternTracker.Elem(0, 1, Int.MaxValue)), Seq((3, -1), (4, -1)),
+      Seq(PatternTracker.Elem(0, 1, Int.MaxValue)), Seq((3, 0L), (4, 0L)),
       skipToNextRow = false)
     val query = out.writeStream.format("memory")
       .queryName("pt_greedy").outputMode("append").start()
@@ -94,7 +94,7 @@ class PatternTrackerSpec extends AnyFunSuite {
       .selectExpr("*", "'' AS vals", "'' AS lag").as[PatternEvent]
     // pattern: single A (bit0); count + match number
     val out = PatternTracker.track(events, "5 seconds",
-      Seq(PatternTracker.Elem(0, 1, 1)), Seq((4, -1)),
+      Seq(PatternTracker.Elem(0, 1, 1)), Seq((4, 0L)),
       skipToNextRow = false)
     val query = out.writeStream.format("memory")
       .queryName("pt_mn").outputMode("append").start()
@@ -168,7 +168,7 @@ class PatternTrackerSpec extends AnyFunSuite {
     val out = PatternTracker.track(events, "5 seconds",
       Seq(PatternTracker.Elem(0, 1, 1),
         PatternTracker.Elem(1, 0, Int.MaxValue)),
-      Seq((3, -1)), skipToNextRow = false, withinMs = 5000L)
+      Seq((3, 0L)), skipToNextRow = false, withinMs = 5000L)
     val query = out.writeStream.format("memory")
       .queryName("pt_within").outputMode("append").start()
     try {
@@ -193,7 +193,7 @@ class PatternTrackerSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     val elems = Seq(PatternTracker.Elem(0, 1, 1),
       PatternTracker.Elem(1, 0, Int.MaxValue), PatternTracker.Elem(2, 1, 1))
-    val measures = Seq((0, 0), (2, 1), (3, -1), (4, -1))
+    val measures = Seq((0, 1L), (2, 2L), (3, 0L), (4, 0L))
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 6) {
       // trials 5-6 add a WITHIN horizon (3 row-gaps), exercising the
@@ -248,7 +248,7 @@ class PatternTrackerSpec extends AnyFunSuite {
     import org.apache.spark.sql.types.LongType
     val elems = Seq(PatternTracker.Elem(0, 1, 1),
       PatternTracker.Elem(1, 1, Int.MaxValue))
-    val measures = Seq((0, 0), (2, 1), (4, -1))
+    val measures = Seq((0, 1L), (2, 2L), (4, 0L))
     // layout: ordinal 0 = v (current), ordinal 1 = __prev_1_v
     val prevSpec = Some(PatternTracker.PrevSpec(
       Array("v"), Array(LongType), 1,
@@ -357,7 +357,7 @@ class PatternTrackerSpec extends AnyFunSuite {
     val branches = Seq(
       Seq(PatternTracker.Elem(0, 1, 1), PatternTracker.Elem(1, 1, Int.MaxValue)),
       Seq(PatternTracker.Elem(2, 1, 1))) // (A B+ | C)
-    val measures = Seq((3, -1), (2, 1), (4, -1))
+    val measures = Seq((3, 0L), (2, 2L), (4, 0L))
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 3) {
       val rows = (1 to 30).map { i =>
@@ -403,7 +403,7 @@ class PatternTrackerSpec extends AnyFunSuite {
     val branches = Seq(
       Seq(PatternTracker.Elem(0, 1, Int.MaxValue), PatternTracker.Elem(1, 1, 1)),
       Seq(PatternTracker.Elem(2, 1, 1))) // (A+ B | C)
-    val measures = Seq((8, 0), (9, 0), (10, 0), (11, 0), (2, 0), (4, -1))
+    val measures = Seq((8, 1L), (9, 1L), (10, 1L), (11, 1L), (2, 1L), (4, 0L))
     val aggSpec = Some(PatternTracker.AggSpec(Array("v", "v", "v", "v")))
     val rnd = new scala.util.Random(31)
     for (trial <- 1 to 4) {
@@ -448,6 +448,56 @@ class PatternTrackerSpec extends AnyFunSuite {
         // least one carried a NULL (all-null / no-v payloads)
         val all = streamed.flatMap(_.cvals)
         if (trial == 1) assert(all.exists(_ != null))
+      } finally query.stop()
+    }
+  }
+
+  test("chunked SUBSET union-mask measures equal batch") {
+    // measures over OR-masks (the SQL:2016 SUBSET representation):
+    // SUM over A|B (mask 3), COUNT and FIRST-ts over B|C (mask 6) —
+    // chunked delivery must be invisible, exactly like the single-bit
+    // measure kinds
+    implicit val sc = spark.sqlContext
+    val branches = Seq(
+      Seq(PatternTracker.Elem(0, 1, Int.MaxValue), PatternTracker.Elem(1, 1, 1)),
+      Seq(PatternTracker.Elem(2, 1, 1))) // (A+ B | C)
+    val measures = Seq((8, 3L), (2, 6L), (0, 6L), (4, 0L))
+    val aggSpec = Some(PatternTracker.AggSpec(Array("v")))
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 30).map { i =>
+        val defs = (1L << rnd.nextInt(3)) | (1L << rnd.nextInt(3))
+        (s"k${i % 2}", ts(10L + i * 10L), defs,
+          s"""{"v":${rnd.nextInt(7) - 1}}""")
+      }
+      val batch = PatternTracker.trackBranches(
+        rows.toDS().toDF("key", "ts", "defs", "vals")
+          .selectExpr("key", "ts", "defs", "vals", "'' AS lag")
+          .as[PatternEvent],
+        "5 seconds", branches, measures, skipToNextRow = false, None, 0L,
+        None, aggSpec).collect().toSet
+      val input = MemoryStream[(String, Timestamp, Long, String)]
+      val out = PatternTracker.trackBranches(
+        input.toDF().toDF("key", "ts", "defs", "vals")
+          .selectExpr("key", "ts", "defs", "vals", "'' AS lag")
+          .as[PatternEvent],
+        "5 seconds", branches, measures, skipToNextRow = false, None, 0L,
+        None, aggSpec)
+      val name = s"pt_subset_$trial"
+      val query = out.writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        rows.grouped(5).foreach { chunk =>
+          input.addData(chunk: _*)
+          query.processAllAvailable()
+        }
+        input.addData(("k0", ts(500000L), 0L, "{}"),
+          ("k1", ts(500000L), 0L, "{}"))
+        query.processAllAvailable()
+        input.addData(("k0", ts(900000L), 0L, "{}"))
+        query.processAllAvailable()
+        val streamed = spark.table(name).as[PatternMatch].collect().toSet
+        assert(streamed === batch, s"trial $trial")
       } finally query.stop()
     }
   }
