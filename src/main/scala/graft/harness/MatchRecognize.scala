@@ -18,6 +18,12 @@ import scala.collection.mutable.ArrayBuffer
   *                                   --    | SUM/AVG/MIN/MAX(V.col)
   *                                   --    | COUNT(V.*) | COUNT(*)
   *                                   --    | MATCH_NUMBER() | CLASSIFIER()
+  *                                   --    | any scalar EXPRESSION over
+  *                                   --      those atoms (LAST(P.v) -
+  *                                   --      FIRST(C.v), CASE WHEN
+  *                                   --      COUNT(C.*) > 2 THEN ... END)
+  *                                   --      — atoms compute in-matcher,
+  *                                   --      the expression projects after
   *   [ONE ROW PER MATCH | ALL ROWS PER MATCH]
   *                                   -- ALL ROWS: every matched row,
   *                                   -- all input columns + RUNNING
@@ -156,6 +162,27 @@ object MatchRecognize {
     */
   private[harness] final case class AggMeasure(
       fn: String, variable: String, column: String, alias: String) extends Measure
+  /** A measure whose body is an EXPRESSION over navigation atoms —
+    * `LAST(P.v) - FIRST(C.v) AS delta`, `CASE WHEN COUNT(C.*) > 2
+    * THEN ... END AS label` (SQL:2016 admits any scalar expression in
+    * MEASURES; Flink passes it through). Compositional design: each
+    * navigation/aggregate atom in the body becomes its own internal
+    * bare measure (`atoms`, aliased `__mx<i>_<j>`), the matcher
+    * computes them exactly like user-level bare measures, and `sql` —
+    * the body with every atom replaced by its slot name — projects the
+    * final value AFTER the matcher (batch: one extra `select`;
+    * streaming: over the tracker's decoded measure columns). A bare
+    * `V.col` inside the body means LAST(V.col), per the standard.
+    * Unqualified identifiers resolve against the matcher's output
+    * (partition columns; under ALL ROWS every input column). */
+  private[harness] final case class ExprMeasure(
+      sql: String, atoms: Seq[Measure], alias: String) extends Measure
+  /** Parse-time placeholder for a measure body that is not a bare
+    * form: decomposed into [[ExprMeasure]] once the PATTERN and SUBSET
+    * clauses have established the readable-variable set. Never escapes
+    * [[parseSpec]]. */
+  private final case class PendingMeasure(body: String, alias: String)
+    extends Measure
 
   private[harness] final case class Spec(
       partitionBy: Seq[String],
@@ -317,12 +344,89 @@ object MatchRecognize {
           ColMeasure(v.toUpperCase, c, first = fl != null && fl.equalsIgnoreCase("FIRST"),
             alias = alias,
             offset = if (off == null) 0 else parseIntSat(off))
-        case other => fail(s"unsupported measure (want V.col, FIRST/LAST(V.col[, k]), " +
-          s"SUM/AVG/MIN/MAX(V.col), COUNT(V.*), COUNT(*), MATCH_NUMBER(), " +
-          s"CLASSIFIER(), each optionally prefixed RUNNING|FINAL): $other")
+        // not a bare form: treat as an expression over navigation
+        // atoms, decomposed in parseSpec once the readable-variable
+        // set is known (PATTERN and SUBSET parse after MEASURES)
+        case other => PendingMeasure(other, alias)
       }
       (measure, isFinal)
     case _ => fail(s"measure needs an AS alias: $m")
+  }
+
+  // inline (non-anchored) atom forms for expression-measure
+  // decomposition; the anchored variants above keep serving the
+  // bare-measure fast path
+  private val CountVarInlineRe =
+    raw"(?i)\bCOUNT\s*\(\s*([A-Za-z_]\w*)\s*\.\s*\*\s*\)".r
+  private val CountStarInlineRe = raw"(?i)\bCOUNT\s*\(\s*\*\s*\)".r
+  private val MatchNumberInlineRe = raw"(?i)\bMATCH_NUMBER\s*\(\s*\)".r
+  private val ClassifierInlineRe = raw"(?i)\bCLASSIFIER\s*\(\s*\)".r
+
+  /** Decomposes a non-bare measure body into an [[ExprMeasure]]:
+    * every navigation/aggregate atom (FIRST/LAST(V.col[, k]),
+    * SUM/AVG/MIN/MAX(V.col), COUNT(V.*), COUNT(*), MATCH_NUMBER(),
+    * CLASSIFIER(), bare V.col = LAST) over a READABLE variable is
+    * replaced by an internal slot measure; the residue must contain no
+    * further navigation keywords and no qualified reference to a
+    * non-readable name. All passes are literal-masked.
+    */
+  private def decomposeMeasure(body: String, alias: String, idx: Int,
+      readable: Set[String]): ExprMeasure = {
+    val atoms = scala.collection.mutable.LinkedHashMap.empty[String, Measure]
+    def slotFor(norm: String)(mk: String => Measure): String =
+      atoms.getOrElseUpdate(norm, mk(s"__mx${idx}_${atoms.size}")).alias
+    var t = replaceOutside(body, CountVarInlineRe) { m =>
+      val v = m.group(1).toUpperCase
+      if (!readable.contains(v)) m.matched
+      else slotFor(s"countvar|$v")(n => CountMeasure(Some(v), n))
+    }
+    t = replaceOutside(t, CountStarInlineRe) { _ =>
+      slotFor("countstar")(n => CountMeasure(None, n))
+    }
+    t = replaceOutside(t, MatchNumberInlineRe) { _ =>
+      slotFor("matchno")(n => MatchNumberMeasure(n))
+    }
+    t = replaceOutside(t, ClassifierInlineRe) { _ =>
+      slotFor("classifier")(n => ClassifierMeasure(n))
+    }
+    t = replaceOutside(t, AggCallRe) { m =>
+      val v = m.group(2).toUpperCase
+      if (!readable.contains(v)) m.matched
+      else {
+        val fn = m.group(1).toUpperCase
+        val c = m.group(3)
+        slotFor(s"agg|$fn|$v|${c.toLowerCase}")(n => AggMeasure(fn, v, c, n))
+      }
+    }
+    t = replaceOutside(t, CrossFlRe) { m =>
+      val v = m.group(2).toUpperCase
+      if (!readable.contains(v)) m.matched
+      else {
+        val first = m.group(1).equalsIgnoreCase("FIRST")
+        val c = m.group(3)
+        val off = if (m.group(4) == null) 0 else parseIntSat(m.group(4))
+        slotFor(s"fl|$first|$v|${c.toLowerCase}|$off")(n =>
+          ColMeasure(v, c, first, n, off))
+      }
+    }
+    // bare V.col = LAST(V.col), per the standard
+    t = replaceOutside(t, CrossBareRe) { m =>
+      val v = m.group(1).toUpperCase
+      if (!readable.contains(v)) m.matched
+      else slotFor(s"fl|false|$v|${m.group(2).toLowerCase}|0")(n =>
+        ColMeasure(v, m.group(2), first = false, n, 0))
+    }
+    val residue = maskQuoted(t)
+    raw"(?i)\b(FIRST|LAST|SUM|AVG|MIN|MAX|COUNT|MATCH_NUMBER|CLASSIFIER|PREV|NEXT)\s*\(".r
+      .findFirstMatchIn(residue).foreach { m =>
+        fail(s"unsupported ${m.group(1).toUpperCase}() form in measure " +
+          s"(navigation/aggregate atoms take a bare V.col argument): $body")
+      }
+    CrossBareRe.findFirstMatchIn(residue).foreach { m =>
+      fail(s"measure references ${m.group(1)}.${m.group(2)} — " +
+        s"${m.group(1)} is not a pattern variable or SUBSET name")
+    }
+    ExprMeasure(t, atoms.values.toSeq, alias)
   }
 
   /** Recursive-descent parser for one alternation branch: a sequence of
@@ -825,9 +929,16 @@ object MatchRecognize {
       checkDefine(v, m.group(2), allVars, subsets)
       v -> stripSelfQualifier(v, m.group(2).trim)
     }.toMap
-    // measures must reference pattern variables or SUBSET names
+    // measures must reference pattern variables or SUBSET names;
+    // non-bare bodies decompose into expression measures now that the
+    // readable-variable set is known
     val readableVars = allVars ++ subsets.keySet
-    measures.foreach {
+    val resolvedMeasures = measures.zipWithIndex.map {
+      case (PendingMeasure(body, alias), i) =>
+        decomposeMeasure(body, alias, i, readableVars)
+      case (m, _) => m
+    }
+    resolvedMeasures.foreach {
       case ColMeasure(v, _, _, _, _) if !readableVars.contains(v) =>
         fail(s"measure references undefined pattern variable $v")
       case CountMeasure(Some(v), _) if !readableVars.contains(v) =>
@@ -840,8 +951,8 @@ object MatchRecognize {
       if (!readableVars.contains(v))
         fail(s"AFTER MATCH SKIP TO references $v, not in PATTERN")
     }
-    Spec(partitionBy, orderBy, measures, skipToNext, skipToVar, pattern,
-      defines, allRows, withinMs, measureFinal, subsets)
+    Spec(partitionBy, orderBy, resolvedMeasures, skipToNext, skipToVar,
+      pattern, defines, allRows, withinMs, measureFinal, subsets)
   }
 
   // ------------------------------------------------------------- rewrite
@@ -1060,14 +1171,20 @@ object MatchRecognize {
       // their columns gate to INTEGRAL types so the tracker aggregates
       // exact longs (no double/decimal round-trip hazards in state)
       val aggCols = ArrayBuffer.empty[String]
-      // FIRST/LAST(V.col, k) logical offsets, parallel to `measures`:
-      // the tracker counts occurrences over the final assignment at
-      // emission time, exactly the batch edgeRow
-      val measureOffsets = spec.measures.map {
+      // expression measures: their atoms ride the tracker like bare
+      // measures; the expression projects after decoding (below)
+      val flatMeasures: Seq[Measure] = spec.measures.flatMap {
+        case e: ExprMeasure => e.atoms
+        case m => Seq(m)
+      }
+      // FIRST/LAST(V.col, k) logical offsets, parallel to the flat
+      // measure list: the tracker counts occurrences over the final
+      // assignment at emission time, exactly the batch edgeRow
+      val measureOffsets = flatMeasures.map {
         case ColMeasure(_, _, _, _, off) => off
         case _ => 0
       }.toArray
-      val measures = spec.measures.map {
+      val measures = flatMeasures.map {
         case ColMeasure(v, c, first, _, _) =>
           if (c.equalsIgnoreCase(wmCol)) (if (first) 0 else 1, maskOf(v))
           else {
@@ -1098,6 +1215,7 @@ object MatchRecognize {
             case "MAX" => 10
             case _ => 11
           }, maskOf(v))
+        case other => fail(s"unexpected measure form: $other") // unreachable
       }
       // per-key state groups on a to_json/from_json round-trip of the
       // PARTITION BY tuple; only types whose JSON text decodes
@@ -1466,7 +1584,7 @@ object MatchRecognize {
       val valsSchema = StructType(
         colMeasureCols.toSeq.map(c => src.schema(fieldIdx(c))).toArray)
       var ci = -1
-      val measureCols = spec.measures.zipWithIndex.map { case (ms, i) =>
+      val measureCols = flatMeasures.zipWithIndex.map { case (ms, i) =>
         val v = scol("values").getItem(i)
         ms match {
           case ColMeasure(_, c, _, alias, _) if c.equalsIgnoreCase(wmCol) =>
@@ -1498,7 +1616,19 @@ object MatchRecognize {
           case other => v.as(other.alias)
         }
       }
-      val result = tracked.select(keyCols ++ measureCols: _*)
+      val decoded = tracked.select(keyCols ++ measureCols: _*)
+      // expression measures project over the decoded atom columns —
+      // same composition as the batch final select
+      val result =
+        if (!spec.measures.exists(_.isInstanceOf[ExprMeasure])) decoded
+        else decoded.select(spec.partitionBy.map(scol) ++
+          spec.measures.map {
+            case e: ExprMeasure =>
+              (try sexpr(e.sql) catch { case ex: Exception =>
+                fail(s"cannot parse measure ${e.alias}: ${ex.getMessage}")
+              }).as(e.alias)
+            case m => scol(m.alias)
+          }: _*)
       val view = s"graft_mr_${viewCounter.incrementAndGet()}"
       result.createOrReplaceTempView(view)
       created += view
@@ -1926,20 +2056,34 @@ object MatchRecognize {
           }
       }
     }
-    val measureFields = spec.measures.map {
+    // expression measures contribute their ATOMS to the matcher's
+    // internal output; the expression itself projects after the
+    // matcher (see the hasExprMeasures select below)
+    val flatMeasures: Seq[Measure] = spec.measures.flatMap {
+      case e: ExprMeasure => e.atoms
+      case m => Seq(m)
+    }
+    val flatFinal: Seq[Boolean] =
+      if (spec.measureFinal.isEmpty) Nil
+      else spec.measures.zip(spec.measureFinal).flatMap {
+        case (e: ExprMeasure, f) => Seq.fill(e.atoms.size)(f)
+        case (_, f) => Seq(f)
+      }
+    val measureFields = flatMeasures.map {
       case ColMeasure(_, c, _, alias, _) =>
         StructField(alias, inSchema(fieldIdx(c)).dataType, nullable = true)
       case CountMeasure(_, alias) => StructField(alias, LongType, nullable = false)
       case MatchNumberMeasure(alias) => StructField(alias, LongType, nullable = false)
       case ClassifierMeasure(alias) => StructField(alias, StringType, nullable = false)
       case AggMeasure(fn, _, c, alias) => aggOut(fn, fieldIdx(c), alias)
+      case other => fail(s"unexpected measure form: $other") // unreachable
     }
     val outFields =
       if (spec.allRows) inSchema.fields.take(srcLen).toSeq ++ measureFields
       else spec.partitionBy.map(p => inSchema(fieldIdx(p))).map(f =>
         StructField(f.name, f.dataType, nullable = f.nullable)) ++ measureFields
     val outSchema = StructType(outFields.toArray)
-    val measurePlan: Array[(Int, Long, Int, Int)] = spec.measures.map {
+    val measurePlan: Array[(Int, Long, Int, Int)] = flatMeasures.map {
       // (kind, varMask, colIdx, mode): kind 0=first 1=last
       // 2=countVar 3=countAll 4=matchNo 5=classifier 6=sum 7=avg
       // 8=min 9=max; varMask selects the readable variable's rows
@@ -1964,12 +2108,13 @@ object MatchRecognize {
         val mode =
           if (dt == FloatType || dt == DoubleType) 1 else 0
         (kind, maskOf(v), ci, mode)
+      case other => fail(s"unexpected measure form: $other") // unreachable
     }.toArray
     // FINAL measures under ALL ROWS evaluate over the complete match;
     // an empty mask (specs built without keywords) means all-RUNNING
     val finalMask: Array[Boolean] =
-      if (spec.measureFinal.isEmpty) new Array[Boolean](measurePlan.length)
-      else spec.measureFinal.toArray
+      if (flatFinal.isEmpty) new Array[Boolean](measurePlan.length)
+      else flatFinal.toArray
     val varNames = vars.toArray
 
     val sortCols = (spec.partitionBy ++ spec.orderBy).map(col)
@@ -2006,7 +2151,7 @@ object MatchRecognize {
     }
     val maxSpan: Long =
       branches.map(_.foldLeft(0L)((a, n) => satAdd(a, spanOf(n)))).max
-    located.mapPartitions { it =>
+    val matched = located.mapPartitions { it =>
       // codegen'd predicates for the cross/aggregate DEFINE conjuncts,
       // compiled once per partition (Spark's codegen cache dedupes
       // across partitions in the same executor): the matcher evaluates
@@ -2584,5 +2729,22 @@ object MatchRecognize {
         override def next(): Row = cur.next()
       }
     }(Encoders.row(outSchema))
+    // expression measures project over the matcher's atom columns; the
+    // pass-through select is skipped entirely when every measure is
+    // bare (zero plan churn for the common case)
+    if (!spec.measures.exists(_.isInstanceOf[ExprMeasure])) matched
+    else {
+      val passCols =
+        if (spec.allRows) inSchema.fields.take(srcLen).toSeq.map(f => col(f.name))
+        else spec.partitionBy.map(p => col(inSchema(fieldIdx(p)).name))
+      val measureCols = spec.measures.map {
+        case e: ExprMeasure =>
+          (try expr(e.sql) catch { case ex: Exception =>
+            fail(s"cannot parse measure ${e.alias}: ${ex.getMessage}")
+          }).as(e.alias)
+        case m => col(m.alias)
+      }
+      matched.select(passCols ++ measureCols: _*)
+    }
   }
 }

@@ -1117,10 +1117,78 @@ object PatternQueries {
         |)""".stripMargin)
   }
 
+  /** Expression MEASURES (SQL:2016 admits any scalar expression over
+    * navigation atoms; Flink passes them through): the q64 match shape
+    * measuring a value delta (`LAST(P.vm) - FIRST(C.vm)`), a CASE
+    * label over `COUNT(C.*)`, and an arithmetic mix of a running
+    * aggregate with a bare variable reference. Atoms compute in the
+    * matcher exactly like bare measures; the expressions project after
+    * (see `MatchRecognize.ExprMeasure`).
+    *
+    * Oracle: the q64 relational form extended with the same scalar
+    * arithmetic over the per-match aggregates.
+    */
+  val q84ExprMeasures: Q = Q(
+    "q84_expr_measures",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn, vm AS vvm FROM e
+      |      WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, v.vvm, MIN(e2.rn) AS endrn
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn > v.vrn
+      |    AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT n.user_id, n.vrn, n.vvm, n.endrn, e3.vm AS pvm
+      |  FROM nc n JOIN e e3 ON e3.user_id = n.user_id AND e3.rn = n.endrn
+      |  WHERE e3.event_type = 'purchase' AND n.endrn > n.vrn + 1),
+      |agg AS (
+      |  SELECT m.user_id, m.vrn, m.vvm, m.pvm,
+      |    CAST(SUM(c.vm) AS BIGINT) AS csum, COUNT(*) AS ncl,
+      |    MIN(CASE WHEN c.rn = m.vrn + 1 THEN c.vm END) AS firstc
+      |  FROM m JOIN e c ON c.user_id = m.user_id
+      |    AND c.rn > m.vrn AND c.rn < m.endrn
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT user_id, pvm - firstc AS delta,
+      |  CASE WHEN ncl > 2 THEN 'long' ELSE 'short' END AS label,
+      |  csum + vvm AS wsum,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY vrn) AS mn
+      |FROM agg""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"),
+        floor(col("value") * 1000d + 0.5d).cast("long").as("vm"))
+      .createOrReplaceTempView("graft_mr_events_exprm")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, delta, label, wsum, mn
+        |FROM graft_mr_events_exprm
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY ts_sec, event_id
+        |  MEASURES
+        |    LAST(P.vm) - FIRST(C.vm) AS delta,
+        |    CASE WHEN COUNT(C.*) > 2 THEN 'long' ELSE 'short' END AS label,
+        |    SUM(C.vm) + V.vm AS wsum,
+        |    MATCH_NUMBER() AS mn
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q64MatchRecognize, q65PrevPattern, q66AllRows, q67Alternation,
     q68Within, q69SkipChain, q72Classifier, q73CrossDefine,
     q74AggMeasures, q75PrevExpr, q76AggDefine, q77GroupPattern,
     q78OffsetMeasures, q79NextNav, q80AltGroup, q81Subset,
-    q82DefineOffset, q83NestedNav)
+    q82DefineOffset, q83NestedNav, q84ExprMeasures)
 }

@@ -541,12 +541,14 @@ class MatchRecognizeSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException](run(frag))
       assert(e.getMessage.contains(needle), s"message: ${e.getMessage}")
     }
-    // offset without a FIRST/LAST wrapper is not a measure form
+    // a non-integer offset is not a navigation atom, so the FIRST call
+    // survives expression-measure decomposition and fails the residue
+    // check
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES FIRST(A.v, x) AS n
         |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
-      "unsupported measure")
+      "unsupported FIRST() form in measure")
     // FIRST over an expression would leak a Catalyst first() aggregate
     rejects(
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
@@ -2107,6 +2109,98 @@ class MatchRecognizeSpec extends AnyFunSuite {
       query.stop()
       MatchRecognize.dropViews(spark, streamSql)
     }
+  }
+
+  test("expression measures: scalar expressions over navigation atoms") {
+    seq((1, 1, "a", 1), (1, 2, "b", 2), (1, 3, "b", 3), (1, 4, "c", 10))
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES
+        |    LAST(C.v) - FIRST(B.v) AS delta,
+        |    CASE WHEN COUNT(B.*) > 1 THEN 'long' ELSE 'short' END AS label,
+        |    SUM(B.v) * 2 + COUNT(*) AS mixed,
+        |    B.v AS last_b,
+        |    MATCH_NUMBER() * 100 AS mn100
+        |  PATTERN (A B+ C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin)
+    // delta = 10 - 2 = 8; two b's -> 'long'; mixed = 5*2 + 4 = 14;
+    // bare B.v = LAST(B.v) = 3; mn100 = 100
+    assert(out === Seq(Seq(1L, 8L, "long", 14L, 3L, 100L)))
+    // duplicate atoms share one slot; partition columns are readable
+    // in the expression (they pass through the matcher output)
+    val out2 = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(B.v) + FIRST(B.v) + k AS s
+        |  PATTERN (A B+ C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin)
+    assert(out2 === Seq(Seq(1L, 5L)))
+  }
+
+  test("expression measures run under ALL ROWS PER MATCH with RUNNING semantics") {
+    seq((1, 1, "a", 1), (1, 2, "b", 2), (1, 3, "b", 3), (1, 4, "c", 4))
+    val out = run(
+      """SELECT o, d FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES COUNT(*) - COUNT(B.*) AS d
+        |  ALL ROWS PER MATCH
+        |  PATTERN (A B+ C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin)
+    // running: rows seen minus b's seen -> 1, 1, 1, 2
+    assert(out === Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 2L)))
+  }
+
+  test("streaming expression measures match the batch matcher") {
+    import spark.implicits._
+    Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "b", 3L),
+      (1L, 4L, "c", 10L),
+      (2L, 1L, "a", 5L), (2L, 2L, "b", 1L), (2L, 3L, "c", 4L))
+      .toDF("k", "o", "t", "v").createOrReplaceTempView("mr_exprm_eq")
+    val q =
+      """SELECT * FROM mr_exprm_eq MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES LAST(C.v) - FIRST(B.v) AS delta,
+        |    CASE WHEN COUNT(B.*) > 1 THEN 'long' ELSE 'short' END AS label,
+        |    SUM(U.v) + k AS su
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+ C)
+        |  SUBSET U = (B, C)
+        |  DEFINE A AS t = 'a', B AS t = 'b', C AS t = 'c')""".stripMargin
+    val batchSql = MatchRecognize.rewrite(spark, q)
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("o", "5 seconds")))
+    try {
+      val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally {
+      MatchRecognize.dropViews(spark, batchSql)
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
+  test("expression measure rejections") {
+    seq((1, 1, "a", 0))
+    def bad(mr: String): String =
+      intercept[IllegalArgumentException](run(mr)).getMessage
+    // navigation over an expression is not an atom
+    assert(bad("""SELECT * FROM mr_in MATCH_RECOGNIZE (
+      |  PARTITION BY k ORDER BY o MEASURES FIRST(A.v + 1) AS x
+      |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin)
+      .contains("unsupported FIRST() form in measure"))
+    // qualified reference to a non-readable name
+    assert(bad("""SELECT * FROM mr_in MATCH_RECOGNIZE (
+      |  PARTITION BY k ORDER BY o MEASURES X.v + 1 AS x
+      |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin)
+      .contains("not a pattern variable"))
+    // PREV/NEXT are DEFINE-only navigation, not measure atoms
+    assert(bad("""SELECT * FROM mr_in MATCH_RECOGNIZE (
+      |  PARTITION BY k ORDER BY o MEASURES PREV(A.v) AS x
+      |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin)
+      .contains("unsupported PREV() form in measure"))
   }
 
   test("rewrite temp views are dropped after the statement executes") {
