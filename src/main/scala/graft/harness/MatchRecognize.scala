@@ -981,6 +981,30 @@ object MatchRecognize {
 
   private val TableBeforeRe = raw"(?is)([A-Za-z_][A-Za-z0-9_.]*)\s*$$".r
 
+  /** Index of the `(` matching the `)` at `closeIdx` — forward scan
+    * with a depth stack, quote-aware (a paren inside a string literal
+    * is data). Used to recover a subquery source's span, which sits
+    * BEFORE the MATCH_RECOGNIZE marker and so can't use the forward
+    * [[closeParen]] scan.
+    */
+  private def openForClose(s: String, closeIdx: Int): Int = {
+    var i = 0
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (i <= closeIdx) {
+      s.charAt(i) match {
+        case '(' => stack += i; i += 1
+        case ')' =>
+          if (stack.isEmpty) fail("unbalanced parentheses before MATCH_RECOGNIZE")
+          if (i == closeIdx) return stack.last
+          stack.remove(stack.length - 1)
+          i += 1
+        case q @ ('\'' | '"' | '`') => i = skipQuoted(s, i, q)
+        case _ => i += 1
+      }
+    }
+    fail("unbalanced parentheses before MATCH_RECOGNIZE")
+  }
+
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger()
 
   // also matches the window-TVF rewrite's graft_tvf_N views, so one
@@ -1014,9 +1038,12 @@ object MatchRecognize {
 
   /** Replaces every `<table> MATCH_RECOGNIZE (...)` region with a temp
     * view holding the recognized matches; the surrounding statement
-    * (outer SELECT list, WHERE, trailing alias) is untouched. Throws on
-    * any form the subset does not cover — no Flink syntax may leak to
-    * Spark's parser.
+    * (outer SELECT list, WHERE, trailing alias) is untouched. A
+    * subquery source — `FROM (SELECT ...) MATCH_RECOGNIZE (...)`,
+    * which Flink admits — evaluates first into its own temp view
+    * (batch only; streaming needs a WATERMARK-declared named table).
+    * Throws on any form the subset does not cover — no Flink syntax
+    * may leak to Spark's parser.
     */
   def rewrite(spark: SparkSession, sql: String): String = {
     var out = sql
@@ -1030,18 +1057,60 @@ object MatchRecognize {
         val open = out.indexOf('(', m.start)
         val end = closeParen(out, open)
         val before = out.substring(0, m.start)
-        val tm = TableBeforeRe.findFirstMatchIn(before)
-          .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` — " +
-            "subquery sources are not supported"))
-        val table = tm.group(1)
-        if (table.equalsIgnoreCase("FROM"))
-          fail("expected a table name before MATCH_RECOGNIZE")
+        // source: a bare table name, or a parenthesized subquery whose
+        // closing `)` is the last non-whitespace before the marker
+        var lastNonWs = before.length - 1
+        while (lastNonWs >= 0 && Character.isWhitespace(before.charAt(lastNonWs)))
+          lastNonWs -= 1
+        val (table, cutStart) =
+          if (lastNonWs >= 0 && before.charAt(lastNonWs) == ')') {
+            val sqOpen = openForClose(before, lastNonWs)
+            // the token before the subquery must be FROM — anything
+            // else (a function call, a join tail) is out of the subset
+            var j = sqOpen - 1
+            while (j >= 0 && Character.isWhitespace(before.charAt(j))) j -= 1
+            val fromStart = j - 3
+            val isFrom = fromStart >= 0 &&
+              before.substring(fromStart, j + 1).equalsIgnoreCase("FROM") &&
+              (fromStart == 0 || {
+                val c = before.charAt(fromStart - 1)
+                !(c.isLetterOrDigit || c == '_')
+              })
+            if (!isFrom)
+              fail("expected `FROM <table> MATCH_RECOGNIZE (...)` or " +
+                "`FROM (subquery) MATCH_RECOGNIZE (...)`")
+            val inner = before.substring(sqOpen + 1, lastNonWs)
+            val srcView = s"graft_mr_${viewCounter.incrementAndGet()}"
+            val df =
+              try spark.sql(inner)
+              catch { case e: Exception =>
+                fail(s"cannot evaluate MATCH_RECOGNIZE subquery source: " +
+                  e.getMessage) }
+            df.createOrReplaceTempView(srcView)
+            created += srcView
+            (srcView, sqOpen)
+          } else {
+            val tm = TableBeforeRe.findFirstMatchIn(before)
+              .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` " +
+                "or `FROM (subquery) MATCH_RECOGNIZE (...)`"))
+            val t = tm.group(1)
+            if (t.equalsIgnoreCase("FROM"))
+              fail("expected a table name before MATCH_RECOGNIZE")
+            (t, tm.start)
+          }
         val spec = parseSpec(out.substring(open + 1, end - 1))
         val result = execute(spark.table(table), spec)
         val view = s"graft_mr_${viewCounter.incrementAndGet()}"
         result.createOrReplaceTempView(view)
         created += view
-        out = before.substring(0, tm.start) + view + " " + out.substring(end)
+        out = before.substring(0, cutStart) + view + " " + out.substring(end)
+        // a subquery source's view is already resolved into the result
+        // view's stored (analyzed) plan — drop it now, because it never
+        // appears in the rewritten text and the caller's dropViews pass
+        // could not find it
+        if (created.size >= 2 && created(created.size - 2) == table) {
+          spark.catalog.dropTempView(table): Unit
+        }
       }
       out
     } catch {
@@ -1102,7 +1171,8 @@ object MatchRecognize {
       val before = out.substring(0, m.start)
       val tm = TableBeforeRe.findFirstMatchIn(before)
         .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` — " +
-          "subquery sources are not supported"))
+          "subquery sources are batch-only (streaming needs a " +
+          "WATERMARK-declared named table)"))
       val table = tm.group(1)
       val spec = parseSpec(out.substring(open + 1, end - 1))
       // PREV(col[, k]) in DEFINE is supported: the referenced columns

@@ -242,11 +242,37 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A B) DEFINE A AS t = 'a', B AS SUM(B.t) > 10)""".stripMargin,
       "integer or floating")
+    // a subquery source inside a FUNCTION call position (no FROM
+    // directly before the parens) stays out of the subset
     rejects(
-      """SELECT * FROM (SELECT * FROM mr_in) MATCH_RECOGNIZE (
+      """SELECT * FROM foo JOIN (SELECT * FROM mr_in) MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
-      "table")
+      "FROM (subquery)")
+  }
+
+  test("subquery sources: FROM (SELECT ...) MATCH_RECOGNIZE") {
+    seq((1, 1, "a", 5), (1, 2, "b", 2), (1, 3, "a", 7), (1, 4, "b", 9))
+    val before = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("graft_mr_"))
+    // the subquery filters and renames before the pattern runs
+    val out = MatchRecognize.sql(spark,
+      """SELECT * FROM (
+        |  SELECT k, o, t, v * 10 AS w FROM mr_in WHERE v >= 2
+        |) MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(A.w) AS fw, COUNT(*) AS n
+        |  PATTERN (A B)
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+      .collect().toSeq.map(_.toSeq)
+    // v>=2 keeps all four rows; matches (a b) at (1,2) and (3,4);
+    // w = v*10 -> first A.w = 50 then 70
+    assert(out.toSet === Set(Seq(1L, 50L, 2L), Seq(1L, 70L, 2L)))
+    // neither the subquery's source view nor the result view outlives
+    // the statement
+    val after = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("graft_mr_"))
+    assert(after <= before, s"views leaked: $before -> $after")
   }
 
   test("nested PREV/NEXT in DEFINE composes via staged lag columns") {
