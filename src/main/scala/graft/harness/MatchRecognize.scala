@@ -13,7 +13,10 @@ import scala.collection.mutable.ArrayBuffer
   * {{{
   * FROM t MATCH_RECOGNIZE (
   *   [PARTITION BY k1, k2]
-  *   ORDER BY o1 [, o2 ...]
+  *   ORDER BY o1 [ASC|DESC] [, ...]  -- DESC is batch-only and
+  *                                   -- incompatible with WITHIN (the
+  *                                   -- duration bound needs an
+  *                                   -- ascending time head)
   *   MEASURES <m> AS a1 [, ...]      -- m: V.col | FIRST(V.col) | LAST(V.col)
   *                                   --    | SUM/AVG/MIN/MAX(V.col)
   *                                   --    | COUNT(V.*) | COUNT(*)
@@ -205,7 +208,12 @@ object MatchRecognize {
       // the rows assigned to ANY member — usable wherever a pattern
       // variable is read (MEASURES, DEFINE aggregates/navigation,
       // AFTER MATCH SKIP TO)
-      subsets: Map[String, Seq[String]] = Map.empty)
+      subsets: Map[String, Seq[String]] = Map.empty,
+      // per-key descending flag, parallel to `orderBy` (empty = all
+      // ascending). Batch only; WITHIN needs an ascending time head
+      // and streaming needs the ascending event-time column, so both
+      // contract-reject any DESC key.
+      orderDesc: Seq[Boolean] = Nil)
 
   // --------------------------------------------------------------- parse
 
@@ -853,11 +861,13 @@ object MatchRecognize {
 
     val partitionBy = clauseText("PARTITION BY").toSeq
       .flatMap(splitTopLevel).map(_.trim)
-    val orderBy = clauseText("ORDER BY")
-      .map(splitTopLevel(_).map(_.trim.replaceAll(raw"(?i)\s+ASC$$", "")))
+    val orderItems = clauseText("ORDER BY")
+      .map(splitTopLevel(_).map(_.trim))
       .getOrElse(fail("ORDER BY is required"))
-    orderBy.find(o => raw"(?i)\s+DESC$$".r.findFirstIn(o).isDefined)
-      .foreach(o => fail(s"ORDER BY ... DESC is not supported: $o"))
+    val orderDesc = orderItems.map(o =>
+      raw"(?i)\s+DESC$$".r.findFirstIn(o).isDefined)
+    val orderBy = orderItems.map(
+      _.replaceAll(raw"(?i)\s+(ASC|DESC)$$", ""))
     val (measures, measureFinal) = clauseText("MEASURES")
       .map(splitTopLevel(_).map(parseMeasure).unzip)
       .getOrElse(fail("MEASURES is required"))
@@ -952,7 +962,8 @@ object MatchRecognize {
         fail(s"AFTER MATCH SKIP TO references $v, not in PATTERN")
     }
     Spec(partitionBy, orderBy, resolvedMeasures, skipToNext, skipToVar,
-      pattern, defines, allRows, withinMs, measureFinal, subsets)
+      pattern, defines, allRows, withinMs, measureFinal, subsets,
+      orderDesc)
   }
 
   // ------------------------------------------------------------- rewrite
@@ -1185,6 +1196,9 @@ object MatchRecognize {
           "MATCH_RECOGNIZE (batch only — state carries no rows)")
       val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
         s"streaming MATCH_RECOGNIZE needs a WATERMARK declaration on $table"))
+      if (spec.orderDesc.exists(identity))
+        fail("streaming MATCH_RECOGNIZE must ORDER BY the event-time " +
+          "column ASCENDING (watermarks mature rows in time order)")
       if (spec.orderBy.map(_.toLowerCase) != Seq(wmCol.toLowerCase))
         fail("streaming MATCH_RECOGNIZE must ORDER BY exactly the " +
           s"source's event-time column ($wmCol); got ${spec.orderBy.mkString(", ")}")
@@ -1759,10 +1773,18 @@ object MatchRecognize {
     // walks (partition key, then ORDER BY); the navigated expression
     // may be any Catalyst scalar expression (nested PREV is out of the
     // subset — see mapPrevCalls)
+    // ORDER BY keys with their per-key direction (SQL:2016 allows
+    // DESC; the window clause, the matcher sort, and PREV/NEXT lag
+    // columns all follow the same order, so navigation stays
+    // consistent with the walk direction)
+    def dirOf(i: Int): Boolean = spec.orderDesc.lift(i).getOrElse(false)
+    val orderSql = spec.orderBy.zipWithIndex.map { case (o, i) =>
+      if (dirOf(i)) s"$o DESC" else o
+    }.mkString(", ")
     val overClause =
       (if (spec.partitionBy.nonEmpty)
         s"PARTITION BY ${spec.partitionBy.mkString(", ")} " else "") +
-      s"ORDER BY ${spec.orderBy.mkString(", ")}"
+      s"ORDER BY $orderSql"
     // nested navigation (`PREV(price + PREV(price))`, `NEXT(PREV(v))`)
     // cannot render as nested window functions — SQL forbids a window
     // function inside another's argument — so inner calls precompute as
@@ -1909,6 +1931,9 @@ object MatchRecognize {
     // upstream if sub-ms precision could reorder ties)
     val withinMs = spec.withinMs.getOrElse(0L)
     val tsIdx: Int = spec.withinMs.fold(-1) { _ =>
+      if (dirOf(0))
+        fail("WITHIN requires the first ORDER BY column ascending " +
+          "(the duration bound measures forward from the match start)")
       val i = fieldIdx(spec.orderBy.head)
       inSchema(i).dataType match {
         case org.apache.spark.sql.types.TimestampType => i
@@ -2187,7 +2212,10 @@ object MatchRecognize {
       else flatFinal.toArray
     val varNames = vars.toArray
 
-    val sortCols = (spec.partitionBy ++ spec.orderBy).map(col)
+    val sortCols = spec.partitionBy.map(col) ++
+      spec.orderBy.zipWithIndex.map { case (o, i) =>
+        if (dirOf(i)) col(o).desc else col(o)
+      }
     val located =
       if (spec.partitionBy.nonEmpty)
         prepared.repartition(spec.partitionBy.map(col): _*)

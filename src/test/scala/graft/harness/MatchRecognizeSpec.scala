@@ -2229,6 +2229,48 @@ class MatchRecognizeSpec extends AnyFunSuite {
       .contains("unsupported PREV() form in measure"))
   }
 
+  test("ORDER BY DESC walks the pattern in descending key order") {
+    seq((1, 1, "b", 1), (1, 2, "a", 2))
+    // descending walk sees o=2 (a) then o=1 (b)
+    val out = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o DESC
+        |  MEASURES FIRST(A.o) AS ao, LAST(B.o) AS bo
+        |  PATTERN (A B)
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+    assert(out === Seq(Seq(1L, 2L, 1L)))
+    // PREV follows the walk direction: under DESC the previous row is
+    // the one with the LARGER key — v decreasing in o reads as rising
+    seq((1, 1, "x", 3), (1, 2, "x", 2), (1, 3, "x", 1))
+    val out2 = run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o DESC
+        |  MEASURES LAST(R.v) AS rv
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (R)
+        |  DEFINE R AS v > PREV(v))""".stripMargin)
+    assert(out2.map(_(1)).toSet === Set(2L, 3L))
+  }
+
+  test("ORDER BY DESC rejections: WITHIN and streaming") {
+    seq((1, 1, "a", 0))
+    val e = intercept[IllegalArgumentException](run(
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o DESC
+        |  MEASURES COUNT(*) AS n
+        |  PATTERN (A) WITHIN INTERVAL '5' SECOND
+        |  DEFINE A AS t = 'a')""".stripMargin))
+    assert(e.getMessage.contains("ascending"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o DESC
+          |  MEASURES COUNT(*) AS n
+          |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(e2.getMessage.contains("ASCENDING"), e2.getMessage)
+  }
+
   test("rewrite temp views are dropped after the statement executes") {
     seq((1, 1, "a", 0))
     val before = spark.catalog.listTables().collect()
