@@ -311,8 +311,108 @@ object Coverage {
         |WHERE c.c_custkey < 100""".stripMargin)
   }
 
+  /** Per-aggregate FILTER clauses (SQL:2003, admitted by Flink and
+    * Spark alike): one scan computes the unconditional count next to
+    * two filtered aggregates. Catalyst folds each FILTER into the
+    * aggregate's own accumulate step — no per-predicate re-scan, so
+    * the shape stays a single partial+final HashAggregate at any
+    * scale.
+    */
+  val q85FilterAgg: Q = Q(
+    "q85_filter_agg",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_all,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 250000) AS n_big,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS sum_f_cents
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE o_totalprice > 250000) AS n_big,
+        |  SUM(CAST(FLOOR(o_totalprice * 100 + 0.5D) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS sum_f_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  /** LISTAGG with WITHIN GROUP ordering (Flink's LISTAGG / SQL:2016):
+    * nation names per region, comma-joined in a deterministic order.
+    * DuckDB spells it string_agg(... ORDER BY ...). The ordered
+    * aggregate sorts within each group partition — no extra shuffle
+    * beyond the groupBy exchange.
+    */
+  val q86Listagg: Q = Q(
+    "q86_listagg",
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      |FROM nation GROUP BY n_regionkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT n_regionkey, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey""".stripMargin)
+  }
+
+  /** ARRAY_AGG into a sorted array column (Flink's ARRAY_AGG): the
+    * distinct market segments seen per nation. collect-style
+    * aggregation is order-nondeterministic under parallel merge, so
+    * both engines sort the result array — the only way an array-typed
+    * aggregate can be hash-compared across engines.
+    */
+  val q87ArrayAgg: Q = Q(
+    "q87_array_agg",
+    """SELECT c_nationkey, array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+      |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(array_sort(collect_set(col("c_mktsegment"))).as("segments"))
+  }
+
+  /** GROUPING_ID over a CUBE: the bit-vector distinguishing which
+    * grouping-set a row came from (first listed key = most significant
+    * bit, per the SQL standard — Spark's grouping_id and DuckDB's
+    * GROUPING agree). This is how CUBE consumers tell a real NULL key
+    * from a rolled-up one.
+    */
+  val q90GroupingId: Q = Q(
+    "q90_grouping_id",
+    """SELECT COALESCE(o_orderstatus, '<all>') AS status,
+      |  COALESCE(o_orderpriority, '<all>') AS priority,
+      |  GROUPING(o_orderstatus, o_orderpriority) AS gid,
+      |  COUNT(*) AS cnt
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+        coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+        col("gid"), col("cnt"))
+  }
+
+  /** Null-safe comparison surface: IS [NOT] DISTINCT FROM over columns
+    * made genuinely NULL by NULLIF, where ordinary <> would return
+    * NULL and silently drop rows. Same SQL text runs on both engines.
+    */
+  val q91NullSafe: Q = Q(
+    "q91_null_safe",
+    """SELECT event_id,
+      |  CASE WHEN NULLIF(event_type, 'error') IS DISTINCT FROM NULLIF(event_type, 'view')
+      |       THEN 1 ELSE 0 END AS is_diff,
+      |  CASE WHEN NULLIF(event_type, 'error') IS NOT DISTINCT FROM 'click'
+      |       THEN 1 ELSE 0 END AS is_click
+      |FROM events WHERE event_id < 2000""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT event_id,
+        |  CASE WHEN NULLIF(event_type, 'error') IS DISTINCT FROM NULLIF(event_type, 'view')
+        |       THEN 1 ELSE 0 END AS is_diff,
+        |  CASE WHEN NULLIF(event_type, 'error') IS NOT DISTINCT FROM 'click'
+        |       THEN 1 ELSE 0 END AS is_click
+        |FROM events WHERE event_id < 2000""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q34Cube, q35Correlated, q36ArrayFns, q37DateFormat, q38Cte, q39SaltedAgg,
     q40UdafDistinct, q41Median, q42Histogram, q44GroupingSets, q45MapFns,
-    q48Posexplode, q50MultiDistinct, q51Lateral)
+    q48Posexplode, q50MultiDistinct, q51Lateral,
+    q85FilterAgg, q86Listagg, q87ArrayAgg, q90GroupingId, q91NullSafe)
 }

@@ -573,9 +573,75 @@ object Events {
       .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
   }
 
+  /** Window join (Flink 1.14+ window TVF join): click and error rows
+    * of the SAME user in the SAME 1-day tumbling window pair up. Both
+    * sides carry their window column from the `window()` TVF and the
+    * join key is (user_id, window_start) — an equi-join, so at scale
+    * it shuffles both sides once on the composite key (never a
+    * time-range nested loop), and the window column prunes pairs to
+    * co-windowed rows by construction.
+    */
+  val q92WindowJoin: Q = Q(
+    "q92_window_join",
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |    (CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) // 86400) * 86400 AS ws
+      |  FROM events)
+      |SELECT c.user_id, CAST(c.ws AS BIGINT) AS window_start_sec,
+      |  c.event_id AS click_id, x.event_id AS error_id
+      |FROM e c JOIN e x ON c.user_id = x.user_id AND c.ws = x.ws
+      |WHERE c.event_type = 'click' AND x.event_type = 'error'""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        window(col("ts"), "1 day").as("w"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("w"), col("event_id").as("click_id"))
+    val x = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("x_user_id"), col("w").as("x_w"),
+        col("event_id").as("error_id"))
+    c.join(x, col("user_id") === col("x_user_id") && col("w") === col("x_w"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("window_start_sec"),
+        col("click_id"), col("error_id"))
+  }
+
+  /** Window top-N (Flink window TVF + ROW_NUMBER pattern): the top-3
+    * users by deterministic spend inside each 1-day tumbling window.
+    * The rank partitions on the window column, so Catalyst's
+    * WindowGroupLimit pushes the N=3 cutoff below the sort — per
+    * window only 3 rows survive the shuffle's downstream, the shape
+    * that keeps per-window top-N linear at scale.
+    */
+  val q93WindowTopn: Q = Q(
+    "q93_window_topn",
+    """WITH w AS (
+      |  SELECT user_id,
+      |    (CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) // 86400) * 86400 AS ws,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |agg AS (
+      |  SELECT ws, user_id, CAST(SUM(cents) AS BIGINT) AS spend_cents
+      |  FROM w GROUP BY ws, user_id),
+      |ranked AS (
+      |  SELECT ws, user_id, spend_cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY ws ORDER BY spend_cents DESC, user_id) AS BIGINT) AS rn
+      |  FROM agg)
+      |SELECT CAST(ws AS BIGINT) AS window_start_sec, user_id, spend_cents, rn
+      |FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val agg = Tables.load(s, dir, "events")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(sum(cents(col("value"))).as("spend_cents"))
+    val rankW = Window.partitionBy(col("w"))
+      .orderBy(col("spend_cents").desc, col("user_id"))
+    agg.withColumn("rn", row_number().over(rankW).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(unix_timestamp(col("w.start")).as("window_start_sec"),
+        col("user_id"), col("spend_cents"), col("rn"))
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
-    q62SessionTvf, q63LegacyHop)
+    q62SessionTvf, q63LegacyHop, q92WindowJoin, q93WindowTopn)
 }

@@ -156,6 +156,32 @@ object Relational {
         length(col("c_name")).cast("long").as("name_len"))
   }
 
+  /** Second string-function tier (Flink built-ins beyond q7's basics):
+    * TRANSLATE, INSTR, LPAD, SPLIT_PART (Flink's SPLIT_INDEX), and
+    * STR_TO_MAP with element access. DuckDB has no STR_TO_MAP, so the
+    * oracle extracts the same entry with a regex — the values, not the
+    * function name, are what's compared. All map-side, codegen'd.
+    */
+  val q94StringFns2: Q = Q(
+    "q94_string_fns2",
+    """SELECT c_custkey,
+      |  TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS tseg,
+      |  CAST(INSTR(c_name, '9') AS BIGINT) AS pos9,
+      |  LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+      |  SPLIT_PART(c_name, '#', 2) AS name_num,
+      |  REGEXP_EXTRACT(CONCAT('seg=', c_mktsegment, ';id=', CAST(c_custkey AS VARCHAR)), 'seg=([^;]*)', 1) AS seg_from_map
+      |FROM customer WHERE c_custkey < 1000""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_custkey,
+        |  TRANSLATE(c_mktsegment, 'AEIOU', 'aeiou') AS tseg,
+        |  CAST(INSTR(c_name, '9') AS BIGINT) AS pos9,
+        |  LPAD(CAST(c_custkey AS STRING), 10, '0') AS padded,
+        |  SPLIT_PART(c_name, '#', 2) AS name_num,
+        |  STR_TO_MAP(CONCAT('seg=', c_mktsegment, ';id=', CAST(c_custkey AS STRING)), ';', '=')['seg'] AS seg_from_map
+        |FROM customer WHERE c_custkey < 1000""".stripMargin)
+  }
+
   /** Date/time function surface over order dates. */
   val q8DatetimeFns: Q = Q(
     "q8_datetime_fns",
@@ -252,5 +278,5 @@ object Relational {
   def all: Seq[Q] = Seq(
     q1Agg, q2FilterProject, q3AggDistinct, q4Having, q5CaseWhen,
     q6SortLimit, q7StringFns, q8DatetimeFns, q9MathFns, q10Rollup,
-    q71Stddev)
+    q71Stddev, q94StringFns2)
 }

@@ -51,5 +51,36 @@ object SetOps {
       .distinct()
   }
 
-  def all: Seq[Q] = Seq(q23UnionAll, q24Intersect, q25Except, q26Distinct)
+  /** INTERSECT ALL (multiset): per part, min(multiplicity) of its
+    * 'R'-flag and 'A'-flag lineitems survive — duplicate-preserving
+    * semantics DISTINCT-based INTERSECT can't express. Catalyst plans
+    * this as a counted aggregate + generate (no join blowup).
+    */
+  val q88IntersectAll: Q = Q(
+    "q88_intersect_all",
+    """SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+      |INTERSECT ALL
+      |SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey").as("partkey"))
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey").as("partkey"))
+    r.intersectAll(a)
+  }
+
+  /** EXCEPT ALL (multiset difference): each part's 'R' occurrences
+    * minus its 'A' occurrences, surplus copies retained.
+    */
+  val q89ExceptAll: Q = Q(
+    "q89_except_all",
+    """SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+      |EXCEPT ALL
+      |SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val r = li.filter(col("l_returnflag") === "R").select(col("l_partkey").as("partkey"))
+    val a = li.filter(col("l_returnflag") === "A").select(col("l_partkey").as("partkey"))
+    r.exceptAll(a)
+  }
+
+  def all: Seq[Q] = Seq(q23UnionAll, q24Intersect, q25Except, q26Distinct,
+    q88IntersectAll, q89ExceptAll)
 }

@@ -136,6 +136,44 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q17 decorrelated into a join:\n$scalar")
   }
 
+  test("window top-N trims per partition before the rank shuffle") {
+    // q93 partitions the rank on the window column: the N=3 cutoff must
+    // push below the sort (WindowGroupLimit) so per window only the
+    // candidate head crosses the exchange — the property that keeps
+    // per-window top-N linear when windows hold millions of rows
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("q93_window_topn")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"no pre-shuffle top-N trim in:\n$plan")
+  }
+
+  test("window join plans as an equi-join on (user, window), not a nested loop") {
+    // the window column is part of the join key, so Catalyst must pick a
+    // hash-based equi-join; a nested-loop over time ranges would be
+    // quadratic per user at scale
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("q92_window_join")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"window join not an equi-join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"window join degenerated to a nested loop:\n$plan")
+  }
+
+  test("multiset set-ops aggregate counts instead of joining row-by-row") {
+    // INTERSECT ALL / EXCEPT ALL must plan as Catalyst's counted
+    // rewrite (per-key multiplicity agg + Generate replay), never a
+    // join that pairs duplicate rows multiplicatively
+    val spark = SparkFixture.spark
+    for (q <- Seq("q88_intersect_all", "q89_except_all")) {
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Generate replicaterows"),
+        s"$q lost the counted multiset rewrite:\n$plan")
+    }
+  }
+
   test("PII redaction is map-only: no exchange anywhere in the plan") {
     // three regex passes inside one projection — at corpus scale this
     // must pipeline with the scan; any shuffle here is a planning bug
