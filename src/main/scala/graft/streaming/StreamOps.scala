@@ -178,6 +178,39 @@ object StreamOps {
             expr(s"INTERVAL $windowBeforeSec SECONDS") &&
           col(rightTime) < col(leftTime))
 
+  /** Stream-stream window join (Flink 1.14+ window TVF join, streaming
+    * analog of the batch q92 operator): rows of both streams that fall
+    * in the SAME tumbling window and share an equi key pair up. The
+    * window struct is part of the equi-join key, so Spark derives the
+    * state bound from the watermark + window equality — each side
+    * retains one window past the watermark, the same retention Flink's
+    * window join maintains. Column names must be disjoint across sides
+    * (rename before calling); the left window survives as `window`.
+    * The raw time columns are consumed by the window (Spark allows at
+    * most ONE event-time column per stream, and the window struct
+    * inherits the watermark) — rows keep their window, not their
+    * per-row timestamp.
+    */
+  def windowJoin(
+      left: DataFrame,
+      leftTime: String,
+      leftDelay: String,
+      right: DataFrame,
+      rightTime: String,
+      rightDelay: String,
+      leftKey: String,
+      rightKey: String,
+      windowDuration: String): DataFrame = {
+    val l = left.withWatermark(leftTime, leftDelay)
+      .withColumn("window", window(col(leftTime), windowDuration))
+      .drop(leftTime)
+    val r = right.withWatermark(rightTime, rightDelay)
+      .withColumn("r_window", window(col(rightTime), windowDuration))
+      .drop(rightTime)
+    l.join(r, col(leftKey) === col(rightKey) && col("window") === col("r_window"))
+      .drop("r_window")
+  }
+
   /** Session windows with an inactivity gap (streaming analog of the
     * batch gaps-and-islands operator in graft.operators.Events).
     */

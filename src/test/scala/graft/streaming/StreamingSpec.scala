@@ -230,6 +230,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stream-stream window join pairs rows in the same window and key only") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val errors = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.windowJoin(
+      clicks.toDF().toDF("c_user", "c_time"), "c_time", "5 seconds",
+      errors.toDF().toDF("e_user", "e_time"), "e_time", "5 seconds",
+      "c_user", "e_user", windowDuration = "60 seconds")
+    val query = joined.writeStream.format("memory")
+      .queryName("win_join").outputMode("append").start()
+    try {
+      // window [60,120): user 1 click@70 + error@100 pair; user 2's
+      // error@80 is another key; user 1's error@130 is the next window
+      clicks.addData((1L, ts(70)), (3L, ts(75)))
+      errors.addData((1L, ts(100)), (2L, ts(80)), (1L, ts(130)))
+      // advance both watermarks so the [60,120) window finalizes
+      clicks.addData((9L, ts(500)))
+      errors.addData((9L, ts(500)))
+      query.processAllAvailable()
+      val got = spark.table("win_join")
+        .select($"c_user", $"window.start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000)).toSet
+      assert(got == Set((1L, 60L), (9L, 480L)))
+      // a click behind the watermark must not resurrect the closed window
+      clicks.addData((1L, ts(95)))
+      query.processAllAvailable()
+      assert(spark.table("win_join").count() == 2L)
+    } finally query.stop()
+  }
+
   test("stream-static incremental dedup drops known fingerprints statelessly") {
     implicit val sc = spark.sqlContext
     val corpus = Seq(100L, 200L).toDF("fp")
