@@ -149,6 +149,36 @@ class WindowTvfSpec extends AnyFunSuite {
       (1704067500900L, 1704067800900L, 1L)))
   }
 
+  test("window TVF join: two TVF derived tables join on window_start") {
+    // Flink 1.14+ window join SQL — each TABLE(TUMBLE(...)) rewrites
+    // independently into a derived table, so the join form needs no
+    // extra machinery; aliases and qualified contract columns resolve
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    Seq((1L, "2024-01-01 00:05:00", "c1"), (3L, "2024-01-01 00:07:00", "c2"))
+      .toDF("user_id", "ts_s", "cid")
+      .selectExpr("user_id", "cast(ts_s as timestamp) AS ts", "cid")
+      .createOrReplaceTempView("wj_clicks")
+    Seq((1L, "2024-01-01 00:55:00", "e1"), (1L, "2024-01-01 01:05:00", "e2"),
+        (2L, "2024-01-01 00:10:00", "e3"))
+      .toDF("user_id", "ts_s", "eid")
+      .selectExpr("user_id", "cast(ts_s as timestamp) AS ts", "eid")
+      .createOrReplaceTempView("wj_errors")
+    val sql =
+      """SELECT L.user_id, L.window_start, L.cid, R.eid
+        |FROM TABLE(TUMBLE(TABLE wj_clicks, DESCRIPTOR(ts), INTERVAL '1' HOUR)) L
+        |JOIN TABLE(TUMBLE(TABLE wj_errors, DESCRIPTOR(ts), INTERVAL '1' HOUR)) R
+        |ON L.user_id = R.user_id AND L.window_start = R.window_start""".stripMargin
+    val rewritten = WindowTvf.rewrite(sql)
+    assert(!WindowTvf.hasWindowTvf(rewritten))
+    val got = spark.sql(rewritten)
+      .select($"user_id", $"cid", $"eid").as[(Long, String, String)]
+      .collect().toSet
+    // user 1's click@00:05 pairs with error@00:55 (same hour window);
+    // error@01:05 is the next window, user 2 and user 3 have no pair
+    assert(got == Set((1L, "c1", "e1")))
+  }
+
   test("streaming TUMBLE TVF rewrites onto native window() grouping") {
     val out = WindowTvf.rewriteStreaming(
       "INSERT INTO s SELECT window_start, k, COUNT(*) AS n FROM " +
