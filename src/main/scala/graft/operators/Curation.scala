@@ -59,6 +59,63 @@ object Curation {
         when(col("hit_id").isNull, 0).otherwise(1).as("contaminated"))
   }
 
+  /** Contamination scoring: the graded companion to ext_decontaminate —
+    * per corpus doc, the FRACTION of its distinct word-5-gram shingles
+    * that appear in the benchmark set (integer per-mille, exact integer
+    * division so both engines agree bit-for-bit), not just a binary
+    * flag. This is the score pipelines threshold-tune on: drop at
+    * ≥80% overlap, audit 20-80%, keep <20%. Same scale shape as the
+    * binary check: the benchmark shingle set broadcasts (eval suites
+    * are MBs against the corpus), the corpus side explodes once and
+    * aggregates on doc_id — no corpus-side shuffle beyond that one
+    * count.
+    */
+  val extContaminationScore: Q = Q(
+    "ext_contamination_score", {
+      val hs = TextHash.shingleHashesDuck("string_split(text, ' ')", 5)
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, list_distinct($hs) AS hs FROM documents),
+         |bench AS (
+         |  SELECT DISTINCT UNNEST(hs) AS gh FROM sh WHERE source = 'src0'),
+         |corpus AS (
+         |  SELECT doc_id, UNNEST(hs) AS gh FROM sh WHERE source <> 'src0'),
+         |hits AS (
+         |  SELECT c.doc_id, COUNT(DISTINCT c.gh) AS n_shared
+         |  FROM corpus c JOIN bench b ON c.gh = b.gh
+         |  GROUP BY c.doc_id)
+         |SELECT s.doc_id,
+         |  CAST(len(s.hs) AS BIGINT) AS n_shingles,
+         |  COALESCE(h.n_shared, 0) AS n_shared,
+         |  CASE WHEN len(s.hs) = 0 THEN 0
+         |       ELSE (COALESCE(h.n_shared, 0) * 1000) // CAST(len(s.hs) AS BIGINT)
+         |  END AS contam_mils
+         |FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+         |WHERE s.source <> 'src0'""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val hs = expr(s"array_distinct(${TextHash.shingleHashesSpark("split(text, ' ')", 5)})")
+    val sh = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), hs.as("hs"))
+    val bench = sh.filter(col("source") === "src0")
+      .select(explode(col("hs")).as("gh")).distinct()
+    val corpus = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        col("hs"))
+    val hits = corpus
+      .select(col("doc_id"), explode(col("hs")).as("gh"))
+      .join(broadcast(bench), "gh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gh")).as("n_shared"))
+    corpus.drop("hs")
+      .join(hits.withColumnRenamed("doc_id", "hit_id"),
+        col("doc_id") === col("hit_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_shingles") === 0, lit(0L))
+          .otherwise(expr("coalesce(n_shared, 0L) * 1000 div n_shingles"))
+          .as("contam_mils"))
+  }
+
   /** Incremental dedup: an incoming batch (odd-numbered sources) is
     * anti-joined on content fingerprint against the existing corpus
     * (even-numbered sources); survivors are the genuinely new docs.
@@ -326,6 +383,7 @@ object Curation {
   }
 
   def all: Seq[Q] = Seq(
-    extDecontaminate, extIncrementalDedup, extPackSequences,
-    extCurationPipeline, extDupAccounting, extPiiRedact, extChunkDocs)
+    extDecontaminate, extContaminationScore, extIncrementalDedup,
+    extPackSequences, extCurationPipeline, extDupAccounting, extPiiRedact,
+    extChunkDocs)
 }
