@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.mutable.ArrayBuffer
+
+/** One input row for streaming window top-N: the partition key, the
+  * event time (assigns the tumbling window), the ranking metric, and
+  * an opaque payload carried through to the emission.
+  */
+final case class RankEvent(key: String, ts: Timestamp, metric: Double,
+    payload: String)
+
+/** One retained candidate inside a window's top-N buffer. */
+final case class RankEntry(metric: Double, payload: String)
+
+/** Per-key state: for each open window start, the (at most N) best
+  * entries seen so far — state is bounded to N rows per ACTIVE
+  * (key, window), never the window's full row count.
+  */
+final case class TopNState(windows: List[(Long, List[RankEntry])])
+
+/** One emitted ranked row of a closed window. */
+final case class TopNRow(key: String, ws: Long, we: Long, rank: Int,
+    metric: Double, payload: String)
+
+/** Streaming window top-N (Flink's Window Top-N: `ROW_NUMBER() OVER
+  * (PARTITION BY window_start, key ORDER BY metric DESC) <= N`), which
+  * Structured Streaming cannot express natively — ranking functions are
+  * unsupported on streams. Mechanics mirror [[CumulateTracker]]: rows
+  * fold into a per-(key, window) buffer that keeps only the N best
+  * (metric DESC, payload ASC tie-break, so ranking is deterministic);
+  * a window emits its ranked rows exactly once when the watermark
+  * passes its end (append mode — later rows are dropped upstream by
+  * the watermark, so every emission is final); event-time timeouts
+  * re-drive keys whose watermark advanced without fresh traffic; a
+  * window's state drops at emission.
+  */
+object TopNTracker {
+
+  /** Spark's NaN-safe double ordering (NaN sorts above +Infinity) —
+    * ranking must match what a batch `ORDER BY metric DESC` does.
+    */
+  private def nanSafeCompare(x: Double, y: Double): Int = {
+    val xNaN = java.lang.Double.isNaN(x)
+    val yNaN = java.lang.Double.isNaN(y)
+    if ((xNaN && yNaN) || x == y) 0
+    else if (xNaN) 1
+    else if (yNaN) -1
+    else if (x > y) 1
+    else -1
+  }
+
+  /** metric DESC, payload ASC. */
+  private def entryLt(a: RankEntry, b: RankEntry): Boolean = {
+    val c = nanSafeCompare(a.metric, b.metric)
+    if (c != 0) c > 0 else a.payload < b.payload
+  }
+
+  def track(
+      input: Dataset[RankEvent],
+      watermarkDelay: String,
+      windowMs: Long,
+      n: Int): Dataset[TopNRow] = {
+    require(windowMs > 0 && n > 0, "window size and N must be positive")
+    implicit val outEnc = Encoders.product[TopNRow]
+    implicit val stateEnc = Encoders.product[TopNState]
+    implicit val keyEnc = Encoders.STRING
+    input
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[RankEvent], state: GroupState[TopNState]) =>
+          update(key, rows, state, windowMs, n))
+  }
+
+  private def update(
+      key: String,
+      rows: Iterator[RankEvent],
+      state: GroupState[TopNState],
+      windowMs: Long,
+      n: Int): Iterator[TopNRow] = {
+    val buffers = scala.collection.mutable.HashMap.empty[Long, List[RankEntry]]
+    state.getOption.foreach(_.windows.foreach { case (ws, es) => buffers(ws) = es })
+
+    rows.foreach { e =>
+      val ws = Math.floorDiv(e.ts.getTime, windowMs) * windowMs
+      val entry = RankEntry(e.metric, e.payload)
+      // insert-sorted, trimmed: the buffer never exceeds N entries
+      val merged = (entry :: buffers.getOrElse(ws, Nil))
+        .sortWith(entryLt).take(n)
+      buffers(ws) = merged
+    }
+
+    // batch execution (bounded source, no watermark): everything final
+    val (wmMs, isFinal) =
+      try (state.getCurrentWatermarkMs(), false)
+      catch { case _: UnsupportedOperationException => (Long.MaxValue, true) }
+
+    val out = ArrayBuffer.empty[TopNRow]
+    buffers.keys.toSeq.sorted.foreach { ws =>
+      val we = ws + windowMs
+      if (isFinal || wmMs >= we) {
+        buffers.remove(ws).foreach(_.zipWithIndex.foreach { case (en, i) =>
+          out += TopNRow(key, ws, we, i + 1, en.metric, en.payload)
+        })
+      }
+    }
+
+    if (!isFinal) {
+      if (buffers.isEmpty) state.remove()
+      else {
+        state.update(TopNState(buffers.toList.sortBy(_._1)
+          .map { case (ws, es) => (ws, es) }))
+        // wake at the earliest pending window end
+        val nextEnd = buffers.keys.min + windowMs
+        state.setTimeoutTimestamp(math.max(nextEnd, wmMs + 1L))
+      }
+    }
+    out.iterator
+  }
+}
