@@ -13,7 +13,7 @@ object SparkEntry {
   /** All oracle-checked queries, registered by operator area. */
   def registry: Seq[Q] =
     Relational.all ++ Joins.all ++ Windows.all ++ SetOps.all ++ Events.all ++
-      PatternQueries.all ++ Coverage.all ++
+      PatternQueries.all ++ Coverage.all ++ Dialect.all ++
       TextAnalysis.all ++ Dedup.all ++ VectorSearch.all ++
       MultimodalQueries.all ++ Sampling.all ++ Curation.all
 

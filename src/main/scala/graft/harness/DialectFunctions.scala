@@ -1,0 +1,201 @@
+package graft.harness
+
+/** Flink-dialect scalar/table-function rewrites that Spark's parser
+  * rejects: `UNNEST` collection joins and the SQL:2016 JSON API
+  * (`JSON_VALUE` / `JSON_QUERY` / `JSON_EXISTS`). The reference router
+  * passes both through verbatim (`SQLSubmitAction.java:76`), so the
+  * harness rewrites them into the Spark-native equivalents before any
+  * other dialect pass runs. Both rewrites are pure text→text (no
+  * session), quote-aware (nothing fires inside a string literal), and
+  * paren-balanced (the argument may contain nested calls).
+  *
+  * UNNEST — Flink's collection join (`FROM t CROSS JOIN UNNEST(t.arr)
+  * AS a (x)`) becomes a generator:
+  *
+  *  - `CROSS JOIN | , UNNEST(e) AS a (c1[, c2...])` →
+  *    ` LATERAL VIEW explode(e) a AS c1[, c2]` — one alias column
+  *    unnests an array, two unnest a map (key, value — Flink's map
+  *    UNNEST signature), three or more unnest an array of rows via
+  *    `inline` (field order = alias order). A 2-column alias over an
+  *    array-of-row source is read as a map unnest and fails loudly at
+  *    analysis (alias-count mismatch) — spell those fields with
+  *    explode + field access instead.
+  *  - `LEFT [OUTER] JOIN UNNEST(e) AS a (cols) ON TRUE` →
+  *    `LATERAL VIEW OUTER explode(e) a AS cols` — an empty/NULL
+  *    collection keeps the left row with NULL outputs, Flink's
+  *    left-unnest semantics.
+  *  - `... UNNEST(e) WITH ORDINALITY AS a (c1[, c2], ord)` → a lateral
+  *    correlated subquery over `posexplode(e)` projecting `pos + 1`
+  *    (ordinality is 1-based): `, LATERAL (SELECT col AS c1, pos + 1
+  *    AS ord FROM posexplode(e)) a`. Array (2 aliases) and map
+  *    (3 aliases) forms; ordinality over array-of-rows and
+  *    LEFT-JOIN-with-ordinality are out of the subset and throw.
+  *
+  * JSON — Spark has `get_json_object` (a codegen'd path extractor)
+  * but not the SQL:2016 call forms, so:
+  *
+  *  - `JSON_VALUE(e, 'path' [RETURNING type])` →
+  *    `get_json_object(e, 'path')`, wrapped in `CAST(... AS type)`
+  *    when RETURNING is present. Behavior clauses (`DEFAULT ... ON
+  *    EMPTY/ERROR`, `NULL/ERROR ON EMPTY/ERROR`) are out of the
+  *    subset (Spark's extractor has exactly the NULL-on-anything
+  *    behavior of Flink's default, so the default spelling needs no
+  *    clause). Documented deviation: a path landing on an OBJECT or
+  *    ARRAY returns its JSON text (get_json_object semantics) where
+  *    Flink's JSON_VALUE default returns NULL — scalar paths, the
+  *    function's purpose, agree.
+  *  - `JSON_QUERY(e, 'path')` → `get_json_object(e, 'path')`.
+  *    Documented deviation: a path landing on a SCALAR returns the
+  *    scalar's text where Flink's default `WITHOUT ARRAY WRAPPER`
+  *    returns NULL; object/array paths, the function's purpose, agree.
+  *  - `JSON_EXISTS(e, 'path')` →
+  *    `(get_json_object(e, 'path') IS NOT NULL)`. Documented
+  *    deviation: a path whose value is JSON `null` reads as absent
+  *    (get_json_object cannot distinguish the two), where Flink
+  *    returns TRUE.
+  */
+object DialectFunctions {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  private val UnnestOpenRe = raw"(?i)\bUNNEST\s*\(".r
+  private val JsonOpenRe = raw"(?i)\bJSON_(VALUE|QUERY|EXISTS)\s*\(".r
+
+  def hasDialectFunctions(sql: String): Boolean = {
+    val masked = MatchRecognize.maskQuoted(sql)
+    UnnestOpenRe.findFirstIn(masked).isDefined ||
+      JsonOpenRe.findFirstIn(masked).isDefined
+  }
+
+  def rewrite(sql: String): String = rewriteJson(rewriteUnnest(sql))
+
+  // -------------------------------------------------------------- UNNEST
+
+  /** The join connective immediately before an UNNEST call: `CROSS
+    * JOIN`, `LEFT [OUTER] JOIN`, or a comma join. Matched right-anchored
+    * on the text before the call.
+    */
+  private val HeadRe =
+    raw"(?is)(CROSS\s+JOIN|LEFT\s+(?:OUTER\s+)?JOIN|,)\s*$$".r
+
+  /** Tail of an UNNEST region: `[WITH ORDINALITY] [AS] alias (c1, ...)`
+    * and, for the LEFT JOIN form, the mandatory `ON TRUE`.
+    */
+  private val TailRe = (
+    raw"(?is)^\s*(WITH\s+ORDINALITY\s+)?(?:AS\s+)?([A-Za-z_]\w*)\s*" +
+      raw"\(\s*([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)").r
+  private val OnTrueRe = raw"(?is)^\s*ON\s+TRUE".r
+
+  /** Clause keywords a parenthesized expression can follow — never an
+    * UNNEST alias (`... UNNEST(arr) WHERE (flag)` must reject, not
+    * read WHERE as the alias).
+    */
+  private val Keywords = Set("WHERE", "GROUP", "ORDER", "HAVING", "ON",
+    "JOIN", "LEFT", "RIGHT", "FULL", "CROSS", "INNER", "UNION", "LIMIT",
+    "WINDOW", "EXCEPT", "INTERSECT", "WITH", "SELECT", "FROM", "AND",
+    "OR", "NOT", "MATCH_RECOGNIZE")
+
+  private def rewriteUnnest(sql: String): String = {
+    var out = sql
+    // right-to-left: each splice leaves earlier match offsets valid
+    val calls = UnnestOpenRe.findAllMatchIn(MatchRecognize.maskQuoted(out))
+      .toSeq.reverseIterator
+    for (m <- calls) {
+      val open = m.end - 1
+      val end = MatchRecognize.closeParen(out, open)
+      val arg = out.substring(open + 1, end - 1).trim
+      if (arg.isEmpty) fail("UNNEST needs a collection argument")
+      val before = out.substring(0, m.start)
+      val head = HeadRe.findFirstMatchIn(MatchRecognize.maskQuoted(before))
+        .getOrElse(fail("UNNEST is supported as a join operand only: " +
+          "FROM t CROSS JOIN / LEFT JOIN / , UNNEST(...) AS a (cols)"))
+      val isLeft = head.group(1).toUpperCase.startsWith("LEFT")
+      val tail = TailRe.findFirstMatchIn(out.substring(end))
+        .filter(t => !Keywords.contains(t.group(2).toUpperCase))
+        .getOrElse(fail("UNNEST needs an alias with a column list: " +
+          "UNNEST(e) [WITH ORDINALITY] AS a (c1[, c2])"))
+      val ordinality = tail.group(1) != null
+      val alias = tail.group(2)
+      val cols = MatchRecognize.splitTopLevel(tail.group(3))
+      var tailEnd = end + tail.end
+      if (isLeft) {
+        val on = OnTrueRe.findFirstMatchIn(out.substring(tailEnd))
+          .getOrElse(fail("LEFT JOIN UNNEST needs ON TRUE"))
+        tailEnd += on.end
+      }
+      // the join connective is consumed: LATERAL VIEW attaches bare,
+      // the ordinality lateral subquery re-joins with a comma
+      val prefix = before.substring(0, head.start(1)).replaceAll(raw"\s+$$", "")
+      val spliced =
+        if (!ordinality) {
+          val gen =
+            if (cols.size <= 2) "explode" // 1 = array elem, 2 = map k/v
+            else "inline" // array of rows, field order = alias order
+          val outer = if (isLeft) "OUTER " else ""
+          s"$prefix LATERAL VIEW $outer$gen($arg) $alias AS ${cols.mkString(", ")}"
+        } else {
+          if (isLeft) fail("LEFT JOIN UNNEST WITH ORDINALITY is not supported")
+          if (cols.size < 2)
+            fail("UNNEST WITH ORDINALITY needs the ordinality column in " +
+              "the alias list: AS a (elem, ord)")
+          if (cols.size > 3)
+            fail("UNNEST WITH ORDINALITY over an array of rows is not " +
+              "supported — unnest without ordinality (inline) or explode " +
+              "with field access instead")
+          val ord = cols.last
+          val proj =
+            if (cols.size == 2) s"col AS ${cols.head}, pos + 1 AS $ord"
+            else s"key AS ${cols(0)}, value AS ${cols(1)}, pos + 1 AS $ord"
+          s"$prefix, LATERAL (SELECT $proj FROM posexplode($arg)) $alias"
+        }
+      out = spliced + out.substring(tailEnd)
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- JSON
+
+  private val PathReturningRe = (
+    raw"(?is)^('(?:[^']|'')*')(?:\s+RETURNING\s+" +
+      raw"([A-Za-z_]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?))?\s*$$").r
+  private val BehaviorRe =
+    raw"(?i)\b(ON\s+(EMPTY|ERROR)|WITH(OUT)?\s+(CONDITIONAL\s+|UNCONDITIONAL\s+)?ARRAY\s+WRAPPER)\b".r
+
+  private def rewriteJson(sql: String): String = {
+    var out = sql
+    val calls = JsonOpenRe.findAllMatchIn(MatchRecognize.maskQuoted(out))
+      .toSeq.reverseIterator
+    for (m <- calls) {
+      val fn = m.group(1).toUpperCase
+      val open = m.end - 1
+      val end = MatchRecognize.closeParen(out, open)
+      val inner = out.substring(open + 1, end - 1)
+      if (BehaviorRe.findFirstIn(MatchRecognize.maskQuoted(inner)).isDefined)
+        fail(s"JSON_$fn behavior clauses (ON EMPTY / ON ERROR / ARRAY " +
+          "WRAPPER) are not supported — the default NULL behavior needs " +
+          "no clause")
+      val args = MatchRecognize.splitTopLevel(inner)
+      if (args.size != 2)
+        fail(s"JSON_$fn takes (json, 'path'[ RETURNING type]): got $inner")
+      val expr = args.head
+      val (path, returning) = args(1).trim match {
+        case PathReturningRe(p, r) => (p, Option(r))
+        case other => fail(s"JSON_$fn needs a string-literal path" +
+          (if (fn == "VALUE") " (optionally RETURNING type)" else "") +
+          s": $other")
+      }
+      if (fn != "VALUE" && returning.isDefined)
+        fail(s"JSON_$fn does not take RETURNING")
+      val call = s"get_json_object($expr, $path)"
+      val replacement = fn match {
+        case "VALUE" =>
+          returning.fold(call)(t => s"CAST($call AS $t)")
+        case "QUERY" => call
+        case "EXISTS" => s"($call IS NOT NULL)"
+      }
+      out = out.substring(0, m.start) + replacement + out.substring(end)
+    }
+    out
+  }
+}

@@ -299,7 +299,7 @@ object MatchRecognize {
     * AND inside string/identifier literals (a DEFINE predicate may
     * legitimately contain `t = 'a,b'`).
     */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[harness] def splitTopLevel(s: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     var depth = 0
     var start = 0
@@ -973,7 +973,7 @@ object MatchRecognize {
     * (e.g. `DEFINE A AS t = ':)'`) must not close the region — ending
     * it early would leak the clause tail to Spark's parser.
     */
-  private def closeParen(sql: String, open: Int): Int = {
+  private[harness] def closeParen(sql: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < sql.length) {

@@ -494,12 +494,18 @@ final class SqlSubmitAction(
     */
   private def rewriteFlinkDialect(
       spark: SparkSession, config: EngineConfig, sql: String): String = {
+    // scalar/collection dialect functions (UNNEST, JSON_VALUE family)
+    // rewrite first: pure text→text, and the later passes then see
+    // only Spark-native calls inside the regions they extract
+    val fns =
+      if (!DialectFunctions.hasDialectFunctions(sql)) sql
+      else DialectFunctions.rewrite(sql)
     val mr =
-      if (!MatchRecognize.hasMatchRecognize(sql)) sql
+      if (!MatchRecognize.hasMatchRecognize(fns)) fns
       else if (config.isStreaming)
         // streaming subset: per-key NFA with watermark-matured decisions
-        MatchRecognize.rewriteStreaming(spark, sql, watermarkOf)
-      else MatchRecognize.rewrite(spark, sql)
+        MatchRecognize.rewriteStreaming(spark, fns, watermarkOf)
+      else MatchRecognize.rewrite(spark, fns)
     rewriteWindowTvfs(spark, config, rewriteTemporalJoins(config, mr))
   }
 

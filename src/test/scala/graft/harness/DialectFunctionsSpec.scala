@@ -1,0 +1,142 @@
+package graft.harness
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Flink UNNEST and SQL:2016 JSON function rewrites: text-level unit
+  * cases plus behavioral runs of every rewritten form on a live
+  * session.
+  */
+class DialectFunctionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkFixture.spark
+
+  private def run(flinkSql: String): Seq[org.apache.spark.sql.Row] =
+    spark.sql(DialectFunctions.rewrite(flinkSql)).collect().toSeq
+
+  test("CROSS JOIN UNNEST of an array rewrites to LATERAL VIEW explode") {
+    val out = DialectFunctions.rewrite(
+      "SELECT id, x FROM t CROSS JOIN UNNEST(t.arr) AS a (x)")
+    assert(out == "SELECT id, x FROM t LATERAL VIEW explode(t.arr) a AS x")
+  }
+
+  test("comma-join UNNEST and bare alias (no AS) rewrite too") {
+    val out = DialectFunctions.rewrite(
+      "SELECT id, x FROM t, UNNEST(arr) a (x)")
+    assert(out == "SELECT id, x FROM t LATERAL VIEW explode(arr) a AS x")
+  }
+
+  test("unnested array join runs end-to-end") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW un_t AS " +
+      "SELECT * FROM VALUES (1, array('a','b')), (2, array('c')) AS t(id, arr)")
+    val rows = run("SELECT id, x FROM un_t CROSS JOIN UNNEST(arr) AS a (x) ORDER BY id, x")
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(rows == Seq((1, "a"), (1, "b"), (2, "c")))
+  }
+
+  test("two alias columns unnest a map as key/value") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW un_m AS " +
+      "SELECT 7 AS id, map('k1', 10, 'k2', 20) AS mp")
+    val rows = run("SELECT id, k, v FROM un_m, UNNEST(mp) AS u (k, v) ORDER BY k")
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(rows == Seq((7, "k1", 10), (7, "k2", 20)))
+  }
+
+  test("three or more alias columns unnest an array of rows via inline") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW un_r AS SELECT 1 AS id, " +
+      "array(named_struct('a', 1, 'b', 'x', 'c', true)) AS rows_col")
+    val rows = run(
+      "SELECT id, a, b, c FROM un_r CROSS JOIN UNNEST(rows_col) AS u (a, b, c)")
+      .map(r => (r.getInt(1), r.getString(2), r.getBoolean(3)))
+    assert(rows == Seq((1, "x", true)))
+  }
+
+  test("LEFT JOIN UNNEST ON TRUE keeps left rows with NULL outputs") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW un_l AS SELECT * FROM VALUES " +
+      "(1, array('a')), (2, CAST(NULL AS ARRAY<STRING>)) AS t(id, arr)")
+    val rows = run(
+      "SELECT id, x FROM un_l LEFT JOIN UNNEST(arr) AS a (x) ON TRUE ORDER BY id")
+      .map(r => (r.getInt(0), Option(r.getString(1))))
+    assert(rows == Seq((1, Some("a")), (2, None)))
+  }
+
+  test("WITH ORDINALITY yields 1-based positions via posexplode") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW un_o AS " +
+      "SELECT 1 AS id, array('a','b','c') AS arr")
+    val rows = run("SELECT id, tok, ord FROM un_o CROSS JOIN " +
+      "UNNEST(arr) WITH ORDINALITY AS u (tok, ord) ORDER BY ord")
+      .map(r => (r.getString(1), r.getInt(2)))
+    assert(rows == Seq(("a", 1), ("b", 2), ("c", 3)))
+  }
+
+  test("map WITH ORDINALITY takes key, value, ordinality aliases") {
+    val rows = run("SELECT k, v, ord FROM un_m, " +
+      "UNNEST(mp) WITH ORDINALITY AS u (k, v, ord) ORDER BY ord")
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows.map(_._3) == Seq(1, 2))
+  }
+
+  test("UNNEST contract rejections are named") {
+    def rejects(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](DialectFunctions.rewrite(sql))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects("SELECT UNNEST(arr) FROM t", "join operand")
+    rejects("SELECT x FROM t CROSS JOIN UNNEST(arr)", "alias with a column list")
+    rejects("SELECT x FROM t LEFT JOIN UNNEST(arr) AS a (x)", "ON TRUE")
+    rejects("SELECT x FROM t LEFT JOIN UNNEST(arr) WITH ORDINALITY AS a (x, o) ON TRUE",
+      "LEFT JOIN UNNEST WITH ORDINALITY")
+    rejects("SELECT x FROM t, UNNEST(arr) WITH ORDINALITY AS a (x)",
+      "ordinality column")
+    rejects("SELECT x FROM t, UNNEST(arr) WITH ORDINALITY AS a (a, b, c, o)",
+      "array of rows")
+  }
+
+  test("UNNEST inside a string literal never fires") {
+    val sql = "SELECT 'CROSS JOIN UNNEST(arr) AS a (x)' AS s FROM t"
+    assert(DialectFunctions.rewrite(sql) == sql)
+  }
+
+  test("JSON_VALUE rewrites to get_json_object, RETURNING casts") {
+    assert(DialectFunctions.rewrite("SELECT JSON_VALUE(props, '$.a') FROM t")
+      == "SELECT get_json_object(props, '$.a') FROM t")
+    assert(DialectFunctions.rewrite(
+      "SELECT JSON_VALUE(props, '$.a' RETURNING INT) FROM t")
+      == "SELECT CAST(get_json_object(props, '$.a') AS INT) FROM t")
+  }
+
+  test("JSON family runs end-to-end, including nesting") {
+    spark.sql("""CREATE OR REPLACE TEMP VIEW js_t AS SELECT
+      '{"a": {"b": 7}, "tags": [1, 2]}' AS props""")
+    val r = run("""SELECT
+      JSON_VALUE(props, '$.a.b' RETURNING INT) AS b,
+      JSON_QUERY(props, '$.tags') AS tags,
+      JSON_EXISTS(props, '$.a') AS has_a,
+      JSON_EXISTS(props, '$.z') AS has_z,
+      JSON_VALUE(JSON_QUERY(props, '$.a'), '$.b') AS nested
+      FROM js_t""").head
+    assert(r.getInt(0) == 7)
+    assert(r.getString(1) == "[1,2]")
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getString(4) == "7")
+  }
+
+  test("JSON behavior clauses and non-literal paths are rejected") {
+    def rejects(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](DialectFunctions.rewrite(sql))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects("SELECT JSON_VALUE(p, '$.a' NULL ON EMPTY) FROM t", "behavior")
+    rejects("SELECT JSON_VALUE(p, '$.a' DEFAULT 0 ON ERROR) FROM t", "behavior")
+    rejects("SELECT JSON_QUERY(p, '$.a' WITH ARRAY WRAPPER) FROM t", "behavior")
+    rejects("SELECT JSON_VALUE(p, path_col) FROM t", "string-literal path")
+    rejects("SELECT JSON_EXISTS(p, '$.a' RETURNING INT) FROM t",
+      "does not take RETURNING")
+    rejects("SELECT JSON_VALUE(p) FROM t", "takes (json, 'path'")
+  }
+
+  test("a literal containing JSON_VALUE( is untouched") {
+    val sql = "SELECT 'JSON_VALUE(x, ''$.a'')' AS s FROM t"
+    assert(DialectFunctions.rewrite(sql) == sql)
+  }
+}
