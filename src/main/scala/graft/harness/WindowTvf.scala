@@ -34,9 +34,13 @@ package graft.harness
   * boundary. Rows with a NULL time attribute are dropped from window
   * assignment, as Flink drops them. Internal helper columns stay out
   * of `SELECT *` via the table-qualified star (lateral forms) or
-  * `SELECT * EXCEPT` (session form). Any TVF variant the rewrite does
-  * not understand (e.g. the window-offset argument) is rejected
-  * explicitly rather than leaked to Spark's parser.
+  * `SELECT * EXCEPT` (session form). TUMBLE and HOP accept the
+  * trailing window-offset argument (possibly negative — the
+  * timezone-alignment use), normalized into `[0, size)` / `[0,
+  * slide)` and applied as a grid shift (batch) or the native
+  * window's startTime (streaming). Any TVF variant the rewrite does
+  * not understand (CUMULATE/SESSION offsets, fractional intervals) is
+  * rejected explicitly rather than leaked to Spark's parser.
   */
 object WindowTvf {
 
@@ -44,18 +48,26 @@ object WindowTvf {
   private val Dotted = s"$Ident(?:\\.$Ident)*"
   private val Interval =
     raw"(?:(SIZE|SLIDE|STEP)\s*=>\s*)?INTERVAL\s+'(\d+)'\s+(\w+)"
+  /** Trailing window-offset argument (Flink 1.14+): may be negative —
+    * the canonical use is shifting whole-day windows into a non-UTC
+    * timezone (`INTERVAL '-8' HOUR`).
+    */
+  private val OffsetIv =
+    raw"(?:(OFFSET)\s*=>\s*)?INTERVAL\s+'(-?\d+)'\s+(\w+)"
 
-  /** `TABLE(TUMBLE([DATA =>] [TABLE] t, [TIMECOL =>] DESCRIPTOR(col), INTERVAL 'n' UNIT))` */
+  /** `TABLE(TUMBLE([DATA =>] [TABLE] t, [TIMECOL =>] DESCRIPTOR(col), INTERVAL 'n' UNIT[, offset]))` */
   private val TumbleRe = (
     raw"(?is)\bTABLE\s*\(\s*TUMBLE\s*\(\s*(?:DATA\s*=>\s*)?(?:TABLE\s+)?($Dotted)\s*,\s*" +
-      raw"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*($Ident)\s*\)\s*,\s*$Interval\s*\)\s*\)").r
+      raw"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*($Ident)\s*\)\s*,\s*$Interval" +
+      raw"(?:\s*,\s*$OffsetIv)?\s*\)\s*\)").r
 
-  /** `TABLE(HOP(t, DESCRIPTOR(col), slide, size))` — Flink's argument
-    * order puts the slide before the window size.
+  /** `TABLE(HOP(t, DESCRIPTOR(col), slide, size[, offset]))` — Flink's
+    * argument order puts the slide before the window size.
     */
   private val HopRe = (
     raw"(?is)\bTABLE\s*\(\s*HOP\s*\(\s*(?:DATA\s*=>\s*)?(?:TABLE\s+)?($Dotted)\s*,\s*" +
-      raw"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*($Ident)\s*\)\s*,\s*$Interval\s*,\s*$Interval\s*\)\s*\)").r
+      raw"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*($Ident)\s*\)\s*,\s*$Interval\s*,\s*$Interval" +
+      raw"(?:\s*,\s*$OffsetIv)?\s*\)\s*\)").r
 
   /** `TABLE(CUMULATE(t, DESCRIPTOR(col), step, size))` */
   private val CumulateRe = (
@@ -134,6 +146,25 @@ object WindowTvf {
     s
   }
 
+  /** The optional trailing offset argument: 0 when absent; signed
+    * (negative offsets shift windows earlier — the timezone-alignment
+    * use). Normalization into `[0, unit)` happens at the use site,
+    * against the window size (TUMBLE) or slide (HOP): window sets are
+    * invariant under offset mod that unit, and the normalized value
+    * keeps the epoch arithmetic single-branch.
+    */
+  private def offsetMillis(m: scala.util.matching.Regex.Match,
+      base: Int): Long = {
+    if (m.group(base + 1) == null) return 0L
+    Option(m.group(base)).map(_.toUpperCase).foreach(name =>
+      if (name != "OFFSET") throw new IllegalArgumentException(
+        s"Window TVF argument $name => where OFFSET was expected"))
+    m.group(base + 1).toLong * unitMillis(m.group(base + 2))
+  }
+
+  private def normOffset(off: Long, unit: Long): Long =
+    ((off % unit) + unit) % unit
+
   /** Flink-floor window arithmetic: `t - pmod(t, unit)` floors for
     * negative epochs too, exactly, in integer space.
     */
@@ -161,8 +192,12 @@ object WindowTvf {
     val afterTumble = TumbleRe.replaceAllIn(sql0, m => {
       val (table, tcol) = (m.group(1), m.group(2))
       val dur = millis(m, 3, "SIZE")
+      val off = normOffset(offsetMillis(m, 6), dur)
       val t = epochMs(tcol)
-      val ws = floorTo(t, dur)
+      // offset shifts the window grid: floor in offset-space, shift back
+      val ws =
+        if (off == 0L) floorTo(t, dur)
+        else s"(${floorTo(s"($t - ${off}L)", dur)} + ${off}L)"
       java.util.regex.Matcher.quoteReplacement(
         s"(SELECT $table.*, ${contract(ws, s"$ws + ${dur}L")} " +
           s"FROM $table WHERE $tcol IS NOT NULL)")
@@ -173,11 +208,15 @@ object WindowTvf {
       val size = millis(m, 6, "SIZE")
       require(size % slide == 0,
         s"HOP size (${size} ms) must be a multiple of its slide (${slide} ms)")
+      val off = normOffset(offsetMillis(m, 9), slide)
       val t = epochMs(tcol)
       // covering window starts: from the first start whose window still
-      // contains the row, up to the row's own slide bucket
-      val lo = s"${floorTo(s"($t - ${size}L)", slide)} + ${slide}L"
-      val hi = floorTo(t, slide)
+      // contains the row, up to the row's own slide bucket — the grid
+      // shifted by the offset when one is declared
+      val tOff = if (off == 0L) t else s"($t - ${off}L)"
+      val back = if (off == 0L) "" else s" + ${off}L"
+      val lo = s"${floorTo(s"($tOff - ${size}L)", slide)} + ${slide}L$back"
+      val hi = s"${floorTo(tOff, slide)}$back"
       java.util.regex.Matcher.quoteReplacement(
         s"(SELECT $table.*, ${contract("__ws", s"__ws + ${size}L")} " +
           s"FROM $table " +
@@ -241,8 +280,8 @@ object WindowTvf {
     AnyTvfRe.findFirstMatchIn(legacy).foreach(m =>
       throw new IllegalArgumentException(
         s"Unsupported ${m.group(1).toUpperCase} window TVF form " +
-          "(offsets / fractional intervals / qualified descriptors " +
-          "are not recognized)"))
+          "(CUMULATE/SESSION offsets / fractional intervals / " +
+          "qualified descriptors are not recognized)"))
     AnyLegacyRe.findFirstMatchIn(legacy).foreach { m =>
       val fn = m.group(1).toUpperCase + Option(m.group(2)).getOrElse("").toUpperCase
       throw new IllegalArgumentException(
@@ -303,15 +342,20 @@ object WindowTvf {
         endAdjustMs: Long = 0L)
     val win = TumbleRe.findFirstMatchIn(sql).map { m =>
       val dur = millis(m, 3, "SIZE")
+      val off = normOffset(offsetMillis(m, 6), dur)
+      // the offset grid maps onto the native window's startTime slot
+      val tail = if (off == 0L) "" else s", '$dur milliseconds', '$off milliseconds'"
       Win(m.start, m.end, m.group(1),
-        s"window(${m.group(2)}, '$dur milliseconds')", "window")
+        s"window(${m.group(2)}, '$dur milliseconds'$tail)", "window")
     }.orElse(HopRe.findFirstMatchIn(sql).map { m =>
       val slide = millis(m, 3, "SLIDE")
       val size = millis(m, 6, "SIZE")
       require(size % slide == 0,
         s"HOP size (${size} ms) must be a multiple of its slide (${slide} ms)")
+      val off = normOffset(offsetMillis(m, 9), slide)
+      val tail = if (off == 0L) "" else s", '$off milliseconds'"
       Win(m.start, m.end, m.group(1),
-        s"window(${m.group(2)}, '$size milliseconds', '$slide milliseconds')",
+        s"window(${m.group(2)}, '$size milliseconds', '$slide milliseconds'$tail)",
         "window")
     }).orElse(SessionTvfRe.findFirstMatchIn(sql).map { m =>
       val gap = m.group(5).toLong * unitMillis(m.group(6))

@@ -63,5 +63,31 @@ object Dialect {
     s.sql(DialectFunctions.rewrite(flinkSql))
   }
 
-  def all: Seq[Q] = Seq(q95Unnest, q96JsonValue)
+  /** Flink's window-offset argument: whole-day TUMBLE windows shifted
+    * by -8 h (the align-days-to-a-non-UTC-timezone use), through the
+    * TVF rewrite's offset-space floor. Oracle mirrors the same grid
+    * arithmetic in epoch milliseconds.
+    */
+  val q97TumbleOffset: Q = Q(
+    "q97_tumble_offset",
+    """WITH w AS (
+      |  SELECT event_type,
+      |    ((epoch_ms(ts) - 57600000) -
+      |     (((epoch_ms(ts) - 57600000) % 86400000) + 86400000) % 86400000)
+      |      + 57600000 AS ws
+      |  FROM events WHERE ts IS NOT NULL)
+      |SELECT ws // 1000 AS window_start_sec, event_type, COUNT(*) AS n
+      |FROM w GROUP BY ws, event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("dlq_events_off")
+    val flinkSql =
+      """SELECT window_start, event_type, COUNT(*) AS n
+        |FROM TABLE(TUMBLE(TABLE dlq_events_off, DESCRIPTOR(ts),
+        |  INTERVAL '1' DAY, INTERVAL '-8' HOUR))
+        |GROUP BY window_start, event_type""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(unix_timestamp(col("window_start")).as("window_start_sec"),
+        col("event_type"), col("n"))
+  }
+
+  def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset)
 }

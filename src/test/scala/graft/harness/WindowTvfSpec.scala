@@ -397,13 +397,69 @@ class WindowTvfSpec extends AnyFunSuite {
   }
 
   test("unrecognized TVF forms are rejected, never leaked") {
-    // Flink's window-offset form: recognized as a TVF, refused clearly
+    // CUMULATE's offset form: recognized as a TVF, refused clearly
     val offset = intercept[IllegalArgumentException] {
       WindowTvf.rewrite(
-        "SELECT * FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), " +
-          "INTERVAL '1' HOUR, INTERVAL '15' MINUTE))")
+        "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), " +
+          "INTERVAL '10' MINUTE, INTERVAL '1' HOUR, INTERVAL '15' MINUTE))")
     }
-    assert(offset.getMessage.contains("Unsupported TUMBLE"))
+    assert(offset.getMessage.contains("Unsupported CUMULATE"))
+  }
+
+  test("TUMBLE offset shifts the window grid, negative offsets included") {
+    val out = WindowTvf.rewrite(
+      "SELECT * FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), " +
+        "INTERVAL '1' HOUR, OFFSET => INTERVAL '15' MINUTE))")
+    // floor in offset-space, shift back: (floor(t - off) + off)
+    assert(out.contains("- 900000L"))
+    assert(out.contains("+ 900000L"))
+    val spark = SparkFixture.spark
+    spark.sql("SELECT TIMESTAMP '2024-01-02 03:10:00' AS ts")
+      .createOrReplaceTempView("off_t")
+    // -8 HOUR on a 1 DAY window: the Pacific-day use; normalized to
+    // +16 h, the covering window starts the previous day 16:00 UTC
+    val row = spark.sql(WindowTvf.rewrite(
+      "SELECT window_start, window_end FROM TABLE(TUMBLE(TABLE off_t, " +
+        "DESCRIPTOR(ts), INTERVAL '1' DAY, INTERVAL '-8' HOUR))")).head
+    assert(row.getTimestamp(0).toString == "2024-01-01 16:00:00.0")
+    assert(row.getTimestamp(1).toString == "2024-01-02 16:00:00.0")
+  }
+
+  test("HOP offset shifts every covering window by the offset") {
+    val spark = SparkFixture.spark
+    spark.sql("SELECT TIMESTAMP '2024-01-01 00:59:00' AS ts")
+      .createOrReplaceTempView("offh_t")
+    val rows = spark.sql(WindowTvf.rewrite(
+      "SELECT window_start FROM TABLE(HOP(TABLE offh_t, DESCRIPTOR(ts), " +
+        "INTERVAL '30' MINUTE, INTERVAL '1' HOUR, INTERVAL '10' MINUTE)) " +
+        "ORDER BY window_start")).collect().map(_.getTimestamp(0).toString)
+    // grid = :10/:40; covering 1h windows for 00:59 start at 00:10, 00:40
+    assert(rows.toSeq == Seq("2024-01-01 00:10:00.0", "2024-01-01 00:40:00.0"))
+  }
+
+  test("streaming TUMBLE/HOP offsets map onto the native window startTime") {
+    val t = WindowTvf.rewriteStreaming(
+      "SELECT window_start, COUNT(*) AS n FROM TABLE(TUMBLE(TABLE s, " +
+        "DESCRIPTOR(ts), INTERVAL '1' HOUR, INTERVAL '-8' HOUR)) " +
+        "GROUP BY window_start")
+    // -8h normalized into [0, size) = 16h
+    assert(t.contains(
+      "window(ts, '3600000 milliseconds', '3600000 milliseconds', '0 milliseconds')")
+      || t.contains("window(ts, '3600000 milliseconds')"), t)
+    val t2 = WindowTvf.rewriteStreaming(
+      "SELECT window_start, COUNT(*) AS n FROM TABLE(TUMBLE(TABLE s, " +
+        "DESCRIPTOR(ts), INTERVAL '1' DAY, INTERVAL '-8' HOUR)) " +
+        "GROUP BY window_start")
+    assert(t2.contains(
+      "window(ts, '86400000 milliseconds', '86400000 milliseconds', " +
+        "'57600000 milliseconds')"), t2)
+    val h = WindowTvf.rewriteStreaming(
+      "SELECT window_start, COUNT(*) AS n FROM TABLE(HOP(TABLE s, " +
+        "DESCRIPTOR(ts), INTERVAL '30' MINUTE, INTERVAL '1' HOUR, " +
+        "INTERVAL '10' MINUTE)) GROUP BY window_start")
+    assert(h.contains(
+      "window(ts, '3600000 milliseconds', '1800000 milliseconds', " +
+        "'600000 milliseconds')"), h)
   }
 
   test("legacy GROUP BY TUMBLE + accessors rewrite to floor arithmetic") {
