@@ -410,9 +410,63 @@ object Coverage {
         |FROM events WHERE event_id < 2000""".stripMargin)
   }
 
+  /** `TRY_CAST` (Flink and Spark both ship it natively): NULL instead
+    * of error on a failed cast. The probe set sticks to alpha-or-
+    * integral strings — DuckDB's TRY_CAST of a decimal string to
+    * BIGINT rounds where Spark nulls, the q32 cast pitfall.
+    */
+  val q98TryCast: Q = Q(
+    "q98_try_cast",
+    """SELECT source,
+      |  CAST(SUM(TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT)) AS BIGINT)
+      |    AS sum_roundtrip,
+      |  CAST(SUM(CASE WHEN TRY_CAST(lang AS BIGINT) IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+      |  CAST(SUM(CASE WHEN TRY_CAST('99999999999999999999' AS BIGINT) IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow
+      |FROM documents GROUP BY source""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT source,
+        |  SUM(TRY_CAST(CAST(n_chars AS STRING) AS BIGINT)) AS sum_roundtrip,
+        |  SUM(CASE WHEN TRY_CAST(lang AS BIGINT) IS NULL
+        |      THEN 1 ELSE 0 END) AS n_bad,
+        |  SUM(CASE WHEN TRY_CAST('99999999999999999999' AS BIGINT) IS NULL
+        |      THEN 1 ELSE 0 END) AS n_overflow
+        |FROM documents GROUP BY source""".stripMargin)
+  }
+
+  /** `NOT IN` with a subquery (null-aware anti-join plan) plus the
+    * three-valued NOT IN literal-list semantics: a NULL in the list
+    * makes the predicate UNKNOWN, never TRUE — both engines must take
+    * the ELSE branch for every row.
+    */
+  val q99NotIn: Q = Q(
+    "q99_not_in",
+    """SELECT c_mktsegment,
+      |  CASE WHEN c_nationkey NOT IN (1, 2) THEN 'out' ELSE 'in' END AS two_val,
+      |  CASE WHEN c_nationkey NOT IN (1, 2, NULL) THEN 'out' ELSE 'not_true' END AS three_val,
+      |  COUNT(*) AS n
+      |FROM customer
+      |WHERE c_custkey NOT IN
+      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |GROUP BY c_mktsegment, two_val, three_val""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT c_mktsegment,
+        |  CASE WHEN c_nationkey NOT IN (1, 2) THEN 'out' ELSE 'in' END AS two_val,
+        |  CASE WHEN c_nationkey NOT IN (1, 2, NULL) THEN 'out' ELSE 'not_true' END AS three_val,
+        |  COUNT(*) AS n
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY c_mktsegment, two_val, three_val""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q34Cube, q35Correlated, q36ArrayFns, q37DateFormat, q38Cte, q39SaltedAgg,
     q40UdafDistinct, q41Median, q42Histogram, q44GroupingSets, q45MapFns,
     q48Posexplode, q50MultiDistinct, q51Lateral,
-    q85FilterAgg, q86Listagg, q87ArrayAgg, q90GroupingId, q91NullSafe)
+    q85FilterAgg, q86Listagg, q87ArrayAgg, q90GroupingId, q91NullSafe,
+    q98TryCast, q99NotIn)
 }
