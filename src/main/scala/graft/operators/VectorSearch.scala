@@ -678,8 +678,70 @@ object VectorSearch {
          |SELECT qid, vec_id, adc_micros, rn FROM ranked WHERE rn <= 5""".stripMargin)
   }
 
+  /** SemDeDup-style semantic deduplication decision: assign vectors to
+    * coarse clusters (the IVF quantizer), then inside each cluster mark
+    * a vector REMOVED when any lower-id member sits above the cosine
+    * threshold, recording which member shadows it. This is the
+    * parallel-safe variant of the keep-first policy — the shadow test
+    * is against every lower-id neighbor, not the surviving ones, so
+    * each vector's decision is independent (no sequential scan to
+    * distribute). Pair generation is cluster-bounded: the O(n²) scan
+    * shrinks by the cluster count, and at scale the same shape runs on
+    * real k-means cells ([[extKmeansRefine]] is the iteration).
+    * Threshold 0.30: the corpus's semantic-overlap band (its near-dup
+    * band at 0.99 is handled by [[extEmbedNeardup]]).
+    */
+  val extSemDedup: Q = Q(
+    "ext_semdedup",
+    s"""WITH $normDuckCte,
+       |cent AS (SELECT vec_id AS cid, nv AS cv FROM nv WHERE vec_id < 16),
+       |scoredc AS (
+       |  SELECT nv.vec_id, nv.nv, cent.cid,
+       |    CAST(FLOOR((${dotDuck("nv.nv", "cent.cv")}) * 1000000 + 0.5) AS BIGINT) AS cdot
+       |  FROM nv, cent),
+       |assign AS (
+       |  SELECT vec_id, nv, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS crn
+       |  FROM scoredc),
+       |b AS (SELECT vec_id, nv, cid FROM assign WHERE crn = 1),
+       |sh AS (
+       |  SELECT x.vec_id, MIN(y.vec_id) AS shadowed_by
+       |  FROM b x JOIN b y ON x.cid = y.cid AND y.vec_id < x.vec_id
+       |  WHERE CAST(FLOOR((${dotDuck("x.nv", "y.nv")}) * 1000000 + 0.5) AS BIGINT) >= 300000
+       |  GROUP BY x.vec_id)
+       |SELECT b.vec_id, b.cid,
+       |  CASE WHEN sh.shadowed_by IS NULL THEN 0 ELSE 1 END AS removed,
+       |  sh.shadowed_by
+       |FROM b LEFT JOIN sh ON b.vec_id = sh.vec_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val nv = normalizedSpark(Tables.load(s, dir, "embeddings"))
+    val cent = nv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("nv").as("cv"))
+    // hash-agg argmax (see extAnnIvf): max(cdot, -cid) ≡ the oracle's
+    // ROW_NUMBER(ORDER BY cdot DESC, cid) = 1, without the sort-window
+    val b = nv.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("nv"), col("cid"),
+        floor(expr(dotSpark("nv", "cv")) * 1e6d + 0.5d).cast("long").as("cdot"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdot"), (-col("cid")).as("negcid"),
+        col("cid"), col("nv"))).as("m"))
+      .select(col("vec_id"), col("m.nv").as("nv"), col("m.cid").as("cid"))
+    val x = b.select(col("vec_id"), col("nv").as("nv_x"), col("cid"))
+    val y = b.select(col("vec_id").as("yid"), col("nv").as("nv_y"),
+      col("cid").as("ycid"))
+    val sh = x.join(y, col("cid") === col("ycid") && col("yid") < col("vec_id"))
+      .filter(floor(expr(dotSpark("nv_x", "nv_y")) * 1e6d + 0.5d)
+        .cast("long") >= 300000L)
+      .groupBy(col("vec_id")).agg(min(col("yid")).as("shadowed_by"))
+    b.select(col("vec_id"), col("cid"))
+      .join(sh, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        when(col("shadowed_by").isNull, 0).otherwise(1).as("removed"),
+        col("shadowed_by"))
+  }
+
   def all: Seq[Q] = Seq(
     extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf, extEmbedNeardup,
     extClusterStats, extKmeansRefine, extEmbedCluster, extEmbedQuantize,
-    extAnnProbe, extAnnRerank, extAnnPq)
+    extAnnProbe, extAnnRerank, extAnnPq, extSemDedup)
 }
