@@ -61,14 +61,65 @@ object DialectFunctions {
 
   private val UnnestOpenRe = raw"(?i)\bUNNEST\s*\(".r
   private val JsonOpenRe = raw"(?i)\bJSON_(VALUE|QUERY|EXISTS)\s*\(".r
+  private val TsLtzOpenRe = raw"(?i)\bTO_TIMESTAMP_LTZ\s*\(".r
+  private val ProctimeRe = raw"(?i)\bPROCTIME\s*\(\s*\)".r
 
   def hasDialectFunctions(sql: String): Boolean = {
     val masked = MatchRecognize.maskQuoted(sql)
     UnnestOpenRe.findFirstIn(masked).isDefined ||
-      JsonOpenRe.findFirstIn(masked).isDefined
+      JsonOpenRe.findFirstIn(masked).isDefined ||
+      TsLtzOpenRe.findFirstIn(masked).isDefined ||
+      ProctimeRe.findFirstIn(masked).isDefined
   }
 
-  def rewrite(sql: String): String = rewriteJson(rewriteUnnest(sql))
+  def rewrite(sql: String): String =
+    rewriteScalars(rewriteJson(rewriteUnnest(sql)))
+
+  /** The scalar-only subset, safe for DDL computed-column expressions
+    * (where UNNEST/JSON join forms cannot appear but Flink's epoch and
+    * processing-time idioms do):
+    *
+    *  - `TO_TIMESTAMP_LTZ(e[, p])` → `timestamp_millis(e)` (p = 3, the
+    *    default) or `timestamp_seconds(e)` (p = 0) — the epoch-column
+    *    event-time idiom in WATERMARK DDL; other precisions throw.
+    *  - `PROCTIME()` → `current_timestamp()`. Documented deviation:
+    *    Flink's PROCTIME is per-record wall clock, Spark's
+    *    current_timestamp is per-query (batch) / per-micro-batch
+    *    (streaming) — constant within the evaluation unit. The uses the
+    *    harness admits (a processing-time column, arrival-time windows)
+    *    only need a monotone arrival stamp, which this is.
+    */
+  def rewriteScalars(sql: String): String = {
+    var out = sql
+    val calls = TsLtzOpenRe.findAllMatchIn(MatchRecognize.maskQuoted(out))
+      .toSeq.reverseIterator
+    for (m <- calls) {
+      val open = m.end - 1
+      val end = MatchRecognize.closeParen(out, open)
+      val args = MatchRecognize.splitTopLevel(out.substring(open + 1, end - 1))
+      val (e, p) = args match {
+        case Seq(x) => (x, "3")
+        case Seq(x, lit) if raw"^[03]$$".r.findFirstIn(lit.trim).isDefined =>
+          (x, lit.trim)
+        case Seq(_, lit) => fail(
+          s"TO_TIMESTAMP_LTZ precision must be 0 or 3, got: $lit")
+        case _ => fail(
+          s"TO_TIMESTAMP_LTZ takes (epoch[, precision]): ${out.substring(open)}")
+      }
+      val call =
+        if (p == "0") s"timestamp_seconds($e)" else s"timestamp_millis($e)"
+      out = out.substring(0, m.start) + call + out.substring(end)
+    }
+    // literal-blind: PROCTIME() inside a string stays text
+    val sb = new StringBuilder
+    var last = 0
+    ProctimeRe.findAllMatchIn(MatchRecognize.maskQuoted(out)).foreach { m =>
+      sb.append(out.substring(last, m.start)).append("current_timestamp()")
+      last = m.end
+    }
+    sb.append(out.substring(last))
+    sb.toString
+  }
 
   // -------------------------------------------------------------- UNNEST
 

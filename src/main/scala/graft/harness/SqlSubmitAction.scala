@@ -433,8 +433,11 @@ final class SqlSubmitAction(
     import org.apache.spark.sql.functions.expr
     val withComputed =
       t.computedColumns.foldLeft(df)((d, cc) =>
-        d.withColumn(cc.name, expr(cc.expr.replaceAll(
-          raw"(?i)timestamp\s*\(\s*\d\s*\)", "timestamp"))))
+        // the scalar dialect pass first: Flink computed columns lean on
+        // TO_TIMESTAMP_LTZ (epoch event time) and PROCTIME()
+        d.withColumn(cc.name, expr(DialectFunctions.rewriteScalars(
+          cc.expr.replaceAll(
+            raw"(?i)timestamp\s*\(\s*\d\s*\)", "timestamp")))))
     t.watermark match {
       case Some(wm) if withComputed.isStreaming =>
         withComputed.withWatermark(wm.column, wm.delay)

@@ -139,4 +139,50 @@ class DialectFunctionsSpec extends AnyFunSuite {
     val sql = "SELECT 'JSON_VALUE(x, ''$.a'')' AS s FROM t"
     assert(DialectFunctions.rewrite(sql) == sql)
   }
+
+  test("TO_TIMESTAMP_LTZ maps to epoch constructors by precision") {
+    assert(DialectFunctions.rewriteScalars("SELECT TO_TIMESTAMP_LTZ(ms, 3) FROM t")
+      == "SELECT timestamp_millis(ms) FROM t")
+    assert(DialectFunctions.rewriteScalars("SELECT TO_TIMESTAMP_LTZ(s, 0) FROM t")
+      == "SELECT timestamp_seconds(s) FROM t")
+    assert(DialectFunctions.rewriteScalars("SELECT TO_TIMESTAMP_LTZ(ms) FROM t")
+      == "SELECT timestamp_millis(ms) FROM t")
+    val r = spark.sql(DialectFunctions.rewrite(
+      "SELECT TO_TIMESTAMP_LTZ(1704153600000, 3) AS ts")).head
+    assert(r.getTimestamp(0).toInstant.toEpochMilli == 1704153600000L)
+    val e = intercept[IllegalArgumentException](
+      DialectFunctions.rewriteScalars("SELECT TO_TIMESTAMP_LTZ(ms, 6) FROM t"))
+    assert(e.getMessage.contains("precision must be 0 or 3"))
+  }
+
+  test("PROCTIME() maps to current_timestamp, literals untouched") {
+    assert(DialectFunctions.rewriteScalars("SELECT PROCTIME() AS pt FROM t")
+      == "SELECT current_timestamp() AS pt FROM t")
+    val sql = "SELECT 'PROCTIME()' AS s FROM t"
+    assert(DialectFunctions.rewriteScalars(sql) == sql)
+    assert(!spark.sql(DialectFunctions.rewrite("SELECT PROCTIME() AS pt"))
+      .head.isNullAt(0))
+  }
+
+  test("e2e: a computed column using TO_TIMESTAMP_LTZ drives a watermark") {
+    val spark = SparkFixture.spark
+    val script = s"""
+      |SET execution.runtime-mode = batch;
+      |CREATE TABLE ltz_src (ems BIGINT, ts AS TO_TIMESTAMP_LTZ(ems, 3),
+      |  WATERMARK FOR ts AS ts - INTERVAL '5' SECOND)
+      |WITH ('connector'='datagen', 'number-of-rows'='4',
+      |  'fields.ems.kind'='sequence', 'fields.ems.start'='1704153600000',
+      |  'fields.ems.end'='1704153600003');
+      |SELECT CAST(ts AS STRING) AS t FROM ltz_src;
+      |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("ltz", ".sql")
+    java.nio.file.Files.writeString(f, script)
+    new SqlSubmitAction(f.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    // the computed column resolves through the scalar rewrite: the
+    // timestamp round-trips the epoch millis
+    val ok = spark.sql(
+      "SELECT COUNT(*) FROM ltz_src WHERE unix_millis(ts) = ems").head.getLong(0)
+    assert(ok == 4L)
+  }
 }
