@@ -63,13 +63,19 @@ object DialectFunctions {
   private val JsonOpenRe = raw"(?i)\bJSON_(VALUE|QUERY|EXISTS)\s*\(".r
   private val TsLtzOpenRe = raw"(?i)\bTO_TIMESTAMP_LTZ\s*\(".r
   private val ProctimeRe = raw"(?i)\bPROCTIME\s*\(\s*\)".r
+  private val SplitIndexOpenRe = raw"(?i)\bSPLIT_INDEX\s*\(".r
+  private val IsClassOpenRe = raw"(?i)\bIS_(DIGIT|ALPHA|DECIMAL)\s*\(".r
+  private val JsonCtorOpenRe = raw"(?i)\bJSON_(OBJECT|ARRAY)\s*\(".r
 
   def hasDialectFunctions(sql: String): Boolean = {
     val masked = MatchRecognize.maskQuoted(sql)
     UnnestOpenRe.findFirstIn(masked).isDefined ||
       JsonOpenRe.findFirstIn(masked).isDefined ||
       TsLtzOpenRe.findFirstIn(masked).isDefined ||
-      ProctimeRe.findFirstIn(masked).isDefined
+      ProctimeRe.findFirstIn(masked).isDefined ||
+      SplitIndexOpenRe.findFirstIn(masked).isDefined ||
+      IsClassOpenRe.findFirstIn(masked).isDefined ||
+      JsonCtorOpenRe.findFirstIn(masked).isDefined
   }
 
   def rewrite(sql: String): String =
@@ -89,14 +95,31 @@ object DialectFunctions {
     *    harness admits (a processing-time column, arrival-time windows)
     *    only need a monotone arrival stamp, which this is.
     */
-  def rewriteScalars(sql: String): String = {
+  /** Right-to-left rewrite of every `FN(args)` call found by `openRe`
+    * (whose match must end on the opening paren): later splices never
+    * shift earlier match offsets. `mk(groups, args)` returns the
+    * replacement given the open-regex groups and the top-level-split
+    * argument list.
+    */
+  private def mapCalls(sql: String, openRe: scala.util.matching.Regex)(
+      mk: (scala.util.matching.Regex.Match, Seq[String]) => String): String = {
     var out = sql
-    val calls = TsLtzOpenRe.findAllMatchIn(MatchRecognize.maskQuoted(out))
+    val calls = openRe.findAllMatchIn(MatchRecognize.maskQuoted(out))
       .toSeq.reverseIterator
     for (m <- calls) {
       val open = m.end - 1
       val end = MatchRecognize.closeParen(out, open)
       val args = MatchRecognize.splitTopLevel(out.substring(open + 1, end - 1))
+      out = out.substring(0, m.start) + mk(m, args) + out.substring(end)
+    }
+    out
+  }
+
+  private val StrLitRe = raw"(?s)^'(?:[^']|'')*'$$".r
+  private val RegexMetaRe = raw"""[\\^$$.|?*+()\[\]{}]""".r
+
+  def rewriteScalars(sql: String): String = {
+    var out = mapCalls(sql, TsLtzOpenRe) { (m, args) =>
       val (e, p) = args match {
         case Seq(x) => (x, "3")
         case Seq(x, lit) if raw"^[03]$$".r.findFirstIn(lit.trim).isDefined =>
@@ -104,12 +127,42 @@ object DialectFunctions {
         case Seq(_, lit) => fail(
           s"TO_TIMESTAMP_LTZ precision must be 0 or 3, got: $lit")
         case _ => fail(
-          s"TO_TIMESTAMP_LTZ takes (epoch[, precision]): ${out.substring(open)}")
+          s"TO_TIMESTAMP_LTZ takes (epoch[, precision]): ${args.mkString(", ")}")
       }
-      val call =
-        if (p == "0") s"timestamp_seconds($e)" else s"timestamp_millis($e)"
-      out = out.substring(0, m.start) + call + out.substring(end)
+      if (p == "0") s"timestamp_seconds($e)" else s"timestamp_millis($e)"
     }
+    out = mapCalls(out, SplitIndexOpenRe) { (m, args) =>
+      args match {
+        case Seq(s, sep, idx) =>
+          // Spark's split separator is a REGEX; a literal separator with
+          // metacharacters would silently change meaning — reject it
+          if (StrLitRe.findFirstIn(sep.trim).isDefined &&
+              RegexMetaRe.findFirstIn(
+                sep.trim.substring(1, sep.trim.length - 1)).isDefined)
+            fail(s"SPLIT_INDEX separator $sep contains regex " +
+              "metacharacters (Spark splits by regex) — use a plain " +
+              "separator or regexp_extract")
+          // Flink: 0-based index, NULL when out of range
+          s"try_element_at(split($s, $sep), ($idx) + 1)"
+        case _ => fail("SPLIT_INDEX takes (string, separator, index)")
+      }
+    }
+    out = mapCalls(out, IsClassOpenRe) { (m, args) =>
+      // backslashes double: Spark's string-literal parser processes
+      // escapes, so the SQL text must carry \\p to mean regex \p
+      val re = m.group(1).toUpperCase match {
+        case "DIGIT" => "^[0-9]+$"
+        case "ALPHA" => raw"^\\p{L}+$$"
+        // parsable-number approximation (optional sign, plain decimal)
+        case _ => raw"^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$$"
+      }
+      args match {
+        // Flink's IS_* are total predicates: NULL input → FALSE
+        case Seq(s) => s"(COALESCE($s RLIKE '$re', FALSE))"
+        case _ => fail(s"IS_${m.group(1).toUpperCase} takes one string")
+      }
+    }
+    out = rewriteJsonCtors(out)
     // literal-blind: PROCTIME() inside a string stays text
     val sb = new StringBuilder
     var last = 0
@@ -120,6 +173,65 @@ object DialectFunctions {
     sb.append(out.substring(last))
     sb.toString
   }
+
+  /** SQL:2016 JSON constructors (Flink 1.15+):
+    *
+    *  - `JSON_OBJECT([KEY] 'k' VALUE v[, ...] [NULL|ABSENT ON NULL])` →
+    *    `to_json(named_struct('k', v, ...))`, with
+    *    `map('ignoreNullFields', 'false')` under NULL ON NULL (Flink's
+    *    default — a null value serializes as JSON null; ABSENT drops
+    *    the member, Spark's to_json default). Keys must be string
+    *    literals (named_struct field names are foldable).
+    *  - `JSON_ARRAY(e1[, ...] [ABSENT|NULL ON NULL])` →
+    *    `to_json(array(...))`, with nulls filtered out under ABSENT ON
+    *    NULL (Flink's array default). Elements must be homogeneous
+    *    enough for Spark's array() — heterogeneous lists throw at
+    *    analysis.
+    *
+    * Empty constructors fold to the `'{}'` / `'[]'` literals.
+    */
+  private val OnNullRe = raw"(?is)\s*(NULL|ABSENT)\s+ON\s+NULL\s*$$".r
+  private val KeyValueRe =
+    raw"(?is)^(?:KEY\s+)?('(?:[^']|'')*')\s+VALUE\s+(.+)$$".r
+
+  private def rewriteJsonCtors(sql: String): String =
+    mapCalls(sql, JsonCtorOpenRe) { (m, rawArgs) =>
+      val isObject = m.group(1).equalsIgnoreCase("OBJECT")
+      // the ON NULL clause rides the LAST argument without a comma
+      var nullOnNull = isObject // Flink defaults: object NULL, array ABSENT
+      val args = rawArgs match {
+        case init :+ lastArg =>
+          val stripped = OnNullRe.findFirstMatchIn(
+            MatchRecognize.maskQuoted(lastArg)).map { bm =>
+            nullOnNull = bm.group(1).equalsIgnoreCase("NULL")
+            lastArg.substring(0, bm.start).trim
+          }.getOrElse(lastArg)
+          if (stripped.isEmpty) init else init :+ stripped
+        case empty => empty
+      }
+      if (isObject) {
+        if (args.isEmpty) "'{}'"
+        else {
+          val pairs = args.map {
+            case KeyValueRe(k, v) => s"$k, $v"
+            case other => fail("JSON_OBJECT entries need " +
+              s"[KEY] 'name' VALUE expr (literal keys): $other")
+          }
+          val struct = s"named_struct(${pairs.mkString(", ")})"
+          if (nullOnNull)
+            s"to_json($struct, map('ignoreNullFields', 'false'))"
+          else s"to_json($struct)"
+        }
+      } else {
+        if (args.isEmpty) "'[]'"
+        else {
+          val arr = s"array(${args.mkString(", ")})"
+          val body = if (nullOnNull) arr
+            else s"filter($arr, __jx -> __jx IS NOT NULL)"
+          s"to_json($body)"
+        }
+      }
+    }
 
   // -------------------------------------------------------------- UNNEST
 

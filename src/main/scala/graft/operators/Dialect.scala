@@ -89,5 +89,30 @@ object Dialect {
         col("event_type"), col("n"))
   }
 
-  def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset)
+  /** Flink scalar-function tier Spark lacks, through the scalar
+    * rewrites: `SPLIT_INDEX` (0-based, NULL out of range), the `IS_*`
+    * total predicates, and the SQL:2016 `JSON_OBJECT` constructor
+    * (literal keys → `to_json(named_struct(...))`, byte-identical
+    * minified output in both engines).
+    */
+  val q100DialectFns: Q = Q(
+    "q100_dialect_fns",
+    """SELECT doc_id,
+      |  string_split(text, ' ')[3] AS tok2,
+      |  CASE WHEN COALESCE(regexp_matches(string_split(text, ' ')[1], '^[0-9]+$'), FALSE)
+      |       THEN 1 ELSE 0 END AS first_is_digit,
+      |  CAST(json_object('lang', lang, 'n', n_chars) AS VARCHAR) AS meta
+      |FROM documents WHERE doc_id < 1000""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").createOrReplaceTempView("dlq_docs_fns")
+    val flinkSql =
+      """SELECT doc_id,
+        |  SPLIT_INDEX(text, ' ', 2) AS tok2,
+        |  CASE WHEN IS_DIGIT(SPLIT_INDEX(text, ' ', 0)) THEN 1 ELSE 0 END
+        |    AS first_is_digit,
+        |  JSON_OBJECT('lang' VALUE lang, 'n' VALUE n_chars) AS meta
+        |FROM dlq_docs_fns WHERE doc_id < 1000""".stripMargin
+    s.sql(DialectFunctions.rewrite(flinkSql))
+  }
+
+  def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset, q100DialectFns)
 }

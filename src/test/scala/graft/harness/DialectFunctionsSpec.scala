@@ -164,6 +164,48 @@ class DialectFunctionsSpec extends AnyFunSuite {
       .head.isNullAt(0))
   }
 
+  test("SPLIT_INDEX is 0-based, NULL out of range, regex-metachar separators rejected") {
+    val r = spark.sql(DialectFunctions.rewrite(
+      "SELECT SPLIT_INDEX('a-b-c', '-', 0) AS t0, " +
+        "SPLIT_INDEX('a-b-c', '-', 2) AS t2, SPLIT_INDEX('a-b-c', '-', 9) AS t9")).head
+    assert(r.getString(0) == "a" && r.getString(1) == "c" && r.isNullAt(2))
+    val e = intercept[IllegalArgumentException](DialectFunctions.rewriteScalars(
+      "SELECT SPLIT_INDEX(s, '.', 1) FROM t"))
+    assert(e.getMessage.contains("metacharacters"))
+  }
+
+  test("IS_DIGIT / IS_ALPHA / IS_DECIMAL are total predicates") {
+    val r = spark.sql(DialectFunctions.rewrite(
+      "SELECT IS_DIGIT('123') AS a, IS_DIGIT('12a') AS b, " +
+        "IS_DIGIT(CAST(NULL AS STRING)) AS c, " +
+        "IS_ALPHA('abc') AS d, IS_ALPHA('ab1') AS e, " +
+        "IS_DECIMAL('-12.5') AS f, IS_DECIMAL('1e5') AS g")).head
+    assert(r.getBoolean(0) && !r.getBoolean(1) && !r.getBoolean(2))
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+  }
+
+  test("JSON_OBJECT / JSON_ARRAY constructors honor ON NULL behaviors") {
+    val r = spark.sql(DialectFunctions.rewrite(
+      "SELECT JSON_OBJECT('a' VALUE 1, 'b' VALUE 'x') AS o, " +
+        "JSON_OBJECT('a' VALUE CAST(NULL AS INT)) AS onull, " +
+        "JSON_OBJECT('a' VALUE CAST(NULL AS INT) ABSENT ON NULL) AS oabs, " +
+        "JSON_OBJECT() AS oempty, " +
+        "JSON_ARRAY(1, 2, CAST(NULL AS INT)) AS aabs, " +
+        "JSON_ARRAY(1, 2, CAST(NULL AS INT) NULL ON NULL) AS anull, " +
+        "JSON_ARRAY() AS aempty")).head
+    assert(r.getString(0) == """{"a":1,"b":"x"}""")
+    assert(r.getString(1) == """{"a":null}""") // Flink object default
+    assert(r.getString(2) == "{}")
+    assert(r.getString(3) == "{}")
+    assert(r.getString(4) == "[1,2]") // Flink array default: ABSENT
+    assert(r.getString(5) == "[1,2,null]")
+    assert(r.getString(6) == "[]")
+    val e = intercept[IllegalArgumentException](DialectFunctions.rewriteScalars(
+      "SELECT JSON_OBJECT(k VALUE 1) FROM t"))
+    assert(e.getMessage.contains("literal keys"))
+  }
+
   test("e2e: a computed column using TO_TIMESTAMP_LTZ drives a watermark") {
     val spark = SparkFixture.spark
     val script = s"""
