@@ -206,6 +206,41 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal keys"))
   }
 
+  test("e2e: streaming UNNEST + JSON constructor through sql-submit") {
+    // UNNEST rewrites to a stateless generator, so it streams in append
+    // mode; the JSON constructor is a plain projection
+    val spark = SparkFixture.spark
+    val out = java.nio.file.Files.createTempDirectory("dlf_stream").toString
+    val script = java.nio.file.Files.createTempFile("dlf_stream", ".sql")
+    java.nio.file.Files.writeString(script,
+      s"""SET execution.runtime-mode = streaming;
+         |SET execution.checkpointing.enabled = true;
+         |SET state.checkpoints.dir = file://$out/cp;
+         |create table src (
+         |  id bigint,
+         |  w as 'a b'
+         |) with (
+         |  'connector' = 'datagen',
+         |  'rows-per-second' = '50'
+         |);
+         |create table snk (id bigint, tok string, meta string) with (
+         |  'connector' = 'filesystem',
+         |  'path' = 'file://$out/sink',
+         |  'format' = 'parquet'
+         |);
+         |insert into snk
+         |SELECT id, u.tok, JSON_OBJECT('tok' VALUE u.tok) AS meta
+         |FROM src CROSS JOIN UNNEST(SPLIT(w, ' ')) AS u (tok);
+         |""".stripMargin)
+    new SqlSubmitAction(script.toString, Map.empty,
+      Some(spark), durationSec = 12L).run()
+    val got = spark.read.parquet(s"$out/sink")
+    assert(got.count() > 0)
+    val toks = got.select("tok").distinct().collect().map(_.getString(0)).toSet
+    assert(toks == Set("a", "b"))
+    assert(got.filter("meta = '{\"tok\":\"a\"}'").count() > 0)
+  }
+
   test("e2e: a computed column using TO_TIMESTAMP_LTZ drives a watermark") {
     val spark = SparkFixture.spark
     val script = s"""
