@@ -95,8 +95,23 @@ final class SqlSubmitAction(
             executeSelect(spark, config, applyDynamicOptions(spark, config, st.sql))
           case StatementType.UNSET | StatementType.EXPLAIN | StatementType.UNKNOWN =>
             System.err.println(s"Skipped unsupported SQL statement:\n ${st.sql}")
-          case StatementType.CREATE if DdlParser.isConnectorCreate(st.sql) =>
-            registerConnectorTable(spark, config, DdlParser.parse(st.sql))
+          case StatementType.CREATE if DdlParser.isConnectorCreate(st.sql) ||
+              DdlParser.likeTarget(st.sql).exists(n =>
+                sources.contains(n) || sinks.contains(n)) =>
+            // CREATE TABLE ... LIKE src clones a connector table's
+            // definition with Flink's merge semantics; a LIKE over a
+            // non-connector table stays native
+            val parsed = DdlParser.parse(st.sql)
+            val resolved = parsed.like match {
+              case Some(lc) =>
+                val parent = sources.get(lc.table).orElse(sinks.get(lc.table))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"CREATE TABLE ${parsed.name} LIKE ${lc.table}: " +
+                      s"${lc.table} is not a declared connector table"))
+                DdlParser.resolveLike(parsed, parent)
+              case None => parsed
+            }
+            registerConnectorTable(spark, config, resolved)
           case StatementType.INSERT =>
             executeInsert(spark, config, applyDynamicOptions(spark, config, st.sql))
           case StatementType.EXECUTE =>

@@ -24,32 +24,79 @@ object DdlParser {
       case _ => false
     }
 
+  /** Trailing `LIKE src [(merge options)]` — Flink's table-cloning
+    * clause, always statement-final.
+    */
+  private val LikeTailRe =
+    raw"(?is)\bLIKE\s+(`[^`]+`|[\w.]+(?:\.`[^`]+`)*)\s*(?:\(([^)]*)\))?\s*;?\s*$$".r
+
+  /** The LIKE clause's referenced table name, if the statement has one
+    * (static — used to route `CREATE TABLE t LIKE src` forms with no
+    * WITH clause of their own to the shim when `src` is a connector
+    * table).
+    */
+  def likeTarget(sql: String): Option[String] = sql match {
+    case CreateHead(_, rest) =>
+      LikeTailRe.findFirstMatchIn(rest.trim).map(m => unquoteName(m.group(1)))
+    case _ => None
+  }
+
+  private val LikeOptRe =
+    raw"(?is)^(INCLUDING|EXCLUDING|OVERWRITING)\s+(ALL|OPTIONS|WATERMARKS|GENERATED|CONSTRAINTS|PARTITIONS|METADATA)$$".r
+
   def parse(sql: String): TableDef = {
-    val (ifNotExists, rest) = sql match {
+    val (ifNotExists, rest0) = sql match {
       case CreateHead(ine, r) => (ine != null, r.trim)
       case _ =>
         throw new IllegalArgumentException(s"Not a CREATE TABLE statement: $sql")
     }
-    // rest = qualified.name ( schema ) WITH ( options )
-    val open = rest.indexOf('(')
-    if (open < 0)
-      throw new IllegalArgumentException(s"CREATE TABLE missing column list: $sql")
-    val rawName = rest.substring(0, open).trim
-    val name = unquoteName(rawName)
-    val (schemaPart, afterSchema) = matchParen(rest, open)
+    // peel the statement-final LIKE clause first: with it present, both
+    // the column list and the WITH clause become optional (inherited)
+    val (rest, like) = LikeTailRe.findFirstMatchIn(rest0) match {
+      case Some(m) =>
+        val opts = Option(m.group(2)).toVector
+          .flatMap(splitTopLevel).map(_.trim).filter(_.nonEmpty).map {
+            case LikeOptRe(strategy, feature) =>
+              val (s, f) = (strategy.toUpperCase, feature.toUpperCase)
+              if (s == "OVERWRITING" &&
+                  !Set("OPTIONS", "WATERMARKS", "GENERATED").contains(f))
+                throw new IllegalArgumentException(
+                  s"LIKE supports OVERWRITING only for OPTIONS/WATERMARKS/GENERATED: $f")
+              (s, f)
+            case other => throw new IllegalArgumentException(
+              s"Unsupported LIKE merge option: $other")
+          }
+        (rest0.substring(0, m.start).trim,
+          Some(LikeClause(unquoteName(m.group(1)), opts)))
+      case None => (rest0, None)
+    }
+    // rest = qualified.name [( schema )] [PARTITIONED BY (...)] [WITH ( options )]
+    val NameHeadRe = raw"^((?:`[^`]+`|[\w$$]+)(?:\.(?:`[^`]+`|[\w$$]+))*)".r
+    val nameMatch = NameHeadRe.findFirstMatchIn(rest).getOrElse(
+      throw new IllegalArgumentException(s"CREATE TABLE missing table name: $sql"))
+    val name = unquoteName(nameMatch.group(1))
+    val afterName = rest.substring(nameMatch.end).trim
+    val (schemaPart, afterSchema) =
+      if (afterName.startsWith("(")) matchParen(afterName, 0)
+      else if (like.isDefined) ("", afterName)
+      else throw new IllegalArgumentException(
+        s"CREATE TABLE missing column list: $sql")
     // optional Flink-style PARTITIONED BY (c1, c2) before the WITH clause
     val partRe = raw"(?is)PARTITIONED\s+BY\s*\(([^)]*)\)".r
     val partitionedBy = partRe.findFirstMatchIn(afterSchema)
       .map(_.group(1).split(",").map(c => unquoteName(c.trim)).toVector)
       .getOrElse(Vector.empty)
-    val withIdx = raw"(?is)\bWITH\b".r.findFirstMatchIn(afterSchema)
-      .map(_.start)
-      .getOrElse(throw new IllegalArgumentException(
-        s"CREATE TABLE missing WITH clause: $sql"))
-    val afterWith = afterSchema.substring(withIdx + 4)
-    val optOpen = afterWith.indexOf('(')
-    val (optionsPart, _) = matchParen(afterWith, optOpen)
-    val options = parseOptions(optionsPart)
+    val withIdx = raw"(?is)\bWITH\b".r.findFirstMatchIn(afterSchema).map(_.start)
+    val options = withIdx match {
+      case Some(w) =>
+        val afterWith = afterSchema.substring(w + 4)
+        val optOpen = afterWith.indexOf('(')
+        val (optionsPart, _) = matchParen(afterWith, optOpen)
+        parseOptions(optionsPart)
+      case None if like.isDefined => Map.empty[String, String]
+      case None => throw new IllegalArgumentException(
+        s"CREATE TABLE missing WITH clause: $sql")
+    }
 
     val columns = Vector.newBuilder[ColumnDef]
     val computed = Vector.newBuilder[ComputedColumnDef]
@@ -81,7 +128,86 @@ object DdlParser {
       }
     }
     TableDef(name, ifNotExists, columns.result(), computed.result(), watermark,
-      options, partitionedBy, primaryKey)
+      options, partitionedBy, primaryKey, like)
+  }
+
+  /** Merges a `LIKE` child definition with its parent, Flink's merge
+    * semantics: every feature defaults to INCLUDING (copy from the
+    * parent; a child re-declaration of the same thing is an error),
+    * EXCLUDING drops the parent's feature, and OVERWRITING (options /
+    * watermarks / generated only) lets the child win on conflict.
+    * Plain columns always copy; a duplicate column name is an error.
+    * METADATA directives are accepted as no-ops (the shim has no
+    * metadata columns).
+    */
+  def resolveLike(child: TableDef, parent: TableDef): TableDef = {
+    val lc = child.like.getOrElse(return child)
+    val strategies: Map[String, String] = {
+      val base = lc.opts.collectFirst {
+        case (s, "ALL") if s != "OVERWRITING" => s
+      }.getOrElse("INCLUDING")
+      val perFeature = lc.opts.filter(_._2 != "ALL").map(_.swap).toMap
+      Seq("OPTIONS", "WATERMARKS", "GENERATED", "CONSTRAINTS", "PARTITIONS")
+        .map(f => f -> perFeature.getOrElse(f, base)).toMap
+    }
+    def err(what: String): Nothing = throw new IllegalArgumentException(
+      s"CREATE TABLE ${child.name} LIKE ${lc.table}: $what is declared by " +
+        "both tables — use the OVERWRITING merge option (or EXCLUDING " +
+        "the parent's)")
+    // columns: parent's then the child's additions; same name = error
+    val parentCols = parent.columns.map(_.name).toSet
+    child.columns.foreach(c => if (parentCols.contains(c.name))
+      throw new IllegalArgumentException(
+        s"CREATE TABLE ${child.name} LIKE ${lc.table}: column ${c.name} " +
+          "already exists in the source table"))
+    val options = strategies("OPTIONS") match {
+      case "EXCLUDING" => child.options
+      case "OVERWRITING" => parent.options ++ child.options
+      case _ =>
+        val dup = parent.options.keySet.intersect(child.options.keySet)
+          // same key with the SAME value is not a conflict
+          .filter(k => parent.options(k) != child.options(k))
+        if (dup.nonEmpty) err(s"option ${dup.toSeq.sorted.mkString(", ")}")
+        parent.options ++ child.options
+    }
+    val watermark = strategies("WATERMARKS") match {
+      case "EXCLUDING" => child.watermark
+      case "OVERWRITING" => child.watermark.orElse(parent.watermark)
+      case _ =>
+        if (parent.watermark.isDefined && child.watermark.isDefined)
+          err("a watermark")
+        child.watermark.orElse(parent.watermark)
+    }
+    val computed = strategies("GENERATED") match {
+      case "EXCLUDING" => child.computedColumns
+      case "OVERWRITING" =>
+        val childNames = child.computedColumns.map(_.name).toSet
+        parent.computedColumns.filterNot(c => childNames(c.name)) ++
+          child.computedColumns
+      case _ =>
+        val dup = parent.computedColumns.map(_.name)
+          .intersect(child.computedColumns.map(_.name))
+        if (dup.nonEmpty) err(s"computed column ${dup.mkString(", ")}")
+        parent.computedColumns ++ child.computedColumns
+    }
+    val primaryKey = strategies("CONSTRAINTS") match {
+      case "EXCLUDING" => child.primaryKey
+      case _ =>
+        if (parent.primaryKey.nonEmpty && child.primaryKey.nonEmpty)
+          err("a primary key")
+        if (child.primaryKey.nonEmpty) child.primaryKey else parent.primaryKey
+    }
+    val partitionedBy = strategies("PARTITIONS") match {
+      case "EXCLUDING" => child.partitionedBy
+      case _ =>
+        if (parent.partitionedBy.nonEmpty && child.partitionedBy.nonEmpty)
+          err("partitioning")
+        if (child.partitionedBy.nonEmpty) child.partitionedBy
+        else parent.partitionedBy
+    }
+    TableDef(child.name, child.ifNotExists,
+      parent.columns ++ child.columns, computed, watermark, options,
+      partitionedBy, primaryKey, like = None)
   }
 
   /** `catalog.db.tbl` (possibly backticked parts) → bare table name. */

@@ -14,6 +14,12 @@ final case class ComputedColumnDef(name: String, expr: String)
   */
 final case class WatermarkDef(column: String, delay: String)
 
+/** `LIKE src (merge options)` clause: the referenced table plus the
+  * (strategy, feature) merge directives in declaration order —
+  * e.g. `(EXCLUDING OPTIONS, OVERWRITING WATERMARKS)`.
+  */
+final case class LikeClause(table: String, opts: Vector[(String, String)])
+
 final case class TableDef(
     name: String,
     ifNotExists: Boolean,
@@ -22,6 +28,7 @@ final case class TableDef(
     watermark: Option[WatermarkDef],
     options: Map[String, String],
     partitionedBy: Vector[String] = Vector.empty,
-    primaryKey: Vector[String] = Vector.empty) {
+    primaryKey: Vector[String] = Vector.empty,
+    like: Option[LikeClause] = None) {
   def connector: Option[String] = options.get("connector")
 }

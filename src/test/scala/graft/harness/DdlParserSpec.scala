@@ -72,4 +72,72 @@ class DdlParserSpec extends AnyFunSuite {
       "CREATE TABLE t (a decimal(10,2), b timestamp(3)) WITH ('connector'='print')")
     assert(t.columns.map(_.dataType) == Vector("decimal(10,2)", "timestamp(3)"))
   }
+
+  test("LIKE: bare clone parses without a column list or WITH clause") {
+    val t = DdlParser.parse("CREATE TABLE t2 LIKE tbl_src")
+    assert(t.name == "t2" && t.columns.isEmpty && t.options.isEmpty)
+    assert(t.like.exists(l => l.table == "tbl_src" && l.opts.isEmpty))
+    assert(DdlParser.likeTarget("CREATE TABLE t2 LIKE tbl_src")
+      .contains("tbl_src"))
+  }
+
+  test("LIKE: merge options parse; unsupported directives are rejected") {
+    val t = DdlParser.parse(
+      "CREATE TABLE t2 (extra INT) WITH ('rows-per-second'='1') " +
+        "LIKE tbl_src (EXCLUDING OPTIONS, OVERWRITING WATERMARKS)")
+    assert(t.like.exists(_.opts ==
+      Vector(("EXCLUDING", "OPTIONS"), ("OVERWRITING", "WATERMARKS"))))
+    val e = intercept[IllegalArgumentException](DdlParser.parse(
+      "CREATE TABLE t2 LIKE tbl_src (OVERWRITING CONSTRAINTS)"))
+    assert(e.getMessage.contains("OVERWRITING only for"))
+  }
+
+  test("LIKE resolution: defaults copy everything, conflicts error") {
+    val parent = DdlParser.parse(datagenDdl)
+    val bare = DdlParser.resolveLike(
+      DdlParser.parse("CREATE TABLE t2 LIKE tbl_src"), parent)
+    assert(bare.name == "t2")
+    assert(bare.columns == parent.columns)
+    assert(bare.computedColumns == parent.computedColumns)
+    assert(bare.watermark == parent.watermark)
+    assert(bare.options == parent.options && bare.like.isEmpty)
+    // child adds a column and an option: both merge in
+    val add = DdlParser.resolveLike(DdlParser.parse(
+      "CREATE TABLE t2 (note STRING) WITH ('number-of-rows'='5') LIKE tbl_src"),
+      parent)
+    assert(add.columns.map(_.name) ==
+      parent.columns.map(_.name) :+ "note")
+    assert(add.options("number-of-rows") == "5" &&
+      add.options("connector") == "datagen")
+    // duplicate option with a DIFFERENT value errors without OVERWRITING
+    val e = intercept[IllegalArgumentException](DdlParser.resolveLike(
+      DdlParser.parse(
+        "CREATE TABLE t2 WITH ('rows-per-second'='99') LIKE tbl_src"), parent))
+    assert(e.getMessage.contains("OVERWRITING"))
+    // ... and wins with it
+    val ow = DdlParser.resolveLike(DdlParser.parse(
+      "CREATE TABLE t2 WITH ('rows-per-second'='99') " +
+        "LIKE tbl_src (OVERWRITING OPTIONS)"), parent)
+    assert(ow.options("rows-per-second") == "99")
+    // duplicate column name errors
+    val ec = intercept[IllegalArgumentException](DdlParser.resolveLike(
+      DdlParser.parse("CREATE TABLE t2 (dim STRING) LIKE tbl_src"), parent))
+    assert(ec.getMessage.contains("already exists"))
+    // EXCLUDING ALL keeps only the child's declarations (columns aside)
+    val ex = DdlParser.resolveLike(DdlParser.parse(
+      "CREATE TABLE t2 WITH ('connector'='blackhole') " +
+        "LIKE tbl_src (EXCLUDING ALL)"), parent)
+    assert(ex.options == Map("connector" -> "blackhole"))
+    assert(ex.watermark.isEmpty && ex.computedColumns.isEmpty)
+    assert(ex.columns == parent.columns) // plain columns always copy
+    // watermark conflict errors unless OVERWRITING WATERMARKS
+    val wmChild = "CREATE TABLE t2 (watermark for row_time as " +
+      "row_time - interval '9' second) LIKE tbl_src"
+    val ew = intercept[IllegalArgumentException](
+      DdlParser.resolveLike(DdlParser.parse(wmChild), parent))
+    assert(ew.getMessage.contains("watermark"))
+    val wow = DdlParser.resolveLike(DdlParser.parse(
+      wmChild + " (OVERWRITING WATERMARKS)"), parent)
+    assert(wow.watermark.exists(_.delay == "9 seconds"))
+  }
 }

@@ -315,4 +315,44 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(Option(e.getCause).exists(
       _.getMessage.contains("dynamic-table-options")))
   }
+
+  test("CREATE TABLE LIKE clones a connector table with merged options") {
+    val spark = SparkFixture.spark
+    val out = java.nio.file.Files.createTempDirectory("like_e2e").toString
+    val script = java.nio.file.Files.createTempFile("like", ".sql")
+    java.nio.file.Files.writeString(script,
+      s"""SET execution.runtime-mode = batch;
+         |create table like_base (
+         |  id bigint,
+         |  doubled as id * 2
+         |) with (
+         |  'connector' = 'datagen',
+         |  'number-of-rows' = '3',
+         |  'fields.id.kind' = 'sequence',
+         |  'fields.id.start' = '1',
+         |  'fields.id.end' = '3'
+         |);
+         |create table like_clone with (
+         |  'fields.id.end' = '7',
+         |  'number-of-rows' = '7'
+         |) like like_base (OVERWRITING OPTIONS);
+         |create table like_snk (id bigint, doubled bigint) with (
+         |  'connector' = 'filesystem',
+         |  'path' = 'file://$out/sink',
+         |  'format' = 'parquet'
+         |);
+         |insert into like_snk select id, doubled from like_clone;
+         |create table like_bad with ('number-of-rows' = '9') like like_base;
+         |""".stripMargin)
+    // the final statement re-declares number-of-rows without the
+    // OVERWRITING directive — the script errors there, after the insert
+    val e = intercept[Exception](new SqlSubmitAction(script.toString,
+      Map.empty, existingSession = Some(spark)).run())
+    assert(Option(e.getCause).exists(_.getMessage.contains("OVERWRITING")))
+    val got = spark.read.parquet(s"$out/sink")
+    // the clone inherited schema + computed column, with the row count
+    // and sequence end overwritten: 7 rows, doubled = id * 2
+    assert(got.count() == 7)
+    assert(got.filter("doubled = id * 2").count() == 7)
+  }
 }
