@@ -441,13 +441,39 @@ final class SqlSubmitAction(
         c.dataType.replaceAll(raw"(?i)timestamp\s*\(\s*\d\s*\)", "timestamp")))))
   }
 
-  /** Computed columns + watermark from the DDL (test.sql:18-19),
-    * uniformly for every connector and mode.
+  /** The Spark `_metadata` field backing a Flink filesystem metadata
+    * key. Spark's file sources expose hidden per-file metadata exactly
+    * where Flink's filesystem connector does — the mapping is a field
+    * read, no extra IO.
+    */
+  private val FilesystemMetadataKeys = Map(
+    "file.path" -> "_metadata.file_path",
+    "file.name" -> "_metadata.file_name",
+    "file.size" -> "_metadata.file_size",
+    "file.modification-time" -> "_metadata.file_modification_time")
+
+  /** Metadata columns + computed columns + watermark from the DDL
+    * (test.sql:18-19), uniformly for every connector and mode.
+    * Metadata resolves first (a computed column or watermark may read
+    * it); only the filesystem connector exposes metadata here — other
+    * connectors reject the declaration with the contract.
     */
   private def withSourceDecorations(df: DataFrame, t: TableDef): DataFrame = {
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.functions.{col, expr}
+    val withMetadata = t.metadataColumns.foldLeft(df) { (d, mc) =>
+      if (!t.connector.contains("filesystem"))
+        throw new IllegalArgumentException(
+          s"table '${t.name}': METADATA columns are supported on the " +
+            s"filesystem connector only (got ${t.connector.getOrElse("none")})")
+      val field = FilesystemMetadataKeys.getOrElse(mc.key,
+        throw new IllegalArgumentException(
+          s"table '${t.name}': unknown filesystem metadata key " +
+            s"'${mc.key}' — supported: ${FilesystemMetadataKeys.keys.toSeq.sorted.mkString(", ")}"))
+      d.withColumn(mc.name, col(field).cast(
+        mc.dataType.replaceAll(raw"(?i)timestamp\s*\(\s*\d\s*\)", "timestamp")))
+    }
     val withComputed =
-      t.computedColumns.foldLeft(df)((d, cc) =>
+      t.computedColumns.foldLeft(withMetadata)((d, cc) =>
         // the scalar dialect pass first: Flink computed columns lean on
         // TO_TIMESTAMP_LTZ (epoch event time) and PROCTIME()
         d.withColumn(cc.name, expr(DialectFunctions.rewriteScalars(

@@ -59,9 +59,10 @@ object DdlParser {
             case LikeOptRe(strategy, feature) =>
               val (s, f) = (strategy.toUpperCase, feature.toUpperCase)
               if (s == "OVERWRITING" &&
-                  !Set("OPTIONS", "WATERMARKS", "GENERATED").contains(f))
+                  !Set("OPTIONS", "WATERMARKS", "GENERATED", "METADATA").contains(f))
                 throw new IllegalArgumentException(
-                  s"LIKE supports OVERWRITING only for OPTIONS/WATERMARKS/GENERATED: $f")
+                  "LIKE supports OVERWRITING only for " +
+                    s"OPTIONS/WATERMARKS/GENERATED/METADATA: $f")
               (s, f)
             case other => throw new IllegalArgumentException(
               s"Unsupported LIKE merge option: $other")
@@ -100,11 +101,14 @@ object DdlParser {
 
     val columns = Vector.newBuilder[ColumnDef]
     val computed = Vector.newBuilder[ComputedColumnDef]
+    val metadata = Vector.newBuilder[MetadataColumnDef]
     var watermark: Option[WatermarkDef] = None
     var primaryKey: Vector[String] = Vector.empty
 
     splitTopLevel(schemaPart).map(_.trim).filter(_.nonEmpty).foreach { entry =>
       val wmRe = raw"(?is)^WATERMARK\s+FOR\s+(\S+)\s+AS\s+(.+)$$".r
+      val metaRe =
+        raw"(?is)^(`[^`]+`|\w+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'((?:[^']|'')*)')?(\s+VIRTUAL)?$$".r
       val compRe = raw"(?is)^(`[^`]+`|\w+)\s+AS\s+(.+)$$".r
       val colRe = raw"(?is)^(`[^`]+`|\w+)\s+(.+)$$".r
       val constraintRe = raw"(?is)^(PRIMARY\s+KEY|CONSTRAINT|UNIQUE)\b.*".r
@@ -119,6 +123,11 @@ object DdlParser {
           ()
         case wmRe(c, expr) =>
           watermark = Some(WatermarkDef(unquoteName(c), parseDelay(expr)))
+        case metaRe(n, tpe, key, virt) =>
+          val colName = unquoteName(n)
+          metadata += MetadataColumnDef(colName, tpe.trim,
+            Option(key).map(_.replace("''", "'")).getOrElse(colName),
+            virtual = virt != null)
         case compRe(n, expr) =>
           computed += ComputedColumnDef(unquoteName(n), expr.trim)
         case colRe(n, tpe) =>
@@ -128,7 +137,7 @@ object DdlParser {
       }
     }
     TableDef(name, ifNotExists, columns.result(), computed.result(), watermark,
-      options, partitionedBy, primaryKey, like)
+      options, partitionedBy, primaryKey, like, metadata.result())
   }
 
   /** Merges a `LIKE` child definition with its parent, Flink's merge
@@ -147,8 +156,8 @@ object DdlParser {
         case (s, "ALL") if s != "OVERWRITING" => s
       }.getOrElse("INCLUDING")
       val perFeature = lc.opts.filter(_._2 != "ALL").map(_.swap).toMap
-      Seq("OPTIONS", "WATERMARKS", "GENERATED", "CONSTRAINTS", "PARTITIONS")
-        .map(f => f -> perFeature.getOrElse(f, base)).toMap
+      Seq("OPTIONS", "WATERMARKS", "GENERATED", "CONSTRAINTS", "PARTITIONS",
+        "METADATA").map(f => f -> perFeature.getOrElse(f, base)).toMap
     }
     def err(what: String): Nothing = throw new IllegalArgumentException(
       s"CREATE TABLE ${child.name} LIKE ${lc.table}: $what is declared by " +
@@ -205,9 +214,21 @@ object DdlParser {
         if (child.partitionedBy.nonEmpty) child.partitionedBy
         else parent.partitionedBy
     }
+    val metadata = strategies("METADATA") match {
+      case "EXCLUDING" => child.metadataColumns
+      case "OVERWRITING" =>
+        val childNames = child.metadataColumns.map(_.name).toSet
+        parent.metadataColumns.filterNot(c => childNames(c.name)) ++
+          child.metadataColumns
+      case _ =>
+        val dup = parent.metadataColumns.map(_.name)
+          .intersect(child.metadataColumns.map(_.name))
+        if (dup.nonEmpty) err(s"metadata column ${dup.mkString(", ")}")
+        parent.metadataColumns ++ child.metadataColumns
+    }
     TableDef(child.name, child.ifNotExists,
       parent.columns ++ child.columns, computed, watermark, options,
-      partitionedBy, primaryKey, like = None)
+      partitionedBy, primaryKey, like = None, metadata)
   }
 
   /** `catalog.db.tbl` (possibly backticked parts) → bare table name. */

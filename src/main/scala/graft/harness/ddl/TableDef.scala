@@ -9,6 +9,14 @@ final case class ColumnDef(name: String, dataType: String)
 /** `name AS expr` computed column (test.sql:18). */
 final case class ComputedColumnDef(name: String, expr: String)
 
+/** `name TYPE METADATA [FROM 'key'] [VIRTUAL]` — a connector-provided
+  * column. `key` defaults to the column name; VIRTUAL (read-only,
+  * excluded from the insert schema) is recorded but source-side
+  * metadata is read-only here anyway.
+  */
+final case class MetadataColumnDef(
+    name: String, dataType: String, key: String, virtual: Boolean)
+
 /** `WATERMARK FOR col AS col - INTERVAL 'n' SECOND` (test.sql:19).
   * `delay` is the Spark `withWatermark` delay string, e.g. "5 seconds".
   */
@@ -29,6 +37,7 @@ final case class TableDef(
     options: Map[String, String],
     partitionedBy: Vector[String] = Vector.empty,
     primaryKey: Vector[String] = Vector.empty,
-    like: Option[LikeClause] = None) {
+    like: Option[LikeClause] = None,
+    metadataColumns: Vector[MetadataColumnDef] = Vector.empty) {
   def connector: Option[String] = options.get("connector")
 }

@@ -73,6 +73,21 @@ class DdlParserSpec extends AnyFunSuite {
     assert(t.columns.map(_.dataType) == Vector("decimal(10,2)", "timestamp(3)"))
   }
 
+  test("METADATA columns parse with FROM keys and VIRTUAL markers") {
+    val t = DdlParser.parse(
+      """CREATE TABLE m (v BIGINT,
+        |  fname STRING METADATA FROM 'file.name',
+        |  mtime TIMESTAMP(3) METADATA FROM 'file.modification-time' VIRTUAL,
+        |  self_key STRING METADATA
+        |) WITH ('connector'='filesystem','path'='/x','format'='parquet')""".stripMargin)
+    assert(t.columns.map(_.name) == Vector("v"))
+    assert(t.metadataColumns.map(m => (m.name, m.key, m.virtual)) == Vector(
+      ("fname", "file.name", false),
+      ("mtime", "file.modification-time", true),
+      ("self_key", "self_key", false)))
+    assert(t.metadataColumns(1).dataType == "TIMESTAMP(3)")
+  }
+
   test("LIKE: bare clone parses without a column list or WITH clause") {
     val t = DdlParser.parse("CREATE TABLE t2 LIKE tbl_src")
     assert(t.name == "t2" && t.columns.isEmpty && t.options.isEmpty)

@@ -316,6 +316,43 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       _.getMessage.contains("dynamic-table-options")))
   }
 
+  test("filesystem METADATA columns read Spark's _metadata fields") {
+    val spark = SparkFixture.spark
+    val dir = java.nio.file.Files.createTempDirectory("meta_e2e").toString
+    spark.sql("SELECT * FROM VALUES (1L), (2L) AS t(v)")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/data")
+    val script = java.nio.file.Files.createTempFile("meta", ".sql")
+    java.nio.file.Files.writeString(script,
+      s"""SET execution.runtime-mode = batch;
+         |create table meta_src (
+         |  v bigint,
+         |  fname string metadata from 'file.name',
+         |  fsize bigint metadata from 'file.size' virtual
+         |) with (
+         |  'connector' = 'filesystem',
+         |  'path' = 'file://$dir/data',
+         |  'format' = 'parquet'
+         |);
+         |""".stripMargin)
+    new SqlSubmitAction(script.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    val rows = spark.sql(
+      "SELECT v, fname, fsize FROM meta_src ORDER BY v").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    assert(rows.forall(_.getLong(2) > 0L))
+    // unknown metadata key and non-filesystem connectors reject
+    val bad = java.nio.file.Files.createTempFile("metabad", ".sql")
+    java.nio.file.Files.writeString(bad,
+      s"""create table meta_bad (v bigint, k string metadata from 'nope')
+         |with ('connector'='filesystem','path'='file://$dir/data','format'='parquet');
+         |""".stripMargin)
+    val e = intercept[Exception](new SqlSubmitAction(bad.toString, Map.empty,
+      existingSession = Some(spark)).run())
+    assert(e.getMessage.contains("metadata") ||
+      Option(e.getCause).exists(_.getMessage.contains("metadata")))
+  }
+
   test("CREATE TABLE LIKE clones a connector table with merged options") {
     val spark = SparkFixture.spark
     val out = java.nio.file.Files.createTempDirectory("like_e2e").toString
