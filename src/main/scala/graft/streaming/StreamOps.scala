@@ -211,6 +211,70 @@ object StreamOps {
       .drop("r_window")
   }
 
+  /** Static IVF index for streaming ANN probes: corpus vectors
+    * L2-normalized and bucketed to their nearest centroid (quantized
+    * argmax, ties to the smallest centroid id — the batch IVF
+    * operator's exact assignment). Build once per corpus snapshot;
+    * every micro-batch joins against it. Caller provides centroids as
+    * `(cid, cv)` with cv already normalized.
+    */
+  def annIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    corpus
+      .select(col(idCol).as("corpus_id"),
+        expr(s"graft_l2_normalize($vecCol)").as("cnv"))
+      .crossJoin(broadcast(centroids))
+      .select(col("corpus_id"), col("cnv"), col("cid"),
+        floor(expr("graft_dot(cnv, cv)") * 1e6d + 0.5d).cast("long").as("cdot"))
+      .groupBy(col("corpus_id"))
+      .agg(max(struct(col("cdot"), (-col("cid")).as("negcid"),
+        col("cid"), col("cnv"))).as("m"))
+      .select(col("m.cid").as("cid"), col("corpus_id"), col("m.cnv").as("cnv"))
+
+  /** Streaming approximate-nearest-neighbor lookup: each incoming query
+    * vector routes to its nearest centroid (a per-row fold over the
+    * centroid array — streaming allows only ONE aggregation, which the
+    * top-k needs, so assignment cannot be an argmax aggregate) and
+    * probes that centroid's inverted list via a stream-static equi-join
+    * on the cluster id. Top-k per query emits in APPEND mode: the
+    * aggregation groups by (query id, event time), and the watermarked
+    * event-time key finalizes each query's result as the watermark
+    * passes it. Ordering is deterministic: quantized cosine descending,
+    * corpus id ascending.
+    *
+    * `centroids` is driver-side (small by construction — the coarse
+    * quantizer); it inlines into the plan as a literal array, so the
+    * routing is a codegen'd scalar expression, not a join.
+    */
+  def annLookup(queries: DataFrame, idCol: String, vecCol: String,
+      eventTime: String, delay: String,
+      index: DataFrame, centroids: Seq[(Long, Seq[Double])],
+      k: Int): DataFrame = {
+    require(centroids.nonEmpty, "annLookup needs at least one centroid")
+    val centSql = centroids.map { case (cid, cv) =>
+      s"struct(${cid}L as cid, array(${cv.mkString("D, ")}D) as cv)"
+    }.mkString("array(", ", ", ")")
+    // lexicographic struct max = (best dot, then smallest cid)
+    val best = s"array_max(transform($centSql, " +
+      "c -> struct(cast(floor(graft_dot(__qnv, c.cv) * 1000000.0 + 0.5) as long) as d, " +
+      "-c.cid as negcid, c.cid as cid))).cid"
+    queries.withWatermark(eventTime, delay)
+      .select(col(idCol).as("qid"), col(eventTime).as("__qt"),
+        expr(s"graft_l2_normalize($vecCol)").as("__qnv"))
+      .withColumn("cid", expr(best))
+      .join(index, "cid")
+      .select(col("qid"), col("__qt"), col("corpus_id"),
+        floor(expr("graft_dot(__qnv, cnv)") * 1e6d + 0.5d).cast("long")
+          .as("cos_micros"))
+      .groupBy(col("qid"), col("__qt"))
+      .agg(expr(s"slice(array_sort(collect_list(" +
+        s"struct(-cos_micros as neg, corpus_id))), 1, $k)").as("top"))
+      .select(col("qid"), col("__qt").as(eventTime),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col(eventTime), col("t.corpus_id").as("corpus_id"),
+        (-col("t.neg")).as("cos_micros"), (col("pos") + 1L).as("rn"))
+  }
+
   /** Session windows with an inactivity gap (streaming analog of the
     * batch gaps-and-islands operator in graft.operators.Events).
     */

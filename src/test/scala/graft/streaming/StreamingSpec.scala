@@ -396,4 +396,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.values.forall(_ == 1L)) // offsets recovered: no duplicates
     } finally q2.stop()
   }
+
+  test("streaming ANN lookup: top-k per query emits on watermark, equals scalar math") {
+    implicit val sc = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    // corpus: two axis-aligned clusters in dim 4, ids chosen so ties
+    // can't occur (every quantized cosine distinct per bucket)
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.1f, 0f, 0f)), (11L, Seq(1.0f, 0.2f, 0f, 0f)),
+      (12L, Seq(1.0f, 0.3f, 0f, 0f)), (13L, Seq(1.0f, 0.4f, 0f, 0f)),
+      (20L, Seq(0.1f, 1.0f, 0f, 0f)), (21L, Seq(0.2f, 1.0f, 0f, 0f)),
+      (22L, Seq(0.3f, 1.0f, 0f, 0f)))
+    val centroids = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+    val centDf = centroids.toDF("cid", "cv")
+    val index = StreamOps.annIndex(
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", centDf)
+    // scalar reference: identical IEEE sequential fold as the engine
+    def norm(v: Seq[Float]): Seq[Double] = {
+      val d = v.map(_.toDouble)
+      val n = math.sqrt(d.foldLeft(0.0)((a, x) => a + x * x))
+      d.map(_ / n)
+    }
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    def q(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    def expectTopK(qv: Seq[Float], k: Int): Seq[(Long, Long)] = {
+      val qn = norm(qv)
+      val cid = centroids.map { case (c, cv) => (q(dot(qn, cv)), -c, c) }
+        .max._3
+      corpus.map { case (id, v) => (id, norm(v)) }
+        .filter { case (_, nv) =>
+          centroids.map { case (c, cv) => (q(dot(nv, cv)), -c, c) }.max._3 == cid }
+        .map { case (id, nv) => (q(dot(qn, nv)), id) }
+        .sortBy { case (cm, id) => (-cm, id) }.take(k)
+        .map { case (cm, id) => (id, cm) }
+    }
+    val queries = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val out = StreamOps.annLookup(
+      queries.toDF().toDF("qid", "ts", "vec"), "qid", "vec", "ts", "5 seconds",
+      index, centroids, k = 3)
+    val query = out.writeStream.format("memory")
+      .queryName("ann_lookup").outputMode("append").start()
+    try {
+      val q1 = Seq(1.0f, 0.15f, 0f, 0f) // x-cluster
+      val q2 = Seq(0.25f, 1.0f, 0f, 0f) // y-cluster
+      queries.addData((100L, ts(10), q1), (200L, ts(11), q2))
+      query.processAllAvailable()
+      // watermark has not passed the query times: nothing emitted yet
+      assert(spark.table("ann_lookup").count() == 0)
+      queries.addData((999L, ts(1000), q1))
+      query.processAllAvailable()
+      val got = spark.table("ann_lookup")
+        .select($"qid", $"corpus_id", $"cos_micros", $"rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(t => (t._2, t._3)).toSeq)
+        .toMap
+      assert(got(100L) == expectTopK(q1, 3))
+      assert(got(200L) == expectTopK(q2, 3))
+    } finally query.stop()
+  }
 }
