@@ -498,5 +498,6 @@ class GraftSparkExtensions
         builder))
     }
     ext.injectResolutionRule(_ => graft.plans.StreamingApproxDistinct())
+    ext.injectResolutionRule(_ => graft.plans.StreamingTopOneDedup())
   }
 }

@@ -397,6 +397,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("Flink streaming dedup pattern rewrites onto Deduplicate, keep-first") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.toDF().toDF("k", "v").createOrReplaceTempView("fl_dedup_src")
+    val sql = """SELECT k, v, rn FROM (
+      SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v ASC) AS rn
+      FROM fl_dedup_src) WHERE rn = 1"""
+    val df = spark.sql(sql)
+    assert(df.queryExecution.analyzed.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+    }.nonEmpty, "expected a Deduplicate node in the rewritten plan")
+    val q = df.writeStream.format("memory")
+      .queryName("fl_dedup").outputMode("append").start()
+    try {
+      // distinct keys per batch: within-batch keep-first order is
+      // shuffle-dependent, across batches it is deterministic
+      input.addData((1L, "a"), (2L, "c"))
+      q.processAllAvailable()
+      input.addData((1L, "z"), (3L, "d")) // (1, z) is a duplicate key
+      q.processAllAvailable()
+      val got = spark.table("fl_dedup").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(got == Set((1L, "a", 1), (2L, "c", 1), (3L, "d", 1)))
+    } finally q.stop()
+    // keep-last (DESC) needs retraction: contract error at analysis
+    val e = intercept[Exception](spark.sql(
+      """SELECT k FROM (SELECT k, ROW_NUMBER() OVER (
+        PARTITION BY k ORDER BY v DESC) AS rn FROM fl_dedup_src)
+        WHERE rn = 1"""))
+    assert(e.getMessage.contains("keep") || Option(e.getCause).exists(
+      _.getMessage.contains("keep")), e.getMessage)
+    // batch plans keep the real window (WindowGroupLimit path)
+    Seq((1L, "b"), (1L, "a")).toDF("k", "v").createOrReplaceTempView("fl_dedup_b")
+    val batch = spark.sql(sql.replace("fl_dedup_src", "fl_dedup_b"))
+    assert(batch.queryExecution.analyzed.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+    }.isEmpty)
+    assert(batch.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a")))
+  }
+
   test("streaming ANN lookup: top-k per query emits on watermark, equals scalar math") {
     implicit val sc = spark.sqlContext
     graft.functions.GraftFunctions.register(spark)
