@@ -75,11 +75,36 @@ object DialectFunctions {
       ProctimeRe.findFirstIn(masked).isDefined ||
       SplitIndexOpenRe.findFirstIn(masked).isDefined ||
       IsClassOpenRe.findFirstIn(masked).isDefined ||
-      JsonCtorOpenRe.findFirstIn(masked).isDefined
+      JsonCtorOpenRe.findFirstIn(masked).isDefined ||
+      RejectRe.findFirstIn(masked).isDefined
   }
 
-  def rewrite(sql: String): String =
+  /** Flink forms with no Spark analog get a NAMED rejection here —
+    * better than the unresolved-function error Spark's parser would
+    * produce. `CURRENT_WATERMARK(col)` introspects the running
+    * operator's watermark (Spark exposes no SQL-level equivalent);
+    * legacy `LATERAL TABLE (f(x))` temporal table functions are the
+    * pre-`FOR SYSTEM_TIME AS OF` spelling, which the temporal-join
+    * rewrite supports instead.
+    */
+  private val RejectRe =
+    raw"(?i)\b(CURRENT_WATERMARK\s*\(|LATERAL\s+TABLE\s*\()".r
+
+  def rewrite(sql: String): String = {
+    RejectRe.findFirstMatchIn(MatchRecognize.maskQuoted(sql)).foreach { m =>
+      val what = m.group(1).split(raw"\s*\(")(0).toUpperCase.replaceAll(raw"\s+", " ")
+      fail(what match {
+        case "CURRENT_WATERMARK" =>
+          "CURRENT_WATERMARK() is not supported: Spark exposes no " +
+            "SQL-level watermark introspection — filter on the event-time " +
+            "column directly, or rely on the watermark's own late-row drop"
+        case _ =>
+          "legacy LATERAL TABLE temporal table functions are not " +
+            "supported — use the FOR SYSTEM_TIME AS OF join form"
+      })
+    }
     rewriteScalars(rewriteJson(rewriteUnnest(sql)))
+  }
 
   /** The scalar-only subset, safe for DDL computed-column expressions
     * (where UNNEST/JSON join forms cannot appear but Flink's epoch and

@@ -206,6 +206,20 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("literal keys"))
   }
 
+  test("CURRENT_WATERMARK and legacy LATERAL TABLE reject by name") {
+    val e1 = intercept[IllegalArgumentException](DialectFunctions.rewrite(
+      "SELECT * FROM t WHERE ts > CURRENT_WATERMARK(ts)"))
+    assert(e1.getMessage.contains("watermark introspection"))
+    val e2 = intercept[IllegalArgumentException](DialectFunctions.rewrite(
+      "SELECT * FROM o, LATERAL TABLE (rates(o.ts)) WHERE cur = ccy"))
+    assert(e2.getMessage.contains("FOR SYSTEM_TIME AS OF"))
+    assert(DialectFunctions.hasDialectFunctions(
+      "SELECT CURRENT_WATERMARK(ts) FROM t"))
+    // literal-blind like every other pass
+    val s = "SELECT 'CURRENT_WATERMARK(x)' AS t"
+    assert(DialectFunctions.rewrite(s) == s)
+  }
+
   test("e2e: streaming UNNEST + JSON constructor through sql-submit") {
     // UNNEST rewrites to a stateless generator, so it streams in append
     // mode; the JSON constructor is a plain projection
