@@ -129,6 +129,49 @@ object Sampling {
       .select(col("source"), col("doc_id"), col("u"), col("n_chars"), col("rn"))
   }
 
+  /** Temperature-based mixing allocation (multilingual-corpus
+    * resampling, alpha = 0.5): per-source budget targets proportional
+    * to `n_docs^alpha`, apportioned by largest remainder so the
+    * targets sum to the budget EXACTLY. Cross-engine determinism:
+    * IEEE sqrt is correctly rounded (so the micro-quantized weights
+    * match bit-for-bit), and everything after is integer arithmetic —
+    * integer division for the base share, remainder-rank for the
+    * leftover units, ties to the lexicographically first source. The
+    * whole operator aggregates to one row per source before any
+    * window, so the windowed apportionment runs over the source list,
+    * not the corpus.
+    */
+  val extMixTemperature: Q = Q(
+    "ext_mix_temperature",
+    """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |w AS (SELECT source, n_docs,
+      |  CAST(FLOOR(SQRT(n_docs) * 1000000 + 0.5) AS BIGINT) AS w_micros FROM c),
+      |t AS (SELECT source, n_docs, w_micros, SUM(w_micros) OVER () AS tot FROM w),
+      |b AS (SELECT source, n_docs, w_micros,
+      |  (CAST(10000 AS BIGINT) * w_micros) // tot AS base,
+      |  (CAST(10000 AS BIGINT) * w_micros) % tot AS rem FROM t),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+      |  10000 - SUM(base) OVER () AS leftover FROM b)
+      |SELECT source, n_docs, w_micros,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS target
+      |FROM r""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").createOrReplaceTempView("mixt_docs")
+    s.sql(
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM mixt_docs GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |  CAST(FLOOR(SQRT(n_docs) * 1000000 + 0.5) AS BIGINT) AS w_micros FROM c),
+        |t AS (SELECT source, n_docs, w_micros, SUM(w_micros) OVER () AS tot FROM w),
+        |b AS (SELECT source, n_docs, w_micros,
+        |  (CAST(10000 AS BIGINT) * w_micros) DIV tot AS base,
+        |  (CAST(10000 AS BIGINT) * w_micros) % tot AS rem FROM t),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+        |  10000 - SUM(base) OVER () AS leftover FROM b)
+        |SELECT source, n_docs, w_micros,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS target
+        |FROM r""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
-    extHashSample, extMixSample, extStratifiedSample, extWeightedSample)
+    extHashSample, extMixSample, extStratifiedSample, extWeightedSample,
+    extMixTemperature)
 }
