@@ -35,7 +35,7 @@ final class SqlSubmitAction(
   val started: mutable.Buffer[StreamingQuery] = mutable.Buffer.empty
 
   private val InsertRe =
-    raw"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s+(.*)$$".r
+    raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s+(.*)$$".r
 
   /** Flink's default namespace (`default_catalog`.`default_database`.x)
     * has no Spark counterpart — engine tables live as session temp views.
@@ -605,8 +605,14 @@ final class SqlSubmitAction(
   private def executeInsertRewritten(
       spark: SparkSession, config: EngineConfig, rewritten: String): Unit = {
     rewritten match {
-      case InsertRe(rawTarget, colList, query) =>
+      case InsertRe(mode, rawTarget, colList, query) =>
+        val overwrite = mode.equalsIgnoreCase("OVERWRITE")
         val target = DdlParser.unquoteName(rawTarget)
+        if (raw"(?is)^\s*PARTITION\s*\(".r.findFirstIn(query).isDefined)
+          throw new IllegalArgumentException(
+            "INSERT with a static PARTITION clause is not supported — " +
+              "write the partition column in the query and declare " +
+              "PARTITIONED BY on the sink table")
         val reorder: DataFrame => DataFrame = df =>
           Option(colList).filter(_.trim.nonEmpty) match {
             case Some(cols) =>
@@ -618,7 +624,7 @@ final class SqlSubmitAction(
         val df = reorder(spark.sql(query))
         sinks.get(target) match {
           case Some(sinkDef) =>
-            try writeToSink(spark, config, df, sinkDef)
+            try writeToSink(spark, config, df, sinkDef, overwrite)
             catch {
               case e: org.apache.spark.sql.AnalysisException
                   if df.isStreaming && e.getMessage.toLowerCase.contains("distinct") =>
@@ -639,7 +645,8 @@ final class SqlSubmitAction(
                       "SET graft.streaming.approx-distinct = false to fail instead.")
                   val rewritten = raw"(?i)count\s*\(\s*distinct\s+([^)]+)\)".r
                     .replaceAllIn(query, m => s"approx_count_distinct(${m.group(1)})")
-                  writeToSink(spark, config, reorder(spark.sql(rewritten)), sinkDef)
+                  writeToSink(spark, config, reorder(spark.sql(rewritten)),
+                    sinkDef, overwrite)
                 } else throw e
             }
           case None =>
@@ -655,8 +662,17 @@ final class SqlSubmitAction(
 
   private def writeToSink(
       spark: SparkSession, config: EngineConfig,
-      df: DataFrame, sinkDef: TableDef): Unit = {
+      df: DataFrame, sinkDef: TableDef, overwrite: Boolean = false): Unit = {
     val connector = sinkDef.connector.getOrElse("print")
+    // Flink parity: INSERT OVERWRITE is a batch filesystem(/hive)
+    // operation; streaming jobs and non-replaceable sinks reject it
+    if (overwrite && df.isStreaming)
+      throw new IllegalArgumentException(
+        "INSERT OVERWRITE is not supported in streaming mode")
+    if (overwrite && connector != "filesystem")
+      throw new IllegalArgumentException(
+        s"INSERT OVERWRITE into a '$connector' sink is not supported — " +
+          "only filesystem tables are replaceable")
     if (df.isStreaming) {
       val base = connector match {
         case "print" => PrintSink.writer(df, sinkDef)
@@ -734,8 +750,11 @@ final class SqlSubmitAction(
         case "print"     => PrintSink.printBatch(df, sinkDef)
         case "blackhole" => df.write.format("noop").mode("overwrite").save()
         case "filesystem" =>
+          // OVERWRITE replaces the whole target (Flink's non-partitioned
+          // filesystem overwrite; a partitioned sink replaces the
+          // written partitions when dynamic partition overwrite is on)
           val w = df.write.format(sinkDef.options.getOrElse("format", "parquet"))
-            .mode("append")
+            .mode(if (overwrite) "overwrite" else "append")
           (if (sinkDef.partitionedBy.nonEmpty)
              w.partitionBy(sinkDef.partitionedBy: _*)
            else w).save(sinkDef.options("path"))

@@ -316,6 +316,41 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       _.getMessage.contains("dynamic-table-options")))
   }
 
+  test("INSERT OVERWRITE replaces a filesystem sink; non-replaceable sinks reject") {
+    val spark = SparkFixture.spark
+    val out = java.nio.file.Files.createTempDirectory("ow_e2e").toString
+    val script = java.nio.file.Files.createTempFile("ow", ".sql")
+    java.nio.file.Files.writeString(script,
+      s"""SET execution.runtime-mode = batch;
+         |create table ow_src (id bigint) with (
+         |  'connector' = 'datagen', 'number-of-rows' = '4',
+         |  'fields.id.kind' = 'sequence',
+         |  'fields.id.start' = '1', 'fields.id.end' = '4');
+         |create table ow_snk (id bigint) with (
+         |  'connector' = 'filesystem',
+         |  'path' = 'file://$out/sink', 'format' = 'parquet');
+         |insert into ow_snk select id from ow_src;
+         |insert into ow_snk select id from ow_src;
+         |insert overwrite ow_snk select id from ow_src where id <= 2;
+         |""".stripMargin)
+    new SqlSubmitAction(script.toString, Map.empty,
+      existingSession = Some(spark)).run()
+    // two appends (8 rows) then the overwrite leaves exactly the 2-row set
+    assert(spark.read.parquet(s"$out/sink").count() == 2)
+    val bad = java.nio.file.Files.createTempFile("owbad", ".sql")
+    java.nio.file.Files.writeString(bad,
+      s"""SET execution.runtime-mode = batch;
+         |create table owb_src (id bigint) with (
+         |  'connector' = 'datagen', 'number-of-rows' = '1');
+         |create table owb_snk (id bigint) with ('connector' = 'print');
+         |insert overwrite owb_snk select id from owb_src;
+         |""".stripMargin)
+    val e = intercept[Exception](new SqlSubmitAction(bad.toString, Map.empty,
+      existingSession = Some(spark)).run())
+    assert(Option(e.getCause).exists(
+      _.getMessage.contains("only filesystem tables are replaceable")))
+  }
+
   test("filesystem METADATA columns read Spark's _metadata fields") {
     val spark = SparkFixture.spark
     val dir = java.nio.file.Files.createTempDirectory("meta_e2e").toString
