@@ -18,9 +18,13 @@ final class EngineConfig(spark: SparkSession) {
   def set(key: String, value: String): Unit = {
     raw(key) = value
     key match {
-      case "parallelism.default" =>
+      case "parallelism.default" | "table.exec.resource.default-parallelism" =>
         spark.conf.set("spark.sql.shuffle.partitions", value)
         spark.conf.set("spark.default.parallelism", value)
+      case "table.local-time-zone" =>
+        // Flink's session timezone (TIMESTAMP_LTZ rendering, window
+        // alignment) maps directly onto Spark's
+        spark.conf.set("spark.sql.session.timeZone", value)
       case "table.exec.mini-batch.allow-latency" =>
         // drives the micro-batch trigger at INSERT-compile time
         ()

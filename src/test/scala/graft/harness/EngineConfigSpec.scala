@@ -58,4 +58,19 @@ class EngineConfigSpec extends AnyFunSuite {
       assert(c.raw("graft.streaming.approx-distinct") == "false")
     } finally spark.conf.unset("graft.streaming.approx-distinct")
   }
+
+  test("table.local-time-zone maps to Spark's session timezone") {
+    val spark = graft.SparkFixture.spark
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      val c = new EngineConfig(spark)
+      c.setOperation("SET table.local-time-zone = Asia/Shanghai")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "Asia/Shanghai")
+      c.setOperation("SET table.exec.resource.default-parallelism = 7")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", before)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+  }
 }
