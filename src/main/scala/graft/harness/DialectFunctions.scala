@@ -167,8 +167,11 @@ object DialectFunctions {
             fail(s"SPLIT_INDEX separator $sep contains regex " +
               "metacharacters (Spark splits by regex) — use a plain " +
               "separator or regexp_extract")
-          // Flink: 0-based index, NULL when out of range
-          s"try_element_at(split($s, $sep), ($idx) + 1)"
+          // Flink: 0-based index, NULL when out of range AND when
+          // negative (a bare +1 would hit Spark's index-0 error at
+          // idx = -1 and end-relative indexing at idx <= -2)
+          s"try_element_at(split($s, $sep), " +
+            s"IF(($idx) >= 0, ($idx) + 1, NULL))"
         case _ => fail("SPLIT_INDEX takes (string, separator, index)")
       }
     }
@@ -312,6 +315,17 @@ object DialectFunctions {
           .getOrElse(fail("LEFT JOIN UNNEST needs ON TRUE"))
         tailEnd += on.end
       }
+      // Spark's FROM grammar puts lateral views AFTER every join
+      // relation — an UNNEST followed by a further join would splice
+      // into unparseable text, so reject it by name (a following
+      // LATERAL is fine: that's a right-neighbor UNNEST this pass
+      // already rewrote, and lateral views chain)
+      val after = MatchRecognize.maskQuoted(out).substring(tailEnd)
+      if (raw"(?is)^\s*(?:(?:CROSS|INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\b|JOIN\b|,\s*(?!LATERAL\b))".r
+          .findFirstIn(after).isDefined)
+        fail("UNNEST must be the last relation of its FROM clause " +
+          "(Spark attaches generators after all joins) — move the " +
+          "UNNEST after the remaining joins")
       // the join connective is consumed: LATERAL VIEW attaches bare,
       // the ordinality lateral subquery re-joins with a comma
       val prefix = before.substring(0, head.start(1)).replaceAll(raw"\s+$$", "")
@@ -350,22 +364,18 @@ object DialectFunctions {
   private val BehaviorRe =
     raw"(?i)\b(ON\s+(EMPTY|ERROR)|WITH(OUT)?\s+(CONDITIONAL\s+|UNCONDITIONAL\s+)?ARRAY\s+WRAPPER)\b".r
 
-  private def rewriteJson(sql: String): String = {
-    var out = sql
-    val calls = JsonOpenRe.findAllMatchIn(MatchRecognize.maskQuoted(out))
-      .toSeq.reverseIterator
-    for (m <- calls) {
+  private def rewriteJson(sql: String): String =
+    mapCalls(sql, JsonOpenRe) { (m, args) =>
       val fn = m.group(1).toUpperCase
-      val open = m.end - 1
-      val end = MatchRecognize.closeParen(out, open)
-      val inner = out.substring(open + 1, end - 1)
-      if (BehaviorRe.findFirstIn(MatchRecognize.maskQuoted(inner)).isDefined)
-        fail(s"JSON_$fn behavior clauses (ON EMPTY / ON ERROR / ARRAY " +
-          "WRAPPER) are not supported — the default NULL behavior needs " +
-          "no clause")
-      val args = MatchRecognize.splitTopLevel(inner)
+      args.foreach { a =>
+        if (BehaviorRe.findFirstIn(MatchRecognize.maskQuoted(a)).isDefined)
+          fail(s"JSON_$fn behavior clauses (ON EMPTY / ON ERROR / ARRAY " +
+            "WRAPPER) are not supported — the default NULL behavior " +
+            "needs no clause")
+      }
       if (args.size != 2)
-        fail(s"JSON_$fn takes (json, 'path'[ RETURNING type]): got $inner")
+        fail(s"JSON_$fn takes (json, 'path'[ RETURNING type]): " +
+          args.mkString(", "))
       val expr = args.head
       val (path, returning) = args(1).trim match {
         case PathReturningRe(p, r) => (p, Option(r))
@@ -376,14 +386,10 @@ object DialectFunctions {
       if (fn != "VALUE" && returning.isDefined)
         fail(s"JSON_$fn does not take RETURNING")
       val call = s"get_json_object($expr, $path)"
-      val replacement = fn match {
-        case "VALUE" =>
-          returning.fold(call)(t => s"CAST($call AS $t)")
+      fn match {
+        case "VALUE" => returning.fold(call)(t => s"CAST($call AS $t)")
         case "QUERY" => call
         case "EXISTS" => s"($call IS NOT NULL)"
       }
-      out = out.substring(0, m.start) + replacement + out.substring(end)
     }
-    out
-  }
 }

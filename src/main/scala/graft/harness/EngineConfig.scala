@@ -22,9 +22,17 @@ final class EngineConfig(spark: SparkSession) {
         spark.conf.set("spark.sql.shuffle.partitions", value)
         spark.conf.set("spark.default.parallelism", value)
       case "table.local-time-zone" =>
-        // Flink's session timezone (TIMESTAMP_LTZ rendering, window
-        // alignment) maps directly onto Spark's
-        spark.conf.set("spark.sql.session.timeZone", value)
+        // NOT mapped onto spark.sql.session.timeZone: the window-TVF
+        // epoch arithmetic and the NTZ-cast normalization are pinned to
+        // a UTC session (WindowTvf.epochMs), and Flink's LTZ window
+        // alignment is what the TVF OFFSET argument expresses
+        // explicitly. Accepting the key silently would shift every
+        // window boundary; warn and keep the UTC timeline instead.
+        System.err.println(
+          s"table.local-time-zone = $value is not applied: the engine " +
+            "runs on a UTC session timeline; use the window-offset " +
+            "argument (e.g. TUMBLE(..., INTERVAL '-8' HOUR)) for " +
+            "timezone-aligned windows")
       case "table.exec.mini-batch.allow-latency" =>
         // drives the micro-batch trigger at INSERT-compile time
         ()

@@ -275,7 +275,13 @@ final class SqlSubmitAction(
       case Some(other) =>
         throw new IllegalArgumentException(s"Unsupported connector '$other'")
       case None =>
-        spark.sql(t.name) // unreachable: isConnectorCreate gated
+        // reachable via CREATE TABLE ... LIKE src (EXCLUDING OPTIONS/
+        // ALL) with no child connector option — name the problem
+        // instead of leaking the bare table name to the parser
+        throw new IllegalArgumentException(
+          s"table '${t.name}' resolved without a 'connector' option — " +
+            "a LIKE clone that EXCLUDES the parent's options must " +
+            "declare its own connector in WITH (...)")
     }
   }
 
@@ -608,22 +614,25 @@ final class SqlSubmitAction(
       case InsertRe(mode, rawTarget, colList, query) =>
         val overwrite = mode.equalsIgnoreCase("OVERWRITE")
         val target = DdlParser.unquoteName(rawTarget)
-        if (raw"(?is)^\s*PARTITION\s*\(".r.findFirstIn(query).isDefined)
-          throw new IllegalArgumentException(
-            "INSERT with a static PARTITION clause is not supported — " +
-              "write the partition column in the query and declare " +
-              "PARTITIONED BY on the sink table")
-        val reorder: DataFrame => DataFrame = df =>
-          Option(colList).filter(_.trim.nonEmpty) match {
-            case Some(cols) =>
-              // INSERT INTO t(c1, c2): name the query's columns c1, c2
-              df.toDF(cols.split(",").map(c =>
-                DdlParser.unquoteName(c.trim)).toIndexedSeq: _*)
-            case None => df
-          }
-        val df = reorder(spark.sql(query))
         sinks.get(target) match {
           case Some(sinkDef) =>
+            // static PARTITION clauses are an engine-sink limitation
+            // only — a native catalog INSERT keeps Spark's own support
+            // via the fallthrough below
+            if (raw"(?is)^\s*PARTITION\s*\(".r.findFirstIn(query).isDefined)
+              throw new IllegalArgumentException(
+                "INSERT with a static PARTITION clause is not supported " +
+                  "on connector sinks — write the partition column in " +
+                  "the query and declare PARTITIONED BY on the sink table")
+            val reorder: DataFrame => DataFrame = df =>
+              Option(colList).filter(_.trim.nonEmpty) match {
+                case Some(cols) =>
+                  // INSERT INTO t(c1, c2): name the query's columns c1, c2
+                  df.toDF(cols.split(",").map(c =>
+                    DdlParser.unquoteName(c.trim)).toIndexedSeq: _*)
+                case None => df
+              }
+            val df = reorder(spark.sql(query))
             try writeToSink(spark, config, df, sinkDef, overwrite)
             catch {
               case e: org.apache.spark.sql.AnalysisException
@@ -750,11 +759,17 @@ final class SqlSubmitAction(
         case "print"     => PrintSink.printBatch(df, sinkDef)
         case "blackhole" => df.write.format("noop").mode("overwrite").save()
         case "filesystem" =>
-          // OVERWRITE replaces the whole target (Flink's non-partitioned
-          // filesystem overwrite; a partitioned sink replaces the
-          // written partitions when dynamic partition overwrite is on)
-          val w = df.write.format(sinkDef.options.getOrElse("format", "parquet"))
+          // OVERWRITE replaces the whole target for an unpartitioned
+          // sink; a partitioned sink replaces only the WRITTEN
+          // partitions (Flink's filesystem overwrite semantics — the
+          // per-write dynamic mode scopes the truncation, instead of
+          // Spark's static default wiping sibling partitions)
+          val w0 = df.write.format(sinkDef.options.getOrElse("format", "parquet"))
             .mode(if (overwrite) "overwrite" else "append")
+          val w =
+            if (overwrite && sinkDef.partitionedBy.nonEmpty)
+              w0.option("partitionOverwriteMode", "dynamic")
+            else w0
           (if (sinkDef.partitionedBy.nonEmpty)
              w.partitionBy(sinkDef.partitionedBy: _*)
            else w).save(sinkDef.options("path"))

@@ -35,8 +35,15 @@ object DdlParser {
     * WITH clause of their own to the shim when `src` is a connector
     * table).
     */
+  /** A CTAS body contains `AS [ ( ] SELECT`; a statement-final `name
+    * LIKE other_name` inside such a body is a PREDICATE (`WHERE name
+    * LIKE pattern_col`), never the table-cloning clause — treating it
+    * as one would silently discard the query body.
+    */
+  private val CtasRe = raw"(?is)\bAS\s*\(?\s*SELECT\b".r
+
   def likeTarget(sql: String): Option[String] = sql match {
-    case CreateHead(_, rest) =>
+    case CreateHead(_, rest) if CtasRe.findFirstIn(rest).isEmpty =>
       LikeTailRe.findFirstMatchIn(rest.trim).map(m => unquoteName(m.group(1)))
     case _ => None
   }
@@ -144,10 +151,11 @@ object DdlParser {
     * semantics: every feature defaults to INCLUDING (copy from the
     * parent; a child re-declaration of the same thing is an error),
     * EXCLUDING drops the parent's feature, and OVERWRITING (options /
-    * watermarks / generated only) lets the child win on conflict.
-    * Plain columns always copy; a duplicate column name is an error.
-    * METADATA directives are accepted as no-ops (the shim has no
-    * metadata columns).
+    * watermarks / generated / metadata) lets the child win on
+    * conflict. Plain columns always copy; any duplicate NAME across
+    * the merged physical/computed/metadata column spaces is an error —
+    * a computed column silently shadowing a cloned physical column
+    * would drop data.
     */
   def resolveLike(child: TableDef, parent: TableDef): TableDef = {
     val lc = child.like.getOrElse(return child)
@@ -226,8 +234,20 @@ object DdlParser {
         if (dup.nonEmpty) err(s"metadata column ${dup.mkString(", ")}")
         parent.metadataColumns ++ child.metadataColumns
     }
+    val allCols = parent.columns ++ child.columns
+    // cross-space collision check: a merged computed/metadata column
+    // sharing a physical column's name would silently shadow it at
+    // source registration (withColumn replaces) — error like Flink
+    val names = allCols.map(_.name) ++ computed.map(_.name) ++
+      metadata.map(_.name)
+    names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+      .toSeq.sorted.headOption.foreach(n =>
+        throw new IllegalArgumentException(
+          s"CREATE TABLE ${child.name} LIKE ${lc.table}: column '$n' is " +
+            "declared more than once across the merged physical/" +
+            "computed/metadata columns"))
     TableDef(child.name, child.ifNotExists,
-      parent.columns ++ child.columns, computed, watermark, options,
+      allCols, computed, watermark, options,
       partitionedBy, primaryKey, like = None, metadata)
   }
 

@@ -76,6 +76,19 @@ case class StreamingTopOneDedup() extends Rule[LogicalPlan] {
                   "streaming deduplication with ORDER BY ... DESC (keep " +
                     "last row) needs retraction and is not supported — " +
                     "order ascending to keep the first row per key")
+              // Flink's dedup orders by a TIME ATTRIBUTE; ordering by a
+              // regular column is its updating Top-N (min-by-value with
+              // retraction), which keep-first-arrival would silently
+              // get wrong — require a time-typed key
+              orderSpec.foreach { so =>
+                val t = so.child.dataType
+                if (!t.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
+                    !t.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType])
+                  throw new IllegalArgumentException(
+                    "streaming deduplication must ORDER BY a time " +
+                      s"attribute (got ${t.simpleString}) — a value-ordered " +
+                      "Top-1 needs retraction and is not supported")
+              }
               val keys = partitionSpec.map {
                 case attr: Attribute => attr
                 case other => throw new IllegalArgumentException(

@@ -154,5 +154,19 @@ class DdlParserSpec extends AnyFunSuite {
     val wow = DdlParser.resolveLike(DdlParser.parse(
       wmChild + " (OVERWRITING WATERMARKS)"), parent)
     assert(wow.watermark.exists(_.delay == "9 seconds"))
+    // a child COMPUTED column colliding with a parent PHYSICAL column
+    // would silently shadow the data column at registration — error
+    val ecc = intercept[IllegalArgumentException](DdlParser.resolveLike(
+      DdlParser.parse("CREATE TABLE t2 (dim AS upper(dim)) LIKE tbl_src"),
+      parent))
+    assert(ecc.getMessage.contains("more than once"))
+  }
+
+  test("likeTarget ignores CTAS bodies whose final predicate is a LIKE") {
+    assert(DdlParser.likeTarget(
+      "CREATE TABLE agg AS SELECT * FROM x WHERE name LIKE pat").isEmpty)
+    assert(DdlParser.likeTarget(
+      "CREATE TABLE agg AS (SELECT * FROM x WHERE name LIKE pat)").isEmpty)
+    assert(DdlParser.likeTarget("CREATE TABLE t2 LIKE tbl_src").contains("tbl_src"))
   }
 }

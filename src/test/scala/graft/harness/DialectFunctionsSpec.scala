@@ -90,6 +90,18 @@ class DialectFunctionsSpec extends AnyFunSuite {
       "ordinality column")
     rejects("SELECT x FROM t, UNNEST(arr) WITH ORDINALITY AS a (a, b, c, o)",
       "array of rows")
+    // Spark attaches generators after all joins: a join FOLLOWING the
+    // UNNEST would splice into unparseable text — named rejection
+    rejects("SELECT x FROM t CROSS JOIN UNNEST(arr) AS a (x) JOIN u ON u.id = t.id",
+      "last relation")
+    rejects("SELECT x FROM t, UNNEST(arr) AS a (x), u", "last relation")
+  }
+
+  test("chained UNNESTs rewrite to chained lateral views") {
+    val out = DialectFunctions.rewrite(
+      "SELECT i, j FROM t, UNNEST(a) AS x (i), UNNEST(b) AS y (j)")
+    assert(out ==
+      "SELECT i, j FROM t LATERAL VIEW explode(a) x AS i LATERAL VIEW explode(b) y AS j")
   }
 
   test("UNNEST inside a string literal never fires") {
@@ -169,6 +181,12 @@ class DialectFunctionsSpec extends AnyFunSuite {
       "SELECT SPLIT_INDEX('a-b-c', '-', 0) AS t0, " +
         "SPLIT_INDEX('a-b-c', '-', 2) AS t2, SPLIT_INDEX('a-b-c', '-', 9) AS t9")).head
     assert(r.getString(0) == "a" && r.getString(1) == "c" && r.isNullAt(2))
+    // Flink returns NULL for negative indices — a bare +1 would hit
+    // Spark's index-0 error at -1 and END-relative indexing at <= -2
+    val rn = spark.sql(DialectFunctions.rewrite(
+      "SELECT SPLIT_INDEX('a-b-c', '-', -1) AS m1, " +
+        "SPLIT_INDEX('a-b-c', '-', -2) AS m2")).head
+    assert(rn.isNullAt(0) && rn.isNullAt(1))
     val e = intercept[IllegalArgumentException](DialectFunctions.rewriteScalars(
       "SELECT SPLIT_INDEX(s, '.', 1) FROM t"))
     assert(e.getMessage.contains("metacharacters"))

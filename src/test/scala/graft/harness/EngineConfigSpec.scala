@@ -59,13 +59,16 @@ class EngineConfigSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.streaming.approx-distinct")
   }
 
-  test("table.local-time-zone maps to Spark's session timezone") {
+  test("table.local-time-zone keeps the UTC timeline; parallelism key maps") {
     val spark = graft.SparkFixture.spark
     val before = spark.conf.get("spark.sql.session.timeZone")
     try {
       val c = new EngineConfig(spark)
+      // NOT applied: window arithmetic is pinned to the UTC session
+      // (the window-offset argument is the supported alignment path)
       c.setOperation("SET table.local-time-zone = Asia/Shanghai")
-      assert(spark.conf.get("spark.sql.session.timeZone") == "Asia/Shanghai")
+      assert(spark.conf.get("spark.sql.session.timeZone") == before)
+      assert(c.raw("table.local-time-zone") == "Asia/Shanghai")
       c.setOperation("SET table.exec.resource.default-parallelism = 7")
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
     } finally {

@@ -399,10 +399,10 @@ class StreamingSpec extends AnyFunSuite {
 
   test("Flink streaming dedup pattern rewrites onto Deduplicate, keep-first") {
     implicit val sc = spark.sqlContext
-    val input = MemoryStream[(Long, String)]
-    input.toDF().toDF("k", "v").createOrReplaceTempView("fl_dedup_src")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.toDF().toDF("k", "t", "v").createOrReplaceTempView("fl_dedup_src")
     val sql = """SELECT k, v, rn FROM (
-      SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v ASC) AS rn
+      SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY t ASC) AS rn
       FROM fl_dedup_src) WHERE rn = 1"""
     val df = spark.sql(sql)
     assert(df.queryExecution.analyzed.collect {
@@ -413,9 +413,9 @@ class StreamingSpec extends AnyFunSuite {
     try {
       // distinct keys per batch: within-batch keep-first order is
       // shuffle-dependent, across batches it is deterministic
-      input.addData((1L, "a"), (2L, "c"))
+      input.addData((1L, ts(10), "a"), (2L, ts(11), "c"))
       q.processAllAvailable()
-      input.addData((1L, "z"), (3L, "d")) // (1, z) is a duplicate key
+      input.addData((1L, ts(12), "z"), (3L, ts(13), "d")) // (1, z) dup key
       q.processAllAvailable()
       val got = spark.table("fl_dedup").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
@@ -424,12 +424,21 @@ class StreamingSpec extends AnyFunSuite {
     // keep-last (DESC) needs retraction: contract error at analysis
     val e = intercept[Exception](spark.sql(
       """SELECT k FROM (SELECT k, ROW_NUMBER() OVER (
-        PARTITION BY k ORDER BY v DESC) AS rn FROM fl_dedup_src)
+        PARTITION BY k ORDER BY t DESC) AS rn FROM fl_dedup_src)
         WHERE rn = 1"""))
     assert(e.getMessage.contains("keep") || Option(e.getCause).exists(
       _.getMessage.contains("keep")), e.getMessage)
+    // ordering by a NON-TIME column is Flink's updating Top-N, not
+    // dedup — named rejection instead of silently-wrong keep-first
+    val e2 = intercept[Exception](spark.sql(
+      """SELECT k FROM (SELECT k, ROW_NUMBER() OVER (
+        PARTITION BY k ORDER BY v ASC) AS rn FROM fl_dedup_src)
+        WHERE rn = 1"""))
+    assert(e2.getMessage.contains("time") || Option(e2.getCause).exists(
+      _.getMessage.contains("time")), e2.getMessage)
     // batch plans keep the real window (WindowGroupLimit path)
-    Seq((1L, "b"), (1L, "a")).toDF("k", "v").createOrReplaceTempView("fl_dedup_b")
+    Seq((1L, ts(2), "b"), (1L, ts(1), "a")).toDF("k", "t", "v")
+      .createOrReplaceTempView("fl_dedup_b")
     val batch = spark.sql(sql.replace("fl_dedup_src", "fl_dedup_b"))
     assert(batch.queryExecution.analyzed.collect {
       case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
