@@ -34,6 +34,9 @@ final class SqlSubmitAction(
   val sinks: mutable.Map[String, TableDef] = mutable.LinkedHashMap.empty
   val started: mutable.Buffer[StreamingQuery] = mutable.Buffer.empty
 
+  private val ShowCreateRe =
+    raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.`]+)\s*;?\s*$$".r
+
   private val InsertRe =
     raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s+(.*)$$".r
 
@@ -124,6 +127,16 @@ final class SqlSubmitAction(
             println(st.sql.trim.stripPrefix("PRINT").stripPrefix("print").trim)
           case StatementType.LOAD | StatementType.UNLOAD =>
             executeModuleStatement(st.sql)
+          case StatementType.SHOW if ShowCreateRe.findFirstMatchIn(st.sql)
+              .map(m => DdlParser.unquoteName(m.group(1)))
+              .exists(n => sources.contains(n) || sinks.contains(n)) =>
+            // SHOW CREATE TABLE on a connector table: Spark's native
+            // form can't render a temp view, and the registry holds the
+            // parsed definition — print the reconstructed Flink DDL
+            val n = DdlParser.unquoteName(
+              ShowCreateRe.findFirstMatchIn(st.sql).get.group(1))
+            println(DdlParser.showCreate(
+              sources.get(n).orElse(sinks.get(n)).get))
           case StatementType.SHOW
               if raw"(?is)^\s*SHOW\s+(?:FULL\s+)?MODULES\s*;?\s*$$".r
                 .findFirstIn(st.sql).isDefined =>

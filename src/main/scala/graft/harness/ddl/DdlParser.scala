@@ -251,6 +251,43 @@ object DdlParser {
       partitionedBy, primaryKey, like = None, metadata)
   }
 
+  /** Flink-style `SHOW CREATE TABLE` text reconstructed from a parsed
+    * [[TableDef]] — what the registry knows, normalized: the watermark
+    * strategy prints as `col - INTERVAL 'n' UNIT` (a zero delay prints
+    * the bare column), and options sort by key (the parsed map does
+    * not keep declaration order).
+    */
+  def showCreate(t: TableDef): String = {
+    val entries = Vector.newBuilder[String]
+    t.columns.foreach(c => entries += s"  `${c.name}` ${c.dataType}")
+    t.metadataColumns.foreach { m =>
+      val virt = if (m.virtual) " VIRTUAL" else ""
+      entries += s"  `${m.name}` ${m.dataType} METADATA FROM '${m.key}'$virt"
+    }
+    t.computedColumns.foreach(c => entries += s"  `${c.name}` AS ${c.expr}")
+    t.watermark.foreach { wm =>
+      val DelayRe = raw"^([\d.]+)\s+(\w+?)s?$$".r
+      val strategy = wm.delay match {
+        case DelayRe(n, _) if n.toDouble == 0 => s"`${wm.column}`"
+        case DelayRe(n, u) =>
+          s"`${wm.column}` - INTERVAL '$n' ${u.toUpperCase}"
+        case _ => s"`${wm.column}`"
+      }
+      entries += s"  WATERMARK FOR `${wm.column}` AS $strategy"
+    }
+    if (t.primaryKey.nonEmpty)
+      entries += s"  PRIMARY KEY (${t.primaryKey.map(k => s"`$k`").mkString(", ")}) NOT ENFORCED"
+    val part =
+      if (t.partitionedBy.isEmpty) ""
+      else s"\nPARTITIONED BY (${t.partitionedBy.map(p => s"`$p`").mkString(", ")})"
+    val opts = t.options.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        s"  '${k.replace("'", "''")}' = '${v.replace("'", "''")}'" }
+      .mkString(",\n")
+    s"CREATE TABLE `${t.name}` (\n${entries.result().mkString(",\n")}\n)" +
+      s"$part\nWITH (\n$opts\n)"
+  }
+
   /** `catalog.db.tbl` (possibly backticked parts) → bare table name. */
   def unquoteName(raw: String): String = {
     val parts = splitQualified(raw.trim)

@@ -162,6 +162,33 @@ class DdlParserSpec extends AnyFunSuite {
     assert(ecc.getMessage.contains("more than once"))
   }
 
+  test("showCreate round-trips: reconstructed DDL re-parses to the same def") {
+    val t = DdlParser.parse(datagenDdl)
+    val shown = DdlParser.showCreate(t)
+    assert(shown.startsWith("CREATE TABLE `tbl_src` ("))
+    assert(shown.contains("WATERMARK FOR `row_time` AS `row_time` - INTERVAL '5' SECOND"))
+    assert(shown.contains("'connector' = 'datagen'"))
+    val reparsed = DdlParser.parse(shown)
+    assert(reparsed.columns == t.columns)
+    assert(reparsed.computedColumns == t.computedColumns)
+    assert(reparsed.watermark == t.watermark)
+    assert(reparsed.options == t.options)
+    // metadata + pk + partitioning render too
+    val full = DdlParser.parse(
+      """CREATE TABLE f (v BIGINT, fname STRING METADATA FROM 'file.name' VIRTUAL,
+        |  PRIMARY KEY (v) NOT ENFORCED)
+        |PARTITIONED BY (v)
+        |WITH ('connector'='filesystem','path'='/x','format'='parquet')""".stripMargin)
+    val shownFull = DdlParser.showCreate(full)
+    assert(shownFull.contains("METADATA FROM 'file.name' VIRTUAL"))
+    assert(shownFull.contains("PRIMARY KEY (`v`) NOT ENFORCED"))
+    assert(shownFull.contains("PARTITIONED BY (`v`)"))
+    val rf = DdlParser.parse(shownFull)
+    assert(rf.metadataColumns == full.metadataColumns)
+    assert(rf.primaryKey == full.primaryKey &&
+      rf.partitionedBy == full.partitionedBy)
+  }
+
   test("likeTarget ignores CTAS bodies whose final predicate is a LIKE") {
     assert(DdlParser.likeTarget(
       "CREATE TABLE agg AS SELECT * FROM x WHERE name LIKE pat").isEmpty)

@@ -351,6 +351,26 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       _.getMessage.contains("only filesystem tables are replaceable")))
   }
 
+  test("SHOW CREATE TABLE prints the registry's reconstructed Flink DDL") {
+    val spark = SparkFixture.spark
+    val script = java.nio.file.Files.createTempFile("sct", ".sql")
+    java.nio.file.Files.writeString(script,
+      """SET execution.runtime-mode = batch;
+        |create table sct_t (id bigint, doubled as id * 2) with (
+        |  'connector' = 'datagen', 'number-of-rows' = '1');
+        |show create table sct_t;
+        |""".stripMargin)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      new SqlSubmitAction(script.toString, Map.empty,
+        existingSession = Some(spark)).run()
+    }
+    val out = buf.toString
+    assert(out.contains("CREATE TABLE `sct_t` ("), out)
+    assert(out.contains("`doubled` AS id * 2"), out)
+    assert(out.contains("'connector' = 'datagen'"), out)
+  }
+
   test("partitioned INSERT OVERWRITE replaces only the written partitions") {
     val spark = SparkFixture.spark
     val out = java.nio.file.Files.createTempDirectory("owp_e2e").toString
