@@ -114,5 +114,37 @@ object Dialect {
     s.sql(DialectFunctions.rewrite(flinkSql))
   }
 
-  def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset, q100DialectFns)
+  /** HOP with the offset argument: 30-minute slides over 1-hour
+    * windows on a :10/:40 grid. The oracle mirrors the rewrite's
+    * covering-window enumeration — every window start in the shifted
+    * slide grid whose window contains the row.
+    */
+  val q101HopOffset: Q = Q(
+    "q101_hop_offset",
+    """WITH e AS (
+      |  SELECT event_type, epoch_ms(ts) AS t FROM events WHERE ts IS NOT NULL),
+      |w AS (
+      |  SELECT event_type, ws
+      |  FROM e, UNNEST(generate_series(
+      |    ((t - 600000) - 3600000) -
+      |      ((((t - 600000) - 3600000) % 1800000) + 1800000) % 1800000
+      |      + 1800000 + 600000,
+      |    (t - 600000) - (((t - 600000) % 1800000) + 1800000) % 1800000
+      |      + 600000,
+      |    1800000)) AS u(ws))
+      |SELECT ws // 1000 AS window_start_sec, event_type, COUNT(*) AS n
+      |FROM w GROUP BY ws, event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("dlq_events_hop")
+    val flinkSql =
+      """SELECT window_start, event_type, COUNT(*) AS n
+        |FROM TABLE(HOP(TABLE dlq_events_hop, DESCRIPTOR(ts),
+        |  INTERVAL '30' MINUTE, INTERVAL '1' HOUR, INTERVAL '10' MINUTE))
+        |GROUP BY window_start, event_type""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(unix_timestamp(col("window_start")).as("window_start_sec"),
+        col("event_type"), col("n"))
+  }
+
+  def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset,
+    q100DialectFns, q101HopOffset)
 }
