@@ -4,6 +4,31 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** The driver's pandas-based checker can only sort/hash atomic
+    * top-level columns — an array/map/struct output column makes the
+    * whole query's oracle row error out (seen with q87 in round 10).
+    * Registered queries must therefore reduce nested results to
+    * scalars (array_join, explode, to_json…) before returning. Fails
+    * fast with the query and column named so the breakage is caught at
+    * registration time, not in the driver's correctness report.
+    */
+  def assertAtomicSchema(
+      name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val nested = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType] ||
+                f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }
+    if (nested.nonEmpty) throw new IllegalStateException(
+      s"query $name returns non-atomic top-level column(s) " +
+        s"${nested.mkString("[", ", ", "]")} — the oracle checker " +
+        "cannot hash these; render them to scalars (array_join / " +
+        "to_json / explode) before returning")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,7 +57,9 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       Timeouts.bounded(spark, name, timeoutSec) {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        assertAtomicSchema(name, df.schema)
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
       }.foreach { reason =>
         System.err.println(s"[verify] $name failed: $reason")

@@ -140,8 +140,6 @@ object DialectFunctions {
     out
   }
 
-  private val StrLitRe = raw"(?s)^'(?:[^']|'')*'$$".r
-  private val RegexMetaRe = raw"""[\\^$$.|?*+()\[\]{}]""".r
 
   def rewriteScalars(sql: String): String = {
     var out = mapCalls(sql, TsLtzOpenRe) { (m, args) =>
@@ -159,18 +157,17 @@ object DialectFunctions {
     out = mapCalls(out, SplitIndexOpenRe) { (m, args) =>
       args match {
         case Seq(s, sep, idx) =>
-          // Spark's split separator is a REGEX; a literal separator with
-          // metacharacters would silently change meaning — reject it
-          if (StrLitRe.findFirstIn(sep.trim).isDefined &&
-              RegexMetaRe.findFirstIn(
-                sep.trim.substring(1, sep.trim.length - 1)).isDefined)
-            fail(s"SPLIT_INDEX separator $sep contains regex " +
-              "metacharacters (Spark splits by regex) — use a plain " +
-              "separator or regexp_extract")
+          // Flink splits by the separator LITERALLY; Spark's split is
+          // regex — quote the separator at runtime (Pattern.quote
+          // shape: \Q...\E with any embedded \E broken out), so regex
+          // metacharacters and non-literal separator expressions both
+          // keep literal-split semantics
+          val quoted =
+            raw"concat('\\Q', replace($sep, '\\E', '\\E\\\\E\\Q'), '\\E')"
           // Flink: 0-based index, NULL when out of range AND when
           // negative (a bare +1 would hit Spark's index-0 error at
           // idx = -1 and end-relative indexing at idx <= -2)
-          s"try_element_at(split($s, $sep), " +
+          s"try_element_at(split($s, $quoted), " +
             s"IF(($idx) >= 0, ($idx) + 1, NULL))"
         case _ => fail("SPLIT_INDEX takes (string, separator, index)")
       }
@@ -221,45 +218,110 @@ object DialectFunctions {
   private val OnNullRe = raw"(?is)\s*(NULL|ABSENT)\s+ON\s+NULL\s*$$".r
   private val KeyValueRe =
     raw"(?is)^(?:KEY\s+)?('(?:[^']|'')*')\s+VALUE\s+(.+)$$".r
+  private val JsonCtorAnchoredRe = raw"(?i)^JSON_(OBJECT|ARRAY)\s*\(".r
 
-  private def rewriteJsonCtors(sql: String): String =
-    mapCalls(sql, JsonCtorOpenRe) { (m, rawArgs) =>
-      val isObject = m.group(1).equalsIgnoreCase("OBJECT")
-      // the ON NULL clause rides the LAST argument without a comma
-      var nullOnNull = isObject // Flink defaults: object NULL, array ABSENT
-      val args = rawArgs match {
-        case init :+ lastArg =>
-          val stripped = OnNullRe.findFirstMatchIn(
-            MatchRecognize.maskQuoted(lastArg)).map { bm =>
-            nullOnNull = bm.group(1).equalsIgnoreCase("NULL")
-            lastArg.substring(0, bm.start).trim
-          }.getOrElse(lastArg)
-          if (stripped.isEmpty) init else init :+ stripped
-        case empty => empty
+  /** A constructor given DIRECTLY as a VALUE / element of another
+    * constructor splices as raw JSON in Flink (nested object/array,
+    * not a re-encoded string) — so direct nested calls become bare
+    * `named_struct`/`array` sub-expressions under ONE outer `to_json`,
+    * and only the outermost call serializes. A constructor nested
+    * inside any other expression (`CONCAT(JSON_OBJECT(...))`) keeps
+    * its own `to_json` (Flink hands that function a VARCHAR).
+    *
+    * Spark's `to_json` null-member handling (`ignoreNullFields`) is a
+    * per-serialization switch, not per-level, so a tree whose OBJECT
+    * constructors mix NULL ON NULL and ABSENT ON NULL cannot be
+    * rendered faithfully — rejected by name. Array null-element
+    * filtering IS per-level (a real `filter(...)`), so arrays may mix
+    * modes freely.
+    */
+  private def rewriteJsonCtors(sql: String): String = {
+    val all = JsonCtorOpenRe
+      .findAllMatchIn(MatchRecognize.maskQuoted(sql)).toSeq
+      .map(m => (m, MatchRecognize.closeParen(sql, m.end - 1)))
+    // outermost calls only; nested ones are handled by recursion
+    val top = all.filterNot { case (m, _) =>
+      all.exists { case (o, oe) => o.start < m.start && m.end <= oe }
+    }
+    var out = sql
+    for ((m, end) <- top.reverseIterator) {
+      val modes = scala.collection.mutable.Set[Boolean]()
+      val expr = ctorExpr(sql.substring(m.start, end), modes)
+      val body = expr match {
+        case "struct()" => "'{}'"
+        case "array()"  => "'[]'"
+        case e if modes.size > 1 => fail(
+          "nested JSON_OBJECT constructors mix NULL ON NULL and " +
+            "ABSENT ON NULL — Spark's to_json serializes null members " +
+            "with one policy per call; use the same ON NULL mode for " +
+            "every object in the tree")
+        case e if modes.contains(true) =>
+          s"to_json($e, map('ignoreNullFields', 'false'))"
+        case e => s"to_json($e)"
       }
-      if (isObject) {
-        if (args.isEmpty) "'{}'"
-        else {
-          val pairs = args.map {
-            case KeyValueRe(k, v) => s"$k, $v"
-            case other => fail("JSON_OBJECT entries need " +
-              s"[KEY] 'name' VALUE expr (literal keys): $other")
-          }
-          val struct = s"named_struct(${pairs.mkString(", ")})"
-          if (nullOnNull)
-            s"to_json($struct, map('ignoreNullFields', 'false'))"
-          else s"to_json($struct)"
-        }
-      } else {
-        if (args.isEmpty) "'[]'"
-        else {
-          val arr = s"array(${args.mkString(", ")})"
-          val body = if (nullOnNull) arr
-            else s"filter($arr, __jx -> __jx IS NOT NULL)"
-          s"to_json($body)"
-        }
+      out = out.substring(0, m.start) + body + out.substring(end)
+    }
+    out
+  }
+
+  /** The UN-serialized struct/array expression for the constructor
+    * call that `callText` consists of (exactly — first char to last
+    * closing paren). Records each JSON_OBJECT's ON NULL mode in
+    * `modes` so the outermost serializer can pick (or reject) the
+    * `ignoreNullFields` policy.
+    */
+  private def ctorExpr(
+      callText: String,
+      modes: scala.collection.mutable.Set[Boolean]): String = {
+    val m = JsonCtorAnchoredRe.findPrefixMatchOf(callText).getOrElse(
+      fail(s"internal: not a JSON constructor call: $callText"))
+    val isObject = m.group(1).equalsIgnoreCase("OBJECT")
+    val end = MatchRecognize.closeParen(callText, m.end - 1)
+    val rawArgs =
+      MatchRecognize.splitTopLevel(callText.substring(m.end, end - 1))
+    // the ON NULL clause rides the LAST argument without a comma
+    var nullOnNull = isObject // Flink defaults: object NULL, array ABSENT
+    val args = rawArgs match {
+      case init :+ lastArg =>
+        val stripped = OnNullRe.findFirstMatchIn(
+          MatchRecognize.maskQuoted(lastArg)).map { bm =>
+          nullOnNull = bm.group(1).equalsIgnoreCase("NULL")
+          lastArg.substring(0, bm.start).trim
+        }.getOrElse(lastArg)
+        if (stripped.isEmpty) init else init :+ stripped
+      case empty => empty
+    }
+    // a direct nested constructor splices raw; anything else is a
+    // scalar expression (whose own inner ctors, if any, re-encode)
+    def valueExpr(arg: String): String = {
+      val t = arg.trim
+      JsonCtorAnchoredRe.findPrefixMatchOf(t) match {
+        case Some(im)
+            if MatchRecognize.closeParen(t, im.end - 1) == t.length =>
+          ctorExpr(t, modes)
+        case _ => rewriteJsonCtors(t)
       }
     }
+    if (isObject) {
+      if (args.isEmpty) "struct()"
+      else {
+        modes += nullOnNull
+        val pairs = args.map {
+          case KeyValueRe(k, v) => s"$k, ${valueExpr(v)}"
+          case other => fail("JSON_OBJECT entries need " +
+            s"[KEY] 'name' VALUE expr (literal keys): $other")
+        }
+        s"named_struct(${pairs.mkString(", ")})"
+      }
+    } else {
+      if (args.isEmpty) "array()"
+      else {
+        val arr = s"array(${args.map(valueExpr).mkString(", ")})"
+        if (nullOnNull) arr
+        else s"filter($arr, __jx -> __jx IS NOT NULL)"
+      }
+    }
+  }
 
   // -------------------------------------------------------------- UNNEST
 

@@ -350,19 +350,22 @@ object Coverage {
         |FROM nation GROUP BY n_regionkey""".stripMargin)
   }
 
-  /** ARRAY_AGG into a sorted array column (Flink's ARRAY_AGG): the
-    * distinct market segments seen per nation. collect-style
-    * aggregation is order-nondeterministic under parallel merge, so
-    * both engines sort the result array — the only way an array-typed
-    * aggregate can be hash-compared across engines.
+  /** ARRAY_AGG into a sorted array (Flink's ARRAY_AGG): the distinct
+    * market segments seen per nation. collect-style aggregation is
+    * order-nondeterministic under parallel merge, so both engines
+    * sort the array — and because the oracle checker can only hash
+    * atomic columns, the array is rendered to a joined string for
+    * comparison (the array itself is still built first, so the
+    * ARRAY_AGG path is exercised end-to-end).
     */
   val q87ArrayAgg: Q = Q(
     "q87_array_agg",
-    """SELECT c_nationkey, array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+    """SELECT c_nationkey,
+      |  array_to_string(array_agg(DISTINCT c_mktsegment ORDER BY c_mktsegment), ',') AS segments
       |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "customer")
       .groupBy(col("c_nationkey"))
-      .agg(array_sort(collect_set(col("c_mktsegment"))).as("segments"))
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"))
   }
 
   /** GROUPING_ID over a CUBE: the bit-vector distinguishing which

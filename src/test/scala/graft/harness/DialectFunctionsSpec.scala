@@ -176,7 +176,7 @@ class DialectFunctionsSpec extends AnyFunSuite {
       .head.isNullAt(0))
   }
 
-  test("SPLIT_INDEX is 0-based, NULL out of range, regex-metachar separators rejected") {
+  test("SPLIT_INDEX is 0-based, NULL out of range, separators split literally") {
     val r = spark.sql(DialectFunctions.rewrite(
       "SELECT SPLIT_INDEX('a-b-c', '-', 0) AS t0, " +
         "SPLIT_INDEX('a-b-c', '-', 2) AS t2, SPLIT_INDEX('a-b-c', '-', 9) AS t9")).head
@@ -187,9 +187,21 @@ class DialectFunctionsSpec extends AnyFunSuite {
       "SELECT SPLIT_INDEX('a-b-c', '-', -1) AS m1, " +
         "SPLIT_INDEX('a-b-c', '-', -2) AS m2")).head
     assert(rn.isNullAt(0) && rn.isNullAt(1))
-    val e = intercept[IllegalArgumentException](DialectFunctions.rewriteScalars(
-      "SELECT SPLIT_INDEX(s, '.', 1) FROM t"))
-    assert(e.getMessage.contains("metacharacters"))
+    // Flink splits by the separator LITERALLY — a regex metachar
+    // separator must not be read as a pattern, whether it arrives as a
+    // literal or as a runtime expression (column value)
+    val rl = spark.sql(DialectFunctions.rewrite(
+      "SELECT SPLIT_INDEX('a.b.c', '.', 1) AS dot, " +
+        "SPLIT_INDEX('a|b|c', '|', 2) AS pipe, " +
+        // separator arrives as a runtime EXPRESSION whose value is the
+        // two chars \E — the Pattern.quote break-out must keep it literal
+        "SPLIT_INDEX('a\\\\Eb', SUBSTRING('x\\\\E', 2, 2), 1) AS esc")).head
+    assert(rl.getString(0) == "b")
+    assert(rl.getString(1) == "c")
+    assert(rl.getString(2) == "b")
+    assert(spark.sql(DialectFunctions.rewrite(
+      "SELECT SPLIT_INDEX('a-b', CAST(NULL AS STRING), 0) AS n"))
+      .head.isNullAt(0))
   }
 
   test("IS_DIGIT / IS_ALPHA / IS_DECIMAL are total predicates") {
@@ -222,6 +234,36 @@ class DialectFunctionsSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](DialectFunctions.rewriteScalars(
       "SELECT JSON_OBJECT(k VALUE 1) FROM t"))
     assert(e.getMessage.contains("literal keys"))
+  }
+
+  test("nested JSON constructors splice raw JSON, not re-encoded strings") {
+    // Flink: a constructor given DIRECTLY as a VALUE / element inserts
+    // its result as raw JSON — [{"k":1}], never ["{\"k\":1}"]
+    val r = spark.sql(DialectFunctions.rewrite(
+      "SELECT JSON_ARRAY(JSON_OBJECT('k' VALUE 1)) AS arr_of_obj, " +
+        "JSON_OBJECT('a' VALUE JSON_ARRAY(1, 2)) AS obj_of_arr, " +
+        "JSON_OBJECT('o' VALUE JSON_OBJECT('i' VALUE 'x')) AS obj_of_obj, " +
+        "JSON_ARRAY(JSON_ARRAY(1), JSON_ARRAY(2, 3)) AS arr_of_arr")).head
+    assert(r.getString(0) == """[{"k":1}]""")
+    assert(r.getString(1) == """{"a":[1,2]}""")
+    assert(r.getString(2) == """{"o":{"i":"x"}}""")
+    assert(r.getString(3) == "[[1],[2,3]]")
+    // inner ABSENT filtering is per-level (a real filter), outer NULL
+    // member policy still honored
+    val rn = spark.sql(DialectFunctions.rewrite(
+      "SELECT JSON_OBJECT('a' VALUE JSON_ARRAY(1, CAST(NULL AS INT)), " +
+        "'b' VALUE CAST(NULL AS STRING)) AS m")).head
+    assert(rn.getString(0) == """{"a":[1],"b":null}""")
+    // a constructor nested inside ANY OTHER expression is a VARCHAR in
+    // Flink — it keeps its own serialization
+    val rs = spark.sql(DialectFunctions.rewrite(
+      "SELECT JSON_OBJECT('len' VALUE LENGTH(JSON_ARRAY(1, 2))) AS m")).head
+    assert(rs.getString(0) == """{"len":5}""")
+    // mixed object ON NULL modes in one tree cannot be rendered with
+    // to_json's single null policy — named rejection
+    val e = intercept[IllegalArgumentException](DialectFunctions.rewriteScalars(
+      "SELECT JSON_OBJECT('a' VALUE JSON_OBJECT('b' VALUE x ABSENT ON NULL))"))
+    assert(e.getMessage.contains("ON NULL"))
   }
 
   test("CURRENT_WATERMARK and legacy LATERAL TABLE reject by name") {
