@@ -26,13 +26,18 @@ final class EngineConfig(spark: SparkSession) {
         // epoch arithmetic and the NTZ-cast normalization are pinned to
         // a UTC session (WindowTvf.epochMs), and Flink's LTZ window
         // alignment is what the TVF OFFSET argument expresses
-        // explicitly. Accepting the key silently would shift every
-        // window boundary; warn and keep the UTC timeline instead.
-        System.err.println(
-          s"table.local-time-zone = $value is not applied: the engine " +
-            "runs on a UTC session timeline; use the window-offset " +
-            "argument (e.g. TUMBLE(..., INTERVAL '-8' HOUR)) for " +
-            "timezone-aligned windows")
+        // explicitly. A non-UTC zone would silently shift every window
+        // boundary and timestamp rendering — fail loudly (the harness
+        // contract everywhere else) instead of running with a shifted
+        // timeline. UTC spellings are accepted as no-ops.
+        val utcSpellings =
+          Set("utc", "gmt", "etc/utc", "etc/gmt", "z", "+00:00", "gmt+00:00")
+        if (!utcSpellings.contains(value.trim.toLowerCase))
+          throw new IllegalArgumentException(
+            s"table.local-time-zone = $value is not supported: the " +
+              "engine runs on a UTC session timeline; use the " +
+              "window-offset argument (e.g. TUMBLE(..., INTERVAL '-8' " +
+              "HOUR)) for timezone-aligned windows")
       case "table.exec.mini-batch.allow-latency" =>
         // drives the micro-batch trigger at INSERT-compile time
         ()

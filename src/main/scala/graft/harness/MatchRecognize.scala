@@ -1180,11 +1180,63 @@ object MatchRecognize {
       val open = out.indexOf('(', m.start)
       val end = closeParen(out, open)
       val before = out.substring(0, m.start)
-      val tm = TableBeforeRe.findFirstMatchIn(before)
-        .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` — " +
-          "subquery sources are batch-only (streaming needs a " +
-          "WATERMARK-declared named table)"))
-      val table = tm.group(1)
+      // source: a named table, or a parenthesized subquery (Flink
+      // admits both). A subquery evaluates into its own temp view —
+      // streaming lineage rides through spark.sql — and its watermark
+      // resolves from the ONE watermarked table it references; the
+      // event-time column must survive the subquery's projection.
+      var lastNonWs = before.length - 1
+      while (lastNonWs >= 0 && Character.isWhitespace(before.charAt(lastNonWs)))
+        lastNonWs -= 1
+      val (table, cutStart, wmResolved) =
+        if (lastNonWs >= 0 && before.charAt(lastNonWs) == ')') {
+          val sqOpen = openForClose(before, lastNonWs)
+          var j = sqOpen - 1
+          while (j >= 0 && Character.isWhitespace(before.charAt(j))) j -= 1
+          val fromStart = j - 3
+          val isFrom = fromStart >= 0 &&
+            before.substring(fromStart, j + 1).equalsIgnoreCase("FROM") &&
+            (fromStart == 0 || {
+              val c = before.charAt(fromStart - 1)
+              !(c.isLetterOrDigit || c == '_')
+            })
+          if (!isFrom)
+            fail("expected `FROM <table> MATCH_RECOGNIZE (...)` or " +
+              "`FROM (subquery) MATCH_RECOGNIZE (...)`")
+          val inner = before.substring(sqOpen + 1, lastNonWs)
+          val wmHits = raw"[A-Za-z_][A-Za-z0-9_.]*".r
+            .findAllMatchIn(maskQuoted(inner)).map(_.matched)
+            .flatMap(watermarkOf(_)).toSeq.distinct
+          if (wmHits.isEmpty)
+            fail("streaming MATCH_RECOGNIZE subquery source references " +
+              "no WATERMARK-declared table — the pattern's event time " +
+              "must come from a watermarked source")
+          if (wmHits.size > 1)
+            fail("streaming MATCH_RECOGNIZE subquery source references " +
+              "multiple watermarked tables — one event-time lineage " +
+              "is required")
+          val df =
+            try spark.sql(inner)
+            catch { case e: Exception =>
+              fail("cannot evaluate MATCH_RECOGNIZE subquery source: " +
+                e.getMessage) }
+          if (!df.schema.fieldNames.exists(_.equalsIgnoreCase(wmHits.head._1)))
+            fail("streaming MATCH_RECOGNIZE subquery source must " +
+              s"project the event-time column ${wmHits.head._1} " +
+              "(the watermark and ORDER BY ride it)")
+          val srcView = s"graft_mr_${viewCounter.incrementAndGet()}"
+          df.createOrReplaceTempView(srcView)
+          created += srcView
+          (srcView, sqOpen, Some(wmHits.head))
+        } else {
+          val tm = TableBeforeRe.findFirstMatchIn(before)
+            .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` " +
+              "or `FROM (subquery) MATCH_RECOGNIZE (...)`"))
+          val t = tm.group(1)
+          if (t.equalsIgnoreCase("FROM"))
+            fail("expected a table name before MATCH_RECOGNIZE")
+          (t, tm.start, watermarkOf(t))
+        }
       val spec = parseSpec(out.substring(open + 1, end - 1))
       // PREV(col[, k]) in DEFINE is supported: the referenced columns
       // ride a type-gated JSON payload per row and the tracker
@@ -1194,7 +1246,7 @@ object MatchRecognize {
       if (spec.allRows)
         fail("ALL ROWS PER MATCH is not supported in streaming " +
           "MATCH_RECOGNIZE (batch only — state carries no rows)")
-      val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
+      val (wmCol, wmDelay) = wmResolved.getOrElse(fail(
         s"streaming MATCH_RECOGNIZE needs a WATERMARK declaration on $table"))
       if (spec.orderDesc.exists(identity))
         fail("streaming MATCH_RECOGNIZE must ORDER BY the event-time " +
@@ -1716,7 +1768,12 @@ object MatchRecognize {
       val view = s"graft_mr_${viewCounter.incrementAndGet()}"
       result.createOrReplaceTempView(view)
       created += view
-      out = before.substring(0, tm.start) + view + " " + out.substring(end)
+      out = before.substring(0, cutStart) + view + " " + out.substring(end)
+      // a subquery source's view is already resolved into the result
+      // view's stored plan and never appears in the rewritten text —
+      // drop it now (the caller's dropViews pass could not find it)
+      if (created.size >= 2 && created(created.size - 2) == table)
+        spark.catalog.dropTempView(table): Unit
     }
     out
     } catch {

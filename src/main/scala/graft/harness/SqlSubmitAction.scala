@@ -37,6 +37,12 @@ final class SqlSubmitAction(
   private val ShowCreateRe =
     raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.`]+)\s*;?\s*$$".r
 
+  private val CatalogDdlRe =
+    raw"(?is)^\s*(CREATE|DROP|ALTER|USE)\s+CATALOG\b".r
+
+  private val ShowCatalogsRe =
+    raw"(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$$".r
+
   private val InsertRe =
     raw"(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.`]+)\s*(?:\(([^)]*)\))?\s+(.*)$$".r
 
@@ -91,6 +97,21 @@ final class SqlSubmitAction(
 
     statements.map(s => s.copy(sql = translateNames(s.sql))).foreach { st =>
       try {
+        // Flink routes catalog DDL through the same executeSql path
+        // (SQLSubmitAction.java:76); Spark has no CREATE/USE CATALOG,
+        // and letting `USE CATALOG x` fall into the USE route dies
+        // with a raw parser error — reject by name instead, with the
+        // one-catalog reality spelled out. SHOW CATALOGS lists the
+        // single session catalog (handled below), so it stays allowed.
+        CatalogDdlRe.findFirstMatchIn(st.sql).foreach { m =>
+          throw new IllegalArgumentException(
+            s"${m.group(1).toUpperCase.replaceAll(raw"\s+", " ")} CATALOG " +
+              "is not supported: the engine runs against the single " +
+              "Spark session catalog " +
+              s"('${spark.catalog.currentCatalog()}') — drop the " +
+              "catalog statement, or qualify names with a database " +
+              "(USE db) instead")
+        }
         st.tpe match {
           case StatementType.SET =>
             config.setOperation(st.sql)
@@ -137,6 +158,18 @@ final class SqlSubmitAction(
               ShowCreateRe.findFirstMatchIn(st.sql).get.group(1))
             println(DdlParser.showCreate(
               sources.get(n).orElse(sinks.get(n)).get))
+          case StatementType.SHOW
+              if ShowCatalogsRe.findFirstIn(st.sql).isDefined =>
+            // Flink's SHOW CATALOGS, one-column; the engine has exactly
+            // the session catalog, so the listing is a single row
+            val name = spark.catalog.currentCatalog()
+            val w = math.max(name.length, "catalog name".length)
+            val bar = s"+-${"-" * w}-+"
+            println(bar)
+            println(s"| ${"catalog name".padTo(w, ' ')} |")
+            println(bar)
+            println(s"| ${name.padTo(w, ' ')} |")
+            println(bar)
           case StatementType.SHOW
               if raw"(?is)^\s*SHOW\s+(?:FULL\s+)?MODULES\s*;?\s*$$".r
                 .findFirstIn(st.sql).isDefined =>

@@ -188,7 +188,7 @@ object WindowTvf {
   def rewrite(sql: String): String = {
     // legacy HOP/SESSION group windows escalate to the TVF form first
     // (legacy TUMBLE keeps its cheaper scalar rewrite below)
-    val sql0 = legacyGroupToTvf(sql, tumbleToo = false)
+    val sql0 = legacyGroupToTvf(sql, tumbleToo = false, joinsOk = true)
     val afterTumble = TumbleRe.replaceAllIn(sql0, m => {
       val (table, tcol) = (m.group(1), m.group(2))
       val dur = millis(m, 3, "SIZE")
@@ -756,16 +756,44 @@ object WindowTvf {
     sql.length
   }
 
+  /** Whether the statement's top-level FROM is one plain table name
+    * (optionally followed by WHERE/GROUP/HAVING/ORDER/LIMIT) — the
+    * shape the TVF source splice handles directly. Missing SELECT/FROM
+    * reports true so the escalation's own named errors fire instead.
+    */
+  private def singleTableFrom(s: String): Boolean =
+    (for {
+      sel <- raw"(?is)\bSELECT\b".r.findFirstMatchIn(s).map(_.end)
+      fi <- findTopLevel(s, sel, "FROM")
+    } yield {
+      val tail = s.substring(fi)
+      (raw"(?is)\AFROM\s+($Dotted)\b").r.findFirstMatchIn(tail).exists { fm =>
+        val after = tail.substring(fm.end).dropWhile(_.isWhitespace)
+        after.isEmpty || Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT")(
+          after.takeWhile(c => c.isLetterOrDigit || c == '_').toUpperCase)
+      }
+    }).getOrElse(true)
+
   /** Escalates a legacy HOP/SESSION (and, when `tumbleToo`, TUMBLE)
     * group window to the TVF form over the statement's single-table
     * FROM, so the TVF rewrites — batch expansion or streaming native
     * windows — handle it from there. Legacy group windows compute
     * per-group-key windows, so a SESSION's sibling GROUP BY keys
-    * become the TVF PARTITION BY. Shapes beyond one group window over
-    * one plain table (joins, subqueries, expression keys) are
-    * rejected toward the explicit TVF form rather than half-rewritten.
+    * become the TVF PARTITION BY.
+    *
+    * With `joinsOk` (the batch path), a multi-table FROM is supported
+    * too: HOP explodes its covering window starts as a `LATERAL VIEW`
+    * appended to the join (qualifiers survive untouched); SESSION and
+    * TUMBLE wrap the join in a `__lgw_src` CTE and window the TVF over
+    * it — `SELECT *` flattens qualifiers there, so outer references
+    * must use bare column names (a qualified one fails loudly at
+    * analysis with Spark's unresolved-column error). Streaming keeps
+    * the single-table contract (`joinsOk = false`): stream-stream
+    * joins inside a legacy group window are rejected toward the
+    * explicit TVF form rather than half-rewritten.
     */
-  private def legacyGroupToTvf(sql: String, tumbleToo: Boolean): String = {
+  private def legacyGroupToTvf(
+      sql: String, tumbleToo: Boolean, joinsOk: Boolean = false): String = {
     final case class G(kind: String, re: scala.util.matching.Regex,
         tcol: String, ivs: String, ms: Seq[Long])
     def iv(n: String, u: String) = s"INTERVAL '$n' $u"
@@ -783,6 +811,19 @@ object WindowTvf {
             iv(m.group(2), m.group(3)), Seq(ms(m.group(2), m.group(3))))))
       .getOrElse(return sql)
 
+    // path decision on the ORIGINAL text (accessor rewrite below only
+    // renames call sites, never changes the FROM shape): a join FROM
+    // routes HOP to the inline lateral-view expansion and the others
+    // to the CTE-wrapped TVF
+    val joinPath = joinsOk && !singleTableFrom(sql)
+    val hopInline = joinPath && g.kind == "HOP"
+    val (slideMs, sizeMs) = g.kind match {
+      case "HOP" => (g.ms.head, g.ms.last)
+      case _ => (g.ms.head, g.ms.head)
+    }
+    if (hopInline) require(sizeMs % slideMs == 0,
+      s"HOP size ($sizeMs ms) must be a multiple of its slide ($slideMs ms)")
+
     // accessors first: their names contain the bare call name, and the
     // replacement shifts no GROUP BY/FROM landmarks we find afterwards.
     // Flink rejects accessors whose arguments differ from the group
@@ -796,9 +837,16 @@ object WindowTvf {
           s"legacy ${g.kind}_${m.group(1).toUpperCase} arguments do not " +
             s"match the GROUP BY ${g.kind}(${g.tcol}, ${g.ivs}) window")
       m.group(1).toUpperCase match {
-        case "START" => "window_start"
-        case "END" => "window_end"
-        case _ => "window_time"
+        // inline HOP has no window_* columns: accessors become
+        // expressions over the exploded window start __ws
+        case "START" =>
+          if (hopInline) "timestamp_millis(__ws)" else "window_start"
+        case "END" =>
+          if (hopInline) s"timestamp_millis(__ws + ${sizeMs}L)"
+          else "window_end"
+        case _ =>
+          if (hopInline) s"timestamp_millis(__ws + ${sizeMs - 1}L)"
+          else "window_time"
       }
     })
 
@@ -842,43 +890,96 @@ object WindowTvf {
     // window_time rides along: a ROWTIME accessor in the select list
     // becomes a window_time reference, which must be a grouping key
     // (functionally dependent on window_start, so grouping is unchanged)
+    val winKeyRepl =
+      if (hopInline) "__ws" else "window_start, window_end, window_time"
     val newKeys = keys
-      .map(k =>
-        if (isWinKey(k)) "window_start, window_end, window_time" else k)
+      .map(k => if (isWinKey(k)) winKeyRepl else k)
       .mkString(", ")
 
-    val selIdx = raw"(?is)\bSELECT\b".r.findFirstMatchIn(out).map(_.end)
+    val selM = raw"(?is)\bSELECT\b".r.findFirstMatchIn(out)
       .getOrElse(throw new IllegalArgumentException(
         s"legacy ${g.kind} group window statement has no SELECT"))
-    val fromIdx = findTopLevel(out, selIdx, "FROM").getOrElse(
+    val fromIdx = findTopLevel(out, selM.end, "FROM").getOrElse(
       throw new IllegalArgumentException(
         s"legacy ${g.kind} group window statement has no top-level FROM"))
-    val tail = out.substring(fromIdx)
-    val fm = (raw"(?is)\AFROM\s+($Dotted)\b").r.findFirstMatchIn(tail)
-      .getOrElse(throw new IllegalArgumentException(
-        s"legacy ${g.kind} group window requires a single-table FROM; " +
-          "use the TVF form for joins/subqueries"))
-    val afterTable = tail.substring(fm.end).dropWhile(_.isWhitespace)
-    val nextOk = afterTable.isEmpty || {
-      val w = afterTable.takeWhile(c => c.isLetterOrDigit || c == '_')
-        .toUpperCase
-      Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT")(w)
-    }
-    if (!nextOk) throw new IllegalArgumentException(
-      s"legacy ${g.kind} group window requires a single-table FROM " +
-        "(no joins, aliases, or subqueries); use the TVF form")
+    if (fromIdx >= gb.start) throw new IllegalArgumentException(
+      s"legacy ${g.kind} group window statement has no FROM before GROUP BY")
 
-    val part =
-      if (g.kind == "SESSION" && otherKeys.nonEmpty)
-        s" PARTITION BY ${otherKeys.mkString(", ")}"
-      else ""
-    val tvf =
-      s"TABLE(${g.kind}(TABLE ${fm.group(1)}$part, " +
-        s"DESCRIPTOR(${g.tcol}), ${g.ivs}))"
-    // splice back to front so earlier offsets stay valid
-    out = out.substring(0, gb.end) + " " + newKeys + out.substring(keysEnd)
-    out.substring(0, fromIdx) + s"FROM $tvf" +
-      out.substring(fromIdx + fm.end)
+    if (!joinPath) {
+      val tail = out.substring(fromIdx)
+      val fm = (raw"(?is)\AFROM\s+($Dotted)\b").r.findFirstMatchIn(tail)
+        .getOrElse(throw new IllegalArgumentException(
+          s"legacy ${g.kind} group window requires a single-table FROM; " +
+            "use the TVF form for joins/subqueries"))
+      val afterTable = tail.substring(fm.end).dropWhile(_.isWhitespace)
+      val nextOk = afterTable.isEmpty || {
+        val w = afterTable.takeWhile(c => c.isLetterOrDigit || c == '_')
+          .toUpperCase
+        Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT")(w)
+      }
+      if (!nextOk) throw new IllegalArgumentException(
+        s"legacy ${g.kind} group window requires a single-table FROM " +
+          "(no joins, aliases, or subqueries); use the TVF form")
+
+      val part =
+        if (g.kind == "SESSION" && otherKeys.nonEmpty)
+          s" PARTITION BY ${otherKeys.mkString(", ")}"
+        else ""
+      val tvf =
+        s"TABLE(${g.kind}(TABLE ${fm.group(1)}$part, " +
+          s"DESCRIPTOR(${g.tcol}), ${g.ivs}))"
+      // splice back to front so earlier offsets stay valid
+      out = out.substring(0, gb.end) + " " + newKeys + out.substring(keysEnd)
+      out.substring(0, fromIdx) + s"FROM $tvf" +
+        out.substring(fromIdx + fm.end)
+    } else if (hopInline) {
+      // covering window starts per joined row, appended to the FROM
+      // clause (lateral views attach after joins) and BEFORE any
+      // top-level WHERE; a NULL time column makes the sequence NULL,
+      // which the non-OUTER lateral view drops — the TVF's
+      // `tcol IS NOT NULL` behavior
+      val t = epochMs(g.tcol)
+      val lo = s"${floorTo(s"($t - ${sizeMs}L)", slideMs)} + ${slideMs}L"
+      val hi = floorTo(t, slideMs)
+      val lv = s" LATERAL VIEW explode(sequence($lo, $hi, ${slideMs}L)) " +
+        "__wt AS __ws "
+      val insertAt = findTopLevel(out, fromIdx, "WHERE")
+        .filter(_ < gb.start).getOrElse(gb.start)
+      // keys splice happens at/after gb.end, so insertAt stays valid
+      out = out.substring(0, gb.end) + " " + newKeys + out.substring(keysEnd)
+      out.substring(0, insertAt) + lv + out.substring(insertAt)
+    } else {
+      // SESSION / TUMBLE over a join: window the TVF over a CTE that
+      // materializes the join (and its WHERE). SELECT * flattens
+      // qualifiers, so outer references use bare names — qualified
+      // ones fail at analysis with Spark's unresolved-column error.
+      if (raw"(?is)^\s*WITH\b".r.findFirstIn(out).isDefined)
+        throw new IllegalArgumentException(
+          s"legacy ${g.kind} group window over a join cannot be " +
+            "combined with a WITH clause — use the TVF form over a " +
+            "named view")
+      def strip(k: String) = k.split('.').last
+      val srcText = out.substring(fromIdx + "FROM".length, gb.start).trim
+      if (srcText.isEmpty) throw new IllegalArgumentException(
+        s"legacy ${g.kind} group window statement has an empty FROM")
+      val part =
+        if (g.kind == "SESSION" && otherKeys.nonEmpty)
+          s" PARTITION BY ${otherKeys.map(strip).mkString(", ")}"
+        else ""
+      val tvf = s"TABLE(${g.kind}(TABLE __lgw_src$part, " +
+        s"DESCRIPTOR(${strip(g.tcol)}), ${g.ivs}))"
+      val newKeysFlat = keys.map(k =>
+        if (isWinKey(k)) winKeyRepl
+        else if (k.matches(s"^$Dotted$$")) strip(k)
+        else k).mkString(", ")
+      out = out.substring(0, gb.end) + " " + newKeysFlat + out.substring(keysEnd)
+      val replaced = out.substring(0, fromIdx) + s"FROM $tvf " +
+        out.substring(gb.start)
+      // the CTE rides the query (valid after INSERT INTO t as well)
+      replaced.substring(0, selM.start) +
+        s"WITH __lgw_src AS (SELECT * FROM $srcText) " +
+        replaced.substring(selM.start)
+    }
   }
 
   /** Legacy TUMBLE family → the same floor arithmetic as the TVF

@@ -639,9 +639,85 @@ object Events {
         col("user_id"), col("spend_cents"), col("rn"))
   }
 
+  /** Flink 1.x legacy `GROUP BY HOP(...)` with a JOIN in the FROM —
+    * the escalation's multi-table path: the covering window starts
+    * explode as a `LATERAL VIEW` appended to the join, so qualified
+    * references (`c.c_mktsegment`) survive untouched. At scale this is
+    * one equi-join shuffle plus a bounded per-row fan-out (size/slide
+    * rows) — no re-shuffle for the window, since the window start is a
+    * scalar of the row's own timestamp.
+    */
+  val q102LegacyHopJoin: Q = Q(
+    "q102_legacy_hop_join",
+    """WITH e AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS tsec
+      |  FROM events ev JOIN customer c ON ev.user_id = c.c_custkey),
+      |x AS (
+      |  SELECT seg, UNNEST(generate_series(
+      |    ((tsec - 7200) // 3600 + 1) * 3600,
+      |    (tsec // 3600) * 3600, 3600)) AS ws
+      |  FROM e)
+      |SELECT CAST(ws AS BIGINT) AS window_start_sec, seg, COUNT(*) AS n_events
+      |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("tvf_events")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("tvf_customer")
+    val flinkSql =
+      """SELECT HOP_START(ts, INTERVAL '1' HOUR, INTERVAL '2' HOURS) AS wstart,
+        |  c.c_mktsegment AS seg, COUNT(*) AS n_events
+        |FROM tvf_events ev JOIN tvf_customer c ON ev.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment, HOP(ts, INTERVAL '1' HOUR, INTERVAL '2' HOURS)""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(unix_timestamp(col("wstart")).as("window_start_sec"),
+        col("seg"), col("n_events"))
+  }
+
+  /** Flink 1.x legacy `GROUP BY SESSION(...)` with a JOIN in the FROM:
+    * the escalation wraps the join in a `__lgw_src` CTE and windows
+    * the SESSION TVF over it — sibling GROUP BY keys become the
+    * session PARTITION BY (sessions per market segment here). The
+    * islands computation partitions on the session keys, so the only
+    * shuffles are the equi-join and one window partitioning.
+    */
+  val q103LegacySessionJoin: Q = Q(
+    "q103_legacy_session_join",
+    """WITH e AS (
+      |  SELECT c.c_mktsegment AS seg, epoch_ms(ts) AS tms
+      |  FROM events ev JOIN customer c ON ev.user_id = c.c_custkey),
+      |f AS (
+      |  SELECT seg, tms,
+      |    CASE WHEN tms - LAG(tms) OVER (PARTITION BY seg ORDER BY tms)
+      |      > 1800000 THEN 1 ELSE 0 END AS nf
+      |  FROM e),
+      |s AS (
+      |  SELECT seg, tms, SUM(nf) OVER (PARTITION BY seg
+      |    ORDER BY tms, nf DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM f)
+      |SELECT seg, CAST(MIN(tms) // 1000 AS BIGINT) AS window_start_sec,
+      |  CAST((MAX(tms) + 1800000) // 1000 AS BIGINT) AS window_end_sec,
+      |  COUNT(*) AS n_events
+      |FROM s GROUP BY seg, sid""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("tvf_events")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("tvf_customer")
+    val flinkSql =
+      """SELECT c_mktsegment AS seg,
+        |  SESSION_START(ts, INTERVAL '30' MINUTE) AS wstart,
+        |  SESSION_END(ts, INTERVAL '30' MINUTE) AS wend,
+        |  COUNT(*) AS n_events
+        |FROM tvf_events ev JOIN tvf_customer c ON ev.user_id = c.c_custkey
+        |GROUP BY c_mktsegment, SESSION(ts, INTERVAL '30' MINUTE)""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(col("seg"),
+        unix_timestamp(col("wstart")).as("window_start_sec"),
+        unix_timestamp(col("wend")).as("window_end_sec"),
+        col("n_events"))
+  }
+
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
-    q62SessionTvf, q63LegacyHop, q92WindowJoin, q93WindowTopn)
+    q62SessionTvf, q63LegacyHop, q92WindowJoin, q93WindowTopn,
+    q102LegacyHopJoin, q103LegacySessionJoin)
 }

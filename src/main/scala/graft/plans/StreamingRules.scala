@@ -88,6 +88,24 @@ case class StreamingTopOneDedup() extends Rule[LogicalPlan] {
                     "streaming deduplication must ORDER BY a time " +
                       s"attribute (got ${t.simpleString}) — a value-ordered " +
                       "Top-1 needs retraction and is not supported")
+                // keep-first-ARRIVAL equals Flink's min-EVENT-time row
+                // only for in-order input; say so when the order key is
+                // a watermarked (event-time) column, where out-of-order
+                // arrival is the expected case
+                so.child match {
+                  case a: Attribute if a.metadata.contains(
+                      org.apache.spark.sql.catalyst.plans.logical
+                        .EventTimeWatermark.delayKey) =>
+                    System.err.println(
+                      "streaming deduplication ORDER BY event-time " +
+                        s"column '${a.name}': keeping the FIRST-ARRIVING " +
+                        "row per key — a later-arriving row with an " +
+                        "earlier timestamp is not retracted (Flink's " +
+                        "min-rowtime dedup differs on out-of-order " +
+                        "input); SET graft.streaming.dedup-rewrite = " +
+                        "false to reject instead")
+                  case _ =>
+                }
               }
               val keys = partitionSpec.map {
                 case attr: Attribute => attr

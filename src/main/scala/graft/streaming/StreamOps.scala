@@ -267,12 +267,16 @@ object StreamOps {
         floor(expr("graft_dot(__qnv, cnv)") * 1e6d + 0.5d).cast("long")
           .as("cos_micros"))
       .groupBy(col("qid"), col("__qt"))
-      .agg(expr(s"slice(array_sort(collect_list(" +
-        s"struct(-cos_micros as neg, corpus_id))), 1, $k)").as("top"))
+      // size-k heap aggregate: state bounded by k per (query, time)
+      // group, not by the probed inverted list's size — partitions
+      // pre-trim to k before the shuffle
+      .agg(udaf(new graft.functions.TopKByScore(k),
+        org.apache.spark.sql.Encoders.product[graft.functions.Scored])(
+        col("cos_micros"), col("corpus_id")).as("tk"))
       .select(col("qid"), col("__qt").as(eventTime),
-        posexplode(col("top")).as(Seq("pos", "t")))
+        posexplode(col("tk.top")).as(Seq("pos", "t")))
       .select(col("qid"), col(eventTime), col("t.corpus_id").as("corpus_id"),
-        (-col("t.neg")).as("cos_micros"), (col("pos") + 1L).as("rn"))
+        col("t.cos_micros").as("cos_micros"), (col("pos") + 1L).as("rn"))
   }
 
   /** Session windows with an inactivity gap (streaming analog of the

@@ -64,11 +64,17 @@ class EngineConfigSpec extends AnyFunSuite {
     val before = spark.conf.get("spark.sql.session.timeZone")
     try {
       val c = new EngineConfig(spark)
-      // NOT applied: window arithmetic is pinned to the UTC session
-      // (the window-offset argument is the supported alignment path)
-      c.setOperation("SET table.local-time-zone = Asia/Shanghai")
+      // window arithmetic is pinned to the UTC session (the
+      // window-offset argument is the supported alignment path):
+      // UTC spellings are no-ops, anything else fails loudly rather
+      // than running with silently shifted window boundaries
+      c.setOperation("SET table.local-time-zone = UTC")
+      c.setOperation("SET table.local-time-zone = Etc/UTC")
       assert(spark.conf.get("spark.sql.session.timeZone") == before)
-      assert(c.raw("table.local-time-zone") == "Asia/Shanghai")
+      assert(c.raw("table.local-time-zone") == "Etc/UTC")
+      val e = intercept[IllegalArgumentException](
+        c.setOperation("SET table.local-time-zone = Asia/Shanghai"))
+      assert(e.getMessage.contains("window-offset"))
       c.setOperation("SET table.exec.resource.default-parallelism = 7")
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
     } finally {

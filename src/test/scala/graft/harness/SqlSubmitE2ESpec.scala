@@ -371,6 +371,33 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(out.contains("'connector' = 'datagen'"), out)
   }
 
+  test("CREATE/USE CATALOG reject by name; SHOW CATALOGS lists the session catalog") {
+    val spark = SparkFixture.spark
+    def run(stmts: String): Unit = {
+      val f = java.nio.file.Files.createTempFile("graft-cat-", ".sql")
+      java.nio.file.Files.writeString(f, stmts)
+      new SqlSubmitAction(f.toString, Map.empty,
+        existingSession = Some(spark)).run()
+    }
+    // Flink admits catalog DDL through the router; Spark has no
+    // catalogs to create/use — the error must name the statement, not
+    // surface a raw parser failure from the USE/CREATE route
+    val eu = intercept[Exception](run("USE CATALOG hive_cat;"))
+    assert(eu.getMessage.contains("USE CATALOG hive_cat"), eu.getMessage)
+    assert(Option(eu.getCause).exists(
+      _.getMessage.contains("USE CATALOG is not supported")), eu.getMessage)
+    val ec = intercept[Exception](run(
+      "CREATE CATALOG c WITH ('type' = 'generic_in_memory');"))
+    assert(Option(ec.getCause).exists(
+      _.getMessage.contains("CREATE CATALOG is not supported")), ec.getMessage)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      run("SHOW CATALOGS;")
+    }
+    assert(buf.toString.contains("catalog name"), buf.toString)
+    assert(buf.toString.contains(spark.catalog.currentCatalog()), buf.toString)
+  }
+
   test("partitioned INSERT OVERWRITE replaces only the written partitions") {
     val spark = SparkFixture.spark
     val out = java.nio.file.Files.createTempDirectory("owp_e2e").toString

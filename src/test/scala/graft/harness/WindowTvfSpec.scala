@@ -503,13 +503,50 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(out.contains("GROUP BY k, window_start, window_end"))
     assert(out.contains("window_start AS ws"))
     assert(!WindowTvf.hasWindowTvf(out))
-    // joins and subqueries stay rejected toward the TVF form
+  }
+
+  test("legacy HOP over a join explodes windows inline, keeping qualifiers") {
+    val out = WindowTvf.rewrite(
+      "SELECT HOP_START(rt, INTERVAL '1' MINUTE, INTERVAL '5' MINUTE) AS ws, " +
+        "u.seg, COUNT(*) AS n " +
+        "FROM t JOIN u ON t.k = u.k WHERE u.seg <> 'x' GROUP BY " +
+        "u.seg, HOP(rt, INTERVAL '1' MINUTE, INTERVAL '5' MINUTE)")
+    // the lateral view attaches AFTER the join and BEFORE the WHERE;
+    // qualified references survive (no CTE flattening on this path)
+    assert(out.contains("JOIN u ON t.k = u.k"), out)
+    val lvIdx = out.indexOf("LATERAL VIEW explode(sequence(")
+    assert(lvIdx >= 0 && lvIdx < out.indexOf("WHERE u.seg"), out)
+    assert(out.contains("GROUP BY u.seg, __ws"), out)
+    assert(out.contains("timestamp_millis(__ws) AS ws"), out)
+    assert(!WindowTvf.hasWindowTvf(out))
+  }
+
+  test("legacy SESSION over a join windows a CTE-wrapped source") {
+    val out = WindowTvf.rewrite(
+      "SELECT u.seg, SESSION_START(rt, INTERVAL '5' MINUTE) AS ws, COUNT(*) " +
+        "FROM t JOIN u ON t.k = u.k GROUP BY " +
+        "u.seg, SESSION(rt, INTERVAL '5' MINUTE)")
+    // the join materializes in the CTE; the session islands run over
+    // it partitioned by the (flattened) sibling key
+    assert(out.startsWith("WITH __lgw_src AS (SELECT * FROM t JOIN u ON t.k = u.k)"), out)
+    assert(out.contains("PARTITION BY seg ORDER BY"), out)
+    assert(out.contains("GROUP BY seg, window_start, window_end"), out)
+    assert(!WindowTvf.hasWindowTvf(out))
+    // an existing WITH cannot take a second CTE block — named rejection
     val e = intercept[IllegalArgumentException] {
       WindowTvf.rewrite(
+        "WITH v AS (SELECT * FROM w) SELECT COUNT(*) FROM v JOIN u ON v.k = u.k " +
+          "GROUP BY SESSION(rt, INTERVAL '5' MINUTE)")
+    }
+    assert(e.getMessage.contains("WITH"), e.getMessage)
+    // streaming keeps the single-table contract (stream-stream joins
+    // inside a legacy group window are not half-rewritten)
+    val es = intercept[IllegalArgumentException] {
+      WindowTvf.rewriteStreaming(
         "SELECT COUNT(*) FROM t JOIN u ON t.k = u.k GROUP BY " +
           "SESSION(rt, INTERVAL '5' MINUTE)")
     }
-    assert(e.getMessage.contains("single-table FROM"))
+    assert(es.getMessage.contains("single-table FROM"), es.getMessage)
   }
 
   test("streaming legacy TUMBLE escalates onto native window() grouping") {

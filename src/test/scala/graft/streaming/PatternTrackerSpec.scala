@@ -548,4 +548,67 @@ class PatternTrackerSpec extends AnyFunSuite {
         s"row $r")
     }
   }
+
+  test("streaming subquery source equals batch; contract guards the lineage") {
+    import graft.harness.MatchRecognize
+    implicit val sc = spark.sqlContext
+    // rows: per key, vm walks 1 -> 2 with decoys the subquery filters
+    val rows = (0 until 40).flatMap { i =>
+      Seq((s"k${i % 5}", ts(10L + i * 10L), if (i % 2 == 0) 1L else 2L, "keep"),
+        (s"k${i % 5}", ts(15L + i * 10L), 7L, "drop"))
+    }
+    def mrTail(src: String) =
+      s"""SELECT * FROM $src MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY ts
+         |  MEASURES FIRST(A.ts) AS a_ts, LAST(B.vm) AS b_vm
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (A B)
+         |  DEFINE A AS vm = 1, B AS vm = 2)""".stripMargin
+    val subq = "(SELECT k, ts, vm FROM %s WHERE tag = 'keep')"
+    // batch oracle over the same data through the batch subquery path
+    rows.toDF("k", "ts", "vm", "tag").createOrReplaceTempView("mr_subq_b")
+    val batchSql = MatchRecognize.rewrite(spark, mrTail(subq.format("mr_subq_b")))
+    val batch = spark.sql(batchSql).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    MatchRecognize.dropViews(spark, batchSql)
+    assert(batch.nonEmpty)
+    // streaming: same subquery over a watermarked memory stream
+    val input = MemoryStream[(String, Timestamp, Long, String)]
+    input.toDF().toDF("k", "ts", "vm", "tag")
+      .createOrReplaceTempView("mr_subq_s")
+    val wm: String => Option[(String, String)] =
+      t => if (t.equalsIgnoreCase("mr_subq_s")) Some(("ts", "5 seconds")) else None
+    val streamSql = MatchRecognize.rewriteStreaming(
+      spark, mrTail(subq.format("mr_subq_s")), wm)
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_subq_out").outputMode("append").start()
+    try {
+      rows.grouped(13).foreach { chunk =>
+        input.addData(chunk: _*)
+        query.processAllAvailable()
+      }
+      input.addData(("zz", ts(99999L), 0L, "keep")) // watermark flush
+      query.processAllAvailable()
+      input.addData(("zz", ts(100999L), 0L, "keep"))
+      query.processAllAvailable()
+      val streamed = spark.table("mr_subq_out").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+    // lineage guards: a projection dropping the event-time column, and
+    // a subquery with no watermarked source, both reject by name
+    val eDrop = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        mrTail("(SELECT k, vm FROM mr_subq_s WHERE tag = 'keep')"), wm))
+    assert(eDrop.getMessage.contains("project the event-time column"),
+      eDrop.getMessage)
+    val eNoWm = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        mrTail(subq.format("mr_subq_b")), wm))
+    assert(eNoWm.getMessage.contains("no WATERMARK-declared table"),
+      eNoWm.getMessage)
+  }
 }

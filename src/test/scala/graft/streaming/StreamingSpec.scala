@@ -447,6 +447,28 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, "a")))
   }
 
+  test("dedup rewrite on a watermarked order column emits the arrival-order notice") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    // an EVENT-time (watermarked) order key: keep-first-arrival only
+    // matches Flink's min-rowtime dedup for in-order input, so the
+    // rewrite must say so on stderr when it fires
+    input.toDF().toDF("k", "t", "v").withWatermark("t", "10 seconds")
+      .createOrReplaceTempView("fl_dedup_wm")
+    val captured = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    val analyzed = try {
+      System.setErr(new java.io.PrintStream(captured, true))
+      spark.sql("""SELECT k FROM (SELECT k, ROW_NUMBER() OVER (
+        PARTITION BY k ORDER BY t ASC) AS rn FROM fl_dedup_wm)
+        WHERE rn = 1""").queryExecution.analyzed
+    } finally System.setErr(old)
+    assert(analyzed.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+    }.nonEmpty)
+    assert(captured.toString.contains("FIRST-ARRIVING"), captured.toString)
+  }
+
   test("streaming ANN lookup: top-k per query emits on watermark, equals scalar math") {
     implicit val sc = spark.sqlContext
     graft.functions.GraftFunctions.register(spark)
