@@ -140,9 +140,14 @@ final class SqlSubmitAction(
             executeInsert(spark, config, applyDynamicOptions(spark, config, st.sql))
           case StatementType.EXECUTE =>
             executeStatementSet(spark, config, st.sql)
-          case StatementType.ADD =>
-            // custom verb: ADD CUSTOMJAR x -> ADD JAR x (SURVEY §2.B)
+          case StatementType.ADD | StatementType.ADD_JAR =>
+            // custom verb: ADD CUSTOMJAR x -> ADD JAR x (SURVEY §2.B);
+            // plain ADD JAR routes to Spark unchanged
             spark.sql(st.sql.replaceFirst("(?i)^ADD\\s+CUSTOMJAR", "ADD JAR"))
+            // track the path for SHOW JARS (Flink lists session jars)
+            raw"(?is)^\s*ADD\s+(?:CUSTOM)?JAR\s+'?([^';]+?)'?\s*;?\s*$$".r
+              .findFirstMatchIn(st.sql)
+              .foreach(m => addedJars += m.group(1).trim)
           case StatementType.PRINT =>
             // no SQL analog in either engine: echo the payload
             println(st.sql.trim.stripPrefix("PRINT").stripPrefix("print").trim)
@@ -158,6 +163,18 @@ final class SqlSubmitAction(
               ShowCreateRe.findFirstMatchIn(st.sql).get.group(1))
             println(DdlParser.showCreate(
               sources.get(n).orElse(sinks.get(n)).get))
+          case StatementType.SHOW
+              if raw"(?is)^\s*SHOW\s+JARS\s*;?\s*$$".r
+                .findFirstIn(st.sql).isDefined =>
+            // Flink's SHOW JARS: the session's ADDed jar paths,
+            // one-column, in submission order (empty table when none)
+            val w = (addedJars.map(_.length) :+ "jars".length).max
+            val bar = s"+-${"-" * w}-+"
+            println(bar)
+            println(s"| ${"jars".padTo(w, ' ')} |")
+            println(bar)
+            addedJars.foreach(j => println(s"| ${j.padTo(w, ' ')} |"))
+            println(bar)
           case StatementType.SHOW
               if ShowCatalogsRe.findFirstIn(st.sql).isDefined =>
             // Flink's SHOW CATALOGS, one-column; the engine has exactly
@@ -349,6 +366,9 @@ final class SqlSubmitAction(
     * change function resolution — UNLOAD warns about that one
     * deviation instead of pretending.
     */
+  /** Session jar paths ADDed so far, in submission order (SHOW JARS). */
+  private val addedJars = mutable.Buffer.empty[String]
+
   private val loadedModules =
     scala.collection.mutable.LinkedHashSet("core")
   private val ModuleStmtRe =

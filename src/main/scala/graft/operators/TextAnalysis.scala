@@ -599,8 +599,69 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("lm_micros"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * alphabetic-word ratio, and a minimum stop-word hit count — the
+    * classic pre-training heuristic filter. Every THRESHOLD compares
+    * in pure integer arithmetic (mean len in [3,10] ⇔ `3n ≤ chars-n+1
+    * ≤ 10n`, alpha ratio ≥ 0.8 ⇔ `5·alpha ≥ 4n`, symbol ratio ≤ 0.1 ⇔
+    * `10·sym ≤ n`), so the pass flag cannot diverge on float
+    * rounding; the reported mils ratios use the house FLOOR(x·1000 +
+    * 0.5) quantization. Map-only: one projection over the scan, no
+    * shuffle.
+    */
+  val extGopherRules: Q = Q(
+    "ext_gopher_rules",
+    """WITH t AS (
+      |  SELECT doc_id, LENGTH(text) AS nc, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, nc, LEN(toks) AS nw,
+      |    LEN(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha_w,
+      |    LEN(list_filter(toks, t -> instr(t, '#') > 0 OR instr(t, '...') > 0)) AS sym_w,
+      |    LEN(list_filter(toks, t -> lower(t) IN
+      |      ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'that'))) AS stop_hits
+      |  FROM t)
+      |SELECT doc_id, nw AS n_words,
+      |  CAST(FLOOR(((nc - nw + 1) * 1.0 / nw) * 1000 + 0.5) AS BIGINT) AS mean_word_len_mils,
+      |  CAST(FLOOR((alpha_w * 1.0 / nw) * 1000 + 0.5) AS BIGINT) AS alpha_ratio_mils,
+      |  CAST(FLOOR((sym_w * 1.0 / nw) * 1000 + 0.5) AS BIGINT) AS symbol_ratio_mils,
+      |  stop_hits,
+      |  CASE WHEN nw BETWEEN 50 AND 100000
+      |        AND (nc - nw + 1) >= 3 * nw AND (nc - nw + 1) <= 10 * nw
+      |        AND 5 * alpha_w >= 4 * nw
+      |        AND 10 * sym_w <= nw
+      |        AND stop_hits >= 2
+      |    THEN 1 ELSE 0 END AS gopher_pass
+      |FROM m""".stripMargin) { (s, dir) =>
+    val nc = length(col("text"))
+    val toks = split(col("text"), " ")
+    val nw = size(toks)
+    val alphaW = size(expr("filter(split(text, ' '), t -> t rlike '[A-Za-z]')"))
+    val symW = size(expr(
+      "filter(split(text, ' '), t -> instr(t, '#') > 0 OR instr(t, '...') > 0)"))
+    val stopHits = size(expr("filter(split(text, ' '), t -> lower(t) IN " +
+      "('the', 'a', 'of', 'to', 'and', 'in', 'is', 'that'))"))
+    val adjChars = nc - nw + 1
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), nw.cast("long").as("n_words"),
+        floor(adjChars * lit(1.0d) / nw * 1000d + 0.5d).cast("long")
+          .as("mean_word_len_mils"),
+        floor(alphaW * lit(1.0d) / nw * 1000d + 0.5d).cast("long")
+          .as("alpha_ratio_mils"),
+        floor(symW * lit(1.0d) / nw * 1000d + 0.5d).cast("long")
+          .as("symbol_ratio_mils"),
+        stopHits.cast("long").as("stop_hits"),
+        when(nw.between(50, 100000) &&
+            adjChars >= nw * 3 && adjChars <= nw * 10 &&
+            alphaW * 5 >= nw * 4 &&
+            symW * 10 <= nw &&
+            stopHits >= 2, 1).otherwise(0).as("gopher_pass"))
+  }
+
   def all: Seq[Q] = Seq(
     extTokenCount, extLangId, extQualityScore, extFingerprint, extNgramTop,
     extQuantiles, extRepetition, extTokenBpe, extQualityFunnel,
-    extVocabStats, extTfidfTop, extCooccur, extBpeMerge, extLmScore)
+    extVocabStats, extTfidfTop, extCooccur, extBpeMerge, extLmScore,
+    extGopherRules)
 }

@@ -740,8 +740,52 @@ object VectorSearch {
         col("shadowed_by"))
   }
 
+  /** k-NN graph construction (top-3 neighbors for EVERY vector,
+    * LSH-block candidates): the adjacency input for graph-based
+    * semantic dedup / cluster balancing. Candidates come from the
+    * 8-bit sign-projection bucket (same blocking as ext_ann_lsh);
+    * the per-node top-k runs through the typed size-k heap aggregate
+    * ([[graft.functions.TopKByScore]]) instead of a rank window, so
+    * aggregation state is bounded by k per node — partitions pre-trim
+    * to k before the shuffle, and a hot bucket never materializes a
+    * full sorted candidate list. Per-bucket pair generation is the
+    * usual LSH-graph quadratic-within-block cost: bucket width is
+    * corpus/256 here and shrinks with more projection bits at scale.
+    */
+  val extKnnGraph: Q = Q(
+    "ext_knn_graph",
+    s"""WITH $normDuckCte,
+       |b AS (SELECT vec_id, nv, ${bucketDuck("nv")} AS bucket FROM nv),
+       |scored AS (
+       |  SELECT a.vec_id AS node_id, e.vec_id AS neighbor_id,
+       |    CAST(FLOOR((${dotDuck("a.nv", "e.nv")}) * 1000000 + 0.5) AS BIGINT) AS cos_micros
+       |  FROM b a JOIN b e ON a.bucket = e.bucket AND e.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT node_id, neighbor_id, cos_micros,
+       |    ROW_NUMBER() OVER (PARTITION BY node_id ORDER BY cos_micros DESC, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT node_id, neighbor_id, cos_micros, rn
+       |FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val topk = udaf(new graft.functions.TopKByScore(3),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val b = normalizedSpark(Tables.load(s, dir, "embeddings"))
+      .withColumn("bucket", expr(bucketSpark("nv")))
+    val e = b.select(col("vec_id").as("e_id"), col("nv").as("env"),
+      col("bucket").as("e_bucket"))
+    b.join(e, col("bucket") === col("e_bucket") && col("e_id") =!= col("vec_id"))
+      .select(col("vec_id").as("node_id"), col("e_id"),
+        floor(expr(dotSpark("nv", "env")) * 1e6d + 0.5d).cast("long")
+          .as("cos_micros"))
+      .groupBy(col("node_id"))
+      .agg(topk(col("cos_micros"), col("e_id")).as("tk"))
+      .select(col("node_id"), posexplode(col("tk.top")).as(Seq("pos", "t")))
+      .select(col("node_id"), col("t.corpus_id").as("neighbor_id"),
+        col("t.cos_micros").as("cos_micros"), (col("pos") + 1L).as("rn"))
+  }
+
   def all: Seq[Q] = Seq(
     extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf, extEmbedNeardup,
     extClusterStats, extKmeansRefine, extEmbedCluster, extEmbedQuantize,
-    extAnnProbe, extAnnRerank, extAnnPq, extSemDedup)
+    extAnnProbe, extAnnRerank, extAnnPq, extSemDedup, extKnnGraph)
 }

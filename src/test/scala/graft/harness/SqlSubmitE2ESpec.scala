@@ -371,6 +371,29 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(out.contains("'connector' = 'datagen'"), out)
   }
 
+  test("SHOW JARS lists the session's ADDed jar paths in order") {
+    val spark = SparkFixture.spark
+    // a minimal VALID zip (empty central directory) — ADD JAR opens it
+    val jar = java.nio.file.Files.createTempFile("graft-sj", ".jar")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(jar))
+    zos.putNextEntry(new java.util.zip.ZipEntry("placeholder.txt"))
+    zos.closeEntry(); zos.close()
+    val script = java.nio.file.Files.createTempFile("graft-sj", ".sql")
+    java.nio.file.Files.writeString(script,
+      s"""SET execution.runtime-mode = batch;
+         |ADD JAR '$jar';
+         |SHOW JARS;
+         |""".stripMargin)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      new SqlSubmitAction(script.toString, Map.empty,
+        existingSession = Some(spark)).run()
+    }
+    assert(buf.toString.contains("| jars"), buf.toString)
+    assert(buf.toString.contains(jar.toString), buf.toString)
+  }
+
   test("CREATE/USE CATALOG reject by name; SHOW CATALOGS lists the session catalog") {
     val spark = SparkFixture.spark
     def run(stmts: String): Unit = {
