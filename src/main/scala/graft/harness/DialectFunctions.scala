@@ -399,7 +399,6 @@ object DialectFunctions {
           val outer = if (isLeft) "OUTER " else ""
           s"$prefix LATERAL VIEW $outer$gen($arg) $alias AS ${cols.mkString(", ")}"
         } else {
-          if (isLeft) fail("LEFT JOIN UNNEST WITH ORDINALITY is not supported")
           if (cols.size < 2)
             fail("UNNEST WITH ORDINALITY needs the ordinality column in " +
               "the alias list: AS a (elem, ord)")
@@ -411,7 +410,13 @@ object DialectFunctions {
           val proj =
             if (cols.size == 2) s"col AS ${cols.head}, pos + 1 AS $ord"
             else s"key AS ${cols(0)}, value AS ${cols(1)}, pos + 1 AS $ord"
-          s"$prefix, LATERAL (SELECT $proj FROM posexplode($arg)) $alias"
+          // LEFT: a lateral correlated subquery join keeps empty/NULL
+          // collections as a left row with NULL outputs (Flink's
+          // left-unnest), and the ordinality projection rides inside
+          if (isLeft)
+            s"$prefix LEFT OUTER JOIN LATERAL " +
+              s"(SELECT $proj FROM posexplode($arg)) $alias ON TRUE"
+          else s"$prefix, LATERAL (SELECT $proj FROM posexplode($arg)) $alias"
         }
       out = spliced + out.substring(tailEnd)
     }
@@ -426,20 +431,63 @@ object DialectFunctions {
   private val BehaviorRe =
     raw"(?i)\b(ON\s+(EMPTY|ERROR)|WITH(OUT)?\s+(CONDITIONAL\s+|UNCONDITIONAL\s+)?ARRAY\s+WRAPPER)\b".r
 
+  /** Trailing JSON_VALUE behavior clause: `NULL | ERROR | DEFAULT
+    * <expr>` ON EMPTY/ERROR. The DEFAULT expression is tempered to not
+    * cross a bare `ON` keyword, so stacked clauses strip right-to-left
+    * without the non-greedy body swallowing an earlier clause.
+    */
+  private val ClauseTailRe = raw"(?is)\b(NULL|ERROR|DEFAULT\s+(?:(?!\bON\b).)+?)\s+ON\s+(EMPTY|ERROR)\s*$$".r
+
   private def rewriteJson(sql: String): String =
     mapCalls(sql, JsonOpenRe) { (m, args) =>
       val fn = m.group(1).toUpperCase
-      args.foreach { a =>
-        if (BehaviorRe.findFirstIn(MatchRecognize.maskQuoted(a)).isDefined)
-          fail(s"JSON_$fn behavior clauses (ON EMPTY / ON ERROR / ARRAY " +
-            "WRAPPER) are not supported — the default NULL behavior " +
-            "needs no clause")
-      }
       if (args.size != 2)
         fail(s"JSON_$fn takes (json, 'path'[ RETURNING type]): " +
           args.mkString(", "))
       val expr = args.head
-      val (path, returning) = args(1).trim match {
+      // JSON_VALUE behavior-clause subset: NULL ON EMPTY / NULL ON
+      // ERROR are Flink's defaults (no-ops here); DEFAULT e ON EMPTY
+      // maps to COALESCE — documented deviation: get_json_object also
+      // returns NULL for malformed JSON, so an ERROR case hits the
+      // EMPTY default too. ERROR ON anything and DEFAULT ON ERROR
+      // cannot map faithfully (Spark raises no JSON-path errors and
+      // cannot tell error from empty) — named rejections.
+      var tail = args(1)
+      var onEmptyDefault: Option[String] = None
+      if (fn == "VALUE") {
+        var go = true
+        while (go) {
+          ClauseTailRe.findFirstMatchIn(MatchRecognize.maskQuoted(tail)) match {
+            case Some(cm) =>
+              val clauseRaw = tail.substring(cm.start(1), cm.end(1)).trim
+              val cu = clauseRaw.toUpperCase
+              if (cm.group(2).equalsIgnoreCase("EMPTY")) {
+                if (cu == "ERROR")
+                  fail("JSON_VALUE ERROR ON EMPTY is not supported — " +
+                    "Spark's get_json_object raises no JSON-path errors")
+                else if (cu != "NULL")
+                  onEmptyDefault =
+                    Some(clauseRaw.substring("DEFAULT".length).trim)
+              } else if (cu != "NULL")
+                fail("JSON_VALUE " +
+                  (if (cu == "ERROR") "ERROR" else "DEFAULT ...") +
+                  " ON ERROR is not supported — get_json_object cannot " +
+                  "distinguish a JSON error from a missing path, so " +
+                  "only the default NULL ON ERROR maps faithfully")
+              tail = tail.substring(0, cm.start)
+            case None => go = false
+          }
+        }
+      }
+      if (BehaviorRe.findFirstIn(MatchRecognize.maskQuoted(tail)).isDefined ||
+          (fn != "VALUE" && BehaviorRe.findFirstIn(
+            MatchRecognize.maskQuoted(args(1))).isDefined))
+        fail(s"JSON_$fn behavior clauses (ON EMPTY / ON ERROR / ARRAY " +
+          "WRAPPER) are not supported here — the default NULL behavior " +
+          "needs no clause" +
+          (if (fn == "VALUE") "; JSON_VALUE admits NULL ON EMPTY/ERROR " +
+            "and DEFAULT <expr> ON EMPTY" else ""))
+      val (path, returning) = tail.trim match {
         case PathReturningRe(p, r) => (p, Option(r))
         case other => fail(s"JSON_$fn needs a string-literal path" +
           (if (fn == "VALUE") " (optionally RETURNING type)" else "") +
@@ -449,7 +497,9 @@ object DialectFunctions {
         fail(s"JSON_$fn does not take RETURNING")
       val call = s"get_json_object($expr, $path)"
       fn match {
-        case "VALUE" => returning.fold(call)(t => s"CAST($call AS $t)")
+        case "VALUE" =>
+          val typed = returning.fold(call)(t => s"CAST($call AS $t)")
+          onEmptyDefault.fold(typed)(d => s"COALESCE($typed, $d)")
         case "QUERY" => call
         case "EXISTS" => s"($call IS NOT NULL)"
       }

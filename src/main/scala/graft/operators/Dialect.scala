@@ -145,6 +145,58 @@ object Dialect {
         col("event_type"), col("n"))
   }
 
+  /** JSON_VALUE behavior-clause subset: spelled-out Flink defaults
+    * (NULL ON EMPTY / NULL ON ERROR) are no-ops, `DEFAULT ... ON
+    * EMPTY` coalesces — with RETURNING, the cast applies before the
+    * default, so the default's type is the declared one.
+    */
+  val q104JsonDefault: Q = Q(
+    "q104_json_default",
+    """SELECT event_type,
+      |  CAST(SUM(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1)) AS BIGINT) AS sum_k_def,
+      |  CAST(SUM(CASE WHEN COALESCE(json_extract_string(props, '$.missing'), 'absent') = 'absent'
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
+      |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("dlq_events_def")
+    val flinkSql =
+      """SELECT event_type,
+        |  SUM(JSON_VALUE(props, '$.k' RETURNING BIGINT DEFAULT -1 ON EMPTY NULL ON ERROR)) AS sum_k_def,
+        |  SUM(CASE WHEN JSON_VALUE(props, '$.missing' DEFAULT 'absent' ON EMPTY) = 'absent'
+        |      THEN 1 ELSE 0 END) AS n_defaulted
+        |FROM dlq_events_def GROUP BY event_type""".stripMargin
+    s.sql(DialectFunctions.rewrite(flinkSql))
+  }
+
+  /** LEFT JOIN UNNEST WITH ORDINALITY: empty/NULL collections keep
+    * their left row with NULL element and ordinality (Flink's
+    * left-unnest), via a correlated LEFT OUTER JOIN LATERAL over
+    * posexplode. Row-local generation — no shuffle beyond the scan.
+    */
+  val q105LeftUnnestOrd: Q = Q(
+    "q105_left_unnest_ord",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0 THEN NULL
+      |         ELSE string_split(text, ' ') END AS toks
+      |  FROM documents WHERE doc_id < 300),
+      |x AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS ord, toks[i] AS tok
+      |  FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)
+      |  UNION ALL
+      |  SELECT doc_id, NULL, NULL FROM t WHERE toks IS NULL)
+      |SELECT doc_id, ord, tok FROM x""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").createOrReplaceTempView("dlq_docs_lo")
+    val flinkSql =
+      """SELECT doc_id, CAST(ord AS BIGINT) AS ord, tok
+        |FROM (SELECT doc_id,
+        |        CASE WHEN doc_id % 10 = 0 THEN CAST(NULL AS ARRAY<STRING>)
+        |             ELSE split(text, ' ') END AS toks
+        |      FROM dlq_docs_lo WHERE doc_id < 300) t
+        |LEFT JOIN UNNEST(toks) WITH ORDINALITY AS u (tok, ord) ON TRUE""".stripMargin
+    s.sql(DialectFunctions.rewrite(flinkSql))
+      .select(col("doc_id"), col("ord"), col("tok"))
+  }
+
   def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset,
-    q100DialectFns, q101HopOffset)
+    q100DialectFns, q101HopOffset, q104JsonDefault, q105LeftUnnestOrd)
 }

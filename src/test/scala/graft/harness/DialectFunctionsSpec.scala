@@ -69,6 +69,19 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(rows == Seq(("a", 1), ("b", 2), ("c", 3)))
   }
 
+  test("LEFT JOIN UNNEST WITH ORDINALITY keeps empty-collection rows") {
+    spark.sql("CREATE OR REPLACE TEMP VIEW un_lo AS SELECT * FROM VALUES " +
+      "(1, array('a', 'b')), (2, CAST(NULL AS ARRAY<STRING>)) AS t(id, arr)")
+    val rows = run(
+      "SELECT id, tok, ord FROM un_lo LEFT JOIN " +
+        "UNNEST(arr) WITH ORDINALITY AS u (tok, ord) ON TRUE " +
+        "ORDER BY id, ord")
+      .map(r => (r.getInt(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2))))
+    assert(rows == Seq((1, Some("a"), Some(1)), (1, Some("b"), Some(2)),
+      (2, None, None)))
+  }
+
   test("map WITH ORDINALITY takes key, value, ordinality aliases") {
     val rows = run("SELECT k, v, ord FROM un_m, " +
       "UNNEST(mp) WITH ORDINALITY AS u (k, v, ord) ORDER BY ord")
@@ -84,8 +97,6 @@ class DialectFunctionsSpec extends AnyFunSuite {
     rejects("SELECT UNNEST(arr) FROM t", "join operand")
     rejects("SELECT x FROM t CROSS JOIN UNNEST(arr)", "alias with a column list")
     rejects("SELECT x FROM t LEFT JOIN UNNEST(arr) AS a (x)", "ON TRUE")
-    rejects("SELECT x FROM t LEFT JOIN UNNEST(arr) WITH ORDINALITY AS a (x, o) ON TRUE",
-      "LEFT JOIN UNNEST WITH ORDINALITY")
     rejects("SELECT x FROM t, UNNEST(arr) WITH ORDINALITY AS a (x)",
       "ordinality column")
     rejects("SELECT x FROM t, UNNEST(arr) WITH ORDINALITY AS a (a, b, c, o)",
@@ -133,14 +144,32 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(r.getString(4) == "7")
   }
 
-  test("JSON behavior clauses and non-literal paths are rejected") {
+  test("JSON behavior clauses: the JSON_VALUE subset maps, the rest rejects") {
     def rejects(sql: String, frag: String): Unit = {
       val e = intercept[IllegalArgumentException](DialectFunctions.rewrite(sql))
       assert(e.getMessage.contains(frag), e.getMessage)
     }
-    rejects("SELECT JSON_VALUE(p, '$.a' NULL ON EMPTY) FROM t", "behavior")
-    rejects("SELECT JSON_VALUE(p, '$.a' DEFAULT 0 ON ERROR) FROM t", "behavior")
+    // Flink defaults spelled out are no-ops; DEFAULT ... ON EMPTY
+    // coalesces (documented deviation: a malformed-JSON error also
+    // lands on the EMPTY default)
+    val r = spark.sql(DialectFunctions.rewrite(
+      """SELECT JSON_VALUE('{"a": 7}', '$.a' NULL ON EMPTY NULL ON ERROR) AS a,
+        |  JSON_VALUE('{"a": 7}', '$.b' DEFAULT 'none' ON EMPTY) AS b,
+        |  JSON_VALUE('{"a": 7}', '$.b' RETURNING INT DEFAULT 0 ON EMPTY NULL ON ERROR) AS c,
+        |  JSON_VALUE('{"a": 7}', '$.a' RETURNING INT DEFAULT 0 ON EMPTY) AS d""".stripMargin)).head
+    assert(r.getString(0) == "7")
+    assert(r.getString(1) == "none")
+    assert(r.getInt(2) == 0)
+    assert(r.getInt(3) == 7)
+    // unfaithful forms stay named rejections
+    rejects("SELECT JSON_VALUE(p, '$.a' DEFAULT 0 ON ERROR) FROM t",
+      "ON ERROR is not supported")
+    rejects("SELECT JSON_VALUE(p, '$.a' ERROR ON EMPTY) FROM t",
+      "ERROR ON EMPTY")
+    rejects("SELECT JSON_VALUE(p, '$.a' ERROR ON ERROR) FROM t",
+      "ON ERROR is not supported")
     rejects("SELECT JSON_QUERY(p, '$.a' WITH ARRAY WRAPPER) FROM t", "behavior")
+    rejects("SELECT JSON_QUERY(p, '$.a' NULL ON EMPTY) FROM t", "behavior")
     rejects("SELECT JSON_VALUE(p, path_col) FROM t", "string-literal path")
     rejects("SELECT JSON_EXISTS(p, '$.a' RETURNING INT) FROM t",
       "does not take RETURNING")
@@ -202,6 +231,48 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(spark.sql(DialectFunctions.rewrite(
       "SELECT SPLIT_INDEX('a-b', CAST(NULL AS STRING), 0) AS n"))
       .head.isNullAt(0))
+  }
+
+  test("property: SPLIT_INDEX equals a reference literal split for random separators") {
+    // ground truth: indexOf-based whole-separator split preserving all
+    // tokens (Flink's split_index semantics)
+    def litSplit(s: String, sep: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var last = 0
+      var j = s.indexOf(sep, last)
+      while (j >= 0) {
+        out += s.substring(last, j)
+        last = j + sep.length
+        j = s.indexOf(sep, last)
+      }
+      out += s.substring(last)
+      out.result()
+    }
+    def q(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val rnd = new scala.util.Random(3)
+    val sepAlphabet = raw"ab.\|E$$Q*+[()"
+    val cases = (1 to 40).map { _ =>
+      val sep = (0 to rnd.nextInt(2))
+        .map(_ => sepAlphabet(rnd.nextInt(sepAlphabet.length))).mkString
+      val parts = (0 to rnd.nextInt(3))
+        .map(_ => (0 until rnd.nextInt(3)).map(_ => "xy"(rnd.nextInt(2))).mkString)
+      val s = parts.mkString(sep)
+      val idx = rnd.nextInt(4) - 1
+      (s, sep, idx)
+    }
+    val exprs = cases.zipWithIndex.map { case ((s, sep, idx), i) =>
+      s"SPLIT_INDEX(${q(s)}, ${q(sep)}, $idx) AS c$i"
+    }
+    val row = spark.sql(DialectFunctions.rewrite(
+      "SELECT " + exprs.mkString(", "))).head
+    cases.zipWithIndex.foreach { case ((s, sep, idx), i) =>
+      val ref = litSplit(s, sep)
+      val expected = if (idx < 0 || idx >= ref.length) None else Some(ref(idx))
+      val got = if (row.isNullAt(i)) None else Some(row.getString(i))
+      assert(got == expected, s"case $i: s=${s} sep=${sep} idx=$idx " +
+        s"ref=$ref got=$got")
+    }
   }
 
   test("IS_DIGIT / IS_ALPHA / IS_DECIMAL are total predicates") {
