@@ -330,9 +330,15 @@ object WindowTvf {
     // would hide the time attribute from watermark tracking) escalate
     // to the TVF form and take the native-window path below
     val sql = legacyGroupToTvf(rawSql, tumbleToo = true)
-    if (AnyTvfRe.findAllMatchIn(sql).size > 1)
+    val tvfCount = AnyTvfRe.findAllMatchIn(sql).size
+    if (tvfCount == 2 &&
+        raw"(?is)\bGROUP\s+BY\b".r.findFirstIn(sql).isEmpty)
+      return rewriteStreamingWindowJoin(sql)
+    if (tvfCount > 1)
       throw new IllegalArgumentException(
-        "Streaming mode supports one window TVF per statement")
+        "Streaming mode supports one window TVF per statement " +
+          "(or two TVF relations joined on window equality with no " +
+          "GROUP BY — the window-join form)")
     if (AnyTvfRe.findFirstIn(sql).isEmpty)
       throw new IllegalArgumentException(
         "Unsupported legacy group-window form for streaming mode; " +
@@ -723,6 +729,130 @@ object WindowTvf {
   /** Index of the first depth-0 occurrence of keyword `kw` at or after
     * `from`, skipping quoted regions and parenthesized groups.
     */
+  /** Streaming window join (Flink 1.14+): `FROM TABLE(TUMBLE(...)) L
+    * JOIN TABLE(TUMBLE(...)) R ON L.window_start = R.window_start AND
+    * L.window_end = R.window_end AND <keys>` with no GROUP BY. Each
+    * TVF becomes a windowed derived table exposing
+    * window_start/window_end/window_time as plain columns plus the
+    * native window STRUCT as `__graft_w`; the ON's two window
+    * equalities (Flink's own window-join requirement) are replaced by
+    * ONE equality on the struct — the shape Spark's stream-stream
+    * join recognizes for watermark-driven state eviction (the same
+    * contract as [[graft.streaming.StreamOps.windowJoin]]). TUMBLE
+    * and HOP only: SESSION windows are per-key merges with no shared
+    * grid to equate, CUMULATE's expanding windows pair every prefix.
+    */
+  private def rewriteStreamingWindowJoin(sql: String): String = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    AnyTvfRe.findAllMatchIn(sql).foreach { c =>
+      val kind = c.group(1).toUpperCase
+      if (kind != "TUMBLE" && kind != "HOP")
+        fail(s"streaming window join supports TUMBLE and HOP windows " +
+          s"only (got $kind) — aggregate SESSION/CUMULATE windows " +
+          "separately, then join the results")
+    }
+    val tumbles = TumbleRe.findAllMatchIn(sql).toSeq.map((_, false))
+    val hops = HopRe.findAllMatchIn(sql).toSeq.map((_, true))
+    val calls = (tumbles ++ hops).sortBy(_._1.start)
+    if (calls.size != 2)
+      fail("streaming window join needs exactly two TUMBLE/HOP window " +
+        "TVF relations in supported form")
+    var out = sql
+    for ((m, isHop) <- calls.reverseIterator) {
+      val (table, tcol, winExpr) =
+        if (!isHop) {
+          val dur = millis(m, 3, "SIZE")
+          val off = normOffset(offsetMillis(m, 6), dur)
+          val tail =
+            if (off == 0L) ""
+            else s", '$dur milliseconds', '$off milliseconds'"
+          (m.group(1), m.group(2),
+            s"window(${m.group(2)}, '$dur milliseconds'$tail)")
+        } else {
+          val slide = millis(m, 3, "SLIDE")
+          val size = millis(m, 6, "SIZE")
+          require(size % slide == 0,
+            s"HOP size ($size ms) must be a multiple of its slide ($slide ms)")
+          val off = normOffset(offsetMillis(m, 9), slide)
+          val tail = if (off == 0L) "" else s", '$off milliseconds'"
+          (m.group(1), m.group(2),
+            s"window(${m.group(2)}, '$size milliseconds', " +
+              s"'$slide milliseconds'$tail)")
+        }
+      val derived =
+        s"(SELECT * EXCEPT (__w), __w.start AS window_start, " +
+          "__w.end AS window_end, " +
+          "__w.end - INTERVAL '1' MILLISECOND AS window_time, " +
+          "__w AS __graft_w " +
+          s"FROM (SELECT *, $winExpr AS __w FROM $table " +
+          s"WHERE $tcol IS NOT NULL) __gwj)"
+      out = out.substring(0, m.start) + derived + out.substring(m.end)
+    }
+    // the ON clause: Flink requires window_start AND window_end
+    // equality; both collapse into one struct equality
+    val onIdx = findTopLevel(out, 0, "ON").getOrElse(
+      fail("streaming window join needs an ON clause equating " +
+        "window_start and window_end of both sides"))
+    val condEnd = Seq("WHERE", "ORDER", "LIMIT", "HAVING")
+      .flatMap(k => findTopLevel(out, onIdx + 2, k)).sorted.headOption
+      .getOrElse(out.length)
+    val cond = out.substring(onIdx + 2, condEnd)
+    val WinEqRe = raw"(?is)^\s*([A-Za-z_]\w*)\.(window_start|window_end)\s*=\s*([A-Za-z_]\w*)\.(window_start|window_end)\s*$$".r
+    var startPair: Option[(String, String)] = None
+    var sawEndEq = false
+    val rest = splitTopLevelAnd(cond).filter { c =>
+      c match {
+        case WinEqRe(a, ca, b, cb) if ca.equalsIgnoreCase(cb) =>
+          if (ca.equalsIgnoreCase("window_start")) startPair = Some((a, b))
+          else sawEndEq = true
+          false
+        case _ => true
+      }
+    }
+    val (la, ra) = startPair.getOrElse(
+      fail("streaming window join requires `L.window_start = " +
+        "R.window_start` in the ON clause (Flink's window-join " +
+        "contract)"))
+    if (!sawEndEq)
+      fail("streaming window join requires `L.window_end = " +
+        "R.window_end` in the ON clause (Flink's window-join contract)")
+    val newCond =
+      (s"$la.__graft_w = $ra.__graft_w" +: rest.map(_.trim))
+        .mkString(" AND ")
+    out.substring(0, onIdx) + "ON " + newCond +
+      (if (condEnd < out.length) " " + out.substring(condEnd) else "")
+  }
+
+  /** Top-level AND-conjuncts of a boolean expression (quote- and
+    * paren-aware); the inverse of `mkString(" AND ")`.
+    */
+  private def splitTopLevelAnd(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.Buffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case q @ ('\'' | '"' | '`') => i = skipQuoted(s, i, q)
+        case c if c.isLetter || c == '_' =>
+          val st = i
+          while (i < s.length &&
+            (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+          val qualified = st > 0 && s.charAt(st - 1) == '.'
+          if (depth == 0 && !qualified &&
+              s.substring(st, i).equalsIgnoreCase("AND")) {
+            parts += s.substring(start, st)
+            start = i
+          }
+        case _ => i += 1
+      }
+    }
+    parts += s.substring(start)
+    parts.toSeq
+  }
+
   private def findTopLevel(sql: String, from: Int, kw: String): Option[Int] = {
     var i = from
     var depth = 0

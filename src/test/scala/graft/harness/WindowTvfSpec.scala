@@ -549,6 +549,73 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(es.getMessage.contains("single-table FROM"), es.getMessage)
   }
 
+  test("streaming window join: two TVF relations join on the window struct") {
+    // text level: both TVFs become windowed derived tables, the two
+    // window equalities collapse into one __graft_w struct equality
+    val sql =
+      """SELECT L.k, L.window_start, L.v, R.v2
+        |FROM TABLE(TUMBLE(TABLE wj_a, DESCRIPTOR(ts), INTERVAL '10' SECOND)) L
+        |JOIN TABLE(TUMBLE(TABLE wj_b, DESCRIPTOR(ts), INTERVAL '10' SECOND)) R
+        |ON L.k = R.k AND L.window_start = R.window_start
+        |  AND L.window_end = R.window_end""".stripMargin
+    val out = WindowTvf.rewriteStreaming(sql)
+    assert(!WindowTvf.hasWindowTvf(out), out)
+    assert(out.contains("L.__graft_w = R.__graft_w"), out)
+    assert(out.contains("L.k = R.k"), out)
+    assert(!raw"(?i)window_start\s*=".r.findFirstIn(out).isDefined, out)
+
+    // e2e: click/error pairing per (key, 10 s window) over two live
+    // streams — the SQL twin of StreamOps.windowJoin
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val a = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val b = MemoryStream[(Long, java.sql.Timestamp, String)]
+    a.toDF().toDF("k", "ts", "v").withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("wj_a")
+    b.toDF().toDF("k", "ts", "v2").withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("wj_b")
+    val q = spark.sql(WindowTvf.rewriteStreaming(sql)).writeStream
+      .format("memory").queryName("wj_out").outputMode("append").start()
+    try {
+      a.addData((1L, ts(3), "a1"), (1L, ts(14), "a2"), (2L, ts(4), "a3"))
+      b.addData((1L, ts(7), "b1"), (2L, ts(15), "b2"), (1L, ts(12), "b3"))
+      q.processAllAvailable()
+      a.addData((8L, ts(100), "flush")); b.addData((9L, ts(100), "flush"))
+      q.processAllAvailable()
+      val got = spark.table("wj_out")
+        .select($"k",
+          org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+          $"v", $"v2")
+        .as[(Long, Long, String, String)].collect().toSet
+      // same key, same 10 s window: (1, [0,10)) pairs a1×b1; (1, [10,20))
+      // pairs a2×b3; key 2 has its sides in different windows
+      assert(got == Set((1L, 0L, "a1", "b1"), (1L, 10L, "a2", "b3")))
+      // the struct-equality rewrite is what lets Spark evict join
+      // state by watermark: after the watermark passes the early
+      // windows, their rows must leave the state store
+      a.addData((8L, ts(200), "flush2")); b.addData((9L, ts(200), "flush2"))
+      q.processAllAvailable()
+      val held = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(held <= 4,
+        s"join state not evicted by watermark: $held rows held")
+    } finally q.stop()
+
+    // contract: both window equalities are required, SESSION rejects
+    val eMiss = intercept[IllegalArgumentException](WindowTvf.rewriteStreaming(
+      """SELECT L.k FROM TABLE(TUMBLE(TABLE wj_a, DESCRIPTOR(ts), INTERVAL '10' SECOND)) L
+        |JOIN TABLE(TUMBLE(TABLE wj_b, DESCRIPTOR(ts), INTERVAL '10' SECOND)) R
+        |ON L.k = R.k AND L.window_start = R.window_start""".stripMargin))
+    assert(eMiss.getMessage.contains("window_end"), eMiss.getMessage)
+    val eSess = intercept[IllegalArgumentException](WindowTvf.rewriteStreaming(
+      """SELECT L.k FROM TABLE(SESSION(TABLE wj_a, DESCRIPTOR(ts), INTERVAL '10' SECOND)) L
+        |JOIN TABLE(SESSION(TABLE wj_b, DESCRIPTOR(ts), INTERVAL '10' SECOND)) R
+        |ON L.window_start = R.window_start AND L.window_end = R.window_end""".stripMargin))
+    assert(eSess.getMessage.contains("TUMBLE and HOP"), eSess.getMessage)
+  }
+
   test("streaming legacy TUMBLE escalates onto native window() grouping") {
     val out = WindowTvf.rewriteStreaming(
       "SELECT TUMBLE_START(rt, INTERVAL '1' MINUTE) AS ws, COUNT(*) AS n " +
