@@ -1020,7 +1020,7 @@ object MatchRecognize {
 
   // also matches the window-TVF rewrite's graft_tvf_N views, so one
   // cleanup pass covers every dialect-rewrite temp view
-  private val MrViewRe = raw"\bgraft_(?:mr|tvf)_\d+\b".r
+  private val MrViewRe = raw"\bgraft_(?:mr|tvf|topn)_\d+\b".r
 
   /** Drops the temp views a [[rewrite]]/[[rewriteStreaming]] call left
     * behind, given the rewritten statement text. Call after the

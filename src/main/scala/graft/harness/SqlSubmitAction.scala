@@ -622,7 +622,14 @@ final class SqlSubmitAction(
         // streaming subset: per-key NFA with watermark-matured decisions
         MatchRecognize.rewriteStreaming(spark, fns, watermarkOf)
       else MatchRecognize.rewrite(spark, fns)
-    rewriteWindowTvfs(spark, config, rewriteTemporalJoins(config, mr))
+    // window top-N over a TVF: batch ranks natively (WindowGroupLimit);
+    // streaming compiles onto the N-bounded TopNTracker BEFORE the TVF
+    // pass would reject the rank-over-stream shape
+    val topn =
+      if (config.isStreaming && WindowTopN.hasStreamingShape(mr))
+        WindowTopN.rewriteStreaming(spark, mr, watermarkOf)
+      else mr
+    rewriteWindowTvfs(spark, config, rewriteTemporalJoins(config, topn))
   }
 
   private def executeSelect(

@@ -1,0 +1,212 @@
+package graft.harness
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType, StructField, StructType}
+
+/** Streaming SQL window top-N (Flink's Window Top-N): the `ROW_NUMBER()
+  * OVER (PARTITION BY window_start, window_end [, keys] ORDER BY m
+  * DESC) <= N` pattern over a TUMBLE window TVF, which Structured
+  * Streaming cannot express natively (ranking functions are rejected on
+  * streams). The statement compiles onto
+  * [[graft.streaming.TopNTracker]]: per-(key, window) state bounded to
+  * N entries, ranked rows emitted exactly once when the watermark
+  * passes the window end (append mode), registered as a temp view the
+  * statement's outer SELECT then reads. Batch keeps the native path
+  * (Catalyst's WindowGroupLimit — see q93).
+  *
+  * Subset contract (anything else fails by name, nothing leaks to
+  * Spark's parser):
+  *  - TUMBLE windows only (the tracker's window grid); HOP/SESSION
+  *    top-N needs per-window replication that streaming state does not
+  *    carry.
+  *  - `ORDER BY <numeric column> DESC` — ties break by payload text
+  *    ascending, deterministic (batch ties are plan-order).
+  *  - PARTITION BY must list window_start AND window_end; extra keys
+  *    are plain columns.
+  *  - the inner select is `SELECT *`; non-key payload columns the
+  *    outer select references must round-trip the JSON state payload
+  *    losslessly (string / integer / boolean), like the other
+  *    streaming state carriers.
+  */
+object WindowTopN {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  private val viewCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** ROW_NUMBER partitioned by window columns over a window TVF — the
+    * window top-N shape, whatever its exact spelling.
+    */
+  def hasStreamingShape(sql: String): Boolean = {
+    val masked = MatchRecognize.maskQuoted(sql)
+    raw"(?is)ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*PARTITION\s+BY[^)]*\bwindow_start\b".r
+      .findFirstIn(masked).isDefined &&
+      raw"(?is)\bTABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(".r
+        .findFirstIn(masked).isDefined
+  }
+
+  private val OuterRe =
+    raw"(?is)^\s*SELECT\s+(.*?)\s+FROM\s*\(".r
+  private val InnerRe = (
+    raw"(?is)^\s*SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*" +
+      raw"PARTITION\s+BY\s+(.+?)\s+ORDER\s+BY\s+([A-Za-z_]\w*)\s+(DESC|ASC)\s*\)\s+" +
+      raw"AS\s+([A-Za-z_]\w*)\s+FROM\s+(.*)$$").r
+  private val TumbleSrcRe = (
+    raw"(?is)^TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(\s*(?:DATA\s*=>\s*)?(?:TABLE\s+)?" +
+      raw"([A-Za-z_][\w.]*)\s*,\s*(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*([A-Za-z_]\w*)\s*\)\s*,\s*" +
+      raw"INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*\)\s*$$").r
+  private val WhereRe =
+    raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<|=)\s*(\d+)\s*$$".r
+
+  /** Compiles the statement onto the tracker and returns the spliced
+    * outer SELECT over the registered `graft_topn_<k>` view.
+    * `watermarkOf` resolves the source table's event-time declaration.
+    */
+  private val InsertPrefixRe =
+    raw"(?is)^\s*(INSERT\s+(?:INTO|OVERWRITE)\s+[\w.`]+\s*(?:\([^)]*\)\s*)?)".r
+
+  def rewriteStreaming(
+      spark: SparkSession,
+      fullSql: String,
+      watermarkOf: String => Option[(String, String)]): String = {
+    // the statement may be the INSERT carrying the top-N query; the
+    // prefix rides through untouched
+    val (insertPrefix, sql) = InsertPrefixRe.findFirstMatchIn(fullSql)
+      .map(m => (m.group(1), fullSql.substring(m.end)))
+      .getOrElse(("", fullSql))
+    val om = OuterRe.findFirstMatchIn(sql).getOrElse(fail(
+      "streaming window top-N must be `SELECT ... FROM (SELECT *, " +
+        "ROW_NUMBER() OVER (...) AS rn FROM TABLE(TUMBLE(...))) WHERE " +
+        "rn <= N`"))
+    val outSel = om.group(1)
+    val open = om.end - 1
+    val end = MatchRecognize.closeParen(sql, open)
+    val inner = sql.substring(open + 1, end - 1)
+    val after = sql.substring(end).trim
+    val im = InnerRe.findFirstMatchIn(inner).getOrElse(fail(
+      "streaming window top-N inner query must be exactly `SELECT *, " +
+        "ROW_NUMBER() OVER (PARTITION BY window_start, window_end [, " +
+        "keys] ORDER BY <column> DESC) AS rn FROM TABLE(TUMBLE(...))`"))
+    val pkeys = MatchRecognize.splitTopLevel(im.group(1)).map(_.trim)
+    val metricCol = im.group(2)
+    if (im.group(3).equalsIgnoreCase("ASC"))
+      fail("streaming window top-N supports ORDER BY ... DESC only " +
+        "(the tracker keeps the N LARGEST; negate the metric upstream " +
+        "for smallest-N)")
+    val rnAlias = im.group(4)
+    val tm = TumbleSrcRe.findFirstMatchIn(im.group(5).trim).getOrElse(fail(
+      "streaming window top-N source must be a TUMBLE window TVF over " +
+        "a named table: TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), " +
+        "INTERVAL 'n' UNIT))"))
+    if (!tm.group(1).equalsIgnoreCase("TUMBLE"))
+      fail(s"streaming window top-N supports TUMBLE windows only " +
+        s"(got ${tm.group(1).toUpperCase}) — aggregate HOP/SESSION " +
+        "windows first, then rank the aggregate")
+    val (table, tcol) = (tm.group(2), tm.group(3))
+    val windowMs = tm.group(4).toLong * WindowTvf.unitMillis(tm.group(5))
+    require(windowMs > 0, "window size must be positive")
+
+    val winCols = Set("window_start", "window_end")
+    if (!winCols.forall(w => pkeys.exists(_.equalsIgnoreCase(w))))
+      fail("streaming window top-N must PARTITION BY window_start AND " +
+        "window_end (Flink's window top-N contract)")
+    val extras = pkeys.filterNot(k =>
+      winCols(k.trim.toLowerCase) || k.trim.equalsIgnoreCase("window_time"))
+    extras.foreach { k =>
+      if (!k.matches(raw"^[A-Za-z_]\w*$$"))
+        fail(s"streaming window top-N PARTITION BY keys must be plain " +
+          s"columns, got: $k")
+    }
+    val wm = WhereRe.findFirstMatchIn(after).getOrElse(fail(
+      "streaming window top-N must end `WHERE rn <= N` (or rn = 1 / " +
+        "rn < N) with no further clauses"))
+    val outerAlias = Option(wm.group(1)).map(_.trim)
+    if (!wm.group(2).equalsIgnoreCase(rnAlias))
+      fail(s"the WHERE rank filter must use the ROW_NUMBER alias " +
+        s"$rnAlias, got ${wm.group(2)}")
+    val n = wm.group(3) match {
+      case "<" => wm.group(4).toInt - 1
+      case "=" =>
+        // rn = k for k > 1 selects ONLY rank k — not a top-N prefix
+        if (wm.group(4).toInt != 1)
+          fail("WHERE rn = k selects a single rank, not a top-N " +
+            "prefix — use rn <= k (rn = 1 is accepted as top-1)")
+        1
+      case _ => wm.group(4).toInt
+    }
+    if (n <= 0) fail("streaming window top-N needs N >= 1")
+
+    val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
+      s"streaming window top-N needs a WATERMARK declaration on $table"))
+    if (!wmCol.equalsIgnoreCase(tcol))
+      fail(s"the TUMBLE DESCRIPTOR column ($tcol) must be $table's " +
+        s"event-time column ($wmCol)")
+
+    val src = spark.table(table)
+    def fieldOf(c: String): StructField = {
+      val i = src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (i < 0) fail(s"column $c not found in $table")
+      src.schema(i)
+    }
+    val metricField = fieldOf(metricCol)
+    if (!metricField.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      fail(s"streaming window top-N ORDER BY $metricCol: numeric " +
+        s"column required (got ${metricField.dataType.simpleString})")
+    extras.foreach { k =>
+      if (!graft.streaming.StateFormat.jsonLossless(fieldOf(k).dataType))
+        fail(s"streaming window top-N PARTITION BY $k has type " +
+          s"${fieldOf(k).dataType.simpleString} — keys must round-trip " +
+          "the JSON state encoding losslessly (string / integer / " +
+          "boolean)")
+    }
+    // the payload carries every OTHER source column to the emission;
+    // non-lossless ones are dropped (and fail loudly if the outer
+    // select references them) rather than silently re-decoded wrong
+    val payloadFields = src.schema.fields.filter { f =>
+      !f.name.equalsIgnoreCase(tcol) &&
+        !f.name.equalsIgnoreCase(metricCol) &&
+        !extras.exists(_.equalsIgnoreCase(f.name)) &&
+        graft.streaming.StateFormat.jsonLossless(f.dataType)
+    }
+    val keyExpr =
+      if (extras.isEmpty) lit("{}")
+      else to_json(struct(extras.map(col): _*))
+    val payloadExpr =
+      if (payloadFields.isEmpty) lit("{}")
+      else to_json(struct(payloadFields.map(f => col(f.name)): _*))
+    import spark.implicits._
+    val events = src.select(
+      keyExpr.as("key"),
+      col(tcol).cast("timestamp").as("ts"),
+      col(metricCol).cast("double").as("metric"),
+      payloadExpr.as("payload")).as[graft.streaming.RankEvent]
+    val ranked = graft.streaming.TopNTracker.track(events, wmDelay, windowMs, n)
+
+    val keySchema = StructType(extras.map(k => fieldOf(k)))
+    val metricBack = metricField.dataType match {
+      case DoubleType | FloatType => col("metric").cast(metricField.dataType)
+      // integral/decimal metrics ranked exactly for |v| < 2^53; cast back
+      case dt => col("metric").cast(dt)
+    }
+    var out = ranked.toDF()
+    if (extras.nonEmpty)
+      out = out.withColumn("__k", from_json(col("key"), keySchema))
+    if (payloadFields.nonEmpty)
+      out = out.withColumn("__p",
+        from_json(col("payload"), StructType(payloadFields.toSeq)))
+    val decoded = out.select(
+      extras.map(k => col(s"__k.$k").as(k)) ++
+        payloadFields.map(f => col(s"__p.${f.name}").as(f.name)) ++
+        Seq(metricBack.as(metricCol),
+          timestamp_millis(col("ws")).as("window_start"),
+          timestamp_millis(col("we")).as("window_end"),
+          timestamp_millis(col("we") - 1L).as("window_time"),
+          col("rank").cast("long").as(rnAlias)): _*)
+    val view = s"graft_topn_${viewCounter.incrementAndGet()}"
+    decoded.createOrReplaceTempView(view)
+    s"${insertPrefix}SELECT $outSel FROM $view" +
+      outerAlias.fold("")(a => s" $a")
+  }
+}

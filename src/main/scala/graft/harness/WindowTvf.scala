@@ -119,7 +119,7 @@ object WindowTvf {
     AnyTvfRe.findFirstIn(sql).isDefined ||
       AnyLegacyRe.findFirstIn(sql).isDefined
 
-  private def unitMillis(unit: String): Long =
+  private[harness] def unitMillis(unit: String): Long =
     unit.toUpperCase.stripSuffix("S") match {
       case "MILLISECOND" => 1L
       case "SECOND" => 1000L

@@ -1,0 +1,96 @@
+package graft.harness
+
+import java.sql.Timestamp
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming SQL window top-N: the ROW_NUMBER-over-TVF statement
+  * compiles onto TopNTracker (N-bounded state, watermark-gated final
+  * emission), and the contract rejects every unfaithful spelling.
+  */
+class WindowTopNSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private val wm: String => Option[(String, String)] =
+    t => if (t.equalsIgnoreCase("wtn_src")) Some(("ts", "5 seconds")) else None
+
+  private def topnSql(src: String) =
+    s"""SELECT k, window_start, spend, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY window_start, window_end, k ORDER BY spend DESC) AS rn
+       |  FROM TABLE(TUMBLE(TABLE $src, DESCRIPTOR(ts), INTERVAL '1' MINUTE)))
+       |WHERE rn <= 2""".stripMargin
+
+  test("ranked rows emit once per closed window, equal to the batch ranking") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, String)]
+    input.toDF().toDF("k", "ts", "spend", "tag")
+      .createOrReplaceTempView("wtn_src")
+    val rewritten = WindowTopN.rewriteStreaming(spark, topnSql("wtn_src"), wm)
+    assert(rewritten.contains("graft_topn_"), rewritten)
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("wtn_out").outputMode("append").start()
+    try {
+      input.addData(
+        ("a", ts(10), 5L, "t5"), ("a", ts(20), 9L, "t9"),
+        ("a", ts(30), 7L, "t7"), ("b", ts(15), 3L, "t3"))
+      q.processAllAvailable()
+      assert(spark.table("wtn_out").count() == 0L) // window still open
+      input.addData(("a", ts(200), 1L, "adv"), ("b", ts(200), 1L, "adv"))
+      q.processAllAvailable()
+      val got = spark.table("wtn_out")
+        .select($"k",
+          org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+          $"spend", $"rn")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == Set(
+        ("a", 0L, 9L, 1L), ("a", 0L, 7L, 2L), ("b", 0L, 3L, 1L)))
+      // batch twin on the same data through the native TVF path
+      val batch = Seq(
+        ("a", ts(10), 5L, "t5"), ("a", ts(20), 9L, "t9"),
+        ("a", ts(30), 7L, "t7"), ("b", ts(15), 3L, "t3"))
+        .toDF("k", "ts", "spend", "tag")
+      batch.createOrReplaceTempView("wtn_batch")
+      val bgot = spark.sql(WindowTvf.rewrite(topnSql("wtn_batch")))
+        .select($"k",
+          org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+          $"spend", $"rn")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(bgot == got)
+    } finally {
+      q.stop()
+      MatchRecognize.dropViews(spark, rewritten)
+    }
+  }
+
+  test("contract rejections are named") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, String)]
+    input.toDF().toDF("k", "ts", "spend", "tag")
+      .createOrReplaceTempView("wtn_src")
+    def rejects(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        WindowTopN.rewriteStreaming(spark, sql, wm))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects(topnSql("wtn_src").replace("DESC", "ASC"), "DESC only")
+    rejects(topnSql("wtn_src").replace(
+      "TUMBLE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE",
+      "HOP(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE"),
+      "TUMBLE windows only")
+    rejects(topnSql("wtn_src").replace(
+      "PARTITION BY window_start, window_end, k",
+      "PARTITION BY window_start, k"), "window_start AND")
+    rejects(topnSql("wtn_src").replace("WHERE rn <= 2", "WHERE rn = 2"),
+      "single rank")
+    rejects(topnSql("wtn_src").replace("DESCRIPTOR(ts)", "DESCRIPTOR(tag)"),
+      "event-time column")
+    val eNoWm = intercept[IllegalArgumentException](
+      WindowTopN.rewriteStreaming(spark, topnSql("wtn_src"), _ => None))
+    assert(eNoWm.getMessage.contains("WATERMARK"), eNoWm.getMessage)
+  }
+}
