@@ -69,10 +69,11 @@ object WindowTvf {
       raw"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*($Ident)\s*\)\s*,\s*$Interval\s*,\s*$Interval" +
       raw"(?:\s*,\s*$OffsetIv)?\s*\)\s*\)").r
 
-  /** `TABLE(CUMULATE(t, DESCRIPTOR(col), step, size))` */
+  /** `TABLE(CUMULATE(t, DESCRIPTOR(col), step, size[, offset]))` */
   private val CumulateRe = (
     raw"(?is)\bTABLE\s*\(\s*CUMULATE\s*\(\s*(?:DATA\s*=>\s*)?(?:TABLE\s+)?($Dotted)\s*,\s*" +
-      raw"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*($Ident)\s*\)\s*,\s*$Interval\s*,\s*$Interval\s*\)\s*\)").r
+      raw"(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*($Ident)\s*\)\s*,\s*$Interval\s*,\s*$Interval" +
+      raw"(?:\s*,\s*$OffsetIv)?\s*\)\s*\)").r
 
   /** `TABLE(SESSION(t [PARTITION BY k1, k2], DESCRIPTOR(col), [GAP =>] INTERVAL))` */
   private val SessionTvfRe = (
@@ -229,13 +230,17 @@ object WindowTvf {
       val size = millis(m, 6, "SIZE")
       require(size % step == 0,
         s"CUMULATE size (${size} ms) must be a multiple of its step (${step} ms)")
+      val off = normOffset(offsetMillis(m, 9), size)
       val t = epochMs(tcol)
-      val span = floorTo(t, size)
+      // offset shifts the span grid: floor in offset-space, shift back
+      val tOff = if (off == 0L) t else s"($t - ${off}L)"
+      val back = if (off == 0L) "" else s" + ${off}L"
+      val span = s"${floorTo(tOff, size)}$back"
       // window ends after the row, in step increments to the span end;
       // pmod keeps the offset non-negative for pre-epoch rows too
-      val lo = s"((pmod($t, ${size}L) div ${step}L) + 1) * ${step}L"
+      val lo = s"((pmod($tOff, ${size}L) div ${step}L) + 1) * ${step}L"
       java.util.regex.Matcher.quoteReplacement(
-        s"(SELECT $table.*, ${contract(span, s"$span + __eo")} " +
+        s"(SELECT $table.*, ${contract(span, s"($span) + __eo")} " +
           s"FROM $table " +
           s"LATERAL VIEW explode(sequence($lo, ${size}L, ${step}L)) __et AS __eo " +
           s"WHERE $tcol IS NOT NULL)")
@@ -497,6 +502,7 @@ object WindowTvf {
     val sizeMs = millis(m, 6, "SIZE")
     if (sizeMs % stepMs != 0)
       fail(s"size ($sizeMs ms) must be a multiple of its step ($stepMs ms)")
+    val offMs = normOffset(offsetMillis(m, 9), sizeMs)
     val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
       s"needs a WATERMARK declaration on $table"))
     if (!tcol.equalsIgnoreCase(wmCol))
@@ -640,7 +646,7 @@ object WindowTvf {
       org.apache.spark.sql.Encoders.product[graft.streaming.CumulateEvent]
     val tracked = graft.streaming.CumulateTracker.track(
       prepared.as[graft.streaming.CumulateEvent], wmDelay, stepMs, sizeMs,
-      plans.map(_._2))
+      plans.map(_._2), offMs)
     val valsSchema = StructType(plans.zipWithIndex.map { case (p, i) =>
       StructField(s"a$i", p._3, nullable = true)
     }.toArray)

@@ -197,6 +197,38 @@ object Dialect {
       .select(col("doc_id"), col("ord"), col("tok"))
   }
 
+  /** CUMULATE with the window-offset argument: 1-hour growing steps
+    * over a 4-hour span whose grid is shifted by +10 minutes. The
+    * oracle mirrors the rewrite's offset-space floor: spans start at
+    * offset + k·size, step ends count from the offset-relative
+    * position.
+    */
+  val q106CumulateOffset: Q = Q(
+    "q106_cumulate_offset",
+    """WITH e AS (
+      |  SELECT CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS tsec
+      |  FROM events),
+      |x AS (
+      |  SELECT ((tsec - 600) // 14400) * 14400 + 600 AS span,
+      |    UNNEST(generate_series(
+      |      (((tsec - 600) % 14400) // 3600 + 1) * 3600, 14400, 3600)) AS eo
+      |  FROM e)
+      |SELECT CAST(span AS BIGINT) AS window_start_sec,
+      |  CAST(span + eo AS BIGINT) AS window_end_sec, COUNT(*) AS n_events
+      |FROM x GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("dlq_events_co")
+    val flinkSql =
+      """SELECT window_start, window_end, COUNT(*) AS n_events
+        |FROM TABLE(CUMULATE(TABLE dlq_events_co, DESCRIPTOR(ts),
+        |  INTERVAL '1' HOUR, INTERVAL '4' HOURS, INTERVAL '10' MINUTE))
+        |GROUP BY window_start, window_end""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(unix_timestamp(col("window_start")).as("window_start_sec"),
+        unix_timestamp(col("window_end")).as("window_end_sec"),
+        col("n_events"))
+  }
+
   def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset,
-    q100DialectFns, q101HopOffset, q104JsonDefault, q105LeftUnnestOrd)
+    q100DialectFns, q101HopOffset, q104JsonDefault, q105LeftUnnestOrd,
+    q106CumulateOffset)
 }

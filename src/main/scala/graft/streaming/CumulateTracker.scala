@@ -78,8 +78,11 @@ object CumulateTracker {
       watermarkDelay: String,
       stepMs: Long,
       sizeMs: Long,
-      aggKinds: Seq[Int]): Dataset[CumulateWindow] = {
+      aggKinds: Seq[Int],
+      offsetMs: Long = 0L): Dataset[CumulateWindow] = {
     require(sizeMs % stepMs == 0 && stepMs > 0, "size must be k * step")
+    require(offsetMs >= 0 && offsetMs < sizeMs,
+      "offset must be normalized into [0, size)")
     implicit val outEnc = Encoders.product[CumulateWindow]
     implicit val stateEnc = Encoders.product[CumulateState]
     implicit val keyEnc = Encoders.STRING
@@ -91,7 +94,7 @@ object CumulateTracker {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[CumulateEvent],
          state: GroupState[CumulateState]) =>
-          update(key, rows, state, stepMs, sizeMs, kinds))
+          update(key, rows, state, stepMs, sizeMs, kinds, offsetMs))
   }
 
   private def update(
@@ -100,7 +103,8 @@ object CumulateTracker {
       state: GroupState[CumulateState],
       stepMs: Long,
       sizeMs: Long,
-      kinds: Array[Int]): Iterator[CumulateWindow] = {
+      kinds: Array[Int],
+      offsetMs: Long): Iterator[CumulateWindow] = {
     val nSteps = (sizeMs / stepMs).toInt
     val prev = state.getOption.getOrElse(CumulateState(Nil, Nil))
     // (span, step, agg) -> accumulator
@@ -111,7 +115,9 @@ object CumulateTracker {
 
     rows.foreach { e =>
       val t = e.ts.getTime
-      val span = Math.floorDiv(t, sizeMs) * sizeMs
+      // the offset shifts the span grid (span starts land on
+      // offset + k*size), matching the batch rewrite's offset-space floor
+      val span = Math.floorDiv(t - offsetMs, sizeMs) * sizeMs + offsetMs
       val step = ((t - span) / stepMs).toInt
       var i = 0
       while (i < kinds.length) {

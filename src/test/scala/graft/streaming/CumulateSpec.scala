@@ -40,6 +40,32 @@ class CumulateSpec extends AnyFunSuite {
     } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
   }
 
+  test("CUMULATE offset shifts the span grid identically in batch and streaming") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 120).map { i =>
+      (s"k${i % 3}", ts(rnd.nextInt(900).toLong), rnd.nextInt(100).toLong)
+    }
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("cum_off_in")
+    val stmt =
+      """SELECT k, window_start, window_end, COUNT(*) AS n, SUM(v) AS sv
+        |FROM TABLE(CUMULATE(TABLE cum_off_in, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE, INTERVAL '30' SECOND))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq)
+    // every span start lands on the offset grid: 30 s past a 5-min mark
+    batch.foreach { r =>
+      val ws = r(1).asInstanceOf[Timestamp].getTime
+      assert(((ws - 30000L) % 300000L + 300000L) % 300000L == 0L, r)
+    }
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch.toSet)
+      assert(batch.nonEmpty)
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+  }
+
   test("windows emit incrementally as the watermark passes step ends") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long)]
