@@ -337,6 +337,76 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ON NULL"))
   }
 
+  test("property: random nested JSON constructors render Flink's raw-splice JSON") {
+    val rnd = new scala.util.Random(13)
+    // one object ON NULL mode per tree (mixed modes reject by contract)
+    def genValue(depth: Int, objNull: Boolean): (String, Option[String]) =
+      rnd.nextInt(if (depth >= 3) 3 else 5) match {
+        case 0 => val i = rnd.nextInt(100); (i.toString, Some(i.toString))
+        case 1 => val s = s"s${rnd.nextInt(10)}"; (s"'$s'", Some("\"" + s + "\""))
+        case 2 => ("CAST(NULL AS INT)", None)
+        case 3 => genObject(depth, objNull)
+        case _ => genArray(depth, objNull)
+      }
+    def genObject(depth: Int, objNull: Boolean): (String, Option[String]) = {
+      val n = 1 + rnd.nextInt(3)
+      val members = (0 until n).map { i =>
+        val (sql, js) = genValue(depth + 1, objNull)
+        (s"k$i", sql, js)
+      }
+      val mode = if (objNull) {
+        if (rnd.nextBoolean()) " NULL ON NULL" else "" // NULL is the default
+      } else " ABSENT ON NULL"
+      val sql = members.map { case (k, v, _) => s"'$k' VALUE $v" }
+        .mkString("JSON_OBJECT(", ", ", mode + ")")
+      val body = members.flatMap { case (k, _, js) =>
+        js match {
+          case Some(j) => Some("\"" + k + "\":" + j)
+          case None => if (objNull) Some("\"" + k + "\":null") else None
+        }
+      }
+      (sql, Some(body.mkString("{", ",", "}")))
+    }
+    def genArray(depth: Int, objNull: Boolean): (String, Option[String]) = {
+      // one scalar kind per array: Spark's array() COERCES mixed
+      // int/string elements (the documented heterogeneous-list
+      // deviation), and arrays of differently-shaped structs fail at
+      // analysis — both out of the faithful subset
+      val n = 1 + rnd.nextInt(3)
+      val intKind = rnd.nextBoolean()
+      val nullLit =
+        if (intKind) "CAST(NULL AS INT)" else "CAST(NULL AS STRING)"
+      val elems = (0 until n).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => (nullLit, Option.empty[String])
+          case _ =>
+            if (intKind) { val i = rnd.nextInt(100); (i.toString, Some(i.toString)) }
+            else { val s = s"s${rnd.nextInt(10)}"; (s"'$s'", Some("\"" + s + "\"")) }
+        }
+      }
+      val keepNulls = rnd.nextBoolean()
+      val mode =
+        if (keepNulls) " NULL ON NULL"
+        else if (rnd.nextBoolean()) " ABSENT ON NULL" else "" // the default
+      val sql = elems.map(_._1).mkString("JSON_ARRAY(", ", ", mode + ")")
+      val body = elems.flatMap {
+        case (_, Some(j)) => Some(j)
+        case (_, None) => if (keepNulls) Some("null") else None
+      }
+      (sql, Some(body.mkString("[", ",", "]")))
+    }
+    val cases = (1 to 25).map { _ =>
+      val objNull = rnd.nextBoolean()
+      if (rnd.nextBoolean()) genObject(0, objNull) else genArray(0, objNull)
+    }
+    val exprs = cases.zipWithIndex.map { case ((sql, _), i) => s"$sql AS c$i" }
+    val row = spark.sql(DialectFunctions.rewrite(
+      "SELECT " + exprs.mkString(", "))).head
+    cases.zipWithIndex.foreach { case ((sql, expected), i) =>
+      assert(row.getString(i) == expected.get, s"case $i: $sql")
+    }
+  }
+
   test("CURRENT_WATERMARK and legacy LATERAL TABLE reject by name") {
     val e1 = intercept[IllegalArgumentException](DialectFunctions.rewrite(
       "SELECT * FROM t WHERE ts > CURRENT_WATERMARK(ts)"))

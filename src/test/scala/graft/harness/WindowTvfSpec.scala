@@ -603,6 +603,27 @@ class WindowTvfSpec extends AnyFunSuite {
         s"join state not evicted by watermark: $held rows held")
     } finally q.stop()
 
+    // LEFT window join: the unmatched left row emits with NULLs once
+    // the watermark closes its window (Flink's outer window join)
+    val lq = spark.sql(WindowTvf.rewriteStreaming(
+      sql.replace("JOIN TABLE(TUMBLE(TABLE wj_b", "LEFT JOIN TABLE(TUMBLE(TABLE wj_b")))
+      .writeStream.format("memory").queryName("wj_left")
+      .outputMode("append").start()
+    try {
+      a.addData((5L, ts(3), "lone"), (6L, ts(4), "pair"))
+      b.addData((6L, ts(2), "pair2"))
+      lq.processAllAvailable()
+      a.addData((8L, ts(100), "fl")); b.addData((9L, ts(100), "fl"))
+      lq.processAllAvailable()
+      a.addData((8L, ts(200), "fl")); b.addData((9L, ts(200), "fl"))
+      lq.processAllAvailable()
+      val lgot = spark.table("wj_left")
+        .select($"k", $"v", $"v2").as[(Long, String, String)]
+        .collect().toSet
+      assert(lgot.contains((6L, "pair", "pair2")), lgot)
+      assert(lgot.contains((5L, "lone", null)), lgot)
+    } finally lq.stop()
+
     // contract: both window equalities are required, SESSION rejects
     val eMiss = intercept[IllegalArgumentException](WindowTvf.rewriteStreaming(
       """SELECT L.k FROM TABLE(TUMBLE(TABLE wj_a, DESCRIPTOR(ts), INTERVAL '10' SECOND)) L
