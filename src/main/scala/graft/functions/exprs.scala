@@ -353,38 +353,49 @@ object L2Normalize {
   }
 }
 
-/** `graft_lsh_bucket(array<double>)`: 8-bit sign-random-projection LSH
-  * bucket id. Plane j's i-th component is the deterministic integer
+/** `graft_lsh_bucket(array<double>[, planes])`: sign-random-projection
+  * LSH bucket id over `planes` hyperplanes (default 8 — 256 buckets).
+  * Plane j's i-th component is the deterministic integer
   * `((j*131 + i*31 + 7) mod 19) - 9`; bit j is set iff the sequential
   * dot of the vector with plane j is strictly positive. Arithmetic is
   * IEEE-identical to folding the literal plane arrays with `graft_dot`
-  * (the oracle's spelling) — this form just avoids materializing 8×64
-  * literal expression nodes in every query plan.
+  * (the oracle's spelling) — this form just avoids materializing
+  * planes×dim literal expression nodes in every query plan. The plane
+  * count is the LSH-blocking SCALE KNOB: bucket width ≈ corpus / 2^planes,
+  * so pair generation stays bounded by raising planes as the corpus
+  * grows (each extra bit halves expected bucket occupancy and quarters
+  * within-bucket pair count).
   */
-case class LshBucket(child: Expression)
-    extends UnaryExpression {
+case class LshBucket(child: Expression, planes: Expression)
+    extends BinaryExpression {
+  override def left: Expression = child
+  override def right: Expression = planes
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"
 
-  override protected def nullSafeEval(input: Any): Any =
-    LshBucket.bucket(input.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(input: Any, p: Any): Any =
+    LshBucket.bucket(input.asInstanceOf[ArrayData], p.asInstanceOf[Int])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.LshBucket.bucket($c);")
+    nullSafeCodeGen(ctx, ev, (c, p) =>
+      s"${ev.value} = graft.functions.LshBucket.bucket($c, $p);")
 
-  override protected def withNewChildInternal(newChild: Expression): LshBucket =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshBucket =
+    copy(child = newLeft, planes = newRight)
 }
 
 object LshBucket {
   val Planes = 8
   def w(j: Int, i: Int): Int = ((j * 131 + i * 31 + 7) % 19) - 9
-  def bucket(v: ArrayData): Long = {
+  def bucket(v: ArrayData, planes: Int): Long = {
+    if (planes < 1 || planes > 63)
+      throw new IllegalArgumentException(
+        s"graft_lsh_bucket: planes must be in [1, 63], got $planes")
     val n = v.numElements()
     var sig = 0L
     var j = 0
-    while (j < Planes) {
+    while (j < planes) {
       var acc = 0.0d
       var i = 0
       while (i < n) {
@@ -474,7 +485,9 @@ object GraftFunctions {
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
     "graft_l2_normalize" -> (es => L2Normalize(es.head)),
     "graft_doc_pairs" -> (es => DocPairs(es.head)),
-    "graft_lsh_bucket" -> (es => LshBucket(es.head)))
+    "graft_lsh_bucket" -> (es => LshBucket(es.head,
+      if (es.size > 1) es(1)
+      else org.apache.spark.sql.catalyst.expressions.Literal(LshBucket.Planes))))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
