@@ -370,6 +370,19 @@ case class LshBucket(child: Expression, planes: Expression)
     extends BinaryExpression {
   override def left: Expression = child
   override def right: Expression = planes
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        if (planes.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_lsh_bucket planes must be an INT literal, got " +
+            planes.dataType.simpleString)
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_lsh_bucket expects array<double>, got ${other.simpleString}")
+    }
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_lsh_bucket"
 
@@ -485,9 +498,13 @@ object GraftFunctions {
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
     "graft_l2_normalize" -> (es => L2Normalize(es.head)),
     "graft_doc_pairs" -> (es => DocPairs(es.head)),
-    "graft_lsh_bucket" -> (es => LshBucket(es.head,
-      if (es.size > 1) es(1)
-      else org.apache.spark.sql.catalyst.expressions.Literal(LshBucket.Planes))))
+    "graft_lsh_bucket" -> { es =>
+      if (es.size > 2) throw new IllegalArgumentException(
+        s"graft_lsh_bucket takes (vector[, planes]), got ${es.size} arguments")
+      LshBucket(es.head,
+        if (es.size > 1) es(1)
+        else org.apache.spark.sql.catalyst.expressions.Literal(LshBucket.Planes))
+    })
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

@@ -1204,17 +1204,26 @@ object MatchRecognize {
             fail("expected `FROM <table> MATCH_RECOGNIZE (...)` or " +
               "`FROM (subquery) MATCH_RECOGNIZE (...)`")
           val inner = before.substring(sqOpen + 1, lastNonWs)
-          val wmHits = raw"[A-Za-z_][A-Za-z0-9_.]*".r
-            .findAllMatchIn(maskQuoted(inner)).map(_.matched)
-            .flatMap(watermarkOf(_)).toSeq.distinct
-          if (wmHits.isEmpty)
+          // event-time lineage: watermarked tables in relation position
+          // (after FROM/JOIN — a column merely NAMED like a watermarked
+          // table must not count). Dedup by TABLE NAME, not resolved
+          // (column, delay): two tables with identical watermark
+          // spellings are still two lineages
+          val wmTables = raw"(?is)\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)".r
+            .findAllMatchIn(maskQuoted(inner))
+            .map(_.group(1).toLowerCase).toSeq.distinct
+            .filter(t => watermarkOf(t).isDefined)
+          if (wmTables.isEmpty)
             fail("streaming MATCH_RECOGNIZE subquery source references " +
               "no WATERMARK-declared table — the pattern's event time " +
-              "must come from a watermarked source")
-          if (wmHits.size > 1)
+              "must come from a watermarked source (comma-joins are " +
+              "not scanned; spell joins with JOIN)")
+          if (wmTables.size > 1)
             fail("streaming MATCH_RECOGNIZE subquery source references " +
-              "multiple watermarked tables — one event-time lineage " +
+              "multiple watermarked tables (" +
+              wmTables.mkString(", ") + ") — one event-time lineage " +
               "is required")
+          val wmHits = Seq(watermarkOf(wmTables.head).get)
           val df =
             try spark.sql(inner)
             catch { case e: Exception =>

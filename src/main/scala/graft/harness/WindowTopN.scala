@@ -185,11 +185,9 @@ object WindowTopN {
     val ranked = graft.streaming.TopNTracker.track(events, wmDelay, windowMs, n)
 
     val keySchema = StructType(extras.map(k => fieldOf(k)))
-    val metricBack = metricField.dataType match {
-      case DoubleType | FloatType => col("metric").cast(metricField.dataType)
-      // integral/decimal metrics ranked exactly for |v| < 2^53; cast back
-      case dt => col("metric").cast(dt)
-    }
+    // integral/decimal metrics rank exactly for |v| < 2^53 through the
+    // tracker's double slot; cast back to the source column's type
+    val metricBack = col("metric").cast(metricField.dataType)
     var out = ranked.toDF()
     if (extras.nonEmpty)
       out = out.withColumn("__k", from_json(col("key"), keySchema))

@@ -338,7 +338,7 @@ object WindowTvf {
     val tvfCount = AnyTvfRe.findAllMatchIn(sql).size
     if (tvfCount == 2 &&
         raw"(?is)\bGROUP\s+BY\b".r.findFirstIn(sql).isEmpty)
-      return rewriteStreamingWindowJoin(sql)
+      return rewriteStreamingWindowJoin(sql, spark, watermarkOf)
     if (tvfCount > 1)
       throw new IllegalArgumentException(
         "Streaming mode supports one window TVF per statement " +
@@ -748,8 +748,32 @@ object WindowTvf {
     * and HOP only: SESSION windows are per-key merges with no shared
     * grid to equate, CUMULATE's expanding windows pair every prefix.
     */
-  private def rewriteStreamingWindowJoin(sql: String): String = {
+  private def rewriteStreamingWindowJoin(
+      sql: String,
+      spark: org.apache.spark.sql.SparkSession,
+      watermarkOf: String => Option[(String, String)]): String = {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    // both sides must carry an event-time watermark on the DESCRIPTOR
+    // column — a DDL declaration or one already applied to the relation
+    // (withWatermark metadata). Without it, inner-join state never
+    // evicts and the outer forms die with Spark's raw error. Text-only
+    // invocations (no session) cannot check and skip — the CLI path
+    // always passes the session.
+    def requireWatermark(table: String, tcol: String): Unit = {
+      if (spark == null) return
+      val declared = watermarkOf(table).exists(_._1.equalsIgnoreCase(tcol))
+      lazy val metaOk =
+        try spark.table(table).schema.fields.exists(f =>
+          f.name.equalsIgnoreCase(tcol) && f.metadata.contains(
+            org.apache.spark.sql.catalyst.plans.logical
+              .EventTimeWatermark.delayKey))
+        catch { case _: Exception => false }
+      if (!declared && !metaOk)
+        fail(s"streaming window join: $table needs a WATERMARK " +
+          s"declaration on its DESCRIPTOR column $tcol — without it " +
+          "the join state never evicts (inner) or the query fails at " +
+          "start (outer)")
+    }
     AnyTvfRe.findAllMatchIn(sql).foreach { c =>
       val kind = c.group(1).toUpperCase
       if (kind != "TUMBLE" && kind != "HOP")
@@ -765,6 +789,7 @@ object WindowTvf {
         "TVF relations in supported form")
     var out = sql
     for ((m, isHop) <- calls.reverseIterator) {
+      requireWatermark(m.group(1), m.group(2))
       val (table, tcol, winExpr) =
         if (!isHop) {
           val dur = millis(m, 3, "SIZE")

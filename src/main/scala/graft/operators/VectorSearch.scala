@@ -766,11 +766,21 @@ object VectorSearch {
        |  FROM scored)
        |SELECT node_id, neighbor_id, cos_micros, rn
        |FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    knnGraphEdges(s, dir, graft.functions.LshBucket.Planes, 3)
+  }
+
+  /** The k-NN-graph pipeline extKnnGraph registers (oracle at the
+    * 8-plane / k=3 defaults); planes and k are parameterized so scale
+    * dry-runs (`KnnPlanesDryRun`) measure EXACTLY the shipped shape.
+    */
+  private[graft] def knnGraphEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      planes: Int, k: Int): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val topk = udaf(new graft.functions.TopKByScore(3),
+    val topk = udaf(new graft.functions.TopKByScore(k),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     val b = normalizedSpark(Tables.load(s, dir, "embeddings"))
-      .withColumn("bucket", expr(bucketSpark("nv")))
+      .withColumn("bucket", expr(s"graft_lsh_bucket(nv, $planes)"))
     val e = b.select(col("vec_id").as("e_id"), col("nv").as("env"),
       col("bucket").as("e_bucket"))
     b.join(e, col("bucket") === col("e_bucket") && col("e_id") =!= col("vec_id"))

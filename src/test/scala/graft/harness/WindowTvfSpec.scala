@@ -397,13 +397,21 @@ class WindowTvfSpec extends AnyFunSuite {
   }
 
   test("unrecognized TVF forms are rejected, never leaked") {
-    // CUMULATE's offset form: recognized as a TVF, refused clearly
-    val offset = intercept[IllegalArgumentException] {
+    // CUMULATE's offset form is supported (round 11): spans land on
+    // the shifted grid, nothing leaks to the parser
+    val cum = WindowTvf.rewrite(
+      "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), " +
+        "INTERVAL '10' MINUTE, INTERVAL '1' HOUR, INTERVAL '15' MINUTE))")
+    assert(!WindowTvf.hasWindowTvf(cum), cum)
+    assert(cum.contains("- 900000L") && cum.contains("+ 900000L"), cum)
+    // a SESSION with a trailing extra interval is NOT a supported
+    // shape: recognized as a TVF, refused clearly
+    val sess = intercept[IllegalArgumentException] {
       WindowTvf.rewrite(
-        "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), " +
-          "INTERVAL '10' MINUTE, INTERVAL '1' HOUR, INTERVAL '15' MINUTE))")
+        "SELECT * FROM TABLE(SESSION(TABLE t, DESCRIPTOR(ts), " +
+          "INTERVAL '5' MINUTE, INTERVAL '1' MINUTE))")
     }
-    assert(offset.getMessage.contains("Unsupported CUMULATE"))
+    assert(sess.getMessage.toLowerCase.contains("session"), sess.getMessage)
   }
 
   test("TUMBLE offset shifts the window grid, negative offsets included") {
