@@ -561,8 +561,54 @@ object Dedup {
         col("shared_mils"))
   }
 
+  /** Source-overlap matrix: pairwise shingle Jaccard between SOURCES
+    * (which corpora duplicate each other — the mixing/dedup planning
+    * view, a corpus-level complement of the per-doc near-dup ops).
+    * Postings are (source, shingle) DISTINCT rows — at most #sources
+    * per shingle — so the shingle-keyed self-join is bounded by source
+    * count, not corpus size, and the per-source totals broadcast.
+    */
+  val extSourceOverlap: Q = Q(
+    "ext_source_overlap",
+    s"""WITH t AS (
+       |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |p AS (
+       |  SELECT DISTINCT source, gh
+       |  FROM (SELECT source, UNNEST($gramHashesDuck) AS gh FROM t)),
+       |tot AS (SELECT source, COUNT(*) AS n FROM p GROUP BY source),
+       |ix AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    COUNT(*) AS shared_shingles
+       |  FROM p a JOIN p b ON a.gh = b.gh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, shared_shingles,
+       |  CAST(FLOOR((shared_shingles * 1.0 /
+       |    (ta.n + tb.n - shared_shingles)) * 1000 + 0.5) AS BIGINT) AS jaccard_mils
+       |FROM ix
+       |JOIN tot ta ON ta.source = ix.source_a
+       |JOIN tot tb ON tb.source = ix.source_b""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val p = Tables.load(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), explode(expr(gramHashesSpark)).as("gh"))
+      .distinct()
+    val tot = p.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val b = p.select(col("source").as("source_b"), col("gh").as("gh_b"))
+    p.join(b, col("gh") === col("gh_b") && col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .join(broadcast(tot.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n", "na")), "source_a")
+      .join(broadcast(tot.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n", "nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_shingles"),
+        floor(col("shared_shingles") * lit(1.0d) /
+          (col("na") + col("nb") - col("shared_shingles")) * 1000d + 0.5d)
+          .cast("long").as("jaccard_mils"))
+  }
+
   def all: Seq[Q] = Seq(
     extDedupExact, extJaccardPairs, extDedupCluster,
     extMinhashSig, extMinhashPairs, extMinhashEst, extSimhash,
-    extSimhashPairs, extSpanDedup)
+    extSimhashPairs, extSpanDedup, extSourceOverlap)
 }
