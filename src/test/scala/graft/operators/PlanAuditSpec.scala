@@ -182,4 +182,50 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
+
+  test("knn graph pre-trims to k map-side: partial heap aggregate before the exchange") {
+    // the size-k heap aggregate must run in partial mode below the
+    // node_id exchange — at scale only k rows per node per partition
+    // cross the shuffle, never a hot bucket's full candidate list
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("ext_knn_graph")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkbyscore"),
+      s"no map-side heap partial aggregation in:\n$plan")
+  }
+
+  test("legacy HOP join keeps one equi-join and a row-local window fan-out") {
+    // the inline lateral-view escalation must not add a second join or
+    // shuffle for the window: one equi-join on user/custkey, the
+    // covering windows explode per joined row
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("q102_legacy_hop_join")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("Generate explode(sequence"),
+      s"no row-local window fan-out in:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"hop join degenerated to a nested loop:\n$plan")
+  }
+
+  test("source overlap broadcasts the per-source totals") {
+    // the totals table is #sources rows — both joins onto it must be
+    // broadcasts, never a shuffle of the pair matrix
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("ext_source_overlap")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source totals not broadcast in:\n$plan")
+  }
+
+  test("left unnest-with-ordinality plans as an outer generate, no join") {
+    // the LEFT JOIN LATERAL posexplode form must collapse to an OUTER
+    // Generate — a correlated-join execution would re-scan per row
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("q105_left_unnest_ord")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("Generate") && plan.contains("posexplode"),
+      s"no generate in:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"left unnest degenerated to a join:\n$plan")
+  }
 }
