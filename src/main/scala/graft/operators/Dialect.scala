@@ -228,7 +228,33 @@ object Dialect {
         col("n_events"))
   }
 
+  /** Window aggregation with GROUPING SETS (Flink 1.15+): the TVF
+    * expansion leaves GROUP BY untouched, so Catalyst's native
+    * grouping-sets machinery applies directly — per-window per-type
+    * counts plus per-window rollup rows in one aggregation pass.
+    */
+  val q107WindowGroupingSets: Q = Q(
+    "q107_window_grouping_sets",
+    """WITH w AS (
+      |  SELECT event_type,
+      |    ((CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT)) // 3600) * 3600 AS ws
+      |  FROM events WHERE ts IS NOT NULL)
+      |SELECT CAST(ws AS BIGINT) AS window_start_sec,
+      |  COALESCE(event_type, '<all>') AS etype, COUNT(*) AS n
+      |FROM w
+      |GROUP BY GROUPING SETS ((ws, event_type), (ws))""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("dlq_events_gs")
+    val flinkSql =
+      """SELECT window_start, COALESCE(event_type, '<all>') AS etype,
+        |  COUNT(*) AS n
+        |FROM TABLE(TUMBLE(TABLE dlq_events_gs, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        |GROUP BY GROUPING SETS ((window_start, event_type), (window_start))""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql))
+      .select(unix_timestamp(col("window_start")).as("window_start_sec"),
+        col("etype"), col("n"))
+  }
+
   def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset,
     q100DialectFns, q101HopOffset, q104JsonDefault, q105LeftUnnestOrd,
-    q106CumulateOffset)
+    q106CumulateOffset, q107WindowGroupingSets)
 }

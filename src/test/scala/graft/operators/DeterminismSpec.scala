@@ -22,7 +22,10 @@ class DeterminismSpec extends AnyFunSuite {
     "ext_tfidf_top",     // double division + per-doc ranked ties
     "ext_simhash_pairs", // DISTINCT over a bucketed self-join
     "q56_temporal",      // window-derived validity intervals
-    "q62_session_tvf")   // gaps-and-islands with tied-timestamp breaks
+    "q62_session_tvf",   // gaps-and-islands with tied-timestamp breaks
+    "ext_knn_graph",     // heap aggregate merge order under ties
+    "ext_source_overlap", // distinct-postings self-join + broadcast totals
+    "q103_legacy_session_join") // islands over a join, 5-key partitions
 
   private def rows(name: String, partitions: Int): Seq[String] = {
     val spark = SparkFixture.spark
