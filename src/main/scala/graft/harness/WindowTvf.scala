@@ -414,6 +414,15 @@ object WindowTvf {
         "aggregation (exactly one GROUP BY)")
     val gb = gbs.head
     val (keysText, keysEnd) = scanListClause(out, gb.end)
+    // multi-set grouping multiplies each window's state and emits
+    // super-aggregate rows Spark's streaming aggregation cannot retract
+    // — batch runs these natively through the TVF expansion
+    if (raw"(?is)\b(GROUPING\s+SETS|CUBE|ROLLUP)\b".r
+        .findFirstIn(keysText).isDefined)
+      throw new IllegalArgumentException(
+        "GROUPING SETS / CUBE / ROLLUP over a window TVF is batch-only " +
+          "(SET execution.runtime-mode = batch); streaming supports the " +
+          "plain window_start/window_end grouping")
     val keys = splitTopLevel(keysText)
     val winCols = Set("window_start", "window_end", "window_time")
     val kept = keys.filterNot(k => winCols(k.trim.toLowerCase))

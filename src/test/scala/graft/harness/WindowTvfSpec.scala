@@ -234,6 +234,14 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("GROUPING SETS over a window TVF is batch-only, rejected by name") {
+    val e = intercept[IllegalArgumentException](WindowTvf.rewriteStreaming(
+      "SELECT window_start, k, COUNT(*) AS n FROM " +
+        "TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR)) " +
+        "GROUP BY GROUPING SETS ((window_start, k), (window_start))"))
+    assert(e.getMessage.contains("batch-only"), e.getMessage)
+  }
+
   test("streaming TVF contract violations are rejected explicitly") {
     val cum = intercept[IllegalArgumentException] {
       WindowTvf.rewriteStreaming(
