@@ -40,6 +40,9 @@ final class SqlSubmitAction(
   private val CatalogDdlRe =
     raw"(?is)^\s*(CREATE|DROP|ALTER|USE)\s+CATALOG\b".r
 
+  private val DescTableRe =
+    raw"(?is)^\s*DESC(?:RIBE)?\s+(?:EXTENDED\s+)?([\w.`]+)\s*;?\s*$$".r
+
   private val ShowCatalogsRe =
     raw"(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$$".r
 
@@ -162,6 +165,18 @@ final class SqlSubmitAction(
             val n = DdlParser.unquoteName(
               ShowCreateRe.findFirstMatchIn(st.sql).get.group(1))
             println(DdlParser.showCreate(
+              sources.get(n).orElse(sinks.get(n)).get))
+          case StatementType.DESC | StatementType.DESCRIBE
+              if DescTableRe.findFirstMatchIn(st.sql)
+                .map(m => DdlParser.unquoteName(m.group(1)))
+                .exists(n => sources.contains(n) || sinks.contains(n)) =>
+            // DESCRIBE on a connector table: Spark's native form shows
+            // the temp view's resolved columns but loses the Flink
+            // surface (computed exprs, METADATA bindings, watermark,
+            // PRIMARY KEY) — render Flink's table from the registry
+            val n = DdlParser.unquoteName(
+              DescTableRe.findFirstMatchIn(st.sql).get.group(1))
+            println(DdlParser.describe(
               sources.get(n).orElse(sinks.get(n)).get))
           case StatementType.SHOW
               if raw"(?is)^\s*SHOW\s+JARS\s*;?\s*$$".r

@@ -257,6 +257,50 @@ object DdlParser {
     * the bare column), and options sort by key (the parsed map does
     * not keep declaration order).
     */
+  /** Flink's `DESCRIBE <table>` rendering for a connector table:
+    * name / type / null / key / extras / watermark columns, with
+    * computed columns carrying their expression (their inferred type
+    * lives in the session, not the registry) and metadata columns
+    * their METADATA binding.
+    */
+  def describe(t: TableDef): String = {
+    val wmText = t.watermark.map { wm =>
+      val DelayRe = raw"^([\d.]+)\s+(\w+?)s?$$".r
+      wm.delay match {
+        case DelayRe(n, _) if n.toDouble == 0 => s"`${wm.column}`"
+        case DelayRe(n, u) =>
+          s"`${wm.column}` - INTERVAL '$n' ${u.toUpperCase}"
+        case _ => s"`${wm.column}`"
+      }
+    }
+    def keyOf(name: String): String =
+      if (t.primaryKey.exists(_.equalsIgnoreCase(name)))
+        s"PRI(${t.primaryKey.mkString(", ")})"
+      else ""
+    def wmOf(name: String): String =
+      if (t.watermark.exists(_.column.equalsIgnoreCase(name)))
+        wmText.getOrElse("")
+      else ""
+    val rows =
+      t.columns.map(c => Seq(c.name, c.dataType.toUpperCase, "TRUE",
+        keyOf(c.name), "", wmOf(c.name))) ++
+        t.metadataColumns.map { m =>
+          val virt = if (m.virtual) " VIRTUAL" else ""
+          Seq(m.name, m.dataType.toUpperCase, "TRUE", "",
+            s"METADATA FROM '${m.key}'$virt", "")
+        } ++
+        t.computedColumns.map(c =>
+          Seq(c.name, "", "TRUE", "", s"AS ${c.expr}", wmOf(c.name)))
+    val header = Seq("name", "type", "null", "key", "extras", "watermark")
+    val widths = header.indices.map(i =>
+      (rows.map(_(i).length) :+ header(i).length).max)
+    def line(cells: Seq[String]): String =
+      cells.zip(widths).map { case (c, w) => s" ${c.padTo(w, ' ')} " }
+        .mkString("|", "|", "|")
+    val bar = widths.map(w => "-" * (w + 2)).mkString("+", "+", "+")
+    (Seq(bar, line(header), bar) ++ rows.map(line) :+ bar).mkString("\n")
+  }
+
   def showCreate(t: TableDef): String = {
     val entries = Vector.newBuilder[String]
     t.columns.foreach(c => entries += s"  `${c.name}` ${c.dataType}")

@@ -371,6 +371,31 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(out.contains("'connector' = 'datagen'"), out)
   }
 
+  test("DESCRIBE on a connector table renders the Flink surface from the registry") {
+    val spark = SparkFixture.spark
+    val script = java.nio.file.Files.createTempFile("graft-desc", ".sql")
+    java.nio.file.Files.writeString(script,
+      """SET execution.runtime-mode = batch;
+        |create table desc_t (id bigint, doubled as id * 2,
+        |  row_time as TO_TIMESTAMP_LTZ(id * 1000),
+        |  watermark for row_time as row_time - interval '5' second,
+        |  primary key (id) not enforced)
+        |with ('connector' = 'datagen', 'number-of-rows' = '1');
+        |describe desc_t;
+        |desc desc_t;
+        |""".stripMargin)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      new SqlSubmitAction(script.toString, Map.empty,
+        existingSession = Some(spark)).run()
+    }
+    val out = buf.toString
+    assert(out.contains("| name"), out)
+    assert(out.contains("PRI(id)"), out)
+    assert(out.contains("AS id * 2"), out)
+    assert(out.contains("`row_time` - INTERVAL '5' SECOND"), out)
+  }
+
   test("SHOW JARS lists the session's ADDed jar paths in order") {
     val spark = SparkFixture.spark
     // a minimal VALID zip (empty central directory) — ADD JAR opens it
