@@ -234,6 +234,46 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("soak: window-join state is bounded by open windows, not key history") {
+    // 50k keys pair once in an early window; after the watermark
+    // passes it, the join must hold only the flush keys' state —
+    // eviction scales with OPEN windows, not lifetime keys
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val nKeys = 50000
+    val a = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val b = MemoryStream[(Long, java.sql.Timestamp, String)]
+    a.toDF().toDF("k", "ts", "v").withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("wjs_a")
+    b.toDF().toDF("k", "ts", "v2").withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("wjs_b")
+    val q = spark.sql(WindowTvf.rewriteStreaming(
+      """SELECT L.k, L.v, R.v2
+        |FROM TABLE(TUMBLE(TABLE wjs_a, DESCRIPTOR(ts), INTERVAL '10' SECOND)) L
+        |JOIN TABLE(TUMBLE(TABLE wjs_b, DESCRIPTOR(ts), INTERVAL '10' SECOND)) R
+        |ON L.k = R.k AND L.window_start = R.window_start
+        |  AND L.window_end = R.window_end""".stripMargin)).writeStream
+      .format("memory").queryName("wjs_out").outputMode("append").start()
+    try {
+      a.addData((0L until nKeys).map(i => (i, ts(3), s"a$i")): _*)
+      b.addData((0L until nKeys).map(i => (i, ts(4), s"b$i")): _*)
+      q.processAllAvailable()
+      assert(spark.table("wjs_out").count() === nKeys.toLong)
+      // advance the watermark well past the [0,10) window, twice (the
+      // eviction uses the PREVIOUS batch's watermark)
+      a.addData((-1L, ts(100), "f")); b.addData((-2L, ts(100), "f"))
+      q.processAllAvailable()
+      a.addData((-1L, ts(200), "f")); b.addData((-2L, ts(200), "f"))
+      q.processAllAvailable()
+      val held = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(held <= 4L,
+        s"watermark passed but $held join-state rows remain of $nKeys")
+    } finally q.stop()
+  }
+
   test("GROUPING SETS over a window TVF is batch-only, rejected by name") {
     val e = intercept[IllegalArgumentException](WindowTvf.rewriteStreaming(
       "SELECT window_start, k, COUNT(*) AS n FROM " +
