@@ -57,6 +57,15 @@ final class EngineConfig(spark: SparkSession) {
     }
   }
 
+  /** Flink's `RESET [key]`: drop the key from the engine snapshot (all
+    * keys for the bare form) so compile-time consumers see defaults
+    * again — the Spark-side conf reset rides the native statement.
+    */
+  def reset(key: Option[String]): Unit = key match {
+    case Some(k) => raw.remove(k.trim): Unit
+    case None => raw.clear()
+  }
+
   /** Parse + apply a full `SET k = v` statement
     * (`SQLSubmitAction.java:85-99`): strip the SET keyword, split on the
     * first `=`, trim both sides.

@@ -118,6 +118,16 @@ final class SqlSubmitAction(
         st.tpe match {
           case StatementType.SET =>
             config.setOperation(st.sql)
+          case StatementType.RESET =>
+            // Flink reverts the key (all keys, bare form) to defaults:
+            // clear the engine snapshot; Spark's native RESET runs for
+            // spark.* keys and the bare form only (its parser rejects
+            // Flink's hyphenated key names)
+            val resetKey = raw"(?is)^\s*RESET\s+(\S+?)\s*;?\s*$$".r
+              .findFirstMatchIn(st.sql).map(_.group(1))
+            config.reset(resetKey)
+            if (resetKey.forall(_.startsWith("spark.")))
+              spark.sql(st.sql): Unit
           case StatementType.SELECT =>
             executeSelect(spark, config, applyDynamicOptions(spark, config, st.sql))
           case StatementType.UNSET | StatementType.EXPLAIN | StatementType.UNKNOWN =>

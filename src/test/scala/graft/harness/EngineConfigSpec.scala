@@ -59,6 +59,19 @@ class EngineConfigSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.streaming.approx-distinct")
   }
 
+  test("RESET drops engine keys: keyed form one key, bare form all") {
+    val spark = graft.SparkFixture.spark
+    val c = new EngineConfig(spark)
+    c.setOperation("SET execution.runtime-mode = batch")
+    c.setOperation("SET pipeline.name = p1")
+    assert(!c.isStreaming)
+    c.reset(Some("execution.runtime-mode"))
+    assert(c.isStreaming) // back to Flink's streaming default
+    assert(c.raw.contains("pipeline.name"))
+    c.reset(None)
+    assert(c.raw.isEmpty)
+  }
+
   test("table.local-time-zone keeps the UTC timeline; parallelism key maps") {
     val spark = graft.SparkFixture.spark
     val before = spark.conf.get("spark.sql.session.timeZone")
