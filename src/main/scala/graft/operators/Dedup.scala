@@ -607,8 +607,97 @@ object Dedup {
           .cast("long").as("jaccard_mils"))
   }
 
+  /** Banded-LSH candidate RECALL against exact Jaccard truth, per
+    * threshold: of the pairs whose true Jaccard ≥ t, how many share at
+    * least one MinHash band (and would be found by the banded join).
+    * This measures the band/row configuration the near-dup operators
+    * run with — the knob-verification query an operator of record
+    * needs before anyone trusts its candidate generation at scale.
+    * Truth comes from the inverted shingle index (pairs above any
+    * positive threshold share a shingle by definition), so no
+    * all-pairs pass anywhere.
+    */
+  val extBandRecall: Q = Q(
+    "ext_band_recall", {
+      val bandList = (0 until Bands)
+        .map(bd => bandKeyDuck(i => s"sig_$i", bd)).mkString("[", ", ", "]")
+      s"""WITH $canonNoLangDuck,
+         |s AS (${sigSelectDuck("canon")}),
+         |banded AS (
+         |  SELECT doc_id, UNNEST($bandList) AS band_key FROM s),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |g AS (
+         |  SELECT doc_id, $gramHashesDuck AS ghs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM canon)),
+         |post AS (SELECT doc_id, LEN(ghs) AS sz, UNNEST(ghs) AS gh FROM g),
+         |ex AS (
+         |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b,
+         |    pa.sz AS sz_a, pb.sz AS sz_b, COUNT(*) AS inter
+         |  FROM post pa JOIN post pb
+         |    ON pb.gh = pa.gh AND pa.doc_id < pb.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |truth AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(FLOOR(inter * 1000.0 / (sz_a + sz_b - inter) + 0.5) AS BIGINT) AS jac_mils
+         |  FROM ex),
+         |th AS (SELECT UNNEST([500, 600, 700, 800, 900]) AS t_mils),
+         |j AS (
+         |  SELECT th.t_mils, t.doc_a, t.doc_b,
+         |    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+         |  FROM th JOIN truth t ON t.jac_mils >= th.t_mils
+         |  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+         |SELECT CAST(t_mils AS BIGINT) AS t_mils, COUNT(*) AS n_true,
+         |  CAST(SUM(caught) AS BIGINT) AS n_caught,
+         |  CAST(FLOOR(SUM(caught) * 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS recall_mils
+         |FROM j GROUP BY t_mils""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.registerAll(s, dir)
+    val bandArray = (0 until Bands)
+      .map(bd => bandKeySpark(i => s"sig_$i", bd)).mkString("array(", ", ", ")")
+    s.sql(
+      s"""WITH $canonNoLangSpark,
+         |s AS (${sigSelectSpark("canon")}),
+         |banded AS (
+         |  SELECT doc_id, band_key
+         |  FROM s LATERAL VIEW explode($bandArray) t AS band_key),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |g AS (
+         |  SELECT doc_id, $gramHashesSpark AS ghs
+         |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM canon)),
+         |post AS (
+         |  SELECT doc_id, size(ghs) AS sz, gh
+         |  FROM g LATERAL VIEW explode(ghs) t AS gh),
+         |ex AS (
+         |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b,
+         |    pa.sz AS sz_a, pb.sz AS sz_b, COUNT(*) AS inter
+         |  FROM post pa JOIN post pb
+         |    ON pb.gh = pa.gh AND pa.doc_id < pb.doc_id
+         |  GROUP BY 1, 2, 3, 4),
+         |truth AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(FLOOR(inter * 1000.0 / (sz_a + sz_b - inter) + 0.5) AS BIGINT) AS jac_mils
+         |  FROM ex),
+         |th AS (SELECT explode(array(500, 600, 700, 800, 900)) AS t_mils),
+         |j AS (
+         |  SELECT th.t_mils, t.doc_a, t.doc_b,
+         |    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+         |  FROM th JOIN truth t ON t.jac_mils >= th.t_mils
+         |  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+         |SELECT CAST(t_mils AS BIGINT) AS t_mils, COUNT(*) AS n_true,
+         |  CAST(SUM(caught) AS BIGINT) AS n_caught,
+         |  CAST(FLOOR(SUM(caught) * 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS recall_mils
+         |FROM j GROUP BY t_mils""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     extDedupExact, extJaccardPairs, extDedupCluster,
     extMinhashSig, extMinhashPairs, extMinhashEst, extSimhash,
-    extSimhashPairs, extSpanDedup, extSourceOverlap)
+    extSimhashPairs, extSpanDedup, extSourceOverlap, extBandRecall)
 }
