@@ -17,9 +17,10 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, StructField, StructTyp
   *
   * Subset contract (anything else fails by name, nothing leaks to
   * Spark's parser):
-  *  - TUMBLE windows only (the tracker's window grid); HOP/SESSION
-  *    top-N needs per-window replication that streaming state does not
-  *    carry.
+  *  - TUMBLE and HOP windows (HOP fans each row to its covering
+  *    windows with the window start pinned per copy — the event time,
+  *    and therefore the watermark and late-row drop, is untouched);
+  *    SESSION/CUMULATE top-N stays out (no fixed per-row window set).
   *  - `ORDER BY <numeric column> DESC` — ties break by payload text
   *    ascending, deterministic (batch ties are plan-order).
   *  - PARTITION BY must list window_start AND window_end; extra keys
@@ -53,10 +54,10 @@ object WindowTopN {
     raw"(?is)^\s*SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*" +
       raw"PARTITION\s+BY\s+(.+?)\s+ORDER\s+BY\s+([A-Za-z_]\w*)\s+(DESC|ASC)\s*\)\s+" +
       raw"AS\s+([A-Za-z_]\w*)\s+FROM\s+(.*)$$").r
-  private val TumbleSrcRe = (
+  private val WinSrcRe = (
     raw"(?is)^TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(\s*(?:DATA\s*=>\s*)?(?:TABLE\s+)?" +
       raw"([A-Za-z_][\w.]*)\s*,\s*(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*([A-Za-z_]\w*)\s*\)\s*,\s*" +
-      raw"INTERVAL\s+'(\d+)'\s+(\w+)\s*\)\s*\)\s*$$").r
+      raw"INTERVAL\s+'(\d+)'\s+(\w+)(?:\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+))?\s*\)\s*\)\s*$$").r
   private val WhereRe =
     raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<|=)\s*(\d+)\s*$$".r
 
@@ -96,17 +97,33 @@ object WindowTopN {
         "(the tracker keeps the N LARGEST; negate the metric upstream " +
         "for smallest-N)")
     val rnAlias = im.group(4)
-    val tm = TumbleSrcRe.findFirstMatchIn(im.group(5).trim).getOrElse(fail(
-      "streaming window top-N source must be a TUMBLE window TVF over " +
-        "a named table: TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), " +
-        "INTERVAL 'n' UNIT))"))
-    if (!tm.group(1).equalsIgnoreCase("TUMBLE"))
-      fail(s"streaming window top-N supports TUMBLE windows only " +
-        s"(got ${tm.group(1).toUpperCase}) — aggregate HOP/SESSION " +
-        "windows first, then rank the aggregate")
+    val tm = WinSrcRe.findFirstMatchIn(im.group(5).trim).getOrElse(fail(
+      "streaming window top-N source must be a TUMBLE or HOP window " +
+        "TVF over a named table: TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), " +
+        "INTERVAL 'n' UNIT)) / TABLE(HOP(..., slide, size))"))
+    val kind = tm.group(1).toUpperCase
+    if (kind != "TUMBLE" && kind != "HOP")
+      fail(s"streaming window top-N supports TUMBLE and HOP windows " +
+        s"only (got $kind) — aggregate SESSION/CUMULATE windows first, " +
+        "then rank the aggregate")
+    val isHop = kind == "HOP"
+    if (!isHop && tm.group(6) != null)
+      fail("streaming window top-N TUMBLE takes one interval " +
+        "(window-offset top-N is not in the subset)")
+    if (isHop && tm.group(6) == null)
+      fail("streaming window top-N HOP takes (slide, size) intervals")
     val (table, tcol) = (tm.group(2), tm.group(3))
-    val windowMs = tm.group(4).toLong * WindowTvf.unitMillis(tm.group(5))
-    require(windowMs > 0, "window size must be positive")
+    val iv1 = tm.group(4).toLong * WindowTvf.unitMillis(tm.group(5))
+    // windowMs is the EMISSION size (we = ws + windowMs): the full
+    // window for both kinds; HOP's slide drives only the fan-out grid
+    val (slideMs, windowMs) =
+      if (isHop) {
+        val size = tm.group(6).toLong * WindowTvf.unitMillis(tm.group(7))
+        require(size % iv1 == 0,
+          s"HOP size ($size ms) must be a multiple of its slide ($iv1 ms)")
+        (iv1, size)
+      } else (iv1, iv1)
+    require(windowMs > 0 && slideMs > 0, "window size must be positive")
 
     val winCols = Set("window_start", "window_end")
     if (!winCols.forall(w => pkeys.exists(_.equalsIgnoreCase(w))))
@@ -177,11 +194,28 @@ object WindowTopN {
       if (payloadFields.isEmpty) lit("{}")
       else to_json(struct(payloadFields.map(f => col(f.name)): _*))
     import spark.implicits._
-    val events = src.select(
-      keyExpr.as("key"),
-      col(tcol).cast("timestamp").as("ts"),
-      col(metricCol).cast("double").as("metric"),
-      payloadExpr.as("payload")).as[graft.streaming.RankEvent]
+    // HOP fans each row out to its covering window starts (the same
+    // covering-starts arithmetic as the batch TVF expansion); the
+    // event TIME stays the original timestamp, so the watermark and
+    // late-row drop are identical to the tumbling path — the tracker
+    // just pins the pre-assigned window instead of deriving it
+    def floorMs(e: String, u: Long): String = s"($e - pmod($e, ${u}L))"
+    val tms = s"unix_millis(cast($tcol as timestamp))"
+    val wsCol =
+      if (!isHop) lit(Long.MinValue)
+      else explode(expr(
+        s"sequence(${floorMs(s"($tms - ${windowMs}L)", slideMs)} + " +
+          s"${slideMs}L, ${floorMs(tms, slideMs)}, ${slideMs}L)"))
+    val events = src
+      // a NULL event time has no window (the batch form filters it);
+      // it would NPE in the tracker's time slot
+      .filter(col(tcol).isNotNull)
+      .select(
+        keyExpr.as("key"),
+        col(tcol).cast("timestamp").as("ts"),
+        col(metricCol).cast("double").as("metric"),
+        payloadExpr.as("payload"),
+        wsCol.as("ws")).as[graft.streaming.RankEvent]
     val ranked = graft.streaming.TopNTracker.track(events, wmDelay, windowMs, n)
 
     val keySchema = StructType(extras.map(k => fieldOf(k)))

@@ -6,11 +6,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import scala.collection.mutable.ArrayBuffer
 
 /** One input row for streaming window top-N: the partition key, the
-  * event time (assigns the tumbling window), the ranking metric, and
-  * an opaque payload carried through to the emission.
+  * event time (assigns the tumbling window when `ws` is negative), the
+  * ranking metric, and an opaque payload carried through to the
+  * emission. A `ws` other than the Long.MinValue sentinel pre-assigns
+  * the window start (negative starts are legitimate pre-epoch
+  * windows) — the HOP form fans each row out to its covering windows
+  * upstream and pins each copy's window here, while the event time
+  * stays the ORIGINAL timestamp so the watermark (and late-row drop)
+  * is unchanged.
   */
 final case class RankEvent(key: String, ts: Timestamp, metric: Double,
-    payload: String)
+    payload: String, ws: Long = Long.MinValue)
 
 /** One retained candidate inside a window's top-N buffer. */
 final case class RankEntry(metric: Double, payload: String)
@@ -86,7 +92,9 @@ object TopNTracker {
     state.getOption.foreach(_.windows.foreach { case (ws, es) => buffers(ws) = es })
 
     rows.foreach { e =>
-      val ws = Math.floorDiv(e.ts.getTime, windowMs) * windowMs
+      val ws =
+        if (e.ws != Long.MinValue) e.ws
+        else Math.floorDiv(e.ts.getTime, windowMs) * windowMs
       val entry = RankEntry(e.metric, e.payload)
       // insert-sorted, trimmed: the buffer never exceeds N entries
       val merged = (entry :: buffers.getOrElse(ws, Nil))

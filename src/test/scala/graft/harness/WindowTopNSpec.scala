@@ -67,6 +67,51 @@ class WindowTopNSpec extends AnyFunSuite {
     }
   }
 
+  test("HOP top-N fans rows to covering windows, equal to the batch ranking") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, String)]
+    input.toDF().toDF("k", "ts", "spend", "tag")
+      .createOrReplaceTempView("wtn_hop_s")
+    def hopSql(src: String) =
+      s"""SELECT k, window_start, spend, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY window_start, window_end, k ORDER BY spend DESC) AS rn
+         |  FROM TABLE(HOP(TABLE $src, DESCRIPTOR(ts),
+         |    INTERVAL '30' SECOND, INTERVAL '1' MINUTE)))
+         |WHERE rn <= 2""".stripMargin
+    val wmh: String => Option[(String, String)] =
+      t => if (t.equalsIgnoreCase("wtn_hop_s")) Some(("ts", "5 seconds"))
+           else None
+    val rows = Seq(
+      ("a", ts(10), 5L, "t5"), ("a", ts(40), 9L, "t9"),
+      ("a", ts(50), 7L, "t7"), ("b", ts(45), 3L, "t3"))
+    // batch twin through the native TVF expansion
+    rows.toDF("k", "ts", "spend", "tag").createOrReplaceTempView("wtn_hop_b")
+    val batch = spark.sql(WindowTvf.rewrite(hopSql("wtn_hop_b")))
+      .select($"k",
+        org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+        $"spend", $"rn")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    val q = spark.sql(WindowTopN.rewriteStreaming(spark, hopSql("wtn_hop_s"), wmh))
+      .writeStream.format("memory").queryName("wtn_hop_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("z", ts(500), 1L, "adv"))
+      q.processAllAvailable()
+      input.addData(("z", ts(900), 1L, "adv2"))
+      q.processAllAvailable()
+      val got = spark.table("wtn_hop_out").filter("k <> 'z'")
+        .select($"k",
+          org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+          $"spend", $"rn")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == batch, s"got $got\nbatch $batch")
+    } finally q.stop()
+  }
+
   test("checkpoint restart recovers ranked-window state exactly once") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long, String)]
@@ -116,8 +161,12 @@ class WindowTopNSpec extends AnyFunSuite {
     rejects(topnSql("wtn_src").replace("DESC", "ASC"), "DESC only")
     rejects(topnSql("wtn_src").replace(
       "TUMBLE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE",
+      "SESSION(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE"),
+      "TUMBLE and HOP windows")
+    rejects(topnSql("wtn_src").replace(
+      "TUMBLE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE",
       "HOP(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE"),
-      "TUMBLE windows only")
+      "(slide, size)")
     rejects(topnSql("wtn_src").replace(
       "PARTITION BY window_start, window_end, k",
       "PARTITION BY window_start, k"), "window_start AND")
