@@ -57,7 +57,9 @@ object WindowTopN {
   private val WinSrcRe = (
     raw"(?is)^TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(\s*(?:DATA\s*=>\s*)?(?:TABLE\s+)?" +
       raw"([A-Za-z_][\w.]*)\s*,\s*(?:TIMECOL\s*=>\s*)?DESCRIPTOR\s*\(\s*([A-Za-z_]\w*)\s*\)\s*,\s*" +
-      raw"INTERVAL\s+'(\d+)'\s+(\w+)(?:\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+))?\s*\)\s*\)\s*$$").r
+      raw"INTERVAL\s+'(\d+)'\s+(\w+)" +
+      raw"(?:\s*,\s*(?:OFFSET\s*=>\s*)?INTERVAL\s+'(-?\d+)'\s+(\w+))?" +
+      raw"(?:\s*,\s*(?:OFFSET\s*=>\s*)?INTERVAL\s+'(-?\d+)'\s+(\w+))?\s*\)\s*\)\s*$$").r
   private val WhereRe =
     raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<|=)\s*(\d+)\s*$$".r
 
@@ -107,22 +109,30 @@ object WindowTopN {
         s"only (got $kind) — aggregate SESSION/CUMULATE windows first, " +
         "then rank the aggregate")
     val isHop = kind == "HOP"
-    if (!isHop && tm.group(6) != null)
-      fail("streaming window top-N TUMBLE takes one interval " +
-        "(window-offset top-N is not in the subset)")
     if (isHop && tm.group(6) == null)
-      fail("streaming window top-N HOP takes (slide, size) intervals")
+      fail("streaming window top-N HOP takes (slide, size[, offset]) " +
+        "intervals")
+    if (!isHop && tm.group(8) != null)
+      fail("streaming window top-N TUMBLE takes (size[, offset]) " +
+        "intervals")
     val (table, tcol) = (tm.group(2), tm.group(3))
-    val iv1 = tm.group(4).toLong * WindowTvf.unitMillis(tm.group(5))
+    def ivMs(g: Int): Long =
+      tm.group(g).toLong * WindowTvf.unitMillis(tm.group(g + 1))
+    val iv1 = ivMs(4)
     // windowMs is the EMISSION size (we = ws + windowMs): the full
-    // window for both kinds; HOP's slide drives only the fan-out grid
-    val (slideMs, windowMs) =
+    // window for both kinds; HOP's slide drives only the fan-out grid,
+    // and the offset shifts that grid (normalized into [0, grid unit))
+    val (slideMs, windowMs, offMs) =
       if (isHop) {
-        val size = tm.group(6).toLong * WindowTvf.unitMillis(tm.group(7))
+        val size = ivMs(6)
         require(size % iv1 == 0,
           s"HOP size ($size ms) must be a multiple of its slide ($iv1 ms)")
-        (iv1, size)
-      } else (iv1, iv1)
+        val off = Option(tm.group(8)).map(_ => ivMs(8)).getOrElse(0L)
+        (iv1, size, ((off % iv1) + iv1) % iv1)
+      } else {
+        val off = Option(tm.group(6)).map(_ => ivMs(6)).getOrElse(0L)
+        (iv1, iv1, ((off % iv1) + iv1) % iv1)
+      }
     require(windowMs > 0 && slideMs > 0, "window size must be positive")
 
     val winCols = Set("window_start", "window_end")
@@ -200,12 +210,16 @@ object WindowTopN {
     // late-row drop are identical to the tumbling path — the tracker
     // just pins the pre-assigned window instead of deriving it
     def floorMs(e: String, u: Long): String = s"($e - pmod($e, ${u}L))"
-    val tms = s"unix_millis(cast($tcol as timestamp))"
+    val tms =
+      if (offMs == 0L) s"unix_millis(cast($tcol as timestamp))"
+      else s"(unix_millis(cast($tcol as timestamp)) - ${offMs}L)"
+    val back = if (offMs == 0L) "" else s" + ${offMs}L"
     val wsCol =
-      if (!isHop) lit(Long.MinValue)
+      if (!isHop && offMs == 0L) lit(Long.MinValue)
+      else if (!isHop) expr(s"${floorMs(tms, windowMs)}$back")
       else explode(expr(
         s"sequence(${floorMs(s"($tms - ${windowMs}L)", slideMs)} + " +
-          s"${slideMs}L, ${floorMs(tms, slideMs)}, ${slideMs}L)"))
+          s"${slideMs}L$back, ${floorMs(tms, slideMs)}$back, ${slideMs}L)"))
     val events = src
       // a NULL event time has no window (the batch form filters it);
       // it would NPE in the tracker's time slot

@@ -112,6 +112,49 @@ class WindowTopNSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TUMBLE top-N with a window offset matches the batch offset grid") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, String)]
+    input.toDF().toDF("k", "ts", "spend", "tag")
+      .createOrReplaceTempView("wtn_off_s")
+    def offSql(src: String) =
+      s"""SELECT k, window_start, spend, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY window_start, window_end, k ORDER BY spend DESC) AS rn
+         |  FROM TABLE(TUMBLE(TABLE $src, DESCRIPTOR(ts),
+         |    INTERVAL '1' MINUTE, INTERVAL '15' SECOND)))
+         |WHERE rn <= 1""".stripMargin
+    val wmo: String => Option[(String, String)] =
+      t => if (t.equalsIgnoreCase("wtn_off_s")) Some(("ts", "5 seconds"))
+           else None
+    // rows straddle the :15 grid boundary: 10 s is in [-45,15), 20 s
+    // and 40 s share [15,75)
+    val rows = Seq(
+      ("a", ts(10), 5L, "x"), ("a", ts(20), 9L, "x"), ("a", ts(40), 7L, "x"))
+    rows.toDF("k", "ts", "spend", "tag").createOrReplaceTempView("wtn_off_b")
+    val batch = spark.sql(WindowTvf.rewrite(offSql("wtn_off_b")))
+      .select($"k",
+        org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+        $"spend", $"rn")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(batch == Set(("a", -45L, 5L, 1L), ("a", 15L, 9L, 1L)))
+    val q = spark.sql(WindowTopN.rewriteStreaming(spark, offSql("wtn_off_s"), wmo))
+      .writeStream.format("memory").queryName("wtn_off_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("z", ts(500), 1L, "adv")); q.processAllAvailable()
+      input.addData(("z", ts(900), 1L, "adv")); q.processAllAvailable()
+      val got = spark.table("wtn_off_out").filter("k <> 'z'")
+        .select($"k",
+          org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+          $"spend", $"rn")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == batch, s"got $got")
+    } finally q.stop()
+  }
+
   test("checkpoint restart recovers ranked-window state exactly once") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long, String)]
@@ -166,7 +209,7 @@ class WindowTopNSpec extends AnyFunSuite {
     rejects(topnSql("wtn_src").replace(
       "TUMBLE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE",
       "HOP(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE"),
-      "(slide, size)")
+      "(slide, size[, offset])")
     rejects(topnSql("wtn_src").replace(
       "PARTITION BY window_start, window_end, k",
       "PARTITION BY window_start, k"), "window_start AND")
