@@ -375,10 +375,22 @@ case class LshBucket(child: Expression, planes: Expression)
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
     child.dataType match {
       case ArrayType(DoubleType, _) =>
-        if (planes.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
-          "graft_lsh_bucket planes must be an INT literal, got " +
-            planes.dataType.simpleString)
+        // planes is a plan-wide scale knob, not per-row data: a
+        // non-foldable INT column would yield per-row plane counts,
+        // silently diverging from the documented contract — require
+        // foldability and validate the range at analysis time.
+        if (planes.dataType != IntegerType || !planes.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            "graft_lsh_bucket planes must be an INT literal, got " +
+              (if (planes.foldable) planes.dataType.simpleString
+               else s"non-constant ${planes.dataType.simpleString}"))
+        else planes.eval() match {
+          case null => TypeCheckResult.TypeCheckFailure(
+            "graft_lsh_bucket planes must not be NULL")
+          case p: Int if p < 1 || p > 63 => TypeCheckResult.TypeCheckFailure(
+            s"graft_lsh_bucket: planes must be in [1, 63], got $p")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case other => TypeCheckResult.TypeCheckFailure(
         s"graft_lsh_bucket expects array<double>, got ${other.simpleString}")
     }
@@ -484,6 +496,52 @@ case class DocPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_json_valid(s)`: true iff `s` parses as ONE strict JSON
+  * document (single root value, no trailing content) — the
+  * error-vs-empty discriminator behind JSON_VALUE's ON ERROR clause,
+  * which `get_json_object` alone cannot express (it returns NULL for a
+  * missing path AND for malformed JSON). Jackson — Spark's own JSON
+  * dependency, the parser inside `get_json_object` — does the parse,
+  * so validity agrees with the extractor's notion of parseable.
+  */
+case class JsonIsValid(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_json_valid expects string, got ${child.dataType.simpleString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_json_valid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JsonIsValid.valid(input.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildInternal(newChild: Expression): JsonIsValid =
+    copy(child = newChild)
+}
+
+object JsonIsValid {
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // one root value only: '{} trailing' is invalid JSON, and Jackson
+    // otherwise accepts multiple whitespace-separated roots
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
+    m
+  }
+  def valid(s: String): Boolean =
+    try {
+      val t = mapper.readTree(s)
+      // readTree returns MissingNode (no exception) for empty input
+      t != null && !t.isMissingNode
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => false
+    }
+}
+
 /** Registration: temp functions on a session (for library use) and a
   * `SparkSessionExtensions` hook (for `spark.sql.extensions` wiring).
   */
@@ -498,6 +556,7 @@ object GraftFunctions {
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
     "graft_l2_normalize" -> (es => L2Normalize(es.head)),
     "graft_doc_pairs" -> (es => DocPairs(es.head)),
+    "graft_json_valid" -> (es => JsonIsValid(es.head)),
     "graft_lsh_bucket" -> { es =>
       if (es.size > 2) throw new IllegalArgumentException(
         s"graft_lsh_bucket takes (vector[, planes]), got ${es.size} arguments")

@@ -35,12 +35,16 @@ package graft.harness
   * but not the SQL:2016 call forms, so:
   *
   *  - `JSON_VALUE(e, 'path' [RETURNING type])` →
-  *    `get_json_object(e, 'path')`, wrapped in `CAST(... AS type)`
-  *    when RETURNING is present. Behavior clauses (`DEFAULT ... ON
-  *    EMPTY/ERROR`, `NULL/ERROR ON EMPTY/ERROR`) are out of the
-  *    subset (Spark's extractor has exactly the NULL-on-anything
-  *    behavior of Flink's default, so the default spelling needs no
-  *    clause). Documented deviation: a path landing on an OBJECT or
+  *    `get_json_object(e, 'path')`, wrapped in `TRY_CAST(... AS type)`
+  *    when RETURNING is present (TRY_CAST: Flink routes an uncastable
+  *    value to ON ERROR, whose default is NULL — CAST would throw
+  *    under ANSI mode). `NULL ON EMPTY/ERROR` are Flink's defaults
+  *    (no-ops); `DEFAULT e ON EMPTY` and `DEFAULT e ON ERROR` compile
+  *    onto a CASE that discriminates malformed JSON (ERROR, via the
+  *    native graft_json_valid), missing path (EMPTY) and — under
+  *    RETURNING — present-but-uncastable (ERROR). `ERROR ON
+  *    EMPTY/ERROR` (raise instead of substitute) stays a named
+  *    rejection. Documented deviation: a path landing on an OBJECT or
   *    ARRAY returns its JSON text (get_json_object semantics) where
   *    Flink's JSON_VALUE default returns NULL — scalar paths, the
   *    function's purpose, agree.
@@ -446,14 +450,17 @@ object DialectFunctions {
           args.mkString(", "))
       val expr = args.head
       // JSON_VALUE behavior-clause subset: NULL ON EMPTY / NULL ON
-      // ERROR are Flink's defaults (no-ops here); DEFAULT e ON EMPTY
-      // maps to COALESCE — documented deviation: get_json_object also
-      // returns NULL for malformed JSON, so an ERROR case hits the
-      // EMPTY default too. ERROR ON anything and DEFAULT ON ERROR
-      // cannot map faithfully (Spark raises no JSON-path errors and
-      // cannot tell error from empty) — named rejections.
+      // ERROR are Flink's defaults; DEFAULT e ON EMPTY / DEFAULT e ON
+      // ERROR compile onto a CASE that discriminates the three outcomes
+      // get_json_object alone conflates — malformed JSON (ERROR, via
+      // graft_json_valid), missing path (EMPTY), and — under RETURNING —
+      // a present-but-uncastable value (ERROR, via TRY_CAST IS NULL).
+      // ERROR ON EMPTY/ERROR (raise instead of substitute) stays a
+      // named rejection: a raising scalar cannot be oracle-verified and
+      // Flink pipelines substitute rather than abort.
       var tail = args(1)
       var onEmptyDefault: Option[String] = None
+      var onErrorDefault: Option[String] = None
       if (fn == "VALUE") {
         var go = true
         while (go) {
@@ -464,16 +471,20 @@ object DialectFunctions {
               if (cm.group(2).equalsIgnoreCase("EMPTY")) {
                 if (cu == "ERROR")
                   fail("JSON_VALUE ERROR ON EMPTY is not supported — " +
-                    "Spark's get_json_object raises no JSON-path errors")
+                    "the engine substitutes (NULL / DEFAULT) instead of " +
+                    "raising; use DEFAULT <expr> ON EMPTY")
                 else if (cu != "NULL")
                   onEmptyDefault =
                     Some(clauseRaw.substring("DEFAULT".length).trim)
-              } else if (cu != "NULL")
-                fail("JSON_VALUE " +
-                  (if (cu == "ERROR") "ERROR" else "DEFAULT ...") +
-                  " ON ERROR is not supported — get_json_object cannot " +
-                  "distinguish a JSON error from a missing path, so " +
-                  "only the default NULL ON ERROR maps faithfully")
+              } else {
+                if (cu == "ERROR")
+                  fail("JSON_VALUE ERROR ON ERROR is not supported — " +
+                    "the engine substitutes (NULL / DEFAULT) instead of " +
+                    "raising; use DEFAULT <expr> ON ERROR")
+                else if (cu != "NULL")
+                  onErrorDefault =
+                    Some(clauseRaw.substring("DEFAULT".length).trim)
+              }
               tail = tail.substring(0, cm.start)
             case None => go = false
           }
@@ -498,8 +509,25 @@ object DialectFunctions {
       val call = s"get_json_object($expr, $path)"
       fn match {
         case "VALUE" =>
-          val typed = returning.fold(call)(t => s"CAST($call AS $t)")
-          onEmptyDefault.fold(typed)(d => s"COALESCE($typed, $d)")
+          // TRY_CAST, not CAST: Flink routes an uncastable value to the
+          // ON ERROR behavior (default NULL) — TRY_CAST keeps that NULL
+          // under ANSI mode too, where CAST would throw.
+          val typed = returning.fold(call)(t => s"TRY_CAST($call AS $t)")
+          if (onEmptyDefault.isEmpty && onErrorDefault.isEmpty) typed
+          else {
+            // Flink's evaluation order: NULL input → NULL (no clause
+            // fires); malformed JSON → ON ERROR; missing path → ON
+            // EMPTY; present-but-uncastable (RETURNING) → ON ERROR.
+            val errVal = onErrorDefault.getOrElse("NULL")
+            val emptyVal = onEmptyDefault.getOrElse("NULL")
+            val castBranch = returning.fold("")(t =>
+              s" WHEN TRY_CAST($call AS $t) IS NULL THEN $errVal")
+            s"(CASE WHEN ($expr) IS NULL THEN NULL" +
+              s" WHEN NOT graft_json_valid($expr) THEN $errVal" +
+              s" WHEN $call IS NULL THEN $emptyVal" +
+              castBranch +
+              s" ELSE $typed END)"
+          }
         case "QUERY" => call
         case "EXISTS" => s"($call IS NOT NULL)"
       }

@@ -29,10 +29,11 @@ final class EngineConfig(spark: SparkSession) {
         // explicitly. A non-UTC zone would silently shift every window
         // boundary and timestamp rendering — fail loudly (the harness
         // contract everywhere else) instead of running with a shifted
-        // timeline. UTC spellings are accepted as no-ops.
-        val utcSpellings =
-          Set("utc", "gmt", "etc/utc", "etc/gmt", "z", "+00:00", "gmt+00:00")
-        if (!utcSpellings.contains(value.trim.toLowerCase))
+        // timeline. Any zone that keeps the UTC timeline (fixed zero
+        // offset — 'UTC', 'Etc/GMT+0', '+00:00', '+0000', 'GMT0', ...)
+        // is a no-op; resolution goes through java.time.ZoneId rather
+        // than a fixed spelling set.
+        if (!EngineConfig.isUtcTimeline(value))
           throw new IllegalArgumentException(
             s"table.local-time-zone = $value is not supported: the " +
               "engine runs on a UTC session timeline; use the " +
@@ -117,6 +118,36 @@ final class EngineConfig(spark: SparkSession) {
           case Some(other)             => s"$n $other"
         }
       case _ => v
+    }
+  }
+}
+
+object EngineConfig {
+  /** True iff the zone spelling resolves to a FIXED zero-offset zone —
+    * i.e. it keeps the UTC timeline exactly ('UTC', 'Z', 'Etc/GMT+0',
+    * '+00:00', '+0000', 'GMT', ...). Region zones with DST history
+    * (even ones currently at +0) and any shifted offset return false.
+    * Resolution is case-tolerant for the offset/alias spellings Flink
+    * scripts carry ('utc', 'z', 'etc/utc'); region-zone IDs are
+    * otherwise case-sensitive per java.time.
+    */
+  def isUtcTimeline(value: String): Boolean = {
+    val s = value.trim
+    val candidates = Seq(
+      s,
+      s.toUpperCase(java.util.Locale.ROOT),
+      // lowercased Etc/… region ids ('etc/utc', 'etc/gmt+0')
+      if (s.length >= 4 && s.substring(0, 4).equalsIgnoreCase("etc/"))
+        "Etc/" + s.substring(4).toUpperCase(java.util.Locale.ROOT)
+      else s)
+    candidates.distinct.exists { c =>
+      try {
+        val rules = java.time.ZoneId.of(c, java.time.ZoneId.SHORT_IDS).getRules
+        rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+      } catch {
+        case _: java.time.DateTimeException => false
+      }
     }
   }
 }

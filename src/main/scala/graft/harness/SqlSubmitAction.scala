@@ -40,6 +40,9 @@ final class SqlSubmitAction(
   private val CatalogDdlRe =
     raw"(?is)^\s*(CREATE|DROP|ALTER|USE)\s+CATALOG\b".r
 
+  private val UseCatalogRe =
+    raw"(?is)^\s*USE\s+CATALOG\s+([\w`]+)\s*;?\s*$$".r
+
   private val DescTableRe =
     raw"(?is)^\s*DESC(?:RIBE)?\s+(?:EXTENDED\s+)?([\w.`]+)\s*;?\s*$$".r
 
@@ -106,16 +109,28 @@ final class SqlSubmitAction(
         // with a raw parser error — reject by name instead, with the
         // one-catalog reality spelled out. SHOW CATALOGS lists the
         // single session catalog (handled below), so it stays allowed.
-        CatalogDdlRe.findFirstMatchIn(st.sql).foreach { m =>
-          throw new IllegalArgumentException(
-            s"${m.group(1).toUpperCase.replaceAll(raw"\s+", " ")} CATALOG " +
-              "is not supported: the engine runs against the single " +
-              "Spark session catalog " +
-              s"('${spark.catalog.currentCatalog()}') — drop the " +
-              "catalog statement, or qualify names with a database " +
-              "(USE db) instead")
-        }
-        st.tpe match {
+        // Exception: `USE CATALOG <current|default_catalog>` is the
+        // no-op boilerplate Flink scripts commonly carry (Flink's own
+        // default catalog name) — log-and-skip it like the other
+        // semantics-free routes instead of failing the script.
+        val isCatalogNoOp = UseCatalogRe.findFirstMatchIn(st.sql)
+          .map(_.group(1).replace("`", ""))
+          .exists(t => t.equalsIgnoreCase(spark.catalog.currentCatalog()) ||
+            t.equalsIgnoreCase("default_catalog"))
+        if (!isCatalogNoOp)
+          CatalogDdlRe.findFirstMatchIn(st.sql).foreach { m =>
+            throw new IllegalArgumentException(
+              s"${m.group(1).toUpperCase.replaceAll(raw"\s+", " ")} CATALOG " +
+                "is not supported: the engine runs against the single " +
+                "Spark session catalog " +
+                s"('${spark.catalog.currentCatalog()}') — drop the " +
+                "catalog statement, or qualify names with a database " +
+                "(USE db) instead")
+          }
+        if (isCatalogNoOp) {
+          println(s"USE CATALOG targets the session catalog — no-op: " +
+            st.sql.trim)
+        } else st.tpe match {
           case StatementType.SET =>
             config.setOperation(st.sql)
           case StatementType.RESET =>

@@ -42,10 +42,28 @@ object WindowTopN {
     */
   def hasStreamingShape(sql: String): Boolean = {
     val masked = MatchRecognize.maskQuoted(sql)
-    raw"(?is)ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(\s*PARTITION\s+BY[^)]*\bwindow_start\b".r
-      .findFirstIn(masked).isDefined &&
-      raw"(?is)\bTABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(".r
-        .findFirstIn(masked).isDefined
+    if (raw"(?is)\bTABLE\s*\(\s*(TUMBLE|HOP|CUMULATE|SESSION)\s*\(".r
+        .findFirstIn(masked).isEmpty) return false
+    // Paren-aware scan of each OVER(...) body: `[^)]*` would stop at
+    // the first ')' of a parenthesized PARTITION BY expression and let
+    // unsupported variants fall through to Spark's raw
+    // ranking-on-streams failure instead of the named contract error.
+    raw"(?is)ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(".r.findAllMatchIn(masked)
+      .exists { m =>
+        val open = m.end - 1
+        scala.util.Try(
+          masked.substring(open + 1,
+            MatchRecognize.closeParen(masked, open) - 1)).toOption
+          .exists { body =>
+            raw"(?is)\bPARTITION\s+BY\b".r.findFirstMatchIn(body).exists { p =>
+              val rest = body.substring(p.end)
+              val cut = raw"(?is)\bORDER\s+BY\b".r.findFirstMatchIn(rest)
+                .map(_.start).getOrElse(rest.length)
+              raw"(?is)\bwindow_start\b".r
+                .findFirstIn(rest.substring(0, cut)).isDefined
+            }
+          }
+      }
   }
 
   private val OuterRe =

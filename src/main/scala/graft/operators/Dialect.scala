@@ -164,6 +164,7 @@ object Dialect {
         |  SUM(CASE WHEN JSON_VALUE(props, '$.missing' DEFAULT 'absent' ON EMPTY) = 'absent'
         |      THEN 1 ELSE 0 END) AS n_defaulted
         |FROM dlq_events_def GROUP BY event_type""".stripMargin
+    graft.functions.GraftFunctions.register(s)
     s.sql(DialectFunctions.rewrite(flinkSql))
   }
 
@@ -240,12 +241,19 @@ object Dialect {
       |    ((CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT)) // 3600) * 3600 AS ws
       |  FROM events WHERE ts IS NOT NULL)
       |SELECT CAST(ws AS BIGINT) AS window_start_sec,
-      |  COALESCE(event_type, '<all>') AS etype, COUNT(*) AS n
+      |  CASE WHEN GROUPING(event_type) = 1 THEN '<all>'
+      |       ELSE event_type END AS etype, COUNT(*) AS n
       |FROM w
       |GROUP BY GROUPING SETS ((ws, event_type), (ws))""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "events").createOrReplaceTempView("dlq_events_gs")
+    // GROUPING(event_type), not COALESCE: a NULL-valued event_type group
+    // must stay distinguishable from the rollup row (the classic
+    // GROUPING SETS trap — events has no NULL event_type today, but the
+    // template must not conflate them).
     val flinkSql =
-      """SELECT window_start, COALESCE(event_type, '<all>') AS etype,
+      """SELECT window_start,
+        |  CASE WHEN GROUPING(event_type) = 1 THEN '<all>'
+        |       ELSE event_type END AS etype,
         |  COUNT(*) AS n
         |FROM TABLE(TUMBLE(TABLE dlq_events_gs, DESCRIPTOR(ts), INTERVAL '1' HOUR))
         |GROUP BY GROUPING SETS ((window_start, event_type), (window_start))""".stripMargin
@@ -254,7 +262,52 @@ object Dialect {
         col("etype"), col("n"))
   }
 
+  /** JSON_VALUE DEFAULT ... ON ERROR: the ERROR outcomes — malformed
+    * JSON and (under RETURNING) a present-but-uncastable value — are
+    * discriminated from a merely missing path (EMPTY) via the native
+    * graft_json_valid parse + TRY_CAST, closing the last JSON_VALUE
+    * behavior-clause gap. The five input shapes are synthesized per
+    * doc_id so every branch is exercised: castable value, missing
+    * path, uncastable value, malformed JSON, NULL input.
+    */
+  val q108JsonOnError: Q = Q(
+    "q108_json_on_error",
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN '{"a": ' || CAST(doc_id AS VARCHAR) || '}'
+      |         WHEN doc_id % 5 = 1 THEN '{"b": 1}'
+      |         WHEN doc_id % 5 = 2 THEN '{"a": "x"}'
+      |         WHEN doc_id % 5 = 3 THEN '{oops'
+      |         ELSE NULL END AS js
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN js IS NULL THEN NULL
+      |       WHEN NOT json_valid(js) THEN -99
+      |       WHEN json_extract_string(js, '$.a') IS NULL THEN -1
+      |       WHEN TRY_CAST(json_extract_string(js, '$.a') AS BIGINT) IS NULL THEN -99
+      |       ELSE TRY_CAST(json_extract_string(js, '$.a') AS BIGINT) END AS v_num,
+      |  CASE WHEN js IS NULL THEN NULL
+      |       WHEN NOT json_valid(js) THEN 'err'
+      |       ELSE json_extract_string(js, '$.a') END AS v_str
+      |FROM j""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").createOrReplaceTempView("dlq_docs_joe")
+    val flinkSql =
+      """SELECT doc_id,
+        |  JSON_VALUE(js, '$.a' RETURNING BIGINT DEFAULT -1 ON EMPTY DEFAULT -99 ON ERROR) AS v_num,
+        |  JSON_VALUE(js, '$.a' DEFAULT 'err' ON ERROR) AS v_str
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN '{"a": ' || CAST(doc_id AS STRING) || '}'
+        |         WHEN doc_id % 5 = 1 THEN '{"b": 1}'
+        |         WHEN doc_id % 5 = 2 THEN '{"a": "x"}'
+        |         WHEN doc_id % 5 = 3 THEN '{oops'
+        |         ELSE NULL END AS js
+        |  FROM dlq_docs_joe)""".stripMargin
+    graft.functions.GraftFunctions.register(s)
+    s.sql(DialectFunctions.rewrite(flinkSql))
+  }
+
   def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset,
     q100DialectFns, q101HopOffset, q104JsonDefault, q105LeftUnnestOrd,
-    q106CumulateOffset, q107WindowGroupingSets)
+    q106CumulateOffset, q107WindowGroupingSets, q108JsonOnError)
 }

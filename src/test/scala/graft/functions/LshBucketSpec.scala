@@ -33,4 +33,20 @@ class LshBucketSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("planes")),
       e.getMessage)
   }
+
+  test("planes must be a constant: a per-row INT column is rejected at analysis") {
+    val spark = SparkFixture.spark
+    GraftFunctions.register(spark)
+    // planes is a plan-wide scale knob — a non-foldable expression
+    // would silently yield per-row plane counts; the analyzer must
+    // reject it by name, and an out-of-range LITERAL must fail at
+    // analysis time too (not per-row at runtime)
+    val e = intercept[Exception](spark.sql(
+      """SELECT graft_lsh_bucket(array(1.0D), p)
+        |FROM VALUES (8), (12) AS t(p)""".stripMargin).collect())
+    assert(e.getMessage.contains("INT literal"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT graft_lsh_bucket(array(1.0D), 0)").collect())
+    assert(e2.getMessage.contains("[1, 63]"), e2.getMessage)
+  }
 }

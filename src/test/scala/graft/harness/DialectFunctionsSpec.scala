@@ -120,12 +120,14 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(DialectFunctions.rewrite(sql) == sql)
   }
 
-  test("JSON_VALUE rewrites to get_json_object, RETURNING casts") {
+  test("JSON_VALUE rewrites to get_json_object, RETURNING try-casts") {
     assert(DialectFunctions.rewrite("SELECT JSON_VALUE(props, '$.a') FROM t")
       == "SELECT get_json_object(props, '$.a') FROM t")
+    // TRY_CAST: Flink routes an uncastable value to ON ERROR (default
+    // NULL) — plain CAST would throw under ANSI mode
     assert(DialectFunctions.rewrite(
       "SELECT JSON_VALUE(props, '$.a' RETURNING INT) FROM t")
-      == "SELECT CAST(get_json_object(props, '$.a') AS INT) FROM t")
+      == "SELECT TRY_CAST(get_json_object(props, '$.a') AS INT) FROM t")
   }
 
   test("JSON family runs end-to-end, including nesting") {
@@ -149,9 +151,11 @@ class DialectFunctionsSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException](DialectFunctions.rewrite(sql))
       assert(e.getMessage.contains(frag), e.getMessage)
     }
-    // Flink defaults spelled out are no-ops; DEFAULT ... ON EMPTY
-    // coalesces (documented deviation: a malformed-JSON error also
-    // lands on the EMPTY default)
+    // Flink defaults spelled out are no-ops; DEFAULT ... ON EMPTY /
+    // ON ERROR compile onto the graft_json_valid CASE, which
+    // discriminates malformed JSON (ERROR) from missing path (EMPTY)
+    // from present-but-uncastable (ERROR, under RETURNING)
+    graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(DialectFunctions.rewrite(
       """SELECT JSON_VALUE('{"a": 7}', '$.a' NULL ON EMPTY NULL ON ERROR) AS a,
         |  JSON_VALUE('{"a": 7}', '$.b' DEFAULT 'none' ON EMPTY) AS b,
@@ -161,13 +165,30 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(r.getString(1) == "none")
     assert(r.getInt(2) == 0)
     assert(r.getInt(3) == 7)
-    // unfaithful forms stay named rejections
-    rejects("SELECT JSON_VALUE(p, '$.a' DEFAULT 0 ON ERROR) FROM t",
-      "ON ERROR is not supported")
+    // the ERROR-vs-EMPTY discrimination, end to end: malformed JSON
+    // and an uncastable value pick the ERROR default, a missing path
+    // picks the EMPTY default, NULL input stays NULL (no clause fires)
+    val r2 = spark.sql(DialectFunctions.rewrite(
+      """SELECT
+        |  JSON_VALUE('{oops', '$.a' DEFAULT 'bad' ON ERROR) AS a,
+        |  JSON_VALUE('{oops', '$.a' DEFAULT 'none' ON EMPTY DEFAULT 'bad' ON ERROR) AS b,
+        |  JSON_VALUE('{"z": 1}', '$.a' DEFAULT 'none' ON EMPTY DEFAULT 'bad' ON ERROR) AS c,
+        |  JSON_VALUE('{"a": "xx"}', '$.a' RETURNING INT DEFAULT -1 ON EMPTY DEFAULT -99 ON ERROR) AS d,
+        |  JSON_VALUE('{"a": 5}', '$.a' RETURNING INT DEFAULT -1 ON EMPTY DEFAULT -99 ON ERROR) AS e,
+        |  JSON_VALUE(CAST(NULL AS STRING), '$.a' DEFAULT 'none' ON EMPTY DEFAULT 'bad' ON ERROR) AS f,
+        |  JSON_VALUE('{} trailing', '$.a' DEFAULT 'bad' ON ERROR) AS g""".stripMargin)).head
+    assert(r2.getString(0) == "bad")
+    assert(r2.getString(1) == "bad") // ERROR, not EMPTY: malformed is an error
+    assert(r2.getString(2) == "none")
+    assert(r2.getInt(3) == -99) // present-but-uncastable is an ERROR
+    assert(r2.getInt(4) == 5)
+    assert(r2.isNullAt(5)) // NULL input: no clause fires
+    assert(r2.getString(6) == "bad") // trailing content = not one document
+    // raising forms stay named rejections (the engine substitutes)
     rejects("SELECT JSON_VALUE(p, '$.a' ERROR ON EMPTY) FROM t",
       "ERROR ON EMPTY")
     rejects("SELECT JSON_VALUE(p, '$.a' ERROR ON ERROR) FROM t",
-      "ON ERROR is not supported")
+      "ERROR ON ERROR is not supported")
     rejects("SELECT JSON_QUERY(p, '$.a' WITH ARRAY WRAPPER) FROM t", "behavior")
     rejects("SELECT JSON_QUERY(p, '$.a' NULL ON EMPTY) FROM t", "behavior")
     rejects("SELECT JSON_VALUE(p, path_col) FROM t", "string-literal path")

@@ -85,9 +85,22 @@ class EngineConfigSpec extends AnyFunSuite {
       c.setOperation("SET table.local-time-zone = Etc/UTC")
       assert(spark.conf.get("spark.sql.session.timeZone") == before)
       assert(c.raw("table.local-time-zone") == "Etc/UTC")
+      // acceptance goes through ZoneId, not a spelling set: any FIXED
+      // zero-offset zone keeps the UTC timeline
+      Seq("Etc/GMT+0", "etc/gmt-0", "UTC+00:00", "+00:00", "+0000",
+          "GMT", "gmt", "Z", "z").foreach { z =>
+        c.setOperation(s"SET table.local-time-zone = $z")
+      }
+      assert(spark.conf.get("spark.sql.session.timeZone") == before)
       val e = intercept[IllegalArgumentException](
         c.setOperation("SET table.local-time-zone = Asia/Shanghai"))
       assert(e.getMessage.contains("window-offset"))
+      // genuinely shifted offsets and DST-bearing region zones fail
+      // even when their CURRENT offset is zero (London in winter)
+      Seq("+01:00", "Etc/GMT-8", "Europe/London", "UTC+05:30").foreach { z =>
+        intercept[IllegalArgumentException](
+          c.setOperation(s"SET table.local-time-zone = $z")): Unit
+      }
       c.setOperation("SET table.exec.resource.default-parallelism = 7")
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
     } finally {

@@ -444,6 +444,18 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     }
     assert(buf.toString.contains("catalog name"), buf.toString)
     assert(buf.toString.contains(spark.catalog.currentCatalog()), buf.toString)
+    // the no-op boilerplate Flink scripts carry: USE CATALOG targeting
+    // the session catalog (or Flink's default_catalog alias) is
+    // log-and-skip, not an error — the rest of the script still runs
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2)) {
+      run(s"""USE CATALOG default_catalog;
+             |USE CATALOG ${spark.catalog.currentCatalog()};
+             |USE CATALOG `default_catalog`;
+             |SHOW CATALOGS;""".stripMargin)
+    }
+    assert(buf2.toString.contains("no-op"), buf2.toString)
+    assert(buf2.toString.contains("catalog name"), buf2.toString)
   }
 
   test("partitioned INSERT OVERWRITE replaces only the written partitions") {

@@ -221,4 +221,27 @@ class WindowTopNSpec extends AnyFunSuite {
       WindowTopN.rewriteStreaming(spark, topnSql("wtn_src"), _ => None))
     assert(eNoWm.getMessage.contains("WATERMARK"), eNoWm.getMessage)
   }
+
+  test("shape detection is paren-aware: expressions before window_start still detect") {
+    // a parenthesized call ahead of window_start in PARTITION BY must
+    // not hide the shape ([^)]* stopped at its first ')') — the query
+    // must still route to the named contract error, not fall through
+    // to Spark's raw ranking-on-streams failure
+    val sql =
+      """SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY coalesce(k, 'x'), window_start, window_end
+        |    ORDER BY spend DESC) AS rn
+        |  FROM TABLE(TUMBLE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        |) WHERE rn <= 2""".stripMargin
+    assert(WindowTopN.hasStreamingShape(sql))
+    // window_start appearing only in ORDER BY is NOT the shape
+    val notShape =
+      """SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY k ORDER BY window_start DESC) AS rn
+        |  FROM TABLE(TUMBLE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        |) WHERE rn <= 2""".stripMargin
+    assert(!WindowTopN.hasStreamingShape(notShape))
+  }
 }
