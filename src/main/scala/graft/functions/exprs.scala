@@ -571,6 +571,7 @@ object GraftFunctions {
     all.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    GraftMetrics.ensureListener(spark)
   }
 }
 

@@ -44,6 +44,25 @@ object Dedup {
       .drop("text")
   }
 
+  /** Document-frequency cap for the exact-Jaccard pair-expansion paths:
+    * shingles shared by more than this many canonical docs are dropped
+    * from CANDIDATE GENERATION (a pair sharing only ultra-common
+    * boilerplate shingles is not a near-dup signal; the banded-MinHash
+    * path carries recall for those). Without the cap, pair expansion is
+    * quadratic in a hot shingle's df and the per-shingle aggregation
+    * state grows with it — the one shape that kills the query at
+    * corpus scale. Knob: `graft.dedup.df-cap` (session conf); the
+    * DuckDB oracle pins this default, so override it only for scale
+    * experiments, not oracle runs. Dropped-shingle counts surface via
+    * `Dataset.observe` → [[graft.functions.GraftMetrics]] (the
+    * no-silent-caps rule).
+    */
+  val DfCapDefault = 1000
+
+  private def dfCap(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("graft.dedup.df-cap").map(_.toInt)
+      .getOrElse(DfCapDefault)
+
   /** Spark SQL: distinct word-trigram shingle hash array (native
     * per-shingle hash; see [[graft.functions.PolyHash]] and the shingle
     * rationale in [[graft.functions.TextHash.shingleHashesSpark]]).
@@ -84,11 +103,15 @@ object Dedup {
        |  SELECT doc_id, lang, $gramHashesDuck AS ghs
        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM canon)),
        |post AS (SELECT doc_id, lang, LEN(ghs) AS sz, UNNEST(ghs) AS gh FROM d),
+       |dfc AS (
+       |  SELECT gh, lang FROM post GROUP BY gh, lang
+       |  HAVING COUNT(*) <= $DfCapDefault),
        |cand AS (
        |  SELECT p1.doc_id AS doc_a, p2.doc_id AS doc_b,
        |    p1.sz AS sz_a, p2.sz AS sz_b, COUNT(*) AS inter
        |  FROM post p1 JOIN post p2
        |    ON p1.gh = p2.gh AND p1.lang = p2.lang AND p1.doc_id < p2.doc_id
+       |  JOIN dfc ON dfc.gh = p1.gh AND dfc.lang = p1.lang
        |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
   /** Adds the 2×30-bit content fingerprint (independent 31/131
@@ -114,11 +137,41 @@ object Dedup {
     * merges the pair in BOTH engines: the oracle runs the identical
     * arithmetic.
     */
-  private def canonicalDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[operators] def canonicalDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     withFingerprint(docs)
       .groupBy(col("fp"), col("fp2"), col("lang"))
       .agg(min(col("doc_id")).as("doc_id"),
         min_by(col("text"), col("doc_id")).as("text"))
+
+  /** Grouped-posting-list pair expansion shared by the exact-Jaccard
+    * paths: postings shuffle ONCE on the shingle key(s), each list
+    * collects through the df-capped aggregate
+    * ([[graft.functions.CappedPostings]] — state bounded at cap+1,
+    * true df carried), hot shingles (df > cap) are dropped BEFORE
+    * `graft_doc_pairs` expands pairs, with the dropped count observed
+    * per the no-silent-caps rule, and the pair-keyed count is the only
+    * other shuffle.
+    */
+  private def pairsFromPost(
+      post: org.apache.spark.sql.DataFrame, byLang: Boolean,
+      cap: Int, metricName: String): org.apache.spark.sql.DataFrame = {
+    val capped = org.apache.spark.sql.functions.udaf(
+      new graft.functions.CappedPostings(cap),
+      org.apache.spark.sql.Encoders.product[graft.functions.Posting])
+    val keys = if (byLang) Seq(col("gh"), col("lang")) else Seq(col("gh"))
+    post
+      .groupBy(keys: _*)
+      .agg(capped(col("doc_id"), col("sz")).as("pl"))
+      .observe(metricName,
+        sum(when(col("pl.df") > cap, 1L).otherwise(0L))
+          .as("dropped_shingles"),
+        max(col("pl.df")).as("max_df"))
+      .filter(col("pl.df") <= cap)
+      .select(explode(expr("graft_doc_pairs(pl.ds)")).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+  }
 
   /** Candidate near-dup pairs (doc_a, doc_b, sz_a, sz_b, inter) over
     * canonical docs via the grouped-posting-list inverted index.
@@ -129,21 +182,17 @@ object Dedup {
     * shuffle ONCE on (shingle, lang), pairs expand natively per list
     * (graft_doc_pairs), and the pair-keyed count is the only other
     * shuffle. Candidate set is identical — every doc pair sharing ≥1
-    * shingle within a lang block appears once per shared shingle.
+    * NON-HOT shingle (df ≤ [[DfCapDefault]], see its scale rationale)
+    * within a lang block appears once per shared shingle.
     */
-  private def candidatePairs(canon: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[operators] def candidatePairs(canon: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val post = canon
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("lang"), expr(gramHashesSpark).as("ghs"))
       .select(col("doc_id"), col("lang"),
         size(col("ghs")).cast("long").as("sz"), explode(col("ghs")).as("gh"))
-    post
-      .groupBy(col("gh"), col("lang"))
-      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
-      .select(explode(expr("graft_doc_pairs(ds)")).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
-      .agg(count(lit(1)).as("inter"))
+    pairsFromPost(post, byLang = true, dfCap(canon.sparkSession),
+      "graft_dedup_df_cap")
   }
 
   /** Exact Jaccard from the candidate-pair columns. */
