@@ -17,12 +17,15 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, StructField, StructTyp
   *
   * Subset contract (anything else fails by name, nothing leaks to
   * Spark's parser):
-  *  - TUMBLE and HOP windows (HOP fans each row to its covering
-  *    windows with the window start pinned per copy — the event time,
-  *    and therefore the watermark and late-row drop, is untouched);
-  *    SESSION/CUMULATE top-N stays out (no fixed per-row window set).
-  *  - `ORDER BY <numeric column> DESC` — ties break by payload text
-  *    ascending, deterministic (batch ties are plan-order).
+  *  - TUMBLE, HOP and CUMULATE windows (HOP fans each row to its
+  *    covering windows with the window start pinned per copy;
+  *    CUMULATE fans it to the growing windows of its span with start
+  *    AND end pinned — the event time, and therefore the watermark
+  *    and late-row drop, is untouched either way); SESSION top-N
+  *    stays out (Flink parity — no fixed per-row window set).
+  *  - `ORDER BY <numeric column> DESC` or `ASC` — ties break by
+  *    payload text ascending, deterministic (batch ties are
+  *    plan-order); ASC ranks NaN last, matching batch ORDER BY.
   *  - PARTITION BY must list window_start AND window_end; extra keys
   *    are plain columns.
   *  - the inner select is `SELECT *`; non-key payload columns the
@@ -112,45 +115,52 @@ object WindowTopN {
         "keys] ORDER BY <column> DESC) AS rn FROM TABLE(TUMBLE(...))`"))
     val pkeys = MatchRecognize.splitTopLevel(im.group(1)).map(_.trim)
     val metricCol = im.group(2)
-    if (im.group(3).equalsIgnoreCase("ASC"))
-      fail("streaming window top-N supports ORDER BY ... DESC only " +
-        "(the tracker keeps the N LARGEST; negate the metric upstream " +
-        "for smallest-N)")
+    val asc = im.group(3).equalsIgnoreCase("ASC")
     val rnAlias = im.group(4)
     val tm = WinSrcRe.findFirstMatchIn(im.group(5).trim).getOrElse(fail(
-      "streaming window top-N source must be a TUMBLE or HOP window " +
-        "TVF over a named table: TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), " +
-        "INTERVAL 'n' UNIT)) / TABLE(HOP(..., slide, size))"))
+      "streaming window top-N source must be a TUMBLE, HOP or CUMULATE " +
+        "window TVF over a named table: TABLE(TUMBLE(TABLE t, " +
+        "DESCRIPTOR(ts), INTERVAL 'n' UNIT)) / TABLE(HOP(..., slide, " +
+        "size)) / TABLE(CUMULATE(..., step, size))"))
     val kind = tm.group(1).toUpperCase
-    if (kind != "TUMBLE" && kind != "HOP")
-      fail(s"streaming window top-N supports TUMBLE and HOP windows " +
-        s"only (got $kind) — aggregate SESSION/CUMULATE windows first, " +
-        "then rank the aggregate")
+    if (kind == "SESSION")
+      fail("streaming window top-N supports TUMBLE, HOP and CUMULATE " +
+        "windows only (got SESSION) — aggregate session windows first, " +
+        "then rank the aggregate (Flink rejects session top-N too)")
     val isHop = kind == "HOP"
-    if (isHop && tm.group(6) == null)
-      fail("streaming window top-N HOP takes (slide, size[, offset]) " +
-        "intervals")
-    if (!isHop && tm.group(8) != null)
+    val isCumulate = kind == "CUMULATE"
+    if ((isHop || isCumulate) && tm.group(6) == null)
+      fail(s"streaming window top-N $kind takes " +
+        s"(${if (isHop) "slide" else "step"}, size[, offset]) intervals")
+    if (kind == "TUMBLE" && tm.group(8) != null)
       fail("streaming window top-N TUMBLE takes (size[, offset]) " +
         "intervals")
     val (table, tcol) = (tm.group(2), tm.group(3))
     def ivMs(g: Int): Long =
       tm.group(g).toLong * WindowTvf.unitMillis(tm.group(g + 1))
     val iv1 = ivMs(4)
-    // windowMs is the EMISSION size (we = ws + windowMs): the full
-    // window for both kinds; HOP's slide drives only the fan-out grid,
-    // and the offset shifts that grid (normalized into [0, grid unit))
-    val (slideMs, windowMs, offMs) =
-      if (isHop) {
+    // windowMs is the EMISSION size (we = ws + windowMs unless the
+    // fan-out pins we itself): the full window for every kind;
+    // HOP's slide / CUMULATE's step drives only the fan-out grid, and
+    // the offset shifts that grid (normalized into [0, grid unit) —
+    // the slide for HOP, the span size for CUMULATE)
+    val (slideMs, windowMs, offMs) = kind match {
+      case "HOP" =>
         val size = ivMs(6)
         require(size % iv1 == 0,
           s"HOP size ($size ms) must be a multiple of its slide ($iv1 ms)")
         val off = Option(tm.group(8)).map(_ => ivMs(8)).getOrElse(0L)
         (iv1, size, ((off % iv1) + iv1) % iv1)
-      } else {
+      case "CUMULATE" =>
+        val size = ivMs(6)
+        require(size % iv1 == 0,
+          s"CUMULATE size ($size ms) must be a multiple of its step ($iv1 ms)")
+        val off = Option(tm.group(8)).map(_ => ivMs(8)).getOrElse(0L)
+        (iv1, size, ((off % size) + size) % size)
+      case _ =>
         val off = Option(tm.group(6)).map(_ => ivMs(6)).getOrElse(0L)
         (iv1, iv1, ((off % iv1) + iv1) % iv1)
-      }
+    }
     require(windowMs > 0 && slideMs > 0, "window size must be positive")
 
     val winCols = Set("window_start", "window_end")
@@ -222,33 +232,50 @@ object WindowTopN {
       if (payloadFields.isEmpty) lit("{}")
       else to_json(struct(payloadFields.map(f => col(f.name)): _*))
     import spark.implicits._
-    // HOP fans each row out to its covering window starts (the same
-    // covering-starts arithmetic as the batch TVF expansion); the
-    // event TIME stays the original timestamp, so the watermark and
-    // late-row drop are identical to the tumbling path — the tracker
-    // just pins the pre-assigned window instead of deriving it
+    // HOP fans each row out to its covering window starts, CUMULATE to
+    // the growing windows of its span (the same covering arithmetic as
+    // the batch TVF expansions); the event TIME stays the original
+    // timestamp, so the watermark and late-row drop are identical to
+    // the tumbling path — the tracker just pins the pre-assigned
+    // window instead of deriving it
     def floorMs(e: String, u: Long): String = s"($e - pmod($e, ${u}L))"
     val tms =
       if (offMs == 0L) s"unix_millis(cast($tcol as timestamp))"
       else s"(unix_millis(cast($tcol as timestamp)) - ${offMs}L)"
     val back = if (offMs == 0L) "" else s" + ${offMs}L"
-    val wsCol =
-      if (!isHop && offMs == 0L) lit(Long.MinValue)
-      else if (!isHop) expr(s"${floorMs(tms, windowMs)}$back")
-      else explode(expr(
-        s"sequence(${floorMs(s"($tms - ${windowMs}L)", slideMs)} + " +
-          s"${slideMs}L$back, ${floorMs(tms, slideMs)}$back, ${slideMs}L)"))
-    val events = src
-      // a NULL event time has no window (the batch form filters it);
-      // it would NPE in the tracker's time slot
-      .filter(col(tcol).isNotNull)
-      .select(
-        keyExpr.as("key"),
-        col(tcol).cast("timestamp").as("ts"),
-        col(metricCol).cast("double").as("metric"),
-        payloadExpr.as("payload"),
-        wsCol.as("ws")).as[graft.streaming.RankEvent]
-    val ranked = graft.streaming.TopNTracker.track(events, wmDelay, windowMs, n)
+    // a NULL event time has no window (the batch form filters it);
+    // it would NPE in the tracker's time slot
+    val base = src.filter(col(tcol).isNotNull)
+    val common = Seq(
+      keyExpr.as("key"),
+      col(tcol).cast("timestamp").as("ts"),
+      col(metricCol).cast("double").as("metric"),
+      payloadExpr.as("payload"))
+    val events =
+      if (isCumulate) {
+        // ws is the span start; each copy pins one growing window's
+        // end: the step-multiple offsets strictly after the row
+        val span = s"${floorMs(tms, windowMs)}$back"
+        val lo = s"((pmod($tms, ${windowMs}L) div ${slideMs}L) + 1) * ${slideMs}L"
+        base.select(common ++ Seq(expr(span).as("ws"),
+            explode(expr(s"sequence($lo, ${windowMs}L, ${slideMs}L)"))
+              .as("__eo")): _*)
+          .select(col("key"), col("ts"), col("metric"), col("payload"),
+            col("ws"), (col("ws") + col("__eo")).as("we"))
+          .as[graft.streaming.RankEvent]
+      } else {
+        val wsCol =
+          if (!isHop && offMs == 0L) lit(Long.MinValue)
+          else if (!isHop) expr(s"${floorMs(tms, windowMs)}$back")
+          else explode(expr(
+            s"sequence(${floorMs(s"($tms - ${windowMs}L)", slideMs)} + " +
+              s"${slideMs}L$back, ${floorMs(tms, slideMs)}$back, ${slideMs}L)"))
+        base.select(common ++ Seq(wsCol.as("ws"),
+            lit(Long.MinValue).as("we")): _*)
+          .as[graft.streaming.RankEvent]
+      }
+    val ranked =
+      graft.streaming.TopNTracker.track(events, wmDelay, windowMs, n, asc)
 
     val keySchema = StructType(extras.map(k => fieldOf(k)))
     // integral/decimal metrics rank exactly for |v| < 2^53 through the

@@ -60,8 +60,13 @@ object Dedup {
   val DfCapDefault = 1000
 
   private def dfCap(s: org.apache.spark.sql.SparkSession): Int =
-    s.conf.getOption("graft.dedup.df-cap").map(_.toInt)
-      .getOrElse(DfCapDefault)
+    s.conf.getOption("graft.dedup.df-cap").map { v =>
+      val n = scala.util.Try(v.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft.dedup.df-cap must be a positive integer, got '$v'"))
+      require(n > 0, s"graft.dedup.df-cap must be positive, got $n")
+      n
+    }.getOrElse(DfCapDefault)
 
   /** Spark SQL: distinct word-trigram shingle hash array (native
     * per-shingle hash; see [[graft.functions.PolyHash]] and the shingle
@@ -184,15 +189,21 @@ object Dedup {
     * shuffle. Candidate set is identical — every doc pair sharing ≥1
     * NON-HOT shingle (df ≤ [[DfCapDefault]], see its scale rationale)
     * within a lang block appears once per shared shingle.
+    *
+    * `metricName` names this call site's `Dataset.observe` aggregate:
+    * Spark requires observed-metric names to be unique per plan, so a
+    * query composing two capped subtrees (or two queries sharing a
+    * session) must thread distinct names through here.
     */
-  private[operators] def candidatePairs(canon: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[operators] def candidatePairs(
+      canon: org.apache.spark.sql.DataFrame,
+      metricName: String = "graft_dedup_df_cap"): org.apache.spark.sql.DataFrame = {
     val post = canon
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("lang"), expr(gramHashesSpark).as("ghs"))
       .select(col("doc_id"), col("lang"),
         size(col("ghs")).cast("long").as("sz"), explode(col("ghs")).as("gh"))
-    pairsFromPost(post, byLang = true, dfCap(canon.sparkSession),
-      "graft_dedup_df_cap")
+    pairsFromPost(post, byLang = true, dfCap(canon.sparkSession), metricName)
   }
 
   /** Exact Jaccard from the candidate-pair columns. */
@@ -213,7 +224,8 @@ object Dedup {
        |FROM cand
        |WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.6""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    candidatePairs(canonicalDocs(Tables.load(s, dir, "documents")))
+    candidatePairs(canonicalDocs(Tables.load(s, dir, "documents")),
+        "graft_dedup_df_cap_jaccard")
       .filter(jacCol >= 0.6d)
       .select(col("doc_a"), col("doc_b"),
         floor(jacCol * 1000d + 0.5d).cast("long").as("jaccard_mils"))
@@ -262,7 +274,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.load(s, dir, "documents")
     val canon = canonicalDocs(docs).persist()
-    val pairs = candidatePairs(canon)
+    val pairs = candidatePairs(canon, "graft_dedup_df_cap_cluster")
       .filter(jacCol >= 0.5d)
       .select(col("doc_a"), col("doc_b"))
     // Components run only over vertices that actually have a near-dup
@@ -664,7 +676,20 @@ object Dedup {
     * needs before anyone trusts its candidate generation at scale.
     * Truth comes from the inverted shingle index (pairs above any
     * positive threshold share a shingle by definition), so no
-    * all-pairs pass anywhere.
+    * all-pairs pass anywhere, and the truth expansion runs through the
+    * same df cap as candidate generation ([[DfCapDefault]] — the
+    * `dfc` CTE here, [[pairsFromPost]] on the Spark side): a
+    * boilerplate shingle shared corpus-wide would otherwise make the
+    * truth pass itself quadratic, the exact blow-up the cap exists to
+    * prevent. A capped truth pair undercounts `inter` by its hot
+    * shingles only — identically in both engines — and any pair above
+    * a 0.5 threshold still surfaces through its non-hot shingles
+    * unless the docs are near-dups of pure boilerplate.
+    *
+    * One shingle-hash pass: the Spark side hashes each canonical text
+    * once into a lazily checkpointed relation both the signature/band
+    * branch and the truth postings read, instead of re-shingling the
+    * corpus per branch.
     */
   val extBandRecall: Q = Q(
     "ext_band_recall", {
@@ -682,11 +707,15 @@ object Dedup {
          |  SELECT doc_id, $gramHashesDuck AS ghs
          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM canon)),
          |post AS (SELECT doc_id, LEN(ghs) AS sz, UNNEST(ghs) AS gh FROM g),
+         |dfc AS (
+         |  SELECT gh FROM post GROUP BY gh
+         |  HAVING COUNT(*) <= $DfCapDefault),
          |ex AS (
          |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b,
          |    pa.sz AS sz_a, pb.sz AS sz_b, COUNT(*) AS inter
          |  FROM post pa JOIN post pb
          |    ON pb.gh = pa.gh AND pa.doc_id < pb.doc_id
+         |  JOIN dfc ON dfc.gh = pa.gh
          |  GROUP BY 1, 2, 3, 4),
          |truth AS (
          |  SELECT doc_a, doc_b,
@@ -704,45 +733,51 @@ object Dedup {
          |FROM j GROUP BY t_mils""".stripMargin
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    Tables.registerAll(s, dir)
+    val docs = Tables.load(s, dir, "documents")
+    // lang-agnostic canonicalization (the DataFrame spelling of
+    // canonNoLangDuck above)
+    val canon = withFingerprint(docs.select(col("doc_id"), col("text")))
+      .groupBy(col("fp"), col("fp2"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+    // shingle-hash once; both branches (signatures and truth postings)
+    // read this relation, and the lazy checkpoint materializes it on
+    // first use so the heaviest stage never runs twice
+    val hashed = canon
+      .select(col("doc_id"),
+        expr(shingleHashesSpark("split(text, ' ')")).as("hs"))
+      .localCheckpoint(false)
+    val sigs = hashed.select(col("doc_id"),
+      expr("graft_minhash_sig(hs)").as("sig"))
     val bandArray = (0 until Bands)
-      .map(bd => bandKeySpark(i => s"sig_$i", bd)).mkString("array(", ", ", ")")
-    s.sql(
-      s"""WITH $canonNoLangSpark,
-         |s AS (${sigSelectSpark("canon")}),
-         |banded AS (
-         |  SELECT doc_id, band_key
-         |  FROM s LATERAL VIEW explode($bandArray) t AS band_key),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |g AS (
-         |  SELECT doc_id, $gramHashesSpark AS ghs
-         |  FROM (SELECT doc_id, split(text, ' ') AS toks FROM canon)),
-         |post AS (
-         |  SELECT doc_id, size(ghs) AS sz, gh
-         |  FROM g LATERAL VIEW explode(ghs) t AS gh),
-         |ex AS (
-         |  SELECT pa.doc_id AS doc_a, pb.doc_id AS doc_b,
-         |    pa.sz AS sz_a, pb.sz AS sz_b, COUNT(*) AS inter
-         |  FROM post pa JOIN post pb
-         |    ON pb.gh = pa.gh AND pa.doc_id < pb.doc_id
-         |  GROUP BY 1, 2, 3, 4),
-         |truth AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(FLOOR(inter * 1000.0 / (sz_a + sz_b - inter) + 0.5) AS BIGINT) AS jac_mils
-         |  FROM ex),
-         |th AS (SELECT explode(array(500, 600, 700, 800, 900)) AS t_mils),
-         |j AS (
-         |  SELECT th.t_mils, t.doc_a, t.doc_b,
-         |    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
-         |  FROM th JOIN truth t ON t.jac_mils >= th.t_mils
-         |  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
-         |SELECT CAST(t_mils AS BIGINT) AS t_mils, COUNT(*) AS n_true,
-         |  CAST(SUM(caught) AS BIGINT) AS n_caught,
-         |  CAST(FLOOR(SUM(caught) * 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS recall_mils
-         |FROM j GROUP BY t_mils""".stripMargin)
+      .map(bd => bandKeySpark(i => s"sig[$i]", bd)).mkString("array(", ", ", ")")
+    val banded = sigs.select(col("doc_id"), explode(expr(bandArray)).as("band_key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val post = hashed
+      .select(col("doc_id"), array_distinct(col("hs")).as("ghs"))
+      .select(col("doc_id"), size(col("ghs")).cast("long").as("sz"),
+        explode(col("ghs")).as("gh"))
+    val truth = pairsFromPost(post, byLang = false, dfCap(s),
+        "graft_band_truth_df_cap")
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("inter") * lit(1000.0d) /
+          (col("sz_a") + col("sz_b") - col("inter")) + 0.5d)
+          .cast("long").as("jac_mils"))
+    val th = s.sql("SELECT explode(array(500, 600, 700, 800, 900)) AS t_mils")
+    truth
+      .join(broadcast(th), col("jac_mils") >= col("t_mils"))
+      .join(cand.withColumn("hit", lit(1)), Seq("doc_a", "doc_b"), "left_outer")
+      .groupBy(col("t_mils").cast("long").as("t_mils"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall_mils",
+        floor(col("n_caught") * lit(1000.0d) / col("n_true") + 0.5d)
+          .cast("long"))
   }
 
   def all: Seq[Q] = Seq(

@@ -13,19 +13,22 @@ import scala.collection.mutable.ArrayBuffer
   * windows) — the HOP form fans each row out to its covering windows
   * upstream and pins each copy's window here, while the event time
   * stays the ORIGINAL timestamp so the watermark (and late-row drop)
-  * is unchanged.
+  * is unchanged. A `we` other than the sentinel additionally pins the
+  * window END (otherwise `ws + windowMs`): CUMULATE's growing windows
+  * share one start with per-copy ends, so the upstream fan-out pins
+  * both.
   */
 final case class RankEvent(key: String, ts: Timestamp, metric: Double,
-    payload: String, ws: Long = Long.MinValue)
+    payload: String, ws: Long = Long.MinValue, we: Long = Long.MinValue)
 
 /** One retained candidate inside a window's top-N buffer. */
 final case class RankEntry(metric: Double, payload: String)
 
-/** Per-key state: for each open window start, the (at most N) best
-  * entries seen so far — state is bounded to N rows per ACTIVE
-  * (key, window), never the window's full row count.
+/** Per-key state: for each open (window start, window end), the (at
+  * most N) best entries seen so far — state is bounded to N rows per
+  * ACTIVE (key, window), never the window's full row count.
   */
-final case class TopNState(windows: List[(Long, List[RankEntry])])
+final case class TopNState(windows: List[(Long, Long, List[RankEntry])])
 
 /** One emitted ranked row of a closed window. */
 final case class TopNRow(key: String, ws: Long, we: Long, rank: Int,
@@ -36,17 +39,19 @@ final case class TopNRow(key: String, ws: Long, we: Long, rank: Int,
   * Structured Streaming cannot express natively — ranking functions are
   * unsupported on streams. Mechanics mirror [[CumulateTracker]]: rows
   * fold into a per-(key, window) buffer that keeps only the N best
-  * (metric DESC, payload ASC tie-break, so ranking is deterministic);
-  * a window emits its ranked rows exactly once when the watermark
-  * passes its end (append mode — later rows are dropped upstream by
-  * the watermark, so every emission is final); event-time timeouts
-  * re-drive keys whose watermark advanced without fresh traffic; a
-  * window's state drops at emission.
+  * (metric DESC by default — `asc = true` ranks smallest-first with
+  * NaN last, matching a batch `ORDER BY metric ASC` under Spark's
+  * NaN-greatest ordering — payload ASC tie-break, so ranking is
+  * deterministic); a window emits its ranked rows exactly once when
+  * the watermark passes its end (append mode — later rows are dropped
+  * upstream by the watermark, so every emission is final); event-time
+  * timeouts re-drive keys whose watermark advanced without fresh
+  * traffic; a window's state drops at emission.
   */
 object TopNTracker {
 
   /** Spark's NaN-safe double ordering (NaN sorts above +Infinity) —
-    * ranking must match what a batch `ORDER BY metric DESC` does.
+    * ranking must match what a batch `ORDER BY metric` does.
     */
   private def nanSafeCompare(x: Double, y: Double): Int = {
     val xNaN = java.lang.Double.isNaN(x)
@@ -58,17 +63,18 @@ object TopNTracker {
     else -1
   }
 
-  /** metric DESC, payload ASC. */
-  private def entryLt(a: RankEntry, b: RankEntry): Boolean = {
+  /** Rank order: metric DESC (or ASC), payload ASC on ties. */
+  private def entryLt(asc: Boolean)(a: RankEntry, b: RankEntry): Boolean = {
     val c = nanSafeCompare(a.metric, b.metric)
-    if (c != 0) c > 0 else a.payload < b.payload
+    if (c != 0) { if (asc) c < 0 else c > 0 } else a.payload < b.payload
   }
 
   def track(
       input: Dataset[RankEvent],
       watermarkDelay: String,
       windowMs: Long,
-      n: Int): Dataset[TopNRow] = {
+      n: Int,
+      asc: Boolean = false): Dataset[TopNRow] = {
     require(windowMs > 0 && n > 0, "window size and N must be positive")
     implicit val outEnc = Encoders.product[TopNRow]
     implicit val stateEnc = Encoders.product[TopNState]
@@ -79,7 +85,7 @@ object TopNTracker {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[RankEvent], state: GroupState[TopNState]) =>
-          update(key, rows, state, windowMs, n))
+          update(key, rows, state, windowMs, n, asc))
   }
 
   private def update(
@@ -87,19 +93,24 @@ object TopNTracker {
       rows: Iterator[RankEvent],
       state: GroupState[TopNState],
       windowMs: Long,
-      n: Int): Iterator[TopNRow] = {
-    val buffers = scala.collection.mutable.HashMap.empty[Long, List[RankEntry]]
-    state.getOption.foreach(_.windows.foreach { case (ws, es) => buffers(ws) = es })
+      n: Int,
+      asc: Boolean): Iterator[TopNRow] = {
+    val buffers =
+      scala.collection.mutable.HashMap.empty[(Long, Long), List[RankEntry]]
+    state.getOption.foreach(_.windows.foreach {
+      case (ws, we, es) => buffers((ws, we)) = es
+    })
 
     rows.foreach { e =>
       val ws =
         if (e.ws != Long.MinValue) e.ws
         else Math.floorDiv(e.ts.getTime, windowMs) * windowMs
+      val we = if (e.we != Long.MinValue) e.we else ws + windowMs
       val entry = RankEntry(e.metric, e.payload)
       // insert-sorted, trimmed: the buffer never exceeds N entries
-      val merged = (entry :: buffers.getOrElse(ws, Nil))
-        .sortWith(entryLt).take(n)
-      buffers(ws) = merged
+      val merged = (entry :: buffers.getOrElse((ws, we), Nil))
+        .sortWith(entryLt(asc)).take(n)
+      buffers((ws, we)) = merged
     }
 
     // batch execution (bounded source, no watermark): everything final
@@ -108,10 +119,9 @@ object TopNTracker {
       catch { case _: UnsupportedOperationException => (Long.MaxValue, true) }
 
     val out = ArrayBuffer.empty[TopNRow]
-    buffers.keys.toSeq.sorted.foreach { ws =>
-      val we = ws + windowMs
+    buffers.keys.toSeq.sorted.foreach { case k @ (ws, we) =>
       if (isFinal || wmMs >= we) {
-        buffers.remove(ws).foreach(_.zipWithIndex.foreach { case (en, i) =>
+        buffers.remove(k).foreach(_.zipWithIndex.foreach { case (en, i) =>
           out += TopNRow(key, ws, we, i + 1, en.metric, en.payload)
         })
       }
@@ -121,9 +131,9 @@ object TopNTracker {
       if (buffers.isEmpty) state.remove()
       else {
         state.update(TopNState(buffers.toList.sortBy(_._1)
-          .map { case (ws, es) => (ws, es) }))
+          .map { case ((ws, we), es) => (ws, we, es) }))
         // wake at the earliest pending window end
-        val nextEnd = buffers.keys.min + windowMs
+        val nextEnd = buffers.keys.map(_._2).min
         state.setTimeoutTimestamp(math.max(nextEnd, wmMs + 1L))
       }
     }

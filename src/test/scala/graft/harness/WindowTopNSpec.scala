@@ -155,6 +155,89 @@ class WindowTopNSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ASC top-N ranks smallest-first, equal to the batch ranking") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, String)]
+    input.toDF().toDF("k", "ts", "spend", "tag")
+      .createOrReplaceTempView("wtn_asc_s")
+    def ascSql(src: String) =
+      topnSql(src).replace("ORDER BY spend DESC", "ORDER BY spend ASC")
+    val wma: String => Option[(String, String)] =
+      t => if (t.equalsIgnoreCase("wtn_asc_s")) Some(("ts", "5 seconds"))
+           else None
+    val rows = Seq(
+      ("a", ts(10), 5L, "t5"), ("a", ts(20), 9L, "t9"),
+      ("a", ts(30), 7L, "t7"), ("b", ts(15), 3L, "t3"))
+    rows.toDF("k", "ts", "spend", "tag").createOrReplaceTempView("wtn_asc_b")
+    val batch = spark.sql(WindowTvf.rewrite(ascSql("wtn_asc_b")))
+      .select($"k",
+        org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+        $"spend", $"rn")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(batch == Set(
+      ("a", 0L, 5L, 1L), ("a", 0L, 7L, 2L), ("b", 0L, 3L, 1L)))
+    val q = spark.sql(WindowTopN.rewriteStreaming(spark, ascSql("wtn_asc_s"), wma))
+      .writeStream.format("memory").queryName("wtn_asc_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("z", ts(500), 99L, "adv")); q.processAllAvailable()
+      input.addData(("z", ts(900), 99L, "adv")); q.processAllAvailable()
+      val got = spark.table("wtn_asc_out").filter("k <> 'z'")
+        .select($"k",
+          org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+          $"spend", $"rn")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == batch, s"got $got")
+    } finally q.stop()
+  }
+
+  test("CUMULATE top-N fans rows to growing windows, equal to the batch ranking") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, String)]
+    input.toDF().toDF("k", "ts", "spend", "tag")
+      .createOrReplaceTempView("wtn_cum_s")
+    def cumSql(src: String) =
+      s"""SELECT k, window_start, window_end, spend, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY window_start, window_end, k ORDER BY spend DESC) AS rn
+         |  FROM TABLE(CUMULATE(TABLE $src, DESCRIPTOR(ts),
+         |    INTERVAL '30' SECOND, INTERVAL '1' MINUTE)))
+         |WHERE rn <= 2""".stripMargin
+    val wmc: String => Option[(String, String)] =
+      t => if (t.equalsIgnoreCase("wtn_cum_s")) Some(("ts", "5 seconds"))
+           else None
+    // 10 s lands in both growing windows [0,30) and [0,60); 40/50 s
+    // only in [0,60)
+    val rows = Seq(
+      ("a", ts(10), 5L, "t5"), ("a", ts(40), 9L, "t9"),
+      ("a", ts(50), 7L, "t7"), ("b", ts(15), 3L, "t3"))
+    rows.toDF("k", "ts", "spend", "tag").createOrReplaceTempView("wtn_cum_b")
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k",
+        org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+        org.apache.spark.sql.functions.unix_timestamp($"window_end"),
+        $"spend", $"rn")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batch = proj(spark.sql(WindowTvf.rewrite(cumSql("wtn_cum_b"))))
+    assert(batch == Set(
+      ("a", 0L, 30L, 5L, 1L), ("b", 0L, 30L, 3L, 1L),
+      ("a", 0L, 60L, 9L, 1L), ("a", 0L, 60L, 7L, 2L),
+      ("b", 0L, 60L, 3L, 1L)))
+    val q = spark.sql(WindowTopN.rewriteStreaming(spark, cumSql("wtn_cum_s"), wmc))
+      .writeStream.format("memory").queryName("wtn_cum_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("z", ts(500), 1L, "adv")); q.processAllAvailable()
+      input.addData(("z", ts(900), 1L, "adv")); q.processAllAvailable()
+      val got = proj(spark.table("wtn_cum_out").filter("k <> 'z'"))
+      assert(got == batch, s"got $got")
+    } finally q.stop()
+  }
+
   test("checkpoint restart recovers ranked-window state exactly once") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long, String)]
@@ -201,11 +284,14 @@ class WindowTopNSpec extends AnyFunSuite {
         WindowTopN.rewriteStreaming(spark, sql, wm))
       assert(e.getMessage.contains(frag), e.getMessage)
     }
-    rejects(topnSql("wtn_src").replace("DESC", "ASC"), "DESC only")
     rejects(topnSql("wtn_src").replace(
       "TUMBLE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE",
       "SESSION(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE"),
-      "TUMBLE and HOP windows")
+      "TUMBLE, HOP and CUMULATE windows")
+    rejects(topnSql("wtn_src").replace(
+      "TUMBLE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE",
+      "CUMULATE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE"),
+      "(step, size[, offset])")
     rejects(topnSql("wtn_src").replace(
       "TUMBLE(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE",
       "HOP(TABLE wtn_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE"),
