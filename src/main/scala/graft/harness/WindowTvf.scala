@@ -348,6 +348,12 @@ object WindowTvf {
       throw new IllegalArgumentException(
         "Unsupported legacy group-window form for streaming mode; " +
           "use the TVF form (TABLE(TUMBLE/HOP/SESSION(...)))")
+    // multi-set grouping expands to one streaming aggregation per set,
+    // UNION ALL'd — Flink 1.15+ runs window GROUPING SETS streaming
+    if (raw"(?is)\bGROUP\s+BY\b".r.findAllMatchIn(sql).exists(g =>
+        raw"(?is)\b(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(".r
+          .findFirstIn(scanListClause(sql, g.end)._1).isDefined))
+      return expandStreamingGroupingSets(sql, spark, watermarkOf)
     case class Win(start: Int, end: Int, table: String, expr: String,
         struct: String, partitionKeys: Seq[String] = Nil,
         endAdjustMs: Long = 0L)
@@ -414,15 +420,6 @@ object WindowTvf {
         "aggregation (exactly one GROUP BY)")
     val gb = gbs.head
     val (keysText, keysEnd) = scanListClause(out, gb.end)
-    // multi-set grouping multiplies each window's state and emits
-    // super-aggregate rows Spark's streaming aggregation cannot retract
-    // — batch runs these natively through the TVF expansion
-    if (raw"(?is)\b(GROUPING\s+SETS|CUBE|ROLLUP)\b".r
-        .findFirstIn(keysText).isDefined)
-      throw new IllegalArgumentException(
-        "GROUPING SETS / CUBE / ROLLUP over a window TVF is batch-only " +
-          "(SET execution.runtime-mode = batch); streaming supports the " +
-          "plain window_start/window_end grouping")
     val keys = splitTopLevel(keysText)
     val winCols = Set("window_start", "window_end", "window_time")
     val kept = keys.filterNot(k => winCols(k.trim.toLowerCase))
@@ -475,6 +472,125 @@ object WindowTvf {
       out.substring(fromIdx, gb.end) + " " + newKeys +
       (if (keysEnd < out.length) " " + replTokensIn(out.substring(keysEnd))
        else "")
+  }
+
+  /** STREAMING `GROUPING SETS` / `CUBE` / `ROLLUP` over a window TVF
+    * (Flink 1.15+ parity): the multi-set aggregation expands into ONE
+    * streaming window aggregation per grouping set, UNION ALL'd — each
+    * branch is an independent watermark-evicting stateful subtree, so
+    * state stays bounded per set exactly as Flink's slice-shared
+    * implementation bounds its per-set state. Contract, violations
+    * rejected by name: exactly one GROUP BY with at most one
+    * GROUPING SETS/CUBE/ROLLUP construct (plain keys may ride
+    * alongside); every grouping set must contain window_start AND
+    * window_end (Flink's streaming window constraint); CUBE is bounded
+    * at 4 keys (2^n branches); select items that are non-grouped keys
+    * in a branch emit NULL (union-coerced), and `GROUPING(col) AS a` /
+    * `GROUPING_ID(cols...) AS a` items become per-branch literals
+    * (1 = aggregated, Spark/Flink semantics); no ORDER BY / LIMIT.
+    */
+  private def expandStreamingGroupingSets(
+      sql: String,
+      spark: org.apache.spark.sql.SparkSession,
+      watermarkOf: String => Option[(String, String)]): String = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"streaming GROUPING SETS over a window TVF: $msg")
+    val PrefixRe =
+      raw"(?is)^\s*(INSERT\s+(?:INTO|OVERWRITE)\s+[\w.`]+\s*(?:\([^)]*\)\s*)?)".r
+    val (prefix, body) = PrefixRe.findFirstMatchIn(sql)
+      .map(m => (m.group(1), sql.substring(m.end))).getOrElse(("", sql))
+    val gbs = raw"(?is)\bGROUP\s+BY\b".r.findAllMatchIn(body).toList
+    if (gbs.size != 1) fail("exactly one GROUP BY is supported")
+    val gb = gbs.head
+    val (keysText, keysEnd) = scanListClause(body, gb.end)
+    val tail = body.substring(keysEnd)
+    if (raw"(?is)\b(ORDER\s+BY|LIMIT)\b".r.findFirstIn(tail).isDefined)
+      fail("ORDER BY / LIMIT after the aggregation is not supported; " +
+        "sort the unioned result downstream")
+    val GsRe = raw"(?is)^GROUPING\s+SETS\s*\((.*)\)$$".r
+    val CubeRe = raw"(?is)^CUBE\s*\((.*)\)$$".r
+    val RollupRe = raw"(?is)^ROLLUP\s*\((.*)\)$$".r
+    var construct: Option[Seq[Seq[String]]] = None
+    def setConstruct(s: Seq[Seq[String]]): Unit = {
+      if (construct.nonEmpty)
+        fail("at most one GROUPING SETS/CUBE/ROLLUP construct per GROUP BY")
+      construct = Some(s)
+    }
+    val plain = scala.collection.mutable.Buffer.empty[String]
+    splitTopLevel(keysText).map(_.trim).filter(_.nonEmpty).foreach {
+      case GsRe(inner) =>
+        setConstruct(splitTopLevel(inner).map(_.trim).map { s =>
+          if (s.startsWith("(")) {
+            if (!s.endsWith(")")) fail(s"malformed grouping set: $s")
+            splitTopLevel(s.substring(1, s.length - 1)).map(_.trim)
+              .filter(_.nonEmpty)
+          } else if (s.isEmpty) Seq.empty[String]
+          else Seq(s)
+        })
+      case CubeRe(inner) =>
+        val cols = splitTopLevel(inner).map(_.trim).filter(_.nonEmpty)
+        if (cols.size > 4)
+          fail(s"CUBE over ${cols.size} keys expands to ${1 << cols.size} " +
+            "streaming aggregations; spell out the GROUPING SETS you need")
+        setConstruct((0 until (1 << cols.size)).map(mask =>
+          cols.zipWithIndex.collect {
+            case (c, i) if (mask & (1 << i)) == 0 => c
+          }))
+      case RollupRe(inner) =>
+        val cols = splitTopLevel(inner).map(_.trim).filter(_.nonEmpty)
+        setConstruct((cols.size to 0 by -1).map(cols.take))
+      case k => plain += k
+    }
+    val sets = construct.getOrElse(fail(
+      "no GROUPING SETS/CUBE/ROLLUP construct found"))
+    if (sets.isEmpty) fail("GROUPING SETS needs at least one set")
+    val keyish =
+      (plain ++ sets.flatten).map(_.toLowerCase).toSet
+    val branches = sets.map { s =>
+      val seen = scala.collection.mutable.Set.empty[String]
+      (plain.toSeq ++ s).filter(k => seen.add(k.toLowerCase))
+    }
+    branches.foreach { ks =>
+      val l = ks.map(_.toLowerCase)
+      if (!(l.contains("window_start") && l.contains("window_end")))
+        fail("every grouping set must contain window_start and " +
+          "window_end (Flink's streaming window aggregation constraint)")
+    }
+    val selM = raw"(?is)\bSELECT\b".r.findFirstMatchIn(body)
+      .getOrElse(fail("no SELECT"))
+    val fromIdx = findTopLevel(body, selM.end, "FROM")
+      .getOrElse(fail("no top-level FROM"))
+    val items = splitTopLevel(body.substring(selM.end, fromIdx))
+      .map(_.trim).filter(_.nonEmpty)
+    val GroupingRe =
+      raw"(?is)^GROUPING\s*\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)$$".r
+    val GroupingIdRe =
+      raw"(?is)^GROUPING_ID\s*\(\s*(.*?)\s*\)\s+AS\s+([A-Za-z_]\w*)$$".r
+    val BareGroupingRe = raw"(?is)^GROUPING(_ID)?\s*\(".r
+    def branchSql(ks: Seq[String]): String = {
+      val grouped = ks.map(_.toLowerCase).toSet
+      val sel = items.map {
+        case GroupingRe(c, alias) =>
+          s"${if (grouped(c.toLowerCase)) 0 else 1} AS $alias"
+        case GroupingIdRe(cs, alias) =>
+          val cols = splitTopLevel(cs).map(_.trim).filter(_.nonEmpty)
+          if (cols.isEmpty)
+            fail("GROUPING_ID needs explicit column arguments")
+          val id = cols.foldLeft(0L)((acc, c) =>
+            (acc << 1) | (if (grouped(c.toLowerCase)) 0L else 1L))
+          s"$id AS $alias"
+        case it if BareGroupingRe.findFirstIn(it).isDefined =>
+          fail("GROUPING/GROUPING_ID select items need the form " +
+            s"GROUPING(col) AS alias: $it")
+        case it if keyish(it.toLowerCase) && !grouped(it.toLowerCase) =>
+          s"NULL AS $it"
+        case other => other
+      }
+      body.substring(0, selM.start) + "SELECT " + sel.mkString(", ") + " " +
+        body.substring(fromIdx, gb.end) + " " + ks.mkString(", ") + tail
+    }
+    val parts = branches.map(b => rewriteStreaming(branchSql(b), spark, watermarkOf))
+    prefix + parts.map(p => s"($p)").mkString(" UNION ALL ")
   }
 
   private val tvfViewCounter = new java.util.concurrent.atomic.AtomicInteger()
@@ -762,33 +878,18 @@ object WindowTvf {
       spark: org.apache.spark.sql.SparkSession,
       watermarkOf: String => Option[(String, String)]): String = {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
-    // both sides must carry an event-time watermark on the DESCRIPTOR
-    // column — a DDL declaration or one already applied to the relation
-    // (withWatermark metadata). Without it, inner-join state never
-    // evicts and the outer forms die with Spark's raw error. Text-only
-    // invocations (no session) cannot check and skip — the CLI path
-    // always passes the session.
-    def requireWatermark(table: String, tcol: String): Unit = {
-      if (spark == null) return
-      val declared = watermarkOf(table).exists(_._1.equalsIgnoreCase(tcol))
-      lazy val metaOk =
-        try spark.table(table).schema.fields.exists(f =>
-          f.name.equalsIgnoreCase(tcol) && f.metadata.contains(
-            org.apache.spark.sql.catalyst.plans.logical
-              .EventTimeWatermark.delayKey))
-        catch { case _: Exception => false }
-      if (!declared && !metaOk)
-        fail(s"streaming window join: $table needs a WATERMARK " +
-          s"declaration on its DESCRIPTOR column $tcol — without it " +
-          "the join state never evicts (inner) or the query fails at " +
-          "start (outer)")
-    }
-    AnyTvfRe.findAllMatchIn(sql).foreach { c =>
-      val kind = c.group(1).toUpperCase
-      if (kind != "TUMBLE" && kind != "HOP")
-        fail(s"streaming window join supports TUMBLE and HOP windows " +
-          s"only (got $kind) — aggregate SESSION/CUMULATE windows " +
-          "separately, then join the results")
+    def requireWatermark(table: String, tcol: String): Unit =
+      requireJoinWatermark(spark, watermarkOf, table, tcol)
+    val kinds = AnyTvfRe.findAllMatchIn(sql).map(_.group(1).toUpperCase).toSeq
+    if (kinds.contains("SESSION"))
+      fail("streaming window join supports TUMBLE, HOP and CUMULATE " +
+        "windows only (got SESSION) — aggregate SESSION windows " +
+        "separately, then join the results")
+    if (kinds.contains("CUMULATE")) {
+      if (!kinds.forall(_ == "CUMULATE"))
+        fail("streaming CUMULATE window join requires BOTH sides to be " +
+          "CUMULATE (Flink windows both inputs with the same TVF)")
+      return rewriteStreamingCumulateJoin(sql, spark, watermarkOf)
     }
     val tumbles = TumbleRe.findAllMatchIn(sql).toSeq.map((_, false))
     val hops = HopRe.findAllMatchIn(sql).toSeq.map((_, true))
@@ -861,6 +962,165 @@ object WindowTvf {
         .mkString(" AND ")
     out.substring(0, onIdx) + "ON " + newCond +
       (if (condEnd < out.length) " " + out.substring(condEnd) else "")
+  }
+
+  /** Both window-join sides must carry an event-time watermark on the
+    * DESCRIPTOR column — a DDL declaration or one already applied to
+    * the relation (withWatermark metadata). Without it, inner-join
+    * state never evicts and the outer forms die with Spark's raw
+    * error. Text-only invocations (no session) cannot check and skip —
+    * the CLI path always passes the session.
+    */
+  private def requireJoinWatermark(
+      spark: org.apache.spark.sql.SparkSession,
+      watermarkOf: String => Option[(String, String)],
+      table: String, tcol: String): Unit = {
+    if (spark == null) return
+    val declared = watermarkOf(table).exists(_._1.equalsIgnoreCase(tcol))
+    lazy val metaOk =
+      try spark.table(table).schema.fields.exists(f =>
+        f.name.equalsIgnoreCase(tcol) && f.metadata.contains(
+          org.apache.spark.sql.catalyst.plans.logical
+            .EventTimeWatermark.delayKey))
+      catch { case _: Exception => false }
+    if (!declared && !metaOk)
+      throw new IllegalArgumentException(
+        s"streaming window join: $table needs a WATERMARK " +
+          s"declaration on its DESCRIPTOR column $tcol — without it " +
+          "the join state never evicts (inner) or the query fails at " +
+          "start (outer)")
+  }
+
+  /** Streaming CUMULATE window join. Spark has no native growing
+    * window, but a CUMULATE join decomposes exactly: two rows share a
+    * cumulate window instance iff they share the SPAN (the size-wide
+    * tumbling grid) and the window's end lies strictly after both —
+    * so the join runs as a native TUMBLE(size) window join (the shape
+    * whose state evicts with the watermark) and each joined pair then
+    * fans out STATELESSLY to the step-multiple ends from
+    * `greatest(eb_l, eb_r)` to the span end, where `eb` is a row's
+    * first covering end offset. Both sides must be CUMULATE with
+    * identical (step, size, offset); the ON clause must equate
+    * window_start and window_end (Flink's window-join contract —
+    * both collapse into the span-struct equality, end equality being
+    * implied per fanned window). `X.window_end`/`X.window_time`
+    * references rewrite onto the fan-out column, so they are legal in
+    * the select list and WHERE but not in residual ON conjuncts
+    * (evaluated before the fan-out).
+    */
+  private def rewriteStreamingCumulateJoin(
+      sql: String,
+      spark: org.apache.spark.sql.SparkSession,
+      watermarkOf: String => Option[(String, String)]): String = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    val calls = CumulateRe.findAllMatchIn(sql).toSeq
+    if (calls.size != 2)
+      fail("streaming CUMULATE window join needs exactly two CUMULATE " +
+        "window TVF relations in supported form")
+    val specs = calls.map { m =>
+      val step = millis(m, 3, "STEP")
+      val size = millis(m, 6, "SIZE")
+      require(size % step == 0,
+        s"CUMULATE size ($size ms) must be a multiple of its step ($step ms)")
+      (step, size, normOffset(offsetMillis(m, 9), size))
+    }
+    if (specs.distinct.size != 1)
+      fail("streaming CUMULATE window join requires identical (step, " +
+        "size, offset) on both sides (Flink windows both inputs with " +
+        "the same TVF)")
+    val (stepMs, sizeMs, offMs) = specs.head
+    var out = sql
+    for (m <- calls.reverseIterator) {
+      requireJoinWatermark(spark, watermarkOf, m.group(1), m.group(2))
+      val (table, tcol) = (m.group(1), m.group(2))
+      val tail =
+        if (offMs == 0L) ""
+        else s", '$sizeMs milliseconds', '$offMs milliseconds'"
+      val t = epochMs(tcol)
+      val tOff = if (offMs == 0L) t else s"($t - ${offMs}L)"
+      val eb = s"((pmod($tOff, ${sizeMs}L) div ${stepMs}L) + 1) * ${stepMs}L"
+      val derived =
+        s"(SELECT * EXCEPT (__w), __w.start AS window_start, " +
+          s"__w AS __graft_w, $eb AS __graft_eb " +
+          s"FROM (SELECT *, window($tcol, '$sizeMs milliseconds'$tail) AS __w " +
+          s"FROM $table WHERE $tcol IS NOT NULL) __gwj)"
+      out = out.substring(0, m.start) + derived + out.substring(m.end)
+    }
+    val onIdx = findTopLevel(out, 0, "ON").getOrElse(
+      fail("streaming CUMULATE window join needs an ON clause equating " +
+        "window_start and window_end of both sides"))
+    val condEnd = Seq("WHERE", "ORDER", "LIMIT", "HAVING")
+      .flatMap(k => findTopLevel(out, onIdx + 2, k)).sorted.headOption
+      .getOrElse(out.length)
+    val cond = out.substring(onIdx + 2, condEnd)
+    val WinEqRe = raw"(?is)^\s*([A-Za-z_]\w*)\.(window_start|window_end)\s*=\s*([A-Za-z_]\w*)\.(window_start|window_end)\s*$$".r
+    var startPair: Option[(String, String)] = None
+    var sawEndEq = false
+    val rest = splitTopLevelAnd(cond).filter { c =>
+      c match {
+        case WinEqRe(a, ca, b, cb) if ca.equalsIgnoreCase(cb) =>
+          if (ca.equalsIgnoreCase("window_start")) startPair = Some((a, b))
+          else sawEndEq = true
+          false
+        case _ => true
+      }
+    }
+    val (la, ra) = startPair.getOrElse(
+      fail("streaming CUMULATE window join requires `L.window_start = " +
+        "R.window_start` in the ON clause (Flink's window-join contract)"))
+    if (!sawEndEq)
+      fail("streaming CUMULATE window join requires `L.window_end = " +
+        "R.window_end` in the ON clause (Flink's window-join contract)")
+    rest.foreach { c =>
+      if (raw"(?i)\bwindow_(end|time)\b".r.findFirstIn(c).isDefined)
+        fail("streaming CUMULATE window join: window_end/window_time " +
+          "cannot appear in residual ON conjuncts (the growing-window " +
+          "fan-out runs after the join) — move the predicate to WHERE")
+    }
+    val newCond =
+      (s"$la.__graft_w = $ra.__graft_w" +: rest.map(_.trim))
+        .mkString(" AND ")
+    // the stateless fan-out: every step-multiple end covering BOTH rows
+    val fan = s" LATERAL VIEW explode(sequence(" +
+      s"greatest($la.__graft_eb, $ra.__graft_eb), ${sizeMs}L, ${stepMs}L)) " +
+      "__gcf AS __graft_eo"
+    var res = out.substring(0, onIdx) + "ON " + newCond + fan +
+      (if (condEnd < out.length) " " + out.substring(condEnd) else "")
+    def endRef(a: String) =
+      s"timestamp_millis(unix_millis($a.window_start) + __graft_eo)"
+    def timeRef(a: String) =
+      s"timestamp_millis(unix_millis($a.window_start) + __graft_eo - 1L)"
+    // bare `X.window_end` / `X.window_time` select items keep their TVF
+    // output names via an alias; references inside larger expressions
+    // rewrite in place below
+    val selM = raw"(?is)\bSELECT\b".r.findFirstMatchIn(res)
+      .getOrElse(fail("streaming CUMULATE window join has no SELECT"))
+    findTopLevel(res, selM.end, "FROM").foreach { fromIdx =>
+      val items = splitTopLevel(res.substring(selM.end, fromIdx)).map { it =>
+        raw"(?i)^\s*([A-Za-z_]\w*)\.window_(end|time)\s*$$".r
+          .findFirstMatchIn(it) match {
+          case Some(mm) =>
+            val which = mm.group(2).toLowerCase
+            val e =
+              if (which == "end") endRef(mm.group(1)) else timeRef(mm.group(1))
+            s"$e AS window_$which"
+          case None => it.trim
+        }
+      }
+      res = res.substring(0, selM.end) + " " + items.mkString(", ") + " " +
+        res.substring(fromIdx)
+    }
+    val WinTimeRef = raw"(?i)\b([A-Za-z_]\w*)\.window_time\b".r
+    val WinEndRef = raw"(?i)\b([A-Za-z_]\w*)\.window_end\b".r
+    res = WinTimeRef.replaceAllIn(res, m =>
+      java.util.regex.Matcher.quoteReplacement(timeRef(m.group(1))))
+    res = WinEndRef.replaceAllIn(res, m =>
+      java.util.regex.Matcher.quoteReplacement(endRef(m.group(1))))
+    if (raw"(?i)(?<!AS )\bwindow_(end|time)\b".r.findFirstIn(res).isDefined)
+      fail("streaming CUMULATE window join: qualify window_end/" +
+        "window_time with a side alias (the unqualified column does " +
+        "not exist after the fan-out rewrite)")
+    res
   }
 
   /** Top-level AND-conjuncts of a boolean expression (quote- and

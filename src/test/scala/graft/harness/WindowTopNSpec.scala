@@ -274,6 +274,46 @@ class WindowTopNSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("e2e: streaming CUMULATE top-N script runs through sql-submit") {
+    // datagen rows at 0/15/30/45 s; CUMULATE(15 s, 30 s) top-1 by v.
+    // A bounded source ends with Flink's MAX_WATERMARK semantics —
+    // every growing window flushes, so all four (span, end) winners
+    // land in the sink
+    val out = java.nio.file.Files.createTempDirectory("graft-ct-out").toString
+    val script = java.nio.file.Files.createTempFile("graft-ct", ".sql")
+    java.nio.file.Files.writeString(script,
+      s"""CREATE TABLE ct_src (ems BIGINT, v BIGINT,
+         |  ts AS TO_TIMESTAMP_LTZ(ems * 15000, 3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+         |WITH ('connector'='datagen', 'number-of-rows'='4',
+         |  'fields.ems.kind'='sequence', 'fields.ems.start'='0',
+         |  'fields.ems.end'='3',
+         |  'fields.v.kind'='sequence', 'fields.v.start'='100',
+         |  'fields.v.end'='103');
+         |CREATE TABLE ct_sink (v BIGINT, ws TIMESTAMP(3), we TIMESTAMP(3),
+         |  rn BIGINT)
+         |WITH ('connector'='filesystem', 'path'='$out/sink',
+         |  'format'='parquet');
+         |INSERT INTO ct_sink
+         |SELECT v, window_start AS ws, window_end AS we, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY window_start, window_end ORDER BY v DESC) AS rn
+         |  FROM TABLE(CUMULATE(TABLE ct_src, DESCRIPTOR(ts),
+         |    INTERVAL '15' SECOND, INTERVAL '30' SECOND)))
+         |WHERE rn <= 1;
+         |""".stripMargin)
+    new SqlSubmitAction(script.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 20L).run()
+    val got = spark.read.parquet(s"$out/sink")
+      .select($"v",
+        org.apache.spark.sql.functions.unix_timestamp($"ws"),
+        org.apache.spark.sql.functions.unix_timestamp($"we"), $"rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (100L, 0L, 15L, 1L), (101L, 0L, 30L, 1L),
+      (102L, 30L, 45L, 1L), (103L, 30L, 60L, 1L)), got)
+  }
+
   test("contract rejections are named") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long, String)]

@@ -274,12 +274,69 @@ class WindowTvfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("GROUPING SETS over a window TVF is batch-only, rejected by name") {
+  test("streaming GROUPING SETS over a window TVF expands to unioned window aggs") {
+    // every set must carry both window columns (Flink's streaming
+    // window-aggregation constraint) — rejected by name otherwise
     val e = intercept[IllegalArgumentException](WindowTvf.rewriteStreaming(
       "SELECT window_start, k, COUNT(*) AS n FROM " +
         "TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR)) " +
         "GROUP BY GROUPING SETS ((window_start, k), (window_start))"))
-    assert(e.getMessage.contains("batch-only"), e.getMessage)
+    assert(e.getMessage.contains("window_start and window_end"), e.getMessage)
+    // CUBE fan-out is bounded
+    val eCube = intercept[IllegalArgumentException](WindowTvf.rewriteStreaming(
+      "SELECT window_start, COUNT(*) AS n FROM " +
+        "TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' HOUR)) " +
+        "GROUP BY window_start, window_end, CUBE (a, b, c, d, e)"))
+    assert(eCube.getMessage.contains("streaming aggregations"), eCube.getMessage)
+
+    def gsSql(src: String) =
+      s"""SELECT k, window_start, window_end, COUNT(*) AS n,
+         |  GROUPING(k) AS gk
+         |FROM TABLE(TUMBLE(TABLE $src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+         |GROUP BY GROUPING SETS ((window_start, window_end, k),
+         |  (window_start, window_end))""".stripMargin
+    // text level: two UNION ALL'd native window aggregations, the
+    // all-aggregated branch emitting NULL AS k and GROUPING(k) = 1
+    val out = WindowTvf.rewriteStreaming(gsSql("gs_s"))
+    assert("UNION ALL".r.findAllIn(out).size == 1, out)
+    assert(out.contains("NULL AS k"), out)
+    assert(out.contains("1 AS gk") && out.contains("0 AS gk"), out)
+    assert(!WindowTvf.hasWindowTvf(out), out)
+
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq(
+      ("x", ts(10)), ("y", ts(20)), ("x", ts(30)))
+    // batch twin: Spark's native grouping sets over the TVF expansion
+    rows.toDF("k", "ts").createOrReplaceTempView("gs_b")
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k",
+        org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+        org.apache.spark.sql.functions.unix_timestamp($"window_end"),
+        $"n", $"gk".cast("int"))
+      .as[(Option[String], Long, Long, Long, Int)].collect().toSet
+    val batch = proj(spark.sql(WindowTvf.rewrite(gsSql("gs_b"))))
+    assert(batch == Set(
+      (Some("x"), 0L, 60L, 2L, 0), (Some("y"), 0L, 60L, 1L, 0),
+      (None, 0L, 60L, 3L, 1)))
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    input.toDF().toDF("k", "ts").withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("gs_s")
+    val q = spark.sql(WindowTvf.rewriteStreaming(gsSql("gs_s")))
+      .writeStream.format("memory").queryName("gs_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("z", ts(500))); q.processAllAvailable()
+      input.addData(("z", ts(900))); q.processAllAvailable()
+      val got = proj(spark.table("gs_out")
+        .filter("unix_timestamp(window_start) < 60"))
+      assert(got == batch, s"got $got\nbatch $batch")
+    } finally q.stop()
   }
 
   test("streaming TVF contract violations are rejected explicitly") {
@@ -690,7 +747,88 @@ class WindowTvfSpec extends AnyFunSuite {
       """SELECT L.k FROM TABLE(SESSION(TABLE wj_a, DESCRIPTOR(ts), INTERVAL '10' SECOND)) L
         |JOIN TABLE(SESSION(TABLE wj_b, DESCRIPTOR(ts), INTERVAL '10' SECOND)) R
         |ON L.window_start = R.window_start AND L.window_end = R.window_end""".stripMargin))
-    assert(eSess.getMessage.contains("TUMBLE and HOP"), eSess.getMessage)
+    assert(eSess.getMessage.contains("TUMBLE, HOP and CUMULATE"), eSess.getMessage)
+  }
+
+  test("streaming CUMULATE window join: span join + stateless growing-window fan-out") {
+    def cumJoinSql(ta: String, tb: String) =
+      s"""SELECT L.k, L.window_start, L.window_end, L.v, R.v2
+         |FROM TABLE(CUMULATE(TABLE $ta, DESCRIPTOR(ts), INTERVAL '5' SECOND, INTERVAL '10' SECOND)) L
+         |JOIN TABLE(CUMULATE(TABLE $tb, DESCRIPTOR(ts), INTERVAL '5' SECOND, INTERVAL '10' SECOND)) R
+         |ON L.k = R.k AND L.window_start = R.window_start
+         |  AND L.window_end = R.window_end""".stripMargin
+    // text level: span-struct equality + the fan-out lateral view, and
+    // window_end references rewritten onto the fan-out column
+    val out = WindowTvf.rewriteStreaming(cumJoinSql("wcj_a", "wcj_b"))
+    assert(out.contains("L.__graft_w = R.__graft_w"), out)
+    assert(out.contains("LATERAL VIEW explode(sequence(greatest("), out)
+    assert(!raw"(?i)(?<!AS )\bwindow_end\b".r.findFirstIn(out).isDefined, out)
+
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rowsA = Seq((1L, ts(3), "a1"), (1L, ts(14), "a2"), (2L, ts(4), "a3"))
+    val rowsB = Seq((1L, ts(7), "b1"), (1L, ts(2), "b2"), (2L, ts(15), "b3"))
+    // batch twin through the TVF expansion rewrite
+    rowsA.toDF("k", "ts", "v").createOrReplaceTempView("wcj_ab")
+    rowsB.toDF("k", "ts", "v2").createOrReplaceTempView("wcj_bb")
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k",
+        org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+        org.apache.spark.sql.functions.unix_timestamp($"window_end"),
+        $"v", $"v2")
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    val batch = proj(spark.sql(WindowTvf.rewrite(cumJoinSql("wcj_ab", "wcj_bb"))))
+    // a1 (3 s) covers [0,5)+[0,10); b1 (7 s) only [0,10); b2 (2 s) both
+    assert(batch == Set(
+      (1L, 0L, 10L, "a1", "b1"),
+      (1L, 0L, 5L, "a1", "b2"), (1L, 0L, 10L, "a1", "b2")))
+
+    val a = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val b = MemoryStream[(Long, java.sql.Timestamp, String)]
+    a.toDF().toDF("k", "ts", "v").withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("wcj_a")
+    b.toDF().toDF("k", "ts", "v2").withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("wcj_b")
+    val q = spark.sql(WindowTvf.rewriteStreaming(cumJoinSql("wcj_a", "wcj_b")))
+      .writeStream.format("memory").queryName("wcj_out")
+      .outputMode("append").start()
+    try {
+      a.addData(rowsA: _*); b.addData(rowsB: _*)
+      q.processAllAvailable()
+      a.addData((8L, ts(100), "flush")); b.addData((9L, ts(100), "flush"))
+      q.processAllAvailable()
+      val got = proj(spark.table("wcj_out"))
+      assert(got == batch, s"got $got\nbatch $batch")
+      // span-struct equality is what lets Spark evict join state
+      a.addData((8L, ts(200), "fl2")); b.addData((9L, ts(200), "fl2"))
+      q.processAllAvailable()
+      val held = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(held <= 4, s"join state not evicted by watermark: $held rows held")
+    } finally q.stop()
+
+    // contract: mixed kinds, differing specs, ON-side window_end, and
+    // unqualified window_end all fail by name
+    def rejects(sql: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        WindowTvf.rewriteStreaming(sql))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects(cumJoinSql("wcj_a", "wcj_b").replaceFirst(
+      raw"CUMULATE\(TABLE wcj_b, DESCRIPTOR\(ts\), INTERVAL '5' SECOND, ",
+      "TUMBLE(TABLE wcj_b, DESCRIPTOR(ts), "),
+      "BOTH sides to be CUMULATE")
+    rejects(cumJoinSql("wcj_a", "wcj_b").replaceFirst(
+      "INTERVAL '5' SECOND", "INTERVAL '2' SECOND"),
+      "identical (step")
+    rejects(cumJoinSql("wcj_a", "wcj_b") +
+      " AND L.window_end > R.ts", "move the predicate to WHERE")
+    rejects(cumJoinSql("wcj_a", "wcj_b").replace(
+      "SELECT L.k, L.window_start, L.window_end",
+      "SELECT L.k, L.window_start, window_end"),
+      "qualify window_end")
   }
 
   test("streaming legacy TUMBLE escalates onto native window() grouping") {
