@@ -146,9 +146,14 @@ object Dialect {
   }
 
   /** JSON_VALUE behavior-clause subset: spelled-out Flink defaults
-    * (NULL ON EMPTY / NULL ON ERROR) are no-ops, `DEFAULT ... ON
-    * EMPTY` coalesces — with RETURNING, the cast applies before the
-    * default, so the default's type is the declared one.
+    * (NULL ON EMPTY / NULL ON ERROR) are no-ops; `DEFAULT ... ON
+    * EMPTY` applies only to the EMPTY case (path missing in valid
+    * JSON) — since round 12 the rewrite is a `graft_json_valid` CASE
+    * that routes malformed JSON and uncastable values to the ON ERROR
+    * clause instead (q108 covers `DEFAULT ... ON ERROR`; see
+    * `DialectFunctions.jsonValue` and COVERAGE.md). With RETURNING,
+    * the TRY_CAST applies before the default, so the default's type
+    * is the declared one and cast failures fall to ON ERROR.
     */
   val q104JsonDefault: Q = Q(
     "q104_json_default",
