@@ -22,23 +22,25 @@ final class EngineConfig(spark: SparkSession) {
         spark.conf.set("spark.sql.shuffle.partitions", value)
         spark.conf.set("spark.default.parallelism", value)
       case "table.local-time-zone" =>
-        // NOT mapped onto spark.sql.session.timeZone: the window-TVF
-        // epoch arithmetic and the NTZ-cast normalization are pinned to
-        // a UTC session (WindowTvf.epochMs), and Flink's LTZ window
-        // alignment is what the TVF OFFSET argument expresses
-        // explicitly. A non-UTC zone would silently shift every window
-        // boundary and timestamp rendering — fail loudly (the harness
-        // contract everywhere else) instead of running with a shifted
-        // timeline. Any zone that keeps the UTC timeline (fixed zero
-        // offset — 'UTC', 'Etc/GMT+0', '+00:00', '+0000', 'GMT0', ...)
-        // is a no-op; resolution goes through java.time.ZoneId rather
-        // than a fixed spelling set.
-        if (!EngineConfig.isUtcTimeline(value))
+        // Session-zone translation (r13): any RESOLVABLE zone maps onto
+        // spark.sql.session.timeZone, which carries Flink's
+        // local-time-zone semantics for TIMESTAMP_LTZ rendering,
+        // string↔timestamp casts, and the LTZ time functions
+        // (CURRENT_TIMESTAMP, TO_TIMESTAMP_LTZ display). The WINDOW
+        // timeline stays UTC-pinned — WindowTvf.epochMs, the streaming
+        // trackers, MATCH_RECOGNIZE, and temporal joins all run epoch
+        // arithmetic that assumes a UTC session — so time-attribute
+        // statements are rejected by name while a SHIFTED zone is
+        // active (SqlSubmitAction.rewriteFlinkDialect); the window
+        // OFFSET argument is the supported local-alignment path.
+        // Fixed zero-offset spellings ('UTC', 'Etc/GMT+0', '+00:00',
+        // 'Z', ...) stay exact no-ops on a UTC session.
+        val zone = EngineConfig.resolveZone(value).getOrElse(
           throw new IllegalArgumentException(
-            s"table.local-time-zone = $value is not supported: the " +
-              "engine runs on a UTC session timeline; use the " +
-              "window-offset argument (e.g. TUMBLE(..., INTERVAL '-8' " +
-              "HOUR)) for timezone-aligned windows")
+            s"table.local-time-zone = $value is not a resolvable time " +
+              "zone (java.time.ZoneId)"))
+        spark.conf.set("spark.sql.session.timeZone",
+          if (EngineConfig.isUtcTimeline(value)) "UTC" else zone.getId)
       case "table.exec.mini-batch.allow-latency" =>
         // drives the micro-batch trigger at INSERT-compile time
         ()
@@ -63,9 +65,27 @@ final class EngineConfig(spark: SparkSession) {
     * again — the Spark-side conf reset rides the native statement.
     */
   def reset(key: Option[String]): Unit = key match {
-    case Some(k) => raw.remove(k.trim): Unit
-    case None => raw.clear()
+    case Some(k) =>
+      val kk = k.trim
+      // dropping the zone key reverts the session timeline to UTC —
+      // compile-time consumers AND the session conf must agree
+      if (kk.equalsIgnoreCase("table.local-time-zone"))
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+      raw.remove(kk): Unit
+    case None =>
+      if (raw.contains("table.local-time-zone"))
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+      raw.clear()
   }
+
+  /** A genuinely shifted (non-UTC-timeline) session zone is active —
+    * the state that gates time-attribute statements.
+    */
+  def isShiftedTimeline: Boolean =
+    raw.get("table.local-time-zone")
+      .exists(v => !EngineConfig.isUtcTimeline(v))
+
+  def localTimeZone: Option[String] = raw.get("table.local-time-zone")
 
   /** Parse + apply a full `SET k = v` statement
     * (`SQLSubmitAction.java:85-99`): strip the SET keyword, split on the
@@ -131,16 +151,26 @@ object EngineConfig {
     * scripts carry ('utc', 'z', 'etc/utc'); region-zone IDs are
     * otherwise case-sensitive per java.time.
     */
-  def isUtcTimeline(value: String): Boolean = {
+  private def zoneCandidates(value: String): Seq[String] = {
     val s = value.trim
-    val candidates = Seq(
+    Seq(
       s,
       s.toUpperCase(java.util.Locale.ROOT),
       // lowercased Etc/… region ids ('etc/utc', 'etc/gmt+0')
       if (s.length >= 4 && s.substring(0, 4).equalsIgnoreCase("etc/"))
         "Etc/" + s.substring(4).toUpperCase(java.util.Locale.ROOT)
-      else s)
-    candidates.distinct.exists { c =>
+      else s).distinct
+  }
+
+  /** First ZoneId a tolerant spelling of `value` resolves to. */
+  def resolveZone(value: String): Option[java.time.ZoneId] =
+    zoneCandidates(value).flatMap { c =>
+      try Some(java.time.ZoneId.of(c, java.time.ZoneId.SHORT_IDS))
+      catch { case _: java.time.DateTimeException => None }
+    }.headOption
+
+  def isUtcTimeline(value: String): Boolean =
+    zoneCandidates(value).exists { c =>
       try {
         val rules = java.time.ZoneId.of(c, java.time.ZoneId.SHORT_IDS).getRules
         rules.isFixedOffset &&
@@ -149,5 +179,4 @@ object EngineConfig {
         case _: java.time.DateTimeException => false
       }
     }
-  }
 }

@@ -650,6 +650,25 @@ final class SqlSubmitAction(
     */
   private def rewriteFlinkDialect(
       spark: SparkSession, config: EngineConfig, sql: String): String = {
+    // a shifted table.local-time-zone applies to TIMESTAMP_LTZ
+    // rendering, casts, and time functions (EngineConfig maps it onto
+    // spark.sql.session.timeZone) — but every time-ATTRIBUTE rewrite
+    // (window TVFs, legacy group windows, MATCH_RECOGNIZE, temporal
+    // joins) runs epoch arithmetic pinned to a UTC session, so those
+    // statements reject by name rather than run with silently shifted
+    // window boundaries
+    if (config.isShiftedTimeline &&
+        (WindowTvf.hasWindowTvf(sql) ||
+          MatchRecognize.hasMatchRecognize(sql) ||
+          TemporalJoin.hasTemporalJoin(sql)))
+      throw new IllegalArgumentException(
+        s"table.local-time-zone = ${config.localTimeZone.getOrElse("?")} " +
+          "is active (a shifted timeline): window TVFs, legacy group " +
+          "windows, MATCH_RECOGNIZE and temporal joins stay on the " +
+          "UTC-pinned event-time arithmetic — SET table.local-time-zone " +
+          "= 'UTC' for time-attribute statements, or use the window " +
+          "OFFSET argument for locally-aligned windows; the zone still " +
+          "applies to TIMESTAMP_LTZ rendering, casts, and time functions")
     // scalar/collection dialect functions (UNNEST, JSON_VALUE family)
     // rewrite first: pure text→text, and the later passes then see
     // only Spark-native calls inside the regions they extract

@@ -72,40 +72,95 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(c.raw.isEmpty)
   }
 
-  test("table.local-time-zone keeps the UTC timeline; parallelism key maps") {
+  test("table.local-time-zone maps onto the session zone; parallelism key maps") {
     val spark = graft.SparkFixture.spark
     val before = spark.conf.get("spark.sql.session.timeZone")
     try {
       val c = new EngineConfig(spark)
-      // window arithmetic is pinned to the UTC session (the
-      // window-offset argument is the supported alignment path):
-      // UTC spellings are no-ops, anything else fails loudly rather
-      // than running with silently shifted window boundaries
+      // UTC-timeline spellings are exact no-ops on a UTC session;
+      // acceptance goes through ZoneId, not a spelling set
       c.setOperation("SET table.local-time-zone = UTC")
       c.setOperation("SET table.local-time-zone = Etc/UTC")
-      assert(spark.conf.get("spark.sql.session.timeZone") == before)
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
       assert(c.raw("table.local-time-zone") == "Etc/UTC")
-      // acceptance goes through ZoneId, not a spelling set: any FIXED
-      // zero-offset zone keeps the UTC timeline
+      assert(!c.isShiftedTimeline)
       Seq("Etc/GMT+0", "etc/gmt-0", "UTC+00:00", "+00:00", "+0000",
           "GMT", "gmt", "Z", "z").foreach { z =>
         c.setOperation(s"SET table.local-time-zone = $z")
       }
-      assert(spark.conf.get("spark.sql.session.timeZone") == before)
-      val e = intercept[IllegalArgumentException](
-        c.setOperation("SET table.local-time-zone = Asia/Shanghai"))
-      assert(e.getMessage.contains("window-offset"))
-      // genuinely shifted offsets and DST-bearing region zones fail
-      // even when their CURRENT offset is zero (London in winter)
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+      // a genuinely shifted zone maps onto spark.sql.session.timeZone
+      // (Flink's local-time-zone semantics for LTZ rendering, casts,
+      // and time functions) and flags the shifted timeline that gates
+      // time-attribute statements
+      c.setOperation("SET table.local-time-zone = Asia/Shanghai")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "Asia/Shanghai")
+      assert(c.isShiftedTimeline)
+      // the epoch renders at +08:00 — the observable Flink behavior
+      assert(spark.sql("SELECT CAST(timestamp_millis(0) AS STRING)")
+        .head.getString(0) == "1970-01-01 08:00:00")
+      // DST-bearing zones and shifted offsets are accepted the same way
       Seq("+01:00", "Etc/GMT-8", "Europe/London", "UTC+05:30").foreach { z =>
-        intercept[IllegalArgumentException](
-          c.setOperation(s"SET table.local-time-zone = $z")): Unit
+        c.setOperation(s"SET table.local-time-zone = $z")
+        assert(c.isShiftedTimeline, z)
       }
+      // an unresolvable zone fails by name
+      val bad = intercept[IllegalArgumentException](
+        c.setOperation("SET table.local-time-zone = Mars/Olympus"))
+      assert(bad.getMessage.contains("resolvable"), bad.getMessage)
+      // RESET of the key reverts the session timeline to UTC
+      c.reset(Some("table.local-time-zone"))
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+      assert(!c.isShiftedTimeline)
+      // setting back a zero-offset spelling from a shifted zone also
+      // restores UTC
+      c.setOperation("SET table.local-time-zone = Asia/Shanghai")
+      c.setOperation("SET table.local-time-zone = +0000")
+      assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
       c.setOperation("SET table.exec.resource.default-parallelism = 7")
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
     } finally {
       spark.conf.set("spark.sql.session.timeZone", before)
       spark.conf.set("spark.sql.shuffle.partitions", "4")
     }
+  }
+
+  test("a shifted zone gates time-attribute statements but runs LTZ rendering") {
+    val spark = graft.SparkFixture.spark
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    val script = java.nio.file.Files.createTempFile("graft-tz", ".sql")
+    try {
+      // the zone applies to rendering; the windowed statement rejects
+      // by name (UTC-pinned event-time arithmetic), and after SET back
+      // to UTC the same windowed statement runs
+      java.nio.file.Files.writeString(script,
+        """SET execution.runtime-mode = batch;
+          |SET table.local-time-zone = Asia/Shanghai;
+          |SELECT CAST(TO_TIMESTAMP_LTZ(0, 3) AS STRING) AS t;
+          |SELECT window_start, COUNT(*) AS n
+          |FROM TABLE(TUMBLE(TABLE tz_probe, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          |GROUP BY window_start;
+          |""".stripMargin)
+      import spark.implicits._
+      Seq((1L, new java.sql.Timestamp(0L))).toDF("k", "ts")
+        .createOrReplaceTempView("tz_probe")
+      val e = intercept[Exception](
+        new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .flatMap(t => Option(t.getMessage)).mkString("\n")
+      assert(msgs.contains("UTC-pinned"), msgs)
+      // the same script with the zone reverted runs through
+      java.nio.file.Files.writeString(script,
+        """SET execution.runtime-mode = batch;
+          |SET table.local-time-zone = Asia/Shanghai;
+          |SELECT CAST(TO_TIMESTAMP_LTZ(0, 3) AS STRING) AS t;
+          |SET table.local-time-zone = UTC;
+          |SELECT window_start, COUNT(*) AS n
+          |FROM TABLE(TUMBLE(TABLE tz_probe, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          |GROUP BY window_start;
+          |""".stripMargin)
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run()
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
   }
 }
