@@ -641,6 +641,117 @@ object MatchRecognize {
   private def mapNextCalls(pred: String)(repl: (String, String) => String): String =
     mapNavCalls(pred, NextOpenRe, "NEXT")(repl)
 
+  /** Streaming-only flattening of SAME-DIRECTION nested physical
+    * navigation: `PREV(price + PREV(price))` ≡ `(PREV(price, 1) +
+    * PREV(price, 2))` because physical offsets compose — and for a
+    * single direction the composition is exact: row `i-(j+k)` existing
+    * implies every intermediate `i-k` exists (physical predecessors
+    * are contiguous), so null-propagation through the STRICT operators
+    * admitted here (arithmetic, comparison) matches the staged-lag
+    * batch semantics on every row including partition edges. MIXED
+    * direction (`NEXT(PREV(v))`) does NOT flatten — batch evaluates
+    * the inner navigation on the intermediate row, so its EXISTENCE
+    * gates the result (`NEXT(PREV(v))` at the last row is NULL even
+    * though `v` exists) — and non-strict constructs (CASE, COALESCE,
+    * AND/OR under three-valued logic, function calls) distribute
+    * incorrectly. Anything outside the safe subset returns the
+    * predicate unchanged, so [[rejectNestedNav]]'s named batch-only
+    * error still fires.
+    */
+  private[harness] def flattenSameDirNav(pred: String): String = {
+    def navCalls(s: String): Seq[(Int, Int, String)] = {
+      val masked = maskQuoted(s)
+      (PrevOpenRe.findAllMatchIn(masked).map(m => (m.start, m.end - 1, "PREV")) ++
+        NextOpenRe.findAllMatchIn(masked).map(m => (m.start, m.end - 1, "NEXT")))
+        .toSeq.sortBy(_._1)
+    }
+    var cur = pred
+    var guard = 0
+    while (guard < 16) {
+      guard += 1
+      val calls = navCalls(cur)
+      val nestedOpt = calls.find { case (_, o, _) =>
+        val e = closeParen(cur, o)
+        calls.exists(c => c._2 > o && c._2 < e)
+      }
+      nestedOpt match {
+        case None => return cur
+        case Some((st, o, kw)) =>
+          val e = closeParen(cur, o)
+          val inner = cur.substring(o + 1, e - 1)
+          val (arg, k) = splitTopLevel(inner) match {
+            case Seq(x) => (x.trim, 1)
+            case Seq(x, kk) if raw"^\d+$$".r.findFirstIn(kk.trim).isDefined =>
+              (x.trim, kk.trim.toInt)
+            case _ => return pred
+          }
+          val argFlat = flattenSameDirNav(arg)
+          distributeNav(argFlat, kw, k) match {
+            case Some(d) =>
+              cur = cur.substring(0, st) + s"($d)" + cur.substring(e)
+            case None => return pred
+          }
+      }
+    }
+    pred
+  }
+
+  /** Distributes one navigation level of direction `kw` with offset
+    * `k` over a flat expression: same-direction inner atoms gain `k`,
+    * bare column identifiers wrap into `kw(col, k)`, numeric/string
+    * literals and strict operators pass through. Returns None on
+    * anything unsafe (mixed direction, function calls, keywords,
+    * qualified refs).
+    */
+  private def distributeNav(expr: String, kw: String, k: Int): Option[String] = {
+    val other = if (kw == "PREV") "NEXT" else "PREV"
+    val banned = Set("AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE",
+      "END", "IS", "NULL", "IN", "BETWEEN", "LIKE", "TRUE", "FALSE")
+    val masked = maskQuoted(expr)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < expr.length) {
+      val c = masked.charAt(i)
+      if (c.isLetter || c == '_') {
+        val st = i
+        while (i < expr.length && (masked.charAt(i).isLetterOrDigit ||
+          masked.charAt(i) == '_')) i += 1
+        val word = expr.substring(st, i)
+        var j = i
+        while (j < expr.length && expr.charAt(j).isWhitespace) j += 1
+        val uw = word.toUpperCase
+        if (j < expr.length && expr.charAt(j) == '(') {
+          if (uw != kw) return None // mixed direction or a function call
+          val e = closeParen(expr, j)
+          val (a0, k0) = splitTopLevel(expr.substring(j + 1, e - 1)) match {
+            case Seq(x) => (x.trim, 1)
+            case Seq(x, kk) if raw"^\d+$$".r.findFirstIn(kk.trim).isDefined =>
+              (x.trim, kk.trim.toInt)
+            case _ => return None
+          }
+          if (hasPrev(a0) || hasNextNav(a0)) return None
+          sb.append(s"$kw($a0, ${k0 + k})")
+          i = e
+        } else if (uw == other) return None
+        else if (banned.contains(uw)) return None
+        else if (j < expr.length && expr.charAt(j) == '.') return None // qualified
+        else sb.append(s"$kw($word, $k)")
+      } else if (c == '\'' || c == '"' || c == '`') {
+        // string literals compare strictly — copy verbatim
+        val e = skipQuoted(expr, i, expr.charAt(i))
+        sb.append(expr.substring(i, e)); i = e
+      } else if (c.isDigit) {
+        val st = i
+        while (i < expr.length && (masked.charAt(i).isDigit ||
+          masked.charAt(i) == '.')) i += 1
+        sb.append(expr.substring(st, i))
+      } else if (c.isWhitespace || "+-*/%()<>=!".indexOf(c) >= 0) {
+        sb.append(expr.charAt(i)); i += 1
+      } else return None
+    }
+    Some(sb.toString)
+  }
+
   /** Rejects any navigation call nested inside another's argument —
     * checked on the ORIGINAL text, because the two rewrite passes run
     * sequentially and a cross-keyword nesting like `NEXT(PREV(v))`
@@ -1246,7 +1357,16 @@ object MatchRecognize {
             fail("expected a table name before MATCH_RECOGNIZE")
           (t, tm.start, watermarkOf(t))
         }
-      val spec = parseSpec(out.substring(open + 1, end - 1))
+      val spec = {
+        val parsed = parseSpec(out.substring(open + 1, end - 1))
+        // same-direction nested navigation flattens to summed offsets
+        // (exact — see flattenSameDirNav); the tracker then sees
+        // ordinary flat PREV/NEXT atoms. Unsafe shapes (mixed
+        // direction, non-strict operators) pass through unchanged and
+        // hit rejectNestedNav's named batch-only error below.
+        parsed.copy(defines = parsed.defines.map { case (v, p) =>
+          v -> flattenSameDirNav(p) })
+      }
       // PREV(col[, k]) in DEFINE is supported: the referenced columns
       // ride a type-gated JSON payload per row and the tracker
       // re-evaluates those variables' bits over the matured, ordered
@@ -1391,7 +1511,8 @@ object MatchRecognize {
       // like any other define, on any column type. A conjunct mixing
       // PREV with the in-matcher forms is out of the subset.
       val allVarSet = vars.toSet
-      // nested PREV/NEXT is batch-only: the tracker's lag payload
+      // nested navigation that did NOT flatten above (mixed direction,
+      // non-strict operators) is batch-only: the tracker's lag payload
       // carries fixed per-row slots, not composed navigation — reject
       // with the contract before conjunct splitting produces a
       // misleading unresolved-column error

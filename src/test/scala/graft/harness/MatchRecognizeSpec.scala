@@ -1644,14 +1644,35 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A B) DEFINE B AS v > PREV(v + 1, 2))""".stripMargin,
       _ => Some(("o", "5 seconds"))))
-    // nested PREV is outside the subset, same as batch
+    // same-direction nesting flattens to summed offsets (r13) — the
+    // tracker sees flat atoms
+    assert(MatchRecognize.flattenSameDirNav("v > PREV(v + PREV(v))")
+      == "v > (PREV(v, 1) + PREV(v, 2))")
+    assert(MatchRecognize.flattenSameDirNav("v > PREV(v + PREV(v + PREV(v)))")
+      == "v > (PREV(v, 1) + (PREV(v, 2) + PREV(v, 3)))")
+    MatchRecognize.dropViews(spark, MatchRecognize.rewriteStreaming(spark,
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE B AS v > PREV(PREV(v) + 1))""".stripMargin,
+      _ => Some(("o", "5 seconds"))))
+    // MIXED-direction nesting cannot flatten (the intermediate row's
+    // existence gates the batch result) — still batch-only by name
     val e = intercept[IllegalArgumentException](
       MatchRecognize.rewriteStreaming(spark,
         """SELECT * FROM mr_in MATCH_RECOGNIZE (
           |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-          |  PATTERN (A B) DEFINE B AS v > PREV(PREV(v) + 1))""".stripMargin,
+          |  PATTERN (A B) DEFINE B AS v = NEXT(PREV(v)))""".stripMargin,
         _ => Some(("o", "5 seconds"))))
     assert(e.getMessage.contains("nested PREV"), s"message: ${e.getMessage}")
+    // non-strict constructs inside the navigated expression bail to
+    // the same named rejection
+    val f = intercept[IllegalArgumentException](
+      MatchRecognize.rewriteStreaming(spark,
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+          |  PATTERN (A B) DEFINE B AS v > PREV(coalesce(v, 0) + PREV(v)))""".stripMargin,
+        _ => Some(("o", "5 seconds"))))
+    assert(f.getMessage.contains("nested PREV"), s"message: ${f.getMessage}")
     // a non-lossless PREV expression type still gates with the contract
     val g = intercept[IllegalArgumentException](
       MatchRecognize.rewriteStreaming(spark,
@@ -1660,6 +1681,52 @@ class MatchRecognizeSpec extends AnyFunSuite {
           |  PATTERN (A B) DEFINE B AS v > PREV(v * 1.5))""".stripMargin,
         _ => Some(("o", "5 seconds"))))
     assert(g.getMessage.contains("round-trip"), s"message: ${g.getMessage}")
+  }
+
+  test("streaming nested PREV equals the batch staged-lag semantics") {
+    // the batch nested test's data: v(i) > v(i-1) + v(i-2) matches only
+    // the last row (10 > 4+3); rows 1-2 see NULL through the strict sum
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "vm").createOrReplaceTempView("mr_nest_s")
+    val q =
+      """SELECT * FROM mr_nest_s MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES LAST(A.vm) AS av
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A)
+        |  DEFINE A AS vm > PREV(vm + PREV(vm)))""".stripMargin
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_nest_out").outputMode("append").start()
+    try {
+      input.addData(("a", ts(10), 1L), ("a", ts(20), 3L),
+        ("a", ts(30), 4L), ("a", ts(40), 10L), ("z", ts(200), 0L))
+      query.processAllAvailable()
+      input.addData(("z", ts(900), 0L))
+      query.processAllAvailable()
+      val got = spark.table("mr_nest_out").collect()
+        .filter(_.getString(0) == "a").map(_.getLong(1)).toSet
+      assert(got === Set(10L))
+      // batch twin on the same rows
+      Seq((1, 1, "x", 1), (1, 2, "x", 3), (1, 3, "x", 4), (1, 4, "x", 10))
+        .toDF("k", "o", "t", "v").createOrReplaceTempView("mr_in")
+      val batch = run(
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o
+          |  MEASURES LAST(A.v) AS av
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A)
+          |  DEFINE A AS v > PREV(v + PREV(v)))""".stripMargin)
+      assert(batch.map(_.last).toSet === got.map(x => x: Any))
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
   }
 
   test("streaming column measures carry values through the JSON payload") {
