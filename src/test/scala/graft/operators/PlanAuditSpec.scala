@@ -26,6 +26,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(SparkEntry.entry(SparkFixture.spark).count() > 0)
   }
 
+  test("band-recall truth pass stays df-capped (ObjectHashAggregate present)") {
+    // the truth expansion must keep running through the bounded
+    // CappedPostings aggregate — an edit that reverts it to a posting
+    // self-join would reintroduce the quadratic hot-shingle shape
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("ext_band_recall")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"capped postings aggregate missing from:\n$plan")
+    assert(plan.contains("graft_doc_pairs"),
+      s"grouped pair expansion missing from:\n$plan")
+  }
+
   test("temporal join plans as a key-partitioned join, not a nested loop") {
     // the LATERAL top-1 form decorrelated into a domain
     // BroadcastNestedLoopJoin (distinct times x version table) and
