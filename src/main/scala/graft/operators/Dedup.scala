@@ -780,8 +780,124 @@ object Dedup {
           .cast("long"))
   }
 
+  /** Asymmetric near-CONTAINMENT pairs over the same df-capped
+    * candidate set as the Jaccard path: `inter / sz_a` (share of A's
+    * shingles that B also has) catches quote/subset duplication —
+    * a short doc embedded in a long one — that symmetric Jaccard
+    * misses because the size difference drags the union down.
+    * Containment ≥ Jaccard always, so the candidate generation
+    * (shared-shingle inverted index, hot shingles capped) is complete
+    * for any threshold the Jaccard path would accept. Same scale
+    * shape as ext_jaccard_pairs: one capped posting shuffle, native
+    * per-list pair expansion, one pair-keyed count.
+    */
+  val extContainmentPairs: Q = Q(
+    "ext_containment_pairs",
+    s"""WITH $pairCtesDuck
+       |SELECT doc_a, doc_b,
+       |  CAST(FLOOR(inter * 1000.0 / sz_a + 0.5) AS BIGINT) AS cont_a_mils,
+       |  CAST(FLOOR(inter * 1000.0 / sz_b + 0.5) AS BIGINT) AS cont_b_mils
+       |FROM cand
+       |WHERE inter * 1.0 / sz_a >= 0.5 OR inter * 1.0 / sz_b >= 0.5""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    candidatePairs(canonicalDocs(Tables.load(s, dir, "documents")),
+        "graft_dedup_df_cap_containment")
+      .filter(col("inter") * lit(1.0d) / col("sz_a") >= 0.5d ||
+        col("inter") * lit(1.0d) / col("sz_b") >= 0.5d)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("inter") * lit(1000.0d) / col("sz_a") + 0.5d)
+          .cast("long").as("cont_a_mils"),
+        floor(col("inter") * lit(1000.0d) / col("sz_b") + 0.5d)
+          .cast("long").as("cont_b_mils"))
+  }
+
+  /** Per-document n-gram NOVELTY: the share of a doc's distinct
+    * trigram shingles whose FIRST corpus occurrence (by doc_id) is
+    * this document — the curation signal for "how much genuinely new
+    * text does each doc add", with exact duplicates scoring zero.
+    *
+    * Fingerprint-first like [[extSpanDedup]]: shingling, the
+    * first-occurrence aggregation, and the per-doc rollup all run
+    * once per DISTINCT text (a shingle's earliest doc is the min over
+    * the distinct texts' own min doc_ids), and raw doc_ids join back
+    * on the fingerprint — a non-minimal copy inherits its text's
+    * totals with zero novels. Both shuffles move 8-byte hashes.
+    */
+  val extNgramNovelty: Q = Q(
+    "ext_ngram_novelty", {
+      val hs = shingleHashesDuck("toks")
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct($hs) AS ghs
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |p AS (SELECT doc_id, UNNEST(ghs) AS gh FROM d),
+         |f AS (SELECT gh, MIN(doc_id) AS first_doc FROM p GROUP BY gh)
+         |SELECT p.doc_id, COUNT(*) AS total_shingles,
+         |  CAST(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS novel_shingles,
+         |  CAST(FLOOR(SUM(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+         |    * 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS novelty_mils
+         |FROM p JOIN f USING (gh)
+         |GROUP BY p.doc_id""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val raw = Tables.load(s, dir, "documents")
+    val ids = raw.select(col("doc_id"), xxhash64(col("text")).as("fp"))
+    val spans = raw
+      .groupBy(xxhash64(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("m"), min_by(col("text"), col("doc_id")).as("text"))
+      .selectExpr("fp", "m",
+        s"explode(array_distinct(${shingleHashesSpark("split(text, ' ')")})) AS gh")
+      .localCheckpoint(false)
+    val first = spans.groupBy(col("gh")).agg(min(col("m")).as("first_doc"))
+    val perFp = spans.join(first, "gh")
+      .groupBy(col("fp"), col("m"))
+      .agg(count(lit(1)).as("total_shingles"),
+        sum(when(col("first_doc") === col("m"), 1L).otherwise(0L))
+          .as("novel_shingles"))
+    ids.join(perFp, "fp")
+      .withColumn("novel",
+        when(col("doc_id") === col("m"), col("novel_shingles")).otherwise(0L))
+      .select(col("doc_id"), col("total_shingles"),
+        col("novel").as("novel_shingles"),
+        floor(col("novel") * lit(1000.0d) / col("total_shingles") + 0.5d)
+          .cast("long").as("novelty_mils"))
+  }
+
+  /** Shingle document-frequency PROFILE: how many distinct (shingle,
+    * lang) keys fall in each power-of-two df bucket, their posting
+    * mass, and how many exceed [[DfCapDefault]] — the diagnostic an
+    * operator of record runs before choosing `graft.dedup.df-cap`
+    * (what fraction of candidate-generation signal would a given cap
+    * drop?). Buckets are `LENGTH(BIN(df))` — exact integer bit length
+    * in both engines, no floating log2 at power-of-two boundaries.
+    * One aggregation over the capped paths' own posting relation.
+    */
+  val extShingleDfProfile: Q = Q(
+    "ext_shingle_df_profile",
+    s"""WITH $pairCtesDuck,
+       |dfs AS (SELECT gh, lang, COUNT(*) AS df FROM post GROUP BY gh, lang)
+       |SELECT CAST(LENGTH(BIN(df)) AS BIGINT) AS df_bucket,
+       |  COUNT(*) AS n_shingles,
+       |  CAST(SUM(df) AS BIGINT) AS n_postings,
+       |  CAST(SUM(CASE WHEN df > $DfCapDefault THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_over_cap
+       |FROM dfs GROUP BY 1""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val post = canonicalDocs(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), expr(gramHashesSpark).as("ghs"))
+      .select(col("lang"), explode(col("ghs")).as("gh"))
+    post.groupBy(col("gh"), col("lang"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy(length(bin(col("df"))).cast("long").as("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_postings"),
+        sum(when(col("df") > DfCapDefault, 1L).otherwise(0L)).as("n_over_cap"))
+  }
+
   def all: Seq[Q] = Seq(
     extDedupExact, extJaccardPairs, extDedupCluster,
     extMinhashSig, extMinhashPairs, extMinhashEst, extSimhash,
-    extSimhashPairs, extSpanDedup, extSourceOverlap, extBandRecall)
+    extSimhashPairs, extSpanDedup, extSourceOverlap, extBandRecall,
+    extContainmentPairs, extNgramNovelty, extShingleDfProfile)
 }
