@@ -780,6 +780,71 @@ object Dedup {
           .cast("long"))
   }
 
+  /** Quality-based cluster REPRESENTATIVE: the full near-dup pipeline
+    * of [[extDedupCluster]] (canonicalize → capped candidate edges →
+    * connected components → map back to raw docs), then per cluster
+    * the production keep-policy — the LONGEST document wins, ties to
+    * the smallest doc_id — instead of min-id. "Keep best, not first"
+    * is what a real curation pipeline ships: the first-crawled copy of
+    * a page is often the truncated one. One extra aggregation over the
+    * mapped relation (max_by on a two-field struct), nothing else
+    * changes scale-wise.
+    */
+  val extDedupRep: Q = Q(
+    "ext_dedup_rep",
+    s"""WITH RECURSIVE $pairCtesDuck,
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(v, lbl) AS (
+       |  SELECT doc_id, doc_id FROM canon
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+       |cc AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+       |mapped AS (
+       |  SELECT d.doc_id, cc.cluster_id
+       |  FROM fdoc d
+       |  JOIN canon c ON d.fp = c.fp AND d.fp2 = c.fp2 AND d.lang = c.lang
+       |  JOIN cc ON cc.v = c.doc_id)
+       |SELECT cluster_id, doc_id AS rep_doc_id, cluster_sz,
+       |  n_chars AS rep_n_chars
+       |FROM (
+       |  SELECT m.cluster_id, m.doc_id, d.n_chars,
+       |    COUNT(*) OVER (PARTITION BY m.cluster_id) AS cluster_sz,
+       |    ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+       |      ORDER BY d.n_chars DESC, m.doc_id ASC) AS rn
+       |  FROM mapped m JOIN documents d ON d.doc_id = m.doc_id)
+       |WHERE rn = 1""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.load(s, dir, "documents")
+    val canon = canonicalDocs(docs).persist()
+    val pairs = candidatePairs(canon, "graft_dedup_df_cap_rep")
+      .filter(jacCol >= 0.5d)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = Graph.connectedComponents(pairs.toDF("src", "dst"))
+      .select(col("v").as("canon_key"), col("component").as("cc_id"))
+    val mapped = withFingerprint(docs)
+      .select(col("doc_id"), col("n_chars"), col("fp"), col("fp2"), col("lang"))
+      .join(canon.select(col("fp"), col("fp2"), col("lang"),
+          col("doc_id").as("canon_id")),
+        Seq("fp", "fp2", "lang"))
+      .join(cc, col("canon_id") === col("canon_key"), "left_outer")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("cc_id"), col("canon_id")).as("cluster_id"))
+    mapped.groupBy(col("cluster_id"))
+      .agg(
+        // minimize (-n_chars, doc_id) = longest first, ties to min id
+        min_by(col("doc_id"), struct((-col("n_chars")).as("neg"),
+          col("doc_id"))).as("rep_doc_id"),
+        count(lit(1)).as("cluster_sz"),
+        max(col("n_chars")).as("rep_n_chars"))
+      .select(col("cluster_id"), col("rep_doc_id"), col("cluster_sz"),
+        col("rep_n_chars"))
+  }
+
   /** Asymmetric near-CONTAINMENT pairs over the same df-capped
     * candidate set as the Jaccard path: `inter / sz_a` (share of A's
     * shingles that B also has) catches quote/subset duplication —
@@ -899,5 +964,5 @@ object Dedup {
     extDedupExact, extJaccardPairs, extDedupCluster,
     extMinhashSig, extMinhashPairs, extMinhashEst, extSimhash,
     extSimhashPairs, extSpanDedup, extSourceOverlap, extBandRecall,
-    extContainmentPairs, extNgramNovelty, extShingleDfProfile)
+    extDedupRep, extContainmentPairs, extNgramNovelty, extShingleDfProfile)
 }
