@@ -794,8 +794,110 @@ object VectorSearch {
         col("t.cos_micros").as("cos_micros"), (col("pos") + 1L).as("rn"))
   }
 
+  /** IVF recall@10 against brute-force truth, per probe count — the
+    * vector-side twin of ext_band_recall's knob verification: before
+    * anyone trusts an IVF index at corpus scale, measure what share of
+    * the true top-k each nprobe setting retrieves. Truth is exact
+    * brute-force cosine over a bounded QUERY SAMPLE (16 queries here;
+    * a production run samples queries the same way — the corpus side
+    * is never quadratic), candidates come from the same 16-centroid
+    * assignment as ext_ann_ivf/ext_ann_probe, and candidate scores
+    * reuse the truth pass's dot products (one scoring pass total).
+    */
+  val extAnnRecall: Q = Q(
+    "ext_ann_recall",
+    s"""WITH $normDuckCte,
+       |cent AS (SELECT vec_id AS cid, nv AS cv FROM nv WHERE vec_id < 16),
+       |scoredc AS (
+       |  SELECT nv.vec_id, nv.nv, cent.cid,
+       |    CAST(FLOOR((${dotDuck("nv.nv", "cent.cv")}) * 1000000 + 0.5) AS BIGINT) AS cdot
+       |  FROM nv, cent),
+       |assign AS (
+       |  SELECT vec_id, nv, cid, cdot,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cid) AS crn
+       |  FROM scoredc),
+       |bucketed AS (SELECT vec_id, cid FROM assign WHERE crn = 1),
+       |q AS (SELECT vec_id AS qid, nv AS qv FROM nv WHERE vec_id < 16),
+       |bscore AS (
+       |  SELECT q.qid, e.vec_id,
+       |    CAST(FLOOR((${dotDuck("q.qv", "e.nv")}) * 1000000 + 0.5) AS BIGINT) AS cm
+       |  FROM q, nv e WHERE e.vec_id <> q.qid),
+       |truth AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) AS rn
+       |    FROM bscore) WHERE rn <= 10),
+       |pr AS (SELECT UNNEST([1, 2]) AS probes),
+       |cand AS (
+       |  SELECT pr.probes, a.vec_id AS qid, e.vec_id
+       |  FROM pr, assign a JOIN bucketed e
+       |    ON a.cid = e.cid AND e.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 16 AND a.crn <= pr.probes),
+       |approx AS (
+       |  SELECT probes, qid, vec_id FROM (
+       |    SELECT c.probes, c.qid, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.probes, c.qid
+       |        ORDER BY b.cm DESC, c.vec_id) AS rn
+       |    FROM cand c JOIN bscore b ON b.qid = c.qid AND b.vec_id = c.vec_id)
+       |  WHERE rn <= 10)
+       |SELECT pr.probes AS probes, t.qid, COUNT(*) AS n_truth,
+       |  CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CAST(FLOOR(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    * 1000.0 / COUNT(*) + 0.5) AS BIGINT) AS recall_mils
+       |FROM pr CROSS JOIN truth t
+       |LEFT JOIN approx a
+       |  ON a.probes = pr.probes AND a.qid = t.qid AND a.vec_id = t.vec_id
+       |GROUP BY pr.probes, t.qid""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val nv = normalizedSpark(Tables.load(s, dir, "embeddings"))
+    val cent = nv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("nv").as("cv"))
+    val crn = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cid"))
+    val assign = nv.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("nv"), col("cid"),
+        floor(expr(dotSpark("nv", "cv")) * 1e6d + 0.5d).cast("long").as("cdot"))
+      .withColumn("crn", row_number().over(crn))
+    val bucketed = assign.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val q = nv.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("nv").as("qv"))
+    val bscore = broadcast(q).join(nv, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        floor(expr(dotSpark("qv", "nv")) * 1e6d + 0.5d).cast("long").as("cm"))
+      .localCheckpoint(false) // one scoring pass feeds truth AND approx
+    val trn = Window.partitionBy(col("qid"))
+      .orderBy(col("cm").desc, col("vec_id"))
+    val truth = bscore.withColumn("rn", row_number().over(trn))
+      .filter(col("rn") <= 10).select(col("qid"), col("vec_id"))
+    val pr = s.sql("SELECT explode(array(1, 2)) AS probes")
+    val cand = broadcast(pr)
+      .crossJoin(assign.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("cid").as("qcid"), col("crn")))
+      .filter(col("crn") <= col("probes"))
+      .join(bucketed.withColumnRenamed("cid", "ecid"),
+        col("qcid") === col("ecid") && col("vec_id") =!= col("qid"))
+      .select(col("probes"), col("qid"), col("vec_id"))
+    val arn = Window.partitionBy(col("probes"), col("qid"))
+      .orderBy(col("cm").desc, col("vec_id"))
+    val approx = cand.join(bscore, Seq("qid", "vec_id"))
+      .withColumn("rn", row_number().over(arn))
+      .filter(col("rn") <= 10)
+      .select(col("probes"), col("qid"), col("vec_id"), lit(1).as("hit"))
+    broadcast(pr).crossJoin(truth)
+      .join(approx, Seq("probes", "qid", "vec_id"), "left_outer")
+      .groupBy(col("probes"), col("qid"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall_mils",
+        floor(col("n_hit") * lit(1000.0d) / col("n_truth") + 0.5d)
+          .cast("long"))
+  }
+
   def all: Seq[Q] = Seq(
     extEmbeddingStats, extAnnBrute, extAnnLsh, extAnnIvf, extEmbedNeardup,
     extClusterStats, extKmeansRefine, extEmbedCluster, extEmbedQuantize,
-    extAnnProbe, extAnnRerank, extAnnPq, extSemDedup, extKnnGraph)
+    extAnnProbe, extAnnRerank, extAnnPq, extSemDedup, extKnnGraph,
+    extAnnRecall)
 }
