@@ -590,7 +590,12 @@ object WindowTvf {
         body.substring(fromIdx, gb.end) + " " + ks.mkString(", ") + tail
     }
     val parts = branches.map(b => rewriteStreaming(branchSql(b), spark, watermarkOf))
-    prefix + parts.map(p => s"($p)").mkString(" UNION ALL ")
+    val unioned = parts.map(p => s"($p)").mkString(" UNION ALL ")
+    // under an INSERT prefix the union nests once more: `INSERT INTO t
+    // (SELECT ...` would parse the parenthesized first branch as a
+    // column list
+    if (prefix.isEmpty) unioned
+    else s"$prefix SELECT * FROM ($unioned)"
   }
 
   private val tvfViewCounter = new java.util.concurrent.atomic.AtomicInteger()

@@ -302,6 +302,11 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(out.contains("NULL AS k"), out)
     assert(out.contains("1 AS gk") && out.contains("0 AS gk"), out)
     assert(!WindowTvf.hasWindowTvf(out), out)
+    // under an INSERT prefix the union nests once more — `INSERT INTO t
+    // (SELECT...` would parse the first branch as a column list
+    val ins = WindowTvf.rewriteStreaming("INSERT INTO gs_sink " + gsSql("gs_s"))
+    assert(raw"(?is)^\s*INSERT\s+INTO\s+gs_sink\s+SELECT \* FROM \(\(".r
+      .findFirstIn(ins).isDefined, ins)
 
     val spark = graft.SparkFixture.spark
     import spark.implicits._
