@@ -344,6 +344,46 @@ class WindowTvfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("e2e: INSERT-prefixed streaming GROUPING SETS runs through sql-submit") {
+    // datagen rows at 0/10/20/30/40/50 s, key = ems % 2; two 30 s
+    // tumbling windows, each emitting per-key rows plus the
+    // all-aggregated branch (NULL key, GROUPING(k) = 1); the bounded
+    // source flushes every window at end-of-input (Flink MAX_WATERMARK)
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-gs-out").toString
+    val script = java.nio.file.Files.createTempFile("graft-gs", ".sql")
+    java.nio.file.Files.writeString(script,
+      s"""CREATE TABLE gs_cli_src (ems BIGINT,
+         |  k AS CAST(ems % 2 AS STRING),
+         |  ts AS TO_TIMESTAMP_LTZ(ems * 10000, 3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+         |WITH ('connector'='datagen', 'number-of-rows'='6',
+         |  'fields.ems.kind'='sequence', 'fields.ems.start'='0',
+         |  'fields.ems.end'='5');
+         |CREATE TABLE gs_cli_sink (k STRING, ws TIMESTAMP(3), n BIGINT,
+         |  gk INT)
+         |WITH ('connector'='filesystem', 'path'='$out/sink',
+         |  'format'='parquet');
+         |INSERT INTO gs_cli_sink
+         |SELECT k, window_start AS ws, COUNT(*) AS n, GROUPING(k) AS gk
+         |FROM TABLE(TUMBLE(TABLE gs_cli_src, DESCRIPTOR(ts),
+         |  INTERVAL '30' SECOND))
+         |GROUP BY GROUPING SETS ((window_start, window_end, k),
+         |  (window_start, window_end));
+         |""".stripMargin)
+    new SqlSubmitAction(script.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 20L).run()
+    val got = spark.read.parquet(s"$out/sink")
+      .select($"k",
+        org.apache.spark.sql.functions.unix_timestamp($"ws"), $"n", $"gk")
+      .as[(Option[String], Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (Some("0"), 0L, 2L, 0), (Some("1"), 0L, 1L, 0), (None, 0L, 3L, 1),
+      (Some("0"), 30L, 1L, 0), (Some("1"), 30L, 2L, 0), (None, 30L, 3L, 1)),
+      got)
+  }
+
   test("streaming TVF contract violations are rejected explicitly") {
     val cum = intercept[IllegalArgumentException] {
       WindowTvf.rewriteStreaming(
