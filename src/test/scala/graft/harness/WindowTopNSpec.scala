@@ -274,6 +274,53 @@ class WindowTopNSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("randomized: CUMULATE top-N streaming equals the batch TVF ranking") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(53)
+    // 200 rows over 4 keys and ~10 spans; step 30 s, size 90 s
+    val rows = (1 to 200).map { i =>
+      (s"k${rnd.nextInt(4)}", ts(90L + rnd.nextInt(900)),
+        rnd.nextInt(40).toLong, s"p$i")
+    }
+    def sql(src: String) =
+      s"""SELECT k, window_start, window_end, spend, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY window_start, window_end, k ORDER BY spend DESC) AS rn
+         |  FROM TABLE(CUMULATE(TABLE $src, DESCRIPTOR(ts),
+         |    INTERVAL '30' SECOND, INTERVAL '90' SECOND)))
+         |WHERE rn <= 2""".stripMargin
+    rows.toDF("k", "ts", "spend", "tag").createOrReplaceTempView("wtn_crnd_b")
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k",
+        org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+        org.apache.spark.sql.functions.unix_timestamp($"window_end"),
+        $"spend", $"rn")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batch = proj(spark.sql(WindowTvf.rewrite(sql("wtn_crnd_b"))))
+    assert(batch.nonEmpty)
+    val input = MemoryStream[(String, Timestamp, Long, String)]
+    input.toDF().toDF("k", "ts", "spend", "tag")
+      .createOrReplaceTempView("wtn_crnd_s")
+    val wmc: String => Option[(String, String)] =
+      t => if (t.equalsIgnoreCase("wtn_crnd_s")) Some(("ts", "5 seconds"))
+           else None
+    val q = spark.sql(WindowTopN.rewriteStreaming(spark, sql("wtn_crnd_s"), wmc))
+      .writeStream.format("memory").queryName("wtn_crnd_out")
+      .outputMode("append").start()
+    try {
+      // event-time-ordered chunks so the watermark never drops a row
+      // the batch oracle counts
+      rows.sortBy(_._2.getTime).grouped(50).foreach { c =>
+        input.addData(c: _*); q.processAllAvailable()
+      }
+      input.addData(("z", ts(5000), 0L, "adv")); q.processAllAvailable()
+      input.addData(("z", ts(9000), 0L, "adv")); q.processAllAvailable()
+      val got = proj(spark.table("wtn_crnd_out").filter("k <> 'z'"))
+      assert(got == batch,
+        s"missing=${(batch -- got).take(5)} extra=${(got -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("e2e: streaming CUMULATE top-N script runs through sql-submit") {
     // datagen rows at 0/15/30/45 s; CUMULATE(15 s, 30 s) top-1 by v.
     // A bounded source ends with Flink's MAX_WATERMARK semantics —

@@ -344,6 +344,58 @@ class WindowTvfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("randomized: CUMULATE window join streaming equals the batch expansion") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rnd = new scala.util.Random(59)
+    val rowsA = (1 to 80).map(i =>
+      (rnd.nextInt(5).toLong, ts(10L + rnd.nextInt(300)), s"a$i"))
+    val rowsB = (1 to 80).map(i =>
+      (rnd.nextInt(5).toLong, ts(10L + rnd.nextInt(300)), s"b$i"))
+    def sql(ta: String, tb: String) =
+      s"""SELECT L.k, L.window_start, L.window_end, L.v, R.v2
+         |FROM TABLE(CUMULATE(TABLE $ta, DESCRIPTOR(ts), INTERVAL '20' SECOND, INTERVAL '60' SECOND)) L
+         |JOIN TABLE(CUMULATE(TABLE $tb, DESCRIPTOR(ts), INTERVAL '20' SECOND, INTERVAL '60' SECOND)) R
+         |ON L.k = R.k AND L.window_start = R.window_start
+         |  AND L.window_end = R.window_end""".stripMargin
+    rowsA.toDF("k", "ts", "v").createOrReplaceTempView("wcjr_ab")
+    rowsB.toDF("k", "ts", "v2").createOrReplaceTempView("wcjr_bb")
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k",
+        org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+        org.apache.spark.sql.functions.unix_timestamp($"window_end"),
+        $"v", $"v2")
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    val batch = proj(spark.sql(WindowTvf.rewrite(sql("wcjr_ab", "wcjr_bb"))))
+    assert(batch.nonEmpty)
+    val a = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val b = MemoryStream[(Long, java.sql.Timestamp, String)]
+    a.toDF().toDF("k", "ts", "v").withWatermark("ts", "400 seconds")
+      .createOrReplaceTempView("wcjr_a")
+    b.toDF().toDF("k", "ts", "v2").withWatermark("ts", "400 seconds")
+      .createOrReplaceTempView("wcjr_b")
+    val q = spark.sql(WindowTvf.rewriteStreaming(sql("wcjr_a", "wcjr_b")))
+      .writeStream.format("memory").queryName("wcjr_out")
+      .outputMode("append").start()
+    try {
+      // the wide watermark delay keeps every randomized row live until
+      // the final flush — this trial checks JOIN x FAN-OUT equality,
+      // not late-row policy (the deterministic test covers eviction)
+      a.addData(rowsA: _*); b.addData(rowsB: _*)
+      q.processAllAvailable()
+      a.addData((9L, ts(5000), "fl")); b.addData((9L, ts(5000), "fl"))
+      q.processAllAvailable()
+      a.addData((9L, ts(9000), "fl")); b.addData((9L, ts(9000), "fl"))
+      q.processAllAvailable()
+      val got = proj(spark.table("wcjr_out").filter("v <> 'fl'"))
+      assert(got == batch,
+        s"missing=${(batch -- got).take(5)} extra=${(got -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("e2e: INSERT-prefixed streaming GROUPING SETS runs through sql-submit") {
     // datagen rows at 0/10/20/30/40/50 s, key = ems % 2; two 30 s
     // tumbling windows, each emitting per-key rows plus the
