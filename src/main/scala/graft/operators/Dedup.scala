@@ -249,54 +249,86 @@ object Dedup {
     * recursive CTE (min-reachable-id), which is feasible at oracle scale
     * only.
     */
-  val extDedupCluster: Q = Q(
-    "ext_dedup_cluster",
-    s"""WITH RECURSIVE $pairCtesDuck,
-       |pairs AS (
-       |  SELECT doc_a, doc_b FROM cand
-       |  WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(v, lbl) AS (
-       |  SELECT doc_id, doc_id FROM canon
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
-       |cc AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
-       |mapped AS (
-       |  SELECT d.doc_id, cc.cluster_id
-       |  FROM fdoc d
-       |  JOIN canon c ON d.fp = c.fp AND d.fp2 = c.fp2 AND d.lang = c.lang
-       |  JOIN cc ON cc.v = c.doc_id)
-       |SELECT doc_id, cluster_id,
-       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_sz
-       |FROM mapped""".stripMargin) { (s, dir) =>
+  /** DuckDB CTE tail shared by the clustering oracles: near-dup edges
+    * (Jaccard ≥ 0.5 on `cand`) → recursive min-reachable-id components
+    * → every raw doc mapped to its cluster id (relation `mapped`).
+    * Callers prepend `WITH RECURSIVE $pairCtesDuck,`.
+    */
+  private val clusterCtesDuck: String =
+    """pairs AS (
+      |  SELECT doc_a, doc_b FROM cand
+      |  WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(v, lbl) AS (
+      |  SELECT doc_id, doc_id FROM canon
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+      |cc AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+      |mapped AS (
+      |  SELECT d.doc_id, cc.cluster_id
+      |  FROM fdoc d
+      |  JOIN canon c ON d.fp = c.fp AND d.fp2 = c.fp2 AND d.lang = c.lang
+      |  JOIN cc ON cc.v = c.doc_id)""".stripMargin
+
+  /** The shared near-dup clustering pipeline: exact-canonicalize →
+    * df-capped candidate edges (Jaccard ≥ 0.5) → connected components
+    * → every raw doc mapped to (doc_id, n_chars, cluster_id).
+    *
+    * Components run as distributed min-label propagation: each round is
+    * one shuffle join (edges ⋈ labels) plus one min-aggregation, with
+    * `localCheckpoint` truncating lineage between rounds; convergence is
+    * detected by the (monotonically decreasing) label sum reaching a
+    * fixpoint. Rounds = graph diameter, and near-dup clusters are
+    * small-diameter by construction, so this settles in a handful of
+    * rounds even at corpus scale (a 100 TB deployment with adversarial
+    * chain-shaped clusters would swap in alternating large-star/
+    * small-star contraction — O(log n) rounds — without changing this
+    * contract). Components run only over vertices that actually have a
+    * near-dup edge: isolated canonicals (the overwhelming majority of a
+    * deduped corpus) are trivially their own cluster and must not ride
+    * through the iteration. The map-back joins on the fingerprint —
+    * three 8-byte keys, never raw text — with docs whose canonical has
+    * no edges keeping the canonical id as cluster id.
+    */
+  private def clusteredDocs(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      metricName: String): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.load(s, dir, "documents")
     val canon = canonicalDocs(docs).persist()
-    val pairs = candidatePairs(canon, "graft_dedup_df_cap_cluster")
+    val pairs = candidatePairs(canon, metricName)
       .filter(jacCol >= 0.5d)
       .select(col("doc_a"), col("doc_b"))
-    // Components run only over vertices that actually have a near-dup
-    // edge: isolated canonicals (the overwhelming majority of a deduped
-    // corpus) are trivially their own cluster and must not ride through
-    // the iteration — each propagation round's join is proportional to
-    // the edge set, not the corpus.
     val cc = Graph.connectedComponents(pairs.toDF("src", "dst"))
       .select(col("v").as("canon_key"), col("component").as("cc_id"))
-    // join back on the fingerprint — three 8-byte keys, never raw text.
-    // Left join + coalesce: docs whose canonical has no edges keep the
-    // canonical id as cluster id.
-    val mapped = withFingerprint(docs)
-      .select(col("doc_id"), col("fp"), col("fp2"), col("lang"))
+    withFingerprint(docs)
+      .select(col("doc_id"), col("n_chars"), col("fp"), col("fp2"), col("lang"))
       .join(canon.select(col("fp"), col("fp2"), col("lang"),
           col("doc_id").as("canon_id")),
         Seq("fp", "fp2", "lang"))
       .join(cc, col("canon_id") === col("canon_key"), "left_outer")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n_chars"),
         coalesce(col("cc_id"), col("canon_id")).as("cluster_id"))
+  }
+
+  /** Connected-components dedup clustering — the full at-scale dedup
+    * pipeline in one operator (see [[clusteredDocs]]); the oracle
+    * recomputes components with a recursive CTE (min-reachable-id),
+    * feasible at oracle scale only.
+    */
+  val extDedupCluster: Q = Q(
+    "ext_dedup_cluster",
+    s"""WITH RECURSIVE $pairCtesDuck,
+       |$clusterCtesDuck
+       |SELECT doc_id, cluster_id,
+       |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_sz
+       |FROM mapped""".stripMargin) { (s, dir) =>
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-    mapped.withColumn("cluster_sz", count(lit(1)).over(w))
+    clusteredDocs(s, dir, "graft_dedup_df_cap_cluster")
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("cluster_sz", count(lit(1)).over(w))
   }
 
   /** Lang-agnostic canonicalization CTE (named `canon`), one spelling
@@ -793,22 +825,7 @@ object Dedup {
   val extDedupRep: Q = Q(
     "ext_dedup_rep",
     s"""WITH RECURSIVE $pairCtesDuck,
-       |pairs AS (
-       |  SELECT doc_a, doc_b FROM cand
-       |  WHERE inter * 1.0 / (sz_a + sz_b - inter) >= 0.5),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(v, lbl) AS (
-       |  SELECT doc_id, doc_id FROM canon
-       |  UNION
-       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
-       |cc AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
-       |mapped AS (
-       |  SELECT d.doc_id, cc.cluster_id
-       |  FROM fdoc d
-       |  JOIN canon c ON d.fp = c.fp AND d.fp2 = c.fp2 AND d.lang = c.lang
-       |  JOIN cc ON cc.v = c.doc_id)
+       |$clusterCtesDuck
        |SELECT cluster_id, doc_id AS rep_doc_id, cluster_sz,
        |  n_chars AS rep_n_chars
        |FROM (
@@ -818,23 +835,8 @@ object Dedup {
        |      ORDER BY d.n_chars DESC, m.doc_id ASC) AS rn
        |  FROM mapped m JOIN documents d ON d.doc_id = m.doc_id)
        |WHERE rn = 1""".stripMargin) { (s, dir) =>
-    graft.functions.GraftFunctions.register(s)
-    val docs = Tables.load(s, dir, "documents")
-    val canon = canonicalDocs(docs).persist()
-    val pairs = candidatePairs(canon, "graft_dedup_df_cap_rep")
-      .filter(jacCol >= 0.5d)
-      .select(col("doc_a"), col("doc_b"))
-    val cc = Graph.connectedComponents(pairs.toDF("src", "dst"))
-      .select(col("v").as("canon_key"), col("component").as("cc_id"))
-    val mapped = withFingerprint(docs)
-      .select(col("doc_id"), col("n_chars"), col("fp"), col("fp2"), col("lang"))
-      .join(canon.select(col("fp"), col("fp2"), col("lang"),
-          col("doc_id").as("canon_id")),
-        Seq("fp", "fp2", "lang"))
-      .join(cc, col("canon_id") === col("canon_key"), "left_outer")
-      .select(col("doc_id"), col("n_chars"),
-        coalesce(col("cc_id"), col("canon_id")).as("cluster_id"))
-    mapped.groupBy(col("cluster_id"))
+    clusteredDocs(s, dir, "graft_dedup_df_cap_rep")
+      .groupBy(col("cluster_id"))
       .agg(
         // minimize (-n_chars, doc_id) = longest first, ties to min id
         min_by(col("doc_id"), struct((-col("n_chars")).as("neg"),
