@@ -583,6 +583,11 @@ object WindowTvf {
           fail("GROUPING/GROUPING_ID select items need the form " +
             s"GROUPING(col) AS alias: $it")
         case it if keyish(it.toLowerCase) && !grouped(it.toLowerCase) =>
+          // NULL padding needs a valid alias — only bare-column keys
+          // qualify (an expression key would emit `NULL AS upper(k)`)
+          if (raw"^[A-Za-z_]\w*$$".r.findFirstIn(it).isEmpty)
+            fail("a grouping-set key selected outside its set must be " +
+              s"a bare column (cannot NULL-pad the expression): $it")
           s"NULL AS $it"
         case other => other
       }
