@@ -659,9 +659,45 @@ object TextAnalysis {
             stopHits >= 2, 1).otherwise(0).as("gopher_pass"))
   }
 
+  /** Templated-opener detection: groups of documents sharing their
+    * first 8 tokens — the cheap boilerplate signal (scraped template
+    * headers, license preambles) a curation pipeline cuts or
+    * down-weights before any near-dup pass. One map-side polynomial
+    * hash of the 8-token prefix (identical fold in the oracle) plus
+    * one 8-byte-key aggregation; docs shorter than the prefix width
+    * drop, like the shingle paths.
+    */
+  val extTemplateOpeners: Q = Q(
+    "ext_template_openers",
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, source,
+       |    ${graft.functions.TextHash.polyHashDuck("array_to_string(toks[1:8], ' ')")} AS opener_hash
+       |  FROM t WHERE LEN(toks) >= 8)
+       |SELECT opener_hash, COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  MIN(doc_id) AS min_doc_id
+       |FROM h GROUP BY opener_hash
+       |HAVING COUNT(*) > 1""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("source"),
+        expr("graft_poly_hash(concat_ws(' ', slice(toks, 1, 8)))")
+          .as("opener_hash"))
+      .groupBy(col("opener_hash"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") > 1L)
+  }
+
   def all: Seq[Q] = Seq(
     extTokenCount, extLangId, extQualityScore, extFingerprint, extNgramTop,
     extQuantiles, extRepetition, extTokenBpe, extQualityFunnel,
     extVocabStats, extTfidfTop, extCooccur, extBpeMerge, extLmScore,
-    extGopherRules)
+    extGopherRules, extTemplateOpeners)
 }
