@@ -274,6 +274,48 @@ class WindowTopNSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("CUMULATE top-N with a window offset matches the batch offset grid") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, String)]
+    input.toDF().toDF("k", "ts", "spend", "tag")
+      .createOrReplaceTempView("wtn_cof_s")
+    def sql(src: String) =
+      s"""SELECT k, window_start, window_end, spend, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY window_start, window_end, k ORDER BY spend DESC) AS rn
+         |  FROM TABLE(CUMULATE(TABLE $src, DESCRIPTOR(ts),
+         |    INTERVAL '30' SECOND, INTERVAL '1' MINUTE, INTERVAL '15' SECOND)))
+         |WHERE rn <= 1""".stripMargin
+    val wmo: String => Option[(String, String)] =
+      t => if (t.equalsIgnoreCase("wtn_cof_s")) Some(("ts", "5 seconds"))
+           else None
+    // offset 15 s shifts the span grid to [15,75): 20 s covers growing
+    // windows ending 45 and 75; 50 s only the one ending 75
+    val rows = Seq(
+      ("a", ts(20), 5L, "x"), ("a", ts(50), 9L, "x"))
+    rows.toDF("k", "ts", "spend", "tag").createOrReplaceTempView("wtn_cof_b")
+    def proj(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k",
+        org.apache.spark.sql.functions.unix_timestamp($"window_start"),
+        org.apache.spark.sql.functions.unix_timestamp($"window_end"),
+        $"spend", $"rn")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batch = proj(spark.sql(WindowTvf.rewrite(sql("wtn_cof_b"))))
+    assert(batch == Set(
+      ("a", 15L, 45L, 5L, 1L), ("a", 15L, 75L, 9L, 1L)))
+    val q = spark.sql(WindowTopN.rewriteStreaming(spark, sql("wtn_cof_s"), wmo))
+      .writeStream.format("memory").queryName("wtn_cof_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("z", ts(500), 1L, "adv")); q.processAllAvailable()
+      input.addData(("z", ts(900), 1L, "adv")); q.processAllAvailable()
+      val got = proj(spark.table("wtn_cof_out").filter("k <> 'z'"))
+      assert(got == batch, s"got $got")
+    } finally q.stop()
+  }
+
   test("randomized: CUMULATE top-N streaming equals the batch TVF ranking") {
     implicit val sc = spark.sqlContext
     val rnd = new scala.util.Random(53)
