@@ -19,7 +19,16 @@ import org.apache.spark.sql.functions._
   *  - Jaccard near-dup avoids the O(n²) cross join with a posting-list
   *    self-join: explode distinct word-trigram shingle HASHES (8-byte
   *    join keys, not strings), join docs that share one (inverted
-  *    index) within a `lang` block, then verify exactly;
+  *    index) within a `lang` block, then verify exactly. Its expansion
+  *    is Θ(Σ_shingle C(df, 2)) even under the df cap — every true pair
+  *    pays once per SHARED shingle — so on a corpus whose near-dup
+  *    pair count itself is large the exact path is shuffle-bound by
+  *    the output times the witness count (measured at the 100×
+  *    variant corpus: ~4.5 B expansion rows where banded MinHash
+  *    finds the same 26.9 M pairs in 48.8 s). Operator guidance: run
+  *    [[extShingleDfProfile]] first; if the df mass near the cap is
+  *    heavy, take the banded-MinHash route and keep the exact path
+  *    for verification of its candidates;
   *  - MinHash+LSH replaces the full signature compare with a band-bucket
   *    join: each doc explodes into 4 band keys (one pass, no UNION
   *    re-reads), docs collide only on exact band equality, so the
