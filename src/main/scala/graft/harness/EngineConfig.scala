@@ -85,6 +85,21 @@ final class EngineConfig(spark: SparkSession) {
     raw.get("table.local-time-zone")
       .exists(v => !EngineConfig.isUtcTimeline(v))
 
+  /** The constant instant-shift of the active session zone, when the
+    * zone is SHIFTED and FIXED-offset (`GMT+08:00`, `+05:30`,
+    * `Etc/GMT-8`, ...): Flink aligns grid windows (TUMBLE/HOP/CUMULATE)
+    * to the LOCAL timeline, and under a fixed offset that alignment is
+    * exactly one extra window offset of `-shift` composed into each
+    * call ([[WindowTvf.alignToZone]]). `None` for UTC-timeline zones
+    * (no alignment needed) and for DST region zones (the offset varies
+    * over the data's time range — no single grid shift represents it,
+    * so grid windows reject by name instead).
+    */
+  def zoneGridShiftMillis: Option[Long] =
+    raw.get("table.local-time-zone")
+      .filter(v => !EngineConfig.isUtcTimeline(v))
+      .flatMap(EngineConfig.fixedOffsetMillis)
+
   def localTimeZone: Option[String] = raw.get("table.local-time-zone")
 
   /** Parse + apply a full `SET k = v` statement
@@ -168,6 +183,21 @@ object EngineConfig {
       try Some(java.time.ZoneId.of(c, java.time.ZoneId.SHORT_IDS))
       catch { case _: java.time.DateTimeException => None }
     }.headOption
+
+  /** The zone's constant offset from UTC in milliseconds, when its
+    * rules are FIXED (no DST transitions ever — `ZoneRules
+    * .isFixedOffset`); `None` for region zones with a transition
+    * history and for unresolvable spellings. `ZoneOffset
+    * .getTotalSeconds` is whole seconds by construction, so the
+    * returned shift is always millisecond-exact.
+    */
+  def fixedOffsetMillis(value: String): Option[Long] =
+    resolveZone(value).flatMap { z =>
+      val rules = z.getRules
+      if (rules.isFixedOffset)
+        Some(rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds * 1000L)
+      else None
+    }
 
   def isUtcTimeline(value: String): Boolean =
     zoneCandidates(value).exists { c =>

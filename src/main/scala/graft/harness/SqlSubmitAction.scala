@@ -652,29 +652,47 @@ final class SqlSubmitAction(
       spark: SparkSession, config: EngineConfig, sql: String): String = {
     // a shifted table.local-time-zone applies to TIMESTAMP_LTZ
     // rendering, casts, and time functions (EngineConfig maps it onto
-    // spark.sql.session.timeZone) — but every time-ATTRIBUTE rewrite
-    // (window TVFs, legacy group windows, MATCH_RECOGNIZE, temporal
-    // joins) runs epoch arithmetic pinned to a UTC session, so those
-    // statements reject by name rather than run with silently shifted
-    // window boundaries
-    if (config.isShiftedTimeline &&
-        (WindowTvf.hasWindowTvf(sql) ||
-          MatchRecognize.hasMatchRecognize(sql) ||
-          TemporalJoin.hasTemporalJoin(sql)))
-      throw new IllegalArgumentException(
-        s"table.local-time-zone = ${config.localTimeZone.getOrElse("?")} " +
-          "is active (a shifted timeline): window TVFs, legacy group " +
-          "windows, MATCH_RECOGNIZE and temporal joins stay on the " +
-          "UTC-pinned event-time arithmetic — SET table.local-time-zone " +
-          "= 'UTC' for time-attribute statements, or use the window " +
-          "OFFSET argument for locally-aligned windows; the zone still " +
-          "applies to TIMESTAMP_LTZ rendering, casts, and time functions")
+    // spark.sql.session.timeZone). Time-ATTRIBUTE statements (r13b):
+    //  - grid-free forms (SESSION windows, MATCH_RECOGNIZE, temporal
+    //    joins) run as-is under ANY zone — their arithmetic is instant
+    //    differences and orderings, which no zone can move;
+    //  - grid windows (TUMBLE/HOP/CUMULATE, TVF form) under a FIXED
+    //    shifted offset get Flink's local-timeline alignment by
+    //    composing `-shift` into each call's window-offset argument
+    //    (WindowTvf.alignToZone) before any downstream pass parses it;
+    //  - grid windows under a DST region zone reject by name (the
+    //    offset varies over the data's range — no single grid shift
+    //    is correct), as do legacy group windows under any shifted
+    //    zone (the legacy syntax has no offset argument to carry the
+    //    alignment — the TVF form is the supported spelling).
+    val sql0 = config.zoneGridShiftMillis match {
+      case Some(shift) =>
+        if (WindowTvf.hasLegacyGridWindow(sql))
+          throw new IllegalArgumentException(
+            s"table.local-time-zone = ${config.localTimeZone.getOrElse("?")} " +
+              "is active (a shifted timeline) and this statement uses a " +
+              "legacy group window, which has no OFFSET argument to carry " +
+              "the local alignment — rewrite it as a window TVF " +
+              "(TABLE(TUMBLE/HOP(...))) or SET table.local-time-zone = 'UTC'")
+        WindowTvf.alignToZone(sql, shift)
+      case None if config.isShiftedTimeline &&
+          (WindowTvf.hasGridTvf(sql) || WindowTvf.hasLegacyGridWindow(sql)) =>
+        throw new IllegalArgumentException(
+          s"table.local-time-zone = ${config.localTimeZone.getOrElse("?")} " +
+            "resolves to a region zone with DST transitions: grid windows " +
+            "(TUMBLE/HOP/CUMULATE) cannot be aligned to a variable-offset " +
+            "timeline with one grid shift — use a fixed-offset zone " +
+            "('GMT+08:00', '+05:30') or SET table.local-time-zone = 'UTC' " +
+            "and use the window OFFSET argument; the zone still applies to " +
+            "TIMESTAMP_LTZ rendering, casts, and time functions")
+      case None => sql
+    }
     // scalar/collection dialect functions (UNNEST, JSON_VALUE family)
     // rewrite first: pure text→text, and the later passes then see
     // only Spark-native calls inside the regions they extract
     val fns =
-      if (!DialectFunctions.hasDialectFunctions(sql)) sql
-      else DialectFunctions.rewrite(sql)
+      if (!DialectFunctions.hasDialectFunctions(sql0)) sql0
+      else DialectFunctions.rewrite(sql0)
     val mr =
       if (!MatchRecognize.hasMatchRecognize(fns)) fns
       else if (config.isStreaming)

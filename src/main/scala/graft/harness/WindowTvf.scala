@@ -120,6 +120,73 @@ object WindowTvf {
     AnyTvfRe.findFirstIn(sql).isDefined ||
       AnyLegacyRe.findFirstIn(sql).isDefined
 
+  /** A GRID-windowing TVF call is present (TUMBLE/HOP/CUMULATE —
+    * the forms whose boundaries align to an epoch grid). SESSION is
+    * deliberately excluded: gap-based windows are grid-free, so a
+    * shifted session zone cannot move their boundaries.
+    */
+  private val GridTvfRe =
+    raw"(?is)\bTABLE\s*\(\s*(TUMBLE|HOP|CUMULATE)\s*\(".r
+  def hasGridTvf(sql: String): Boolean =
+    GridTvfRe.findFirstIn(sql).isDefined
+
+  /** A legacy GROUP BY grid window (TUMBLE/HOP group call or one of
+    * their accessors) is present. Legacy SESSION is excluded — gap
+    * windows are zone-invariant.
+    */
+  private val LegacyGridAccessorRe =
+    raw"(?is)\b(TUMBLE|HOP)_(START|END|ROWTIME|PROCTIME)\s*\(".r
+  def hasLegacyGridWindow(sql: String): Boolean =
+    LegacyTumbleGroup.findFirstIn(sql).isDefined ||
+      LegacyHopGroup.findFirstIn(sql).isDefined ||
+      LegacyGridAccessorRe.findFirstIn(sql).isDefined
+
+  /** Compose a shifted session zone's constant instant-offset into
+    * every grid-window TVF call (Flink's local-timeline window
+    * alignment under a fixed-offset `table.local-time-zone`).
+    *
+    * Flink aligns TUMBLE/HOP/CUMULATE boundaries to the session
+    * zone's LOCAL timeline — a whole-day tumble under `GMT+08:00`
+    * covers local midnight→midnight. On this engine every timestamp
+    * is an instant rendered in the session zone, so "local wall-clock
+    * multiple of the size" is exactly "instant ≡ −shift (mod size)":
+    * one extra window offset of `−zoneShiftMs` composed with any
+    * offset the call already declares. Emitting the combined offset
+    * back into the SQL text (canonical positional form, MILLISECOND
+    * unit — always exact: declared offsets are integer multiples of a
+    * supported unit and zone offsets are whole seconds) lets every
+    * downstream consumer — batch rewrite, streaming trackers, window
+    * top-N, window join, GROUPING SETS — inherit the alignment from
+    * the one offset path they already implement, instead of threading
+    * a zone parameter through each.
+    *
+    * SESSION stays untouched (gap windows have no grid); legacy group
+    * windows have no offset argument and are rejected upstream by
+    * name. Normalization into `[0, unit)` happens at the existing use
+    * sites, so the possibly-negative combined value is fine.
+    */
+  def alignToZone(sql: String, zoneShiftMs: Long): String = {
+    def iv(m: scala.util.matching.Regex.Match, base: Int): String =
+      // keep a `NAME =>` tag so the use-site's declaration-order
+      // validation still sees it
+      Option(m.group(base)).map(n => s"$n => ").getOrElse("") +
+        s"INTERVAL '${m.group(base + 1)}' ${m.group(base + 2)}"
+    def combined(m: scala.util.matching.Regex.Match, base: Int): String =
+      s"INTERVAL '${offsetMillis(m, base) - zoneShiftMs}' MILLISECOND"
+    val t = TumbleRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"TABLE(TUMBLE(TABLE ${m.group(1)}, DESCRIPTOR(${m.group(2)}), " +
+          s"${iv(m, 3)}, ${combined(m, 6)}))"))
+    val h = HopRe.replaceAllIn(t, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"TABLE(HOP(TABLE ${m.group(1)}, DESCRIPTOR(${m.group(2)}), " +
+          s"${iv(m, 3)}, ${iv(m, 6)}, ${combined(m, 9)}))"))
+    CumulateRe.replaceAllIn(h, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"TABLE(CUMULATE(TABLE ${m.group(1)}, DESCRIPTOR(${m.group(2)}), " +
+          s"${iv(m, 3)}, ${iv(m, 6)}, ${combined(m, 9)}))"))
+  }
+
   private[harness] def unitMillis(unit: String): Long =
     unit.toUpperCase.stripSuffix("S") match {
       case "MILLISECOND" => 1L

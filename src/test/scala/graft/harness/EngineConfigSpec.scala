@@ -125,13 +125,14 @@ class EngineConfigSpec extends AnyFunSuite {
     }
   }
 
-  test("a shifted zone gates time-attribute statements but runs LTZ rendering") {
+  test("a DST region zone gates grid windows but runs LTZ rendering") {
     val spark = graft.SparkFixture.spark
     val before = spark.conf.get("spark.sql.session.timeZone")
     val script = java.nio.file.Files.createTempFile("graft-tz", ".sql")
     try {
-      // the zone applies to rendering; the windowed statement rejects
-      // by name (UTC-pinned event-time arithmetic), and after SET back
+      // the zone applies to rendering; Asia/Shanghai has DST history
+      // (variable offset — no single grid shift aligns it), so the
+      // grid-windowed statement rejects by name, and after SET back
       // to UTC the same windowed statement runs
       java.nio.file.Files.writeString(script,
         """SET execution.runtime-mode = batch;
@@ -149,7 +150,7 @@ class EngineConfigSpec extends AnyFunSuite {
       val msgs = Iterator.iterate(e: Throwable)(_.getCause)
         .takeWhile(_ != null).take(8)
         .flatMap(t => Option(t.getMessage)).mkString("\n")
-      assert(msgs.contains("UTC-pinned"), msgs)
+      assert(msgs.contains("DST transitions"), msgs)
       // the same script with the zone reverted runs through
       java.nio.file.Files.writeString(script,
         """SET execution.runtime-mode = batch;

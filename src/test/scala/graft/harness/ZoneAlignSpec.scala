@@ -1,0 +1,168 @@
+package graft.harness
+
+import java.nio.file.Files
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shifted `table.local-time-zone` window alignment (Flink's
+  * local-timeline grid semantics): a FIXED-offset zone composes
+  * `-shift` into every TUMBLE/HOP/CUMULATE offset argument
+  * ([[WindowTvf.alignToZone]]); grid-free forms (SESSION,
+  * MATCH_RECOGNIZE, temporal joins) run unchanged under any zone; DST
+  * region zones reject grid windows by name.
+  */
+class ZoneAlignSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("fixedOffsetMillis resolves fixed zones and refuses DST regions") {
+    assert(EngineConfig.fixedOffsetMillis("GMT+08:00") === Some(28800000L))
+    assert(EngineConfig.fixedOffsetMillis("+05:30") === Some(19800000L))
+    // Etc/GMT sign convention is INVERTED per POSIX: Etc/GMT-8 is +08:00
+    assert(EngineConfig.fixedOffsetMillis("Etc/GMT-8") === Some(28800000L))
+    assert(EngineConfig.fixedOffsetMillis("UTC") === Some(0L))
+    assert(EngineConfig.fixedOffsetMillis("Asia/Shanghai") === None)
+    assert(EngineConfig.fixedOffsetMillis("America/New_York") === None)
+    assert(EngineConfig.fixedOffsetMillis("Mars/Olympus") === None)
+  }
+
+  test("zoneGridShiftMillis is Some only for SHIFTED fixed zones") {
+    val c = new EngineConfig(spark)
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      assert(c.zoneGridShiftMillis === None) // unset
+      c.setOperation("SET table.local-time-zone = UTC")
+      assert(c.zoneGridShiftMillis === None) // fixed but not shifted
+      c.setOperation("SET table.local-time-zone = GMT+08:00")
+      assert(c.zoneGridShiftMillis === Some(28800000L))
+      c.setOperation("SET table.local-time-zone = Asia/Shanghai")
+      assert(c.zoneGridShiftMillis === None) // shifted but not fixed
+      assert(c.isShiftedTimeline)
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
+  test("alignToZone composes -shift into TUMBLE, keeping declared offsets") {
+    val plain = WindowTvf.alignToZone(
+      "SELECT * FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '1' DAY))",
+      28800000L)
+    assert(plain.contains("INTERVAL '-28800000' MILLISECOND"))
+    // a declared offset combines: 1h - 8h = -7h
+    val combined = WindowTvf.alignToZone(
+      "SELECT * FROM TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), " +
+        "INTERVAL '1' DAY, INTERVAL '1' HOUR))",
+      28800000L)
+    assert(combined.contains("INTERVAL '-25200000' MILLISECOND"))
+    // named arguments survive so declaration-order validation still fires
+    val named = WindowTvf.alignToZone(
+      "SELECT * FROM TABLE(TUMBLE(DATA => TABLE t, " +
+        "TIMECOL => DESCRIPTOR(ts), SIZE => INTERVAL '2' HOUR))",
+      19800000L)
+    assert(named.contains("SIZE => INTERVAL '2' HOUR"))
+    assert(named.contains("INTERVAL '-19800000' MILLISECOND"))
+    // HOP and CUMULATE get the same trailing composition
+    val hop = WindowTvf.alignToZone(
+      "SELECT * FROM TABLE(HOP(TABLE t, DESCRIPTOR(ts), " +
+        "INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))", 28800000L)
+    assert(hop.contains("INTERVAL '5' MINUTE, INTERVAL '10' MINUTE, " +
+      "INTERVAL '-28800000' MILLISECOND"))
+    val cum = WindowTvf.alignToZone(
+      "SELECT * FROM TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), " +
+        "INTERVAL '1' HOUR, INTERVAL '4' HOUR, INTERVAL '10' MINUTE))",
+      28800000L)
+    assert(cum.contains(s"INTERVAL '${600000L - 28800000L}' MILLISECOND"))
+    // SESSION is grid-free: the call text is untouched
+    val sess = "SELECT * FROM TABLE(SESSION(TABLE t PARTITION BY k, " +
+      "DESCRIPTOR(ts), INTERVAL '5' MINUTE))"
+    assert(WindowTvf.alignToZone(sess, 28800000L) === sess)
+  }
+
+  test("daily TUMBLE under GMT+08:00 splits at local midnight (16:00Z)") {
+    import spark.implicits._
+    // 2024-01-01T15:59Z and T16:01Z straddle the +08:00 local-day
+    // boundary (local midnight = 16:00Z) but share the UTC day
+    Seq(1704124740000L, 1704124860000L)
+      .toDF("ms").selectExpr("timestamp_millis(ms) AS ts")
+      .createOrReplaceTempView("za_t")
+    val sql = WindowTvf.rewrite(WindowTvf.alignToZone(
+      "SELECT unix_millis(window_start) AS ws, COUNT(*) AS n FROM " +
+        "TABLE(TUMBLE(TABLE za_t, DESCRIPTOR(ts), INTERVAL '1' DAY)) " +
+        "GROUP BY window_start", 28800000L))
+    val rows = spark.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet === Set((1704038400000L, 1L), (1704124800000L, 1L)))
+    // without the zone shift both rows share the UTC day window
+    val utc = spark.sql(WindowTvf.rewrite(
+      "SELECT unix_millis(window_start) AS ws, COUNT(*) AS n FROM " +
+        "TABLE(TUMBLE(TABLE za_t, DESCRIPTOR(ts), INTERVAL '1' DAY)) " +
+        "GROUP BY window_start")).collect()
+    assert(utc.length === 1 && utc(0).getLong(1) === 2L)
+  }
+
+  test("e2e: fixed shifted zone runs grid TVFs locally aligned; legacy rejects") {
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    val script = Files.createTempFile("graft-za", ".sql")
+    try {
+      import spark.implicits._
+      Seq(1704124740000L, 1704124860000L)
+        .toDF("ms").selectExpr("timestamp_millis(ms) AS ts", "ms")
+        .createOrReplaceTempView("za_e2e")
+      Files.writeString(script,
+        """SET execution.runtime-mode = batch;
+          |SET table.local-time-zone = GMT+08:00;
+          |SELECT window_start, COUNT(*) AS n
+          |FROM TABLE(TUMBLE(TABLE za_e2e, DESCRIPTOR(ts), INTERVAL '1' DAY))
+          |GROUP BY window_start;
+          |""".stripMargin)
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run()
+      // a legacy group window has no offset argument to carry the
+      // alignment: reject by name while the shifted zone is active
+      Files.writeString(script,
+        """SET execution.runtime-mode = batch;
+          |SET table.local-time-zone = GMT+08:00;
+          |SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS ws, COUNT(*) AS n
+          |FROM za_e2e GROUP BY TUMBLE(ts, INTERVAL '1' DAY);
+          |""".stripMargin)
+      val e = intercept[Exception](
+        new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .flatMap(t => Option(t.getMessage)).mkString("\n")
+      assert(msgs.contains("legacy group window"), msgs)
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", before)
+      Files.deleteIfExists(script): Unit
+    }
+  }
+
+  test("e2e: grid-free forms run under any shifted zone") {
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    val script = Files.createTempFile("graft-za2", ".sql")
+    try {
+      import spark.implicits._
+      Seq((1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"))
+        .toDF("k", "o", "t").createOrReplaceTempView("za_mr")
+      Seq((1L, new java.sql.Timestamp(0L)), (1L, new java.sql.Timestamp(400000L)))
+        .toDF("k", "ts").createOrReplaceTempView("za_sess")
+      // MATCH_RECOGNIZE under a fixed shifted zone, SESSION TVF under a
+      // DST region zone: both are instant-difference arithmetic, which
+      // no session zone can move
+      Files.writeString(script,
+        """SET execution.runtime-mode = batch;
+          |SET table.local-time-zone = GMT+08:00;
+          |SELECT * FROM za_mr MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o
+          |  MEASURES FIRST(V.o) AS s, LAST(P.o) AS e
+          |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+          |  PATTERN (V C P)
+          |  DEFINE V AS t = 'view', C AS t = 'click', P AS t = 'purchase');
+          |SET table.local-time-zone = Asia/Shanghai;
+          |SELECT window_start, COUNT(*) AS n
+          |FROM TABLE(SESSION(TABLE za_sess PARTITION BY k,
+          |  DESCRIPTOR(ts), INTERVAL '5' MINUTE))
+          |GROUP BY window_start;
+          |""".stripMargin)
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run()
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", before)
+      Files.deleteIfExists(script): Unit
+    }
+  }
+}
