@@ -144,6 +144,103 @@ object Curation {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Bloom-filter width/hash-count for [[extBloomScreen]]: 1024 bits ×
+    * 3 hashes is deliberately TIGHT for the oracle corpus (~250 corpus
+    * fingerprints → ~52% bit load → ~14% false-positive rate), so the
+    * false-positive path is exercised by every correctness run — a
+    * production deployment sizes ~10 bits/key for ~1% FPR; the
+    * arithmetic is identical, only the constants change.
+    */
+  private val BloomBits = 1024L
+  private val BloomK = 3
+
+  /** Bloom-screen incremental dedup: the bounded-memory variant of
+    * [[extIncrementalDedup]]. The exact anti-join shuffles the corpus
+    * fingerprint set on every incoming batch; at 100 TB the corpus
+    * side IS the cost. A Bloom mask is `bits/64` longs regardless of
+    * corpus size ([[graft.functions.BloomMask]] — partial aggregation
+    * ORs fixed-width partition masks), broadcasts once, and screens
+    * each incoming document with three map-side bit tests; only the
+    * (few) Bloom hits need the exact confirmation join. The screen
+    * probes EVERY document — corpus members included — labeling each
+    * with its decision AND the exact truth, so one oracle run checks
+    * both Bloom laws: members must always hit (no false negatives —
+    * the corpus rows, exact_dup = 1) and non-members may only
+    * collide at the measured rate (the incoming rows' false_pos set).
+    * The mask is deterministic (OR is order-free), so the FPR is a
+    * checkable value, not a property.
+    *
+    * The k bit positions come from the house affine family
+    * `(a_j·fp + b_j) mod P` over the full-text polynomial fingerprint,
+    * mod the mask width — the same constants on both dialects, where
+    * the DuckDB mirror models the mask as its set of set bits
+    * (identical membership predicate, no bit ops needed).
+    */
+  val extBloomScreen: Q = Q(
+    "ext_bloom_screen", {
+      val ps = (0 until BloomK).map(j =>
+        s"((${TextHash.a(j)} * fp + ${TextHash.b(j)}) % ${TextHash.P}) " +
+          s"% $BloomBits").mkString("[", ", ", "]")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
+         |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+         |    CAST(SUBSTRING(source, 4) AS BIGINT) % 2 AS src_par
+         |  FROM documents),
+         |p AS (SELECT doc_id, fp, src_par, $ps AS ps FROM f),
+         |cpos AS (
+         |  SELECT DISTINCT UNNEST(ps) AS pos FROM p WHERE src_par = 0),
+         |cfp AS (SELECT DISTINCT fp FROM p WHERE src_par = 0),
+         |probe AS (SELECT doc_id, fp, UNNEST(ps) AS pos FROM p),
+         |hits AS (
+         |  SELECT probe.doc_id, probe.fp,
+         |    CAST(SUM(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nset
+         |  FROM probe LEFT JOIN cpos c ON c.pos = probe.pos
+         |  GROUP BY probe.doc_id, probe.fp)
+         |SELECT h.doc_id,
+         |  CAST(CASE WHEN h.nset = $BloomK THEN 1 ELSE 0 END AS BIGINT)
+         |    AS bloom_hit,
+         |  CAST(CASE WHEN cf.fp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS exact_dup,
+         |  CAST(CASE WHEN h.nset = $BloomK AND cf.fp IS NULL
+         |    THEN 1 ELSE 0 END AS BIGINT) AS false_pos
+         |FROM hits h LEFT JOIN cfp cf ON cf.fp = h.fp""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val bloomAgg = udaf(new graft.functions.BloomMask(BloomBits.toInt),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val posArr = (0 until BloomK).map(j =>
+      s"((${TextHash.a(j)}L * fp + ${TextHash.b(j)}L) % ${TextHash.P}L) " +
+        s"% ${BloomBits}L").mkString("array(", ", ", ")")
+    val f = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), expr("graft_poly_hash(text)").as("fp"),
+        (substring(col("source"), 4, 100).cast("long") % 2).as("src_par"))
+      .withColumn("ps", expr(posArr))
+    val corpus = f.filter(col("src_par") === 0)
+    val mask = corpus.select(explode(col("ps")).as("pos"))
+      .agg(bloomAgg(col("pos")).as("bw"))
+    // the exact side exists to MEASURE the screen (exact_dup /
+    // false_pos); a production pipeline only confirms the bloom hits.
+    // Deliberately unhinted: the planner broadcasts the fingerprint
+    // set at this SF; a corpus-scale set correctly falls back to a
+    // fingerprint-keyed shuffle join under AQE.
+    val corpusFps = corpus.select(col("fp").as("cfp")).distinct()
+    val bitTest = (0 until BloomK).map(j =>
+      s"((shiftright(element_at(bw.words, CAST(ps[$j] div 64 AS INT) + 1), " +
+        s"CAST(ps[$j] % 64 AS INT)) & 1L) = 1L)").mkString(" AND ")
+    f.crossJoin(broadcast(mask))
+      .join(corpusFps, col("fp") === col("cfp"), "left")
+      .select(col("doc_id"),
+        expr(s"CAST(CASE WHEN $bitTest THEN 1 ELSE 0 END AS BIGINT)")
+          .as("bloom_hit"),
+        expr("CAST(CASE WHEN cfp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)")
+          .as("exact_dup"),
+        expr(s"CAST(CASE WHEN ($bitTest) AND cfp IS NULL THEN 1 ELSE 0 END " +
+          "AS BIGINT)").as("false_pos"))
+  }
+
   /** Sequence packing: concatenate docs (per source, in doc_id order)
     * into fixed 512-token training sequences; each doc reports the
     * sequence it starts in and its token offset there. One running sum
@@ -384,6 +481,6 @@ object Curation {
 
   def all: Seq[Q] = Seq(
     extDecontaminate, extContaminationScore, extIncrementalDedup,
-    extPackSequences, extCurationPipeline, extDupAccounting, extPiiRedact,
-    extChunkDocs)
+    extBloomScreen, extPackSequences, extCurationPipeline, extDupAccounting,
+    extPiiRedact, extChunkDocs)
 }

@@ -171,7 +171,73 @@ object Sampling {
         |FROM r""".stripMargin)
   }
 
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how target-like its hashed bigram
+    * feature distribution is, the selection signal importance
+    * resampling then draws against. Features are word-bigram hashes
+    * folded into 256 buckets; the target distribution is the `en`
+    * slice, the raw distribution the whole corpus. Per-bucket
+    * importance ratio is integer-quantized BEFORE summation —
+    * `lr_micros(b) = ((n_target+1)·1e6) div (n_raw+1)`, one exact
+    * integer division per bucket (add-1 smoothed) — so the per-doc sum
+    * is exact int64 arithmetic and the oracle cannot drift on float
+    * accumulation order (the house lm_score pattern; the published
+    * method sums log-ratios — same ordering signal, different curve).
+    *
+    * Scale shape: the bucket table is 256 rows no matter the corpus
+    * size — it broadcasts to a map-side join — and the only wide
+    * shuffles are the bucket-count aggregation and the per-doc rollup,
+    * both over (id, small-int) rows, never text. A sub-2-token doc
+    * degrades to its whole-text hash bucket on both dialects
+    * (shingle-hash contract).
+    */
+  val extDsirWeights: Q = Q(
+    "ext_dsir_weights", {
+      val hs = graft.functions.TextHash
+        .shingleHashesDuck("string_split(text, ' ')", 2)
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    [h % 256 for h in $hs] AS bs
+         |  FROM documents),
+         |occ AS (SELECT doc_id, lang, UNNEST(bs) AS b FROM t),
+         |cnt AS (
+         |  SELECT b, COUNT(*) AS nr,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nt
+         |  FROM occ GROUP BY b),
+         |lr AS (SELECT b, ((nt + 1) * 1000000) // (nr + 1) AS lr_micros
+         |  FROM cnt)
+         |SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |  CAST(SUM(lr.lr_micros) AS BIGINT) AS dsir_micros,
+         |  CAST(SUM(lr.lr_micros) // COUNT(*) AS BIGINT)
+         |    AS per_feat_micros
+         |FROM occ JOIN lr ON lr.b = occ.b
+         |GROUP BY occ.doc_id""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val shingles = graft.functions.TextHash
+      .shingleHashesSpark("split(text, ' ')", 2)
+    val occ = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(expr(s"transform($shingles, h -> h % 256L)")).as("b"))
+      // feeds both the bucket counts and the per-doc rollup; the
+      // checkpoint is lazy so blocks free with the result frame
+      .localCheckpoint(false)
+    val lr = occ.groupBy(col("b"))
+      .agg(count(lit(1)).as("nr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"))
+      .withColumn("lr_micros", expr("((nt + 1L) * 1000000L) div (nr + 1L)"))
+      .select(col("b"), col("lr_micros"))
+    occ.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        sum(col("lr_micros")).cast("long").as("dsir_micros"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_micros"),
+        expr("CAST(dsir_micros div n_feats AS BIGINT)").as("per_feat_micros"))
+  }
+
   def all: Seq[Q] = Seq(
     extHashSample, extMixSample, extStratifiedSample, extWeightedSample,
-    extMixTemperature)
+    extMixTemperature, extDsirWeights)
 }

@@ -241,4 +241,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
       s"left unnest degenerated to a join:\n$plan")
   }
+
+  test("bloom screen: partial fixed-width mask aggregation, mask broadcast") {
+    // the mask must build through ObjectHashAggregate (ScalaAggregator
+    // partials: each partition ORs its own bits/64-long buffer before
+    // the single-row shuffle) and reach the probes as a broadcast —
+    // never a shuffle keyed on anything corpus-sized
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("ext_bloom_screen")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"mask not built via partial object aggregation in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"mask/fingerprint sides not broadcast in:\n$plan")
+  }
+
+  test("dsir weights: the 256-bucket ratio table joins as a broadcast") {
+    // the bucket table is fixed-width (256 rows) at any corpus size —
+    // the occurrence stream must never shuffle for the lookup
+    val spark = SparkFixture.spark
+    val plan = SparkEntry.queries("ext_dsir_weights")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket ratio table not broadcast in:\n$plan")
+  }
 }
