@@ -75,6 +75,20 @@ class ZoneAlignSpec extends AnyFunSuite {
     assert(WindowTvf.alignToZone(sess, 28800000L) === sess)
   }
 
+  test("streaming inherits the zone shift through the native startTime") {
+    // the pre-pass runs before rewriteStreaming parses the TVF, so the
+    // composed offset lands in window()'s startTime slot: -8h over a
+    // 1-day grid normalizes to 16h
+    val aligned = WindowTvf.alignToZone(
+      "SELECT window_start, COUNT(*) AS n FROM TABLE(TUMBLE(TABLE s, " +
+        "DESCRIPTOR(ts), INTERVAL '1' DAY)) GROUP BY window_start",
+      28800000L)
+    val t = WindowTvf.rewriteStreaming(aligned)
+    assert(t.contains(
+      "window(ts, '86400000 milliseconds', '86400000 milliseconds', " +
+        "'57600000 milliseconds')"), t)
+  }
+
   test("daily TUMBLE under GMT+08:00 splits at local midnight (16:00Z)") {
     import spark.implicits._
     // 2024-01-01T15:59Z and T16:01Z straddle the +08:00 local-day
