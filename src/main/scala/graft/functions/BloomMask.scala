@@ -57,3 +57,33 @@ final class BloomMask(bits: Int)
   override def outputEncoder: Encoder[BloomWords] =
     Encoders.product[BloomWords]
 }
+
+object BloomMask {
+  /** SQL array expression of the k affine bit positions of `fpExpr`
+    * over a `bits`-wide mask — THE hash family (`(a_j·fp + b_j) mod P
+    * mod bits` over [[TextHash]]'s constants), shared by the batch
+    * screen, the streaming probe, and constant-for-constant by the
+    * DuckDB oracle mirror. All intermediates stay under 2^63
+    * (a, fp < P ≈ 2^30).
+    */
+  def positionsExpr(fpExpr: String, bits: Long, k: Int): String =
+    (0 until k).map(j =>
+      s"((${TextHash.a(j)}L * ($fpExpr) + ${TextHash.b(j)}L) " +
+        s"% ${TextHash.P}L) % ${bits}L")
+      .mkString("array(", ", ", ")")
+
+  /** SQL predicate: all k affine positions of `fpExpr` are set in the
+    * word array `wordsExpr` (array<bigint>, 1-based element_at) — the
+    * map-side membership test of a built mask, UNROLLED per position
+    * so the whole test stays inside whole-stage codegen (no
+    * higher-order function in the hot path).
+    */
+  def memberExpr(fpExpr: String, bits: Long, k: Int,
+      wordsExpr: String): String =
+    (0 until k).map { j =>
+      val pos = s"(((${TextHash.a(j)}L * ($fpExpr) + ${TextHash.b(j)}L) " +
+        s"% ${TextHash.P}L) % ${bits}L)"
+      s"((shiftright(element_at($wordsExpr, CAST($pos div 64 AS INT) + 1), " +
+        s"CAST($pos % 64 AS INT)) & 1L) = 1L)"
+    }.mkString("(", " AND ", ")")
+}

@@ -38,9 +38,12 @@ package graft.harness
   * trailing window-offset argument (possibly negative — the
   * timezone-alignment use), normalized into `[0, size)` / `[0,
   * slide)` and applied as a grid shift (batch) or the native
-  * window's startTime (streaming). Any TVF variant the rewrite does
-  * not understand (CUMULATE/SESSION offsets, fractional intervals) is
-  * rejected explicitly rather than leaked to Spark's parser.
+  * window's startTime (streaming); CUMULATE offsets shift the span
+  * grid the same way in both modes. A shifted fixed-offset session
+  * zone composes into the same offset slots via [[alignToZone]]. Any
+  * TVF variant the rewrite does not understand (SESSION offsets,
+  * fractional intervals) is rejected explicitly rather than leaked
+  * to Spark's parser.
   */
 object WindowTvf {
 

@@ -211,9 +211,8 @@ object Curation {
     graft.functions.GraftFunctions.register(s)
     val bloomAgg = udaf(new graft.functions.BloomMask(BloomBits.toInt),
       org.apache.spark.sql.Encoders.scalaLong)
-    val posArr = (0 until BloomK).map(j =>
-      s"((${TextHash.a(j)}L * fp + ${TextHash.b(j)}L) % ${TextHash.P}L) " +
-        s"% ${BloomBits}L").mkString("array(", ", ", ")")
+    val posArr =
+      graft.functions.BloomMask.positionsExpr("fp", BloomBits, BloomK)
     val f = Tables.load(s, dir, "documents")
       .select(col("doc_id"), expr("graft_poly_hash(text)").as("fp"),
         (substring(col("source"), 4, 100).cast("long") % 2).as("src_par"))

@@ -109,6 +109,47 @@ object StreamOps {
     s"transform(sequence(0, ${bands - 1}), " +
       s"b -> hash(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), b))"
 
+  /** Bloom mask of a static corpus fingerprint column, as bits/64
+    * longs: built through [[graft.functions.BloomMask]] (fixed-width
+    * partition partials, OR-merged) and fetched to the driver ONCE.
+    * The fetch is the sketch itself — bits/8 bytes REGARDLESS of
+    * corpus size (the broadcast-a-sketch pattern), never a
+    * corpus-sized materialization; `first()` reads the aggregation's
+    * single row.
+    */
+  def bloomMaskOf(
+      corpus: DataFrame, fpCol: String, bits: Int, k: Int): Seq[Long] = {
+    val agg = udaf(new graft.functions.BloomMask(bits),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val ps = graft.functions.BloomMask.positionsExpr(fpCol, bits.toLong, k)
+    corpus.select(explode(expr(ps)).as("__pos"))
+      .agg(agg(col("__pos")).as("bw"))
+      .selectExpr("bw.words AS words")
+      .first().getSeq[Long](0)
+  }
+
+  /** Stateless streaming Bloom screen: flag each incoming row whose
+    * fingerprint hits every mask bit — the sketch-level face of
+    * [[incrementalDedup]] when even the fingerprint set is too big to
+    * join per micro-batch. The mask rides the plan as a LITERAL word
+    * array (no join, no state, pure projection), so the screen costs
+    * one row-local bit test per hash; hits carry Bloom's one-sided
+    * error (a false-positive rate set by the mask sizing, measurable
+    * via [[graft.operators.Curation]]'s ext_bloom_screen oracle) and
+    * misses are EXACT non-members — the decisive property for dedup:
+    * dropping only confirmed-member hits never loses a novel doc.
+    */
+  def bloomScreen(
+      incoming: DataFrame, fpCol: String,
+      maskWords: Seq[Long], k: Int): DataFrame = {
+    require(maskWords.nonEmpty, "empty bloom mask")
+    val bits = maskWords.length.toLong * 64L
+    val wordsLit = maskWords.map(w => s"${w}L")
+      .mkString("array(", ", ", ")")
+    incoming.withColumn("bloom_hit",
+      expr(graft.functions.BloomMask.memberExpr(fpCol, bits, k, wordsLit)))
+  }
+
   /** Static-side MinHash LSH index: one (band_key, corpus_id,
     * corpus_sig) row per band per corpus doc. Built once in batch and
     * joined by every micro-batch — at corpus scale this is the

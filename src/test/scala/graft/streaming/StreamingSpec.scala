@@ -316,6 +316,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("stateless bloom screen: members always hit, misses are exact") {
+    implicit val sc = spark.sqlContext
+    import graft.functions.TextHash
+    val bits = 4096
+    val corpus = Seq(1001L, 2002L, 3003L).toDF("fp")
+    val mask = StreamOps.bloomMaskOf(corpus, "fp", bits, 3)
+    assert(mask.length == bits / 64)
+    // reference model of the same arithmetic, for exact expectations
+    def ps(fp: Long) = (0 until 3).map(j =>
+      ((TextHash.a(j) * fp + TextHash.b(j)) % TextHash.P) % bits)
+    def hit(fp: Long) = ps(fp).forall(p =>
+      ((mask((p / 64).toInt) >> (p % 64).toInt) & 1L) == 1L)
+    val probes = Seq(9999L, 123456L, 55555L)
+    assert(probes.exists(!hit(_)), "sizing should leave a definite miss")
+    val input = MemoryStream[(Long, Long)]
+    val screened = StreamOps.bloomScreen(
+      input.toDF().toDF("doc_id", "fp"), "fp", mask, 3)
+    val query = screened.writeStream.format("memory")
+      .queryName("bloom_screen").outputMode("append").start()
+    try {
+      input.addData((1L, 1001L), (2L, probes(0)), (3L, 2002L),
+        (4L, probes(1)))
+      query.processAllAvailable()
+      val got = spark.table("bloom_screen")
+        .select($"doc_id", $"fp", $"bloom_hit")
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      // members always hit; non-members match the model exactly
+      assert(got(1L)._2 && got(3L)._2)
+      assert(got(2L)._2 == hit(probes(0)))
+      assert(got(4L)._2 == hit(probes(1)))
+      // a later batch screens against the same literal mask — and the
+      // plan keeps NO streaming state at all (pure projection)
+      input.addData((5L, 3003L), (6L, probes(2)))
+      query.processAllAvailable()
+      val all = spark.table("bloom_screen")
+        .select($"doc_id", $"bloom_hit").as[(Long, Boolean)]
+        .collect().toMap
+      assert(all(5L) && all(6L) == hit(probes(2)))
+      assert(all.size == 6)
+      assert(query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("streaming temporal join enriches probes with the version as-of their time") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[TemporalInput]
