@@ -719,9 +719,21 @@ object WindowTvf {
       fail("must be a single windowed aggregation (exactly one GROUP BY)")
     val gb = gbs.head
     val (keysText, keysEnd) = scanListClause(out, gb.end)
-    if (out.substring(keysEnd).trim.nonEmpty)
-      fail("HAVING/ORDER BY after the aggregation is not supported; " +
-        "filter or sort the result downstream")
+    // HAVING becomes a post-tracker filter (Flink runs HAVING on
+    // streaming window aggregations); ORDER BY stays a named rejection
+    // — Flink's streaming ORDER BY needs a leading time-ascending key,
+    // which a growing-window emission has no use for
+    val tailText = out.substring(keysEnd).trim
+    val havingPred: Option[String] =
+      if (tailText.isEmpty) None
+      else if (raw"(?is)\bORDER\s+BY\b".r.findFirstIn(tailText).isDefined ||
+          raw"(?is)\bLIMIT\b".r.findFirstIn(tailText).isDefined)
+        fail("ORDER BY/LIMIT after the aggregation is not supported; " +
+          "sort or limit the result downstream")
+      else raw"(?is)^HAVING\b(.+)$$".r.findFirstMatchIn(tailText) match {
+        case Some(hm) => Some(hm.group(1).trim)
+        case None => fail(s"unsupported trailing clause: $tailText")
+      }
     val winColsSet = Set("window_start", "window_end", "window_time")
     val keys = splitTopLevel(keysText).map(_.trim).filter(_.nonEmpty)
     val kept = keys.filterNot(k => winColsSet(k.toLowerCase))
@@ -879,10 +891,27 @@ object WindowTvf {
     val result = tracked.select(outCols: _*)
     val view = s"graft_tvf_${tvfViewCounter.incrementAndGet()}"
     result.createOrReplaceTempView(view)
+    // HAVING over the tracker view: aggregate calls rebind to their
+    // select aliases (the view's columns ARE the aggregates), then the
+    // predicate runs as a plain WHERE; an aggregate the select list
+    // does not carry has no tracked value to filter on — reject by
+    // name rather than let Spark treat a bare HAVING as a re-aggregation
+    val whereTail = havingPred.map { pred0 =>
+      val pred = aggs.foldLeft(pred0) { (p, a) =>
+        val pat = raw"(?is)\b${a.fn}\s*\(\s*" +
+          java.util.regex.Pattern.quote(a.input) + raw"\s*\)"
+        pat.r.replaceAllIn(p,
+          java.util.regex.Matcher.quoteReplacement(a.alias))
+      }
+      if (raw"(?is)\b(COUNT|SUM|MIN|MAX|AVG)\s*\(".r
+          .findFirstIn(pred).isDefined)
+        fail("HAVING may only reference aggregates that appear in the " +
+          s"select list (aliased), group keys, or window columns: $pred0")
+      s" WHERE $pred"
+    }.getOrElse("")
     // splice ONLY the SELECT..GROUP BY region: a statement prefix
     // (INSERT INTO sink) must survive the rewrite
-    out.substring(0, selM.start) + s"SELECT * FROM $view" +
-      out.substring(keysEnd)
+    out.substring(0, selM.start) + s"SELECT * FROM $view" + whereTail
   }
 
   /** Splits `s` on commas at paren depth 0, respecting quotes. */

@@ -66,6 +66,46 @@ class CumulateSpec extends AnyFunSuite {
     } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
   }
 
+  test("streaming CUMULATE HAVING filters like the batch rewrite") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 120).map { i =>
+      (s"k${i % 3}", ts(rnd.nextInt(900).toLong), rnd.nextInt(100).toLong)
+    }
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("cum_hav_in")
+    def stmt(having: String) =
+      s"""SELECT k, window_start, window_end, COUNT(*) AS n, SUM(v) AS sv
+         |FROM TABLE(CUMULATE(TABLE cum_hav_in, DESCRIPTOR(ts),
+         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+         |GROUP BY k, window_start, window_end$having""".stripMargin
+    // the predicate mixes a RAW aggregate call (rebinds to its alias)
+    // with an alias reference
+    val having = "\nHAVING COUNT(*) > 3 AND sv > 100"
+    val batchAll = spark.sql(WindowTvf.rewrite(stmt(""))).collect()
+    val batch = spark.sql(WindowTvf.rewrite(stmt(having)))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && batch.size < batchAll.length,
+      "HAVING must actually filter for this test to mean anything")
+    val streamSql = WindowTvf.rewriteStreaming(stmt(having), spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+
+    // an aggregate the select list does not carry rejects by name
+    val e = intercept[IllegalArgumentException] {
+      WindowTvf.rewriteStreaming(stmt("\nHAVING AVG(v) > 10"), spark,
+        _ => Some(("ts", "5 seconds")))
+    }
+    assert(e.getMessage.contains("select list"), e.getMessage)
+    // ORDER BY stays a named rejection
+    val e2 = intercept[IllegalArgumentException] {
+      WindowTvf.rewriteStreaming(stmt("\nORDER BY sv"), spark,
+        _ => Some(("ts", "5 seconds")))
+    }
+    assert(e2.getMessage.contains("downstream"), e2.getMessage)
+  }
+
   test("windows emit incrementally as the watermark passes step ends") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long)]
