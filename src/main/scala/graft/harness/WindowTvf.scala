@@ -662,7 +662,11 @@ object WindowTvf {
         case other => other
       }
       body.substring(0, selM.start) + "SELECT " + sel.mkString(", ") + " " +
-        body.substring(fromIdx, gb.end) + " " + ks.mkString(", ") + tail
+        // the space matters: scanListClause's keysEnd eats the
+        // whitespace before a HAVING tail, so a direct concat would
+        // glue the last key to the keyword ("kHAVING")
+        body.substring(fromIdx, gb.end) + " " + ks.mkString(", ") +
+          (if (tail.isEmpty) "" else " " + tail.trim)
     }
     val parts = branches.map(b => rewriteStreaming(branchSql(b), spark, watermarkOf))
     val unioned = parts.map(p => s"($p)").mkString(" UNION ALL ")

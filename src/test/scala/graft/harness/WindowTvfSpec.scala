@@ -344,6 +344,31 @@ class WindowTvfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming GROUPING SETS carries HAVING into every branch") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq(("x", ts(10)), ("y", ts(20)), ("x", ts(30)))
+    rows.toDF("k", "ts").createOrReplaceTempView("gs_hav")
+    def sql(src: String) =
+      s"""SELECT k, window_start, window_end, COUNT(*) AS n
+         |FROM TABLE(TUMBLE(TABLE $src, DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+         |GROUP BY GROUPING SETS ((window_start, window_end, k),
+         |  (window_start, window_end))
+         |HAVING COUNT(*) > 1""".stripMargin
+    // batch: per-k x=2 passes, y=1 is filtered; all-k branch n=3 passes
+    val batch = spark.sql(WindowTvf.rewrite(sql("gs_hav")))
+      .select($"k", $"n").as[(Option[String], Long)].collect().toSet
+    assert(batch === Set((Some("x"), 2L), (None, 3L)))
+    // streaming: the HAVING tail lands in each unioned branch, so the
+    // filter applies per branch before the UNION ALL
+    val out = WindowTvf.rewriteStreaming(sql("gs_hav"))
+    assert("(?i)HAVING".r.findAllIn(out).size == 2, out)
+    val streamed = spark.sql(out)
+      .select($"k", $"n").as[(Option[String], Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("randomized: CUMULATE window join streaming equals the batch expansion") {
     val spark = graft.SparkFixture.spark
     import spark.implicits._
