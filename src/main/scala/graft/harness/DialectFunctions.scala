@@ -449,18 +449,22 @@ object DialectFunctions {
         fail(s"JSON_$fn takes (json, 'path'[ RETURNING type]): " +
           args.mkString(", "))
       val expr = args.head
-      // JSON_VALUE behavior-clause subset: NULL ON EMPTY / NULL ON
-      // ERROR are Flink's defaults; DEFAULT e ON EMPTY / DEFAULT e ON
-      // ERROR compile onto a CASE that discriminates the three outcomes
+      // JSON_VALUE behavior clauses: NULL ON EMPTY / NULL ON ERROR are
+      // Flink's defaults; DEFAULT e ON EMPTY / DEFAULT e ON ERROR
+      // compile onto a CASE that discriminates the three outcomes
       // get_json_object alone conflates — malformed JSON (ERROR, via
       // graft_json_valid), missing path (EMPTY), and — under RETURNING —
       // a present-but-uncastable value (ERROR, via TRY_CAST IS NULL).
-      // ERROR ON EMPTY/ERROR (raise instead of substitute) stays a
-      // named rejection: a raising scalar cannot be oracle-verified and
-      // Flink pipelines substitute rather than abort.
+      // ERROR ON EMPTY/ERROR map onto `raise_error` in the matching
+      // CASE branch (Flink's raising behavior, r13b) — the branch only
+      // evaluates when taken, so well-formed rows pass untouched; the
+      // raising forms appear in no oracle query (a raising scalar
+      // cannot be hash-compared), they are spec-covered instead.
       var tail = args(1)
       var onEmptyDefault: Option[String] = None
       var onErrorDefault: Option[String] = None
+      var raiseOnEmpty = false
+      var raiseOnError = false
       if (fn == "VALUE") {
         var go = true
         while (go) {
@@ -469,18 +473,12 @@ object DialectFunctions {
               val clauseRaw = tail.substring(cm.start(1), cm.end(1)).trim
               val cu = clauseRaw.toUpperCase
               if (cm.group(2).equalsIgnoreCase("EMPTY")) {
-                if (cu == "ERROR")
-                  fail("JSON_VALUE ERROR ON EMPTY is not supported — " +
-                    "the engine substitutes (NULL / DEFAULT) instead of " +
-                    "raising; use DEFAULT <expr> ON EMPTY")
+                if (cu == "ERROR") raiseOnEmpty = true
                 else if (cu != "NULL")
                   onEmptyDefault =
                     Some(clauseRaw.substring("DEFAULT".length).trim)
               } else {
-                if (cu == "ERROR")
-                  fail("JSON_VALUE ERROR ON ERROR is not supported — " +
-                    "the engine substitutes (NULL / DEFAULT) instead of " +
-                    "raising; use DEFAULT <expr> ON ERROR")
+                if (cu == "ERROR") raiseOnError = true
                 else if (cu != "NULL")
                   onErrorDefault =
                     Some(clauseRaw.substring("DEFAULT".length).trim)
@@ -513,13 +511,22 @@ object DialectFunctions {
           // ON ERROR behavior (default NULL) — TRY_CAST keeps that NULL
           // under ANSI mode too, where CAST would throw.
           val typed = returning.fold(call)(t => s"TRY_CAST($call AS $t)")
-          if (onEmptyDefault.isEmpty && onErrorDefault.isEmpty) typed
+          if (onEmptyDefault.isEmpty && onErrorDefault.isEmpty &&
+              !raiseOnEmpty && !raiseOnError) typed
           else {
             // Flink's evaluation order: NULL input → NULL (no clause
             // fires); malformed JSON → ON ERROR; missing path → ON
             // EMPTY; present-but-uncastable (RETURNING) → ON ERROR.
-            val errVal = onErrorDefault.getOrElse("NULL")
-            val emptyVal = onEmptyDefault.getOrElse("NULL")
+            val errVal =
+              if (raiseOnError)
+                s"raise_error(CONCAT('JSON_VALUE ERROR ON ERROR: no " +
+                  s"result for path ', $path, ' in: ', $expr))"
+              else onErrorDefault.getOrElse("NULL")
+            val emptyVal =
+              if (raiseOnEmpty)
+                s"raise_error(CONCAT('JSON_VALUE ERROR ON EMPTY: empty " +
+                  s"result for path ', $path, ' in: ', $expr))"
+              else onEmptyDefault.getOrElse("NULL")
             val castBranch = returning.fold("")(t =>
               s" WHEN TRY_CAST($call AS $t) IS NULL THEN $errVal")
             s"(CASE WHEN ($expr) IS NULL THEN NULL" +

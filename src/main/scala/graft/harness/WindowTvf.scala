@@ -759,14 +759,29 @@ object WindowTvf {
     val selIdx = selM.end
     val fromIdx = findTopLevel(out, selIdx, "FROM")
       .getOrElse(fail("no top-level FROM"))
-    // whitespace-normalized: multi-line FROM clauses are normal SQL
+    // whitespace-normalized: multi-line FROM clauses are normal SQL.
+    // A WHERE on source columns pre-filters the tracker input (Flink
+    // runs WHERE before window assignment); window columns do not
+    // exist pre-aggregation, and JOINs stay a named rejection
     val between = out.substring(fromIdx, gb.start)
       .replaceAll(raw"\s+", " ").trim
-    if (!between.equalsIgnoreCase(s"FROM $table"))
-      fail("WHERE/JOIN between FROM and GROUP BY is not supported; " +
-        "pre-filter with a view, or use batch runtime mode")
+    val FromWhereRe = (raw"(?is)^FROM\s+" +
+      java.util.regex.Pattern.quote(table) +
+      raw"(?:\s+WHERE\s+(.+?))?\s*$$").r
+    val wherePred: Option[String] = between match {
+      case FromWhereRe(p) => Option(p)
+      case _ => fail("JOIN/subquery between FROM and GROUP BY is not " +
+        "supported; pre-join with a view, or use batch runtime mode")
+    }
+    wherePred.foreach { p =>
+      if (raw"(?i)\b(window_start|window_end|window_time)\b".r
+          .findFirstIn(p).isDefined)
+        fail("window_start/window_end/window_time cannot be referenced " +
+          "in WHERE (they only exist after the aggregation); filter the " +
+          "aggregated result with HAVING")
+    }
 
-    val src = spark.table(table)
+    val src = wherePred.foldLeft(spark.table(table))(_ where _)
     def colIdx(c: String): Int = {
       val i = src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
       if (i < 0) fail(s"column $c not found in $table")

@@ -184,11 +184,30 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(r2.getInt(4) == 5)
     assert(r2.isNullAt(5)) // NULL input: no clause fires
     assert(r2.getString(6) == "bad") // trailing content = not one document
-    // raising forms stay named rejections (the engine substitutes)
-    rejects("SELECT JSON_VALUE(p, '$.a' ERROR ON EMPTY) FROM t",
-      "ERROR ON EMPTY")
-    rejects("SELECT JSON_VALUE(p, '$.a' ERROR ON ERROR) FROM t",
-      "ERROR ON ERROR is not supported")
+    // raising forms (r13b): ERROR ON EMPTY/ERROR compile onto
+    // raise_error in the matching CASE branch — well-formed rows pass
+    // untouched, the offending row raises with the path in the message
+    val r3 = spark.sql(DialectFunctions.rewrite(
+      """SELECT
+        |  JSON_VALUE('{"a": 7}', '$.a' ERROR ON EMPTY ERROR ON ERROR) AS a,
+        |  JSON_VALUE('{"z": 1}', '$.a' DEFAULT 'none' ON EMPTY ERROR ON ERROR) AS b
+        |""".stripMargin)).head
+    assert(r3.getString(0) == "7" && r3.getString(1) == "none")
+    def raises(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](
+        spark.sql(DialectFunctions.rewrite(sql)).collect())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(6)
+        .flatMap(t => Option(t.getMessage)).mkString("\n")
+      assert(msgs.contains(frag), msgs)
+    }
+    raises("SELECT JSON_VALUE('{\"z\": 1}', '$.a' ERROR ON EMPTY) AS x",
+      "ERROR ON EMPTY: empty result for path $.a")
+    raises("SELECT JSON_VALUE('{oops', '$.a' ERROR ON ERROR) AS x",
+      "ERROR ON ERROR")
+    // uncastable under RETURNING routes to ON ERROR, which raises too
+    raises("SELECT JSON_VALUE('{\"a\": \"xx\"}', " +
+      "'$.a' RETURNING INT ERROR ON ERROR) AS x", "ERROR ON ERROR")
     rejects("SELECT JSON_QUERY(p, '$.a' WITH ARRAY WRAPPER) FROM t", "behavior")
     rejects("SELECT JSON_QUERY(p, '$.a' NULL ON EMPTY) FROM t", "behavior")
     rejects("SELECT JSON_VALUE(p, path_col) FROM t", "string-literal path")

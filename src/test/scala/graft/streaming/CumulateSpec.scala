@@ -106,6 +106,42 @@ class CumulateSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("downstream"), e2.getMessage)
   }
 
+  test("streaming CUMULATE WHERE pre-filters the tracker input like batch") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 120).map { i =>
+      (s"k${i % 3}", ts(rnd.nextInt(900).toLong), rnd.nextInt(100).toLong)
+    }
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("cum_where_in")
+    def stmt(mid: String) =
+      s"""SELECT k, window_start, window_end, COUNT(*) AS n, SUM(v) AS sv
+         |FROM TABLE(CUMULATE(TABLE cum_where_in, DESCRIPTOR(ts),
+         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))$mid
+         |GROUP BY k, window_start, window_end""".stripMargin
+    val where = "\nWHERE v >= 50 AND k <> 'k1'"
+    val batchAll = spark.sql(WindowTvf.rewrite(stmt(""))).collect()
+    val batch = spark.sql(WindowTvf.rewrite(stmt(where)))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && batch.size < batchAll.length)
+    val streamSql = WindowTvf.rewriteStreaming(stmt(where), spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+    // window columns do not exist before the aggregation
+    val e = intercept[IllegalArgumentException] {
+      WindowTvf.rewriteStreaming(stmt("\nWHERE window_start IS NOT NULL"),
+        spark, _ => Some(("ts", "5 seconds")))
+    }
+    assert(e.getMessage.contains("HAVING"), e.getMessage)
+    // JOINs keep the named rejection
+    val e2 = intercept[IllegalArgumentException] {
+      WindowTvf.rewriteStreaming(stmt(" JOIN other ON 1 = 1"), spark,
+        _ => Some(("ts", "5 seconds")))
+    }
+    assert(e2.getMessage.contains("pre-join"), e2.getMessage)
+  }
+
   test("windows emit incrementally as the watermark passes step ends") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long)]
@@ -348,13 +384,15 @@ class CumulateSpec extends AnyFunSuite {
         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
         |GROUP BY k, window_start, window_end""".stripMargin,
       "DISTINCT")
+    // WHERE on source columns is supported since r13b (pre-filters the
+    // tracker input); a JOIN in the between-region still rejects
     rejects(
       """SELECT k, window_start, window_end, COUNT(*) AS n
         |FROM TABLE(CUMULATE(TABLE cum_rej, DESCRIPTOR(ts),
         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
-        |WHERE v > 0
+        |JOIN cum_rej2 ON 1 = 1
         |GROUP BY k, window_start, window_end""".stripMargin,
-      "WHERE")
+      "pre-join")
     rejects(
       """SELECT k, window_start, window_end, MIN(k) AS mk
         |FROM TABLE(CUMULATE(TABLE cum_rej, DESCRIPTOR(ts),
