@@ -94,20 +94,36 @@ object DialectFunctions {
   private val RejectRe =
     raw"(?i)\b(CURRENT_WATERMARK\s*\(|LATERAL\s+TABLE\s*\()".r
 
-  def rewrite(sql: String): String = {
-    RejectRe.findFirstMatchIn(MatchRecognize.maskQuoted(sql)).foreach { m =>
+  def rewrite(sql: String): String = rewrite(sql, isStreaming = true)
+
+  /** Batch mode resolves `CURRENT_WATERMARK(col)` to NULL: Flink's
+    * contract returns NULL "if no common watermark ... is available",
+    * and a batch pipeline never emits one — so the batch value IS
+    * NULL, no introspection needed. Streaming keeps the named
+    * rejection (Spark exposes no SQL-level watermark).
+    */
+  private val CurrentWatermarkRe =
+    raw"(?i)\bCURRENT_WATERMARK\s*\(\s*(?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))*\s*\)".r
+
+  def rewrite(sql: String, isStreaming: Boolean): String = {
+    val sql0 =
+      if (isStreaming) sql
+      else CurrentWatermarkRe.replaceAllIn(sql, "CAST(NULL AS TIMESTAMP)")
+    RejectRe.findFirstMatchIn(MatchRecognize.maskQuoted(sql0)).foreach { m =>
       val what = m.group(1).split(raw"\s*\(")(0).toUpperCase.replaceAll(raw"\s+", " ")
       fail(what match {
         case "CURRENT_WATERMARK" =>
-          "CURRENT_WATERMARK() is not supported: Spark exposes no " +
-            "SQL-level watermark introspection — filter on the event-time " +
-            "column directly, or rely on the watermark's own late-row drop"
+          "CURRENT_WATERMARK() is not supported in streaming mode: " +
+            "Spark exposes no SQL-level watermark introspection — filter " +
+            "on the event-time column directly, or rely on the " +
+            "watermark's own late-row drop (batch resolves it to NULL, " +
+            "Flink's no-watermark-available contract)"
         case _ =>
           "legacy LATERAL TABLE temporal table functions are not " +
             "supported — use the FOR SYSTEM_TIME AS OF join form"
       })
     }
-    rewriteScalars(rewriteJson(rewriteUnnest(sql)))
+    rewriteScalars(rewriteJson(rewriteUnnest(sql0)))
   }
 
   /** The scalar-only subset, safe for DDL computed-column expressions

@@ -692,7 +692,7 @@ final class SqlSubmitAction(
     // only Spark-native calls inside the regions they extract
     val fns =
       if (!DialectFunctions.hasDialectFunctions(sql0)) sql0
-      else DialectFunctions.rewrite(sql0)
+      else DialectFunctions.rewrite(sql0, config.isStreaming)
     val mr =
       if (!MatchRecognize.hasMatchRecognize(fns)) fns
       else if (config.isStreaming)

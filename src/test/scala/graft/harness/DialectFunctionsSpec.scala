@@ -459,6 +459,16 @@ class DialectFunctionsSpec extends AnyFunSuite {
     // literal-blind like every other pass
     val s = "SELECT 'CURRENT_WATERMARK(x)' AS t"
     assert(DialectFunctions.rewrite(s) == s)
+    // batch mode resolves it to NULL (Flink's no-watermark-available
+    // contract: a batch pipeline never emits one) and runs
+    val b = DialectFunctions.rewrite(
+      "SELECT CURRENT_WATERMARK(ts) AS wm, CURRENT_WATERMARK(t.ts) AS wm2",
+      isStreaming = false)
+    assert(b == "SELECT CAST(NULL AS TIMESTAMP) AS wm, " +
+      "CAST(NULL AS TIMESTAMP) AS wm2", b)
+    val row = SparkFixture.spark
+      .sql("SELECT CAST(NULL AS TIMESTAMP) AS wm").head
+    assert(row.isNullAt(0))
   }
 
   test("e2e: streaming UNNEST + JSON constructor through sql-submit") {
