@@ -670,6 +670,93 @@ object Dedup {
     * per shingle — so the shingle-keyed self-join is bounded by source
     * count, not corpus size, and the per-source totals broadcast.
     */
+  /** Maximal duplicated-substring regions per document (the Lee et al.
+    * 2022 "Deduplicating Training Data" shape at 8-token granularity):
+    * every position whose 8-gram occurs more than once ANYWHERE in the
+    * corpus (another doc or the same one) starts a duplicated window,
+    * and overlapping/touching windows merge into maximal spans — the
+    * regions a substring-level dedup pass would cut, with the exact
+    * duplicated-token count their union covers ([[extSpanDedup]] is
+    * the positionless share of shared grams; this adds positions and
+    * the interval-union merge).
+    *
+    * The merge is gaps-and-islands over duplicated START positions:
+    * windows of width 8 at positions i, j overlap or touch iff
+    * `j − i ≤ 8`, so a LAG flag breaks islands on larger gaps and a
+    * running sum numbers them; each island covers exactly
+    * `last − first + 8` tokens (touching windows concatenate with no
+    * double count). Scale shape: the occurrence-count aggregation and
+    * the count join move (8-byte hash, position) rows keyed on the
+    * hash; the island windowing partitions by doc_id — each doc's
+    * positions sort locally, no global order. Docs shorter than the
+    * gram width carry no true 8-gram and are excluded in both
+    * dialects.
+    */
+  val extDupSpans: Q = Q(
+    "ext_dup_spans", {
+      val hs = shingleHashesDuck("toks", 8)
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, LEN(toks) AS n_tok, $hs AS hs
+         |  FROM t WHERE LEN(toks) >= 8),
+         |p AS (
+         |  SELECT doc_id, n_tok,
+         |    UNNEST(generate_series(1, LEN(hs))) AS pos,
+         |    UNNEST(hs) AS h
+         |  FROM g),
+         |c AS (SELECT h, COUNT(*) AS occ FROM p GROUP BY h),
+         |d AS (
+         |  SELECT p.doc_id, p.n_tok, p.pos,
+         |    CASE WHEN p.pos - LAG(p.pos)
+         |      OVER (PARTITION BY p.doc_id ORDER BY p.pos) <= 8
+         |      THEN 0 ELSE 1 END AS brk
+         |  FROM p JOIN c ON c.h = p.h WHERE c.occ > 1),
+         |i AS (
+         |  SELECT doc_id, n_tok, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM d),
+         |s AS (
+         |  SELECT doc_id, n_tok, isl,
+         |    MAX(pos) - MIN(pos) + 8 AS span_tok
+         |  FROM i GROUP BY doc_id, n_tok, isl)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |  CAST(SUM(span_tok) AS BIGINT) AS dup_tok,
+         |  CAST(FLOOR(SUM(span_tok) * 1000.0 / n_tok + 0.5) AS BIGINT)
+         |    AS dup_mils
+         |FROM s GROUP BY doc_id, n_tok""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), size(col("toks")).as("n_tok"),
+        posexplode(expr(shingleHashesSpark("toks", 8))).as(Seq("pos0", "h")))
+      // DuckDB list positions are 1-based; align so span arithmetic
+      // matches digit for digit
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    val occ = p.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val d = p.join(occ, "h").filter(col("occ") > 1L)
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= 8, 0L)
+          .otherwise(1L))
+      .withColumn("isl", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    d.groupBy(col("doc_id"), col("n_tok"), col("isl"))
+      .agg((max(col("pos")) - min(col("pos")) + 8).as("span_tok"))
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("span_tok")).cast("long").as("dup_tok"))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        col("n_spans"), col("dup_tok"),
+        expr("CAST(FLOOR(dup_tok * 1000.0D / n_tok + 0.5D) AS BIGINT)")
+          .as("dup_mils"))
+  }
+
   val extSourceOverlap: Q = Q(
     "ext_source_overlap",
     s"""WITH t AS (
@@ -974,6 +1061,6 @@ object Dedup {
   def all: Seq[Q] = Seq(
     extDedupExact, extJaccardPairs, extDedupCluster,
     extMinhashSig, extMinhashPairs, extMinhashEst, extSimhash,
-    extSimhashPairs, extSpanDedup, extSourceOverlap, extBandRecall,
+    extSimhashPairs, extSpanDedup, extDupSpans, extSourceOverlap, extBandRecall,
     extDedupRep, extContainmentPairs, extNgramNovelty, extShingleDfProfile)
 }
