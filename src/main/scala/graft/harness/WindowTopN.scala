@@ -81,8 +81,15 @@ object WindowTopN {
       raw"INTERVAL\s+'(\d+)'\s+(\w+)" +
       raw"(?:\s*,\s*(?:OFFSET\s*=>\s*)?INTERVAL\s+'(-?\d+)'\s+(\w+))?" +
       raw"(?:\s*,\s*(?:OFFSET\s*=>\s*)?INTERVAL\s+'(-?\d+)'\s+(\w+))?\s*\)\s*\)\s*$$").r
+  /** Flink's window-top-N outer filter: `WHERE rn <= N [AND
+    * conditions]` — the rank bound leads (the docs' canonical shape),
+    * any residual conjuncts run as a plain filter over the tracker's
+    * decoded output (they may reference keys, payload, window columns,
+    * or the rank itself — `AND rn > M` pages a rank range while state
+    * stays bounded by the leading N).
+    */
   private val WhereRe =
-    raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<|=)\s*(\d+)\s*$$".r
+    raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<|=)\s*(\d+)\s*(?:\bAND\b\s+(.+?))?\s*$$".r
 
   /** Compiles the statement onto the tracker and returns the spliced
     * outer SELECT over the registered `graft_topn_<k>` view.
@@ -175,9 +182,11 @@ object WindowTopN {
           s"columns, got: $k")
     }
     val wm = WhereRe.findFirstMatchIn(after).getOrElse(fail(
-      "streaming window top-N must end `WHERE rn <= N` (or rn = 1 / " +
-        "rn < N) with no further clauses"))
+      "streaming window top-N must end `WHERE rn <= N [AND conditions]` " +
+        "(or rn = 1 / rn < N) — the rank bound leads, residual " +
+        "conjuncts follow"))
     val outerAlias = Option(wm.group(1)).map(_.trim)
+    val residual = Option(wm.group(5)).map(_.trim).filter(_.nonEmpty)
     if (!wm.group(2).equalsIgnoreCase(rnAlias))
       fail(s"the WHERE rank filter must use the ROW_NUMBER alias " +
         s"$rnAlias, got ${wm.group(2)}")
@@ -298,6 +307,7 @@ object WindowTopN {
     val view = s"graft_topn_${viewCounter.incrementAndGet()}"
     decoded.createOrReplaceTempView(view)
     s"${insertPrefix}SELECT $outSel FROM $view" +
-      outerAlias.fold("")(a => s" $a")
+      outerAlias.fold("")(a => s" $a") +
+      residual.fold("")(r => s" WHERE $r")
   }
 }

@@ -67,6 +67,54 @@ class WindowTopNSpec extends AnyFunSuite {
     }
   }
 
+  test("residual conjuncts after the rank bound filter the ranked output") {
+    // Flink's outer-filter shape is `WHERE rownum <= N [AND conditions]`
+    // — the residual runs over the tracker view, and `AND rn > M`
+    // pages a rank range with state still bounded by the leading N
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, String)]
+    input.toDF().toDF("k", "ts", "spend", "tag")
+      .createOrReplaceTempView("wtn_src")
+    def sqlFor(src: String, cond: String) =
+      s"""SELECT k, window_start, spend, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY window_start, window_end, k ORDER BY spend DESC) AS rn
+         |  FROM TABLE(TUMBLE(TABLE $src, DESCRIPTOR(ts), INTERVAL '1' MINUTE)))
+         |WHERE rn <= 2 AND $cond""".stripMargin
+    val rewritten = WindowTopN.rewriteStreaming(
+      spark, sqlFor("wtn_src", "spend >= 5 AND rn > 1"), wm)
+    assert(rewritten.contains(" WHERE spend >= 5 AND rn > 1"), rewritten)
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("wtn_cond").outputMode("append").start()
+    try {
+      input.addData(
+        ("a", ts(10), 5L, "t5"), ("a", ts(20), 9L, "t9"),
+        ("a", ts(30), 7L, "t7"), ("b", ts(15), 3L, "t3"))
+      q.processAllAvailable()
+      input.addData(("a", ts(200), 1L, "adv"), ("b", ts(200), 1L, "adv"))
+      q.processAllAvailable()
+      // a's rank-2 row (spend 7) is the only one with rn > 1 AND
+      // spend >= 5; b's top-1 (spend 3) fails both conjuncts
+      val got = spark.table("wtn_cond")
+        .select($"k", $"spend", $"rn")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == Set(("a", 7L, 2L)))
+      // batch twin through the native TVF path agrees
+      Seq(("a", ts(10), 5L, "t5"), ("a", ts(20), 9L, "t9"),
+        ("a", ts(30), 7L, "t7"), ("b", ts(15), 3L, "t3"))
+        .toDF("k", "ts", "spend", "tag")
+        .createOrReplaceTempView("wtn_cond_b")
+      val bgot = spark.sql(WindowTvf.rewrite(
+        sqlFor("wtn_cond_b", "spend >= 5 AND rn > 1")))
+        .select($"k", $"spend", $"rn")
+        .as[(String, Long, Long)].collect().toSet
+      assert(bgot == got)
+    } finally {
+      q.stop()
+      MatchRecognize.dropViews(spark, rewritten)
+    }
+  }
+
   test("HOP top-N fans rows to covering windows, equal to the batch ranking") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long, String)]
