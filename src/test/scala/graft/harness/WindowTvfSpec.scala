@@ -274,6 +274,59 @@ class WindowTvfSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LEFT OUTER window join streams with NULL padding like batch") {
+    // Flink's window join admits outer kinds; the rewrite is
+    // join-keyword-agnostic, and Spark's stream-stream LEFT JOIN
+    // accepts the window-struct equality for state eviction — unmatched
+    // left rows emit NULL-padded once the watermark closes the window
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val a = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val b = MemoryStream[(Long, java.sql.Timestamp, String)]
+    a.toDF().toDF("k", "ts", "v").withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("wjl_a")
+    b.toDF().toDF("k", "ts", "v2").withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("wjl_b")
+    def stmt(l: String, r: String) =
+      s"""SELECT L.k, L.v, R.v2
+         |FROM TABLE(TUMBLE(TABLE $l, DESCRIPTOR(ts), INTERVAL '10' SECOND)) L
+         |LEFT JOIN TABLE(TUMBLE(TABLE $r, DESCRIPTOR(ts), INTERVAL '10' SECOND)) R
+         |ON L.k = R.k AND L.window_start = R.window_start
+         |  AND L.window_end = R.window_end""".stripMargin
+    val q = spark.sql(WindowTvf.rewriteStreaming(stmt("wjl_a", "wjl_b")))
+      .writeStream.format("memory").queryName("wjl_out")
+      .outputMode("append").start()
+    try {
+      a.addData((1L, ts(3), "a1"), (2L, ts(4), "a2"))
+      b.addData((1L, ts(4), "b1"))
+      q.processAllAvailable()
+      // close the [0,10) window (eviction uses the previous batch's
+      // watermark, so advance twice)
+      a.addData((9L, ts(100), "f")); b.addData((9L, ts(100), "f"))
+      q.processAllAvailable()
+      a.addData((9L, ts(200), "f")); b.addData((9L, ts(200), "f"))
+      q.processAllAvailable()
+      val got = spark.table("wjl_out")
+        .filter($"k" < 9L)
+        .select($"k", $"v", $"v2").as[(Long, String, Option[String])]
+        .collect().toSet
+      val expected = Set((1L, "a1", Some("b1")), (2L, "a2", None))
+      assert(got === expected)
+      // batch twin through the batch TVF rewrite
+      Seq((1L, ts(3), "a1"), (2L, ts(4), "a2"))
+        .toDF("k", "ts", "v").createOrReplaceTempView("wjl_ba")
+      Seq((1L, ts(4), "b1")).toDF("k", "ts", "v2")
+        .createOrReplaceTempView("wjl_bb")
+      val bgot = spark.sql(WindowTvf.rewrite(stmt("wjl_ba", "wjl_bb")))
+        .select($"k", $"v", $"v2").as[(Long, String, Option[String])]
+        .collect().toSet
+      assert(bgot === expected)
+    } finally q.stop()
+  }
+
   test("streaming GROUPING SETS over a window TVF expands to unioned window aggs") {
     // every set must carry both window columns (Flink's streaming
     // window-aggregation constraint) — rejected by name otherwise
