@@ -30,16 +30,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 /** Analysis-time rewrite of Flink's streaming Deduplication pattern —
   * `SELECT ... FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY keys
-  * ORDER BY t ASC) AS rn FROM s) WHERE rn = 1` — onto Spark's
-  * streaming [[Deduplicate]] (`dropDuplicates`). Spark rejects ranking
-  * window functions on streams, but this exact shape is Flink's
-  * documented append-safe dedup; as a `Deduplicate` it keeps the first
-  * arrival per key with per-key state, exactly Flink's keep-first
-  * processing-time behavior. With an EVENT-time order column the
-  * mapping keeps the first-ARRIVING row (no retraction when an earlier
-  * timestamp shows up late) — the same answer as Flink only when rows
-  * arrive in timestamp order; Flink's keep-last (`ORDER BY ... DESC`)
-  * needs retraction and is rejected with the contract.
+  * ORDER BY x [ASC|DESC]) AS rn FROM s) WHERE rn = 1`. Spark rejects
+  * ranking window functions on streams; this rule maps each Flink
+  * variant onto its native Spark equivalent:
+  *  - time-ASC (Flink's append-safe keep-FIRST dedup) →
+  *    [[Deduplicate]] (`dropDuplicates`), first ARRIVAL per key. With
+  *    an EVENT-time order column that equals Flink's min-rowtime
+  *    answer only for in-order input (no retraction of a late earlier
+  *    timestamp) — a notice says so when the order key is watermarked;
+  *  - time-DESC (keep-LAST dedup) and value-ordered top-1 in either
+  *    direction (Flink's UPDATING forms) → an update-mode argmax
+  *    aggregation ([[argmaxRewrite]]) — exact under late data, emitted
+  *    as an update stream.
   *
   * The `rn` column stays available above the rewrite (a literal 1 —
   * true by construction after dedup), so projections that select it
@@ -71,58 +73,115 @@ case class StreamingTopOneDedup() extends Rule[LogicalPlan] {
                 partitionSpec, orderSpec, child, _)
                 if a.exprId == rn.exprId && child.isStreaming &&
                   orderSpec.nonEmpty =>
-              if (orderSpec.exists(_.direction == Descending))
-                throw new IllegalArgumentException(
-                  "streaming deduplication with ORDER BY ... DESC (keep " +
-                    "last row) needs retraction and is not supported — " +
-                    "order ascending to keep the first row per key")
-              // Flink's dedup orders by a TIME ATTRIBUTE; ordering by a
-              // regular column is its updating Top-N (min-by-value with
-              // retraction), which keep-first-arrival would silently
-              // get wrong — require a time-typed key
-              orderSpec.foreach { so =>
+              // keep-LAST dedup (ORDER BY time DESC) and value-ordered
+              // Top-1 (ORDER BY metric, either direction) are Flink's
+              // UPDATING forms: they rewrite to an update-mode argmax
+              // aggregation (max_by/min_by over the full row struct)
+              // rather than a Deduplicate — see argmaxRewrite below.
+              // Only the append-safe keep-FIRST time-ordered form stays
+              // on Deduplicate.
+              val timeOrdered = orderSpec.forall { so =>
                 val t = so.child.dataType
-                if (!t.isInstanceOf[org.apache.spark.sql.types.TimestampType] &&
-                    !t.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType])
+                t.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+                  t.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType]
+              }
+              val keepFirstTime =
+                timeOrdered && orderSpec.forall(_.direction == Ascending)
+              if (!keepFirstTime) {
+                if (orderSpec.size != 1)
                   throw new IllegalArgumentException(
-                    "streaming deduplication must ORDER BY a time " +
-                      s"attribute (got ${t.simpleString}) — a value-ordered " +
-                      "Top-1 needs retraction and is not supported")
-                // keep-first-ARRIVAL equals Flink's min-EVENT-time row
-                // only for in-order input; say so when the order key is
-                // a watermarked (event-time) column, where out-of-order
-                // arrival is the expected case
-                so.child match {
-                  case a: Attribute if a.metadata.contains(
-                      org.apache.spark.sql.catalyst.plans.logical
-                        .EventTimeWatermark.delayKey) =>
-                    System.err.println(
-                      "streaming deduplication ORDER BY event-time " +
-                        s"column '${a.name}': keeping the FIRST-ARRIVING " +
-                        "row per key — a later-arriving row with an " +
-                        "earlier timestamp is not retracted (Flink's " +
-                        "min-rowtime dedup differs on out-of-order " +
-                        "input); SET graft.streaming.dedup-rewrite = " +
-                        "false to reject instead")
-                  case _ =>
+                    "streaming updating top-1 supports a single ORDER " +
+                      "BY key (argmax rewrite); multi-key ordering " +
+                      "needs batch mode")
+                if (conf.getConfString(
+                    "graft.streaming.argmax-rewrite", "true") != "true")
+                  throw new IllegalArgumentException(
+                    "streaming keep-last / value-ordered top-1 is " +
+                      "disabled (graft.streaming.argmax-rewrite = false) " +
+                      "— order ascending by a time attribute for the " +
+                      "append-mode keep-first dedup")
+                rewritten = true
+                argmaxRewrite(a, keysOf(partitionSpec), orderSpec.head, child)
+              } else {
+                orderSpec.foreach { so =>
+                  // keep-first-ARRIVAL equals Flink's min-EVENT-time
+                  // row only for in-order input; say so when the order
+                  // key is a watermarked (event-time) column, where
+                  // out-of-order arrival is the expected case
+                  so.child match {
+                    case a: Attribute if a.metadata.contains(
+                        org.apache.spark.sql.catalyst.plans.logical
+                          .EventTimeWatermark.delayKey) =>
+                      System.err.println(
+                        "streaming deduplication ORDER BY event-time " +
+                          s"column '${a.name}': keeping the FIRST-ARRIVING " +
+                          "row per key — a later-arriving row with an " +
+                          "earlier timestamp is not retracted (Flink's " +
+                          "min-rowtime dedup differs on out-of-order " +
+                          "input); SET graft.streaming.dedup-rewrite = " +
+                          "false to reject instead")
+                    case _ =>
+                  }
                 }
+                rewritten = true
+                // rn reconstructs as literal 1 under the original
+                // exprId, so the pinning Filter and any projection
+                // still resolve
+                Project(child.output :+
+                  Alias(Literal(1), a.name)(exprId = a.exprId),
+                  Deduplicate(keysOf(partitionSpec), child))
               }
-              val keys = partitionSpec.map {
-                case attr: Attribute => attr
-                case other => throw new IllegalArgumentException(
-                  "streaming deduplication PARTITION BY must be plain " +
-                    s"columns, got: ${other.sql}")
-              }
-              rewritten = true
-              // rn reconstructs as literal 1 under the original exprId,
-              // so the pinning Filter and any projection still resolve
-              Project(child.output :+
-                Alias(Literal(1), a.name)(exprId = a.exprId),
-                Deduplicate(keys, child))
           }
           if (rewritten) out else f
         }.getOrElse(f)
     }
+  }
+
+  private def keysOf(partitionSpec: Seq[Expression]): Seq[Attribute] =
+    partitionSpec.map {
+      case attr: Attribute => attr
+      case other => throw new IllegalArgumentException(
+        "streaming deduplication PARTITION BY must be plain " +
+          s"columns, got: ${other.sql}")
+    }
+
+  /** Flink's UPDATING keep-last / top-1: `rn = 1` ordered DESC (by a
+    * time attribute — keep-last dedup) or by a value column (either
+    * direction — updating top-1) becomes an update-mode argmax: the
+    * full row rides a struct through `max_by`/`min_by`, so each
+    * micro-batch emits the key's current best row and an updating sink
+    * (print changelog, keyed jdbc upsert) renders Flink's retraction
+    * stream. Late rows land correctly — an earlier-timestamped arrival
+    * simply loses the argmax, which keep-first Deduplicate gets wrong.
+    * Ties keep whichever row the aggregation saw first (Spark
+    * `max_by` semantics; Flink's tie is arrival-order-dependent too).
+    * Every original attribute re-aliases to its own exprId from the
+    * struct, and `rn` reconstructs as literal 1, so the pinning
+    * Filter and outer projections resolve unchanged.
+    */
+  private def argmaxRewrite(
+      rnAlias: Alias,
+      keys: Seq[Attribute],
+      order: org.apache.spark.sql.catalyst.expressions.SortOrder,
+      child: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      CreateStruct, GetStructField}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
+    val rowStruct = CreateStruct(child.output)
+    val fn =
+      if (order.direction == Descending) MaxBy(rowStruct, order.child)
+      else MinBy(rowStruct, order.child)
+    val best = Alias(fn.toAggregateExpression(), "__graft_best")()
+    val agg = Aggregate(keys, keys :+ best, child)
+    val bestRef = best.toAttribute
+    val keyIds = keys.map(_.exprId).toSet
+    val restored = child.output.zipWithIndex.map { case (att, i) =>
+      if (keyIds.contains(att.exprId)) att
+      else Alias(GetStructField(bestRef, i, Some(att.name)),
+        att.name)(exprId = att.exprId)
+    }
+    Project(restored :+
+      Alias(Literal(1), rnAlias.name)(exprId = rnAlias.exprId), agg)
   }
 }
 

@@ -465,21 +465,6 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
       assert(got == Set((1L, "a", 1), (2L, "c", 1), (3L, "d", 1)))
     } finally q.stop()
-    // keep-last (DESC) needs retraction: contract error at analysis
-    val e = intercept[Exception](spark.sql(
-      """SELECT k FROM (SELECT k, ROW_NUMBER() OVER (
-        PARTITION BY k ORDER BY t DESC) AS rn FROM fl_dedup_src)
-        WHERE rn = 1"""))
-    assert(e.getMessage.contains("keep") || Option(e.getCause).exists(
-      _.getMessage.contains("keep")), e.getMessage)
-    // ordering by a NON-TIME column is Flink's updating Top-N, not
-    // dedup — named rejection instead of silently-wrong keep-first
-    val e2 = intercept[Exception](spark.sql(
-      """SELECT k FROM (SELECT k, ROW_NUMBER() OVER (
-        PARTITION BY k ORDER BY v ASC) AS rn FROM fl_dedup_src)
-        WHERE rn = 1"""))
-    assert(e2.getMessage.contains("time") || Option(e2.getCause).exists(
-      _.getMessage.contains("time")), e2.getMessage)
     // batch plans keep the real window (WindowGroupLimit path)
     Seq((1L, ts(2), "b"), (1L, ts(1), "a")).toDF("k", "t", "v")
       .createOrReplaceTempView("fl_dedup_b")
@@ -489,6 +474,67 @@ class StreamingSpec extends AnyFunSuite {
     }.isEmpty)
     assert(batch.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "a")))
+  }
+
+  test("keep-last dedup (rn=1 ORDER BY time DESC) runs as an updating argmax") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    input.toDF().toDF("k", "t", "v").createOrReplaceTempView("fl_last_src")
+    val df = spark.sql("""SELECT k, v, rn FROM (
+      SELECT k, t, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY t DESC) AS rn
+      FROM fl_last_src) WHERE rn = 1""")
+    // the plan is an argmax Aggregate, not a Deduplicate or a Window
+    val analyzed = df.queryExecution.analyzed
+    assert(analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, analyzed.toString)
+    assert(analyzed.collect {
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+    }.isEmpty)
+    val q = df.writeStream.format("memory")
+      .queryName("fl_last").outputMode("update").start()
+    try {
+      // within a batch the argmax is exact: "a" (t10) never emits
+      input.addData((1L, ts(10), "a"), (1L, ts(12), "z"), (2L, ts(11), "c"))
+      q.processAllAvailable()
+      // a LATE row with an earlier timestamp loses the argmax — the
+      // case keep-first Deduplicate would get wrong
+      input.addData((1L, ts(11), "y"))
+      q.processAllAvailable()
+      input.addData((1L, ts(99), "w"))
+      q.processAllAvailable()
+      val vals = spark.table("fl_last").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+      assert(!vals.exists(v => v._2 == "a" || v._2 == "y"), vals)
+      assert(vals.contains((1L, "w", 1)) && vals.contains((2L, "c", 1)), vals)
+      assert(vals.forall(_._3 == 1))
+    } finally q.stop()
+  }
+
+  test("value-ordered streaming top-1 runs as an updating min_by/max_by") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    input.toDF().toDF("k", "t", "price", "tag")
+      .createOrReplaceTempView("fl_top1_src")
+    val df = spark.sql("""SELECT k, price, tag FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY price ASC) AS rn
+      FROM fl_top1_src) WHERE rn = 1""")
+    val q = df.writeStream.format("memory")
+      .queryName("fl_top1").outputMode("update").start()
+    try {
+      input.addData((1L, ts(1), 5L, "p5"), (1L, ts(2), 3L, "p3"),
+        (2L, ts(3), 9L, "p9"))
+      q.processAllAvailable()
+      input.addData((1L, ts(4), 7L, "p7")) // loses to the held min 3
+      q.processAllAvailable()
+      input.addData((1L, ts(5), 1L, "p1")) // new min
+      q.processAllAvailable()
+      val vals = spark.table("fl_top1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(!vals.exists(v => v._2 == 5L || v._2 == 7L), vals)
+      assert(vals.contains((1L, 1L, "p1")) && vals.contains((2L, 9L, "p9")),
+        vals)
+    } finally q.stop()
   }
 
   test("dedup rewrite on a watermarked order column emits the arrival-order notice") {
