@@ -705,6 +705,11 @@ final class SqlSubmitAction(
     val topn =
       if (config.isStreaming && WindowTopN.hasStreamingShape(mr))
         WindowTopN.rewriteStreaming(spark, mr, watermarkOf)
+      else if (config.isStreaming && UnboundedTopN.hasShape(mr))
+        // Flink's unbounded updating top-N (N >= 2, no window TVF):
+        // bounded per-key state through the TopRows collector, update
+        // emission — rn = 1 shapes stay on the analysis rules
+        UnboundedTopN.rewrite(spark, mr)
       else mr
     rewriteWindowTvfs(spark, config, rewriteTemporalJoins(config, topn))
   }

@@ -1,0 +1,164 @@
+package graft.harness
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructField
+
+/** Flink's UNBOUNDED updating Top-N for N ≥ 2 — `SELECT ... FROM
+  * (SELECT *, ROW_NUMBER() OVER (PARTITION BY keys ORDER BY m
+  * DESC|ASC) AS rn FROM t) WHERE rn <= N [AND conditions]` on a stream
+  * with NO window TVF. Spark rejects ranking functions on streams;
+  * Flink runs this as an updating operator holding the N best rows per
+  * key. The rewrite compiles the same semantics natively: an
+  * update-mode aggregation through the bounded
+  * [[graft.functions.TopRows]] collector (per-key state = exactly N
+  * rows, Flink's own bound), a `posexplode` fanning the held rows back
+  * out with their ranks, and a view the statement's outer SELECT reads
+  * — each micro-batch that changes a key re-emits its current top N,
+  * which an updating sink (print changelog, keyed jdbc upsert on
+  * (keys, rn)) renders as Flink's retraction stream.
+  *
+  * Contract (violations fail by name): partition keys are plain
+  * columns; one ORDER BY column, numeric or timestamp (ranked through
+  * the double slot — exact for integral values under 2^53 and
+  * microsecond epochs); ties break by payload text ascending, NaN
+  * ranks last (batch ORDER BY parity); non-key payload columns the
+  * outer select references must round-trip the JSON state encoding
+  * losslessly (string / integer / boolean — the house streaming-state
+  * contract). `rn = 1` shapes stay on the analysis-rule paths
+  * (Deduplicate / argmax), which avoid the JSON carrier entirely.
+  */
+object UnboundedTopN {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  private val viewCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  private val OuterRe =
+    raw"(?is)^\s*SELECT\s+(.*?)\s+FROM\s*\(".r
+  private val InnerRe = (
+    raw"(?is)^\s*SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+OVER\s*\(\s*" +
+      raw"PARTITION\s+BY\s+(.+?)\s+ORDER\s+BY\s+([A-Za-z_]\w*)\s+(DESC|ASC)\s*\)\s+" +
+      raw"AS\s+([A-Za-z_]\w*)\s+FROM\s+([A-Za-z_][\w.]*)\s*$$").r
+  private val WhereRe =
+    raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<)\s*(\d+)\s*(?:\bAND\b\s+(.+?))?\s*$$".r
+  private val InsertPrefixRe =
+    raw"(?is)^\s*(INSERT\s+(?:INTO|OVERWRITE)\s+[\w.`]+\s*(?:\([^)]*\)\s*)?)".r
+
+  /** The unbounded updating-top-N shape: a rank-bounded ROW_NUMBER
+    * subquery over a bare table with no window TVF, N ≥ 2 (N = 1 is
+    * the Deduplicate/argmax analysis-rule family).
+    */
+  def hasShape(sql: String): Boolean = {
+    if (WindowTvf.hasWindowTvf(sql)) return false
+    val body = InsertPrefixRe.findFirstMatchIn(sql)
+      .map(m => sql.substring(m.end)).getOrElse(sql)
+    (for {
+      om <- OuterRe.findFirstMatchIn(body)
+      open = om.end - 1
+      end <- scala.util.Try(MatchRecognize.closeParen(body, open)).toOption
+      im <- InnerRe.findFirstMatchIn(body.substring(open + 1, end - 1))
+      wm <- WhereRe.findFirstMatchIn(body.substring(end).trim)
+    } yield wm.group(2).equalsIgnoreCase(im.group(4)) && {
+      val bound = wm.group(4).toInt
+      (if (wm.group(3) == "<") bound - 1 else bound) >= 2
+    }).getOrElse(false)
+  }
+
+  def rewrite(spark: SparkSession, fullSql: String): String = {
+    val (insertPrefix, sql) = InsertPrefixRe.findFirstMatchIn(fullSql)
+      .map(m => (m.group(1), fullSql.substring(m.end)))
+      .getOrElse(("", fullSql))
+    val om = OuterRe.findFirstMatchIn(sql).getOrElse(fail(
+      "streaming top-N must be `SELECT ... FROM (SELECT *, ROW_NUMBER() " +
+        "OVER (...) AS rn FROM t) WHERE rn <= N`"))
+    val outSel = om.group(1)
+    val open = om.end - 1
+    val end = MatchRecognize.closeParen(sql, open)
+    val im = InnerRe.findFirstMatchIn(sql.substring(open + 1, end - 1))
+      .getOrElse(fail(
+        "streaming top-N inner query must be exactly `SELECT *, " +
+          "ROW_NUMBER() OVER (PARTITION BY keys ORDER BY <column> " +
+          "DESC|ASC) AS rn FROM <table>`"))
+    val keys = MatchRecognize.splitTopLevel(im.group(1)).map(_.trim)
+    val metricCol = im.group(2)
+    val asc = im.group(3).equalsIgnoreCase("ASC")
+    val rnAlias = im.group(4)
+    val table = im.group(5)
+    keys.foreach { k =>
+      if (!k.matches(raw"^[A-Za-z_]\w*$$"))
+        fail(s"streaming top-N PARTITION BY keys must be plain columns, " +
+          s"got: $k")
+    }
+    val wm = WhereRe.findFirstMatchIn(sql.substring(end).trim).getOrElse(fail(
+      "streaming top-N must end `WHERE rn <= N [AND conditions]`"))
+    val outerAlias = Option(wm.group(1)).map(_.trim)
+    if (!wm.group(2).equalsIgnoreCase(rnAlias))
+      fail(s"the WHERE rank filter must use the ROW_NUMBER alias " +
+        s"$rnAlias, got ${wm.group(2)}")
+    val n = wm.group(3) match {
+      case "<" => wm.group(4).toInt - 1
+      case _ => wm.group(4).toInt
+    }
+    if (n < 2) fail("unbounded streaming top-N compiles N >= 2; rn = 1 " +
+      "runs through the dedup/argmax analysis rules")
+    val residual = Option(wm.group(5)).map(_.trim).filter(_.nonEmpty)
+
+    val src = spark.table(table)
+    def fieldOf(c: String): StructField = {
+      val i = src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (i < 0) fail(s"column $c not found in $table")
+      src.schema(i)
+    }
+    val metricField = fieldOf(metricCol)
+    val metricOk =
+      metricField.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        metricField.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+        metricField.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType]
+    if (!metricOk)
+      fail(s"streaming top-N ORDER BY $metricCol: numeric or timestamp " +
+        s"column required (got ${metricField.dataType.simpleString})")
+    keys.foreach(fieldOf) // existence; keys pass through natively
+    // payload: every non-key, non-metric column that can round-trip
+    // the JSON state encoding; others drop (and fail loudly upstream
+    // if the outer select references them)
+    val payloadFields = src.schema.fields.filter { f =>
+      !f.name.equalsIgnoreCase(metricCol) &&
+        !keys.exists(_.equalsIgnoreCase(f.name)) &&
+        graft.streaming.StateFormat.jsonLossless(f.dataType)
+    }
+    val payloadExpr =
+      if (payloadFields.isEmpty) lit("{}")
+      else to_json(struct(payloadFields.map(f => col(f.name)): _*))
+
+    val topAgg = udaf(new graft.functions.TopRows(n, asc),
+      org.apache.spark.sql.Encoders.product[graft.functions.RankedRow])
+    val held = src
+      .groupBy(keys.map(col): _*)
+      .agg(topAgg(col(metricCol).cast("double"), payloadExpr).as("__top"))
+      .select(keys.map(col) :+
+        posexplode(col("__top.rows")).as(Seq("__pos", "__r")): _*)
+    val decoded = {
+      val payloadCols =
+        if (payloadFields.isEmpty) Seq.empty
+        else {
+          val schema = org.apache.spark.sql.types.StructType(payloadFields)
+          Seq(from_json(col("__r.payload"), schema,
+            Map("allowNonNumericNumbers" -> "true")).as("__p"))
+        }
+      val base = held.select((keys.map(col) ++
+        Seq(col("__r.metric").as("__m"), col("__pos")) ++
+        payloadCols): _*)
+      base.select((keys.map(col) ++
+        payloadFields.map(f => col(s"__p.${f.name}").as(f.name)) ++
+        Seq(col("__m").cast(metricField.dataType).as(metricCol),
+          (col("__pos") + 1).cast("long").as(rnAlias))): _*)
+    }
+    val view = s"graft_utopn_${viewCounter.incrementAndGet()}"
+    decoded.createOrReplaceTempView(view)
+    s"${insertPrefix}SELECT $outSel FROM $view" +
+      outerAlias.fold("")(a => s" $a") +
+      residual.fold("")(r => s" WHERE $r")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.harness
+
+import java.sql.Timestamp
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unbounded updating top-N (N ≥ 2): bounded per-key state through
+  * [[graft.functions.TopRows]], update-mode emission, batch parity on
+  * a single batch, and the rank-shift update across batches.
+  */
+class UnboundedTopNSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  private def topnSql(src: String, tail: String = "") =
+    s"""SELECT k, price, tag, rn FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY k ORDER BY price DESC) AS rn
+       |  FROM $src) WHERE rn <= 2$tail""".stripMargin
+
+  test("shape detection: N >= 2 without a TVF, never rn = 1 or windowed") {
+    assert(UnboundedTopN.hasShape(topnSql("s")))
+    assert(UnboundedTopN.hasShape("INSERT INTO snk " + topnSql("s")))
+    assert(!UnboundedTopN.hasShape(topnSql("s").replace("rn <= 2", "rn <= 1")))
+    assert(!UnboundedTopN.hasShape(
+      topnSql("TABLE(TUMBLE(TABLE s, DESCRIPTOR(t), INTERVAL '1' HOUR))")))
+    assert(!UnboundedTopN.hasShape("SELECT * FROM s WHERE rn <= 2"))
+  }
+
+  test("held top-N re-emits with shifted ranks as better rows arrive") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    input.toDF().toDF("k", "price", "tag")
+      .createOrReplaceTempView("utn_src")
+    val rewritten = UnboundedTopN.rewrite(spark, topnSql("utn_src"))
+    assert(rewritten.contains("graft_utopn_"), rewritten)
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("utn_out").outputMode("update").start()
+    try {
+      // one batch: emitted rows ARE the exact batch top-2 per key
+      input.addData(("a", 5L, "p5"), ("a", 9L, "p9"), ("a", 7L, "p7"),
+        ("b", 3L, "p3"))
+      q.processAllAvailable()
+      val first = spark.table("utn_out")
+        .select($"k", $"price", $"tag", $"rn")
+        .as[(String, Long, String, Long)].collect().toSet
+      val batchTwin = {
+        Seq(("a", 5L, "p5"), ("a", 9L, "p9"), ("a", 7L, "p7"),
+          ("b", 3L, "p3")).toDF("k", "price", "tag")
+          .createOrReplaceTempView("utn_batch")
+        spark.sql(topnSql("utn_batch"))
+          .as[(String, Long, String, Long)].collect().toSet
+      }
+      assert(first === batchTwin)
+      assert(first === Set(("a", 9L, "p9", 1L), ("a", 7L, "p7", 2L),
+        ("b", 3L, "p3", 1L)))
+      // a new best for `a` shifts ranks: the key re-emits its full
+      // current top-2 (update stream); a loser (price 1) changes nothing
+      input.addData(("a", 11L, "p11"), ("b", 1L, "p1"))
+      q.processAllAvailable()
+      val all = spark.table("utn_out")
+        .select($"k", $"price", $"tag", $"rn")
+        .as[(String, Long, String, Long)].collect().toSeq
+      assert(all.contains(("a", 11L, "p11", 1L)), all)
+      assert(all.contains(("a", 9L, "p9", 2L)), all) // shifted to rank 2
+      assert(!all.contains(("a", 7L, "p7", 1L)), all)
+      assert(all.contains(("b", 1L, "p1", 2L)), all)
+    } finally q.stop()
+  }
+
+  test("residual conjuncts and contract violations") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    input.toDF().toDF("k", "price", "tag")
+      .createOrReplaceTempView("utn_res")
+    val rewritten = UnboundedTopN.rewrite(spark,
+      topnSql("utn_res", " AND price >= 7"))
+    assert(rewritten.endsWith("WHERE price >= 7"), rewritten)
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("utn_res_out").outputMode("update").start()
+    try {
+      input.addData(("a", 5L, "p5"), ("a", 9L, "p9"), ("a", 7L, "p7"))
+      q.processAllAvailable()
+      val got = spark.table("utn_res_out")
+        .select($"price").as[Long].collect().toSet
+      assert(got === Set(9L, 7L)) // 5 held rank-3 out, then filtered >= 7
+    } finally q.stop()
+    // non-numeric metric rejects by name
+    val e = intercept[IllegalArgumentException] {
+      UnboundedTopN.rewrite(spark,
+        """SELECT k, tag FROM (
+          |  SELECT *, ROW_NUMBER() OVER (
+          |    PARTITION BY k ORDER BY tag DESC) AS rn
+          |  FROM utn_res) WHERE rn <= 2""".stripMargin)
+    }
+    assert(e.getMessage.contains("numeric or timestamp"), e.getMessage)
+  }
+}
