@@ -100,6 +100,18 @@ final class EngineConfig(spark: SparkSession) {
       .filter(v => !EngineConfig.isUtcTimeline(v))
       .flatMap(EngineConfig.fixedOffsetMillis)
 
+  /** The resolved zone id when the active session zone is a DST
+    * REGION zone (shifted, variable offset): batch grid windows run
+    * wall-clock arithmetic in this zone ([[WindowTvf.rewrite]]'s
+    * localZone); `None` for UTC-timeline and fixed-offset zones
+    * (those compose through the offset argument instead).
+    */
+  def dstGridZone: Option[String] =
+    raw.get("table.local-time-zone")
+      .filter(v => !EngineConfig.isUtcTimeline(v))
+      .filter(v => EngineConfig.fixedOffsetMillis(v).isEmpty)
+      .flatMap(EngineConfig.resolveZone).map(_.getId)
+
   def localTimeZone: Option[String] = raw.get("table.local-time-zone")
 
   /** Parse + apply a full `SET k = v` statement

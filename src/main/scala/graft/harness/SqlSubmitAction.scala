@@ -638,7 +638,10 @@ final class SqlSubmitAction(
       // the session + watermark resolver feed the CUMULATE stateful
       // rewrite; the native TUMBLE/HOP/SESSION paths ignore them
       WindowTvf.rewriteStreaming(sql, spark, watermarkOf)
-    else WindowTvf.rewrite(sql)
+    else
+      // a DST region session zone switches batch grid windows onto
+      // that zone's wall-clock timeline (None for UTC/fixed zones)
+      WindowTvf.rewrite(sql, config.dstGridZone)
 
   /** All Flink-dialect SQL rewrites, in one place. MATCH_RECOGNIZE
     * (Flink's CEP SQL) runs through [[MatchRecognize]]: batch mode
@@ -660,11 +663,13 @@ final class SqlSubmitAction(
     //    shifted offset get Flink's local-timeline alignment by
     //    composing `-shift` into each call's window-offset argument
     //    (WindowTvf.alignToZone) before any downstream pass parses it;
-    //  - grid windows under a DST region zone reject by name (the
-    //    offset varies over the data's range — no single grid shift
-    //    is correct), as do legacy group windows under any shifted
-    //    zone (the legacy syntax has no offset argument to carry the
-    //    alignment — the TVF form is the supported spelling).
+    //  - grid windows under a DST region zone run in BATCH on the
+    //    zone's wall-clock timeline (WindowTvf.rewrite localZone —
+    //    23/25 h daily windows across transitions, r13b) and reject
+    //    by name in STREAMING (the native window() grid has a fixed
+    //    slide); legacy group windows reject under any shifted zone
+    //    (no local-alignment path — the TVF form is the supported
+    //    spelling).
     val sql0 = config.zoneGridShiftMillis match {
       case Some(shift) =>
         if (WindowTvf.hasLegacyGridWindow(sql))
@@ -676,15 +681,27 @@ final class SqlSubmitAction(
               "(TABLE(TUMBLE/HOP(...))) or SET table.local-time-zone = 'UTC'")
         WindowTvf.alignToZone(sql, shift)
       case None if config.isShiftedTimeline &&
-          (WindowTvf.hasGridTvf(sql) || WindowTvf.hasLegacyGridWindow(sql)) =>
+          WindowTvf.hasLegacyGridWindow(sql) =>
         throw new IllegalArgumentException(
           s"table.local-time-zone = ${config.localTimeZone.getOrElse("?")} " +
-            "resolves to a region zone with DST transitions: grid windows " +
-            "(TUMBLE/HOP/CUMULATE) cannot be aligned to a variable-offset " +
-            "timeline with one grid shift — use a fixed-offset zone " +
-            "('GMT+08:00', '+05:30') or SET table.local-time-zone = 'UTC' " +
-            "and use the window OFFSET argument; the zone still applies to " +
-            "TIMESTAMP_LTZ rendering, casts, and time functions")
+            "is active (a shifted timeline) and this statement uses a " +
+            "legacy group window, which has no local-alignment path — " +
+            "rewrite it as a window TVF (TABLE(TUMBLE/HOP(...))) or SET " +
+            "table.local-time-zone = 'UTC'")
+      case None if config.isShiftedTimeline && config.isStreaming &&
+          WindowTvf.hasGridTvf(sql) =>
+        // batch DST grids run wall-clock arithmetic (rewriteWindowTvfs
+        // threads config.dstGridZone); the STREAMING rewrites sit on
+        // Spark's native window(), whose grid is a fixed slide — a
+        // variable-offset timeline has no such grid
+        throw new IllegalArgumentException(
+          s"table.local-time-zone = ${config.localTimeZone.getOrElse("?")} " +
+            "resolves to a region zone with DST transitions: STREAMING " +
+            "grid windows (TUMBLE/HOP/CUMULATE) sit on a fixed native " +
+            "grid that cannot follow a variable-offset timeline — use a " +
+            "fixed-offset zone ('GMT+08:00'), SET table.local-time-zone " +
+            "= 'UTC', or run the statement in batch mode (which computes " +
+            "wall-clock windows, 23/25 h across transitions)")
       case None => sql
     }
     // scalar/collection dialect functions (UNNEST, JSON_VALUE family)

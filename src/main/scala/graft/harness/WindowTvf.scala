@@ -248,15 +248,56 @@ object WindowTvf {
     * the harness pins the session timezone to UTC, so the cast is
     * value-preserving, matching Flink's naive TIMESTAMP(3) timeline.
     */
-  private def epochMs(tcol: String): String =
-    s"unix_millis(cast($tcol as timestamp))"
+  private def epochMs(tcol: String): String = epochMs(tcol, None)
+
+  /** Epoch milliseconds of the time attribute — or, under a LOCAL-zone
+    * grid (`zone` set: a DST region `table.local-time-zone`, batch
+    * mode), the attribute's WALL-CLOCK milliseconds in that zone
+    * (`from_utc_timestamp` applies the offset in force at each
+    * instant, so grid floors happen on the local timeline and daily
+    * windows are 23/25 h across transitions, as Flink's). The cast
+    * makes the arithmetic accept TIMESTAMP_NTZ columns alongside
+    * TIMESTAMP.
+    */
+  private def epochMs(tcol: String, zone: Option[String]): String =
+    zone match {
+      case None => s"unix_millis(cast($tcol as timestamp))"
+      case Some(z) =>
+        s"unix_millis(from_utc_timestamp(cast($tcol as timestamp), '$z'))"
+    }
 
   private def contract(startMs: String, endMs: String): String =
-    s"timestamp_millis($startMs) AS window_start, " +
-      s"timestamp_millis($endMs) AS window_end, " +
-      s"timestamp_millis(($endMs) - 1L) AS window_time"
+    contract(startMs, endMs, None)
 
-  def rewrite(sql: String): String = {
+  /** Window contract columns. Under a local-zone grid the bounds are
+    * wall-clock millis and convert back to instants with
+    * `to_utc_timestamp` — java.time's gap/overlap resolution (shift
+    * forward through a spring-forward gap, earlier offset in a
+    * fall-back overlap), the same `LocalDateTime.atZone` defaults
+    * Flink's TimeWindowUtil applies.
+    */
+  private def contract(startMs: String, endMs: String,
+      zone: Option[String]): String = zone match {
+    case None =>
+      s"timestamp_millis($startMs) AS window_start, " +
+        s"timestamp_millis($endMs) AS window_end, " +
+        s"timestamp_millis(($endMs) - 1L) AS window_time"
+    case Some(z) =>
+      def inst(x: String) = s"to_utc_timestamp(timestamp_millis($x), '$z')"
+      s"${inst(startMs)} AS window_start, " +
+        s"${inst(endMs)} AS window_end, " +
+        s"(${inst(endMs)} - INTERVAL '1' MILLISECOND) AS window_time"
+  }
+
+  def rewrite(sql: String): String = rewrite(sql, None)
+
+  /** Batch window-TVF rewrite. `localZone` (set only for DST region
+    * session zones — fixed-offset zones compose through
+    * [[alignToZone]] instead) switches TUMBLE/HOP/CUMULATE grid
+    * arithmetic to the zone's wall-clock timeline; SESSION is
+    * gap-based (zone-invariant) and never shifts.
+    */
+  def rewrite(sql: String, localZone: Option[String]): String = {
     // legacy HOP/SESSION group windows escalate to the TVF form first
     // (legacy TUMBLE keeps its cheaper scalar rewrite below)
     val sql0 = legacyGroupToTvf(sql, tumbleToo = false, joinsOk = true)
@@ -264,13 +305,13 @@ object WindowTvf {
       val (table, tcol) = (m.group(1), m.group(2))
       val dur = millis(m, 3, "SIZE")
       val off = normOffset(offsetMillis(m, 6), dur)
-      val t = epochMs(tcol)
+      val t = epochMs(tcol, localZone)
       // offset shifts the window grid: floor in offset-space, shift back
       val ws =
         if (off == 0L) floorTo(t, dur)
         else s"(${floorTo(s"($t - ${off}L)", dur)} + ${off}L)"
       java.util.regex.Matcher.quoteReplacement(
-        s"(SELECT $table.*, ${contract(ws, s"$ws + ${dur}L")} " +
+        s"(SELECT $table.*, ${contract(ws, s"$ws + ${dur}L", localZone)} " +
           s"FROM $table WHERE $tcol IS NOT NULL)")
     })
     val afterHop = HopRe.replaceAllIn(afterTumble, m => {
@@ -280,7 +321,7 @@ object WindowTvf {
       require(size % slide == 0,
         s"HOP size (${size} ms) must be a multiple of its slide (${slide} ms)")
       val off = normOffset(offsetMillis(m, 9), slide)
-      val t = epochMs(tcol)
+      val t = epochMs(tcol, localZone)
       // covering window starts: from the first start whose window still
       // contains the row, up to the row's own slide bucket — the grid
       // shifted by the offset when one is declared
@@ -289,7 +330,7 @@ object WindowTvf {
       val lo = s"${floorTo(s"($tOff - ${size}L)", slide)} + ${slide}L$back"
       val hi = s"${floorTo(tOff, slide)}$back"
       java.util.regex.Matcher.quoteReplacement(
-        s"(SELECT $table.*, ${contract("__ws", s"__ws + ${size}L")} " +
+        s"(SELECT $table.*, ${contract("__ws", s"__ws + ${size}L", localZone)} " +
           s"FROM $table " +
           s"LATERAL VIEW explode(sequence($lo, $hi, ${slide}L)) __wt AS __ws " +
           s"WHERE $tcol IS NOT NULL)")
@@ -301,7 +342,7 @@ object WindowTvf {
       require(size % step == 0,
         s"CUMULATE size (${size} ms) must be a multiple of its step (${step} ms)")
       val off = normOffset(offsetMillis(m, 9), size)
-      val t = epochMs(tcol)
+      val t = epochMs(tcol, localZone)
       // offset shifts the span grid: floor in offset-space, shift back
       val tOff = if (off == 0L) t else s"($t - ${off}L)"
       val back = if (off == 0L) "" else s" + ${off}L"
@@ -310,7 +351,7 @@ object WindowTvf {
       // pmod keeps the offset non-negative for pre-epoch rows too
       val lo = s"((pmod($tOff, ${size}L) div ${step}L) + 1) * ${step}L"
       java.util.regex.Matcher.quoteReplacement(
-        s"(SELECT $table.*, ${contract(span, s"($span) + __eo")} " +
+        s"(SELECT $table.*, ${contract(span, s"($span) + __eo", localZone)} " +
           s"FROM $table " +
           s"LATERAL VIEW explode(sequence($lo, ${size}L, ${step}L)) __et AS __eo " +
           s"WHERE $tcol IS NOT NULL)")

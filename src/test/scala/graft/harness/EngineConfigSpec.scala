@@ -125,15 +125,16 @@ class EngineConfigSpec extends AnyFunSuite {
     }
   }
 
-  test("a DST region zone gates grid windows but runs LTZ rendering") {
+  test("a DST region zone runs batch grids wall-clock, gates streaming ones") {
     val spark = graft.SparkFixture.spark
     val before = spark.conf.get("spark.sql.session.timeZone")
     val script = java.nio.file.Files.createTempFile("graft-tz", ".sql")
     try {
-      // the zone applies to rendering; Asia/Shanghai has DST history
-      // (variable offset — no single grid shift aligns it), so the
-      // grid-windowed statement rejects by name, and after SET back
-      // to UTC the same windowed statement runs
+      import spark.implicits._
+      Seq((1L, new java.sql.Timestamp(0L))).toDF("k", "ts")
+        .createOrReplaceTempView("tz_probe")
+      // BATCH grid windows under a DST region zone run on the zone's
+      // wall-clock timeline (r13b); LTZ rendering applies throughout
       java.nio.file.Files.writeString(script,
         """SET execution.runtime-mode = batch;
           |SET table.local-time-zone = Asia/Shanghai;
@@ -142,20 +143,27 @@ class EngineConfigSpec extends AnyFunSuite {
           |FROM TABLE(TUMBLE(TABLE tz_probe, DESCRIPTOR(ts), INTERVAL '1' HOUR))
           |GROUP BY window_start;
           |""".stripMargin)
-      import spark.implicits._
-      Seq((1L, new java.sql.Timestamp(0L))).toDF("k", "ts")
-        .createOrReplaceTempView("tz_probe")
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run()
+      // a STREAMING grid under a DST zone rejects by name (the native
+      // window() slide is fixed; a variable offset has no such grid)
+      java.nio.file.Files.writeString(script,
+        """SET execution.runtime-mode = streaming;
+          |SET table.local-time-zone = Asia/Shanghai;
+          |SELECT window_start, COUNT(*) AS n
+          |FROM TABLE(TUMBLE(TABLE tz_probe, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+          |GROUP BY window_start;
+          |""".stripMargin)
       val e = intercept[Exception](
         new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run())
       val msgs = Iterator.iterate(e: Throwable)(_.getCause)
         .takeWhile(_ != null).take(8)
         .flatMap(t => Option(t.getMessage)).mkString("\n")
       assert(msgs.contains("DST transitions"), msgs)
-      // the same script with the zone reverted runs through
+      // the same streaming statement with the zone reverted runs... in
+      // batch form here (the batch runtime path) — zone reset works
       java.nio.file.Files.writeString(script,
         """SET execution.runtime-mode = batch;
           |SET table.local-time-zone = Asia/Shanghai;
-          |SELECT CAST(TO_TIMESTAMP_LTZ(0, 3) AS STRING) AS t;
           |SET table.local-time-zone = UTC;
           |SELECT window_start, COUNT(*) AS n
           |FROM TABLE(TUMBLE(TABLE tz_probe, DESCRIPTOR(ts), INTERVAL '1' HOUR))

@@ -110,6 +110,38 @@ class ZoneAlignSpec extends AnyFunSuite {
     assert(utc.length === 1 && utc(0).getLong(1) === 2L)
   }
 
+  test("batch DST zone: daily TUMBLE is 23h across the spring-forward day") {
+    import spark.implicits._
+    // 2024-03-10T04:59Z = 2024-03-09 23:59 EST (local day 03-09);
+    // 2024-03-10T05:01Z = 2024-03-10 00:01 EST. The US springs forward
+    // at 02:00 local on 03-10, so the 03-10 local day is 23 hours.
+    Seq(1710046740000L, 1710046860000L)
+      .toDF("ms").selectExpr("timestamp_millis(ms) AS ts")
+      .createOrReplaceTempView("za_dst")
+    val sql = WindowTvf.rewrite(
+      "SELECT unix_millis(window_start) AS ws, unix_millis(window_end) " +
+        "AS we, COUNT(*) AS n FROM " +
+        "TABLE(TUMBLE(TABLE za_dst, DESCRIPTOR(ts), INTERVAL '1' DAY)) " +
+        "GROUP BY window_start, window_end",
+      Some("America/New_York"))
+    val rows = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // local midnights as instants: 03-09 00:00 EST = 05:00Z,
+    // 03-10 00:00 EST = 05:00Z, 03-11 00:00 EDT = 04:00Z
+    assert(rows === Set(
+      (1709960400000L, 1710046800000L, 1L),
+      (1710046800000L, 1710129600000L, 1L)))
+    // the transition-day window is 23 hours, not 24
+    assert(rows.exists(r => r._2 - r._1 == 82800000L))
+    // window_time stays end − 1 ms in instant space
+    val wt = spark.sql(WindowTvf.rewrite(
+      "SELECT unix_millis(window_time) AS wt FROM " +
+        "TABLE(TUMBLE(TABLE za_dst, DESCRIPTOR(ts), INTERVAL '1' DAY)) " +
+        "GROUP BY window_time", Some("America/New_York")))
+      .collect().map(_.getLong(0)).toSet
+    assert(wt === Set(1710046800000L - 1L, 1710129600000L - 1L))
+  }
+
   test("e2e: fixed shifted zone runs grid TVFs locally aligned; legacy rejects") {
     val before = spark.conf.get("spark.sql.session.timeZone")
     val script = Files.createTempFile("graft-za", ".sql")
