@@ -108,7 +108,15 @@ object DialectFunctions {
   def rewrite(sql: String, isStreaming: Boolean): String = {
     val sql0 =
       if (isStreaming) sql
-      else CurrentWatermarkRe.replaceAllIn(sql, "CAST(NULL AS TIMESTAMP)")
+      else {
+        // literal-blind like every pass: match against the masked text,
+        // splice on the raw one (maskQuoted is length-preserving)
+        val masked = MatchRecognize.maskQuoted(sql)
+        CurrentWatermarkRe.findAllMatchIn(masked).toList.reverse
+          .foldLeft(sql)((s, m) =>
+            s.substring(0, m.start) + "CAST(NULL AS TIMESTAMP)" +
+              s.substring(m.end))
+      }
     RejectRe.findFirstMatchIn(MatchRecognize.maskQuoted(sql0)).foreach { m =>
       val what = m.group(1).split(raw"\s*\(")(0).toUpperCase.replaceAll(raw"\s+", " ")
       fail(what match {

@@ -42,7 +42,7 @@ object UnboundedTopN {
       raw"PARTITION\s+BY\s+(.+?)\s+ORDER\s+BY\s+([A-Za-z_]\w*)\s+(DESC|ASC)\s*\)\s+" +
       raw"AS\s+([A-Za-z_]\w*)\s+FROM\s+([A-Za-z_][\w.]*)\s*$$").r
   private val WhereRe =
-    raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<)\s*(\d+)\s*(?:\bAND\b\s+(.+?))?\s*$$".r
+    raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<)\s*(\d{1,9})\s*(?:\bAND\b\s+(.+?))?\s*$$".r
   private val InsertPrefixRe =
     raw"(?is)^\s*(INSERT\s+(?:INTO|OVERWRITE)\s+[\w.`]+\s*(?:\([^)]*\)\s*)?)".r
 
@@ -104,6 +104,7 @@ object UnboundedTopN {
     if (n < 2) fail("unbounded streaming top-N compiles N >= 2; rn = 1 " +
       "runs through the dedup/argmax analysis rules")
     val residual = Option(wm.group(5)).map(_.trim).filter(_.nonEmpty)
+    WindowTopN.rejectResidualOr(residual, fail)
 
     val src = spark.table(table)
     def fieldOf(c: String): StructField = {
@@ -112,13 +113,25 @@ object UnboundedTopN {
       src.schema(i)
     }
     val metricField = fieldOf(metricCol)
-    val metricOk =
-      metricField.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-        metricField.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+    val metricIsTime =
+      metricField.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
         metricField.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType]
-    if (!metricOk)
+    if (!metricIsTime &&
+        !metricField.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
       fail(s"streaming top-N ORDER BY $metricCol: numeric or timestamp " +
         s"column required (got ${metricField.dataType.simpleString})")
+    // timestamps rank through epoch MILLIS (NTZ has no direct double
+    // cast, and millis stay exact in the double slot under 2^53);
+    // numerics cast directly
+    val metricIn =
+      if (metricIsTime)
+        expr(s"cast(unix_millis(cast($metricCol as timestamp)) as double)")
+      else col(metricCol).cast("double")
+    def metricBack(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (metricIsTime)
+        expr(s"cast(timestamp_millis(cast(__m as long)) " +
+          s"as ${metricField.dataType.sql})")
+      else m.cast(metricField.dataType)
     keys.foreach(fieldOf) // existence; keys pass through natively
     // payload: every non-key, non-metric column that can round-trip
     // the JSON state encoding; others drop (and fail loudly upstream
@@ -128,6 +141,12 @@ object UnboundedTopN {
         !keys.exists(_.equalsIgnoreCase(f.name)) &&
         graft.streaming.StateFormat.jsonLossless(f.dataType)
     }
+    WindowTopN.failOnStarOverDropped(outSel,
+      src.schema.fields.map(_.name).toSeq
+        .filterNot(n => n.equalsIgnoreCase(metricCol) ||
+          keys.exists(_.equalsIgnoreCase(n)) ||
+          payloadFields.exists(_.name.equalsIgnoreCase(n))),
+      fail)
     val payloadExpr =
       if (payloadFields.isEmpty) lit("{}")
       else to_json(struct(payloadFields.map(f => col(f.name)): _*))
@@ -136,7 +155,7 @@ object UnboundedTopN {
       org.apache.spark.sql.Encoders.product[graft.functions.RankedRow])
     val held = src
       .groupBy(keys.map(col): _*)
-      .agg(topAgg(col(metricCol).cast("double"), payloadExpr).as("__top"))
+      .agg(topAgg(metricIn, payloadExpr).as("__top"))
       .select(keys.map(col) :+
         posexplode(col("__top.rows")).as(Seq("__pos", "__r")): _*)
     val decoded = {
@@ -152,7 +171,7 @@ object UnboundedTopN {
         payloadCols): _*)
       base.select((keys.map(col) ++
         payloadFields.map(f => col(s"__p.${f.name}").as(f.name)) ++
-        Seq(col("__m").cast(metricField.dataType).as(metricCol),
+        Seq(metricBack(col("__m")).as(metricCol),
           (col("__pos") + 1).cast("long").as(rnAlias))): _*)
     }
     val view = s"graft_utopn_${viewCounter.incrementAndGet()}"

@@ -89,7 +89,59 @@ object WindowTopN {
     * stays bounded by the leading N).
     */
   private val WhereRe =
-    raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<|=)\s*(\d+)\s*(?:\bAND\b\s+(.+?))?\s*$$".r
+    raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<|=)\s*(\d{1,9})\s*(?:\bAND\b\s+(.+?))?\s*$$".r
+
+  /** A top-level OR in the residual would change the rank filter's
+    * scope under SQL precedence (`rn <= N AND a OR b` is `(rn <= N AND
+    * a) OR b`, which the rewrite cannot honor) — reject by name
+    * instead of silently re-parenthesizing. Literal-blind.
+    */
+  private[harness] def hasTopLevelOr(pred: String): Boolean = {
+    val masked = MatchRecognize.maskQuoted(pred)
+    var i = 0
+    var depth = 0
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case c if c.isLetter || c == '_' =>
+          val s = i
+          while (i < masked.length &&
+            (masked.charAt(i).isLetterOrDigit || masked.charAt(i) == '_'))
+            i += 1
+          if (depth == 0 && masked.substring(s, i).equalsIgnoreCase("OR"))
+            return true
+        case _ => i += 1
+      }
+    }
+    false
+  }
+
+  /** A `*` (or `t.*`) item in the outer select resolves against the
+    * spliced VIEW, which excludes payload columns that cannot
+    * round-trip the JSON state encoding — the star would silently
+    * narrow the output. Fail by name, listing the dropped columns.
+    */
+  private[harness] def failOnStarOverDropped(outSel: String,
+      dropped: Seq[String], fail: String => Nothing): Unit =
+    if (dropped.nonEmpty &&
+        MatchRecognize.splitTopLevel(outSel).map(_.trim)
+          .exists(it => it == "*" || it.endsWith(".*")))
+      fail("the outer SELECT * would silently lose columns that cannot " +
+        "round-trip the JSON state encoding (string / integer / boolean " +
+        s"only): ${dropped.mkString(", ")} — list the output columns " +
+        "explicitly, or cast the payload columns to a lossless type " +
+        "upstream")
+
+  private[harness] def rejectResidualOr(residual: Option[String],
+      fail: String => Nothing): Unit =
+    residual.foreach { r =>
+      if (hasTopLevelOr(r))
+        fail("residual conditions after the rank bound must be " +
+          "AND-joined: a top-level OR would change the rank filter's " +
+          "scope under SQL precedence — parenthesize the OR branch or " +
+          "filter downstream")
+    }
 
   /** Compiles the statement onto the tracker and returns the spliced
     * outer SELECT over the registered `graft_topn_<k>` view.
@@ -187,6 +239,7 @@ object WindowTopN {
         "conjuncts follow"))
     val outerAlias = Option(wm.group(1)).map(_.trim)
     val residual = Option(wm.group(5)).map(_.trim).filter(_.nonEmpty)
+    rejectResidualOr(residual, fail)
     if (!wm.group(2).equalsIgnoreCase(rnAlias))
       fail(s"the WHERE rank filter must use the ROW_NUMBER alias " +
         s"$rnAlias, got ${wm.group(2)}")
@@ -234,6 +287,16 @@ object WindowTopN {
         !extras.exists(_.equalsIgnoreCase(f.name)) &&
         graft.streaming.StateFormat.jsonLossless(f.dataType)
     }
+    // a star outer select would silently NARROW to the view's columns
+    // when payload fields were dropped — fail by name instead (direct
+    // references to a dropped column already fail loudly at analysis)
+    failOnStarOverDropped(outSel,
+      src.schema.fields.map(_.name).toSeq
+        .filterNot(n => n.equalsIgnoreCase(tcol) ||
+          n.equalsIgnoreCase(metricCol) ||
+          extras.exists(_.equalsIgnoreCase(n)) ||
+          payloadFields.exists(_.name.equalsIgnoreCase(n))),
+      fail)
     val keyExpr =
       if (extras.isEmpty) lit("{}")
       else to_json(struct(extras.map(col): _*))

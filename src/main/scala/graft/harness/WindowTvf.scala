@@ -615,7 +615,8 @@ object WindowTvf {
     val gb = gbs.head
     val (keysText, keysEnd) = scanListClause(body, gb.end)
     val tail = body.substring(keysEnd)
-    if (raw"(?is)\b(ORDER\s+BY|LIMIT)\b".r.findFirstIn(tail).isDefined)
+    if (raw"(?is)\b(ORDER\s+BY|LIMIT)\b".r
+        .findFirstIn(MatchRecognize.maskQuoted(tail)).isDefined)
       fail("ORDER BY / LIMIT after the aggregation is not supported; " +
         "sort the unioned result downstream")
     val GsRe = raw"(?is)^GROUPING\s+SETS\s*\((.*)\)$$".r
@@ -769,10 +770,13 @@ object WindowTvf {
     // — Flink's streaming ORDER BY needs a leading time-ascending key,
     // which a growing-window emission has no use for
     val tailText = out.substring(keysEnd).trim
+    // keyword checks scan the MASKED text so string literals holding
+    // 'limit' / 'order by' words don't spuriously reject
+    val tailMasked = MatchRecognize.maskQuoted(tailText)
     val havingPred: Option[String] =
       if (tailText.isEmpty) None
-      else if (raw"(?is)\bORDER\s+BY\b".r.findFirstIn(tailText).isDefined ||
-          raw"(?is)\bLIMIT\b".r.findFirstIn(tailText).isDefined)
+      else if (raw"(?is)\bORDER\s+BY\b".r.findFirstIn(tailMasked).isDefined ||
+          raw"(?is)\bLIMIT\b".r.findFirstIn(tailMasked).isDefined)
         fail("ORDER BY/LIMIT after the aggregation is not supported; " +
           "sort or limit the result downstream")
       else raw"(?is)^HAVING\b(.+)$$".r.findFirstMatchIn(tailText) match {
@@ -800,20 +804,23 @@ object WindowTvf {
     val selIdx = selM.end
     val fromIdx = findTopLevel(out, selIdx, "FROM")
       .getOrElse(fail("no top-level FROM"))
-    // whitespace-normalized: multi-line FROM clauses are normal SQL.
     // A WHERE on source columns pre-filters the tracker input (Flink
     // runs WHERE before window assignment); window columns do not
-    // exist pre-aggregation, and JOINs stay a named rejection
-    val between = out.substring(fromIdx, gb.start)
-      .replaceAll(raw"\s+", " ").trim
-    val FromWhereRe = (raw"(?is)^FROM\s+" +
-      java.util.regex.Pattern.quote(table) +
-      raw"(?:\s+WHERE\s+(.+?))?\s*$$").r
-    val wherePred: Option[String] = between match {
-      case FromWhereRe(p) => Option(p)
-      case _ => fail("JOIN/subquery between FROM and GROUP BY is not " +
+    // exist pre-aggregation, and JOINs stay a named rejection. The
+    // predicate is cut from the RAW text (a whitespace-normalized
+    // extraction would corrupt string literals holding runs of
+    // spaces); only the FROM-head check normalizes for matching.
+    val rawBetween = out.substring(fromIdx, gb.start)
+    val whereIdx = findTopLevel(rawBetween, 0, "WHERE")
+    val wherePred: Option[String] =
+      whereIdx.map(i => rawBetween.substring(i + "WHERE".length).trim)
+        .filter(_.nonEmpty)
+    val head = whereIdx.map(i => rawBetween.substring(0, i))
+      .getOrElse(rawBetween).replaceAll(raw"\s+", " ").trim
+    if (!head.equalsIgnoreCase(s"FROM $table") ||
+        (whereIdx.isDefined && wherePred.isEmpty))
+      fail("JOIN/subquery between FROM and GROUP BY is not " +
         "supported; pre-join with a view, or use batch runtime mode")
-    }
     wherePred.foreach { p =>
       if (raw"(?i)\b(window_start|window_end|window_time)\b".r
           .findFirstIn(p).isDefined)
@@ -957,14 +964,17 @@ object WindowTvf {
     // does not carry has no tracked value to filter on — reject by
     // name rather than let Spark treat a bare HAVING as a re-aggregation
     val whereTail = havingPred.map { pred0 =>
+      // rebind against the MASKED text, splice on the raw one, so an
+      // aggregate-call-shaped string literal is never rewritten
       val pred = aggs.foldLeft(pred0) { (p, a) =>
-        val pat = raw"(?is)\b${a.fn}\s*\(\s*" +
-          java.util.regex.Pattern.quote(a.input) + raw"\s*\)"
-        pat.r.replaceAllIn(p,
-          java.util.regex.Matcher.quoteReplacement(a.alias))
+        val pat = (raw"(?is)\b${a.fn}\s*\(\s*" +
+          java.util.regex.Pattern.quote(a.input) + raw"\s*\)").r
+        pat.findAllMatchIn(MatchRecognize.maskQuoted(p)).toList.reverse
+          .foldLeft(p)((s, m) =>
+            s.substring(0, m.start) + a.alias + s.substring(m.end))
       }
       if (raw"(?is)\b(COUNT|SUM|MIN|MAX|AVG)\s*\(".r
-          .findFirstIn(pred).isDefined)
+          .findFirstIn(MatchRecognize.maskQuoted(pred)).isDefined)
         fail("HAVING may only reference aggregates that appear in the " +
           s"select list (aliased), group keys, or window columns: $pred0")
       s" WHERE $pred"

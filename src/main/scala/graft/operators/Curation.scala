@@ -183,9 +183,7 @@ object Curation {
           s"% $BloomBits").mkString("[", ", ", "]")
       s"""WITH f AS (
          |  SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [CAST(ascii(c) AS BIGINT) for c in string_split(text, '')]),
-         |      (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+         |    ${TextHash.polyHashDuck("text")} AS fp,
          |    CAST(SUBSTRING(source, 4) AS BIGINT) % 2 AS src_par
          |  FROM documents),
          |p AS (SELECT doc_id, fp, src_par, $ps AS ps FROM f),

@@ -165,12 +165,19 @@ case class StreamingTopOneDedup() extends Rule[LogicalPlan] {
       order: org.apache.spark.sql.catalyst.expressions.SortOrder,
       child: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{
-      CreateStruct, GetStructField}
+      CreateStruct, GetStructField, IsNotNull}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
     val rowStruct = CreateStruct(child.output)
+    // max_by/min_by IGNORE rows whose ordering value is NULL — a key
+    // whose rows are all NULL-ordered would emit a NULL-padded struct
+    // where ROW_NUMBER still ranks a real row. Ordering by the struct
+    // (IS NOT NULL, value) keeps every row rankable and reproduces the
+    // batch ROW_NUMBER null placement: DESC → max → NULLs last,
+    // ASC → min → NULLs first (Spark's default ASC NULLS FIRST).
+    val orderKey = CreateStruct(Seq(IsNotNull(order.child), order.child))
     val fn =
-      if (order.direction == Descending) MaxBy(rowStruct, order.child)
-      else MinBy(rowStruct, order.child)
+      if (order.direction == Descending) MaxBy(rowStruct, orderKey)
+      else MinBy(rowStruct, orderKey)
     val best = Alias(fn.toAggregateExpression(), "__graft_best")()
     val agg = Aggregate(keys, keys :+ best, child)
     val bestRef = best.toAttribute

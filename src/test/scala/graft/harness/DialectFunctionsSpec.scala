@@ -466,6 +466,12 @@ class DialectFunctionsSpec extends AnyFunSuite {
       isStreaming = false)
     assert(b == "SELECT CAST(NULL AS TIMESTAMP) AS wm, " +
       "CAST(NULL AS TIMESTAMP) AS wm2", b)
+    // the batch replacement is literal-blind too
+    val bl = "SELECT 'CURRENT_WATERMARK(ts)' AS note, " +
+      "CURRENT_WATERMARK(ts) AS wm"
+    assert(DialectFunctions.rewrite(bl, isStreaming = false) ==
+      "SELECT 'CURRENT_WATERMARK(ts)' AS note, " +
+        "CAST(NULL AS TIMESTAMP) AS wm")
     val row = SparkFixture.spark
       .sql("SELECT CAST(NULL AS TIMESTAMP) AS wm").head
     assert(row.isNullAt(0))

@@ -97,5 +97,50 @@ class UnboundedTopNSpec extends AnyFunSuite {
           |  FROM utn_res) WHERE rn <= 2""".stripMargin)
     }
     assert(e.getMessage.contains("numeric or timestamp"), e.getMessage)
+    // a top-level OR in the residual would change the rank filter's
+    // scope under SQL precedence — rejected by name, never silently
+    // re-parenthesized
+    val eOr = intercept[IllegalArgumentException](
+      UnboundedTopN.rewrite(spark,
+        topnSql("utn_res", " AND price >= 7 OR tag = 'x'")))
+    assert(eOr.getMessage.contains("AND-joined"), eOr.getMessage)
+    // an oversized rank bound is not the shape (no NumberFormatException)
+    assert(!UnboundedTopN.hasShape(
+      topnSql("utn_res").replace("rn <= 2", "rn <= 9999999999")))
+  }
+
+  test("timestamp metrics rank by epoch millis; star narrowing rejects") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    input.toDF().toDF("k", "t", "tag").createOrReplaceTempView("utn_ts")
+    val rewritten = UnboundedTopN.rewrite(spark,
+      """SELECT k, t, tag, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY k ORDER BY t DESC) AS rn
+        |  FROM utn_ts) WHERE rn <= 2""".stripMargin)
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("utn_ts_out").outputMode("update").start()
+    try {
+      input.addData(("a", ts(10), "t10"), ("a", ts(30), "t30"),
+        ("a", ts(20), "t20"))
+      q.processAllAvailable()
+      val got = spark.table("utn_ts_out")
+        .select($"t", $"tag", $"rn")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(got === Set((ts(30), "t30", 1L), (ts(20), "t20", 2L)))
+    } finally q.stop()
+    // a non-lossless payload column (double) + outer star: reject by
+    // name instead of silently narrowing the output
+    val in2 = MemoryStream[(String, Long, Double)]
+    in2.toDF().toDF("k", "price", "score")
+      .createOrReplaceTempView("utn_star")
+    val eStar = intercept[IllegalArgumentException](
+      UnboundedTopN.rewrite(spark,
+        """SELECT * FROM (
+          |  SELECT *, ROW_NUMBER() OVER (
+          |    PARTITION BY k ORDER BY price DESC) AS rn
+          |  FROM utn_star) WHERE rn <= 2""".stripMargin))
+    assert(eStar.getMessage.contains("silently lose") &&
+      eStar.getMessage.contains("score"), eStar.getMessage)
   }
 }

@@ -142,6 +142,31 @@ class CumulateSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("pre-join"), e2.getMessage)
   }
 
+  test("WHERE/HAVING literals survive verbatim (no normalization, no keyword trips)") {
+    // a WHERE literal holding consecutive spaces must reach the filter
+    // byte-for-byte, and a HAVING literal containing the word 'limit'
+    // or an aggregate-call shape must neither reject nor rebind
+    Seq(("a  b", ts(10), 5L), ("a b", ts(20), 7L), ("COUNT(*)", ts(30), 9L))
+      .toDF("k", "ts", "v").createOrReplaceTempView("cum_lit_in")
+    val stmt =
+      """SELECT k, window_start, window_end, COUNT(*) AS n, SUM(v) AS sv
+        |FROM TABLE(CUMULATE(TABLE cum_lit_in, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |WHERE k <> 'a  b'
+        |GROUP BY k, window_start, window_end
+        |HAVING k <> 'limit me' AND k <> 'COUNT(*)' AND COUNT(*) >= 1""".stripMargin
+    val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq).toSet
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // the double-space row is filtered, the single-space row kept,
+      // and the literal aggregate-shaped key is HAVING-filtered
+      assert(batch.map(_.head) === Set("a b"), batch)
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+  }
+
   test("windows emit incrementally as the watermark passes step ends") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long)]

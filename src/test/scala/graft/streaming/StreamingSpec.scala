@@ -511,6 +511,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("argmax ranks NULL-ordered rows like batch ROW_NUMBER null placement") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Option[Long], String)]
+    input.toDF().toDF("k", "t", "price", "tag")
+      .createOrReplaceTempView("fl_null_src")
+    // DESC = NULLS LAST (Spark batch): a real price beats NULL, and a
+    // key with ONLY NULL prices still emits its actual row, not a
+    // NULL-padded struct
+    val df = spark.sql("""SELECT k, price, tag FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY price DESC) AS rn
+      FROM fl_null_src) WHERE rn = 1""")
+    val q = df.writeStream.format("memory")
+      .queryName("fl_null").outputMode("update").start()
+    try {
+      input.addData(
+        (1L, ts(1), None, "n1"), (1L, ts(2), Some(5L), "p5"),
+        (2L, ts(3), None, "n2"))
+      q.processAllAvailable()
+      val got = spark.table("fl_null")
+        .select($"k", $"price", $"tag")
+        .as[(Long, Option[Long], String)].collect().toSet
+      assert(got === Set((1L, Some(5L), "p5"), (2L, None, "n2")), got)
+    } finally q.stop()
+  }
+
   test("value-ordered streaming top-1 runs as an updating min_by/max_by") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Long, String)]
