@@ -142,6 +142,35 @@ class ZoneAlignSpec extends AnyFunSuite {
     assert(wt === Set(1710046800000L - 1L, 1710129600000L - 1L))
   }
 
+  test("randomized: aligned TUMBLE windows contain their rows on the shifted grid") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    (1 to 200).map(_ => rnd.nextLong() % (400L * 86400000L))
+      .toDF("ms").selectExpr("timestamp_millis(ms) AS ts", "ms")
+      .createOrReplaceTempView("za_prop")
+    val sizes = Seq(60000L, 3600000L, 86400000L)
+    for (_ <- 1 to 8) {
+      val size = sizes(rnd.nextInt(sizes.length))
+      // declared offsets and zone shifts in whole seconds, both signs
+      val declSec = rnd.nextLong() % (size / 1000L)
+      val shiftMs = (rnd.nextLong() % 50400L) * 1000L // within ±14 h
+      val sql = WindowTvf.rewrite(WindowTvf.alignToZone(
+        s"SELECT ms, unix_millis(window_start) AS ws, " +
+          s"unix_millis(window_end) AS we FROM " +
+          s"TABLE(TUMBLE(TABLE za_prop, DESCRIPTOR(ts), " +
+          s"INTERVAL '${size / 1000L}' SECOND, " +
+          s"INTERVAL '$declSec' SECOND))", shiftMs))
+      val eff = (((declSec * 1000L - shiftMs) % size) + size) % size
+      spark.sql(sql).collect().foreach { r =>
+        val (ms, ws, we) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(we - ws == size, s"size $size declared $declSec shift $shiftMs")
+        assert(ws <= ms && ms < we, s"row $ms outside [$ws, $we)")
+        assert((((ws - eff) % size) + size) % size == 0L,
+          s"start $ws off the grid (size $size eff $eff)")
+      }
+    }
+  }
+
   test("e2e: fixed shifted zone runs grid TVFs locally aligned; legacy rejects") {
     val before = spark.conf.get("spark.sql.session.timeZone")
     val script = Files.createTempFile("graft-za", ".sql")
