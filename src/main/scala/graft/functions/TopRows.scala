@@ -5,12 +5,15 @@ import org.apache.spark.sql.expressions.Aggregator
 
 /** One ranked candidate: the ORDER BY metric (double slot — exact for
   * integral values under 2^53, the house tracker contract) plus the
-  * row's JSON payload.
+  * row's JSON payload. `nullMetric` marks a NULL ORDER BY value (the
+  * double slot then carries 0.0 and is ignored for ranking) — batch
+  * ROW_NUMBER ranks NULL rows rather than failing, so the collector
+  * must too.
   */
-case class RankedRow(metric: Double, payload: String)
+case class RankedRow(metric: Double, payload: String, nullMetric: Boolean)
 
 /** Product wrapper so the aggregate's output is a plain SQL
-  * `struct<rows: array<struct<metric, payload>>>`.
+  * `struct<rows: array<struct<metric, payload, nullMetric>>>`.
   */
 case class RankedRows(rows: Seq[RankedRow])
 
@@ -19,21 +22,28 @@ case class RankedRows(rows: Seq[RankedRow])
   * The buffer is a rank-sorted vector trimmed to k on every insert and
   * merge, so per-key streaming state holds exactly the answer (k rows),
   * never the key's history — the same bound Flink's AppendOnlyTopNFunction
-  * keeps. Ranking: metric descending (or ascending under `asc`), NaN
-  * LAST in either direction (matching batch ORDER BY), ties broken by
-  * payload text ascending — deterministic across partitionings and
-  * restarts. Partial aggregation applies: each partition pre-trims to
-  * k before the shuffle.
+  * keeps. Ranking matches a batch `ORDER BY metric DESC|ASC` under
+  * Spark's total order: NULL is the SMALLEST value (first under ASC,
+  * last under DESC) and NaN the GREATEST (first under DESC, last under
+  * ASC — nanSafeCompare), with ties broken by payload text ascending —
+  * deterministic across partitionings and restarts. Partial
+  * aggregation applies: each partition pre-trims to k before the
+  * shuffle.
   */
 final class TopRows(k: Int, asc: Boolean)
     extends Aggregator[RankedRow, Vector[RankedRow], RankedRows] {
   require(k > 0, s"top-k needs k > 0, got $k")
 
+  // value-order class: NULL < every real double < NaN (Spark's
+  // nanSafeCompare order, the one batch ORDER BY ranks by)
+  private def cls(r: RankedRow): Int =
+    if (r.nullMetric) 0 else if (r.metric.isNaN) 2 else 1
+
   private def outranks(a: RankedRow, b: RankedRow): Boolean = {
-    val an = a.metric.isNaN
-    val bn = b.metric.isNaN
-    if (an != bn) bn // a real metric outranks NaN in both directions
-    else if (!an && a.metric != b.metric)
+    val ca = cls(a)
+    val cb = cls(b)
+    if (ca != cb) (if (asc) ca < cb else ca > cb)
+    else if (ca == 1 && a.metric != b.metric)
       (if (asc) a.metric < b.metric else a.metric > b.metric)
     else a.payload < b.payload
   }

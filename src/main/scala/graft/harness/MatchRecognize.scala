@@ -744,6 +744,22 @@ object MatchRecognize {
         val st = i
         while (i < expr.length && (masked.charAt(i).isDigit ||
           masked.charAt(i) == '.')) i += 1
+        // exponent suffix: digits [eE][+-]?digits — without this, the
+        // 'e3' of '1e3' would scan as a bare column and wrap into a
+        // spurious PREV(e3, k)
+        if (i < expr.length && (masked.charAt(i) == 'e' ||
+            masked.charAt(i) == 'E')) {
+          var j = i + 1
+          if (j < expr.length && (expr.charAt(j) == '+' ||
+            expr.charAt(j) == '-')) j += 1
+          val ds = j
+          while (j < expr.length && masked.charAt(j).isDigit) j += 1
+          if (j > ds) i = j
+        }
+        // any residual letter glued to the digit run is not a shape
+        // this distributor understands — fall back to rejectNestedNav
+        if (i < expr.length && (masked.charAt(i).isLetter ||
+          masked.charAt(i) == '_')) return None
         sb.append(expr.substring(st, i))
       } else if (c.isWhitespace || "+-*/%()<>=!".indexOf(c) >= 0) {
         sb.append(expr.charAt(i)); i += 1

@@ -21,12 +21,18 @@ import org.apache.spark.sql.types.StructField
   * Contract (violations fail by name): partition keys are plain
   * columns; one ORDER BY column, numeric or timestamp (ranked through
   * the double slot — exact for integral values under 2^53 and
-  * microsecond epochs); ties break by payload text ascending, NaN
-  * ranks last (batch ORDER BY parity); non-key payload columns the
+  * microsecond epochs); ties break by payload text ascending; NULL
+  * metrics rank as the smallest value and NaN as the greatest
+  * (first under DESC), matching batch ROW_NUMBER under Spark's
+  * null-first/NaN-greatest total order; non-key payload columns the
   * outer select references must round-trip the JSON state encoding
-  * losslessly (string / integer / boolean — the house streaming-state
-  * contract). `rn = 1` shapes stay on the analysis-rule paths
-  * (Deduplicate / argmax), which avoid the JSON carrier entirely.
+  * losslessly — natively JSON-lossless types pass through, and
+  * doubles / floats / decimals / dates ride an exact string carrier
+  * (Java's round-trip `Double.toString` guarantee) while timestamps
+  * ride epoch micros, so every scalar type a real stream carries is
+  * admitted; only nested/binary payload columns drop. `rn = 1`
+  * shapes stay on the analysis-rule paths (Deduplicate / argmax),
+  * which avoid the JSON carrier entirely.
   */
 object UnboundedTopN {
 
@@ -134,12 +140,32 @@ object UnboundedTopN {
       else m.cast(metricField.dataType)
     keys.foreach(fieldOf) // existence; keys pass through natively
     // payload: every non-key, non-metric column that can round-trip
-    // the JSON state encoding; others drop (and fail loudly upstream
-    // if the outer select references them)
+    // the JSON state encoding — natively lossless types pass through;
+    // doubles/floats/decimals/dates ride an exact string carrier
+    // (cast-to-string is Java's round-trip representation, and the
+    // reverse cast parses it back bit-identically, NaN/Infinity
+    // included) and timestamps ride epoch micros; nested/binary
+    // columns drop (and fail loudly upstream if the outer select
+    // references them)
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types._
+    def carrierOf(f: StructField): Option[(Column, DataType, Column => Column)] =
+      f.dataType match {
+        case dt if graft.streaming.StateFormat.jsonLossless(dt) =>
+          Some((col(f.name), dt, identity[Column] _))
+        case _: TimestampType | _: TimestampNTZType =>
+          Some((expr(s"unix_micros(cast(`${f.name}` as timestamp))"),
+            LongType,
+            (c: Column) => timestamp_micros(c).cast(f.dataType)))
+        case _: DoubleType | _: FloatType | _: DecimalType | _: DateType =>
+          Some((col(f.name).cast("string"), StringType,
+            (c: Column) => c.cast(f.dataType)))
+        case _ => None
+      }
     val payloadFields = src.schema.fields.filter { f =>
       !f.name.equalsIgnoreCase(metricCol) &&
         !keys.exists(_.equalsIgnoreCase(f.name)) &&
-        graft.streaming.StateFormat.jsonLossless(f.dataType)
+        carrierOf(f).isDefined
     }
     WindowTopN.failOnStarOverDropped(outSel,
       src.schema.fields.map(_.name).toSeq
@@ -149,29 +175,38 @@ object UnboundedTopN {
       fail)
     val payloadExpr =
       if (payloadFields.isEmpty) lit("{}")
-      else to_json(struct(payloadFields.map(f => col(f.name)): _*))
+      else to_json(struct(payloadFields.map(f =>
+        carrierOf(f).get._1.as(f.name)): _*))
 
     val topAgg = udaf(new graft.functions.TopRows(n, asc),
       org.apache.spark.sql.Encoders.product[graft.functions.RankedRow])
+    // a NULL metric ranks (smallest — batch parity) instead of dying
+    // in the collector's primitive double slot: the null flag rides
+    // beside a 0.0 placeholder
     val held = src
       .groupBy(keys.map(col): _*)
-      .agg(topAgg(metricIn, payloadExpr).as("__top"))
+      .agg(topAgg(coalesce(metricIn, lit(0.0d)), payloadExpr,
+        metricIn.isNull).as("__top"))
       .select(keys.map(col) :+
         posexplode(col("__top.rows")).as(Seq("__pos", "__r")): _*)
     val decoded = {
       val payloadCols =
         if (payloadFields.isEmpty) Seq.empty
         else {
-          val schema = org.apache.spark.sql.types.StructType(payloadFields)
+          val schema = StructType(payloadFields.map(f =>
+            StructField(f.name, carrierOf(f).get._2, nullable = true)))
           Seq(from_json(col("__r.payload"), schema,
             Map("allowNonNumericNumbers" -> "true")).as("__p"))
         }
       val base = held.select((keys.map(col) ++
-        Seq(col("__r.metric").as("__m"), col("__pos")) ++
+        Seq(col("__r.metric").as("__m"),
+          col("__r.nullMetric").as("__mnull"), col("__pos")) ++
         payloadCols): _*)
       base.select((keys.map(col) ++
-        payloadFields.map(f => col(s"__p.${f.name}").as(f.name)) ++
-        Seq(metricBack(col("__m")).as(metricCol),
+        payloadFields.map(f =>
+          carrierOf(f).get._3(col(s"__p.`${f.name}`")).as(f.name)) ++
+        Seq(when(col("__mnull"), lit(null).cast(metricField.dataType))
+            .otherwise(metricBack(col("__m"))).as(metricCol),
           (col("__pos") + 1).cast("long").as(rnAlias))): _*)
     }
     val view = s"graft_utopn_${viewCounter.incrementAndGet()}"

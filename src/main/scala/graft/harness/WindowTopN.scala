@@ -280,7 +280,11 @@ object WindowTopN {
     }
     // the payload carries every OTHER source column to the emission;
     // non-lossless ones are dropped (and fail loudly if the outer
-    // select references them) rather than silently re-decoded wrong
+    // select references them) rather than silently re-decoded wrong.
+    // The event-time column itself rides beside them as epoch micros
+    // (`__ts_us`), so the decoded view retains the time attribute —
+    // Flink's window top-N output keeps all input columns, and a
+    // SELECT * must not silently lose the row's timestamp
     val payloadFields = src.schema.fields.filter { f =>
       !f.name.equalsIgnoreCase(tcol) &&
         !f.name.equalsIgnoreCase(metricCol) &&
@@ -300,9 +304,9 @@ object WindowTopN {
     val keyExpr =
       if (extras.isEmpty) lit("{}")
       else to_json(struct(extras.map(col): _*))
-    val payloadExpr =
-      if (payloadFields.isEmpty) lit("{}")
-      else to_json(struct(payloadFields.map(f => col(f.name)): _*))
+    val payloadExpr = to_json(struct(
+      payloadFields.map(f => col(f.name)) :+
+        expr(s"unix_micros(cast(`$tcol` as timestamp))").as("__ts_us"): _*))
     import spark.implicits._
     // HOP fans each row out to its covering window starts, CUMULATE to
     // the growing windows of its span (the same covering arithmetic as
@@ -318,11 +322,14 @@ object WindowTopN {
     // a NULL event time has no window (the batch form filters it);
     // it would NPE in the tracker's time slot
     val base = src.filter(col(tcol).isNotNull)
+    // a NULL metric ranks (smallest — batch parity) instead of dying
+    // in the tracker's primitive double slot
     val common = Seq(
       keyExpr.as("key"),
       col(tcol).cast("timestamp").as("ts"),
-      col(metricCol).cast("double").as("metric"),
-      payloadExpr.as("payload"))
+      coalesce(col(metricCol).cast("double"), lit(0.0d)).as("metric"),
+      payloadExpr.as("payload"),
+      col(metricCol).isNull.as("nullMetric"))
     val events =
       if (isCumulate) {
         // ws is the span start; each copy pins one growing window's
@@ -333,7 +340,8 @@ object WindowTopN {
             explode(expr(s"sequence($lo, ${windowMs}L, ${slideMs}L)"))
               .as("__eo")): _*)
           .select(col("key"), col("ts"), col("metric"), col("payload"),
-            col("ws"), (col("ws") + col("__eo")).as("we"))
+            col("ws"), (col("ws") + col("__eo")).as("we"),
+            col("nullMetric"))
           .as[graft.streaming.RankEvent]
       } else {
         val wsCol =
@@ -352,17 +360,23 @@ object WindowTopN {
     val keySchema = StructType(extras.map(k => fieldOf(k)))
     // integral/decimal metrics rank exactly for |v| < 2^53 through the
     // tracker's double slot; cast back to the source column's type
-    val metricBack = col("metric").cast(metricField.dataType)
+    // (NULL metrics re-emit as NULL via the tracker's null flag)
+    val metricBack = when(col("nullMetric"),
+      lit(null).cast(metricField.dataType))
+      .otherwise(col("metric").cast(metricField.dataType))
     var out = ranked.toDF()
     if (extras.nonEmpty)
       out = out.withColumn("__k", from_json(col("key"), keySchema))
-    if (payloadFields.nonEmpty)
-      out = out.withColumn("__p",
-        from_json(col("payload"), StructType(payloadFields.toSeq)))
+    out = out.withColumn("__p",
+      from_json(col("payload"), StructType(payloadFields.toSeq :+
+        StructField("__ts_us", org.apache.spark.sql.types.LongType))))
+    val tcolField = fieldOf(tcol)
     val decoded = out.select(
       extras.map(k => col(s"__k.$k").as(k)) ++
         payloadFields.map(f => col(s"__p.${f.name}").as(f.name)) ++
-        Seq(metricBack.as(metricCol),
+        Seq(timestamp_micros(col("__p.__ts_us"))
+            .cast(tcolField.dataType).as(tcol),
+          metricBack.as(metricCol),
           timestamp_millis(col("ws")).as("window_start"),
           timestamp_millis(col("we")).as("window_end"),
           timestamp_millis(col("we") - 1L).as("window_time"),

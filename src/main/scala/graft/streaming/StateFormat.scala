@@ -41,11 +41,31 @@ object StateFormat {
   /** Bump when [[CumulateState]]/[[CumulateEvent]] change shape. */
   val CumulateTrackerVersion = 1
 
+  /** Bump when [[TopNState]]/[[RankEntry]] change shape.
+    * v1 = per-key (ws, entries) windows (round 12);
+    * v2 = (ws, we, entries) — CUMULATE pins per-copy window ends
+    * (round 13); v3 = entries carry a null-metric flag and the
+    * payload JSON carries the row's event time (round 14).
+    * A round-12/13 checkpoint predates the stamp key entirely, so it
+    * fails the named check (key absent → v0) rather than dying in the
+    * encoder.
+    */
+  val TopNTrackerVersion = 3
+
+  /** Bump when [[graft.functions.RankedRow]] (the UNBOUNDED top-N
+    * collector's kryo buffer element) changes shape.
+    * v1 = (metric, payload) (round 13); v2 = + null-metric flag
+    * (round 14).
+    */
+  val UnboundedTopNVersion = 2
+
   private val FileName = "graft-state-format.json"
 
   private def stampJson: String =
     s"""{"patternTracker": $PatternTrackerVersion, """ +
-      s""""cumulateTracker": $CumulateTrackerVersion}"""
+      s""""cumulateTracker": $CumulateTrackerVersion, """ +
+      s""""topNTracker": $TopNTrackerVersion, """ +
+      s""""unboundedTopN": $UnboundedTopNVersion}"""
 
   /** Verifies (or creates) the format stamp for checkpoint directory
     * `dir`. Three cases:
@@ -68,8 +88,10 @@ object StateFormat {
     def fail(found: String): Nothing = throw new IllegalStateException(
       s"incompatible streaming state at $dir ($found; this build writes " +
         s"patternTracker v$PatternTrackerVersion, cumulateTracker " +
-        s"v$CumulateTrackerVersion): the state-store schema changed — " +
-        "restart the query from a fresh checkpoint directory")
+        s"v$CumulateTrackerVersion, topNTracker v$TopNTrackerVersion, " +
+        s"unboundedTopN v$UnboundedTopNVersion): the state-store " +
+        "schema changed — restart the query from a fresh checkpoint " +
+        "directory")
     if (fs.exists(stamp)) {
       // any read failure (corrupt file, checksum mismatch from an
       // out-of-band edit) is still an unverifiable format — name it
@@ -86,8 +108,11 @@ object StateFormat {
         (s""""$key"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(text)
           .map(_.group(1).toInt).getOrElse(0)
       val (pv, cv) = (ver("patternTracker"), ver("cumulateTracker"))
-      if (pv != PatternTrackerVersion || cv != CumulateTrackerVersion)
-        fail(s"stamped patternTracker v$pv, cumulateTracker v$cv")
+      val (tv, uv) = (ver("topNTracker"), ver("unboundedTopN"))
+      if (pv != PatternTrackerVersion || cv != CumulateTrackerVersion ||
+          tv != TopNTrackerVersion || uv != UnboundedTopNVersion)
+        fail(s"stamped patternTracker v$pv, cumulateTracker v$cv, " +
+          s"topNTracker v$tv, unboundedTopN v$uv")
     } else if (fs.exists(path) && fs.listStatus(path).nonEmpty) {
       // checkpoint data from a build that predates the stamp: every
       // such build used an older state schema

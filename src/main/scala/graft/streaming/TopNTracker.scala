@@ -19,10 +19,15 @@ import scala.collection.mutable.ArrayBuffer
   * both.
   */
 final case class RankEvent(key: String, ts: Timestamp, metric: Double,
-    payload: String, ws: Long = Long.MinValue, we: Long = Long.MinValue)
+    payload: String, ws: Long = Long.MinValue, we: Long = Long.MinValue,
+    nullMetric: Boolean = false)
 
-/** One retained candidate inside a window's top-N buffer. */
-final case class RankEntry(metric: Double, payload: String)
+/** One retained candidate inside a window's top-N buffer. `nullMetric`
+  * marks a NULL ORDER BY value (ranked smallest, batch parity; the
+  * double slot then carries a 0.0 placeholder).
+  */
+final case class RankEntry(metric: Double, payload: String,
+    nullMetric: Boolean = false)
 
 /** Per-key state: for each open (window start, window end), the (at
   * most N) best entries seen so far — state is bounded to N rows per
@@ -32,7 +37,7 @@ final case class TopNState(windows: List[(Long, Long, List[RankEntry])])
 
 /** One emitted ranked row of a closed window. */
 final case class TopNRow(key: String, ws: Long, we: Long, rank: Int,
-    metric: Double, payload: String)
+    metric: Double, payload: String, nullMetric: Boolean = false)
 
 /** Streaming window top-N (Flink's Window Top-N: `ROW_NUMBER() OVER
   * (PARTITION BY window_start, key ORDER BY metric DESC) <= N`), which
@@ -63,9 +68,16 @@ object TopNTracker {
     else -1
   }
 
-  /** Rank order: metric DESC (or ASC), payload ASC on ties. */
+  /** Rank order: metric DESC (or ASC), payload ASC on ties. NULL
+    * metrics rank as the smallest value (below every real double and
+    * NaN), matching batch ROW_NUMBER under Spark's null-first total
+    * order.
+    */
   private def entryLt(asc: Boolean)(a: RankEntry, b: RankEntry): Boolean = {
-    val c = nanSafeCompare(a.metric, b.metric)
+    val c =
+      if (a.nullMetric || b.nullMetric)
+        java.lang.Boolean.compare(b.nullMetric, a.nullMetric)
+      else nanSafeCompare(a.metric, b.metric)
     if (c != 0) { if (asc) c < 0 else c > 0 } else a.payload < b.payload
   }
 
@@ -106,7 +118,7 @@ object TopNTracker {
         if (e.ws != Long.MinValue) e.ws
         else Math.floorDiv(e.ts.getTime, windowMs) * windowMs
       val we = if (e.we != Long.MinValue) e.we else ws + windowMs
-      val entry = RankEntry(e.metric, e.payload)
+      val entry = RankEntry(e.metric, e.payload, e.nullMetric)
       // insert-sorted, trimmed: the buffer never exceeds N entries
       val merged = (entry :: buffers.getOrElse((ws, we), Nil))
         .sortWith(entryLt(asc)).take(n)
@@ -122,7 +134,8 @@ object TopNTracker {
     buffers.keys.toSeq.sorted.foreach { case k @ (ws, we) =>
       if (isFinal || wmMs >= we) {
         buffers.remove(k).foreach(_.zipWithIndex.foreach { case (en, i) =>
-          out += TopNRow(key, ws, we, i + 1, en.metric, en.payload)
+          out += TopNRow(key, ws, we, i + 1, en.metric, en.payload,
+            en.nullMetric)
         })
       }
     }

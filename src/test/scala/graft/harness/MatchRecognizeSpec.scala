@@ -1650,6 +1650,16 @@ class MatchRecognizeSpec extends AnyFunSuite {
       == "v > (PREV(v, 1) + PREV(v, 2))")
     assert(MatchRecognize.flattenSameDirNav("v > PREV(v + PREV(v + PREV(v)))")
       == "v > (PREV(v, 1) + (PREV(v, 2) + PREV(v, 3)))")
+    // scientific-notation literals pass through the distributor intact
+    // — '1e3' must NOT split into digit-run '1' + spurious column 'e3'
+    assert(MatchRecognize.flattenSameDirNav("PREV(v + PREV(v) * 1e3) > 0")
+      == "(PREV(v, 1) + PREV(v, 2) * 1e3) > 0")
+    assert(MatchRecognize.flattenSameDirNav("PREV(v - PREV(v) - 1.5E+2) > 0")
+      == "(PREV(v, 1) - PREV(v, 2) - 1.5E+2) > 0")
+    // a letter glued to a digit run is not a shape the distributor
+    // understands — unchanged, so the named batch-only rejection fires
+    val glued = "v > PREV(v + PREV(v) + 1x2)"
+    assert(MatchRecognize.flattenSameDirNav(glued) == glued)
     MatchRecognize.dropViews(spark, MatchRecognize.rewriteStreaming(spark,
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n

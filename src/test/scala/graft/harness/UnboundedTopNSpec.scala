@@ -171,10 +171,10 @@ class UnboundedTopNSpec extends AnyFunSuite {
         .as[(Timestamp, String, Long)].collect().toSet
       assert(got === Set((ts(30), "t30", 1L), (ts(20), "t20", 2L)))
     } finally q.stop()
-    // a non-lossless payload column (double) + outer star: reject by
-    // name instead of silently narrowing the output
-    val in2 = MemoryStream[(String, Long, Double)]
-    in2.toDF().toDF("k", "price", "score")
+    // a non-lossless payload column (array — no JSON carrier) + outer
+    // star: reject by name instead of silently narrowing the output
+    val in2 = MemoryStream[(String, Long, Seq[Long])]
+    in2.toDF().toDF("k", "price", "scores")
       .createOrReplaceTempView("utn_star")
     val eStar = intercept[IllegalArgumentException](
       UnboundedTopN.rewrite(spark,
@@ -183,6 +183,85 @@ class UnboundedTopNSpec extends AnyFunSuite {
           |    PARTITION BY k ORDER BY price DESC) AS rn
           |  FROM utn_star) WHERE rn <= 2""".stripMargin))
     assert(eStar.getMessage.contains("silently lose") &&
-      eStar.getMessage.contains("score"), eStar.getMessage)
+      eStar.getMessage.contains("scores"), eStar.getMessage)
+  }
+
+  test("NaN and NULL metrics rank with batch ROW_NUMBER parity") {
+    implicit val sc = spark.sqlContext
+    val data = Seq(("a", Some(Double.NaN), "nan"), ("a", Some(5.0), "v5"),
+      ("a", None: Option[Double], "nul"), ("a", Some(7.0), "v7"))
+    for (dir <- Seq("DESC", "ASC")) {
+      val sql =
+        s"""SELECT k, m, tag, rn FROM (
+           |  SELECT *, ROW_NUMBER() OVER (
+           |    PARTITION BY k ORDER BY m $dir) AS rn
+           |  FROM SRC) WHERE rn <= 3""".stripMargin
+      data.toDF("k", "m", "tag").createOrReplaceTempView("utn_nan_b")
+      val batchTwin = spark.sql(sql.replace("SRC", "utn_nan_b"))
+        .select($"tag", $"rn").as[(String, Long)].collect().toSet
+      val input = MemoryStream[(String, Option[Double], String)]
+      input.toDF().toDF("k", "m", "tag")
+        .createOrReplaceTempView("utn_nan_s")
+      val q = spark.sql(UnboundedTopN.rewrite(spark,
+        sql.replace("SRC", "utn_nan_s"))).writeStream.format("memory")
+        .queryName(s"utn_nan_out_$dir").outputMode("update").start()
+      try {
+        input.addData(data: _*)
+        q.processAllAvailable()
+        val got = spark.table(s"utn_nan_out_$dir")
+          .select($"tag", $"rn").as[(String, Long)].collect().toSet
+        assert(got === batchTwin, s"dir=$dir")
+        // spell the law out too: NaN is the GREATEST value, NULL the
+        // smallest (Spark/Flink batch total order)
+        if (dir == "DESC")
+          assert(batchTwin === Set(("nan", 1L), ("v7", 2L), ("v5", 3L)))
+        else
+          assert(batchTwin === Set(("nul", 1L), ("v5", 2L), ("v7", 3L)))
+        // NULL metric decodes back as NULL, not 0.0
+        val nullRows = spark.table(s"utn_nan_out_$dir")
+          .filter($"tag" === "nul").select($"m").collect()
+        nullRows.foreach(r => assert(r.isNullAt(0)))
+      } finally q.stop()
+    }
+  }
+
+  test("double / timestamp / decimal payload columns round-trip exactly") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double, Timestamp)]
+    input.toDF().toDF("k", "price", "score", "seen")
+      .withColumn("frac", org.apache.spark.sql.functions
+        .expr("cast(price as decimal(12,3)) / 7"))
+      .createOrReplaceTempView("utn_wide")
+    val rewritten = UnboundedTopN.rewrite(spark,
+      """SELECT k, price, score, seen, frac, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY k ORDER BY price DESC) AS rn
+        |  FROM utn_wide) WHERE rn <= 2""".stripMargin)
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("utn_wide_out").outputMode("update").start()
+    try {
+      val rows = Seq(("a", 9L, 0.1 + 0.2, ts(30)), // 0.30000000000000004
+        ("a", 5L, Double.NaN, ts(10)))
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select($"price", $"score", $"seen", $"frac".cast("string"), $"rn")
+        .as[(Long, Double, Timestamp, String, Long)].collect()
+        // compare NaN-safely: tuple equality uses ==, NaN != NaN
+        .map(t => (t._1, java.lang.Double.doubleToLongBits(t._2),
+          t._3, t._4, t._5)).toSet
+      val got = canon(spark.table("utn_wide_out"))
+      rows.toDF("k", "price", "score", "seen")
+        .withColumn("frac", org.apache.spark.sql.functions
+          .expr("cast(price as decimal(12,3)) / 7"))
+        .createOrReplaceTempView("utn_wide_b")
+      val exp = canon(spark.sql(
+        """SELECT k, price, score, seen, frac, rn FROM (
+          |  SELECT *, ROW_NUMBER() OVER (
+          |    PARTITION BY k ORDER BY price DESC) AS rn
+          |  FROM utn_wide_b) WHERE rn <= 2""".stripMargin))
+      assert(got === exp)
+      assert(got.map(_._5) === Set(1L, 2L))
+    } finally q.stop()
   }
 }

@@ -507,4 +507,49 @@ class WindowTopNSpec extends AnyFunSuite {
         |) WHERE rn <= 2""".stripMargin
     assert(!WindowTopN.hasStreamingShape(notShape))
   }
+
+  test("SELECT * retains the event-time column; NULL metrics rank last") {
+    // Flink's window top-N output keeps all input columns — the
+    // decoded view re-emits the row's own timestamp (carried as epoch
+    // micros in the payload), so a star select does not silently lose
+    // the time attribute; and a NULL ORDER BY value ranks below every
+    // real metric (batch ROW_NUMBER parity) instead of crashing the
+    // tracker's primitive double slot
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Option[Long], String)]
+    input.toDF().toDF("k", "ts", "spend", "tag")
+      .createOrReplaceTempView("wtn_star_src")
+    val sql =
+      """SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY window_start, window_end, k ORDER BY spend DESC) AS rn
+        |  FROM TABLE(TUMBLE(TABLE wtn_star_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE)))
+        |WHERE rn <= 3""".stripMargin
+    val rewritten = WindowTopN.rewriteStreaming(spark, sql,
+      t => if (t.equalsIgnoreCase("wtn_star_src")) Some(("ts", "5 seconds"))
+      else None)
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("wtn_star_out").outputMode("append").start()
+    try {
+      input.addData(
+        ("a", ts(10), Some(5L), "t5"), ("a", ts(20), Some(9L), "t9"),
+        ("a", ts(30), None, "tnull"))
+      q.processAllAvailable()
+      input.addData(("a", ts(200), Some(1L), "adv"))
+      q.processAllAvailable()
+      val out = spark.table("wtn_star_out")
+      // the star output carries the source's own event-time column
+      assert(out.columns.contains("ts"), out.columns.mkString(","))
+      val got = out
+        .select($"tag", $"ts", $"spend", $"rn")
+        .as[(String, Timestamp, Option[Long], Long)].collect().toSet
+      assert(got === Set(
+        ("t9", ts(20), Some(9L), 1L),
+        ("t5", ts(10), Some(5L), 2L),
+        ("tnull", ts(30), None, 3L)))
+    } finally {
+      q.stop()
+      MatchRecognize.dropViews(spark, rewritten)
+    }
+  }
 }

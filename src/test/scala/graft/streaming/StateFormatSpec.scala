@@ -36,6 +36,23 @@ class StateFormatSpec extends AnyFunSuite {
       s"message: ${e.getMessage}")
   }
 
+  test("round-13 stamp (no top-N keys) fails by name — the r14 state break") {
+    // TopNState gained (we, null-flag) fields and RankedRow a
+    // null-flag between rounds 13 and 14; a r13 checkpoint predates
+    // the topNTracker/unboundedTopN stamp keys, so its restore must
+    // fail the named check (absent key reads as v0), never die in the
+    // encoder
+    val dir = tmp() + "/cp"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "graft-state-format.json"),
+      """{"patternTracker": 3, "cumulateTracker": 1}""")
+    val e = intercept[IllegalStateException](StateFormat.check(spark, dir))
+    assert(e.getMessage.contains("topNTracker v0"), s"message: ${e.getMessage}")
+    assert(e.getMessage.contains("unboundedTopN v0"),
+      s"message: ${e.getMessage}")
+  }
+
   test("unstamped non-empty checkpoint (pre-versioning build) fails") {
     val dir = tmp() + "/cp"
     java.nio.file.Files.createDirectories(
