@@ -92,8 +92,8 @@ final class EngineConfig(spark: SparkSession) {
     * exactly one extra window offset of `-shift` composed into each
     * call ([[WindowTvf.alignToZone]]). `None` for UTC-timeline zones
     * (no alignment needed) and for DST region zones (the offset varies
-    * over the data's time range — no single grid shift represents it,
-    * so grid windows reject by name instead).
+    * over the data's time range — no single grid shift represents it;
+    * those run wall-clock grids via [[dstGridZone]] instead).
     */
   def zoneGridShiftMillis: Option[Long] =
     raw.get("table.local-time-zone")
@@ -101,9 +101,11 @@ final class EngineConfig(spark: SparkSession) {
       .flatMap(EngineConfig.fixedOffsetMillis)
 
   /** The resolved zone id when the active session zone is a DST
-    * REGION zone (shifted, variable offset): batch grid windows run
-    * wall-clock arithmetic in this zone ([[WindowTvf.rewrite]]'s
-    * localZone); `None` for UTC-timeline and fixed-offset zones
+    * REGION zone (shifted, variable offset): grid windows run
+    * wall-clock arithmetic in this zone — batch via
+    * [[WindowTvf.rewrite]]'s localZone, streaming via the
+    * pinned-window tracker path ([[WindowTvf.rewriteStreaming]]'s
+    * localZone, r14); `None` for UTC-timeline and fixed-offset zones
     * (those compose through the offset argument instead).
     */
   def dstGridZone: Option[String] =

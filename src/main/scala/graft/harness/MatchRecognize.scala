@@ -1842,7 +1842,7 @@ object MatchRecognize {
         if (lagPayload.isEmpty) lit("") else to_json(struct(lagPayload: _*))
       val prepared = src.select(
         keyExpr.as("key"),
-        scol(wmCol).cast("timestamp").as("ts"),
+        graft.streaming.Watermarks.eventTimeCol(src, wmCol, "ts"),
         sexpr(defsExpr).as("defs"),
         valsExpr.as("vals"),
         lagExpr.as("lag"))

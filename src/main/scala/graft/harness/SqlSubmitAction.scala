@@ -635,9 +635,11 @@ final class SqlSubmitAction(
       spark: SparkSession, config: EngineConfig, sql: String): String =
     if (!WindowTvf.hasWindowTvf(sql)) sql
     else if (config.isStreaming)
-      // the session + watermark resolver feed the CUMULATE stateful
-      // rewrite; the native TUMBLE/HOP/SESSION paths ignore them
-      WindowTvf.rewriteStreaming(sql, spark, watermarkOf)
+      // the session + watermark resolver feed the stateful rewrites
+      // (CUMULATE, and every grid kind under a DST region zone — those
+      // stream on the pinned-window tracker with wall-clock assignment)
+      WindowTvf.rewriteStreaming(sql, spark, watermarkOf,
+        config.dstGridZone)
     else
       // a DST region session zone switches batch grid windows onto
       // that zone's wall-clock timeline (None for UTC/fixed zones)
@@ -663,13 +665,15 @@ final class SqlSubmitAction(
     //    shifted offset get Flink's local-timeline alignment by
     //    composing `-shift` into each call's window-offset argument
     //    (WindowTvf.alignToZone) before any downstream pass parses it;
-    //  - grid windows under a DST region zone run in BATCH on the
-    //    zone's wall-clock timeline (WindowTvf.rewrite localZone —
-    //    23/25 h daily windows across transitions, r13b) and reject
-    //    by name in STREAMING (the native window() grid has a fixed
-    //    slide); legacy group windows reject under any shifted zone
-    //    (no local-alignment path — the TVF form is the supported
-    //    spelling).
+    //  - grid windows under a DST region zone run on the zone's
+    //    wall-clock timeline in BOTH modes: batch via WindowTvf.rewrite
+    //    localZone (r13b), streaming via the pinned-window
+    //    GridAggTracker (r14 — per-row wall-clock assignment, fanned
+    //    windows, watermark-gated emission); the streaming window JOIN
+    //    and window TOP-N shapes keep a named rejection (their
+    //    trackers sit on the fixed UTC grid); legacy group windows
+    //    reject under any shifted zone (no local-alignment path — the
+    //    TVF form is the supported spelling).
     val sql0 = config.zoneGridShiftMillis match {
       case Some(shift) =>
         if (WindowTvf.hasLegacyGridWindow(sql))
@@ -689,19 +693,22 @@ final class SqlSubmitAction(
             "rewrite it as a window TVF (TABLE(TUMBLE/HOP(...))) or SET " +
             "table.local-time-zone = 'UTC'")
       case None if config.isShiftedTimeline && config.isStreaming &&
-          WindowTvf.hasGridTvf(sql) =>
-        // batch DST grids run wall-clock arithmetic (rewriteWindowTvfs
-        // threads config.dstGridZone); the STREAMING rewrites sit on
-        // Spark's native window(), whose grid is a fixed slide — a
-        // variable-offset timeline has no such grid
+          WindowTvf.hasGridTvf(sql) &&
+          WindowTopN.hasStreamingShape(sql) =>
+        // streaming grid AGGREGATIONS under a DST region zone run on
+        // the pinned-window tracker with wall-clock assignment
+        // (rewriteWindowTvfs threads config.dstGridZone, r14); the
+        // window TOP-N tracker fan-out still sits on the fixed UTC
+        // grid, so ranking over a region-zone grid stays rejected by
+        // name rather than ranking the wrong windows
         throw new IllegalArgumentException(
           s"table.local-time-zone = ${config.localTimeZone.getOrElse("?")} " +
-            "resolves to a region zone with DST transitions: STREAMING " +
-            "grid windows (TUMBLE/HOP/CUMULATE) sit on a fixed native " +
-            "grid that cannot follow a variable-offset timeline — use a " +
-            "fixed-offset zone ('GMT+08:00'), SET table.local-time-zone " +
-            "= 'UTC', or run the statement in batch mode (which computes " +
-            "wall-clock windows, 23/25 h across transitions)")
+            "resolves to a region zone with DST transitions: streaming " +
+            "window TOP-N ranks on the fixed native grid and cannot " +
+            "follow a variable-offset timeline — use a fixed-offset " +
+            "zone ('GMT+08:00'), SET table.local-time-zone = 'UTC', or " +
+            "run the statement in batch mode (wall-clock windows, " +
+            "23/25 h across transitions)")
       case None => sql
     }
     // scalar/collection dialect functions (UNNEST, JSON_VALUE family)

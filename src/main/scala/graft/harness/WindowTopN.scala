@@ -326,7 +326,7 @@ object WindowTopN {
     // in the tracker's primitive double slot
     val common = Seq(
       keyExpr.as("key"),
-      col(tcol).cast("timestamp").as("ts"),
+      graft.streaming.Watermarks.eventTimeCol(src, tcol, "ts"),
       coalesce(col(metricCol).cast("double"), lit(0.0d)).as("metric"),
       payloadExpr.as("payload"),
       col(metricCol).isNull.as("nullMetric"))

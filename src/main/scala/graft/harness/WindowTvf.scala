@@ -440,7 +440,8 @@ object WindowTvf {
   def rewriteStreaming(
       rawSql: String,
       spark: org.apache.spark.sql.SparkSession = null,
-      watermarkOf: String => Option[(String, String)] = _ => None): String = {
+      watermarkOf: String => Option[(String, String)] = _ => None,
+      localZone: Option[String] = None): String = {
     if (!hasWindowTvf(rawSql)) return rawSql
     // legacy group windows (TUMBLE included: the batch scalar rewrite
     // would hide the time attribute from watermark tracking) escalate
@@ -448,8 +449,15 @@ object WindowTvf {
     val sql = legacyGroupToTvf(rawSql, tumbleToo = true)
     val tvfCount = AnyTvfRe.findAllMatchIn(sql).size
     if (tvfCount == 2 &&
-        raw"(?is)\bGROUP\s+BY\b".r.findFirstIn(sql).isEmpty)
+        raw"(?is)\bGROUP\s+BY\b".r.findFirstIn(sql).isEmpty) {
+      if (localZone.isDefined && hasGridTvf(sql))
+        throw new IllegalArgumentException(
+          s"table.local-time-zone = ${localZone.get} resolves to a region " +
+            "zone with DST transitions: the streaming window JOIN runs " +
+            "on the native fixed grid — use a fixed-offset zone, SET " +
+            "table.local-time-zone = 'UTC', or run it in batch mode")
       return rewriteStreamingWindowJoin(sql, spark, watermarkOf)
+    }
     if (tvfCount > 1)
       throw new IllegalArgumentException(
         "Streaming mode supports one window TVF per statement " +
@@ -464,7 +472,29 @@ object WindowTvf {
     if (raw"(?is)\bGROUP\s+BY\b".r.findAllMatchIn(sql).exists(g =>
         raw"(?is)\b(GROUPING\s+SETS|CUBE|ROLLUP)\s*\(".r
           .findFirstIn(scanListClause(sql, g.end)._1).isDefined))
-      return expandStreamingGroupingSets(sql, spark, watermarkOf)
+      return expandStreamingGroupingSets(sql, spark, watermarkOf, localZone)
+    // grid TVFs under a DST region zone: the wall-clock grid has a
+    // variable instant offset, which the native window() slide cannot
+    // express — window bounds are assigned per ROW (the batch
+    // rewrite's from_utc_timestamp/to_utc_timestamp arithmetic) and
+    // aggregated on the pinned-window tracker. SESSION statements
+    // fall through: gap windows are zone-invariant.
+    if (localZone.isDefined && hasGridTvf(sql))
+      return rewriteStreamingZoneGrid(sql, localZone.get, spark, watermarkOf)
+    // COUNT(DISTINCT) in a streaming TUMBLE/HOP aggregation: the
+    // native window() path compiles to a plain streaming Aggregate,
+    // where Spark rejects exact distinct (and the
+    // graft.streaming.approx-distinct rule would silently run it as an
+    // HLL approximation) — route through the pinned-window tracker
+    // instead, whose kind-9 accumulator keeps the exact per-(key,
+    // window) value set Flink's window aggregation keeps. CUMULATE
+    // falls through to its own tracker (same kind-9 support, per-step
+    // state); SESSION stays native (the gap-merge has no pinned
+    // fan-out) and so keeps the documented HLL behavior.
+    if (hasGridTvf(sql) && CumulateRe.findFirstMatchIn(sql).isEmpty &&
+        raw"(?is)\b(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*DISTINCT\b".r
+          .findFirstIn(MatchRecognize.maskQuoted(sql)).isDefined)
+      return rewriteStreamingZoneGrid(sql, "UTC", spark, watermarkOf)
     case class Win(start: Int, end: Int, table: String, expr: String,
         struct: String, partitionKeys: Seq[String] = Nil,
         endAdjustMs: Long = 0L)
@@ -603,7 +633,8 @@ object WindowTvf {
   private def expandStreamingGroupingSets(
       sql: String,
       spark: org.apache.spark.sql.SparkSession,
-      watermarkOf: String => Option[(String, String)]): String = {
+      watermarkOf: String => Option[(String, String)],
+      localZone: Option[String] = None): String = {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"streaming GROUPING SETS over a window TVF: $msg")
     val PrefixRe =
@@ -710,7 +741,8 @@ object WindowTvf {
         body.substring(fromIdx, gb.end) + " " + ks.mkString(", ") +
           (if (tail.isEmpty) "" else " " + tail.trim)
     }
-    val parts = branches.map(b => rewriteStreaming(branchSql(b), spark, watermarkOf))
+    val parts = branches.map(b =>
+      rewriteStreaming(branchSql(b), spark, watermarkOf, localZone))
     val unioned = parts.map(p => s"($p)").mkString(" UNION ALL ")
     // under an INSERT prefix the union nests once more: `INSERT INTO t
     // (SELECT ...` would parse the parenthesized first branch as a
@@ -732,28 +764,146 @@ object WindowTvf {
     * a view, post-filter downstream); group keys are bare columns plus
     * window_start/window_end; select items are group keys, window
     * accessors, or `COUNT(*|col) / SUM / MIN / MAX / AVG(numeric
-    * input) AS alias` (integral results widen to BIGINT; DISTINCT is
-    * not supported). The DESCRIPTOR column must be the source's
-    * declared event-time column.
+    * input) AS alias` (integral results widen to BIGINT) — plus exact
+    * `COUNT(DISTINCT col)` over string/integer/boolean inputs (the
+    * accumulator keeps the window's value set, Flink's exact distinct
+    * state; SUM/AVG/MIN/MAX DISTINCT stay rejected). The DESCRIPTOR
+    * column must be the source's declared event-time column.
     */
   private def rewriteStreamingCumulate(
       sql: String, m: scala.util.matching.Regex.Match,
       spark: org.apache.spark.sql.SparkSession,
       watermarkOf: String => Option[(String, String)]): String = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
       s"streaming CUMULATE: $msg")
-    if (spark == null)
-      fail("no SparkSession available for the stateful rewrite; use HOP " +
-        "or batch runtime mode")
-    val table = m.group(1)
-    val tcol = m.group(2)
     val stepMs = millis(m, 3, "STEP")
     val sizeMs = millis(m, 6, "SIZE")
     if (sizeMs % stepMs != 0)
       fail(s"size ($sizeMs ms) must be a multiple of its step ($stepMs ms)")
     val offMs = normOffset(offsetMillis(m, 9), sizeMs)
+    rewriteStreamingTrackerAgg(sql, m, spark, watermarkOf, "streaming CUMULATE",
+      (prepared, wmDelay, kinds) => {
+        implicit val evEnc =
+          org.apache.spark.sql.Encoders.product[graft.streaming.CumulateEvent]
+        graft.streaming.CumulateTracker.track(
+          prepared.as[graft.streaming.CumulateEvent], wmDelay, stepMs, sizeMs,
+          kinds, offMs).toDF
+      })
+  }
+
+  /** STREAMING TUMBLE/HOP/CUMULATE aggregation under a DST REGION
+    * `table.local-time-zone` (Flink runs these; the native `window()`
+    * slide cannot — its grid has a fixed instant offset, while a
+    * region zone's wall-clock grid shifts across transitions, so the
+    * spring-forward daily window is 23 h of instants and the
+    * fall-back one 25 h). Window assignment happens per ROW with the
+    * exact expressions the batch rewrite uses — wall-clock millis via
+    * `from_utc_timestamp`, grid floor, bounds back to instants via
+    * `to_utc_timestamp` (java.time gap/overlap resolution, Flink's
+    * TimeWindowUtil defaults) — HOP/CUMULATE rows replicated per
+    * covering window; the pinned-window
+    * [[graft.streaming.GridAggTracker]] then accumulates per (key,
+    * window) and emits once the watermark (still the original instant
+    * timeline) passes each window's instant end.
+    */
+  private def rewriteStreamingZoneGrid(
+      sql: String, zone: String,
+      spark: org.apache.spark.sql.SparkSession,
+      watermarkOf: String => Option[(String, String)]): String = {
+    import org.apache.spark.sql.functions._
+    def floor(e: String, u: Long): String = s"($e - pmod($e, ${u}L))"
+    val wall = s"unix_millis(from_utc_timestamp(ts, '$zone'))"
+    def toInstant(c: String): String =
+      s"unix_millis(to_utc_timestamp(timestamp_millis($c), '$zone'))"
+    // (match, kind label, fan-out: prepared -> +(__wsw, __wew) wall bounds)
+    val grid: (scala.util.matching.Regex.Match, String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      TumbleRe.findFirstMatchIn(sql).map { m =>
+        val dur = millis(m, 3, "SIZE")
+        val off = normOffset(offsetMillis(m, 6), dur)
+        val tOff = if (off == 0L) wall else s"($wall - ${off}L)"
+        val back = if (off == 0L) "" else s" + ${off}L"
+        (m, "TUMBLE", (p: org.apache.spark.sql.DataFrame) =>
+          p.withColumn("__wsw", expr(s"${floor(tOff, dur)}$back"))
+            .withColumn("__wew", expr(s"__wsw + ${dur}L")))
+      }.orElse(HopRe.findFirstMatchIn(sql).map { m =>
+        val slide = millis(m, 3, "SLIDE")
+        val size = millis(m, 6, "SIZE")
+        require(size % slide == 0,
+          s"HOP size ($size ms) must be a multiple of its slide ($slide ms)")
+        val off = normOffset(offsetMillis(m, 9), slide)
+        val tOff = if (off == 0L) wall else s"($wall - ${off}L)"
+        val back = if (off == 0L) "" else s" + ${off}L"
+        val lo = s"${floor(s"($tOff - ${size}L)", slide)} + ${slide}L$back"
+        val hi = s"${floor(tOff, slide)}$back"
+        (m, "HOP", (p: org.apache.spark.sql.DataFrame) =>
+          p.withColumn("__wsw",
+              explode(expr(s"sequence($lo, $hi, ${slide}L)")))
+            .withColumn("__wew", expr(s"__wsw + ${size}L")))
+      }).orElse(CumulateRe.findFirstMatchIn(sql).map { m =>
+        val step = millis(m, 3, "STEP")
+        val size = millis(m, 6, "SIZE")
+        require(size % step == 0,
+          s"CUMULATE size ($size ms) must be a multiple of its step ($step ms)")
+        val off = normOffset(offsetMillis(m, 9), size)
+        val tOff = if (off == 0L) wall else s"($wall - ${off}L)"
+        val back = if (off == 0L) "" else s" + ${off}L"
+        val lo = s"((pmod($tOff, ${size}L) div ${step}L) + 1) * ${step}L"
+        (m, "CUMULATE", (p: org.apache.spark.sql.DataFrame) =>
+          p.withColumn("__wsw", expr(s"${floor(tOff, size)}$back"))
+            .withColumn("__eo",
+              explode(expr(s"sequence($lo, ${size}L, ${step}L)")))
+            .withColumn("__wew", expr("__wsw + __eo")))
+      }).getOrElse(throw new IllegalArgumentException(
+        "Unsupported window TVF form for streaming mode under a DST " +
+          s"region zone ($zone)"))
+    val (m, kindName, fanOut) = grid
+    rewriteStreamingTrackerAgg(sql, m, spark, watermarkOf,
+      s"streaming $kindName under zone $zone",
+      (prepared, wmDelay, kinds) => {
+        implicit val evEnc =
+          org.apache.spark.sql.Encoders.product[graft.streaming.GridEvent]
+        graft.streaming.GridAggTracker.track(
+          fanOut(prepared).select(col("key"), col("ts"),
+            expr(toInstant("__wsw")).as("ws"),
+            expr(toInstant("__wew")).as("we"),
+            col("nn"), col("lv"), col("dv"), col("sv"))
+            .as[graft.streaming.GridEvent],
+          wmDelay, kinds).toDF
+      })
+  }
+
+  /** The shared compiler of a streaming single-aggregation statement
+    * onto a stateful tracker: parses/validates the spliced statement
+    * (one GROUP BY carrying window_start AND window_end, bare-column
+    * keys, COUNT/SUM/MIN/MAX/AVG plus exact COUNT(DISTINCT) select
+    * items, WHERE pre-filter,
+    * HAVING post-filter), packs the GROUP BY tuple and aggregate
+    * inputs into the JSON/slot event layout, delegates the actual
+    * windowed accumulation to `track` (CUMULATE's span/step tracker,
+    * or the pinned-window [[graft.streaming.GridAggTracker]] for
+    * zone grids), and decodes the tracker's emission back into the
+    * statement's select shape. `track(prepared, wmDelay, kinds)`
+    * receives the filtered source as (key, ts, nn, lv, dv) and must
+    * return (key, ws, we, vals) — [[graft.streaming.CumulateWindow]]'s
+    * layout.
+    */
+  private def rewriteStreamingTrackerAgg(
+      sql: String, m: scala.util.matching.Regex.Match,
+      spark: org.apache.spark.sql.SparkSession,
+      watermarkOf: String => Option[(String, String)],
+      failPrefix: String,
+      track: (org.apache.spark.sql.DataFrame, String, Seq[Int]) =>
+        org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      s"$failPrefix: $msg")
+    if (spark == null)
+      fail("no SparkSession available for the stateful rewrite; use HOP " +
+        "or batch runtime mode")
+    val table = m.group(1)
+    val tcol = m.group(2)
     val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
       s"needs a WATERMARK declaration on $table"))
     if (!tcol.equalsIgnoreCase(wmCol))
@@ -837,9 +987,14 @@ object WindowTvf {
     }
     val AggRe =
       raw"(?is)^(COUNT|SUM|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+([A-Za-z_]\w*)$$".r
+    // literal items — `NULL AS k` pads a grouping-set branch's
+    // ungrouped keys, `0/1 AS g` carries resolved GROUPING()/
+    // GROUPING_ID() flags (expandStreamingGroupingSets emits both)
+    val ConstRe = raw"(?is)^(NULL|-?\d{1,18})\s+AS\s+([A-Za-z_]\w*)$$".r
     sealed trait Item
     final case class WinItem(which: String) extends Item
     final case class KeyItem(name: String) extends Item
+    final case class ConstItem(value: String, alias: String) extends Item
     final case class AggItem(fn: String, input: String, alias: String)
         extends Item
     val items: Seq[Item] =
@@ -847,10 +1002,18 @@ object WindowTvf {
         .map(_.trim).filter(_.nonEmpty).map {
       case it if winColsSet(it.toLowerCase) => WinItem(it.toLowerCase)
       case it if kept.exists(_.equalsIgnoreCase(it)) => KeyItem(it)
+      case ConstRe(value, alias) => ConstItem(value, alias)
       case AggRe(fn, in, alias) =>
-        if (raw"(?i)\bDISTINCT\b".r.findFirstIn(in).isDefined)
-          fail("DISTINCT aggregates are not supported")
-        AggItem(fn.toUpperCase, in.trim, alias)
+        if (raw"(?i)^DISTINCT\b".r.findFirstIn(in.trim).isDefined) {
+          if (!fn.equalsIgnoreCase("COUNT"))
+            fail(s"${fn.toUpperCase}(DISTINCT ...) is not supported in " +
+              "streaming window aggregations (COUNT(DISTINCT ...) is); " +
+              "use batch runtime mode")
+          AggItem("COUNT_DISTINCT",
+            in.trim.replaceFirst(raw"(?i)^DISTINCT\s+", ""), alias)
+        } else if (raw"(?i)\bDISTINCT\b".r.findFirstIn(in).isDefined)
+          fail(s"unsupported DISTINCT placement in ${fn.toUpperCase}($in)")
+        else AggItem(fn.toUpperCase, in.trim, alias)
       case other => fail("unsupported select item (want a group key, " +
         s"window_start/window_end/window_time, or AGG(expr) AS alias): $other")
     }
@@ -862,6 +1025,21 @@ object WindowTvf {
     val plans: Seq[(AggItem, Int, DataType, String)] = aggs.map { a =>
       if (a.fn == "COUNT") {
         (a, 0, LongType, if (a.input == "*") "1" else a.input)
+      } else if (a.fn == "COUNT_DISTINCT") {
+        // exact distinct: values ride the state as strings, so only
+        // types whose string form is injective on SQL equality are
+        // admitted (the GROUP BY key rule) — a double's text or a
+        // timestamp's print could collide or lose precision
+        val dt =
+          try src.selectExpr(a.input).schema.head.dataType
+          catch { case e: Exception =>
+            fail(s"cannot resolve aggregate input ${a.input}: ${e.getMessage}")
+          }
+        if (!graft.streaming.StateFormat.jsonLossless(dt))
+          fail(s"COUNT(DISTINCT ${a.input}) over ${dt.simpleString} — " +
+            "distinct values must round-trip the string state encoding " +
+            "losslessly (string / integer / boolean)")
+        (a, 9, LongType, a.input)
       } else {
         val dt =
           try src.selectExpr(a.input).schema.head.dataType
@@ -918,19 +1096,19 @@ object WindowTvf {
     val dvArr = array(plans.map(p =>
       if (doubleKinds(p._2)) coalesce(expr(p._4).cast("double"), lit(0d))
       else lit(0d)): _*)
+    val svArr = array(plans.map(p =>
+      if (p._2 == 9) expr(p._4).cast("string")
+      else lit(null).cast("string")): _*)
     val prepared = src
       // NULL event times drop from window assignment, exactly the
       // batch rewrite's WHERE (and Flink's behavior) — a null ts would
       // otherwise NPE in the tracker
       .filter(col(wmCol).isNotNull)
       .select(
-        keyExpr.as("key"), col(wmCol).cast("timestamp").as("ts"),
-        nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"))
-    implicit val evEnc =
-      org.apache.spark.sql.Encoders.product[graft.streaming.CumulateEvent]
-    val tracked = graft.streaming.CumulateTracker.track(
-      prepared.as[graft.streaming.CumulateEvent], wmDelay, stepMs, sizeMs,
-      plans.map(_._2), offMs)
+        keyExpr.as("key"),
+        graft.streaming.Watermarks.eventTimeCol(src, wmCol, "ts"),
+        nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"), svArr.as("sv"))
+    val tracked = track(prepared, wmDelay, plans.map(_._2))
     val valsSchema = StructType(plans.zipWithIndex.map { case (p, i) =>
       StructField(s"a$i", p._3, nullable = true)
     }.toArray)
@@ -945,6 +1123,7 @@ object WindowTvf {
       case KeyItem(name) =>
         from_json(col("key"), keyStruct)
           .getField(src.schema(colIdx(name)).name).as(name)
+      case ConstItem(value, alias) => expr(value).as(alias)
       case a: AggItem =>
         ai += 1
         // allowNonNumericNumbers: a double aggregate can legitimately

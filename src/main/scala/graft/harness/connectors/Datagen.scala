@@ -102,13 +102,27 @@ object Datagen {
     project(spark.range(rowBound(table, defaultRows))
       .withColumnRenamed("id", "__seq_id"), table)
 
-  /** Unbounded streaming flavor on the `rate` source. */
+  /** Streaming flavor on the `rate` source. Unbounded unless a
+    * sequence field declares an `end`: Flink's sequence generator
+    * TERMINATES at `end`, so the tightest sequence bound filters the
+    * rate ticks — emission stops after `end - start + 1` rows (the
+    * query itself stays live; `--duration-sec` bounds the run), where
+    * an unfiltered rate source would keep counting past the declared
+    * range forever.
+    */
   def stream(spark: SparkSession, table: TableDef): DataFrame = {
     val rps = table.options.get("rows-per-second").map(_.toLong).getOrElse(10000L)
     val base = spark.readStream.format("rate")
       .option("rowsPerSecond", rps)
       .load()
       .withColumnRenamed("value", "__seq_id")
-    project(base, table)
+    val seqBound = table.columns.flatMap { c =>
+      val o = fieldOptions(table, c.name)
+      if (o.get("kind").contains("sequence"))
+        for (e <- o.get("end").map(_.toLong))
+          yield e - o.get("start").map(_.toLong).getOrElse(0L) + 1L
+      else None
+    }.minOption
+    project(seqBound.fold(base)(n => base.where(col("__seq_id") < n)), table)
   }
 }

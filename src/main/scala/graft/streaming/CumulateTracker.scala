@@ -9,15 +9,20 @@ import scala.collection.mutable.ArrayBuffer
   * key (the harness packs GROUP BY columns as JSON), the event time,
   * and per-aggregate input values — `nn(i)` is the i-th aggregate
   * input's non-null flag, with its value cast to both long (`lv`) and
-  * double (`dv`) so integral aggregates stay exact.
+  * double (`dv`) so integral aggregates stay exact; `sv(i)` carries
+  * the string-encoded value for COUNT(DISTINCT) slots (null for other
+  * kinds — only kind 9 reads it).
   */
 final case class CumulateEvent(key: String, ts: Timestamp,
-    nn: List[Boolean], lv: List[Long], dv: List[Double])
+    nn: List[Boolean], lv: List[Long], dv: List[Double], sv: List[String])
 
 /** One per-(span, step, aggregate) accumulator: non-null count, exact
-  * long sum, double sum, and typed min/max. */
+  * long sum, double sum, typed min/max, and — for COUNT(DISTINCT)
+  * slots only — the exact distinct-value set (string-encoded, sorted
+  * for deterministic state; empty for every other kind). */
 final case class CumAcc(span: Long, step: Int, agg: Int, cnt: Long,
-    sumL: Long, sumD: Double, mnL: Long, mxL: Long, mnD: Double, mxD: Double)
+    sumL: Long, sumD: Double, mnL: Long, mxL: Long, mnD: Double, mxD: Double,
+    ds: List[String] = Nil)
 
 /** Per-key state: accumulators plus, per span, how many growing windows
   * have already been emitted. */
@@ -46,13 +51,24 @@ final case class CumulateWindow(key: String, ws: Long, we: Long,
   * feeds a literal), 1 = SUM exact over longs, 2 = SUM over doubles,
   * 3 = MIN long, 4 = MIN double, 5 = MAX long, 6 = MAX double,
   * 7 = AVG over doubles, 8 = AVG over longs (exact long sum divided
-  * once). A window whose inputs were all null
+  * once), 9 = COUNT(DISTINCT) exact — the accumulator keeps the
+  * window's distinct-value set (string-encoded), sized by the key's
+  * distinct values per window exactly as Flink's exact distinct state
+  * is. A window whose inputs were all null
   * (or an empty leading window) emits SQL NULL for SUM/MIN/MAX/AVG and
   * 0 for COUNT — matching batch aggregation semantics. Windows with
   * zero rows so far emit nothing at all (the batch rewrite only
   * produces windows that contain a row).
   */
 object CumulateTracker {
+
+  /** JSON number text for a double aggregate value — integral-valued
+    * doubles render `N.0` so the decoded type is unambiguous; shared
+    * with [[GridAggTracker]].
+    */
+  private[streaming] def fmtD(v: Double): String =
+    if (v == Math.rint(v) && math.abs(v) < 1e15) v.toLong.toString + ".0"
+    else java.lang.Double.toString(v)
 
   /** Spark SQL's double ordering (`nanSafeCompareDoubles`): NaN equals
     * NaN and sorts above every other value (including +Infinity), and
@@ -68,9 +84,9 @@ object CumulateTracker {
     else if (x > y) 1
     else -1
   }
-  private def nanMin(x: Double, y: Double): Double =
+  private[streaming] def nanMin(x: Double, y: Double): Double =
     if (nanSafeCompare(x, y) <= 0) x else y
-  private def nanMax(x: Double, y: Double): Double =
+  private[streaming] def nanMax(x: Double, y: Double): Double =
     if (nanSafeCompare(x, y) >= 0) x else y
 
   def track(
@@ -87,8 +103,7 @@ object CumulateTracker {
     implicit val stateEnc = Encoders.product[CumulateState]
     implicit val keyEnc = Encoders.STRING
     val kinds = aggKinds.toArray
-    input
-      .withWatermark("ts", watermarkDelay)
+    Watermarks.ensure(input, "ts", watermarkDelay)
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
@@ -110,6 +125,13 @@ object CumulateTracker {
     // (span, step, agg) -> accumulator
     val accs = scala.collection.mutable.HashMap.empty[(Long, Int, Int), CumAcc]
     prev.accs.foreach(a => accs((a.span, a.step, a.agg)) = a)
+    // COUNT(DISTINCT) slots keep their set in a mutable side map for
+    // O(1) inserts (the immutable CumAcc.ds list is the state carrier)
+    val dsets = scala.collection.mutable.HashMap
+      .empty[(Long, Int, Int), scala.collection.mutable.HashSet[String]]
+    prev.accs.foreach(a => if (a.ds.nonEmpty)
+      dsets((a.span, a.step, a.agg)) =
+        scala.collection.mutable.HashSet.from(a.ds))
     val emitted = scala.collection.mutable.HashMap.empty[Long, Int]
     prev.emitted.foreach { case (s, k) => emitted(s) = k }
 
@@ -125,7 +147,11 @@ object CumulateTracker {
         val a = accs.getOrElse(k,
           CumAcc(span, step, i, 0L, 0L, 0d, Long.MaxValue, Long.MinValue,
             Double.MaxValue, Double.MinValue))
-        if (e.nn(i)) {
+        if (e.nn(i) && kinds(i) == 9) {
+          dsets.getOrElseUpdate(k,
+            scala.collection.mutable.HashSet.empty[String]) += e.sv(i)
+          accs(k) = a.copy(cnt = a.cnt + 1L)
+        } else if (e.nn(i)) {
           // the mn/mx fields of a cnt=0 accumulator are unset sentinels
           // that must never meet real data: the first non-null value
           // seeds them outright (a Long.MaxValue input or a NaN/Infinity
@@ -149,10 +175,6 @@ object CumulateTracker {
       try (state.getCurrentWatermarkMs(), false)
       catch { case _: UnsupportedOperationException => (Long.MaxValue, true) }
 
-    def fmtD(v: Double): String =
-      if (v == Math.rint(v) && math.abs(v) < 1e15) v.toLong.toString + ".0"
-      else java.lang.Double.toString(v)
-
     val out = ArrayBuffer.empty[CumulateWindow]
     val doneSpans = ArrayBuffer.empty[Long]
     emitted.keys.toSeq.sorted.foreach { span =>
@@ -164,6 +186,9 @@ object CumulateTracker {
       val merged = Array.tabulate(kinds.length)(i =>
         CumAcc(span, 0, i, 0L, 0L, 0d, Long.MaxValue, Long.MinValue,
           Double.MaxValue, Double.MinValue))
+      // cumulative distinct sets for kind-9 slots (union across steps)
+      val mergedDs = Array.fill(kinds.length)(
+        scala.collection.mutable.HashSet.empty[String])
       // any-row presence for window existence: COUNT semantics per agg
       // count only non-null inputs, but a step with ANY accumulator
       // entry had >= 1 row (null-input rows create cnt=0 entries)
@@ -174,6 +199,7 @@ object CumulateTracker {
         while (i < kinds.length) {
           accs.get((span, s, i)).foreach { a =>
             sawStep = true
+            dsets.get((span, s, i)).foreach(mergedDs(i) ++= _)
             // cnt=0 accumulators carry unset mn/mx sentinels — merge
             // counts/sums (zeros) but never let sentinels meet data;
             // doubles merge with Spark's NaN-safe ordering
@@ -215,6 +241,7 @@ object CumulateTracker {
                 case 6 => if (a.cnt == 0) None else Some(fmtD(a.mxD))
                 case 7 => if (a.cnt == 0) None
                   else Some(fmtD(a.sumD / a.cnt))
+                case 9 => Some(mergedDs(i).size.toString)
                 case _ => if (a.cnt == 0) None
                   else Some(fmtD(a.sumL.toDouble / a.cnt))
               }
@@ -232,14 +259,20 @@ object CumulateTracker {
     doneSpans.foreach { span =>
       emitted.remove(span)
       (0 until nSteps).foreach(s =>
-        kinds.indices.foreach(i => accs.remove((span, s, i))))
+        kinds.indices.foreach { i =>
+          accs.remove((span, s, i))
+          dsets.remove((span, s, i)): Unit
+        })
     }
 
     if (!isFinal) {
       if (accs.isEmpty && emitted.isEmpty) state.remove()
       else {
-        state.update(CumulateState(accs.values.toList.sortBy(a =>
-          (a.span, a.step, a.agg)),
+        state.update(CumulateState(accs.values.toList.map(a =>
+          dsets.get((a.span, a.step, a.agg)) match {
+            case Some(ds) => a.copy(ds = ds.toList.sorted)
+            case None => a
+          }).sortBy(a => (a.span, a.step, a.agg)),
           emitted.toList.sortBy(_._1)))
         // wake at the earliest unemitted window end
         val nextEnd = emitted.map { case (span, k) =>

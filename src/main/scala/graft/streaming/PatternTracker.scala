@@ -277,8 +277,7 @@ object PatternTracker {
     // conversion
     val branchArr = branches.map(_.map(compileNode).toArray).toArray
     val measureArr = measures.toArray
-    input
-      .withWatermark("ts", watermarkDelay)
+    Watermarks.ensure(input, "ts", watermarkDelay)
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

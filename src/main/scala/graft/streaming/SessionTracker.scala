@@ -34,8 +34,7 @@ object SessionTracker {
     implicit val closedEnc = Encoders.product[ClosedSession]
     implicit val openEnc = Encoders.product[OpenSession]
     implicit val longEnc = Encoders.scalaLong
-    events
-      .withWatermark("ts", watermarkDelay)
+    Watermarks.ensure(events, "ts", watermarkDelay)
       .groupByKey(_.userId)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

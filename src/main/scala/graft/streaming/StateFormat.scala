@@ -38,8 +38,11 @@ object StateFormat {
     */
   val PatternTrackerVersion = 3
 
-  /** Bump when [[CumulateState]]/[[CumulateEvent]] change shape. */
-  val CumulateTrackerVersion = 1
+  /** Bump when [[CumulateState]]/[[CumulateEvent]] change shape.
+    * v1 = (nn, lv, dv) slots; v2 = + sv slot and CumAcc.ds distinct
+    * set (COUNT(DISTINCT) support, round 14).
+    */
+  val CumulateTrackerVersion = 2
 
   /** Bump when [[TopNState]]/[[RankEntry]] change shape.
     * v1 = per-key (ws, entries) windows (round 12);
@@ -59,13 +62,20 @@ object StateFormat {
     */
   val UnboundedTopNVersion = 2
 
+  /** Bump when [[GridAggState]]/[[GridEvent]] change shape (the
+    * pinned-window aggregation tracker behind DST-region zone grids,
+    * round 14).
+    */
+  val GridAggTrackerVersion = 1
+
   private val FileName = "graft-state-format.json"
 
   private def stampJson: String =
     s"""{"patternTracker": $PatternTrackerVersion, """ +
       s""""cumulateTracker": $CumulateTrackerVersion, """ +
       s""""topNTracker": $TopNTrackerVersion, """ +
-      s""""unboundedTopN": $UnboundedTopNVersion}"""
+      s""""unboundedTopN": $UnboundedTopNVersion, """ +
+      s""""gridAggTracker": $GridAggTrackerVersion}"""
 
   /** Verifies (or creates) the format stamp for checkpoint directory
     * `dir`. Three cases:
@@ -89,9 +99,9 @@ object StateFormat {
       s"incompatible streaming state at $dir ($found; this build writes " +
         s"patternTracker v$PatternTrackerVersion, cumulateTracker " +
         s"v$CumulateTrackerVersion, topNTracker v$TopNTrackerVersion, " +
-        s"unboundedTopN v$UnboundedTopNVersion): the state-store " +
-        "schema changed — restart the query from a fresh checkpoint " +
-        "directory")
+        s"unboundedTopN v$UnboundedTopNVersion, gridAggTracker " +
+        s"v$GridAggTrackerVersion): the state-store schema changed — " +
+        "restart the query from a fresh checkpoint directory")
     if (fs.exists(stamp)) {
       // any read failure (corrupt file, checksum mismatch from an
       // out-of-band edit) is still an unverifiable format — name it
@@ -109,10 +119,12 @@ object StateFormat {
           .map(_.group(1).toInt).getOrElse(0)
       val (pv, cv) = (ver("patternTracker"), ver("cumulateTracker"))
       val (tv, uv) = (ver("topNTracker"), ver("unboundedTopN"))
+      val gv = ver("gridAggTracker")
       if (pv != PatternTrackerVersion || cv != CumulateTrackerVersion ||
-          tv != TopNTrackerVersion || uv != UnboundedTopNVersion)
+          tv != TopNTrackerVersion || uv != UnboundedTopNVersion ||
+          gv != GridAggTrackerVersion)
         fail(s"stamped patternTracker v$pv, cumulateTracker v$cv, " +
-          s"topNTracker v$tv, unboundedTopN v$uv")
+          s"topNTracker v$tv, unboundedTopN v$uv, gridAggTracker v$gv")
     } else if (fs.exists(path) && fs.listStatus(path).nonEmpty) {
       // checkpoint data from a build that predates the stamp: every
       // such build used an older state schema

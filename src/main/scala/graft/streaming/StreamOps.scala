@@ -29,7 +29,7 @@ object StreamOps {
       windowDuration: String,
       keys: Seq[Column],
       aggs: Seq[Column]): DataFrame =
-    df.withWatermark(eventTime, delay)
+    Watermarks.ensure(df, eventTime, delay)
       .groupBy(keys :+ window(col(eventTime), windowDuration): _*)
       .agg(aggs.head, aggs.tail: _*)
 
@@ -49,7 +49,7 @@ object StreamOps {
       keys: Seq[String],
       distinctCol: String,
       windowDuration: String = "1 minute"): DataFrame =
-    df.withWatermark(eventTime, delay)
+    Watermarks.ensure(df, eventTime, delay)
       // one state row per (keys, window, distinct value); the window
       // column carries event time, so state expires with the watermark
       .withColumn("window", window(col(eventTime), windowDuration))
@@ -69,7 +69,7 @@ object StreamOps {
       distinctCol: String,
       rsd: Double = 0.05,
       windowDuration: String = "1 minute"): DataFrame =
-    df.withWatermark(eventTime, delay)
+    Watermarks.ensure(df, eventTime, delay)
       .groupBy(keys :+ window(col(eventTime), windowDuration): _*)
       .agg(approx_count_distinct(distinctCol, rsd).as("approx_distinct_count"))
 
@@ -81,7 +81,7 @@ object StreamOps {
       eventTime: String,
       delay: String,
       keyCols: Seq[String]): DataFrame =
-    df.withWatermark(eventTime, delay)
+    Watermarks.ensure(df, eventTime, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming incremental dedup: drop incoming docs whose fingerprint
@@ -182,7 +182,7 @@ object StreamOps {
       bands: Int, rowsPerBand: Int, minAgree: Int): DataFrame = {
     val agree = s"aggregate(zip_with($sigCol, corpus_sig, " +
       "(x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)"
-    incoming.withWatermark(eventTime, delay)
+    Watermarks.ensure(incoming, eventTime, delay)
       .select(col(idCol), col(sigCol), col(eventTime),
         explode(expr(bandKeysExpr(sigCol, bands, rowsPerBand))).as("band_key"))
       .join(bandIndex, "band_key")
@@ -211,9 +211,9 @@ object StreamOps {
       leftKey: String,
       rightKey: String,
       windowBeforeSec: Long): DataFrame =
-    left.withWatermark(leftTime, leftDelay)
+    Watermarks.ensure(left, leftTime, leftDelay)
       .join(
-        right.withWatermark(rightTime, rightDelay),
+        Watermarks.ensure(right, rightTime, rightDelay),
         col(leftKey) === col(rightKey) &&
           col(rightTime) >= col(leftTime) -
             expr(s"INTERVAL $windowBeforeSec SECONDS") &&
@@ -242,10 +242,10 @@ object StreamOps {
       leftKey: String,
       rightKey: String,
       windowDuration: String): DataFrame = {
-    val l = left.withWatermark(leftTime, leftDelay)
+    val l = Watermarks.ensure(left, leftTime, leftDelay)
       .withColumn("window", window(col(leftTime), windowDuration))
       .drop(leftTime)
-    val r = right.withWatermark(rightTime, rightDelay)
+    val r = Watermarks.ensure(right, rightTime, rightDelay)
       .withColumn("r_window", window(col(rightTime), windowDuration))
       .drop(rightTime)
     l.join(r, col(leftKey) === col(rightKey) && col("window") === col("r_window"))
@@ -299,7 +299,7 @@ object StreamOps {
     val best = s"array_max(transform($centSql, " +
       "c -> struct(cast(floor(graft_dot(__qnv, c.cv) * 1000000.0 + 0.5) as long) as d, " +
       "-c.cid as negcid, c.cid as cid))).cid"
-    queries.withWatermark(eventTime, delay)
+    Watermarks.ensure(queries, eventTime, delay)
       .select(col(idCol).as("qid"), col(eventTime).as("__qt"),
         expr(s"graft_l2_normalize($vecCol)").as("__qnv"))
       .withColumn("cid", expr(best))
@@ -330,7 +330,7 @@ object StreamOps {
       gap: String,
       keys: Seq[Column],
       aggs: Seq[Column]): DataFrame =
-    df.withWatermark(eventTime, delay)
+    Watermarks.ensure(df, eventTime, delay)
       .groupBy(keys :+ session_window(col(eventTime), gap): _*)
       .agg(aggs.head, aggs.tail: _*)
 }

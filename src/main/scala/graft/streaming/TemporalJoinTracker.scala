@@ -61,8 +61,7 @@ object TemporalJoinTracker {
     implicit val matchEnc = Encoders.product[TemporalMatch]
     implicit val stateEnc = Encoders.product[TemporalJoinState]
     implicit val longEnc = Encoders.scalaLong
-    input
-      .withWatermark("ts", watermarkDelay)
+    Watermarks.ensure(input, "ts", watermarkDelay)
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

@@ -91,8 +91,7 @@ object TopNTracker {
     implicit val outEnc = Encoders.product[TopNRow]
     implicit val stateEnc = Encoders.product[TopNState]
     implicit val keyEnc = Encoders.STRING
-    input
-      .withWatermark("ts", watermarkDelay)
+    Watermarks.ensure(input, "ts", watermarkDelay)
       .groupByKey(_.key)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(

@@ -144,8 +144,10 @@ class EngineConfigSpec extends AnyFunSuite {
           |GROUP BY window_start;
           |""".stripMargin)
       new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run()
-      // a STREAMING grid under a DST zone rejects by name (the native
-      // window() slide is fixed; a variable offset has no such grid)
+      // a STREAMING grid under a DST zone routes to the wall-clock
+      // tracker path (r14) — no DST rejection; the contract it trips
+      // here is the tracker's own watermark requirement, proving the
+      // statement reached the zone-grid compile
       java.nio.file.Files.writeString(script,
         """SET execution.runtime-mode = streaming;
           |SET table.local-time-zone = Asia/Shanghai;
@@ -158,7 +160,9 @@ class EngineConfigSpec extends AnyFunSuite {
       val msgs = Iterator.iterate(e: Throwable)(_.getCause)
         .takeWhile(_ != null).take(8)
         .flatMap(t => Option(t.getMessage)).mkString("\n")
-      assert(msgs.contains("DST transitions"), msgs)
+      assert(msgs.contains("streaming TUMBLE under zone Asia/Shanghai"), msgs)
+      assert(msgs.contains("WATERMARK"), msgs)
+      assert(!msgs.contains("DST transitions"), msgs)
       // the same streaming statement with the zone reverted runs... in
       // batch form here (the batch runtime path) — zone reset works
       java.nio.file.Files.writeString(script,

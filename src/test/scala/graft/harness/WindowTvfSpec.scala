@@ -234,6 +234,38 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming TUMBLE/HOP COUNT(DISTINCT) is exact via the pinned tracker") {
+    // the native window() path would run distinct as an HLL
+    // approximation; these must route through GridAggTracker and match
+    // batch bit-for-bit
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 150).map { i =>
+      (s"k${i % 2}", new java.sql.Timestamp(rnd.nextInt(900) * 1000L),
+        s"u${rnd.nextInt(9)}")
+    }
+    rows.toDF("k", "ts", "u").createOrReplaceTempView("tvf_dist_in")
+    for (tvf <- Seq(
+        "TUMBLE(TABLE tvf_dist_in, DESCRIPTOR(ts), INTERVAL '5' MINUTE)",
+        "HOP(TABLE tvf_dist_in, DESCRIPTOR(ts), INTERVAL '1' MINUTE, " +
+          "INTERVAL '5' MINUTE)")) {
+      val stmt = s"SELECT k, window_start, window_end, " +
+        s"COUNT(DISTINCT u) AS du, COUNT(*) AS n FROM TABLE($tvf) " +
+        "GROUP BY k, window_start, window_end"
+      val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq).toSet
+      val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+        _ => Some(("ts", "5 seconds")))
+      try {
+        val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+        assert(streamed === batch, tvf)
+        // dedup is actually exercised (some window saw repeat values)
+        assert(batch.exists(r =>
+          r(3).asInstanceOf[Long] < r(4).asInstanceOf[Long]), tvf)
+      } finally MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
   test("soak: window-join state is bounded by open windows, not key history") {
     // 50k keys pair once in an early window; after the watermark
     // passes it, the join must hold only the flush keys' state —

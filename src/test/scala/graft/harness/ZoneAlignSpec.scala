@@ -9,10 +9,56 @@ import org.scalatest.funsuite.AnyFunSuite
   * `-shift` into every TUMBLE/HOP/CUMULATE offset argument
   * ([[WindowTvf.alignToZone]]); grid-free forms (SESSION,
   * MATCH_RECOGNIZE, temporal joins) run unchanged under any zone; DST
-  * region zones reject grid windows by name.
+  * region zones run wall-clock grids in BOTH modes — batch via
+  * `WindowTvf.rewrite` localZone, streaming via the pinned-window
+  * [[graft.streaming.GridAggTracker]] (r14) — with the window JOIN
+  * and TOP-N streaming shapes keeping a named rejection.
   */
 class ZoneAlignSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
+
+  /** Streaming-vs-batch equivalence of a zone-grid aggregation:
+    * runs `sql` through the region-zone streaming rewrite over a
+    * MemoryStream fed `rows`, closes windows with a late `advance`
+    * row, and compares the emitted set against the batch wall-clock
+    * rewrite over the same rows.
+    */
+  private def streamingMatchesBatch(
+      zone: String, sqlOf: String => String,
+      rows: Seq[(Long, Long)], advanceMs: Long): Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long)]
+    val sname = s"za_s_${System.nanoTime()}"
+    input.toDF().toDF("ts", "v").createOrReplaceTempView(sname)
+    val rewritten = WindowTvf.rewriteStreaming(sqlOf(sname), spark,
+      t => if (t.equalsIgnoreCase(sname)) Some(("ts", "5 seconds")) else None,
+      Some(zone))
+    val qn = s"za_out_${System.nanoTime()}"
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName(qn).outputMode("append").start()
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      df.select(
+        org.apache.spark.sql.functions.unix_millis($"window_start"),
+        org.apache.spark.sql.functions.unix_millis($"window_end"),
+        $"n", $"s")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    try {
+      input.addData(rows.map { case (ms, v) =>
+        (new java.sql.Timestamp(ms), v) }: _*)
+      q.processAllAvailable()
+      input.addData((new java.sql.Timestamp(advanceMs), 0L))
+      q.processAllAvailable()
+      val got = canon(spark.table(qn))
+      val bname = s"za_b_${System.nanoTime()}"
+      rows.map { case (ms, v) => (new java.sql.Timestamp(ms), v) }
+        .toDF("ts", "v").createOrReplaceTempView(bname)
+      val exp = canon(spark.sql(WindowTvf.rewrite(sqlOf(bname), Some(zone))))
+      assert(got === exp, s"zone $zone\nstreaming: $got\nbatch: $exp")
+      got
+    } finally q.stop()
+  }
 
   test("fixedOffsetMillis resolves fixed zones and refuses DST regions") {
     assert(EngineConfig.fixedOffsetMillis("GMT+08:00") === Some(28800000L))
@@ -168,6 +214,157 @@ class ZoneAlignSpec extends AnyFunSuite {
         assert((((ws - eff) % size) + size) % size == 0L,
           s"start $ws off the grid (size $size eff $eff)")
       }
+    }
+  }
+
+  test("streaming TUMBLE under a DST region zone matches the batch wall-clock grid") {
+    // spring-forward 2024-03-10 in America/New_York: the local day is
+    // 23 hours (02:00→03:00 gap). Rows straddle local midnight and sit
+    // at both edges of the transition day.
+    val rows = Seq(
+      (1710046740000L, 1L), // 2024-03-10T04:59Z = 03-09 23:59 EST
+      (1710046860000L, 2L), // 2024-03-10T05:01Z = 03-10 00:01 EST
+      (1710129540000L, 4L)) // 2024-03-11T03:59Z = 03-10 23:59 EDT
+    val got = streamingMatchesBatch("America/New_York",
+      src => s"SELECT window_start, window_end, COUNT(*) AS n, " +
+        s"SUM(v) AS s FROM TABLE(TUMBLE(TABLE $src, DESCRIPTOR(ts), " +
+        s"INTERVAL '1' DAY)) GROUP BY window_start, window_end",
+      rows, advanceMs = 1710500000000L)
+    // the two closed local days as instants: 03-09 = [05:00Z, 05:00Z+24h),
+    // 03-10 = [05:00Z, 04:00Z+1d) — 23 hours across the transition
+    assert(got === Set(
+      (1709960400000L, 1710046800000L, 1L, 1L),
+      (1710046800000L, 1710129600000L, 2L, 6L)))
+    assert(got.exists(w => w._2 - w._1 == 82800000L))
+  }
+
+  test("streaming HOP and CUMULATE under a DST region zone match batch") {
+    // fall-back 2024-11-03 in America/New_York (25-hour local day):
+    // rows on both sides of the repeated 01:00-02:00 local hour
+    val rows = Seq(
+      (1730610000000L, 1L), // 2024-11-03T05:00Z = 01:00 EDT (1st pass)
+      (1730613600000L, 2L), // 2024-11-03T06:00Z = 01:00 EST (2nd pass)
+      (1730656800000L, 4L)) // 2024-11-03T18:00Z = 13:00 EST
+    streamingMatchesBatch("America/New_York",
+      src => s"SELECT window_start, window_end, COUNT(*) AS n, " +
+        s"SUM(v) AS s FROM TABLE(HOP(TABLE $src, DESCRIPTOR(ts), " +
+        s"INTERVAL '12' HOUR, INTERVAL '1' DAY)) " +
+        s"GROUP BY window_start, window_end",
+      rows, advanceMs = 1731000000000L)
+    streamingMatchesBatch("America/New_York",
+      src => s"SELECT window_start, window_end, COUNT(*) AS n, " +
+        s"SUM(v) AS s FROM TABLE(CUMULATE(TABLE $src, DESCRIPTOR(ts), " +
+        s"INTERVAL '12' HOUR, INTERVAL '1' DAY)) " +
+        s"GROUP BY window_start, window_end",
+      rows, advanceMs = 1731000000000L)
+  }
+
+  test("streaming GROUPING SETS and window join under a region zone") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // GROUPING SETS thread the zone through per-set expansion — each
+    // branch streams on the wall-clock tracker
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    input.toDF().toDF("ts", "k", "v").createOrReplaceTempView("za_gs_src")
+    val wm: String => Option[(String, String)] =
+      t => if (t.equalsIgnoreCase("za_gs_src")) Some(("ts", "5 seconds"))
+      else None
+    val rewritten = WindowTvf.rewriteStreaming(
+      "SELECT window_start, window_end, k, COUNT(*) AS n FROM " +
+        "TABLE(TUMBLE(TABLE za_gs_src, DESCRIPTOR(ts), INTERVAL '1' DAY)) " +
+        "GROUP BY GROUPING SETS ((window_start, window_end, k), " +
+        "(window_start, window_end))",
+      spark, wm, Some("America/New_York"))
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("za_gs_out").outputMode("append").start()
+    try {
+      input.addData(
+        (new java.sql.Timestamp(1710046740000L), "a", 1L),
+        (new java.sql.Timestamp(1710046860000L), "b", 2L))
+      q.processAllAvailable()
+      input.addData((new java.sql.Timestamp(1710500000000L), "z", 0L))
+      q.processAllAvailable()
+      val got = spark.table("za_gs_out")
+        .select(org.apache.spark.sql.functions.unix_millis($"window_start"),
+          $"k", $"n")
+        .as[(Long, Option[String], Long)].collect().toSet
+      // per-key sets for both local days plus the key-rollup rows
+      assert(got === Set(
+        (1709960400000L, Some("a"), 1L), (1710046800000L, Some("b"), 1L),
+        (1709960400000L, None, 1L), (1710046800000L, None, 1L)))
+    } finally q.stop()
+    // the streaming window JOIN keeps a named rejection under a
+    // region zone (its tracker sits on the fixed UTC grid)
+    val eJoin = intercept[IllegalArgumentException](
+      WindowTvf.rewriteStreaming(
+        "SELECT a.k FROM TABLE(TUMBLE(TABLE l, DESCRIPTOR(ts), " +
+          "INTERVAL '1' DAY)) a JOIN TABLE(TUMBLE(TABLE r, " +
+          "DESCRIPTOR(ts), INTERVAL '1' DAY)) b " +
+          "ON a.window_start = b.window_start",
+        spark, wm, Some("America/New_York")))
+    assert(eJoin.getMessage.contains("window JOIN"), eJoin.getMessage)
+  }
+
+  test("e2e: streaming TUMBLE under a DST region zone through the CLI") {
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    val dir = Files.createTempDirectory("graft-za-stream")
+    val script = Files.createTempFile("graft-za3", ".sql")
+    try {
+      // 100 sequential hourly rows starting 2024-03-09 12:00 New York
+      // wall time — they cross the 2024-03-10 spring-forward, so the
+      // closed local-day windows must include one 23-hour window
+      Files.writeString(script,
+        s"""SET execution.runtime-mode = streaming;
+           |SET table.local-time-zone = America/New_York;
+           |SET execution.checkpointing.enabled = true;
+           |SET state.checkpoints.dir = file://${dir.toString}/cp;
+           |create table src (
+           |  id bigint,
+           |  row_time as timestamp '2024-03-09 12:00:00' +
+           |    make_interval(0, 0, 0, 0, cast(id as int), 0, 0),
+           |  watermark for row_time as row_time - interval '1' second
+           |) with (
+           |  'connector' = 'datagen',
+           |  'rows-per-second' = '100',
+           |  'fields.id.kind' = 'sequence',
+           |  'fields.id.start' = '0',
+           |  'fields.id.end' = '99'
+           |);
+           |create table snk (
+           |  window_start timestamp, window_end timestamp, n bigint
+           |) with (
+           |  'connector' = 'filesystem',
+           |  'path' = 'file://${dir.toString}/out',
+           |  'format' = 'parquet'
+           |);
+           |insert into snk
+           |SELECT window_start, window_end, COUNT(*) AS n
+           |FROM TABLE(TUMBLE(TABLE src, DESCRIPTOR(row_time),
+           |  INTERVAL '1' DAY))
+           |GROUP BY window_start, window_end;
+           |""".stripMargin)
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark),
+        durationSec = 30L).run()
+      import spark.implicits._
+      val got = spark.read.parquet(s"$dir/out")
+        .select(
+          org.apache.spark.sql.functions.unix_millis($"window_start"),
+          org.apache.spark.sql.functions.unix_millis($"window_end"), $"n")
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      // watermark reaches 03-13 14:59:59 NY: the four local days
+      // 03-09..03-12 close (03-13 stays pending behind the watermark)
+      assert(got.size >= 4, got.mkString(","))
+      // the transition day 2024-03-10 spans 23 hours of instants
+      // [05:00Z, 04:00Z+1d) and holds 23 hourly rows
+      assert(got.contains((1710046800000L, 1710129600000L, 23L)),
+        got.mkString(","))
+      // its neighbors are full 24-hour windows
+      assert(got.forall(w => w._2 - w._1 == 86400000L ||
+        (w._1, w._2) == (1710046800000L, 1710129600000L)), got.mkString(","))
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", before)
+      Files.deleteIfExists(script): Unit
     }
   }
 

@@ -403,12 +403,14 @@ class CumulateSpec extends AnyFunSuite {
         WindowTvf.rewriteStreaming(stmt, spark, _ => Some(("ts", "5 seconds"))))
       assert(e.getMessage.contains(needle), s"message: ${e.getMessage}")
     }
+    // COUNT(DISTINCT) is supported since r14; the other distinct
+    // aggregates and non-lossless distinct inputs reject by name
     rejects(
-      """SELECT k, window_start, window_end, COUNT(DISTINCT v) AS n
+      """SELECT k, window_start, window_end, SUM(DISTINCT v) AS n
         |FROM TABLE(CUMULATE(TABLE cum_rej, DESCRIPTOR(ts),
         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
         |GROUP BY k, window_start, window_end""".stripMargin,
-      "DISTINCT")
+      "SUM(DISTINCT ...)")
     // WHERE on source columns is supported since r13b (pre-filters the
     // tracker input); a JOIN in the between-region still rejects
     rejects(
@@ -448,5 +450,69 @@ class CumulateSpec extends AnyFunSuite {
         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
         |GROUP BY dk, window_start, window_end""".stripMargin,
       "round-trip")
+    // distinct over a double: the string carrier is not injective on
+    // SQL equality, so it rejects like a non-lossless GROUP BY key
+    rejects(
+      """SELECT k, window_start, window_end, COUNT(DISTINCT dk) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_rej_dk, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin,
+      "losslessly")
+  }
+
+  test("COUNT(DISTINCT) matches the batch TVF exactly") {
+    // duplicate values within and across steps, a null stripe, 3 keys
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 200).map { i =>
+      (s"k${i % 3}", ts(rnd.nextInt(900).toLong),
+        if (i % 7 == 0) null else s"u${rnd.nextInt(12)}")
+    }
+    rows.toDF("k", "ts", "u").createOrReplaceTempView("cum_dist_in")
+    val stmt =
+      """SELECT k, window_start, window_end, COUNT(DISTINCT u) AS du,
+        |  COUNT(u) AS cu
+        |FROM TABLE(CUMULATE(TABLE cum_dist_in, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq).toSet
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // the data must actually exercise dedup: some window saw a repeat
+      assert(batch.exists(r =>
+        r(3).asInstanceOf[Long] < r(4).asInstanceOf[Long]))
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+  }
+
+  test("COUNT(DISTINCT) unions values across steps incrementally") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String)]
+    input.toDF().toDF("k", "ts", "u").createOrReplaceTempView("cum_dist_inc")
+    val stmt =
+      """SELECT k, window_start, window_end, COUNT(DISTINCT u) AS du
+        |FROM TABLE(CUMULATE(TABLE cum_dist_inc, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '3' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    val q = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("cum_dist_out").outputMode("append").start()
+    try {
+      // minute 0 holds {a, b, a}; minute 1 adds {b, c} — the growing
+      // windows must union across steps: [0,60)=2, [0,120)=3, [0,180)=3
+      input.addData(("x", ts(10), "a"), ("x", ts(20), "b"), ("x", ts(30), "a"))
+      q.processAllAvailable()
+      input.addData(("x", ts(70), "b"), ("x", ts(80), "c"))
+      q.processAllAvailable()
+      input.addData(("x", ts(1000), "z"))
+      q.processAllAvailable()
+      val got = spark.table("cum_dist_out")
+        .select($"window_end", $"du").as[(Timestamp, Long)].collect()
+        .map { case (we, du) => (we.getTime / 1000L, du) }
+        .filter(_._1 <= 180L).toSet
+      assert(got === Set((60L, 2L), (120L, 3L), (180L, 3L)))
+    } finally q.stop()
   }
 }
