@@ -95,20 +95,45 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val failed = failures.toSet
-    // 3-decimal formatting keeps the line well under typical log-tail
-    // capture windows (~2 KiB): round 1's full-precision line was long
-    // enough that the driver's tail buffer cut its head off and the
-    // JSON never parsed ("parsed": null in BENCH_r01.json).
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a timed-out query would otherwise add its whole ceiling (~300 s)
     // to the headline number and make round totals incomparable; the
     // `failures` list carries that signal instead
     val ok = results.filterNot { case (k, _) => failed(k) }
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir","loadavg_start":${f3(loadStart)},"loadavg_end":${f3(loadAvg())}}""")
+    val loadEnd = loadAvg()
+    def line(qs: Seq[(String, Double)], extra: String): String = {
+      val qj = qs.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
+        s""","queries":$qj,"failures":$fs,"sf":"$sfDir"""" +
+        s""","loadavg_start":${f3(loadStart)},"loadavg_end":${f3(loadEnd)}""" +
+        extra + "}"
+    }
+    // The complete per-query reading goes to a FILE: at 170+ queries
+    // the full line is ~4 KiB, and the capture window that records
+    // this process's output keeps only its last ~2 KiB — a full line
+    // printed to stdout loses its head (the `{"metric":...` opener)
+    // and never parses (BENCH_r01/BENCH_r13). The printed line is a
+    // tail-safe summary: same schema, with `queries` holding only the
+    // SLOWEST entries that fit a ~1.2 KiB budget (the informative
+    // tail of the distribution) and the rest counted + pointed at.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(line(results, "")) finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $fullPath: $e")
+    }
+    val byTime = results.sortBy(-_._2)
+    val budget = 1200
+    var used = 0
+    val kept = byTime.takeWhile { case (k, _) =>
+      used += k.length + 10; used <= budget
+    }
+    println(line(kept.sortBy(_._1),
+      s""","n_queries":${results.size},"queries_truncated":${results.size - kept.size},"queries_file":"$fullPath""""))
     spark.stop()
   }
 }
