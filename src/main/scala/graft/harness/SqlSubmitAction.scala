@@ -671,30 +671,19 @@ final class SqlSubmitAction(
     //    GridAggTracker (r14 — per-row wall-clock assignment, fanned
     //    windows, watermark-gated emission); the streaming window JOIN
     //    and window TOP-N shapes keep a named rejection (their
-    //    trackers sit on the fixed UTC grid); legacy group windows
-    //    reject under any shifted zone (no local-alignment path — the
-    //    TVF form is the supported spelling).
+    //    trackers sit on the fixed UTC grid); legacy grid group
+    //    windows ESCALATE to their TVF form first (r14 — the legacy
+    //    call has no OFFSET argument, its escalation does), then
+    //    inherit whichever alignment path applies; legacy SESSION
+    //    stays legacy (gap windows are zone-invariant).
+    val sqlZ =
+      if (config.isShiftedTimeline) WindowTvf.escalateLegacyGridsForZone(sql)
+      else sql
     val sql0 = config.zoneGridShiftMillis match {
-      case Some(shift) =>
-        if (WindowTvf.hasLegacyGridWindow(sql))
-          throw new IllegalArgumentException(
-            s"table.local-time-zone = ${config.localTimeZone.getOrElse("?")} " +
-              "is active (a shifted timeline) and this statement uses a " +
-              "legacy group window, which has no OFFSET argument to carry " +
-              "the local alignment — rewrite it as a window TVF " +
-              "(TABLE(TUMBLE/HOP(...))) or SET table.local-time-zone = 'UTC'")
-        WindowTvf.alignToZone(sql, shift)
-      case None if config.isShiftedTimeline &&
-          WindowTvf.hasLegacyGridWindow(sql) =>
-        throw new IllegalArgumentException(
-          s"table.local-time-zone = ${config.localTimeZone.getOrElse("?")} " +
-            "is active (a shifted timeline) and this statement uses a " +
-            "legacy group window, which has no local-alignment path — " +
-            "rewrite it as a window TVF (TABLE(TUMBLE/HOP(...))) or SET " +
-            "table.local-time-zone = 'UTC'")
+      case Some(shift) => WindowTvf.alignToZone(sqlZ, shift)
       case None if config.isShiftedTimeline && config.isStreaming &&
-          WindowTvf.hasGridTvf(sql) &&
-          WindowTopN.hasStreamingShape(sql) =>
+          WindowTvf.hasGridTvf(sqlZ) &&
+          WindowTopN.hasStreamingShape(sqlZ) =>
         // streaming grid AGGREGATIONS under a DST region zone run on
         // the pinned-window tracker with wall-clock assignment
         // (rewriteWindowTvfs threads config.dstGridZone, r14); the
@@ -709,7 +698,7 @@ final class SqlSubmitAction(
             "zone ('GMT+08:00'), SET table.local-time-zone = 'UTC', or " +
             "run the statement in batch mode (wall-clock windows, " +
             "23/25 h across transitions)")
-      case None => sql
+      case None => sqlZ
     }
     // scalar/collection dialect functions (UNNEST, JSON_VALUE family)
     // rewrite first: pure text→text, and the later passes then see

@@ -1580,6 +1580,23 @@ object WindowTvf {
     * joins inside a legacy group window are rejected toward the
     * explicit TVF form rather than half-rewritten.
     */
+  /** Escalates a legacy grid group window (GROUP BY TUMBLE/HOP +
+    * accessors) to its TVF form for zone alignment: the legacy call
+    * has no OFFSET argument to carry a shifted
+    * `table.local-time-zone`, but its TVF escalation does — so
+    * [[alignToZone]] (fixed-offset zones) and the wall-clock grid
+    * paths (DST region zones) treat the statement like any
+    * user-written TVF. Single-table statements only: the join
+    * escalation paths emit inline epoch arithmetic the offset
+    * composition cannot reach (`joinsOk = false` rejects those with
+    * the single-table contract). Statements without a legacy grid
+    * window pass through unchanged; legacy SESSION stays legacy (gap
+    * windows are zone-invariant).
+    */
+  def escalateLegacyGridsForZone(sql: String): String =
+    if (!hasLegacyGridWindow(sql)) sql
+    else legacyGroupToTvf(sql, tumbleToo = true)
+
   private def legacyGroupToTvf(
       sql: String, tumbleToo: Boolean, joinsOk: Boolean = false): String = {
     final case class G(kind: String, re: scala.util.matching.Regex,

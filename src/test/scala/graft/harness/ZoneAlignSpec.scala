@@ -368,11 +368,13 @@ class ZoneAlignSpec extends AnyFunSuite {
     }
   }
 
-  test("e2e: fixed shifted zone runs grid TVFs locally aligned; legacy rejects") {
+  test("e2e: fixed shifted zone runs grid TVFs and LEGACY windows locally aligned") {
     val before = spark.conf.get("spark.sql.session.timeZone")
     val script = Files.createTempFile("graft-za", ".sql")
+    val dir = Files.createTempDirectory("graft-za-legacy")
     try {
       import spark.implicits._
+      // 15:59Z and 16:01Z straddle GMT+08:00's local midnight (16:00Z)
       Seq(1704124740000L, 1704124860000L)
         .toDF("ms").selectExpr("timestamp_millis(ms) AS ts", "ms")
         .createOrReplaceTempView("za_e2e")
@@ -384,24 +386,55 @@ class ZoneAlignSpec extends AnyFunSuite {
           |GROUP BY window_start;
           |""".stripMargin)
       new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run()
-      // a legacy group window has no offset argument to carry the
-      // alignment: reject by name while the shifted zone is active
+      // a legacy group window has no OFFSET argument of its own: it
+      // escalates to the TVF form first (r14) and inherits the same
+      // local alignment — the two rows split at local midnight
       Files.writeString(script,
-        """SET execution.runtime-mode = batch;
-          |SET table.local-time-zone = GMT+08:00;
-          |SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS ws, COUNT(*) AS n
-          |FROM za_e2e GROUP BY TUMBLE(ts, INTERVAL '1' DAY);
-          |""".stripMargin)
-      val e = intercept[Exception](
-        new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run())
-      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-        .takeWhile(_ != null).take(8)
-        .flatMap(t => Option(t.getMessage)).mkString("\n")
-      assert(msgs.contains("legacy group window"), msgs)
+        s"""SET execution.runtime-mode = batch;
+           |SET table.local-time-zone = GMT+08:00;
+           |create table za_leg_snk (ws timestamp, n bigint) with (
+           |  'connector' = 'filesystem',
+           |  'path' = 'file://${dir.toString}/out',
+           |  'format' = 'parquet'
+           |);
+           |insert into za_leg_snk
+           |SELECT TUMBLE_START(ts, INTERVAL '1' DAY) AS ws, COUNT(*) AS n
+           |FROM za_e2e GROUP BY TUMBLE(ts, INTERVAL '1' DAY);
+           |""".stripMargin)
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark)).run()
+      val got = spark.read.parquet(s"$dir/out")
+        .select(org.apache.spark.sql.functions.unix_millis($"ws"), $"n")
+        .as[(Long, Long)].collect().toSet
+      // local days [2023-12-31 16:00Z, +24h) and [2024-01-01 16:00Z, +24h)
+      assert(got === Set((1704038400000L, 1L), (1704124800000L, 1L)))
     } finally {
       spark.conf.set("spark.sql.session.timeZone", before)
       Files.deleteIfExists(script): Unit
     }
+  }
+
+  test("legacy grid escalation composes with alignToZone (q61/q63 shapes)") {
+    // legacy HOP + accessors escalate to the TVF text, which the
+    // fixed-offset alignment then shifts like any user-written TVF
+    val esc = WindowTvf.escalateLegacyGridsForZone(
+      "SELECT k, HOP_START(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE) " +
+        "AS ws, COUNT(*) AS n FROM t " +
+        "GROUP BY k, HOP(ts, INTERVAL '5' MINUTE, INTERVAL '10' MINUTE)")
+    assert(esc.contains("TABLE(HOP(TABLE t, DESCRIPTOR(ts), " +
+      "INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))"), esc)
+    assert(esc.contains("window_start") && !esc.toUpperCase.contains("HOP_START"), esc)
+    val aligned = WindowTvf.alignToZone(esc, 8L * 3600000L)
+    assert(aligned.contains("INTERVAL '-28800000' MILLISECOND"), aligned)
+    // multi-table FROM keeps the single-table contract error
+    val e = intercept[IllegalArgumentException](
+      WindowTvf.escalateLegacyGridsForZone(
+        "SELECT COUNT(*) AS n FROM a JOIN b ON a.k = b.k " +
+          "GROUP BY TUMBLE(a.ts, INTERVAL '1' HOUR)"))
+    assert(e.getMessage.contains("single-table"), e.getMessage)
+    // statements without a legacy grid window pass through untouched
+    val same = "SELECT window_start FROM TABLE(TUMBLE(TABLE t, " +
+      "DESCRIPTOR(ts), INTERVAL '1' HOUR)) GROUP BY window_start"
+    assert(WindowTvf.escalateLegacyGridsForZone(same) === same)
   }
 
   test("e2e: grid-free forms run under any shifted zone") {
