@@ -48,10 +48,23 @@ package graft.harness
   *    ARRAY returns its JSON text (get_json_object semantics) where
   *    Flink's JSON_VALUE default returns NULL — scalar paths, the
   *    function's purpose, agree.
-  *  - `JSON_QUERY(e, 'path')` → `get_json_object(e, 'path')`.
-  *    Documented deviation: a path landing on a SCALAR returns the
-  *    scalar's text where Flink's default `WITHOUT ARRAY WRAPPER`
-  *    returns NULL; object/array paths, the function's purpose, agree.
+  *  - `JSON_QUERY(e, 'path' [wrapper] [ON EMPTY] [ON ERROR])` →
+  *    SQL:2016 semantics on Spark's variant functions (r14):
+  *    `to_json(try_variant_get(try_parse_json(e), 'path'))` yields
+  *    the result's canonical JSON text (strings stay quoted, where
+  *    get_json_object strips them — the re-wrapping prerequisite),
+  *    and a CASE discriminates NULL input → NULL, malformed JSON →
+  *    ON ERROR, missing path → ON EMPTY, scalar result under
+  *    `WITHOUT [ARRAY] WRAPPER` → ON ERROR (the standard's rule:
+  *    JSON_QUERY returns JSON values; scalars must be wrapped).
+  *    `WITH [UNCONDITIONAL] WRAPPER` always wraps `[...]`; `WITH
+  *    CONDITIONAL WRAPPER` wraps everything but arrays. Behaviors:
+  *    NULL (default) / EMPTY ARRAY / EMPTY OBJECT substitute,
+  *    ERROR raises in the matching branch. Wildcard / recursive
+  *    paths (`[*]`, `..`) keep the legacy `get_json_object`
+  *    passthrough (variant paths are field/index steps only) and
+  *    reject clauses by name — a multi-value result has no faithful
+  *    wrapper semantics there.
   *  - `JSON_EXISTS(e, 'path')` →
   *    `(get_json_object(e, 'path') IS NOT NULL)`. Documented
   *    deviation: a path whose value is JSON `null` reads as absent
@@ -466,6 +479,17 @@ object DialectFunctions {
     */
   private val ClauseTailRe = raw"(?is)\b(NULL|ERROR|DEFAULT\s+(?:(?!\bON\b).)+?)\s+ON\s+(EMPTY|ERROR)\s*$$".r
 
+  /** JSON_QUERY's substitute behaviors: `NULL | ERROR | EMPTY ARRAY |
+    * EMPTY OBJECT` ON EMPTY/ERROR, stripped right-to-left. */
+  private val QueryClauseTailRe =
+    raw"(?is)\b(NULL|ERROR|EMPTY\s+ARRAY|EMPTY\s+OBJECT)\s+ON\s+(EMPTY|ERROR)\s*$$".r
+
+  /** JSON_QUERY's wrapper clause (strips after the ON clauses — it
+    * precedes them in the grammar). Longest alternatives first so
+    * `WITH CONDITIONAL` never half-matches as bare `WITH`. */
+  private val QueryWrapperTailRe =
+    raw"(?is)\b(WITHOUT|WITH\s+UNCONDITIONAL|WITH\s+CONDITIONAL|WITH)\s+(?:ARRAY\s+)?WRAPPER\s*$$".r
+
   private def rewriteJson(sql: String): String =
     mapCalls(sql, JsonOpenRe) { (m, args) =>
       val fn = m.group(1).toUpperCase
@@ -489,6 +513,9 @@ object DialectFunctions {
       var onErrorDefault: Option[String] = None
       var raiseOnEmpty = false
       var raiseOnError = false
+      // QUERY wrapper mode: WITHOUT (default) | COND | UNCOND
+      var wrapper = "WITHOUT"
+      var queryClauses = false
       if (fn == "VALUE") {
         var go = true
         while (go) {
@@ -511,15 +538,56 @@ object DialectFunctions {
             case None => go = false
           }
         }
+      } else if (fn == "QUERY") {
+        // ON EMPTY / ON ERROR substitutes (right-to-left, like VALUE's)
+        var go = true
+        while (go) {
+          QueryClauseTailRe.findFirstMatchIn(
+            MatchRecognize.maskQuoted(tail)) match {
+            case Some(cm) =>
+              queryClauses = true
+              val cu = tail.substring(cm.start(1), cm.end(1)).trim
+                .toUpperCase.replaceAll(raw"\s+", " ")
+              val v = cu match {
+                case "EMPTY ARRAY" => Some("'[]'")
+                case "EMPTY OBJECT" => Some("'{}'")
+                case _ => None // NULL | ERROR
+              }
+              if (cm.group(2).equalsIgnoreCase("EMPTY")) {
+                if (cu == "ERROR") raiseOnEmpty = true else onEmptyDefault = v
+              } else {
+                if (cu == "ERROR") raiseOnError = true else onErrorDefault = v
+              }
+              tail = tail.substring(0, cm.start)
+            case None => go = false
+          }
+        }
+        // wrapper precedes the ON clauses in the grammar, so it strips
+        // last; bare WITH means WITH UNCONDITIONAL (SQL:2016)
+        QueryWrapperTailRe.findFirstMatchIn(
+          MatchRecognize.maskQuoted(tail)).foreach { wm =>
+          queryClauses = true
+          wrapper = tail.substring(wm.start(1), wm.end(1)).toUpperCase
+            .replaceAll(raw"\s+", " ") match {
+            case "WITHOUT" => "WITHOUT"
+            case "WITH CONDITIONAL" => "COND"
+            case _ => "UNCOND"
+          }
+          tail = tail.substring(0, wm.start)
+        }
       }
       if (BehaviorRe.findFirstIn(MatchRecognize.maskQuoted(tail)).isDefined ||
-          (fn != "VALUE" && BehaviorRe.findFirstIn(
+          (fn == "EXISTS" && BehaviorRe.findFirstIn(
             MatchRecognize.maskQuoted(args(1))).isDefined))
         fail(s"JSON_$fn behavior clauses (ON EMPTY / ON ERROR / ARRAY " +
           "WRAPPER) are not supported here — the default NULL behavior " +
           "needs no clause" +
           (if (fn == "VALUE") "; JSON_VALUE admits NULL ON EMPTY/ERROR " +
-            "and DEFAULT <expr> ON EMPTY" else ""))
+            "and DEFAULT <expr> ON EMPTY"
+          else if (fn == "QUERY") "; JSON_QUERY admits " +
+            "WITH/WITHOUT [CONDITIONAL|UNCONDITIONAL] [ARRAY] WRAPPER " +
+            "and NULL/ERROR/EMPTY ARRAY/EMPTY OBJECT ON EMPTY/ERROR"
+          else ""))
       val (path, returning) = tail.trim match {
         case PathReturningRe(p, r) => (p, Option(r))
         case other => fail(s"JSON_$fn needs a string-literal path" +
@@ -559,7 +627,53 @@ object DialectFunctions {
               castBranch +
               s" ELSE $typed END)"
           }
-        case "QUERY" => call
+        case "QUERY" =>
+          // the path literal's content, '' unescaped
+          val inner = path.substring(1, path.length - 1).replace("''", "'")
+          if (inner.contains("*") || inner.contains("..")) {
+            // multi-value paths keep the legacy passthrough: variant
+            // extraction is field/index steps only, and a multi-value
+            // result has no faithful wrapper/ON-clause semantics
+            if (queryClauses)
+              fail("JSON_QUERY wrapper/ON clauses are not supported " +
+                s"with wildcard or recursive-descent paths ($path) — " +
+                "those run as a plain multi-value extraction")
+            call
+          } else if (!inner.trim.startsWith("$"))
+            fail(s"JSON_QUERY path must start with $$: $path")
+          else {
+            val vget = s"to_json(try_variant_get(try_parse_json($expr), $path))"
+            val errVal =
+              if (raiseOnError)
+                s"raise_error(CONCAT('JSON_QUERY ERROR ON ERROR: no " +
+                  s"result for path ', $path, ' in: ', $expr))"
+              else onErrorDefault.getOrElse("CAST(NULL AS STRING)")
+            val emptyVal =
+              if (raiseOnEmpty)
+                s"raise_error(CONCAT('JSON_QUERY ERROR ON EMPTY: empty " +
+                  s"result for path ', $path, ' in: ', $expr))"
+              else onEmptyDefault.getOrElse("CAST(NULL AS STRING)")
+            // canonical to_json text keys the shape: objects '{',
+            // arrays '[', everything else a scalar
+            val isArr = s"startswith($vget, '[')"
+            val isContainer = s"($isArr OR startswith($vget, '{'))"
+            val scalarBranch =
+              if (wrapper == "WITHOUT")
+                s" WHEN NOT $isContainer THEN $errVal"
+              else ""
+            val wrapped = wrapper match {
+              case "WITHOUT" => vget
+              case "UNCOND" => s"concat('[', $vget, ']')"
+              case _ =>
+                s"(CASE WHEN $isArr THEN $vget " +
+                  s"ELSE concat('[', $vget, ']') END)"
+            }
+            s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS STRING)" +
+              s" WHEN NOT graft_json_valid($expr) THEN $errVal" +
+              s" WHEN $vget IS NULL THEN $emptyVal" +
+              scalarBranch +
+              s" ELSE $wrapped END)"
+          }
         case "EXISTS" => s"($call IS NOT NULL)"
       }
     }

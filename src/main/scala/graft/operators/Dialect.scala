@@ -312,7 +312,91 @@ object Dialect {
     s.sql(DialectFunctions.rewrite(flinkSql))
   }
 
+  /** JSON_QUERY wrapper + behavior clauses (SQL:2016, r14): the
+    * variant-based rewrite preserves JSON text quoting (a string
+    * result stays `"x"`), so WITHOUT/CONDITIONAL/UNCONDITIONAL
+    * wrapping and the EMPTY ARRAY / EMPTY OBJECT substitutes are
+    * byte-faithful against DuckDB's json_extract. The seven input
+    * shapes — object, array, string scalar, number scalar, JSON null
+    * member, missing path, malformed JSON — are synthesized per
+    * doc_id so every CASE branch of every clause is oracle-exercised
+    * (DuckDB discriminates the JSON-null member from a missing path
+    * via json_keys; json_extract conflates them).
+    */
+  val q109JsonQuery: Q = Q(
+    "q109_json_query",
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 7 AS INT)
+      |      WHEN 0 THEN '{"a": {"b": 1}}'
+      |      WHEN 1 THEN '{"a": [1, 2]}'
+      |      WHEN 2 THEN '{"a": "x"}'
+      |      WHEN 3 THEN '{"a": 7}'
+      |      WHEN 4 THEN '{"a": null}'
+      |      WHEN 5 THEN '{"z": 1}'
+      |      ELSE 'not json' END AS js
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, js,
+      |    json_valid(js) AS ok,
+      |    json_extract(TRY_CAST(js AS JSON), '$.a') AS jv,
+      |    COALESCE(list_contains(json_keys(TRY_CAST(js AS JSON)), 'a'),
+      |      FALSE) AS haskey
+      |  FROM j)
+      |SELECT doc_id,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN NOT haskey THEN NULL
+      |       WHEN jv IS NULL THEN NULL
+      |       WHEN json_type(jv) IN ('OBJECT', 'ARRAY')
+      |         THEN CAST(jv AS VARCHAR)
+      |       ELSE NULL END AS q_plain,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN NOT haskey THEN NULL
+      |       WHEN jv IS NULL THEN '[null]'
+      |       WHEN json_type(jv) = 'ARRAY' THEN CAST(jv AS VARCHAR)
+      |       ELSE '[' || CAST(jv AS VARCHAR) || ']' END AS q_cond,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN NOT haskey THEN NULL
+      |       WHEN jv IS NULL THEN '[null]'
+      |       ELSE '[' || CAST(jv AS VARCHAR) || ']' END AS q_uncond,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN NOT haskey THEN '[]'
+      |       WHEN jv IS NULL THEN NULL
+      |       WHEN json_type(jv) IN ('OBJECT', 'ARRAY')
+      |         THEN CAST(jv AS VARCHAR)
+      |       ELSE NULL END AS q_empty,
+      |  CASE WHEN NOT ok THEN '{}'
+      |       WHEN NOT haskey THEN NULL
+      |       WHEN jv IS NULL THEN '{}'
+      |       WHEN json_type(jv) IN ('OBJECT', 'ARRAY')
+      |         THEN CAST(jv AS VARCHAR)
+      |       ELSE '{}' END AS q_err
+      |FROM d""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").createOrReplaceTempView("dlq_docs_jq")
+    val flinkSql =
+      """SELECT doc_id,
+        |  JSON_QUERY(js, '$.a') AS q_plain,
+        |  JSON_QUERY(js, '$.a' WITH CONDITIONAL ARRAY WRAPPER) AS q_cond,
+        |  JSON_QUERY(js, '$.a' WITH UNCONDITIONAL ARRAY WRAPPER) AS q_uncond,
+        |  JSON_QUERY(js, '$.a' EMPTY ARRAY ON EMPTY) AS q_empty,
+        |  JSON_QUERY(js, '$.a' WITHOUT ARRAY WRAPPER EMPTY OBJECT ON ERROR) AS q_err
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 7 AS INT)
+        |      WHEN 0 THEN '{"a": {"b": 1}}'
+        |      WHEN 1 THEN '{"a": [1, 2]}'
+        |      WHEN 2 THEN '{"a": "x"}'
+        |      WHEN 3 THEN '{"a": 7}'
+        |      WHEN 4 THEN '{"a": null}'
+        |      WHEN 5 THEN '{"z": 1}'
+        |      ELSE 'not json' END AS js
+        |  FROM dlq_docs_jq)""".stripMargin
+    graft.functions.GraftFunctions.register(s)
+    s.sql(DialectFunctions.rewrite(flinkSql))
+  }
+
   def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset,
     q100DialectFns, q101HopOffset, q104JsonDefault, q105LeftUnnestOrd,
-    q106CumulateOffset, q107WindowGroupingSets, q108JsonOnError)
+    q106CumulateOffset, q107WindowGroupingSets, q108JsonOnError,
+    q109JsonQuery)
 }

@@ -208,12 +208,66 @@ class DialectFunctionsSpec extends AnyFunSuite {
     // uncastable under RETURNING routes to ON ERROR, which raises too
     raises("SELECT JSON_VALUE('{\"a\": \"xx\"}', " +
       "'$.a' RETURNING INT ERROR ON ERROR) AS x", "ERROR ON ERROR")
-    rejects("SELECT JSON_QUERY(p, '$.a' WITH ARRAY WRAPPER) FROM t", "behavior")
-    rejects("SELECT JSON_QUERY(p, '$.a' NULL ON EMPTY) FROM t", "behavior")
+    // JSON_QUERY admits wrapper + substitute clauses since r14; raising
+    // forms and the wildcard-path restriction stay named
+    raises("SELECT JSON_QUERY('{\"z\": 1}', '$.a' ERROR ON EMPTY) AS x",
+      "JSON_QUERY ERROR ON EMPTY")
+    raises("SELECT JSON_QUERY('{oops', '$.a' ERROR ON ERROR) AS x",
+      "JSON_QUERY ERROR ON ERROR")
+    rejects("SELECT JSON_QUERY(p, '$.a[*].c' WITH ARRAY WRAPPER) FROM t",
+      "wildcard")
+    rejects("SELECT JSON_QUERY(p, 'a.b') FROM t", "must start with $")
+    rejects("SELECT JSON_EXISTS(p, '$.a' NULL ON EMPTY) FROM t", "behavior")
     rejects("SELECT JSON_VALUE(p, path_col) FROM t", "string-literal path")
     rejects("SELECT JSON_EXISTS(p, '$.a' RETURNING INT) FROM t",
       "does not take RETURNING")
     rejects("SELECT JSON_VALUE(p) FROM t", "takes (json, 'path'")
+  }
+
+  test("JSON_QUERY wrapper and behavior clause matrix (SQL:2016)") {
+    graft.functions.GraftFunctions.register(spark)
+    // the seven input shapes: object, array, string scalar, number
+    // scalar, JSON null, missing path, malformed JSON
+    val inputs = Seq("""{"a": {"b": 1}}""", """{"a": [1, 2]}""",
+      """{"a": "x"}""", """{"a": 7}""", """{"a": null}""", """{"z": 1}""",
+      "not json")
+    def run(clause: String): Seq[String] = inputs.map { js =>
+      val lit = "'" + js.replace("'", "''") + "'"
+      val r = spark.sql(DialectFunctions.rewrite(
+        s"SELECT JSON_QUERY($lit, '$$.a'$clause) AS v")).head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // WITHOUT WRAPPER (default): containers pass, scalars are an ERROR
+    // condition (default NULL), missing is EMPTY (default NULL)
+    assert(run("") === Seq("""{"b":1}""", "[1,2]", null, null, null,
+      null, null))
+    // WITH [UNCONDITIONAL] WRAPPER: everything wraps, including the
+    // already-array result and the JSON null scalar
+    assert(run(" WITH WRAPPER") === Seq("""[{"b":1}]""", "[[1,2]]",
+      """["x"]""", "[7]", "[null]", null, null))
+    assert(run(" WITH UNCONDITIONAL ARRAY WRAPPER") ===
+      run(" WITH WRAPPER"))
+    // WITH CONDITIONAL WRAPPER: arrays stay, everything else wraps
+    assert(run(" WITH CONDITIONAL ARRAY WRAPPER") === Seq("""[{"b":1}]""",
+      "[1,2]", """["x"]""", "[7]", "[null]", null, null))
+    // substitute behaviors fill their own branch only
+    assert(run(" EMPTY ARRAY ON EMPTY") === Seq("""{"b":1}""", "[1,2]",
+      null, null, null, "[]", null))
+    assert(run(" EMPTY OBJECT ON ERROR") === Seq("""{"b":1}""", "[1,2]",
+      "{}", "{}", "{}", null, "{}"))
+    assert(run(" WITH CONDITIONAL WRAPPER EMPTY ARRAY ON EMPTY " +
+      "EMPTY OBJECT ON ERROR") === Seq("""[{"b":1}]""", "[1,2]",
+      """["x"]""", "[7]", "[null]", "[]", "{}"))
+    // NULL input stays NULL through every clause
+    val rNull = spark.sql(DialectFunctions.rewrite(
+      "SELECT JSON_QUERY(CAST(NULL AS STRING), '$.a' " +
+        "EMPTY OBJECT ON ERROR) AS v")).head
+    assert(rNull.isNullAt(0))
+    // wildcard paths keep the legacy multi-value passthrough
+    val rWild = spark.sql(DialectFunctions.rewrite(
+      """SELECT JSON_QUERY('{"a":[{"c":1},{"c":2}]}', '$.a[*].c') AS v"""))
+      .head
+    assert(rWild.getString(0) === "[1,2]")
   }
 
   test("a literal containing JSON_VALUE( is untouched") {
