@@ -641,22 +641,31 @@ object MatchRecognize {
   private def mapNextCalls(pred: String)(repl: (String, String) => String): String =
     mapNavCalls(pred, NextOpenRe, "NEXT")(repl)
 
-  /** Streaming-only flattening of SAME-DIRECTION nested physical
-    * navigation: `PREV(price + PREV(price))` ≡ `(PREV(price, 1) +
+  /** Streaming-only flattening of nested physical navigation.
+    *
+    * SAME direction: `PREV(price + PREV(price))` ≡ `(PREV(price, 1) +
     * PREV(price, 2))` because physical offsets compose — and for a
     * single direction the composition is exact: row `i-(j+k)` existing
     * implies every intermediate `i-k` exists (physical predecessors
     * are contiguous), so null-propagation through the STRICT operators
     * admitted here (arithmetic, comparison) matches the staged-lag
-    * batch semantics on every row including partition edges. MIXED
-    * direction (`NEXT(PREV(v))`) does NOT flatten — batch evaluates
-    * the inner navigation on the intermediate row, so its EXISTENCE
-    * gates the result (`NEXT(PREV(v))` at the last row is NULL even
-    * though `v` exists) — and non-strict constructs (CASE, COALESCE,
-    * AND/OR under three-valued logic, function calls) distribute
-    * incorrectly. Anything outside the safe subset returns the
-    * predicate unchanged, so [[rejectNestedNav]]'s named batch-only
-    * error still fires.
+    * batch semantics on every row including partition edges.
+    *
+    * MIXED direction (`NEXT(PREV(v))`, r14): offsets still compose to
+    * a net position, but batch evaluates the inner navigation ON the
+    * intermediate row, so that row's EXISTENCE gates the result —
+    * `NEXT(PREV(v))` at the last row is NULL even though `v` exists.
+    * The flattening reproduces the gate explicitly: the distributed
+    * expression wraps in `CASE WHEN kw((true), k) IS NOT NULL THEN ...
+    * END`, where `kw((true), k)` is a synthetic always-true payload
+    * slot at the outer offset — non-null exactly when the intermediate
+    * row exists within the partition. Net offset 0 renders the atom
+    * bare (the current row). Deeper mixing whose recursion produces a
+    * gated CASE inside another navigation stays batch-only (CASE is
+    * not a strict operator), as do non-strict constructs (COALESCE,
+    * AND/OR under three-valued logic, function calls). Anything
+    * outside the safe subset returns the predicate unchanged, so
+    * [[rejectNestedNav]]'s named batch-only error still fires.
     */
   private[harness] def flattenSameDirNav(pred: String): String = {
     def navCalls(s: String): Seq[(Int, Int, String)] = {
@@ -687,8 +696,12 @@ object MatchRecognize {
           }
           val argFlat = flattenSameDirNav(arg)
           distributeNav(argFlat, kw, k) match {
-            case Some(d) =>
-              cur = cur.substring(0, st) + s"($d)" + cur.substring(e)
+            case Some((d, mixed)) =>
+              val body =
+                if (!mixed || k == 0) s"($d)"
+                else s"(CASE WHEN $kw((true), $k) IS NOT NULL " +
+                  s"THEN ($d) END)"
+              cur = cur.substring(0, st) + body + cur.substring(e)
             case None => return pred
           }
       }
@@ -697,16 +710,26 @@ object MatchRecognize {
   }
 
   /** Distributes one navigation level of direction `kw` with offset
-    * `k` over a flat expression: same-direction inner atoms gain `k`,
-    * bare column identifiers wrap into `kw(col, k)`, numeric/string
-    * literals and strict operators pass through. Returns None on
-    * anything unsafe (mixed direction, function calls, keywords,
-    * qualified refs).
+    * `k` over a flat expression: inner navigation atoms compose to
+    * their net signed offset (same-direction adds, opposite-direction
+    * subtracts — net 0 renders bare), bare column identifiers wrap
+    * into `kw(col, k)`, numeric/string literals and strict operators
+    * pass through. The returned flag is true when any inner atom ran
+    * the OPPOSITE direction (the caller must then gate on the
+    * intermediate row's existence). Returns None on anything unsafe
+    * (function calls, keywords, qualified refs, doubly-nested args).
     */
-  private def distributeNav(expr: String, kw: String, k: Int): Option[String] = {
+  private def distributeNav(
+      expr: String, kw: String, k: Int): Option[(String, Boolean)] = {
     val other = if (kw == "PREV") "NEXT" else "PREV"
     val banned = Set("AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE",
       "END", "IS", "NULL", "IN", "BETWEEN", "LIKE", "TRUE", "FALSE")
+    val dOuter = if (kw == "NEXT") k.toLong else -k.toLong
+    def render(a: String, net: Long): String =
+      if (net == 0L) s"($a)"
+      else if (net > 0L) s"NEXT($a, $net)"
+      else s"PREV($a, ${-net})"
+    var mixed = false
     val masked = maskQuoted(expr)
     val sb = new StringBuilder
     var i = 0
@@ -721,7 +744,7 @@ object MatchRecognize {
         while (j < expr.length && expr.charAt(j).isWhitespace) j += 1
         val uw = word.toUpperCase
         if (j < expr.length && expr.charAt(j) == '(') {
-          if (uw != kw) return None // mixed direction or a function call
+          if (uw != kw && uw != other) return None // a function call
           val e = closeParen(expr, j)
           val (a0, k0) = splitTopLevel(expr.substring(j + 1, e - 1)) match {
             case Seq(x) => (x.trim, 1)
@@ -730,12 +753,14 @@ object MatchRecognize {
             case _ => return None
           }
           if (hasPrev(a0) || hasNextNav(a0)) return None
-          sb.append(s"$kw($a0, ${k0 + k})")
+          val dIn = if (uw == "NEXT") k0.toLong else -k0.toLong
+          if (uw != kw) mixed = true
+          sb.append(render(a0, dOuter + dIn))
           i = e
         } else if (uw == other) return None
         else if (banned.contains(uw)) return None
         else if (j < expr.length && expr.charAt(j) == '.') return None // qualified
-        else sb.append(s"$kw($word, $k)")
+        else sb.append(render(word, dOuter))
       } else if (c == '\'' || c == '"' || c == '`') {
         // string literals compare strictly — copy verbatim
         val e = skipQuoted(expr, i, expr.charAt(i))
@@ -765,7 +790,7 @@ object MatchRecognize {
         sb.append(expr.charAt(i)); i += 1
       } else return None
     }
-    Some(sb.toString)
+    Some((sb.toString, mixed))
   }
 
   /** Rejects any navigation call nested inside another's argument —
@@ -1375,10 +1400,11 @@ object MatchRecognize {
         }
       val spec = {
         val parsed = parseSpec(out.substring(open + 1, end - 1))
-        // same-direction nested navigation flattens to summed offsets
-        // (exact — see flattenSameDirNav); the tracker then sees
-        // ordinary flat PREV/NEXT atoms. Unsafe shapes (mixed
-        // direction, non-strict operators) pass through unchanged and
+        // nested navigation flattens to net offsets — same-direction
+        // exactly, mixed-direction (r14) gated on the intermediate
+        // row's existence (see flattenSameDirNav); the tracker then
+        // sees ordinary flat PREV/NEXT atoms. Unsafe shapes (deeper
+        // mixing, non-strict operators) pass through unchanged and
         // hit rejectNestedNav's named batch-only error below.
         parsed.copy(defines = parsed.defines.map { case (v, p) =>
           v -> flattenSameDirNav(p) })
@@ -1527,8 +1553,9 @@ object MatchRecognize {
       // like any other define, on any column type. A conjunct mixing
       // PREV with the in-matcher forms is out of the subset.
       val allVarSet = vars.toSet
-      // nested navigation that did NOT flatten above (mixed direction,
-      // non-strict operators) is batch-only: the tracker's lag payload
+      // nested navigation that did NOT flatten above (mixing below
+      // another navigation, non-strict operators) is batch-only: the
+      // tracker's lag payload
       // carries fixed per-row slots, not composed navigation — reject
       // with the contract before conjunct splitting produces a
       // misleading unresolved-column error

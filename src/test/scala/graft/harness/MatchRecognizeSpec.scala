@@ -1665,15 +1665,24 @@ class MatchRecognizeSpec extends AnyFunSuite {
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A B) DEFINE B AS v > PREV(PREV(v) + 1))""".stripMargin,
       _ => Some(("o", "5 seconds"))))
-    // MIXED-direction nesting cannot flatten (the intermediate row's
-    // existence gates the batch result) — still batch-only by name
-    val e = intercept[IllegalArgumentException](
-      MatchRecognize.rewriteStreaming(spark,
-        """SELECT * FROM mr_in MATCH_RECOGNIZE (
-          |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-          |  PATTERN (A B) DEFINE B AS v = NEXT(PREV(v)))""".stripMargin,
-        _ => Some(("o", "5 seconds"))))
-    assert(e.getMessage.contains("nested PREV"), s"message: ${e.getMessage}")
+    // MIXED-direction nesting flattens to the net offset GATED on the
+    // intermediate row's existence (r14): batch evaluates the inner
+    // navigation on that row, so `NEXT(PREV(v))` at the last row is
+    // NULL even though `v` exists — the synthetic `kw((true), k)` slot
+    // reproduces exactly that gate
+    assert(MatchRecognize.flattenSameDirNav("v = NEXT(PREV(v))")
+      == "v = (CASE WHEN NEXT((true), 1) IS NOT NULL THEN ((v)) END)")
+    assert(MatchRecognize.flattenSameDirNav("v > NEXT(PREV(v, 2))")
+      == "v > (CASE WHEN NEXT((true), 1) IS NOT NULL " +
+        "THEN (PREV(v, 1)) END)")
+    assert(MatchRecognize.flattenSameDirNav("PREV(NEXT(v), 2) > 0")
+      == "(CASE WHEN PREV((true), 2) IS NOT NULL " +
+        "THEN (PREV(v, 1)) END) > 0")
+    MatchRecognize.dropViews(spark, MatchRecognize.rewriteStreaming(spark,
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
+        |  PATTERN (A B) DEFINE B AS v = NEXT(PREV(v)))""".stripMargin,
+      _ => Some(("o", "5 seconds"))))
     // non-strict constructs inside the navigated expression bail to
     // the same named rejection
     val f = intercept[IllegalArgumentException](
@@ -1732,6 +1741,56 @@ class MatchRecognizeSpec extends AnyFunSuite {
           |  AFTER MATCH SKIP TO NEXT ROW
           |  PATTERN (A)
           |  DEFINE A AS v > PREV(v + PREV(v)))""".stripMargin)
+      assert(batch.map(_.last).toSet === got.map(x => x: Any))
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
+  test("streaming mixed-direction nested nav equals batch, boundary gated") {
+    // NEXT(PREV(vm, 2)) nets to PREV(vm, 1) gated on the successor's
+    // existence: the last row of each key satisfies vm > previous but
+    // has no successor, so batch's staged lead-of-lag is NULL there —
+    // the streaming gate must reproduce that non-match exactly
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "vm").createOrReplaceTempView("mr_mix_s")
+    val q =
+      """SELECT * FROM mr_mix_s MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES LAST(A.vm) AS av
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A)
+        |  DEFINE A AS vm > NEXT(PREV(vm, 2)))""".stripMargin
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_mix_out").outputMode("append").start()
+    try {
+      // rows 3 and 4 rise above their predecessor WITH a successor;
+      // row 10 rises too but is last — batch NULL-gates it
+      input.addData(("a", ts(10), 1L), ("a", ts(20), 3L),
+        ("a", ts(30), 4L), ("a", ts(40), 10L), ("z", ts(200), 0L))
+      query.processAllAvailable()
+      input.addData(("z", ts(900), 0L))
+      query.processAllAvailable()
+      val got = spark.table("mr_mix_out").collect()
+        .filter(_.getString(0) == "a").map(_.getLong(1)).toSet
+      assert(got === Set(3L, 4L))
+      // batch twin on the same rows through the staged-lag pipeline
+      Seq((1, 1, "x", 1), (1, 2, "x", 3), (1, 3, "x", 4), (1, 4, "x", 10))
+        .toDF("k", "o", "t", "v").createOrReplaceTempView("mr_in")
+      val batch = run(
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o
+          |  MEASURES LAST(A.v) AS av
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A)
+          |  DEFINE A AS v > NEXT(PREV(v, 2)))""".stripMargin)
       assert(batch.map(_.last).toSet === got.map(x => x: Any))
     } finally {
       query.stop()
