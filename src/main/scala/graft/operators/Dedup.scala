@@ -757,6 +757,19 @@ object Dedup {
           .as("dup_mils"))
   }
 
+  /** Pairwise source-overlap matrix (shared shingles + Jaccard per
+    * source pair). The pair expansion reuses the grouped-posting-list
+    * machinery ([[pairsFromPost]], r14): sources map to dense ids via
+    * a tiny sorted dim (id order = lexicographic source order, so
+    * `doc_a < doc_b` comes back out as `source_a < source_b`), each
+    * source's distinct-shingle count rides as the posting size, and
+    * the same [[DfCapDefault]] df cap bounds the per-shingle fan-out —
+    * the old posting self-join was quadratic in the number of sources
+    * carrying a shared boilerplate shingle, fine at ten source labels
+    * but a blow-up at thousands. A capped shingle (more distinct
+    * sources than the cap) drops from `shared_shingles` identically in
+    * both dialects, observed under `graft_source_overlap_df_cap`.
+    */
   val extSourceOverlap: Q = Q(
     "ext_source_overlap",
     s"""WITH t AS (
@@ -765,10 +778,13 @@ object Dedup {
        |  SELECT DISTINCT source, gh
        |  FROM (SELECT source, UNNEST($gramHashesDuck) AS gh FROM t)),
        |tot AS (SELECT source, COUNT(*) AS n FROM p GROUP BY source),
+       |dfs AS (SELECT gh FROM p GROUP BY gh
+       |  HAVING COUNT(*) <= $DfCapDefault),
        |ix AS (
        |  SELECT a.source AS source_a, b.source AS source_b,
        |    COUNT(*) AS shared_shingles
        |  FROM p a JOIN p b ON a.gh = b.gh AND a.source < b.source
+       |  JOIN dfs ON dfs.gh = a.gh
        |  GROUP BY 1, 2)
        |SELECT source_a, source_b, shared_shingles,
        |  CAST(FLOOR((shared_shingles * 1.0 /
@@ -777,22 +793,28 @@ object Dedup {
        |JOIN tot ta ON ta.source = ix.source_a
        |JOIN tot tb ON tb.source = ix.source_b""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
     val p = Tables.load(s, dir, "documents")
       .select(col("source"), split(col("text"), " ").as("toks"))
       .select(col("source"), explode(expr(gramHashesSpark)).as("gh"))
       .distinct()
     val tot = p.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val b = p.select(col("source").as("source_b"), col("gh").as("gh_b"))
-    p.join(b, col("gh") === col("gh_b") && col("source") < col("source_b"))
-      .groupBy(col("source").as("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("shared_shingles"))
-      .join(broadcast(tot.withColumnRenamed("source", "source_a")
-        .withColumnRenamed("n", "na")), "source_a")
-      .join(broadcast(tot.withColumnRenamed("source", "source_b")
-        .withColumnRenamed("n", "nb")), "source_b")
-      .select(col("source_a"), col("source_b"), col("shared_shingles"),
-        floor(col("shared_shingles") * lit(1.0d) /
-          (col("na") + col("nb") - col("shared_shingles")) * 1000d + 0.5d)
+    // dense ids over the (small, bounded) source label set: the
+    // single-partition window sorts #sources rows, not postings
+    val sid = tot.select(col("source"), col("n"),
+      row_number().over(Window.orderBy(col("source"))).cast("long").as("sid"))
+    val post = p.join(broadcast(sid), "source")
+      .select(col("sid").as("doc_id"), col("n").as("sz"), col("gh"))
+    pairsFromPost(post, byLang = false, dfCap(s),
+      "graft_source_overlap_df_cap")
+      .join(broadcast(sid.select(col("sid").as("doc_a"),
+        col("source").as("source_a"))), "doc_a")
+      .join(broadcast(sid.select(col("sid").as("doc_b"),
+        col("source").as("source_b"))), "doc_b")
+      .select(col("source_a"), col("source_b"),
+        col("inter").as("shared_shingles"),
+        floor(col("inter") * lit(1.0d) /
+          (col("sz_a") + col("sz_b") - col("inter")) * 1000d + 0.5d)
           .cast("long").as("jaccard_mils"))
   }
 

@@ -221,13 +221,20 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("source overlap broadcasts the per-source totals") {
-    // the totals table is #sources rows — both joins onto it must be
-    // broadcasts, never a shuffle of the pair matrix
+    // the source-id dim is #sources rows — every join onto it must be
+    // a broadcast, never a shuffle of the pair matrix; and the pair
+    // expansion must run through the df-capped grouped-posting
+    // aggregate (r14), not a posting self-join quadratic in the
+    // number of sources sharing a boilerplate shingle
     val spark = SparkFixture.spark
     val plan = SparkEntry.queries("ext_source_overlap")(
       spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
-      s"per-source totals not broadcast in:\n$plan")
+      s"per-source dim not broadcast in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"no capped posting-list aggregate in:\n$plan")
+    assert(plan.contains("graft_doc_pairs"),
+      s"pairs not expanded from grouped postings in:\n$plan")
   }
 
   test("left unnest-with-ordinality plans as an outer generate, no join") {
