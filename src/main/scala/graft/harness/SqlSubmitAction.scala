@@ -679,25 +679,13 @@ final class SqlSubmitAction(
     val sqlZ =
       if (config.isShiftedTimeline) WindowTvf.escalateLegacyGridsForZone(sql)
       else sql
+    // streaming window TOP-N under a DST region zone rides the same
+    // wall-clock assignment as the aggregations: the top-N fan-out
+    // pins each row's (ws, we) with the zone arithmetic and the
+    // tracker ranks the pinned windows (r14b — rewriteWindowTopN
+    // threads config.dstGridZone)
     val sql0 = config.zoneGridShiftMillis match {
       case Some(shift) => WindowTvf.alignToZone(sqlZ, shift)
-      case None if config.isShiftedTimeline && config.isStreaming &&
-          WindowTvf.hasGridTvf(sqlZ) &&
-          WindowTopN.hasStreamingShape(sqlZ) =>
-        // streaming grid AGGREGATIONS under a DST region zone run on
-        // the pinned-window tracker with wall-clock assignment
-        // (rewriteWindowTvfs threads config.dstGridZone, r14); the
-        // window TOP-N tracker fan-out still sits on the fixed UTC
-        // grid, so ranking over a region-zone grid stays rejected by
-        // name rather than ranking the wrong windows
-        throw new IllegalArgumentException(
-          s"table.local-time-zone = ${config.localTimeZone.getOrElse("?")} " +
-            "resolves to a region zone with DST transitions: streaming " +
-            "window TOP-N ranks on the fixed native grid and cannot " +
-            "follow a variable-offset timeline — use a fixed-offset " +
-            "zone ('GMT+08:00'), SET table.local-time-zone = 'UTC', or " +
-            "run the statement in batch mode (wall-clock windows, " +
-            "23/25 h across transitions)")
       case None => sqlZ
     }
     // scalar/collection dialect functions (UNNEST, JSON_VALUE family)
@@ -717,7 +705,8 @@ final class SqlSubmitAction(
     // pass would reject the rank-over-stream shape
     val topn =
       if (config.isStreaming && WindowTopN.hasStreamingShape(mr))
-        WindowTopN.rewriteStreaming(spark, mr, watermarkOf)
+        WindowTopN.rewriteStreaming(spark, mr, watermarkOf,
+          config.dstGridZone)
       else if (config.isStreaming && UnboundedTopN.hasShape(mr))
         // Flink's unbounded updating top-N (N >= 2, no window TVF):
         // bounded per-key state through the TopRows collector, update

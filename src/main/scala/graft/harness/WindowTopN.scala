@@ -150,10 +150,22 @@ object WindowTopN {
   private val InsertPrefixRe =
     raw"(?is)^\s*(INSERT\s+(?:INTO|OVERWRITE)\s+[\w.`]+\s*(?:\([^)]*\)\s*)?)".r
 
+  /** `localZone` (set only for a DST REGION `table.local-time-zone`)
+    * switches window assignment onto that zone's wall-clock timeline:
+    * each row's covering windows are computed with the batch rewrite's
+    * `from_utc_timestamp` floor, their bounds convert back to instants
+    * via `to_utc_timestamp` (23/25-hour daily windows across
+    * transitions), and both bounds pin into the tracker event — the
+    * tracker ranks pinned windows and emits when the watermark (still
+    * the original instant timeline) passes each instant end. Fixed
+    *-offset zones never reach here (alignToZone composes their shift
+    * into the OFFSET argument upstream).
+    */
   def rewriteStreaming(
       spark: SparkSession,
       fullSql: String,
-      watermarkOf: String => Option[(String, String)]): String = {
+      watermarkOf: String => Option[(String, String)],
+      localZone: Option[String] = None): String = {
     // the statement may be the INSERT carrying the top-N query; the
     // prefix rides through untouched
     val (insertPrefix, sql) = InsertPrefixRe.findFirstMatchIn(fullSql)
@@ -330,8 +342,46 @@ object WindowTopN {
       coalesce(col(metricCol).cast("double"), lit(0.0d)).as("metric"),
       payloadExpr.as("payload"),
       col(metricCol).isNull.as("nullMetric"))
-    val events =
-      if (isCumulate) {
+    val events = localZone match {
+      case Some(z) =>
+        // DST region zone: wall-clock window assignment, BOTH bounds
+        // pinned as instants (the grid's instant offset varies across
+        // transitions, so neither bound derives from the other by a
+        // fixed size) — the same expressions as the batch rewrite and
+        // the zone-grid aggregation tracker
+        val wall =
+          s"unix_millis(from_utc_timestamp(cast($tcol as timestamp), '$z'))"
+        def toInst(c: String): String =
+          s"unix_millis(to_utc_timestamp(timestamp_millis($c), '$z'))"
+        val tmsW = if (offMs == 0L) wall else s"($wall - ${offMs}L)"
+        val pinned =
+          if (isCumulate) {
+            val span = s"${floorMs(tmsW, windowMs)}$back"
+            val lo =
+              s"((pmod($tmsW, ${windowMs}L) div ${slideMs}L) + 1) * ${slideMs}L"
+            base.select(common ++ Seq(expr(span).as("__wsw"),
+                explode(expr(s"sequence($lo, ${windowMs}L, ${slideMs}L)"))
+                  .as("__eo")): _*)
+              .withColumn("__wew", col("__wsw") + col("__eo"))
+          } else if (isHop) {
+            val lo = s"${floorMs(s"($tmsW - ${windowMs}L)", slideMs)} + " +
+              s"${slideMs}L$back"
+            val hi = s"${floorMs(tmsW, slideMs)}$back"
+            base.select(common ++ Seq(
+                explode(expr(s"sequence($lo, $hi, ${slideMs}L)"))
+                  .as("__wsw")): _*)
+              .withColumn("__wew", col("__wsw") + lit(windowMs))
+          } else {
+            base.select(common ++ Seq(
+                expr(s"${floorMs(tmsW, windowMs)}$back").as("__wsw")): _*)
+              .withColumn("__wew", col("__wsw") + lit(windowMs))
+          }
+        pinned.select(col("key"), col("ts"), col("metric"), col("payload"),
+            expr(toInst("__wsw")).as("ws"),
+            expr(toInst("__wew")).as("we"),
+            col("nullMetric"))
+          .as[graft.streaming.RankEvent]
+      case None if isCumulate =>
         // ws is the span start; each copy pins one growing window's
         // end: the step-multiple offsets strictly after the row
         val span = s"${floorMs(tms, windowMs)}$back"
@@ -343,7 +393,7 @@ object WindowTopN {
             col("ws"), (col("ws") + col("__eo")).as("we"),
             col("nullMetric"))
           .as[graft.streaming.RankEvent]
-      } else {
+      case None =>
         val wsCol =
           if (!isHop && offMs == 0L) lit(Long.MinValue)
           else if (!isHop) expr(s"${floorMs(tms, windowMs)}$back")
@@ -353,7 +403,7 @@ object WindowTopN {
         base.select(common ++ Seq(wsCol.as("ws"),
             lit(Long.MinValue).as("we")): _*)
           .as[graft.streaming.RankEvent]
-      }
+    }
     val ranked =
       graft.streaming.TopNTracker.track(events, wmDelay, windowMs, n, asc)
 

@@ -67,6 +67,73 @@ class WindowTopNSpec extends AnyFunSuite {
     }
   }
 
+  test("DST region zone: top-N ranks wall-clock windows, equal to batch") {
+    // spring-forward 2024-03-10 in America/New_York: rows straddle
+    // local midnight, the transition day's window spans 23 hours of
+    // instants — the streaming ranking must land in the same
+    // wall-clock windows the batch rewrite computes
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, String)]
+    input.toDF().toDF("k", "ts", "spend", "tag")
+      .createOrReplaceTempView("wtn_zone_src")
+    val sql =
+      """SELECT k, window_start, window_end, spend, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY window_start, window_end, k
+        |    ORDER BY spend DESC) AS rn
+        |  FROM TABLE(TUMBLE(TABLE wtn_zone_src, DESCRIPTOR(ts),
+        |    INTERVAL '1' DAY)))
+        |WHERE rn <= 2""".stripMargin
+    val wmz: String => Option[(String, String)] =
+      t => if (t.equalsIgnoreCase("wtn_zone_src"))
+        Some(("ts", "5 seconds")) else None
+    val rewritten = WindowTopN.rewriteStreaming(spark, sql, wmz,
+      Some("America/New_York"))
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("wtn_zone_out").outputMode("append").start()
+    try {
+      def t(ms: Long) = new Timestamp(ms)
+      input.addData(
+        ("a", t(1710046740000L), 5L, "x"), // 03-09 23:59 EST
+        ("a", t(1710046860000L), 9L, "x"), // 03-10 00:01 EST
+        ("a", t(1710100000000L), 7L, "x"), // 03-10 afternoon EDT
+        ("a", t(1710120000000L), 2L, "x")) // 03-10 evening EDT
+      q.processAllAvailable()
+      input.addData(("z", t(1710500000000L), 0L, "adv"))
+      q.processAllAvailable()
+      val got = spark.table("wtn_zone_out")
+        .select($"k",
+          org.apache.spark.sql.functions.unix_millis($"window_start"),
+          org.apache.spark.sql.functions.unix_millis($"window_end"),
+          $"spend", $"rn")
+        .as[(String, Long, Long, Long, Long)].collect()
+        .filter(_._1 == "a").toSet
+      // local day 03-09 = [05:00Z, +24h); the transition day 03-10 =
+      // [05:00Z, 04:00Z+1d) — 23 hours — ranks its three rows top-2
+      assert(got === Set(
+        ("a", 1709960400000L, 1710046800000L, 5L, 1L),
+        ("a", 1710046800000L, 1710129600000L, 9L, 1L),
+        ("a", 1710046800000L, 1710129600000L, 7L, 2L)))
+      // batch twin through the wall-clock TVF rewrite
+      Seq(("a", t(1710046740000L), 5L, "x"), ("a", t(1710046860000L), 9L, "x"),
+        ("a", t(1710100000000L), 7L, "x"), ("a", t(1710120000000L), 2L, "x"))
+        .toDF("k", "ts", "spend", "tag")
+        .createOrReplaceTempView("wtn_zone_batch")
+      val bgot = spark.sql(WindowTvf.rewrite(
+        sql.replace("wtn_zone_src", "wtn_zone_batch"),
+        Some("America/New_York")))
+        .select($"k",
+          org.apache.spark.sql.functions.unix_millis($"window_start"),
+          org.apache.spark.sql.functions.unix_millis($"window_end"),
+          $"spend", $"rn")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(bgot === got)
+    } finally {
+      q.stop()
+      MatchRecognize.dropViews(spark, rewritten)
+    }
+  }
+
   test("residual conjuncts after the rank bound filter the ranked output") {
     // Flink's outer-filter shape is `WHERE rownum <= N [AND conditions]`
     // — the residual runs over the tracker view, and `AND rn > M`
