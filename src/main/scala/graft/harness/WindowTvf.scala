@@ -767,7 +767,9 @@ object WindowTvf {
     * input) AS alias` (integral results widen to BIGINT) — plus exact
     * `COUNT(DISTINCT col)` over string/integer/boolean inputs (the
     * accumulator keeps the window's value set, Flink's exact distinct
-    * state; SUM/AVG/MIN/MAX DISTINCT stay rejected). The DESCRIPTOR
+    * state), SUM/AVG(DISTINCT) over INTEGRAL inputs (the same value-set
+    * accumulator, folded at emission — r14), and MIN/MAX(DISTINCT) as
+    * their distinct-invariant plain forms. The DESCRIPTOR
     * column must be the source's declared event-time column.
     */
   private def rewriteStreamingCumulate(
@@ -876,7 +878,7 @@ object WindowTvf {
   /** The shared compiler of a streaming single-aggregation statement
     * onto a stateful tracker: parses/validates the spliced statement
     * (one GROUP BY carrying window_start AND window_end, bare-column
-    * keys, COUNT/SUM/MIN/MAX/AVG plus exact COUNT(DISTINCT) select
+    * keys, COUNT/SUM/MIN/MAX/AVG plus exact distinct aggregates select
     * items, WHERE pre-filter,
     * HAVING post-filter), packs the GROUP BY tuple and aggregate
     * inputs into the JSON/slot event layout, delegates the actual
@@ -1005,12 +1007,13 @@ object WindowTvf {
       case ConstRe(value, alias) => ConstItem(value, alias)
       case AggRe(fn, in, alias) =>
         if (raw"(?i)^DISTINCT\b".r.findFirstIn(in.trim).isDefined) {
-          if (!fn.equalsIgnoreCase("COUNT"))
-            fail(s"${fn.toUpperCase}(DISTINCT ...) is not supported in " +
-              "streaming window aggregations (COUNT(DISTINCT ...) is); " +
-              "use batch runtime mode")
-          AggItem("COUNT_DISTINCT",
-            in.trim.replaceFirst(raw"(?i)^DISTINCT\s+", ""), alias)
+          val arg = in.trim.replaceFirst(raw"(?i)^DISTINCT\s+", "")
+          fn.toUpperCase match {
+            // extrema are distinct-invariant: MIN/MAX(DISTINCT x) ≡
+            // MIN/MAX(x), no set state needed (Flink plans the same)
+            case "MIN" | "MAX" => AggItem(fn.toUpperCase, arg, alias)
+            case f => AggItem(f + "_DISTINCT", arg, alias)
+          }
         } else if (raw"(?i)\bDISTINCT\b".r.findFirstIn(in).isDefined)
           fail(s"unsupported DISTINCT placement in ${fn.toUpperCase}($in)")
         else AggItem(fn.toUpperCase, in.trim, alias)
@@ -1040,6 +1043,26 @@ object WindowTvf {
             "distinct values must round-trip the string state encoding " +
             "losslessly (string / integer / boolean)")
         (a, 9, LongType, a.input)
+      } else if (a.fn == "SUM_DISTINCT" || a.fn == "AVG_DISTINCT") {
+        // distinct arithmetic aggregates keep the window's value set
+        // like COUNT(DISTINCT) and fold it at emission — INTEGRAL
+        // inputs only (a long's decimal text is injective and re-parses
+        // exactly; a double's text could collide or lose precision)
+        val dt =
+          try src.selectExpr(a.input).schema.head.dataType
+          catch { case e: Exception =>
+            fail(s"cannot resolve aggregate input ${a.input}: ${e.getMessage}")
+          }
+        dt match {
+          case ByteType | ShortType | IntegerType | LongType => ()
+          case other => fail(
+            s"${a.fn.stripSuffix("_DISTINCT")}(DISTINCT ${a.input}) over " +
+              s"${other.simpleString} — distinct arithmetic aggregates " +
+              "need an integral input (the value set rides the string " +
+              "state encoding); cast upstream or use batch runtime mode")
+        }
+        if (a.fn == "SUM_DISTINCT") (a, 10, LongType, a.input)
+        else (a, 11, DoubleType, a.input)
       } else {
         val dt =
           try src.selectExpr(a.input).schema.head.dataType
@@ -1097,7 +1120,8 @@ object WindowTvf {
       if (doubleKinds(p._2)) coalesce(expr(p._4).cast("double"), lit(0d))
       else lit(0d)): _*)
     val svArr = array(plans.map(p =>
-      if (p._2 == 9) expr(p._4).cast("string")
+      if (graft.streaming.CumulateTracker.isDistinctKind(p._2))
+        expr(p._4).cast("string")
       else lit(null).cast("string")): _*)
     val prepared = src
       // NULL event times drop from window assignment, exactly the

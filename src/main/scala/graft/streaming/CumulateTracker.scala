@@ -62,6 +62,13 @@ final case class CumulateWindow(key: String, ws: Long, we: Long,
   */
 object CumulateTracker {
 
+  /** The tracker kinds whose accumulator keeps the window's exact
+    * distinct-value set (string-encoded): 9 = COUNT(DISTINCT),
+    * 10 = SUM(DISTINCT integral), 11 = AVG(DISTINCT integral). Shared
+    * with [[GridAggTracker]] and the harness slot builder.
+    */
+  private[graft] def isDistinctKind(k: Int): Boolean = k >= 9 && k <= 11
+
   /** JSON number text for a double aggregate value — integral-valued
     * doubles render `N.0` so the decoded type is unambiguous; shared
     * with [[GridAggTracker]].
@@ -147,7 +154,7 @@ object CumulateTracker {
         val a = accs.getOrElse(k,
           CumAcc(span, step, i, 0L, 0L, 0d, Long.MaxValue, Long.MinValue,
             Double.MaxValue, Double.MinValue))
-        if (e.nn(i) && kinds(i) == 9) {
+        if (e.nn(i) && isDistinctKind(kinds(i))) {
           dsets.getOrElseUpdate(k,
             scala.collection.mutable.HashSet.empty[String]) += e.sv(i)
           accs(k) = a.copy(cnt = a.cnt + 1L)
@@ -242,6 +249,11 @@ object CumulateTracker {
                 case 7 => if (a.cnt == 0) None
                   else Some(fmtD(a.sumD / a.cnt))
                 case 9 => Some(mergedDs(i).size.toString)
+                case 10 => if (mergedDs(i).isEmpty) None
+                  else Some(mergedDs(i).iterator.map(_.toLong).sum.toString)
+                case 11 => if (mergedDs(i).isEmpty) None
+                  else Some(fmtD(mergedDs(i).iterator.map(_.toLong).sum
+                    .toDouble / mergedDs(i).size))
                 case _ => if (a.cnt == 0) None
                   else Some(fmtD(a.sumL.toDouble / a.cnt))
               }

@@ -45,7 +45,8 @@ final case class GridAggState(accs: List[GridAcc])
   * watermark); event-time timeouts re-drive keys whose watermark
   * advanced without traffic; emitted windows drop from state.
   * Aggregate kinds and null semantics are [[CumulateTracker]]'s
-  * (0 = COUNT … 8 = AVG over longs, 9 = exact COUNT DISTINCT —
+  * (0 = COUNT … 8 = AVG over longs, 9/10/11 = exact
+  * COUNT/SUM/AVG(DISTINCT) over the window's value set —
   * besides the DST-zone case, plain UTC TUMBLE/HOP with a distinct
   * aggregate also route here, since the native streaming aggregate
   * would only run it as an HLL approximation); output rides the same
@@ -95,7 +96,7 @@ object GridAggTracker {
         val a = accs.getOrElse(k,
           GridAcc(e.ws, e.we, i, 0L, 0L, 0d, Long.MaxValue, Long.MinValue,
             Double.MaxValue, Double.MinValue))
-        if (e.nn(i) && kinds(i) == 9) {
+        if (e.nn(i) && CumulateTracker.isDistinctKind(kinds(i))) {
           dsets.getOrElseUpdate(k,
             scala.collection.mutable.HashSet.empty[String]) += e.sv(i)
           accs(k) = a.copy(cnt = a.cnt + 1L)
@@ -141,6 +142,11 @@ object GridAggTracker {
                 else Some(CumulateTracker.fmtD(a.sumD / a.cnt))
               case 9 => Some(dsets.remove((ws, we, i))
                 .map(_.size).getOrElse(0).toString)
+              case 10 => dsets.remove((ws, we, i)).filter(_.nonEmpty)
+                .map(_.iterator.map(_.toLong).sum.toString)
+              case 11 => dsets.remove((ws, we, i)).filter(_.nonEmpty)
+                .map(ds => CumulateTracker.fmtD(
+                  ds.iterator.map(_.toLong).sum.toDouble / ds.size))
               case _ => if (a.cnt == 0) None
                 else Some(CumulateTracker.fmtD(a.sumL.toDouble / a.cnt))
             }

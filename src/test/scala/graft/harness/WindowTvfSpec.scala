@@ -243,15 +243,16 @@ class WindowTvfSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(41)
     val rows = (1 to 150).map { i =>
       (s"k${i % 2}", new java.sql.Timestamp(rnd.nextInt(900) * 1000L),
-        s"u${rnd.nextInt(9)}")
+        s"u${rnd.nextInt(9)}", rnd.nextInt(6).toLong)
     }
-    rows.toDF("k", "ts", "u").createOrReplaceTempView("tvf_dist_in")
+    rows.toDF("k", "ts", "u", "v").createOrReplaceTempView("tvf_dist_in")
     for (tvf <- Seq(
         "TUMBLE(TABLE tvf_dist_in, DESCRIPTOR(ts), INTERVAL '5' MINUTE)",
         "HOP(TABLE tvf_dist_in, DESCRIPTOR(ts), INTERVAL '1' MINUTE, " +
           "INTERVAL '5' MINUTE)")) {
       val stmt = s"SELECT k, window_start, window_end, " +
-        s"COUNT(DISTINCT u) AS du, COUNT(*) AS n FROM TABLE($tvf) " +
+        s"COUNT(DISTINCT u) AS du, COUNT(*) AS n, " +
+        s"SUM(DISTINCT v) AS sd, AVG(DISTINCT v) AS ad FROM TABLE($tvf) " +
         "GROUP BY k, window_start, window_end"
       val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq).toSet
       val streamSql = WindowTvf.rewriteStreaming(stmt, spark,

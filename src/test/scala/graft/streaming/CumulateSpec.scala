@@ -403,14 +403,16 @@ class CumulateSpec extends AnyFunSuite {
         WindowTvf.rewriteStreaming(stmt, spark, _ => Some(("ts", "5 seconds"))))
       assert(e.getMessage.contains(needle), s"message: ${e.getMessage}")
     }
-    // COUNT(DISTINCT) is supported since r14; the other distinct
-    // aggregates and non-lossless distinct inputs reject by name
+    // distinct aggregates are supported since r14 over integral/string
+    // inputs; non-integral distinct ARITHMETIC inputs reject by name
+    Seq(("x", ts(1), 1L, 2.5d)).toDF("k", "ts", "v", "dv")
+      .createOrReplaceTempView("cum_rej_sumd")
     rejects(
-      """SELECT k, window_start, window_end, SUM(DISTINCT v) AS n
-        |FROM TABLE(CUMULATE(TABLE cum_rej, DESCRIPTOR(ts),
+      """SELECT k, window_start, window_end, SUM(DISTINCT dv) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_rej_sumd, DESCRIPTOR(ts),
         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
         |GROUP BY k, window_start, window_end""".stripMargin,
-      "SUM(DISTINCT ...)")
+      "integral input")
     // WHERE on source columns is supported since r13b (pre-filters the
     // tracker input); a JOIN in the between-region still rejects
     rejects(
@@ -483,6 +485,36 @@ class CumulateSpec extends AnyFunSuite {
       // the data must actually exercise dedup: some window saw a repeat
       assert(batch.exists(r =>
         r(3).asInstanceOf[Long] < r(4).asInstanceOf[Long]))
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+  }
+
+  test("SUM/AVG/MIN/MAX(DISTINCT) match the batch TVF exactly") {
+    // repeated integral values within and across steps so the distinct
+    // fold differs from the plain one; a null stripe exercises the
+    // empty-set NULL emission
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 200).map { i =>
+      (s"k${i % 3}", ts(rnd.nextInt(900).toLong),
+        if (i % 9 == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rnd.nextInt(8).toLong))
+    }
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("cum_dsum_in")
+    val stmt =
+      """SELECT k, window_start, window_end, SUM(DISTINCT v) AS sd,
+        |  AVG(DISTINCT v) AS ad, MIN(DISTINCT v) AS mnd,
+        |  MAX(DISTINCT v) AS mxd, SUM(v) AS s
+        |FROM TABLE(CUMULATE(TABLE cum_dsum_in, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq).toSet
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // the data must actually exercise dedup: some window's distinct
+      // sum differs from its plain sum
+      assert(batch.exists(r => r(3) != r(7)))
     } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
   }
 
