@@ -65,11 +65,13 @@ package graft.harness
   *    passthrough (variant paths are field/index steps only) and
   *    reject clauses by name — a multi-value result has no faithful
   *    wrapper semantics there.
-  *  - `JSON_EXISTS(e, 'path')` →
-  *    `(get_json_object(e, 'path') IS NOT NULL)`. Documented
-  *    deviation: a path whose value is JSON `null` reads as absent
-  *    (get_json_object cannot distinguish the two), where Flink
-  *    returns TRUE.
+  *  - `JSON_EXISTS(e, 'path' [{TRUE|FALSE|UNKNOWN|ERROR} ON ERROR])`
+  *    → a variant-based existence test (r14): a JSON `null` member
+  *    renders as the text 'null' and reads PRESENT (TRUE — Flink's
+  *    semantics, which get_json_object conflated with a missing
+  *    path); NULL input → NULL; malformed JSON routes to the ON
+  *    ERROR outcome (default FALSE). Wildcard / recursive paths keep
+  *    the legacy extractor and reject the clause by name.
   */
 object DialectFunctions {
 
@@ -490,6 +492,12 @@ object DialectFunctions {
   private val QueryWrapperTailRe =
     raw"(?is)\b(WITHOUT|WITH\s+UNCONDITIONAL|WITH\s+CONDITIONAL|WITH)\s+(?:ARRAY\s+)?WRAPPER\s*$$".r
 
+  /** JSON_EXISTS's single behavior clause: `{TRUE | FALSE | UNKNOWN |
+    * ERROR} ON ERROR` (there is no ON EMPTY — a missing path IS the
+    * FALSE result). */
+  private val ExistsClauseTailRe =
+    raw"(?is)\b(TRUE|FALSE|UNKNOWN|ERROR)\s+ON\s+ERROR\s*$$".r
+
   private def rewriteJson(sql: String): String =
     mapCalls(sql, JsonOpenRe) { (m, args) =>
       val fn = m.group(1).toUpperCase
@@ -516,6 +524,8 @@ object DialectFunctions {
       // QUERY wrapper mode: WITHOUT (default) | COND | UNCOND
       var wrapper = "WITHOUT"
       var queryClauses = false
+      // EXISTS ON ERROR outcome: TRUE | FALSE (default) | UNKNOWN | ERROR
+      var existsOnError = "FALSE"
       if (fn == "VALUE") {
         var go = true
         while (go) {
@@ -575,10 +585,15 @@ object DialectFunctions {
           }
           tail = tail.substring(0, wm.start)
         }
+      } else if (fn == "EXISTS") {
+        ExistsClauseTailRe.findFirstMatchIn(
+          MatchRecognize.maskQuoted(tail)).foreach { cm =>
+          queryClauses = true
+          existsOnError = tail.substring(cm.start(1), cm.end(1)).toUpperCase
+          tail = tail.substring(0, cm.start)
+        }
       }
-      if (BehaviorRe.findFirstIn(MatchRecognize.maskQuoted(tail)).isDefined ||
-          (fn == "EXISTS" && BehaviorRe.findFirstIn(
-            MatchRecognize.maskQuoted(args(1))).isDefined))
+      if (BehaviorRe.findFirstIn(MatchRecognize.maskQuoted(tail)).isDefined)
         fail(s"JSON_$fn behavior clauses (ON EMPTY / ON ERROR / ARRAY " +
           "WRAPPER) are not supported here — the default NULL behavior " +
           "needs no clause" +
@@ -587,6 +602,8 @@ object DialectFunctions {
           else if (fn == "QUERY") "; JSON_QUERY admits " +
             "WITH/WITHOUT [CONDITIONAL|UNCONDITIONAL] [ARRAY] WRAPPER " +
             "and NULL/ERROR/EMPTY ARRAY/EMPTY OBJECT ON EMPTY/ERROR"
+          else if (fn == "EXISTS") "; JSON_EXISTS admits " +
+            "TRUE/FALSE/UNKNOWN/ERROR ON ERROR"
           else ""))
       val (path, returning) = tail.trim match {
         case PathReturningRe(p, r) => (p, Option(r))
@@ -674,7 +691,37 @@ object DialectFunctions {
               scalarBranch +
               s" ELSE $wrapped END)"
           }
-        case "EXISTS" => s"($call IS NOT NULL)"
+        case "EXISTS" =>
+          val inner = path.substring(1, path.length - 1).replace("''", "'")
+          if (inner.contains("*") || inner.contains("..")) {
+            // wildcard/recursive paths keep the legacy extractor (the
+            // variant path grammar is field/index steps only); a JSON
+            // null match reads as absent there, so the behavior clause
+            // would be unfaithful — reject it by name
+            if (queryClauses)
+              fail("JSON_EXISTS ON ERROR is not supported with wildcard " +
+                s"or recursive-descent paths ($path)")
+            s"($call IS NOT NULL)"
+          } else if (!inner.trim.startsWith("$"))
+            fail(s"JSON_EXISTS path must start with $$: $path")
+          else {
+            // variant-based existence: a JSON null member renders as
+            // the text 'null' (present → TRUE, Flink's semantics),
+            // where get_json_object conflated it with a missing path
+            val vget =
+              s"to_json(try_variant_get(try_parse_json($expr), $path))"
+            val errVal = existsOnError match {
+              case "TRUE" => "TRUE"
+              case "UNKNOWN" => "CAST(NULL AS BOOLEAN)"
+              case "ERROR" =>
+                s"raise_error(CONCAT('JSON_EXISTS ERROR ON ERROR: " +
+                  s"malformed JSON for path ', $path, ' in: ', $expr))"
+              case _ => "FALSE"
+            }
+            s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS BOOLEAN)" +
+              s" WHEN NOT graft_json_valid($expr) THEN $errVal" +
+              s" ELSE $vget IS NOT NULL END)"
+          }
       }
     }
 }

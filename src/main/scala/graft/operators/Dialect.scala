@@ -54,6 +54,7 @@ object Dialect {
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
       |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "events").createOrReplaceTempView("dlq_events")
+    graft.functions.GraftFunctions.register(s)
     val flinkSql =
       """SELECT event_type,
         |  SUM(CASE WHEN JSON_EXISTS(props, '$.k') THEN 1 ELSE 0 END) AS n_has_k,
@@ -395,8 +396,58 @@ object Dialect {
     s.sql(DialectFunctions.rewrite(flinkSql))
   }
 
+  /** JSON_EXISTS semantics + ON ERROR clause (r14): the variant-based
+    * existence test reads a JSON `null` member as PRESENT (TRUE —
+    * Flink parity; the old get_json_object form conflated it with a
+    * missing path), NULL input as NULL, and routes malformed JSON to
+    * the TRUE/FALSE/UNKNOWN ON ERROR outcome. DuckDB discriminates
+    * presence via json_keys.
+    */
+  val q110JsonExists: Q = Q(
+    "q110_json_exists",
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN '{"a": {"b": 1}}'
+      |      WHEN 1 THEN '{"a": null}'
+      |      WHEN 2 THEN '{"z": 1}'
+      |      WHEN 3 THEN 'not json'
+      |      ELSE NULL END AS js
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, js, json_valid(js) AS ok,
+      |    COALESCE(list_contains(json_keys(TRY_CAST(js AS JSON)), 'a'),
+      |      FALSE) AS haskey
+      |  FROM j)
+      |SELECT doc_id,
+      |  CASE WHEN js IS NULL THEN NULL
+      |       WHEN NOT ok THEN FALSE ELSE haskey END AS e_plain,
+      |  CASE WHEN js IS NULL THEN NULL
+      |       WHEN NOT ok THEN TRUE ELSE haskey END AS e_true,
+      |  CASE WHEN js IS NULL THEN NULL
+      |       WHEN NOT ok THEN NULL ELSE haskey END AS e_unknown
+      |FROM d""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").createOrReplaceTempView("dlq_docs_je")
+    graft.functions.GraftFunctions.register(s)
+    val flinkSql =
+      """SELECT doc_id,
+        |  JSON_EXISTS(js, '$.a') AS e_plain,
+        |  JSON_EXISTS(js, '$.a' TRUE ON ERROR) AS e_true,
+        |  JSON_EXISTS(js, '$.a' UNKNOWN ON ERROR) AS e_unknown
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN '{"a": {"b": 1}}'
+        |      WHEN 1 THEN '{"a": null}'
+        |      WHEN 2 THEN '{"z": 1}'
+        |      WHEN 3 THEN 'not json'
+        |      ELSE NULL END AS js
+        |  FROM dlq_docs_je)""".stripMargin
+    s.sql(DialectFunctions.rewrite(flinkSql))
+  }
+
   def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset,
     q100DialectFns, q101HopOffset, q104JsonDefault, q105LeftUnnestOrd,
     q106CumulateOffset, q107WindowGroupingSets, q108JsonOnError,
-    q109JsonQuery)
+    q109JsonQuery, q110JsonExists)
 }

@@ -270,6 +270,38 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(rWild.getString(0) === "[1,2]")
   }
 
+  test("JSON_EXISTS reads JSON null members as present; ON ERROR routes") {
+    graft.functions.GraftFunctions.register(spark)
+    def run(js: String, clause: String): Any = {
+      val lit =
+        if (js == null) "CAST(NULL AS STRING)"
+        else "'" + js.replace("'", "''") + "'"
+      val r = spark.sql(DialectFunctions.rewrite(
+        s"SELECT JSON_EXISTS($lit, '$$.a'$clause) AS v")).head
+      if (r.isNullAt(0)) null else r.getBoolean(0)
+    }
+    // presence: object member TRUE, JSON null member TRUE (the old
+    // get_json_object form read it as absent), missing FALSE
+    assert(run("""{"a": {"b": 1}}""", "") === true)
+    assert(run("""{"a": null}""", "") === true)
+    assert(run("""{"z": 1}""", "") === false)
+    // NULL input stays NULL; malformed routes to ON ERROR
+    assert(run(null, "") === null)
+    assert(run("not json", "") === false)
+    assert(run("not json", " TRUE ON ERROR") === true)
+    assert(run("not json", " FALSE ON ERROR") === false)
+    assert(run("not json", " UNKNOWN ON ERROR") === null)
+    val e = intercept[Exception](run("not json", " ERROR ON ERROR"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(6)
+      .flatMap(t => Option(t.getMessage)).mkString("\n")
+    assert(msgs.contains("JSON_EXISTS ERROR ON ERROR"), msgs)
+    // wildcard paths keep the legacy extractor; the clause rejects
+    val w = intercept[IllegalArgumentException](DialectFunctions.rewrite(
+      "SELECT JSON_EXISTS(p, '$.a[*].c' TRUE ON ERROR) FROM t"))
+    assert(w.getMessage.contains("wildcard"), w.getMessage)
+  }
+
   test("a literal containing JSON_VALUE( is untouched") {
     val sql = "SELECT 'JSON_VALUE(x, ''$.a'')' AS s FROM t"
     assert(DialectFunctions.rewrite(sql) == sql)
