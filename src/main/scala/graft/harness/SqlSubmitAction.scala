@@ -669,9 +669,11 @@ final class SqlSubmitAction(
     //    wall-clock timeline in BOTH modes: batch via WindowTvf.rewrite
     //    localZone (r13b), streaming via the pinned-window
     //    GridAggTracker (r14 — per-row wall-clock assignment, fanned
-    //    windows, watermark-gated emission); the streaming window JOIN
-    //    and window TOP-N shapes keep a named rejection (their
-    //    trackers sit on the fixed UTC grid); legacy grid group
+    //    windows, watermark-gated emission), window TOP-N with both
+    //    bounds pinned into the rank tracker, and the TUMBLE/HOP
+    //    window JOIN on wall-clock instant equality with a range
+    //    eviction bound (r14b; CUMULATE joins keep a named
+    //    rejection); legacy grid group
     //    windows ESCALATE to their TVF form first (r14 — the legacy
     //    call has no OFFSET argument, its escalation does), then
     //    inherit whichever alignment path applies; legacy SESSION

@@ -450,12 +450,17 @@ object WindowTvf {
     val tvfCount = AnyTvfRe.findAllMatchIn(sql).size
     if (tvfCount == 2 &&
         raw"(?is)\bGROUP\s+BY\b".r.findFirstIn(sql).isEmpty) {
-      if (localZone.isDefined && hasGridTvf(sql))
-        throw new IllegalArgumentException(
-          s"table.local-time-zone = ${localZone.get} resolves to a region " +
-            "zone with DST transitions: the streaming window JOIN runs " +
-            "on the native fixed grid — use a fixed-offset zone, SET " +
-            "table.local-time-zone = 'UTC', or run it in batch mode")
+      if (localZone.isDefined && hasGridTvf(sql)) {
+        if (CumulateRe.findFirstIn(sql).isDefined)
+          throw new IllegalArgumentException(
+            s"table.local-time-zone = ${localZone.get} resolves to a " +
+              "region zone with DST transitions: the streaming CUMULATE " +
+              "window join decomposes onto the native fixed grid — use " +
+              "a fixed-offset zone, SET table.local-time-zone = 'UTC', " +
+              "or run it in batch mode")
+        return rewriteStreamingZoneWindowJoin(
+          sql, localZone.get, spark, watermarkOf)
+      }
       return rewriteStreamingWindowJoin(sql, spark, watermarkOf)
     }
     if (tvfCount > 1)
@@ -1342,6 +1347,138 @@ object WindowTvf {
     val newCond =
       (s"$la.__graft_w = $ra.__graft_w" +: rest.map(_.trim))
         .mkString(" AND ")
+    out.substring(0, onIdx) + "ON " + newCond +
+      (if (condEnd < out.length) " " + out.substring(condEnd) else "")
+  }
+
+  /** Streaming TUMBLE/HOP window join under a DST REGION
+    * `table.local-time-zone` (r14b). The native path equates the
+    * `window()` STRUCT, whose fixed slide cannot express a wall-clock
+    * grid — here each side derives its covering wall-clock window(s)
+    * per row (the batch rewrite's arithmetic: `from_utc_timestamp`
+    * floor, bounds back to instants) as plain epoch-millis columns
+    * `__gws`/`__gwe`, and the ON's window equalities become equalities
+    * on those instants plus an event-time RANGE condition that gives
+    * Spark the state-eviction bound the struct equality provided:
+    * two rows sharing a wall-clock window of nominal span S are
+    * within S + 24 h of each other (24 h = the largest UTC-offset
+    * jump any tzdb transition makes — the date-line moves; ordinary
+    * DST shifts are 1 h), so `|l.t − r.t| ≤ S + 25 h` is implied by
+    * window equality and never drops a legitimate pair, while
+    * bounding each side's state at watermark + S + 25 h. CUMULATE
+    * joins keep a named rejection under region zones (their
+    * decomposition rides the native grid).
+    */
+  private def rewriteStreamingZoneWindowJoin(
+      sql: String, zone: String,
+      spark: org.apache.spark.sql.SparkSession,
+      watermarkOf: String => Option[(String, String)]): String = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    if (AnyTvfRe.findAllMatchIn(sql).map(_.group(1).toUpperCase)
+        .contains("SESSION"))
+      fail("streaming window join supports TUMBLE and HOP windows " +
+        "under a region zone (got SESSION) — aggregate SESSION windows " +
+        "separately, then join the results")
+    val tumbles = TumbleRe.findAllMatchIn(sql).toSeq.map((_, false))
+    val hops = HopRe.findAllMatchIn(sql).toSeq.map((_, true))
+    val calls = (tumbles ++ hops).sortBy(_._1.start)
+    if (calls.size != 2)
+      fail("streaming window join needs exactly two TUMBLE/HOP window " +
+        "TVF relations in supported form")
+    val wall = (tcol: String) =>
+      s"unix_millis(from_utc_timestamp(cast($tcol as timestamp), '$zone'))"
+    def toInstTs(c: String): String =
+      s"to_utc_timestamp(timestamp_millis($c), '$zone')"
+    var maxSize = 0L
+    var out = sql
+    // (alias resolution happens after splicing) side order: text order
+    val sideTcols = calls.map(_._1.group(2))
+    for ((m, isHop) <- calls.reverseIterator) {
+      requireJoinWatermark(spark, watermarkOf, m.group(1), m.group(2))
+      val (table, tcol) = (m.group(1), m.group(2))
+      val w = wall(tcol)
+      val (fromText, sizeMs) =
+        if (!isHop) {
+          val dur = millis(m, 3, "SIZE")
+          val off = normOffset(offsetMillis(m, 6), dur)
+          val tOff = if (off == 0L) w else s"($w - ${off}L)"
+          val back = if (off == 0L) "" else s" + ${off}L"
+          (s"(SELECT *, ${floorTo(tOff, dur)}$back AS __wsw " +
+            s"FROM $table WHERE $tcol IS NOT NULL) __gzj", dur)
+        } else {
+          val slide = millis(m, 3, "SLIDE")
+          val size = millis(m, 6, "SIZE")
+          require(size % slide == 0,
+            s"HOP size ($size ms) must be a multiple of its slide ($slide ms)")
+          val off = normOffset(offsetMillis(m, 9), slide)
+          val tOff = if (off == 0L) w else s"($w - ${off}L)"
+          val back = if (off == 0L) "" else s" + ${off}L"
+          val lo = s"${floorTo(s"($tOff - ${size}L)", slide)} + ${slide}L$back"
+          val hi = s"${floorTo(tOff, slide)}$back"
+          (s"(SELECT * FROM $table WHERE $tcol IS NOT NULL) __gz0 " +
+            s"LATERAL VIEW explode(sequence($lo, $hi, ${slide}L)) " +
+            "__gzv AS __wsw", size)
+        }
+      maxSize = math.max(maxSize, sizeMs)
+      val derived =
+        s"(SELECT * EXCEPT (__wsw), " +
+          s"${toInstTs("__wsw")} AS window_start, " +
+          s"${toInstTs(s"(__wsw + ${sizeMs}L)")} AS window_end, " +
+          s"${toInstTs(s"(__wsw + ${sizeMs}L)")} - INTERVAL '1' " +
+          "MILLISECOND AS window_time, " +
+          s"unix_millis(${toInstTs("__wsw")}) AS __gws, " +
+          s"unix_millis(${toInstTs(s"(__wsw + ${sizeMs}L)")}) AS __gwe " +
+          s"FROM $fromText)"
+      out = out.substring(0, m.start) + derived + out.substring(m.end)
+    }
+    val onIdx = findTopLevel(out, 0, "ON").getOrElse(
+      fail("streaming window join needs an ON clause equating " +
+        "window_start and window_end of both sides"))
+    val condEnd = Seq("WHERE", "ORDER", "LIMIT", "HAVING")
+      .flatMap(k => findTopLevel(out, onIdx + 2, k)).sorted.headOption
+      .getOrElse(out.length)
+    val cond = out.substring(onIdx + 2, condEnd)
+    val WinEqRe = raw"(?is)^\s*([A-Za-z_]\w*)\.(window_start|window_end)\s*=\s*([A-Za-z_]\w*)\.(window_start|window_end)\s*$$".r
+    var startPair: Option[(String, String)] = None
+    var sawEndEq = false
+    val rest = splitTopLevelAnd(cond).filter { c =>
+      c match {
+        case WinEqRe(a, ca, b, cb) if ca.equalsIgnoreCase(cb) =>
+          if (ca.equalsIgnoreCase("window_start")) startPair = Some((a, b))
+          else sawEndEq = true
+          false
+        case _ => true
+      }
+    }
+    val (la, ra) = startPair.getOrElse(
+      fail("streaming window join requires `L.window_start = " +
+        "R.window_start` in the ON clause (Flink's window-join " +
+        "contract)"))
+    if (!sawEndEq)
+      fail("streaming window join requires `L.window_end = " +
+        "R.window_end` in the ON clause (Flink's window-join contract)")
+    // alias → side mapping: the identifier following each spliced
+    // derived relation (first in text order = first call's side)
+    val aliasRe = raw"(?is)__gzj\)\s*([A-Za-z_]\w*)|__wsw\)\s*([A-Za-z_]\w*)".r
+    val sideAliases = aliasRe.findAllMatchIn(out)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq
+    val tcolOf: Map[String, String] =
+      if (sideAliases.size == 2)
+        Map(sideAliases(0) -> sideTcols(0), sideAliases(1) -> sideTcols(1))
+      else Map.empty
+    val (lt, rt) = (
+      tcolOf.getOrElse(la, fail(
+        s"streaming window join: cannot resolve relation alias $la " +
+          "(alias each windowed TVF relation directly: TABLE(...) L)")),
+      tcolOf.getOrElse(ra, fail(
+        s"streaming window join: cannot resolve relation alias $ra " +
+          "(alias each windowed TVF relation directly: TABLE(...) R)")))
+    val boundMs = maxSize + 25L * 3600000L
+    val range = s"$la.$lt >= $ra.$rt - INTERVAL '$boundMs' MILLISECOND " +
+      s"AND $la.$lt <= $ra.$rt + INTERVAL '$boundMs' MILLISECOND"
+    val newCond =
+      (Seq(s"$la.__gws = $ra.__gws", s"$la.__gwe = $ra.__gwe", range) ++
+        rest.map(_.trim)).mkString(" AND ")
     out.substring(0, onIdx) + "ON " + newCond +
       (if (condEnd < out.length) " " + out.substring(condEnd) else "")
   }

@@ -294,16 +294,81 @@ class ZoneAlignSpec extends AnyFunSuite {
         (1709960400000L, Some("a"), 1L), (1710046800000L, Some("b"), 1L),
         (1709960400000L, None, 1L), (1710046800000L, None, 1L)))
     } finally q.stop()
-    // the streaming window JOIN keeps a named rejection under a
-    // region zone (its tracker sits on the fixed UTC grid)
+    // the streaming CUMULATE window join keeps a named rejection under
+    // a region zone (its decomposition rides the native fixed grid)
     val eJoin = intercept[IllegalArgumentException](
       WindowTvf.rewriteStreaming(
-        "SELECT a.k FROM TABLE(TUMBLE(TABLE l, DESCRIPTOR(ts), " +
-          "INTERVAL '1' DAY)) a JOIN TABLE(TUMBLE(TABLE r, " +
-          "DESCRIPTOR(ts), INTERVAL '1' DAY)) b " +
-          "ON a.window_start = b.window_start",
+        "SELECT a.k FROM TABLE(CUMULATE(TABLE l, DESCRIPTOR(ts), " +
+          "INTERVAL '12' HOUR, INTERVAL '1' DAY)) a JOIN " +
+          "TABLE(CUMULATE(TABLE r, DESCRIPTOR(ts), INTERVAL '12' HOUR, " +
+          "INTERVAL '1' DAY)) b " +
+          "ON a.window_start = b.window_start AND " +
+          "a.window_end = b.window_end",
         spark, wm, Some("America/New_York")))
-    assert(eJoin.getMessage.contains("window JOIN"), eJoin.getMessage)
+    assert(eJoin.getMessage.contains("CUMULATE window join"),
+      eJoin.getMessage)
+  }
+
+  test("streaming window JOIN under a DST region zone matches batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // rows pair iff they share the NY wall-clock day: the two
+    // 03-10-day rows sit 22 h apart in instants (a 23-hour local day),
+    // while the 03-09 23:59 EST row is 2 minutes from one of them but
+    // in the previous local day — instant-grid windows would pair the
+    // wrong rows
+    val l = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    val r = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    l.toDF().toDF("lts", "lk", "lv").createOrReplaceTempView("za_wj_l")
+    r.toDF().toDF("rts", "rk", "rv").createOrReplaceTempView("za_wj_r")
+    val wmj: String => Option[(String, String)] = {
+      case t if t.equalsIgnoreCase("za_wj_l") => Some(("lts", "5 seconds"))
+      case t if t.equalsIgnoreCase("za_wj_r") => Some(("rts", "5 seconds"))
+      case _ => None
+    }
+    def joinSql(lt: String, rt: String) =
+      s"""SELECT L.lk, L.lv, R.rv, L.window_start, L.window_end
+         |FROM TABLE(TUMBLE(TABLE $lt, DESCRIPTOR(lts), INTERVAL '1' DAY)) L
+         |JOIN TABLE(TUMBLE(TABLE $rt, DESCRIPTOR(rts), INTERVAL '1' DAY)) R
+         |ON L.window_start = R.window_start
+         |  AND L.window_end = R.window_end AND L.lk = R.rk""".stripMargin
+    val rewritten = WindowTvf.rewriteStreaming(
+      joinSql("za_wj_l", "za_wj_r"), spark, wmj, Some("America/New_York"))
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("za_wj_out").outputMode("append").start()
+    try {
+      val rows = Seq(
+        (new java.sql.Timestamp(1710046740000L), "a", 1L), // 03-09 23:59 EST
+        (new java.sql.Timestamp(1710046860000L), "a", 2L), // 03-10 00:01 EST
+        (new java.sql.Timestamp(1710126000000L), "a", 4L)) // 03-10 23:00 EDT
+      l.addData(rows: _*)
+      r.addData(rows: _*)
+      q.processAllAvailable()
+      l.addData((new java.sql.Timestamp(1710500000000L), "z", 0L))
+      r.addData((new java.sql.Timestamp(1710500000000L), "z", 0L))
+      q.processAllAvailable()
+      val got = spark.table("za_wj_out")
+        .select($"lk", $"lv", $"rv",
+          org.apache.spark.sql.functions.unix_millis($"window_start"))
+        .as[(String, Long, Long, Long)].collect()
+        .filter(_._1 == "a").toSet
+      // day 03-09 pairs {1}×{1}; the 23-hour day 03-10 pairs {2,4}²
+      assert(got === Set(
+        ("a", 1L, 1L, 1709960400000L),
+        ("a", 2L, 2L, 1710046800000L), ("a", 2L, 4L, 1710046800000L),
+        ("a", 4L, 2L, 1710046800000L), ("a", 4L, 4L, 1710046800000L)))
+      // batch twin through the wall-clock TVF rewrite
+      rows.toDF("lts", "lk", "lv").createOrReplaceTempView("za_wjb_l")
+      rows.toDF("rts", "rk", "rv").createOrReplaceTempView("za_wjb_r")
+      val bgot = spark.sql(WindowTvf.rewrite(
+        joinSql("za_wjb_l", "za_wjb_r"), Some("America/New_York")))
+        .select($"lk", $"lv", $"rv",
+          org.apache.spark.sql.functions.unix_millis($"window_start"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(bgot === got)
+    } finally q.stop()
   }
 
   test("e2e: streaming TUMBLE under a DST region zone through the CLI") {
