@@ -1460,19 +1460,25 @@ object MatchRecognize {
       }
       // measure plan in PatternTracker kinds. Event-time FIRST/LAST ride
       // the state's time slot (kinds 0/1); any other column rides a
-      // per-row JSON payload (kinds 5/6), type-gated to types whose
-      // JSON text decodes bit-identically — a double/timestamp/decimal
-      // measure could lose precision or formatting fidelity on the
-      // round-trip, so those throw the contract instead
+      // per-row JSON payload (kinds 5/6) through the shared exact
+      // carrier (StateFormat.carrierOf — round 15; previously the
+      // JSON-lossless set only): doubles / floats / decimals / dates
+      // ride an exact string, timestamps ride epoch micros, so every
+      // scalar measure type a real stream carries is admitted; only
+      // nested/binary columns keep the named rejection
       val colMeasureCols = scala.collection.mutable.LinkedHashSet.empty[String]
+      def measureCarrier(c: String): graft.streaming.StateFormat.Carrier = {
+        val f = src.schema(fieldIdx(c))
+        graft.streaming.StateFormat.carrierOf(f).getOrElse(
+          fail(s"streaming MATCH_RECOGNIZE measure on $c: type " +
+            s"${f.dataType.simpleString} has no exact state carrier " +
+            "(nested and binary types cannot ride the JSON state " +
+            s"payload) — supported: any scalar column, or the " +
+            s"event-time column $wmCol"))
+      }
       def gatedMeasureCol(c: String): String = {
-        val idx = fieldIdx(c)
-        if (graft.streaming.StateFormat.jsonLossless(src.schema(idx).dataType))
-          src.schema(idx).name
-        else fail(s"streaming MATCH_RECOGNIZE measure on $c: type " +
-          s"${src.schema(idx).dataType.simpleString} does not round-trip " +
-          "the JSON state payload losslessly (supported: string / " +
-          s"integer / boolean columns, or the event-time column $wmCol)")
+        measureCarrier(c)
+        src.schema(fieldIdx(c)).name
       }
       // aggregate measures (kinds 8-11) ride the same vals payload;
       // their columns gate to INTEGRAL types so the tracker aggregates
@@ -1864,7 +1870,8 @@ object MatchRecognize {
       }.mkString(" + ")
       val valsExpr =
         if (colMeasureCols.isEmpty) lit("")
-        else to_json(struct(colMeasureCols.toSeq.map(scol): _*))
+        else to_json(struct(colMeasureCols.toSeq.map(c =>
+          measureCarrier(c).enc.as(src.schema(fieldIdx(c)).name)): _*))
       val lagExpr =
         if (lagPayload.isEmpty) lit("") else to_json(struct(lagPayload: _*))
       val prepared = src.select(
@@ -1890,8 +1897,13 @@ object MatchRecognize {
         spec.partitionBy.map(p => src.schema(fieldIdx(p))).toArray)
       val keyCols = spec.partitionBy.map(p =>
         from_json(scol("key"), keySchema).getField(p).as(p))
+      // decode schema over the carrier STORAGE types (what the payload
+      // JSON actually holds); each measure column casts back through
+      // its carrier on the way out
       val valsSchema = StructType(
-        colMeasureCols.toSeq.map(c => src.schema(fieldIdx(c))).toArray)
+        colMeasureCols.toSeq.map(c =>
+          StructField(src.schema(fieldIdx(c)).name,
+            measureCarrier(c).storage, nullable = true)).toArray)
       var ci = -1
       val measureCols = flatMeasures.zipWithIndex.map { case (ms, i) =>
         val v = scol("values").getItem(i)
@@ -1900,11 +1912,13 @@ object MatchRecognize {
             when(v === graft.streaming.PatternTracker.UnmatchedTime, lit(null))
               .otherwise(sexpr(s"timestamp_millis(values[$i])")).as(alias)
           case ColMeasure(_, c, _, alias, _) =>
-            // column measure: decode the matched row's JSON payload; a
-            // null payload (variable matched no row) decodes to NULL
+            // column measure: decode the matched row's JSON payload
+            // through the column's carrier; a null payload (variable
+            // matched no row) decodes to NULL
             ci += 1
-            from_json(scol("cvals").getItem(ci), valsSchema)
-              .getField(src.schema(fieldIdx(c)).name).as(alias)
+            measureCarrier(c).dec(
+              from_json(scol("cvals").getItem(ci), valsSchema)
+                .getField(src.schema(fieldIdx(c)).name)).as(alias)
           case AggMeasure(fn, _, c, alias) =>
             // aggregate result rides cvals as a decimal string; cast to
             // the batch matcher's output type (SUM over integral →

@@ -140,28 +140,14 @@ object UnboundedTopN {
       else m.cast(metricField.dataType)
     keys.foreach(fieldOf) // existence; keys pass through natively
     // payload: every non-key, non-metric column that can round-trip
-    // the JSON state encoding — natively lossless types pass through;
-    // doubles/floats/decimals/dates ride an exact string carrier
-    // (cast-to-string is Java's round-trip representation, and the
-    // reverse cast parses it back bit-identically, NaN/Infinity
-    // included) and timestamps ride epoch micros; nested/binary
-    // columns drop (and fail loudly upstream if the outer select
-    // references them)
-    import org.apache.spark.sql.Column
+    // the JSON state encoding — through the shared exact carrier
+    // ([[graft.streaming.StateFormat.carrierOf]]: lossless types pass
+    // natively, doubles/floats/decimals/dates ride an exact string,
+    // timestamps ride epoch micros); nested/binary columns drop (and
+    // fail loudly upstream if the outer select references them)
     import org.apache.spark.sql.types._
-    def carrierOf(f: StructField): Option[(Column, DataType, Column => Column)] =
-      f.dataType match {
-        case dt if graft.streaming.StateFormat.jsonLossless(dt) =>
-          Some((col(f.name), dt, identity[Column] _))
-        case _: TimestampType | _: TimestampNTZType =>
-          Some((expr(s"unix_micros(cast(`${f.name}` as timestamp))"),
-            LongType,
-            (c: Column) => timestamp_micros(c).cast(f.dataType)))
-        case _: DoubleType | _: FloatType | _: DecimalType | _: DateType =>
-          Some((col(f.name).cast("string"), StringType,
-            (c: Column) => c.cast(f.dataType)))
-        case _ => None
-      }
+    def carrierOf(f: StructField): Option[graft.streaming.StateFormat.Carrier] =
+      graft.streaming.StateFormat.carrierOf(f)
     val payloadFields = src.schema.fields.filter { f =>
       !f.name.equalsIgnoreCase(metricCol) &&
         !keys.exists(_.equalsIgnoreCase(f.name)) &&
@@ -176,7 +162,7 @@ object UnboundedTopN {
     val payloadExpr =
       if (payloadFields.isEmpty) lit("{}")
       else to_json(struct(payloadFields.map(f =>
-        carrierOf(f).get._1.as(f.name)): _*))
+        carrierOf(f).get.enc.as(f.name)): _*))
 
     val topAgg = udaf(new graft.functions.TopRows(n, asc),
       org.apache.spark.sql.Encoders.product[graft.functions.RankedRow])
@@ -194,7 +180,7 @@ object UnboundedTopN {
         if (payloadFields.isEmpty) Seq.empty
         else {
           val schema = StructType(payloadFields.map(f =>
-            StructField(f.name, carrierOf(f).get._2, nullable = true)))
+            StructField(f.name, carrierOf(f).get.storage, nullable = true)))
           Seq(from_json(col("__r.payload"), schema,
             Map("allowNonNumericNumbers" -> "true")).as("__p"))
         }
@@ -204,7 +190,7 @@ object UnboundedTopN {
         payloadCols): _*)
       base.select((keys.map(col) ++
         payloadFields.map(f =>
-          carrierOf(f).get._3(col(s"__p.`${f.name}`")).as(f.name)) ++
+          carrierOf(f).get.dec(col(s"__p.`${f.name}`")).as(f.name)) ++
         Seq(when(col("__mnull"), lit(null).cast(metricField.dataType))
             .otherwise(metricBack(col("__m"))).as(metricCol),
           (col("__pos") + 1).cast("long").as(rnAlias))): _*)

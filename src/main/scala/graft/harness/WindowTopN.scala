@@ -23,15 +23,19 @@ import org.apache.spark.sql.types.{DoubleType, FloatType, StructField, StructTyp
   *    AND end pinned — the event time, and therefore the watermark
   *    and late-row drop, is untouched either way); SESSION top-N
   *    stays out (Flink parity — no fixed per-row window set).
-  *  - `ORDER BY <numeric column> DESC` or `ASC` — ties break by
-  *    payload text ascending, deterministic (batch ties are
-  *    plan-order); ASC ranks NaN last, matching batch ORDER BY.
+  *  - `ORDER BY <numeric or timestamp column> DESC` or `ASC` — ties
+  *    break by payload text ascending, deterministic (batch ties are
+  *    plan-order); ASC ranks NaN last, matching batch ORDER BY;
+  *    timestamps rank (and re-emit) through epoch millis, the same
+  *    contract as the unbounded top-N's metric.
   *  - PARTITION BY must list window_start AND window_end; extra keys
   *    are plain columns.
   *  - the inner select is `SELECT *`; non-key payload columns the
   *    outer select references must round-trip the JSON state payload
-  *    losslessly (string / integer / boolean), like the other
-  *    streaming state carriers.
+  *    losslessly — every scalar type rides the shared exact carrier
+  *    ([[graft.streaming.StateFormat.carrierOf]]: doubles / floats /
+  *    decimals / dates as exact strings, timestamps as epoch micros);
+  *    only nested/binary payload columns drop.
   */
 object WindowTopN {
 
@@ -128,10 +132,10 @@ object WindowTopN {
         MatchRecognize.splitTopLevel(outSel).map(_.trim)
           .exists(it => it == "*" || it.endsWith(".*")))
       fail("the outer SELECT * would silently lose columns that cannot " +
-        "round-trip the JSON state encoding (string / integer / boolean " +
-        s"only): ${dropped.mkString(", ")} — list the output columns " +
-        "explicitly, or cast the payload columns to a lossless type " +
-        "upstream")
+        "round-trip the JSON state encoding (nested and binary types " +
+        s"have no exact carrier): ${dropped.mkString(", ")} — list the " +
+        "output columns explicitly, or flatten/encode the payload " +
+        "columns to a scalar type upstream")
 
   private[harness] def rejectResidualOr(residual: Option[String],
       fail: String => Nothing): Unit =
@@ -280,9 +284,20 @@ object WindowTopN {
       src.schema(i)
     }
     val metricField = fieldOf(metricCol)
-    if (!metricField.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-      fail(s"streaming window top-N ORDER BY $metricCol: numeric " +
-        s"column required (got ${metricField.dataType.simpleString})")
+    val metricIsTime =
+      metricField.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+        metricField.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType]
+    if (!metricIsTime &&
+        !metricField.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      fail(s"streaming window top-N ORDER BY $metricCol: numeric or " +
+        s"timestamp column required (got ${metricField.dataType.simpleString})")
+    // timestamps rank through epoch MILLIS in the tracker's double slot
+    // (exact under 2^53, like the unbounded top-N's metric path); NTZ
+    // has no direct double cast, so the millis hop is required anyway
+    val metricIn =
+      if (metricIsTime)
+        expr(s"cast(unix_millis(cast(`$metricCol` as timestamp)) as double)")
+      else col(metricCol).cast("double")
     extras.foreach { k =>
       if (!graft.streaming.StateFormat.jsonLossless(fieldOf(k).dataType))
         fail(s"streaming window top-N PARTITION BY $k has type " +
@@ -290,18 +305,23 @@ object WindowTopN {
           "the JSON state encoding losslessly (string / integer / " +
           "boolean)")
     }
-    // the payload carries every OTHER source column to the emission;
-    // non-lossless ones are dropped (and fail loudly if the outer
-    // select references them) rather than silently re-decoded wrong.
-    // The event-time column itself rides beside them as epoch micros
-    // (`__ts_us`), so the decoded view retains the time attribute —
-    // Flink's window top-N output keeps all input columns, and a
-    // SELECT * must not silently lose the row's timestamp
+    // the payload carries every OTHER source column to the emission
+    // through the shared exact carrier (StateFormat.carrierOf: lossless
+    // types natively, doubles/floats/decimals/dates as exact strings,
+    // timestamps as epoch micros — round 15; previously the lossless
+    // set only); nested/binary columns drop (and fail loudly if the
+    // outer select references them) rather than silently re-decoded
+    // wrong. The event-time column itself rides beside them as epoch
+    // micros (`__ts_us`), so the decoded view retains the time
+    // attribute — Flink's window top-N output keeps all input columns,
+    // and a SELECT * must not silently lose the row's timestamp
+    def carrierOf(f: StructField): Option[graft.streaming.StateFormat.Carrier] =
+      graft.streaming.StateFormat.carrierOf(f)
     val payloadFields = src.schema.fields.filter { f =>
       !f.name.equalsIgnoreCase(tcol) &&
         !f.name.equalsIgnoreCase(metricCol) &&
         !extras.exists(_.equalsIgnoreCase(f.name)) &&
-        graft.streaming.StateFormat.jsonLossless(f.dataType)
+        carrierOf(f).isDefined
     }
     // a star outer select would silently NARROW to the view's columns
     // when payload fields were dropped — fail by name instead (direct
@@ -317,7 +337,7 @@ object WindowTopN {
       if (extras.isEmpty) lit("{}")
       else to_json(struct(extras.map(col): _*))
     val payloadExpr = to_json(struct(
-      payloadFields.map(f => col(f.name)) :+
+      payloadFields.map(f => carrierOf(f).get.enc.as(f.name)) :+
         expr(s"unix_micros(cast(`$tcol` as timestamp))").as("__ts_us"): _*))
     import spark.implicits._
     // HOP fans each row out to its covering window starts, CUMULATE to
@@ -339,7 +359,7 @@ object WindowTopN {
     val common = Seq(
       keyExpr.as("key"),
       graft.streaming.Watermarks.eventTimeCol(src, tcol, "ts"),
-      coalesce(col(metricCol).cast("double"), lit(0.0d)).as("metric"),
+      coalesce(metricIn, lit(0.0d)).as("metric"),
       payloadExpr.as("payload"),
       col(metricCol).isNull.as("nullMetric"))
     val events = localZone match {
@@ -409,21 +429,30 @@ object WindowTopN {
 
     val keySchema = StructType(extras.map(k => fieldOf(k)))
     // integral/decimal metrics rank exactly for |v| < 2^53 through the
-    // tracker's double slot; cast back to the source column's type
-    // (NULL metrics re-emit as NULL via the tracker's null flag)
+    // tracker's double slot; cast back to the source column's type —
+    // timestamps through their epoch-millis hop (NULL metrics re-emit
+    // as NULL via the tracker's null flag)
     val metricBack = when(col("nullMetric"),
       lit(null).cast(metricField.dataType))
-      .otherwise(col("metric").cast(metricField.dataType))
+      .otherwise(
+        if (metricIsTime)
+          timestamp_millis(col("metric").cast("long"))
+            .cast(metricField.dataType)
+        else col("metric").cast(metricField.dataType))
     var out = ranked.toDF()
     if (extras.nonEmpty)
       out = out.withColumn("__k", from_json(col("key"), keySchema))
     out = out.withColumn("__p",
-      from_json(col("payload"), StructType(payloadFields.toSeq :+
-        StructField("__ts_us", org.apache.spark.sql.types.LongType))))
+      from_json(col("payload"),
+        StructType(payloadFields.toSeq.map(f =>
+          StructField(f.name, carrierOf(f).get.storage, nullable = true)) :+
+          StructField("__ts_us", org.apache.spark.sql.types.LongType)),
+        Map("allowNonNumericNumbers" -> "true")))
     val tcolField = fieldOf(tcol)
     val decoded = out.select(
       extras.map(k => col(s"__k.$k").as(k)) ++
-        payloadFields.map(f => col(s"__p.${f.name}").as(f.name)) ++
+        payloadFields.map(f =>
+          carrierOf(f).get.dec(col(s"__p.`${f.name}`")).as(f.name)) ++
         Seq(timestamp_micros(col("__p.__ts_us"))
             .cast(tcolField.dataType).as(tcol),
           metricBack.as(metricCol),

@@ -32,9 +32,55 @@ object StateFormat {
     }
   }
 
+  /** The exact state carrier for one source column: how it rides a
+    * to_json/from_json streaming-state payload without loss.
+    * JSON-lossless types pass through natively; timestamps ride epoch
+    * micros (a long — `unix_micros`/`timestamp_micros` round-trip the
+    * instant exactly, and TIMESTAMP_NTZ converts through the session
+    * zone symmetrically on both legs); doubles / floats / decimals /
+    * dates ride an exact STRING carrier — cast-to-string is Java's
+    * round-trip representation (`Double.toString` guarantees the
+    * shortest string that parses back bit-identically, NaN/Infinity
+    * included; decimal/date strings are canonical), and the reverse
+    * cast restores the original value. Nested and binary types have no
+    * carrier (None) — the callers reject or drop those by name.
+    *
+    * `enc` reads the column from the source row; `storage` is the type
+    * the value has INSIDE the JSON payload (what from_json must decode
+    * it as); `dec` maps the decoded storage value back to the source
+    * type. Proven by UnboundedTopNSpec's round-trip cases (round 14)
+    * and shared since round 15 by the window top-N payload and the
+    * MATCH_RECOGNIZE column measures.
+    */
+  final case class Carrier(
+      enc: org.apache.spark.sql.Column,
+      storage: org.apache.spark.sql.types.DataType,
+      dec: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+
+  def carrierOf(f: org.apache.spark.sql.types.StructField): Option[Carrier] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    f.dataType match {
+      case dt if jsonLossless(dt) =>
+        Some(Carrier(col(s"`${f.name}`"), dt, identity[Column] _))
+      case _: TimestampType | _: TimestampNTZType =>
+        Some(Carrier(expr(s"unix_micros(cast(`${f.name}` as timestamp))"),
+          LongType,
+          (c: Column) => timestamp_micros(c).cast(f.dataType)))
+      case _: DoubleType | _: FloatType | _: DecimalType | _: DateType =>
+        Some(Carrier(col(s"`${f.name}`").cast("string"), StringType,
+          (c: Column) => c.cast(f.dataType)))
+      case _ => None
+    }
+  }
+
   /** Bump when [[PatternState]]/[[PatternEvent]] change shape.
     * v1 = (time, bitmask) rows; v2 = + measure payload (round 5);
     * v3 = + PREV lag payload and consumed-predecessor ctx (round 6).
+    * (Round 15's carrier-encoded column measures change only the
+    * CONTENT of `vals` for queries that were previously rejected by
+    * name — no accepted query's state layout changed, so no bump.)
     */
   val PatternTrackerVersion = 3
 
@@ -48,12 +94,17 @@ object StateFormat {
     * v1 = per-key (ws, entries) windows (round 12);
     * v2 = (ws, we, entries) — CUMULATE pins per-copy window ends
     * (round 13); v3 = entries carry a null-metric flag and the
-    * payload JSON carries the row's event time (round 14).
+    * payload JSON carries the row's event time (round 14);
+    * v4 = payload columns widen through [[carrierOf]] (round 15) —
+    * double/float/decimal/date/timestamp payload columns that a v3
+    * build silently DROPPED from the payload JSON are now carried, so
+    * a v3 checkpoint of the same query would decode the new schema's
+    * extra fields as NULL silently.
     * A round-12/13 checkpoint predates the stamp key entirely, so it
     * fails the named check (key absent → v0) rather than dying in the
     * encoder.
     */
-  val TopNTrackerVersion = 3
+  val TopNTrackerVersion = 4
 
   /** Bump when [[graft.functions.RankedRow]] (the UNBOUNDED top-N
     * collector's kryo buffer element) changes shape.

@@ -1822,16 +1822,66 @@ class MatchRecognizeSpec extends AnyFunSuite {
       // B? matched no row: its column measure must decode to SQL NULL
       assert(out.toSeq === Seq(Seq(1L, "view", 30L, null, 2L)))
     } finally MatchRecognize.dropViews(spark, rewritten)
-    // lossy-round-trip measure types still throw the contract
-    Seq((1L, 1L, 1.5d)).toDF("k", "o", "d")
-      .createOrReplaceTempView("mr_cm_dbl")
+    // nested/binary measure types (no exact carrier) still throw
+    Seq((1L, 1L, Seq(1.5d))).toDF("k", "o", "arr")
+      .createOrReplaceTempView("mr_cm_arr")
     val e = intercept[IllegalArgumentException](
       MatchRecognize.rewriteStreaming(spark,
-        """SELECT * FROM mr_cm_dbl MATCH_RECOGNIZE (
-          |  PARTITION BY k ORDER BY o MEASURES LAST(A.d) AS ad
-          |  PATTERN (A) DEFINE A AS d > 0)""".stripMargin,
+        """SELECT * FROM mr_cm_arr MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o MEASURES LAST(A.arr) AS aa
+          |  PATTERN (A) DEFINE A AS o > 0)""".stripMargin,
         _ => Some(("o", "5 seconds"))))
-    assert(e.getMessage.contains("round-trip"), s"message: ${e.getMessage}")
+    assert(e.getMessage.contains("carrier"), s"message: ${e.getMessage}")
+  }
+
+  test("streaming column measures widen to double/timestamp/decimal " +
+      "via the exact carrier") {
+    // round 15: non-lossless SCALAR measure columns ride
+    // StateFormat.carrierOf (doubles/floats/decimals/dates as exact
+    // strings, timestamps as epoch micros) — batch equivalence through
+    // the tracker's batch mode, NaN and a sub-millisecond timestamp
+    // included to pin exactness
+    import spark.implicits._
+    import java.sql.{Date, Timestamp}
+    val t1 = Timestamp.valueOf("2024-03-01 10:00:00.123456")
+    val t2 = Timestamp.valueOf("2024-03-02 11:30:00.000001")
+    Seq(
+      (1L, 1L, 0.1d, t1, BigDecimal("12.34"), Date.valueOf("2024-01-05")),
+      (1L, 2L, Double.NaN, t2, BigDecimal("-0.07"), Date.valueOf("2024-02-29")))
+      .toDF("k", "o", "d", "ts", "dec", "dt")
+      .withColumn("dec", org.apache.spark.sql.functions.col("dec")
+        .cast("decimal(10,2)"))
+      .createOrReplaceTempView("mr_cm_wide")
+    val sql =
+      """SELECT * FROM mr_cm_wide MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o
+        |  MEASURES FIRST(A.d) AS d1, LAST(A.d) AS d2,
+        |    FIRST(A.ts) AS ts1, LAST(A.ts) AS ts2,
+        |    LAST(A.dec) AS dc, FIRST(A.dt) AS dt1
+        |  PATTERN (A{2}) DEFINE A AS o > 0)""".stripMargin
+    val rewritten = MatchRecognize.rewriteStreaming(spark, sql,
+      _ => Some(("o", "5 seconds")))
+    try {
+      val out = spark.sql(rewritten).collect().map(_.toSeq)
+      assert(out.length == 1)
+      val row = out.head
+      assert(row(0) == 1L)
+      assert(row(1) == 0.1d)
+      assert(row(2).asInstanceOf[Double].isNaN)
+      assert(row(3) == t1 && row(4) == t2)
+      assert(row(5) == new java.math.BigDecimal("-0.07"))
+      assert(row(6) == Date.valueOf("2024-01-05"))
+      // batch twin: identical rows through the batch NFA
+      val b = spark.sql(MatchRecognize.rewrite(spark, sql))
+        .collect().map(_.toSeq)
+      assert(b.map(_.map {
+        case d: Double if d.isNaN => "NaN"
+        case x => x
+      }).toSeq === out.map(_.map {
+        case d: Double if d.isNaN => "NaN"
+        case x => x
+      }).toSeq)
+    } finally MatchRecognize.dropViews(spark, rewritten)
   }
 
   test("streaming PARTITION BY keys must round-trip the JSON encoding") {
