@@ -190,6 +190,31 @@ object WindowTvf {
           s"${iv(m, 3)}, ${iv(m, 6)}, ${combined(m, 9)}))"))
   }
 
+  /** String-state encoding of a distinct-aggregate input expression:
+    * the SQL text whose `CAST(... AS STRING)` is injective on SQL
+    * equality for `dt`. Lossless types print natively; floats/doubles
+    * normalize -0.0 to 0.0 by adding double zero (Spark's DISTINCT
+    * treats -0.0 = 0.0; all other values, NaN and infinities included,
+    * are unchanged and Java's round-trip `Double.toString` is
+    * injective on them); decimals and dates print canonically for
+    * their type; timestamps ride epoch micros. Nested/binary types
+    * have no encoding (None).
+    */
+  private def distinctEncode(
+      input: String,
+      dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _ if graft.streaming.StateFormat.jsonLossless(dt) => Some(input)
+      case FloatType | DoubleType =>
+        Some(s"(CAST(($input) AS DOUBLE) + CAST(0.0 AS DOUBLE))")
+      case _: DecimalType | DateType => Some(input)
+      case _: TimestampType | _: TimestampNTZType =>
+        Some(s"unix_micros(CAST(($input) AS TIMESTAMP))")
+      case _ => None
+    }
+  }
+
   private[harness] def unitMillis(unit: String): Long =
     unit.toUpperCase.stripSuffix("S") match {
       case "MILLISECOND" => 1L
@@ -1034,40 +1059,52 @@ object WindowTvf {
       if (a.fn == "COUNT") {
         (a, 0, LongType, if (a.input == "*") "1" else a.input)
       } else if (a.fn == "COUNT_DISTINCT") {
-        // exact distinct: values ride the state as strings, so only
-        // types whose string form is injective on SQL equality are
-        // admitted (the GROUP BY key rule) — a double's text or a
-        // timestamp's print could collide or lose precision
+        // exact distinct: values ride the state as strings, so the
+        // encoding must be injective on SQL equality. Lossless types
+        // pass natively; floats/doubles normalize -0.0 to 0.0 first
+        // (Spark's DISTINCT treats them equal; Java's round-trip
+        // Double.toString is injective on the rest, NaN included);
+        // decimals and dates print canonically for their type;
+        // timestamps ride epoch micros. Nested/binary stay out.
         val dt =
           try src.selectExpr(a.input).schema.head.dataType
           catch { case e: Exception =>
             fail(s"cannot resolve aggregate input ${a.input}: ${e.getMessage}")
           }
-        if (!graft.streaming.StateFormat.jsonLossless(dt))
+        val enc = distinctEncode(a.input, dt).getOrElse(
           fail(s"COUNT(DISTINCT ${a.input}) over ${dt.simpleString} — " +
-            "distinct values must round-trip the string state encoding " +
-            "losslessly (string / integer / boolean)")
-        (a, 9, LongType, a.input)
+            "distinct values must ride the string state encoding " +
+            "injectively; nested and binary types have no encoding"))
+        (a, 9, LongType, enc)
       } else if (a.fn == "SUM_DISTINCT" || a.fn == "AVG_DISTINCT") {
         // distinct arithmetic aggregates keep the window's value set
-        // like COUNT(DISTINCT) and fold it at emission — INTEGRAL
-        // inputs only (a long's decimal text is injective and re-parses
-        // exactly; a double's text could collide or lose precision)
+        // like COUNT(DISTINCT) and fold it at emission — integral
+        // inputs accumulate as exact longs (kinds 10/11); float/double
+        // inputs ride the exact string carrier (Java's round-trip
+        // Double.toString, -0.0 normalized) and fold in sorted order
+        // for deterministic replay (kinds 12/13). Decimal distinct
+        // arithmetic stays batch-only (exact decimal accumulation is
+        // not in the tracker's slots).
         val dt =
           try src.selectExpr(a.input).schema.head.dataType
           catch { case e: Exception =>
             fail(s"cannot resolve aggregate input ${a.input}: ${e.getMessage}")
           }
         dt match {
-          case ByteType | ShortType | IntegerType | LongType => ()
+          case ByteType | ShortType | IntegerType | LongType =>
+            if (a.fn == "SUM_DISTINCT") (a, 10, LongType, a.input)
+            else (a, 11, DoubleType, a.input)
+          case FloatType | DoubleType =>
+            val enc = distinctEncode(a.input, dt).get
+            if (a.fn == "SUM_DISTINCT") (a, 12, DoubleType, enc)
+            else (a, 13, DoubleType, enc)
           case other => fail(
             s"${a.fn.stripSuffix("_DISTINCT")}(DISTINCT ${a.input}) over " +
               s"${other.simpleString} — distinct arithmetic aggregates " +
-              "need an integral input (the value set rides the string " +
-              "state encoding); cast upstream or use batch runtime mode")
+              "support integral and float/double inputs (the value set " +
+              "rides the string state encoding); cast upstream or use " +
+              "batch runtime mode")
         }
-        if (a.fn == "SUM_DISTINCT") (a, 10, LongType, a.input)
-        else (a, 11, DoubleType, a.input)
       } else {
         val dt =
           try src.selectExpr(a.input).schema.head.dataType

@@ -64,10 +64,26 @@ object CumulateTracker {
 
   /** The tracker kinds whose accumulator keeps the window's exact
     * distinct-value set (string-encoded): 9 = COUNT(DISTINCT),
-    * 10 = SUM(DISTINCT integral), 11 = AVG(DISTINCT integral). Shared
-    * with [[GridAggTracker]] and the harness slot builder.
+    * 10 = SUM(DISTINCT integral), 11 = AVG(DISTINCT integral),
+    * 12 = SUM(DISTINCT double), 13 = AVG(DISTINCT double) — the
+    * double kinds re-parse the exact string carrier and fold in
+    * SORTED order so replay is deterministic (double addition is not
+    * associative; a hash-set iteration order must never reach the
+    * sum). Shared with [[GridAggTracker]] and the harness slot
+    * builder.
     */
-  private[graft] def isDistinctKind(k: Int): Boolean = k >= 9 && k <= 11
+  private[graft] def isDistinctKind(k: Int): Boolean = k >= 9 && k <= 13
+
+  /** Exact double SUM over a distinct-value string set, in ascending
+    * numeric order for deterministic replay. */
+  private[streaming] def distinctDoubleSum(ds: Iterable[String]): Double = {
+    val arr = ds.iterator.map(_.toDouble).toArray
+    java.util.Arrays.sort(arr)
+    var s = 0d
+    var i = 0
+    while (i < arr.length) { s += arr(i); i += 1 }
+    s
+  }
 
   /** JSON number text for a double aggregate value — integral-valued
     * doubles render `N.0` so the decoded type is unambiguous; shared
@@ -254,6 +270,11 @@ object CumulateTracker {
                 case 11 => if (mergedDs(i).isEmpty) None
                   else Some(fmtD(mergedDs(i).iterator.map(_.toLong).sum
                     .toDouble / mergedDs(i).size))
+                case 12 => if (mergedDs(i).isEmpty) None
+                  else Some(fmtD(distinctDoubleSum(mergedDs(i))))
+                case 13 => if (mergedDs(i).isEmpty) None
+                  else Some(fmtD(
+                    distinctDoubleSum(mergedDs(i)) / mergedDs(i).size))
                 case _ => if (a.cnt == 0) None
                   else Some(fmtD(a.sumL.toDouble / a.cnt))
               }

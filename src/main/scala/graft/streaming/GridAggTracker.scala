@@ -147,6 +147,12 @@ object GridAggTracker {
               case 11 => dsets.remove((ws, we, i)).filter(_.nonEmpty)
                 .map(ds => CumulateTracker.fmtD(
                   ds.iterator.map(_.toLong).sum.toDouble / ds.size))
+              case 12 => dsets.remove((ws, we, i)).filter(_.nonEmpty)
+                .map(ds => CumulateTracker.fmtD(
+                  CumulateTracker.distinctDoubleSum(ds)))
+              case 13 => dsets.remove((ws, we, i)).filter(_.nonEmpty)
+                .map(ds => CumulateTracker.fmtD(
+                  CumulateTracker.distinctDoubleSum(ds) / ds.size))
               case _ => if (a.cnt == 0) None
                 else Some(CumulateTracker.fmtD(a.sumL.toDouble / a.cnt))
             }

@@ -241,18 +241,27 @@ class WindowTvfSpec extends AnyFunSuite {
     val spark = graft.SparkFixture.spark
     import spark.implicits._
     val rnd = new scala.util.Random(41)
+    // dv: dyadic doubles (exact addition in any order) with -0.0/0.0
+    // collisions — the r15 double-distinct kinds must match batch
+    // bit-for-bit
     val rows = (1 to 150).map { i =>
       (s"k${i % 2}", new java.sql.Timestamp(rnd.nextInt(900) * 1000L),
-        s"u${rnd.nextInt(9)}", rnd.nextInt(6).toLong)
+        s"u${rnd.nextInt(9)}", rnd.nextInt(6).toLong,
+        if (i % 23 == 0) -0.0d
+        else if (i % 29 == 0) 0.0d
+        else rnd.nextInt(8) * 0.25d)
     }
-    rows.toDF("k", "ts", "u", "v").createOrReplaceTempView("tvf_dist_in")
+    rows.toDF("k", "ts", "u", "v", "dv")
+      .createOrReplaceTempView("tvf_dist_in")
     for (tvf <- Seq(
         "TUMBLE(TABLE tvf_dist_in, DESCRIPTOR(ts), INTERVAL '5' MINUTE)",
         "HOP(TABLE tvf_dist_in, DESCRIPTOR(ts), INTERVAL '1' MINUTE, " +
           "INTERVAL '5' MINUTE)")) {
       val stmt = s"SELECT k, window_start, window_end, " +
         s"COUNT(DISTINCT u) AS du, COUNT(*) AS n, " +
-        s"SUM(DISTINCT v) AS sd, AVG(DISTINCT v) AS ad FROM TABLE($tvf) " +
+        s"SUM(DISTINCT v) AS sd, AVG(DISTINCT v) AS ad, " +
+        s"SUM(DISTINCT dv) AS sdd, AVG(DISTINCT dv) AS add, " +
+        s"COUNT(DISTINCT dv) AS cdd FROM TABLE($tvf) " +
         "GROUP BY k, window_start, window_end"
       val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq).toSet
       val streamSql = WindowTvf.rewriteStreaming(stmt, spark,

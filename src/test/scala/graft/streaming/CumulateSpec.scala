@@ -403,16 +403,19 @@ class CumulateSpec extends AnyFunSuite {
         WindowTvf.rewriteStreaming(stmt, spark, _ => Some(("ts", "5 seconds"))))
       assert(e.getMessage.contains(needle), s"message: ${e.getMessage}")
     }
-    // distinct aggregates are supported since r14 over integral/string
-    // inputs; non-integral distinct ARITHMETIC inputs reject by name
-    Seq(("x", ts(1), 1L, 2.5d)).toDF("k", "ts", "v", "dv")
+    // distinct aggregates cover integral/string (r14) and float/double
+    // (r15) inputs; DECIMAL distinct ARITHMETIC stays batch-only and
+    // rejects by name
+    Seq(("x", ts(1), 1L, new java.math.BigDecimal("2.50")))
+      .toDF("k", "ts", "v", "dv")
+      .withColumn("dv", $"dv".cast("decimal(10,2)"))
       .createOrReplaceTempView("cum_rej_sumd")
     rejects(
       """SELECT k, window_start, window_end, SUM(DISTINCT dv) AS n
         |FROM TABLE(CUMULATE(TABLE cum_rej_sumd, DESCRIPTOR(ts),
         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
         |GROUP BY k, window_start, window_end""".stripMargin,
-      "integral input")
+      "integral and float/double")
     // WHERE on source columns is supported since r13b (pre-filters the
     // tracker input); a JOIN in the between-region still rejects
     rejects(
@@ -452,14 +455,16 @@ class CumulateSpec extends AnyFunSuite {
         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
         |GROUP BY dk, window_start, window_end""".stripMargin,
       "round-trip")
-    // distinct over a double: the string carrier is not injective on
-    // SQL equality, so it rejects like a non-lossless GROUP BY key
+    // distinct over a nested type has no injective string encoding —
+    // rejects by name (scalar types, doubles included, ride since r15)
+    Seq(("x", ts(1), Seq(1L))).toDF("k", "ts", "av")
+      .createOrReplaceTempView("cum_rej_av")
     rejects(
-      """SELECT k, window_start, window_end, COUNT(DISTINCT dk) AS n
-        |FROM TABLE(CUMULATE(TABLE cum_rej_dk, DESCRIPTOR(ts),
+      """SELECT k, window_start, window_end, COUNT(DISTINCT av) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_rej_av, DESCRIPTOR(ts),
         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
         |GROUP BY k, window_start, window_end""".stripMargin,
-      "losslessly")
+      "injectively")
   }
 
   test("COUNT(DISTINCT) matches the batch TVF exactly") {
@@ -515,6 +520,46 @@ class CumulateSpec extends AnyFunSuite {
       // the data must actually exercise dedup: some window's distinct
       // sum differs from its plain sum
       assert(batch.exists(r => r(3) != r(7)))
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+  }
+
+  test("SUM/AVG/COUNT(DISTINCT) over doubles match the batch TVF exactly") {
+    // round 15 (kinds 12/13): double distinct arithmetic rides the
+    // exact string carrier. Values are dyadic rationals (k * 0.25) so
+    // double addition is exact in ANY order — the batch fold's
+    // partition order and the tracker's sorted fold must then agree
+    // bit-for-bit; NaN and a -0.0/0.0 collision pin the carrier's
+    // SQL-equality normalization
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 200).map { i =>
+      (s"k${i % 3}", ts(rnd.nextInt(900).toLong),
+        if (i % 9 == 0) null.asInstanceOf[java.lang.Double]
+        else if (i % 50 == 0) java.lang.Double.valueOf(Double.NaN)
+        else if (i % 23 == 0) java.lang.Double.valueOf(-0.0d)
+        else if (i % 29 == 0) java.lang.Double.valueOf(0.0d)
+        else java.lang.Double.valueOf(rnd.nextInt(8) * 0.25d))
+    }
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("cum_ddsum_in")
+    val stmt =
+      """SELECT k, window_start, window_end, SUM(DISTINCT v) AS sd,
+        |  AVG(DISTINCT v) AS ad, COUNT(DISTINCT v) AS cd, SUM(v) AS s
+        |FROM TABLE(CUMULATE(TABLE cum_ddsum_in, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    def canon(r: Seq[Any]): Seq[Any] = r.map {
+      case d: java.lang.Double if d.isNaN => "NaN"
+      case x => x
+    }
+    val batch = spark.sql(WindowTvf.rewrite(stmt)).collect()
+      .map(r => canon(r.toSeq)).toSet
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect()
+        .map(r => canon(r.toSeq)).toSet
+      assert(streamed === batch)
+      // the data must actually exercise dedup somewhere
+      assert(batch.exists(r => r(3) != r(6)))
     } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
   }
 
