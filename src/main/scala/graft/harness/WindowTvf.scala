@@ -519,12 +519,21 @@ object WindowTvf {
     // instead, whose kind-9 accumulator keeps the exact per-(key,
     // window) value set Flink's window aggregation keeps. CUMULATE
     // falls through to its own tracker (same kind-9 support, per-step
-    // state); SESSION stays native (the gap-merge has no pinned
-    // fan-out) and so keeps the documented HLL behavior.
+    // state); SESSION routes onto the gap-merge tracker below (r15 —
+    // previously the one place the engine silently approximated where
+    // Flink is exact).
+    val hasDistinctAgg =
+      raw"(?is)\b(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*DISTINCT\b".r
+        .findFirstIn(MatchRecognize.maskQuoted(sql)).isDefined
     if (hasGridTvf(sql) && CumulateRe.findFirstMatchIn(sql).isEmpty &&
-        raw"(?is)\b(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*DISTINCT\b".r
-          .findFirstIn(MatchRecognize.maskQuoted(sql)).isDefined)
+        hasDistinctAgg)
       return rewriteStreamingZoneGrid(sql, "UTC", spark, watermarkOf)
+    // exact distinct aggregates in streaming SESSION windows: the
+    // gap-merge tracker keeps each open session's exact value set
+    // (Flink parity); sessions without a distinct aggregate stay on
+    // the native session_window path below
+    if (SessionTvfRe.findFirstMatchIn(sql).isDefined && hasDistinctAgg)
+      return rewriteStreamingSession(sql, spark, watermarkOf)
     case class Win(start: Int, end: Int, table: String, expr: String,
         struct: String, partitionKeys: Seq[String] = Nil,
         endAdjustMs: Long = 0L)
@@ -823,6 +832,42 @@ object WindowTvf {
       })
   }
 
+  /** STREAMING `SESSION(gap)` aggregation with exact DISTINCT
+    * aggregates: compiled onto [[graft.streaming.SessionAggTracker]]
+    * (per-key gap-merge state holding each open session's accumulators
+    * and exact distinct-value sets, emitted once the watermark
+    * strictly passes `last event + gap`). The native `session_window`
+    * path keeps every statement WITHOUT a distinct aggregate — this
+    * route exists because that path compiles to a plain streaming
+    * Aggregate where exact distinct is rejected and the HLL rule would
+    * silently approximate, while Flink's session aggregation is exact.
+    * GROUP BY keys must equal the TVF's PARTITION BY keys (the session
+    * scope), plus window_start/window_end.
+    */
+  private def rewriteStreamingSession(
+      sql: String,
+      spark: org.apache.spark.sql.SparkSession,
+      watermarkOf: String => Option[(String, String)]): String = {
+    val m = SessionTvfRe.findFirstMatchIn(sql).getOrElse(
+      throw new IllegalArgumentException(
+        "streaming SESSION: unsupported TVF spelling"))
+    val gapMs = m.group(5).toLong * unitMillis(m.group(6))
+    require(gapMs > 0, "session gap must be positive")
+    val pkeys = Option(m.group(2)).toSeq
+      .flatMap(_.split(",").map(_.trim)).filter(_.nonEmpty)
+    rewriteStreamingTrackerAgg(sql, m, spark, watermarkOf,
+      "streaming SESSION",
+      (prepared, wmDelay, kinds) => {
+        implicit val evEnc =
+          org.apache.spark.sql.Encoders.product[graft.streaming.CumulateEvent]
+        graft.streaming.SessionAggTracker.track(
+          prepared.as[graft.streaming.CumulateEvent], wmDelay, gapMs,
+          kinds).toDF
+      },
+      tableTcol = Some((m.group(1), m.group(3))),
+      requireKeys = Some(pkeys))
+  }
+
   /** STREAMING TUMBLE/HOP/CUMULATE aggregation under a DST REGION
     * `table.local-time-zone` (Flink runs these; the native `window()`
     * slide cannot — its grid has a fixed instant offset, while a
@@ -926,7 +971,14 @@ object WindowTvf {
       watermarkOf: String => Option[(String, String)],
       failPrefix: String,
       track: (org.apache.spark.sql.DataFrame, String, Seq[Int]) =>
-        org.apache.spark.sql.DataFrame): String = {
+        org.apache.spark.sql.DataFrame,
+      // TVF source/descriptor columns when they are not the match's
+      // groups 1/2 (SESSION's group layout differs), and the required
+      // GROUP BY key set (SESSION: keys must equal the TVF PARTITION
+      // BY — sessions merge per that tuple, so any other grouping is
+      // not a window aggregation)
+      tableTcol: Option[(String, String)] = None,
+      requireKeys: Option[Seq[String]] = None): String = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     def fail(msg: String): Nothing = throw new IllegalArgumentException(
@@ -934,8 +986,7 @@ object WindowTvf {
     if (spark == null)
       fail("no SparkSession available for the stateful rewrite; use HOP " +
         "or batch runtime mode")
-    val table = m.group(1)
-    val tcol = m.group(2)
+    val (table, tcol) = tableTcol.getOrElse((m.group(1), m.group(2)))
     val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
       s"needs a WATERMARK declaration on $table"))
     if (!tcol.equalsIgnoreCase(wmCol))
@@ -981,6 +1032,13 @@ object WindowTvf {
         "aggregation — use batch runtime mode for that shape")
     kept.foreach(k => if (raw"^[A-Za-z_]\w*$$".r.findFirstIn(k).isEmpty)
       fail(s"group key must be a bare column: $k"))
+    requireKeys.foreach { pk =>
+      if (kept.map(_.toLowerCase).toSet != pk.map(_.toLowerCase).toSet)
+        fail("GROUP BY keys must be exactly the SESSION PARTITION BY " +
+          s"keys (${if (pk.isEmpty) "none" else pk.mkString(", ")}) — " +
+          "sessions merge per that tuple, so any other grouping is not " +
+          s"a window aggregation; got: ${kept.mkString(", ")}")
+    }
     val selM = raw"(?is)\bSELECT\b".r.findFirstMatchIn(out)
       .getOrElse(fail("no SELECT"))
     val selIdx = selM.end

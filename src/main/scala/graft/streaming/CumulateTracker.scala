@@ -85,6 +85,33 @@ object CumulateTracker {
     s
   }
 
+  /** One aggregate slot's emission value as JSON number/text — the
+    * per-kind switch shared by this tracker, [[GridAggTracker]] and
+    * [[SessionAggTracker]]. `None` = SQL NULL (omitted from the vals
+    * object); `ds` is the slot's distinct-value set (empty for
+    * non-distinct kinds).
+    */
+  private[streaming] def fieldValue(kind: Int, a: CumAcc,
+      ds: scala.collection.Set[String]): Option[String] = kind match {
+    case 0 => Some(a.cnt.toString)
+    case 1 => if (a.cnt == 0) None else Some(a.sumL.toString)
+    case 2 => if (a.cnt == 0) None else Some(fmtD(a.sumD))
+    case 3 => if (a.cnt == 0) None else Some(a.mnL.toString)
+    case 4 => if (a.cnt == 0) None else Some(fmtD(a.mnD))
+    case 5 => if (a.cnt == 0) None else Some(a.mxL.toString)
+    case 6 => if (a.cnt == 0) None else Some(fmtD(a.mxD))
+    case 7 => if (a.cnt == 0) None else Some(fmtD(a.sumD / a.cnt))
+    case 9 => Some(ds.size.toString)
+    case 10 => if (ds.isEmpty) None
+      else Some(ds.iterator.map(_.toLong).sum.toString)
+    case 11 => if (ds.isEmpty) None
+      else Some(fmtD(ds.iterator.map(_.toLong).sum.toDouble / ds.size))
+    case 12 => if (ds.isEmpty) None else Some(fmtD(distinctDoubleSum(ds)))
+    case 13 => if (ds.isEmpty) None
+      else Some(fmtD(distinctDoubleSum(ds) / ds.size))
+    case _ => if (a.cnt == 0) None else Some(fmtD(a.sumL.toDouble / a.cnt))
+  }
+
   /** JSON number text for a double aggregate value — integral-valued
     * doubles render `N.0` so the decoded type is unambiguous; shared
     * with [[GridAggTracker]].
@@ -253,32 +280,8 @@ object CumulateTracker {
           mergeStep(k)
           if (stepsWithRows > 0) {
             val fields = kinds.indices.flatMap { i =>
-              val a = merged(i)
-              val v = kinds(i) match {
-                case 0 => Some(a.cnt.toString)
-                case 1 => if (a.cnt == 0) None else Some(a.sumL.toString)
-                case 2 => if (a.cnt == 0) None else Some(fmtD(a.sumD))
-                case 3 => if (a.cnt == 0) None else Some(a.mnL.toString)
-                case 4 => if (a.cnt == 0) None else Some(fmtD(a.mnD))
-                case 5 => if (a.cnt == 0) None else Some(a.mxL.toString)
-                case 6 => if (a.cnt == 0) None else Some(fmtD(a.mxD))
-                case 7 => if (a.cnt == 0) None
-                  else Some(fmtD(a.sumD / a.cnt))
-                case 9 => Some(mergedDs(i).size.toString)
-                case 10 => if (mergedDs(i).isEmpty) None
-                  else Some(mergedDs(i).iterator.map(_.toLong).sum.toString)
-                case 11 => if (mergedDs(i).isEmpty) None
-                  else Some(fmtD(mergedDs(i).iterator.map(_.toLong).sum
-                    .toDouble / mergedDs(i).size))
-                case 12 => if (mergedDs(i).isEmpty) None
-                  else Some(fmtD(distinctDoubleSum(mergedDs(i))))
-                case 13 => if (mergedDs(i).isEmpty) None
-                  else Some(fmtD(
-                    distinctDoubleSum(mergedDs(i)) / mergedDs(i).size))
-                case _ => if (a.cnt == 0) None
-                  else Some(fmtD(a.sumL.toDouble / a.cnt))
-              }
-              v.map(s => s""""a$i": $s""")
+              fieldValue(kinds(i), merged(i), mergedDs(i))
+                .map(s => s""""a$i": $s""")
             }
             out += CumulateWindow(key, span, winEnd,
               fields.mkString("{", ", ", "}"))

@@ -127,36 +127,15 @@ object GridAggTracker {
       if (isFinal || wmMs >= we) {
         val fields = kinds.indices.flatMap { i =>
           accs.remove((ws, we, i)).flatMap { a =>
-            val v = kinds(i) match {
-              case 0 => Some(a.cnt.toString)
-              case 1 => if (a.cnt == 0) None else Some(a.sumL.toString)
-              case 2 => if (a.cnt == 0) None
-                else Some(CumulateTracker.fmtD(a.sumD))
-              case 3 => if (a.cnt == 0) None else Some(a.mnL.toString)
-              case 4 => if (a.cnt == 0) None
-                else Some(CumulateTracker.fmtD(a.mnD))
-              case 5 => if (a.cnt == 0) None else Some(a.mxL.toString)
-              case 6 => if (a.cnt == 0) None
-                else Some(CumulateTracker.fmtD(a.mxD))
-              case 7 => if (a.cnt == 0) None
-                else Some(CumulateTracker.fmtD(a.sumD / a.cnt))
-              case 9 => Some(dsets.remove((ws, we, i))
-                .map(_.size).getOrElse(0).toString)
-              case 10 => dsets.remove((ws, we, i)).filter(_.nonEmpty)
-                .map(_.iterator.map(_.toLong).sum.toString)
-              case 11 => dsets.remove((ws, we, i)).filter(_.nonEmpty)
-                .map(ds => CumulateTracker.fmtD(
-                  ds.iterator.map(_.toLong).sum.toDouble / ds.size))
-              case 12 => dsets.remove((ws, we, i)).filter(_.nonEmpty)
-                .map(ds => CumulateTracker.fmtD(
-                  CumulateTracker.distinctDoubleSum(ds)))
-              case 13 => dsets.remove((ws, we, i)).filter(_.nonEmpty)
-                .map(ds => CumulateTracker.fmtD(
-                  CumulateTracker.distinctDoubleSum(ds) / ds.size))
-              case _ => if (a.cnt == 0) None
-                else Some(CumulateTracker.fmtD(a.sumL.toDouble / a.cnt))
-            }
-            v.map(s => s""""a$i": $s""")
+            val ds: scala.collection.Set[String] =
+              if (CumulateTracker.isDistinctKind(kinds(i)))
+                dsets.remove((ws, we, i))
+                  .getOrElse(scala.collection.Set.empty[String])
+              else scala.collection.Set.empty[String]
+            CumulateTracker.fieldValue(kinds(i),
+              CumAcc(0L, 0, i, a.cnt, a.sumL, a.sumD, a.mnL, a.mxL,
+                a.mnD, a.mxD), ds)
+              .map(s => s""""a$i": $s""")
           }
         }
         // any accumulator entry present means >= 1 row landed in the

@@ -119,6 +119,12 @@ object StateFormat {
     */
   val GridAggTrackerVersion = 1
 
+  /** Bump when [[SessionAggState]]/[[OpenSess]] change shape (the
+    * gap-merge aggregation tracker behind exact distinct aggregates in
+    * streaming SESSION windows, round 15).
+    */
+  val SessionAggTrackerVersion = 1
+
   private val FileName = "graft-state-format.json"
 
   private def stampJson: String =
@@ -126,7 +132,8 @@ object StateFormat {
       s""""cumulateTracker": $CumulateTrackerVersion, """ +
       s""""topNTracker": $TopNTrackerVersion, """ +
       s""""unboundedTopN": $UnboundedTopNVersion, """ +
-      s""""gridAggTracker": $GridAggTrackerVersion}"""
+      s""""gridAggTracker": $GridAggTrackerVersion, """ +
+      s""""sessionAggTracker": $SessionAggTrackerVersion}"""
 
   /** Verifies (or creates) the format stamp for checkpoint directory
     * `dir`. Three cases:
@@ -151,7 +158,8 @@ object StateFormat {
         s"patternTracker v$PatternTrackerVersion, cumulateTracker " +
         s"v$CumulateTrackerVersion, topNTracker v$TopNTrackerVersion, " +
         s"unboundedTopN v$UnboundedTopNVersion, gridAggTracker " +
-        s"v$GridAggTrackerVersion): the state-store schema changed — " +
+        s"v$GridAggTrackerVersion, sessionAggTracker " +
+        s"v$SessionAggTrackerVersion): the state-store schema changed — " +
         "restart the query from a fresh checkpoint directory")
     if (fs.exists(stamp)) {
       // any read failure (corrupt file, checksum mismatch from an
@@ -170,12 +178,13 @@ object StateFormat {
           .map(_.group(1).toInt).getOrElse(0)
       val (pv, cv) = (ver("patternTracker"), ver("cumulateTracker"))
       val (tv, uv) = (ver("topNTracker"), ver("unboundedTopN"))
-      val gv = ver("gridAggTracker")
+      val (gv, sv) = (ver("gridAggTracker"), ver("sessionAggTracker"))
       if (pv != PatternTrackerVersion || cv != CumulateTrackerVersion ||
           tv != TopNTrackerVersion || uv != UnboundedTopNVersion ||
-          gv != GridAggTrackerVersion)
+          gv != GridAggTrackerVersion || sv != SessionAggTrackerVersion)
         fail(s"stamped patternTracker v$pv, cumulateTracker v$cv, " +
-          s"topNTracker v$tv, unboundedTopN v$uv, gridAggTracker v$gv")
+          s"topNTracker v$tv, unboundedTopN v$uv, gridAggTracker v$gv, " +
+          s"sessionAggTracker v$sv")
     } else if (fs.exists(path) && fs.listStatus(path).nonEmpty) {
       // checkpoint data from a build that predates the stamp: every
       // such build used an older state schema

@@ -276,6 +276,95 @@ class WindowTvfSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SESSION distinct aggregates are exact via the gap-merge tracker") {
+    // round 15: previously the one place the engine silently
+    // approximated (the native session_window path + HLL rule) where
+    // Flink is exact. Random data with repeats, touching events (diff
+    // == gap merges), null stripes, and dyadic doubles — streaming
+    // must match the batch gaps-and-islands rewrite bit-for-bit
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 150).map { i =>
+      (s"k${i % 2}", new java.sql.Timestamp(rnd.nextInt(600) * 1000L),
+        if (i % 11 == 0) null else s"u${rnd.nextInt(7)}",
+        rnd.nextInt(5).toLong,
+        if (i % 23 == 0) -0.0d else rnd.nextInt(8) * 0.25d)
+    }
+    rows.toDF("k", "ts", "u", "v", "dv")
+      .createOrReplaceTempView("sess_dist_in")
+    val stmt =
+      """SELECT k, window_start, window_end, COUNT(DISTINCT u) AS du,
+        |  SUM(DISTINCT v) AS sd, AVG(DISTINCT dv) AS ad,
+        |  COUNT(*) AS n, SUM(v) AS s
+        |FROM TABLE(SESSION(TABLE sess_dist_in PARTITION BY k,
+        |  DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq).toSet
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // dedup actually exercised
+      assert(batch.exists(r =>
+        r(3).asInstanceOf[Long] < r(6).asInstanceOf[Long]))
+    } finally MatchRecognize.dropViews(spark, streamSql)
+    // GROUP BY keys must equal the TVF PARTITION BY keys
+    val e = intercept[IllegalArgumentException](
+      WindowTvf.rewriteStreaming(
+        """SELECT window_start, window_end, COUNT(DISTINCT u) AS du
+          |FROM TABLE(SESSION(TABLE sess_dist_in PARTITION BY k,
+          |  DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+          |GROUP BY window_start, window_end""".stripMargin,
+        spark, _ => Some(("ts", "5 seconds"))))
+    assert(e.getMessage.contains("PARTITION BY"), e.getMessage)
+  }
+
+  test("streaming SESSION distinct merges sessions across batches") {
+    // cross-batch gap-merge: an open session extends (touch: diff ==
+    // gap), the merged session emits once the watermark strictly
+    // passes last + gap, and the distinct set unions across batches
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(String, java.sql.Timestamp, String)]
+    input.toDF().toDF("k", "ts", "u")
+      .createOrReplaceTempView("sess_inc_in")
+    val stmt =
+      """SELECT k, window_start, window_end, COUNT(DISTINCT u) AS du
+        |FROM TABLE(SESSION(TABLE sess_inc_in PARTITION BY k,
+        |  DESCRIPTOR(ts), INTERVAL '1' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    val q = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("sess_inc_out").outputMode("append").start()
+    try {
+      // batch 1: [10s: a] closes once the watermark passes 70s;
+      // [100s: b] stays open. (10s, not 0s: Spark's initial watermark
+      // of 0 drops an epoch-0 event time before any stateful operator)
+      input.addData(("x", ts(10), "a"), ("x", ts(100), "b"))
+      q.processAllAvailable()
+      // batch 2: 160s touches 100s exactly at the gap — merges; then a
+      // repeat value at 170s must not grow the distinct set
+      input.addData(("x", ts(160), "c"), ("x", ts(170), "b"))
+      q.processAllAvailable()
+      // batch 3: advance the watermark far past 170 + 60
+      input.addData(("x", ts(1000), "z"))
+      q.processAllAvailable()
+      val got = spark.table("sess_inc_out")
+        .select($"window_start", $"window_end", $"du")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+        .map { case (ws, we, du) => (ws.getTime / 1000L, we.getTime / 1000L, du) }
+        .toSet
+      assert(got.contains((10L, 70L, 1L)), got)
+      assert(got.contains((100L, 230L, 2L)), got)
+    } finally q.stop()
+  }
+
   test("soak: window-join state is bounded by open windows, not key history") {
     // 50k keys pair once in an early window; after the watermark
     // passes it, the join must hold only the flush keys' state —
