@@ -476,13 +476,19 @@ object WindowTvf {
     if (tvfCount == 2 &&
         raw"(?is)\bGROUP\s+BY\b".r.findFirstIn(sql).isEmpty) {
       if (localZone.isDefined && hasGridTvf(sql)) {
-        if (CumulateRe.findFirstIn(sql).isDefined)
-          throw new IllegalArgumentException(
-            s"table.local-time-zone = ${localZone.get} resolves to a " +
-              "region zone with DST transitions: the streaming CUMULATE " +
-              "window join decomposes onto the native fixed grid — use " +
-              "a fixed-offset zone, SET table.local-time-zone = 'UTC', " +
-              "or run it in batch mode")
+        // CUMULATE joins under a region zone run on the wall-clock
+        // span grid (r15); both sides must be CUMULATE like the
+        // non-zone form
+        if (CumulateRe.findFirstIn(sql).isDefined) {
+          if (!AnyTvfRe.findAllMatchIn(sql).map(_.group(1).toUpperCase)
+              .forall(_ == "CUMULATE"))
+            throw new IllegalArgumentException(
+              "streaming CUMULATE window join requires BOTH sides to " +
+                "be CUMULATE (Flink windows both inputs with the same " +
+                "TVF)")
+          return rewriteStreamingCumulateJoin(sql, spark, watermarkOf,
+            zone = localZone)
+        }
         return rewriteStreamingZoneWindowJoin(
           sql, localZone.get, spark, watermarkOf)
       }
@@ -1552,15 +1558,13 @@ object WindowTvf {
     if (!sawEndEq)
       fail("streaming window join requires `L.window_end = " +
         "R.window_end` in the ON clause (Flink's window-join contract)")
-    // alias → side mapping: the identifier following each spliced
-    // derived relation (first in text order = first call's side)
-    val aliasRe = raw"(?is)__gzj\)\s*([A-Za-z_]\w*)|__wsw\)\s*([A-Za-z_]\w*)".r
-    val sideAliases = aliasRe.findAllMatchIn(out)
-      .map(m => Option(m.group(1)).getOrElse(m.group(2))).toSeq
+    // alias → side mapping, read from the ORIGINAL text at each TVF
+    // call's end (an unaliased relation yields no entry instead of
+    // capturing the following keyword)
     val tcolOf: Map[String, String] =
-      if (sideAliases.size == 2)
-        Map(sideAliases(0) -> sideTcols(0), sideAliases(1) -> sideTcols(1))
-      else Map.empty
+      calls.map(_._1).zip(sideTcols).flatMap { case (m, tc) =>
+        aliasAfter(sql, m.end).map(_ -> tc)
+      }.toMap
     val (lt, rt) = (
       tcolOf.getOrElse(la, fail(
         s"streaming window join: cannot resolve relation alias $la " +
@@ -1577,6 +1581,24 @@ object WindowTvf {
     out.substring(0, onIdx) + "ON " + newCond +
       (if (condEnd < out.length) " " + out.substring(condEnd) else "")
   }
+
+  /** Words that can follow a join relation and are therefore NOT its
+    * alias. */
+  private val NonAliasWords = Set(
+    "JOIN", "ON", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "CROSS",
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "LATERAL",
+    "NATURAL", "USING")
+
+  /** The alias of the relation whose text ends at `end` in the
+    * ORIGINAL statement — read at the match position rather than
+    * re-scanned from the rewritten text, so an unaliased relation
+    * yields None instead of capturing the next keyword (and two sides
+    * can never mis-map).
+    */
+  private def aliasAfter(sql: String, end: Int): Option[String] =
+    raw"(?is)^\s*(?:AS\s+)?([A-Za-z_]\w*)".r
+      .findFirstMatchIn(sql.substring(end))
+      .map(_.group(1)).filterNot(a => NonAliasWords(a.toUpperCase))
 
   /** Both window-join sides must carry an event-time watermark on the
     * DESCRIPTOR column — a DDL declaration or one already applied to
@@ -1625,7 +1647,18 @@ object WindowTvf {
   private def rewriteStreamingCumulateJoin(
       sql: String,
       spark: org.apache.spark.sql.SparkSession,
-      watermarkOf: String => Option[(String, String)]): String = {
+      watermarkOf: String => Option[(String, String)],
+      // a DST REGION zone (r15): the span grid is the zone's
+      // wall-clock size grid — spans are assigned per row with the
+      // batch rewrite's from_utc_timestamp floor, the span-struct
+      // equality becomes equalities on BOTH span instant bounds (the
+      // pair disambiguates fall-back overlap), and an event-time range
+      // of size + 25 h restores the state-eviction bound the struct
+      // equality provided (rows sharing a wall span are within size
+      // wall-clock, and no tzdb transition shifts the offset by more
+      // than 24 h). The fan-out and window_end/window_time rewrites
+      // then run on the WALL timeline and convert back per reference.
+      zone: Option[String] = None): String = {
     def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
     val calls = CumulateRe.findAllMatchIn(sql).toSeq
     if (calls.size != 2)
@@ -1643,21 +1676,42 @@ object WindowTvf {
         "size, offset) on both sides (Flink windows both inputs with " +
         "the same TVF)")
     val (stepMs, sizeMs, offMs) = specs.head
+    val sideTcols = calls.map(_.group(2))
     var out = sql
     for (m <- calls.reverseIterator) {
       requireJoinWatermark(spark, watermarkOf, m.group(1), m.group(2))
       val (table, tcol) = (m.group(1), m.group(2))
-      val tail =
-        if (offMs == 0L) ""
-        else s", '$sizeMs milliseconds', '$offMs milliseconds'"
-      val t = epochMs(tcol)
-      val tOff = if (offMs == 0L) t else s"($t - ${offMs}L)"
-      val eb = s"((pmod($tOff, ${sizeMs}L) div ${stepMs}L) + 1) * ${stepMs}L"
-      val derived =
-        s"(SELECT * EXCEPT (__w), __w.start AS window_start, " +
-          s"__w AS __graft_w, $eb AS __graft_eb " +
-          s"FROM (SELECT *, window($tcol, '$sizeMs milliseconds'$tail) AS __w " +
-          s"FROM $table WHERE $tcol IS NOT NULL) __gwj)"
+      val derived = zone match {
+        case None =>
+          val tail =
+            if (offMs == 0L) ""
+            else s", '$sizeMs milliseconds', '$offMs milliseconds'"
+          val t = epochMs(tcol)
+          val tOff = if (offMs == 0L) t else s"($t - ${offMs}L)"
+          val eb =
+            s"((pmod($tOff, ${sizeMs}L) div ${stepMs}L) + 1) * ${stepMs}L"
+          s"(SELECT * EXCEPT (__w), __w.start AS window_start, " +
+            s"__w AS __graft_w, $eb AS __graft_eb " +
+            s"FROM (SELECT *, window($tcol, '$sizeMs milliseconds'$tail) AS __w " +
+            s"FROM $table WHERE $tcol IS NOT NULL) __gwj)"
+        case Some(z) =>
+          val w =
+            s"unix_millis(from_utc_timestamp(cast($tcol as timestamp), '$z'))"
+          def toInstTs(c: String): String =
+            s"to_utc_timestamp(timestamp_millis($c), '$z')"
+          val tOff = if (offMs == 0L) w else s"($w - ${offMs}L)"
+          val back = if (offMs == 0L) "" else s" + ${offMs}L"
+          val eb =
+            s"((pmod($tOff, ${sizeMs}L) div ${stepMs}L) + 1) * ${stepMs}L"
+          s"(SELECT * EXCEPT (__wsw), " +
+            s"${toInstTs("__wsw")} AS window_start, " +
+            s"__wsw AS __gww, " +
+            s"unix_millis(${toInstTs("__wsw")}) AS __gws, " +
+            s"unix_millis(${toInstTs(s"(__wsw + ${sizeMs}L)")}) AS __gwe, " +
+            s"$eb AS __graft_eb " +
+            s"FROM (SELECT *, ${floorTo(tOff, sizeMs)}$back AS __wsw " +
+            s"FROM $table WHERE $tcol IS NOT NULL) __gcz)"
+      }
       out = out.substring(0, m.start) + derived + out.substring(m.end)
     }
     val onIdx = findTopLevel(out, 0, "ON").getOrElse(
@@ -1691,19 +1745,54 @@ object WindowTvf {
           "cannot appear in residual ON conjuncts (the growing-window " +
           "fan-out runs after the join) — move the predicate to WHERE")
     }
-    val newCond =
-      (s"$la.__graft_w = $ra.__graft_w" +: rest.map(_.trim))
-        .mkString(" AND ")
+    val spanCond = zone match {
+      case None => Seq(s"$la.__graft_w = $ra.__graft_w")
+      case Some(_) =>
+        // alias → event-time column, read from the ORIGINAL text at
+        // each TVF call's end (the range condition needs both sides'
+        // time attributes for state eviction)
+        val tcolOf: Map[String, String] =
+          calls.zip(sideTcols).flatMap { case (m, tc) =>
+            aliasAfter(sql, m.end).map(_ -> tc)
+          }.toMap
+        val (lt, rt) = (
+          tcolOf.getOrElse(la, fail(
+            s"streaming CUMULATE window join: cannot resolve relation " +
+              s"alias $la (alias each windowed TVF relation directly: " +
+              "TABLE(...) L)")),
+          tcolOf.getOrElse(ra, fail(
+            s"streaming CUMULATE window join: cannot resolve relation " +
+              s"alias $ra (alias each windowed TVF relation directly: " +
+              "TABLE(...) R)")))
+        val boundMs = sizeMs + 25L * 3600000L
+        Seq(s"$la.__gws = $ra.__gws", s"$la.__gwe = $ra.__gwe",
+          s"$la.$lt >= $ra.$rt - INTERVAL '$boundMs' MILLISECOND " +
+            s"AND $la.$lt <= $ra.$rt + INTERVAL '$boundMs' MILLISECOND")
+    }
+    val newCond = (spanCond ++ rest.map(_.trim)).mkString(" AND ")
     // the stateless fan-out: every step-multiple end covering BOTH rows
     val fan = s" LATERAL VIEW explode(sequence(" +
       s"greatest($la.__graft_eb, $ra.__graft_eb), ${sizeMs}L, ${stepMs}L)) " +
       "__gcf AS __graft_eo"
     var res = out.substring(0, onIdx) + "ON " + newCond + fan +
       (if (condEnd < out.length) " " + out.substring(condEnd) else "")
-    def endRef(a: String) =
-      s"timestamp_millis(unix_millis($a.window_start) + __graft_eo)"
-    def timeRef(a: String) =
-      s"timestamp_millis(unix_millis($a.window_start) + __graft_eo - 1L)"
+    // fan-out end references: the growing window's end is the span's
+    // WALL start + the end offset, converted back to an instant under
+    // a zone (the wall start rides as __gww); plain epoch arithmetic
+    // otherwise
+    def endRef(a: String) = zone match {
+      case None =>
+        s"timestamp_millis(unix_millis($a.window_start) + __graft_eo)"
+      case Some(z) =>
+        s"to_utc_timestamp(timestamp_millis($a.__gww + __graft_eo), '$z')"
+    }
+    def timeRef(a: String) = zone match {
+      case None =>
+        s"timestamp_millis(unix_millis($a.window_start) + __graft_eo - 1L)"
+      case Some(z) =>
+        s"(to_utc_timestamp(timestamp_millis($a.__gww + __graft_eo), " +
+          s"'$z') - INTERVAL '1' MILLISECOND)"
+    }
     // bare `X.window_end` / `X.window_time` select items keep their TVF
     // output names via an alias; references inside larger expressions
     // rewrite in place below

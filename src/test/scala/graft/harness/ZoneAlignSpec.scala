@@ -294,19 +294,83 @@ class ZoneAlignSpec extends AnyFunSuite {
         (1709960400000L, Some("a"), 1L), (1710046800000L, Some("b"), 1L),
         (1709960400000L, None, 1L), (1710046800000L, None, 1L)))
     } finally q.stop()
-    // the streaming CUMULATE window join keeps a named rejection under
-    // a region zone (its decomposition rides the native fixed grid)
-    val eJoin = intercept[IllegalArgumentException](
-      WindowTvf.rewriteStreaming(
-        "SELECT a.k FROM TABLE(CUMULATE(TABLE l, DESCRIPTOR(ts), " +
-          "INTERVAL '12' HOUR, INTERVAL '1' DAY)) a JOIN " +
-          "TABLE(CUMULATE(TABLE r, DESCRIPTOR(ts), INTERVAL '12' HOUR, " +
-          "INTERVAL '1' DAY)) b " +
-          "ON a.window_start = b.window_start AND " +
-          "a.window_end = b.window_end",
-        spark, wm, Some("America/New_York")))
-    assert(eJoin.getMessage.contains("CUMULATE window join"),
-      eJoin.getMessage)
+  }
+
+  test("streaming CUMULATE window JOIN under a DST region zone matches batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // r15 (previously a named rejection): the span grid is the NY
+    // wall-clock day — the two 03-10-day rows sit 22 h apart in
+    // instants (a 23-hour local day) and must share a span, while the
+    // 03-09 23:59 EST row is 2 minutes from one of them but in the
+    // previous local day; joined pairs fan to the growing windows
+    // covering BOTH rows
+    val l = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    val r = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Long)]
+    l.toDF().toDF("lts", "lk", "lv").createOrReplaceTempView("za_cj_l")
+    r.toDF().toDF("rts", "rk", "rv").createOrReplaceTempView("za_cj_r")
+    val wmj: String => Option[(String, String)] = {
+      case t if t.equalsIgnoreCase("za_cj_l") => Some(("lts", "5 seconds"))
+      case t if t.equalsIgnoreCase("za_cj_r") => Some(("rts", "5 seconds"))
+      case _ => None
+    }
+    def joinSql(lt: String, rt: String) =
+      s"""SELECT L.lk, L.lv, R.rv, L.window_start, L.window_end
+         |FROM TABLE(CUMULATE(TABLE $lt, DESCRIPTOR(lts),
+         |  INTERVAL '12' HOUR, INTERVAL '1' DAY)) L
+         |JOIN TABLE(CUMULATE(TABLE $rt, DESCRIPTOR(rts),
+         |  INTERVAL '12' HOUR, INTERVAL '1' DAY)) R
+         |ON L.window_start = R.window_start
+         |  AND L.window_end = R.window_end AND L.lk = R.rk""".stripMargin
+    val rewritten = WindowTvf.rewriteStreaming(
+      joinSql("za_cj_l", "za_cj_r"), spark, wmj, Some("America/New_York"))
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("za_cj_out").outputMode("append").start()
+    try {
+      val rows = Seq(
+        (new java.sql.Timestamp(1710046740000L), "a", 1L), // 03-09 23:59 EST
+        (new java.sql.Timestamp(1710046860000L), "a", 2L), // 03-10 00:01 EST
+        (new java.sql.Timestamp(1710126000000L), "a", 4L)) // 03-10 23:00 EDT
+      l.addData(rows: _*)
+      r.addData(rows: _*)
+      q.processAllAvailable()
+      l.addData((new java.sql.Timestamp(1710500000000L), "z", 0L))
+      r.addData((new java.sql.Timestamp(1710500000000L), "z", 0L))
+      q.processAllAvailable()
+      val got = spark.table("za_cj_out")
+        .select($"lk", $"lv", $"rv",
+          org.apache.spark.sql.functions.unix_millis($"window_start"),
+          org.apache.spark.sql.functions.unix_millis($"window_end"))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .filter(_._1 == "a").toSet
+      // 03-09 span: (1,1) in the [noon, midnight] growing windows of
+      // a 23:59 row → the full-day window only; 03-10 (23 instant
+      // hours): (2,2) pairs in both growing windows (noon end =
+      // 16:00Z under EDT), every pair touching the 23:00 row only in
+      // the full-day window ending 04:00Z 03-11
+      val day9End = 1710046800000L // 03-10 00:00 NY as instant
+      val noon10 = 1710086400000L // 03-10 12:00 EDT
+      val day10End = 1710129600000L // 03-11 00:00 NY (23-hour day)
+      val span9 = 1709960400000L
+      val span10 = 1710046800000L
+      assert(got === Set(
+        ("a", 1L, 1L, span9, day9End),
+        ("a", 2L, 2L, span10, noon10), ("a", 2L, 2L, span10, day10End),
+        ("a", 2L, 4L, span10, day10End), ("a", 4L, 2L, span10, day10End),
+        ("a", 4L, 4L, span10, day10End)))
+      // batch twin through the wall-clock TVF rewrite
+      rows.toDF("lts", "lk", "lv").createOrReplaceTempView("za_cjb_l")
+      rows.toDF("rts", "rk", "rv").createOrReplaceTempView("za_cjb_r")
+      val bgot = spark.sql(WindowTvf.rewrite(
+        joinSql("za_cjb_l", "za_cjb_r"), Some("America/New_York")))
+        .select($"lk", $"lv", $"rv",
+          org.apache.spark.sql.functions.unix_millis($"window_start"),
+          org.apache.spark.sql.functions.unix_millis($"window_end"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(bgot === got)
+    } finally q.stop()
   }
 
   test("streaming window JOIN under a DST region zone matches batch") {
