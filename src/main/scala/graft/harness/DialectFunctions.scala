@@ -498,6 +498,39 @@ object DialectFunctions {
   private val ExistsClauseTailRe =
     raw"(?is)\b(TRUE|FALSE|UNKNOWN|ERROR)\s+ON\s+ERROR\s*$$".r
 
+  /** A multi-value marker — `*` or `..` — OUTSIDE bracket-quoted
+    * member names, detected structurally: `$['a*b']` is a single-value
+    * path whose member NAME contains a star, so a raw substring check
+    * would wrongly force it onto the legacy multi-value passthrough
+    * (and reject its behavior clauses by name).
+    */
+  private def hasMultiValueMarker(path: String): Boolean = {
+    var i = 0
+    while (i < path.length) {
+      path.charAt(i) match {
+        case q @ ('\'' | '"') =>
+          i += 1
+          while (i < path.length && path.charAt(i) != q) i += 1
+          i += 1
+        case '*' => return true
+        case '.' if i + 1 < path.length && path.charAt(i + 1) == '.' =>
+          return true
+        case _ => i += 1
+      }
+    }
+    false
+  }
+
+  /** A path of the shape `<single-value base>[*]` — the one wildcard
+    * class the variant functions can evaluate faithfully (the base
+    * resolves to one value; the trailing `[*]` iterates it under
+    * SQL:2016 lax semantics, wrapping a non-array into a singleton).
+    * Returns the base path text.
+    */
+  private def trailingStarBase(inner: String): Option[String] =
+    raw"(?s)^(.*?)\s*\[\s*\*\s*\]\s*$$".r.findFirstMatchIn(inner)
+      .map(_.group(1)).filter(b => !hasMultiValueMarker(b))
+
   private def rewriteJson(sql: String): String =
     mapCalls(sql, JsonOpenRe) { (m, args) =>
       val fn = m.group(1).toUpperCase
@@ -647,29 +680,72 @@ object DialectFunctions {
         case "QUERY" =>
           // the path literal's content, '' unescaped
           val inner = path.substring(1, path.length - 1).replace("''", "'")
-          if (inner.contains("*") || inner.contains("..")) {
-            // multi-value paths keep the legacy passthrough: variant
-            // extraction is field/index steps only, and a multi-value
-            // result has no faithful wrapper/ON-clause semantics
+          val starBase = trailingStarBase(inner)
+          lazy val errVal =
+            if (raiseOnError)
+              s"raise_error(CONCAT('JSON_QUERY ERROR ON ERROR: no " +
+                s"result for path ', $path, ' in: ', $expr))"
+            else onErrorDefault.getOrElse("CAST(NULL AS STRING)")
+          lazy val emptyVal =
+            if (raiseOnEmpty)
+              s"raise_error(CONCAT('JSON_QUERY ERROR ON EMPTY: empty " +
+                s"result for path ', $path, ' in: ', $expr))"
+            else onEmptyDefault.getOrElse("CAST(NULL AS STRING)")
+          // malformed input routes to ON ERROR with its own message;
+          // the try_parse_json disjunct catches inputs graft_json_valid
+          // accepts but the variant parser rejects (strictness
+          // divergence — depth/duplicate-key limits), which would
+          // otherwise fall through to the missing-path ON EMPTY branch
+          lazy val malformedVal =
+            if (raiseOnError)
+              s"raise_error(CONCAT('JSON_QUERY ERROR ON ERROR: " +
+                s"malformed JSON input for path ', $path, ': ', $expr))"
+            else onErrorDefault.getOrElse("CAST(NULL AS STRING)")
+          def malformedPred =
+            s"NOT graft_json_valid($expr) OR try_parse_json($expr) IS NULL"
+          if (hasMultiValueMarker(inner) && starBase.isEmpty) {
+            // general wildcard / recursive-descent paths keep the
+            // legacy passthrough: variant extraction is field/index
+            // steps only, and an unbounded multi-value result has no
+            // faithful wrapper/ON-clause semantics there
             if (queryClauses)
-              fail("JSON_QUERY wrapper/ON clauses are not supported " +
-                s"with wildcard or recursive-descent paths ($path) — " +
-                "those run as a plain multi-value extraction")
+              fail("JSON_QUERY wrapper/ON clauses are supported on " +
+                "single-value paths and a trailing [*] wildcard only " +
+                s"(got $path) — deeper wildcard/recursive-descent " +
+                "paths run as a plain multi-value extraction")
             call
           } else if (!inner.trim.startsWith("$"))
             fail(s"JSON_QUERY path must start with $$: $path")
-          else {
+          else if (starBase.isDefined) {
+            // `base[*]` (SQL:2016 lax): the base resolves to ONE value;
+            // an array's elements are the items (0 items → ON EMPTY,
+            // 1 item → the wrapper rules on it, >1 items → WITHOUT is
+            // an error and any wrapping re-yields the array text);
+            // a non-array base value wraps to a singleton item
+            val baseLit = "'" + starBase.get.replace("'", "''") + "'"
+            val bv =
+              s"to_json(try_variant_get(try_parse_json($expr), $baseLit))"
+            val isArr = s"startswith($bv, '[')"
+            val ev = s"to_json(try_variant_get(try_parse_json($bv), '$$[0]'))"
+            def single(t: String): String = wrapper match {
+              case "WITHOUT" =>
+                s"(CASE WHEN startswith($t, '[') OR startswith($t, '{') " +
+                  s"THEN $t ELSE $errVal END)"
+              case "UNCOND" => s"concat('[', $t, ']')"
+              case _ =>
+                s"(CASE WHEN startswith($t, '[') OR startswith($t, '{') " +
+                  s"THEN $t ELSE concat('[', $t, ']') END)"
+            }
+            val multi = if (wrapper == "WITHOUT") errVal else bv
+            s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS STRING)" +
+              s" WHEN $malformedPred THEN $malformedVal" +
+              s" WHEN $bv IS NULL THEN $emptyVal" +
+              s" WHEN $isArr AND json_array_length($bv) = 0 THEN $emptyVal" +
+              s" WHEN $isArr AND json_array_length($bv) = 1 THEN ${single(ev)}" +
+              s" WHEN $isArr THEN $multi" +
+              s" ELSE ${single(bv)} END)"
+          } else {
             val vget = s"to_json(try_variant_get(try_parse_json($expr), $path))"
-            val errVal =
-              if (raiseOnError)
-                s"raise_error(CONCAT('JSON_QUERY ERROR ON ERROR: no " +
-                  s"result for path ', $path, ' in: ', $expr))"
-              else onErrorDefault.getOrElse("CAST(NULL AS STRING)")
-            val emptyVal =
-              if (raiseOnEmpty)
-                s"raise_error(CONCAT('JSON_QUERY ERROR ON EMPTY: empty " +
-                  s"result for path ', $path, ' in: ', $expr))"
-              else onEmptyDefault.getOrElse("CAST(NULL AS STRING)")
             // canonical to_json text keys the shape: objects '{',
             // arrays '[', everything else a scalar
             val isArr = s"startswith($vget, '[')"
@@ -686,40 +762,60 @@ object DialectFunctions {
                   s"ELSE concat('[', $vget, ']') END)"
             }
             s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS STRING)" +
-              s" WHEN NOT graft_json_valid($expr) THEN $errVal" +
+              s" WHEN $malformedPred THEN $malformedVal" +
               s" WHEN $vget IS NULL THEN $emptyVal" +
               scalarBranch +
               s" ELSE $wrapped END)"
           }
         case "EXISTS" =>
           val inner = path.substring(1, path.length - 1).replace("''", "'")
-          if (inner.contains("*") || inner.contains("..")) {
-            // wildcard/recursive paths keep the legacy extractor (the
-            // variant path grammar is field/index steps only); a JSON
-            // null match reads as absent there, so the behavior clause
-            // would be unfaithful — reject it by name
+          val starBase = trailingStarBase(inner)
+          lazy val errVal = existsOnError match {
+            case "TRUE" => "TRUE"
+            case "UNKNOWN" => "CAST(NULL AS BOOLEAN)"
+            case "ERROR" =>
+              s"raise_error(CONCAT('JSON_EXISTS ERROR ON ERROR: " +
+                s"malformed JSON for path ', $path, ' in: ', $expr))"
+            case _ => "FALSE"
+          }
+          // same parser-divergence routing as JSON_QUERY: inputs the
+          // strict validator accepts but the variant parser rejects
+          // take ON ERROR, not a silent FALSE
+          def malformedPred =
+            s"NOT graft_json_valid($expr) OR try_parse_json($expr) IS NULL"
+          if (hasMultiValueMarker(inner) && starBase.isEmpty) {
+            // deeper wildcard/recursive paths keep the legacy extractor
+            // (the variant path grammar is field/index steps only); a
+            // JSON null match reads as absent there, so the behavior
+            // clause would be unfaithful — reject it by name
             if (queryClauses)
-              fail("JSON_EXISTS ON ERROR is not supported with wildcard " +
-                s"or recursive-descent paths ($path)")
+              fail("JSON_EXISTS ON ERROR is supported on single-value " +
+                "paths and a trailing [*] wildcard only (got " +
+                s"$path) — deeper wildcard/recursive-descent paths run " +
+                "as a plain multi-value existence check")
             s"($call IS NOT NULL)"
           } else if (!inner.trim.startsWith("$"))
             fail(s"JSON_EXISTS path must start with $$: $path")
-          else {
+          else if (starBase.isDefined) {
+            // `base[*]` (SQL:2016 lax): at least one item — an array
+            // with >= 1 element, or any non-array base value (lax
+            // wraps it to a singleton, a JSON null member included)
+            val baseLit = "'" + starBase.get.replace("'", "''") + "'"
+            val bv =
+              s"to_json(try_variant_get(try_parse_json($expr), $baseLit))"
+            s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS BOOLEAN)" +
+              s" WHEN $malformedPred THEN $errVal" +
+              s" WHEN $bv IS NULL THEN FALSE" +
+              s" WHEN startswith($bv, '[') THEN json_array_length($bv) > 0" +
+              s" ELSE TRUE END)"
+          } else {
             // variant-based existence: a JSON null member renders as
             // the text 'null' (present → TRUE, Flink's semantics),
             // where get_json_object conflated it with a missing path
             val vget =
               s"to_json(try_variant_get(try_parse_json($expr), $path))"
-            val errVal = existsOnError match {
-              case "TRUE" => "TRUE"
-              case "UNKNOWN" => "CAST(NULL AS BOOLEAN)"
-              case "ERROR" =>
-                s"raise_error(CONCAT('JSON_EXISTS ERROR ON ERROR: " +
-                  s"malformed JSON for path ', $path, ' in: ', $expr))"
-              case _ => "FALSE"
-            }
             s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS BOOLEAN)" +
-              s" WHEN NOT graft_json_valid($expr) THEN $errVal" +
+              s" WHEN $malformedPred THEN $errVal" +
               s" ELSE $vget IS NOT NULL END)"
           }
       }

@@ -446,8 +446,110 @@ object Dialect {
     s.sql(DialectFunctions.rewrite(flinkSql))
   }
 
+  /** JSON_QUERY/JSON_EXISTS behavior clauses on a trailing-`[*]`
+    * wildcard (r15): `$.a[*]` iterates the base value under SQL:2016
+    * lax semantics — array elements are the items (0 → ON EMPTY, 1 →
+    * the wrapper rules on it, >1 → WITHOUT is an error and wrapping
+    * re-yields the array), a non-array base (JSON null included) wraps
+    * to a singleton item. Previously any wildcard path rejected every
+    * clause by name. Eight input shapes exercise every branch; DuckDB
+    * discriminates the JSON-null member from a missing path via
+    * json_keys, exactly the q109 technique.
+    */
+  val q111JsonWildcard: Q = Q(
+    "q111_json_wildcard",
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 8 AS INT)
+      |      WHEN 0 THEN '{"a": [1, 2]}'
+      |      WHEN 1 THEN '{"a": [7]}'
+      |      WHEN 2 THEN '{"a": [{"b": 1}]}'
+      |      WHEN 3 THEN '{"a": []}'
+      |      WHEN 4 THEN '{"a": 5}'
+      |      WHEN 5 THEN '{"a": null}'
+      |      WHEN 6 THEN '{"z": 1}'
+      |      ELSE 'not json' END AS js
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, js, json_valid(js) AS ok,
+      |    json_extract(TRY_CAST(js AS JSON), '$.a') AS jv,
+      |    COALESCE(list_contains(json_keys(TRY_CAST(js AS JSON)), 'a'),
+      |      FALSE) AS haskey
+      |  FROM j)
+      |SELECT doc_id,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN NOT haskey THEN NULL
+      |       WHEN jv IS NULL THEN NULL
+      |       WHEN json_type(jv) = 'ARRAY' THEN
+      |         CASE WHEN json_array_length(jv) = 1
+      |                AND json_type(jv, '$[0]') IN ('OBJECT', 'ARRAY')
+      |              THEN CAST(json_extract(jv, '$[0]') AS VARCHAR)
+      |              ELSE NULL END
+      |       WHEN json_type(jv) = 'OBJECT' THEN CAST(jv AS VARCHAR)
+      |       ELSE NULL END AS w_plain,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN NOT haskey THEN '[]'
+      |       WHEN jv IS NULL THEN '[null]'
+      |       WHEN json_type(jv) = 'ARRAY' THEN
+      |         CASE WHEN json_array_length(jv) = 0 THEN '[]'
+      |              WHEN json_array_length(jv) = 1
+      |              THEN '[' || CAST(json_extract(jv, '$[0]') AS VARCHAR)
+      |                || ']'
+      |              ELSE CAST(jv AS VARCHAR) END
+      |       ELSE '[' || CAST(jv AS VARCHAR) || ']' END AS w_wrap,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN NOT haskey THEN NULL
+      |       WHEN jv IS NULL THEN '[null]'
+      |       WHEN json_type(jv) = 'ARRAY' THEN
+      |         CASE WHEN json_array_length(jv) = 0 THEN NULL
+      |              WHEN json_array_length(jv) = 1 THEN
+      |                CASE WHEN json_type(jv, '$[0]') IN ('OBJECT', 'ARRAY')
+      |                     THEN CAST(json_extract(jv, '$[0]') AS VARCHAR)
+      |                     ELSE '['
+      |                       || CAST(json_extract(jv, '$[0]') AS VARCHAR)
+      |                       || ']' END
+      |              ELSE CAST(jv AS VARCHAR) END
+      |       WHEN json_type(jv) = 'OBJECT' THEN CAST(jv AS VARCHAR)
+      |       ELSE '[' || CAST(jv AS VARCHAR) || ']' END AS w_cond,
+      |  CASE WHEN js IS NULL THEN NULL
+      |       WHEN NOT ok THEN FALSE
+      |       WHEN NOT haskey THEN FALSE
+      |       WHEN jv IS NULL THEN TRUE
+      |       WHEN json_type(jv) = 'ARRAY' THEN json_array_length(jv) > 0
+      |       ELSE TRUE END AS w_exists,
+      |  CASE WHEN js IS NULL THEN NULL
+      |       WHEN NOT ok THEN TRUE
+      |       WHEN NOT haskey THEN FALSE
+      |       WHEN jv IS NULL THEN TRUE
+      |       WHEN json_type(jv) = 'ARRAY' THEN json_array_length(jv) > 0
+      |       ELSE TRUE END AS w_etrue
+      |FROM d""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").createOrReplaceTempView("dlq_docs_jw")
+    graft.functions.GraftFunctions.register(s)
+    val flinkSql =
+      """SELECT doc_id,
+        |  JSON_QUERY(js, '$.a[*]') AS w_plain,
+        |  JSON_QUERY(js, '$.a[*]' WITH WRAPPER EMPTY ARRAY ON EMPTY) AS w_wrap,
+        |  JSON_QUERY(js, '$.a[*]' WITH CONDITIONAL ARRAY WRAPPER) AS w_cond,
+        |  JSON_EXISTS(js, '$.a[*]') AS w_exists,
+        |  JSON_EXISTS(js, '$.a[*]' TRUE ON ERROR) AS w_etrue
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 8 AS INT)
+        |      WHEN 0 THEN '{"a": [1, 2]}'
+        |      WHEN 1 THEN '{"a": [7]}'
+        |      WHEN 2 THEN '{"a": [{"b": 1}]}'
+        |      WHEN 3 THEN '{"a": []}'
+        |      WHEN 4 THEN '{"a": 5}'
+        |      WHEN 5 THEN '{"a": null}'
+        |      WHEN 6 THEN '{"z": 1}'
+        |      ELSE 'not json' END AS js
+        |  FROM dlq_docs_jw)""".stripMargin
+    s.sql(DialectFunctions.rewrite(flinkSql))
+  }
+
   def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset,
     q100DialectFns, q101HopOffset, q104JsonDefault, q105LeftUnnestOrd,
     q106CumulateOffset, q107WindowGroupingSets, q108JsonOnError,
-    q109JsonQuery, q110JsonExists)
+    q109JsonQuery, q110JsonExists, q111JsonWildcard)
 }

@@ -302,6 +302,56 @@ class DialectFunctionsSpec extends AnyFunSuite {
     assert(w.getMessage.contains("wildcard"), w.getMessage)
   }
 
+  test("JSON_QUERY/JSON_EXISTS clauses on a trailing [*] wildcard (lax)") {
+    graft.functions.GraftFunctions.register(spark)
+    // SQL:2016 lax [*]: array elements are the items (0 → EMPTY, 1 →
+    // wrapper rules on it, >1 → WITHOUT errors, wrapping re-yields the
+    // array); a non-array base — JSON null included — wraps to a
+    // singleton item. r15: previously any wildcard rejected clauses.
+    val inputs = Seq("""{"a": [1, 2]}""", """{"a": [7]}""",
+      """{"a": [{"b": 1}]}""", """{"a": []}""", """{"a": 5}""",
+      """{"a": null}""", """{"z": 1}""", "not json")
+    def runQ(clause: String): Seq[String] = inputs.map { js =>
+      val lit = "'" + js.replace("'", "''") + "'"
+      val r = spark.sql(DialectFunctions.rewrite(
+        s"SELECT JSON_QUERY($lit, '$$.a[*]'$clause) AS v")).head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    assert(runQ("") === Seq(null, null, """{"b":1}""", null, null, null,
+      null, null))
+    assert(runQ(" WITH WRAPPER EMPTY ARRAY ON EMPTY") === Seq("[1,2]",
+      "[7]", """[{"b":1}]""", "[]", "[5]", "[null]", "[]", null))
+    assert(runQ(" WITH CONDITIONAL ARRAY WRAPPER") === Seq("[1,2]",
+      "[7]", """{"b":1}""", null, "[5]", "[null]", null, null))
+    def runE(clause: String): Seq[Any] = inputs.map { js =>
+      val lit = "'" + js.replace("'", "''") + "'"
+      val r = spark.sql(DialectFunctions.rewrite(
+        s"SELECT JSON_EXISTS($lit, '$$.a[*]'$clause) AS v")).head
+      if (r.isNullAt(0)) null else r.getBoolean(0)
+    }
+    assert(runE("") === Seq(true, true, true, false, true, true, false,
+      false))
+    assert(runE(" TRUE ON ERROR") === Seq(true, true, true, false, true,
+      true, false, true))
+    // deeper wildcards still reject clauses by name
+    val e = intercept[IllegalArgumentException](DialectFunctions.rewrite(
+      "SELECT JSON_QUERY(p, '$.a[*].c' WITH WRAPPER) FROM t"))
+    assert(e.getMessage.contains("trailing [*]"), e.getMessage)
+  }
+
+  test("a quoted member name containing * or .. is a single-value path") {
+    graft.functions.GraftFunctions.register(spark)
+    // structural wildcard detection: $['a*b'] names a member whose NAME
+    // contains a star — it must take the variant branch (clauses
+    // admitted), not the legacy multi-value passthrough
+    val r = spark.sql(DialectFunctions.rewrite(
+      """SELECT JSON_QUERY('{"a*b": 7}', '$[''a*b'']' WITH WRAPPER) AS v,
+        |  JSON_EXISTS('{"a..b": 1}', '$[''a..b'']' TRUE ON ERROR) AS e
+        |""".stripMargin)).head
+    assert(r.getString(0) === "[7]")
+    assert(r.getBoolean(1) === true)
+  }
+
   test("a literal containing JSON_VALUE( is untouched") {
     val sql = "SELECT 'JSON_VALUE(x, ''$.a'')' AS s FROM t"
     assert(DialectFunctions.rewrite(sql) == sql)
