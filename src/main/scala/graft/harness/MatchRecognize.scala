@@ -660,12 +660,26 @@ object MatchRecognize {
     * END`, where `kw((true), k)` is a synthetic always-true payload
     * slot at the outer offset — non-null exactly when the intermediate
     * row exists within the partition. Net offset 0 renders the atom
-    * bare (the current row). Deeper mixing whose recursion produces a
-    * gated CASE inside another navigation stays batch-only (CASE is
-    * not a strict operator), as do non-strict constructs (COALESCE,
-    * AND/OR under three-valued logic, function calls). Anything
-    * outside the safe subset returns the predicate unchanged, so
-    * [[rejectNestedNav]]'s named batch-only error still fires.
+    * bare (the current row).
+    *
+    * DEEPER nesting (r15): a navigation over an expression whose own
+    * flattening produced a gated CASE composes too — the synthetic
+    * gate is itself a navigation atom, so the outer shift moves the
+    * gate to its net offset (a net-0 gate is the current row, always
+    * present, and drops) and distributes the gated body like any other
+    * strict subexpression. The gate decision is exact at any depth:
+    * batch's staged lead-of-lag is non-NULL iff every partial-sum
+    * offset along the navigation chain lands inside the partition,
+    * and partition rows are contiguous, so existence at the extreme
+    * offsets implies every intermediate. Each emitted navigation atom
+    * already enforces existence at its own net offset (NULL when the
+    * row is missing, propagated by the strict operators), so a level
+    * emits its `kw((true), k)` gate only when no atom or composed gate
+    * in the distributed body covers the level's own offset (same sign,
+    * magnitude ≥). Genuinely non-strict constructs (user CASE/COALESCE,
+    * AND/OR under three-valued logic, function calls) stay batch-only:
+    * anything outside the safe subset returns the predicate unchanged,
+    * so [[rejectNestedNav]]'s named batch-only error still fires.
     */
   private[harness] def flattenSameDirNav(pred: String): String = {
     def navCalls(s: String): Seq[(Int, Int, String)] = {
@@ -696,9 +710,13 @@ object MatchRecognize {
           }
           val argFlat = flattenSameDirNav(arg)
           distributeNav(argFlat, kw, k) match {
-            case Some((d, mixed)) =>
+            case Some((d, coverage)) =>
+              val dOuter = if (kw == "NEXT") k.toLong else -k.toLong
+              val covered = dOuter == 0L || coverage.exists(c =>
+                c != 0L && (c > 0L) == (dOuter > 0L) &&
+                  math.abs(c) >= math.abs(dOuter))
               val body =
-                if (!mixed || k == 0) s"($d)"
+                if (covered) s"($d)"
                 else s"(CASE WHEN $kw((true), $k) IS NOT NULL " +
                   s"THEN ($d) END)"
               cur = cur.substring(0, st) + body + cur.substring(e)
@@ -714,13 +732,19 @@ object MatchRecognize {
     * their net signed offset (same-direction adds, opposite-direction
     * subtracts — net 0 renders bare), bare column identifiers wrap
     * into `kw(col, k)`, numeric/string literals and strict operators
-    * pass through. The returned flag is true when any inner atom ran
-    * the OPPOSITE direction (the caller must then gate on the
-    * intermediate row's existence). Returns None on anything unsafe
-    * (function calls, keywords, qualified refs, doubly-nested args).
+    * pass through, and a synthetic existence-gate CASE previously
+    * emitted by [[flattenSameDirNav]] composes (its gate atom shifts
+    * to the net offset — dropping at net 0 — and its body distributes
+    * recursively). Returns the distributed text plus the COVERAGE set:
+    * every net offset at which the text already enforces row existence
+    * (navigation atoms at non-zero nets, composed gate offsets) — the
+    * caller gates on the intermediate row only when its own offset is
+    * uncovered. Returns None on anything unsafe (function calls,
+    * keywords, qualified refs, doubly-nested args, a CASE that is not
+    * the synthetic gate shape).
     */
   private def distributeNav(
-      expr: String, kw: String, k: Int): Option[(String, Boolean)] = {
+      expr: String, kw: String, k: Int): Option[(String, Set[Long])] = {
     val other = if (kw == "PREV") "NEXT" else "PREV"
     val banned = Set("AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE",
       "END", "IS", "NULL", "IN", "BETWEEN", "LIKE", "TRUE", "FALSE")
@@ -729,7 +753,7 @@ object MatchRecognize {
       if (net == 0L) s"($a)"
       else if (net > 0L) s"NEXT($a, $net)"
       else s"PREV($a, ${-net})"
-    var mixed = false
+    val coverage = scala.collection.mutable.Set.empty[Long]
     val masked = maskQuoted(expr)
     val sb = new StringBuilder
     var i = 0
@@ -743,7 +767,28 @@ object MatchRecognize {
         var j = i
         while (j < expr.length && expr.charAt(j).isWhitespace) j += 1
         val uw = word.toUpperCase
-        if (j < expr.length && expr.charAt(j) == '(') {
+        if (uw == "CASE") {
+          // only the synthetic existence-gate shape this flattener
+          // itself emits composes; any other CASE is non-strict
+          parseSyntheticGate(expr, st) match {
+            case Some((gkw, gk, body, endIdx)) =>
+              val g = if (gkw == "NEXT") gk.toLong else -gk.toLong
+              val net = dOuter + g
+              distributeNav(body, kw, k) match {
+                case Some((db, cov2)) =>
+                  coverage ++= cov2
+                  if (net == 0L) sb.append(s"($db)")
+                  else {
+                    coverage += net
+                    sb.append(s"(CASE WHEN ${render("(true)", net)} " +
+                      s"IS NOT NULL THEN ($db) END)")
+                  }
+                  i = endIdx
+                case None => return None
+              }
+            case None => return None
+          }
+        } else if (j < expr.length && expr.charAt(j) == '(') {
           if (uw != kw && uw != other) return None // a function call
           val e = closeParen(expr, j)
           val (a0, k0) = splitTopLevel(expr.substring(j + 1, e - 1)) match {
@@ -754,13 +799,17 @@ object MatchRecognize {
           }
           if (hasPrev(a0) || hasNextNav(a0)) return None
           val dIn = if (uw == "NEXT") k0.toLong else -k0.toLong
-          if (uw != kw) mixed = true
-          sb.append(render(a0, dOuter + dIn))
+          val net = dOuter + dIn
+          if (net != 0L) coverage += net
+          sb.append(render(a0, net))
           i = e
         } else if (uw == other) return None
         else if (banned.contains(uw)) return None
         else if (j < expr.length && expr.charAt(j) == '.') return None // qualified
-        else sb.append(render(word, dOuter))
+        else {
+          if (dOuter != 0L) coverage += dOuter
+          sb.append(render(word, dOuter))
+        }
       } else if (c == '\'' || c == '"' || c == '`') {
         // string literals compare strictly — copy verbatim
         val e = skipQuoted(expr, i, expr.charAt(i))
@@ -790,8 +839,29 @@ object MatchRecognize {
         sb.append(expr.charAt(i)); i += 1
       } else return None
     }
-    Some((sb.toString, mixed))
+    Some((sb.toString, coverage.toSet))
   }
+
+  private val GateHeadRe =
+    raw"(?is)^CASE\s+WHEN\s+(PREV|NEXT)\s*\(\s*\(\s*true\s*\)\s*,\s*(\d+)\s*\)\s+IS\s+NOT\s+NULL\s+THEN\s*\(".r
+  private val GateTailRe = raw"(?is)^\s*END\b".r
+
+  /** Parses the synthetic existence-gate CASE emitted by
+    * [[flattenSameDirNav]] starting at `st` (the `C` of `CASE`):
+    * `CASE WHEN kw((true), k) IS NOT NULL THEN (body) END`. Returns
+    * (gate keyword, gate offset, body text, index just past END), or
+    * None when the text is any other CASE shape.
+    */
+  private def parseSyntheticGate(
+      expr: String, st: Int): Option[(String, Int, String, Int)] =
+    GateHeadRe.findFirstMatchIn(expr.substring(st)).flatMap { m =>
+      val open = st + m.end - 1 // the '(' opening the THEN body
+      val close = closeParen(expr, open) // index just past ')'
+      GateTailRe.findFirstMatchIn(expr.substring(close)).map { t =>
+        (m.group(1).toUpperCase, m.group(2).toInt,
+          expr.substring(open + 1, close - 1), close + t.end)
+      }
+    }
 
   /** Rejects any navigation call nested inside another's argument —
     * checked on the ORIGINAL text, because the two rewrite passes run
@@ -1402,10 +1472,12 @@ object MatchRecognize {
         val parsed = parseSpec(out.substring(open + 1, end - 1))
         // nested navigation flattens to net offsets — same-direction
         // exactly, mixed-direction (r14) gated on the intermediate
-        // row's existence (see flattenSameDirNav); the tracker then
-        // sees ordinary flat PREV/NEXT atoms. Unsafe shapes (deeper
-        // mixing, non-strict operators) pass through unchanged and
-        // hit rejectNestedNav's named batch-only error below.
+        // row's existence, and navigation below another navigation
+        // (r15) by composing the synthetic gates to their net offsets
+        // (see flattenSameDirNav); the tracker then sees ordinary flat
+        // PREV/NEXT atoms. Unsafe shapes (non-strict operators,
+        // function calls) pass through unchanged and hit
+        // rejectNestedNav's named batch-only error below.
         parsed.copy(defines = parsed.defines.map { case (v, p) =>
           v -> flattenSameDirNav(p) })
       }
@@ -1559,12 +1631,12 @@ object MatchRecognize {
       // like any other define, on any column type. A conjunct mixing
       // PREV with the in-matcher forms is out of the subset.
       val allVarSet = vars.toSet
-      // nested navigation that did NOT flatten above (mixing below
-      // another navigation, non-strict operators) is batch-only: the
-      // tracker's lag payload
-      // carries fixed per-row slots, not composed navigation — reject
-      // with the contract before conjunct splitting produces a
-      // misleading unresolved-column error
+      // nested navigation that did NOT flatten above (non-strict
+      // operators, function calls in the navigated expression) is
+      // batch-only: the tracker's lag payload carries fixed per-row
+      // slots, not composed navigation — reject with the contract
+      // before conjunct splitting produces a misleading
+      // unresolved-column error
       spec.defines.values.foreach(rejectNestedNav)
       // SUBSET union names read like pattern variables: a conjunct
       // referencing one moves tracker-side exactly like a cross ref

@@ -1678,6 +1678,27 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(MatchRecognize.flattenSameDirNav("PREV(NEXT(v), 2) > 0")
       == "(CASE WHEN PREV((true), 2) IS NOT NULL " +
         "THEN (PREV(v, 1)) END) > 0")
+    // navigation BELOW another navigation (r15): the synthetic gate is
+    // itself a navigation atom, so the outer shift composes it to its
+    // net offset — a net-0 gate is the current row and drops entirely
+    assert(MatchRecognize.flattenSameDirNav("v = NEXT(PREV(NEXT(v)))")
+      == "v = ((((NEXT(v, 1)))))")
+    assert(MatchRecognize.flattenSameDirNav("PREV(NEXT(PREV(v)) + 1) > 0")
+      == "((((PREV(v, 1)))) + 1) > 0")
+    // a surviving composed gate: PREV(PREV(NEXT(v,2)),3) needs rows at
+    // partial sums -3, -4, -2 — existence at the extreme -4 implies
+    // -3, and the atom PREV(v,2) enforces -2, so ONE gate at -4 is
+    // exact and the level's own -3 gate is elided as covered
+    assert(MatchRecognize.flattenSameDirNav("PREV(PREV(NEXT(v, 2)), 3) > 0")
+      == "(((CASE WHEN PREV((true), 4) IS NOT NULL " +
+        "THEN (PREV(v, 2)) END))) > 0")
+    assert(MatchRecognize.flattenSameDirNav("v > NEXT(NEXT(PREV(v, 3)))")
+      == "v > (((CASE WHEN NEXT((true), 2) IS NOT NULL " +
+        "THEN (PREV(v, 1)) END)))")
+    // a user-written CASE inside a navigation is non-strict — the
+    // flattening must NOT compose it, so the named rejection fires
+    val userCase = "v > PREV(CASE WHEN v > 0 THEN v ELSE 0 END + PREV(v))"
+    assert(MatchRecognize.flattenSameDirNav(userCase) == userCase)
     MatchRecognize.dropViews(spark, MatchRecognize.rewriteStreaming(spark,
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
@@ -1791,6 +1812,60 @@ class MatchRecognizeSpec extends AnyFunSuite {
           |  AFTER MATCH SKIP TO NEXT ROW
           |  PATTERN (A)
           |  DEFINE A AS v > NEXT(PREV(v, 2)))""".stripMargin)
+      assert(batch.map(_.last).toSet === got.map(x => x: Any))
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
+  test("streaming two-level nested nav equals batch, composed gate") {
+    // NEXT(NEXT(PREV(vm, 3))) nets to PREV(vm, 1) but batch's staged
+    // lead-of-lag needs rows at partial sums +1, +2, -1 — contiguity
+    // reduces that to ONE composed gate at +2 (the atom enforces -1);
+    // a row that rises above its predecessor but sits within 2 of the
+    // partition end must NOT match, exactly like batch
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "vm").createOrReplaceTempView("mr_deep_s")
+    val q =
+      """SELECT * FROM mr_deep_s MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES LAST(A.vm) AS av
+        |  AFTER MATCH SKIP TO NEXT ROW
+        |  PATTERN (A)
+        |  DEFINE A AS vm > NEXT(NEXT(PREV(vm, 3))))""".stripMargin
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      _ => Some(("ts", "5 seconds")))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_deep_out").outputMode("append").start()
+    try {
+      // vm = 1,3,2,4,5: rows 3 (vm=3) and 4 (vm=4) rise above their
+      // predecessor; only vm=3 has two successors — batch NULL-gates
+      // vm=4 (one successor) and vm=5 (none)
+      input.addData(("a", ts(10), 1L), ("a", ts(20), 3L),
+        ("a", ts(30), 2L), ("a", ts(40), 4L), ("a", ts(50), 5L),
+        ("z", ts(200), 0L))
+      query.processAllAvailable()
+      input.addData(("z", ts(900), 0L))
+      query.processAllAvailable()
+      val got = spark.table("mr_deep_out").collect()
+        .filter(_.getString(0) == "a").map(_.getLong(1)).toSet
+      assert(got === Set(3L))
+      // batch twin on the same rows through the staged-lag pipeline
+      Seq((1, 1, "x", 1), (1, 2, "x", 3), (1, 3, "x", 2), (1, 4, "x", 4),
+        (1, 5, "x", 5))
+        .toDF("k", "o", "t", "v").createOrReplaceTempView("mr_in")
+      val batch = run(
+        """SELECT * FROM mr_in MATCH_RECOGNIZE (
+          |  PARTITION BY k ORDER BY o
+          |  MEASURES LAST(A.v) AS av
+          |  AFTER MATCH SKIP TO NEXT ROW
+          |  PATTERN (A)
+          |  DEFINE A AS v > NEXT(NEXT(PREV(v, 3))))""".stripMargin)
       assert(batch.map(_.last).toSet === got.map(x => x: Any))
     } finally {
       query.stop()
