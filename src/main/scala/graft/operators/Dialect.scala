@@ -548,8 +548,51 @@ object Dialect {
     s.sql(DialectFunctions.rewrite(flinkSql))
   }
 
+  /** TUMBLE under a DST region `table.local-time-zone` (r15): the grid
+    * floors on America/New_York wall-clock, so the 2024-03-10
+    * spring-forward day is a 23-hour window whose instant bounds jump
+    * from EST midnight (UTC-5) to EDT midnight (UTC-4). The January
+    * events shift +60 days into March so the range crosses the
+    * transition; DuckDB twins the wall-clock arithmetic with AT TIME
+    * ZONE conversions (daily bounds land at midnight, never inside the
+    * 02:00 gap, so java.time's and ICU's gap resolution cannot
+    * diverge). This is the batch twin of the streaming zone grids in
+    * `ZoneAlignSpec` — zones are session config in the CLI, so the
+    * oracle pins the shared grid arithmetic end-to-end.
+    */
+  val q112ZoneGrid: Q = Q(
+    "q112_zone_grid",
+    """WITH e AS (
+      |  SELECT ts + INTERVAL 60 DAY AS ts2 FROM events
+      |  WHERE ts IS NOT NULL),
+      |w AS (
+      |  SELECT date_trunc('day',
+      |    (ts2 AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS wsl
+      |  FROM e)
+      |SELECT
+      |  CAST(FLOOR(EPOCH(wsl AT TIME ZONE 'America/New_York')) AS BIGINT)
+      |    AS window_start_sec,
+      |  CAST(FLOOR(EPOCH(
+      |    (wsl + INTERVAL 1 DAY) AT TIME ZONE 'America/New_York')) AS BIGINT)
+      |    AS window_end_sec,
+      |  COUNT(*) AS n_events
+      |FROM w GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("dlq_events_zg0")
+    s.sql("""CREATE OR REPLACE TEMPORARY VIEW dlq_events_zg AS
+      |SELECT ts + INTERVAL '60' DAY AS ts FROM dlq_events_zg0""".stripMargin)
+    val flinkSql =
+      """SELECT window_start, window_end, COUNT(*) AS n_events
+        |FROM TABLE(TUMBLE(TABLE dlq_events_zg, DESCRIPTOR(ts),
+        |  INTERVAL '1' DAY))
+        |GROUP BY window_start, window_end""".stripMargin
+    s.sql(graft.harness.WindowTvf.rewrite(flinkSql, Some("America/New_York")))
+      .select(unix_timestamp(col("window_start")).as("window_start_sec"),
+        unix_timestamp(col("window_end")).as("window_end_sec"),
+        col("n_events"))
+  }
+
   def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset,
     q100DialectFns, q101HopOffset, q104JsonDefault, q105LeftUnnestOrd,
     q106CumulateOffset, q107WindowGroupingSets, q108JsonOnError,
-    q109JsonQuery, q110JsonExists, q111JsonWildcard)
+    q109JsonQuery, q110JsonExists, q111JsonWildcard, q112ZoneGrid)
 }

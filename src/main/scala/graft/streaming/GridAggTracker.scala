@@ -122,6 +122,13 @@ object GridAggTracker {
       catch { case _: UnsupportedOperationException => (Long.MaxValue, true) }
 
     val out = ArrayBuffer.empty[CumulateWindow]
+    // per-trigger O(W log W) over this key's OPEN windows only — W is
+    // bounded by grid geometry, not data volume: (covering windows per
+    // event, <= size/slide or the zone fan-out) x (watermark horizon /
+    // slide), since emission removes every window at or behind the
+    // watermark each trigger. The stored state is already (ws, we,
+    // agg)-sorted; the re-sort here only orders the handful of windows
+    // newly opened this trigger among them.
     val windows = accs.keys.map(k => (k._1, k._2)).toSeq.distinct.sorted
     windows.foreach { case (ws, we) =>
       if (isFinal || wmMs >= we) {

@@ -44,6 +44,27 @@ class WatermarkReuseSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark.delayKey))
   }
 
+  test("Watermarks.ensure matches the column before reusing (r15)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Timestamp, Long)]
+    val raw = input.toDF().toDF("ts", "ts_other", "v")
+    def wmCols(ds: org.apache.spark.sql.DataFrame): Seq[String] =
+      ds.queryExecution.analyzed.collect {
+        case e: org.apache.spark.sql.catalyst.plans.logical
+          .EventTimeWatermark => e.eventTime.name
+      }
+    // an upstream node on a DIFFERENT column is not a substitute:
+    // ensure must still apply the requested watermark
+    val other = raw.withWatermark("ts_other", "1 minute")
+    val both = Watermarks.ensure(other, "ts", "5 seconds")
+    assert(wmCols(both).map(_.toLowerCase).sorted === Seq("ts", "ts_other"))
+    // same column, different delay: the existing definition wins
+    // (stacking a second node on one attribute is what Spark rejects)
+    val first = raw.withWatermark("ts", "1 minute")
+    val reused = Watermarks.ensure(first, "ts", "5 seconds")
+    assert(reused.queryExecution.analyzed === first.queryExecution.analyzed)
+  }
+
   test("cumulate tracker over a source-watermarked view") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Long)]
