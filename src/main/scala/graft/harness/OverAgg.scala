@@ -1,0 +1,394 @@
+package graft.harness
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming event-time OVER aggregation — Flink's over-window SQL
+  * (reference surface: any `AGG(x) OVER (PARTITION BY k ORDER BY
+  * rowtime <frame>)` statement the Flink planner accepts), which Spark
+  * rejects on streaming DataFrames ("non-time-based windows"). The
+  * rewrite compiles the supported subset onto
+  * [[graft.streaming.OverAggTracker]]:
+  *
+  *   - aggregates: COUNT(*)/COUNT/SUM/MIN/MAX/AVG over numeric inputs
+  *     (expression inputs allowed), all sharing ONE window
+  *     specification (Flink's own requirement); DISTINCT aggregates
+  *     run exactly through the value-set kinds (a surface Spark lacks
+  *     even in BATCH — "distinct window functions are not supported" —
+  *     so the spec pins hand-computed frames, not a batch twin);
+  *   - window: optional `PARTITION BY <simple columns>`, `ORDER BY
+  *     <event-time column> [ASC]`, frame one of `RANGE|ROWS BETWEEN
+  *     UNBOUNDED PRECEDING AND CURRENT ROW`, `RANGE BETWEEN INTERVAL
+  *     'n' UNIT PRECEDING AND CURRENT ROW`, `ROWS BETWEEN n PRECEDING
+  *     AND CURRENT ROW`, or absent (the SQL default: RANGE UNBOUNDED);
+  *   - statement: `[INSERT ...] SELECT items FROM table [WHERE pred]`
+  *     — the WHERE filters INPUT rows (SQL evaluates WHERE before
+  *     window functions) and is pushed into the tracker's source.
+  *
+  * Everything else — DESC time order, FOLLOWING bounds, ranking
+  * functions left over after the top-N passes,
+  * differing window specs, joins/GROUP BY around the OVER — rejects
+  * with a named contract error instead of Spark's raw failure. Batch
+  * mode never reaches here: Spark runs these natively.
+  *
+  * Output shape is Flink's: every input column (carrier-encoded
+  * through the tracker payload, the exact [[graft.streaming.StateFormat
+  * .carrierOf]] contract) plus the aggregate columns, each row emitted
+  * once the watermark passes its timestamp.
+  */
+object OverAgg {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  private val viewCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
+
+  /** One `fn(arg) OVER (spec)` occurrence: text region [start, end)
+    * within the statement, plus the parsed pieces. */
+  private final case class OverCall(start: Int, end: Int, fn: String,
+      arg: String, spec: String)
+
+  /** Every `<word>(args) OVER (spec)` call in the masked text. */
+  private def overCalls(sql: String): Seq[OverCall] = {
+    val masked = MatchRecognize.maskQuoted(sql)
+    raw"(?is)\b([A-Za-z_]\w*)\s*\(".r.findAllMatchIn(masked).flatMap { m =>
+      val open = m.end - 1
+      scala.util.Try(MatchRecognize.closeParen(sql, open)).toOption
+        .flatMap { close =>
+          raw"(?is)^\s*OVER\s*\(".r
+            .findFirstMatchIn(masked.substring(close)).map { om =>
+              val specOpen = close + om.end - 1
+              val specClose = MatchRecognize.closeParen(sql, specOpen)
+              OverCall(m.start, specClose, m.group(1).toUpperCase,
+                sql.substring(open + 1, close - 1).trim,
+                sql.substring(specOpen + 1, specClose - 1).trim)
+            }
+        }
+    }.toSeq
+  }
+
+  /** True when the statement carries an aggregate-function OVER call —
+    * the shape Spark cannot stream. Ranking shapes (ROW_NUMBER) are
+    * consumed by the window/unbounded top-N passes that run BEFORE
+    * this one; a leftover ranking OVER does not trigger here (rn = 1
+    * dedup rides Spark's native streaming rules).
+    */
+  def hasStreamingShape(sql: String): Boolean =
+    overCalls(sql).exists(c => AggFns(c.fn))
+
+  private val SpecRe = (
+    raw"(?is)^\s*(?:PARTITION\s+BY\s+(.*?)\s+)?" +
+      raw"ORDER\s+BY\s+([A-Za-z_]\w*)(\s+ASC|\s+DESC)?\s*(.*)$$").r
+  private val FrameRe = (
+    raw"(?is)^(ROWS|RANGE)\s+BETWEEN\s+(UNBOUNDED|INTERVAL\s+'(\d+)'\s+" +
+      raw"(SECOND|MINUTE|HOUR|DAY)S?|(\d+))\s+PRECEDING\s+AND\s+" +
+      raw"CURRENT\s+ROW\s*$$").r
+
+  private def unitMs(u: String): Long = u.toUpperCase match {
+    case "SECOND" => 1000L
+    case "MINUTE" => 60000L
+    case "HOUR" => 3600000L
+    case _ => 86400000L
+  }
+
+  /** Compiles the statement onto the tracker and returns the spliced
+    * outer SELECT over the registered `graft_over_<k>` view.
+    */
+  def rewriteStreaming(
+      spark: SparkSession,
+      fullSql: String,
+      watermarkOf: String => Option[(String, String)]): String = {
+    import graft.streaming.OverAggTracker._
+    val InsertPrefixRe =
+      raw"(?is)^\s*(INSERT\s+(?:INTO|OVERWRITE)\s+[\w.`]+\s*(?:\([^)]*\)\s*)?)".r
+    val (insertPrefix, sql) = InsertPrefixRe.findFirstMatchIn(fullSql)
+      .map(m => (m.group(1), fullSql.substring(m.end)))
+      .getOrElse(("", fullSql))
+    val masked = MatchRecognize.maskQuoted(sql)
+    if (raw"(?is)\bGROUP\s+BY\b".r.findFirstIn(masked).isDefined)
+      fail("streaming OVER aggregation does not compose with GROUP BY " +
+        "in one statement — aggregate in a separate step")
+
+    val selM = raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(sql)
+      .getOrElse(fail("expected SELECT ... FROM for the OVER rewrite"))
+    // depth-0 FROM
+    val fromIdx = {
+      var depth = 0
+      var i = selM.end
+      var found = -1
+      while (found < 0 && i < masked.length) {
+        masked.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case 'f' | 'F' if depth == 0 &&
+              masked.regionMatches(true, i, "FROM", 0, 4) &&
+              (i == 0 || !masked.charAt(i - 1).isLetterOrDigit) &&
+              (i + 4 >= masked.length ||
+                !(masked.charAt(i + 4).isLetterOrDigit ||
+                  masked.charAt(i + 4) == '_')) =>
+            found = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (found < 0) fail("expected SELECT ... FROM for the OVER rewrite")
+      found
+    }
+    val selectList = sql.substring(selM.end, fromIdx)
+    val TailRe = (raw"(?is)^FROM\s+([A-Za-z_][\w.]*)" +
+      raw"(?:\s+(?:AS\s+)?(?!WHERE\b)([A-Za-z_]\w*))?\s*" +
+      raw"(?:WHERE\s+(.*?))?\s*;?\s*$$").r
+    val tail = sql.substring(fromIdx)
+    val tm = TailRe.findFirstMatchIn(tail).getOrElse(
+      fail("streaming OVER aggregation takes a single-table FROM " +
+        "(joins and subqueries: aggregate in a separate step): " +
+        tail.linesIterator.next()))
+    val (table, aliasOpt, whereOpt) =
+      (tm.group(1), Option(tm.group(2)), Option(tm.group(3)).map(_.trim))
+
+    val calls = overCalls(sql)
+    calls.filterNot(c => AggFns(c.fn)) match {
+      case Seq() =>
+      case bad => fail("streaming OVER supports the aggregate functions " +
+        s"COUNT/SUM/MIN/MAX/AVG; got ${bad.map(_.fn).mkString(", ")} " +
+        "(ranking shapes ride the top-N rewrites; others are batch-only)")
+    }
+    val aggCalls = calls
+    if (aggCalls.isEmpty) fail("no OVER aggregate found")
+    val norm = aggCalls.map(_.spec.replaceAll("\\s+", " ").trim.toLowerCase)
+    if (norm.distinct.size > 1)
+      fail("streaming OVER aggregates must share one window " +
+        "specification (Flink's requirement too); got: " +
+        norm.distinct.mkString(" | "))
+
+    val sm = SpecRe.findFirstMatchIn(aggCalls.head.spec).getOrElse(
+      fail("unsupported OVER specification (want [PARTITION BY cols] " +
+        s"ORDER BY <event-time column> [frame]): ${aggCalls.head.spec}"))
+    if (Option(sm.group(3)).exists(_.trim.equalsIgnoreCase("DESC")))
+      fail("streaming OVER aggregation must ORDER BY the event-time " +
+        "column ASCENDING (watermarks mature rows in time order)")
+    val partCols = Option(sm.group(1)).toSeq.flatMap(
+      MatchRecognize.splitTopLevel(_)).map(_.trim).filter(_.nonEmpty)
+    partCols.foreach { c =>
+      if (raw"^[A-Za-z_]\w*$$".r.findFirstIn(c).isEmpty)
+        fail(s"streaming OVER PARTITION BY takes simple columns; got $c")
+    }
+    val tcol = sm.group(2)
+    val frame = sm.group(4).trim match {
+      case "" => UnboundedRange
+      case f => FrameRe.findFirstMatchIn(f) match {
+        case None => fail("unsupported OVER frame (streaming supports " +
+          "RANGE|ROWS BETWEEN UNBOUNDED|<bound> PRECEDING AND CURRENT " +
+          s"ROW): $f")
+        case Some(fm) =>
+          val mode = fm.group(1).toUpperCase
+          val bound = fm.group(2).toUpperCase
+          if (bound == "UNBOUNDED")
+            if (mode == "ROWS") UnboundedRows else UnboundedRange
+          else if (bound.startsWith("INTERVAL")) {
+            if (mode == "ROWS")
+              fail("ROWS frames take a row count, not an interval " +
+                s"(use RANGE for time bounds): $f")
+            RangePreceding(fm.group(3).toLong * unitMs(fm.group(4)))
+          } else {
+            if (mode == "RANGE")
+              fail("RANGE frames over event time take an INTERVAL " +
+                s"bound, not a row count (use ROWS for counts): $f")
+            RowsPreceding(fm.group(5).toInt)
+          }
+      }
+    }
+
+    val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
+      s"streaming OVER aggregation needs a WATERMARK declaration on $table"))
+    if (!wmCol.equalsIgnoreCase(tcol))
+      fail(s"streaming OVER must ORDER BY $table's event-time column " +
+        s"($wmCol); got $tcol")
+
+    val outAlias = aliasOpt.getOrElse(table.split('.').last)
+    // the relation rides under its statement alias (or the bare table
+    // name) so alias-qualified references in the WHERE and in aggregate
+    // inputs resolve; SQL evaluates WHERE before window functions, so
+    // the filter belongs on the tracker's INPUT rows
+    val src0 = spark.table(table).alias(outAlias)
+    val src = whereOpt.fold(src0)(w => src0.filter(expr(w)))
+    def fieldOf(c: String): StructField = {
+      val i = src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (i < 0) fail(s"column $c not found in $table")
+      src.schema(i)
+    }
+    partCols.foreach { k =>
+      if (!graft.streaming.StateFormat.jsonLossless(fieldOf(k).dataType))
+        fail(s"streaming OVER PARTITION BY $k has type " +
+          s"${fieldOf(k).dataType.simpleString} — keys must round-trip " +
+          "the JSON state encoding losslessly (string / integer / " +
+          "boolean)")
+    }
+
+    // (call, kind, result type, input expression) — the window-TVF
+    // pass's slot plan, DISTINCT included (kinds 9-13: the exact
+    // value-set slots; MIN/MAX(DISTINCT) are distinct-invariant)
+    def resolveType(in: String): DataType =
+      try src.selectExpr(in).schema.head.dataType
+      catch { case e: Exception =>
+        fail(s"cannot resolve aggregate input $in: ${e.getMessage}")
+      }
+    val plans: Seq[(OverCall, Int, DataType, String)] = aggCalls.map { a0 =>
+      val distinct =
+        raw"(?i)^DISTINCT\b".r.findFirstIn(a0.arg.trim).isDefined
+      if (!distinct &&
+          raw"(?i)\bDISTINCT\b".r.findFirstIn(a0.arg).isDefined)
+        fail(s"unsupported DISTINCT placement in ${a0.fn}(${a0.arg})")
+      val arg =
+        if (distinct) a0.arg.trim.replaceFirst(raw"(?i)^DISTINCT\s+", "")
+        else a0.arg
+      val a = a0
+      if (distinct && (a.fn == "MIN" || a.fn == "MAX")) {
+        // extrema are distinct-invariant: plan the plain form
+        val dt = resolveType(arg)
+        val integral = dt match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case FloatType | DoubleType => false
+          case other => fail(s"${a.fn}($arg): unsupported input " +
+            s"type ${other.simpleString} (numeric only)")
+        }
+        if (a.fn == "MIN") (a, if (integral) 3 else 4,
+          if (integral) LongType else DoubleType, arg)
+        else (a, if (integral) 5 else 6,
+          if (integral) LongType else DoubleType, arg)
+      } else if (distinct && a.fn == "COUNT") {
+        val dt = resolveType(arg)
+        val enc = WindowTvf.distinctEncode(arg, dt).getOrElse(
+          fail(s"COUNT(DISTINCT $arg) over ${dt.simpleString} — " +
+            "distinct values must ride the string state encoding " +
+            "injectively; nested and binary types have no encoding"))
+        (a, 9, LongType, enc)
+      } else if (distinct) { // SUM / AVG
+        resolveType(arg) match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            if (a.fn == "SUM") (a, 10, LongType, arg)
+            else (a, 11, DoubleType, arg)
+          case FloatType | DoubleType =>
+            val enc = WindowTvf.distinctEncode(arg,
+              resolveType(arg)).get
+            if (a.fn == "SUM") (a, 12, DoubleType, enc)
+            else (a, 13, DoubleType, enc)
+          case other => fail(
+            s"${a.fn}(DISTINCT $arg) over ${other.simpleString} — " +
+              "distinct arithmetic aggregates support integral and " +
+              "float/double inputs")
+        }
+      } else if (a.fn == "COUNT")
+        (a, 0, LongType, if (arg == "*") "1" else arg)
+      else {
+        val dt = resolveType(arg)
+        val integral = dt match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case FloatType | DoubleType => false
+          case other => fail(s"${a.fn}($arg): unsupported input " +
+            s"type ${other.simpleString} (numeric only)")
+        }
+        a.fn match {
+          case "SUM" => (a, if (integral) 1 else 2,
+            if (integral) LongType else DoubleType, arg)
+          case "MIN" => (a, if (integral) 3 else 4,
+            if (integral) LongType else DoubleType, arg)
+          case "MAX" => (a, if (integral) 5 else 6,
+            if (integral) LongType else DoubleType, arg)
+          case _ => (a, if (integral) 8 else 7, DoubleType, arg)
+        }
+      }
+    }
+
+    // the payload carries every non-key, non-time source column through
+    // the shared exact carrier; nested/binary columns drop (and a star
+    // select over dropped columns fails by name)
+    def carrierOf(f: StructField) = graft.streaming.StateFormat.carrierOf(f)
+    val payloadFields = src.schema.fields.filter { f =>
+      !f.name.equalsIgnoreCase(tcol) &&
+        !partCols.exists(_.equalsIgnoreCase(f.name)) &&
+        carrierOf(f).isDefined
+    }
+    WindowTopN.failOnStarOverDropped(selectList,
+      src.schema.fields.map(_.name).toSeq
+        .filterNot(n => n.equalsIgnoreCase(tcol) ||
+          partCols.exists(_.equalsIgnoreCase(n)) ||
+          payloadFields.exists(_.name.equalsIgnoreCase(n))),
+      fail)
+
+    val keyExpr =
+      if (partCols.isEmpty) lit("{}")
+      else to_json(struct(partCols.map(col): _*))
+    val payloadExpr = to_json(struct(
+      payloadFields.map(f => carrierOf(f).get.enc.as(f.name)) :+
+        expr(s"unix_micros(cast(`$tcol` as timestamp))").as("__ts_us"): _*))
+    val longKinds = Set(1, 3, 5, 8)
+    val doubleKinds = Set(2, 4, 6, 7)
+    val nnArr = array(plans.map(p => expr(p._4).isNotNull): _*)
+    val lvArr = array(plans.map(p =>
+      if (longKinds(p._2)) coalesce(expr(p._4).cast("long"), lit(0L))
+      else lit(0L)): _*)
+    val dvArr = array(plans.map(p =>
+      if (doubleKinds(p._2)) coalesce(expr(p._4).cast("double"), lit(0d))
+      else lit(0d)): _*)
+    val svArr = array(plans.map(p =>
+      if (graft.streaming.CumulateTracker.isDistinctKind(p._2))
+        expr(p._4).cast("string")
+      else lit(null).cast("string")): _*)
+    import spark.implicits._
+    val events = src
+      .filter(col(tcol).isNotNull) // a NULL event time has no position
+      .select(keyExpr.as("key"),
+        graft.streaming.Watermarks.eventTimeCol(src, tcol, "ts"),
+        nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"), svArr.as("sv"),
+        payloadExpr.as("payload"))
+      .as[graft.streaming.OverEvent]
+    val tracked = graft.streaming.OverAggTracker.track(
+      events, wmDelay, plans.map(_._2), frame)
+
+    val keySchema = StructType(partCols.map(fieldOf).toArray)
+    val valsSchema = StructType(plans.zipWithIndex.map { case (p, i) =>
+      StructField(s"a$i", p._3, nullable = true)
+    }.toArray)
+    val tcolField = fieldOf(tcol)
+    var out = tracked.toDF()
+    if (partCols.nonEmpty)
+      out = out.withColumn("__k", from_json(col("key"), keySchema))
+    out = out.withColumn("__p",
+      from_json(col("payload"),
+        StructType(payloadFields.toSeq.map(f =>
+          StructField(f.name, carrierOf(f).get.storage, nullable = true)) :+
+          StructField("__ts_us", LongType)),
+        Map("allowNonNumericNumbers" -> "true")))
+      .withColumn("__v", from_json(col("vals"), valsSchema,
+        Map("allowNonNumericNumbers" -> "true")))
+    val decoded = out.select(
+      partCols.map(k => col(s"__k.`$k`").as(k)) ++
+        payloadFields.map(f =>
+          carrierOf(f).get.dec(col(s"__p.`${f.name}`")).as(f.name)) ++
+        Seq(timestamp_micros(col("__p.__ts_us"))
+          .cast(tcolField.dataType).as(tcol)) ++
+        plans.indices.map(i => col(s"__v.a$i").as(s"__oa$i")): _*)
+    val view = s"graft_over_${viewCounter.incrementAndGet()}"
+    decoded.createOrReplaceTempView(view)
+
+    // splice: each AGG(...) OVER (...) region in the select list
+    // becomes its tracker column; the FROM swaps to the view, aliased
+    // as the original table (or its alias) so qualified references
+    // keep resolving; the WHERE was consumed into the input
+    val rel = selM.end // select-list offset within sql
+    val replaced = aggCalls.zipWithIndex.sortBy(-_._1.start)
+      .foldLeft(selectList) { case (s, (c, i)) =>
+        val st = c.start - rel
+        val en = c.end - rel
+        if (st < 0 || en > s.length)
+          fail(s"OVER call outside the select list is unsupported: " +
+            s"${c.fn}(${c.arg})")
+        s.substring(0, st) + s"__oa$i" + s.substring(en)
+      }
+    s"${insertPrefix}SELECT $replaced FROM $view $outAlias"
+  }
+}

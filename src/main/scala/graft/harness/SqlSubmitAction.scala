@@ -672,8 +672,8 @@ final class SqlSubmitAction(
     //    windows, watermark-gated emission), window TOP-N with both
     //    bounds pinned into the rank tracker, and the TUMBLE/HOP
     //    window JOIN on wall-clock instant equality with a range
-    //    eviction bound (r14b; CUMULATE joins keep a named
-    //    rejection); legacy grid group
+    //    eviction bound (r14b; CUMULATE joins compose the step-end
+    //    fan-out with the same instant bounds, r15); legacy grid group
     //    windows ESCALATE to their TVF form first (r14 — the legacy
     //    call has no OFFSET argument, its escalation does), then
     //    inherit whichever alignment path applies; legacy SESSION
@@ -715,7 +715,16 @@ final class SqlSubmitAction(
         // emission — rn = 1 shapes stay on the analysis rules
         UnboundedTopN.rewrite(spark, mr)
       else mr
-    rewriteWindowTvfs(spark, config, rewriteTemporalJoins(config, topn))
+    // event-time OVER aggregation (r15): an aggregate-function OVER
+    // call on a stream compiles onto OverAggTracker AFTER the top-N
+    // passes have consumed every ranking shape — Spark itself rejects
+    // non-time windows on streams, so without the rewrite this surface
+    // dies with a raw analysis error
+    val over =
+      if (config.isStreaming && OverAgg.hasStreamingShape(topn))
+        OverAgg.rewriteStreaming(spark, topn, watermarkOf)
+      else topn
+    rewriteWindowTvfs(spark, config, rewriteTemporalJoins(config, over))
   }
 
   private def executeSelect(

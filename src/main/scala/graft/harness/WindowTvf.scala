@@ -200,7 +200,7 @@ object WindowTvf {
     * their type; timestamps ride epoch micros. Nested/binary types
     * have no encoding (None).
     */
-  private def distinctEncode(
+  private[harness] def distinctEncode(
       input: String,
       dt: org.apache.spark.sql.types.DataType): Option[String] = {
     import org.apache.spark.sql.types._

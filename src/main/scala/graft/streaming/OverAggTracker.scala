@@ -1,0 +1,243 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.mutable.ArrayBuffer
+
+/** One input row of a streaming OVER aggregation: the opaque partition
+  * key (PARTITION BY columns as JSON), the event time, per-aggregate
+  * input slots (`nn`/`lv`/`dv`/`sv` — the [[CumulateEvent]] contract;
+  * `sv` carries the string-encoded value for DISTINCT slots only), and
+  * the carrier-encoded payload of every other source column (the
+  * emission re-joins aggregates to their input row, Flink's OVER
+  * output shape).
+  */
+final case class OverEvent(key: String, ts: Timestamp,
+    nn: List[Boolean], lv: List[Long], dv: List[Double], sv: List[String],
+    payload: String)
+
+/** One buffered row in per-key state — the event with its time as
+  * epoch ms (state never stores Timestamp objects). */
+final case class OverRow(tsMs: Long, nn: List[Boolean], lv: List[Long],
+    dv: List[Double], sv: List[String], payload: String)
+
+/** Per-key state: `pending` rows not yet matured by the watermark,
+  * `hist` matured rows a bounded frame still needs (within the RANGE
+  * horizon / the last N for ROWS), and for UNBOUNDED frames the
+  * running accumulators `acc` plus per-slot distinct-value sets `ds`
+  * (sorted for deterministic state; non-distinct slots keep Nil).
+  */
+final case class OverAggState(pending: List[OverRow],
+    hist: List[OverRow], acc: List[CumAcc], ds: List[List[String]])
+
+/** One emitted row: key, the row's event time (epoch ms), its payload
+  * verbatim, and the aggregate results as `{"a0": ..., ...}` JSON
+  * (the [[CumulateWindow]] vals contract). */
+final case class OverOut(key: String, tsMs: Long, payload: String,
+    vals: String)
+
+/** Streaming event-time OVER aggregation — Flink's over-window
+  * operator (`AGG(x) OVER (PARTITION BY k ORDER BY rowtime <frame>)`),
+  * which Spark rejects on streams ("non-time-based windows"). A row
+  * emits once the watermark passes its timestamp, extended with
+  * aggregates over its frame of already-matured rows:
+  *
+  *  - RANGE UNBOUNDED PRECEDING (the SQL default with a bare ORDER
+  *    BY): running accumulators; rows sharing a timestamp are PEERS
+  *    and all contribute to each other's value (each timestamp group
+  *    folds in before the group emits — Flink's
+  *    RowTimeRangeUnboundedPrecedingFunction does the same).
+  *  - ROWS UNBOUNDED PRECEDING: running accumulators, one fold per
+  *    row in (time, payload) order — peers do NOT see each other
+  *    beyond their fold position (ROWS semantics; ties are
+  *    order-dependent in batch too, so determinism comes from the
+  *    payload tiebreak).
+  *  - RANGE INTERVAL ... PRECEDING: each timestamp group aggregates
+  *    the matured rows in `[ts - range, ts]`, peers included. State
+  *    keeps only rows with `ts >= wm - range` — every future row's
+  *    frame reaches at most that far back.
+  *  - ROWS n PRECEDING: each row aggregates itself plus the previous
+  *    n matured rows; state keeps the last n matured rows.
+  *
+  * Frames are re-folded per row/group in ascending time order —
+  * exactly how batch window execution replays a sliding frame, so
+  * double sums match batch bit-for-bit (an add/retract accumulator
+  * would drift). Cost is O(frame) per row with the frame bounded by
+  * the declared range/N, not data volume. Aggregate kinds and
+  * emission values are [[CumulateTracker]]'s — kinds 0-8 plus the
+  * exact DISTINCT kinds 9-13 (bounded frames rebuild the frame's
+  * value set from its rows; UNBOUNDED frames keep running per-slot
+  * sets, growing with the key's distinct values exactly as Flink's
+  * distinct over-aggregation state does).
+  *
+  * State per key: pending rows (bounded by the watermark delay),
+  * frame history (bounded by the frame declaration), and for
+  * UNBOUNDED frames a fixed-size accumulator list that persists for
+  * the key's lifetime — the same retention contract as Flink's
+  * unbounded over-aggregation (idle-state TTL is an operational
+  * concern there too).
+  */
+object OverAggTracker {
+
+  sealed trait Frame extends Serializable
+  /** RANGE UNBOUNDED PRECEDING AND CURRENT ROW (peers included). */
+  case object UnboundedRange extends Frame
+  /** ROWS UNBOUNDED PRECEDING AND CURRENT ROW. */
+  case object UnboundedRows extends Frame
+  /** RANGE BETWEEN <ms> PRECEDING AND CURRENT ROW. */
+  final case class RangePreceding(ms: Long) extends Frame
+  /** ROWS BETWEEN <n> PRECEDING AND CURRENT ROW. */
+  final case class RowsPreceding(n: Int) extends Frame
+
+  private def emptyAcc(i: Int): CumAcc =
+    CumAcc(0L, 0, i, 0L, 0L, 0d, Long.MaxValue, Long.MinValue,
+      Double.MaxValue, Double.MinValue)
+
+  /** Folds one row's slot `i` into `a` — the shared accumulator law
+    * (first non-null value seeds the min/max sentinels, doubles merge
+    * NaN-safe). */
+  private def fold(a: CumAcc, r: OverRow, i: Int): CumAcc =
+    if (!r.nn(i)) a
+    else {
+      val first = a.cnt == 0L
+      a.copy(cnt = a.cnt + 1L,
+        sumL = a.sumL + r.lv(i), sumD = a.sumD + r.dv(i),
+        mnL = if (first) r.lv(i) else math.min(a.mnL, r.lv(i)),
+        mxL = if (first) r.lv(i) else math.max(a.mxL, r.lv(i)),
+        mnD = if (first) r.dv(i) else CumulateTracker.nanMin(a.mnD, r.dv(i)),
+        mxD = if (first) r.dv(i) else CumulateTracker.nanMax(a.mxD, r.dv(i)))
+    }
+
+  private def valsJson(kinds: Seq[Int], accs: IndexedSeq[CumAcc],
+      dsets: IndexedSeq[scala.collection.Set[String]]): String =
+    kinds.indices.flatMap { i =>
+      CumulateTracker.fieldValue(kinds(i), accs(i), dsets(i))
+        .map(s => s""""a$i": $s""")
+    }.mkString("{", ", ", "}")
+
+  def track(events: Dataset[OverEvent], watermarkDelay: String,
+      kinds: Seq[Int], frame: Frame): Dataset[OverOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val withWm = Watermarks.ensure(events, "ts", watermarkDelay)
+    val unbounded = frame == UnboundedRange || frame == UnboundedRows
+    val noSet = scala.collection.Set.empty[String]
+
+    def handle(key: String, it: Iterator[OverEvent],
+        state: GroupState[OverAggState]): Iterator[OverOut] = {
+      val st = state.getOption.getOrElse(
+        OverAggState(Nil, Nil,
+          if (unbounded) kinds.indices.map(emptyAcc).toList else Nil,
+          if (unbounded) kinds.indices.map(_ => List.empty[String]).toList
+          else Nil))
+      val incoming = it.map(e => OverRow(e.ts.getTime, e.nn, e.lv, e.dv,
+        e.sv, e.payload)).toList
+      val (wmMs, isFinal) =
+        try (state.getCurrentWatermarkMs(), false)
+        catch { case _: UnsupportedOperationException =>
+          (Long.MaxValue, true) }
+      val all = st.pending ++ incoming
+      // a row matures when the watermark passes it STRICTLY: only then
+      // is its peer group (same-timestamp rows) complete
+      val (maturedRaw, pending) =
+        if (isFinal) (all, Nil) else all.partition(_.tsMs < wmMs)
+      // ascending time; payload text breaks timestamp ties so replay
+      // and ROWS-frame order are deterministic
+      val matured = maturedRaw.sortBy(r => (r.tsMs, r.payload))
+      val out = ArrayBuffer.empty[OverOut]
+      var hist = st.hist
+      var acc = st.acc.toIndexedSeq
+      // running distinct sets (UNBOUNDED frames only) — mutable here,
+      // re-sorted into state at the end for deterministic replay
+      val runDs: IndexedSeq[scala.collection.mutable.Set[String]] =
+        if (unbounded)
+          st.ds.map(l =>
+            scala.collection.mutable.Set[String](l: _*)).toIndexedSeq
+        else IndexedSeq.empty
+      def foldRun(r: OverRow): Unit = {
+        acc = kinds.indices.map { i =>
+          if (CumulateTracker.isDistinctKind(kinds(i))) {
+            if (r.nn(i)) runDs(i) += r.sv(i)
+            acc(i)
+          } else fold(acc(i), r, i)
+        }.toIndexedSeq
+      }
+      def runSnapshot: IndexedSeq[scala.collection.Set[String]] =
+        kinds.indices.map(i =>
+          if (CumulateTracker.isDistinctKind(kinds(i))) runDs(i)
+          else noSet)
+      // one frame's accumulators + distinct sets, re-folded fresh
+      def foldFrame(rows: Seq[OverRow]):
+          (IndexedSeq[CumAcc], IndexedSeq[scala.collection.Set[String]]) = {
+        val a = kinds.indices.map { i =>
+          if (CumulateTracker.isDistinctKind(kinds(i))) emptyAcc(i)
+          else rows.foldLeft(emptyAcc(i))((x, r) => fold(x, r, i))
+        }.toIndexedSeq
+        val d = kinds.indices.map { i =>
+          if (CumulateTracker.isDistinctKind(kinds(i)))
+            rows.iterator.filter(_.nn(i)).map(_.sv(i))
+              .toSet: scala.collection.Set[String]
+          else noSet
+        }.toIndexedSeq
+        (a, d)
+      }
+
+      frame match {
+        case UnboundedRows =>
+          matured.foreach { r =>
+            foldRun(r)
+            out += OverOut(key, r.tsMs, r.payload,
+              valsJson(kinds, acc, runSnapshot))
+          }
+        case UnboundedRange =>
+          // per-timestamp peer groups: the whole group folds in, then
+          // every member emits the group-inclusive value
+          matured.groupBy(_.tsMs).toSeq.sortBy(_._1).foreach {
+            case (_, group) =>
+              group.foreach(foldRun)
+              val vj = valsJson(kinds, acc, runSnapshot)
+              group.foreach(r => out += OverOut(key, r.tsMs, r.payload, vj))
+          }
+        case RangePreceding(ms) =>
+          matured.groupBy(_.tsMs).toSeq.sortBy(_._1).foreach {
+            case (ts, group) =>
+              val frameRows = hist.filter(_.tsMs >= ts - ms) ++ group
+              val (a, d) = foldFrame(frameRows)
+              val vj = valsJson(kinds, a, d)
+              group.foreach(r => out += OverOut(key, r.tsMs, r.payload, vj))
+              hist = hist ++ group
+          }
+          // future rows have ts >= wm, so their frames reach back to
+          // wm - ms at most
+          if (!isFinal) hist = hist.filter(_.tsMs >= wmMs - ms)
+          else hist = Nil
+        case RowsPreceding(n) =>
+          matured.foreach { r =>
+            val (a, d) = foldFrame(hist.takeRight(n) :+ r)
+            out += OverOut(key, r.tsMs, r.payload, valsJson(kinds, a, d))
+            hist = (hist :+ r).takeRight(n)
+          }
+          if (isFinal) hist = Nil
+      }
+
+      if (isFinal || (pending.isEmpty && hist.isEmpty && !unbounded))
+        state.remove()
+      else {
+        state.update(OverAggState(pending.sortBy(r => (r.tsMs, r.payload)),
+          hist, acc.toList,
+          if (unbounded) runDs.map(_.toList.sorted).toList else Nil))
+        // wake when the earliest pending row can mature; with nothing
+        // pending, only new data changes anything — no timeout
+        if (pending.nonEmpty)
+          state.setTimeoutTimestamp(
+            math.max(pending.map(_.tsMs).min + 1L, wmMs + 1L))
+      }
+      out.iterator
+    }
+
+    withWm.groupByKey(_.key)
+      .flatMapGroupsWithState[OverAggState, OverOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(handle)
+  }
+}

@@ -125,6 +125,11 @@ object StateFormat {
     */
   val SessionAggTrackerVersion = 1
 
+  /** Bump when [[OverAggState]]/[[OverEvent]] change shape (the
+    * event-time OVER aggregation tracker, round 15).
+    */
+  val OverAggTrackerVersion = 1
+
   private val FileName = "graft-state-format.json"
 
   private def stampJson: String =
@@ -133,7 +138,8 @@ object StateFormat {
       s""""topNTracker": $TopNTrackerVersion, """ +
       s""""unboundedTopN": $UnboundedTopNVersion, """ +
       s""""gridAggTracker": $GridAggTrackerVersion, """ +
-      s""""sessionAggTracker": $SessionAggTrackerVersion}"""
+      s""""sessionAggTracker": $SessionAggTrackerVersion, """ +
+      s""""overAggTracker": $OverAggTrackerVersion}"""
 
   /** Verifies (or creates) the format stamp for checkpoint directory
     * `dir`. Three cases:
@@ -159,7 +165,8 @@ object StateFormat {
         s"v$CumulateTrackerVersion, topNTracker v$TopNTrackerVersion, " +
         s"unboundedTopN v$UnboundedTopNVersion, gridAggTracker " +
         s"v$GridAggTrackerVersion, sessionAggTracker " +
-        s"v$SessionAggTrackerVersion): the state-store schema changed — " +
+        s"v$SessionAggTrackerVersion, overAggTracker " +
+        s"v$OverAggTrackerVersion): the state-store schema changed — " +
         "restart the query from a fresh checkpoint directory")
     if (fs.exists(stamp)) {
       // any read failure (corrupt file, checksum mismatch from an
@@ -179,12 +186,14 @@ object StateFormat {
       val (pv, cv) = (ver("patternTracker"), ver("cumulateTracker"))
       val (tv, uv) = (ver("topNTracker"), ver("unboundedTopN"))
       val (gv, sv) = (ver("gridAggTracker"), ver("sessionAggTracker"))
+      val ov = ver("overAggTracker")
       if (pv != PatternTrackerVersion || cv != CumulateTrackerVersion ||
           tv != TopNTrackerVersion || uv != UnboundedTopNVersion ||
-          gv != GridAggTrackerVersion || sv != SessionAggTrackerVersion)
+          gv != GridAggTrackerVersion || sv != SessionAggTrackerVersion ||
+          ov != OverAggTrackerVersion)
         fail(s"stamped patternTracker v$pv, cumulateTracker v$cv, " +
           s"topNTracker v$tv, unboundedTopN v$uv, gridAggTracker v$gv, " +
-          s"sessionAggTracker v$sv")
+          s"sessionAggTracker v$sv, overAggTracker v$ov")
     } else if (fs.exists(path) && fs.listStatus(path).nonEmpty) {
       // checkpoint data from a build that predates the stamp: every
       // such build used an older state schema

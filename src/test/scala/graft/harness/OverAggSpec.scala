@@ -1,0 +1,312 @@
+package graft.harness
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming event-time OVER aggregation ([[OverAgg]] +
+  * [[graft.streaming.OverAggTracker]]): each frame kind is pinned
+  * equal to Spark's native batch window execution on the same rows —
+  * the strongest oracle available for a streaming-only rewrite — plus
+  * the named rejections for everything outside the subset.
+  */
+class OverAggSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  /** Runs `overSql` (written against table name `t`) through the
+    * streaming rewrite on a MemoryStream fed `rows`, advances the
+    * watermark far past them with a flush row per key, and returns the
+    * collected output rows keyed off the batch twin's column order.
+    */
+  private def runStreaming(
+      overSql: String,
+      rows: Seq[(String, Timestamp, Long, Double)],
+      flushSec: Long = 100000L): Seq[Seq[Any]] = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, Double)]
+    val name = s"oa_s_${System.nanoTime()}"
+    input.toDF().toDF("k", "ets", "v", "d").createOrReplaceTempView(name)
+    val rewritten = OverAgg.rewriteStreaming(spark,
+      overSql.replace(" t ", s" $name ").replace(" t\n", s" $name\n"),
+      tb => if (tb.equalsIgnoreCase(name)) Some(("ets", "5 seconds"))
+        else None)
+    val qn = s"oa_out_${System.nanoTime()}"
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName(qn).outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("__flush__", ts(flushSec), 0L, 0d))
+      q.processAllAvailable()
+      spark.table(qn).collect().toSeq.map(_.toSeq)
+        .filterNot(_.contains("__flush__"))
+    } finally q.stop()
+  }
+
+  private def runBatch(overSql: String,
+      rows: Seq[(String, Timestamp, Long, Double)]): Seq[Seq[Any]] = {
+    val name = s"oa_b_${System.nanoTime()}"
+    rows.toDF("k", "ets", "v", "d").createOrReplaceTempView(name)
+    spark.sql(overSql.replace(" t ", s" $name ").replace(" t\n", s" $name\n"))
+      .collect().toSeq.map(_.toSeq)
+  }
+
+  private val data = Seq(
+    ("a", ts(10), 1L, 1.5d), ("a", ts(20), 3L, -2.5d),
+    ("a", ts(30), 2L, 0.25d), ("a", ts(45), 5L, 4.0d),
+    ("a", ts(70), 4L, 1.0d),
+    ("b", ts(12), 7L, 10.0d), ("b", ts(25), 1L, -1.0d),
+    ("b", ts(26), 9L, 3.5d))
+
+  private def assertStreamEqualsBatch(sql: String,
+      rows: Seq[(String, Timestamp, Long, Double)] = data): Unit = {
+    val got = runStreaming(sql, rows).map(_.toList).sortBy(_.toString)
+    val exp = runBatch(sql, rows).map(_.toList).sortBy(_.toString)
+    assert(got === exp, s"\nquery: $sql")
+  }
+
+  test("RANGE UNBOUNDED PRECEDING (default frame) equals batch") {
+    assertStreamEqualsBatch(
+      """SELECT k, ets, v,
+        |  SUM(v) OVER (PARTITION BY k ORDER BY ets) AS rs,
+        |  COUNT(*) OVER (PARTITION BY k ORDER BY ets) AS rc,
+        |  AVG(d) OVER (PARTITION BY k ORDER BY ets) AS ra
+        |FROM t """.stripMargin)
+  }
+
+  test("explicit RANGE BETWEEN UNBOUNDED PRECEDING equals batch, peers") {
+    // two rows share ts(30): RANGE peers must see each other
+    val withPeers = data :+ ("a", ts(30), 10L, 2.0d)
+    assertStreamEqualsBatch(
+      """SELECT k, v,
+        |  SUM(v) OVER (PARTITION BY k ORDER BY ets
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs,
+        |  MAX(d) OVER (PARTITION BY k ORDER BY ets
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm
+        |FROM t """.stripMargin, withPeers)
+  }
+
+  test("RANGE INTERVAL PRECEDING equals batch, peers included") {
+    val withPeers = data :+ ("a", ts(45), 20L, -1.0d)
+    assertStreamEqualsBatch(
+      """SELECT k, ets, v,
+        |  SUM(v) OVER (PARTITION BY k ORDER BY ets
+        |    RANGE BETWEEN INTERVAL '20' SECOND PRECEDING AND CURRENT ROW)
+        |    AS ws,
+        |  COUNT(v) OVER (PARTITION BY k ORDER BY ets
+        |    RANGE BETWEEN INTERVAL '20' SECOND PRECEDING AND CURRENT ROW)
+        |    AS wc,
+        |  MIN(d) OVER (PARTITION BY k ORDER BY ets
+        |    RANGE BETWEEN INTERVAL '20' SECOND PRECEDING AND CURRENT ROW)
+        |    AS wm
+        |FROM t """.stripMargin, withPeers)
+  }
+
+  test("ROWS n PRECEDING equals batch on distinct timestamps") {
+    assertStreamEqualsBatch(
+      """SELECT k, ets, v,
+        |  SUM(v) OVER (PARTITION BY k ORDER BY ets
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ws,
+        |  AVG(v) OVER (PARTITION BY k ORDER BY ets
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS wa
+        |FROM t """.stripMargin)
+  }
+
+  test("ROWS UNBOUNDED PRECEDING equals batch on distinct timestamps") {
+    assertStreamEqualsBatch(
+      """SELECT k, v,
+        |  MIN(v) OVER (PARTITION BY k ORDER BY ets
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wm
+        |FROM t """.stripMargin)
+  }
+
+  test("WHERE filters input rows before the window, batch parity") {
+    assertStreamEqualsBatch(
+      """SELECT k, v,
+        |  SUM(v) OVER (PARTITION BY k ORDER BY ets) AS rs
+        |FROM t WHERE v <> 2""".stripMargin)
+  }
+
+  test("double payload columns ride the exact carrier; expressions " +
+      "as aggregate inputs") {
+    assertStreamEqualsBatch(
+      """SELECT k, d,
+        |  SUM(v + 1) OVER (PARTITION BY k ORDER BY ets) AS rs
+        |FROM t """.stripMargin)
+  }
+
+  test("DISTINCT aggregates run exactly (a surface Spark lacks even " +
+      "in batch), hand-computed frames") {
+    // Spark batch rejects DISTINCT window aggregates outright, so the
+    // oracle is the frame arithmetic itself (range 20 s, peers via the
+    // shared timestamps elsewhere covered; distinct over repeated v/d)
+    val rows = Seq(
+      ("a", ts(10), 1L, 1.5d), ("a", ts(20), 3L, 1.5d),
+      ("a", ts(30), 3L, 2.5d), ("a", ts(45), 1L, 1.5d),
+      ("a", ts(70), 3L, 2.5d))
+    val got = runStreaming(
+      """SELECT ets, v,
+        |  COUNT(DISTINCT v) OVER (PARTITION BY k ORDER BY ets
+        |    RANGE BETWEEN INTERVAL '20' SECOND PRECEDING AND CURRENT ROW)
+        |    AS cd,
+        |  SUM(DISTINCT v) OVER (PARTITION BY k ORDER BY ets
+        |    RANGE BETWEEN INTERVAL '20' SECOND PRECEDING AND CURRENT ROW)
+        |    AS sd,
+        |  AVG(DISTINCT d) OVER (PARTITION BY k ORDER BY ets
+        |    RANGE BETWEEN INTERVAL '20' SECOND PRECEDING AND CURRENT ROW)
+        |    AS ad,
+        |  MAX(DISTINCT v) OVER (PARTITION BY k ORDER BY ets
+        |    RANGE BETWEEN INTERVAL '20' SECOND PRECEDING AND CURRENT ROW)
+        |    AS md
+        |FROM t """.stripMargin, rows)
+      .map(r => (r(0).asInstanceOf[Timestamp].getTime / 1000L,
+        r(2), r(3), r(4), r(5))).sortBy(_._1)
+    assert(got === Seq(
+      (10L, 1L, 1L, 1.5d, 1L),
+      (20L, 2L, 4L, 1.5d, 3L),
+      (30L, 2L, 4L, 2.0d, 3L),
+      (45L, 2L, 4L, 2.0d, 3L),
+      (70L, 1L, 3L, 2.5d, 3L)))
+    // UNBOUNDED running distinct count
+    val run = runStreaming(
+      """SELECT ets,
+        |  COUNT(DISTINCT v) OVER (PARTITION BY k ORDER BY ets) AS rcd
+        |FROM t """.stripMargin, rows)
+      .map(r => (r(0).asInstanceOf[Timestamp].getTime / 1000L, r(1)))
+      .sortBy(_._1)
+    assert(run === Seq((10L, 1L), (20L, 2L), (30L, 2L), (45L, 2L),
+      (70L, 2L)))
+  }
+
+  test("maturity is watermark-gated: rows behind the watermark emit, " +
+      "the frontier row waits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, Double)]
+    val name = s"oa_w_${System.nanoTime()}"
+    input.toDF().toDF("k", "ets", "v", "d").createOrReplaceTempView(name)
+    val rewritten = OverAgg.rewriteStreaming(spark,
+      s"""SELECT k, v,
+         |  SUM(v) OVER (PARTITION BY k ORDER BY ets) AS rs
+         |FROM $name""".stripMargin,
+      tb => if (tb.equalsIgnoreCase(name)) Some(("ets", "5 seconds"))
+        else None)
+    val qn = s"oa_wout_${System.nanoTime()}"
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName(qn).outputMode("append").start()
+    try {
+      input.addData(("a", ts(10), 1L, 0d), ("a", ts(20), 3L, 0d))
+      q.processAllAvailable()
+      // watermark = 20 - 5 = 15: only the ts(10) row matured
+      assert(spark.table(qn).collect().map(_.getLong(1)).toSet === Set(1L))
+      input.addData(("a", ts(100), 5L, 0d))
+      q.processAllAvailable()
+      // watermark = 95: ts(20) matured with the running sum including
+      // ts(10); the frontier row still waits
+      assert(spark.table(qn).collect().map(r =>
+        (r.getLong(1), r.getLong(2))).toSet === Set((1L, 1L), (3L, 4L)))
+    } finally q.stop()
+  }
+
+  test("named rejections") {
+    val name = s"oa_r_${System.nanoTime()}"
+    Seq(("a", ts(1), 1L, 1d)).toDF("k", "ets", "v", "d")
+      .createOrReplaceTempView(name)
+    val wm = (tb: String) =>
+      if (tb.equalsIgnoreCase(name)) Some(("ets", "5 seconds")) else None
+    def rejects(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        OverAgg.rewriteStreaming(spark, sql, wm))
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"message: ${e.getMessage}")
+    }
+    rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets DESC) " +
+      s"FROM $name", "ascending")
+    rejects(s"SELECT SUM(v DISTINCT) OVER (PARTITION BY k ORDER BY ets) " +
+      s"FROM $name", "DISTINCT placement")
+    rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets), " +
+      s"LAG(v) OVER (PARTITION BY k ORDER BY ets) FROM $name",
+      "COUNT/SUM/MIN/MAX/AVG")
+    rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets), " +
+      s"SUM(v) OVER (ORDER BY ets) FROM $name", "one window")
+    rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets " +
+      s"RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) FROM $name",
+      "INTERVAL")
+    rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets " +
+      s"ROWS BETWEEN INTERVAL '5' SECOND PRECEDING AND CURRENT ROW) " +
+      s"FROM $name", "row count")
+    rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets " +
+      s"ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM $name", "frame")
+    rejects(s"SELECT k, SUM(v) OVER (PARTITION BY k ORDER BY ets) " +
+      s"FROM $name GROUP BY k", "GROUP BY")
+    rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY v) " +
+      s"FROM $name", "event-time")
+    rejects(s"SELECT SUM(v) OVER (PARTITION BY d ORDER BY ets) " +
+      s"FROM $name", "losslessly")
+  }
+
+  test("e2e: streaming OVER aggregation through the CLI") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-over-e2e")
+    val script = Files.createTempFile("graft-over", ".sql")
+    try {
+      Files.writeString(script,
+        s"""SET execution.runtime-mode = streaming;
+           |SET execution.checkpointing.enabled = true;
+           |SET state.checkpoints.dir = file://${dir.toString}/cp;
+           |create table src (
+           |  id bigint,
+           |  row_time as timestamp '2024-01-01 00:00:00' +
+           |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
+           |  watermark for row_time as row_time - interval '1' second
+           |) with (
+           |  'connector' = 'datagen',
+           |  'rows-per-second' = '100',
+           |  'fields.id.kind' = 'sequence',
+           |  'fields.id.start' = '0',
+           |  'fields.id.end' = '19'
+           |);
+           |create table snk (id bigint, s bigint) with (
+           |  'connector' = 'filesystem',
+           |  'path' = 'file://${dir.toString}/out',
+           |  'format' = 'parquet'
+           |);
+           |insert into snk
+           |SELECT id, SUM(id) OVER (ORDER BY row_time
+           |  RANGE BETWEEN INTERVAL '5' SECOND PRECEDING AND CURRENT ROW)
+           |  AS s FROM src;
+           |""".stripMargin)
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark),
+        durationSec = 30L).run()
+      val got = spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // the final watermark is 19 - 1 = 18 s: ids 0..17 matured, the
+      // frontier rows wait forever (exactly Flink's behavior)
+      assert(got.keySet === (0L to 17L).toSet, got.toString)
+      got.foreach { case (i, s) =>
+        assert(s === (math.max(0L, i - 5) to i).sum, s"id $i")
+      }
+    } finally {
+      Files.deleteIfExists(script): Unit
+    }
+  }
+
+  test("INSERT prefix and table alias survive the splice") {
+    val name = s"oa_i_${System.nanoTime()}"
+    Seq(("a", ts(1), 1L, 1d)).toDF("k", "ets", "v", "d")
+      .createOrReplaceTempView(name)
+    val wm = (tb: String) =>
+      if (tb.equalsIgnoreCase(name)) Some(("ets", "5 seconds")) else None
+    val out = OverAgg.rewriteStreaming(spark,
+      s"INSERT INTO snk SELECT x.k, SUM(x.v) OVER " +
+        s"(PARTITION BY k ORDER BY ets) AS s FROM $name x", wm)
+    assert(out.startsWith("INSERT INTO snk "))
+    assert(out.contains("__oa0 AS s"))
+    assert(raw"FROM graft_over_\d+ x".r.findFirstIn(out).isDefined, out)
+    // the spliced query analyzes (qualified refs resolve via the alias)
+    spark.sql(out.stripPrefix("INSERT INTO snk "))
+  }
+}
