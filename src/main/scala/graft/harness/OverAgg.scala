@@ -44,7 +44,7 @@ object OverAgg {
 
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger()
 
-  private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG")
+  private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "LAG")
 
   /** One `fn(arg) OVER (spec)` occurrence: text region [start, end)
     * within the statement, plus the parsed pieces. */
@@ -150,10 +150,14 @@ object OverAgg {
       (tm.group(1), Option(tm.group(2)), Option(tm.group(3)).map(_.trim))
 
     val calls = overCalls(sql)
+    if (calls.exists(_.fn == "LEAD"))
+      fail("LEAD cannot stream — it references rows the watermark has " +
+        "not matured (Flink's streaming over-windows reject it too); " +
+        "use LAG over the reversed comparison, or batch runtime mode")
     calls.filterNot(c => AggFns(c.fn)) match {
       case Seq() =>
       case bad => fail("streaming OVER supports the aggregate functions " +
-        s"COUNT/SUM/MIN/MAX/AVG; got ${bad.map(_.fn).mkString(", ")} " +
+        s"COUNT/SUM/MIN/MAX/AVG and LAG; got ${bad.map(_.fn).mkString(", ")} " +
         "(ranking shapes ride the top-N rewrites; others are batch-only)")
     }
     val aggCalls = calls
@@ -228,15 +232,23 @@ object OverAgg {
           "boolean)")
     }
 
-    // (call, kind, result type, input expression) — the window-TVF
-    // pass's slot plan, DISTINCT included (kinds 9-13: the exact
-    // value-set slots; MIN/MAX(DISTINCT) are distinct-invariant)
+    // one aggregate slot: tracker kind, the type the value has inside
+    // the vals JSON (what from_json decodes), the slot input
+    // expression, LAG's offset, and LAG's storage-to-source decode
+    final case class Plan(call: OverCall, kind: Int, storage: DataType,
+        input: String, lag: Int = 0,
+        dec: Option[org.apache.spark.sql.Column =>
+          org.apache.spark.sql.Column] = None)
+    // the window-TVF pass's slot plan, DISTINCT included (kinds 9-13:
+    // the exact value-set slots; MIN/MAX(DISTINCT) are
+    // distinct-invariant) plus LAG (kind 14: positional string-carried
+    // value — Flink streams LAG as an over-aggregate)
     def resolveType(in: String): DataType =
       try src.selectExpr(in).schema.head.dataType
       catch { case e: Exception =>
         fail(s"cannot resolve aggregate input $in: ${e.getMessage}")
       }
-    val plans: Seq[(OverCall, Int, DataType, String)] = aggCalls.map { a0 =>
+    val plans: Seq[Plan] = aggCalls.map { a0 =>
       val distinct =
         raw"(?i)^DISTINCT\b".r.findFirstIn(a0.arg.trim).isDefined
       if (!distinct &&
@@ -246,7 +258,36 @@ object OverAgg {
         if (distinct) a0.arg.trim.replaceFirst(raw"(?i)^DISTINCT\s+", "")
         else a0.arg
       val a = a0
-      if (distinct && (a.fn == "MIN" || a.fn == "MAX")) {
+      if (a.fn == "LAG") {
+        if (distinct) fail(s"LAG takes no DISTINCT: ${a.arg}")
+        val parts = MatchRecognize.splitTopLevel(arg).map(_.trim)
+        val (in, k) = parts match {
+          case Seq(x) => (x, 1)
+          case Seq(x, kk) if raw"^\d+$$".r.findFirstIn(kk).isDefined =>
+            (x, kk.toInt)
+          case Seq(_, _, _) => fail("LAG with an explicit DEFAULT is " +
+            s"not supported in streaming (COALESCE downstream): ${a.arg}")
+          case _ => fail(s"cannot parse LAG arguments: ${a.arg}")
+        }
+        if (k < 1) fail(s"LAG offset must be >= 1: ${a.arg}")
+        val dt = resolveType(in)
+        import org.apache.spark.sql.Column
+        val (enc, dec): (String, Column => Column) = dt match {
+          case _ if graft.streaming.StateFormat.jsonLossless(dt) ||
+              dt.isInstanceOf[DecimalType] || dt == DateType ||
+              dt == DoubleType || dt == FloatType =>
+            // cast-to-string is exact for all of these (Java
+            // round-trip text / canonical decimal-date strings)
+            (s"CAST(($in) AS STRING)", (c: Column) => c.cast(dt))
+          case _: TimestampType | _: TimestampNTZType =>
+            (s"CAST(unix_micros(CAST(($in) AS TIMESTAMP)) AS STRING)",
+              (c: Column) => timestamp_micros(c.cast("long")).cast(dt))
+          case other => fail(s"LAG($in) over ${other.simpleString} — " +
+            "the value must ride the string state carrier; nested and " +
+            "binary types have none")
+        }
+        Plan(a, 14, StringType, enc, lag = k, dec = Some(dec))
+      } else if (distinct && (a.fn == "MIN" || a.fn == "MAX")) {
         // extrema are distinct-invariant: plan the plain form
         val dt = resolveType(arg)
         val integral = dt match {
@@ -255,9 +296,9 @@ object OverAgg {
           case other => fail(s"${a.fn}($arg): unsupported input " +
             s"type ${other.simpleString} (numeric only)")
         }
-        if (a.fn == "MIN") (a, if (integral) 3 else 4,
+        if (a.fn == "MIN") Plan(a, if (integral) 3 else 4,
           if (integral) LongType else DoubleType, arg)
-        else (a, if (integral) 5 else 6,
+        else Plan(a, if (integral) 5 else 6,
           if (integral) LongType else DoubleType, arg)
       } else if (distinct && a.fn == "COUNT") {
         val dt = resolveType(arg)
@@ -265,24 +306,24 @@ object OverAgg {
           fail(s"COUNT(DISTINCT $arg) over ${dt.simpleString} — " +
             "distinct values must ride the string state encoding " +
             "injectively; nested and binary types have no encoding"))
-        (a, 9, LongType, enc)
+        Plan(a, 9, LongType, enc)
       } else if (distinct) { // SUM / AVG
         resolveType(arg) match {
           case ByteType | ShortType | IntegerType | LongType =>
-            if (a.fn == "SUM") (a, 10, LongType, arg)
-            else (a, 11, DoubleType, arg)
+            if (a.fn == "SUM") Plan(a, 10, LongType, arg)
+            else Plan(a, 11, DoubleType, arg)
           case FloatType | DoubleType =>
             val enc = WindowTvf.distinctEncode(arg,
               resolveType(arg)).get
-            if (a.fn == "SUM") (a, 12, DoubleType, enc)
-            else (a, 13, DoubleType, enc)
+            if (a.fn == "SUM") Plan(a, 12, DoubleType, enc)
+            else Plan(a, 13, DoubleType, enc)
           case other => fail(
             s"${a.fn}(DISTINCT $arg) over ${other.simpleString} — " +
               "distinct arithmetic aggregates support integral and " +
               "float/double inputs")
         }
       } else if (a.fn == "COUNT")
-        (a, 0, LongType, if (arg == "*") "1" else arg)
+        Plan(a, 0, LongType, if (arg == "*") "1" else arg)
       else {
         val dt = resolveType(arg)
         val integral = dt match {
@@ -292,13 +333,13 @@ object OverAgg {
             s"type ${other.simpleString} (numeric only)")
         }
         a.fn match {
-          case "SUM" => (a, if (integral) 1 else 2,
+          case "SUM" => Plan(a, if (integral) 1 else 2,
             if (integral) LongType else DoubleType, arg)
-          case "MIN" => (a, if (integral) 3 else 4,
+          case "MIN" => Plan(a, if (integral) 3 else 4,
             if (integral) LongType else DoubleType, arg)
-          case "MAX" => (a, if (integral) 5 else 6,
+          case "MAX" => Plan(a, if (integral) 5 else 6,
             if (integral) LongType else DoubleType, arg)
-          case _ => (a, if (integral) 8 else 7, DoubleType, arg)
+          case _ => Plan(a, if (integral) 8 else 7, DoubleType, arg)
         }
       }
     }
@@ -327,16 +368,17 @@ object OverAgg {
         expr(s"unix_micros(cast(`$tcol` as timestamp))").as("__ts_us"): _*))
     val longKinds = Set(1, 3, 5, 8)
     val doubleKinds = Set(2, 4, 6, 7)
-    val nnArr = array(plans.map(p => expr(p._4).isNotNull): _*)
+    val nnArr = array(plans.map(p => expr(p.input).isNotNull): _*)
     val lvArr = array(plans.map(p =>
-      if (longKinds(p._2)) coalesce(expr(p._4).cast("long"), lit(0L))
+      if (longKinds(p.kind)) coalesce(expr(p.input).cast("long"), lit(0L))
       else lit(0L)): _*)
     val dvArr = array(plans.map(p =>
-      if (doubleKinds(p._2)) coalesce(expr(p._4).cast("double"), lit(0d))
+      if (doubleKinds(p.kind)) coalesce(expr(p.input).cast("double"), lit(0d))
       else lit(0d)): _*)
     val svArr = array(plans.map(p =>
-      if (graft.streaming.CumulateTracker.isDistinctKind(p._2))
-        expr(p._4).cast("string")
+      if (graft.streaming.CumulateTracker.isDistinctKind(p.kind) ||
+          p.kind == 14)
+        expr(p.input).cast("string")
       else lit(null).cast("string")): _*)
     import spark.implicits._
     val events = src
@@ -347,11 +389,11 @@ object OverAgg {
         payloadExpr.as("payload"))
       .as[graft.streaming.OverEvent]
     val tracked = graft.streaming.OverAggTracker.track(
-      events, wmDelay, plans.map(_._2), frame)
+      events, wmDelay, plans.map(_.kind), frame, plans.map(_.lag))
 
     val keySchema = StructType(partCols.map(fieldOf).toArray)
     val valsSchema = StructType(plans.zipWithIndex.map { case (p, i) =>
-      StructField(s"a$i", p._3, nullable = true)
+      StructField(s"a$i", p.storage, nullable = true)
     }.toArray)
     val tcolField = fieldOf(tcol)
     var out = tracked.toDF()
@@ -371,7 +413,10 @@ object OverAgg {
           carrierOf(f).get.dec(col(s"__p.`${f.name}`")).as(f.name)) ++
         Seq(timestamp_micros(col("__p.__ts_us"))
           .cast(tcolField.dataType).as(tcol)) ++
-        plans.indices.map(i => col(s"__v.a$i").as(s"__oa$i")): _*)
+        plans.zipWithIndex.map { case (p, i) =>
+          p.dec.fold(col(s"__v.a$i"))(d => d(col(s"__v.a$i")))
+            .as(s"__oa$i")
+        }: _*)
     val view = s"graft_over_${viewCounter.incrementAndGet()}"
     decoded.createOrReplaceTempView(view)
 

@@ -24,12 +24,15 @@ final case class OverRow(tsMs: Long, nn: List[Boolean], lv: List[Long],
 
 /** Per-key state: `pending` rows not yet matured by the watermark,
   * `hist` matured rows a bounded frame still needs (within the RANGE
-  * horizon / the last N for ROWS), and for UNBOUNDED frames the
-  * running accumulators `acc` plus per-slot distinct-value sets `ds`
-  * (sorted for deterministic state; non-distinct slots keep Nil).
+  * horizon / the last N for ROWS), for UNBOUNDED frames the running
+  * accumulators `acc` plus per-slot distinct-value sets `ds` (sorted
+  * for deterministic state; non-distinct slots keep Nil), and
+  * `lagHist` — the last max-LAG-offset matured rows, kept whatever the
+  * frame is (LAG is positional and ignores the frame).
   */
 final case class OverAggState(pending: List[OverRow],
-    hist: List[OverRow], acc: List[CumAcc], ds: List[List[String]])
+    hist: List[OverRow], acc: List[CumAcc], ds: List[List[String]],
+    lagHist: List[OverRow])
 
 /** One emitted row: key, the row's event time (epoch ms), its payload
   * verbatim, and the aggregate results as `{"a0": ..., ...}` JSON
@@ -109,20 +112,32 @@ object OverAggTracker {
         mxD = if (first) r.dv(i) else CumulateTracker.nanMax(a.mxD, r.dv(i)))
     }
 
-  private def valsJson(kinds: Seq[Int], accs: IndexedSeq[CumAcc],
-      dsets: IndexedSeq[scala.collection.Set[String]]): String =
-    kinds.indices.flatMap { i =>
-      CumulateTracker.fieldValue(kinds(i), accs(i), dsets(i))
-        .map(s => s""""a$i": $s""")
-    }.mkString("{", ", ", "}")
+  /** The LAG slot kind: emission is the string-carried value of the
+    * row `lags(i)` positions back in matured order (NULL when there is
+    * no such row, or its input was null) — positional, frame-blind,
+    * exactly SQL LAG. */
+  private[streaming] val LagKind = 14
+
+  /** JSON string literal for a carried LAG value. */
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
 
   def track(events: Dataset[OverEvent], watermarkDelay: String,
-      kinds: Seq[Int], frame: Frame): Dataset[OverOut] = {
+      kinds: Seq[Int], frame: Frame, lags: Seq[Int]): Dataset[OverOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val withWm = Watermarks.ensure(events, "ts", watermarkDelay)
     val unbounded = frame == UnboundedRange || frame == UnboundedRows
     val noSet = scala.collection.Set.empty[String]
+    val maxLag = if (lags.isEmpty) 0 else lags.max
 
     def handle(key: String, it: Iterator[OverEvent],
         state: GroupState[OverAggState]): Iterator[OverOut] = {
@@ -130,7 +145,7 @@ object OverAggTracker {
         OverAggState(Nil, Nil,
           if (unbounded) kinds.indices.map(emptyAcc).toList else Nil,
           if (unbounded) kinds.indices.map(_ => List.empty[String]).toList
-          else Nil))
+          else Nil, Nil))
       val incoming = it.map(e => OverRow(e.ts.getTime, e.nn, e.lv, e.dv,
         e.sv, e.payload)).toList
       val (wmMs, isFinal) =
@@ -143,10 +158,11 @@ object OverAggTracker {
       val (maturedRaw, pending) =
         if (isFinal) (all, Nil) else all.partition(_.tsMs < wmMs)
       // ascending time; payload text breaks timestamp ties so replay
-      // and ROWS-frame order are deterministic
+      // and ROWS-frame / LAG order are deterministic
       val matured = maturedRaw.sortBy(r => (r.tsMs, r.payload))
       val out = ArrayBuffer.empty[OverOut]
       var hist = st.hist
+      var lagHist = st.lagHist
       var acc = st.acc.toIndexedSeq
       // running distinct sets (UNBOUNDED frames only) — mutable here,
       // re-sorted into state at the end for deterministic replay
@@ -157,7 +173,8 @@ object OverAggTracker {
         else IndexedSeq.empty
       def foldRun(r: OverRow): Unit = {
         acc = kinds.indices.map { i =>
-          if (CumulateTracker.isDistinctKind(kinds(i))) {
+          if (kinds(i) == LagKind) acc(i)
+          else if (CumulateTracker.isDistinctKind(kinds(i))) {
             if (r.nn(i)) runDs(i) += r.sv(i)
             acc(i)
           } else fold(acc(i), r, i)
@@ -171,7 +188,8 @@ object OverAggTracker {
       def foldFrame(rows: Seq[OverRow]):
           (IndexedSeq[CumAcc], IndexedSeq[scala.collection.Set[String]]) = {
         val a = kinds.indices.map { i =>
-          if (CumulateTracker.isDistinctKind(kinds(i))) emptyAcc(i)
+          if (CumulateTracker.isDistinctKind(kinds(i)) ||
+              kinds(i) == LagKind) emptyAcc(i)
           else rows.foldLeft(emptyAcc(i))((x, r) => fold(x, r, i))
         }.toIndexedSeq
         val d = kinds.indices.map { i =>
@@ -182,13 +200,32 @@ object OverAggTracker {
         }.toIndexedSeq
         (a, d)
       }
+      // aggregate fields are per frame/group; LAG fields are per ROW
+      // (positional, frame-blind): emit merges them, then the row joins
+      // the lag history
+      def emit(r: OverRow, a: IndexedSeq[CumAcc],
+          d: IndexedSeq[scala.collection.Set[String]]): Unit = {
+        val fields = kinds.indices.flatMap { i =>
+          val v =
+            if (kinds(i) == LagKind) {
+              val k = lags(i)
+              if (lagHist.size >= k) {
+                val p = lagHist(lagHist.size - k)
+                if (p.nn(i)) Some(jsonStr(p.sv(i))) else None
+              } else None
+            } else CumulateTracker.fieldValue(kinds(i), a(i), d(i))
+          v.map(s => s""""a$i": $s""")
+        }
+        out += OverOut(key, r.tsMs, r.payload,
+          fields.mkString("{", ", ", "}"))
+        if (maxLag > 0) lagHist = (lagHist :+ r).takeRight(maxLag)
+      }
 
       frame match {
         case UnboundedRows =>
           matured.foreach { r =>
             foldRun(r)
-            out += OverOut(key, r.tsMs, r.payload,
-              valsJson(kinds, acc, runSnapshot))
+            emit(r, acc, runSnapshot)
           }
         case UnboundedRange =>
           // per-timestamp peer groups: the whole group folds in, then
@@ -196,16 +233,15 @@ object OverAggTracker {
           matured.groupBy(_.tsMs).toSeq.sortBy(_._1).foreach {
             case (_, group) =>
               group.foreach(foldRun)
-              val vj = valsJson(kinds, acc, runSnapshot)
-              group.foreach(r => out += OverOut(key, r.tsMs, r.payload, vj))
+              val snap = runSnapshot
+              group.foreach(r => emit(r, acc, snap))
           }
         case RangePreceding(ms) =>
           matured.groupBy(_.tsMs).toSeq.sortBy(_._1).foreach {
             case (ts, group) =>
               val frameRows = hist.filter(_.tsMs >= ts - ms) ++ group
               val (a, d) = foldFrame(frameRows)
-              val vj = valsJson(kinds, a, d)
-              group.foreach(r => out += OverOut(key, r.tsMs, r.payload, vj))
+              group.foreach(r => emit(r, a, d))
               hist = hist ++ group
           }
           // future rows have ts >= wm, so their frames reach back to
@@ -215,18 +251,20 @@ object OverAggTracker {
         case RowsPreceding(n) =>
           matured.foreach { r =>
             val (a, d) = foldFrame(hist.takeRight(n) :+ r)
-            out += OverOut(key, r.tsMs, r.payload, valsJson(kinds, a, d))
+            emit(r, a, d)
             hist = (hist :+ r).takeRight(n)
           }
           if (isFinal) hist = Nil
       }
 
-      if (isFinal || (pending.isEmpty && hist.isEmpty && !unbounded))
+      if (isFinal ||
+          (pending.isEmpty && hist.isEmpty && lagHist.isEmpty && !unbounded))
         state.remove()
       else {
         state.update(OverAggState(pending.sortBy(r => (r.tsMs, r.payload)),
           hist, acc.toList,
-          if (unbounded) runDs.map(_.toList.sorted).toList else Nil))
+          if (unbounded) runDs.map(_.toList.sorted).toList else Nil,
+          if (isFinal) Nil else lagHist))
         // wake when the earliest pending row can mature; with nothing
         // pending, only new data changes anything — no timeout
         if (pending.nonEmpty)

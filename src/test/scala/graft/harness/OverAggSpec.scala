@@ -181,6 +181,37 @@ class OverAggSpec extends AnyFunSuite {
       (70L, 2L)))
   }
 
+  test("LAG equals batch: positional, typed through the carrier, " +
+      "frame-blind beside a running aggregate") {
+    assertStreamEqualsBatch(
+      """SELECT k, v,
+        |  LAG(v) OVER (PARTITION BY k ORDER BY ets) AS pv,
+        |  LAG(d, 2) OVER (PARTITION BY k ORDER BY ets) AS pd2,
+        |  LAG(ets) OVER (PARTITION BY k ORDER BY ets) AS pts,
+        |  SUM(v) OVER (PARTITION BY k ORDER BY ets) AS rs
+        |FROM t """.stripMargin)
+  }
+
+  test("LAG rejections: LEAD, explicit DEFAULT, zero offset") {
+    val name = s"oa_l_${System.nanoTime()}"
+    Seq(("a", ts(1), 1L, 1d)).toDF("k", "ets", "v", "d")
+      .createOrReplaceTempView(name)
+    val wm = (tb: String) =>
+      if (tb.equalsIgnoreCase(name)) Some(("ets", "5 seconds")) else None
+    def rejects(sql: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        OverAgg.rewriteStreaming(spark, sql, wm))
+      assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
+        s"message: ${e.getMessage}")
+    }
+    rejects(s"SELECT LEAD(v) OVER (PARTITION BY k ORDER BY ets) " +
+      s"FROM $name", "cannot stream")
+    rejects(s"SELECT LAG(v, 1, 0) OVER (PARTITION BY k ORDER BY ets) " +
+      s"FROM $name", "DEFAULT")
+    rejects(s"SELECT LAG(v, 0) OVER (PARTITION BY k ORDER BY ets) " +
+      s"FROM $name", ">= 1")
+  }
+
   test("maturity is watermark-gated: rows behind the watermark emit, " +
       "the frontier row waits") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -228,7 +259,7 @@ class OverAggSpec extends AnyFunSuite {
     rejects(s"SELECT SUM(v DISTINCT) OVER (PARTITION BY k ORDER BY ets) " +
       s"FROM $name", "DISTINCT placement")
     rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets), " +
-      s"LAG(v) OVER (PARTITION BY k ORDER BY ets) FROM $name",
+      s"FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY ets) FROM $name",
       "COUNT/SUM/MIN/MAX/AVG")
     rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets), " +
       s"SUM(v) OVER (ORDER BY ets) FROM $name", "one window")
