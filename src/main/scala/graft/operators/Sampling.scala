@@ -237,7 +237,81 @@ object Sampling {
         expr("CAST(dsir_micros div n_feats AS BIGINT)").as("per_feat_micros"))
   }
 
+  /** UniMax-style epoch-capped language budget allocation (Chung et
+    * al. 2023, "UniMax: Fairer and More Effective Language Sampling
+    * for Large-Scale Multilingual Pretraining"): distribute a total
+    * character budget uniformly across languages, except no language
+    * may exceed its epoch cap (N epochs × its corpus size) — low-
+    * resource languages hit the cap, the head languages split what
+    * remains. The sequential water-filling has a closed form because
+    * caps sort ascending: `f(j) = cap_j·(L-j+1) + Σ_{i<j} cap_i` is
+    * nondecreasing in j (the increment is `(L-j)·(cap_{j+1}-cap_j)`),
+    * so the capped set is exactly the prefix with `f(j) ≤ budget` —
+    * one window pass, no recursion. The uncapped languages split the
+    * remaining budget by exact integer division, the remainder going
+    * one unit each to the first uncapped languages in (capacity, lang)
+    * order — largest-remainder determinism, the house apportionment
+    * rule. Two parameterizations run side by side so both branches are
+    * always exercised whatever the corpus mix: A = budget total/2 at
+    * 2 epochs (nothing caps on this corpus → pure uniform split +
+    * remainder), B = budget 3·total/4 at 1 epoch (every tail language
+    * caps, the head splits the rest). All arithmetic is int64 — the
+    * oracle cannot drift.
+    *
+    * Scale shape: the corpus collapses to one row per language FIRST
+    * (a map-side-combined aggregation); every window below runs over
+    * the language list — a handful of rows at any corpus size, the
+    * same design as [[extMixTemperature]].
+    */
+  val extUnimaxAlloc: Q = {
+    // identical text in both dialects except integer division
+    def sql(div: String): String =
+      s"""WITH c AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS chars
+         |  FROM __TBL__ GROUP BY lang),
+         |t AS (SELECT lang, n_docs, chars,
+         |  SUM(chars) OVER () AS total,
+         |  COUNT(*) OVER () AS nl,
+         |  ROW_NUMBER() OVER (ORDER BY chars, lang) AS i,
+         |  SUM(chars) OVER (ORDER BY chars, lang
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chars
+         |    AS pre
+         |  FROM c),
+         |f AS (SELECT *,
+         |  total $div 2 AS bud_a, (3 * total) $div 4 AS bud_b,
+         |  CASE WHEN 2 * chars * (nl - i + 1) + 2 * pre <= total $div 2
+         |       THEN 1 ELSE 0 END AS cf_a,
+         |  CASE WHEN chars * (nl - i + 1) + pre <= (3 * total) $div 4
+         |       THEN 1 ELSE 0 END AS cf_b
+         |  FROM t),
+         |g AS (SELECT *,
+         |  SUM(cf_a) OVER () AS k_a, SUM(cf_a * 2 * chars) OVER () AS sk_a,
+         |  SUM(cf_b) OVER () AS k_b, SUM(cf_b * chars) OVER () AS sk_b
+         |  FROM f)
+         |SELECT lang, n_docs, chars,
+         |  CAST(CASE WHEN cf_a = 1 THEN 2 * chars
+         |    ELSE (bud_a - sk_a) $div (nl - k_a) +
+         |      CASE WHEN i - k_a <= (bud_a - sk_a) % (nl - k_a)
+         |           THEN 1 ELSE 0 END END AS BIGINT) AS alloc_a,
+         |  CAST(CASE WHEN cf_b = 1 THEN chars
+         |    ELSE (bud_b - sk_b) $div (nl - k_b) +
+         |      CASE WHEN i - k_b <= (bud_b - sk_b) % (nl - k_b)
+         |           THEN 1 ELSE 0 END END AS BIGINT) AS alloc_b,
+         |  CAST((CASE WHEN cf_a = 1 THEN 2 * chars
+         |    ELSE (bud_a - sk_a) $div (nl - k_a) +
+         |      CASE WHEN i - k_a <= (bud_a - sk_a) % (nl - k_a)
+         |           THEN 1 ELSE 0 END END * 1000000) $div chars AS BIGINT)
+         |    AS epochs_micros_a
+         |FROM g""".stripMargin
+    Q("ext_unimax_alloc", sql("//").replace("__TBL__", "documents")) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .createOrReplaceTempView("unimax_docs")
+      s.sql(sql("DIV").replace("__TBL__", "unimax_docs"))
+    }
+  }
+
   def all: Seq[Q] = Seq(
     extHashSample, extMixSample, extStratifiedSample, extWeightedSample,
-    extMixTemperature, extDsirWeights)
+    extMixTemperature, extDsirWeights, extUnimaxAlloc)
 }
