@@ -242,6 +242,90 @@ class OverAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint restart recovers over-aggregation state exactly-once") {
+    // stop with a row pending behind the watermark, deliver more rows
+    // while the query is down, restart from the checkpoint: recovered
+    // frame state must emit every row exactly once with exact frames
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long, Double)]
+    val name = s"oa_ck_${System.nanoTime()}"
+    input.toDF().toDF("k", "ets", "v", "d").createOrReplaceTempView(name)
+    val rewritten = OverAgg.rewriteStreaming(spark,
+      s"""SELECT k, v, SUM(v) OVER (PARTITION BY k ORDER BY ets
+         |  RANGE BETWEEN INTERVAL '20' SECOND PRECEDING AND CURRENT ROW)
+         |  AS s FROM $name""".stripMargin,
+      tb => if (tb.equalsIgnoreCase(name)) Some(("ets", "5 seconds"))
+        else None)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-oa-ckpt")
+      .toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-oa-out")
+      .toString
+    def start() = spark.sql(rewritten).writeStream
+      .format("parquet").option("path", outDir).outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(("a", ts(10), 1L, 0d), ("a", ts(70), 7L, 0d))
+      q1.processAllAvailable()
+      // watermark 65 s: only the ts(10) row matured
+      assert(spark.read.parquet(outDir).count() === 1)
+    } finally q1.stop()
+    // rows arriving while the query is down: ts(80) lands inside
+    // ts(70)'s successor frame, ts(1000) only advances the watermark
+    input.addData(("a", ts(80), 3L, 0d), ("a", ts(1000), 9L, 0d))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val all = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      // exactly once: ts(10) not re-emitted; ts(70)'s frame [50,70]
+      // holds itself only; ts(80)'s frame [60,80] holds 70+80; the
+      // frontier row stays pending
+      assert(all === Set((1L, 1L), (7L, 7L), (3L, 10L)))
+    } finally q2.stop()
+  }
+
+  test("soak: 100k keys; frame state drops once rows leave the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val nKeys = 100000
+    val input = MemoryStream[(String, Timestamp, Long, Double)]
+    val name = s"oa_soak_${System.nanoTime()}"
+    input.toDF().toDF("k", "ets", "v", "d").createOrReplaceTempView(name)
+    val rewritten = OverAgg.rewriteStreaming(spark,
+      s"""SELECT k, v, SUM(v) OVER (PARTITION BY k ORDER BY ets
+         |  RANGE BETWEEN INTERVAL '20' SECOND PRECEDING AND CURRENT ROW)
+         |  AS s FROM $name""".stripMargin,
+      tb => if (tb.equalsIgnoreCase(name)) Some(("ets", "5 seconds"))
+        else None)
+    val qn = s"oa_soak_out_${System.nanoTime()}"
+    val query = spark.sql(rewritten).writeStream.format("memory")
+      .queryName(qn).outputMode("append").start()
+    try {
+      input.addData((0 until nKeys).map(i =>
+        (s"k$i", ts(10L), 1L, 0d)): _*)
+      query.processAllAvailable()
+      val peak = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(peak >= nKeys.toLong,
+        s"expected state for all $nKeys pending keys, saw $peak")
+      // the watermark passes every row AND its 20 s frame horizon:
+      // every key emits and reclaims — bounded-frame state must not
+      // outlive the horizon
+      input.addData(("late", ts(1000000L), 1L, 0d))
+      query.processAllAvailable()
+      input.addData(("late2", ts(2000000L), 1L, 0d))
+      query.processAllAvailable()
+      val after = query.lastProgress.stateOperators.head.numRowsTotal
+      assert(after <= 2L,
+        s"horizon passed but $after state rows remain (expected <= 2)")
+      import spark.implicits._
+      val emitted = spark.table(qn)
+        .filter(!$"k".isin("late", "late2")).count()
+      assert(emitted === nKeys.toLong)
+    } finally query.stop()
+  }
+
   test("named rejections") {
     val name = s"oa_r_${System.nanoTime()}"
     Seq(("a", ts(1), 1L, 1d)).toDF("k", "ets", "v", "d")
