@@ -44,7 +44,8 @@ object OverAgg {
 
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger()
 
-  private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "LAG")
+  private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "LAG",
+    "FIRST_VALUE", "LAST_VALUE")
 
   /** One `fn(arg) OVER (spec)` occurrence: text region [start, end)
     * within the statement, plus the parsed pieces. */
@@ -92,6 +93,28 @@ object OverAgg {
     case "MINUTE" => 60000L
     case "HOUR" => 3600000L
     case _ => 86400000L
+  }
+
+  /** Exact string carrier for a value-typed slot (LAG, FIRST_VALUE,
+    * LAST_VALUE): the encode SQL producing the state string, and the
+    * decode back to the source type — cast-to-string is Java's exact
+    * round-trip text for the scalar types, timestamps hop through
+    * epoch micros. */
+  private def stringCarrier(fn: String, in: String, dt: DataType):
+      (String, org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.Column
+    dt match {
+      case _ if graft.streaming.StateFormat.jsonLossless(dt) ||
+          dt.isInstanceOf[DecimalType] || dt == DateType ||
+          dt == DoubleType || dt == FloatType =>
+        (s"CAST(($in) AS STRING)", (c: Column) => c.cast(dt))
+      case _: TimestampType | _: TimestampNTZType =>
+        (s"CAST(unix_micros(CAST(($in) AS TIMESTAMP)) AS STRING)",
+          (c: Column) => timestamp_micros(c.cast("long")).cast(dt))
+      case other => fail(s"$fn($in) over ${other.simpleString} — " +
+        "the value must ride the string state carrier; nested and " +
+        "binary types have none")
+    }
   }
 
   /** Compiles the statement onto the tracker and returns the spliced
@@ -270,23 +293,16 @@ object OverAgg {
           case _ => fail(s"cannot parse LAG arguments: ${a.arg}")
         }
         if (k < 1) fail(s"LAG offset must be >= 1: ${a.arg}")
-        val dt = resolveType(in)
-        import org.apache.spark.sql.Column
-        val (enc, dec): (String, Column => Column) = dt match {
-          case _ if graft.streaming.StateFormat.jsonLossless(dt) ||
-              dt.isInstanceOf[DecimalType] || dt == DateType ||
-              dt == DoubleType || dt == FloatType =>
-            // cast-to-string is exact for all of these (Java
-            // round-trip text / canonical decimal-date strings)
-            (s"CAST(($in) AS STRING)", (c: Column) => c.cast(dt))
-          case _: TimestampType | _: TimestampNTZType =>
-            (s"CAST(unix_micros(CAST(($in) AS TIMESTAMP)) AS STRING)",
-              (c: Column) => timestamp_micros(c.cast("long")).cast(dt))
-          case other => fail(s"LAG($in) over ${other.simpleString} — " +
-            "the value must ride the string state carrier; nested and " +
-            "binary types have none")
-        }
+        val (enc, dec) = stringCarrier(a.fn, in, resolveType(in))
         Plan(a, 14, StringType, enc, lag = k, dec = Some(dec))
+      } else if (a.fn == "FIRST_VALUE" || a.fn == "LAST_VALUE") {
+        if (distinct) fail(s"${a.fn} takes no DISTINCT: ${a.arg}")
+        if (MatchRecognize.splitTopLevel(arg).size != 1)
+          fail(s"${a.fn} takes one argument in streaming (Flink " +
+            s"null-skipping semantics are built in): ${a.arg}")
+        val (enc, dec) = stringCarrier(a.fn, arg, resolveType(arg))
+        Plan(a, if (a.fn == "FIRST_VALUE") 15 else 16, StringType, enc,
+          dec = Some(dec))
       } else if (distinct && (a.fn == "MIN" || a.fn == "MAX")) {
         // extrema are distinct-invariant: plan the plain form
         val dt = resolveType(arg)
@@ -377,7 +393,7 @@ object OverAgg {
       else lit(0d)): _*)
     val svArr = array(plans.map(p =>
       if (graft.streaming.CumulateTracker.isDistinctKind(p.kind) ||
-          p.kind == 14)
+          p.kind >= 14)
         expr(p.input).cast("string")
       else lit(null).cast("string")): _*)
     import spark.implicits._

@@ -118,6 +118,15 @@ object OverAggTracker {
     * exactly SQL LAG. */
   private[streaming] val LagKind = 14
 
+  /** FIRST_VALUE / LAST_VALUE slot kinds: the first / last NON-NULL
+    * string-carried value within the frame, Flink's null-skipping
+    * semantics (its First/LastValueAggFunction ignore nulls). The
+    * chosen value rides the slot's distinct-set seat as a 0/1-element
+    * set — running UNBOUNDED frames keep first-ever / latest, bounded
+    * frames re-pick per frame. */
+  private[streaming] val FirstValueKind = 15
+  private[streaming] val LastValueKind = 16
+
   /** JSON string literal for a carried LAG value. */
   private def jsonStr(s: String): String = {
     val sb = new StringBuilder("\"")
@@ -174,7 +183,13 @@ object OverAggTracker {
       def foldRun(r: OverRow): Unit = {
         acc = kinds.indices.map { i =>
           if (kinds(i) == LagKind) acc(i)
-          else if (CumulateTracker.isDistinctKind(kinds(i))) {
+          else if (kinds(i) == FirstValueKind) {
+            if (r.nn(i) && runDs(i).isEmpty) runDs(i) += r.sv(i)
+            acc(i)
+          } else if (kinds(i) == LastValueKind) {
+            if (r.nn(i)) { runDs(i).clear(); runDs(i) += r.sv(i) }
+            acc(i)
+          } else if (CumulateTracker.isDistinctKind(kinds(i))) {
             if (r.nn(i)) runDs(i) += r.sv(i)
             acc(i)
           } else fold(acc(i), r, i)
@@ -182,7 +197,9 @@ object OverAggTracker {
       }
       def runSnapshot: IndexedSeq[scala.collection.Set[String]] =
         kinds.indices.map(i =>
-          if (CumulateTracker.isDistinctKind(kinds(i))) runDs(i)
+          if (CumulateTracker.isDistinctKind(kinds(i)) ||
+              kinds(i) == FirstValueKind || kinds(i) == LastValueKind)
+            runDs(i)
           else noSet)
       // one frame's accumulators + distinct sets, re-folded fresh
       def foldFrame(rows: Seq[OverRow]):
@@ -196,6 +213,12 @@ object OverAggTracker {
           if (CumulateTracker.isDistinctKind(kinds(i)))
             rows.iterator.filter(_.nn(i)).map(_.sv(i))
               .toSet: scala.collection.Set[String]
+          else if (kinds(i) == FirstValueKind)
+            rows.find(_.nn(i)).map(r => Set(r.sv(i)))
+              .getOrElse(noSet): scala.collection.Set[String]
+          else if (kinds(i) == LastValueKind)
+            rows.reverseIterator.find(_.nn(i)).map(r => Set(r.sv(i)))
+              .getOrElse(noSet): scala.collection.Set[String]
           else noSet
         }.toIndexedSeq
         (a, d)
@@ -213,7 +236,10 @@ object OverAggTracker {
                 val p = lagHist(lagHist.size - k)
                 if (p.nn(i)) Some(jsonStr(p.sv(i))) else None
               } else None
-            } else CumulateTracker.fieldValue(kinds(i), a(i), d(i))
+            } else if (kinds(i) == FirstValueKind ||
+                kinds(i) == LastValueKind)
+              d(i).headOption.map(jsonStr)
+            else CumulateTracker.fieldValue(kinds(i), a(i), d(i))
           v.map(s => s""""a$i": $s""")
         }
         out += OverOut(key, r.tsMs, r.payload,

@@ -192,6 +192,41 @@ class OverAggSpec extends AnyFunSuite {
         |FROM t """.stripMargin)
   }
 
+  test("FIRST_VALUE/LAST_VALUE equal batch on non-null inputs") {
+    // Flink's FIRST/LAST_VALUE skip nulls while Spark batch respects
+    // them — on non-null inputs and distinct timestamps the two agree,
+    // so batch is the oracle here; null skipping is hand-pinned below
+    assertStreamEqualsBatch(
+      """SELECT k, v,
+        |  FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY ets) AS fv,
+        |  LAST_VALUE(d) OVER (PARTITION BY k ORDER BY ets) AS lv,
+        |  SUM(v) OVER (PARTITION BY k ORDER BY ets) AS rs
+        |FROM t """.stripMargin)
+    assertStreamEqualsBatch(
+      """SELECT k, v,
+        |  FIRST_VALUE(d) OVER (PARTITION BY k ORDER BY ets
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fv,
+        |  LAST_VALUE(ets) OVER (PARTITION BY k ORDER BY ets
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS le
+        |FROM t """.stripMargin)
+  }
+
+  test("FIRST_VALUE skips nulls (Flink semantics), hand-pinned") {
+    val rows = Seq(("a", ts(10), 1L, 0d), ("a", ts(20), 3L, 0d),
+      ("a", ts(30), 2L, 0d))
+    val got = runStreaming(
+      """SELECT ets,
+        |  FIRST_VALUE(NULLIF(v, 1)) OVER (PARTITION BY k ORDER BY ets)
+        |    AS fv
+        |FROM t """.stripMargin, rows)
+      .map(r => (r(0).asInstanceOf[Timestamp].getTime / 1000L, r(1)))
+      .sortBy(_._1)
+    // the first row's input is NULL: Flink's first_value skips it, so
+    // the running first becomes 3 from ts(20) on (Spark batch would
+    // pin NULL forever — the documented divergence)
+    assert(got === Seq((10L, null), (20L, 3L), (30L, 3L)))
+  }
+
   test("LAG rejections: LEAD, explicit DEFAULT, zero offset") {
     val name = s"oa_l_${System.nanoTime()}"
     Seq(("a", ts(1), 1L, 1d)).toDF("k", "ets", "v", "d")
@@ -343,7 +378,7 @@ class OverAggSpec extends AnyFunSuite {
     rejects(s"SELECT SUM(v DISTINCT) OVER (PARTITION BY k ORDER BY ets) " +
       s"FROM $name", "DISTINCT placement")
     rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets), " +
-      s"FIRST_VALUE(v) OVER (PARTITION BY k ORDER BY ets) FROM $name",
+      s"NTILE(4) OVER (PARTITION BY k ORDER BY ets) FROM $name",
       "COUNT/SUM/MIN/MAX/AVG")
     rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets), " +
       s"SUM(v) OVER (ORDER BY ets) FROM $name", "one window")
