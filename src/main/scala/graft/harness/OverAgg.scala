@@ -75,10 +75,12 @@ object OverAgg {
     * the shape Spark cannot stream. Ranking shapes (ROW_NUMBER) are
     * consumed by the window/unbounded top-N passes that run BEFORE
     * this one; a leftover ranking OVER does not trigger here (rn = 1
-    * dedup rides Spark's native streaming rules).
+    * dedup rides Spark's native streaming rules). LEAD triggers so a
+    * LEAD-only statement reaches ITS named rejection instead of
+    * Spark's raw non-time-window analysis error.
     */
   def hasStreamingShape(sql: String): Boolean =
-    overCalls(sql).exists(c => AggFns(c.fn))
+    overCalls(sql).exists(c => AggFns(c.fn) || c.fn == "LEAD")
 
   private val SpecRe = (
     raw"(?is)^\s*(?:PARTITION\s+BY\s+(.*?)\s+)?" +
@@ -165,6 +167,13 @@ object OverAgg {
       raw"(?:\s+(?:AS\s+)?(?!WHERE\b)([A-Za-z_]\w*))?\s*" +
       raw"(?:WHERE\s+(.*?))?\s*;?\s*$$").r
     val tail = sql.substring(fromIdx)
+    // a trailing ORDER BY/LIMIT would otherwise be swallowed into the
+    // WHERE capture and die as a raw expression parse error
+    if (raw"(?is)\b(ORDER\s+BY|LIMIT)\b".r
+        .findFirstIn(masked.substring(fromIdx)).isDefined)
+      fail("streaming OVER aggregation takes no ORDER BY/LIMIT on its " +
+        "output (rows emit in watermark-maturity order) — sort or limit " +
+        "downstream")
     val tm = TailRe.findFirstMatchIn(tail).getOrElse(
       fail("streaming OVER aggregation takes a single-table FROM " +
         "(joins and subqueries: aggregate in a separate step): " +
@@ -324,13 +333,13 @@ object OverAgg {
             "injectively; nested and binary types have no encoding"))
         Plan(a, 9, LongType, enc)
       } else if (distinct) { // SUM / AVG
-        resolveType(arg) match {
+        val dt = resolveType(arg)
+        dt match {
           case ByteType | ShortType | IntegerType | LongType =>
             if (a.fn == "SUM") Plan(a, 10, LongType, arg)
             else Plan(a, 11, DoubleType, arg)
           case FloatType | DoubleType =>
-            val enc = WindowTvf.distinctEncode(arg,
-              resolveType(arg)).get
+            val enc = WindowTvf.distinctEncode(arg, dt).get
             if (a.fn == "SUM") Plan(a, 12, DoubleType, enc)
             else Plan(a, 13, DoubleType, enc)
           case other => fail(

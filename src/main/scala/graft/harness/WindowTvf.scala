@@ -1467,8 +1467,9 @@ object WindowTvf {
     * DST shifts are 1 h), so `|l.t − r.t| ≤ S + 25 h` is implied by
     * window equality and never drops a legitimate pair, while
     * bounding each side's state at watermark + S + 25 h. CUMULATE
-    * joins keep a named rejection under region zones (their
-    * decomposition rides the native grid).
+    * joins under region zones (r15) compose their step-end fan-out
+    * with these same instant bounds — the dispatcher routes them to
+    * [[rewriteStreamingCumulateJoin]] with the zone threaded through.
     */
   private def rewriteStreamingZoneWindowJoin(
       sql: String, zone: String,

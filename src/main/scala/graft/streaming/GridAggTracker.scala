@@ -20,7 +20,8 @@ final case class GridEvent(key: String, ts: Timestamp, ws: Long, we: Long,
 
 /** One per-(window, aggregate) accumulator — [[CumAcc]] with the window
   * pinned by both bounds instead of span/step coordinates; `ds` is the
-  * COUNT(DISTINCT) value set (empty for every other kind).
+  * exact value set of the DISTINCT kinds 9-13 (COUNT/SUM/AVG DISTINCT
+  * over integral or float/double inputs; empty for non-distinct kinds).
   */
 final case class GridAcc(ws: Long, we: Long, agg: Int, cnt: Long,
     sumL: Long, sumD: Double, mnL: Long, mxL: Long, mnD: Double, mxD: Double,

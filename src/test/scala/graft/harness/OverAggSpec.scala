@@ -241,6 +241,14 @@ class OverAggSpec extends AnyFunSuite {
     }
     rejects(s"SELECT LEAD(v) OVER (PARTITION BY k ORDER BY ets) " +
       s"FROM $name", "cannot stream")
+    // a LEAD-only statement must TRIGGER the pass so the named
+    // rejection fires instead of Spark's raw non-time-window error
+    assert(OverAgg.hasStreamingShape(
+      s"SELECT LEAD(v) OVER (PARTITION BY k ORDER BY ets) FROM $name"))
+    rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets) " +
+      s"FROM $name WHERE v > 0 ORDER BY ets", "watermark-maturity")
+    rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets) " +
+      s"FROM $name LIMIT 5", "watermark-maturity")
     rejects(s"SELECT LAG(v, 1, 0) OVER (PARTITION BY k ORDER BY ets) " +
       s"FROM $name", "DEFAULT")
     rejects(s"SELECT LAG(v, 0) OVER (PARTITION BY k ORDER BY ets) " +
