@@ -173,6 +173,41 @@ object Windows {
         sum(col("cnt")).over(w).as("smoothed"))
   }
 
+  /** Time-interval RANGE frame (r15): a trailing one-hour window per
+    * event row — the batch twin of the streaming over-aggregation's
+    * `RANGE BETWEEN INTERVAL ... PRECEDING` frame (OverAggSpec pins
+    * streaming equal to THIS form, and this row pins the form against
+    * DuckDB). The summed metric is integer-quantized (floor of
+    * value×100 — IEEE multiply rounds identically everywhere) so the
+    * frame sum is exact int64 in both engines; RANGE peers (equal
+    * timestamps) share frames by definition, so tie order cannot
+    * change any value.
+    */
+  val q113OverTimeRange: Q = Q(
+    "q113_over_time_range",
+    """SELECT event_id,
+      |  CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS n_1h,
+      |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+      |    PARTITION BY event_type ORDER BY ts
+      |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS s_1h
+      |FROM events WHERE ts IS NOT NULL""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("otr_events")
+    s.sql(
+      """SELECT event_id,
+        |  COUNT(*) OVER (PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |    AS n_1h,
+        |  SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY event_type ORDER BY ts
+        |    RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |    AS s_1h
+        |FROM otr_events WHERE ts IS NOT NULL""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(q18TopkPerGroup, q19Rank, q20LagLead, q21RunningSum,
-    q22Ntile, q46PercentRank, q47FirstLast, q49RangeFrame)
+    q22Ntile, q46PercentRank, q47FirstLast, q49RangeFrame,
+    q113OverTimeRange)
 }
