@@ -237,6 +237,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pairs not expanded from grouped postings in:\n$plan")
   }
 
+  test("unimax allocation aggregates to one row per language before " +
+      "any window") {
+    // the windows (prefix sums, row numbers) must run over the
+    // language LIST, never the corpus: in the top-down plan the Window
+    // operators sit strictly above the lang aggregate, and the scan
+    // prunes to the two columns the aggregate reads (no text column)
+    val spark = SparkFixture.spark
+    val qe = SparkEntry.queries("ext_unimax_alloc")(
+      spark, "/root/testdata/sf0.001").queryExecution
+    val plan = qe.executedPlan.toString
+    val win = plan.indexOf("Window")
+    val agg = plan.indexOf("HashAggregate")
+    assert(win >= 0 && agg >= 0 && win < agg,
+      s"expected Window above the lang aggregate in:\n$plan")
+    val scan = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no scan in:\n$plan"))
+    assert(scan.contains("lang") && scan.contains("n_chars") &&
+      !scan.contains("text"),
+      s"scan not pruned to (lang, n_chars): $scan")
+  }
+
   test("left unnest-with-ordinality plans as an outer generate, no join") {
     // the LEFT JOIN LATERAL posexplode form must collapse to an OUTER
     // Generate — a correlated-join execution would re-scan per row
