@@ -270,7 +270,8 @@ object OverAgg {
     final case class Plan(call: OverCall, kind: Int, storage: DataType,
         input: String, lag: Int = 0,
         dec: Option[org.apache.spark.sql.Column =>
-          org.apache.spark.sql.Column] = None)
+          org.apache.spark.sql.Column] = None,
+        dflt: Option[(String, DataType)] = None)
     // the window-TVF pass's slot plan, DISTINCT included (kinds 9-13:
     // the exact value-set slots; MIN/MAX(DISTINCT) are
     // distinct-invariant) plus LAG (kind 14: positional string-carried
@@ -293,17 +294,30 @@ object OverAgg {
       if (a.fn == "LAG") {
         if (distinct) fail(s"LAG takes no DISTINCT: ${a.arg}")
         val parts = MatchRecognize.splitTopLevel(arg).map(_.trim)
-        val (in, k) = parts match {
-          case Seq(x) => (x, 1)
+        // three-arg DEFAULT must be a LITERAL: SQL applies it only
+        // when the offset leaves the partition, and the tracker emits
+        // a presence flag to discriminate that from an in-bounds NULL
+        // — a column-referencing default would need the CURRENT row's
+        // value inside the decode, which the literal splice avoids
+        val LitRe =
+          raw"(?is)^('([^']|'')*'|-?\d+(\.\d+)?|TRUE|FALSE|NULL)$$".r
+        val (in, k, dflt) = parts match {
+          case Seq(x) => (x, 1, None)
           case Seq(x, kk) if raw"^\d+$$".r.findFirstIn(kk).isDefined =>
-            (x, kk.toInt)
-          case Seq(_, _, _) => fail("LAG with an explicit DEFAULT is " +
-            s"not supported in streaming (COALESCE downstream): ${a.arg}")
+            (x, kk.toInt, None)
+          case Seq(x, kk, dv)
+              if raw"^\d+$$".r.findFirstIn(kk).isDefined &&
+                LitRe.findFirstIn(dv).isDefined =>
+            (x, kk.toInt, Some(dv))
+          case Seq(_, _, dv) => fail("LAG DEFAULT must be a literal " +
+            s"(number / string / boolean / NULL) in streaming: $dv")
           case _ => fail(s"cannot parse LAG arguments: ${a.arg}")
         }
         if (k < 1) fail(s"LAG offset must be >= 1: ${a.arg}")
-        val (enc, dec) = stringCarrier(a.fn, in, resolveType(in))
-        Plan(a, 14, StringType, enc, lag = k, dec = Some(dec))
+        val dt = resolveType(in)
+        val (enc, dec) = stringCarrier(a.fn, in, dt)
+        Plan(a, 14, StringType, enc, lag = k, dec = Some(dec),
+          dflt = dflt.map(d => (d, dt)))
       } else if (a.fn == "FIRST_VALUE" || a.fn == "LAST_VALUE") {
         if (distinct) fail(s"${a.fn} takes no DISTINCT: ${a.arg}")
         if (MatchRecognize.splitTopLevel(arg).size != 1)
@@ -417,8 +431,11 @@ object OverAgg {
       events, wmDelay, plans.map(_.kind), frame, plans.map(_.lag))
 
     val keySchema = StructType(partCols.map(fieldOf).toArray)
-    val valsSchema = StructType(plans.zipWithIndex.map { case (p, i) =>
-      StructField(s"a$i", p.storage, nullable = true)
+    val valsSchema = StructType(plans.zipWithIndex.flatMap { case (p, i) =>
+      StructField(s"a$i", p.storage, nullable = true) +:
+        (if (p.kind == 14)
+          Seq(StructField(s"a${i}_p", BooleanType, nullable = true))
+        else Nil)
     }.toArray)
     val tcolField = fieldOf(tcol)
     var out = tracked.toDF()
@@ -439,8 +456,13 @@ object OverAgg {
         Seq(timestamp_micros(col("__p.__ts_us"))
           .cast(tcolField.dataType).as(tcol)) ++
         plans.zipWithIndex.map { case (p, i) =>
-          p.dec.fold(col(s"__v.a$i"))(d => d(col(s"__v.a$i")))
-            .as(s"__oa$i")
+          val v = p.dec.fold(col(s"__v.a$i"))(d => d(col(s"__v.a$i")))
+          p.dflt.fold(v) { case (d, dt) =>
+            // default ONLY when the offset left the partition — an
+            // in-bounds NULL value stays NULL (the presence flag is
+            // the discriminator, SQL LAG semantics)
+            when(col(s"__v.a${i}_p"), v).otherwise(expr(d).cast(dt))
+          }.as(s"__oa$i")
         }: _*)
     val view = s"graft_over_${viewCounter.incrementAndGet()}"
     decoded.createOrReplaceTempView(view)

@@ -225,22 +225,31 @@ object OverAggTracker {
       }
       // aggregate fields are per frame/group; LAG fields are per ROW
       // (positional, frame-blind): emit merges them, then the row joins
-      // the lag history
+      // the lag history. A LAG slot also carries a PRESENCE flag
+      // (`a<i>_p`): SQL's three-arg default applies only when the
+      // offset leaves the partition, NOT to an in-bounds NULL value —
+      // the value field alone cannot distinguish the two.
       def emit(r: OverRow, a: IndexedSeq[CumAcc],
           d: IndexedSeq[scala.collection.Set[String]]): Unit = {
         val fields = kinds.indices.flatMap { i =>
-          val v =
-            if (kinds(i) == LagKind) {
-              val k = lags(i)
-              if (lagHist.size >= k) {
+          if (kinds(i) == LagKind) {
+            val k = lags(i)
+            val present = lagHist.size >= k
+            val v =
+              if (present) {
                 val p = lagHist(lagHist.size - k)
                 if (p.nn(i)) Some(jsonStr(p.sv(i))) else None
               } else None
-            } else if (kinds(i) == FirstValueKind ||
-                kinds(i) == LastValueKind)
-              d(i).headOption.map(jsonStr)
-            else CumulateTracker.fieldValue(kinds(i), a(i), d(i))
-          v.map(s => s""""a$i": $s""")
+            v.map(s => s""""a$i": $s""").toSeq :+
+              s""""a${i}_p": $present"""
+          } else {
+            val v =
+              if (kinds(i) == FirstValueKind ||
+                  kinds(i) == LastValueKind)
+                d(i).headOption.map(jsonStr)
+              else CumulateTracker.fieldValue(kinds(i), a(i), d(i))
+            v.map(s => s""""a$i": $s""").toSeq
+          }
         }
         out += OverOut(key, r.tsMs, r.payload,
           fields.mkString("{", ", ", "}"))

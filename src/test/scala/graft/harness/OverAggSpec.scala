@@ -227,7 +227,17 @@ class OverAggSpec extends AnyFunSuite {
     assert(got === Seq((10L, null), (20L, 3L), (30L, 3L)))
   }
 
-  test("LAG rejections: LEAD, explicit DEFAULT, zero offset") {
+  test("LAG with a literal DEFAULT equals batch: default only when the " +
+      "offset leaves the partition, in-bounds NULLs stay NULL") {
+    assertStreamEqualsBatch(
+      """SELECT k, v,
+        |  LAG(v, 2, -1) OVER (PARTITION BY k ORDER BY ets) AS pv2,
+        |  LAG(NULLIF(v, 3), 1, -99) OVER (PARTITION BY k ORDER BY ets)
+        |    AS pn
+        |FROM t """.stripMargin)
+  }
+
+  test("LAG rejections: LEAD, non-literal DEFAULT, zero offset") {
     val name = s"oa_l_${System.nanoTime()}"
     Seq(("a", ts(1), 1L, 1d)).toDF("k", "ets", "v", "d")
       .createOrReplaceTempView(name)
@@ -249,8 +259,8 @@ class OverAggSpec extends AnyFunSuite {
       s"FROM $name WHERE v > 0 ORDER BY ets", "watermark-maturity")
     rejects(s"SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets) " +
       s"FROM $name LIMIT 5", "watermark-maturity")
-    rejects(s"SELECT LAG(v, 1, 0) OVER (PARTITION BY k ORDER BY ets) " +
-      s"FROM $name", "DEFAULT")
+    rejects(s"SELECT LAG(v, 1, d + 1) OVER (PARTITION BY k ORDER BY ets) " +
+      s"FROM $name", "literal")
     rejects(s"SELECT LAG(v, 0) OVER (PARTITION BY k ORDER BY ets) " +
       s"FROM $name", ">= 1")
   }
