@@ -1,0 +1,97 @@
+package graft.harness
+
+import org.apache.spark.sql.types._
+
+/** The shared tracker-slot planner for SQL aggregates riding the
+  * streaming state trackers — one kind table for the window-TVF
+  * aggregation pass ([[WindowTvf]]) and the OVER aggregation pass
+  * ([[OverAgg]]), so a new kind or a type-admission change lands in
+  * exactly one place. Kinds are [[graft.streaming.CumulateTracker]]'s:
+  * 0 = COUNT, 1/2 = SUM long/double, 3/4 = MIN, 5/6 = MAX,
+  * 7/8 = AVG double/long, 9 = COUNT(DISTINCT),
+  * 10/11 = SUM/AVG(DISTINCT integral), 12/13 = SUM/AVG(DISTINCT
+  * float/double via the exact string carrier).
+  */
+private[harness] object AggSlots {
+
+  /** Injective string encoding for a DISTINCT value slot: how a value
+    * of type `dt` rides the tracker's string state so SQL-equal values
+    * collide and only they do. Lossless types pass natively;
+    * floats/doubles normalize -0.0 to 0.0 first (Spark's DISTINCT
+    * treats them equal; Java's round-trip text is injective on the
+    * rest, NaN included); decimals and dates print canonically;
+    * timestamps ride epoch micros. Nested/binary have no encoding.
+    */
+  def distinctEncode(input: String, dt: DataType): Option[String] =
+    dt match {
+      case _ if graft.streaming.StateFormat.jsonLossless(dt) => Some(input)
+      case FloatType | DoubleType =>
+        Some(s"(CAST(($input) AS DOUBLE) + CAST(0.0 AS DOUBLE))")
+      case _: DecimalType | DateType => Some(input)
+      case _: TimestampType | _: TimestampNTZType =>
+        Some(s"unix_micros(CAST(($input) AS TIMESTAMP))")
+      case _ => None
+    }
+
+  /** Plans one aggregate slot: `(tracker kind, result type, input
+    * expression)` for COUNT/SUM/MIN/MAX/AVG with optional DISTINCT.
+    * `resolve` analyzes an input expression to its type (never called
+    * for `COUNT(*)`); `fail` raises the caller's contract error.
+    * MIN/MAX(DISTINCT) fold to their distinct-invariant plain forms —
+    * Flink plans the same.
+    */
+  def plan(fn: String, distinct: Boolean, arg: String,
+      resolve: String => DataType,
+      fail: String => Nothing): (Int, DataType, String) = {
+    def integralOf(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case FloatType | DoubleType => false
+      case other => fail(s"$fn($arg): unsupported input " +
+        s"type ${other.simpleString} (numeric only)")
+    }
+    val isMinMax = fn == "MIN" || fn == "MAX"
+    if (distinct && fn == "COUNT") {
+      val dt = resolve(arg)
+      val enc = distinctEncode(arg, dt).getOrElse(
+        fail(s"COUNT(DISTINCT $arg) over ${dt.simpleString} — " +
+          "distinct values must ride the string state encoding " +
+          "injectively; nested and binary types have no encoding"))
+      (9, LongType, enc)
+    } else if (distinct && !isMinMax) { // SUM / AVG
+      // distinct arithmetic keeps the value set like COUNT(DISTINCT)
+      // and folds it at emission — integral inputs accumulate as exact
+      // longs (kinds 10/11); float/double inputs ride the exact string
+      // carrier and fold in sorted order for deterministic replay
+      // (kinds 12/13). Decimal distinct arithmetic stays batch-only
+      // (exact decimal accumulation is not in the tracker's slots).
+      resolve(arg) match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          if (fn == "SUM") (10, LongType, arg)
+          else (11, DoubleType, arg)
+        case dt @ (FloatType | DoubleType) =>
+          val enc = distinctEncode(arg, dt).get
+          if (fn == "SUM") (12, DoubleType, enc)
+          else (13, DoubleType, enc)
+        case other => fail(
+          s"$fn(DISTINCT $arg) over ${other.simpleString} — " +
+            "distinct arithmetic aggregates support integral and " +
+            "float/double inputs (the value set rides the string " +
+            "state encoding); cast upstream or use batch runtime mode")
+      }
+    } else if (fn == "COUNT") {
+      (0, LongType, if (arg == "*") "1" else arg)
+    } else {
+      // MIN/MAX(DISTINCT) land here with distinct already irrelevant
+      val integral = integralOf(resolve(arg))
+      fn match {
+        case "SUM" => (if (integral) 1 else 2,
+          if (integral) LongType else DoubleType, arg)
+        case "MIN" => (if (integral) 3 else 4,
+          if (integral) LongType else DoubleType, arg)
+        case "MAX" => (if (integral) 5 else 6,
+          if (integral) LongType else DoubleType, arg)
+        case _ => (if (integral) 8 else 7, DoubleType, arg)
+      }
+    }
+  }
+}

@@ -326,60 +326,12 @@ object OverAgg {
         val (enc, dec) = stringCarrier(a.fn, arg, resolveType(arg))
         Plan(a, if (a.fn == "FIRST_VALUE") 15 else 16, StringType, enc,
           dec = Some(dec))
-      } else if (distinct && (a.fn == "MIN" || a.fn == "MAX")) {
-        // extrema are distinct-invariant: plan the plain form
-        val dt = resolveType(arg)
-        val integral = dt match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case FloatType | DoubleType => false
-          case other => fail(s"${a.fn}($arg): unsupported input " +
-            s"type ${other.simpleString} (numeric only)")
-        }
-        if (a.fn == "MIN") Plan(a, if (integral) 3 else 4,
-          if (integral) LongType else DoubleType, arg)
-        else Plan(a, if (integral) 5 else 6,
-          if (integral) LongType else DoubleType, arg)
-      } else if (distinct && a.fn == "COUNT") {
-        val dt = resolveType(arg)
-        val enc = WindowTvf.distinctEncode(arg, dt).getOrElse(
-          fail(s"COUNT(DISTINCT $arg) over ${dt.simpleString} — " +
-            "distinct values must ride the string state encoding " +
-            "injectively; nested and binary types have no encoding"))
-        Plan(a, 9, LongType, enc)
-      } else if (distinct) { // SUM / AVG
-        val dt = resolveType(arg)
-        dt match {
-          case ByteType | ShortType | IntegerType | LongType =>
-            if (a.fn == "SUM") Plan(a, 10, LongType, arg)
-            else Plan(a, 11, DoubleType, arg)
-          case FloatType | DoubleType =>
-            val enc = WindowTvf.distinctEncode(arg, dt).get
-            if (a.fn == "SUM") Plan(a, 12, DoubleType, enc)
-            else Plan(a, 13, DoubleType, enc)
-          case other => fail(
-            s"${a.fn}(DISTINCT $arg) over ${other.simpleString} — " +
-              "distinct arithmetic aggregates support integral and " +
-              "float/double inputs")
-        }
-      } else if (a.fn == "COUNT")
-        Plan(a, 0, LongType, if (arg == "*") "1" else arg)
-      else {
-        val dt = resolveType(arg)
-        val integral = dt match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case FloatType | DoubleType => false
-          case other => fail(s"${a.fn}($arg): unsupported input " +
-            s"type ${other.simpleString} (numeric only)")
-        }
-        a.fn match {
-          case "SUM" => Plan(a, if (integral) 1 else 2,
-            if (integral) LongType else DoubleType, arg)
-          case "MIN" => Plan(a, if (integral) 3 else 4,
-            if (integral) LongType else DoubleType, arg)
-          case "MAX" => Plan(a, if (integral) 5 else 6,
-            if (integral) LongType else DoubleType, arg)
-          case _ => Plan(a, if (integral) 8 else 7, DoubleType, arg)
-        }
+      } else {
+        // COUNT/SUM/MIN/MAX/AVG with optional DISTINCT: the kind table
+        // is AggSlots.plan, shared with the window-TVF pass
+        val (kind, tpe, in) =
+          AggSlots.plan(a.fn, distinct, arg, resolveType, fail)
+        Plan(a, kind, tpe, in)
       }
     }
 

@@ -200,21 +200,6 @@ object WindowTvf {
     * their type; timestamps ride epoch micros. Nested/binary types
     * have no encoding (None).
     */
-  private[harness] def distinctEncode(
-      input: String,
-      dt: org.apache.spark.sql.types.DataType): Option[String] = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case _ if graft.streaming.StateFormat.jsonLossless(dt) => Some(input)
-      case FloatType | DoubleType =>
-        Some(s"(CAST(($input) AS DOUBLE) + CAST(0.0 AS DOUBLE))")
-      case _: DecimalType | DateType => Some(input)
-      case _: TimestampType | _: TimestampNTZType =>
-        Some(s"unix_micros(CAST(($input) AS TIMESTAMP))")
-      case _ => None
-    }
-  }
-
   private[harness] def unitMillis(unit: String): Long =
     unit.toUpperCase.stripSuffix("S") match {
       case "MILLISECOND" => 1L
@@ -1118,82 +1103,20 @@ object WindowTvf {
     if (aggs.isEmpty)
       fail("at least one aggregate is required (a keys-only projection " +
         "has no streaming emission trigger; use batch mode)")
-    // (item, tracker kind, result type, input expression)
-    val plans: Seq[(AggItem, Int, DataType, String)] = aggs.map { a =>
-      if (a.fn == "COUNT") {
-        (a, 0, LongType, if (a.input == "*") "1" else a.input)
-      } else if (a.fn == "COUNT_DISTINCT") {
-        // exact distinct: values ride the state as strings, so the
-        // encoding must be injective on SQL equality. Lossless types
-        // pass natively; floats/doubles normalize -0.0 to 0.0 first
-        // (Spark's DISTINCT treats them equal; Java's round-trip
-        // Double.toString is injective on the rest, NaN included);
-        // decimals and dates print canonically for their type;
-        // timestamps ride epoch micros. Nested/binary stay out.
-        val dt =
-          try src.selectExpr(a.input).schema.head.dataType
-          catch { case e: Exception =>
-            fail(s"cannot resolve aggregate input ${a.input}: ${e.getMessage}")
-          }
-        val enc = distinctEncode(a.input, dt).getOrElse(
-          fail(s"COUNT(DISTINCT ${a.input}) over ${dt.simpleString} — " +
-            "distinct values must ride the string state encoding " +
-            "injectively; nested and binary types have no encoding"))
-        (a, 9, LongType, enc)
-      } else if (a.fn == "SUM_DISTINCT" || a.fn == "AVG_DISTINCT") {
-        // distinct arithmetic aggregates keep the window's value set
-        // like COUNT(DISTINCT) and fold it at emission — integral
-        // inputs accumulate as exact longs (kinds 10/11); float/double
-        // inputs ride the exact string carrier (Java's round-trip
-        // Double.toString, -0.0 normalized) and fold in sorted order
-        // for deterministic replay (kinds 12/13). Decimal distinct
-        // arithmetic stays batch-only (exact decimal accumulation is
-        // not in the tracker's slots).
-        val dt =
-          try src.selectExpr(a.input).schema.head.dataType
-          catch { case e: Exception =>
-            fail(s"cannot resolve aggregate input ${a.input}: ${e.getMessage}")
-          }
-        dt match {
-          case ByteType | ShortType | IntegerType | LongType =>
-            if (a.fn == "SUM_DISTINCT") (a, 10, LongType, a.input)
-            else (a, 11, DoubleType, a.input)
-          case FloatType | DoubleType =>
-            val enc = distinctEncode(a.input, dt).get
-            if (a.fn == "SUM_DISTINCT") (a, 12, DoubleType, enc)
-            else (a, 13, DoubleType, enc)
-          case other => fail(
-            s"${a.fn.stripSuffix("_DISTINCT")}(DISTINCT ${a.input}) over " +
-              s"${other.simpleString} — distinct arithmetic aggregates " +
-              "support integral and float/double inputs (the value set " +
-              "rides the string state encoding); cast upstream or use " +
-              "batch runtime mode")
-        }
-      } else {
-        val dt =
-          try src.selectExpr(a.input).schema.head.dataType
-          catch { case e: Exception =>
-            fail(s"cannot resolve aggregate input ${a.input}: ${e.getMessage}")
-          }
-        val integral = dt match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case FloatType | DoubleType => false
-          case other => fail(s"${a.fn}(${a.input}): unsupported input " +
-            s"type ${other.simpleString} (numeric only)")
-        }
-        a.fn match {
-          case "SUM" =>
-            (a, if (integral) 1 else 2,
-              if (integral) LongType else DoubleType, a.input)
-          case "MIN" =>
-            (a, if (integral) 3 else 4,
-              if (integral) LongType else DoubleType, a.input)
-          case "MAX" =>
-            (a, if (integral) 5 else 6,
-              if (integral) LongType else DoubleType, a.input)
-          case _ => (a, if (integral) 8 else 7, DoubleType, a.input)
-        }
+    // (item, tracker kind, result type, input expression) — the kind
+    // table lives in AggSlots (shared with the OVER aggregation pass,
+    // r15) so kind/type-admission changes land in one place
+    def resolveInput(in: String): DataType =
+      try src.selectExpr(in).schema.head.dataType
+      catch { case e: Exception =>
+        fail(s"cannot resolve aggregate input $in: ${e.getMessage}")
       }
+    val plans: Seq[(AggItem, Int, DataType, String)] = aggs.map { a =>
+      val distinct = a.fn.endsWith("_DISTINCT")
+      val base = a.fn.stripSuffix("_DISTINCT")
+      val (kind, tpe, in) =
+        AggSlots.plan(base, distinct, a.input, resolveInput, fail)
+      (a, kind, tpe, in)
     }
     // per-key state groups on a to_json/from_json round-trip of the
     // GROUP BY tuple (same contract as streaming MATCH_RECOGNIZE
