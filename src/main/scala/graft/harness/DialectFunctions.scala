@@ -60,11 +60,13 @@ package graft.harness
   *    `WITH [UNCONDITIONAL] WRAPPER` always wraps `[...]`; `WITH
   *    CONDITIONAL WRAPPER` wraps everything but arrays. Behaviors:
   *    NULL (default) / EMPTY ARRAY / EMPTY OBJECT substitute,
-  *    ERROR raises in the matching branch. Wildcard / recursive
-  *    paths (`[*]`, `..`) keep the legacy `get_json_object`
-  *    passthrough (variant paths are field/index steps only) and
-  *    reject clauses by name — a multi-value result has no faithful
-  *    wrapper semantics there.
+  *    ERROR raises in the matching branch. One `[*]` wildcard —
+  *    trailing, or followed by field steps (`$.a[*].c`, r15) —
+  *    iterates under SQL:2016 lax semantics with full clause support;
+  *    recursive descent (`..`) and multiple wildcards keep the legacy
+  *    `get_json_object` passthrough (variant paths are field/index
+  *    steps only) and reject clauses by name — an unbounded
+  *    multi-value result has no faithful wrapper semantics there.
   *  - `JSON_EXISTS(e, 'path' [{TRUE|FALSE|UNKNOWN|ERROR} ON ERROR])`
   *    → a variant-based existence test (r14): a JSON `null` member
   *    renders as the text 'null' and reads PRESENT (TRUE — Flink's
@@ -521,15 +523,20 @@ object DialectFunctions {
     false
   }
 
-  /** A path of the shape `<single-value base>[*]` — the one wildcard
-    * class the variant functions can evaluate faithfully (the base
-    * resolves to one value; the trailing `[*]` iterates it under
-    * SQL:2016 lax semantics, wrapping a non-array into a singleton).
-    * Returns the base path text.
+  /** A path of the shape `<single-value base>[*]<field steps>` — the
+    * wildcard class the variant functions can evaluate faithfully: the
+    * base resolves to one value, `[*]` iterates it under SQL:2016 lax
+    * semantics (a non-array wraps to a singleton), and an optional
+    * suffix of FIELD steps maps over the items (r15 — items lacking
+    * the member are SKIPPED, the lax rule, while JSON-null members
+    * stay present). Returns (base path text, suffix with its leading
+    * dot, or "" for a trailing `[*]`).
     */
-  private def trailingStarBase(inner: String): Option[String] =
-    raw"(?s)^(.*?)\s*\[\s*\*\s*\]\s*$$".r.findFirstMatchIn(inner)
-      .map(_.group(1)).filter(b => !hasMultiValueMarker(b))
+  private def starPath(inner: String): Option[(String, String)] =
+    raw"(?s)^(.*?)\s*\[\s*\*\s*\]((?:\.\w+)*)\s*$$".r
+      .findFirstMatchIn(inner)
+      .map(m => (m.group(1), m.group(2)))
+      .filter { case (b, _) => !hasMultiValueMarker(b) }
 
   private def rewriteJson(sql: String): String =
     mapCalls(sql, JsonOpenRe) { (m, args) =>
@@ -680,7 +687,7 @@ object DialectFunctions {
         case "QUERY" =>
           // the path literal's content, '' unescaped
           val inner = path.substring(1, path.length - 1).replace("''", "'")
-          val starBase = trailingStarBase(inner)
+          val star = starPath(inner)
           lazy val errVal =
             if (raiseOnError)
               s"raise_error(CONCAT('JSON_QUERY ERROR ON ERROR: no " +
@@ -703,30 +710,34 @@ object DialectFunctions {
             else onErrorDefault.getOrElse("CAST(NULL AS STRING)")
           def malformedPred =
             s"NOT graft_json_valid($expr) OR try_parse_json($expr) IS NULL"
-          if (hasMultiValueMarker(inner) && starBase.isEmpty) {
+          if (hasMultiValueMarker(inner) && star.isEmpty) {
             // general wildcard / recursive-descent paths keep the
             // legacy passthrough: variant extraction is field/index
             // steps only, and an unbounded multi-value result has no
             // faithful wrapper/ON-clause semantics there
             if (queryClauses)
               fail("JSON_QUERY wrapper/ON clauses are supported on " +
-                "single-value paths and a trailing [*] wildcard only " +
-                s"(got $path) — deeper wildcard/recursive-descent " +
-                "paths run as a plain multi-value extraction")
+                "single-value paths and one [*] wildcard (optionally " +
+                s"followed by field steps) only (got $path) — other " +
+                "wildcard/recursive-descent paths run as a plain " +
+                "multi-value extraction")
             call
           } else if (!inner.trim.startsWith("$"))
             fail(s"JSON_QUERY path must start with $$: $path")
-          else if (starBase.isDefined) {
-            // `base[*]` (SQL:2016 lax): the base resolves to ONE value;
-            // an array's elements are the items (0 items → ON EMPTY,
-            // 1 item → the wrapper rules on it, >1 items → WITHOUT is
-            // an error and any wrapping re-yields the array text);
-            // a non-array base value wraps to a singleton item
-            val baseLit = "'" + starBase.get.replace("'", "''") + "'"
+          else if (star.isDefined) {
+            // `base[*][.fields]` (SQL:2016 lax): the base resolves to
+            // ONE value; an array's elements are the items (a non-array
+            // base wraps to a singleton), and a field suffix maps over
+            // them — items lacking the member are SKIPPED (lax), while
+            // JSON-null members stay (to_json of a variant null is the
+            // text 'null', non-NULL). 0 items → ON EMPTY, 1 item → the
+            // wrapper rules on it, >1 items → WITHOUT is an error and
+            // any wrapping yields the item array
+            val (base, suffix) = star.get
+            val baseLit = "'" + base.replace("'", "''") + "'"
             val bv =
               s"to_json(try_variant_get(try_parse_json($expr), $baseLit))"
             val isArr = s"startswith($bv, '[')"
-            val ev = s"to_json(try_variant_get(try_parse_json($bv), '$$[0]'))"
             def single(t: String): String = wrapper match {
               case "WITHOUT" =>
                 s"(CASE WHEN startswith($t, '[') OR startswith($t, '{') " +
@@ -736,14 +747,39 @@ object DialectFunctions {
                 s"(CASE WHEN startswith($t, '[') OR startswith($t, '{') " +
                   s"THEN $t ELSE concat('[', $t, ']') END)"
             }
-            val multi = if (wrapper == "WITHOUT") errVal else bv
-            s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS STRING)" +
-              s" WHEN $malformedPred THEN $malformedVal" +
-              s" WHEN $bv IS NULL THEN $emptyVal" +
-              s" WHEN $isArr AND json_array_length($bv) = 0 THEN $emptyVal" +
-              s" WHEN $isArr AND json_array_length($bv) = 1 THEN ${single(ev)}" +
-              s" WHEN $isArr THEN $multi" +
-              s" ELSE ${single(bv)} END)"
+            if (suffix.isEmpty) {
+              val ev =
+                s"to_json(try_variant_get(try_parse_json($bv), '$$[0]'))"
+              val multi = if (wrapper == "WITHOUT") errVal else bv
+              s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS STRING)" +
+                s" WHEN $malformedPred THEN $malformedVal" +
+                s" WHEN $bv IS NULL THEN $emptyVal" +
+                s" WHEN $isArr AND json_array_length($bv) = 0 THEN $emptyVal" +
+                s" WHEN $isArr AND json_array_length($bv) = 1 THEN ${single(ev)}" +
+                s" WHEN $isArr THEN $multi" +
+                s" ELSE ${single(bv)} END)"
+            } else {
+              // the item list after the field suffix, as JSON texts
+              val vals = s"filter(transform(try_variant_get(" +
+                s"try_parse_json($bv), '$$', 'array<variant>'), " +
+                s"x -> to_json(try_variant_get(x, '$$$suffix'))), " +
+                s"t -> t IS NOT NULL)"
+              // non-array base: the singleton item's member directly
+              val mv =
+                s"to_json(try_variant_get(try_parse_json($bv), '$$$suffix'))"
+              val multi =
+                if (wrapper == "WITHOUT") errVal
+                else s"concat('[', array_join($vals, ','), ']')"
+              s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS STRING)" +
+                s" WHEN $malformedPred THEN $malformedVal" +
+                s" WHEN $bv IS NULL THEN $emptyVal" +
+                s" WHEN $isArr THEN (CASE" +
+                s" WHEN size($vals) = 0 THEN $emptyVal" +
+                s" WHEN size($vals) = 1 THEN ${single(s"element_at($vals, 1)")}" +
+                s" ELSE $multi END)" +
+                s" WHEN $mv IS NULL THEN $emptyVal" +
+                s" ELSE ${single(mv)} END)"
+            }
           } else {
             val vget = s"to_json(try_variant_get(try_parse_json($expr), $path))"
             // canonical to_json text keys the shape: objects '{',
@@ -769,7 +805,7 @@ object DialectFunctions {
           }
         case "EXISTS" =>
           val inner = path.substring(1, path.length - 1).replace("''", "'")
-          val starBase = trailingStarBase(inner)
+          val star = starPath(inner)
           lazy val errVal = existsOnError match {
             case "TRUE" => "TRUE"
             case "UNKNOWN" => "CAST(NULL AS BOOLEAN)"
@@ -783,31 +819,49 @@ object DialectFunctions {
           // take ON ERROR, not a silent FALSE
           def malformedPred =
             s"NOT graft_json_valid($expr) OR try_parse_json($expr) IS NULL"
-          if (hasMultiValueMarker(inner) && starBase.isEmpty) {
-            // deeper wildcard/recursive paths keep the legacy extractor
+          if (hasMultiValueMarker(inner) && star.isEmpty) {
+            // other wildcard/recursive paths keep the legacy extractor
             // (the variant path grammar is field/index steps only); a
             // JSON null match reads as absent there, so the behavior
             // clause would be unfaithful — reject it by name
             if (queryClauses)
               fail("JSON_EXISTS ON ERROR is supported on single-value " +
-                "paths and a trailing [*] wildcard only (got " +
-                s"$path) — deeper wildcard/recursive-descent paths run " +
-                "as a plain multi-value existence check")
+                "paths and one [*] wildcard (optionally followed by " +
+                s"field steps) only (got $path) — other wildcard/" +
+                "recursive-descent paths run as a plain multi-value " +
+                "existence check")
             s"($call IS NOT NULL)"
           } else if (!inner.trim.startsWith("$"))
             fail(s"JSON_EXISTS path must start with $$: $path")
-          else if (starBase.isDefined) {
-            // `base[*]` (SQL:2016 lax): at least one item — an array
-            // with >= 1 element, or any non-array base value (lax
-            // wraps it to a singleton, a JSON null member included)
-            val baseLit = "'" + starBase.get.replace("'", "''") + "'"
+          else if (star.isDefined) {
+            // `base[*][.fields]` (SQL:2016 lax): at least one item —
+            // an array with >= 1 element (after the field suffix maps
+            // over the elements, lax-skipping items without the
+            // member), or a non-array base value (lax wraps it to a
+            // singleton, a JSON null member included)
+            val (base, suffix) = star.get
+            val baseLit = "'" + base.replace("'", "''") + "'"
             val bv =
               s"to_json(try_variant_get(try_parse_json($expr), $baseLit))"
-            s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS BOOLEAN)" +
-              s" WHEN $malformedPred THEN $errVal" +
-              s" WHEN $bv IS NULL THEN FALSE" +
-              s" WHEN startswith($bv, '[') THEN json_array_length($bv) > 0" +
-              s" ELSE TRUE END)"
+            if (suffix.isEmpty)
+              s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS BOOLEAN)" +
+                s" WHEN $malformedPred THEN $errVal" +
+                s" WHEN $bv IS NULL THEN FALSE" +
+                s" WHEN startswith($bv, '[') THEN json_array_length($bv) > 0" +
+                s" ELSE TRUE END)"
+            else {
+              val vals = s"filter(transform(try_variant_get(" +
+                s"try_parse_json($bv), '$$', 'array<variant>'), " +
+                s"x -> to_json(try_variant_get(x, '$$$suffix'))), " +
+                s"t -> t IS NOT NULL)"
+              val mv =
+                s"to_json(try_variant_get(try_parse_json($bv), '$$$suffix'))"
+              s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS BOOLEAN)" +
+                s" WHEN $malformedPred THEN $errVal" +
+                s" WHEN $bv IS NULL THEN FALSE" +
+                s" WHEN startswith($bv, '[') THEN size($vals) > 0" +
+                s" ELSE $mv IS NOT NULL END)"
+            }
           } else {
             // variant-based existence: a JSON null member renders as
             // the text 'null' (present → TRUE, Flink's semantics),

@@ -591,8 +591,109 @@ object Dialect {
         col("n_events"))
   }
 
+  /** JSON_QUERY/JSON_EXISTS clauses on `[*]` followed by a field step
+    * (r15): `$.a[*].c` maps the base's items through the member under
+    * SQL:2016 lax semantics — items lacking the member are SKIPPED,
+    * JSON-null members stay present, a non-array base wraps to a
+    * singleton first — then the item count drives the same
+    * EMPTY/wrapper/error rules as the trailing `[*]` (q111). DuckDB
+    * twins the iteration with a list comprehension over the base cast
+    * to JSON[] (NULL for a non-array → singleton fallback), membership
+    * via json_keys, and JSON-null items rendered explicitly (DuckDB's
+    * json_extract returns SQL NULL for them and string aggregation
+    * would silently drop the element).
+    */
+  val q114JsonStarField: Q = Q(
+    "q114_json_star_field",
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 9 AS INT)
+      |      WHEN 0 THEN '{"a":[{"c":1},{"c":2}]}'
+      |      WHEN 1 THEN '{"a":[{"c":1},{"z":9}]}'
+      |      WHEN 2 THEN '{"a":[{"c":null},{"z":9}]}'
+      |      WHEN 3 THEN '{"a":[{"z":9}]}'
+      |      WHEN 4 THEN '{"a":{"c":5}}'
+      |      WHEN 5 THEN '{"a":{"z":9}}'
+      |      WHEN 6 THEN '{"a":[{"c":{"d":1}}]}'
+      |      WHEN 7 THEN '{"z":1}'
+      |      ELSE 'not json' END AS js
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, js, json_valid(js) AS ok,
+      |    COALESCE(list_contains(json_keys(TRY_CAST(js AS JSON)), 'a'),
+      |      FALSE) AS haskey,
+      |    [json_extract(x, '$.c')
+      |     for x in COALESCE(
+      |       TRY_CAST(json_extract(TRY_CAST(js AS JSON), '$.a') AS JSON[]),
+      |       [json_extract(TRY_CAST(js AS JSON), '$.a')])
+      |     if COALESCE(list_contains(json_keys(x), 'c'), FALSE)] AS items
+      |  FROM j),
+      |e AS (
+      |  SELECT doc_id, js, ok, haskey, items, len(items) AS n,
+      |    array_to_string(
+      |      [COALESCE(CAST(i AS VARCHAR), 'null') for i in items],
+      |      ',') AS joined,
+      |    CASE WHEN len(items) = 1 THEN
+      |      COALESCE(json_type(items[1]) IN ('OBJECT', 'ARRAY'), FALSE)
+      |    ELSE FALSE END AS one_container,
+      |    CASE WHEN len(items) = 1 THEN
+      |      COALESCE(CAST(items[1] AS VARCHAR), 'null')
+      |    ELSE NULL END AS one_text
+      |  FROM d)
+      |SELECT doc_id,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN NOT haskey THEN NULL
+      |       WHEN one_container THEN one_text
+      |       ELSE NULL END AS w_plain,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN NOT haskey THEN '[]'
+      |       WHEN n = 0 THEN '[]'
+      |       ELSE '[' || joined || ']' END AS w_wrap,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN NOT haskey THEN NULL
+      |       WHEN n = 0 THEN NULL
+      |       WHEN n = 1 AND one_container THEN one_text
+      |       WHEN n = 1 THEN '[' || one_text || ']'
+      |       ELSE '[' || joined || ']' END AS w_cond,
+      |  CASE WHEN js IS NULL THEN NULL
+      |       WHEN NOT ok THEN FALSE
+      |       WHEN NOT haskey THEN FALSE
+      |       ELSE n > 0 END AS w_exists,
+      |  CASE WHEN js IS NULL THEN NULL
+      |       WHEN NOT ok THEN TRUE
+      |       WHEN NOT haskey THEN FALSE
+      |       ELSE n > 0 END AS w_etrue
+      |FROM e""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").createOrReplaceTempView("dlq_docs_sf")
+    graft.functions.GraftFunctions.register(s)
+    val flinkSql =
+      """SELECT doc_id,
+        |  JSON_QUERY(js, '$.a[*].c') AS w_plain,
+        |  JSON_QUERY(js, '$.a[*].c' WITH WRAPPER EMPTY ARRAY ON EMPTY)
+        |    AS w_wrap,
+        |  JSON_QUERY(js, '$.a[*].c' WITH CONDITIONAL ARRAY WRAPPER)
+        |    AS w_cond,
+        |  JSON_EXISTS(js, '$.a[*].c') AS w_exists,
+        |  JSON_EXISTS(js, '$.a[*].c' TRUE ON ERROR) AS w_etrue
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 9 AS INT)
+        |      WHEN 0 THEN '{"a":[{"c":1},{"c":2}]}'
+        |      WHEN 1 THEN '{"a":[{"c":1},{"z":9}]}'
+        |      WHEN 2 THEN '{"a":[{"c":null},{"z":9}]}'
+        |      WHEN 3 THEN '{"a":[{"z":9}]}'
+        |      WHEN 4 THEN '{"a":{"c":5}}'
+        |      WHEN 5 THEN '{"a":{"z":9}}'
+        |      WHEN 6 THEN '{"a":[{"c":{"d":1}}]}'
+        |      WHEN 7 THEN '{"z":1}'
+        |      ELSE 'not json' END AS js
+        |  FROM dlq_docs_sf)""".stripMargin
+    s.sql(DialectFunctions.rewrite(flinkSql))
+  }
+
   def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset,
     q100DialectFns, q101HopOffset, q104JsonDefault, q105LeftUnnestOrd,
     q106CumulateOffset, q107WindowGroupingSets, q108JsonOnError,
-    q109JsonQuery, q110JsonExists, q111JsonWildcard, q112ZoneGrid)
+    q109JsonQuery, q110JsonExists, q111JsonWildcard, q112ZoneGrid,
+    q114JsonStarField)
 }

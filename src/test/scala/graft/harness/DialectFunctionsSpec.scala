@@ -214,7 +214,7 @@ class DialectFunctionsSpec extends AnyFunSuite {
       "JSON_QUERY ERROR ON EMPTY")
     raises("SELECT JSON_QUERY('{oops', '$.a' ERROR ON ERROR) AS x",
       "JSON_QUERY ERROR ON ERROR")
-    rejects("SELECT JSON_QUERY(p, '$.a[*].c' WITH ARRAY WRAPPER) FROM t",
+    rejects("SELECT JSON_QUERY(p, '$..c' WITH ARRAY WRAPPER) FROM t",
       "wildcard")
     rejects("SELECT JSON_QUERY(p, 'a.b') FROM t", "must start with $")
     rejects("SELECT JSON_EXISTS(p, '$.a' NULL ON EMPTY) FROM t", "behavior")
@@ -263,11 +263,16 @@ class DialectFunctionsSpec extends AnyFunSuite {
       "SELECT JSON_QUERY(CAST(NULL AS STRING), '$.a' " +
         "EMPTY OBJECT ON ERROR) AS v")).head
     assert(rNull.isNullAt(0))
-    // wildcard paths keep the legacy multi-value passthrough
+    // `[*].field` paths run SQL:2016 lax semantics since r15: two
+    // scalar items under the default WITHOUT wrapper is an error →
+    // NULL (the old get_json_object passthrough returned "[1,2]",
+    // a documented deviation from Flink); wrapping yields the items
     val rWild = spark.sql(DialectFunctions.rewrite(
-      """SELECT JSON_QUERY('{"a":[{"c":1},{"c":2}]}', '$.a[*].c') AS v"""))
-      .head
-    assert(rWild.getString(0) === "[1,2]")
+      """SELECT JSON_QUERY('{"a":[{"c":1},{"c":2}]}', '$.a[*].c') AS v,
+        |JSON_QUERY('{"a":[{"c":1},{"c":2}]}', '$.a[*].c'
+        |  WITH WRAPPER) AS w""".stripMargin)).head
+    assert(rWild.isNullAt(0))
+    assert(rWild.getString(1) === "[1,2]")
   }
 
   test("JSON_EXISTS reads JSON null members as present; ON ERROR routes") {
@@ -296,9 +301,9 @@ class DialectFunctionsSpec extends AnyFunSuite {
       .takeWhile(_ != null).take(6)
       .flatMap(t => Option(t.getMessage)).mkString("\n")
     assert(msgs.contains("JSON_EXISTS ERROR ON ERROR"), msgs)
-    // wildcard paths keep the legacy extractor; the clause rejects
+    // multi-wildcard paths keep the legacy extractor; the clause rejects
     val w = intercept[IllegalArgumentException](DialectFunctions.rewrite(
-      "SELECT JSON_EXISTS(p, '$.a[*].c' TRUE ON ERROR) FROM t"))
+      "SELECT JSON_EXISTS(p, '$.a[*].c[*]' TRUE ON ERROR) FROM t"))
     assert(w.getMessage.contains("wildcard"), w.getMessage)
   }
 
@@ -333,10 +338,55 @@ class DialectFunctionsSpec extends AnyFunSuite {
       false))
     assert(runE(" TRUE ON ERROR") === Seq(true, true, true, false, true,
       true, false, true))
-    // deeper wildcards still reject clauses by name
+    // recursive descent / multiple wildcards still reject clauses
     val e = intercept[IllegalArgumentException](DialectFunctions.rewrite(
-      "SELECT JSON_QUERY(p, '$.a[*].c' WITH WRAPPER) FROM t"))
-    assert(e.getMessage.contains("trailing [*]"), e.getMessage)
+      "SELECT JSON_QUERY(p, '$..c' WITH WRAPPER) FROM t"))
+    assert(e.getMessage.contains("wildcard"), e.getMessage)
+  }
+
+  test("JSON_QUERY/JSON_EXISTS clauses on [*] followed by field steps") {
+    graft.functions.GraftFunctions.register(spark)
+    // `$.a[*].c` (r15): the base's items map through the field step —
+    // items LACKING the member are skipped (lax), JSON-null members
+    // stay present; a non-array base wraps to a singleton first
+    val inputs = Seq(
+      """{"a":[{"c":1},{"c":2}]}""", // two items
+      """{"a":[{"c":1},{"z":9}]}""", // one item (lax skip)
+      """{"a":[{"c":null},{"z":9}]}""", // one JSON-null item (present)
+      """{"a":[{"z":9}]}""", // zero items -> EMPTY
+      """{"a":{"c":5}}""", // non-array base, member present
+      """{"a":{"z":9}}""", // non-array base, member missing -> EMPTY
+      """{"a":[{"c":{"d":1}}]}""", // one CONTAINER item
+      """{"z":1}""", // base missing -> EMPTY
+      "not json") // -> ERROR
+    def runQ(clause: String): Seq[String] = inputs.map { js =>
+      val lit = "'" + js.replace("'", "''") + "'"
+      val r = spark.sql(DialectFunctions.rewrite(
+        s"SELECT JSON_QUERY($lit, '$$.a[*].c'$clause) AS v")).head
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    // WITHOUT wrapper: only a single container item passes
+    assert(runQ("") === Seq(null, null, null, null, null, null,
+      """{"d":1}""", null, null))
+    assert(runQ(" WITH WRAPPER EMPTY ARRAY ON EMPTY") === Seq("[1,2]",
+      "[1]", "[null]", "[]", "[5]", "[]", """[{"d":1}]""", "[]", null))
+    assert(runQ(" WITH CONDITIONAL ARRAY WRAPPER") === Seq("[1,2]",
+      "[1]", "[null]", null, "[5]", null, """{"d":1}""", null, null))
+    def runE(clause: String): Seq[Any] = inputs.map { js =>
+      val lit = "'" + js.replace("'", "''") + "'"
+      val r = spark.sql(DialectFunctions.rewrite(
+        s"SELECT JSON_EXISTS($lit, '$$.a[*].c'$clause) AS v")).head
+      if (r.isNullAt(0)) null else r.getBoolean(0)
+    }
+    assert(runE("") === Seq(true, true, true, false, true, false, true,
+      false, false))
+    assert(runE(" TRUE ON ERROR") === Seq(true, true, true, false, true,
+      false, true, false, true))
+    // a multi-step field suffix composes
+    val deep = spark.sql(DialectFunctions.rewrite(
+      """SELECT JSON_QUERY('{"a":[{"c":{"d":1}},{"c":{"d":2}}]}',
+        |'$.a[*].c.d' WITH WRAPPER) AS v""".stripMargin)).head
+    assert(deep.getString(0) === "[1,2]")
   }
 
   test("a quoted member name containing * or .. is a single-value path") {
