@@ -538,6 +538,24 @@ object DialectFunctions {
       .map(m => (m.group(1), m.group(2)))
       .filter { case (b, _) => !hasMultiValueMarker(b) }
 
+  /** The item list of a `base[*].fields` path, shared by the
+    * JSON_QUERY and JSON_EXISTS arms: `vals` = the base's array
+    * elements mapped through the field suffix (SQL NULLs — items
+    * LACKING the member — filtered out, the lax skip; JSON-null
+    * members survive as the text 'null'); `mv` = the suffix applied
+    * to a NON-array base directly (the lax singleton wrap). An item
+    * that is itself an ARRAY yields nothing for a member step —
+    * member access does not auto-unwrap nested arrays, matching
+    * Flink's jayway-style path evaluation (strict SQL:2016 lax mode
+    * would unwrap one level; spec-pinned as the deliberate choice).
+    */
+  private def starFieldItems(bv: String, suffix: String): (String, String) =
+    (s"filter(transform(try_variant_get(" +
+      s"try_parse_json($bv), '$$', 'array<variant>'), " +
+      s"x -> to_json(try_variant_get(x, '$$$suffix'))), " +
+      s"t -> t IS NOT NULL)",
+      s"to_json(try_variant_get(try_parse_json($bv), '$$$suffix'))")
+
   private def rewriteJson(sql: String): String =
     mapCalls(sql, JsonOpenRe) { (m, args) =>
       val fn = m.group(1).toUpperCase
@@ -759,14 +777,9 @@ object DialectFunctions {
                 s" WHEN $isArr THEN $multi" +
                 s" ELSE ${single(bv)} END)"
             } else {
-              // the item list after the field suffix, as JSON texts
-              val vals = s"filter(transform(try_variant_get(" +
-                s"try_parse_json($bv), '$$', 'array<variant>'), " +
-                s"x -> to_json(try_variant_get(x, '$$$suffix'))), " +
-                s"t -> t IS NOT NULL)"
+              // the item list after the field suffix, as JSON texts;
               // non-array base: the singleton item's member directly
-              val mv =
-                s"to_json(try_variant_get(try_parse_json($bv), '$$$suffix'))"
+              val (vals, mv) = starFieldItems(bv, suffix)
               val multi =
                 if (wrapper == "WITHOUT") errVal
                 else s"concat('[', array_join($vals, ','), ']')"
@@ -850,12 +863,7 @@ object DialectFunctions {
                 s" WHEN startswith($bv, '[') THEN json_array_length($bv) > 0" +
                 s" ELSE TRUE END)"
             else {
-              val vals = s"filter(transform(try_variant_get(" +
-                s"try_parse_json($bv), '$$', 'array<variant>'), " +
-                s"x -> to_json(try_variant_get(x, '$$$suffix'))), " +
-                s"t -> t IS NOT NULL)"
-              val mv =
-                s"to_json(try_variant_get(try_parse_json($bv), '$$$suffix'))"
+              val (vals, mv) = starFieldItems(bv, suffix)
               s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS BOOLEAN)" +
                 s" WHEN $malformedPred THEN $errVal" +
                 s" WHEN $bv IS NULL THEN FALSE" +

@@ -309,6 +309,9 @@ object OverAgg {
               if raw"^\d+$$".r.findFirstIn(kk).isDefined &&
                 LitRe.findFirstIn(dv).isDefined =>
             (x, kk.toInt, Some(dv))
+          case Seq(_, kk, _)
+              if raw"^\d+$$".r.findFirstIn(kk).isEmpty =>
+            fail(s"LAG offset must be a literal integer: $kk")
           case Seq(_, _, dv) => fail("LAG DEFAULT must be a literal " +
             s"(number / string / boolean / NULL) in streaming: $dv")
           case _ => fail(s"cannot parse LAG arguments: ${a.arg}")

@@ -190,16 +190,6 @@ object WindowTvf {
           s"${iv(m, 3)}, ${iv(m, 6)}, ${combined(m, 9)}))"))
   }
 
-  /** String-state encoding of a distinct-aggregate input expression:
-    * the SQL text whose `CAST(... AS STRING)` is injective on SQL
-    * equality for `dt`. Lossless types print natively; floats/doubles
-    * normalize -0.0 to 0.0 by adding double zero (Spark's DISTINCT
-    * treats -0.0 = 0.0; all other values, NaN and infinities included,
-    * are unchanged and Java's round-trip `Double.toString` is
-    * injective on them); decimals and dates print canonically for
-    * their type; timestamps ride epoch micros. Nested/binary types
-    * have no encoding (None).
-    */
   private[harness] def unitMillis(unit: String): Long =
     unit.toUpperCase.stripSuffix("S") match {
       case "MILLISECOND" => 1L

@@ -387,6 +387,17 @@ class DialectFunctionsSpec extends AnyFunSuite {
       """SELECT JSON_QUERY('{"a":[{"c":{"d":1}},{"c":{"d":2}}]}',
         |'$.a[*].c.d' WITH WRAPPER) AS v""".stripMargin)).head
     assert(deep.getString(0) === "[1,2]")
+    // an item that is itself an ARRAY yields nothing for a member
+    // step — member access does not auto-unwrap nested arrays
+    // (jayway-style path evaluation, the deliberate choice over
+    // strict SQL:2016 lax one-level unwrapping)
+    val nested = spark.sql(DialectFunctions.rewrite(
+      """SELECT JSON_QUERY('{"a":[[{"c":1}]]}',
+        |'$.a[*].c' WITH WRAPPER EMPTY ARRAY ON EMPTY) AS v,
+        |JSON_EXISTS('{"a":[[{"c":1}]]}', '$.a[*].c') AS e""".stripMargin))
+      .head
+    assert(nested.getString(0) === "[]")
+    assert(nested.getBoolean(1) === false)
   }
 
   test("a quoted member name containing * or .. is a single-value path") {

@@ -261,6 +261,9 @@ class OverAggSpec extends AnyFunSuite {
       s"FROM $name LIMIT 5", "watermark-maturity")
     rejects(s"SELECT LAG(v, 1, d + 1) OVER (PARTITION BY k ORDER BY ets) " +
       s"FROM $name", "literal")
+    // a non-literal OFFSET names the offset, not the (valid) default
+    rejects(s"SELECT LAG(v, d, 0) OVER (PARTITION BY k ORDER BY ets) " +
+      s"FROM $name", "offset must be a literal integer")
     rejects(s"SELECT LAG(v, 0) OVER (PARTITION BY k ORDER BY ets) " +
       s"FROM $name", ">= 1")
   }
