@@ -10,9 +10,36 @@ import org.apache.spark.sql.types._
   * 0 = COUNT, 1/2 = SUM long/double, 3/4 = MIN, 5/6 = MAX,
   * 7/8 = AVG double/long, 9 = COUNT(DISTINCT),
   * 10/11 = SUM/AVG(DISTINCT integral), 12/13 = SUM/AVG(DISTINCT
-  * float/double via the exact string carrier).
+  * float/double via the exact string carrier), 17/18/19/20 =
+  * VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP (central moments).
   */
 private[harness] object AggSlots {
+
+  /** Variance-family function names → tracker kind (17 = VAR_POP,
+    * 18 = VAR_SAMP, 19 = STDDEV_POP, 20 = STDDEV_SAMP). VARIANCE and
+    * STDDEV are the SQL-standard sample aliases, as in Spark and
+    * Flink. */
+  val VarianceFns: Map[String, Int] = Map(
+    "VAR_POP" -> 17, "VAR_SAMP" -> 18, "VARIANCE" -> 18,
+    "STDDEV_POP" -> 19, "STDDEV_SAMP" -> 20, "STDDEV" -> 20)
+
+  /** The regex alternation of every aggregate-function name the slot
+    * planner accepts — callers splice it into their select-item /
+    * re-aggregation-detection patterns so the name list lives here. */
+  val FnAlternation: String =
+    "COUNT|SUM|MIN|MAX|AVG|STDDEV_SAMP|STDDEV_POP|STDDEV|" +
+      "VAR_SAMP|VAR_POP|VARIANCE"
+
+  /** Kinds whose input rides the exact long slot (`lv`). */
+  def readsLong(kind: Int): Boolean =
+    kind == 1 || kind == 3 || kind == 5 || kind == 8
+
+  /** Kinds whose input rides the double slot (`dv`) — the double
+    * SUM/MIN/MAX/AVG kinds plus the variance family (which always
+    * accumulates central moments in doubles, Spark's cast). */
+  def readsDouble(kind: Int): Boolean =
+    kind == 2 || kind == 4 || kind == 6 || kind == 7 ||
+      graft.streaming.CumulateTracker.isVarianceKind(kind)
 
   /** Injective string encoding for a DISTINCT value slot: how a value
     * of type `dt` rides the tracker's string state so SQL-equal values
@@ -50,7 +77,23 @@ private[harness] object AggSlots {
         s"type ${other.simpleString} (numeric only)")
     }
     val isMinMax = fn == "MIN" || fn == "MAX"
-    if (distinct && fn == "COUNT") {
+    if (VarianceFns.contains(fn)) {
+      // VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP (+ sample aliases):
+      // one fixed-size central-moment accumulator, Spark's
+      // CentralMomentAgg arithmetic; inputs cast to double exactly as
+      // Spark's batch evaluation does
+      if (distinct)
+        fail(s"$fn(DISTINCT $arg) — DISTINCT variance aggregates stay " +
+          "batch-only (the moment accumulator has no value set); drop " +
+          "DISTINCT or use batch runtime mode")
+      resolve(arg) match {
+        case ByteType | ShortType | IntegerType | LongType |
+            FloatType | DoubleType | _: DecimalType =>
+          (VarianceFns(fn), DoubleType, arg)
+        case other => fail(s"$fn($arg): unsupported input type " +
+          s"${other.simpleString} (numeric only)")
+      }
+    } else if (distinct && fn == "COUNT") {
       val dt = resolve(arg)
       val enc = distinctEncode(arg, dt).getOrElse(
         fail(s"COUNT(DISTINCT $arg) over ${dt.simpleString} — " +

@@ -11,8 +11,9 @@ import org.apache.spark.sql.types._
   * rewrite compiles the supported subset onto
   * [[graft.streaming.OverAggTracker]]:
   *
-  *   - aggregates: COUNT(*)/COUNT/SUM/MIN/MAX/AVG over numeric inputs
-  *     (expression inputs allowed), all sharing ONE window
+  *   - aggregates: COUNT(*)/COUNT/SUM/MIN/MAX/AVG and the variance
+  *     family STDDEV[_SAMP|_POP]/VAR[IANCE|_SAMP|_POP] over numeric
+  *     inputs (expression inputs allowed), all sharing ONE window
   *     specification (Flink's own requirement); DISTINCT aggregates
   *     run exactly through the value-set kinds (a surface Spark lacks
   *     even in BATCH — "distinct window functions are not supported" —
@@ -45,7 +46,7 @@ object OverAgg {
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger()
 
   private val AggFns = Set("COUNT", "SUM", "MIN", "MAX", "AVG", "LAG",
-    "FIRST_VALUE", "LAST_VALUE")
+    "FIRST_VALUE", "LAST_VALUE") ++ AggSlots.VarianceFns.keySet
 
   /** One `fn(arg) OVER (spec)` occurrence: text region [start, end)
     * within the statement, plus the parsed pieces. */
@@ -189,7 +190,8 @@ object OverAgg {
     calls.filterNot(c => AggFns(c.fn)) match {
       case Seq() =>
       case bad => fail("streaming OVER supports the aggregate functions " +
-        s"COUNT/SUM/MIN/MAX/AVG and LAG; got ${bad.map(_.fn).mkString(", ")} " +
+        "COUNT/SUM/MIN/MAX/AVG, STDDEV[_SAMP|_POP]/VAR[IANCE|_SAMP|_POP], " +
+        s"LAG, and FIRST_VALUE/LAST_VALUE; got ${bad.map(_.fn).mkString(", ")} " +
         "(ranking shapes ride the top-N rewrites; others are batch-only)")
     }
     val aggCalls = calls
@@ -360,18 +362,21 @@ object OverAgg {
     val payloadExpr = to_json(struct(
       payloadFields.map(f => carrierOf(f).get.enc.as(f.name)) :+
         expr(s"unix_micros(cast(`$tcol` as timestamp))").as("__ts_us"): _*))
-    val longKinds = Set(1, 3, 5, 8)
-    val doubleKinds = Set(2, 4, 6, 7)
     val nnArr = array(plans.map(p => expr(p.input).isNotNull): _*)
     val lvArr = array(plans.map(p =>
-      if (longKinds(p.kind)) coalesce(expr(p.input).cast("long"), lit(0L))
+      if (AggSlots.readsLong(p.kind))
+        coalesce(expr(p.input).cast("long"), lit(0L))
       else lit(0L)): _*)
     val dvArr = array(plans.map(p =>
-      if (doubleKinds(p.kind)) coalesce(expr(p.input).cast("double"), lit(0d))
+      if (AggSlots.readsDouble(p.kind))
+        coalesce(expr(p.input).cast("double"), lit(0d))
       else lit(0d)): _*)
+    // string-carried slots: the distinct value sets plus the
+    // LAG/FIRST_VALUE/LAST_VALUE carriers (kinds 14-16 — NOT the
+    // variance kinds, which ride the double slot)
     val svArr = array(plans.map(p =>
       if (graft.streaming.CumulateTracker.isDistinctKind(p.kind) ||
-          p.kind >= 14)
+          (p.kind >= 14 && p.kind <= 16))
         expr(p.input).cast("string")
       else lit(null).cast("string")): _*)
     import spark.implicits._

@@ -934,8 +934,8 @@ object WindowTvf {
   /** The shared compiler of a streaming single-aggregation statement
     * onto a stateful tracker: parses/validates the spliced statement
     * (one GROUP BY carrying window_start AND window_end, bare-column
-    * keys, COUNT/SUM/MIN/MAX/AVG plus exact distinct aggregates select
-    * items, WHERE pre-filter,
+    * keys, COUNT/SUM/MIN/MAX/AVG plus the variance family and exact
+    * distinct aggregates as select items, WHERE pre-filter,
     * HAVING post-filter), packs the GROUP BY tuple and aggregate
     * inputs into the JSON/slot event layout, delegates the actual
     * windowed accumulation to `track` (CUMULATE's span/step tracker,
@@ -1057,7 +1057,8 @@ object WindowTvf {
       i
     }
     val AggRe =
-      raw"(?is)^(COUNT|SUM|MIN|MAX|AVG)\s*\((.+)\)\s+AS\s+([A-Za-z_]\w*)$$".r
+      (raw"(?is)^(" + AggSlots.FnAlternation +
+        raw")\s*\((.+)\)\s+AS\s+([A-Za-z_]\w*)$$").r
     // literal items — `NULL AS k` pads a grouping-set branch's
     // ungrouped keys, `0/1 AS g` carries resolved GROUPING()/
     // GROUPING_ID() flags (expandStreamingGroupingSets emits both)
@@ -1130,13 +1131,12 @@ object WindowTvf {
     // builds an invalid cast), integral kinds read lv (their inputs
     // cast to long safely), double kinds read dv (an ANSI NaN→long
     // cast on an unused slot would throw otherwise)
-    val longKinds = Set(1, 3, 5, 8)
-    val doubleKinds = Set(2, 4, 6, 7)
     val lvArr = array(plans.map(p =>
-      if (longKinds(p._2)) coalesce(expr(p._4).cast("long"), lit(0L))
+      if (AggSlots.readsLong(p._2)) coalesce(expr(p._4).cast("long"), lit(0L))
       else lit(0L)): _*)
     val dvArr = array(plans.map(p =>
-      if (doubleKinds(p._2)) coalesce(expr(p._4).cast("double"), lit(0d))
+      if (AggSlots.readsDouble(p._2))
+        coalesce(expr(p._4).cast("double"), lit(0d))
       else lit(0d)): _*)
     val svArr = array(plans.map(p =>
       if (graft.streaming.CumulateTracker.isDistinctKind(p._2))
@@ -1195,7 +1195,7 @@ object WindowTvf {
           .foldLeft(p)((s, m) =>
             s.substring(0, m.start) + a.alias + s.substring(m.end))
       }
-      if (raw"(?is)\b(COUNT|SUM|MIN|MAX|AVG)\s*\(".r
+      if ((raw"(?is)\b(" + AggSlots.FnAlternation + raw")\s*\(").r
           .findFirstIn(MatchRecognize.maskQuoted(pred)).isDefined)
         fail("HAVING may only reference aggregates that appear in the " +
           s"select list (aliased), group keys, or window columns: $pred0")

@@ -207,7 +207,66 @@ object Windows {
         |FROM otr_events WHERE ts IS NOT NULL""".stripMargin)
   }
 
+  /** Variance family over a time-RANGE frame (r16): the batch twin of
+    * the streaming over-aggregation's STDDEV/VAR kinds (OverAggSpec
+    * pins streaming bit-equal to THIS form; this row pins the form
+    * against DuckDB). Quantization law: over integer inputs
+    * (`floor(value*100) % 97` ∈ [0, 96], identical in both engines on
+    * non-negative values), `VAR_POP × n²` and `VAR_SAMP × n(n−1)` are
+    * the EXACT integer `n·Σq² − (Σq)²` — both engines land within
+    * ~1e-6 of it (fp error ε·E with E ≤ n²·2500 and n ≤ ~11 per
+    * hour frame at sf0.01), so FLOOR(x + 0.5) is boundary-safe, where
+    * a fixed milli quantization flips on the dyadic-rational variances
+    * integers produce (observed: 77/10000 rows off by one). STDDEV is
+    * exercised through its square, same law. Single-row frames pin
+    * *_SAMP's NULL in both engines (Spark ANSI / DuckDB).
+    */
+  val q115OverVariance: Q = Q(
+    "q115_over_variance",
+    """SELECT event_id,
+      |  CAST(COUNT(q) OVER w AS BIGINT) AS n,
+      |  CAST(FLOOR(VAR_SAMP(q) OVER w
+      |    * (COUNT(q) OVER w * (COUNT(q) OVER w - 1)) + 0.5) AS BIGINT)
+      |    AS vs_e,
+      |  CAST(FLOOR(VAR_POP(q) OVER w
+      |    * (COUNT(q) OVER w * COUNT(q) OVER w) + 0.5) AS BIGINT)
+      |    AS vp_e,
+      |  CAST(FLOOR(STDDEV_SAMP(q) OVER w * STDDEV_SAMP(q) OVER w
+      |    * (COUNT(q) OVER w * (COUNT(q) OVER w - 1)) + 0.5) AS BIGINT)
+      |    AS ss_e,
+      |  CAST(FLOOR(STDDEV_POP(q) OVER w * STDDEV_POP(q) OVER w
+      |    * (COUNT(q) OVER w * COUNT(q) OVER w) + 0.5) AS BIGINT)
+      |    AS sp_e
+      |FROM (SELECT event_id, event_type, ts,
+      |        CAST(FLOOR(value * 100) AS BIGINT) % 97 AS q
+      |      FROM events WHERE ts IS NOT NULL)
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin) {
+    (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("ovar_events")
+    s.sql(
+      """SELECT event_id,
+        |  CAST(COUNT(q) OVER w AS BIGINT) AS n,
+        |  CAST(FLOOR(VAR_SAMP(q) OVER w
+        |    * (COUNT(q) OVER w * (COUNT(q) OVER w - 1)) + 0.5) AS BIGINT)
+        |    AS vs_e,
+        |  CAST(FLOOR(VAR_POP(q) OVER w
+        |    * (COUNT(q) OVER w * COUNT(q) OVER w) + 0.5) AS BIGINT)
+        |    AS vp_e,
+        |  CAST(FLOOR(STDDEV_SAMP(q) OVER w * STDDEV_SAMP(q) OVER w
+        |    * (COUNT(q) OVER w * (COUNT(q) OVER w - 1)) + 0.5) AS BIGINT)
+        |    AS ss_e,
+        |  CAST(FLOOR(STDDEV_POP(q) OVER w * STDDEV_POP(q) OVER w
+        |    * (COUNT(q) OVER w * COUNT(q) OVER w) + 0.5) AS BIGINT)
+        |    AS sp_e
+        |FROM (SELECT event_id, event_type, ts,
+        |        CAST(FLOOR(value * 100) AS BIGINT) % 97 AS q
+        |      FROM ovar_events WHERE ts IS NOT NULL)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts
+        |  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(q18TopkPerGroup, q19Rank, q20LagLead, q21RunningSum,
     q22Ntile, q46PercentRank, q47FirstLast, q49RangeFrame,
-    q113OverTimeRange)
+    q113OverTimeRange, q115OverVariance)
 }

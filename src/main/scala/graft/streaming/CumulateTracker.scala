@@ -17,12 +17,15 @@ final case class CumulateEvent(key: String, ts: Timestamp,
     nn: List[Boolean], lv: List[Long], dv: List[Double], sv: List[String])
 
 /** One per-(span, step, aggregate) accumulator: non-null count, exact
-  * long sum, double sum, typed min/max, and — for COUNT(DISTINCT)
-  * slots only — the exact distinct-value set (string-encoded, sorted
-  * for deterministic state; empty for every other kind). */
+  * long sum, double sum, typed min/max, for COUNT(DISTINCT)
+  * slots only the exact distinct-value set (string-encoded, sorted
+  * for deterministic state; empty for every other kind), and — for the
+  * variance-family kinds 17-20 only — the central moments `m1`
+  * (running mean) and `m2` (sum of squared deviations), maintained
+  * with Spark's own CentralMomentAgg update/merge arithmetic. */
 final case class CumAcc(span: Long, step: Int, agg: Int, cnt: Long,
     sumL: Long, sumD: Double, mnL: Long, mxL: Long, mnD: Double, mxD: Double,
-    ds: List[String] = Nil)
+    ds: List[String] = Nil, m1: Double = 0d, m2: Double = 0d)
 
 /** Per-key state: accumulators plus, per span, how many growing windows
   * have already been emitted. */
@@ -54,7 +57,10 @@ final case class CumulateWindow(key: String, ws: Long, we: Long,
   * once), 9 = COUNT(DISTINCT) exact — the accumulator keeps the
   * window's distinct-value set (string-encoded), sized by the key's
   * distinct values per window exactly as Flink's exact distinct state
-  * is. A window whose inputs were all null
+  * is; 17/18/19/20 = VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP over the
+  * fixed-size central-moment fields (Spark's CentralMomentAgg
+  * arithmetic — [[momentAdd]]/[[momentMerge]]). A window whose inputs
+  * were all null
   * (or an empty leading window) emits SQL NULL for SUM/MIN/MAX/AVG and
   * 0 for COUNT — matching batch aggregation semantics. Windows with
   * zero rows so far emit nothing at all (the batch rewrite only
@@ -73,6 +79,37 @@ object CumulateTracker {
     * builder.
     */
   private[graft] def isDistinctKind(k: Int): Boolean = k >= 9 && k <= 13
+
+  /** The variance-family kinds: 17 = VAR_POP, 18 = VAR_SAMP,
+    * 19 = STDDEV_POP, 20 = STDDEV_SAMP. All four accumulate the same
+    * central moments (count, mean, M2) and differ only at emission —
+    * exactly Spark's CentralMomentAgg family, whose update and merge
+    * arithmetic [[momentAdd]] / [[momentMerge]] replicate step for
+    * step so a streamed variance is the same computation batch runs.
+    */
+  private[graft] def isVarianceKind(k: Int): Boolean = k >= 17 && k <= 20
+
+  /** Welford update — Spark's CentralMomentAgg.updateExpressions:
+    * folds value `x` into moments `(m1, m2)`; `cntAfter` is the
+    * non-null count INCLUDING `x`. */
+  private[streaming] def momentAdd(cntAfter: Long, m1: Double, m2: Double,
+      x: Double): (Double, Double) = {
+    val delta = x - m1
+    val deltaN = delta / cntAfter.toDouble
+    (m1 + deltaN, m2 + delta * (delta - deltaN))
+  }
+
+  /** Parallel moment merge — Spark's CentralMomentAgg
+    * .mergeExpressions (Chan et al.): combines two partial
+    * (count, m1, m2) triples. */
+  private[streaming] def momentMerge(n1: Long, m1a: Double, m2a: Double,
+      n2: Long, m1b: Double, m2b: Double): (Double, Double) = {
+    val n = (n1 + n2).toDouble
+    val delta = m1b - m1a
+    val deltaN = if (n == 0d) 0d else delta / n
+    (m1a + deltaN * n2.toDouble,
+      m2a + m2b + delta * deltaN * n1.toDouble * n2.toDouble)
+  }
 
   /** Exact double SUM over a distinct-value string set, in ascending
     * numeric order for deterministic replay. */
@@ -109,6 +146,17 @@ object CumulateTracker {
     case 12 => if (ds.isEmpty) None else Some(fmtD(distinctDoubleSum(ds)))
     case 13 => if (ds.isEmpty) None
       else Some(fmtD(distinctDoubleSum(ds) / ds.size))
+    // variance family (kinds 17-20): Spark's ANSI-default divide-by-
+    // zero results, pinned empirically — a single-row *_SAMP is SQL
+    // NULL (with ANSI off Spark would emit NaN instead), a single-row
+    // *_POP is 0.0
+    case 17 => if (a.cnt == 0) None else Some(fmtD(a.m2 / a.cnt.toDouble))
+    case 18 => if (a.cnt <= 1) None
+      else Some(fmtD(a.m2 / (a.cnt - 1L).toDouble))
+    case 19 => if (a.cnt == 0) None
+      else Some(fmtD(math.sqrt(a.m2 / a.cnt.toDouble)))
+    case 20 => if (a.cnt <= 1) None
+      else Some(fmtD(math.sqrt(a.m2 / (a.cnt - 1L).toDouble)))
     case _ => if (a.cnt == 0) None else Some(fmtD(a.sumL.toDouble / a.cnt))
   }
 
@@ -208,12 +256,17 @@ object CumulateTracker {
           // double would otherwise lose to — or corrupt against — the
           // sentinel), and doubles merge with Spark's NaN-safe ordering
           val first = a.cnt == 0L
+          val (nm1, nm2) =
+            if (isVarianceKind(kinds(i)))
+              momentAdd(a.cnt + 1L, a.m1, a.m2, e.dv(i))
+            else (a.m1, a.m2)
           accs(k) = a.copy(cnt = a.cnt + 1L,
             sumL = a.sumL + e.lv(i), sumD = a.sumD + e.dv(i),
             mnL = if (first) e.lv(i) else math.min(a.mnL, e.lv(i)),
             mxL = if (first) e.lv(i) else math.max(a.mxL, e.lv(i)),
             mnD = if (first) e.dv(i) else nanMin(a.mnD, e.dv(i)),
-            mxD = if (first) e.dv(i) else nanMax(a.mxD, e.dv(i)))
+            mxD = if (first) e.dv(i) else nanMax(a.mxD, e.dv(i)),
+            m1 = nm1, m2 = nm2)
         } else if (!accs.contains(k)) accs(k) = a
         i += 1
       }
@@ -258,13 +311,18 @@ object CumulateTracker {
               merged(i) =
                 if (m.cnt == 0L)
                   m.copy(cnt = a.cnt, sumL = a.sumL, sumD = a.sumD,
-                    mnL = a.mnL, mxL = a.mxL, mnD = a.mnD, mxD = a.mxD)
-                else
+                    mnL = a.mnL, mxL = a.mxL, mnD = a.mnD, mxD = a.mxD,
+                    m1 = a.m1, m2 = a.m2)
+                else {
+                  val (nm1, nm2) = momentMerge(m.cnt, m.m1, m.m2,
+                    a.cnt, a.m1, a.m2)
                   m.copy(cnt = m.cnt + a.cnt,
                     sumL = m.sumL + a.sumL, sumD = m.sumD + a.sumD,
                     mnL = math.min(m.mnL, a.mnL),
                     mxL = math.max(m.mxL, a.mxL),
-                    mnD = nanMin(m.mnD, a.mnD), mxD = nanMax(m.mxD, a.mxD))
+                    mnD = nanMin(m.mnD, a.mnD), mxD = nanMax(m.mxD, a.mxD),
+                    m1 = nm1, m2 = nm2)
+                }
             }
           }
           i += 1

@@ -25,7 +25,7 @@ final case class GridEvent(key: String, ts: Timestamp, ws: Long, we: Long,
   */
 final case class GridAcc(ws: Long, we: Long, agg: Int, cnt: Long,
     sumL: Long, sumD: Double, mnL: Long, mxL: Long, mnD: Double, mxD: Double,
-    ds: List[String] = Nil)
+    ds: List[String] = Nil, m1: Double = 0d, m2: Double = 0d)
 
 /** Per-key state: accumulators of the still-open pinned windows. State
   * is bounded by aggregates × ACTIVE (key, window) — each window's
@@ -106,12 +106,17 @@ object GridAggTracker {
           // non-null value seeds them outright, doubles merge with
           // Spark's NaN-safe ordering (CumulateTracker's law)
           val first = a.cnt == 0L
+          val (nm1, nm2) =
+            if (CumulateTracker.isVarianceKind(kinds(i)))
+              CumulateTracker.momentAdd(a.cnt + 1L, a.m1, a.m2, e.dv(i))
+            else (a.m1, a.m2)
           accs(k) = a.copy(cnt = a.cnt + 1L,
             sumL = a.sumL + e.lv(i), sumD = a.sumD + e.dv(i),
             mnL = if (first) e.lv(i) else math.min(a.mnL, e.lv(i)),
             mxL = if (first) e.lv(i) else math.max(a.mxL, e.lv(i)),
             mnD = if (first) e.dv(i) else CumulateTracker.nanMin(a.mnD, e.dv(i)),
-            mxD = if (first) e.dv(i) else CumulateTracker.nanMax(a.mxD, e.dv(i)))
+            mxD = if (first) e.dv(i) else CumulateTracker.nanMax(a.mxD, e.dv(i)),
+            m1 = nm1, m2 = nm2)
         } else if (!accs.contains(k)) accs(k) = a
         i += 1
       }
@@ -142,7 +147,7 @@ object GridAggTracker {
               else scala.collection.Set.empty[String]
             CumulateTracker.fieldValue(kinds(i),
               CumAcc(0L, 0, i, a.cnt, a.sumL, a.sumD, a.mnL, a.mxL,
-                a.mnD, a.mxD), ds)
+                a.mnD, a.mxD, m1 = a.m1, m2 = a.m2), ds)
               .map(s => s""""a$i": $s""")
           }
         }

@@ -72,7 +72,9 @@ final case class OverOut(key: String, tsMs: Long, payload: String,
   * exact DISTINCT kinds 9-13 (bounded frames rebuild the frame's
   * value set from its rows; UNBOUNDED frames keep running per-slot
   * sets, growing with the key's distinct values exactly as Flink's
-  * distinct over-aggregation state does).
+  * distinct over-aggregation state does) plus the variance family
+  * 17-20 (fixed-size central moments, Spark's CentralMomentAgg
+  * arithmetic).
   *
   * State per key: pending rows (bounded by the watermark delay),
   * frame history (bounded by the frame declaration), and for
@@ -99,17 +101,23 @@ object OverAggTracker {
 
   /** Folds one row's slot `i` into `a` — the shared accumulator law
     * (first non-null value seeds the min/max sentinels, doubles merge
-    * NaN-safe). */
+    * NaN-safe, central moments fold by Welford — only the variance
+    * kinds 17-20 read them, and the sequential per-row fold is exactly
+    * the update path Spark's batch window execution runs, so streamed
+    * variance matches batch bit for bit). */
   private def fold(a: CumAcc, r: OverRow, i: Int): CumAcc =
     if (!r.nn(i)) a
     else {
       val first = a.cnt == 0L
+      val (nm1, nm2) =
+        CumulateTracker.momentAdd(a.cnt + 1L, a.m1, a.m2, r.dv(i))
       a.copy(cnt = a.cnt + 1L,
         sumL = a.sumL + r.lv(i), sumD = a.sumD + r.dv(i),
         mnL = if (first) r.lv(i) else math.min(a.mnL, r.lv(i)),
         mxL = if (first) r.lv(i) else math.max(a.mxL, r.lv(i)),
         mnD = if (first) r.dv(i) else CumulateTracker.nanMin(a.mnD, r.dv(i)),
-        mxD = if (first) r.dv(i) else CumulateTracker.nanMax(a.mxD, r.dv(i)))
+        mxD = if (first) r.dv(i) else CumulateTracker.nanMax(a.mxD, r.dv(i)),
+        m1 = nm1, m2 = nm2)
     }
 
   /** The LAG slot kind: emission is the string-carried value of the

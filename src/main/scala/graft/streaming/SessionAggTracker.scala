@@ -73,12 +73,16 @@ object SessionAggTracker {
     if (a.cnt == 0L) m.copy(ds = ds)
     else if (m.cnt == 0L) a.copy(span = m.span, step = m.step, agg = m.agg,
       ds = ds)
-    else m.copy(cnt = m.cnt + a.cnt,
-      sumL = m.sumL + a.sumL, sumD = m.sumD + a.sumD,
-      mnL = math.min(m.mnL, a.mnL), mxL = math.max(m.mxL, a.mxL),
-      mnD = CumulateTracker.nanMin(m.mnD, a.mnD),
-      mxD = CumulateTracker.nanMax(m.mxD, a.mxD),
-      ds = ds)
+    else {
+      val (nm1, nm2) = CumulateTracker.momentMerge(m.cnt, m.m1, m.m2,
+        a.cnt, a.m1, a.m2)
+      m.copy(cnt = m.cnt + a.cnt,
+        sumL = m.sumL + a.sumL, sumD = m.sumD + a.sumD,
+        mnL = math.min(m.mnL, a.mnL), mxL = math.max(m.mxL, a.mxL),
+        mnD = CumulateTracker.nanMin(m.mnD, a.mnD),
+        mxD = CumulateTracker.nanMax(m.mxD, a.mxD),
+        ds = ds, m1 = nm1, m2 = nm2)
+    }
   }
 
   private def update(
@@ -98,7 +102,10 @@ object SessionAggTracker {
           // value; min/max sentinels never meet data for these kinds
           base.copy(cnt = 1L, ds = List(e.sv(i)))
         else base.copy(cnt = 1L, sumL = e.lv(i), sumD = e.dv(i),
-          mnL = e.lv(i), mxL = e.lv(i), mnD = e.dv(i), mxD = e.dv(i))
+          mnL = e.lv(i), mxL = e.lv(i), mnD = e.dv(i), mxD = e.dv(i),
+          // single-value central moments (variance kinds read them;
+          // harmless elsewhere): mean = the value, M2 = 0
+          m1 = e.dv(i), m2 = 0d)
       }.toList
       OpenSess(t, t, accs)
     }.toList

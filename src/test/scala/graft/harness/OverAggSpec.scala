@@ -123,6 +123,47 @@ class OverAggSpec extends AnyFunSuite {
         |FROM t """.stripMargin)
   }
 
+  test("variance family equals batch bit-for-bit over all four frames") {
+    // r16: STDDEV_SAMP/STDDEV_POP/VAR_SAMP/VAR_POP stream through the
+    // central-moment slots. Equality is EXACT: both sides fold rows
+    // sequentially in time order with the same CentralMomentAgg
+    // update arithmetic (the tracker replicates Spark's formulas), and
+    // the data keeps per-key timestamps distinct so the fold order is
+    // unambiguous. Each partition's first row also pins the ANSI
+    // single-row semantics: *_SAMP emits NULL, *_POP emits 0.0.
+    for (frame <- Seq("",
+        "\n    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "\n    RANGE BETWEEN INTERVAL '20' SECOND PRECEDING AND CURRENT ROW",
+        "\n    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW")) {
+      assertStreamEqualsBatch(
+        s"""SELECT k, ets, v,
+           |  STDDEV_SAMP(d) OVER (PARTITION BY k ORDER BY ets$frame) AS ss,
+           |  STDDEV_POP(v) OVER (PARTITION BY k ORDER BY ets$frame) AS sp,
+           |  VAR_SAMP(d) OVER (PARTITION BY k ORDER BY ets$frame) AS vs,
+           |  VAR_POP(v) OVER (PARTITION BY k ORDER BY ets$frame) AS vp
+           |FROM t """.stripMargin)
+    }
+    // the SQL-standard sample aliases map to the same kinds
+    assertStreamEqualsBatch(
+      """SELECT k, v,
+        |  STDDEV(d) OVER (PARTITION BY k ORDER BY ets) AS sd,
+        |  VARIANCE(v) OVER (PARTITION BY k ORDER BY ets) AS vv
+        |FROM t """.stripMargin)
+  }
+
+  test("DISTINCT variance rejects by name (batch-only)") {
+    val name = s"oa_v_${System.nanoTime()}"
+    Seq(("a", ts(1), 1L, 1d)).toDF("k", "ets", "v", "d")
+      .createOrReplaceTempView(name)
+    val e = intercept[IllegalArgumentException](
+      OverAgg.rewriteStreaming(spark,
+        s"SELECT STDDEV_SAMP(DISTINCT d) OVER (PARTITION BY k ORDER " +
+          s"BY ets) AS s FROM $name",
+        tb => if (tb.equalsIgnoreCase(name)) Some(("ets", "5 seconds"))
+          else None))
+    assert(e.getMessage.contains("DISTINCT variance"), e.getMessage)
+  }
+
   test("WHERE filters input rows before the window, batch parity") {
     assertStreamEqualsBatch(
       """SELECT k, v,

@@ -276,6 +276,66 @@ class WindowTvfSpec extends AnyFunSuite {
     }
   }
 
+  test("variance aggregates stream through the pinned and gap-merge trackers") {
+    // r16: STDDEV/VAR kinds ride the central-moment slots on every
+    // tracker path. A distinct aggregate alongside forces the
+    // tracker routes (TUMBLE/HOP -> GridAggTracker, SESSION ->
+    // SessionAggTracker); doubles compare at 1e-9 relative tolerance
+    // (the fold tree differs from batch partial-merge; the exact
+    // arithmetic law is pinned bit-for-bit by the OVER specs)
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    def approxEq(got: Seq[Seq[Any]], exp: Seq[Seq[Any]], tag: String): Unit = {
+      def keyOf(r: Seq[Any]) = r.take(3).map(String.valueOf).mkString("|")
+      val g = got.sortBy(keyOf)
+      val e = exp.sortBy(keyOf)
+      assert(g.map(keyOf) === e.map(keyOf), tag)
+      g.lazyZip(e).foreach { (a, b) =>
+        a.lazyZip(b).foreach {
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            assert(math.abs(x - y) <= 1e-9 *
+              math.max(1d, math.max(math.abs(x), math.abs(y))),
+              s"$tag\ngot $a\nexp $b")
+          case (x, y) => assert(x == y, s"$tag\ngot $a\nexp $b")
+        }
+      }
+    }
+    val rnd = new scala.util.Random(73)
+    val rows = (1 to 150).map { i =>
+      (s"k${i % 2}", new java.sql.Timestamp(rnd.nextInt(600) * 1000L),
+        s"u${rnd.nextInt(9)}", rnd.nextInt(100).toLong,
+        rnd.nextInt(40) * 0.25d)
+    }
+    rows.toDF("k", "ts", "u", "v", "d")
+      .createOrReplaceTempView("tvf_var_in")
+    for (tvf <- Seq(
+        "TUMBLE(TABLE tvf_var_in, DESCRIPTOR(ts), INTERVAL '2' MINUTE)",
+        "SESSION(TABLE tvf_var_in PARTITION BY k, DESCRIPTOR(ts), " +
+          "INTERVAL '30' SECOND)")) {
+      val stmt = s"SELECT k, window_start, window_end, " +
+        "COUNT(DISTINCT u) AS du, STDDEV_SAMP(v) AS ss, " +
+        "VAR_POP(d) AS vp, STDDEV_POP(d) AS sp, VAR_SAMP(v) AS vs " +
+        s"FROM TABLE($tvf) GROUP BY k, window_start, window_end"
+      val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq)
+      val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+        _ => Some(("ts", "5 seconds")))
+      try {
+        val streamed = spark.sql(streamSql).collect().map(_.toSeq)
+        approxEq(streamed, batch, tvf)
+        assert(batch.nonEmpty, tvf)
+      } finally MatchRecognize.dropViews(spark, streamSql)
+    }
+    // DISTINCT variance stays batch-only, rejected by name
+    val e = intercept[IllegalArgumentException](
+      WindowTvf.rewriteStreaming(
+        "SELECT k, window_start, window_end, " +
+          "STDDEV_SAMP(DISTINCT v) AS sd FROM TABLE(CUMULATE(" +
+          "TABLE tvf_var_in, DESCRIPTOR(ts), INTERVAL '1' MINUTE, " +
+          "INTERVAL '5' MINUTE)) GROUP BY k, window_start, window_end",
+        spark, _ => Some(("ts", "5 seconds"))))
+    assert(e.getMessage.contains("DISTINCT variance"), e.getMessage)
+  }
+
   test("streaming SESSION distinct aggregates are exact via the gap-merge tracker") {
     // round 15: previously the one place the engine silently
     // approximated (the native session_window path + HLL rule) where

@@ -563,6 +563,66 @@ class CumulateSpec extends AnyFunSuite {
     } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
   }
 
+  test("STDDEV/VAR aggregates match the batch TVF (moment law)") {
+    // r16: the variance family streams through the central-moment
+    // slots (kinds 17-20). The tracker runs Spark's own
+    // CentralMomentAgg update/merge arithmetic, but the FOLD TREE
+    // differs (batch: per-partition partials + merge; tracker:
+    // arrival-order fold + in-order step merge), so doubles can differ
+    // in the last ulps — the comparison quantizes at 1e-9 relative.
+    // The exact-arithmetic law itself is pinned bit-for-bit by the
+    // OVER specs, where both sides fold sequentially. A lone far-away
+    // row pins the ANSI single-row semantics (*_SAMP NULL, *_POP 0.0),
+    // and a null stripe the all-null NULL emission.
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 200).map { i =>
+      (s"k${i % 3}", ts(rnd.nextInt(900).toLong),
+        if (i % 9 == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rnd.nextInt(100).toLong),
+        rnd.nextInt(40) * 0.25d)
+    } :+ (("k9", ts(5000L), java.lang.Long.valueOf(7L), 1.5d))
+    rows.toDF("k", "ts", "v", "d").createOrReplaceTempView("cum_var_in")
+    val stmt =
+      """SELECT k, window_start, window_end, COUNT(*) AS n,
+        |  STDDEV_SAMP(v) AS ss, STDDEV_POP(d) AS sp,
+        |  VAR_SAMP(d) AS vs, VAR_POP(v) AS vp,
+        |  VARIANCE(v) AS vv, STDDEV(d) AS sd
+        |FROM TABLE(CUMULATE(TABLE cum_var_in, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq)
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq)
+      assertApproxSetEqual(streamed, batch)
+      // the lone row actually pins the single-row law
+      val lone = batch.filter(_.head == "k9")
+      assert(lone.nonEmpty && lone.forall(r =>
+        r(4) == null && r(6) == null && r(5) == 0.0d && r(7) == 0.0d))
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+  }
+
+  /** Set equality keyed on the leading (key, window) cells, doubles
+    * compared at 1e-9 relative tolerance (variance fold trees differ
+    * between batch partial-merge and the tracker's arrival order). */
+  private def assertApproxSetEqual(got: Seq[Seq[Any]],
+      exp: Seq[Seq[Any]]): Unit = {
+    def keyOf(r: Seq[Any]) = r.take(3).map(String.valueOf).mkString("|")
+    val g = got.sortBy(keyOf)
+    val e = exp.sortBy(keyOf)
+    assert(g.map(keyOf) === e.map(keyOf))
+    g.lazyZip(e).foreach { (a, b) =>
+      a.lazyZip(b).foreach {
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          assert(math.abs(x - y) <= 1e-9 *
+            math.max(1d, math.max(math.abs(x), math.abs(y))),
+            s"\ngot $a\nexp $b")
+        case (x, y) => assert(x == y, s"\ngot $a\nexp $b")
+      }
+    }
+  }
+
   test("COUNT(DISTINCT) unions values across steps incrementally") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, String)]
