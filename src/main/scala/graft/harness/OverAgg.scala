@@ -25,7 +25,11 @@ import org.apache.spark.sql.types._
   *     AND CURRENT ROW`, or absent (the SQL default: RANGE UNBOUNDED);
   *   - statement: `[INSERT ...] SELECT items FROM table [WHERE pred]`
   *     — the WHERE filters INPUT rows (SQL evaluates WHERE before
-  *     window functions) and is pushed into the tracker's source.
+  *     window functions) and is pushed into the tracker's source. The
+  *     FROM may name a registered VIEW over a watermarked relation
+  *     (r16): the CLI's view registry answers `watermarkOf`, so the
+  *     time attribute propagates exactly as Flink propagates it
+  *     through single-table projection/filter views.
   *
   * Everything else — DESC time order, FOLLOWING bounds, ranking
   * functions left over after the top-N passes,

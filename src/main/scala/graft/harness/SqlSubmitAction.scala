@@ -34,6 +34,62 @@ final class SqlSubmitAction(
   val sinks: mutable.Map[String, TableDef] = mutable.LinkedHashMap.empty
   val started: mutable.Buffer[StreamingQuery] = mutable.Buffer.empty
 
+  /** Event-time propagation through views (r16): Flink keeps a time
+    * attribute across a view whose projection carries it, so the
+    * streaming rewrites (OVER aggregation, window TVFs,
+    * MATCH_RECOGNIZE, top-N — everything resolving through
+    * [[watermarkOf]]) must accept a registered view wherever they
+    * accept a declared table. `CREATE [TEMPORARY] VIEW v AS SELECT ...
+    * FROM <watermarked relation> [WHERE ...]` records v → the
+    * relation's (column, delay) when the single-table body keeps the
+    * event-time column BY NAME (a rename or a join/aggregation around
+    * it drops the record — those views stay plain relations and the
+    * downstream pass raises its named needs-a-WATERMARK error);
+    * DROP VIEW / CREATE OR REPLACE evict. The underlying
+    * `EventTimeWatermark` plan node rides the view regardless —
+    * [[graft.streaming.Watermarks.ensure]] reuses it — so the record
+    * here only answers the REWRITES' column/delay lookup.
+    */
+  private val viewWatermarks: mutable.Map[String, (String, String)] =
+    mutable.LinkedHashMap.empty
+
+  private val CreateViewRe = (raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?" +
+    raw"(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)" +
+    raw"\s+AS\b(.*)$$").r
+  private val DropViewRe = (raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+" +
+    raw"(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$$").r
+  private val ViewBodyRe = (raw"(?is)^\s*SELECT\s+.+?\s+" +
+    raw"FROM\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!WHERE\b)[A-Za-z_]\w*)?" +
+    raw"(?:\s+WHERE\b.*)?;?\s*$$").r
+
+  /** Tracks CREATE/DROP VIEW statements' effect on the event-time
+    * registry; called after the statement executed (so the view
+    * exists and its resolved schema is inspectable). */
+  private def recordViewWatermark(spark: SparkSession, sql: String): Unit = {
+    def evict(name: String): Unit =
+      viewWatermarks.keys.find(_.equalsIgnoreCase(name))
+        .foreach(viewWatermarks.remove(_): Unit)
+    DropViewRe.findFirstMatchIn(sql).foreach(m =>
+      evict(DdlParser.unquoteName(m.group(1))))
+    CreateViewRe.findFirstMatchIn(sql).foreach { m =>
+      val name = DdlParser.unquoteName(m.group(1))
+      evict(name)
+      val body = MatchRecognize.maskQuoted(m.group(2))
+      // single-relation projection/filter bodies only: a JOIN, GROUP
+      // BY, set op, or subquery FROM has no single propagated time
+      // attribute to speak for
+      if (raw"(?is)\b(JOIN|GROUP\s+BY|UNION|INTERSECT|EXCEPT)\b".r
+          .findFirstIn(body).isEmpty) {
+        for {
+          bm <- ViewBodyRe.findFirstMatchIn(m.group(2))
+          (col, delay) <- watermarkOf(bm.group(1))
+          if scala.util.Try(spark.table(name).schema).toOption
+            .exists(_.fieldNames.exists(_.equalsIgnoreCase(col)))
+        } viewWatermarks(name) = (col, delay)
+      }
+    }
+  }
+
   private val ShowCreateRe =
     raw"(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.`]+)\s*;?\s*$$".r
 
@@ -262,6 +318,11 @@ final class SqlSubmitAction(
             val rewritten = rewriteFlinkDialect(spark, config, st.sql)
             try spark.sql(rewritten)
             finally MatchRecognize.dropViews(spark, rewritten)
+            // CREATE/DROP VIEW maintain the event-time registry so
+            // later streaming statements can window/aggregate OVER the
+            // view (classified from the ORIGINAL text — the rewrite
+            // never rewrites the CREATE VIEW header)
+            recordViewWatermark(spark, st.sql)
         }
       } catch {
         case e: Exception =>
@@ -626,10 +687,14 @@ final class SqlSubmitAction(
     * state, where Flink's TVF windows expire.
     */
   /** Case-insensitive source lookup → (event-time column, delay) from
-    * the connector DDL's WATERMARK declaration. */
+    * the connector DDL's WATERMARK declaration, or from the view
+    * propagation registry ([[recordViewWatermark]]) when the name is a
+    * registered view over a watermarked relation. */
   private def watermarkOf(table: String): Option[(String, String)] =
     sources.keys.find(_.equalsIgnoreCase(table)).map(sources)
       .flatMap(_.watermark).map(w => (w.column, w.delay))
+      .orElse(viewWatermarks.keys.find(_.equalsIgnoreCase(table))
+        .map(viewWatermarks))
 
   private def rewriteWindowTvfs(
       spark: SparkSession, config: EngineConfig, sql: String): String =

@@ -506,6 +506,94 @@ class OverAggSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e: streaming OVER above a CREATE VIEW source (r16)") {
+    // the event-time attribute propagates through a single-table
+    // projection/filter view (Flink semantics): the view registers in
+    // the CLI's watermark registry, so the OVER rewrite accepts it as
+    // its FROM — the view's WHERE is part of the view body, applied to
+    // input rows before the window
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-over-view")
+    val script = Files.createTempFile("graft-ov", ".sql")
+    try {
+      Files.writeString(script,
+        s"""SET execution.runtime-mode = streaming;
+           |SET execution.checkpointing.enabled = true;
+           |SET state.checkpoints.dir = file://${dir.toString}/cp;
+           |create table vsrc (
+           |  id bigint,
+           |  row_time as timestamp '2024-01-01 00:00:00' +
+           |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
+           |  watermark for row_time as row_time - interval '1' second
+           |) with (
+           |  'connector' = 'datagen',
+           |  'rows-per-second' = '100',
+           |  'fields.id.kind' = 'sequence',
+           |  'fields.id.start' = '0',
+           |  'fields.id.end' = '19'
+           |);
+           |create temporary view v_even as
+           |  select id, row_time from vsrc where id % 2 = 0;
+           |create table vsnk (id bigint, s bigint, n bigint) with (
+           |  'connector' = 'filesystem',
+           |  'path' = 'file://${dir.toString}/out',
+           |  'format' = 'parquet'
+           |);
+           |insert into vsnk
+           |SELECT id,
+           |  SUM(id) OVER (ORDER BY row_time
+           |    RANGE BETWEEN INTERVAL '5' SECOND PRECEDING AND CURRENT ROW)
+           |    AS s,
+           |  COUNT(*) OVER (ORDER BY row_time
+           |    RANGE BETWEEN INTERVAL '5' SECOND PRECEDING AND CURRENT ROW)
+           |    AS n
+           |FROM v_even;
+           |""".stripMargin)
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark),
+        durationSec = 30L).run()
+      val got = spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      // even ids 0..16 matured (watermark 18 s); the 5 s frame holds
+      // the previous 2 even rows + self
+      assert(got.keySet === (0L to 16L by 2).toSet, got.toString)
+      got.foreach { case (i, (s, n)) =>
+        val frame = (math.max(0L, i - 5) to i).filter(_ % 2 == 0)
+        assert(s === frame.sum && n === frame.size.toLong, s"id $i")
+      }
+    } finally {
+      Files.deleteIfExists(script): Unit
+    }
+  }
+
+  test("a view that renames the time column keeps the named rejection") {
+    import java.nio.file.Files
+    val script = Files.createTempFile("graft-ovr", ".sql")
+    try {
+      Files.writeString(script,
+        """SET execution.runtime-mode = streaming;
+          |create table rsrc (
+          |  id bigint,
+          |  row_time as timestamp '2024-01-01 00:00:00' +
+          |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
+          |  watermark for row_time as row_time - interval '1' second
+          |) with ('connector' = 'datagen', 'number-of-rows' = '5',
+          |  'fields.id.kind' = 'sequence',
+          |  'fields.id.start' = '0', 'fields.id.end' = '4');
+          |create temporary view v_ren as
+          |  select id, row_time as rt from rsrc;
+          |SELECT id, SUM(id) OVER (ORDER BY rt) AS s FROM v_ren;
+          |""".stripMargin)
+      val e = intercept[Exception](
+        new SqlSubmitAction(script.toString, Map.empty, Some(spark),
+          durationSec = 10L).run())
+      val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+      assert(msg.contains("WATERMARK declaration"), msg)
+    } finally {
+      Files.deleteIfExists(script): Unit
+    }
+  }
+
   test("INSERT prefix and table alias survive the splice") {
     val name = s"oa_i_${System.nanoTime()}"
     Seq(("a", ts(1), 1L, 1d)).toDF("k", "ets", "v", "d")

@@ -1205,6 +1205,56 @@ class WindowTvfSpec extends AnyFunSuite {
     assert(out.contains("window.start AS ws"))
   }
 
+  test("e2e: streaming TUMBLE TVF above a CREATE VIEW source (r16)") {
+    // the CLI's view watermark registry serves every streaming rewrite
+    // through the shared watermarkOf — a window TVF over a filter view
+    // streams exactly like one over the declared table
+    val spark = graft.SparkFixture.spark
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-tvf-view")
+    val script = Files.createTempFile("graft-tv", ".sql")
+    try {
+      Files.writeString(script,
+        s"""SET execution.runtime-mode = streaming;
+           |SET execution.checkpointing.enabled = true;
+           |SET state.checkpoints.dir = file://${dir.toString}/cp;
+           |create table tsrc (
+           |  id bigint,
+           |  row_time as timestamp '2024-01-01 00:00:00' +
+           |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
+           |  watermark for row_time as row_time - interval '1' second
+           |) with (
+           |  'connector' = 'datagen',
+           |  'rows-per-second' = '100',
+           |  'fields.id.kind' = 'sequence',
+           |  'fields.id.start' = '0',
+           |  'fields.id.end' = '29'
+           |);
+           |create temporary view t_odd as
+           |  select id, row_time from tsrc where id % 2 = 1;
+           |create table tsnk (n bigint, s bigint) with (
+           |  'connector' = 'filesystem',
+           |  'path' = 'file://${dir.toString}/out',
+           |  'format' = 'parquet'
+           |);
+           |insert into tsnk
+           |SELECT COUNT(*) AS n, SUM(id) AS s
+           |FROM TABLE(TUMBLE(TABLE t_odd, DESCRIPTOR(row_time),
+           |  INTERVAL '10' SECOND))
+           |GROUP BY window_start, window_end;
+           |""".stripMargin)
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark),
+        durationSec = 30L).run()
+      val got = spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // watermark 29-1=28 s: windows [0,10) and [10,20) closed; odd
+      // ids 1..9 and 11..19
+      assert(got === Set((5L, 25L), (5L, 75L)), got.toString)
+    } finally {
+      Files.deleteIfExists(script): Unit
+    }
+  }
+
   test("e2e: unsupported MATCH_RECOGNIZE form fails the contract, not the parser") {
     val spark = SparkFixture.spark
     // NEXT() navigation is outside the subset — the rewrite must throw
