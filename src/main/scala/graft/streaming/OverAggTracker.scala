@@ -83,7 +83,12 @@ final case class OverOut(key: String, tsMs: Long, payload: String,
   * unbounded over-aggregation (idle-state TTL is an operational
   * concern there too).
   */
-object OverAggTracker {
+// Serializable: the state-handler lambda reads the module's gauge
+// fields, so closure serialization carries the module reference
+// (deserialization resolves back to the per-JVM singleton — the
+// gauges are test-observable in local mode, where executors share
+// the driver JVM)
+object OverAggTracker extends Serializable {
 
   sealed trait Frame extends Serializable
   /** RANGE UNBOUNDED PRECEDING AND CURRENT ROW (peers included). */
@@ -98,6 +103,19 @@ object OverAggTracker {
   private def emptyAcc(i: Int): CumAcc =
     CumAcc(0L, 0, i, 0L, 0L, 0d, Long.MaxValue, Long.MinValue,
       Double.MaxValue, Double.MinValue)
+
+  /** Test-observable per-key state high-water marks (the
+    * MatchRecognize.peakWindowRows pattern): saved-state row counts
+    * and distinct-set sizes, updated at every state save. Monotonic
+    * maxima; specs reset before a run and assert the frame-declared
+    * bounds — catching an unbounded-buffering regression that output
+    * correctness alone would never show. */
+  private[graft] val peakPendingRows = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val peakHistRows = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val peakLagRows = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val peakDistinctValues = new java.util.concurrent.atomic.AtomicLong
+  private def bump(g: java.util.concurrent.atomic.AtomicLong, v: Long): Unit =
+    { g.getAndAccumulate(v, math.max(_, _)): Unit }
 
   /** Folds one row's slot `i` into `a` — the shared accumulator law
     * (first non-null value seeds the min/max sentinels, doubles merge
@@ -304,6 +322,11 @@ object OverAggTracker {
           (pending.isEmpty && hist.isEmpty && lagHist.isEmpty && !unbounded))
         state.remove()
       else {
+        bump(peakPendingRows, pending.size.toLong)
+        bump(peakHistRows, hist.size.toLong)
+        bump(peakLagRows, lagHist.size.toLong)
+        if (unbounded && runDs.nonEmpty)
+          bump(peakDistinctValues, runDs.map(_.size).max.toLong)
         state.update(OverAggState(pending.sortBy(r => (r.tsMs, r.payload)),
           hist, acc.toList,
           if (unbounded) runDs.map(_.toList.sorted).toList else Nil,

@@ -460,6 +460,89 @@ class OverAggSpec extends AnyFunSuite {
       s"FROM $name", "losslessly")
   }
 
+  test("hot-key state high-water marks are frame-bounded (randomized)") {
+    // r16: per-key state must be bounded by the FRAME DECLARATION plus
+    // the watermark-pending horizon, never by data volume — the
+    // tracker's saved-state gauges (peakPending/Hist/Lag/Distinct) are
+    // asserted against each frame kind's declared bound on a hot key
+    // fed across many micro-batches. Values are randomized; timestamps
+    // are strictly increasing 1 s apart so the horizon arithmetic is
+    // exact: pending <= one batch's arrivals + the 5 s delay span +
+    // the frontier row, hist <= N (ROWS) / the range+delay span
+    // (RANGE), lag history <= the max LAG offset, distinct sets <= the
+    // value alphabet.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.OverAggTracker
+    val rnd = new scala.util.Random(79)
+    val batchSizes = Seq.fill(12)(40 + rnd.nextInt(60))
+    def feed(overSql: String): Unit = {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, Timestamp, Long, Double)]
+      val name = s"oa_hot_${System.nanoTime()}"
+      input.toDF().toDF("k", "ets", "v", "d").createOrReplaceTempView(name)
+      val rewritten = OverAgg.rewriteStreaming(spark,
+        overSql.replace(" t ", s" $name "),
+        tb => if (tb.equalsIgnoreCase(name)) Some(("ets", "5 seconds"))
+          else None)
+      val qn = s"oa_hot_out_${System.nanoTime()}"
+      val q = spark.sql(rewritten).writeStream.format("memory")
+        .queryName(qn).outputMode("append").start()
+      try {
+        var t = 0L
+        batchSizes.foreach { sz =>
+          input.addData((0 until sz).map { _ =>
+            t += 1
+            ("h", ts(t), rnd.nextInt(7).toLong, rnd.nextInt(16) * 0.25d)
+          })
+          q.processAllAvailable()
+        }
+        assert(spark.table(qn).count() > 0)
+      } finally q.stop()
+    }
+    def reset(): Unit = {
+      OverAggTracker.peakPendingRows.set(0L)
+      OverAggTracker.peakHistRows.set(0L)
+      OverAggTracker.peakLagRows.set(0L)
+      OverAggTracker.peakDistinctValues.set(0L)
+    }
+    val maxBatch = batchSizes.max.toLong
+    // pending: rows not yet matured — at most one batch's arrivals on
+    // top of the 5 s delay span (6 rows at 1 row/s) + the frontier
+    val pendingBound = maxBatch + 8L
+
+    reset()
+    feed("SELECT k, v, SUM(v) OVER (PARTITION BY k ORDER BY ets " +
+      "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS s FROM t ")
+    assert(OverAggTracker.peakHistRows.get() <= 9L,
+      s"ROWS 9 PRECEDING held ${OverAggTracker.peakHistRows.get()} rows")
+    assert(OverAggTracker.peakPendingRows.get() <= pendingBound,
+      s"pending ${OverAggTracker.peakPendingRows.get()} > $pendingBound")
+
+    reset()
+    feed("SELECT k, v, AVG(d) OVER (PARTITION BY k ORDER BY ets " +
+      "RANGE BETWEEN INTERVAL '10' SECOND PRECEDING AND CURRENT ROW) " +
+      "AS a FROM t ")
+    // hist spans [wm - 10 s, wm) = at most 15 s behind the frontier
+    // at 1 row/s, plus the boundary rows
+    assert(OverAggTracker.peakHistRows.get() <= 18L,
+      s"RANGE 10 s held ${OverAggTracker.peakHistRows.get()} rows")
+    assert(OverAggTracker.peakPendingRows.get() <= pendingBound)
+
+    reset()
+    feed("SELECT k, v, COUNT(DISTINCT v) OVER (PARTITION BY k ORDER " +
+      "BY ets) AS cd, LAG(v, 3) OVER (PARTITION BY k ORDER BY ets) " +
+      "AS l3 FROM t ")
+    // UNBOUNDED frames keep NO row history — running accumulators
+    // only; the distinct set grows with the VALUE ALPHABET (7), not
+    // the row count; LAG keeps exactly its offset
+    assert(OverAggTracker.peakHistRows.get() === 0L)
+    assert(OverAggTracker.peakDistinctValues.get() <= 7L,
+      s"distinct set held ${OverAggTracker.peakDistinctValues.get()}")
+    assert(OverAggTracker.peakLagRows.get() <= 3L,
+      s"lag history held ${OverAggTracker.peakLagRows.get()}")
+    assert(OverAggTracker.peakPendingRows.get() <= pendingBound)
+  }
+
   test("e2e: streaming OVER aggregation through the CLI") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-over-e2e")
