@@ -542,6 +542,163 @@ object JsonIsValid {
     }
 }
 
+/** `graft_json_items(json, path)`: the SQL:2016 item SEQUENCE of a
+  * multi-value JSON path as an array of canonical JSON texts — the
+  * evaluator behind JSON_QUERY/JSON_EXISTS behavior clauses on
+  * recursive-descent (`$..name`) and multi-wildcard (`$.a[*].b[*]`)
+  * paths, which Spark's variant path grammar (field/index steps only)
+  * cannot express. Supported steps after `$`: `.name` / `['name']`
+  * member, `[n]` index, `[*]` wildcard (array → elements, anything
+  * else → the lax singleton wrap — the engine's oracle-pinned r15
+  * law), `.*` member wildcard (object → field values in document
+  * order, array → elements, scalar → nothing), and `..name` deep scan
+  * (jayway order: a node's own matching member collects before the
+  * recursion into its children — collected subtrees are re-scanned,
+  * so a `name` nested inside a `name` yields both). Member steps over
+  * a multi-item stage lax-skip items lacking the member and do NOT
+  * auto-unwrap nested arrays (the r15 spec-pinned choice). Returns
+  * SQL NULL for malformed input (same strict-parse law as
+  * [[JsonIsValid]]); missing paths yield an EMPTY array, never NULL.
+  */
+case class JsonPathItems(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_json_items expects (string json, string path), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_json_items"
+
+  override protected def nullSafeEval(json: Any, path: Any): Any = {
+    val steps = JsonPathItems.parsePath(path.asInstanceOf[UTF8String].toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_json_items: unsupported path $path (steps: .name, " +
+          "['name'], [n], [*], .*, ..name)"))
+    val root =
+      try {
+        val t = JsonPathItems.mapper.readTree(
+          json.asInstanceOf[UTF8String].toString)
+        if (t == null || t.isMissingNode) null else t
+      } catch {
+        case _: com.fasterxml.jackson.core.JacksonException => null
+      }
+    if (root == null) null
+    else new GenericArrayData(JsonPathItems.items(root, steps)
+      .map(n => UTF8String.fromString(n.toString)).toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JsonPathItems =
+    copy(left = newLeft, right = newRight)
+}
+
+object JsonPathItems {
+  import com.fasterxml.jackson.databind.JsonNode
+  import scala.jdk.CollectionConverters._
+
+  private[functions] val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
+    m
+  }
+
+  sealed trait Step
+  final case class Member(name: String) extends Step
+  final case class Deep(name: String) extends Step
+  final case class Index(i: Int) extends Step
+  case object Wild extends Step
+  case object MemberWild extends Step
+
+  /** Parses the supported multi-value path grammar; `None` marks a
+    * form outside it (the caller keeps its legacy behavior there).
+    * Shared with the dialect rewrite, which validates the LITERAL
+    * path at rewrite time so unsupported forms reject by name before
+    * any execution.
+    */
+  def parsePath(p: String): Option[Seq[Step]] = {
+    val s = p.trim
+    if (!s.startsWith("$")) return None
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Step]
+    var i = 1
+    def ident(from: Int): Option[(String, Int)] = {
+      var j = from
+      while (j < s.length &&
+        (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+      if (j == from) None else Some((s.substring(from, j), j))
+    }
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '.' if i + 1 < s.length && s.charAt(i + 1) == '.' =>
+          ident(i + 2) match {
+            case Some((n, j)) => steps += Deep(n); i = j
+            case None => return None
+          }
+        case '.' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
+          steps += MemberWild; i += 2
+        case '.' =>
+          ident(i + 1) match {
+            case Some((n, j)) => steps += Member(n); i = j
+            case None => return None
+          }
+        case '[' =>
+          val close = s.indexOf(']', i)
+          if (close < 0) return None
+          val body = s.substring(i + 1, close).trim
+          if (body == "*") steps += Wild
+          else if (body.length >= 2 &&
+              (body.head == '\'' || body.head == '"') &&
+              body.last == body.head)
+            steps += Member(body.substring(1, body.length - 1))
+          else if (body.nonEmpty && body.forall(_.isDigit))
+            steps += Index(body.toInt)
+          else return None
+          i = close + 1
+        case c if c.isWhitespace => i += 1
+        case _ => return None
+      }
+    }
+    if (steps.isEmpty) None else Some(steps.toSeq)
+  }
+
+  /** One stage of the walk per step over the current item list. */
+  private[functions] def items(root: JsonNode,
+      steps: Seq[Step]): Seq[JsonNode] =
+    steps.foldLeft(Seq(root)) { (cur, step) =>
+      step match {
+        case Member(n) => cur.flatMap(nd =>
+          if (nd.isObject && nd.has(n)) Some(nd.get(n)) else None)
+        case Index(k) => cur.flatMap(nd =>
+          if (nd.isArray && k < nd.size) Some(nd.get(k)) else None)
+        case Wild => cur.flatMap(nd =>
+          if (nd.isArray) nd.elements.asScala.toSeq else Seq(nd))
+        case MemberWild => cur.flatMap(nd =>
+          if (nd.isObject)
+            nd.fields.asScala.map(_.getValue).toSeq
+          else if (nd.isArray) nd.elements.asScala.toSeq
+          else Nil)
+        case Deep(n) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+          def rec(nd: JsonNode): Unit =
+            if (nd.isObject) {
+              // a node's own matching member collects BEFORE the
+              // recursion (jayway's scan order), and the recursion
+              // enters the collected value too
+              if (nd.has(n)) out += nd.get(n)
+              nd.fields.asScala.foreach(e => rec(e.getValue))
+            } else if (nd.isArray) nd.elements.asScala.foreach(rec)
+          cur.foreach(rec)
+          out.toSeq
+      }
+    }
+}
+
 /** Registration: temp functions on a session (for library use) and a
   * `SparkSessionExtensions` hook (for `spark.sql.extensions` wiring).
   */
@@ -557,6 +714,7 @@ object GraftFunctions {
     "graft_l2_normalize" -> (es => L2Normalize(es.head)),
     "graft_doc_pairs" -> (es => DocPairs(es.head)),
     "graft_json_valid" -> (es => JsonIsValid(es.head)),
+    "graft_json_items" -> (es => JsonPathItems(es.head, es(1))),
     "graft_lsh_bucket" -> { es =>
       if (es.size > 2) throw new IllegalArgumentException(
         s"graft_lsh_bucket takes (vector[, planes]), got ${es.size} arguments")

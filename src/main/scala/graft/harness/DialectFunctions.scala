@@ -63,17 +63,21 @@ package graft.harness
   *    ERROR raises in the matching branch. One `[*]` wildcard —
   *    trailing, or followed by field steps (`$.a[*].c`, r15) —
   *    iterates under SQL:2016 lax semantics with full clause support;
-  *    recursive descent (`..`) and multiple wildcards keep the legacy
-  *    `get_json_object` passthrough (variant paths are field/index
-  *    steps only) and reject clauses by name — an unbounded
-  *    multi-value result has no faithful wrapper semantics there.
+  *    recursive descent (`$..name`) and multi-wildcard paths (r16)
+  *    evaluate through the native `graft_json_items` item-sequence
+  *    expression (jayway scan order, the engine's lax law per step)
+  *    with the same wrapper/ON-clause rules; only paths outside that
+  *    grammar keep the legacy `get_json_object` passthrough and
+  *    reject clauses by name.
   *  - `JSON_EXISTS(e, 'path' [{TRUE|FALSE|UNKNOWN|ERROR} ON ERROR])`
   *    → a variant-based existence test (r14): a JSON `null` member
   *    renders as the text 'null' and reads PRESENT (TRUE — Flink's
   *    semantics, which get_json_object conflated with a missing
   *    path); NULL input → NULL; malformed JSON routes to the ON
-  *    ERROR outcome (default FALSE). Wildcard / recursive paths keep
-  *    the legacy extractor and reject the clause by name.
+  *    ERROR outcome (default FALSE). Recursive-descent and
+  *    multi-wildcard paths test `graft_json_items`'s sequence for at
+  *    least one item (r16); only paths outside its grammar keep the
+  *    legacy extractor and reject the clause by name.
   */
 object DialectFunctions {
 
@@ -729,17 +733,45 @@ object DialectFunctions {
           def malformedPred =
             s"NOT graft_json_valid($expr) OR try_parse_json($expr) IS NULL"
           if (hasMultiValueMarker(inner) && star.isEmpty) {
-            // general wildcard / recursive-descent paths keep the
-            // legacy passthrough: variant extraction is field/index
-            // steps only, and an unbounded multi-value result has no
-            // faithful wrapper/ON-clause semantics there
-            if (queryClauses)
-              fail("JSON_QUERY wrapper/ON clauses are supported on " +
-                "single-value paths and one [*] wildcard (optionally " +
-                s"followed by field steps) only (got $path) — other " +
-                "wildcard/recursive-descent paths run as a plain " +
-                "multi-value extraction")
-            call
+            // recursive-descent / multi-wildcard paths (r16): the
+            // native graft_json_items evaluator yields the SQL:2016
+            // item sequence (jayway scan order for `..name`, the
+            // engine's lax law per step), and the item count drives
+            // the same EMPTY/wrapper/error rules as the [*] class.
+            // Paths outside its grammar keep the legacy passthrough
+            // and reject clauses by name.
+            graft.functions.JsonPathItems.parsePath(inner) match {
+              case Some(_) =>
+                val vals = s"graft_json_items($expr, $path)"
+                def single(t: String): String = wrapper match {
+                  case "WITHOUT" =>
+                    s"(CASE WHEN startswith($t, '[') OR " +
+                      s"startswith($t, '{') THEN $t ELSE $errVal END)"
+                  case "UNCOND" => s"concat('[', $t, ']')"
+                  case _ =>
+                    s"(CASE WHEN startswith($t, '[') OR " +
+                      s"startswith($t, '{') THEN $t " +
+                      s"ELSE concat('[', $t, ']') END)"
+                }
+                val multi =
+                  if (wrapper == "WITHOUT") errVal
+                  else s"concat('[', array_join($vals, ','), ']')"
+                s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS STRING)" +
+                  s" WHEN $malformedPred THEN $malformedVal" +
+                  s" WHEN size($vals) = 0 THEN $emptyVal" +
+                  s" WHEN size($vals) = 1 THEN " +
+                  single(s"element_at($vals, 1)") +
+                  s" ELSE $multi END)"
+              case None =>
+                if (queryClauses)
+                  fail("JSON_QUERY wrapper/ON clauses are supported on " +
+                    "single-value paths, one [*] wildcard (optionally " +
+                    "followed by field steps), and the " +
+                    "graft_json_items grammar (.name / ['name'] / [n] " +
+                    s"/ [*] / .* / ..name steps) only (got $path) — " +
+                    "other paths run as a plain multi-value extraction")
+                call
+            }
           } else if (!inner.trim.startsWith("$"))
             fail(s"JSON_QUERY path must start with $$: $path")
           else if (star.isDefined) {
@@ -833,17 +865,29 @@ object DialectFunctions {
           def malformedPred =
             s"NOT graft_json_valid($expr) OR try_parse_json($expr) IS NULL"
           if (hasMultiValueMarker(inner) && star.isEmpty) {
-            // other wildcard/recursive paths keep the legacy extractor
-            // (the variant path grammar is field/index steps only); a
-            // JSON null match reads as absent there, so the behavior
-            // clause would be unfaithful — reject it by name
-            if (queryClauses)
-              fail("JSON_EXISTS ON ERROR is supported on single-value " +
-                "paths and one [*] wildcard (optionally followed by " +
-                s"field steps) only (got $path) — other wildcard/" +
-                "recursive-descent paths run as a plain multi-value " +
-                "existence check")
-            s"($call IS NOT NULL)"
+            // recursive-descent / multi-wildcard paths (r16): exists =
+            // at least one item in the native evaluator's sequence —
+            // a JSON null match reads PRESENT, which the legacy
+            // extractor conflated with absence. Paths outside the
+            // grammar keep the legacy existence check and reject the
+            // clause by name.
+            graft.functions.JsonPathItems.parsePath(inner) match {
+              case Some(_) =>
+                val vals = s"graft_json_items($expr, $path)"
+                s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS BOOLEAN)" +
+                  s" WHEN $malformedPred THEN $errVal" +
+                  s" ELSE size($vals) > 0 END)"
+              case None =>
+                if (queryClauses)
+                  fail("JSON_EXISTS ON ERROR is supported on " +
+                    "single-value paths, one [*] wildcard (optionally " +
+                    "followed by field steps), and the " +
+                    "graft_json_items grammar (.name / ['name'] / [n] " +
+                    s"/ [*] / .* / ..name steps) only (got $path) — " +
+                    "other paths run as a plain multi-value existence " +
+                    "check")
+                s"($call IS NOT NULL)"
+            }
           } else if (!inner.trim.startsWith("$"))
             fail(s"JSON_EXISTS path must start with $$: $path")
           else if (star.isDefined) {

@@ -691,9 +691,104 @@ object Dialect {
     s.sql(DialectFunctions.rewrite(flinkSql))
   }
 
+  /** JSON_QUERY/JSON_EXISTS clauses on recursive-descent (`$..b`) and
+    * multi-wildcard (`$.a[*].c[*]`) paths (r16): the native
+    * `graft_json_items` expression yields the item sequence (jayway
+    * scan order — a node's own matching member collects before the
+    * recursion, collected subtrees re-scan), and the item count
+    * drives the same EMPTY/wrapper/error rules as the `[*]` class
+    * (q111/q114). DuckDB twins the deep scan by extracting the
+    * bounded shapes' match locations explicitly in jayway order and
+    * list-filtering the misses, and the double wildcard by flattening
+    * a nested list comprehension — independent spellings of the same
+    * sequence law.
+    */
+  val q116JsonDeep: Q = Q(
+    "q116_json_deep",
+    """WITH j AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 8 AS INT)
+      |      WHEN 0 THEN '{"x":{"b":1},"b":2}'
+      |      WHEN 1 THEN '{"x":{"b":[5]}}'
+      |      WHEN 2 THEN '{"x":{"b":9}}'
+      |      WHEN 3 THEN '{"z":[{"b":3},{"b":4}]}'
+      |      WHEN 4 THEN '{"b":{"b":7}}'
+      |      WHEN 5 THEN '{"z":1}'
+      |      WHEN 6 THEN 'not json'
+      |      ELSE '{"a":[{"c":[1,2]},{"z":0},{"c":[3]}]}' END AS js
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, js, json_valid(js) AS ok,
+      |    [CAST(x AS VARCHAR)
+      |     for x in [json_extract(TRY_CAST(js AS JSON), '$.b'),
+      |               json_extract(TRY_CAST(js AS JSON), '$.b.b'),
+      |               json_extract(TRY_CAST(js AS JSON), '$.x.b'),
+      |               json_extract(TRY_CAST(js AS JSON), '$.z[0].b'),
+      |               json_extract(TRY_CAST(js AS JSON), '$.z[1].b')]
+      |     if x IS NOT NULL] AS di,
+      |    flatten(
+      |      [[CAST(y AS VARCHAR)
+      |        for y in COALESCE(
+      |          TRY_CAST(json_extract(x, '$.c') AS JSON[]), [])]
+      |       for x in COALESCE(
+      |         TRY_CAST(json_extract(TRY_CAST(js AS JSON), '$.a')
+      |           AS JSON[]), [])]) AS mi
+      |  FROM j),
+      |e AS (
+      |  SELECT doc_id, js, ok, di, mi, len(di) AS dn, len(mi) AS mn,
+      |    CASE WHEN len(di) = 1 THEN
+      |      COALESCE(json_type(TRY_CAST(di[1] AS JSON))
+      |        IN ('OBJECT', 'ARRAY'), FALSE)
+      |    ELSE FALSE END AS one_container
+      |  FROM d)
+      |SELECT doc_id,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN dn = 1 AND one_container THEN di[1]
+      |       ELSE NULL END AS d_plain,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN dn = 0 THEN '[]'
+      |       ELSE '[' || array_to_string(di, ',') || ']' END AS d_wrap,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN dn = 0 THEN NULL
+      |       WHEN dn = 1 AND one_container THEN di[1]
+      |       WHEN dn = 1 THEN '[' || di[1] || ']'
+      |       ELSE '[' || array_to_string(di, ',') || ']' END AS d_cond,
+      |  CASE WHEN NOT ok THEN FALSE ELSE dn > 0 END AS d_ex,
+      |  CASE WHEN NOT ok THEN NULL
+      |       WHEN mn = 0 THEN '[]'
+      |       ELSE '[' || array_to_string(mi, ',') || ']' END AS m_wrap,
+      |  CASE WHEN NOT ok THEN TRUE ELSE mn > 0 END AS m_ex
+      |FROM e""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents").createOrReplaceTempView("djq_docs_sf")
+    graft.functions.GraftFunctions.register(s)
+    val flinkSql =
+      """SELECT doc_id,
+        |  JSON_QUERY(js, '$..b') AS d_plain,
+        |  JSON_QUERY(js, '$..b' WITH WRAPPER EMPTY ARRAY ON EMPTY)
+        |    AS d_wrap,
+        |  JSON_QUERY(js, '$..b' WITH CONDITIONAL ARRAY WRAPPER) AS d_cond,
+        |  JSON_EXISTS(js, '$..b') AS d_ex,
+        |  JSON_QUERY(js, '$.a[*].c[*]' WITH WRAPPER EMPTY ARRAY ON EMPTY)
+        |    AS m_wrap,
+        |  JSON_EXISTS(js, '$.a[*].c[*]' TRUE ON ERROR) AS m_ex
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 8 AS INT)
+        |      WHEN 0 THEN '{"x":{"b":1},"b":2}'
+        |      WHEN 1 THEN '{"x":{"b":[5]}}'
+        |      WHEN 2 THEN '{"x":{"b":9}}'
+        |      WHEN 3 THEN '{"z":[{"b":3},{"b":4}]}'
+        |      WHEN 4 THEN '{"b":{"b":7}}'
+        |      WHEN 5 THEN '{"z":1}'
+        |      WHEN 6 THEN 'not json'
+        |      ELSE '{"a":[{"c":[1,2]},{"z":0},{"c":[3]}]}' END AS js
+        |  FROM djq_docs_sf)""".stripMargin
+    s.sql(graft.harness.DialectFunctions.rewrite(flinkSql))
+  }
+
   def all: Seq[Q] = Seq(q95Unnest, q96JsonValue, q97TumbleOffset,
     q100DialectFns, q101HopOffset, q104JsonDefault, q105LeftUnnestOrd,
     q106CumulateOffset, q107WindowGroupingSets, q108JsonOnError,
     q109JsonQuery, q110JsonExists, q111JsonWildcard, q112ZoneGrid,
-    q114JsonStarField)
+    q114JsonStarField, q116JsonDeep)
 }

@@ -214,8 +214,10 @@ class DialectFunctionsSpec extends AnyFunSuite {
       "JSON_QUERY ERROR ON EMPTY")
     raises("SELECT JSON_QUERY('{oops', '$.a' ERROR ON ERROR) AS x",
       "JSON_QUERY ERROR ON ERROR")
-    rejects("SELECT JSON_QUERY(p, '$..c' WITH ARRAY WRAPPER) FROM t",
-      "wildcard")
+    // r16: `$..c` clauses are SUPPORTED (graft_json_items); a
+    // multi-value path outside the item grammar still rejects by name
+    rejects("SELECT JSON_QUERY(p, '$..c[?(@.x)]' WITH ARRAY WRAPPER) " +
+      "FROM t", "graft_json_items grammar")
     rejects("SELECT JSON_QUERY(p, 'a.b') FROM t", "must start with $")
     rejects("SELECT JSON_EXISTS(p, '$.a' NULL ON EMPTY) FROM t", "behavior")
     rejects("SELECT JSON_VALUE(p, path_col) FROM t", "string-literal path")
@@ -301,10 +303,11 @@ class DialectFunctionsSpec extends AnyFunSuite {
       .takeWhile(_ != null).take(6)
       .flatMap(t => Option(t.getMessage)).mkString("\n")
     assert(msgs.contains("JSON_EXISTS ERROR ON ERROR"), msgs)
-    // multi-wildcard paths keep the legacy extractor; the clause rejects
+    // r16: multi-wildcard clauses are supported (graft_json_items);
+    // paths outside the item grammar still reject the clause by name
     val w = intercept[IllegalArgumentException](DialectFunctions.rewrite(
-      "SELECT JSON_EXISTS(p, '$.a[*].c[*]' TRUE ON ERROR) FROM t"))
-    assert(w.getMessage.contains("wildcard"), w.getMessage)
+      "SELECT JSON_EXISTS(p, '$..c[?(@.x)]' TRUE ON ERROR) FROM t"))
+    assert(w.getMessage.contains("graft_json_items grammar"), w.getMessage)
   }
 
   test("JSON_QUERY/JSON_EXISTS clauses on a trailing [*] wildcard (lax)") {
@@ -338,10 +341,61 @@ class DialectFunctionsSpec extends AnyFunSuite {
       false))
     assert(runE(" TRUE ON ERROR") === Seq(true, true, true, false, true,
       true, false, true))
-    // recursive descent / multiple wildcards still reject clauses
+    // paths outside the graft_json_items grammar still reject clauses
     val e = intercept[IllegalArgumentException](DialectFunctions.rewrite(
-      "SELECT JSON_QUERY(p, '$..c' WITH WRAPPER) FROM t"))
-    assert(e.getMessage.contains("wildcard"), e.getMessage)
+      "SELECT JSON_QUERY(p, '$..c[?(@.x)]' WITH WRAPPER) FROM t"))
+    assert(e.getMessage.contains("graft_json_items grammar"), e.getMessage)
+  }
+
+  test("JSON_QUERY/JSON_EXISTS clauses on recursive-descent and " +
+      "multi-wildcard paths (r16)") {
+    graft.functions.GraftFunctions.register(spark)
+    def q(call: String): Any = {
+      val r = spark.sql(DialectFunctions.rewrite(s"SELECT $call AS v")).head
+      if (r.isNullAt(0)) null else r.get(0)
+    }
+    // deep scan $..b: jayway order — a node's own matching member
+    // collects before the recursion into children; collected subtrees
+    // re-scan (the nested b inside b)
+    val j = "'" + """{"x":{"b":1},"b":{"b":2},"z":[{"b":3}]}""" + "'"
+    assert(q(s"JSON_QUERY($j, '$$..b' WITH WRAPPER)") ===
+      """[{"b":2},1,2,3]""")
+    // multi > 1 items under WITHOUT wrapper → ON ERROR (default NULL)
+    assert(q(s"JSON_QUERY($j, '$$..b')") === null)
+    assert(q(s"JSON_QUERY($j, '$$..b' EMPTY ARRAY ON ERROR)") === "[]")
+    // single deep match: WITHOUT returns a container item bare,
+    // CONDITIONAL wraps scalars only
+    val one = "'" + """{"x":{"b":[7]}}""" + "'"
+    assert(q(s"JSON_QUERY($one, '$$..b')") === "[7]")
+    val oneScalar = "'" + """{"x":{"b":9}}""" + "'"
+    assert(q(s"JSON_QUERY($oneScalar, '$$..b')") === null)
+    assert(q(s"JSON_QUERY($oneScalar, '$$..b' WITH CONDITIONAL WRAPPER)")
+      === "[9]")
+    // no match → ON EMPTY
+    assert(q(s"JSON_QUERY($one, '$$..zz' EMPTY ARRAY ON EMPTY)") === "[]")
+    assert(q(s"JSON_QUERY($one, '$$..zz')") === null)
+    // multi-wildcard: items cross the two iterations in order; member
+    // steps lax-skip items lacking the member
+    val mw = "'" +
+      """{"a":[{"b":[1,2]},{"z":0},{"b":[3]}]}""" + "'"
+    assert(q(s"JSON_QUERY($mw, '$$.a[*].b[*]' WITH WRAPPER)") === "[1,2,3]")
+    assert(q(s"JSON_EXISTS($mw, '$$.a[*].b[*]')") === true)
+    assert(q(s"JSON_EXISTS($mw, '$$.a[*].zz[*]')") === false)
+    // .* member wildcard: object field values in document order
+    val st = "'" + """{"m":{"p":1,"q":2}}""" + "'"
+    assert(q(s"JSON_QUERY($st, '$$.m.*' WITH WRAPPER)") === "[1,2]")
+    // deep-scan existence: a JSON null match reads PRESENT (the
+    // legacy extractor conflated it with absence)
+    val nn = "'" + """{"x":{"b":null}}""" + "'"
+    assert(q(s"JSON_EXISTS($nn, '$$..b')") === true)
+    assert(q(s"JSON_EXISTS($nn, '$$..zz')") === false)
+    // malformed input routes to ON ERROR in both functions
+    assert(q("JSON_EXISTS('{oops', '$..b' TRUE ON ERROR)") === true)
+    assert(q("JSON_EXISTS('{oops', '$..b')") === false)
+    assert(q("JSON_QUERY('{oops', '$..b' EMPTY OBJECT ON ERROR)") === "{}")
+    // clause-free forms take the same item semantics now (previously
+    // the legacy passthrough, where `..` never matched at all)
+    assert(q(s"JSON_QUERY($mw, '$$.a[*].b[*]')") === null)
   }
 
   test("JSON_QUERY/JSON_EXISTS clauses on [*] followed by field steps") {
