@@ -676,10 +676,23 @@ object MatchRecognize {
     * row is missing, propagated by the strict operators), so a level
     * emits its `kw((true), k)` gate only when no atom or composed gate
     * in the distributed body covers the level's own offset (same sign,
-    * magnitude ≥). Genuinely non-strict constructs (user CASE/COALESCE,
-    * AND/OR under three-valued logic, function calls) stay batch-only:
-    * anything outside the safe subset returns the predicate unchanged,
-    * so [[rejectNestedNav]]'s named batch-only error still fires.
+    * magnitude ≥).
+    *
+    * NON-STRICT constructs (r16): a user CASE, three-valued AND/OR/
+    * NOT/IS NULL, IN/BETWEEN/LIKE, and a whitelist of row-local
+    * scalar functions (COALESCE/NULLIF/IF/ABS/...) inside a navigated
+    * expression distribute token-wise too — exact because batch
+    * evaluates the STAGED expression at the navigation's target row,
+    * where every inner offset is a lag/lead column both sides see
+    * identically; the one divergence (a missing target row, whose
+    * NULLs a non-strict construct could absorb into a value) is
+    * closed by gating the whole distributed body at the outer offset
+    * unconditionally — the coverage shortcut applies to strict bodies
+    * only, and branch-internal offsets never count as covered for
+    * outer levels. Anything outside the subset (unknown function
+    * names, aggregates, qualified refs) returns the predicate
+    * unchanged, so [[rejectNestedNav]]'s named batch-only error still
+    * fires.
     */
   private[harness] def flattenSameDirNav(pred: String): String = {
     def navCalls(s: String): Seq[(Int, Int, String)] = {
@@ -710,11 +723,18 @@ object MatchRecognize {
           }
           val argFlat = flattenSameDirNav(arg)
           distributeNav(argFlat, kw, k) match {
-            case Some((d, coverage)) =>
+            case Some((d, coverage, strict)) =>
               val dOuter = if (kw == "NEXT") k.toLong else -k.toLong
-              val covered = dOuter == 0L || coverage.exists(c =>
+              // a NON-strict body (user CASE/COALESCE/boolean logic —
+              // r16) can produce non-NULL from NULL inputs, so the
+              // atom-coverage shortcut never applies: it gates at the
+              // outer offset unconditionally, which is exact — batch
+              // evaluates the staged expression AT that row, and every
+              // inner offset is a lag/lead FROM it whose missing-ness
+              // both sides see as the same NULL columns
+              val covered = dOuter == 0L || (strict && coverage.exists(c =>
                 c != 0L && (c > 0L) == (dOuter > 0L) &&
-                  math.abs(c) >= math.abs(dOuter))
+                  math.abs(c) >= math.abs(dOuter)))
               val body =
                 if (covered) s"($d)"
                 else s"(CASE WHEN $kw((true), $k) IS NOT NULL " +
@@ -735,25 +755,46 @@ object MatchRecognize {
     * pass through, and a synthetic existence-gate CASE previously
     * emitted by [[flattenSameDirNav]] composes (its gate atom shifts
     * to the net offset — dropping at net 0 — and its body distributes
-    * recursively). Returns the distributed text plus the COVERAGE set:
+    * recursively). Returns the distributed text, the COVERAGE set —
     * every net offset at which the text already enforces row existence
-    * (navigation atoms at non-zero nets, composed gate offsets) — the
+    * (navigation atoms at non-zero nets, composed gate offsets); the
     * caller gates on the intermediate row only when its own offset is
-    * uncovered. Returns None on anything unsafe (function calls,
-    * keywords, qualified refs, doubly-nested args, a CASE that is not
-    * the synthetic gate shape).
+    * uncovered — and a STRICT flag: false once any non-strict
+    * construct passed through (user CASE/boolean keywords, a
+    * whitelisted scalar function call — r16), which voids the
+    * coverage shortcut (a branch that may not evaluate enforces
+    * nothing) and forces the caller's gate; the returned coverage is
+    * emptied for the same reason. Returns None on anything outside
+    * the subset (unknown function calls, qualified refs,
+    * doubly-nested args).
     */
   private def distributeNav(
-      expr: String, kw: String, k: Int): Option[(String, Set[Long])] = {
+      expr: String, kw: String, k: Int): Option[(String, Set[Long], Boolean)] = {
     val other = if (kw == "PREV") "NEXT" else "PREV"
-    val banned = Set("AND", "OR", "NOT", "CASE", "WHEN", "THEN", "ELSE",
-      "END", "IS", "NULL", "IN", "BETWEEN", "LIKE", "TRUE", "FALSE")
+    // keywords that pass through as tokens but mark the expression
+    // NON-strict (three-valued logic / conditional evaluation /
+    // null-absorbing constructs can turn a missing row's NULL into a
+    // value — only the outer existence gate restores batch semantics)
+    val nonStrictKw = Set("AND", "OR", "NOT", "CASE", "WHEN", "THEN",
+      "ELSE", "END", "IS", "NULL", "IN", "BETWEEN", "LIKE", "TRUE",
+      "FALSE")
+    // row-local scalar functions admitted inside a navigated
+    // expression (r16): distribution shifts their column arguments
+    // like any other token; the outer gate handles null-absorption
+    // (COALESCE/NULLIF/IF and friends). Aggregates and anything not
+    // listed stay out — their semantics are not row-local.
+    val scalarFns = Set("COALESCE", "NULLIF", "IF", "IFNULL", "NVL",
+      "NVL2", "ABS", "LEAST", "GREATEST", "ROUND", "FLOOR", "CEIL",
+      "CEILING", "MOD", "POWER", "POW", "SQRT", "EXP", "LN", "LOG",
+      "SIGN", "CONCAT", "UPPER", "LOWER", "LENGTH", "TRIM", "LTRIM",
+      "RTRIM", "SUBSTRING", "SUBSTR", "REPLACE")
     val dOuter = if (kw == "NEXT") k.toLong else -k.toLong
     def render(a: String, net: Long): String =
       if (net == 0L) s"($a)"
       else if (net > 0L) s"NEXT($a, $net)"
       else s"PREV($a, ${-net})"
     val coverage = scala.collection.mutable.Set.empty[Long]
+    var strict = true
     val masked = maskQuoted(expr)
     val sb = new StringBuilder
     var i = 0
@@ -767,44 +808,56 @@ object MatchRecognize {
         var j = i
         while (j < expr.length && expr.charAt(j).isWhitespace) j += 1
         val uw = word.toUpperCase
-        if (uw == "CASE") {
-          // only the synthetic existence-gate shape this flattener
-          // itself emits composes; any other CASE is non-strict
-          parseSyntheticGate(expr, st) match {
-            case Some((gkw, gk, body, endIdx)) =>
-              val g = if (gkw == "NEXT") gk.toLong else -gk.toLong
-              val net = dOuter + g
-              distributeNav(body, kw, k) match {
-                case Some((db, cov2)) =>
-                  coverage ++= cov2
-                  if (net == 0L) sb.append(s"($db)")
-                  else {
-                    coverage += net
-                    sb.append(s"(CASE WHEN ${render("(true)", net)} " +
-                      s"IS NOT NULL THEN ($db) END)")
-                  }
-                  i = endIdx
-                case None => return None
+        if (uw == "CASE" && parseSyntheticGate(expr, st).isDefined) {
+          // the synthetic existence-gate shape this flattener itself
+          // emits composes: the gate atom shifts to its net offset
+          val Some((gkw, gk, body, endIdx)) = parseSyntheticGate(expr, st)
+          val g = if (gkw == "NEXT") gk.toLong else -gk.toLong
+          val net = dOuter + g
+          distributeNav(body, kw, k) match {
+            case Some((db, cov2, strict2)) =>
+              coverage ++= cov2
+              if (!strict2) strict = false
+              if (net == 0L) sb.append(s"($db)")
+              else {
+                coverage += net
+                sb.append(s"(CASE WHEN ${render("(true)", net)} " +
+                  s"IS NOT NULL THEN ($db) END)")
               }
+              i = endIdx
             case None => return None
           }
+        } else if (nonStrictKw.contains(uw)) {
+          // user CASE/boolean/null keywords (r16): pass through as
+          // tokens — the caller's unconditional outer gate makes the
+          // distribution exact (see flattenSameDirNav)
+          strict = false
+          sb.append(word)
         } else if (j < expr.length && expr.charAt(j) == '(') {
-          if (uw != kw && uw != other) return None // a function call
-          val e = closeParen(expr, j)
-          val (a0, k0) = splitTopLevel(expr.substring(j + 1, e - 1)) match {
-            case Seq(x) => (x.trim, 1)
-            case Seq(x, kk) if raw"^\d+$$".r.findFirstIn(kk.trim).isDefined =>
-              (x.trim, kk.trim.toInt)
-            case _ => return None
+          if (uw != kw && uw != other) {
+            // whitelisted row-local scalar calls distribute through
+            // their argument tokens (the parens and commas pass the
+            // operator branch); anything else is out of the subset
+            if (!scalarFns.contains(uw)) return None
+            strict = false
+            sb.append(word)
+            // fall through — '(' handled by the operator branch
+          } else {
+            val e = closeParen(expr, j)
+            val (a0, k0) = splitTopLevel(expr.substring(j + 1, e - 1)) match {
+              case Seq(x) => (x.trim, 1)
+              case Seq(x, kk) if raw"^\d+$$".r.findFirstIn(kk.trim).isDefined =>
+                (x.trim, kk.trim.toInt)
+              case _ => return None
+            }
+            if (hasPrev(a0) || hasNextNav(a0)) return None
+            val dIn = if (uw == "NEXT") k0.toLong else -k0.toLong
+            val net = dOuter + dIn
+            if (net != 0L) coverage += net
+            sb.append(render(a0, net))
+            i = e
           }
-          if (hasPrev(a0) || hasNextNav(a0)) return None
-          val dIn = if (uw == "NEXT") k0.toLong else -k0.toLong
-          val net = dOuter + dIn
-          if (net != 0L) coverage += net
-          sb.append(render(a0, net))
-          i = e
         } else if (uw == other) return None
-        else if (banned.contains(uw)) return None
         else if (j < expr.length && expr.charAt(j) == '.') return None // qualified
         else {
           if (dOuter != 0L) coverage += dOuter
@@ -835,11 +888,14 @@ object MatchRecognize {
         if (i < expr.length && (masked.charAt(i).isLetter ||
           masked.charAt(i) == '_')) return None
         sb.append(expr.substring(st, i))
-      } else if (c.isWhitespace || "+-*/%()<>=!".indexOf(c) >= 0) {
+      } else if (c.isWhitespace || "+-*/%()<>=!,".indexOf(c) >= 0) {
+        // ',' admits whitelisted scalar-call argument lists (r16)
         sb.append(expr.charAt(i)); i += 1
       } else return None
     }
-    Some((sb.toString, coverage.toSet))
+    // non-strict bodies void their internal coverage: an offset inside
+    // a branch that may not evaluate enforces nothing for outer levels
+    Some((sb.toString, if (strict) coverage.toSet else Set.empty, strict))
   }
 
   private val GateHeadRe =
@@ -1474,10 +1530,12 @@ object MatchRecognize {
         // exactly, mixed-direction (r14) gated on the intermediate
         // row's existence, and navigation below another navigation
         // (r15) by composing the synthetic gates to their net offsets
-        // (see flattenSameDirNav); the tracker then sees ordinary flat
-        // PREV/NEXT atoms. Unsafe shapes (non-strict operators,
-        // function calls) pass through unchanged and hit
-        // rejectNestedNav's named batch-only error below.
+        // (see flattenSameDirNav); non-strict constructs (user CASE,
+        // boolean logic, whitelisted scalar calls) distribute under an
+        // unconditional outer gate (r16); the tracker then sees
+        // ordinary flat PREV/NEXT atoms. Shapes outside the subset
+        // (unknown functions, aggregates, qualified refs) pass through
+        // unchanged and hit rejectNestedNav's named batch-only error.
         parsed.copy(defines = parsed.defines.map { case (v, p) =>
           v -> flattenSameDirNav(p) })
       }
@@ -1631,11 +1689,11 @@ object MatchRecognize {
       // like any other define, on any column type. A conjunct mixing
       // PREV with the in-matcher forms is out of the subset.
       val allVarSet = vars.toSet
-      // nested navigation that did NOT flatten above (non-strict
-      // operators, function calls in the navigated expression) is
-      // batch-only: the tracker's lag payload carries fixed per-row
-      // slots, not composed navigation — reject with the contract
-      // before conjunct splitting produces a misleading
+      // nested navigation that did NOT flatten above (unknown function
+      // names, aggregates, or qualified refs in the navigated
+      // expression) is batch-only: the tracker's lag payload carries
+      // fixed per-row slots, not composed navigation — reject with the
+      // contract before conjunct splitting produces a misleading
       // unresolved-column error
       spec.defines.values.foreach(rejectNestedNav)
       // SUBSET union names read like pattern variables: a conjunct

@@ -1695,22 +1695,40 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(MatchRecognize.flattenSameDirNav("v > NEXT(NEXT(PREV(v, 3)))")
       == "v > (((CASE WHEN NEXT((true), 2) IS NOT NULL " +
         "THEN (PREV(v, 1)) END)))")
-    // a user-written CASE inside a navigation is non-strict — the
-    // flattening must NOT compose it, so the named rejection fires
-    val userCase = "v > PREV(CASE WHEN v > 0 THEN v ELSE 0 END + PREV(v))"
-    assert(MatchRecognize.flattenSameDirNav(userCase) == userCase)
+    // a user-written CASE inside a navigation (r16): non-strict, so
+    // the distribution gates the WHOLE body at the outer offset
+    // unconditionally — batch evaluates the staged expression AT that
+    // row, and the gate reproduces exactly its missing-row NULL
+    assert(MatchRecognize.flattenSameDirNav(
+      "v > PREV(CASE WHEN v > 0 THEN v ELSE 0 END + PREV(v))")
+      == "v > (CASE WHEN PREV((true), 1) IS NOT NULL THEN " +
+        "(CASE WHEN PREV(v, 1) > 0 THEN PREV(v, 1) ELSE 0 END " +
+        "+ PREV(v, 2)) END)")
+    // whitelisted scalar calls (COALESCE & co) distribute through
+    // their argument tokens under the same gate
+    assert(MatchRecognize.flattenSameDirNav(
+      "v > PREV(coalesce(v, 0) + PREV(v))")
+      == "v > (CASE WHEN PREV((true), 1) IS NOT NULL THEN " +
+        "(coalesce(PREV(v, 1), 0) + PREV(v, 2)) END)")
+    // non-strict content voids the coverage shortcut: even though an
+    // atom lands AT the outer offset, a COALESCE can absorb its NULL,
+    // so the gate must stay
+    assert(MatchRecognize.flattenSameDirNav(
+      "v > NEXT(coalesce(PREV(v, 2), v))")
+      == "v > (CASE WHEN NEXT((true), 1) IS NOT NULL THEN " +
+        "(coalesce(PREV(v, 1), NEXT(v, 1))) END)")
     MatchRecognize.dropViews(spark, MatchRecognize.rewriteStreaming(spark,
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
         |  PATTERN (A B) DEFINE B AS v = NEXT(PREV(v)))""".stripMargin,
       _ => Some(("o", "5 seconds"))))
-    // non-strict constructs inside the navigated expression bail to
-    // the same named rejection
+    // an unknown function name inside the navigated expression still
+    // bails to the named rejection (not row-local / not whitelisted)
     val f = intercept[IllegalArgumentException](
       MatchRecognize.rewriteStreaming(spark,
         """SELECT * FROM mr_in MATCH_RECOGNIZE (
           |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n
-          |  PATTERN (A B) DEFINE B AS v > PREV(coalesce(v, 0) + PREV(v)))""".stripMargin,
+          |  PATTERN (A B) DEFINE B AS v > PREV(my_udf(v) + PREV(v)))""".stripMargin,
         _ => Some(("o", "5 seconds"))))
     assert(f.getMessage.contains("nested PREV"), s"message: ${f.getMessage}")
     // a non-lossless PREV expression type still gates with the contract
@@ -1766,6 +1784,62 @@ class MatchRecognizeSpec extends AnyFunSuite {
     } finally {
       query.stop()
       MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
+  test("streaming non-strict navigated expressions equal batch (r16)") {
+    // CASE / COALESCE inside a navigation: the distribution gates the
+    // body at the outer offset. The COALESCE define is the acid test —
+    // at the FIRST row the inner offset is missing and coalesce
+    // absorbs the NULL into 0 (a match batch also produces), while at
+    // the LAST row the OUTER row is missing and only the gate stops
+    // coalesce from fabricating a match batch never sees.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    for ((define, defineBatch) <- Seq(
+        ("vm > PREV(CASE WHEN vm > 2 THEN vm ELSE 0 END + PREV(vm))",
+          "v > PREV(CASE WHEN v > 2 THEN v ELSE 0 END + PREV(v))"),
+        ("vm > NEXT(coalesce(PREV(vm, 2), 0))",
+          "v > NEXT(coalesce(PREV(v, 2), 0))"))) {
+      val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+      val name = s"mr_ns_${System.nanoTime()}"
+      input.toDF().toDF("k", "ts", "vm").createOrReplaceTempView(name)
+      val streamSql = MatchRecognize.rewriteStreaming(spark,
+        s"""SELECT * FROM $name MATCH_RECOGNIZE (
+           |  PARTITION BY k ORDER BY ts
+           |  MEASURES LAST(A.vm) AS av
+           |  AFTER MATCH SKIP TO NEXT ROW
+           |  PATTERN (A)
+           |  DEFINE A AS $define)""".stripMargin,
+        _ => Some(("ts", "5 seconds")))
+      val qn = s"mr_ns_out_${System.nanoTime()}"
+      val query = spark.sql(streamSql).writeStream.format("memory")
+        .queryName(qn).outputMode("append").start()
+      try {
+        input.addData(("a", ts(10), 1L), ("a", ts(20), 3L),
+          ("a", ts(30), 4L), ("a", ts(40), 10L), ("z", ts(900), 0L))
+        query.processAllAvailable()
+        val got = spark.table(qn).collect()
+          .filter(_.getString(0) == "a").map(_.getLong(1)).toSet
+        // batch twin on the same rows
+        Seq((1, 1, "x", 1), (1, 2, "x", 3), (1, 3, "x", 4),
+          (1, 4, "x", 10))
+          .toDF("k", "o", "t", "v").createOrReplaceTempView("mr_in")
+        val batch = run(
+          s"""SELECT * FROM mr_in MATCH_RECOGNIZE (
+             |  PARTITION BY k ORDER BY o
+             |  MEASURES LAST(A.v) AS av
+             |  AFTER MATCH SKIP TO NEXT ROW
+             |  PATTERN (A)
+             |  DEFINE A AS $defineBatch)""".stripMargin)
+        assert(batch.map(_.last).toSet === got.map(x => x: Any), define)
+        assert(got.nonEmpty, s"no matches at all for $define")
+      } finally {
+        query.stop()
+        MatchRecognize.dropViews(spark, streamSql)
+      }
     }
   }
 
