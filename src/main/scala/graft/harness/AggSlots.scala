@@ -1,5 +1,7 @@
 package graft.harness
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The shared tracker-slot planner for SQL aggregates riding the
@@ -11,7 +13,10 @@ import org.apache.spark.sql.types._
   * 7/8 = AVG double/long, 9 = COUNT(DISTINCT),
   * 10/11 = SUM/AVG(DISTINCT integral), 12/13 = SUM/AVG(DISTINCT
   * float/double via the exact string carrier), 17/18/19/20 =
-  * VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP (central moments).
+  * VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP (central moments),
+  * 21 = distinct-set passthrough (SUM/AVG(DISTINCT decimal) — the
+  * sorted value set emits as a JSON string array and the harness
+  * finishes the arithmetic in Catalyst decimal expressions).
   */
 private[harness] object AggSlots {
 
@@ -60,8 +65,18 @@ private[harness] object AggSlots {
       case _ => None
     }
 
-  /** Plans one aggregate slot: `(tracker kind, result type, input
-    * expression)` for COUNT/SUM/MIN/MAX/AVG with optional DISTINCT.
+  /** One planned aggregate slot: the tracker kind, the type the value
+    * has inside the emitted vals JSON (`storage`), the slot input
+    * expression, and — for the set-passthrough kinds — the `finish`
+    * transform the harness applies to the decoded storage column to
+    * produce the SQL result (decimal distinct arithmetic defers to
+    * Catalyst decimal expressions this way, so the result is
+    * bit-identical to the batch aggregate). */
+  final case class Slot(kind: Int, storage: DataType, input: String,
+      finish: Option[Column => Column] = None)
+
+  /** Plans one aggregate slot for COUNT/SUM/MIN/MAX/AVG (with optional
+    * DISTINCT) and the variance family.
     * `resolve` analyzes an input expression to its type (never called
     * for `COUNT(*)`); `fail` raises the caller's contract error.
     * MIN/MAX(DISTINCT) fold to their distinct-invariant plain forms —
@@ -69,10 +84,15 @@ private[harness] object AggSlots {
     */
   def plan(fn: String, distinct: Boolean, arg: String,
       resolve: String => DataType,
-      fail: String => Nothing): (Int, DataType, String) = {
+      fail: String => Nothing): Slot = {
     def integralOf(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case FloatType | DoubleType => false
+      case other: DecimalType => fail(s"$fn($arg): plain decimal " +
+        s"aggregates (${other.simpleString}) have no exact tracker " +
+        "slot (the long/double slots would round) — cast upstream, " +
+        "use the DISTINCT form (exact via the set-passthrough slot), " +
+        "or batch runtime mode")
       case other => fail(s"$fn($arg): unsupported input " +
         s"type ${other.simpleString} (numeric only)")
     }
@@ -89,7 +109,7 @@ private[harness] object AggSlots {
       resolve(arg) match {
         case ByteType | ShortType | IntegerType | LongType |
             FloatType | DoubleType | _: DecimalType =>
-          (VarianceFns(fn), DoubleType, arg)
+          Slot(VarianceFns(fn), DoubleType, arg)
         case other => fail(s"$fn($arg): unsupported input type " +
           s"${other.simpleString} (numeric only)")
       }
@@ -99,41 +119,64 @@ private[harness] object AggSlots {
         fail(s"COUNT(DISTINCT $arg) over ${dt.simpleString} — " +
           "distinct values must ride the string state encoding " +
           "injectively; nested and binary types have no encoding"))
-      (9, LongType, enc)
+      Slot(9, LongType, enc)
     } else if (distinct && !isMinMax) { // SUM / AVG
       // distinct arithmetic keeps the value set like COUNT(DISTINCT)
       // and folds it at emission — integral inputs accumulate as exact
       // longs (kinds 10/11); float/double inputs ride the exact string
       // carrier and fold in sorted order for deterministic replay
-      // (kinds 12/13). Decimal distinct arithmetic stays batch-only
-      // (exact decimal accumulation is not in the tracker's slots).
+      // (kinds 12/13); decimal inputs (r16) ride the set-passthrough
+      // kind 21 — the tracker emits the sorted value set as a JSON
+      // string array, and the finish transform computes the aggregate
+      // with Catalyst's OWN decimal expressions (sum accumulated at
+      // Spark's sum precision p+10, AVG dividing by a DECIMAL(20,0)
+      // count and casting to Spark's Average result type), so the
+      // result is bit-identical to the batch aggregate, exact and
+      // fold-order-free.
       resolve(arg) match {
         case ByteType | ShortType | IntegerType | LongType =>
-          if (fn == "SUM") (10, LongType, arg)
-          else (11, DoubleType, arg)
+          if (fn == "SUM") Slot(10, LongType, arg)
+          else Slot(11, DoubleType, arg)
         case dt @ (FloatType | DoubleType) =>
           val enc = distinctEncode(arg, dt).get
-          if (fn == "SUM") (12, DoubleType, enc)
-          else (13, DoubleType, enc)
+          if (fn == "SUM") Slot(12, DoubleType, enc)
+          else Slot(13, DoubleType, enc)
+        case dt: DecimalType =>
+          val sumT = DecimalType(math.min(38, dt.precision + 10), dt.scale)
+          def sumOf(c: Column): Column =
+            aggregate(c, lit(0).cast(sumT),
+              (acc, x) => (acc + x.cast(dt)).cast(sumT))
+          val finish: Column => Column =
+            if (fn == "SUM") { c =>
+              when(size(c) > 0, sumOf(c)).otherwise(lit(null).cast(sumT))
+            } else { c =>
+              val avgT = DecimalType(math.min(38, dt.precision + 4),
+                math.min(38, dt.scale + 4))
+              when(size(c) > 0,
+                (sumOf(c) / size(c).cast(DecimalType(20, 0))).cast(avgT))
+                .otherwise(lit(null).cast(avgT))
+            }
+          Slot(21, ArrayType(StringType), arg, Some(finish))
         case other => fail(
           s"$fn(DISTINCT $arg) over ${other.simpleString} — " +
-            "distinct arithmetic aggregates support integral and " +
-            "float/double inputs (the value set rides the string " +
-            "state encoding); cast upstream or use batch runtime mode")
+            "distinct arithmetic aggregates support integral, " +
+            "float/double, and decimal inputs (the value set rides " +
+            "the string state encoding); cast upstream or use batch " +
+            "runtime mode")
       }
     } else if (fn == "COUNT") {
-      (0, LongType, if (arg == "*") "1" else arg)
+      Slot(0, LongType, if (arg == "*") "1" else arg)
     } else {
       // MIN/MAX(DISTINCT) land here with distinct already irrelevant
       val integral = integralOf(resolve(arg))
       fn match {
-        case "SUM" => (if (integral) 1 else 2,
+        case "SUM" => Slot(if (integral) 1 else 2,
           if (integral) LongType else DoubleType, arg)
-        case "MIN" => (if (integral) 3 else 4,
+        case "MIN" => Slot(if (integral) 3 else 4,
           if (integral) LongType else DoubleType, arg)
-        case "MAX" => (if (integral) 5 else 6,
+        case "MAX" => Slot(if (integral) 5 else 6,
           if (integral) LongType else DoubleType, arg)
-        case _ => (if (integral) 8 else 7, DoubleType, arg)
+        case _ => Slot(if (integral) 8 else 7, DoubleType, arg)
       }
     }
   }

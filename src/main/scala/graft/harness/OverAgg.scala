@@ -15,9 +15,11 @@ import org.apache.spark.sql.types._
   *     family STDDEV[_SAMP|_POP]/VAR[IANCE|_SAMP|_POP] over numeric
   *     inputs (expression inputs allowed), all sharing ONE window
   *     specification (Flink's own requirement); DISTINCT aggregates
-  *     run exactly through the value-set kinds (a surface Spark lacks
-  *     even in BATCH — "distinct window functions are not supported" —
-  *     so the spec pins hand-computed frames, not a batch twin);
+  *     run exactly through the value-set kinds, decimal inputs
+  *     included (r16 — the set-passthrough slot finishes in Catalyst
+  *     decimal arithmetic); a surface Spark lacks even in BATCH
+  *     ("distinct window functions are not supported"), so the spec
+  *     pins hand-computed frames, not a batch twin;
   *   - window: optional `PARTITION BY <simple columns>`, `ORDER BY
   *     <event-time column> [ASC]`, frame one of `RANGE|ROWS BETWEEN
   *     UNBOUNDED PRECEDING AND CURRENT ROW`, `RANGE BETWEEN INTERVAL
@@ -336,11 +338,12 @@ object OverAgg {
         Plan(a, if (a.fn == "FIRST_VALUE") 15 else 16, StringType, enc,
           dec = Some(dec))
       } else {
-        // COUNT/SUM/MIN/MAX/AVG with optional DISTINCT: the kind table
-        // is AggSlots.plan, shared with the window-TVF pass
-        val (kind, tpe, in) =
-          AggSlots.plan(a.fn, distinct, arg, resolveType, fail)
-        Plan(a, kind, tpe, in)
+        // COUNT/SUM/MIN/MAX/AVG/variance with optional DISTINCT: the
+        // kind table is AggSlots.plan, shared with the window-TVF
+        // pass; a set-passthrough slot's finish transform (decimal
+        // distinct, kind 21) rides the Plan's decode seat
+        val slot = AggSlots.plan(a.fn, distinct, arg, resolveType, fail)
+        Plan(a, slot.kind, slot.storage, slot.input, dec = slot.finish)
       }
     }
 

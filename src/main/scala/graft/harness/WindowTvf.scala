@@ -1102,12 +1102,10 @@ object WindowTvf {
       catch { case e: Exception =>
         fail(s"cannot resolve aggregate input $in: ${e.getMessage}")
       }
-    val plans: Seq[(AggItem, Int, DataType, String)] = aggs.map { a =>
+    val plans: Seq[(AggItem, AggSlots.Slot)] = aggs.map { a =>
       val distinct = a.fn.endsWith("_DISTINCT")
       val base = a.fn.stripSuffix("_DISTINCT")
-      val (kind, tpe, in) =
-        AggSlots.plan(base, distinct, a.input, resolveInput, fail)
-      (a, kind, tpe, in)
+      (a, AggSlots.plan(base, distinct, a.input, resolveInput, fail))
     }
     // per-key state groups on a to_json/from_json round-trip of the
     // GROUP BY tuple (same contract as streaming MATCH_RECOGNIZE
@@ -1125,22 +1123,23 @@ object WindowTvf {
     val keyExpr =
       if (kept.isEmpty) lit("{}")
       else to_json(struct(kept.map(col): _*))
-    val nnArr = array(plans.map(p => expr(p._4).isNotNull): _*)
+    val nnArr = array(plans.map(p => expr(p._2.input).isNotNull): _*)
     // each value slot is built ONLY for the kinds that read it: COUNT
     // reads neither (so COUNT over a non-castable array/struct never
     // builds an invalid cast), integral kinds read lv (their inputs
     // cast to long safely), double kinds read dv (an ANSI NaN→long
     // cast on an unused slot would throw otherwise)
     val lvArr = array(plans.map(p =>
-      if (AggSlots.readsLong(p._2)) coalesce(expr(p._4).cast("long"), lit(0L))
+      if (AggSlots.readsLong(p._2.kind))
+        coalesce(expr(p._2.input).cast("long"), lit(0L))
       else lit(0L)): _*)
     val dvArr = array(plans.map(p =>
-      if (AggSlots.readsDouble(p._2))
-        coalesce(expr(p._4).cast("double"), lit(0d))
+      if (AggSlots.readsDouble(p._2.kind))
+        coalesce(expr(p._2.input).cast("double"), lit(0d))
       else lit(0d)): _*)
     val svArr = array(plans.map(p =>
-      if (graft.streaming.CumulateTracker.isDistinctKind(p._2))
-        expr(p._4).cast("string")
+      if (graft.streaming.CumulateTracker.isDistinctKind(p._2.kind))
+        expr(p._2.input).cast("string")
       else lit(null).cast("string")): _*)
     val prepared = src
       // NULL event times drop from window assignment, exactly the
@@ -1151,9 +1150,9 @@ object WindowTvf {
         keyExpr.as("key"),
         graft.streaming.Watermarks.eventTimeCol(src, wmCol, "ts"),
         nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"), svArr.as("sv"))
-    val tracked = track(prepared, wmDelay, plans.map(_._2))
+    val tracked = track(prepared, wmDelay, plans.map(_._2.kind))
     val valsSchema = StructType(plans.zipWithIndex.map { case (p, i) =>
-      StructField(s"a$i", p._3, nullable = true)
+      StructField(s"a$i", p._2.storage, nullable = true)
     }.toArray)
     var ai = -1
     val outCols = items.map {
@@ -1172,10 +1171,13 @@ object WindowTvf {
         // allowNonNumericNumbers: a double aggregate can legitimately
         // produce NaN/Infinity, which the tracker emits as Jackson's
         // non-numeric tokens — without the option the whole window's
-        // aggregates would silently decode to NULL
-        from_json(col("vals"), valsSchema,
+        // aggregates would silently decode to NULL. A set-passthrough
+        // slot (decimal distinct, kind 21) finishes its arithmetic in
+        // Catalyst via the slot's finish transform.
+        val raw = from_json(col("vals"), valsSchema,
             Map("allowNonNumericNumbers" -> "true"))
-          .getField(s"a$ai").as(a.alias)
+          .getField(s"a$ai")
+        plans(ai)._2.finish.fold(raw)(f => f(raw)).as(a.alias)
     }
     val result = tracked.select(outCols: _*)
     val view = s"graft_tvf_${tvfViewCounter.incrementAndGet()}"

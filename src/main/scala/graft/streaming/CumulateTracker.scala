@@ -75,10 +75,15 @@ object CumulateTracker {
     * double kinds re-parse the exact string carrier and fold in
     * SORTED order so replay is deterministic (double addition is not
     * associative; a hash-set iteration order must never reach the
-    * sum). Shared with [[GridAggTracker]] and the harness slot
-    * builder.
+    * sum). Kind 21 (r16) is the distinct-set PASSTHROUGH: the sorted
+    * value set emits verbatim as a JSON string array, and the harness
+    * finishes the arithmetic in Catalyst decimal expressions
+    * (SUM/AVG(DISTINCT decimal) — exact and fold-order-free, so no
+    * in-tracker fold is needed at all). Shared with
+    * [[GridAggTracker]] and the harness slot builder.
     */
-  private[graft] def isDistinctKind(k: Int): Boolean = k >= 9 && k <= 13
+  private[graft] def isDistinctKind(k: Int): Boolean =
+    (k >= 9 && k <= 13) || k == 21
 
   /** The variance-family kinds: 17 = VAR_POP, 18 = VAR_SAMP,
     * 19 = STDDEV_POP, 20 = STDDEV_SAMP. All four accumulate the same
@@ -146,6 +151,11 @@ object CumulateTracker {
     case 12 => if (ds.isEmpty) None else Some(fmtD(distinctDoubleSum(ds)))
     case 13 => if (ds.isEmpty) None
       else Some(fmtD(distinctDoubleSum(ds) / ds.size))
+    // set passthrough: the sorted value set as a JSON string array —
+    // the harness finishes the arithmetic (decimal texts are
+    // [-0-9.]-only, but escape anyway: the carrier contract is general)
+    case 21 => if (ds.isEmpty) None
+      else Some(ds.toSeq.sorted.map(jsonText).mkString("[", ",", "]"))
     // variance family (kinds 17-20): Spark's ANSI-default divide-by-
     // zero results, pinned empirically — a single-row *_SAMP is SQL
     // NULL (with ANSI off Spark would emit NaN instead), a single-row
@@ -158,6 +168,18 @@ object CumulateTracker {
     case 20 => if (a.cnt <= 1) None
       else Some(fmtD(math.sqrt(a.m2 / (a.cnt - 1L).toDouble)))
     case _ => if (a.cnt == 0) None else Some(fmtD(a.sumL.toDouble / a.cnt))
+  }
+
+  /** JSON string literal for a carried set value (kind 21). */
+  private def jsonText(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
   }
 
   /** JSON number text for a double aggregate value — integral-valued

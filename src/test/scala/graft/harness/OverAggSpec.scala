@@ -220,6 +220,18 @@ class OverAggSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(run === Seq((10L, 1L), (20L, 2L), (30L, 2L), (45L, 2L),
       (70L, 2L)))
+    // decimal distinct (r16, kind 21): running SUM over the distinct
+    // set, exact Catalyst decimal arithmetic — d values 1.5/2.5 dedup
+    val dec = runStreaming(
+      """SELECT ets,
+        |  SUM(DISTINCT CAST(d AS DECIMAL(7,2)))
+        |    OVER (PARTITION BY k ORDER BY ets) AS sd
+        |FROM t """.stripMargin, rows)
+      .map(r => (r(0).asInstanceOf[Timestamp].getTime / 1000L,
+        Option(r(1)).map(_.toString).orNull))
+      .sortBy(_._1)
+    assert(dec === Seq((10L, "1.50"), (20L, "1.50"), (30L, "4.00"),
+      (45L, "4.00"), (70L, "4.00")))
   }
 
   test("LAG equals batch: positional, typed through the carrier, " +

@@ -312,9 +312,14 @@ class WindowTvfSpec extends AnyFunSuite {
         "TUMBLE(TABLE tvf_var_in, DESCRIPTOR(ts), INTERVAL '2' MINUTE)",
         "SESSION(TABLE tvf_var_in PARTITION BY k, DESCRIPTOR(ts), " +
           "INTERVAL '30' SECOND)")) {
+      // the decimal-distinct columns (r16, kind 21) ride along: exact
+      // set passthrough + Catalyst decimal finish, compared exactly
+      // (the approxEq helper only relaxes java.lang.Double cells)
       val stmt = s"SELECT k, window_start, window_end, " +
         "COUNT(DISTINCT u) AS du, STDDEV_SAMP(v) AS ss, " +
-        "VAR_POP(d) AS vp, STDDEV_POP(d) AS sp, VAR_SAMP(v) AS vs " +
+        "VAR_POP(d) AS vp, STDDEV_POP(d) AS sp, VAR_SAMP(v) AS vs, " +
+        "SUM(DISTINCT CAST(d AS DECIMAL(9,2))) AS sdd, " +
+        "AVG(DISTINCT CAST(d AS DECIMAL(9,2))) AS add2 " +
         s"FROM TABLE($tvf) GROUP BY k, window_start, window_end"
       val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq)
       val streamSql = WindowTvf.rewriteStreaming(stmt, spark,

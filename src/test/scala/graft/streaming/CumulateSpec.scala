@@ -563,6 +563,48 @@ class CumulateSpec extends AnyFunSuite {
     } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
   }
 
+  test("SUM/AVG(DISTINCT decimal) match the batch TVF exactly") {
+    // r16 (kind 21): decimal distinct arithmetic rides the
+    // set-passthrough slot — the tracker emits the sorted value set
+    // and the harness finishes in Catalyst decimal expressions, so
+    // results are exact, fold-order-free, and bit-identical to batch
+    // (sum at Spark's p+10 precision, AVG via the DECIMAL(20,0) count
+    // division cast to Spark's Average result type)
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 200).map { i =>
+      (s"k${i % 3}", ts(rnd.nextInt(900).toLong),
+        if (i % 9 == 0) null
+        else new java.math.BigDecimal(rnd.nextInt(800))
+          .movePointLeft(2).add(new java.math.BigDecimal(i % 4)))
+    }
+    rows.toDF("k", "ts", "v")
+      .selectExpr("k", "ts", "CAST(v AS DECIMAL(7,2)) AS v")
+      .createOrReplaceTempView("cum_decd_in")
+    val stmt =
+      """SELECT k, window_start, window_end, SUM(DISTINCT v) AS sd,
+        |  AVG(DISTINCT v) AS ad, COUNT(DISTINCT v) AS cd, COUNT(v) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_decd_in, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    val batchDf = spark.sql(WindowTvf.rewrite(stmt))
+    val batch = batchDf.collect().map(_.toSeq).toSet
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamedDf = spark.sql(streamSql)
+      // the finished columns carry Spark's own aggregate result types
+      assert(streamedDf.schema("sd").dataType ===
+        batchDf.schema("sd").dataType)
+      assert(streamedDf.schema("ad").dataType ===
+        batchDf.schema("ad").dataType)
+      val streamed = streamedDf.collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      // dedup actually exercised: some window saw a repeated value
+      assert(batch.exists(r =>
+        r(5).asInstanceOf[Long] < r(6).asInstanceOf[Long]))
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+  }
+
   test("STDDEV/VAR aggregates match the batch TVF (moment law)") {
     // r16: the variance family streams through the central-moment
     // slots (kinds 17-20). The tracker runs Spark's own
