@@ -403,19 +403,26 @@ class CumulateSpec extends AnyFunSuite {
         WindowTvf.rewriteStreaming(stmt, spark, _ => Some(("ts", "5 seconds"))))
       assert(e.getMessage.contains(needle), s"message: ${e.getMessage}")
     }
-    // distinct aggregates cover integral/string (r14) and float/double
-    // (r15) inputs; DECIMAL distinct ARITHMETIC stays batch-only and
-    // rejects by name
+    // distinct arithmetic covers integral (r14), float/double (r15),
+    // and decimal (r16) inputs; a PLAIN decimal aggregate still
+    // rejects by name (no exact tracker slot), as does distinct
+    // arithmetic over a non-numeric type
     Seq(("x", ts(1), 1L, new java.math.BigDecimal("2.50")))
       .toDF("k", "ts", "v", "dv")
       .withColumn("dv", $"dv".cast("decimal(10,2)"))
       .createOrReplaceTempView("cum_rej_sumd")
     rejects(
-      """SELECT k, window_start, window_end, SUM(DISTINCT dv) AS n
+      """SELECT k, window_start, window_end, SUM(dv) AS n
         |FROM TABLE(CUMULATE(TABLE cum_rej_sumd, DESCRIPTOR(ts),
         |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
         |GROUP BY k, window_start, window_end""".stripMargin,
-      "integral and float/double")
+      "plain decimal")
+    rejects(
+      """SELECT k, window_start, window_end, SUM(DISTINCT k) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_rej_sumd, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin,
+      "integral, float/double, and decimal")
     // WHERE on source columns is supported since r13b (pre-filters the
     // tracker input); a JOIN in the between-region still rejects
     rejects(
