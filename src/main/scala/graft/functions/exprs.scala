@@ -657,7 +657,12 @@ object JsonPathItems {
               body.last == body.head)
             steps += Member(body.substring(1, body.length - 1))
           else if (body.nonEmpty && body.forall(_.isDigit))
-            steps += Index(body.toInt)
+            // length-bounded so an over-Int index falls to None (the
+            // caller's named rejection) instead of a NumberFormat crash
+            body.toIntOption match {
+              case Some(ix) => steps += Index(ix)
+              case None => return None
+            }
           else return None
           i = close + 1
         case c if c.isWhitespace => i += 1

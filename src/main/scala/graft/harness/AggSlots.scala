@@ -90,9 +90,9 @@ private[harness] object AggSlots {
       case FloatType | DoubleType => false
       case other: DecimalType => fail(s"$fn($arg): plain decimal " +
         s"aggregates (${other.simpleString}) have no exact tracker " +
-        "slot (the long/double slots would round) — cast upstream, " +
-        "use the DISTINCT form (exact via the set-passthrough slot), " +
-        "or batch runtime mode")
+        "slot (the long/double slots would round) — cast upstream or " +
+        "use batch runtime mode (SUM/AVG(DISTINCT decimal) do stream " +
+        "exactly via the set-passthrough slot)")
       case other => fail(s"$fn($arg): unsupported input " +
         s"type ${other.simpleString} (numeric only)")
     }

@@ -742,7 +742,10 @@ object DialectFunctions {
             // and reject clauses by name.
             graft.functions.JsonPathItems.parsePath(inner) match {
               case Some(_) =>
-                val vals = s"graft_json_items($expr, $path)"
+                // the item sequence BINDS ONCE to a lambda variable
+                // (transform over a one-element array): the 0/1/n
+                // dispatch reads the bound array, never re-running the
+                // document parse + path walk per reference
                 def single(t: String): String = wrapper match {
                   case "WITHOUT" =>
                     s"(CASE WHEN startswith($t, '[') OR " +
@@ -755,13 +758,17 @@ object DialectFunctions {
                 }
                 val multi =
                   if (wrapper == "WITHOUT") errVal
-                  else s"concat('[', array_join($vals, ','), ']')"
+                  else s"concat('[', array_join(gji_v, ','), ']')"
+                val dispatch =
+                  s"CASE WHEN size(gji_v) = 0 THEN $emptyVal" +
+                    s" WHEN size(gji_v) = 1 THEN " +
+                    single("element_at(gji_v, 1)") +
+                    s" ELSE $multi END"
                 s"(CASE WHEN ($expr) IS NULL THEN CAST(NULL AS STRING)" +
                   s" WHEN $malformedPred THEN $malformedVal" +
-                  s" WHEN size($vals) = 0 THEN $emptyVal" +
-                  s" WHEN size($vals) = 1 THEN " +
-                  single(s"element_at($vals, 1)") +
-                  s" ELSE $multi END)"
+                  s" ELSE element_at(transform(" +
+                  s"array(graft_json_items($expr, $path)), " +
+                  s"gji_v -> $dispatch), 1) END)"
               case None =>
                 if (queryClauses)
                   fail("JSON_QUERY wrapper/ON clauses are supported on " +

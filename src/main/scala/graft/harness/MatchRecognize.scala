@@ -778,6 +778,13 @@ object MatchRecognize {
     val nonStrictKw = Set("AND", "OR", "NOT", "CASE", "WHEN", "THEN",
       "ELSE", "END", "IS", "NULL", "IN", "BETWEEN", "LIKE", "TRUE",
       "FALSE")
+    // keywords that signal NON-row-local content (subqueries, the
+    // SQL-standard SUBSTRING ... FROM ... FOR form, quantified
+    // comparisons): distribution would wrap their tokens as spurious
+    // columns, so bail to the named batch-only rejection instead
+    val bailKw = Set("SELECT", "FROM", "WHERE", "EXISTS", "ANY", "ALL",
+      "SOME", "JOIN", "UNION", "FOR", "ESCAPE", "GROUP", "ORDER",
+      "HAVING", "DISTINCT")
     // row-local scalar functions admitted inside a navigated
     // expression (r16): distribution shifts their column arguments
     // like any other token; the outer gate handles null-absorption
@@ -827,6 +834,8 @@ object MatchRecognize {
               i = endIdx
             case None => return None
           }
+        } else if (bailKw.contains(uw)) {
+          return None
         } else if (nonStrictKw.contains(uw)) {
           // user CASE/boolean/null keywords (r16): pass through as
           // tokens — the caller's unconditional outer gate makes the

@@ -54,7 +54,7 @@ final class SqlSubmitAction(
     mutable.LinkedHashMap.empty
 
   private val CreateViewRe = (raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?" +
-    raw"(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.`]+)" +
+    raw"(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)" +
     raw"\s+AS\b(.*)$$").r
   private val DropViewRe = (raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+" +
     raw"(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$$").r
@@ -62,9 +62,24 @@ final class SqlSubmitAction(
     raw"FROM\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!WHERE\b)[A-Za-z_]\w*)?" +
     raw"(?:\s+WHERE\b.*)?;?\s*$$").r
 
+  /** True when this CREATE VIEW statement is a Spark NO-OP: an
+    * `IF NOT EXISTS` form whose view already exists keeps the OLD
+    * definition, so the registry must not be updated from the NEW
+    * statement's text. Checked BEFORE execution. */
+  private def isViewCreateNoOp(spark: SparkSession, sql: String): Boolean =
+    CreateViewRe.findFirstMatchIn(sql).exists(m =>
+      m.group(1) != null && scala.util.Try(
+        spark.catalog.tableExists(DdlParser.unquoteName(m.group(2))))
+        .getOrElse(false))
+
   /** Tracks CREATE/DROP VIEW statements' effect on the event-time
     * registry; called after the statement executed (so the view
-    * exists and its resolved schema is inspectable). */
+    * exists and its resolved schema is inspectable). A view records
+    * only when its output carries a field that (a) NAMES the source's
+    * event-time column and (b) still carries the propagated
+    * event-time delay TAG — the tag is what proves the field IS the
+    * watermarked attribute; a different column renamed to that name
+    * has no tag and stays unrecorded. */
   private def recordViewWatermark(spark: SparkSession, sql: String): Unit = {
     def evict(name: String): Unit =
       viewWatermarks.keys.find(_.equalsIgnoreCase(name))
@@ -72,19 +87,22 @@ final class SqlSubmitAction(
     DropViewRe.findFirstMatchIn(sql).foreach(m =>
       evict(DdlParser.unquoteName(m.group(1))))
     CreateViewRe.findFirstMatchIn(sql).foreach { m =>
-      val name = DdlParser.unquoteName(m.group(1))
+      val name = DdlParser.unquoteName(m.group(2))
       evict(name)
-      val body = MatchRecognize.maskQuoted(m.group(2))
+      val body = MatchRecognize.maskQuoted(m.group(3))
       // single-relation projection/filter bodies only: a JOIN, GROUP
       // BY, set op, or subquery FROM has no single propagated time
       // attribute to speak for
       if (raw"(?is)\b(JOIN|GROUP\s+BY|UNION|INTERSECT|EXCEPT)\b".r
           .findFirstIn(body).isEmpty) {
+        val delayKey = org.apache.spark.sql.catalyst.plans.logical
+          .EventTimeWatermark.delayKey
         for {
-          bm <- ViewBodyRe.findFirstMatchIn(m.group(2))
+          bm <- ViewBodyRe.findFirstMatchIn(m.group(3))
           (col, delay) <- watermarkOf(bm.group(1))
           if scala.util.Try(spark.table(name).schema).toOption
-            .exists(_.fieldNames.exists(_.equalsIgnoreCase(col)))
+            .exists(_.exists(f => f.name.equalsIgnoreCase(col) &&
+              f.metadata.contains(delayKey)))
         } viewWatermarks(name) = (col, delay)
       }
     }
@@ -315,6 +333,11 @@ final class SqlSubmitAction(
             // eagerly, a temp view stores the ANALYZED plan (Spark
             // >= 3.2), and a permanent view referencing a temp view
             // fails at creation regardless
+            // an IF NOT EXISTS create over an EXISTING view is a
+            // Spark no-op keeping the old definition — decided before
+            // execution, so the registry never updates from the
+            // ignored statement's text
+            val viewNoOp = isViewCreateNoOp(spark, st.sql)
             val rewritten = rewriteFlinkDialect(spark, config, st.sql)
             try spark.sql(rewritten)
             finally MatchRecognize.dropViews(spark, rewritten)
@@ -322,7 +345,7 @@ final class SqlSubmitAction(
             // later streaming statements can window/aggregate OVER the
             // view (classified from the ORIGINAL text — the rewrite
             // never rewrites the CREATE VIEW header)
-            recordViewWatermark(spark, st.sql)
+            if (!viewNoOp) recordViewWatermark(spark, st.sql)
         }
       } catch {
         case e: Exception =>

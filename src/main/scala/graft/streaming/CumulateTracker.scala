@@ -170,8 +170,11 @@ object CumulateTracker {
     case _ => if (a.cnt == 0) None else Some(fmtD(a.sumL.toDouble / a.cnt))
   }
 
-  /** JSON string literal for a carried set value (kind 21). */
-  private def jsonText(s: String): String = {
+  /** JSON string literal for a carried state value — the one escape
+    * routine for every string the trackers embed in their vals JSON
+    * (the kind-21 set carrier here, the LAG/FIRST/LAST value carrier
+    * in [[OverAggTracker]]). */
+  private[streaming] def jsonText(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '"' => sb.append("\\\"")

@@ -153,17 +153,9 @@ object OverAggTracker extends Serializable {
   private[streaming] val FirstValueKind = 15
   private[streaming] val LastValueKind = 16
 
-  /** JSON string literal for a carried LAG value. */
-  private def jsonStr(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.append('"').toString
-  }
+  /** JSON string literal for a carried LAG/FIRST/LAST value — the
+    * shared tracker escape routine. */
+  private def jsonStr(s: String): String = CumulateTracker.jsonText(s)
 
   def track(events: Dataset[OverEvent], watermarkDelay: String,
       kinds: Seq[Int], frame: Frame, lags: Seq[Int]): Dataset[OverOut] = {

@@ -86,9 +86,12 @@ object StateFormat {
 
   /** Bump when [[CumulateState]]/[[CumulateEvent]] change shape.
     * v1 = (nn, lv, dv) slots; v2 = + sv slot and CumAcc.ds distinct
-    * set (COUNT(DISTINCT) support, round 14).
+    * set (COUNT(DISTINCT) support, round 14); v3 = CumAcc gains the
+    * m1/m2 central-moment fields (variance family, round 16) — the
+    * encoder schema changed for EVERY query's state, so a v2
+    * checkpoint must fail the named check, not the encoder.
     */
-  val CumulateTrackerVersion = 2
+  val CumulateTrackerVersion = 3
 
   /** Bump when [[TopNState]]/[[RankEntry]] change shape.
     * v1 = per-key (ws, entries) windows (round 12);
@@ -115,20 +118,25 @@ object StateFormat {
 
   /** Bump when [[GridAggState]]/[[GridEvent]] change shape (the
     * pinned-window aggregation tracker behind DST-region zone grids,
-    * round 14).
+    * round 14). v2 = GridAcc gains the m1/m2 central-moment fields
+    * (variance family, round 16).
     */
-  val GridAggTrackerVersion = 1
+  val GridAggTrackerVersion = 2
 
   /** Bump when [[SessionAggState]]/[[OpenSess]] change shape (the
     * gap-merge aggregation tracker behind exact distinct aggregates in
-    * streaming SESSION windows, round 15).
+    * streaming SESSION windows, round 15). v2 = the embedded CumAcc
+    * gains the m1/m2 central-moment fields (variance family,
+    * round 16).
     */
-  val SessionAggTrackerVersion = 1
+  val SessionAggTrackerVersion = 2
 
   /** Bump when [[OverAggState]]/[[OverEvent]] change shape (the
-    * event-time OVER aggregation tracker, round 15).
+    * event-time OVER aggregation tracker, round 15). v2 = the
+    * embedded CumAcc accumulators gain the m1/m2 central-moment
+    * fields (variance family, round 16).
     */
-  val OverAggTrackerVersion = 1
+  val OverAggTrackerVersion = 2
 
   private val FileName = "graft-state-format.json"
 

@@ -1717,6 +1717,13 @@ class MatchRecognizeSpec extends AnyFunSuite {
       "v > NEXT(coalesce(PREV(v, 2), v))")
       == "v > (CASE WHEN NEXT((true), 1) IS NOT NULL THEN " +
         "(coalesce(PREV(v, 1), NEXT(v, 1))) END)")
+    // non-row-local content (an IN subquery, SQL-standard SUBSTRING
+    // FROM) bails unchanged — the named rejection, never distributed
+    // tokens wrapped as spurious columns
+    val sub = "v > PREV(x IN (SELECT 1 FROM t) AND PREV(v))"
+    assert(MatchRecognize.flattenSameDirNav(sub) == sub)
+    val sfrom = "v > PREV(SUBSTRING(s FROM 1 FOR 2) || PREV(s))"
+    assert(MatchRecognize.flattenSameDirNav(sfrom) == sfrom)
     MatchRecognize.dropViews(spark, MatchRecognize.rewriteStreaming(spark,
       """SELECT * FROM mr_in MATCH_RECOGNIZE (
         |  PARTITION BY k ORDER BY o MEASURES COUNT(*) AS n

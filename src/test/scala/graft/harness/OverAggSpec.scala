@@ -679,6 +679,31 @@ class OverAggSpec extends AnyFunSuite {
           |  select id, row_time as rt from rsrc;
           |SELECT id, SUM(id) OVER (ORDER BY rt) AS s FROM v_ren;
           |""".stripMargin)
+      // a view renaming ANOTHER column to the event-time NAME must not
+      // register either: the name matches but the field lacks the
+      // propagated delay tag — the registry demands both
+      val imposter = Files.createTempFile("graft-ovi", ".sql")
+      Files.writeString(imposter,
+        """SET execution.runtime-mode = streaming;
+          |create table isrc (
+          |  id bigint,
+          |  row_time as timestamp '2024-01-01 00:00:00' +
+          |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
+          |  watermark for row_time as row_time - interval '1' second
+          |) with ('connector' = 'datagen', 'number-of-rows' = '5',
+          |  'fields.id.kind' = 'sequence',
+          |  'fields.id.start' = '0', 'fields.id.end' = '4');
+          |create temporary view v_imp as
+          |  select cast(id as timestamp) as row_time, row_time as x
+          |  from isrc;
+          |SELECT SUM(1) OVER (ORDER BY row_time) AS s FROM v_imp;
+          |""".stripMargin)
+      val ei = intercept[Exception](
+        new SqlSubmitAction(imposter.toString, Map.empty, Some(spark),
+          durationSec = 10L).run())
+      val mi = Option(ei.getCause).fold(ei.getMessage)(_.getMessage)
+      assert(mi.contains("WATERMARK declaration"), mi)
+      Files.deleteIfExists(imposter): Unit
       val e = intercept[Exception](
         new SqlSubmitAction(script.toString, Map.empty, Some(spark),
           durationSec = 10L).run())
