@@ -575,11 +575,19 @@ case class JsonPathItems(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_json_items"
 
+  // the path is a validated literal in all generated SQL: parse it
+  // once per query, not once per row (the per-row fallback serves a
+  // hand-written non-foldable path argument)
+  @transient private lazy val foldableSteps
+      : Option[Seq[JsonPathItems.Step]] =
+    if (right.foldable)
+      Option(right.eval(null))
+        .map(p => JsonPathItems.parse(p.asInstanceOf[UTF8String]))
+    else None
+
   override protected def nullSafeEval(json: Any, path: Any): Any = {
-    val steps = JsonPathItems.parsePath(path.asInstanceOf[UTF8String].toString)
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft_json_items: unsupported path $path (steps: .name, " +
-          "['name'], [n], [*], .*, ..name)"))
+    val steps = foldableSteps.getOrElse(
+      JsonPathItems.parse(path.asInstanceOf[UTF8String]))
     val root =
       try {
         val t = JsonPathItems.mapper.readTree(
@@ -601,6 +609,14 @@ case class JsonPathItems(left: Expression, right: Expression)
 object JsonPathItems {
   import com.fasterxml.jackson.databind.JsonNode
   import scala.jdk.CollectionConverters._
+
+  /** [[parsePath]] with the expression's contract error on a path
+    * outside the grammar. */
+  private[functions] def parse(path: UTF8String): Seq[Step] =
+    parsePath(path.toString).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_json_items: unsupported path $path (steps: .name, " +
+          "['name'], [n], [*], .*, ..name)"))
 
   private[functions] val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()

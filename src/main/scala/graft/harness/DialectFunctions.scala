@@ -732,6 +732,19 @@ object DialectFunctions {
             else onErrorDefault.getOrElse("CAST(NULL AS STRING)")
           def malformedPred =
             s"NOT graft_json_valid($expr) OR try_parse_json($expr) IS NULL"
+          // the SQL:2016 single-item wrapper rules, shared by the [*]
+          // class and the graft_json_items class: WITHOUT returns a
+          // container bare and errors a scalar; UNCONDITIONAL always
+          // wraps; CONDITIONAL wraps scalars only
+          def single(t: String): String = wrapper match {
+            case "WITHOUT" =>
+              s"(CASE WHEN startswith($t, '[') OR startswith($t, '{') " +
+                s"THEN $t ELSE $errVal END)"
+            case "UNCOND" => s"concat('[', $t, ']')"
+            case _ =>
+              s"(CASE WHEN startswith($t, '[') OR startswith($t, '{') " +
+                s"THEN $t ELSE concat('[', $t, ']') END)"
+          }
           if (hasMultiValueMarker(inner) && star.isEmpty) {
             // recursive-descent / multi-wildcard paths (r16): the
             // native graft_json_items evaluator yields the SQL:2016
@@ -746,16 +759,6 @@ object DialectFunctions {
                 // (transform over a one-element array): the 0/1/n
                 // dispatch reads the bound array, never re-running the
                 // document parse + path walk per reference
-                def single(t: String): String = wrapper match {
-                  case "WITHOUT" =>
-                    s"(CASE WHEN startswith($t, '[') OR " +
-                      s"startswith($t, '{') THEN $t ELSE $errVal END)"
-                  case "UNCOND" => s"concat('[', $t, ']')"
-                  case _ =>
-                    s"(CASE WHEN startswith($t, '[') OR " +
-                      s"startswith($t, '{') THEN $t " +
-                      s"ELSE concat('[', $t, ']') END)"
-                }
                 val multi =
                   if (wrapper == "WITHOUT") errVal
                   else s"concat('[', array_join(gji_v, ','), ']')"
@@ -795,15 +798,6 @@ object DialectFunctions {
             val bv =
               s"to_json(try_variant_get(try_parse_json($expr), $baseLit))"
             val isArr = s"startswith($bv, '[')"
-            def single(t: String): String = wrapper match {
-              case "WITHOUT" =>
-                s"(CASE WHEN startswith($t, '[') OR startswith($t, '{') " +
-                  s"THEN $t ELSE $errVal END)"
-              case "UNCOND" => s"concat('[', $t, ']')"
-              case _ =>
-                s"(CASE WHEN startswith($t, '[') OR startswith($t, '{') " +
-                  s"THEN $t ELSE concat('[', $t, ']') END)"
-            }
             if (suffix.isEmpty) {
               val ev =
                 s"to_json(try_variant_get(try_parse_json($bv), '$$[0]'))"

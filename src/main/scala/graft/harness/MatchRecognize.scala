@@ -781,7 +781,12 @@ object MatchRecognize {
     // keywords that signal NON-row-local content (subqueries, the
     // SQL-standard SUBSTRING ... FROM ... FOR form, quantified
     // comparisons): distribution would wrap their tokens as spurious
-    // columns, so bail to the named batch-only rejection instead
+    // columns, so bail to the named batch-only rejection instead.
+    // Deliberate cost: a bare column literally NAMED one of these SQL
+    // words inside nested navigation takes the rejection too — the
+    // token scan cannot tell keyword position from identifier
+    // position, and a misleading unresolved-column error on a
+    // distributed subquery would be worse
     val bailKw = Set("SELECT", "FROM", "WHERE", "EXISTS", "ANY", "ALL",
       "SOME", "JOIN", "UNION", "FOR", "ESCAPE", "GROUP", "ORDER",
       "HAVING", "DISTINCT")
@@ -815,10 +820,11 @@ object MatchRecognize {
         var j = i
         while (j < expr.length && expr.charAt(j).isWhitespace) j += 1
         val uw = word.toUpperCase
-        if (uw == "CASE" && parseSyntheticGate(expr, st).isDefined) {
+        val gate = if (uw == "CASE") parseSyntheticGate(expr, st) else None
+        if (gate.isDefined) {
           // the synthetic existence-gate shape this flattener itself
           // emits composes: the gate atom shifts to its net offset
-          val Some((gkw, gk, body, endIdx)) = parseSyntheticGate(expr, st)
+          val (gkw, gk, body, endIdx) = gate.get
           val g = if (gkw == "NEXT") gk.toLong else -gk.toLong
           val net = dOuter + g
           distributeNav(body, kw, k) match {

@@ -98,7 +98,10 @@ final class SqlSubmitAction(
         val delayKey = org.apache.spark.sql.catalyst.plans.logical
           .EventTimeWatermark.delayKey
         for {
-          bm <- ViewBodyRe.findFirstMatchIn(m.group(3))
+          // matched on the MASKED body (identifiers survive masking):
+          // a string literal containing ' FROM x' must never capture
+          // a bogus source table
+          bm <- ViewBodyRe.findFirstMatchIn(body)
           (col, delay) <- watermarkOf(bm.group(1))
           if scala.util.Try(spark.table(name).schema).toOption
             .exists(_.exists(f => f.name.equalsIgnoreCase(col) &&

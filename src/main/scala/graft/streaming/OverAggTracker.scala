@@ -117,18 +117,20 @@ object OverAggTracker extends Serializable {
   private def bump(g: java.util.concurrent.atomic.AtomicLong, v: Long): Unit =
     { g.getAndAccumulate(v, math.max(_, _)): Unit }
 
-  /** Folds one row's slot `i` into `a` — the shared accumulator law
-    * (first non-null value seeds the min/max sentinels, doubles merge
-    * NaN-safe, central moments fold by Welford — only the variance
-    * kinds 17-20 read them, and the sequential per-row fold is exactly
-    * the update path Spark's batch window execution runs, so streamed
-    * variance matches batch bit for bit). */
-  private def fold(a: CumAcc, r: OverRow, i: Int): CumAcc =
+  /** Folds one row's slot `i` of kind `kind` into `a` — the shared
+    * accumulator law (first non-null value seeds the min/max
+    * sentinels, doubles merge NaN-safe, central moments fold by
+    * Welford for the variance kinds only — the sequential per-row
+    * fold is exactly the update path Spark's batch window execution
+    * runs, so streamed variance matches batch bit for bit). */
+  private def fold(a: CumAcc, r: OverRow, i: Int, kind: Int): CumAcc =
     if (!r.nn(i)) a
     else {
       val first = a.cnt == 0L
       val (nm1, nm2) =
-        CumulateTracker.momentAdd(a.cnt + 1L, a.m1, a.m2, r.dv(i))
+        if (CumulateTracker.isVarianceKind(kind))
+          CumulateTracker.momentAdd(a.cnt + 1L, a.m1, a.m2, r.dv(i))
+        else (a.m1, a.m2)
       a.copy(cnt = a.cnt + 1L,
         sumL = a.sumL + r.lv(i), sumD = a.sumD + r.dv(i),
         mnL = if (first) r.lv(i) else math.min(a.mnL, r.lv(i)),
@@ -210,7 +212,7 @@ object OverAggTracker extends Serializable {
           } else if (CumulateTracker.isDistinctKind(kinds(i))) {
             if (r.nn(i)) runDs(i) += r.sv(i)
             acc(i)
-          } else fold(acc(i), r, i)
+          } else fold(acc(i), r, i, kinds(i))
         }.toIndexedSeq
       }
       def runSnapshot: IndexedSeq[scala.collection.Set[String]] =
@@ -225,7 +227,7 @@ object OverAggTracker extends Serializable {
         val a = kinds.indices.map { i =>
           if (CumulateTracker.isDistinctKind(kinds(i)) ||
               kinds(i) == LagKind) emptyAcc(i)
-          else rows.foldLeft(emptyAcc(i))((x, r) => fold(x, r, i))
+          else rows.foldLeft(emptyAcc(i))((x, r) => fold(x, r, i, kinds(i)))
         }.toIndexedSeq
         val d = kinds.indices.map { i =>
           if (CumulateTracker.isDistinctKind(kinds(i)))
