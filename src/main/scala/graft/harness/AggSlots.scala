@@ -16,7 +16,9 @@ import org.apache.spark.sql.types._
   * VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP (central moments),
   * 21 = distinct-set passthrough (SUM/AVG(DISTINCT decimal) — the
   * sorted value set emits as a JSON string array and the harness
-  * finishes the arithmetic in Catalyst decimal expressions).
+  * finishes the arithmetic in Catalyst decimal expressions),
+  * 22/23/24/25 = plain SUM/AVG/MIN/MAX over DECIMAL inputs (the exact
+  * BigDecimal string seat; AVG finishes its division here).
   */
 private[harness] object AggSlots {
 
@@ -88,11 +90,6 @@ private[harness] object AggSlots {
     def integralOf(dt: DataType): Boolean = dt match {
       case ByteType | ShortType | IntegerType | LongType => true
       case FloatType | DoubleType => false
-      case other: DecimalType => fail(s"$fn($arg): plain decimal " +
-        s"aggregates (${other.simpleString}) have no exact tracker " +
-        "slot (the long/double slots would round) — cast upstream or " +
-        "use batch runtime mode (SUM/AVG(DISTINCT decimal) do stream " +
-        "exactly via the set-passthrough slot)")
       case other => fail(s"$fn($arg): unsupported input " +
         s"type ${other.simpleString} (numeric only)")
     }
@@ -166,18 +163,42 @@ private[harness] object AggSlots {
       }
     } else if (fn == "COUNT") {
       Slot(0, LongType, if (arg == "*") "1" else arg)
-    } else {
-      // MIN/MAX(DISTINCT) land here with distinct already irrelevant
-      val integral = integralOf(resolve(arg))
-      fn match {
-        case "SUM" => Slot(if (integral) 1 else 2,
-          if (integral) LongType else DoubleType, arg)
-        case "MIN" => Slot(if (integral) 3 else 4,
-          if (integral) LongType else DoubleType, arg)
-        case "MAX" => Slot(if (integral) 5 else 6,
-          if (integral) LongType else DoubleType, arg)
-        case _ => Slot(if (integral) 8 else 7, DoubleType, arg)
-      }
+    } else resolve(arg) match {
+      // plain DECIMAL aggregates (r16, kinds 22-25): the exact
+      // BigDecimal string seat accumulates in the tracker; SUM/MIN/MAX
+      // decode straight into Spark's result types, AVG emits
+      // (sum, count) and divides here with Spark's Average arithmetic
+      // — bit-identical to batch, overflow past 38 digits excepted
+      // (the tracker's unbounded sum decodes NULL where ANSI batch
+      // would raise)
+      case dt: DecimalType =>
+        val sumT = DecimalType(math.min(38, dt.precision + 10), dt.scale)
+        fn match {
+          case "SUM" => Slot(22, sumT, arg)
+          case "MIN" => Slot(24, dt, arg)
+          case "MAX" => Slot(25, dt, arg)
+          case _ => // AVG
+            val avgT = DecimalType(math.min(38, dt.precision + 4),
+              math.min(38, dt.scale + 4))
+            val storage = StructType(Array(
+              StructField("s", sumT, nullable = true),
+              StructField("n", LongType, nullable = true)))
+            Slot(23, storage, arg, Some(c =>
+              (c.getField("s") / c.getField("n").cast(DecimalType(20, 0)))
+                .cast(avgT)))
+        }
+      case dt =>
+        // MIN/MAX(DISTINCT) land here with distinct already irrelevant
+        val integral = integralOf(dt)
+        fn match {
+          case "SUM" => Slot(if (integral) 1 else 2,
+            if (integral) LongType else DoubleType, arg)
+          case "MIN" => Slot(if (integral) 3 else 4,
+            if (integral) LongType else DoubleType, arg)
+          case "MAX" => Slot(if (integral) 5 else 6,
+            if (integral) LongType else DoubleType, arg)
+          case _ => Slot(if (integral) 8 else 7, DoubleType, arg)
+        }
     }
   }
 }

@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * rewrite compiles the supported subset onto
   * [[graft.streaming.OverAggTracker]]:
   *
-  *   - aggregates: COUNT(*)/COUNT/SUM/MIN/MAX/AVG and the variance
-  *     family STDDEV[_SAMP|_POP]/VAR[IANCE|_SAMP|_POP] over numeric
-  *     inputs (expression inputs allowed), all sharing ONE window
+  *   - aggregates: COUNT(*)/COUNT/SUM/MIN/MAX/AVG (decimal inputs
+  *     included — exact via the BigDecimal string seat, r16) and the
+  *     variance family STDDEV[_SAMP|_POP]/VAR[IANCE|_SAMP|_POP] over
+  *     numeric inputs (expression inputs allowed), all sharing ONE
+  *     window
   *     specification (Flink's own requirement); DISTINCT aggregates
   *     run exactly through the value-set kinds, decimal inputs
   *     included (r16 — the set-passthrough slot finishes in Catalyst
@@ -378,11 +380,13 @@ object OverAgg {
       if (AggSlots.readsDouble(p.kind))
         coalesce(expr(p.input).cast("double"), lit(0d))
       else lit(0d)): _*)
-    // string-carried slots: the distinct value sets plus the
-    // LAG/FIRST_VALUE/LAST_VALUE carriers (kinds 14-16 — NOT the
-    // variance kinds, which ride the double slot)
+    // string-carried slots: the distinct value sets, the exact
+    // decimal seats, plus the LAG/FIRST_VALUE/LAST_VALUE carriers
+    // (kinds 14-16 — NOT the variance kinds, which ride the double
+    // slot)
     val svArr = array(plans.map(p =>
       if (graft.streaming.CumulateTracker.isDistinctKind(p.kind) ||
+          graft.streaming.CumulateTracker.isDecimalKind(p.kind) ||
           (p.kind >= 14 && p.kind <= 16))
         expr(p.input).cast("string")
       else lit(null).cast("string")): _*)

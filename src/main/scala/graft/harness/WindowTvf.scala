@@ -1138,7 +1138,8 @@ object WindowTvf {
         coalesce(expr(p._2.input).cast("double"), lit(0d))
       else lit(0d)): _*)
     val svArr = array(plans.map(p =>
-      if (graft.streaming.CumulateTracker.isDistinctKind(p._2.kind))
+      if (graft.streaming.CumulateTracker.isDistinctKind(p._2.kind) ||
+          graft.streaming.CumulateTracker.isDecimalKind(p._2.kind))
         expr(p._2.input).cast("string")
       else lit(null).cast("string")): _*)
     val prepared = src

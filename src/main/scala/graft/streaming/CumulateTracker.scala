@@ -25,7 +25,8 @@ final case class CumulateEvent(key: String, ts: Timestamp,
   * with Spark's own CentralMomentAgg update/merge arithmetic. */
 final case class CumAcc(span: Long, step: Int, agg: Int, cnt: Long,
     sumL: Long, sumD: Double, mnL: Long, mxL: Long, mnD: Double, mxD: Double,
-    ds: List[String] = Nil, m1: Double = 0d, m2: Double = 0d)
+    ds: List[String] = Nil, m1: Double = 0d, m2: Double = 0d,
+    dec: String = null)
 
 /** Per-key state: accumulators plus, per span, how many growing windows
   * have already been emitted. */
@@ -84,6 +85,34 @@ object CumulateTracker {
     */
   private[graft] def isDistinctKind(k: Int): Boolean =
     (k >= 9 && k <= 13) || k == 21
+
+  /** The plain-decimal kinds (r16): 22 = SUM, 23 = AVG, 24 = MIN,
+    * 25 = MAX over DECIMAL inputs — the accumulator's `dec` string
+    * seat carries the running exact value (BigDecimal addition is
+    * exact and associative, so folds and merges are order-free;
+    * comparisons are SQL decimal ordering). SUM/MIN/MAX emit the
+    * value as JSON number text decoded straight into the result
+    * decimal type; AVG emits `{"s": sum, "n": count}` and the harness
+    * finishes the division in Catalyst with Spark's Average result
+    * arithmetic — bit-identical to batch. Inputs ride the `sv` string
+    * slot like the distinct kinds.
+    */
+  private[graft] def isDecimalKind(k: Int): Boolean = k >= 22 && k <= 25
+
+  /** Folds (or merges) one exact decimal value into the running `dec`
+    * seat: add for SUM/AVG, SQL ordering for MIN/MAX. `cur` may be
+    * null (no value yet); both arguments are plain decimal texts. */
+  private[streaming] def decFold(kind: Int, cur: String, v: String): String =
+    if (cur == null) v
+    else if (v == null) cur
+    else kind match {
+      case 22 | 23 => new java.math.BigDecimal(cur)
+        .add(new java.math.BigDecimal(v)).toPlainString
+      case 24 => if (new java.math.BigDecimal(v)
+        .compareTo(new java.math.BigDecimal(cur)) < 0) v else cur
+      case _ => if (new java.math.BigDecimal(v)
+        .compareTo(new java.math.BigDecimal(cur)) > 0) v else cur
+    }
 
   /** The variance-family kinds: 17 = VAR_POP, 18 = VAR_SAMP,
     * 19 = STDDEV_POP, 20 = STDDEV_SAMP. All four accumulate the same
@@ -167,6 +196,12 @@ object CumulateTracker {
       else Some(fmtD(math.sqrt(a.m2 / a.cnt.toDouble)))
     case 20 => if (a.cnt <= 1) None
       else Some(fmtD(math.sqrt(a.m2 / (a.cnt - 1L).toDouble)))
+    // plain decimal (22-25): SUM/MIN/MAX emit the exact value as JSON
+    // number text; AVG emits (sum, count) for the harness' Catalyst
+    // division
+    case 22 | 24 | 25 => if (a.cnt == 0) None else Some(a.dec)
+    case 23 => if (a.cnt == 0) None
+      else Some(s"""{"s": ${a.dec}, "n": ${a.cnt}}""")
     case _ => if (a.cnt == 0) None else Some(fmtD(a.sumL.toDouble / a.cnt))
   }
 
@@ -274,6 +309,9 @@ object CumulateTracker {
           dsets.getOrElseUpdate(k,
             scala.collection.mutable.HashSet.empty[String]) += e.sv(i)
           accs(k) = a.copy(cnt = a.cnt + 1L)
+        } else if (e.nn(i) && isDecimalKind(kinds(i))) {
+          accs(k) = a.copy(cnt = a.cnt + 1L,
+            dec = decFold(kinds(i), a.dec, e.sv(i)))
         } else if (e.nn(i)) {
           // the mn/mx fields of a cnt=0 accumulator are unset sentinels
           // that must never meet real data: the first non-null value
@@ -337,7 +375,7 @@ object CumulateTracker {
                 if (m.cnt == 0L)
                   m.copy(cnt = a.cnt, sumL = a.sumL, sumD = a.sumD,
                     mnL = a.mnL, mxL = a.mxL, mnD = a.mnD, mxD = a.mxD,
-                    m1 = a.m1, m2 = a.m2)
+                    m1 = a.m1, m2 = a.m2, dec = a.dec)
                 else {
                   val (nm1, nm2) = momentMerge(m.cnt, m.m1, m.m2,
                     a.cnt, a.m1, a.m2)
@@ -346,7 +384,8 @@ object CumulateTracker {
                     mnL = math.min(m.mnL, a.mnL),
                     mxL = math.max(m.mxL, a.mxL),
                     mnD = nanMin(m.mnD, a.mnD), mxD = nanMax(m.mxD, a.mxD),
-                    m1 = nm1, m2 = nm2)
+                    m1 = nm1, m2 = nm2,
+                    dec = decFold(kinds(i), m.dec, a.dec))
                 }
             }
           }

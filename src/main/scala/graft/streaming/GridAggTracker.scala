@@ -25,7 +25,8 @@ final case class GridEvent(key: String, ts: Timestamp, ws: Long, we: Long,
   */
 final case class GridAcc(ws: Long, we: Long, agg: Int, cnt: Long,
     sumL: Long, sumD: Double, mnL: Long, mxL: Long, mnD: Double, mxD: Double,
-    ds: List[String] = Nil, m1: Double = 0d, m2: Double = 0d)
+    ds: List[String] = Nil, m1: Double = 0d, m2: Double = 0d,
+    dec: String = null)
 
 /** Per-key state: accumulators of the still-open pinned windows. State
   * is bounded by aggregates × ACTIVE (key, window) — each window's
@@ -101,6 +102,9 @@ object GridAggTracker {
           dsets.getOrElseUpdate(k,
             scala.collection.mutable.HashSet.empty[String]) += e.sv(i)
           accs(k) = a.copy(cnt = a.cnt + 1L)
+        } else if (e.nn(i) && CumulateTracker.isDecimalKind(kinds(i))) {
+          accs(k) = a.copy(cnt = a.cnt + 1L,
+            dec = CumulateTracker.decFold(kinds(i), a.dec, e.sv(i)))
         } else if (e.nn(i)) {
           // cnt=0 accumulators carry unset mn/mx sentinels: the first
           // non-null value seeds them outright, doubles merge with
@@ -147,7 +151,7 @@ object GridAggTracker {
               else scala.collection.Set.empty[String]
             CumulateTracker.fieldValue(kinds(i),
               CumAcc(0L, 0, i, a.cnt, a.sumL, a.sumD, a.mnL, a.mxL,
-                a.mnD, a.mxD, m1 = a.m1, m2 = a.m2), ds)
+                a.mnD, a.mxD, m1 = a.m1, m2 = a.m2, dec = a.dec), ds)
               .map(s => s""""a$i": $s""")
           }
         }

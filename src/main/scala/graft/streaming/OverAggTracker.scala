@@ -125,6 +125,9 @@ object OverAggTracker extends Serializable {
     * runs, so streamed variance matches batch bit for bit). */
   private def fold(a: CumAcc, r: OverRow, i: Int, kind: Int): CumAcc =
     if (!r.nn(i)) a
+    else if (CumulateTracker.isDecimalKind(kind))
+      a.copy(cnt = a.cnt + 1L,
+        dec = CumulateTracker.decFold(kind, a.dec, r.sv(i)))
     else {
       val first = a.cnt == 0L
       val (nm1, nm2) =

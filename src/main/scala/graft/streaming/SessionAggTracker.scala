@@ -61,13 +61,15 @@ object SessionAggTracker {
     CumAcc(0L, 0, i, 0L, 0L, 0d, Long.MaxValue, Long.MinValue,
       Double.MaxValue, Double.MinValue)
 
-  /** Merges two slot accumulators — the same sentinel discipline as
-    * [[CumulateTracker]]'s step merge (a cnt=0 accumulator's min/max
-    * sentinels never meet real data; doubles merge NaN-safely).
-    * Distinct-value lists concatenate here and deduplicate once per
-    * update (state save / emission), not per merge.
+  /** Merges two slot accumulators of kind `kind` — the same sentinel
+    * discipline as [[CumulateTracker]]'s step merge (a cnt=0
+    * accumulator's min/max sentinels never meet real data; doubles
+    * merge NaN-safely; the exact decimal seat merges by the kind's
+    * add/compare law). Distinct-value lists concatenate here and
+    * deduplicate once per update (state save / emission), not per
+    * merge.
     */
-  private def mergeAcc(m: CumAcc, a: CumAcc): CumAcc = {
+  private def mergeAcc(kind: Int, m: CumAcc, a: CumAcc): CumAcc = {
     val ds =
       if (a.ds.isEmpty) m.ds else if (m.ds.isEmpty) a.ds else m.ds ++ a.ds
     if (a.cnt == 0L) m.copy(ds = ds)
@@ -81,7 +83,8 @@ object SessionAggTracker {
         mnL = math.min(m.mnL, a.mnL), mxL = math.max(m.mxL, a.mxL),
         mnD = CumulateTracker.nanMin(m.mnD, a.mnD),
         mxD = CumulateTracker.nanMax(m.mxD, a.mxD),
-        ds = ds, m1 = nm1, m2 = nm2)
+        ds = ds, m1 = nm1, m2 = nm2,
+        dec = CumulateTracker.decFold(kind, m.dec, a.dec))
     }
   }
 
@@ -101,6 +104,8 @@ object SessionAggTracker {
           // distinct slots: count the non-null row, carry its encoded
           // value; min/max sentinels never meet data for these kinds
           base.copy(cnt = 1L, ds = List(e.sv(i)))
+        else if (CumulateTracker.isDecimalKind(kinds(i)))
+          base.copy(cnt = 1L, dec = e.sv(i))
         else base.copy(cnt = 1L, sumL = e.lv(i), sumD = e.dv(i),
           mnL = e.lv(i), mxL = e.lv(i), mnD = e.dv(i), mxD = e.dv(i),
           // single-value central moments (variance kinds read them;
@@ -119,7 +124,8 @@ object SessionAggTracker {
         case Some(c) if s.start <= c.last + gapMs =>
           merged(merged.size - 1) = OpenSess(c.start,
             math.max(c.last, s.last),
-            c.accs.lazyZip(s.accs).map(mergeAcc))
+            c.accs.lazyZip(s.accs).lazyZip(kinds.toSeq)
+              .map((m, a, k) => mergeAcc(k, m, a)))
         case _ => merged += s
       }
     }

@@ -151,6 +151,28 @@ class OverAggSpec extends AnyFunSuite {
         |FROM t """.stripMargin)
   }
 
+  test("plain decimal aggregates equal batch over all four frames (r16)") {
+    // kinds 22-25 on the OVER tracker: the exact decimal seat folds
+    // per frame; equality with Spark's native batch window execution
+    // is exact (decimal arithmetic has no fold-order sensitivity)
+    for (frame <- Seq("",
+        "\n    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        "\n    RANGE BETWEEN INTERVAL '20' SECOND PRECEDING AND CURRENT ROW",
+        "\n    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW")) {
+      assertStreamEqualsBatch(
+        s"""SELECT k, ets, v,
+           |  SUM(CAST(d AS DECIMAL(7,2)))
+           |    OVER (PARTITION BY k ORDER BY ets$frame) AS sd,
+           |  AVG(CAST(d AS DECIMAL(7,2)))
+           |    OVER (PARTITION BY k ORDER BY ets$frame) AS ad,
+           |  MIN(CAST(d AS DECIMAL(7,2)))
+           |    OVER (PARTITION BY k ORDER BY ets$frame) AS mnd,
+           |  MAX(CAST(d AS DECIMAL(7,2)))
+           |    OVER (PARTITION BY k ORDER BY ets$frame) AS mxd
+           |FROM t """.stripMargin)
+    }
+  }
+
   test("DISTINCT variance rejects by name (batch-only)") {
     val name = s"oa_v_${System.nanoTime()}"
     Seq(("a", ts(1), 1L, 1d)).toDF("k", "ets", "v", "d")

@@ -319,7 +319,11 @@ class WindowTvfSpec extends AnyFunSuite {
         "COUNT(DISTINCT u) AS du, STDDEV_SAMP(v) AS ss, " +
         "VAR_POP(d) AS vp, STDDEV_POP(d) AS sp, VAR_SAMP(v) AS vs, " +
         "SUM(DISTINCT CAST(d AS DECIMAL(9,2))) AS sdd, " +
-        "AVG(DISTINCT CAST(d AS DECIMAL(9,2))) AS add2 " +
+        "AVG(DISTINCT CAST(d AS DECIMAL(9,2))) AS add2, " +
+        "SUM(CAST(d AS DECIMAL(9,2))) AS sdp, " +
+        "AVG(CAST(d AS DECIMAL(9,2))) AS adp, " +
+        "MIN(CAST(d AS DECIMAL(9,2))) AS mnp, " +
+        "MAX(CAST(d AS DECIMAL(9,2))) AS mxp " +
         s"FROM TABLE($tvf) GROUP BY k, window_start, window_end"
       val batch = spark.sql(WindowTvf.rewrite(stmt)).collect().map(_.toSeq)
       val streamSql = WindowTvf.rewriteStreaming(stmt, spark,

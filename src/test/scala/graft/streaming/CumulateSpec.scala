@@ -404,19 +404,13 @@ class CumulateSpec extends AnyFunSuite {
       assert(e.getMessage.contains(needle), s"message: ${e.getMessage}")
     }
     // distinct arithmetic covers integral (r14), float/double (r15),
-    // and decimal (r16) inputs; a PLAIN decimal aggregate still
-    // rejects by name (no exact tracker slot), as does distinct
-    // arithmetic over a non-numeric type
+    // and decimal (r16) inputs — and plain decimal aggregates stream
+    // too (kinds 22-25) — but distinct arithmetic over a non-numeric
+    // type still rejects by name
     Seq(("x", ts(1), 1L, new java.math.BigDecimal("2.50")))
       .toDF("k", "ts", "v", "dv")
       .withColumn("dv", $"dv".cast("decimal(10,2)"))
       .createOrReplaceTempView("cum_rej_sumd")
-    rejects(
-      """SELECT k, window_start, window_end, SUM(dv) AS n
-        |FROM TABLE(CUMULATE(TABLE cum_rej_sumd, DESCRIPTOR(ts),
-        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
-        |GROUP BY k, window_start, window_end""".stripMargin,
-      "plain decimal")
     rejects(
       """SELECT k, window_start, window_end, SUM(DISTINCT k) AS n
         |FROM TABLE(CUMULATE(TABLE cum_rej_sumd, DESCRIPTOR(ts),
@@ -609,6 +603,43 @@ class CumulateSpec extends AnyFunSuite {
       // dedup actually exercised: some window saw a repeated value
       assert(batch.exists(r =>
         r(5).asInstanceOf[Long] < r(6).asInstanceOf[Long]))
+    } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
+  }
+
+  test("plain decimal SUM/AVG/MIN/MAX match the batch TVF exactly") {
+    // r16 (kinds 22-25): the exact BigDecimal string seat accumulates
+    // per (key, span, step) and merges across steps; addition is
+    // exact and associative so the result is fold-order-free and
+    // bit-identical to batch — result TYPES included (sum at p+10,
+    // AVG through the Catalyst division finish at (p+4, s+4))
+    val rnd = new scala.util.Random(83)
+    val rows = (1 to 200).map { i =>
+      (s"k${i % 3}", ts(rnd.nextInt(900).toLong),
+        if (i % 9 == 0) null
+        else new java.math.BigDecimal(rnd.nextInt(100000) - 50000)
+          .movePointLeft(2))
+    }
+    rows.toDF("k", "ts", "v")
+      .selectExpr("k", "ts", "CAST(v AS DECIMAL(9,2)) AS v")
+      .createOrReplaceTempView("cum_decp_in")
+    val stmt =
+      """SELECT k, window_start, window_end, SUM(v) AS s, AVG(v) AS a,
+        |  MIN(v) AS mn, MAX(v) AS mx, COUNT(v) AS n
+        |FROM TABLE(CUMULATE(TABLE cum_decp_in, DESCRIPTOR(ts),
+        |  INTERVAL '1' MINUTE, INTERVAL '5' MINUTE))
+        |GROUP BY k, window_start, window_end""".stripMargin
+    val batchDf = spark.sql(WindowTvf.rewrite(stmt))
+    val batch = batchDf.collect().map(_.toSeq).toSet
+    val streamSql = WindowTvf.rewriteStreaming(stmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      val streamedDf = spark.sql(streamSql)
+      for (c <- Seq("s", "a", "mn", "mx"))
+        assert(streamedDf.schema(c).dataType === batchDf.schema(c).dataType,
+          c)
+      val streamed = streamedDf.collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
     } finally graft.harness.MatchRecognize.dropViews(spark, streamSql)
   }
 
