@@ -40,7 +40,10 @@ import scala.collection.mutable.ArrayBuffer
   *                                   -- alternation at top level AND
   *                                   -- inside grouped sub-patterns
   *                                   -- (leftmost branch preferred),
-  *                                   -- PERMUTE(A, B, ...) (batch only)
+  *                                   -- PERMUTE(A, B, ...) (expands
+  *                                   -- to alternation at parse time,
+  *                                   -- so it runs in batch AND
+  *                                   -- streaming)
   *     [WITHIN INTERVAL 'n' UNIT]    -- Flink CEP duration bound: all
   *                                   -- match rows within n of the
   *                                   -- first (strict; batch needs a
@@ -98,9 +101,11 @@ import scala.collection.mutable.ArrayBuffer
   * supported in batch (precomputed as `lead`, symmetric to PREV), and
   * batch navigation composes — `PREV(price + PREV(price))`,
   * `NEXT(PREV(v))` — via staged lag/lead columns (inner calls
-  * precompute first; see `translateNav`); streaming contract-rejects
-  * nested navigation. Unsupported forms (aggregate forms in DEFINE
-  * other than SUM/AVG/MIN/MAX(V.col), subquery sources) throw
+  * precompute first; see `translateNav`); streaming flattens
+  * SAME-direction nesting to summed offsets (r13, non-strict
+  * constructs gated at the outer offset since r16) and
+  * contract-rejects only the mixed-direction forms. Unsupported forms (e.g. aggregate forms in
+  * DEFINE other than SUM/AVG/MIN/MAX(V.col)) throw
   * `IllegalArgumentException` with the contract, mirroring the
   * WindowTvf/TemporalJoin residual checks. Streaming restricts DEFINE
   * SUM/AVG aggregates to integral columns; grouped sub-patterns,

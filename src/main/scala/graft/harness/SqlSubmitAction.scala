@@ -40,15 +40,24 @@ final class SqlSubmitAction(
     * MATCH_RECOGNIZE, top-N — everything resolving through
     * [[watermarkOf]]) must accept a registered view wherever they
     * accept a declared table. `CREATE [TEMPORARY] VIEW v AS SELECT ...
-    * FROM <watermarked relation> [WHERE ...]` records v → the
-    * relation's (column, delay) when the single-table body keeps the
-    * event-time column BY NAME (a rename or a join/aggregation around
-    * it drops the record — those views stay plain relations and the
-    * downstream pass raises its named needs-a-WATERMARK error);
-    * DROP VIEW / CREATE OR REPLACE evict. The underlying
-    * `EventTimeWatermark` plan node rides the view regardless —
+    * FROM <watermarked relation> [WHERE ...]` records v → (the OUTPUT
+    * name the attribute rides out under, the relation's delay) when
+    * the single-table body keeps the attribute as a SIMPLE projection
+    * item — by name, under `SELECT *`, or under a plain alias
+    * (`row_time AS rt` keeps the attribute a time attribute named rt,
+    * exactly Flink's propagation rule: aliases preserve, expressions
+    * drop). A join/aggregation around it, or wrapping it in any
+    * expression, drops the record — those views stay plain relations
+    * and the downstream pass raises its named needs-a-WATERMARK
+    * error; DROP VIEW / CREATE OR REPLACE evict. Registered views
+    * resolve through [[watermarkOf]] themselves, so views CHAIN. The
+    * underlying `EventTimeWatermark` plan node rides the view
+    * regardless on streaming sources —
     * [[graft.streaming.Watermarks.ensure]] reuses it — so the record
-    * here only answers the REWRITES' column/delay lookup.
+    * here only answers the REWRITES' column/delay lookup (bounded
+    * sources run as batch with MAX_WATERMARK-at-end semantics and
+    * carry no plan node, which is why the record keys on the
+    * PROJECTION, not on Spark's streaming-only delay tag).
     */
   private val viewWatermarks: mutable.Map[String, (String, String)] =
     mutable.LinkedHashMap.empty
@@ -58,9 +67,67 @@ final class SqlSubmitAction(
     raw"\s+AS\b(.*)$$").r
   private val DropViewRe = (raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+" +
     raw"(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$$").r
-  private val ViewBodyRe = (raw"(?is)^\s*SELECT\s+.+?\s+" +
+  private val ViewBodyRe = (raw"(?is)^\s*SELECT\s+(.+?)\s+" +
     raw"FROM\s+([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?(?!WHERE\b)[A-Za-z_]\w*)?" +
     raw"(?:\s+WHERE\b.*)?;?\s*$$").r
+
+  /** A select-list item that is a SIMPLE projection of one column:
+    * `[tbl.]col`, `[tbl.]col AS alias`, or `[tbl.]col alias` — the
+    * shapes under which a time attribute survives a view (any real
+    * expression around it drops the attribute, per Flink). Group 1 is
+    * the optional qualifier, group 2 the source column, group 3 the
+    * output alias (absent = same name).
+    */
+  private val SimpleItemRe = (raw"(?is)^(?:([A-Za-z_]\w*)\.)?([A-Za-z_]\w*)" +
+    raw"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?$$").r
+
+  private val QualStarRe = raw"(?s)^([A-Za-z_]\w*)\.\*$$".r
+
+  /** Splits a select list on top-level commas (depth-aware: commas
+    * inside function calls stay put). Quoted text must already be
+    * masked by the caller. */
+  private def splitSelectList(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i).trim
+          start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.result()
+  }
+
+  /** The output name the event-time column `col` rides out of this
+    * select list under, if any: itself (by name or `*`/`tbl.*`), or a
+    * plain alias. A keep-by-name item wins over aliased duplicates.
+    * `qualifierOk` gates QUALIFIED references (`s.row_time`, `s.*`) to
+    * the relation(s) that actually carry the attribute — on a join
+    * body, `d.row_time` naming a DIM column of the same name must not
+    * pose as the stream's attribute. Unqualified references are safe
+    * on joins too: had both sides carried the name, the CREATE VIEW
+    * itself would have failed as ambiguous. */
+  private def propagatedName(selectList: String, col: String,
+      qualifierOk: String => Boolean = _ => true): Option[String] = {
+    val hits = splitSelectList(selectList).flatMap {
+      case "*" => Some(col)
+      case QualStarRe(q) if qualifierOk(q) => Some(col)
+      case SimpleItemRe(qual, src, alias)
+          if src.equalsIgnoreCase(col) &&
+            Option(qual).forall(qualifierOk) =>
+        Some(Option(alias).getOrElse(src))
+      case _ => None
+    }
+    hits.find(_.equalsIgnoreCase(col)).orElse(hits.headOption)
+  }
 
   /** True when this CREATE VIEW statement is a Spark NO-OP: an
     * `IF NOT EXISTS` form whose view already exists keeps the OLD
@@ -75,11 +142,14 @@ final class SqlSubmitAction(
   /** Tracks CREATE/DROP VIEW statements' effect on the event-time
     * registry; called after the statement executed (so the view
     * exists and its resolved schema is inspectable). A view records
-    * only when its output carries a field that (a) NAMES the source's
-    * event-time column and (b) still carries the propagated
-    * event-time delay TAG — the tag is what proves the field IS the
-    * watermarked attribute; a different column renamed to that name
-    * has no tag and stays unrecorded. */
+    * only when the attribute rides a SIMPLE projection item
+    * ([[propagatedName]]) — so `row_time AS rt` records rt (r16:
+    * Flink's alias propagation) while a DIFFERENT column renamed onto
+    * the source's event-time name is an expression item and stays
+    * unrecorded: the projection lineage, not the output name,
+    * decides. When the view keeps the source name, that field wins
+    * over aliased duplicates (`SELECT row_time, row_time AS rt2`
+    * records row_time). */
   private def recordViewWatermark(spark: SparkSession, sql: String): Unit = {
     def evict(name: String): Unit =
       viewWatermarks.keys.find(_.equalsIgnoreCase(name))
@@ -90,24 +160,67 @@ final class SqlSubmitAction(
       val name = DdlParser.unquoteName(m.group(2))
       evict(name)
       val body = MatchRecognize.maskQuoted(m.group(3))
-      // single-relation projection/filter bodies only: a JOIN, GROUP
-      // BY, set op, or subquery FROM has no single propagated time
-      // attribute to speak for
-      if (raw"(?is)\b(JOIN|GROUP\s+BY|UNION|INTERSECT|EXCEPT)\b".r
+      // a GROUP BY or set op has no single propagated time attribute
+      // to speak for (Flink drops rowtime through both)
+      if (raw"(?is)\b(GROUP\s+BY|UNION|INTERSECT|EXCEPT)\b".r
           .findFirstIn(body).isEmpty) {
-        val delayKey = org.apache.spark.sql.catalyst.plans.logical
-          .EventTimeWatermark.delayKey
-        for {
-          // matched on the MASKED body (identifiers survive masking):
-          // a string literal containing ' FROM x' must never capture
-          // a bogus source table
-          bm <- ViewBodyRe.findFirstMatchIn(body)
-          (col, delay) <- watermarkOf(bm.group(1))
-          if scala.util.Try(spark.table(name).schema).toOption
-            .exists(_.exists(f => f.name.equalsIgnoreCase(col) &&
-              f.metadata.contains(delayKey)))
-        } viewWatermarks(name) = (col, delay)
+        if (raw"(?is)\bJOIN\b".r.findFirstIn(body).isEmpty) {
+          for {
+            // matched on the MASKED body (identifiers survive masking):
+            // a string literal containing ' FROM x' must never capture
+            // a bogus source table
+            bm <- ViewBodyRe.findFirstMatchIn(body)
+            (col, delay) <- watermarkOf(bm.group(2))
+            out <- propagatedName(bm.group(1), col)
+            // sanity: the resolved view really exposes that field
+            if scala.util.Try(spark.table(name).schema).toOption
+              .exists(_.exists(_.name.equalsIgnoreCase(out)))
+          } viewWatermarks(name) = (out, delay)
+        } else recordJoinViewWatermark(spark, name, body)
       }
+    }
+  }
+
+  /** Relations named in FROM/JOIN positions with their optional alias.
+    * The negative lookahead keeps join keywords and ON/WHERE from
+    * being read as an alias. */
+  private val RelWithAliasRe = (raw"(?is)\b(?:FROM|JOIN)\s+" +
+    raw"([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?" +
+    raw"(?!ON\b|WHERE\b|JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|" +
+    raw"USING\b|GROUP\b|ORDER\b|LIMIT\b)([A-Za-z_]\w*))?").r
+
+  /** JOIN view bodies: Spark's stream-static join is the analogue of
+    * Flink's LOOKUP join (the static side is re-read per micro-batch —
+    * processing-time enrichment), and a lookup join PRESERVES the
+    * stream side's rowtime attribute, so a view like
+    * `SELECT s.id, s.row_time, d.tag FROM stream s JOIN dim d ON ...`
+    * records the stream's (column, delay) — renamed or starred items
+    * ride [[propagatedName]] with qualifier gating. A regular
+    * stream-STREAM join keeps the named rejection (Flink drops rowtime
+    * through regular joins, and so does this registry): the analyzed
+    * plan must carry EXACTLY ONE streaming leaf, and exactly one
+    * FROM/JOIN relation may resolve through [[watermarkOf]]. */
+  private def recordJoinViewWatermark(
+      spark: SparkSession, name: String, body: String): Unit = {
+    val rels = RelWithAliasRe.findAllMatchIn(body)
+      .map(m => (m.group(1), Option(m.group(2)))).toSeq
+    val selectList = raw"(?is)^\s*SELECT\s+(.+?)\s+FROM\b".r
+      .findFirstMatchIn(body).map(_.group(1))
+    val wmRels = rels.flatMap { case (rel, alias) =>
+      watermarkOf(rel).map(wd => (rel, alias, wd)) }
+    (wmRels, selectList) match {
+      case (Seq((rel, alias, (col, delay))), Some(items)) =>
+        val streamNames =
+          (Seq(rel) ++ alias).map(_.toLowerCase).toSet
+        for {
+          out <- propagatedName(items, col,
+            q => streamNames.contains(q.toLowerCase))
+          df <- scala.util.Try(spark.table(name)).toOption
+          if df.isStreaming && df.queryExecution.analyzed
+            .collectLeaves().count(_.isStreaming) == 1
+          if df.schema.exists(_.name.equalsIgnoreCase(out))
+        } viewWatermarks(name) = (out, delay)
+      case _ => // zero or 2+ watermarked relations: not a lookup shape
     }
   }
 

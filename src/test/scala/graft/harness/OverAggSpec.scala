@@ -683,28 +683,149 @@ class OverAggSpec extends AnyFunSuite {
     }
   }
 
-  test("a view that renames the time column keeps the named rejection") {
+  test("e2e: streaming OVER above a view that RENAMES the time column " +
+      "(r16 — the attribute rides the alias, Flink's propagation)") {
     import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-over-ren")
     val script = Files.createTempFile("graft-ovr", ".sql")
     try {
       Files.writeString(script,
+        s"""SET execution.runtime-mode = streaming;
+           |SET execution.checkpointing.enabled = true;
+           |SET state.checkpoints.dir = file://${dir.toString}/cp;
+           |create table rsrc (
+           |  id bigint,
+           |  row_time as timestamp '2024-01-01 00:00:00' +
+           |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
+           |  watermark for row_time as row_time - interval '1' second
+           |) with ('connector' = 'datagen', 'rows-per-second' = '100',
+           |  'fields.id.kind' = 'sequence',
+           |  'fields.id.start' = '0', 'fields.id.end' = '9');
+           |create temporary view v_base as
+           |  select id, row_time from rsrc where id >= 2;
+           |create temporary view v_ren as
+           |  select id, row_time as rt from v_base;
+           |create table rsnk (id bigint, s bigint) with (
+           |  'connector' = 'filesystem',
+           |  'path' = 'file://${dir.toString}/out',
+           |  'format' = 'parquet'
+           |);
+           |insert into rsnk
+           |SELECT id, SUM(id) OVER (ORDER BY rt
+           |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+           |FROM v_ren;
+           |""".stripMargin)
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark),
+        durationSec = 30L).run()
+      val got = spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // the registry CHAINS: v_base registers off rsrc, v_ren off
+      // v_base under the alias. ids 2..7 matured (watermark stops at
+      // 8 s, maturity is strict) and passed v_base's filter; running
+      // sum over the renamed event-time order
+      assert(got.keySet === (2L to 7L).toSet, got.toString)
+      got.foreach { case (i, s) => assert(s === (2L to i).sum, s"id $i") }
+    } finally {
+      Files.deleteIfExists(script): Unit
+    }
+  }
+
+  test("e2e: streaming OVER above a stream-static JOIN view (r16 — " +
+      "the lookup-join analogue preserves the stream side's rowtime)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-over-join")
+    val script = Files.createTempFile("graft-oj", ".sql")
+    try {
+      Files.writeString(script,
+        s"""SET execution.runtime-mode = streaming;
+           |SET execution.checkpointing.enabled = true;
+           |SET state.checkpoints.dir = file://${dir.toString}/cp;
+           |create table jsrc (
+           |  id bigint,
+           |  row_time as timestamp '2024-01-01 00:00:00' +
+           |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
+           |  watermark for row_time as row_time - interval '1' second
+           |) with ('connector' = 'datagen', 'rows-per-second' = '100',
+           |  'fields.id.kind' = 'sequence',
+           |  'fields.id.start' = '0', 'fields.id.end' = '9');
+           |create temporary view par_dim as
+           |  select * from (values (0, 'even'), (1, 'odd')) as t(r, tag);
+           |create temporary view v_enr as
+           |  select s.id, s.row_time as rt, d.tag
+           |  from jsrc s join par_dim d on (s.id % 2) = d.r;
+           |create table jsnk (id bigint, tag string, s bigint) with (
+           |  'connector' = 'filesystem',
+           |  'path' = 'file://${dir.toString}/out',
+           |  'format' = 'parquet'
+           |);
+           |insert into jsnk
+           |SELECT id, tag, SUM(id) OVER (PARTITION BY tag ORDER BY rt
+           |  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+           |FROM v_enr;
+           |""".stripMargin)
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark),
+        durationSec = 30L).run()
+      val got = spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+        .toMap
+      // ids 0..7 matured (watermark 9−1 s, strict); per-parity running
+      // sums over the renamed event-time order, dim tag joined in
+      assert(got.keySet === (0L to 7L).toSet, got.toString)
+      got.foreach { case (i, (tag, s)) =>
+        assert(tag === (if (i % 2 == 0) "even" else "odd"), s"id $i")
+        assert(s === (0L to i).filter(_ % 2 == i % 2).sum, s"id $i")
+      }
+    } finally {
+      Files.deleteIfExists(script): Unit
+    }
+  }
+
+  test("a stream-STREAM join view keeps the named rejection (regular " +
+      "joins drop the rowtime attribute, as in Flink)") {
+    import java.nio.file.Files
+    val script = Files.createTempFile("graft-ojj", ".sql")
+    try {
+      Files.writeString(script,
         """SET execution.runtime-mode = streaming;
-          |create table rsrc (
+          |create table s1 (
           |  id bigint,
           |  row_time as timestamp '2024-01-01 00:00:00' +
           |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
           |  watermark for row_time as row_time - interval '1' second
-          |) with ('connector' = 'datagen', 'number-of-rows' = '5',
+          |) with ('connector' = 'datagen', 'rows-per-second' = '100',
           |  'fields.id.kind' = 'sequence',
           |  'fields.id.start' = '0', 'fields.id.end' = '4');
-          |create temporary view v_ren as
-          |  select id, row_time as rt from rsrc;
-          |SELECT id, SUM(id) OVER (ORDER BY rt) AS s FROM v_ren;
+          |create table s2 (
+          |  id2 bigint,
+          |  rt2 as timestamp '2024-01-01 00:00:00' +
+          |    make_interval(0, 0, 0, 0, 0, 0, cast(id2 as int)),
+          |  watermark for rt2 as rt2 - interval '1' second
+          |) with ('connector' = 'datagen', 'rows-per-second' = '100',
+          |  'fields.id2.kind' = 'sequence',
+          |  'fields.id2.start' = '0', 'fields.id2.end' = '4');
+          |create temporary view v_ss as
+          |  select a.id, a.row_time from s1 a join s2 b on a.id = b.id2;
+          |SELECT id, SUM(id) OVER (ORDER BY row_time) AS s FROM v_ss;
           |""".stripMargin)
-      // a view renaming ANOTHER column to the event-time NAME must not
-      // register either: the name matches but the field lacks the
-      // propagated delay tag — the registry demands both
-      val imposter = Files.createTempFile("graft-ovi", ".sql")
+      val e = intercept[Exception](
+        new SqlSubmitAction(script.toString, Map.empty, Some(spark),
+          durationSec = 10L).run())
+      val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+      assert(msg.contains("WATERMARK declaration"), msg)
+    } finally {
+      Files.deleteIfExists(script): Unit
+    }
+  }
+
+  test("a view renaming ANOTHER column onto the event-time name does " +
+      "not usurp the attribute (projection lineage, not name, decides)") {
+    import java.nio.file.Files
+    // v_imp's `row_time` is a cast of id (an expression item, not the
+    // attribute); the GENUINE attribute rides the alias `x` and
+    // registers under that name, so ORDER BY the imposter column
+    // raises the event-time mismatch
+    val imposter = Files.createTempFile("graft-ovi", ".sql")
+    try {
       Files.writeString(imposter,
         """SET execution.runtime-mode = streaming;
           |create table isrc (
@@ -724,15 +845,9 @@ class OverAggSpec extends AnyFunSuite {
         new SqlSubmitAction(imposter.toString, Map.empty, Some(spark),
           durationSec = 10L).run())
       val mi = Option(ei.getCause).fold(ei.getMessage)(_.getMessage)
-      assert(mi.contains("WATERMARK declaration"), mi)
-      Files.deleteIfExists(imposter): Unit
-      val e = intercept[Exception](
-        new SqlSubmitAction(script.toString, Map.empty, Some(spark),
-          durationSec = 10L).run())
-      val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
-      assert(msg.contains("WATERMARK declaration"), msg)
+      assert(mi.contains("event-time column (x)"), mi)
     } finally {
-      Files.deleteIfExists(script): Unit
+      Files.deleteIfExists(imposter): Unit
     }
   }
 

@@ -518,6 +518,48 @@ class WindowTopNSpec extends AnyFunSuite {
       (102L, 30L, 45L, 1L), (103L, 30L, 60L, 1L)), got)
   }
 
+  test("e2e: streaming TUMBLE top-N above a view renaming the time " +
+      "column (r16 — the attribute rides the alias into the registry)") {
+    // same data as the CUMULATE e2e; the view renames ts → event_ts
+    // and the top-N runs above the VIEW — the registry records the
+    // attribute under its new name, so DESCRIPTOR(event_ts) resolves
+    val out = java.nio.file.Files.createTempDirectory("graft-vt-out").toString
+    val script = java.nio.file.Files.createTempFile("graft-vt", ".sql")
+    java.nio.file.Files.writeString(script,
+      s"""CREATE TABLE vt_src (ems BIGINT, v BIGINT,
+         |  ts AS TO_TIMESTAMP_LTZ(ems * 15000, 3),
+         |  WATERMARK FOR ts AS ts - INTERVAL '1' SECOND)
+         |WITH ('connector'='datagen', 'number-of-rows'='4',
+         |  'fields.ems.kind'='sequence', 'fields.ems.start'='0',
+         |  'fields.ems.end'='3',
+         |  'fields.v.kind'='sequence', 'fields.v.start'='100',
+         |  'fields.v.end'='103');
+         |CREATE TEMPORARY VIEW vt_ren AS
+         |  SELECT v, ts AS event_ts FROM vt_src;
+         |CREATE TABLE vt_sink (v BIGINT, ws TIMESTAMP(3), we TIMESTAMP(3),
+         |  rn BIGINT)
+         |WITH ('connector'='filesystem', 'path'='$out/sink',
+         |  'format'='parquet');
+         |INSERT INTO vt_sink
+         |SELECT v, window_start AS ws, window_end AS we, rn FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY window_start, window_end ORDER BY v DESC) AS rn
+         |  FROM TABLE(TUMBLE(TABLE vt_ren, DESCRIPTOR(event_ts),
+         |    INTERVAL '30' SECOND)))
+         |WHERE rn <= 1;
+         |""".stripMargin)
+    new SqlSubmitAction(script.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 20L).run()
+    val got = spark.read.parquet(s"$out/sink")
+      .select($"v",
+        org.apache.spark.sql.functions.unix_timestamp($"ws"),
+        org.apache.spark.sql.functions.unix_timestamp($"we"), $"rn")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // rows at 0/15 s → window [0,30) winner 101; rows at 30/45 s →
+    // window [30,60) winner 103
+    assert(got == Set((101L, 0L, 30L, 1L), (103L, 30L, 60L, 1L)), got)
+  }
+
   test("contract rejections are named") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long, String)]

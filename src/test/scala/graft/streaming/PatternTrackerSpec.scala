@@ -611,4 +611,108 @@ class PatternTrackerSpec extends AnyFunSuite {
     assert(eNoWm.getMessage.contains("no WATERMARK-declared table"),
       eNoWm.getMessage)
   }
+
+  test("PERMUTE streams: the alternation expansion equals batch") {
+    import graft.harness.MatchRecognize
+    implicit val sc = spark.sqlContext
+    // PERMUTE(A, B) expands to (A B | B A) at parse time — lexicographic
+    // position order, per the SQL:2016 expansion — BEFORE the batch /
+    // streaming split, so the tracker sees plain alternation branches
+    // and preference-deferral applies unchanged
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 60).map { i =>
+      (s"k${i % 4}", ts(10L + i * 10L), (rnd.nextInt(3) + 1).toLong)
+    }
+    def mrTail(src: String) =
+      s"""SELECT * FROM $src MATCH_RECOGNIZE (
+         |  PARTITION BY k ORDER BY ts
+         |  MEASURES FIRST(A.ts) AS a_ts, LAST(B.ts) AS b_ts,
+         |    MATCH_NUMBER() AS mn
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (PERMUTE(A, B))
+         |  DEFINE A AS vm = 1, B AS vm = 2)""".stripMargin
+    rows.toDF("k", "ts", "vm").createOrReplaceTempView("mr_perm_b")
+    val batchSql = MatchRecognize.rewrite(spark, mrTail("mr_perm_b"))
+    val batch = spark.sql(batchSql).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    MatchRecognize.dropViews(spark, batchSql)
+    assert(batch.nonEmpty) // vm=3 decoys leave both orderings present
+    val input = MemoryStream[(String, Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "vm")
+      .createOrReplaceTempView("mr_perm_s")
+    val wm: String => Option[(String, String)] =
+      t => if (t.equalsIgnoreCase("mr_perm_s")) Some(("ts", "5 seconds"))
+      else None
+    val streamSql = MatchRecognize.rewriteStreaming(
+      spark, mrTail("mr_perm_s"), wm)
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mr_perm_out").outputMode("append").start()
+    try {
+      rows.grouped(11).foreach { chunk =>
+        input.addData(chunk: _*)
+        query.processAllAvailable()
+      }
+      input.addData(("zz", ts(99999L), 0L)) // watermark flush
+      query.processAllAvailable()
+      input.addData(("zz", ts(199999L), 0L))
+      query.processAllAvailable()
+      val streamed = spark.table("mr_perm_out").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3))).toSet
+      assert(streamed === batch)
+    } finally {
+      query.stop()
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
+  test("e2e: streaming MATCH_RECOGNIZE above a CREATE VIEW source " +
+      "(r16 — the view registry answers the shared watermarkOf)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mr-view")
+    val script = java.nio.file.Files.createTempFile("mr-view", ".sql")
+    java.nio.file.Files.writeString(script,
+      s"""SET execution.runtime-mode = streaming;
+         |SET execution.checkpointing.enabled = true;
+         |SET state.checkpoints.dir = file://${dir.toString}/cp;
+         |create table vsrc (
+         |  id bigint,
+         |  row_time as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
+         |  watermark for row_time as row_time - interval '1' second
+         |) with (
+         |  'connector' = 'datagen',
+         |  'rows-per-second' = '100',
+         |  'fields.id.kind' = 'sequence',
+         |  'fields.id.start' = '0',
+         |  'fields.id.end' = '19'
+         |);
+         |create temporary view v_small as
+         |  select id, row_time from vsrc where id < 10;
+         |create table msnk (n bigint, mn bigint) with (
+         |  'connector' = 'filesystem',
+         |  'path' = 'file://${dir.toString}/out',
+         |  'format' = 'parquet'
+         |);
+         |insert into msnk
+         |SELECT n, mn FROM v_small
+         |MATCH_RECOGNIZE (
+         |  ORDER BY row_time
+         |  MEASURES COUNT(A.*) AS n, MATCH_NUMBER() AS mn
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (A A)
+         |  DEFINE A AS id >= 0
+         |) AS m (n, mn);
+         |""".stripMargin)
+    new graft.harness.SqlSubmitAction(script.toString, Map.empty,
+      Some(SparkFixture.spark), durationSec = 30L).run()
+    // ids 0..9 pass the view filter. Catalyst pushes the view's
+    // predicate BELOW the reused EventTimeWatermark node, so the
+    // watermark tracks the post-filter maximum (9 s − 1 s = 8 s) —
+    // conservative and correct; on this bounded run the tail pair
+    // (8,9) stays pending, and the four matured (A A) matches emit
+    val got = SparkFixture.spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === (1L to 4L).map(mn => (2L, mn)).toSet, got.toString)
+  }
 }
