@@ -817,6 +817,57 @@ class OverAggSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE OR REPLACE and DROP evict the view's event-time record") {
+    import java.nio.file.Files
+    // w registers off the source; REPLACING it with an aggregating
+    // body must evict the record (an aggregate drops the rowtime, as
+    // in Flink) — the OVER then raises the needs-a-WATERMARK error
+    // instead of streaming over a stale registration
+    val replaced = Files.createTempFile("graft-ovrp", ".sql")
+    val dropped = Files.createTempFile("graft-ovdr", ".sql")
+    try {
+      val ddl =
+        """SET execution.runtime-mode = streaming;
+          |create table esrc (
+          |  id bigint,
+          |  row_time as timestamp '2024-01-01 00:00:00' +
+          |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
+          |  watermark for row_time as row_time - interval '1' second
+          |) with ('connector' = 'datagen', 'number-of-rows' = '5',
+          |  'fields.id.kind' = 'sequence',
+          |  'fields.id.start' = '0', 'fields.id.end' = '4');
+          |""".stripMargin
+      Files.writeString(replaced, ddl +
+        """create temporary view w_ev as select id, row_time from esrc;
+          |create or replace temporary view w_ev as
+          |  select id, max(row_time) as row_time from esrc group by id;
+          |SELECT SUM(1) OVER (ORDER BY row_time) AS s FROM w_ev;
+          |""".stripMargin)
+      val er = intercept[Exception](
+        new SqlSubmitAction(replaced.toString, Map.empty, Some(spark),
+          durationSec = 10L).run())
+      val mr = Option(er.getCause).fold(er.getMessage)(_.getMessage)
+      assert(mr.contains("WATERMARK declaration"), mr)
+      // DROP evicts too: the recreated same-name view carries only its
+      // OWN registration — here an aggregating body, i.e. none
+      Files.writeString(dropped, ddl +
+        """create temporary view w_dr as select id, row_time from esrc;
+          |drop view w_dr;
+          |create temporary view w_dr as
+          |  select id, max(row_time) as row_time from esrc group by id;
+          |SELECT SUM(1) OVER (ORDER BY row_time) AS s FROM w_dr;
+          |""".stripMargin)
+      val ed = intercept[Exception](
+        new SqlSubmitAction(dropped.toString, Map.empty, Some(spark),
+          durationSec = 10L).run())
+      val md = Option(ed.getCause).fold(ed.getMessage)(_.getMessage)
+      assert(md.contains("WATERMARK declaration"), md)
+    } finally {
+      Files.deleteIfExists(replaced): Unit
+      Files.deleteIfExists(dropped): Unit
+    }
+  }
+
   test("a view renaming ANOTHER column onto the event-time name does " +
       "not usurp the attribute (projection lineage, not name, decides)") {
     import java.nio.file.Files

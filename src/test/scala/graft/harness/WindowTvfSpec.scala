@@ -1264,6 +1264,64 @@ class WindowTvfSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e: streaming TUMBLE TVF above a stream-static JOIN view " +
+      "(r16 — lookup-join enrichment then windowed aggregation)") {
+    // the canonical enrichment pipeline: dim attributes joined onto
+    // the stream in a view, then a window TVF aggregation GROUPs BY
+    // the dim column — the registry hands the TVF the stream side's
+    // event-time attribute through the join
+    val spark = graft.SparkFixture.spark
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-tvf-jview")
+    val script = Files.createTempFile("graft-tj", ".sql")
+    try {
+      Files.writeString(script,
+        s"""SET execution.runtime-mode = streaming;
+           |SET execution.checkpointing.enabled = true;
+           |SET state.checkpoints.dir = file://${dir.toString}/cp;
+           |create table jt_src (
+           |  id bigint,
+           |  row_time as timestamp '2024-01-01 00:00:00' +
+           |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
+           |  watermark for row_time as row_time - interval '1' second
+           |) with (
+           |  'connector' = 'datagen',
+           |  'rows-per-second' = '100',
+           |  'fields.id.kind' = 'sequence',
+           |  'fields.id.start' = '0',
+           |  'fields.id.end' = '29'
+           |);
+           |create temporary view jt_dim as
+           |  select * from (values (0, 'even'), (1, 'odd')) as t(r, tag);
+           |create temporary view jt_enr as
+           |  select s.id, s.row_time, d.tag
+           |  from jt_src s join jt_dim d on (s.id % 2) = d.r;
+           |create table jt_snk (tag string, n bigint, s bigint) with (
+           |  'connector' = 'filesystem',
+           |  'path' = 'file://${dir.toString}/out',
+           |  'format' = 'parquet'
+           |);
+           |insert into jt_snk
+           |SELECT tag, COUNT(*) AS n, SUM(id) AS s
+           |FROM TABLE(TUMBLE(TABLE jt_enr, DESCRIPTOR(row_time),
+           |  INTERVAL '10' SECOND))
+           |GROUP BY tag, window_start, window_end;
+           |""".stripMargin)
+      new SqlSubmitAction(script.toString, Map.empty, Some(spark),
+        durationSec = 30L).run()
+      val got = spark.read.parquet(s"$dir/out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // watermark 28 s closes [0,10) and [10,20): per-parity counts
+      // and sums of ids 0..9 and 10..19
+      assert(got === Set(
+        ("even", 5L, 20L), ("odd", 5L, 25L),
+        ("even", 5L, 70L), ("odd", 5L, 75L)), got.toString)
+    } finally {
+      Files.deleteIfExists(script): Unit
+    }
+  }
+
   test("e2e: unsupported MATCH_RECOGNIZE form fails the contract, not the parser") {
     val spark = SparkFixture.spark
     // NEXT() navigation is outside the subset — the rewrite must throw
