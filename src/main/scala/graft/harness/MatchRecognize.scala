@@ -1350,7 +1350,9 @@ object MatchRecognize {
     * (outer SELECT list, WHERE, trailing alias) is untouched. A
     * subquery source — `FROM (SELECT ...) MATCH_RECOGNIZE (...)`,
     * which Flink admits — evaluates first into its own temp view
-    * (batch only; streaming needs a WATERMARK-declared named table).
+    * (streaming too, when the subquery's FROM names a
+    * WATERMARK-declared table and projects its event-time column —
+    * see [[rewriteStreaming]]'s lineage guards).
     * Throws on any form the subset does not cover — no Flink syntax
     * may leak to Spark's parser.
     */
