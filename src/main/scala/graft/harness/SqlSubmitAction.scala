@@ -64,7 +64,7 @@ final class SqlSubmitAction(
 
   private val CreateViewRe = (raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?" +
     raw"(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)" +
-    raw"\s+AS\b(.*)$$").r
+    raw"\s*(?:\(([^)]*)\))?\s*AS\b(.*)$$").r
   private val DropViewRe = (raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+" +
     raw"(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$$").r
   private val ViewBodyRe = (raw"(?is)^\s*SELECT\s+(.+?)\s+" +
@@ -83,51 +83,73 @@ final class SqlSubmitAction(
 
   private val QualStarRe = raw"(?s)^([A-Za-z_]\w*)\.\*$$".r
 
-  /** Splits a select list on top-level commas (depth-aware: commas
-    * inside function calls stay put). Quoted text must already be
-    * masked by the caller. */
-  private def splitSelectList(s: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
-    var depth = 0
-    var start = 0
+  /** Paren depth just before index `idx` of (masked) text — used to
+    * tell a TOP-LEVEL `FROM`/`JOIN` keyword from one inside a call
+    * like `EXTRACT(DAY FROM ts)` or a subquery. */
+  private def depthAt(s: String, idx: Int): Int = {
+    var d = 0
     var i = 0
-    while (i < s.length) {
+    while (i < idx) {
       s.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case ',' if depth == 0 =>
-          out += s.substring(start, i).trim
-          start = i + 1
+        case '(' => d += 1
+        case ')' => d -= 1
         case _ =>
       }
       i += 1
     }
-    out += s.substring(start).trim
-    out.result()
+    d
   }
 
-  /** The output name the event-time column `col` rides out of this
-    * select list under, if any: itself (by name or `*`/`tbl.*`), or a
-    * plain alias. A keep-by-name item wins over aliased duplicates.
-    * `qualifierOk` gates QUALIFIED references (`s.row_time`, `s.*`) to
-    * the relation(s) that actually carry the attribute — on a join
-    * body, `d.row_time` naming a DIM column of the same name must not
-    * pose as the stream's attribute. Unqualified references are safe
-    * on joins too: had both sides carried the name, the CREATE VIEW
-    * itself would have failed as ambiguous. */
-  private def propagatedName(selectList: String, col: String,
-      qualifierOk: String => Boolean = _ => true): Option[String] = {
-    val hits = splitSelectList(selectList).flatMap {
-      case "*" => Some(col)
-      case QualStarRe(q) if qualifierOk(q) => Some(col)
-      case SimpleItemRe(qual, src, alias)
-          if src.equalsIgnoreCase(col) &&
-            Option(qual).forall(qualifierOk) =>
-        Some(Option(alias).getOrElse(src))
-      case _ => None
-    }
-    hits.find(_.equalsIgnoreCase(col)).orElse(hits.headOption)
+  private val FromKwRe = raw"(?is)\bFROM\b".r
+
+  /** Start index of the first top-level `FROM` keyword, or -1. */
+  private def topLevelFrom(s: String): Int =
+    FromKwRe.findAllMatchIn(s).map(_.start)
+      .find(depthAt(s, _) == 0).getOrElse(-1)
+
+  /** The select-list item the event-time column `col` rides out of
+    * this view under, if any: itself (by name or `*`/`tbl.*`), or a
+    * plain alias — as (item index, output name). A keep-by-name item
+    * wins over aliased duplicates. `qualifierOk` gates QUALIFIED
+    * references (`s.row_time`, `s.*`) to the relation(s) that
+    * actually carry the attribute — on a join body, `d.row_time`
+    * naming a DIM column of the same name must not pose as the
+    * stream's attribute. Unqualified references are safe on joins
+    * too: had both sides carried the name, the CREATE VIEW itself
+    * would have failed as ambiguous. */
+  private def propagatedItem(selectList: String, col: String,
+      qualifierOk: String => Boolean): Option[(Int, String)] = {
+    val hits = MatchRecognize.splitTopLevel(selectList)
+      .zipWithIndex.flatMap {
+        case ("*", i) => Some((i, col))
+        case (QualStarRe(q), i) if qualifierOk(q) => Some((i, col))
+        case (SimpleItemRe(qual, src, alias), i)
+            if src.equalsIgnoreCase(col) &&
+              Option(qual).forall(qualifierOk) =>
+          Some((i, Option(alias).getOrElse(src)))
+        case _ => None
+      }
+    hits.find(_._2.equalsIgnoreCase(col)).orElse(hits.headOption)
   }
+
+  /** [[propagatedItem]] resolved against an optional `CREATE VIEW v
+    * (a, b, ...)` column-alias list: the list renames POSITIONALLY,
+    * so the attribute's output name is the list entry at the item's
+    * index — unknowable when a star item shifts positions, in which
+    * case the view stays unrecorded (conservative). */
+  private def propagatedName(selectList: String, col: String,
+      qualifierOk: String => Boolean = _ => true,
+      colList: Option[Seq[String]] = None): Option[String] =
+    propagatedItem(selectList, col, qualifierOk).flatMap { case (i, nm) =>
+      colList match {
+        case None => Some(nm)
+        case Some(cl) =>
+          val items = MatchRecognize.splitTopLevel(selectList)
+          val hasStar = items.exists(it =>
+            it == "*" || QualStarRe.findFirstIn(it).isDefined)
+          if (hasStar) None else cl.lift(i)
+      }
+    }
 
   /** True when this CREATE VIEW statement is a Spark NO-OP: an
     * `IF NOT EXISTS` form whose view already exists keeps the OLD
@@ -159,7 +181,14 @@ final class SqlSubmitAction(
     CreateViewRe.findFirstMatchIn(sql).foreach { m =>
       val name = DdlParser.unquoteName(m.group(2))
       evict(name)
-      val body = MatchRecognize.maskQuoted(m.group(3))
+      val colList = Option(m.group(3)).map(cl =>
+        MatchRecognize.splitTopLevel(cl).map(DdlParser.unquoteName))
+      // simple backtick-quoted identifiers lose their quotes before
+      // masking (`row_time` projects the same attribute row_time
+      // does; masking would otherwise blank the name away)
+      val unquoted = raw"`([A-Za-z_]\w*)`".r
+        .replaceAllIn(m.group(4), mm => mm.group(1))
+      val body = MatchRecognize.maskQuoted(unquoted)
       // a GROUP BY or set op has no single propagated time attribute
       // to speak for (Flink drops rowtime through both)
       if (raw"(?is)\b(GROUP\s+BY|UNION|INTERSECT|EXCEPT)\b".r
@@ -171,12 +200,12 @@ final class SqlSubmitAction(
             // a bogus source table
             bm <- ViewBodyRe.findFirstMatchIn(body)
             (col, delay) <- watermarkOf(bm.group(2))
-            out <- propagatedName(bm.group(1), col)
+            out <- propagatedName(bm.group(1), col, colList = colList)
             // sanity: the resolved view really exposes that field
             if scala.util.Try(spark.table(name).schema).toOption
               .exists(_.exists(_.name.equalsIgnoreCase(out)))
           } viewWatermarks(name) = (out, delay)
-        } else recordJoinViewWatermark(spark, name, body)
+        } else recordJoinViewWatermark(spark, name, body, colList)
       }
     }
   }
@@ -195,28 +224,39 @@ final class SqlSubmitAction(
     * stream side's rowtime attribute, so a view like
     * `SELECT s.id, s.row_time, d.tag FROM stream s JOIN dim d ON ...`
     * records the stream's (column, delay) — renamed or starred items
-    * ride [[propagatedName]] with qualifier gating. A regular
-    * stream-STREAM join keeps the named rejection (Flink drops rowtime
-    * through regular joins, and so does this registry): the analyzed
-    * plan must carry EXACTLY ONE streaming leaf, and exactly one
-    * FROM/JOIN relation may resolve through [[watermarkOf]]. */
-  private def recordJoinViewWatermark(
-      spark: SparkSession, name: String, body: String): Unit = {
-    val rels = RelWithAliasRe.findAllMatchIn(body)
-      .map(m => (m.group(1), Option(m.group(2)))).toSeq
-    val selectList = raw"(?is)^\s*SELECT\s+(.+?)\s+FROM\b".r
-      .findFirstMatchIn(body).map(_.group(1))
+    * ride [[propagatedName]] with qualifier gating (once the stream
+    * relation is aliased, ONLY the alias qualifies: a dim aliased
+    * with the stream's table name must not pose). A regular
+    * stream-STREAM join keeps the named rejection (Flink drops
+    * rowtime through regular joins, and so does this registry):
+    * exactly one FROM/JOIN relation may resolve through
+    * [[watermarkOf]], and on an unbounded run the analyzed plan must
+    * carry exactly one streaming leaf (a bounded run executes as
+    * batch with MAX_WATERMARK-at-end semantics, where the single
+    * watermarked relation IS the structural evidence). Relation and
+    * select-list scanning is paren-depth-aware — the `FROM` inside
+    * `EXTRACT(DAY FROM ts)` or a subquery never truncates the list
+    * or injects a relation. */
+  private def recordJoinViewWatermark(spark: SparkSession, name: String,
+      body: String, colList: Option[Seq[String]]): Unit = {
+    val fromIdx = topLevelFrom(body)
+    if (fromIdx < 0) return
+    val selectList = raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(body)
+      .map(sm => body.substring(sm.end, fromIdx).trim)
+    val tail = body.substring(fromIdx)
+    val rels = RelWithAliasRe.findAllMatchIn(tail)
+      .filter(mm => depthAt(tail, mm.start) == 0)
+      .map(mm => (mm.group(1), Option(mm.group(2)))).toSeq
     val wmRels = rels.flatMap { case (rel, alias) =>
       watermarkOf(rel).map(wd => (rel, alias, wd)) }
     (wmRels, selectList) match {
       case (Seq((rel, alias, (col, delay))), Some(items)) =>
-        val streamNames =
-          (Seq(rel) ++ alias).map(_.toLowerCase).toSet
+        val streamName = alias.getOrElse(rel).toLowerCase
         for {
           out <- propagatedName(items, col,
-            q => streamNames.contains(q.toLowerCase))
+            q => q.toLowerCase == streamName, colList)
           df <- scala.util.Try(spark.table(name)).toOption
-          if df.isStreaming && df.queryExecution.analyzed
+          if !df.isStreaming || df.queryExecution.analyzed
             .collectLeaves().count(_.isStreaming) == 1
           if df.schema.exists(_.name.equalsIgnoreCase(out))
         } viewWatermarks(name) = (out, delay)

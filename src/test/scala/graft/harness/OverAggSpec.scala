@@ -817,6 +817,111 @@ class OverAggSpec extends AnyFunSuite {
     }
   }
 
+  test("view-registry edges: bounded join views, inner FROM, backticks, " +
+      "column-alias lists, and a dim posing under the stream's name") {
+    import java.nio.file.Files
+    // registration probe: ORDER BY a wrong column — a registered view
+    // answers with the event-time MISMATCH naming its recorded column,
+    // an unregistered one with the needs-a-WATERMARK error. Bounded
+    // sources keep every case batch-fast.
+    val ddl =
+      """SET execution.runtime-mode = streaming;
+        |create table psrc (
+        |  id bigint,
+        |  row_time as timestamp '2024-01-01 00:00:00' +
+        |    make_interval(0, 0, 0, 0, 0, 0, cast(id as int)),
+        |  watermark for row_time as row_time - interval '1' second
+        |) with ('connector' = 'datagen', 'number-of-rows' = '5',
+        |  'fields.id.kind' = 'sequence',
+        |  'fields.id.start' = '0', 'fields.id.end' = '4');
+        |create or replace temporary view pdim as
+        |  select * from (values (0, 'even'), (1, 'odd')) as t(r, tag);
+        |""".stripMargin
+    def probe(views: String, from: String): String = {
+      val f = Files.createTempFile("graft-ove", ".sql")
+      Files.writeString(f, ddl + views +
+        s"SELECT SUM(1) OVER (ORDER BY __probe) AS s FROM $from;\n")
+      try {
+        val e = intercept[Exception](
+          new SqlSubmitAction(f.toString, Map.empty, Some(spark),
+            durationSec = 10L).run())
+        Option(e.getCause).fold(e.getMessage)(_.getMessage)
+      } finally { Files.deleteIfExists(f): Unit }
+    }
+    // a BOUNDED stream-static join view records (the bounded run
+    // executes as batch; the single watermarked relation is the
+    // structural evidence, same as the single-table bounded path)
+    val m1 = probe(
+      """create temporary view pv1 as
+        |  select s.id, s.row_time as rt, d.tag
+        |  from psrc s join pdim d on (s.id % 2) = d.r;
+        |""".stripMargin, "pv1")
+    assert(m1.contains("event-time column (rt)"), m1)
+    // an inner FROM (EXTRACT) must not truncate the select list or
+    // inject a relation
+    val m2 = probe(
+      """create temporary view pv2 as
+        |  select extract(day from s.row_time) as dd, s.row_time, d.tag
+        |  from psrc s join pdim d on (s.id % 2) = d.r;
+        |""".stripMargin, "pv2")
+    assert(m2.contains("event-time column (row_time)"), m2)
+    // backtick-quoted projection of the attribute still records
+    val m3 = probe(
+      """create temporary view pv3 as
+        |  select id, `row_time` as `rt3` from psrc;
+        |""".stripMargin, "pv3")
+    assert(m3.contains("event-time column (rt3)"), m3)
+    // CREATE VIEW v (a, b) AS ...: the column list renames
+    // positionally, so the attribute rides out under the LIST name
+    val m4 = probe(
+      """create temporary view pv4 (a, b) as
+        |  select id, row_time from psrc;
+        |""".stripMargin, "pv4")
+    assert(m4.contains("event-time column (b)"), m4)
+    // ...and OR REPLACE with a column list still EVICTS (the regex
+    // must cross the list to reach AS)
+    val m5 = probe(
+      """create temporary view pv5 as select id, row_time from psrc;
+        |create or replace temporary view pv5 (a, b) as
+        |  select id, max(row_time) from psrc group by id;
+        |""".stripMargin, "pv5")
+    assert(m5.contains("WATERMARK declaration"), m5)
+    // the registry serves MATCH_RECOGNIZE above the join view through
+    // the same watermarkOf (probe: MR names the recorded column in
+    // its ORDER BY contract error)
+    val mMr = {
+      val f = Files.createTempFile("graft-ovemr", ".sql")
+      Files.writeString(f, ddl +
+        """create temporary view pvmr as
+          |  select s.id, s.row_time as rt, d.tag
+          |  from psrc s join pdim d on (s.id % 2) = d.r;
+          |SELECT * FROM pvmr MATCH_RECOGNIZE (
+          |  ORDER BY __probe
+          |  MEASURES COUNT(A.*) AS n
+          |  PATTERN (A) DEFINE A AS id >= 0);
+          |""".stripMargin)
+      try {
+        val e = intercept[Exception](
+          new SqlSubmitAction(f.toString, Map.empty, Some(spark),
+            durationSec = 10L).run())
+        Option(e.getCause).fold(e.getMessage)(_.getMessage)
+      } finally { Files.deleteIfExists(f): Unit }
+    }
+    assert(mMr.contains("(rt)"), mMr)
+    // a dim aliased with the STREAM's table name cannot pose: its
+    // same-named ordinary column is not the attribute (once aliased,
+    // only the alias legally qualifies the stream)
+    val m6 = probe(
+      """create temporary view tdim as
+        |  select * from (values (0, timestamp '1999-01-01 00:00:00'))
+        |    as t(r, row_time);
+        |create temporary view pv6 as
+        |  select psrc.row_time, s.id
+        |  from psrc s join tdim psrc on (s.id % 2) = psrc.r;
+        |""".stripMargin, "pv6")
+    assert(m6.contains("WATERMARK declaration"), m6)
+  }
+
   test("CREATE OR REPLACE and DROP evict the view's event-time record") {
     import java.nio.file.Files
     // w registers off the source; REPLACING it with an aggregating
