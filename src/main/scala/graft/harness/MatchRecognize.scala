@@ -961,7 +961,7 @@ object MatchRecognize {
     * upstream in Catalyst (any column type), moving only the
     * PREV-bearing conjuncts into the tracker.
     */
-  private def splitTopLevelAnd(s: String): Seq[String] = {
+  private[harness] def splitTopLevelAnd(s: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     var depth = 0
     var start = 0

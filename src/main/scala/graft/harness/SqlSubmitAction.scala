@@ -62,9 +62,16 @@ final class SqlSubmitAction(
   private val viewWatermarks: mutable.Map[String, (String, String)] =
     mutable.LinkedHashMap.empty
 
+  // the column-alias list tolerates COMMENT clauses: quoted strings
+  // may hold parens, so the group alternates raw chars with complete
+  // single-quoted literals ('' escapes inside)
   private val CreateViewRe = (raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?" +
     raw"(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)" +
-    raw"\s*(?:\(([^)]*)\))?\s*AS\b(.*)$$").r
+    raw"\s*(?:\(((?:[^()']|'(?:[^']|'')*')*)\))?\s*AS\b(.*)$$").r
+
+  /** Leading identifier of a column-alias-list item — the alias name
+    * ahead of any COMMENT clause. */
+  private val ColListItemRe = raw"(?s)^\s*(`[^`]+`|[A-Za-z_]\w*)".r
   private val DropViewRe = (raw"(?is)^\s*DROP\s+(?:TEMPORARY\s+)?VIEW\s+" +
     raw"(?:IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$$").r
   private val ViewBodyRe = (raw"(?is)^\s*SELECT\s+(.+?)\s+" +
@@ -84,8 +91,8 @@ final class SqlSubmitAction(
   private val QualStarRe = raw"(?s)^([A-Za-z_]\w*)\.\*$$".r
 
   /** Paren depth just before index `idx` of (masked) text — used to
-    * tell a TOP-LEVEL `FROM`/`JOIN` keyword from one inside a call
-    * like `EXTRACT(DAY FROM ts)` or a subquery. */
+    * tell a TOP-LEVEL `FROM`/`JOIN` relation position from one inside
+    * a subquery. */
   private def depthAt(s: String, idx: Int): Int = {
     var d = 0
     var i = 0
@@ -100,56 +107,44 @@ final class SqlSubmitAction(
     d
   }
 
-  private val FromKwRe = raw"(?is)\bFROM\b".r
-
-  /** Start index of the first top-level `FROM` keyword, or -1. */
-  private def topLevelFrom(s: String): Int =
-    FromKwRe.findAllMatchIn(s).map(_.start)
-      .find(depthAt(s, _) == 0).getOrElse(-1)
-
-  /** The select-list item the event-time column `col` rides out of
-    * this view under, if any: itself (by name or `*`/`tbl.*`), or a
-    * plain alias — as (item index, output name). A keep-by-name item
-    * wins over aliased duplicates. `qualifierOk` gates QUALIFIED
-    * references (`s.row_time`, `s.*`) to the relation(s) that
-    * actually carry the attribute — on a join body, `d.row_time`
-    * naming a DIM column of the same name must not pose as the
-    * stream's attribute. Unqualified references are safe on joins
-    * too: had both sides carried the name, the CREATE VIEW itself
-    * would have failed as ambiguous. */
-  private def propagatedItem(selectList: String, col: String,
-      qualifierOk: String => Boolean): Option[(Int, String)] = {
-    val hits = MatchRecognize.splitTopLevel(selectList)
-      .zipWithIndex.flatMap {
-        case ("*", i) => Some((i, col))
-        case (QualStarRe(q), i) if qualifierOk(q) => Some((i, col))
-        case (SimpleItemRe(qual, src, alias), i)
-            if src.equalsIgnoreCase(col) &&
-              Option(qual).forall(qualifierOk) =>
-          Some((i, Option(alias).getOrElse(src)))
-        case _ => None
-      }
-    hits.find(_._2.equalsIgnoreCase(col)).orElse(hits.headOption)
-  }
-
-  /** [[propagatedItem]] resolved against an optional `CREATE VIEW v
-    * (a, b, ...)` column-alias list: the list renames POSITIONALLY,
-    * so the attribute's output name is the list entry at the item's
-    * index — unknowable when a star item shifts positions, in which
-    * case the view stays unrecorded (conservative). */
+  /** The output name the event-time column `col` rides out of this
+    * view under, if any: the select-list item that is the column
+    * itself (by name or `*`/`tbl.*`) or a plain alias of it — a
+    * keep-by-name item wins over aliased duplicates. `qualifierOk`
+    * gates QUALIFIED references (`s.row_time`, `s.*`) to the
+    * relation(s) that actually carry the attribute — on a join body,
+    * `d.row_time` naming a DIM column of the same name must not pose
+    * as the stream's attribute. Unqualified references are safe on
+    * joins too: had both sides carried the name, the CREATE VIEW
+    * itself would have failed as ambiguous. An optional `CREATE VIEW
+    * v (a, b, ...)` column-alias list renames POSITIONALLY, so the
+    * attribute's output name is the list entry at the item's index —
+    * unknowable when a star item shifts positions, in which case the
+    * view stays unrecorded (conservative). */
   private def propagatedName(selectList: String, col: String,
       qualifierOk: String => Boolean = _ => true,
-      colList: Option[Seq[String]] = None): Option[String] =
-    propagatedItem(selectList, col, qualifierOk).flatMap { case (i, nm) =>
+      colList: Option[Seq[String]] = None): Option[String] = {
+    val items = MatchRecognize.splitTopLevel(selectList)
+    val hits = items.zipWithIndex.flatMap {
+      case ("*", i) => Some((i, col))
+      case (QualStarRe(q), i) if qualifierOk(q) => Some((i, col))
+      case (SimpleItemRe(qual, src, alias), i)
+          if src.equalsIgnoreCase(col) &&
+            Option(qual).forall(qualifierOk) =>
+        Some((i, Option(alias).getOrElse(src)))
+      case _ => None
+    }
+    val hit = hits.find(_._2.equalsIgnoreCase(col)).orElse(hits.headOption)
+    hit.flatMap { case (i, nm) =>
       colList match {
         case None => Some(nm)
         case Some(cl) =>
-          val items = MatchRecognize.splitTopLevel(selectList)
           val hasStar = items.exists(it =>
             it == "*" || QualStarRe.findFirstIn(it).isDefined)
           if (hasStar) None else cl.lift(i)
       }
     }
+  }
 
   /** True when this CREATE VIEW statement is a Spark NO-OP: an
     * `IF NOT EXISTS` form whose view already exists keeps the OLD
@@ -182,38 +177,48 @@ final class SqlSubmitAction(
       val name = DdlParser.unquoteName(m.group(2))
       evict(name)
       val colList = Option(m.group(3)).map(cl =>
-        MatchRecognize.splitTopLevel(cl).map(DdlParser.unquoteName))
-      // simple backtick-quoted identifiers lose their quotes before
-      // masking (`row_time` projects the same attribute row_time
-      // does; masking would otherwise blank the name away)
-      val unquoted = raw"`([A-Za-z_]\w*)`".r
-        .replaceAllIn(m.group(4), mm => mm.group(1))
-      val body = MatchRecognize.maskQuoted(unquoted)
+        MatchRecognize.splitTopLevel(cl).map(it =>
+          ColListItemRe.findFirstMatchIn(it)
+            .map(mm => DdlParser.unquoteName(mm.group(1)))
+            .getOrElse(it)))
+      val raw = m.group(4)
+      // guard and structure scans run on the MASKED body (offsets
+      // align 1:1 with the raw text): a backtick-quoted column named
+      // `union` or `join` is blanked and cannot trip a keyword test,
+      // and a string literal containing ' FROM x' never captures a
+      // bogus source table. SELECT-LIST slices are re-taken from the
+      // raw text with simple backtick quotes stripped, so `row_time`
+      // projects the same attribute row_time does.
+      val body = MatchRecognize.maskQuoted(raw)
       // a GROUP BY or set op has no single propagated time attribute
       // to speak for (Flink drops rowtime through both)
       if (raw"(?is)\b(GROUP\s+BY|UNION|INTERSECT|EXCEPT)\b".r
           .findFirstIn(body).isEmpty) {
         if (raw"(?is)\bJOIN\b".r.findFirstIn(body).isEmpty) {
           for {
-            // matched on the MASKED body (identifiers survive masking):
-            // a string literal containing ' FROM x' must never capture
-            // a bogus source table
             bm <- ViewBodyRe.findFirstMatchIn(body)
             (col, delay) <- watermarkOf(bm.group(2))
-            out <- propagatedName(bm.group(1), col, colList = colList)
+            out <- propagatedName(
+              untick(raw.substring(bm.start(1), bm.end(1))), col,
+              colList = colList)
             // sanity: the resolved view really exposes that field
             if scala.util.Try(spark.table(name).schema).toOption
               .exists(_.exists(_.name.equalsIgnoreCase(out)))
           } viewWatermarks(name) = (out, delay)
-        } else recordJoinViewWatermark(spark, name, body, colList)
+        } else recordJoinViewWatermark(spark, name, raw, body, colList)
       }
     }
   }
 
+  /** Strips backtick quotes around SIMPLE identifiers. Applied to raw
+    * select-list slices only — never to text a keyword test runs on. */
+  private def untick(s: String): String =
+    raw"`([A-Za-z_]\w*)`".r.replaceAllIn(s, mm => mm.group(1))
+
   /** Relations named in FROM/JOIN positions with their optional alias.
     * The negative lookahead keeps join keywords and ON/WHERE from
     * being read as an alias. */
-  private val RelWithAliasRe = (raw"(?is)\b(?:FROM|JOIN)\s+" +
+  private val RelWithAliasRe = (raw"(?is)(?<!\.)\b(?:FROM|JOIN)\s+" +
     raw"([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?" +
     raw"(?!ON\b|WHERE\b|JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|" +
     raw"USING\b|GROUP\b|ORDER\b|LIMIT\b)([A-Za-z_]\w*))?").r
@@ -230,27 +235,35 @@ final class SqlSubmitAction(
     * stream-STREAM join keeps the named rejection (Flink drops
     * rowtime through regular joins, and so does this registry):
     * exactly one FROM/JOIN relation may resolve through
-    * [[watermarkOf]], and on an unbounded run the analyzed plan must
-    * carry exactly one streaming leaf (a bounded run executes as
-    * batch with MAX_WATERMARK-at-end semantics, where the single
-    * watermarked relation IS the structural evidence). Relation and
-    * select-list scanning is paren-depth-aware — the `FROM` inside
-    * `EXTRACT(DAY FROM ts)` or a subquery never truncates the list
-    * or injects a relation. */
+    * [[watermarkOf]] ANYWHERE in the FROM tail — subqueries included,
+    * so a second watermarked relation hidden behind `JOIN (SELECT
+    * ...)` still rejects — and on an unbounded run the analyzed plan
+    * must additionally carry exactly one streaming leaf (a bounded
+    * run executes as batch with MAX_WATERMARK-at-end semantics, where
+    * the single watermarked relation IS the structural evidence).
+    * Relation and select-list scanning is quote- and
+    * paren-depth-aware — the `FROM` inside `EXTRACT(DAY FROM ts)`, a
+    * string literal, or a qualified `s.from` column never truncates
+    * the list or anchors a relation scan. */
   private def recordJoinViewWatermark(spark: SparkSession, name: String,
-      body: String, colList: Option[Seq[String]]): Unit = {
-    val fromIdx = topLevelFrom(body)
-    if (fromIdx < 0) return
+      raw: String, body: String, colList: Option[Seq[String]]): Unit = {
+    val fromIdxOpt = WindowTvf.findTopLevel(body, 0, "FROM")
+    if (fromIdxOpt.isEmpty) return
+    val fromIdx = fromIdxOpt.get
     val selectList = raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(body)
-      .map(sm => body.substring(sm.end, fromIdx).trim)
+      .filter(_.end <= fromIdx)
+      .map(sm => untick(raw.substring(sm.end, fromIdx)).trim)
     val tail = body.substring(fromIdx)
-    val rels = RelWithAliasRe.findAllMatchIn(tail)
+    val relMatches = RelWithAliasRe.findAllMatchIn(tail).toSeq
+    // the lookup-shape gate counts watermarked relations at ANY depth
+    val wmAny = relMatches.count(mm => watermarkOf(mm.group(1)).isDefined)
+    val wmRels = relMatches
       .filter(mm => depthAt(tail, mm.start) == 0)
-      .map(mm => (mm.group(1), Option(mm.group(2)))).toSeq
-    val wmRels = rels.flatMap { case (rel, alias) =>
-      watermarkOf(rel).map(wd => (rel, alias, wd)) }
+      .map(mm => (mm.group(1), Option(mm.group(2))))
+      .flatMap { case (rel, alias) =>
+        watermarkOf(rel).map(wd => (rel, alias, wd)) }
     (wmRels, selectList) match {
-      case (Seq((rel, alias, (col, delay))), Some(items)) =>
+      case (Seq((rel, alias, (col, delay))), Some(items)) if wmAny == 1 =>
         val streamName = alias.getOrElse(rel).toLowerCase
         for {
           out <- propagatedName(items, col,
@@ -846,17 +859,19 @@ final class SqlSubmitAction(
     * a streaming relation — fail with the contract, not an analyzer
     * message.
     */
-  private def rewriteTemporalJoins(config: EngineConfig, sql: String): String =
+  private def versionMetaOf(t: String): Option[TemporalJoin.VersionMeta] =
+    sources.keys.find(_.equalsIgnoreCase(t)).map(sources)
+      .flatMap(d => d.watermark.map(wm =>
+        TemporalJoin.VersionMeta(wm.column, d.primaryKey)))
+
+  private def rewriteTemporalJoins(spark: SparkSession,
+      config: EngineConfig, sql: String): String =
     if (!TemporalJoin.hasTemporalJoin(sql)) sql
     else if (config.isStreaming)
-      throw new IllegalArgumentException(
-        "FOR SYSTEM_TIME AS OF is supported in batch runtime mode only " +
-          "(SET execution.runtime-mode = batch); the interval-ized " +
-          "rewrite needs a plain window over the version table")
-    else TemporalJoin.rewrite(sql, t =>
-      sources.keys.find(_.equalsIgnoreCase(t)).map(sources)
-        .flatMap(d => d.watermark.map(wm =>
-          TemporalJoin.VersionMeta(wm.column, d.primaryKey))))
+      // r16: the streaming form compiles onto TemporalJoinTracker —
+      // Flink's event-time temporal join as a stream-stream operator
+      TemporalJoin.rewriteStreaming(spark, sql, watermarkOf, versionMetaOf)
+    else TemporalJoin.rewrite(sql, versionMetaOf)
 
   /** Flink windowing TVFs (`TABLE(TUMBLE(...))`): in batch mode the
     * derived window-column projection (exact Flink arithmetic); in
@@ -968,7 +983,8 @@ final class SqlSubmitAction(
       if (config.isStreaming && OverAgg.hasStreamingShape(topn))
         OverAgg.rewriteStreaming(spark, topn, watermarkOf)
       else topn
-    rewriteWindowTvfs(spark, config, rewriteTemporalJoins(config, over))
+    rewriteWindowTvfs(spark, config,
+      rewriteTemporalJoins(spark, config, over))
   }
 
   private def executeSelect(

@@ -144,6 +144,286 @@ object TemporalJoin {
     out
   }
 
+  private val viewCounter = new java.util.concurrent.atomic.AtomicLong
+
+  private val QualStarRe = raw"(?is)^([A-Za-z_]\w*)\s*\.\s*\*$$".r
+
+  /** Streaming `FOR SYSTEM_TIME AS OF` — Flink's event-time temporal
+    * join as a stream-stream operator, compiled onto
+    * [[graft.streaming.TemporalJoinTracker.joinRows]]. The accepted
+    * shape is Flink's canonical one:
+    *
+    * {{{ SELECT ... FROM probe [AS] p
+    *     [INNER|LEFT [OUTER]] JOIN versioned FOR SYSTEM_TIME AS OF
+    *       p.row_time [AS] v
+    *     ON p.k = v.k [AND ...] [WHERE ...] }}}
+    *
+    * Both sides must be stream relations (or both bounded — then the
+    * tracker runs in batch with MAX_WATERMARK-at-end finality); the
+    * probe needs a WATERMARK whose column IS the AS OF column, the
+    * versioned side needs WATERMARK (version order) + PRIMARY KEY,
+    * and the ON conjunction must equate exactly that primary key with
+    * probe columns — Flink's own versioned-table requirements. Each
+    * side's rows ride the shared exact state carrier as a JSON
+    * payload keyed by the JSON equi-key tuple (version keys cast to
+    * the probe key types so the textual keys agree); probes mature
+    * when the watermark STRICTLY passes their event time, versions
+    * retain latest-at-watermark plus newer — per-key state bounded by
+    * the watermark delay plus one version. The outer select and a
+    * residual WHERE splice over the decoded view: `p.c`/`v.c`
+    * references (and unambiguous bare columns, and `p.*`/`v.*`/`*`
+    * stars) rewrite to the decoded columns. INNER filters unmatched
+    * probes; LEFT null-extends the version side.
+    */
+  def rewriteStreaming(
+      spark: org.apache.spark.sql.SparkSession,
+      sql: String,
+      watermarkOf: String => Option[(String, String)],
+      versionOf: String => Option[VersionMeta]): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{StructField, StructType}
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+
+    val insM = raw"(?is)^(\s*INSERT\s+INTO\s+[\w.`]+\s*(?:\([^)]*\))?\s+)?(.*)$$".r
+      .findFirstMatchIn(sql).get
+    val insertPrefix = Option(insM.group(1)).getOrElse("")
+    val stmt = insM.group(2)
+    val masked = MatchRecognize.maskQuoted(stmt)
+
+    val jm = JoinRe.findFirstMatchIn(masked).getOrElse(fail(
+      "unsupported streaming FOR SYSTEM_TIME AS OF form: expected " +
+        "[INNER|LEFT [OUTER]] JOIN <versioned table> FOR SYSTEM_TIME " +
+        "AS OF <probe time column> [AS alias] ON ..."))
+    val joinKw = jm.group(1).toUpperCase
+    if (joinKw.startsWith("RIGHT") || joinKw.startsWith("FULL"))
+      fail(s"${joinKw.split("\\s+").head} JOIN is not supported with " +
+        "FOR SYSTEM_TIME AS OF (only INNER and LEFT temporal joins)")
+    val leftJoin = joinKw.startsWith("LEFT")
+    val vTableRaw = jm.group(2)
+    val vTable = DdlParser.unquoteName(vTableRaw)
+    val asOfRaw = jm.group(3)
+    val vAlias = Option(jm.group(4)).getOrElse {
+      if (!vTableRaw.matches(s"^$Ident$$"))
+        fail(s"Temporal join over qualified table '$vTableRaw' requires " +
+          "an alias")
+      vTableRaw
+    }
+
+    val selM = raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(masked)
+      .getOrElse(fail("expected SELECT ... FROM for the streaming " +
+        "temporal-join rewrite"))
+    val fromIdx = WindowTvf.findTopLevel(masked, selM.end, "FROM")
+      .filter(_ < jm.start)
+      .getOrElse(fail("expected FROM <probe table> before the temporal join"))
+    val selectList = stmt.substring(selM.end, fromIdx).trim
+    val probeRegion = stmt.substring(fromIdx, jm.start).trim
+    val pm = (raw"(?is)^FROM\s+([A-Za-z_][\w.]*)" +
+      raw"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*$$").r
+      .findFirstMatchIn(probeRegion).getOrElse(fail(
+        "streaming temporal join takes a single named probe table in " +
+          s"FROM; got '$probeRegion'"))
+    val pTable = DdlParser.unquoteName(pm.group(1))
+    val pAlias = Option(pm.group(2)).getOrElse(pm.group(1))
+
+    val (cond, condEnd) = scanOnCondition(stmt, jm.end)
+    val tailRest = stmt.substring(condEnd).trim.stripSuffix(";").trim
+    val whereResidual =
+      if (tailRest.isEmpty) None
+      else Some(raw"(?is)^WHERE\b(.*)$$".r.findFirstMatchIn(tailRest)
+        .getOrElse(fail("streaming temporal join supports a residual " +
+          "WHERE only after the ON condition — aggregate, window, or " +
+          s"order in a separate statement; got '${tailRest.take(40)}'"))
+        .group(1).trim)
+    if (MarkerRe.findFirstMatchIn(masked.substring(0, jm.start)).isDefined ||
+        MarkerRe.findFirstMatchIn(masked.substring(condEnd)).isDefined)
+      fail("streaming mode supports ONE temporal join per statement")
+
+    val (pWmCol, pDelay) = watermarkOf(pTable).getOrElse(fail(
+      s"streaming temporal join needs a WATERMARK declaration on $pTable"))
+    val asOfCol = asOfRaw.split('.') match {
+      case Array(c) => c
+      case Array(q, c) if q.equalsIgnoreCase(pAlias) => c
+      case _ => fail("FOR SYSTEM_TIME AS OF must reference the probe " +
+        s"table's event-time column; got $asOfRaw")
+    }
+    if (!asOfCol.equalsIgnoreCase(pWmCol))
+      fail(s"FOR SYSTEM_TIME AS OF must be $pTable's event-time column " +
+        s"($pWmCol); got $asOfCol")
+    val meta = versionOf(vTable).getOrElse(fail(
+      s"Temporal join over '$vTable' requires an event-time attribute " +
+        "(declare WATERMARK FOR <col> in its DDL)"))
+    if (meta.primaryKey.isEmpty) fail(
+      s"Temporal join over '$vTable' requires a PRIMARY KEY " +
+        "(versions are ordered within it)")
+
+    // ON: a conjunction of probe-column = version-column equalities
+    // covering exactly the version table's primary key
+    val pairs = MatchRecognize.splitTopLevelAnd(cond).map { c =>
+      val em = raw"(?is)^\s*([\w.]+)\s*=\s*([\w.]+)\s*$$".r
+        .findFirstMatchIn(c).getOrElse(fail(
+          "streaming temporal join ON takes a conjunction of column " +
+            s"equalities; got '$c'"))
+      def side(ref: String): (String, String) = ref.split('.') match {
+        case Array(c0) => ("", c0)
+        case Array(q, c0) => (q.toLowerCase, c0)
+        case _ => fail(s"cannot resolve ON reference $ref")
+      }
+      val (q1, c1) = side(em.group(1))
+      val (q2, c2) = side(em.group(2))
+      val pa = pAlias.toLowerCase
+      val va = vAlias.toLowerCase
+      if (q1 == pa && q2 == va) (c1, c2)
+      else if (q1 == va && q2 == pa) (c2, c1)
+      else fail("streaming temporal join ON equalities must pair a " +
+        "probe column with a version column (qualify both sides): " +
+        s"got '$c'")
+    }
+    val vKeyCols = pairs.map(_._2)
+    if (vKeyCols.size != meta.primaryKey.size ||
+        !meta.primaryKey.map(_.toLowerCase).toSet
+          .subsetOf(vKeyCols.map(_.toLowerCase).toSet))
+      fail(s"streaming temporal join ON must equate exactly $vTable's " +
+        s"PRIMARY KEY (${meta.primaryKey.mkString(", ")}); got " +
+        s"(${vKeyCols.mkString(", ")})")
+
+    val pSrc = spark.table(pTable)
+    val vSrc = spark.table(vTable)
+    if (pSrc.isStreaming != vSrc.isStreaming)
+      fail("streaming temporal join takes two stream (or two bounded) " +
+        "sides; enrich against a STATIC table with a plain join " +
+        "view instead (the lookup-join form)")
+    def fieldOf(df: org.apache.spark.sql.DataFrame, table: String,
+        c: String): StructField =
+      df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        fail(s"column $c not found in $table"))
+    def carrier(f: StructField) = graft.streaming.StateFormat.carrierOf(f)
+    val pFields = pSrc.schema.fields.toSeq.filter(f => carrier(f).isDefined)
+    val vFields = vSrc.schema.fields.toSeq.filter(f => carrier(f).isDefined)
+    val dropped =
+      (pSrc.schema.fields.toSeq.map(_.name) diff pFields.map(_.name)) ++
+        (vSrc.schema.fields.toSeq.map(_.name) diff vFields.map(_.name))
+    WindowTopN.failOnStarOverDropped(selectList, dropped, fail)
+
+    // version key columns cast to the probe key types so the textual
+    // JSON keys agree
+    val keyP = to_json(struct(pairs.zipWithIndex.map { case ((pc, _), i) =>
+      col(s"`${fieldOf(pSrc, pTable, pc).name}`").as(s"k$i") }: _*))
+    val keyV = to_json(struct(pairs.zipWithIndex.map { case ((pc, vc), i) =>
+      col(s"`${fieldOf(vSrc, vTable, vc).name}`")
+        .cast(fieldOf(pSrc, pTable, pc).dataType).as(s"k$i") }: _*))
+    def payload(fields: Seq[StructField]) =
+      to_json(struct(fields.map(f => carrier(f).get.enc.as(f.name)): _*))
+    val vTime = fieldOf(vSrc, vTable, meta.timeCol).name
+    val pRows = pSrc
+      .filter(col(s"`${fieldOf(pSrc, pTable, pWmCol).name}`").isNotNull)
+      .select(keyP.as("key"),
+        graft.streaming.Watermarks.eventTimeCol(pSrc, pWmCol, "ts"),
+        lit(false).as("isVersion"), payload(pFields).as("payload"))
+    // a NULL version key or time can never match (SQL equality) —
+    // drop those rows so the JSON key of a null-keyed probe (which
+    // omits the field) cannot collide with a null-keyed version
+    val vRows = vSrc
+      .filter(pairs.map(p =>
+        col(s"`${fieldOf(vSrc, vTable, p._2).name}`").isNotNull)
+        .reduce(_ && _) && col(s"`$vTime`").isNotNull)
+      .select(keyV.as("key"),
+        graft.streaming.Watermarks.eventTimeCol(vSrc, meta.timeCol, "ts"),
+        lit(true).as("isVersion"), payload(vFields).as("payload"))
+    implicit val rowEnc =
+      org.apache.spark.sql.Encoders.product[graft.streaming.TemporalRow]
+    val input = pRows.unionAll(vRows).as[graft.streaming.TemporalRow]
+    val tracked0 =
+      graft.streaming.TemporalJoinTracker.joinRows(input, pDelay).toDF()
+    val tracked =
+      if (leftJoin) tracked0
+      else tracked0.filter(col("versionPayload").isNotNull)
+
+    val opts = Map("allowNonNumericNumbers" -> "true")
+    def storage(fields: Seq[StructField]) = StructType(fields.map(f =>
+      StructField(f.name, carrier(f).get.storage, nullable = true)).toArray)
+    val decoded = tracked
+      .withColumn("__p", from_json(col("probePayload"),
+        storage(pFields), opts))
+      .withColumn("__vp", from_json(col("versionPayload"),
+        storage(vFields), opts))
+      .select(
+        pFields.map(f => carrier(f).get.dec(col(s"__p.`${f.name}`"))
+          .as(s"__l_${f.name}")) ++
+          vFields.map(f => carrier(f).get.dec(col(s"__vp.`${f.name}`"))
+            .as(s"__r_${f.name}")): _*)
+    val view = s"graft_tj_${viewCounter.incrementAndGet()}"
+    decoded.createOrReplaceTempView(view)
+
+    val pNames = pFields.map(_.name)
+    val vNames = vFields.map(_.name)
+    def refOf(side: String, tbl: String, c: String,
+        names: Seq[String]): String =
+      names.find(_.equalsIgnoreCase(c)).map(n => s"__${side}_$n")
+        .getOrElse(fail(s"column $c not found (or not exactly " +
+          s"carrier-able) on $tbl"))
+    def starExpand(side: String, names: Seq[String]): String =
+      names.map(n => s"__${side}_$n AS $n").mkString(", ")
+    // alias-qualified references, then unambiguous bare columns,
+    // rewrite to the decoded view's columns; finds run on masked text
+    def rewriteRefs(text0: String): String = {
+      var text = text0
+      val QualRef = raw"(?is)\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)".r
+      QualRef.findAllMatchIn(MatchRecognize.maskQuoted(text))
+        .toSeq.reverseIterator.foreach { m =>
+          val q = m.group(1)
+          val rep =
+            if (q.equalsIgnoreCase(pAlias))
+              Some(refOf("l", pTable, m.group(2), pNames))
+            else if (q.equalsIgnoreCase(vAlias))
+              Some(refOf("r", vTable, m.group(2), vNames))
+            else None
+          rep.foreach(r =>
+            text = text.substring(0, m.start) + r + text.substring(m.end))
+        }
+      val maskedT = MatchRecognize.maskQuoted(text)
+      val Bare = raw"(?is)\b([A-Za-z_]\w*)\b".r
+      Bare.findAllMatchIn(maskedT).toSeq.reverseIterator.foreach { m =>
+        val id = m.group(1)
+        val prevCh = if (m.start > 0) maskedT.charAt(m.start - 1) else ' '
+        val after = maskedT.drop(m.end).dropWhile(_.isWhitespace)
+        val nextCh = after.headOption.getOrElse(' ')
+        val isAliasPos = raw"(?is).*\bAS$$".r
+          .matches(maskedT.substring(0, m.start).trim)
+        val inP = pNames.exists(_.equalsIgnoreCase(id))
+        val inV = vNames.exists(_.equalsIgnoreCase(id))
+        if (prevCh != '.' && nextCh != '.' && nextCh != '(' &&
+            !isAliasPos && (inP || inV)) {
+          if (inP && inV)
+            fail(s"ambiguous column $id in the temporal-join select — " +
+              s"qualify with $pAlias. or $vAlias.")
+          val side = if (inP) "l" else "r"
+          text = text.substring(0, m.start) + s"__${side}_$id" +
+            text.substring(m.end)
+        }
+      }
+      text
+    }
+    // a plain column item keeps its column name in SQL output
+    // (`SELECT o.k` exposes `k`) — the decoded-view splice must alias
+    // the prefixed column back, or sinks would see `__l_k`
+    val PlainRef = raw"(?is)^\s*(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)\s*$$".r
+    val items2 = MatchRecognize.splitTopLevel(selectList).map {
+      case "*" =>
+        starExpand("l", pNames) + ", " + starExpand("r", vNames)
+      case QualStarRe(q) if q.equalsIgnoreCase(pAlias) =>
+        starExpand("l", pNames)
+      case QualStarRe(q) if q.equalsIgnoreCase(vAlias) =>
+        starExpand("r", vNames)
+      case it @ PlainRef(outName) =>
+        val rewritten = rewriteRefs(it).trim
+        if (rewritten == it.trim) rewritten else s"$rewritten AS $outName"
+      case it => rewriteRefs(it)
+    }.mkString(", ")
+    val where2 =
+      whereResidual.map(w => " WHERE " + rewriteRefs(w)).getOrElse("")
+    s"${insertPrefix}SELECT $items2 FROM $view$where2"
+  }
+
   /** Clause keywords that terminate an ON condition at paren depth 0. */
   private val Stops = Set(
     "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "QUALIFY", "WINDOW",

@@ -1773,7 +1773,8 @@ object WindowTvf {
     parts.toSeq
   }
 
-  private def findTopLevel(sql: String, from: Int, kw: String): Option[Int] = {
+  private[harness] def findTopLevel(sql: String, from: Int,
+      kw: String): Option[Int] = {
     var i = from
     var depth = 0
     while (i < sql.length) {

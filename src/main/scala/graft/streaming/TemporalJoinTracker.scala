@@ -27,6 +27,25 @@ final case class TemporalMatch(
     key: Long, probeSec: Long, probeValue: Double,
     versionSec: Long, versionValue: Double)
 
+/** Generic (SQL-facing) variant of [[TemporalInput]]: the key is the
+  * JSON-encoded equi-key tuple and the payload a JSON row of the
+  * side's columns through the exact state carrier
+  * ([[StateFormat.carrierOf]]) — the same generic shape the other SQL
+  * trackers ride. */
+final case class TemporalRow(
+    key: String, ts: Timestamp, isVersion: Boolean, payload: String)
+
+/** Per-key generic temporal-join state, millisecond event times. */
+final case class TemporalRowState(
+    versions: List[(Long, String)], pending: List[(Long, String)])
+
+/** One enriched probe row: `versionPayload` is null when no version
+  * existed at or before the probe's time (LEFT semantics — the SQL
+  * splice filters `versionPayload IS NOT NULL` for INNER). */
+final case class TemporalRowMatch(
+    key: String, probeTs: Timestamp, probePayload: String,
+    versionPayload: String)
+
 /** Streaming event-time temporal join (`FOR SYSTEM_TIME AS OF` as a
   * stream-stream operator): each probe row is enriched with the latest
   * version at or before its event time, on the same key.
@@ -120,6 +139,98 @@ object TemporalJoinTracker {
         case Some(sec) => state.setTimeoutTimestamp((sec + 1L) * 1000L)
         case None if idleVersionTtlSec > 0L =>
           // version-only state: expire after the idle TTL
+          state.setTimeoutTimestamp(
+            math.max(wmMs, 0L) + idleVersionTtlSec * 1000L)
+        case None => () // retain the latest version indefinitely
+      }
+    }
+    out.iterator
+  }
+
+  /** Generic (SQL-facing) temporal join over [[TemporalRow]]s — the
+    * operator behind the CLI's streaming `FOR SYSTEM_TIME AS OF`
+    * rewrite ([[graft.harness.TemporalJoin.rewriteStreaming]]). Same
+    * mechanics as [[join]] at millisecond precision: probes buffer
+    * until the watermark passes their event time STRICTLY (a version
+    * AT the probe's instant is still on time until then), version
+    * state prunes to the latest at-or-below the watermark plus
+    * everything newer, and maturation is timeout-driven. On a BOUNDED
+    * run (batch execution of the stateful operator — Spark throws
+    * from `getCurrentWatermarkMs`) every probe is final: the single
+    * invocation holds the whole input, Flink's MAX_WATERMARK at the
+    * end of a bounded stream. Version ties on one timestamp order by
+    * payload text — deterministic, matching the batch interval
+    * rewrite only on tie-free data (ties are non-deterministic there
+    * too: LEAD over an ambiguous sort).
+    */
+  def joinRows(
+      input: Dataset[TemporalRow],
+      watermarkDelay: String,
+      idleVersionTtlSec: Long = 0L): Dataset[TemporalRowMatch] = {
+    implicit val matchEnc = Encoders.product[TemporalRowMatch]
+    implicit val stateEnc = Encoders.product[TemporalRowState]
+    implicit val keyEnc = Encoders.STRING
+    Watermarks.ensure(input, "ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[TemporalRow],
+         state: GroupState[TemporalRowState]) =>
+          updateRows(key, rows, state, idleVersionTtlSec))
+  }
+
+  private def updateRows(
+      key: String,
+      rows: Iterator[TemporalRow],
+      state: GroupState[TemporalRowState],
+      idleVersionTtlSec: Long): Iterator[TemporalRowMatch] = {
+    val prev = state.getOption.getOrElse(TemporalRowState(Nil, Nil))
+    if (state.hasTimedOut && prev.pending.isEmpty) {
+      state.remove()
+      return Iterator.empty
+    }
+    val newVersions = ArrayBuffer.empty[(Long, String)]
+    val newProbes = ArrayBuffer.empty[(Long, String)]
+    rows.foreach { r =>
+      val ms = r.ts.getTime
+      if (r.isVersion) newVersions += ((ms, r.payload))
+      else newProbes += ((ms, r.payload))
+    }
+    val versions = (prev.versions ++ newVersions).sortBy(v => (v._1, v._2))
+    val pending = prev.pending ++ newProbes
+
+    // batch execution (bounded source): no watermark — everything final
+    val (wmMs, isFinal) =
+      try (state.getCurrentWatermarkMs(), false)
+      catch { case _: UnsupportedOperationException => (Long.MaxValue, true) }
+
+    val (matured, waiting) =
+      if (isFinal) (pending, Nil)
+      else pending.partition(_._1 < wmMs)
+    val out = matured.sortBy(p => (p._1, p._2)).map { case (pMs, pPay) =>
+      versions.takeWhile(_._1 <= pMs).lastOption match {
+        case Some((_, vPay)) =>
+          TemporalRowMatch(key, new Timestamp(pMs), pPay, vPay)
+        case None => TemporalRowMatch(key, new Timestamp(pMs), pPay, null)
+      }
+    }
+
+    if (isFinal) {
+      state.remove()
+      return out.iterator
+    }
+    // retention: the earliest possible future on-time probe sits AT
+    // the watermark, so keep the latest version at-or-below it plus
+    // everything newer
+    val cutoff = versions.takeWhile(_._1 <= wmMs).lastOption
+    val kept = cutoff.toList ::: versions.dropWhile(_._1 <= wmMs)
+
+    if (waiting.isEmpty && kept.isEmpty) state.remove()
+    else {
+      state.update(TemporalRowState(kept, waiting))
+      waiting.map(_._1).minOption match {
+        case Some(ms) => state.setTimeoutTimestamp(ms + 1L)
+        case None if idleVersionTtlSec > 0L =>
           state.setTimeoutTimestamp(
             math.max(wmMs, 0L) + idleVersionTtlSec * 1000L)
         case None => () // retain the latest version indefinitely

@@ -908,6 +908,44 @@ class OverAggSpec extends AnyFunSuite {
       } finally { Files.deleteIfExists(f): Unit }
     }
     assert(mMr.contains("(rt)"), mMr)
+    // a column literally named `union` (backtick-quoted) must not
+    // trip the set-op guard: the guard runs on the MASKED body
+    val m7 = probe(
+      """create temporary view pv7 as
+        |  select id as `union`, row_time from psrc;
+        |""".stripMargin, "pv7")
+    assert(m7.contains("event-time column (row_time)"), m7)
+    // a second watermarked relation HIDDEN IN A SUBQUERY still makes
+    // the join a stream-stream shape (bounded run, where the plan
+    // check cannot distinguish) — stays unrecorded
+    val m8 = probe(
+      """create table p2src (
+        |  id2 bigint,
+        |  rt2 as timestamp '2024-01-01 00:00:00' +
+        |    make_interval(0, 0, 0, 0, 0, 0, cast(id2 as int)),
+        |  watermark for rt2 as rt2 - interval '1' second
+        |) with ('connector' = 'datagen', 'number-of-rows' = '5',
+        |  'fields.id2.kind' = 'sequence',
+        |  'fields.id2.start' = '0', 'fields.id2.end' = '4');
+        |create temporary view pv8 as
+        |  select a.id, a.row_time
+        |  from psrc a join (select * from p2src) b on a.id = b.id2;
+        |""".stripMargin, "pv8")
+    assert(m8.contains("WATERMARK declaration"), m8)
+    // a COMMENT clause in the column-alias list neither breaks the
+    // record (the list name is the leading identifier) nor — with a
+    // paren inside the comment string — the OR REPLACE eviction
+    val m9 = probe(
+      """create temporary view pv9 (a, b COMMENT 'event (time)') as
+        |  select id, row_time from psrc;
+        |""".stripMargin, "pv9")
+    assert(m9.contains("event-time column (b)"), m9)
+    val m10 = probe(
+      """create temporary view pv10 as select id, row_time from psrc;
+        |create or replace temporary view pv10 (a COMMENT 'pct)') as
+        |  select max(row_time) from psrc group by id;
+        |""".stripMargin, "pv10")
+    assert(m10.contains("WATERMARK declaration"), m10)
     // a dim aliased with the STREAM's table name cannot pose: its
     // same-named ordinary column is not the attribute (once aliased,
     // only the alias legally qualifies the stream)

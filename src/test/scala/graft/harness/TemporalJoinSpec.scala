@@ -84,7 +84,8 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("requires an alias"))
   }
 
-  test("e2e: streaming-mode temporal join is rejected with the batch-only contract") {
+  test("e2e: streaming temporal join without a PRIMARY KEY is rejected " +
+      "(r16 — the streaming form runs; Flink's versioned-table rules hold)") {
     val spark = SparkFixture.spark
     val script =
       s"""create table src(
@@ -104,7 +105,160 @@ class TemporalJoinSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage) ++: messages(x.getCause))
-    assert(messages(e).exists(_.contains("batch runtime mode")))
+    assert(messages(e).exists(_.contains("PRIMARY KEY")))
+  }
+
+  private def tsOf(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+
+  test("streaming temporal join equals the batch interval rewrite " +
+      "(INNER and LEFT), watermark-gated") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val rates = Seq((1L, tsOf(10), 1.0d), (1L, tsOf(30), 2.0d),
+      (2L, tsOf(10), 9.0d))
+    val orders = Seq((1L, tsOf(12), 100L), (1L, tsOf(35), 200L),
+      (1L, tsOf(5), 300L), (2L, tsOf(11), 400L), (3L, tsOf(20), 500L))
+    // batch twins through the interval rewrite
+    rates.toDF("k", "rt", "rate").createOrReplaceTempView("tj_rates_b")
+    orders.toDF("k", "ot", "amount").createOrReplaceTempView("tj_orders_b")
+    val vm = Map("tj_rates_b" -> VersionMeta("rt", Seq("k")),
+      "tj_rates_s" -> VersionMeta("rt", Seq("k"))).get _
+    val wmOf: String => Option[(String, String)] = t =>
+      if (t.equalsIgnoreCase("tj_orders_s")) Some(("ot", "5 seconds"))
+      else None
+    for (kw <- Seq("JOIN", "LEFT JOIN")) {
+      val batchSql = TemporalJoin.rewrite(
+        s"SELECT o.k, o.ot, o.amount, r.rate FROM tj_orders_b o $kw " +
+          "tj_rates_b FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k", vm)
+      val batch = spark.sql(batchSql).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          Option(r.get(3)))).toSet
+      assert(batch.nonEmpty)
+      // streaming through the tracker rewrite, chunked delivery
+      val oIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      oIn.toDF().toDF("k", "ot", "amount")
+        .createOrReplaceTempView("tj_orders_s")
+      val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      rIn.toDF().toDF("k", "rt", "rate")
+        .createOrReplaceTempView("tj_rates_s")
+      val streamSql = TemporalJoin.rewriteStreaming(spark,
+        s"SELECT o.k, o.ot, o.amount, r.rate FROM tj_orders_s o $kw " +
+          "tj_rates_s FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k",
+        wmOf, vm)
+      val name = s"tj_out_${kw.length}"
+      val query = spark.sql(streamSql).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        // rows deliver in rough event-time order so nothing arrives
+        // BEHIND the watermark — Spark (like Flink) drops late rows
+        // before the stateful operator, which is the documented
+        // no-retraction contract, not a divergence to test here
+        oIn.addData((1L, tsOf(5), 300L), (1L, tsOf(12), 100L),
+          (2L, tsOf(11), 400L))
+        query.processAllAvailable() // wm → 7; probes buffer
+        rIn.addData((1L, tsOf(10), 1.0d), (2L, tsOf(10), 9.0d))
+        query.processAllAvailable() // versions land behind buffered probes
+        oIn.addData((3L, tsOf(20), 500L))
+        query.processAllAvailable() // wm → 15: probes 5/11/12 mature
+        rIn.addData((1L, tsOf(30), 2.0d))
+        query.processAllAvailable() // wm → 25: probe 20 matures
+        oIn.addData((1L, tsOf(35), 200L))
+        query.processAllAvailable() // wm → 30
+        oIn.addData((9L, tsOf(100000), 0L)) // watermark flush
+        query.processAllAvailable()
+        oIn.addData((9L, tsOf(200000), 0L))
+        query.processAllAvailable()
+        val streamed = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+            Option(r.get(3)))).toSet
+        // the flush rows themselves: unmatched probes, LEFT only
+        val flushRows = streamed.filter(_._1 == 9L)
+        assert(streamed -- flushRows === batch, kw)
+        assert(flushRows.isEmpty == (kw == "JOIN"), kw)
+      } finally query.stop()
+    }
+  }
+
+  test("streaming temporal join contract rejections are named") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    Seq((1L, tsOf(1), 1L)).toDF("k", "ot", "amount")
+      .createOrReplaceTempView("tjr_o")
+    Seq((1L, tsOf(1), 1.0d)).toDF("k", "rt", "rate")
+      .createOrReplaceTempView("tjr_r")
+    val vm = Map("tjr_r" -> VersionMeta("rt", Seq("k"))).get _
+    val wmOf: String => Option[(String, String)] = t =>
+      if (t.equalsIgnoreCase("tjr_o")) Some(("ot", "5 seconds")) else None
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](
+        TemporalJoin.rewriteStreaming(spark, sql, wmOf, vm)).getMessage
+    // ON must equate exactly the version pk
+    assert(err("SELECT o.k FROM tjr_o o JOIN tjr_r FOR SYSTEM_TIME AS OF " +
+      "o.ot AS r ON r.rate = o.k").contains("PRIMARY KEY"))
+    // AS OF must be the probe's event-time column
+    assert(err("SELECT o.k FROM tjr_o o JOIN tjr_r FOR SYSTEM_TIME AS OF " +
+      "o.amount AS r ON r.k = o.k").contains("event-time column"))
+    // probe without a watermark
+    assert(err("SELECT r.k FROM tjr_r r2 JOIN tjr_r FOR SYSTEM_TIME AS OF " +
+      "r2.rt AS r ON r.k = r2.k").contains("WATERMARK"))
+    // residual tail beyond WHERE
+    assert(err("SELECT o.k FROM tjr_o o JOIN tjr_r FOR SYSTEM_TIME AS OF " +
+      "o.ot AS r ON r.k = o.k ORDER BY o.k").contains("residual WHERE"))
+    // ambiguous bare column (k is on both sides)
+    assert(err("SELECT k FROM tjr_o o JOIN tjr_r FOR SYSTEM_TIME AS OF " +
+      "o.ot AS r ON r.k = o.k").contains("ambiguous"))
+  }
+
+  test("e2e: bounded streaming temporal join enriches with " +
+      "MAX_WATERMARK-at-end finality through sql-submit") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-tj-e2e").toString
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table tje_rates (
+         |  k bigint,
+         |  seq bigint,
+         |  rt as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 10 as int)),
+         |  rate as 100 + seq,
+         |  primary key (k) not enforced,
+         |  watermark for rt as rt - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table tje_orders (
+         |  k bigint,
+         |  oseq bigint,
+         |  ot as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(5 + oseq * 10 as int)),
+         |  watermark for ot as ot - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.oseq.kind' = 'sequence',
+         |  'fields.oseq.start' = '0', 'fields.oseq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table tje_sink (k bigint, oseq bigint, rate bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$out/sink',
+         |  'format' = 'parquet');
+         |insert into tje_sink
+         |select o.k, o.oseq, r.rate from tje_orders o
+         |join tje_rates for system_time as of o.ot as r on r.k = o.k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-tj-e2e-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 20).run()
+    // read BY NAME: plain `o.k` items must expose their column names
+    // through the splice, not the decoded view's prefixed internals
+    val got = spark.read.parquet(s"$out/sink")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("oseq"),
+        r.getAs[Long]("rate"))).toSet
+    // orders at 5/15/25 s against rates 100/101/102 effective from
+    // 0/10/20 s — bounded sources flush everything at end-of-input
+    assert(got === Set((0L, 0L, 100L), (0L, 1L, 101L), (0L, 2L, 102L)),
+      got.toString)
   }
 
   test("temporal join inside a CTE stops the ON scan at the closing paren") {
