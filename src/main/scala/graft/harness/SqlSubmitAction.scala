@@ -182,30 +182,33 @@ final class SqlSubmitAction(
             .map(mm => DdlParser.unquoteName(mm.group(1)))
             .getOrElse(it)))
       val raw = m.group(4)
-      // guard and structure scans run on the MASKED body (offsets
-      // align 1:1 with the raw text): a backtick-quoted column named
-      // `union` or `join` is blanked and cannot trip a keyword test,
-      // and a string literal containing ' FROM x' never captures a
-      // bogus source table. SELECT-LIST slices are re-taken from the
-      // raw text with simple backtick quotes stripped, so `row_time`
-      // projects the same attribute row_time does.
-      val body = MatchRecognize.maskQuoted(raw)
+      // KEYWORD guards run on the raw body MASKED (a backtick-quoted
+      // column named `union` or `join` is blanked and cannot trip a
+      // keyword test); STRUCTURE scans run on the body with simple
+      // backtick quotes stripped first and THEN masked, so a
+      // backticked relation (`FROM \`psrc\``) or projection item
+      // (`\`row_time\``) still reads as its identifier while string
+      // literals stay blanked. Offsets of the scan body align 1:1
+      // with the unticked raw text for select-list slicing.
+      val guardBody = MatchRecognize.maskQuoted(raw)
+      val unticked = untick(raw)
+      val body = MatchRecognize.maskQuoted(unticked)
       // a GROUP BY or set op has no single propagated time attribute
       // to speak for (Flink drops rowtime through both)
       if (raw"(?is)\b(GROUP\s+BY|UNION|INTERSECT|EXCEPT)\b".r
-          .findFirstIn(body).isEmpty) {
-        if (raw"(?is)\bJOIN\b".r.findFirstIn(body).isEmpty) {
+          .findFirstIn(guardBody).isEmpty) {
+        if (raw"(?is)\bJOIN\b".r.findFirstIn(guardBody).isEmpty) {
           for {
             bm <- ViewBodyRe.findFirstMatchIn(body)
             (col, delay) <- watermarkOf(bm.group(2))
             out <- propagatedName(
-              untick(raw.substring(bm.start(1), bm.end(1))), col,
+              unticked.substring(bm.start(1), bm.end(1)), col,
               colList = colList)
             // sanity: the resolved view really exposes that field
             if scala.util.Try(spark.table(name).schema).toOption
               .exists(_.exists(_.name.equalsIgnoreCase(out)))
           } viewWatermarks(name) = (out, delay)
-        } else recordJoinViewWatermark(spark, name, raw, body, colList)
+        } else recordJoinViewWatermark(spark, name, unticked, body, colList)
       }
     }
   }
@@ -256,7 +259,28 @@ final class SqlSubmitAction(
     val tail = body.substring(fromIdx)
     val relMatches = RelWithAliasRe.findAllMatchIn(tail).toSeq
     // the lookup-shape gate counts watermarked relations at ANY depth
-    val wmAny = relMatches.count(mm => watermarkOf(mm.group(1)).isDefined)
+    // — but a parenthesized position is a RELATION position only
+    // inside a SUBQUERY (a SELECT between the innermost unclosed
+    // paren and the match); the FROM of EXTRACT/TRIM/SUBSTRING whose
+    // operand collides with a watermarked name must not count
+    def inSubquery(idx: Int): Boolean = {
+      var depth = 0
+      var i = idx - 1
+      var open = -1
+      while (i >= 0 && open < 0) {
+        tail.charAt(i) match {
+          case ')' => depth += 1
+          case '(' => if (depth == 0) open = i else depth -= 1
+          case _ =>
+        }
+        i -= 1
+      }
+      open >= 0 && raw"(?is)\bSELECT\b".r
+        .findFirstIn(tail.substring(open + 1, idx)).isDefined
+    }
+    val wmAny = relMatches.count(mm =>
+      watermarkOf(mm.group(1)).isDefined &&
+        (depthAt(tail, mm.start) == 0 || inSubquery(mm.start)))
     val wmRels = relMatches
       .filter(mm => depthAt(tail, mm.start) == 0)
       .map(mm => (mm.group(1), Option(mm.group(2))))

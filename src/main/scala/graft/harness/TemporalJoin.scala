@@ -74,24 +74,8 @@ object TemporalJoin {
     var next = JoinRe.findFirstMatchIn(out)
     while (next.isDefined) {
       val m = next.get
-      val joinKw = m.group(1).toUpperCase
-      // Flink rejects right/full temporal joins; match them explicitly
-      // so they fail with the contract instead of half-rewriting
-      if (joinKw.startsWith("RIGHT") || joinKw.startsWith("FULL"))
-        throw new IllegalArgumentException(
-          s"${joinKw.split("\\s+").head} JOIN is not supported with " +
-            "FOR SYSTEM_TIME AS OF (only INNER and LEFT temporal joins)")
-      val table = m.group(2)
+      val (leftJoin, table, alias) = parseJoinHead(m)
       val asOf = m.group(3)
-      // alias optional for a single-part table name: the name itself
-      // (with its backticks, if any) addresses the versioned side. A
-      // qualified name can't alias its own subquery, so require one.
-      val alias = Option(m.group(4)).getOrElse {
-        if (!table.matches(s"^$Ident$$"))
-          throw new IllegalArgumentException(
-            s"Temporal join over qualified table '$table' requires an alias")
-        table
-      }
       val (cond, condEnd) = scanOnCondition(out, m.end)
       val tbl = DdlParser.unquoteName(table)
       val meta = versionOf(tbl).getOrElse(throw new IllegalArgumentException(
@@ -102,7 +86,7 @@ object TemporalJoin {
           "(versions are ordered within it)")
       val ts = meta.timeCol
       val pk = meta.primaryKey.mkString(", ")
-      val outerKw = if (joinKw.startsWith("LEFT")) "LEFT OUTER JOIN" else "JOIN"
+      val outerKw = if (leftJoin) "LEFT OUTER JOIN" else "JOIN"
       val replacement =
         s"$outerKw (SELECT *, $ts AS __vstart, " +
           s"LEAD($ts) OVER (PARTITION BY $pk ORDER BY $ts) AS __vend " +
@@ -147,6 +131,29 @@ object TemporalJoin {
   private val viewCounter = new java.util.concurrent.atomic.AtomicLong
 
   private val QualStarRe = raw"(?is)^([A-Za-z_]\w*)\s*\.\s*\*$$".r
+
+  /** Shared validation of a [[JoinRe]] match's head — join kind and
+    * versioned-side naming — used by the batch AND streaming rewrites
+    * so the contracts cannot diverge: Flink rejects RIGHT/FULL
+    * temporal joins; an alias is optional for a single-part table
+    * name (the name itself addresses the versioned side) and required
+    * for a qualified one. Returns (leftJoin, table text, alias). */
+  private def parseJoinHead(m: scala.util.matching.Regex.Match):
+      (Boolean, String, String) = {
+    val joinKw = m.group(1).toUpperCase
+    if (joinKw.startsWith("RIGHT") || joinKw.startsWith("FULL"))
+      throw new IllegalArgumentException(
+        s"${joinKw.split("\\s+").head} JOIN is not supported with " +
+          "FOR SYSTEM_TIME AS OF (only INNER and LEFT temporal joins)")
+    val table = m.group(2)
+    val alias = Option(m.group(4)).getOrElse {
+      if (!table.matches(s"^$Ident$$"))
+        throw new IllegalArgumentException(
+          s"Temporal join over qualified table '$table' requires an alias")
+      table
+    }
+    (joinKw.startsWith("LEFT"), table, alias)
+  }
 
   /** Streaming `FOR SYSTEM_TIME AS OF` — Flink's event-time temporal
     * join as a stream-stream operator, compiled onto
@@ -194,20 +201,9 @@ object TemporalJoin {
       "unsupported streaming FOR SYSTEM_TIME AS OF form: expected " +
         "[INNER|LEFT [OUTER]] JOIN <versioned table> FOR SYSTEM_TIME " +
         "AS OF <probe time column> [AS alias] ON ..."))
-    val joinKw = jm.group(1).toUpperCase
-    if (joinKw.startsWith("RIGHT") || joinKw.startsWith("FULL"))
-      fail(s"${joinKw.split("\\s+").head} JOIN is not supported with " +
-        "FOR SYSTEM_TIME AS OF (only INNER and LEFT temporal joins)")
-    val leftJoin = joinKw.startsWith("LEFT")
-    val vTableRaw = jm.group(2)
+    val (leftJoin, vTableRaw, vAlias) = parseJoinHead(jm)
     val vTable = DdlParser.unquoteName(vTableRaw)
     val asOfRaw = jm.group(3)
-    val vAlias = Option(jm.group(4)).getOrElse {
-      if (!vTableRaw.matches(s"^$Ident$$"))
-        fail(s"Temporal join over qualified table '$vTableRaw' requires " +
-          "an alias")
-      vTableRaw
-    }
 
     val selM = raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(masked)
       .getOrElse(fail("expected SELECT ... FROM for the streaming " +
@@ -223,7 +219,14 @@ object TemporalJoin {
         "streaming temporal join takes a single named probe table in " +
           s"FROM; got '$probeRegion'"))
     val pTable = DdlParser.unquoteName(pm.group(1))
-    val pAlias = Option(pm.group(2)).getOrElse(pm.group(1))
+    // a qualified probe name cannot qualify column references — the
+    // same alias rule the versioned side gets
+    val pAlias = Option(pm.group(2)).getOrElse {
+      if (pm.group(1).contains("."))
+        fail(s"Temporal join probe over qualified table " +
+          s"'${pm.group(1)}' requires an alias")
+      pm.group(1)
+    }
 
     val (cond, condEnd) = scanOnCondition(stmt, jm.end)
     val tailRest = stmt.substring(condEnd).trim.stripSuffix(";").trim
@@ -321,10 +324,14 @@ object TemporalJoin {
         lit(false).as("isVersion"), payload(pFields).as("payload"))
     // a NULL version key or time can never match (SQL equality) —
     // drop those rows so the JSON key of a null-keyed probe (which
-    // omits the field) cannot collide with a null-keyed version
+    // omits the field) cannot collide with a null-keyed version. The
+    // null test runs on the POST-CAST value: a version key whose cast
+    // to the probe type nulls out would otherwise slip through and
+    // key as the empty tuple
     val vRows = vSrc
-      .filter(pairs.map(p =>
-        col(s"`${fieldOf(vSrc, vTable, p._2).name}`").isNotNull)
+      .filter(pairs.map { case (pc, vc) =>
+        col(s"`${fieldOf(vSrc, vTable, vc).name}`")
+          .cast(fieldOf(pSrc, pTable, pc).dataType).isNotNull }
         .reduce(_ && _) && col(s"`$vTime`").isNotNull)
       .select(keyV.as("key"),
         graft.streaming.Watermarks.eventTimeCol(vSrc, meta.timeCol, "ts"),
@@ -380,26 +387,27 @@ object TemporalJoin {
           rep.foreach(r =>
             text = text.substring(0, m.start) + r + text.substring(m.end))
         }
+      // bare identifiers naming a side column REJECT rather than
+      // rewrite: a bare reference could equally be an implicit output
+      // alias or a column of a residual-WHERE subquery's own table,
+      // and a silent mis-rewrite there produces wrong rows — the
+      // contract demands the alias (or explicit AS for output names)
       val maskedT = MatchRecognize.maskQuoted(text)
       val Bare = raw"(?is)\b([A-Za-z_]\w*)\b".r
-      Bare.findAllMatchIn(maskedT).toSeq.reverseIterator.foreach { m =>
+      Bare.findAllMatchIn(maskedT).foreach { m =>
         val id = m.group(1)
         val prevCh = if (m.start > 0) maskedT.charAt(m.start - 1) else ' '
         val after = maskedT.drop(m.end).dropWhile(_.isWhitespace)
         val nextCh = after.headOption.getOrElse(' ')
         val isAliasPos = raw"(?is).*\bAS$$".r
           .matches(maskedT.substring(0, m.start).trim)
-        val inP = pNames.exists(_.equalsIgnoreCase(id))
-        val inV = vNames.exists(_.equalsIgnoreCase(id))
         if (prevCh != '.' && nextCh != '.' && nextCh != '(' &&
-            !isAliasPos && (inP || inV)) {
-          if (inP && inV)
-            fail(s"ambiguous column $id in the temporal-join select — " +
-              s"qualify with $pAlias. or $vAlias.")
-          val side = if (inP) "l" else "r"
-          text = text.substring(0, m.start) + s"__${side}_$id" +
-            text.substring(m.end)
-        }
+            !isAliasPos && (pNames.exists(_.equalsIgnoreCase(id)) ||
+              vNames.exists(_.equalsIgnoreCase(id))))
+          fail(s"unqualified column $id in the streaming temporal " +
+            s"join — qualify with $pAlias. or $vAlias. (a subquery's " +
+            "own column qualifies with ITS alias; an output alias of " +
+            "that name needs the AS keyword)")
       }
       text
     }

@@ -89,6 +89,12 @@ object TemporalJoinTracker {
           update(key, rows, state, idleVersionTtlSec))
   }
 
+  // NOTE: [[updateRows]] below is this state machine's generic twin
+  // (string payloads, millisecond maturity, batch finality) — a change
+  // to the retention cutoff or timeout arithmetic here almost
+  // certainly applies there too. The typed variant keeps its
+  // second-granularity maturity contract (a probe matures once its
+  // WHOLE second is behind the watermark), pinned by StreamingSpec.
   private def update(
       key: Long,
       rows: Iterator[TemporalInput],

@@ -871,6 +871,12 @@ class OverAggSpec extends AnyFunSuite {
         |  select id, `row_time` as `rt3` from psrc;
         |""".stripMargin, "pv3")
     assert(m3.contains("event-time column (rt3)"), m3)
+    // ...and so does a backtick-quoted FROM relation
+    val m3b = probe(
+      """create temporary view pv3b as
+        |  select id, row_time from `psrc`;
+        |""".stripMargin, "pv3b")
+    assert(m3b.contains("event-time column (row_time)"), m3b)
     // CREATE VIEW v (a, b) AS ...: the column list renames
     // positionally, so the attribute rides out under the LIST name
     val m4 = probe(

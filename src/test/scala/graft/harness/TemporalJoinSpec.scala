@@ -206,9 +206,16 @@ class TemporalJoinSpec extends AnyFunSuite {
     // residual tail beyond WHERE
     assert(err("SELECT o.k FROM tjr_o o JOIN tjr_r FOR SYSTEM_TIME AS OF " +
       "o.ot AS r ON r.k = o.k ORDER BY o.k").contains("residual WHERE"))
-    // ambiguous bare column (k is on both sides)
+    // bare side columns reject (could be an implicit alias or a
+    // subquery's own column — a silent rewrite risks wrong rows)
     assert(err("SELECT k FROM tjr_o o JOIN tjr_r FOR SYSTEM_TIME AS OF " +
-      "o.ot AS r ON r.k = o.k").contains("ambiguous"))
+      "o.ot AS r ON r.k = o.k").contains("unqualified column k"))
+    assert(err("SELECT o.k, rate FROM tjr_o o JOIN tjr_r FOR " +
+      "SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k")
+      .contains("unqualified column rate"))
+    // qualified probe table without an alias
+    assert(err("SELECT o.k FROM db.tjr_o JOIN tjr_r FOR SYSTEM_TIME " +
+      "AS OF ot AS r ON r.k = k").contains("requires an alias"))
   }
 
   test("e2e: bounded streaming temporal join enriches with " +
