@@ -71,7 +71,21 @@ final case class TemporalRowMatch(
   * watermark with no pending probes (trading late enrichment for
   * bounded state on high-cardinality key spaces).
   */
-object TemporalJoinTracker {
+object TemporalJoinTracker extends Serializable {
+
+  /** Test-observable per-key state high-water marks (the
+    * OverAggTracker.peak* pattern): saved version-list and
+    * pending-probe sizes, updated at every state save. Monotonic
+    * maxima; specs reset before a run and assert the
+    * watermark-declared bounds — catching an unbounded-buffering
+    * regression that output correctness alone would never show. */
+  private[graft] val peakVersionRows =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val peakPendingProbes =
+    new java.util.concurrent.atomic.AtomicLong
+  private def bump(g: java.util.concurrent.atomic.AtomicLong,
+      v: Long): Unit =
+    { g.getAndAccumulate(v, math.max(_, _)): Unit }
 
   def join(
       input: Dataset[TemporalInput],
@@ -234,6 +248,8 @@ object TemporalJoinTracker {
     if (waiting.isEmpty && kept.isEmpty) state.remove()
     else {
       state.update(TemporalRowState(kept, waiting))
+      bump(peakVersionRows, kept.size.toLong)
+      bump(peakPendingProbes, waiting.size.toLong)
       waiting.map(_._1).minOption match {
         case Some(ms) => state.setTimeoutTimestamp(ms + 1L)
         case None if idleVersionTtlSec > 0L =>

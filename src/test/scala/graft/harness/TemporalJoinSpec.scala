@@ -218,6 +218,93 @@ class TemporalJoinSpec extends AnyFunSuite {
       "AS OF ot AS r ON r.k = k").contains("requires an alias"))
   }
 
+  test("hot key: temporal-join state stays bounded by the watermark " +
+      "window (version retention + pending probes, gauge-pinned)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{TemporalJoinTracker, TemporalRow}
+    implicit val sc = spark.sqlContext
+    TemporalJoinTracker.peakVersionRows.set(0L)
+    TemporalJoinTracker.peakPendingProbes.set(0L)
+    val input = MemoryStream[(String, java.sql.Timestamp, Boolean, String)]
+    val ds = input.toDF().toDF("key", "ts", "isVersion", "payload")
+      .as[TemporalRow]
+    val joined = TemporalJoinTracker.joinRows(ds, "5 seconds")
+    val query = joined.writeStream.format("memory")
+      .queryName("tj_hotkey").outputMode("append").start()
+    try {
+      // ONE key, 300 s of versions (one per second) with probes at
+      // every second too, delivered in 10 s chunks in time order —
+      // the watermark trails each chunk by ~(chunk + delay)
+      (0 until 300).grouped(10).foreach { secs =>
+        input.addData(secs.flatMap(s => Seq(
+          ("hot", tsOf(s.toLong), true, s"v$s"),
+          ("hot", tsOf(s.toLong), false, s"p$s"))): _*)
+        query.processAllAvailable()
+      }
+      val matched = spark.table("tj_hotkey").count()
+      // probes behind the final watermark (294 s) matured
+      assert(matched >= 290L, matched.toString)
+      // retention: the latest version at-or-below the watermark plus
+      // everything newer — the watermark trails by at most one chunk
+      // (10 s) + delay (5 s), so kept versions stay ~16, never the
+      // 300 the key received; same bound for buffered probes
+      val pv = TemporalJoinTracker.peakVersionRows.get()
+      val pp = TemporalJoinTracker.peakPendingProbes.get()
+      assert(pv <= 20L, s"peakVersionRows $pv")
+      assert(pp <= 20L, s"peakPendingProbes $pp")
+    } finally query.stop()
+  }
+
+  test("e2e: streaming temporal join above a registered PROBE VIEW " +
+      "(the view watermark registry hands the probe side through)") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-tjv-e2e").toString
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table tjv_rates (
+         |  k bigint,
+         |  seq bigint,
+         |  rt as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 10 as int)),
+         |  rate as 100 + seq,
+         |  primary key (k) not enforced,
+         |  watermark for rt as rt - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table tjv_orders (
+         |  k bigint,
+         |  oseq bigint,
+         |  ot as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(5 + oseq * 10 as int)),
+         |  watermark for ot as ot - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.oseq.kind' = 'sequence',
+         |  'fields.oseq.start' = '0', 'fields.oseq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view tjv_big as
+         |  select k, oseq, ot from tjv_orders where oseq >= 1;
+         |create table tjv_sink (k bigint, oseq bigint, rate bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$out/sink',
+         |  'format' = 'parquet');
+         |insert into tjv_sink
+         |select o.k, o.oseq, r.rate from tjv_big o
+         |join tjv_rates for system_time as of o.ot as r on r.k = o.k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-tjv-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 20).run()
+    // the view filters oseq 0 out; bounded finality enriches the rest
+    val got = spark.read.parquet(s"$out/sink")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("oseq"),
+        r.getAs[Long]("rate"))).toSet
+    assert(got === Set((0L, 1L, 101L), (0L, 2L, 102L)), got.toString)
+  }
+
   test("e2e: bounded streaming temporal join enriches with " +
       "MAX_WATERMARK-at-end finality through sql-submit") {
     val spark = SparkFixture.spark
