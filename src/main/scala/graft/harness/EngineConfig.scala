@@ -153,6 +153,29 @@ final class EngineConfig(spark: SparkSession) {
   def checkpointInterval: Option[String] =
     raw.get("execution.checkpointing.interval").map(toDuration)
 
+  /** Flink `table.exec.state.ttl` in SECONDS. Flink's default 0 means
+    * never expire — mapped to None, like any unparseable spelling.
+    * Consumed by the streaming temporal join, whose version state is
+    * the one retention Flink's own docs call out under this key (the
+    * other trackers bound their state by the watermark by design). */
+  def stateTtlSec: Option[Long] =
+    raw.get("table.exec.state.ttl").flatMap { v =>
+      val re = raw"(?i)^\s*(\d+)\s*(ms|s|sec|min|m|h|d)?\s*$$".r
+      v match {
+        case re(n, unit) =>
+          val ms = Option(unit).map(_.toLowerCase) match {
+            case Some("ms") | None => n.toLong
+            case Some("s") | Some("sec") => n.toLong * 1000L
+            case Some("min") | Some("m") => n.toLong * 60000L
+            case Some("h") => n.toLong * 3600000L
+            case Some("d") => n.toLong * 86400000L
+            case _ => n.toLong
+          }
+          Some(ms / 1000L)
+        case _ => None
+      }
+    }.filter(_ > 0L)
+
   private def toDuration(v: String): String = {
     val re = raw"(?i)^\s*(\d+)\s*(ms|s|min|m|h)?\s*$$".r
     v match {

@@ -893,8 +893,10 @@ final class SqlSubmitAction(
     if (!TemporalJoin.hasTemporalJoin(sql)) sql
     else if (config.isStreaming)
       // r16: the streaming form compiles onto TemporalJoinTracker —
-      // Flink's event-time temporal join as a stream-stream operator
-      TemporalJoin.rewriteStreaming(spark, sql, watermarkOf, versionMetaOf)
+      // Flink's event-time temporal join as a stream-stream operator;
+      // SET table.exec.state.ttl bounds idle version state
+      TemporalJoin.rewriteStreaming(spark, sql, watermarkOf, versionMetaOf,
+        config.stateTtlSec.getOrElse(0L))
     else TemporalJoin.rewrite(sql, versionMetaOf)
 
   /** Flink windowing TVFs (`TABLE(TUMBLE(...))`): in batch mode the

@@ -186,7 +186,12 @@ object TemporalJoin {
       spark: org.apache.spark.sql.SparkSession,
       sql: String,
       watermarkOf: String => Option[(String, String)],
-      versionOf: String => Option[VersionMeta]): String = {
+      versionOf: String => Option[VersionMeta],
+      // Flink `table.exec.state.ttl` → idle version-state retention:
+      // a key's versions drop once it has gone this long past the
+      // watermark with no pending probes (0 = retain the latest
+      // version indefinitely, Flink's default)
+      stateTtlSec: Long = 0L): String = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{StructField, StructType}
     def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
@@ -340,7 +345,8 @@ object TemporalJoin {
       org.apache.spark.sql.Encoders.product[graft.streaming.TemporalRow]
     val input = pRows.unionAll(vRows).as[graft.streaming.TemporalRow]
     val tracked0 =
-      graft.streaming.TemporalJoinTracker.joinRows(input, pDelay).toDF()
+      graft.streaming.TemporalJoinTracker
+        .joinRows(input, pDelay, stateTtlSec).toDF()
     val tracked =
       if (leftJoin) tracked0
       else tracked0.filter(col("versionPayload").isNotNull)

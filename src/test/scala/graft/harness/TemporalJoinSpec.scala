@@ -257,6 +257,54 @@ class TemporalJoinSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("table.exec.state.ttl drops idle version state; without it the " +
+      "latest version is retained indefinitely (Flink's default)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val vm = Map("ttl_r" -> VersionMeta("rt", Seq("k"))).get _
+    val wmOf: String => Option[(String, String)] = t =>
+      if (t.equalsIgnoreCase("ttl_o")) Some(("ot", "5 seconds")) else None
+    // one version at t=10 (t=0 would tie the INITIAL watermark and
+    // drop as late); the key then idles long past the watermark; a
+    // LATER on-time probe either still enriches (no TTL) or
+    // null-extends (TTL expired the version state)
+    for ((ttl, expectRate) <- Seq((0L, Some(7.0d)), (60L, None))) {
+      val oIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      oIn.toDF().toDF("k", "ot", "amount").createOrReplaceTempView("ttl_o")
+      val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      rIn.toDF().toDF("k", "rt", "rate").createOrReplaceTempView("ttl_r")
+      val out = TemporalJoin.rewriteStreaming(spark,
+        "SELECT o.k, o.amount, r.rate FROM ttl_o o LEFT JOIN ttl_r " +
+          "FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k",
+        wmOf, vm, stateTtlSec = ttl)
+      val name = s"ttl_out_$ttl"
+      val query = spark.sql(out).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        rIn.addData((1L, tsOf(10), 7.0d))
+        query.processAllAvailable()
+        // another key's probes push the watermark far past the idle
+        // key's TTL horizon (several batches: TTL expiry needs a
+        // timeout to fire after the horizon passes)
+        Seq(10L, 200L, 400L).foreach { s =>
+          oIn.addData((2L, tsOf(s), 0L))
+          query.processAllAvailable()
+        }
+        // on-time probe on the idle key, then flush it
+        oIn.addData((1L, tsOf(500), 42L))
+        query.processAllAvailable()
+        oIn.addData((2L, tsOf(900), 0L))
+        query.processAllAvailable()
+        val got = spark.table(name).collect()
+          .filter(_.getLong(0) == 1L)
+          .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+        assert(got === Set((42L, expectRate)), s"ttl=$ttl: $got")
+      } finally query.stop()
+    }
+  }
+
   test("e2e: streaming temporal join above a registered PROBE VIEW " +
       "(the view watermark registry hands the probe side through)") {
     val spark = SparkFixture.spark
