@@ -155,9 +155,15 @@ final class EngineConfig(spark: SparkSession) {
 
   /** Flink `table.exec.state.ttl` in SECONDS. Flink's default 0 means
     * never expire — mapped to None, like any unparseable spelling.
-    * Consumed by the streaming temporal join, whose version state is
-    * the one retention Flink's own docs call out under this key (the
-    * other trackers bound their state by the watermark by design). */
+    * Consumed by every unbounded-state operator Flink applies the key
+    * to: the streaming temporal join's version state, the unbounded
+    * updating top-N and keep-first/keep-last deduplication (r17,
+    * [[graft.streaming.TtlTopNTracker]]), and plain unbounded GROUP BY
+    * aggregation (r17, [[graft.streaming.UnboundedAggTracker]]); the
+    * window/pattern trackers bound their state by the watermark by
+    * design. A positive sub-second TTL rounds UP to one second (state
+    * retained slightly longer than configured, never the
+    * retain-forever inversion a truncation to 0 would produce). */
   def stateTtlSec: Option[Long] =
     raw.get("table.exec.state.ttl").flatMap { v =>
       val re = raw"(?i)^\s*(\d+)\s*(ms|s|sec|min|m|h|d)?\s*$$".r
@@ -171,7 +177,7 @@ final class EngineConfig(spark: SparkSession) {
             case Some("d") => n.toLong * 86400000L
             case _ => n.toLong
           }
-          Some(ms / 1000L)
+          Some((ms + 999L) / 1000L)
         case _ => None
       }
     }.filter(_ > 0L)

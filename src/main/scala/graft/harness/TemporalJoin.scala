@@ -139,14 +139,17 @@ object TemporalJoin {
     * name (the name itself addresses the versioned side) and required
     * for a qualified one. Returns (leftJoin, table text, alias). */
   private def parseJoinHead(m: scala.util.matching.Regex.Match):
-      (Boolean, String, String) = {
-    val joinKw = m.group(1).toUpperCase
+      (Boolean, String, String) =
+    parseJoinHead(m.group(1), m.group(2), Option(m.group(4)))
+
+  private def parseJoinHead(joinKw0: String, table: String,
+      aliasOpt: Option[String]): (Boolean, String, String) = {
+    val joinKw = joinKw0.toUpperCase
     if (joinKw.startsWith("RIGHT") || joinKw.startsWith("FULL"))
       throw new IllegalArgumentException(
         s"${joinKw.split("\\s+").head} JOIN is not supported with " +
           "FOR SYSTEM_TIME AS OF (only INNER and LEFT temporal joins)")
-    val table = m.group(2)
-    val alias = Option(m.group(4)).getOrElse {
+    val alias = aliasOpt.getOrElse {
       if (!table.matches(s"^$Ident$$"))
         throw new IllegalArgumentException(
           s"Temporal join over qualified table '$table' requires an alias")
@@ -206,9 +209,16 @@ object TemporalJoin {
       "unsupported streaming FOR SYSTEM_TIME AS OF form: expected " +
         "[INNER|LEFT [OUTER]] JOIN <versioned table> FOR SYSTEM_TIME " +
         "AS OF <probe time column> [AS alias] ON ..."))
-    val (leftJoin, vTableRaw, vAlias) = parseJoinHead(jm)
+    // group text re-read from the RAW statement: the match ran on the
+    // masked text, where backtick-quoted names are blanked
+    def rawGroup(i: Int): String =
+      if (jm.group(i) == null) null
+      else stmt.substring(jm.start(i), jm.end(i))
+    val (leftJoin, vTableRaw, vAliasRaw) =
+      parseJoinHead(rawGroup(1), rawGroup(2), Option(rawGroup(4)))
     val vTable = DdlParser.unquoteName(vTableRaw)
-    val asOfRaw = jm.group(3)
+    val vAlias = DdlParser.unquoteName(vAliasRaw)
+    val asOfRaw = rawGroup(3)
 
     val selM = raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(masked)
       .getOrElse(fail("expected SELECT ... FROM for the streaming " +
@@ -218,19 +228,21 @@ object TemporalJoin {
       .getOrElse(fail("expected FROM <probe table> before the temporal join"))
     val selectList = stmt.substring(selM.end, fromIdx).trim
     val probeRegion = stmt.substring(fromIdx, jm.start).trim
-    val pm = (raw"(?is)^FROM\s+([A-Za-z_][\w.]*)" +
-      raw"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*$$").r
+    // the probe table accepts the same Ident/Dotted form as the
+    // versioned side (backtick-quoted names included, r17)
+    val pm = (raw"(?is)^FROM\s+($Dotted)" +
+      raw"(?:\s+(?:AS\s+)?($Ident))?\s*$$").r
       .findFirstMatchIn(probeRegion).getOrElse(fail(
         "streaming temporal join takes a single named probe table in " +
           s"FROM; got '$probeRegion'"))
     val pTable = DdlParser.unquoteName(pm.group(1))
     // a qualified probe name cannot qualify column references — the
     // same alias rule the versioned side gets
-    val pAlias = Option(pm.group(2)).getOrElse {
-      if (pm.group(1).contains("."))
+    val pAlias = Option(pm.group(2)).map(DdlParser.unquoteName).getOrElse {
+      if (!pm.group(1).matches(s"^$Ident$$"))
         fail(s"Temporal join probe over qualified table " +
           s"'${pm.group(1)}' requires an alias")
-      pm.group(1)
+      pTable
     }
 
     val (cond, condEnd) = scanOnCondition(stmt, jm.end)
@@ -248,7 +260,7 @@ object TemporalJoin {
 
     val (pWmCol, pDelay) = watermarkOf(pTable).getOrElse(fail(
       s"streaming temporal join needs a WATERMARK declaration on $pTable"))
-    val asOfCol = asOfRaw.split('.') match {
+    val asOfCol = asOfRaw.split('.').map(DdlParser.unquoteName) match {
       case Array(c) => c
       case Array(q, c) if q.equalsIgnoreCase(pAlias) => c
       case _ => fail("FOR SYSTEM_TIME AS OF must reference the probe " +
@@ -380,6 +392,45 @@ object TemporalJoin {
     // rewrite to the decoded view's columns; finds run on masked text
     def rewriteRefs(text0: String): String = {
       var text = text0
+      // a subquery inside the rewritten region may introduce its OWN
+      // alias equal to the probe/version alias — rewriting `r.rate`
+      // inside `(SELECT avg(r.rate) FROM rates r)` would silently turn
+      // the subquery's column into a correlated outer reference.
+      // Reject the collision by name (the bare-identifier path already
+      // rejects its ambiguity class the same way). A FROM/JOIN match
+      // counts only when it sits inside a SELECT subquery — the FROM
+      // of EXTRACT/TRIM/SUBSTRING never introduces a relation.
+      val masked0 = MatchRecognize.maskQuoted(text0)
+      def inSubquery(idx: Int): Boolean = {
+        var depth = 0
+        var i = idx - 1
+        var open = -1
+        while (i >= 0 && open < 0) {
+          masked0.charAt(i) match {
+            case ')' => depth += 1
+            case '(' => if (depth == 0) open = i else depth -= 1
+            case _ =>
+          }
+          i -= 1
+        }
+        open >= 0 && raw"(?is)\bSELECT\b".r
+          .findFirstIn(masked0.substring(open + 1, idx)).isDefined
+      }
+      val RelIntro = (raw"(?is)\b(?:FROM|JOIN)\s+($Dotted)" +
+        raw"(?:\s+(?:AS\s+)?(?!ON\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|" +
+        raw"JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b)($Ident))?").r
+      RelIntro.findAllMatchIn(masked0).filter(m => inSubquery(m.start))
+        .foreach { m =>
+          val introduced = Option(m.group(2)).map(DdlParser.unquoteName)
+            .getOrElse(DdlParser.unquoteName(
+              text0.substring(m.start(1), m.end(1))).split('.').last)
+          if (introduced.equalsIgnoreCase(pAlias) ||
+              introduced.equalsIgnoreCase(vAlias))
+            fail(s"subquery alias '$introduced' collides with the " +
+              s"temporal join's probe/version alias ($pAlias/$vAlias) " +
+              "— rename the subquery's relation alias so qualified " +
+              "references stay unambiguous")
+        }
       val QualRef = raw"(?is)\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)".r
       QualRef.findAllMatchIn(MatchRecognize.maskQuoted(text))
         .toSeq.reverseIterator.foreach { m =>

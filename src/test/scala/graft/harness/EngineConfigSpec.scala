@@ -35,6 +35,30 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(c.checkpointingEnabled)
   }
 
+  test("table.exec.state.ttl parses to seconds; sub-second TTLs round " +
+      "UP instead of degrading to retain-forever") {
+    val c = fresh
+    c.set("table.exec.state.ttl", "30 s")
+    assert(c.stateTtlSec.contains(30L))
+    c.set("table.exec.state.ttl", "2 min")
+    assert(c.stateTtlSec.contains(120L))
+    // Flink parses unit-less durations as milliseconds
+    c.set("table.exec.state.ttl", "5000")
+    assert(c.stateTtlSec.contains(5L))
+    // a positive sub-second TTL must stay an aggressive expiry (round
+    // up to 1 s), never truncate to 0 = never-expire — the inversion
+    // the r16 advice flagged
+    c.set("table.exec.state.ttl", "500ms")
+    assert(c.stateTtlSec.contains(1L))
+    c.set("table.exec.state.ttl", "1500ms")
+    assert(c.stateTtlSec.contains(2L))
+    // Flink's 0 means never expire — None
+    c.set("table.exec.state.ttl", "0")
+    assert(c.stateTtlSec.isEmpty)
+    c.set("table.exec.state.ttl", "not-a-duration")
+    assert(c.stateTtlSec.isEmpty)
+  }
+
   test("parallelism.default drives shuffle partitions") {
     val spark = SparkFixture.spark
     val before = spark.conf.get("spark.sql.shuffle.partitions")

@@ -216,6 +216,41 @@ class TemporalJoinSpec extends AnyFunSuite {
     // qualified probe table without an alias
     assert(err("SELECT o.k FROM db.tjr_o JOIN tjr_r FOR SYSTEM_TIME " +
       "AS OF ot AS r ON r.k = k").contains("requires an alias"))
+    // a residual-WHERE subquery whose OWN alias collides with the
+    // probe/version alias must reject by name — rewriting `r.rate`
+    // inside it would silently correlate the subquery to the outer
+    // version side (r16 advice)
+    assert(err("SELECT o.k, r.rate FROM tjr_o o JOIN tjr_r FOR " +
+      "SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k " +
+      "WHERE r.rate > (SELECT avg(r.rate) FROM tjr_r r)")
+      .contains("collides"))
+    assert(err("SELECT o.k, (SELECT max(o.amount) FROM tjr_o o) AS m " +
+      "FROM tjr_o o JOIN tjr_r FOR SYSTEM_TIME AS OF o.ot AS r " +
+      "ON r.k = o.k").contains("collides"))
+  }
+
+  test("streaming probe table accepts backtick-quoted names like the " +
+      "versioned side") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    Seq((1L, tsOf(1), 1L)).toDF("k", "ot", "amount")
+      .createOrReplaceTempView("tjq_o")
+    Seq((1L, tsOf(1), 1.0d)).toDF("k", "rt", "rate")
+      .createOrReplaceTempView("tjq_r")
+    val vm = Map("tjq_r" -> VersionMeta("rt", Seq("k"))).get _
+    val wmOf: String => Option[(String, String)] = t =>
+      if (t.equalsIgnoreCase("tjq_o")) Some(("ot", "5 seconds")) else None
+    val out = TemporalJoin.rewriteStreaming(spark,
+      "SELECT o.k, o.amount, r.rate FROM `tjq_o` o JOIN `tjq_r` " +
+        "FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k", wmOf, vm)
+    assert(out.contains("FROM graft_tj_"))
+    // a non-colliding subquery alias in the residual WHERE still works
+    val out2 = TemporalJoin.rewriteStreaming(spark,
+      "SELECT o.k, r.rate FROM tjq_o o JOIN tjq_r FOR SYSTEM_TIME " +
+        "AS OF o.ot AS r ON r.k = o.k " +
+        "WHERE r.rate > (SELECT avg(x.rate) FROM tjq_r x)", wmOf, vm)
+    assert(out2.contains("__r_rate >"))
+    assert(out2.contains("avg(x.rate)"))
   }
 
   test("hot key: temporal-join state stays bounded by the watermark " +
