@@ -34,12 +34,29 @@ final class TopRows(k: Int, asc: Boolean)
     extends Aggregator[RankedRow, Vector[RankedRow], RankedRows] {
   require(k > 0, s"top-k needs k > 0, got $k")
 
+  override def zero: Vector[RankedRow] = Vector.empty
+  override def reduce(b: Vector[RankedRow], a: RankedRow): Vector[RankedRow] =
+    TopRows.insert(k, asc)(b, a)
+  override def merge(x: Vector[RankedRow], y: Vector[RankedRow]): Vector[RankedRow] =
+    y.foldLeft(x)(TopRows.insert(k, asc))
+  override def finish(r: Vector[RankedRow]): RankedRows = RankedRows(r)
+  override def bufferEncoder: Encoder[Vector[RankedRow]] =
+    Encoders.kryo[Vector[RankedRow]]
+  override def outputEncoder: Encoder[RankedRows] =
+    Encoders.product[RankedRows]
+}
+
+/** The rank order and bounded insert, shared with the TTL'd
+  * flatMapGroupsWithState form ([[graft.streaming.TtlTopNTracker]]) so
+  * the two state engines can never rank differently. */
+object TopRows {
   // value-order class: NULL < every real double < NaN (Spark's
   // nanSafeCompare order, the one batch ORDER BY ranks by)
   private def cls(r: RankedRow): Int =
     if (r.nullMetric) 0 else if (r.metric.isNaN) 2 else 1
 
-  private def outranks(a: RankedRow, b: RankedRow): Boolean = {
+  private[graft] def outranks(asc: Boolean)(
+      a: RankedRow, b: RankedRow): Boolean = {
     val ca = cls(a)
     val cb = cls(b)
     if (ca != cb) (if (asc) ca < cb else ca > cb)
@@ -48,24 +65,14 @@ final class TopRows(k: Int, asc: Boolean)
     else a.payload < b.payload
   }
 
-  private def insert(b: Vector[RankedRow], a: RankedRow): Vector[RankedRow] =
-    if (b.length == k && !outranks(a, b.last)) b
+  private[graft] def insert(k: Int, asc: Boolean)(
+      b: Vector[RankedRow], a: RankedRow): Vector[RankedRow] =
+    if (b.length == k && !outranks(asc)(a, b.last)) b
     else {
-      val i = b.indexWhere(outranks(a, _)) match {
+      val i = b.indexWhere(outranks(asc)(a, _)) match {
         case -1 => b.length
         case at => at
       }
       b.patch(i, Seq(a), 0).take(k)
     }
-
-  override def zero: Vector[RankedRow] = Vector.empty
-  override def reduce(b: Vector[RankedRow], a: RankedRow): Vector[RankedRow] =
-    insert(b, a)
-  override def merge(x: Vector[RankedRow], y: Vector[RankedRow]): Vector[RankedRow] =
-    y.foldLeft(x)(insert)
-  override def finish(r: Vector[RankedRow]): RankedRows = RankedRows(r)
-  override def bufferEncoder: Encoder[Vector[RankedRow]] =
-    Encoders.kryo[Vector[RankedRow]]
-  override def outputEncoder: Encoder[RankedRows] =
-    Encoders.product[RankedRows]
 }

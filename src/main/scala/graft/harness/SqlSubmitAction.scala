@@ -994,11 +994,16 @@ final class SqlSubmitAction(
       if (config.isStreaming && WindowTopN.hasStreamingShape(mr))
         WindowTopN.rewriteStreaming(spark, mr, watermarkOf,
           config.dstGridZone)
-      else if (config.isStreaming && UnboundedTopN.hasShape(mr))
-        // Flink's unbounded updating top-N (N >= 2, no window TVF):
-        // bounded per-key state through the TopRows collector, update
-        // emission — rn = 1 shapes stay on the analysis rules
-        UnboundedTopN.rewrite(spark, mr)
+      else if (config.isStreaming && UnboundedTopN.hasShape(mr,
+          if (config.stateTtlSec.isDefined) 1 else 2))
+        // Flink's unbounded updating top-N (no window TVF): bounded
+        // per-key state through the TopRows collector, update emission.
+        // Without a TTL, rn = 1 shapes stay on the analysis rules
+        // (Deduplicate/argmax on Spark's native state); under
+        // table.exec.state.ttl they route here too, onto the TTL'd
+        // tracker whose idle keys expire — Flink applies the key to
+        // every unbounded-state operator
+        UnboundedTopN.rewrite(spark, mr, config.stateTtlSec.getOrElse(0L))
       else mr
     // event-time OVER aggregation (r15): an aggregate-function OVER
     // call on a stream compiles onto OverAggTracker AFTER the top-N
@@ -1123,6 +1128,17 @@ final class SqlSubmitAction(
     }
   }
 
+  /** The analyzed plan carries a flatMapGroupsWithState armed with
+    * PROCESSING-time timeouts (the TTL'd trackers) — those queries run
+    * timer batches even without data, so the idle trigger cadence
+    * matters. */
+  private def hasProcessingTimeTimers(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState
+          if f.timeout ==
+            org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout => f
+    }.isDefined
+
   private def writeToSink(
       spark: SparkSession, config: EngineConfig,
       df: DataFrame, sinkDef: TableDef, overwrite: Boolean = false): Unit = {
@@ -1171,6 +1187,15 @@ final class SqlSubmitAction(
       }
       val withTrigger = config.miniBatchLatency match {
         case Some(latency) => base.trigger(Trigger.ProcessingTime(latency))
+        case None if hasProcessingTimeTimers(df) =>
+          // a TTL'd tracker (processing-time timeouts) makes Spark run
+          // no-data batches continuously to fire timers
+          // (FlatMapGroupsWithStateExec.shouldRunAnotherBatch is
+          // unconditionally true) — with the default 0 ms trigger that
+          // is a BUSY LOOP at idle. Bound the idle duty cycle to one
+          // micro-batch per second unless the script configured its
+          // own mini-batch latency.
+          base.trigger(Trigger.ProcessingTime("1 second"))
         case None          => base
       }
       val withCp =

@@ -32,7 +32,12 @@ import org.apache.spark.sql.types.StructField
   * ride epoch micros, so every scalar type a real stream carries is
   * admitted; only nested/binary payload columns drop. `rn = 1`
   * shapes stay on the analysis-rule paths (Deduplicate / argmax),
-  * which avoid the JSON carrier entirely.
+  * which avoid the JSON carrier entirely — EXCEPT under
+  * `table.exec.state.ttl` (r17), where every rank-bounded shape
+  * (N ≥ 1, keep-first/keep-last dedup included) compiles onto
+  * [[graft.streaming.TtlTopNTracker]] instead: the same TopRows rank
+  * order on `flatMapGroupsWithState`, with a processing-time idle-key
+  * TTL Spark's native aggregation state cannot express.
   */
 object UnboundedTopN {
 
@@ -48,15 +53,29 @@ object UnboundedTopN {
       raw"PARTITION\s+BY\s+(.+?)\s+ORDER\s+BY\s+([A-Za-z_]\w*)\s+(DESC|ASC)\s*\)\s+" +
       raw"AS\s+([A-Za-z_]\w*)\s+FROM\s+([A-Za-z_][\w.]*)\s*$$").r
   private val WhereRe =
-    raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<)\s*(\d{1,9})\s*(?:\bAND\b\s+(.+?))?\s*$$".r
+    raw"(?is)^(?:AS\s+)?([A-Za-z_]\w*\s+)?WHERE\s+([A-Za-z_]\w*)\s*(<=|<|=)\s*(\d{1,9})\s*(?:\bAND\b\s+(.+?))?\s*$$".r
   private val InsertPrefixRe =
     raw"(?is)^\s*(INSERT\s+(?:INTO|OVERWRITE)\s+[\w.`]+\s*(?:\([^)]*\)\s*)?)".r
 
+  /** The rank bound N of a `rn <op> k` filter, if the filter is a
+    * top-N prefix: `<=` keeps k, `<` keeps k-1, and `=` is a top-N
+    * only for `rn = 1` (Flink's deduplication shape — `rn = 2` pins a
+    * single rank, not a prefix). */
+  private def boundOf(op: String, k: Int): Option[Int] = op match {
+    case "<"  => Some(k - 1)
+    case "<=" => Some(k)
+    case _    => if (k == 1) Some(1) else None
+  }
+
   /** The unbounded updating-top-N shape: a rank-bounded ROW_NUMBER
-    * subquery over a bare table with no window TVF, N ≥ 2 (N = 1 is
-    * the Deduplicate/argmax analysis-rule family).
+    * subquery over a bare table with no window TVF, N ≥ `minN`. The
+    * default (2) leaves N = 1 to the Deduplicate/argmax analysis-rule
+    * family; under `table.exec.state.ttl` the caller passes 1 so the
+    * rn = 1 deduplication shapes route onto the TTL'd tracker instead
+    * (the analysis rules compile onto Spark's native state, which has
+    * no TTL).
     */
-  def hasShape(sql: String): Boolean = {
+  def hasShape(sql: String, minN: Int = 2): Boolean = {
     if (WindowTvf.hasWindowTvf(sql)) return false
     val body = InsertPrefixRe.findFirstMatchIn(sql)
       .map(m => sql.substring(m.end)).getOrElse(sql)
@@ -66,13 +85,13 @@ object UnboundedTopN {
       end <- scala.util.Try(MatchRecognize.closeParen(body, open)).toOption
       im <- InnerRe.findFirstMatchIn(body.substring(open + 1, end - 1))
       wm <- WhereRe.findFirstMatchIn(body.substring(end).trim)
-    } yield wm.group(2).equalsIgnoreCase(im.group(4)) && {
-      val bound = wm.group(4).toInt
-      (if (wm.group(3) == "<") bound - 1 else bound) >= 2
-    }).getOrElse(false)
+    } yield wm.group(2).equalsIgnoreCase(im.group(4)) &&
+      boundOf(wm.group(3), wm.group(4).toInt).exists(_ >= minN)
+    ).getOrElse(false)
   }
 
-  def rewrite(spark: SparkSession, fullSql: String): String = {
+  def rewrite(spark: SparkSession, fullSql: String,
+      stateTtlSec: Long = 0L): String = {
     val (insertPrefix, sql) = InsertPrefixRe.findFirstMatchIn(fullSql)
       .map(m => (m.group(1), fullSql.substring(m.end)))
       .getOrElse(("", fullSql))
@@ -103,12 +122,13 @@ object UnboundedTopN {
     if (!wm.group(2).equalsIgnoreCase(rnAlias))
       fail(s"the WHERE rank filter must use the ROW_NUMBER alias " +
         s"$rnAlias, got ${wm.group(2)}")
-    val n = wm.group(3) match {
-      case "<" => wm.group(4).toInt - 1
-      case _ => wm.group(4).toInt
-    }
-    if (n < 2) fail("unbounded streaming top-N compiles N >= 2; rn = 1 " +
-      "runs through the dedup/argmax analysis rules")
+    val n = boundOf(wm.group(3), wm.group(4).toInt).getOrElse(fail(
+      s"WHERE $rnAlias = ${wm.group(4)} pins a single rank, not a " +
+        "top-N prefix; only rn = 1 (deduplication) takes the equality " +
+        "form"))
+    if (n < 2 && stateTtlSec <= 0L)
+      fail("unbounded streaming top-N compiles N >= 2; rn = 1 " +
+        "runs through the dedup/argmax analysis rules")
     val residual = Option(wm.group(5)).map(_.trim).filter(_.nonEmpty)
     WindowTopN.rejectResidualOr(residual, fail)
 
@@ -164,29 +184,71 @@ object UnboundedTopN {
       else to_json(struct(payloadFields.map(f =>
         carrierOf(f).get.enc.as(f.name)): _*))
 
-    val topAgg = udaf(new graft.functions.TopRows(n, asc),
-      org.apache.spark.sql.Encoders.product[graft.functions.RankedRow])
     // a NULL metric ranks (smallest — batch parity) instead of dying
     // in the collector's primitive double slot: the null flag rides
-    // beside a 0.0 placeholder
-    val held = src
-      .groupBy(keys.map(col): _*)
-      .agg(topAgg(coalesce(metricIn, lit(0.0d)), payloadExpr,
-        metricIn.isNull).as("__top"))
-      .select(keys.map(col) :+
-        posexplode(col("__top.rows")).as(Seq("__pos", "__r")): _*)
+    // beside a 0.0 placeholder. Two state engines share the exact
+    // TopRows rank order: without a TTL, Spark's native streaming
+    // aggregation through the bounded TopRows UDAF (partial
+    // aggregation pre-trims per partition); under
+    // `table.exec.state.ttl`, the flatMapGroupsWithState form
+    // ([[graft.streaming.TtlTopNTracker]]) whose idle keys EXPIRE —
+    // Spark's native aggregation state has no TTL, and this shape
+    // (plus the rn = 1 deduplication family the TTL path admits) is
+    // the dominant state-growth risk at high key cardinality.
+    val uniform =
+      if (stateTtlSec > 0L) {
+        // per-key state groups on a to_json/from_json round-trip of
+        // the PARTITION BY tuple (same contract as the window-TVF
+        // trackers) — only losslessly JSON-codable key types admit
+        keys.foreach { k =>
+          val dt = fieldOf(k).dataType
+          if (!graft.streaming.StateFormat.jsonLossless(dt))
+            fail(s"streaming top-N under table.exec.state.ttl keys " +
+              s"its state on a JSON encoding: PARTITION BY key $k has " +
+              s"type ${dt.simpleString} (string / integer / boolean " +
+              "keys only; unset the TTL for the native path)")
+        }
+        val prepared = src.select(
+          to_json(struct(keys.map(col): _*)).as("key"),
+          coalesce(metricIn, lit(0.0d)).as("metric"),
+          metricIn.isNull.as("nullMetric"),
+          payloadExpr.as("payload"))
+        implicit val evEnc =
+          org.apache.spark.sql.Encoders.product[graft.streaming.RankedEvent]
+        val tracked = graft.streaming.TtlTopNTracker.track(
+          prepared.as[graft.streaming.RankedEvent], n, asc, stateTtlSec)
+          .toDF()
+        val keyStruct = StructType(keys.map(fieldOf).toArray)
+        tracked.select(
+          keys.map(k => from_json(col("key"), keyStruct)
+            .getField(fieldOf(k).name).as(fieldOf(k).name)) ++
+            Seq(col("metric").as("__m"), col("nullMetric").as("__mnull"),
+              col("payload").as("__pay"), col("pos").as("__pos")): _*)
+      } else {
+        val topAgg = udaf(new graft.functions.TopRows(n, asc),
+          org.apache.spark.sql.Encoders.product[graft.functions.RankedRow])
+        src
+          .groupBy(keys.map(col): _*)
+          .agg(topAgg(coalesce(metricIn, lit(0.0d)), payloadExpr,
+            metricIn.isNull).as("__top"))
+          .select(keys.map(col) :+
+            posexplode(col("__top.rows")).as(Seq("__pos", "__r")): _*)
+          .select(keys.map(col) ++
+            Seq(col("__r.metric").as("__m"),
+              col("__r.nullMetric").as("__mnull"),
+              col("__r.payload").as("__pay"), col("__pos")): _*)
+      }
     val decoded = {
       val payloadCols =
         if (payloadFields.isEmpty) Seq.empty
         else {
           val schema = StructType(payloadFields.map(f =>
             StructField(f.name, carrierOf(f).get.storage, nullable = true)))
-          Seq(from_json(col("__r.payload"), schema,
+          Seq(from_json(col("__pay"), schema,
             Map("allowNonNumericNumbers" -> "true")).as("__p"))
         }
-      val base = held.select((keys.map(col) ++
-        Seq(col("__r.metric").as("__m"),
-          col("__r.nullMetric").as("__mnull"), col("__pos")) ++
+      val base = uniform.select((keys.map(col) ++
+        Seq(col("__m"), col("__mnull"), col("__pos")) ++
         payloadCols): _*)
       base.select((keys.map(col) ++
         payloadFields.map(f =>

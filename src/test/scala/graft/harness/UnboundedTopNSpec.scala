@@ -71,6 +71,88 @@ class UnboundedTopNSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Polls until `pred` holds — a ProcessingTimeTimeout stream runs
+    * no-data batches continuously (`shouldRunAnotherBatch` is
+    * unconditionally true), so `processAllAvailable` NEVER returns on
+    * the TTL'd tracker queries; sink polling is the contract. */
+  private def awaitTrue(hint: String)(pred: => Boolean): Unit = {
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (!pred && System.nanoTime() < deadline) Thread.sleep(100L)
+    assert(pred, hint)
+  }
+
+  test("table.exec.state.ttl: idle rank state expires; rows after " +
+      "expiry rank fresh (and the first batch equals the no-TTL answer)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    input.toDF().toDF("k", "price", "tag")
+      .createOrReplaceTempView("utn_ttl")
+    val rewritten = UnboundedTopN.rewrite(spark, topnSql("utn_ttl"),
+      stateTtlSec = 1L)
+    def rows() = spark.table("utn_ttl_out")
+      .select($"k", $"price", $"rn")
+      .as[(String, Long, Long)].collect().toSeq
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("utn_ttl_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .outputMode("update").start()
+    try {
+      // first batch: exact top-2, same as the native path would emit
+      input.addData(("a", 5L, "p5"), ("a", 9L, "p9"), ("a", 7L, "p7"))
+      awaitTrue("first top-2")(rows().toSet == Set(
+        ("a", 9L, 1L), ("a", 7L, 2L)))
+      // idle key `a` past the 1 s TTL — the timer batch drops its
+      // state; `a` returns and price 3 ranks FRESH at 1 (without the
+      // TTL the held 9/7 would keep it off rank 1)
+      Thread.sleep(2500L)
+      input.addData(("a", 3L, "p3"))
+      awaitTrue("fresh rank after expiry")(
+        rows().contains(("a", 3L, 1L)))
+      assert(!rows().contains(("a", 3L, 2L)), rows())
+    } finally q.stop()
+  }
+
+  test("rn = 1 deduplication routes onto the TTL tracker when the key " +
+      "is set; without it the analysis rules keep the shape") {
+    implicit val sc = spark.sqlContext
+    val dedupSql =
+      """SELECT k, price, tag, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY k ORDER BY price DESC) AS rn
+        |  FROM utn_dd) WHERE rn = 1""".stripMargin
+    // shape detection: rn = 1 admits only with minN = 1 (the TTL'd
+    // route); rn = 2 pins a single rank and is never the shape
+    assert(!UnboundedTopN.hasShape(dedupSql))
+    assert(UnboundedTopN.hasShape(dedupSql, minN = 1))
+    assert(UnboundedTopN.hasShape(dedupSql.replace("rn = 1", "rn <= 1"),
+      minN = 1))
+    assert(!UnboundedTopN.hasShape(dedupSql.replace("rn = 1", "rn = 2"),
+      minN = 1))
+    val input = MemoryStream[(String, Long, String)]
+    input.toDF().toDF("k", "price", "tag")
+      .createOrReplaceTempView("utn_dd")
+    val rewritten = UnboundedTopN.rewrite(spark, dedupSql,
+      stateTtlSec = 600L)
+    def rows() = spark.table("utn_dd_out")
+      .select($"k", $"price", $"rn")
+      .as[(String, Long, Long)].collect().toSeq
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("utn_dd_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .outputMode("update").start()
+    try {
+      // keep-last/value-top-1: each key's current best at rank 1
+      input.addData(("a", 5L, "p5"), ("a", 9L, "p9"), ("b", 3L, "p3"))
+      awaitTrue("initial dedup")(rows().toSet == Set(
+        ("a", 9L, 1L), ("b", 3L, 1L)))
+      // an updating arrival re-emits the key's new best
+      input.addData(("b", 8L, "p8"))
+      awaitTrue("updated best")(rows().contains(("b", 8L, 1L)))
+    } finally q.stop()
+  }
+
   test("residual conjuncts and contract violations") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Long, String)]
