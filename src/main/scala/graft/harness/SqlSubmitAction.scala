@@ -1014,8 +1014,19 @@ final class SqlSubmitAction(
       if (config.isStreaming && OverAgg.hasStreamingShape(topn))
         OverAgg.rewriteStreaming(spark, topn, watermarkOf)
       else topn
+    // plain unbounded GROUP BY under table.exec.state.ttl (r17):
+    // Spark's native update-mode aggregation has no TTL hook, so the
+    // canonical single-table shape routes onto the TTL'd tracker —
+    // per-key accumulators expire after the idle TTL, Flink's
+    // state-retention semantics for unbounded aggregation
+    val unb = config.stateTtlSec match {
+      case Some(ttl) if config.isStreaming &&
+          UnboundedAgg.hasShape(spark, over) =>
+        UnboundedAgg.rewrite(spark, over, ttl)
+      case _ => over
+    }
     rewriteWindowTvfs(spark, config,
-      rewriteTemporalJoins(spark, config, over))
+      rewriteTemporalJoins(spark, config, unb))
   }
 
   private def executeSelect(
