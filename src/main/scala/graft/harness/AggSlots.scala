@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   * sorted value set emits as a JSON string array and the harness
   * finishes the arithmetic in Catalyst decimal expressions),
   * 22/23/24/25 = plain SUM/AVG/MIN/MAX over DECIMAL inputs (the exact
-  * BigDecimal string seat; AVG finishes its division here).
+  * BigDecimal string seat; AVG finishes its division here),
+  * 26/27/28/29 = the variance family over DISTINCT inputs (r17 —
+  * value-set state, moments re-folded over the sorted set at
+  * emission).
   */
 private[harness] object AggSlots {
 
@@ -98,15 +101,21 @@ private[harness] object AggSlots {
       // VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP (+ sample aliases):
       // one fixed-size central-moment accumulator, Spark's
       // CentralMomentAgg arithmetic; inputs cast to double exactly as
-      // Spark's batch evaluation does
-      if (distinct)
-        fail(s"$fn(DISTINCT $arg) — DISTINCT variance aggregates stay " +
-          "batch-only (the moment accumulator has no value set); drop " +
-          "DISTINCT or use batch runtime mode")
+      // Spark's batch evaluation does. DISTINCT variance (r17) keeps
+      // the value set like the other distinct aggregates (kinds 26-29,
+      // = plain kind + 9) and re-folds the central moments over the
+      // SORTED set at emission — deterministic replay, exactly the
+      // values batch deduplication feeds Spark's moment arithmetic.
       resolve(arg) match {
-        case ByteType | ShortType | IntegerType | LongType |
-            FloatType | DoubleType | _: DecimalType =>
-          Slot(VarianceFns(fn), DoubleType, arg)
+        case dt @ (ByteType | ShortType | IntegerType | LongType |
+            FloatType | DoubleType) =>
+          if (distinct)
+            Slot(VarianceFns(fn) + 9, DoubleType, distinctEncode(arg, dt).get)
+          else Slot(VarianceFns(fn), DoubleType, arg)
+        case dt: DecimalType =>
+          if (distinct)
+            Slot(VarianceFns(fn) + 9, DoubleType, distinctEncode(arg, dt).get)
+          else Slot(VarianceFns(fn), DoubleType, arg)
         case other => fail(s"$fn($arg): unsupported input type " +
           s"${other.simpleString} (numeric only)")
       }

@@ -266,7 +266,49 @@ object Windows {
         |  RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)""".stripMargin)
   }
 
+  /** DISTINCT variance (r17): the batch twin of the streaming kinds
+    * 26-29 (OverAggSpec / WindowTvfSpec pin streaming against this
+    * form; this row pins the form against DuckDB). Same quantization
+    * law as q115: over the deduplicated integer set `q ∈ [0, 96]`,
+    * `VAR_POP × n²` and `VAR_SAMP × n(n−1)` are the exact integer
+    * `n·Σq² − (Σq)²` with n = COUNT(DISTINCT q) ≤ 97 — both engines
+    * land within fp error of it, so FLOOR(x + 0.5) is boundary-safe.
+    */
+  val q117DistinctVariance: Q = Q(
+    "q117_distinct_variance",
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT q) AS BIGINT) AS n,
+      |  CAST(FLOOR(VAR_POP(DISTINCT q)
+      |    * (COUNT(DISTINCT q) * COUNT(DISTINCT q)) + 0.5) AS BIGINT)
+      |    AS vp_e,
+      |  CAST(FLOOR(VAR_SAMP(DISTINCT q)
+      |    * (COUNT(DISTINCT q) * (COUNT(DISTINCT q) - 1)) + 0.5) AS BIGINT)
+      |    AS vs_e,
+      |  CAST(FLOOR(STDDEV_POP(DISTINCT q) * STDDEV_POP(DISTINCT q)
+      |    * (COUNT(DISTINCT q) * COUNT(DISTINCT q)) + 0.5) AS BIGINT)
+      |    AS sp_e
+      |FROM (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) % 97 AS q
+      |      FROM events WHERE ts IS NOT NULL)
+      |GROUP BY event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events").createOrReplaceTempView("dvar_events")
+    s.sql(
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT q) AS BIGINT) AS n,
+        |  CAST(FLOOR(VAR_POP(DISTINCT q)
+        |    * (COUNT(DISTINCT q) * COUNT(DISTINCT q)) + 0.5) AS BIGINT)
+        |    AS vp_e,
+        |  CAST(FLOOR(VAR_SAMP(DISTINCT q)
+        |    * (COUNT(DISTINCT q) * (COUNT(DISTINCT q) - 1)) + 0.5) AS BIGINT)
+        |    AS vs_e,
+        |  CAST(FLOOR(STDDEV_POP(DISTINCT q) * STDDEV_POP(DISTINCT q)
+        |    * (COUNT(DISTINCT q) * COUNT(DISTINCT q)) + 0.5) AS BIGINT)
+        |    AS sp_e
+        |FROM (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) % 97 AS q
+        |      FROM dvar_events WHERE ts IS NOT NULL)
+        |GROUP BY event_type""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(q18TopkPerGroup, q19Rank, q20LagLead, q21RunningSum,
     q22Ntile, q46PercentRank, q47FirstLast, q49RangeFrame,
-    q113OverTimeRange, q115OverVariance)
+    q113OverTimeRange, q115OverVariance, q117DistinctVariance)
 }

@@ -80,11 +80,16 @@ object CumulateTracker {
     * value set emits verbatim as a JSON string array, and the harness
     * finishes the arithmetic in Catalyst decimal expressions
     * (SUM/AVG(DISTINCT decimal) — exact and fold-order-free, so no
-    * in-tracker fold is needed at all). Shared with
-    * [[GridAggTracker]] and the harness slot builder.
+    * in-tracker fold is needed at all). Kinds 26-29 (r17) are the
+    * variance family over DISTINCT inputs — VAR_POP/VAR_SAMP/
+    * STDDEV_POP/STDDEV_SAMP = plain kind + 9 — whose accumulator keeps
+    * the value set and re-folds the central moments over the SORTED
+    * set at emission (deterministic replay; the values are exactly
+    * what batch deduplication feeds Spark's moment arithmetic).
+    * Shared with [[GridAggTracker]] and the harness slot builder.
     */
   private[graft] def isDistinctKind(k: Int): Boolean =
-    (k >= 9 && k <= 13) || k == 21
+    (k >= 9 && k <= 13) || k == 21 || (k >= 26 && k <= 29)
 
   /** The plain-decimal kinds (r16): 22 = SUM, 23 = AVG, 24 = MIN,
     * 25 = MAX over DECIMAL inputs — the accumulator's `dec` string
@@ -202,6 +207,33 @@ object CumulateTracker {
     case 22 | 24 | 25 => if (a.cnt == 0) None else Some(a.dec)
     case 23 => if (a.cnt == 0) None
       else Some(s"""{"s": ${a.dec}, "n": ${a.cnt}}""")
+    // DISTINCT variance (26-29 = plain kind + 9): re-fold the central
+    // moments over the SORTED distinct set — deterministic replay, and
+    // exactly the deduplicated values batch feeds CentralMomentAgg.
+    // Same divide-by-zero pins as 17-20: single-value *_SAMP is NULL,
+    // *_POP is 0.0
+    case 26 | 27 | 28 | 29 =>
+      if (ds.isEmpty) None
+      else {
+        val arr = ds.iterator.map(_.toDouble).toArray
+        java.util.Arrays.sort(arr)
+        var n = 0L
+        var m1 = 0d
+        var m2 = 0d
+        arr.foreach { x =>
+          n += 1L
+          val (a1, a2) = momentAdd(n, m1, m2, x)
+          m1 = a1
+          m2 = a2
+        }
+        kind match {
+          case 26 => Some(fmtD(m2 / n.toDouble))
+          case 27 => if (n <= 1L) None else Some(fmtD(m2 / (n - 1L).toDouble))
+          case 28 => Some(fmtD(math.sqrt(m2 / n.toDouble)))
+          case _ => if (n <= 1L) None
+            else Some(fmtD(math.sqrt(m2 / (n - 1L).toDouble)))
+        }
+      }
     case _ => if (a.cnt == 0) None else Some(fmtD(a.sumL.toDouble / a.cnt))
   }
 

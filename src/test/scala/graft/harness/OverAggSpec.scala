@@ -173,17 +173,31 @@ class OverAggSpec extends AnyFunSuite {
     }
   }
 
-  test("DISTINCT variance rejects by name (batch-only)") {
-    val name = s"oa_v_${System.nanoTime()}"
-    Seq(("a", ts(1), 1L, 1d)).toDF("k", "ets", "v", "d")
-      .createOrReplaceTempView(name)
-    val e = intercept[IllegalArgumentException](
-      OverAgg.rewriteStreaming(spark,
-        s"SELECT STDDEV_SAMP(DISTINCT d) OVER (PARTITION BY k ORDER " +
-          s"BY ets) AS s FROM $name",
-        tb => if (tb.equalsIgnoreCase(name)) Some(("ets", "5 seconds"))
-          else None))
-    assert(e.getMessage.contains("DISTINCT variance"), e.getMessage)
+  test("DISTINCT variance streams with hand-computed frames (r17 — " +
+      "Spark lacks the surface even in batch)") {
+    // Spark batch rejects DISTINCT window aggregates outright, so the
+    // oracle is the moment arithmetic over the deduplicated set:
+    // distinct v after ts(20) is {1, 3} -> VAR_POP 1.0, VAR_SAMP 2.0,
+    // STDDEV_POP 1.0; the repeated v = 1 at ts(30) changes nothing;
+    // the single-value prefix pins *_SAMP NULL / *_POP 0.0
+    val rows = Seq(
+      ("a", ts(10), 1L, 1.5d), ("a", ts(20), 3L, 1.5d),
+      ("a", ts(30), 1L, 2.5d))
+    val got = runStreaming(
+      """SELECT ets,
+        |  VAR_POP(DISTINCT v) OVER (PARTITION BY k ORDER BY ets) AS vp,
+        |  VAR_SAMP(DISTINCT v) OVER (PARTITION BY k ORDER BY ets) AS vs,
+        |  STDDEV_POP(DISTINCT v) OVER (PARTITION BY k ORDER BY ets) AS sp,
+        |  STDDEV(DISTINCT d) OVER (PARTITION BY k ORDER BY ets) AS sd
+        |FROM t """.stripMargin, rows)
+      .map(r => (r(0).asInstanceOf[Timestamp].getTime / 1000L,
+        r(1), r(2), r(3), r(4))).sortBy(_._1)
+    // distinct d after ts(30) is {1.5, 2.5} -> STDDEV_SAMP
+    // = sqrt(0.5) (exact double arithmetic: m2 = 0.5)
+    assert(got === Seq(
+      (10L, 0.0d, null, 0.0d, null),
+      (20L, 1.0d, 2.0d, 1.0d, null),
+      (30L, 1.0d, 2.0d, 1.0d, math.sqrt(0.5d))))
   }
 
   test("WHERE filters input rows before the window, batch parity") {

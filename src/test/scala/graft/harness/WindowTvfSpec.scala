@@ -315,9 +315,15 @@ class WindowTvfSpec extends AnyFunSuite {
       // the decimal-distinct columns (r16, kind 21) ride along: exact
       // set passthrough + Catalyst decimal finish, compared exactly
       // (the approxEq helper only relaxes java.lang.Double cells)
+      // DISTINCT variance (r17, kinds 26-29) rides along: the batch
+      // twin dedups then folds CentralMomentAgg in partition order,
+      // the tracker folds the SORTED distinct set — approxEq absorbs
+      // the fold-order ulps
       val stmt = s"SELECT k, window_start, window_end, " +
         "COUNT(DISTINCT u) AS du, STDDEV_SAMP(v) AS ss, " +
         "VAR_POP(d) AS vp, STDDEV_POP(d) AS sp, VAR_SAMP(v) AS vs, " +
+        "VAR_POP(DISTINCT v) AS vpd, STDDEV_SAMP(DISTINCT d) AS ssd, " +
+        "VARIANCE(DISTINCT d) AS vvd, " +
         "SUM(DISTINCT CAST(d AS DECIMAL(9,2))) AS sdd, " +
         "AVG(DISTINCT CAST(d AS DECIMAL(9,2))) AS add2, " +
         "SUM(CAST(d AS DECIMAL(9,2))) AS sdp, " +
@@ -334,15 +340,21 @@ class WindowTvfSpec extends AnyFunSuite {
         assert(batch.nonEmpty, tvf)
       } finally MatchRecognize.dropViews(spark, streamSql)
     }
-    // DISTINCT variance stays batch-only, rejected by name
-    val e = intercept[IllegalArgumentException](
-      WindowTvf.rewriteStreaming(
-        "SELECT k, window_start, window_end, " +
-          "STDDEV_SAMP(DISTINCT v) AS sd FROM TABLE(CUMULATE(" +
-          "TABLE tvf_var_in, DESCRIPTOR(ts), INTERVAL '1' MINUTE, " +
-          "INTERVAL '5' MINUTE)) GROUP BY k, window_start, window_end",
-        spark, _ => Some(("ts", "5 seconds"))))
-    assert(e.getMessage.contains("DISTINCT variance"), e.getMessage)
+    // DISTINCT variance streams on CUMULATE too (r17 — the growing
+    // windows merge the distinct sets across steps before the fold)
+    val cuStmt = "SELECT k, window_start, window_end, " +
+      "STDDEV_SAMP(DISTINCT v) AS sd, VAR_POP(DISTINCT d) AS vd " +
+      "FROM TABLE(CUMULATE(TABLE tvf_var_in, DESCRIPTOR(ts), " +
+      "INTERVAL '1' MINUTE, INTERVAL '5' MINUTE)) " +
+      "GROUP BY k, window_start, window_end"
+    val cuBatch = spark.sql(WindowTvf.rewrite(cuStmt)).collect().map(_.toSeq)
+    val cuStream = WindowTvf.rewriteStreaming(cuStmt, spark,
+      _ => Some(("ts", "5 seconds")))
+    try {
+      approxEq(spark.sql(cuStream).collect().map(_.toSeq).toSeq,
+        cuBatch.toSeq, "cumulate distinct variance")
+      assert(cuBatch.nonEmpty)
+    } finally MatchRecognize.dropViews(spark, cuStream)
   }
 
   test("streaming SESSION distinct aggregates are exact via the gap-merge tracker") {
