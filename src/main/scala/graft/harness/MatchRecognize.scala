@@ -1504,39 +1504,15 @@ object MatchRecognize {
             fail("expected `FROM <table> MATCH_RECOGNIZE (...)` or " +
               "`FROM (subquery) MATCH_RECOGNIZE (...)`")
           val inner = before.substring(sqOpen + 1, lastNonWs)
-          // event-time lineage: watermarked tables in relation position
-          // (after FROM/JOIN — a column merely NAMED like a watermarked
-          // table must not count). Dedup by TABLE NAME, not resolved
-          // (column, delay): two tables with identical watermark
-          // spellings are still two lineages
-          val wmTables = raw"(?is)\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)".r
-            .findAllMatchIn(maskQuoted(inner))
-            .map(_.group(1).toLowerCase).toSeq.distinct
-            .filter(t => watermarkOf(t).isDefined)
-          if (wmTables.isEmpty)
-            fail("streaming MATCH_RECOGNIZE subquery source references " +
-              "no WATERMARK-declared table — the pattern's event time " +
-              "must come from a watermarked source (comma-joins are " +
-              "not scanned; spell joins with JOIN)")
-          if (wmTables.size > 1)
-            fail("streaming MATCH_RECOGNIZE subquery source references " +
-              "multiple watermarked tables (" +
-              wmTables.mkString(", ") + ") — one event-time lineage " +
-              "is required")
-          val wmHits = Seq(watermarkOf(wmTables.head).get)
-          val df =
-            try spark.sql(inner)
-            catch { case e: Exception =>
-              fail("cannot evaluate MATCH_RECOGNIZE subquery source: " +
-                e.getMessage) }
-          if (!df.schema.fieldNames.exists(_.equalsIgnoreCase(wmHits.head._1)))
-            fail("streaming MATCH_RECOGNIZE subquery source must " +
-              s"project the event-time column ${wmHits.head._1} " +
-              "(the watermark and ORDER BY ride it)")
+          // event-time lineage — the shared law (SubquerySource, r17:
+          // one watermarked table in relation position, event-time
+          // column projected)
+          val (df, wm) = SubquerySource.resolve(spark, inner,
+            watermarkOf, "MATCH_RECOGNIZE", fail)
           val srcView = s"graft_mr_${viewCounter.incrementAndGet()}"
           df.createOrReplaceTempView(srcView)
           created += srcView
-          (srcView, sqOpen, Some(wmHits.head))
+          (srcView, sqOpen, Some(wm))
         } else {
           val tm = TableBeforeRe.findFirstMatchIn(before)
             .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` " +

@@ -142,9 +142,6 @@ object OverAgg {
       .map(m => (m.group(1), fullSql.substring(m.end)))
       .getOrElse(("", fullSql))
     val masked = MatchRecognize.maskQuoted(sql)
-    if (raw"(?is)\bGROUP\s+BY\b".r.findFirstIn(masked).isDefined)
-      fail("streaming OVER aggregation does not compose with GROUP BY " +
-        "in one statement — aggregate in a separate step")
 
     val selM = raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(sql)
       .getOrElse(fail("expected SELECT ... FROM for the OVER rewrite"))
@@ -176,21 +173,70 @@ object OverAgg {
       raw"(?:\s+(?:AS\s+)?(?!WHERE\b)([A-Za-z_]\w*))?\s*" +
       raw"(?:WHERE\s+(.*?))?\s*;?\s*$$").r
     val tail = sql.substring(fromIdx)
-    // a trailing ORDER BY/LIMIT would otherwise be swallowed into the
-    // WHERE capture and die as a raw expression parse error
-    if (raw"(?is)\b(ORDER\s+BY|LIMIT)\b".r
-        .findFirstIn(masked.substring(fromIdx)).isDefined)
-      fail("streaming OVER aggregation takes no ORDER BY/LIMIT on its " +
-        "output (rows emit in watermark-maturity order) — sort or limit " +
-        "downstream")
-    val tm = TailRe.findFirstMatchIn(tail).getOrElse(
-      fail("streaming OVER aggregation takes a single-table FROM " +
-        "(joins and subqueries: aggregate in a separate step): " +
-        tail.linesIterator.next()))
-    val (table, aliasOpt, whereOpt) =
-      (tm.group(1), Option(tm.group(2)), Option(tm.group(3)).map(_.trim))
+    val maskedTail = masked.substring(fromIdx)
+    def rejectOrderLimit(region: String): Unit =
+      // a trailing ORDER BY/LIMIT would otherwise be swallowed into the
+      // WHERE capture and die as a raw expression parse error
+      if (raw"(?is)\b(ORDER\s+BY|LIMIT)\b".r.findFirstIn(region).isDefined)
+        fail("streaming OVER aggregation takes no ORDER BY/LIMIT on its " +
+          "output (rows emit in watermark-maturity order) — sort or limit " +
+          "downstream")
+    def rejectGroupBy(region: String): Unit =
+      if (raw"(?is)\bGROUP\s+BY\b".r.findFirstIn(region).isDefined)
+        fail("streaming OVER aggregation does not compose with GROUP BY " +
+          "in one statement — aggregate in a separate step")
+    // the FROM may name a table/view, or carry an inline SUBQUERY
+    // (r17) resolved by event-time lineage — the shared
+    // [[SubquerySource]] law; ORDER BY/GROUP BY checks then apply to
+    // the OUTER statement only (the subquery's own clauses are its
+    // business, evaluated by Spark)
+    val isSubquery =
+      raw"(?is)^FROM\s*\(".r.findFirstIn(maskedTail).isDefined
+    // absolute [start, end) of the subquery region — the outer OVER
+    // scan and splice must not see the subquery's interior
+    var subqSpan: Option[(Int, Int)] = None
+    val (srcRel, aliasOpt, whereOpt, wmFromLineage, table) =
+      if (isSubquery) {
+        val open = tail.indexOf('(')
+        val close = MatchRecognize.closeParen(tail, open)
+        subqSpan = Some((fromIdx + open, fromIdx + close))
+        val inner = tail.substring(open + 1, close - 1)
+        val rest = tail.substring(close)
+        rejectOrderLimit(MatchRecognize.maskQuoted(rest))
+        rejectGroupBy(MatchRecognize.maskQuoted(
+          selectList + " " + rest))
+        val rm = (raw"(?is)^\s*(?:(?:AS\s+)?(?!WHERE\b)([A-Za-z_]\w*))?" +
+          raw"\s*(?:WHERE\s+(.*?))?\s*;?\s*$$").r
+          .findFirstMatchIn(rest).getOrElse(fail(
+            "unsupported clause after the OVER subquery source: " +
+              rest.trim.linesIterator.next()))
+        val (df, wm) = SubquerySource.resolve(spark, inner, watermarkOf,
+          "OVER aggregation", fail)
+        (Right(df): Either[String, org.apache.spark.sql.DataFrame],
+          Option(rm.group(1)), Option(rm.group(2)).map(_.trim),
+          Some(wm), "(subquery)")
+      } else {
+        rejectOrderLimit(maskedTail)
+        rejectGroupBy(masked)
+        val tm = TailRe.findFirstMatchIn(tail).getOrElse(
+          fail("streaming OVER aggregation takes a single-table FROM " +
+            "or a parenthesized subquery source (joins: aggregate in a " +
+            "separate step): " + tail.linesIterator.next()))
+        (Left(tm.group(1)): Either[String, org.apache.spark.sql.DataFrame],
+          Option(tm.group(2)), Option(tm.group(3)).map(_.trim),
+          None, tm.group(1))
+      }
 
-    val calls = overCalls(sql)
+    // OVER calls of the OUTER statement only: a call inside the
+    // subquery source is the subquery's own business (Spark evaluates
+    // it — on a stream it dies with Spark's own rejection; stream it
+    // through a CREATE VIEW + separate statement instead)
+    val outerSql = subqSpan match {
+      case Some((s, e)) =>
+        sql.substring(0, s) + (" " * (e - s)) + sql.substring(e)
+      case None => sql
+    }
+    val calls = overCalls(outerSql)
     if (calls.exists(_.fn == "LEAD"))
       fail("LEAD cannot stream — it references rows the watermark has " +
         "not matured (Flink's streaming over-windows reject it too); " +
@@ -248,18 +294,20 @@ object OverAgg {
       }
     }
 
-    val (wmCol, wmDelay) = watermarkOf(table).getOrElse(fail(
-      s"streaming OVER aggregation needs a WATERMARK declaration on $table"))
+    val (wmCol, wmDelay) = wmFromLineage
+      .orElse(watermarkOf(table)).getOrElse(fail(
+        s"streaming OVER aggregation needs a WATERMARK declaration on $table"))
     if (!wmCol.equalsIgnoreCase(tcol))
       fail(s"streaming OVER must ORDER BY $table's event-time column " +
         s"($wmCol); got $tcol")
 
-    val outAlias = aliasOpt.getOrElse(table.split('.').last)
+    val outAlias = aliasOpt.getOrElse(
+      if (isSubquery) "subq" else table.split('.').last)
     // the relation rides under its statement alias (or the bare table
     // name) so alias-qualified references in the WHERE and in aggregate
     // inputs resolve; SQL evaluates WHERE before window functions, so
     // the filter belongs on the tracker's INPUT rows
-    val src0 = spark.table(table).alias(outAlias)
+    val src0 = srcRel.fold(t => spark.table(t), identity).alias(outAlias)
     val src = whereOpt.fold(src0)(w => src0.filter(expr(w)))
     def fieldOf(c: String): StructField = {
       val i = src.schema.fieldNames.indexWhere(_.equalsIgnoreCase(c))

@@ -919,16 +919,23 @@ final class SqlSubmitAction(
   private def rewriteWindowTvfs(
       spark: SparkSession, config: EngineConfig, sql: String): String =
     if (!WindowTvf.hasWindowTvf(sql)) sql
-    else if (config.isStreaming)
-      // the session + watermark resolver feed the stateful rewrites
-      // (CUMULATE, and every grid kind under a DST region zone — those
-      // stream on the pinned-window tracker with wall-clock assignment)
-      WindowTvf.rewriteStreaming(sql, spark, watermarkOf,
-        config.dstGridZone)
-    else
-      // a DST region session zone switches batch grid windows onto
-      // that zone's wall-clock timeline (None for UTC/fixed zones)
-      WindowTvf.rewrite(sql, config.dstGridZone)
+    else {
+      // inline subquery sources (r17): `TABLE(TUMBLE(TABLE (SELECT
+      // ...), ...))` evaluates into a temp view first — streaming mode
+      // resolves the view's event time by the shared lineage law
+      val (sql2, wmOf2) = WindowTvf.inlineSubquerySources(
+        spark, sql, watermarkOf, config.isStreaming)
+      if (config.isStreaming)
+        // the session + watermark resolver feed the stateful rewrites
+        // (CUMULATE, and every grid kind under a DST region zone — those
+        // stream on the pinned-window tracker with wall-clock assignment)
+        WindowTvf.rewriteStreaming(sql2, spark, wmOf2,
+          config.dstGridZone)
+      else
+        // a DST region session zone switches batch grid windows onto
+        // that zone's wall-clock timeline (None for UTC/fixed zones)
+        WindowTvf.rewrite(sql2, config.dstGridZone)
+    }
 
   /** All Flink-dialect SQL rewrites, in one place. MATCH_RECOGNIZE
     * (Flink's CEP SQL) runs through [[MatchRecognize]]: batch mode

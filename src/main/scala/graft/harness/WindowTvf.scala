@@ -123,6 +123,61 @@ object WindowTvf {
     AnyTvfRe.findFirstIn(sql).isDefined ||
       AnyLegacyRe.findFirstIn(sql).isDefined
 
+  /** A window-TVF call whose SOURCE argument is an inline subquery —
+    * `TABLE(TUMBLE(TABLE (SELECT ...), DESCRIPTOR(...), ...))`. The
+    * match's final `(` opens the subquery. */
+  private val SubqSrcRe = (raw"(?is)\b(TUMBLE|HOP|CUMULATE|SESSION)" +
+    raw"\s*\(\s*(?:DATA\s*=>\s*)?(?:TABLE\s*)?\(").r
+
+  /** Inline subquery sources in window-TVF calls (r17, ACCEPTED
+    * SUPERSET: Flink's TVF grammar takes only a named relation there —
+    * portable scripts CREATE VIEW first, which the r16 view registry
+    * already serves). Each `TABLE (SELECT ...)` source evaluates into
+    * a temp view and the call rewrites to `TABLE <view>`, so the
+    * existing grammar and both mode paths apply unchanged. In
+    * streaming mode the subquery resolves by the shared event-time
+    * lineage law ([[SubquerySource]]) and the returned resolver hands
+    * the views' (column, delay) to the stateful rewrites; in batch
+    * mode the subquery just evaluates (no watermark requirement —
+    * batch TVFs window any relation). Returns the rewritten text and
+    * the extended watermark resolver.
+    */
+  def inlineSubquerySources(
+      spark: org.apache.spark.sql.SparkSession,
+      sql: String,
+      watermarkOf: String => Option[(String, String)],
+      streaming: Boolean): (String, String => Option[(String, String)]) = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
+    var out = sql
+    var extra = Map.empty[String, (String, String)]
+    val resolver: String => Option[(String, String)] =
+      t => watermarkOf(t).orElse(extra.get(t.toLowerCase))
+    var m = SubqSrcRe.findFirstMatchIn(MatchRecognize.maskQuoted(out))
+    while (m.isDefined) {
+      val open = m.get.end - 1
+      val close = MatchRecognize.closeParen(out, open)
+      val inner = out.substring(open + 1, close - 1)
+      val view = s"graft_tvf_${tvfViewCounter.incrementAndGet()}"
+      val df =
+        if (streaming) {
+          val (d, wm) = SubquerySource.resolve(spark, inner, resolver,
+            "window TVF", fail)
+          extra += (view.toLowerCase -> wm)
+          d
+        } else {
+          try spark.sql(inner)
+          catch { case e: Exception =>
+            fail(s"cannot evaluate window-TVF subquery source: " +
+              e.getMessage)
+          }
+        }
+      df.createOrReplaceTempView(view)
+      out = out.substring(0, open) + view + out.substring(close)
+      m = SubqSrcRe.findFirstMatchIn(MatchRecognize.maskQuoted(out))
+    }
+    (out, resolver)
+  }
+
   /** A GRID-windowing TVF call is present (TUMBLE/HOP/CUMULATE —
     * the forms whose boundaries align to an epoch grid). SESSION is
     * deliberately excluded: gap-based windows are grid-free, so a

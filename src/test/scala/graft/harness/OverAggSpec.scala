@@ -200,6 +200,49 @@ class OverAggSpec extends AnyFunSuite {
       (30L, 1.0d, 2.0d, 1.0d, math.sqrt(0.5d))))
   }
 
+  test("inline subquery source streams by event-time lineage (r17) " +
+      "and equals batch") {
+    // the subquery names ONE watermarked table and projects its
+    // event-time column — the shared SubquerySource law; the outer
+    // OVER then streams above the derived projection/filter
+    assertStreamEqualsBatch(
+      """SELECT k, ets, v2,
+        |  SUM(v2) OVER (PARTITION BY k ORDER BY ets) AS rs,
+        |  COUNT(*) OVER (PARTITION BY k ORDER BY ets) AS rc
+        |FROM (SELECT k, ets, v + 1 AS v2 FROM t WHERE v <> 2) """
+        .stripMargin)
+    // an aliased subquery with a residual WHERE outside it
+    assertStreamEqualsBatch(
+      """SELECT k, v,
+        |  MAX(v) OVER (PARTITION BY k ORDER BY ets) AS mx
+        |FROM (SELECT k, ets, v FROM t ) s WHERE v <> 7 """.stripMargin)
+  }
+
+  test("subquery-source contract rejections are named (r17)") {
+    val name = s"oa_sq_${System.nanoTime()}"
+    Seq(("a", ts(1), 1L, 1d)).toDF("k", "ets", "v", "d")
+      .createOrReplaceTempView(name)
+    val wmOf: String => Option[(String, String)] =
+      tb => if (tb.equalsIgnoreCase(name)) Some(("ets", "5 seconds"))
+        else None
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](
+        OverAgg.rewriteStreaming(spark, sql, wmOf)).getMessage
+    // event-time column must survive the projection
+    assert(err("SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets) AS s " +
+      s"FROM (SELECT k, v FROM $name)")
+      .contains("must project the event-time column"), "projection")
+    // no watermarked lineage
+    assert(err("SELECT SUM(v) OVER (PARTITION BY k ORDER BY ets) AS s " +
+      "FROM (SELECT 1 AS k, TIMESTAMP'2024-01-01' AS ets, 2 AS v)")
+      .contains("no WATERMARK-declared table"), "lineage")
+    // an OVER call only INSIDE the subquery is the subquery's own
+    // business — the outer statement has no aggregate to track
+    assert(err("SELECT k, mx FROM (SELECT k, ets, MAX(v) OVER " +
+      s"(PARTITION BY k ORDER BY ets) AS mx FROM $name)")
+      .contains("no OVER aggregate"), "inner-only")
+  }
+
   test("WHERE filters input rows before the window, batch parity") {
     assertStreamEqualsBatch(
       """SELECT k, v,

@@ -276,6 +276,44 @@ class WindowTvfSpec extends AnyFunSuite {
     }
   }
 
+  test("inline subquery TVF sources resolve by lineage in streaming " +
+      "and evaluate plainly in batch (r17 accepted superset)") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val rows = (1 to 80).map(i =>
+      (s"k${i % 2}", new java.sql.Timestamp(i * 7000L), i.toLong))
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("tvf_sq_in")
+    val wmOf: String => Option[(String, String)] =
+      t => if (t.equalsIgnoreCase("tvf_sq_in")) Some(("ts", "5 seconds"))
+        else None
+    val stmt = "SELECT k, window_start, window_end, SUM(v2) AS s " +
+      "FROM TABLE(TUMBLE(TABLE (SELECT k, ts, v + 1 AS v2 FROM " +
+      "tvf_sq_in WHERE v <> 3), DESCRIPTOR(ts), INTERVAL '2' MINUTE)) " +
+      "GROUP BY k, window_start, window_end"
+    // batch: the subquery just evaluates into a view the grammar sees
+    val (bSql, _) = WindowTvf.inlineSubquerySources(
+      spark, stmt, wmOf, streaming = false)
+    assert(!bSql.contains("SELECT k, ts, v + 1"), bSql)
+    val batch = spark.sql(WindowTvf.rewrite(bSql)).collect()
+      .map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    // streaming: lineage hands the view's (column, delay) through
+    val (sSql, wmOf2) = WindowTvf.inlineSubquerySources(
+      spark, stmt, wmOf, streaming = true)
+    val streamSql = WindowTvf.rewriteStreaming(sSql, spark, wmOf2)
+    try {
+      val streamed = spark.sql(streamSql).collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+    } finally MatchRecognize.dropViews(spark, streamSql)
+    // lineage violations reject by name
+    val e = intercept[IllegalArgumentException](
+      WindowTvf.inlineSubquerySources(spark,
+        stmt.replace("k, ts, v + 1 AS v2", "k, v + 1 AS v2"),
+        wmOf, streaming = true))
+    assert(e.getMessage.contains("must project the event-time column"),
+      e.getMessage)
+  }
+
   test("variance aggregates stream through the pinned and gap-merge trackers") {
     // r16: STDDEV/VAR kinds ride the central-moment slots on every
     // tracker path. A distinct aggregate alongside forces the
