@@ -439,12 +439,23 @@ object OverAgg {
         expr(p.input).cast("string")
       else lit(null).cast("string")): _*)
     import spark.implicits._
+    // a CHAINED source (a windowed pre-agg view, r17) rides the
+    // never-late sentinel: its rows are upstream watermark-gated
+    // emissions, so the tracker's late filter must pass them all and
+    // no second watermark node may be defined (Watermarks.ensure's
+    // chained branch) — the encoder binds by name, so the extra
+    // column rides the plan without touching OverEvent
+    val baseCols = Seq(keyExpr.as("key"),
+      graft.streaming.Watermarks.eventTimeCol(src, tcol, "ts"),
+      nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"), svArr.as("sv"),
+      payloadExpr.as("payload"))
+    val eventCols =
+      if (graft.streaming.Watermarks.isChained(src))
+        baseCols :+ graft.streaming.Watermarks.neverLate
+      else baseCols
     val events = src
       .filter(col(tcol).isNotNull) // a NULL event time has no position
-      .select(keyExpr.as("key"),
-        graft.streaming.Watermarks.eventTimeCol(src, tcol, "ts"),
-        nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"), svArr.as("sv"),
-        payloadExpr.as("payload"))
+      .select(eventCols: _*)
       .as[graft.streaming.OverEvent]
     val tracked = graft.streaming.OverAggTracker.track(
       events, wmDelay, plans.map(_.kind), frame, plans.map(_.lag))

@@ -193,10 +193,16 @@ final class SqlSubmitAction(
       val guardBody = MatchRecognize.maskQuoted(raw)
       val unticked = untick(raw)
       val body = MatchRecognize.maskQuoted(unticked)
-      // a GROUP BY or set op has no single propagated time attribute
-      // to speak for (Flink drops rowtime through both)
-      if (raw"(?is)\b(GROUP\s+BY|UNION|INTERSECT|EXCEPT)\b".r
-          .findFirstIn(guardBody).isEmpty) {
+      // a set op has no single propagated time attribute to speak for;
+      // a plain GROUP BY drops rowtime too (Flink) — EXCEPT the
+      // window-TVF aggregation, whose window_time output IS a rowtime
+      // attribute (Flink emits it as one, enabling two-stage streaming
+      // pipelines: windowed pre-agg → OVER/top-N/another window)
+      val hasSetOp = raw"(?is)\b(UNION|INTERSECT|EXCEPT)\b".r
+        .findFirstIn(guardBody).isDefined
+      val hasGroupBy = raw"(?is)\bGROUP\s+BY\b".r
+        .findFirstIn(guardBody).isDefined
+      if (!hasSetOp && !hasGroupBy) {
         if (raw"(?is)\bJOIN\b".r.findFirstIn(guardBody).isEmpty) {
           for {
             bm <- ViewBodyRe.findFirstMatchIn(body)
@@ -209,6 +215,30 @@ final class SqlSubmitAction(
               .exists(_.exists(_.name.equalsIgnoreCase(out)))
           } viewWatermarks(name) = (out, delay)
         } else recordJoinViewWatermark(spark, name, unticked, body, colList)
+      } else if (!hasSetOp && hasGroupBy &&
+          WindowTvf.hasWindowTvf(guardBody) &&
+          raw"(?is)\bJOIN\b".r.findFirstIn(guardBody).isEmpty) {
+        // window-TVF aggregation view: record (view -> window_time's
+        // output name, the TVF SOURCE's delay). The source delay is
+        // conservative — windows emit watermark-gated, so window_time
+        // is globally non-decreasing across batches and any
+        // non-negative delay is drop-safe downstream. The projection
+        // rule is the same SIMPLE-item law as plain views: an
+        // expression around window_time drops the attribute. The
+        // downstream pass handles the chained-stateful mechanics
+        // (never-late input, single-watermark propagation) — see
+        // [[graft.streaming.Watermarks.neverLate]].
+        for {
+          selM <- raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(body)
+          fromIdx <- WindowTvf.findTopLevel(body, selM.end, "FROM")
+          src <- WindowTvf.tvfSourceName(unticked)
+          (_, delay) <- watermarkOf(src)
+          out <- propagatedName(
+            unticked.substring(selM.end, fromIdx).trim, "window_time",
+            colList = colList)
+          if scala.util.Try(spark.table(name).schema).toOption
+            .exists(_.exists(_.name.equalsIgnoreCase(out)))
+        } viewWatermarks(name) = (out, delay)
       }
     }
   }
@@ -353,14 +383,28 @@ final class SqlSubmitAction(
     // session keeps its own semantics after run().
     val savedAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
     val savedParser = spark.conf.getOption("spark.sql.legacy.timeParserPolicy")
+    // two-stage pipelines (windowed pre-agg view -> OVER/top-N, r17)
+    // chain a stateful operator above a tracker. Spark's global-
+    // watermark heuristic rejects any stateful op downstream of a
+    // flatMapGroupsWithState because FMGWS in general can emit
+    // arbitrarily-timed rows; every tracker this harness compiles is
+    // append-mode and emits a row only once the watermark has passed
+    // its event time, so its emissions are never late downstream —
+    // the heuristic's premise does not apply to these plans. (Shapes
+    // Spark hard-rejects — update-mode FMGWS followed by aggregation —
+    // stay rejected by the separate unconditional check.)
+    val corrKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val savedCorr = spark.conf.getOption(corrKey)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
+    spark.conf.set(corrKey, "false")
     try runStatements(spark, statements)
     finally {
       savedAnsi.fold(spark.conf.unset("spark.sql.ansi.enabled"))(
         spark.conf.set("spark.sql.ansi.enabled", _))
       savedParser.fold(spark.conf.unset("spark.sql.legacy.timeParserPolicy"))(
         spark.conf.set("spark.sql.legacy.timeParserPolicy", _))
+      savedCorr.fold(spark.conf.unset(corrKey))(spark.conf.set(corrKey, _))
     }
   }
 
@@ -1047,9 +1091,10 @@ final class SqlSubmitAction(
       if (df.isStreaming) {
         val w = df.writeStream.format("console")
           .option("truncate", "false")
-        val writer =
+        val writer = withChainedScope(spark, df) {
           try { val s = w.outputMode("append").start(); s }
           catch { case _: Exception => w.outputMode("update").start() }
+        }
         started += writer
       } else {
         df.show(printLimit, truncate = false)
@@ -1157,6 +1202,39 @@ final class SqlSubmitAction(
             org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout => f
     }.isDefined
 
+  /** A stateful operator sits ABOVE another stateful subtree (a
+    * two-stage pipeline, r17). Those queries must start under
+    * SINGLE-watermark propagation: Spark's per-operator simulator
+    * propagates NO watermark through flatMapGroupsWithState
+    * (`produceOutputWatermark` = None), so a chained tracker would
+    * never mature anything — while the single global watermark is
+    * exactly the in-band signal the trackers' watermark-gated
+    * emissions are correct under. */
+  private def chainsStatefulStages(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def stateful(p: LogicalPlan): Boolean = p match {
+      case _: FlatMapGroupsWithState => true
+      case a: Aggregate => a.child.isStreaming
+      case d: Deduplicate => d.child.isStreaming
+      case _ => false
+    }
+    df.isStreaming && df.queryExecution.analyzed.exists(n =>
+      stateful(n) && n.children.exists(_.exists(stateful)))
+  }
+
+  /** Runs `start` with the chained-pipeline conf scope applied when the
+    * plan needs it (see [[chainsStatefulStages]]); the session value is
+    * restored after the query has captured it at start. */
+  private def withChainedScope[T](spark: SparkSession, df: DataFrame)(
+      start: => T): T = {
+    if (!chainsStatefulStages(df)) return start
+    val key = "spark.sql.streaming.statefulOperator.allowMultiple"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try start
+    finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   private def writeToSink(
       spark: SparkSession, config: EngineConfig,
       df: DataFrame, sinkDef: TableDef, overwrite: Boolean = false): Unit = {
@@ -1171,7 +1249,7 @@ final class SqlSubmitAction(
         s"INSERT OVERWRITE into a '$connector' sink is not supported — " +
           "only filesystem tables are replaceable")
     if (df.isStreaming) {
-      val base = connector match {
+      val base0 = connector match {
         case "print" => PrintSink.writer(df, sinkDef)
         case "blackhole" =>
           df.writeStream.format("noop").outputMode("update")
@@ -1203,6 +1281,14 @@ final class SqlSubmitAction(
               registerJdbcView(spark, sinkDef)
           }
       }
+      // a CHAINED plan (stateful stage above a stateful stage, r17)
+      // must run in APPEND end-to-end: in update mode the intermediate
+      // window aggregation emits PARTIAL windows, which the downstream
+      // tracker would consume as extra fact rows (double counting) —
+      // Flink's window operators emit finals only, and so must these
+      val base =
+        if (chainsStatefulStages(df)) base0.outputMode("append")
+        else base0
       val withTrigger = config.miniBatchLatency match {
         case Some(latency) => base.trigger(Trigger.ProcessingTime(latency))
         case None if hasProcessingTimeTimers(df) =>
@@ -1239,7 +1325,7 @@ final class SqlSubmitAction(
         case Some(n) => withCp.queryName(s"$n-${sinkDef.name}")
         case None    => withCp.queryName(sinkDef.name)
       }
-      try started += named.start()
+      try started += withChainedScope(spark, df)(named.start())
       catch {
         case e: org.apache.spark.sql.AnalysisException
             if connector == "jdbc" && sinkDef.primaryKey.isEmpty &&

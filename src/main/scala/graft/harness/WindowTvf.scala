@@ -123,6 +123,15 @@ object WindowTvf {
     AnyTvfRe.findFirstIn(sql).isDefined ||
       AnyLegacyRe.findFirstIn(sql).isDefined
 
+  /** The NAMED source relation of the first window-TVF call, for the
+    * view registry's window_time propagation (r17). */
+  private val TvfSrcNameRe = (raw"(?is)\bTABLE\s*\(\s*" +
+    raw"(?:TUMBLE|HOP|CUMULATE|SESSION)\s*\(\s*(?:DATA\s*=>\s*)?" +
+    raw"(?:TABLE\s+)?($Dotted)").r
+  def tvfSourceName(sql: String): Option[String] =
+    TvfSrcNameRe.findFirstMatchIn(sql)
+      .map(m => ddl.DdlParser.unquoteName(m.group(1)))
+
   /** A window-TVF call whose SOURCE argument is an inline subquery —
     * `TABLE(TUMBLE(TABLE (SELECT ...), DESCRIPTOR(...), ...))`. The
     * match's final `(` opens the subquery. */
@@ -618,6 +627,10 @@ object WindowTvf {
         if (win.endAdjustMs == 0L) s"${win.struct}.end"
         else s"(${win.struct}.end - INTERVAL '${win.endAdjustMs}' MILLISECOND)"
       case _ =>
+        // window_time stays a plain expression here (Spark's tagged
+        // window_time() function cannot sit in an aggregate select
+        // list); the CLI view registry re-tags the view's output
+        // column as a rowtime attribute for two-stage pipelines (r17)
         s"(${win.struct}.end - INTERVAL '${win.endAdjustMs + 1L}' MILLISECOND)"
     }
     def replTokensIn(s: String): String =
@@ -827,6 +840,15 @@ object WindowTvf {
   }
 
   private val tvfViewCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** A watermark delay string in milliseconds (month units use Spark's
+    * 30-day convention — watermark delays never carry them in
+    * practice). */
+  private[harness] def delayMsOf(delay: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .fromIntervalString(delay)
+    iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+  }
 
   /** STREAMING `CUMULATE(step, size)`: compiled onto
     * [[graft.streaming.CumulateTracker]] — Spark has no native growing

@@ -39,9 +39,16 @@ object Watermarks {
     }
     val tagged = ds.schema.find(_.name.equalsIgnoreCase(column))
       .exists(_.metadata.contains(EventTimeWatermark.delayKey))
+    // an existing node substitutes only when its attribute is STILL in
+    // the output — a consumed upstream column that merely shares the
+    // requested name (a windowed pre-agg whose source was also named
+    // `ts`, r17 two-stage pipelines) must not suppress the fresh
+    // definition the downstream stateful operator needs
+    val outIds = ds.queryExecution.analyzed.output.map(_.exprId).toSet
     if (existing.isEmpty) ds.withWatermark(column, delay)
     else if (tagged ||
-        existing.exists(_.eventTime.name.equalsIgnoreCase(column))) {
+        existing.exists(e => e.eventTime.name.equalsIgnoreCase(column) &&
+          outIds.contains(e.eventTime.exprId))) {
       val want = org.apache.spark.sql.catalyst.util.IntervalUtils
         .fromIntervalString(delay)
       if (!existing.exists(_.delay == want) && log.isWarnEnabled)
@@ -49,7 +56,53 @@ object Watermarks {
           s"${existing.map(_.delay).mkString(", ")}) instead of " +
           s"requested $delay")
       ds
+    } else if (isChained(ds)) {
+      // CHAINED stage (r17): the relation already contains a streaming
+      // stateful subtree (a windowed pre-agg view) whose emissions this
+      // stage consumes. Defining a NEW watermark node here would start
+      // at 0 and deadlock the min-policy global watermark (stage 1
+      // then never emits, which never advances this node); the
+      // upstream node keeps driving the query instead, and the caller
+      // marks its tracker input never-late ([[neverLate]]) — sound
+      // because every tracker emission is watermark-gated, Flink's
+      // in-band propagation law.
+      ds
     } else ds.withWatermark(column, delay)
+  }
+
+  /** The relation contains a streaming stateful subtree — its rows are
+    * another stateful operator's EMISSIONS (a two-stage pipeline).
+    * Drives the chained-stage handling in [[ensure]]/[[neverLate]] and
+    * the CLI's single-watermark-propagation scope. */
+  def isChained(ds: Dataset[_]): Boolean =
+    ds.isStreaming && ds.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState => true
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.child.isStreaming
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate =>
+        d.child.isStreaming
+      case _ => false
+    }
+
+  /** A far-future event-time-TAGGED sentinel column for a CHAINED
+    * tracker's input. Spark's flatMapGroupsWithState (a) requires a
+    * delay-tagged attribute in its child output for event-time
+    * timeouts and (b) DROPS input rows whose tagged column is behind
+    * the late-events watermark — but a chained tracker's input rows
+    * are an upstream stateful operator's watermark-gated emissions,
+    * which arrive exactly when they cross the watermark and must NOT
+    * be dropped (Flink's in-band watermark propagation never drops an
+    * operator's own output). The sentinel satisfies (a) while making
+    * (b) pass every row; maturity still reads the real event time
+    * against `GroupState.getCurrentWatermarkMs`, driven by the
+    * SOURCE's watermark node under single-watermark propagation.
+    */
+  def neverLate: org.apache.spark.sql.Column = {
+    val md = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(EventTimeWatermark.delayKey, 0L).build()
+    org.apache.spark.sql.functions
+      .lit(java.sql.Timestamp.valueOf("9999-01-01 00:00:00"))
+      .as("__graft_never_late", md)
   }
 
   private lazy val log =

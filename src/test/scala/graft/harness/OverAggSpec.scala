@@ -243,6 +243,75 @@ class OverAggSpec extends AnyFunSuite {
       .contains("no OVER aggregate"), "inner-only")
   }
 
+  test("two-stage streaming chain: a window-TVF tracker view feeds " +
+      "the OVER tracker through its window_time rowtime (r17)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long)]
+    // the CLI source carries its DDL watermark; mirror it here (the
+    // native window() stage needs the plan-level watermark for append)
+    input.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("oa_chain_src")
+    // the COUNT(DISTINCT) routes TUMBLE onto the pinned-window tracker,
+    // whose window_time output carries the event-time tag itself (the
+    // native window() path gets the tag from the CLI view registry —
+    // covered by SqlSubmitE2ESpec's two-stage pipeline)
+    val tvfRewritten = WindowTvf.rewriteStreaming(
+      "SELECT k, window_time, SUM(v) AS s, COUNT(DISTINCT v) AS d " +
+        "FROM TABLE(TUMBLE(" +
+        "TABLE oa_chain_src, DESCRIPTOR(ts), INTERVAL '1' MINUTE)) " +
+        "GROUP BY k, window_start, window_end, window_time",
+      spark,
+      t => if (t.equalsIgnoreCase("oa_chain_src"))
+        Some(("ts", "5 seconds")) else None)
+    spark.sql(tvfRewritten).createOrReplaceTempView("oa_chain_view")
+    // the view registry's law: window_time rides out with the SOURCE
+    // delay; emissions are watermark-gated so any delay is drop-safe
+    val overSql = OverAgg.rewriteStreaming(spark,
+      "SELECT k, window_time, s, SUM(s) OVER (PARTITION BY k ORDER " +
+        "BY window_time) AS rs FROM oa_chain_view",
+      t => if (t.equalsIgnoreCase("oa_chain_view"))
+        Some(("window_time", "5 seconds")) else None)
+    // mirror the CLI's chained-pipeline scope: the global-watermark
+    // heuristic downgrades to a warning (tracker emissions are
+    // watermark-gated appends — never late downstream), and the query
+    // runs under SINGLE-watermark propagation (the per-operator
+    // simulator propagates no watermark through FMGWS, so stage 2
+    // would never mature anything)
+    val corrKey =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val multiKey = "spark.sql.streaming.statefulOperator.allowMultiple"
+    val savedCorr = spark.conf.getOption(corrKey)
+    val savedMulti = spark.conf.getOption(multiKey)
+    spark.conf.set(corrKey, "false")
+    spark.conf.set(multiKey, "false")
+    val q = spark.sql(overSql).writeStream.format("memory")
+      .queryName("oa_chain_out").outputMode("append").start()
+    try {
+      // k=a: v 0..5 at 30 s -> minute windows sum 1, 5, 9; running 1, 6, 15
+      input.addData((0 to 5).map(i =>
+        ("a", ts(i * 30L), i.toLong)): _*)
+      q.processAllAvailable()
+      // far-future rows on ANOTHER key flush both stages' watermarks
+      input.addData(("z", ts(100000L), 0L))
+      q.processAllAvailable()
+      input.addData(("z", ts(300000L), 0L))
+      q.processAllAvailable()
+      input.addData(("z", ts(600000L), 0L))
+      q.processAllAvailable()
+      val got = spark.table("oa_chain_out")
+        .where("k = 'a'").select($"s", $"rs")
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 1L), (5L, 6L), (9L, 15L)), got.toString)
+    } finally {
+      q.stop()
+      savedCorr.fold(spark.conf.unset(corrKey))(spark.conf.set(corrKey, _))
+      savedMulti.fold(spark.conf.unset(multiKey))(
+        spark.conf.set(multiKey, _))
+    }
+  }
+
   test("WHERE filters input rows before the window, batch parity") {
     assertStreamEqualsBatch(
       """SELECT k, v,

@@ -562,4 +562,83 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(got.count() == 7)
     assert(got.filter("doubled = id * 2").count() == 7)
   }
+
+  test("window_time propagates out of a window-TVF view: two-stage " +
+      "pipeline (TUMBLE pre-agg -> OVER) streams above it (r17)") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-wtv-e2e").toString
+    // seq 0..5 at 30 s spacing from midnight; TUMBLE 1 min sums pairs:
+    // windows hold v = {0,1}, {2,3}, {4,5} -> s = 1, 5, 9; the OVER
+    // stage runs a running SUM over the view's window_time rowtime ->
+    // rs = 1, 6, 15 (Flink's two-stage streaming pipeline shape)
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table wtv_src (
+         |  k bigint,
+         |  seq bigint,
+         |  v as seq,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '6',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '5',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view wtv_agg as
+         |  select k, window_time as wt, sum(v) as s
+         |  from table(tumble(table wtv_src, descriptor(ts),
+         |    interval '1' minute))
+         |  group by k, window_start, window_end, window_time;
+         |create table wtv_sink (k bigint, s bigint, rs bigint) with (
+         |  'connector' = 'filesystem', 'path' = '$out/sink',
+         |  'format' = 'parquet');
+         |insert into wtv_sink
+         |select k, s, sum(s) over (partition by k order by wt) as rs
+         |from wtv_agg;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-wtv-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 30).run()
+    val got = spark.read.parquet(s"$out/sink")
+      .collect().map(r => (r.getAs[Long]("s"), r.getAs[Long]("rs"))).toSet
+    assert(got === Set((1L, 1L), (5L, 6L), (9L, 15L)), got.toString)
+  }
+
+  test("a window-TVF view NOT projecting window_time stays unrecorded " +
+      "and the downstream OVER raises the named watermark error") {
+    val spark = SparkFixture.spark
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table wtn_src (
+         |  k bigint,
+         |  seq bigint,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '2',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '1',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view wtn_agg as
+         |  select k, window_end as we, sum(seq) as s
+         |  from table(tumble(table wtn_src, descriptor(ts),
+         |    interval '1' minute))
+         |  group by k, window_start, window_end;
+         |select k, sum(s) over (partition by k order by we) as rs
+         |from wtn_agg;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-wtn-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark), durationSec = 10).run()
+    }
+    // window_end is NOT a rowtime attribute (Flink's law: only
+    // window_time carries the attribute out)
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("WATERMARK")), msgs.mkString(" | "))
+  }
 }
