@@ -205,29 +205,51 @@ object TemporalJoin {
     val stmt = insM.group(2)
     val masked = MatchRecognize.maskQuoted(stmt)
 
-    val jm = JoinRe.findFirstMatchIn(masked).getOrElse(fail(
+    // --- collect every temporal join, left to right (r17: Flink
+    // chains temporal joins — a fact enriched by several dimension
+    // histories in one SELECT; each stage's enriched output feeds the
+    // next stage's probe side) ---
+    final case class Stage(leftJoin: Boolean, vTable: String,
+        vAlias: String, asOfRaw: String, cond: String, start: Int,
+        condEnd: Int)
+    val jms = JoinRe.findAllMatchIn(masked).toList
+    if (jms.isEmpty) fail(
       "unsupported streaming FOR SYSTEM_TIME AS OF form: expected " +
         "[INNER|LEFT [OUTER]] JOIN <versioned table> FOR SYSTEM_TIME " +
-        "AS OF <probe time column> [AS alias] ON ..."))
-    // group text re-read from the RAW statement: the match ran on the
-    // masked text, where backtick-quoted names are blanked
-    def rawGroup(i: Int): String =
-      if (jm.group(i) == null) null
-      else stmt.substring(jm.start(i), jm.end(i))
-    val (leftJoin, vTableRaw, vAliasRaw) =
-      parseJoinHead(rawGroup(1), rawGroup(2), Option(rawGroup(4)))
-    val vTable = DdlParser.unquoteName(vTableRaw)
-    val vAlias = DdlParser.unquoteName(vAliasRaw)
-    val asOfRaw = rawGroup(3)
+        "AS OF <probe time column> [AS alias] ON ...")
+    val stages = scala.collection.mutable.ArrayBuffer.empty[Stage]
+    var scanned = 0
+    jms.foreach { m =>
+      if (m.start < scanned) fail(
+        "nested FOR SYSTEM_TIME AS OF forms are unsupported")
+      // group text re-read from the RAW statement: the match ran on
+      // the masked text, where backtick-quoted names are blanked
+      def rawGroup(i: Int): String =
+        if (m.group(i) == null) null
+        else stmt.substring(m.start(i), m.end(i))
+      val (leftJoin, vTableRaw, vAliasRaw) =
+        parseJoinHead(rawGroup(1), rawGroup(2), Option(rawGroup(4)))
+      val (cond, condEnd) = scanOnCondition(stmt, m.end)
+      if (stages.nonEmpty &&
+          stmt.substring(stages.last.condEnd, m.start).trim.nonEmpty)
+        fail("only FOR SYSTEM_TIME AS OF joins may chain in one " +
+          "statement; found '" +
+          stmt.substring(stages.last.condEnd, m.start).trim.take(40) +
+          "' between them")
+      stages += Stage(leftJoin, DdlParser.unquoteName(vTableRaw),
+        DdlParser.unquoteName(vAliasRaw), rawGroup(3), cond, m.start,
+        condEnd)
+      scanned = condEnd
+    }
 
     val selM = raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(masked)
       .getOrElse(fail("expected SELECT ... FROM for the streaming " +
         "temporal-join rewrite"))
     val fromIdx = WindowTvf.findTopLevel(masked, selM.end, "FROM")
-      .filter(_ < jm.start)
+      .filter(_ < stages.head.start)
       .getOrElse(fail("expected FROM <probe table> before the temporal join"))
     val selectList = stmt.substring(selM.end, fromIdx).trim
-    val probeRegion = stmt.substring(fromIdx, jm.start).trim
+    val probeRegion = stmt.substring(fromIdx, stages.head.start).trim
     // the probe table accepts the same Ident/Dotted form as the
     // versioned side (backtick-quoted names included, r17)
     val pm = (raw"(?is)^FROM\s+($Dotted)" +
@@ -245,8 +267,8 @@ object TemporalJoin {
       pTable
     }
 
-    val (cond, condEnd) = scanOnCondition(stmt, jm.end)
-    val tailRest = stmt.substring(condEnd).trim.stripSuffix(";").trim
+    val tailRest =
+      stmt.substring(stages.last.condEnd).trim.stripSuffix(";").trim
     val whereResidual =
       if (tailRest.isEmpty) None
       else Some(raw"(?is)^WHERE\b(.*)$$".r.findFirstMatchIn(tailRest)
@@ -254,149 +276,209 @@ object TemporalJoin {
           "WHERE only after the ON condition — aggregate, window, or " +
           s"order in a separate statement; got '${tailRest.take(40)}'"))
         .group(1).trim)
-    if (MarkerRe.findFirstMatchIn(masked.substring(0, jm.start)).isDefined ||
-        MarkerRe.findFirstMatchIn(masked.substring(condEnd)).isDefined)
-      fail("streaming mode supports ONE temporal join per statement")
+    if (MarkerRe.findFirstMatchIn(
+          masked.substring(0, stages.head.start)).isDefined ||
+        MarkerRe.findFirstMatchIn(
+          masked.substring(stages.last.condEnd)).isDefined)
+      fail("unsupported FOR SYSTEM_TIME AS OF placement: only a chain " +
+        "of [INNER|LEFT] temporal joins after FROM <probe> is " +
+        "recognized in streaming mode")
 
     val (pWmCol, pDelay) = watermarkOf(pTable).getOrElse(fail(
       s"streaming temporal join needs a WATERMARK declaration on $pTable"))
-    val asOfCol = asOfRaw.split('.').map(DdlParser.unquoteName) match {
-      case Array(c) => c
-      case Array(q, c) if q.equalsIgnoreCase(pAlias) => c
-      case _ => fail("FOR SYSTEM_TIME AS OF must reference the probe " +
-        s"table's event-time column; got $asOfRaw")
-    }
-    if (!asOfCol.equalsIgnoreCase(pWmCol))
-      fail(s"FOR SYSTEM_TIME AS OF must be $pTable's event-time column " +
-        s"($pWmCol); got $asOfCol")
-    val meta = versionOf(vTable).getOrElse(fail(
-      s"Temporal join over '$vTable' requires an event-time attribute " +
-        "(declare WATERMARK FOR <col> in its DDL)"))
-    if (meta.primaryKey.isEmpty) fail(
-      s"Temporal join over '$vTable' requires a PRIMARY KEY " +
-        "(versions are ordered within it)")
-
-    // ON: a conjunction of probe-column = version-column equalities
-    // covering exactly the version table's primary key
-    val pairs = MatchRecognize.splitTopLevelAnd(cond).map { c =>
-      val em = raw"(?is)^\s*([\w.]+)\s*=\s*([\w.]+)\s*$$".r
-        .findFirstMatchIn(c).getOrElse(fail(
-          "streaming temporal join ON takes a conjunction of column " +
-            s"equalities; got '$c'"))
-      def side(ref: String): (String, String) = ref.split('.') match {
-        case Array(c0) => ("", c0)
-        case Array(q, c0) => (q.toLowerCase, c0)
-        case _ => fail(s"cannot resolve ON reference $ref")
-      }
-      val (q1, c1) = side(em.group(1))
-      val (q2, c2) = side(em.group(2))
-      val pa = pAlias.toLowerCase
-      val va = vAlias.toLowerCase
-      if (q1 == pa && q2 == va) (c1, c2)
-      else if (q1 == va && q2 == pa) (c2, c1)
-      else fail("streaming temporal join ON equalities must pair a " +
-        "probe column with a version column (qualify both sides): " +
-        s"got '$c'")
-    }
-    val vKeyCols = pairs.map(_._2)
-    if (vKeyCols.size != meta.primaryKey.size ||
-        !meta.primaryKey.map(_.toLowerCase).toSet
-          .subsetOf(vKeyCols.map(_.toLowerCase).toSet))
-      fail(s"streaming temporal join ON must equate exactly $vTable's " +
-        s"PRIMARY KEY (${meta.primaryKey.mkString(", ")}); got " +
-        s"(${vKeyCols.mkString(", ")})")
 
     val pSrc = spark.table(pTable)
-    val vSrc = spark.table(vTable)
-    if (pSrc.isStreaming != vSrc.isStreaming)
-      fail("streaming temporal join takes two stream (or two bounded) " +
-        "sides; enrich against a STATIC table with a plain join " +
-        "view instead (the lookup-join form)")
     def fieldOf(df: org.apache.spark.sql.DataFrame, table: String,
         c: String): StructField =
       df.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         fail(s"column $c not found in $table"))
     def carrier(f: StructField) = graft.streaming.StateFormat.carrierOf(f)
     val pFields = pSrc.schema.fields.toSeq.filter(f => carrier(f).isDefined)
-    val vFields = vSrc.schema.fields.toSeq.filter(f => carrier(f).isDefined)
-    val dropped =
-      (pSrc.schema.fields.toSeq.map(_.name) diff pFields.map(_.name)) ++
+
+    // alias -> (output column name -> decoded field in the CURRENT
+    // enriched relation), in declaration order — drives ON/select/
+    // WHERE reference resolution and star expansion across stages
+    val aliasCols = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.LinkedHashMap[String, String]]()
+    aliasCols(pAlias.toLowerCase) =
+      scala.collection.mutable.LinkedHashMap.from(
+        pFields.map(f => f.name -> f.name))
+    def resolveQual(q: String, c: String): Option[String] =
+      aliasCols.get(q.toLowerCase).map(m =>
+        m.collectFirst { case (out, fld) if out.equalsIgnoreCase(c) => fld }
+          .getOrElse(fail(s"column $c not found (or not exactly " +
+            s"carrier-able) on relation '$q'")))
+
+    var cur: org.apache.spark.sql.DataFrame = pSrc
+    var curWmField: String = fieldOf(pSrc, pTable, pWmCol).name
+    val droppedAll = scala.collection.mutable.ArrayBuffer.empty[String]
+    droppedAll ++=
+      (pSrc.schema.fields.toSeq.map(_.name) diff pFields.map(_.name))
+
+    stages.zipWithIndex.foreach { case (st, stageIdx) =>
+      val vTable = st.vTable
+      val vAlias = st.vAlias
+      if (aliasCols.contains(vAlias.toLowerCase))
+        fail(s"duplicate relation alias '$vAlias' in the temporal-join " +
+          "chain — give each versioned side a distinct alias")
+      // AS OF must reference the PROBE's event-time column (every
+      // stage of a Flink chain enriches as of the fact row's time)
+      st.asOfRaw.split('.').map(DdlParser.unquoteName) match {
+        case Array(c) =>
+          if (!c.equalsIgnoreCase(pWmCol))
+            fail(s"FOR SYSTEM_TIME AS OF must be $pTable's event-time " +
+              s"column ($pWmCol); got $c")
+        case Array(q, c) =>
+          val resolved = resolveQual(q, c).getOrElse(
+            fail("FOR SYSTEM_TIME AS OF must reference the probe " +
+              s"table's event-time column; got ${st.asOfRaw}"))
+          if (!resolved.equalsIgnoreCase(curWmField))
+            fail(s"FOR SYSTEM_TIME AS OF must be $pTable's event-time " +
+              s"column ($pWmCol); got ${st.asOfRaw}")
+        case _ => fail("FOR SYSTEM_TIME AS OF must reference the probe " +
+          s"table's event-time column; got ${st.asOfRaw}")
+      }
+      val meta = versionOf(vTable).getOrElse(fail(
+        s"Temporal join over '$vTable' requires an event-time attribute " +
+          "(declare WATERMARK FOR <col> in its DDL)"))
+      if (meta.primaryKey.isEmpty) fail(
+        s"Temporal join over '$vTable' requires a PRIMARY KEY " +
+          "(versions are ordered within it)")
+
+      // ON: a conjunction of probe-column = version-column equalities
+      // covering exactly the version table's primary key; the probe
+      // side may qualify with ANY earlier alias of the chain
+      val pairs = MatchRecognize.splitTopLevelAnd(st.cond).map { c =>
+        val em = raw"(?is)^\s*([\w.]+)\s*=\s*([\w.]+)\s*$$".r
+          .findFirstMatchIn(c).getOrElse(fail(
+            "streaming temporal join ON takes a conjunction of column " +
+              s"equalities; got '$c'"))
+        def side(ref: String): (String, String) = ref.split('.') match {
+          case Array(c0) => ("", c0)
+          case Array(q, c0) => (q.toLowerCase, c0)
+          case _ => fail(s"cannot resolve ON reference $ref")
+        }
+        val (q1, c1) = side(em.group(1))
+        val (q2, c2) = side(em.group(2))
+        val va = vAlias.toLowerCase
+        if (aliasCols.contains(q1) && q2 == va)
+          (resolveQual(q1, c1).get, c2)
+        else if (q1 == va && aliasCols.contains(q2))
+          (resolveQual(q2, c2).get, c1)
+        else fail("streaming temporal join ON equalities must pair a " +
+          "probe-side column with a version column (qualify both " +
+          s"sides): got '$c'")
+      }
+      val vKeyCols = pairs.map(_._2)
+      if (vKeyCols.size != meta.primaryKey.size ||
+          !meta.primaryKey.map(_.toLowerCase).toSet
+            .subsetOf(vKeyCols.map(_.toLowerCase).toSet))
+        fail(s"streaming temporal join ON must equate exactly $vTable's " +
+          s"PRIMARY KEY (${meta.primaryKey.mkString(", ")}); got " +
+          s"(${vKeyCols.mkString(", ")})")
+
+      val vSrc = spark.table(vTable)
+      if (pSrc.isStreaming != vSrc.isStreaming)
+        fail("streaming temporal join takes two stream (or two bounded) " +
+          "sides; enrich against a STATIC table with a plain join " +
+          "view instead (the lookup-join form)")
+      val curFields = cur.schema.fields.toSeq.filter(f => carrier(f).isDefined)
+      val vFields = vSrc.schema.fields.toSeq.filter(f => carrier(f).isDefined)
+      droppedAll ++=
         (vSrc.schema.fields.toSeq.map(_.name) diff vFields.map(_.name))
-    WindowTopN.failOnStarOverDropped(selectList, dropped, fail)
 
-    // version key columns cast to the probe key types so the textual
-    // JSON keys agree
-    val keyP = to_json(struct(pairs.zipWithIndex.map { case ((pc, _), i) =>
-      col(s"`${fieldOf(pSrc, pTable, pc).name}`").as(s"k$i") }: _*))
-    val keyV = to_json(struct(pairs.zipWithIndex.map { case ((pc, vc), i) =>
-      col(s"`${fieldOf(vSrc, vTable, vc).name}`")
-        .cast(fieldOf(pSrc, pTable, pc).dataType).as(s"k$i") }: _*))
-    def payload(fields: Seq[StructField]) =
-      to_json(struct(fields.map(f => carrier(f).get.enc.as(f.name)): _*))
-    val vTime = fieldOf(vSrc, vTable, meta.timeCol).name
-    val pRows = pSrc
-      .filter(col(s"`${fieldOf(pSrc, pTable, pWmCol).name}`").isNotNull)
-      .select(keyP.as("key"),
-        graft.streaming.Watermarks.eventTimeCol(pSrc, pWmCol, "ts"),
-        lit(false).as("isVersion"), payload(pFields).as("payload"))
-    // a NULL version key or time can never match (SQL equality) —
-    // drop those rows so the JSON key of a null-keyed probe (which
-    // omits the field) cannot collide with a null-keyed version. The
-    // null test runs on the POST-CAST value: a version key whose cast
-    // to the probe type nulls out would otherwise slip through and
-    // key as the empty tuple
-    val vRows = vSrc
-      .filter(pairs.map { case (pc, vc) =>
+      def curField(c: String): StructField =
+        cur.schema.fields.find(_.name.equalsIgnoreCase(c)).get
+      // version key columns cast to the probe key types so the textual
+      // JSON keys agree
+      val keyP = to_json(struct(pairs.zipWithIndex.map { case ((pf, _), i) =>
+        col(s"`${curField(pf).name}`").as(s"k$i") }: _*))
+      val keyV = to_json(struct(pairs.zipWithIndex.map { case ((pf, vc), i) =>
         col(s"`${fieldOf(vSrc, vTable, vc).name}`")
-          .cast(fieldOf(pSrc, pTable, pc).dataType).isNotNull }
-        .reduce(_ && _) && col(s"`$vTime`").isNotNull)
-      .select(keyV.as("key"),
-        graft.streaming.Watermarks.eventTimeCol(vSrc, meta.timeCol, "ts"),
-        lit(true).as("isVersion"), payload(vFields).as("payload"))
-    implicit val rowEnc =
-      org.apache.spark.sql.Encoders.product[graft.streaming.TemporalRow]
-    val input = pRows.unionAll(vRows).as[graft.streaming.TemporalRow]
-    val tracked0 =
-      graft.streaming.TemporalJoinTracker
-        .joinRows(input, pDelay, stateTtlSec).toDF()
-    val tracked =
-      if (leftJoin) tracked0
-      else tracked0.filter(col("versionPayload").isNotNull)
+          .cast(curField(pf).dataType).as(s"k$i") }: _*))
+      def payload(fields: Seq[StructField]) =
+        to_json(struct(fields.map(f => carrier(f).get.enc.as(f.name)): _*))
+      val vTime = fieldOf(vSrc, vTable, meta.timeCol).name
+      // a CHAINED stage consumes the previous tracker's watermark-gated
+      // emissions: mark the input never-late and define no second
+      // watermark node (see Watermarks.neverLate / ensure). STREAMING
+      // only — on a bounded run the tagged sentinel would make batch
+      // GroupState report a watermark as present, suppressing the
+      // MAX_WATERMARK-at-end finality path
+      val chained = stageIdx > 0 && pSrc.isStreaming
+      def sentinel(cols: Seq[org.apache.spark.sql.Column]) =
+        if (chained) cols :+ graft.streaming.Watermarks.neverLate else cols
+      val pRows = cur
+        .filter(col(s"`${curField(curWmField).name}`").isNotNull)
+        .select(sentinel(Seq(keyP.as("key"),
+          graft.streaming.Watermarks.eventTimeCol(cur, curWmField, "ts"),
+          lit(false).as("isVersion"), payload(curFields).as("payload"))): _*)
+      // a NULL version key or time can never match (SQL equality) —
+      // drop those rows so the JSON key of a null-keyed probe (which
+      // omits the field) cannot collide with a null-keyed version. The
+      // null test runs on the POST-CAST value: a version key whose cast
+      // to the probe type nulls out would otherwise slip through and
+      // key as the empty tuple
+      val vRows = vSrc
+        .filter(pairs.map { case (pf, vc) =>
+          col(s"`${fieldOf(vSrc, vTable, vc).name}`")
+            .cast(curField(pf).dataType).isNotNull }
+          .reduce(_ && _) && col(s"`$vTime`").isNotNull)
+        .select(sentinel(Seq(keyV.as("key"),
+          graft.streaming.Watermarks.eventTimeCol(vSrc, meta.timeCol, "ts"),
+          lit(true).as("isVersion"), payload(vFields).as("payload"))): _*)
+      implicit val rowEnc =
+        org.apache.spark.sql.Encoders.product[graft.streaming.TemporalRow]
+      val input = pRows.unionAll(vRows).as[graft.streaming.TemporalRow]
+      val tracked0 =
+        graft.streaming.TemporalJoinTracker
+          .joinRows(input, pDelay, stateTtlSec).toDF()
+      val tracked =
+        if (st.leftJoin) tracked0
+        else tracked0.filter(col("versionPayload").isNotNull)
 
-    val opts = Map("allowNonNumericNumbers" -> "true")
-    def storage(fields: Seq[StructField]) = StructType(fields.map(f =>
-      StructField(f.name, carrier(f).get.storage, nullable = true)).toArray)
-    val decoded = tracked
-      .withColumn("__p", from_json(col("probePayload"),
-        storage(pFields), opts))
-      .withColumn("__vp", from_json(col("versionPayload"),
-        storage(vFields), opts))
-      .select(
-        pFields.map(f => carrier(f).get.dec(col(s"__p.`${f.name}`"))
-          .as(s"__l_${f.name}")) ++
-          vFields.map(f => carrier(f).get.dec(col(s"__vp.`${f.name}`"))
-            .as(s"__r_${f.name}")): _*)
+      val opts = Map("allowNonNumericNumbers" -> "true")
+      def storage(fields: Seq[StructField]) = StructType(fields.map(f =>
+        StructField(f.name, carrier(f).get.storage, nullable = true)).toArray)
+      val decoded = tracked
+        .withColumn("__p", from_json(col("probePayload"),
+          storage(curFields), opts))
+        .withColumn("__vp", from_json(col("versionPayload"),
+          storage(vFields), opts))
+        .select(
+          curFields.map(f => carrier(f).get.dec(col(s"__p.`${f.name}`"))
+            .as(s"__l_${f.name}")) ++
+            vFields.map(f => carrier(f).get.dec(col(s"__vp.`${f.name}`"))
+              .as(s"__r_${f.name}")): _*)
+      // every earlier alias's columns now ride under the __l_ prefix;
+      // the new version alias's under __r_
+      aliasCols.foreach { case (_, m) =>
+        m.mapValuesInPlace((_, fld) => s"__l_$fld"): Unit
+      }
+      aliasCols(vAlias.toLowerCase) =
+        scala.collection.mutable.LinkedHashMap.from(
+          vFields.map(f => f.name -> s"__r_${f.name}"))
+      curWmField = s"__l_$curWmField"
+      cur = decoded
+    }
+    WindowTopN.failOnStarOverDropped(selectList, droppedAll.toSeq, fail)
+
     val view = s"graft_tj_${viewCounter.incrementAndGet()}"
-    decoded.createOrReplaceTempView(view)
+    cur.createOrReplaceTempView(view)
 
-    val pNames = pFields.map(_.name)
-    val vNames = vFields.map(_.name)
-    def refOf(side: String, tbl: String, c: String,
-        names: Seq[String]): String =
-      names.find(_.equalsIgnoreCase(c)).map(n => s"__${side}_$n")
-        .getOrElse(fail(s"column $c not found (or not exactly " +
-          s"carrier-able) on $tbl"))
-    def starExpand(side: String, names: Seq[String]): String =
-      names.map(n => s"__${side}_$n AS $n").mkString(", ")
+    val allOutNames = aliasCols.values.flatMap(_.keys).toSeq
+    def starExpand(aliasLower: String): String =
+      aliasCols(aliasLower).map { case (out, fld) => s"$fld AS $out" }
+        .mkString(", ")
     // alias-qualified references, then unambiguous bare columns,
     // rewrite to the decoded view's columns; finds run on masked text
     def rewriteRefs(text0: String): String = {
       var text = text0
       // a subquery inside the rewritten region may introduce its OWN
-      // alias equal to the probe/version alias — rewriting `r.rate`
-      // inside `(SELECT avg(r.rate) FROM rates r)` would silently turn
-      // the subquery's column into a correlated outer reference.
-      // Reject the collision by name (the bare-identifier path already
+      // alias equal to a chain alias — rewriting `r.rate` inside
+      // `(SELECT avg(r.rate) FROM rates r)` would silently turn the
+      // subquery's column into a correlated outer reference. Reject
+      // the collision by name (the bare-identifier path already
       // rejects its ambiguity class the same way). A FROM/JOIN match
       // counts only when it sits inside a SELECT subquery — the FROM
       // of EXTRACT/TRIM/SUBSTRING never introduces a relation.
@@ -424,22 +506,20 @@ object TemporalJoin {
           val introduced = Option(m.group(2)).map(DdlParser.unquoteName)
             .getOrElse(DdlParser.unquoteName(
               text0.substring(m.start(1), m.end(1))).split('.').last)
-          if (introduced.equalsIgnoreCase(pAlias) ||
-              introduced.equalsIgnoreCase(vAlias))
-            fail(s"subquery alias '$introduced' collides with the " +
-              s"temporal join's probe/version alias ($pAlias/$vAlias) " +
-              "— rename the subquery's relation alias so qualified " +
-              "references stay unambiguous")
+          if (aliasCols.contains(introduced.toLowerCase))
+            fail(s"subquery alias '$introduced' collides with a " +
+              "temporal-join chain alias (" +
+              aliasCols.keys.mkString(", ") + ") — rename the " +
+              "subquery's relation alias so qualified references stay " +
+              "unambiguous")
         }
       val QualRef = raw"(?is)\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)".r
       QualRef.findAllMatchIn(MatchRecognize.maskQuoted(text))
         .toSeq.reverseIterator.foreach { m =>
           val q = m.group(1)
           val rep =
-            if (q.equalsIgnoreCase(pAlias))
-              Some(refOf("l", pTable, m.group(2), pNames))
-            else if (q.equalsIgnoreCase(vAlias))
-              Some(refOf("r", vTable, m.group(2), vNames))
+            if (aliasCols.contains(q.toLowerCase))
+              Some(resolveQual(q, m.group(2)).get)
             else None
           rep.foreach(r =>
             text = text.substring(0, m.start) + r + text.substring(m.end))
@@ -459,12 +539,12 @@ object TemporalJoin {
         val isAliasPos = raw"(?is).*\bAS$$".r
           .matches(maskedT.substring(0, m.start).trim)
         if (prevCh != '.' && nextCh != '.' && nextCh != '(' &&
-            !isAliasPos && (pNames.exists(_.equalsIgnoreCase(id)) ||
-              vNames.exists(_.equalsIgnoreCase(id))))
+            !isAliasPos && allOutNames.exists(_.equalsIgnoreCase(id)))
           fail(s"unqualified column $id in the streaming temporal " +
-            s"join — qualify with $pAlias. or $vAlias. (a subquery's " +
-            "own column qualifies with ITS alias; an output alias of " +
-            "that name needs the AS keyword)")
+            "join — qualify with one of the chain aliases (" +
+            aliasCols.keys.mkString(", ") + "); a subquery's own " +
+            "column qualifies with ITS alias; an output alias of " +
+            "that name needs the AS keyword")
       }
       text
     }
@@ -474,11 +554,9 @@ object TemporalJoin {
     val PlainRef = raw"(?is)^\s*(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)\s*$$".r
     val items2 = MatchRecognize.splitTopLevel(selectList).map {
       case "*" =>
-        starExpand("l", pNames) + ", " + starExpand("r", vNames)
-      case QualStarRe(q) if q.equalsIgnoreCase(pAlias) =>
-        starExpand("l", pNames)
-      case QualStarRe(q) if q.equalsIgnoreCase(vAlias) =>
-        starExpand("r", vNames)
+        aliasCols.keys.map(starExpand).mkString(", ")
+      case QualStarRe(q) if aliasCols.contains(q.toLowerCase) =>
+        starExpand(q.toLowerCase)
       case it @ PlainRef(outName) =>
         val rewritten = rewriteRefs(it).trim
         if (rewritten == it.trim) rewritten else s"$rewritten AS $outName"

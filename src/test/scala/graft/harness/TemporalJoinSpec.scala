@@ -253,6 +253,99 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(out2.contains("avg(x.rate)"))
   }
 
+  test("chained temporal joins in one statement (r17): a fact enriched " +
+      "by two version histories equals the batch interval rewrite") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val rates = Seq((1L, tsOf(10), 1.0d), (1L, tsOf(30), 2.0d))
+    val fx = Seq((7L, tsOf(5), 10.0d), (7L, tsOf(25), 20.0d),
+      (8L, tsOf(15), 30.0d))
+    val orders = Seq((1L, 7L, tsOf(12), 100L), (1L, 7L, tsOf(35), 200L),
+      (1L, 8L, tsOf(20), 300L), (1L, 9L, tsOf(22), 600L),
+      (2L, 7L, tsOf(20), 500L))
+    rates.toDF("k", "rt", "rate").createOrReplaceTempView("tjc_r_b")
+    fx.toDF("c", "ft", "fxr").createOrReplaceTempView("tjc_f_b")
+    orders.toDF("k", "c", "ot", "amount")
+      .createOrReplaceTempView("tjc_o_b")
+    val vm = Map(
+      "tjc_r_b" -> VersionMeta("rt", Seq("k")),
+      "tjc_f_b" -> VersionMeta("ft", Seq("c")),
+      "tjc_r_s" -> VersionMeta("rt", Seq("k")),
+      "tjc_f_s" -> VersionMeta("ft", Seq("c"))).get _
+    def sqlFor(suffix: String) =
+      s"SELECT o.k, o.c, o.ot, o.amount, r.rate, f.fxr " +
+        s"FROM tjc_o_$suffix o " +
+        s"JOIN tjc_r_$suffix FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k " +
+        s"LEFT JOIN tjc_f_$suffix FOR SYSTEM_TIME AS OF o.ot AS f " +
+        "ON f.c = o.c"
+    val batch = spark.sql(TemporalJoin.rewrite(sqlFor("b"), vm)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getLong(3), Option(r.get(4)), Option(r.get(5)))).toSet
+    assert(batch.nonEmpty)
+    // streaming twin: chained trackers, CLI conf scope mirrored
+    val oIn = MemoryStream[(Long, Long, java.sql.Timestamp, Long)]
+    oIn.toDF().toDF("k", "c", "ot", "amount")
+      .withWatermark("ot", "5 seconds")
+      .createOrReplaceTempView("tjc_o_s")
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    rIn.toDF().toDF("k", "rt", "rate")
+      .withWatermark("rt", "5 seconds")
+      .createOrReplaceTempView("tjc_r_s")
+    val fIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    fIn.toDF().toDF("c", "ft", "fxr")
+      .withWatermark("ft", "5 seconds")
+      .createOrReplaceTempView("tjc_f_s")
+    val wmOf: String => Option[(String, String)] = t =>
+      if (t.equalsIgnoreCase("tjc_o_s")) Some(("ot", "5 seconds"))
+      else None
+    val streamSql = TemporalJoin.rewriteStreaming(spark, sqlFor("s"),
+      wmOf, vm)
+    val corrKey =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val multiKey = "spark.sql.streaming.statefulOperator.allowMultiple"
+    val savedCorr = spark.conf.getOption(corrKey)
+    val savedMulti = spark.conf.getOption(multiKey)
+    spark.conf.set(corrKey, "false")
+    spark.conf.set(multiKey, "false")
+    val q = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("tjc_out").outputMode("append").start()
+    try {
+      rIn.addData((1L, tsOf(10), 1.0d))
+      fIn.addData((7L, tsOf(5), 10.0d))
+      q.processAllAvailable()
+      oIn.addData((1L, 7L, tsOf(12), 100L), (2L, 7L, tsOf(20), 500L))
+      q.processAllAvailable()
+      fIn.addData((8L, tsOf(15), 30.0d), (7L, tsOf(25), 20.0d))
+      rIn.addData((1L, tsOf(30), 2.0d))
+      q.processAllAvailable()
+      oIn.addData((1L, 8L, tsOf(20), 300L), (1L, 9L, tsOf(22), 600L))
+      q.processAllAvailable()
+      oIn.addData((1L, 7L, tsOf(35), 200L))
+      q.processAllAvailable()
+      // flushes: every input advances so the chain's min watermark
+      // passes all probes; repeated to re-drive the second stage
+      for (sec <- Seq(100000L, 200000L, 300000L)) {
+        oIn.addData((9L, 9L, tsOf(sec), 0L))
+        rIn.addData((9L, tsOf(sec), 0.0d))
+        fIn.addData((9L, tsOf(sec), 0.0d))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("tjc_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getLong(3), Option(r.get(4)), Option(r.get(5)))).toSet
+      val flushRows = streamed.filter(_._1 == 9L)
+      assert(streamed -- flushRows === batch,
+        s"\nstream: ${streamed -- flushRows}\nbatch: $batch")
+    } finally {
+      q.stop()
+      savedCorr.fold(spark.conf.unset(corrKey))(spark.conf.set(corrKey, _))
+      savedMulti.fold(spark.conf.unset(multiKey))(
+        spark.conf.set(multiKey, _))
+    }
+  }
+
   test("hot key: temporal-join state stays bounded by the watermark " +
       "window (version retention + pending probes, gauge-pinned)") {
     val spark = SparkFixture.spark
