@@ -385,6 +385,53 @@ class TemporalJoinSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("hot key under randomized version CHURN: retained versions stay " +
+      "bounded by the churn within the watermark horizon plus one") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{TemporalJoinTracker, TemporalRow}
+    implicit val sc = spark.sqlContext
+    TemporalJoinTracker.peakVersionRows.set(0L)
+    TemporalJoinTracker.peakPendingProbes.set(0L)
+    val rnd = new scala.util.Random(17)
+    val input = MemoryStream[(String, java.sql.Timestamp, Boolean, String)]
+    val ds = input.toDF().toDF("key", "ts", "isVersion", "payload")
+      .as[TemporalRow]
+    val joined = TemporalJoinTracker.joinRows(ds, "5 seconds")
+    val query = joined.writeStream.format("memory")
+      .queryName("tj_churn").outputMode("append").start()
+    try {
+      // ONE key, 120 s of churn delivered in 1 s chunks: up to 5
+      // versions per second at random millisecond offsets, plus one
+      // probe per second. The watermark trails the chunk head by the
+      // 5 s delay (+ chunk granularity), so retention must hold the
+      // latest version at-or-below the watermark plus everything
+      // newer: <= maxPerSec * horizonSec + 1, never the thousands the
+      // key received.
+      var maxVersions = 0
+      (0 until 120).foreach { sec =>
+        val n = 1 + rnd.nextInt(5)
+        maxVersions = math.max(maxVersions, n)
+        val versions = (0 until n).map { _ =>
+          val ms = sec * 1000L + rnd.nextInt(1000)
+          ("hot", new java.sql.Timestamp(ms), true, s"v$ms")
+        }
+        input.addData(versions :+
+          (("hot", tsOf(sec.toLong), false, s"p$sec")): _*)
+        if (sec % 10 == 9) query.processAllAvailable()
+      }
+      query.processAllAvailable()
+      val matched = spark.table("tj_churn").count()
+      assert(matched >= 100L, matched.toString)
+      // horizon: delay (5 s) + at most one 10 s delivery chunk behind,
+      // so <= 5/s * 16 s + 1 retained versions; generous margin to 100
+      // still catches an unpruned list (600+ versions received)
+      val pv = TemporalJoinTracker.peakVersionRows.get()
+      assert(pv <= 100L, s"peakVersionRows $pv")
+    } finally query.stop()
+  }
+
   test("table.exec.state.ttl drops idle version state; without it the " +
       "latest version is retained indefinitely (Flink's default)") {
     val spark = SparkFixture.spark
