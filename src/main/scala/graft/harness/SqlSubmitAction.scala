@@ -576,8 +576,17 @@ final class SqlSubmitAction(
             // ignored statement's text
             val viewNoOp = isViewCreateNoOp(spark, st.sql)
             val rewritten = rewriteFlinkDialect(spark, config, st.sql)
+            // a CREATE VIEW keeps its rewrite views ALIVE: the created
+            // view re-resolves its body on every later reference, so
+            // dropping a tracker view it references (a TVF aggregation
+            // body) would break every downstream statement — CTAS
+            // materializes eagerly and SELECT/INSERT resolve at
+            // execution, so only the view-create path must keep them
+            val keepsRewriteViews =
+              CreateViewRe.findFirstMatchIn(st.sql).isDefined
             try spark.sql(rewritten)
-            finally MatchRecognize.dropViews(spark, rewritten)
+            finally if (!keepsRewriteViews)
+              MatchRecognize.dropViews(spark, rewritten)
             // CREATE/DROP VIEW maintain the event-time registry so
             // later streaming statements can window/aggregate OVER the
             // view (classified from the ORIGINAL text — the rewrite

@@ -356,12 +356,21 @@ object WindowTopN {
     val base = src.filter(col(tcol).isNotNull)
     // a NULL metric ranks (smallest — batch parity) instead of dying
     // in the tracker's primitive double slot
+    // a CHAINED source (a windowed pre-agg view, r17) rides the
+    // never-late sentinel — its rows are upstream watermark-gated
+    // emissions (see Watermarks.neverLate); the encoder binds by name
+    // so the extra column never touches RankEvent
+    val chained = graft.streaming.Watermarks.isChained(src)
     val common = Seq(
       keyExpr.as("key"),
       graft.streaming.Watermarks.eventTimeCol(src, tcol, "ts"),
       coalesce(metricIn, lit(0.0d)).as("metric"),
       payloadExpr.as("payload"),
-      col(metricCol).isNull.as("nullMetric"))
+      col(metricCol).isNull.as("nullMetric")) ++
+      (if (chained) Seq(graft.streaming.Watermarks.neverLate) else Nil)
+    val chainedTail =
+      if (chained) Seq(col(graft.streaming.Watermarks.NeverLateCol))
+      else Nil
     val events = localZone match {
       case Some(z) =>
         // DST region zone: wall-clock window assignment, BOTH bounds
@@ -396,10 +405,11 @@ object WindowTopN {
                 expr(s"${floorMs(tmsW, windowMs)}$back").as("__wsw")): _*)
               .withColumn("__wew", col("__wsw") + lit(windowMs))
           }
-        pinned.select(col("key"), col("ts"), col("metric"), col("payload"),
+        pinned.select(Seq(col("key"), col("ts"), col("metric"),
+            col("payload"),
             expr(toInst("__wsw")).as("ws"),
             expr(toInst("__wew")).as("we"),
-            col("nullMetric"))
+            col("nullMetric")) ++ chainedTail: _*)
           .as[graft.streaming.RankEvent]
       case None if isCumulate =>
         // ws is the span start; each copy pins one growing window's
@@ -409,9 +419,10 @@ object WindowTopN {
         base.select(common ++ Seq(expr(span).as("ws"),
             explode(expr(s"sequence($lo, ${windowMs}L, ${slideMs}L)"))
               .as("__eo")): _*)
-          .select(col("key"), col("ts"), col("metric"), col("payload"),
+          .select(Seq(col("key"), col("ts"), col("metric"),
+            col("payload"),
             col("ws"), (col("ws") + col("__eo")).as("we"),
-            col("nullMetric"))
+            col("nullMetric")) ++ chainedTail: _*)
           .as[graft.streaming.RankEvent]
       case None =>
         val wsCol =

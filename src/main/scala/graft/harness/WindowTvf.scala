@@ -1219,15 +1219,24 @@ object WindowTvf {
           graft.streaming.CumulateTracker.isDecimalKind(p._2.kind))
         expr(p._2.input).cast("string")
       else lit(null).cast("string")): _*)
+    // a CHAINED source (a windowed pre-agg view, r17) rides the
+    // never-late sentinel — its rows are upstream watermark-gated
+    // emissions (see Watermarks.neverLate); the event encoder binds by
+    // name so the extra column never touches the tracker
+    val chainedCols =
+      if (graft.streaming.Watermarks.isChained(src))
+        Seq(graft.streaming.Watermarks.neverLate)
+      else Nil
     val prepared = src
       // NULL event times drop from window assignment, exactly the
       // batch rewrite's WHERE (and Flink's behavior) — a null ts would
       // otherwise NPE in the tracker
       .filter(col(wmCol).isNotNull)
-      .select(
+      .select(Seq(
         keyExpr.as("key"),
         graft.streaming.Watermarks.eventTimeCol(src, wmCol, "ts"),
-        nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"), svArr.as("sv"))
+        nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"),
+        svArr.as("sv")) ++ chainedCols: _*)
     val tracked = track(prepared, wmDelay, plans.map(_._2.kind))
     val valsSchema = StructType(plans.zipWithIndex.map { case (p, i) =>
       StructField(s"a$i", p._2.storage, nullable = true)

@@ -97,12 +97,14 @@ object Watermarks {
     * against `GroupState.getCurrentWatermarkMs`, driven by the
     * SOURCE's watermark node under single-watermark propagation.
     */
+  val NeverLateCol = "__graft_never_late"
+
   def neverLate: org.apache.spark.sql.Column = {
     val md = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong(EventTimeWatermark.delayKey, 0L).build()
     org.apache.spark.sql.functions
       .lit(java.sql.Timestamp.valueOf("9999-01-01 00:00:00"))
-      .as("__graft_never_late", md)
+      .as(NeverLateCol, md)
   }
 
   private lazy val log =

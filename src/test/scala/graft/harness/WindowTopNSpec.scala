@@ -25,6 +25,70 @@ class WindowTopNSpec extends AnyFunSuite {
        |  FROM TABLE(TUMBLE(TABLE $src, DESCRIPTOR(ts), INTERVAL '1' MINUTE)))
        |WHERE rn <= 2""".stripMargin
 
+  test("window top-N above a windowed pre-agg view: the second stage " +
+      "re-windows the view's window_time rowtime (r17 chained pipeline)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("wtnc_src")
+    // stage 1: 1-minute pre-agg on the TRACKER path (distinct forces
+    // it), projecting window_time — the chained stage-2 input
+    val stage1 = WindowTvf.rewriteStreaming(
+      "SELECT k, window_time, SUM(v) AS s, COUNT(DISTINCT v) AS d " +
+        "FROM TABLE(TUMBLE(TABLE wtnc_src, DESCRIPTOR(ts), " +
+        "INTERVAL '1' MINUTE)) " +
+        "GROUP BY k, window_start, window_end, window_time",
+      spark,
+      t => if (t.equalsIgnoreCase("wtnc_src")) Some(("ts", "5 seconds"))
+        else None)
+    spark.sql(stage1).createOrReplaceTempView("wtnc_agg")
+    // stage 2: top-2 keys per 5-minute window of the PRE-AGG output
+    val stage2 = WindowTopN.rewriteStreaming(spark,
+      """SELECT k, window_start, s, rn FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY window_start, window_end ORDER BY s DESC) AS rn
+        |  FROM TABLE(TUMBLE(TABLE wtnc_agg, DESCRIPTOR(window_time),
+        |    INTERVAL '5' MINUTE)))
+        |WHERE rn <= 2""".stripMargin,
+      t => if (t.equalsIgnoreCase("wtnc_agg"))
+        Some(("window_time", "5 seconds")) else None)
+    val corrKey =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val multiKey = "spark.sql.streaming.statefulOperator.allowMultiple"
+    val savedCorr = spark.conf.getOption(corrKey)
+    val savedMulti = spark.conf.getOption(multiKey)
+    spark.conf.set(corrKey, "false")
+    spark.conf.set(multiKey, "false")
+    val q = spark.sql(stage2).writeStream.format("memory")
+      .queryName("wtnc_out").outputMode("append").start()
+    try {
+      // minute pre-agg rows within [0, 5 min): a@[0,60)=4, a@[60,120)=5,
+      // b@[0,60)=12, c@[0,60)=4 -> the 5-minute window's top-2 ROWS
+      // are b(12) then a(5)
+      input.addData(
+        ("a", ts(10), 4L), ("a", ts(70), 5L),
+        ("b", ts(20), 12L), ("c", ts(40), 4L))
+      q.processAllAvailable()
+      // flushes on another key: past the minute windows, then past the
+      // 5-minute window, then a re-drive batch
+      for (sec <- Seq(400L, 1200L, 2400L, 3600L)) {
+        input.addData(("z", ts(sec), 1L))
+        q.processAllAvailable()
+      }
+      val got = spark.table("wtnc_out")
+        .where("window_start = timestamp_seconds(0)")
+        .select($"k", $"s", $"rn")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === Set(("b", 12L, 1L), ("a", 5L, 2L)), got.toString)
+    } finally {
+      q.stop()
+      savedCorr.fold(spark.conf.unset(corrKey))(spark.conf.set(corrKey, _))
+      savedMulti.fold(spark.conf.unset(multiKey))(
+        spark.conf.set(multiKey, _))
+    }
+  }
+
   test("ranked rows emit once per closed window, equal to the batch ranking") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, Long, String)]
