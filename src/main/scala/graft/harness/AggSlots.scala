@@ -80,6 +80,47 @@ private[harness] object AggSlots {
   final case class Slot(kind: Int, storage: DataType, input: String,
       finish: Option[Column => Column] = None)
 
+  /** The four slot input arrays (nn, lv, dv, sv) for a planned slot
+    * list — each value slot built ONLY for the kinds that read it:
+    * COUNT reads neither (so COUNT over a non-castable array/struct
+    * never builds an invalid cast), integral kinds read lv, double
+    * kinds read dv (an ANSI NaN→long cast on an unused slot would
+    * throw otherwise), the distinct/decimal kinds read sv. One
+    * builder shared by the window-TVF, TTL'd-unbounded, and future
+    * tracker passes so the slot contract cannot diverge. */
+  def slotInputArrays(plans: Seq[Slot]):
+      (Column, Column, Column, Column) = {
+    val nn = array(plans.map(p => expr(p.input).isNotNull): _*)
+    val lv = array(plans.map(p =>
+      if (readsLong(p.kind))
+        coalesce(expr(p.input).cast("long"), lit(0L))
+      else lit(0L)): _*)
+    val dv = array(plans.map(p =>
+      if (readsDouble(p.kind))
+        coalesce(expr(p.input).cast("double"), lit(0d))
+      else lit(0d)): _*)
+    val sv = array(plans.map(p =>
+      if (graft.streaming.CumulateTracker.isDistinctKind(p.kind) ||
+          graft.streaming.CumulateTracker.isDecimalKind(p.kind))
+        expr(p.input).cast("string")
+      else lit(null).cast("string")): _*)
+    (nn, lv, dv, sv)
+  }
+
+  /** Rejects per-key state keys whose type cannot round-trip the
+    * to_json/from_json state encoding losslessly — the shared tracker
+    * contract (timestamp/decimal/float keys could lose precision on
+    * the way back; a NaN double key produces non-decodable JSON). */
+  def requireLosslessKeys(resolve: String => DataType, keys: Seq[String],
+      what: String, fail: String => Nothing): Unit =
+    keys.foreach { k =>
+      val dt = resolve(k)
+      if (!graft.streaming.StateFormat.jsonLossless(dt))
+        fail(s"$what key $k has type ${dt.simpleString} — keys must " +
+          "round-trip the JSON state encoding losslessly " +
+          "(string / integer / boolean)")
+    }
+
   /** Plans one aggregate slot for COUNT/SUM/MIN/MAX/AVG (with optional
     * DISTINCT) and the variance family.
     * `resolve` analyzes an input expression to its type (never called

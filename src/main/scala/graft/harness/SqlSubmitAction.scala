@@ -383,28 +383,14 @@ final class SqlSubmitAction(
     // session keeps its own semantics after run().
     val savedAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
     val savedParser = spark.conf.getOption("spark.sql.legacy.timeParserPolicy")
-    // two-stage pipelines (windowed pre-agg view -> OVER/top-N, r17)
-    // chain a stateful operator above a tracker. Spark's global-
-    // watermark heuristic rejects any stateful op downstream of a
-    // flatMapGroupsWithState because FMGWS in general can emit
-    // arbitrarily-timed rows; every tracker this harness compiles is
-    // append-mode and emits a row only once the watermark has passed
-    // its event time, so its emissions are never late downstream —
-    // the heuristic's premise does not apply to these plans. (Shapes
-    // Spark hard-rejects — update-mode FMGWS followed by aggregation —
-    // stay rejected by the separate unconditional check.)
-    val corrKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val savedCorr = spark.conf.getOption(corrKey)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
-    spark.conf.set(corrKey, "false")
     try runStatements(spark, statements)
     finally {
       savedAnsi.fold(spark.conf.unset("spark.sql.ansi.enabled"))(
         spark.conf.set("spark.sql.ansi.enabled", _))
       savedParser.fold(spark.conf.unset("spark.sql.legacy.timeParserPolicy"))(
         spark.conf.set("spark.sql.legacy.timeParserPolicy", _))
-      savedCorr.fold(spark.conf.unset(corrKey))(spark.conf.set(corrKey, _))
     }
   }
 
@@ -1098,11 +1084,22 @@ final class SqlSubmitAction(
     try {
       val df = spark.sql(rewritten)
       if (df.isStreaming) {
-        val w = df.writeStream.format("console")
+        val w0 = df.writeStream.format("console")
           .option("truncate", "false")
+        // TTL'd trackers run continuous no-data timer batches — bound
+        // the idle duty cycle like the sink path does
+        val w =
+          if (hasProcessingTimeTimers(df))
+            w0.trigger(Trigger.ProcessingTime("1 second"))
+          else w0
         val writer = withChainedScope(spark, df) {
-          try { val s = w.outputMode("append").start(); s }
-          catch { case _: Exception => w.outputMode("update").start() }
+          // a CHAINED plan must run append end-to-end (update mode
+          // would emit the intermediate stage's partials as facts) —
+          // no update fallback there
+          if (chainsStatefulStages(df)) w.outputMode("append").start()
+          else
+            try { val s = w.outputMode("append").start(); s }
+            catch { case _: Exception => w.outputMode("update").start() }
         }
         started += writer
       } else {
@@ -1231,17 +1228,53 @@ final class SqlSubmitAction(
       stateful(n) && n.children.exists(_.exists(stateful)))
   }
 
-  /** Runs `start` with the chained-pipeline conf scope applied when the
-    * plan needs it (see [[chainsStatefulStages]]); the session value is
-    * restored after the query has captured it at start. */
+  /** Runs `start` with the chained-pipeline conf scope applied when
+    * the plan needs it (see [[chainsStatefulStages]]): SINGLE-watermark
+    * propagation, and Spark's global-watermark correctness heuristic
+    * downgraded to a warning — every tracker this harness compiles is
+    * append-mode and emits a row only once the watermark has passed
+    * its event time, so its emissions are never late downstream and
+    * the heuristic's premise does not apply (scoped HERE, not
+    * globally: a plan chaining only NATIVE stateful operators keeps
+    * Spark's own protection). The session values are restored after
+    * the query has captured them at start. Update-mode trackers (the
+    * TTL'd top-N/dedup/GROUP BY) reject by name above another
+    * stateful stage: the whole query would run in update mode, where
+    * the INTERMEDIATE stage emits partial results the updating stage
+    * folds as facts.
+    */
   private def withChainedScope[T](spark: SparkSession, df: DataFrame)(
       start: => T): T = {
     if (!chainsStatefulStages(df)) return start
-    val key = "spark.sql.streaming.statefulOperator.allowMultiple"
-    val saved = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+    df.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState
+          if f.outputMode == org.apache.spark.sql.streaming.OutputMode.Update() => f
+    }.foreach(_ => throw new IllegalArgumentException(
+      "a TTL'd updating operator (unbounded top-N/dedup/GROUP BY under " +
+        "table.exec.state.ttl) cannot run above another stateful stage " +
+        "in one statement — the intermediate stage would emit partial " +
+        "results as facts; materialize the pre-aggregation to a sink " +
+        "and aggregate it in a second statement"))
+    val keys = Seq(
+      "spark.sql.streaming.statefulOperator.allowMultiple",
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "false"))
     try start
-    finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getMessage).map(_.toLowerCase)
+            .exists(_.contains("output mode")) =>
+        throw new IllegalArgumentException(
+          "two-stage streaming pipelines run APPEND end-to-end (the " +
+            "intermediate stage must emit finals); this statement's " +
+            "top stage cannot produce append output — materialize the " +
+            "pre-aggregation to a sink and continue in a second " +
+            "statement", e)
+    }
+    finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   private def writeToSink(

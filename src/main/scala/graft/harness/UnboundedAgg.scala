@@ -48,9 +48,11 @@ object UnboundedAgg {
   private val KeyRe = raw"(?s)^[A-Za-z_]\w*$$".r
 
   /** Structural parse of the canonical shape; None when the statement
-    * is not a plain single-table GROUP BY aggregation. */
+    * is not a plain single-table GROUP BY aggregation. Yields
+    * (insert prefix, select list, table, optional alias, optional
+    * WHERE, group keys). */
   private def parse(sql: String): Option[(String, String, String,
-      Option[String], Seq[String])] = {
+      Option[String], Option[String], Seq[String])] = {
     if (WindowTvf.hasWindowTvf(sql) || MatchRecognize.hasMatchRecognize(sql))
       return None
     val (prefix, body) = InsertPrefixRe.findFirstMatchIn(sql)
@@ -75,7 +77,7 @@ object UnboundedAgg {
       keysRegion = raw"(?is)^GROUP\s+BY\b".r
         .replaceFirstIn(body.substring(groupIdx), "").stripSuffix(";").trim
     } yield (prefix, body.substring(selM.end, fromIdx).trim,
-      ddl.DdlParser.unquoteName(tm.group(1)),
+      ddl.DdlParser.unquoteName(tm.group(1)), Option(tm.group(2)),
       whereIdx.map(w => body.substring(w + "WHERE".length, groupIdx).trim),
       MatchRecognize.splitTopLevel(keysRegion).map(_.trim))
   }
@@ -86,7 +88,7 @@ object UnboundedAgg {
     * (a bounded relation aggregates natively with no state to bound).
     */
   def hasShape(spark: SparkSession, sql: String): Boolean =
-    parse(sql).exists { case (_, items, table, _, keys) =>
+    parse(sql).exists { case (_, items, table, _, _, keys) =>
       keys.forall(KeyRe.matches) &&
         MatchRecognize.splitTopLevel(items).map(_.trim).forall(it =>
           keys.exists(_.equalsIgnoreCase(it)) ||
@@ -102,12 +104,15 @@ object UnboundedAgg {
     */
   def rewrite(spark: SparkSession, sql: String, stateTtlSec: Long): String = {
     require(stateTtlSec > 0L, "UnboundedAgg is the TTL'd route")
-    val (prefix, selectList, table, wherePred, keys) = parse(sql)
-      .getOrElse(fail("not an unbounded GROUP BY shape"))
+    val (prefix, selectList, table, aliasOpt, wherePred, keys) =
+      parse(sql).getOrElse(fail("not an unbounded GROUP BY shape"))
     keys.foreach(k => if (!KeyRe.matches(k))
       fail(s"GROUP BY key must be a plain column, got: $k"))
 
-    val src0 = spark.table(table)
+    // the relation rides under its statement alias so alias-qualified
+    // references in WHERE and aggregate inputs resolve
+    val src0 = aliasOpt.fold(spark.table(table))(a =>
+      spark.table(table).alias(a))
     val src = wherePred.foldLeft(src0)((d, p) =>
       d.where(DialectFunctions.rewriteScalars(p)))
     def fieldOf(c: String): StructField =
@@ -150,32 +155,14 @@ object UnboundedAgg {
       (a, AggSlots.plan(a.fn, a.distinct, a.input, resolveInput, fail)))
 
     // per-key state groups on a to_json/from_json round-trip of the
-    // GROUP BY tuple — the shared tracker contract
-    keys.foreach { k =>
-      val dt = fieldOf(k).dataType
-      if (!graft.streaming.StateFormat.jsonLossless(dt))
-        fail(s"GROUP BY key $k has type ${dt.simpleString} — keys " +
-          "must round-trip the JSON state encoding losslessly " +
-          "(string / integer / boolean); unset table.exec.state.ttl " +
-          "for the native path")
-    }
+    // GROUP BY tuple — the shared AggSlots key/slot builders
+    AggSlots.requireLosslessKeys(
+      k => fieldOf(k).dataType, keys, "GROUP BY", fail)
     val keyStruct = StructType(keys.map(fieldOf).toArray)
     val keyExpr =
       if (keys.isEmpty) lit("{}") else to_json(struct(keys.map(col): _*))
-    val nnArr = array(plans.map(p => expr(p._2.input).isNotNull): _*)
-    val lvArr = array(plans.map(p =>
-      if (AggSlots.readsLong(p._2.kind))
-        coalesce(expr(p._2.input).cast("long"), lit(0L))
-      else lit(0L)): _*)
-    val dvArr = array(plans.map(p =>
-      if (AggSlots.readsDouble(p._2.kind))
-        coalesce(expr(p._2.input).cast("double"), lit(0d))
-      else lit(0d)): _*)
-    val svArr = array(plans.map(p =>
-      if (graft.streaming.CumulateTracker.isDistinctKind(p._2.kind) ||
-          graft.streaming.CumulateTracker.isDecimalKind(p._2.kind))
-        expr(p._2.input).cast("string")
-      else lit(null).cast("string")): _*)
+    val (nnArr, lvArr, dvArr, svArr) =
+      AggSlots.slotInputArrays(plans.map(_._2))
     val prepared = src.select(keyExpr.as("key"),
       nnArr.as("nn"), lvArr.as("lv"), dvArr.as("dv"), svArr.as("sv"))
     implicit val evEnc =

@@ -200,14 +200,9 @@ object UnboundedTopN {
         // per-key state groups on a to_json/from_json round-trip of
         // the PARTITION BY tuple (same contract as the window-TVF
         // trackers) — only losslessly JSON-codable key types admit
-        keys.foreach { k =>
-          val dt = fieldOf(k).dataType
-          if (!graft.streaming.StateFormat.jsonLossless(dt))
-            fail(s"streaming top-N under table.exec.state.ttl keys " +
-              s"its state on a JSON encoding: PARTITION BY key $k has " +
-              s"type ${dt.simpleString} (string / integer / boolean " +
-              "keys only; unset the TTL for the native path)")
-        }
+        AggSlots.requireLosslessKeys(k => fieldOf(k).dataType, keys,
+          "streaming top-N under table.exec.state.ttl: PARTITION BY",
+          fail)
         val prepared = src.select(
           to_json(struct(keys.map(col): _*)).as("key"),
           coalesce(metricIn, lit(0.0d)).as("metric"),

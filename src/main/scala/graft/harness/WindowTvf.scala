@@ -841,15 +841,6 @@ object WindowTvf {
 
   private val tvfViewCounter = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** A watermark delay string in milliseconds (month units use Spark's
-    * 30-day convention — watermark delays never carry them in
-    * practice). */
-  private[harness] def delayMsOf(delay: String): Long = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
-      .fromIntervalString(delay)
-    iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
-  }
-
   /** STREAMING `CUMULATE(step, size)`: compiled onto
     * [[graft.streaming.CumulateTracker]] — Spark has no native growing
     * window, so per-(key, span) step accumulators live in
@@ -998,11 +989,19 @@ object WindowTvf {
       (prepared, wmDelay, kinds) => {
         implicit val evEnc =
           org.apache.spark.sql.Encoders.product[graft.streaming.GridEvent]
+        // the never-late sentinel (chained sources) must survive this
+        // projection, or the tracker would lose its tagged attribute
+        val sentinel =
+          if (prepared.columns.contains(
+              graft.streaming.Watermarks.NeverLateCol))
+            Seq(col(graft.streaming.Watermarks.NeverLateCol))
+          else Nil
         graft.streaming.GridAggTracker.track(
-          fanOut(prepared).select(col("key"), col("ts"),
+          fanOut(prepared).select(Seq(col("key"), col("ts"),
             expr(toInstant("__wsw")).as("ws"),
             expr(toInstant("__wew")).as("we"),
-            col("nn"), col("lv"), col("dv"), col("sv"))
+            col("nn"), col("lv"), col("dv"),
+            col("sv")) ++ sentinel: _*)
             .as[graft.streaming.GridEvent],
           wmDelay, kinds).toDF
       })
@@ -1186,39 +1185,15 @@ object WindowTvf {
     }
     // per-key state groups on a to_json/from_json round-trip of the
     // GROUP BY tuple (same contract as streaming MATCH_RECOGNIZE
-    // PARTITION BY): only types whose JSON text decodes bit-identically
-    // are admitted — timestamp/decimal/float keys could lose precision
-    // on the way back, and a NaN double key produces non-decodable JSON
-    kept.foreach { k =>
-      val dt = src.schema(colIdx(k)).dataType
-      if (!graft.streaming.StateFormat.jsonLossless(dt))
-        fail(s"GROUP BY key $k has type ${dt.simpleString} — " +
-          "keys must round-trip the JSON state encoding losslessly " +
-          "(string / integer / boolean)")
-    }
+    // PARTITION BY) — the shared AggSlots key/slot builders
+    AggSlots.requireLosslessKeys(
+      k => src.schema(colIdx(k)).dataType, kept, "GROUP BY", fail)
     val keyStruct = StructType(kept.map(k => src.schema(colIdx(k))).toArray)
     val keyExpr =
       if (kept.isEmpty) lit("{}")
       else to_json(struct(kept.map(col): _*))
-    val nnArr = array(plans.map(p => expr(p._2.input).isNotNull): _*)
-    // each value slot is built ONLY for the kinds that read it: COUNT
-    // reads neither (so COUNT over a non-castable array/struct never
-    // builds an invalid cast), integral kinds read lv (their inputs
-    // cast to long safely), double kinds read dv (an ANSI NaN→long
-    // cast on an unused slot would throw otherwise)
-    val lvArr = array(plans.map(p =>
-      if (AggSlots.readsLong(p._2.kind))
-        coalesce(expr(p._2.input).cast("long"), lit(0L))
-      else lit(0L)): _*)
-    val dvArr = array(plans.map(p =>
-      if (AggSlots.readsDouble(p._2.kind))
-        coalesce(expr(p._2.input).cast("double"), lit(0d))
-      else lit(0d)): _*)
-    val svArr = array(plans.map(p =>
-      if (graft.streaming.CumulateTracker.isDistinctKind(p._2.kind) ||
-          graft.streaming.CumulateTracker.isDecimalKind(p._2.kind))
-        expr(p._2.input).cast("string")
-      else lit(null).cast("string")): _*)
+    val (nnArr, lvArr, dvArr, svArr) =
+      AggSlots.slotInputArrays(plans.map(_._2))
     // a CHAINED source (a windowed pre-agg view, r17) rides the
     // never-late sentinel — its rows are upstream watermark-gated
     // emissions (see Watermarks.neverLate); the event encoder binds by

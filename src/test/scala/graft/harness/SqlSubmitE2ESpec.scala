@@ -605,6 +605,45 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(got === Set((1L, 1L), (5L, 6L), (9L, 15L)), got.toString)
   }
 
+  test("a TTL'd updating operator above a windowed view rejects by " +
+      "name (the intermediate stage would emit partials as facts)") {
+    val spark = SparkFixture.spark
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 60 s;
+         |create table wtu_src (
+         |  k bigint,
+         |  seq bigint,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '100000',
+         |  'fields.k.min' = '0', 'fields.k.max' = '1');
+         |create temporary view wtu_agg as
+         |  select k, window_time, sum(seq) as s
+         |  from table(tumble(table wtu_src, descriptor(ts),
+         |    interval '1' minute))
+         |  group by k, window_start, window_end, window_time;
+         |create table wtu_sink (k bigint, t bigint) with (
+         |  'connector' = 'print');
+         |insert into wtu_sink
+         |select k, sum(s) as t from wtu_agg group by k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-wtu-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark), durationSec = 10).run()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("cannot run above another stateful")),
+      msgs.mkString(" | "))
+  }
+
   test("a window-TVF view NOT projecting window_time stays unrecorded " +
       "and the downstream OVER raises the named watermark error") {
     val spark = SparkFixture.spark

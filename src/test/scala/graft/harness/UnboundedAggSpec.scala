@@ -110,6 +110,27 @@ class UnboundedAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("an aliased FROM keeps its alias through the TTL route (r17 " +
+      "review): qualified references resolve like the native path") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    input.toDF().toDF("k", "v", "tag").createOrReplaceTempView("uagg_al")
+    val aliased = "SELECT k, SUM(s.v) AS total FROM uagg_al s " +
+      "WHERE s.v > 0 GROUP BY k"
+    assert(UnboundedAgg.hasShape(spark, aliased))
+    val rewritten = UnboundedAgg.rewrite(spark, aliased, stateTtlSec = 600L)
+    def rows() = spark.table("uagg_al_out")
+      .select($"k", $"total").as[(String, Long)].collect().toSeq
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("uagg_al_out")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 4L, "t"), ("a", 6L, "t"), ("a", 0L, "t"))
+      awaitTrue("aliased totals")(rows().contains(("a", 10L)))
+    } finally q.stop()
+  }
+
   test("contract violations fail by name") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
