@@ -2002,12 +2002,20 @@ object MatchRecognize {
           measureCarrier(c).enc.as(src.schema(fieldIdx(c)).name)): _*))
       val lagExpr =
         if (lagPayload.isEmpty) lit("") else to_json(struct(lagPayload: _*))
-      val prepared = src.select(
+      // a CHAINED source (a windowed pre-agg view, r17) rides the
+      // never-late sentinel — its rows are upstream watermark-gated
+      // emissions (see Watermarks.neverLate); the encoder binds by
+      // name, so the extra column never touches PatternEvent
+      val chainedCols =
+        if (graft.streaming.Watermarks.isChained(src))
+          Seq(graft.streaming.Watermarks.neverLate)
+        else Nil
+      val prepared = src.select(Seq(
         keyExpr.as("key"),
         graft.streaming.Watermarks.eventTimeCol(src, wmCol, "ts"),
         sexpr(defsExpr).as("defs"),
         valsExpr.as("vals"),
-        lagExpr.as("lag"))
+        lagExpr.as("lag")) ++ chainedCols: _*)
       implicit val evEnc = org.apache.spark.sql.Encoders.product[PatternEvent]
       // WITHIN rides straight through: the tracker prunes during
       // matching on the same strict ts(p)+n bound as the batch matcher,

@@ -401,11 +401,14 @@ object TemporalJoin {
       val vTime = fieldOf(vSrc, vTable, meta.timeCol).name
       // a CHAINED stage consumes the previous tracker's watermark-gated
       // emissions: mark the input never-late and define no second
-      // watermark node (see Watermarks.neverLate / ensure). STREAMING
-      // only — on a bounded run the tagged sentinel would make batch
-      // GroupState report a watermark as present, suppressing the
-      // MAX_WATERMARK-at-end finality path
-      val chained = stageIdx > 0 && pSrc.isStreaming
+      // watermark node (see Watermarks.neverLate / ensure). Stage 0
+      // chains too when the PROBE itself is a windowed pre-agg view
+      // (r17 two-stage pipelines). STREAMING only — on a bounded run
+      // the tagged sentinel would make batch GroupState report a
+      // watermark as present, suppressing the MAX_WATERMARK-at-end
+      // finality path
+      val chained = (stageIdx > 0 ||
+        graft.streaming.Watermarks.isChained(cur)) && pSrc.isStreaming
       def sentinel(cols: Seq[org.apache.spark.sql.Column]) =
         if (chained) cols :+ graft.streaming.Watermarks.neverLate else cols
       val pRows = cur

@@ -498,6 +498,67 @@ class MatchRecognizeSpec extends AnyFunSuite {
     }
   }
 
+  test("MATCH_RECOGNIZE above a windowed pre-agg view streams (r17 " +
+      "chained pipeline): a rising-window-sum pattern over window_time") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    input.toDF().toDF("k", "ts", "v")
+      .withWatermark("ts", "5 seconds")
+      .createOrReplaceTempView("mrc_src")
+    // stage 1 on the TRACKER path (distinct forces it)
+    val stage1 = WindowTvf.rewriteStreaming(
+      "SELECT k, window_time, SUM(v) AS s, COUNT(DISTINCT v) AS d " +
+        "FROM TABLE(TUMBLE(TABLE mrc_src, DESCRIPTOR(ts), " +
+        "INTERVAL '1' MINUTE)) " +
+        "GROUP BY k, window_start, window_end, window_time",
+      spark,
+      t => if (t.equalsIgnoreCase("mrc_src")) Some(("ts", "5 seconds"))
+        else None)
+    spark.sql(stage1).createOrReplaceTempView("mrc_agg")
+    val streamSql = MatchRecognize.rewriteStreaming(spark,
+      """SELECT * FROM mrc_agg MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY window_time
+        |  MEASURES A.s AS base, LAST(B.s) AS peak, COUNT(B.*) AS nb
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+)
+        |  DEFINE B AS B.s > PREV(B.s))""".stripMargin,
+      t => if (t.equalsIgnoreCase("mrc_agg"))
+        Some(("window_time", "5 seconds")) else None)
+    val corrKey =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val multiKey = "spark.sql.streaming.statefulOperator.allowMultiple"
+    val savedCorr = spark.conf.getOption(corrKey)
+    val savedMulti = spark.conf.getOption(multiKey)
+    spark.conf.set(corrKey, "false")
+    spark.conf.set(multiKey, "false")
+    val q = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("mrc_out").outputMode("append").start()
+    try {
+      def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      // window sums per minute for k=a: 2, 5, 9 (rising), then 1 —
+      // the pattern matches (A=2, B=5, B=9)
+      input.addData(
+        ("a", t(10), 2L), ("a", t(70), 5L), ("a", t(130), 9L),
+        ("a", t(190), 1L))
+      q.processAllAvailable()
+      for (sec <- Seq(1000L, 2000L, 3000L, 4000L)) {
+        input.addData(("z", t(sec), 0L))
+        q.processAllAvailable()
+      }
+      val got = spark.table("mrc_out").where("k = 'a'")
+        .select($"base", $"peak", $"nb")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((2L, 9L, 2L)), got.toString)
+    } finally {
+      q.stop()
+      savedCorr.fold(spark.conf.unset(corrKey))(spark.conf.set(corrKey, _))
+      savedMulti.fold(spark.conf.unset(multiKey))(
+        spark.conf.set(multiKey, _))
+    }
+  }
+
   test("grouped sub-pattern under alternation and cross-variable DEFINE") {
     // branch 1 needs a full (A B)+ Z; branch 2 is a lone Z. The group
     // interacts with cross-variable predicates: B must exceed the
