@@ -112,13 +112,13 @@ private[harness] object AggSlots {
     * contract (timestamp/decimal/float keys could lose precision on
     * the way back; a NaN double key produces non-decodable JSON). */
   def requireLosslessKeys(resolve: String => DataType, keys: Seq[String],
-      what: String, fail: String => Nothing): Unit =
+      what: String, fail: String => Nothing, hint: String = ""): Unit =
     keys.foreach { k =>
       val dt = resolve(k)
       if (!graft.streaming.StateFormat.jsonLossless(dt))
         fail(s"$what key $k has type ${dt.simpleString} — keys must " +
           "round-trip the JSON state encoding losslessly " +
-          "(string / integer / boolean)")
+          "(string / integer / boolean)" + hint)
     }
 
   /** Plans one aggregate slot for COUNT/SUM/MIN/MAX/AVG (with optional

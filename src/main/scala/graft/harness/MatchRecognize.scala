@@ -1662,14 +1662,9 @@ object MatchRecognize {
       // PARTITION BY tuple; only types whose JSON text decodes
       // bit-identically are admitted — timestamp/decimal/float keys
       // could lose precision or formatting fidelity on the way back
-      spec.partitionBy.foreach { p =>
-        val idx = fieldIdx(p)
-        if (!graft.streaming.StateFormat.jsonLossless(src.schema(idx).dataType))
-          fail(s"streaming MATCH_RECOGNIZE PARTITION BY $p has " +
-            s"type ${src.schema(idx).dataType.simpleString} — keys must " +
-            "round-trip the JSON state encoding losslessly (string / " +
-            "integer / boolean)")
-      }
+      AggSlots.requireLosslessKeys(
+        p => src.schema(fieldIdx(p)).dataType, spec.partitionBy,
+        "streaming MATCH_RECOGNIZE PARTITION BY", fail)
       val keyExpr =
         if (spec.partitionBy.isEmpty) lit("{}")
         else to_json(struct(spec.partitionBy.map(scol): _*))

@@ -314,13 +314,8 @@ object OverAgg {
       if (i < 0) fail(s"column $c not found in $table")
       src.schema(i)
     }
-    partCols.foreach { k =>
-      if (!graft.streaming.StateFormat.jsonLossless(fieldOf(k).dataType))
-        fail(s"streaming OVER PARTITION BY $k has type " +
-          s"${fieldOf(k).dataType.simpleString} — keys must round-trip " +
-          "the JSON state encoding losslessly (string / integer / " +
-          "boolean)")
-    }
+    AggSlots.requireLosslessKeys(k => fieldOf(k).dataType, partCols,
+      "streaming OVER PARTITION BY", fail)
 
     // one aggregate slot: tracker kind, the type the value has inside
     // the vals JSON (what from_json decodes), the slot input

@@ -1086,17 +1086,25 @@ final class SqlSubmitAction(
       if (df.isStreaming) {
         val w0 = df.writeStream.format("console")
           .option("truncate", "false")
-        // TTL'd trackers run continuous no-data timer batches — bound
-        // the idle duty cycle like the sink path does
-        val w =
-          if (hasProcessingTimeTimers(df))
+        // trigger resolution mirrors the sink path: a configured
+        // mini-batch latency wins; otherwise TTL'd trackers (which run
+        // continuous no-data timer batches) get the 1 s idle bound
+        val w = config.miniBatchLatency match {
+          case Some(latency) => w0.trigger(Trigger.ProcessingTime(latency))
+          case None if hasProcessingTimeTimers(df) =>
             w0.trigger(Trigger.ProcessingTime("1 second"))
-          else w0
+          case None => w0
+        }
         val writer = withChainedScope(spark, df) {
           // a CHAINED plan must run append end-to-end (update mode
           // would emit the intermediate stage's partials as facts) —
           // no update fallback there
-          if (chainsStatefulStages(df)) w.outputMode("append").start()
+          if (chainsStatefulStages(df))
+            try w.outputMode("append").start()
+            catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                rethrowChainedAppend(df, e)
+            }
           else
             try { val s = w.outputMode("append").start(); s }
             catch { case _: Exception => w.outputMode("update").start() }
@@ -1208,14 +1216,18 @@ final class SqlSubmitAction(
             org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout => f
     }.isDefined
 
-  /** A stateful operator sits ABOVE another stateful subtree (a
+  /** A stateful operator sits ABOVE another stateful subtree AND a
+    * harness tracker (flatMapGroupsWithState) is part of the chain (a
     * two-stage pipeline, r17). Those queries must start under
     * SINGLE-watermark propagation: Spark's per-operator simulator
     * propagates NO watermark through flatMapGroupsWithState
     * (`produceOutputWatermark` = None), so a chained tracker would
     * never mature anything — while the single global watermark is
     * exactly the in-band signal the trackers' watermark-gated
-    * emissions are correct under. */
+    * emissions are correct under. A chain of purely NATIVE stateful
+    * operators (window agg over window agg) carries no tracker and is
+    * deliberately NOT matched: Spark's own per-operator propagation
+    * and correctness checks handle those plans better. */
   private def chainsStatefulStages(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def stateful(p: LogicalPlan): Boolean = p match {
@@ -1224,8 +1236,11 @@ final class SqlSubmitAction(
       case d: Deduplicate => d.child.isStreaming
       case _ => false
     }
-    df.isStreaming && df.queryExecution.analyzed.exists(n =>
-      stateful(n) && n.children.exists(_.exists(stateful)))
+    df.isStreaming &&
+      df.queryExecution.analyzed.exists(
+        _.isInstanceOf[FlatMapGroupsWithState]) &&
+      df.queryExecution.analyzed.exists(n =>
+        stateful(n) && n.children.exists(_.exists(stateful)))
   }
 
   /** Runs `start` with the chained-pipeline conf scope applied when
@@ -1261,21 +1276,27 @@ final class SqlSubmitAction(
     val saved = keys.map(k => k -> spark.conf.getOption(k))
     keys.foreach(spark.conf.set(_, "false"))
     try start
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getMessage).map(_.toLowerCase)
-            .exists(_.contains("output mode")) =>
-        throw new IllegalArgumentException(
-          "two-stage streaming pipelines run APPEND end-to-end (the " +
-            "intermediate stage must emit finals); this statement's " +
-            "top stage cannot produce append output — materialize the " +
-            "pre-aggregation to a sink and continue in a second " +
-            "statement", e)
-    }
     finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  /** Converts an append-mode start failure of a CHAINED plan into the
+    * two-stage contract message — applied AFTER the sink-specific
+    * catches (the keyless-jdbc PRIMARY KEY diagnostic keeps priority).
+    */
+  private def rethrowChainedAppend(df: DataFrame,
+      e: org.apache.spark.sql.AnalysisException): Nothing =
+    if (chainsStatefulStages(df) &&
+        Option(e.getMessage).map(_.toLowerCase)
+          .exists(_.contains("output mode")))
+      throw new IllegalArgumentException(
+        "two-stage streaming pipelines run APPEND end-to-end (the " +
+          "intermediate stage must emit finals); this statement's " +
+          "top stage cannot produce append output — materialize the " +
+          "pre-aggregation to a sink and continue in a second " +
+          "statement", e)
+    else throw e
 
   private def writeToSink(
       spark: SparkSession, config: EngineConfig,
@@ -1378,6 +1399,8 @@ final class SqlSubmitAction(
               "streaming query produces updates: an append-only JDBC " +
               "sink cannot consume update changes. Declare a PRIMARY " +
               "KEY on the sink table for upsert semantics.", e)
+        case e: org.apache.spark.sql.AnalysisException =>
+          rethrowChainedAppend(df, e)
       }
     } else {
       connector match {

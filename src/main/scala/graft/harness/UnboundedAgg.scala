@@ -157,7 +157,8 @@ object UnboundedAgg {
     // per-key state groups on a to_json/from_json round-trip of the
     // GROUP BY tuple — the shared AggSlots key/slot builders
     AggSlots.requireLosslessKeys(
-      k => fieldOf(k).dataType, keys, "GROUP BY", fail)
+      k => fieldOf(k).dataType, keys, "GROUP BY", fail,
+      hint = "; unset table.exec.state.ttl for the native path")
     val keyStruct = StructType(keys.map(fieldOf).toArray)
     val keyExpr =
       if (keys.isEmpty) lit("{}") else to_json(struct(keys.map(col): _*))

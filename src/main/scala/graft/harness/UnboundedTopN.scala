@@ -202,7 +202,7 @@ object UnboundedTopN {
         // trackers) — only losslessly JSON-codable key types admit
         AggSlots.requireLosslessKeys(k => fieldOf(k).dataType, keys,
           "streaming top-N under table.exec.state.ttl: PARTITION BY",
-          fail)
+          fail, hint = "; unset the TTL for the native path")
         val prepared = src.select(
           to_json(struct(keys.map(col): _*)).as("key"),
           coalesce(metricIn, lit(0.0d)).as("metric"),

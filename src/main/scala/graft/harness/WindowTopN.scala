@@ -298,13 +298,8 @@ object WindowTopN {
       if (metricIsTime)
         expr(s"cast(unix_millis(cast(`$metricCol` as timestamp)) as double)")
       else col(metricCol).cast("double")
-    extras.foreach { k =>
-      if (!graft.streaming.StateFormat.jsonLossless(fieldOf(k).dataType))
-        fail(s"streaming window top-N PARTITION BY $k has type " +
-          s"${fieldOf(k).dataType.simpleString} — keys must round-trip " +
-          "the JSON state encoding losslessly (string / integer / " +
-          "boolean)")
-    }
+    AggSlots.requireLosslessKeys(k => fieldOf(k).dataType, extras,
+      "streaming window top-N PARTITION BY", fail)
     // the payload carries every OTHER source column to the emission
     // through the shared exact carrier (StateFormat.carrierOf: lossless
     // types natively, doubles/floats/decimals/dates as exact strings,
