@@ -44,6 +44,31 @@ final class EngineConfig(spark: SparkSession) {
       case "table.exec.mini-batch.allow-latency" =>
         // drives the micro-batch trigger at INSERT-compile time
         ()
+      case "table.exec.source.idle-timeout" =>
+        // Flink's idle-source watermark exclusion: a source quiet for
+        // the timeout stops holding back the min-across-inputs
+        // watermark. Spark's per-source watermark is already the
+        // GLOBAL max event time minus delay — an idle PARTITION never
+        // stalls it, so Flink's per-partition idleness concern has no
+        // Spark counterpart. What CAN stall is a multi-watermark plan
+        // (the unioned temporal-join inputs): Spark's global watermark
+        // is the MIN across watermark nodes by default, so one idle
+        // input freezes maturity exactly like an idle Flink source.
+        // Spark's native exclusion for that case is
+        // multipleWatermarkPolicy=max — the documented mechanism for
+        // idle/slow inputs — so a positive timeout maps onto it.
+        // Caveat vs Flink (documented, SURVEY §2): Flink excludes an
+        // input only AFTER the timeout elapses; Spark's max policy
+        // excludes the slower input continuously, so an ACTIVE but
+        // lagging input's rows can be treated as late where Flink
+        // would have held the watermark. Flink's 0 (its default)
+        // disables idleness → min policy restored.
+        val ms = EngineConfig.parseDurationMs(value).getOrElse(
+          throw new IllegalArgumentException(
+            s"table.exec.source.idle-timeout = $value is not a " +
+              "duration (expected e.g. '30 s', '500 ms', '1 min')"))
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy",
+          if (ms > 0L) "max" else "min")
       case "pipeline.name" =>
         spark.sparkContext.setJobDescription(value)
       case k if k.startsWith("spark.") =>
@@ -71,10 +96,16 @@ final class EngineConfig(spark: SparkSession) {
       // compile-time consumers AND the session conf must agree
       if (kk.equalsIgnoreCase("table.local-time-zone"))
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+      // dropping idle-timeout restores Flink's no-idleness default:
+      // the min-across-inputs watermark policy
+      if (kk.equalsIgnoreCase("table.exec.source.idle-timeout"))
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "min")
       raw.remove(kk): Unit
     case None =>
       if (raw.contains("table.local-time-zone"))
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+      if (raw.contains("table.exec.source.idle-timeout"))
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "min")
       raw.clear()
   }
 
@@ -165,22 +196,10 @@ final class EngineConfig(spark: SparkSession) {
     * retained slightly longer than configured, never the
     * retain-forever inversion a truncation to 0 would produce). */
   def stateTtlSec: Option[Long] =
-    raw.get("table.exec.state.ttl").flatMap { v =>
-      val re = raw"(?i)^\s*(\d+)\s*(ms|s|sec|min|m|h|d)?\s*$$".r
-      v match {
-        case re(n, unit) =>
-          val ms = Option(unit).map(_.toLowerCase) match {
-            case Some("ms") | None => n.toLong
-            case Some("s") | Some("sec") => n.toLong * 1000L
-            case Some("min") | Some("m") => n.toLong * 60000L
-            case Some("h") => n.toLong * 3600000L
-            case Some("d") => n.toLong * 86400000L
-            case _ => n.toLong
-          }
-          Some((ms + 999L) / 1000L)
-        case _ => None
-      }
-    }.filter(_ > 0L)
+    raw.get("table.exec.state.ttl")
+      .flatMap(EngineConfig.parseDurationMs)
+      .map(ms => (ms + 999L) / 1000L)
+      .filter(_ > 0L)
 
   private def toDuration(v: String): String = {
     val re = raw"(?i)^\s*(\d+)\s*(ms|s|min|m|h)?\s*$$".r
@@ -201,6 +220,26 @@ final class EngineConfig(spark: SparkSession) {
 }
 
 object EngineConfig {
+  /** Flink duration spellings (`30 s`, `500ms`, `1 min`, bare millis)
+    * → milliseconds; None for anything unparseable. Shared by
+    * `table.exec.state.ttl` and `table.exec.source.idle-timeout`. */
+  def parseDurationMs(v: String): Option[Long] = {
+    val re = raw"(?i)^\s*(\d+)\s*(ms|s|sec|min|m|h|d)?\s*$$".r
+    v match {
+      case re(n, unit) =>
+        val mult = Option(unit).map(_.toLowerCase) match {
+          case Some("ms") | None => 1L
+          case Some("s") | Some("sec") => 1000L
+          case Some("min") | Some("m") => 60000L
+          case Some("h") => 3600000L
+          case Some("d") => 86400000L
+          case _ => 1L
+        }
+        Some(n.toLong * mult)
+      case _ => None
+    }
+  }
+
   /** True iff the zone spelling resolves to a FIXED zero-offset zone —
     * i.e. it keeps the UTC timeline exactly ('UTC', 'Z', 'Etc/GMT+0',
     * '+00:00', '+0000', 'GMT', ...). Region zones with DST history

@@ -161,6 +161,17 @@ object MatchRecognize {
     * where it names the branch variable that actually matched.
     */
   private[harness] final case class ClassifierMeasure(alias: String) extends Measure
+  /** `MATCH_ROWTIME()` — Flink's event-time measure: the rowtime of
+    * the match's last row (under ALL ROWS PER MATCH, of the last row
+    * matched so far — RUNNING semantics, like Flink). The output
+    * column IS a rowtime attribute in Flink, which is what lets a
+    * pattern stage feed a downstream window/OVER/top-N; the CLI's
+    * view registry records a view projecting it
+    * (SqlSubmitAction.recordViewWatermark → [[rowtimeMeasureOf]]).
+    * Requires an ascending TIMESTAMP ORDER BY head (the same head
+    * WITHIN requires; in streaming the head is the watermark column
+    * already). */
+  private[harness] final case class MatchRowtimeMeasure(alias: String) extends Measure
   /** `SUM/AVG/MIN/MAX(V.col)` — aggregate over the rows the match
     * assigns to variable V (SQL:2016 running semantics under ALL ROWS
     * PER MATCH: only rows matched so far). SQL aggregate null
@@ -330,6 +341,7 @@ object MatchRecognize {
   private val CountStarRe = raw"(?is)^COUNT\s*\(\s*\*\s*\)$$".r
   private val MatchNumberRe = raw"(?is)^MATCH_NUMBER\s*\(\s*\)$$".r
   private val ClassifierRe = raw"(?is)^CLASSIFIER\s*\(\s*\)$$".r
+  private val MatchRowtimeRe = raw"(?is)^MATCH_ROWTIME\s*\(\s*\)$$".r
   private val AggRe =
     raw"(?is)^(SUM|AVG|MIN|MAX)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$$".r
   private val AsRe = raw"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$$".r
@@ -347,6 +359,7 @@ object MatchRecognize {
       val measure = body match {
         case MatchNumberRe() => MatchNumberMeasure(alias)
         case ClassifierRe() => ClassifierMeasure(alias)
+        case MatchRowtimeRe() => MatchRowtimeMeasure(alias)
         case CountStarRe() => CountMeasure(None, alias)
         case CountVarRe(v) => CountMeasure(Some(v.toUpperCase), alias)
         case AggRe(fn, v, c) => AggMeasure(fn.toUpperCase, v.toUpperCase, c, alias)
@@ -374,6 +387,7 @@ object MatchRecognize {
   private val CountStarInlineRe = raw"(?i)\bCOUNT\s*\(\s*\*\s*\)".r
   private val MatchNumberInlineRe = raw"(?i)\bMATCH_NUMBER\s*\(\s*\)".r
   private val ClassifierInlineRe = raw"(?i)\bCLASSIFIER\s*\(\s*\)".r
+  private val MatchRowtimeInlineRe = raw"(?i)\bMATCH_ROWTIME\s*\(\s*\)".r
 
   /** Decomposes a non-bare measure body into an [[ExprMeasure]]:
     * every navigation/aggregate atom (FIRST/LAST(V.col[, k]),
@@ -401,6 +415,9 @@ object MatchRecognize {
     }
     t = replaceOutside(t, ClassifierInlineRe) { _ =>
       slotFor("classifier")(n => ClassifierMeasure(n))
+    }
+    t = replaceOutside(t, MatchRowtimeInlineRe) { _ =>
+      slotFor("matchrowtime")(n => MatchRowtimeMeasure(n))
     }
     t = replaceOutside(t, AggCallRe) { m =>
       val v = m.group(2).toUpperCase
@@ -430,7 +447,7 @@ object MatchRecognize {
         ColMeasure(v, m.group(2), first = false, n, 0))
     }
     val residue = maskQuoted(t)
-    raw"(?i)\b(FIRST|LAST|SUM|AVG|MIN|MAX|COUNT|MATCH_NUMBER|CLASSIFIER|PREV|NEXT)\s*\(".r
+    raw"(?i)\b(FIRST|LAST|SUM|AVG|MIN|MAX|COUNT|MATCH_NUMBER|CLASSIFIER|MATCH_ROWTIME|PREV|NEXT)\s*\(".r
       .findFirstMatchIn(residue).foreach { m =>
         fail(s"unsupported ${m.group(1).toUpperCase}() form in measure " +
           s"(navigation/aggregate atoms take a bare V.col argument): $body")
@@ -1356,6 +1373,34 @@ object MatchRecognize {
     * Throws on any form the subset does not cover — no Flink syntax
     * may leak to Spark's parser.
     */
+  /** For the CLI's event-time view registry
+    * (SqlSubmitAction.recordViewWatermark): when `sql` contains exactly
+    * one MATCH_RECOGNIZE region over a BARE table/view source whose
+    * MEASURES declare a bare `MATCH_ROWTIME() AS x`, returns (source
+    * name, x). Flink's law: the MATCH_ROWTIME measure is a rowtime
+    * attribute of the pattern output, so a view projecting it can feed
+    * a downstream window TVF / OVER / top-N / temporal probe; the
+    * registry maps the view to (x's output name, the source's
+    * watermark delay). A subquery source or a second region stays
+    * unregistered — the downstream pass then raises its named
+    * needs-a-WATERMARK error, same as any other non-propagating view.
+    */
+  def rowtimeMeasureOf(sql: String): Option[(String, String)] = {
+    val masked = maskQuoted(sql)
+    for {
+      m <- MarkerRe.findFirstMatchIn(masked)
+      if MarkerRe.findFirstMatchIn(masked.substring(m.end)).isEmpty
+      open = sql.indexOf('(', m.start)
+      end <- scala.util.Try(closeParen(sql, open)).toOption
+      tm <- TableBeforeRe.findFirstMatchIn(sql.substring(0, m.start))
+      if !tm.group(1).equalsIgnoreCase("FROM")
+      spec <- scala.util.Try(parseSpec(sql.substring(open + 1, end - 1)))
+        .toOption
+      alias <- spec.measures.collectFirst {
+        case MatchRowtimeMeasure(a) => a }
+    } yield (tm.group(1), alias)
+  }
+
   def rewrite(spark: SparkSession, sql: String): String = {
     var out = sql
     var guard = 0
@@ -1636,6 +1681,11 @@ object MatchRecognize {
         case CountMeasure(None, _) => (3, 0L)
         case MatchNumberMeasure(_) => (4, 0L)
         case ClassifierMeasure(_) => (7, 0L)
+        // MATCH_ROWTIME = LAST over ALL variables of the event-time
+        // column (the streaming ORDER BY head IS the watermark column):
+        // kind 1 reads the state's time slot at the match's last row
+        case MatchRowtimeMeasure(_) =>
+          (1, varOf.values.foldLeft(0L)((m, i) => m | (1L << i)))
         case AggMeasure(fn, v, c, _) =>
           import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType}
           val idx = fieldIdx(c)
@@ -2040,6 +2090,9 @@ object MatchRecognize {
         val v = scol("values").getItem(i)
         ms match {
           case ColMeasure(_, c, _, alias, _) if c.equalsIgnoreCase(wmCol) =>
+            when(v === graft.streaming.PatternTracker.UnmatchedTime, lit(null))
+              .otherwise(sexpr(s"timestamp_millis(values[$i])")).as(alias)
+          case MatchRowtimeMeasure(alias) =>
             when(v === graft.streaming.PatternTracker.UnmatchedTime, lit(null))
               .otherwise(sexpr(s"timestamp_millis(values[$i])")).as(alias)
           case ColMeasure(_, c, _, alias, _) =>
@@ -2539,12 +2592,30 @@ object MatchRecognize {
         case (e: ExprMeasure, f) => Seq.fill(e.atoms.size)(f)
         case (_, f) => Seq(f)
       }
+    // MATCH_ROWTIME(): the match's event time = the ORDER BY head value
+    // of the last matched row — needs an ascending TIMESTAMP head (the
+    // WITHIN contract; Flink defines the measure only over an
+    // event-time-sorted input)
+    lazy val rowtimeIdx: Int = {
+      if (dirOf(0))
+        fail("MATCH_ROWTIME() requires the first ORDER BY column " +
+          "ascending (the measure is the match's last event time)")
+      val i = fieldIdx(spec.orderBy.head)
+      inSchema(i).dataType match {
+        case org.apache.spark.sql.types.TimestampType => i
+        case other => fail("MATCH_ROWTIME() requires the first ORDER BY " +
+          s"column to be TIMESTAMP; ${spec.orderBy.head} is " +
+          other.simpleString)
+      }
+    }
     val measureFields = flatMeasures.map {
       case ColMeasure(_, c, _, alias, _) =>
         StructField(alias, inSchema(fieldIdx(c)).dataType, nullable = true)
       case CountMeasure(_, alias) => StructField(alias, LongType, nullable = false)
       case MatchNumberMeasure(alias) => StructField(alias, LongType, nullable = false)
       case ClassifierMeasure(alias) => StructField(alias, StringType, nullable = false)
+      case MatchRowtimeMeasure(alias) =>
+        StructField(alias, inSchema(rowtimeIdx).dataType, nullable = true)
       case AggMeasure(fn, _, c, alias) => aggOut(fn, fieldIdx(c), alias)
       case other => fail(s"unexpected measure form: $other") // unreachable
     }
@@ -2566,6 +2637,11 @@ object MatchRecognize {
       case CountMeasure(None, _) => (3, 0L, -1, 0)
       case MatchNumberMeasure(_) => (4, 0L, -1, 0)
       case ClassifierMeasure(_) => (5, 0L, -1, 0)
+      // MATCH_ROWTIME = LAST over ALL variables of the time head: kind
+      // 1 with the all-variables mask finds the match's last row
+      case MatchRowtimeMeasure(_) =>
+        (1, varOf.values.foldLeft(0L)((m, i) => m | (1L << i)),
+          rowtimeIdx, 0)
       case AggMeasure(fn, v, c, _) =>
         val ci = fieldIdx(c)
         val kind = fn match {

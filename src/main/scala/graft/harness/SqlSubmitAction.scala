@@ -202,7 +202,58 @@ final class SqlSubmitAction(
         .findFirstIn(guardBody).isDefined
       val hasGroupBy = raw"(?is)\bGROUP\s+BY\b".r
         .findFirstIn(guardBody).isDefined
-      if (!hasSetOp && !hasGroupBy) {
+      if (MatchRecognize.hasMatchRecognize(guardBody)) {
+        // pattern-output view (r18): Flink's MATCH_ROWTIME() measure
+        // is a rowtime attribute of the MATCH_RECOGNIZE output, so a
+        // view projecting it feeds a downstream window/OVER/top-N/
+        // temporal probe — the chained-stage mechanics
+        // (Watermarks.isChained over the tracker's
+        // flatMapGroupsWithState, never-late input, single-watermark
+        // propagation) handle the streaming execution; this record
+        // answers the downstream rewrite's column/delay lookup. The
+        // projection rule is the same SIMPLE-item law as plain views.
+        // The delay is the pattern SOURCE's — conservative, since
+        // tracker emissions are watermark-gated and non-decreasing.
+        // A GROUP BY around the pattern drops the attribute (Flink's
+        // aggregation law — only window-TVF aggs keep one, and those
+        // bodies carry no MATCH_RECOGNIZE text of their own).
+        if (!hasSetOp && !hasGroupBy)
+          for {
+            (srcName, mrtAlias) <- MatchRecognize.rowtimeMeasureOf(unticked)
+            (_, delay) <- watermarkOf(srcName)
+            selM <- raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(body)
+            fromIdx <- WindowTvf.findTopLevel(body, selM.end, "FROM")
+            out <- propagatedName(
+              unticked.substring(selM.end, fromIdx).trim, mrtAlias,
+              colList = colList)
+            if scala.util.Try(spark.table(name).schema).toOption
+              .exists(_.exists(_.name.equalsIgnoreCase(out)))
+          } viewWatermarks(name) = (out, delay)
+      } else if (TemporalJoin.hasTemporalJoin(guardBody)) {
+        // temporal-join view (r18): Flink preserves the PROBE side's
+        // rowtime through FOR SYSTEM_TIME AS OF, so a view over the
+        // join feeds a downstream window/OVER/top-N when its
+        // projection keeps the probe's event-time column as a SIMPLE
+        // item qualified by the probe alias (or bare / starred). The
+        // chained-stage mechanics run the streaming execution (the
+        // view's stored plan holds the tracker); this record answers
+        // the downstream rewrite's column/delay lookup, in batch too
+        // (the interval-ized rewrite keeps the probe columns).
+        if (!hasSetOp && !hasGroupBy)
+          for {
+            (pTable, pAlias) <- TemporalJoin.probeOf(unticked)
+            (col, delay) <- watermarkOf(pTable)
+            selM <- raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(body)
+            fromIdx <- WindowTvf.findTopLevel(body, selM.end, "FROM")
+            out <- propagatedName(
+              unticked.substring(selM.end, fromIdx).trim, col,
+              qualifierOk = q => q.equalsIgnoreCase(pAlias) ||
+                q.equalsIgnoreCase(pTable),
+              colList = colList)
+            if scala.util.Try(spark.table(name).schema).toOption
+              .exists(_.exists(_.name.equalsIgnoreCase(out)))
+          } viewWatermarks(name) = (out, delay)
+      } else if (!hasSetOp && !hasGroupBy) {
         if (raw"(?is)\bJOIN\b".r.findFirstIn(guardBody).isEmpty) {
           for {
             bm <- ViewBodyRe.findFirstMatchIn(body)
@@ -1268,8 +1319,11 @@ final class SqlSubmitAction(
       "a TTL'd updating operator (unbounded top-N/dedup/GROUP BY under " +
         "table.exec.state.ttl) cannot run above another stateful stage " +
         "in one statement — the intermediate stage would emit partial " +
-        "results as facts; materialize the pre-aggregation to a sink " +
-        "and aggregate it in a second statement"))
+        "results as facts (Flink runs this shape over a retraction " +
+        "stream, which append-mode chaining cannot express); the " +
+        "equivalent two-statement recipe: INSERT INTO a table from " +
+        "the first (windowed) stage, then run the TTL'd operator " +
+        "over that table in its own statement"))
     val keys = Seq(
       "spark.sql.streaming.statefulOperator.allowMultiple",
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")

@@ -62,6 +62,34 @@ object TemporalJoin {
   def hasTemporalJoin(sql: String): Boolean =
     MarkerRe.findFirstIn(sql).isDefined
 
+  /** For the CLI's event-time view registry
+    * (SqlSubmitAction.recordViewWatermark): the PROBE (left) table and
+    * its alias of the first `FOR SYSTEM_TIME AS OF` join in `sql` —
+    * Flink's law: a temporal join preserves the probe side's rowtime,
+    * so a view over one can feed a downstream window/OVER/top-N. Runs
+    * on masked text; None when the FROM region before the join is not
+    * a single named table (the streaming rewrite would reject such a
+    * shape anyway). */
+  def probeOf(sql: String): Option[(String, String)] = {
+    val masked = MatchRecognize.maskQuoted(sql)
+    for {
+      jm <- JoinRe.findFirstMatchIn(masked)
+      fm <- (raw"(?is)\bFROM\s+($Dotted)" +
+        raw"(?:\s+(?:AS\s+)?(?!JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b)" +
+        raw"($Ident))?\s*$$").r
+        .findFirstMatchIn(masked.substring(0, jm.start).trim)
+      // group text re-read from the raw statement (masking blanks
+      // backtick-quoted names but preserves offsets; trim drops the
+      // same leading run in both)
+      rawHead = sql.substring(0, jm.start).trim
+      table = DdlParser.unquoteName(rawHead.substring(fm.start(1), fm.end(1)))
+      alias = Option(fm.group(2))
+        .map(_ => DdlParser.unquoteName(
+          rawHead.substring(fm.start(2), fm.end(2))))
+        .getOrElse(table.split('.').last)
+    } yield (table, alias)
+  }
+
   /** Rewrites every temporal join in `sql`; `versionOf` maps an
     * (unquoted) table name to its temporal metadata. Throws if a
     * temporal join references a table without a time attribute or
@@ -199,7 +227,13 @@ object TemporalJoin {
     import org.apache.spark.sql.types.{StructField, StructType}
     def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
-    val insM = raw"(?is)^(\s*INSERT\s+INTO\s+[\w.`]+\s*(?:\([^)]*\))?\s+)?(.*)$$".r
+    // tolerated statement heads: INSERT INTO, and CREATE VIEW (r18 —
+    // a temporal-join view keeps the probe's rowtime, Flink's law, so
+    // a view body may hold the join; the CLI registry records the
+    // propagated attribute, see SqlSubmitAction.recordViewWatermark)
+    val insM = (raw"(?is)^(\s*INSERT\s+INTO\s+[\w.`]+\s*(?:\([^)]*\))?\s+" +
+      raw"|\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+" +
+      raw"(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+\s*(?:\([^)]*\))?\s*AS\s+)?(.*)$$").r
       .findFirstMatchIn(sql).get
     val insertPrefix = Option(insM.group(1)).getOrElse("")
     val stmt = insM.group(2)

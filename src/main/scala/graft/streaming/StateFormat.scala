@@ -138,16 +138,53 @@ object StateFormat {
     */
   val OverAggTrackerVersion = 2
 
+  /** Bump when [[TemporalRowState]]/[[TemporalRow]] change shape (the
+    * generic event-time temporal-join tracker, round 16/17). v1 =
+    * per-key (versions, pending) lists of (millis, payload JSON)
+    * pairs.
+    */
+  val TemporalJoinTrackerVersion = 1
+
+  /** Bump when [[TtlTopNState]]/[[RankedEvent]] change shape (the
+    * TTL'd updating top-N / rn=1 dedup tracker behind
+    * `table.exec.state.ttl`, round 17). v1 = per-key rank-sorted
+    * [[graft.functions.RankedRow]] list. RankedRow itself is ALSO the
+    * unboundedTopN element — a RankedRow field change bumps BOTH keys.
+    */
+  val TtlTopNTrackerVersion = 1
+
+  /** Bump when [[UnboundedAggState]]/[[UnboundedAggEvent]] change
+    * shape (the TTL'd unbounded GROUP BY tracker behind
+    * `table.exec.state.ttl`, round 17). v1 = per-key [[CumAcc]]
+    * accumulator list. CumAcc is shared with cumulate/grid/session/
+    * over trackers — a CumAcc field change bumps ALL carriers of it.
+    */
+  val UnboundedAggTrackerVersion = 1
+
   private val FileName = "graft-state-format.json"
 
+  /** Every stamped key, in stamp order. ANY stateful tracker whose
+    * state case class a durable checkpoint can carry MUST have a row
+    * here — an absent key reads back as v0 on restore, so a tracker
+    * added without a stamp key fails old-checkpoint restores by name
+    * (the safe direction) but a tracker whose STATE SHAPE changed
+    * without a bump restores as a silent encoder mismatch (the r14
+    * failure mode). */
+  private val Keys: Seq[(String, Int)] = Seq(
+    "patternTracker" -> PatternTrackerVersion,
+    "cumulateTracker" -> CumulateTrackerVersion,
+    "topNTracker" -> TopNTrackerVersion,
+    "unboundedTopN" -> UnboundedTopNVersion,
+    "gridAggTracker" -> GridAggTrackerVersion,
+    "sessionAggTracker" -> SessionAggTrackerVersion,
+    "overAggTracker" -> OverAggTrackerVersion,
+    "temporalJoinTracker" -> TemporalJoinTrackerVersion,
+    "ttlTopNTracker" -> TtlTopNTrackerVersion,
+    "unboundedAggTracker" -> UnboundedAggTrackerVersion)
+
   private def stampJson: String =
-    s"""{"patternTracker": $PatternTrackerVersion, """ +
-      s""""cumulateTracker": $CumulateTrackerVersion, """ +
-      s""""topNTracker": $TopNTrackerVersion, """ +
-      s""""unboundedTopN": $UnboundedTopNVersion, """ +
-      s""""gridAggTracker": $GridAggTrackerVersion, """ +
-      s""""sessionAggTracker": $SessionAggTrackerVersion, """ +
-      s""""overAggTracker": $OverAggTrackerVersion}"""
+    Keys.map { case (k, v) => s""""$k": $v""" }
+      .mkString("{", ", ", "}")
 
   /** Verifies (or creates) the format stamp for checkpoint directory
     * `dir`. Three cases:
@@ -169,12 +206,8 @@ object StateFormat {
     val stamp = new Path(path, FileName)
     def fail(found: String): Nothing = throw new IllegalStateException(
       s"incompatible streaming state at $dir ($found; this build writes " +
-        s"patternTracker v$PatternTrackerVersion, cumulateTracker " +
-        s"v$CumulateTrackerVersion, topNTracker v$TopNTrackerVersion, " +
-        s"unboundedTopN v$UnboundedTopNVersion, gridAggTracker " +
-        s"v$GridAggTrackerVersion, sessionAggTracker " +
-        s"v$SessionAggTrackerVersion, overAggTracker " +
-        s"v$OverAggTrackerVersion): the state-store schema changed — " +
+        Keys.map { case (k, v) => s"$k v$v" }.mkString(", ") +
+        "): the state-store schema changed — " +
         "restart the query from a fresh checkpoint directory")
     if (fs.exists(stamp)) {
       // any read failure (corrupt file, checksum mismatch from an
@@ -191,17 +224,10 @@ object StateFormat {
       def ver(key: String): Int =
         (s""""$key"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(text)
           .map(_.group(1).toInt).getOrElse(0)
-      val (pv, cv) = (ver("patternTracker"), ver("cumulateTracker"))
-      val (tv, uv) = (ver("topNTracker"), ver("unboundedTopN"))
-      val (gv, sv) = (ver("gridAggTracker"), ver("sessionAggTracker"))
-      val ov = ver("overAggTracker")
-      if (pv != PatternTrackerVersion || cv != CumulateTrackerVersion ||
-          tv != TopNTrackerVersion || uv != UnboundedTopNVersion ||
-          gv != GridAggTrackerVersion || sv != SessionAggTrackerVersion ||
-          ov != OverAggTrackerVersion)
-        fail(s"stamped patternTracker v$pv, cumulateTracker v$cv, " +
-          s"topNTracker v$tv, unboundedTopN v$uv, gridAggTracker v$gv, " +
-          s"sessionAggTracker v$sv, overAggTracker v$ov")
+      val found = Keys.map { case (k, _) => k -> ver(k) }
+      if (found != Keys)
+        fail("stamped " +
+          found.map { case (k, v) => s"$k v$v" }.mkString(", "))
     } else if (fs.exists(path) && fs.listStatus(path).nonEmpty) {
       // checkpoint data from a build that predates the stamp: every
       // such build used an older state schema

@@ -47,6 +47,20 @@ final case class UnboundedAggRow(key: String, vals: String)
   */
 object UnboundedAggTracker {
 
+  /** Test-observable per-key state high-water mark (the
+    * OverAggTracker.peak* pattern): the largest exact-distinct value
+    * set any key's accumulator held, updated at every state save.
+    * Exact COUNT(DISTINCT) state is O(distinct values per active key)
+    * — the one dimension of this tracker's state the TTL does NOT
+    * bound (an always-hot key never expires) — so the gauge makes a
+    * hot key's growth observable before production finds it.
+    * Monotonic maximum; specs reset before a run and assert the
+    * data-declared bound. */
+  private[graft] val peakDistinctValues =
+    new java.util.concurrent.atomic.AtomicLong
+  private def bump(g: java.util.concurrent.atomic.AtomicLong, v: Long): Unit =
+    { g.getAndAccumulate(v, math.max(_, _)): Unit }
+
   def track(
       input: Dataset[UnboundedAggEvent],
       aggKinds: Seq[Int],
@@ -120,6 +134,7 @@ object UnboundedAggTracker {
     state.update(UnboundedAggState(kinds.indices.map(i =>
       if (dsets(i).nonEmpty) accs(i).copy(ds = dsets(i).toList.sorted)
       else accs(i)).toList))
+    if (dsets.nonEmpty) bump(peakDistinctValues, dsets.map(_.size).max.toLong)
     // re-arm on every write (OnCreateAndWrite); bounded runs execute
     // the operator in batch where the timeout never fires
     state.setTimeoutDuration(ttlSec * 1000L)

@@ -59,6 +59,41 @@ class EngineConfigSpec extends AnyFunSuite {
     assert(c.stateTtlSec.isEmpty)
   }
 
+  test("table.exec.source.idle-timeout maps onto the max watermark " +
+      "policy; 0 / RESET restore Flink's no-idleness min") {
+    val spark = SparkFixture.spark
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val before = spark.conf.getOption(key)
+    try {
+      val c = fresh
+      // a positive timeout excludes idle inputs from the
+      // min-across-inputs watermark — Spark's native mechanism is the
+      // max policy (caveat vs Flink documented at the set() site)
+      c.set("table.exec.source.idle-timeout", "30 s")
+      assert(spark.conf.get(key) == "max")
+      // Flink's 0 disables idleness → min policy (the default)
+      c.set("table.exec.source.idle-timeout", "0")
+      assert(spark.conf.get(key) == "min")
+      c.set("table.exec.source.idle-timeout", "500ms")
+      assert(spark.conf.get(key) == "max")
+      // keyed RESET restores the no-idleness default
+      c.reset(Some("table.exec.source.idle-timeout"))
+      assert(spark.conf.get(key) == "min")
+      // bare RESET too
+      c.set("table.exec.source.idle-timeout", "1 min")
+      assert(spark.conf.get(key) == "max")
+      c.reset(None)
+      assert(spark.conf.get(key) == "min")
+      // an unparseable duration fails by name, never a silent no-op
+      val e = intercept[IllegalArgumentException](
+        c.set("table.exec.source.idle-timeout", "soon"))
+      assert(e.getMessage.contains("table.exec.source.idle-timeout"))
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("parallelism.default drives shuffle partitions") {
     val spark = SparkFixture.spark
     val before = spark.conf.get("spark.sql.shuffle.partitions")

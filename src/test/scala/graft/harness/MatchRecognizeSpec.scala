@@ -2674,6 +2674,67 @@ class MatchRecognizeSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("ASCENDING"), e2.getMessage)
   }
 
+  test("MATCH_ROWTIME() measures the match's last event time; batch " +
+      "and streaming agree (r18)") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    Seq((1L, t(10), "a"), (1L, t(20), "a"), (1L, t(30), "b"),
+      (2L, t(5), "a"), (2L, t(15), "b"))
+      .toDF("k", "ts", "t").createOrReplaceTempView("mr_rt")
+    val q =
+      """SELECT * FROM mr_rt MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES MATCH_ROWTIME() AS mrt, COUNT(A.*) AS na
+        |  ONE ROW PER MATCH AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A+ B)
+        |  DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin
+    val batchSql = MatchRecognize.rewrite(spark, q)
+    val streamSql = MatchRecognize.rewriteStreaming(spark, q,
+      tb => if (tb.equalsIgnoreCase("mr_rt")) Some(("ts", "5 seconds"))
+        else None)
+    try {
+      val batch = spark.sql(batchSql).collect().map(_.toSeq).toSet
+      // the measure is the time of the match's LAST row (B's row)
+      assert(batch === Set(Seq(1L, t(30), 2L), Seq(2L, t(15), 1L)))
+      assert(spark.sql(streamSql).collect().map(_.toSeq).toSet === batch)
+    } finally {
+      MatchRecognize.dropViews(spark, batchSql)
+      MatchRecognize.dropViews(spark, streamSql)
+    }
+  }
+
+  test("MATCH_ROWTIME() composes inside an expression measure") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    Seq((1L, t(10), "a"), (1L, t(25), "b"))
+      .toDF("k", "ts", "t").createOrReplaceTempView("mr_rtx")
+    val batchSql = MatchRecognize.rewrite(spark,
+      """SELECT * FROM mr_rtx MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY ts
+        |  MEASURES unix_millis(MATCH_ROWTIME()) -
+        |    unix_millis(FIRST(A.ts)) AS span_ms
+        |  PATTERN (A B) DEFINE A AS t = 'a', B AS t = 'b')""".stripMargin)
+    try assert(spark.sql(batchSql).collect().map(_.toSeq).toSet ===
+      Set(Seq(1L, 15000L)))
+    finally MatchRecognize.dropViews(spark, batchSql)
+  }
+
+  test("MATCH_ROWTIME() contract: needs an ascending TIMESTAMP head") {
+    seq((1, 1, "a", 0)) // ORDER BY o is a LONG
+    val base =
+      """SELECT * FROM mr_in MATCH_RECOGNIZE (
+        |  PARTITION BY k ORDER BY o %s
+        |  MEASURES MATCH_ROWTIME() AS mrt
+        |  PATTERN (A) DEFINE A AS t = 'a')""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      spark.sql(MatchRecognize.rewrite(spark, base.format(""))).collect())
+    assert(e.getMessage.contains("TIMESTAMP"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql(MatchRecognize.rewrite(spark, base.format("DESC")))
+        .collect())
+    assert(e2.getMessage.contains("ascending"), e2.getMessage)
+  }
+
   test("rewrite temp views are dropped after the statement executes") {
     seq((1, 1, "a", 0))
     val before = spark.catalog.listTables().collect()

@@ -605,6 +605,60 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(got === Set((1L, 1L), (5L, 6L), (9L, 15L)), got.toString)
   }
 
+  test("MATCH_ROWTIME() carries event time out of a pattern view: " +
+      "two-stage pipeline (MATCH_RECOGNIZE -> TUMBLE agg) streams " +
+      "above it (r18)") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-mrt-e2e").toString
+    // seq 0..8 at 30 s spacing; t = 'b' every third row. PATTERN (A+ B)
+    // with SKIP PAST LAST ROW matches rows {0,1,2}, {3,4,5}, {6,7,8} —
+    // MATCH_ROWTIME (= B's time) lands at 60 s, 150 s, 240 s. The
+    // downstream TUMBLE(1 min) over mrt buckets them into the
+    // 00:01/00:02/00:04 windows, one match each (Flink's
+    // pattern-stage-feeds-a-window pipeline shape)
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table mrt_src (
+         |  k bigint,
+         |  seq bigint,
+         |  t as case when seq % 3 = 2 then 'b' else 'a' end,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '9',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '8',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view mrt_pat as
+         |  select * from mrt_src match_recognize (
+         |    partition by k order by ts
+         |    measures match_rowtime() as mrt, count(a.*) as na
+         |    one row per match after match skip past last row
+         |    pattern (a+ b)
+         |    define a as t = 'a', b as t = 'b');
+         |create table mrt_sink (ws timestamp, n bigint, tot bigint)
+         |  with ('connector' = 'filesystem', 'path' = '$out/sink',
+         |  'format' = 'parquet');
+         |insert into mrt_sink
+         |select window_start as ws, count(*) as n, sum(na) as tot
+         |from table(tumble(table mrt_pat, descriptor(mrt),
+         |  interval '1' minute))
+         |group by window_start;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-mrt-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 30).run()
+    val got = spark.read.parquet(s"$out/sink")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ws").toString,
+        r.getAs[Long]("n"), r.getAs[Long]("tot"))).toSet
+    assert(got === Set(
+      ("2024-01-01 00:01:00.0", 1L, 2L),
+      ("2024-01-01 00:02:00.0", 1L, 2L),
+      ("2024-01-01 00:04:00.0", 1L, 2L)), got.toString)
+  }
+
   test("a TTL'd updating operator above a windowed view rejects by " +
       "name (the intermediate stage would emit partials as facts)") {
     val spark = SparkFixture.spark
@@ -642,6 +696,68 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       .toSeq
     assert(msgs.exists(_.contains("cannot run above another stateful")),
       msgs.mkString(" | "))
+    // the rejection must NAME the two-statement recipe (INSERT INTO a
+    // table from the windowed stage, TTL'd operator in its own
+    // statement) — the residual surface a Flink user hits via the
+    // pass-through route deserves the workaround, not just the no
+    assert(msgs.exists(_.contains("INSERT INTO")), msgs.mkString(" | "))
+  }
+
+  // every UPDATING shape rejects above a stateful stage, not just the
+  // plain GROUP BY: the TTL'd top-N and the rn=1 keep-first dedup are
+  // the other two flatMapGroupsWithState-update operators the TTL
+  // route compiles
+  for (((shape, topStage), shapeIdx) <- Seq(
+      "TTL'd top-N" ->
+        """select k, s, rn from (
+          |  select *, row_number() over (
+          |    partition by k order by s desc) as rn
+          |  from wtuAGG) where rn <= 3""".stripMargin,
+      "rn=1 keep-first dedup" ->
+        """select k, s, rn from (
+          |  select *, row_number() over (
+          |    partition by k order by s asc) as rn
+          |  from wtuAGG) where rn = 1""".stripMargin).zipWithIndex) {
+    test(s"a $shape above a windowed view rejects by name with the " +
+        "two-statement recipe") {
+      val spark = SparkFixture.spark
+      // tests share one session — per-shape object names
+      val script =
+        s"""SET execution.runtime-mode = streaming;
+           |SET table.exec.state.ttl = 60 s;
+           |create table wtu${shapeIdx}_src (
+           |  k bigint,
+           |  seq bigint,
+           |  ts as timestamp '2024-01-01 00:00:00' +
+           |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+           |  watermark for ts as ts - interval '1' second
+           |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+           |  'fields.seq.kind' = 'sequence',
+           |  'fields.seq.start' = '0', 'fields.seq.end' = '100000',
+           |  'fields.k.min' = '0', 'fields.k.max' = '1');
+           |create temporary view wtu${shapeIdx}_agg as
+           |  select k, window_time, sum(seq) as s
+           |  from table(tumble(table wtu${shapeIdx}_src, descriptor(ts),
+           |    interval '1' minute))
+           |  group by k, window_start, window_end, window_time;
+           |create table wtu${shapeIdx}_sink (k bigint, s bigint,
+           |  rn bigint) with ('connector' = 'print');
+           |insert into wtu${shapeIdx}_sink
+           |${topStage.replace("wtuAGG", s"wtu${shapeIdx}_agg")};
+           |""".stripMargin
+      val file = Files.createTempFile("graft-wtu2-", ".sql")
+      Files.writeString(file, script)
+      val e = intercept[Exception] {
+        new SqlSubmitAction(file.toString, Map.empty,
+          existingSession = Some(spark), durationSec = 10).run()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .toSeq
+      assert(msgs.exists(m => m.contains("cannot run above another " +
+        "stateful") || m.contains("APPEND end-to-end")),
+        msgs.mkString(" | "))
+    }
   }
 
   test("a window-TVF view NOT projecting window_time stays unrecorded " +

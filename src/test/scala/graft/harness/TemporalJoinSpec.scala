@@ -181,6 +181,67 @@ class TemporalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("table.exec.source.idle-timeout unstalls a temporal join whose " +
+      "version side is idle (r18: the mapped max watermark policy " +
+      "excludes the silent input from the min)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val before = spark.conf.getOption(key)
+    val vm = Map("tji_rates" -> VersionMeta("rt", Seq("k"))).get _
+    val wmOf: String => Option[(String, String)] = t =>
+      if (t.equalsIgnoreCase("tji_orders")) Some(("ot", "5 seconds"))
+      else None
+    def runOnce(idle: Boolean): Set[(Long, Option[Any])] = {
+      val cfg = new EngineConfig(spark)
+      if (idle) cfg.set("table.exec.source.idle-timeout", "10 s")
+      else cfg.reset(Some("table.exec.source.idle-timeout"))
+      // per-SOURCE watermarks, the CLI topology (source registration
+      // applies the DDL watermark on each table) — the union then has
+      // two upstream watermark nodes and the global watermark policy
+      // (min vs the idle-timeout-mapped max) governs
+      val oIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+      oIn.toDF().toDF("k", "ot", "amount")
+        .withWatermark("ot", "5 seconds")
+        .createOrReplaceTempView("tji_orders")
+      val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      rIn.toDF().toDF("k", "rt", "rate")
+        .withWatermark("rt", "5 seconds")
+        .createOrReplaceTempView("tji_rates")
+      val streamSql = TemporalJoin.rewriteStreaming(spark,
+        "SELECT o.k, o.amount, r.rate FROM tji_orders o LEFT JOIN " +
+          "tji_rates FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k",
+        wmOf, vm)
+      val name = s"tji_out_$idle"
+      val q = spark.sql(streamSql).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try {
+        // the version side NEVER fires — Flink's idle-source scenario
+        oIn.addData((1L, tsOf(10), 100L))
+        q.processAllAvailable()
+        oIn.addData((1L, tsOf(100), 0L)) // advances the probe watermark
+        q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(1), Option(r.get(2)))).toSet
+      } finally q.stop()
+    }
+    try {
+      // default (min policy): the idle version input pins the global
+      // watermark at 0 — the probe never matures (Flink without an
+      // idle timeout holds back exactly the same way)
+      assert(runOnce(idle = false) === Set.empty)
+      // with the idle timeout: the max policy follows the live probe
+      // input, the probe matures and emits NULL-enriched (LEFT) —
+      // Flink's post-timeout behavior
+      assert(runOnce(idle = true) === Set((100L, None)))
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming temporal join contract rejections are named") {
     val spark = SparkFixture.spark
     import spark.implicits._
@@ -526,6 +587,85 @@ class TemporalJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("oseq"),
         r.getAs[Long]("rate"))).toSet
     assert(got === Set((0L, 1L, 101L), (0L, 2L, 102L)), got.toString)
+  }
+
+  test("probeOf finds the probe table and alias for the view registry " +
+      "(r18: temporal joins preserve the probe's rowtime)") {
+    assert(TemporalJoin.probeOf(
+      "select o.k, o.ot, r.rate from orders o " +
+        "join rates for system_time as of o.ot as r on r.k = o.k")
+      .contains(("orders", "o")))
+    // alias-free probe: the bare table name is the alias
+    assert(TemporalJoin.probeOf(
+      "select orders.k from orders " +
+        "join rates for system_time as of orders.ot as r on r.k = orders.k")
+      .contains(("orders", "orders")))
+    // backticked probe name resolves unquoted
+    assert(TemporalJoin.probeOf(
+      "select o.k from `orders` o " +
+        "join rates for system_time as of o.ot as r on r.k = o.k")
+      .contains(("orders", "o")))
+    // a subquery probe has no single named table — unregistered
+    assert(TemporalJoin.probeOf(
+      "select k from (select * from orders) o " +
+        "join rates for system_time as of o.ot as r on r.k = o.k").isEmpty)
+  }
+
+  test("e2e: a temporal-join VIEW keeps the probe's rowtime and feeds " +
+      "a downstream TUMBLE aggregation (r18 two-stage pipeline)") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-tjw-e2e").toString
+    // rates 100/101/102 effective from 0/10/20 s; orders at 5/35/65 s
+    // enrich to 100/102/102. TUMBLE(1 min) over the view's ot: window
+    // [0,60) holds orders 5 s and 35 s (sum 202), [60,120) holds 65 s
+    // (sum 102) — Flink's temporal-join-feeds-a-window pipeline shape
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table tjw_rates (
+         |  k bigint,
+         |  seq bigint,
+         |  rt as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 10 as int)),
+         |  rate as 100 + seq,
+         |  primary key (k) not enforced,
+         |  watermark for rt as rt - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table tjw_orders (
+         |  k bigint,
+         |  oseq bigint,
+         |  ot as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(5 + oseq * 30 as int)),
+         |  watermark for ot as ot - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.oseq.kind' = 'sequence',
+         |  'fields.oseq.start' = '0', 'fields.oseq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view tjw_enriched as
+         |  select o.k, o.ot, o.oseq, r.rate from tjw_orders o
+         |  join tjw_rates for system_time as of o.ot as r on r.k = o.k;
+         |create table tjw_sink (ws timestamp, n bigint, tot bigint)
+         |  with ('connector' = 'filesystem', 'path' = '$out/sink',
+         |  'format' = 'parquet');
+         |insert into tjw_sink
+         |select window_start as ws, count(*) as n, sum(rate) as tot
+         |from table(tumble(table tjw_enriched, descriptor(ot),
+         |  interval '1' minute))
+         |group by window_start;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-tjw-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 30).run()
+    val got = spark.read.parquet(s"$out/sink")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ws").toString,
+        r.getAs[Long]("n"), r.getAs[Long]("tot"))).toSet
+    assert(got === Set(
+      ("2024-01-01 00:00:00.0", 2L, 202L),
+      ("2024-01-01 00:01:00.0", 1L, 102L)), got.toString)
   }
 
   test("e2e: bounded streaming temporal join enriches with " +

@@ -131,6 +131,36 @@ class UnboundedAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the distinct-set high-water gauge reads the hot key's set " +
+      "size under skew (state is O(distinct values per active key))") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    input.toDF().toDF("k", "v", "tag").createOrReplaceTempView("uagg_hw")
+    val rewritten = UnboundedAgg.rewrite(spark,
+      "SELECT k, COUNT(DISTINCT tag) AS d FROM uagg_hw GROUP BY k",
+      stateTtlSec = 600L)
+    def rows() = spark.table("uagg_hw_out")
+      .select($"k", $"d").as[(String, Long)].collect().toSeq
+    graft.streaming.UnboundedAggTracker.peakDistinctValues.set(0L)
+    val q = spark.sql(rewritten).writeStream.format("memory")
+      .queryName("uagg_hw_out")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .outputMode("update").start()
+    try {
+      // skew: key `hot` sees 40 distinct tags across two batches, the
+      // cold keys 1 each — the gauge must report the hot key's growth,
+      // which the idle-key TTL does NOT bound while the key stays warm
+      input.addData((0 until 25).map(i => ("hot", 1L, s"t$i")) ++
+        Seq(("c1", 1L, "x"), ("c2", 1L, "y")): _*)
+      awaitTrue("first wave")(rows().contains(("hot", 25L)))
+      input.addData((0 until 40).map(i => ("hot", 1L, s"t$i")): _*)
+      awaitTrue("second wave dedups overlap")(rows().contains(("hot", 40L)))
+      assert(
+        graft.streaming.UnboundedAggTracker.peakDistinctValues.get == 40L,
+        s"peak=${graft.streaming.UnboundedAggTracker.peakDistinctValues.get}")
+    } finally q.stop()
+  }
+
   test("contract violations fail by name") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]

@@ -53,6 +53,45 @@ class StateFormatSpec extends AnyFunSuite {
       s"message: ${e.getMessage}")
   }
 
+  test("round-17 stamp (no temporal/TTL keys) fails by name") {
+    // TemporalRowState / TtlTopNState / UnboundedAggState became
+    // checkpointable in rounds 16/17 but were stamped only in round
+    // 18; a r17 checkpoint carries the seven older keys and none of
+    // the three new ones, so its restore must fail the named check
+    // (absent key reads as v0) — never die in the encoder if those
+    // state carriers ever change shape
+    val dir = tmp() + "/cp"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "graft-state-format.json"),
+      """{"patternTracker": 3, "cumulateTracker": 3, "topNTracker": 4,
+        | "unboundedTopN": 2, "gridAggTracker": 2,
+        | "sessionAggTracker": 2, "overAggTracker": 2}""".stripMargin)
+    val e = intercept[IllegalStateException](StateFormat.check(spark, dir))
+    assert(e.getMessage.contains("temporalJoinTracker v0"),
+      s"message: ${e.getMessage}")
+    assert(e.getMessage.contains("ttlTopNTracker v0"),
+      s"message: ${e.getMessage}")
+    assert(e.getMessage.contains("unboundedAggTracker v0"),
+      s"message: ${e.getMessage}")
+  }
+
+  test("current stamp lists every checkpointable tracker state") {
+    // the stamp's reason to exist: any state carrier a durable
+    // checkpoint can hold must have a version key — pin the full key
+    // set so adding a tracker without stamping it fails THIS spec
+    // instead of silently restoring old state through a new encoder
+    val dir = tmp() + "/cp"
+    StateFormat.check(spark, dir)
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "graft-state-format.json"))
+    for (k <- Seq("patternTracker", "cumulateTracker", "topNTracker",
+        "unboundedTopN", "gridAggTracker", "sessionAggTracker",
+        "overAggTracker", "temporalJoinTracker", "ttlTopNTracker",
+        "unboundedAggTracker"))
+      assert(text.contains("\"" + k + "\""), s"stamp missing $k: $text")
+  }
+
   test("unstamped non-empty checkpoint (pre-versioning build) fails") {
     val dir = tmp() + "/cp"
     java.nio.file.Files.createDirectories(
