@@ -235,7 +235,12 @@ object EngineConfig {
           case Some("d") => 86400000L
           case _ => 1L
         }
-        Some(n.toLong * mult)
+        // overflow-safe: a value that won't fit a Long in millis is
+        // unparseable (None), never a raw NumberFormatException or a
+        // silently negative product — callers map None to a named
+        // error or the retain-forever default
+        n.toLongOption.filter(x => x <= Long.MaxValue / mult)
+          .map(_ * mult)
       case _ => None
     }
   }

@@ -221,14 +221,8 @@ final class SqlSubmitAction(
           for {
             (srcName, mrtAlias) <- MatchRecognize.rowtimeMeasureOf(unticked)
             (_, delay) <- watermarkOf(srcName)
-            selM <- raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(body)
-            fromIdx <- WindowTvf.findTopLevel(body, selM.end, "FROM")
-            out <- propagatedName(
-              unticked.substring(selM.end, fromIdx).trim, mrtAlias,
-              colList = colList)
-            if scala.util.Try(spark.table(name).schema).toOption
-              .exists(_.exists(_.name.equalsIgnoreCase(out)))
-          } viewWatermarks(name) = (out, delay)
+          } registerSimpleAttr(spark, name, body, unticked, colList,
+            mrtAlias, delay)
       } else if (TemporalJoin.hasTemporalJoin(guardBody)) {
         // temporal-join view (r18): Flink preserves the PROBE side's
         // rowtime through FOR SYSTEM_TIME AS OF, so a view over the
@@ -243,16 +237,10 @@ final class SqlSubmitAction(
           for {
             (pTable, pAlias) <- TemporalJoin.probeOf(unticked)
             (col, delay) <- watermarkOf(pTable)
-            selM <- raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(body)
-            fromIdx <- WindowTvf.findTopLevel(body, selM.end, "FROM")
-            out <- propagatedName(
-              unticked.substring(selM.end, fromIdx).trim, col,
-              qualifierOk = q => q.equalsIgnoreCase(pAlias) ||
-                q.equalsIgnoreCase(pTable),
-              colList = colList)
-            if scala.util.Try(spark.table(name).schema).toOption
-              .exists(_.exists(_.name.equalsIgnoreCase(out)))
-          } viewWatermarks(name) = (out, delay)
+          } registerSimpleAttr(spark, name, body, unticked, colList,
+            col, delay,
+            qualifierOk = q => q.equalsIgnoreCase(pAlias) ||
+              q.equalsIgnoreCase(pTable))
       } else if (!hasSetOp && !hasGroupBy) {
         if (raw"(?is)\bJOIN\b".r.findFirstIn(guardBody).isEmpty) {
           for {
@@ -280,18 +268,41 @@ final class SqlSubmitAction(
         // (never-late input, single-watermark propagation) — see
         // [[graft.streaming.Watermarks.neverLate]].
         for {
-          selM <- raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(body)
-          fromIdx <- WindowTvf.findTopLevel(body, selM.end, "FROM")
           src <- WindowTvf.tvfSourceName(unticked)
           (_, delay) <- watermarkOf(src)
-          out <- propagatedName(
-            unticked.substring(selM.end, fromIdx).trim, "window_time",
-            colList = colList)
-          if scala.util.Try(spark.table(name).schema).toOption
-            .exists(_.exists(_.name.equalsIgnoreCase(out)))
-        } viewWatermarks(name) = (out, delay)
+        } registerSimpleAttr(spark, name, body, unticked, colList,
+          "window_time", delay)
       }
     }
+  }
+
+  /** Shared tail of the rowtime-carrying view-registration branches
+    * (window-TVF `window_time`, MATCH_ROWTIME pattern views,
+    * temporal-join probe views): slices the OUTER select list, applies
+    * the SIMPLE-item propagation law for `col` under `qualifierOk`,
+    * sanity-checks the created view really exposes the output name,
+    * and records (out, delay). The body must be a SINGLE-select query:
+    * a subquery wrapper could alias an arbitrary EXPRESSION back onto
+    * the attribute name (`SELECT * FROM (SELECT mrt + INTERVAL '1'
+    * HOUR AS mrt FROM ...) t`), which Flink's law drops — the guard
+    * rejects the wrapper identically in every branch, leaving such
+    * views unregistered so the downstream pass raises its named
+    * needs-a-WATERMARK error instead of windowing shifted values.
+    * `body` is the masked text (literals blanked), so a 'SELECT'
+    * inside a string cannot trip the guard. */
+  private def registerSimpleAttr(spark: SparkSession, name: String,
+      body: String, unticked: String, colList: Option[Seq[String]],
+      col: String, delay: String,
+      qualifierOk: String => Boolean = _ => true): Unit = {
+    if (raw"(?is)\bSELECT\b".r.findAllMatchIn(body).take(2).size > 1) return
+    for {
+      selM <- raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(body)
+      fromIdx <- WindowTvf.findTopLevel(body, selM.end, "FROM")
+      out <- propagatedName(unticked.substring(selM.end, fromIdx).trim,
+        col, qualifierOk, colList)
+      if scala.util.Try(spark.table(name).schema).toOption
+        .exists(_.exists(_.name.equalsIgnoreCase(out)))
+    } viewWatermarks(name) = (out, delay)
   }
 
   /** Strips backtick quotes around SIMPLE identifiers. Applied to raw

@@ -231,9 +231,13 @@ object TemporalJoin {
     // a temporal-join view keeps the probe's rowtime, Flink's law, so
     // a view body may hold the join; the CLI registry records the
     // propagated attribute, see SqlSubmitAction.recordViewWatermark)
-    val insM = (raw"(?is)^(\s*INSERT\s+INTO\s+[\w.`]+\s*(?:\([^)]*\))?\s+" +
+    // the column-alias list tolerates quoted parens in COMMENT
+    // clauses, same as SqlSubmitAction.CreateViewRe — a `COMMENT
+    // 'pct)'` must not cut the list short
+    val colListP = raw"\((?:[^()']|'(?:[^']|'')*')*\)"
+    val insM = (raw"(?is)^(\s*INSERT\s+INTO\s+[\w.`]+\s*(?:$colListP)?\s+" +
       raw"|\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+" +
-      raw"(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+\s*(?:\([^)]*\))?\s*AS\s+)?(.*)$$").r
+      raw"(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+\s*(?:$colListP)?\s*AS\s+)?(.*)$$").r
       .findFirstMatchIn(sql).get
     val insertPrefix = Option(insM.group(1)).getOrElse("")
     val stmt = insM.group(2)

@@ -88,6 +88,18 @@ class EngineConfigSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException](
         c.set("table.exec.source.idle-timeout", "soon"))
       assert(e.getMessage.contains("table.exec.source.idle-timeout"))
+      // a duration too large for Long millis is unparseable too — the
+      // NAMED error, never a raw NumberFormatException (20 digits) or
+      // a silently overflowed negative product (huge day count)
+      for (big <- Seq("99999999999999999999", "9999999999999999 d")) {
+        val e2 = intercept[IllegalArgumentException](
+          c.set("table.exec.source.idle-timeout", big))
+        assert(e2.getMessage.contains("table.exec.source.idle-timeout"),
+          e2.getMessage)
+      }
+      // and the TTL route degrades to retain-forever (None), no throw
+      c.set("table.exec.state.ttl", "99999999999999999999")
+      assert(c.stateTtlSec.isEmpty)
     } finally before match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

@@ -659,6 +659,154 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       ("2024-01-01 00:04:00.0", 1L, 2L)), got.toString)
   }
 
+  test("an OVER aggregation runs above a MATCH_ROWTIME pattern view " +
+      "(r18 chain matrix: pattern head, OVER tail)") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-mro-e2e").toString
+    // same data shape as the TUMBLE-tail test: matches at 60/150/240 s
+    // each with na = 2; the OVER stage runs a running SUM over the
+    // pattern view's mrt rowtime -> rs = 2, 4, 6
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table mro_src (
+         |  k bigint,
+         |  seq bigint,
+         |  t as case when seq % 3 = 2 then 'b' else 'a' end,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '9',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '8',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view mro_pat as
+         |  select * from mro_src match_recognize (
+         |    partition by k order by ts
+         |    measures match_rowtime() as mrt, count(a.*) as na
+         |    one row per match after match skip past last row
+         |    pattern (a+ b)
+         |    define a as t = 'a', b as t = 'b');
+         |create table mro_sink (k bigint, na bigint, rs bigint)
+         |  with ('connector' = 'filesystem', 'path' = '$out/sink',
+         |  'format' = 'parquet');
+         |insert into mro_sink
+         |select k, na, sum(na) over (partition by k order by mrt) as rs
+         |from mro_pat;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-mro-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 30).run()
+    val got = spark.read.parquet(s"$out/sink")
+      .collect().map(r => (r.getAs[Long]("na"), r.getAs[Long]("rs"))).toSet
+    assert(got === Set((2L, 2L), (2L, 4L), (2L, 6L)), got.toString)
+  }
+
+  test("a temporal probe runs above a MATCH_ROWTIME pattern view " +
+      "(r18 chain matrix: pattern head, enrichment tail)") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-mrj-e2e").toString
+    // matches at 60/150/240 s enrich against rates effective from
+    // 0/100/200 s -> 100, 101, 102
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table mrj_rates (
+         |  k bigint,
+         |  seq bigint,
+         |  rt as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 100 as int)),
+         |  rate as 100 + seq,
+         |  primary key (k) not enforced,
+         |  watermark for rt as rt - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table mrj_src (
+         |  k bigint,
+         |  seq bigint,
+         |  t as case when seq % 3 = 2 then 'b' else 'a' end,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '9',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '8',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view mrj_pat as
+         |  select * from mrj_src match_recognize (
+         |    partition by k order by ts
+         |    measures match_rowtime() as mrt, count(a.*) as na
+         |    one row per match after match skip past last row
+         |    pattern (a+ b)
+         |    define a as t = 'a', b as t = 'b');
+         |create table mrj_sink (k bigint, na bigint, rate bigint)
+         |  with ('connector' = 'filesystem', 'path' = '$out/sink',
+         |  'format' = 'parquet');
+         |insert into mrj_sink
+         |select p.k, p.na, r.rate from mrj_pat p
+         |join mrj_rates for system_time as of p.mrt as r on r.k = p.k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-mrj-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 30).run()
+    val got = spark.read.parquet(s"$out/sink")
+      .collect().map(r => (r.getAs[Long]("na"), r.getAs[Long]("rate"))).toSet
+    assert(got === Set((2L, 100L), (2L, 101L), (2L, 102L)), got.toString)
+  }
+
+  test("a subquery WRAPPER around a pattern region stays unregistered: " +
+      "an expression aliased back onto the MATCH_ROWTIME name must not " +
+      "pose as a rowtime attribute (r18 review)") {
+    val spark = SparkFixture.spark
+    // the wrapper shifts mrt by an hour and aliases it back — Flink
+    // drops the rowtime attribute through any expression, so the view
+    // must stay OUT of the registry and the downstream TUMBLE must
+    // raise the named needs-a-WATERMARK error, not window the shifted
+    // values under the original delay
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table mrw_src (
+         |  k bigint,
+         |  seq bigint,
+         |  t as case when seq % 3 = 2 then 'b' else 'a' end,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '100000',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view mrw_pat as
+         |  select k, mrt + interval '1' hour as mrt, na from (
+         |    select * from mrw_src match_recognize (
+         |      partition by k order by ts
+         |      measures match_rowtime() as mrt, count(a.*) as na
+         |      one row per match after match skip past last row
+         |      pattern (a+ b)
+         |      define a as t = 'a', b as t = 'b')) w;
+         |select window_start, count(*) as n
+         |from table(tumble(table mrw_pat, descriptor(mrt),
+         |  interval '1' minute))
+         |group by window_start;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-mrw-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark), durationSec = 10).run()
+    }
+    // the view stays unregistered, so the TVF runs as a plain
+    // aggregation over a non-attribute column and fails at start by
+    // name (no watermark for append) — never windows shifted values
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.toLowerCase.contains("watermark")),
+      msgs.mkString(" | "))
+  }
+
   test("a TTL'd updating operator above a windowed view rejects by " +
       "name (the intermediate stage would emit partials as facts)") {
     val spark = SparkFixture.spark

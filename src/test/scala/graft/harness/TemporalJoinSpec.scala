@@ -668,6 +668,64 @@ class TemporalJoinSpec extends AnyFunSuite {
       ("2024-01-01 00:01:00.0", 1L, 102L)), got.toString)
   }
 
+  test("e2e: a window top-N runs above a temporal-join view (r18 " +
+      "chain matrix: enrichment head, ranking tail)") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-tjt-e2e").toString
+    // orders at 5/35/65 s enrich to rates 100/102/102; TUMBLE(1 min)
+    // top-1 by rate: window [0,60) -> 102 (the 35 s order beats the
+    // 5 s one), [60,120) -> 102
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table tjt_rates (
+         |  k bigint,
+         |  seq bigint,
+         |  rt as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 10 as int)),
+         |  rate as 100 + seq,
+         |  primary key (k) not enforced,
+         |  watermark for rt as rt - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table tjt_orders (
+         |  k bigint,
+         |  oseq bigint,
+         |  ot as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(5 + oseq * 30 as int)),
+         |  watermark for ot as ot - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.oseq.kind' = 'sequence',
+         |  'fields.oseq.start' = '0', 'fields.oseq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view tjt_enriched as
+         |  select o.k, o.ot, o.oseq, r.rate from tjt_orders o
+         |  join tjt_rates for system_time as of o.ot as r on r.k = o.k;
+         |create table tjt_sink (ws timestamp, rate bigint, rn bigint)
+         |  with ('connector' = 'filesystem', 'path' = '$out/sink',
+         |  'format' = 'parquet');
+         |insert into tjt_sink
+         |select window_start as ws, rate, rn from (
+         |  select *, row_number() over (
+         |    partition by window_start, window_end
+         |    order by rate desc) as rn
+         |  from table(tumble(table tjt_enriched, descriptor(ot),
+         |    interval '1' minute))) where rn <= 1;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-tjt-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 30).run()
+    val got = spark.read.parquet(s"$out/sink")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ws").toString,
+        r.getAs[Long]("rate"), r.getAs[Long]("rn"))).toSet
+    assert(got === Set(
+      ("2024-01-01 00:00:00.0", 102L, 1L),
+      ("2024-01-01 00:01:00.0", 102L, 1L)), got.toString)
+  }
+
   test("e2e: bounded streaming temporal join enriches with " +
       "MAX_WATERMARK-at-end finality through sql-submit") {
     val spark = SparkFixture.spark
