@@ -62,12 +62,11 @@ final class SqlSubmitAction(
   private val viewWatermarks: mutable.Map[String, (String, String)] =
     mutable.LinkedHashMap.empty
 
-  // the column-alias list tolerates COMMENT clauses: quoted strings
-  // may hold parens, so the group alternates raw chars with complete
-  // single-quoted literals ('' escapes inside)
+  // the column-alias list tolerates COMMENT clauses (shared fragment,
+  // DdlParser.ColListInner — quoted strings may hold parens)
   private val CreateViewRe = (raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?" +
     raw"(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)" +
-    raw"\s*(?:\(((?:[^()']|'(?:[^']|'')*')*)\))?\s*AS\b(.*)$$").r
+    raw"\s*(?:\((${DdlParser.ColListInner})\))?\s*AS\b(.*)$$").r
 
   /** Leading identifier of a column-alias-list item — the alias name
     * ahead of any COMMENT clause. */
@@ -221,7 +220,7 @@ final class SqlSubmitAction(
           for {
             (srcName, mrtAlias) <- MatchRecognize.rowtimeMeasureOf(unticked)
             (_, delay) <- watermarkOf(srcName)
-          } registerSimpleAttr(spark, name, body, unticked, colList,
+          } registerSimpleAttr(spark, name, guardBody, body, unticked, colList,
             mrtAlias, delay)
       } else if (TemporalJoin.hasTemporalJoin(guardBody)) {
         // temporal-join view (r18): Flink preserves the PROBE side's
@@ -237,7 +236,7 @@ final class SqlSubmitAction(
           for {
             (pTable, pAlias) <- TemporalJoin.probeOf(unticked)
             (col, delay) <- watermarkOf(pTable)
-          } registerSimpleAttr(spark, name, body, unticked, colList,
+          } registerSimpleAttr(spark, name, guardBody, body, unticked, colList,
             col, delay,
             qualifierOk = q => q.equalsIgnoreCase(pAlias) ||
               q.equalsIgnoreCase(pTable))
@@ -270,7 +269,7 @@ final class SqlSubmitAction(
         for {
           src <- WindowTvf.tvfSourceName(unticked)
           (_, delay) <- watermarkOf(src)
-        } registerSimpleAttr(spark, name, body, unticked, colList,
+        } registerSimpleAttr(spark, name, guardBody, body, unticked, colList,
           "window_time", delay)
       }
     }
@@ -288,13 +287,23 @@ final class SqlSubmitAction(
     * rejects the wrapper identically in every branch, leaving such
     * views unregistered so the downstream pass raises its named
     * needs-a-WATERMARK error instead of windowing shifted values.
-    * `body` is the masked text (literals blanked), so a 'SELECT'
-    * inside a string cannot trip the guard. */
+    * Fail-closed on purpose: an IDENTITY wrapper (`SELECT * FROM
+    * (SELECT * FROM ...) w`) or a WHERE-subquery would preserve the
+    * attribute in Flink, but proving the inner projection simple
+    * needs per-level select-list analysis — until then those stay
+    * unregistered with the named error (a workaround exists: project
+    * the attribute directly), never the silent wrong-window risk.
+    * The guard is a KEYWORD test, so it runs on `guardBody` (the
+    * masked RAW text — string literals AND backtick-quoted
+    * identifiers blanked; a column named `select` must not trip it),
+    * while the select-list slicing runs on body/unticked like every
+    * other registration. */
   private def registerSimpleAttr(spark: SparkSession, name: String,
-      body: String, unticked: String, colList: Option[Seq[String]],
-      col: String, delay: String,
+      guardBody: String, body: String, unticked: String,
+      colList: Option[Seq[String]], col: String, delay: String,
       qualifierOk: String => Boolean = _ => true): Unit = {
-    if (raw"(?is)\bSELECT\b".r.findAllMatchIn(body).take(2).size > 1) return
+    if (raw"(?is)\bSELECT\b".r.findAllMatchIn(guardBody).take(2).size > 1)
+      return
     for {
       selM <- raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(body)
       fromIdx <- WindowTvf.findTopLevel(body, selM.end, "FROM")

@@ -232,9 +232,9 @@ object TemporalJoin {
     // a view body may hold the join; the CLI registry records the
     // propagated attribute, see SqlSubmitAction.recordViewWatermark)
     // the column-alias list tolerates quoted parens in COMMENT
-    // clauses, same as SqlSubmitAction.CreateViewRe — a `COMMENT
-    // 'pct)'` must not cut the list short
-    val colListP = raw"\((?:[^()']|'(?:[^']|'')*')*\)"
+    // clauses — the SAME shared fragment CreateViewRe interpolates, so
+    // a `COMMENT 'pct)'` cuts neither parse short
+    val colListP = DdlParser.ColListFragment
     val insM = (raw"(?is)^(\s*INSERT\s+INTO\s+[\w.`]+\s*(?:$colListP)?\s+" +
       raw"|\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?VIEW\s+" +
       raw"(?:IF\s+NOT\s+EXISTS\s+)?[\w.`]+\s*(?:$colListP)?\s*AS\s+)?(.*)$$").r

@@ -779,8 +779,9 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
          |  'fields.seq.start' = '0', 'fields.seq.end' = '100000',
          |  'fields.k.min' = '0', 'fields.k.max' = '0');
          |create temporary view mrw_pat as
-         |  select k, mrt + interval '1' hour as mrt, na from (
-         |    select * from mrw_src match_recognize (
+         |  select * from (
+         |    select k, mrt + interval '1' hour as mrt, na
+         |    from mrw_src match_recognize (
          |      partition by k order by ts
          |      measures match_rowtime() as mrt, count(a.*) as na
          |      one row per match after match skip past last row
