@@ -220,7 +220,7 @@ final class SqlSubmitAction(
           for {
             (srcName, mrtAlias) <- MatchRecognize.rowtimeMeasureOf(unticked)
             (_, delay) <- watermarkOf(srcName)
-          } registerSimpleAttr(spark, name, guardBody, body, unticked, colList,
+          } registerSimpleAttr(spark, name, body, unticked, colList,
             mrtAlias, delay)
       } else if (TemporalJoin.hasTemporalJoin(guardBody)) {
         // temporal-join view (r18): Flink preserves the PROBE side's
@@ -236,7 +236,7 @@ final class SqlSubmitAction(
           for {
             (pTable, pAlias) <- TemporalJoin.probeOf(unticked)
             (col, delay) <- watermarkOf(pTable)
-          } registerSimpleAttr(spark, name, guardBody, body, unticked, colList,
+          } registerSimpleAttr(spark, name, body, unticked, colList,
             col, delay,
             qualifierOk = q => q.equalsIgnoreCase(pAlias) ||
               q.equalsIgnoreCase(pTable))
@@ -269,7 +269,7 @@ final class SqlSubmitAction(
         for {
           src <- WindowTvf.tvfSourceName(unticked)
           (_, delay) <- watermarkOf(src)
-        } registerSimpleAttr(spark, name, guardBody, body, unticked, colList,
+        } registerSimpleAttr(spark, name, body, unticked, colList,
           "window_time", delay)
       }
     }
@@ -277,38 +277,82 @@ final class SqlSubmitAction(
 
   /** Shared tail of the rowtime-carrying view-registration branches
     * (window-TVF `window_time`, MATCH_ROWTIME pattern views,
-    * temporal-join probe views): slices the OUTER select list, applies
-    * the SIMPLE-item propagation law for `col` under `qualifierOk`,
-    * sanity-checks the created view really exposes the output name,
-    * and records (out, delay). The body must be a SINGLE-select query:
-    * a subquery wrapper could alias an arbitrary EXPRESSION back onto
-    * the attribute name (`SELECT * FROM (SELECT mrt + INTERVAL '1'
-    * HOUR AS mrt FROM ...) t`), which Flink's law drops — the guard
-    * rejects the wrapper identically in every branch, leaving such
-    * views unregistered so the downstream pass raises its named
-    * needs-a-WATERMARK error instead of windowing shifted values.
-    * Fail-closed on purpose: an IDENTITY wrapper (`SELECT * FROM
-    * (SELECT * FROM ...) w`) or a WHERE-subquery would preserve the
-    * attribute in Flink, but proving the inner projection simple
-    * needs per-level select-list analysis — until then those stay
-    * unregistered with the named error (a workaround exists: project
-    * the attribute directly), never the silent wrong-window risk.
-    * The guard is a KEYWORD test, so it runs on `guardBody` (the
-    * masked RAW text — string literals AND backtick-quoted
-    * identifiers blanked; a column named `select` must not trip it),
-    * while the select-list slicing runs on body/unticked like every
-    * other registration. */
+    * temporal-join probe views): resolves the attribute `col` through
+    * the body's SELECT levels, sanity-checks the created view really
+    * exposes the resolved output name, and records (out, delay).
+    *
+    * Levels resolve STRUCTURALLY, the way Flink applies its
+    * projection law per SELECT level: when a level's FROM target is a
+    * parenthesized subquery — `SELECT * FROM (SELECT ... FROM t
+    * MATCH_RECOGNIZE(...)) w` — the walk peels it, requires the tail
+    * after the subquery to be only an optional alias plus an optional
+    * clean WHERE (a top-level JOIN / GROUP BY / ORDER BY / LIMIT /
+    * set op at a wrapper level drops the attribute; a filter keeps
+    * it), and folds the attribute name inside-out through every
+    * level's SIMPLE-item law. A level that wraps the attribute in an
+    * EXPRESSION (`mrt + INTERVAL '1' HOUR AS mrt`) fails its
+    * propagatedName and the view stays unregistered — the downstream
+    * pass then raises its named needs-a-WATERMARK error, never the
+    * silent wrong-window risk of registering a shifted column.
+    * Slicing runs on body (masked unticked) with raw item text
+    * re-read from unticked at the same offsets; the walk is
+    * structural, so no keyword counting can be tripped by quoted
+    * text. */
   private def registerSimpleAttr(spark: SparkSession, name: String,
-      guardBody: String, body: String, unticked: String,
+      body: String, unticked: String,
       colList: Option[Seq[String]], col: String, delay: String,
       qualifierOk: String => Boolean = _ => true): Unit = {
-    if (raw"(?is)\bSELECT\b".r.findAllMatchIn(guardBody).take(2).size > 1)
-      return
+    // tail after a wrapper's closing paren: an optional alias, then
+    // the remainder (must be empty or a clean WHERE — checked below)
+    val WrapTailRe =
+      raw"(?is)^(?:\s+(?:AS\s+)?(?!WHERE\b)([A-Za-z_]\w*))?\s*(.*)$$".r
+    // one (selectList, qualifier law) per level, OUTERMOST first. A
+    // wrapper level's items may qualify with its own subquery alias
+    // (`SELECT w.mrt FROM (...) w`); the innermost level's items with
+    // the branch's relations (the caller's qualifierOk).
+    def collect(b: String, u: String, depth: Int)
+        : Option[List[(String, String => Boolean)]] = {
+      if (depth > 5) return None
+      for {
+        selM <- raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(b)
+        fromIdx <- WindowTvf.findTopLevel(b, selM.end, "FROM")
+        list = u.substring(selM.end, fromIdx).trim
+        targetIdx = (fromIdx + 4) +
+          b.substring(fromIdx + 4).takeWhile(_.isWhitespace).length
+        lvls <-
+          if (targetIdx >= b.length || b.charAt(targetIdx) != '(')
+            Some(List((list, qualifierOk))) // innermost level
+          else
+            for {
+              close <- scala.util.Try(
+                MatchRecognize.closeParen(b, targetIdx)).toOption
+              tm <- WrapTailRe.findFirstMatchIn(b.substring(close))
+              tail = tm.group(2).trim
+              // a top-level JOIN / GROUP BY / ORDER BY / LIMIT / set
+              // op around the wrapper drops the attribute; a plain
+              // WHERE keeps it (filters preserve rowtime)
+              if tail.isEmpty || (raw"(?is)^WHERE\b".r
+                .findFirstIn(tail).isDefined &&
+                Seq("GROUP", "ORDER", "UNION", "INTERSECT", "EXCEPT",
+                  "JOIN", "LIMIT")
+                  .forall(k => WindowTvf.findTopLevel(tail, 0, k).isEmpty))
+              inner <- collect(b.substring(targetIdx + 1, close - 1),
+                u.substring(targetIdx + 1, close - 1), depth + 1)
+              alias = Option(tm.group(1))
+            } yield (list,
+              (q: String) => alias.exists(_.equalsIgnoreCase(q))) :: inner
+      } yield lvls
+    }
     for {
-      selM <- raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(body)
-      fromIdx <- WindowTvf.findTopLevel(body, selM.end, "FROM")
-      out <- propagatedName(unticked.substring(selM.end, fromIdx).trim,
-        col, qualifierOk, colList)
+      lvls <- collect(body, unticked, 0)
+      // the attribute flows inner -> outer: fold innermost-first; the
+      // view's declared column-alias list renames the OUTERMOST level
+      ordered = lvls.reverse
+      out <- ordered.zipWithIndex.foldLeft(Option(col)) {
+        case (acc, ((list, q), i)) => acc.flatMap(n =>
+          propagatedName(list, n, q,
+            if (i == ordered.length - 1) colList else None))
+      }
       if scala.util.Try(spark.table(name).schema).toOption
         .exists(_.exists(_.name.equalsIgnoreCase(out)))
     } viewWatermarks(name) = (out, delay)

@@ -756,6 +756,60 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(got === Set((2L, 100L), (2L, 101L), (2L, 102L)), got.toString)
   }
 
+  test("an IDENTITY wrapper around a pattern region keeps the rowtime " +
+      "(r18: the registry folds the attribute through nested SIMPLE " +
+      "projections, Flink's per-level law)") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-mri-e2e").toString
+    // same pipeline as the direct MATCH_ROWTIME -> TUMBLE e2e, but the
+    // pattern region sits inside `SELECT * FROM ( ... ) w WHERE na > 0`
+    // — identity projection + filter, both of which preserve the
+    // attribute in Flink
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table mri_src (
+         |  k bigint,
+         |  seq bigint,
+         |  t as case when seq % 3 = 2 then 'b' else 'a' end,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '9',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '8',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view mri_pat as
+         |  select * from (
+         |    select * from mri_src match_recognize (
+         |      partition by k order by ts
+         |      measures match_rowtime() as mrt, count(a.*) as na
+         |      one row per match after match skip past last row
+         |      pattern (a+ b)
+         |      define a as t = 'a', b as t = 'b')) w
+         |  where na > 0;
+         |create table mri_sink (ws timestamp, n bigint, tot bigint)
+         |  with ('connector' = 'filesystem', 'path' = '$out/sink',
+         |  'format' = 'parquet');
+         |insert into mri_sink
+         |select window_start as ws, count(*) as n, sum(na) as tot
+         |from table(tumble(table mri_pat, descriptor(mrt),
+         |  interval '1' minute))
+         |group by window_start;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-mri-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 30).run()
+    val got = spark.read.parquet(s"$out/sink")
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("ws").toString,
+        r.getAs[Long]("n"), r.getAs[Long]("tot"))).toSet
+    assert(got === Set(
+      ("2024-01-01 00:01:00.0", 1L, 2L),
+      ("2024-01-01 00:02:00.0", 1L, 2L),
+      ("2024-01-01 00:04:00.0", 1L, 2L)), got.toString)
+  }
+
   test("a subquery WRAPPER around a pattern region stays unregistered: " +
       "an expression aliased back onto the MATCH_ROWTIME name must not " +
       "pose as a rowtime attribute (r18 review)") {
