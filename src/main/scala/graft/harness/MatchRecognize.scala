@@ -1,5 +1,6 @@
 package graft.harness
 
+import graft.harness.ddl.DdlParser
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -1305,7 +1306,14 @@ object MatchRecognize {
     fail("unbalanced parentheses")
   }
 
-  private val TableBeforeRe = raw"(?is)([A-Za-z_][A-Za-z0-9_.]*)\s*$$".r
+  /** The source-name-before-the-marker law, shared by both rewrites
+    * and [[rowtimeMeasureOf]]: a bare (possibly dotted) identifier or
+    * a backtick-quoted name, anchored at the end of the text before
+    * `MATCH_RECOGNIZE`. Callers matching on MASKED text re-read the
+    * group from the raw statement (quote content is blanked but
+    * offsets align). */
+  private val TableBeforeRe =
+    raw"(?is)(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)\s*$$".r
 
   /** Index of the `(` matching the `)` at `closeIdx` — forward scan
     * with a depth stack, quote-aware (a paren inside a string literal
@@ -1392,13 +1400,17 @@ object MatchRecognize {
       if MarkerRe.findFirstMatchIn(masked.substring(m.end)).isEmpty
       open = sql.indexOf('(', m.start)
       end <- scala.util.Try(closeParen(sql, open)).toOption
-      tm <- TableBeforeRe.findFirstMatchIn(sql.substring(0, m.start))
-      if !tm.group(1).equalsIgnoreCase("FROM")
+      // the source name may be backtick-quoted — match on the masked
+      // text (quote chars kept, content blanked) and re-read raw
+      tm <- TableBeforeRe.findFirstMatchIn(masked.substring(0, m.start))
+      srcName = DdlParser.unquoteName(
+        sql.substring(tm.start(1), tm.end(1)))
+      if !srcName.equalsIgnoreCase("FROM")
       spec <- scala.util.Try(parseSpec(sql.substring(open + 1, end - 1)))
         .toOption
       alias <- spec.measures.collectFirst {
         case MatchRowtimeMeasure(a) => a }
-    } yield (tm.group(1), alias)
+    } yield (srcName, alias)
   }
 
   def rewrite(spark: SparkSession, sql: String): String = {
@@ -1449,8 +1461,10 @@ object MatchRecognize {
             val tm = TableBeforeRe.findFirstMatchIn(before)
               .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` " +
                 "or `FROM (subquery) MATCH_RECOGNIZE (...)`"))
+            // keep the ticks for spark.table (names with specials
+            // parse); a TICKED name is never the FROM keyword
             val t = tm.group(1)
-            if (t.equalsIgnoreCase("FROM"))
+            if (!t.startsWith("`") && t.equalsIgnoreCase("FROM"))
               fail("expected a table name before MATCH_RECOGNIZE")
             (t, tm.start)
           }
@@ -1562,10 +1576,12 @@ object MatchRecognize {
           val tm = TableBeforeRe.findFirstMatchIn(before)
             .getOrElse(fail("expected `FROM <table> MATCH_RECOGNIZE (...)` " +
               "or `FROM (subquery) MATCH_RECOGNIZE (...)`"))
+          // ticks kept for spark.table; the watermark registry keys
+          // on the UNQUOTED name (how the DDL recorded it)
           val t = tm.group(1)
-          if (t.equalsIgnoreCase("FROM"))
+          if (!t.startsWith("`") && t.equalsIgnoreCase("FROM"))
             fail("expected a table name before MATCH_RECOGNIZE")
-          (t, tm.start, watermarkOf(t))
+          (t, tm.start, watermarkOf(DdlParser.unquoteName(t)))
         }
       val spec = {
         val parsed = parseSpec(out.substring(open + 1, end - 1))

@@ -313,14 +313,36 @@ final class SqlSubmitAction(
     def collect(b: String, u: String, depth: Int)
         : Option[List[(String, String => Boolean)]] = {
       if (depth > 5) return None
+      // the FROM target begins past whitespace AND block comments —
+      // `FROM /* hint */ (SELECT ...)` is still a wrapper, and must
+      // never be misread as an innermost level (that would skip the
+      // inner list's simple-item check entirely)
+      def targetStart(from: Int): Int = {
+        var i = from
+        var go = true
+        while (go) {
+          while (i < b.length && b.charAt(i).isWhitespace) i += 1
+          if (i + 1 < b.length && b.charAt(i) == '/' &&
+              b.charAt(i + 1) == '*') {
+            val e = b.indexOf("*/", i + 2)
+            i = if (e < 0) b.length else e + 2
+          } else go = false
+        }
+        i
+      }
       for {
         selM <- raw"(?is)^\s*SELECT\s+".r.findFirstMatchIn(b)
         fromIdx <- WindowTvf.findTopLevel(b, selM.end, "FROM")
         list = u.substring(selM.end, fromIdx).trim
-        targetIdx = (fromIdx + 4) +
-          b.substring(fromIdx + 4).takeWhile(_.isWhitespace).length
+        targetIdx = targetStart(fromIdx + 4)
+        // fail CLOSED on anything that is neither a subquery paren nor
+        // a relation token — an unrecognized target must leave the
+        // view unregistered, never default to the innermost-level law
+        if targetIdx < b.length && (b.charAt(targetIdx) == '(' ||
+          b.charAt(targetIdx).isLetter || b.charAt(targetIdx) == '_' ||
+          b.charAt(targetIdx) == '`')
         lvls <-
-          if (targetIdx >= b.length || b.charAt(targetIdx) != '(')
+          if (b.charAt(targetIdx) != '(')
             Some(List((list, qualifierOk))) // innermost level
           else
             for {

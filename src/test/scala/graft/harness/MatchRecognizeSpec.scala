@@ -2719,6 +2719,32 @@ class MatchRecognizeSpec extends AnyFunSuite {
     finally MatchRecognize.dropViews(spark, batchSql)
   }
 
+  test("rowtimeMeasureOf finds the source and alias for the registry; " +
+      "backticked sources resolve unquoted") {
+    val q = (src: String) =>
+      s"""select * from $src match_recognize (
+         |  partition by k order by ts
+         |  measures match_rowtime() as mrt
+         |  pattern (a) define a as t = 'a')""".stripMargin
+    assert(MatchRecognize.rowtimeMeasureOf(q("pat_src"))
+      .contains(("pat_src", "mrt")))
+    assert(MatchRecognize.rowtimeMeasureOf(q("`pat_src`"))
+      .contains(("pat_src", "mrt")))
+    // no MATCH_ROWTIME measure -> no registration
+    assert(MatchRecognize.rowtimeMeasureOf(
+      q("pat_src").replace("match_rowtime()", "count(a.*)")).isEmpty)
+    // the REWRITES accept the backticked source too (one shared law)
+    import SparkFixture.spark.implicits._
+    Seq((1L, new java.sql.Timestamp(10000L), "a"))
+      .toDF("k", "ts", "t").createOrReplaceTempView("pat_src")
+    val batchSql = MatchRecognize.rewrite(SparkFixture.spark, q("`pat_src`"))
+    try assert(SparkFixture.spark.sql(batchSql).count() == 1L)
+    finally MatchRecognize.dropViews(SparkFixture.spark, batchSql)
+    // two regions -> unregistered (no single propagated attribute)
+    assert(MatchRecognize.rowtimeMeasureOf(
+      q("pat_src") + " union all " + q("pat_src")).isEmpty)
+  }
+
   test("MATCH_ROWTIME() contract: needs an ascending TIMESTAMP head") {
     seq((1, 1, "a", 0)) // ORDER BY o is a LONG
     val base =
