@@ -1185,10 +1185,63 @@ object PatternQueries {
         |)""".stripMargin)
   }
 
+  /** `MATCH_ROWTIME()` (r18): Flink's event-time measure — the rowtime
+    * of the match's last row, which in the `V C+ P` funnel is the
+    * purchase's second. The oracle is q64's relational restatement
+    * with the match end projected as the measure (epoch seconds, the
+    * house timestamp-compare convention); the Spark side takes the
+    * TIMESTAMP measure and converts in the outer select, exercising
+    * the ascending-TIMESTAMP-head contract the measure requires.
+    */
+  val q118MatchRowtime: Q = Q(
+    "q118_match_rowtime",
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+      |      CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT), event_id) AS rn
+      |  FROM events),
+      |v AS (SELECT user_id, rn AS vrn FROM e WHERE event_type = 'view'),
+      |nc AS (
+      |  SELECT v.user_id, v.vrn, MIN(e2.rn) AS endrn
+      |  FROM v JOIN e e2 ON e2.user_id = v.user_id AND e2.rn > v.vrn
+      |    AND e2.event_type <> 'click'
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT n.user_id, e3.ts_sec AS mrt_sec,
+      |    n.endrn - n.vrn - 1 AS n_clicks
+      |  FROM nc n JOIN e e3 ON e3.user_id = n.user_id AND e3.rn = n.endrn
+      |  WHERE e3.event_type = 'purchase' AND n.endrn > n.vrn + 1)
+      |SELECT user_id, mrt_sec, CAST(n_clicks AS BIGINT) AS n_clicks
+      |FROM m""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tst"))
+      .createOrReplaceTempView("graft_mr_events_rt")
+    graft.harness.MatchRecognize.sql(s,
+      """SELECT user_id, CAST(unix_timestamp(mrt) AS BIGINT) AS mrt_sec,
+        |  n_clicks
+        |FROM graft_mr_events_rt
+        |MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY tst, event_id
+        |  MEASURES
+        |    MATCH_ROWTIME() AS mrt,
+        |    COUNT(C.*) AS n_clicks
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (V C+ P)
+        |  DEFINE
+        |    V AS event_type = 'view',
+        |    C AS event_type = 'click',
+        |    P AS event_type = 'purchase'
+        |)""".stripMargin)
+  }
+
   def all: Seq[Q] = Seq(
     q64MatchRecognize, q65PrevPattern, q66AllRows, q67Alternation,
     q68Within, q69SkipChain, q72Classifier, q73CrossDefine,
     q74AggMeasures, q75PrevExpr, q76AggDefine, q77GroupPattern,
     q78OffsetMeasures, q79NextNav, q80AltGroup, q81Subset,
-    q82DefineOffset, q83NestedNav, q84ExprMeasures)
+    q82DefineOffset, q83NestedNav, q84ExprMeasures, q118MatchRowtime)
 }
