@@ -1307,13 +1307,15 @@ object MatchRecognize {
   }
 
   /** The source-name-before-the-marker law, shared by both rewrites
-    * and [[rowtimeMeasureOf]]: a bare (possibly dotted) identifier or
-    * a backtick-quoted name, anchored at the end of the text before
-    * `MATCH_RECOGNIZE`. Callers matching on MASKED text re-read the
+    * and [[rowtimeMeasureOf]]: a dotted chain of identifier segments,
+    * each bare or backtick-quoted (`db`.`tbl`, db.tbl, `tbl`),
+    * anchored at the end of the text before `MATCH_RECOGNIZE` — the
+    * whole chain must match, or a qualified name would mis-splice at
+    * its last segment. Callers matching on MASKED text re-read the
     * group from the raw statement (quote content is blanked but
     * offsets align). */
   private val TableBeforeRe =
-    raw"(?is)(`[^`]+`|[A-Za-z_][A-Za-z0-9_.]*)\s*$$".r
+    raw"(?is)((?:`[^`]+`|[A-Za-z_]\w*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_]\w*))*)\s*$$".r
 
   /** Index of the `(` matching the `)` at `closeIdx` — forward scan
     * with a depth stack, quote-aware (a paren inside a string literal
@@ -1403,9 +1405,11 @@ object MatchRecognize {
       // the source name may be backtick-quoted — match on the masked
       // text (quote chars kept, content blanked) and re-read raw
       tm <- TableBeforeRe.findFirstMatchIn(masked.substring(0, m.start))
-      srcName = DdlParser.unquoteName(
-        sql.substring(tm.start(1), tm.end(1)))
-      if !srcName.equalsIgnoreCase("FROM")
+      rawName = sql.substring(tm.start(1), tm.end(1))
+      srcName = DdlParser.unquoteName(rawName)
+      // same tick-guard as the rewrites: a TICKED name is never the
+      // FROM keyword, so `FROM` (backticked) registers like any table
+      if rawName.startsWith("`") || !srcName.equalsIgnoreCase("FROM")
       spec <- scala.util.Try(parseSpec(sql.substring(open + 1, end - 1)))
         .toOption
       alias <- spec.measures.collectFirst {

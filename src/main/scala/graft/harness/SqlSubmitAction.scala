@@ -316,7 +316,13 @@ final class SqlSubmitAction(
       // the FROM target begins past whitespace AND block comments —
       // `FROM /* hint */ (SELECT ...)` is still a wrapper, and must
       // never be misread as an innermost level (that would skip the
-      // inner list's simple-item check entirely)
+      // inner list's simple-item check entirely). Known bound: b is
+      // quote-MASKED by the comment-UNAWARE maskQuoted, so a comment
+      // containing a quote char blanks past its own `*/` — the scan
+      // then finds no close and the guard below fails CLOSED
+      // (unregistered + the named error downstream, never a silent
+      // mis-register); the same limitation governs every masked-text
+      // scan in this file
       def targetStart(from: Int): Int = {
         var i = from
         var go = true

@@ -2730,6 +2730,16 @@ class MatchRecognizeSpec extends AnyFunSuite {
       .contains(("pat_src", "mrt")))
     assert(MatchRecognize.rowtimeMeasureOf(q("`pat_src`"))
       .contains(("pat_src", "mrt")))
+    // a QUALIFIED source resolves as a whole chain (never mis-spliced
+    // at its last segment) — the registry keys on the bare table name
+    assert(MatchRecognize.rowtimeMeasureOf(q("`db`.`pat_src`"))
+      .contains(("pat_src", "mrt")))
+    assert(MatchRecognize.rowtimeMeasureOf(q("db.pat_src"))
+      .contains(("pat_src", "mrt")))
+    // a TICKED name is never the FROM keyword — same law as the
+    // rewrites
+    assert(MatchRecognize.rowtimeMeasureOf(q("`FROM`"))
+      .contains(("FROM", "mrt")))
     // no MATCH_ROWTIME measure -> no registration
     assert(MatchRecognize.rowtimeMeasureOf(
       q("pat_src").replace("match_rowtime()", "count(a.*)")).isEmpty)
