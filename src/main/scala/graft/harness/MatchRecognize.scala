@@ -1614,7 +1614,10 @@ object MatchRecognize {
         s"streaming MATCH_RECOGNIZE needs a WATERMARK declaration on $table"))
       if (spec.orderDesc.exists(identity))
         fail("streaming MATCH_RECOGNIZE must ORDER BY the event-time " +
-          "column ASCENDING (watermarks mature rows in time order)")
+          "column ASCENDING (watermarks mature rows in time order; " +
+          "Flink imposes the same — its streaming MATCH_RECOGNIZE " +
+          "requires the primary sort to be an ascending time " +
+          "attribute; DESC runs in batch mode here, beyond Flink)")
       if (spec.orderBy.map(_.toLowerCase) != Seq(wmCol.toLowerCase))
         fail("streaming MATCH_RECOGNIZE must ORDER BY exactly the " +
           s"source's event-time column ($wmCol); got ${spec.orderBy.mkString(", ")}")
