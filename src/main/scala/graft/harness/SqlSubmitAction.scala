@@ -62,6 +62,16 @@ final class SqlSubmitAction(
   private val viewWatermarks: mutable.Map[String, (String, String)] =
     mutable.LinkedHashMap.empty
 
+  /** Test seam: the registered (rowtime column, delay) of a view, if
+    * any — registration is otherwise observable only through a
+    * downstream streaming statement's behavior, and some guarded
+    * shapes (a batch-created temporal view with an extra regular
+    * join) have no streaming consumer to observe them through.
+    */
+  private[harness] def registeredRowtimeOf(
+      view: String): Option[(String, String)] =
+    viewWatermarks.keys.find(_.equalsIgnoreCase(view)).map(viewWatermarks)
+
   // the column-alias list tolerates COMMENT clauses (shared fragment,
   // DdlParser.ColListInner — quoted strings may hold parens)
   private val CreateViewRe = (raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?" +
@@ -201,6 +211,18 @@ final class SqlSubmitAction(
         .findFirstIn(guardBody).isDefined
       val hasGroupBy = raw"(?is)\bGROUP\s+BY\b".r
         .findFirstIn(guardBody).isDefined
+      // Flink drops time attributes through REGULAR joins — the plain
+      // branch routes such bodies through recordJoinViewWatermark's
+      // stream-static validation, and the pattern/temporal branches
+      // must not register past one either (r19, advice): a pattern
+      // view counts any JOIN as regular (MATCH_RECOGNIZE carries
+      // none of its own); a temporal-join view counts JOINs beyond
+      // its FOR SYSTEM_TIME joins (each carries exactly one JOIN
+      // keyword). Such views stay unregistered — fail closed, the
+      // downstream pass raises its named needs-a-WATERMARK error,
+      // matching Flink's rejection of a window over a dropped
+      // attribute.
+      val joinKeywords = raw"(?is)\bJOIN\b".r.findAllIn(guardBody).size
       if (MatchRecognize.hasMatchRecognize(guardBody)) {
         // pattern-output view (r18): Flink's MATCH_ROWTIME() measure
         // is a rowtime attribute of the MATCH_RECOGNIZE output, so a
@@ -216,7 +238,7 @@ final class SqlSubmitAction(
         // A GROUP BY around the pattern drops the attribute (Flink's
         // aggregation law — only window-TVF aggs keep one, and those
         // bodies carry no MATCH_RECOGNIZE text of their own).
-        if (!hasSetOp && !hasGroupBy)
+        if (!hasSetOp && !hasGroupBy && joinKeywords == 0)
           for {
             (srcName, mrtAlias) <- MatchRecognize.rowtimeMeasureOf(unticked)
             (_, delay) <- watermarkOf(srcName)
@@ -232,7 +254,8 @@ final class SqlSubmitAction(
         // view's stored plan holds the tracker); this record answers
         // the downstream rewrite's column/delay lookup, in batch too
         // (the interval-ized rewrite keeps the probe columns).
-        if (!hasSetOp && !hasGroupBy)
+        if (!hasSetOp && !hasGroupBy &&
+            joinKeywords == TemporalJoin.temporalJoinCount(guardBody))
           for {
             (pTable, pAlias) <- TemporalJoin.probeOf(unticked)
             (col, delay) <- watermarkOf(pTable)

@@ -62,6 +62,15 @@ object TemporalJoin {
   def hasTemporalJoin(sql: String): Boolean =
     MarkerRe.findFirstIn(sql).isDefined
 
+  /** Number of `FOR SYSTEM_TIME AS OF` joins in `sql` (each carries
+    * exactly one JOIN keyword) — the view registry compares this
+    * against the body's total JOIN-keyword count to detect a REGULAR
+    * join alongside the temporal ones, which drops the rowtime
+    * attribute in Flink. Callers pass masked text.
+    */
+  def temporalJoinCount(sql: String): Int =
+    MarkerRe.findAllIn(sql).size
+
   /** For the CLI's event-time view registry
     * (SqlSubmitAction.recordViewWatermark): the PROBE (left) table and
     * its alias of the first `FOR SYSTEM_TIME AS OF` join in `sql` —

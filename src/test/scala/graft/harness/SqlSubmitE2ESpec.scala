@@ -810,6 +810,127 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       ("2024-01-01 00:04:00.0", 1L, 2L)), got.toString)
   }
 
+  test("a pattern view with a REGULAR join beside the MATCH_RECOGNIZE " +
+      "stays unregistered: Flink drops time attributes through regular " +
+      "joins (r19 advice)") {
+    val spark = SparkFixture.spark
+    // the view enriches the pattern output against a dimension with a
+    // plain JOIN — Flink drops the rowtime attribute through any
+    // regular join, so the view must stay OUT of the registry and the
+    // downstream TUMBLE must raise the named needs-a-WATERMARK error,
+    // never window under the source's registered delay
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |create table mjg_dim (
+         |  k bigint,
+         |  tag bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'datagen', 'number-of-rows' = '1',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0',
+         |  'fields.tag.min' = '7', 'fields.tag.max' = '7');
+         |create table mjg_src (
+         |  k bigint,
+         |  seq bigint,
+         |  t as case when seq % 3 = 2 then 'b' else 'a' end,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '100000',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view mjg_pat as
+         |  select p.k, p.mrt, p.na, d.tag
+         |  from (
+         |    select * from mjg_src match_recognize (
+         |      partition by k order by ts
+         |      measures match_rowtime() as mrt, count(a.*) as na
+         |      one row per match after match skip past last row
+         |      pattern (a+ b)
+         |      define a as t = 'a', b as t = 'b')) p
+         |  join mjg_dim d on d.k = p.k;
+         |select window_start, count(*) as n
+         |from table(tumble(table mjg_pat, descriptor(mrt),
+         |  interval '1' minute))
+         |group by window_start;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-mjg-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark), durationSec = 10).run()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.toLowerCase.contains("watermark")),
+      msgs.mkString(" | "))
+  }
+
+  test("a temporal-join view with an EXTRA regular join stays " +
+      "unregistered: only the FOR SYSTEM_TIME joins keep the probe's " +
+      "rowtime (r19 advice)") {
+    val spark = SparkFixture.spark
+    // probe -> temporal enrich (keeps rowtime in Flink) -> plain JOIN
+    // against a second dimension (drops it). The STREAMING rewrite
+    // already rejects this shape at view creation ("residual WHERE
+    // only"), so the exposure is a BATCH-created view (the interval
+    // rewrite tolerates surrounding joins) later consulted by the
+    // registry — e.g. a mixed-mode script or a chained child view.
+    // The guard keeps it out; the pure temporal control registers.
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table tjg_rates (
+         |  k bigint,
+         |  seq bigint,
+         |  rt as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 100 as int)),
+         |  rate as 100 + seq,
+         |  primary key (k) not enforced,
+         |  watermark for rt as rt - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table tjg_dim (
+         |  k bigint,
+         |  tag bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'datagen', 'number-of-rows' = '1',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0',
+         |  'fields.tag.min' = '7', 'fields.tag.max' = '7');
+         |create table tjg_src (
+         |  k bigint,
+         |  seq bigint,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '9',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '8',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view tjg_enrich as
+         |  select p.k, p.ts, r.rate, d.tag
+         |  from tjg_src p
+         |  join tjg_rates for system_time as of p.ts as r on r.k = p.k
+         |  join tjg_dim d on d.k = p.k;
+         |create temporary view tjg_pure as
+         |  select p.k, p.ts, r.rate
+         |  from tjg_src p
+         |  join tjg_rates for system_time as of p.ts as r on r.k = p.k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-tjg-", ".sql")
+    Files.writeString(file, script)
+    val action = new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 10)
+    action.run()
+    assert(action.registeredRowtimeOf("tjg_enrich").isEmpty,
+      "extra regular join must drop the probe's rowtime (Flink's law)")
+    assert(action.registeredRowtimeOf("tjg_pure")
+      .exists(_._1.equalsIgnoreCase("ts")),
+      "pure temporal view must keep the probe's rowtime")
+  }
+
   test("a subquery WRAPPER around a pattern region stays unregistered: " +
       "an expression aliased back onto the MATCH_ROWTIME name must not " +
       "pose as a rowtime attribute (r18 review)") {
