@@ -15,8 +15,15 @@ final class EngineConfig(spark: SparkSession) {
   /** Raw keys as SET by the script, in script order. */
   val raw: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
 
+  /** The max-policy caveat is printed once per session, not per SET —
+    * a script SETting the key in a loop must not spam stderr. */
+  private var warnedMaxPolicy = false
+
   def set(key: String, value: String): Unit = {
-    raw(key) = value
+    // validate FIRST: a rejected SET (unparseable duration,
+    // unresolvable zone) must leave NO trace in the compile-time
+    // snapshot, or a later bare RESET / isShiftedTimeline would act
+    // as if the key had been applied (r19 advice)
     key match {
       case "parallelism.default" | "table.exec.resource.default-parallelism" =>
         spark.conf.set("spark.sql.shuffle.partitions", value)
@@ -67,6 +74,18 @@ final class EngineConfig(spark: SparkSession) {
           throw new IllegalArgumentException(
             s"table.exec.source.idle-timeout = $value is not a " +
               "duration (expected e.g. '30 s', '500 ms', '1 min')"))
+        if (ms > 0L && !warnedMaxPolicy) {
+          // surface the documented divergence at runtime, not just in
+          // the docs: script authors see it where the SET runs
+          System.err.println(
+            "table.exec.source.idle-timeout: mapping onto " +
+              "spark.sql.streaming.multipleWatermarkPolicy=max — Spark " +
+              "excludes the slower input of a multi-watermark plan " +
+              "CONTINUOUSLY, where Flink excludes it only after the " +
+              "timeout elapses; an active-but-lagging input's rows may " +
+              "be treated as late")
+          warnedMaxPolicy = true
+        }
         spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy",
           if (ms > 0L) "max" else "min")
       case "pipeline.name" =>
@@ -83,6 +102,7 @@ final class EngineConfig(spark: SparkSession) {
         // checkpointing, mini-batch, dynamic-table-options) — keep in `raw`
         ()
     }
+    raw(key) = value
   }
 
   /** Flink's `RESET [key]`: drop the key from the engine snapshot (all

@@ -106,6 +106,33 @@ class EngineConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("a rejected SET leaves no trace in the snapshot: a later bare " +
+      "RESET or isShiftedTimeline must not act on the invalid value " +
+      "(r19 advice)") {
+    val spark = SparkFixture.spark
+    val key = "spark.sql.streaming.multipleWatermarkPolicy"
+    val before = spark.conf.getOption(key)
+    try {
+      val c = fresh
+      intercept[IllegalArgumentException](
+        c.set("table.exec.source.idle-timeout", "soon"))
+      assert(!c.raw.contains("table.exec.source.idle-timeout"))
+      intercept[IllegalArgumentException](
+        c.set("table.local-time-zone", "Not/AZone"))
+      assert(!c.raw.contains("table.local-time-zone"))
+      // the failed zone SET must not gate time-attribute statements
+      assert(!c.isShiftedTimeline)
+      // a bare RESET after the failed idle-timeout SET must NOT flip
+      // the watermark policy back (it was never applied)
+      spark.conf.set(key, "max")
+      c.reset(None)
+      assert(spark.conf.get(key) == "max")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("parallelism.default drives shuffle partitions") {
     val spark = SparkFixture.spark
     val before = spark.conf.get("spark.sql.shuffle.partitions")
