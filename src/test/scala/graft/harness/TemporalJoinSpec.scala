@@ -181,6 +181,94 @@ class TemporalJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("checkpoint restart recovers temporal-join state exactly-once " +
+      "(buffered probes + multiple versions survive the restore)") {
+    // stop mid-stream with a probe buffered AND several versions in
+    // state, deliver more rows on both inputs while the query is
+    // down, restart from the checkpoint: the recovered state must
+    // produce exactly the uninterrupted run's rows — nothing lost
+    // (the buffered probe still matches), nothing duplicated (the
+    // phase-1 emissions are not re-emitted)
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val vm = Map("tjc_rates_b" -> VersionMeta("rt", Seq("k")),
+      "tjc_rates_s" -> VersionMeta("rt", Seq("k"))).get _
+    val wmOf: String => Option[(String, String)] = t =>
+      if (t.equalsIgnoreCase("tjc_orders_s")) Some(("ot", "5 seconds"))
+      else None
+    // batch twin over the full delivery (flush rows excluded)
+    val rates = Seq((1L, tsOf(10), 1.0d), (1L, tsOf(30), 2.0d),
+      (2L, tsOf(10), 9.0d), (1L, tsOf(47), 3.0d))
+    val orders = Seq((1L, tsOf(12), 100L), (2L, tsOf(11), 400L),
+      (1L, tsOf(35), 200L), (1L, tsOf(50), 500L))
+    rates.toDF("k", "rt", "rate").createOrReplaceTempView("tjc_rates_b")
+    orders.toDF("k", "ot", "amount").createOrReplaceTempView("tjc_orders_b")
+    val batch = spark.sql(TemporalJoin.rewrite(
+      "SELECT o.k, o.ot, o.amount, r.rate FROM tjc_orders_b o JOIN " +
+        "tjc_rates_b FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k", vm))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val oIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    oIn.toDF().toDF("k", "ot", "amount")
+      .createOrReplaceTempView("tjc_orders_s")
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    rIn.toDF().toDF("k", "rt", "rate")
+      .createOrReplaceTempView("tjc_rates_s")
+    val streamSql = TemporalJoin.rewriteStreaming(spark,
+      "SELECT o.k, o.ot, o.amount, r.rate FROM tjc_orders_s o JOIN " +
+        "tjc_rates_s FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k",
+      wmOf, vm)
+    val ckpt = Files.createTempDirectory("graft-tjc-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-tjc-out").toString
+    def start() = spark.sql(streamSql).writeStream
+      .format("parquet").option("path", outDir).outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      oIn.addData((1L, tsOf(12), 100L), (2L, tsOf(11), 400L))
+      q1.processAllAvailable()
+      rIn.addData((1L, tsOf(10), 1.0d), (2L, tsOf(10), 9.0d))
+      q1.processAllAvailable()
+      oIn.addData((1L, tsOf(35), 200L))
+      rIn.addData((1L, tsOf(30), 2.0d))
+      q1.processAllAvailable()
+      oIn.addData((1L, tsOf(50), 500L)) // advances min wm past 11/12
+      q1.processAllAvailable()
+      // phase-1 emissions: probes 11, 12, 35 matured (the unioned
+      // watermark reached 45); probe 50 still buffered, key-1 state
+      // holds versions 10 AND 30
+      assert(spark.read.parquet(outDir).count() === 3L)
+    } finally q1.stop()
+    // rows arriving while the query is down: a NEWER version the
+    // buffered probe 50 must pick, and the flush rows
+    rIn.addData((1L, tsOf(47), 3.0d))
+    oIn.addData((9L, tsOf(100000), 0L))
+    rIn.addData((9L, tsOf(100000), 0.0d))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      oIn.addData((9L, tsOf(200000), 0L))
+      rIn.addData((9L, tsOf(200000), 0.0d))
+      q2.processAllAvailable()
+      val streamed = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // INNER join: the key-9 flush probes are unmatched-at-maturity
+      // only if no 9-version landed first; tolerate either by
+      // filtering them, then require exact batch equality AND no
+      // duplicate of the phase-1 rows (set size == parquet row count)
+      val real = streamed.filter(_._1 != 9L)
+      assert(real === batch, real.toString)
+      val realCount = spark.read.parquet(outDir)
+        .filter($"k" =!= 9L).count()
+      assert(realCount === batch.size.toLong,
+        s"expected ${batch.size} rows exactly-once, saw $realCount")
+    } finally q2.stop()
+  }
+
   test("table.exec.source.idle-timeout unstalls a temporal join whose " +
       "version side is idle (r18: the mapped max watermark policy " +
       "excludes the silent input from the min)") {

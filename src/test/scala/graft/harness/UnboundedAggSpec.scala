@@ -110,6 +110,63 @@ class UnboundedAggSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("checkpoint restart recovers TTL'd GROUP BY state exactly " +
+      "(live accumulators + distinct sets survive the restore)") {
+    // stop mid-stream with live CumAcc accumulators and a non-trivial
+    // distinct set in state, deliver more rows while the query is
+    // down, restart from the checkpoint: the recovered accumulators
+    // must fold the new rows into the OLD totals (nothing reset) and
+    // the restored distinct set must keep deduplicating (a re-seen
+    // tag must not grow the count). Memory sinks cannot recover, so
+    // emissions append to parquet via foreachBatch and the LAST
+    // emission per key (max batch id) is the running total.
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    input.toDF().toDF("k", "v", "tag").createOrReplaceTempView("uagg_ckpt")
+    val rewritten = UnboundedAgg.rewrite(spark,
+      """SELECT k, COUNT(*) AS c, SUM(v) AS s, MIN(v) AS mn,
+        |  COUNT(DISTINCT tag) AS d
+        |FROM uagg_ckpt GROUP BY k""".stripMargin, stateTtlSec = 600L)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-uagg-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-uagg-out").toString
+    def start() = spark.sql(rewritten).writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.withColumn("bid", org.apache.spark.sql.functions.lit(id))
+          .write.mode("append").parquet(outDir)
+      }.start()
+    def latest(): Map[String, (Long, Long, Long, Long)] =
+      spark.read.parquet(outDir)
+        .select($"k", $"c", $"s", $"mn", $"d", $"bid")
+        .as[(String, Long, Long, Long, Long, Long)]
+        .collect().groupBy(_._1)
+        .map { case (k, rows) =>
+          val r = rows.maxBy(_._6)
+          (k, (r._2, r._3, r._4, r._5))
+        }
+    val q1 = start()
+    try {
+      input.addData(("a", 5L, "x"), ("a", 9L, "y"), ("b", 3L, "x"))
+      awaitTrue("phase-1 totals")(
+        scala.util.Try(latest()).toOption.contains(Map(
+          "a" -> ((2L, 14L, 5L, 2L)), "b" -> ((1L, 3L, 3L, 1L)))))
+    } finally q1.stop()
+    // rows arriving while the query is down: a re-seen tag (x must
+    // not grow a's distinct count), a fresh tag, a new MIN, and rows
+    // for b folding into its restored accumulator
+    input.addData(("a", 1L, "x"), ("a", 2L, "z"), ("b", 4L, "w"))
+    val q2 = start()
+    try {
+      awaitTrue("restored accumulators fold the downtime rows")(
+        scala.util.Try(latest()).toOption.contains(Map(
+          "a" -> ((4L, 17L, 1L, 3L)), "b" -> ((2L, 7L, 3L, 2L)))))
+    } finally q2.stop()
+  }
+
   test("an aliased FROM keeps its alias through the TTL route (r17 " +
       "review): qualified references resolve like the native path") {
     implicit val sc = spark.sqlContext
