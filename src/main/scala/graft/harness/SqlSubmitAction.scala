@@ -72,6 +72,25 @@ final class SqlSubmitAction(
       view: String): Option[(String, String)] =
     viewWatermarks.keys.find(_.equalsIgnoreCase(view)).map(viewWatermarks)
 
+  /** Versioned VIEWS (r19): a `ROW_NUMBER ... rn = 1` deduplication
+    * view over a watermarked, primary-key-inferable source is a valid
+    * `FOR SYSTEM_TIME AS OF` version side in Flink (pass-through
+    * surface). Recorded at CREATE VIEW when the body matches
+    * [[TemporalJoin.versionedViewOf]] AND the ORDER BY column IS the
+    * source's watermark column (Flink requires a time attribute) AND
+    * the projection keeps the key + time columns the join needs.
+    * Temporal joins then rewrite against the view's HISTORY (a
+    * projection of the source — the rn = 1 output holds only the
+    * latest version), registered under a `graft_vv_` name whose
+    * VersionMeta rides [[versionedHistoryMeta]].
+    */
+  private val versionedViews:
+      mutable.Map[String, TemporalJoin.VersionedView] =
+    mutable.LinkedHashMap.empty
+  private val versionedHistoryMeta:
+      mutable.Map[String, TemporalJoin.VersionMeta] =
+    mutable.LinkedHashMap.empty
+
   // the column-alias list tolerates COMMENT clauses (shared fragment,
   // DdlParser.ColListInner — quoted strings may hold parens)
   private val CreateViewRe = (raw"(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?" +
@@ -177,9 +196,12 @@ final class SqlSubmitAction(
     * over aliased duplicates (`SELECT row_time, row_time AS rt2`
     * records row_time). */
   private def recordViewWatermark(spark: SparkSession, sql: String): Unit = {
-    def evict(name: String): Unit =
+    def evict(name: String): Unit = {
       viewWatermarks.keys.find(_.equalsIgnoreCase(name))
         .foreach(viewWatermarks.remove(_): Unit)
+      versionedViews.keys.find(_.equalsIgnoreCase(name))
+        .foreach(versionedViews.remove(_): Unit)
+    }
     DropViewRe.findFirstMatchIn(sql).foreach(m =>
       evict(DdlParser.unquoteName(m.group(1))))
     CreateViewRe.findFirstMatchIn(sql).foreach { m =>
@@ -202,6 +224,22 @@ final class SqlSubmitAction(
       val guardBody = MatchRecognize.maskQuoted(raw)
       val unticked = untick(raw)
       val body = MatchRecognize.maskQuoted(unticked)
+      // versioned-view detection (r19): the dedup shape over a DDL
+      // table whose WATERMARK column is the ORDER BY column, with the
+      // key + time columns projected (the temporal rewrite needs both
+      // on the history relation). A column-alias list renames outputs
+      // out from under the ON references — skip registration then.
+      if (colList.isEmpty)
+        for {
+          vv <- TemporalJoin.versionedViewOf(unticked)
+          d <- sources.keys.find(_.equalsIgnoreCase(vv.srcTable))
+            .map(sources)
+          w <- d.watermark
+          if w.column.equalsIgnoreCase(vv.timeCol)
+          if vv.primaryKey.forall(k =>
+            vv.cols.exists(_.equalsIgnoreCase(k)))
+          if vv.cols.exists(_.equalsIgnoreCase(vv.timeCol))
+        } versionedViews(name) = vv
       // a set op has no single propagated time attribute to speak for;
       // a plain GROUP BY drops rowtime too (Flink) — EXCEPT the
       // window-TVF aggregation, whose window_time output IS a rowtime
@@ -1092,17 +1130,25 @@ final class SqlSubmitAction(
     sources.keys.find(_.equalsIgnoreCase(t)).map(sources)
       .flatMap(d => d.watermark.map(wm =>
         TemporalJoin.VersionMeta(wm.column, d.primaryKey)))
+      .orElse(versionedHistoryMeta.keys.find(_.equalsIgnoreCase(t))
+        .map(versionedHistoryMeta))
 
   private def rewriteTemporalJoins(spark: SparkSession,
-      config: EngineConfig, sql: String): String =
-    if (!TemporalJoin.hasTemporalJoin(sql)) sql
-    else if (config.isStreaming)
-      // r16: the streaming form compiles onto TemporalJoinTracker —
-      // Flink's event-time temporal join as a stream-stream operator;
-      // SET table.exec.state.ttl bounds idle version state
-      TemporalJoin.rewriteStreaming(spark, sql, watermarkOf, versionMetaOf,
-        config.stateTtlSec.getOrElse(0L))
-    else TemporalJoin.rewrite(sql, versionMetaOf)
+      config: EngineConfig, sql0: String): String =
+    if (!TemporalJoin.hasTemporalJoin(sql0)) sql0
+    else {
+      val sql = TemporalJoin.substituteVersionedViews(spark, sql0,
+        n => versionedViews.keys.find(_.equalsIgnoreCase(n))
+          .map(versionedViews),
+        versionedHistoryMeta.update)
+      if (config.isStreaming)
+        // r16: the streaming form compiles onto TemporalJoinTracker —
+        // Flink's event-time temporal join as a stream-stream operator;
+        // SET table.exec.state.ttl bounds idle version state
+        TemporalJoin.rewriteStreaming(spark, sql, watermarkOf, versionMetaOf,
+          config.stateTtlSec.getOrElse(0L))
+      else TemporalJoin.rewrite(sql, versionMetaOf)
+    }
 
   /** Flink windowing TVFs (`TABLE(TUMBLE(...))`): in batch mode the
     * derived window-column projection (exact Flink arithmetic); in

@@ -71,6 +71,99 @@ object TemporalJoin {
   def temporalJoinCount(sql: String): Int =
     MarkerRe.findAllIn(sql).size
 
+  /** A Flink VERSIONED VIEW: a deduplication view over a changelog —
+    * the `FOR SYSTEM_TIME AS OF` version side Flink accepts without a
+    * DDL-declared versioned table (reference pass-through surface,
+    * `SQLSubmitAction.java:76`). The shape infers the temporal
+    * metadata: PARTITION BY columns are the primary key, the
+    * descending ORDER BY column is the version time (Flink requires
+    * it to be the source's event-time attribute — the CALLER checks
+    * that, plus that the projection keeps the key and time columns).
+    * The view's rn = 1 output is only the LATEST version; a temporal
+    * join needs the full history, so the join rewrites against
+    * `SELECT <cols> FROM <srcTable>` instead of the view itself.
+    */
+  final case class VersionedView(srcTable: String, timeCol: String,
+      primaryKey: Seq[String], cols: Seq[String])
+
+  /** Parses the versioned-view shape from an (unticked) CREATE VIEW
+    * body: `SELECT <simple cols> FROM (SELECT *, ROW_NUMBER() OVER
+    * (PARTITION BY <keys> ORDER BY <tcol> DESC) AS <rn> FROM <src>)
+    * [alias] WHERE <rn> = 1`. ASC ordering is keep-FIRST
+    * deduplication, not a version history — no match. Projecting the
+    * rank column, a star, or expression items: no match (the caller
+    * then raises the named non-versioned rejection on a temporal
+    * join over the view).
+    */
+  def versionedViewOf(body: String): Option[VersionedView] = {
+    val masked = MatchRecognize.maskQuoted(body)
+    for {
+      om <- raw"(?is)^\s*SELECT\s+(.*?)\s+FROM\s*\(".r
+        .findFirstMatchIn(masked)
+      open = om.end - 1
+      end <- scala.util.Try(MatchRecognize.closeParen(masked, open)).toOption
+      im <- (raw"(?is)^\s*SELECT\s+\*\s*,\s*ROW_NUMBER\s*\(\s*\)\s+" +
+        raw"OVER\s*\(\s*PARTITION\s+BY\s+(.+?)\s+ORDER\s+BY\s+" +
+        raw"([A-Za-z_]\w*)\s+DESC\s*\)\s+AS\s+([A-Za-z_]\w*)\s+" +
+        raw"FROM\s+([A-Za-z_][\w.]*)\s*$$").r
+        .findFirstMatchIn(masked.substring(open + 1, end - 1))
+      wm <- (raw"(?is)^(?:(?:AS\s+)?[A-Za-z_]\w*\s+)?WHERE\s+" +
+        raw"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)\s*=\s*1\s*;?\s*$$").r
+        .findFirstMatchIn(masked.substring(end).trim)
+      if wm.group(1).equalsIgnoreCase(im.group(3))
+      keys = MatchRecognize.splitTopLevel(im.group(1)).map(_.trim)
+      if keys.nonEmpty && keys.forall(_.matches(raw"^[A-Za-z_]\w*$$"))
+      items = MatchRecognize.splitTopLevel(om.group(1)).map(_.trim)
+      if items.nonEmpty &&
+        items.forall(_.matches(raw"^(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*$$"))
+      cols = items.map(_.split('.').last)
+      if !cols.exists(_.equalsIgnoreCase(im.group(3)))
+    } yield VersionedView(im.group(4), im.group(2), keys, cols)
+  }
+
+  /** `JOIN <versioned view> FOR SYSTEM_TIME AS OF` → the same join
+    * over the view's HISTORY relation: the rn = 1 view output holds
+    * only the latest version per key, so the rewrite reads
+    * `SELECT <view cols> FROM <source>` — registered as a `graft_vv_`
+    * temp view whose derived VersionMeta (ORDER BY time column,
+    * PARTITION BY primary key) is handed to `metaOut` — the way
+    * Flink's planner resolves a versioned view to the underlying
+    * changelog. An alias-free form gets the view's own name as the
+    * alias so the statement's qualified references keep resolving.
+    * Names `viewOf` does not know pass through untouched and hit the
+    * named rejection downstream.
+    */
+  def substituteVersionedViews(spark: org.apache.spark.sql.SparkSession,
+      sql: String, viewOf: String => Option[VersionedView],
+      metaOut: (String, VersionMeta) => Unit): String = {
+    val JoinTargetRe = (raw"(?is)\b(JOIN\s+)([\w.`]+)" +
+      raw"(\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.`]+)" +
+      raw"((?:\s+(?:AS\s+)?(?!ON\b)[A-Za-z_]\w*)?)").r
+    val masked = MatchRecognize.maskQuoted(sql)
+    val out = new StringBuilder
+    var last = 0
+    JoinTargetRe.findAllMatchIn(masked).foreach { m =>
+      val name = DdlParser.unquoteName(sql.substring(m.start(2), m.end(2)))
+      viewOf(name).foreach { vv =>
+        val hist = "graft_vv_" + name.toLowerCase.replaceAll(raw"\W", "_")
+        // re-created per statement: the source temp view may have been
+        // re-registered (mode flip, re-run) since the last use
+        spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $hist AS " +
+          s"SELECT ${vv.cols.mkString(", ")} FROM ${vv.srcTable}")
+        metaOut(hist, VersionMeta(vv.timeCol, vv.primaryKey))
+        out.append(sql.substring(last, m.start(2))).append(hist)
+          .append(sql.substring(m.end(2), m.end(3)))
+        val aliasPart = sql.substring(m.start(4), m.end(4))
+        if (aliasPart.trim.isEmpty)
+          out.append(s" AS ${name.split('.').last}")
+        else out.append(aliasPart)
+        last = m.end
+      }
+    }
+    out.append(sql.substring(last))
+    out.toString
+  }
+
   /** For the CLI's event-time view registry
     * (SqlSubmitAction.recordViewWatermark): the PROBE (left) table and
     * its alias of the first `FOR SYSTEM_TIME AS OF` join in `sql` —
@@ -117,7 +210,10 @@ object TemporalJoin {
       val tbl = DdlParser.unquoteName(table)
       val meta = versionOf(tbl).getOrElse(throw new IllegalArgumentException(
         s"Temporal join over '$tbl' requires an event-time attribute " +
-          "(declare WATERMARK FOR <col> in its DDL)"))
+          "(declare WATERMARK FOR <col> in its DDL), or a versioned " +
+          "VIEW: SELECT <cols> FROM (SELECT *, ROW_NUMBER() OVER " +
+          "(PARTITION BY <key> ORDER BY <watermarked time col> DESC) " +
+          "AS rn FROM <watermarked table>) WHERE rn = 1"))
       if (meta.primaryKey.isEmpty) throw new IllegalArgumentException(
         s"Temporal join over '$tbl' requires a PRIMARY KEY " +
           "(versions are ordered within it)")
@@ -387,7 +483,10 @@ object TemporalJoin {
       }
       val meta = versionOf(vTable).getOrElse(fail(
         s"Temporal join over '$vTable' requires an event-time attribute " +
-          "(declare WATERMARK FOR <col> in its DDL)"))
+          "(declare WATERMARK FOR <col> in its DDL), or a versioned " +
+          "VIEW: SELECT <cols> FROM (SELECT *, ROW_NUMBER() OVER " +
+          "(PARTITION BY <key> ORDER BY <watermarked time col> DESC) " +
+          "AS rn FROM <watermarked table>) WHERE rn = 1"))
       if (meta.primaryKey.isEmpty) fail(
         s"Temporal join over '$vTable' requires a PRIMARY KEY " +
           "(versions are ordered within it)")

@@ -200,6 +200,64 @@ object Events {
         graft.harness.TemporalJoin.VersionMeta("ts_sec", Seq("user_id"))).get))
   }
 
+  /** Temporal join whose version side is a VERSIONED VIEW (r19): the
+    * `ROW_NUMBER ... rn = 1` deduplication view Flink accepts as a
+    * `FOR SYSTEM_TIME AS OF` target without a versioned-table DDL
+    * (pass-through surface, `SQLSubmitAction.java:76`). The harness
+    * resolves the view to its underlying HISTORY
+    * ([[graft.harness.TemporalJoin.substituteVersionedViews]]) — the
+    * rn = 1 output holds only the latest version per key — then the
+    * interval-ized rewrite runs as for a DDL versioned table. Same
+    * oracle restatement as q56: the per-(user, second) history makes
+    * the latest-at-or-before lookup unique and deterministic.
+    */
+  val q119VersionedView: Q = Q(
+    "q119_versioned_view",
+    """WITH p AS (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(EPOCH(date_trunc('second', ts))) AS BIGINT) AS ts_sec,
+      |    MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id AS purchase_id, v.click_id AS click_id,
+      |  v.ts_sec AS version_sec
+      |FROM p JOIN LATERAL (
+      |  SELECT r.click_id, r.ts_sec FROM r
+      |  WHERE r.user_id = p.user_id AND r.ts_sec <= p.ts_sec
+      |  ORDER BY r.ts_sec DESC LIMIT 1
+      |) AS v ON TRUE""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ts_sec"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_sec"))
+      .createOrReplaceTempView("vv_purchases")
+    ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_sec"))
+      .agg(max(col("event_id")).as("click_id"))
+      .createOrReplaceTempView("vv_history")
+    val vv = graft.harness.TemporalJoin.versionedViewOf(
+      """SELECT user_id, ts_sec, click_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts_sec DESC) AS rn
+        |  FROM vv_history) WHERE rn = 1""".stripMargin).get
+    val metas = scala.collection.mutable.Map
+      .empty[String, graft.harness.TemporalJoin.VersionMeta]
+    val subbed = graft.harness.TemporalJoin.substituteVersionedViews(s,
+      """SELECT p.event_id AS purchase_id, v.click_id AS click_id,
+        |  v.ts_sec AS version_sec
+        |FROM vv_purchases p
+        |JOIN latest_clicks FOR SYSTEM_TIME AS OF p.ts_sec AS v
+        |ON v.user_id = p.user_id""".stripMargin,
+      n => if (n.equalsIgnoreCase("latest_clicks")) Some(vv) else None,
+      metas.update)
+    s.sql(graft.harness.TemporalJoin.rewrite(subbed,
+      n => metas.keys.find(_.equalsIgnoreCase(n)).map(metas)))
+  }
+
   /** Interval join: clicks within the hour before each purchase, by the
     * same user — equi-join on user_id plus a time-range predicate, the
     * batch analog of a stream-stream interval join. Shuffles once on
@@ -717,6 +775,7 @@ object Events {
   def all: Seq[Q] = Seq(
     q27Tumble, q28Hop, q29Sessionize, q30AsofJoin, q31IntervalJoin,
     q32Json, q33Pivot, q43Cumulate, q52Retention, q53Funnel, q56Temporal,
+    q119VersionedView,
     q57JsonSchema, q58TumbleTvf, q59HopTvf, q60CumulateTvf, q61LegacyTumble,
     q62SessionTvf, q63LegacyHop, q92WindowJoin, q93WindowTopn,
     q102LegacyHopJoin, q103LegacySessionJoin)

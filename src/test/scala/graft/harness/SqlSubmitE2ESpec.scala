@@ -1120,4 +1120,82 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       .toSeq
     assert(msgs.exists(_.contains("WATERMARK")), msgs.mkString(" | "))
   }
+
+  private def versionedViewScript(mode: String, out: String,
+      pre: String): String =
+    s"""SET execution.runtime-mode = $mode;
+       |create table ${pre}_log (
+       |  k bigint,
+       |  seq bigint,
+       |  rt as timestamp '2024-01-01 00:00:00' +
+       |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 100 as int)),
+       |  rate as 100 + seq,
+       |  watermark for rt as rt - interval '1' second
+       |) with ('connector' = 'datagen', 'number-of-rows' = '4',
+       |  'fields.seq.kind' = 'sequence',
+       |  'fields.seq.start' = '0', 'fields.seq.end' = '3',
+       |  'fields.k.min' = '0', 'fields.k.max' = '0');
+       |create table ${pre}_orders (
+       |  k bigint,
+       |  seq bigint,
+       |  ot as timestamp '2024-01-01 00:00:00' +
+       |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 150 as int)),
+       |  amount as seq * 10,
+       |  watermark for ot as ot - interval '1' second
+       |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+       |  'fields.seq.kind' = 'sequence',
+       |  'fields.seq.start' = '0', 'fields.seq.end' = '2',
+       |  'fields.k.min' = '0', 'fields.k.max' = '0');
+       |create temporary view ${pre}_latest as
+       |  select k, rt, rate from (
+       |    select *, row_number() over (partition by k
+       |      order by rt desc) as rn
+       |    from ${pre}_log) where rn = 1;
+       |create table ${pre}_sink (k bigint, amount bigint, rate bigint)
+       |  with ('connector' = 'filesystem', 'path' = '$out/sink',
+       |  'format' = 'parquet');
+       |insert into ${pre}_sink
+       |select o.k, o.amount, v.rate from ${pre}_orders o
+       |join ${pre}_latest for system_time as of o.ot as v on v.k = o.k;
+       |""".stripMargin
+
+  for (mode <- Seq("batch", "streaming"))
+    test(s"a versioned VIEW (rn = 1 dedup over a watermarked source) " +
+        s"serves as the FOR SYSTEM_TIME version side, $mode mode (r19)") {
+      val spark = SparkFixture.spark
+      // versions for k=0 at 0/100/200/300 s (rates 100..103); probes
+      // at 0/150/300 s -> latest version at-or-before each: 100, 101,
+      // 103. The join must read the view's HISTORY (all four
+      // versions), not its rn = 1 output (only the 300 s row) —
+      // probe 150 s picking 101 proves the history substitution.
+      val out = Files.createTempDirectory(s"graft-vvr-$mode").toString
+      val file = Files.createTempFile(s"graft-vvr-$mode-", ".sql")
+      Files.writeString(file, versionedViewScript(mode, out, s"vvr_$mode"))
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark), durationSec = 30).run()
+      val got = spark.read.parquet(s"$out/sink").collect()
+        .map(r => (r.getAs[Long]("amount"), r.getAs[Long]("rate"))).toSet
+      assert(got === Set((0L, 100L), (10L, 101L), (20L, 103L)), got.toString)
+    }
+
+  test("a NON-versioned view in temporal position rejects by name " +
+      "with the versioned-view recipe (r19)") {
+    val spark = SparkFixture.spark
+    // ASC ordering is keep-FIRST deduplication — not a version
+    // history; the join must fail with the named contract, never
+    // silently join against the deduped output
+    val out = Files.createTempDirectory("graft-vvx").toString
+    val script = versionedViewScript("batch", out, "vvx")
+      .replace("order by rt desc", "order by rt asc")
+    val file = Files.createTempFile("graft-vvx-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark), durationSec = 10).run()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("versioned")), msgs.mkString(" | "))
+  }
 }

@@ -108,6 +108,44 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("PRIMARY KEY")))
   }
 
+  test("versionedViewOf parses Flink's deduplication-view shape and " +
+      "rejects non-versioned variants (r19)") {
+    import TemporalJoin.{versionedViewOf, VersionedView}
+    val ok = """SELECT currency, update_time, rate FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY currency
+      |    ORDER BY update_time DESC) AS rn
+      |  FROM rates_log) WHERE rn = 1""".stripMargin
+    assert(versionedViewOf(ok) === Some(VersionedView("rates_log",
+      "update_time", Seq("currency"), Seq("currency", "update_time", "rate"))))
+    // subquery alias + qualified outer items + qualified rank filter
+    val aliased = """SELECT t.currency, t.update_time, t.rate FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY currency
+      |    ORDER BY update_time DESC) AS rn
+      |  FROM rates_log) t WHERE t.rn = 1""".stripMargin
+    assert(versionedViewOf(aliased).exists(_.primaryKey == Seq("currency")))
+    // composite key
+    val comp = ok.replace("PARTITION BY currency",
+      "PARTITION BY currency, venue")
+    assert(versionedViewOf(comp).exists(
+      _.primaryKey == Seq("currency", "venue")))
+    // ASC is keep-FIRST deduplication, not a version history
+    assert(versionedViewOf(ok.replace("DESC", "ASC")).isEmpty)
+    // rn = 2 pins a rank; rn <= 1 is a top-N form — neither versions
+    assert(versionedViewOf(ok.replace("rn = 1", "rn = 2")).isEmpty)
+    assert(versionedViewOf(ok.replace("rn = 1", "rn <= 1")).isEmpty)
+    // a star projection would expose the rank column
+    assert(versionedViewOf(
+      ok.replace("SELECT currency, update_time, rate FROM",
+        "SELECT * FROM")).isEmpty)
+    // expression items drop the shape
+    assert(versionedViewOf(
+      ok.replace("SELECT currency,", "SELECT upper(currency) AS c,"))
+      .isEmpty)
+    // projecting the rank column drops it too
+    assert(versionedViewOf(
+      ok.replace("SELECT currency,", "SELECT rn, currency,")).isEmpty)
+  }
+
   private def tsOf(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
   test("streaming temporal join equals the batch interval rewrite " +
@@ -179,6 +217,72 @@ class TemporalJoinSpec extends AnyFunSuite {
         assert(flushRows.isEmpty == (kw == "JOIN"), kw)
       } finally query.stop()
     }
+  }
+
+  test("a versioned VIEW as the version side streams equal to the " +
+      "batch interval rewrite (r19: substitution + tracker on a real " +
+      "unbounded stream)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val rates = Seq((1L, tsOf(10), 1.0d), (1L, tsOf(30), 2.0d),
+      (2L, tsOf(10), 9.0d))
+    val orders = Seq((1L, tsOf(12), 100L), (1L, tsOf(35), 200L),
+      (2L, tsOf(11), 400L))
+    // batch twin: the plain interval rewrite over the HISTORY
+    rates.toDF("k", "rt", "rate").createOrReplaceTempView("vvs_rates_b")
+    orders.toDF("k", "ot", "amount").createOrReplaceTempView("vvs_orders_b")
+    val batch = spark.sql(TemporalJoin.rewrite(
+      "SELECT o.k, o.amount, r.rate FROM vvs_orders_b o JOIN " +
+        "vvs_rates_b FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k",
+      Map("vvs_rates_b" -> VersionMeta("rt", Seq("k"))).get))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // streaming: the version side is a versioned VIEW over an
+    // unbounded MemoryStream changelog
+    val oIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    oIn.toDF().toDF("k", "ot", "amount")
+      .createOrReplaceTempView("vvs_orders_s")
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    rIn.toDF().toDF("k", "rt", "rate")
+      .createOrReplaceTempView("vvs_rates_s")
+    val vv = TemporalJoin.versionedViewOf(
+      """SELECT k, rt, rate FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY rt DESC)
+        |    AS rn FROM vvs_rates_s) WHERE rn = 1""".stripMargin).get
+    val metas = scala.collection.mutable.Map.empty[String, VersionMeta]
+    val subbed = TemporalJoin.substituteVersionedViews(spark,
+      "SELECT o.k, o.amount, r.rate FROM vvs_orders_s o JOIN " +
+        "vvs_latest FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k",
+      n => if (n.equalsIgnoreCase("vvs_latest")) Some(vv) else None,
+      metas.update)
+    assert(subbed.contains("graft_vv_vvs_latest"), subbed)
+    val streamSql = TemporalJoin.rewriteStreaming(spark, subbed,
+      t => if (t.equalsIgnoreCase("vvs_orders_s"))
+        Some(("ot", "5 seconds")) else None,
+      n => metas.keys.find(_.equalsIgnoreCase(n)).map(metas))
+    val query = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("vvs_out").outputMode("append").start()
+    try {
+      oIn.addData((1L, tsOf(12), 100L), (2L, tsOf(11), 400L))
+      query.processAllAvailable()
+      rIn.addData((1L, tsOf(10), 1.0d), (2L, tsOf(10), 9.0d))
+      query.processAllAvailable()
+      oIn.addData((1L, tsOf(35), 200L))
+      rIn.addData((1L, tsOf(30), 2.0d))
+      query.processAllAvailable()
+      oIn.addData((9L, tsOf(100000), 0L))
+      rIn.addData((9L, tsOf(100000), 0.0d))
+      query.processAllAvailable()
+      oIn.addData((9L, tsOf(200000), 0L))
+      rIn.addData((9L, tsOf(200000), 0.0d))
+      query.processAllAvailable()
+      val streamed = spark.table("vvs_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet.filter(_._1 != 9L)
+      assert(streamed === batch, streamed.toString)
+    } finally query.stop()
   }
 
   test("checkpoint restart recovers temporal-join state exactly-once " +
