@@ -1350,10 +1350,136 @@ final class SqlSubmitAction(
   }
 
   private def executeInsert(
-      spark: SparkSession, config: EngineConfig, sql: String): Unit = {
-    val rewritten = rewriteFlinkDialect(spark, config, sql)
-    try executeInsertRewritten(spark, config, rewritten)
-    finally MatchRecognize.dropViews(spark, rewritten)
+      spark: SparkSession, config: EngineConfig, sql: String): Unit =
+    autoSplitUpdating(spark, config, sql) match {
+      case Some((ddl, stage1, stage2)) =>
+        System.err.println(
+          "graft.streaming.auto-split-updating: materializing the " +
+            "stateful stage through a managed intermediate table and " +
+            "running the TTL'd updating operator as a second streaming " +
+            "query over it (Flink's single-statement pipeline as two " +
+            "jobs):\n " + stage1 + "\n " + stage2)
+        registerConnectorTable(spark, config, DdlParser.parse(ddl))
+        // bound both stages' micro-batch cadence unless the script
+        // configured its own: with the default as-fast-as-possible
+        // trigger the materialization runs hundreds of no-data batches
+        // per minute against a live source — churn the state-store
+        // maintenance cycle is not sized for (and pure waste at scale)
+        val hadLatency = config.miniBatchLatency.isDefined
+        if (!hadLatency)
+          config.set("table.exec.mini-batch.allow-latency", "1 s")
+        try {
+          executeInsert(spark, config, stage1)
+          executeInsert(spark, config, stage2)
+        } finally if (!hadLatency)
+          config.reset(Some("table.exec.mini-batch.allow-latency"))
+      case None =>
+        val rewritten = rewriteFlinkDialect(spark, config, sql)
+        try executeInsertRewritten(spark, config, rewritten)
+        finally MatchRecognize.dropViews(spark, rewritten)
+    }
+
+  private val matCounter = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Spark type → Flink DDL type for the managed intermediate table's
+    * schema; None (fail closed → the named one-statement rejection)
+    * for types the round-trip has not been proven on.
+    */
+  private def flinkTypeOf(
+      dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some("BIGINT")
+      case IntegerType => Some("INT")
+      case ShortType => Some("SMALLINT")
+      case ByteType => Some("TINYINT")
+      case DoubleType => Some("DOUBLE")
+      case FloatType => Some("FLOAT")
+      case StringType => Some("STRING")
+      case BooleanType => Some("BOOLEAN")
+      case TimestampType => Some("TIMESTAMP(3)")
+      case DateType => Some("DATE")
+      case d: DecimalType => Some(s"DECIMAL(${d.precision}, ${d.scale})")
+      case _ => None
+    }
+  }
+
+  /** Compiles the two-statement recipe the updating-above-stateful
+    * rejection names (r19, opt-in via
+    * `SET graft.streaming.auto-split-updating = true`): a TTL'd
+    * updating operator (unbounded GROUP BY / top-N / rn = 1 dedup)
+    * whose single FROM table is a STATEFUL streaming view cannot run
+    * in one statement (the intermediate stage would emit partials as
+    * facts — Flink runs the shape over a retraction stream), but it
+    * CAN run as Flink's same two jobs: stage 1 materializes the view
+    * through a managed filesystem intermediate (Spark's file sink
+    * writes a commit log the file SOURCE consumes exactly-once), and
+    * stage 2 runs the TTL'd operator as its own streaming query over
+    * that intermediate. Returns (intermediate DDL, stage-1 INSERT,
+    * stage-2 INSERT); None leaves the statement on the single-plan
+    * path, where unsupported shapes keep the named rejection. The
+    * intermediate lives under `graft.streaming.intermediate-dir`
+    * (default: the JVM temp dir) — point it at shared storage on a
+    * real cluster.
+    */
+  private def autoSplitUpdating(spark: SparkSession, config: EngineConfig,
+      sql: String): Option[(String, String, String)] = {
+    if (!config.raw.get("graft.streaming.auto-split-updating")
+        .exists(_.equalsIgnoreCase("true"))) return None
+    if (!config.isStreaming || config.stateTtlSec.isEmpty) return None
+    if (!UnboundedAgg.hasShape(spark, sql) &&
+        !UnboundedTopN.hasShape(sql, 1)) return None
+    val masked = MatchRecognize.maskQuoted(sql)
+    val froms = raw"(?is)\bFROM\s+([A-Za-z_]\w*)\b".r
+      .findAllMatchIn(masked).map(_.group(1)).toSeq.distinct
+    for {
+      view <- Some(froms).collect { case Seq(one) => one }
+      // a DDL source is stateless — the single-plan path handles it
+      if !sources.keys.exists(_.equalsIgnoreCase(view))
+      df <- scala.util.Try(spark.table(view)).toOption
+      if df.isStreaming
+      // only a STATEFUL intermediate stage needs the split
+      if df.queryExecution.analyzed.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState => true
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.child.isStreaming
+        case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate =>
+          d.child.isStreaming
+        case _ => false
+      }
+      colTypes <- df.schema.fields.toSeq.foldLeft(
+        Option(Seq.empty[(String, String)])) { (acc, f) =>
+        acc.flatMap(cs => flinkTypeOf(f.dataType).map(t =>
+          cs :+ (f.name, t)))
+      }
+    } yield {
+      val mat = s"graft_mat_${view.toLowerCase}_" +
+        matCounter.incrementAndGet()
+      val dir = config.raw.getOrElse("graft.streaming.intermediate-dir",
+        System.getProperty("java.io.tmpdir"))
+      // a FRESH directory per run, never a reused fixed name: Spark's
+      // file sink consults the target's existing _spark_metadata and
+      // SKIPS batch ids it already holds — against a stale directory
+      // from an earlier run the new query would silently no-op its
+      // first N batches (no job, no state, no watermark) and then
+      // crash loading state at the first batch past the stale log.
+      // Creating the directory here also lets the CREATE register the
+      // streaming file SOURCE immediately (stage 2 compiles against
+      // it before stage 1 has committed its first file).
+      val path = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(stripScheme(dir)), s"$mat-").toString
+      val ddl = s"create table $mat (" +
+        colTypes.map { case (n, t) => s"`$n` $t" }.mkString(", ") +
+        s") with ('connector' = 'filesystem', 'path' = '$path', " +
+        "'format' = 'parquet')"
+      val stage1 = s"insert into $mat select " +
+        colTypes.map { case (n, _) => s"`$n`" }.mkString(", ") +
+        s" from $view"
+      val stage2 = (raw"(?i)(\bFROM\s+)" +
+        java.util.regex.Pattern.quote(view) + raw"\b").r
+        .replaceAllIn(sql, m => m.group(1) + mat)
+      (ddl, stage1, stage2)
+    }
   }
 
   private def executeInsertRewritten(
@@ -1484,7 +1610,10 @@ final class SqlSubmitAction(
         "stream, which append-mode chaining cannot express); the " +
         "equivalent two-statement recipe: INSERT INTO a table from " +
         "the first (windowed) stage, then run the TTL'd operator " +
-        "over that table in its own statement"))
+        "over that table in its own statement — or SET " +
+        "graft.streaming.auto-split-updating = true to have the " +
+        "engine compile that recipe itself (two jobs, Flink's " +
+        "single-statement UX)"))
     val keys = Seq(
       "spark.sql.streaming.statefulOperator.allowMultiple",
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
@@ -1598,7 +1727,15 @@ final class SqlSubmitAction(
               java.nio.file.Files.createTempDirectory("graft-cp-").toString
           }
           withTrigger.option("checkpointLocation", dir)
-        } else withTrigger
+        } else if (connector == "filesystem")
+          // Spark's file sink REQUIRES a checkpoint (its commit log
+          // rides it) even when the script left checkpointing off —
+          // give the query a fresh run-scoped temp dir, matching
+          // Flink's non-checkpointed streaming jobs (which still run,
+          // just without recovery)
+          withTrigger.option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-cp-").toString)
+        else withTrigger
       val named = config.pipelineName match {
         case Some(n) => withCp.queryName(s"$n-${sinkDef.name}")
         case None    => withCp.queryName(sinkDef.name)

@@ -1,0 +1,164 @@
+package graft.harness
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `graft.streaming.auto-split-updating` (r19): the engine compiles the
+  * two-statement recipe the updating-above-stateful rejection names —
+  * stage 1 materializes the stateful view through a managed filesystem
+  * intermediate (file sink commit log → file source, exactly-once),
+  * stage 2 runs the TTL'd updating operator as its own streaming query
+  * over it. Flink executes the same pipeline as ONE statement
+  * (pass-through, `SQLSubmitAction.java:76`); this opt-in gives that
+  * single-statement UX as Flink's same two jobs.
+  *
+  * Data shape shared by the tests: 10 sequence rows at 30 s spacing on
+  * one key, TUMBLE 1 minute sums → window sums 1, 5, 9, 13, 17; the
+  * final watermark (269 s) closes the first four windows, the fifth
+  * stays open — so the downstream totals are exact literals.
+  */
+class AutoSplitSpec extends AnyFunSuite {
+
+  private val bootUrl = "jdbc:derby:memory:graftasdb;create=true"
+  private val url = "jdbc:derby:memory:graftasdb"
+
+  private def resetTable(name: String, ddl: String): Unit = {
+    val conn = DriverManager.getConnection(bootUrl)
+    try {
+      val st = conn.createStatement()
+      try st.execute(s"DROP TABLE $name") catch { case _: Exception => () }
+      st.execute(ddl)
+      st.close()
+    } finally conn.close()
+  }
+
+  private def readAll(q: String, cols: Int): Seq[Seq[Long]] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(q)
+      Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (1 to cols).map(r.getLong(_)).toSeq).toList
+    } finally conn.close()
+  }
+
+  private def srcAndView(pre: String): String =
+    s"""create table ${pre}_src (
+       |  k bigint,
+       |  seq bigint,
+       |  v as seq,
+       |  ts as timestamp '2024-01-01 00:00:00' +
+       |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+       |  watermark for ts as ts - interval '1' second
+       |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+       |  'fields.seq.kind' = 'sequence',
+       |  'fields.seq.start' = '0', 'fields.seq.end' = '9',
+       |  'fields.k.min' = '0', 'fields.k.max' = '0');
+       |create temporary view ${pre}_agg as
+       |  select k, window_time, sum(v) as s
+       |  from table(tumble(table ${pre}_src, descriptor(ts),
+       |    interval '1' minute))
+       |  group by k, window_start, window_end, window_time;
+       |""".stripMargin
+
+  private def run(script: String, tag: String): Unit = {
+    val file = Files.createTempFile(s"graft-asp-$tag-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(SparkFixture.spark), durationSec = 25).run()
+  }
+
+  test("auto-split runs a TTL'd top-N above a windowed view in ONE " +
+      "statement, value-pinned to the hand-split twin (r19)") {
+    resetTable("ASPTOP",
+      "CREATE TABLE ASPTOP (K BIGINT, S BIGINT, RN BIGINT, " +
+        "PRIMARY KEY (K, RN))")
+    resetTable("ASPTOPH",
+      "CREATE TABLE ASPTOPH (K BIGINT, S BIGINT, RN BIGINT, " +
+        "PRIMARY KEY (K, RN))")
+    // ONE statement, knob on: the engine materializes the view itself
+    run(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |${srcAndView("aspt")}
+         |create table aspt_sink (k bigint, s bigint, rn bigint,
+         |  primary key (k, rn) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPTOP');
+         |insert into aspt_sink
+         |select k, s, rn from (
+         |  select *, row_number() over (partition by k order by s desc)
+         |    as rn from aspt_agg) where rn <= 2;
+         |""".stripMargin, "top-auto")
+    // the hand-split twin the rejection message prescribes
+    val matDir = Files.createTempDirectory("graft-asph-mat").toString
+    run(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |${srcAndView("asph")}
+         |create table asph_mat (k bigint, wt timestamp(3), s bigint)
+         |  with ('connector' = 'filesystem', 'path' = '$matDir',
+         |  'format' = 'parquet');
+         |create table asph_sink (k bigint, s bigint, rn bigint,
+         |  primary key (k, rn) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPTOPH');
+         |insert into asph_mat select k, window_time, s from asph_agg;
+         |insert into asph_sink
+         |select k, s, rn from (
+         |  select *, row_number() over (partition by k order by s desc)
+         |    as rn from asph_mat) where rn <= 2;
+         |""".stripMargin, "top-hand")
+    val auto = readAll("SELECT K, S, RN FROM ASPTOP ORDER BY RN", 3)
+    val hand = readAll("SELECT K, S, RN FROM ASPTOPH ORDER BY RN", 3)
+    // closed-window sums 1/5/9/13 -> top-2 = 13, 9
+    assert(auto === Seq(Seq(0L, 13L, 1L), Seq(0L, 9L, 2L)), auto.toString)
+    assert(auto === hand, s"auto=$auto hand=$hand")
+  }
+
+  test("auto-split runs a TTL'd GROUP BY above a windowed view in ONE " +
+      "statement (r19)") {
+    resetTable("ASPSUM",
+      "CREATE TABLE ASPSUM (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    run(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |${srcAndView("aspg")}
+         |create table aspg_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPSUM');
+         |insert into aspg_sink
+         |select k, sum(s) as total from aspg_agg group by k;
+         |""".stripMargin, "sum-auto")
+    // closed-window sums 1 + 5 + 9 + 13
+    assert(readAll("SELECT K, TOTAL FROM ASPSUM", 2) === Seq(Seq(0L, 28L)))
+  }
+
+  test("without the knob the one-statement form keeps the named " +
+      "rejection, which now names the knob (r19)") {
+    val script =
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |${srcAndView("aspr")}
+         |create table aspr_sink (k bigint, total bigint) with (
+         |  'connector' = 'print');
+         |insert into aspr_sink
+         |select k, sum(s) as total from aspr_agg group by k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-aspr-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(SparkFixture.spark), durationSec = 10).run()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(m => m.contains("cannot run above another stateful")
+      && m.contains("auto-split-updating")), msgs.mkString(" | "))
+  }
+}
