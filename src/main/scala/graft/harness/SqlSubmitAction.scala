@@ -256,11 +256,20 @@ final class SqlSubmitAction(
       // view counts any JOIN as regular (MATCH_RECOGNIZE carries
       // none of its own); a temporal-join view counts JOINs beyond
       // its FOR SYSTEM_TIME joins (each carries exactly one JOIN
-      // keyword). Such views stay unregistered — fail closed, the
-      // downstream pass raises its named needs-a-WATERMARK error,
-      // matching Flink's rejection of a window over a dropped
-      // attribute.
+      // keyword); an IMPLICIT comma join in the FROM region counts
+      // for every branch (r19 review — `FROM t, dim` is the same
+      // regular join). Such views stay unregistered — fail closed,
+      // the downstream pass raises its named needs-a-WATERMARK
+      // error, matching Flink's rejection of a window over a dropped
+      // attribute. Deliberate asymmetry vs the plain branch: a
+      // stream-static JOIN view registers there via the harness's
+      // r16 lookup-join mapping (a documented superset of Flink's
+      // law); the pattern/temporal branches stay on the letter of
+      // the law instead — their output already rides tracker
+      // mechanics, and widening a superset around those is not worth
+      // the drift risk.
       val joinKeywords = raw"(?is)\bJOIN\b".r.findAllIn(guardBody).size
+      val hasCommaJoin = hasTopLevelFromComma(guardBody)
       if (MatchRecognize.hasMatchRecognize(guardBody)) {
         // pattern-output view (r18): Flink's MATCH_ROWTIME() measure
         // is a rowtime attribute of the MATCH_RECOGNIZE output, so a
@@ -276,7 +285,8 @@ final class SqlSubmitAction(
         // A GROUP BY around the pattern drops the attribute (Flink's
         // aggregation law — only window-TVF aggs keep one, and those
         // bodies carry no MATCH_RECOGNIZE text of their own).
-        if (!hasSetOp && !hasGroupBy && joinKeywords == 0)
+        if (!hasSetOp && !hasGroupBy && joinKeywords == 0 &&
+            !hasCommaJoin)
           for {
             (srcName, mrtAlias) <- MatchRecognize.rowtimeMeasureOf(unticked)
             (_, delay) <- watermarkOf(srcName)
@@ -292,7 +302,7 @@ final class SqlSubmitAction(
         // view's stored plan holds the tracker); this record answers
         // the downstream rewrite's column/delay lookup, in batch too
         // (the interval-ized rewrite keeps the probe columns).
-        if (!hasSetOp && !hasGroupBy &&
+        if (!hasSetOp && !hasGroupBy && !hasCommaJoin &&
             joinKeywords == TemporalJoin.temporalJoinCount(guardBody))
           for {
             (pTable, pAlias) <- TemporalJoin.probeOf(unticked)
@@ -302,7 +312,7 @@ final class SqlSubmitAction(
             qualifierOk = q => q.equalsIgnoreCase(pAlias) ||
               q.equalsIgnoreCase(pTable))
       } else if (!hasSetOp && !hasGroupBy) {
-        if (raw"(?is)\bJOIN\b".r.findFirstIn(guardBody).isEmpty) {
+        if (joinKeywords == 0 && !hasCommaJoin) {
           for {
             bm <- ViewBodyRe.findFirstMatchIn(body)
             (col, delay) <- watermarkOf(bm.group(2))
@@ -335,6 +345,35 @@ final class SqlSubmitAction(
       }
     }
   }
+
+  /** True when the body's top-level FROM region carries a depth-0
+    * comma — an IMPLICIT (comma) regular join, which drops time
+    * attributes in Flink exactly like the JOIN keyword (r19 review).
+    * The scan stops at the first top-level clause keyword after FROM
+    * (GROUP BY / ORDER BY lists carry legal top-level commas);
+    * select-list commas sit before FROM, and MATCH_RECOGNIZE / TVF /
+    * subquery commas sit inside parens. Runs on masked text.
+    */
+  private def hasTopLevelFromComma(body: String): Boolean =
+    WindowTvf.findTopLevel(body, 0, "FROM").exists { f =>
+      val stops = Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+        "UNION", "INTERSECT", "EXCEPT", "WINDOW")
+        .flatMap(k => WindowTvf.findTopLevel(body, f, k))
+      val end = if (stops.isEmpty) body.length else stops.min
+      var depth = 0
+      var i = f
+      var found = false
+      while (i < end && !found) {
+        body.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 => found = true
+          case _ =>
+        }
+        i += 1
+      }
+      found
+    }
 
   /** Shared tail of the rowtime-carrying view-registration branches
     * (window-TVF `window_time`, MATCH_ROWTIME pattern views,
@@ -1358,8 +1397,16 @@ final class SqlSubmitAction(
             "stateful stage through a managed intermediate table and " +
             "running the TTL'd updating operator as a second streaming " +
             "query over it (Flink's single-statement pipeline as two " +
-            "jobs):\n " + stage1 + "\n " + stage2)
-        registerConnectorTable(spark, config, DdlParser.parse(ddl))
+            "jobs; checkpoints are RUN-SCOPED - the fresh intermediate " +
+            "makes cross-run recovery meaningless, so a durable base " +
+            "is not reused):\n " + stage1 + "\n " + stage2)
+        val parsed = DdlParser.parse(ddl)
+        registerConnectorTable(spark, config, parsed)
+        // the mkdirs above guarantees the path exists — possibly on a
+        // REMOTE filesystem, where registerConnectorTable's local
+        // File.exists check cannot see it — so register the streaming
+        // source view explicitly (stage 2 compiles against it)
+        registerFilesystemView(spark, config, parsed)
         // bound both stages' micro-batch cadence unless the script
         // configured its own: with the default as-fast-as-possible
         // trigger the materialization runs hundreds of no-data batches
@@ -1368,18 +1415,30 @@ final class SqlSubmitAction(
         val hadLatency = config.miniBatchLatency.isDefined
         if (!hadLatency)
           config.set("table.exec.mini-batch.allow-latency", "1 s")
+        // run-scoped checkpoints for BOTH stages (r19 review): the
+        // intermediate is fresh per run, so resuming either stage
+        // from a durable checkpoint of an earlier run would replay
+        // offsets as already-committed against a DIFFERENT directory
+        // — source data silently skipped, no error. Flink's
+        // single-statement recovery contract cannot survive the
+        // two-job compile; the stderr notice says so.
+        val hadCp = config.raw.get("execution.checkpointing.enabled")
+        if (hadCp.isDefined)
+          config.reset(Some("execution.checkpointing.enabled"))
         try {
           executeInsert(spark, config, stage1)
           executeInsert(spark, config, stage2)
-        } finally if (!hadLatency)
-          config.reset(Some("table.exec.mini-batch.allow-latency"))
+        } finally {
+          if (!hadLatency)
+            config.reset(Some("table.exec.mini-batch.allow-latency"))
+          hadCp.foreach(v =>
+            config.set("execution.checkpointing.enabled", v))
+        }
       case None =>
         val rewritten = rewriteFlinkDialect(spark, config, sql)
         try executeInsertRewritten(spark, config, rewritten)
         finally MatchRecognize.dropViews(spark, rewritten)
     }
-
-  private val matCounter = new java.util.concurrent.atomic.AtomicInteger()
 
   /** Spark type → Flink DDL type for the managed intermediate table's
     * schema; None (fail closed → the named one-statement rejection)
@@ -1453,21 +1512,30 @@ final class SqlSubmitAction(
           cs :+ (f.name, t)))
       }
     } yield {
-      val mat = s"graft_mat_${view.toLowerCase}_" +
-        matCounter.incrementAndGet()
+      // a FRESH name + directory per run, never a reused fixed name:
+      // Spark's file sink consults the target's existing
+      // _spark_metadata and SKIPS batch ids it already holds —
+      // against a stale directory from an earlier run the new query
+      // would silently no-op its first N batches (no job, no state,
+      // no watermark) and then crash loading state at the first
+      // batch past the stale log; a reused NAME would likewise key
+      // the durable checkpoint path onto a stale run. The unique
+      // name rides into both. Created through the Hadoop filesystem
+      // of the configured base, so `graft.streaming.intermediate-dir`
+      // may point at shared storage (hdfs://, s3a://) on a real
+      // cluster — the file sink and source resolve the same way.
+      // Creating the directory here also lets the source view
+      // register immediately (stage 2 compiles against it before
+      // stage 1 has committed its first file).
+      val unique = java.util.UUID.randomUUID.toString
+        .replace("-", "").take(12)
+      val mat = s"graft_mat_${view.toLowerCase}_$unique"
       val dir = config.raw.getOrElse("graft.streaming.intermediate-dir",
         System.getProperty("java.io.tmpdir"))
-      // a FRESH directory per run, never a reused fixed name: Spark's
-      // file sink consults the target's existing _spark_metadata and
-      // SKIPS batch ids it already holds — against a stale directory
-      // from an earlier run the new query would silently no-op its
-      // first N batches (no job, no state, no watermark) and then
-      // crash loading state at the first batch past the stale log.
-      // Creating the directory here also lets the CREATE register the
-      // streaming file SOURCE immediately (stage 2 compiles against
-      // it before stage 1 has committed its first file).
-      val path = java.nio.file.Files.createTempDirectory(
-        java.nio.file.Paths.get(stripScheme(dir)), s"$mat-").toString
+      val path = s"${dir.stripSuffix("/")}/$mat"
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .mkdirs(hPath): Unit
       val ddl = s"create table $mat (" +
         colTypes.map { case (n, t) => s"`$n` $t" }.mkString(", ") +
         s") with ('connector' = 'filesystem', 'path' = '$path', " +
@@ -1475,10 +1543,22 @@ final class SqlSubmitAction(
       val stage1 = s"insert into $mat select " +
         colTypes.map { case (n, _) => s"`$n`" }.mkString(", ") +
         s" from $view"
-      val stage2 = (raw"(?i)(\bFROM\s+)" +
-        java.util.regex.Pattern.quote(view) + raw"\b").r
-        .replaceAllIn(sql, m => m.group(1) + mat)
-      (ddl, stage1, stage2)
+      // stage 2: swap the view for the intermediate in BOTH its FROM
+      // position and as a column QUALIFIER (`sum(view.v)`, `WHERE
+      // view.v > 0` — r19 review); matches run on masked text so a
+      // string literal spelling the view name is never touched
+      val vQ = java.util.regex.Pattern.quote(view)
+      val SwapRe = (raw"(?is)(\bFROM\s+)$vQ\b|\b$vQ(?=\s*\.)").r
+      val out = new StringBuilder
+      var last = 0
+      SwapRe.findAllMatchIn(masked).foreach { m =>
+        out.append(sql.substring(last, m.start))
+        if (m.group(1) != null) out.append(sql.substring(m.start(1), m.end(1)))
+        out.append(mat)
+        last = m.end
+      }
+      out.append(sql.substring(last))
+      (ddl, stage1, out.toString)
     }
   }
 

@@ -145,7 +145,12 @@ object TemporalJoin {
     JoinTargetRe.findAllMatchIn(masked).foreach { m =>
       val name = DdlParser.unquoteName(sql.substring(m.start(2), m.end(2)))
       viewOf(name).foreach { vv =>
-        val hist = "graft_vv_" + name.toLowerCase.replaceAll(raw"\W", "_")
+        // the sanitized name alone can collide (`my.latest` vs
+        // `my_latest`) — suffix a hash of the lowercased original so
+        // two distinct views never share one history view (r19 review)
+        val hist = "graft_vv_" +
+          name.toLowerCase.replaceAll(raw"\W", "_") + "_" +
+          (name.toLowerCase.hashCode & 0x7fffffff)
         // re-created per statement: the source temp view may have been
         // re-registered (mode flip, re-run) since the last use
         spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $hist AS " +
@@ -738,6 +743,10 @@ object TemporalJoin {
         case '(' => depth += 1; i += 1
         case ')' if depth == 0 => end = i; i = sql.length
         case ')' => depth -= 1; i += 1
+        // a top-level comma ends the ON condition: the FROM list
+        // continues with another (implicit-join) table reference —
+        // `JOIN v FOR SYSTEM_TIME ... ON r.k = p.k, dim d` (r19)
+        case ',' if depth == 0 => end = i; i = sql.length
         case q @ ('\'' | '"' | '`') => i = skipQuoted(sql, i, q)
         case c if c.isLetter || c == '_' =>
           val s = i

@@ -1178,6 +1178,82 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       assert(got === Set((0L, 100L), (10L, 101L), (20L, 103L)), got.toString)
     }
 
+  test("an IMPLICIT comma join beside a pattern or temporal region " +
+      "also drops the rowtime (r19 review: `FROM t, dim` is the same " +
+      "regular join)") {
+    val spark = SparkFixture.spark
+    // batch mode: both views CREATE fine; the registry must stay
+    // empty — Flink drops time attributes through comma joins exactly
+    // like the JOIN keyword
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table cjg_dim (
+         |  k bigint, tag bigint
+         |) with ('connector' = 'datagen', 'number-of-rows' = '1',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0',
+         |  'fields.tag.min' = '7', 'fields.tag.max' = '7');
+         |create table cjg_rates (
+         |  k bigint,
+         |  seq bigint,
+         |  rt as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 100 as int)),
+         |  rate as 100 + seq,
+         |  primary key (k) not enforced,
+         |  watermark for rt as rt - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table cjg_src (
+         |  k bigint,
+         |  seq bigint,
+         |  t as case when seq % 3 = 2 then 'b' else 'a' end,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '9',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '8',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view cjg_pat as
+         |  select p.k, p.mrt, p.na, d.tag
+         |  from (
+         |    select * from cjg_src match_recognize (
+         |      partition by k order by ts
+         |      measures match_rowtime() as mrt, count(a.*) as na
+         |      one row per match after match skip past last row
+         |      pattern (a+ b)
+         |      define a as t = 'a', b as t = 'b')) p, cjg_dim d
+         |  where d.k = p.k;
+         |create temporary view cjg_tj as
+         |  select p.k, p.ts, r.rate, d.tag
+         |  from cjg_src p
+         |  join cjg_rates for system_time as of p.ts as r on r.k = p.k,
+         |  cjg_dim d
+         |  where d.k = p.k;
+         |create temporary view cjg_plainstream as
+         |  select s.k, s.ts, d.tag
+         |  from cjg_src s, cjg_dim d
+         |  where d.k = s.k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-cjg-", ".sql")
+    Files.writeString(file, script)
+    val action = new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 10)
+    action.run()
+    assert(action.registeredRowtimeOf("cjg_pat").isEmpty,
+      "comma join beside MATCH_RECOGNIZE must drop the rowtime")
+    assert(action.registeredRowtimeOf("cjg_tj").isEmpty,
+      "comma join beside a temporal join must drop the probe rowtime")
+    // the PLAIN branch's comma join routes through the stream-static
+    // lookup validation like the JOIN keyword does (both sides batch
+    // here: one watermarked relation, one dim) — the r16 mapping
+    // registers the stream side's attribute either way
+    assert(action.registeredRowtimeOf("cjg_plainstream")
+      .exists(_._1.equalsIgnoreCase("ts")),
+      "plain comma-join view keeps the lookup-join mapping")
+  }
+
   test("a NON-versioned view in temporal position rejects by name " +
       "with the versioned-view recipe (r19)") {
     val spark = SparkFixture.spark

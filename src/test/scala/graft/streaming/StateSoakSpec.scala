@@ -20,7 +20,7 @@ class StateSoakSpec extends AnyFunSuite {
   private lazy val spark = SparkFixture.spark
   import spark.implicits._
 
-  private def awaitTrue(hint: String, sec: Long = 90L)(
+  private def awaitTrue(hint: => String, sec: Long = 90L)(
       pred: => Boolean): Unit = {
     val deadline = System.nanoTime() + sec * 1000000000L
     while (!pred && System.nanoTime() < deadline) Thread.sleep(200L)
