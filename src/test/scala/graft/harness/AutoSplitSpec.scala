@@ -132,10 +132,38 @@ class AutoSplitSpec extends AnyFunSuite {
          |) with ('connector' = 'jdbc', 'url' = '$url',
          |  'table-name' = 'ASPSUM');
          |insert into aspg_sink
-         |select k, sum(s) as total from aspg_agg group by k;
+         |select k, sum(aspg_agg.s) as total from aspg_agg group by k;
          |""".stripMargin, "sum-auto")
     // closed-window sums 1 + 5 + 9 + 13
     assert(readAll("SELECT K, TOTAL FROM ASPSUM", 2) === Seq(Seq(0L, 28L)))
+  }
+
+  test("auto-split runs an rn = 1 DEDUP above a windowed view in ONE " +
+      "statement, with view-QUALIFIED references swapped too (r19)") {
+    resetTable("ASPDED",
+      "CREATE TABLE ASPDED (K BIGINT, S BIGINT, RN BIGINT, " +
+        "PRIMARY KEY (K, RN))")
+    // keep-last by window sum (the canonical dedup shape takes a BARE
+    // ORDER BY column; the qualifier swap is exercised on the GROUP BY
+    // test's aggregate argument)
+    run(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |${srcAndView("aspd")}
+         |create table aspd_sink (k bigint, s bigint, rn bigint,
+         |  primary key (k, rn) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPDED');
+         |insert into aspd_sink
+         |select k, s, rn from (
+         |  select *, row_number() over (partition by k
+         |    order by s desc) as rn
+         |  from aspd_agg) where rn = 1;
+         |""".stripMargin, "ded-auto")
+    // closed-window sums 1/5/9/13 -> keep-last (largest) = 13
+    assert(readAll("SELECT K, S, RN FROM ASPDED", 3) ===
+      Seq(Seq(0L, 13L, 1L)))
   }
 
   test("without the knob the one-statement form keeps the named " +

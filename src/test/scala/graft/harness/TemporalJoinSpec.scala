@@ -285,6 +285,97 @@ class TemporalJoinSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("a versioned VIEW chains with a DDL versioned table in one " +
+      "statement (r19: substitution swaps only the view stage)") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val rates = Seq((1L, tsOf(10), 1.0d), (1L, tsOf(30), 2.0d))
+    val fees = Seq((1L, tsOf(5), 10.0d), (1L, tsOf(25), 20.0d))
+    val orders = Seq((1L, tsOf(12), 100L), (1L, tsOf(35), 200L))
+    rates.toDF("k", "rt", "rate").createOrReplaceTempView("vvc_rates_b")
+    fees.toDF("k", "ft", "fee").createOrReplaceTempView("vvc_fees_b")
+    orders.toDF("k", "ot", "amount").createOrReplaceTempView("vvc_orders_b")
+    val batch = spark.sql(TemporalJoin.rewrite(
+      "SELECT o.k, o.amount, r.rate, f.fee FROM vvc_orders_b o " +
+        "JOIN vvc_rates_b FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k " +
+        "JOIN vvc_fees_b FOR SYSTEM_TIME AS OF o.ot AS f ON f.k = o.k",
+      Map("vvc_rates_b" -> VersionMeta("rt", Seq("k")),
+        "vvc_fees_b" -> VersionMeta("ft", Seq("k"))).get))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSet
+    assert(batch === Set((1L, 100L, 1.0d, 10.0d),
+      (1L, 200L, 2.0d, 20.0d)))
+    val oIn = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    oIn.toDF().toDF("k", "ot", "amount")
+      .createOrReplaceTempView("vvc_orders_s")
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    rIn.toDF().toDF("k", "rt", "rate")
+      .createOrReplaceTempView("vvc_rates_s")
+    val fIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    fIn.toDF().toDF("k", "ft", "fee")
+      .createOrReplaceTempView("vvc_fees_s")
+    val vv = TemporalJoin.versionedViewOf(
+      """SELECT k, ft, fee FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ft DESC)
+        |    AS rn FROM vvc_fees_s) WHERE rn = 1""".stripMargin).get
+    val metas = scala.collection.mutable.Map.empty[String, VersionMeta]
+    val subbed = TemporalJoin.substituteVersionedViews(spark,
+      "SELECT o.k, o.amount, r.rate, f.fee FROM vvc_orders_s o " +
+        "JOIN vvc_rates_s FOR SYSTEM_TIME AS OF o.ot AS r ON r.k = o.k " +
+        "JOIN vvc_fees_latest FOR SYSTEM_TIME AS OF o.ot AS f " +
+        "ON f.k = o.k",
+      n => if (n.equalsIgnoreCase("vvc_fees_latest")) Some(vv) else None,
+      metas.update)
+    // only the VIEW stage is swapped; the DDL-table stage is untouched
+    assert(subbed.contains("vvc_rates_s FOR SYSTEM_TIME"), subbed)
+    assert(subbed.contains("graft_vv_vvc_fees_latest"), subbed)
+    val vm: String => Option[VersionMeta] = n =>
+      (if (n.equalsIgnoreCase("vvc_rates_s"))
+        Some(VersionMeta("rt", Seq("k"))) else None)
+        .orElse(metas.keys.find(_.equalsIgnoreCase(n)).map(metas))
+    val streamSql = TemporalJoin.rewriteStreaming(spark, subbed,
+      t => if (t.equalsIgnoreCase("vvc_orders_s"))
+        Some(("ot", "5 seconds")) else None, vm)
+    // the chained-scope confs the CLI applies at start (r17):
+    // single-watermark propagation + the correctness heuristic
+    // downgraded — tracker emissions are watermark-gated
+    val corrKey =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val multiKey = "spark.sql.streaming.statefulOperator.allowMultiple"
+    val savedCorr = spark.conf.getOption(corrKey)
+    val savedMulti = spark.conf.getOption(multiKey)
+    spark.conf.set(corrKey, "false")
+    spark.conf.set(multiKey, "false")
+    val q = spark.sql(streamSql).writeStream.format("memory")
+      .queryName("vvc_out").outputMode("append").start()
+    savedCorr.fold(spark.conf.unset(corrKey))(spark.conf.set(corrKey, _))
+    savedMulti.fold(spark.conf.unset(multiKey))(
+      spark.conf.set(multiKey, _))
+    try {
+      rIn.addData((1L, tsOf(10), 1.0d))
+      fIn.addData((1L, tsOf(5), 10.0d))
+      oIn.addData((1L, tsOf(12), 100L))
+      q.processAllAvailable()
+      rIn.addData((1L, tsOf(30), 2.0d))
+      fIn.addData((1L, tsOf(25), 20.0d))
+      oIn.addData((1L, tsOf(35), 200L))
+      q.processAllAvailable()
+      for (t <- Seq(100000L, 200000L)) {
+        oIn.addData((9L, tsOf(t), 0L))
+        rIn.addData((9L, tsOf(t), 0.0d))
+        fIn.addData((9L, tsOf(t), 0.0d))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("vvc_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3))).toSet.filter(_._1 != 9L)
+      assert(streamed === batch, streamed.toString)
+    } finally q.stop()
+  }
+
   test("checkpoint restart recovers temporal-join state exactly-once " +
       "(buffered probes + multiple versions survive the restore)") {
     // stop mid-stream with a probe buffered AND several versions in
