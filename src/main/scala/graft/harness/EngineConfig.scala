@@ -79,7 +79,7 @@ final class EngineConfig(spark: SparkSession) {
           // the docs: script authors see it where the SET runs
           System.err.println(
             "table.exec.source.idle-timeout: mapping onto " +
-              "spark.sql.streaming.multipleWatermarkPolicy=max — Spark " +
+              "spark.sql.streaming.multipleWatermarkPolicy=max - Spark " +
               "excludes the slower input of a multi-watermark plan " +
               "CONTINUOUSLY, where Flink excludes it only after the " +
               "timeout elapses; an active-but-lagging input's rows may " +
