@@ -224,18 +224,18 @@ final class SqlSubmitAction(
       val guardBody = MatchRecognize.maskQuoted(raw)
       val unticked = untick(raw)
       val body = MatchRecognize.maskQuoted(unticked)
-      // versioned-view detection (r19): the dedup shape over a DDL
-      // table whose WATERMARK column is the ORDER BY column, with the
-      // key + time columns projected (the temporal rewrite needs both
-      // on the history relation). A column-alias list renames outputs
-      // out from under the ON references — skip registration then.
+      // versioned-view detection (r19): the dedup shape over a
+      // watermarked relation — a DDL table OR a registered view whose
+      // propagated rowtime is the ORDER BY column (Flink accepts
+      // dedup views over views) — with the key + time columns
+      // projected (the temporal rewrite needs both on the history
+      // relation). A column-alias list renames outputs out from
+      // under the ON references — skip registration then.
       if (colList.isEmpty)
         for {
           vv <- TemporalJoin.versionedViewOf(unticked)
-          d <- sources.keys.find(_.equalsIgnoreCase(vv.srcTable))
-            .map(sources)
-          w <- d.watermark
-          if w.column.equalsIgnoreCase(vv.timeCol)
+          (wmCol, _) <- watermarkOf(vv.srcTable)
+          if wmCol.equalsIgnoreCase(vv.timeCol)
           if vv.primaryKey.forall(k =>
             vv.cols.exists(_.equalsIgnoreCase(k)))
           if vv.cols.exists(_.equalsIgnoreCase(vv.timeCol))

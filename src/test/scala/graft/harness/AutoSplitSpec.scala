@@ -166,6 +166,47 @@ class AutoSplitSpec extends AnyFunSuite {
       Seq(Seq(0L, 13L, 1L)))
   }
 
+  test("auto-split materializes a PATTERN view too: TTL'd GROUP BY " +
+      "above MATCH_RECOGNIZE in one statement (r19)") {
+    resetTable("ASPPAT",
+      "CREATE TABLE ASPPAT (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    // matches (a a b) complete at 60/150/240 s; emission is
+    // watermark-gated, final wm = 239 s, so the 240 s match stays
+    // pending -> the downstream total folds the first two (na = 2
+    // each)
+    run(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |create table aspp_src (
+         |  k bigint,
+         |  seq bigint,
+         |  t as case when seq % 3 = 2 then 'b' else 'a' end,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '8',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view aspp_pat as
+         |  select k, mrt, na from (
+         |    select * from aspp_src match_recognize (
+         |      partition by k order by ts
+         |      measures match_rowtime() as mrt, count(a.*) as na
+         |      one row per match after match skip past last row
+         |      pattern (a+ b)
+         |      define a as t = 'a', b as t = 'b'));
+         |create table aspp_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPPAT');
+         |insert into aspp_sink
+         |select k, sum(na) as total from aspp_pat group by k;
+         |""".stripMargin, "pat-auto")
+    assert(readAll("SELECT K, TOTAL FROM ASPPAT", 2) === Seq(Seq(0L, 4L)))
+  }
+
   test("without the knob the one-statement form keeps the named " +
       "rejection, which now names the knob (r19)") {
     val script =

@@ -1178,6 +1178,57 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       assert(got === Set((0L, 100L), (10L, 101L), (20L, 103L)), got.toString)
     }
 
+  test("a versioned view may sit over another VIEW of the watermarked " +
+      "source (r19: Flink accepts dedup views over views)") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-vvw").toString
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table vvw_log (
+         |  k bigint,
+         |  seq bigint,
+         |  rt as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 100 as int)),
+         |  rate as 100 + seq,
+         |  watermark for rt as rt - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '4',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '3',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table vvw_orders (
+         |  k bigint,
+         |  seq bigint,
+         |  ot as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 150 as int)),
+         |  amount as seq * 10,
+         |  watermark for ot as ot - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view vvw_feed as
+         |  select k, rt, rate from vvw_log;
+         |create temporary view vvw_latest as
+         |  select k, rt, rate from (
+         |    select *, row_number() over (partition by k
+         |      order by rt desc) as rn
+         |    from vvw_feed) where rn = 1;
+         |create table vvw_sink (k bigint, amount bigint, rate bigint)
+         |  with ('connector' = 'filesystem', 'path' = '$out/sink',
+         |  'format' = 'parquet');
+         |insert into vvw_sink
+         |select o.k, o.amount, v.rate from vvw_orders o
+         |join vvw_latest for system_time as of o.ot as v on v.k = o.k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-vvw-", ".sql")
+    Files.writeString(file, script)
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 10).run()
+    val got = spark.read.parquet(s"$out/sink").collect()
+      .map(r => (r.getAs[Long]("amount"), r.getAs[Long]("rate"))).toSet
+    assert(got === Set((0L, 100L), (10L, 101L), (20L, 103L)), got.toString)
+  }
+
   test("an IMPLICIT comma join beside a pattern or temporal region " +
       "also drops the rowtime (r19 review: `FROM t, dim` is the same " +
       "regular join)") {
