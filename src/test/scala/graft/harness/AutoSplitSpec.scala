@@ -207,6 +207,54 @@ class AutoSplitSpec extends AnyFunSuite {
     assert(readAll("SELECT K, TOTAL FROM ASPPAT", 2) === Seq(Seq(0L, 4L)))
   }
 
+  test("auto-split materializes a TEMPORAL-JOIN view too: TTL'd " +
+      "GROUP BY above an enrichment stage in one statement (r19)") {
+    resetTable("ASPTJ",
+      "CREATE TABLE ASPTJ (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    // probes at 0/150/300 s against versions at 0/100/200/300 s
+    // (rates 100..103); the unioned watermark ends at 299 s, so the
+    // 300 s probe stays pending -> enriched rows (0 -> 100),
+    // (150 -> 101), and the TTL'd sum folds 201
+    run(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |create table asptj_rates (
+         |  k bigint,
+         |  seq bigint,
+         |  rt as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 100 as int)),
+         |  rate as 100 + seq,
+         |  primary key (k) not enforced,
+         |  watermark for rt as rt - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '3',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table asptj_orders (
+         |  k bigint,
+         |  seq bigint,
+         |  ot as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 150 as int)),
+         |  watermark for ot as ot - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view asptj_enriched as
+         |  select o.k, o.ot, r.rate from asptj_orders o
+         |  join asptj_rates for system_time as of o.ot as r
+         |  on r.k = o.k;
+         |create table asptj_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPTJ');
+         |insert into asptj_sink
+         |select k, sum(rate) as total from asptj_enriched group by k;
+         |""".stripMargin, "tj-auto")
+    assert(readAll("SELECT K, TOTAL FROM ASPTJ", 2) === Seq(Seq(0L, 201L)))
+  }
+
   test("without the knob the one-statement form keeps the named " +
       "rejection, which now names the knob (r19)") {
     val script =
