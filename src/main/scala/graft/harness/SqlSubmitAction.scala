@@ -326,7 +326,7 @@ final class SqlSubmitAction(
         } else recordJoinViewWatermark(spark, name, unticked, body, colList)
       } else if (!hasSetOp && hasGroupBy &&
           WindowTvf.hasWindowTvf(guardBody) &&
-          raw"(?is)\bJOIN\b".r.findFirstIn(guardBody).isEmpty) {
+          joinKeywords == 0 && !hasCommaJoin) {
         // window-TVF aggregation view: record (view -> window_time's
         // output name, the TVF SOURCE's delay). The source delay is
         // conservative — windows emit watermark-gated, so window_time
@@ -346,34 +346,48 @@ final class SqlSubmitAction(
     }
   }
 
-  /** True when the body's top-level FROM region carries a depth-0
-    * comma — an IMPLICIT (comma) regular join, which drops time
-    * attributes in Flink exactly like the JOIN keyword (r19 review).
-    * The scan stops at the first top-level clause keyword after FROM
-    * (GROUP BY / ORDER BY lists carry legal top-level commas);
-    * select-list commas sit before FROM, and MATCH_RECOGNIZE / TVF /
-    * subquery commas sit inside parens. Runs on masked text.
+  /** True when ANY FROM region in the body carries a comma at that
+    * region's own paren depth — an IMPLICIT (comma) regular join,
+    * which drops time attributes in Flink exactly like the JOIN
+    * keyword (r19 review; generalized past the top level in the same
+    * round's second pass: the JOIN-keyword guard counts at any depth,
+    * and a comma join one subquery down drops the attribute just the
+    * same). Each region's scan stops at the region's closing paren or
+    * at a clause keyword AT ITS DEPTH (GROUP BY / ORDER BY lists
+    * carry legal commas); select-list commas sit before the FROM, and
+    * MATCH_RECOGNIZE / TVF / function-argument commas sit deeper.
+    * EXTRACT/TRIM/SUBSTRING(... FROM ...) regions are comma-free
+    * forms. Runs on masked text.
     */
-  private def hasTopLevelFromComma(body: String): Boolean =
-    WindowTvf.findTopLevel(body, 0, "FROM").exists { f =>
-      val stops = Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
-        "UNION", "INTERSECT", "EXCEPT", "WINDOW")
-        .flatMap(k => WindowTvf.findTopLevel(body, f, k))
-      val end = if (stops.isEmpty) body.length else stops.min
-      var depth = 0
-      var i = f
+  private def hasTopLevelFromComma(body: String): Boolean = {
+    val clauses = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+      "UNION", "INTERSECT", "EXCEPT", "WINDOW")
+    raw"(?is)(?<![\w.])FROM\b".r.findAllMatchIn(body).exists { m =>
+      val d0 = depthAt(body, m.start)
+      var depth = d0
+      var i = m.end
       var found = false
-      while (i < end && !found) {
+      var stop = false
+      while (i < body.length && !found && !stop) {
         body.charAt(i) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1
-          case ',' if depth == 0 => found = true
-          case _ =>
+          case '(' => depth += 1; i += 1
+          case ')' =>
+            depth -= 1
+            if (depth < d0) stop = true else i += 1
+          case ',' if depth == d0 => found = true
+          case c if (c.isLetter || c == '_') && depth == d0 =>
+            val s = i
+            while (i < body.length &&
+              (body.charAt(i).isLetterOrDigit || body.charAt(i) == '_'))
+              i += 1
+            if (s > 0 && body.charAt(s - 1) != '.' &&
+              clauses(body.substring(s, i).toUpperCase)) stop = true
+          case _ => i += 1
         }
-        i += 1
       }
       found
     }
+  }
 
   /** Shared tail of the rowtime-carrying view-registration branches
     * (window-TVF `window_time`, MATCH_ROWTIME pattern views,
@@ -494,7 +508,11 @@ final class SqlSubmitAction(
   /** Relations named in FROM/JOIN positions with their optional alias.
     * The negative lookahead keeps join keywords and ON/WHERE from
     * being read as an alias. */
-  private val RelWithAliasRe = (raw"(?is)(?<!\.)\b(?:FROM|JOIN)\s+" +
+  // a relation position opens after FROM/JOIN — or after a COMMA (the
+  // implicit-join list, r19 review: `FROM s1 a, s2 b` must count BOTH
+  // relations, or a stream-stream comma join would undercount to the
+  // one-watermarked-relation lookup shape and register)
+  private val RelWithAliasRe = (raw"(?is)(?:(?<!\.)\b(?:FROM|JOIN)\s+|,\s*)" +
     raw"([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?" +
     raw"(?!ON\b|WHERE\b|JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|" +
     raw"USING\b|GROUP\b|ORDER\b|LIMIT\b)([A-Za-z_]\w*))?").r
@@ -1404,9 +1422,12 @@ final class SqlSubmitAction(
         registerConnectorTable(spark, config, parsed)
         // the mkdirs above guarantees the path exists — possibly on a
         // REMOTE filesystem, where registerConnectorTable's local
-        // File.exists check cannot see it — so register the streaming
-        // source view explicitly (stage 2 compiles against it)
-        registerFilesystemView(spark, config, parsed)
+        // File.exists check cannot see it (and so skipped the source
+        // registration): register the streaming source view explicitly
+        // then, and only then (the local case already registered —
+        // rebuilding the readStream twice is wasted work, r19 review)
+        if (!new java.io.File(stripScheme(parsed.options("path"))).exists())
+          registerFilesystemView(spark, config, parsed)
         // bound both stages' micro-batch cadence unless the script
         // configured its own: with the default as-fast-as-possible
         // trigger the materialization runs hundreds of no-data batches

@@ -1286,6 +1286,41 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
          |  select s.k, s.ts, d.tag
          |  from cjg_src s, cjg_dim d
          |  where d.k = s.k;
+         |create temporary view cjg_dimfirst as
+         |  select s.k, s.ts, d.tag
+         |  from cjg_dim d, cjg_src s
+         |  where d.k = s.k;
+         |create table cjg_src2 (
+         |  k bigint,
+         |  seq bigint,
+         |  ts2 as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts2 as ts2 - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '9',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '8',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view cjg_ss as
+         |  select a.k, a.ts
+         |  from cjg_src a, cjg_src2 b
+         |  where a.k = b.k;
+         |create temporary view cjg_tvf as
+         |  select w.k, window_time, d.tag, sum(w.seq) as s
+         |  from table(tumble(table cjg_src, descriptor(ts),
+         |    interval '1' minute)) w, cjg_dim d
+         |  where w.k = d.k
+         |  group by w.k, window_start, window_end, window_time, d.tag;
+         |create temporary view cjg_wrap as
+         |  select k, mrt, na from (
+         |    select p.k, p.mrt, p.na, d.tag
+         |    from (
+         |      select * from cjg_src match_recognize (
+         |        partition by k order by ts
+         |        measures match_rowtime() as mrt, count(a.*) as na
+         |        one row per match after match skip past last row
+         |        pattern (a+ b)
+         |        define a as t = 'a', b as t = 'b')) p, cjg_dim d
+         |    where d.k = p.k) w;
          |""".stripMargin
     val file = Files.createTempFile("graft-cjg-", ".sql")
     Files.writeString(file, script)
@@ -1303,6 +1338,21 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(action.registeredRowtimeOf("cjg_plainstream")
       .exists(_._1.equalsIgnoreCase("ts")),
       "plain comma-join view keeps the lookup-join mapping")
+    // the lookup mapping is ORDER-INDEPENDENT (r19 second pass: the
+    // relation scan sees comma positions too)
+    assert(action.registeredRowtimeOf("cjg_dimfirst")
+      .exists(_._1.equalsIgnoreCase("ts")),
+      "dim-first comma join keeps the lookup-join mapping")
+    // a stream-STREAM comma join drops the attribute like its JOIN
+    // twin (two watermarked relations: not a lookup shape)
+    assert(action.registeredRowtimeOf("cjg_ss").isEmpty,
+      "comma join of two watermarked tables must not register")
+    // a window-TVF aggregation beside a comma join drops window_time
+    assert(action.registeredRowtimeOf("cjg_tvf").isEmpty,
+      "comma join beside a TVF aggregation must drop window_time")
+    // a comma join one subquery DOWN drops the pattern rowtime too
+    assert(action.registeredRowtimeOf("cjg_wrap").isEmpty,
+      "nested comma join below a wrapper must drop the rowtime")
   }
 
   test("a NON-versioned view in temporal position rejects by name " +
