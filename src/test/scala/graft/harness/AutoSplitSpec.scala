@@ -255,6 +255,36 @@ class AutoSplitSpec extends AnyFunSuite {
     assert(readAll("SELECT K, TOTAL FROM ASPTJ", 2) === Seq(Seq(0L, 201L)))
   }
 
+  test("auto-split fires inside EXECUTE STATEMENT SET too (r19: the " +
+      "statement-set route shares the INSERT path)") {
+    resetTable("ASPSET",
+      "CREATE TABLE ASPSET (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    val out = Files.createTempDirectory("graft-aspset-raw").toString
+    run(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |${srcAndView("asps")}
+         |create table asps_raw (k bigint, s bigint)
+         |  with ('connector' = 'filesystem', 'path' = '$out',
+         |  'format' = 'parquet');
+         |create table asps_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPSET');
+         |EXECUTE STATEMENT SET BEGIN
+         |  insert into asps_raw select k, s from asps_agg;
+         |  insert into asps_sink
+         |    select k, sum(s) as total from asps_agg group by k;
+         |END;
+         |""".stripMargin, "set-auto")
+    // the plain windowed insert ran beside the auto-split one
+    assert(readAll("SELECT K, TOTAL FROM ASPSET", 2) === Seq(Seq(0L, 28L)))
+    val raw = SparkFixture.spark.read.parquet(out)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(raw === Seq(1L, 5L, 9L, 13L), raw.toString)
+  }
+
   test("without the knob the one-statement form keeps the named " +
       "rejection, which now names the knob (r19)") {
     val script =
