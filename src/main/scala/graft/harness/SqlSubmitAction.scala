@@ -72,6 +72,13 @@ final class SqlSubmitAction(
       view: String): Option[(String, String)] =
     viewWatermarks.keys.find(_.equalsIgnoreCase(view)).map(viewWatermarks)
 
+  /** Test seam: whether the derived history relation `hist` currently
+    * holds a VersionMeta entry — eviction on DROP/REPLACE VIEW is
+    * otherwise unobservable (r20 advice: stale entries must not
+    * outlive their view). */
+  private[harness] def versionedHistoryRegistered(hist: String): Boolean =
+    versionedHistoryMeta.keys.exists(_.equalsIgnoreCase(hist))
+
   /** Versioned VIEWS (r19): a `ROW_NUMBER ... rn = 1` deduplication
     * view over a watermarked, primary-key-inferable source is a valid
     * `FOR SYSTEM_TIME AS OF` version side in Flink (pass-through
@@ -201,6 +208,10 @@ final class SqlSubmitAction(
         .foreach(viewWatermarks.remove(_): Unit)
       versionedViews.keys.find(_.equalsIgnoreCase(name))
         .foreach(versionedViews.remove(_): Unit)
+      // the derived history entry must not outlive its view: a stale
+      // graft_vv_* VersionMeta could otherwise shadow a later relation
+      // of the same name through versionMetaOf's orElse (r20 advice)
+      versionedHistoryMeta.remove(TemporalJoin.historyNameOf(name)): Unit
     }
     DropViewRe.findFirstMatchIn(sql).foreach(m =>
       evict(DdlParser.unquoteName(m.group(1))))
@@ -933,7 +944,7 @@ final class SqlSubmitAction(
         // whether the path happens to exist yet — re-running a script
         // whose first run created the path must still resolve the sink
         sinks(t.name) = t
-        if (new java.io.File(stripScheme(path)).exists())
+        if (pathExists(spark, path))
           registerFilesystemView(spark, config, t)
       case Some("jdbc") =>
         // both roles, like filesystem: a JDBC table is a scan/lookup
@@ -1122,6 +1133,20 @@ final class SqlSubmitAction(
 
   private def stripScheme(p: String): String =
     p.replaceFirst(raw"^[a-zA-Z]+://", "")
+
+  /** Existence probe through the path's OWN filesystem (r20): a
+    * `java.io.File` check answers correctly for file:// and bare local
+    * paths, but a remote path (hdfs://, s3a://) only coincidentally —
+    * ask the Hadoop filesystem the sink/source will actually resolve.
+    * Falls back to the local check when the scheme's filesystem is
+    * unconstructible (the probe must never fail a statement the local
+    * answer can still serve).
+    */
+  private def pathExists(spark: SparkSession, path: String): Boolean =
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }.getOrElse(new java.io.File(stripScheme(path)).exists())
 
   private def sparkSchema(spark: SparkSession, t: TableDef) = {
     import org.apache.spark.sql.types._
@@ -1420,13 +1445,14 @@ final class SqlSubmitAction(
             "is not reused):\n " + stage1 + "\n " + stage2)
         val parsed = DdlParser.parse(ddl)
         registerConnectorTable(spark, config, parsed)
-        // the mkdirs above guarantees the path exists — possibly on a
-        // REMOTE filesystem, where registerConnectorTable's local
-        // File.exists check cannot see it (and so skipped the source
-        // registration): register the streaming source view explicitly
-        // then, and only then (the local case already registered —
-        // rebuilding the readStream twice is wasted work, r19 review)
-        if (!new java.io.File(stripScheme(parsed.options("path"))).exists())
+        // the mkdirs above guarantees the path exists on its OWN
+        // filesystem, and pathExists asks that same filesystem (r20:
+        // the probe previously used java.io.File, honest only for
+        // local paths) — so registerConnectorTable always registered
+        // the source view already; keep a belt-and-braces retry only
+        // for the fallback case where the probe's filesystem was
+        // unconstructible
+        if (!pathExists(spark, parsed.options("path")))
           registerFilesystemView(spark, config, parsed)
         // bound both stages' micro-batch cadence unless the script
         // configured its own: with the default as-fast-as-possible
@@ -1527,11 +1553,31 @@ final class SqlSubmitAction(
           d.child.isStreaming
         case _ => false
       }
+      // stage 1 writes into an APPEND-ONLY parquet intermediate, so the
+      // view must produce append output (watermarked aggregation,
+      // dedup, append-mode pattern/temporal trackers) — Spark's own
+      // streaming checker is the authority. An update-mode view (e.g.
+      // an unbounded GROUP BY) keeps the named two-statement rejection
+      // instead of a raw append-mode AnalysisException referencing
+      // generated SQL the user never wrote (r20 advice).
+      if scala.util.Try(
+        org.apache.spark.sql.catalyst.analysis.UnsupportedOperationChecker
+          .checkForStreaming(df.queryExecution.analyzed,
+            org.apache.spark.sql.streaming.OutputMode.Append())).isSuccess
       colTypes <- df.schema.fields.toSeq.foldLeft(
         Option(Seq.empty[(String, String)])) { (acc, f) =>
         acc.flatMap(cs => flinkTypeOf(f.dataType).map(t =>
           cs :+ (f.name, t)))
       }
+      // engine-GENERATED SQL must never be what fails to parse (r20
+      // advice): a view column outside the identifier charset (an
+      // unaliased `sum(v)`) or a configured dir carrying a quote would
+      // surface as a DdlParser/Spark error on text the user never
+      // wrote — fail closed to the named rejection instead
+      if colTypes.forall { case (n, _) => n.matches(raw"^[A-Za-z_]\w*$$") }
+      dir = config.raw.getOrElse("graft.streaming.intermediate-dir",
+        System.getProperty("java.io.tmpdir"))
+      if dir.matches(raw"^[A-Za-z0-9_\-./:]+$$")
     } yield {
       // a FRESH name + directory per run, never a reused fixed name:
       // Spark's file sink consults the target's existing
@@ -1551,8 +1597,6 @@ final class SqlSubmitAction(
       val unique = java.util.UUID.randomUUID.toString
         .replace("-", "").take(12)
       val mat = s"graft_mat_${view.toLowerCase}_$unique"
-      val dir = config.raw.getOrElse("graft.streaming.intermediate-dir",
-        System.getProperty("java.io.tmpdir"))
       val path = s"${dir.stripSuffix("/")}/$mat"
       val hPath = new org.apache.hadoop.fs.Path(path)
       hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -133,6 +133,17 @@ object TemporalJoin {
     * Names `viewOf` does not know pass through untouched and hit the
     * named rejection downstream.
     */
+  /** The deterministic history-relation name a versioned view `name`
+    * substitutes to. The sanitized name alone can collide (`my.latest`
+    * vs `my_latest`) — a hash of the lowercased original is suffixed
+    * so two distinct views never share one history view (r19 review).
+    * Shared with the registry's eviction so a dropped/replaced view's
+    * VersionMeta entry never outlives it (r20 advice).
+    */
+  def historyNameOf(name: String): String =
+    "graft_vv_" + name.toLowerCase.replaceAll(raw"\W", "_") + "_" +
+      (name.toLowerCase.hashCode & 0x7fffffff)
+
   def substituteVersionedViews(spark: org.apache.spark.sql.SparkSession,
       sql: String, viewOf: String => Option[VersionedView],
       metaOut: (String, VersionMeta) => Unit): String = {
@@ -145,12 +156,7 @@ object TemporalJoin {
     JoinTargetRe.findAllMatchIn(masked).foreach { m =>
       val name = DdlParser.unquoteName(sql.substring(m.start(2), m.end(2)))
       viewOf(name).foreach { vv =>
-        // the sanitized name alone can collide (`my.latest` vs
-        // `my_latest`) — suffix a hash of the lowercased original so
-        // two distinct views never share one history view (r19 review)
-        val hist = "graft_vv_" +
-          name.toLowerCase.replaceAll(raw"\W", "_") + "_" +
-          (name.toLowerCase.hashCode & 0x7fffffff)
+        val hist = historyNameOf(name)
         // re-created per statement: the source temp view may have been
         // re-registered (mode flip, re-run) since the last use
         spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $hist AS " +

@@ -285,6 +285,102 @@ class AutoSplitSpec extends AnyFunSuite {
     assert(raw === Seq(1L, 5L, 9L, 13L), raw.toString)
   }
 
+  private def interceptMessages(script: String, tag: String,
+      durationSec: Long = 10): Seq[String] = {
+    val file = Files.createTempFile(s"graft-asp-$tag-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(SparkFixture.spark),
+        durationSec = durationSec).run()
+    }
+    Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+  }
+
+  test("auto-split declines an UPDATE-mode stateful view (unbounded " +
+      "GROUP BY): the named rejection is kept instead of a raw " +
+      "append-mode AnalysisException on generated SQL (r20 advice)") {
+    val msgs = interceptMessages(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |create table aspu_src (
+         |  k bigint,
+         |  seq bigint,
+         |  v as seq,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '9',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view aspu_agg as
+         |  select k, sum(v) as s from aspu_src group by k;
+         |create table aspu_sink (k bigint, s bigint, rn bigint) with (
+         |  'connector' = 'print');
+         |insert into aspu_sink
+         |select k, s, rn from (
+         |  select *, row_number() over (partition by k order by s desc)
+         |    as rn from aspu_agg) where rn <= 2;
+         |""".stripMargin, "upd-view")
+    assert(msgs.exists(_.contains("cannot run above another stateful")),
+      msgs.mkString(" | "))
+    assert(!msgs.exists(_.toLowerCase.contains("append output mode")),
+      msgs.mkString(" | "))
+  }
+
+  test("an intermediate-dir outside the path charset keeps the named " +
+      "rejection instead of failing on engine-generated DDL (r20 " +
+      "advice)") {
+    val msgs = interceptMessages(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |SET graft.streaming.intermediate-dir = /tmp/graft bad(dir;
+         |${srcAndView("aspb")}
+         |create table aspb_sink (k bigint, total bigint) with (
+         |  'connector' = 'print');
+         |insert into aspb_sink
+         |select k, sum(s) as total from aspb_agg group by k;
+         |""".stripMargin, "bad-dir")
+    assert(msgs.exists(m => m.contains("cannot run above another stateful")
+      && m.contains("auto-split-updating")), msgs.mkString(" | "))
+  }
+
+  test("a view column outside the identifier charset (unaliased " +
+      "aggregate) keeps the named rejection instead of failing on " +
+      "engine-generated DDL (r20 advice)") {
+    val msgs = interceptMessages(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |create table aspc_src (
+         |  k bigint,
+         |  seq bigint,
+         |  v as seq,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '9',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create temporary view aspc_agg as
+         |  select k, window_time, sum(v)
+         |  from table(tumble(table aspc_src, descriptor(ts),
+         |    interval '1' minute))
+         |  group by k, window_start, window_end, window_time;
+         |create table aspc_sink (k bigint, c bigint) with (
+         |  'connector' = 'print');
+         |insert into aspc_sink
+         |select k, count(*) as c from aspc_agg group by k;
+         |""".stripMargin, "bad-col")
+    assert(msgs.exists(_.contains("cannot run above another stateful")),
+      msgs.mkString(" | "))
+  }
+
   test("without the knob the one-statement form keeps the named " +
       "rejection, which now names the knob (r19)") {
     val script =

@@ -1229,6 +1229,31 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(got === Set((0L, 100L), (10L, 101L), (20L, 103L)), got.toString)
   }
 
+  test("DROP VIEW evicts the versioned view's derived history " +
+      "VersionMeta too (r20 advice: stale graft_vv_* entries must not " +
+      "outlive their view)") {
+    val spark = SparkFixture.spark
+    // run 1 proves the seam observes the entry after a temporal join
+    // used the view; run 2 appends a DROP VIEW and must leave no trace
+    val out1 = Files.createTempDirectory("graft-vve").toString
+    val f1 = Files.createTempFile("graft-vve-", ".sql")
+    Files.writeString(f1, versionedViewScript("batch", out1, "vve"))
+    val a1 = new SqlSubmitAction(f1.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 10)
+    a1.run()
+    assert(a1.versionedHistoryRegistered(
+      TemporalJoin.historyNameOf("vve_latest")))
+    val out2 = Files.createTempDirectory("graft-vvd").toString
+    val f2 = Files.createTempFile("graft-vvd-", ".sql")
+    Files.writeString(f2, versionedViewScript("batch", out2, "vvd") +
+      "drop view vvd_latest;\n")
+    val a2 = new SqlSubmitAction(f2.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 10)
+    a2.run()
+    assert(!a2.versionedHistoryRegistered(
+      TemporalJoin.historyNameOf("vvd_latest")))
+  }
+
   test("an IMPLICIT comma join beside a pattern or temporal region " +
       "also drops the rowtime (r19 review: `FROM t, dim` is the same " +
       "regular join)") {
