@@ -370,22 +370,36 @@ final class SqlSubmitAction(
     * EXTRACT/TRIM/SUBSTRING(... FROM ...) regions are comma-free
     * forms. Runs on masked text.
     */
-  private def hasTopLevelFromComma(body: String): Boolean = {
+  private def hasTopLevelFromComma(body: String): Boolean =
+    fromRegionCommas(body).nonEmpty
+
+  /** Indices of every comma sitting at a FROM region's own paren depth
+    * — the IMPLICIT-join relation commas. Each region's scan stops at
+    * the region's closing paren or at a clause keyword AT ITS DEPTH
+    * (GROUP BY / ORDER BY lists carry legal commas that are NOT
+    * relation positions — r20 advice: the relation-scan regex's bare
+    * `,\s*` alternative matched those too, so an ORDER BY item that
+    * coincided with a watermarked relation name inflated the lookup-
+    * shape count and silently skipped registering a legitimate view).
+    * Select-list commas sit before the FROM, and MATCH_RECOGNIZE /
+    * TVF / function-argument commas sit deeper. Runs on masked text.
+    */
+  private def fromRegionCommas(body: String): Set[Int] = {
     val clauses = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
       "UNION", "INTERSECT", "EXCEPT", "WINDOW")
-    raw"(?is)(?<![\w.])FROM\b".r.findAllMatchIn(body).exists { m =>
+    val found = Set.newBuilder[Int]
+    raw"(?is)(?<![\w.])FROM\b".r.findAllMatchIn(body).foreach { m =>
       val d0 = depthAt(body, m.start)
       var depth = d0
       var i = m.end
-      var found = false
       var stop = false
-      while (i < body.length && !found && !stop) {
+      while (i < body.length && !stop) {
         body.charAt(i) match {
           case '(' => depth += 1; i += 1
           case ')' =>
             depth -= 1
             if (depth < d0) stop = true else i += 1
-          case ',' if depth == d0 => found = true
+          case ',' if depth == d0 => found += i; i += 1
           case c if (c.isLetter || c == '_') && depth == d0 =>
             val s = i
             while (i < body.length &&
@@ -396,8 +410,8 @@ final class SqlSubmitAction(
           case _ => i += 1
         }
       }
-      found
     }
+    found.result()
   }
 
   /** Shared tail of the rowtime-carrying view-registration branches
@@ -559,7 +573,15 @@ final class SqlSubmitAction(
       .filter(_.end <= fromIdx)
       .map(sm => untick(raw.substring(sm.end, fromIdx)).trim)
     val tail = body.substring(fromIdx)
+    // a COMMA-anchored match is a relation position only when its
+    // comma is a FROM-region relation comma (the implicit-join list);
+    // the regex's bare `,\s*` alternative would otherwise read an
+    // ORDER BY / select-list item that happens to carry a watermarked
+    // relation's name as another relation, inflating the lookup-shape
+    // count and skipping a legitimate registration (r20 advice)
+    val relCommas = fromRegionCommas(tail)
     val relMatches = RelWithAliasRe.findAllMatchIn(tail).toSeq
+      .filter(mm => tail.charAt(mm.start) != ',' || relCommas(mm.start))
     // the lookup-shape gate counts watermarked relations at ANY depth
     // — but a parenthesized position is a RELATION position only
     // inside a SUBQUERY (a SELECT between the innermost unclosed

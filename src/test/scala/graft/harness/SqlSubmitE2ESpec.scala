@@ -1380,6 +1380,46 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       "nested comma join below a wrapper must drop the rowtime")
   }
 
+  test("a non-relation comma whose next token matches a watermarked " +
+      "name no longer poses as a second relation (r20 advice: the " +
+      "lookup-join view must register)") {
+    val spark = SparkFixture.spark
+    // cmf_dim carries a COLUMN literally named after the watermarked
+    // stream; the subquery select list's `, cmf_src` is not a relation
+    // position, so the lookup-shape count must stay at one and the
+    // view's rowtime must register
+    val script =
+      s"""SET execution.runtime-mode = batch;
+         |create table cmf_src (
+         |  k bigint,
+         |  seq bigint,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'number-of-rows' = '3',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '2',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table cmf_dim (
+         |  tag bigint, cmf_src bigint
+         |) with ('connector' = 'datagen', 'number-of-rows' = '1',
+         |  'fields.tag.min' = '7', 'fields.tag.max' = '7',
+         |  'fields.cmf_src.min' = '0', 'fields.cmf_src.max' = '0');
+         |create temporary view cmf_enrich as
+         |  select s.k, s.ts, x.tag
+         |  from cmf_src s
+         |  join (select tag, cmf_src from cmf_dim) x on x.cmf_src = s.k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-cmf-", ".sql")
+    Files.writeString(file, script)
+    val action = new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 10)
+    action.run()
+    assert(action.registeredRowtimeOf("cmf_enrich")
+      .exists(_._1.equalsIgnoreCase("ts")),
+      "the select-list comma must not inflate the lookup-shape count")
+  }
+
   test("a NON-versioned view in temporal position rejects by name " +
       "with the versioned-view recipe (r19)") {
     val spark = SparkFixture.spark
