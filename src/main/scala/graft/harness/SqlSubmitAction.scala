@@ -240,17 +240,25 @@ final class SqlSubmitAction(
       // propagated rowtime is the ORDER BY column (Flink accepts
       // dedup views over views) — with the key + time columns
       // projected (the temporal rewrite needs both on the history
-      // relation). A column-alias list renames outputs out from
-      // under the ON references — skip registration then.
-      if (colList.isEmpty)
-        for {
-          vv <- TemporalJoin.versionedViewOf(unticked)
-          (wmCol, _) <- watermarkOf(vv.srcTable)
-          if wmCol.equalsIgnoreCase(vv.timeCol)
-          if vv.primaryKey.forall(k =>
-            vv.cols.exists(_.equalsIgnoreCase(k)))
-          if vv.cols.exists(_.equalsIgnoreCase(vv.timeCol))
-        } versionedViews(name) = vv
+      // relation; checked by SOURCE name since r20, when in-body `AS`
+      // renames became legal — the derived history view and its
+      // VersionMeta carry the renamed outputs). A `CREATE VIEW v (a,
+      // b, ...)` column-alias list renames POSITIONALLY, composing
+      // onto the items the same way (r20; a length mismatch would
+      // have failed the CREATE itself — guarded anyway).
+      for {
+        vv0 <- TemporalJoin.versionedViewOf(unticked)
+        if colList.forall(_.length == vv0.items.length)
+        vv = colList match {
+          case Some(cl) => vv0.copy(items = vv0.items.map(_._1).zip(cl))
+          case None => vv0
+        }
+        (wmCol, _) <- watermarkOf(vv.srcTable)
+        if wmCol.equalsIgnoreCase(vv.timeCol)
+        if vv.primaryKey.forall(k =>
+          vv.items.exists(_._1.equalsIgnoreCase(k)))
+        if vv.items.exists(_._1.equalsIgnoreCase(vv.timeCol))
+      } versionedViews(name) = vv
       // a set op has no single propagated time attribute to speak for;
       // a plain GROUP BY drops rowtime too (Flink) — EXCEPT the
       // window-TVF aggregation, whose window_time output IS a rowtime

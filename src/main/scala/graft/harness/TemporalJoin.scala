@@ -84,16 +84,34 @@ object TemporalJoin {
     * `SELECT <cols> FROM <srcTable>` instead of the view itself.
     */
   final case class VersionedView(srcTable: String, timeCol: String,
-      primaryKey: Seq[String], cols: Seq[String])
+      primaryKey: Seq[String], items: Seq[(String, String)]) {
+    /** View-output column names, in projection order. */
+    def cols: Seq[String] = items.map(_._2)
+    /** The OUTPUT name the source column `src` rides out under —
+      * itself when the projection keeps the name (r20: in-body `AS`
+      * renames are legal in Flink dedup views, so the join's ON/meta
+      * references resolve against the RENAMED columns). */
+    def outNameOf(src: String): String =
+      items.find(_._1.equalsIgnoreCase(src)).map(_._2).getOrElse(src)
+  }
+
+  /** A select-list item of the dedup view's outer projection: a
+    * simple (optionally qualified) column, optionally renamed under a
+    * plain alias — `[q.]col`, `[q.]col AS out`, `[q.]col out`. Any
+    * real expression around the column drops the versioned shape. */
+  private val VvItemRe = (raw"(?is)^(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)" +
+    raw"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?$$").r
 
   /** Parses the versioned-view shape from an (unticked) CREATE VIEW
     * body: `SELECT <simple cols> FROM (SELECT *, ROW_NUMBER() OVER
     * (PARTITION BY <keys> ORDER BY <tcol> DESC) AS <rn> FROM <src>)
     * [alias] WHERE <rn> = 1`. ASC ordering is keep-FIRST
     * deduplication, not a version history — no match. Projecting the
-    * rank column, a star, or expression items: no match (the caller
-    * then raises the named non-versioned rejection on a temporal
-    * join over the view).
+    * rank column (under any name), a star, or expression items: no
+    * match (the caller then raises the named non-versioned rejection
+    * on a temporal join over the view). Items may carry a plain
+    * alias (r20: `ts AS version_ts` is a Flink-legal rename — the
+    * (source, output) pairs ride [[VersionedView.items]]).
     */
   def versionedViewOf(body: String): Option[VersionedView] = {
     val masked = MatchRecognize.maskQuoted(body)
@@ -113,12 +131,19 @@ object TemporalJoin {
       if wm.group(1).equalsIgnoreCase(im.group(3))
       keys = MatchRecognize.splitTopLevel(im.group(1)).map(_.trim)
       if keys.nonEmpty && keys.forall(_.matches(raw"^[A-Za-z_]\w*$$"))
-      items = MatchRecognize.splitTopLevel(om.group(1)).map(_.trim)
-      if items.nonEmpty &&
-        items.forall(_.matches(raw"^(?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*$$"))
-      cols = items.map(_.split('.').last)
-      if !cols.exists(_.equalsIgnoreCase(im.group(3)))
-    } yield VersionedView(im.group(4), im.group(2), keys, cols)
+      items <- MatchRecognize.splitTopLevel(om.group(1)).map(_.trim)
+        .foldLeft(Option(Seq.empty[(String, String)])) { (acc, it) =>
+          acc.flatMap(ps => it match {
+            case VvItemRe(src, out) =>
+              Some(ps :+ (src, Option(out).getOrElse(src)))
+            case _ => None
+          })
+        }
+      if items.nonEmpty
+      // the rank column stays internal: projecting it under ANY name
+      // would expose rank values as data on the version side
+      if !items.exists(_._1.equalsIgnoreCase(im.group(3)))
+    } yield VersionedView(im.group(4), im.group(2), keys, items)
   }
 
   /** `JOIN <versioned view> FOR SYSTEM_TIME AS OF` → the same join
@@ -158,10 +183,16 @@ object TemporalJoin {
       viewOf(name).foreach { vv =>
         val hist = historyNameOf(name)
         // re-created per statement: the source temp view may have been
-        // re-registered (mode flip, re-run) since the last use
+        // re-registered (mode flip, re-run) since the last use. The
+        // projection carries the view's renames, and the meta names
+        // the OUTPUT columns — the statement's ON clause references
+        // the view's surface, not the source's (r20)
         spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $hist AS " +
-          s"SELECT ${vv.cols.mkString(", ")} FROM ${vv.srcTable}")
-        metaOut(hist, VersionMeta(vv.timeCol, vv.primaryKey))
+          s"SELECT ${vv.items.map { case (s, o) =>
+            if (s == o) s else s"$s AS $o" }.mkString(", ")} " +
+          s"FROM ${vv.srcTable}")
+        metaOut(hist, VersionMeta(vv.outNameOf(vv.timeCol),
+          vv.primaryKey.map(vv.outNameOf)))
         out.append(sql.substring(last, m.start(2))).append(hist)
           .append(sql.substring(m.end(2), m.end(3)))
         val aliasPart = sql.substring(m.start(4), m.end(4))

@@ -1178,6 +1178,64 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
       assert(got === Set((0L, 100L), (10L, 101L), (20L, 103L)), got.toString)
     }
 
+  private def renamedVersionedViewScript(mode: String, out: String,
+      pre: String, colListForm: Boolean): String = {
+    val view =
+      if (colListForm)
+        s"""create temporary view ${pre}_latest (ck, vts, fx) as
+           |  select k, rt, rate from (
+           |    select *, row_number() over (partition by k
+           |      order by rt desc) as rn
+           |    from ${pre}_log) where rn = 1;""".stripMargin
+      else
+        s"""create temporary view ${pre}_latest as
+           |  select k as ck, rt as vts, rate fx from (
+           |    select *, row_number() over (partition by k
+           |      order by rt desc) as rn
+           |    from ${pre}_log) where rn = 1;""".stripMargin
+    versionedViewScript(mode, out, pre)
+      .replace(
+        s"""create temporary view ${pre}_latest as
+           |  select k, rt, rate from (
+           |    select *, row_number() over (partition by k
+           |      order by rt desc) as rn
+           |    from ${pre}_log) where rn = 1;""".stripMargin, view)
+      .replace(s"select o.k, o.amount, v.rate from ${pre}_orders o",
+        s"select o.k, o.amount, v.fx as rate from ${pre}_orders o")
+      .replace("on v.k = o.k", "on v.ck = o.k")
+  }
+
+  for (mode <- Seq("batch", "streaming"))
+    test(s"a versioned view may RENAME key/time/payload columns in " +
+        s"its projection (r20): the join resolves against the renamed " +
+        s"surface, $mode mode") {
+      val spark = SparkFixture.spark
+      val out = Files.createTempDirectory(s"graft-vvn-$mode").toString
+      val file = Files.createTempFile(s"graft-vvn-$mode-", ".sql")
+      Files.writeString(file,
+        renamedVersionedViewScript(mode, out, s"vvn_$mode",
+          colListForm = false))
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark), durationSec = 30).run()
+      val got = spark.read.parquet(s"$out/sink").collect()
+        .map(r => (r.getAs[Long]("amount"), r.getAs[Long]("rate"))).toSet
+      assert(got === Set((0L, 100L), (10L, 101L), (20L, 103L)), got.toString)
+    }
+
+  test("a CREATE VIEW column-alias LIST renames a versioned view's " +
+      "surface positionally too (r20)") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-vvl").toString
+    val file = Files.createTempFile("graft-vvl-", ".sql")
+    Files.writeString(file,
+      renamedVersionedViewScript("batch", out, "vvl", colListForm = true))
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(spark), durationSec = 10).run()
+    val got = spark.read.parquet(s"$out/sink").collect()
+      .map(r => (r.getAs[Long]("amount"), r.getAs[Long]("rate"))).toSet
+    assert(got === Set((0L, 100L), (10L, 101L), (20L, 103L)), got.toString)
+  }
+
   test("a versioned view may sit over another VIEW of the watermarked " +
       "source (r19: Flink accepts dedup views over views)") {
     val spark = SparkFixture.spark

@@ -116,7 +116,25 @@ class TemporalJoinSpec extends AnyFunSuite {
       |    ORDER BY update_time DESC) AS rn
       |  FROM rates_log) WHERE rn = 1""".stripMargin
     assert(versionedViewOf(ok) === Some(VersionedView("rates_log",
-      "update_time", Seq("currency"), Seq("currency", "update_time", "rate"))))
+      "update_time", Seq("currency"),
+      Seq("currency", "update_time", "rate").map(c => c -> c))))
+    // in-body AS renames are Flink-legal in a dedup view (r20): the
+    // (source, output) pairs carry the rename, and outNameOf resolves
+    // the meta columns to the view's surface
+    val renamed = ok.replace("currency, update_time, rate",
+      "currency, update_time AS version_ts, rate AS fx")
+    assert(versionedViewOf(renamed) === Some(VersionedView("rates_log",
+      "update_time", Seq("currency"),
+      Seq("currency" -> "currency", "update_time" -> "version_ts",
+        "rate" -> "fx"))))
+    assert(versionedViewOf(renamed).get.outNameOf("update_time") ===
+      "version_ts")
+    // the bare-alias form (no AS) renames too
+    assert(versionedViewOf(ok.replace("update_time, rate",
+      "update_time vts, rate")).exists(_.outNameOf("update_time") == "vts"))
+    // renaming the RANK column still rejects (rank values as data)
+    assert(versionedViewOf(
+      ok.replace("SELECT currency,", "SELECT rn AS r2, currency,")).isEmpty)
     // subquery alias + qualified outer items + qualified rank filter
     val aliased = """SELECT t.currency, t.update_time, t.rate FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY currency

@@ -26,22 +26,40 @@ class VersionedViewPropSpec extends AnyFunSuite {
 
   private case class Shape(src: String, tcol: String, rn: String,
       keys: List[String], extra: List[String], alias: Option[String],
-      qualify: Boolean, ws: String)
+      qualify: Boolean, ws: String,
+      renames: List[Option[(String, Boolean)]]) {
+    /** The outer projection as (source, output) pairs — a rename maps
+      * the source onto its target (r20: in-body AS is legal). */
+    def items: List[(String, String)] =
+      ((keys :+ tcol) ++ extra).zip(renames).map {
+        case (src, ren) => src -> ren.map(_._1).getOrElse(src)
+      }
+  }
 
   private val shape: Gen[Shape] = for {
-    names <- Gen.listOfN(8, ident)
+    names <- Gen.listOfN(13, ident)
       .suchThat(ns => ns.distinct.size == ns.size)
     nKeys <- Gen.choose(1, 3)
     alias <- Gen.option(Gen.const(names(7)))
     qualify <- Gen.oneOf(true, false)
     ws <- Gen.oneOf(" ", "  ", "\n  ")
+    // each projected item optionally renamed (target, explicit-AS?)
+    renames <- Gen.sequence[List[Option[(String, Boolean)]],
+      Option[(String, Boolean)]](
+      names.slice(8, 8 + nKeys + 2).map(t =>
+        Gen.option(Gen.oneOf(true, false).map(as => (t, as)))))
   } yield Shape(names.head, names(1), names(2),
-    names.slice(3, 3 + nKeys), names.slice(6, 7), alias, qualify, ws)
+    names.slice(3, 3 + nKeys), names.slice(6, 7), alias, qualify, ws,
+    renames)
 
   private def render(s: Shape): String = {
     val q = s.alias.filter(_ => s.qualify).map(_ + ".").getOrElse("")
-    val items = (s.keys :+ s.tcol) ++ s.extra
-    s"""SELECT${s.ws}${items.map(q + _).mkString(s",${s.ws}")}
+    val items = ((s.keys :+ s.tcol) ++ s.extra).zip(s.renames).map {
+      case (src, None) => q + src
+      case (src, Some((t, true))) => s"$q$src AS $t"
+      case (src, Some((t, false))) => s"$q$src $t"
+    }
+    s"""SELECT${s.ws}${items.mkString(s",${s.ws}")}
        |FROM (SELECT *,${s.ws}ROW_NUMBER() OVER (PARTITION BY
        |  ${s.keys.mkString(", ")} ORDER BY ${s.tcol} DESC) AS ${s.rn}
        |  FROM ${s.src})${s.alias.map(" " + _).getOrElse("")}
@@ -51,8 +69,7 @@ class VersionedViewPropSpec extends AnyFunSuite {
   test("canonical dedup views round-trip with the rendered metadata") {
     checkProp(Prop.forAll(shape) { s =>
       TemporalJoin.versionedViewOf(render(s)) ==
-        Some(TemporalJoin.VersionedView(s.src, s.tcol, s.keys,
-          (s.keys :+ s.tcol) ++ s.extra))
+        Some(TemporalJoin.VersionedView(s.src, s.tcol, s.keys, s.items))
     })
   }
 
