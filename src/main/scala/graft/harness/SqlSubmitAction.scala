@@ -79,6 +79,13 @@ final class SqlSubmitAction(
   private[harness] def versionedHistoryRegistered(hist: String): Boolean =
     versionedHistoryMeta.keys.exists(_.equalsIgnoreCase(hist))
 
+  /** Test seam: the names of the streaming queries this run started —
+    * the shared-intermediate contract (one materialization per view
+    * per run) is observable as exactly one `graft_mat_*`-named query
+    * among them. */
+  private[harness] def startedQueryNames: Seq[String] =
+    started.map(_.name).toSeq
+
   /** Versioned VIEWS (r19): a `ROW_NUMBER ... rn = 1` deduplication
     * view over a watermarked, primary-key-inferable source is a valid
     * `FOR SYSTEM_TIME AS OF` version side in Flink (pass-through
@@ -96,6 +103,23 @@ final class SqlSubmitAction(
     mutable.LinkedHashMap.empty
   private val versionedHistoryMeta:
       mutable.Map[String, TemporalJoin.VersionMeta] =
+    mutable.LinkedHashMap.empty
+
+  /** CREATE VIEW bodies by lowercased view name — the durable
+    * auto-split intermediate's stable identity hashes the DEFINITION,
+    * so a restarted script resumes the same directory only while the
+    * view still means the same thing (r20). */
+  private val viewDefs: mutable.Map[String, String] =
+    mutable.LinkedHashMap.empty
+
+  /** One managed auto-split intermediate per (stateful view, run),
+    * keyed by lowercased view name: a second updating statement over
+    * the same view (a statement set fan-out) reuses the running
+    * materialization instead of paying its state and compute twice —
+    * Flink shares the stage (r20). Evicted with the view: statements
+    * after a CREATE OR REPLACE must not read the old definition's
+    * intermediate. */
+  private val autoSplitMats: mutable.Map[String, String] =
     mutable.LinkedHashMap.empty
 
   // the column-alias list tolerates COMMENT clauses (shared fragment,
@@ -212,6 +236,8 @@ final class SqlSubmitAction(
       // graft_vv_* VersionMeta could otherwise shadow a later relation
       // of the same name through versionMetaOf's orElse (r20 advice)
       versionedHistoryMeta.remove(TemporalJoin.historyNameOf(name)): Unit
+      viewDefs.remove(name.toLowerCase): Unit
+      autoSplitMats.remove(name.toLowerCase): Unit
     }
     DropViewRe.findFirstMatchIn(sql).foreach(m =>
       evict(DdlParser.unquoteName(m.group(1))))
@@ -224,6 +250,7 @@ final class SqlSubmitAction(
             .map(mm => DdlParser.unquoteName(mm.group(1)))
             .getOrElse(it)))
       val raw = m.group(4)
+      viewDefs(name.toLowerCase) = raw.trim
       // KEYWORD guards run on the raw body MASKED (a backtick-quoted
       // column named `union` or `join` is blanked and cannot trip a
       // keyword test); STRUCTURE scans run on the body with simple
@@ -1464,26 +1491,39 @@ final class SqlSubmitAction(
   private def executeInsert(
       spark: SparkSession, config: EngineConfig, sql: String): Unit =
     autoSplitUpdating(spark, config, sql) match {
-      case Some((ddl, stage1, stage2)) =>
+      case Some(plan) =>
         System.err.println(
           "graft.streaming.auto-split-updating: materializing the " +
             "stateful stage through a managed intermediate table and " +
             "running the TTL'd updating operator as a second streaming " +
             "query over it (Flink's single-statement pipeline as two " +
-            "jobs; checkpoints are RUN-SCOPED - the fresh intermediate " +
-            "makes cross-run recovery meaningless, so a durable base " +
-            "is not reused):\n " + stage1 + "\n " + stage2)
-        val parsed = DdlParser.parse(ddl)
-        registerConnectorTable(spark, config, parsed)
-        // the mkdirs above guarantees the path exists on its OWN
-        // filesystem, and pathExists asks that same filesystem (r20:
-        // the probe previously used java.io.File, honest only for
-        // local paths) — so registerConnectorTable always registered
-        // the source view already; keep a belt-and-braces retry only
-        // for the fallback case where the probe's filesystem was
-        // unconstructible
-        if (!pathExists(spark, parsed.options("path")))
-          registerFilesystemView(spark, config, parsed)
+            "jobs; " + (
+            if (plan.reuse)
+              "REUSING the run's existing materialization of this view " +
+                "— one intermediate per (view, run)"
+            else if (plan.durable)
+              "the intermediate path and both stages' checkpoints key " +
+                "on the view's definition hash, so restarting this " +
+                "script under the same checkpoint base RESUMES the " +
+                "directory, commit log, and state exactly-once"
+            else
+              "checkpoints are RUN-SCOPED - without a durable " +
+                "checkpoint base (state.checkpoints.dir) the fresh " +
+                "intermediate makes cross-run recovery meaningless") +
+            "):\n " + plan.stage1 + "\n " + plan.stage2)
+        if (!plan.reuse) {
+          val parsed = DdlParser.parse(plan.ddl)
+          registerConnectorTable(spark, config, parsed)
+          // the mkdirs above guarantees the path exists on its OWN
+          // filesystem, and pathExists asks that same filesystem (r20:
+          // the probe previously used java.io.File, honest only for
+          // local paths) — so registerConnectorTable always registered
+          // the source view already; keep a belt-and-braces retry only
+          // for the fallback case where the probe's filesystem was
+          // unconstructible
+          if (!pathExists(spark, parsed.options("path")))
+            registerFilesystemView(spark, config, parsed)
+        }
         // bound both stages' micro-batch cadence unless the script
         // configured its own: with the default as-fast-as-possible
         // trigger the materialization runs hundreds of no-data batches
@@ -1492,19 +1532,26 @@ final class SqlSubmitAction(
         val hadLatency = config.miniBatchLatency.isDefined
         if (!hadLatency)
           config.set("table.exec.mini-batch.allow-latency", "1 s")
-        // run-scoped checkpoints for BOTH stages (r19 review): the
-        // intermediate is fresh per run, so resuming either stage
-        // from a durable checkpoint of an earlier run would replay
-        // offsets as already-committed against a DIFFERENT directory
-        // — source data silently skipped, no error. Flink's
-        // single-statement recovery contract cannot survive the
-        // two-job compile; the stderr notice says so.
-        val hadCp = config.raw.get("execution.checkpointing.enabled")
+        // checkpoint policy (r20, was run-scoped-always in r19): with
+        // a DURABLE base configured, the deterministic intermediate
+        // name keys stage 1's checkpoint (<base>/<pipeline>-<mat>)
+        // and its sink commit log onto the same directory a restarted
+        // script recomputes, so both stages resume exactly-once —
+        // Flink's single-statement recovery contract. WITHOUT a base,
+        // checkpointing-enabled would hand each start() a fresh temp
+        // dir anyway, so the r19 rationale still applies: strip the
+        // flag so nobody mistakes the run for recoverable.
+        val hadCp =
+          if (plan.durable) None
+          else config.raw.get("execution.checkpointing.enabled")
         if (hadCp.isDefined)
           config.reset(Some("execution.checkpointing.enabled"))
         try {
-          executeInsert(spark, config, stage1)
-          executeInsert(spark, config, stage2)
+          if (!plan.reuse) {
+            executeInsert(spark, config, plan.stage1)
+            autoSplitMats(plan.viewLower) = plan.mat
+          }
+          executeInsert(spark, config, plan.stage2)
         } finally {
           if (!hadLatency)
             config.reset(Some("table.exec.mini-batch.allow-latency"))
@@ -1516,6 +1563,17 @@ final class SqlSubmitAction(
         try executeInsertRewritten(spark, config, rewritten)
         finally MatchRecognize.dropViews(spark, rewritten)
     }
+
+  /** One compiled auto-split: the intermediate's DDL, the two INSERT
+    * stages, the materialization identity (`mat`, `viewLower`), and
+    * the policies the caller applies — `reuse` (this view is already
+    * materializing in this run: skip DDL + stage 1), `durable` (a
+    * checkpoint base is configured and the intermediate is
+    * definition-hash-keyed: keep checkpointing ON through both
+    * stages). */
+  private final case class AutoSplitPlan(ddl: String, stage1: String,
+      stage2: String, mat: String, viewLower: String, reuse: Boolean,
+      durable: Boolean)
 
   /** Spark type → Flink DDL type for the managed intermediate table's
     * schema; None (fail closed → the named one-statement rejection)
@@ -1551,20 +1609,24 @@ final class SqlSubmitAction(
     * through a managed filesystem intermediate (Spark's file sink
     * writes a commit log the file SOURCE consumes exactly-once), and
     * stage 2 runs the TTL'd operator as its own streaming query over
-    * that intermediate. Returns (intermediate DDL, stage-1 INSERT,
-    * stage-2 INSERT); None leaves the statement on the single-plan
-    * path, where unsupported shapes keep the named rejection. The
-    * intermediate lives under `graft.streaming.intermediate-dir`
-    * (default: the JVM temp dir) — point it at shared storage on a
-    * real cluster.
+    * that intermediate. Returns the compiled [[AutoSplitPlan]]; None
+    * leaves the statement on the single-plan path, where unsupported
+    * shapes keep the named rejection. The intermediate lives under
+    * `graft.streaming.intermediate-dir`; unset, it defaults to
+    * `<checkpoint base>/graft-intermediates` when a durable base is
+    * configured (durable state belongs on the same shared storage as
+    * the checkpoints it must outlive a restart with — r20) and to the
+    * JVM temp dir otherwise.
     */
   private def autoSplitUpdating(spark: SparkSession, config: EngineConfig,
-      sql: String): Option[(String, String, String)] = {
+      sql: String): Option[AutoSplitPlan] = {
     if (!config.raw.get("graft.streaming.auto-split-updating")
         .exists(_.equalsIgnoreCase("true"))) return None
     if (!config.isStreaming || config.stateTtlSec.isEmpty) return None
     if (!UnboundedAgg.hasShape(spark, sql) &&
         !UnboundedTopN.hasShape(sql, 1)) return None
+    val durable =
+      config.checkpointingEnabled && config.checkpointDir.isDefined
     val masked = MatchRecognize.maskQuoted(sql)
     val froms = raw"(?is)\bFROM\s+([A-Za-z_]\w*)\b".r
       .findAllMatchIn(masked).map(_.group(1)).toSeq.distinct
@@ -1605,32 +1667,60 @@ final class SqlSubmitAction(
       // surface as a DdlParser/Spark error on text the user never
       // wrote — fail closed to the named rejection instead
       if colTypes.forall { case (n, _) => n.matches(raw"^[A-Za-z_]\w*$$") }
-      dir = config.raw.getOrElse("graft.streaming.intermediate-dir",
-        System.getProperty("java.io.tmpdir"))
+      dir = config.raw.get("graft.streaming.intermediate-dir")
+        .orElse(config.checkpointDir.filter(_ => durable)
+          .map(_.stripSuffix("/") + "/graft-intermediates"))
+        .getOrElse(System.getProperty("java.io.tmpdir"))
       if dir.matches(raw"^[A-Za-z0-9_\-./:]+$$")
     } yield {
-      // a FRESH name + directory per run, never a reused fixed name:
-      // Spark's file sink consults the target's existing
-      // _spark_metadata and SKIPS batch ids it already holds —
-      // against a stale directory from an earlier run the new query
-      // would silently no-op its first N batches (no job, no state,
-      // no watermark) and then crash loading state at the first
-      // batch past the stale log; a reused NAME would likewise key
-      // the durable checkpoint path onto a stale run. The unique
-      // name rides into both. Created through the Hadoop filesystem
-      // of the configured base, so `graft.streaming.intermediate-dir`
-      // may point at shared storage (hdfs://, s3a://) on a real
-      // cluster — the file sink and source resolve the same way.
-      // Creating the directory here also lets the source view
-      // register immediately (stage 2 compiles against it before
-      // stage 1 has committed its first file).
-      val unique = java.util.UUID.randomUUID.toString
-        .replace("-", "").take(12)
-      val mat = s"graft_mat_${view.toLowerCase}_$unique"
+      // The materialization's IDENTITY (r20, was fresh-per-run-always
+      // in r19). Spark's file sink consults the target's existing
+      // _spark_metadata and SKIPS batch ids it already holds, so name
+      // + directory + checkpoints must either all be fresh or all
+      // resume together:
+      //  - RUN-SCOPED (no durable checkpoint base): a fresh UUID name
+      //    per (view, run) — against a stale directory from an
+      //    earlier run the new query would silently no-op its first N
+      //    batches and then crash loading state at the first batch
+      //    past the stale log.
+      //  - DURABLE (checkpoint base configured): a hash of the view's
+      //    name + definition + schema — a restarted script recomputes
+      //    the same directory, the file sink's commit log skips the
+      //    batches it already wrote, and both stages' checkpoints
+      //    (<base>/<pipeline>-<mat|sink>) resume the same state:
+      //    Flink's single-statement recovery contract. A changed view
+      //    DEFINITION changes the hash, so stale data never mixes.
+      //  - within one run, the (view -> mat) cache wins over both: a
+      //    second updating statement reuses the running
+      //    materialization (one intermediate per view per run).
+      // Created through the Hadoop filesystem of the configured base,
+      // so `graft.streaming.intermediate-dir` may point at shared
+      // storage (hdfs://, s3a://) on a real cluster — the file sink
+      // and source resolve the same way. Creating the directory here
+      // also lets the source view register immediately (stage 2
+      // compiles against it before stage 1 has committed its first
+      // file).
+      val reuse = autoSplitMats.get(view.toLowerCase)
+      val mat = reuse.getOrElse {
+        val suffix =
+          if (durable) {
+            val ident = view.toLowerCase + "|" +
+              viewDefs.getOrElse(view.toLowerCase, "") + "|" +
+              colTypes.map { case (n, t) => s"$n:$t" }.mkString(",")
+            java.security.MessageDigest.getInstance("SHA-256")
+              .digest(ident.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              .take(6).map("%02x".format(_)).mkString
+          } else
+            java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+        s"graft_mat_${view.toLowerCase}_$suffix"
+      }
       val path = s"${dir.stripSuffix("/")}/$mat"
-      val hPath = new org.apache.hadoop.fs.Path(path)
-      hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .mkdirs(hPath): Unit
+      if (reuse.isEmpty) {
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .mkdirs(hPath): Unit
+      }
       val ddl = s"create table $mat (" +
         colTypes.map { case (n, t) => s"`$n` $t" }.mkString(", ") +
         s") with ('connector' = 'filesystem', 'path' = '$path', " +
@@ -1653,7 +1743,8 @@ final class SqlSubmitAction(
         last = m.end
       }
       out.append(sql.substring(last))
-      (ddl, stage1, out.toString)
+      AutoSplitPlan(ddl, stage1, out.toString, mat, view.toLowerCase,
+        reuse.isDefined, durable)
     }
   }
 

@@ -285,6 +285,112 @@ class AutoSplitSpec extends AnyFunSuite {
     assert(raw === Seq(1L, 5L, 9L, 13L), raw.toString)
   }
 
+  test("two updating statements over ONE stateful view share a single " +
+      "materialization (r20: one intermediate per view per run, as " +
+      "Flink shares the stage)") {
+    resetTable("ASPSH1",
+      "CREATE TABLE ASPSH1 (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    resetTable("ASPSH2",
+      "CREATE TABLE ASPSH2 (K BIGINT, S BIGINT, RN BIGINT, " +
+        "PRIMARY KEY (K, RN))")
+    val file = Files.createTempFile("graft-asp-share-", ".sql")
+    Files.writeString(file,
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |${srcAndView("aspx")}
+         |create table aspx_sum (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPSH1');
+         |create table aspx_top (k bigint, s bigint, rn bigint,
+         |  primary key (k, rn) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPSH2');
+         |EXECUTE STATEMENT SET BEGIN
+         |  insert into aspx_sum
+         |    select k, sum(s) as total from aspx_agg group by k;
+         |  insert into aspx_top
+         |    select k, s, rn from (
+         |      select *, row_number() over (partition by k
+         |        order by s desc) as rn from aspx_agg) where rn <= 1;
+         |END;
+         |""".stripMargin)
+    val action = new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(SparkFixture.spark), durationSec = 25)
+    action.run()
+    // both consumers saw the full closed-window stream (1/5/9/13)
+    assert(readAll("SELECT K, TOTAL FROM ASPSH1", 2) === Seq(Seq(0L, 28L)))
+    assert(readAll("SELECT K, S, RN FROM ASPSH2", 3) ===
+      Seq(Seq(0L, 13L, 1L)))
+    // exactly ONE materialization query fed both stage-2 queries
+    val matQueries = action.startedQueryNames.filter(_.contains("graft_mat_"))
+    assert(matQueries.size === 1, action.startedQueryNames.toString)
+  }
+
+  test("with a durable checkpoint base, a KILLED auto-split run " +
+      "restarts exactly-once: same intermediate, same commit log, " +
+      "same state (r20: Flink's single-statement recovery contract)") {
+    resetTable("ASPRC",
+      "CREATE TABLE ASPRC (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    val cpBase = Files.createTempDirectory("graft-asprc-cp").toString
+    // 1 row/s over seq 0..9: run 1 is stopped mid-generation (~6 s in),
+    // run 2 resumes the rate offsets, the file-sink commit log, and the
+    // TTL'd tracker state from the SAME checkpoint base
+    def script: String =
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |SET execution.checkpointing.enabled = true;
+         |SET state.checkpoints.dir = $cpBase;
+         |create table asprc_src (
+         |  k bigint,
+         |  seq bigint,
+         |  v as seq,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '1',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '9',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create or replace temporary view asprc_agg as
+         |  select k, window_time, sum(v) as s
+         |  from table(tumble(table asprc_src, descriptor(ts),
+         |    interval '1' minute))
+         |  group by k, window_start, window_end, window_time;
+         |create table asprc_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPRC');
+         |insert into asprc_sink
+         |select k, sum(s) as total from asprc_agg group by k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-asp-rc-", ".sql")
+    Files.writeString(file, script)
+    // phase 1: stopped ~7 s into the 10 s generation — the kill lands
+    // with open windows in the tracker and a partially-written
+    // intermediate; state + both commit logs persist under cpBase
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(SparkFixture.spark), durationSec = 7).run()
+    // phase 2: the SAME script recomputes the same intermediate name
+    // (definition hash), resumes the rate offsets, the file sink's
+    // commit log, and the TTL'd fold state, and runs to completion
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(SparkFixture.spark), durationSec = 30).run()
+    // the fold saw every closed window exactly once: 1 + 5 + 9 + 13
+    assert(readAll("SELECT K, TOTAL FROM ASPRC", 2) === Seq(Seq(0L, 28L)))
+    // the intermediate is ONE directory (same hash across runs) and
+    // holds each closed window exactly once — nothing re-materialized
+    val matBase = new java.io.File(s"$cpBase/graft-intermediates")
+    val dirs = Option(matBase.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_mat_asprc_agg_"))
+    assert(dirs.length === 1, dirs.map(_.getName).toSeq.toString)
+    val rows = SparkFixture.spark.read.parquet(dirs.head.toString)
+      .collect().map(_.getAs[Long]("s")).sorted.toSeq
+    assert(rows === Seq(1L, 5L, 9L, 13L), rows.toString)
+  }
+
   private def interceptMessages(script: String, tag: String,
       durationSec: Long = 10): Seq[String] = {
     val file = Files.createTempFile(s"graft-asp-$tag-", ".sql")
