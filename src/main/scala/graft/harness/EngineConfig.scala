@@ -90,6 +90,16 @@ final class EngineConfig(spark: SparkSession) {
           if (ms > 0L) "max" else "min")
       case "pipeline.name" =>
         spark.sparkContext.setJobDescription(value)
+      case "graft.streaming.intermediate-retention" =>
+        // validate-before-record (r19 advice pattern): the auto-split
+        // retention sweeper consumes this at INSERT time; an
+        // unparseable duration must fail HERE, at the SET, not surface
+        // later as a silently-never-sweeping intermediate
+        EngineConfig.parseDurationMs(value).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft.streaming.intermediate-retention = $value is not " +
+              "a duration (expected e.g. '0 s', '10 min', '1 h')")): Unit
+        spark.conf.set(key, value)
       case k if k.startsWith("spark.") =>
         spark.conf.set(k, value)
       case k if k.startsWith("graft.") =>

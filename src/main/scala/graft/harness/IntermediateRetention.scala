@@ -1,0 +1,120 @@
+package graft.harness
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Retention for the auto-split managed intermediates (r20).
+  *
+  * Stage 1's file sink appends parquet files (and `_spark_metadata`
+  * entries) forever; Spark retires neither once the stage-2 consumers
+  * have fully consumed them, so a month-long auto-split stream is a
+  * disk-filler. With `graft.streaming.intermediate-retention` set, a
+  * sweeper deletes a data file when BOTH hold:
+  *
+  *  - every registered consumer has COMMITTED the batch that read it —
+  *    consumption is read from each consumer checkpoint's
+  *    `sources/0` file-source log (entries carry path, modification
+  *    timestamp, and batchId; compacted log files are handled by
+  *    filtering entries on batchId) joined with its `commits/` log.
+  *    The checkpoint is the authority — never a bare wall-clock guess,
+  *    which could race a lagging consumer and lose data;
+  *  - the file is older than the retention horizon relative to the
+  *    NEWEST committed entry's timestamp (the data's own timeline, so
+  *    an idle stream never "ages into" deleting its most recent files
+  *    faster than the horizon).
+  *
+  * The sink's `_spark_metadata` log is left alone: its compact file is
+  * an append-only manifest bounded by entry size (bytes per file, not
+  * file contents) — the data files are what fill disks. A consumer
+  * restarted from its checkpoint never re-reads a committed file (the
+  * restored seen-files log skips it), so deletion is invisible to the
+  * exactly-once contract; only an ad-hoc batch read of the intermediate
+  * (not a supported surface) would notice.
+  */
+object IntermediateRetention {
+
+  private val PathRe = "\"path\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+  private val TsRe = "\"timestamp\"\\s*:\\s*(-?\\d+)".r
+  private val BatchRe = "\"batchId\"\\s*:\\s*(-?\\d+)".r
+
+  private final case class Entry(path: String, ts: Long, batchId: Long)
+
+  /** Max committed batch id of a consumer checkpoint, None when the
+    * consumer has not committed anything yet (→ delete nothing). */
+  private def maxCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      ckpt: String): Option[Long] = {
+    val dir = new Path(ckpt, "commits")
+    if (!fs.exists(dir)) return None
+    val ids = fs.listStatus(dir).toSeq
+      .flatMap(s => s.getPath.getName.toLongOption)
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** All file entries the consumer committed: parsed from every
+    * `sources/0` log file (single-batch files AND `.compact` rollups —
+    * entries are filtered on their own batchId, so a compact written
+    * ahead of the commit frontier contributes only its committed
+    * slice). */
+  private def committedEntries(fs: org.apache.hadoop.fs.FileSystem,
+      ckpt: String, upTo: Long): Seq[Entry] = {
+    val dir = new Path(ckpt, "sources/0")
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.stripSuffix(".compact")
+        .toLongOption.isDefined)
+      .flatMap { s =>
+        val in = fs.open(s.getPath)
+        val text =
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+            out.toString("UTF-8")
+          } finally in.close()
+        text.linesIterator.flatMap { line =>
+          for {
+            p <- PathRe.findFirstMatchIn(line).map(_.group(1))
+            t <- TsRe.findFirstMatchIn(line).map(_.group(1).toLong)
+            b <- BatchRe.findFirstMatchIn(line).map(_.group(1).toLong)
+          } yield Entry(p, t, b)
+        }.toSeq
+      }
+      .filter(_.batchId <= upTo)
+  }
+
+  /** One sweep over `intermediatePath` against `consumerCkpts`.
+    * Returns the number of data files deleted. Fail-safe by
+    * construction: no consumers, or any consumer without a commit yet,
+    * deletes nothing. */
+  def sweep(hadoopConf: Configuration, intermediatePath: String,
+      consumerCkpts: Seq[String], retentionMs: Long): Int = {
+    if (consumerCkpts.isEmpty) return 0
+    val base = new Path(intermediatePath)
+    val fs = base.getFileSystem(hadoopConf)
+    val qualifiedBase = fs.makeQualified(base).toString
+    val perConsumer = consumerCkpts.map { ckpt =>
+      maxCommitted(fs, ckpt).map(committedEntries(fs, ckpt, _))
+    }
+    if (perConsumer.exists(_.isEmpty)) return 0
+    val all = perConsumer.flatMap(_.get)
+    if (all.isEmpty) return 0
+    // a file is consumed only when EVERY consumer committed it
+    val everyCommitted = perConsumer
+      .map(_.get.map(_.path).toSet)
+      .reduce(_ intersect _)
+    val horizon = all.map(_.ts).max - retentionMs
+    var deleted = 0
+    all.groupBy(_.path).foreach { case (p, entries) =>
+      if (everyCommitted(p) && entries.head.ts <= horizon) {
+        val hp = new Path(p)
+        val qualified = fs.makeQualified(hp).toString
+        // only ever touch files under the intermediate itself, and
+        // never its _spark_metadata manifest
+        if (qualified.startsWith(qualifiedBase + "/") &&
+            !qualified.contains("_spark_metadata") &&
+            fs.delete(hp, false))
+          deleted += 1
+      }
+    }
+    deleted
+  }
+}

@@ -716,6 +716,7 @@ final class SqlSubmitAction(
     spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
     try runStatements(spark, statements)
     finally {
+      stopRetentionSweeper(spark)
       savedAnsi.fold(spark.conf.unset("spark.sql.ansi.enabled"))(
         spark.conf.set("spark.sql.ansi.enabled", _))
       savedParser.fold(spark.conf.unset("spark.sql.legacy.timeParserPolicy"))(
@@ -1551,7 +1552,24 @@ final class SqlSubmitAction(
             executeInsert(spark, config, plan.stage1)
             autoSplitMats(plan.viewLower) = plan.mat
           }
+          val beforeStage2 = started.size
           executeInsert(spark, config, plan.stage2)
+          // retention (r20): register stage 2 as a consumer of the
+          // intermediate and start the sweeper — data files every
+          // consumer has committed and that age past the horizon get
+          // deleted, bounding the directory under sustained input
+          config.raw.get("graft.streaming.intermediate-retention")
+            .flatMap(EngineConfig.parseDurationMs).foreach { retMs =>
+              started.drop(beforeStage2).headOption
+                .flatMap(checkpointRootOf).foreach { root =>
+                  val (_, consumers) = intermediateConsumers
+                    .getOrElseUpdate(plan.path,
+                      (retMs, mutable.LinkedHashSet.empty[String]))
+                  intermediateConsumers(plan.path) =
+                    (retMs, consumers += root)
+                  ensureRetentionSweeper(spark)
+                }
+            }
         } finally {
           if (!hadLatency)
             config.reset(Some("table.exec.mini-batch.allow-latency"))
@@ -1572,8 +1590,63 @@ final class SqlSubmitAction(
     * definition-hash-keyed: keep checkpointing ON through both
     * stages). */
   private final case class AutoSplitPlan(ddl: String, stage1: String,
-      stage2: String, mat: String, viewLower: String, reuse: Boolean,
-      durable: Boolean)
+      stage2: String, mat: String, path: String, viewLower: String,
+      reuse: Boolean, durable: Boolean)
+
+  /** Registered (intermediate path → retentionMs, stage-2 consumer
+    * checkpoint roots) for the retention sweeper; consumers accrue as
+    * statements share an intermediate (a file is deletable only once
+    * EVERY consumer committed it). */
+  private val intermediateConsumers: mutable.Map[String,
+      (Long, mutable.LinkedHashSet[String])] =
+    mutable.LinkedHashMap.empty
+  private var retentionExec:
+      Option[java.util.concurrent.ScheduledExecutorService] = None
+
+  /** The durable checkpoint root a started query resolved — the
+    * handle the retention sweeper reads commits/sources logs from. */
+  private def checkpointRootOf(q: StreamingQuery): Option[String] =
+    q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        scala.util.Try(w.streamingQuery.resolvedCheckpointRoot).toOption
+      case se: org.apache.spark.sql.execution.streaming.runtime.StreamExecution =>
+        scala.util.Try(se.resolvedCheckpointRoot).toOption
+      case _ => None
+    }
+
+  private def sweepIntermediates(spark: SparkSession): Unit =
+    intermediateConsumers.toSeq.foreach {
+      case (path, (retMs, consumers)) =>
+        try IntermediateRetention.sweep(
+          spark.sparkContext.hadoopConfiguration, path,
+          consumers.toSeq, retMs): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  /** Lazily starts the retention sweeper (a single daemon thread, one
+    * per action run, 2 s cadence over every registered intermediate);
+    * [[stopRetentionSweeper]] runs a final synchronous sweep so a
+    * bounded run leaves the directory in its steady state. */
+  private def ensureRetentionSweeper(spark: SparkSession): Unit =
+    if (retentionExec.isEmpty) {
+      val ex = java.util.concurrent.Executors
+        .newSingleThreadScheduledExecutor(r => {
+          val t = new Thread(r, "graft-intermediate-retention")
+          t.setDaemon(true)
+          t
+        })
+      ex.scheduleWithFixedDelay(() => sweepIntermediates(spark),
+        2, 2, java.util.concurrent.TimeUnit.SECONDS): Unit
+      retentionExec = Some(ex)
+    }
+
+  private def stopRetentionSweeper(spark: SparkSession): Unit = {
+    retentionExec.foreach { ex =>
+      ex.shutdownNow(): Unit
+      sweepIntermediates(spark)
+    }
+    retentionExec = None
+  }
 
   /** Spark type → Flink DDL type for the managed intermediate table's
     * schema; None (fail closed → the named one-statement rejection)
@@ -1743,8 +1816,8 @@ final class SqlSubmitAction(
         last = m.end
       }
       out.append(sql.substring(last))
-      AutoSplitPlan(ddl, stage1, out.toString, mat, view.toLowerCase,
-        reuse.isDefined, durable)
+      AutoSplitPlan(ddl, stage1, out.toString, mat, path,
+        view.toLowerCase, reuse.isDefined, durable)
     }
   }
 

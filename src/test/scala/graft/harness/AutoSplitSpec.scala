@@ -62,11 +62,13 @@ class AutoSplitSpec extends AnyFunSuite {
        |  group by k, window_start, window_end, window_time;
        |""".stripMargin
 
-  private def run(script: String, tag: String): Unit = {
+  private def run(script: String, tag: String,
+      durationSec: Long = 25): Unit = {
     val file = Files.createTempFile(s"graft-asp-$tag-", ".sql")
     Files.writeString(file, script)
     new SqlSubmitAction(file.toString, Map.empty,
-      existingSession = Some(SparkFixture.spark), durationSec = 25).run()
+      existingSession = Some(SparkFixture.spark),
+      durationSec = durationSec).run()
   }
 
   test("auto-split runs a TTL'd top-N above a windowed view in ONE " +
@@ -389,6 +391,53 @@ class AutoSplitSpec extends AnyFunSuite {
     val rows = SparkFixture.spark.read.parquet(dirs.head.toString)
       .collect().map(_.getAs[Long]("s")).sorted.toSeq
     assert(rows === Seq(1L, 5L, 9L, 13L), rows.toString)
+  }
+
+  test("graft.streaming.intermediate-retention bounds the managed " +
+      "intermediate: data files every consumer has committed are " +
+      "deleted past the horizon while the pipeline's values stay " +
+      "exact (r20)") {
+    resetTable("ASPRET",
+      "CREATE TABLE ASPRET (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    val matBase = Files.createTempDirectory("graft-aspret-mat").toString
+    run(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |SET graft.streaming.intermediate-dir = $matBase;
+         |SET graft.streaming.intermediate-retention = 0 s;
+         |${srcAndView("aspn")}
+         |create table aspn_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPRET');
+         |insert into aspn_sink
+         |select k, sum(s) as total from aspn_agg group by k;
+         |""".stripMargin, "retention", durationSec = 40)
+    // deletion never cost the consumer a row: the fold saw all four
+    // closed windows (1 + 5 + 9 + 13)
+    assert(readAll("SELECT K, TOTAL FROM ASPRET", 2) === Seq(Seq(0L, 28L)))
+    val matDir = new java.io.File(matBase).listFiles()
+      .filter(_.getName.startsWith("graft_mat_aspn_agg_")).head
+    val entries = matDir.listFiles().map(_.getName).toSeq
+    assert(entries.contains("_spark_metadata"), entries.toString)
+    // sustained input is REAL here: the rate source keeps ticking past
+    // the sequence end, so stage 1 appends a (mostly empty) parquet
+    // file per micro-batch — an unswept 25 s run accumulates 14+. The
+    // sink manifest records every file ever committed; the directory
+    // itself must be at STEADY STATE: only the last batch or two stage
+    // 2 has not committed yet may remain.
+    val everWritten = new java.io.File(matDir, "_spark_metadata")
+      .listFiles().filter(f => !f.getName.startsWith("."))
+      .flatMap(f => "\"path\":".r.findAllIn(
+        new String(java.nio.file.Files.readAllBytes(f.toPath),
+          "UTF-8")).toSeq).length
+    val dataFiles = entries.filterNot(_ == "_spark_metadata")
+      .filterNot(_.startsWith("."))
+    assert(dataFiles.size <= 3, s"steady state exceeded: $dataFiles")
+    assert(everWritten >= dataFiles.size + 5,
+      s"expected the sweep to have deleted committed files: " +
+        s"everWritten=$everWritten remaining=${dataFiles.size}")
   }
 
   private def interceptMessages(script: String, tag: String,

@@ -133,6 +133,16 @@ class EngineConfigSpec extends AnyFunSuite {
     }
   }
 
+  test("graft.streaming.intermediate-retention validates at SET time " +
+      "and leaves no trace on rejection (r20)") {
+    val c = fresh
+    intercept[IllegalArgumentException](
+      c.set("graft.streaming.intermediate-retention", "weekly"))
+    assert(!c.raw.contains("graft.streaming.intermediate-retention"))
+    c.set("graft.streaming.intermediate-retention", "10 min")
+    assert(c.raw("graft.streaming.intermediate-retention") == "10 min")
+  }
+
   test("parallelism.default drives shuffle partitions") {
     val spark = SparkFixture.spark
     val before = spark.conf.get("spark.sql.shuffle.partitions")
