@@ -1552,6 +1552,11 @@ final class SqlSubmitAction(
             executeInsert(spark, config, plan.stage1)
             autoSplitMats(plan.viewLower) = plan.mat
           }
+          // the stream-static enrichment view (r20): a stateless join
+          // of the intermediate with the statement's dim tables —
+          // created per statement (two statements sharing the mat may
+          // join different dims)
+          plan.enrich.foreach(spark.sql(_): Unit)
           val beforeStage2 = started.size
           executeInsert(spark, config, plan.stage2)
           // retention (r20): register stage 2 as a consumer of the
@@ -1591,7 +1596,8 @@ final class SqlSubmitAction(
     * stages). */
   private final case class AutoSplitPlan(ddl: String, stage1: String,
       stage2: String, mat: String, path: String, viewLower: String,
-      reuse: Boolean, durable: Boolean)
+      reuse: Boolean, durable: Boolean,
+      enrich: Option[String] = None)
 
   /** Registered (intermediate path → retentionMs, stage-2 consumer
     * checkpoint roots) for the retention sweeper; consumers accrue as
@@ -1696,16 +1702,55 @@ final class SqlSubmitAction(
     if (!config.raw.get("graft.streaming.auto-split-updating")
         .exists(_.equalsIgnoreCase("true"))) return None
     if (!config.isStreaming || config.stateTtlSec.isEmpty) return None
-    if (!UnboundedAgg.hasShape(spark, sql) &&
-        !UnboundedTopN.hasShape(sql, 1)) return None
     val durable =
       config.checkpointingEnabled && config.checkpointDir.isDefined
     val masked = MatchRecognize.maskQuoted(sql)
     val froms = raw"(?is)\bFROM\s+([A-Za-z_]\w*)\b".r
       .findAllMatchIn(masked).map(_.group(1)).toSeq.distinct
+    val single =
+      if (UnboundedAgg.hasShape(spark, sql) ||
+          UnboundedTopN.hasShape(sql, 1))
+        for {
+          view <- Some(froms).collect { case Seq(one) => one }
+          m <- compileMaterialization(spark, config, view, durable)
+        } yield {
+          // stage 2: swap the view for the intermediate in BOTH its
+          // FROM position and as a column QUALIFIER (`sum(view.v)`,
+          // `WHERE view.v > 0` — r19 review); matches run on masked
+          // text so a string literal spelling the view name is never
+          // touched
+          val vQ = java.util.regex.Pattern.quote(view)
+          val SwapRe = (raw"(?is)(\bFROM\s+)$vQ\b|\b$vQ(?=\s*\.)").r
+          val out = new StringBuilder
+          var last = 0
+          SwapRe.findAllMatchIn(masked).foreach { mm =>
+            out.append(sql.substring(last, mm.start))
+            if (mm.group(1) != null)
+              out.append(sql.substring(mm.start(1), mm.end(1)))
+            out.append(m.mat)
+            last = mm.end
+          }
+          out.append(sql.substring(last))
+          AutoSplitPlan(m.ddl, m.stage1, out.toString, m.mat, m.path,
+            view.toLowerCase, m.reuse, durable, enrich = None)
+        }
+      else None
+    single.orElse(joinAutoSplit(spark, config, sql, masked, durable))
+  }
+
+  /** The shared view-eligibility checks + materialization compile of
+    * the auto-split (r20 refactor: the stream-static join form shares
+    * stage 1 with the single-FROM form). */
+  private final case class Materialization(ddl: String, stage1: String,
+      mat: String, path: String, reuse: Boolean,
+      colTypes: Seq[(String, String)])
+
+  private def compileMaterialization(spark: SparkSession,
+      config: EngineConfig, view: String, durable: Boolean)
+      : Option[Materialization] = {
     for {
-      view <- Some(froms).collect { case Seq(one) => one }
       // a DDL source is stateless — the single-plan path handles it
+      _ <- Option(view)
       if !sources.keys.exists(_.equalsIgnoreCase(view))
       df <- scala.util.Try(spark.table(view)).toOption
       if df.isStreaming
@@ -1801,24 +1846,130 @@ final class SqlSubmitAction(
       val stage1 = s"insert into $mat select " +
         colTypes.map { case (n, _) => s"`$n`" }.mkString(", ") +
         s" from $view"
-      // stage 2: swap the view for the intermediate in BOTH its FROM
-      // position and as a column QUALIFIER (`sum(view.v)`, `WHERE
-      // view.v > 0` — r19 review); matches run on masked text so a
-      // string literal spelling the view name is never touched
-      val vQ = java.util.regex.Pattern.quote(view)
-      val SwapRe = (raw"(?is)(\bFROM\s+)$vQ\b|\b$vQ(?=\s*\.)").r
-      val out = new StringBuilder
-      var last = 0
-      SwapRe.findAllMatchIn(masked).foreach { m =>
-        out.append(sql.substring(last, m.start))
-        if (m.group(1) != null) out.append(sql.substring(m.start(1), m.end(1)))
-        out.append(mat)
-        last = m.end
-      }
-      out.append(sql.substring(last))
-      AutoSplitPlan(ddl, stage1, out.toString, mat, path,
-        view.toLowerCase, reuse.isDefined, durable)
+      Materialization(ddl, stage1, mat, path, reuse.isDefined, colTypes)
     }
+  }
+
+  /** The stream-static ENRICHMENT form of the auto-split (r20,
+    * verdict item 4): a TTL'd GROUP BY above `<stateful view> [a]
+    * JOIN <static dim> [d] ON ...` — a shape Flink runs in one
+    * statement. Stage 1 materializes the view exactly as the
+    * single-FROM form does; the enrichment then rides a generated
+    * temp view `SELECT <mat cols>, <non-colliding dim cols> FROM
+    * <region with view→mat>` — a plain stream-static join, stateless
+    * — and stage 2 is the updating operator over that view, which
+    * the single-plan TTL route compiles natively. Gated to INNER
+    * equi-join text (LEFT/RIGHT/FULL/CROSS and comma joins keep the
+    * named rejection: the collision-dropping projection below could
+    * silently alias a dim-side NULL onto the stream side under an
+    * outer join), exactly one streaming relation (stream-stream
+    * keeps the named rejection), and the GROUP-BY-aggregation shape
+    * (probed with the region collapsed to the view — top-N shapes
+    * stay single-FROM). Stage 2's qualifiers are stripped: the
+    * enrichment view's projection is collision-free, so bare names
+    * resolve uniquely.
+    */
+  private def joinAutoSplit(spark: SparkSession, config: EngineConfig,
+      sql: String, masked: String, durable: Boolean)
+      : Option[AutoSplitPlan] = {
+    if (TemporalJoin.hasTemporalJoin(masked)) return None
+    if (hasTopLevelFromComma(masked)) return None
+    if (raw"(?is)\b(LEFT|RIGHT|FULL|CROSS)\s+(?:OUTER\s+)?JOIN\b".r
+        .findFirstIn(masked).isDefined) return None
+    for {
+      fromIdx <- WindowTvf.findTopLevel(masked, 0, "FROM")
+      regionEnd = Seq("WHERE", "GROUP")
+        .flatMap(k => WindowTvf.findTopLevel(masked, fromIdx, k))
+        .minOption.getOrElse(masked.length)
+      regionMasked = masked.substring(fromIdx + "FROM".length, regionEnd)
+      // plain named tables only: a subquery in the region would need
+      // its own projection analysis — keep the named rejection there
+      if !regionMasked.contains("(")
+      rels = RelWithAliasRe.findAllMatchIn("FROM" + regionMasked).toSeq
+        .map(mm => (mm.group(1), Option(mm.group(2))))
+      if rels.size >= 2
+      // exactly one STREAMING relation — the stateful view; every
+      // other relation must resolve as a STATIC (batch) side
+      streaming = rels.filter { case (r, _) =>
+        scala.util.Try(spark.table(r).isStreaming).getOrElse(false) }
+      (view, viewAlias) <- Some(streaming).collect { case Seq(one) => one }
+      if rels.forall { case (r, _) =>
+        r.equalsIgnoreCase(view) ||
+          scala.util.Try(!spark.table(r).isStreaming).getOrElse(false) }
+      // the updating-GROUP-BY shape, probed with the join region
+      // collapsed to the view itself (textual: hasShape resolves only
+      // the relation); qualifiers stripped the same way stage 2 will be
+      quals = rels.flatMap { case (r, a) => Seq(r) ++ a }
+      pre = stripQualifiers(sql.substring(0, fromIdx), quals)
+      post = stripQualifiers(sql.substring(regionEnd), quals)
+      if UnboundedAgg.hasShape(spark, s"$pre FROM $view $post")
+      m <- compileMaterialization(spark, config, view, durable)
+      // dims must expose identifier-charset names for the generated
+      // projection (collision-dropped against the mat side, so the
+      // enrichment view's output is bare and unambiguous)
+      dimCols = rels.filterNot(_._1.equalsIgnoreCase(view)).map {
+        case (r, a) => (a.getOrElse(r),
+          spark.table(r).schema.fieldNames.toSeq) }
+      if dimCols.flatMap(_._2).forall(_.matches(raw"^[A-Za-z_]\w*$$"))
+    } yield {
+      // the region with the view swapped for the intermediate; the
+      // statement's alias (if any) survives the swap, so the ON
+      // predicate's qualifiers keep resolving
+      val vQ = java.util.regex.Pattern.quote(view)
+      val RegionSwapRe = raw"(?is)(?<![\w.`])$vQ\b".r
+      val regionRaw = sql.substring(fromIdx + "FROM".length, regionEnd)
+      val swapped = {
+        val out = new StringBuilder
+        var last = 0
+        RegionSwapRe.findAllMatchIn(regionMasked).foreach { mm =>
+          out.append(regionRaw.substring(last, mm.start))
+          out.append(m.mat)
+          last = mm.end
+        }
+        out.append(regionRaw.substring(last))
+        out.toString
+      }
+      val matQual = viewAlias.getOrElse(m.mat)
+      val taken = scala.collection.mutable.Set(
+        m.colTypes.map(_._1.toLowerCase): _*)
+      val items =
+        m.colTypes.map { case (n, _) => s"$matQual.`$n`" } ++
+          dimCols.flatMap { case (q, cols) =>
+            cols.flatMap { c =>
+              if (taken.add(c.toLowerCase)) Some(s"$q.`$c`") else None
+            }
+          }
+      val enr = "graft_enr_" + m.mat.stripPrefix("graft_mat_") + "_" +
+        ((m.mat + swapped).hashCode & 0x7fffffff)
+      val enrich = s"CREATE OR REPLACE TEMPORARY VIEW $enr AS SELECT " +
+        items.mkString(", ") + s" FROM$swapped"
+      val stage2 = s"$pre FROM $enr $post"
+      AutoSplitPlan(m.ddl, m.stage1, stage2, m.mat, m.path,
+        view.toLowerCase, m.reuse, durable, enrich = Some(enrich))
+    }
+  }
+
+  /** Strips `qual.` prefixes for the given relation/alias names —
+    * stage 2 of the enrichment form reads the generated join view,
+    * whose projection is collision-free, so bare names resolve
+    * uniquely. Matches run on masked text (a literal spelling a
+    * qualifier is never touched); a STRUCT column sharing a
+    * qualifier's name would be mangled — accepted, the enrichment
+    * gate's relations are top-level tables. */
+  private def stripQualifiers(rawText: String, quals: Seq[String]): String = {
+    if (quals.isEmpty) return rawText
+    val re = ("(?is)\\b(?:" + quals.distinct
+      .map(java.util.regex.Pattern.quote).mkString("|") +
+      ")\\s*\\.\\s*").r
+    val m = MatchRecognize.maskQuoted(rawText)
+    val out = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(m).foreach { mm =>
+      out.append(rawText.substring(last, mm.start))
+      last = mm.end
+    }
+    out.append(rawText.substring(last))
+    out.toString
   }
 
   private def executeInsertRewritten(

@@ -393,6 +393,64 @@ class AutoSplitSpec extends AnyFunSuite {
     assert(rows === Seq(1L, 5L, 9L, 13L), rows.toString)
   }
 
+  test("auto-split widens to STREAM-STATIC enrichment (r20): a TTL'd " +
+      "GROUP BY above (stateful view JOIN static dim) runs in one " +
+      "statement, value-pinned") {
+    resetTable("ASPJN",
+      "CREATE TABLE ASPJN (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    run(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |${srcAndView("aspj")}
+         |create table aspj_dim (
+         |  k bigint, mult bigint
+         |) with ('connector' = 'datagen', 'number-of-rows' = '1',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0',
+         |  'fields.mult.min' = '3', 'fields.mult.max' = '3');
+         |create table aspj_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPJN');
+         |insert into aspj_sink
+         |select a.k, sum(d.mult) as total
+         |from aspj_agg a join aspj_dim d on d.k = a.k
+         |group by a.k;
+         |""".stripMargin, "join-auto")
+    // four closed windows enrich against mult = 3 -> sum 12
+    assert(readAll("SELECT K, TOTAL FROM ASPJN", 2) === Seq(Seq(0L, 12L)))
+  }
+
+  test("the enrichment form stays INNER-only and single-stream: a " +
+      "stream-STREAM join above the stateful view still fails loud " +
+      "(r20)") {
+    val msgs = interceptMessages(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |${srcAndView("aspz")}
+         |create table aspz_other (
+         |  k bigint,
+         |  seq bigint,
+         |  ts2 as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts2 as ts2 - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '9',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create table aspz_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'print');
+         |insert into aspz_sink
+         |select a.k, sum(a.s) as total
+         |from aspz_agg a join aspz_other b on b.k = a.k
+         |group by a.k;
+         |""".stripMargin, "join-ss")
+    assert(msgs.nonEmpty, "a stream-stream join above a stateful view " +
+      "must not silently run")
+  }
+
   test("graft.streaming.intermediate-retention bounds the managed " +
       "intermediate: data files every consumer has committed are " +
       "deleted past the horizon while the pipeline's values stay " +
