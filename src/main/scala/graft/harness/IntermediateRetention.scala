@@ -91,8 +91,13 @@ object IntermediateRetention {
     val base = new Path(intermediatePath)
     val fs = base.getFileSystem(hadoopConf)
     val qualifiedBase = fs.makeQualified(base).toString
+    // one-batch safety margin: the delete frontier sits ONE batch
+    // behind each consumer's newest commit, so a kill landing on the
+    // commit boundary (commit written, stop racing the next batch's
+    // planning) can never see a just-deleted file — the cost is one
+    // batch of files retained, the benefit is zero boundary races
     val perConsumer = consumerCkpts.map { ckpt =>
-      maxCommitted(fs, ckpt).map(committedEntries(fs, ckpt, _))
+      maxCommitted(fs, ckpt).map(mc => committedEntries(fs, ckpt, mc - 1))
     }
     if (perConsumer.exists(_.isEmpty)) return 0
     val all = perConsumer.flatMap(_.get)

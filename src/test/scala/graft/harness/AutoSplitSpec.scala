@@ -483,8 +483,8 @@ class AutoSplitSpec extends AnyFunSuite {
     // the sequence end, so stage 1 appends a (mostly empty) parquet
     // file per micro-batch — an unswept 25 s run accumulates 14+. The
     // sink manifest records every file ever committed; the directory
-    // itself must be at STEADY STATE: only the last batch or two stage
-    // 2 has not committed yet may remain.
+    // itself must be at STEADY STATE: the one-batch safety margin
+    // plus the last batch or two stage 2 has not committed yet.
     val everWritten = new java.io.File(matDir, "_spark_metadata")
       .listFiles().filter(f => !f.getName.startsWith("."))
       .flatMap(f => "\"path\":".r.findAllIn(
@@ -492,10 +492,60 @@ class AutoSplitSpec extends AnyFunSuite {
           "UTF-8")).toSeq).length
     val dataFiles = entries.filterNot(_ == "_spark_metadata")
       .filterNot(_.startsWith("."))
-    assert(dataFiles.size <= 3, s"steady state exceeded: $dataFiles")
+    assert(dataFiles.size <= 5, s"steady state exceeded: $dataFiles")
     assert(everWritten >= dataFiles.size + 5,
       s"expected the sweep to have deleted committed files: " +
         s"everWritten=$everWritten remaining=${dataFiles.size}")
+  }
+
+  test("durable restart composes with retention: a KILLED run whose " +
+      "committed files were already deleted still resumes " +
+      "exactly-once (r20: the restored seen-files log skips them)") {
+    resetTable("ASPDR",
+      "CREATE TABLE ASPDR (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    val cpBase = Files.createTempDirectory("graft-aspdr-cp").toString
+    def script: String =
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |SET execution.checkpointing.enabled = true;
+         |SET state.checkpoints.dir = $cpBase;
+         |SET graft.streaming.intermediate-retention = 0 s;
+         |create table aspdr_src (
+         |  k bigint,
+         |  seq bigint,
+         |  v as seq,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '1',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '9',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create or replace temporary view aspdr_agg as
+         |  select k, window_time, sum(v) as s
+         |  from table(tumble(table aspdr_src, descriptor(ts),
+         |    interval '1' minute))
+         |  group by k, window_start, window_end, window_time;
+         |create table aspdr_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPDR');
+         |insert into aspdr_sink
+         |select k, sum(s) as total from aspdr_agg group by k;
+         |""".stripMargin
+    val file = Files.createTempFile("graft-asp-dr-", ".sql")
+    Files.writeString(file, script)
+    // phase 1: killed mid-generation; the 0 s retention has already
+    // deleted every file stage 2 committed by then
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(SparkFixture.spark), durationSec = 8).run()
+    // phase 2: the restored file-source seen-files log must SKIP the
+    // deleted-but-committed files (no read error, no replay) and the
+    // fold must land exactly once
+    new SqlSubmitAction(file.toString, Map.empty,
+      existingSession = Some(SparkFixture.spark), durationSec = 40).run()
+    assert(readAll("SELECT K, TOTAL FROM ASPDR", 2) === Seq(Seq(0L, 28L)))
   }
 
   private def interceptMessages(script: String, tag: String,

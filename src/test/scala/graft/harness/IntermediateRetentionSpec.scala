@@ -42,24 +42,26 @@ class IntermediateRetentionSpec extends AnyFunSuite {
     (mat, ckpt, data)
   }
 
-  test("deletes exactly the committed-by-all, past-horizon files; " +
-      "never the manifest") {
+  test("deletes exactly the committed-by-all, past-horizon files " +
+      "behind the one-batch safety margin; never the manifest") {
     val (mat, ckpt, data) = scaffold("basic", files = 4, committed = 3)
     val n = IntermediateRetention.sweep(conf, mat.toString,
       Seq(ckpt.toString), retentionMs = 0L)
-    assert(n === 3, n.toString)
-    assert(!Files.exists(data(0)) && !Files.exists(data(1)) &&
-      !Files.exists(data(2)))
+    assert(n === 2, n.toString)
+    assert(!Files.exists(data(0)) && !Files.exists(data(1)))
+    assert(Files.exists(data(2)),
+      "the newest committed batch's file is the safety margin")
     assert(Files.exists(data(3)), "uncommitted batch's file must survive")
     assert(Files.exists(mat.resolve("_spark_metadata/0")))
   }
 
-  test("the horizon is relative to the newest committed entry, not " +
-      "wall clock") {
+  test("the horizon is relative to the newest entry behind the " +
+      "margin, not wall clock") {
     val (mat, ckpt, data) = scaffold("hor", files = 3, committed = 3)
-    // newest committed ts = 1002; retention 2 ms keeps 1001 and 1002
+    // delete frontier = batches 0..1 (ts 1000, 1001); retention 1 ms
+    // keeps ts 1001, deletes ts 1000 — wall clock plays no part
     val n = IntermediateRetention.sweep(conf, mat.toString,
-      Seq(ckpt.toString), retentionMs = 2L)
+      Seq(ckpt.toString), retentionMs = 1L)
     assert(n === 1, n.toString)
     assert(!Files.exists(data(0)))
     assert(Files.exists(data(1)) && Files.exists(data(2)))
@@ -77,13 +79,15 @@ class IntermediateRetentionSpec extends AnyFunSuite {
   test("multi-consumer: only the intersection of committed files is " +
       "deletable") {
     val (mat, ckptA, data) = scaffold("multi", files = 3, committed = 3)
-    // consumer B read the same files but committed only batch 0
+    // consumer B read the same files but committed only batches 0-1
+    // (its delete frontier is batch 0 behind the safety margin)
     val ckptB = Files.createTempDirectory("graft-ret-multi-ckptB")
     data.zipWithIndex.foreach { case (f, i) =>
       write(ckptB.resolve(s"sources/0/$i"),
         s"v1\n${entry(f, 1000L + i, i.toLong)}")
     }
     write(ckptB.resolve("commits/0"), "v1\n{}")
+    write(ckptB.resolve("commits/1"), "v1\n{}")
     val n = IntermediateRetention.sweep(conf, mat.toString,
       Seq(ckptA.toString, ckptB.toString), retentionMs = 0L)
     assert(n === 1, n.toString)
@@ -93,8 +97,9 @@ class IntermediateRetentionSpec extends AnyFunSuite {
 
   test("compacted source-log files contribute only their committed " +
       "slice (entries filter on batchId)") {
-    val (mat, ckpt, data) = scaffold("compact", files = 2, committed = 1)
-    // a rollup written ahead of the commit frontier: holds both batches
+    val (mat, ckpt, data) = scaffold("compact", files = 2, committed = 2)
+    // a rollup written ahead of the delete frontier (batch 0 behind
+    // the margin): holds both batches, contributes only batch 0
     write(ckpt.resolve("sources/0/1.compact"),
       s"v1\n${entry(data(0), 1000L, 0L)}\n${entry(data(1), 1001L, 1L)}")
     val n = IntermediateRetention.sweep(conf, mat.toString,
