@@ -39,11 +39,28 @@ object IntermediateRetention {
 
   private final case class Entry(path: String, ts: Long, batchId: Long)
 
+  /** Parsed source-log files, keyed by (path, length) — the log's
+    * batch files and compact rollups are written once and never
+    * rewritten, so a length-matched entry never re-reads. Without
+    * this, every 2 s sweep re-downloaded and re-parsed the ENTIRE log
+    * set (the compact is cumulative — O(total files ever) per tick,
+    * quadratic over a stream's lifetime, against remote storage in
+    * the durable case; r20 review). Bounded by the log files present
+    * on disk; entries for vanished (log-cleaned) files linger only
+    * for the run. */
+  private val parseCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Entry]]()
+
   /** Max committed batch id of a consumer checkpoint, None when the
-    * consumer has not committed anything yet (→ delete nothing). */
-  private def maxCommitted(fs: org.apache.hadoop.fs.FileSystem,
+    * consumer has not committed anything yet (→ delete nothing). The
+    * checkpoint is resolved through its OWN filesystem — a remote
+    * intermediate with local checkpoints (or vice versa) must not
+    * probe the wrong store (r20 review: that made retention a silent
+    * permanent no-op on any cross-scheme layout). */
+  private def maxCommitted(hadoopConf: Configuration,
       ckpt: String): Option[Long] = {
     val dir = new Path(ckpt, "commits")
+    val fs = dir.getFileSystem(hadoopConf)
     if (!fs.exists(dir)) return None
     val ids = fs.listStatus(dir).toSeq
       .flatMap(s => s.getPath.getName.toLongOption)
@@ -55,28 +72,32 @@ object IntermediateRetention {
     * entries are filtered on their own batchId, so a compact written
     * ahead of the commit frontier contributes only its committed
     * slice). */
-  private def committedEntries(fs: org.apache.hadoop.fs.FileSystem,
+  private def committedEntries(hadoopConf: Configuration,
       ckpt: String, upTo: Long): Seq[Entry] = {
     val dir = new Path(ckpt, "sources/0")
+    val fs = dir.getFileSystem(hadoopConf)
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.stripSuffix(".compact")
         .toLongOption.isDefined)
       .flatMap { s =>
-        val in = fs.open(s.getPath)
-        val text =
-          try {
-            val out = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-            out.toString("UTF-8")
-          } finally in.close()
-        text.linesIterator.flatMap { line =>
-          for {
-            p <- PathRe.findFirstMatchIn(line).map(_.group(1))
-            t <- TsRe.findFirstMatchIn(line).map(_.group(1).toLong)
-            b <- BatchRe.findFirstMatchIn(line).map(_.group(1).toLong)
-          } yield Entry(p, t, b)
-        }.toSeq
+        parseCache.computeIfAbsent(
+          (s.getPath.toString, s.getLen), { _ =>
+            val in = fs.open(s.getPath)
+            val text =
+              try {
+                val out = new java.io.ByteArrayOutputStream()
+                org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+                out.toString("UTF-8")
+              } finally in.close()
+            text.linesIterator.flatMap { line =>
+              for {
+                p <- PathRe.findFirstMatchIn(line).map(_.group(1))
+                t <- TsRe.findFirstMatchIn(line).map(_.group(1).toLong)
+                b <- BatchRe.findFirstMatchIn(line).map(_.group(1).toLong)
+              } yield Entry(p, t, b)
+            }.toSeq
+          })
       }
       .filter(_.batchId <= upTo)
   }
@@ -97,7 +118,8 @@ object IntermediateRetention {
     // planning) can never see a just-deleted file — the cost is one
     // batch of files retained, the benefit is zero boundary races
     val perConsumer = consumerCkpts.map { ckpt =>
-      maxCommitted(fs, ckpt).map(mc => committedEntries(fs, ckpt, mc - 1))
+      maxCommitted(hadoopConf, ckpt)
+        .map(mc => committedEntries(hadoopConf, ckpt, mc - 1))
     }
     if (perConsumer.exists(_.isEmpty)) return 0
     val all = perConsumer.flatMap(_.get)

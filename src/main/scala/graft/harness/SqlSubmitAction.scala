@@ -276,6 +276,11 @@ final class SqlSubmitAction(
       for {
         vv0 <- TemporalJoin.versionedViewOf(unticked)
         if colList.forall(_.length == vv0.items.length)
+        // the list's names feed engine-GENERATED history-view SQL, so
+        // they must pass the same identifier charset the in-body
+        // alias parse enforces (r20 review: a backticked multi-word
+        // alias would otherwise parse-fail text the user never wrote)
+        if colList.forall(_.forall(_.matches(raw"^[A-Za-z_]\w*$$")))
         vv = colList match {
           case Some(cl) => vv0.copy(items = vv0.items.map(_._1).zip(cl))
           case None => vv0
@@ -1547,6 +1552,40 @@ final class SqlSubmitAction(
           else config.raw.get("execution.checkpointing.enabled")
         if (hadCp.isDefined)
           config.reset(Some("execution.checkpointing.enabled"))
+        val retention = config.raw
+          .get("graft.streaming.intermediate-retention")
+          .flatMap(EngineConfig.parseDurationMs)
+        // a BRAND-NEW consumer must not attach to an intermediate the
+        // sweeper has already deleted from (r20 review): its fresh
+        // file source would read the sink manifest, which still lists
+        // the deleted files. A durable reuse is exempt — a resuming
+        // consumer's restored seen-files log skips deleted files.
+        if (retention.isDefined && plan.reuse && !plan.durable &&
+            retentionLock.synchronized(sweptPaths.contains(plan.path)))
+          throw new IllegalArgumentException(
+            s"cannot attach another consumer to intermediate " +
+              s"'${plan.mat}': graft.streaming.intermediate-retention " +
+              "has already deleted files its manifest still lists, so " +
+              "a NEW consumer cannot replay the view's history — group " +
+              "the consumers in one EXECUTE STATEMENT SET ahead of any " +
+              "deletion, or unset the retention for this run")
+        // while this statement's stage 2 is starting, a SENTINEL
+        // consumer (a checkpoint path that never commits) holds all
+        // deletion on the intermediate — without it, a sweep between
+        // the running consumers' commits and this consumer's
+        // registration could delete files the new consumer has not
+        // read yet
+        val sentinel = retention.filter(_ => plan.reuse).map { retMs =>
+          val s = s"${plan.path}-pending-" +
+            java.util.UUID.randomUUID.toString.take(8)
+          retentionLock.synchronized {
+            val (_, consumers) = intermediateConsumers
+              .getOrElseUpdate(plan.path,
+                (retMs, mutable.LinkedHashSet.empty[String]))
+            intermediateConsumers(plan.path) = (retMs, consumers += s)
+          }
+          s
+        }
         try {
           if (!plan.reuse) {
             executeInsert(spark, config, plan.stage1)
@@ -1557,25 +1596,48 @@ final class SqlSubmitAction(
           // created per statement (two statements sharing the mat may
           // join different dims)
           plan.enrich.foreach(spark.sql(_): Unit)
+          // stage 2's durable checkpoint keys on the intermediate's
+          // identity too (r20 review): a changed view DEFINITION
+          // changes the mat hash, so the restarted operator starts
+          // fresh state against the fresh intermediate instead of
+          // folding new-definition rows into old-definition state
+          // while replaying offsets against a directory that no
+          // longer exists
+          if (plan.durable)
+            config.set("graft.internal.checkpoint-suffix", plan.mat)
           val beforeStage2 = started.size
-          executeInsert(spark, config, plan.stage2)
+          try executeInsert(spark, config, plan.stage2)
+          finally if (plan.durable)
+            config.reset(Some("graft.internal.checkpoint-suffix"))
           // retention (r20): register stage 2 as a consumer of the
           // intermediate and start the sweeper — data files every
           // consumer has committed and that age past the horizon get
           // deleted, bounding the directory under sustained input
-          config.raw.get("graft.streaming.intermediate-retention")
-            .flatMap(EngineConfig.parseDurationMs).foreach { retMs =>
-              started.drop(beforeStage2).headOption
-                .flatMap(checkpointRootOf).foreach { root =>
+          retention.foreach { retMs =>
+            started.drop(beforeStage2).headOption
+              .flatMap(checkpointRootOf).foreach { root =>
+                retentionLock.synchronized {
                   val (_, consumers) = intermediateConsumers
                     .getOrElseUpdate(plan.path,
                       (retMs, mutable.LinkedHashSet.empty[String]))
                   intermediateConsumers(plan.path) =
                     (retMs, consumers += root)
-                  ensureRetentionSweeper(spark)
                 }
-            }
+                ensureRetentionSweeper(spark)
+              }
+          }
         } finally {
+          // the sentinel must not outlive the statement: replaced by
+          // the real consumer above, or dropped on failure (else it
+          // would block retention for the rest of the run)
+          sentinel.foreach { s =>
+            retentionLock.synchronized {
+              intermediateConsumers.get(plan.path).foreach {
+                case (r, cs) =>
+                  intermediateConsumers(plan.path) = (r, cs -= s)
+              }
+            }
+          }
           if (!hadLatency)
             config.reset(Some("table.exec.mini-batch.allow-latency"))
           hadCp.foreach(v =>
@@ -1602,10 +1664,20 @@ final class SqlSubmitAction(
   /** Registered (intermediate path → retentionMs, stage-2 consumer
     * checkpoint roots) for the retention sweeper; consumers accrue as
     * statements share an intermediate (a file is deletable only once
-    * EVERY consumer committed it). */
+    * EVERY consumer committed it). Every access synchronizes on
+    * [[retentionLock]]: the sweeper thread snapshots while the main
+    * thread registers (r20 review — an unsynchronized race could
+    * throw from the tick, and scheduleWithFixedDelay kills the task
+    * on any throw, silently stopping retention for good). */
   private val intermediateConsumers: mutable.Map[String,
       (Long, mutable.LinkedHashSet[String])] =
     mutable.LinkedHashMap.empty
+  private val retentionLock = new Object
+  /** Intermediate paths the sweeper has DELETED from this run — a
+    * brand-new consumer must not attach to one (its fresh file source
+    * would read the sink manifest, which still lists the deleted
+    * files; r20 review). */
+  private val sweptPaths = mutable.Set.empty[String]
   private var retentionExec:
       Option[java.util.concurrent.ScheduledExecutorService] = None
 
@@ -1621,12 +1693,25 @@ final class SqlSubmitAction(
     }
 
   private def sweepIntermediates(spark: SparkSession): Unit =
-    intermediateConsumers.toSeq.foreach {
-      case (path, (retMs, consumers)) =>
-        try IntermediateRetention.sweep(
-          spark.sparkContext.hadoopConfiguration, path,
-          consumers.toSeq, retMs): Unit
+    try {
+      val snapshot = retentionLock.synchronized {
+        intermediateConsumers.toSeq.map { case (p, (r, cs)) =>
+          (p, r, cs.toSeq) }
+      }
+      snapshot.foreach { case (path, retMs, consumers) =>
+        try {
+          val deleted = IntermediateRetention.sweep(
+            spark.sparkContext.hadoopConfiguration, path,
+            consumers, retMs)
+          if (deleted > 0)
+            retentionLock.synchronized { sweptPaths += path: Unit }
+        }
         catch { case scala.util.control.NonFatal(_) => () }
+      }
+    } catch {
+      // scheduleWithFixedDelay suppresses all future runs on a throw —
+      // the sweeper must never die of one bad tick
+      case scala.util.control.NonFatal(_) => ()
     }
 
   /** Lazily starts the retention sweeper (a single daemon thread, one
@@ -1906,11 +1991,35 @@ final class SqlSubmitAction(
       m <- compileMaterialization(spark, config, view, durable)
       // dims must expose identifier-charset names for the generated
       // projection (collision-dropped against the mat side, so the
-      // enrichment view's output is bare and unambiguous)
-      dimCols = rels.filterNot(_._1.equalsIgnoreCase(view)).map {
-        case (r, a) => (a.getOrElse(r),
+      // enrichment view's output is bare and unambiguous); each dim
+      // carries BOTH its table name and alias as reference qualifiers
+      dims = rels.filterNot(_._1.equalsIgnoreCase(view)).map {
+        case (r, a) => (Seq(r) ++ a,
           spark.table(r).schema.fieldNames.toSeq) }
-      if dimCols.flatMap(_._2).forall(_.matches(raw"^[A-Za-z_]\w*$$"))
+      if dims.flatMap(_._2).forall(_.matches(raw"^[A-Za-z_]\w*$$"))
+      // split each dim's columns into projection survivors and
+      // collision-DROPPED names (the mat side's name wins)
+      dimSplit = {
+        val taken = scala.collection.mutable.Set(
+          m.colTypes.map(_._1.toLowerCase): _*)
+        dims.map { case (qs, cols) =>
+          val (kept, dropped) =
+            cols.partition(c => taken.add(c.toLowerCase))
+          (qs, kept, dropped)
+        }
+      }
+      // the statement must not reference a DROPPED dim column outside
+      // the join region (r20 review: qualifier-stripping would
+      // silently rebind `sum(d.s)` onto the STREAM's s) — such
+      // statements keep the named rejection
+      maskedOutside = masked.substring(0, fromIdx) + " " +
+        masked.substring(regionEnd)
+      if dimSplit.forall { case (qs, _, dropped) =>
+        dropped.forall(c => qs.forall(q =>
+          (raw"(?is)\b" + java.util.regex.Pattern.quote(q) +
+            raw"\s*\.\s*" + java.util.regex.Pattern.quote(c) +
+            raw"\b").r.findFirstIn(maskedOutside).isEmpty))
+      }
     } yield {
       // the region with the view swapped for the intermediate; the
       // statement's alias (if any) survives the swap, so the ON
@@ -1930,14 +2039,10 @@ final class SqlSubmitAction(
         out.toString
       }
       val matQual = viewAlias.getOrElse(m.mat)
-      val taken = scala.collection.mutable.Set(
-        m.colTypes.map(_._1.toLowerCase): _*)
       val items =
         m.colTypes.map { case (n, _) => s"$matQual.`$n`" } ++
-          dimCols.flatMap { case (q, cols) =>
-            cols.flatMap { c =>
-              if (taken.add(c.toLowerCase)) Some(s"$q.`$c`") else None
-            }
+          dimSplit.flatMap { case (qs, kept, _) =>
+            kept.map(c => s"${qs.last}.`$c`")
           }
       val enr = "graft_enr_" + m.mat.stripPrefix("graft_mat_") + "_" +
         ((m.mat + swapped).hashCode & 0x7fffffff)
@@ -2209,7 +2314,15 @@ final class SqlSubmitAction(
               // format versions so an incompatible restore fails with
               // the named contract error, not an encoder stack trace
               val name =
-                config.pipelineName.getOrElse("graft") + "-" + sinkDef.name
+                config.pipelineName.getOrElse("graft") + "-" +
+                  sinkDef.name +
+                  // auto-split stage 2 rides an extra identity tag
+                  // (the intermediate's definition-hash name) so a
+                  // changed view definition starts fresh state
+                  // instead of resuming against a different
+                  // directory's history (r20 review)
+                  config.raw.get("graft.internal.checkpoint-suffix")
+                    .map("-" + _).getOrElse("")
               val d = base.stripSuffix("/") + "/" + name
               graft.streaming.StateFormat.check(spark, d)
               d

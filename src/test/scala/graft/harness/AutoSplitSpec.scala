@@ -451,6 +451,125 @@ class AutoSplitSpec extends AnyFunSuite {
       "must not silently run")
   }
 
+  test("the enrichment form rejects references to collision-DROPPED " +
+      "dim columns (r20 review: qualifier-stripping must never " +
+      "silently rebind them onto the stream side)") {
+    // dim column s collides with the view's s and is dropped from the
+    // enrichment projection; sum(d.s) would strip to sum(s) = the
+    // STREAM's s — wrong data, so the shape must keep the named
+    // rejection instead
+    val msgs = interceptMessages(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |${srcAndView("aspq")}
+         |create table aspq_dim (
+         |  k bigint, s bigint
+         |) with ('connector' = 'datagen', 'number-of-rows' = '1',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0',
+         |  'fields.s.min' = '3', 'fields.s.max' = '3');
+         |create table aspq_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'print');
+         |insert into aspq_sink
+         |select a.k, sum(d.s) as total
+         |from aspq_agg a join aspq_dim d on d.k = a.k
+         |group by a.k;
+         |""".stripMargin, "drop-ref")
+    // the gate declines (no enrichment compiles) and the single-plan
+    // path fails LOUD — Spark's multi-stateful correctness rejection
+    // for this unrouted shape; what must never happen is a silent run
+    // aggregating the stream's s
+    assert(msgs.exists(m => m.contains("cannot run above another stateful")
+      || m.contains("correctness")), msgs.mkString(" | "))
+  }
+
+  test("a changed view DEFINITION under a durable base starts FRESH " +
+      "stage-2 state (r20 review: the checkpoint keys on the " +
+      "intermediate's identity, so old state never folds new data)") {
+    resetTable("ASPRD",
+      "CREATE TABLE ASPRD (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    val cpBase = Files.createTempDirectory("graft-asprd-cp").toString
+    def script(mult: Int): String =
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |SET execution.checkpointing.enabled = true;
+         |SET state.checkpoints.dir = $cpBase;
+         |create table asprd_src (
+         |  k bigint,
+         |  seq bigint,
+         |  v as seq,
+         |  ts as timestamp '2024-01-01 00:00:00' +
+         |    make_interval(0, 0, 0, 0, 0, 0, cast(seq * 30 as int)),
+         |  watermark for ts as ts - interval '1' second
+         |) with ('connector' = 'datagen', 'rows-per-second' = '5',
+         |  'fields.seq.kind' = 'sequence',
+         |  'fields.seq.start' = '0', 'fields.seq.end' = '9',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0');
+         |create or replace temporary view asprd_agg as
+         |  select k, window_time, sum(v * $mult) as s
+         |  from table(tumble(table asprd_src, descriptor(ts),
+         |    interval '1' minute))
+         |  group by k, window_start, window_end, window_time;
+         |create table asprd_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPRD');
+         |insert into asprd_sink
+         |select k, sum(s) as total from asprd_agg group by k;
+         |""".stripMargin
+    val f1 = Files.createTempFile("graft-asp-rd1-", ".sql")
+    Files.writeString(f1, script(1))
+    new SqlSubmitAction(f1.toString, Map.empty,
+      existingSession = Some(SparkFixture.spark), durationSec = 25).run()
+    assert(readAll("SELECT K, TOTAL FROM ASPRD", 2) === Seq(Seq(0L, 28L)))
+    // run 2 changes the view's DEFINITION (v * 2): a fresh hash keys a
+    // fresh intermediate AND a fresh stage-2 checkpoint — the fold
+    // restarts at 2 * 28 = 56, never 28 + 56
+    val f2 = Files.createTempFile("graft-asp-rd2-", ".sql")
+    Files.writeString(f2, script(2))
+    new SqlSubmitAction(f2.toString, Map.empty,
+      existingSession = Some(SparkFixture.spark), durationSec = 25).run()
+    assert(readAll("SELECT K, TOTAL FROM ASPRD", 2) === Seq(Seq(0L, 56L)))
+  }
+
+  test("shared intermediate composes with retention: the sentinel " +
+      "holds deletion while the second consumer attaches; both " +
+      "values exact (r20 review)") {
+    resetTable("ASPSR1",
+      "CREATE TABLE ASPSR1 (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    resetTable("ASPSR2",
+      "CREATE TABLE ASPSR2 (K BIGINT, S BIGINT, RN BIGINT, " +
+        "PRIMARY KEY (K, RN))")
+    run(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |SET graft.streaming.intermediate-retention = 0 s;
+         |${srcAndView("aspy")}
+         |create table aspy_sum (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPSR1');
+         |create table aspy_top (k bigint, s bigint, rn bigint,
+         |  primary key (k, rn) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPSR2');
+         |EXECUTE STATEMENT SET BEGIN
+         |  insert into aspy_sum
+         |    select k, sum(s) as total from aspy_agg group by k;
+         |  insert into aspy_top
+         |    select k, s, rn from (
+         |      select *, row_number() over (partition by k
+         |        order by s desc) as rn from aspy_agg) where rn <= 1;
+         |END;
+         |""".stripMargin, "share-ret", durationSec = 40)
+    assert(readAll("SELECT K, TOTAL FROM ASPSR1", 2) === Seq(Seq(0L, 28L)))
+    assert(readAll("SELECT K, S, RN FROM ASPSR2", 3) ===
+      Seq(Seq(0L, 13L, 1L)))
+  }
+
   test("graft.streaming.intermediate-retention bounds the managed " +
       "intermediate: data files every consumer has committed are " +
       "deleted past the horizon while the pipeline's values stay " +

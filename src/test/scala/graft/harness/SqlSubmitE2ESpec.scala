@@ -1236,6 +1236,27 @@ class SqlSubmitE2ESpec extends AnyFunSuite {
     assert(got === Set((0L, 100L), (10L, 101L), (20L, 103L)), got.toString)
   }
 
+  test("a column-alias list outside the identifier charset keeps the " +
+      "versioned-view rejection instead of failing on generated SQL " +
+      "(r20 review)") {
+    val spark = SparkFixture.spark
+    val out = Files.createTempDirectory("graft-vvb").toString
+    val script =
+      renamedVersionedViewScript("batch", out, "vvb", colListForm = true)
+        .replace("(ck, vts, fx)", "(`c k`, vts, fx)")
+        .replace("on v.ck = o.k", "on v.`c k` = o.k")
+    val file = Files.createTempFile("graft-vvb-", ".sql")
+    Files.writeString(file, script)
+    val e = intercept[Exception] {
+      new SqlSubmitAction(file.toString, Map.empty,
+        existingSession = Some(spark), durationSec = 10).run()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("versioned")), msgs.mkString(" | "))
+  }
+
   test("a versioned view may sit over another VIEW of the watermarked " +
       "source (r19: Flink accepts dedup views over views)") {
     val spark = SparkFixture.spark
