@@ -45,11 +45,21 @@ object IntermediateRetention {
     * this, every 2 s sweep re-downloaded and re-parsed the ENTIRE log
     * set (the compact is cumulative — O(total files ever) per tick,
     * quadratic over a stream's lifetime, against remote storage in
-    * the durable case; r20 review). Bounded by the log files present
-    * on disk; entries for vanished (log-cleaned) files linger only
-    * for the run. */
-  private val parseCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Entry]]()
+    * the durable case; r20 review). One cache per SWEEPER (the action
+    * run), never a JVM singleton (second review pass: a singleton
+    * outlived its run — unbounded growth on a shared session, and a
+    * wiped-and-recreated checkpoint whose log file matched a cached
+    * (path, length) key would return stale entries). Superseded
+    * compacts bound growth via the size cap: past it the cache clears
+    * and re-parses once. */
+  final class Cache private[IntermediateRetention] () {
+    private[IntermediateRetention] val map =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[Entry]]()
+  }
+
+  def newCache(): Cache = new Cache()
+
+  private val CacheMaxFiles = 256
 
   /** Max committed batch id of a consumer checkpoint, None when the
     * consumer has not committed anything yet (→ delete nothing). The
@@ -73,15 +83,16 @@ object IntermediateRetention {
     * ahead of the commit frontier contributes only its committed
     * slice). */
   private def committedEntries(hadoopConf: Configuration,
-      ckpt: String, upTo: Long): Seq[Entry] = {
+      ckpt: String, upTo: Long, cache: Cache): Seq[Entry] = {
     val dir = new Path(ckpt, "sources/0")
     val fs = dir.getFileSystem(hadoopConf)
     if (!fs.exists(dir)) return Seq.empty
+    if (cache.map.size > CacheMaxFiles) cache.map.clear()
     fs.listStatus(dir).toSeq
       .filter(s => s.getPath.getName.stripSuffix(".compact")
         .toLongOption.isDefined)
       .flatMap { s =>
-        parseCache.computeIfAbsent(
+        cache.map.computeIfAbsent(
           (s.getPath.toString, s.getLen), { _ =>
             val in = fs.open(s.getPath)
             val text =
@@ -107,7 +118,8 @@ object IntermediateRetention {
     * construction: no consumers, or any consumer without a commit yet,
     * deletes nothing. */
   def sweep(hadoopConf: Configuration, intermediatePath: String,
-      consumerCkpts: Seq[String], retentionMs: Long): Int = {
+      consumerCkpts: Seq[String], retentionMs: Long,
+      cache: Cache = newCache()): Int = {
     if (consumerCkpts.isEmpty) return 0
     val base = new Path(intermediatePath)
     val fs = base.getFileSystem(hadoopConf)
@@ -119,7 +131,7 @@ object IntermediateRetention {
     // batch of files retained, the benefit is zero boundary races
     val perConsumer = consumerCkpts.map { ckpt =>
       maxCommitted(hadoopConf, ckpt)
-        .map(mc => committedEntries(hadoopConf, ckpt, mc - 1))
+        .map(mc => committedEntries(hadoopConf, ckpt, mc - 1, cache))
     }
     if (perConsumer.exists(_.isEmpty)) return 0
     val all = perConsumer.flatMap(_.get)
@@ -135,10 +147,14 @@ object IntermediateRetention {
         val hp = new Path(p)
         val qualified = fs.makeQualified(hp).toString
         // only ever touch files under the intermediate itself, and
-        // never its _spark_metadata manifest
+        // never its _spark_metadata manifest; a single bad delete
+        // (transient IO) must not abort the sweep AFTER earlier
+        // deletions — the returned count drives the caller's
+        // swept-path marking, which a mid-loop throw would lose
+        // (second review pass)
         if (qualified.startsWith(qualifiedBase + "/") &&
             !qualified.contains("_spark_metadata") &&
-            fs.delete(hp, false))
+            scala.util.Try(fs.delete(hp, false)).getOrElse(false))
           deleted += 1
       }
     }

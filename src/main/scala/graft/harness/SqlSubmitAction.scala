@@ -280,7 +280,7 @@ final class SqlSubmitAction(
         // they must pass the same identifier charset the in-body
         // alias parse enforces (r20 review: a backticked multi-word
         // alias would otherwise parse-fail text the user never wrote)
-        if colList.forall(_.forall(_.matches(raw"^[A-Za-z_]\w*$$")))
+        if colList.forall(_.forall(_.matches(GeneratedSqlIdent)))
         vv = colList match {
           case Some(cl) => vv0.copy(items = vv0.items.map(_._1).zip(cl))
           case None => vv0
@@ -569,6 +569,12 @@ final class SqlSubmitAction(
     * select-list slices only — never to text a keyword test runs on. */
   private def untick(s: String): String =
     raw"`([A-Za-z_]\w*)`".r.replaceAllIn(s, mm => mm.group(1))
+
+  /** The identifier charset every name feeding engine-GENERATED SQL
+    * must pass (auto-split DDL columns, enrichment dim columns,
+    * versioned-view column-alias lists) — one constant, so the guards
+    * can never desynchronize (second review pass). */
+  private val GeneratedSqlIdent = raw"^[A-Za-z_]\w*$$"
 
   /** Relations named in FROM/JOIN positions with their optional alias.
     * The negative lookahead keeps join keywords and ON/WHERE from
@@ -1555,37 +1561,62 @@ final class SqlSubmitAction(
         val retention = config.raw
           .get("graft.streaming.intermediate-retention")
           .flatMap(EngineConfig.parseDurationMs)
+        // the intermediate's EFFECTIVE retention: the statement's own
+        // knob, or the sweeper entry an earlier statement registered —
+        // a consumer attaching after a RESET must still be guarded and
+        // registered, or the live sweeper would delete files it has
+        // not read (second review pass)
+        val effectiveRetention = retentionLock.synchronized {
+          retention.orElse(intermediateConsumers.get(plan.path).map(_._1))
+        }
         // a BRAND-NEW consumer must not attach to an intermediate the
         // sweeper has already deleted from (r20 review): its fresh
         // file source would read the sink manifest, which still lists
-        // the deleted files. A durable reuse is exempt — a resuming
-        // consumer's restored seen-files log skips deleted files.
-        if (retention.isDefined && plan.reuse && !plan.durable &&
-            retentionLock.synchronized(sweptPaths.contains(plan.path)))
-          throw new IllegalArgumentException(
-            s"cannot attach another consumer to intermediate " +
-              s"'${plan.mat}': graft.streaming.intermediate-retention " +
-              "has already deleted files its manifest still lists, so " +
-              "a NEW consumer cannot replay the view's history — group " +
-              "the consumers in one EXECUTE STATEMENT SET ahead of any " +
-              "deletion, or unset the retention for this run")
-        // while this statement's stage 2 is starting, a SENTINEL
-        // consumer (a checkpoint path that never commits) holds all
-        // deletion on the intermediate — without it, a sweep between
-        // the running consumers' commits and this consumer's
-        // registration could delete files the new consumer has not
-        // read yet
-        val sentinel = retention.filter(_ => plan.reuse).map { retMs =>
-          val s = s"${plan.path}-pending-" +
-            java.util.UUID.randomUUID.toString.take(8)
-          retentionLock.synchronized {
-            val (_, consumers) = intermediateConsumers
-              .getOrElseUpdate(plan.path,
-                (retMs, mutable.LinkedHashSet.empty[String]))
-            intermediateConsumers(plan.path) = (retMs, consumers += s)
+        // the deleted files. Exempt only a consumer that is genuinely
+        // RESUMING — its durable checkpoint already has commits, so
+        // the restored seen-files log skips deleted files (second
+        // review pass: `durable` alone also exempted a NEW statement
+        // whose checkpoint does not exist yet).
+        def resumingConsumer: Boolean = plan.durable &&
+          config.checkpointDir.exists { base =>
+            InsertRe.findFirstMatchIn(plan.stage2)
+              .map(m => DdlParser.unquoteName(m.group(2))).exists { sink =>
+                val name = config.pipelineName.getOrElse("graft") +
+                  "-" + sink + "-" + plan.mat
+                val d = new org.apache.hadoop.fs.Path(
+                  base.stripSuffix("/") + "/" + name, "commits")
+                scala.util.Try(
+                  d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+                    .listStatus(d).nonEmpty).getOrElse(false)
+              }
           }
-          s
-        }
+        // check-then-register runs ATOMICALLY against the sweeper tick
+        // (both under retentionLock): a sweep can no longer land
+        // between the swept-path check and the sentinel registration.
+        // The sentinel (a checkpoint path that never commits) holds
+        // all deletion while this statement's stage 2 starts.
+        val sentinel = effectiveRetention.filter(_ => plan.reuse)
+          .map { retMs =>
+            val s = s"${plan.path}-pending-" +
+              java.util.UUID.randomUUID.toString.take(8)
+            retentionLock.synchronized {
+              if (sweptPaths.contains(plan.path) && !resumingConsumer)
+                throw new IllegalArgumentException(
+                  s"cannot attach another consumer to intermediate " +
+                    s"'${plan.mat}': " +
+                    "graft.streaming.intermediate-retention has " +
+                    "already deleted files its manifest still lists, " +
+                    "so a NEW consumer cannot replay the view's " +
+                    "history — group the consumers in one EXECUTE " +
+                    "STATEMENT SET ahead of any deletion, or unset " +
+                    "the retention for this run")
+              val (_, consumers) = intermediateConsumers
+                .getOrElseUpdate(plan.path,
+                  (retMs, mutable.LinkedHashSet.empty[String]))
+              intermediateConsumers(plan.path) = (retMs, consumers += s)
+            }
+            s
+          }
         try {
           if (!plan.reuse) {
             executeInsert(spark, config, plan.stage1)
@@ -1612,8 +1643,11 @@ final class SqlSubmitAction(
           // retention (r20): register stage 2 as a consumer of the
           // intermediate and start the sweeper — data files every
           // consumer has committed and that age past the horizon get
-          // deleted, bounding the directory under sustained input
-          retention.foreach { retMs =>
+          // deleted, bounding the directory under sustained input.
+          // The EFFECTIVE retention keys the registration: a consumer
+          // attaching while an earlier statement's sweeper is live
+          // must register even if its own statement RESET the knob.
+          effectiveRetention.foreach { retMs =>
             started.drop(beforeStage2).headOption
               .flatMap(checkpointRootOf).foreach { root =>
                 retentionLock.synchronized {
@@ -1678,6 +1712,9 @@ final class SqlSubmitAction(
     * would read the sink manifest, which still lists the deleted
     * files; r20 review). */
   private val sweptPaths = mutable.Set.empty[String]
+  /** Run-scoped parse cache for the sweeper (second review pass: a
+    * JVM-singleton cache outlived its run on shared sessions). */
+  private val retentionCache = IntermediateRetention.newCache()
   private var retentionExec:
       Option[java.util.concurrent.ScheduledExecutorService] = None
 
@@ -1694,19 +1731,23 @@ final class SqlSubmitAction(
 
   private def sweepIntermediates(spark: SparkSession): Unit =
     try {
-      val snapshot = retentionLock.synchronized {
-        intermediateConsumers.toSeq.map { case (p, (r, cs)) =>
-          (p, r, cs.toSeq) }
-      }
-      snapshot.foreach { case (path, retMs, consumers) =>
-        try {
-          val deleted = IntermediateRetention.sweep(
-            spark.sparkContext.hadoopConfiguration, path,
-            consumers, retMs)
-          if (deleted > 0)
-            retentionLock.synchronized { sweptPaths += path: Unit }
+      // the WHOLE tick runs under the lock: the new-consumer guard's
+      // check-then-register must never interleave with a sweep whose
+      // consumer snapshot predates the sentinel (second review pass —
+      // the TOCTOU let a deletion land between the swept-path check
+      // and the sentinel registration). A statement thread blocks at
+      // most one tick; the 2 s cadence bounds the convoy.
+      retentionLock.synchronized {
+        intermediateConsumers.toSeq.foreach {
+          case (path, (retMs, consumers)) =>
+            try {
+              val deleted = IntermediateRetention.sweep(
+                spark.sparkContext.hadoopConfiguration, path,
+                consumers.toSeq, retMs, retentionCache)
+              if (deleted > 0) sweptPaths += path: Unit
+            }
+            catch { case scala.util.control.NonFatal(_) => () }
         }
-        catch { case scala.util.control.NonFatal(_) => () }
       }
     } catch {
       // scheduleWithFixedDelay suppresses all future runs on a throw —
@@ -1869,7 +1910,7 @@ final class SqlSubmitAction(
       // unaliased `sum(v)`) or a configured dir carrying a quote would
       // surface as a DdlParser/Spark error on text the user never
       // wrote — fail closed to the named rejection instead
-      if colTypes.forall { case (n, _) => n.matches(raw"^[A-Za-z_]\w*$$") }
+      if colTypes.forall { case (n, _) => n.matches(GeneratedSqlIdent) }
       dir = config.raw.get("graft.streaming.intermediate-dir")
         .orElse(config.checkpointDir.filter(_ => durable)
           .map(_.stripSuffix("/") + "/graft-intermediates"))
@@ -1996,7 +2037,7 @@ final class SqlSubmitAction(
       dims = rels.filterNot(_._1.equalsIgnoreCase(view)).map {
         case (r, a) => (Seq(r) ++ a,
           spark.table(r).schema.fieldNames.toSeq) }
-      if dims.flatMap(_._2).forall(_.matches(raw"^[A-Za-z_]\w*$$"))
+      if dims.flatMap(_._2).forall(_.matches(GeneratedSqlIdent))
       // split each dim's columns into projection survivors and
       // collision-DROPPED names (the mat side's name wins)
       dimSplit = {
@@ -2011,9 +2052,14 @@ final class SqlSubmitAction(
       // the statement must not reference a DROPPED dim column outside
       // the join region (r20 review: qualifier-stripping would
       // silently rebind `sum(d.s)` onto the STREAM's s) — such
-      // statements keep the named rejection
-      maskedOutside = masked.substring(0, fromIdx) + " " +
-        masked.substring(regionEnd)
+      // statements keep the named rejection. The guard text is
+      // UNTICKED first (second review pass: maskQuoted blanks
+      // backtick interiors, so ``sum(d.`s`)`` would have slipped past
+      // the regex while stripQualifiers still stripped the bare
+      // qualifier — the exact silent rebind this guard rejects)
+      maskedOutside = MatchRecognize.maskQuoted(
+        untick(sql.substring(0, fromIdx)) + " " +
+          untick(sql.substring(regionEnd)))
       if dimSplit.forall { case (qs, _, dropped) =>
         dropped.forall(c => qs.forall(q =>
           (raw"(?is)\b" + java.util.regex.Pattern.quote(q) +

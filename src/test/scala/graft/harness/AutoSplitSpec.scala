@@ -484,6 +484,31 @@ class AutoSplitSpec extends AnyFunSuite {
       || m.contains("correctness")), msgs.mkString(" | "))
   }
 
+  test("the dropped-column guard sees BACKTICK-quoted references too " +
+      "(second review pass: masking blanks tick interiors, so " +
+      "sum(d.`s`) must not slip past)") {
+    val msgs = interceptMessages(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |${srcAndView("aspt2")}
+         |create table aspt2_dim (
+         |  k bigint, s bigint
+         |) with ('connector' = 'datagen', 'number-of-rows' = '1',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0',
+         |  'fields.s.min' = '3', 'fields.s.max' = '3');
+         |create table aspt2_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'print');
+         |insert into aspt2_sink
+         |select a.k, sum(d.`s`) as total
+         |from aspt2_agg a join aspt2_dim d on d.k = a.k
+         |group by a.k;
+         |""".stripMargin, "drop-tick")
+    assert(msgs.exists(m => m.contains("cannot run above another stateful")
+      || m.contains("correctness")), msgs.mkString(" | "))
+  }
+
   test("a changed view DEFINITION under a durable base starts FRESH " +
       "stage-2 state (r20 review: the checkpoint keys on the " +
       "intermediate's identity, so old state never folds new data)") {
