@@ -421,6 +421,40 @@ class AutoSplitSpec extends AnyFunSuite {
     assert(readAll("SELECT K, TOTAL FROM ASPJN", 2) === Seq(Seq(0L, 12L)))
   }
 
+  test("the enrichment form chains TWO static dims (r20): both join " +
+      "into one collision-free view, value-pinned") {
+    resetTable("ASPJ2",
+      "CREATE TABLE ASPJ2 (K BIGINT PRIMARY KEY, TOTAL BIGINT)")
+    run(
+      s"""SET execution.runtime-mode = streaming;
+         |SET table.exec.state.ttl = 600 s;
+         |SET graft.streaming.auto-split-updating = true;
+         |${srcAndView("aspw")}
+         |create table aspw_dim1 (
+         |  k bigint, mult bigint
+         |) with ('connector' = 'datagen', 'number-of-rows' = '1',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0',
+         |  'fields.mult.min' = '3', 'fields.mult.max' = '3');
+         |create table aspw_dim2 (
+         |  k bigint, bonus bigint
+         |) with ('connector' = 'datagen', 'number-of-rows' = '1',
+         |  'fields.k.min' = '0', 'fields.k.max' = '0',
+         |  'fields.bonus.min' = '5', 'fields.bonus.max' = '5');
+         |create table aspw_sink (k bigint, total bigint,
+         |  primary key (k) not enforced
+         |) with ('connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ASPJ2');
+         |insert into aspw_sink
+         |select a.k, sum(d1.mult + d2.bonus) as total
+         |from aspw_agg a
+         |join aspw_dim1 d1 on d1.k = a.k
+         |join aspw_dim2 d2 on d2.k = a.k
+         |group by a.k;
+         |""".stripMargin, "join2-auto")
+    // four closed windows x (3 + 5) = 32
+    assert(readAll("SELECT K, TOTAL FROM ASPJ2", 2) === Seq(Seq(0L, 32L)))
+  }
+
   test("the enrichment form stays INNER-only and single-stream: a " +
       "stream-STREAM join above the stateful view still fails loud " +
       "(r20)") {
