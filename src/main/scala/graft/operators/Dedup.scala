@@ -403,24 +403,35 @@ object Dedup {
          |SELECT doc_a, doc_b, n_agree FROM cand WHERE n_agree >= 8""".stripMargin
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    Tables.registerAll(s, dir)
+    // One canonicalization + signature pass (lazily checkpointed) feeding
+    // both sides of the band self-join — the single-SQL form inlined the
+    // `canon` CTE into each side and re-ran the text canonicalization
+    // twice per execution (r21 plan audit). Values unchanged.
+    val docs = Tables.load(s, dir, "documents")
+    val canon = withFingerprint(docs.select(col("doc_id"), col("text")))
+      .groupBy(col("fp"), col("fp2"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+    val sigs = canon.select(col("doc_id"),
+        expr(s"graft_minhash_sig(${shingleHashesSpark("split(text, ' ')")})")
+          .as("sig"))
+      .localCheckpoint(false)
     val bandArray = (0 until Bands)
-      .map(bd => bandKeySpark(i => s"sig_$i", bd)).mkString("array(", ", ", ")")
-    val sigCols = (0 until K).map(i => s"sig_$i").mkString(", ")
-    val agree = (0 until K)
-      .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s.sql(
-      s"""WITH $canonNoLangSpark,
-         |s AS (${sigSelectSpark("canon")}),
-         |banded AS (
-         |  SELECT doc_id, $sigCols, band_key
-         |  FROM s LATERAL VIEW explode($bandArray) t AS band_key),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $agree AS n_agree
-         |  FROM banded a JOIN banded b
-         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, n_agree FROM cand WHERE n_agree >= 8""".stripMargin)
+      .map(bd => bandKeySpark(i => s"sig[$i]", bd)).mkString("array(", ", ", ")")
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(expr(bandArray)).as("band_key"))
+    val agreeCol = (0 until K).map(i =>
+        when(col("a.sig").getItem(i) === col("b.sig").getItem(i), 1)
+          .otherwise(0))
+      .reduce(_ + _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        agreeCol.as("n_agree"))
+      .distinct()
+      .filter(col("n_agree") >= 8)
   }
 
   /** SimHash: 30-bit signature from per-token hash bit votes (token
@@ -487,28 +498,35 @@ object Dedup {
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    Tables.registerAll(s, dir)
-    s.sql(
-      s"""WITH $canonNoLangSpark,
-         |s AS (
-         |  SELECT doc_id, graft_simhash(${tokenHashesSpark("text")}) AS sh
-         |  FROM canon),
-         |b AS (
-         |  SELECT doc_id, sh, explode(array(
-         |    (sh & 1023), (1024 + (shiftright(sh, 10) & 1023)),
-         |    (2048 + (shiftright(sh, 20) & 1023)))) AS ck
-         |  FROM s),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-         |    a.sh AS sh_a, b2.sh AS sh_b
-         |  FROM b a JOIN b b2 ON a.ck = b2.ck AND a.doc_id < b2.doc_id
-         |  WHERE a.ck < 1024
-         |    OR (a.ck < 2048 AND (a.sh & 1023) <> (b2.sh & 1023))
-         |    OR (a.ck >= 2048 AND (a.sh & 1023) <> (b2.sh & 1023)
-         |        AND (shiftright(a.sh, 10) & 1023) <> (shiftright(b2.sh, 10) & 1023)))
-         |SELECT doc_a, doc_b,
-         |  CAST(bit_count(sh_a ^ sh_b) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(sh_a ^ sh_b) <= 2""".stripMargin)
+    // One canonicalization + simhash pass (lazily checkpointed) feeding
+    // both sides of the chunk-key self-join — the single-SQL form
+    // inlined the `canon` CTE into each side and re-ran the text
+    // canonicalization twice per execution (r21 plan audit). The
+    // checkpointed relation is two longs per canonical doc. Values
+    // unchanged.
+    val docs = Tables.load(s, dir, "documents")
+    val canon = withFingerprint(docs.select(col("doc_id"), col("text")))
+      .groupBy(col("fp"), col("fp2"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+    val sh = canon.select(col("doc_id"),
+        expr(s"graft_simhash(${tokenHashesSpark("text")})").as("sh"))
+      .localCheckpoint(false)
+    val b = sh.select(col("doc_id"), col("sh"), explode(array(
+        expr("sh & 1023"),
+        expr("1024 + (shiftright(sh, 10) & 1023)"),
+        expr("2048 + (shiftright(sh, 20) & 1023)"))).as("ck"))
+    b.toDF("doc_a", "sh_a", "ck")
+      .join(b.toDF("doc_b", "sh_b", "ck"), Seq("ck"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr(
+        """ck < 1024
+          |  OR (ck < 2048 AND (sh_a & 1023) <> (sh_b & 1023))
+          |  OR (ck >= 2048 AND (sh_a & 1023) <> (sh_b & 1023)
+          |      AND (shiftright(sh_a, 10) & 1023) <> (shiftright(sh_b, 10) & 1023))""".stripMargin))
+      .filter(expr("bit_count(sh_a ^ sh_b) <= 2"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)").as("hamming"))
   }
 
   /** MinHash estimation-error audit: for every LSH candidate pair
@@ -563,47 +581,63 @@ object Dedup {
          |FROM cand c LEFT JOIN ex ON ex.doc_a = c.doc_a AND ex.doc_b = c.doc_b""".stripMargin
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    Tables.registerAll(s, dir)
+    // One canonicalization + ONE shingle-hash pass (lazily checkpointed),
+    // shared by the signature/band branch, the truth postings, and the
+    // candidate set — the former single-SQL form inlined the `canon` CTE
+    // into every consumer and re-ran the text canonicalization SIX times
+    // per execution (r21 plan audit: 6 × [Scan→SortAggregate×2]). Same
+    // restructure extBandRecall already carries; values are unchanged
+    // (identical expressions over the identical relation).
+    val docs = Tables.load(s, dir, "documents")
+    val canon = withFingerprint(docs.select(col("doc_id"), col("text")))
+      .groupBy(col("fp"), col("fp2"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+    val hashed = canon
+      .select(col("doc_id"),
+        expr(shingleHashesSpark("split(text, ' ')")).as("hs"))
+      .localCheckpoint(false)
+    val sigs = hashed.select(col("doc_id"),
+      expr("graft_minhash_sig(hs)").as("sig"))
     val bandArray = (0 until Bands)
-      .map(bd => bandKeySpark(i => s"sig_$i", bd)).mkString("array(", ", ", ")")
-    val sigCols = (0 until K).map(i => s"sig_$i").mkString(", ")
-    val agree = (0 until K)
-      .map(i => s"(CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    s.sql(
-      s"""WITH $canonNoLangSpark,
-         |s AS (${sigSelectSpark("canon")}),
-         |banded AS (
-         |  SELECT doc_id, $sigCols, band_key
-         |  FROM s LATERAL VIEW explode($bandArray) t AS band_key),
-         |est AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $agree AS n_agree
-         |  FROM banded a JOIN banded b
-         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |cand AS (SELECT doc_a, doc_b, n_agree FROM est WHERE n_agree >= 8),
-         |g AS (
-         |  SELECT doc_id, array_distinct(${shingleHashesSpark("split(text, ' ')")}) AS ghs
-         |  FROM canon),
-         |post AS (
-         |  SELECT doc_id, CAST(size(ghs) AS BIGINT) AS sz, gh
-         |  FROM g LATERAL VIEW explode(ghs) t AS gh),
-         |ex AS (
-         |  SELECT c.doc_a, c.doc_b, pa.sz AS sz_a, pb.sz AS sz_b,
-         |    COUNT(*) AS inter
-         |  FROM cand c
-         |  JOIN post pa ON pa.doc_id = c.doc_a
-         |  JOIN post pb ON pb.doc_id = c.doc_b AND pb.gh = pa.gh
-         |  GROUP BY 1, 2, 3, 4)
-         |SELECT c.doc_a, c.doc_b,
-         |  CAST(FLOOR(c.n_agree * 1000.0D / $K + 0.5D) AS BIGINT) AS est_mils,
-         |  CAST(COALESCE(
-         |    FLOOR(ex.inter * 1000.0D / (ex.sz_a + ex.sz_b - ex.inter) + 0.5D),
-         |    0) AS BIGINT) AS jac_mils,
-         |  ABS(CAST(FLOOR(c.n_agree * 1000.0D / $K + 0.5D) AS BIGINT)
-         |    - CAST(COALESCE(
-         |        FLOOR(ex.inter * 1000.0D / (ex.sz_a + ex.sz_b - ex.inter) + 0.5D),
-         |        0) AS BIGINT)) AS err_mils
-         |FROM cand c LEFT JOIN ex ON ex.doc_a = c.doc_a AND ex.doc_b = c.doc_b""".stripMargin)
+      .map(bd => bandKeySpark(i => s"sig[$i]", bd)).mkString("array(", ", ", ")")
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(expr(bandArray)).as("band_key"))
+    val agreeCol = (0 until K).map(i =>
+        when(col("a.sig").getItem(i) === col("b.sig").getItem(i), 1)
+          .otherwise(0))
+      .reduce(_ + _)
+    // candidate pairs are tiny (band collisions only) but feed BOTH the
+    // exact pass and the final projection — checkpoint so the band
+    // self-join runs once
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        agreeCol.as("n_agree"))
+      .distinct()
+      .filter(col("n_agree") >= 8)
+      .localCheckpoint(false)
+    val post = hashed
+      .select(col("doc_id"), array_distinct(col("hs")).as("ghs"))
+      .select(col("doc_id"), size(col("ghs")).cast("long").as("sz"),
+        explode(col("ghs")).as("gh"))
+    val ex = cand.select(col("doc_a"), col("doc_b"))
+      .join(post.toDF("doc_a", "sz_a", "gh"), "doc_a")
+      .join(post.toDF("doc_b", "sz_b", "gh"), Seq("doc_b", "gh"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+    val estM = floor(col("n_agree") * lit(1000.0d) / K + lit(0.5d))
+      .cast("long")
+    val jacM = coalesce(
+      floor(col("inter") * lit(1000.0d) /
+        (col("sz_a") + col("sz_b") - col("inter")) + lit(0.5d)),
+      lit(0L)).cast("long")
+    cand.join(ex, Seq("doc_a", "doc_b"), "left_outer")
+      .select(col("doc_a"), col("doc_b"),
+        estM.as("est_mils"), jacM.as("jac_mils"))
+      .withColumn("err_mils", abs(col("est_mils") - col("jac_mils")))
   }
 
   /** INTER-document duplicate-span ratio: for each document, the share
@@ -800,9 +834,15 @@ object Dedup {
       .distinct()
     val tot = p.groupBy(col("source")).agg(count(lit(1)).as("n"))
     // dense ids over the (small, bounded) source label set: the
-    // single-partition window sorts #sources rows, not postings
+    // single-partition window sorts #sources rows, not postings.
+    // Lazily checkpointed: sid is broadcast three times (posting sz
+    // injection + the two label map-backs), and without the checkpoint
+    // each broadcast re-ran the full distinct-postings subtree feeding
+    // `tot` — three corpus-scale passes for a #sources-row dim
+    // (r21 plan audit: 3 × [Scan→Generate→HashAgg×2→Window]).
     val sid = tot.select(col("source"), col("n"),
       row_number().over(Window.orderBy(col("source"))).cast("long").as("sid"))
+      .localCheckpoint(false)
     val post = p.join(broadcast(sid), "source")
       .select(col("sid").as("doc_id"), col("n").as("sz"), col("gh"))
     pairsFromPost(post, byLang = false, dfCap(s),
