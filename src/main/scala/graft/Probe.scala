@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only timing probe: runs selected queries N times each (same
@@ -25,9 +25,34 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // per-job wall times + stage task summaries so a probe run shows WHERE
+    // a multi-job query spends its seconds (SPARK_GRAFT_PROBE_JOBS=1)
+    val verbose = sys.env.get("SPARK_GRAFT_PROBE_JOBS").contains("1")
+    val jobStartNs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(s: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet(): Unit
+      override def onJobStart(s: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        jobStartNs.put(s.jobId, System.nanoTime()): Unit
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = if (verbose) {
+        val t0 = jobStartNs.getOrDefault(e.jobId, 0L)
+        if (t0 > 0)
+          println(f"  [job ${e.jobId}%3d] ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (verbose) {
+          val si = sc.stageInfo
+          val ms = si.completionTime.flatMap(c =>
+            si.submissionTime.map(c - _)).getOrElse(-1L)
+          val tm = si.taskMetrics
+          println(f"    [stage ${si.stageId}%3d] $ms%6d ms wall, " +
+            f"${tm.executorRunTime}%6d ms run, " +
+            f"${tm.executorCpuTime / 1000000}%6d ms cpu, " +
+            f"${si.numTasks}%3d tasks, " +
+            f"sr=${tm.shuffleReadMetrics.totalBytesRead / 1024}%dK " +
+            f"sw=${tm.shuffleWriteMetrics.bytesWritten / 1024}%dK  " +
+            si.name.takeWhile(_ != '(').trim)
+        }
     })
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

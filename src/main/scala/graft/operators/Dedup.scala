@@ -169,13 +169,14 @@ object Dedup {
   private def pairsFromPost(
       post: org.apache.spark.sql.DataFrame, byLang: Boolean,
       cap: Int, metricName: String): org.apache.spark.sql.DataFrame = {
-    val capped = org.apache.spark.sql.functions.udaf(
-      new graft.functions.CappedPostings(cap),
-      org.apache.spark.sql.Encoders.product[graft.functions.Posting])
     val keys = if (byLang) Seq(col("gh"), col("lang")) else Seq(col("gh"))
     post
       .groupBy(keys: _*)
-      .agg(capped(col("doc_id"), col("sz")).as("pl"))
+      // native TypedImperativeAggregate (primitive-array buffer), not a
+      // typed Aggregator: the per-row encoder + Vector-append of the
+      // udaf form cost ~2.7 µs per posting (r21 decomposition: the agg
+      // stage alone was ~0.7 s of ext_jaccard_pairs' 1.2 s at sf0.1)
+      .agg(expr(s"graft_capped_postings(doc_id, sz, $cap)").as("pl"))
       .observe(metricName,
         sum(when(col("pl.df") > cap, 1L).otherwise(0L))
           .as("dropped_shingles"),
@@ -207,11 +208,21 @@ object Dedup {
   private[operators] def candidatePairs(
       canon: org.apache.spark.sql.DataFrame,
       metricName: String = "graft_dedup_df_cap"): org.apache.spark.sql.DataFrame = {
+    // explode_outer + null post-filter, not explode: a plain explode
+    // makes the optimizer infer `size(ghs) > 0 AND isnotnull(ghs)` and
+    // push it below the projection, re-evaluating the whole shingle-
+    // hash pipeline twice more per row (r21 plan audit: 3× the
+    // canonical corpus hashed per execution). The outer generate gets
+    // no inferred filter; the cheap isnotnull on the GENERATED column
+    // drops exactly the rows explode would have dropped (ghs is
+    // containsNull=false, so null gh ⇔ empty/null ghs).
     val post = canon
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("lang"), expr(gramHashesSpark).as("ghs"))
       .select(col("doc_id"), col("lang"),
-        size(col("ghs")).cast("long").as("sz"), explode(col("ghs")).as("gh"))
+        size(col("ghs")).cast("long").as("sz"),
+        explode_outer(col("ghs")).as("gh"))
+      .filter(col("gh").isNotNull)
     pairsFromPost(post, byLang = true, dfCap(canon.sparkSession), metricName)
   }
 
@@ -622,7 +633,8 @@ object Dedup {
     val post = hashed
       .select(col("doc_id"), array_distinct(col("hs")).as("ghs"))
       .select(col("doc_id"), size(col("ghs")).cast("long").as("sz"),
-        explode(col("ghs")).as("gh"))
+        explode_outer(col("ghs")).as("gh"))
+      .filter(col("gh").isNotNull)
     val ex = cand.select(col("doc_a"), col("doc_b"))
       .join(post.toDF("doc_a", "sz_a", "gh"), "doc_a")
       .join(post.toDF("doc_b", "sz_b", "gh"), Seq("doc_b", "gh"))
@@ -951,7 +963,8 @@ object Dedup {
     val post = hashed
       .select(col("doc_id"), array_distinct(col("hs")).as("ghs"))
       .select(col("doc_id"), size(col("ghs")).cast("long").as("sz"),
-        explode(col("ghs")).as("gh"))
+        explode_outer(col("ghs")).as("gh"))
+      .filter(col("gh").isNotNull)
     val truth = pairsFromPost(post, byLang = false, dfCap(s),
         "graft_band_truth_df_cap")
       .select(col("doc_a"), col("doc_b"),
@@ -1108,16 +1121,34 @@ object Dedup {
        |    AS n_over_cap
        |FROM dfs GROUP BY 1""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
+    // explode_outer + null post-filter: see candidatePairs — a plain
+    // explode gets an inferred size/isnotnull filter pushed below the
+    // projection, re-running the shingle hashing twice more per row
     val post = canonicalDocs(Tables.load(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("lang"), expr(gramHashesSpark).as("ghs"))
-      .select(col("lang"), explode(col("ghs")).as("gh"))
+      .select(col("lang"), explode_outer(col("ghs")).as("gh"))
+      .filter(col("gh").isNotNull)
     post.groupBy(col("gh"), col("lang"))
       .agg(count(lit(1)).as("df"))
       .groupBy(length(bin(col("df"))).cast("long").as("df_bucket"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(col("df")).as("n_postings"),
         sum(when(col("df") > DfCapDefault, 1L).otherwise(0L)).as("n_over_cap"))
+  }
+
+  /** Dev-only hooks for [[graft.Decompose]] (stage-by-stage timing). */
+  private[graft] def devCanonicalDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    canonicalDocs(docs)
+
+  private[graft] def devPairsFromPost(
+      post: org.apache.spark.sql.DataFrame,
+      aggOnly: Boolean): org.apache.spark.sql.DataFrame = {
+    if (aggOnly) {
+      post.groupBy(col("gh"), col("lang"))
+        .agg(expr(s"graft_capped_postings(doc_id, sz, $DfCapDefault)").as("pl"))
+    } else
+      pairsFromPost(post, byLang = true, DfCapDefault, "graft_dev_decomp")
   }
 
   def all: Seq[Q] = Seq(

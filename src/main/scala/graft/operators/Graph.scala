@@ -49,11 +49,14 @@ object Graph {
     * contraction with the labels learned so far (v → lbl edges preserve
     * reachability, so no progress is lost).
     *
-    * Convergence is detected by counting changed labels (join next vs
-    * prev on v) — exact and overflow-proof at any corpus scale, unlike
-    * a label-sum fixpoint probe, which can wrap in int64 and terminate
-    * early on a collision. `localCheckpoint` truncates lineage between
-    * rounds; the count action materializes it in the same job.
+    * Convergence is detected by comparing each vertex's new label to
+    * its previous one — carried through the round's own aggregation as
+    * a `prev` column, so the probe is an emptiness check on the
+    * checkpointed result, not a second join — exact and overflow-proof
+    * at any corpus scale, unlike a label-sum fixpoint probe, which can
+    * wrap in int64 and terminate early on a collision. `localCheckpoint`
+    * truncates lineage between rounds; the probe action materializes it
+    * in the same job.
     */
   def connectedComponents(edges0: DataFrame): DataFrame = {
     val fwd = edges0.select(col("src").cast("long"), col("dst").cast("long"))
@@ -65,20 +68,11 @@ object Graph {
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    // The edge count is needed anyway to materialize the cache, so use it
-    // to size the iteration: one partition per ~64k edges, capped at the
-    // session parallelism. At corpus scale this keeps the full fan-out;
-    // a post-threshold near-dup edge set is typically tiny relative to
-    // the corpus, and iterating it across 32 near-empty tasks per round
-    // costs more in scheduling than the data justifies.
-    val nEdges = bidir.count()
-    val parts = math.max(1L, math.min(
-      bidir.sparkSession.sparkContext.defaultParallelism.toLong,
-      nEdges / 65536L + 1L)).toInt
-    val edges =
-      if (parts < bidir.sparkSession.sparkContext.defaultParallelism)
-        bidir.coalesce(parts).localCheckpoint(true)
-      else bidir
+    // No up-front edge-count/coalesce job (r21): the count was a whole
+    // extra action before round 1 could start, and AQE already
+    // coalesces each round's small shuffles; the cached edge frame
+    // keeps whatever partitioning its own (AQE-final) plan produced.
+    val edges = bidir
     // Seed labels with the minimum of each vertex's CLOSED 1-hop
     // neighborhood — one aggregation over the edge frame, no join — so
     // the first propagation round starts from hop-1 labels instead of
@@ -96,17 +90,23 @@ object Graph {
       val prop = edges
         .join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+      // One aggregation yields BOTH the new label and the previous one
+      // (each v has exactly one labels row, so min(prev) ignores the
+      // null-tagged propagated rows and recovers the old label): the
+      // convergence probe then reads the CHECKPOINTED result instead of
+      // re-joining next against labels — one shuffle join less per
+      // round (r21).
+      val next = labels.select(col("v"), col("lbl"), col("lbl").as("prev"))
+        .union(prop.select(col("v"), col("lbl"),
+          lit(null).cast("long").as("prev")))
+        .groupBy(col("v"))
+        .agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev"))
         .localCheckpoint(false) // one job per round: checkpoint + probe together
-      val changed = next
-        .join(labels.select(col("v"), col("lbl").as("prev")), "v")
-        .filter(col("lbl") =!= col("prev"))
-      if (changed.isEmpty) converged = true
+      if (next.filter(col("lbl") =!= col("prev")).isEmpty) converged = true
       // superseded rounds' checkpoint blocks are reclaimed by the
       // ContextCleaner once the old `labels` reference drops here (no
       // public API frees localCheckpoint blocks eagerly)
-      else labels = next
+      labels = next.select(col("v"), col("lbl"))
       rounds += 1
     }
     lastPropRounds = rounds
