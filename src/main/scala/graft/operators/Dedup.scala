@@ -317,7 +317,12 @@ object Dedup {
       metricName: String): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val docs = Tables.load(s, dir, "documents")
-    val canon = canonicalDocs(docs).persist()
+    // lazy localCheckpoint, not persist: same reuse (pair pipeline +
+    // fingerprint map-back), but no columnar encode/decode of the text
+    // on build/read, and the blocks are reclaimed by the ContextCleaner
+    // when the result frame drops instead of leaking across a
+    // 185-query session
+    val canon = canonicalDocs(docs).localCheckpoint(false)
     val pairs = candidatePairs(canon, metricName)
       .filter(jacCol >= 0.5d)
       .select(col("doc_a"), col("doc_b"))
@@ -776,6 +781,10 @@ object Dedup {
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
+    // lazily checkpointed: p (one row per token position) feeds BOTH
+    // the occurrence-count aggregation and the join back — without the
+    // checkpoint the tokenize+hash+posexplode pipeline ran twice per
+    // execution (r21)
     val p = Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
@@ -784,6 +793,7 @@ object Dedup {
       // DuckDB list positions are 1-based; align so span arithmetic
       // matches digit for digit
       .withColumn("pos", col("pos0") + 1).drop("pos0")
+      .localCheckpoint(false)
     val occ = p.groupBy(col("h")).agg(count(lit(1)).as("occ"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val d = p.join(occ, "h").filter(col("occ") > 1L)
@@ -840,10 +850,16 @@ object Dedup {
        |JOIN tot tb ON tb.source = ix.source_b""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
+    // lazily checkpointed: the distinct (source, shingle) postings feed
+    // both the per-source totals (via sid) and the pair expansion —
+    // without the checkpoint the tokenize+hash+distinct pipeline ran
+    // twice per execution (r21; the sid checkpoint below had already
+    // stopped the THIRD/FOURTH runs its broadcasts caused)
     val p = Tables.load(s, dir, "documents")
       .select(col("source"), split(col("text"), " ").as("toks"))
       .select(col("source"), explode(expr(gramHashesSpark)).as("gh"))
       .distinct()
+      .localCheckpoint(false)
     val tot = p.groupBy(col("source")).agg(count(lit(1)).as("n"))
     // dense ids over the (small, bounded) source label set: the
     // single-partition window sorts #sources rows, not postings.

@@ -578,8 +578,12 @@ object TextAnalysis {
       // result frame is dropped, instead of leaking across the session
       .localCheckpoint(false)
     // corpus occurrence counts = per-distinct-text occurrences × the
-    // text's multiplicity — exactly the oracle's per-doc counts
+    // text's multiplicity — exactly the oracle's per-doc counts.
+    // Checkpointed (vocab-sized): c2 feeds both the prefix rollup and
+    // the score join, and each broadcast otherwise re-ran the full
+    // bigram aggregation over bg (r21)
     val c2 = bg.groupBy(col("bigram")).agg(sum(col("m")).as("c2"))
+      .localCheckpoint(false)
     val c1 = c2
       .groupBy(expr("split(bigram, ' ')[0]").as("pfx"))
       .agg(sum(col("c2")).cast("long").as("c1"))

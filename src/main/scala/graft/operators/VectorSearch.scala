@@ -154,8 +154,13 @@ object VectorSearch {
        |SELECT qid, vec_id, cos_micros, rn FROM ranked WHERE rn <= 3""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
+    // lazily checkpointed: b feeds both the broadcast query side and
+    // the probe stream side — without it the normalize+bucket pass ran
+    // once per consumer (r21); materializing the bucketed table is what
+    // a real LSH index build does
     val b = normalizedSpark(Tables.load(s, dir, "embeddings"))
       .withColumn("bucket", expr(bucketSpark("nv")))
+      .localCheckpoint(false)
     val q = b.filter(col("vec_id") < 32)
       .select(col("vec_id").as("qid"), col("nv").as("qv"),
         col("bucket").as("qbucket"))
@@ -216,6 +221,10 @@ object VectorSearch {
       .agg(max(struct(col("cdot"), (-col("cid")).as("negcid"),
         col("cid"), col("nv"))).as("m"))
       .select(col("vec_id"), col("m.nv").as("nv"), col("m.cid").as("cid"))
+      // lazily checkpointed: the assignment feeds both the broadcast
+      // query side and the probed lists — materializing it once is
+      // exactly what building the IVF index means (r21)
+      .localCheckpoint(false)
     val q = bucketed.filter(col("vec_id") < 32)
       .select(col("vec_id").as("qid"), col("nv").as("qv"), col("cid").as("qcid"))
     val rn = Window.partitionBy(col("qid"))
@@ -244,8 +253,11 @@ object VectorSearch {
        |  FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id)
        |SELECT vec_a, vec_b, cos_micros FROM pairs WHERE cos_micros >= 990000""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
+    // lazily checkpointed: both sides of the bucket self-join read the
+    // same normalize+bucket pass (r21)
     val b = normalizedSpark(Tables.load(s, dir, "embeddings"))
       .withColumn("bucket", expr(bucketSpark("nv")))
+      .localCheckpoint(false)
     val a = b.select(col("vec_id").as("vec_a"), col("nv").as("nv_a"),
       col("bucket").as("bucket_a"))
     val e = b.select(col("vec_id").as("vec_b"), col("nv").as("nv_b"),
@@ -336,7 +348,11 @@ object VectorSearch {
        |SELECT cid, COUNT(*) AS n_members
        |FROM a1 WHERE crn = 1 GROUP BY cid""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
+    // lazily checkpointed: nv feeds the seed centroids, both argmax
+    // assignment passes, and (via a0) the centroid re-estimation —
+    // normalize once instead of once per consumer (r21)
     val nv = normalizedSpark(Tables.load(s, dir, "embeddings"))
+      .localCheckpoint(false)
     val cent0 = nv.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("nv").as("cv"))
     // hash-agg argmax (see extAnnIvf): max(cdot, -cid) ≡ the oracle's
@@ -397,8 +413,11 @@ object VectorSearch {
        |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_sz
        |FROM cc""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
+    // lazily checkpointed: both sides of the bucket self-join read the
+    // same normalize+bucket pass (r21)
     val b = normalizedSpark(Tables.load(s, dir, "embeddings"))
       .withColumn("bucket", expr(bucketSpark("nv")))
+      .localCheckpoint(false)
     val a = b.select(col("vec_id").as("vec_a"), col("nv").as("nv_a"),
       col("bucket").as("bucket_a"))
     val e = b.select(col("vec_id").as("vec_b"), col("nv").as("nv_b"),
@@ -492,6 +511,10 @@ object VectorSearch {
       .select(col("vec_id"), col("nv"), col("cid"),
         floor(expr(dotSpark("nv", "cv")) * 1e6d + 0.5d).cast("long").as("cdot"))
       .withColumn("crn", row_number().over(crn))
+      // lazily checkpointed: assign feeds the probed lists AND the
+      // broadcast query fan-out — one quantization pass, as building
+      // the index implies (r21)
+      .localCheckpoint(false)
     val bucketed = assign.filter(col("crn") === 1)
       .select(col("vec_id"), col("nv"), col("cid"))
     val q = assign.filter(col("crn") <= 2 && col("vec_id") < 32)
@@ -859,6 +882,10 @@ object VectorSearch {
       .select(col("vec_id"), col("nv"), col("cid"),
         floor(expr(dotSpark("nv", "cv")) * 1e6d + 0.5d).cast("long").as("cdot"))
       .withColumn("crn", row_number().over(crn))
+      // lazily checkpointed: assign feeds the probed lists AND the
+      // broadcast query fan-out — one quantization pass, as building
+      // the index implies (r21)
+      .localCheckpoint(false)
     val bucketed = assign.filter(col("crn") === 1)
       .select(col("vec_id"), col("cid"))
     val q = nv.filter(col("vec_id") < 16)
