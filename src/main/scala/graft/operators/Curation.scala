@@ -41,8 +41,12 @@ object Curation {
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     val hs = expr(s"array_distinct(${TextHash.shingleHashesSpark("split(text, ' ')", 5)})")
+    // lazily checkpointed: the shingle pass feeds the broadcast bench
+    // set, the corpus explode, and the final map — one hash pass over
+    // the corpus instead of three (r21)
     val sh = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), hs.as("hs"))
+      .localCheckpoint(false)
     val bench = sh.filter(col("source") === "src0")
       .select(explode(col("hs")).as("gh")).distinct()
     val corpus = sh.filter(col("source") =!= "src0")
@@ -94,8 +98,12 @@ object Curation {
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     val hs = expr(s"array_distinct(${TextHash.shingleHashesSpark("split(text, ' ')", 5)})")
+    // lazily checkpointed: the shingle pass feeds the broadcast bench
+    // set, the corpus explode, and the final map — one hash pass over
+    // the corpus instead of three (r21)
     val sh = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("source"), hs.as("hs"))
+      .localCheckpoint(false)
     val bench = sh.filter(col("source") === "src0")
       .select(explode(col("hs")).as("gh")).distinct()
     val corpus = sh.filter(col("source") =!= "src0")

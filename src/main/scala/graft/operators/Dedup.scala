@@ -640,6 +640,9 @@ object Dedup {
       .select(col("doc_id"), size(col("ghs")).cast("long").as("sz"),
         explode_outer(col("ghs")).as("gh"))
       .filter(col("gh").isNotNull)
+      // lazily checkpointed: both sides of the exact-intersection join
+      // read the postings — one explode pass, not two (r21)
+      .localCheckpoint(false)
     val ex = cand.select(col("doc_a"), col("doc_b"))
       .join(post.toDF("doc_a", "sz_a", "gh"), "doc_a")
       .join(post.toDF("doc_b", "sz_b", "gh"), Seq("doc_b", "gh"))

@@ -438,8 +438,12 @@ object TextAnalysis {
       // the ContextCleaner once the result frame drops (a bare persist
       // here leaked across a 117-query session)
       .localCheckpoint(false)
+    // checkpointed (vocab-sized): dfTbl broadcasts into both the tok_a
+    // and tok_b joins, and each broadcast otherwise re-ran the token
+    // explode + aggregation over the corpus (r21)
     val dfTbl = docs.select(explode(col("toks")).as("tok"), col("m"))
       .groupBy(col("tok")).agg(sum(col("m")).as("df"))
+      .localCheckpoint(false)
     val n = docs.agg(sum(col("m")).as("n_docs"))
     docs.select(explode(expr(
         "flatten(transform(toks, (x, i) -> " +

@@ -661,44 +661,48 @@ object VectorSearch {
          |  FROM scored)
          |SELECT qid, vec_id, adc_micros, rn FROM ranked WHERE rn <= 5""".stripMargin
     }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
-    Tables.registerAll(s, dir)
     // three-dot squared-L2 identity on the codegen'd graft_dot — same
     // sequential fold, same formula as the oracle (no interpreted
     // zip_with/aggregate lambdas in the N × 128 encode hot path)
     val distSpark = "(graft_dot(s.sv, s.sv) " +
       "- 2 * graft_dot(s.sv, c.cv)) + graft_dot(c.cv, c.cv)"
     val dotSpark8 = "graft_dot(q.sv, c.cv)"
-    s.sql(
-      s"""WITH sub AS (
-         |  SELECT vec_id, j, slice(nv, j*8+1, 8) AS sv
-         |  FROM (SELECT vec_id, graft_l2_normalize(embedding) AS nv FROM embeddings)
-         |  LATERAL VIEW explode(sequence(0, 7)) js AS j),
-         |cb AS (SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16),
-         |dist AS (
-         |  SELECT s.vec_id, s.j, c.cid,
-         |    CAST(FLOOR(($distSpark) * 1000000D + 0.5D) AS BIGINT) AS d
-         |  FROM sub s JOIN cb c ON c.j = s.j),
-         |code AS (
-         |  SELECT vec_id, j, MIN(d * 16 + cid) % 16 AS cid
-         |  FROM dist GROUP BY vec_id, j),
-         |q AS (SELECT vec_id AS qid, j, sv FROM sub WHERE vec_id < 8),
-         |lut AS (
-         |  SELECT q.qid, q.j, c.cid,
-         |    CAST(FLOOR(($dotSpark8) * 1000000D + 0.5D) AS BIGINT) AS dm
-         |  FROM q JOIN cb c ON c.j = q.j),
-         |scored AS (
-         |  SELECT /*+ BROADCAST(l) */
-         |    l.qid, v.vec_id, CAST(SUM(l.dm) AS BIGINT) AS adc_micros
-         |  FROM code v JOIN lut l ON l.j = v.j AND l.cid = v.cid
-         |  WHERE v.vec_id <> l.qid
-         |  GROUP BY l.qid, v.vec_id),
-         |ranked AS (
-         |  SELECT qid, vec_id, adc_micros,
-         |    CAST(ROW_NUMBER() OVER (
-         |      PARTITION BY qid ORDER BY adc_micros DESC, vec_id) AS BIGINT) AS rn
-         |  FROM scored)
-         |SELECT qid, vec_id, adc_micros, rn FROM ranked WHERE rn <= 5""".stripMargin)
+    // DataFrame pipeline over ONE lazily checkpointed subvector
+    // relation: the former single-SQL form inlined the `sub` CTE into
+    // cb, dist and q, re-running the normalize+slice+explode pass
+    // three times per execution (r21). Expressions are identical.
+    val sub = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), expr("graft_l2_normalize(embedding)").as("nv"))
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("j"), col("nv"))
+      .select(col("vec_id"), col("j"), expr("slice(nv, j*8+1, 8)").as("sv"))
+      .localCheckpoint(false)
+    val cb = sub.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("j"), col("sv").as("cv"))
+    val dist = sub.as("s").join(broadcast(cb.as("c")), expr("c.j = s.j"))
+      .select(col("s.vec_id").as("vec_id"), col("s.j").as("j"),
+        col("c.cid").as("cid"),
+        expr(s"CAST(FLOOR(($distSpark) * 1000000D + 0.5D) AS BIGINT)").as("d"))
+    val code = dist.groupBy(col("vec_id"), col("j"))
+      .agg(expr("MIN(d * 16 + cid) % 16").as("cid"))
+    val q = sub.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("j"), col("sv"))
+    val lut = q.as("q").join(broadcast(cb.as("c")), expr("c.j = q.j"))
+      .select(col("q.qid").as("qid"), col("q.j").as("j"),
+        col("c.cid").as("cid"),
+        expr(s"CAST(FLOOR(($dotSpark8) * 1000000D + 0.5D) AS BIGINT)").as("dm"))
+    val scored = code
+      .join(broadcast(lut.select(col("qid"), col("j").as("lj"),
+        col("cid").as("lcid"), col("dm"))),
+        col("lj") === col("j") && col("lcid") === col("cid") &&
+          col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dm")).cast("long").as("adc_micros"))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("adc_micros").desc, col("vec_id"))).cast("long"))
+      .filter(col("rn") <= 5)
   }
 
   /** SemDeDup-style semantic deduplication decision: assign vectors to
@@ -749,6 +753,9 @@ object VectorSearch {
       .agg(max(struct(col("cdot"), (-col("cid")).as("negcid"),
         col("cid"), col("nv"))).as("m"))
       .select(col("vec_id"), col("m.nv").as("nv"), col("m.cid").as("cid"))
+      // lazily checkpointed: the assignment feeds both shadow-join
+      // sides and the final map-back — one quantization pass (r21)
+      .localCheckpoint(false)
     val x = b.select(col("vec_id"), col("nv").as("nv_x"), col("cid"))
     val y = b.select(col("vec_id").as("yid"), col("nv").as("nv_y"),
       col("cid").as("ycid"))
@@ -802,8 +809,11 @@ object VectorSearch {
     graft.functions.GraftFunctions.register(s)
     val topk = udaf(new graft.functions.TopKByScore(k),
       org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    // lazily checkpointed: both sides of the bucket self-join read the
+    // same normalize+bucket pass (r21)
     val b = normalizedSpark(Tables.load(s, dir, "embeddings"))
       .withColumn("bucket", expr(s"graft_lsh_bucket(nv, $planes)"))
+      .localCheckpoint(false)
     val e = b.select(col("vec_id").as("e_id"), col("nv").as("env"),
       col("bucket").as("e_bucket"))
     b.join(e, col("bucket") === col("e_bucket") && col("e_id") =!= col("vec_id"))
