@@ -58,6 +58,8 @@ object Probe {
       val fn = SparkEntry.queries(name)
       (1 to repeats).foreach { i =>
         spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         jobs.set(0)
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()

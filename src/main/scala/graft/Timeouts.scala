@@ -63,6 +63,14 @@ object Timeouts {
     * (degraded mode: caches accumulate, results stay correct).
     */
   def boundedClearCache(spark: SparkSession, timeoutSec: Long): Option[String] =
-    bounded(spark, s"clear-cache-${System.nanoTime()}", timeoutSec)(
-      spark.catalog.clearCache())
+    bounded(spark, s"clear-cache-${System.nanoTime()}", timeoutSec) {
+      spark.catalog.clearCache()
+      // also drop leftover localCheckpoint blocks: clearCache only
+      // covers CacheManager entries, while the query library's lazy
+      // localCheckpoints register plain persisted RDDs that otherwise
+      // wait for GC + ContextCleaner — stale blocks from earlier
+      // queries inflate later ones' storage pressure in a long run
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
 }
