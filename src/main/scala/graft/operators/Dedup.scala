@@ -371,6 +371,15 @@ object Dedup {
        |  FROM (${fdocSpark("doc_id, text")})
        |  GROUP BY fp, fp2)""".stripMargin
 
+  /** The DataFrame spelling of [[canonNoLangSpark]], shared by the
+    * sketch queries.
+    */
+  private def canonNoLangSparkDf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withFingerprint(docs.select(col("doc_id"), col("text")))
+      .groupBy(col("fp"), col("fp2"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("text"), col("doc_id")).as("text"))
+
   /** All K minima come from one native pass (graft_minhash_sig), then
     * fan out into columns.
     */
@@ -391,8 +400,15 @@ object Dedup {
     s"""SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")}
        |FROM (${sigSelectDuck()})""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    Tables.registerAll(s, dir)
-    s.sql(s"SELECT * FROM (${sigSelectSpark()})")
+    // DataFrame form of sigSelectSpark with the single-split scan
+    // fanned out before the CPU-dense signature fold (r21); identical
+    // expressions and output columns
+    val base = Par.fanOut(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        expr(s"graft_minhash_sig(${shingleHashesSpark("split(text, ' ')")})")
+          .as("sig"))
+    base.select(col("doc_id") +:
+      (0 until K).map(i => col("sig").getItem(i).as(s"sig_$i")): _*)
   }
 
   /** MinHash+LSH near-dup pairs: each doc explodes into its 4 band keys
@@ -424,10 +440,7 @@ object Dedup {
     // `canon` CTE into each side and re-ran the text canonicalization
     // twice per execution (r21 plan audit). Values unchanged.
     val docs = Tables.load(s, dir, "documents")
-    val canon = withFingerprint(docs.select(col("doc_id"), col("text")))
-      .groupBy(col("fp"), col("fp2"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("text"), col("doc_id")).as("text"))
+    val canon = canonNoLangSparkDf(docs)
     val sigs = canon.select(col("doc_id"),
         expr(s"graft_minhash_sig(${shingleHashesSpark("split(text, ' ')")})")
           .as("sig"))
@@ -464,10 +477,11 @@ object Dedup {
          |FROM t GROUP BY doc_id""".stripMargin
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    Tables.registerAll(s, dir)
-    s.sql(
-      s"""SELECT doc_id, graft_simhash(${tokenHashesSpark("text")}) AS simhash
-         |FROM documents""".stripMargin)
+    // single-split scan fanned out before the CPU-dense per-token
+    // hashing + bit votes (r21); same expression
+    Par.fanOut(Tables.load(s, dir, "documents"))
+      .select(col("doc_id"),
+        expr(s"graft_simhash(${tokenHashesSpark("text")})").as("simhash"))
   }
 
   /** SimHash near-dup pairs by pigeonhole chunk blocking: the 30-bit
@@ -521,10 +535,7 @@ object Dedup {
     // checkpointed relation is two longs per canonical doc. Values
     // unchanged.
     val docs = Tables.load(s, dir, "documents")
-    val canon = withFingerprint(docs.select(col("doc_id"), col("text")))
-      .groupBy(col("fp"), col("fp2"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("text"), col("doc_id")).as("text"))
+    val canon = canonNoLangSparkDf(docs)
     val sh = canon.select(col("doc_id"),
         expr(s"graft_simhash(${tokenHashesSpark("text")})").as("sh"))
       .localCheckpoint(false)
@@ -605,10 +616,7 @@ object Dedup {
     // restructure extBandRecall already carries; values are unchanged
     // (identical expressions over the identical relation).
     val docs = Tables.load(s, dir, "documents")
-    val canon = withFingerprint(docs.select(col("doc_id"), col("text")))
-      .groupBy(col("fp"), col("fp2"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("text"), col("doc_id")).as("text"))
+    val canon = canonNoLangSparkDf(docs)
     val hashed = canon
       .select(col("doc_id"),
         expr(shingleHashesSpark("split(text, ' ')")).as("hs"))
@@ -957,10 +965,7 @@ object Dedup {
     val docs = Tables.load(s, dir, "documents")
     // lang-agnostic canonicalization (the DataFrame spelling of
     // canonNoLangDuck above)
-    val canon = withFingerprint(docs.select(col("doc_id"), col("text")))
-      .groupBy(col("fp"), col("fp2"))
-      .agg(min(col("doc_id")).as("doc_id"),
-        min_by(col("text"), col("doc_id")).as("text"))
+    val canon = canonNoLangSparkDf(docs)
     // shingle-hash once; both branches (signatures and truth postings)
     // read this relation, and the lazy checkpoint materializes it on
     // first use so the heaviest stage never runs twice
@@ -1101,7 +1106,8 @@ object Dedup {
     val ids = raw.select(col("doc_id"), xxhash64(col("text")).as("fp"))
     val spans = raw
       .groupBy(xxhash64(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("m"), min_by(col("text"), col("doc_id")).as("text"))
+      .agg(min(col("doc_id")).as("m"),
+        min_by(col("text"), col("doc_id")).as("text"))
       .selectExpr("fp", "m",
         s"explode(array_distinct(${shingleHashesSpark("split(text, ' ')")})) AS gh")
       .localCheckpoint(false)
