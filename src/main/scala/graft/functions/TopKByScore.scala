@@ -1,57 +1,163 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
 
-/** One scored candidate: quantized cosine (micros) + document id. */
-case class Scored(cos_micros: Long, corpus_id: Long)
-
-/** Product wrapper so the aggregate's output is a plain SQL
-  * `struct<top: array<struct<...>>>` (Encoders.product handles Seq
-  * fields; a bare Seq output would need a catalyst encoder).
+/** Buffer of [[TopKByScoreAgg]]: rank-sorted parallel primitive arrays
+  * (cosine descending, corpus id ascending) trimmed to k. Primitive
+  * storage on purpose — this buffer is touched once per candidate row
+  * of an inverted list, and the previous `Aggregator[Scored, ...]`
+  * form paid an ExpressionEncoder round-trip plus an immutable
+  * `Vector.patch` copy per row.
   */
-case class ScoredList(top: Seq[Scored])
+final class TopKBuffer(k: Int) {
+  val scores: Array[Long] = new Array[Long](k)
+  val ids: Array[Long] = new Array[Long](k)
+  var n: Int = 0
 
-/** Typed top-k aggregate with state bounded by k, not by group size:
-  * the buffer is a rank-sorted vector (cosine descending, corpus id
-  * ascending — the deterministic ANN ordering) trimmed to k on every
-  * insert and merge. Replaces the `collect_list` + sort/slice shape,
-  * whose state grows with the inverted-list (group) size — at 100 TB a
-  * hot cluster's list is unbounded, a size-k heap is not. Partial
-  * aggregation applies: partitions pre-trim to k before the shuffle,
-  * so at most k rows per group per partition move.
-  *
-  * Insertion is linear in k (k is a user-facing top-k, tens not
-  * millions), keeping the buffer always sorted so `finish` is free.
-  */
-final class TopKByScore(k: Int)
-    extends Aggregator[Scored, Vector[Scored], ScoredList] {
-  require(k > 0, s"top-k needs k > 0, got $k")
+  /** Rank order: higher score first, then smaller id. */
+  private def outranksAt(i: Int, score: Long, id: Long): Boolean =
+    score > scores(i) || (score == scores(i) && id < ids(i))
 
-  /** Rank order: higher cosine first, then smaller corpus id. */
-  private def outranks(a: Scored, b: Scored): Boolean =
-    a.cos_micros > b.cos_micros ||
-      (a.cos_micros == b.cos_micros && a.corpus_id < b.corpus_id)
-
-  private def insert(b: Vector[Scored], a: Scored): Vector[Scored] =
-    if (b.length == k && !outranks(a, b.last)) b
-    else {
-      val i = b.indexWhere(outranks(a, _)) match {
-        case -1 => b.length
-        case at => at
-      }
-      b.patch(i, Seq(a), 0).take(k)
+  def insert(score: Long, id: Long): Unit = {
+    if (n == scores.length && !outranksAt(n - 1, score, id)) return
+    var i = n
+    while (i > 0 && outranksAt(i - 1, score, id)) i -= 1
+    // shift [i, n) right by one (dropping the overflow past k)
+    val last = math.min(n, scores.length - 1)
+    var j = last
+    while (j > i) {
+      scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1
     }
+    scores(i) = score; ids(i) = id
+    if (n < scores.length) n += 1
+  }
+}
 
-  override def zero: Vector[Scored] = Vector.empty
-  override def reduce(b: Vector[Scored], a: Scored): Vector[Scored] =
-    insert(b, a)
-  override def merge(b1: Vector[Scored], b2: Vector[Scored]): Vector[Scored] =
-    b2.foldLeft(b1)(insert)
-  override def finish(reduction: Vector[Scored]): ScoredList =
-    ScoredList(reduction)
-  override def bufferEncoder: Encoder[Vector[Scored]] =
-    Encoders.kryo[Vector[Scored]]
-  override def outputEncoder: Encoder[ScoredList] =
-    Encoders.product[ScoredList]
+/** Top-k-by-score aggregate with state bounded by k, not by group
+  * size: replaces the `collect_list` + sort/slice shape, whose state
+  * grows with the inverted-list (group) size — at 100 TB a hot
+  * cluster's list is unbounded, a size-k buffer is not. Partial
+  * aggregation applies (TypedImperativeAggregate → ObjectHashAggregate),
+  * so partitions pre-trim to k before the shuffle and at most k rows
+  * per group per partition move.
+  *
+  * Insertion is linear in k (a user-facing top-k: tens, not millions),
+  * keeping the buffer always sorted so `eval` is free. Native
+  * `TypedImperativeAggregate` rather than a typed `Aggregator`: update
+  * reads two longs straight off the input row — no per-row encoder, no
+  * immutable-collection churn (same rationale as
+  * [[CappedPostingsAgg]], measured there at ~2.7 µs/row saved).
+  *
+  * Output schema unchanged from the Aggregator form:
+  * `struct<top: array<struct<cos_micros, corpus_id>>>`.
+  *
+  * SQL surface: `graft_topk_by_score(score, id, k)` with `k` a
+  * positive integer literal.
+  */
+case class TopKByScoreAgg(
+    score: Expression,
+    id: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def prettyName: String = "graft_topk_by_score"
+  override def children: Seq[Expression] = Seq(score, id, kExpr)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == LongType && id.dataType == LongType &&
+        kExpr.dataType == IntegerType && kExpr.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_topk_by_score(score: bigint, id: bigint, k: int literal), " +
+        s"got (${score.dataType}, ${id.dataType}, ${kExpr.dataType})")
+
+  override def dataType: DataType = TopKByScoreAgg.OutputType
+
+  private lazy val k: Int = {
+    val v = kExpr.eval(InternalRow.empty)
+    require(v != null, "graft_topk_by_score: k must be a literal")
+    val n = v.asInstanceOf[Int]
+    require(n > 0, s"top-k needs k > 0, got $n")
+    n
+  }
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    if (s != null) {
+      val i = id.eval(input)
+      if (i != null)
+        buf.insert(s.asInstanceOf[Long], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(x: TopKBuffer, y: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < y.n) { x.insert(y.scores(i), y.ids(i)); i += 1 }
+    x
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val items = new Array[Any](buf.n)
+    var i = 0
+    while (i < buf.n) {
+      items(i) = new GenericInternalRow(
+        Array[Any](buf.scores(i), buf.ids(i)))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](new GenericArrayData(items)))
+  }
+
+  /** Flat image: [n: i32][scores ×n: i64][ids ×n: i64]. */
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.n)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) { bb.putLong(buf.scores(i)); i += 1 }
+    i = 0
+    while (i < buf.n) { bb.putLong(buf.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) { buf.scores(i) = bb.getLong(); i += 1 }
+    i = 0
+    while (i < n) { buf.ids(i) = bb.getLong(); i += 1 }
+    buf.n = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScoreAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScoreAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScoreAgg =
+    copy(score = newChildren(0), id = newChildren(1), kExpr = newChildren(2))
+}
+
+object TopKByScoreAgg {
+  /** Byte-compatible with the former `Encoders.product[ScoredList]`
+    * schema: downstream code reads `tk.top[i].cos_micros` /
+    * `.corpus_id` by name.
+    */
+  val OutputType: StructType = StructType(Seq(
+    StructField("top", ArrayType(StructType(Seq(
+      StructField("cos_micros", LongType, nullable = false),
+      StructField("corpus_id", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
 }

@@ -735,6 +735,7 @@ object GraftFunctions {
     "graft_l2_normalize" -> (es => L2Normalize(es.head)),
     "graft_doc_pairs" -> (es => DocPairs(es.head)),
     "graft_capped_postings" -> (es => CappedPostingsAgg(es.head, es(1), es(2))),
+    "graft_topk_by_score" -> (es => TopKByScoreAgg(es.head, es(1), es(2))),
     "graft_json_valid" -> (es => JsonIsValid(es.head)),
     "graft_json_items" -> (es => JsonPathItems(es.head, es(1))),
     "graft_lsh_bucket" -> { es =>

@@ -807,8 +807,6 @@ object VectorSearch {
       s: org.apache.spark.sql.SparkSession, dir: String,
       planes: Int, k: Int): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val topk = udaf(new graft.functions.TopKByScore(k),
-      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     // lazily checkpointed: both sides of the bucket self-join read the
     // same normalize+bucket pass (r21)
     val b = normalizedSpark(Tables.load(s, dir, "embeddings"))
@@ -821,7 +819,9 @@ object VectorSearch {
         floor(expr(dotSpark("nv", "env")) * 1e6d + 0.5d).cast("long")
           .as("cos_micros"))
       .groupBy(col("node_id"))
-      .agg(topk(col("cos_micros"), col("e_id")).as("tk"))
+      // native size-k heap aggregate (no per-row encoder — see
+      // TopKByScoreAgg)
+      .agg(expr(s"graft_topk_by_score(cos_micros, e_id, $k)").as("tk"))
       .select(col("node_id"), posexplode(col("tk.top")).as(Seq("pos", "t")))
       .select(col("node_id"), col("t.corpus_id").as("neighbor_id"),
         col("t.cos_micros").as("cos_micros"), (col("pos") + 1L).as("rn"))

@@ -310,10 +310,9 @@ object StreamOps {
       .groupBy(col("qid"), col("__qt"))
       // size-k heap aggregate: state bounded by k per (query, time)
       // group, not by the probed inverted list's size — partitions
-      // pre-trim to k before the shuffle
-      .agg(udaf(new graft.functions.TopKByScore(k),
-        org.apache.spark.sql.Encoders.product[graft.functions.Scored])(
-        col("cos_micros"), col("corpus_id")).as("tk"))
+      // pre-trim to k before the shuffle (native TypedImperative form,
+      // no per-row encoder: TopKByScoreAgg)
+      .agg(expr(s"graft_topk_by_score(cos_micros, corpus_id, $k)").as("tk"))
       .select(col("qid"), col("__qt").as(eventTime),
         posexplode(col("tk.top")).as(Seq("pos", "t")))
       .select(col("qid"), col(eventTime), col("t.corpus_id").as("corpus_id"),

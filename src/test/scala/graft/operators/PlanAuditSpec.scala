@@ -203,7 +203,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val spark = SparkFixture.spark
     val plan = SparkEntry.queries("ext_knn_graph")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_topkbyscore"),
+    assert(plan.contains("partial_graft_topk_by_score"),
       s"no map-side heap partial aggregation in:\n$plan")
   }
 
