@@ -400,10 +400,9 @@ object Dedup {
     s"""SELECT doc_id, ${(0 until K).map(i => s"sig_$i").mkString(", ")}
        |FROM (${sigSelectDuck()})""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    // DataFrame form of sigSelectSpark with the single-split scan
-    // fanned out before the CPU-dense signature fold (r21); identical
-    // expressions and output columns
-    val base = Par.fanOut(Tables.load(s, dir, "documents"))
+    // DataFrame form of sigSelectSpark; identical expressions and
+    // output columns
+    val base = Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         expr(s"graft_minhash_sig(${shingleHashesSpark("split(text, ' ')")})")
           .as("sig"))
@@ -477,9 +476,7 @@ object Dedup {
          |FROM t GROUP BY doc_id""".stripMargin
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    // single-split scan fanned out before the CPU-dense per-token
-    // hashing + bit votes (r21); same expression
-    Par.fanOut(Tables.load(s, dir, "documents"))
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"),
         expr(s"graft_simhash(${tokenHashesSpark("text")})").as("simhash"))
   }

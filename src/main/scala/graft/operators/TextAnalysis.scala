@@ -190,7 +190,7 @@ object TextAnalysis {
     graft.functions.GraftFunctions.register(s)
     val hs = expr(graft.functions.TextHash.shingleHashesSpark("split(text, ' ')"))
     val rep = lit(1.0d) - size(array_distinct(col("hs"))) * lit(1.0d) / size(col("hs"))
-    Par.fanOut(Tables.load(s, dir, "documents"))
+    Tables.load(s, dir, "documents")
       .select(col("doc_id"), hs.as("hs"))
       .select(col("doc_id"),
         size(col("hs")).cast("long").as("total_ngrams"),
@@ -216,7 +216,7 @@ object TextAnalysis {
       |  CAST(SUM((LENGTH(tok) + 3) // 4) AS BIGINT) AS est_bpe_tokens,
       |  CAST(FLOOR((MIN(n_chars) * 1.0 / SUM((LENGTH(tok) + 3) // 4)) * 1000 + 0.5) AS BIGINT) AS chars_per_tok_mils
       |FROM p GROUP BY doc_id""".stripMargin) { (s, dir) =>
-    val pieces = Par.fanOut(Tables.load(s, dir, "documents"))
+    val pieces = Tables.load(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"),
         explode(regexp_extract_all(col("text"),
           lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))).as("tok"))
