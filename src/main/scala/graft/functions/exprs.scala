@@ -496,6 +496,55 @@ case class DocPairs(child: Expression)
     copy(child = newChild)
 }
 
+/** `graft_token_pairs(toks)`: all index-ordered pairs (toks[i],
+  * toks[j]) with i < j from one token array, as
+  * `array<struct<tok_a, tok_b>>` — the map-side pair expansion of the
+  * co-occurrence operator, run as one native pass instead of nested
+  * interpreted `transform` lambdas (measured: the lambda form burned
+  * ~0.8 s of single-task CPU per execution at sf0.1). Callers pass a
+  * SORTED distinct array, so i < j ⇔ tok_a < tok_b — identical pairs
+  * to the oracle's `a.tok < b.tok` self-join.
+  */
+case class TokenPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok_a", StringType, nullable = false),
+    StructField("tok_b", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_token_pairs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val nPairs = n.toLong * (n - 1) / 2
+    if (nPairs > Int.MaxValue)
+      throw new IllegalStateException(
+        s"graft_token_pairs: $n tokens expand to $nPairs pairs; gate " +
+          "the vocabulary before pair expansion")
+    val out = new Array[Any](nPairs.toInt)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(
+          Array[Any](toks(i), toks(j))): InternalRow
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenPairs =
+    copy(child = newChild)
+}
+
 /** `graft_json_valid(s)`: true iff `s` parses as ONE strict JSON
   * document (single root value, no trailing content) — the
   * error-vs-empty discriminator behind JSON_VALUE's ON ERROR clause,
@@ -736,6 +785,7 @@ object GraftFunctions {
     "graft_doc_pairs" -> (es => DocPairs(es.head)),
     "graft_capped_postings" -> (es => CappedPostingsAgg(es.head, es(1), es(2))),
     "graft_topk_by_score" -> (es => TopKByScoreAgg(es.head, es(1), es(2))),
+    "graft_token_pairs" -> (es => TokenPairs(es.head)),
     "graft_json_valid" -> (es => JsonIsValid(es.head)),
     "graft_json_items" -> (es => JsonPathItems(es.head, es(1))),
     "graft_lsh_bucket" -> { es =>
