@@ -34,6 +34,35 @@ import org.apache.hadoop.fs.Path
 object IntermediateRetention {
 
   private val PathRe = "\"path\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+
+  /** Undo JSON string escapes in a captured path (the log writer may
+    * escape `/` as `\/`, non-ASCII as `\uXXXX`, etc.); without this the
+    * qualified-prefix comparison silently never matched such paths and
+    * the sweep became a per-file no-op (r20 advice).
+    */
+  private def unescapeJson(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(
+              Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case other => sb.append(other); i += 2 // \" \\ \/ pass through
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
   private val TsRe = "\"timestamp\"\\s*:\\s*(-?\\d+)".r
   private val BatchRe = "\"batchId\"\\s*:\\s*(-?\\d+)".r
 
@@ -103,7 +132,8 @@ object IntermediateRetention {
               } finally in.close()
             text.linesIterator.flatMap { line =>
               for {
-                p <- PathRe.findFirstMatchIn(line).map(_.group(1))
+                p <- PathRe.findFirstMatchIn(line)
+                  .map(m => unescapeJson(m.group(1)))
                 t <- TsRe.findFirstMatchIn(line).map(_.group(1).toLong)
                 b <- BatchRe.findFirstMatchIn(line).map(_.group(1).toLong)
               } yield Entry(p, t, b)

@@ -1617,6 +1617,11 @@ final class SqlSubmitAction(
             }
             s
           }
+        // set when stage 2 ran AND its checkpoint root was resolved and
+        // registered with the sweeper — the only case where the
+        // sentinel's hold on deletion may be released on success
+        var consumerRegistered = false
+        var stage2Ok = false
         try {
           if (!plan.reuse) {
             executeInsert(spark, config, plan.stage1)
@@ -1657,15 +1662,30 @@ final class SqlSubmitAction(
                   intermediateConsumers(plan.path) =
                     (retMs, consumers += root)
                 }
+                consumerRegistered = true
                 ensureRetentionSweeper(spark)
               }
           }
+          stage2Ok = true
         } finally {
           // the sentinel must not outlive the statement: replaced by
           // the real consumer above, or dropped on failure (else it
-          // would block retention for the rest of the run)
+          // would block retention for the rest of the run). EXCEPT
+          // when stage 2 is RUNNING but its checkpoint root could not
+          // be resolved (checkpointRootOf pattern-matches Spark
+          // internals): removing the sentinel then would let a live
+          // sweeper resume deleting under an active consumer the
+          // registry cannot see — keep holding deletion for this
+          // intermediate instead (fail-safe: retention degrades to
+      // no-op for the path, data is never lost)
           sentinel.foreach { s =>
-            retentionLock.synchronized {
+            if (stage2Ok && !consumerRegistered &&
+                effectiveRetention.isDefined)
+              System.err.println(
+                s"[graft] retention: could not resolve the checkpoint " +
+                  s"root of the new consumer of '${plan.mat}'; holding " +
+                  "deletion for this intermediate for the rest of the run")
+            else retentionLock.synchronized {
               intermediateConsumers.get(plan.path).foreach {
                 case (r, cs) =>
                   intermediateConsumers(plan.path) = (r, cs -= s)

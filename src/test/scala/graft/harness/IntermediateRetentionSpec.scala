@@ -95,6 +95,28 @@ class IntermediateRetentionSpec extends AnyFunSuite {
     assert(Files.exists(data(1)) && Files.exists(data(2)))
   }
 
+  test("JSON-escaped paths in the source log still match (unescape " +
+      "before the qualified-prefix comparison)") {
+    val (mat, ckpt, data) = scaffold("esc", files = 3, committed = 3)
+    // rewrite the delete-frontier entries with writer-escaped paths:
+    // batch 0 escapes '/' as '\/', batch 1 escapes a letter as \uXXXX
+    // — both must still compare equal to the listed file paths
+    val slashEsc = s"file://${data(0)}".replace("/", "\\/")
+    val p1 = s"file://${data(1)}"
+    val idx = p1.lastIndexOf("part-")
+    val uniEsc = p1.substring(0, idx) +
+      "\\u0070" + p1.substring(idx + 1) // 'p' of part- as p
+    write(ckpt.resolve("sources/0/0"),
+      s"""v1\n{"path":"$slashEsc","timestamp":1000,"batchId":0}""")
+    write(ckpt.resolve("sources/0/1"),
+      s"""v1\n{"path":"$uniEsc","timestamp":1001,"batchId":1}""")
+    val n = IntermediateRetention.sweep(conf, mat.toString,
+      Seq(ckpt.toString), retentionMs = 0L)
+    assert(n === 2, n.toString)
+    assert(!Files.exists(data(0)) && !Files.exists(data(1)))
+    assert(Files.exists(data(2)), "safety margin")
+  }
+
   test("compacted source-log files contribute only their committed " +
       "slice (entries filter on batchId)") {
     val (mat, ckpt, data) = scaffold("compact", files = 2, committed = 2)
