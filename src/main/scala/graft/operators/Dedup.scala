@@ -560,10 +560,11 @@ object Dedup {
     * pipeline runs before trusting a sketch threshold at corpus scale.
     *
     * Scale design: the exact pass is restricted to the candidate set
-    * (Q pairs, not corpus²) — postings join back on the 8-byte shingle
-    * hash only for docs that appear in a candidate pair, so the audit
+    * (Q pairs, not corpus²) — each pair pulls its two docs' distinct
+    * shingle-hash arrays and intersects them natively, so the audit
     * costs O(candidates · doc shingles), a rounding error next to the
-    * LSH pass itself.
+    * LSH pass itself, and the corpus-scale posting relation never
+    * shuffles.
     */
   val extMinhashEst: Q = Q(
     "ext_minhash_est", {
@@ -628,9 +629,6 @@ object Dedup {
         when(col("a.sig").getItem(i) === col("b.sig").getItem(i), 1)
           .otherwise(0))
       .reduce(_ + _)
-    // candidate pairs are tiny (band collisions only) but feed BOTH the
-    // exact pass and the final projection — checkpoint so the band
-    // self-join runs once
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_key") === col("b.band_key") &&
@@ -639,27 +637,37 @@ object Dedup {
         agreeCol.as("n_agree"))
       .distinct()
       .filter(col("n_agree") >= 8)
-      .localCheckpoint(false)
-    val post = hashed
-      .select(col("doc_id"), array_distinct(col("hs")).as("ghs"))
-      .select(col("doc_id"), size(col("ghs")).cast("long").as("sz"),
-        explode_outer(col("ghs")).as("gh"))
-      .filter(col("gh").isNotNull)
-      // lazily checkpointed: both sides of the exact-intersection join
-      // read the postings — one explode pass, not two (r21)
-      .localCheckpoint(false)
-    val ex = cand.select(col("doc_a"), col("doc_b"))
-      .join(post.toDF("doc_a", "sz_a", "gh"), "doc_a")
-      .join(post.toDF("doc_b", "sz_b", "gh"), Seq("doc_b", "gh"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
+    // Exact Jaccard per CANDIDATE pair via native array_intersect over
+    // the checkpointed per-doc hash arrays, not a postings explode +
+    // witness-count aggregation: every cand doc matches exactly one
+    // hashed row, so the join chain is 1:1 (no left-outer, no pair-keyed
+    // re-aggregation), the intersection count equals the old
+    // shared-shingle COUNT(*) by definition, and the corpus-scale
+    // posting relation never shuffles — the audit stays O(candidates ·
+    // doc shingles). Locally this removed two localCheckpoint
+    // materialization jobs and three shuffles (r21 carried cand/post
+    // checkpoints that cost more than they saved at bench scale: the
+    // driver read 1.76 s vs 1.29 s in r20).
+    val g = hashed.select(col("doc_id"), array_distinct(col("hs")).as("ghs"))
     val estM = floor(col("n_agree") * lit(1000.0d) / K + lit(0.5d))
       .cast("long")
-    val jacM = coalesce(
+    // inter = 0 (no shared shingle) must yield jac_mils 0 exactly like
+    // the old left-outer's NULL → COALESCE(…, 0) path — and NOT ride a
+    // 0/0 = NaN when both arrays are empty — hence the explicit guard
+    val jacM = when(col("sz_a") + col("sz_b") - col("inter") > 0L,
       floor(col("inter") * lit(1000.0d) /
-        (col("sz_a") + col("sz_b") - col("inter")) + lit(0.5d)),
-      lit(0L)).cast("long")
-    cand.join(ex, Seq("doc_a", "doc_b"), "left_outer")
+        (col("sz_a") + col("sz_b") - col("inter")) + lit(0.5d)))
+      .otherwise(lit(0L)).cast("long")
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("ghs").as("ghs_a")),
+        "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("ghs").as("ghs_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        size(col("ghs_a")).cast("long").as("sz_a"),
+        size(col("ghs_b")).cast("long").as("sz_b"),
+        size(array_intersect(col("ghs_a"), col("ghs_b"))).cast("long")
+          .as("inter"))
       .select(col("doc_a"), col("doc_b"),
         estM.as("est_mils"), jacM.as("jac_mils"))
       .withColumn("err_mils", abs(col("est_mils") - col("jac_mils")))
@@ -695,11 +703,14 @@ object Dedup {
     graft.functions.GraftFunctions.register(s)
     // fingerprint-first (exact): a text's span set is a function of the
     // text alone, and a span's doc frequency is the multiplicity sum of
-    // the distinct texts carrying it — so hashing, the frequency join,
+    // the distinct texts carrying it — so hashing, the frequency count,
     // and the per-doc rollup all run once per DISTINCT text, and
-    // doc_ids join back on the fingerprint. The checkpoint is lazy:
-    // spans feeds both sides of the frequency join, and the explode +
-    // hashing is the heaviest stage.
+    // doc_ids join back on the fingerprint. The frequency is a SUM(m)
+    // window over the span key — same value as the old aggregate-then-
+    // join-back pair (spans are distinct within a text, so the weighted
+    // frequency IS the number of documents carrying the span), but the
+    // exploded relation crosses the wire once and needs no
+    // localCheckpoint to keep the explode+hash pipeline single-pass.
     val raw = Tables.load(s, dir, "documents")
     val ids = raw.select(col("doc_id"), xxhash64(col("text")).as("fp"))
     val spans = raw
@@ -707,11 +718,9 @@ object Dedup {
       .agg(count(lit(1)).as("m"), min(col("text")).as("text"))
       .selectExpr("fp", "m",
         s"explode(array_distinct(${shingleHashesSpark("split(text, ' ')", 8)})) AS span")
-      .localCheckpoint(false)
-    // spans are distinct within a text, so the weighted span frequency
-    // IS the number of documents carrying it
-    val freq = spans.groupBy(col("span")).agg(sum(col("m")).as("n_docs"))
-    val perFp = spans.join(freq, "span")
+    val bySpan = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span"))
+    val perFp = spans.withColumn("n_docs", sum(col("m")).over(bySpan))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("total_spans"),
         sum(when(col("n_docs") > 1L, 1L).otherwise(0L)).as("shared_spans"))
@@ -789,10 +798,14 @@ object Dedup {
     }) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
     import org.apache.spark.sql.expressions.Window
-    // lazily checkpointed: p (one row per token position) feeds BOTH
-    // the occurrence-count aggregation and the join back — without the
-    // checkpoint the tokenize+hash+posexplode pipeline ran twice per
-    // execution (r21)
+    // single pass: the occurrence count is a COUNT(*) window over the
+    // gram hash — same value as the old aggregate-then-join-back pair
+    // (occ per row = number of corpus positions sharing its h), but the
+    // position table crosses the wire ONCE (one h-keyed exchange) where
+    // agg+join shuffled it twice and needed a localCheckpoint to avoid
+    // re-running the tokenize+hash+posexplode pipeline per consumer
+    // (r21's checkpoint cost more than it saved at bench scale; this
+    // shape needs neither the checkpoint nor the join)
     val p = Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 8)
@@ -801,10 +814,10 @@ object Dedup {
       // DuckDB list positions are 1-based; align so span arithmetic
       // matches digit for digit
       .withColumn("pos", col("pos0") + 1).drop("pos0")
-      .localCheckpoint(false)
-    val occ = p.groupBy(col("h")).agg(count(lit(1)).as("occ"))
+    val byH = Window.partitionBy(col("h"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val d = p.join(occ, "h").filter(col("occ") > 1L)
+    val d = p.withColumn("occ", count(lit(1)).over(byH))
+      .filter(col("occ") > 1L)
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) <= 8, 0L)
           .otherwise(1L))
@@ -1107,9 +1120,12 @@ object Dedup {
         min_by(col("text"), col("doc_id")).as("text"))
       .selectExpr("fp", "m",
         s"explode(array_distinct(${shingleHashesSpark("split(text, ' ')")})) AS gh")
-      .localCheckpoint(false)
-    val first = spans.groupBy(col("gh")).agg(min(col("m")).as("first_doc"))
-    val perFp = spans.join(first, "gh")
+    // a shingle's earliest corpus doc is a MIN(m) window over the gh
+    // key — same value as the old aggregate-then-join-back pair, one
+    // gh-keyed exchange instead of two and no localCheckpoint needed to
+    // keep the explode+hash pipeline single-pass
+    val byGh = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    val perFp = spans.withColumn("first_doc", min(col("m")).over(byGh))
       .groupBy(col("fp"), col("m"))
       .agg(count(lit(1)).as("total_shingles"),
         sum(when(col("first_doc") === col("m"), 1L).otherwise(0L))
